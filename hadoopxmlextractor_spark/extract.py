@@ -1,0 +1,179 @@
+"""The extraction pipeline: documents → fragments → cells → output rows.
+
+Spark-first restatement of the reference's fixed physical plan
+(scan → scan-time filter → fragment project → XPath project → shuffle/sort
+→ ordered pivot + forward fill → sink; ``XmlExtractor.java:178-212``):
+
+1. **Scan** — whole-document rows (``sources.read_xml_documents``).
+2. **Fragment extraction** — Arrow-batched ``mapInPandas`` running the
+   pure-Python multi-pattern scanner (``scanner.py``); the attribute
+   predicate and the include-children truncation happen here, *before*
+   any XML parsing — the same filter/projection pushdown the reference
+   hand-rolls in its RecordReader (``SeqXmlRecordReader.java:259-273``).
+   Exploding fragments out of documents early also breaks the
+   one-giant-document-per-task skew the reference inherits from its
+   non-splittable input format.
+3. **XPath projection** — JVM-side ``xpath()`` (whole-stage codegen,
+   no Python round-trip) evaluated per fragment, gated by rule index;
+   multi-node results concatenate with no separator and empty nodesets
+   drop the cell, matching ``XmlExtractor.java:100-112``.
+4. **Assembly** — ``operators.assembly.assemble_rows``: one shuffle
+   (partition by doc, sort by (seq, order)), running forward fill,
+   trigger-gated emit.
+
+At scale: the only Python stage is the scanner (string find over opaque
+documents — work Spark's built-ins cannot express); everything after the
+fragment DataFrame is built-in Catalyst-optimizable operators, and the
+plan has exactly one shuffle, keyed on the high-cardinality doc_id.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.config import ExtractionConfig
+from hadoopxmlextractor_spark.operators.assembly import assemble_rows
+from hadoopxmlextractor_spark.scanner import compile_rules, scan_document
+
+_FRAGMENT_SCHEMA = "doc_id string, seq long, rule_idx int, fragment string"
+
+
+def extract_fragments(
+    docs: DataFrame, config: ExtractionConfig, *, validate: bool = True
+) -> DataFrame:
+    """documents(doc_id, content) → fragments(doc_id, seq, rule_idx, fragment).
+
+    The compiled rule tables are tiny and ship in the task closure (the
+    reference compiles them once per map task,
+    ``SeqXmlRecordReader.java:117-141``; here once per Python worker).
+    """
+    compiled = compile_rules(config.rules)
+
+    def scan_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[str] = []
+            seqs: list[int] = []
+            rule_idxs: list[int] = []
+            frags: list[str] = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for frag in scan_document(content, compiled, validate=validate):
+                    doc_ids.append(doc_id)
+                    seqs.append(frag.seq)
+                    rule_idxs.append(frag.rule_idx)
+                    frags.append(frag.xml)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="object"),
+                    "seq": pd.Series(seqs, dtype="int64"),
+                    "rule_idx": pd.Series(rule_idxs, dtype="int32"),
+                    "fragment": pd.Series(frags, dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(scan_batches, schema=_FRAGMENT_SCHEMA)
+
+
+def _xpath_array(col: str, expr: str):
+    """JVM-side xpath(col, expr) → array<string> of node string values."""
+    return F.xpath(F.col(col), F.lit(expr))
+
+
+def project_cells(fragments: DataFrame, config: ExtractionConfig) -> DataFrame:
+    """fragments → cells(doc_id, seq, order, value): the XPath projection.
+
+    One cell per (fragment, xpath) pair whose nodeset is non-empty; all
+    matched nodes' string values concatenate with no separator
+    (``XmlExtractor.java:104-109``). Evaluation is gated by ``rule_idx``
+    so a rule's expressions never run against another rule's fragments
+    (preserves the reference's per-rule projection attachment,
+    ``SeqXmlRecordReader.java:190``).
+    """
+    cells_for_rule = [
+        F.array(
+            *[
+                F.struct(
+                    F.lit(xp.order).alias("order"),
+                    _xpath_array("fragment", xp.expr).alias("nodes"),
+                )
+                for xp in rule.xpaths
+            ]
+        )
+        for rule in config.rules
+    ]
+    gated = None
+    for i, arr in enumerate(cells_for_rule):
+        gated = (F.when(F.col("rule_idx") == i, arr) if gated is None
+                 else gated.when(F.col("rule_idx") == i, arr))
+
+    return (
+        fragments.select(
+            "doc_id",
+            "seq",
+            F.explode(gated).alias("cell"),
+        )
+        # Empty nodeset → no cell (mirrors the `if (nodes.getLength() > 0)`
+        # guard at XmlExtractor.java:104); an empty *string value* of a
+        # matched node still emits.
+        .filter(F.size("cell.nodes") > 0)
+        .select(
+            "doc_id",
+            "seq",
+            F.col("cell.order").alias("order"),
+            F.array_join("cell.nodes", "").alias("value"),
+        )
+    )
+
+
+def extract_cells(
+    docs: DataFrame, config: ExtractionConfig, *, validate: bool = True
+) -> DataFrame:
+    """documents → long-format cell stream (the shuffle data shape,
+    ``XmlReducerKeyWritable.java:17-25``)."""
+    return project_cells(extract_fragments(docs, config, validate=validate), config)
+
+
+def extract(
+    docs: DataFrame,
+    config: ExtractionConfig,
+    *,
+    missing_value: str | None = " ",
+    validate: bool = True,
+) -> DataFrame:
+    """Full pipeline: documents(doc_id, content) → assembled output rows.
+
+    Returns DataFrame[doc_id, seq, <output columns>] — row order within a
+    document follows document order via ``seq``; use
+    ``sinks.write_reference_format`` for the delimited-text sink.
+    """
+    cells = extract_cells(docs, config, validate=validate)
+    return assemble_rows(
+        cells,
+        config.nr_of_columns,
+        column_names=config.output_columns(),
+        missing_value=missing_value,
+    )
+
+
+def run_extraction(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    config_path: str,
+) -> None:
+    """Drop-in equivalent of the reference job driver
+    (``XmlExtractor.main``, ``XmlExtractor.java:178-212``):
+    read XML documents from ``input_path``, apply the Hadoop-resource
+    config at ``config_path``, write delimited text to ``output_path``.
+    """
+    from hadoopxmlextractor_spark.sinks import write_reference_format
+    from hadoopxmlextractor_spark.sources import read_xml_documents
+
+    config = ExtractionConfig.from_hadoop_xml(config_path)
+    result = extract(read_xml_documents(spark, input_path), config)
+    write_reference_format(result, config, output_path)

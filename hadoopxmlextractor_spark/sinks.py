@@ -1,0 +1,29 @@
+"""Sinks. The reference writes delimiter-joined text rows with a trailing
+delimiter via TextOutputFormat (``XmlExtractor.java:158-172, 206``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.config import ExtractionConfig
+
+
+def to_reference_lines(result: DataFrame, config: ExtractionConfig) -> DataFrame:
+    """Assembled rows → single-column DataFrame of reference-format lines:
+    every column followed by the output delimiter, including the last
+    (``XmlExtractor.java:160-170``)."""
+    cols = config.output_columns()
+    line = F.concat(
+        *[F.concat(F.col(c), F.lit(config.output_delimiter)) for c in cols]
+    ).alias("value")
+    # Preserve document order within each doc for deterministic output.
+    return result.orderBy("doc_id", "seq").select(line)
+
+
+def write_reference_format(
+    result: DataFrame, config: ExtractionConfig, output_path: str
+) -> None:
+    """Write the reference's exact text format (trailing delimiter — note a
+    plain csv writer would not emit it)."""
+    to_reference_lines(result, config).write.mode("overwrite").text(output_path)

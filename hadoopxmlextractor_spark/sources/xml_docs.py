@@ -1,0 +1,58 @@
+"""Document-collection sources → DataFrame[doc_id: string, content: string].
+
+The reference packs a directory of XML files into one SequenceFile with
+UUID keys (``CreateSequenceFile.java:37-51``) purely as a small-files
+mitigation, then reads it with a non-splittable input format
+(``XmlExtractor.java:57-68``). Spark's file sources batch small files per
+task natively (``spark.sql.files.maxPartitionBytes`` /
+``openCostInBytes``), so no packing step exists here — but existing
+SequenceFiles remain readable for drop-in parity.
+
+Whole-file reads are inherently non-splittable, which preserves the
+intra-document order the scanner's ``seq`` offsets rely on; skew from one
+giant document is mitigated downstream by exploding fragments before the
+expensive projection (see ``extract.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_xml_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory (or glob) of XML files, one row per document.
+
+    Uses the ``text`` source in wholetext mode: distributed, whole-file
+    (non-splittable like the reference's input format,
+    ``XmlExtractor.java:64-67``), and schema-stable. ``doc_id`` is the
+    file path — unique per document, like the reference's per-record UUID
+    (``SeqXmlRecordReader.java:171``) but reproducible.
+    """
+    return (
+        # NB: wholetext must be the .text() kwarg — a reader-level
+        # .option("wholetext", ...) is overridden by the .text() default.
+        spark.read.text(path, wholetext=True)
+        .select(
+            F.input_file_name().alias("doc_id"),
+            F.col("value").alias("content"),
+        )
+    )
+
+
+def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
+    """Read a reference-produced SequenceFile of (Text uuid, Text xml doc)
+    (``CreateSequenceFile.java:39-51``) for drop-in parity."""
+    rdd = spark.sparkContext.sequenceFile(
+        path,
+        "org.apache.hadoop.io.Text",
+        "org.apache.hadoop.io.Text",
+    )
+    return spark.createDataFrame(rdd, schema="doc_id string, content string")
+
+
+def docs_from_strings(spark: SparkSession, docs: dict[str, str]) -> DataFrame:
+    """Build a document DataFrame from in-memory strings (tests/demos)."""
+    return spark.createDataFrame(
+        list(docs.items()), schema="doc_id string, content string"
+    )

@@ -1,0 +1,107 @@
+"""E2E golden tests (FIXTURES.md §4, SURVEY.md §5.2): both reference
+configs over the synthesized two-store corpus must reproduce the derived
+golden outputs — 30 rows for ExtractInventory, 4 rows for ExtractBook.
+"""
+
+import pytest
+
+from hadoopxmlextractor_spark.config import ExtractionConfig
+from hadoopxmlextractor_spark.extract import extract, extract_cells, run_extraction
+from hadoopxmlextractor_spark.sinks import to_reference_lines
+from hadoopxmlextractor_spark.sources import docs_from_strings
+from tests.fixtures import (
+    BANKS,
+    BOOK_CONFIG_XML,
+    INVENTORY_CONFIG_XML,
+    SOHO,
+    golden_rows,
+    make_store_xml,
+)
+
+INV_CFG = ExtractionConfig.from_hadoop_xml(INVENTORY_CONFIG_XML, is_text=True)
+BOOK_CFG = ExtractionConfig.from_hadoop_xml(BOOK_CONFIG_XML, is_text=True)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return docs_from_strings(
+        spark,
+        {"soho.xml": make_store_xml(SOHO), "banks.xml": make_store_xml(BANKS)},
+    ).cache()
+
+
+def _result_rows(df):
+    return [tuple(r)[2:] for r in df.orderBy("doc_id", "seq").collect()]
+
+
+def test_extract_inventory_30_golden_rows(spark, docs):
+    out = extract(docs, INV_CFG)
+    rows = _result_rows(out)
+    assert len(rows) == 30
+    # ordered within each document; compare as per-doc ordered lists
+    assert rows == golden_rows([BANKS]) + golden_rows([SOHO])  # banks.xml < soho.xml
+
+
+def test_extract_book_4_golden_rows(spark, docs):
+    rows = _result_rows(extract(docs, BOOK_CFG))
+    assert rows == golden_rows([BANKS], "bk106") + golden_rows([SOHO], "bk106")
+
+
+def test_reference_text_format(spark, docs):
+    lines = [r["value"] for r in to_reference_lines(extract(docs, BOOK_CFG), BOOK_CFG).collect()]
+    assert lines == [
+        "BanksBooks;22446688;January;4;bk106;12;",
+        "BanksBooks;22446688;February;1;bk106;17;",
+        "SohoBooks;11553377;January;3;bk106;13;",
+        "SohoBooks;11553377;February;2;bk106;23;",
+    ]
+
+
+def test_cells_long_format(spark, docs):
+    cells = extract_cells(docs.filter("doc_id = 'soho.xml'"), INV_CFG)
+    got = cells.orderBy("seq", "order").collect()
+    # 1 store + 1 phone + 2*2 inventory + 11*2 book cells = 28
+    assert len(got) == 28
+    assert [tuple(r)[2:] for r in got[:4]] == [
+        (0, "SohoBooks"),
+        (1, "11553377"),
+        (2, "January"),
+        (3, "3"),
+    ]
+
+
+def test_run_extraction_files_roundtrip(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "soho.xml").write_text(make_store_xml(SOHO))
+    (in_dir / "banks.xml").write_text(make_store_xml(BANKS))
+    cfg_path = tmp_path / "extract_book.xml"
+    cfg_path.write_text(BOOK_CONFIG_XML)
+    out_dir = tmp_path / "out"
+
+    run_extraction(spark, str(in_dir), str(out_dir), str(cfg_path))
+
+    lines = sorted(
+        r["value"] for r in spark.read.text(str(out_dir)).collect()
+    )
+    assert lines == sorted(
+        [
+            "SohoBooks;11553377;January;3;bk106;13;",
+            "SohoBooks;11553377;February;2;bk106;23;",
+            "BanksBooks;22446688;January;4;bk106;12;",
+            "BanksBooks;22446688;February;1;bk106;17;",
+        ]
+    )
+
+
+def test_multi_node_xpath_concatenates(spark):
+    # Several matched nodes concatenate with no separator
+    # (XmlExtractor.java:105-109).
+    cfg = ExtractionConfig.from_rules(
+        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//x/text();1#//r/@nope;2#//y/text();", ";", "#")],
+        nr_of_columns=3,
+    )
+    docs = docs_from_strings(spark, {"d": "<r><x>a</x><x>b</x><y>z</y></r>"})
+    out = extract(docs, cfg).collect()
+    # col1's xpath matches nothing → " "; col2 (trigger) present
+    assert [tuple(r)[2:] for r in out] == [("ab", " ", "z")]
