@@ -3,8 +3,11 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Queries live in ``hadoopxmlextractor_spark.queries`` (relational
+surface) and ``hadoopxmlextractor_spark.operators`` (dedup, similarity,
+text analysis); this module just re-exports the registry.
 """
 
 from __future__ import annotations
@@ -12,27 +15,51 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.queries import ORACLE, QUERIES
+from hadoopxmlextractor_spark.tables import load
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: revenue by nation and
+    order-year across the full join tree (region→nation→customer→orders
+    →lineitem), exercising broadcast joins, a shuffle join, partial
+    aggregation, and window ranking in one plan."""
+    sf = "/root/testdata/sf0.001"
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region")
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+
+    from pyspark.sql import Window
+
+    revenue = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
+                    "decimal(18,2)"
+                )
+            ).cast("decimal(38,2)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    w = Window.partitionBy("r_name", "order_year").orderBy(F.col("revenue").desc())
+    return revenue.withColumn("rank_in_region", F.row_number().over(w))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each query (omitted entries get the
+    driver's weaker rows-only check)."""
+    return dict(ORACLE)
