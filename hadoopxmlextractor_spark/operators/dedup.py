@@ -1,0 +1,336 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design:
+- Shingling, hashing, signatures: pure JVM expressions (codegen) — no
+  Python in the per-document hot path except SimHash's bit-count fold,
+  which is an Arrow-batched pandas UDF over pre-hashed tokens.
+- Candidate generation never does an all-pairs cross join: the n-gram
+  path uses an inverted-index self-join with a hot-shingle cap (df cap
+  kills the quadratic blowup of stop-shingles); the MinHash path joins
+  on LSH band buckets; SimHash joins on 16-bit chunks (pigeonhole: any
+  pair within hamming distance 3 shares one of 4 chunks).
+- Exact verification runs only on candidates.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.operators.text import tokens
+
+_MERSENNE31 = 2147483647  # 2^31 - 1; keeps a*x+b inside int64 under ANSI mode
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-word shingles as space-joined strings; docs shorter
+    than n words get their whole text as one shingle."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    return F.array_distinct(
+        F.when(F.size(toks) < n, F.array(F.array_join(toks, " "))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per exact (md5) text hash. Hash-groupBy:
+    one shuffle on the 128-bit digest, no skew (hashes are uniform)."""
+    w = Window.partitionBy("text_hash").orderBy(id_col)
+    return (
+        df.withColumn("text_hash", F.md5(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard (exact, inverted-index join)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold, computed exactly via an
+    inverted index: explode shingles → self-join on shingle → count
+    shared → |A∩B| / (|A|+|B|-|A∩B|). ``max_df`` drops shingles
+    appearing in more than that many docs (skew guard: a stop-shingle in
+    1M docs would otherwise generate 10^12 join rows).
+    """
+    sh = df.select(
+        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    inv = sh.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            inv.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        inv = inv.join(hot, "shingle", "left_anti")
+    a = inv.select(
+        F.col("shingle"),
+        F.col("doc").alias("doc_a"),
+        F.col("n_shingles").alias("size_a"),
+    )
+    b = inv.select(
+        F.col("shingle"),
+        F.col("doc").alias("doc_b"),
+        F.col("n_shingles").alias("size_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "size_a", "size_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )
+    return pairs
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _minhash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE31), rng.randrange(0, _MERSENNE31))
+        for _ in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, signature array<long>) — MinHash over word shingles.
+
+    Each shingle is hashed ONCE (xxhash64, JVM-side), then the H
+    signature components are universal-hash permutations
+    ``(a*x + b) mod 2^31-1`` folded with array_min — O(S + S*H) integer
+    ops per doc, all inside whole-stage codegen, no shuffle.
+    """
+    params = _minhash_params(num_hashes, seed)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(
+            word_shingles(text_col, shingle_n),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
+        ).alias("hs"),
+    )
+    def _perm_min(a: int, b: int) -> Column:
+        # factory closure: PySpark infers lambda arity from the signature,
+        # so default-arg captures would be misread as extra lambda params
+        return F.array_min(
+            F.transform(F.col("hs"), lambda x: F.pmod(a * x + b, F.lit(_MERSENNE31)))
+        )
+
+    sig = F.array(*[_perm_min(a, b) for (a, b) in params])
+    return base.select("doc", sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    *,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band bucket.
+
+    Banding: split the signature into ``bands`` slices of
+    ``rows_per_band``; bucket key = hash(slice). Join on
+    (band, bucket) — the shuffle key is uniform because buckets are
+    hashes; ``max_bucket`` skips degenerate buckets (all-identical docs)
+    that would go quadratic.
+    """
+    banded = signatures.select(
+        "doc",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("signature", k * rows_per_band + 1, rows_per_band))
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    if max_bucket is not None:
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(big, ["band", "bucket"], "left_anti")
+    a = banded.select("band", "bucket", F.col("doc").alias("doc_a"))
+    b = banded.select("band", "bucket", F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
+    """Fraction of equal signature components."""
+    eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
+    return F.round(
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(sig_a), 4
+    )
+
+
+def dedup_minhash_lsh(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    num_hashes: int = 128,
+    shingle_n: int = 3,
+    bands: int = 32,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs: MinHash signatures → LSH banding → estimated
+    Jaccard ≥ threshold. Returns (doc_a, doc_b, est_jaccard)."""
+    assert num_hashes % bands == 0
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
+    )
+    cands = minhash_lsh_candidates(
+        sigs, bands=bands, rows_per_band=num_hashes // bands
+    )
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, simhash long): 64-bit SimHash over token hashes.
+
+    Tokens are hashed JVM-side (xxhash64); only the 64-lane bit-count
+    fold runs in Python, as a vectorized numpy pandas UDF over the
+    pre-hashed arrays (Arrow batches, no per-row Python).
+    """
+    import numpy as np
+
+    @F.pandas_udf("long")
+    def _simhash_from_hashes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hashes in it:
+            out = np.zeros(len(hashes), dtype=np.int64)
+            for i, hs in enumerate(hashes):
+                if hs is None or len(hs) == 0:
+                    continue
+                arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                    np.int64
+                )
+                votes = (2 * bits - 1).sum(axis=0)
+                out[i] = np.int64(
+                    np.bitwise_or.reduce(
+                        (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                    ).astype(np.int64)
+                )
+            yield pd.Series(out)
+
+    hashed = df.select(
+        F.col(id_col).alias("doc"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("token_hashes"),
+    )
+    return hashed.select("doc", _simhash_from_hashes("token_hashes").alias("simhash"))
+
+
+def simhash_near_pairs(
+    sim: DataFrame, *, max_hamming: int = 3, max_bucket: int | None = 1000
+) -> DataFrame:
+    """Pairs within hamming distance ≤ max_hamming of the 64-bit SimHash.
+
+    Pigeonhole blocking: split 64 bits into 4 chunks of 16; any pair
+    with ≤3 differing bits agrees on ≥1 chunk, so joining on
+    (chunk_idx, chunk_value) finds all such pairs without a cross join.
+    """
+    chunks = sim.select(
+        "doc",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    (F.shiftrightunsigned("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)))
+                    for k in range(4)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    if max_bucket is not None:
+        big = (
+            chunks.groupBy("chunk_idx", "chunk_val")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("chunk_idx", "chunk_val")
+        )
+        chunks = chunks.join(big, ["chunk_idx", "chunk_val"], "left_anti")
+    a = chunks.select(
+        "chunk_idx", "chunk_val", F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a")
+    )
+    b = chunks.select(
+        "chunk_idx", "chunk_val", F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

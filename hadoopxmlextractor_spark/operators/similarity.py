@@ -1,0 +1,249 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k with JVM-side ``zip_with``/
+``aggregate`` (no Python, no shuffle except the final top-k merge).
+Scale paths: random-hyperplane LSH bucketing (near-dup pairs) and an
+IVF-style partition index (top-k probes only a fraction of the data).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    *,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine top-k against one query vector.
+
+    The query ships as a literal array (broadcast in the task binary);
+    the scan computes one fused dot/norm per row inside codegen and
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-k then a k×partitions driver merge, never a global sort. This
+    is the 100 TB-safe exact path.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), round_digits).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_pairs_exact(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 5,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold via broadcast self-join.
+
+    O(n²/2) — correct baseline and oracle-checkable; use
+    ``cosine_pairs_lsh`` when n is large.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits)
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim)
+
+
+def hyperplane_sketch(
+    emb: DataFrame,
+    *,
+    dim: int,
+    n_planes: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Add an integer LSH sketch column: bit k = sign(v · h_k).
+
+    The hyperplanes are literals compiled into the plan — no broadcast
+    join, no Python. Vectors that agree on all n_planes signs land in
+    the same bucket; P[bit differs] = angle/π, so high-cosine pairs
+    collide with high probability.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    sketch = None
+    for k in range(n_planes):
+        h = F.array(*[F.lit(float(x)) for x in planes[k]])
+        bit = (dot(F.col(vec_col), h) > 0).cast("long")
+        term = bit * F.lit(1 << k)
+        sketch = term if sketch is None else sketch + term
+    return emb.withColumn("sketch", sketch)
+
+
+def cosine_pairs_lsh(
+    emb: DataFrame,
+    *,
+    threshold: float,
+    dim: int,
+    n_planes: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+    round_digits: int = 5,
+) -> DataFrame:
+    """Approximate near-dup pairs: bucket on the hyperplane sketch, then
+    exact cosine within buckets. One shuffle on the sketch; recall
+    depends on n_planes vs threshold (fewer planes → higher recall,
+    bigger buckets)."""
+    sk = hyperplane_sketch(
+        emb.select(id_col, vec_col), dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed
+    )
+    a = sk.select(
+        F.col("sketch"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+    )
+    b = sk.select(
+        F.col("sketch"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+    )
+    return (
+        a.join(b, "sketch")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("vec_a"), F.col("vec_b")), round_digits))
+        .filter(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids,
+    *,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (max-cosine) centroid with a
+    vectorized numpy pandas UDF (one matmul per Arrow batch)."""
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def _assign(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            M = np.stack(vecs.to_numpy())
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            yield pd.Series(np.argmax(M @ Cn.T, axis=1).astype(np.int32))
+
+    return emb.withColumn("centroid_id", _assign(F.col(vec_col)))
+
+
+def ivf_build_centroids(
+    emb: DataFrame,
+    *,
+    n_centroids: int = 16,
+    iters: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 2048,
+    seed: int = 42,
+):
+    """K-means-lite centroids from a deterministic sample (collected to
+    the driver — the sample, not the table; at 100 TB this is still a
+    few thousand rows)."""
+    import numpy as np
+
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(10**9)))
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                C[c] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF top-k: search only the ``nprobe`` clusters nearest the query.
+
+    The assignment column would be precomputed and partition-pruned in a
+    real deployment (write bucketed by centroid_id); here it's computed
+    inline. Scans nprobe/n_centroids of the data instead of all of it.
+    """
+    import numpy as np
+
+    C = ivf_build_centroids(emb, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ qn))[:nprobe].tolist()
+    assigned = ivf_assign(emb, C, vec_col=vec_col)
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("centroid_id").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), round_digits).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,125 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All hot-path logic is JVM-side ``pyspark.sql.functions`` expressions
+(whole-stage codegen, no Python round-trips): at 100 TB these run at
+scan speed with zero shuffles — every operator here is a pure per-row
+projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization; empty string → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.trim(c)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count: splits on word/number/punctuation
+    boundaries (a regex approximation of BPE pre-tokenization)."""
+    c = F.col(col) if isinstance(col, str) else col
+    pieces = F.regexp_extract_all(c, F.lit(r"([A-Za-z]+|[0-9]+|[^\sA-Za-z0-9])"), 1)
+    return F.size(pieces)
+
+
+def _occurrences(c: Column, marker: str) -> Column:
+    # Exact integer occurrence count via length difference — identical
+    # arithmetic is expressible in ANSI SQL for the oracle.
+    return (F.length(c) - F.length(F.replace(c, F.lit(marker), F.lit("")))) / len(marker)
+
+
+_LANG_MARKERS = {
+    "en": (" the ", " and ", " of "),
+    "de": (" der ", " und ", " die "),
+    "fr": (" le ", " et ", " les "),
+}
+
+
+def language_id(col: Column | str) -> Column:
+    """N-gram-heuristic language ID: counts language-marker stopwords and
+    returns the argmax language, or 'unknown' when no marker occurs.
+    Deterministic tie-break by language order (en, de, fr)."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    scores = {
+        lang: sum((_occurrences(padded, m) for m in marks[1:]),
+                  _occurrences(padded, marks[0]))
+        for lang, marks in _LANG_MARKERS.items()
+    }
+    best = F.greatest(*scores.values())
+    out = F.lit("unknown")
+    for lang in reversed(list(_LANG_MARKERS)):  # earlier langs win ties
+        out = F.when((scores[lang] > 0) & (scores[lang] == best), lang).otherwise(out)
+    return out
+
+
+def quality_features(col: Column | str) -> dict[str, Column]:
+    """Length / punctuation / stopword quality signals (the standard
+    cheap pre-filters for web-scale corpus cleaning)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_chars = F.length(c)
+    n_tokens = F.size(toks)
+    n_punct = F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    n_stop = sum(
+        (_occurrences(padded, f" {w} ") for w in ("the", "and", "of", "a", "to", "in")),
+        F.lit(0),
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct / F.greatest(n_chars, F.lit(1)), 4),
+        "stopword_ratio": F.round(n_stop / F.greatest(n_tokens.cast("double"), F.lit(1.0)), 4),
+        "mean_token_len": F.round(
+            (n_chars - n_tokens + 1) / F.greatest(n_tokens.cast("double"), F.lit(1.0)), 4
+        ),
+    }
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Exact document fingerprint: md5 of the whitespace-normalized,
+    lower-cased text (stable across engines for oracle checks)."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.array_join(tokens(F.lower(c)), " ")
+    return F.md5(normalized)
+
+
+def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Column:
+    """Winnowing (rolling-hash) fingerprints: hash all k-grams of tokens,
+    then keep the minimum hash of every sliding window of ``window``
+    k-gram hashes (distinct). The classic local-fingerprint scheme for
+    partial-overlap detection — all JVM-side array expressions."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_kgrams = F.size(toks) - (k - 1)
+    kgram_hashes = F.when(n_kgrams <= 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(n_kgrams, F.lit(1))),
+            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
+        )
+    )
+    n_windows = F.size(kgram_hashes) - (window - 1)
+    return F.when(
+        F.size(kgram_hashes) == 0, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.array_distinct(
+            F.when(n_windows <= 0, F.array(F.array_min(kgram_hashes))).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
+                    lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
+                )
+            )
+        )
+    )

@@ -1,0 +1,276 @@
+"""Training-data-pipeline queries over ``documents`` / ``embeddings``:
+dedup, similarity search, text analysis, multimodal plumbing.
+
+Registered into the same QUERIES/ORACLE registry as the relational
+layer. Exact variants carry DuckDB oracles; LSH/IVF variants are
+approximate by construction and run under the driver's rows-only check
+(their correctness is pinned by unit tests against the exact variants
+on synthetic near-dup corpora).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.operators import dedup as D
+from hadoopxmlextractor_spark.operators import multimodal as M
+from hadoopxmlextractor_spark.operators import similarity as S
+from hadoopxmlextractor_spark.operators import text as T
+from hadoopxmlextractor_spark.queries import query
+from hadoopxmlextractor_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    """
+    SELECT doc_id, text_hash FROM (
+      SELECT doc_id, md5(text) AS text_hash,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return D.dedup_exact(docs, "text", "doc_id").select("doc_id", "text_hash")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles)) AS shared,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+          / (len(a.shingles) + len(b.shingles)
+             - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      AND ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                / (len(a.shingles) + len(b.shingles)
+                   - len(list_intersect(a.shingles, b.shingles))), 4) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact n-gram Jaccard via inverted-index join (no cross join); the
+    # oracle brute-forces the same pairs in DuckDB. The corpus contains
+    # planted near-duplicates (true Jaccard ~0.97) that this finds.
+    docs = load(spark, sf, "documents")
+    return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@query("dedup_minhash_lsh")  # approximate: LSH recall < 1 by design
+def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return D.dedup_minhash_lsh(
+        docs, "text", "doc_id", num_hashes=64, bands=32, threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # approximate blocking; pinned by unit tests
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return D.simhash_near_pairs(D.simhash(docs, "text", "doc_id"), max_hamming=8)
+
+
+@query("minhash_signatures")  # rows-only: signature spot-check surface
+def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64)
+    return sigs.select("doc", F.slice("signature", 1, 4).alias("sig_head"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _query_vec(spark: SparkSession, sf: str) -> list[float]:
+    row = (
+        load(spark, sf, "embeddings").filter(F.col("vec_id") == 0).select("embedding").first()
+    )
+    return list(row[0])
+
+
+@query(
+    "similarity_topk_bruteforce",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS sim
+    FROM embeddings
+    ORDER BY sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def q_similarity_topk_bruteforce(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return S.cosine_topk_bruteforce(emb, _query_vec(spark, sf), k=20)
+
+
+@query(
+    "embedding_near_pairs",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 5) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 5) >= 0.45
+    """,
+)
+def q_embedding_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    return S.cosine_pairs_exact(load(spark, sf, "embeddings"), threshold=0.45)
+
+
+@query("embedding_near_pairs_lsh")  # approximate (bucketed) variant
+def q_embedding_near_pairs_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return S.cosine_pairs_lsh(emb, threshold=0.45, dim=dim, n_planes=8)
+
+
+@query("similarity_topk_ivf")  # approximate (probes nprobe/n_centroids)
+def q_similarity_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load(spark, sf, "embeddings")
+    return S.ivf_topk(emb, _query_vec(spark, sf), k=20, n_centroids=16, nprobe=4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_stats",
+    """
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+           md5(array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+'), ' ')) AS fp
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").alias("n_tokens"),
+        T.fingerprint("text").alias("fp"),
+    )
+
+
+@query(
+    "text_quality",
+    """
+    WITH base AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+             ' ' || lower(text) || ' ' AS padded
+      FROM documents
+    )
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(n_punct / GREATEST(n_chars, 1), 4) AS punct_ratio,
+           ROUND((
+             (length(padded) - length(replace(padded, ' the ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' and ', ''))) / 5.0
+           + (length(padded) - length(replace(padded, ' of ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' a ', ''))) / 3.0
+           + (length(padded) - length(replace(padded, ' to ', ''))) / 4.0
+           + (length(padded) - length(replace(padded, ' in ', ''))) / 4.0
+           ) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 4) AS stopword_ratio,
+           ROUND((n_chars - n_tokens + 1) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 4)
+             AS mean_token_len
+    FROM base
+    """,
+)
+def q_text_quality(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    feats = T.quality_features("text")
+    return docs.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["mean_token_len"].alias("mean_token_len"),
+    )
+
+
+@query(
+    "text_language_id",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang AS declared_lang,
+             (length(p) - length(replace(p, ' the ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' of ', ''))) / 4.0 AS s_en,
+             (length(p) - length(replace(p, ' der ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' und ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS s_de,
+             (length(p) - length(replace(p, ' le ', ''))) / 4.0
+           + (length(p) - length(replace(p, ' et ', ''))) / 4.0
+           + (length(p) - length(replace(p, ' les ', ''))) / 5.0 AS s_fr
+      FROM (SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents)
+    )
+    SELECT doc_id, declared_lang,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_fr THEN 'de'
+                WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                ELSE 'unknown' END AS detected_lang
+    FROM scored
+    """,
+)
+def q_text_language_id(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        T.language_id("text").alias("detected_lang"),
+    )
+
+
+@query("text_winnowing")  # rows-only: per-doc rolling-hash fingerprints
+def q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(T.winnowing_fingerprints("text")).alias("n_fingerprints"),
+        T.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("multimodal_features")  # rows-only: binary-column pipeline
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    media = M.fake_media_from_documents(docs)
+    feats = M.extract_media_features(media, decode="fake")
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+        F.size("feature").alias("feat_dim"),
+    )

@@ -1,0 +1,112 @@
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.operators import dedup as D
+from hadoopxmlextractor_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # 3 distinct base docs; doc 10 is an exact copy of 0, doc 11 a
+    # near-copy of 1 (one word changed), doc 12 unrelated.
+    base0 = "the quick brown fox jumps over the lazy dog again and again " * 4
+    base1 = "spark shuffles data between executors when joins need copartitioning " * 4
+    near1 = base1.replace("executors", "workers", 1)
+    rows = [
+        (0, base0),
+        (1, base1),
+        (2, "completely different content about cooking pasta with garlic"),
+        (10, base0),
+        (11, near1),
+        (12, "unrelated text regarding medieval castles and their defenses"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_dedup_exact(spark, corpus):
+    kept = D.dedup_exact(corpus, "text", "doc_id")
+    ids = {r.doc_id for r in kept.collect()}
+    assert 0 in ids and 10 not in ids  # exact dup dropped, lowest id kept
+    assert ids == {0, 1, 2, 11, 12}
+
+
+def test_ngram_jaccard_exact_pairs(spark, corpus):
+    pairs = D.ngram_jaccard_pairs(corpus, "text", "doc_id", n=3, threshold=0.5)
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs.collect()}
+    assert (0, 10) in got and got[(0, 10)] == 1.0
+    assert (1, 11) in got and got[(1, 11)] > 0.5
+    assert all(a in {0, 1} for a, _ in got)
+
+
+def test_minhash_estimates_match_truth(spark, corpus):
+    pairs = D.dedup_minhash_lsh(
+        corpus, "text", "doc_id", num_hashes=128, bands=32, threshold=0.5
+    )
+    got = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    assert got[(0, 10)] == 1.0  # identical docs → identical signatures
+    assert (1, 11) in got and got[(1, 11)] > 0.5  # near-dup found by LSH
+    assert (0, 1) not in got
+
+
+def test_minhash_hot_bucket_cap(spark):
+    # 50 identical docs: bucket cap skips the degenerate bucket entirely.
+    rows = [(i, "same text everywhere all the time") for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(df, "text", "doc_id", num_hashes=16)
+    capped = D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4, max_bucket=10)
+    assert capped.count() == 0
+    uncapped = D.minhash_lsh_candidates(sigs, bands=4, rows_per_band=4, max_bucket=None)
+    assert uncapped.count() == 50 * 49 // 2
+
+
+def test_simhash_near_pairs(spark, corpus):
+    pairs = D.simhash_near_pairs(
+        D.simhash(corpus, "text", "doc_id"), max_hamming=10
+    )
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 10)) == 0  # identical → hamming 0
+    assert (1, 11) in got  # near-dup within hamming budget
+    assert (2, 12) not in got
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(20, 16).astype("float32")
+    base[5] = base[3] + rng.randn(16).astype("float32") * 0.01  # near-dup of 3
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>").cache()
+
+
+def test_cosine_topk_bruteforce(spark, vectors):
+    q = vectors.filter("vec_id = 3").first()["embedding"]
+    top = S.cosine_topk_bruteforce(vectors, q, k=3).collect()
+    assert top[0]["vec_id"] == 3 and abs(top[0]["sim"] - 1.0) < 1e-6
+    assert top[1]["vec_id"] == 5  # planted near-dup ranks second
+
+
+def test_cosine_pairs_exact_and_lsh_agree_on_high_sim(spark, vectors):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_exact(vectors, threshold=0.9).collect()
+    }
+    assert (3, 5) in exact
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in S.cosine_pairs_lsh(
+            vectors, threshold=0.9, dim=16, n_planes=6
+        ).collect()
+    }
+    # LSH must find the planted near-identical pair (angle ~0 → all
+    # sketch bits agree) and may only return a subset of exact pairs.
+    assert (3, 5) in lsh and lsh <= exact
+
+
+def test_ivf_topk_finds_planted_neighbor(spark, vectors):
+    q = vectors.filter("vec_id = 3").first()["embedding"]
+    top = S.ivf_topk(vectors, q, k=2, n_centroids=4, nprobe=2).collect()
+    assert top[0]["vec_id"] == 3
+    # vec 5 is in the same cluster as its near-identical twin
+    assert top[1]["vec_id"] == 5

@@ -1,0 +1,105 @@
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.operators import multimodal as M
+from hadoopxmlextractor_spark.operators import text as T
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The cat and the dog of the house."),
+        (2, "Der Hund und die Katze und der Vogel."),
+        (3, "Le chat et le chien et les oiseaux."),
+        (4, "xyzzy plugh"),
+        (5, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_token_counts(spark, docs):
+    got = {r.doc_id: r.n for r in docs.select("doc_id", T.token_count("text").alias("n")).collect()}
+    assert got == {1: 8, 2: 8, 3: 8, 4: 2, 5: 0}
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(1, "hello, world 42!")], "id long, text string")
+    # hello , world 42 ! → 5 pieces
+    assert df.select(T.bpe_ish_token_count("text").alias("n")).first()["n"] == 5
+
+
+def test_language_id(spark, docs):
+    got = {
+        r.doc_id: r.lang
+        for r in docs.select("doc_id", T.language_id("text").alias("lang")).collect()
+    }
+    assert got[1] == "en" and got[2] == "de" and got[3] == "fr"
+    assert got[4] == "unknown" and got[5] == "unknown"
+
+
+def test_quality_features(spark, docs):
+    feats = T.quality_features("text")
+    row = (
+        docs.filter("doc_id = 1")
+        .select(*[v.alias(k) for k, v in feats.items()])
+        .first()
+    )
+    assert row["n_tokens"] == 8
+    assert row["n_chars"] == 33
+    assert 0 < row["punct_ratio"] < 0.1  # one period
+    assert row["stopword_ratio"] > 0.3  # 'the' ×3, 'and', 'of' in 8 tokens
+    assert row["mean_token_len"] == pytest.approx((33 - 7) / 8, abs=1e-4)
+
+
+def test_fingerprint_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")],
+        "id long, text string",
+    )
+    fps = [r.fp for r in df.select(T.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_winnowing_fingerprints_detect_overlap(spark):
+    shared = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, shared + "alpha beta gamma"), (2, shared + "delta epsilon"), (3, "totally different words here " * 5)],
+        "id long, text string",
+    )
+    rows = df.select("id", T.winnowing_fingerprints("text").alias("fp")).collect()
+    fp = {r.id: set(r.fp) for r in rows}
+    overlap_12 = len(fp[1] & fp[2]) / len(fp[1] | fp[2])
+    overlap_13 = len(fp[1] & fp[3]) / len(fp[1] | fp[3])
+    assert overlap_12 > 0.5 > overlap_13
+    assert overlap_13 == 0
+
+
+def test_multimodal_feature_pipeline(spark, docs):
+    media = M.fake_media_from_documents(
+        docs.select("doc_id", "text", F.lit("src").alias("source"))
+    )
+    assert media.schema["content"].dataType.typeName() == "binary"
+    feats = M.extract_media_features(media, decode="fake")
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows[1].feature) == M.N_FEATURE_BINS
+    assert abs(sum(rows[1].feature) - 1.0) < 1e-5  # normalized histogram
+    assert rows[5].n_bytes == 0 and sum(rows[5].feature) == 0.0  # empty doc
+
+
+def test_multimodal_real_decode_is_stubbed(spark, docs):
+    media = M.fake_media_from_documents(
+        docs.select("doc_id", "text", F.lit("src").alias("source"))
+    )
+    with pytest.raises(NotImplementedError):
+        M.extract_media_features(media, decode="real")
+
+
+def test_frame_sampling_shapes(spark):
+    blob = bytes(range(256)) * 40  # 10240 bytes → 3 frames at 4096
+    df = spark.createDataFrame(
+        [(1, "image", blob, ("s", len(blob), "fake/raw"))],
+        M.MEDIA_SCHEMA,
+    )
+    frames = M.sample_frames(df, every_n_bytes=4096).collect()
+    assert [r.frame_idx for r in frames] == [0, 1, 2]
+    assert len(frames[0].frame) == 4096 and len(frames[2].frame) == 10240 - 2 * 4096
