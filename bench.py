@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully (noop sink — no driver collect, no sink I/O)
+so the measured time is scan+compute+shuffle. The extraction benchmark
+synthesizes a deterministic corpus of store XML documents and runs the
+full compat pipeline (scan → xpath → forward-fill assembly).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Representative slice of the registry: heavy aggregation, shuffle join,
+# broadcast join, window, as-of, dedup (exact-jaccard + minhash), text,
+# similarity — plus the reference-parity extraction pipeline.
+HEADLINE = [
+    "agg_pricing_summary",
+    "agg_cube",
+    "join_inner_agg",
+    "join_broadcast_dim",
+    "join_asof",
+    "window_topk_per_group",
+    "events_sessionize",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "text_quality",
+    "similarity_topk_bruteforce",
+]
+
+N_XML_DOCS = 500
+BOOKS_PER_INV = 40
+
+
+def build_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("hadoopxmlextractor-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def run_noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_extraction(spark) -> float:
+    """Reference-parity pipeline over a synthetic corpus (generated on
+    the executors, not shipped from the driver)."""
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.config import ExtractionConfig
+    from hadoopxmlextractor_spark.extract import extract
+    from tests.fixtures import INVENTORY_CONFIG_XML, make_store_xml
+
+    config = ExtractionConfig.from_hadoop_xml(INVENTORY_CONFIG_XML, is_text=True)
+    # One template rendered per doc_id via fast JVM-side substitution.
+    inventories = [
+        (m, str(d % 28 + 1), [(f"bk{i:03d}", str((i * 7) % 50)) for i in range(BOOKS_PER_INV)])
+        for d, m in enumerate(["January", "February", "March"])
+    ]
+    template = make_store_xml(("STORE_@ID@", "@PHONE@", inventories))
+    docs = (
+        spark.range(N_XML_DOCS)
+        .select(
+            F.concat(F.lit("doc_"), F.col("id")).alias("doc_id"),
+            F.replace(
+                F.replace(F.lit(template), F.lit("@ID@"), F.col("id").cast("string")),
+                F.lit("@PHONE@"),
+                (F.col("id") * 7919 % 100000000).cast("string"),
+            ).alias("content"),
+        )
+        .repartition(CPUS)
+    )
+    t0 = time.perf_counter()
+    run_noop(extract(docs, config))
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    spark = build_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+
+    # Warm the JVM/Python workers once (tiny query, not measured).
+    qs["scan_filter_project"](spark, SF_DIR).count()
+
+    # Each query runs twice and reports the faster run: the first
+    # execution pays one-off plan compilation / classloading / Python
+    # worker spin-up, and this host shows occasional multi-second
+    # scheduling stalls — min-of-2 measures the engine, not the noise.
+    times["xml_extraction"] = round(
+        min(bench_extraction(spark) for _ in range(2)), 3
+    )
+    spark.catalog.clearCache()
+
+    for name in HEADLINE:
+        samples = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_noop(qs[name](spark, SF_DIR))
+            samples.append(time.perf_counter() - t0)
+            # Release operator-internal persisted DataFrames (minhash
+            # signatures, inverted indexes) so queries are measured in
+            # isolation rather than under the previous query's memory.
+            spark.catalog.clearCache()
+        times[name] = round(min(samples), 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,7 +81,11 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
     ).withColumn("n_shingles", F.size("shingles"))
-    inv = sh.select("doc", "n_shingles", F.explode("shingles").alias("shingle"))
+    # The inverted index feeds both join sides (and the hot-shingle
+    # scan): persist so shingling runs once.
+    inv = sh.select(
+        "doc", "n_shingles", F.explode("shingles").alias("shingle")
+    ).persist()
     if max_df is not None:
         hot = (
             inv.groupBy("shingle")
@@ -143,12 +147,31 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over word shingles.
 
-    Each shingle is hashed ONCE (xxhash64, JVM-side), then the H
-    signature components are universal-hash permutations
-    ``(a*x + b) mod 2^31-1`` folded with array_min — O(S + S*H) integer
-    ops per doc, all inside whole-stage codegen, no shuffle.
+    Each shingle is hashed ONCE (xxhash64, JVM-side); the H permutation
+    minima ``min_x (a_j*x + b_j) mod 2^31-1`` come from a vectorized
+    numpy pandas UDF (one (H×S) broadcast multiply per row, C speed).
+    Catalyst higher-order functions are *interpreted* (lambdas never
+    enter codegen), so an H-wide transform chain is ~50× slower than
+    this Arrow-batched formulation. No shuffle either way.
     """
+    import numpy as np
+
     params = _minhash_params(num_hashes, seed)
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @F.pandas_udf("array<long>")
+    def _perm_mins(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for hs in it:
+            out = []
+            for h in hs:
+                if h is None or len(h) == 0:
+                    out.append([_MERSENNE31] * len(A))
+                    continue
+                x = np.asarray(h, dtype=np.int64)[None, :]
+                out.append(((A * x + B) % _MERSENNE31).min(axis=1).tolist())
+            yield pd.Series(out)
+
     base = df.select(
         F.col(id_col).alias("doc"),
         F.transform(
@@ -156,15 +179,7 @@ def minhash_signatures(
             lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
         ).alias("hs"),
     )
-    def _perm_min(a: int, b: int) -> Column:
-        # factory closure: PySpark infers lambda arity from the signature,
-        # so default-arg captures would be misread as extra lambda params
-        return F.array_min(
-            F.transform(F.col("hs"), lambda x: F.pmod(a * x + b, F.lit(_MERSENNE31)))
-        )
-
-    sig = F.array(*[_perm_min(a, b) for (a, b) in params])
-    return base.select("doc", sig.alias("signature"))
+    return base.select("doc", _perm_mins("hs").alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -233,9 +248,11 @@ def dedup_minhash_lsh(
     """Near-dup pairs: MinHash signatures → LSH banding → estimated
     Jaccard ≥ threshold. Returns (doc_a, doc_b, est_jaccard)."""
     assert num_hashes % bands == 0
+    # Signatures feed three plan branches (banding + both pair sides):
+    # persist so the scan+shingle+hash work runs once, not three times.
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
-    )
+    ).persist()
     cands = minhash_lsh_candidates(
         sigs, bands=bands, rows_per_band=num_hashes // bands
     )

@@ -1,0 +1,57 @@
+"""Streaming event analytics: watermarked windows and sessionization.
+
+Streaming counterparts of the batch ``events_tumbling_window`` /
+``events_sessionize`` queries — same logical results when a stream is
+replayed, demonstrated in tests with a file source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Per-(window, event_type) counts+sums with a watermark so state for
+    closed windows is dropped — bounded state at any input scale. Late
+    rows within the delay are merged; later ones discarded."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stats(
+    events: DataFrame,
+    *,
+    gap: str = "30 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Built-in session windows (gap-based), the streaming-native
+    equivalent of the batch lag+running-sum sessionization."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )

@@ -105,3 +105,20 @@ def test_multi_node_xpath_concatenates(spark):
     out = extract(docs, cfg).collect()
     # col1's xpath matches nothing → " "; col2 (trigger) present
     assert [tuple(r)[2:] for r in out] == [("ab", " ", "z")]
+
+
+def test_fused_and_general_paths_agree(spark, docs):
+    fused = extract(docs, INV_CFG, fused=True)
+    general = extract(docs, INV_CFG, fused=False)
+    assert sorted(map(tuple, fused.collect())) == sorted(map(tuple, general.collect()))
+
+
+def test_auto_path_selection():
+    from hadoopxmlextractor_spark.extract import _compile_fused
+    assert _compile_fused(INV_CFG) is not None  # reference config → fused
+    from hadoopxmlextractor_spark.config import ExtractionConfig
+    exotic = ExtractionConfig.from_rules(
+        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r[@x='1']/@x;", ";", "#")],
+        nr_of_columns=1,
+    )
+    assert _compile_fused(exotic) is None  # predicate → JVM xpath path

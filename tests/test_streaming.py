@@ -1,0 +1,121 @@
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.config import ExtractionConfig
+from hadoopxmlextractor_spark.streaming.events import (
+    session_window_stats,
+    tumbling_window_counts,
+)
+from hadoopxmlextractor_spark.streaming.extraction import extract_stream
+from tests.fixtures import BANKS, BOOK_CONFIG_XML, SOHO, make_store_xml
+
+BOOK_CFG = ExtractionConfig.from_hadoop_xml(BOOK_CONFIG_XML, is_text=True)
+
+
+def _wait_done(query, timeout=60):
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        query.processAllAvailable()
+        return
+    raise TimeoutError
+
+
+def test_extract_stream_processes_landed_documents(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "soho.xml").write_text(make_store_xml(SOHO))
+
+    batches = []
+
+    def sink(df, batch_id):
+        batches.append([tuple(r)[2:] for r in df.collect()])
+
+    # default micro-batch trigger: keeps listening so documents landing
+    # later are picked up (availableNow would stop after the first file)
+    q = extract_stream(
+        spark,
+        str(landing),
+        BOOK_CFG,
+        sink,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        # second document lands later → picked up by a new batch
+        (landing / "banks.xml").write_text(make_store_xml(BANKS))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = sorted(r for b in batches for r in b)
+    assert rows == sorted(
+        [
+            ("SohoBooks", "11553377", "January", "3", "bk106", "13"),
+            ("SohoBooks", "11553377", "February", "2", "bk106", "23"),
+            ("BanksBooks", "22446688", "January", "4", "bk106", "12"),
+            ("BanksBooks", "22446688", "February", "1", "bk106", "17"),
+        ]
+    )
+
+
+@pytest.fixture()
+def event_stream(spark, tmp_path):
+    data_dir = tmp_path / "events"
+    data_dir.mkdir()
+    rows = [
+        ("2024-01-01 00:05:00", "click", 1, 1.0),
+        ("2024-01-01 00:50:00", "click", 1, 2.0),  # same session (45m gap > 30m? no: 45m > 30m → new session)
+        ("2024-01-01 01:10:00", "view", 2, 3.0),
+        ("2024-01-01 01:20:00", "view", 2, 4.0),
+    ]
+    df = spark.createDataFrame(rows, "ts_s string, event_type string, user_id long, value double")
+    df.select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "user_id", "value"
+    ).write.mode("overwrite").parquet(str(data_dir))
+    schema = "ts timestamp, event_type string, user_id long, value double"
+    return spark.readStream.schema(schema).parquet(str(data_dir))
+
+
+def test_tumbling_window_stream(spark, tmp_path, event_stream):
+    q = (
+        tumbling_window_counts(event_stream, window_duration="1 hour")
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("select * from tumbling_out").collect()
+    }
+    assert got.get(("2024-01-01 00:00:00", "click")) == 2
+
+
+def test_session_window_stream(spark, tmp_path, event_stream):
+    q = (
+        session_window_stats(event_stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("session_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select * from session_out").collect()
+    sessions = {(r.user_id, str(r.session_start)): r.n_events for r in rows}
+    # user 1: two separate sessions (45 min gap > 30); user 2: one session
+    assert sessions.get((1, "2024-01-01 00:05:00")) == 1
+    assert sessions.get((1, "2024-01-01 00:50:00")) == 1
+    assert sessions.get((2, "2024-01-01 01:10:00")) == 2
