@@ -1,0 +1,343 @@
+"""Extended operator-coverage queries: the long tail of SURVEY.md §2.3.
+
+Full-outer join, advanced window functions (ntile/percent_rank/
+cume_dist/range frames), exact + approximate percentiles, extended
+string/date scalar functions, a grouped pandas UDAF (applyInPandas), a
+Python UDTF, and deterministic LIMIT/OFFSET pagination.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.queries import DEC, query
+from hadoopxmlextractor_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Joins (completing the matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_full_outer",
+    """
+    WITH big_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      WHERE o_totalprice > 400000 GROUP BY o_custkey
+    ), rich AS (
+      SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+           n_big
+    FROM rich FULL OUTER JOIN big_orders ON c_custkey = o_custkey
+    """,
+)
+def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
+    # Full outer cannot broadcast (both sides preserved) → shuffle join
+    # on the key; both inputs pre-aggregated/filtered so the shuffle is
+    # small even when base tables are huge.
+    big = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_big"))
+    )
+    rich = (
+        load(spark, sf, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey", "c_acctbal")
+    )
+    return rich.join(big, rich.c_custkey == big.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").cast(DEC).alias("acctbal"),
+        "n_big",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (analytic family + range frames)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_analytic_family",
+    """
+    SELECT o_orderkey, o_custkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_analytic_family(spark: SparkSession, sf: str) -> DataFrame:
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_linenumber
+             RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
+           ) AS DECIMAL(38,2)) AS neighborhood_price
+    FROM lineitem
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rangeBetween(-1, 1)
+    )
+    return load(spark, sf, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("decimal(38,2)").alias(
+            "neighborhood_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Percentiles / statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "percentiles_exact",
+    """
+    SELECT o_orderstatus,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           ROUND(MIN(o_totalprice), 2) AS min_price,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_percentiles_exact(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact percentile is a sort-based aggregate — fine per group; the
+    # 100 TB path is percentile_approx below (mergeable sketch).
+    return (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+@query("percentiles_approx")  # approximate by design (KLL-style sketch)
+def q_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
+                "approx_p50_p95"
+            )
+        )
+    )
+
+
+@query(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 4) AS sd_qty,
+           ROUND(var_samp(l_quantity), 4) AS var_qty,
+           ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extended scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string_ext",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '([A-Za-z]+)$', 1) AS last_word,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CASE WHEN p_name LIKE '%steel%' THEN 'steel' ELSE 'other' END AS material,
+           reverse(p_brand) AS brand_rev,
+           translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+           split_part(p_type, ' ', 1) AS type_head
+    FROM part
+    """,
+)
+def q_scalar_string_ext(spark: SparkSession, sf: str) -> DataFrame:
+    p = load(spark, sf, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([A-Za-z]+)$", 1).alias("last_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.when(F.col("p_name").like("%steel%"), "steel").otherwise("other").alias("material"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.translate("p_type", "aeiou", "AEIOU").alias("type_vowels"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@query(
+    "scalar_date_ext",
+    """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus3m,
+           CAST(EXTRACT(week FROM o_orderdate) AS INT) AS week_no,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS quarter_no,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow_sunday0
+    FROM orders
+    """,
+)
+def q_scalar_date_ext(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
+        F.last_day("o_orderdate").alias("month_end"),
+        F.add_months(F.col("o_orderdate").cast("date"), 3).alias("plus3m"),
+        F.weekofyear("o_orderdate").alias("week_no"),
+        F.quarter("o_orderdate").alias("quarter_no"),
+        (F.dayofweek("o_orderdate") - 1).alias("dow_sunday0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom aggregation / table functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udaf_grouped_pandas",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+             AS weighted_avg_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
+    # Custom aggregation as applyInPandas: one Arrow batch per group,
+    # numpy does the math. Shuffle = the same hash partition a built-in
+    # groupBy would use; the UDF surface is what built-ins can't express
+    # (here it could be — the point is demonstrating the surface against
+    # an oracle).
+    import numpy as np
+
+    def weighted(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        q = pdf["l_quantity"].to_numpy()
+        p = pdf["l_extendedprice"].to_numpy()
+        return pd.DataFrame(
+            {
+                "l_returnflag": [key[0]],
+                "weighted_avg_price": [round(float((p * q).sum() / q.sum()), 4)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return (
+        load(spark, sf, "lineitem")
+        .select("l_returnflag", "l_quantity", "l_extendedprice")
+        .groupBy("l_returnflag")
+        .applyInPandas(
+            weighted, schema="l_returnflag string, weighted_avg_price double, n long"
+        )
+    )
+
+
+@query("udtf_sentence_split")  # rows-only: Python UDTF surface
+def q_udtf_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Spark 4 Python UDTF: one input row → many output rows with
+    # per-piece positions (the lateral-view/table-function surface).
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id long, piece_idx int, n_words int")
+    class PieceCounter:
+        def eval(self, doc_id: int, text: str):
+            if text is None:
+                return
+            for i, piece in enumerate(p for p in text.split(".") if p.strip()):
+                yield doc_id, i, len(piece.split())
+
+    docs = load(spark, sf, "documents")
+    spark.udtf.register("piece_counter", PieceCounter)
+    docs.createOrReplaceTempView("docs_for_udtf")
+    return spark.sql(
+        "SELECT p.* FROM docs_for_udtf, LATERAL piece_counter(doc_id, text) p"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pagination / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sort_limit_offset",
+    """
+    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def q_sort_limit_offset(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        load(spark, sf, "orders")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("price"))
+        .offset(40)
+        .limit(20)
+    )
+
+
+@query(
+    "distinct_projection",
+    """
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def q_distinct_projection(spark: SparkSession, sf: str) -> DataFrame:
+    return load(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()

@@ -51,6 +51,18 @@ def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(rdd, schema="doc_id string, content string")
 
 
+def pack(spark: SparkSession, in_dir: str, out_path: str) -> None:
+    """Directory of XML files → one SequenceFile of (uuid, document),
+    mirroring the reference ingest utility (``CreateSequenceFile.main``,
+    ``CreateSequenceFile.java:37-51``). Unnecessary for this engine
+    (file sources batch small files natively) — provided so existing
+    reference pipelines keep working end-to-end."""
+    docs = read_xml_documents(spark, in_dir).select(
+        F.expr("uuid()").alias("doc_id"), "content"
+    )
+    docs.rdd.map(tuple).saveAsSequenceFile(out_path)
+
+
 def docs_from_strings(spark: SparkSession, docs: dict[str, str]) -> DataFrame:
     """Build a document DataFrame from in-memory strings (tests/demos)."""
     return spark.createDataFrame(

@@ -1,0 +1,120 @@
+"""Property-based tests (SURVEY.md §5.3-4): random store-like XML trees
+and rule sets; invariants checked against the pure-Python scanner and
+the Spark assembly semantics.
+"""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from hadoopxmlextractor_spark.config import ExtractionConfig
+from hadoopxmlextractor_spark.scanner import scan_with_config
+from hadoopxmlextractor_spark.xpath_subset import compile_subset
+
+# --- generators -----------------------------------------------------------
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+
+@st.composite
+def store_doc(draw):
+    """Random store→inventory→item tree; returns (xml, n_items, items)."""
+    n_inv = draw(st.integers(0, 3))
+    inventories = []
+    for _ in range(n_inv):
+        n_items = draw(st.integers(0, 4))
+        items = [
+            (draw(_word), draw(st.integers(0, 99))) for _ in range(n_items)
+        ]
+        inventories.append((draw(_word), items))
+    parts = ['<store name="S">']
+    for month, items in inventories:
+        parts.append(f'<inventory month="{month}">')
+        for name, qty in items:
+            parts.append(f'<item id="{name}" qty="{qty}"></item>')
+        parts.append("</inventory>")
+    parts.append("</store>")
+    all_items = [i for _, items in inventories for i in items]
+    return "".join(parts), len(all_items), all_items
+
+
+ITEM_CFG = ExtractionConfig.from_rules(
+    [
+        ExtractionConfig.parse_rule("store", "store;true;false; ;0#//store/@name;", ";", "#"),
+        ExtractionConfig.parse_rule(
+            "inventory", "inventory;true;false; ;1#//inventory/@month;", ";", "#"
+        ),
+        ExtractionConfig.parse_rule(
+            "item", "item;true;false; ;2#//item/@id;3#//item/@qty;", ";", "#"
+        ),
+    ],
+    nr_of_columns=4,
+)
+
+
+@given(store_doc())
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_scanner_invariants(doc):
+    xml, n_items, items = doc
+    frags = scan_with_config(xml, ITEM_CFG)
+    # fragment count = 1 store + #inventories + #items (all non-nested
+    # here because every rule is include_children=false)
+    n_inv = xml.count("<inventory ")
+    assert len(frags) == 1 + n_inv + n_items
+    # strictly increasing seq = document order
+    seqs = [f.seq for f in frags]
+    assert seqs == sorted(seqs) and len(set(seqs)) == len(seqs)
+    # every fragment's bytes came from the document (modulo re-wrap)
+    for f in frags:
+        rule = ITEM_CFG.rules[f.rule_idx]
+        core = f.xml[: len(f.xml) - len(rule.buffer_addition)] if rule.buffer_addition else f.xml
+        assert core in xml
+
+
+@given(store_doc())
+@settings(max_examples=200, suppress_health_check=[HealthCheck.too_slow])
+def test_assembly_semantics_pure(doc):
+    """Emulate the reducer semantics in pure Python and check the row
+    count invariant: #rows == #trigger-column cells (qty present)."""
+    xml, n_items, items = doc
+    frags = scan_with_config(xml, ITEM_CFG)
+    evs = {
+        (ri, xp.order): compile_subset(xp.expr)
+        for ri, rule in enumerate(ITEM_CFG.rules)
+        for xp in rule.xpaths
+    }
+    cells = []
+    for f in frags:
+        tree = ET.fromstring(f.xml)
+        for (ri, order), ev in evs.items():
+            if ri != f.rule_idx:
+                continue
+            v = ev(tree)
+            if v is not None:
+                cells.append((f.seq, order, v))
+    cells.sort()
+    cols = [None] * 4
+    rows = []
+    for _, order, v in cells:
+        cols[order] = v
+        if order == 3:
+            rows.append(tuple(c if c is not None else " " for c in cols))
+    assert len(rows) == n_items  # trigger-gated emit
+    # emitted item columns appear in document order
+    assert [r[2] for r in rows] == [name for name, _ in items]
+    assert [r[3] for r in rows] == [str(q) for _, q in items]
+    # forward fill: store name present on every row once seen
+    assert all(r[0] == "S" for r in rows)
+
+
+@given(st.text(alphabet="ab<>/ \"=x", max_size=80))
+@settings(max_examples=300)
+def test_scanner_never_crashes_on_garbage(s):
+    # malformed pseudo-XML must never raise — fragments either parse or
+    # are silently dropped (reference swallows exceptions)
+    frags = scan_with_config(s, ITEM_CFG)
+    for f in frags:
+        ET.fromstring(f.xml)  # validated fragments always parse
