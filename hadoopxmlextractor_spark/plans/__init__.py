@@ -1,0 +1,15 @@
+from hadoopxmlextractor_spark.plans.inspect import (
+    count_exchanges,
+    executed_plan,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+
+__all__ = [
+    "executed_plan",
+    "count_exchanges",
+    "has_broadcast_join",
+    "pushed_filters",
+    "scan_columns",
+]

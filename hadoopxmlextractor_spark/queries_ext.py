@@ -341,3 +341,105 @@ def q_sort_limit_offset(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_distinct_projection(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped flagship queries (multi-join + agg + top-k in one plan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+           CAST(o_orderdate AS DATE) AS order_date,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '2000-03-15'
+      AND l_shipdate > TIMESTAMP '2000-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q3 shape. Filters push into all three scans; customer
+    # (segment-filtered) broadcasts into orders; the orders⨝lineitem
+    # join shuffles on orderkey; TakeOrderedAndProject caps the result.
+    cust = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf, "orders").filter(F.col("o_orderdate") < "2000-03-15")
+    li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "2000-03-15")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+            ).cast("decimal(38,4)").alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_local_supplier_volume",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q5 shape: six-table join. lineitem⨝orders shuffles on
+    # orderkey; everything else (customer keyed by custkey is the next
+    # shuffle; supplier/nation/region broadcast). The local-supplier
+    # constraint (c_nationkey = s_nationkey) rides as a residual filter.
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load(spark, sf, "lineitem")
+    supp = load(spark, sf, "supplier")
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+            ).cast("decimal(38,4)").alias("revenue")
+        )
+    )

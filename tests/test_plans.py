@@ -1,0 +1,111 @@
+"""Scale-contract tests: assert the physical plans, not just results
+(SURVEY.md §4 — every hand-rolled optimization in the reference must be
+provided by Catalyst or the operator's construction here).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.operators.skew import (
+    bucketed_join,
+    salted_agg,
+    salted_join,
+    write_bucketed,
+)
+from hadoopxmlextractor_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    scan_columns,
+)
+from hadoopxmlextractor_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_projection_reach_the_scan(spark):
+    df = (
+        load(spark, SF, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    assert any("l_quantity" in f and "GreaterThan" in f for f in pushed_filters(df))
+    [cols] = scan_columns(df)
+    assert set(cols) == {"l_orderkey", "l_quantity"}  # 2 of 11 columns read
+
+
+def test_dim_join_broadcasts(spark):
+    li = load(spark, SF, "lineitem")
+    part = load(spark, SF, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    assert has_broadcast_join(joined)
+    assert count_exchanges(joined) == 0  # no shuffle for the join itself
+
+
+def test_extraction_assembly_single_shuffle(spark):
+    from hadoopxmlextractor_spark.operators.assembly import assemble_rows
+
+    cells = spark.createDataFrame(
+        [("d", 0, 0, "x")], "doc_id string, seq long, order int, value string"
+    )
+    assert count_exchanges(assemble_rows(cells, 2)) == 1
+
+
+def test_salted_agg_matches_plain(spark):
+    orders = load(spark, SF, "orders")
+    plain = {
+        r["o_orderstatus"]: (r["n"], r["total"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+        .collect()
+    }
+    salted = {
+        r["o_orderstatus"]: (r["n"], r["total"])
+        for r in salted_agg(
+            orders.withColumn("o_totalprice", F.col("o_totalprice").cast("decimal(18,2)")),
+            "o_orderstatus",
+            {"n": ("o_orderstatus", "count"), "total": ("o_totalprice", "sum")},
+            n_salts=8,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    orders = load(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, SF, "customer").select("c_custkey", "c_name").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = sorted(
+        tuple(r) for r in orders.join(cust, "o_custkey").collect()
+    )
+    salted = sorted(tuple(r) for r in salted_join(orders, cust, "o_custkey", n_salts=4).collect())
+    assert salted == plain
+
+
+def test_bucketed_join_no_exchange(spark):
+    # tables land in the default warehouse dir (spark.sql.warehouse.dir
+    # is static); dropped at the end
+    orders = load(spark, SF, "orders").select("o_custkey", "o_orderkey")
+    cust = load(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    write_bucketed(orders, "b_orders", "o_custkey", n_buckets=4)
+    write_bucketed(cust, "b_cust", "o_custkey", n_buckets=4)
+    try:
+        joined = bucketed_join(spark, "b_orders", "b_cust", "o_custkey")
+        assert count_exchanges(joined) == 0  # co-located: zero shuffles
+        assert joined.count() == orders.join(cust, "o_custkey").count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+
+
+def test_global_topk_never_global_sorts(spark):
+    from hadoopxmlextractor_spark.plans import executed_plan
+
+    df = load(spark, SF, "orders").orderBy(F.col("o_totalprice").desc()).limit(5)
+    assert "TakeOrderedAndProject" in executed_plan(df)
