@@ -443,3 +443,109 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
             ).cast("decimal(38,4)").alias("revenue")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null semantics / array + map functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "null_semantics",
+    """
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_filled,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_open,
+           CASE WHEN NULLIF(o_orderstatus, 'O') IS NULL THEN 0 ELSE 1 END AS closed_flag
+    FROM orders
+    """,
+)
+def q_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    o = load(spark, sf, "orders")
+    status_or_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    return o.select(
+        "o_orderkey",
+        status_or_null.alias("status_or_null"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+        status_or_null.eqNullSafe(F.lit(None).cast("string")).alias("is_open"),
+        F.when(status_or_null.isNull(), 0).otherwise(1).alias("closed_flag"),
+    )
+
+
+@query(
+    "array_hof_stats",
+    """
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(SQRT(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding])), 5) AS l2,
+           ROUND(list_max([CAST(x AS DOUBLE) for x in embedding]), 5) AS max_val,
+           len(list_filter([CAST(x AS DOUBLE) for x in embedding], x -> x > 0)) AS n_positive
+    FROM embeddings
+    WHERE vec_id < 50
+    """,
+)
+def q_array_hof_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Array higher-order functions: fine at this width (64 elements);
+    # for hot paths at scale prefer the vectorized pandas-UDF form
+    # (HOF lambdas are interpreted — see operators/dedup.py).
+    emb = load(spark, sf, "embeddings").filter(F.col("vec_id") < 50)
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.sqrt(F.aggregate(as_double, F.lit(0.0), lambda a, x: a + x * x)), 5
+        ).alias("l2"),
+        F.round(F.array_max(as_double), 5).alias("max_val"),
+        F.size(F.filter(as_double, lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "map_functions",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_map_functions(spark: SparkSession, sf: str) -> DataFrame:
+    # Build a map column from the JSON props, operate via map functions
+    # (element_at / map_keys), aggregate. DuckDB side reads the same
+    # value via JSON (map internals differ per engine; the comparison is
+    # on the extracted values).
+    ev = load(spark, sf, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select("event_type", F.element_at(m, "k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+@query(
+    "union_by_name_missing",
+    """
+    SELECT c_custkey AS id, c_name AS name, c_acctbal AS bal FROM customer
+    UNION ALL
+    SELECT s_suppkey AS id, s_name AS name, NULL AS bal FROM supplier
+    """,
+)
+def q_union_by_name_missing(spark: SparkSession, sf: str) -> DataFrame:
+    cust = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    supp = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
+    )
+    return cust.unionByName(supp, allowMissingColumns=True)
