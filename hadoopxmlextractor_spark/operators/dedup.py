@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoopxmlextractor_spark.operators.text import tokens
+from hadoopxmlextractor_spark.plans.parallelism import ensure_min_parallelism
 
 _MERSENNE31 = 2147483647  # 2^31 - 1; keeps a*x+b inside int64 under ANSI mode
 
@@ -78,9 +79,11 @@ def ngram_jaccard_pairs(
     appearing in more than that many docs (skew guard: a stop-shingle in
     1M docs would otherwise generate 10^12 join rows).
     """
-    sh = df.select(
-        F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles")
-    ).withColumn("n_shingles", F.size("shingles"))
+    sh = (
+        ensure_min_parallelism(df.select(id_col, text_col))
+        .select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+        .withColumn("n_shingles", F.size("shingles"))
+    )
     # The inverted index feeds both join sides (and the hot-shingle
     # scan): persist so shingling runs once.
     inv = sh.select(
@@ -172,7 +175,7 @@ def minhash_signatures(
                 out.append(((A * x + B) % _MERSENNE31).min(axis=1).tolist())
             yield pd.Series(out)
 
-    base = df.select(
+    base = ensure_min_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.transform(
             word_shingles(text_col, shingle_n),
@@ -300,7 +303,7 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 )
             yield pd.Series(out)
 
-    hashed = df.select(
+    hashed = ensure_min_parallelism(df.select(id_col, text_col)).select(
         F.col(id_col).alias("doc"),
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("token_hashes"),
     )
