@@ -111,24 +111,37 @@ def main() -> None:
 
     # Each query runs twice and reports the faster run: the first
     # execution pays one-off plan compilation / classloading / Python
-    # worker spin-up, and this host shows occasional multi-second
-    # scheduling stalls — min-of-2 measures the engine, not the noise.
-    times["xml_extraction"] = round(
-        min(bench_extraction(spark) for _ in range(2)), 3
-    )
-    spark.catalog.clearCache()
-
-    for name in HEADLINE:
+    # worker spin-up. This host also shows BURSTY HYPERVISOR CPU STEAL
+    # (verified via /proc/stat steal and task wall≫cpu metrics):
+    # identical queries can swing 3s↔30s+ through no fault of the
+    # plan. min-of-N measures the engine, not the host; when the two
+    # samples disagree wildly one of them was stolen, so take a
+    # tie-breaker third.
+    def timed_min(label: str, run_once) -> float:
         samples = []
         for _ in range(2):
             t0 = time.perf_counter()
-            run_noop(qs[name](spark, SF_DIR))
+            run_once()
             samples.append(time.perf_counter() - t0)
+            print(f"  {label}: {samples[-1]:.2f}s", file=sys.stderr)
             # Release operator-internal persisted DataFrames (minhash
             # signatures, inverted indexes) so queries are measured in
             # isolation rather than under the previous query's memory.
             spark.catalog.clearCache()
-        times[name] = round(min(samples), 3)
+        if max(samples) > 2 * min(samples) and max(samples) - min(samples) > 2:
+            t0 = time.perf_counter()
+            run_once()
+            samples.append(time.perf_counter() - t0)
+            print(f"  {label} (tie-break): {samples[-1]:.2f}s", file=sys.stderr)
+            spark.catalog.clearCache()
+        return round(min(samples), 3)
+
+    times["xml_extraction"] = timed_min(
+        "xml_extraction", lambda: bench_extraction(spark)
+    )
+
+    for name in HEADLINE:
+        times[name] = timed_min(name, lambda: run_noop(qs[name](spark, SF_DIR)))
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     result = {

@@ -14,6 +14,7 @@ Scale design:
 
 from __future__ import annotations
 
+import hashlib
 import random
 from typing import Iterator
 
@@ -25,6 +26,51 @@ from hadoopxmlextractor_spark.operators.text import tokens
 from hadoopxmlextractor_spark.plans.parallelism import ensure_min_parallelism
 
 _MERSENNE31 = 2147483647  # 2^31 - 1; keeps a*x+b inside int64 under ANSI mode
+
+
+def _hash64(s: str) -> int:
+    """Deterministic 64-bit hash of a string (md5 prefix). Stable across
+    executors and sessions (unlike builtin ``hash``, which is salted)."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little", signed=True)
+
+
+def _py_shingles(text: str, n: int) -> list[str]:
+    """Distinct n-word shingles; mirrors :func:`word_shingles` (docs
+    shorter than ``n`` words yield their whole text as one shingle)."""
+    toks = text.split()
+    if len(toks) < n:
+        return [" ".join(toks)]
+    return list({" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)})
+
+
+def shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """``array<long>`` of distinct n-word shingle hashes, computed in ONE
+    Arrow-batched pandas UDF (tokenize → shingle → md5-64).
+
+    Why not :func:`word_shingles` (the JVM expression)? Catalyst
+    higher-order functions are *interpreted* — and worse, join
+    constraints inferred above an explode get pushed down into Filter
+    predicates that re-evaluate the whole shingle expression per row,
+    re-running the tokenizing split once per lambda invocation
+    (observed: a single-task scan stage burning 400+ s of CPU at
+    sf0.1). A Python UDF is opaque to Catalyst: it is planned exactly
+    once in an ArrowEvalPython node, predicates reference only its
+    output attribute, and the per-batch work is C-speed."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("array<long>")
+    def _sh(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            yield pd.Series(
+                [
+                    None
+                    if t is None
+                    else [_hash64(s) for s in _py_shingles(t, n)]
+                    for t in texts
+                ]
+            )
+
+    return _sh(c)
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -81,14 +127,21 @@ def ngram_jaccard_pairs(
     """
     sh = (
         ensure_min_parallelism(df.select(id_col, text_col))
-        .select(F.col(id_col).alias("doc"), word_shingles(text_col, n).alias("shingles"))
+        .select(F.col(id_col).alias("doc"), shingle_hashes(text_col, n).alias("shingles"))
         .withColumn("n_shingles", F.size("shingles"))
     )
+    # Joining on the 64-bit shingle hash (not the shingle string) keeps
+    # the shuffle payload fixed-width; Jaccard counts are unchanged
+    # w.h.p. (64-bit collisions are ~1e-9 at 1e5 distinct shingles).
     # The inverted index feeds both join sides (and the hot-shingle
-    # scan): persist so shingling runs once.
+    # scan): persist so shingling runs once. The count() materializes
+    # the cache EAGERLY — without it AQE submits the consuming shuffle
+    # stages concurrently and each races to compute the (Python-UDF)
+    # lineage before any block is cached, tripling the expensive work.
     inv = sh.select(
         "doc", "n_shingles", F.explode("shingles").alias("shingle")
     ).persist()
+    inv.count()
     if max_df is not None:
         hot = (
             inv.groupBy("shingle")
@@ -150,39 +203,40 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<long>) — MinHash over word shingles.
 
-    Each shingle is hashed ONCE (xxhash64, JVM-side); the H permutation
-    minima ``min_x (a_j*x + b_j) mod 2^31-1`` come from a vectorized
-    numpy pandas UDF (one (H×S) broadcast multiply per row, C speed).
-    Catalyst higher-order functions are *interpreted* (lambdas never
-    enter codegen), so an H-wide transform chain is ~50× slower than
-    this Arrow-batched formulation. No shuffle either way.
+    The whole signature pipeline (tokenize → shingle → hash → H
+    permutation minima ``min_x (a_j*x + b_j) mod 2^31-1``) runs in ONE
+    Arrow-batched pandas UDF: the permutation minima are a single
+    (H×S) numpy broadcast multiply per document, and keeping the
+    shingle step out of JVM expression land avoids Catalyst pushing
+    interpreted higher-order shingle expressions into filter
+    predicates (see :func:`shingle_hashes`). No shuffle either way.
     """
     import numpy as np
 
     params = _minhash_params(num_hashes, seed)
     A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    empty_sig = [_MERSENNE31] * num_hashes
 
     @F.pandas_udf("array<long>")
-    def _perm_mins(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for hs in it:
+    def _signature(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
             out = []
-            for h in hs:
-                if h is None or len(h) == 0:
-                    out.append([_MERSENNE31] * len(A))
+            for t in texts:
+                if t is None:
+                    out.append(empty_sig)
                     continue
-                x = np.asarray(h, dtype=np.int64)[None, :]
-                out.append(((A * x + B) % _MERSENNE31).min(axis=1).tolist())
+                hs = np.fromiter(
+                    (_hash64(s) % _MERSENNE31 for s in _py_shingles(t, shingle_n)),
+                    dtype=np.int64,
+                )
+                out.append(((A * hs[None, :] + B) % _MERSENNE31).min(axis=1).tolist())
             yield pd.Series(out)
 
-    base = ensure_min_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.transform(
-            word_shingles(text_col, shingle_n),
-            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE31)),
-        ).alias("hs"),
+    base = ensure_min_parallelism(df.select(id_col, text_col))
+    return base.select(
+        F.col(id_col).alias("doc"), _signature(F.col(text_col)).alias("signature")
     )
-    return base.select("doc", _perm_mins("hs").alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -253,9 +307,13 @@ def dedup_minhash_lsh(
     assert num_hashes % bands == 0
     # Signatures feed three plan branches (banding + both pair sides):
     # persist so the scan+shingle+hash work runs once, not three times.
+    # count() materializes the cache eagerly — otherwise the three
+    # consuming stages are submitted concurrently and each recomputes
+    # the signature UDF before any block lands in the cache.
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
     ).persist()
+    sigs.count()
     cands = minhash_lsh_candidates(
         sigs, bands=bands, rows_per_band=num_hashes // bands
     )
@@ -278,36 +336,39 @@ def dedup_minhash_lsh(
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc, simhash long): 64-bit SimHash over token hashes.
 
-    Tokens are hashed JVM-side (xxhash64); only the 64-lane bit-count
-    fold runs in Python, as a vectorized numpy pandas UDF over the
-    pre-hashed arrays (Arrow batches, no per-row Python).
+    Tokenize, hash, and the 64-lane bit-count fold all run in ONE
+    Arrow-batched pandas UDF (numpy broadcast per document) — keeping
+    token hashing out of JVM expression land for the same
+    filter-pushdown reason as :func:`shingle_hashes`.
     """
     import numpy as np
 
+    lanes = np.arange(64, dtype=np.uint64)
+
     @F.pandas_udf("long")
-    def _simhash_from_hashes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for hashes in it:
-            out = np.zeros(len(hashes), dtype=np.int64)
-            for i, hs in enumerate(hashes):
-                if hs is None or len(hs) == 0:
+    def _simhash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = np.zeros(len(texts), dtype=np.int64)
+            for i, t in enumerate(texts):
+                toks = t.split() if t else []
+                if not toks:
                     continue
-                arr = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                bits = ((arr[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                    np.int64
-                )
+                arr = np.fromiter(
+                    (_hash64(tok) for tok in toks), dtype=np.int64, count=len(toks)
+                ).astype(np.uint64)
+                bits = ((arr[:, None] >> lanes) & 1).astype(np.int64)
                 votes = (2 * bits - 1).sum(axis=0)
                 out[i] = np.int64(
                     np.bitwise_or.reduce(
-                        (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+                        (votes > 0).astype(np.uint64) << lanes
                     ).astype(np.int64)
                 )
             yield pd.Series(out)
 
-    hashed = ensure_min_parallelism(df.select(id_col, text_col)).select(
-        F.col(id_col).alias("doc"),
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("token_hashes"),
+    hashed = ensure_min_parallelism(df.select(id_col, text_col))
+    return hashed.select(
+        F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash")
     )
-    return hashed.select("doc", _simhash_from_hashes("token_hashes").alias("simhash"))
 
 
 def simhash_near_pairs(
@@ -319,6 +380,11 @@ def simhash_near_pairs(
     with ≤3 differing bits agrees on ≥1 chunk, so joining on
     (chunk_idx, chunk_value) finds all such pairs without a cross join.
     """
+    # sim feeds 2-3 plan branches (bucket-size scan + both join
+    # sides); persist + eager count so the (pandas-UDF) simhash
+    # lineage runs once instead of racing per consuming stage.
+    sim = sim.persist()
+    sim.count()
     chunks = sim.select(
         "doc",
         "simhash",
