@@ -107,19 +107,33 @@ def hyperplane_sketch(
 ) -> DataFrame:
     """Add an integer LSH sketch column: bit k = sign(v · h_k).
 
-    The hyperplanes are literals compiled into the plan — no broadcast
-    join, no Python. Vectors that agree on all n_planes signs land in
-    the same bucket; P[bit differs] = angle/π, so high-cosine pairs
-    collide with high probability.
+    Vectors that agree on all n_planes signs land in the same bucket;
+    P[bit differs] = angle/π, so high-cosine pairs collide with high
+    probability. Computed as ONE numpy matmul per Arrow batch in a
+    pandas UDF: an n_planes-wide chain of interpreted ``aggregate``/
+    ``zip_with`` dot products is never codegen'd, and as a plain JVM
+    expression it gets duplicated into join-constraint filters pushed
+    down to both self-join sides (see dedup.shingle_hashes for the
+    observed pathology).
     """
-    planes = _hyperplanes(dim, n_planes, seed)
-    sketch = None
-    for k in range(n_planes):
-        h = F.array(*[F.lit(float(x)) for x in planes[k]])
-        bit = (dot(F.col(vec_col), h) > 0).cast("long")
-        term = bit * F.lit(1 << k)
-        sketch = term if sketch is None else sketch + term
-    return emb.withColumn("sketch", sketch)
+    import numpy as np
+
+    planes = _hyperplanes(dim, n_planes, seed)  # (P, dim)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("long")
+    def _sketch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            M = np.stack(
+                [np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
+            )
+            bits = (M @ planes.T) > 0  # (B, P)
+            yield pd.Series((bits @ weights).astype(np.int64))
+
+    return emb.withColumn("sketch", _sketch(F.col(vec_col)))
 
 
 def cosine_pairs_lsh(
@@ -137,9 +151,13 @@ def cosine_pairs_lsh(
     exact cosine within buckets. One shuffle on the sketch; recall
     depends on n_planes vs threshold (fewer planes → higher recall,
     bigger buckets)."""
+    # The sketch feeds both self-join sides: persist + eager count so
+    # the pandas-UDF lineage runs once (concurrent AQE stages would
+    # otherwise race to recompute it before any block is cached).
     sk = hyperplane_sketch(
         emb.select(id_col, vec_col), dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed
-    )
+    ).persist()
+    sk.count()
     a = sk.select(
         F.col("sketch"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
