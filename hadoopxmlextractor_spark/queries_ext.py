@@ -549,3 +549,166 @@ def q_union_by_name_missing(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s_suppkey").alias("id"), F.col("s_name").alias("name")
     )
     return cust.unionByName(supp, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# Flagship multi-join family (TPC-H shapes over the available columns)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q4 shape: correlated EXISTS with an inequality becomes a
+    # LEFT SEMI join on (orderkey, l_shipdate > o_orderdate). The date
+    # filter pushes into the orders scan; the semi join shuffles both
+    # sides on orderkey and emits each order at most once — no
+    # post-join dedup needed at any scale.
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = load(spark, sf, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+           n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q10 shape. returnflag/date filters push into the scans;
+    # lineitem⨝orders shuffles on orderkey, then on custkey into
+    # customer; 25-row nation broadcasts. TakeOrderedAndProject caps
+    # the driver-side merge at 20 rows per partition.
+    li = load(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-07-01")
+    )
+    cust = load(spark, sf, "customer")
+    nation = load(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+            ).cast("decimal(38,4)").alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q13 shape: left outer join preserving order-less customers,
+    # then a two-level aggregation. The first agg shuffles on custkey
+    # (same key as the join, so AQE can reuse the exchange); the second
+    # agg's key space is tiny (distinct order counts) and map-side
+    # partials shrink it before the final single-digit-row shuffle.
+    cust = load(spark, sf, "customer")
+    orders = load(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q18_large_orders",
+    """
+    SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           o_totalprice, total_qty
+    FROM (SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
+    JOIN orders ON o_orderkey = big.l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
+    # TPC-H Q18 shape: the HAVING pre-aggregation shrinks lineitem to
+    # qualifying orderkeys BEFORE any join (map-side partials, one
+    # shuffle on orderkey); the orders join reuses the orderkey
+    # partitioning, then one shuffle on custkey. No broadcast: at
+    # scale every side here is large.
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_raw"))
+        .filter(F.col("qty_raw") > 300)
+        .select("l_orderkey", F.col("qty_raw").cast("decimal(38,2)").alias("total_qty"))
+    )
+    orders = load(spark, sf, "orders")
+    cust = load(spark, sf, "customer")
+    return (
+        big.join(orders, orders.o_orderkey == big.l_orderkey)
+        .join(cust, cust.c_custkey == orders.o_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
