@@ -1,0 +1,75 @@
+"""Streaming exact deduplication with custom keyed state.
+
+A training-data pipeline ingesting documents continuously needs
+first-seen-wins dedup ACROSS micro-batches — something no built-in
+streaming aggregation expresses (dropDuplicates keeps state but cannot
+emit only the first occurrence with the full row under append mode
+composition with downstream ops; and its state is opaque). This is the
+``applyInPandasWithState`` formulation:
+
+- Each document is hashed (md5 of the text) and assigned to one of
+  ``n_buckets`` state shards by hashing the digest — the shard key is
+  uniform by construction, so state and compute spread evenly over
+  executors regardless of input skew.
+- Per shard, the state is the set of digests seen so far; a batch's
+  rows are emitted only if their digest is new (first occurrence within
+  the batch wins by ascending id for determinism).
+
+Scale note: state grows with the number of DISTINCT documents. For a
+bounded deployment set a state timeout (``GroupStateTimeout``) or
+periodically rotate the checkpoint; a RocksDB state store holds the
+shard sets out-of-heap. The per-shard layout (array of fixed-width
+digests) keeps Arrow transfer linear in shard size.
+
+Batch-mode oracle: ``dedup_exact`` (operators/dedup.py) computes the
+same first-seen-wins result over a static table.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def dedup_stream(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """First-seen-wins streaming dedup of ``(id, text)`` documents.
+
+    Returns a streaming DataFrame of the never-before-seen rows
+    ``(doc_id, text)`` in append mode.
+    """
+    hashed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.md5(F.col(text_col)).alias("digest"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("digest"), F.lit(n_buckets)))
+
+    def _dedup(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            fresh = pdf[~pdf["digest"].isin(seen)].drop_duplicates("digest")
+            seen.update(fresh["digest"])
+            yield fresh[["doc_id", "text"]]
+        state.update((sorted(seen),))
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        _dedup,
+        outputStructType="doc_id long, text string",
+        stateStructType="digests array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

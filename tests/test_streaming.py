@@ -119,3 +119,41 @@ def test_session_window_stream(spark, tmp_path, event_stream):
     assert sessions.get((1, "2024-01-01 00:05:00")) == 1
     assert sessions.get((1, "2024-01-01 00:50:00")) == 1
     assert sessions.get((2, "2024-01-01 01:10:00")) == 2
+
+
+def test_stateful_dedup_stream_across_batches(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates are suppressed both
+    within a batch and across micro-batches (state survives)."""
+    import json
+
+    from hadoopxmlextractor_spark.streaming.dedup import dedup_stream
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    land("b1.json", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(landing))
+    out = dedup_stream(stream, n_buckets=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: one cross-batch dup ("beta"), one new doc
+        land("b2.json", [(4, "beta"), (5, "gamma")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {(r.doc_id, r.text) for r in spark.sql("SELECT * FROM dedup_out").collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
