@@ -287,7 +287,21 @@ def q_udaf_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("udtf_sentence_split")  # rows-only: Python UDTF surface
+@query(
+    "udtf_sentence_split",
+    r"""
+    WITH pieces AS (
+      SELECT doc_id,
+             unnest(string_split(text, '.')) AS piece,
+             generate_subscripts(string_split(text, '.'), 1) AS ord
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS INT) AS piece_idx,
+           CAST(len(list_filter(regexp_split_to_array(piece, '\s+'), x -> x <> '')) AS INT) AS n_words
+    FROM pieces WHERE trim(piece) <> ''
+    """,
+)
 def q_udtf_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
     # Spark 4 Python UDTF: one input row → many output rows with
     # per-piece positions (the lateral-view/table-function surface).
