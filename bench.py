@@ -32,6 +32,8 @@ HEADLINE = [
     "join_inner_agg",
     "join_broadcast_dim",
     "join_asof",
+    "q10_returned_items",
+    "q18_large_orders",
     "window_topk_per_group",
     "events_sessionize",
     "dedup_ngram_jaccard",

@@ -14,7 +14,6 @@ Scale design:
 
 from __future__ import annotations
 
-import hashlib
 import random
 from typing import Iterator
 
@@ -22,16 +21,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from hadoopxmlextractor_spark.operators.text import hash64 as _hash64
 from hadoopxmlextractor_spark.operators.text import tokens
 from hadoopxmlextractor_spark.plans.parallelism import ensure_min_parallelism
 
 _MERSENNE31 = 2147483647  # 2^31 - 1; keeps a*x+b inside int64 under ANSI mode
-
-
-def _hash64(s: str) -> int:
-    """Deterministic 64-bit hash of a string (md5 prefix). Stable across
-    executors and sessions (unlike builtin ``hash``, which is salted)."""
-    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little", signed=True)
 
 
 def _py_shingles(text: str, n: int) -> list[str]:

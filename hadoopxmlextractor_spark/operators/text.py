@@ -1,15 +1,29 @@
 """Text-analysis operators for LLM training-data pipelines.
 
-All hot-path logic is JVM-side ``pyspark.sql.functions`` expressions
-(whole-stage codegen, no Python round-trips): at 100 TB these run at
-scan speed with zero shuffles — every operator here is a pure per-row
-projection.
+Scalar stats (counts, ratios, language ID) are JVM-side ``pyspark.sql.
+functions`` expressions (whole-stage codegen, no Python round-trips):
+at 100 TB these run at scan speed with zero shuffles. Array-building
+kernels (winnowing fingerprints) are Arrow-batched numpy pandas UDFs —
+JVM higher-order functions are interpreted and re-evaluate shared
+subexpressions per lambda call, so an O(tokens × window) expression
+chain is far slower than one vectorized batch. Every operator here is
+a pure per-row projection.
 """
 
 from __future__ import annotations
 
+import hashlib
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def hash64(s: str) -> int:
+    """Deterministic 64-bit string hash (md5 prefix) — stable across
+    executors and sessions, unlike the salted builtin ``hash``."""
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "little", signed=True)
 
 
 def tokens(col: Column | str) -> Column:
@@ -100,26 +114,36 @@ def winnowing_fingerprints(col: Column | str, k: int = 5, window: int = 4) -> Co
     """Winnowing (rolling-hash) fingerprints: hash all k-grams of tokens,
     then keep the minimum hash of every sliding window of ``window``
     k-gram hashes (distinct). The classic local-fingerprint scheme for
-    partial-overlap detection — all JVM-side array expressions."""
+    partial-overlap detection. One Arrow-batched numpy pandas UDF:
+    k-gram hashing plus a vectorized sliding-window minimum per
+    document; docs with fewer than ``k`` tokens yield no fingerprints."""
+    import numpy as np
+
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
-    n_kgrams = F.size(toks) - (k - 1)
-    kgram_hashes = F.when(n_kgrams <= 0, F.array().cast("array<bigint>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n_kgrams, F.lit(1))),
-            lambda i: F.xxhash64(F.array_join(F.slice(toks, i, k), " ")),
-        )
-    )
-    n_windows = F.size(kgram_hashes) - (window - 1)
-    return F.when(
-        F.size(kgram_hashes) == 0, F.array().cast("array<bigint>")
-    ).otherwise(
-        F.array_distinct(
-            F.when(n_windows <= 0, F.array(F.array_min(kgram_hashes))).otherwise(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(n_windows, F.lit(1))),
-                    lambda i: F.array_min(F.slice(kgram_hashes, i, window)),
+
+    @F.pandas_udf("array<long>")
+    def _fp(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = t.split()
+                n_kgrams = len(toks) - (k - 1)
+                if n_kgrams <= 0:
+                    out.append([])
+                    continue
+                hs = np.fromiter(
+                    (hash64(" ".join(toks[i : i + k])) for i in range(n_kgrams)),
+                    dtype=np.int64,
+                    count=n_kgrams,
                 )
-            )
-        )
-    )
+                if len(hs) < window:
+                    out.append([int(hs.min())])
+                else:
+                    sw = np.lib.stride_tricks.sliding_window_view(hs, window)
+                    out.append(np.unique(sw.min(axis=1)).tolist())
+            yield pd.Series(out)
+
+    return _fp(c)
