@@ -92,9 +92,19 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("minhash_signatures")  # rows-only: signature spot-check surface
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    # Scalar columns only: the driver's canonicalizer sorts a pandas
+    # frame and dies on array-valued cells (unhashable list), so the
+    # signature head is projected to four LONG columns instead of a
+    # single array<long>.
     docs = load(spark, sf, "documents")
     sigs = D.minhash_signatures(docs, "text", "doc_id", num_hashes=64)
-    return sigs.select("doc", F.slice("signature", 1, 4).alias("sig_head"))
+    return sigs.select(
+        "doc",
+        F.element_at("signature", 1).alias("sig0"),
+        F.element_at("signature", 2).alias("sig1"),
+        F.element_at("signature", 3).alias("sig2"),
+        F.element_at("signature", 4).alias("sig3"),
+    )
 
 
 # ---------------------------------------------------------------------------

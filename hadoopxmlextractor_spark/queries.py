@@ -47,7 +47,7 @@ DEC = "decimal(18,2)"
     "scan_filter_project",
     """
     SELECT l_orderkey, l_linenumber,
-           CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+           l_extendedprice AS price,
            l_returnflag
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1998-01-01'
@@ -57,14 +57,15 @@ DEC = "decimal(18,2)"
 def q_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     # Filter + projection reach the parquet scan (PushedFilters/ReadSchema):
     # at 100 TB only 4 of 11 columns are read and row groups are skipped
-    # on the shipdate/quantity stats.
+    # on the shipdate/quantity stats. Price passes through as the raw
+    # parquet double — bit-identical on both sides (canonical-types rule).
     return (
         load(spark, sf, "lineitem")
         .filter((F.col("l_shipdate") >= "1998-01-01") & (F.col("l_quantity") > 45))
         .select(
             "l_orderkey",
             "l_linenumber",
-            F.col("l_extendedprice").cast(DEC).alias("price"),
+            F.col("l_extendedprice").alias("price"),
             "l_returnflag",
         )
     )
@@ -79,9 +80,9 @@ def q_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
     "agg_pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -90,16 +91,18 @@ def q_scan_filter_project(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q_agg_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     # TPC-H Q1 shape: partial (map-side) aggregation shrinks 100 TB of
-    # lineitem to |flag×status| rows before the single shuffle. DECIMAL
-    # sums are exact, so the oracle matches bit-for-bit.
+    # lineitem to |flag×status| rows before the single shuffle. Sums are
+    # exact DECIMAL internally; the FINAL cast to DOUBLE makes both
+    # sides canonicalize identically (correctly-rounded nearest double
+    # of the same exact value — see CLAUDE.md canonical-types rule).
     li = load(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "2001-09-01")
     return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,2)").alias("sum_qty"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(38,2)").alias("sum_base_price"),
+        F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("sum_base_price"),
         F.sum(
             F.col("l_extendedprice").cast(DEC)
             * (F.lit(1) - F.col("l_discount")).cast(DEC)
-        ).cast("decimal(38,4)").alias("sum_disc_price"),
+        ).cast("double").alias("sum_disc_price"),
         F.count(F.lit(1)).alias("count_order"),
     )
 
@@ -130,7 +133,7 @@ def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT n_name, c_mktsegment,
            COUNT(*) AS n_customers,
-           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY ROLLUP (n_name, c_mktsegment)
     """,
@@ -145,7 +148,7 @@ def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
         .rollup("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).cast("decimal(38,2)").alias("total_bal"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
         )
     )
 
@@ -154,7 +157,7 @@ def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     "agg_cube",
     """
     SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem
     GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
@@ -165,7 +168,7 @@ def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
         .cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
         )
     )
 
@@ -210,7 +213,7 @@ def q_agg_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT n_name,
            COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -229,7 +232,7 @@ def q_join_inner_agg(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast(DEC)).cast("decimal(38,2)").alias("revenue"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
         )
     )
 
@@ -239,7 +242,7 @@ def q_join_inner_agg(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT p_brand,
            COUNT(*) AS n_items,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY p_brand
     """,
@@ -255,7 +258,7 @@ def q_join_broadcast_dim(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.col("l_extendedprice").cast(DEC)).cast("decimal(38,2)").alias("revenue"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("revenue"),
         )
     )
 
@@ -432,7 +435,7 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT * FROM (
       SELECT o_custkey, o_orderkey,
-             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_totalprice AS price,
              ROW_NUMBER() OVER (
                PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey
@@ -453,7 +456,7 @@ def q_window_topk_per_group(spark: SparkSession, sf: str) -> DataFrame:
         orders.select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast(DEC).alias("price"),
+            F.col("o_totalprice").alias("price"),
             F.row_number().over(w).alias("rn"),
         )
         .filter(F.col("rn") <= 3)
@@ -490,7 +493,7 @@ def q_window_lag_lead(spark: SparkSession, sf: str) -> DataFrame:
              PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS DECIMAL(38,2)) AS running_spend
+           ) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
@@ -503,7 +506,7 @@ def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("decimal(38,2)").alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
     )
 
 
@@ -515,7 +518,7 @@ def q_window_running_sum(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "topk_global",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, o_totalprice AS price
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 10
@@ -528,7 +531,7 @@ def q_topk_global(spark: SparkSession, sf: str) -> DataFrame:
     return (
         load(spark, sf, "orders")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("price"))
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
         .limit(10)
     )
 
@@ -652,7 +655,7 @@ def q_scalar_date(spark: SparkSession, sf: str) -> DataFrame:
     "scalar_math_case",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)), 2) AS net_price,
+           CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)), 2) AS DOUBLE) AS net_price,
            ABS(CAST(l_quantity AS INT) - 25) AS qty_dev,
            CAST(l_quantity AS INT) % 7 AS qty_mod,
            CASE WHEN l_discount > 0.05 THEN 'high' WHEN l_discount > 0.02 THEN 'mid'
@@ -667,7 +670,7 @@ def q_scalar_math_case(spark: SparkSession, sf: str) -> DataFrame:
         "l_linenumber",
         F.round(
             F.col("l_extendedprice").cast(DEC) * (F.lit(1) - F.col("l_discount")).cast(DEC), 2
-        ).alias("net_price"),
+        ).cast("double").alias("net_price"),
         F.abs(F.col("l_quantity").cast("int") - 25).alias("qty_dev"),
         (F.col("l_quantity").cast("int") % 7).alias("qty_mod"),
         F.when(F.col("l_discount") > 0.05, "high")
@@ -717,18 +720,21 @@ def q_array_explode(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "subquery_scalar",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, o_totalprice AS price
     FROM orders
-    WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+    WHERE o_totalprice > 1.5 * (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
     """,
 )
 def q_subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    # The scalar subquery's AVG runs over DECIMAL so the threshold is
+    # identical on both sides (a raw double AVG is summation-order
+    # dependent and could flip edge rows).
     load(spark, sf, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
-        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        SELECT o_orderkey, o_totalprice AS price
         FROM orders
-        WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)
+        WHERE o_totalprice > 1.5 * (SELECT AVG(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
         """
     )
 
@@ -792,26 +798,28 @@ def q_pivot_event_counts(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "events_tumbling_window",
     """
-    SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS window_start,
+    SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_ms,
            event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,
 )
 def q_events_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
     # Batch equivalent of the Structured Streaming tumbling window (the
-    # streaming variant lives in streaming/; same logical plan).
+    # streaming variant lives in streaming/; same logical plan). The
+    # window start is emitted as epoch millis (canonical-types rule:
+    # never a raw TIMESTAMP output column).
     return (
         load(spark, sf, "events")
         .groupBy(
-            F.date_trunc("hour", "ts").alias("window_start"),
+            F.unix_millis(F.date_trunc("hour", "ts")).alias("window_start_ms"),
             "event_type",
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast(DEC)).cast("decimal(38,2)").alias("total_value"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
         )
     )
 
@@ -828,10 +836,10 @@ def q_events_tumbling_window(spark: SparkSession, sf: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id,
-           SUM(new_session) OVER (
+           CAST(SUM(new_session) OVER (
              PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_id
+           ) AS BIGINT) AS session_id
     FROM marked
     """,
 )

@@ -32,7 +32,7 @@ from hadoopxmlextractor_spark.tables import load
       SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000
     )
     SELECT COALESCE(c_custkey, o_custkey) AS custkey,
-           CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
+           c_acctbal AS acctbal,
            n_big
     FROM rich FULL OUTER JOIN big_orders ON c_custkey = o_custkey
     """,
@@ -54,7 +54,7 @@ def q_join_full_outer(spark: SparkSession, sf: str) -> DataFrame:
     )
     return rich.join(big, rich.c_custkey == big.o_custkey, "full_outer").select(
         F.coalesce("c_custkey", "o_custkey").alias("custkey"),
-        F.col("c_acctbal").cast(DEC).alias("acctbal"),
+        F.col("c_acctbal").alias("acctbal"),
         "n_big",
     )
 
@@ -98,7 +98,7 @@ def q_window_analytic_family(spark: SparkSession, sf: str) -> DataFrame:
              PARTITION BY l_orderkey
              ORDER BY l_linenumber
              RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING
-           ) AS DECIMAL(38,2)) AS neighborhood_price
+           ) AS DOUBLE) AS neighborhood_price
     FROM lineitem
     """,
 )
@@ -111,7 +111,7 @@ def q_window_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     return load(spark, sf, "lineitem").select(
         "l_orderkey",
         "l_linenumber",
-        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("decimal(38,2)").alias(
+        F.sum(F.col("l_extendedprice").cast(DEC)).over(w).cast("double").alias(
             "neighborhood_price"
         ),
     )
@@ -151,13 +151,14 @@ def q_percentiles_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("percentiles_approx")  # approximate by design (KLL-style sketch)
 def q_percentiles_approx(spark: SparkSession, sf: str) -> DataFrame:
+    # Scalar output columns only (driver canonicalizer rejects arrays).
+    approx = F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000)
     return (
         load(spark, sf, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.percentile_approx("l_extendedprice", [0.5, 0.95], 10000).alias(
-                "approx_p50_p95"
-            )
+            F.element_at(approx, 1).alias("approx_p50"),
+            F.element_at(approx, 2).alias("approx_p95"),
         )
     )
 
@@ -251,7 +252,9 @@ def q_scalar_date_ext(spark: SparkSession, sf: str) -> DataFrame:
     "udaf_grouped_pandas",
     """
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(18,0))) AS DOUBLE), 4)
              AS weighted_avg_price,
            COUNT(*) AS n
     FROM lineitem
@@ -261,18 +264,22 @@ def q_scalar_date_ext(spark: SparkSession, sf: str) -> DataFrame:
 def q_udaf_grouped_pandas(spark: SparkSession, sf: str) -> DataFrame:
     # Custom aggregation as applyInPandas: one Arrow batch per group,
     # numpy does the math. Shuffle = the same hash partition a built-in
-    # groupBy would use; the UDF surface is what built-ins can't express
-    # (here it could be — the point is demonstrating the surface against
-    # an oracle).
+    # groupBy would use. The sums are carried as exact integers (price
+    # cents × integer quantity) so the final double is the correctly
+    # rounded value of the same exact ratio the oracle's DECIMAL sums
+    # produce — summation order cannot perturb the hash.
     import numpy as np
 
     def weighted(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        q = pdf["l_quantity"].to_numpy()
-        p = pdf["l_extendedprice"].to_numpy()
+        q = pdf["l_quantity"].to_numpy().astype(np.int64)
+        cents = np.rint(pdf["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+        sum_pq_cents = int((cents * q).sum())  # exact: < 2^63 up to sf ~100
+        sum_q = int(q.sum())
+        weighted_avg = (float(sum_pq_cents) / 100.0) / float(sum_q)
         return pd.DataFrame(
             {
                 "l_returnflag": [key[0]],
-                "weighted_avg_price": [round(float((p * q).sum() / q.sum()), 4)],
+                "weighted_avg_price": [round(weighted_avg, 4)],
                 "n": [len(pdf)],
             }
         )
@@ -331,7 +338,7 @@ def q_udtf_sentence_split(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "sort_limit_offset",
     """
-    SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+    SELECT o_orderkey, o_totalprice AS price
     FROM orders
     ORDER BY o_totalprice DESC, o_orderkey
     LIMIT 20 OFFSET 40
@@ -341,7 +348,7 @@ def q_sort_limit_offset(spark: SparkSession, sf: str) -> DataFrame:
     return (
         load(spark, sf, "orders")
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
-        .select("o_orderkey", F.col("o_totalprice").cast(DEC).alias("price"))
+        .select("o_orderkey", F.col("o_totalprice").alias("price"))
         .offset(40)
         .limit(20)
     )
@@ -367,7 +374,7 @@ def q_distinct_projection(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT l_orderkey,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS order_date,
            o_orderpriority
     FROM customer
@@ -396,7 +403,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(DEC)
-            ).cast("decimal(38,4)").alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -414,7 +421,7 @@ def q_q3_shipping_priority(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT n_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -454,7 +461,7 @@ def q_q5_local_supplier_volume(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(DEC)
-            ).cast("decimal(38,4)").alias("revenue")
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -610,7 +617,7 @@ def q_q4_order_priority(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT c_custkey, c_name,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue,
+                    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
            n_name
     FROM customer
     JOIN orders ON c_custkey = o_custkey
@@ -644,7 +651,7 @@ def q_q10_returned_items(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
                 * (F.lit(1) - F.col("l_discount")).cast(DEC)
-            ).cast("decimal(38,4)").alias("revenue")
+            ).cast("double").alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), "c_custkey")
@@ -689,7 +696,7 @@ def q_q13_customer_distribution(spark: SparkSession, sf: str) -> DataFrame:
     SELECT c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
            o_totalprice, total_qty
     FROM (SELECT l_orderkey,
-                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
           FROM lineitem GROUP BY l_orderkey
           HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300) big
     JOIN orders ON o_orderkey = big.l_orderkey
@@ -709,7 +716,7 @@ def q_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty_raw"))
         .filter(F.col("qty_raw") > 300)
-        .select("l_orderkey", F.col("qty_raw").cast("decimal(38,2)").alias("total_qty"))
+        .select("l_orderkey", F.col("qty_raw").cast("double").alias("total_qty"))
     )
     orders = load(spark, sf, "orders")
     cust = load(spark, sf, "customer")

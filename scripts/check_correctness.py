@@ -3,14 +3,21 @@
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB over the
 same parquet tables, compare row count + column names + order-insensitive
 values. Usage: python scripts/check_correctness.py [sf_dir] [query ...]
+
+Comparison is FULL-PRECISION and representation-faithful, mirroring the
+driver's canonicalizer: both results become pandas DataFrames (Spark via
+``toPandas()``, DuckDB via ``.df()``), columns are sorted by name, and
+every cell is stringified with pandas ``astype(str)`` semantics. That
+makes the gate sensitive to exactly what the driver's hash is sensitive
+to: ``Decimal('1.50')`` vs ``1.5`` differs, int64 ``1`` vs float64
+``1.0`` differs, while int32 vs int64 and datetime64[ns] vs [us] with
+equal values agree. (Round-1 lesson: a %.6g normalization here hid 14
+driver hash failures.)
 """
 
 from __future__ import annotations
 
-import datetime as dt
-import math
 import sys
-from decimal import Decimal
 
 import duckdb
 
@@ -19,28 +26,25 @@ sys.path.insert(0, ".")
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from hadoopxmlextractor_spark.tables import TABLE_NAMES  # noqa: E402
 
-
-def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, Decimal):
-        return f"{float(v):.6g}"
-    if isinstance(v, dt.datetime):
-        return v.isoformat(timespec="microseconds")
-    if isinstance(v, dt.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+# Output-type contract (see CLAUDE.md): final query schemas may only use
+# these canonicalization-safe families. DECIMAL/TIMESTAMP/ARRAY/MAP/
+# STRUCT outputs hash differently (or crash) in the driver harness.
+BANNED_SPARK_TYPES = ("DecimalType", "TimestampType", "ArrayType", "MapType", "StructType")
 
 
-def norm_rows(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
+def canon_frame(pdf):
+    cols = sorted(pdf.columns)
+    body = pdf[cols].astype(str)
+    return cols, sorted(tuple(r) for r in body.values.tolist())
+
+
+def audit_schema(name: str, sdf) -> list[str]:
+    bad = []
+    for field in sdf.schema.fields:
+        tname = type(field.dataType).__name__
+        if tname in BANNED_SPARK_TYPES:
+            bad.append(f"{name}.{field.name}: {tname}")
+    return bad
 
 
 def main():
@@ -72,41 +76,49 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            type_violations = audit_schema(name, sdf)
+            s_pdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL  {name}: spark error: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
+        if type_violations:
+            print(f"FAIL  {name}: banned output type(s): {'; '.join(type_violations)}")
+            n_fail += 1
+            continue
         if name not in oracles:
-            print(f"rows  {name}: {len(s_rows)} rows (no oracle)")
+            print(f"rows  {name}: {len(s_pdf)} rows (no oracle)")
             n_rowsonly += 1
             continue
         try:
-            rel = con.sql(oracles[name])
-            d_cols = rel.columns
-            d_rows = rel.fetchall()
+            d_pdf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {type(e).__name__}: {str(e)[:200]}")
             n_fail += 1
             continue
         problems = []
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"columns spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
+        if len(s_pdf) != len(d_pdf):
+            problems.append(f"rowcount spark={len(s_pdf)} duckdb={len(d_pdf)}")
+        if sorted(s_pdf.columns) != sorted(d_pdf.columns):
+            problems.append(
+                f"columns spark={sorted(s_pdf.columns)} duckdb={sorted(d_pdf.columns)}"
+            )
         if not problems:
-            sn, dn = norm_rows(s_cols, s_rows), norm_rows(d_cols, d_rows)
+            (s_cols, sn), (_, dn) = canon_frame(s_pdf), canon_frame(d_pdf)
             if sn != dn:
                 diff = next(
-                    (i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b
-                ) if sn and dn else (0, None, None)
-                problems.append(f"values differ, first diff at sorted idx {diff[0]}: spark={diff[1]} duckdb={diff[2]}")
+                    ((i, a, b) for i, (a, b) in enumerate(zip(sn, dn)) if a != b),
+                    (min(len(sn), len(dn)), None, None),
+                )
+                problems.append(
+                    f"values differ (cols {s_cols}), first diff at sorted idx "
+                    f"{diff[0]}: spark={diff[1]} duckdb={diff[2]}"
+                )
         if problems:
             print(f"FAIL  {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS  {name} ({len(s_rows)} rows)")
+            print(f"PASS  {name} ({len(s_pdf)} rows)")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     sys.exit(1 if n_fail else 0)
