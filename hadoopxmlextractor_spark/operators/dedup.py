@@ -5,17 +5,18 @@ Scale design:
   Python in the per-document hot path except SimHash's bit-count fold,
   which is an Arrow-batched pandas UDF over pre-hashed tokens.
 - Candidate generation never does an all-pairs cross join: the n-gram
-  path uses an inverted-index self-join with a hot-shingle cap (df cap
-  kills the quadratic blowup of stop-shingles); the MinHash path joins
-  on LSH band buckets; SimHash joins on 16-bit chunks (pigeonhole: any
-  pair within hamming distance 3 shares one of 4 chunks).
+  path uses an inverted-index self-join with a hot-shingle cap (on by
+  default — the df cap kills the quadratic blowup of stop-shingles);
+  the MinHash path joins on LSH band buckets; SimHash joins on 8-bit
+  chunks (pigeonhole: any pair within hamming distance 7 shares one of
+  8 chunks).
 - Exact verification runs only on candidates.
 """
 
 from __future__ import annotations
 
 import random
-from typing import Iterator
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -111,14 +112,25 @@ def ngram_jaccard_pairs(
     *,
     n: int = 3,
     threshold: float = 0.8,
-    max_df: int | None = None,
+    max_df: int | float | None = "auto",
 ) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold, computed exactly via an
     inverted index: explode shingles → self-join on shingle → count
     shared → |A∩B| / (|A|+|B|-|A∩B|). ``max_df`` drops shingles
     appearing in more than that many docs (skew guard: a stop-shingle in
     1M docs would otherwise generate 10^12 join rows).
+
+    ``max_df="auto"`` (the default) derives the cap from corpus size as
+    ``max(1000, 1% of docs)`` — the guard is ON unless explicitly
+    disabled with ``max_df=None``. A shingle shared by more than 1% of a
+    large corpus carries no near-dup signal but dominates the join
+    fan-out, so dropping it changes Jaccard by at most ~1/|shingles| per
+    hot shingle while bounding the self-join at max_df² rows per
+    shingle.
     """
+    if max_df == "auto":
+        # Pruned count on the raw input (id column only — no shingle UDF).
+        max_df = max(1000, int(0.01 * df.select(id_col).count()))
     sh = (
         ensure_min_parallelism(df.select(id_col, text_col))
         .select(F.col(id_col).alias("doc"), shingle_hashes(text_col, n).alias("shingles"))
@@ -278,11 +290,35 @@ def minhash_lsh_candidates(
 
 
 def estimated_jaccard(sig_a: Column, sig_b: Column) -> Column:
-    """Fraction of equal signature components."""
+    """Fraction of equal signature components (JVM expression form).
+
+    NOTE: do not use below a join — zip_with/aggregate lambdas are
+    interpreted and get duplicated into pushed-down join filters; use
+    :func:`estimated_jaccard_udf` there (the SCALE.md rule).
+    """
     eq = F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int"))
     return F.round(
         F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(sig_a), 4
     )
+
+
+def estimated_jaccard_udf():
+    """Vectorized pair-signature agreement: one numpy comparison per
+    Arrow batch — the join-safe verify kernel for the LSH path."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def _est(it: Iterator[Tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
+        for sa, sb in it:
+            if len(sa) == 0:
+                yield pd.Series([], dtype="float64")
+                continue
+            A = np.stack([np.asarray(s, dtype=np.int64) for s in sa])
+            B = np.stack([np.asarray(s, dtype=np.int64) for s in sb])
+            frac = (A == B).mean(axis=1)
+            yield pd.Series(np.round(frac, 4))
+
+    return _est
 
 
 def dedup_minhash_lsh(
@@ -313,10 +349,11 @@ def dedup_minhash_lsh(
     )
     sa = sigs.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
     sb = sigs.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = estimated_jaccard_udf()
     return (
         cands.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn("est_jaccard", estimated_jaccard(F.col("sig_a"), F.col("sig_b")))
+        .withColumn("est_jaccard", est(F.col("sig_a"), F.col("sig_b")))
         .filter(F.col("est_jaccard") >= threshold)
         .select("doc_a", "doc_b", "est_jaccard")
     )
@@ -370,10 +407,22 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Pairs within hamming distance ≤ max_hamming of the 64-bit SimHash.
 
-    Pigeonhole blocking: split 64 bits into 4 chunks of 16; any pair
-    with ≤3 differing bits agrees on ≥1 chunk, so joining on
-    (chunk_idx, chunk_value) finds all such pairs without a cross join.
+    Pigeonhole blocking: split 64 bits into 8 chunks of 8; any pair
+    with ≤7 differing bits agrees on ≥1 chunk, so joining on
+    (chunk_idx, chunk_value) finds all such pairs without a cross
+    join. Recall is exact for ``max_hamming ≤ 7`` (asserted) — the
+    blocking guarantee and the caller's threshold can't silently
+    disagree. The finer 8-bit chunks roughly double the exploded rows
+    vs 16-bit chunks but keep bucket sizes smaller (2^8 value space per
+    chunk is still uniform under hashing), and the join stays linear in
+    candidate count either way.
     """
+    if max_hamming > 7:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 8-chunk pigeonhole "
+            "guarantee (<=7); pairs differing in all 8 chunks would be "
+            "silently missed"
+        )
     # sim feeds 2-3 plan branches (bucket-size scan + both join
     # sides); persist + eager count so the (pandas-UDF) simhash
     # lineage runs once instead of racing per consuming stage.
@@ -385,8 +434,8 @@ def simhash_near_pairs(
         F.posexplode(
             F.array(
                 *[
-                    (F.shiftrightunsigned("simhash", 16 * k).bitwiseAND(F.lit(0xFFFF)))
-                    for k in range(4)
+                    (F.shiftrightunsigned("simhash", 8 * k).bitwiseAND(F.lit(0xFF)))
+                    for k in range(8)
                 ]
             )
         ).alias("chunk_idx", "chunk_val"),

@@ -86,8 +86,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
 
 @query("dedup_simhash")  # approximate blocking; pinned by unit tests
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    # max_hamming=7 matches the 8x8-bit pigeonhole blocking guarantee
+    # exactly (operators/dedup.py:simhash_near_pairs) — recall 1.0 up
+    # to distance 7, no silently-missed pairs.
     docs = load(spark, sf, "documents")
-    return D.simhash_near_pairs(D.simhash(docs, "text", "doc_id"), max_hamming=8)
+    return D.simhash_near_pairs(D.simhash(docs, "text", "doc_id"), max_hamming=7)
 
 
 @query("minhash_signatures")  # rows-only: signature spot-check surface

@@ -61,12 +61,58 @@ def test_minhash_hot_bucket_cap(spark):
 
 def test_simhash_near_pairs(spark, corpus):
     pairs = D.simhash_near_pairs(
-        D.simhash(corpus, "text", "doc_id"), max_hamming=10
+        D.simhash(corpus, "text", "doc_id"), max_hamming=7
     )
     got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
     assert got.get((0, 10)) == 0  # identical → hamming 0
     assert (1, 11) in got  # near-dup within hamming budget
     assert (2, 12) not in got
+
+
+def test_simhash_blocking_recall_guarantee(spark):
+    # Planted signatures with exact hamming distances: 6 and 7 bits
+    # spread across distinct 8-bit chunks (the worst case for the
+    # pigeonhole blocking) MUST be found; max_hamming beyond the 8-chunk
+    # guarantee (<=7) is rejected instead of silently losing recall.
+    base = 0x0123456789ABCDEF
+    h6 = base
+    for k in range(6):  # flip one bit in each of 6 different chunks
+        h6 ^= 1 << (8 * k)
+    h7 = base
+    for k in range(7):
+        h7 ^= 1 << (8 * k)
+    rows = [(0, base), (6, h6), (7, h7)]
+    sim = spark.createDataFrame(rows, "doc long, simhash long")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in D.simhash_near_pairs(sim, max_hamming=7).collect()
+    }
+    assert got[(0, 6)] == 6
+    assert got[(0, 7)] == 7
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_pairs(sim, max_hamming=8)
+
+
+def test_ngram_stop_shingle_cap(spark):
+    # 40 docs sharing one hot shingle ("common stop phrase"): with the
+    # df cap the shingle is dropped from the inverted index, so the
+    # otherwise-quadratic 40*39/2 join fan-out collapses to zero pairs.
+    rows = [
+        (i, f"unique{i} wording{i} here{i} common stop phrase") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = D.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.05, max_df=None
+    )
+    assert uncapped.count() == 40 * 39 // 2
+    capped = D.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.05, max_df=5
+    )
+    assert capped.count() == 0
+    # auto mode (the default) derives max(1000, 1% of docs) — a no-op on
+    # tiny corpora, so planted near-dups still surface.
+    assert D.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.05).count() \
+        == 40 * 39 // 2
 
 
 @pytest.fixture(scope="module")

@@ -109,3 +109,34 @@ def test_global_topk_never_global_sorts(spark):
 
     df = load(spark, SF, "orders").orderBy(F.col("o_totalprice").desc()).limit(5)
     assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_no_interpreted_lambdas_under_candidate_joins(spark):
+    # SCALE.md rule: the verify kernels that run below the dedup /
+    # similarity candidate joins must be Arrow-batched pandas UDFs, not
+    # JVM higher-order functions — zip_with/aggregate lambdas are
+    # interpreted and Catalyst duplicates them into join-constraint
+    # Filter predicates pushed to both sides (433 s/task observed).
+    from hadoopxmlextractor_spark.operators.dedup import dedup_minhash_lsh
+    from hadoopxmlextractor_spark.operators.similarity import (
+        cosine_pairs_exact,
+        cosine_pairs_lsh,
+    )
+    from hadoopxmlextractor_spark.plans import executed_plan
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i), 1.0, 0.5]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"some words {i} repeated here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    for df in (
+        cosine_pairs_exact(vecs, threshold=0.1),
+        cosine_pairs_lsh(vecs, threshold=0.1, dim=3, n_planes=4),
+        dedup_minhash_lsh(docs, "text", "doc_id", num_hashes=16, bands=4, threshold=0.1),
+    ):
+        plan = executed_plan(df)
+        assert "lambdafunction" not in plan.lower(), plan
+        assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
