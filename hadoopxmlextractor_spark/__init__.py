@@ -8,7 +8,7 @@ Layers
   ordered pivot + forward fill pipeline (reference:
   ``src/main/java/HadoopXmlExtractor/XmlExtractor.java:150-175``) expressed
   as a DataFrame plan with exactly one shuffle.
-- **Analytics surface** (``operators``, ``functions``): typed DataFrame
+- **Analytics surface** (``operators``, ``queries*``): typed DataFrame
   operators — joins, aggregations, windows, set ops, dedup, similarity
   search, text analysis — all built on ``pyspark.sql`` so Catalyst/AQE
   optimize them.

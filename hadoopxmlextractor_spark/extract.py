@@ -80,8 +80,16 @@ def extract_fragments(
 
 
 def _xpath_array(col: str, expr: str):
-    """JVM-side xpath(col, expr) → array<string> of node string values."""
-    return F.xpath(F.col(col), F.lit(expr))
+    """JVM-side xpath(col, expr) → array<string> of node string values.
+
+    Subset-shaped expressions get their namespace prefixes stripped so
+    the general path shares the fused path's local-name matching
+    (Spark's xpath matches a *prefixed* step against nothing; an
+    unprefixed step already matches by local name in any namespace).
+    """
+    from hadoopxmlextractor_spark.xpath_subset import strip_prefixes
+
+    return F.xpath(F.col(col), F.lit(strip_prefixes(expr)))
 
 
 def project_cells(fragments: DataFrame, config: ExtractionConfig) -> DataFrame:

@@ -42,9 +42,14 @@ def assemble_rows(
     """cells(doc_id, seq:long, order:int, value:string) → one output row per
     trigger-column arrival, columns forward-filled per document.
 
-    ``missing_value`` replaces never-assigned cells (the reference renders
-    them as a single space, ``XmlExtractor.java:162-167``); pass ``None``
-    to keep SQL NULLs for the analytics surface.
+    ``missing_value`` replaces never-assigned cells AND empty-string
+    cells — the reference renders a column as a single space when it is
+    null *or* empty (``XmlExtractor.java:162-167``: ``col != null &&
+    !col.isEmpty()``). The forward-fill state itself still carries the
+    empty string (an empty cell overwrites earlier context exactly as
+    ``theColumns[order] = value`` does); only the rendering maps it to
+    ``missing_value``. Pass ``None`` to keep SQL NULLs/empties for the
+    analytics surface.
     """
     names = column_names or [f"c{i}" for i in range(nr_of_columns)]
     if len(names) != nr_of_columns:
@@ -76,6 +81,9 @@ def assemble_rows(
         out = out.select(
             "doc_id",
             "seq",
-            *[F.coalesce(F.col(n), F.lit(missing_value)).alias(n) for n in names],
+            *[
+                F.coalesce(F.nullif(F.col(n), F.lit("")), F.lit(missing_value)).alias(n)
+                for n in names
+            ],
         )
     return out

@@ -17,8 +17,17 @@ def to_reference_lines(result: DataFrame, config: ExtractionConfig) -> DataFrame
     line = F.concat(
         *[F.concat(F.col(c), F.lit(config.output_delimiter)) for c in cols]
     ).alias("value")
-    # Preserve document order within each doc for deterministic output.
-    return result.orderBy("doc_id", "seq").select(line)
+    # The reference guarantees per-document order within a reducer's
+    # output file, never a total order across files (each reducer
+    # writes its own part-r-NNNNN). repartition + sortWithinPartitions
+    # gives exactly that guarantee with a hash shuffle — no
+    # range-partitioning global sort, which at 100 TB would add a
+    # sampling pass plus a skew-prone total-order exchange.
+    return (
+        result.repartition("doc_id")
+        .sortWithinPartitions("doc_id", "seq")
+        .select(line)
+    )
 
 
 def write_reference_format(

@@ -40,6 +40,23 @@ def test_missing_middle_column_renders_space(spark):
     assert [tuple(r)[2:] for r in out] == [("a", " ", "t")]
 
 
+def test_empty_string_cell_renders_space(spark):
+    # Reference parity: a matched node with an EMPTY value renders as
+    # the missing marker too (XmlExtractor.java:162-167 checks
+    # col != null && !col.isEmpty()), and the empty assignment still
+    # overwrites earlier forward-filled context.
+    cells = _cells(
+        spark,
+        [
+            ("d1", 0, 0, "ctx"), ("d1", 1, 2, "t1"),
+            ("d1", 2, 0, ""),    # empty overwrites ctx in the fill state
+            ("d1", 3, 2, "t2"),
+        ],
+    )
+    out = assemble_rows(cells, 3).orderBy("seq").collect()
+    assert [tuple(r)[2:] for r in out] == [("ctx", " ", "t1"), (" ", " ", "t2")]
+
+
 def test_missing_value_none_keeps_nulls(spark):
     cells = _cells(spark, [("d1", 5, 2, "t")])
     out = assemble_rows(cells, 3, missing_value=None).collect()

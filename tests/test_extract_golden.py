@@ -107,6 +107,42 @@ def test_multi_node_xpath_concatenates(spark):
     assert [tuple(r)[2:] for r in out] == [("ab", " ", "z")]
 
 
+def test_namespaced_config_runs_fused_and_agrees_with_general(spark):
+    # A namespaced document + a prefixed config: the prefixed steps are
+    # IN the fused subset (local-name matching), so extraction stays on
+    # the fast path, and the general JVM path (prefix-stripped xpath)
+    # produces identical rows.
+    from hadoopxmlextractor_spark.extract import _compile_fused
+
+    doc = (
+        '<bk:cat xmlns:bk="http://example.com/b">'
+        '<bk:shelf xmlns:bk="http://example.com/b" loc="top">'
+        "<bk:book id=\"b1\"><bk:n>7</bk:n></bk:book>"
+        "<bk:book id=\"b2\"><bk:n>9</bk:n></bk:book>"
+        "</bk:shelf></bk:cat>"
+    )
+    cfg = ExtractionConfig.from_rules(
+        [
+            ExtractionConfig.parse_rule(
+                "shelf",
+                "bk:shelf;true;true; ;0#//bk:shelf/@loc;"
+                "1#//bk:book/@id;2#//bk:book/bk:n/text();",
+                ";", "#",
+            ),
+        ],
+        nr_of_columns=3,
+    )
+    assert _compile_fused(cfg) is not None  # prefixed config → fused
+    docs = docs_from_strings(spark, {"d": doc})
+    # NB the scanner matches the literal byte pattern (<bk:shelf ) exactly
+    # like the reference's RecordReader; the bk:shelf fragment carries
+    # its own xmlns so the per-fragment parse resolves the prefix.
+    fused_rows = [tuple(r)[2:] for r in extract(docs, cfg, fused=True).collect()]
+    general_rows = [tuple(r)[2:] for r in extract(docs, cfg, fused=False).collect()]
+    assert fused_rows == general_rows
+    assert fused_rows == [("top", "b1b2", "79")]
+
+
 def test_fused_and_general_paths_agree(spark, docs):
     fused = extract(docs, INV_CFG, fused=True)
     general = extract(docs, INV_CFG, fused=False)

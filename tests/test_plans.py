@@ -111,6 +111,26 @@ def test_global_topk_never_global_sorts(spark):
     assert "TakeOrderedAndProject" in executed_plan(df)
 
 
+def test_reference_sink_no_global_sort(spark):
+    # The reference guarantees per-document order within a part file,
+    # not a total order: the sink must hash-repartition + sort within
+    # partitions, never range-partition (a global sort adds a sampling
+    # pass and a skew-prone total-order exchange at scale).
+    from hadoopxmlextractor_spark.config import ExtractionConfig
+    from hadoopxmlextractor_spark.plans import executed_plan
+    from hadoopxmlextractor_spark.sinks import to_reference_lines
+
+    cfg = ExtractionConfig.from_rules(
+        rules=[], nr_of_columns=2, output_delimiter=";"
+    )
+    rows = spark.createDataFrame(
+        [("d1", 0, "a", "b")], "doc_id string, seq long, c0 string, c1 string"
+    )
+    plan = executed_plan(to_reference_lines(rows, cfg))
+    assert "rangepartitioning" not in plan.lower()
+    assert "hashpartitioning" in plan.lower()
+
+
 def test_no_interpreted_lambdas_under_candidate_joins(spark):
     # SCALE.md rule: the verify kernels that run below the dedup /
     # similarity candidate joins must be Arrow-batched pandas UDFs, not

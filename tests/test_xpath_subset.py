@@ -50,9 +50,48 @@ def test_out_of_subset_falls_back():
         "//*/@id",  # wildcard
         "//a/../b",  # parent axis
         "count(//book)",  # function
-        "//ns:store/@name",  # namespace prefix
     ]:
         assert compile_subset(expr) is None, expr
+
+
+NS_DOC = ET.fromstring(
+    '<bk:store xmlns:bk="http://example.com/books" name="S1">'
+    '<bk:inventory month="Jan"><bk:book id="b1">hi</bk:book></bk:inventory>'
+    "</bk:store>"
+)
+DEFAULT_NS_DOC = ET.fromstring(
+    '<store xmlns="http://example.com/books" name="S1">'
+    '<inventory month="Jan"><book id="b1">hi</book></inventory></store>'
+)
+
+
+def test_namespaced_docs_match_by_local_name():
+    # ElementTree expands tags to {uri}local; name tests match the local
+    # part regardless of the document's namespace — same behavior as
+    # Spark's xpath on the general path (verified on pyspark 4.1.2).
+    for doc in (NS_DOC, DEFAULT_NS_DOC):
+        assert ev("//store/@name", doc) == "S1"
+        assert ev("//inventory/book/@id", doc) == "b1"
+        assert ev("//book/text()", doc) == "hi"
+
+
+def test_prefixed_steps_in_subset():
+    # Prefixes in the CONFIG are accepted and ignored (local-name match),
+    # keeping namespaced configs on the fused fast path.
+    assert ev("//bk:store/@name", NS_DOC) == "S1"
+    assert ev("//bk:inventory/bk:book/@id", NS_DOC) == "b1"
+    assert ev("//bk:store/@name", DOC) == "S1"  # prefix vs plain doc
+
+
+def test_strip_prefixes_rewrite():
+    from hadoopxmlextractor_spark.xpath_subset import strip_prefixes
+
+    assert strip_prefixes("//bk:book/@ns:id") == "//book/@id"
+    assert strip_prefixes("/bk:a/b/text()") == "/a/b/text()"
+    assert strip_prefixes("//plain/@x") == "//plain/@x"
+    # out-of-subset expressions pass through untouched (colons inside
+    # predicates must never be rewritten)
+    assert strip_prefixes("//a[b=':']/@x") == "//a[b=':']/@x"
 
 
 def test_single_leading_slash():
