@@ -315,8 +315,10 @@ def estimated_jaccard_udf():
                 continue
             A = np.stack([np.asarray(s, dtype=np.int64) for s in sa])
             B = np.stack([np.asarray(s, dtype=np.int64) for s in sb])
-            frac = (A == B).mean(axis=1)
-            yield pd.Series(np.round(frac, 4))
+            # No rounding: k/num_hashes is one correctly-rounded double
+            # division of exact integers, so the value is bit-identical
+            # to the oracle's len(filter)/H on any engine.
+            yield pd.Series((A == B).mean(axis=1))
 
     return _est
 

@@ -1,0 +1,224 @@
+"""DuckDB oracle SQL generators for the deterministic pipeline operators.
+
+The MinHash / SimHash / winnowing operators are fully deterministic
+(seeded permutation params, md5-derived ``hash64``), so their oracles
+are expressible in ANSI-ish DuckDB SQL: the 64-bit hash is rebuilt from
+``md5()`` hex output byte-by-byte, and the seeded constants are embedded
+as literals by these generators. This upgrades the driver's check for
+those queries from rows-only to full row/schema/value-hash matching.
+
+Kept rows-only on purpose: HLL (``approx_count_distinct``), KLL
+(``percentile_approx``), IVF (driver-side k-means sample) — approximate
+by design — and the multimodal byte-histogram (binary unnesting in SQL
+buys no signal the pytest golden doesn't already pin).
+"""
+
+from __future__ import annotations
+
+from hadoopxmlextractor_spark.operators.dedup import _MERSENNE31, _minhash_params
+
+# Byte i of the md5 digest from its hex string; the search string omits
+# '0' so strpos returns 0 for it (1-based otherwise) — exactly the
+# nibble value.
+_NIBBLE = "strpos('123456789abcdef', substr({h}, {p}, 1))"
+
+
+def _hex_byte(h: str, i: int) -> str:
+    hi = _NIBBLE.format(h=h, p=2 * i + 1)
+    lo = _NIBBLE.format(h=h, p=2 * i + 2)
+    return f"({hi}*16 + {lo})"
+
+
+def hash64_sql(h: str) -> str:
+    """int64 little-endian of the first 8 bytes of an md5 hex column —
+    identical to ``operators.text.hash64`` (verified byte-for-byte)."""
+    b = [_hex_byte(h, i) for i in range(8)]
+    return (
+        f"((CASE WHEN {b[7]} < 128 THEN {b[7]} ELSE {b[7]} - 256 END) * 72057594037927936"
+        f" + {b[6]} * 281474976710656 + {b[5]} * 1099511627776 + {b[4]} * 4294967296"
+        f" + {b[3]} * 16777216 + {b[2]} * 65536 + {b[1]} * 256 + {b[0]})"
+    )
+
+
+# Word shingles identical to dedup._py_shingles (docs shorter than n
+# words yield the whole text as one shingle); MIN() downstream makes
+# list_distinct unnecessary.
+_SHINGLE_CTES = """
+tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents WHERE text IS NOT NULL
+), sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                      for i in generate_series(1, len(w) - 2)] END) AS s
+  FROM tok
+), hx AS (
+  SELECT doc_id, (((%(h64)s) %% %(p)d) + %(p)d) %% %(p)d AS x
+  FROM (SELECT doc_id, md5(s) AS hh FROM sh)
+)
+""" % {"h64": hash64_sql("hh"), "p": _MERSENNE31}
+
+
+def minhash_signatures_oracle(num_sigs: int = 4, seed: int = 42) -> str:
+    params = _minhash_params(64, seed)[:num_sigs]
+    mins = ",\n           ".join(
+        f"MIN(({a} * x + {b}) % {_MERSENNE31}) AS sig{j}"
+        for j, (a, b) in enumerate(params)
+    )
+    empties = ", ".join(f"{_MERSENNE31} AS sig{j}" for j in range(num_sigs))
+    return f"""
+    WITH {_SHINGLE_CTES}
+    SELECT doc_id AS doc, {mins}
+    FROM hx GROUP BY doc_id
+    UNION ALL
+    SELECT doc_id AS doc, {empties} FROM documents WHERE text IS NULL
+    """
+
+
+def minhash_lsh_oracle(
+    *, num_hashes: int = 64, bands: int = 32, threshold: float = 0.5, seed: int = 42
+) -> str:
+    rows_per_band = num_hashes // bands
+    params = _minhash_params(num_hashes, seed)
+    values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    band_eq = " AND ".join(
+        f"sa[{rows_per_band}*k + {r + 1}] = sb[{rows_per_band}*k + {r + 1}]"
+        for r in range(rows_per_band)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    params(j, a, b) AS (VALUES {values}),
+    sigs AS (
+      SELECT doc_id, list(m ORDER BY j) AS sig
+      FROM (SELECT hx.doc_id, p.j, MIN((p.a * hx.x + p.b) % {_MERSENNE31}) AS m
+            FROM hx CROSS JOIN params p GROUP BY hx.doc_id, p.j)
+      GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(range({num_hashes}), i -> sa[i+1] = sb[i+1]))
+               / {float(num_hashes)} AS est_jaccard,
+             len(list_filter(range({bands}), k -> {band_eq})) AS shared_bands
+      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sa, b.sig AS sb
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id)
+    )
+    SELECT doc_a, doc_b, est_jaccard
+    FROM scored WHERE shared_bands > 0 AND est_jaccard >= {threshold}
+    """
+
+
+def simhash_oracle(*, max_hamming: int = 7) -> str:
+    lanes = ", ".join(
+        f"({l}, {1 << l}::HUGEINT, "
+        + (str(1 << l) if l < 63 else "(-9223372036854775807 - 1)")
+        + ")"
+        for l in range(64)
+    )
+    return f"""
+    WITH th AS (
+      SELECT doc_id, {hash64_sql('hh')} AS h
+      FROM (SELECT doc_id, md5(t) AS hh
+            FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t
+                  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''))
+    ),
+    tu AS (
+      SELECT doc_id,
+             CAST(h AS HUGEINT)
+             + CASE WHEN h < 0 THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS u
+      FROM th
+    ),
+    lanes(l, d, wt) AS (VALUES {lanes}),
+    votes AS (
+      SELECT doc_id, l, wt,
+             SUM(CASE WHEN (u // d) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      FROM tu CROSS JOIN lanes GROUP BY doc_id, l, wt
+    ),
+    sims AS (
+      SELECT d.doc_id, COALESCE(s.sh, 0) AS sh
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN wt ELSE 0 END) AS BIGINT) AS sh
+        FROM votes GROUP BY doc_id
+      ) s USING (doc_id)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def winnowing_oracle(*, k: int = 5, window: int = 4) -> str:
+    return f"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+             CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INT) AS n_bpe
+      FROM documents WHERE text IS NOT NULL
+    ), gl AS (
+      SELECT doc_id, len(w) - {k - 1} AS nk,
+             [array_to_string(w[i:i+{k - 1}], ' ')
+              for i in generate_series(1, len(w) - {k - 1})] AS gs
+      FROM base
+    ), kg AS (
+      SELECT doc_id, nk, unnest(gs) AS g, generate_subscripts(gs, 1) AS pos FROM gl
+    ), kh AS (
+      SELECT doc_id, nk, pos, {hash64_sql('hh')} AS h
+      FROM (SELECT doc_id, nk, pos, md5(g) AS hh FROM kg)
+    ), wins AS (
+      SELECT doc_id, nk, pos,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS wmin
+      FROM kh
+    ), counts AS (
+      SELECT doc_id, COUNT(DISTINCT wmin) AS nf
+      FROM wins WHERE pos <= nk - {window - 1} GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(CASE WHEN len(b.w) - {k - 1} <= 0 THEN 0
+                     WHEN len(b.w) - {k - 1} < {window} THEN 1
+                     ELSE c.nf END AS INT) AS n_fingerprints,
+           b.n_bpe AS n_bpe_tokens
+    FROM base b LEFT JOIN counts c USING (doc_id)
+    """
+
+
+def near_pairs_lsh_oracle(
+    *, threshold: float = 0.45, dim: int = 64, n_planes: int = 8, seed: int = 42
+) -> str:
+    """Hyperplane-LSH near pairs. The plane matrix is the operator's own
+    seeded RandomState draw, embedded as full-precision literals; sign
+    agreement on all planes = same bucket. FP caveat: the SQL dot is a
+    sequential SUM while numpy's is pairwise — a sign could differ only
+    if |dot| were within ~1e-13 of zero (never observed; probability
+    ~1e-12 per vector-plane)."""
+    from hadoopxmlextractor_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    values = ", ".join(
+        f"({k}, {i}, {float(planes[k, i])!r})"
+        for k in range(n_planes)
+        for i in range(dim)
+    )
+    return f"""
+    WITH planes(k, i, wt) AS (VALUES {values}),
+    v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    dots AS (
+      SELECT v.vec_id, p.k, SUM(p.wt * v.e[p.i + 1]) AS d
+      FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.k
+    ),
+    sk AS (
+      SELECT vec_id, SUM(CASE WHEN d > 0 THEN (1::BIGINT << k) ELSE 0 END) AS sketch
+      FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(list_cosine_similarity(va.e, vb.e), 5) AS sim
+    FROM cand
+    JOIN v va ON va.vec_id = id_a
+    JOIN v vb ON vb.vec_id = id_b
+    WHERE ROUND(list_cosine_similarity(va.e, vb.e), 5) >= {threshold}
+    """

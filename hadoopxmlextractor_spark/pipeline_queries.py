@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoopxmlextractor_spark import oracles as O
 from hadoopxmlextractor_spark.operators import dedup as D
 from hadoopxmlextractor_spark.operators import multimodal as M
 from hadoopxmlextractor_spark.operators import similarity as S
@@ -76,24 +77,31 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
-@query("dedup_minhash_lsh")  # approximate: LSH recall < 1 by design
+@query(
+    "dedup_minhash_lsh",
+    O.minhash_lsh_oracle(num_hashes=64, bands=32, threshold=0.5),
+)
 def q_dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # LSH recall < 1 vs TRUE Jaccard by design, but the pipeline itself
+    # is deterministic (seeded permutations, md5 hash64), so the oracle
+    # replays the exact signature/banding/estimate arithmetic in SQL.
     docs = load(spark, sf, "documents")
     return D.dedup_minhash_lsh(
         docs, "text", "doc_id", num_hashes=64, bands=32, threshold=0.5
     )
 
 
-@query("dedup_simhash")  # approximate blocking; pinned by unit tests
+@query("dedup_simhash", O.simhash_oracle(max_hamming=7))
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # max_hamming=7 matches the 8x8-bit pigeonhole blocking guarantee
     # exactly (operators/dedup.py:simhash_near_pairs) — recall 1.0 up
-    # to distance 7, no silently-missed pairs.
+    # to distance 7, so the oracle's brute-force hamming join over the
+    # same deterministic SimHash values produces the identical pair set.
     docs = load(spark, sf, "documents")
     return D.simhash_near_pairs(D.simhash(docs, "text", "doc_id"), max_hamming=7)
 
 
-@query("minhash_signatures")  # rows-only: signature spot-check surface
+@query("minhash_signatures", O.minhash_signatures_oracle(num_sigs=4))
 def q_minhash_signatures(spark: SparkSession, sf: str) -> DataFrame:
     # Scalar columns only: the driver's canonicalizer sorts a pandas
     # frame and dies on array-valued cells (unhashable list), so the
@@ -153,8 +161,14 @@ def q_embedding_near_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return S.cosine_pairs_exact(load(spark, sf, "embeddings"), threshold=0.45)
 
 
-@query("embedding_near_pairs_lsh")  # approximate (bucketed) variant
+@query(
+    "embedding_near_pairs_lsh",
+    O.near_pairs_lsh_oracle(threshold=0.45, dim=64, n_planes=8),
+)
 def q_embedding_near_pairs_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    # Approximate (bucketed) recall vs the exact variant, but the
+    # bucketing itself is deterministic (seeded hyperplanes) — the
+    # oracle embeds the same plane matrix as literals.
     emb = load(spark, sf, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     return S.cosine_pairs_lsh(emb, threshold=0.45, dim=dim, n_planes=8)
@@ -261,8 +275,11 @@ def q_text_language_id(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query("text_winnowing")  # rows-only: per-doc rolling-hash fingerprints
+@query("text_winnowing", O.winnowing_oracle(k=5, window=4))
 def q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic (md5-based k-gram hashes): the oracle replays the
+    # same hashing + sliding-window-min arithmetic with SQL window
+    # functions and counts the distinct selected fingerprints.
     docs = load(spark, sf, "documents")
     return docs.select(
         "doc_id",
