@@ -149,13 +149,18 @@ def ngram_jaccard_pairs(
     ).persist()
     inv.count()
     if max_df is not None:
-        hot = (
-            inv.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") > max_df)
-            .select("shingle")
+        # The df cap rides the join's own shuffle: count() over
+        # (partition by shingle) hash-partitions on exactly the join
+        # key, so the window's exchange IS the join-side exchange (and
+        # the two identical branches share one shuffle write via
+        # ReusedExchange). No separate index-scan + anti-join pass —
+        # at 100 TB that saves a full read/write of the inverted index.
+        wdf = Window.partitionBy("shingle")
+        inv = (
+            inv.withColumn("df", F.count(F.lit(1)).over(wdf))
+            .filter(F.col("df") <= max_df)
+            .drop("df")
         )
-        inv = inv.join(hot, "shingle", "left_anti")
     a = inv.select(
         F.col("shingle"),
         F.col("doc").alias("doc_a"),
