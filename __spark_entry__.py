@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import hadoopxmlextractor_spark.corpus_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.pipeline_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_ext  # noqa: F401  (registers queries)
 from hadoopxmlextractor_spark.queries import ORACLE, QUERIES
@@ -48,7 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
                 (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast(
                     "decimal(18,2)"
                 )
-            ).cast("decimal(38,2)").alias("revenue"),
+            ).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

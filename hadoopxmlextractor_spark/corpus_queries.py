@@ -1,0 +1,163 @@
+"""Corpus-construction queries for training-data pipelines: stable
+splits, vocabulary statistics, context-window chunking, per-user event
+sequences, and duplicate-cluster resolution.
+
+All deterministic (md5-derived hashing, never seeded ``F.hash`` or
+``F.rand``), so every query carries an exact DuckDB oracle — including
+the iterative connected-components operator, whose oracle is a
+recursive CTE computing min-reachable labels over the same pair graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hadoopxmlextractor_spark.operators import corpus as C
+from hadoopxmlextractor_spark.operators import dedup as D
+from hadoopxmlextractor_spark.oracles import _hex_byte
+from hadoopxmlextractor_spark.queries import query
+from hadoopxmlextractor_spark.tables import load
+
+# Big-endian integer of the first 8 md5 hex chars (= bytes 0..3) —
+# identical to operators.corpus.stable_bucket's F.conv(substring(md5))
+# (verified byte-for-byte in tests/test_corpus.py).
+_HEX8 = (
+    f"({_hex_byte('hh', 0)} * 16777216 + {_hex_byte('hh', 1)} * 65536"
+    f" + {_hex_byte('hh', 2)} * 256 + {_hex_byte('hh', 3)})"
+)
+
+
+@query(
+    "corpus_train_val_split",
+    f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+    )
+    SELECT doc_id,
+           {_HEX8} % 100 AS bucket,
+           CASE WHEN {_HEX8} % 100 < 90 THEN 'train' ELSE 'val' END AS split
+    FROM h
+    """,
+)
+def q_corpus_train_val_split(spark: SparkSession, sf: str) -> DataFrame:
+    # Split-as-a-property-of-the-key: pure projection, no shuffle, no
+    # sampling job; re-runs and incremental loads at 100 TB land every
+    # row in the same split (what a holdout actually requires).
+    docs = load(spark, sf, "documents")
+    return C.train_val_split(docs, "doc_id", val_pct=10, n_buckets=100).select(
+        "doc_id", "bucket", "split"
+    )
+
+
+@query(
+    "corpus_vocabulary",
+    r"""
+    WITH terms AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    )
+    SELECT term,
+           CAST(COUNT(DISTINCT doc) AS BIGINT) AS df,
+           CAST(COUNT(*) AS BIGINT) AS cf
+    FROM terms GROUP BY term HAVING COUNT(DISTINCT doc) >= 2
+    """,
+)
+def q_corpus_vocabulary(spark: SparkSession, sf: str) -> DataFrame:
+    # One shuffle on term; hot (stop-word) terms are absorbed by the
+    # map-side partial aggregation, and the result cardinality is the
+    # vocabulary size, not the corpus size.
+    docs = load(spark, sf, "documents")
+    return C.vocabulary(docs, "text", "doc_id", min_df=2)
+
+
+@query(
+    "corpus_chunks",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(
+               0, GREATEST(CAST(CEIL(n_tokens / 128.0) AS BIGINT), 1) - 1
+             )) AS chunk_idx
+      FROM base
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 128 AS tok_start,
+           LEAST((chunk_idx + 1) * 128, n_tokens) AS tok_end
+    FROM c
+    """,
+)
+def q_corpus_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    # Context-window chunking is per-row arithmetic + posexplode: no
+    # shuffle at any scale. Empty documents still emit one [0, 0) chunk
+    # so downstream joins never lose a document.
+    docs = load(spark, sf, "documents")
+    return C.chunk_documents(docs, "text", "doc_id", chunk_tokens=128)
+
+
+@query(
+    "corpus_user_sequences",
+    """
+    SELECT user_id,
+           string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_corpus_user_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    # Behavioral-sequence construction: one shuffle on user_id;
+    # array_sort over collected (ts, event_id, type) structs makes the
+    # ordering deterministic (ties broken by the unique event id), which
+    # a bare collect_list-then-concat would not be.
+    events = load(spark, sf, "events")
+    return C.user_event_sequences(events)
+
+
+@query(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs
+    ), reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    )
+    SELECT x AS doc_id, MIN(y) AS component_id, (x = MIN(y)) AS is_canonical
+    FROM reach GROUP BY x
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # Pairs → clusters: min-label propagation over the near-dup graph
+    # (2 shuffles/round, O(diameter) rounds; near-dup graphs are unions
+    # of small cliques so 2-4 rounds in practice). The oracle replays
+    # reachability with a recursive CTE — an exact check for an
+    # operator SQL can't express in one query.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return D.connected_components(pairs)

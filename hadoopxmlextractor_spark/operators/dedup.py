@@ -367,6 +367,73 @@ def dedup_minhash_lsh(
 
 
 # ---------------------------------------------------------------------------
+# Duplicate-cluster resolution
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    *,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-dup PAIRS into duplicate CLUSTERS: (doc_id,
+    component_id, is_canonical) where component_id = min doc id
+    reachable through the pair graph and the canonical member is the
+    one to keep.
+
+    Min-label propagation: each round joins labels onto edges and takes
+    the neighborhood minimum, stopping at fixpoint (2 shuffles/round,
+    convergence in O(component diameter) rounds). Near-dup graphs are
+    unions of small dense cliques, so 2-4 rounds in practice; a
+    pathological long-path graph would want the alternating
+    large-star/small-star algorithm (Kiveris et al.) — documented
+    trade-off, same join primitives.
+    """
+    edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    edges = (
+        edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .persist()
+    )
+    edges.count()  # eager: edges feed every iteration's join
+    labels = edges.select("x").distinct().withColumn("label", F.col("x")).persist()
+    labels.count()
+    for _ in range(max_iter):
+        prop = (
+            edges.join(labels, "x")
+            .groupBy(F.col("y").alias("x"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(prop, "x", "left")
+            .select(
+                "x",
+                F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+            )
+            .persist()
+        )
+        new_labels.count()
+        changed = (
+            new_labels.withColumnRenamed("label", "new")
+            .join(labels, "x")
+            .filter(F.col("new") < F.col("label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("x").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        (F.col("x") == F.col("label")).alias("is_canonical"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
