@@ -101,6 +101,70 @@ def q_corpus_chunks(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_tfidf",
+    r"""
+    WITH terms AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), tf AS (
+      SELECT doc, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM terms GROUP BY doc, term
+    ), dfx AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ), nd AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc, tf.term AS term, tf, df,
+             ROUND(tf * ln((SELECT n FROM nd)::DOUBLE / df), 4) AS tfidf
+      FROM tf JOIN dfx ON tf.term = dfx.term
+    )
+    SELECT doc, term, tf, df, tfidf, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc ORDER BY tfidf DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_corpus_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    # The corpus-sized side shuffles once (groupBy doc,term); the
+    # vocabulary-sized df table broadcasts back. Rank ties break on the
+    # rounded score then term, so Spark and DuckDB agree despite double
+    # log arithmetic.
+    docs = load(spark, sf, "documents")
+    return C.tfidf_top_terms(docs, "text", "doc_id", n_docs=docs.count(), top_k=3)
+
+
+@query(
+    "corpus_quality_filter",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_distinct
+      FROM documents
+    ), sig AS (
+      SELECT doc_id, n_tokens,
+             ROUND(n_distinct / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 4)
+               AS distinct_ratio,
+             ROUND((n_chars - n_tokens + 1) / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 4)
+               AS mean_token_len
+      FROM base
+    )
+    SELECT doc_id, n_tokens, distinct_ratio, mean_token_len,
+           (n_tokens >= 40 AND n_tokens <= 5000
+            AND distinct_ratio >= 0.35 AND mean_token_len <= 8.0) AS keep
+    FROM sig
+    """,
+)
+def q_corpus_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # Rule-based (Gopher-style) cleaning verdict per document: pure JVM
+    # expressions over one scan — runs at scan bandwidth at any scale.
+    docs = load(spark, sf, "documents")
+    return C.quality_filter(docs, "text", "doc_id")
+
+
+@query(
     "corpus_user_sequences",
     """
     SELECT user_id,

@@ -89,6 +89,96 @@ def chunk_documents(
     )
 
 
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n_docs: int,
+    top_k: int = 3,
+) -> DataFrame:
+    """(doc, term, tf, df, tfidf, rank): the top-k characteristic terms
+    per document by tf·ln(N/df).
+
+    Two aggregations and one join: tf = groupBy(doc, term) rides ONE
+    shuffle; df reuses tf's output (already partitioned by (doc, term),
+    so the term-level re-agg is cheap) and produces a vocabulary-sized
+    table that BROADCASTS back onto tf — the corpus-sized side is
+    shuffled exactly once at any scale. ``n_docs`` is passed in by the
+    caller (a count the pipeline usually already knows) rather than
+    recomputed, keeping this a pure plan. Ranking sorts on the ROUNDED
+    score with the term as tie-break, so ordering is reproducible
+    across engines despite double arithmetic."""
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+    )
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("doc", "term", "tf", "df", "tfidf", "rank")
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_tokens: int = 40,
+    max_tokens: int = 5000,
+    min_distinct_ratio: float = 0.35,
+    max_mean_token_len: float = 8.0,
+) -> DataFrame:
+    """Gopher-style rule-based corpus cleaning: per-document quality
+    signals plus a ``keep`` verdict. Signals: token-count bounds,
+    repetition (distinct-token ratio — catches boilerplate/spam loops),
+    and mean token length (catches OCR garbage / minified blobs).
+
+    Pure projection over one scan — every signal is a JVM expression,
+    no shuffle, no UDF; at 100 TB this runs at scan bandwidth. All
+    comparisons use the ROUNDED signal values so the verdict is
+    reproducible across engines."""
+    from hadoopxmlextractor_spark.operators.text import quality_features
+
+    feats = quality_features(text_col)
+    lower_toks = tokens(F.lower(F.col(text_col)))
+    distinct_ratio = F.round(
+        F.size(F.array_distinct(lower_toks))
+        / F.greatest(F.size(lower_toks).cast("double"), F.lit(1.0)),
+        4,
+    )
+    n_tokens = feats["n_tokens"]
+    mean_tok = feats["mean_token_len"]
+    keep = (
+        (n_tokens >= min_tokens)
+        & (n_tokens <= max_tokens)
+        & (distinct_ratio >= min_distinct_ratio)
+        & (mean_tok <= max_mean_token_len)
+    )
+    return docs.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        distinct_ratio.alias("distinct_ratio"),
+        mean_tok.alias("mean_token_len"),
+        keep.alias("keep"),
+    )
+
+
 def user_event_sequences(
     events: DataFrame,
     *,

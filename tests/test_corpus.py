@@ -9,7 +9,9 @@ from pyspark.sql import functions as F
 
 from hadoopxmlextractor_spark.operators.corpus import (
     chunk_documents,
+    quality_filter,
     stable_bucket,
+    tfidf_top_terms,
     train_val_split,
     user_event_sequences,
     vocabulary,
@@ -78,6 +80,35 @@ def test_user_event_sequences_orders_by_ts_then_id(spark):
     ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type")
     rows = {r["user_id"]: (r["sequence"], r["n_events"]) for r in user_event_sequences(df).collect()}
     assert rows == {1: ("a>b>c", 3), 2: ("z", 1)}
+
+
+def test_tfidf_ranks_rare_terms_first(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "rare common common"), (2, "common common"), (3, "common other")],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_top_terms(df, "text", "doc_id", n_docs=3, top_k=2).collect()
+    top = {r["doc"]: r["term"] for r in rows if r["rank"] == 1}
+    # 'rare' (df=1) outranks 'common' (df=3, tfidf=0) in doc 1
+    assert top[1] == "rare"
+    d1 = {r["term"]: r for r in rows if r["doc"] == 1}
+    assert d1["rare"]["tf"] == 1 and d1["rare"]["df"] == 1
+    assert abs(d1["rare"]["tfidf"] - round(math.log(3.0), 4)) < 1e-9
+    assert d1["common"]["tfidf"] == 0.0
+
+
+def test_quality_filter_rules(spark):
+    good = " ".join(f"w{i}" for i in range(60))  # 60 distinct short tokens
+    short = "too short"
+    repetitive = " ".join(["spam"] * 80)  # distinct ratio 1/80
+    longtok = " ".join(["x" * 50] * 60)  # mean token len ~50
+    df = spark.createDataFrame(
+        [(1, good), (2, short), (3, repetitive), (4, longtok)], ["doc_id", "text"]
+    )
+    verdict = {r["doc_id"]: r["keep"] for r in quality_filter(df, "text", "doc_id").collect()}
+    assert verdict == {1: True, 2: False, 3: False, 4: False}
 
 
 def test_connected_components_chain_and_cliques(spark):
