@@ -100,22 +100,28 @@ def tfidf_top_terms(
     """(doc, term, tf, df, tfidf, rank): the top-k characteristic terms
     per document by tf·ln(N/df).
 
-    Two aggregations and one join: tf = groupBy(doc, term) rides ONE
-    shuffle; df reuses tf's output (already partitioned by (doc, term),
-    so the term-level re-agg is cheap) and produces a vocabulary-sized
-    table that BROADCASTS back onto tf — the corpus-sized side is
-    shuffled exactly once at any scale. ``n_docs`` is passed in by the
-    caller (a count the pipeline usually already knows) rather than
-    recomputed, keeping this a pure plan. Ranking sorts on the ROUNDED
-    score with the term as tie-break, so ordering is reproducible
-    across engines despite double arithmetic."""
+    The token stream is map-side combined and shuffled ONCE into tf =
+    (doc, term, count), which is CACHED (with the eager count the AQE
+    cache-race rule requires) because it feeds two consumers: the
+    term-level df aggregation — skew-free even for stop-word terms
+    thanks to partial aggregation, unlike a partitionBy(term) window,
+    which would put all rows of a hot term in one task — and the
+    scoring join. df is vocabulary-sized and BROADCASTS back; the
+    per-doc ranking window re-shuffles only the deduplicated (doc,
+    term) table. Without the cache, Catalyst duplicates the corpus
+    aggregation lineage into both branches (two full scans+shuffles —
+    observed as 4 exchanges vs 3). ``n_docs`` is passed in by the
+    caller (a count the pipeline usually already knows). Ranking sorts
+    on the ROUNDED score with the term as tie-break, so ordering is
+    reproducible across engines despite double arithmetic."""
     from pyspark.sql import Window
 
     terms = docs.select(
         F.col(id_col).alias("doc"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
     )
-    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = terms.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    tf.count()  # eager: tf feeds both the df aggregation and the join
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df_), "term").select(
         "doc",

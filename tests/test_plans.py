@@ -160,3 +160,58 @@ def test_no_interpreted_lambdas_under_candidate_joins(spark):
         plan = executed_plan(df)
         assert "lambdafunction" not in plan.lower(), plan
         assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
+
+
+def test_corpus_scan_bandwidth_ops_have_no_shuffle(spark):
+    # Quality filter, stable split, and chunking are pure projections /
+    # local explodes: zero exchanges at any scale.
+    from hadoopxmlextractor_spark.operators.corpus import (
+        chunk_documents,
+        quality_filter,
+        train_val_split,
+    )
+
+    docs = load(spark, SF, "documents")
+    assert count_exchanges(quality_filter(docs, "text", "doc_id")) == 0
+    assert count_exchanges(train_val_split(docs, "doc_id")) == 0
+    assert count_exchanges(chunk_documents(docs, "text", "doc_id")) == 0
+
+
+def test_tfidf_caches_tf_and_broadcasts_df(spark):
+    # The corpus-sized tf aggregate must be computed once (cached, both
+    # consumers read InMemoryTableScan) and the vocabulary-sized df
+    # table must broadcast — not shuffle — back onto it.
+    from hadoopxmlextractor_spark.operators.corpus import tfidf_top_terms
+    from hadoopxmlextractor_spark.plans import executed_plan
+
+    docs = load(spark, SF, "documents")
+    df = tfidf_top_terms(docs, "text", "doc_id", n_docs=500, top_k=3)
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert "InMemoryTableScan" in plan
+    spark.catalog.clearCache()
+
+
+def test_q7_nation_disjunction_reaches_both_nation_scans(spark):
+    # Catalyst must derive the per-side (NATION_1 OR NATION_2) residual
+    # of the cross-side pair filter into BOTH nation scans, shrinking
+    # the broadcasts before any join runs.
+    from hadoopxmlextractor_spark.flagship_queries import q_q7_volume_shipping
+
+    df = q_q7_volume_shipping(spark, SF)
+    nation_filters = [
+        f for f in pushed_filters(df) if "NATION_1" in f or "NATION_2" in f
+    ]
+    assert len(nation_filters) >= 2, pushed_filters(df)
+
+
+def test_q19_quantity_disjunction_reaches_lineitem_scan(spark):
+    # The cross-side OR keeps an equi-join; the lineitem-only residual
+    # (quantity range union) must push into the lineitem scan.
+    from hadoopxmlextractor_spark.flagship_queries import (
+        q_q19_disjunctive_predicates,
+    )
+
+    df = q_q19_disjunctive_predicates(spark, SF)
+    assert any("l_quantity" in f for f in pushed_filters(df))
+    assert has_broadcast_join(df)
