@@ -256,6 +256,45 @@ def q_q19_disjunctive_predicates(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "sql_interface_segment_share",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment AS segment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment
+    )
+    SELECT segment, revenue, n_orders,
+           ROUND(100.0 * revenue / SUM(revenue) OVER (), 4) AS revenue_share_pct
+    FROM seg
+    """,
+)
+def q_sql_interface_segment_share(spark: SparkSession, sf: str) -> DataFrame:
+    # The engine's SQL surface: the SAME ANSI text runs through
+    # spark.sql over temp views and through DuckDB — Catalyst plans it
+    # identically to the DataFrame API (customer broadcasts under AQE;
+    # the empty-frame SUM() OVER () is a single-partition window over
+    # the 5-row segment aggregate, not over the raw data).
+    load(spark, sf, "orders").createOrReplaceTempView("orders")
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH seg AS (
+          SELECT c_mktsegment AS segment,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+        )
+        SELECT segment, revenue, n_orders,
+               ROUND(100.0 * revenue / SUM(revenue) OVER (), 4) AS revenue_share_pct
+        FROM seg
+        """
+    )
+
+
+@query(
     "q22_sales_opportunity",
     """
     WITH avg_bal AS (

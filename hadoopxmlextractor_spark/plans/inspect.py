@@ -47,3 +47,15 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
         cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if ":" in c]
         schemas.append(cols)
     return schemas
+
+
+def partition_filters(df: DataFrame) -> list[str]:
+    """All PartitionFilters entries across the plan's file scans —
+    proves directory-level pruning on a partitioned layout."""
+    plan = executed_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(s.strip() for s in entry.split(","))
+    return out

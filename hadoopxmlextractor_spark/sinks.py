@@ -36,3 +36,15 @@ def write_reference_format(
     """Write the reference's exact text format (trailing delimiter — note a
     plain csv writer would not emit it)."""
     to_reference_lines(result, config).write.mode("overwrite").text(output_path)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], *, mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet layout: the 100 TB data-layout
+    primitive. A filter on a partition column becomes a PartitionFilters
+    entry on the read side — directory pruning, zero I/O for excluded
+    partitions (asserted in ``tests/test_plans.py``). Choose low-
+    cardinality columns (date, source, event_type); high-cardinality
+    partitioning creates a small-files explosion instead."""
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

@@ -215,3 +215,22 @@ def test_q19_quantity_disjunction_reaches_lineitem_scan(spark):
     df = q_q19_disjunctive_predicates(spark, SF)
     assert any("l_quantity" in f for f in pushed_filters(df))
     assert has_broadcast_join(df)
+
+
+def test_partitioned_layout_prunes_directories(spark, tmp_path):
+    # write_partitioned_parquet produces a Hive-style layout; a filter
+    # on the partition column must appear as a PartitionFilters entry
+    # (directory pruning — zero I/O for excluded partitions) and NOT
+    # need a row-level pushed filter.
+    from hadoopxmlextractor_spark.plans import partition_filters
+    from hadoopxmlextractor_spark.sinks import write_partitioned_parquet
+
+    events = load(spark, SF, "events")
+    out = str(tmp_path / "events_by_type")
+    write_partitioned_parquet(events, out, ["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    pf = partition_filters(back)
+    assert any("event_type" in f for f in pf), pf
+    n = back.count()
+    expected = events.filter(F.col("event_type") == "click").count()
+    assert n == expected
