@@ -123,3 +123,29 @@ def test_connected_components_chain_and_cliques(spark):
     canon = {r["doc_id"]: r["is_canonical"] for r in rows}
     assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
     assert {d for d, c in canon.items() if c} == {1, 10, 20}
+
+
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, ".")
+    from pyspark.sql import functions as F
+
+    from scripts.run_corpus_pipeline import build_corpus
+
+    out = str(tmp_path / "corpus")
+    stats = build_corpus(spark, "/root/testdata/sf0.001", out)
+    assert stats["raw_docs"] == 500
+    assert 0 < stats["after_quality"] <= stats["raw_docs"]
+    assert stats["after_near_dedup"] <= stats["after_exact_dedup"] <= stats["after_quality"]
+    assert stats["chunks_train"] + stats["chunks_val"] == stats["after_near_dedup"]
+    back = spark.read.parquet(out)
+    assert set(r["split"] for r in back.select("split").distinct().collect()) == {
+        "train",
+        "val",
+    }
+    # one doc appears in exactly one split
+    assert (
+        back.groupBy("doc_id").agg(F.countDistinct("split").alias("n"))
+        .filter(F.col("n") > 1).count() == 0
+    )
