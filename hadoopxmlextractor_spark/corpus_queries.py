@@ -219,6 +219,17 @@ def q_corpus_user_sequences(spark: SparkSession, sf: str) -> DataFrame:
     FROM reach GROUP BY x
     """,
 )
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    # Pairs → clusters: min-label propagation over the near-dup graph
+    # (2 shuffles/round, O(diameter) rounds; near-dup graphs are unions
+    # of small cliques so 2-4 rounds in practice). The oracle replays
+    # reachability with a recursive CTE — an exact check for an
+    # operator SQL can't express in one query.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return D.connected_components(pairs)
+
+
 @query(
     "dedup_semantic_clusters",
     """
@@ -251,14 +262,3 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return D.connected_components(pairs, "id_a", "id_b").select(
         F.col("doc_id").alias("vec_id"), "component_id", "is_canonical"
     )
-
-
-def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
-    # Pairs → clusters: min-label propagation over the near-dup graph
-    # (2 shuffles/round, O(diameter) rounds; near-dup graphs are unions
-    # of small cliques so 2-4 rounds in practice). The oracle replays
-    # reachability with a recursive CTE — an exact check for an
-    # operator SQL can't express in one query.
-    docs = load(spark, sf, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
-    return D.connected_components(pairs)

@@ -28,6 +28,18 @@ ORACLE: Dict[str, str] = {}
 
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        # Tripwires for silent registry corruption: a duplicate name
+        # would shadow an earlier query, and a stacked @query pair (two
+        # decorators, one def) binds one function to two names while
+        # silently unregistering the other function — both bugs the
+        # driver would surface only as a confusing hash mismatch.
+        if name in QUERIES:
+            raise ValueError(f"query {name!r} registered twice")
+        if fn.__name__ != f"q_{name}":
+            raise ValueError(
+                f"query {name!r} bound to {fn.__name__} (expected q_{name}) — "
+                "check for stacked @query decorators"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
