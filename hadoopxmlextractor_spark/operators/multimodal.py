@@ -34,12 +34,13 @@ def fake_media_from_documents(docs: DataFrame) -> DataFrame:
     """Deterministic stand-in media table: each document's utf-8 bytes
     become an opaque binary 'image'. Gives the multimodal operators a
     reproducible binary column without bundling real media."""
+    source = F.col("source") if "source" in docs.columns else F.lit(None).cast("string")
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         F.encode("text", "utf-8").alias("content"),
         F.struct(
-            F.col("source").alias("source"),
+            source.alias("source"),
             F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
             F.lit("fake/raw").alias("declared_format"),
         ).alias("meta"),
@@ -113,4 +114,45 @@ def sample_frames(media: DataFrame, *, every_n_bytes: int = 4096) -> DataFrame:
 
     return media.mapInPandas(
         _frames, schema="media_id long, frame_idx int, frame binary"
+    )
+
+
+def resize_media(
+    media: DataFrame, *, target_bytes: int = 1024, decode: str = "fake"
+) -> DataFrame:
+    """Resize stand-in: downsample each blob to ``target_bytes`` with a
+    deterministic numpy stride (shape-wise what decode→resize→re-encode
+    looks like: one row in, one smaller binary out, per Arrow batch).
+    ``decode='real'`` is the PIL/ffmpeg plug-in point — stubbed here
+    because this container ships no codecs."""
+    if decode == "real":
+        raise NotImplementedError(
+            "real media resizing requires image/video codecs not present in "
+            "this environment; use decode='fake' for the byte-stride stand-in"
+        )
+    if decode != "fake":
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
+
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                arr = np.frombuffer(blob or b"", dtype=np.uint8)
+                if len(arr) <= target_bytes:
+                    out.append(arr.tobytes())
+                else:
+                    idx = np.linspace(0, len(arr) - 1, target_bytes).astype(np.int64)
+                    out.append(arr[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": out,
+                }
+            )
+
+    return media.mapInPandas(
+        _resize, schema="media_id long, media_type string, content binary"
     )

@@ -103,3 +103,27 @@ def test_frame_sampling_shapes(spark):
     frames = M.sample_frames(df, every_n_bytes=4096).collect()
     assert [r.frame_idx for r in frames] == [0, 1, 2]
     assert len(frames[0].frame) == 4096 and len(frames[2].frame) == 10240 - 2 * 4096
+
+
+def test_resize_media_bounds_and_determinism(spark, docs):
+    media = M.fake_media_from_documents(docs)
+    small = M.resize_media(media, target_bytes=64)
+    rows = {r["media_id"]: r["content"] for r in small.collect()}
+    orig = {r["media_id"]: r["content"] for r in media.collect()}
+    for mid, blob in rows.items():
+        assert len(blob) <= 64
+        if len(orig[mid]) <= 64:
+            assert blob == orig[mid]  # never upsample
+        else:
+            # stride sampling preserves first and last byte
+            assert blob[0] == orig[mid][0] and blob[-1] == orig[mid][-1]
+    again = {r["media_id"]: r["content"] for r in M.resize_media(media, target_bytes=64).collect()}
+    assert rows == again
+
+
+def test_resize_media_real_decode_is_stubbed(spark, docs):
+    import pytest
+
+    media = M.fake_media_from_documents(docs)
+    with pytest.raises(NotImplementedError):
+        M.resize_media(media, decode="real").collect()
