@@ -21,6 +21,7 @@ import hadoopxmlextractor_spark.corpus_queries  # noqa: F401  (registers queries
 import hadoopxmlextractor_spark.flagship_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.pipeline_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_ext  # noqa: F401  (registers queries)
+import hadoopxmlextractor_spark.tpch_queries  # noqa: F401  (registers queries)
 from hadoopxmlextractor_spark.queries import ORACLE, QUERIES
 from hadoopxmlextractor_spark.tables import load
 
