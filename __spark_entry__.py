@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 import hadoopxmlextractor_spark.corpus_queries  # noqa: F401  (registers queries)
+import hadoopxmlextractor_spark.events_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.flagship_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.pipeline_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_ext  # noqa: F401  (registers queries)

@@ -1,0 +1,175 @@
+"""Event-stream analytics queries: hopping (sliding) windows, weekly
+cohort retention, and ordered funnel conversion over the ``events``
+table. These are the batch twins of the Structured Streaming layer
+(``streaming/events.py``) — same logical plans, driver-oracle-checked.
+
+Canonical types per CLAUDE.md: window starts emitted as epoch millis,
+money/value sums accumulate as DECIMAL(18,2) and cast to DOUBLE, counts
+cast to BIGINT in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.queries import DEC, query
+from hadoopxmlextractor_spark.tables import load
+
+
+@query(
+    "events_hopping_window",
+    """
+    WITH e AS (
+      SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_type, value FROM events
+    ),
+    expanded AS (
+      SELECT (ms // 300000) * 300000 AS window_start_ms, event_type, value FROM e
+      UNION ALL
+      SELECT (ms // 300000) * 300000 - 300000 AS window_start_ms, event_type, value
+      FROM e
+    )
+    SELECT window_start_ms, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY 1, 2
+    """,
+)
+def q_events_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    # Hopping/sliding window (10-minute windows every 5 minutes) via the
+    # built-in F.window — each event lands in exactly two windows, which
+    # the oracle replays as a UNION ALL of the two shifted tumbling
+    # grids (both boundaries are whole-second, so epoch-ms floor
+    # arithmetic and Spark's microsecond window assignment agree).
+    # Scale: the window struct is a per-row projection; the only
+    # shuffle is the (window, type)-keyed aggregate, map-side-combined
+    # over the 2× expansion. Streaming twin: same expression under
+    # readStream + watermark in streaming/events.py.
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "events_retention",
+    """
+    WITH weekly AS (
+      SELECT DISTINCT date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk, user_id
+      FROM events
+    )
+    SELECT epoch_ms(a.wk) AS week_start_ms,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS retained_users,
+           ROUND(CAST(COUNT(DISTINCT b.user_id) AS DOUBLE)
+                 / COUNT(DISTINCT a.user_id), 4) AS retention_rate
+    FROM weekly a
+    LEFT JOIN weekly b
+      ON b.user_id = a.user_id AND b.wk = a.wk + INTERVAL 7 DAY
+    GROUP BY a.wk
+    """,
+)
+def q_events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    # Weekly cohort retention: users active in week w who return in
+    # w+1. The DISTINCT (week, user) projection collapses the event
+    # stream to its activity matrix FIRST (at 100 TB this is the step
+    # that shrinks billions of events to |users|×|weeks| rows), then a
+    # self-join on (user, adjacent week) — both sides shuffle on
+    # user_id, one exchange under AQE. Week truncation is Monday-based
+    # in both engines.
+    weekly = (
+        load(spark, sf, "events")
+        .select(F.date_trunc("week", "ts").alias("wk"), "user_id")
+        .distinct()
+    )
+    a, b = weekly.alias("a"), weekly.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.wk") == F.col("a.wk") + F.expr("INTERVAL 7 DAYS")),
+            "left",
+        )
+        .groupBy(F.col("a.wk"))
+        .agg(
+            F.countDistinct(F.col("a.user_id")).alias("active_users"),
+            F.countDistinct(F.col("b.user_id")).alias("retained_users"),
+            F.round(
+                F.countDistinct(F.col("b.user_id")).cast("double")
+                / F.countDistinct(F.col("a.user_id")),
+                4,
+            ).alias("retention_rate"),
+        )
+        .select(
+            F.unix_millis(F.col("wk")).alias("week_start_ms"),
+            "active_users",
+            "retained_users",
+            "retention_rate",
+        )
+    )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS viewed,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS clicked_after_view,
+           CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS purchased_after_funnel
+    FROM firsts
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    # Ordered funnel (view → click → purchase by first occurrence):
+    # conditional-MIN pivots the per-user event history into one row —
+    # one shuffle on user_id with near-total map-side combine — then a
+    # single global aggregate counts each stage. NULL-safe ordering
+    # comparisons (a missing stage never counts) behave identically in
+    # both engines. Timestamps stay internal; outputs are counts only.
+    firsts = (
+        load(spark, sf, "events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+                "t_purchase"
+            ),
+        )
+    )
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("t_view").isNotNull(), 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)).alias(
+            "clicked_after_view"
+        ),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        ).alias("purchased_after_funnel"),
+    )

@@ -304,3 +304,67 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
         F.size("feature").alias("feat_dim"),
     )
+
+
+@query(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos
+      FROM documents
+    ),
+    tok_counts AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    tok_stats AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             MAX(c) AS top_tok
+      FROM tok_counts GROUP BY doc_id
+    ),
+    bigrams AS (
+      SELECT doc_id, tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+      FROM toks
+      QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ),
+    bg_stats AS (
+      SELECT doc_id, MAX(c) AS top_bg FROM (
+        SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+      ) GROUP BY doc_id
+    )
+    SELECT t.doc_id, n_tokens, n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / GREATEST(n_tokens, 1), 6)
+             AS distinct_token_ratio,
+           ROUND(CAST(top_tok AS DOUBLE) / GREATEST(n_tokens, 1), 6)
+             AS top_token_ratio,
+           ROUND(2.0 * COALESCE(top_bg, 0) / GREATEST(n_tokens, 1), 6)
+             AS top_bigram_token_ratio
+    FROM tok_stats t LEFT JOIN bg_stats b ON t.doc_id = b.doc_id
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    # Repetition-based quality signals (Gopher filters): high top-ngram
+    # coverage or low distinct-token ratio marks boilerplate/spam. The
+    # kernel emits exact counts in one zero-shuffle Arrow batch pass;
+    # ratios + ROUND are JVM expressions so both engines hash identical
+    # doubles. The oracle recomputes every count relationally (explode →
+    # group → window lead for bigrams).
+    docs = load(spark, sf, "documents")
+    r = docs.select("doc_id", T.repetition_counts("text").alias("r"))
+    n = F.greatest(F.col("r.n_tokens"), F.lit(1))
+    return r.select(
+        "doc_id",
+        F.col("r.n_tokens").alias("n_tokens"),
+        F.col("r.n_distinct").alias("n_distinct"),
+        F.round(F.col("r.n_distinct").cast("double") / n, 6).alias(
+            "distinct_token_ratio"
+        ),
+        F.round(F.col("r.top_token_cnt").cast("double") / n, 6).alias(
+            "top_token_ratio"
+        ),
+        F.round(F.lit(2.0) * F.col("r.top_bigram_cnt") / n, 6).alias(
+            "top_bigram_token_ratio"
+        ),
+    )

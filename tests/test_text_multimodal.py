@@ -127,3 +127,21 @@ def test_resize_media_real_decode_is_stubbed(spark, docs):
     media = M.fake_media_from_documents(docs)
     with pytest.raises(NotImplementedError):
         M.resize_media(media, decode="real").collect()
+
+
+def test_repetition_counts_planted(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "a b a b a b"), (4, "")],
+        "id long, text string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select("id", T.repetition_counts("text").alias("r"))
+        .select("id", "r.*")
+        .collect()
+    }
+    assert rows[1].n_tokens == 4 and rows[1].n_distinct == 1
+    assert rows[1].top_token_cnt == 4 and rows[1].top_bigram_cnt == 3  # "a a" ×3
+    assert rows[2].top_token_cnt == 1 and rows[2].top_bigram_cnt == 1
+    assert rows[3].n_distinct == 2 and rows[3].top_bigram_cnt == 3  # "a b" ×3
+    assert rows[4].n_tokens == 0 and rows[4].top_bigram_cnt == 0
