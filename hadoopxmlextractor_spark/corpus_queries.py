@@ -10,7 +10,7 @@ recursive CTE computing min-reachable labels over the same pair graph.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from pyspark.sql import functions as F
 
@@ -261,4 +261,32 @@ def q_dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     pairs = S.cosine_pairs_exact(emb, threshold=0.45)
     return D.connected_components(pairs, "id_a", "id_b").select(
         F.col("doc_id").alias("vec_id"), "component_id", "is_canonical"
+    )
+
+
+@query(
+    "corpus_stratified_sample",
+    """
+    SELECT doc_id, source FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ) WHERE rn <= 5
+    """,
+)
+def q_corpus_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic stratified sampling: exactly k docs per source
+    # stratum, chosen by hash rank — reproducible across runs and
+    # incremental loads, unlike rand()-based sampling. One shuffle on
+    # the stratum key; each partition keeps a bounded k-row heap via
+    # the rank-filter pushdown (WindowGroupLimit), so a hot stratum
+    # never materializes its full membership.
+    docs = load(spark, sf, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
     )

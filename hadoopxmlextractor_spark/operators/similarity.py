@@ -95,6 +95,30 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_range_search(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    *,
+    threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact cosine range query: every vector with similarity ≥
+    ``threshold`` to one query vector. Same fused codegen'd dot/norm
+    scan as :func:`cosine_topk_bruteforce`, but a threshold filter
+    replaces TakeOrderedAndProject — the result is an unordered set,
+    so at 100 TB this is a pure scan+filter with NO shuffle and no
+    driver merge at all (cheaper than top-k). The filter applies to
+    the ROUNDED similarity so the boundary set is identical across
+    engines."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return emb.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_digits).alias("sim"),
+    ).filter(F.col("sim") >= threshold)
+
+
 def cosine_pairs_exact(
     emb: DataFrame,
     *,

@@ -368,3 +368,23 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
             "top_bigram_token_ratio"
         ),
     )
+
+
+@query(
+    "similarity_range_search",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, sim FROM (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          (SELECT qv FROM q)), 6) AS sim
+      FROM embeddings
+    ) WHERE sim >= 0.15
+    """,
+)
+def q_similarity_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact range query (everything within cosine ≥ t of the probe):
+    # the set-retrieval dual of top-k — zero shuffle, zero driver
+    # merge, pure codegen'd scan+filter.
+    emb = load(spark, sf, "embeddings")
+    return S.cosine_range_search(emb, _query_vec(spark, sf), threshold=0.15)

@@ -14,6 +14,7 @@ from hadoopxmlextractor_spark.operators.skew import (
 )
 from hadoopxmlextractor_spark.plans import (
     count_exchanges,
+    executed_plan,
     has_broadcast_join,
     pushed_filters,
     scan_columns,
@@ -234,3 +235,44 @@ def test_partitioned_layout_prunes_directories(spark, tmp_path):
     n = back.count()
     expected = events.filter(F.col("event_type") == "click").count()
     assert n == expected
+
+
+def test_range_search_is_pure_scan_filter(spark):
+    # Exact cosine range search must compile to scan+filter with no
+    # exchange and no sort — the zero-shuffle dual of top-k.
+    from hadoopxmlextractor_spark.operators.similarity import cosine_range_search
+
+    emb = load(spark, SF, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    df = cosine_range_search(emb, qv, threshold=0.15)
+    assert count_exchanges(df) == 0
+    assert "Sort" not in executed_plan(df)
+
+
+def test_stratified_sample_uses_window_group_limit(spark):
+    # The rn<=k filter must push into the window as a per-partition
+    # group limit so a hot stratum never materializes fully.
+    from pyspark.sql import Window
+
+    docs = load(spark, SF, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    df = (
+        docs.select("doc_id", "source")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "source")
+    )
+    assert "WindowGroupLimit" in executed_plan(df)
+
+
+def test_repetition_counts_single_arrow_pass(spark):
+    # The repetition kernel is one ArrowEvalPython projection: no
+    # shuffle, no interpreted lambdas.
+    from hadoopxmlextractor_spark.operators.text import repetition_counts
+
+    docs = load(spark, SF, "documents")
+    df = docs.select("doc_id", repetition_counts("text").alias("r")).select("doc_id", "r.*")
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 0
+    assert "ArrowEvalPython" in plan
+    assert "lambdafunction" not in plan.lower()
