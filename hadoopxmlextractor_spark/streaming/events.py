@@ -55,3 +55,34 @@ def session_window_stats(
             "n_events",
         )
     )
+
+
+def hopping_window_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "10 minutes",
+    slide_duration: str = "5 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the batch ``events_hopping_window`` query:
+    overlapping (hopping) windows — each event is assigned to
+    duration/slide windows by the same built-in ``F.window`` overload,
+    and the watermark bounds state exactly as in the tumbling case
+    (a window's state is dropped once the watermark passes its end,
+    overlap notwithstanding)."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.window("ts", window_duration, slide_duration).alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(38,2)").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

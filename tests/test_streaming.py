@@ -157,3 +157,32 @@ def test_stateful_dedup_stream_across_batches(spark, tmp_path):
 
     got = {(r.doc_id, r.text) for r in spark.sql("SELECT * FROM dedup_out").collect()}
     assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+
+
+def test_hopping_window_stream(spark, tmp_path, event_stream):
+    from hadoopxmlextractor_spark.streaming.events import hopping_window_counts
+
+    q = (
+        hopping_window_counts(
+            event_stream, window_duration="1 hour", slide_duration="30 minutes"
+        )
+        .writeStream.format("memory")
+        .queryName("hopping_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_hop"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("select * from hopping_out").collect()
+    }
+    # 00:05 click → windows starting 23:30 and 00:00; 00:50 click →
+    # 00:00 and 00:30 — the 00:00 window sees both.
+    assert got.get(("2024-01-01 00:00:00", "click")) == 2
+    assert got.get(("2023-12-31 23:30:00", "click")) == 1
+    assert got.get(("2024-01-01 00:30:00", "click")) == 1
