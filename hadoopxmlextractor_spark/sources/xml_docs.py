@@ -68,3 +68,21 @@ def docs_from_strings(spark: SparkSession, docs: dict[str, str]) -> DataFrame:
     return spark.createDataFrame(
         list(docs.items()), schema="doc_id string, content string"
     )
+
+
+def read_binary_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory of XML files via the ``binaryFile`` source —
+    the other small-files-native alternative to the reference's
+    SequenceFile packing (``CreateSequenceFile.java:19-57``): content
+    arrives as raw bytes plus (path, modificationTime, length)
+    metadata, which is the right source when documents may not be
+    valid UTF-8 or when byte-exact scanning matters. Decodes to the
+    same (doc_id, content) contract as :func:`read_xml_documents`."""
+    return (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.col("path").alias("doc_id"),
+            F.decode(F.col("content"), "UTF-8").alias("content"),
+        )
+    )
