@@ -290,3 +290,35 @@ def q_corpus_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("doc_id", "source")
     )
+
+
+@query(
+    "corpus_pack_sequences",
+    f"""
+    WITH sharded AS (
+      SELECT doc_id,
+             {_HEX8} % 32 AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens
+      FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents)
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM sharded
+    )
+    SELECT doc_id, shard, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS seq_idx, n_tokens
+    FROM packed
+    """,
+)
+def q_corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    # Pre-training sequence packing: running token offsets within hash
+    # shards → fixed-capacity sequence assignment. One shard-keyed
+    # shuffle; the running sum is a streaming window frame. All-integer
+    # arithmetic, so the oracle replays it exactly.
+    docs = load(spark, sf, "documents")
+    return C.pack_sequences(docs, "text", "doc_id", capacity=256, n_shards=32)

@@ -173,3 +173,34 @@ def q_events_funnel(spark: SparkSession, sf: str) -> DataFrame:
             ).otherwise(0)
         ).alias("purchased_after_funnel"),
     )
+
+
+@query(
+    "agg_salted_hot_keys",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_salted_hot_keys(spark: SparkSession, sf: str) -> DataFrame:
+    # The adversarial low-cardinality aggregate (5 event types, every
+    # row lands on one of 5 reducers) through the two-phase salted
+    # aggregation from operators/skew.py: phase 1 spreads each hot key
+    # over 16 salt partitions, phase 2 merges 16 partials per key. The
+    # oracle is the plain GROUP BY — salting must be invisible in the
+    # result, which holds exactly because the value sum accumulates as
+    # DECIMAL (order-independent), not double, through both phases.
+    from hadoopxmlextractor_spark.operators.skew import salted_agg
+
+    ev = load(spark, sf, "events").withColumn("v_dec", F.col("value").cast(DEC))
+    out = salted_agg(
+        ev,
+        "event_type",
+        {"n_events": ("value", "count"), "total_value": ("v_dec", "sum")},
+        n_salts=16,
+    )
+    return out.select(
+        "event_type", "n_events", F.col("total_value").cast("double").alias("total_value")
+    )

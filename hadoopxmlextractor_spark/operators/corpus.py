@@ -209,3 +209,50 @@ def user_event_sequences(
     return events.groupBy(F.col(user_col)).agg(
         seq.alias("sequence"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    capacity: int = 256,
+    n_shards: int = 32,
+) -> DataFrame:
+    """Deterministic sequence packing: assign each document to a
+    fixed-capacity training sequence by its running token offset.
+
+    The classic pre-training step (concatenate documents into
+    ``capacity``-token sequences) made distributed-deterministic:
+    documents are sharded by :func:`stable_bucket` (so packing
+    parallelizes and re-runs place every doc identically), ordered by
+    id within the shard, and a sequence index is derived from the
+    running token count — ``seq_idx = floor(start_offset / capacity)``.
+    Output: (id, shard, start_offset, seq_idx, n_tokens).
+
+    Scale: ONE shuffle (the per-shard window); the running sum is a
+    streaming frame, O(1) state per row. A global (unsharded) pack
+    would serialize the corpus through one total order — the shard is
+    what keeps 100 TB parallel, at the cost of at most one partial
+    sequence of waste per shard."""
+    from pyspark.sql import Window
+
+    n_tok = F.size(tokens(F.col(text_col)))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        docs.select(F.col(id_col), F.col(text_col))
+        .withColumn("shard", stable_bucket(id_col, n_shards))
+        .withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("cum", F.sum("n_tokens").over(w))
+        .select(
+            F.col(id_col),
+            "shard",
+            (F.col("cum") - F.col("n_tokens")).alias("start_offset"),
+            F.floor((F.col("cum") - F.col("n_tokens")) / capacity).alias("seq_idx"),
+            "n_tokens",
+        )
+    )

@@ -193,3 +193,36 @@ def repetition_counts(col: Column | str) -> Column:
             )
 
     return _rep(c)
+
+
+# (pattern name, regex) — order matters: more specific patterns first so
+# e.g. an SSN is not half-eaten by the phone pattern.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\b\d[\d .-]{7,14}\d\b"),
+]
+
+
+def redact_pii(col: Column | str, *, replacement: str = "[PII]") -> Column:
+    """Scrub common PII shapes (emails, SSN-style ids, IPv4 addresses,
+    phone-number-like digit runs) with chained ``regexp_replace`` —
+    pure JVM expressions in one codegen stage, zero shuffle, scan
+    bandwidth at any scale. The standard compliance pass a training
+    corpus runs before tokenization; swap/extend ``PII_PATTERNS`` per
+    policy."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, replacement)
+    return c
+
+
+def pii_counts(col: Column | str) -> dict[str, Column]:
+    """Per-pattern match counts for redaction auditing (same patterns
+    as :func:`redact_pii`); counted on the ORIGINAL text, so chained
+    replacements never mask each other's tally."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        f"n_{name}": F.regexp_count(c, F.lit(pat)) for name, pat in PII_PATTERNS
+    }

@@ -145,3 +145,29 @@ def test_repetition_counts_planted(spark):
     assert rows[2].top_token_cnt == 1 and rows[2].top_bigram_cnt == 1
     assert rows[3].n_distinct == 2 and rows[3].top_bigram_cnt == 3  # "a b" ×3
     assert rows[4].n_tokens == 0 and rows[4].top_bigram_cnt == 0
+
+
+def test_pii_redaction_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk thanks"),
+            (2, "ssn 123-45-6789 and server 10.0.255.1 here"),
+            (3, "call +1 415-555-0199 today"),
+            (4, "clean text with numbers 42 and 7"),
+        ],
+        "id long, text string",
+    )
+    red = {r.id: r.red for r in df.select("id", T.redact_pii("text").alias("red")).collect()}
+    assert red[1] == "mail me at [PII] thanks"
+    assert red[2] == "ssn [PII] and server [PII] here"
+    assert red[3] == "call [PII] today"
+    assert red[4] == "clean text with numbers 42 and 7"
+
+    counts = (
+        df.select("id", *[v.alias(k) for k, v in T.pii_counts("text").items()])
+        .collect()
+    )
+    by_id = {r.id: r for r in counts}
+    assert by_id[1].n_email == 1 and by_id[2].n_ssn == 1
+    assert by_id[2].n_ipv4 == 1 and by_id[3].n_phone == 1
+    assert sum([by_id[4].n_email, by_id[4].n_ssn, by_id[4].n_ipv4, by_id[4].n_phone]) == 0
