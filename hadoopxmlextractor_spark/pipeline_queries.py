@@ -293,15 +293,48 @@ def q_text_winnowing(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("multimodal_features")  # rows-only: binary-column pipeline
+@query(
+    "multimodal_features",
+    """
+    WITH bytes AS (
+      SELECT doc_id,
+             ord(substring(text, unnest(range(1, length(text) + 1)), 1)) // 16
+               AS bin,
+             length(text) AS n
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id, MAX(n) AS n_bytes,
+             SUM(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS c2,
+             SUM(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS c6,
+             SUM(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS c7
+      FROM bytes GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           ROUND(CAST(CAST(CAST(c2 AS DOUBLE) / n_bytes AS FLOAT) AS DOUBLE), 5) AS f_space,
+           ROUND(CAST(CAST(CAST(c6 AS DOUBLE) / n_bytes AS FLOAT) AS DOUBLE), 5) AS f_low1,
+           ROUND(CAST(CAST(CAST(c7 AS DOUBLE) / n_bytes AS FLOAT) AS DOUBLE), 5) AS f_low2,
+           16 AS feat_dim
+    FROM hist
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    # The binary-column feature pipeline, now exactly oracled: the fake
+    # decode is a 16-bin byte histogram over the (pure-ASCII) document
+    # bytes, so DuckDB can replay the informative bins — bin 2 holds
+    # the space/punct bytes (32–47), bins 6–7 the lowercase letters —
+    # character-by-character, including numpy's float64-divide →
+    # float32-round step (CAST(... AS FLOAT) in SQL is the same
+    # round-to-nearest). feat_dim pins the UDF's output shape.
     docs = load(spark, sf, "documents")
     media = M.fake_media_from_documents(docs)
     feats = M.extract_media_features(media, decode="fake")
     return feats.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+        F.round(F.element_at("feature", 3).cast("double"), 5).alias("f_space"),
+        F.round(F.element_at("feature", 7).cast("double"), 5).alias("f_low1"),
+        F.round(F.element_at("feature", 8).cast("double"), 5).alias("f_low2"),
         F.size("feature").alias("feat_dim"),
     )
 
