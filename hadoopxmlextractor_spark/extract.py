@@ -268,3 +268,60 @@ def run_extraction(
     config = ExtractionConfig.from_hadoop_xml(config_path)
     result = extract(read_xml_documents(spark, input_path), config)
     write_reference_format(result, config, output_path)
+
+
+_ERROR_SCHEMA = "doc_id string, seq long, rule string, error string, snippet string"
+
+
+def malformed_fragments(
+    docs: DataFrame, config: ExtractionConfig, *, snippet_len: int = 120
+) -> DataFrame:
+    """PERMISSIVE-style error stream: the fragments the extraction
+    pipeline DROPS because they fail to parse.
+
+    The reference swallows XPath/parse exceptions with a println and
+    silently loses the row (``XmlExtractor.java:114-126``, SURVEY
+    §2.2-5); the compat pipeline reproduces that row-loss semantics.
+    This is the audit-side fix: run it over the same input to get
+    (doc_id, seq, rule, error, snippet) for every dropped fragment —
+    union it into a quarantine sink or alert on its count. Same
+    scan-time cost profile as extraction (one Arrow-batched pass, no
+    shuffle); at 100 TB run it in the same job and the scan is shared
+    only if explicitly persisted, so prefer scheduling it as the
+    validation stage of the landing pipeline.
+    """
+    import xml.etree.ElementTree as ET
+
+    compiled = compile_rules(config.rules)
+    rule_names = [r.element_name for r in config.rules]
+
+    def scan_errors(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids: list[str] = []
+            seqs: list[int] = []
+            rules: list[str] = []
+            errors: list[str] = []
+            snippets: list[str] = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                if content is None:
+                    continue
+                for frag in scan_document(content, compiled, validate=False):
+                    try:
+                        ET.fromstring(frag.xml)
+                    except ET.ParseError as e:
+                        doc_ids.append(doc_id)
+                        seqs.append(frag.seq)
+                        rules.append(rule_names[frag.rule_idx])
+                        errors.append(str(e))
+                        snippets.append(frag.xml[:snippet_len])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(doc_ids, dtype="object"),
+                    "seq": pd.Series(seqs, dtype="int64"),
+                    "rule": pd.Series(rules, dtype="object"),
+                    "error": pd.Series(errors, dtype="object"),
+                    "snippet": pd.Series(snippets, dtype="object"),
+                }
+            )
+
+    return docs.mapInPandas(scan_errors, schema=_ERROR_SCHEMA)

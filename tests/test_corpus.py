@@ -149,3 +149,27 @@ def test_corpus_pipeline_end_to_end(spark, tmp_path):
         back.groupBy("doc_id").agg(F.countDistinct("split").alias("n"))
         .filter(F.col("n") > 1).count() == 0
     )
+
+
+def test_pack_sequences_invariants(spark):
+    from hadoopxmlextractor_spark.operators.corpus import pack_sequences
+
+    rows = [(i, " ".join(f"w{j}" for j in range((i * 37) % 90 + 5))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = pack_sequences(docs, "text", "doc_id", capacity=64, n_shards=8).collect()
+    assert len(packed) == 200  # every doc placed exactly once
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        # offsets are contiguous in id order: each doc starts where the
+        # previous one ended, no gaps or overlaps within a shard
+        expect = 0
+        for r in rs:
+            assert r.start_offset == expect
+            assert r.seq_idx == r.start_offset // 64
+            expect += r.n_tokens
+    # determinism: identical on recompute
+    again = pack_sequences(docs, "text", "doc_id", capacity=64, n_shards=8).collect()
+    assert sorted(map(tuple, packed)) == sorted(map(tuple, again))

@@ -158,3 +158,37 @@ def test_auto_path_selection():
         nr_of_columns=1,
     )
     assert _compile_fused(exotic) is None  # predicate → JVM xpath path
+
+
+def test_malformed_fragments_audit_stream(spark):
+    # A fragment whose start tag matches but whose body is broken XML:
+    # the extraction drops it (reference semantics); the audit stream
+    # reports it with position and reason.
+    from hadoopxmlextractor_spark.extract import extract, malformed_fragments
+
+    cfg = ExtractionConfig.from_hadoop_xml(
+        """<?xml version="1.0"?>
+        <configuration>
+          <property><name>xmlextractor.delimiter_string</name><value>;</value></property>
+          <property><name>xmlextractor.sort_order_delimiter_string</name><value>#</value></property>
+          <property><name>xmlextractor.output_delimiter_string</name><value>;</value></property>
+          <property><name>xmlextractor.nodes</name><value>book;</value></property>
+          <property><name>xmlextractor.nr_of_columns</name><value>1</value></property>
+          <property><name>book</name><value>book;true;true; ;0#//book/@id;</value></property>
+        </configuration>""",
+        is_text=True,
+    )
+    good = '<book id="bk1"><x>1</x></book>'
+    bad = '<book id="bk2"><unclosed></book>'
+    doc = f"<store>{good}{bad}</store>"
+    docs = spark.createDataFrame([("d1", doc)], "doc_id string, content string")
+    rows = extract(docs, cfg).collect()
+    errs = malformed_fragments(docs, cfg).collect()
+    assert len(errs) == 1
+    e = errs[0]
+    assert e.doc_id == "d1" and e.rule == "book"
+    assert e.seq == doc.index(bad)
+    assert "mismatched tag" in e.error or "not well-formed" in e.error
+    assert e.snippet.startswith('<book id="bk2">')
+    # the dropped fragment is exactly the one missing from the output
+    assert [r.c0 for r in rows] == ["bk1"]
