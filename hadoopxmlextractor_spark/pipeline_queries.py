@@ -421,3 +421,45 @@ def q_similarity_range_search(spark: SparkSession, sf: str) -> DataFrame:
     # merge, pure codegen'd scan+filter.
     emb = load(spark, sf, "embeddings")
     return S.cosine_range_search(emb, _query_vec(spark, sf), threshold=0.15)
+
+
+@query(
+    "dedup_fuzzy_names",
+    """
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON substring(a.c_name, 1, 16) = substring(b.c_name, 1, 16)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q_dedup_fuzzy_names(spark: SparkSession, sf: str) -> DataFrame:
+    # Fuzzy entity dedup on short string keys: prefix blocking bounds
+    # the self-join (each block joins only within itself — the shuffle
+    # key is the prefix, never a cross join), then the exact
+    # edit-distance verify runs post-join as a codegen'd JVM builtin
+    # (levenshtein is NOT an interpreted lambda — safe under a join,
+    # unlike zip_with/aggregate HOFs). Same blocking+verify shape as
+    # MinHash-LSH, with deterministic-recall blocking: distance ≤ 1 on
+    # an 18-char name implies a shared 16-char prefix unless the edit
+    # is in the first 16 chars — the standard blocking/recall trade,
+    # chosen here so the oracle is exact.
+    cust = load(spark, sf, "customer")
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        F.substring("c_name", 1, 16).alias("block"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        F.substring("c_name", 1, 16).alias("block"),
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= 1)
+        .select("key_a", "key_b", "dist")
+    )
