@@ -171,3 +171,31 @@ def test_pii_redaction_planted(spark):
     assert by_id[1].n_email == 1 and by_id[2].n_ssn == 1
     assert by_id[2].n_ipv4 == 1 and by_id[3].n_phone == 1
     assert sum([by_id[4].n_email, by_id[4].n_ssn, by_id[4].n_ipv4, by_id[4].n_phone]) == 0
+
+
+def test_repetition_counts_random_cross_check(spark):
+    import random
+    from collections import Counter
+
+    rng = random.Random(7)
+    vocab = ["a", "bb", "ccc", "dd", "e", "ff f", ""]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randrange(0, 40)))
+        for _ in range(60)
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)), "id long, text string")
+    got = {
+        r.id: (r.n_tokens, r.n_distinct, r.top_token_cnt, r.top_bigram_cnt)
+        for r in df.select("id", T.repetition_counts("text").alias("r"))
+        .select("id", "r.*")
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        toks = t.split()
+        tc, bc = Counter(toks), Counter(zip(toks, toks[1:]))
+        assert got[i] == (
+            len(toks),
+            len(tc),
+            max(tc.values()) if tc else 0,
+            max(bc.values()) if bc else 0,
+        ), f"doc {i}: {t!r}"
