@@ -204,3 +204,49 @@ def q_agg_salted_hot_keys(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "event_type", "n_events", F.col("total_value").cast("double").alias("total_value")
     )
+
+
+@query(
+    "events_zscore_topk",
+    """
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))
+                      * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_id, event_type,
+           ROUND((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS z
+    FROM events JOIN stats USING (event_type)
+    ORDER BY abs(ROUND((value - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 6))
+             DESC, event_id
+    LIMIT 20
+    """,
+)
+def q_events_zscore_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-type z-score normalization + top-k outliers: the standard
+    # feature-engineering/anomaly op, made engine-exact by building
+    # mean/variance from DECIMAL first and second moments (one
+    # group-aggregate pass) instead of AVG/STDDEV over doubles, whose
+    # summation order differs per engine. The 5-row stats table
+    # broadcasts back onto the scan; top-k is TakeOrderedAndProject.
+    # Identical arithmetic ORDER on both sides: mean = s1/n,
+    # var = s2/n - mean², z = (value-mean)/sqrt(var).
+    ev = load(spark, sf, "events")
+    vdec = F.col("value").cast(DEC)
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+        F.sum(vdec * vdec).cast("double").alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = F.col("s2") / F.col("n") - mean * mean
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(20)
+    )
