@@ -322,3 +322,152 @@ def q_corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     # arithmetic, so the oracle replays it exactly.
     docs = load(spark, sf, "documents")
     return C.pack_sequences(docs, "text", "doc_id", capacity=256, n_shards=32)
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS h,
+             {_HEX8} % 100 >= 80 AS incoming
+      FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents)
+    ),
+    corpus AS (SELECT DISTINCT h FROM tagged WHERE NOT incoming)
+    SELECT t.doc_id,
+           (c.h IS NOT NULL) AS dup_of_corpus,
+           (ROW_NUMBER() OVER (PARTITION BY t.h ORDER BY t.doc_id) > 1)
+             AS dup_in_batch
+    FROM tagged t LEFT JOIN corpus c ON t.h = c.h
+    WHERE t.incoming
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental ingestion dedup — the shape a production corpus
+    # actually runs: a NEW batch (here the top-20% hash split stands in
+    # for today's crawl) is checked against the EXISTING corpus's
+    # content-hash index AND against itself. At 100 TB the corpus side
+    # is a bucketed/partitioned hash index on disk, so the anti-join
+    # prunes to matching buckets; batch-internal dups fall out of one
+    # window over the (small) batch. Left join + flags (not anti join)
+    # so the caller sees WHY a doc was dropped.
+    docs = load(spark, sf, "documents").withColumn(
+        "bucket", C.stable_bucket("doc_id", 100)
+    )
+    tagged = docs.select(
+        "doc_id", F.md5("text").alias("h"), (F.col("bucket") >= 80).alias("incoming")
+    )
+    corpus = tagged.filter(~F.col("incoming")).select("h").distinct()
+    batch = tagged.filter(F.col("incoming"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    return (
+        batch.join(
+            F.broadcast(corpus.withColumn("corpus_hit", F.lit(True))), "h", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("corpus_hit"), F.lit(False)).alias("dup_of_corpus"),
+            (F.row_number().over(w) > 1).alias("dup_in_batch"),
+        )
+    )
+
+
+@query(
+    "corpus_decontaminate",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             {_HEX8} % 100 >= 95 AS benchmark,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+                   md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents)
+    )
+    SELECT c.doc_id, b.doc_id AS benchmark_doc,
+           CAST(len(list_intersect(c.shingles, b.shingles)) AS BIGINT)
+             AS n_shared
+    FROM sh c JOIN sh b ON NOT c.benchmark AND b.benchmark
+    WHERE len(list_intersect(c.shingles, b.shingles)) >= 10
+    """,
+)
+def q_corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    # Benchmark decontamination: flag training docs sharing ≥10 distinct
+    # 3-gram shingles with any eval-set doc (the top-5% hash split
+    # stands in for the benchmark suite). Same inverted-index join as
+    # n-gram dedup — shingles explode, join on the 64-bit hash, count
+    # per (train, benchmark) pair — NEVER a cross join: at 100 TB the
+    # benchmark side is tiny, so its exploded index broadcasts and the
+    # train side streams through map-side. The oracle brute-forces
+    # list_intersect over the same split.
+    docs = load(spark, sf, "documents").withColumn(
+        "bucket", C.stable_bucket("doc_id", 100)
+    )
+    sh = docs.select(
+        "doc_id",
+        (F.col("bucket") >= 95).alias("benchmark"),
+        D.shingle_hashes("text", 3).alias("shingles"),
+    )
+    train = sh.filter(~F.col("benchmark")).select(
+        F.col("doc_id"), F.explode("shingles").alias("shingle")
+    )
+    bench = sh.filter(F.col("benchmark")).select(
+        F.col("doc_id").alias("benchmark_doc"), F.explode("shingles").alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "benchmark_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 10)
+    )
+
+
+@query(
+    "corpus_mix_weights",
+    """
+    WITH per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM per_source)
+    SELECT source, n_docs,
+           ROUND(LEAST(1.0,
+                 (CAST(total AS DOUBLE) / n_sources) / n_docs), 6)
+             AS sample_rate,
+           CAST(FLOOR(LEAST(1.0,
+                 (CAST(total AS DOUBLE) / n_sources) / n_docs) * n_docs)
+                AS BIGINT) AS expected_docs
+    FROM per_source, tot
+    """,
+)
+def q_corpus_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
+    # Data-mixture weighting: per-source sampling rates that equalize
+    # source shares (capped at keeping every doc of under-represented
+    # sources) — the arithmetic every mixture-rebalancing job runs
+    # before sampling. Two tiny aggregates; the global totals broadcast
+    # back as a 1-row cross join. All-double arithmetic in the same
+    # order on both sides; FLOOR for expected counts.
+    per_source = (
+        load(spark, sf, "documents").groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_sources")
+    )
+    rate = F.least(
+        F.lit(1.0), (F.col("total").cast("double") / F.col("n_sources")) / F.col("n_docs")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(rate, 6).alias("sample_rate"),
+            F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
+        )
+    )
