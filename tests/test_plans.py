@@ -276,3 +276,27 @@ def test_repetition_counts_single_arrow_pass(spark):
     assert count_exchanges(df) == 0
     assert "ArrowEvalPython" in plan
     assert "lambdafunction" not in plan.lower()
+
+
+def test_scalar_subquery_queries_reuse_cached_aggregate(spark):
+    # q11/q15 persist the per-key aggregate so the scalar (total/max)
+    # and the filter branch share ONE shuffle: the executed plan must
+    # read the cache, not recompute the aggregate lineage twice.
+    from hadoopxmlextractor_spark.tpch_queries import (
+        q_q11_important_parts,
+        q_q15_top_supplier,
+    )
+
+    for fn in (q_q11_important_parts, q_q15_top_supplier):
+        plan = executed_plan(fn(spark, SF))
+        assert "InMemoryTableScan" in plan, plan[:500]
+
+
+def test_decontaminate_broadcasts_benchmark_never_cartesian(spark):
+    from hadoopxmlextractor_spark.corpus_queries import q_corpus_decontaminate
+
+    df = q_corpus_decontaminate(spark, SF)
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastHashJoin" in plan  # eval-set index is the broadcast side
+    assert "ArrowEvalPython" in plan  # fused shingle kernel, planned once
