@@ -362,7 +362,13 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("h").orderBy("doc_id")
     return (
         batch.join(
-            F.broadcast(corpus.withColumn("corpus_hit", F.lit(True))), "h", "left"
+            # NO broadcast hint: the corpus index is the BIG side at
+            # scale — the join must shuffle on the uniform md5 key (or
+            # probe a bucketed on-disk index); AQE may still demote to
+            # broadcast at small SF, which is correct there.
+            corpus.withColumn("corpus_hit", F.lit(True)),
+            "h",
+            "left",
         )
         .select(
             "doc_id",
