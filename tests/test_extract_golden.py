@@ -153,11 +153,16 @@ def test_auto_path_selection():
     from hadoopxmlextractor_spark.extract import _compile_fused
     assert _compile_fused(INV_CFG) is not None  # reference config → fused
     from hadoopxmlextractor_spark.config import ExtractionConfig
-    exotic = ExtractionConfig.from_rules(
+    pred_cfg = ExtractionConfig.from_rules(
         [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r[@x='1']/@x;", ";", "#")],
         nr_of_columns=1,
     )
-    assert _compile_fused(exotic) is None  # predicate → JVM xpath path
+    assert _compile_fused(pred_cfg) is not None  # eq-predicate → still fused
+    exotic = ExtractionConfig.from_rules(
+        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r[position()=1]/@x;", ";", "#")],
+        nr_of_columns=1,
+    )
+    assert _compile_fused(exotic) is None  # positional predicate → JVM xpath path
 
 
 def test_malformed_fragments_audit_stream(spark):
@@ -192,3 +197,37 @@ def test_malformed_fragments_audit_stream(spark):
     assert e.snippet.startswith('<book id="bk2">')
     # the dropped fragment is exactly the one missing from the output
     assert [r.c0 for r in rows] == ["bk1"]
+
+
+def test_fused_and_general_paths_agree_with_predicates(spark):
+    # The new [@attr='v'] fused support must match javax XPath (the
+    # general path) node-for-node, including the no-match → dropped-cell
+    # semantics.
+    cfg = ExtractionConfig.from_rules(
+        [
+            ExtractionConfig.parse_rule(
+                "inventory",
+                "inventory;true;true; ;"
+                "0#//inventory/@month;1#//book[@id='bk106']/@inStock;",
+                ";",
+                "#",
+            )
+        ],
+        nr_of_columns=2,
+    )
+    doc = (
+        "<store>"
+        '<inventory month="Jan"><book id="bk106" inStock="13"/>'
+        '<book id="bk101" inStock="9"/></inventory>'
+        '<inventory month="Feb"><book id="bk101" inStock="7"/></inventory>'
+        "</store>"
+    )
+    docs = spark.createDataFrame([("d", doc)], "doc_id string, content string")
+    from hadoopxmlextractor_spark.extract import _compile_fused, extract_cells
+
+    assert _compile_fused(cfg) is not None  # stays on the fast path
+    fused = sorted(map(tuple, extract_cells(docs, cfg, fused=True).collect()))
+    general = sorted(map(tuple, extract_cells(docs, cfg, fused=False).collect()))
+    assert fused == general
+    # Jan fragment matches bk106 (13); Feb fragment drops the cell
+    assert [(v,) for *_, v in fused].count(("13",)) == 1

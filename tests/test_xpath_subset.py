@@ -1,6 +1,6 @@
 import xml.etree.ElementTree as ET
 
-from hadoopxmlextractor_spark.xpath_subset import compile_subset
+from hadoopxmlextractor_spark.xpath_subset import compile_subset, strip_prefixes
 
 DOC = ET.fromstring(
     '<store name="S1"><address><street>Main</street><phone>123</phone>'
@@ -46,12 +46,36 @@ def test_empty_nodeset_returns_none():
 
 def test_out_of_subset_falls_back():
     for expr in [
-        "//book[@id='b1']/@id",  # predicate
+        "//book[position()=1]/@id",  # positional predicate
+        "//book[price>30]/@id",  # comparison predicate
         "//*/@id",  # wildcard
         "//a/../b",  # parent axis
         "count(//book)",  # function
     ]:
         assert compile_subset(expr) is None, expr
+
+
+def test_attribute_equality_predicate():
+    doc = ET.fromstring(
+        '<inv><book id="b1" cat="x">A</book><book id="b2" cat="y">B</book>'
+        '<book id="b3" cat="x">C</book></inv>'
+    )
+    assert compile_subset("//book[@cat='x']")(doc) == "AC"
+    assert compile_subset('//book[@cat="y"]/@id')(doc) == "b2"
+    assert compile_subset("//book[@cat='z']/@id")(doc) is None  # no match → drop
+    assert compile_subset("//book[@missing='x']")(doc) is None  # absent attr
+    # predicate on an inner step
+    doc2 = ET.fromstring('<s><i m="Jan"><b id="1"/></i><i m="Feb"><b id="2"/></i></s>')
+    assert compile_subset("//s/i[@m='Feb']/b/@id")(doc2) == "2"
+    # slash inside the predicate value must not break step parsing
+    doc3 = ET.fromstring('<r><a href="/x/y">t</a><a href="/z">u</a></r>')
+    assert compile_subset("//a[@href='/x/y']")(doc3) == "t"
+
+
+def test_strip_prefixes_keeps_predicates():
+    assert (
+        strip_prefixes("//bk:book[@ns:cat='x']/@bk:id") == "//book[@cat='x']/@id"
+    )
 
 
 NS_DOC = ET.fromstring(
