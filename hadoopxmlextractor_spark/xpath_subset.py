@@ -13,7 +13,7 @@ ElementTree. This module compiles that subset; anything else returns
 Subset grammar::
 
     path     := ('/' | '//') step ('/' step)*  terminal?
-    step     := qname pred?
+    step     := (qname | '*') pred?
     pred     := '[@' qname '=' ('single' | "double") '-quoted value ']'
     terminal := '/text()' | '/@' qname
 
@@ -52,9 +52,10 @@ from xml.etree.ElementTree import Element
 _NAME = r"[A-Za-z_][\w.-]*"
 _QNAME = rf"(?:{_NAME}:)?{_NAME}"
 
+# step name = qname or the * wildcard (any element, javax semantics);
 # [@attr='value'] / [@attr="value"] — one predicate per step
 _STEP_RE = re.compile(
-    rf"({_QNAME})(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\])?"
+    rf"({_QNAME}|\*)(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\])?"
 )
 
 
@@ -168,7 +169,9 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
     first, rest = steps[0], steps[1:]
 
     def keep(n: Element, s: _Step) -> bool:
-        if not (isinstance(n.tag, str) and _local(n.tag) == s.name):
+        if not isinstance(n.tag, str):
+            return False
+        if s.name != "*" and _local(n.tag) != s.name:
             return False
         if s.pred_attr is None:
             return True

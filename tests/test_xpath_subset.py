@@ -48,7 +48,6 @@ def test_out_of_subset_falls_back():
     for expr in [
         "//book[position()=1]/@id",  # positional predicate
         "//book[price>30]/@id",  # comparison predicate
-        "//*/@id",  # wildcard
         "//a/../b",  # parent axis
         "count(//book)",  # function
     ]:
@@ -70,6 +69,13 @@ def test_attribute_equality_predicate():
     # slash inside the predicate value must not break step parsing
     doc3 = ET.fromstring('<r><a href="/x/y">t</a><a href="/z">u</a></r>')
     assert compile_subset("//a[@href='/x/y']")(doc3) == "t"
+
+
+def test_wildcard_step_matches_any_element():
+    doc = ET.fromstring('<r><a id="1">x</a><b id="2">y</b><a>z</a></r>')
+    assert compile_subset("//*/@id")(doc) == "12"
+    assert compile_subset("//r/*")(doc) == "xyz"
+    assert compile_subset("//*[@id='2']")(doc) == "y"
 
 
 def test_strip_prefixes_keeps_predicates():
