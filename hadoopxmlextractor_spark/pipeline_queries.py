@@ -463,3 +463,97 @@ def q_dedup_fuzzy_names(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("dist") <= 1)
         .select("key_a", "key_b", "dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction audit
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus contains no PII-shaped strings (all-zero counts
+# would make the oracle trivial), so the audit plants deterministic PII
+# derived from doc_id — built from the SAME expression on both engines,
+# turning the query into a genuine cross-engine check of the regex
+# semantics (Java regex vs RE2) rather than a 0 == 0 tautology.
+_PII_AUG_SQL = (
+    "(CASE WHEN doc_id % 7 = 0 THEN 'reach user' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ' ELSE '' END)"
+    " || (CASE WHEN doc_id % 11 = 0 THEN 'id 123-45-6789 ' ELSE '' END)"
+    " || (CASE WHEN doc_id % 13 = 0 THEN 'host 10.0.' ||"
+    " CAST(doc_id % 256 AS VARCHAR) || '.7 ' ELSE '' END)"
+    " || (CASE WHEN doc_id % 17 = 0 THEN 'call +1 415-555-0100 ' ELSE '' END)"
+    " || text"
+)
+
+
+def _pii_oracle_sql() -> str:
+    counts = ",\n           ".join(
+        f"CAST(SUM(len(regexp_extract_all(aug, '{pat}'))) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat in T.PII_PATTERNS
+    )
+    redacted = "aug"
+    for _, pat in T.PII_PATTERNS:
+        redacted = f"regexp_replace({redacted}, '{pat}', '[PII]', 'g')"
+    return f"""
+    WITH aug AS (
+      SELECT source, {_PII_AUG_SQL} AS aug FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {counts},
+           CAST(SUM(length({redacted})) AS BIGINT) AS redacted_chars
+    FROM aug GROUP BY source
+    """
+
+
+def _pii_augmented(docs: DataFrame) -> DataFrame:
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit("reach user"), did.cast("string"), F.lit("@example.com ")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("id 123-45-6789 ")).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit("host 10.0."), (did % 256).cast("string"), F.lit(".7 ")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit("call +1 415-555-0100 ")).otherwise(
+            F.lit("")
+        ),
+        F.col("text"),
+    )
+    return docs.select("source", aug.alias("aug"))
+
+
+@query("text_pii_audit", _pii_oracle_sql())
+def q_text_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
+    # Compliance audit a corpus runs before tokenization: per-source
+    # match counts for every PII pattern (counted on the ORIGINAL text
+    # so chained replacements never mask each other) plus the total
+    # post-redaction character count. Everything is chained
+    # regexp_count/regexp_replace JVM expressions in one codegen stage
+    # — zero shuffle until the final tiny per-source aggregate, scan
+    # bandwidth at 100 TB. Patterns are shared verbatim with
+    # operators.text.redact_pii, and the DuckDB oracle replays them
+    # through RE2 — both engines must agree on every match boundary
+    # for the hash to pass.
+    docs = load(spark, sf, "documents")
+    aug = _pii_augmented(docs)
+    agg = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    agg += [
+        F.sum(F.regexp_count(F.col("aug"), F.lit(pat)))
+        .cast("bigint")
+        .alias(f"n_{name}")
+        for name, pat in T.PII_PATTERNS
+    ]
+    agg.append(
+        F.sum(F.length(T.redact_pii("aug"))).cast("bigint").alias(
+            "redacted_chars"
+        )
+    )
+    return aug.groupBy("source").agg(*agg)
