@@ -477,3 +477,44 @@ def q_corpus_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
             F.floor(rate * F.col("n_docs")).cast("long").alias("expected_docs"),
         )
     )
+
+
+@query(
+    "corpus_span_dedup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+               AS pos
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id,
+             CAST(floor((pos - 1) / 3) AS BIGINT) AS span_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS span
+      FROM toks GROUP BY doc_id, span_idx
+    ),
+    ranked AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY md5(span)
+                                ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                      FILTER (WHERE rn = 1), '') AS text_deduped
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q_corpus_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # C4-style duplicated-span removal (the "three-sentence span"
+    # dedup of arxiv:1910.10683 §2.2, scaled to token spans since the
+    # synthetic corpus has no sentence boundaries): first occurrence
+    # of each exact 3-token span survives corpus-wide, documents are
+    # rebuilt from surviving spans. The oracle replays segmentation,
+    # first-occurrence ranking, and reconstruction relationally.
+    docs = load(spark, sf, "documents")
+    return C.span_dedup(docs, "text", "doc_id", span_tokens=3)

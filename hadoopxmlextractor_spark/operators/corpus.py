@@ -9,7 +9,7 @@ partition-order-sensitive builtin ``hash``/``rand``.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hadoopxmlextractor_spark.operators.text import tokens
@@ -255,4 +255,74 @@ def pack_sequences(
             F.floor((F.col("cum") - F.col("n_tokens")) / capacity).alias("seq_idx"),
             "n_tokens",
         )
+    )
+
+
+def span_dedup(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    span_tokens: int = 3,
+) -> DataFrame:
+    """C4-style duplicated-span removal: segment each document into
+    fixed ``span_tokens``-token spans, drop every span whose exact text
+    already occurred earlier in the corpus (first occurrence in
+    (doc, position) order wins), and reconstruct the surviving text.
+
+    Returns (id, n_segments, n_kept, text_deduped).
+
+    Scale shape: posexplode the token stream once, re-aggregate spans
+    keyed by (doc, span_idx) — doc-bounded groups, uniform keys — then
+    one window shuffle keyed by md5(span) (uniform by construction:
+    hash of content) for the corpus-wide first-occurrence rank, and a
+    final doc-keyed regroup to rebuild text. Three shuffles total, all
+    on uniform keys, no self-joins and no corpus-wide sort; the dedup
+    state (one rank per distinct span) is the shuffle itself, never a
+    driver-side set. The collect_list→array_sort→transform runs inside
+    a doc-keyed aggregate (never under a join — the HOF rule in
+    SCALE.md applies to join/explode inputs, and each array here is
+    span_tokens elements long).
+    """
+    did = F.col(id_col)
+    toks = docs.select(
+        did,
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias(
+            "pos", "tok"
+        ),
+    )
+    spans = (
+        toks.withColumn("span_idx", (F.col("pos") / span_tokens).cast("bigint"))
+        .groupBy(id_col, "span_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).alias("span")
+        )
+    )
+    w = Window.partitionBy(F.md5(F.col("span"))).orderBy(id_col, "span_idx")
+    ranked = spans.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") == 1,
+                            F.struct("span_idx", "span"),
+                        )
+                    )
+                ),
+                lambda s: s.span,
+            ),
+            " ",
+        ).alias("text_deduped"),
     )

@@ -173,3 +173,50 @@ def test_pack_sequences_invariants(spark):
     # determinism: identical on recompute
     again = pack_sequences(docs, "text", "doc_id", capacity=64, n_shards=8).collect()
     assert sorted(map(tuple, packed)) == sorted(map(tuple, again))
+
+
+def test_span_dedup_first_occurrence_wins_and_rebuilds(spark):
+    from hadoopxmlextractor_spark.operators.corpus import span_dedup
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: spans ("a b c", "d e f")
+            (1, "a b c d e f"),
+            # doc 2: first span duplicates doc 1's "a b c" -> dropped;
+            # tail span "x y z" is unique -> kept
+            (2, "a b c x y z"),
+            # doc 3: duplicates BOTH of its spans -> empty text
+            (3, "d e f x y z"),
+            # doc 4: internal duplicate span within one document
+            (4, "p q r p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(docs, "text", "doc_id", span_tokens=3).collect()
+    }
+    assert out[1]["text_deduped"] == "a b c d e f"
+    assert (out[1]["n_segments"], out[1]["n_kept"]) == (2, 2)
+    assert out[2]["text_deduped"] == "x y z"
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["text_deduped"] == ""
+    assert (out[3]["n_segments"], out[3]["n_kept"]) == (2, 0)
+    assert out[4]["text_deduped"] == "p q r"
+    assert (out[4]["n_segments"], out[4]["n_kept"]) == (2, 1)
+
+
+def test_span_dedup_ragged_tail_span(spark):
+    from hadoopxmlextractor_spark.operators.corpus import span_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "d")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup(docs, "text", "doc_id", span_tokens=3).collect()
+    }
+    # doc 1's ragged tail is the 1-token span "d"; doc 2 IS "d" -> dup
+    assert out[1]["text_deduped"] == "a b c d"
+    assert out[2]["text_deduped"] == ""
+    assert (out[2]["n_segments"], out[2]["n_kept"]) == (1, 0)
