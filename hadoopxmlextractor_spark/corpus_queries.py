@@ -518,3 +518,34 @@ def q_corpus_span_dedup(spark: SparkSession, sf: str) -> DataFrame:
     # first-occurrence ranking, and reconstruction relationally.
     docs = load(spark, sf, "documents")
     return C.span_dedup(docs, "text", "doc_id", span_tokens=3)
+
+
+@query(
+    "corpus_unigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    probs AS (
+      SELECT tok,
+             CAST(c AS DOUBLE) / (SELECT CAST(SUM(c) AS DOUBLE) FROM vocab)
+               AS p
+      FROM vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(-AVG(ln(p)), 6) AS avg_neg_logprob,
+           ROUND(exp(-AVG(ln(p))), 6) AS perplexity
+    FROM toks JOIN probs USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_corpus_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    # Perplexity-proxy quality scoring: the filter CCNet/RefinedWeb run
+    # before training, with the LM collapsed to the corpus unigram
+    # distribution so both engines recompute the identical score.
+    docs = load(spark, sf, "documents")
+    return C.unigram_logprob(docs, "text", "doc_id")

@@ -326,3 +326,45 @@ def span_dedup(
             " ",
         ).alias("text_deduped"),
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """CCNet-style LM quality scoring (arxiv:1911.00359 §3: documents
+    are ranked by LM perplexity), with the LM reduced to the corpus's
+    own unigram distribution so the score is exactly recomputable:
+    score(doc) = -avg over tokens of ln p(tok), perplexity proxy =
+    exp(score). High perplexity = tokens rare in the corpus =
+    gibberish/noise candidates; low = boilerplate.
+
+    Returns (id, n_tokens, avg_neg_logprob, perplexity).
+
+    Scale shape: one token explode + groupBy builds the vocabulary
+    (bounded by distinct-token count, not corpus size); the corpus
+    total is a broadcast scalar; the tokens→probs join broadcasts the
+    vocabulary, so the hot stopword keys never shuffle-skew (a shuffle
+    join on raw tokens would put every "the" on one reducer). Web-scale
+    vocabularies beyond broadcast range would cap with a min-df floor +
+    OOV bucket before broadcasting.
+    """
+    did = F.col(id_col)
+    toks = docs.select(
+        did, F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    probs = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", (F.col("c") / F.col("t")).alias("p")
+    )
+    return (
+        toks.join(F.broadcast(probs), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(-F.avg(F.log("p")), 6).alias("avg_neg_logprob"),
+            F.round(F.exp(-F.avg(F.log("p"))), 6).alias("perplexity"),
+        )
+    )

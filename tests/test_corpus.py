@@ -220,3 +220,28 @@ def test_span_dedup_ragged_tail_span(spark):
     assert out[1]["text_deduped"] == "a b c d"
     assert out[2]["text_deduped"] == ""
     assert (out[2]["n_segments"], out[2]["n_kept"]) == (1, 0)
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    import math
+
+    from hadoopxmlextractor_spark.operators.corpus import unigram_logprob
+
+    corpus = {1: "a a b", 2: "b c"}
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    all_toks = [t for s in corpus.values() for t in s.split()]
+    p = {t: all_toks.count(t) / len(all_toks) for t in set(all_toks)}
+    out = {
+        r["doc_id"]: r
+        for r in unigram_logprob(docs, "text", "doc_id").collect()
+    }
+    for doc_id, s in corpus.items():
+        toks = s.split()
+        expect = -sum(math.log(p[t]) for t in toks) / len(toks)
+        assert out[doc_id]["n_tokens"] == len(toks)
+        assert abs(out[doc_id]["avg_neg_logprob"] - round(expect, 6)) < 1e-9
+        assert (
+            abs(out[doc_id]["perplexity"] - round(math.exp(expect), 6)) < 1e-9
+        )
