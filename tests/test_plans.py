@@ -300,3 +300,43 @@ def test_decontaminate_broadcasts_benchmark_never_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastHashJoin" in plan  # eval-set index is the broadcast side
     assert "ArrowEvalPython" in plan  # fused shingle kernel, planned once
+
+
+def test_unigram_logprob_broadcasts_vocab_never_shuffle_joins_tokens(spark):
+    # The probs table must broadcast onto the token stream: a shuffle
+    # join keyed on raw tokens would route every occurrence of a hot
+    # stop word to one reducer. Only doc-keyed / vocab-keyed exchanges
+    # may remain.
+    from hadoopxmlextractor_spark.operators.corpus import unigram_logprob
+
+    docs = load(spark, SF, "documents")
+    df = unigram_logprob(docs, "text", "doc_id")
+    plan = executed_plan(df)
+    assert has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_audit_is_scan_bandwidth_until_final_aggregate(spark):
+    # Chained regexp audit + redaction are JVM expressions in one
+    # codegen stage: exactly one exchange (the per-source aggregate),
+    # no UDF evaluation nodes.
+    from hadoopxmlextractor_spark.pipeline_queries import q_text_pii_audit
+
+    df = q_text_pii_audit(spark, SF)
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 1
+    assert "EvalPython" not in plan
+
+
+def test_span_dedup_no_self_join_three_uniform_shuffles(spark):
+    # Segment → rank → rebuild must stay join-free (the dedup state is
+    # the one rank-per-span window riding the shuffle) with exactly the
+    # three documented exchanges, and the tiny per-span HOFs must never
+    # sit under a join.
+    from hadoopxmlextractor_spark.operators.corpus import span_dedup
+
+    docs = load(spark, SF, "documents")
+    df = span_dedup(docs, "text", "doc_id")
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 3
+    assert "Join" not in plan, plan
