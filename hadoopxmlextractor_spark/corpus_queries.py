@@ -549,3 +549,25 @@ def q_corpus_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     # distribution so both engines recompute the identical score.
     docs = load(spark, sf, "documents")
     return C.unigram_logprob(docs, "text", "doc_id")
+
+
+@query(
+    "corpus_shuffle_shards",
+    f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh FROM documents
+    )
+    SELECT doc_id,
+           {_HEX8} % 8 AS shard_id,
+           CAST(ROW_NUMBER() OVER (PARTITION BY {_HEX8} % 8
+                                   ORDER BY hh, doc_id) - 1 AS BIGINT)
+             AS pos_in_shard
+    FROM h
+    """,
+)
+def q_corpus_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
+    # The "shuffle the corpus before writing training shards" step:
+    # deterministic md5 permutation, shard-local positions, one
+    # uniform-key shuffle — never a global contiguous rank.
+    docs = load(spark, sf, "documents")
+    return C.shuffle_shards(docs, "doc_id", n_shards=8)

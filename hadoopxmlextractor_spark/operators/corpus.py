@@ -368,3 +368,32 @@ def unigram_logprob(
             F.round(F.exp(-F.avg(F.log("p"))), 6).alias("perplexity"),
         )
     )
+
+
+def shuffle_shards(
+    docs: DataFrame, id_col: str, *, n_shards: int = 8
+) -> DataFrame:
+    """Deterministic corpus shuffle + sharding for training-shard
+    writes: every row gets (shard_id, pos_in_shard) where the shard is
+    a stable md5 bucket of the key and the in-shard order is the md5
+    hex string itself — a reproducible pseudo-random permutation with
+    no seed state, so re-runs, retries, and incremental rebuilds place
+    every document identically.
+
+    The scale point is what this does NOT do: assign a global
+    contiguous rank. A corpus-wide ``row_number`` needs a single-task
+    window (or a driver-side merge) — the classic 100 TB cliff.
+    Sharding first bounds every sort to corpus/n_shards rows behind a
+    uniform hash key: one shuffle, n_shards-way parallel, and
+    (shard_id, pos_in_shard) is exactly what a shard writer needs.
+    """
+    hh = F.md5(F.col(id_col).cast("string"))
+    out = docs.select(
+        F.col(id_col),
+        stable_bucket(id_col, n_shards).alias("shard_id"),
+        hh.alias("_hh"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("_hh", id_col)
+    return out.withColumn(
+        "pos_in_shard", (F.row_number().over(w) - 1).cast("bigint")
+    ).drop("_hh")

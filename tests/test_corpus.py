@@ -245,3 +245,27 @@ def test_unigram_logprob_matches_python_reference(spark):
         assert (
             abs(out[doc_id]["perplexity"] - round(math.exp(expect), 6)) < 1e-9
         )
+
+
+def test_shuffle_shards_deterministic_uniform_contiguous(spark):
+    from hadoopxmlextractor_spark.operators.corpus import shuffle_shards
+
+    docs = spark.range(0, 400).withColumnRenamed("id", "doc_id")
+    a = sorted(map(tuple, shuffle_shards(docs, "doc_id").collect()))
+    b = sorted(map(tuple, shuffle_shards(docs, "doc_id").collect()))
+    assert a == b  # reproducible permutation, no seed state
+    by_shard = {}
+    for doc_id, shard, pos in a:
+        by_shard.setdefault(shard, []).append(pos)
+    # md5 buckets near-uniform over 8 shards of 400 rows
+    sizes = [len(v) for v in by_shard.values()]
+    assert len(by_shard) == 8 and min(sizes) > 25
+    # positions are contiguous 0..n-1 within every shard
+    for v in by_shard.values():
+        assert sorted(v) == list(range(len(v)))
+    # the permutation actually shuffles: shard order != key order
+    first_shard = sorted(
+        (pos, doc_id) for doc_id, s, pos in a if s == min(by_shard)
+    )
+    ids_in_order = [d for _, d in first_shard]
+    assert ids_in_order != sorted(ids_in_order)
