@@ -340,3 +340,15 @@ def test_span_dedup_no_self_join_three_uniform_shuffles(spark):
     plan = executed_plan(df)
     assert count_exchanges(df) == 3
     assert "Join" not in plan, plan
+
+
+def test_shuffle_shards_single_shuffle_no_global_sort(spark):
+    # One shard-keyed window exchange; never a range-partitioned global
+    # sort (the single-task cliff a corpus-wide row_number would hit).
+    from hadoopxmlextractor_spark.operators.corpus import shuffle_shards
+
+    docs = load(spark, SF, "documents")
+    df = shuffle_shards(docs, "doc_id")
+    plan = executed_plan(df)
+    assert count_exchanges(df) == 1
+    assert "rangepartitioning" not in plan.lower(), plan
