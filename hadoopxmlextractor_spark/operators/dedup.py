@@ -537,3 +537,56 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def duplicated_window_stats(
+    docs: DataFrame, text_col: str, id_col: str, *, k: int = 5
+) -> DataFrame:
+    """Exact-substring duplication profile (the detection half of Lee
+    et al., arxiv:2107.06499 — "dedup exact substrings of ≥N tokens",
+    with overlapping stride-1 windows standing in for the suffix
+    array): every k-token window is hashed, windows whose exact text
+    occurs more than once corpus-wide are duplicated, and each document
+    reports its duplicated-window fraction — the signal a pipeline
+    thresholds to drop or trim boilerplate-heavy documents.
+
+    Returns (id, n_windows, n_dup_windows, dup_window_fraction); docs
+    shorter than ``k`` tokens have no windows and drop out.
+
+    Scale shape: one doc-keyed window shuffle builds stride-1 k-grams
+    (lead chain — tokens never inflate k-fold: each row carries one
+    token through the shuffle and the k-gram is assembled from leads),
+    then the window table is persisted (eager count — it feeds the
+    corpus count AND the join, the AQE cache-race rule), counted by
+    content hash (uniform shuffle key, partial agg absorbs hot
+    windows), and joined back on that hash — a shuffle join with one
+    count row per hash, so AQE's skew split handles a pathological
+    all-identical corpus. Final per-doc aggregate is a fourth
+    uniform-key shuffle.
+    """
+    did = F.col(id_col)
+    toks = docs.select(
+        did, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    kg = (
+        toks.select(did, F.concat_ws(" ", *parts).alias("kgram"), parts[-1].alias("_last"))
+        .filter(F.col("_last").isNotNull())
+        .select(did, F.md5(F.col("kgram")).alias("h"))
+        .persist()
+    )
+    kg.count()  # eager: kg feeds the corpus count and the join
+    counts = kg.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    n_dup = F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+    return (
+        kg.join(counts, "h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            n_dup.cast("bigint").alias("n_dup_windows"),
+            F.round(
+                n_dup / F.count(F.lit(1)).cast("double"), 6
+            ).alias("dup_window_fraction"),
+        )
+    )

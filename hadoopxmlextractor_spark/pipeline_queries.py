@@ -557,3 +557,41 @@ def q_text_pii_audit(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return aug.groupBy("source").agg(*agg)
+
+
+@query(
+    "dedup_window_profile",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+               AS pos
+      FROM documents
+    ),
+    kg AS (
+      SELECT doc_id,
+             tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w
+                 || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4) OVER w
+               AS kgram
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 4) OVER w IS NOT NULL
+    ),
+    counts AS (SELECT kgram, COUNT(*) AS c FROM kg GROUP BY kgram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_windows,
+           ROUND(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS dup_window_fraction
+    FROM kg JOIN counts USING (kgram)
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_window_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact-substring duplication profile (Lee et al. detection pass,
+    # stride-1 5-token windows): the per-document duplicated-window
+    # fraction a pipeline thresholds to drop boilerplate-heavy docs.
+    docs = load(spark, sf, "documents")
+    return D.duplicated_window_stats(docs, "text", "doc_id", k=5)

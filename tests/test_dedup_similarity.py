@@ -156,3 +156,37 @@ def test_ivf_topk_finds_planted_neighbor(spark, vectors):
     assert top[0]["vec_id"] == 3
     # vec 5 is in the same cluster as its near-identical twin
     assert top[1]["vec_id"] == 5
+
+
+def test_duplicated_window_stats_planted_substring(spark):
+    from hadoopxmlextractor_spark.operators.dedup import (
+        duplicated_window_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # docs 1 and 2 share the exact 6-token run "q w e r t y"
+            # -> two duplicated 5-windows each; surrounding text unique
+            (1, "a b c q w e r t y d e f"),
+            (2, "u v q w e r t y m n o"),
+            # doc 3: all-unique text, zero duplicated windows
+            (3, "z1 z2 z3 z4 z5 z6 z7"),
+            # doc 4: shorter than k -> no windows, drops out
+            (4, "s1 s2 s3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_window_stats(
+            docs, "text", "doc_id", k=5
+        ).collect()
+    }
+    assert 4 not in out
+    assert out[3]["n_dup_windows"] == 0
+    # "q w e r t" and "w e r t y" occur in both docs
+    assert out[1]["n_dup_windows"] == 2
+    assert out[2]["n_dup_windows"] == 2
+    assert out[1]["n_windows"] == 8  # 12 tokens -> 8 stride-1 windows
+    assert out[2]["n_windows"] == 7
+    assert abs(out[2]["dup_window_fraction"] - round(2 / 7, 6)) < 1e-9
