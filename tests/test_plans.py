@@ -352,3 +352,18 @@ def test_shuffle_shards_single_shuffle_no_global_sort(spark):
     plan = executed_plan(df)
     assert count_exchanges(df) == 1
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_duplicated_window_stats_caches_windows_no_cartesian(spark):
+    # The k-gram table must be computed once (both consumers read the
+    # cache) and the count join-back must be a real equi-join.
+    from hadoopxmlextractor_spark.operators.dedup import (
+        duplicated_window_stats,
+    )
+
+    docs = load(spark, SF, "documents")
+    df = duplicated_window_stats(docs, "text", "doc_id")
+    plan = executed_plan(df)
+    assert "InMemoryTableScan" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    spark.catalog.clearCache()
