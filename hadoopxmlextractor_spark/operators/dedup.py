@@ -590,3 +590,58 @@ def duplicated_window_stats(
             ).alias("dup_window_fraction"),
         )
     )
+
+
+def source_overlap(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    source_col: str,
+    *,
+    k: int = 5,
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of sources,
+    how many distinct exact k-token windows both contain — the "where
+    do my duplicates come from" audit a pipeline runs before choosing
+    mixture weights or dedup scope (e.g. a crawl snapshot that heavily
+    overlaps a curated set should be deduplicated against it, not
+    sampled independently).
+
+    Returns (source_a, source_b, n_shared_windows) with source_a <
+    source_b.
+
+    Scale shape: the window table collapses to DISTINCT (source, hash)
+    — bounded by sources × distinct windows, far below the token
+    stream — and persists eagerly (it feeds both sides of the
+    self-join). The join key is the content hash; per-hash fan-out is
+    capped at n_sources² (sources are a dimension, not data), so the
+    self-join can never go quadratic in corpus size. Output is
+    n_sources², a dimension-sized matrix.
+    """
+    toks = docs.select(
+        F.col(source_col).alias("src"),
+        F.col(id_col),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, k)]
+    kg = (
+        toks.select(
+            F.col("src"),
+            F.concat_ws(" ", *parts).alias("kgram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("src", F.md5(F.col("kgram")).alias("h"))
+        .distinct()
+        .persist()
+    )
+    kg.count()  # eager: kg feeds both sides of the self-join
+    a = kg.select(F.col("src").alias("source_a"), "h")
+    b = kg.select(F.col("src").alias("source_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
+    )

@@ -595,3 +595,36 @@ def q_dedup_window_profile(spark: SparkSession, sf: str) -> DataFrame:
     # fraction a pipeline thresholds to drop boilerplate-heavy docs.
     docs = load(spark, sf, "documents")
     return D.duplicated_window_stats(docs, "text", "doc_id", k=5)
+
+
+@query(
+    "corpus_source_overlap",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+               AS pos
+      FROM documents
+    ),
+    kg AS (
+      SELECT DISTINCT source,
+             md5(tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2)
+                 OVER w || ' ' || lead(tok, 3) OVER w || ' ' || lead(tok, 4)
+                 OVER w) AS h
+      FROM toks
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(tok, 4) OVER w IS NOT NULL
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_windows
+    FROM kg a JOIN kg b USING (h)
+    WHERE a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def q_corpus_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-source contamination matrix over exact 5-token windows —
+    # the audit that decides dedup scope and mixture weights.
+    docs = load(spark, sf, "documents")
+    return D.source_overlap(docs, "text", "doc_id", "source", k=5)

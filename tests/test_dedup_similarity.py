@@ -190,3 +190,28 @@ def test_duplicated_window_stats_planted_substring(spark):
     assert out[1]["n_windows"] == 8  # 12 tokens -> 8 stride-1 windows
     assert out[2]["n_windows"] == 7
     assert abs(out[2]["dup_window_fraction"] - round(2 / 7, 6)) < 1e-9
+
+
+def test_source_overlap_counts_distinct_shared_windows(spark):
+    from hadoopxmlextractor_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # crawl docs share the window "q w e r t" with curated;
+            # the window repeats WITHIN crawl (docs 1+2) but must count
+            # once per source pair (distinct windows, not occurrences)
+            (1, "crawl", "a b q w e r t c d"),
+            (2, "crawl", "q w e r t x y z1 z2"),
+            (3, "curated", "m n q w e r t o p"),
+            # books shares nothing 5 tokens long with anyone
+            (4, "books", "b1 b2 b3 b4 b5 b6"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared_windows"]
+        for r in source_overlap(
+            docs, "text", "doc_id", "source", k=5
+        ).collect()
+    }
+    assert out == {("crawl", "curated"): 1}
