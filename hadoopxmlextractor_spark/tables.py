@@ -27,19 +27,25 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw
-        # int64 nanoseconds and truncate to Spark's native microsecond
-        # timestamps (same truncation DuckDB applies casting
-        # TIMESTAMP_NS → TIMESTAMP, so oracles agree). Runtime-settable,
-        # so it works under any driver-created session.
+        # events.ts is parquet TIMESTAMP(NANOS). How Spark surfaces it
+        # depends on the Spark version, so adapt to whatever the reader
+        # actually produced instead of assuming one representation:
+        #   - older Spark + nanosAsLong: raw int64 nanoseconds (bigint) →
+        #     truncate to microseconds (same truncation DuckDB applies
+        #     casting TIMESTAMP_NS → TIMESTAMP, so oracles agree)
+        #   - Spark 4.x: native timestamp_ntz → cast to session-tz
+        #     timestamp; pin the session timezone to UTC first so the
+        #     NTZ→LTZ conversion is the identity and can never diverge
+        #     from DuckDB's tz-naive truncation on a non-UTC host.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return (
-            spark.read.parquet(f"{sf_dir}/events.parquet")
-            .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        )
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

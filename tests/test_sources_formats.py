@@ -47,6 +47,34 @@ def test_binary_file_source_matches_wholetext(spark, tmp_path):
     assert wt == bf == {"a.xml": "<r><x>1</x></r>", "b.xml": "<r><x>2</x></r>"}
 
 
+def test_events_loader_ts_contract(spark):
+    # Loader invariant (round-2 regression): events.parquet stores ts as
+    # TIMESTAMP(NANOS). Spark <4 surfaces it as bigint nanos (with
+    # nanosAsLong), Spark 4.x as timestamp_ntz natively — load() must
+    # normalize BOTH to a plain microsecond `timestamp` column so every
+    # downstream `ts` expression resolves in any Spark version.
+    from hadoopxmlextractor_spark.tables import load
+
+    ev = load(spark, "/root/testdata/sf0.001", "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp"
+    # session tz must be UTC in the NTZ-cast path so NTZ→LTZ is identity
+    raw = dict(spark.read.parquet("/root/testdata/sf0.001/events.parquet").dtypes)["ts"]
+    if raw != "bigint":
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    # microsecond values must agree with DuckDB's TIMESTAMP_NS→TIMESTAMP
+    # truncation: spot-check min/max epoch micros against duckdb
+    import duckdb
+
+    lo, hi = ev.agg(
+        F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+    ).first()
+    dlo, dhi = duckdb.sql(
+        "SELECT epoch_us(CAST(MIN(ts) AS TIMESTAMP)), epoch_us(CAST(MAX(ts) AS TIMESTAMP)) "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchone()
+    assert (lo, hi) == (dlo, dhi)
+
+
 def test_from_xml_structured_alternative(spark):
     # The Spark-4-native structured path: from_xml with an explicit
     # schema replaces scanner+xpath when documents are well-formed and
