@@ -120,8 +120,13 @@ def main() -> None:
     # samples disagree wildly one of them was stolen, so take a
     # tie-breaker third.
     def timed_min(label: str, run_once) -> float:
+        # Three base samples, not two: steal bursts here last multiple
+        # seconds, long enough to poison BOTH of two back-to-back
+        # samples (observed: agg_pricing_summary 3.27s+3.86s in one run,
+        # 1.38s+0.91s the next, identical plan). The tie-breaker below
+        # only fires when samples disagree, so it can't rescue that case.
         samples = []
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_once()
             samples.append(time.perf_counter() - t0)
