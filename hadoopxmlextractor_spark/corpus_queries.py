@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from hadoopxmlextractor_spark.operators import corpus as C
 from hadoopxmlextractor_spark.operators import dedup as D
 from hadoopxmlextractor_spark.operators import similarity as S
+from hadoopxmlextractor_spark import oracles as O
 from hadoopxmlextractor_spark.oracles import _hex_byte
 from hadoopxmlextractor_spark.queries import query
 from hadoopxmlextractor_spark.tables import load
@@ -232,33 +233,19 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "dedup_semantic_clusters",
-    """
-    WITH RECURSIVE pairs AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-      WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])), 5) >= 0.45
-    ), edges AS (
-      SELECT id_a AS x, id_b AS y FROM pairs
-      UNION
-      SELECT id_b AS x, id_a AS y FROM pairs
-    ), reach(x, y) AS (
-      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
-      UNION
-      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
-    )
-    SELECT x AS vec_id, MIN(y) AS component_id, (x = MIN(y)) AS is_canonical
-    FROM reach GROUP BY x
-    """,
+    O.semantic_clusters_lsh_oracle(threshold=0.45, dim=64, n_planes=4, n_tables=8),
 )
 def q_dedup_semantic_clusters(spark: SparkSession, sf: str) -> DataFrame:
     # Embedding-cosine near-dup as a DEDUP operator (not just search):
-    # near-pair generation (numpy pair-cosine verify; LSH-bucketed
-    # variant is the production path at scale) feeding the same
+    # LSH-bucketed near-pair generation (seeded hyperplane sketch, one
+    # shuffle, numpy pair-cosine verify within buckets — NOT the O(n²)
+    # all-pairs broadcast join, which survives only as the
+    # `embedding_near_pairs` oracle baseline) feeding the same
     # min-label cluster resolution as the text path, picking one
-    # canonical member per semantic cluster.
+    # canonical member per semantic cluster. The bucketing is
+    # deterministic, so the oracle replays it exactly.
     emb = load(spark, sf, "embeddings")
-    pairs = S.cosine_pairs_exact(emb, threshold=0.45)
+    pairs = S.cosine_pairs_lsh(emb, threshold=0.45, dim=64, n_planes=4, n_tables=8)
     return D.connected_components(pairs, "id_a", "id_b").select(
         F.col("doc_id").alias("vec_id"), "component_id", "is_canonical"
     )

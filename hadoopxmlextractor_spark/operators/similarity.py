@@ -156,39 +156,45 @@ def hyperplane_sketch(
     emb: DataFrame,
     *,
     dim: int,
-    n_planes: int = 16,
+    n_planes: int = 4,
+    n_tables: int = 1,
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """Add an integer LSH sketch column: bit k = sign(v · h_k).
+    """Add a ``buckets`` array column: one integer bucket id per hash
+    table, where bit j of table t's bucket = sign(v · h_{t·b+j}) over
+    ``n_tables × n_planes`` seeded hyperplanes.
 
-    Vectors that agree on all n_planes signs land in the same bucket;
-    P[bit differs] = angle/π, so high-cosine pairs collide with high
-    probability. Computed as ONE numpy matmul per Arrow batch in a
-    pandas UDF: an n_planes-wide chain of interpreted ``aggregate``/
-    ``zip_with`` dot products is never codegen'd, and as a plain JVM
-    expression it gets duplicated into join-constraint filters pushed
-    down to both self-join sides (see dedup.shingle_hashes for the
-    observed pathology).
+    P[one bit differs] = angle/π, so a pair at cosine s collides in one
+    table with probability p^b (p = 1 − acos(s)/π) and in ANY table
+    with 1 − (1−p^b)^T — banding buys recall the single-table sketch
+    fundamentally cannot reach at moderate thresholds. Computed as ONE
+    numpy matmul per Arrow batch in a pandas UDF: an interpreted
+    ``aggregate``/``zip_with`` dot-product chain is never codegen'd,
+    and as a plain JVM expression it gets duplicated into
+    join-constraint filters pushed down to both self-join sides (see
+    dedup.shingle_hashes for the observed pathology).
     """
     import numpy as np
 
-    planes = _hyperplanes(dim, n_planes, seed)  # (P, dim)
+    total = n_planes * n_tables
+    planes = _hyperplanes(dim, total, seed)  # (T*b, dim)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
-    @F.pandas_udf("long")
+    @F.pandas_udf("array<long>")
     def _sketch(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in it:
             if len(vecs) == 0:
-                yield pd.Series([], dtype="int64")
+                yield pd.Series([], dtype="object")
                 continue
             M = np.stack(
                 [np.zeros(dim) if v is None else np.asarray(v, dtype=np.float64) for v in vecs]
             )
-            bits = (M @ planes.T) > 0  # (B, P)
-            yield pd.Series((bits @ weights).astype(np.int64))
+            bits = (M @ planes.T) > 0  # (B, T*b)
+            buckets = bits.reshape(len(M), n_tables, n_planes) @ weights  # (B, T)
+            yield pd.Series(list(buckets.astype(np.int64)))
 
-    return emb.withColumn("sketch", _sketch(F.col(vec_col)))
+    return emb.withColumn("buckets", _sketch(F.col(vec_col)))
 
 
 def cosine_pairs_lsh(
@@ -196,33 +202,53 @@ def cosine_pairs_lsh(
     *,
     threshold: float,
     dim: int,
-    n_planes: int = 12,
+    n_planes: int = 4,
+    n_tables: int = 8,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     seed: int = 42,
     round_digits: int = 5,
 ) -> DataFrame:
-    """Approximate near-dup pairs: bucket on the hyperplane sketch, then
-    exact cosine within buckets. One shuffle on the sketch; recall
-    depends on n_planes vs threshold (fewer planes → higher recall,
-    bigger buckets)."""
+    """Approximate near-dup pairs: banded hyperplane LSH — bucket each
+    vector into ``n_tables`` tables of ``n_planes``-bit sketches,
+    candidate = same bucket in ANY table, then exact cosine verify.
+
+    Recall at cosine s is 1 − (1 − p^b)^T with p = 1 − acos(s)/π
+    (defaults b=4, T=8: ≈0.79 at s=0.45, ≈0.97 at s=0.7, →1 as s→1);
+    tighten b upward when the threshold is high to keep buckets small.
+    Two shuffles: the (table, bucket) self-join and the pair-distinct
+    — candidate count, not n², drives both, so cost tracks how sharply
+    the threshold separates the data.
+    """
     # The sketch feeds both self-join sides: persist + eager count so
     # the pandas-UDF lineage runs once (concurrent AQE stages would
     # otherwise race to recompute it before any block is cached).
-    sk = hyperplane_sketch(
-        emb.select(id_col, vec_col), dim=dim, n_planes=n_planes, vec_col=vec_col, seed=seed
-    ).persist()
+    sk = (
+        hyperplane_sketch(
+            emb.select(id_col, vec_col),
+            dim=dim,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            vec_col=vec_col,
+            seed=seed,
+        )
+        .select(id_col, vec_col, F.posexplode("buckets").alias("t", "bucket"))
+        .persist()
+    )
     sk.count()
     a = sk.select(
-        F.col("sketch"), F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
+        "t", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )
     b = sk.select(
-        F.col("sketch"), F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
+        "t", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
     )
     pair_cos = cosine_pairs_udf()
     return (
-        a.join(b, "sketch")
+        a.join(b, ["t", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
+        # a pair colliding in several tables must verify and emit once
+        .groupBy("id_a", "id_b")
+        .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"))
         .withColumn("sim", F.round(pair_cos(F.col("vec_a"), F.col("vec_b")), round_digits))
         .filter(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")

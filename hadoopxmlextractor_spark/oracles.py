@@ -183,42 +183,100 @@ def winnowing_oracle(*, k: int = 5, window: int = 4) -> str:
     """
 
 
-def near_pairs_lsh_oracle(
-    *, threshold: float = 0.45, dim: int = 64, n_planes: int = 8, seed: int = 42
+def _lsh_pair_ctes(
+    *, dim: int, n_planes: int, n_tables: int, seed: int
 ) -> str:
-    """Hyperplane-LSH near pairs. The plane matrix is the operator's own
-    seeded RandomState draw, embedded as full-precision literals; sign
-    agreement on all planes = same bucket. FP caveat: the SQL dot is a
-    sequential SUM while numpy's is pairwise — a sign could differ only
-    if |dot| were within ~1e-13 of zero (never observed; probability
-    ~1e-12 per vector-plane)."""
+    """Shared CTE chain rebuilding the seeded banded hyperplane sketch
+    and the same-bucket-in-any-table candidate pairs (used by the
+    near-pairs oracle and the semantic-cluster oracle so both replay
+    the identical bucketing). Plane k belongs to table k // b, bit
+    k % b — exactly `similarity.hyperplane_sketch`'s reshape."""
     from hadoopxmlextractor_spark.operators.similarity import _hyperplanes
 
-    planes = _hyperplanes(dim, n_planes, seed)
+    total = n_planes * n_tables
+    planes = _hyperplanes(dim, total, seed)
     values = ", ".join(
         f"({k}, {i}, {float(planes[k, i])!r})"
-        for k in range(n_planes)
+        for k in range(total)
         for i in range(dim)
     )
-    return f"""
-    WITH planes(k, i, wt) AS (VALUES {values}),
+    return f"""planes(k, i, wt) AS (VALUES {values}),
     v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
     dots AS (
       SELECT v.vec_id, p.k, SUM(p.wt * v.e[p.i + 1]) AS d
       FROM v CROSS JOIN planes p GROUP BY v.vec_id, p.k
     ),
     sk AS (
-      SELECT vec_id, SUM(CASE WHEN d > 0 THEN (1::BIGINT << k) ELSE 0 END) AS sketch
-      FROM dots GROUP BY vec_id
+      SELECT vec_id, k // {n_planes} AS t,
+             SUM(CASE WHEN d > 0 THEN (1::BIGINT << (k % {n_planes})) ELSE 0 END)
+               AS bucket
+      FROM dots GROUP BY vec_id, k // {n_planes}
     ),
     cand AS (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM sk a JOIN sk b ON a.sketch = b.sketch AND a.vec_id < b.vec_id
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sk a JOIN sk b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             ROUND(list_cosine_similarity(va.e, vb.e), 5) AS sim
+      FROM cand
+      JOIN v va ON va.vec_id = id_a
+      JOIN v vb ON vb.vec_id = id_b
+      WHERE ROUND(list_cosine_similarity(va.e, vb.e), 5) >= {{threshold}}
+    )"""
+
+
+def near_pairs_lsh_oracle(
+    *,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> str:
+    """Banded hyperplane-LSH near pairs. The plane matrix is the
+    operator's own seeded RandomState draw, embedded as full-precision
+    literals; sign agreement on all of one table's planes = same
+    bucket, candidate = collision in any table. FP caveat: the SQL dot
+    is a sequential SUM while numpy's is pairwise — a sign could differ
+    only if |dot| were within ~1e-13 of zero (never observed;
+    probability ~1e-12 per vector-plane)."""
+    ctes = _lsh_pair_ctes(
+        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+    ).format(threshold=threshold)
+    return f"""
+    WITH {ctes}
+    SELECT id_a, id_b, sim FROM pairs
+    """
+
+
+def semantic_clusters_lsh_oracle(
+    *,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+) -> str:
+    """Connected components over the SAME seeded LSH candidate pairs the
+    production `dedup_semantic_clusters` query generates (bucketing is
+    deterministic, so the cluster assignment is exactly replayable)."""
+    ctes = _lsh_pair_ctes(
+        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+    ).format(threshold=threshold)
+    return f"""
+    WITH RECURSIVE {ctes},
+    edges AS (
+      SELECT id_a AS x, id_b AS y FROM pairs
+      UNION
+      SELECT id_b AS x, id_a AS y FROM pairs
+    ),
+    reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
     )
-    SELECT id_a, id_b,
-           ROUND(list_cosine_similarity(va.e, vb.e), 5) AS sim
-    FROM cand
-    JOIN v va ON va.vec_id = id_a
-    JOIN v vb ON vb.vec_id = id_b
-    WHERE ROUND(list_cosine_similarity(va.e, vb.e), 5) >= {threshold}
+    SELECT x AS vec_id, MIN(y) AS component_id, (x = MIN(y)) AS is_canonical
+    FROM reach GROUP BY x
     """

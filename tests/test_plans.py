@@ -163,6 +163,21 @@ def test_no_interpreted_lambdas_under_candidate_joins(spark):
         assert "ArrowEvalPython" in plan or "BatchEvalPython" in plan
 
 
+def test_semantic_clusters_query_is_lsh_bucketed_not_all_pairs(spark):
+    # Round-2 verdict item: the PRODUCTION semantic-dedup query must
+    # generate candidates through the banded-LSH bucket equi-join, never
+    # the O(n²) all-pairs theta join (BroadcastNestedLoopJoin) that the
+    # `embedding_near_pairs` oracle baseline legitimately uses.
+    from hadoopxmlextractor_spark.corpus_queries import (
+        q_dedup_semantic_clusters,
+    )
+
+    df = q_dedup_semantic_clusters(spark, SF)
+    plan = executed_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_corpus_scan_bandwidth_ops_have_no_shuffle(spark):
     # Quality filter, stable split, and chunking are pure projections /
     # local explodes: zero exchanges at any scale.
