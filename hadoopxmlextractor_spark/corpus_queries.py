@@ -171,19 +171,28 @@ def q_corpus_quality_filter(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "corpus_user_sequences",
     """
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS cnt
+      FROM events
+    )
     SELECT user_id,
            string_agg(event_type, '>' ORDER BY ts, event_id) AS sequence,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM events GROUP BY user_id
+           CAST(MAX(cnt) AS BIGINT) AS n_events
+    FROM ranked WHERE rn <= 1000 GROUP BY user_id
     """,
 )
 def q_corpus_user_sequences(spark: SparkSession, sf: str) -> DataFrame:
-    # Behavioral-sequence construction: one shuffle on user_id;
-    # array_sort over collected (ts, event_id, type) structs makes the
-    # ordering deterministic (ties broken by the unique event id), which
-    # a bare collect_list-then-concat would not be.
+    # Behavioral-sequence construction: one shuffle on user_id (window
+    # and groupBy share the partitioning); the rank filter caps per-user
+    # aggregation state at max_events_per_user while n_events reports
+    # the uncapped total, and array_sort over the collected
+    # (ts, event_id, type) structs makes the ordering deterministic
+    # (ties broken by the unique event id), which a bare
+    # collect_list-then-concat would not be.
     events = load(spark, sf, "events")
-    return C.user_event_sequences(events)
+    return C.user_event_sequences(events, max_events_per_user=1000)
 
 
 @query(

@@ -193,21 +193,37 @@ def user_event_sequences(
     id_col: str = "event_id",
     type_col: str = "event_type",
     sep: str = ">",
+    max_events_per_user: int = 1000,
 ) -> DataFrame:
-    """(user, sequence, n_events): the user's event types concatenated in
-    (ts, id) order — the sequence-construction step for behavioral
-    training examples. One shuffle on user; array_sort over the
-    collected structs keeps ordering deterministic (ties broken by the
-    unique event id). State is O(events per user) — bounded by session
-    length in practice; cap upstream for adversarial users."""
+    """(user, sequence, n_events): the user's first ``max_events_per_user``
+    event types concatenated in (ts, id) order — the
+    sequence-construction step for behavioral training examples.
+    ``n_events`` stays the user's TOTAL count so truncation is visible.
+
+    The cap is enforced BEFORE aggregation by a rank filter
+    (WindowGroupLimit keeps a bounded k-heap per partition), so an
+    adversarial hot user bounds the collect_list state at k, not at
+    their event count. The window and the groupBy hash-partition on the
+    same key, so Catalyst reuses one shuffle for both; array_sort over
+    the ≤k collected structs keeps concat order deterministic (ties
+    broken by the unique event id)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    ranked = events.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(type_col),
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(user_col)).alias("_cnt"),
+    ).filter(F.col("_rn") <= max_events_per_user)
     packed = F.struct(
         F.col(ts_col).alias("ts"), F.col(id_col).alias("eid"), F.col(type_col).alias("et")
     )
     seq = F.array_join(
         F.transform(F.array_sort(F.collect_list(packed)), lambda x: x["et"]), sep
     )
-    return events.groupBy(F.col(user_col)).agg(
-        seq.alias("sequence"), F.count(F.lit(1)).alias("n_events")
+    return ranked.groupBy(F.col(user_col)).agg(
+        seq.alias("sequence"), F.max("_cnt").alias("n_events")
     )
 
 

@@ -82,6 +82,23 @@ def test_user_event_sequences_orders_by_ts_then_id(spark):
     assert rows == {1: ("a>b>c", 3), 2: ("z", 1)}
 
 
+def test_user_event_sequences_caps_hot_user(spark):
+    # A planted hot user with 50 events against a cap of 5: the sequence
+    # keeps the FIRST 5 in (ts, event_id) order, n_events still reports
+    # the uncapped total, and a normal user is untouched.
+    rows = [(i, f"2024-01-01 00:00:{i % 60:02d}", 99, f"e{i:02d}") for i in range(50)]
+    rows += [(100, "2024-01-01 00:01:00", 7, "x")]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts_s", "user_id", "event_type"]
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "event_type")
+    out = {
+        r["user_id"]: (r["sequence"], r["n_events"])
+        for r in user_event_sequences(df, max_events_per_user=5).collect()
+    }
+    assert out[99] == ("e00>e01>e02>e03>e04", 50)
+    assert out[7] == ("x", 1)
+
+
 def test_tfidf_ranks_rare_terms_first(spark):
     import math
 
