@@ -12,16 +12,25 @@ ElementTree. This module compiles that subset; anything else returns
 
 Subset grammar::
 
-    path     := ('/' | '//') step ('/' step)*  terminal?
+    path     := (('/' | '//') step)+  terminal?
     step     := (qname | '*') pred?
     pred     := '[@' qname '=' ('single' | "double") '-quoted value ']'
+              | '[' digits ']'
     terminal := '/text()' | '/@' qname
 
 Semantics matched to the general path (Spark's ``xpath``, verified on
 pyspark 4.1.2) and to the reference's javax NODESET evaluation
 (``XmlExtractor.java:100-109``):
-- ``//name`` is descendant-or-self from the document node, so it matches
-  the fragment root element too (ElementTree's ``.//`` alone does not).
+- ``//`` before any step (not just the first) is the descendant-or-self
+  axis: ``/store//book`` matches books at any depth under the root.
+  From the document node it matches the fragment root element too
+  (ElementTree's ``.//`` alone does not); a leading single ``/`` is the
+  document's child axis and matches only the root element, exactly like
+  javax — NOT a descendant search.
+- ``[n]`` keeps the n-th matching CHILD within each parent context
+  (javax ``book[2]`` = second book of each parent, not the second book
+  overall); results concatenate in document order with duplicates
+  removed, as a javax NODESET does.
 - A bare element result contributes its whole string value
   (``itertext``); ``text()`` selects the element's direct text nodes
   (text + child tails); ``@attr`` the attribute value. All matched
@@ -53,16 +62,18 @@ _NAME = r"[A-Za-z_][\w.-]*"
 _QNAME = rf"(?:{_NAME}:)?{_NAME}"
 
 # step name = qname or the * wildcard (any element, javax semantics);
-# [@attr='value'] / [@attr="value"] — one predicate per step
+# [@attr='value'] / [@attr="value"] / [n] — one predicate per step
 _STEP_RE = re.compile(
-    rf"({_QNAME}|\*)(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\])?"
+    rf"({_QNAME}|\*)(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\]|\[([0-9]+)\])?"
 )
 
 
 class _Step(NamedTuple):
     name: str
+    axis: str  # "child" | "desc" (the separator written before the step)
     pred_attr: str | None  # local name of the predicate attribute
     pred_val: str | None
+    pos: int | None  # 1-based positional predicate ([n])
 
 
 def _local(name: str) -> str:
@@ -79,28 +90,31 @@ def _parse_path(path: str) -> list[_Step] | None:
     """Parse the step part of a subset expression (no terminal) into
     steps, or None when out of grammar. A real tokenizer, not a split
     on '/': predicate values may contain slashes."""
-    if path.startswith("//"):
-        pos = 2
-    elif path.startswith("/"):
-        pos = 1
-    else:
-        return None
     steps: list[_Step] = []
-    while True:
+    pos = 0
+    while pos < len(path):
+        if path.startswith("//", pos):
+            axis, pos = "desc", pos + 2
+        elif path.startswith("/", pos):
+            axis, pos = "child", pos + 1
+        else:
+            return None
         m = _STEP_RE.match(path, pos)
         if m is None:
             return None
-        name, pattr, v1, v2 = m.groups()
+        name, pattr, v1, v2, idx = m.groups()
         val = v1 if v1 is not None else v2
         steps.append(
-            _Step(_local(name), _local(pattr) if pattr else None, val)
+            _Step(
+                _local(name),
+                axis,
+                _local(pattr) if pattr else None,
+                val,
+                int(idx) if idx is not None else None,
+            )
         )
         pos = m.end()
-        if pos == len(path):
-            return steps
-        if path[pos] != "/":
-            return None
-        pos += 1
+    return steps or None
 
 
 def _split_terminal(expr: str) -> tuple[str, tuple | None]:
@@ -131,16 +145,18 @@ def strip_prefixes(expr: str) -> str:
     steps = _parse_path(path)
     if steps is None:
         return expr
-    lead = "//" if path.startswith("//") else "/"
 
     def render(s: _Step) -> str:
-        if s.pred_attr is None:
-            return s.name
-        # re-quote with the quote style that cannot appear in the value
-        q = "'" if "'" not in s.pred_val else '"'
-        return f"{s.name}[@{s.pred_attr}={q}{s.pred_val}{q}]"
+        base = s.name
+        if s.pred_attr is not None:
+            # re-quote with the quote style that cannot appear in the value
+            q = "'" if "'" not in s.pred_val else '"'
+            base += f"[@{s.pred_attr}={q}{s.pred_val}{q}]"
+        elif s.pos is not None:
+            base += f"[{s.pos}]"
+        return ("//" if s.axis == "desc" else "/") + base
 
-    out = lead + "/".join(render(s) for s in steps)
+    out = "".join(render(s) for s in steps)
     if terminal == ("text",):
         out += "/text()"
     elif terminal is not None:
@@ -166,7 +182,6 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
     steps = _parse_path(path)
     if steps is None:
         return None
-    first, rest = steps[0], steps[1:]
 
     def keep(n: Element, s: _Step) -> bool:
         if not isinstance(n.tag, str):
@@ -177,12 +192,51 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
             return True
         return _get_attr_local(n, s.pred_attr) == s.pred_val
 
+    any_desc = any(s.axis == "desc" for s in steps)
+
     def evaluate(root: Element) -> str | None:
-        # descendant-or-self for the first step (document-node context);
-        # iter() walks in document order, root included.
-        nodes = [n for n in root.iter() if keep(n, first)]
-        for step in rest:
-            nodes = [c for n in nodes for c in n if keep(c, step)]
+        # Contexts are elements; None is the document node (its only
+        # child is the fragment root, its descendant-or-self set is
+        # itself + every element). Each step expands the descendant
+        # axis first when written '//', then applies the child axis
+        # with the name/attribute test and the per-parent positional
+        # index — javax's book[2] = second matching child of EACH
+        # parent. Dedup by identity: nested descendant contexts may
+        # reach one element twice, a NODESET holds it once.
+        contexts: list[Element | None] = [None]
+        for step in steps:
+            if step.axis == "desc":
+                expanded: list[Element | None] = []
+                seen: set[int] = set()
+                for ctx in contexts:
+                    ds = (
+                        [None, *root.iter()] if ctx is None else list(ctx.iter())
+                    )
+                    for d in ds:
+                        if id(d) not in seen:
+                            seen.add(id(d))
+                            expanded.append(d)
+                contexts = expanded
+            new: list[Element] = []
+            seen2: set[int] = set()
+            for ctx in contexts:
+                kids = [root] if ctx is None else list(ctx)
+                matched = [c for c in kids if keep(c, step)]
+                if step.pos is not None:
+                    matched = matched[step.pos - 1 : step.pos] if step.pos else []
+                for node in matched:
+                    if id(node) not in seen2:
+                        seen2.add(id(node))
+                        new.append(node)
+            contexts = new
+            if not contexts:
+                return None
+        nodes = contexts
+        if any_desc and len(nodes) > 1:
+            # nested descendant matches can interleave parents' children;
+            # a NODESET concatenates in document order
+            order = {id(el): i for i, el in enumerate(root.iter())}
+            nodes = sorted(nodes, key=lambda n: order[id(n)])
         if terminal is None:
             values = ["".join(n.itertext()) for n in nodes]
         elif terminal[0] == "text":

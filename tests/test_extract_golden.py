@@ -199,6 +199,36 @@ def test_malformed_fragments_audit_stream(spark):
     assert [r.c0 for r in rows] == ["bk1"]
 
 
+def test_descendant_and_positional_configs_run_fused_and_agree(spark):
+    # Mid-path // (descendant axis) and [n] (per-parent positional
+    # predicate) are IN the fused subset; extraction stays on the fast
+    # path and matches the general javax/JVM xpath path node-for-node.
+    from hadoopxmlextractor_spark.extract import _compile_fused
+
+    doc = (
+        '<cat loc="top"><shelf><row><book id="b1"><n>7</n></book>'
+        '<book id="b2"><n>9</n></book></row>'
+        '<row><book id="b3"><n>4</n></book></row></shelf></cat>'
+    )
+    cfg = ExtractionConfig.from_rules(
+        [
+            ExtractionConfig.parse_rule(
+                "cat",
+                "cat;true;true; ;0#/cat/@loc;"
+                "1#//cat//book/@id;2#//row/book[2]/@id;3#//shelf//n/text();",
+                ";", "#",
+            ),
+        ],
+        nr_of_columns=4,
+    )
+    assert _compile_fused(cfg) is not None  # // and [n] → still fused
+    docs = docs_from_strings(spark, {"d": doc})
+    fused_rows = [tuple(r)[2:] for r in extract(docs, cfg, fused=True).collect()]
+    general_rows = [tuple(r)[2:] for r in extract(docs, cfg, fused=False).collect()]
+    assert fused_rows == general_rows
+    assert fused_rows == [("top", "b1b2b3", "b2", "794")]
+
+
 def test_fused_and_general_paths_agree_with_predicates(spark):
     # The new [@attr='v'] fused support must match javax XPath (the
     # general path) node-for-node, including the no-match → dropped-cell

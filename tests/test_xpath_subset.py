@@ -46,12 +46,49 @@ def test_empty_nodeset_returns_none():
 
 def test_out_of_subset_falls_back():
     for expr in [
-        "//book[position()=1]/@id",  # positional predicate
+        "//book[position()=1]/@id",  # position() function form
         "//book[price>30]/@id",  # comparison predicate
         "//a/../b",  # parent axis
         "count(//book)",  # function
+        "//book//text()",  # descendant text-node selection
     ]:
         assert compile_subset(expr) is None, expr
+
+
+def test_mid_path_descendant_axis():
+    assert ev("/store//phone/text()") == "123456"
+    assert ev("//store//book/@id") == "b1"
+    assert ev("/store//book/text()") == "texttail"
+    # descendant step deeper than one level under an inner step
+    assert ev("//inventory//i") == "in"
+
+
+def test_leading_slash_is_child_axis_not_descendant():
+    # javax/Spark semantics: /name from the document node matches ONLY
+    # the root element — never a descendant that shares the tag name.
+    doc = ET.fromstring('<a id="1"><a id="2"/></a>')
+    assert compile_subset("/a/@id")(doc) == "1"
+    assert compile_subset("//a/@id")(doc) == "12"
+    assert compile_subset("/b/@id")(doc) is None
+
+
+def test_positional_predicate_is_per_parent():
+    doc = ET.fromstring(
+        '<s><i><b id="1"/><b id="2"/></i><i><b id="3"/><b id="4"/></i></s>'
+    )
+    # javax book[2] = the second matching child of EACH parent context
+    assert compile_subset("//i/b[2]/@id")(doc) == "24"
+    assert compile_subset("//i/b[1]/@id")(doc) == "13"
+    assert compile_subset("//i/b[3]/@id")(doc) is None  # past the end
+    assert compile_subset("//i[2]/b[1]/@id")(doc) == "3"
+
+
+def test_descendant_matches_concat_in_document_order():
+    # nested matches interleave parents' children; a NODESET
+    # concatenates in document order, not per-parent order
+    doc = ET.fromstring("<d><p><x>1</x><p><x>2</x></p><x>3</x></p></d>")
+    assert compile_subset("//p/x/text()")(doc) == "123"
+    assert compile_subset("//p//x/text()")(doc) == "123"
 
 
 def test_attribute_equality_predicate():
