@@ -1,0 +1,63 @@
+"""Deterministic quality gates for the two approximate-by-design
+queries (round-2 verdict item 7): rows-only driver checks are weak, so
+pin recall / error bounds against the exact twins in pytest. Both run
+on real testdata so the assertions track the shipped parameters."""
+
+import pyspark.sql.functions as F
+
+from hadoopxmlextractor_spark.pipeline_queries import (
+    _query_vec,
+    q_similarity_topk_bruteforce,
+    q_similarity_topk_ivf,
+)
+from hadoopxmlextractor_spark.queries_ext import (
+    q_percentiles_approx,
+    q_percentiles_exact,
+)
+from hadoopxmlextractor_spark.tables import load
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    # IVF with n_centroids=16, nprobe=4 probes a quarter of the space;
+    # on the test corpus its top-20 must recover >= 15 of the exact
+    # top-20 AND agree exactly on the head of the ranking (the query
+    # vector itself plus its strongest neighbors live in the probed
+    # cells by construction).
+    exact = [r["vec_id"] for r in q_similarity_topk_bruteforce(spark, SF).collect()]
+    ivf = [r["vec_id"] for r in q_similarity_topk_ivf(spark, SF).collect()]
+    assert len(exact) == len(ivf) == 20
+    overlap = len(set(exact) & set(ivf))
+    assert overlap >= 15, f"IVF recall {overlap}/20 vs exact top-20"
+    # rank agreement on the head: the self-match must rank first and
+    # every IVF hit must appear in the same relative order as exact
+    assert ivf[0] == exact[0]
+    exact_rank = {v: i for i, v in enumerate(exact)}
+    common = [v for v in ivf if v in exact_rank]
+    assert common == sorted(common, key=exact_rank.__getitem__)
+
+
+def test_percentiles_approx_close_to_exact(spark):
+    # percentile_approx at accuracy 10000 guarantees rank error
+    # <= n/10000; on this data that bounds the VALUE error well under
+    # 1% of the exact percentile per group.
+    approx = {
+        r["l_returnflag"]: (r["approx_p50"], r["approx_p95"])
+        for r in q_percentiles_approx(spark, SF).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p95"])
+        for r in load(spark, SF, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, (a50, a95) in approx.items():
+        e50, e95 = exact[flag]
+        assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
+        assert abs(a95 - e95) / e95 < 0.01, (flag, a95, e95)
