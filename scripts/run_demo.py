@@ -4,7 +4,12 @@
 SequenceFile, then run both extraction configs over the same packed
 input and print the outputs.
 
-Usage: PYTHONPATH=. python scripts/run_demo.py [workdir]
+Usage: PYTHONPATH=. python scripts/run_demo.py [workdir] [--streaming]
+
+With ``--streaming`` the ExtractInventory pass additionally runs
+through the Structured Streaming path (landing-dir file source →
+foreachBatch extract) and asserts it emits the identical rows — the
+run.sh parity demo for the streaming layer.
 """
 
 from __future__ import annotations
@@ -30,8 +35,41 @@ from tests.fixtures import (
 )
 
 
+def run_streaming_parity(spark, work: str, in_dir: str, batch_lines: list[str]) -> None:
+    """Drive the streaming extraction over the same landing dir and
+    assert row-for-row parity with the batch ExtractInventory output."""
+    from hadoopxmlextractor_spark.streaming.extraction import extract_stream
+
+    config = ExtractionConfig.from_hadoop_xml(INVENTORY_CONFIG_XML, is_text=True)
+    collected: list[str] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        collected.extend(
+            r["value"] for r in to_reference_lines(batch_df, config).collect()
+        )
+
+    ckpt = os.path.join(work, "stream_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+    q = extract_stream(
+        spark,
+        in_dir,
+        config,
+        sink,
+        checkpoint_dir=ckpt,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+    print(f"\n== streaming ExtractInventory: {len(collected)} rows")
+    assert sorted(collected) == sorted(batch_lines), (
+        "streaming rows diverge from batch rows"
+    )
+    print("streaming output matches the batch path row-for-row")
+
+
 def main() -> None:
-    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="xmlx_demo_")
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    streaming = "--streaming" in sys.argv[1:]
+    work = args[0] if args else tempfile.mkdtemp(prefix="xmlx_demo_")
     in_dir = os.path.join(work, "in")
     os.makedirs(in_dir, exist_ok=True)
     with open(os.path.join(in_dir, "InventorySoho.xml"), "w") as f:
@@ -56,6 +94,7 @@ def main() -> None:
     print(f"packed {docs.count()} documents into {seq_path}")
 
     # run.sh steps 2-3: two extraction configs over the same input
+    inventory_lines: list[str] = []
     for label, cfg_xml in [
         ("ExtractInventory", INVENTORY_CONFIG_XML),
         ("ExtractBook", BOOK_CONFIG_XML),
@@ -66,9 +105,14 @@ def main() -> None:
         shutil.rmtree(out_dir, ignore_errors=True)
         write_reference_format(result, config, out_dir)
         lines = [r["value"] for r in to_reference_lines(result, config).collect()]
+        if label == "ExtractInventory":
+            inventory_lines = lines
         print(f"\n== {label}: {len(lines)} rows -> {out_dir}")
         for line in lines:
             print(line)
+
+    if streaming:
+        run_streaming_parity(spark, work, in_dir, inventory_lines)
 
 
 if __name__ == "__main__":
