@@ -16,7 +16,7 @@ Subset grammar::
     step     := (qname | '*') pred?
     pred     := '[@' qname '=' ('single' | "double") '-quoted value ']'
               | '[' digits ']'
-    terminal := '/text()' | '/@' qname
+    terminal := '/text()' | '//text()' | '/@' qname
 
 Semantics matched to the general path (Spark's ``xpath``, verified on
 pyspark 4.1.2) and to the reference's javax NODESET evaluation
@@ -118,7 +118,9 @@ def _parse_path(path: str) -> list[_Step] | None:
 
 
 def _split_terminal(expr: str) -> tuple[str, tuple | None]:
-    """Split off the ``/text()`` or ``/@attr`` terminal."""
+    """Split off the ``//text()``, ``/text()`` or ``/@attr`` terminal."""
+    if expr.endswith("//text()"):
+        return expr[: -len("//text()")], ("dtext",)
     if expr.endswith("/text()"):
         return expr[: -len("/text()")], ("text",)
     m = re.search(rf"/@({_QNAME})$", expr)
@@ -159,6 +161,8 @@ def strip_prefixes(expr: str) -> str:
     out = "".join(render(s) for s in steps)
     if terminal == ("text",):
         out += "/text()"
+    elif terminal == ("dtext",):
+        out += "//text()"
     elif terminal is not None:
         out += f"/@{terminal[1]}"
     return out
@@ -244,6 +248,23 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
             for n in nodes:
                 direct = [n.text or ""] + [c.tail or "" for c in n]
                 values.extend(t for t in direct if t != "")
+        elif terminal[0] == "dtext":
+            # //text(): every text NODE whose parent is in the matched
+            # subtrees, once each, in document order — one global walk
+            # (a per-node itertext would double-count under nested
+            # matches, which is why this terminal needs its own path).
+            sub = {id(d) for n in nodes for d in n.iter()}
+
+            def walk(el: Element):
+                if el.text:
+                    yield (el, el.text)
+                for c in el:
+                    if isinstance(c.tag, str):
+                        yield from walk(c)
+                    if c.tail:
+                        yield (el, c.tail)
+
+            values = [t for owner, t in walk(root) if id(owner) in sub]
         else:
             attr = terminal[1]
             values = []

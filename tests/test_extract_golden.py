@@ -215,18 +215,19 @@ def test_descendant_and_positional_configs_run_fused_and_agree(spark):
             ExtractionConfig.parse_rule(
                 "cat",
                 "cat;true;true; ;0#/cat/@loc;"
-                "1#//cat//book/@id;2#//row/book[2]/@id;3#//shelf//n/text();",
+                "1#//cat//book/@id;2#//row/book[2]/@id;3#//shelf//n/text();"
+                "4#//row//text();",
                 ";", "#",
             ),
         ],
-        nr_of_columns=4,
+        nr_of_columns=5,
     )
-    assert _compile_fused(cfg) is not None  # // and [n] → still fused
+    assert _compile_fused(cfg) is not None  # //, [n], //text() → still fused
     docs = docs_from_strings(spark, {"d": doc})
     fused_rows = [tuple(r)[2:] for r in extract(docs, cfg, fused=True).collect()]
     general_rows = [tuple(r)[2:] for r in extract(docs, cfg, fused=False).collect()]
     assert fused_rows == general_rows
-    assert fused_rows == [("top", "b1b2b3", "b2", "794")]
+    assert fused_rows == [("top", "b1b2b3", "b2", "794", "794")]
 
 
 def test_fused_and_general_paths_agree_with_predicates(spark):

@@ -50,9 +50,19 @@ def test_out_of_subset_falls_back():
         "//book[price>30]/@id",  # comparison predicate
         "//a/../b",  # parent axis
         "count(//book)",  # function
-        "//book//text()",  # descendant text-node selection
+        "//text()",  # bare text() with no element step
     ]:
         assert compile_subset(expr) is None, expr
+
+
+def test_descendant_text_terminal():
+    # //text() = every text NODE under the matched subtrees, document
+    # order, each node once even when matches nest
+    assert ev("//book//text()") == "textintail"
+    assert ev("//store//phone//text()") == "123456"
+    doc = ET.fromstring("<d><p>a<p>b</p>c</p></d>")  # nested p matches
+    assert compile_subset("//p//text()")(doc) == "abc"
+    assert compile_subset("//d//text()")(doc) == "abc"
 
 
 def test_mid_path_descendant_axis():
