@@ -38,6 +38,28 @@ def test_ivf_topk_recall_vs_exact(spark):
     assert common == sorted(common, key=exact_rank.__getitem__)
 
 
+def test_approx_distinct_close_to_exact(spark):
+    # approx_count_distinct at rsd=0.01 is HLL++; per-group estimates
+    # must land within 2% of the exact distinct counts (2x the
+    # configured relative standard deviation).
+    from hadoopxmlextractor_spark.queries import q_agg_approx_distinct
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_agg_approx_distinct(spark, SF).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load(spark, SF, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        assert abs(a - exact[et]) / exact[et] <= 0.02, (et, a, exact[et])
+
+
 def test_percentiles_approx_close_to_exact(spark):
     # percentile_approx at accuracy 10000 guarantees rank error
     # <= n/10000; on this data that bounds the VALUE error well under
