@@ -40,6 +40,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "text_quality",
     "similarity_topk_bruteforce",
+    # the composed flagship: quality filter -> exact dedup ->
+    # decontamination -> sequence packing in one plan
+    "corpus_prepare_training_data",
 ]
 
 N_XML_DOCS = 500

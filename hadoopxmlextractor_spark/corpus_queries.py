@@ -321,6 +321,128 @@ def q_corpus_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_prepare_training_data",
+    rf"""
+    WITH sig AS (
+      SELECT doc_id, text,
+             n_tokens,
+             ROUND(n_distinct / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 4)
+               AS distinct_ratio,
+             ROUND((n_chars - n_tokens + 1)
+                   / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 4)
+               AS mean_token_len
+      FROM (
+        SELECT doc_id, text,
+               length(text) AS n_chars,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               len(list_distinct(
+                 regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_distinct
+        FROM documents
+      )
+    ),
+    kept AS (
+      SELECT doc_id, text FROM sig
+      WHERE n_tokens >= 40 AND n_tokens <= 5000
+        AND distinct_ratio >= 0.35 AND mean_token_len <= 8.0
+    ),
+    ded AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    shb AS (
+      SELECT doc_id, {_HEX8} % 100 >= 95 AS benchmark,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+                   md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents)
+    ),
+    contaminated AS (
+      SELECT DISTINCT c.doc_id
+      FROM shb c JOIN shb b ON NOT c.benchmark AND b.benchmark
+      WHERE len(list_intersect(c.shingles, b.shingles)) >= 10
+    ),
+    clean AS (
+      SELECT doc_id, text, hh FROM (
+        SELECT d.doc_id, d.text, md5(CAST(d.doc_id AS VARCHAR)) AS hh
+        FROM ded d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      ) WHERE {_HEX8} % 100 < 95
+    ),
+    sharded AS (
+      SELECT doc_id, {_HEX8} % 32 AS shard,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM clean
+    ),
+    packed AS (
+      SELECT doc_id, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM sharded
+    )
+    SELECT doc_id, shard, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS seq_idx, n_tokens
+    FROM packed
+    """,
+)
+def q_corpus_prepare_training_data(spark: SparkSession, sf: str) -> DataFrame:
+    # The FLAGSHIP composed pipeline: quality filter -> exact dedup ->
+    # benchmark decontamination -> deterministic sequence packing, the
+    # whole corpus-prep job as one lazy plan, exact-oracled end to end.
+    # Stage shapes (all individually plan-audited by their standalone
+    # queries): the quality verdict rides the scan (carry= keeps text in
+    # the same projection, no join-back); dedup is one uniform
+    # md5-digest shuffle; contamination is the broadcast inverted-index
+    # join (eval side is tiny by construction at any scale) feeding a
+    # left-anti; packing is one shard-keyed shuffle with a streaming
+    # running-sum frame.
+    docs = load(spark, sf, "documents")
+    kept = (
+        C.quality_filter(docs, "text", "doc_id", carry=("text",))
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+    ded = D.dedup_exact(kept, "text", "doc_id").select("doc_id", "text")
+
+    sh = (
+        docs.withColumn("bucket", C.stable_bucket("doc_id", 100))
+        .select(
+            "doc_id",
+            (F.col("bucket") >= 95).alias("benchmark"),
+            D.shingle_hashes("text", 3).alias("shingles"),
+        )
+    )
+    train = sh.filter(~F.col("benchmark")).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    bench = sh.filter(F.col("benchmark")).select(
+        F.col("doc_id").alias("benchmark_doc"), F.explode("shingles").alias("shingle")
+    )
+    contaminated = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "benchmark_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 10)
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        ded.filter(C.stable_bucket("doc_id", 100) < 95)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    return C.pack_sequences(clean, "text", "doc_id", capacity=256, n_shards=32)
+
+
+@query(
     "dedup_incremental",
     f"""
     WITH tagged AS (

@@ -149,6 +149,7 @@ def quality_filter(
     max_tokens: int = 5000,
     min_distinct_ratio: float = 0.35,
     max_mean_token_len: float = 8.0,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style rule-based corpus cleaning: per-document quality
     signals plus a ``keep`` verdict. Signals: token-count bounds,
@@ -158,7 +159,10 @@ def quality_filter(
     Pure projection over one scan — every signal is a JVM expression,
     no shuffle, no UDF; at 100 TB this runs at scan bandwidth. All
     comparisons use the ROUNDED signal values so the verdict is
-    reproducible across engines."""
+    reproducible across engines. ``carry`` names extra input columns to
+    pass through (e.g. the text itself when the verdict feeds a
+    pipeline), keeping filter-then-continue a single scan instead of a
+    join-back on id."""
     from hadoopxmlextractor_spark.operators.text import quality_features
 
     feats = quality_features(text_col)
@@ -178,6 +182,7 @@ def quality_filter(
     )
     return docs.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         n_tokens.alias("n_tokens"),
         distinct_ratio.alias("distinct_ratio"),
         mean_tok.alias("mean_token_len"),

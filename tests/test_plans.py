@@ -178,6 +178,21 @@ def test_semantic_clusters_query_is_lsh_bucketed_not_all_pairs(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_prepare_training_data_plan_contract(spark):
+    # The composed pipeline must keep each stage's scale shape: the
+    # contamination inverted-index join broadcasts the (tiny) benchmark
+    # side, and nothing in the composition degrades to an all-pairs
+    # nested-loop or cartesian plan.
+    from hadoopxmlextractor_spark.corpus_queries import (
+        q_corpus_prepare_training_data,
+    )
+
+    plan = executed_plan(q_corpus_prepare_training_data(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_corpus_scan_bandwidth_ops_have_no_shuffle(spark):
     # Quality filter, stable split, and chunking are pure projections /
     # local explodes: zero exchanges at any scale.
