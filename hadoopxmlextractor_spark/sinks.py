@@ -48,3 +48,47 @@ def write_partitioned_parquet(
     cardinality columns (date, source, event_type); high-cardinality
     partitioning creates a small-files explosion instead."""
     df.write.partitionBy(*partition_cols).mode(mode).parquet(path)
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_shards: int = 32,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Training-export sink: JSONL shard directories with DETERMINISTIC
+    membership and line order, plus a manifest.
+
+    Shard assignment is the stable md5 bucket of the id — a property of
+    the row, not of partition order or cluster size — so re-runs,
+    engine versions, and different parallelism produce identical shard
+    contents (the property that makes training jobs resumable and
+    diffable). One hash shuffle: ``repartition(shard)`` puts each shard
+    in one task, ``sortWithinPartitions(id)`` fixes line order, and the
+    Hive-style ``partitionBy`` writes ``shard=N/`` dirs of JSON lines.
+    Returns the per-shard manifest (rows + token totals), also written
+    under ``<path>/_manifest`` as a single JSON file — small by
+    construction (n_shards rows) so the coalesce(1) is safe at any
+    scale."""
+    from hadoopxmlextractor_spark.operators.corpus import stable_bucket
+    from hadoopxmlextractor_spark.operators.text import tokens
+
+    sharded = (
+        docs.withColumn("shard", stable_bucket(id_col, n_shards))
+        .repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+    )
+    sharded.write.partitionBy("shard").mode(mode).json(path)
+    manifest = (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens(F.col(text_col))).cast("long")).alias("n_tokens"),
+        )
+        .orderBy("shard")
+    )
+    manifest.coalesce(1).write.mode(mode).json(f"{path}/_manifest")
+    return manifest

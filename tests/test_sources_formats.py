@@ -92,3 +92,39 @@ def test_from_xml_structured_alternative(spark):
     ).select("doc_id", F.col("b._id").alias("book_id"), F.col("b.price").alias("price"))
     row = parsed.first()
     assert row.book_id == "bk101" and row.price == 44.95
+
+
+def test_training_shards_sink_deterministic(spark, tmp_path):
+    # shard membership must be a property of the id (stable md5 bucket),
+    # line order a property of the sort — two writes, identical bytes
+    from hadoopxmlextractor_spark.operators.corpus import stable_bucket
+    from hadoopxmlextractor_spark.sinks import write_training_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} " * (i % 7 + 1)) for i in range(100)],
+        "doc_id long, text string",
+    )
+    outs = []
+    for run in ("a", "b"):
+        out = str(tmp_path / run)
+        manifest = {
+            (r["shard"], r["n_docs"], r["n_tokens"])
+            for r in write_training_shards(docs, out, n_shards=4).collect()
+        }
+        back = spark.read.json(f"{out}/shard=*")
+        assert back.count() == 100
+        rows = sorted(
+            (r["doc_id"], r["text"]) for r in back.collect()
+        )
+        outs.append((manifest, rows))
+    assert outs[0] == outs[1]
+    # membership matches stable_bucket exactly
+    expected = {
+        r["doc_id"]: r["b"]
+        for r in docs.select("doc_id", stable_bucket("doc_id", 4).alias("b")).collect()
+    }
+    back = spark.read.json(str(tmp_path / "a"))  # partition col recovered
+    got = {r["doc_id"]: r["shard"] for r in back.collect()}
+    assert got == expected
+    # manifest totals cover the corpus
+    assert sum(n for _, n, _ in outs[0][0]) == 100
