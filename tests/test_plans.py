@@ -178,6 +178,16 @@ def test_semantic_clusters_query_is_lsh_bucketed_not_all_pairs(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_user_sequences_single_shuffle(spark):
+    # The per-user cap's rank filter must RIDE the groupBy's hash
+    # partitioning (same key), not add a second exchange.
+    from hadoopxmlextractor_spark.corpus_queries import (
+        q_corpus_user_sequences,
+    )
+
+    assert count_exchanges(q_corpus_user_sequences(spark, SF)) == 1
+
+
 def test_prepare_training_data_plan_contract(spark):
     # The composed pipeline must keep each stage's scale shape: the
     # contamination inverted-index join broadcasts the (tiny) benchmark
