@@ -208,6 +208,7 @@ def cosine_pairs_lsh(
     id_col: str = "vec_id",
     seed: int = 42,
     round_digits: int = 5,
+    max_bucket: int | None = 10000,
 ) -> DataFrame:
     """Approximate near-dup pairs: banded hyperplane LSH — bucket each
     vector into ``n_tables`` tables of ``n_planes``-bit sketches,
@@ -218,7 +219,11 @@ def cosine_pairs_lsh(
     tighten b upward when the threshold is high to keep buckets small.
     Two shuffles: the (table, bucket) self-join and the pair-distinct
     — candidate count, not n², drives both, so cost tracks how sharply
-    the threshold separates the data.
+    the threshold separates the data. ``max_bucket`` drops degenerate
+    buckets (e.g. a constant/zero embedding column folds a whole table
+    into one bucket) before the self-join so a pathological input can
+    never go quadratic; the skip is deterministic (a property of the
+    bucket's size), so the oracle replays it exactly.
     """
     # The sketch feeds both self-join sides: persist + eager count so
     # the pandas-UDF lineage runs once (concurrent AQE stages would
@@ -236,6 +241,14 @@ def cosine_pairs_lsh(
         .persist()
     )
     sk.count()
+    if max_bucket is not None:
+        big = (
+            sk.groupBy("t", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("t", "bucket")
+        )
+        sk = sk.join(big, ["t", "bucket"], "left_anti")
     a = sk.select(
         "t", "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a")
     )

@@ -184,7 +184,8 @@ def winnowing_oracle(*, k: int = 5, window: int = 4) -> str:
 
 
 def _lsh_pair_ctes(
-    *, dim: int, n_planes: int, n_tables: int, seed: int
+    *, dim: int, n_planes: int, n_tables: int, seed: int,
+    max_bucket: int = 10000,
 ) -> str:
     """Shared CTE chain rebuilding the seeded banded hyperplane sketch
     and the same-bucket-in-any-table candidate pairs (used by the
@@ -212,9 +213,15 @@ def _lsh_pair_ctes(
                AS bucket
       FROM dots GROUP BY vec_id, k // {n_planes}
     ),
+    skf AS (
+      SELECT s.vec_id, s.t, s.bucket FROM sk s
+      JOIN (SELECT t, bucket FROM sk GROUP BY t, bucket
+            HAVING COUNT(*) <= {max_bucket}) ok
+        ON s.t = ok.t AND s.bucket = ok.bucket
+    ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      FROM sk a JOIN sk b
+      FROM skf a JOIN skf b
         ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
     ),
     pairs AS (
@@ -234,6 +241,7 @@ def near_pairs_lsh_oracle(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket: int = 10000,
 ) -> str:
     """Banded hyperplane-LSH near pairs. The plane matrix is the
     operator's own seeded RandomState draw, embedded as full-precision
@@ -243,7 +251,8 @@ def near_pairs_lsh_oracle(
     only if |dot| were within ~1e-13 of zero (never observed;
     probability ~1e-12 per vector-plane)."""
     ctes = _lsh_pair_ctes(
-        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        max_bucket=max_bucket,
     ).format(threshold=threshold)
     return f"""
     WITH {ctes}
@@ -258,12 +267,14 @@ def semantic_clusters_lsh_oracle(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
+    max_bucket: int = 10000,
 ) -> str:
     """Connected components over the SAME seeded LSH candidate pairs the
     production `dedup_semantic_clusters` query generates (bucketing is
     deterministic, so the cluster assignment is exactly replayable)."""
     ctes = _lsh_pair_ctes(
-        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed
+        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
+        max_bucket=max_bucket,
     ).format(threshold=threshold)
     return f"""
     WITH RECURSIVE {ctes},

@@ -150,6 +150,25 @@ def test_cosine_pairs_exact_and_lsh_agree_on_high_sim(spark, vectors):
     assert (3, 5) in lsh and lsh <= exact
 
 
+def test_cosine_pairs_lsh_caps_degenerate_buckets(spark):
+    # A constant embedding column folds every vector into ONE bucket per
+    # table; max_bucket must drop those buckets so the candidate join
+    # can never go quadratic on pathological input.
+    n = 40
+    const = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    capped = S.cosine_pairs_lsh(
+        const, threshold=0.9, dim=3, n_planes=4, n_tables=2, max_bucket=10
+    )
+    assert capped.count() == 0  # all buckets over cap → no candidates
+    uncapped = S.cosine_pairs_lsh(
+        const, threshold=0.9, dim=3, n_planes=4, n_tables=2, max_bucket=None
+    )
+    assert uncapped.count() == n * (n - 1) // 2  # identical vectors: all pairs
+
+
 def test_ivf_topk_finds_planted_neighbor(spark, vectors):
     q = vectors.filter("vec_id = 3").first()["embedding"]
     top = S.ivf_topk(vectors, q, k=2, n_centroids=4, nprobe=2).collect()
