@@ -82,14 +82,17 @@ def extract_fragments(
 def _xpath_array(col: str, expr: str):
     """JVM-side xpath(col, expr) → array<string> of node string values.
 
-    Subset-shaped expressions get their namespace prefixes stripped so
-    the general path shares the fused path's local-name matching
-    (Spark's xpath matches a *prefixed* step against nothing; an
-    unprefixed step already matches by local name in any namespace).
+    Subset-shaped expressions are normalized so the general path shares
+    the fused path's semantics: namespace prefixes stripped (Spark's
+    xpath matches a *prefixed* step against nothing; an unprefixed step
+    already matches by local name in any namespace) and bare element
+    terminals rewritten to their subtree text nodes (Hive's xpath
+    yields null for element nodes; see ``xpath_subset`` docstring for
+    the reference's "null"-string defect this deliberately fixes).
     """
-    from hadoopxmlextractor_spark.xpath_subset import strip_prefixes
+    from hadoopxmlextractor_spark.xpath_subset import normalize_for_jvm
 
-    return F.xpath(F.col(col), F.lit(strip_prefixes(expr)))
+    return F.xpath(F.col(col), F.lit(normalize_for_jvm(expr)))
 
 
 def project_cells(fragments: DataFrame, config: ExtractionConfig) -> DataFrame:

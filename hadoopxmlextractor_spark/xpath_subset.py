@@ -31,10 +31,19 @@ pyspark 4.1.2) and to the reference's javax NODESET evaluation
   (javax ``book[2]`` = second book of each parent, not the second book
   overall); results concatenate in document order with duplicates
   removed, as a javax NODESET does.
-- A bare element result contributes its whole string value
-  (``itertext``); ``text()`` selects the element's direct text nodes
-  (text + child tails); ``@attr`` the attribute value. All matched
-  nodes' string values concatenate with no separator.
+- A bare element result contributes its subtree's text — precisely:
+  the distinct text nodes under all matched elements, document order,
+  each text node once (``//expr//text()`` semantics, enforced on the
+  general path by :func:`normalize_for_jvm`). This is a DELIBERATE
+  defect fix: the reference appends ``Node.getNodeValue()`` per
+  matched node (``XmlExtractor.java:108``), which is null for element
+  nodes, so its output cell is the literal string ``"null"`` per
+  match — meaningless; Spark's Hive-style ``xpath()`` instead yields
+  null entries that ``array_join`` drops (empty cell). We emit the
+  XPath string value, the only one of the three a user could want.
+  ``text()`` selects the element's direct text nodes (text + child
+  tails); ``@attr`` the attribute value. All matched nodes' values
+  concatenate with no separator.
 - ``[@attr='v']`` keeps a step's matches whose attribute equals the
   literal exactly (javax string comparison); a missing attribute never
   matches.
@@ -168,6 +177,35 @@ def strip_prefixes(expr: str) -> str:
     return out
 
 
+def normalize_for_jvm(expr: str) -> str:
+    """Rewrite a subset expression for Spark's Hive-style ``xpath()`` so
+    the general path shares the fused path's semantics: strip namespace
+    prefixes (see :func:`strip_prefixes`) and, for a bare element
+    terminal, append ``//text()`` — Hive's xpath yields null for
+    element nodes (and the reference's ``getNodeValue()`` yields the
+    literal string "null", ``XmlExtractor.java:108``), while our
+    defined semantics is the subtree string value. Out-of-subset
+    expressions pass through unchanged (full XPath 1.0 on the JVM)."""
+    out = strip_prefixes(expr)
+    path, terminal = _split_terminal(out.strip())
+    if terminal is None and _parse_path(path) is not None:
+        return out.strip() + "//text()"
+    return out
+
+
+def _walk_texts(el: Element):
+    """Yield (owner element, text) for every text node in document
+    order — ``el.text`` is owned by ``el``; a child's ``tail`` is a
+    text node of the PARENT in the XPath data model."""
+    if el.text:
+        yield (el, el.text)
+    for c in el:
+        if isinstance(c.tag, str):
+            yield from _walk_texts(c)
+        if c.tail:
+            yield (el, c.tail)
+
+
 def _get_attr_local(n: Element, attr: str) -> str | None:
     """Attribute lookup by local name (namespaced attrs match too)."""
     v = n.get(attr)
@@ -186,6 +224,10 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
     steps = _parse_path(path)
     if steps is None:
         return None
+    if terminal is None:
+        # bare element projection = subtree string value (see module
+        # docstring: deliberate fix of the reference's "null" output)
+        terminal = ("dtext",)
 
     def keep(n: Element, s: _Step) -> bool:
         if not isinstance(n.tag, str):
@@ -241,30 +283,17 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
             # a NODESET concatenates in document order
             order = {id(el): i for i, el in enumerate(root.iter())}
             nodes = sorted(nodes, key=lambda n: order[id(n)])
-        if terminal is None:
-            values = ["".join(n.itertext()) for n in nodes]
-        elif terminal[0] == "text":
-            values = []
-            for n in nodes:
-                direct = [n.text or ""] + [c.tail or "" for c in n]
-                values.extend(t for t in direct if t != "")
-        elif terminal[0] == "dtext":
-            # //text(): every text NODE whose parent is in the matched
-            # subtrees, once each, in document order — one global walk
-            # (a per-node itertext would double-count under nested
-            # matches, which is why this terminal needs its own path).
-            sub = {id(d) for n in nodes for d in n.iter()}
-
-            def walk(el: Element):
-                if el.text:
-                    yield (el, el.text)
-                for c in el:
-                    if isinstance(c.tag, str):
-                        yield from walk(c)
-                    if c.tail:
-                        yield (el, c.tail)
-
-            values = [t for owner, t in walk(root) if id(owner) in sub]
+        if terminal[0] in ("text", "dtext"):
+            # text nodes are selected by OWNER (text: direct children of
+            # matched elements; //text(): anywhere in their subtrees)
+            # through one global document-order walk — nested matched
+            # elements interleave their text nodes, so a per-node
+            # concat would misorder (and, for //text(), double-count).
+            if terminal[0] == "text":
+                owners = {id(n) for n in nodes}
+            else:
+                owners = {id(d) for n in nodes for d in n.iter()}
+            values = [t for owner, t in _walk_texts(root) if id(owner) in owners]
         else:
             attr = terminal[1]
             values = []

@@ -1,0 +1,86 @@
+"""Cross-validation of the fused XPath subset against Spark's JVM
+xpath over GENERATED documents and expressions — the axis/predicate
+rework's safety net beyond the hand-picked cases: every expression the
+subset claims to compile must agree with javax node-for-node on
+arbitrary tree shapes (nested same-name elements, empty nodesets,
+multi-node concat, mixed text/tails)."""
+
+import random
+import xml.etree.ElementTree as ET
+
+import pyspark.sql.functions as F
+
+from hadoopxmlextractor_spark.xpath_subset import compile_subset, normalize_for_jvm
+
+TAGS = ["a", "b", "c", "d"]
+ATTRS = [("id", ["1", "2", "x"]), ("cat", ["p", "q"])]
+TEXTS = ["t1", "t2", "zz"]
+
+
+def _gen_tree(rng: random.Random) -> str:
+    def build(depth: int) -> ET.Element:
+        el = ET.Element(rng.choice(TAGS))
+        if rng.random() < 0.6:
+            name, vals = rng.choice(ATTRS)
+            el.set(name, rng.choice(vals))
+        if rng.random() < 0.5:
+            el.text = rng.choice(TEXTS)
+        if depth < 3:
+            for _ in range(rng.randint(0, 3)):
+                child = build(depth + 1)
+                el.append(child)
+                if rng.random() < 0.3:
+                    child.tail = rng.choice(TEXTS)
+        return el
+
+    root = ET.Element("r")
+    for _ in range(rng.randint(1, 3)):
+        root.append(build(1))
+    return ET.tostring(root, encoding="unicode")
+
+
+def _gen_expr(rng: random.Random) -> str:
+    parts = []
+    for _ in range(rng.randint(1, 3)):
+        axis = "//" if rng.random() < 0.6 else "/"
+        name = rng.choice(TAGS + ["*"])
+        pred = ""
+        roll = rng.random()
+        if roll < 0.25:
+            attr, vals = rng.choice(ATTRS)
+            pred = f"[@{attr}='{rng.choice(vals)}']"
+        elif roll < 0.4:
+            pred = f"[{rng.randint(1, 3)}]"
+        parts.append(f"{axis}{name}{pred}")
+    roll = rng.random()
+    if roll < 0.3:
+        parts.append("/text()" if rng.random() < 0.7 else "//text()")
+    elif roll < 0.5:
+        parts.append("/@id")
+    return "".join(parts)
+
+
+def test_fused_subset_agrees_with_jvm_xpath_on_generated_cases(spark):
+    rng = random.Random(20260813)
+    docs = [_gen_tree(rng) for _ in range(40)]
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, xml string")
+
+    checked = 0
+    for _ in range(40):
+        expr = _gen_expr(rng)
+        ev = compile_subset(expr)
+        assert ev is not None, f"generated expr left the subset: {expr}"
+        jvm_expr = normalize_for_jvm(expr)  # what project_cells evaluates
+        jvm = {
+            # null node values join as "" (array_join semantics in
+            # extract.project_cells); empty array ≡ no cell ≡ None
+            r["i"]: "".join(x or "" for x in r["nodes"]) if r["nodes"] else None
+            for r in df.select(
+                "i", F.xpath("xml", F.lit(jvm_expr)).alias("nodes")
+            ).collect()
+        }
+        for i, doc in enumerate(docs):
+            fused = ev(ET.fromstring(doc))
+            assert (fused or "") == (jvm[i] or ""), (expr, i, fused, jvm[i], doc)
+        checked += 1
+    assert checked == 40
