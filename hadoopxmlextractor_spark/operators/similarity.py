@@ -228,19 +228,21 @@ def cosine_pairs_lsh(
     # The sketch feeds both self-join sides: persist + eager count so
     # the pandas-UDF lineage runs once (concurrent AQE stages would
     # otherwise race to recompute it before any block is cached).
-    sk = (
-        hyperplane_sketch(
-            emb.select(id_col, vec_col),
-            dim=dim,
-            n_planes=n_planes,
-            n_tables=n_tables,
-            vec_col=vec_col,
-            seed=seed,
-        )
-        .select(id_col, vec_col, F.posexplode("buckets").alias("t", "bucket"))
-        .persist()
+    # Persist the COMPACT (id, vec, buckets-array) row and explode
+    # after: caching the exploded form would duplicate every embedding
+    # n_tables× in memory.
+    compact = hyperplane_sketch(
+        emb.select(id_col, vec_col),
+        dim=dim,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        vec_col=vec_col,
+        seed=seed,
+    ).persist()
+    compact.count()
+    sk = compact.select(
+        id_col, vec_col, F.posexplode("buckets").alias("t", "bucket")
     )
-    sk.count()
     if max_bucket is not None:
         big = (
             sk.groupBy("t", "bucket")
