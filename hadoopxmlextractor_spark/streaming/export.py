@@ -1,0 +1,71 @@
+"""Continuous corpus ingestion → dedup → incremental shard export.
+
+The streaming composition of the training-data pipeline's tail: as
+document files land, cross-batch first-seen-wins dedup
+(:mod:`streaming.dedup`'s keyed state) feeds the deterministic
+training-shard layout (:func:`sinks.write_training_shards`'s stable
+md5 bucketing) — each micro-batch APPENDS its fresh documents to the
+``shard=N/`` JSONL directories, so a consumer always sees a
+hash-sharded, duplicate-free corpus that only grows.
+
+Why foreachBatch for the sink: shard membership must be the stable
+bucket of the id (the resumability property the batch sink pins);
+the JSON streaming sink cannot partition by a derived column AND keep
+append atomicity per batch, while foreachBatch writes each batch's
+shard partitions with the batch-scoped writer, giving exactly-once
+per-batch appends under checkpoint recovery.
+
+Scale: dedup state is the digest set (see dedup.py's state note —
+RocksDB store / timeout for bounded deployments); the export itself is
+stateless, one hash shuffle per batch on the shard key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from hadoopxmlextractor_spark.operators.corpus import stable_bucket
+from hadoopxmlextractor_spark.streaming.dedup import dedup_stream
+
+
+def read_document_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """Streaming source of (doc_id, text) documents from JSONL files in
+    a landing directory (the interchange format the shard sink writes)."""
+    return (
+        spark.readStream.schema("doc_id long, text string")
+        .json(landing_dir)
+        .select("doc_id", "text")
+    )
+
+
+def export_stream(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    *,
+    checkpoint_dir: str,
+    n_shards: int = 32,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Continuously ingest, dedup across batches, and append to the
+    deterministic shard layout. Returns the running query."""
+    fresh = dedup_stream(read_document_stream(spark, landing_dir))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("shard", stable_bucket("doc_id", n_shards))
+            .repartition(F.col("shard"))
+            .sortWithinPartitions("shard", "doc_id")
+            .write.partitionBy("shard")
+            .mode("append")
+            .json(out_dir)
+        )
+
+    writer = fresh.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

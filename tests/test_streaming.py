@@ -186,3 +186,53 @@ def test_hopping_window_stream(spark, tmp_path, event_stream):
     assert got.get(("2024-01-01 00:00:00", "click")) == 2
     assert got.get(("2023-12-31 23:30:00", "click")) == 1
     assert got.get(("2024-01-01 00:30:00", "click")) == 1
+
+
+def test_export_stream_dedups_and_appends_shards(spark, tmp_path):
+    """Continuous ingest → cross-batch dedup → incremental shard export:
+    two landings with an overlapping document; the shard layout ends up
+    holding exactly the deduped union, membership matching the batch
+    sink's stable bucketing."""
+    import json
+
+    from hadoopxmlextractor_spark.operators.corpus import stable_bucket
+    from hadoopxmlextractor_spark.streaming.export import export_stream
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    out = tmp_path / "shards"
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    land("b1.json", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    q = export_stream(
+        spark,
+        str(landing),
+        str(out),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_shards=4,
+    )
+    try:
+        q.processAllAvailable()
+        land("b2.json", [(4, "beta"), (5, "gamma")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # the partition column is recovered from the shard=N/ path
+    back = spark.read.json(str(out))
+    got = {(r["doc_id"], r["text"], r["shard"]) for r in back.collect()}
+    expected_shard = {
+        r["doc_id"]: r["b"]
+        for r in spark.range(1, 6)
+        .select(F.col("id").alias("doc_id"), stable_bucket("doc_id", 4).alias("b"))
+        .collect()
+    }
+    assert got == {
+        (1, "alpha", expected_shard[1]),
+        (2, "beta", expected_shard[2]),
+        (5, "gamma", expected_shard[5]),
+    }
