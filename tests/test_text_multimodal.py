@@ -86,12 +86,16 @@ def test_multimodal_feature_pipeline(spark, docs):
     assert rows[5].n_bytes == 0 and sum(rows[5].feature) == 0.0  # empty doc
 
 
-def test_multimodal_real_decode_is_stubbed(spark, docs):
+def test_multimodal_real_decode_nulls_unsupported_formats(spark, docs):
+    # utf-8 text bytes are neither PPM nor WAV: real decode must emit a
+    # NULL feature per row (auditable), never crash the job
     media = M.fake_media_from_documents(
         docs.select("doc_id", "text", F.lit("src").alias("source"))
     )
-    with pytest.raises(NotImplementedError):
-        M.extract_media_features(media, decode="real")
+    rows = M.extract_media_features(media, decode="real").collect()
+    assert len(rows) == docs.count()
+    assert all(r["feature"] is None for r in rows)
+    assert any(r["n_bytes"] > 0 for r in rows)  # fixture has a NULL-text doc
 
 
 def test_frame_sampling_shapes(spark):
@@ -121,12 +125,78 @@ def test_resize_media_bounds_and_determinism(spark, docs):
     assert rows == again
 
 
-def test_resize_media_real_decode_is_stubbed(spark, docs):
-    import pytest
+def _ppm_bytes(w, h):
+    import numpy as np
 
-    media = M.fake_media_from_documents(docs)
-    with pytest.raises(NotImplementedError):
-        M.resize_media(media, decode="real").collect()
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    img[..., 0] = np.arange(w, dtype=np.uint8)[None, :] * 8  # red gradient
+    img[..., 1] = 100
+    return f"P6\n# test\n{w} {h}\n255\n".encode() + img.tobytes(), img
+
+
+def _wav_bytes(rate=8000, seconds=0.5, freq=440.0):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as ww:
+        ww.setnchannels(1)
+        ww.setsampwidth(2)
+        ww.setframerate(rate)
+        ww.writeframes(x.tobytes())
+    return buf.getvalue(), x
+
+
+def _media_df(spark, blobs):
+    return spark.createDataFrame(
+        [
+            (i, mt, bytearray(b), (None, len(b), mt))
+            for i, (mt, b) in enumerate(blobs)
+        ],
+        M.MEDIA_SCHEMA,
+    )
+
+
+def test_real_decode_features_ppm_and_wav(spark):
+    ppm, img = _ppm_bytes(16, 8)
+    wav, x = _wav_bytes()
+    media = _media_df(
+        spark, [("image", ppm), ("audio", wav), ("video", b"\x00\x01notaformat")]
+    )
+    feats = {r["media_id"]: r["feature"] for r in M.extract_media_features(media, decode="real").collect()}
+    fi = feats[0]
+    assert (fi[0], fi[1], fi[2]) == (16.0, 8.0, 3.0)
+    assert abs(fi[3] - img[..., 0].mean()) < 1e-4  # mean red
+    assert abs(fi[4] - 100.0) < 1e-4  # mean green
+    fa = feats[1]
+    assert (fa[0], fa[1]) == (8000.0, 1.0)
+    assert abs(fa[3] - 0.5) < 1e-3  # duration
+    import numpy as np
+
+    assert abs(fa[4] - np.sqrt(np.mean((x / 32768.0) ** 2))) < 1e-3  # rms
+    assert feats[2] is None  # codec format w/o libs: null, not a crash
+
+
+def test_real_resize_reencodes_ppm_and_wav(spark):
+    ppm, _ = _ppm_bytes(16, 8)
+    wav, _ = _wav_bytes()
+    media = _media_df(spark, [("image", ppm), ("audio", wav)])
+    small = {
+        r["media_id"]: bytes(r["content"])
+        for r in M.resize_media(media, target_bytes=128, decode="real").collect()
+    }
+    simg = M._decode_ppm(small[0])
+    assert simg is not None and simg.shape[0] * simg.shape[1] * 3 <= 128
+    dec = M._decode_wav(small[1])
+    assert dec is not None
+    rate, ch, frames = dec
+    assert len(frames) * ch * 2 <= 128
+    # duration preserved: frames/rate ratio matches the original 0.5 s
+    assert abs(len(frames) / rate - 0.5) < 0.02
 
 
 def test_repetition_counts_planted(spark):
