@@ -261,8 +261,10 @@ def resize_media(
                 if img is not None:
                     h, w, _ = img.shape
                     k = 1
-                    # slicing [::k] keeps ceil(n/k) samples — size by ceil
-                    while -(h // -k) * -(w // -k) * 3 > target_bytes:
+                    # slicing [::k] keeps ceil(n/k) samples — size by
+                    # ceil; k caps at max(h, w) (floor: one pixel) so a
+                    # sub-pixel target_bytes cannot loop forever
+                    while -(h // -k) * -(w // -k) * 3 > target_bytes and k < max(h, w):
                         k += 1
                     small = img[:: k, :: k, :]
                     header = f"P6\n{small.shape[1]} {small.shape[0]}\n255\n"
@@ -271,7 +273,10 @@ def resize_media(
                 if dec is not None:
                     rate, channels, frames = dec
                     k = 1
-                    while -(len(frames) // -k) * channels * 2 > target_bytes:
+                    while (
+                        -(len(frames) // -k) * channels * 2 > target_bytes
+                        and k < max(len(frames), 1)
+                    ):
                         k += 1
                     small = frames[::k]
                     buf = io.BytesIO()
