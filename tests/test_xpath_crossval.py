@@ -17,9 +17,11 @@ ATTRS = [("id", ["1", "2", "x"]), ("cat", ["p", "q"])]
 TEXTS = ["t1", "t2", "zz"]
 
 
-def _gen_tree(rng: random.Random) -> str:
+def _gen_tree(rng: random.Random, ns: bool = False) -> str:
+    pre = "x:" if ns else ""
+
     def build(depth: int) -> ET.Element:
-        el = ET.Element(rng.choice(TAGS))
+        el = ET.Element(pre + rng.choice(TAGS))
         if rng.random() < 0.6:
             name, vals = rng.choice(ATTRS)
             el.set(name, rng.choice(vals))
@@ -33,7 +35,9 @@ def _gen_tree(rng: random.Random) -> str:
                     child.tail = rng.choice(TEXTS)
         return el
 
-    root = ET.Element("r")
+    root = ET.Element(pre + "r")
+    if ns:
+        root.set("xmlns:x", "http://example.com/x")
     for _ in range(rng.randint(1, 3)):
         root.append(build(1))
     return ET.tostring(root, encoding="unicode")
@@ -62,7 +66,9 @@ def _gen_expr(rng: random.Random) -> str:
 
 def test_fused_subset_agrees_with_jvm_xpath_on_generated_cases(spark):
     rng = random.Random(20260813)
-    docs = [_gen_tree(rng) for _ in range(40)]
+    # mix in namespaced documents: unprefixed steps must match by local
+    # name on both paths (the round-2 namespace semantics)
+    docs = [_gen_tree(rng, ns=(i % 4 == 3)) for i in range(40)]
     df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, xml string")
 
     checked = 0
