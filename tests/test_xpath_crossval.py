@@ -48,6 +48,8 @@ def _gen_expr(rng: random.Random) -> str:
     for _ in range(rng.randint(1, 3)):
         axis = "//" if rng.random() < 0.6 else "/"
         name = rng.choice(TAGS + ["*"])
+        if name != "*" and rng.random() < 0.2:
+            name = f"x:{name}"  # prefixed step: local-name match via strip
         pred = ""
         roll = rng.random()
         if roll < 0.25:
