@@ -1,0 +1,82 @@
+"""Temporal joins: the as-of family (point-in-time correctness).
+
+The reference has no joins at all (SURVEY §2.3 — cross-rule correlation
+is positional); this is the standard-category operator the union +
+running-window formulation expresses Spark-natively:
+
+- **backward** (the classic as-of): for each left row, the latest right
+  row with ``r.ts <= l.ts`` in the same key group.
+- **forward**: the earliest right row with ``r.ts >= l.ts``.
+- **tolerance**: a matched row further than ``tolerance_seconds`` away
+  is discarded (pandas ``merge_asof`` semantics: the nearest candidate
+  is the ONLY candidate, so an out-of-tolerance nearest means no match).
+
+Scale: ONE shuffle on the key column; the running ``last``/``first``
+over the unioned stream is a streaming window frame with O(1) state per
+key — the naive inequality join is O(left×right) per key and dies on
+hot keys. Ties (equal timestamps) are resolved so a same-instant right
+row IS visible to the left row, matching DuckDB's ``ASOF JOIN`` with
+``>=`` / ``<=`` bounds, which the query oracles replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str,
+    *,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
+    match_col: str = "asof_match",
+) -> DataFrame:
+    """Left rows + a ``match_col`` struct of the matched right row
+    (null when nothing matches). ``right``'s columns are carried inside
+    the struct, so arbitrary payloads ride along without name clashes.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
+
+    payload_type = (
+        "struct<" + ", ".join(f"{f.name}:{f.dataType.simpleString()}" for f in right.schema.fields) + ">"
+    )
+    # side ordering makes a same-instant right row fall INSIDE the
+    # left row's frame: backward scans (-inf, current] so right sorts
+    # first at ties; forward scans [current, +inf) so right sorts last.
+    right_side = 0 if direction == "backward" else 1
+    r2 = right.select(
+        F.col(on),
+        F.col(ts_col),
+        F.lit(right_side).alias("_side"),
+        F.struct(*[F.col(c) for c in right.columns]).alias(match_col),
+    )
+    l2 = left.select(
+        "*",
+        F.lit(1 - right_side).alias("_side"),
+        F.lit(None).cast(payload_type).alias(match_col),
+    )
+    unioned = l2.unionByName(r2, allowMissingColumns=True)
+
+    w = Window.partitionBy(on).orderBy(ts_col, "_side")
+    if direction == "backward":
+        frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        matched = F.last(match_col, ignorenulls=True).over(frame)
+    else:
+        frame = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        matched = F.first(match_col, ignorenulls=True).over(frame)
+    if tolerance_seconds is not None:
+        delta = F.abs(
+            F.unix_micros(matched[ts_col]) - F.unix_micros(F.col(ts_col))
+        )
+        matched = F.when(delta <= int(tolerance_seconds * 1_000_000), matched)
+
+    return (
+        unioned.withColumn(match_col, matched)
+        .filter(F.col("_side") == 1 - right_side)
+        .drop("_side")
+    )

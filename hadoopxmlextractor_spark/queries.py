@@ -405,35 +405,92 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     # state O(1) per user. The naive inequality-join alternative is
     # O(clicks×purchases) per user and dies at scale; this formulation
     # is the standard Spark pattern for point-in-time correctness.
+    from hadoopxmlextractor_spark.operators.temporal import asof_join
+
     ev = load(spark, sf, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts", F.lit(None).cast("timestamp").alias("click_ts")
+        "event_id", "user_id", "ts"
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.lit(None).cast("long").alias("event_id"),
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, "user_id", "ts").select(
+        "event_id",
         "user_id",
-        "ts",
-        F.col("ts").alias("click_ts"),
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.unix_millis(F.col("asof_match.ts")).alias("last_click_ms"),
     )
-    # click sorts before purchase at equal ts (is_purchase 0 < 1) so a
-    # same-instant click is visible to the purchase, matching ASOF <=.
-    unioned = purchases.unionByName(clicks).withColumn(
-        "is_purchase", F.col("event_id").isNotNull().cast("int")
+
+
+@query(
+    "join_asof_forward",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "is_purchase")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    SELECT p.event_id, p.user_id,
+           epoch_ms(CAST(p.ts AS TIMESTAMP)) AS purchase_ms,
+           epoch_ms(CAST(c.ts AS TIMESTAMP)) AS next_click_ms
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
+    # Forward as-of: the EARLIEST click at-or-after each purchase —
+    # same single-shuffle running-window plan, frame reversed.
+    from hadoopxmlextractor_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
     )
-    return (
-        unioned.withColumn("last_click", F.last("click_ts", ignorenulls=True).over(w))
-        .filter(F.col("is_purchase") == 1)
-        .select(
-            "event_id",
-            "user_id",
-            F.unix_millis("ts").alias("purchase_ms"),
-            F.unix_millis("last_click").alias("last_click_ms"),
-        )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(purchases, clicks, "user_id", "ts", direction="forward").select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.unix_millis(F.col("asof_match.ts")).alias("next_click_ms"),
+    )
+
+
+@query(
+    "join_asof_tolerance",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_ms(CAST(p.ts AS TIMESTAMP)) AS purchase_ms,
+           CASE WHEN CAST(c.ts AS TIMESTAMP)
+                     >= CAST(p.ts AS TIMESTAMP) - INTERVAL 1 HOUR
+                THEN epoch_ms(CAST(c.ts AS TIMESTAMP)) END AS last_click_1h_ms
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    # Tolerance as-of (pandas merge_asof semantics): the nearest
+    # candidate is the ONLY candidate, so discarding an out-of-window
+    # nearest equals "no match within tolerance" — a post-match filter,
+    # not a range join.
+    from hadoopxmlextractor_spark.operators.temporal import asof_join
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join(
+        purchases, clicks, "user_id", "ts", tolerance_seconds=3600
+    ).select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.unix_millis(F.col("asof_match.ts")).alias("last_click_1h_ms"),
     )
 
 

@@ -407,3 +407,38 @@ def test_duplicated_window_stats_caches_windows_no_cartesian(spark):
     assert "InMemoryTableScan" in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
     spark.catalog.clearCache()
+
+
+def test_asof_join_directions_tolerance_and_single_shuffle(spark):
+    from hadoopxmlextractor_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:00:00"), (2, "u", "2024-01-01 12:00:00"),
+         (3, "v", "2024-01-01 10:00:00")],
+        ["id", "k", "ts_s"],
+    ).select("id", "k", F.col("ts_s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-01 09:30:00", "a"),
+         ("u", "2024-01-01 10:00:00", "b"),   # tie: visible both ways
+         ("u", "2024-01-01 13:00:00", "c")],
+        ["k", "ts_s", "v"],
+    ).select("k", F.col("ts_s").cast("timestamp").alias("ts"), "v")
+
+    back = {r["id"]: r["asof_match"] for r in asof_join(left, right, "k", "ts").collect()}
+    assert back[1]["v"] == "b"          # same-instant right row matches
+    assert back[2]["v"] == "b"          # latest at-or-before 12:00
+    assert back[3] is None              # key v has no right rows
+
+    fwd = {r["id"]: r["asof_match"] for r in asof_join(left, right, "k", "ts", direction="forward").collect()}
+    assert fwd[1]["v"] == "b"           # tie matches forward too
+    assert fwd[2]["v"] == "c"           # earliest at-or-after 12:00
+
+    tol = {r["id"]: r["asof_match"] for r in asof_join(left, right, "k", "ts", tolerance_seconds=3600).collect()}
+    assert tol[1]["v"] == "b"
+    assert tol[2] is None               # nearest (10:00) is 2h away > 1h
+
+    # boundary: exactly tolerance away still matches (inclusive)
+    tol2 = {r["id"]: r["asof_match"] for r in asof_join(left, right, "k", "ts", tolerance_seconds=7200).collect()}
+    assert tol2[2]["v"] == "b"
+
+    assert count_exchanges(asof_join(left, right, "k", "ts")) == 1
