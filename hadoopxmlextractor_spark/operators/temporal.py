@@ -25,6 +25,51 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    *,
+    start_col: str = "start",
+    end_col: str = "end",
+    bin_seconds: int = 3600,
+    suffix: str = "_r",
+) -> DataFrame:
+    """Overlap join: pairs of (left, right) intervals on the same key
+    whose ``[start, end]`` ranges intersect (inclusive bounds).
+
+    Scale shape: a raw theta join (``l.start <= r.end AND r.start <=
+    l.end``) is a per-key cross product. Instead each interval explodes
+    into the fixed-width time bins it covers and the join runs as an
+    EQUI-join on (key, bin) — candidates are pairs sharing a bin, the
+    exact overlap predicate verifies, and a distinct collapses
+    multi-bin duplicates. Cost tracks true overlap density, not |L|x|R|;
+    pick ``bin_seconds`` near the typical interval length (too small
+    inflates the explode, too large inflates candidates).
+    """
+    def binned(df: DataFrame, tag: str) -> DataFrame:
+        s = F.unix_micros(F.col(start_col))
+        e = F.unix_micros(F.col(end_col))
+        step = int(bin_seconds * 1_000_000)
+        return df.select(
+            F.col(on),
+            *[F.col(c).alias(c + ("" if tag == "l" else suffix))
+              for c in df.columns if c != on],
+            F.explode(
+                F.sequence(
+                    F.floor(s / step).cast("long"), F.floor(e / step).cast("long")
+                )
+            ).alias("_bin"),
+        )
+
+    lb = binned(left, "l")
+    rb = binned(right, "r")
+    overlap = (F.col(start_col) <= F.col(end_col + suffix)) & (
+        F.col(start_col + suffix) <= F.col(end_col)
+    )
+    return lb.join(rb, [on, "_bin"]).filter(overlap).drop("_bin").distinct()
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -455,6 +455,54 @@ def q_join_asof_forward(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "join_interval_overlap",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id, c.click_id,
+           epoch_ms(p.s) AS purchase_ms, epoch_ms(c.s) AS click_ms
+    FROM p JOIN c
+      ON p.user_id = c.user_id AND p.s <= c.e AND c.s <= p.e
+    """,
+)
+def q_join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # Interval-overlap join via time-bin candidates: each 30-minute
+    # window explodes into the hour bins it covers, the join is an
+    # EQUI-join on (user, bin) with the exact overlap predicate as the
+    # verify — cost tracks overlap density, never |purchases|x|clicks|
+    # per user like the theta join the oracle runs.
+    from hadoopxmlextractor_spark.operators.temporal import interval_join
+
+    ev = load(spark, sf, "events")
+    mk = lambda t, idc: (
+        ev.filter(F.col("event_type") == t).select(
+            F.col("event_id").alias(idc),
+            "user_id",
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+        )
+    )
+    joined = interval_join(
+        mk("purchase", "event_id"), mk("click", "click_id"), "user_id",
+        bin_seconds=3600,
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("click_id_r").alias("click_id"),
+        F.unix_millis("start").alias("purchase_ms"),
+        F.unix_millis("start_r").alias("click_ms"),
+    )
+
+
+@query(
     "join_asof_tolerance",
     """
     WITH purchases AS (

@@ -442,3 +442,38 @@ def test_asof_join_directions_tolerance_and_single_shuffle(spark):
     assert tol2[2]["v"] == "b"
 
     assert count_exchanges(asof_join(left, right, "k", "ts")) == 1
+
+
+def test_interval_join_planted_and_equijoin_plan(spark):
+    from hadoopxmlextractor_spark.operators.temporal import interval_join
+
+    mk = lambda rows, idc: spark.createDataFrame(
+        rows, [idc, "k", "s", "e"]
+    ).select(
+        idc, "k",
+        F.col("s").cast("timestamp").alias("start"),
+        F.col("e").cast("timestamp").alias("end"),
+    )
+    left = mk(
+        [(1, "u", "2024-01-01 10:00:00", "2024-01-01 11:00:00"),
+         (2, "u", "2024-01-01 23:30:00", "2024-01-02 00:30:00"),  # spans midnight bins
+         (3, "w", "2024-01-01 10:00:00", "2024-01-01 11:00:00")],
+        "lid",
+    )
+    right = mk(
+        [(10, "u", "2024-01-01 11:00:00", "2024-01-01 12:00:00"),  # touches 1 at boundary
+         (11, "u", "2024-01-02 00:00:00", "2024-01-02 00:10:00"),  # inside 2
+         (12, "u", "2024-01-01 08:00:00", "2024-01-01 09:59:59"),  # just misses 1
+         (13, "v", "2024-01-01 10:30:00", "2024-01-01 10:40:00")],  # other key
+        "rid",
+    )
+    out = interval_join(left, right, "k", bin_seconds=3600)
+    pairs = {(r["lid"], r["rid_r"]) for r in out.collect()}
+    assert pairs == {(1, 10), (2, 11)}  # inclusive touch; no cross-key
+    # each pair appears once despite multi-bin coverage
+    assert out.count() == 2
+    # scale contract: candidates come from an equi-join, never a
+    # nested-loop theta join
+    plan = executed_plan(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
