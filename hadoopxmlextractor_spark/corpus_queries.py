@@ -598,6 +598,61 @@ def q_corpus_mix_weights(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_temperature_sample",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS total, SUM(SQRT(n_docs)) AS w_sum
+      FROM per
+    ),
+    rates AS (
+      SELECT source, n_docs,
+             ROUND(LEAST(1.0,
+                   SQRT(n_docs) / w_sum * CAST(total AS DOUBLE) / n_docs),
+                   6) AS keep_rate
+      FROM per, tot
+    ),
+    kept AS (
+      SELECT d.source, COUNT(*) AS c
+      FROM (SELECT source, md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents) d
+      JOIN rates r ON d.source = r.source
+      WHERE {_HEX8} % 10000
+            < CAST(FLOOR(r.keep_rate * 10000.0) AS BIGINT)
+      GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, r.keep_rate,
+           CAST(COALESCE(k.c, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def q_corpus_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Temperature-weighted source resampling (alpha=0.5): the
+    # data-mixture flattening step — p(s) ∝ n_s^0.5 with the keep rate
+    # capped at 1 — applied as a deterministic md5-bucket Bernoulli per
+    # row, then audited per source. A flipped keep decision anywhere
+    # changes n_kept, so the oracle validates every row's verdict
+    # through the aggregate. The rates frame is dimension-sized; it
+    # feeds both the sampling broadcast and the final report, and its
+    # lineage holds a corpus scan, so persist + eager count per the
+    # AQE cache-race rule.
+    docs = load(spark, sf, "documents")
+    rates = C.temperature_rates(docs, "source", alpha=0.5).persist()
+    rates.count()
+    kept = C.temperature_sample(docs, "source", "doc_id", rates=rates)
+    counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("_c"))
+    return rates.join(counts, "source", "left").select(
+        "source",
+        "n_docs",
+        "keep_rate",
+        F.coalesce(F.col("_c"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
+@query(
     "corpus_span_dedup",
     r"""
     WITH toks AS (

@@ -418,3 +418,73 @@ def shuffle_shards(
     return out.withColumn(
         "pos_in_shard", (F.row_number().over(w) - 1).cast("bigint")
     ).drop("_hh")
+
+
+def temperature_rates(
+    docs: DataFrame, source_col: str, *, alpha: float = 0.5
+) -> DataFrame:
+    """(source, n_docs, keep_rate): per-source keep rates for
+    temperature-weighted resampling (downsample-only). Target share of
+    source s is n_s^alpha / Σ n^alpha (alpha<1 flattens the source
+    distribution — the multilingual mixture-rebalancing rule of
+    arXiv:1901.07291 §3.1); the rate caps at 1 so under-represented
+    sources are never upsampled:
+
+        keep_rate(s) = min(1, (w_s / Σw) * N / n_s),  w_s = n_s^alpha
+
+    Two dimension-sized aggregates (|sources| rows) plus a 1-row
+    broadcast for the totals — O(dims) beyond the corpus scan. The
+    default alpha=0.5 computes w via sqrt, which is IEEE-correctly-
+    rounded on every engine, so a SQL oracle can replay the arithmetic
+    digit-for-digit (generic pow is only ulp-reproducible per-libm).
+    """
+    per = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = F.sqrt(F.col("n_docs")) if alpha == 0.5 else F.pow(F.col("n_docs"), F.lit(alpha))
+    weighted = per.withColumn("w", w)
+    tot = weighted.agg(F.sum("n_docs").alias("total"), F.sum("w").alias("w_sum"))
+    # Arithmetic shape is part of the contract: ((w / Σw) * N) / n_s
+    # with N cast to double — the oracle must group operations
+    # identically or last-ulp drift breaks the ROUND.
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("w") / F.col("w_sum")) * F.col("total").cast("double") / F.col("n_docs"),
+    )
+    return weighted.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.col("n_docs"),
+        F.round(rate, 6).alias("keep_rate"),
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    source_col: str,
+    id_col: str,
+    *,
+    alpha: float = 0.5,
+    n_buckets: int = 10_000,
+    rates: DataFrame | None = None,
+) -> DataFrame:
+    """Apply :func:`temperature_rates` as a deterministic per-row
+    Bernoulli: keep iff ``stable_bucket(id, n_buckets) <
+    floor(keep_rate * n_buckets)`` — a property of the key like
+    ``train_val_split``, so re-runs and incremental loads keep exactly
+    the same rows (no ``F.rand`` partition-order sensitivity, no seed
+    state to coordinate across 1000 executors).
+
+    Scale: keep_rate joins onto the corpus as a BROADCAST of |sources|
+    rows; the corpus itself is touched by one scan and zero shuffles.
+    Pass a precomputed ``rates`` frame to share it across consumers.
+
+    Returns the kept rows plus (keep_rate, bucket) audit columns.
+    """
+    if rates is None:
+        rates = temperature_rates(docs, source_col, alpha=alpha)
+    return (
+        docs.join(F.broadcast(rates.select(source_col, "keep_rate")), source_col)
+        .withColumn("bucket", stable_bucket(id_col, n_buckets))
+        .filter(
+            F.col("bucket")
+            < F.floor(F.col("keep_rate") * F.lit(float(n_buckets))).cast("long")
+        )
+    )

@@ -286,3 +286,43 @@ def test_shuffle_shards_deterministic_uniform_contiguous(spark):
     )
     ids_in_order = [d for _, d in first_shard]
     assert ids_in_order != sorted(ids_in_order)
+
+
+def test_temperature_sample_flattens_and_is_deterministic(spark):
+    from hadoopxmlextractor_spark.operators.corpus import (
+        temperature_rates,
+        temperature_sample,
+    )
+
+    # One hot source (900 docs) vs two small ones (90 / 10): alpha=0.5
+    # must keep every small-source doc (rate capped at 1) and
+    # substantially downsample the hot source.
+    rows = (
+        [(f"a{i}", "hot") for i in range(900)]
+        + [(f"b{i}", "mid") for i in range(90)]
+        + [(f"c{i}", "cold") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, source string")
+    rates = {r["source"]: r["keep_rate"] for r in temperature_rates(docs, "source").collect()}
+    assert rates["mid"] == 1.0 and rates["cold"] == 1.0
+    # hot: (30/(30+~9.49+~3.16)) * 1000/900 ≈ 0.78
+    assert 0.5 < rates["hot"] < 1.0
+
+    kept = temperature_sample(docs, "source", "doc_id")
+    a = sorted(r["doc_id"] for r in kept.collect())
+    b = sorted(r["doc_id"] for r in kept.collect())
+    assert a == b  # key-derived Bernoulli: identical across runs
+    per = {r["source"]: r["cnt"] for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per["mid"] == 90 and per["cold"] == 10
+    # hot is downsampled toward its rate (md5 buckets near-uniform)
+    assert abs(per["hot"] - 900 * rates["hot"]) < 60
+
+
+def test_temperature_sample_broadcasts_rates(spark):
+    from hadoopxmlextractor_spark.operators.corpus import temperature_sample
+    from hadoopxmlextractor_spark.plans import has_broadcast_join
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"s{i % 4}") for i in range(200)], "doc_id string, source string"
+    )
+    assert has_broadcast_join(temperature_sample(docs, "source", "doc_id"))
