@@ -226,3 +226,106 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
     return {
         f"n_{name}": F.regexp_count(c, F.lit(pat)) for name, pat in PII_PATTERNS
     }
+
+
+def _ngram_counts(texts: "pd.Series", n: int) -> "pd.Series":
+    """Exact n-gram counts of one Arrow batch (lower-cased whitespace
+    tokens, space-joined n-grams) as a pandas value_counts Series."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in texts:
+        toks = (t or "").lower().split()
+        for i in range(len(toks) - n + 1):
+            c[" ".join(toks[i : i + n])] += 1
+    return pd.Series(c, dtype="int64")
+
+
+def heavy_hitters(
+    docs: DataFrame,
+    text_col: str,
+    *,
+    min_count: int,
+    n: int = 2,
+    capacity: int = 16384,
+) -> DataFrame:
+    """Exact corpus-wide heavy hitters — every n-gram with total count
+    ≥ ``min_count`` — via a distributed Misra-Gries candidate sketch
+    plus an exact recount of the candidates only.
+
+    Why not a plain groupBy+HAVING: for web-scale n-gram vocabularies
+    the map-side combine hash map is unbounded (distinct n-grams per
+    partition can approach the partition's token count) and the shuffle
+    carries every distinct n-gram of every partition. Here each task
+    keeps a summary of at most ``capacity`` counters (Misra-Gries
+    merge: fold each batch's exact counts into the summary; when it
+    overflows, subtract the (capacity+1)-th largest count from all and
+    drop the non-positive — Agarwal et al., "Mergeable Summaries",
+    PODS'12) and the recount shuffle carries candidate n-grams only:
+    O(capacity × partitions) rows regardless of vocabulary size.
+
+    EXACTNESS GUARANTEE: per-partition subtractions total at most
+    N_p/(capacity+1), so an n-gram absent from every summary has total
+    count ≤ N/(capacity+1). The operator computes N in the same pass
+    and RAISES if ``min_count <= N/(capacity+1)`` — the guarantee, not
+    a best effort, is the contract (raise ⇒ raise ``capacity``). The
+    final counts come from the exact recount, so survivors carry true
+    counts, never sketch estimates.
+
+    Returns (ngram, cnt) with cnt ≥ min_count — exactly the rows of
+    the naive GROUP BY ... HAVING, which serves as the SQL oracle.
+    """
+    n_lit = n
+
+    def mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summary = pd.Series(dtype="int64")
+        total = 0
+        for pdf in batches:
+            counts = _ngram_counts(pdf[text_col], n_lit)
+            total += int(counts.sum())
+            summary = summary.add(counts, fill_value=0)
+            if len(summary) > capacity:
+                # Subtract (not just threshold): the N/(capacity+1)
+                # bound needs each eviction to SPEND (capacity+1)·kth
+                # of counted mass, which uniform subtraction does.
+                kth = summary.nlargest(capacity + 1).iloc[-1]
+                summary = summary - kth
+                summary = summary[summary > 0]
+        yield pd.DataFrame(
+            {
+                "ngram": list(summary.index.astype(str)) + [""],
+                "partition_total": [0] * len(summary) + [total],
+            }
+        )
+
+    def exact_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = _ngram_counts(pdf[text_col], n_lit)
+            yield pd.DataFrame(
+                {"ngram": counts.index.astype(str), "partial": counts.values}
+            )
+
+    src = docs.select(text_col)
+    cands = src.mapInPandas(
+        mg_candidates, "ngram string, partition_total long"
+    ).persist()
+    # Dimension-sized action: one totals row per partition. Validates
+    # the sketch guarantee BEFORE any result is produced.
+    total_ngrams = sum(
+        r["partition_total"]
+        for r in cands.filter(F.col("partition_total") > 0).collect()
+    )
+    if min_count <= total_ngrams / (capacity + 1):
+        cands.unpersist()
+        raise ValueError(
+            f"heavy_hitters guarantee violated: min_count={min_count} <= "
+            f"N/(capacity+1) = {total_ngrams}/{capacity + 1}; raise capacity"
+        )
+    cand_set = cands.filter(F.col("partition_total") == 0).select("ngram").distinct()
+    return (
+        src.mapInPandas(exact_partials, "ngram string, partial long")
+        .join(F.broadcast(cand_set), "ngram")
+        .groupBy("ngram")
+        .agg(F.sum("partial").cast("long").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

@@ -633,3 +633,35 @@ def q_corpus_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     # the audit that decides dedup scope and mixture weights.
     docs = load(spark, sf, "documents")
     return D.source_overlap(docs, "text", "doc_id", "source", k=5)
+
+
+@query(
+    "text_heavy_hitters",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1)
+               AS pos
+      FROM documents WHERE trim(text) <> ''
+    ),
+    bigrams AS (
+      SELECT tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS ngram
+      FROM toks
+      QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM bigrams GROUP BY ngram HAVING COUNT(*) >= 30
+    """,
+)
+def q_text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    # Corpus-wide frequent bigrams (boilerplate phrase detection) via
+    # the Misra-Gries candidate sketch + exact recount of candidates —
+    # bounded mapper state and a candidate-only shuffle instead of the
+    # full n-gram vocabulary. The result is PROVABLY identical to the
+    # naive GROUP BY ... HAVING (the oracle) because min_count=30
+    # exceeds N/(capacity+1) — validated inside the operator, which
+    # raises rather than return a near-miss.
+    docs = load(spark, sf, "documents")
+    return T.heavy_hitters(docs, "text", min_count=30, n=2, capacity=16384)

@@ -269,3 +269,46 @@ def test_repetition_counts_random_cross_check(spark):
             max(tc.values()) if tc else 0,
             max(bc.values()) if bc else 0,
         ), f"doc {i}: {t!r}"
+
+
+def test_heavy_hitters_matches_exact_groupby_under_eviction(spark):
+    import pytest
+    from collections import Counter
+
+    from hadoopxmlextractor_spark.operators.text import heavy_hitters
+
+    # Adversarial: 3000 distinct unigrams against capacity 128 forces
+    # repeated Misra-Gries evictions; a handful of planted hot tokens
+    # must still come out with EXACT counts. N = 3000 + 123 = 3123,
+    # N/(capacity+1) = 24.2 < min_count 40 -> guarantee holds.
+    rows = [(f"d{i}", f"rare{i}") for i in range(3000)]
+    hot = {"alpha": 42, "beta": 40, "gamma": 41}
+    k = 0
+    for tok, cnt in hot.items():
+        for _ in range(cnt):
+            rows.append((f"h{k}", tok)); k += 1
+    docs = spark.createDataFrame(rows, "doc_id string, text string").repartition(4)
+    got = {
+        r["ngram"]: r["cnt"]
+        for r in heavy_hitters(docs, "text", min_count=40, n=1, capacity=128).collect()
+    }
+    truth = Counter()
+    for _, t in rows:
+        truth[t] += 1
+    assert got == {t: c for t, c in truth.items() if c >= 40}
+
+    # Guarantee violated (min_count <= N/(capacity+1)) -> hard error,
+    # never a silently incomplete result.
+    with pytest.raises(ValueError, match="guarantee"):
+        heavy_hitters(docs, "text", min_count=10, n=1, capacity=128)
+
+
+def test_heavy_hitters_broadcasts_candidates(spark):
+    from hadoopxmlextractor_spark.operators.text import heavy_hitters
+    from hadoopxmlextractor_spark.plans import has_broadcast_join
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", "spark query engine") for i in range(50)],
+        "doc_id string, text string",
+    )
+    assert has_broadcast_join(heavy_hitters(docs, "text", min_count=5, n=2))
