@@ -744,3 +744,37 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf: str) -> DataFrame:
     # uniform-key shuffle — never a global contiguous rank.
     docs = load(spark, sf, "documents")
     return C.shuffle_shards(docs, "doc_id", n_shards=8)
+
+
+@query(
+    "corpus_length_buckets",
+    r"""
+    WITH lens AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT quantile_cont(n_tokens, 0.25) AS q0,
+             quantile_cont(n_tokens, 0.50) AS q1,
+             quantile_cont(n_tokens, 0.75) AS q2
+      FROM lens
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens > q0 AS INT) + CAST(n_tokens > q1 AS INT)
+             + CAST(n_tokens > q2 AS INT) AS bucket
+    FROM lens, b
+    """,
+)
+def q_corpus_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    # Sequence-length bucketing for padding-efficient batching: exact
+    # quartile boundaries from ONE percentile aggregate (state bounded
+    # by distinct lengths ≤ context window, not corpus size) broadcast
+    # back over the scan — never the NTILE global-sort window, which is
+    # a single-task cliff at scale. Dyadic quantiles over integer
+    # lengths interpolate to exactly-representable doubles, so the
+    # oracle reproduces the boundaries digit-for-digit.
+    docs = load(spark, sf, "documents")
+    return C.length_buckets(docs, "text", "doc_id")

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from hadoopxmlextractor_spark.operators.text import tokens
+from hadoopxmlextractor_spark.operators.text import token_count, tokens
 
 
 def stable_bucket(col: Column | str, n_buckets: int = 100) -> Column:
@@ -487,4 +487,44 @@ def temperature_sample(
             F.col("bucket")
             < F.floor(F.col("keep_rate") * F.lit(float(n_buckets))).cast("long")
         )
+    )
+
+
+def length_buckets(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Sequence-length bucketing for padding-efficient batch packing:
+    assign each document to one of ``len(quantiles)+1`` buckets by
+    exact token-count quantile boundaries. Grouping similar lengths
+    before batching is the standard trick to cut padding waste when
+    sequences are batched to the max length in the batch.
+
+    Scale shape: the obvious ``NTILE(k) OVER (ORDER BY n_tokens)`` is
+    a GLOBAL sort window — a single-task cliff at corpus scale. Here
+    the boundaries come from one exact ``percentile`` aggregate
+    (state is O(distinct lengths), which is bounded by the context
+    window, not the corpus) and broadcast back as a 1-row frame; the
+    bucket assignment is then a pure projection over one scan. With
+    dyadic quantiles (quarters) over integer lengths the interpolated
+    boundaries are exactly representable doubles, so a SQL oracle
+    reproduces them digit-for-digit.
+    """
+    lens = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("n_tokens")
+    )
+    bounds = lens.agg(
+        *[
+            F.expr(f"percentile(n_tokens, {q!r})").alias(f"q{i}")
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    bucket = sum(
+        (F.col("n_tokens") > F.col(f"q{i}")).cast("int") for i in range(len(quantiles))
+    )
+    return lens.crossJoin(F.broadcast(bounds)).select(
+        id_col, "n_tokens", bucket.alias("bucket")
     )

@@ -326,3 +326,25 @@ def test_temperature_sample_broadcasts_rates(spark):
         [(f"d{i}", f"s{i % 4}") for i in range(200)], "doc_id string, source string"
     )
     assert has_broadcast_join(temperature_sample(docs, "source", "doc_id"))
+
+
+def test_length_buckets_quartiles_and_no_global_sort(spark):
+    from hadoopxmlextractor_spark.operators.corpus import length_buckets
+
+    # 100 docs with token counts 1..100: quartile boundaries 25.75 /
+    # 50.5 / 75.25 split the corpus exactly 25/25/25/25 (bucket =
+    # number of boundaries strictly below the length).
+    rows = [(f"d{i:03d}", " ".join(["w"] * i)) for i in range(1, 101)]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    out = length_buckets(docs, "text", "doc_id").collect()
+    from collections import Counter
+
+    sizes = Counter(r["bucket"] for r in out)
+    assert sizes == {0: 25, 1: 25, 2: 25, 3: 25}
+    for r in out:
+        assert r["bucket"] == sum(r["n_tokens"] > q for q in (25.75, 50.5, 75.25))
+
+    # Plan contract: boundaries broadcast back — never a global sort
+    # (NTILE) over the corpus.
+    plan = length_buckets(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan.split("Exchange")[0]  # no top-level global sort
