@@ -778,3 +778,43 @@ def q_corpus_length_buckets(spark: SparkSession, sf: str) -> DataFrame:
     # oracle reproduces the boundaries digit-for-digit.
     docs = load(spark, sf, "documents")
     return C.length_buckets(docs, "text", "doc_id")
+
+
+@query(
+    "corpus_tokenize_ids",
+    r"""
+    WITH terms AS (
+      SELECT doc_id AS doc,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    vocab AS (
+      SELECT term, COUNT(DISTINCT doc) AS df
+      FROM terms GROUP BY term HAVING COUNT(DISTINCT doc) >= 2
+    ),
+    ids AS (
+      SELECT term,
+             CAST(ROW_NUMBER() OVER (ORDER BY df DESC, term) AS INT) AS token_id
+      FROM vocab
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token,
+             generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1)
+               - 1 AS pos
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT t.doc_id, CAST(t.pos AS INT) AS pos, t.token,
+           CAST(COALESCE(i.token_id, 0) AS INT) AS token_id
+    FROM toks t LEFT JOIN ids i ON t.token = i.term
+    """,
+)
+def q_corpus_tokenize_ids(spark: SparkSession, sf: str) -> DataFrame:
+    # Text → token-id rows, the step between vocabulary construction
+    # and packing: ids ranked (df DESC, term) over the vocabulary, OOV
+    # (df < 2) mapped to id 0. The id table is vocabulary-bounded and
+    # BROADCASTS to the exploded token stream — a raw-token shuffle
+    # join would put every stop word on one reducer; positions come
+    # from posexplode, so the corpus side never shuffles at all.
+    docs = load(spark, sf, "documents")
+    return C.tokenize_ids(docs, "text", "doc_id", min_df=2)

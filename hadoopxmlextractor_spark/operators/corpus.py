@@ -528,3 +528,49 @@ def length_buckets(
     return lens.crossJoin(F.broadcast(bounds)).select(
         id_col, "n_tokens", bucket.alias("bucket")
     )
+
+
+def tokenize_ids(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_df: int = 2,
+    vocab: DataFrame | None = None,
+) -> DataFrame:
+    """Map documents to (id, pos, token, token_id) rows — the
+    text→token-ids bridge that runs between vocabulary construction and
+    sequence packing in a training pipeline. Ids are assigned
+    deterministically by (df DESC, term) rank over :func:`vocabulary`
+    (frequent terms get small ids, ties broken lexically — the ordering
+    BPE-style vocabularies use), with id 0 reserved for OOV (terms
+    below ``min_df``).
+
+    Scale: the vocabulary is bounded by distinct terms, not corpus
+    size, so the id table BROADCASTS to the token stream — a shuffle
+    join keyed on raw tokens would send every "the" to one reducer
+    (the worst skew key in existence; same rule as
+    :func:`unigram_logprob`). The id-assignment window sorts only the
+    vocabulary table. posexplode keeps per-document positions without
+    any shuffle, so the corpus-sized side moves zero times.
+
+    Pass a precomputed ``vocab`` (term, df, cf) frame to reuse one
+    across consumers; otherwise it is built from ``docs``.
+    """
+    if vocab is None:
+        vocab = vocabulary(docs, text_col, id_col, min_df=min_df)
+    w = Window.orderBy(F.col("df").desc(), F.col("term"))
+    ids = vocab.select("term", F.row_number().over(w).cast("int").alias("token_id"))
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "token"),
+    )
+    return (
+        toks.join(F.broadcast(ids), toks["token"] == ids["term"], "left")
+        .select(
+            id_col,
+            "pos",
+            "token",
+            F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias("token_id"),
+        )
+    )

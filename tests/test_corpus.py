@@ -348,3 +348,25 @@ def test_length_buckets_quartiles_and_no_global_sort(spark):
     # (NTILE) over the corpus.
     plan = length_buckets(docs, "text", "doc_id")._jdf.queryExecution().executedPlan().toString()
     assert "Sort" not in plan.split("Exchange")[0]  # no top-level global sort
+
+
+def test_tokenize_ids_ranks_by_df_and_maps_oov_to_zero(spark):
+    from hadoopxmlextractor_spark.operators.corpus import tokenize_ids
+    from hadoopxmlextractor_spark.plans import has_broadcast_join
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "the cat sat"),
+            ("d2", "the dog sat"),
+            ("d3", "the bird flew"),
+        ],
+        "doc_id string, text string",
+    )
+    out = tokenize_ids(docs, "text", "doc_id", min_df=2).collect()
+    ids = {r["token"]: r["token_id"] for r in out}
+    # df: the=3, sat=2, others=1 (OOV). Rank (df desc, term): the=1, sat=2.
+    assert ids == {"the": 1, "sat": 2, "cat": 0, "dog": 0, "bird": 0, "flew": 0}
+    # positions are per-document token offsets
+    d1 = sorted((r["pos"], r["token"]) for r in out if r["doc_id"] == "d1")
+    assert d1 == [(0, "the"), (1, "cat"), (2, "sat")]
+    assert has_broadcast_join(tokenize_ids(docs, "text", "doc_id"))
