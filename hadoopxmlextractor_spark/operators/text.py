@@ -329,3 +329,39 @@ def heavy_hitters(
         .agg(F.sum("partial").cast("long").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+def hashed_features(
+    docs: DataFrame, text_col: str, id_col: str, *, dim: int = 64
+) -> DataFrame:
+    """Hashing-trick document vectors (Weinberger et al. 2009, "Feature
+    Hashing for Large Scale Multitask Learning"): each token hashes to
+    a dimension index (first 4 md5 bytes mod ``dim``) and an
+    independent sign (5th md5 byte parity); the document vector is the
+    signed count sum per dimension, emitted as sparse
+    (id, dim_idx, value) rows. The deterministic md5 basis means
+    re-runs, incremental loads, and other engines produce bit-identical
+    vectors — no fitted state, no vocabulary to ship.
+
+    Scale: explode → one groupBy on (id, dim_idx) with map-side
+    partial aggregation; keys are doc-bounded and uniform (at most
+    ``dim`` rows per document survive the combine), so the shuffle
+    carries O(docs × dim) rows regardless of token counts. Output
+    feeds the cosine similarity / LSH operators as a cheap text-side
+    embedding."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    h = F.md5(F.col("token"))
+    idx = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim
+    ).cast("int")
+    sign = (
+        F.lit(1) - F.lit(2) * (F.conv(F.substring(h, 9, 2), 16, 10).cast("long") % 2)
+    ).cast("long")
+    return (
+        toks.select(F.col(id_col), idx.alias("dim_idx"), sign.alias("sign"))
+        .groupBy(id_col, "dim_idx")
+        .agg(F.sum("sign").cast("long").alias("value"))
+    )

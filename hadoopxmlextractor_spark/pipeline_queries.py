@@ -665,3 +665,33 @@ def q_text_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     # raises rather than return a near-miss.
     docs = load(spark, sf, "documents")
     return T.heavy_hitters(docs, "text", min_count=30, n=2, capacity=16384)
+
+
+@query(
+    "text_hashed_features",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST(
+               (CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT)) % 64
+             AS BIGINT) AS INT) AS dim_idx,
+             1 - 2 * (CAST(('0x' || substring(md5(token), 9, 2)) AS BIGINT) % 2)
+               AS sign
+      FROM toks
+    )
+    SELECT doc_id, dim_idx, CAST(SUM(sign) AS BIGINT) AS value
+    FROM hashed GROUP BY doc_id, dim_idx
+    """,
+)
+def q_text_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
+    # Hashing-trick sparse document vectors: md5-derived dimension
+    # index and sign, signed counts summed per (doc, dim). Stateless
+    # and engine-reproducible (no fitted vocabulary); one uniform-key
+    # shuffle, at most `dim` rows per doc after the map-side combine.
+    docs = load(spark, sf, "documents")
+    return T.hashed_features(docs, "text", "doc_id", dim=64)

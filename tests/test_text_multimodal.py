@@ -312,3 +312,31 @@ def test_heavy_hitters_broadcasts_candidates(spark):
         "doc_id string, text string",
     )
     assert has_broadcast_join(heavy_hitters(docs, "text", min_count=5, n=2))
+
+
+def test_hashed_features_deterministic_signed_counts(spark):
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators.text import hashed_features
+
+    docs = spark.createDataFrame(
+        [("d1", "alpha alpha beta"), ("d2", "ALPHA gamma")],
+        "doc_id string, text string",
+    )
+    out = {(r["doc_id"], r["dim_idx"]): r["value"]
+           for r in hashed_features(docs, "text", "doc_id", dim=64).collect()}
+
+    def ref(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[:8], 16) % 64, 1 - 2 * (int(h[8:10], 16) % 2)
+
+    from collections import defaultdict
+    expect = defaultdict(int)
+    for doc, text in [("d1", "alpha alpha beta"), ("d2", "alpha gamma")]:
+        for tok in text.split():
+            i, s = ref(tok)
+            expect[(doc, i)] += s
+    assert out == dict(expect)
+    # case-normalized: d1's "alpha" and d2's "ALPHA" land identically
+    ia, _ = ref("alpha")
+    assert ("d2", ia) in out
