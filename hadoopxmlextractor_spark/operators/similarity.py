@@ -75,6 +75,7 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     round_digits: int = 6,
+    carry: Sequence[str] = (),
 ) -> DataFrame:
     """Exact cosine top-k against one query vector.
 
@@ -83,11 +84,20 @@ def cosine_topk_bruteforce(
     orderBy+limit compiles to TakeOrderedAndProject — per-partition
     top-k then a k×partitions driver merge, never a global sort. This
     is the 100 TB-safe exact path.
+
+    For FILTERED search (the predicate+vector combo: "top-k among rows
+    matching ..."), filter ``emb`` before calling — the predicate stays
+    a plain Catalyst filter, reaches the parquet scan as a pushed
+    filter, and the ranking only sees survivors (pre-filtering, never
+    rank-then-filter, so the result is always k rows when k matches
+    exist). ``carry`` passes metadata columns (e.g. the filter column)
+    through to the output.
     """
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         emb.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             F.round(cosine(F.col(vec_col), q), round_digits).alias("sim"),
         )
         .orderBy(F.col("sim").desc(), F.col(id_col))

@@ -695,3 +695,28 @@ def q_text_hashed_features(spark: SparkSession, sf: str) -> DataFrame:
     # shuffle, at most `dim` rows per doc after the map-side combine.
     docs = load(spark, sf, "documents")
     return T.hashed_features(docs, "text", "doc_id", dim=64)
+
+
+@query(
+    "similarity_topk_filtered",
+    """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, CAST(label AS BIGINT) AS label,
+           ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                        (SELECT qv FROM q)), 6) AS sim
+    FROM embeddings WHERE label IN (2, 5, 7)
+    ORDER BY sim DESC, vec_id
+    LIMIT 20
+    """,
+)
+def q_similarity_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    # Filtered vector search — the predicate+ANN combination: the label
+    # predicate is a plain Catalyst filter PUSHED TO THE PARQUET SCAN
+    # (pre-filtering, so the result is always full-k when k matches
+    # exist — never the rank-then-filter trap that under-returns), and
+    # ranking compiles to TakeOrderedAndProject over survivors only.
+    emb = load(spark, sf, "embeddings").filter(F.col("label").isin(2, 5, 7))
+    return S.cosine_topk_bruteforce(
+        emb, _query_vec(spark, sf), k=20, carry=("label",)
+    ).withColumn("label", F.col("label").cast("long"))

@@ -477,3 +477,19 @@ def test_interval_join_planted_and_equijoin_plan(spark):
     plan = executed_plan(out)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_filtered_topk_pushes_predicate_and_heap_ranks(spark):
+    # Filtered vector search: the label predicate must reach the
+    # parquet scan (pushed filter), and ranking must compile to
+    # TakeOrderedAndProject over survivors — never rank-then-filter.
+    from hadoopxmlextractor_spark.operators.similarity import cosine_topk_bruteforce
+    from hadoopxmlextractor_spark.plans import executed_plan, pushed_filters
+
+    emb = load(spark, SF, "embeddings")
+    qv = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    df = cosine_topk_bruteforce(
+        emb.filter(F.col("label").isin(2, 5, 7)), qv, k=20, carry=("label",)
+    )
+    assert "TakeOrderedAndProject" in executed_plan(df)
+    assert any("label" in f for f in pushed_filters(df))
