@@ -250,3 +250,55 @@ def q_events_zscore_topk(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.abs(F.col("z")).desc(), "event_id")
         .limit(20)
     )
+
+
+@query(
+    "events_mad_outliers",
+    """
+    WITH med AS (
+      SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type, m.med,
+             ROUND(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type, m.med
+    )
+    SELECT e.event_type, d.med, d.mad,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN abs(e.value - d.med) > 3 * d.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad d USING (event_type)
+    GROUP BY e.event_type, d.med, d.mad
+    """,
+)
+def q_events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    # Robust (median/MAD) outlier audit per event type — the resilient
+    # twin of events_zscore_topk: a handful of extreme values shifts a
+    # mean/stddev fence but leaves median/MAD untouched. Exact grouped
+    # percentiles (sort-based agg state bounded per group), each
+    # dimension-sized stats table BROADCAST back onto the next events
+    # scan — three scans, zero fact-side shuffles. Each percentile
+    # output is ROUNDED before feeding the next derived column, so both
+    # engines interpolate over bit-identical inputs.
+    ev = load(spark, sf, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.round(F.expr("percentile(abs(value - med), 0.5)"), 4).alias("mad"))
+    )
+    dev = F.abs(F.col("value") - F.col("med"))
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(dev > F.lit(3) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
