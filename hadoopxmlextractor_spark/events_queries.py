@@ -10,7 +10,7 @@ cast to BIGINT in DuckDB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoopxmlextractor_spark.queries import DEC, query
@@ -301,4 +301,102 @@ def q_events_mad_outliers(spark: SparkSession, sf: str) -> DataFrame:
                 F.when(dev > F.lit(3) * F.col("mad"), 1).otherwise(0)
             ).cast("long").alias("n_outliers"),
         )
+    )
+
+
+@query(
+    "join_salted_hot_keys",
+    """
+    WITH dim AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s1
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(abs(e.value - d.s1 / d.n), 4)
+                         AS DECIMAL(18,4))) AS DOUBLE) AS sum_abs_dev
+    FROM events e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_join_salted_hot_keys(spark: SparkSession, sf: str) -> DataFrame:
+    # Salted fact-dim join on the hottest key in the schema (5 event
+    # types over every row): operators.skew.salted_join replicates the
+    # dim n_salts ways and spreads each hot key over n_salts tasks, so
+    # a sort-merge join never puts one type's rows in one task. At this
+    # SF, AQE correctly demotes the tiny dim to a broadcast (salting is
+    # the fallback for dims too big to broadcast — same reasoning as
+    # the static-plan notes in SCALE.md); the result is identical
+    # either way, which is exactly what the oracle (a plain unsalted
+    # join) certifies. Deviations round then accumulate as DECIMAL so
+    # per-engine summation order cannot drift the double total.
+    from hadoopxmlextractor_spark.operators.skew import salted_join
+
+    ev = load(spark, sf, "events").select("event_type", "value")
+    vdec = F.col("value").cast(DEC)
+    dim = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vdec).cast("double").alias("s1"),
+    )
+    joined = salted_join(ev, dim, "event_type", n_salts=16)
+    dev = F.round(F.abs(F.col("value") - F.col("s1") / F.col("n")), 4).cast(
+        "decimal(18,4)"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dev).cast("double").alias("sum_abs_dev"),
+    )
+
+
+@query(
+    "events_markov_transitions",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    trans AS (
+      SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ),
+    totals AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS row_total FROM trans
+      GROUP BY event_type
+    )
+    SELECT t.event_type, t.next_type, t.n,
+           ROUND(CAST(t.n AS DOUBLE) / r.row_total, 6) AS p
+    FROM trans t JOIN totals r USING (event_type)
+    """,
+)
+def q_events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    # First-order Markov transition matrix over per-user event streams
+    # (the behavioral-model building block: P(next_type | type)). ONE
+    # user-keyed shuffle feeds the lead() window (ties broken by the
+    # unique event_id, so successor pairs are deterministic); the pair
+    # aggregate is then |types|²-bounded and its row totals broadcast
+    # back — the fact table never shuffles again. Probabilities divide
+    # exact BIGINT counts, so both engines round identical doubles.
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    trans.count()  # eager: feeds both the row totals and the final join
+    totals = trans.groupBy("event_type").agg(F.sum("n").cast("long").alias("row_total"))
+    return trans.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
     )
