@@ -818,3 +818,49 @@ def q_corpus_tokenize_ids(spark: SparkSession, sf: str) -> DataFrame:
     # from posexplode, so the corpus side never shuffles at all.
     docs = load(spark, sf, "documents")
     return C.tokenize_ids(docs, "text", "doc_id", min_df=2)
+
+
+@query(
+    "corpus_bigram_logprob",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+             generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1)
+               AS pos
+      FROM documents WHERE trim(text) <> ''
+    ),
+    pairs AS (
+      SELECT doc_id, tok AS prefix,
+             tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+               AS bg
+      FROM toks
+      QUALIFY lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) IS NOT NULL
+    ),
+    bg_counts AS (
+      SELECT prefix, bg, COUNT(*) AS c_bg FROM pairs GROUP BY prefix, bg
+    ),
+    prefix_counts AS (
+      SELECT prefix, COUNT(*) AS c_prefix FROM pairs GROUP BY prefix
+    ),
+    probs AS (
+      SELECT bg, CAST(c_bg AS DOUBLE) / c_prefix AS p
+      FROM bg_counts JOIN prefix_counts USING (prefix)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(-AVG(ln(p)), 6) AS avg_neg_logprob,
+           ROUND(exp(-AVG(ln(p))), 6) AS perplexity
+    FROM pairs JOIN probs USING (bg)
+    GROUP BY doc_id
+    """,
+)
+def q_corpus_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    # Second-order (conditional) LM perplexity against the corpus's own
+    # bigram distribution: catches token streams that are individually
+    # common but improbably ordered — invisible to the unigram scorer.
+    # One doc-keyed shuffle builds successor pairs; bigram/prefix count
+    # tables broadcast to the scoring join (stop-word keys never
+    # shuffle).
+    docs = load(spark, sf, "documents")
+    return C.bigram_logprob(docs, "text", "doc_id")

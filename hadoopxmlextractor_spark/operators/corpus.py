@@ -574,3 +574,62 @@ def tokenize_ids(
             F.coalesce(F.col("token_id"), F.lit(0)).cast("int").alias("token_id"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Second-order LM quality scoring: rank documents by the corpus's
+    own bigram model, score(doc) = -avg over positions of
+    ln P(w_i | w_{i-1}) with P = c(w_{i-1} w_i) / c(w_{i-1} ·). The
+    conditional model catches what :func:`unigram_logprob` cannot —
+    documents whose tokens are individually common but strung together
+    improbably (shuffled/generated text scores high perplexity here
+    while passing a unigram filter). No smoothing is needed: every
+    scored bigram contributed to the corpus counts by construction.
+
+    Returns (id, n_bigrams, avg_neg_logprob, perplexity); documents
+    with fewer than two tokens have no bigrams and drop out.
+
+    Scale shape: ONE doc-keyed shuffle builds the successor pairs
+    (posexplode + lead window — ties impossible, pos is unique per
+    doc); the pair stream is cached eagerly because it feeds both the
+    count tables and the scoring join (AQE cache-race rule). Bigram
+    and prefix counts are vocabulary²-bounded and BROADCAST to the
+    scoring join — raw-token shuffle joins would skew on stop words.
+    Web-scale bigram tables beyond broadcast range would take a
+    min-count floor + backoff-to-unigram bucket first (the same cap
+    rule as the unigram vocabulary).
+    """
+    did = F.col(id_col)
+    toks = docs.select(
+        did, F.posexplode(tokens(F.col(text_col))).alias("pos", "tok")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = (
+        toks.select(
+            did,
+            F.col("tok").alias("prefix"),
+            F.lead("tok").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .withColumn("bg", F.concat_ws(" ", "prefix", "nxt"))
+        .persist()
+    )
+    pairs.count()  # eager: feeds the count tables and the scoring join
+    bg_counts = pairs.groupBy("prefix", "bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    prefix_counts = pairs.groupBy("prefix").agg(F.count(F.lit(1)).alias("c_prefix"))
+    probs = bg_counts.join(F.broadcast(prefix_counts), "prefix").select(
+        "bg", (F.col("c_bg") / F.col("c_prefix")).alias("p")
+    )
+    return (
+        pairs.join(F.broadcast(probs), "bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.round(-F.avg(F.log("p")), 6).alias("avg_neg_logprob"),
+            F.round(F.exp(-F.avg(F.log("p"))), 6).alias("perplexity"),
+        )
+    )

@@ -370,3 +370,32 @@ def test_tokenize_ids_ranks_by_df_and_maps_oov_to_zero(spark):
     d1 = sorted((r["pos"], r["token"]) for r in out if r["doc_id"] == "d1")
     assert d1 == [(0, "the"), (1, "cat"), (2, "sat")]
     assert has_broadcast_join(tokenize_ids(docs, "text", "doc_id"))
+
+
+def test_bigram_logprob_matches_python_reference(spark):
+    import math
+    from collections import Counter
+
+    from hadoopxmlextractor_spark.operators.corpus import bigram_logprob
+
+    # "a b" appears twice corpus-wide; "b a" and "b c" split prefix b.
+    corpus = {1: "a b a b", 2: "b c", 3: "x"}
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    pairs = [
+        (t[i], t[i + 1])
+        for t in (s.split() for s in corpus.values())
+        for i in range(len(t) - 1)
+    ]
+    c_bg = Counter(pairs)
+    c_prefix = Counter(p for p, _ in pairs)
+    out = {r["doc_id"]: r for r in bigram_logprob(docs, "text", "doc_id").collect()}
+    assert 3 not in out  # single-token doc has no bigrams
+    for doc_id, s in corpus.items():
+        t = s.split()
+        if len(t) < 2:
+            continue
+        probs = [c_bg[(t[i], t[i + 1])] / c_prefix[t[i]] for i in range(len(t) - 1)]
+        expect = -sum(math.log(p) for p in probs) / len(probs)
+        assert out[doc_id]["n_bigrams"] == len(t) - 1
+        assert abs(out[doc_id]["avg_neg_logprob"] - round(expect, 6)) < 1e-9
+        assert abs(out[doc_id]["perplexity"] - round(math.exp(expect), 6)) < 1e-9
