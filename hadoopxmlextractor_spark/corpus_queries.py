@@ -644,7 +644,7 @@ def q_corpus_temperature_sample(spark: SparkSession, sf: str) -> DataFrame:
     rates.count()
     kept = C.temperature_sample(docs, "source", "doc_id", rates=rates)
     counts = kept.groupBy("source").agg(F.count(F.lit(1)).alias("_c"))
-    return rates.join(counts, "source", "left").select(
+    return rates.join(F.broadcast(counts), "source", "left").select(
         "source",
         "n_docs",
         "keep_rate",
