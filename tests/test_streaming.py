@@ -236,3 +236,46 @@ def test_export_stream_dedups_and_appends_shards(spark, tmp_path):
         (2, "beta", expected_shard[2]),
         (5, "gamma", expected_shard[5]),
     }
+
+
+def test_heavy_hitter_stream_emits_once_at_crossing(spark, tmp_path):
+    """Stateful n-gram tracking: an n-gram is emitted exactly once, in
+    the micro-batch where its running count first reaches min_count —
+    counts accumulate across batches."""
+    import json
+
+    from hadoopxmlextractor_spark.streaming.heavy_hitters import heavy_hitter_stream
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    # "hot phrase" appears twice in batch 1 (below min_count=3) ...
+    land("b1.json", [(1, "hot phrase first"), (2, "hot phrase again"), (3, "cold one")])
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(landing))
+    out = heavy_hitter_stream(stream, min_count=3, n=2, n_buckets=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert spark.sql("SELECT * FROM hh_out").count() == 0  # not yet
+        # ... and crosses 3 in batch 2; later repeats must NOT re-emit.
+        land("b2.json", [(4, "hot phrase crossing")])
+        q.processAllAvailable()
+        land("b3.json", [(5, "hot phrase after")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    assert [(r.ngram, r.cnt) for r in rows] == [("hot phrase", 3)]
