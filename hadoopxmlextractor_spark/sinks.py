@@ -92,3 +92,34 @@ def write_training_shards(
     )
     manifest.coalesce(1).write.mode(mode).json(f"{path}/_manifest")
     return manifest
+
+
+def write_sorted_parquet(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    *,
+    n_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet layout for min/max (zone-map) data
+    skipping — the complement of :func:`write_partitioned_parquet` for
+    HIGH-cardinality keys, where Hive partitioning would explode into
+    tiny directories. ``repartitionByRange`` samples range boundaries
+    and routes each contiguous key range to one file;
+    ``sortWithinPartitions`` orders rows inside the file, tightening
+    per-row-group statistics too. Every file then covers a narrow,
+    non-overlapping ``sort_col`` range, so any reader that consults
+    parquet column statistics (Spark's parquet filter pushdown, DuckDB
+    zonemaps) skips whole files and row groups for selective
+    predicates on that key — the cheap, single-key core of Z-ORDER.
+
+    The range exchange is one sampling pass plus one shuffle — the
+    write-once cost that buys every subsequent scan its skipping."""
+    cols = [F.col(sort_col)]
+    part = (
+        df.repartitionByRange(n_files, *cols)
+        if n_files is not None
+        else df.repartitionByRange(*cols)
+    )
+    part.sortWithinPartitions(sort_col).write.mode(mode).parquet(path)

@@ -128,3 +128,36 @@ def test_training_shards_sink_deterministic(spark, tmp_path):
     assert got == expected
     # manifest totals cover the corpus
     assert sum(n for _, n, _ in outs[0][0]) == 100
+
+
+def test_sorted_parquet_files_have_disjoint_ranges(spark, tmp_path):
+    """write_sorted_parquet must produce files whose sort-key min/max
+    ranges do not overlap (beyond shared boundary values) — the footer
+    statistics property min/max data skipping relies on."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hadoopxmlextractor_spark.sinks import write_sorted_parquet
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"), F.col("id").alias("v")
+    )
+    out = str(tmp_path / "sorted")
+    write_sorted_parquet(df, out, "k", n_files=8)
+
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 8
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # contiguous, non-overlapping key ranges
+    # whole domain covered
+    assert ranges[0][0] == 0 and ranges[-1][1] == 9999
