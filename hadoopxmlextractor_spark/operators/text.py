@@ -228,6 +228,24 @@ def pii_counts(col: Column | str) -> dict[str, Column]:
     }
 
 
+def _mg_fold(summary: "pd.Series", counts: "pd.Series", capacity: int) -> "pd.Series":
+    """Fold one batch's exact counts into a Misra-Gries summary of at
+    most ``capacity`` counters (mergeable-summaries rule: add, then
+    subtract the (capacity+1)-th largest count from all and drop the
+    non-positive). Invariant: total subtracted mass ≤ N/(capacity+1)
+    over any fold sequence, so an item absent from the summary has true
+    count ≤ N/(capacity+1). Pure pandas — property-tested directly."""
+    summary = summary.add(counts, fill_value=0)
+    if len(summary) > capacity:
+        # Subtract (not just threshold): the N/(capacity+1) bound needs
+        # each eviction to SPEND (capacity+1)·kth of counted mass,
+        # which uniform subtraction does.
+        kth = summary.nlargest(capacity + 1).iloc[-1]
+        summary = summary - kth
+        summary = summary[summary > 0]
+    return summary
+
+
 def _ngram_counts(texts: "pd.Series", n: int) -> "pd.Series":
     """Exact n-gram counts of one Arrow batch (lower-cased whitespace
     tokens, space-joined n-grams) as a pandas value_counts Series."""
@@ -283,14 +301,7 @@ def heavy_hitters(
         for pdf in batches:
             counts = _ngram_counts(pdf[text_col], n_lit)
             total += int(counts.sum())
-            summary = summary.add(counts, fill_value=0)
-            if len(summary) > capacity:
-                # Subtract (not just threshold): the N/(capacity+1)
-                # bound needs each eviction to SPEND (capacity+1)·kth
-                # of counted mass, which uniform subtraction does.
-                kth = summary.nlargest(capacity + 1).iloc[-1]
-                summary = summary - kth
-                summary = summary[summary > 0]
+            summary = _mg_fold(summary, counts, capacity)
         yield pd.DataFrame(
             {
                 "ngram": list(summary.index.astype(str)) + [""],

@@ -118,3 +118,39 @@ def test_scanner_never_crashes_on_garbage(s):
     frags = scan_with_config(s, ITEM_CFG)
     for f in frags:
         ET.fromstring(f.xml)  # validated fragments always parse
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=40), min_size=0, max_size=60),
+        min_size=1,
+        max_size=6,
+    ),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_mg_fold_retains_every_heavy_item(batches, capacity):
+    """Misra-Gries fold invariant: after folding any batch sequence at
+    any capacity, every item with true total count > N/(capacity+1)
+    survives in the summary, and no survivor's stored count exceeds its
+    true count (subtraction only undercounts)."""
+    import pandas as pd
+
+    from hadoopxmlextractor_spark.operators.text import _mg_fold
+
+    summary = pd.Series(dtype="int64")
+    truth: dict[int, int] = {}
+    n = 0
+    for batch in batches:
+        counts = pd.Series(batch, dtype="int64").value_counts()
+        for item, c in counts.items():
+            truth[item] = truth.get(item, 0) + int(c)
+        n += len(batch)
+        summary = _mg_fold(summary, counts, capacity)
+    assert len(summary) <= capacity
+    bound = n / (capacity + 1)
+    for item, true_count in truth.items():
+        if true_count > bound:
+            assert item in summary.index
+    for item, stored in summary.items():
+        assert stored <= truth[item]
