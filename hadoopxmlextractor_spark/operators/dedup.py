@@ -645,3 +645,106 @@ def source_overlap(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_windows"))
     )
+
+
+def minhash_incremental_flags(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    incoming_col: str,
+    *,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Incremental NEAR-dup ingestion check — the fuzzy twin of the
+    exact content-hash incremental dedup: every INCOMING document
+    (rows where ``incoming_col`` is true) is probed against the
+    existing corpus's LSH index AND against earlier documents of its
+    own batch, via the same deterministic MinHash/banding machinery as
+    :func:`dedup_minhash_lsh`.
+
+    Returns one row per incoming document:
+    (doc, near_dup_of_corpus, near_dup_in_batch) — in-batch flags are
+    first-wins (only the LATER doc of a pair is flagged), so a batch
+    of mutual near-dups keeps exactly its earliest member, matching
+    the exact-dedup convention.
+
+    Scale shape: at 100 TB the corpus's banded buckets are a persisted,
+    bucket-partitioned index on disk; the probe joins only the batch's
+    bucket keys against it — the full corpus×corpus pair problem never
+    recurs on ingestion (the property that makes continuous ingestion
+    affordable). Signatures persist eagerly (they feed the banding and
+    both verify sides); the bucket join shuffles on uniform hash keys
+    with the same ``max_bucket`` degenerate guard as the batch
+    operator.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = (
+        minhash_signatures(
+            docs, text_col, id_col, num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
+        )
+        .join(
+            docs.select(
+                F.col(id_col).alias("doc"), F.col(incoming_col).alias("incoming")
+            ),
+            "doc",
+        )
+        .persist()
+    )
+    sigs.count()  # eager: feeds banding + both verify sides + the output spine
+    banded = sigs.select(
+        "doc",
+        "incoming",
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("signature", k * rows_per_band + 1, rows_per_band))
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    if max_bucket is not None:
+        big = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(big, ["band", "bucket"], "left_anti")
+    probe = banded.filter(F.col("incoming")).select(
+        "band", "bucket", F.col("doc").alias("doc_a")
+    )
+    index = banded.select(
+        "band", "bucket", F.col("doc").alias("doc_b"), F.col("incoming").alias("inc_b")
+    )
+    cands = (
+        probe.join(index, ["band", "bucket"])
+        .filter((~F.col("inc_b")) | (F.col("doc_b") < F.col("doc_a")))
+        .select("doc_a", "doc_b", "inc_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sig_a"))
+    sb = sigs.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sig_b"))
+    est = estimated_jaccard_udf()
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("est", est(F.col("sig_a"), F.col("sig_b")))
+        .filter(F.col("est") >= threshold)
+    )
+    flags = verified.groupBy("doc_a").agg(
+        F.max(~F.col("inc_b")).alias("_corpus_hit"),
+        F.max(F.col("inc_b")).alias("_batch_hit"),
+    )
+    batch = sigs.filter(F.col("incoming")).select("doc")
+    return batch.join(flags, batch["doc"] == flags["doc_a"], "left").select(
+        "doc",
+        F.coalesce(F.col("_corpus_hit"), F.lit(False)).alias("near_dup_of_corpus"),
+        F.coalesce(F.col("_batch_hit"), F.lit(False)).alias("near_dup_in_batch"),
+    )

@@ -291,3 +291,67 @@ def semantic_clusters_lsh_oracle(
     SELECT x AS vec_id, MIN(y) AS component_id, (x = MIN(y)) AS is_canonical
     FROM reach GROUP BY x
     """
+
+
+def minhash_incremental_oracle(
+    *,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    incoming_pct: int = 20,
+) -> str:
+    """Exact replay of ``minhash_incremental_flags`` over the md5-bucket
+    incoming split: same seeded permutation minima, same raw-slice band
+    agreement, same signature-agreement estimate, first-wins in-batch
+    flags."""
+    rows_per_band = num_hashes // bands
+    params = _minhash_params(num_hashes, seed)
+    values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    band_eq = " AND ".join(
+        f"sa[{rows_per_band}*k + {r + 1}] = sb[{rows_per_band}*k + {r + 1}]"
+        for r in range(rows_per_band)
+    )
+    hex8 = (
+        f"({_hex_byte('hh', 0)} * 16777216 + {_hex_byte('hh', 1)} * 65536"
+        f" + {_hex_byte('hh', 2)} * 256 + {_hex_byte('hh', 3)})"
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    params(j, a, b) AS (VALUES {values}),
+    sigs AS (
+      SELECT doc_id, list(m ORDER BY j) AS sig
+      FROM (SELECT hx.doc_id, p.j, MIN((p.a * hx.x + p.b) % {_MERSENNE31}) AS m
+            FROM hx CROSS JOIN params p GROUP BY hx.doc_id, p.j)
+      GROUP BY doc_id
+    ),
+    tagged AS (
+      SELECT s.doc_id, s.sig,
+             {hex8} % 100 >= {100 - incoming_pct} AS incoming
+      FROM sigs s JOIN (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hh
+                        FROM documents) h USING (doc_id)
+    ),
+    scored AS (
+      SELECT doc_a, inc_b,
+             len(list_filter(range({num_hashes}), i -> sa[i+1] = sb[i+1]))
+               / {float(num_hashes)} AS est,
+             len(list_filter(range({bands}), k -> {band_eq})) AS shared_bands
+      FROM (SELECT a.doc_id AS doc_a, b.incoming AS inc_b,
+                   a.sig AS sa, b.sig AS sb
+            FROM tagged a JOIN tagged b
+              ON a.incoming AND a.doc_id <> b.doc_id
+                 AND (NOT b.incoming OR b.doc_id < a.doc_id))
+    ),
+    hits AS (
+      SELECT doc_a,
+             bool_or(NOT inc_b) AS corpus_hit,
+             bool_or(inc_b) AS batch_hit
+      FROM scored WHERE shared_bands > 0 AND est >= {threshold}
+      GROUP BY doc_a
+    )
+    SELECT t.doc_id AS doc,
+           COALESCE(h.corpus_hit, false) AS near_dup_of_corpus,
+           COALESCE(h.batch_hit, false) AS near_dup_in_batch
+    FROM tagged t LEFT JOIN hits h ON t.doc_id = h.doc_a
+    WHERE t.incoming
+    """

@@ -720,3 +720,25 @@ def q_similarity_topk_filtered(spark: SparkSession, sf: str) -> DataFrame:
     return S.cosine_topk_bruteforce(
         emb, _query_vec(spark, sf), k=20, carry=("label",)
     ).withColumn("label", F.col("label").cast("long"))
+
+
+@query(
+    "dedup_minhash_incremental",
+    O.minhash_incremental_oracle(num_hashes=64, bands=32, threshold=0.5),
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental NEAR-dup ingestion: the incoming batch (top-20%
+    # md5-bucket split, same convention as dedup_incremental) probes
+    # the corpus's LSH index and its own earlier rows; first-wins
+    # in-batch semantics. At scale the corpus banding is a persisted
+    # bucket index, so ingestion cost is one batch-sized probe — the
+    # corpus-pairwise problem never recurs.
+    from hadoopxmlextractor_spark.operators.corpus import stable_bucket
+
+    docs = load(spark, sf, "documents").withColumn(
+        "incoming", stable_bucket("doc_id", 100) >= 80
+    )
+    return D.minhash_incremental_flags(
+        docs, "text", "doc_id", "incoming",
+        num_hashes=64, bands=32, threshold=0.5,
+    )

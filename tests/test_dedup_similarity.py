@@ -234,3 +234,33 @@ def test_source_overlap_counts_distinct_shared_windows(spark):
         ).collect()
     }
     assert out == {("crawl", "curated"): 1}
+
+
+def test_minhash_incremental_flags_corpus_and_first_wins_batch(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.dedup import minhash_incremental_flags
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        # corpus
+        (1, base, False),
+        (2, "completely different text about database engines and plans", False),
+        # batch: 10 near-dups the corpus doc, 11+12 near-dup each other
+        (10, base + " extra", True),
+        (11, "apples bananas cherries dates elderberry figs grapes honeydew", True),
+        (12, "apples bananas cherries dates elderberry figs grapes kiwi", True),
+        (13, "nothing like anything else here at all whatsoever in words", True),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, incoming boolean")
+    out = {
+        r["doc"]: (r["near_dup_of_corpus"], r["near_dup_in_batch"])
+        for r in minhash_incremental_flags(
+            docs, "text", "doc_id", "incoming", num_hashes=64, bands=32, threshold=0.5
+        ).collect()
+    }
+    assert set(out) == {10, 11, 12, 13}  # one row per incoming doc
+    assert out[10] == (True, False)      # matches corpus, not batch
+    assert out[11] == (False, False)     # FIRST of the in-batch pair: kept
+    assert out[12] == (False, True)      # later twin flagged, first-wins
+    assert out[13] == (False, False)
