@@ -864,3 +864,75 @@ def q_corpus_bigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     # shuffle).
     docs = load(spark, sf, "documents")
     return C.bigram_logprob(docs, "text", "doc_id")
+
+
+@query(
+    "corpus_contamination_score",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             {_HEX8} % 100 >= 95 AS benchmark,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w,
+                   md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE benchmark),
+    tr AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE NOT benchmark),
+    hits AS (
+      SELECT t.doc_id, COUNT(*) AS total, COUNT(b.s) AS hit
+      FROM tr t LEFT JOIN bench b USING (s) GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(total AS BIGINT) AS n_shingles,
+           CAST(hit AS BIGINT) AS n_contaminated,
+           ROUND(hit / CAST(total AS DOUBLE), 6) AS overlap_pct
+    FROM hits
+    """,
+)
+def q_corpus_contamination_score(spark: SparkSession, sf: str) -> DataFrame:
+    # Graded contamination audit — the scored refinement of the binary
+    # corpus_decontaminate flag (GPT-3 appendix-style n-gram overlap
+    # measurement): for every training doc, the fraction of its
+    # distinct 3-gram shingles that appear anywhere in the benchmark
+    # split. The benchmark shingle set is tiny and BROADCASTS; the
+    # train side streams through map-side with one doc-keyed aggregate
+    # — cost is one corpus scan regardless of benchmark count.
+    docs = load(spark, sf, "documents").withColumn(
+        "bucket", C.stable_bucket("doc_id", 100)
+    )
+    sh = docs.select(
+        "doc_id",
+        (F.col("bucket") >= 95).alias("benchmark"),
+        D.shingle_hashes("text", 3).alias("shingles"),
+    )
+    bench = (
+        sh.filter(F.col("benchmark"))
+        .select(F.explode("shingles").alias("shingle"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = sh.filter(~F.col("benchmark")).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    return (
+        train.join(F.broadcast(bench), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_contaminated"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated") / F.col("n_shingles").cast("double"), 6
+            ).alias("overlap_pct"),
+        )
+    )
