@@ -936,3 +936,52 @@ def q_corpus_contamination_score(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("overlap_pct"),
         )
     )
+
+
+@query(
+    "corpus_source_quality",
+    r"""
+    WITH sig AS (
+      SELECT source,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens,
+             ROUND(len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')))
+                   / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                              AS DOUBLE), 1.0), 4) AS distinct_ratio,
+             ROUND((length(text) - len(regexp_split_to_array(trim(text), '\s+')) + 1)
+                   / GREATEST(CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                              AS DOUBLE), 1.0), 4) AS mean_token_len
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(distinct_ratio AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+             AS avg_distinct_ratio,
+           CAST(SUM(CASE WHEN n_tokens >= 40 AND n_tokens <= 5000
+                          AND distinct_ratio >= 0.35
+                          AND mean_token_len <= 8.0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM sig GROUP BY source
+    """,
+)
+def q_corpus_source_quality(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-source quality dashboard — the monitoring aggregate every
+    # corpus pipeline runs per ingest: doc/token volume, mean
+    # distinct-token ratio, and how many docs survive the Gopher-style
+    # keep verdict, per source. Composes quality_filter (pure
+    # scan-bandwidth JVM signals) with one dimension-sized aggregate;
+    # ratio means accumulate as DECIMAL over the ROUNDED 4-decimal
+    # signals so per-engine summation order cannot drift the double.
+    docs = load(spark, sf, "documents")
+    q = C.quality_filter(docs, "text", "doc_id", carry=("source",))
+    return q.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (
+            F.sum(F.col("distinct_ratio").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_distinct_ratio"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+    )
