@@ -985,3 +985,84 @@ def q_corpus_source_quality(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("avg_distinct_ratio"),
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
     )
+
+
+@query(
+    "dedup_cluster_sizes",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs
+    ), reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    ), comp AS (
+      SELECT x AS doc_id, MIN(y) AS component_id FROM reach GROUP BY x
+    ), sizes AS (
+      SELECT component_id, COUNT(*) AS cluster_size FROM comp
+      GROUP BY component_id
+    ), hist AS (
+      SELECT cluster_size, COUNT(*) AS n_clusters FROM sizes
+      GROUP BY cluster_size
+    )
+    SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(n_clusters AS BIGINT) AS n_clusters,
+           CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+    FROM hist
+    UNION ALL
+    SELECT 1,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM comp) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM comp) AS BIGINT)
+    """,
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
+    # The headline dedup metric: duplicate-cluster size histogram
+    # (how much of the corpus is duplicated, and in what clump sizes —
+    # what you read before choosing dedup aggressiveness). Components
+    # come from the same min-label propagation as dedup_clusters; the
+    # histogram is two dimension-sized aggregates on top, plus one
+    # singleton row (docs in no near-dup pair) computed from counts.
+    # comp is persisted eagerly — it feeds the size aggregate and the
+    # singleton count.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    comp = D.connected_components(pairs).persist()
+    in_clusters = comp.count()  # eager (also the singleton arithmetic)
+    singletons = docs.count() - in_clusters
+    hist = (
+        comp.groupBy("component_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long"),
+            F.col("n_clusters").cast("long"),
+            (F.col("cluster_size") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        )
+    )
+    extra = spark.createDataFrame(
+        [(1, singletons, singletons)], "cluster_size long, n_clusters long, n_docs long"
+    )
+    return hist.unionByName(extra)
