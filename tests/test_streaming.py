@@ -279,3 +279,63 @@ def test_heavy_hitter_stream_emits_once_at_crossing(spark, tmp_path):
 
     rows = spark.sql("SELECT * FROM hh_out").collect()
     assert [(r.ngram, r.cnt) for r in rows] == [("hot phrase", 3)]
+
+
+def test_tumbling_window_drops_too_late_events(spark, tmp_path):
+    """Watermark semantics end-to-end: an event arriving after the
+    watermark has passed its window is DISCARDED, not merged — the
+    bounded-state guarantee is observable behavior, not just config."""
+    landing = tmp_path / "late_events"
+    landing.mkdir()
+
+    def land(name, rows):
+        df = spark.createDataFrame(
+            rows, "ts_s string, event_type string, user_id long, value double"
+        )
+        df.select(
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "event_type",
+            "user_id",
+            "value",
+        ).write.mode("append").parquet(str(landing))
+        # parquet append writes a new file the stream picks up
+
+    land(
+        "b1",
+        [
+            ("2024-01-01 00:30:00", "click", 1, 1.0),
+            # advances event time to 05:00 -> watermark = 03:00 (2h delay)
+            ("2024-01-01 05:00:00", "click", 1, 1.0),
+        ],
+    )
+    schema = "ts timestamp, event_type string, user_id long, value double"
+    stream = spark.readStream.schema(schema).parquet(str(landing))
+    q = (
+        tumbling_window_counts(
+            stream, window_duration="1 hour", watermark_delay="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName("late_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a TOO-LATE event for the [00:00, 01:00) window (its
+        # end 01:00 < watermark 03:00 -> state dropped, row discarded)
+        land("b2", [("2024-01-01 00:40:00", "click", 1, 100.0)])
+        q.processAllAvailable()
+        # batch 3: advance the watermark far enough to close every window
+        land("b3", [("2024-01-01 12:00:00", "view", 2, 1.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.sql("select * from late_out").collect()
+    }
+    # the 00:00 window emitted with ONE click — the 100.0-value
+    # latecomer was dropped, not merged
+    assert got.get(("2024-01-01 00:00:00", "click")) == 1
