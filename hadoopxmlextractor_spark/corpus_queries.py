@@ -1066,3 +1066,93 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf: str) -> DataFrame:
         [(1, singletons, singletons)], "cluster_size long, n_clusters long, n_docs long"
     )
     return hist.unionByName(extra)
+
+
+@query(
+    "corpus_chunk_text",
+    r"""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, w, n_tokens,
+             unnest(generate_series(
+               0, GREATEST(CAST(CEIL(n_tokens / 128.0) AS BIGINT), 1) - 1
+             )) AS chunk_idx
+      FROM base
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(LEAST((chunk_idx + 1) * 128, n_tokens)
+                - chunk_idx * 128 AS INT) AS n_tokens,
+           CASE WHEN n_tokens = 0 THEN ''
+                ELSE array_to_string(
+                  w[chunk_idx * 128 + 1 : LEAST((chunk_idx + 1) * 128, n_tokens)],
+                  ' ') END AS chunk_text
+    FROM c
+    """,
+)
+def q_corpus_chunk_text(spark: SparkSession, sf: str) -> DataFrame:
+    # Chunking with the text materialized — the tokenizer-input form of
+    # corpus_chunks. slice + array_join are plain Catalyst expressions
+    # (no interpreted lambda HOFs), so the whole query stays one
+    # zero-shuffle codegen projection per chunk row.
+    docs = load(spark, sf, "documents")
+    return C.chunk_text(docs, "text", "doc_id", chunk_tokens=128)
+
+
+@query(
+    "corpus_pack_chunks",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(
+               0, GREATEST(CAST(CEIL(n_tokens / 128.0) AS BIGINT), 1) - 1
+             )) AS chunk_idx
+      FROM base
+    ), ch AS (
+      SELECT CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_idx AS VARCHAR)
+               AS chunk_key,
+             CAST(LEAST((chunk_idx + 1) * 128, n_tokens) - chunk_idx * 128
+                  AS BIGINT) AS n_tokens
+      FROM c
+    ), sharded AS (
+      SELECT chunk_key, {{_HEX8}} % 32 AS shard, n_tokens
+      FROM (SELECT chunk_key, n_tokens, md5(chunk_key) AS hh FROM ch)
+    ), packed AS (
+      SELECT chunk_key, shard, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY chunk_key
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_offset
+      FROM sharded
+    )
+    SELECT chunk_key, shard, CAST(start_offset AS BIGINT) AS start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS seq_idx, n_tokens
+    FROM packed
+    """.replace("{_HEX8}", _HEX8),
+)
+def q_corpus_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
+    # The chunk-then-pack composition real pre-training prep runs:
+    # long documents are split into 128-token context chunks FIRST
+    # (bounding any single item at the context window), then chunks
+    # bin-pack into capacity-256 sequences by running offset within
+    # hash shards. Chunking is a zero-shuffle projection; packing adds
+    # its single shard-keyed window shuffle — the whole composition is
+    # ONE shuffle, all-integer arithmetic, exactly replayed by the
+    # oracle.
+    docs = load(spark, sf, "documents")
+    chunks = C.chunk_text(docs, "text", "doc_id", chunk_tokens=128).select(
+        F.concat_ws(
+            ":", F.col("doc_id").cast("string"), F.col("chunk_idx").cast("string")
+        ).alias("chunk_key"),
+        "chunk_text",
+    )
+    return C.pack_sequences(chunks, "chunk_text", "chunk_key", capacity=256, n_shards=32)

@@ -633,3 +633,34 @@ def bigram_logprob(
             F.round(F.exp(-F.avg(F.log("p"))), 6).alias("perplexity"),
         )
     )
+
+
+def chunk_text(
+    docs: DataFrame, text_col: str, id_col: str, *, chunk_tokens: int = 128
+) -> DataFrame:
+    """:func:`chunk_documents` with the actual chunk text materialized —
+    (id, chunk_idx, n_tokens, chunk_text) — the form a pipeline feeds
+    to a tokenizer. Same shuffle profile: per-row arithmetic +
+    posexplode + an ``F.slice``/``array_join`` projection (plain
+    expressions, not interpreted lambda HOFs), zero shuffle at any
+    scale; output size is input tokens, linear. Empty documents emit
+    one empty chunk so downstream joins never lose a document."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(F.ceil(n / F.lit(float(chunk_tokens))).cast("int"), F.lit(1))
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * chunk_tokens + 1, F.lit(chunk_tokens)
+    )
+    return (
+        docs.select(
+            F.col(id_col),
+            toks.alias("_toks"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_v"),
+        )
+        .select(
+            id_col,
+            "chunk_idx",
+            F.size(piece).alias("n_tokens"),
+            F.array_join(piece, " ").alias("chunk_text"),
+        )
+    )
