@@ -400,3 +400,83 @@ def q_events_markov_transitions(spark: SparkSession, sf: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("row_total"), 6).alias("p"),
     )
+
+
+@query(
+    "events_attribution",
+    """
+    WITH ev AS (
+      SELECT event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, user_id,
+             event_type, value
+      FROM events
+    ),
+    marked AS (
+      SELECT *,
+        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                   IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type,
+        last_value(CASE WHEN event_type <> 'purchase' THEN ms END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY ms, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_ms
+      FROM ev
+    )
+    SELECT
+      CASE WHEN prev_ms IS NOT NULL AND ms - prev_ms <= 3600000
+           THEN prev_type ELSE 'direct' END AS channel,
+      CAST(COUNT(*) AS BIGINT) AS conversions,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS attributed_value
+    FROM marked WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
+    # Last-touch conversion attribution: each purchase credits the most
+    # recent NON-purchase event by the same user within the preceding
+    # hour (else 'direct'). One user-keyed window pass computes the
+    # carry-forward (last ... ignore nulls over an unbounded-preceding
+    # frame is O(1) running state per user, not a per-row rescan), the
+    # purchase filter then shrinks the stream to conversions only, and
+    # the channel rollup is a dimension-sized aggregate — one fact
+    # shuffle end to end, same shape at 100 TB. Epoch-millis
+    # arithmetic keeps the 1-hour lookback exact across engines.
+    ev = load(spark, sf, "events").select(
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ms"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    marked = ev.select(
+        "*",
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("prev_type"),
+        F.last(F.when(non_purchase, F.col("ms")), ignorenulls=True)
+        .over(w)
+        .alias("prev_ms"),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("prev_ms").isNotNull()
+                & (F.col("ms") - F.col("prev_ms") <= 3600000),
+                F.col("prev_type"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "value",
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("conversions"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("attributed_value"),
+        )
+    )

@@ -372,3 +372,127 @@ def ivf_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def quantize_int8(col: Column | str) -> Column:
+    """Symmetric per-vector int8 quantization summary — the storage
+    path for embedding columns at corpus scale (float32 → int8 + one
+    scale per vector is a 4× size cut with ~0.4% max relative error,
+    the standard trade for ANN candidate stages; exact re-ranking
+    reads the float column for finalists only).
+
+    scale = max|x| / 127, q_i = floor(x_i/scale + 0.5) (round-half-up,
+    chosen because ``floor`` is bit-deterministic across engines where
+    "round half to even" implementations differ). Returns a struct of
+    exact integers so the whole transform is oracle-checkable:
+    ``scale_e9`` (floor(scale·1e9)), ``q_l1`` (Σ|q_i|), ``q_checksum``
+    (Σ i·q_i, 1-based). All-zero vectors quantize to zeros with
+    scale_e9 = 0.
+
+    ONE Arrow-batched pandas UDF at scan bandwidth, zero shuffle —
+    every step (float32→float64 widening, the max, the divide) is an
+    exact IEEE op, so numpy here and DuckDB list arithmetic in the
+    oracle agree bit-for-bit.
+    """
+    import numpy as np
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("struct<scale_e9:long,q_l1:long,q_checksum:long>")
+    def _quant(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in it:
+            rows = []
+            for v in vecs:
+                a = (
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None
+                    else np.zeros(0)
+                )
+                m = float(np.abs(a).max()) if a.size else 0.0
+                scale = m / 127.0
+                if scale == 0.0:
+                    rows.append((0, 0, 0))
+                    continue
+                q = np.floor(a / scale + 0.5).astype(np.int64)
+                idx = np.arange(1, a.size + 1, dtype=np.int64)
+                rows.append(
+                    (
+                        int(np.floor(scale * 1e9)),
+                        int(np.abs(q).sum()),
+                        int((idx * q).sum()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["scale_e9", "q_l1", "q_checksum"])
+
+    return _quant(c)
+
+
+def knn_classify(
+    emb: DataFrame,
+    probes: DataFrame,
+    *,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_digits: int = 5,
+) -> DataFrame:
+    """k-NN majority-vote label prediction: for each probe vector, the
+    ``k`` nearest corpus rows by cosine (self excluded) vote with their
+    labels; ties break (votes desc, label asc). Returns one row per
+    probe: (vec_id, true_label, pred_label, votes, correct) — the
+    standard embedding-quality / label-propagation audit for a
+    training corpus.
+
+    Scale shape: the PROBE set broadcasts (bounded — an eval panel,
+    not the corpus), so the corpus side never shuffles for the scoring
+    pass; the pair-cosine kernel is the vectorized pandas UDF planned
+    above the join. ``row_number() <= k`` compiles to WindowGroupLimit:
+    each input partition pre-prunes to k rows per probe BEFORE the
+    probe-keyed exchange, so the shuffle carries O(k · probes ·
+    partitions) rows, not probes × corpus. The vote aggregation is
+    probe-keyed and tiny. For probe sets too large to broadcast, run
+    the IVF path per probe shard instead.
+    """
+    p = probes.select(
+        F.col(id_col).alias("probe_id"),
+        F.col(vec_col).alias("probe_vec"),
+        F.col(label_col).alias("true_label"),
+    )
+    pair_cos = cosine_pairs_udf()
+    scored = (
+        emb.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nvec"),
+            F.col(label_col).alias("nlabel"),
+        )
+        .join(F.broadcast(p), F.col("nid") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "true_label",
+            "nid",
+            "nlabel",
+            F.round(pair_cos(F.col("nvec"), F.col("probe_vec")), round_digits).alias(
+                "sim"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.col("sim").desc(), F.col("nid"))
+    topk = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+    votes = topk.groupBy("probe_id", "true_label", "nlabel").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    wv = Window.partitionBy("probe_id").orderBy(F.col("votes").desc(), F.col("nlabel"))
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select(
+            F.col("probe_id").alias("vec_id"),
+            "true_label",
+            F.col("nlabel").alias("pred_label"),
+            F.col("votes").cast("bigint").alias("votes"),
+            (F.col("nlabel") == F.col("true_label")).alias("correct"),
+        )
+    )

@@ -742,3 +742,80 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         docs, "text", "doc_id", "incoming",
         num_hashes=64, bands=32, threshold=0.5,
     )
+
+
+@query(
+    "embedding_quantize_int8",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s AS (SELECT vec_id, v, list_max([abs(x) FOR x IN v]) / 127.0 AS scale FROM v)
+    SELECT vec_id,
+      CAST(CASE WHEN scale = 0 THEN 0
+           ELSE floor(scale * 1e9) END AS BIGINT) AS scale_e9,
+      CAST(CASE WHEN scale = 0 THEN 0
+           ELSE list_sum([abs(floor(v[i] / scale + 0.5))
+                          FOR i IN generate_series(1, len(v))])
+           END AS BIGINT) AS q_l1,
+      CAST(CASE WHEN scale = 0 THEN 0
+           ELSE list_sum([i * floor(v[i] / scale + 0.5)
+                          FOR i IN generate_series(1, len(v))])
+           END AS BIGINT) AS q_checksum
+    FROM s
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
+    # int8 embedding compression (the 4× storage cut that makes a
+    # 100 TB vector corpus scannable); the struct of exact integer
+    # summaries makes the whole quantization transform hash-checkable
+    # against DuckDB's double-precision list arithmetic.
+    emb = load(spark, sf, "embeddings")
+    qz = S.quantize_int8("embedding").alias("qz")
+    return emb.select("vec_id", qz).select(
+        "vec_id",
+        F.col("qz.scale_e9").alias("scale_e9"),
+        F.col("qz.q_l1").alias("q_l1"),
+        F.col("qz.q_checksum").alias("q_checksum"),
+    )
+
+
+@query(
+    "similarity_knn_classify",
+    """
+    WITH p AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv,
+             label AS true_label
+      FROM embeddings WHERE vec_id % 11 = 3
+    ),
+    scored AS (
+      SELECT p.probe_id, p.true_label, c.vec_id AS nid, c.label AS nlabel,
+             ROUND(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), p.pv),
+                   5) AS sim
+      FROM embeddings c JOIN p ON c.vec_id <> p.probe_id
+    ),
+    topk AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                     ORDER BY sim DESC, nid) AS rn
+        FROM scored) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT probe_id, true_label, nlabel, COUNT(*) AS votes
+      FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT probe_id AS vec_id, true_label, nlabel AS pred_label,
+           CAST(votes AS BIGINT) AS votes, nlabel = true_label AS correct
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                       ORDER BY votes DESC, nlabel) AS vr
+          FROM votes)
+    WHERE vr = 1
+    """,
+)
+def q_similarity_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    # k-NN label prediction for a deterministic probe panel (vec_id %
+    # 11 = 3) against the full corpus — the embedding-quality audit.
+    # The synthetic labels are independent of the vectors, so accuracy
+    # hovers at chance; the operator contract (exact neighbor sets,
+    # exact votes) is what the oracle checks.
+    emb = load(spark, sf, "embeddings")
+    probes = emb.filter((F.col("vec_id") % 11) == 3)
+    return S.knn_classify(emb, probes, k=5)

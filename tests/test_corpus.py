@@ -399,3 +399,44 @@ def test_bigram_logprob_matches_python_reference(spark):
         assert out[doc_id]["n_bigrams"] == len(t) - 1
         assert abs(out[doc_id]["avg_neg_logprob"] - round(expect, 6)) < 1e-9
         assert abs(out[doc_id]["perplexity"] - round(math.exp(expect), 6)) < 1e-9
+
+
+def test_events_attribution_last_touch_rules(spark, tmp_path):
+    import datetime as dt
+
+    import hadoopxmlextractor_spark.events_queries  # noqa: F401 (registers)
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    t0 = dt.datetime(2025, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, uid, etype, value):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid, etype, value, "{}")
+
+    rows = [
+        # user 1: view 30min before purchase -> attributed to view
+        ev(1, 0, 1, "view", 0.0),
+        ev(2, 30, 1, "purchase", 10.0),
+        # user 2: click 2h before purchase -> outside the hour -> direct
+        ev(3, 0, 2, "click", 0.0),
+        ev(4, 120, 2, "purchase", 20.0),
+        # user 3: cold purchase -> direct
+        ev(5, 0, 3, "purchase", 40.0),
+        # user 4: purchases don't attribute to each other — the click
+        # 50min back (behind an intervening purchase) still wins
+        ev(6, 0, 4, "click", 0.0),
+        ev(7, 20, 4, "purchase", 5.0),
+        ev(8, 50, 4, "purchase", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id: long, ts: timestamp, user_id: long, event_type: string, "
+        "value: double, props: string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {
+        r["channel"]: (r["conversions"], r["attributed_value"])
+        for r in QUERIES["events_attribution"](spark, str(tmp_path)).collect()
+    }
+    assert out["view"] == (1, 10.0)
+    assert out["direct"] == (2, 60.0)
+    assert out["click"] == (2, 12.0)

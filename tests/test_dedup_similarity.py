@@ -264,3 +264,56 @@ def test_minhash_incremental_flags_corpus_and_first_wins_batch(spark):
     assert out[11] == (False, False)     # FIRST of the in-batch pair: kept
     assert out[12] == (False, True)      # later twin flagged, first-wins
     assert out[13] == (False, False)
+
+
+def test_quantize_int8_planted_and_zero_vector(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators import similarity as S
+
+    df = spark.createDataFrame(
+        [
+            (1, [2.54, -1.27, 0.0, 1.27]),  # scale = 0.02, q = [127,-63,0,63]
+            (2, [0.0, 0.0, 0.0, 0.0]),  # all-zero guard
+        ],
+        "vec_id: long, embedding: array<float>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in df.select("vec_id", S.quantize_int8("embedding").alias("q"))
+        .select("vec_id", "q.*")
+        .collect()
+    }
+    # float32(2.54) is a hair below 2.54, so scale*1e9 floors to
+    # 19999999 and -1.27/scale lands at -63.49..: q = [127, -63, 0, 64].
+    assert rows[1]["scale_e9"] == 19999999
+    assert rows[1]["q_l1"] == 254
+    assert rows[1]["q_checksum"] == 257
+    assert rows[2]["scale_e9"] == 0
+    assert rows[2]["q_l1"] == 0 and rows[2]["q_checksum"] == 0
+
+
+def test_knn_classify_planted_majority(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators import similarity as S
+
+    # Probe 0 points along +x; ids 1-3 near +x with label 7, ids 4-5
+    # near +y with label 2 -> top-3 vote must be label 7, correct=False
+    # (probe's own label is 9).
+    rows = [
+        (0, [1.0, 0.0], 9),
+        (1, [0.9, 0.1], 7),
+        (2, [0.8, 0.05], 7),
+        (3, [0.95, 0.2], 7),
+        (4, [0.1, 0.9], 2),
+        (5, [0.0, 1.0], 2),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id: long, embedding: array<float>, label: int"
+    )
+    probes = emb.filter(F.col("vec_id") == 0)
+    out = S.knn_classify(emb, probes, k=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["pred_label"] == 7 and r["votes"] == 3 and r["correct"] is False
