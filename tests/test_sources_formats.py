@@ -161,3 +161,47 @@ def test_sorted_parquet_files_have_disjoint_ranges(spark, tmp_path):
         assert hi1 <= lo2  # contiguous, non-overlapping key ranges
     # whole domain covered
     assert ranges[0][0] == 0 and ranges[-1][1] == 9999
+
+
+def test_zorder_parquet_files_cover_small_rectangles(spark, tmp_path):
+    """write_zorder_parquet must tighten footer min/max ranges on BOTH
+    cluster keys: every file covers a fraction of each column's domain,
+    where a single-column sort leaves the second column's per-file
+    range at ~100% of the domain (no skipping possible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from hadoopxmlextractor_spark.sinks import write_sorted_parquet, write_zorder_parquet
+
+    # Two independent uniform keys over [0, 4096).
+    df = spark.range(0, 20_000).select(
+        (F.col("id") * 7919 % 4096).alias("a"),
+        (F.col("id") * 104729 % 4096).alias("b"),
+    )
+
+    def coverage(out: str, col_idx: int) -> float:
+        spans = []
+        for f in glob.glob(f"{out}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append((max(maxs) - min(mins) + 1) / 4096)
+        assert len(spans) == 16
+        return sum(spans) / len(spans)
+
+    zout = str(tmp_path / "zorder")
+    write_zorder_parquet(df, zout, "a", "b", bits=8, n_files=16)
+    sout = str(tmp_path / "plain")
+    write_sorted_parquet(df.select("a", "b"), sout, "a", n_files=16)
+
+    # Single-column sort: column b's per-file range is the whole domain.
+    assert coverage(sout, 1) > 0.9
+    # Z-order: BOTH columns' per-file ranges are small rectangles. With
+    # 16 files over a 256x256 bucket grid the ideal is 1/4 of the
+    # domain per side; allow slack for range-boundary sampling.
+    assert coverage(zout, 0) < 0.55
+    assert coverage(zout, 1) < 0.55
