@@ -480,3 +480,69 @@ def q_events_attribution(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("value").cast(DEC)).cast("double").alias("attributed_value"),
         )
     )
+
+
+@query(
+    "events_trend_slope",
+    """
+    WITH ev AS (
+      SELECT event_type,
+             (epoch_ms(CAST(ts AS TIMESTAMP)) - 1704067200000) // 1000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(19,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(19,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(19,0)) AS sxx,
+             CAST(SUM(y * y) AS DECIMAL(19,0)) AS syy
+      FROM ev GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE), 12) AS slope_cents_per_s,
+      ROUND(CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE)
+            / (CAST(n * sxx - sx * sx AS DOUBLE)
+               * CAST(n * syy - sy * sy AS DOUBLE)), 8) AS r2
+    FROM agg
+    """,
+)
+def q_events_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-group closed-form OLS (value-vs-time trend per event type):
+    # slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), plus r². The moments
+    # accumulate as INTEGERS (seconds since 2024-01-01, value in
+    # cents), so the whole regression up to the final division is
+    # exact and engine-independent — the same trick as the DECIMAL
+    # money sums, applied to second-order moments. DECIMAL(19,0)
+    # operands make every combine product fit DECIMAL(38,0) exactly in
+    # both engines; at 100 TB the per-row products stay within bigint
+    # (x ≤ 2.6e6 s, y ≤ 5.6e4 cents) and the sums would move to
+    # DECIMAL(38,0) accumulators. One partial-agg shuffle onto
+    # |event_type| rows — the map-side combine collapses everything
+    # before the exchange.
+    ev = load(spark, sf, "events").select(
+        "event_type",
+        F.expr("(unix_millis(ts) - 1704067200000) div 1000").alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    d19 = "decimal(19,0)"
+    agg = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(d19).alias("n"),
+        F.sum("x").cast(d19).alias("sx"),
+        F.sum("y").cast(d19).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(d19).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(d19).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(d19).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    m = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return agg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round(num / den, 12).alias("slope_cents_per_s"),
+        F.round(num * num / (den * m), 8).alias("r2"),
+    )

@@ -819,3 +819,13 @@ def q_similarity_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     probes = emb.filter((F.col("vec_id") % 11) == 3)
     return S.knn_classify(emb, probes, k=5)
+
+
+@query("similarity_topk_pq")  # approximate (8-byte PQ codes + re-rank)
+def q_similarity_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
+    # ADC over product-quantization codes (32× less scan I/O than the
+    # float column) with exact re-rank of the top 4k candidates. The
+    # recall gate vs the exact twin lives in
+    # tests/test_approx_quality.py alongside the IVF gate.
+    emb = load(spark, sf, "embeddings")
+    return S.pq_topk(emb, _query_vec(spark, sf), k=20, m=8, n_codes=16, refine=4)

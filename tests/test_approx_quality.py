@@ -83,3 +83,21 @@ def test_percentiles_approx_close_to_exact(spark):
         e50, e95 = exact[flag]
         assert abs(a50 - e50) / e50 < 0.01, (flag, a50, e50)
         assert abs(a95 - e95) / e95 < 0.01, (flag, a95, e95)
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    # 8-byte PQ codes + ADC + exact re-rank of the top-80: must recover
+    # >= 15 of the exact top-20, rank the self-match first, and (since
+    # surviving candidates are re-scored with the EXACT cosine) order
+    # every common hit identically to the exact ranking.
+    from hadoopxmlextractor_spark.pipeline_queries import q_similarity_topk_pq
+
+    exact = [r["vec_id"] for r in q_similarity_topk_bruteforce(spark, SF).collect()]
+    pq = [r["vec_id"] for r in q_similarity_topk_pq(spark, SF).collect()]
+    assert len(exact) == len(pq) == 20
+    overlap = len(set(exact) & set(pq))
+    assert overlap >= 15, f"PQ recall {overlap}/20 vs exact top-20"
+    assert pq[0] == exact[0]
+    exact_rank = {v: i for i, v in enumerate(exact)}
+    common = [v for v in pq if v in exact_rank]
+    assert common == sorted(common, key=exact_rank.__getitem__)
