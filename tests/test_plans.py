@@ -493,3 +493,42 @@ def test_filtered_topk_pushes_predicate_and_heap_ranks(spark):
     )
     assert "TakeOrderedAndProject" in executed_plan(df)
     assert any("label" in f for f in pushed_filters(df))
+
+
+def test_knn_classify_broadcasts_probes_and_group_limits(spark):
+    # The probe panel must broadcast (the corpus side never shuffles
+    # for scoring) and the rn<=k filter must push into the window as a
+    # per-input-partition group limit, so the probe-keyed exchange
+    # carries O(k·probes·partitions) rows, never probes × corpus.
+    from hadoopxmlextractor_spark.pipeline_queries import q_similarity_knn_classify
+
+    plan = executed_plan(q_similarity_knn_classify(spark, SF))
+    assert "Broadcast" in plan  # probe side broadcast, no shuffled join
+    assert "WindowGroupLimit" in plan
+
+
+def test_quantize_int8_is_scan_bandwidth(spark):
+    # One Arrow projection over the scan, zero exchanges.
+    from hadoopxmlextractor_spark.pipeline_queries import q_embedding_quantize_int8
+
+    df = q_embedding_quantize_int8(spark, SF)
+    assert count_exchanges(df) == 0
+    assert executed_plan(df).count("ArrowEvalPython") == 1
+
+
+def test_events_attribution_single_fact_shuffle(spark):
+    # The carry-forward window and the channel rollup ride ONE fact
+    # exchange (user_id) plus the dimension-sized final agg exchange.
+    from hadoopxmlextractor_spark.events_queries import q_events_attribution
+
+    assert count_exchanges(q_events_attribution(spark, SF)) <= 2
+
+
+def test_trend_slope_partial_aggregates_before_shuffle(spark):
+    # The moment sums must combine map-side: the exchange carries
+    # |event_type| partial rows, and there is exactly one of it.
+    from hadoopxmlextractor_spark.events_queries import q_events_trend_slope
+
+    df = q_events_trend_slope(spark, SF)
+    assert count_exchanges(df) == 1
+    assert "partial" in executed_plan(df).lower()
