@@ -86,3 +86,14 @@ def hopping_window_counts(
             "total_value",
         )
     )
+
+
+def enrich_events(events: DataFrame, dim: DataFrame, on: str = "event_type") -> DataFrame:
+    """Stream-static enrichment join: each micro-batch joins against the
+    static dimension with an explicit broadcast — the stream side never
+    shuffles, and the dimension is re-resolved per batch (so a replaced
+    underlying table is picked up on the next trigger). Left join keeps
+    unmatched events flowing with NULL attributes rather than silently
+    dropping them — at pipeline scale a missing dimension row must
+    surface downstream, not vanish."""
+    return events.join(F.broadcast(dim), on, "left")

@@ -339,3 +339,74 @@ def test_tumbling_window_drops_too_late_events(spark, tmp_path):
     # the 00:00 window emitted with ONE click — the 100.0-value
     # latecomer was dropped, not merged
     assert got.get(("2024-01-01 00:00:00", "click")) == 1
+
+
+def test_dedup_stream_recovers_state_from_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a full STOP and a new query instance: the
+    restarted query must (a) not re-emit batch-1 rows (committed
+    offsets respected) and (b) still suppress duplicates of batch-1
+    documents (dedup state recovered from the checkpoint, not rebuilt
+    empty)."""
+    import json
+
+    from hadoopxmlextractor_spark.streaming.dedup import dedup_stream
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id long, text string").json(str(landing))
+        q = (
+            dedup_stream(stream, n_buckets=8)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    land("b1.json", [(1, "alpha"), (2, "beta"), (3, "alpha")])
+    run_once()
+    # full stop; second batch lands while no query is running
+    land("b2.json", [(4, "beta"), (5, "gamma")])
+    run_once()  # NEW query instance, same checkpoint
+
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(sink).collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+
+
+def test_stream_static_enrichment_join(spark, tmp_path, event_stream):
+    from hadoopxmlextractor_spark.streaming.events import enrich_events
+
+    dim = spark.createDataFrame(
+        [("click", "engagement"), ("view", "engagement"), ("purchase", "revenue")],
+        "event_type string, channel_group string",
+    )
+    q = (
+        enrich_events(event_stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select event_type, channel_group from enriched_out").collect()
+    assert len(rows) == 4
+    assert all(r.channel_group == "engagement" for r in rows)
