@@ -1156,3 +1156,59 @@ def q_corpus_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
         "chunk_text",
     )
     return C.pack_sequences(chunks, "chunk_text", "chunk_key", capacity=256, n_shards=32)
+
+
+@query(
+    "dedup_survivors",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs
+    ), reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    ), losers AS (
+      SELECT x FROM reach GROUP BY x HAVING x <> MIN(y)
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d WHERE d.doc_id NOT IN (SELECT x FROM losers)
+    """,
+)
+def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
+    # The near-dup pipeline's ACTUAL deliverable: the corpus after
+    # removing every non-canonical near-dup cluster member (keep the
+    # min-id representative per cluster, keep all singletons). Pairs →
+    # components → anti join back onto the corpus; the anti join
+    # shuffles on doc_id (uniform) and the loser side is only the
+    # clustered minority, so at 100 TB the dominant cost stays the
+    # pair generation the other dedup queries already bound.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    losers = (
+        D.connected_components(pairs)
+        .filter(~F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "source", "n_chars"
+    )

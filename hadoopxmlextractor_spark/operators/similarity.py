@@ -642,3 +642,49 @@ def pq_topk(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    *,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    refine: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ: the standard large-scale ANN composition — IVF prunes
+    ROWS (scan only the ``nprobe`` cells nearest the query), PQ
+    shrinks BYTES (ADC over 8-byte codes within those cells), and the
+    exact re-rank fixes the final ordering. At 100 TB with bucketed
+    cell layout this reads nprobe/n_centroids of the rows × 1/32 of
+    the vector bytes — the product of both levers, which is why every
+    production vector store (FAISS IVFPQ, Milvus, Vespa) ships exactly
+    this pairing."""
+    import numpy as np
+
+    C = ivf_build_centroids(
+        emb, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col
+    )
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = np.argsort(-(C @ qn))[:nprobe].tolist()
+    cells = ivf_assign(emb, C, vec_col=vec_col).filter(
+        F.col("centroid_id").isin(probe)
+    )
+    return pq_topk(
+        cells,
+        query_vec,
+        k=k,
+        m=m,
+        n_codes=n_codes,
+        refine=refine,
+        vec_col=vec_col,
+        id_col=id_col,
+        round_digits=round_digits,
+    )

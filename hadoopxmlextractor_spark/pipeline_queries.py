@@ -829,3 +829,14 @@ def q_similarity_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     # tests/test_approx_quality.py alongside the IVF gate.
     emb = load(spark, sf, "embeddings")
     return S.pq_topk(emb, _query_vec(spark, sf), k=20, m=8, n_codes=16, refine=4)
+
+
+@query("similarity_topk_ivfpq")  # approximate (row pruning × byte pruning)
+def q_similarity_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    # The composed production shape: IVF cell pruning, then ADC over
+    # PQ codes, then exact re-rank. Recall gate vs the exact twin in
+    # tests/test_approx_quality.py.
+    emb = load(spark, sf, "embeddings")
+    return S.ivf_pq_topk(
+        emb, _query_vec(spark, sf), k=20, n_centroids=16, nprobe=6, m=8, n_codes=16
+    )

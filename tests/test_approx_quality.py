@@ -101,3 +101,20 @@ def test_pq_topk_recall_vs_exact(spark):
     exact_rank = {v: i for i, v in enumerate(exact)}
     common = [v for v in pq if v in exact_rank]
     assert common == sorted(common, key=exact_rank.__getitem__)
+
+
+def test_ivfpq_topk_recall_vs_exact(spark):
+    # The composed IVF-PQ path is bounded above by IVF's cell recall
+    # (15/20 at nprobe=6 on this corpus); the PQ candidate stage +
+    # exact re-rank must not cost more than one additional hit.
+    from hadoopxmlextractor_spark.pipeline_queries import q_similarity_topk_ivfpq
+
+    exact = [r["vec_id"] for r in q_similarity_topk_bruteforce(spark, SF).collect()]
+    got = [r["vec_id"] for r in q_similarity_topk_ivfpq(spark, SF).collect()]
+    assert len(exact) == len(got) == 20
+    overlap = len(set(exact) & set(got))
+    assert overlap >= 14, f"IVF-PQ recall {overlap}/20 vs exact top-20"
+    assert got[0] == exact[0]
+    exact_rank = {v: i for i, v in enumerate(exact)}
+    common = [v for v in got if v in exact_rank]
+    assert common == sorted(common, key=exact_rank.__getitem__)
