@@ -532,3 +532,98 @@ def test_trend_slope_partial_aggregates_before_shuffle(spark):
     df = q_events_trend_slope(spark, SF)
     assert count_exchanges(df) == 1
     assert "partial" in executed_plan(df).lower()
+
+
+def _with_confs(spark, confs: dict):
+    """Set session confs, returning the originals for restore."""
+    old = {}
+    for k, v in confs.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_confs(spark, old: dict):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    # Runtime skew handling is config, not code — but the contract must
+    # hold: a planted 90%-hot-key fact joined without broadcast gets
+    # its hot partition SPLIT by AQE (skew=true in the final plan)
+    # instead of serializing on one reducer. Thresholds are lowered so
+    # the local[4] run crosses the same trigger a 100 TB hot key would.
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        },
+    )
+    try:
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 != 0, F.lit(0))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(5000).select(
+            (F.col("id") % 100).alias("k"), F.col("id").alias("w")
+        )
+        # The agg re-keys on a different column: a same-key agg directly
+        # above the join would FORBID the split (row duplication would
+        # break its required distribution) — itself part of the contract.
+        df = (
+            fact.join(dim, "k")
+            .groupBy((F.col("v") % 7).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        assert len(df.collect()) == 7
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final
+    finally:
+        _restore_confs(spark, old)
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
+    # With a selective dim filter on a non-broadcastable join, Spark
+    # injects a runtime bloom filter: the fact side is pre-filtered by
+    # might_contain(bloom_filter_agg(dim keys)) BEFORE its shuffle, so
+    # at 100 TB the exchange carries only rows that can match. The
+    # application-side size threshold (10 GB default — met trivially at
+    # cluster scale) is zeroed so the sf0.001 scan qualifies.
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        li = load(spark, SF, "lineitem")
+        od = load(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        df = (
+            li.join(od, li.l_orderkey == od.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = executed_plan(df)
+        assert "might_contain" in plan and "bloom_filter_agg" in plan.lower()
+        assert df.count() == 1
+    finally:
+        _restore_confs(spark, old)
