@@ -343,3 +343,70 @@ def q_q22_sales_opportunity(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("totacctbal"),
         )
     )
+
+
+@query(
+    "sql_lateral_topk",
+    """
+    SELECT n_name, c.c_name, c.bal
+    FROM nation, LATERAL (
+      SELECT c_name, CAST(c_acctbal AS DOUBLE) AS bal
+      FROM customer WHERE c_nationkey = n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+    """,
+)
+def q_sql_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-text
+    # spelling of per-group top-k. Catalyst decorrelates it into the
+    # same ranked-window shape as the DataFrame `window_topk_per_group`
+    # (per-partition group limit, no per-outer-row re-execution), so
+    # the scale story is the window one, while users keep the ANSI
+    # lateral idiom. Identical text runs on DuckDB.
+    load(spark, sf, "nation").createOrReplaceTempView("nation")
+    load(spark, sf, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n_name, c.c_name, c.bal
+        FROM nation, LATERAL (
+          SELECT c_name, CAST(c_acctbal AS DOUBLE) AS bal
+          FROM customer WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        """
+    )
+
+
+@query(
+    "sql_recursive_date_spine",
+    """
+    WITH RECURSIVE days(d) AS (
+      SELECT DATE '2024-01-01'
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+      WHERE d < DATE '2024-01-30'
+    )
+    SELECT d, CAST(count(e.event_id) AS BIGINT) AS n_events
+    FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
+    GROUP BY d
+    """,
+)
+def q_sql_recursive_date_spine(spark: SparkSession, sf: str) -> DataFrame:
+    # Recursive CTE (Spark 4 finally has WITH RECURSIVE): generate a
+    # gap-free calendar spine and left-join daily event counts onto it
+    # — the canonical "report zero-activity days too" pattern that
+    # previously needed sequence()+explode. The recursion is 30
+    # driver-cheap rows; the event side aggregates with partial
+    # combine before its one shuffle, so the spine join broadcasts.
+    # Identical text runs on DuckDB.
+    load(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH RECURSIVE days(d) AS (
+          SELECT DATE'2024-01-01'
+          UNION ALL
+          SELECT date_add(d, 1) FROM days WHERE d < DATE'2024-01-30'
+        )
+        SELECT d, CAST(count(e.event_id) AS BIGINT) AS n_events
+        FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
+        GROUP BY d
+        """
+    )
