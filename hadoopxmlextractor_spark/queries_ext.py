@@ -733,3 +733,67 @@ def q_q18_large_orders(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@query(
+    "agg_order_stats",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(CAST(median(c_acctbal) AS DOUBLE), 2) AS median_bal,
+           arg_max(c_name,
+                   CAST(round(c_acctbal*100) AS BIGINT)*1000000 + c_custkey)
+             AS richest,
+           arg_min(c_name,
+                   CAST(round(c_acctbal*100) AS BIGINT)*1000000 + c_custkey)
+             AS poorest
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_agg_order_stats(spark: SparkSession, sf: str) -> DataFrame:
+    # Order-statistic aggregates: exact grouped median plus argmax /
+    # argmin via max_by/min_by. The ordering key folds the tiebreaker
+    # IN (cents·1e6 + custkey is unique), because max_by on a
+    # non-unique key is engine-arbitrary — the same determinism rule
+    # the hash-rank sampling queries follow. Median is exact
+    # (interpolated) on both engines; at 100 TB grouped exact median
+    # costs one sort-based agg per group — swap to percentile_approx
+    # when that bound matters (see percentiles_approx).
+    cust = load(spark, sf, "customer")
+    nat = load(spark, sf, "nation")
+    key = (
+        F.round(F.col("c_acctbal") * 100).cast("long") * F.lit(1000000)
+        + F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.median("c_acctbal"), 2).alias("median_bal"),
+            F.max_by("c_name", key).alias("richest"),
+            F.min_by("c_name", key).alias("poorest"),
+        )
+    )
+
+
+@query(
+    "agg_value_histogram",
+    """
+    SELECT event_type, CAST(floor(value / 50) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_agg_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    # Fixed-width histogram: floor(value/width) binning entirely in the
+    # scan projection, then a (type, bucket)-keyed count — partial
+    # aggregation collapses everything map-side, so the exchange
+    # carries |types|×|buckets| rows at any corpus size. The binning
+    # expression (not width_bucket) keeps the SQL portable across
+    # engines.
+    ev = load(spark, sf, "events")
+    return ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") / 50).cast("int").alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
