@@ -1212,3 +1212,49 @@ def q_dedup_survivors(spark: SparkSession, sf: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "source", "n_chars"
     )
+
+
+@query(
+    "corpus_upsert",
+    """
+    WITH batch AS (
+      SELECT doc_id, upper(text) AS text, source, FALSE AS is_delete
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id, text, source, TRUE FROM documents WHERE doc_id % 10 = 5
+      UNION ALL
+      SELECT doc_id + 1000000, text, source, FALSE
+      FROM documents WHERE doc_id % 10 = 3
+    ),
+    merged AS (
+      SELECT d.doc_id, d.text, d.source FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM batch)
+      UNION ALL
+      SELECT doc_id, text, source FROM batch WHERE NOT is_delete
+    )
+    SELECT doc_id, md5(text) AS text_hash, source FROM merged
+    """,
+)
+def q_corpus_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    # Copy-on-write MERGE over the corpus: a deterministic synthetic
+    # batch updates every doc_id%10==0 (re-crawl), deletes every
+    # %10==5 (takedown), inserts shifted copies of %10==3 (new crawl).
+    # One broadcast anti join + union — the exact relational core of a
+    # lakehouse MERGE INTO.
+    docs = load(spark, sf, "documents").select("doc_id", "text", "source")
+    updates = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", F.upper("text").alias("text"), "source",
+        F.lit(False).alias("is_delete"),
+    )
+    deletes = docs.filter(F.col("doc_id") % 10 == 5).select(
+        "doc_id", "text", "source", F.lit(True).alias("is_delete")
+    )
+    inserts = docs.filter(F.col("doc_id") % 10 == 3).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text", "source",
+        F.lit(False).alias("is_delete"),
+    )
+    batch = updates.unionByName(deletes).unionByName(inserts)
+    merged = C.upsert(docs, batch, "doc_id", delete_col="is_delete")
+    return merged.select(
+        "doc_id", F.md5(F.col("text")).alias("text_hash"), "source"
+    )

@@ -664,3 +664,33 @@ def chunk_text(
             F.array_join(piece, " ").alias("chunk_text"),
         )
     )
+
+
+def upsert(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    *,
+    delete_col: str | None = None,
+) -> DataFrame:
+    """MERGE INTO semantics over plain DataFrames (copy-on-write):
+    batch rows REPLACE matching corpus rows, unmatched batch rows are
+    INSERTED, and rows flagged in ``delete_col`` are REMOVED — the
+    maintenance operation every continuously-updated training corpus
+    needs (takedowns, re-crawls, license revocations).
+
+    Shape: one left-anti join of the corpus against the batch's keys
+    (uniform id keys; the batch side broadcasts whenever it is
+    batch-sized) plus a union with the batch's surviving rows — the
+    same plan a table format's MERGE compiles to for copy-on-write,
+    minus the transaction log. At 100 TB the anti join is the only
+    corpus-wide work and it rides a broadcast, so a merge costs one
+    scan.
+    """
+    cols = [c for c in corpus.columns]
+    keys = batch.select(F.col(id_col))
+    kept = corpus.join(F.broadcast(keys), id_col, "left_anti")
+    incoming = batch
+    if delete_col is not None:
+        incoming = incoming.filter(~F.col(delete_col))
+    return kept.unionByName(incoming.select(*cols))

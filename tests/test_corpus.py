@@ -440,3 +440,24 @@ def test_events_attribution_last_touch_rules(spark, tmp_path):
     assert out["view"] == (1, 10.0)
     assert out["direct"] == (2, 60.0)
     assert out["click"] == (2, 12.0)
+
+
+def test_upsert_update_insert_delete(spark):
+    from hadoopxmlextractor_spark.operators.corpus import upsert
+
+    corpus = spark.createDataFrame(
+        [(1, "one"), (2, "two"), (3, "three")], "doc_id: long, text: string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (2, "TWO", False),   # update
+            (3, "ignored", True),  # delete
+            (9, "nine", False),  # insert
+        ],
+        "doc_id: long, text: string, is_delete: boolean",
+    )
+    got = {
+        r["doc_id"]: r["text"]
+        for r in upsert(corpus, batch, "doc_id", delete_col="is_delete").collect()
+    }
+    assert got == {1: "one", 2: "TWO", 9: "nine"}
