@@ -1258,3 +1258,59 @@ def q_corpus_upsert(spark: SparkSession, sf: str) -> DataFrame:
     return merged.select(
         "doc_id", F.md5(F.col("text")).alias("text_hash"), "source"
     )
+
+
+@query(
+    "corpus_profile",
+    """
+    SELECT 'doc_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(text) AS BIGINT),
+           CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(lang) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(source) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(n_chars) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
+    """,
+)
+def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Deequ-style column profiling (row count, null count, distinct
+    # count per column) in ONE scan: the multi-countDistinct aggregate
+    # compiles to a single Expand(×columns) pass — 5× the rows through
+    # one exchange, vs the naive per-column UNION's 5 separate scans
+    # (which is what the oracle spells, since DuckDB reads the 500-row
+    # view cheaply). The stack() unpivot turns the wide aggregate row
+    # into the (col_name, metric...) audit table. At 100 TB swap
+    # countDistinct for approx_count_distinct per column and the Expand
+    # collapses back to one pass of HLL sketches.
+    docs = load(spark, sf, "documents")
+    wide = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[
+            x
+            for c in ("doc_id", "text", "lang", "source", "n_chars")
+            for x in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+                F.countDistinct(c).alias(f"{c}_distinct"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"'{c}', {c}_nulls, {c}_distinct"
+        for c in ("doc_id", "text", "lang", "source", "n_chars")
+    )
+    return wide.selectExpr(
+        f"stack(5, {stack}) AS (col_name, n_nulls, n_distinct)", "n_rows"
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
