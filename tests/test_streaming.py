@@ -410,3 +410,52 @@ def test_stream_static_enrichment_join(spark, tmp_path, event_stream):
     rows = spark.sql("select event_type, channel_group from enriched_out").collect()
     assert len(rows) == 4
     assert all(r.channel_group == "engagement" for r in rows)
+
+
+def test_stream_stream_interval_join_attributes_conversions(spark, tmp_path):
+    """Stream-stream join: purchases match prior views by the same user
+    within the delay bound; out-of-window and other-user purchases
+    don't. The time bound is what makes append-mode state evictable."""
+    from hadoopxmlextractor_spark.streaming.joins import attribute_conversions
+
+    vdir, pdir = tmp_path / "views", tmp_path / "purchases"
+    views = spark.createDataFrame(
+        [
+            ("2024-01-01 00:05:00", 1),
+            ("2024-01-01 03:00:00", 3),  # view with no purchase
+        ],
+        "ts_s string, user_id long",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+    purchases = spark.createDataFrame(
+        [
+            ("2024-01-01 00:30:00", 1, 10.0),  # within 1h of user 1's view
+            ("2024-01-01 02:30:00", 1, 20.0),  # > 1h after the view: no match
+            ("2024-01-01 00:30:00", 2, 30.0),  # no view at all
+        ],
+        "ts_s string, user_id long, value double",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "user_id", "value")
+    views.write.parquet(str(vdir))
+    purchases.write.parquet(str(pdir))
+
+    vs = spark.readStream.schema("ts timestamp, user_id long").parquet(str(vdir))
+    ps = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(str(pdir))
+    q = (
+        attribute_conversions(vs, ps, max_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("ss_join_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.user_id, str(r.view_ts), str(r.purchase_ts), r.value)
+        for r in spark.sql("select * from ss_join_out").collect()
+    }
+    assert got == {(1, "2024-01-01 00:05:00", "2024-01-01 00:30:00", 10.0)}
