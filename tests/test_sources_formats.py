@@ -205,3 +205,45 @@ def test_zorder_parquet_files_cover_small_rectangles(spark, tmp_path):
     # domain per side; allow slack for range-boundary sampling.
     assert coverage(zout, 0) < 0.55
     assert coverage(zout, 1) < 0.55
+
+
+def test_snapshot_time_travel_upsert_and_rollback(spark, tmp_path):
+    from hadoopxmlextractor_spark.snapshots import (
+        commit_upsert,
+        latest_version,
+        read_snapshot,
+        rollback,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "corpus_table")
+    v0 = write_snapshot(
+        spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")], "doc_id: long, text: string"
+        ),
+        table,
+    )
+    assert v0 == 0 and latest_version(table) == 0
+
+    batch = spark.createDataFrame(
+        [(2, "TWO", False), (3, "x", True), (9, "nine", False)],
+        "doc_id: long, text: string, is_delete: boolean",
+    )
+    v1 = commit_upsert(spark, table, batch, "doc_id", delete_col="is_delete")
+    assert v1 == 1 and latest_version(table) == 1
+
+    now = {r.doc_id: r.text for r in read_snapshot(spark, table).collect()}
+    assert now == {1: "one", 2: "TWO", 9: "nine"}
+    # time travel: version 0 still intact
+    then = {r.doc_id: r.text for r in read_snapshot(spark, table, version=0).collect()}
+    assert then == {1: "one", 2: "two", 3: "three"}
+
+    rollback(table, 0)
+    assert latest_version(table) == 0
+    back = {r.doc_id: r.text for r in read_snapshot(spark, table).collect()}
+    assert back == then
+    # rolling back to a missing version must refuse
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        rollback(table, 7)
