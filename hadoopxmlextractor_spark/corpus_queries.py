@@ -1314,3 +1314,67 @@ def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     return wide.selectExpr(
         f"stack(5, {stack}) AS (col_name, n_nulls, n_distinct)", "n_rows"
     ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@query(
+    "dedup_graph_triangles",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS x, b.doc_id AS y
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), tri AS (
+      SELECT e1.x AS a, e1.y AS b, e2.y AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.x = e1.y
+      JOIN pairs e3 ON e3.x = e1.x AND e3.y = e2.y
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT a AS doc_id FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri)
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-document triangle counts over the near-dup graph — the
+    # clustering-coefficient numerator that separates tight boilerplate
+    # FAMILIES (mutual near-dups, many triangles) from chains of
+    # incidental pairwise overlap (zero triangles). The a<b<c edge
+    # orientation enumerates each triangle exactly once; both triangle
+    # joins shuffle on document ids (uniform), and the per-node degree
+    # is bounded upstream by the inverted index's df cap, so the
+    # e1⋈e2 fan-out stays near |E|·avg_degree rather than |V|².
+    docs = load(spark, sf, "documents")
+    pairs = (
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        .select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+        .persist()
+    )
+    pairs.count()  # eager: feeds all three triangle-join branches
+    e1 = pairs.select(F.col("x").alias("a"), F.col("y").alias("b"))
+    e2 = pairs.select(F.col("x").alias("b"), F.col("y").alias("c"))
+    e3 = pairs.select(F.col("x").alias("a"), F.col("y").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    roles = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return roles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
