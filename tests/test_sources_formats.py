@@ -247,3 +247,19 @@ def test_snapshot_time_travel_upsert_and_rollback(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         rollback(table, 7)
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC is the second columnar format Spark ships natively; the
+    engine's scan contract (predicate pushdown reaching the reader)
+    must hold there like it does for parquet."""
+    from hadoopxmlextractor_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    docs.write.orc(path)
+    back = spark.read.orc(path).filter(F.col("n_chars") > 500).select("doc_id", "n_chars")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]" in plan
+    expect = docs.filter(F.col("n_chars") > 500).count()
+    assert back.count() == expect and expect > 0
