@@ -383,20 +383,25 @@ def q_sql_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
       UNION ALL
       SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
       WHERE d < DATE '2024-01-30'
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS d, CAST(count(event_id) AS BIGINT) AS n
+      FROM events GROUP BY 1
     )
-    SELECT d, CAST(count(e.event_id) AS BIGINT) AS n_events
-    FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
-    GROUP BY d
+    SELECT days.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+    FROM days LEFT JOIN daily ON daily.d = days.d
     """,
 )
 def q_sql_recursive_date_spine(spark: SparkSession, sf: str) -> DataFrame:
     # Recursive CTE (Spark 4 finally has WITH RECURSIVE): generate a
-    # gap-free calendar spine and left-join daily event counts onto it
-    # — the canonical "report zero-activity days too" pattern that
-    # previously needed sequence()+explode. The recursion is 30
-    # driver-cheap rows; the event side aggregates with partial
-    # combine before its one shuffle, so the spine join broadcasts.
-    # Identical text runs on DuckDB.
+    # gap-free calendar spine and attach daily event counts — the
+    # canonical "report zero-activity days too" pattern that
+    # previously needed sequence()+explode. The fact stream aggregates
+    # per day FIRST (partial combine collapses it map-side), so the
+    # spine join touches |days| rows on each side; joining the RAW
+    # stream to the spine instead would funnel every event through a
+    # |days|-key exchange — a hot-key shuffle at 100 TB. The recursion
+    # itself is 30 driver-cheap rows. Identical text runs on DuckDB.
     load(spark, sf, "events").createOrReplaceTempView("events")
     return spark.sql(
         """
@@ -404,9 +409,12 @@ def q_sql_recursive_date_spine(spark: SparkSession, sf: str) -> DataFrame:
           SELECT DATE'2024-01-01'
           UNION ALL
           SELECT date_add(d, 1) FROM days WHERE d < DATE'2024-01-30'
+        ),
+        daily AS (
+          SELECT CAST(ts AS DATE) AS d, CAST(count(event_id) AS BIGINT) AS n
+          FROM events GROUP BY 1
         )
-        SELECT d, CAST(count(e.event_id) AS BIGINT) AS n_events
-        FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
-        GROUP BY d
+        SELECT days.d, CAST(coalesce(daily.n, 0) AS BIGINT) AS n_events
+        FROM days LEFT JOIN daily ON daily.d = days.d
         """
     )
