@@ -1378,3 +1378,34 @@ def q_dedup_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
     return roles.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+@query(
+    "corpus_chunks_overlap",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             unnest(generate_series(
+               0, CAST(CEIL(GREATEST(n_tokens - 128, 0) / 64.0) AS BIGINT)
+             )) AS chunk_idx
+      FROM base
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           chunk_idx * 64 AS tok_start,
+           LEAST(chunk_idx * 64 + 128, n_tokens) AS tok_end
+    FROM c
+    """,
+)
+def q_corpus_chunks_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # Strided (overlapping) context windows — chunk 128, stride 64, so
+    # every boundary token appears in two chunks and no span loses its
+    # context (the RAG convention). Same zero-shuffle posexplode
+    # arithmetic as the disjoint tiling; the window count formula stops
+    # at the first window that reaches the document end.
+    docs = load(spark, sf, "documents")
+    return C.chunk_documents(docs, "text", "doc_id", chunk_tokens=128, stride=64)

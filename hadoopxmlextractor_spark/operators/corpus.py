@@ -63,15 +63,34 @@ def vocabulary(
 
 
 def chunk_documents(
-    docs: DataFrame, text_col: str, id_col: str, *, chunk_tokens: int = 128
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 128,
+    stride: int | None = None,
 ) -> DataFrame:
     """Split documents into fixed-token-budget context-window chunks:
-    (id, chunk_idx, tok_start, tok_end). Pure per-row arithmetic +
-    posexplode — no shuffle; empty documents yield one empty [0, 0)
-    chunk so downstream joins never lose a document."""
+    (id, chunk_idx, tok_start, tok_end). ``stride`` < ``chunk_tokens``
+    produces OVERLAPPING windows (the RAG / long-context convention:
+    tokens near a boundary appear in two chunks so no span is ever cut
+    without context); the default ``stride = chunk_tokens`` tiles the
+    document disjointly. The last window is the one that REACHES the
+    end (``n_chunks = ceil(max(n - chunk, 0)/stride) + 1``) — every
+    token is covered, with no redundant all-inside-previous tails.
+    Pure per-row arithmetic + posexplode — no shuffle; empty documents
+    yield one empty [0, 0) chunk so downstream joins never lose a
+    document."""
+    if stride is None:
+        stride = chunk_tokens
     c = F.col(text_col)
     n = F.size(tokens(c))
-    n_chunks = F.greatest(F.ceil(n / F.lit(float(chunk_tokens))).cast("int"), F.lit(1))
+    n_chunks = (
+        F.ceil(
+            F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(float(stride))
+        ).cast("int")
+        + 1
+    )
     return (
         docs.select(
             F.col(id_col),
@@ -81,9 +100,9 @@ def chunk_documents(
         .select(
             id_col,
             F.col("chunk_idx"),
-            (F.col("chunk_idx") * chunk_tokens).alias("tok_start"),
+            (F.col("chunk_idx") * stride).alias("tok_start"),
             F.least(
-                (F.col("chunk_idx") + 1) * chunk_tokens, F.col("n_tokens")
+                F.col("chunk_idx") * stride + chunk_tokens, F.col("n_tokens")
             ).alias("tok_end"),
         )
     )

@@ -461,3 +461,27 @@ def test_upsert_update_insert_delete(spark):
         for r in upsert(corpus, batch, "doc_id", delete_col="is_delete").collect()
     }
     assert got == {1: "one", 2: "TWO", 9: "nine"}
+
+
+def test_chunk_documents_overlap_covers_without_redundant_tails(spark):
+    from hadoopxmlextractor_spark.operators.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(["w"] * 300)), (2, " ".join(["w"] * 100)), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(df, "text", "doc_id", chunk_tokens=128, stride=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["tok_start"], r["tok_end"]))
+    # 300 tokens: windows start at 0,64,128,192; the 192 window reaches
+    # the end (no 256 tail whose content is fully inside the previous).
+    assert sorted(by_doc[1]) == [(0, 128), (64, 192), (128, 256), (192, 300)]
+    # shorter than one window -> single chunk; empty -> [0, 0)
+    assert by_doc[2] == [(0, 100)]
+    assert by_doc[3] == [(0, 0)]
+    # coverage: every token of doc 1 falls in at least one window
+    covered = set()
+    for s, e in by_doc[1]:
+        covered.update(range(s, e))
+    assert covered == set(range(300))
