@@ -1409,3 +1409,88 @@ def q_corpus_chunks_overlap(spark: SparkSession, sf: str) -> DataFrame:
     # at the first window that reaches the document end.
     docs = load(spark, sf, "documents")
     return C.chunk_documents(docs, "text", "doc_id", chunk_tokens=128, stride=64)
+
+
+@query(
+    "corpus_contrastive_pairs",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pos AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), ranked AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 16 AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                                 AS BIGINT) % 16
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    ), neg AS (
+      SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+             GREATEST(a.doc_id, b.doc_id) AS doc_b
+      FROM ranked a JOIN ranked b
+        ON a.shard = b.shard AND b.rn = a.rn + 1 AND a.rn % 2 = 1
+    )
+    SELECT doc_a, doc_b, 1 AS label FROM pos
+    UNION ALL
+    SELECT n.doc_a, n.doc_b, 0 AS label FROM neg n
+    WHERE NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.doc_a = n.doc_a AND p.doc_b = n.doc_b)
+    """,
+)
+def q_corpus_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    # Contrastive training pairs for an embedding model: positives are
+    # the near-dup pairs the dedup layer already mines; negatives are
+    # DETERMINISTIC random-ish pairs built shard-locally — md5-bucket
+    # the corpus into 16 shards, rank within shard by md5 (a stable
+    # permutation), pair consecutive ranks. No global sort: each
+    # shard's window is corpus/16 and shards are md5-uniform, the same
+    # bound as shuffle_shards. Accidental positives are anti-joined
+    # out, so label 0 is guaranteed non-near-dup.
+    docs = load(spark, sf, "documents")
+    pos = (
+        D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+        .select("doc_a", "doc_b", F.lit(1).alias("label"))
+        .persist()
+    )
+    pos.count()  # eager: feeds the union AND the anti join
+    ranked = docs.select(
+        "doc_id", C.stable_bucket("doc_id", 16).alias("shard")
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        ),
+    )
+    a = ranked.filter(F.col("rn") % 2 == 1).select(
+        "shard", F.col("rn").alias("rn_a"), F.col("doc_id").alias("id_a")
+    )
+    b = ranked.select("shard", F.col("rn").alias("rn_b"), F.col("doc_id").alias("id_b"))
+    neg = (
+        a.join(b, (a.shard == b.shard) & (b.rn_b == a.rn_a + 1))
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+        )
+        .join(pos.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti")
+        .select("doc_a", "doc_b", F.lit(0).alias("label"))
+    )
+    return pos.unionByName(neg)
