@@ -546,3 +546,56 @@ def q_events_trend_slope(spark: SparkSession, sf: str) -> DataFrame:
         F.round(num / den, 12).alias("slope_cents_per_s"),
         F.round(num * num / (den * m), 8).alias("r2"),
     )
+
+
+@query(
+    "events_twap",
+    """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    weighted AS (
+      SELECT event_type, cents,
+             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms AS dt
+      FROM ev
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_weighted,
+           ROUND(CAST(SUM(CAST(cents * dt AS DECIMAL(38,0))) AS DOUBLE)
+                 / CAST(SUM(CAST(dt AS DECIMAL(38,0))) AS DOUBLE) / 100.0, 6)
+             AS twap
+    FROM weighted WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_twap(spark: SparkSession, sf: str) -> DataFrame:
+    # Time-weighted average value per event type: each observation is
+    # weighted by how long it "held" (ms until the user's next event —
+    # a lead over the same one user-keyed exchange every sequence
+    # query rides). Integer arithmetic end-to-end (cents × ms), with
+    # per-row products in bigint (≤ 5.6e4 × 2.6e9 ≈ 1.5e14) and the
+    # corpus-wide sums in DECIMAL(38,0) accumulators — at 1e11 rows a
+    # bigint sum would wrap, the decimal never does. One window pass +
+    # one dimension-sized aggregate.
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_millis(F.col("ts")).alias("ms"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    weighted = ev.select(
+        "event_type", "cents", (F.lead("ms").over(w) - F.col("ms")).alias("dt")
+    ).filter(F.col("dt").isNotNull())
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_weighted"),
+        F.round(
+            F.sum((F.col("cents") * F.col("dt")).cast("decimal(38,0)")).cast("double")
+            / F.sum(F.col("dt").cast("decimal(38,0)")).cast("double")
+            / 100.0,
+            6,
+        ).alias("twap"),
+    )
