@@ -459,3 +459,44 @@ def test_stream_stream_interval_join_attributes_conversions(spark, tmp_path):
         for r in spark.sql("select * from ss_join_out").collect()
     }
     assert got == {(1, "2024-01-01 00:05:00", "2024-01-01 00:30:00", 10.0)}
+
+
+def test_drop_duplicates_within_watermark_builtin(spark, tmp_path):
+    """The built-in watermarked dedup: unlike the custom
+    applyInPandasWithState operator (unbounded first-seen-wins state),
+    dropDuplicatesWithinWatermark keeps a key's state only until the
+    watermark passes it — bounded state, at the cost of re-admitting a
+    duplicate that arrives after the window. Both belong in the
+    toolbox; this pins the built-in's happy path."""
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 1, "a"),
+            ("2024-01-01 00:10:00", 1, "a-dup"),   # same id within watermark
+            ("2024-01-01 00:20:00", 2, "b"),
+        ],
+        "ts_s string, event_id long, payload string",
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_id", "payload")
+    df.write.parquet(str(landing / "batch1"))
+    stream = (
+        spark.readStream.schema("ts timestamp, event_id long, payload string")
+        .parquet(str(landing / "batch1"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ddww_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ddww"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.event_id: r.payload for r in spark.sql("select * from ddww_out").collect()}
+    assert set(got) == {1, 2}
+    assert got[1] in {"a", "a-dup"} and got[2] == "b"
