@@ -374,6 +374,20 @@ def ivf_topk(
     )
 
 
+def quantize_vec(a):
+    """Per-vector int8 quantization kernel (pure numpy; property-tested
+    directly): returns (scale, q int64 array). scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5) — round-half-up via floor because
+    floor is bit-deterministic across engines."""
+    import numpy as np
+
+    m = float(np.abs(a).max()) if a.size else 0.0
+    scale = m / 127.0
+    if scale == 0.0:
+        return 0.0, np.zeros(a.size, dtype=np.int64)
+    return scale, np.floor(a / scale + 0.5).astype(np.int64)
+
+
 def quantize_int8(col: Column | str) -> Column:
     """Symmetric per-vector int8 quantization summary — the storage
     path for embedding columns at corpus scale (float32 → int8 + one
@@ -408,12 +422,10 @@ def quantize_int8(col: Column | str) -> Column:
                     if v is not None
                     else np.zeros(0)
                 )
-                m = float(np.abs(a).max()) if a.size else 0.0
-                scale = m / 127.0
+                scale, q = quantize_vec(a)
                 if scale == 0.0:
                     rows.append((0, 0, 0))
                     continue
-                q = np.floor(a / scale + 0.5).astype(np.int64)
                 idx = np.arange(1, a.size + 1, dtype=np.int64)
                 rows.append(
                     (

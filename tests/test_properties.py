@@ -154,3 +154,33 @@ def test_mg_fold_retains_every_heavy_item(batches, capacity):
             assert item in summary.index
     for item, stored in summary.items():
         assert stored <= truth[item]
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=0,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_quantize_vec_bounds(values):
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.similarity import quantize_vec
+
+    a = np.asarray(values, dtype=np.float64)
+    scale, q = quantize_vec(a)
+    assert q.shape == a.shape
+    if scale == 0.0:
+        assert not np.any(q)
+        return
+    # codes fit int8's symmetric range
+    assert np.abs(q).max() <= 127
+    # round-half-up: reconstruction error per component <= scale/2 (+1 ulp)
+    err = np.abs(a - q * scale)
+    assert np.all(err <= scale / 2 * (1 + 1e-9) + 1e-300)
+    # the max-magnitude component always quantizes to exactly +/-127
+    assert np.abs(q[np.argmax(np.abs(a))]) == 127
