@@ -15,6 +15,7 @@ Subset grammar::
     path     := (('/' | '//') step)+  terminal?
     step     := (qname | '*') pred?
     pred     := '[@' qname '=' ('single' | "double") '-quoted value ']'
+              | '[@' qname ('='|'!='|'<'|'<='|'>'|'>=') number ']'
               | '[' digits ']'
     terminal := '/text()' | '//text()' | '/@' qname
 
@@ -71,9 +72,15 @@ _NAME = r"[A-Za-z_][\w.-]*"
 _QNAME = rf"(?:{_NAME}:)?{_NAME}"
 
 # step name = qname or the * wildcard (any element, javax semantics);
-# [@attr='value'] / [@attr="value"] / [n] — one predicate per step
+# [@attr='value'] / [@attr="value"] / [@attr OP number] / [n] — one
+# predicate per step. OP ∈ {=, !=, <, <=, >, >=} with an unquoted
+# numeric literal (XPath 1.0 number comparison).
+_NUM = r"-?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)"
 _STEP_RE = re.compile(
-    rf"({_QNAME}|\*)(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\]|\[([0-9]+)\])?"
+    rf"({_QNAME}|\*)"
+    rf"(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\]"
+    rf"|\[@({_QNAME})\s*(!=|<=|>=|<|>|=)\s*({_NUM})\]"
+    rf"|\[([0-9]+)\])?"
 )
 
 
@@ -83,6 +90,20 @@ class _Step(NamedTuple):
     pred_attr: str | None  # local name of the predicate attribute
     pred_val: str | None
     pos: int | None  # 1-based positional predicate ([n])
+    cmp: tuple[str, str, str] | None = None  # (attr local, op, numeric literal)
+
+
+# XPath 1.0 number(): optional sign, digits with optional fraction —
+# NO exponent notation (number('1e3') is NaN in XPath, unlike Python).
+_XPATH_NUM_RE = re.compile(rf"^\s*{_NUM}\s*$")
+
+
+def _xpath_number(s: str | None) -> float | None:
+    """XPath 1.0 number() of an attribute string: None ⇒ NaN (modelled
+    as None, so every comparison is false)."""
+    if s is None or _XPATH_NUM_RE.match(s) is None:
+        return None
+    return float(s)
 
 
 def _local(name: str) -> str:
@@ -111,7 +132,7 @@ def _parse_path(path: str) -> list[_Step] | None:
         m = _STEP_RE.match(path, pos)
         if m is None:
             return None
-        name, pattr, v1, v2, idx = m.groups()
+        name, pattr, v1, v2, cattr, cop, cnum, idx = m.groups()
         val = v1 if v1 is not None else v2
         steps.append(
             _Step(
@@ -120,6 +141,7 @@ def _parse_path(path: str) -> list[_Step] | None:
                 _local(pattr) if pattr else None,
                 val,
                 int(idx) if idx is not None else None,
+                (_local(cattr), cop, cnum) if cattr is not None else None,
             )
         )
         pos = m.end()
@@ -163,6 +185,8 @@ def strip_prefixes(expr: str) -> str:
             # re-quote with the quote style that cannot appear in the value
             q = "'" if "'" not in s.pred_val else '"'
             base += f"[@{s.pred_attr}={q}{s.pred_val}{q}]"
+        elif s.cmp is not None:
+            base += f"[@{s.cmp[0]}{s.cmp[1]}{s.cmp[2]}]"
         elif s.pos is not None:
             base += f"[{s.pos}]"
         return ("//" if s.axis == "desc" else "/") + base
@@ -234,6 +258,34 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
             return False
         if s.name != "*" and _local(n.tag) != s.name:
             return False
+        if s.cmp is not None:
+            # XPath number comparison: number(@attr) OP literal. A
+            # MISSING attribute is an empty nodeset — every comparison
+            # is false (no node to compare). A present but non-numeric
+            # attribute is NaN — false for every operator EXCEPT !=,
+            # which IEEE (and javax) makes true: NaN is unequal to
+            # everything.
+            raw = _get_attr_local(n, s.cmp[0])
+            if raw is None:
+                return False
+            v = _xpath_number(raw)
+            op = s.cmp[1]
+            if v is None:
+                return op == "!="
+            rhs = float(s.cmp[2])
+            return (
+                v == rhs
+                if op == "="
+                else v != rhs
+                if op == "!="
+                else v < rhs
+                if op == "<"
+                else v <= rhs
+                if op == "<="
+                else v > rhs
+                if op == ">"
+                else v >= rhs
+            )
         if s.pred_attr is None:
             return True
         return _get_attr_local(n, s.pred_attr) == s.pred_val

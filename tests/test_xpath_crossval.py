@@ -57,6 +57,14 @@ def _gen_expr(rng: random.Random) -> str:
             pred = f"[@{attr}='{rng.choice(vals)}']"
         elif roll < 0.4:
             pred = f"[{rng.randint(1, 3)}]"
+        elif roll < 0.55:
+            # numeric comparison: attr values include numerics ("1",
+            # "2"), a non-numeric ("x" → NaN), and absent attrs (empty
+            # nodeset) — all three comparison regimes get exercised
+            attr, _ = rng.choice(ATTRS)
+            op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+            rhs = rng.choice(["1", "2", "1.5"])
+            pred = f"[@{attr}{op}{rhs}]"
         parts.append(f"{axis}{name}{pred}")
     roll = rng.random()
     if roll < 0.3:
