@@ -599,3 +599,41 @@ def q_events_twap(spark: SparkSession, sf: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@query(
+    "agg_hll_daily_merge",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS monthly_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_hll_daily_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # The MERGEABLE-sketch cardinality workflow: build one Apache
+    # DataSketches HLL per (type, day), then union the daily sketches
+    # into the monthly estimate — at 100 TB the daily sketches are the
+    # few-KB pre-aggregate you materialize once, and every later
+    # rollup (weekly, monthly, all-time, cross-type) is a union of
+    # sketches, never a rescan. approx_count_distinct can't do this
+    # (its HLL++ state isn't exposed for re-aggregation; datasketches'
+    # is a first-class binary column).
+    #
+    # Oracle note: a DataSketches HLL at lgK=14 stays in SPARSE mode —
+    # an exact hash set — until ~2^14 distinct keys, and the test
+    # corpus has 1.5k users at sf0.1 (150 at the driver's sf0.01), so
+    # the union's estimate is EXACT here and the COUNT(DISTINCT)
+    # oracle is a true equality, not a tolerance. The general ±2%
+    # approximation regime (past sparse promotion) is gated in
+    # tests/test_approx_quality.py instead.
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sk")
+    )
+    return daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))")
+        .cast("bigint")
+        .alias("monthly_users"),
+    )

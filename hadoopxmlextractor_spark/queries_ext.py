@@ -797,3 +797,29 @@ def q_agg_value_histogram(spark: SparkSession, sf: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") / 50).cast("int").alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "scalar_try_safe",
+    """
+    SELECT doc_id,
+           TRY_CAST(lang AS INT) AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS INT) AS parsed_chars,
+           ROUND(n_chars / (doc_id % 3), 4) AS safe_ratio
+    FROM documents
+    """,
+)
+def q_scalar_try_safe(spark: SparkSession, sf: str) -> DataFrame:
+    # ANSI error-safe expressions: try_cast yields NULL instead of a
+    # job-killing runtime error on malformed input, try_divide on a
+    # zero divisor — the difference between one bad row poisoning a
+    # 100 TB job and a NULL you can audit afterwards. DuckDB's
+    # TRY_CAST and its NULL-on-zero division are the exact oracle
+    # twins. Pure scan projection, zero shuffle.
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr("try_cast(lang AS INT)").alias("lang_as_int"),
+        F.expr("try_cast(CAST(n_chars AS STRING) AS INT)").alias("parsed_chars"),
+        F.round(F.expr("try_divide(n_chars, doc_id % 3)"), 4).alias("safe_ratio"),
+    )

@@ -118,3 +118,27 @@ def test_ivfpq_topk_recall_vs_exact(spark):
     exact_rank = {v: i for i, v in enumerate(exact)}
     common = [v for v in got if v in exact_rank]
     assert common == sorted(common, key=exact_rank.__getitem__)
+
+
+def test_hll_sketch_union_matches_single_pass(spark):
+    # Merge correctness: unioning per-day sketches must estimate the
+    # same cardinality as one sketch built over the whole stream —
+    # the property that makes pre-aggregated daily sketches a lossless
+    # substitute for rescans (exactly, while sketches are in sparse
+    # mode; within the usual HLL error once promoted).
+    ev = load(spark, SF, "events")
+    merged = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").cast("long").alias("est"))
+        .collect()
+    }
+    single = {
+        r["event_type"]: r["est"]
+        for r in ev.groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").cast("long").alias("est"))
+        .collect()
+    }
+    assert merged == single
