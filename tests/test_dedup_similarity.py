@@ -317,3 +317,67 @@ def test_knn_classify_planted_majority(spark):
     assert len(out) == 1
     r = out[0]
     assert r["pred_label"] == 7 and r["votes"] == 3 and r["correct"] is False
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_stars_components_match_union_find_ground_truth(spark):
+    import random
+
+    from hadoopxmlextractor_spark.operators.dedup import connected_components_stars
+
+    rng = random.Random(7)
+    cases = []
+    # random graphs of varying density
+    for n, m in [(30, 15), (40, 60), (25, 5)]:
+        cases.append(
+            [(rng.randint(0, n), rng.randint(0, n)) for _ in range(m)]
+        )
+    # pathological diameter: a 300-node chain (min-label would need 300
+    # rounds; stars needs O(log^2))
+    cases.append([(i, i + 1) for i in range(300)])
+    # two cliques + an isolated edge
+    clique = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    cases.append(clique + [(x + 100, y + 100) for x, y in clique] + [(900, 901)])
+
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        truth = _uf_components(edges)
+        df = spark.createDataFrame(edges, "doc_a: long, doc_b: long")
+        got = {
+            r["doc_id"]: (r["component_id"], r["is_canonical"])
+            for r in connected_components_stars(df).collect()
+        }
+        assert set(got) == set(truth)
+        for node, root in truth.items():
+            assert got[node] == (root, node == root), (node, got[node], root)
+
+
+def test_stars_agrees_with_min_label_on_dedup_shapes(spark):
+    from hadoopxmlextractor_spark.operators.dedup import (
+        connected_components,
+        connected_components_stars,
+    )
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["doc_a", "doc_b"],
+    )
+    a = sorted(tuple(r) for r in connected_components(pairs).collect())
+    b = sorted(tuple(r) for r in connected_components_stars(pairs).collect())
+    assert a == b
