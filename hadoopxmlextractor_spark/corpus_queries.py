@@ -1494,3 +1494,49 @@ def q_corpus_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_a", "doc_b", F.lit(0).alias("label"))
     )
     return pos.unionByName(neg)
+
+
+@query(
+    "dedup_clusters_stars",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs
+    ), reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    )
+    SELECT x AS doc_id, MIN(y) AS component_id, (x = MIN(y)) AS is_canonical
+    FROM reach GROUP BY x
+    """,
+)
+def q_dedup_clusters_stars(spark: SparkSession, sf: str) -> DataFrame:
+    # Same contract as dedup_clusters (identical oracle), resolved by
+    # the alternating large-star/small-star algorithm instead of
+    # min-label propagation — O(log² n) rounds regardless of component
+    # diameter, the variant that survives pathological chain-shaped
+    # graphs at 100 TB. Driver-checked equality here proves the two
+    # resolutions agree end-to-end on real data.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return D.connected_components_stars(pairs)
