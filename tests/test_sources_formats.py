@@ -263,3 +263,48 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,500)]" in plan
     expect = docs.filter(F.col("n_chars") > 500).count()
     assert back.count() == expect and expect > 0
+
+
+def test_python_datasource_xmldocs_matches_wholetext(spark, tmp_path):
+    """The Spark 4 Python DataSource route must agree document-for-
+    document with the wholetext reader AND drive the full extraction
+    pipeline to the same rows."""
+    from hadoopxmlextractor_spark.config import ExtractionConfig
+    from hadoopxmlextractor_spark.extract import extract
+    from hadoopxmlextractor_spark.sources.xml_docs import read_xml_documents
+    from hadoopxmlextractor_spark.sources.xmldocs_datasource import register
+    from tests.fixtures import BANKS, INVENTORY_CONFIG_XML, SOHO
+
+    indir = tmp_path / "docs"
+    indir.mkdir()
+    from tests.fixtures import make_store_xml
+
+    stores = [SOHO, BANKS]
+    for i, store in enumerate(stores):
+        (indir / f"store{i}.xml").write_text(make_store_xml(store))
+    (indir / "notes.txt").write_text("not xml")  # suffix-filtered out
+
+    register(spark)
+    via_ds = (
+        spark.read.format("xmldocs").load(str(indir)).orderBy("doc_id").collect()
+    )
+    via_text = (
+        read_xml_documents(spark, str(indir / "*.xml"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [r.content for r in via_ds] == [r.content for r in via_text]
+    assert len(via_ds) == len(stores)
+
+    config = ExtractionConfig.from_hadoop_xml(INVENTORY_CONFIG_XML, is_text=True)
+    rows_ds = sorted(
+        tuple(r) for r in extract(
+            spark.read.format("xmldocs").load(str(indir)), config
+        ).drop("doc_id").collect()
+    )
+    rows_text = sorted(
+        tuple(r) for r in extract(
+            read_xml_documents(spark, str(indir / "*.xml")), config
+        ).drop("doc_id").collect()
+    )
+    assert rows_ds == rows_text and len(rows_ds) == 30
