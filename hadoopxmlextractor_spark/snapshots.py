@@ -92,3 +92,28 @@ def commit_upsert(
     return write_snapshot(
         upsert(current, batch, id_col, delete_col=delete_col), table_dir
     )
+
+
+def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Delete snapshot directories older than the newest ``keep_last``
+    versions, never touching the one ``_latest`` points at (a rolled-
+    back pointer pins its target even if old). Returns the removed
+    version ids. This is the storage-reclaim half of copy-on-write:
+    every commit leaves a full prior snapshot behind, so unbounded
+    history doubles storage per commit until vacuumed."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    versions = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(table_dir)
+        if d.startswith("v=") and os.path.isdir(os.path.join(table_dir, d))
+    )
+    pinned = latest_version(table_dir)
+    removable = [
+        v for v in versions[:-keep_last] if v != pinned
+    ]
+    for v in removable:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"))
+    return removable

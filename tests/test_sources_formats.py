@@ -308,3 +308,32 @@ def test_python_datasource_xmldocs_matches_wholetext(spark, tmp_path):
         ).drop("doc_id").collect()
     )
     assert rows_ds == rows_text and len(rows_ds) == 30
+
+
+def test_snapshot_vacuum_keeps_recent_and_pinned(spark, tmp_path):
+    from hadoopxmlextractor_spark.snapshots import (
+        read_snapshot,
+        rollback,
+        vacuum,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    for n in range(4):  # versions 0..3
+        write_snapshot(
+            spark.createDataFrame([(n, f"v{n}")], "doc_id: long, text: string"),
+            table,
+        )
+    # keep last 2 (v2, v3); v0, v1 removed
+    assert vacuum(table, keep_last=2) == [0, 1]
+    assert {r.text for r in read_snapshot(spark, table).collect()} == {"v3"}
+    assert {r.text for r in read_snapshot(spark, table, version=2).collect()} == {"v2"}
+
+    # a rolled-back pointer pins its old target through vacuum
+    write_snapshot(
+        spark.createDataFrame([(9, "v4")], "doc_id: long, text: string"), table
+    )
+    rollback(table, 2)
+    removed = vacuum(table, keep_last=1)
+    assert 2 not in removed  # pinned by the pointer
+    assert {r.text for r in read_snapshot(spark, table).collect()} == {"v2"}
