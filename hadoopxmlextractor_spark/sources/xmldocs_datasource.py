@@ -44,6 +44,9 @@ class XmlDocsDataSource(DataSource):
     def reader(self, schema) -> "XmlDocsReader":
         return XmlDocsReader(self.options)
 
+    def simpleStreamReader(self, schema) -> "XmlDocsStreamReader":
+        return XmlDocsStreamReader(self.options)
+
 
 class XmlDocsReader(DataSourceReader):
     def __init__(self, options):
@@ -70,3 +73,52 @@ class XmlDocsReader(DataSourceReader):
 def register(spark) -> None:
     """Register the source on a session: ``spark.read.format("xmldocs")``."""
     spark.dataSource.register(XmlDocsDataSource)
+
+
+class XmlDocsStreamReader:
+    """Incremental landing-dir reader (SimpleDataSourceStreamReader):
+    the offset is the lexicographic high-watermark of consumed file
+    names, so producers must land files with sortable names (the usual
+    landing-zone convention — timestamped or sequence-numbered). Each
+    micro-batch reads every file strictly above the watermark; replay
+    of a batch from its start offset is deterministic because files
+    are immutable once landed."""
+
+    def __init__(self, options):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("xmldocs source requires a 'path' option")
+        self._suffix = options.get("suffix", ".xml")
+
+    def _names(self):
+        return sorted(
+            n
+            for n in os.listdir(self._dir)
+            if n.endswith(self._suffix)
+            and os.path.isfile(os.path.join(self._dir, n))
+        )
+
+    def initialOffset(self):
+        return {"watermark": ""}
+
+    def read(self, start):
+        mark = start["watermark"]
+        fresh = [n for n in self._names() if n > mark]
+        rows = []
+        for n in fresh:
+            p = os.path.join(self._dir, n)
+            with open(p, encoding="utf-8") as f:
+                rows.append((p, f.read()))
+        end = {"watermark": fresh[-1] if fresh else mark}
+        return iter(rows), end
+
+    def readBetweenOffsets(self, start, end):
+        lo, hi = start["watermark"], end["watermark"]
+        for n in self._names():
+            if lo < n <= hi:
+                p = os.path.join(self._dir, n)
+                with open(p, encoding="utf-8") as f:
+                    yield (p, f.read())
+
+    def commit(self, end):
+        pass  # watermark lives in the checkpoint; nothing to clean up

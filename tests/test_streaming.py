@@ -500,3 +500,41 @@ def test_drop_duplicates_within_watermark_builtin(spark, tmp_path):
     got = {r.event_id: r.payload for r in spark.sql("select * from ddww_out").collect()}
     assert set(got) == {1, 2}
     assert got[1] in {"a", "a-dup"} and got[2] == "b"
+
+
+def test_python_datasource_streams_landing_dir_incrementally(spark, tmp_path):
+    """The xmldocs Python DataSource's streaming half: new files above
+    the lexicographic watermark arrive as new micro-batch rows; already
+    -consumed files are never re-emitted."""
+    from hadoopxmlextractor_spark.sources.xmldocs_datasource import register
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    (landing / "0001.xml").write_text("<d>one</d>")
+    (landing / "0002.xml").write_text("<d>two</d>")
+
+    register(spark)
+    q = (
+        spark.readStream.format("xmldocs")
+        .option("path", str(landing))
+        .load()
+        .writeStream.format("memory")
+        .queryName("xmldocs_stream_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_pyds"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {
+            r.content for r in spark.sql("select * from xmldocs_stream_out").collect()
+        }
+        assert first == {"<d>one</d>", "<d>two</d>"}
+        (landing / "0003.xml").write_text("<d>three</d>")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.sql("select content from xmldocs_stream_out").collect()
+    assert sorted(r.content for r in rows) == [
+        "<d>one</d>", "<d>three</d>", "<d>two</d>",
+    ]  # three files, each exactly once
