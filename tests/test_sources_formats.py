@@ -337,3 +337,44 @@ def test_snapshot_vacuum_keeps_recent_and_pinned(spark, tmp_path):
     removed = vacuum(table, keep_last=1)
     assert 2 not in removed  # pinned by the pointer
     assert {r.text for r in read_snapshot(spark, table).collect()} == {"v2"}
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """Re-landing one source's data must not clobber the other
+    partitions — the daily-reingestion write mode a partitioned corpus
+    depends on (static overwrite would truncate the whole table)."""
+    out = str(tmp_path / "part")
+    spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books")], "doc_id: long, source: string"
+    ).write.partitionBy("source").parquet(out)
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame(
+            [(9, "web")], "doc_id: long, source: string"
+        ).write.mode("overwrite").partitionBy("source").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    got = {
+        (r.doc_id, r.source) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(9, "web"), (3, "books")}  # books partition untouched
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """A corpus written over months gains columns; mergeSchema reads
+    old and new files as one table with NULLs where the column didn't
+    exist yet."""
+    out = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a")], "doc_id: long, text: string").write.parquet(
+        str(out / "m1")
+    )
+    spark.createDataFrame(
+        [(2, "b", "en")], "doc_id: long, text: string, lang: string"
+    ).write.parquet(str(out / "m2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(out / "m1"), str(out / "m2")
+    )
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r.lang for r in merged.collect()}
+    assert rows == {1: None, 2: "en"}
