@@ -637,3 +637,81 @@ def q_agg_hll_daily_merge(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("monthly_users"),
     )
+
+
+@query(
+    "events_association_rules",
+    """
+    WITH u AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d, event_type FROM events
+    ),
+    n_b AS (SELECT CAST(COUNT(DISTINCT (user_id, d)) AS BIGINT) AS n FROM u),
+    per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM u GROUP BY 1
+    ),
+    co AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM u a JOIN u b ON a.user_id = b.user_id AND a.d = b.d
+                        AND a.event_type <> b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) / n.n, 6) AS support,
+           ROUND(CAST(n_ab AS DOUBLE) / ta.n_t, 6) AS confidence,
+           ROUND(CAST(n_ab AS DOUBLE) / ta.n_t
+                 / (CAST(tb.n_t AS DOUBLE) / n.n), 6) AS lift
+    FROM co JOIN per_type ta ON ta.event_type = co.type_a
+    JOIN per_type tb ON tb.event_type = co.type_b CROSS JOIN n_b n
+    """,
+)
+def q_events_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    # Market-basket association rules over (user, day) baskets:
+    # support / confidence / lift for every ordered event-type pair.
+    # The DISTINCT basket projection collapses the raw stream FIRST
+    # (billions of events → |users|·|days|·|types| rows — the same
+    # shrink-then-join shape as retention); the self-join shuffles on
+    # the uniform (user, day) key with fan-out capped at |types|² per
+    # basket, and everything after is dimension-sized with broadcast
+    # type totals. Counts are exact integers; the three ratios round
+    # identically on both engines.
+    ev = load(spark, sf, "events")
+    u = (
+        ev.select("user_id", F.to_date("ts").alias("d"), "event_type")
+        .distinct()
+        .persist()
+    )
+    u.count()  # eager: feeds basket count, per-type totals, and both join sides
+    n_baskets = u.select("user_id", "d").distinct().count()
+    per_type = u.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = u.select("user_id", "d", F.col("event_type").alias("type_a"))
+    b = u.select("user_id", "d", F.col("event_type").alias("type_b"))
+    co = (
+        a.join(b, ["user_id", "d"])
+        .filter(F.col("type_a") != F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ta = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("n_t").alias("n_t_a")
+    )
+    tb = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("n_t").alias("n_t_b")
+    )
+    return (
+        co.join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.round(F.col("n_ab") / F.lit(n_baskets), 6).alias("support"),
+            F.round(F.col("n_ab") / F.col("n_t_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab")
+                / F.col("n_t_a")
+                / (F.col("n_t_b") / F.lit(n_baskets)),
+                6,
+            ).alias("lift"),
+        )
+    )
