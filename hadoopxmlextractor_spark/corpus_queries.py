@@ -1540,3 +1540,69 @@ def q_dedup_clusters_stars(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
     return D.connected_components_stars(pairs)
+
+
+def _pagerank_oracle(iterations: int = 5, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank replay: same integer arithmetic
+    as operators.dedup.pagerank (floor division, fixed rounds), so the
+    check is hash-exact, not approximate. DuckDB's `//` is floor
+    division and SUM(BIGINT) widens to HUGEINT — the final CAST
+    narrows back to BIGINT after the bounded `(85 * s) // 100`."""
+    base = (15 * scale) // 100
+    ctes = [
+        r"""tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS x, b.doc_id AS y
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT x, y FROM pairs UNION SELECT y, x FROM pairs
+    ), deg AS (
+      SELECT x, COUNT(*) AS d FROM edges GROUP BY x
+    )""",
+        f"r0 AS (SELECT x, d, CAST({scale} AS BIGINT) AS r FROM deg)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT dg.x, dg.d,
+             CAST({base} + (85 * s.s) // 100 AS BIGINT) AS r
+      FROM deg dg
+      JOIN (SELECT e.y AS x, SUM(p.r // p.d) AS s
+            FROM edges e JOIN r{k - 1} p ON e.x = p.x
+            GROUP BY e.y) s ON dg.x = s.x
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT x AS doc_id, CAST(d AS BIGINT) AS degree, r AS rank_fp\n"
+        f"FROM r{iterations}"
+    )
+
+
+@query("dedup_graph_pagerank", _pagerank_oracle())
+def q_dedup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    # Authority scoring over the near-dup graph: the high-rank members
+    # of a duplication family are its boilerplate HUBS (the template
+    # many docs are near-copies of) — the right representative to
+    # inspect or keep, vs connected_components' arbitrary min-id pick.
+    # Fixed-point bigint arithmetic with a fixed round count makes the
+    # iterative algorithm hash-exact against the unrolled-CTE oracle —
+    # the same trick that made MinHash/LSH exactly checkable.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return D.pagerank(pairs)

@@ -863,3 +863,82 @@ def connected_components_stars(
         "component_id",
         (F.col("doc_id") == F.col("component_id")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    *,
+    iterations: int = 5,
+    scale: int = 10**12,
+) -> DataFrame:
+    """Damped PageRank (d = 0.85) over the undirected near-dup pair
+    graph: (doc_id, degree, rank_fp). High-rank nodes are the HUBS of
+    a duplication family — the boilerplate templates everything else
+    is a near-copy of — which is the member you want to inspect (or
+    keep) when resolving a cluster, versus the arbitrary min-id pick
+    of :func:`connected_components`.
+
+    All arithmetic is BIGINT fixed-point (``scale`` = 1e12) with floor
+    division and a FIXED iteration count, so the result is bit-exact
+    on any engine: the DuckDB oracle replays the same rounds as
+    unrolled CTEs.  Per round::
+
+        contrib(u) = r(u) div degree(u)
+        r'(v)      = (0.15 * scale) + (85 * sum_in(v)) div 100
+
+    Every node of the symmetrized graph has degree >= 1, so there are
+    no dangling nodes and total mass stays ~ scale * |V|; with the
+    default scale the ``85 * sum_in`` product is overflow-safe (ANSI
+    mode would error, not wrap) up to ~1e5 mass concentrating on one
+    node — drop ``scale`` to 1e9 for billion-node graphs.
+
+    Scale: 2 shuffles/round (edges join + incoming-sum groupBy), both
+    on uniform doc-id keys; edges and degrees are computed once and
+    persisted. The dup graph is orders of magnitude smaller than the
+    corpus, and rounds are fixed (not diameter-bound), so the plan is
+    flat at 100 TB. localCheckpoint per round truncates the lineage
+    like :func:`connected_components_stars`.
+    """
+    base = (15 * scale) // 100
+    edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    edges = (
+        edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        .distinct()
+        .persist()
+    )
+    edges.count()  # eager: feeds every round's join
+    deg = edges.groupBy("x").agg(F.count(F.lit(1)).alias("d")).persist()
+    deg.count()
+    ranks = deg.withColumn("r", F.lit(scale).cast("long"))
+    for _ in range(iterations):
+        contrib = ranks.select("x", F.expr("r div d").alias("c"))
+        incoming = (
+            edges.join(contrib, "x")
+            .groupBy(F.col("y").alias("x"))
+            .agg(F.sum("c").alias("s"))
+        )
+        # inner join is total: symmetrization gives every node >= 1
+        # in-edge, so no node loses its rank row.
+        ranks = (
+            deg.join(incoming, "x")
+            .select(
+                "x",
+                "d",
+                (F.lit(base) + F.expr("(85 * s) div 100")).alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    deg.unpersist()
+    return ranks.select(
+        F.col("x").alias("doc_id"),
+        F.col("d").cast("bigint").alias("degree"),
+        F.col("r").cast("bigint").alias("rank_fp"),
+    )

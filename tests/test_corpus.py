@@ -485,3 +485,33 @@ def test_chunk_documents_overlap_covers_without_redundant_tails(spark):
     for s, e in by_doc[1]:
         covered.update(range(s, e))
     assert covered == set(range(300))
+
+
+def test_pagerank_matches_python_fixed_point_replay(spark):
+    # star 1-{2,3,4} (hub should out-rank leaves) + pair {10, 11}
+    from hadoopxmlextractor_spark.operators.dedup import pagerank
+
+    raw = [(1, 2), (1, 3), (1, 4), (10, 11)]
+    pairs = spark.createDataFrame(raw, ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: (r["degree"], r["rank_fp"])
+        for r in pagerank(pairs, iterations=5).collect()
+    }
+
+    # pure-Python replay of the exact integer recurrence
+    scale = 10**12
+    base = (15 * scale) // 100
+    edges = set()
+    for a, b in raw:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = {x for e in edges for x in e}
+    deg = {v: sum(1 for x, _ in edges if x == v) for v in nodes}
+    r = {v: scale for v in nodes}
+    for _ in range(5):
+        contrib = {v: r[v] // deg[v] for v in nodes}
+        incoming = {v: sum(contrib[x] for x, y in edges if y == v) for v in nodes}
+        r = {v: base + (85 * incoming[v]) // 100 for v in nodes}
+    assert got == {v: (deg[v], r[v]) for v in nodes}
+    # the hub of the star dominates its leaves
+    assert got[1][1] > got[2][1] == got[3][1] == got[4][1]
