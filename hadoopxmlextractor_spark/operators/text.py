@@ -376,3 +376,62 @@ def hashed_features(
         .groupBy(id_col, "dim_idx")
         .agg(F.sum("sign").cast("long").alias("value"))
     )
+
+
+def classifier_margin(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+    modulus: int = 2001,
+    offset: int = 1000,
+) -> DataFrame:
+    """Linear quality-classifier scoring (the fastText-shaped filter
+    stage of CCNet / GPT-3-style corpus pipelines): score every
+    document with a linear model over :func:`hashed_features` vectors
+    and keep the non-negative-margin side.
+
+    The weight table stands in for a trained model's coefficients; it
+    is derived deterministically from md5 of the dimension index
+    (integers in [-offset, modulus-1-offset]) so the whole scoring
+    pass — features, weights, dot product — is bigint-exact and
+    engine-replayable. In production the same plan ships fitted
+    weights: a ``dim``-row table broadcast-joined onto the sparse
+    feature stream, which is the point — the MODEL rides a broadcast,
+    the corpus never shuffles for it.
+
+    Scale: hashed_features' one uniform-key shuffle + a broadcast join
+    (weights are O(dim) rows) + one doc-keyed sum, then a left join
+    back onto documents so featureless (empty) docs still get a
+    margin-0 verdict. Margins are bigint sums of
+    count x weight — ANSI mode errors on overflow rather than wrapping.
+    """
+    feats = hashed_features(docs, text_col, id_col, dim=dim)
+    spark = docs.sparkSession
+    weights = spark.range(dim).select(
+        F.col("id").cast("int").alias("dim_idx"),
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % modulus
+            - offset
+        ).alias("w"),
+    )
+    margins = (
+        feats.join(F.broadcast(weights), "dim_idx")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("value") * F.col("w")).cast("long").alias("margin"))
+    )
+    return (
+        docs.select(id_col)
+        .join(margins, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("margin", F.lit(0)).cast("bigint").alias("margin"),
+            (F.coalesce("margin", F.lit(0)) >= 0).alias("keep"),
+        )
+    )

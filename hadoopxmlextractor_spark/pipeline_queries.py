@@ -840,3 +840,52 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     return S.ivf_pq_topk(
         emb, _query_vec(spark, sf), k=20, n_centroids=16, nprobe=6, m=8, n_codes=16
     )
+
+
+@query(
+    "text_quality_classifier",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(CAST(
+               (CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT)) % 64
+             AS BIGINT) AS INT) AS dim_idx,
+             1 - 2 * (CAST(('0x' || substring(md5(token), 9, 2)) AS BIGINT) % 2)
+               AS sign
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, dim_idx, SUM(sign) AS value
+      FROM hashed GROUP BY doc_id, dim_idx
+    ),
+    w AS (
+      SELECT CAST(j AS INT) AS dim_idx,
+             CAST(('0x' || substring(md5('w:' || CAST(j AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2001 - 1000 AS w
+      FROM generate_series(0, 63) AS t(j)
+    ),
+    m AS (
+      SELECT f.doc_id, SUM(f.value * w.w) AS margin
+      FROM feats f JOIN w ON f.dim_idx = w.dim_idx
+      GROUP BY f.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(m.margin, 0) AS BIGINT) AS margin,
+           COALESCE(m.margin, 0) >= 0 AS keep
+    FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+    """,
+)
+def q_text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    # Linear (fastText-shaped) quality-classifier scoring — the model-
+    # based corpus filter stage: hashed-feature vectors dotted with a
+    # broadcast weight table, every document verdicted (featureless
+    # docs score 0). Weights are md5-derived stand-ins for fitted
+    # coefficients, making the whole pass bigint-exact; in production
+    # the identical plan broadcast-joins the trained weights.
+    docs = load(spark, sf, "documents")
+    return T.classifier_margin(docs, "text", "doc_id", dim=64)

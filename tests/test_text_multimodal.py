@@ -340,3 +340,37 @@ def test_hashed_features_deterministic_signed_counts(spark):
     # case-normalized: d1's "alpha" and d2's "ALPHA" land identically
     ia, _ = ref("alpha")
     assert ("d2", ia) in out
+
+
+def test_classifier_margin_python_replay_and_empty_doc(spark):
+    import hashlib
+    from collections import defaultdict
+
+    from hadoopxmlextractor_spark.operators.text import classifier_margin
+
+    rows = [("d1", "alpha alpha beta"), ("d2", "gamma delta"), ("d3", "   ")]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {
+        r["doc_id"]: (r["margin"], r["keep"])
+        for r in classifier_margin(docs, "text", "doc_id", dim=64).collect()
+    }
+
+    def hex8(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def feat(tok):
+        h = hashlib.md5(tok.encode()).hexdigest()
+        return int(h[:8], 16) % 64, 1 - 2 * (int(h[8:10], 16) % 2)
+
+    w = {j: hex8(f"w:{j}") % 2001 - 1000 for j in range(64)}
+    expect = {}
+    for doc, text in rows:
+        vec = defaultdict(int)
+        for tok in text.lower().split():
+            i, s = feat(tok)
+            vec[i] += s
+        margin = sum(v * w[i] for i, v in vec.items())
+        expect[doc] = (margin, margin >= 0)
+    assert got == expect
+    # the whitespace-only doc is still verdicted, at margin 0
+    assert got["d3"] == (0, True)
