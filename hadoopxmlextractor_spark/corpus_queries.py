@@ -1606,3 +1606,41 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
     return D.pagerank(pairs)
+
+
+@query(
+    "dedup_incremental_bloom",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS h,
+             {_HEX8} % 100 >= 80 AS incoming
+      FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents)
+    ),
+    corpus AS (SELECT DISTINCT h FROM tagged WHERE NOT incoming)
+    SELECT t.doc_id,
+           (c.h IS NOT NULL) AS dup_of_corpus,
+           (ROW_NUMBER() OVER (PARTITION BY t.h ORDER BY t.doc_id) > 1)
+             AS dup_in_batch
+    FROM tagged t LEFT JOIN corpus c ON t.h = c.h
+    WHERE t.incoming
+    """,
+)
+def q_dedup_incremental_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    # Bloom-pre-filtered incremental dedup: identical contract AND
+    # identical result to dedup_incremental (same oracle — the exact
+    # verify join removes every bloom false positive), but the
+    # batch-vs-corpus join carries only "maybe" rows. At 100 TB the
+    # corpus-hash index is read once into a broadcastable bitmap and
+    # the expensive shuffle join shrinks to true-dups + FP residue —
+    # the standard big-join shrinker Spark's own runtime bloom filters
+    # apply, here surfaced as an operator the pipeline controls.
+    docs = load(spark, sf, "documents").withColumn(
+        "bucket", C.stable_bucket("doc_id", 100)
+    )
+    tagged = docs.select(
+        "doc_id", F.md5("text").alias("h"), (F.col("bucket") >= 80).alias("incoming")
+    )
+    corpus = tagged.filter(~F.col("incoming")).select("h").distinct()
+    batch = tagged.filter(F.col("incoming")).select("doc_id", "h")
+    return D.bloom_incremental_flags(corpus, batch, "h", "doc_id")

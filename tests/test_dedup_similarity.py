@@ -381,3 +381,55 @@ def test_stars_agrees_with_min_label_on_dedup_shapes(spark):
     a = sorted(tuple(r) for r in connected_components(pairs).collect())
     b = sorted(tuple(r) for r in connected_components_stars(pairs).collect())
     assert a == b
+
+
+def test_bloom_incremental_exact_even_with_forced_false_positives(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.dedup import (
+        bloom_build,
+        bloom_incremental_flags,
+    )
+
+    corpus_rows = [(f"c{i}", f"corpus doc {i}") for i in range(30)]
+    batch_rows = (
+        [(f"b{i}", f"corpus doc {i}") for i in range(5)]  # dups of corpus
+        + [(f"n{i}", f"fresh doc {i}") for i in range(20)]  # new
+        + [("r1", "repeated"), ("r2", "repeated")]  # in-batch dup
+    )
+    corpus = spark.createDataFrame(corpus_rows, "doc_id string, text string").select(
+        F.md5("text").alias("h")
+    )
+    batch = spark.createDataFrame(batch_rows, "doc_id string, text string").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+
+    expected = {
+        **{f"b{i}": (True, False) for i in range(5)},
+        **{f"n{i}": (False, False) for i in range(20)},
+        "r1": (False, False),
+        "r2": (False, True),
+    }
+    # m=64 bits with 30 members: heavy collision load — false positives
+    # are near-certain, and the exact verify join must erase them all.
+    for m_bits in (64, 1 << 17):
+        got = {
+            r["doc_id"]: (r["dup_of_corpus"], r["dup_in_batch"])
+            for r in bloom_incremental_flags(
+                corpus, batch, "h", "doc_id", m_bits=m_bits
+            ).collect()
+        }
+        assert got == expected, m_bits
+
+    # and the filter itself never false-negatives: every corpus member
+    # tests positive against the built bitmap
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.dedup import _bloom_positions
+
+    bm = np.frombuffer(bloom_build(corpus, "h", m_bits=1 << 17), dtype=np.uint8)
+    for row in corpus.collect():
+        assert all(
+            bm[p >> 3] & (1 << (p & 7))
+            for p in _bloom_positions(row["h"], 1 << 17)
+        )
