@@ -715,3 +715,36 @@ def q_events_association_rules(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "events_scd2_history",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), ded AS (
+      SELECT * FROM ordered WHERE prev IS NULL OR state <> prev
+    )
+    SELECT user_id, state,
+           epoch_ms(CAST(ts AS TIMESTAMP)) AS eff_from_ms,
+           epoch_ms(CAST(LEAD(ts) OVER w AS TIMESTAMP)) AS eff_to_ms,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           (LEAD(ts) OVER w IS NULL) AS is_current
+    FROM ded
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_events_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
+    # SCD type-2 dimension build from the event change log: collapse
+    # per-user consecutive identical states, then half-open validity
+    # intervals [eff_from, eff_to) with a NULL-ended current row —
+    # the warehouse-standard history table that turns "state at time
+    # T" into a range lookup. One user-keyed shuffle; the collapse
+    # filter and both interval windows share a single exchange+sort.
+    from hadoopxmlextractor_spark.operators.temporal import scd2_history
+
+    events = load(spark, sf, "events")
+    return scd2_history(events, "user_id", "event_type", "ts", "event_id")

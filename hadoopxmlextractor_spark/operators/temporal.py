@@ -125,3 +125,40 @@ def asof_join(
         .filter(F.col("_side") == 1 - right_side)
         .drop("_side")
     )
+
+
+def scd2_history(
+    changes: DataFrame,
+    key_col: str,
+    state_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Build a type-2 slowly-changing-dimension history from a change
+    log: per key, collapse consecutive identical states and emit one
+    validity interval per state run — (key, state, eff_from_ms,
+    eff_to_ms, version, is_current), half-open [from, to) with the
+    open current row carrying a NULL end. The warehouse-standard way
+    to make "what was this user's state at time T" a range lookup
+    (pairs with :func:`asof_join` for the probe side).
+
+    Ordering is (ts, tiebreak) so same-timestamp changes resolve
+    deterministically. Scale: ONE shuffle — both windows and the
+    change-collapse filter share the same (key, ts, tiebreak)
+    partitioning+sort, so Catalyst plans a single exchange; state per
+    key is O(1) streaming frames, never a collected list.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    ded = (
+        changes.select(key_col, state_col, ts_col, tiebreak_col)
+        .withColumn("_prev", F.lag(state_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col(state_col) != F.col("_prev")))
+    )
+    return ded.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        F.unix_millis(F.col(ts_col)).alias("eff_from_ms"),
+        F.unix_millis(F.lead(ts_col).over(w)).alias("eff_to_ms"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )

@@ -627,3 +627,57 @@ def test_runtime_bloom_filter_prunes_shuffle_join_probe_side(spark):
         assert df.count() == 1
     finally:
         _restore_confs(spark, old)
+
+
+def test_scd2_history_collapses_runs_single_shuffle(spark):
+    import datetime as dt
+
+    from hadoopxmlextractor_spark.operators.temporal import scd2_history
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # u1: A A B A — runs collapse to A, B, A
+        (1, "A", ts(0), 1),
+        (1, "A", ts(10), 2),
+        (1, "B", ts(20), 3),
+        (1, "A", ts(30), 4),
+        # u2: single state, stays one open current row
+        (2, "X", ts(5), 5),
+        # u3: same-timestamp tie broken by event_id (B then C)
+        (3, "B", ts(0), 6),
+        (3, "C", ts(0), 7),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_type string, ts timestamp, event_id int"
+    )
+    out = scd2_history(df, "user_id", "event_type", "ts", "event_id")
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"],
+            r["eff_from_ms"],
+            r["eff_to_ms"],
+            r["is_current"],
+        )
+        for r in out.collect()
+    }
+
+    def ms(m):
+        return int((t0 + dt.timedelta(minutes=m)).replace(
+            tzinfo=dt.timezone.utc).timestamp() * 1000)
+
+    assert got == {
+        (1, 1): ("A", ms(0), ms(20), False),
+        (1, 2): ("B", ms(20), ms(30), False),
+        (1, 3): ("A", ms(30), None, True),
+        (2, 1): ("X", ms(5), None, True),
+        (3, 1): ("B", ms(0), ms(0), False),
+        (3, 2): ("C", ms(0), None, True),
+    }
+    # the AQE string prints Final + Initial sections — count the Final only
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 1
