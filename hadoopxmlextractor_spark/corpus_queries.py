@@ -1644,3 +1644,29 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf: str) -> DataFrame:
     corpus = tagged.filter(~F.col("incoming")).select("h").distinct()
     batch = tagged.filter(F.col("incoming")).select("doc_id", "h")
     return D.bloom_incremental_flags(corpus, batch, "h", "doc_id")
+
+
+@query("corpus_bpe_merges", O.bpe_merges_oracle(rounds=6))
+def q_corpus_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
+    # Tokenizer training on the corpus: 6 rounds of BPE merge
+    # learning over the distinct-word frequency table. Iterative with
+    # a driver-side argmax (one row/round — the algorithm's inherent
+    # sequential step); everything heavy (word table, per-round pair
+    # stats) is distributed. The oracle replays all six rounds in one
+    # recursive-CTE SQL statement, so even tokenizer TRAINING is
+    # hash-exact checked, not eyeballed.
+    docs = load(spark, sf, "documents")
+    return C.bpe_learn_merges(docs, "text", rounds=6)
+
+
+@query("corpus_bpe_encode", O.bpe_encoded_words_oracle(rounds=6))
+def q_corpus_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
+    # The trained tokenizer's OUTPUT side: each vocabulary word's
+    # subword segmentation after all 6 learned merges (word, freq,
+    # pos, sym). Encoding a corpus is then a broadcast join of this
+    # table onto the token stream — the word table is
+    # vocabulary-bounded, so the corpus itself never re-runs the
+    # merge loop. Oracle shares the training replay plus the final
+    # application round.
+    docs = load(spark, sf, "documents")
+    return C.bpe_encoded_words(docs, "text", rounds=6)

@@ -9,6 +9,9 @@ partition-order-sensitive builtin ``hash``/``rand``.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -713,3 +716,125 @@ def upsert(
     if delete_col is not None:
         incoming = incoming.filter(~F.col(delete_col))
     return kept.unionByName(incoming.select(*cols))
+
+
+def _bpe_train(
+    docs: DataFrame, text_col: str, *, rounds: int = 6
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Train BPE tokenizer merges on the corpus (Sennrich et al.
+    2016, "Neural Machine Translation of Rare Words with Subword
+    Units"): per round, the most frequent adjacent symbol pair across
+    the word-frequency table becomes a new merged symbol. Returns the
+    merge table — (rank, left_sym, right_sym, merged, pair_count) —
+    the artifact a tokenizer ships.
+
+    Semantics pinned for exact replay: pair counts are per adjacent
+    POSITION (overlaps included, the reference implementation's
+    ``get_stats``), weighted by word frequency; the argmax tie-breaks
+    on the pair string ascending; application is greedy left-to-right
+    (in "a a a" the first two symbols merge, the third survives) —
+    equivalent to repeatedly replacing the LEFTMOST occurrence, which
+    is what the oracle's recursive CTE replays.
+
+    Scale: BPE trains on the DISTINCT-WORD table (vocabulary-bounded —
+    millions of rows at 100 TB, not the corpus), built with one
+    uniform-key shuffle; each round is one pair-explode + groupBy over
+    that table, and only the single argmax row ever reaches the driver
+    (the inherently sequential step of the algorithm). Word state is
+    localCheckpoint'ed per round so the plan stays flat.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    @F.pandas_udf("array<string>")
+    def chars(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ws in it:
+            yield pd.Series([list(w) for w in ws])
+
+    state = words.select(
+        "word", "freq", chars("word").alias("syms")
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for rank in range(1, rounds + 1):
+
+        @F.pandas_udf("array<string>")
+        def pairs(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for ss in it:
+                yield pd.Series(
+                    [[f"{s[i]} {s[i+1]}" for i in range(len(s) - 1)] for s in ss]
+                )
+
+        best = (
+            state.select("freq", F.explode(pairs("syms")).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+        left, right = pair.split(" ", 1)
+        merges.append((rank, left, right, left + right, cnt))
+
+        def make_apply(_l: str, _r: str):
+            @F.pandas_udf("array<string>")
+            def apply_merge(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+                for ss in it:
+                    out = []
+                    for s in ss:
+                        new, i, n = [], 0, len(s)
+                        while i < n:
+                            if i < n - 1 and s[i] == _l and s[i + 1] == _r:
+                                new.append(_l + _r)
+                                i += 2
+                            else:
+                                new.append(s[i])
+                                i += 1
+                        out.append(new)
+                    yield pd.Series(out)
+
+            return apply_merge
+
+        apply_merge = make_apply(left, right)
+
+        state = state.select(
+            "word", "freq", apply_merge("syms").alias("syms")
+        ).localCheckpoint(eager=True)
+
+    return merges, state
+
+
+def bpe_learn_merges(
+    docs: DataFrame, text_col: str, *, rounds: int = 6
+) -> DataFrame:
+    """The merge TABLE from :func:`_bpe_train` — (rank, left_sym,
+    right_sym, merged, pair_count), the artifact a tokenizer ships."""
+    merges, _ = _bpe_train(docs, text_col, rounds=rounds)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "rank bigint, left_sym string, right_sym string, merged string, pair_count bigint",
+    )
+
+
+def bpe_encoded_words(
+    docs: DataFrame, text_col: str, *, rounds: int = 6
+) -> DataFrame:
+    """The word-frequency table AFTER all learned merges are applied,
+    exploded to (word, freq, pos, sym) — the subword segmentation the
+    trained tokenizer would emit per vocabulary word (encoding unseen
+    text = a broadcast lookup of this table plus the same greedy merge
+    loop for OOV words)."""
+    _, state = _bpe_train(docs, text_col, rounds=rounds)
+    return state.select(
+        "word",
+        "freq",
+        F.posexplode("syms").alias("pos", "sym"),
+    )

@@ -355,3 +355,91 @@ def minhash_incremental_oracle(
     FROM tagged t LEFT JOIN hits h ON t.doc_id = h.doc_a
     WHERE t.incoming
     """
+
+
+def bpe_merges_oracle(rounds: int = 6) -> str:
+    """Exact replay of operators.corpus.bpe_learn_merges: per round,
+    pair stats per adjacent position weighted by word freq, argmax
+    with (cnt DESC, pair ASC) tie-break, then greedy left-to-right
+    application — replayed as a recursive CTE that replaces the
+    LEFTMOST occurrence until none remains (provably the same result
+    as the positional greedy merge: a merged symbol contains no
+    space, so it can never re-match the pair pattern). The chosen
+    pair flows between rounds via scalar subqueries, so the single
+    SQL statement replays the whole training loop."""
+    ctes = _bpe_ctes(rounds, final_apply=False)
+    rows = "\nUNION ALL\n".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS rank,"
+        f" (SELECT l FROM best{k}) AS left_sym,"
+        f" (SELECT r FROM best{k}) AS right_sym,"
+        f" (SELECT replace(pair, ' ', '') FROM best{k}) AS merged,"
+        f" CAST((SELECT cnt FROM best{k}) AS BIGINT) AS pair_count"
+        for k in range(rounds)
+    )
+    return "WITH RECURSIVE " + ",\n".join(ctes) + "\n" + rows
+
+
+def bpe_encoded_words_oracle(rounds: int = 6) -> str:
+    """Replay of operators.corpus.bpe_encoded_words: the word table
+    after ALL learned merges are applied, exploded to (word, freq,
+    pos, sym). Shares the training CTE chain with
+    :func:`bpe_merges_oracle` plus the final round's application."""
+    ctes = _bpe_ctes(rounds, final_apply=True)
+    return (
+        "WITH RECURSIVE "
+        + ",\n".join(ctes)
+        + f"""
+SELECT word, freq, CAST(pos AS INT) - 1 AS pos, sym FROM (
+  SELECT word, freq,
+         unnest(regexp_split_to_array(trim(s), ' ')) AS sym,
+         unnest(generate_series(1, len(regexp_split_to_array(trim(s), ' ')))) AS pos
+  FROM words{rounds})"""
+    )
+
+
+def _bpe_ctes(rounds: int, *, final_apply: bool) -> list[str]:
+    pat = "(SELECT ' ' || pair || ' ' FROM best{k})"
+    ctes = [
+        r"""words0 AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+         ' ' || array_to_string(
+           [word[i] for i in generate_series(1, len(word))], ' ') || ' ' AS s
+  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS word
+        FROM documents WHERE trim(text) <> '')
+  WHERE word <> ''
+  GROUP BY word
+)"""
+    ]
+    for k in range(rounds):
+        p = pat.format(k=k)
+        ctes.append(
+            f"""stats{k} AS MATERIALIZED (
+  SELECT pair, SUM(freq) AS cnt FROM (
+    SELECT w.freq,
+           unnest([l[i] || ' ' || l[i+1]
+                   for i in generate_series(1, len(l) - 1)]) AS pair
+    FROM (SELECT freq, regexp_split_to_array(trim(s), ' ') AS l
+          FROM words{k}) w(freq, l)
+  ) GROUP BY pair
+), best{k} AS MATERIALIZED (
+  SELECT pair, split_part(pair, ' ', 1) AS l,
+         split_part(pair, ' ', 2) AS r, cnt
+  FROM stats{k} ORDER BY cnt DESC, pair ASC LIMIT 1
+)"""
+        )
+        if final_apply or k < rounds - 1:
+            ctes.append(
+                f"""apply{k} AS (
+  SELECT word, freq, s FROM words{k}
+  UNION ALL
+  SELECT word, freq,
+         substr(s, 1, instr(s, {p}) - 1)
+         || ' ' || (SELECT replace(pair, ' ', '') FROM best{k}) || ' '
+         || substr(s, instr(s, {p}) + length({p}))
+  FROM apply{k}
+  WHERE instr(s, {p}) > 0
+), words{k + 1} AS MATERIALIZED (
+  SELECT word, freq, s FROM apply{k} WHERE instr(s, {p}) = 0
+)"""
+            )
+    return ctes

@@ -515,3 +515,41 @@ def test_pagerank_matches_python_fixed_point_replay(spark):
     assert got == {v: (deg[v], r[v]) for v in nodes}
     # the hub of the star dominates its leaves
     assert got[1][1] > got[2][1] == got[3][1] == got[4][1]
+
+
+def test_bpe_train_greedy_overlap_and_tiebreak(spark):
+    from hadoopxmlextractor_spark.operators.corpus import (
+        bpe_encoded_words,
+        bpe_learn_merges,
+    )
+
+    # corpus: "aaab" x3, "banana" x2, "aa" x1 — round 1 must pick
+    # (a,a) with per-POSITION count 3*2 + 1 = 7, and apply greedily
+    # left-to-right: "a a a b" -> "aa a b" (third 'a' survives).
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab banana aa"), (2, "banana aaab")], ["doc_id", "text"]
+    )
+    merges = {
+        r["rank"]: (r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in bpe_learn_merges(docs, "text", rounds=3).collect()
+    }
+    assert merges[1] == ("a", "a", "aa", 7)
+    # round 2 counts over the merged table: "aaab"= aa a b -> pairs
+    # (aa,a) 3, (a,b) 3; "banana" -> (b,a) 2 (a,n) 4 (n,a) 4; "aa" none.
+    # max = 4 shared by "a n" and "n a" -> tie-break pair ASC picks "a n".
+    assert merges[2] == ("a", "n", "an", 4)
+    # round 3: "banana" = b an an a -> (b,an) 2, (an,an) 2, (an,a) 2;
+    # plus (aa,a) 3 and (a,b) 3 from "aaab" -> tie "a b" vs "aa a" ->
+    # "a b" wins (space < 'a' in byte order... verify deterministically)
+    assert merges[3] == (
+        ("a", "b", "ab", 3) if "a b" < "aa a" else ("aa", "a", "aaa", 3)
+    )
+
+    enc = {
+        (r["word"], r["pos"]): r["sym"]
+        for r in bpe_encoded_words(docs, "text", rounds=2).collect()
+    }
+    # after (a,a) then (a,n): banana -> b an an a ; aaab -> aa a b
+    assert [enc[("banana", i)] for i in range(4)] == ["b", "an", "an", "a"]
+    assert [enc[("aaab", i)] for i in range(3)] == ["aa", "a", "b"]
+    assert enc[("aa", 0)] == "aa"
