@@ -748,3 +748,95 @@ def q_events_scd2_history(spark: SparkSession, sf: str) -> DataFrame:
 
     events = load(spark, sf, "events")
     return scd2_history(events, "user_id", "event_type", "ts", "event_id")
+
+
+@query(
+    "events_ewma_spikes",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id, event_id, ts_ms, cents,
+             LAG(cents, 1) OVER w AS c1, LAG(cents, 2) OVER w AS c2,
+             LAG(cents, 3) OVER w AS c3, LAG(cents, 4) OVER w AS c4,
+             LAG(cents, 5) OVER w AS c5, LAG(cents, 6) OVER w AS c6,
+             LAG(cents, 7) OVER w AS c7
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+    )
+    SELECT user_id, event_id, ts_ms, cents,
+           CAST(cents * 128 + COALESCE(c1, 0) * 64 + COALESCE(c2, 0) * 32
+              + COALESCE(c3, 0) * 16 + COALESCE(c4, 0) * 8
+              + COALESCE(c5, 0) * 4 + COALESCE(c6, 0) * 2
+              + COALESCE(c7, 0) AS BIGINT) AS ewma_fp,
+           CAST(128 + CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+              + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+              + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+              + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+              + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+              + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+              + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END AS BIGINT) AS weight_fp,
+           (ABS(cents * (CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END)
+              - (COALESCE(c1, 0) * 64 + COALESCE(c2, 0) * 32
+                + COALESCE(c3, 0) * 16 + COALESCE(c4, 0) * 8
+                + COALESCE(c5, 0) * 4 + COALESCE(c6, 0) * 2
+                + COALESCE(c7, 0)))
+            > 12000 * (CASE WHEN c1 IS NULL THEN 0 ELSE 64 END
+                + CASE WHEN c2 IS NULL THEN 0 ELSE 32 END
+                + CASE WHEN c3 IS NULL THEN 0 ELSE 16 END
+                + CASE WHEN c4 IS NULL THEN 0 ELSE 8 END
+                + CASE WHEN c5 IS NULL THEN 0 ELSE 4 END
+                + CASE WHEN c6 IS NULL THEN 0 ELSE 2 END
+                + CASE WHEN c7 IS NULL THEN 0 ELSE 1 END)) AS is_spike
+    FROM lagged
+    """,
+)
+def q_events_ewma_spikes(spark: SparkSession, sf: str) -> DataFrame:
+    # EWMA smoothing + spike flag per user value stream, EXACT: alpha
+    # = 1/2 over the last 8 observations gives power-of-two weights,
+    # so the fixed-point ewma (x 128) is a plain bigint dot product —
+    # no float accumulation, engine-identical. The spike test compares
+    # |cents - history_ewma| > $10 cross-multiplied into integers
+    # (history = lags 1..7 with weights 64..1, the same geometric
+    # ladder), so the flag is exact too. One user-keyed exchange
+    # shared by all 7 lags (one window frame).
+    w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    lags = {k: F.lag("cents", k).over(w) for k in range(1, 8)}
+    weights = {k: 1 << (7 - k) for k in range(1, 8)}
+    hist_sum = sum(
+        (F.coalesce(lags[k], F.lit(0)) * weights[k] for k in range(2, 8)),
+        F.coalesce(lags[1], F.lit(0)) * weights[1],
+    )
+    hist_w = sum(
+        (F.when(lags[k].isNull(), 0).otherwise(weights[k]) for k in range(2, 8)),
+        F.when(lags[1].isNull(), 0).otherwise(weights[1]),
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts_ms",
+        "cents",
+        (F.col("cents") * 128 + hist_sum).cast("bigint").alias("ewma_fp"),
+        (F.lit(128) + hist_w).cast("bigint").alias("weight_fp"),
+        # |cents - hist_ewma| > $120 (~p95 of this stream), cross-multiplied by the (integer)
+        # present-weight sum so the test never divides: first rows with
+        # no history get hist_w = 0 -> 0 > 0 -> never a spike.
+        (
+            F.abs(F.col("cents") * hist_w - hist_sum)
+            > F.lit(12000) * hist_w
+        ).alias("is_spike"),
+    )
