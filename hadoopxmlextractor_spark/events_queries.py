@@ -840,3 +840,41 @@ def q_events_ewma_spikes(spark: SparkSession, sf: str) -> DataFrame:
             > F.lit(12000) * hist_w
         ).alias("is_spike"),
     )
+
+
+@query(
+    "join_asof_cogroup",
+    """
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id, p.user_id,
+           epoch_ms(CAST(p.ts AS TIMESTAMP)) AS purchase_ms,
+           epoch_ms(CAST(c.ts AS TIMESTAMP)) AS last_click_ms
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_join_asof_cogroup(spark: SparkSession, sf: str) -> DataFrame:
+    # The SAME as-of semantics as join_asof, through the
+    # cogroup-applyInPandas surface: per-user purchase and click
+    # groups meet in one Arrow batch where pandas merge_asof runs the
+    # linear merge. Identical oracle to join_asof — driver-checked
+    # proof that the custom-kernel API path agrees with the
+    # relational union+running-last formulation.
+    from hadoopxmlextractor_spark.operators.temporal import asof_join_cogroup
+
+    ev = load(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    return asof_join_cogroup(purchases, clicks, "user_id", "ts").select(
+        "event_id",
+        "user_id",
+        F.unix_millis("ts").alias("purchase_ms"),
+        F.unix_millis("asof_ts").alias("last_click_ms"),
+    )

@@ -21,6 +21,7 @@ row IS visible to the left row, matching DuckDB's ``ASOF JOIN`` with
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -161,4 +162,64 @@ def scd2_history(
         F.unix_millis(F.lead(ts_col).over(w)).alias("eff_to_ms"),
         F.row_number().over(w).cast("bigint").alias("version"),
         F.lead(ts_col).over(w).isNull().alias("is_current"),
+    )
+
+
+def asof_join_cogroup(
+    left: DataFrame, right: DataFrame, key_col: str, ts_col: str
+) -> DataFrame:
+    """Backward as-of join via ``groupBy().cogroup().applyInPandas`` —
+    the per-key two-sided Arrow kernel surface (the API for custom
+    per-key logic over TWO aligned inputs, e.g. sensor fusion or
+    label alignment). Same semantics (and same oracle) as
+    :func:`asof_join`: each left row gets ``asof_ts`` = the latest
+    right timestamp <= its own within the key group, ties included.
+
+    Scale: one shuffle per side on the key; each key's pair of groups
+    meets in ONE Arrow batch where pandas ``merge_asof`` does a linear
+    merge. Use :func:`asof_join` (union + running last, O(1) state)
+    when the kernel is expressible relationally — this variant exists
+    for kernels that are NOT, and it carries the usual cogroup caveat
+    that a key's two groups must fit in executor memory together.
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    out_schema = StructType(
+        list(left.schema.fields)
+        + [StructField("asof_ts", left.schema[ts_col].dataType)]
+    )
+    cols = [f.name for f in left.schema.fields]
+    # When both inputs derive from the same scan (the common
+    # same-table case), their columns carry the SAME expression ids;
+    # the cogroup plan deduplicates the clash and one side's column
+    # silently vanishes from the Arrow batch (observed: right side
+    # arriving as (n, 1) with only the key). Fresh aliases on the
+    # right side force distinct attributes.
+    right = right.select(
+        F.col(key_col).alias("__asof_key"), F.col(ts_col).alias("__asof_ts_in")
+    )
+
+    def align(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if lpdf.empty:
+            return pd.DataFrame(columns=cols + ["asof_ts"])
+        lpdf = lpdf.sort_values(ts_col)
+        # a key absent from the right side arrives as an EMPTY frame
+        # with no column metadata — guard before subsetting
+        if rpdf.empty or "__asof_ts_in" not in rpdf.columns:
+            out = lpdf.copy()
+            out["asof_ts"] = pd.NaT
+            return out
+        r = (
+            rpdf[["__asof_ts_in"]]
+            .sort_values("__asof_ts_in")
+            .rename(columns={"__asof_ts_in": "asof_ts"})
+        )
+        return pd.merge_asof(
+            lpdf, r, left_on=ts_col, right_on="asof_ts", direction="backward"
+        )
+
+    return (
+        left.groupBy(key_col)
+        .cogroup(right.groupBy("__asof_key"))
+        .applyInPandas(align, out_schema)
     )

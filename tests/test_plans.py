@@ -681,3 +681,36 @@ def test_scd2_history_collapses_runs_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange hashpartitioning") == 1
+
+
+def test_asof_cogroup_same_source_and_missing_key(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.temporal import asof_join_cogroup
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # both sides filtered from ONE DataFrame — the same-exprId case
+    # where the cogroup plan can silently deduplicate away a column
+    ev = spark.createDataFrame(
+        [
+            (1, "p", ts(10), 100),
+            (1, "c", ts(5), 101),
+            (1, "c", ts(10), 102),  # tie: same-instant click IS visible
+            (2, "p", ts(3), 103),   # no clicks at all for key 2
+            (3, "c", ts(1), 104),   # right-only key: no output row
+        ],
+        "user_id int, event_type string, ts timestamp, event_id int",
+    )
+    left = ev.filter(F.col("event_type") == "p").select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "c").select("user_id", "ts")
+    got = {
+        r["event_id"]: r["asof_ts"]
+        for r in asof_join_cogroup(left, right, "user_id", "ts").collect()
+    }
+    assert got == {100: ts(10), 103: None}
