@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hadoopxmlextractor_spark.queries import DEC, query
-from hadoopxmlextractor_spark.tables import load
+from hadoopxmlextractor_spark.tables import load, register_views
 
 # ---------------------------------------------------------------------------
 # Joins (completing the matrix)
@@ -822,4 +822,86 @@ def q_scalar_try_safe(spark: SparkSession, sf: str) -> DataFrame:
         F.expr("try_cast(lang AS INT)").alias("lang_as_int"),
         F.expr("try_cast(CAST(n_chars AS STRING) AS INT)").alias("parsed_chars"),
         F.round(F.expr("try_divide(n_chars, doc_id % 3)"), 4).alias("safe_ratio"),
+    )
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def q_set_intersect_all(spark: SparkSession, sf: str) -> DataFrame:
+    # Bag-semantics intersection — each custkey survives min(m, n)
+    # times, which SQL INTERSECT (distinct) cannot express; Spark
+    # plans it as a left-semi-style hash join over per-row counts.
+    o = load(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersectAll(b)
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+    """,
+)
+def q_set_except_all(spark: SparkSession, sf: str) -> DataFrame:
+    # Bag-semantics difference: multiplicities subtract (max(m-n, 0)
+    # copies survive) — the dedup-aware "remove one occurrence per
+    # match" shape distinct EXCEPT cannot express.
+    o = load(spark, sf, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.exceptAll(b)
+
+
+@query(
+    "sql_unpivot",
+    """
+    SELECT n_name, metric, CAST(val AS BIGINT) AS val FROM (
+      SELECT n.n_name,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(COUNT(*) FILTER (WHERE c.c_acctbal > 5000) AS BIGINT)
+               AS n_rich,
+             CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = 'BUILDING')
+               AS BIGINT) AS n_building
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    ) UNPIVOT (val FOR metric IN (n_customers, n_rich, n_building))
+    """,
+)
+def q_sql_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    # Two SQL-surface features in one ANSI statement sent VERBATIM to
+    # both engines through spark.sql: aggregate FILTER clauses
+    # (conditional counts without CASE scaffolding) and UNPIVOT
+    # (wide metrics -> long (metric, val) rows — Spark compiles it to
+    # the same Expand the stack() profile queries use, one scan).
+    register_views(spark, sf)
+    return spark.sql(
+        """
+        SELECT n_name, metric, CAST(val AS BIGINT) AS val FROM (
+          SELECT n.n_name,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 CAST(COUNT(*) FILTER (WHERE c.c_acctbal > 5000) AS BIGINT)
+                   AS n_rich,
+                 CAST(COUNT(*) FILTER (WHERE c.c_mktsegment = 'BUILDING')
+                   AS BIGINT) AS n_building
+          FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        ) UNPIVOT (val FOR metric IN (n_customers, n_rich, n_building))
+        """
     )
