@@ -185,3 +185,53 @@ def write_zorder_parquet(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_col: str | None = None,
+) -> tuple[int, int]:
+    """Small-file compaction — the table-maintenance pass every
+    long-lived 100 TB dataset needs: streaming ingestion and
+    fine-grained upserts accrete thousands of KB-sized files, and scan
+    cost becomes dominated by per-file open/footer overhead instead of
+    bytes. Rewrites the directory into ``ceil(total_bytes /
+    target_file_bytes)`` files (never zero); with ``sort_col`` the
+    rewrite also restores range clustering (:func:`write_sorted_
+    parquet`), so compaction and zone-map repair are one pass.
+
+    Returns (files_before, files_after). The rewrite goes through a
+    temporary sibling directory and an atomic-as-the-filesystem-allows
+    swap, so a concurrent reader sees either the old layout or the new
+    one, never a half-written mix — the poor man's version of what a
+    snapshot pointer (snapshots.py) makes fully atomic.
+
+    Scale: one shuffle (round-robin or range). File sizing uses the
+    on-disk byte total, not row counts, so compression ratio changes
+    don't skew the output size.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") or (f.startswith("part-") and "crc" not in f)
+    ]
+    total_bytes = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    if sort_col is not None:
+        write_sorted_parquet(df, tmp, sort_col, n_files=n_out)
+    else:
+        df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return len(files), n_out

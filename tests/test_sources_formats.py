@@ -378,3 +378,30 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(merged.columns) == {"doc_id", "text", "lang"}
     rows = {r.doc_id: r.lang for r in merged.collect()}
     assert rows == {1: None, 2: "en"}
+
+
+def test_compact_parquet_rewrites_small_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.sinks import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    # land 40 tiny files (the streaming-ingest accretion shape)
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(path)
+    import os
+
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 40
+
+    before = {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()}
+    fb, fa = compact_parquet(
+        spark, path, target_file_bytes=10**9, sort_col="id"
+    )
+    assert (fb, fa) == (n_before, 1)
+    n_after = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_after == 1
+    # data identical, no temp/old dirs left behind
+    assert {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()} == before
+    assert not [d for d in os.listdir(tmp_path) if "_compact" in d]
