@@ -405,3 +405,54 @@ def test_compact_parquet_rewrites_small_files(spark, tmp_path):
     # data identical, no temp/old dirs left behind
     assert {(r["id"], r["v"]) for r in spark.read.parquet(path).collect()} == before
     assert not [d for d in os.listdir(tmp_path) if "_compact" in d]
+
+
+def test_malformed_json_csv_permissive_and_dropmalformed(spark, tmp_path):
+    """Robust ingestion contract for messy sources: PERMISSIVE mode
+    quarantines bad rows into _corrupt_record (audit stream — the
+    relational twin of extract.malformed_fragments), DROPMALFORMED
+    silently sheds them, and a bad row NEVER kills the job (the ANSI
+    try_-function analogue at the source layer)."""
+    jpath = tmp_path / "in.json"
+    jpath.write_text(
+        '{"id": 1, "v": "ok"}\n'
+        "{broken json line\n"
+        '{"id": 3, "v": "fine"}\n'
+    )
+    schema = "id long, v string, _corrupt_record string"
+    perm = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(jpath))
+    )
+    rows = perm.collect()
+    good = {(r["id"], r["v"]) for r in rows if r["_corrupt_record"] is None}
+    bad = [r["_corrupt_record"] for r in rows if r["_corrupt_record"] is not None]
+    assert good == {(1, "ok"), (3, "fine")}
+    assert bad == ["{broken json line"]
+
+    dropped = (
+        spark.read.schema("id long, v string")
+        .option("mode", "DROPMALFORMED")
+        .json(str(jpath))
+    )
+    assert {(r["id"], r["v"]) for r in dropped.collect()} == {(1, "ok"), (3, "fine")}
+
+    cpath = tmp_path / "in.csv"
+    cpath.write_text("id,v\n1,ok\nnot_a_long,broken\n3,fine\n")
+    csv_perm = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(cpath))
+    )
+    crows = csv_perm.collect()
+    assert {(r["id"], r["v"]) for r in crows if r["_corrupt_record"] is None} == {
+        (1, "ok"),
+        (3, "fine"),
+    }
+    assert [r["_corrupt_record"] for r in crows if r["_corrupt_record"] is not None] == [
+        "not_a_long,broken"
+    ]
