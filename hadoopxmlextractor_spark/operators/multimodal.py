@@ -322,3 +322,72 @@ def resize_media(
     return media.mapInPandas(
         _resize, schema="media_id long, media_type string, content binary"
     )
+
+
+def synth_ppm_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
+    """Deterministic synthetic P6 PPM image per document: the pixel
+    plane is the md5 chain of ``"{doc_id}:{k}"`` digests — a real,
+    well-formed PPM byte blob exercising the actual encoder/decoder
+    path while staying exactly replayable by an oracle that knows the
+    generator (byte j of chunk k = hex pair j of that md5)."""
+    import hashlib
+
+    n_bytes = side * side * 3
+    n_chunks = (n_bytes + 15) // 16
+    header = f"P6\n{side} {side}\n255\n".encode()
+
+    @F.pandas_udf("binary")
+    def _ppm(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series(
+                [
+                    header
+                    + b"".join(
+                        hashlib.md5(f"{i}:{k}".encode()).digest()
+                        for k in range(n_chunks)
+                    )[:n_bytes]
+                    for i in ids
+                ]
+            )
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _ppm("doc_id").alias("content"),
+    )
+
+
+def image_ahash(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual average-hash over decodable PPM images: integer
+    luminance ``(299r + 587g + 114b) // 1000`` per pixel, mean
+    threshold (strict >), 64 bits packed row-major into an int64 —
+    the classic aHash, all in floor-division integer arithmetic so
+    the hash is bit-exact across engines. Near-dup IMAGE detection is
+    then the same banded-hamming join the SimHash text path runs on
+    this column. Real-world images resize to 8x8 first
+    (:func:`resize_media`); non-PPM blobs yield NULL (the codec
+    plug-in point). One Arrow pass, zero shuffles."""
+    import numpy as np
+
+    lanes = np.arange(64, dtype=np.uint64)
+
+    @F.pandas_udf("long")
+    def _ahash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for blobs in it:
+            out = []
+            for blob in blobs:
+                img = _decode_ppm(bytes(blob)) if blob is not None else None
+                if img is None or img.shape[0] * img.shape[1] != 64:
+                    out.append(None)
+                    continue
+                px = img.reshape(-1, 3).astype(np.int64)
+                g = (px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114) // 1000
+                bits = (g > g.sum() // 64).astype(np.uint64)
+                out.append(
+                    int(np.bitwise_or.reduce(bits << lanes).astype(np.int64))
+                )
+            yield pd.Series(out, dtype="object")
+
+    return media.select(F.col(id_col), _ahash(F.col(content_col)).alias("ahash"))

@@ -443,3 +443,45 @@ def _bpe_ctes(rounds: int, *, final_apply: bool) -> list[str]:
 )"""
             )
     return ctes
+
+
+def image_ahash_oracle(*, side: int = 8) -> str:
+    """Replay of operators.multimodal.image_ahash over synth_ppm_media:
+    the oracle regenerates the pixel plane from the md5 chain (byte j
+    of chunk k = hex pair j of md5('{doc_id}:{k}')) instead of parsing
+    the PPM container, then runs the identical integer luminance /
+    mean-threshold / row-major bit packing. Bit 63 lands as the int64
+    sign bit via a signed lane weight (same trick as simhash_oracle)."""
+    n_px = side * side
+    n_bytes = n_px * 3
+    n_chunks = (n_bytes + 15) // 16
+    lanes = ", ".join(
+        f"({l}, " + (str(1 << l) if l < 63 else "(-9223372036854775807 - 1)") + ")"
+        for l in range(n_px)
+    )
+    return f"""
+    WITH b AS (
+      SELECT doc_id, (k * 16 + j) AS idx,
+             CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+               j * 2 + 1, 2)) AS BIGINT) AS v
+      FROM documents,
+           (SELECT unnest(range({n_chunks})) AS k),
+           (SELECT unnest(range(16)) AS j)
+      WHERE k * 16 + j < {n_bytes}
+    ),
+    px AS (
+      SELECT doc_id, idx // 3 AS p,
+             SUM(CASE idx % 3 WHEN 0 THEN v * 299
+                             WHEN 1 THEN v * 587
+                             ELSE v * 114 END) AS num
+      FROM b GROUP BY doc_id, idx // 3
+    ),
+    lum AS (SELECT doc_id, p, num // 1000 AS g FROM px),
+    mean AS (SELECT doc_id, SUM(g) // {n_px} AS m FROM lum GROUP BY doc_id),
+    lanes(l, wt) AS (VALUES {lanes})
+    SELECT lum.doc_id AS media_id,
+           CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT) AS ahash
+    FROM lum JOIN mean USING (doc_id) JOIN lanes ON lanes.l = lum.p
+    GROUP BY lum.doc_id
+    """

@@ -889,3 +889,17 @@ def q_text_quality_classifier(spark: SparkSession, sf: str) -> DataFrame:
     # the identical plan broadcast-joins the trained weights.
     docs = load(spark, sf, "documents")
     return T.classifier_margin(docs, "text", "doc_id", dim=64)
+
+
+@query("multimodal_image_ahash", O.image_ahash_oracle(side=8))
+def q_multimodal_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    # Perceptual image hashing over REAL decoded bytes: a synthetic
+    # (deterministic) P6 PPM per document goes through the actual
+    # encode -> container-parse -> luminance -> mean-threshold aHash
+    # path; the oracle regenerates the pixel plane arithmetically and
+    # must land on the SAME 64-bit hash — the strongest check the
+    # codec-free multimodal layer can carry. Near-dup image grouping
+    # is then the existing banded-hamming join over this column.
+    docs = load(spark, sf, "documents")
+    media = M.synth_ppm_media(docs, side=8)
+    return M.image_ahash(media)

@@ -374,3 +374,36 @@ def test_classifier_margin_python_replay_and_empty_doc(spark):
     assert got == expect
     # the whitespace-only doc is still verdicted, at margin 0
     assert got["d3"] == (0, True)
+
+
+def test_image_ahash_python_replay_and_codec_null(spark):
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        image_ahash,
+        synth_ppm_media,
+    )
+
+    docs = spark.createDataFrame([(7,), (42,)], "doc_id long")
+    media = synth_ppm_media(docs, side=8)
+    got = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+
+    for i in (7, 42):
+        raw = b"".join(
+            hashlib.md5(f"{i}:{k}".encode()).digest() for k in range(12)
+        )[: 8 * 8 * 3]
+        lum = [
+            (raw[3 * p] * 299 + raw[3 * p + 1] * 587 + raw[3 * p + 2] * 114)
+            // 1000
+            for p in range(64)
+        ]
+        mean = sum(lum) // 64
+        u = sum((1 << p) for p in range(64) if lum[p] > mean)
+        expect = u - (1 << 64) if u >= (1 << 63) else u
+        assert got[i] == expect
+
+    # an undecodable blob (the codec plug-in point) yields NULL
+    blob = spark.createDataFrame(
+        [(1, bytearray(b"\x89PNG not a ppm"))], "media_id long, content binary"
+    )
+    assert image_ahash(blob).collect()[0]["ahash"] is None
