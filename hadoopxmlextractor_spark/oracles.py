@@ -485,3 +485,41 @@ def image_ahash_oracle(*, side: int = 8) -> str:
     FROM lum JOIN mean USING (doc_id) JOIN lanes ON lanes.l = lum.p
     GROUP BY lum.doc_id
     """
+
+
+def audio_energy_oracle(
+    *, n_samples: int = 256, window: int = 64,
+    silence_threshold: int = 22_000_000_000,
+) -> str:
+    """Replay of operators.multimodal.audio_energy_windows over
+    synth_wav_media: samples regenerated from the md5 chain (bytes
+    2s, 2s+1 of the stream = little-endian int16 of sample s), then
+    the identical integer sum-of-squares per non-overlapping frame."""
+    n_bytes = n_samples * 2
+    n_chunks = (n_bytes + 15) // 16
+    return f"""
+    WITH b AS (
+      SELECT doc_id, (k * 16 + j) AS idx,
+             CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':w' || CAST(k AS VARCHAR)),
+               j * 2 + 1, 2)) AS BIGINT) AS v
+      FROM documents,
+           (SELECT unnest(range({n_chunks})) AS k),
+           (SELECT unnest(range(16)) AS j)
+      WHERE k * 16 + j < {n_bytes}
+    ),
+    samples AS (
+      SELECT doc_id, idx // 2 AS s,
+             SUM(CASE idx % 2 WHEN 0 THEN v ELSE 256 * v END) AS raw
+      FROM b GROUP BY doc_id, idx // 2
+    ),
+    pcm AS (
+      SELECT doc_id, s,
+             CASE WHEN raw >= 32768 THEN raw - 65536 ELSE raw END AS x
+      FROM samples
+    )
+    SELECT doc_id AS media_id, CAST(s // {window} AS INT) AS win_idx,
+           CAST(SUM(x * x) AS BIGINT) AS energy,
+           (SUM(x * x) < {silence_threshold}) AS is_silence
+    FROM pcm GROUP BY doc_id, s // {window}
+    """

@@ -903,3 +903,16 @@ def q_multimodal_image_ahash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_ppm_media(docs, side=8)
     return M.image_ahash(media)
+
+
+@query("multimodal_audio_energy", O.audio_energy_oracle())
+def q_multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    # The audio half of the multimodal layer on REAL decoded bytes: a
+    # deterministic PCM WAV per document goes through the stdlib wave
+    # container round-trip, then frame-level sum-of-squares energy +
+    # silence flags (the VAD pre-filter shape). The oracle regenerates
+    # the PCM stream arithmetically — container parsing and numpy
+    # windowing must land on identical int64 energies.
+    docs = load(spark, sf, "documents")
+    media = M.synth_wav_media(docs, n_samples=256)
+    return M.audio_energy_windows(media, window=64)

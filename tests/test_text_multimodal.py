@@ -407,3 +407,35 @@ def test_image_ahash_python_replay_and_codec_null(spark):
         [(1, bytearray(b"\x89PNG not a ppm"))], "media_id long, content binary"
     )
     assert image_ahash(blob).collect()[0]["ahash"] is None
+
+
+def test_audio_energy_python_replay_and_codec_skip(spark):
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        audio_energy_windows,
+        synth_wav_media,
+    )
+
+    docs = spark.createDataFrame([(3,)], "doc_id long")
+    got = {
+        (r["media_id"], r["win_idx"]): (r["energy"], r["is_silence"])
+        for r in audio_energy_windows(
+            synth_wav_media(docs, n_samples=256), window=64
+        ).collect()
+    }
+    pcm = b"".join(hashlib.md5(f"3:w{k}".encode()).digest() for k in range(32))[:512]
+    samples = [
+        int.from_bytes(pcm[2 * s : 2 * s + 2], "little", signed=True)
+        for s in range(256)
+    ]
+    for w in range(4):
+        e = sum(x * x for x in samples[64 * w : 64 * (w + 1)])
+        assert got[(3, w)] == (e, e < 22_000_000_000)
+    assert len(got) == 4
+
+    # a non-WAV blob contributes no frames
+    blob = spark.createDataFrame(
+        [(1, bytearray(b"ID3 mp3-ish bytes"))], "media_id long, content binary"
+    )
+    assert audio_energy_windows(blob).count() == 0
