@@ -25,7 +25,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
@@ -357,6 +357,18 @@ def synth_ppm_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
     )
 
 
+def _ahash64(img) -> int:
+    """Integer-luminance mean-threshold 64-bit average hash of an
+    (8, 8, 3) uint8 array; row-major bit packing, bit 63 = sign."""
+    import numpy as np
+
+    px = img.reshape(-1, 3).astype(np.int64)
+    g = (px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114) // 1000
+    bits = (g > g.sum() // 64).astype(np.uint64)
+    lanes = np.arange(64, dtype=np.uint64)
+    return int(np.bitwise_or.reduce(bits << lanes).astype(np.int64))
+
+
 def image_ahash(
     media: DataFrame, content_col: str = "content", id_col: str = "media_id"
 ) -> DataFrame:
@@ -369,10 +381,6 @@ def image_ahash(
     this column. Real-world images resize to 8x8 first
     (:func:`resize_media`); non-PPM blobs yield NULL (the codec
     plug-in point). One Arrow pass, zero shuffles."""
-    import numpy as np
-
-    lanes = np.arange(64, dtype=np.uint64)
-
     @F.pandas_udf("long")
     def _ahash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for blobs in it:
@@ -382,12 +390,7 @@ def image_ahash(
                 if img is None or img.shape[0] * img.shape[1] != 64:
                     out.append(None)
                     continue
-                px = img.reshape(-1, 3).astype(np.int64)
-                g = (px[:, 0] * 299 + px[:, 1] * 587 + px[:, 2] * 114) // 1000
-                bits = (g > g.sum() // 64).astype(np.uint64)
-                out.append(
-                    int(np.bitwise_or.reduce(bits << lanes).astype(np.int64))
-                )
+                out.append(_ahash64(img))
             yield pd.Series(out, dtype="object")
 
     return media.select(F.col(id_col), _ahash(F.col(content_col)).alias("ahash"))
@@ -476,5 +479,140 @@ def audio_energy_windows(
             "win_idx",
             F.col("energy").cast("bigint").alias("energy"),
             (F.col("energy") < silence_threshold).alias("is_silence"),
+        )
+    )
+
+
+def synth_ppm_video(
+    docs: DataFrame, *, n_frames: int = 8, side: int = 8, cuts: tuple = (3, 6)
+) -> DataFrame:
+    """Deterministic synthetic 'video' per document: a concatenated
+    P6 PPM frame stream (the raw format ``ffmpeg -f image2pipe
+    -vcodec ppm`` emits). Frames are scene-correlated so shot
+    detection has real structure: at a cut (frame 0, 3, 6) the whole
+    pixel plane re-derives fresh; within a scene frame f only chunk
+    f of the md5 chain changes — closed form: chunk k of frame f
+    comes from generation ``g = k if scene(f) < k <= f else
+    scene(f)`` (valid while n_frames <= 12), which is what the oracle
+    replays."""
+    import hashlib
+
+    n_bytes = side * side * 3
+    n_chunks = (n_bytes + 15) // 16
+    header = f"P6\n{side} {side}\n255\n".encode()
+    cut_list = sorted(cuts)
+
+    def scene(f: int) -> int:
+        s = 0
+        for c in cut_list:
+            if f >= c:
+                s = c
+        return s
+
+    @F.pandas_udf("binary")
+    def _video(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                blob = b""
+                for f in range(n_frames):
+                    sc = scene(f)
+                    chunks = []
+                    for k in range(n_chunks):
+                        g = k if sc < k <= f else sc
+                        chunks.append(
+                            hashlib.md5(f"{i}:v{g}:{k}".encode()).digest()
+                        )
+                    blob += header + b"".join(chunks)[:n_bytes]
+                out.append(blob)
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        _video("doc_id").alias("content"),
+    )
+
+
+def _ppm_stream_frames(blob: bytes):
+    """Parse a concatenated-PPM stream into its frame arrays; stops at
+    the first malformed frame (truncated tail tolerated)."""
+    frames, pos = [], 0
+    while pos < len(blob) and blob[pos : pos + 2] == b"P6":
+        img = _decode_ppm(blob[pos:])
+        if img is None:
+            break
+        h, w, _ = img.shape
+        # re-walk the header to find the pixel-plane offset
+        p, fields = pos + 2, []
+        while len(fields) < 3:
+            while blob[p : p + 1].isspace():
+                p += 1
+            if blob[p : p + 1] == b"#":
+                while p < len(blob) and blob[p : p + 1] != b"\n":
+                    p += 1
+                continue
+            start = p
+            while p < len(blob) and not blob[p : p + 1].isspace():
+                p += 1
+            fields.append(int(blob[start:p]))
+        pos = p + 1 + h * w * 3
+        frames.append(img)
+    return frames
+
+
+def video_shot_boundaries(
+    media: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    *,
+    hamming_threshold: int = 16,
+) -> DataFrame:
+    """Shot-boundary detection — the frame-sampling stage of a video
+    training pipeline: decode the PPM frame stream, aHash every frame
+    (:func:`_ahash64`), and flag a boundary wherever the hamming
+    distance to the previous frame's hash exceeds the threshold
+    (frame 0 always starts a shot). Returns (media_id, frame_idx,
+    ahash, hamming_prev, is_boundary), all integer-exact.
+
+    Scale: decode + per-frame hashing is one Arrow pass (rows explode
+    by n_frames, bounded by media length); the only shuffle is the
+    media-keyed window for the previous-frame hamming. Keyframe
+    EXTRACTION is then a filter on is_boundary — the frames a caption
+    or embedding model actually ingests."""
+    @F.pandas_udf("array<long>")
+    def _hashes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for blobs in it:
+            out = []
+            for blob in blobs:
+                frames = _ppm_stream_frames(bytes(blob)) if blob is not None else []
+                if not frames:
+                    out.append(None)
+                    continue
+                out.append(
+                    [
+                        _ahash64(img) if img.shape[0] * img.shape[1] == 64 else None
+                        for img in frames
+                    ]
+                )
+            yield pd.Series(out)
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    hamming = F.bit_count(
+        F.col("ahash").bitwiseXOR(F.lag("ahash").over(w))
+    ).cast("int")
+    return (
+        media.select(F.col(id_col), _hashes(F.col(content_col)).alias("hs"))
+        .filter(F.col("hs").isNotNull())
+        .select(id_col, F.posexplode("hs").alias("frame_idx", "ahash"))
+        .select(
+            id_col,
+            "frame_idx",
+            "ahash",
+            hamming.alias("hamming_prev"),
+            (
+                F.col("frame_idx").eqNullSafe(0)
+                | (hamming > hamming_threshold)
+            ).alias("is_boundary"),
         )
     )

@@ -523,3 +523,65 @@ def audio_energy_oracle(
            (SUM(x * x) < {silence_threshold}) AS is_silence
     FROM pcm GROUP BY doc_id, s // {window}
     """
+
+
+def video_shots_oracle(
+    *, n_frames: int = 8, side: int = 8, hamming_threshold: int = 16
+) -> str:
+    """Replay of operators.multimodal.video_shot_boundaries over
+    synth_ppm_video (cuts at 0/3/6): per frame the pixel chunks are
+    regenerated with the closed-form generation rule, hashed with the
+    same integer aHash as image_ahash_oracle, then the consecutive-
+    frame hamming window."""
+    n_px = side * side
+    n_bytes = n_px * 3
+    n_chunks = (n_bytes + 15) // 16
+    lanes = ", ".join(
+        f"({l}, " + (str(1 << l) if l < 63 else "(-9223372036854775807 - 1)") + ")"
+        for l in range(n_px)
+    )
+    scene = "CASE WHEN f.f >= 6 THEN 6 WHEN f.f >= 3 THEN 3 ELSE 0 END"
+    gen = (
+        f"CASE WHEN ch.k > ({scene}) AND ch.k <= f.f THEN ch.k "
+        f"ELSE ({scene}) END"
+    )
+    return f"""
+    WITH f AS (SELECT unnest(range({n_frames})) AS f),
+    ch AS (SELECT unnest(range({n_chunks})) AS k),
+    byt AS (SELECT unnest(range(16)) AS j),
+    b AS (
+      SELECT d.doc_id, f.f, (ch.k * 16 + byt.j) AS idx,
+             CAST(('0x' || substring(
+               md5(CAST(d.doc_id AS VARCHAR) || ':v'
+                   || CAST({gen} AS VARCHAR)
+                   || ':' || CAST(ch.k AS VARCHAR)),
+               byt.j * 2 + 1, 2)) AS BIGINT) AS v
+      FROM documents d, f, ch, byt
+      WHERE ch.k * 16 + byt.j < {n_bytes}
+    ),
+    px AS (
+      SELECT doc_id, f, idx // 3 AS p,
+             SUM(CASE idx % 3 WHEN 0 THEN v * 299
+                             WHEN 1 THEN v * 587
+                             ELSE v * 114 END) AS num
+      FROM b GROUP BY doc_id, f, idx // 3
+    ),
+    lum AS (SELECT doc_id, f, p, num // 1000 AS g FROM px),
+    mean AS (
+      SELECT doc_id, f, SUM(g) // {n_px} AS m FROM lum GROUP BY doc_id, f
+    ),
+    lanes(l, wt) AS (VALUES {lanes}),
+    hashes AS (
+      SELECT lum.doc_id, lum.f,
+             CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT) AS ahash
+      FROM lum JOIN mean USING (doc_id, f) JOIN lanes ON lanes.l = lum.p
+      GROUP BY lum.doc_id, lum.f
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, ahash,
+           CAST(bit_count(xor(ahash, LAG(ahash) OVER w)) AS INT)
+             AS hamming_prev,
+           (f = 0 OR bit_count(xor(ahash, LAG(ahash) OVER w))
+              > {hamming_threshold}) AS is_boundary
+    FROM hashes
+    WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    """

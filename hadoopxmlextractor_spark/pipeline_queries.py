@@ -916,3 +916,18 @@ def q_multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_wav_media(docs, n_samples=256)
     return M.audio_energy_windows(media, window=64)
+
+
+@query("multimodal_video_shots", O.video_shots_oracle())
+def q_multimodal_video_shots(spark: SparkSession, sf: str) -> DataFrame:
+    # The video third of the multimodal layer on REAL container bytes:
+    # each document gets a deterministic concatenated-PPM frame stream
+    # (ffmpeg's image2pipe raw format) with scene cuts planted at
+    # frames 3 and 6; the pipeline parses the stream, aHashes every
+    # frame, and flags shot boundaries by consecutive-frame hamming —
+    # keyframe extraction is a filter on is_boundary. The oracle
+    # regenerates frames arithmetically, so container parsing, numpy
+    # hashing, and the window all check hash-exact.
+    docs = load(spark, sf, "documents")
+    media = M.synth_ppm_video(docs, n_frames=8, side=8, cuts=(3, 6))
+    return M.video_shot_boundaries(media, hamming_threshold=16)

@@ -439,3 +439,33 @@ def test_audio_energy_python_replay_and_codec_skip(spark):
         [(1, bytearray(b"ID3 mp3-ish bytes"))], "media_id long, content binary"
     )
     assert audio_energy_windows(blob).count() == 0
+
+
+def test_video_shot_boundaries_find_planted_cuts(spark):
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _ppm_stream_frames,
+        synth_ppm_video,
+        video_shot_boundaries,
+    )
+
+    docs = spark.createDataFrame([(11,), (12,)], "doc_id long")
+    media = synth_ppm_video(docs, n_frames=8, side=8, cuts=(3, 6))
+
+    # the container parses into exactly 8 well-formed 8x8 frames
+    blob = bytes(media.collect()[0]["content"])
+    frames = _ppm_stream_frames(blob)
+    assert len(frames) == 8 and all(f.shape == (8, 8, 3) for f in frames)
+
+    rows = video_shot_boundaries(media, hamming_threshold=16).collect()
+    for mid in (11, 12):
+        bounds = {r["frame_idx"] for r in rows if r["media_id"] == mid and r["is_boundary"]}
+        assert bounds == {0, 3, 6}
+        within = [
+            r["hamming_prev"]
+            for r in rows
+            if r["media_id"] == mid and r["frame_idx"] in (1, 2, 4, 5, 7)
+        ]
+        assert all(h <= 16 for h in within)
+
+    # truncated tail: parser stops cleanly, no crash
+    assert len(_ppm_stream_frames(blob[: len(blob) - 100])) == 7
