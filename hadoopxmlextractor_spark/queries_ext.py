@@ -905,3 +905,95 @@ def q_sql_unpivot(spark: SparkSession, sf: str) -> DataFrame:
         ) UNPIVOT (val FOR metric IN (n_customers, n_rich, n_building))
         """
     )
+
+
+@query(
+    "agg_trimmed_mean",
+    """
+    WITH ranked AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY round(value * 100), event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE)
+                 / COUNT(*) / 100, 4) AS trimmed_mean
+    FROM ranked
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf: str) -> DataFrame:
+    # Robust statistics: 10%-trimmed mean per event type, trimming by
+    # COUNT rank rather than interpolated percentile boundaries —
+    # floor(n/10) rows drop from each tail, so the kept set is an
+    # integer-defined, engine-identical slice (no float boundary to
+    # diverge on). One group-keyed window + the aggregate riding the
+    # same exchange; DECIMAL accumulation, division last.
+    ev = load(spark, sf, "events").select(
+        "event_id", "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+    )
+    return (
+        ranked.filter(
+            (F.col("rn") > F.expr("n div 10"))
+            & (F.col("rn") <= F.col("n") - F.expr("n div 10"))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.sum(F.col("cents").cast("decimal(38,0)"))
+                .cast("double")
+                / F.count(F.lit(1))
+                / 100,
+                4,
+            ).alias("trimmed_mean"),
+        )
+    )
+
+
+@query(
+    "agg_mode",
+    """
+    SELECT event_type, cents AS modal_cents, CAST(cnt AS BIGINT) AS cnt
+    FROM (
+      SELECT event_type, cents, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY cnt DESC, cents) AS rk
+      FROM (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY event_type, cents)
+    ) WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf: str) -> DataFrame:
+    # Deterministic MODE: engines' built-in mode() breaks frequency
+    # ties arbitrarily, so the tie-break is folded into the ranking
+    # (cnt DESC, value ASC) — the same lesson as max_by in
+    # agg_order_stats. Two shuffles: value-keyed count (partial-agg
+    # combined), then the dimension-sized argmax window.
+    ev = load(spark, sf, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    counts = ev.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("cents"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("cents").alias("modal_cents"),
+            F.col("cnt").cast("bigint").alias("cnt"),
+        )
+    )
