@@ -59,17 +59,17 @@ BOOKS_PER_INV = 40
 # for a measurement, so a REAL regression still reports slow (after
 # walking to `cap`).
 REFERENCE = {
-    "xml_extraction": 1.0,
-    "agg_pricing_summary": 1.12,
+    "xml_extraction": 0.95,
+    "agg_pricing_summary": 0.92,
     "agg_cube": 0.88,
     "join_inner_agg": 0.42,
     "join_broadcast_dim": 0.70,
     "join_asof": 0.35,
-    "q10_returned_items": 0.66,
+    "q10_returned_items": 0.53,
     "q18_large_orders": 0.90,
-    "window_topk_per_group": 0.36,
+    "window_topk_per_group": 0.33,
     "events_sessionize": 0.26,
-    "dedup_ngram_jaccard": 2.6,
+    "dedup_ngram_jaccard": 2.3,
     "dedup_minhash_lsh": 2.6,
     "text_quality": 0.27,
     "similarity_topk_bruteforce": 0.29,
