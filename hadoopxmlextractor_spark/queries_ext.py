@@ -997,3 +997,32 @@ def q_agg_mode(spark: SparkSession, sf: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("cnt"),
         )
     )
+
+
+@query(
+    "scalar_variant",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS prop_k,
+           (CAST(json_extract_string(props, '$.k') AS INT) IS NOT NULL)
+             AS has_k,
+           CAST(NULL AS INT) AS missing_prop
+    FROM events
+    """,
+)
+def q_scalar_variant(spark: SparkSession, sf: str) -> DataFrame:
+    # The Spark 4 VARIANT path for semi-structured data: parse_json
+    # builds the binary-encoded variant ONCE, then typed variant_get
+    # extractions replace repeated string re-parsing (the
+    # get_json_object anti-pattern at scale — every call re-tokenizes
+    # the JSON text; a variant column parses at ingest and serves any
+    # number of typed reads). try_variant_get returns NULL instead of
+    # erroring on absent paths — the ANSI-safe read.
+    return load(spark, sf, "events").select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("prop_k"),
+        F.expr("variant_get(parse_json(props), '$.k', 'int')").isNotNull().alias("has_k"),
+        F.expr("try_variant_get(parse_json(props), '$.absent', 'int')").alias(
+            "missing_prop"
+        ),
+    )
