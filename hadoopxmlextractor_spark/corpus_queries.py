@@ -1670,3 +1670,31 @@ def q_corpus_bpe_encode(spark: SparkSession, sf: str) -> DataFrame:
     # application round.
     docs = load(spark, sf, "documents")
     return C.bpe_encoded_words(docs, "text", rounds=6)
+
+
+from hadoopxmlextractor_spark.queries import ORACLE as _ORACLE
+
+
+@query("corpus_pipeline_from_config", _ORACLE["corpus_prepare_training_data"])
+def q_corpus_pipeline_from_config(spark: SparkSession, sf: str) -> DataFrame:
+    # The same flagship corpus-prep job DECLARED as a config instead of
+    # hand-composed code — the reference's config-driven UX
+    # (scripts/run.sh + Hadoop XML) applied to the relational surface.
+    # compile_pipeline validates the spec up front and emits ONE lazy
+    # plan, so this query shares corpus_prepare_training_data's oracle
+    # verbatim: the config layer must add nothing and lose nothing.
+    from hadoopxmlextractor_spark.pipeline_config import compile_pipeline
+
+    return compile_pipeline(
+        spark,
+        sf,
+        {
+            "source": "documents",
+            "stages": [
+                {"op": "quality_filter"},
+                {"op": "dedup_exact"},
+                {"op": "decontaminate", "params": {"bench_pct": 5, "min_shared": 10}},
+                {"op": "pack_sequences", "params": {"capacity": 256, "n_shards": 32}},
+            ],
+        },
+    )

@@ -1,0 +1,125 @@
+"""Declarative corpus-pipeline compiler — the relational counterpart
+of the reference's config-driven job surface (reference semantics:
+scripts/run.sh drives XmlExtractor.java entirely from a Hadoop XML
+config; our config.py reproduces that for extraction). A pipeline
+spec (dict or JSON) names stages and parameters; compilation builds
+ONE lazy DataFrame plan, so Catalyst sees the whole job and the
+config adds zero runtime overhead versus hand-written composition.
+
+    {"source": "documents",
+     "stages": [
+       {"op": "quality_filter"},
+       {"op": "dedup_exact"},
+       {"op": "decontaminate", "params": {"bench_pct": 5, "min_shared": 10}},
+       {"op": "pack_sequences", "params": {"capacity": 256, "n_shards": 32}}]}
+
+Every stage maps (doc_id, text) -> (doc_id, text) except a terminal
+stage (pack_sequences), which may change the schema. Unknown ops and
+bad params fail at COMPILE time with the available vocabulary — the
+config is validated before any job runs, like the reference's
+rule-count check in config.py.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.operators import corpus as C
+from hadoopxmlextractor_spark.operators import dedup as D
+from hadoopxmlextractor_spark.operators import text as T
+from hadoopxmlextractor_spark.tables import load
+
+
+def _stage_quality_filter(df: DataFrame, docs: DataFrame, **params) -> DataFrame:
+    return (
+        C.quality_filter(df, "text", "doc_id", carry=("text",), **params)
+        .filter("keep")
+        .select("doc_id", "text")
+    )
+
+
+def _stage_dedup_exact(df: DataFrame, docs: DataFrame) -> DataFrame:
+    return D.dedup_exact(df, "text", "doc_id").select("doc_id", "text")
+
+
+def _stage_classifier_filter(df: DataFrame, docs: DataFrame, *, dim: int = 64) -> DataFrame:
+    margins = T.classifier_margin(df, "text", "doc_id", dim=dim)
+    return (
+        df.join(margins.filter("keep").select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", "text")
+    )
+
+
+def _stage_decontaminate(
+    df: DataFrame, docs: DataFrame, *, bench_pct: int = 5, min_shared: int = 10
+) -> DataFrame:
+    # benchmark set = the top bench_pct stable buckets of the FULL
+    # corpus (independent of upstream filtering, like a held-out eval
+    # suite); contaminated train docs are anti-joined away and
+    # benchmark-bucket docs themselves never ship as training data.
+    sh = docs.withColumn("bucket", C.stable_bucket("doc_id", 100)).select(
+        "doc_id",
+        (F.col("bucket") >= 100 - bench_pct).alias("benchmark"),
+        D.shingle_hashes("text", 3).alias("shingles"),
+    )
+    train = sh.filter(~F.col("benchmark")).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    bench = sh.filter(F.col("benchmark")).select(
+        F.col("doc_id").alias("benchmark_doc"),
+        F.explode("shingles").alias("shingle"),
+    )
+    contaminated = (
+        train.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "benchmark_doc")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("doc_id")
+        .distinct()
+    )
+    return (
+        df.filter(C.stable_bucket("doc_id", 100) < 100 - bench_pct)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+
+
+def _stage_pack_sequences(
+    df: DataFrame, docs: DataFrame, *, capacity: int = 256, n_shards: int = 32
+) -> DataFrame:
+    return C.pack_sequences(df, "text", "doc_id", capacity=capacity, n_shards=n_shards)
+
+
+STAGES: dict[str, Callable[..., DataFrame]] = {
+    "quality_filter": _stage_quality_filter,
+    "dedup_exact": _stage_dedup_exact,
+    "classifier_filter": _stage_classifier_filter,
+    "decontaminate": _stage_decontaminate,
+    "pack_sequences": _stage_pack_sequences,
+}
+
+
+def compile_pipeline(
+    spark: SparkSession, sf_dir: str, config: dict[str, Any] | str
+) -> DataFrame:
+    """Validate a pipeline spec and compile it to one lazy plan."""
+    if isinstance(config, str):
+        config = json.loads(config)
+    source = config.get("source", "documents")
+    stages = config.get("stages", [])
+    if not stages:
+        raise ValueError("pipeline config has no stages")
+    for spec in stages:
+        op = spec.get("op")
+        if op not in STAGES:
+            raise ValueError(
+                f"unknown pipeline stage {op!r}; available: {sorted(STAGES)}"
+            )
+    docs = load(spark, sf_dir, source)
+    df = docs.select("doc_id", "text")
+    for spec in stages:
+        df = STAGES[spec["op"]](df, docs, **spec.get("params", {}))
+    return df

@@ -553,3 +553,35 @@ def test_bpe_train_greedy_overlap_and_tiebreak(spark):
     assert [enc[("banana", i)] for i in range(4)] == ["b", "an", "an", "a"]
     assert [enc[("aaab", i)] for i in range(3)] == ["aa", "a", "b"]
     assert enc[("aa", 0)] == "aa"
+
+
+def test_pipeline_config_validation_and_json_form(spark):
+    import json
+
+    import pytest
+
+    from hadoopxmlextractor_spark.pipeline_config import compile_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    with pytest.raises(ValueError, match="no stages"):
+        compile_pipeline(spark, sf, {"stages": []})
+    with pytest.raises(ValueError, match="unknown pipeline stage 'frobnicate'"):
+        compile_pipeline(
+            spark, sf, {"stages": [{"op": "frobnicate"}]}
+        )
+    # validation happens BEFORE any stage runs: a bad op after a good
+    # one still fails at compile time
+    with pytest.raises(ValueError, match="unknown pipeline stage"):
+        compile_pipeline(
+            spark,
+            sf,
+            {"stages": [{"op": "dedup_exact"}, {"op": "nope"}]},
+        )
+    # JSON string form compiles to the same plan as the dict form
+    cfg = {
+        "source": "documents",
+        "stages": [{"op": "quality_filter"}, {"op": "dedup_exact"}],
+    }
+    a = compile_pipeline(spark, sf, cfg).orderBy("doc_id").collect()
+    b = compile_pipeline(spark, sf, json.dumps(cfg)).orderBy("doc_id").collect()
+    assert a == b and len(a) > 0
