@@ -625,3 +625,62 @@ def test_scd2_stream_tws_needs_protobuf(spark):
             scd2_stream_tws(stream)
     else:  # pragma: no cover - exercised only where protobuf exists
         pytest.skip("protobuf present; covered by the full-stack variant")
+
+
+def test_streaming_upsert_into_snapshots_exactly_once(spark, tmp_path):
+    """foreachBatch MERGE into the snapshot store: batches become
+    versions, updates win over old rows, and a REPLAYED batch_id (the
+    crash-recovery case) is a no-op — table state is exactly-once."""
+    import json
+
+    from hadoopxmlextractor_spark.snapshots import (
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+    from hadoopxmlextractor_spark.streaming.upsert import (
+        make_upsert_sink,
+        upsert_stream,
+    )
+
+    table = str(tmp_path / "corpus")
+    write_snapshot(
+        spark.createDataFrame([(1, "one"), (2, "two")], "doc_id long, text string"),
+        table,
+    )
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    (landing / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 2, "text": "two-updated"},
+                {"doc_id": 3, "text": "three"},
+            ]
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(landing))
+    q = upsert_stream(
+        stream, table, "doc_id", checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert latest_version(table) == 1
+    got = {
+        r["doc_id"]: r["text"] for r in read_snapshot(spark, table).collect()
+    }
+    assert got == {1: "one", 2: "two-updated", 3: "three"}
+
+    # crash replay: the same batch_id arrives again -> no new version
+    sink = make_upsert_sink(table, "doc_id")
+    replay = spark.createDataFrame([(3, "three")], "doc_id long, text string")
+    sink(replay, 0)
+    assert latest_version(table) == 1
+    # a genuinely new batch commits version 2
+    sink(spark.createDataFrame([(4, "four")], "doc_id long, text string"), 1)
+    assert latest_version(table) == 2
+    assert read_snapshot(spark, table).count() == 4
