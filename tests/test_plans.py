@@ -714,3 +714,27 @@ def test_asof_cogroup_same_source_and_missing_key(spark):
         for r in asof_join_cogroup(left, right, "user_id", "ts").collect()
     }
     assert got == {100: ts(10), 103: None}
+
+
+def test_pipeline_observability_via_observe(spark):
+    # Production observability: df.observe() attaches accumulator-style
+    # metrics (rows seen / kept / dropped) that materialize during the
+    # SAME action — no second counting job over the corpus, which at
+    # 100 TB is the difference between free telemetry and a double scan.
+    from pyspark.sql import Observation
+
+    from hadoopxmlextractor_spark.operators.corpus import quality_filter
+    from hadoopxmlextractor_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    obs = Observation("quality")
+    verdicts = quality_filter(docs, "text", "doc_id").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_kept"),
+    )
+    kept_rows = verdicts.filter("keep").count()
+    metrics = obs.get
+    assert metrics["n_kept"] == kept_rows
+    assert metrics["n_docs"] == docs.count()
+    assert 0 < metrics["n_kept"] <= metrics["n_docs"]

@@ -184,3 +184,45 @@ def test_quantize_vec_bounds(values):
     assert np.all(err <= scale / 2 * (1 + 1e-9) + 1e-300)
     # the max-magnitude component always quantizes to exactly +/-127
     assert np.abs(q[np.argmax(np.abs(a))]) == 127
+
+
+# --- BPE apply-equivalence (the oracle's core claim) ----------------------
+
+_sym = st.sampled_from(["a", "b", "ab", "aa", "c"])
+
+
+def _greedy_apply(syms, l, r):
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i < n - 1 and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _leftmost_replace(syms, l, r):
+    # the oracle's formulation: single-space-joined padded string,
+    # repeatedly replace the FIRST occurrence of ' l r ' with ' lr '
+    s = " " + " ".join(syms) + " "
+    pat, rep = f" {l} {r} ", f" {l + r} "
+    while pat in s:
+        i = s.index(pat)
+        s = s[:i] + rep + s[i + len(pat) :]
+    return s.split()
+
+
+@given(
+    st.lists(_sym, min_size=0, max_size=12),
+    st.tuples(_sym, _sym),
+)
+@settings(max_examples=300)
+def test_bpe_greedy_apply_equals_leftmost_replace(syms, pair):
+    # the recursive-CTE oracle replays BPE application as repeated
+    # leftmost string replacement; this is the property that makes
+    # that replay exact, including overlap runs like a a a and pairs
+    # whose merged symbol could collide with a neighbor (a + ab etc.)
+    l, r = pair
+    assert _greedy_apply(syms, l, r) == _leftmost_replace(syms, l, r)
