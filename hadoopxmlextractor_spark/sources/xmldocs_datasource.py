@@ -23,7 +23,13 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 class _FilePartition(InputPartition):
@@ -46,6 +52,9 @@ class XmlDocsDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "XmlDocsStreamReader":
         return XmlDocsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "XmlDocsWriter":
+        return XmlDocsWriter(self.options, overwrite)
 
 
 class XmlDocsReader(DataSourceReader):
@@ -122,3 +131,73 @@ class XmlDocsStreamReader:
 
     def commit(self, end):
         pass  # watermark lives in the checkpoint; nothing to clean up
+
+
+class _WroteFiles(WriterCommitMessage):
+    def __init__(self, files):
+        self.files = files  # [(tmp_path, final_path)]
+
+
+class XmlDocsWriter(DataSourceWriter):
+    """Batch write half of the connector: each task lands its rows as
+    hidden ``._tmp-*`` files and returns their (tmp, final) names in
+    the commit message; the DRIVER's commit renames everything into
+    place (and under overwrite first clears previous documents) while
+    abort deletes the temporaries — the standard two-phase output
+    commit, so a failed job never leaves half a corpus visible.
+
+    Expects (doc_id, content) rows; the file name is the sanitized
+    basename of doc_id (the reader emits full paths, so read→write
+    round-trips keep names)."""
+
+    def __init__(self, options, overwrite: bool):
+        self._dir = options.get("path")
+        if not self._dir:
+            raise ValueError("xmldocs sink requires a 'path' option")
+        self._suffix = options.get("suffix", ".xml")
+        self._overwrite = overwrite
+
+    def write(self, iterator) -> _WroteFiles:
+        import re
+        import uuid
+
+        os.makedirs(self._dir, exist_ok=True)
+        files = []
+        for row in iterator:
+            base = re.sub(
+                r"[^A-Za-z0-9_.-]", "_", os.path.basename(str(row.doc_id))
+            ) or "doc"
+            if not base.endswith(self._suffix):
+                base += self._suffix
+            final = os.path.join(self._dir, base)
+            tmp = os.path.join(self._dir, f"._tmp-{uuid.uuid4().hex}-{base}")
+            with open(tmp, "w", encoding="utf-8") as f:
+                f.write(row.content)
+            files.append((tmp, final))
+        return _WroteFiles(files)
+
+    def commit(self, messages) -> None:
+        if self._overwrite:
+            incoming = {
+                os.path.basename(final)
+                for m in messages
+                for _, final in m.files
+            }
+            for n in os.listdir(self._dir):
+                if (
+                    n.endswith(self._suffix)
+                    and n not in incoming
+                    and not n.startswith("._tmp")
+                ):
+                    os.remove(os.path.join(self._dir, n))
+        for m in messages:
+            for tmp, final in m.files:
+                os.replace(tmp, final)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            for tmp, _ in m.files:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass

@@ -456,3 +456,40 @@ def test_malformed_json_csv_permissive_and_dropmalformed(spark, tmp_path):
     assert [r["_corrupt_record"] for r in crows if r["_corrupt_record"] is not None] == [
         "not_a_long,broken"
     ]
+
+
+def test_python_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
+    """The write half of the xmldocs connector: two-phase commit lands
+    documents atomically; read->write round-trips names and bytes;
+    overwrite clears stale documents."""
+    from hadoopxmlextractor_spark.sources.xmldocs_datasource import register
+
+    register(spark)
+    out = str(tmp_path / "corpus")
+    docs = spark.createDataFrame(
+        [("alpha", "<store><a>1</a></store>"), ("beta", "<store><b>2</b></store>")],
+        "doc_id string, content string",
+    )
+    docs.write.format("xmldocs").option("path", out).mode("append").save()
+
+    back = {
+        r["doc_id"].split("/")[-1]: r["content"]
+        for r in spark.read.format("xmldocs").option("path", out).load().collect()
+    }
+    assert back == {
+        "alpha.xml": "<store><a>1</a></store>",
+        "beta.xml": "<store><b>2</b></store>",
+    }
+    import os
+
+    assert not [n for n in os.listdir(out) if n.startswith("._tmp")]
+
+    # overwrite replaces the corpus: beta disappears, gamma lands
+    spark.createDataFrame(
+        [("gamma", "<store><c>3</c></store>")], "doc_id string, content string"
+    ).write.format("xmldocs").option("path", out).mode("overwrite").save()
+    names = sorted(
+        r["doc_id"].split("/")[-1]
+        for r in spark.read.format("xmldocs").option("path", out).load().collect()
+    )
+    assert names == ["gamma.xml"]
