@@ -878,3 +878,75 @@ def q_join_asof_cogroup(spark: SparkSession, sf: str) -> DataFrame:
         F.unix_millis("ts").alias("purchase_ms"),
         F.unix_millis("asof_ts").alias("last_click_ms"),
     )
+
+
+@query(
+    "events_pit_training_features",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, event_type,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    feat AS (
+      SELECT user_id, event_id, event_type, ms,
+             LAG(event_type) OVER w AS prev_type,
+             COUNT(*) OVER w7 AS n_events_7d,
+             CAST(COALESCE(SUM(CAST(cents AS DECIMAL(38,0))) OVER w7, 0)
+                  AS BIGINT) AS spend_7d_cents
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id),
+             w7 AS (PARTITION BY user_id ORDER BY ms
+                    RANGE BETWEEN 604800000 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id AS label_event_id, user_id, ms AS label_ms,
+           prev_type, CAST(n_events_7d AS BIGINT) AS n_events_7d,
+           spend_7d_cents
+    FROM feat WHERE event_type = 'purchase'
+    """,
+)
+def q_events_pit_training_features(spark: SparkSession, sf: str) -> DataFrame:
+    # Point-in-time-correct training-set assembly — the feature-store
+    # core: for every label event (purchase), attach features computed
+    # ONLY from that user's STRICT past (lag state + 7-day trailing
+    # count/spend via a RANGE frame ending 1 ms before the label), so
+    # no feature leaks the label's own row or future. Windows must be
+    # computed over ALL events then filtered to labels — filtering
+    # first would silently drop non-purchase history (the classic
+    # leakage-adjacent bug inverted). One user-keyed exchange carries
+    # every frame; spend accumulates in DECIMAL cents.
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_millis("ts").alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("ms")
+        .rangeBetween(-604800000, -1)
+    )
+    feat = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ms",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("n_events_7d"),
+        F.coalesce(
+            F.sum(F.col("cents").cast("decimal(38,0)")).over(w7), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("spend_7d_cents"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("label_event_id"),
+        "user_id",
+        F.col("ms").alias("label_ms"),
+        "prev_type",
+        "n_events_7d",
+        "spend_7d_cents",
+    )
