@@ -80,7 +80,9 @@ _STEP_RE = re.compile(
     rf"({_QNAME}|\*)"
     rf"(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\]"
     rf"|\[@({_QNAME})\s*(!=|<=|>=|<|>|=)\s*({_NUM})\]"
-    rf"|\[([0-9]+)\])?"
+    rf"|\[([0-9]+)\]"
+    rf"|\[(last\(\))\]"
+    rf"|\[position\(\)\s*(!=|<=|>=|<|>|=)\s*([0-9]+)\])?"
 )
 
 
@@ -91,6 +93,8 @@ class _Step(NamedTuple):
     pred_val: str | None
     pos: int | None  # 1-based positional predicate ([n])
     cmp: tuple[str, str, str] | None = None  # (attr local, op, numeric literal)
+    is_last: bool = False  # [last()]
+    pos_cmp: tuple[str, int] | None = None  # [position() OP n]
 
 
 # XPath 1.0 number(): optional sign, digits with optional fraction —
@@ -132,7 +136,7 @@ def _parse_path(path: str) -> list[_Step] | None:
         m = _STEP_RE.match(path, pos)
         if m is None:
             return None
-        name, pattr, v1, v2, cattr, cop, cnum, idx = m.groups()
+        name, pattr, v1, v2, cattr, cop, cnum, idx, lastg, posop, posn = m.groups()
         val = v1 if v1 is not None else v2
         steps.append(
             _Step(
@@ -142,6 +146,8 @@ def _parse_path(path: str) -> list[_Step] | None:
                 val,
                 int(idx) if idx is not None else None,
                 (_local(cattr), cop, cnum) if cattr is not None else None,
+                lastg is not None,
+                (posop, int(posn)) if posop is not None else None,
             )
         )
         pos = m.end()
@@ -189,6 +195,10 @@ def strip_prefixes(expr: str) -> str:
             base += f"[@{s.cmp[0]}{s.cmp[1]}{s.cmp[2]}]"
         elif s.pos is not None:
             base += f"[{s.pos}]"
+        elif s.is_last:
+            base += "[last()]"
+        elif s.pos_cmp is not None:
+            base += f"[position(){s.pos_cmp[0]}{s.pos_cmp[1]}]"
         return ("//" if s.axis == "desc" else "/") + base
 
     out = "".join(render(s) for s in steps)
@@ -322,6 +332,24 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
                 matched = [c for c in kids if keep(c, step)]
                 if step.pos is not None:
                     matched = matched[step.pos - 1 : step.pos] if step.pos else []
+                elif step.is_last:
+                    # javax [last()]: the last matching child of EACH
+                    # parent context (position() == last() per parent)
+                    matched = matched[-1:]
+                elif step.pos_cmp is not None:
+                    op, n = step.pos_cmp
+                    matched = [
+                        c
+                        for i, c in enumerate(matched, 1)
+                        if (
+                            i == n if op == "="
+                            else i != n if op == "!="
+                            else i < n if op == "<"
+                            else i <= n if op == "<="
+                            else i > n if op == ">"
+                            else i >= n
+                        )
+                    ]
                 for node in matched:
                     if id(node) not in seen2:
                         seen2.add(id(node))

@@ -65,6 +65,11 @@ def _gen_expr(rng: random.Random) -> str:
             op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
             rhs = rng.choice(["1", "2", "1.5"])
             pred = f"[@{attr}{op}{rhs}]"
+        elif roll < 0.65:
+            pred = "[last()]"
+        elif roll < 0.75:
+            op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+            pred = f"[position(){op}{rng.randint(1, 3)}]"
         parts.append(f"{axis}{name}{pred}")
     roll = rng.random()
     if roll < 0.3:
