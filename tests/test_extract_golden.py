@@ -159,10 +159,15 @@ def test_auto_path_selection():
     )
     assert _compile_fused(pred_cfg) is not None  # eq-predicate → still fused
     exotic = ExtractionConfig.from_rules(
+        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r/../x;", ";", "#")],
+        nr_of_columns=1,
+    )
+    assert _compile_fused(exotic) is None  # parent axis → JVM xpath path
+    positional = ExtractionConfig.from_rules(
         [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r[position()=1]/@x;", ";", "#")],
         nr_of_columns=1,
     )
-    assert _compile_fused(exotic) is None  # positional predicate → JVM xpath path
+    assert _compile_fused(positional) is not None  # now on the fast path
 
 
 def test_malformed_fragments_audit_stream(spark):

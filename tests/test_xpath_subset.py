@@ -46,13 +46,20 @@ def test_empty_nodeset_returns_none():
 
 def test_out_of_subset_falls_back():
     for expr in [
-        "//book[position()=1]/@id",  # position() function form
-        "//book[price>30]/@id",  # comparison predicate
+        "//book[price>30]/@id",  # child-element comparison predicate
         "//a/../b",  # parent axis
         "count(//book)",  # function
         "//text()",  # bare text() with no element step
+        "//book[position()=last()]",  # position()=last() composite
     ]:
         assert compile_subset(expr) is None, expr
+    # position()/last() predicates moved INTO the subset
+    for expr in [
+        "//book[position()=1]/@id",
+        "//book[last()]",
+        "//book[position()<=2]/text()",
+    ]:
+        assert compile_subset(expr) is not None, expr
 
 
 def test_descendant_text_terminal():
