@@ -1698,3 +1698,53 @@ def q_corpus_pipeline_from_config(spark: SparkSession, sf: str) -> DataFrame:
             ],
         },
     )
+
+
+@query(
+    "corpus_data_contract",
+    """
+    WITH v AS (
+      SELECT
+        SUM(CASE WHEN doc_id IS NOT NULL THEN 0 ELSE 1 END) AS doc_id_not_null,
+        SUM(CASE WHEN text IS NOT NULL THEN 0 ELSE 1 END) AS text_not_null,
+        SUM(CASE WHEN COALESCE(n_chars = length(text), FALSE)
+                 THEN 0 ELSE 1 END) AS n_chars_consistent,
+        SUM(CASE WHEN COALESCE(lang IN ('en', 'de', 'fr'), FALSE)
+                 THEN 0 ELSE 1 END) AS lang_in_domain,
+        SUM(CASE WHEN COALESCE(source LIKE 'src%', FALSE)
+                 THEN 0 ELSE 1 END) AS source_format,
+        COUNT(doc_id) - COUNT(DISTINCT doc_id) AS unique_doc_id
+      FROM documents
+    )
+    SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+           n_violations = 0 AS passed
+    FROM (
+      SELECT 'doc_id_not_null' AS rule, doc_id_not_null AS n_violations FROM v
+      UNION ALL SELECT 'text_not_null', text_not_null FROM v
+      UNION ALL SELECT 'n_chars_consistent', n_chars_consistent FROM v
+      UNION ALL SELECT 'lang_in_domain', lang_in_domain FROM v
+      UNION ALL SELECT 'source_format', source_format FROM v
+      UNION ALL SELECT 'unique_doc_id', unique_doc_id FROM v
+    )
+    """,
+)
+def q_corpus_data_contract(spark: SparkSession, sf: str) -> DataFrame:
+    # The pre-publish quality gate: declarative expectations (nulls,
+    # cross-column consistency, domain membership, key uniqueness)
+    # verdicted in ONE aggregate pass over the corpus — N rules never
+    # cost N scans. Null-hostile: an unevaluable expectation counts as
+    # a violation.
+    from hadoopxmlextractor_spark.operators.contracts import check_contract
+
+    docs = load(spark, sf, "documents")
+    return check_contract(
+        docs,
+        [
+            ("doc_id_not_null", F.col("doc_id").isNotNull()),
+            ("text_not_null", F.col("text").isNotNull()),
+            ("n_chars_consistent", F.col("n_chars") == F.length("text")),
+            ("lang_in_domain", F.col("lang").isin("en", "de", "fr")),
+            ("source_format", F.col("source").startswith("src")),
+        ],
+        unique_key="doc_id",
+    )

@@ -585,3 +585,40 @@ def test_pipeline_config_validation_and_json_form(spark):
     a = compile_pipeline(spark, sf, cfg).orderBy("doc_id").collect()
     b = compile_pipeline(spark, sf, json.dumps(cfg)).orderBy("doc_id").collect()
     assert a == b and len(a) > 0
+
+
+def test_data_contract_counts_violations_and_null_hostility(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.contracts import check_contract
+
+    df = spark.createDataFrame(
+        [
+            (1, "ok", 2),
+            (1, None, 2),      # dup key + null text
+            (2, "bad", None),  # NULL length rule -> unevaluable -> violation
+        ],
+        "id long, text string, n long",
+    )
+    got = {
+        r["rule"]: (r["n_violations"], r["passed"])
+        for r in check_contract(
+            df,
+            [
+                ("text_not_null", F.col("text").isNotNull()),
+                ("n_positive", F.col("n") > 0),
+            ],
+            unique_key="id",
+        ).collect()
+    }
+    assert got == {
+        "text_not_null": (1, False),
+        "n_positive": (1, False),  # the NULL n row counts as a violation
+        "unique_id": (1, False),
+    }
+
+    clean = check_contract(
+        df.filter("text IS NOT NULL AND n IS NOT NULL"),
+        [("text_not_null", F.col("text").isNotNull())],
+    ).collect()
+    assert all(r["passed"] for r in clean)
