@@ -950,3 +950,80 @@ def q_events_pit_training_features(spark: SparkSession, sf: str) -> DataFrame:
         "n_events_7d",
         "spend_7d_cents",
     )
+
+
+@query(
+    "events_gap_fill",
+    """
+    WITH span AS (
+      SELECT user_id,
+             CAST(MIN(ts) AS DATE) AS d0,
+             CAST(MAX(ts) AS DATE) AS d1
+      FROM events GROUP BY user_id
+    ),
+    grid AS (
+      SELECT user_id, CAST(unnest(generate_series(d0, d1,
+                                  INTERVAL 1 DAY)) AS DATE) AS day
+      FROM span
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT g.user_id, g.day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events,
+           (d.n IS NULL) AS is_gap,
+           CAST(COALESCE(
+             LAST_VALUE(d.cents IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)
+             AS BIGINT) AS cents_carried
+    FROM grid g LEFT JOIN daily d
+      ON g.user_id = d.user_id AND g.day = d.day
+    """,
+)
+def q_events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-key time-series gap filling: each user's own [first, last]
+    # day span becomes a dense calendar grid (sequence + explode — no
+    # global spine, no cross join), zero-activity days materialize
+    # with n_events = 0, and the last active day's spend carries
+    # forward (the same last(ignorenulls) running frame as the
+    # extraction pipeline's O12 fill). Shuffles: the daily pre-agg and
+    # the grid join, both on the uniform user key; the grid's fan-out
+    # is bounded by each user's own span.
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    span = ev.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+            F.coalesce(F.last("cents", ignorenulls=True).over(w), F.lit(0))
+            .cast("bigint")
+            .alias("cents_carried"),
+        )
+    )

@@ -117,3 +117,64 @@ def vacuum(table_dir: str, keep_last: int = 2) -> list[int]:
     for v in removable:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"))
     return removable
+
+
+def profile_drift(
+    spark: SparkSession,
+    table_dir: str,
+    version_a: int,
+    version_b: int,
+    columns: list[str],
+) -> DataFrame:
+    """Column-profile DRIFT between two snapshot versions — the
+    observability check a publish pipeline runs before flipping the
+    pointer: per column, rows/nulls/distinct in each version and their
+    deltas, so a bad upstream change (nulls exploding, cardinality
+    collapsing) is visible as data, not as a training regression three
+    days later. Each side is ONE Expand-scan profile (same shape as
+    corpus_profile); the join is profile-sized (|columns| rows)."""
+    from pyspark.sql import functions as F
+
+    def profile(version: int) -> DataFrame:
+        df = read_snapshot(spark, table_dir, version=version)
+        wide = df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                x
+                for c in columns
+                for x in (
+                    (F.count(F.lit(1)) - F.count(c)).alias(f"{c}_nulls"),
+                    F.countDistinct(c).alias(f"{c}_distinct"),
+                )
+            ],
+        )
+        stack = ", ".join(f"'{c}', {c}_nulls, {c}_distinct" for c in columns)
+        return wide.selectExpr(
+            f"stack({len(columns)}, {stack}) AS (col_name, n_nulls, n_distinct)",
+            "n_rows",
+        )
+
+    a = profile(version_a).select(
+        "col_name",
+        F.col("n_rows").alias("rows_a"),
+        F.col("n_nulls").alias("nulls_a"),
+        F.col("n_distinct").alias("distinct_a"),
+    )
+    b = profile(version_b).select(
+        "col_name",
+        F.col("n_rows").alias("rows_b"),
+        F.col("n_nulls").alias("nulls_b"),
+        F.col("n_distinct").alias("distinct_b"),
+    )
+    return a.join(b, "col_name").select(
+        "col_name",
+        "rows_a",
+        "rows_b",
+        (F.col("rows_b") - F.col("rows_a")).alias("rows_delta"),
+        "nulls_a",
+        "nulls_b",
+        (F.col("nulls_b") - F.col("nulls_a")).alias("nulls_delta"),
+        "distinct_a",
+        "distinct_b",
+        (F.col("distinct_b") - F.col("distinct_a")).alias("distinct_delta"),
+    )

@@ -493,3 +493,34 @@ def test_python_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
         for r in spark.read.format("xmldocs").option("path", out).load().collect()
     )
     assert names == ["gamma.xml"]
+
+
+def test_snapshot_profile_drift_between_versions(spark, tmp_path):
+    from hadoopxmlextractor_spark.snapshots import (
+        commit_upsert,
+        profile_drift,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        ),
+        table,
+    )
+    # v1: one update (no row change), one insert with a NULL text
+    commit_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(3, "c2"), (4, None)], "doc_id long, text string"),
+        "doc_id",
+    )
+    drift = {
+        r["col_name"]: r
+        for r in profile_drift(spark, table, 0, 1, ["doc_id", "text"]).collect()
+    }
+    assert drift["doc_id"]["rows_a"] == 3 and drift["doc_id"]["rows_b"] == 4
+    assert drift["doc_id"]["rows_delta"] == 1
+    assert drift["text"]["nulls_delta"] == 1
+    assert drift["doc_id"]["distinct_delta"] == 1
