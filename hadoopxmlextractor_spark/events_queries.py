@@ -1027,3 +1027,80 @@ def q_events_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
             .alias("cents_carried"),
         )
     )
+
+
+@query(
+    "agg_quantile_sketch_merge",
+    """
+    WITH pri AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             md5(CAST(event_id AS VARCHAR)) AS pri
+      FROM events
+    ),
+    daily AS (
+      SELECT day, cents, pri,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY pri) AS rk
+      FROM pri
+    ),
+    merged AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY pri) AS rk
+      FROM daily WHERE rk <= 256
+    ),
+    sample AS (
+      SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, rk) AS vrk,
+             COUNT(*) OVER () AS n
+      FROM merged WHERE rk <= 256
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_sample,
+           CAST(MAX(CASE WHEN vrk = (n + 1) // 2 THEN cents END)
+                AS BIGINT) AS p50_cents,
+           CAST(MAX(CASE WHEN vrk = (9 * n + 9) // 10 THEN cents END)
+                AS BIGINT) AS p90_cents
+    FROM sample
+    """,
+)
+def q_agg_quantile_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # Mergeable quantile sketch with DETERMINISTIC contents — the
+    # day-rollup workflow percentile_approx cannot express (its sketch
+    # neither merges through SQL nor replays across engines): each
+    # day keeps its bottom-256 rows by md5(event_id) priority (a
+    # uniform random-but-deterministic sample; bottom-k is mergeable
+    # because bottom-k of a union = bottom-k of the parts' bottom-ks),
+    # the day sketches merge to a global bottom-256, and quantiles
+    # read off the sorted sample by count rank. Both window rank
+    # filters push down as WindowGroupLimit; only ~256 rows/day ever
+    # cross the final exchange. Accuracy vs the exact percentile is
+    # gated in tests/test_approx_quality.py.
+    ev = load(spark, sf, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        F.md5(F.col("event_id").cast("string")).alias("pri"),
+    )
+    wd = Window.partitionBy("day").orderBy("pri")
+    daily = ev.withColumn("rk", F.row_number().over(wd)).filter(F.col("rk") <= 256)
+    wm = Window.orderBy("pri")
+    merged = daily.withColumn("rk", F.row_number().over(wm)).filter(
+        F.col("rk") <= 256
+    )
+    wv = Window.orderBy("cents", "rk")
+    sample = merged.select(
+        "cents",
+        F.row_number().over(wv).alias("vrk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    return sample.agg(
+        F.max("n").cast("bigint").alias("n_sample"),
+        F.max(F.when(F.col("vrk") == F.expr("(n + 1) div 2"), F.col("cents")).otherwise(None))
+        .cast("bigint")
+        .alias("p50_cents"),
+        F.max(
+            F.when(F.col("vrk") == F.expr("(9 * n + 9) div 10"), F.col("cents")).otherwise(
+                None
+            )
+        )
+        .cast("bigint")
+        .alias("p90_cents"),
+    )

@@ -142,3 +142,29 @@ def test_hll_sketch_union_matches_single_pass(spark):
         .collect()
     }
     assert merged == single
+
+
+def test_quantile_sketch_merge_within_tolerance_of_exact(spark):
+    # The bottom-k-by-md5 sample is a uniform 256-row sample of ~10k
+    # events: its read-off quantiles must land within a few percentile
+    # points of the exact ones (binomial bound: ~±3 points at k=256
+    # with overwhelming probability for this fixed, deterministic
+    # sample — the assertion is reproducible, not flaky).
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.events_queries import (
+        q_agg_quantile_sketch_merge,
+    )
+    from hadoopxmlextractor_spark.tables import load
+
+    sf = "/root/testdata/sf0.01"
+    row = q_agg_quantile_sketch_merge(spark, sf).collect()[0]
+    ev = load(spark, sf, "events").select(
+        F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    n = ev.count()
+    for est, q in ((row["p50_cents"], 0.5), (row["p90_cents"], 0.9)):
+        # the estimate's true rank among ALL events
+        rank = ev.filter(F.col("cents") <= est).count() / n
+        assert abs(rank - q) < 0.06, (q, est, rank)
+    assert row["n_sample"] == 256
