@@ -931,3 +931,60 @@ def q_multimodal_video_shots(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_ppm_video(docs, n_frames=8, side=8, cuts=(3, 6))
     return M.video_shot_boundaries(media, hamming_threshold=16)
+
+
+@query(
+    "text_url_blocklist",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+             || '.example' || (CAST(('0x' || substring(
+                  md5(CAST(doc_id AS VARCHAR)), 3, 1)) AS BIGINT) % 4)
+             || '.com/page/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+      FROM u
+    )
+    SELECT doc_id, url, host,
+           (host LIKE '%.example0.com' OR host LIKE '%.example1.com')
+             AS blocked,
+           NOT (host LIKE '%.example0.com' OR host LIKE '%.example1.com')
+             AS keep
+    FROM h
+    """,
+)
+def q_text_url_blocklist(spark: SparkSession, sf: str) -> DataFrame:
+    # C4-style URL filtering: a deterministic synthetic URL per doc
+    # (the corpus has no url column; md5-derived hosts spread over 4
+    # domains), host extraction via the built-in parse_url (JVM-side,
+    # codegen — never a Python URL parser in the hot path), and a
+    # suffix-matched blocklist. A real deployment broadcasts the
+    # blocklist table and semi-joins on the registered domain; here
+    # the 2-entry list folds into the scan predicate, which is exactly
+    # what a broadcast join also achieves for a small list.
+    docs = load(spark, sf, "documents")
+    u = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2),
+            F.lit(".example"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 3, 1), 16, 10
+                ).cast("long")
+                % 4
+            ).cast("string"),
+            F.lit(".com/page/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    h = u.withColumn("host", F.parse_url("url", F.lit("HOST")))
+    blocked = F.col("host").endswith(".example0.com") | F.col("host").endswith(
+        ".example1.com"
+    )
+    return h.select("doc_id", "url", "host", blocked.alias("blocked"), (~blocked).alias("keep"))
