@@ -738,3 +738,67 @@ def test_pipeline_observability_via_observe(spark):
     assert metrics["n_kept"] == kept_rows
     assert metrics["n_docs"] == docs.count()
     assert 0 < metrics["n_kept"] <= metrics["n_docs"]
+
+
+def test_join_strategy_hints_control_physical_plan(spark):
+    # Join-strategy control surface: when Catalyst's default choice is
+    # wrong for a workload (e.g. sort-merge on a dimension that just
+    # misses the broadcast threshold), hints pick the physical join
+    # without rewriting the query. Assert each hint lands.
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    orders = load(spark, SF, "orders").select("o_orderkey")
+
+    merge = li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+    assert "SortMergeJoin" in executed_plan(merge)
+
+    shuffle_hash = li.join(
+        orders.hint("shuffle_hash"), li.l_orderkey == orders.o_orderkey
+    )
+    assert "ShuffledHashJoin" in executed_plan(shuffle_hash)
+
+    bcast = li.join(orders.hint("broadcast"), li.l_orderkey == orders.o_orderkey)
+    assert "BroadcastHashJoin" in executed_plan(bcast)
+
+
+def test_incremental_partition_recompute_matches_full(spark, tmp_path):
+    # The incremental-maintenance pattern for partitioned rollups: when
+    # one day's raw partition re-lands, recompute ONLY that day's
+    # aggregate and dynamically overwrite its partition — the result
+    # must equal a full recompute, at one day's cost instead of the
+    # whole table's.
+    from hadoopxmlextractor_spark.tables import load as load_t
+
+    ev = load_t(spark, SF, "events").select(
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    agg_path = str(tmp_path / "daily_agg")
+
+    def daily(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("cents")
+        )
+
+    daily(ev).write.partitionBy("day").parquet(agg_path)
+
+    # one day's raw data "re-lands" with corrections (drop error rows)
+    some_day = ev.select(F.min("day")).first()[0]
+    corrected = ev.filter(
+        (F.col("day") == some_day) & (F.col("event_type") != "error")
+    )
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    daily(corrected).write.mode("overwrite").partitionBy("day").parquet(agg_path)
+
+    full = daily(
+        ev.filter((F.col("day") != some_day) | (F.col("event_type") != "error"))
+    )
+    got = {
+        (str(r["day"]), r["event_type"]): (r["n"], r["cents"])
+        for r in spark.read.parquet(agg_path).collect()
+    }
+    want = {
+        (str(r["day"]), r["event_type"]): (r["n"], r["cents"])
+        for r in full.collect()
+    }
+    assert got == want
