@@ -1542,7 +1542,7 @@ def q_dedup_clusters_stars(spark: SparkSession, sf: str) -> DataFrame:
     return D.connected_components_stars(pairs)
 
 
-def _pagerank_oracle(iterations: int = 5, scale: int = 10**12) -> str:
+def _pagerank_ctes(iterations: int = 5, scale: int = 10**12) -> list:
     """Unrolled fixed-point PageRank replay: same integer arithmetic
     as operators.dedup.pagerank (floor division, fixed rounds), so the
     check is hash-exact, not approximate. DuckDB's `//` is floor
@@ -1586,6 +1586,11 @@ def _pagerank_oracle(iterations: int = 5, scale: int = 10**12) -> str:
             GROUP BY e.y) s ON dg.x = s.x
     )"""
         )
+    return ctes
+
+
+def _pagerank_oracle(iterations: int = 5, scale: int = 10**12) -> str:
+    ctes = _pagerank_ctes(iterations, scale)
     joined = ",\n    ".join(ctes)
     return (
         f"WITH {joined}\n"
@@ -1748,3 +1753,124 @@ def q_corpus_data_contract(spark: SparkSession, sf: str) -> DataFrame:
         ],
         unique_key="doc_id",
     )
+
+
+@query(
+    "corpus_concentration",
+    r"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_tokens DESC, doc_id) AS rk,
+             COUNT(*) OVER (PARTITION BY source) AS n_docs
+      FROM toks
+    )
+    SELECT source,
+           CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN rk <= GREATEST(n_docs // 10, 1)
+                         THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS top_decile_tokens,
+           ROUND(CAST(SUM(CASE WHEN rk <= GREATEST(n_docs // 10, 1)
+                              THEN n_tokens ELSE 0 END) AS DOUBLE)
+                 / GREATEST(SUM(n_tokens), 1), 4) AS top_decile_share
+    FROM ranked GROUP BY source
+    """,
+)
+def q_corpus_concentration(spark: SparkSession, sf: str) -> DataFrame:
+    # Heavy-tail diagnostics per source: what share of the token
+    # budget do the largest 10% of documents hold? The answer drives
+    # chunking and sampling policy (a source where 10% of docs carry
+    # 60% of tokens needs length capping before mixture weighting).
+    # Count-rank decile (floor(n/10), min 1) keeps the boundary
+    # integer-defined; one source-keyed exchange carries the rank
+    # window and the aggregate.
+    from hadoopxmlextractor_spark.operators.text import token_count
+
+    toks = load(spark, sf, "documents").select(
+        "source", "doc_id", token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = toks.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n_docs"),
+    )
+    top = F.when(
+        F.col("rk") <= F.greatest(F.expr("n_docs div 10"), F.lit(1)), F.col("n_tokens")
+    ).otherwise(0)
+    return ranked.groupBy("source").agg(
+        F.max("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(top).cast("bigint").alias("top_decile_tokens"),
+        F.round(
+            F.sum(top).cast("double") / F.greatest(F.sum("n_tokens"), F.lit(1)), 4
+        ).alias("top_decile_share"),
+    )
+
+
+def _survivors_authority_oracle(iterations: int = 5, scale: int = 10**12) -> str:
+    """Compose the PageRank replay with component reachability: the
+    kept set = every singleton plus each component's max-authority
+    member ((rank_fp DESC, doc_id ASC) argmax)."""
+    ctes = _pagerank_ctes(iterations, scale)
+    joined = ",\n    ".join(ctes)
+    return f"""WITH RECURSIVE {joined},
+    reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    ),
+    comp AS (
+      SELECT x AS doc_id, MIN(y) AS component_id FROM reach GROUP BY x
+    ),
+    canon AS (
+      SELECT doc_id FROM (
+        SELECT c.doc_id,
+               ROW_NUMBER() OVER (PARTITION BY c.component_id
+                                  ORDER BY p.r DESC, c.doc_id) AS rk
+        FROM comp c JOIN r{iterations} p ON c.doc_id = p.x
+      ) WHERE rk = 1
+    )
+    SELECT d.doc_id, 'singleton' AS reason
+    FROM documents d LEFT JOIN comp USING (doc_id)
+    WHERE comp.doc_id IS NULL
+    UNION ALL
+    SELECT doc_id, 'authority' AS reason FROM canon"""
+
+
+@query("dedup_survivors_authority", _survivors_authority_oracle())
+def q_dedup_survivors_authority(spark: SparkSession, sf: str) -> DataFrame:
+    # Authority-aware corpus filtering — PageRank made FUNCTIONAL in
+    # the dedup pipeline: instead of connected_components' arbitrary
+    # min-id canonical, each duplication family keeps its highest-
+    # PageRank member (the template the family copies, usually the
+    # most complete instance). Pairs are computed once and persisted
+    # (both the component and rank branches consume them); the argmax
+    # is a component-keyed window over the graph-sized join.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).persist()
+    pairs.count()  # eager: feeds both components and pagerank
+    comp = D.connected_components(pairs).select("doc_id", "component_id")
+    pr = D.pagerank(pairs).select("doc_id", "rank_fp")
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc("rank_fp"), F.asc("doc_id")
+    )
+    canon = (
+        comp.join(pr, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.lit("authority").alias("reason"))
+    )
+    singles = docs.join(comp.select("doc_id"), "doc_id", "left_anti").select(
+        "doc_id", F.lit("singleton").alias("reason")
+    )
+    return singles.unionByName(canon)
