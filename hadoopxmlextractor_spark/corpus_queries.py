@@ -1609,7 +1609,10 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     # iterative algorithm hash-exact against the unrolled-CTE oracle —
     # the same trick that made MinHash/LSH exactly checkable.
     docs = load(spark, sf, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    # persist: pagerank's symmetrizing union consumes pairs twice, and
+    # the shingle-UDF candidate generation is the expensive half
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5).persist()
+    pairs.count()
     return D.pagerank(pairs)
 
 
