@@ -684,3 +684,61 @@ def test_streaming_upsert_into_snapshots_exactly_once(spark, tmp_path):
     sink(spark.createDataFrame([(4, "four")], "doc_id long, text string"), 1)
     assert latest_version(table) == 2
     assert read_snapshot(spark, table).count() == 4
+
+
+def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
+    """The production state backend: the same cross-batch dedup runs
+    on RocksDBStateStoreProvider (out-of-heap keyed state — what a
+    100 TB deployment configures so state never pressures executor
+    heaps), with identical results."""
+    import json
+
+    from hadoopxmlextractor_spark.streaming.dedup import dedup_stream
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    (landing / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": i, "text": t})
+            for i, t in [(1, "alpha"), (2, "beta"), (3, "alpha")]
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(landing))
+    q = (
+        dedup_stream(stream, n_buckets=8)
+        .writeStream.format("memory")
+        .queryName("rocks_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .option(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (landing / "b2.json").write_text(
+            json.dumps({"doc_id": 4, "text": "beta"})
+            + "\n"
+            + json.dumps({"doc_id": 5, "text": "gamma"})
+        )
+        q.processAllAvailable()
+        # assert the query really ran on RocksDB, not the default HDFS store
+        progress = q.lastProgress
+        assert progress is not None
+    finally:
+        q.stop()
+
+    got = {(r.doc_id, r.text) for r in spark.sql("SELECT * FROM rocks_out").collect()}
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+    import os
+
+    # RocksDB leaves its characteristic state layout under the checkpoint
+    state_dir = tmp_path / "ckpt" / "state"
+    found_rocks = any(
+        "rocksdb" in d.lower() or any("zip" in f or "sst" in f for f in fs)
+        for d, _, fs in os.walk(state_dir)
+    )
+    assert found_rocks, "state store did not use RocksDB"
