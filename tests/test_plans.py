@@ -802,3 +802,38 @@ def test_incremental_partition_recompute_matches_full(spark, tmp_path):
         for r in full.collect()
     }
     assert got == want
+
+
+def test_results_invariant_under_shuffle_partition_count(spark):
+    # Determinism under cluster reconfiguration: the ops built on
+    # md5-derived ordering (shuffle-sharding, temperature sampling,
+    # sequence packing, stratified sampling) must produce IDENTICAL
+    # rows whether the job runs with 3 or 11 shuffle partitions —
+    # the guarantee that lets a 100 TB pipeline change executor counts
+    # between incremental runs without moving a single row. (The
+    # DuckDB oracle already pins cross-ENGINE determinism; this pins
+    # the Spark-specific partition-layout axis.)
+    import __spark_entry__ as entrymod
+
+    names = [
+        "corpus_shuffle_shards",
+        "corpus_temperature_sample",
+        "corpus_pack_sequences",
+        "corpus_stratified_sample",
+    ]
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for n_part in ("3", "11"):
+            spark.conf.set("spark.sql.shuffle.partitions", n_part)
+            for name in names:
+                rows = sorted(
+                    tuple(r)
+                    for r in entrymod.queries()[name](spark, SF).collect()
+                )
+                results.setdefault(name, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for name, (a, b) in results.items():
+        assert a == b, f"{name} changed rows across partition counts"
+        assert a, f"{name} returned no rows"
