@@ -1877,3 +1877,99 @@ def q_dedup_survivors_authority(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.lit("singleton").alias("reason")
     )
     return singles.unionByName(canon)
+
+
+@query(
+    "corpus_dedup_report",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, source, md5(text) AS h,
+             regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ),
+    exact AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id) > 1
+               AS exact_dup
+      FROM tok
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ),
+    near AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT a.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        UNION ALL
+        SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+              / (len(a.shingles) + len(b.shingles)
+                 - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      )
+    )
+    SELECT e.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN e.exact_dup THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           CAST(SUM(CASE WHEN n.doc_id IS NOT NULL AND NOT e.exact_dup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+           ROUND(CAST(SUM(CASE WHEN e.exact_dup OR n.doc_id IS NOT NULL
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 4) AS dup_rate
+    FROM exact e LEFT JOIN near n USING (doc_id)
+    GROUP BY e.source
+    """,
+)
+def q_corpus_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
+    # The dedup IMPACT report per source — the dashboard number a data
+    # team watches batch over batch: docs, exact-dup count (non-first
+    # occurrences), additional near-dup members (n-gram Jaccard >= 0.5,
+    # excluding docs already exact-dup), and the combined dup rate.
+    # Exact flags ride one md5-keyed window; near membership reuses the
+    # inverted-index candidate join; the final rollup is
+    # dimension-sized.
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = docs.select(
+        "doc_id", "source", (F.row_number().over(w) > 1).alias("exact_dup")
+    )
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    near = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("near", F.lit(True))
+    )
+    return (
+        exact.join(near, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("exact_dup"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_exact_dups"),
+            F.sum(
+                F.when(F.col("near").isNotNull() & ~F.col("exact_dup"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_near_dups"),
+            F.round(
+                F.sum(
+                    F.when(F.col("exact_dup") | F.col("near").isNotNull(), 1).otherwise(
+                        0
+                    )
+                ).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_rate"),
+        )
+    )
