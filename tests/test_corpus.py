@@ -580,7 +580,11 @@ def test_pipeline_config_validation_and_json_form(spark):
     # JSON string form compiles to the same plan as the dict form
     cfg = {
         "source": "documents",
-        "stages": [{"op": "quality_filter"}, {"op": "dedup_exact"}],
+        "stages": [
+            {"op": "quality_filter"},
+            {"op": "dedup_exact"},
+            {"op": "classifier_filter", "params": {"dim": 64}},
+        ],
     }
     a = compile_pipeline(spark, sf, cfg).orderBy("doc_id").collect()
     b = compile_pipeline(spark, sf, json.dumps(cfg)).orderBy("doc_id").collect()
