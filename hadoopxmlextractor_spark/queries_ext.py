@@ -8,8 +8,6 @@ Python UDTF, and deterministic LIMIT/OFFSET pagination.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F

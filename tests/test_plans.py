@@ -3,7 +3,6 @@
 provided by Catalyst or the operator's construction here).
 """
 
-import pytest
 from pyspark.sql import functions as F
 
 from hadoopxmlextractor_spark.operators.skew import (
