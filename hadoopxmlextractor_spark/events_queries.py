@@ -1104,3 +1104,70 @@ def q_agg_quantile_sketch_merge(spark: SparkSession, sf: str) -> DataFrame:
         .cast("bigint")
         .alias("p90_cents"),
     )
+
+
+@query(
+    "events_rolling_wau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ud),
+    member AS (
+      SELECT DISTINCT user_id,
+             CAST(unnest(generate_series(day, day + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE)
+               AS report_day
+      FROM ud
+    ),
+    wau AS (
+      SELECT report_day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM member, span
+      WHERE report_day <= span.d1
+      GROUP BY report_day
+    ),
+    dau AS (
+      SELECT day AS report_day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM ud GROUP BY day
+    )
+    SELECT w.report_day AS day, COALESCE(d.dau, 0) AS dau, w.wau
+    FROM wau w LEFT JOIN dau d USING (report_day)
+    """,
+)
+def q_events_rolling_wau(spark: SparkSession, sf: str) -> DataFrame:
+    # Rolling DISTINCT users (DAU + trailing-7-day WAU) — the sliding
+    # distinct-count no window frame expresses (COUNT(DISTINCT) OVER
+    # RANGE is unsupported, and collect_set state would be unbounded).
+    # The scalable shape: dedupe to (user, day) once, then each
+    # membership row votes for the 7 report days it keeps the user
+    # active in (bounded 7x fan-out via sequence+explode — never a
+    # grid cross join), distinct again, count. Every shuffle is on
+    # uniform (user/day) keys.
+    ev = load(spark, sf, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    d1 = ud.agg(F.max("day").alias("d1"))
+    member = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence("day", F.date_add("day", 6))
+            ).alias("report_day"),
+        )
+        .distinct()
+    )
+    wau = (
+        member.join(F.broadcast(d1), member.report_day <= F.col("d1"))
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wau"))
+    )
+    dau = ud.groupBy(F.col("day").alias("report_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return (
+        wau.join(dau, "report_day", "left")
+        .select(
+            F.col("report_day").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            "wau",
+        )
+    )
