@@ -178,3 +178,43 @@ def profile_drift(
         "distinct_b",
         (F.col("distinct_b") - F.col("distinct_a")).alias("distinct_delta"),
     )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    version_a: int,
+    version_b: int,
+    id_col: str,
+    *,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level change audit between two snapshot versions: one row
+    per differing id with change ∈ {added, removed, changed} — the
+    "what exactly moved between the corpus run X trained on and
+    today's" question made a query. Full outer join on the id, change
+    detection by md5 over the compared columns (so wide rows diff on
+    one fixed-width digest, not column-by-column shuffles)."""
+    from pyspark.sql import functions as F
+
+    def keyed(version: int, tag: str) -> DataFrame:
+        df = read_snapshot(spark, table_dir, version=version)
+        digest = F.md5(
+            F.concat_ws(
+                "\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                          for c in compare_cols]
+            )
+        )
+        return df.select(F.col(id_col), digest.alias(f"h_{tag}"))
+
+    a = keyed(version_a, "a")
+    b = keyed(version_b, "b")
+    joined = a.join(b, id_col, "full_outer")
+    return joined.select(
+        id_col,
+        F.when(F.col("h_a").isNull(), "added")
+        .when(F.col("h_b").isNull(), "removed")
+        .when(F.col("h_a") != F.col("h_b"), "changed")
+        .otherwise(None)
+        .alias("change"),
+    ).filter(F.col("change").isNotNull())

@@ -524,3 +524,35 @@ def test_snapshot_profile_drift_between_versions(spark, tmp_path):
     assert drift["doc_id"]["rows_delta"] == 1
     assert drift["text"]["nulls_delta"] == 1
     assert drift["doc_id"]["distinct_delta"] == 1
+
+
+def test_snapshot_diff_reports_adds_removes_changes(spark, tmp_path):
+    from hadoopxmlextractor_spark.snapshots import (
+        commit_upsert,
+        snapshot_diff,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame(
+            [(1, "a", True), (2, "b", False), (3, "c", False)],
+            "doc_id long, text string, takedown boolean",
+        ).select("doc_id", "text"),
+        table,
+    )
+    batch = spark.createDataFrame(
+        [(2, "b2", False), (3, "c", False), (4, "d", False), (1, None, True)],
+        "doc_id long, text string, takedown boolean",
+    )
+    commit_upsert(spark, table, batch.select("doc_id", "text", "takedown"),
+                  "doc_id", delete_col="takedown")
+    # v1 = {2: b2, 3: c, 4: d}: id 1 taken down, 2 changed, 3 re-landed
+    # byte-identical (must NOT report), 4 added.
+    got = {
+        r["doc_id"]: r["change"]
+        for r in snapshot_diff(
+            spark, table, 0, 1, "doc_id", compare_cols=["text"]
+        ).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 4: "added"}
