@@ -1973,3 +1973,56 @@ def q_corpus_dedup_report(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@query(
+    "corpus_soft_quality_sample",
+    rf"""
+    WITH sig AS (
+      SELECT doc_id,
+             n_tokens,
+             ROUND(n_distinct / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 4)
+               AS distinct_ratio,
+             ROUND((n_chars - n_tokens + 1)
+                   / GREATEST(CAST(n_tokens AS DOUBLE), 1.0), 4)
+               AS mean_token_len
+      FROM (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+               len(list_distinct(
+                 regexp_split_to_array(trim(lower(text)), '\s+'))) AS n_distinct
+        FROM documents
+      )
+    ),
+    scored AS (
+      SELECT doc_id,
+             CASE WHEN n_tokens >= 40 AND n_tokens <= 5000
+                       AND distinct_ratio >= 0.35 AND mean_token_len <= 8.0
+                  THEN 10000 ELSE 2500 END AS p_bp,
+             md5('sq:' || CAST(doc_id AS VARCHAR)) AS hh
+      FROM sig
+    )
+    SELECT doc_id, CAST(p_bp AS BIGINT) AS p_bp,
+           ({_HEX8} % 10000) < p_bp AS keep
+    FROM scored
+    """,
+)
+def q_corpus_soft_quality_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # SOFT quality filtering (the CCNet head/middle/tail idea reduced
+    # to two tiers): documents passing the heuristics always survive,
+    # rejected ones survive at 25% — keeping distributional coverage
+    # of the tail instead of amputating it. The coin is the md5 bucket
+    # of the doc id (deterministic, engine-replayable, independent of
+    # the quality hash), so re-runs keep the exact same rows. Pure
+    # projection over one scan — no shuffle at all.
+    docs = load(spark, sf, "documents")
+    verdict = C.quality_filter(docs, "text", "doc_id")
+    h = F.md5(F.concat(F.lit("sq:"), F.col("doc_id").cast("string")))
+    bucket = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 10000
+    p = F.when(F.col("keep"), 10000).otherwise(2500)
+    return verdict.select(
+        "doc_id",
+        p.cast("bigint").alias("p_bp"),
+        (bucket < p).alias("keep"),
+    )

@@ -556,3 +556,21 @@ def test_snapshot_diff_reports_adds_removes_changes(spark, tmp_path):
         ).collect()
     }
     assert got == {1: "removed", 2: "changed", 4: "added"}
+
+
+def test_python_datasource_writer_abort_cleans_temporaries(spark, tmp_path):
+    import os
+
+    from hadoopxmlextractor_spark.sources.xmldocs_datasource import (
+        XmlDocsWriter,
+        _WroteFiles,
+    )
+
+    out = str(tmp_path / "corpus")
+    os.makedirs(out)
+    w = XmlDocsWriter({"path": out}, overwrite=False)
+    tmp1 = os.path.join(out, "._tmp-x-a.xml")
+    open(tmp1, "w").write("<a/>")
+    # abort after a partial task: temporaries vanish, nothing published
+    w.abort([_WroteFiles([(tmp1, os.path.join(out, "a.xml"))])])
+    assert os.listdir(out) == []
