@@ -1171,3 +1171,97 @@ def q_events_rolling_wau(spark: SparkSession, sf: str) -> DataFrame:
             "wau",
         )
     )
+
+
+@query(
+    "events_ab_cuped",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 2 AS variant,
+             SUM(CASE WHEN CAST(ts AS DATE) < DATE '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+             SUM(CASE WHEN CAST(ts AS DATE) >= DATE '2024-01-16'
+                      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(19,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(19,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(19,0)) AS sy,
+             CAST(SUM(x * y) AS DECIMAL(19,0)) AS sxy,
+             CAST(SUM(x * x) AS DECIMAL(19,0)) AS sxx
+      FROM per_user
+    ),
+    per_var AS (
+      SELECT variant,
+             CAST(COUNT(*) AS DECIMAL(19,0)) AS nv,
+             CAST(SUM(x) AS DECIMAL(19,0)) AS svx,
+             CAST(SUM(y) AS DECIMAL(19,0)) AS svy
+      FROM per_user GROUP BY variant
+    )
+    SELECT CAST(variant AS BIGINT) AS variant,
+           CAST(nv AS BIGINT) AS n_users,
+           ROUND(CAST(svy AS DOUBLE) / CAST(nv AS DOUBLE) / 100, 6)
+             AS mean_post_dollars,
+           ROUND((CAST(svy AS DOUBLE) / CAST(nv AS DOUBLE)
+                  - (CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE))
+                    * (CAST(svx AS DOUBLE) / CAST(nv AS DOUBLE)
+                       - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100, 6)
+             AS cuped_mean_post_dollars
+    FROM per_var CROSS JOIN pooled
+    """,
+)
+def q_events_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
+    # Experiment readout with CUPED variance reduction (Deng et al.
+    # 2013): per-user pre-period spend is the covariate; the adjusted
+    # post-period mean subtracts theta x (covariate deviation), with
+    # theta = pooled cov(x,y)/var(x) from INTEGER moments — exact to
+    # the final divisions, which are written as the same expression
+    # tree on both engines (the trend_slope discipline). Variant
+    # assignment is the md5 coin, so the split is reproducible. Two
+    # aggregates over the per-user table + a broadcast single-row
+    # cross join; the events table shuffles once on user_id.
+    ev = load(spark, sf, "events")
+    pre = F.col("ts").cast("date") < F.lit("2024-01-16").cast("date")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(pre, cents).otherwise(0)).alias("x"),
+        F.sum(F.when(~pre, cents).otherwise(0)).alias("y"),
+    ).withColumn(
+        "variant",
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2,
+    ).persist()
+    per_user.count()  # eager: feeds pooled and per-variant branches
+    dec = "decimal(19,0)"
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+    )
+    per_var = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast(dec).alias("nv"),
+        F.sum("x").cast(dec).alias("svx"),
+        F.sum("y").cast(dec).alias("svy"),
+    )
+    return per_var.crossJoin(F.broadcast(pooled)).selectExpr(
+        "CAST(variant AS BIGINT) AS variant",
+        "CAST(nv AS BIGINT) AS n_users",
+        "ROUND(CAST(svy AS DOUBLE) / CAST(nv AS DOUBLE) / 100, 6)"
+        " AS mean_post_dollars",
+        "ROUND((CAST(svy AS DOUBLE) / CAST(nv AS DOUBLE)"
+        " - (CAST(n * sxy - sx * sy AS DOUBLE)"
+        " / CAST(n * sxx - sx * sx AS DOUBLE))"
+        " * (CAST(svx AS DOUBLE) / CAST(nv AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100, 6)"
+        " AS cuped_mean_post_dollars",
+    )
