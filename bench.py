@@ -70,10 +70,10 @@ REFERENCE = {
     "window_topk_per_group": 0.33,
     "events_sessionize": 0.26,
     "dedup_ngram_jaccard": 2.3,
-    "dedup_minhash_lsh": 2.57,
+    "dedup_minhash_lsh": 2.11,
     "text_quality": 0.27,
     "similarity_topk_bruteforce": 0.29,
-    "corpus_prepare_training_data": 2.0,
+    "corpus_prepare_training_data": 1.72,
 }
 
 
