@@ -626,3 +626,42 @@ def test_data_contract_counts_violations_and_null_hostility(spark):
         [("text_not_null", F.col("text").isNotNull())],
     ).collect()
     assert all(r["passed"] for r in clean)
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.corpus import bpe_learn_merges
+    from hadoopxmlextractor_spark.operators.dedup import (
+        bloom_incremental_flags,
+        pagerank,
+    )
+    from hadoopxmlextractor_spark.operators.temporal import scd2_history
+    from hadoopxmlextractor_spark.operators.text import classifier_margin
+
+    empty_pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert pagerank(empty_pairs).count() == 0
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bpe_learn_merges(empty_docs, "text", rounds=3).count() == 0
+    assert classifier_margin(empty_docs, "text", "doc_id").count() == 0
+
+    empty_changes = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp, event_id long"
+    )
+    assert scd2_history(
+        empty_changes, "user_id", "event_type", "ts", "event_id"
+    ).count() == 0
+
+    # empty corpus: every batch row is new; empty batch: no rows out
+    corpus = spark.createDataFrame([], "h string")
+    batch = spark.createDataFrame(
+        [(1, "x")], "doc_id long, text string"
+    ).select("doc_id", F.md5("text").alias("h"))
+    rows = bloom_incremental_flags(corpus, batch, "h", "doc_id").collect()
+    assert [(r["doc_id"], r["dup_of_corpus"], r["dup_in_batch"]) for r in rows] == [
+        (1, False, False)
+    ]
+    assert bloom_incremental_flags(
+        corpus, batch.limit(0), "h", "doc_id"
+    ).count() == 0
