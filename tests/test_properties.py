@@ -226,3 +226,39 @@ def test_bpe_greedy_apply_equals_leftmost_replace(syms, pair):
     # whose merged symbol could collide with a neighbor (a + ab etc.)
     l, r = pair
     assert _greedy_apply(syms, l, r) == _leftmost_replace(syms, l, r)
+
+
+def test_unicode_hash_and_indexing_parity_across_engines():
+    # The oracles rebuild hashes from md5() and index strings by
+    # position; both assumptions must hold beyond ASCII: md5 operates
+    # on UTF-8 bytes and indexing is code-point based in Spark, DuckDB
+    # AND the Python replays. Pin it with CJK / emoji / combining
+    # marks so a future corpus change can't silently break oracles.
+    import hashlib
+
+    import duckdb
+
+    samples = ["héllo wörld", "日本語 テスト", "🎉 emoji mix 🚀", "étude"]
+    con = duckdb.connect()
+    for s in samples:
+        [(duck_md5, duck_len, duck_first)] = con.execute(
+            "SELECT md5(?), len(?), (?)[1]", [s, s, s]
+        ).fetchall()
+        assert duck_md5 == hashlib.md5(s.encode("utf-8")).hexdigest(), s
+        assert duck_len == len(s), s  # code points, not bytes
+        assert duck_first == s[0], s
+
+
+def test_unicode_hash_parity_spark_side(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    samples = ["héllo wörld", "日本語 テスト", "🎉 emoji mix 🚀", "étude"]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    rows = df.select(
+        "t", F.md5("t").alias("h"), F.length("t").alias("n")
+    ).collect()
+    for r in rows:
+        assert r["h"] == hashlib.md5(r["t"].encode("utf-8")).hexdigest()
+        assert r["n"] == len(r["t"])
