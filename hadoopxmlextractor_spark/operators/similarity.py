@@ -700,3 +700,148 @@ def ivf_pq_topk(
         id_col=id_col,
         round_digits=round_digits,
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) over quantized embeddings
+# ---------------------------------------------------------------------------
+
+
+def quantized_shifted(col: Column | str) -> Column:
+    """Full int8-quantized vector as ``array<bigint>``, shifted to
+    non-negative: ``q_i + 127`` ∈ [0, 254].
+
+    The shift keeps every downstream integer op (centroid sums, floor
+    divisions) on NON-NEGATIVE operands, where Spark's ``div``
+    (truncates toward zero) and DuckDB's ``//`` (floors) coincide —
+    the same cross-engine floor-division rule as the count-rank
+    boundaries. Squared-L2 distances are shift-invariant, so the
+    k-means geometry is unchanged. All-zero vectors quantize to the
+    shifted origin (every lane 127), mirrored by the oracle's
+    ``scale = 0`` branch.
+    """
+    import numpy as np
+
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("array<long>")
+    def _q(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in it:
+            out = []
+            for v in vecs:
+                a = (
+                    np.asarray(v, dtype=np.float64)
+                    if v is not None
+                    else np.zeros(0)
+                )
+                _, q = quantize_vec(a)
+                out.append((q + 127).tolist())
+            yield pd.Series(out)
+
+    return _q(c)
+
+
+def _kmeans_assign_factory(cents):
+    """Closure-factory (pandas UDFs resolve string annotations against
+    module globals; extra params must ride a closure, not default
+    args): nearest-centroid assignment against a fixed k×dim int64
+    centroid matrix. Ties break to the LOWEST centroid id
+    (``argmin`` first occurrence ≡ the oracle's ``ORDER BY dist,
+    cid``)."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype=np.int64)
+
+    @F.pandas_udf("struct<cid:int,dist:long>")
+    def _assign(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in it:
+            if len(vecs) == 0:
+                yield pd.DataFrame(
+                    {
+                        "cid": pd.Series([], dtype="int32"),
+                        "dist": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            Q = np.stack([np.asarray(v, dtype=np.int64) for v in vecs])
+            d = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cid = d.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "cid": cid.astype("int32"),
+                    "dist": d[np.arange(len(cid)), cid].astype("int64"),
+                }
+            )
+
+    return _assign
+
+
+def kmeans_assignments(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    rounds: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over int8-quantized embeddings,
+    hash-EXACT across engines (pure int64 arithmetic end-to-end) —
+    the semantic-clustering primitive behind cluster-balanced corpus
+    curation (SemDeDup-style diversity sampling, per-cluster quality
+    mixing).
+
+    Unlike :func:`ivf_build_centroids` (k-means-lite on a bounded
+    driver sample — an ANN routing heuristic), this fits on the FULL
+    corpus distributively. Determinism pins every step: seeds are the
+    ``k`` rows with the smallest ``(md5(vec_id), vec_id)`` (a bounded
+    TakeOrderedAndProject, never a global sort), assignment ties break
+    to the lowest centroid id, centroid updates are non-negative
+    floor divisions, and empty clusters retain their previous
+    centroid.
+
+    Scale shape: per round, ONE zero-shuffle assignment pass (the
+    k×dim centroid matrix is a closure constant — no join) + ONE
+    uniform-key (cid, pos) aggregation with map-side combine whose
+    output is exactly k·dim rows — the only rows that ever reach the
+    driver, independent of corpus size. At 100 TB with k=1024,
+    dim=1024 that is 1M rows per round; the quantized vectors are
+    persisted once (eager count — AQE races lineage recompute
+    otherwise) and rescanned per round.
+    """
+    q = emb.select(
+        F.col(id_col).alias("vec_id"), quantized_shifted(vec_col).alias("q")
+    ).persist()
+    q.count()
+
+    init = (
+        q.select("vec_id", "q", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(k)
+        .collect()
+    )
+    cents = [list(r["q"]) for r in init]
+
+    for _ in range(rounds):
+        assigned = q.select(
+            _kmeans_assign_factory(cents)(F.col("q")).alias("a"), "q"
+        )
+        upd = (
+            assigned.select(
+                F.col("a.cid").alias("cid"), F.posexplode("q").alias("pos", "val")
+            )
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("cid", "pos", F.expr("s div n").alias("v"))
+            .collect()
+        )
+        new_cents = [list(c) for c in cents]
+        for r in upd:
+            new_cents[r["cid"]][r["pos"]] = r["v"]
+        cents = new_cents
+
+    final = q.withColumn("a", _kmeans_assign_factory(cents)(F.col("q")))
+    return final.select(
+        "vec_id",
+        F.col("a.cid").alias("centroid_id"),
+        F.col("a.dist").alias("dist"),
+    )

@@ -585,3 +585,87 @@ def video_shots_oracle(
     FROM hashes
     WINDOW w AS (PARTITION BY doc_id ORDER BY f)
     """
+
+
+def kmeans_oracle(*, k: int = 8, rounds: int = 3) -> str:
+    """Exact replay of operators.similarity.kmeans_assignments: the
+    shifted int8 quantization (``floor(v_i/scale + 0.5) + 127``;
+    ``scale = 0`` → the shifted origin), the (md5, vec_id)-ranked
+    seed selection, then ``rounds`` Lloyd iterations unrolled as
+    MATERIALIZED CTEs (DuckDB inlines non-recursive CTEs per
+    reference — the chain is multiplicative without it). Assignment
+    ties break ``ORDER BY dist, cid`` ≡ numpy argmin's first
+    occurrence; centroid updates use ``//`` on non-negative operands
+    ≡ Spark's ``div``; empty clusters COALESCE to the previous
+    centroid."""
+    ctes = [
+        """base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        """qv AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN [CAST(127 AS BIGINT) FOR x IN v]
+              ELSE [CAST(floor(v[i] / scale + 0.5) AS BIGINT) + 127
+                    FOR i IN generate_series(1, len(v))] END AS q
+  FROM (SELECT vec_id, v,
+               list_max([abs(x) FOR x IN v]) / 127.0 AS scale
+        FROM base))""",
+        f"""c0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS INTEGER) AS cid,
+         q AS cent
+  FROM (SELECT vec_id, q, md5(CAST(vec_id AS VARCHAR)) AS h FROM qv
+        ORDER BY h, vec_id LIMIT {k}))""",
+    ]
+    for r in range(rounds + 1):
+        ctes.append(
+            f"""a{r} AS MATERIALIZED (
+  SELECT vec_id, q, cid, dist FROM (
+    SELECT vec_id, q, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM (SELECT qv.vec_id, qv.q, c{r}.cid,
+                 list_sum([(qv.q[i] - c{r}.cent[i]) * (qv.q[i] - c{r}.cent[i])
+                           FOR i IN generate_series(1, len(qv.q))]) AS dist
+          FROM qv CROSS JOIN c{r}))
+  WHERE rn = 1)"""
+        )
+        if r < rounds:
+            ctes.append(
+                f"""c{r + 1} AS MATERIALIZED (
+  SELECT c{r}.cid, COALESCE(u.cent, c{r}.cent) AS cent
+  FROM c{r} LEFT JOIN (
+    SELECT cid, list(val ORDER BY pos) AS cent FROM (
+      SELECT cid, pos, SUM(v) // COUNT(*) AS val FROM (
+        SELECT cid, unnest(generate_series(1, len(q))) AS pos,
+               unnest(q) AS v
+        FROM a{r})
+      GROUP BY cid, pos)
+    GROUP BY cid) u ON u.cid = c{r}.cid)"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, CAST(cid AS INT) AS centroid_id,
+       CAST(dist AS BIGINT) AS dist
+FROM a{rounds}"""
+    )
+
+
+def kmeans_diversity_oracle(*, k: int = 8, rounds: int = 3, cap: int = 25) -> str:
+    """Cluster-capped diversity sample over the k-means assignments:
+    per semantic cluster, keep the first ``cap`` members by the
+    deterministic (md5, vec_id) permutation — the SemDeDup-flavored
+    curation step that stops any one mode of the corpus from
+    dominating the training mix."""
+    kmeans = kmeans_oracle(k=k, rounds=rounds)
+    head, _, _ = kmeans.rpartition("\nSELECT")
+    return (
+        head
+        + f"""
+SELECT vec_id, centroid_id, rank FROM (
+  SELECT vec_id, CAST(cid AS INT) AS centroid_id,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cid
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INT) AS rank
+  FROM a{rounds})
+WHERE rank <= {cap}"""
+    )

@@ -988,3 +988,38 @@ def q_text_url_blocklist(spark: SparkSession, sf: str) -> DataFrame:
         ".example1.com"
     )
     return h.select("doc_id", "url", "host", blocked.alias("blocked"), (~blocked).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means semantic clustering + cluster-balanced curation
+# ---------------------------------------------------------------------------
+
+
+@query("embedding_kmeans", O.kmeans_oracle(k=8, rounds=3))
+def q_embedding_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    # Full-corpus Lloyd's k-means over int8-quantized embeddings — the
+    # semantic-clustering primitive for cluster-balanced curation.
+    # Pure int64 arithmetic end-to-end, so an ITERATIVE distributed
+    # algorithm is still hash-exact against DuckDB's unrolled replay.
+    emb = load(spark, sf, "embeddings")
+    return S.kmeans_assignments(emb, k=8, rounds=3)
+
+
+@query("corpus_diversity_sample", O.kmeans_diversity_oracle(k=8, rounds=3, cap=25))
+def q_corpus_diversity_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup-flavored diversity sampling: cap every semantic cluster
+    # at 25 members by the deterministic (md5, vec_id) permutation, so
+    # no single mode of the corpus dominates the training mix. The cap
+    # rides WindowGroupLimit (rank pushed below the exchange).
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    a = S.kmeans_assignments(emb, k=8, rounds=3)
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        a.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 25)
+        .select("vec_id", "centroid_id", "rank")
+    )

@@ -433,3 +433,80 @@ def test_bloom_incremental_exact_even_with_forced_false_positives(spark):
             bm[p >> 3] & (1 << (p & 7))
             for p in _bloom_positions(row["h"], 1 << 17)
         )
+
+
+def _kmeans_replay(ids, vecs, k, rounds):
+    """Pure-Python mirror of similarity.kmeans_assignments (quantize →
+    md5-ranked seeds → Lloyd with lowest-cid ties, floor-div updates,
+    empty clusters keep their centroid)."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.similarity import quantize_vec
+
+    q = {}
+    for i, v in zip(ids, vecs):
+        _, qv = quantize_vec(np.asarray(v, dtype=np.float64))
+        q[i] = qv + 127
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cents = [q[i].copy() for i in order[:k]]
+
+    def assign():
+        out = {}
+        for i in ids:
+            dists = [int(((q[i] - c) ** 2).sum()) for c in cents]
+            best = min(range(len(cents)), key=lambda j: (dists[j], j))
+            out[i] = (best, dists[best])
+        return out
+
+    for _ in range(rounds):
+        a = assign()
+        for cid in range(k):
+            members = [q[i] for i in ids if a[i][0] == cid]
+            if members:
+                s = np.sum(members, axis=0)
+                cents[cid] = s // len(members)
+    return assign()
+
+
+def test_kmeans_planted_two_clusters(spark):
+    from hadoopxmlextractor_spark.operators import similarity as S
+
+    rows = [(i, [10.0 + (i % 3), 0.0, 1.0]) for i in range(6)] + [
+        (i, [-10.0 - (i % 3), 8.0, -1.0]) for i in range(6, 12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: r["centroid_id"]
+        for r in S.kmeans_assignments(emb, k=2, rounds=2).collect()
+    }
+    left = {got[i] for i in range(6)}
+    right = {got[i] for i in range(6, 12)}
+    assert len(left) == 1 and len(right) == 1 and left != right
+
+
+def test_kmeans_matches_python_replay(spark):
+    from hadoopxmlextractor_spark.operators import similarity as S
+
+    # Deterministic ragged cloud incl. an all-zero vector (scale=0
+    # branch) and duplicated points (assignment tie-breaks).
+    rows = []
+    for i in range(40):
+        base = [
+            ((i * 7919 + d * 104729) % 200 - 100) / 17.0 for d in range(8)
+        ]
+        if i == 13:
+            base = [0.0] * 8
+        if i in (20, 21):
+            base = [5.0] * 8
+        rows.append((i, base))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["centroid_id"], r["dist"])
+        for r in S.kmeans_assignments(emb, k=4, rounds=3).collect()
+    }
+    want = _kmeans_replay(
+        [i for i, _ in rows], [v for _, v in rows], 4, 3
+    )
+    assert got == {i: (c, d) for i, (c, d) in want.items()}
