@@ -836,3 +836,22 @@ def test_results_invariant_under_shuffle_partition_count(spark):
     for name, (a, b) in results.items():
         assert a == b, f"{name} changed rows across partition counts"
         assert a, f"{name} returned no rows"
+
+
+def test_kmeans_assignment_zero_shuffle_and_diversity_group_limit(spark):
+    from hadoopxmlextractor_spark.operators import similarity as S
+    from hadoopxmlextractor_spark.pipeline_queries import (
+        q_corpus_diversity_sample,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    # The per-vector assignment pass carries the centroid matrix as a
+    # task-closure constant: no join, no exchange — scan bandwidth.
+    out = S.kmeans_assignments(emb, k=4, rounds=1)
+    plan = executed_plan(out)
+    assert count_exchanges(out) == 0
+    assert "Join" not in plan
+    # The cluster cap must be a WindowGroupLimit (per-partition heap
+    # below the exchange), never rank-everything-then-filter.
+    div = q_corpus_diversity_sample(spark, SF)
+    assert "WindowGroupLimit" in executed_plan(div)
