@@ -435,3 +435,119 @@ def classifier_margin(
             (F.coalesce("margin", F.lit(0)) >= 0).alias("keep"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed quality-classifier TRAINING (full-batch perceptron)
+# ---------------------------------------------------------------------------
+
+
+def perceptron_train(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+    rounds: int = 4,
+    min_words: int = 20,
+):
+    """Distributed FULL-BATCH perceptron training of a hashed-feature
+    linear quality classifier — the TRAINING half that
+    :func:`classifier_margin` (scoring against a fixed weight table)
+    deliberately leaves out. Weak labels distill a cheap heuristic
+    (``y = +1`` iff the doc has ≥ ``min_words`` whitespace tokens)
+    into a model over md5-hashed token features — the fastText-quality
+    pattern of training on rule-derived labels.
+
+    Full-batch (not SGD) because the batch gradient is a SUM —
+    order-independent, partitioning-independent, and pure int64, so an
+    iterative distributed TRAINING loop stays hash-exact across
+    engines. Per round: one broadcast of the dim-row weight table, one
+    doc-keyed aggregation for margins (misclassified set stays
+    distributed), one dim-keyed aggregation for the gradient — and
+    only ``dim`` rows ever reach the driver, independent of corpus
+    size. The (features ⋈ labels) table persists once (eager count)
+    and is rescanned per round.
+
+    Returns ``(weights, X)``: the final per-dimension int weights and
+    the persisted training table for downstream scoring.
+    """
+    spark = docs.sparkSession
+    feats = hashed_features(docs, text_col, id_col, dim=dim)
+    labels = docs.select(
+        F.col(id_col),
+        F.when(token_count(F.col(text_col)) >= min_words, F.lit(1))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("y"),
+    )
+    X = feats.join(labels, id_col).persist()
+    X.count()
+
+    w = [0] * dim
+    for _ in range(rounds):
+        wdf = spark.createDataFrame(
+            [(j, w[j]) for j in range(dim)], "dim_idx int, w long"
+        )
+        mis = (
+            X.join(F.broadcast(wdf), "dim_idx")
+            .groupBy(id_col)
+            .agg(
+                F.sum(F.col("value") * F.col("w")).alias("margin"),
+                F.first("y").alias("my"),
+            )
+            .filter(F.col("my") * F.col("margin") <= 0)
+            .select(id_col, "my")
+        )
+        grad = (
+            X.drop("y")
+            .join(mis, id_col)
+            .groupBy("dim_idx")
+            .agg(F.sum(F.col("my") * F.col("value")).alias("g"))
+            .collect()
+        )
+        for r in grad:
+            w[r["dim_idx"]] += r["g"]
+    return w, X
+
+
+def perceptron_predictions(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+    rounds: int = 4,
+    min_words: int = 20,
+) -> DataFrame:
+    """Score every (featured) doc with the trained perceptron: margin,
+    ±1 prediction (0 margin → −1, matching the training rule's
+    "misclassified at 0"), weak label, and agreement flag."""
+    spark = docs.sparkSession
+    w, X = perceptron_train(
+        docs, text_col, id_col, dim=dim, rounds=rounds, min_words=min_words
+    )
+    wdf = spark.createDataFrame(
+        [(j, int(w[j])) for j in range(dim)], "dim_idx int, w long"
+    )
+    return (
+        X.join(F.broadcast(wdf), "dim_idx")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.col("value") * F.col("w")).alias("margin"),
+            F.first("y").alias("y"),
+        )
+        .select(
+            id_col,
+            F.col("margin").cast("bigint").alias("margin"),
+            F.col("y").cast("int").alias("label"),
+            F.when(F.col("margin") > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+            .cast("int")
+            .alias("pred"),
+            (
+                F.when(F.col("margin") > 0, F.lit(1)).otherwise(F.lit(-1))
+                == F.col("y")
+            ).alias("correct"),
+        )
+    )

@@ -669,3 +669,87 @@ SELECT vec_id, centroid_id, rank FROM (
   FROM a{rounds})
 WHERE rank <= {cap}"""
     )
+
+
+def _perceptron_ctes(*, dim: int, rounds: int, min_words: int) -> list[str]:
+    ctes = [
+        r"""toks AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+  FROM documents WHERE trim(text) <> '')""",
+        f"""feats AS MATERIALIZED (
+  SELECT doc_id,
+         CAST((CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT)) % {dim}
+              AS INT) AS dim_idx,
+         CAST(SUM(1 - 2 * (CAST(('0x' || substring(md5(token), 9, 2)) AS BIGINT)
+                           % 2)) AS BIGINT) AS value
+  FROM toks GROUP BY doc_id, dim_idx)""",
+        rf"""lab AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= {min_words}
+              THEN 1 ELSE -1 END AS y
+  FROM documents WHERE trim(text) <> '')""",
+        """x AS MATERIALIZED (
+  SELECT f.doc_id, f.dim_idx, f.value, l.y
+  FROM feats f JOIN lab l USING (doc_id))""",
+        f"""w0 AS MATERIALIZED (
+  SELECT unnest(generate_series(0, {dim - 1})) AS dim_idx,
+         CAST(0 AS BIGINT) AS w)""",
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""m{r} AS MATERIALIZED (
+  SELECT doc_id, y FROM (
+    SELECT x.doc_id, SUM(x.value * w{r}.w) AS margin, MIN(x.y) AS y
+    FROM x JOIN w{r} ON x.dim_idx = w{r}.dim_idx
+    GROUP BY x.doc_id)
+  WHERE y * margin <= 0)"""
+        )
+        ctes.append(
+            f"""w{r + 1} AS MATERIALIZED (
+  SELECT w{r}.dim_idx, w{r}.w + COALESCE(g.g, 0) AS w
+  FROM w{r} LEFT JOIN (
+    SELECT x.dim_idx, SUM(m{r}.y * x.value) AS g
+    FROM x JOIN m{r} USING (doc_id) GROUP BY x.dim_idx) g
+  ON g.dim_idx = w{r}.dim_idx)"""
+        )
+    return ctes
+
+
+def perceptron_weights_oracle(
+    *, dim: int = 64, rounds: int = 4, min_words: int = 20
+) -> str:
+    """Exact replay of operators.text.perceptron_train: the md5
+    hashing-trick features, the word-count weak labels, and ``rounds``
+    full-batch perceptron updates unrolled as MATERIALIZED CTEs
+    (multiplicative re-execution without the hint). The batch gradient
+    is a SUM over misclassified docs — order-independent int64, so
+    the training loop is hash-exact across engines."""
+    ctes = _perceptron_ctes(dim=dim, rounds=rounds, min_words=min_words)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(dim_idx AS INT) AS dim_idx, CAST(w AS BIGINT) AS weight
+FROM w{rounds}"""
+    )
+
+
+def perceptron_predictions_oracle(
+    *, dim: int = 64, rounds: int = 4, min_words: int = 20
+) -> str:
+    """Final-weights scoring pass over every featured doc: margin,
+    ±1 prediction (margin 0 → −1), weak label, agreement."""
+    ctes = _perceptron_ctes(dim=dim, rounds=rounds, min_words=min_words)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT doc_id, CAST(margin AS BIGINT) AS margin, CAST(y AS INT) AS label,
+       CAST(CASE WHEN margin > 0 THEN 1 ELSE -1 END AS INT) AS pred,
+       (CASE WHEN margin > 0 THEN 1 ELSE -1 END) = y AS correct
+FROM (
+  SELECT x.doc_id, SUM(x.value * wf.w) AS margin, MIN(x.y) AS y
+  FROM x JOIN w{rounds} wf ON x.dim_idx = wf.dim_idx
+  GROUP BY x.doc_id)"""
+    )

@@ -1023,3 +1023,37 @@ def q_corpus_diversity_sample(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 25)
         .select("vec_id", "centroid_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-classifier TRAINING (distributed full-batch perceptron)
+# ---------------------------------------------------------------------------
+
+
+@query("text_perceptron_weights", O.perceptron_weights_oracle(dim=64, rounds=4, min_words=20))
+def q_text_perceptron_weights(spark: SparkSession, sf: str) -> DataFrame:
+    # Distributed TRAINING of the hashed-feature quality classifier
+    # (classifier_margin is the scoring half): 4 full-batch perceptron
+    # rounds on word-count weak labels. The batch gradient is an
+    # order-independent int64 SUM, so the iterative fit is hash-exact
+    # against DuckDB's unrolled replay; only dim rows/round reach the
+    # driver.
+    docs = load(spark, sf, "documents")
+    w, _ = T.perceptron_train(docs, "text", "doc_id", dim=64, rounds=4, min_words=20)
+    return spark.createDataFrame(
+        [(j, int(w[j])) for j in range(64)], "dim_idx int, weight long"
+    )
+
+
+@query(
+    "text_perceptron_predictions",
+    O.perceptron_predictions_oracle(dim=64, rounds=4, min_words=20),
+)
+def q_text_perceptron_predictions(spark: SparkSession, sf: str) -> DataFrame:
+    # Score every featured doc with the trained weights: margin, ±1
+    # prediction, weak label, agreement — the filter verdict a corpus
+    # pipeline would apply after distilling its heuristic into a model.
+    docs = load(spark, sf, "documents")
+    return T.perceptron_predictions(
+        docs, "text", "doc_id", dim=64, rounds=4, min_words=20
+    )

@@ -469,3 +469,59 @@ def test_video_shot_boundaries_find_planted_cuts(spark):
 
     # truncated tail: parser stops cleanly, no crash
     assert len(_ppm_stream_frames(blob[: len(blob) - 100])) == 7
+
+
+def _perceptron_replay(docs, dim, rounds, min_words):
+    """Pure-Python mirror of text.perceptron_train (md5 hashing-trick
+    features, word-count weak labels, full-batch updates)."""
+    import hashlib
+
+    feats, labels = {}, {}
+    for doc_id, text in docs:
+        words = text.strip().split()
+        if not words:
+            continue
+        labels[doc_id] = 1 if len(words) >= min_words else -1
+        vec = {}
+        for tok in (w.lower() for w in words):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            idx = int(h[:8], 16) % dim
+            sign = 1 - 2 * (int(h[8:10], 16) % 2)
+            vec[idx] = vec.get(idx, 0) + sign
+        feats[doc_id] = vec
+    w = [0] * dim
+    for _ in range(rounds):
+        grad = [0] * dim
+        for doc_id, vec in feats.items():
+            margin = sum(v * w[j] for j, v in vec.items())
+            if labels[doc_id] * margin <= 0:
+                for j, v in vec.items():
+                    grad[j] += labels[doc_id] * v
+        w = [a + b for a, b in zip(w, grad)]
+    return w, feats, labels
+
+
+def test_perceptron_matches_python_replay_and_learns(spark):
+    from hadoopxmlextractor_spark.operators import text as T
+
+    # Separable planted corpus: "long" docs use one token family,
+    # short docs another, plus an empty doc (must be excluded).
+    rows = [(i, " ".join(f"alpha{i % 5}w{k}" for k in range(25))) for i in range(8)]
+    rows += [(i, " ".join(f"beta{i % 5}" for _ in range(4))) for i in range(8, 16)]
+    rows.append((16, "   "))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    w, _ = T.perceptron_train(docs, "text", "doc_id", dim=16, rounds=3, min_words=20)
+    want_w, _, want_labels = _perceptron_replay(rows, 16, 3, 20)
+    assert list(w) == want_w
+
+    preds = {
+        r["doc_id"]: (r["pred"], r["correct"])
+        for r in T.perceptron_predictions(
+            docs, "text", "doc_id", dim=16, rounds=3, min_words=20
+        ).collect()
+    }
+    assert 16 not in preds  # empty doc has no features
+    assert all(c for _, c in preds.values())  # separable -> fits exactly
+    assert {p for p, _ in preds.values()} == {1, -1}
+    assert preds.keys() == want_labels.keys()
