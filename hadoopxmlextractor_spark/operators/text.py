@@ -551,3 +551,131 @@ def perceptron_predictions(
             ).alias("correct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Single-pass regression sufficient statistics (Gram matrix)
+# ---------------------------------------------------------------------------
+
+
+def regression_suffstats(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    dim: int = 64,
+) -> DataFrame:
+    """Sufficient statistics for ridge/least-squares regression of the
+    doc's token count on its hashed features, in ONE distributed pass:
+    the upper-triangle Gram matrix ``G[j,k] = Σ_docs x_j·x_k`` plus
+    the moment vector ``b[j] = Σ_docs x_j·y`` — after which fitting is
+    a dim×dim solve on the driver, independent of corpus size. This is
+    the classic scale pattern for linear models: never iterate over
+    the data, reduce it to O(dim²) exact integers once.
+
+    Shape: a doc-keyed self-join of the sparse feature rows expands to
+    at most nnz² ≤ dim² pairs per doc, then ONE uniform-key (j, k)
+    aggregation with map-side combine collapses everything to
+    dim·(dim+1)/2 + dim rows — at 100 TB with dim=4096 that is ~8M
+    small rows total, regardless of corpus size. All values are int64
+    sums of int products: hash-exact across engines.
+
+    Output rows: ``kind='gram'`` with (j ≤ k, value = G[j,k]) and
+    ``kind='xty'`` with (j, k = -1, value = b[j]).
+    """
+    feats = hashed_features(docs, text_col, id_col, dim=dim)
+    y = docs.select(
+        F.col(id_col), token_count(F.col(text_col)).cast("long").alias("y")
+    )
+    X = feats.join(y, id_col).persist()
+    X.count()
+
+    a = X.select(F.col(id_col), F.col("dim_idx").alias("j"), F.col("value").alias("vj"))
+    b = X.select(F.col(id_col), F.col("dim_idx").alias("k"), F.col("value").alias("vk"))
+    gram = (
+        a.join(b, id_col)
+        .filter(F.col("j") <= F.col("k"))
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("vj") * F.col("vk")).alias("value"))
+        .select("j", "k", "value", F.lit("gram").alias("kind"))
+    )
+    xty = (
+        X.groupBy(F.col("dim_idx").alias("j"))
+        .agg(F.sum(F.col("value") * F.col("y")).alias("value"))
+        .select("j", F.lit(-1).cast("int").alias("k"), "value", F.lit("xty").alias("kind"))
+    )
+    return gram.unionByName(xty)
+
+
+# ---------------------------------------------------------------------------
+# Chi-square discriminative-token mining (feature selection)
+# ---------------------------------------------------------------------------
+
+
+def token_chi2(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    *,
+    min_df: int = 5,
+) -> DataFrame:
+    """Per-token chi-square against a boolean doc label — the standard
+    text feature-selection statistic (which tokens discriminate class
+    from rest), used to mine language wordlists, source-signature
+    phrases, and classifier vocabularies from a corpus.
+
+    Presence-based contingency per token t: a = |docs with t, y=1|,
+    b = |docs with t, y=0|, against class totals (n1, n0);
+    chi² = n·(ad−bc)² / ((a+b)(c+d)·n1·n0). The (ad−bc) determinant
+    is computed EXACTLY in int64, then one fixed left-to-right chain
+    of IEEE double ops (identical in the oracle) — overflow-free at
+    any corpus size, hash-stable at ROUND 4.
+
+    Shape: explode → (doc, token) DISTINCT (uniform keys, partial
+    combine collapses in-doc repeats map-side) → one vocab-keyed
+    count whose output is vocabulary-sized; class totals are a single
+    broadcast row. Tokens in fewer than ``min_df`` or in every doc
+    are dropped (the latter makes the denominator zero and carries no
+    signal).
+    """
+    lab = docs.select(
+        F.col(id_col), F.when(label, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("y")
+    )
+    tot = lab.agg(
+        F.sum("y").alias("n1"), (F.count(F.lit(1)) - F.sum("y")).alias("n0")
+    )
+    pres = (
+        docs.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+        )
+        .distinct()
+        .join(lab, id_col)
+    )
+    cnt = pres.groupBy("token").agg(
+        F.sum("y").alias("a"), (F.count(F.lit(1)) - F.sum("y")).alias("b")
+    )
+    j = cnt.crossJoin(F.broadcast(tot))
+    c = F.col("n1") - F.col("a")
+    d = F.col("n0") - F.col("b")
+    diff = (F.col("a") * d - F.col("b") * c).cast("double")
+    n = (F.col("n1") + F.col("n0")).cast("double")
+    den = (
+        (F.col("a") + F.col("b")).cast("double")
+        * (c + d).cast("double")
+        * F.col("n1").cast("double")
+        * F.col("n0").cast("double")
+    )
+    return (
+        j.filter(
+            (F.col("a") + F.col("b") >= min_df)
+            & (F.col("a") + F.col("b") < F.col("n1") + F.col("n0"))
+        )
+        .select(
+            "token",
+            F.col("a").cast("bigint").alias("a"),
+            F.col("b").cast("bigint").alias("b"),
+            F.round(n * diff * diff / den, 4).alias("chi2"),
+        )
+    )

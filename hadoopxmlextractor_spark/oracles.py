@@ -753,3 +753,69 @@ FROM (
   FROM x JOIN w{rounds} wf ON x.dim_idx = wf.dim_idx
   GROUP BY x.doc_id)"""
     )
+
+
+def regression_suffstats_oracle(*, dim: int = 64) -> str:
+    """Replay of operators.text.regression_suffstats: md5
+    hashing-trick features, y = whitespace token count, upper-triangle
+    Gram + moment vector as exact int64 sums."""
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents WHERE trim(text) <> ''),
+    feats AS MATERIALIZED (
+      SELECT doc_id,
+             CAST((CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT)) % {dim}
+                  AS INT) AS dim_idx,
+             CAST(SUM(1 - 2 * (CAST(('0x' || substring(md5(token), 9, 2))
+                                    AS BIGINT) % 2)) AS BIGINT) AS value
+      FROM toks GROUP BY doc_id, dim_idx),
+    x AS MATERIALIZED (
+      SELECT f.doc_id, f.dim_idx, f.value, y.y
+      FROM feats f JOIN (
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS y
+        FROM documents WHERE trim(text) <> '') y USING (doc_id))
+    SELECT a.dim_idx AS j, b.dim_idx AS k,
+           CAST(SUM(a.value * b.value) AS BIGINT) AS value,
+           'gram' AS kind
+    FROM x a JOIN x b ON a.doc_id = b.doc_id AND a.dim_idx <= b.dim_idx
+    GROUP BY a.dim_idx, b.dim_idx
+    UNION ALL
+    SELECT dim_idx AS j, CAST(-1 AS INT) AS k,
+           CAST(SUM(value * y) AS BIGINT) AS value, 'xty' AS kind
+    FROM x GROUP BY dim_idx"""
+
+
+def token_chi2_oracle(*, label_sql: str = "lang = 'en'", min_df: int = 5) -> str:
+    """Replay of operators.text.token_chi2: presence-based per-token
+    contingency vs the boolean label, exact int64 determinant, then
+    one fixed left-to-right IEEE double chain (identical in Spark),
+    ROUND 4."""
+    return rf"""
+    WITH lab AS MATERIALIZED (
+      SELECT doc_id, CAST(CASE WHEN {label_sql} THEN 1 ELSE 0 END AS BIGINT) AS y
+      FROM documents),
+    tot AS MATERIALIZED (
+      SELECT CAST(SUM(y) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n0
+      FROM lab),
+    pres AS MATERIALIZED (
+      SELECT DISTINCT doc_id, token FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE trim(text) <> '')),
+    cnt AS MATERIALIZED (
+      SELECT token, CAST(SUM(y) AS BIGINT) AS a,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS b
+      FROM pres JOIN lab USING (doc_id) GROUP BY token)
+    SELECT token, a, b,
+           ROUND(CAST(n1 + n0 AS DOUBLE)
+                 * CAST(a * (n0 - b) - b * (n1 - a) AS DOUBLE)
+                 * CAST(a * (n0 - b) - b * (n1 - a) AS DOUBLE)
+                 / (CAST(a + b AS DOUBLE)
+                    * CAST((n1 - a) + (n0 - b) AS DOUBLE)
+                    * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 4) AS chi2
+    FROM cnt, tot
+    WHERE a + b >= {min_df} AND a + b < n1 + n0"""

@@ -1057,3 +1057,23 @@ def q_text_perceptron_predictions(spark: SparkSession, sf: str) -> DataFrame:
     return T.perceptron_predictions(
         docs, "text", "doc_id", dim=64, rounds=4, min_words=20
     )
+
+
+@query("text_regression_suffstats", O.regression_suffstats_oracle(dim=64))
+def q_text_regression_suffstats(spark: SparkSession, sf: str) -> DataFrame:
+    # One-pass regression sufficient statistics (upper-triangle Gram +
+    # X'y moments) — the scale pattern for linear models: reduce the
+    # corpus to O(dim^2) exact integers once, then fit driver-side at
+    # any corpus size. Exact int64 sums, hash-checked.
+    docs = load(spark, sf, "documents")
+    return T.regression_suffstats(docs, "text", "doc_id", dim=64)
+
+
+@query("text_token_chi2", O.token_chi2_oracle(label_sql="lang = 'en'", min_df=5))
+def q_text_token_chi2(spark: SparkSession, sf: str) -> DataFrame:
+    # Chi-square discriminative-token mining (feature selection):
+    # which tokens separate English docs from the rest — the statistic
+    # behind mined language wordlists and classifier vocabularies.
+    # Exact int64 determinant + one fixed IEEE double chain, ROUND 4.
+    docs = load(spark, sf, "documents")
+    return T.token_chi2(docs, "text", "doc_id", F.col("lang") == "en", min_df=5)

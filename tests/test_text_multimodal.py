@@ -525,3 +525,75 @@ def test_perceptron_matches_python_replay_and_learns(spark):
     assert all(c for _, c in preds.values())  # separable -> fits exactly
     assert {p for p, _ in preds.values()} == {1, -1}
     assert preds.keys() == want_labels.keys()
+
+
+def test_regression_suffstats_match_dense_and_solve(spark):
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import text as T
+
+    dim = 8
+    rows = [
+        (i, " ".join(f"tok{(i * 3 + k) % 11}" for k in range((i % 9) + 2)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = T.regression_suffstats(docs, "text", "doc_id", dim=dim).collect()
+
+    # Dense reference: hashing-trick matrix + token-count target.
+    X = np.zeros((len(rows), dim), dtype=np.int64)
+    y = np.zeros(len(rows), dtype=np.int64)
+    for r, (_, text) in enumerate(rows):
+        words = text.strip().split()
+        y[r] = len(words)
+        for tok in (w.lower() for w in words):
+            h = hashlib.md5(tok.encode()).hexdigest()
+            X[r, int(h[:8], 16) % dim] += 1 - 2 * (int(h[8:10], 16) % 2)
+    G, b = X.T @ X, X.T @ y
+
+    # Reconstruct from the sparse stats (absent pair = never co-occurs
+    # = 0) and require exact equality with the dense reference.
+    Gf = np.zeros((dim, dim)); bf = np.zeros(dim)
+    for row in got:
+        if row["kind"] == "gram":
+            assert row["j"] <= row["k"]
+            Gf[row["j"], row["k"]] = Gf[row["k"], row["j"]] = row["value"]
+        else:
+            assert row["k"] == -1
+            bf[row["j"]] = row["value"]
+    assert np.array_equal(Gf, G)  # X'X is symmetric
+    assert np.array_equal(bf, b)
+
+    # The whole point: fit driver-side from the O(dim^2) stats alone.
+    w = np.linalg.solve(Gf + 1e-3 * np.eye(dim), bf)
+    pred = X @ w
+    ss_res = ((y - pred) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    assert 1 - ss_res / ss_tot > 0.5
+
+
+def test_token_chi2_ranks_perfect_discriminator_highest(spark):
+    from hadoopxmlextractor_spark.operators import text as T
+    from pyspark.sql import functions as F
+
+    # 10 "pos" docs all contain MARKER; 10 "neg" docs never do; COMMON
+    # appears in every doc of both classes at equal rate -> no signal.
+    rows = [(i, f"marker common filler{i % 3}", "p") for i in range(10)]
+    rows += [(i, f"other common filler{i % 3}", "n") for i in range(10, 20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, cls string")
+    out = {
+        r["token"]: r
+        for r in T.token_chi2(
+            docs, "text", "doc_id", F.col("cls") == "p", min_df=2
+        ).collect()
+    }
+    assert "common" not in out  # present in ALL docs -> dropped
+    assert out["marker"]["a"] == 10 and out["marker"]["b"] == 0
+    assert out["other"]["a"] == 0 and out["other"]["b"] == 10
+    # Perfect discriminators hit the maximum chi2 = n.
+    assert out["marker"]["chi2"] == 20.0 == out["other"]["chi2"]
+    # Near-balanced fillers (4 vs 3 docs) carry ~zero signal.
+    for t in ("filler0", "filler1", "filler2"):
+        assert abs(out[t]["chi2"]) < 0.5
