@@ -1024,3 +1024,84 @@ def q_scalar_variant(spark: SparkSession, sf: str) -> DataFrame:
             "missing_prop"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix (exact integer moments)
+# ---------------------------------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    cents = ", ".join(
+        f"CAST(floor({c} * 100 + 0.5) AS BIGINT) AS {c}" for c in _CORR_COLS
+    )
+    moms = ["CAST(COUNT(*) AS HUGEINT) AS n"]
+    for i, a in enumerate(_CORR_COLS):
+        moms.append(f"SUM(CAST({a} AS HUGEINT)) AS s{i}")
+        for j2, b in enumerate(_CORR_COLS[i:], start=i):
+            moms.append(f"SUM(CAST({a} AS HUGEINT) * {b}) AS p{i}{j2}")
+    pair_rows = []
+    for i, a in enumerate(_CORR_COLS):
+        for j2, b in enumerate(_CORR_COLS[i + 1 :], start=i + 1):
+            pair_rows.append(
+                f"SELECT '{a}' AS col_x, '{b}' AS col_y, "
+                f"ROUND((CAST(n AS DOUBLE) * CAST(p{i}{j2} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{j2} AS DOUBLE))"
+                f" / (sqrt(CAST(n AS DOUBLE) * CAST(p{i}{i} AS DOUBLE)"
+                f" - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+                f" * sqrt(CAST(n AS DOUBLE) * CAST(p{j2}{j2} AS DOUBLE)"
+                f" - CAST(s{j2} AS DOUBLE) * CAST(s{j2} AS DOUBLE))), 4)"
+                f" AS corr FROM m"
+            )
+    return (
+        "WITH c AS (SELECT " + cents + " FROM lineitem),\n"
+        "m AS MATERIALIZED (SELECT " + ",\n  ".join(moms) + " FROM c)\n"
+        + "\nUNION ALL\n".join(pair_rows)
+    )
+
+
+@query("agg_corr_matrix", _corr_oracle())
+def q_agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    # Pairwise Pearson correlation of the lineitem numeric columns —
+    # the data-profiling staple — via EXACT integer moments: values →
+    # cents (floor(x*100+0.5), bit-deterministic), all sums/products
+    # accumulated in DECIMAL(38,0) (HUGEINT in the oracle), then ONE
+    # identical IEEE double chain + ROUND on both engines. One scan,
+    # one 1-row global aggregate; never the corr() builtin, whose
+    # float accumulation order is partitioning-dependent.
+    li = load(spark, sf, "lineitem")
+    cents = {c: F.floor(F.col(c) * 100 + 0.5) for c in _CORR_COLS}
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("n")]
+    for i, a in enumerate(_CORR_COLS):
+        aggs.append(F.sum(cents[a].cast("decimal(19,0)")).alias(f"s{i}"))
+        for j2, b in enumerate(_CORR_COLS[i:], start=i):
+            aggs.append(
+                F.sum(
+                    cents[a].cast("decimal(19,0)") * cents[b].cast("decimal(19,0)")
+                ).alias(f"p{i}{j2}")
+            )
+    m = li.agg(*aggs)
+    pairs = []
+    for i, a in enumerate(_CORR_COLS):
+        for j2, b in enumerate(_CORR_COLS[i + 1 :], start=i + 1):
+            n, sx, sy = [F.col(x).cast("double") for x in ("n", f"s{i}", f"s{j2}")]
+            pxy, pxx, pyy = [
+                F.col(x).cast("double")
+                for x in (f"p{i}{j2}", f"p{i}{i}", f"p{j2}{j2}")
+            ]
+            pairs.append(
+                F.struct(
+                    F.lit(a).alias("col_x"),
+                    F.lit(b).alias("col_y"),
+                    F.round(
+                        (n * pxy - sx * sy)
+                        / (F.sqrt(n * pxx - sx * sx) * F.sqrt(n * pyy - sy * sy)),
+                        4,
+                    ).alias("corr"),
+                )
+            )
+    # ONE aggregate row exploded to the 6 pairs (a union of per-pair
+    # selects would re-run the scan+aggregate once per pair).
+    return m.select(F.explode(F.array(*pairs)).alias("r")).select("r.*")
