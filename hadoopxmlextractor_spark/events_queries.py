@@ -1265,3 +1265,69 @@ def q_events_ab_cuped(spark: SparkSession, sf: str) -> DataFrame:
         " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) / 100, 6)"
         " AS cuped_mean_post_dollars",
     )
+
+
+@query(
+    "events_interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, ms,
+             CASE WHEN MAX(ms + 600000) OVER (
+                    PARTITION BY user_id ORDER BY ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                  ) IS NULL
+                  OR ms > MAX(ms + 600000) OVER (
+                    PARTITION BY user_id ORDER BY ms, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_span,
+             event_id
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, ms,
+             SUM(new_span) OVER (
+               PARTITION BY user_id ORDER BY ms, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM marked
+    )
+    SELECT user_id, CAST(island AS BIGINT) AS island,
+           CAST(MIN(ms) AS BIGINT) AS span_start_ms,
+           CAST(MAX(ms + 600000) AS BIGINT) AS span_end_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM islands GROUP BY user_id, island
+    """,
+)
+def q_events_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
+    # Gaps-and-islands interval merging: each event opens a 10-minute
+    # activity interval; overlapping/adjacent intervals coalesce into
+    # maximal spans via the running-max-end island flag + running sum.
+    # One user_id shuffle shared by both windows and the final
+    # aggregate — the window partitioning IS the groupBy key, so
+    # Catalyst plans a single exchange end-to-end.
+    span = 600000
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    iv = ev.select("user_id", "event_id", F.unix_millis("ts").alias("ms"))
+    prev_max_end = F.max(F.col("ms") + span).over(prev)
+    marked = iv.select(
+        "user_id",
+        "ms",
+        "event_id",
+        F.when(prev_max_end.isNull() | (F.col("ms") > prev_max_end), 1)
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    islands = marked.select(
+        "user_id", "ms", F.sum("new_span").over(run).alias("island")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.min("ms").alias("span_start_ms"),
+        F.max(F.col("ms") + span).alias("span_end_ms"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -855,3 +855,13 @@ def test_kmeans_assignment_zero_shuffle_and_diversity_group_limit(spark):
     # below the exchange), never rank-everything-then-filter.
     div = q_corpus_diversity_sample(spark, SF)
     assert "WindowGroupLimit" in executed_plan(div)
+
+
+def test_interval_merge_single_exchange(spark):
+    from hadoopxmlextractor_spark.events_queries import q_events_interval_merge
+
+    # Two windows + final aggregate all cluster on user_id (groupBy
+    # keys are a superset of the window partitioning), so Catalyst
+    # plans exactly one exchange end-to-end.
+    df = q_events_interval_merge(spark, SF)
+    assert count_exchanges(df) == 1
