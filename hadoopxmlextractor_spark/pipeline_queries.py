@@ -1077,3 +1077,109 @@ def q_text_token_chi2(spark: SparkSession, sf: str) -> DataFrame:
     # Exact int64 determinant + one fixed IEEE double chain, ROUND 4.
     docs = load(spark, sf, "documents")
     return T.token_chi2(docs, "text", "doc_id", F.col("lang") == "en", min_df=5)
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: lexical + vector with reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+_RRF_TOKENS = ("spark", "merge", "window")
+_RRF_K = 60
+_RRF_DEPTH = 50
+
+
+@query(
+    "search_hybrid_rrf",
+    rf"""
+    WITH tf AS MATERIALIZED (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        FROM documents WHERE trim(text) <> '')
+      WHERE token IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, token),
+    dfreq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    lex AS MATERIALIZED (
+      SELECT doc_id, CAST(SUM(tf * ((1000000 * n) // df)) AS BIGINT) AS lex_score
+      FROM tf JOIN dfreq USING (token), tot
+      GROUP BY doc_id),
+    lex_rank AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY lex_score DESC, doc_id) AS INT) AS lex_rank
+      FROM lex QUALIFY lex_rank <= {_RRF_DEPTH}),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    sims AS MATERIALIZED (
+      SELECT vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          (SELECT qv FROM q)), 6) AS sim
+      FROM embeddings),
+    vec_rank AS (
+      SELECT doc_id, CAST(ROW_NUMBER() OVER (
+               ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+      FROM sims QUALIFY vec_rank <= {_RRF_DEPTH})
+    SELECT doc_id, lex_rank, vec_rank,
+           ROUND(COALESCE(1.0 / ({_RRF_K} + lex_rank), 0)
+                 + COALESCE(1.0 / ({_RRF_K} + vec_rank), 0), 6) AS rrf
+    FROM lex_rank FULL OUTER JOIN vec_rank USING (doc_id)
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    # Hybrid retrieval, the RAG-serving staple: a lexical leg (integer
+    # tf·idf — weights are exact bigint floor divisions, so ranking is
+    # engine-deterministic, unlike float BM25 whose log-idf differs in
+    # the last ulp across libm implementations) and a vector leg
+    # (cosine, ranked on the ROUNDED sim both engines agree on), fused
+    # by reciprocal-rank fusion over INTEGER ranks. Each leg is cut to
+    # a deterministic top-50 (TakeOrderedAndProject — the only global
+    # sort touches 50 rows), so the fusion join is constant-sized at
+    # any corpus scale.
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents")
+    emb = load(spark, sf, "embeddings")
+
+    toks = docs.select(
+        F.col("doc_id"), F.explode(T.tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token").isin(*_RRF_TOKENS))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tot = docs.agg(F.count(F.lit(1)).alias("n"))
+    lex = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.expr("(1000000 * n) div df")).alias("lex_score"))
+    )
+    lex_top = lex.orderBy(F.desc("lex_score"), "doc_id").limit(_RRF_DEPTH)
+    lex_rank = lex_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex_score"), "doc_id"))
+        .alias("lex_rank"),
+    )
+
+    qv = _query_vec(spark, sf)
+    sims = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(S.cosine(F.col("embedding"), F.lit(qv)), 6).alias("sim"),
+    )
+    vec_top = sims.orderBy(F.desc("sim"), "doc_id").limit(_RRF_DEPTH)
+    vec_rank = vec_top.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("sim"), "doc_id")).alias("vec_rank"),
+    )
+
+    fused = lex_rank.join(vec_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (_RRF_K + F.col("vec_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
