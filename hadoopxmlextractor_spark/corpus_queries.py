@@ -2026,3 +2026,43 @@ def q_corpus_soft_quality_sample(spark: SparkSession, sf: str) -> DataFrame:
         p.cast("bigint").alias("p_bp"),
         (bucket < p).alias("keep"),
     )
+
+
+@query(
+    "corpus_semantic_leakage",
+    O.semantic_leakage_oracle(
+        threshold=0.45, dim=64, n_planes=4, n_tables=8, val_pct=10
+    ),
+)
+def q_corpus_semantic_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    # Semantic train/val leakage audit: text decontamination
+    # (corpus_decontaminate) misses paraphrases, so eval hygiene at
+    # scale also needs the EMBEDDING-space check — near-dup pairs
+    # (seeded LSH buckets, never O(n²)) that straddle the stable
+    # md5-bucket split, oriented train-side first. Both building
+    # blocks are the production ops; the audit is their join.
+    emb = load(spark, sf, "embeddings")
+    pairs = S.cosine_pairs_lsh(emb, threshold=0.45, dim=64, n_planes=4, n_tables=8)
+    split = C.train_val_split(
+        load(spark, sf, "documents").select("doc_id"), "doc_id"
+    ).select("doc_id", "split")
+    sa = split.select(
+        F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = split.select(
+        F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_id"),
+            F.when(F.col("split_a") == "train", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("val_id"),
+            "sim",
+        )
+    )

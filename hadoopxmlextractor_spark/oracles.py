@@ -819,3 +819,36 @@ def token_chi2_oracle(*, label_sql: str = "lang = 'en'", min_df: int = 5) -> str
                     * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 4) AS chi2
     FROM cnt, tot
     WHERE a + b >= {min_df} AND a + b < n1 + n0"""
+
+
+def semantic_leakage_oracle(
+    *,
+    threshold: float = 0.45,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    val_pct: int = 10,
+) -> str:
+    """Cross-split semantic leakage: the seeded-LSH near-pair replay
+    (:func:`near_pairs_lsh_oracle`) joined against the md5
+    stable-bucket split replay, keeping only pairs that straddle the
+    train/val boundary, oriented train-side first."""
+    pairs = near_pairs_lsh_oracle(
+        threshold=threshold, dim=dim, n_planes=n_planes, n_tables=n_tables
+    )
+    split = f"""
+      SELECT doc_id,
+             CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 100 < {100 - val_pct}
+                  THEN 'train' ELSE 'val' END AS split
+      FROM documents"""
+    return f"""
+    WITH p AS MATERIALIZED ({pairs}),
+    s AS MATERIALIZED ({split})
+    SELECT CASE WHEN sa.split = 'train' THEN p.id_a ELSE p.id_b END AS train_id,
+           CASE WHEN sa.split = 'train' THEN p.id_b ELSE p.id_a END AS val_id,
+           p.sim
+    FROM p
+    JOIN s sa ON sa.doc_id = p.id_a
+    JOIN s sb ON sb.doc_id = p.id_b
+    WHERE sa.split <> sb.split"""
