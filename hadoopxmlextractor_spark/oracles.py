@@ -852,3 +852,30 @@ def semantic_leakage_oracle(
     JOIN s sa ON sa.doc_id = p.id_a
     JOIN s sb ON sb.doc_id = p.id_b
     WHERE sa.split <> sb.split"""
+
+
+def knn_graph_oracle(
+    *,
+    k: int = 3,
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+) -> str:
+    """Approximate kNN-graph replay: the seeded-LSH near pairs,
+    symmetrized, then per-source top-k by (sim DESC, dst)."""
+    pairs = near_pairs_lsh_oracle(
+        threshold=threshold, dim=dim, n_planes=n_planes, n_tables=n_tables
+    )
+    return f"""
+    WITH p AS MATERIALIZED ({pairs}),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst, sim FROM p
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst, sim FROM p)
+    SELECT src, dst, sim, rank FROM (
+      SELECT src, dst, sim,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rank
+      FROM sym)
+    WHERE rank <= {k}"""

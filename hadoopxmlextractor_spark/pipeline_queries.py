@@ -1183,3 +1183,35 @@ def q_search_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(20)
+
+
+@query(
+    "embedding_knn_graph",
+    O.knn_graph_oracle(k=3, threshold=0.3, dim=64, n_planes=4, n_tables=8),
+)
+def q_embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    # Approximate kNN-graph construction — the primitive behind
+    # graph-based ANN indexes and cluster-then-curate pipelines: LSH
+    # candidate pairs (bucketed, never O(n²)), symmetrized, then
+    # per-source top-k via WindowGroupLimit. Ranks are integers over
+    # the ROUNDED sim both engines agree on, so the graph is
+    # hash-exact despite the approximate candidate generation being
+    # seeded-deterministic.
+    from pyspark.sql import Window
+
+    emb = load(spark, sf, "embeddings")
+    pairs = S.cosine_pairs_lsh(
+        emb, threshold=0.3, dim=64, n_planes=4, n_tables=8
+    ).persist()
+    pairs.count()
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "sim"
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "sim")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("src", "dst", "sim", "rank")
+    )
