@@ -1331,3 +1331,57 @@ def q_events_interval_merge(spark: SparkSession, sf: str) -> DataFrame:
         F.max(F.col("ms") + span).alias("span_end_ms"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@query(
+    "events_sequence_motif",
+    """
+    WITH j AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), ''
+                        ORDER BY epoch_ms(CAST(ts AS TIMESTAMP)), event_id) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST((length(s) - length(replace(s, 'vcp', ''))) // 3 AS BIGINT)
+             AS n_vcp,
+           s LIKE '%v%c%p%' AS has_funnel_path,
+           n_events
+    FROM j
+    """,
+)
+def q_events_sequence_motif(spark: SparkSession, sf: str) -> DataFrame:
+    # MATCH_RECOGNIZE-style sequence motifs without the clause (Spark
+    # has none): each user's journey becomes a character string (event
+    # types have distinct initials), contiguous view→click→purchase
+    # motifs count via the exact replace-length trick (leftmost
+    # non-overlapping, identical in both engines), and the gapped
+    # funnel is one LIKE subsequence test. One user-keyed shuffle;
+    # per-user state is the journey string (bounded by per-user
+    # activity — cap upstream via user_event_sequences for
+    # adversarial users).
+    ev = load(spark, sf, "events")
+    item = F.struct(
+        F.unix_millis("ts").alias("ms"),
+        F.col("event_id").alias("event_id"),
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    j = (
+        ev.select("user_id", item.alias("e"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(e)), x -> x.ch)"), ""
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return j.select(
+        "user_id",
+        F.expr(
+            "(length(s) - length(replace(s, 'vcp', ''))) div 3"
+        ).alias("n_vcp"),
+        F.col("s").like("%v%c%p%").alias("has_funnel_path"),
+        "n_events",
+    )

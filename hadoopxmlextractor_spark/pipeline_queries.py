@@ -1215,3 +1215,43 @@ def q_embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("src", "dst", "sim", "rank")
     )
+
+
+@query(
+    "governance_k_anonymity",
+    """
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS group_size,
+             CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                  AS BIGINT) AS l_diversity
+      FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT c_nationkey, c_mktsegment, group_size, l_diversity,
+           group_size < 5 AS k_violation,
+           l_diversity < 3 AS l_violation
+    FROM g
+    """,
+)
+def q_governance_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    # Privacy-risk audit before sharing a derived dataset: k-anonymity
+    # (every quasi-identifier combination must describe >= k people)
+    # and l-diversity (each group must span >= l sensitive-value
+    # buckets, or the group leaks the sensitive attribute even at
+    # size k). One uniform-key aggregate over the quasi-identifiers;
+    # the sensitive bucket uses bit-deterministic floor binning.
+    cust = load(spark, sf, "customer")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(
+            F.floor(F.col("c_acctbal") / 1000).cast("long")
+        ).alias("l_diversity"),
+    )
+    return g.select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_size",
+        "l_diversity",
+        (F.col("group_size") < 5).alias("k_violation"),
+        (F.col("l_diversity") < 3).alias("l_violation"),
+    )
