@@ -574,3 +574,46 @@ def test_python_datasource_writer_abort_cleans_temporaries(spark, tmp_path):
     # abort after a partial task: temporaries vanish, nothing published
     w.abort([_WroteFiles([(tmp1, os.path.join(out, "a.xml"))])])
     assert os.listdir(out) == []
+
+
+def test_catalog_table_roundtrip_and_insert(spark, tmp_path):
+    """Catalog surface: saveAsTable → spark.table / SQL reads →
+    INSERT INTO appends — the managed-table workflow users migrating
+    from warehouse-centric engines expect to keep working."""
+    spark.sql("DROP TABLE IF EXISTS cat_demo")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "id long, v string"
+    )
+    try:
+        df.write.format("parquet").saveAsTable("cat_demo")
+        assert spark.table("cat_demo").count() == 2
+        spark.sql("INSERT INTO cat_demo VALUES (3, 'c')")
+        got = {
+            r["id"]: r["v"] for r in spark.sql("SELECT * FROM cat_demo").collect()
+        }
+        assert got == {1: "a", 2: "b", 3: "c"}
+        assert "cat_demo" in [t.name for t in spark.catalog.listTables()]
+    finally:
+        # managed table: DROP also removes the warehouse-dir files
+        spark.sql("DROP TABLE IF EXISTS cat_demo")
+
+
+def test_sql_registered_pandas_udf(spark):
+    """A vectorized (Arrow) UDF registered for the SQL surface — the
+    escape hatch stays Arrow-batched even when invoked from SQL text,
+    never a row-at-a-time Python UDF."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("double")
+    def sql_margin_norm(s: pd.Series) -> pd.Series:
+        return s / (1.0 + s.abs())
+
+    spark.udf.register("sql_margin_norm", sql_margin_norm)
+    spark.createDataFrame([(0.0,), (3.0,), (-1.0,)], "x double").createOrReplaceTempView(
+        "udf_demo"
+    )
+    got = [r["y"] for r in spark.sql(
+        "SELECT sql_margin_norm(x) AS y FROM udf_demo ORDER BY x"
+    ).collect()]
+    assert got == [-0.5, 0.0, 0.75]
