@@ -1385,3 +1385,44 @@ def q_events_sequence_motif(spark: SparkSession, sf: str) -> DataFrame:
         F.col("s").like("%v%c%p%").alias("has_funnel_path"),
         "n_events",
     )
+
+
+@query(
+    "events_churn_labels",
+    """
+    WITH act AS (
+      SELECT user_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS wk,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id, wk
+    )
+    SELECT user_id, CAST(wk AS BIGINT) AS wk, n_events,
+           COALESCE(LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                    <= wk + 2, FALSE) AS retained,
+           NOT COALESCE(LEAD(wk) OVER (PARTITION BY user_id ORDER BY wk)
+                        <= wk + 2, FALSE) AS churn_label
+    FROM act
+    """,
+)
+def q_events_churn_labels(spark: SparkSession, sf: str) -> DataFrame:
+    # Churn-label construction (the supervised counterpart of the
+    # retention matrix): per active (user, week), churned = no
+    # activity in the next two weeks, read straight off LEAD over the
+    # per-user week sequence. The aggregate and the window share one
+    # user-keyed exchange. Last observed week is right-censored and
+    # labels churn=true — re-label on a longer horizon before training
+    # near the data's edge.
+    ev = load(spark, sf, "events")
+    act = (
+        ev.select(
+            "user_id",
+            F.expr("unix_millis(ts) div 604800000").alias("wk"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy("user_id").orderBy("wk")
+    retained = F.coalesce(F.lead("wk").over(w) <= F.col("wk") + 2, F.lit(False))
+    return act.select(
+        "user_id", "wk", "n_events", retained.alias("retained"), (~retained).alias("churn_label")
+    )
