@@ -879,3 +879,27 @@ def knn_graph_oracle(
                PARTITION BY src ORDER BY sim DESC, dst) AS INT) AS rank
       FROM sym)
     WHERE rank <= {k}"""
+
+
+def image_neardup_oracle(*, side: int = 8, max_hamming: int = 6) -> str:
+    """Near-dup image pairs: the aHash replay
+    (:func:`image_ahash_oracle`) joined all-pairs on hamming ≤
+    ``max_hamming`` — exact recall ≡ the 8-chunk pigeonhole blocking
+    for thresholds ≤ 7, so the banded Spark plan and this replay
+    agree by construction. Every 25th image is planted again under a
+    shifted id (same planted-evidence pattern as the PII audit): the
+    synthetic pixel planes are md5-random, so without the plant the
+    detector would be verified only on an empty result."""
+    ahash = image_ahash_oracle(side=side)
+    return f"""
+    WITH h0 AS MATERIALIZED ({ahash}),
+    h AS (
+      SELECT media_id, ahash FROM h0
+      UNION ALL
+      SELECT media_id + 10000000 AS media_id, ahash
+      FROM h0 WHERE media_id % 25 = 0)
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           CAST(bit_count(xor(a.ahash, b.ahash)) AS INT) AS hamming
+    FROM h a JOIN h b ON a.media_id < b.media_id
+    WHERE a.ahash IS NOT NULL AND b.ahash IS NOT NULL
+      AND bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}"""

@@ -1255,3 +1255,34 @@ def q_governance_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("group_size") < 5).alias("k_violation"),
         (F.col("l_diversity") < 3).alias("l_violation"),
     )
+
+
+@query("multimodal_image_neardup", O.image_neardup_oracle(side=8, max_hamming=6))
+def q_multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    # Near-dup IMAGE detection, closing the loop the aHash query
+    # opens: perceptual hashes feed the SAME 8-chunk pigeonhole
+    # banded-hamming join the SimHash text path uses (exact recall for
+    # thresholds <= 7 — the oracle replays all-pairs and must agree).
+    # Codec blobs hash to NULL and drop out before the join.
+    docs = load(spark, sf, "documents")
+    ah = M.image_ahash(M.synth_ppm_media(docs, side=8)).filter(
+        F.col("ahash").isNotNull()
+    )
+    # Plant every 25th image again under a shifted id: the synthetic
+    # planes are md5-random (no organic near-dups), and a detector
+    # verified on an empty result proves nothing.
+    ah = ah.unionByName(
+        ah.filter(F.col("media_id") % 25 == 0).select(
+            (F.col("media_id") + 10000000).alias("media_id"), "ahash"
+        )
+    )
+    pairs = D.simhash_near_pairs(
+        ah.select(F.col("media_id").alias("doc"), F.col("ahash").alias("simhash")),
+        max_hamming=6,
+        max_bucket=100000,
+    )
+    return pairs.select(
+        F.col("doc_a").alias("media_a"),
+        F.col("doc_b").alias("media_b"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
