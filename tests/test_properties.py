@@ -262,3 +262,47 @@ def test_unicode_hash_parity_spark_side(spark):
     for r in rows:
         assert r["h"] == hashlib.md5(r["t"].encode("utf-8")).hexdigest()
         assert r["n"] == len(r["t"])
+
+
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+        ),
+        min_size=1,
+        max_size=64,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_quantized_shift_bounds_and_distance_invariance(vec):
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.similarity import quantize_vec
+
+    a = np.asarray(vec, dtype=np.float64)
+    _, q = quantize_vec(a)
+    qs = q + 127
+    # The shifted lanes are the non-negative int8 range...
+    assert qs.min() >= 0 and qs.max() <= 254
+    # ...and squared-L2 distances are shift-invariant (the k-means
+    # geometry is untouched by the cross-engine-floor-division shift).
+    other = np.roll(q, 1)
+    assert ((q - other) ** 2).sum() == ((qs - (other + 127)) ** 2).sum()
+
+
+@given(st.randoms(use_true_random=False))
+@settings(max_examples=25, deadline=None)
+def test_perceptron_batch_gradient_is_order_invariant(rnd):
+    from tests.test_text_multimodal import _perceptron_replay
+
+    docs = [
+        (i, " ".join(f"t{(i * 5 + k) % 13}" for k in range((i % 7) + 1)))
+        for i in range(20)
+    ]
+    w_sorted, _, _ = _perceptron_replay(docs, 8, 3, 4)
+    shuffled = list(docs)
+    rnd.shuffle(shuffled)
+    w_shuffled, _, _ = _perceptron_replay(shuffled, 8, 3, 4)
+    # Full-batch updates are SUMs: any partitioning / arrival order
+    # yields the identical model (the property SGD does not have).
+    assert w_sorted == w_shuffled
