@@ -2066,3 +2066,42 @@ def q_corpus_semantic_leakage(spark: SparkSession, sf: str) -> DataFrame:
             "sim",
         )
     )
+
+
+@query(
+    "corpus_line_filter",
+    r"""
+    WITH seg AS (
+      SELECT doc_id,
+             [s FOR s IN string_split(text, '. ')
+                IF len(regexp_split_to_array(trim(s), '\s+')) >= 3
+                   AND trim(s) <> ''] AS kept,
+             len(string_split(text, '. ')) AS n_segments
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_segments AS BIGINT) AS n_segments,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           CAST(length(array_to_string(kept, '. ')) AS BIGINT) AS kept_len
+    FROM seg
+    """,
+)
+def q_corpus_line_filter(spark: SparkSession, sf: str) -> DataFrame:
+    # RefinedWeb/C4-style FINE-GRAINED filtering: documents are
+    # salvaged line-by-line (drop segments under 3 words) instead of
+    # dropped whole — the step that rescues mostly-good documents with
+    # boilerplate stuck in them. Pure JVM array expressions at scan
+    # bandwidth, zero shuffle; the HOFs sit in a top-level projection
+    # (never under a join, per the interpreted-lambda rule).
+    docs = load(spark, sf, "documents")
+    segs = F.split(F.col("text"), r"\. ")
+    kept = F.filter(
+        segs,
+        lambda s: (F.size(F.split(F.trim(s), r"\s+")) >= 3) & (F.trim(s) != ""),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(segs).cast("bigint").alias("n_segments"),
+        F.size(kept).cast("bigint").alias("n_kept"),
+        F.length(F.array_join(kept, ". ")).cast("bigint").alias("kept_len"),
+    )
