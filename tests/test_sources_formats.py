@@ -617,3 +617,62 @@ def test_sql_registered_pandas_udf(spark):
         "SELECT sql_margin_norm(x) AS y FROM udf_demo ORDER BY x"
     ).collect()]
     assert got == [-0.5, 0.0, 0.75]
+
+
+def test_task_retry_yields_exact_result(tmp_path):
+    """Cluster-realism pin: a task that fails on its FIRST attempt
+    (injected via TaskContext) must retry and still produce the exact
+    result — Arrow-batched UDF lineages are safely re-computable.
+    Runs in a subprocess because retries need a `local[4, 2]` master,
+    which the shared session fixture doesn't use."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    script = tmp_path / "retry_probe.py"
+    script.write_text(
+        textwrap.dedent(
+            """
+            from typing import Iterator
+
+            import pandas as pd
+            from pyspark.sql import SparkSession
+            from pyspark.sql import functions as F
+
+            spark = (
+                SparkSession.builder.master("local[4, 2]")
+                .config("spark.sql.shuffle.partitions", "4")
+                .config("spark.ui.enabled", "false")
+                .getOrCreate()
+            )
+            spark.sparkContext.setLogLevel("ERROR")
+
+            @F.pandas_udf("long")
+            def flaky_double(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                if tc.partitionId() == 0 and tc.attemptNumber() == 0:
+                    raise RuntimeError("injected first-attempt failure")
+                for s in it:
+                    yield s * 2
+
+            df = spark.range(0, 1000, 1, 4).select(flaky_double("id").alias("v"))
+            total = df.agg(F.sum("v")).first()[0]
+            assert total == 999 * 1000, total
+            print("RETRY_OK", total)
+            spark.stop()
+            """
+        )
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, str(script)],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+    )
+    assert "RETRY_OK 999000" in out.stdout, out.stdout + out.stderr
