@@ -903,3 +903,20 @@ def image_neardup_oracle(*, side: int = 8, max_hamming: int = 6) -> str:
     FROM h a JOIN h b ON a.media_id < b.media_id
     WHERE a.ahash IS NOT NULL AND b.ahash IS NOT NULL
       AND bit_count(xor(a.ahash, b.ahash)) <= {max_hamming}"""
+
+
+def kmeans_profile_oracle(*, k: int = 8, rounds: int = 3) -> str:
+    """Cluster-profile rollup over the k-means replay: size, total and
+    mean inertia per cluster (floor-division mean keeps it exact) —
+    the elbow/balance diagnostic read before trusting a clustering."""
+    kmeans = kmeans_oracle(k=k, rounds=rounds)
+    head, _, _ = kmeans.rpartition("\nSELECT")
+    return (
+        head
+        + f"""
+SELECT CAST(cid AS INT) AS centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia,
+       CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_dist
+FROM a{rounds} GROUP BY cid"""
+    )

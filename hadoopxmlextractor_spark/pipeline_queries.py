@@ -1286,3 +1286,18 @@ def q_multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_b").alias("media_b"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+@query("embedding_kmeans_profile", O.kmeans_profile_oracle(k=8, rounds=3))
+def q_embedding_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Cluster-profile diagnostics over the k-means fit: per-cluster
+    # size, total inertia, floor-division mean distance — the
+    # elbow/balance readout consulted before trusting a clustering for
+    # curation. A k-row aggregate over the assignment pass.
+    emb = load(spark, sf, "embeddings")
+    a = S.kmeans_assignments(emb, k=8, rounds=3)
+    return a.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("dist").alias("inertia"),
+        F.expr("sum(dist) div count(1)").alias("mean_dist"),
+    )

@@ -510,3 +510,25 @@ def test_kmeans_matches_python_replay(spark):
         [i for i, _ in rows], [v for _, v in rows], 4, 3
     )
     assert got == {i: (c, d) for i, (c, d) in want.items()}
+
+
+def test_dedup_kernels_handle_megabyte_document(spark):
+    """Robustness pin: a pathologically large document must flow
+    through the Arrow kernels (shingle, MinHash, SimHash) without
+    blowing a batch — per-doc state is O(tokens), and one huge doc
+    among small ones must not perturb their outputs."""
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    big = " ".join(f"w{i % 50021}" for i in range(150_000))  # ~1 MB
+    rows = [(1, big), (2, "small doc one two three"), (3, big)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {r["doc"]: tuple(r["signature"]) for r in D.minhash_signatures(
+        docs, "text", "doc_id", num_hashes=8
+    ).collect()}
+    assert sigs[1] == sigs[3] != sigs[2]
+
+    pairs = D.dedup_minhash_lsh(
+        docs, "text", "doc_id", num_hashes=8, bands=4
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 3)}
