@@ -845,3 +845,79 @@ def kmeans_assignments(
         F.col("a.cid").alias("centroid_id"),
         F.col("a.dist").alias("dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: bucketed layout + partition-pruned probes
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    out_dir: str,
+    *,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Materialize the IVF index the inline :func:`ivf_topk` docstring
+    promises: vectors written ONCE to a Hive layout partitioned by
+    ``centroid_id`` (`centroid_id=<c>/` directories), plus the centroid
+    matrix as a single-row-group parquet sidecar (`_centroids/`). At
+    100 TB this write is one assignment pass + one partitioned write;
+    every later query prunes to nprobe/n_centroids of the files at the
+    FileIndex level — the scan never lists, opens, or decodes the
+    other cells. Returns the centroid matrix (as nested lists) for the
+    caller's bookkeeping."""
+    C = ivf_build_centroids(
+        emb, n_centroids=n_centroids, vec_col=vec_col, id_col=id_col
+    )
+    assigned = ivf_assign(emb, C, vec_col=vec_col)
+    assigned.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{out_dir}/cells"
+    )
+    spark = emb.sparkSession
+    cent_rows = [(i, [float(x) for x in row]) for i, row in enumerate(C)]
+    spark.createDataFrame(
+        cent_rows, "centroid_id int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/_centroids")
+    return [list(map(float, row)) for row in C]
+
+
+def ivf_topk_from_index(
+    spark,
+    index_dir: str,
+    query_vec: Sequence[float],
+    *,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a persisted IVF index: load the (tiny) centroid sidecar,
+    pick the ``nprobe`` nearest cells driver-side, and scan ONLY those
+    partitions — the ``centroid_id IN (...)`` filter binds to the Hive
+    partition column, so pruning happens in the file index (asserted in
+    tests), not per-row. The exact cosine re-rank runs over the probed
+    cells only, ending in a TakeOrderedAndProject."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{index_dir}/_centroids").collect()
+    C = np.zeros((len(cents), len(cents[0]["centroid"])))
+    for r in cents:
+        C[r["centroid_id"]] = r["centroid"]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = [int(i) for i in np.argsort(-(C @ qn))[:nprobe]]
+    cells = spark.read.parquet(f"{index_dir}/cells")
+    qlit = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cells.filter(F.col("centroid_id").isin(probe))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), qlit), round_digits).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -865,3 +865,28 @@ def test_interval_merge_single_exchange(spark):
     # plans exactly one exchange end-to-end.
     df = q_events_interval_merge(spark, SF)
     assert count_exchanges(df) == 1
+
+
+def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, tmp_path):
+    from hadoopxmlextractor_spark.operators import similarity as S
+
+    emb = load(spark, SF, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    out = str(tmp_path / "ivf")
+    S.write_ivf_index(emb, out, n_centroids=8)
+    probed = S.ivf_topk_from_index(spark, out, qv, k=10, nprobe=3)
+    # The centroid fit is the same deterministic driver sample, so the
+    # persisted-index probe must return exactly the inline result.
+    inline = S.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=3)
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    # Pruning happens at the FILE INDEX: the probe's scan carries a
+    # centroid_id partition filter, so non-probed cells are never read.
+    plan = executed_plan(probed)
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
