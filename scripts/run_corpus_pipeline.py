@@ -6,6 +6,7 @@
     → exact dedup (md5 hash-groupBy)
     → MinHash+LSH near-dup pairs → connected components → keep one
       canonical doc per cluster
+    → k-means semantic diversity cap (≤40 docs per embedding cluster)
     → stable train/val split (md5 bucket — no sampling job)
     → context-window chunks
     → Hive-partitioned parquet output (split=train/val directories)
@@ -67,6 +68,26 @@ def build_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
     losers = connected_components(pairs).filter(~F.col("is_canonical")).select("doc_id")
     unique = exact.join(losers, "doc_id", "left_anti")
 
+    # 3b. Semantic diversity cap: k-means over the embedding table,
+    #     keep at most 40 docs per semantic cluster (SemDeDup-style —
+    #     stops any one mode from dominating the mix). Embeddings are
+    #     keyed by the same ids as documents.
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.operators.similarity import kmeans_assignments
+
+    emb = load(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments(emb, k=8, rounds=2)
+    cap_w = Window.partitionBy("centroid_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    diverse_ids = (
+        assign.withColumn("r", F.row_number().over(cap_w))
+        .filter(F.col("r") <= 40)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    unique = unique.join(diverse_ids, "doc_id", "left_semi")
+
     # 4. Deterministic split + context-window chunks.
     split = train_val_split(unique, "doc_id", val_pct=10).select("doc_id", "split")
     chunks = chunk_documents(unique, "text", "doc_id", chunk_tokens=128)
@@ -81,6 +102,7 @@ def build_corpus(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
         "after_quality": kept.count(),
         "after_exact_dedup": n_exact,
         "after_near_dedup": unique.count(),
+        "semantic_clusters": assign.select("centroid_id").distinct().count(),
         "chunks_train": out.filter(F.col("split") == "train").count(),
         "chunks_val": out.filter(F.col("split") == "val").count(),
     }
