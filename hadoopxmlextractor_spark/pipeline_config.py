@@ -93,8 +93,25 @@ def _stage_pack_sequences(
     return C.pack_sequences(df, "text", "doc_id", capacity=capacity, n_shards=n_shards)
 
 
+def _stage_line_filter(df: DataFrame, docs: DataFrame, *, min_words: int = 3) -> DataFrame:
+    # RefinedWeb-style salvage: rebuild each doc from only its segments
+    # with >= min_words words; docs losing every segment drop out. The
+    # HOFs sit in a top-level projection (interpreted-lambda rule).
+    segs = F.split(F.col("text"), r"\. ")
+    kept = F.filter(
+        segs,
+        lambda seg: (F.size(F.split(F.trim(seg), r"\s+")) >= min_words)
+        & (F.trim(seg) != ""),
+    )
+    return df.select(
+        "doc_id", F.array_join(kept, ". ").alias("text")
+    ).filter(F.col("text") != "")
+
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "quality_filter": _stage_quality_filter,
+    "line_filter": _stage_line_filter,
     "dedup_exact": _stage_dedup_exact,
     "classifier_filter": _stage_classifier_filter,
     "decontaminate": _stage_decontaminate,

@@ -665,3 +665,34 @@ def test_new_operators_tolerate_empty_inputs(spark):
     assert bloom_incremental_flags(
         corpus, batch.limit(0), "h", "doc_id"
     ).count() == 0
+
+
+def test_pipeline_config_line_filter_stage(spark):
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.pipeline_config import compile_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = compile_pipeline(
+        spark,
+        sf,
+        {
+            "source": "documents",
+            "stages": [{"op": "line_filter", "params": {"min_words": 3}}],
+        },
+    )
+    rows = out.collect()
+    assert rows and set(out.columns) == {"doc_id", "text"}
+    # Every surviving segment has >= 3 words on both sides of the stage.
+    for r in rows[:50]:
+        for seg in r["text"].split(". "):
+            assert len(seg.split()) >= 3
+    # Unknown params still fail at compile time.
+    import pytest
+
+    with pytest.raises(TypeError):
+        compile_pipeline(
+            spark,
+            sf,
+            {"stages": [{"op": "line_filter", "params": {"bogus": 1}}]},
+        )
