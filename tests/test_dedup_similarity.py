@@ -532,3 +532,24 @@ def test_dedup_kernels_handle_megabyte_document(spark):
         docs, "text", "doc_id", num_hashes=8, bands=4
     ).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 3)}
+
+
+def test_new_round3_operators_accept_empty_input(spark):
+    """A fully-filtered upstream (0 rows) must yield 0 rows, never a
+    crash, from every round-3 operator with driver-side loops."""
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators import similarity as S
+    from hadoopxmlextractor_spark.operators import text as T
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert S.kmeans_assignments(emb, k=4, rounds=2).count() == 0
+
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    w, _ = T.perceptron_train(docs, "text", "doc_id", dim=8, rounds=2)
+    assert list(w) == [0] * 8
+    assert T.perceptron_predictions(docs, "text", "doc_id", dim=8, rounds=2).count() == 0
+    assert T.regression_suffstats(docs, "text", "doc_id", dim=8).count() == 0
+    assert (
+        T.token_chi2(docs, "text", "doc_id", F.lit(True), min_df=1).count() == 0
+    )
