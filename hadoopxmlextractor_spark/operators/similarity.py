@@ -921,3 +921,31 @@ def ivf_topk_from_index(
         .orderBy(F.col("sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def append_to_ivf_index(
+    spark,
+    index_dir: str,
+    new_emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: assign NEW vectors with the
+    STORED centroid sidecar (never refit — the cell layout and every
+    earlier assignment stay valid) and append them to their cell
+    partitions. Dynamic partition append touches only the cells that
+    receive rows; probes pick up the new vectors with no rebuild. At
+    100 TB this is the daily-ingest path: one assignment scan over the
+    batch + an append write, cost proportional to the batch, not the
+    index. Refit (a fresh :func:`write_ivf_index`) is only warranted
+    when drift degrades cell balance."""
+    import numpy as np
+
+    cents = spark.read.parquet(f"{index_dir}/_centroids").collect()
+    C = np.zeros((len(cents), len(cents[0]["centroid"])))
+    for r in cents:
+        C[r["centroid_id"]] = r["centroid"]
+    assigned = ivf_assign(new_emb, C, vec_col=vec_col)
+    assigned.write.mode("append").partitionBy("centroid_id").parquet(
+        f"{index_dir}/cells"
+    )

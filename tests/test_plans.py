@@ -890,3 +890,23 @@ def test_ivf_index_probe_prunes_partitions_and_matches_inline(spark, tmp_path):
     assert "PartitionFilters" in plan and "centroid_id" in plan.split(
         "PartitionFilters"
     )[1][:200]
+
+
+def test_ivf_index_incremental_append_matches_full_rebuild(spark, tmp_path):
+    from hadoopxmlextractor_spark.operators import similarity as S
+
+    emb = load(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") % 5 != 0)
+    rest = emb.filter(F.col("vec_id") % 5 == 0)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+
+    out = str(tmp_path / "ivf_inc")
+    S.write_ivf_index(first, out, n_centroids=8)
+    S.append_to_ivf_index(spark, out, rest)
+    inc = S.ivf_topk_from_index(spark, out, qv, k=10, nprobe=8)
+
+    # nprobe = all cells -> the probe is exhaustive, so the appended
+    # index must rank exactly like brute force over the full table
+    # (cell layout only changes WHICH files are scanned, never values).
+    brute = S.cosine_topk_bruteforce(emb, qv, k=10)
+    assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in brute.collect()]
