@@ -69,3 +69,37 @@ def export_stream(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def stream_vectors_into_ivf_index(
+    vectors_stream,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    vec_col: str = "embedding",
+):
+    """Continuous vector-index maintenance: each micro-batch of newly
+    embedded vectors is assigned with the index's STORED centroid
+    sidecar and appended to its cell partitions
+    (:func:`~hadoopxmlextractor_spark.operators.similarity.
+    append_to_ivf_index` inside ``foreachBatch``). The checkpoint
+    gives exactly-once batch tracking; the append itself touches only
+    the cells that receive rows, so steady-state ingest cost tracks
+    the arrival rate, not the index size. Probes see new vectors at
+    the next query with no rebuild."""
+    from hadoopxmlextractor_spark.operators.similarity import (
+        append_to_ivf_index,
+    )
+
+    def _sink(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        append_to_ivf_index(
+            batch_df.sparkSession, index_dir, batch_df, vec_col=vec_col
+        )
+
+    return (
+        vectors_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -742,3 +742,44 @@ def test_stateful_dedup_on_rocksdb_state_store(spark, tmp_path):
         for d, _, fs in os.walk(state_dir)
     )
     assert found_rocks, "state store did not use RocksDB"
+
+
+def test_stream_vectors_append_to_ivf_index(spark, tmp_path):
+    """Streaming embedding ingest: vectors landing as parquet files
+    flow through foreachBatch into the persisted IVF index; an
+    exhaustive probe afterwards ranks exactly like brute force over
+    base ∪ streamed vectors."""
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators import similarity as S
+    from hadoopxmlextractor_spark.streaming.export import (
+        stream_vectors_into_ivf_index,
+    )
+    from hadoopxmlextractor_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    late = emb.filter(F.col("vec_id") % 4 == 0)
+
+    index = str(tmp_path / "ivf")
+    S.write_ivf_index(base, index, n_centroids=8)
+
+    landing = str(tmp_path / "landing")
+    late.write.parquet(landing)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .parquet(landing)
+    )
+    q = stream_vectors_into_ivf_index(
+        stream, index, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probed = S.ivf_topk_from_index(spark, index, qv, k=10, nprobe=8)
+    brute = S.cosine_topk_bruteforce(emb, qv, k=10)
+    assert [tuple(r) for r in probed.collect()] == [
+        tuple(r) for r in brute.collect()
+    ]
