@@ -949,3 +949,33 @@ def append_to_ivf_index(
     assigned.write.mode("append").partitionBy("centroid_id").parquet(
         f"{index_dir}/cells"
     )
+
+
+def compact_ivf_index(
+    spark,
+    index_dir: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Index maintenance after sustained streaming appends: compact
+    each cell directory's accreted small files
+    (:func:`~hadoopxmlextractor_spark.sinks.compact_parquet` per
+    cell — tmp-dir swap, so probes never see a half-written cell).
+    The loop is over k cell DIRECTORIES (bounded by n_centroids,
+    never data-sized); each cell rewrite is one independent job, so a
+    scheduler can spread cells across a maintenance window. Returns
+    {cell_path: (files_before, files_after)}."""
+    import os
+
+    from hadoopxmlextractor_spark.sinks import compact_parquet
+
+    cells_root = f"{index_dir}/cells"
+    out = {}
+    for entry in sorted(os.listdir(cells_root)):
+        if not entry.startswith("centroid_id="):
+            continue
+        cell = f"{cells_root}/{entry}"
+        out[entry] = compact_parquet(
+            spark, cell, target_file_bytes=target_file_bytes
+        )
+    return out

@@ -910,3 +910,28 @@ def test_ivf_index_incremental_append_matches_full_rebuild(spark, tmp_path):
     # (cell layout only changes WHICH files are scanned, never values).
     brute = S.cosine_topk_bruteforce(emb, qv, k=10)
     assert [tuple(r) for r in inc.collect()] == [tuple(r) for r in brute.collect()]
+
+
+def test_ivf_index_compaction_shrinks_files_preserves_probe(spark, tmp_path):
+    import glob
+
+    from hadoopxmlextractor_spark.operators import similarity as S
+
+    emb = load(spark, SF, "embeddings")
+    out = str(tmp_path / "ivf_c")
+    S.write_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), out, n_centroids=4)
+    # Three tiny appends accrete small files per cell.
+    for m in (1, 3, 5):
+        S.append_to_ivf_index(
+            spark, out, emb.filter(F.col("vec_id") % 6 == m)
+        )
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    before = [tuple(r) for r in S.ivf_topk_from_index(spark, out, qv, k=10, nprobe=4).collect()]
+    n_before = len(glob.glob(f"{out}/cells/centroid_id=*/part-*.parquet"))
+
+    stats = S.compact_ivf_index(spark, out)
+    n_after = len(glob.glob(f"{out}/cells/centroid_id=*/part-*.parquet"))
+    assert n_after < n_before
+    assert all(a <= b for b, a in stats.values())
+    after = [tuple(r) for r in S.ivf_topk_from_index(spark, out, qv, k=10, nprobe=4).collect()]
+    assert after == before
