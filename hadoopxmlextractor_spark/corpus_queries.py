@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from hadoopxmlextractor_spark.operators import corpus as C
 from hadoopxmlextractor_spark.operators import dedup as D
 from hadoopxmlextractor_spark.operators import similarity as S
+from hadoopxmlextractor_spark.operators import text as T
 from hadoopxmlextractor_spark import oracles as O
 from hadoopxmlextractor_spark.oracles import _hex_byte
 from hadoopxmlextractor_spark.queries import query
@@ -2104,4 +2105,125 @@ def q_corpus_line_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.size(segs).cast("bigint").alias("n_segments"),
         F.size(kept).cast("bigint").alias("n_kept"),
         F.length(F.array_join(kept, ". ")).cast("bigint").alias("kept_len"),
+    )
+
+
+@query(
+    "corpus_leakage_free_split",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs
+    ), reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    ), comp AS (
+      SELECT x AS doc_id, MIN(y) AS component_id FROM reach GROUP BY x
+    ), clustered AS (
+      SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)),
+                                             1, 8)) AS BIGINT) % 100 < 90
+                THEN 'train' ELSE 'val' END AS split
+    FROM clustered
+    """,
+)
+def q_corpus_leakage_free_split(spark: SparkSession, sf: str) -> DataFrame:
+    # The FIX for what corpus_semantic_leakage audits: split by
+    # near-dup CLUSTER, not by document, so a duplication family can
+    # never straddle the train/val boundary. Singletons cluster as
+    # themselves; the split is the same stable md5 bucket, keyed on
+    # the cluster's canonical id. Components ride the existing
+    # min-label propagation; the extra cost over a plain split is the
+    # near-dup graph we already build for dedup.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    comp = D.connected_components(pairs).select("doc_id", "component_id")
+    clustered = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    return clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.when(C.stable_bucket("cluster_id", 100) < 90, "train")
+        .otherwise("val")
+        .alias("split"),
+    )
+
+
+@query(
+    "corpus_token_budget_plan",
+    r"""
+    WITH t AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+                  AS BIGINT) AS tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), c AS (
+      SELECT source, doc_id, tok,
+             COALESCE(SUM(tok) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS docs_taken,
+           CAST(SUM(tok) AS BIGINT) AS tokens_taken
+    FROM c WHERE cum_prev < 800
+    GROUP BY source
+    """,
+)
+def q_corpus_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
+    # Training-mix construction against a token budget: fill each
+    # source greedily in the stable md5 order until its budget is
+    # reached (the crossing doc is included, so every source lands
+    # within one document of its budget — deterministic, re-runnable,
+    # and incremental-load stable). One source-keyed exchange shared
+    # by the window and the rollup.
+    ev = load(spark, sf, "documents")
+    t = ev.select(
+        "source",
+        "doc_id",
+        T.token_count(F.col("text")).cast("bigint").alias("tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    c = t.withColumn("cum_prev", F.coalesce(F.sum("tok").over(prev), F.lit(0)))
+    return (
+        c.filter(F.col("cum_prev") < 800)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_taken"),
+            F.sum("tok").alias("tokens_taken"),
+        )
     )
