@@ -1301,3 +1301,58 @@ def q_embedding_kmeans_profile(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("dist").alias("inertia"),
         F.expr("sum(dist) div count(1)").alias("mean_dist"),
     )
+
+
+@query(
+    "embedding_data_contract",
+    """
+    WITH v AS (
+      SELECT embedding,
+             CASE WHEN embedding IS NULL THEN NULL
+                  ELSE CAST(embedding AS DOUBLE[]) END AS d
+      FROM embeddings
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null_vec,
+           CAST(SUM(CASE WHEN embedding IS NOT NULL AND len(d) <> 64
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_wrong_dim,
+           CAST(SUM(CASE WHEN embedding IS NOT NULL
+                         AND len([x FOR x IN d IF isnan(x) OR isinf(x)]) > 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_nonfinite,
+           CAST(SUM(CASE WHEN embedding IS NOT NULL
+                         AND len([x FOR x IN d IF isnan(x) OR isinf(x)]) = 0
+                         AND list_sum([x * x FOR x IN d]) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm
+    FROM v
+    """,
+)
+def q_embedding_data_contract(spark: SparkSession, sf: str) -> DataFrame:
+    # Vector-store ingest gate (the embeddings counterpart of
+    # corpus_data_contract): null vectors, dimension drift, NaN/Inf
+    # lanes, and zero-norm vectors (undefined cosine) — counted in ONE
+    # scan-bandwidth pass; a pipeline asserts all four are zero before
+    # indexing. HOFs stay in a top-level projection.
+    emb = load(spark, sf, "embeddings")
+    d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nonfinite = F.exists(d, lambda x: F.isnan(x) | (F.abs(x) == float("inf")))
+    zero_norm = (
+        F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x) == 0.0
+    )
+    flags = emb.select(
+        F.col("embedding").isNull().alias("is_null"),
+        (F.col("embedding").isNotNull() & (F.size("embedding") != 64)).alias(
+            "wrong_dim"
+        ),
+        (F.col("embedding").isNotNull() & nonfinite).alias("nonfinite"),
+        (F.col("embedding").isNotNull() & ~nonfinite & zero_norm).alias(
+            "zero_norm"
+        ),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("is_null").cast("long")).alias("n_null_vec"),
+        F.sum(F.col("wrong_dim").cast("long")).alias("n_wrong_dim"),
+        F.sum(F.col("nonfinite").cast("long")).alias("n_nonfinite"),
+        F.sum(F.col("zero_norm").cast("long")).alias("n_zero_norm"),
+    )
