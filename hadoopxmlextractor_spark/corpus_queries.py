@@ -2227,3 +2227,26 @@ def q_corpus_token_budget_plan(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("tok").alias("tokens_taken"),
         )
     )
+
+
+@query(
+    "corpus_hard_negatives",
+    f"""
+    WITH p AS MATERIALIZED ({{pairs}})
+    SELECT id_a, id_b, sim FROM p WHERE sim < 0.45
+    """.format(pairs=O.near_pairs_lsh_oracle(
+        threshold=0.2, dim=64, n_planes=4, n_tables=8
+    )),
+)
+def q_corpus_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    # Hard-negative mining for contrastive/embedding training: pairs
+    # that LOOK similar enough to collide in the LSH buckets but fall
+    # below the near-dup threshold — the semantically-adjacent
+    # non-duplicates that teach a retriever its decision boundary
+    # (random negatives, corpus_contrastive_pairs, are too easy).
+    # Same bucketed candidate generation as dedup, different band.
+    emb = load(spark, sf, "embeddings")
+    pairs = S.cosine_pairs_lsh(
+        emb, threshold=0.2, dim=64, n_planes=4, n_tables=8
+    )
+    return pairs.filter(F.col("sim") < 0.45)
