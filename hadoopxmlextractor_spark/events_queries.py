@@ -1426,3 +1426,68 @@ def q_events_churn_labels(spark: SparkSession, sf: str) -> DataFrame:
     return act.select(
         "user_id", "wk", "n_events", retained.alias("retained"), (~retained).alias("churn_label")
     )
+
+
+@query(
+    "diagnostics_key_skew",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM c
+    )
+    SELECT user_id, cnt,
+           ROUND(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 4) AS share,
+           n_keys,
+           ROUND(CAST(max_cnt AS DOUBLE) * CAST(n_keys AS DOUBLE)
+                 / CAST(total AS DOUBLE), 4) AS skew_factor
+    FROM (
+      SELECT user_id, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rn
+      FROM c) r, tot
+    WHERE rn <= 10
+    """,
+)
+def q_diagnostics_key_skew(spark: SparkSession, sf: str) -> DataFrame:
+    # The measurement that justifies reaching for operators/skew.py:
+    # hottest shuffle keys with their load share, plus the global skew
+    # factor (max key count ÷ mean key count — 1.0 is perfectly
+    # uniform; a reducer's straggler ratio under hash partitioning).
+    # One uniform-key aggregate, a 10-row TakeOrderedAndProject, and a
+    # broadcast single-row total.
+    from pyspark.sql import Window
+
+    ev = load(spark, sf, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = c.agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = (
+        c.orderBy(F.desc("cnt"), "user_id")
+        .limit(10)
+        .withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("cnt"), "user_id"))
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double") / F.col("total").cast("double"), 4
+            ).alias("share"),
+            "n_keys",
+            F.round(
+                F.col("max_cnt").cast("double")
+                * F.col("n_keys").cast("double")
+                / F.col("total").cast("double"),
+                4,
+            ).alias("skew_factor"),
+        )
+    )
