@@ -935,3 +935,29 @@ def test_ivf_index_compaction_shrinks_files_preserves_probe(spark, tmp_path):
     assert all(a <= b for b, a in stats.values())
     after = [tuple(r) for r in S.ivf_topk_from_index(spark, out, qv, k=10, nprobe=4).collect()]
     assert after == before
+
+
+def test_concurrent_query_submission_thread_safe(spark):
+    """Multi-tenant smoke: four registry queries submitted from
+    concurrent threads on one session must return exactly their
+    sequential results (scheduler pools share the session; operator
+    construction must not race)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    names = [
+        "scan_filter_project",
+        "agg_pricing_summary",
+        "join_semi",
+        "window_running_sum",
+    ]
+
+    def run(n):
+        return n, qs[n](spark, SF).count()
+
+    with ThreadPoolExecutor(4) as ex:
+        concurrent = dict(ex.map(run, names))
+    sequential = {n: qs[n](spark, SF).count() for n in names}
+    assert concurrent == sequential
