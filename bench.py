@@ -60,17 +60,17 @@ BOOKS_PER_INV = 40
 # walking to `cap`).
 REFERENCE = {
     "xml_extraction": 0.95,
-    "agg_pricing_summary": 0.92,
+    "agg_pricing_summary": 0.91,
     "agg_cube": 0.88,
     "join_inner_agg": 0.42,
-    "join_broadcast_dim": 0.70,
-    "join_asof": 0.35,
+    "join_broadcast_dim": 0.68,
+    "join_asof": 0.32,
     "q10_returned_items": 0.53,
     "q18_large_orders": 0.90,
     "window_topk_per_group": 0.33,
     "events_sessionize": 0.26,
-    "dedup_ngram_jaccard": 2.3,
-    "dedup_minhash_lsh": 2.11,
+    "dedup_ngram_jaccard": 2.2,
+    "dedup_minhash_lsh": 1.98,
     "text_quality": 0.27,
     "similarity_topk_bruteforce": 0.29,
     "corpus_prepare_training_data": 1.72,
