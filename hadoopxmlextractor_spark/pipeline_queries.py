@@ -1356,3 +1356,36 @@ def q_embedding_data_contract(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("nonfinite").cast("long")).alias("n_nonfinite"),
         F.sum(F.col("zero_norm").cast("long")).alias("n_zero_norm"),
     )
+
+
+@query(
+    "governance_masked_export",
+    """
+    SELECT c_custkey,
+           md5(c_name) AS name_token,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acctbal_bucket,
+           c_mktsegment,
+           CASE WHEN c_nationkey % 5 = 0 THEN NULL ELSE c_nationkey END
+             AS nationkey_redacted
+    FROM customer
+    """,
+)
+def q_governance_masked_export(spark: SparkSession, sf: str) -> DataFrame:
+    # The companion to the k-anonymity audit: the masked EXPORT shape —
+    # direct identifiers tokenized (keyed md5 in production; plain md5
+    # here so the oracle can replay), sensitive numerics coarsened to
+    # buckets (bit-deterministic floor), and a policy-driven partial
+    # redaction. Pure projection: masking composes with pushdown and
+    # costs nothing at scan time.
+    cust = load(spark, sf, "customer")
+    return cust.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_token"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("bigint")
+        .alias("acctbal_bucket"),
+        "c_mktsegment",
+        F.when(F.col("c_nationkey") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nationkey_redacted"),
+    )
