@@ -1105,3 +1105,67 @@ def q_agg_corr_matrix(spark: SparkSession, sf: str) -> DataFrame:
     # ONE aggregate row exploded to the 6 pairs (a union of per-pair
     # selects would re-run the scan+aggregate once per pair).
     return m.select(F.explode(F.array(*pairs)).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Scalar families: bitwise + regex
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_bitwise",
+    """
+    SELECT o_orderkey,
+           CAST(o_orderkey & 255 AS BIGINT) AS low_byte,
+           CAST(o_orderkey | 15 AS BIGINT) AS or_mask,
+           CAST(xor(o_orderkey, 21845) AS BIGINT) AS xored,
+           CAST(o_orderkey << 3 AS BIGINT) AS shl,
+           CAST(o_orderkey >> 2 AS BIGINT) AS shr,
+           CAST(bit_count(o_orderkey) AS INT) AS popcount
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def q_scalar_bitwise(spark: SparkSession, sf: str) -> DataFrame:
+    # Bitwise family parity pin — the ops every hash/sketch kernel in
+    # this repo leans on (SimHash chunks, aHash lanes, Morton codes),
+    # surfaced as a registered scalar query so cross-engine semantics
+    # (two's-complement popcount included) stay pinned.
+    o = load(spark, sf, "orders").filter(F.col("o_orderkey") % 97 == 0)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).cast("bigint").alias("low_byte"),
+        k.bitwiseOR(F.lit(15)).cast("bigint").alias("or_mask"),
+        k.bitwiseXOR(F.lit(21845)).cast("bigint").alias("xored"),
+        F.shiftleft(k, 3).cast("bigint").alias("shl"),
+        F.shiftright(k, 2).cast("bigint").alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@query(
+    "scalar_regex_family",
+    r"""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_numbers,
+           regexp_replace(text, '\s+', '_', 'g') AS underscored,
+           regexp_matches(text, '^[a-z]') AS starts_lower
+    FROM documents WHERE doc_id % 29 = 0
+    """,
+)
+def q_scalar_regex_family(spark: SparkSession, sf: str) -> DataFrame:
+    # Regex family parity pin on engine-agreeing constructs (character
+    # classes, quantifiers, global replace — no lookaround or
+    # boundary-class corners, where Java regex and RE2 diverge; the
+    # PII audit pins those separately with planted evidence).
+    d = load(spark, sf, "documents").filter(F.col("doc_id") % 29 == 0)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0)).alias(
+            "n_numbers"
+        ),
+        F.regexp_replace("text", r"\s+", "_").alias("underscored"),
+        F.col("text").rlike(r"^[a-z]").alias("starts_lower"),
+    )
