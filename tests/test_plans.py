@@ -961,3 +961,14 @@ def test_concurrent_query_submission_thread_safe(spark):
         concurrent = dict(ex.map(run, names))
     sequential = {n: qs[n](spark, SF).count() for n in names}
     assert concurrent == sequential
+
+
+def test_hybrid_rrf_legs_are_heap_cuts(spark):
+    from hadoopxmlextractor_spark.pipeline_queries import q_search_hybrid_rrf
+
+    # Both retrieval legs and the final fused cut must be bounded
+    # heaps (TakeOrderedAndProject), never full sorts — the property
+    # that keeps rank assignment 50-row-sized at any corpus scale.
+    plan = executed_plan(q_search_hybrid_rrf(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 3
+    assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
