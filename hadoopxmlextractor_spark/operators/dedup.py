@@ -105,18 +105,18 @@ def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
+def _ngram_pair_counts(
     df: DataFrame,
     text_col: str,
     id_col: str,
     *,
     n: int = 3,
-    threshold: float = 0.8,
     max_df: int | float | None = "auto",
 ) -> DataFrame:
-    """All pairs with n-gram Jaccard ≥ threshold, computed exactly via an
-    inverted index: explode shingles → self-join on shingle → count
-    shared → |A∩B| / (|A|+|B|-|A∩B|). ``max_df`` drops shingles
+    """Shared inverted-index machinery for the n-gram pair family —
+    (doc_a, doc_b, size_a, size_b, shared) for every co-shingled pair,
+    computed exactly: explode shingles → self-join on shingle → count
+    shared. Callers derive Jaccard or containment. ``max_df`` drops shingles
     appearing in more than that many docs (skew guard: a stop-shingle in
     1M docs would otherwise generate 10^12 join rows).
 
@@ -176,6 +176,23 @@ def ngram_jaccard_pairs(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b", "size_a", "size_b")
         .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | float | None = "auto",
+) -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold (symmetric near-dup
+    score) over :func:`_ngram_pair_counts`'s inverted index."""
+    return (
+        _ngram_pair_counts(df, text_col, id_col, n=n, max_df=max_df)
         .withColumn(
             "jaccard",
             F.round(
@@ -187,7 +204,37 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
-    return pairs
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | float | None = "auto",
+) -> DataFrame:
+    """Pairs where the SMALLER document's shingles are ≥ ``threshold``
+    contained in the other (max of the two directed containments
+    |A∩B|/|A|, |A∩B|/|B|). Catches subset-duplication — a doc pasted
+    inside a larger one — which symmetric Jaccard structurally misses:
+    a 50-shingle doc inside a 5000-shingle doc has Jaccard ≤ 0.01 but
+    containment 1.0 (Lee et al., arxiv:2107.06499 dedups BOTH ways).
+    Same inverted index, same skew guards, one extra projection."""
+    return (
+        _ngram_pair_counts(df, text_col, id_col, n=n, max_df=max_df)
+        .withColumn(
+            "containment",
+            F.round(
+                F.col("shared")
+                / F.least(F.col("size_a"), F.col("size_b")),
+                4,
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "shared", "containment")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1389,3 +1389,35 @@ def q_governance_masked_export(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.col("c_nationkey"))
         .alias("nationkey_redacted"),
     )
+
+
+@query(
+    "dedup_ngram_containment",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents)
+    )
+    SELECT doc_a, doc_b, shared, containment FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS shared,
+             ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                   / least(len(a.shingles), len(b.shingles)), 4) AS containment
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+    WHERE containment >= 0.6
+    """,
+)
+def q_dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
+    # Containment dedup: catches a doc PASTED INSIDE a larger one —
+    # Jaccard is structurally blind to subset duplication (50 shingles
+    # inside 5000 → Jaccard ≤ 0.01 but containment 1.0). Same inverted
+    # index and skew guards as the Jaccard pass, one extra projection.
+    docs = load(spark, sf, "documents")
+    return D.ngram_containment_pairs(docs, "text", "doc_id", n=3, threshold=0.6)

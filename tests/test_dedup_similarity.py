@@ -553,3 +553,23 @@ def test_new_round3_operators_accept_empty_input(spark):
     assert (
         T.token_chi2(docs, "text", "doc_id", F.lit(True), min_df=1).count() == 0
     )
+
+
+def test_containment_catches_subset_duplication_jaccard_misses(spark):
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    pasted = " ".join(f"core{i}" for i in range(20))
+    big = " ".join(f"host{i}" for i in range(400)) + " " + pasted
+    docs = spark.createDataFrame(
+        [(1, pasted), (2, big), (3, "unrelated words entirely different")],
+        "doc_id long, text string",
+    )
+    jac = D.ngram_jaccard_pairs(docs, "text", "doc_id", threshold=0.5, max_df=None)
+    assert jac.count() == 0  # symmetric score is blind to the paste
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in D.ngram_containment_pairs(
+            docs, "text", "doc_id", threshold=0.9, max_df=None
+        ).collect()
+    }
+    assert set(cont) == {(1, 2)} and cont[(1, 2)] == 1.0
