@@ -715,3 +715,16 @@ def test_every_registered_query_documented_in_coverage_map():
     assert m, "COVERAGE.md count line missing"
     assert int(m.group(1)) == len(e.queries())
     assert int(m.group(2)) == len(e.oracle_sql())
+
+
+def test_plans_dossier_covers_every_bench_headline_query():
+    """Doc-rot gate: PLANS.md (the physical-plan evidence trail) must
+    contain a section for every bench headline query."""
+    import os
+
+    import bench
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    plans = open(os.path.join(root, "PLANS.md")).read()
+    missing = [n for n in bench.HEADLINE if n not in plans]
+    assert missing == [], f"PLANS.md missing: {missing} — rerun scripts/dump_plans.py"
