@@ -1421,3 +1421,47 @@ def q_dedup_ngram_containment(spark: SparkSession, sf: str) -> DataFrame:
     # index and skew guards as the Jaccard pass, one extra projection.
     docs = load(spark, sf, "documents")
     return D.ngram_containment_pairs(docs, "text", "doc_id", n=3, threshold=0.6)
+
+
+@query(
+    "text_cjk_accounting",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             text || repeat('中文字', CAST(doc_id % 4 AS INT)) AS txt
+      FROM documents WHERE lang = 'zh'
+    )
+    SELECT doc_id,
+           CAST(length(txt) AS BIGINT) AS n_chars,
+           CAST(length(txt)
+                - length(regexp_replace(txt, '[一-鿿]', '', 'g'))
+                AS BIGINT) AS n_cjk,
+           CAST(length(txt)
+                - length(regexp_replace(txt, '[一-鿿]', '', 'g'))
+                + len(regexp_split_to_array(
+                    trim(regexp_replace(txt, '[一-鿿]', '', 'g')), '\s+'))
+                AS BIGINT) AS est_tokens
+    FROM t
+    """,
+)
+def q_text_cjk_accounting(spark: SparkSession, sf: str) -> DataFrame:
+    # Token accounting for scripts whitespace tokenization cannot
+    # segment: every CJK codepoint counts as one token, the residue
+    # tokenizes by whitespace. The synthetic zh docs carry latin text,
+    # so deterministic CJK runs are PLANTED (doc_id-derived repeat —
+    # the planted-evidence rule); the query pins multibyte length
+    # semantics and unicode-range regex parity across engines.
+    docs = load(spark, sf, "documents").filter(F.col("lang") == "zh")
+    txt = F.concat(
+        F.col("text"), F.repeat(F.lit("中文字"), (F.col("doc_id") % 4).cast("int"))
+    )
+    residue = F.regexp_replace(txt, "[一-鿿]", "")
+    n_cjk = (F.length(txt) - F.length(residue)).cast("bigint")
+    return docs.select(
+        "doc_id",
+        F.length(txt).cast("bigint").alias("n_chars"),
+        n_cjk.alias("n_cjk"),
+        (n_cjk + F.size(F.split(F.trim(residue), r"\s+")).cast("bigint")).alias(
+            "est_tokens"
+        ),
+    )
