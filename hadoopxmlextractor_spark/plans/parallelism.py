@@ -28,6 +28,11 @@ def ensure_min_parallelism(df: DataFrame, min_partitions: int | None = None) -> 
     ``sparkContext.defaultParallelism``) — but ONLY if its current plan
     yields fewer partitions. Wide inputs pass through untouched, so at
     scale this is plan-neutral."""
+    if df.isStreaming:
+        # Streaming plans have no RDD to probe; micro-batch width is
+        # the source's concern (maxFilesPerTrigger etc.), so pass
+        # through untouched.
+        return df
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
     current = df.rdd.getNumPartitions()

@@ -73,3 +73,83 @@ def dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def _band_exprs(bands: int, rows_per_band: int):
+    return F.posexplode(
+        F.array(
+            *[
+                F.hash(F.slice("signature", k * rows_per_band + 1, rows_per_band))
+                for k in range(bands)
+            ]
+        )
+    ).alias("band", "bucket")
+
+
+def corpus_minhash_index(
+    corpus_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Static band index of the existing corpus for streaming near-dup
+    checks: (band, bucket, corpus_doc, signature). Built once batch-side
+    (and persisted in a real deployment, bucketed by (band, bucket));
+    the stream joins against it statelessly."""
+    from hadoopxmlextractor_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(
+        corpus_docs, text_col, id_col, num_hashes=num_hashes
+    )
+    return sigs.select(
+        F.col("doc").alias("corpus_doc"),
+        F.col("signature").alias("corpus_signature"),
+        _band_exprs(bands, num_hashes // bands),
+    )
+
+
+def near_dup_stream(
+    stream_docs: DataFrame,
+    corpus_index: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Flag arriving documents that are near-dups of the EXISTING
+    corpus: per micro-batch, MinHash signatures (same Arrow kernel as
+    batch dedup), band-explode, STATELESS stream-static join on
+    (band, bucket) against the corpus index, then the vectorized
+    estimated-Jaccard verify. Append mode with no watermark or state —
+    the static side carries all the memory, so stream throughput is
+    flat over time. A pair surfaces once per colliding band (callers
+    needing exactly-once per pair dedup in their sink; the test
+    distincts on collect). Batch-mode twin: ``dedup_minhash_lsh``."""
+    from hadoopxmlextractor_spark.operators.dedup import (
+        estimated_jaccard_udf,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(
+        stream_docs, text_col, id_col, num_hashes=num_hashes
+    )
+    banded = sigs.select(
+        F.col("doc").alias("stream_doc"),
+        F.col("signature").alias("stream_signature"),
+        _band_exprs(bands, num_hashes // bands),
+    )
+    est = estimated_jaccard_udf()
+    return (
+        banded.join(corpus_index, ["band", "bucket"])
+        .filter(F.col("stream_doc") != F.col("corpus_doc"))
+        .withColumn(
+            "est_jaccard",
+            F.round(est(F.col("stream_signature"), F.col("corpus_signature")), 4),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("stream_doc", "corpus_doc", "est_jaccard")
+    )

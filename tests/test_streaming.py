@@ -783,3 +783,52 @@ def test_stream_vectors_append_to_ivf_index(spark, tmp_path):
     assert [tuple(r) for r in probed.collect()] == [
         tuple(r) for r in brute.collect()
     ]
+
+
+def test_near_dup_stream_flags_arriving_near_duplicates(spark, tmp_path):
+    """Arriving docs near-dup of the EXISTING corpus are flagged by a
+    stateless stream-static band join; unrelated docs pass silently."""
+    from hadoopxmlextractor_spark.streaming.dedup import (
+        corpus_minhash_index,
+        near_dup_stream,
+    )
+
+    # 80 distinct words; the arriving variant edits two words mid-way
+    # -> Jaccard ~0.95, comfortably above the 16x4 banding knee.
+    words = [f"w{i}" for i in range(80)]
+    base_text = " ".join(words)
+    edited = list(words)
+    edited[40] = "changed"
+    edited[41] = "tokens"
+    corpus = spark.createDataFrame(
+        [(1, base_text), (2, "completely different corpus content here " * 6)],
+        "doc_id long, text string",
+    )
+    index = corpus_minhash_index(corpus)
+
+    landing = str(tmp_path / "landing")
+    arriving = spark.createDataFrame(
+        [
+            (100, " ".join(edited)),  # near-dup of 1
+            (101, "fresh novel text nothing like the corpus " * 6),
+        ],
+        "doc_id long, text string",
+    )
+    arriving.write.parquet(landing)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(landing)
+    out = near_dup_stream(stream, index, threshold=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("near_dup_hits")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = {
+        (r["stream_doc"], r["corpus_doc"])
+        for r in spark.sql("SELECT * FROM near_dup_hits").collect()
+    }
+    assert hits == {(100, 1)}
