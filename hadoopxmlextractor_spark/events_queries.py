@@ -1491,3 +1491,71 @@ def q_diagnostics_key_skew(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("skew_factor"),
         )
     )
+
+
+@query(
+    "events_funnel_trend",
+    """
+    WITH f AS (
+      SELECT user_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS wk,
+             MIN(CASE WHEN event_type = 'signup'
+                      THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS t_signup,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch_ms(CAST(ts AS TIMESTAMP)) END) AS t_purchase
+      FROM events GROUP BY user_id, wk
+    )
+    SELECT CAST(wk AS BIGINT) AS wk,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_purchase > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+           ROUND(CAST(SUM(CASE WHEN t_signup IS NOT NULL
+                              AND t_purchase > t_signup
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(GREATEST(SUM(CASE WHEN t_signup IS NOT NULL
+                                          THEN 1 ELSE 0 END), 1) AS DOUBLE),
+                 4) AS conversion_rate
+    FROM f GROUP BY wk
+    """,
+)
+def q_events_funnel_trend(spark: SparkSession, sf: str) -> DataFrame:
+    # The funnel as a TIME SERIES: per week, users who signed up and
+    # then purchased (ordered conditional MINs — the same trick as the
+    # one-shot funnel) with the weekly conversion rate. Two rollups
+    # that both cluster on (user, wk) then wk — partial aggregation
+    # shrinks each before its exchange.
+    ev = load(spark, sf, "events")
+    ms = F.unix_millis("ts")
+    f = (
+        ev.select(
+            "user_id",
+            F.expr("unix_millis(ts) div 604800000").alias("wk"),
+            "event_type",
+            ms.alias("ms"),
+        )
+        .groupBy("user_id", "wk")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", F.col("ms"))).alias(
+                "t_signup"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ms"))).alias(
+                "t_purchase"
+            ),
+        )
+    )
+    converted = F.col("t_signup").isNotNull() & (
+        F.col("t_purchase") > F.col("t_signup")
+    )
+    signed = F.col("t_signup").isNotNull()
+    return f.groupBy("wk").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum(signed.cast("long")).alias("n_signup"),
+        F.sum(converted.cast("long")).alias("n_converted"),
+        F.round(
+            F.sum(converted.cast("long")).cast("double")
+            / F.greatest(F.sum(signed.cast("long")), F.lit(1)).cast("double"),
+            4,
+        ).alias("conversion_rate"),
+    )
