@@ -1169,3 +1169,39 @@ def q_scalar_regex_family(spark: SparkSession, sf: str) -> DataFrame:
         F.regexp_replace("text", r"\s+", "_").alias("underscored"),
         F.col("text").rlike(r"^[a-z]").alias("starts_lower"),
     )
+
+
+@query(
+    "agg_grouping_id",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS rf,
+           COALESCE(l_linestatus, '(all)') AS ls,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_agg_grouping_id(spark: SparkSession, sf: str) -> DataFrame:
+    # grouping() bitmask parity: the only reliable way to tell a real
+    # NULL group from a CUBE subtotal row — COALESCE labels alone are
+    # ambiguous the moment the data contains the label value. Pinned
+    # cross-engine because the bit order of GROUPING_ID differs by
+    # engine while per-column GROUPING() does not.
+    li = load(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_rf"),
+            F.grouping("l_linestatus").cast("int").alias("g_ls"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("ls"),
+            "g_rf",
+            "g_ls",
+            "n",
+        )
+    )
