@@ -1559,3 +1559,146 @@ def q_events_funnel_trend(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("conversion_rate"),
     )
+
+
+@query(
+    "events_cohort_triangle",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             epoch_ms(CAST(ts AS TIMESTAMP)) // 604800000 AS wk
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(wk) AS cohort_wk FROM act GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_wk
+    )
+    SELECT CAST(c.cohort_wk AS BIGINT) AS cohort_wk,
+           CAST(a.wk - c.cohort_wk AS BIGINT) AS offset_wk,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           s.cohort_size,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 4)
+             AS retention
+    FROM act a
+    JOIN cohort c USING (user_id)
+    JOIN sizes s ON s.cohort_wk = c.cohort_wk
+    GROUP BY c.cohort_wk, a.wk - c.cohort_wk, s.cohort_size
+    """,
+)
+def q_events_cohort_triangle(spark: SparkSession, sf: str) -> DataFrame:
+    # The full cohort-retention TRIANGLE (events_retention is the
+    # adjacent-week slice): cohort = first active week, every later
+    # week becomes an offset cell with its retention rate. The
+    # DISTINCT activity matrix shrinks events to |users|×|weeks|
+    # first; cohorts and the join-back all cluster on user_id, the
+    # final rollup on the dimension-sized (cohort, offset) grid, and
+    # cohort sizes broadcast.
+    ev = load(spark, sf, "events")
+    act = (
+        ev.select(
+            "user_id", F.expr("unix_millis(ts) div 604800000").alias("wk")
+        )
+        .distinct()
+    )
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.join(cohort, "user_id")
+        .join(F.broadcast(sizes), "cohort_wk")
+        .groupBy(
+            "cohort_wk",
+            (F.col("wk") - F.col("cohort_wk")).alias("offset_wk"),
+            "cohort_size",
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .select(
+            "cohort_wk",
+            "offset_wk",
+            "n_active",
+            "cohort_size",
+            F.round(
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double"),
+                4,
+            ).alias("retention"),
+        )
+    )
+
+
+@query(
+    "events_rfm_scores",
+    """
+    WITH m AS (
+      SELECT user_id,
+             CAST(MAX(epoch_ms(CAST(ts AS TIMESTAMP))) AS BIGINT) AS recency_ms,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM events GROUP BY user_id
+    ), b AS (
+      SELECT quantile_cont(recency_ms, 0.25) AS r0,
+             quantile_cont(recency_ms, 0.50) AS r1,
+             quantile_cont(recency_ms, 0.75) AS r2,
+             quantile_cont(frequency, 0.25) AS f0,
+             quantile_cont(frequency, 0.50) AS f1,
+             quantile_cont(frequency, 0.75) AS f2,
+             quantile_cont(monetary_cents, 0.25) AS m0,
+             quantile_cont(monetary_cents, 0.50) AS m1,
+             quantile_cont(monetary_cents, 0.75) AS m2
+      FROM m
+    )
+    SELECT user_id, recency_ms, frequency, monetary_cents,
+           1 + CAST(recency_ms > r0 AS INT) + CAST(recency_ms > r1 AS INT)
+             + CAST(recency_ms > r2 AS INT) AS r_score,
+           1 + CAST(frequency > f0 AS INT) + CAST(frequency > f1 AS INT)
+             + CAST(frequency > f2 AS INT) AS f_score,
+           1 + CAST(monetary_cents > m0 AS INT) + CAST(monetary_cents > m1 AS INT)
+             + CAST(monetary_cents > m2 AS INT) AS m_score
+    FROM m, b
+    """,
+)
+def q_events_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
+    # RFM customer scoring (recency / frequency / monetary quartiles):
+    # per-user metrics in one uniform-key aggregate, then quartile
+    # boundaries broadcast over the user table — the length_buckets
+    # pattern (exact dyadic-fraction interpolation on bigint metrics,
+    # never a global-sort NTILE). Monetary goes to cents for exact
+    # sums; the user table is already dimension-sized when bucketing.
+    ev = load(spark, sf, "events")
+    m = ev.groupBy("user_id").agg(
+        F.max(F.unix_millis("ts")).alias("recency_ms"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("value") * 100 + 0.5).cast("bigint")).alias(
+            "monetary_cents"
+        ),
+    )
+    b = m.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{i}")
+            for c in ("recency_ms", "frequency", "monetary_cents")
+            for i, q in enumerate((0.25, 0.50, 0.75))
+        ]
+    )
+    j = m.crossJoin(F.broadcast(b))
+
+    def score(c: str) -> F.Column:
+        p = c[0]
+        return (
+            F.lit(1)
+            + (F.col(c) > F.col(f"{p}0")).cast("int")
+            + (F.col(c) > F.col(f"{p}1")).cast("int")
+            + (F.col(c) > F.col(f"{p}2")).cast("int")
+        ).alias(f"{p}_score")
+
+    return j.select(
+        "user_id",
+        "recency_ms",
+        "frequency",
+        "monetary_cents",
+        score("recency_ms"),
+        score("frequency"),
+        score("monetary_cents"),
+    )
