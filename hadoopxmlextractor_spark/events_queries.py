@@ -1702,3 +1702,59 @@ def q_events_rfm_scores(spark: SparkSession, sf: str) -> DataFrame:
         score("frequency"),
         score("monetary_cents"),
     )
+
+
+@query(
+    "events_ab_srm_check",
+    """
+    WITH per_user AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substring(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                     1, 8)) AS BIGINT) % 2 AS variant
+      FROM events
+    ), c AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_control,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treatment
+      FROM per_user
+    )
+    SELECT n_control, n_treatment,
+           ROUND((CAST(n_control AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+                 * (CAST(n_control AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+                 / CAST(n_control + n_treatment AS DOUBLE), 4) AS chi2,
+           ((CAST(n_control AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+            * (CAST(n_control AS DOUBLE) - CAST(n_treatment AS DOUBLE))
+            / CAST(n_control + n_treatment AS DOUBLE)) > 3.84 AS srm_flag
+    FROM c
+    """,
+)
+def q_events_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
+    # Sample-ratio-mismatch audit — the FIRST check before reading any
+    # experiment (events_ab_cuped's split must actually be 50/50):
+    # chi-square of the variant counts against the expected even
+    # split; chi2 = (n0-n1)^2/(n0+n1) for two equal cells, flagged at
+    # the 0.05 critical value. Exact integer counts, one fixed double
+    # chain. A DISTINCT user projection + a 1-row aggregate.
+    ev = load(spark, sf, "events")
+    split = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    pu = ev.select("user_id", split.alias("variant")).distinct()
+    c = pu.agg(
+        F.sum((F.col("variant") == 0).cast("long")).alias("n_control"),
+        F.sum((F.col("variant") == 1).cast("long")).alias("n_treatment"),
+    )
+    d = (F.col("n_control").cast("double") - F.col("n_treatment").cast("double"))
+    chi2 = d * d / (F.col("n_control") + F.col("n_treatment")).cast("double")
+    return c.select(
+        "n_control",
+        "n_treatment",
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.84).alias("srm_flag"),
+    )
