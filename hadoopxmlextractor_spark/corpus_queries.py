@@ -2250,3 +2250,63 @@ def q_corpus_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
         emb, threshold=0.2, dim=64, n_planes=4, n_tables=8
     )
     return pairs.filter(F.col("sim") < 0.45)
+
+
+@query(
+    "corpus_chunk_language",
+    r"""
+    WITH base AS (
+      SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, w, n_tokens,
+             unnest(generate_series(
+               0, GREATEST(CAST(CEIL(n_tokens / 32.0) AS BIGINT), 1) - 1
+             )) AS chunk_idx
+      FROM base
+    ), ct AS (
+      SELECT doc_id, lang, CAST(chunk_idx AS INT) AS chunk_idx,
+             ' ' || lower(CASE WHEN n_tokens = 0 THEN ''
+               ELSE array_to_string(
+                 w[chunk_idx * 32 + 1 : LEAST((chunk_idx + 1) * 32, n_tokens)],
+                 ' ') END) || ' ' AS p
+      FROM c
+    ), scored AS (
+      SELECT doc_id, chunk_idx, lang AS declared_lang,
+             (length(p) - length(replace(p, ' the ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' and ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' of ', ''))) / 4.0 AS s_en,
+             (length(p) - length(replace(p, ' der ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' und ', ''))) / 5.0
+           + (length(p) - length(replace(p, ' die ', ''))) / 5.0 AS s_de,
+             (length(p) - length(replace(p, ' le ', ''))) / 4.0
+           + (length(p) - length(replace(p, ' et ', ''))) / 4.0
+           + (length(p) - length(replace(p, ' les ', ''))) / 5.0 AS s_fr
+      FROM ct
+    )
+    SELECT doc_id, chunk_idx, declared_lang,
+           CASE WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_de > 0 AND s_de >= s_en AND s_de >= s_fr THEN 'de'
+                WHEN s_fr > 0 AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                ELSE 'unknown' END AS detected_lang
+    FROM scored
+    """,
+)
+def q_corpus_chunk_language(spark: SparkSession, sf: str) -> DataFrame:
+    # Mixed-language document segmentation: language-ID per 32-token
+    # chunk instead of per document — the pass that finds embedded
+    # foreign-language boilerplate a doc-level ID averages away. Pure
+    # composition of the chunker and the marker heuristic: still one
+    # zero-shuffle codegen projection per chunk row.
+    docs = load(spark, sf, "documents")
+    chunks = C.chunk_text(docs.select("doc_id", "lang", "text"), "text", "doc_id",
+                          chunk_tokens=32, carry=("lang",))
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.col("lang").alias("declared_lang"),
+        T.language_id("chunk_text").alias("detected_lang"),
+    )

@@ -1758,3 +1758,49 @@ def q_events_ab_srm_check(spark: SparkSession, sf: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         (chi2 > 3.84).alias("srm_flag"),
     )
+
+
+@query(
+    "events_bot_detection",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_ms(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_ms(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) + 1 AS BIGINT) AS n_events,
+           CAST(quantile_cont(gap_ms, 0.5) AS DOUBLE) AS median_gap_ms,
+           (COUNT(*) + 1 >= 20 AND quantile_cont(gap_ms, 0.5) < 3600000)
+             AS bot_flag
+    FROM g WHERE gap_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_events_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
+    # Machine-traffic heuristic — the data-quality filter run before
+    # any behavioral analytics: a user whose MEDIAN inter-event gap is
+    # implausibly small at volume is a bot/scraper, and the median
+    # (exact grouped percentile, dyadic 0.5) shrugs off the long idle
+    # tails that break mean-gap rules. One user-keyed exchange shared
+    # by the lag window and the aggregate.
+    ev = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ms = F.unix_millis("ts")
+    g = ev.select(
+        "user_id", (ms - F.lag(ms).over(w)).alias("gap_ms")
+    ).filter(F.col("gap_ms").isNotNull())
+    a = g.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).alias("n_events"),
+        F.expr("percentile(gap_ms, 0.5)").alias("median_gap_ms"),
+    )
+    return a.select(
+        "user_id",
+        "n_events",
+        F.col("median_gap_ms").cast("double").alias("median_gap_ms"),
+        (
+            (F.col("n_events") >= 20) & (F.col("median_gap_ms") < 3600000)
+        ).alias("bot_flag"),
+    )

@@ -658,7 +658,12 @@ def bigram_logprob(
 
 
 def chunk_text(
-    docs: DataFrame, text_col: str, id_col: str, *, chunk_tokens: int = 128
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    chunk_tokens: int = 128,
+    carry: tuple = (),
 ) -> DataFrame:
     """:func:`chunk_documents` with the actual chunk text materialized —
     (id, chunk_idx, n_tokens, chunk_text) — the form a pipeline feeds
@@ -666,7 +671,8 @@ def chunk_text(
     posexplode + an ``F.slice``/``array_join`` projection (plain
     expressions, not interpreted lambda HOFs), zero shuffle at any
     scale; output size is input tokens, linear. Empty documents emit
-    one empty chunk so downstream joins never lose a document."""
+    one empty chunk so downstream joins never lose a document.
+    ``carry`` passes metadata columns through the projection."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     n_chunks = F.greatest(F.ceil(n / F.lit(float(chunk_tokens))).cast("int"), F.lit(1))
@@ -676,11 +682,13 @@ def chunk_text(
     return (
         docs.select(
             F.col(id_col),
+            *[F.col(c) for c in carry],
             toks.alias("_toks"),
             F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx", "_v"),
         )
         .select(
             id_col,
+            *carry,
             "chunk_idx",
             F.size(piece).alias("n_tokens"),
             F.array_join(piece, " ").alias("chunk_text"),
