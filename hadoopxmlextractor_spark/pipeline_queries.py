@@ -1465,3 +1465,66 @@ def q_text_cjk_accounting(spark: SparkSession, sf: str) -> DataFrame:
             "est_tokens"
         ),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM documents WHERE trim(text) <> '')
+    ), inv AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), df AS (
+      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM inv GROUP BY shingle
+    )
+    SELECT i.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+    FROM inv i JOIN df d USING (shingle)
+    GROUP BY i.doc_id
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    # Novelty rate — the inverse of the boilerplate signals: the
+    # fraction of a doc's distinct shingles that appear NOWHERE else
+    # in the corpus. High-novelty docs carry information the mixture
+    # should up-weight; near-zero novelty marks templated content.
+    # Same inverted index shape as dedup: distinct shingles explode
+    # once, the df table is shingle-keyed (uniform), and the join-back
+    # rides the same key before a doc-keyed rollup.
+    docs = load(spark, sf, "documents")
+    sh = docs.select(
+        "doc_id", D.shingle_hashes("text", 3).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).persist()
+    inv.count()
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        inv.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_unique",
+            F.round(
+                F.col("n_unique").cast("double")
+                / F.col("n_shingles").cast("double"),
+                4,
+            ).alias("novelty"),
+        )
+    )
