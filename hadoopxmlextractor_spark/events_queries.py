@@ -1804,3 +1804,48 @@ def q_events_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_events") >= 20) & (F.col("median_gap_ms") < 3600000)
         ).alias("bot_flag"),
     )
+
+
+@query(
+    "events_seasonality_profile",
+    """
+    WITH e AS (
+      SELECT CAST((epoch_ms(CAST(ts AS TIMESTAMP)) // 86400000 + 3) % 7
+                  AS INT) AS dow,
+             CAST(epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000 % 24 AS INT)
+               AS hour_utc
+      FROM events
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
+    SELECT CAST(dow AS INT) AS dow, hour_utc,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE), 4) AS share
+    FROM e, tot GROUP BY dow, hour_utc, n
+    """,
+)
+def q_events_seasonality_profile(spark: SparkSession, sf: str) -> DataFrame:
+    # Day-of-week × hour activity heatmap with load share — the
+    # seasonality baseline capacity planning and anomaly thresholds
+    # are read against. Hour from epoch millis (UTC, engine-neutral —
+    # never the session-timezone hour() which follows the host); one
+    # dimension-bounded (7×24) aggregate + broadcast total.
+    ev = load(spark, sf, "events")
+    # dow from epoch arithmetic, 0 = Monday: the builtin dayofweek()
+    # numbers Sunday as 1 in Spark but 0 in DuckDB — engine-specific.
+    e = ev.select(
+        F.expr("(unix_millis(ts) div 86400000 + 3) % 7").cast("int").alias("dow"),
+        F.expr("unix_millis(ts) div 3600000 % 24").cast("int").alias("hour_utc"),
+    )
+    tot = e.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        e.groupBy("dow", "hour_utc")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "dow",
+            "hour_utc",
+            "n_events",
+            F.round(
+                F.col("n_events").cast("double") / F.col("n").cast("double"), 4
+            ).alias("share"),
+        )
+    )
