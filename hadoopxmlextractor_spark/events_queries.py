@@ -1849,3 +1849,74 @@ def q_events_seasonality_profile(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+@query(
+    "events_stickiness",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    span AS (SELECT MAX(day) AS d1 FROM ud),
+    member AS (
+      SELECT DISTINCT user_id,
+             CAST(unnest(generate_series(day, day + INTERVAL 27 DAY,
+                                         INTERVAL 1 DAY)) AS DATE)
+               AS report_day
+      FROM ud
+    ),
+    mau AS (
+      SELECT report_day, CAST(COUNT(*) AS BIGINT) AS mau
+      FROM member, span
+      WHERE report_day <= span.d1
+      GROUP BY report_day
+    ),
+    dau AS (
+      SELECT day AS report_day, CAST(COUNT(*) AS BIGINT) AS dau
+      FROM ud GROUP BY day
+    )
+    SELECT m.report_day AS day, COALESCE(d.dau, 0) AS dau, m.mau,
+           ROUND(CAST(COALESCE(d.dau, 0) AS DOUBLE) / CAST(m.mau AS DOUBLE), 4)
+             AS stickiness
+    FROM mau m LEFT JOIN dau d USING (report_day)
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf: str) -> DataFrame:
+    # DAU/MAU stickiness — the engagement-product metric: trailing
+    # 28-day distinct users via the same membership-vote fan-out as
+    # the rolling WAU (each (user, day) activity row votes into the 28
+    # report days it keeps the user active in — bounded 28x fan-out of
+    # the already-shrunk DISTINCT matrix, never a grid cross join).
+    ev = load(spark, sf, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    d1 = ud.agg(F.max("day").alias("d1"))
+    member = (
+        ud.select(
+            "user_id",
+            F.explode(F.sequence("day", F.date_add("day", 27))).alias(
+                "report_day"
+            ),
+        )
+        .distinct()
+    )
+    mau = (
+        member.join(F.broadcast(d1), member.report_day <= F.col("d1"))
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("mau"))
+    )
+    dau = ud.groupBy(F.col("day").alias("report_day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return (
+        mau.join(dau, "report_day", "left")
+        .select(
+            F.col("report_day").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("bigint").alias("dau"),
+            "mau",
+            F.round(
+                F.coalesce("dau", F.lit(0)).cast("double")
+                / F.col("mau").cast("double"),
+                4,
+            ).alias("stickiness"),
+        )
+    )
