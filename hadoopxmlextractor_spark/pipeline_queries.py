@@ -175,14 +175,61 @@ def q_embedding_near_pairs_lsh(spark: SparkSession, sf: str) -> DataFrame:
     return S.cosine_pairs_lsh(emb, threshold=0.45, dim=dim, n_planes=4, n_tables=8)
 
 
-@query("similarity_topk_ivf")  # approximate (probes nprobe/n_centroids)
-def q_similarity_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    # nprobe=6/16: measured top-20 recall 15/20 vs exact on the test
-    # corpus (random 64-d vectors — the hardest case for cell pruning;
-    # clustered real embeddings concentrate neighbors in fewer cells).
-    # The recall gate lives in tests/test_approx_quality.py.
+_EXACT_TOP20_SQL = """
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    ex AS (
+      SELECT vec_id,
+             ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), (SELECT qv FROM q)), 6) AS sim
+      FROM embeddings
+      ORDER BY sim DESC, vec_id
+      LIMIT 20
+    )
+    SELECT vec_id, sim, TRUE AS {flag} FROM ex
+"""
+
+
+def _gated_ann_topk(spark, sf: str, build, flag: str, *, min_recall: int = 10) -> DataFrame:
+    """Gate-verdict wrapper for the approximate-by-design ANN paths: the
+    hashed payload is the EXACT brute-force top-20 (oracle-checkable SQL)
+    plus one deterministic boolean — "the approximate variant recovered
+    ≥ ``min_recall`` of the exact top-20". Every stage of the
+    approximate plan is deterministic for fixed input (seeded centroid
+    sample, argmax ties to lowest id, TakeOrderedAndProject with id
+    tiebreaks), so the recall count — and therefore the flag — is
+    hash-stable; thresholds sit ≥4 hits under the worst measured recall
+    across sf0.001/0.01/0.1. The tighter per-sf recall/rank assertions
+    stay in tests/test_approx_quality.py."""
     emb = load(spark, sf, "embeddings")
-    return S.ivf_topk(emb, _query_vec(spark, sf), k=20, n_centroids=16, nprobe=6)
+    qv = _query_vec(spark, sf)
+    exact = S.cosine_topk_bruteforce(emb, qv, k=20)
+    approx = build(emb, qv)
+    # single-row recall total: broadcast cross join (tiny-row idiom)
+    n_hit = (
+        approx.select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return exact.crossJoin(F.broadcast(n_hit)).select(
+        "vec_id", "sim", (F.col("n_hit") >= min_recall).alias(flag)
+    )
+
+
+@query(
+    "similarity_topk_ivf",
+    _EXACT_TOP20_SQL.format(flag="ivf_recall_ge_50pct"),
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    # IVF cell pruning probes nprobe=12/16 cells; on the synthetic
+    # random 64-d corpus (the hardest case for cell pruning — clustered
+    # real embeddings concentrate neighbors in fewer cells) measured
+    # top-20 recall is 15-19/20 across sf0.001/0.01/0.1, so the ≥10/20
+    # gate verdict is deterministic-true with ≥5 hits of headroom.
+    return _gated_ann_topk(
+        spark,
+        sf,
+        lambda emb, qv: S.ivf_topk(emb, qv, k=20, n_centroids=16, nprobe=12),
+        "ivf_recall_ge_50pct",
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -821,24 +868,39 @@ def q_similarity_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     return S.knn_classify(emb, probes, k=5)
 
 
-@query("similarity_topk_pq")  # approximate (8-byte PQ codes + re-rank)
+@query(
+    "similarity_topk_pq",
+    _EXACT_TOP20_SQL.format(flag="pq_recall_ge_50pct"),
+)
 def q_similarity_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
     # ADC over product-quantization codes (32× less scan I/O than the
-    # float column) with exact re-rank of the top 4k candidates. The
-    # recall gate vs the exact twin lives in
-    # tests/test_approx_quality.py alongside the IVF gate.
-    emb = load(spark, sf, "embeddings")
-    return S.pq_topk(emb, _query_vec(spark, sf), k=20, m=8, n_codes=16, refine=4)
+    # float column) with exact re-rank of the top 12k candidates;
+    # measured top-20 recall 14-20/20 across sfs → the ≥10/20 gate
+    # verdict is deterministic-true with ≥4 hits of headroom. Tighter
+    # recall/rank assertions: tests/test_approx_quality.py.
+    return _gated_ann_topk(
+        spark,
+        sf,
+        lambda emb, qv: S.pq_topk(emb, qv, k=20, m=8, n_codes=16, refine=12),
+        "pq_recall_ge_50pct",
+    )
 
 
-@query("similarity_topk_ivfpq")  # approximate (row pruning × byte pruning)
+@query(
+    "similarity_topk_ivfpq",
+    _EXACT_TOP20_SQL.format(flag="ivfpq_recall_ge_50pct"),
+)
 def q_similarity_topk_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
-    # The composed production shape: IVF cell pruning, then ADC over
-    # PQ codes, then exact re-rank. Recall gate vs the exact twin in
-    # tests/test_approx_quality.py.
-    emb = load(spark, sf, "embeddings")
-    return S.ivf_pq_topk(
-        emb, _query_vec(spark, sf), k=20, n_centroids=16, nprobe=6, m=8, n_codes=16
+    # The composed production shape: IVF cell pruning (nprobe=12), ADC
+    # over PQ codes (refine=12), exact re-rank; measured top-20 recall
+    # 14-18/20 across sfs → ≥10/20 gate verdict with ≥4 hits headroom.
+    return _gated_ann_topk(
+        spark,
+        sf,
+        lambda emb, qv: S.ivf_pq_topk(
+            emb, qv, k=20, n_centroids=16, nprobe=12, m=8, n_codes=16, refine=12
+        ),
+        "ivfpq_recall_ge_50pct",
     )
 
 
