@@ -1655,6 +1655,43 @@ def q_dedup_incremental_bloom(spark: SparkSession, sf: str) -> DataFrame:
     return D.bloom_incremental_flags(corpus, batch, "h", "doc_id")
 
 
+@query(
+    "dedup_incremental_bloom_sharded",
+    f"""
+    WITH tagged AS (
+      SELECT doc_id, md5(text) AS h,
+             {_HEX8} % 100 >= 80 AS incoming
+      FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents)
+    ),
+    corpus AS (SELECT DISTINCT h FROM tagged WHERE NOT incoming)
+    SELECT t.doc_id,
+           (c.h IS NOT NULL) AS dup_of_corpus,
+           (ROW_NUMBER() OVER (PARTITION BY t.h ORDER BY t.doc_id) > 1)
+             AS dup_in_batch
+    FROM tagged t LEFT JOIN corpus c ON t.h = c.h
+    WHERE t.incoming
+    """,
+)
+def q_dedup_incremental_bloom_sharded(spark: SparkSession, sf: str) -> DataFrame:
+    # The ≥1e9-member bloom regime: per-shard bitmaps stay DISTRIBUTED
+    # (no bitmap ever reaches the driver — the round-3 verdict's
+    # driver-OOM hazard), the batch probes them through a shard-keyed
+    # cogroup, and the exact verify join erases every false positive —
+    # so the oracle is the same exact SQL as the plain-join variant.
+    docs = load(spark, sf, "documents").withColumn(
+        "bucket", C.stable_bucket("doc_id", 100)
+    )
+    tagged = docs.select(
+        "doc_id", F.md5("text").alias("h"), (F.col("bucket") >= 80).alias("incoming")
+    )
+    corpus = tagged.filter(~F.col("incoming")).select("h").distinct()
+    batch = tagged.filter(F.col("incoming")).select("doc_id", "h")
+    return D.bloom_incremental_flags_sharded(
+        corpus, batch, "h", "doc_id", n_shards=64, m_bits_per_shard=1 << 11
+    )
+
+
 @query("corpus_bpe_merges", O.bpe_merges_oracle(rounds=6))
 def q_corpus_bpe_merges(spark: SparkSession, sf: str) -> DataFrame:
     # Tokenizer training on the corpus: 6 rounds of BPE merge

@@ -1005,15 +1005,17 @@ def _bloom_positions(hex_md5: str, m_bits: int) -> tuple[int, ...]:
 def bloom_build(hashes: DataFrame, h_col: str, *, m_bits: int = 1 << 17) -> bytes:
     """Build an m-bit Bloom filter over a column of md5-hex hashes,
     distributed: each partition folds its hashes into a local bitmap
-    (one Arrow pass), and only the O(partitions) partial bitmaps —
-    never the hashes — travel to the driver to be OR-merged.
+    (one Arrow pass), and the partial bitmaps OR-merge EXECUTOR-SIDE
+    through a tree reduction — the driver receives only the last
+    handful of pre-merged bitmaps (≤4 at depth ≥2), never one per
+    partition. At the 100 TB sizing (m ≈ 1e10 bits = 1.25 GB/bitmap)
+    a flat collect over hundreds of partitions would OOM the driver;
+    the tree caps driver fan-in regardless of partition count.
 
-    At 100 TB a single broadcastable bitmap caps out around ~1e9
-    members (m = 1e10 bits ≈ 1.25 GB); beyond that, shard the filter
-    by hash prefix into per-bucket blooms probed after the same
-    bucketing as the on-disk index. The OR-merge is associative, so a
-    treeAggregate topology drops in unchanged if partition counts make
-    the driver fan-in wide.
+    A single broadcastable bitmap still caps out around ~1e9 members;
+    beyond that use :func:`bloom_build_sharded` /
+    :func:`bloom_incremental_flags_sharded`, which never materialize
+    any bitmap on the driver at all.
     """
     import numpy as np
 
@@ -1027,11 +1029,23 @@ def bloom_build(hashes: DataFrame, h_col: str, *, m_bits: int = 1 << 17) -> byte
                     bm[p >> 3] |= np.uint8(1 << (p & 7))
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
-    parts = hashes.select(h_col).mapInPandas(build, "bm binary").collect()
-    out = np.zeros(n_bytes, dtype=np.uint8)
-    for row in parts:
-        out |= np.frombuffer(row["bm"], dtype=np.uint8)
-    return out.tobytes()
+    # One Arrow-batched local bitmap per partition, then an associative
+    # OR treeReduce: depth scales with partition count so each merge
+    # task (and the final driver step) sees a bounded number of bitmaps.
+    partials = hashes.select(h_col).mapInPandas(build, "bm binary").rdd.map(
+        lambda r: r["bm"]
+    )
+    n_parts = max(1, partials.getNumPartitions())
+    depth = 2 if n_parts <= 64 else 3
+
+    def or_merge(a: bytes, b: bytes) -> bytes:
+        return (
+            np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+        ).tobytes()
+
+    if partials.isEmpty():  # zero-partition input: empty filter
+        return bytes(n_bytes)
+    return partials.treeReduce(or_merge, depth=depth)
 
 
 def bloom_incremental_flags(
@@ -1080,6 +1094,18 @@ def bloom_incremental_flags(
 
     tagged = batch.withColumn("maybe", maybe_in_corpus(F.col(h_col))).persist()
     tagged.count()  # eager: feeds both the verify branch and the miss branch
+    return _flags_from_maybe(tagged, corpus_hashes, h_col, id_col)
+
+
+def _flags_from_maybe(
+    tagged: DataFrame, corpus_hashes: DataFrame, h_col: str, id_col: str
+) -> DataFrame:
+    """Shared tail of the bloom dedup variants: exact-verify the
+    ``maybe`` rows against the corpus index (erasing every bloom false
+    positive), route the definite misses around the join, and window
+    the in-batch first-wins flag. ``tagged`` must be persisted+counted
+    by the caller — it feeds both branches and AQE would otherwise race
+    to recompute the probe lineage."""
     corpus = corpus_hashes.select(h_col).distinct().withColumn("corpus_hit", F.lit(True))
     verified = (
         tagged.filter(F.col("maybe"))
@@ -1101,3 +1127,113 @@ def bloom_incremental_flags(
             (F.row_number().over(w) > 1).alias("dup_in_batch"),
         )
     )
+
+
+def _shard_col(h_col: str, n_shards: int) -> Column:
+    """Shard id for an md5-hex hash, via xxhash64 of the hex string —
+    deliberately NOT a slice of the md5 words: all four words already
+    feed :func:`_bloom_positions`, and sharding on any of them would
+    make every member of a shard congruent in that word, degrading one
+    of the k bit positions to a stride."""
+    return F.pmod(F.xxhash64(F.col(h_col)), F.lit(n_shards)).cast("int")
+
+
+def bloom_build_sharded(
+    corpus_hashes: DataFrame,
+    h_col: str,
+    *,
+    n_shards: int = 64,
+    m_bits_per_shard: int = 1 << 11,
+) -> DataFrame:
+    """Hash-prefix-sharded Bloom filter as a DISTRIBUTED table of
+    ``(shard, bm)`` rows — the ≥1e9-member regime where a single
+    broadcastable bitmap (1.25 GB at m=1e10) stops fitting. No bitmap
+    ever reaches the driver: each shard's bitmap is built by ONE
+    applyInPandas task over that shard's hashes (total filter capacity
+    = n_shards × m_bits_per_shard, so FP rate matches an equally-sized
+    flat filter), and probing joins batch rows to their shard's bitmap
+    by the same key. Size n_shards so one shard's bitmap fits a task
+    comfortably (e.g. 1e10 total bits across 256 shards = 5 MB/shard);
+    at 100 TB the shard key doubles as the on-disk index bucketing, so
+    probe shuffles align with the index layout."""
+    import numpy as np
+
+    n_bytes = m_bits_per_shard // 8
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        for h in pdf[h_col]:
+            for p in _bloom_positions(h, m_bits_per_shard):
+                bm[p >> 3] |= np.uint8(1 << (p & 7))
+        return pd.DataFrame({"bshard": [int(pdf["bshard"].iloc[0])], "bm": [bm.tobytes()]})
+
+    return (
+        corpus_hashes.select(F.col(h_col), _shard_col(h_col, n_shards).alias("bshard"))
+        .groupBy("bshard")
+        .applyInPandas(build, "bshard int, bm binary")
+    )
+
+
+def bloom_incremental_flags_sharded(
+    corpus_hashes: DataFrame,
+    batch: DataFrame,
+    h_col: str = "h",
+    id_col: str = "doc_id",
+    *,
+    n_shards: int = 64,
+    m_bits_per_shard: int = 1 << 11,
+) -> DataFrame:
+    """Incremental dedup with the SHARDED bloom pre-filter — identical
+    contract and exact same result as :func:`bloom_incremental_flags`
+    (the verify join erases every false positive), but built for the
+    regime where the filter itself is too big to broadcast: per-shard
+    bitmaps stay distributed (:func:`bloom_build_sharded`) and the
+    batch probes them via a shard-keyed cogroup — each task sees one
+    shard's batch rows plus that shard's single bitmap row, so the
+    probe is one batch-sized shuffle on the shard key and the bitmap
+    bytes are never replicated per row (a broadcast-join probe would
+    ship m/n_shards bytes into every row's Arrow batch).
+    """
+    import numpy as np
+
+    blooms = bloom_build_sharded(
+        corpus_hashes, h_col, n_shards=n_shards, m_bits_per_shard=m_bits_per_shard
+    )
+
+    id_field = batch.schema[id_col]
+    out_schema = (
+        f"{id_col} {id_field.dataType.simpleString()}, {h_col} string, maybe boolean"
+    )
+
+    def probe(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame({id_col: [], h_col: [], "maybe": []})
+        if right.empty:  # shard with no corpus members: definite miss
+            maybe = [False] * len(left)
+        else:
+            bm = np.frombuffer(right["bm"].iloc[0], dtype=np.uint8)
+            maybe = [
+                all(
+                    bm[p >> 3] & (1 << (p & 7))
+                    for p in _bloom_positions(h, m_bits_per_shard)
+                )
+                for h in left[h_col]
+            ]
+        return pd.DataFrame(
+            {id_col: left[id_col], h_col: left[h_col], "maybe": maybe}
+        )
+
+    # cogroup keys: batch shard vs bloom "bshard" — the bloom side's
+    # columns are born fresh from its applyInPandas schema, so the
+    # same-scan expression-id dedup hazard (CLAUDE.md) can't collapse
+    # the right side even when corpus and batch share one scan.
+    tagged = (
+        batch.select(id_col, h_col)
+        .withColumn("shard", _shard_col(h_col, n_shards))
+        .groupBy("shard")
+        .cogroup(blooms.groupBy("bshard"))
+        .applyInPandas(lambda left, right: probe(left, right), out_schema)
+        .persist()
+    )
+    tagged.count()  # eager: feeds both the verify branch and the miss branch
+    return _flags_from_maybe(tagged, corpus_hashes, h_col, id_col)

@@ -435,6 +435,89 @@ def test_bloom_incremental_exact_even_with_forced_false_positives(spark):
         )
 
 
+def test_bloom_build_tree_fanin_matches_flat_merge(spark):
+    # Round-3 verdict item 2: the OR-merge must happen executor-side
+    # (treeReduce), and the result must equal a naive driver-side build
+    # — forced over ≥64 partitions so the tree actually has fan-in.
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.dedup import (
+        _bloom_positions,
+        bloom_build,
+    )
+
+    m_bits = 1 << 14
+    corpus = (
+        spark.range(2000)
+        .repartition(64)
+        .select(F.md5(F.col("id").cast("string")).alias("h"))
+    )
+    assert corpus.rdd.getNumPartitions() == 64
+    got = np.frombuffer(bloom_build(corpus, "h", m_bits=m_bits), dtype=np.uint8)
+    want = np.zeros(m_bits // 8, dtype=np.uint8)
+    for row in corpus.collect():
+        for p in _bloom_positions(row["h"], m_bits):
+            want[p >> 3] |= np.uint8(1 << (p & 7))
+    assert (got == want).all()
+
+
+def test_bloom_sharded_flags_identical_to_plain_join(spark):
+    # The ≥1e9-member shape: distributed per-shard bitmaps + cogroup
+    # probe must produce EXACTLY the plain left-join flags, with the
+    # corpus forced across ≥64 partitions and a deliberately small
+    # per-shard m so false positives occur and must be erased by the
+    # verify join. Also checks no shard bitmap ever hits the driver:
+    # bloom_build_sharded returns a DataFrame, and we only aggregate it.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.dedup import (
+        bloom_build_sharded,
+        bloom_incremental_flags_sharded,
+    )
+
+    n = 3000
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # ids 0..999 are corpus; 1000..1999 duplicate their text; rest new
+        F.md5(
+            F.when(F.col("id") < 2000, (F.col("id") % 1000).cast("string")).otherwise(
+                F.col("id").cast("string")
+            )
+        ).alias("h"),
+    )
+    corpus = base.filter(F.col("doc_id") < 1000).select("h").repartition(64)
+    batch = base.filter(F.col("doc_id") >= 1000).select("doc_id", "h").repartition(16)
+
+    got = {
+        r["doc_id"]: (r["dup_of_corpus"], r["dup_in_batch"])
+        for r in bloom_incremental_flags_sharded(
+            corpus, batch, "h", "doc_id", n_shards=64, m_bits_per_shard=256
+        ).collect()
+    }
+    w = Window.partitionBy("h").orderBy("doc_id")
+    want = {
+        r["doc_id"]: (r["dup_of_corpus"], r["dup_in_batch"])
+        for r in batch.join(
+            corpus.distinct().withColumn("hit", F.lit(True)), "h", "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("hit", F.lit(False)).alias("dup_of_corpus"),
+            (F.row_number().over(w) > 1).alias("dup_in_batch"),
+        )
+        .collect()
+    }
+    assert got == want
+    # shard table shape: one row per occupied shard, all shards covered
+    blooms = bloom_build_sharded(corpus, "h", n_shards=64, m_bits_per_shard=256)
+    stats = blooms.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("bshard").alias("d")
+    ).collect()[0]
+    assert stats["n"] == stats["d"] == 64  # 1000 keys over 64 shards: all hit
+
+
 def _kmeans_replay(ids, vecs, k, rounds):
     """Pure-Python mirror of similarity.kmeans_assignments (quantize →
     md5-ranked seeds → Lloyd with lowest-cid ties, floor-div updates,
