@@ -839,12 +839,21 @@ def kmeans_assignments(
             new_cents[r["cid"]][r["pos"]] = r["v"]
         cents = new_cents
 
-    final = q.withColumn("a", _kmeans_assign_factory(cents)(F.col("q")))
-    return final.select(
-        "vec_id",
-        F.col("a.cid").alias("centroid_id"),
-        F.col("a.dist").alias("dist"),
+    final = (
+        q.withColumn("a", _kmeans_assign_factory(cents)(F.col("q")))
+        .select(
+            "vec_id",
+            F.col("a.cid").alias("centroid_id"),
+            F.col("a.dist").alias("dist"),
+        )
+        # cache release: the 3-scalar-column assignment is ~dim× smaller
+        # than the quantized vectors — materialize it (cutting lineage
+        # to q) and free q's cache instead of leaking it across a long
+        # multi-query session.
+        .localCheckpoint(eager=True)
     )
+    q.unpersist()
+    return final
 
 
 # ---------------------------------------------------------------------------
@@ -964,18 +973,27 @@ def compact_ivf_index(
     The loop is over k cell DIRECTORIES (bounded by n_centroids,
     never data-sized); each cell rewrite is one independent job, so a
     scheduler can spread cells across a maintenance window. Returns
-    {cell_path: (files_before, files_after)}."""
-    import os
+    {cell_path: (files_before, files_after)}.
 
+    Cells are discovered through Spark's own partition discovery (a
+    zero-data-column DISTINCT on the Hive partition column — the
+    values come from the FileIndex directory listing), not a local
+    ``os.listdir``, so the maintenance path works wherever the index
+    lives: local FS, HDFS, or an object store."""
     from hadoopxmlextractor_spark.sinks import compact_parquet
 
     cells_root = f"{index_dir}/cells"
+    cell_ids = sorted(
+        r["centroid_id"]
+        for r in spark.read.parquet(cells_root)
+        .select("centroid_id")
+        .distinct()
+        .collect()
+    )
     out = {}
-    for entry in sorted(os.listdir(cells_root)):
-        if not entry.startswith("centroid_id="):
-            continue
-        cell = f"{cells_root}/{entry}"
+    for cid in cell_ids:
+        entry = f"centroid_id={cid}"
         out[entry] = compact_parquet(
-            spark, cell, target_file_bytes=target_file_bytes
+            spark, f"{cells_root}/{entry}", target_file_bytes=target_file_bytes
         )
     return out

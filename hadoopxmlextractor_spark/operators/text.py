@@ -470,7 +470,10 @@ def perceptron_train(
     and is rescanned per round.
 
     Returns ``(weights, X)``: the final per-dimension int weights and
-    the persisted training table for downstream scoring.
+    the persisted training table for downstream scoring. The cache on
+    ``X`` is INTENTIONALLY left live — it is part of the return value
+    (callers score with it immediately); a caller that is done with it
+    owns the ``X.unpersist()``.
     """
     spark = docs.sparkSession
     feats = hashed_features(docs, text_col, id_col, dim=dim)
@@ -530,7 +533,7 @@ def perceptron_predictions(
     wdf = spark.createDataFrame(
         [(j, int(w[j])) for j in range(dim)], "dim_idx int, w long"
     )
-    return (
+    out = (
         X.join(F.broadcast(wdf), "dim_idx")
         .groupBy(id_col)
         .agg(
@@ -550,7 +553,12 @@ def perceptron_predictions(
                 == F.col("y")
             ).alias("correct"),
         )
+        # cache release: one scored row per doc vs doc×dim training
+        # rows — materialize and free X.
+        .localCheckpoint(eager=True)
     )
+    X.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -604,7 +612,11 @@ def regression_suffstats(
         .agg(F.sum(F.col("value") * F.col("y")).alias("value"))
         .select("j", F.lit(-1).cast("int").alias("k"), "value", F.lit("xty").alias("kind"))
     )
-    return gram.unionByName(xty)
+    # cache release: the suffstats are dim²-bounded (tiny) while X is
+    # corpus-sized — materialize the result and free X's cache.
+    out = gram.unionByName(xty).localCheckpoint(eager=True)
+    X.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -671,6 +683,13 @@ def token_chi2(
         j.filter(
             (F.col("a") + F.col("b") >= min_df)
             & (F.col("a") + F.col("b") < F.col("n1") + F.col("n0"))
+            # degenerate single-class label (n1=0 or n0=0): the chi2
+            # denominator is 0 and double 0/0 semantics DIFFER across
+            # engines (Spark NULL, DuckDB IEEE NaN/inf) — and no token
+            # can discriminate when only one class exists, so drop all
+            # rows, mirrored in the oracle.
+            & (F.col("n1") > 0)
+            & (F.col("n0") > 0)
         )
         .select(
             "token",

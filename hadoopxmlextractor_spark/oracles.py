@@ -148,6 +148,40 @@ def simhash_oracle(*, max_hamming: int = 7) -> str:
     """
 
 
+def ngram_novelty_oracle() -> str:
+    """Replay of pipeline_queries.text_ngram_novelty with the document
+    frequency counted over the SAME 64-bit shingle hashes the Spark side
+    uses (hash64 of md5, rebuilt byte-by-byte) — not over literal text
+    shingles, so exactness is the repo's replay convention rather than
+    an injectivity assumption about hash64 (a collision between two
+    distinct shingles now merges df identically on both engines)."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)] END) AS s
+      FROM tok
+    ), hx AS (
+      SELECT DISTINCT doc_id, {hash64_sql('hh')} AS x
+      FROM (SELECT doc_id, md5(s) AS hh FROM sh)
+    ), df AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS df FROM hx GROUP BY x
+    )
+    SELECT h.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+    FROM hx h JOIN df d USING (x)
+    GROUP BY h.doc_id
+    """
+
+
 def winnowing_oracle(*, k: int = 5, window: int = 4) -> str:
     return f"""
     WITH base AS (
@@ -818,7 +852,8 @@ def token_chi2_oracle(*, label_sql: str = "lang = 'en'", min_df: int = 5) -> str
                     * CAST((n1 - a) + (n0 - b) AS DOUBLE)
                     * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)), 4) AS chi2
     FROM cnt, tot
-    WHERE a + b >= {min_df} AND a + b < n1 + n0"""
+    WHERE a + b >= {min_df} AND a + b < n1 + n0
+      AND n1 > 0 AND n0 > 0"""
 
 
 def semantic_leakage_oracle(

@@ -1101,7 +1101,8 @@ def q_text_perceptron_weights(spark: SparkSession, sf: str) -> DataFrame:
     # against DuckDB's unrolled replay; only dim rows/round reach the
     # driver.
     docs = load(spark, sf, "documents")
-    w, _ = T.perceptron_train(docs, "text", "doc_id", dim=64, rounds=4, min_words=20)
+    w, X = T.perceptron_train(docs, "text", "doc_id", dim=64, rounds=4, min_words=20)
+    X.unpersist()  # weights only — done with the training table's cache
     return spark.createDataFrame(
         [(j, int(w[j])) for j in range(64)], "dim_idx int, weight long"
     )
@@ -1272,11 +1273,17 @@ def q_embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"), "sim")
     )
     w = Window.partitionBy("src").orderBy(F.desc("sim"), "dst")
-    return (
+    out = (
         sym.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("src", "dst", "sim", "rank")
+        # cache release: the k-bounded graph is materialized so the
+        # candidate-pair cache can be freed instead of accumulating
+        # across the multi-query session.
+        .localCheckpoint(eager=True)
     )
+    pairs.unpersist()
+    return out
 
 
 @query(
@@ -1529,34 +1536,7 @@ def q_text_cjk_accounting(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-@query(
-    "text_ngram_novelty",
-    r"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(
-               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
-                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-                          for i in generate_series(1, len(w) - 2)]
-               END
-             ) AS shingles
-      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
-            FROM documents WHERE trim(text) <> '')
-    ), inv AS (
-      SELECT doc_id, unnest(shingles) AS shingle FROM sh
-    ), df AS (
-      SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM inv GROUP BY shingle
-    )
-    SELECT i.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_shingles,
-           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_unique,
-           ROUND(CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-                 / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
-    FROM inv i JOIN df d USING (shingle)
-    GROUP BY i.doc_id
-    """,
-)
+@query("text_ngram_novelty", O.ngram_novelty_oracle())
 def q_text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     # Novelty rate — the inverse of the boilerplate signals: the
     # fraction of a doc's distinct shingles that appear NOWHERE else
@@ -1572,7 +1552,7 @@ def q_text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     inv = sh.select("doc_id", F.explode("shingles").alias("shingle")).persist()
     inv.count()
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    return (
+    out = (
         inv.join(dfreq, "shingle")
         .groupBy("doc_id")
         .agg(
@@ -1589,4 +1569,9 @@ def q_text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
                 4,
             ).alias("novelty"),
         )
+        # cache release: the doc-level rollup is shingle-count× smaller
+        # than the exploded inverted index — materialize it and free inv.
+        .localCheckpoint(eager=True)
     )
+    inv.unpersist()
+    return out

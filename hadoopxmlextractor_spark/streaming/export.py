@@ -82,21 +82,43 @@ def stream_vectors_into_ivf_index(
     embedded vectors is assigned with the index's STORED centroid
     sidecar and appended to its cell partitions
     (:func:`~hadoopxmlextractor_spark.operators.similarity.
-    append_to_ivf_index` inside ``foreachBatch``). The checkpoint
-    gives exactly-once batch tracking; the append itself touches only
-    the cells that receive rows, so steady-state ingest cost tracks
-    the arrival rate, not the index size. Probes see new vectors at
-    the next query with no rebuild."""
+    append_to_ivf_index` inside ``foreachBatch``). Exactly-once is
+    offsets-log + IDEMPOTENT sink: foreachBatch alone is at-least-once
+    (a crash between the append and the offset commit replays the
+    batch with the same batch_id), and a blind re-append would
+    duplicate vectors in the index, changing later probe results — so
+    the sink records the highest committed batch_id in a marker file
+    under the index (tmp+rename, the streaming.upsert discipline) and
+    no-ops on replay. (Residual window: a crash BETWEEN the completed
+    append and the marker rename still replays — the inherent limit of
+    a non-transactional append sink; the upsert sink has no such
+    window because MERGE replay is a state no-op. Close it at scale by
+    landing appends through the snapshot store.) The append touches
+    only the cells that receive rows, so steady-state ingest cost
+    tracks the arrival rate, not the index size; probes see new
+    vectors at the next query with no rebuild."""
     from hadoopxmlextractor_spark.operators.similarity import (
         append_to_ivf_index,
     )
+    from hadoopxmlextractor_spark.streaming.upsert import (
+        last_committed_batch,
+        _marker_path,
+    )
 
     def _sink(batch_df, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        append_to_ivf_index(
-            batch_df.sparkSession, index_dir, batch_df, vec_col=vec_col
-        )
+        if batch_id <= last_committed_batch(index_dir):
+            return  # replayed after restart — append already durable
+        if not batch_df.isEmpty():
+            append_to_ivf_index(
+                batch_df.sparkSession, index_dir, batch_df, vec_col=vec_col
+            )
+        import json
+        import os
+
+        tmp = _marker_path(index_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
+        os.replace(tmp, _marker_path(index_dir))
 
     return (
         vectors_stream.writeStream.foreachBatch(_sink)

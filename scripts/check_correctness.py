@@ -120,6 +120,9 @@ def main():
         else:
             print(f"PASS  {name} ({len(s_pdf)} rows)")
             n_pass += 1
+        # bound the 218-query session: queries are independent, so any
+        # cache/localCheckpoint blocks a query left behind are garbage
+        spark.catalog.clearCache()
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rowsonly} rows-only")
     sys.exit(1 if n_fail else 0)
 
