@@ -12,12 +12,22 @@ ElementTree. This module compiles that subset; anything else returns
 
 Subset grammar::
 
+    expr     := path ('|' path)*          -- top-level XPath 1.0 union
     path     := (('/' | '//') step)+  terminal?
     step     := (qname | '*') pred?
     pred     := '[@' qname '=' ('single' | "double") '-quoted value ']'
               | '[@' qname ('='|'!='|'<'|'<='|'>'|'>=') number ']'
-              | '[' digits ']'
+              | '[' digits ']' | '[last()]'
+              | '[position()' op digits ']'
+              | '[contains(@' qname ', quoted value)]'
+              | '[starts-with(@' qname ', quoted value)]'
     terminal := '/text()' | '//text()' | '/@' qname
+
+Union semantics (javax, cross-validated): branches evaluate
+independently; the combined NODESET concatenates in GLOBAL document
+order with duplicates held once, and an attribute node sorts
+immediately after its owner element, before the element's text and
+children.
 
 Semantics matched to the general path (Spark's ``xpath``, verified on
 pyspark 4.1.2) and to the reference's javax NODESET evaluation
@@ -72,9 +82,13 @@ _NAME = r"[A-Za-z_][\w.-]*"
 _QNAME = rf"(?:{_NAME}:)?{_NAME}"
 
 # step name = qname or the * wildcard (any element, javax semantics);
-# [@attr='value'] / [@attr="value"] / [@attr OP number] / [n] — one
-# predicate per step. OP ∈ {=, !=, <, <=, >, >=} with an unquoted
-# numeric literal (XPath 1.0 number comparison).
+# [@attr='value'] / [@attr="value"] / [@attr OP number] / [n] /
+# [last()] / [position() OP n] / [contains(@attr,'v')] /
+# [starts-with(@attr,'v')] — one predicate per step. OP ∈ {=, !=, <,
+# <=, >, >=} with an unquoted numeric literal (XPath 1.0 number
+# comparison). The string functions take string(@attr) — a missing
+# attribute is the empty string, XPath 1.0 string() of an empty
+# nodeset.
 _NUM = r"-?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)"
 _STEP_RE = re.compile(
     rf"({_QNAME}|\*)"
@@ -82,7 +96,8 @@ _STEP_RE = re.compile(
     rf"|\[@({_QNAME})\s*(!=|<=|>=|<|>|=)\s*({_NUM})\]"
     rf"|\[([0-9]+)\]"
     rf"|\[(last\(\))\]"
-    rf"|\[position\(\)\s*(!=|<=|>=|<|>|=)\s*([0-9]+)\])?"
+    rf"|\[position\(\)\s*(!=|<=|>=|<|>|=)\s*([0-9]+)\]"
+    rf"|\[(contains|starts-with)\(@({_QNAME})\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\)\])?"
 )
 
 
@@ -95,6 +110,7 @@ class _Step(NamedTuple):
     cmp: tuple[str, str, str] | None = None  # (attr local, op, numeric literal)
     is_last: bool = False  # [last()]
     pos_cmp: tuple[str, int] | None = None  # [position() OP n]
+    fn_pred: tuple[str, str, str] | None = None  # (fn, attr local, value)
 
 
 # XPath 1.0 number(): optional sign, digits with optional fraction —
@@ -136,8 +152,12 @@ def _parse_path(path: str) -> list[_Step] | None:
         m = _STEP_RE.match(path, pos)
         if m is None:
             return None
-        name, pattr, v1, v2, cattr, cop, cnum, idx, lastg, posop, posn = m.groups()
+        (
+            name, pattr, v1, v2, cattr, cop, cnum, idx, lastg, posop, posn,
+            fn, fattr, fv1, fv2,
+        ) = m.groups()
         val = v1 if v1 is not None else v2
+        fval = fv1 if fv1 is not None else fv2
         steps.append(
             _Step(
                 _local(name),
@@ -148,6 +168,7 @@ def _parse_path(path: str) -> list[_Step] | None:
                 (_local(cattr), cop, cnum) if cattr is not None else None,
                 lastg is not None,
                 (posop, int(posn)) if posop is not None else None,
+                (fn, _local(fattr), fval) if fn is not None else None,
             )
         )
         pos = m.end()
@@ -166,24 +187,39 @@ def _split_terminal(expr: str) -> tuple[str, tuple | None]:
     return expr, None
 
 
-def strip_prefixes(expr: str) -> str:
-    """Rewrite a subset-shaped expression to unprefixed local-name steps
-    (``//bk:book/@ns:id`` → ``//book/@id``, predicates included);
-    returns the input unchanged when it is outside the subset grammar
-    (never a blind regex over arbitrary XPath — predicate strings could
-    contain colons).
+def _split_union(expr: str) -> list[str]:
+    """Split a top-level XPath 1.0 union (``e1 | e2 | ...``) into its
+    branch expressions. A real scanner, not ``str.split``: ``|`` inside
+    a quoted predicate value must not split. Returns [expr] when there
+    is no top-level union."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    for ch in expr:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            buf.append(ch)
+            quote = ch
+        elif ch == "|":
+            parts.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    parts.append("".join(buf))
+    return [p.strip() for p in parts]
 
-    Used by the general JVM path so both paths share one namespace
-    semantics: Spark's ``xpath`` matches unprefixed steps by local name
-    in any namespace but matches *prefixed* steps against nothing;
-    stripping the prefix makes a prefixed config behave identically on
-    the fused and general paths.
-    """
+
+def _strip_one(expr: str) -> str | None:
+    """strip_prefixes for a single (non-union) branch; None = out of
+    grammar."""
     e = expr.strip()
     path, terminal = _split_terminal(e)
     steps = _parse_path(path)
     if steps is None:
-        return expr
+        return None
 
     def render(s: _Step) -> str:
         base = s.name
@@ -199,6 +235,10 @@ def strip_prefixes(expr: str) -> str:
             base += "[last()]"
         elif s.pos_cmp is not None:
             base += f"[position(){s.pos_cmp[0]}{s.pos_cmp[1]}]"
+        elif s.fn_pred is not None:
+            fn, attr, arg = s.fn_pred
+            q = "'" if "'" not in arg else '"'
+            base += f"[{fn}(@{attr},{q}{arg}{q})]"
         return ("//" if s.axis == "desc" else "/") + base
 
     out = "".join(render(s) for s in steps)
@@ -211,6 +251,26 @@ def strip_prefixes(expr: str) -> str:
     return out
 
 
+def strip_prefixes(expr: str) -> str:
+    """Rewrite a subset-shaped expression to unprefixed local-name steps
+    (``//bk:book/@ns:id`` → ``//book/@id``, predicates included, each
+    branch of a top-level union independently); returns the input
+    unchanged when any part is outside the subset grammar (never a
+    blind regex over arbitrary XPath — predicate strings could contain
+    colons).
+
+    Used by the general JVM path so both paths share one namespace
+    semantics: Spark's ``xpath`` matches unprefixed steps by local name
+    in any namespace but matches *prefixed* steps against nothing;
+    stripping the prefix makes a prefixed config behave identically on
+    the fused and general paths.
+    """
+    stripped = [_strip_one(b) for b in _split_union(expr)]
+    if any(s is None for s in stripped):
+        return expr
+    return " | ".join(stripped) if len(stripped) > 1 else stripped[0]
+
+
 def normalize_for_jvm(expr: str) -> str:
     """Rewrite a subset expression for Spark's Hive-style ``xpath()`` so
     the general path shares the fused path's semantics: strip namespace
@@ -218,13 +278,28 @@ def normalize_for_jvm(expr: str) -> str:
     terminal, append ``//text()`` — Hive's xpath yields null for
     element nodes (and the reference's ``getNodeValue()`` yields the
     literal string "null", ``XmlExtractor.java:108``), while our
-    defined semantics is the subtree string value. Out-of-subset
+    defined semantics is the subtree string value. Each branch of a
+    top-level union is normalized independently. Out-of-subset
     expressions pass through unchanged (full XPath 1.0 on the JVM)."""
-    out = strip_prefixes(expr)
-    path, terminal = _split_terminal(out.strip())
-    if terminal is None and _parse_path(path) is not None:
-        return out.strip() + "//text()"
-    return out
+
+    def one(branch: str) -> str:
+        out = _strip_one(branch)
+        if out is None:
+            return branch.strip()
+        path, terminal = _split_terminal(out)
+        if terminal is None and _parse_path(path) is not None:
+            return out + "//text()"
+        return out
+
+    branches = _split_union(expr)
+    if len(branches) == 1:
+        # preserve historical behavior: out-of-subset single expressions
+        # pass through byte-identical (no strip-induced whitespace edit)
+        out = one(branches[0])
+        return out if _strip_one(branches[0]) is not None else expr
+    if all(_strip_one(b) is not None for b in branches):
+        return " | ".join(one(b) for b in branches)
+    return expr
 
 
 def _walk_texts(el: Element):
@@ -251,138 +326,221 @@ def _get_attr_local(n: Element, attr: str) -> str | None:
     return v
 
 
+def _keep(n: Element, s: _Step) -> bool:
+    if not isinstance(n.tag, str):
+        return False
+    if s.name != "*" and _local(n.tag) != s.name:
+        return False
+    if s.cmp is not None:
+        # XPath number comparison: number(@attr) OP literal. A
+        # MISSING attribute is an empty nodeset — every comparison
+        # is false (no node to compare). A present but non-numeric
+        # attribute is NaN — false for every operator EXCEPT !=,
+        # which IEEE (and javax) makes true: NaN is unequal to
+        # everything.
+        raw = _get_attr_local(n, s.cmp[0])
+        if raw is None:
+            return False
+        v = _xpath_number(raw)
+        op = s.cmp[1]
+        if v is None:
+            return op == "!="
+        rhs = float(s.cmp[2])
+        return (
+            v == rhs
+            if op == "="
+            else v != rhs
+            if op == "!="
+            else v < rhs
+            if op == "<"
+            else v <= rhs
+            if op == "<="
+            else v > rhs
+            if op == ">"
+            else v >= rhs
+        )
+    if s.fn_pred is not None:
+        # contains/starts-with over string(@attr): a missing
+        # attribute is string(empty nodeset) = '' (XPath 1.0), so
+        # the functions run on '' rather than short-circuiting.
+        fn, attr, arg = s.fn_pred
+        raw = _get_attr_local(n, attr)
+        raw = "" if raw is None else raw
+        return arg in raw if fn == "contains" else raw.startswith(arg)
+    if s.pred_attr is None:
+        return True
+    return _get_attr_local(n, s.pred_attr) == s.pred_val
+
+
+def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
+    """Walk the step chain and return the matched elements, document-
+    ordered. Contexts are elements; None is the document node (its only
+    child is the fragment root, its descendant-or-self set is itself +
+    every element). Each step expands the descendant axis first when
+    written '//', then applies the child axis with the name/attribute
+    test and the per-parent positional index — javax's book[2] = second
+    matching child of EACH parent. Dedup by identity: nested descendant
+    contexts may reach one element twice, a NODESET holds it once."""
+    contexts: list[Element | None] = [None]
+    for step in steps:
+        if step.axis == "desc":
+            expanded: list[Element | None] = []
+            seen: set[int] = set()
+            for ctx in contexts:
+                ds = (
+                    [None, *root.iter()] if ctx is None else list(ctx.iter())
+                )
+                for d in ds:
+                    if id(d) not in seen:
+                        seen.add(id(d))
+                        expanded.append(d)
+            contexts = expanded
+        new: list[Element] = []
+        seen2: set[int] = set()
+        for ctx in contexts:
+            kids = [root] if ctx is None else list(ctx)
+            matched = [c for c in kids if _keep(c, step)]
+            if step.pos is not None:
+                matched = matched[step.pos - 1 : step.pos] if step.pos else []
+            elif step.is_last:
+                # javax [last()]: the last matching child of EACH
+                # parent context (position() == last() per parent)
+                matched = matched[-1:]
+            elif step.pos_cmp is not None:
+                op, n = step.pos_cmp
+                matched = [
+                    c
+                    for i, c in enumerate(matched, 1)
+                    if (
+                        i == n if op == "="
+                        else i != n if op == "!="
+                        else i < n if op == "<"
+                        else i <= n if op == "<="
+                        else i > n if op == ">"
+                        else i >= n
+                    )
+                ]
+            for node in matched:
+                if id(node) not in seen2:
+                    seen2.add(id(node))
+                    new.append(node)
+        contexts = new
+        if not contexts:
+            return []
+    nodes = contexts
+    if any(s.axis == "desc" for s in steps) and len(nodes) > 1:
+        # nested descendant matches can interleave parents' children;
+        # a NODESET concatenates in document order
+        order = {id(el): i for i, el in enumerate(root.iter())}
+        nodes = sorted(nodes, key=lambda n: order[id(n)])
+    return nodes
+
+
+def _attr_keys_local(n: Element, attr: str) -> list[str]:
+    """The actual attribute KEY(S) of ``n`` whose local name is
+    ``attr`` (exact key plus any namespaced spelling) — used by the
+    union merge, which must emit attributes in the element's source
+    order rather than branch order."""
+    keys = []
+    if attr in n.attrib:
+        keys.append(attr)
+    for k in n.attrib:
+        if k.startswith("{") and _local(k) == attr:
+            keys.append(k)
+    return keys
+
+
 def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
     """Compile ``expr`` into ``tree -> concatenated-string-or-None``
-    (None = empty nodeset → no cell). Returns None if out of subset."""
-    path, terminal = _split_terminal(expr.strip())
-    steps = _parse_path(path)
-    if steps is None:
-        return None
-    if terminal is None:
-        # bare element projection = subtree string value (see module
-        # docstring: deliberate fix of the reference's "null" output)
-        terminal = ("dtext",)
+    (None = empty nodeset → no cell). Returns None if out of subset.
 
-    def keep(n: Element, s: _Step) -> bool:
-        if not isinstance(n.tag, str):
-            return False
-        if s.name != "*" and _local(n.tag) != s.name:
-            return False
-        if s.cmp is not None:
-            # XPath number comparison: number(@attr) OP literal. A
-            # MISSING attribute is an empty nodeset — every comparison
-            # is false (no node to compare). A present but non-numeric
-            # attribute is NaN — false for every operator EXCEPT !=,
-            # which IEEE (and javax) makes true: NaN is unequal to
-            # everything.
-            raw = _get_attr_local(n, s.cmp[0])
-            if raw is None:
-                return False
-            v = _xpath_number(raw)
-            op = s.cmp[1]
-            if v is None:
-                return op == "!="
-            rhs = float(s.cmp[2])
-            return (
-                v == rhs
-                if op == "="
-                else v != rhs
-                if op == "!="
-                else v < rhs
-                if op == "<"
-                else v <= rhs
-                if op == "<="
-                else v > rhs
-                if op == ">"
-                else v >= rhs
-            )
-        if s.pred_attr is None:
-            return True
-        return _get_attr_local(n, s.pred_attr) == s.pred_val
+    Top-level XPath 1.0 unions (``//a/@id | //a/text()``) are part of
+    the subset: each branch evaluates independently and the combined
+    NODESET concatenates in GLOBAL document order with duplicates held
+    once — attribute nodes sort immediately after their owner element
+    and before its children (the javax document-order rule), which the
+    single merge walk reproduces by emitting an element's selected
+    attributes, then its text, then its children."""
+    branches = _split_union(expr.strip())
+    parsed: list[tuple[list[_Step], tuple]] = []
+    for b in branches:
+        path, terminal = _split_terminal(b)
+        steps = _parse_path(path)
+        if steps is None:
+            return None
+        if terminal is None:
+            # bare element projection = subtree string value (see module
+            # docstring: deliberate fix of the reference's "null" output)
+            terminal = ("dtext",)
+        parsed.append((steps, terminal))
 
-    any_desc = any(s.axis == "desc" for s in steps)
+    if len(parsed) == 1:
+        steps, terminal = parsed[0]
 
-    def evaluate(root: Element) -> str | None:
-        # Contexts are elements; None is the document node (its only
-        # child is the fragment root, its descendant-or-self set is
-        # itself + every element). Each step expands the descendant
-        # axis first when written '//', then applies the child axis
-        # with the name/attribute test and the per-parent positional
-        # index — javax's book[2] = second matching child of EACH
-        # parent. Dedup by identity: nested descendant contexts may
-        # reach one element twice, a NODESET holds it once.
-        contexts: list[Element | None] = [None]
-        for step in steps:
-            if step.axis == "desc":
-                expanded: list[Element | None] = []
-                seen: set[int] = set()
-                for ctx in contexts:
-                    ds = (
-                        [None, *root.iter()] if ctx is None else list(ctx.iter())
-                    )
-                    for d in ds:
-                        if id(d) not in seen:
-                            seen.add(id(d))
-                            expanded.append(d)
-                contexts = expanded
-            new: list[Element] = []
-            seen2: set[int] = set()
-            for ctx in contexts:
-                kids = [root] if ctx is None else list(ctx)
-                matched = [c for c in kids if keep(c, step)]
-                if step.pos is not None:
-                    matched = matched[step.pos - 1 : step.pos] if step.pos else []
-                elif step.is_last:
-                    # javax [last()]: the last matching child of EACH
-                    # parent context (position() == last() per parent)
-                    matched = matched[-1:]
-                elif step.pos_cmp is not None:
-                    op, n = step.pos_cmp
-                    matched = [
-                        c
-                        for i, c in enumerate(matched, 1)
-                        if (
-                            i == n if op == "="
-                            else i != n if op == "!="
-                            else i < n if op == "<"
-                            else i <= n if op == "<="
-                            else i > n if op == ">"
-                            else i >= n
-                        )
-                    ]
-                for node in matched:
-                    if id(node) not in seen2:
-                        seen2.add(id(node))
-                        new.append(node)
-            contexts = new
-            if not contexts:
+        def evaluate_single(root: Element) -> str | None:
+            nodes = _eval_steps(root, steps)
+            if not nodes:
                 return None
-        nodes = contexts
-        if any_desc and len(nodes) > 1:
-            # nested descendant matches can interleave parents' children;
-            # a NODESET concatenates in document order
-            order = {id(el): i for i, el in enumerate(root.iter())}
-            nodes = sorted(nodes, key=lambda n: order[id(n)])
-        if terminal[0] in ("text", "dtext"):
-            # text nodes are selected by OWNER (text: direct children of
-            # matched elements; //text(): anywhere in their subtrees)
-            # through one global document-order walk — nested matched
-            # elements interleave their text nodes, so a per-node
-            # concat would misorder (and, for //text(), double-count).
-            if terminal[0] == "text":
-                owners = {id(n) for n in nodes}
+            if terminal[0] in ("text", "dtext"):
+                # text nodes are selected by OWNER (text: direct
+                # children of matched elements; //text(): anywhere in
+                # their subtrees) through one global document-order
+                # walk — nested matched elements interleave their text
+                # nodes, so a per-node concat would misorder (and, for
+                # //text(), double-count).
+                if terminal[0] == "text":
+                    owners = {id(n) for n in nodes}
+                else:
+                    owners = {id(d) for n in nodes for d in n.iter()}
+                values = [
+                    t for owner, t in _walk_texts(root) if id(owner) in owners
+                ]
             else:
-                owners = {id(d) for n in nodes for d in n.iter()}
-            values = [t for owner, t in _walk_texts(root) if id(owner) in owners]
-        else:
-            attr = terminal[1]
-            values = []
-            for n in nodes:
-                v = _get_attr_local(n, attr)
-                if v is not None:
-                    values.append(v)
+                attr = terminal[1]
+                values = []
+                for n in nodes:
+                    v = _get_attr_local(n, attr)
+                    if v is not None:
+                        values.append(v)
+            if not values:
+                return None  # empty nodeset: reference drops the cell
+            return "".join(values)
+
+        return evaluate_single
+
+    def evaluate_union(root: Element) -> str | None:
+        attr_sel: dict[int, set[str]] = {}  # id(el) -> selected attrib keys
+        text_owned: set[int] = set()  # ids owning selected text nodes
+        for steps, terminal in parsed:
+            nodes = _eval_steps(root, steps)
+            if terminal[0] == "attr":
+                for n in nodes:
+                    for k in _attr_keys_local(n, terminal[1]):
+                        attr_sel.setdefault(id(n), set()).add(k)
+            elif terminal[0] == "text":
+                text_owned.update(id(n) for n in nodes)
+            else:  # dtext
+                for n in nodes:
+                    text_owned.update(id(d) for d in n.iter())
+        values: list[str] = []
+
+        def walk(el: Element) -> None:
+            sel = attr_sel.get(id(el))
+            if sel:
+                for k, v in el.attrib.items():
+                    if k in sel:
+                        values.append(v)
+            if el.text and id(el) in text_owned:
+                values.append(el.text)
+            for c in el:
+                if isinstance(c.tag, str):
+                    walk(c)
+                if c.tail and id(el) in text_owned:
+                    values.append(c.tail)
+
+        walk(root)
         if not values:
-            return None  # empty nodeset: reference drops the cell
+            return None
         return "".join(values)
 
-    return evaluate
+    return evaluate_union

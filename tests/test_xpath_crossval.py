@@ -43,7 +43,7 @@ def _gen_tree(rng: random.Random, ns: bool = False) -> str:
     return ET.tostring(root, encoding="unicode")
 
 
-def _gen_expr(rng: random.Random) -> str:
+def _gen_branch(rng: random.Random) -> str:
     parts = []
     for _ in range(rng.randint(1, 3)):
         axis = "//" if rng.random() < 0.6 else "/"
@@ -52,12 +52,12 @@ def _gen_expr(rng: random.Random) -> str:
             name = f"x:{name}"  # prefixed step: local-name match via strip
         pred = ""
         roll = rng.random()
-        if roll < 0.25:
+        if roll < 0.2:
             attr, vals = rng.choice(ATTRS)
             pred = f"[@{attr}='{rng.choice(vals)}']"
-        elif roll < 0.4:
+        elif roll < 0.32:
             pred = f"[{rng.randint(1, 3)}]"
-        elif roll < 0.55:
+        elif roll < 0.44:
             # numeric comparison: attr values include numerics ("1",
             # "2"), a non-numeric ("x" → NaN), and absent attrs (empty
             # nodeset) — all three comparison regimes get exercised
@@ -65,18 +65,34 @@ def _gen_expr(rng: random.Random) -> str:
             op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
             rhs = rng.choice(["1", "2", "1.5"])
             pred = f"[@{attr}{op}{rhs}]"
-        elif roll < 0.65:
+        elif roll < 0.52:
             pred = "[last()]"
-        elif roll < 0.75:
+        elif roll < 0.6:
             op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
             pred = f"[position(){op}{rng.randint(1, 3)}]"
+        elif roll < 0.72:
+            # string-function predicates: substrings that hit present
+            # values ("1", "p"), miss ("zz"), and the empty string
+            # (contains('',·) true; every string starts-with '')
+            fn = rng.choice(["contains", "starts-with"])
+            attr, _ = rng.choice(ATTRS)
+            arg = rng.choice(["1", "p", "zz", ""])
+            pred = f"[{fn}(@{attr},'{arg}')]"
         parts.append(f"{axis}{name}{pred}")
     roll = rng.random()
     if roll < 0.3:
         parts.append("/text()" if rng.random() < 0.7 else "//text()")
     elif roll < 0.5:
-        parts.append("/@id")
+        parts.append(f"/@{rng.choice(['id', 'cat'])}")
     return "".join(parts)
+
+
+def _gen_expr(rng: random.Random) -> str:
+    # ~1/3 top-level unions (2-3 branches): the union nodeset must
+    # merge in global document order with duplicates held once
+    if rng.random() < 0.35:
+        return " | ".join(_gen_branch(rng) for _ in range(rng.randint(2, 3)))
+    return _gen_branch(rng)
 
 
 def test_fused_subset_agrees_with_jvm_xpath_on_generated_cases(spark):

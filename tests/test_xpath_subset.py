@@ -180,3 +180,61 @@ def test_strip_prefixes_rewrite():
 
 def test_single_leading_slash():
     assert ev("/store/@name") == "S1"
+
+
+def test_contains_predicate():
+    assert ev("//inventory[contains(@month,'Ja')]/@month") == "Jan"
+    assert ev("//inventory[contains(@month,'zz')]/@month") is None
+    # missing attribute: string('') — contains('', 'x') is false,
+    # contains('', '') is true (XPath 1.0 string() of empty nodeset)
+    assert ev("//address[contains(@month,'J')]/phone/text()") is None
+    assert ev("//address[contains(@month,'')]/phone/text()") == "123456"
+
+
+def test_starts_with_predicate():
+    assert ev("//book[starts-with(@id,'b')]/@id") == "b1"
+    assert ev("//book[starts-with(@id,'1')]/@id") is None
+    # every string starts with the empty string, including string('')
+    assert ev("//book[starts-with(@id,'')]/@id") == "b1"
+    assert ev("//address[starts-with(@month,'')]/phone/text()") == "123456"
+
+
+def test_union_terminal_attr_and_text():
+    # javax document order: an attribute node sorts right after its
+    # owner element and before the element's text/children
+    assert ev("//book/@id | //book/text()") == "b1texttail"
+    assert ev("//book/text() | //book/@id") == "b1texttail"  # order-insensitive
+
+
+def test_union_two_attrs_document_order():
+    # @name (on <store>) precedes @month (on the later <inventory>)
+    # regardless of branch order
+    assert ev("//inventory/@month | //store/@name") == "S1Jan"
+    assert ev("//store/@name | //inventory/@month") == "S1Jan"
+
+
+def test_union_dedups_shared_nodes():
+    # both branches select <phone> text nodes; the union nodeset holds
+    # each text node once
+    assert ev("//address/phone/text() | //phone/text()") == "123456"
+    assert ev("//book//text() | //book/text()") == "textintail"
+
+
+def test_union_empty_branches():
+    assert ev("//nope/@x | //book/@id") == "b1"
+    assert ev("//nope/@x | //missing/text()") is None
+
+
+def test_union_strip_and_normalize():
+    from hadoopxmlextractor_spark.xpath_subset import normalize_for_jvm
+
+    assert strip_prefixes("//bk:book/@ns:id | //bk:book/text()") == (
+        "//book/@id | //book/text()"
+    )
+    # bare-element branches get the //text() rewrite per branch
+    assert normalize_for_jvm("//book | //store/@name") == (
+        "//book//text() | //store/@name"
+    )
+    # a '|' inside a quoted predicate value is NOT a union separator
+    assert compile_subset("//a[@id='x|y']/@id") is not None
+    assert strip_prefixes("//a[@id='x|y']/@id") == "//a[@id='x|y']/@id"
