@@ -12,12 +12,15 @@ two formats this container can handle without external codecs:
   duration, RMS, peak, zero-crossing rate, amplitude histogram;
   resize = frame decimation re-encoded as WAV.
 
-Codec-dependent formats (JPEG/PNG/MP4/...) yield a NULL feature per
-row under ``decode='real'`` (a mixed corpus must not kill the job;
-count the nulls to audit), and the PIL/ffmpeg plug-in point is the
-``_real_feature`` dispatch. ``decode='fake'`` remains the
-deterministic byte-level stand-in (16-bin byte histogram) with the
-exact same dataflow, used by the oracle-checked query.
+Codec image formats (JPEG/PNG/GIF) decode through an IMPORT-GATED PIL
+plug-in (:func:`_decode_with_pil`): where PIL is installed they feed
+the same image-statistics vector as PPM; where it is not (this
+container), each such row yields a NULL feature under ``decode='real'``
+(a mixed corpus must not kill the job; count the nulls to audit).
+MP4/other codec formats stay at the documented ffmpeg plug-in point.
+``decode='fake'`` remains the deterministic byte-level stand-in
+(16-bin byte histogram) with the exact same dataflow, used by the
+oracle-checked query.
 """
 
 from __future__ import annotations
@@ -110,26 +113,74 @@ def _decode_wav(blob: bytes):
         return None
 
 
+def _pil_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _decode_with_pil(blob: bytes):
+    """Codec image (JPEG/PNG/GIF/...) → (H, W, 3) uint8 array via PIL
+    when the library is installed, else None. Import-gated so the
+    operator runs unchanged in codec-free containers (this one has no
+    PIL — rows fall through to the auditable NULL); when PIL exists the
+    SAME downstream statistics vector is computed as for PPM, so
+    plugging the codec in changes which rows decode, never the feature
+    contract."""
+    try:
+        import PIL.Image
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    try:
+        with PIL.Image.open(io.BytesIO(blob)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+    except Exception:  # undecodable/truncated blob → auditable NULL
+        return None
+
+
+def _image_feature_vec(img):
+    """The shared 16-float image statistics vector for any (H, W, 3)
+    uint8 array, whether it came from the PPM fast path or PIL."""
+    import numpy as np
+
+    f = img.astype(np.float64)
+    luma = f @ np.array([0.299, 0.587, 0.114])
+    hist, _ = np.histogram(luma, bins=4, range=(0, 256))
+    vec = [
+        float(img.shape[1]),  # width
+        float(img.shape[0]),  # height
+        3.0,
+        *f.mean(axis=(0, 1)),
+        *f.std(axis=(0, 1)),
+        luma.mean(),
+        luma.std(),
+    ] + (hist / luma.size).tolist()
+    return np.asarray(vec + [0.0], dtype=np.float32)
+
+
+# magic bytes for the codec formats the PIL plug-in handles; anything
+# else skips straight past the (possibly absent) PIL attempt
+_CODEC_MAGIC = (b"\xff\xd8\xff", b"\x89PNG\r\n\x1a\n", b"GIF87a", b"GIF89a")
+
+
 def _real_feature(blob: bytes):
-    """16-float feature vector for a decodable blob, else None. This is
-    the PIL/librosa/ffmpeg plug-in point for codec formats."""
+    """16-float feature vector for a decodable blob, else None. PPM and
+    PCM-WAV decode with zero dependencies; JPEG/PNG/GIF decode through
+    the import-gated PIL plug-in (:func:`_decode_with_pil`)."""
     import numpy as np
 
     img = _decode_ppm(blob)
+    if img is None and blob.startswith(_CODEC_MAGIC):
+        img = _decode_with_pil(blob)
     if img is not None:
-        f = img.astype(np.float64)
-        luma = f @ np.array([0.299, 0.587, 0.114])
-        hist, _ = np.histogram(luma, bins=4, range=(0, 256))
-        vec = [
-            float(img.shape[1]),  # width
-            float(img.shape[0]),  # height
-            3.0,
-            *f.mean(axis=(0, 1)),
-            *f.std(axis=(0, 1)),
-            luma.mean(),
-            luma.std(),
-        ] + (hist / luma.size).tolist()
-        return np.asarray(vec + [0.0], dtype=np.float32)
+        return _image_feature_vec(img)
     wav = _decode_wav(blob)
     if wav is not None:
         rate, channels, frames = wav

@@ -597,3 +597,59 @@ def test_token_chi2_ranks_perfect_discriminator_highest(spark):
     # Near-balanced fillers (4 vs 3 docs) carry ~zero signal.
     for t in ("filler0", "filler1", "filler2"):
         assert abs(out[t]["chi2"]) < 0.5
+
+
+def test_codec_magic_routes_to_pil_plugin_and_nulls_without_pil():
+    # Pure-function dispatch check (no Spark): a JPEG/PNG-magic blob
+    # must take the import-gated PIL branch; in this container PIL is
+    # absent, so the result is the auditable NULL — never an exception.
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    jpeg_ish = b"\xff\xd8\xff\xe0" + b"\x00" * 64
+    png_ish = b"\x89PNG\r\n\x1a\n" + b"\x00" * 64
+    if not M._pil_available():
+        assert M._real_feature(jpeg_ish) is None
+        assert M._real_feature(png_ish) is None
+    else:
+        # with PIL installed a TRUNCATED codec blob still nulls cleanly
+        assert M._real_feature(jpeg_ish) is None
+
+    # the dispatch itself: substitute the decoder and confirm the codec
+    # branch feeds the SAME statistics vector as the PPM path
+    orig = M._decode_with_pil
+    try:
+        fake_img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        M._decode_with_pil = lambda blob: fake_img
+        got = M._real_feature(jpeg_ish)
+        want = M._image_feature_vec(fake_img)
+        assert got is not None and np.allclose(got, want)
+        # non-codec magic must NOT consult the plug-in
+        M._decode_with_pil = lambda blob: (_ for _ in ()).throw(AssertionError)
+        assert M._real_feature(b"not media at all") is None
+    finally:
+        M._decode_with_pil = orig
+
+
+def test_pil_decode_real_png_when_available():
+    # Runs only where PIL exists (skipped in this container): a real
+    # encoded PNG must decode to its pixel grid and produce the shared
+    # image statistics vector.
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    img = np.zeros((5, 7, 3), dtype=np.uint8)
+    img[..., 0] = 200  # red plane
+    buf = io.BytesIO()
+    PIL_Image.fromarray(img).save(buf, format="PNG")
+    got = M._real_feature(buf.getvalue())
+    assert got is not None
+    assert got[0] == 7.0 and got[1] == 5.0  # width, height
+    assert np.allclose(got, M._image_feature_vec(img))
