@@ -60,9 +60,80 @@ def entry(spark: SparkSession) -> DataFrame:
     return revenue.withColumn("rank_in_region", F.row_number().over(w))
 
 
+# Registry-order rotation (round-3 verdict item 7): the driver's
+# correctness sample takes the FIRST 50 registry entries, so the
+# newest / most-recently-changed queries are rotated to the front —
+# the five round-4 gate-verdict conversions, the sharded-bloom
+# addition, the queries whose oracles or cache behavior changed this
+# round — followed by one representative per major operator family,
+# then everything else in registration order. Ordering is
+# presentation-only: every entry still runs in the local full-registry
+# gate (scripts/check_correctness.py).
+FRONT = [
+    # round-4 gate-verdict conversions (formerly rows-only)
+    "agg_approx_distinct",
+    "percentiles_approx",
+    "similarity_topk_ivf",
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    # round-4 additions / oracle or plumbing changes
+    "dedup_incremental_bloom_sharded",
+    "dedup_incremental_bloom",
+    "text_ngram_novelty",
+    "text_token_chi2",
+    "embedding_knn_graph",
+    "embedding_kmeans",
+    "corpus_diversity_sample",
+    "text_perceptron_weights",
+    "text_perceptron_predictions",
+    "text_regression_suffstats",
+    "embedding_kmeans_profile",
+    "similarity_topk_bruteforce",
+    # one representative per major family for sample breadth
+    "scan_filter_project",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "join_inner_agg",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_range",
+    "join_asof",
+    "join_interval_overlap",
+    "window_topk_per_group",
+    "window_running_sum",
+    "topk_global",
+    "set_union",
+    "set_except",
+    "scalar_string",
+    "scalar_date",
+    "scalar_json",
+    "array_explode",
+    "subquery_scalar",
+    "subquery_in",
+    "pivot_event_counts",
+    "events_tumbling_window",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "corpus_prepare_training_data",
+    "corpus_decontaminate",
+    "q18_large_orders",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2, with the
+    newest/riskiest queries rotated to the front of the iteration
+    order (see FRONT)."""
+    ordered = {n: QUERIES[n] for n in FRONT if n in QUERIES}
+    ordered.update((n, f) for n, f in QUERIES.items() if n not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
