@@ -37,7 +37,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #     timestamp; pin the session timezone to UTC first so the
         #     NTZ→LTZ conversion is the identity and can never diverge
         #     from DuckDB's tz-naive truncation on a non-UTC host.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            # tolerated-but-ignored on Spark 4.x (native TIMESTAMP_NS
+            # support); needed on older Spark to read nanos at all. A
+            # future Spark that REMOVES the legacy key would throw —
+            # the adaptive dtype dispatch below works either way, so
+            # never let the conf call itself be the failure.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
         from pyspark.sql import functions as F
 
         df = spark.read.parquet(f"{sf_dir}/events.parquet")

@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Off-sample scale rehearsal (round-3 verdict item 3): synthesize an
+N× blow-up of the sf0.1 documents/embeddings tables and run the
+heaviest pipeline queries once, recording wall time and per-stage task
+extremes from the event log — empirical evidence that the fan-out caps
+(shingle df cap, LSH bucket cap, membership-vote fan-out) hold beyond
+the sf0.1 regime every prior 100× claim was measured at.
+
+Blow-up construction (deterministic):
+- documents: replica 0 is the original table (keeps the planted
+  near-dup/PII evidence); replicas 1..N-1 get a per-(replica, doc)
+  seeded word shuffle — same vocabulary and length distribution (the
+  df profile that drives inverted-index fan-out is preserved) but
+  fresh shingle SETS, so replicas are new documents, not a wall of
+  artificial 10-cliques that no real corpus has.
+- embeddings: replicas roll the vector by k positions — norm and
+  coordinate distribution preserved, direction fresh.
+- every other table is symlinked from the base sf dir so tables.load()
+  works unchanged.
+
+Usage: python scripts/scale_rehearsal.py [factor] [base_sf_dir] [out]
+Writes a JSON summary line per query plus a final TOTAL line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+FACTOR = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+BASE = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+OUT = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/scale_{FACTOR}x"
+EVLOG = f"{OUT}/_eventlog"
+
+HEAVY = [
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_survivors_authority",
+    "corpus_prepare_training_data",
+    "embedding_kmeans",
+]
+
+
+def build_tables() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(EVLOG, exist_ok=True)
+    for t in (
+        "region nation customer supplier part orders lineitem events".split()
+    ):
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+
+    docs = pq.read_table(f"{BASE}/documents.parquet")
+    n = docs.num_rows
+    d = docs.to_pydict()
+    out = {k: list(v) for k, v in d.items()}
+    for k in range(1, FACTOR):
+        for i in range(n):
+            rng = random.Random(k * 1_000_003 + d["doc_id"][i])
+            words = (d["text"][i] or "").split()
+            rng.shuffle(words)
+            out["doc_id"].append(d["doc_id"][i] + k * 10_000_000)
+            out["text"].append(" ".join(words))
+            out["lang"].append(d["lang"][i])
+            out["source"].append(d["source"][i])
+            out["n_chars"].append(d["n_chars"][i])
+    pq.write_table(pa.table(out, schema=docs.schema), f"{OUT}/documents.parquet")
+
+    emb = pq.read_table(f"{BASE}/embeddings.parquet")
+    e = emb.to_pydict()
+    m = emb.num_rows
+    eo = {k: list(v) for k, v in e.items()}
+    for k in range(1, FACTOR):
+        for i in range(m):
+            vec = np.asarray(e["embedding"][i], dtype=np.float32)
+            eo["vec_id"].append(e["vec_id"][i] + k * 10_000_000)
+            eo["embedding"].append(np.roll(vec, k).tolist())
+            eo["label"].append(e["label"][i])
+    pq.write_table(pa.table(eo, schema=emb.schema), f"{OUT}/embeddings.parquet")
+    print(
+        f"built {OUT}: documents={n * FACTOR} embeddings={m * FACTOR}",
+        file=sys.stderr,
+    )
+
+
+def stage_extremes() -> dict:
+    """Max task input / shuffle-read / peak-memory across all tasks in
+    the (single-application) event log, plus total task cpu vs wall."""
+    mx = {"max_task_input_mb": 0.0, "max_task_shuffle_read_mb": 0.0,
+          "max_task_peak_mem_mb": 0.0, "task_wall_s": 0.0, "task_cpu_s": 0.0}
+    for fn in os.listdir(EVLOG):
+        path = os.path.join(EVLOG, fn)
+        if not os.path.isfile(path):
+            continue
+        with open(path) as f:
+            for line in f:
+                if '"SparkListenerTaskEnd"' not in line:
+                    continue
+                try:
+                    ev = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                tm = ev.get("Task Metrics") or {}
+                inp = (tm.get("Input Metrics") or {}).get("Bytes Read", 0)
+                sr = (tm.get("Shuffle Read Metrics") or {})
+                srb = sr.get("Local Bytes Read", 0) + sr.get("Remote Bytes Read", 0)
+                peak = tm.get("Peak Execution Memory", 0)
+                info = ev.get("Task Info") or {}
+                wall = (info.get("Finish Time", 0) - info.get("Launch Time", 0)) / 1e3
+                cpu = tm.get("Executor CPU Time", 0) / 1e9
+                mx["max_task_input_mb"] = max(mx["max_task_input_mb"], inp / 1e6)
+                mx["max_task_shuffle_read_mb"] = max(
+                    mx["max_task_shuffle_read_mb"], srb / 1e6
+                )
+                mx["max_task_peak_mem_mb"] = max(
+                    mx["max_task_peak_mem_mb"], peak / 1e6
+                )
+                mx["task_wall_s"] += wall
+                mx["task_cpu_s"] += cpu
+    return {k: round(v, 2) for k, v in mx.items()}
+
+
+def main() -> None:
+    build_tables()
+
+    from pyspark.sql import SparkSession
+
+    from __spark_entry__ import queries
+
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scale-rehearsal")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.eventLog.enabled", "true")
+        .config("spark.eventLog.dir", f"file://{EVLOG}")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    total = 0.0
+    for name in HEAVY:
+        t0 = time.monotonic()
+        n = qs[name](spark, OUT).count()
+        dt = time.monotonic() - t0
+        total += dt
+        print(json.dumps({"query": name, "sec": round(dt, 2), "rows": n}))
+        spark.catalog.clearCache()
+    spark.stop()
+    time.sleep(2)  # let the event log flush
+    print(json.dumps({"total_sec": round(total, 2), "factor": FACTOR,
+                      **stage_extremes()}))
+
+
+if __name__ == "__main__":
+    main()
