@@ -29,8 +29,10 @@ EVLOG = "/tmp/bench_adjudicate_evlog"
 
 def main() -> None:
     os.makedirs(EVLOG, exist_ok=True)
-    for f in os.listdir(EVLOG):
-        os.unlink(os.path.join(EVLOG, f))
+    import shutil
+
+    shutil.rmtree(EVLOG)
+    os.makedirs(EVLOG)
 
     from pyspark.sql import SparkSession
 
@@ -46,6 +48,8 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{EVLOG}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,9 +71,11 @@ def main() -> None:
     time.sleep(2)
 
     tasks = []
-    for fn in os.listdir(EVLOG):
-        path = os.path.join(EVLOG, fn)
-        if not os.path.isfile(path):
+    paths = []
+    for root, _dirs, files in os.walk(EVLOG):
+        paths.extend(os.path.join(root, fn) for fn in files)
+    for path in paths:
+        if path.endswith((".zstd", ".lz4", ".snappy")) or "appstatus" in path:
             continue
         with open(path) as f:
             for line in f:
@@ -94,7 +100,7 @@ def main() -> None:
         tw = sum(w for lt, w, _ in tasks if t0 <= lt <= t1)
         tc = sum(c for lt, _, c in tasks if t0 <= lt <= t1)
         print(
-            json.dumps(
+            "ADJ " + json.dumps(
                 {
                     "query": name,
                     "wall_s": round(wall, 3),

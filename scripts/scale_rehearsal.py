@@ -98,9 +98,11 @@ def stage_extremes() -> dict:
     the (single-application) event log, plus total task cpu vs wall."""
     mx = {"max_task_input_mb": 0.0, "max_task_shuffle_read_mb": 0.0,
           "max_task_peak_mem_mb": 0.0, "task_wall_s": 0.0, "task_cpu_s": 0.0}
-    for fn in os.listdir(EVLOG):
-        path = os.path.join(EVLOG, fn)
-        if not os.path.isfile(path):
+    paths = []
+    for root, _dirs, files in os.walk(EVLOG):
+        paths.extend(os.path.join(root, fn) for fn in files)
+    for path in paths:
+        if path.endswith((".zstd", ".lz4", ".snappy")) or "appstatus" in path:
             continue
         with open(path) as f:
             for line in f:
@@ -147,6 +149,8 @@ def main() -> None:
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", f"file://{EVLOG}")
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
