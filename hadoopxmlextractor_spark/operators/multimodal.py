@@ -294,8 +294,11 @@ def resize_media(
     deterministic byte-stride stand-in; ``decode='real'`` actually
     re-encodes — PPM images by pixel-grid striding (stays a valid P6),
     PCM WAV by frame decimation with a proportionally reduced sample
-    rate (stays a valid WAV of the same duration); undecodable formats
-    pass through unchanged (the PIL/ffmpeg plug-in point)."""
+    rate (stays a valid WAV of the same duration); JPEG/PNG/GIF by the
+    import-gated PIL plug-in (same pixel-grid striding, re-encoded as
+    PNG) when PIL is installed; undecodable formats — including codec
+    images where PIL is absent, as in this container — pass through
+    unchanged (the ffmpeg plug-in point for video)."""
     if decode not in ("fake", "real"):
         raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
 
@@ -307,19 +310,31 @@ def resize_media(
             import io
             import wave
 
+            def shrink(img):
+                h, w, _ = img.shape
+                k = 1
+                # slicing [::k] keeps ceil(n/k) samples — size by
+                # ceil; k caps at max(h, w) (floor: one pixel) so a
+                # sub-pixel target_bytes cannot loop forever
+                while -(h // -k) * -(w // -k) * 3 > target_bytes and k < max(h, w):
+                    k += 1
+                return img[::k, ::k, :]
+
             def resize_one(blob: bytes) -> bytes:
                 img = _decode_ppm(blob)
                 if img is not None:
-                    h, w, _ = img.shape
-                    k = 1
-                    # slicing [::k] keeps ceil(n/k) samples — size by
-                    # ceil; k caps at max(h, w) (floor: one pixel) so a
-                    # sub-pixel target_bytes cannot loop forever
-                    while -(h // -k) * -(w // -k) * 3 > target_bytes and k < max(h, w):
-                        k += 1
-                    small = img[:: k, :: k, :]
+                    small = shrink(img)
                     header = f"P6\n{small.shape[1]} {small.shape[0]}\n255\n"
                     return header.encode() + small.tobytes()
+                if blob.startswith(_CODEC_MAGIC):
+                    img = _decode_with_pil(blob)
+                    if img is not None:  # PIL installed and blob decodes
+                        import PIL.Image
+
+                        small = shrink(img)
+                        buf = io.BytesIO()
+                        PIL.Image.fromarray(small).save(buf, format="PNG")
+                        return buf.getvalue()
                 dec = _decode_wav(blob)
                 if dec is not None:
                     rate, channels, frames = dec

@@ -653,3 +653,20 @@ def test_pil_decode_real_png_when_available():
     assert got is not None
     assert got[0] == 7.0 and got[1] == 5.0  # width, height
     assert np.allclose(got, M._image_feature_vec(img))
+
+
+def test_resize_real_passes_codec_blobs_through_without_pil(spark):
+    # codec-magic blobs must pass through unchanged when PIL is absent
+    # (this container) — never crash, never corrupt
+    import pytest
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    if M._pil_available():
+        pytest.skip("container has PIL; passthrough branch not reachable")
+    blob = b"\x89PNG\r\n\x1a\n" + b"\x01\x02" * 40
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(blob))], "media_id long, media_type string, content binary"
+    )
+    out = M.resize_media(media, target_bytes=16, decode="real").collect()
+    assert bytes(out[0]["content"]) == blob
