@@ -972,3 +972,31 @@ def test_hybrid_rrf_legs_are_heap_cuts(spark):
     plan = executed_plan(q_search_hybrid_rrf(spark, SF))
     assert plan.count("TakeOrderedAndProject") >= 3
     assert "Sort [" not in plan.split("TakeOrderedAndProject")[0]
+
+
+def test_gated_ann_recall_flag_is_broadcast_single_row(spark):
+    # The round-4 gate-verdict wrapper cross-joins the exact top-20
+    # with a ONE-ROW recall total: the plan must broadcast that row
+    # (BroadcastNestedLoopJoin over a single-row aggregate is the
+    # tiny-row idiom), never a CartesianProduct, and both top-k legs
+    # must stay bounded heaps.
+    from hadoopxmlextractor_spark.pipeline_queries import q_similarity_topk_ivf
+
+    plan = executed_plan(q_similarity_topk_ivf(spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_sharded_bloom_probe_is_cogrouped_not_collected(spark):
+    # The sharded bloom probe must be a shard-keyed cogroup (each task
+    # sees one shard's batch rows + that shard's single bitmap row) —
+    # verified structurally: FlatMapCoGroupsInPandas in the plan, and
+    # the per-shard bitmap build as its own grouped-map node.
+    from hadoopxmlextractor_spark.corpus_queries import (
+        q_dedup_incremental_bloom_sharded,
+    )
+
+    plan = executed_plan(q_dedup_incremental_bloom_sharded(spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
