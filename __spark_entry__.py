@@ -83,6 +83,7 @@ FRONT = [
     "text_token_chi2",
     "embedding_knn_graph",
     "embedding_kmeans",
+    "embedding_top_pc",
     "corpus_diversity_sample",
     "text_perceptron_weights",
     "text_perceptron_predictions",

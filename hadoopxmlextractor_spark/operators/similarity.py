@@ -856,6 +856,90 @@ def kmeans_assignments(
     return final
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) — DuckDB's ``//`` on
+    integers truncates while Python's floors, and power-iteration
+    components go negative, so the driver must match the oracle's
+    semantics explicitly."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def top_principal_component(
+    emb: DataFrame,
+    *,
+    iters: int = 8,
+    norm_scale: int = 10**6,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Top principal direction of the embedding corpus by INTEGER-EXACT
+    power iteration — the PCA primitive behind embedding whitening,
+    OPQ-style rotation pre-passes, and drift monitoring (is today's
+    batch pointing where yesterday's corpus pointed?).
+
+    Exactness contract: the direction is defined over the int8-
+    QUANTIZED vectors (the same deterministic quantization as
+    :func:`kmeans_assignments` / embedding_quantize_int8, signed) and
+    every arithmetic step is integer: the uncentered second-moment
+    (Gram) matrix ``G = Σ q qᵀ`` in int64, then ``iters`` rounds of
+    ``v ← trunc(G·v · S / max|G·v|)`` in arbitrary-precision Python
+    ints with TRUNCATING division (DuckDB ``//`` truncates; Python
+    ``//`` floors — see :func:`_tdiv`). Deterministic start ``v₀ =
+    S·1``; a zero matrix fixes ``v`` (mirrored by the oracle's CASE).
+
+    Scale shape: ONE distributed pass builds G — the (id, j, value)
+    explode self-joined on id with map-side combine, output exactly
+    dim² rows (dim=1024 ⇒ 1M rows) — and only those dim²-bounded rows
+    reach the driver; the iteration itself is driver-side integer math
+    over a dim-vector, independent of corpus size. Returns
+    ``(dim_idx, component, eigen_est)`` where component is the
+    S-scaled direction and eigen_est the integer Rayleigh quotient
+    ``trunc(vᵀGv / vᵀv)``.
+    """
+    q = emb.select(
+        F.col(id_col).alias("vid"), quantized_shifted(vec_col).alias("qs")
+    )
+    x = q.select(
+        "vid", F.posexplode("qs").alias("j", "vs")
+    ).select("vid", "j", (F.col("vs") - 127).alias("v"))
+    a = x.select("vid", F.col("j"), F.col("v").alias("va"))
+    b = x.select("vid", F.col("j").alias("k"), F.col("v").alias("vb"))
+    gram_rows = (
+        a.join(b, "vid")
+        .filter(F.col("j") <= F.col("k"))
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("va") * F.col("vb")).alias("g"))
+        .collect()  # dim²-bounded: the ONLY rows that reach the driver
+    )
+    if not gram_rows:
+        dim = 0
+    else:
+        dim = max(r["k"] for r in gram_rows) + 1
+    G = [[0] * dim for _ in range(dim)]
+    for r in gram_rows:
+        G[r["j"]][r["k"]] = r["g"]
+        G[r["k"]][r["j"]] = r["g"]
+
+    v = [norm_scale] * dim
+    for _ in range(iters):
+        w = [sum(G[j][k] * v[k] for k in range(dim)) for j in range(dim)]
+        s = max((abs(x_) for x_ in w), default=0)
+        if s == 0:
+            break  # zero matrix: direction undefined, keep v (oracle CASE)
+        v = [_tdiv(w[j] * norm_scale, s) for j in range(dim)]
+
+    num = sum(G[j][k] * v[j] * v[k] for j in range(dim) for k in range(dim))
+    den = sum(c * c for c in v)
+    eig = _tdiv(num, den) if den else 0
+
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(j, v[j], eig) for j in range(dim)],
+        "dim_idx int, component bigint, eigen_est bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Persisted IVF index: bucketed layout + partition-pruned probes
 # ---------------------------------------------------------------------------

@@ -684,6 +684,65 @@ FROM a{rounds}"""
     )
 
 
+def top_pc_oracle(*, iters: int = 8, norm_scale: int = 10**6) -> str:
+    """Exact replay of operators.similarity.top_principal_component:
+    the SIGNED int8 quantization (floor(v/scale + 0.5); scale = 0 → 0),
+    the int64 uncentered Gram matrix, then ``iters`` power-iteration
+    rounds unrolled as MATERIALIZED CTEs in HUGEINT with TRUNCATING
+    division (DuckDB ``//`` truncates — the driver mirrors it via
+    _tdiv), finishing with the integer Rayleigh quotient."""
+    ctes = [
+        """base AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        """qv AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN [CAST(0 AS BIGINT) FOR x IN v]
+              ELSE [CAST(floor(v[i] / scale + 0.5) AS BIGINT)
+                    FOR i IN generate_series(1, len(v))] END AS q
+  FROM (SELECT vec_id, v,
+               list_max([abs(x) FOR x IN v]) / 127.0 AS scale
+        FROM base))""",
+        """x AS MATERIALIZED (
+  SELECT vec_id, unnest(generate_series(1, len(q))) - 1 AS j,
+         unnest(q) AS val
+  FROM qv)""",
+        """g AS MATERIALIZED (
+  SELECT a.j, b.j AS k, CAST(SUM(a.val * b.val) AS BIGINT) AS gv
+  FROM x a JOIN x b USING (vec_id) GROUP BY 1, 2)""",
+        f"""v0 AS MATERIALIZED (
+  SELECT DISTINCT j, CAST({norm_scale} AS HUGEINT) AS c FROM x)""",
+    ]
+    for r in range(iters):
+        ctes.append(
+            f"""w{r} AS MATERIALIZED (
+  SELECT g.j, SUM(CAST(g.gv AS HUGEINT) * vr.c) AS w
+  FROM g JOIN v{r} vr ON vr.j = g.k GROUP BY g.j)"""
+        )
+        ctes.append(
+            f"""v{r + 1} AS MATERIALIZED (
+  SELECT vr.j,
+         CASE WHEN s.s IS NULL OR s.s = 0 THEN vr.c
+              ELSE COALESCE(w.w, 0) * {norm_scale} // s.s END AS c
+  FROM v{r} vr
+  LEFT JOIN w{r} w ON w.j = vr.j
+  CROSS JOIN (SELECT MAX(abs(w)) AS s FROM w{r}) s)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+num AS MATERIALIZED (
+  SELECT COALESCE(SUM(CAST(g.gv AS HUGEINT) * va.c * vb.c), 0) AS n
+  FROM g JOIN v{iters} va ON va.j = g.j JOIN v{iters} vb ON vb.j = g.k),
+den AS MATERIALIZED (SELECT COALESCE(SUM(c * c), 0) AS d FROM v{iters})
+SELECT CAST(v.j AS INT) AS dim_idx,
+       CAST(v.c AS BIGINT) AS component,
+       CAST(CASE WHEN den.d = 0 THEN 0 ELSE num.n // den.d END AS BIGINT)
+         AS eigen_est
+FROM v{iters} v, num, den"""
+    )
+
+
 def kmeans_diversity_oracle(*, k: int = 8, rounds: int = 3, cap: int = 25) -> str:
     """Cluster-capped diversity sample over the k-means assignments:
     per semantic cluster, keep the first ``cap`` members by the

@@ -1286,6 +1286,22 @@ def q_embedding_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+@query("embedding_top_pc", O.top_pc_oracle(iters=24, norm_scale=10**6))
+def q_embedding_top_pc(spark: SparkSession, sf: str) -> DataFrame:
+    # Top principal direction of the embedding corpus — the PCA
+    # primitive behind whitening / OPQ rotation pre-passes and
+    # embedding-drift monitoring. Integer-exact power iteration over
+    # the int8-quantized Gram matrix: one distributed dim²-bounded
+    # Gram pass, then driver-side arbitrary-precision integer rounds
+    # (truncating division mirrors DuckDB's //), so an ITERATIVE
+    # eigen-solve is hash-exact across engines. Quality gate vs
+    # numpy's exact eigendecomposition: tests/test_approx_quality.py.
+    emb = load(spark, sf, "embeddings")
+    # iters=24: measured Rayleigh capture >= 0.977 of the true top
+    # eigenvalue across sf0.001/0.01/0.1 (0.95 gate in pytest)
+    return S.top_principal_component(emb, iters=24)
+
+
 @query(
     "governance_k_anonymity",
     """

@@ -180,3 +180,34 @@ def test_quantile_sketch_merge_within_tolerance_of_exact(spark):
         rank = ev.filter(F.col("cents") <= est).count() / n
         assert abs(rank - q) < 0.06, (q, est, rank)
     assert row["n_sample"] == 256
+
+
+def test_top_pc_aligns_with_numpy_eigenvector(spark):
+    # The integer power iteration must actually FIND the top principal
+    # direction: against numpy's exact eigendecomposition of the same
+    # quantized Gram matrix, the output direction's Rayleigh quotient
+    # must capture >= 95% of the true top eigenvalue, and eigen_est
+    # must agree with the quotient of the returned vector.
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.similarity import (
+        quantize_vec,
+        top_principal_component,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    rows = top_principal_component(emb, iters=24).collect()
+    v = np.zeros(len(rows))
+    for r in rows:
+        v[r["dim_idx"]] = r["component"]
+    eig_est = rows[0]["eigen_est"]
+
+    Q = np.stack(
+        [quantize_vec(np.asarray(r["embedding"], dtype=np.float64))[1]
+         for r in emb.collect()]
+    ).astype(np.float64)
+    G = Q.T @ Q
+    true_top = np.linalg.eigvalsh(G)[-1]
+    rq = float(v @ G @ v) / float(v @ v)
+    assert rq >= 0.95 * true_top, (rq, true_top)
+    assert abs(eig_est - rq) <= max(1.0, 0.01 * rq)
