@@ -1043,8 +1043,8 @@ def bloom_build(hashes: DataFrame, h_col: str, *, m_bits: int = 1 << 17) -> byte
             np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
         ).tobytes()
 
-    if partials.isEmpty():  # zero-partition input: empty filter
-        return bytes(n_bytes)
+    if partials.getNumPartitions() == 0:  # zero-partition input: empty
+        return bytes(n_bytes)  # filter — no job needed to know that
     return partials.treeReduce(or_merge, depth=depth)
 
 

@@ -783,6 +783,7 @@ def kmeans_assignments(
     rounds: int = 3,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    release_cache: bool = True,
 ) -> DataFrame:
     """Distributed Lloyd's k-means over int8-quantized embeddings,
     hash-EXACT across engines (pure int64 arithmetic end-to-end) —
@@ -839,19 +840,22 @@ def kmeans_assignments(
             new_cents[r["cid"]][r["pos"]] = r["v"]
         cents = new_cents
 
-    final = (
-        q.withColumn("a", _kmeans_assign_factory(cents)(F.col("q")))
-        .select(
-            "vec_id",
-            F.col("a.cid").alias("centroid_id"),
-            F.col("a.dist").alias("dist"),
-        )
-        # cache release: the 3-scalar-column assignment is ~dim× smaller
-        # than the quantized vectors — materialize it (cutting lineage
-        # to q) and free q's cache instead of leaking it across a long
-        # multi-query session.
-        .localCheckpoint(eager=True)
+    final = q.withColumn("a", _kmeans_assign_factory(cents)(F.col("q"))).select(
+        "vec_id",
+        F.col("a.cid").alias("centroid_id"),
+        F.col("a.dist").alias("dist"),
     )
+    if not release_cache:
+        # plan-inspection seam: callers (test_plans) that assert the
+        # zero-shuffle assignment plan need the REAL plan, which an
+        # eager localCheckpoint would replace with a checkpoint-RDD
+        # scan. They own q's cache lifetime.
+        return final
+    # cache release: the 3-scalar-column assignment is ~dim× smaller
+    # than the quantized vectors — materialize it (cutting lineage
+    # to q) and free q's cache instead of leaking it across a long
+    # multi-query session.
+    final = final.localCheckpoint(eager=True)
     q.unpersist()
     return final
 
@@ -1064,16 +1068,23 @@ def compact_ivf_index(
     values come from the FileIndex directory listing), not a local
     ``os.listdir``, so the maintenance path works wherever the index
     lives: local FS, HDFS, or an object store."""
+    from pyspark.errors import AnalysisException
+
     from hadoopxmlextractor_spark.sinks import compact_parquet
 
     cells_root = f"{index_dir}/cells"
-    cell_ids = sorted(
-        r["centroid_id"]
-        for r in spark.read.parquet(cells_root)
-        .select("centroid_id")
-        .distinct()
-        .collect()
-    )
+    try:
+        cell_ids = sorted(
+            r["centroid_id"]
+            for r in spark.read.parquet(cells_root)
+            .select("centroid_id")
+            .distinct()
+            .collect()
+        )
+    except AnalysisException:
+        # freshly created / fully pruned index: no parquet under cells
+        # — nothing to compact (the old os.listdir loop's behavior)
+        return {}
     out = {}
     for cid in cell_ids:
         entry = f"centroid_id={cid}"

@@ -201,7 +201,10 @@ def _gated_ann_topk(spark, sf: str, build, flag: str, *, min_recall: int = 10) -
     stay in tests/test_approx_quality.py."""
     emb = load(spark, sf, "embeddings")
     qv = _query_vec(spark, sf)
-    exact = S.cosine_topk_bruteforce(emb, qv, k=20)
+    # the 20-row exact leg feeds BOTH the recall join and the output
+    # payload: materialize it once (eager localCheckpoint of 20 rows —
+    # no cache leak) instead of re-scanning embeddings per branch
+    exact = S.cosine_topk_bruteforce(emb, qv, k=20).localCheckpoint(eager=True)
     approx = build(emb, qv)
     # single-row recall total: broadcast cross join (tiny-row idiom)
     n_hit = (

@@ -282,24 +282,19 @@ def normalize_for_jvm(expr: str) -> str:
     top-level union is normalized independently. Out-of-subset
     expressions pass through unchanged (full XPath 1.0 on the JVM)."""
 
-    def one(branch: str) -> str:
-        out = _strip_one(branch)
-        if out is None:
-            return branch.strip()
-        path, terminal = _split_terminal(out)
-        if terminal is None and _parse_path(path) is not None:
-            return out + "//text()"
-        return out
+    def bare_element_fix(stripped_branch: str) -> str:
+        path, terminal = _split_terminal(stripped_branch)
+        if terminal is None:
+            return stripped_branch + "//text()"
+        return stripped_branch
 
     branches = _split_union(expr)
-    if len(branches) == 1:
-        # preserve historical behavior: out-of-subset single expressions
-        # pass through byte-identical (no strip-induced whitespace edit)
-        out = one(branches[0])
-        return out if _strip_one(branches[0]) is not None else expr
-    if all(_strip_one(b) is not None for b in branches):
-        return " | ".join(one(b) for b in branches)
-    return expr
+    stripped = [_strip_one(b) for b in branches]
+    if any(s is None for s in stripped):
+        # out-of-subset (any part): pass through byte-identical — full
+        # XPath 1.0 on the JVM
+        return expr
+    return " | ".join(bare_element_fix(s) for s in stripped)
 
 
 def _walk_texts(el: Element):
@@ -436,18 +431,18 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
     return nodes
 
 
-def _attr_keys_local(n: Element, attr: str) -> list[str]:
-    """The actual attribute KEY(S) of ``n`` whose local name is
-    ``attr`` (exact key plus any namespaced spelling) — used by the
-    union merge, which must emit attributes in the element's source
-    order rather than branch order."""
-    keys = []
+def _attr_key_local(n: Element, attr: str) -> str | None:
+    """The ONE attribute key of ``n`` that ``@attr`` selects — exact
+    key preferred, else the first namespaced spelling — the key-level
+    twin of :func:`_get_attr_local`, so a branch selects the same
+    single attribute node inside a union as it does standalone (two
+    same-local-name spellings on one element must not both emit)."""
     if attr in n.attrib:
-        keys.append(attr)
+        return attr
     for k in n.attrib:
         if k.startswith("{") and _local(k) == attr:
-            keys.append(k)
-    return keys
+            return k
+    return None
 
 
 def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
@@ -515,7 +510,8 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
             nodes = _eval_steps(root, steps)
             if terminal[0] == "attr":
                 for n in nodes:
-                    for k in _attr_keys_local(n, terminal[1]):
+                    k = _attr_key_local(n, terminal[1])
+                    if k is not None:
                         attr_sel.setdefault(id(n), set()).add(k)
             elif terminal[0] == "text":
                 text_owned.update(id(n) for n in nodes)

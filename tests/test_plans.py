@@ -847,7 +847,10 @@ def test_kmeans_assignment_zero_shuffle_and_diversity_group_limit(spark):
     emb = load(spark, SF, "embeddings")
     # The per-vector assignment pass carries the centroid matrix as a
     # task-closure constant: no join, no exchange — scan bandwidth.
-    out = S.kmeans_assignments(emb, k=4, rounds=1)
+    # release_cache=False keeps the REAL plan inspectable (the default
+    # eager localCheckpoint would reduce it to a checkpoint-RDD scan
+    # and make these assertions vacuous).
+    out = S.kmeans_assignments(emb, k=4, rounds=1, release_cache=False)
     plan = executed_plan(out)
     assert count_exchanges(out) == 0
     assert "Join" not in plan
@@ -976,15 +979,16 @@ def test_hybrid_rrf_legs_are_heap_cuts(spark):
 
 def test_gated_ann_recall_flag_is_broadcast_single_row(spark):
     # The round-4 gate-verdict wrapper cross-joins the exact top-20
-    # with a ONE-ROW recall total: the plan must broadcast that row
-    # (BroadcastNestedLoopJoin over a single-row aggregate is the
-    # tiny-row idiom), never a CartesianProduct, and both top-k legs
-    # must stay bounded heaps.
+    # (materialized once — 20 rows) with a ONE-ROW recall total: the
+    # plan must broadcast that row (BroadcastNestedLoopJoin over a
+    # single-row aggregate is the tiny-row idiom), never a
+    # CartesianProduct, and the approximate leg's top-k must stay a
+    # bounded heap.
     from hadoopxmlextractor_spark.pipeline_queries import q_similarity_topk_ivf
 
     plan = executed_plan(q_similarity_topk_ivf(spark, SF))
     assert "CartesianProduct" not in plan, plan
-    assert plan.count("TakeOrderedAndProject") >= 2
+    assert plan.count("TakeOrderedAndProject") >= 1
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 

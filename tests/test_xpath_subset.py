@@ -238,3 +238,18 @@ def test_union_strip_and_normalize():
     # a '|' inside a quoted predicate value is NOT a union separator
     assert compile_subset("//a[@id='x|y']/@id") is not None
     assert strip_prefixes("//a[@id='x|y']/@id") == "//a[@id='x|y']/@id"
+
+
+def test_union_attr_selects_one_spelling_like_single_branch():
+    # an element carrying BOTH a plain and a namespaced attribute with
+    # the same local name: @id selects ONE node (exact key preferred),
+    # identically inside and outside a union (code-review regression)
+    doc = ET.fromstring(
+        '<r xmlns:n="http://e/x"><book id="a" n:id="b">t</book></r>'
+    )
+    assert ev("//book/@id", doc) == "a"
+    assert ev("//book/@id | //zzz/@q", doc) == "a"
+    assert ev("//book/@id | //book/@id", doc) == "a"
+    # namespaced-only spelling still matches by local name, once
+    doc2 = ET.fromstring('<r xmlns:n="http://e/x"><book n:id="b">t</book></r>')
+    assert ev("//book/@id | //zzz/@q", doc2) == "b"
