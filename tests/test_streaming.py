@@ -784,6 +784,20 @@ def test_stream_vectors_append_to_ivf_index(spark, tmp_path):
         tuple(r) for r in brute.collect()
     ]
 
+    # Crash-replay idempotency (the round-3 advisory fix): a restart
+    # that LOST the offsets checkpoint but kept the index replays the
+    # same data as batch 0 — the committed-batch marker must no-op the
+    # append instead of duplicating every streamed vector.
+    from hadoopxmlextractor_spark.streaming.upsert import last_committed_batch
+
+    assert last_committed_batch(index) >= 0  # marker written by the run
+    n_before = spark.read.parquet(f"{index}/cells").count()
+    q2 = stream_vectors_into_ivf_index(
+        stream, index, str(tmp_path / "ckpt_replay")
+    ).start()
+    q2.awaitTermination(120)
+    assert spark.read.parquet(f"{index}/cells").count() == n_before
+
 
 def test_near_dup_stream_flags_arriving_near_duplicates(spark, tmp_path):
     """Arriving docs near-dup of the EXISTING corpus are flagged by a
