@@ -694,6 +694,126 @@ def source_overlap(
     )
 
 
+def kmv_source_sketches(
+    docs: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Per-source KMV (bottom-k minimum values) distinct sketch: the k
+    lexicographically-smallest md5 content hashes of each source's
+    distinct documents. The md5 hex string IS the priority — lowercase
+    hex compares identically (ASCII = numeric order of the 128-bit
+    digest) in every engine, so the sketch is deterministic and
+    SQL-replayable with no seeded state at all.
+
+    Unlike HLL, KMV sketches support SET ALGEBRA: the union of two
+    sketches' bottom-k is a valid sketch of the union, and membership
+    of a hash in both sketches estimates the intersection — the
+    cross-source overlap question (:func:`kmv_source_overlap`) that
+    mergeable cardinality sketches alone cannot answer.
+
+    Scale shape: one distinct over (source, hash) — uniform-key, the
+    same shuffle :func:`dedup_exact` pays — then a per-source bottom-k
+    rank filter that WindowGroupLimit pushes below the sort, so each
+    source contributes k rows no matter how many documents it has. The
+    output is dimension-sized (sources × k) and everything downstream
+    of it is sketch arithmetic, never corpus data.
+    """
+    m = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    return m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
+
+
+def kmv_source_overlap(
+    docs: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Cross-source overlap ESTIMATES from KMV sketches — the O(k) per
+    source answer to the question :func:`source_overlap` computes
+    exactly with a full self-join. At 100 TB the sketches are built
+    once per ingest (sources × k rows) and every pairwise overlap
+    readout after that touches no corpus data at all.
+
+    For each source pair (a < b): merge the two sketches, keep the
+    bottom-K of the union (K = min(k, |union|)), and count members
+    present in BOTH sketches. Estimators (Beyer et al., standard KMV):
+    ``jaccard_est = n_common / K``; ``union_est = (k-1) / u_k`` when
+    the union sketch saturates (u_k = the K-th smallest hash mapped to
+    (0,1) via its 48-bit prefix) and the EXACT union count when it
+    does not (both sketches complete ⇒ sketch = full set);
+    ``inter_est = jaccard_est · union_est``. Every branch is integer
+    counts plus one fixed-order double expression, so the estimate is
+    bit-identical across engines despite being "approximate" — the
+    approximation is in the sampling, not the arithmetic.
+
+    Plan shape: sketches localCheckpoint eagerly (sources × k rows
+    feed the pair expansion twice); the pair table is sources², the
+    merged-member table sources² × 2k — all dimension-sized, broadcast
+    everywhere, zero additional corpus scans.
+    """
+    sk = kmv_source_sketches(docs, text_col, source_col, k=k).localCheckpoint(
+        eager=True
+    )
+    srcs = sk.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("source_a")).join(
+        F.broadcast(srcs.select(F.col("source").alias("source_b"))),
+        F.col("source_a") < F.col("source_b"),
+    )
+    pm = (
+        pairs.join(
+            F.broadcast(sk.withColumnRenamed("source", "s")),
+            (F.col("s") == F.col("source_a")) | (F.col("s") == F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("s") == F.col("source_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("s") == F.col("source_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    rw = Window.partitionBy("source_a", "source_b").orderBy("h")
+    r = pm.withColumn("rn", F.row_number().over(rw)).withColumn(
+        "p48", F.conv(F.substring("h", 1, 12), 16, 10).cast("long")
+    )
+    agg = r.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.sum(F.when(F.col("rn") <= k, 1).otherwise(0)).cast("long").alias("k_used"),
+        F.sum(F.when(F.col("rn") <= k, F.col("in_a") * F.col("in_b")).otherwise(0))
+        .cast("long")
+        .alias("n_common"),
+        F.max(F.when(F.col("rn") <= k, F.col("p48"))).alias("p48_k"),
+    )
+    est = agg.select(
+        "source_a",
+        "source_b",
+        "k_used",
+        "n_common",
+        F.when(
+            F.col("n_all") >= k,
+            (F.lit(float(k)) - F.lit(1.0))
+            / (F.col("p48_k").cast("double") / F.lit(281474976710656.0)),
+        )
+        .otherwise(F.col("k_used").cast("double"))
+        .alias("union_est"),
+        (F.col("n_common").cast("double") / F.col("k_used").cast("double")).alias(
+            "jaccard_est"
+        ),
+    )
+    return est.withColumn("inter_est", F.col("jaccard_est") * F.col("union_est"))
+
+
 def minhash_incremental_flags(
     docs: DataFrame,
     text_col: str,

@@ -439,6 +439,105 @@ def quantize_int8(col: Column | str) -> Column:
     return _quant(c)
 
 
+def binary_quantize(
+    emb: DataFrame,
+    *,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Sign-bit binary quantization: pack each vector's ``dim`` sign
+    bits (bit j of word w = 1 iff v[64w+j] >= 0) into ceil(dim/64)
+    int64 words — the 32× compression tier below int8 (see
+    :func:`quantize_int8`): 64 float32 dims become ONE 8-byte word.
+
+    The packing is a pure projection built from 64 codegen'd
+    ``element_at``/``shiftleft``/OR terms per word — no Python, no
+    shuffle, scan-bandwidth. ``v >= 0`` is exact under float32→double
+    widening (and -0.0 >= 0 is true in every IEEE engine), so the
+    packed words are bit-identical across engines and the transform is
+    oracle-checkable as plain integer arithmetic. At 100 TB the words
+    are written once as a parquet sidecar and candidate generation
+    never touches the float column again.
+    """
+    n_words = (dim + 63) // 64
+    cols = [F.col(id_col)]
+    for w in range(n_words):
+        word = None
+        for j in range(min(64, dim - 64 * w)):
+            bit = (F.element_at(F.col(vec_col), 64 * w + j + 1) >= F.lit(0.0)).cast(
+                "long"
+            )
+            term = F.shiftleft(bit, j)
+            word = term if word is None else word.bitwiseOR(term)
+        cols.append(word.alias(f"word{w}"))
+    return emb.select(*cols)
+
+
+def _pack_query_words(query_vec: Sequence[float], dim: int) -> list[int]:
+    """Driver-side twin of :func:`binary_quantize` for one vector,
+    returning SIGNED int64 words (two's complement, matching Spark)."""
+    words = []
+    for w in range((dim + 63) // 64):
+        word = 0
+        for j in range(min(64, dim - 64 * w)):
+            if float(query_vec[64 * w + j]) >= 0.0:
+                word |= 1 << j
+        if word >= 1 << 63:
+            word -= 1 << 64
+        words.append(word)
+    return words
+
+
+def hamming_topk_binary(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    *,
+    dim: int,
+    k: int = 20,
+    candidates: int = 100,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Two-stage binary ANN: hamming-distance candidate cut over the
+    packed sign-bit words, then exact cosine re-rank of the survivors —
+    the binary-quantization analogue of the PQ ADC-then-rerank path.
+
+    Stage 1 scans ONLY the packed words (8 bytes per 64 dims):
+    hamming = Σ_w bit_count(word_w XOR query_word_w), cut to the
+    ``candidates`` lowest by (hamming, id) — TakeOrderedAndProject, so
+    per-partition top-C then a C×partitions driver merge, never a
+    global sort. Stage 2 broadcasts the candidate ids back onto the
+    float column and re-ranks exactly; the cosine runs on exactly
+    ``candidates`` post-join rows. Every stage is deterministic
+    (integer hamming, id tiebreaks, rounded sims), so the full
+    approximate pipeline is hash-exact and SQL-oracle-able.
+    """
+    packed = binary_quantize(emb, dim=dim, vec_col=vec_col, id_col=id_col)
+    qwords = _pack_query_words(query_vec, dim)
+    ham = None
+    for w, qw in enumerate(qwords):
+        term = F.bit_count(F.col(f"word{w}").bitwiseXOR(F.lit(qw))).cast("long")
+        ham = term if ham is None else ham + term
+    cand = (
+        packed.select(F.col(id_col), ham.alias("hamming"))
+        .orderBy(F.col("hamming"), F.col(id_col))
+        .limit(candidates)
+    )
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        emb.join(F.broadcast(cand), on=id_col)
+        .select(
+            F.col(id_col),
+            F.col("hamming"),
+            F.round(cosine(F.col(vec_col), q), round_digits).alias("sim"),
+        )
+        .orderBy(F.col("sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def knn_classify(
     emb: DataFrame,
     probes: DataFrame,

@@ -1014,3 +1014,86 @@ SELECT CAST(cid AS INT) AS centroid_id,
        CAST(SUM(dist) // COUNT(*) AS BIGINT) AS mean_dist
 FROM a{rounds} GROUP BY cid"""
     )
+
+
+def binary_quantize_oracle(*, dim: int = 64) -> str:
+    """Sign-bit packing replay for ``similarity.binary_quantize``:
+    word w = Σ_j 2^j over elements with v[64w+j] >= 0, as explicit
+    HUGEINT power-of-two literals (never ``**``, whose DOUBLE result
+    rounds above 2^53), folded to a signed BIGINT by the same
+    two's-complement lane trick as the aHash oracle."""
+    n_words = (dim + 63) // 64
+    cols = []
+    for w in range(n_words):
+        terms = []
+        for j in range(min(64, dim - 64 * w)):
+            p = 1 << j
+            lit = f"CAST('{p}' AS HUGEINT)" if p >= 1 << 63 else str(p)
+            terms.append(
+                f"(CASE WHEN embedding[{64 * w + j + 1}] >= 0 THEN {lit} ELSE 0 END)"
+            )
+        s = " + ".join(terms)
+        cols.append(
+            f"CAST(CASE WHEN ({s}) >= CAST('9223372036854775808' AS HUGEINT) "
+            f"THEN ({s}) - CAST('18446744073709551616' AS HUGEINT) "
+            f"ELSE ({s}) END AS BIGINT) AS word{w}"
+        )
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+def kmv_overlap_oracle(*, k: int = 16, n_cycle: int = 20) -> str:
+    """KMV cross-source overlap replay for ``dedup.kmv_source_overlap``
+    over the planted-overlap corpus (every 3rd document re-attributed
+    to the cyclically-next source — md5-distinct synthetic texts have
+    NO organic cross-source overlap, so without the plant every
+    estimate would be a vacuous 0.0). The md5 hex string is the
+    priority; the 48-bit prefix is rebuilt nibble-by-nibble for the
+    (k-1)/u_k union estimator, and every double expression mirrors the
+    Spark tree operation-for-operation."""
+    p48 = " + ".join(
+        f"{_NIBBLE.format(h='h', p=i + 1)} * {16 ** (11 - i)}" for i in range(12)
+    )
+    return f"""
+    WITH d AS (
+      SELECT source, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT 'src' || CAST((CAST(SUBSTR(source, 4) AS INT) + 1) % {n_cycle} AS VARCHAR) AS source,
+             text
+      FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+    ),
+    m AS (SELECT DISTINCT source, md5(text) AS h FROM d),
+    sk AS (SELECT source, h FROM (
+             SELECT source, h,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM m) WHERE rn <= {k}),
+    srcs AS (SELECT DISTINCT source FROM sk),
+    pairs AS (SELECT a.source AS source_a, b.source AS source_b
+              FROM srcs a JOIN srcs b ON a.source < b.source),
+    pm AS (
+      SELECT p.source_a, p.source_b, s.h,
+             MAX(CASE WHEN s.source = p.source_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN s.source = p.source_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p JOIN sk s ON s.source IN (p.source_a, p.source_b)
+      GROUP BY 1, 2, 3),
+    r AS (SELECT source_a, source_b, h, in_a, in_b,
+                 ROW_NUMBER() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rn,
+                 ({p48}) AS p48
+          FROM pm),
+    agg AS (
+      SELECT source_a, source_b,
+             COUNT(*) AS n_all,
+             CAST(SUM(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS k_used,
+             CAST(SUM(CASE WHEN rn <= {k} THEN in_a * in_b ELSE 0 END) AS BIGINT) AS n_common,
+             MAX(CASE WHEN rn <= {k} THEN p48 END) AS p48_k
+      FROM r GROUP BY 1, 2),
+    est AS (
+      SELECT source_a, source_b, k_used, n_common,
+             CASE WHEN n_all >= {k}
+                  THEN (CAST({k} AS DOUBLE) - 1.0)
+                       / (CAST(p48_k AS DOUBLE) / 281474976710656.0)
+                  ELSE CAST(k_used AS DOUBLE) END AS union_est,
+             CAST(n_common AS DOUBLE) / CAST(k_used AS DOUBLE) AS jaccard_est
+      FROM agg)
+    SELECT source_a, source_b, k_used, n_common, union_est, jaccard_est,
+           jaccard_est * union_est AS inter_est
+    FROM est"""

@@ -685,6 +685,31 @@ def q_corpus_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     return D.source_overlap(docs, "text", "doc_id", "source", k=5)
 
 
+@query("corpus_kmv_source_overlap", O.kmv_overlap_oracle(k=16, n_cycle=20))
+def q_corpus_kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    # KMV-sketch cross-source overlap ESTIMATES — the O(k)-per-source
+    # mergeable-sketch answer to corpus_source_overlap's exact
+    # self-join (set algebra HLL cannot do). Planted evidence per the
+    # vacuous-check rule: every 3rd document is also attributed to the
+    # cyclically-next source, because the synthetic texts are
+    # md5-distinct and would otherwise make every estimate a vacuous
+    # 0.0 over unsaturated sketches. k=16 so the 25+-member sources
+    # genuinely saturate and the (k-1)/u_k estimator branch is live.
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    nxt = F.concat(
+        F.lit("src"),
+        ((F.substring("source", 4, 16).cast("int") + 1) % 20).cast("string"),
+    )
+    planted = (
+        docs.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("source", nxt)
+        .select("source", "text")
+    )
+    return D.kmv_source_overlap(
+        docs.select("source", "text").unionByName(planted), "text", "source", k=16
+    )
+
+
 @query(
     "text_heavy_hitters",
     r"""
@@ -826,6 +851,49 @@ def q_embedding_quantize_int8(spark: SparkSession, sf: str) -> DataFrame:
         F.col("qz.q_l1").alias("q_l1"),
         F.col("qz.q_checksum").alias("q_checksum"),
     )
+
+
+@query("embedding_binary_quantize", O.binary_quantize_oracle(dim=64))
+def q_embedding_binary_quantize(spark: SparkSession, sf: str) -> DataFrame:
+    # Sign-bit binary quantization — the 32× compression tier below
+    # int8: 64 float32 dims pack into ONE int64 word, computed as a
+    # pure codegen projection at scan bandwidth. The packed word is
+    # bit-identical across engines (v >= 0 is exact under widening),
+    # so the transform itself is hash-checked, not just its downstream.
+    emb = load(spark, sf, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return S.binary_quantize(emb, dim=dim)
+
+
+@query(
+    "similarity_topk_binary",
+    """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    ham AS (
+      SELECT e.vec_id,
+             CAST(LENGTH(LIST_FILTER(LIST_ZIP(e.embedding, (SELECT qv FROM q)),
+                  p -> (p[1] >= 0) <> (p[2] >= 0))) AS BIGINT) AS hamming
+      FROM embeddings e
+    ),
+    cand AS (SELECT vec_id, hamming FROM ham ORDER BY hamming, vec_id LIMIT 100)
+    SELECT c.vec_id, c.hamming,
+           ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                 (SELECT CAST(qv AS DOUBLE[]) FROM q)), 6) AS sim
+    FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+    ORDER BY sim DESC, c.vec_id LIMIT 20
+    """,
+)
+def q_similarity_topk_binary(spark: SparkSession, sf: str) -> DataFrame:
+    # Binary-quantized ANN: hamming candidate cut over packed sign
+    # bits (bit_count(xor) on ONE int64 word per 64 dims — the scan
+    # reads 8 bytes/vector, a 32× cut), then exact cosine re-rank of
+    # the 100 survivors via a broadcast join-back. Both stages are
+    # deterministic (integer hamming, id tiebreaks), so unlike
+    # IVF/PQ this approximate path needs no gate verdict — the
+    # result itself is hash-exact.
+    emb = load(spark, sf, "embeddings")
+    qv = _query_vec(spark, sf)
+    return S.hamming_topk_binary(emb, qv, dim=len(qv), k=20, candidates=100)
 
 
 @query(

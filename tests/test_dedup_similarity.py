@@ -656,3 +656,66 @@ def test_containment_catches_subset_duplication_jaccard_misses(spark):
         ).collect()
     }
     assert set(cont) == {(1, 2)} and cont[(1, 2)] == 1.0
+
+
+def test_binary_quantize_matches_python_pack(spark, vectors):
+    packed = {r.vec_id: r.word0 for r in S.binary_quantize(vectors, dim=16).collect()}
+    for row in vectors.collect():
+        w = 0
+        for j, x in enumerate(row.embedding):
+            if x >= 0:
+                w |= 1 << j
+        assert packed[row.vec_id] == w
+
+
+def test_binary_quantize_packs_sign_lane_as_signed_int64(spark):
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [-1.0] * 63 + [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.vec_id: r.word0 for r in S.binary_quantize(df, dim=64).collect()}
+    assert got[0] == -1  # all 64 bits set → two's-complement -1
+    assert got[1] == -(1 << 63)  # only bit 63 set → min int64
+
+
+def test_hamming_topk_binary_finds_planted_twin(spark, vectors):
+    q = vectors.filter("vec_id = 3").first()["embedding"]
+    top = S.hamming_topk_binary(vectors, q, dim=16, k=3, candidates=20).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["hamming"] == 0
+    assert abs(top[0]["sim"] - 1.0) < 1e-6
+    # the near-identical twin's sign pattern collides (tiny perturbation
+    # flips only near-zero coordinates) and exact re-rank puts it second
+    assert top[1]["vec_id"] == 5
+
+
+def test_kmv_overlap_exact_branch_unsaturated(spark):
+    # 6 + 6 docs sharing 3; k=64 ≫ union → sketches are the full sets,
+    # so the CASE's exact branch must return exact values.
+    rows = [("a", f"doc {i}") for i in range(6)] + [
+        ("b", f"doc {i}") for i in range(3, 9)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    out = D.kmv_source_overlap(df, "text", "source", k=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k_used == 9 and r.n_common == 3
+    assert r.union_est == 9.0
+    assert abs(r.jaccard_est - 3.0 / 9.0) < 1e-12
+    assert abs(r.inter_est - 3.0) < 1e-9
+
+
+def test_kmv_estimator_reasonable_when_saturated(spark):
+    # 200 ∪ 200 with 100 shared (true union 300, J = 1/3); k=32
+    # saturates, so the (k-1)/u_k branch runs. md5 priorities are
+    # fixed, so these loose ±3σ bands are deterministic documentation,
+    # not flaky sampling.
+    rows = (
+        [("a", f"L{i}") for i in range(200)]
+        + [("b", f"R{i}") for i in range(100)]
+        + [("b", f"L{i}") for i in range(100)]
+    )
+    df = spark.createDataFrame(rows, "source string, text string")
+    r = D.kmv_source_overlap(df, "text", "source", k=32).collect()[0]
+    assert r.k_used == 32
+    assert 150 <= r.union_est <= 600
+    assert 0.05 <= r.jaccard_est <= 0.7
