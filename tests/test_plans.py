@@ -1004,3 +1004,35 @@ def test_sharded_bloom_probe_is_cogrouped_not_collected(spark):
     plan = executed_plan(q_dedup_incremental_bloom_sharded(spark, SF))
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "FlatMapGroupsInPandas" in plan, plan
+
+
+def test_binary_ann_is_codegen_heap_cut_then_broadcast_rerank(spark):
+    # Binary-quantized ANN plan contract: stage 1 (packing + hamming)
+    # must be pure JVM expressions feeding a bounded heap
+    # (TakeOrderedAndProject at the candidate cut AND the final k) —
+    # no Python workers, no global Sort; stage 2's join-back must
+    # broadcast the candidate list, never nested-loop the corpus.
+    from hadoopxmlextractor_spark.pipeline_queries import q_similarity_topk_binary
+
+    plan = executed_plan(q_similarity_topk_binary(spark, SF))
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+    assert "bit_count" in plan and "shiftleft" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Sort [" not in plan  # both cuts are heaps, not sorts
+
+
+def test_kmv_overlap_all_dimension_sized_after_one_distinct(spark):
+    # KMV plan contract: ONE corpus-keyed exchange pair (the distinct
+    # over (source, hash) — partial+final), after which everything is
+    # sketch arithmetic over sources x k rows; the pair expansion and
+    # the sketch probe must broadcast, never shuffle-join the sketches.
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    docs = load(spark, SF, "documents")
+    out = D.kmv_source_overlap(docs, "text", "source", k=16)
+    plan = executed_plan(out)
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
