@@ -70,10 +70,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # presentation-only: every entry still runs in the local full-registry
 # gate (scripts/check_correctness.py).
 FRONT = [
-    # round-4 late additions (binary-quantized ANN tier, KMV sketches)
+    # round-4 late additions (binary-quantized ANN tier, KMV sketches,
+    # incremental view maintenance)
     "embedding_binary_quantize",
     "similarity_topk_binary",
     "corpus_kmv_source_overlap",
+    "corpus_incremental_rollup",
     # round-4 gate-verdict conversions (formerly rows-only)
     "agg_approx_distinct",
     "percentiles_approx",

@@ -711,6 +711,40 @@ def q_corpus_kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_incremental_rollup",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 11 <> 0
+    GROUP BY source
+    """,
+)
+def q_corpus_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental materialized-view maintenance: the per-source rollup
+    # of the NEW corpus version is produced from the OLD rollup plus
+    # retract/assert deltas over the row diff — never a rescan of
+    # unchanged rows. The oracle is deliberately the DIRECT recompute
+    # over the new version: the maintenance algebra must land on it
+    # bigint-exactly. Versions are derived deterministically from one
+    # table: old drops doc_id%7==0 (→ adds) and perturbs n_chars on
+    # doc_id%5==0 (→ changes); new drops doc_id%11==0 (→ removes).
+    from hadoopxmlextractor_spark.snapshots import maintain_rollup
+
+    docs = load(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "n_chars",
+        F.col("n_chars")
+        + F.when(F.col("doc_id") % 5 == 0, F.lit(17)).otherwise(F.lit(0)),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0)
+    return maintain_rollup(old, new, "doc_id", "source", "n_chars").withColumnRenamed(
+        "total", "total_chars"
+    )
+
+
+@query(
     "text_heavy_hitters",
     r"""
     WITH toks AS (

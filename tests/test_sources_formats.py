@@ -676,3 +676,33 @@ def test_task_retry_yields_exact_result(tmp_path):
         env=env,
     )
     assert "RETRY_OK 999000" in out.stdout, out.stdout + out.stderr
+
+
+def test_maintain_rollup_matches_direct_recompute_with_group_moves(spark):
+    from hadoopxmlextractor_spark.snapshots import maintain_rollup
+
+    # old: ids 1-6; new: 1 unchanged, 2 value-changed, 3 MOVES group
+    # a→b, 4 removed, 7 added, plus group c vanishing entirely (5,6
+    # removed) — the maintained rollup must equal a direct recompute,
+    # and c must not surface as a zero-count row.
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "a", 30), (4, "b", 40),
+         (5, "c", 50), (6, "c", 60)],
+        "id long, grp string, val long",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 25), (3, "b", 30), (7, "b", 70)],
+        "id long, grp string, val long",
+    )
+    got = {
+        r.grp: (r.n_docs, r.total)
+        for r in maintain_rollup(old, new, "id", "grp", "val").collect()
+    }
+    direct = {
+        r.grp: (r.n, r.t)
+        for r in new.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("t"))
+        .collect()
+    }
+    assert got == direct == {"a": (2, 35), "b": (2, 100)}
+    assert "c" not in got
