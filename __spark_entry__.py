@@ -75,6 +75,7 @@ FRONT = [
     "embedding_binary_quantize",
     "similarity_topk_binary",
     "corpus_kmv_source_overlap",
+    "corpus_kmv_cardinality",
     "corpus_incremental_rollup",
     # round-4 gate-verdict conversions (formerly rows-only)
     "agg_approx_distinct",

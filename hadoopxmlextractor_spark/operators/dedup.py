@@ -730,6 +730,45 @@ def kmv_source_sketches(
     return m.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).drop("rn")
 
 
+def kmv_cardinality(
+    docs: DataFrame,
+    text_col: str,
+    source_col: str,
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Per-source distinct-document ESTIMATE from the KMV sketch —
+    the mergeable COUNT(DISTINCT) that needs only k rows of state per
+    source: exact while the sketch is unsaturated (< k distinct
+    members means the sketch IS the full set), and ``(k-1)/u_k``
+    (u_k = the k-th smallest hash's 48-bit prefix mapped into (0,1))
+    once it saturates. Same deterministic md5-hex priorities as
+    :func:`kmv_source_sketches`, so the "approximate" estimate is
+    bit-identical across engines and across merge orders — the
+    bottom-k of a union is the bottom-k of the bottom-k's, which is
+    what lets per-day or per-batch sketches roll up
+    (:func:`hadoopxmlextractor_spark.streaming.dedup.kmv_cardinality_stream`
+    maintains exactly this state across micro-batches).
+    """
+    sk = kmv_source_sketches(docs, text_col, source_col, k=k)
+    agg = sk.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.max(F.conv(F.substring("h", 1, 12), 16, 10).cast("long")).alias("p48_k"),
+    )
+    return agg.select(
+        "source",
+        "n_sketch",
+        F.when(
+            F.col("n_sketch") >= k,
+            (F.lit(float(k)) - F.lit(1.0))
+            / (F.col("p48_k").cast("double") / F.lit(281474976710656.0)),
+        )
+        .otherwise(F.col("n_sketch").cast("double"))
+        .alias("distinct_est"),
+        (F.col("n_sketch") >= k).alias("saturated"),
+    )
+
+
 def kmv_source_overlap(
     docs: DataFrame,
     text_col: str,

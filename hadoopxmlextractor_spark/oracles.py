@@ -1097,3 +1097,33 @@ def kmv_overlap_oracle(*, k: int = 16, n_cycle: int = 20) -> str:
     SELECT source_a, source_b, k_used, n_common, union_est, jaccard_est,
            jaccard_est * union_est AS inter_est
     FROM est"""
+
+
+def kmv_cardinality_oracle(*, k: int = 16) -> str:
+    """Per-source KMV distinct-estimate replay for
+    ``dedup.kmv_cardinality``: bottom-k by md5-hex order, 48-bit
+    prefix rebuilt nibble-by-nibble, the same fixed-order double
+    expression for (k-1)/u_k. k=16 < the 25 distinct docs per
+    synthetic source, so the saturated estimator branch is organically
+    live; the unsaturated (exact) branch is pinned by unit and
+    streaming tests."""
+    p48 = " + ".join(
+        f"{_NIBBLE.format(h='h', p=i + 1)} * {16 ** (11 - i)}" for i in range(12)
+    )
+    return f"""
+    WITH m AS (SELECT DISTINCT source, md5(text) AS h
+               FROM documents WHERE text IS NOT NULL),
+    sk AS (SELECT source, h FROM (
+             SELECT source, h,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM m) WHERE rn <= {k}),
+    agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+                   MAX({p48}) AS p48_k
+            FROM sk GROUP BY source)
+    SELECT source, n_sketch,
+           CASE WHEN n_sketch >= {k}
+                THEN (CAST({k} AS DOUBLE) - 1.0)
+                     / (CAST(p48_k AS DOUBLE) / 281474976710656.0)
+                ELSE CAST(n_sketch AS DOUBLE) END AS distinct_est,
+           n_sketch >= {k} AS saturated
+    FROM agg"""

@@ -710,6 +710,17 @@ def q_corpus_kmv_source_overlap(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query("corpus_kmv_cardinality", O.kmv_cardinality_oracle(k=16))
+def q_corpus_kmv_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    # Mergeable per-source COUNT(DISTINCT) from k rows of state per
+    # source: exact below k, (k-1)/u_k once saturated — deterministic
+    # despite being an estimate (md5-hex priorities, fixed-order
+    # doubles). k=16 < 25 docs/source keeps the estimator branch
+    # organically live at every SF.
+    docs = load(spark, sf, "documents")
+    return D.kmv_cardinality(docs, "text", "source", k=16)
+
+
 @query(
     "corpus_incremental_rollup",
     """

@@ -75,6 +75,68 @@ def dedup_stream(
     )
 
 
+def kmv_cardinality_stream(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 64,
+) -> DataFrame:
+    """Streaming per-source distinct-document estimate with BOUNDED
+    state: the keyed state is a KMV sketch — the k smallest md5
+    digests seen so far — so state per source is k fixed-width strings
+    forever, in contrast to :func:`dedup_stream`, whose exact digest
+    set grows with every distinct document. This is the streaming form
+    of ``operators.dedup.kmv_cardinality``: because the bottom-k of a
+    union is the bottom-k of the bottom-k's, folding each micro-batch
+    into the sketch is associative, and after any prefix of batches
+    the state equals the batch sketch over the same rows — asserted in
+    the E2E test, estimate-for-estimate, against the batch twin.
+
+    Emits one append row per (source, batch) with the post-batch
+    running estimate: ``(source, n_sketch, distinct_est, saturated)``.
+    The estimate arithmetic is the batch twin's, operation for
+    operation (48-bit prefix of the k-th digest, ``(k-1)/u_k``), so
+    streaming and batch agree bit-for-bit, not approximately.
+    """
+    hashed = docs.select(
+        F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("digest")
+    )
+
+    def _kmv(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        sketch = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            sketch.update(pdf["digest"])
+        sketch = sorted(sketch)[:k]
+        n = len(sketch)
+        if n >= k:
+            u = int(sketch[k - 1][:12], 16) / 281474976710656.0
+            est, saturated = (float(k) - 1.0) / u, True
+        else:
+            est, saturated = float(n), False
+        state.update((sketch,))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]],
+                "n_sketch": [n],
+                "distinct_est": [est],
+                "saturated": [saturated],
+            }
+        )
+
+    return hashed.groupBy("source").applyInPandasWithState(
+        _kmv,
+        outputStructType="source string, n_sketch long, distinct_est double, saturated boolean",
+        stateStructType="digests array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def _band_exprs(bands: int, rows_per_band: int):
     return F.posexplode(
         F.array(

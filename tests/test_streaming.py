@@ -846,3 +846,71 @@ def test_near_dup_stream_flags_arriving_near_duplicates(spark, tmp_path):
         for r in spark.sql("SELECT * FROM near_dup_hits").collect()
     }
     assert hits == {(100, 1)}
+
+
+def test_kmv_cardinality_stream_matches_batch_twin(spark, tmp_path):
+    """Bounded-state streaming KMV: after each batch the per-source
+    running estimate must equal the BATCH kmv_cardinality over all
+    rows landed so far — bit-for-bit (the bottom-k merge is
+    associative), covering both the exact (unsaturated) and the
+    (k-1)/u_k (saturated) branches."""
+    import json
+
+    from hadoopxmlextractor_spark.operators.dedup import kmv_cardinality
+    from hadoopxmlextractor_spark.streaming.dedup import kmv_cardinality_stream
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps({"source": s, "text": t}) for s, t in rows)
+        )
+
+    b1 = [("a", f"alpha {i}") for i in range(5)] + [("b", f"beta {i}") for i in range(3)]
+    b2 = (
+        [("a", f"alpha {i}") for i in range(3)]  # repeats: no distinct growth
+        + [("a", "alpha 5"), ("a", "alpha 6")]
+        + [("b", "beta 3")]
+    )
+    land("b1.json", b1)
+
+    stream = spark.readStream.schema("source string, text string").json(str(landing))
+    out = kmv_cardinality_stream(stream, k=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmv_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def batch_twin(rows):
+        df = spark.createDataFrame(rows, "source string, text string")
+        return {
+            r.source: (r.n_sketch, r.distinct_est, r.saturated)
+            for r in kmv_cardinality(df, "text", "source", k=4).collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        got1 = {
+            r.source: (r.n_sketch, r.distinct_est, r.saturated)
+            for r in spark.sql("SELECT * FROM kmv_out").collect()
+        }
+        # a: 5 distinct > k=4 → saturated estimator; b: 3 < 4 → exact
+        assert got1 == batch_twin(b1)
+        assert got1["a"][2] is True and got1["b"] == (3, 3.0, False)
+
+        land("b2.json", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # last emitted row per source = running state after batch 2
+    rows = spark.sql("SELECT * FROM kmv_out").collect()
+    got2 = {}
+    for r in rows:  # memory sink appends in batch order
+        got2[r.source] = (r.n_sketch, r.distinct_est, r.saturated)
+    assert got2 == batch_twin(b1 + b2)
+    assert got2["b"][2] is True  # b crossed saturation in batch 2
