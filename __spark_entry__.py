@@ -77,6 +77,7 @@ FRONT = [
     "corpus_kmv_source_overlap",
     "corpus_kmv_cardinality",
     "corpus_incremental_rollup",
+    "dedup_graph_hits",
     # round-4 gate-verdict conversions (formerly rows-only)
     "agg_approx_distinct",
     "percentiles_approx",

@@ -1617,6 +1617,40 @@ def q_dedup_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return D.pagerank(pairs)
 
 
+@query("dedup_graph_hits", O.hits_oracle(iterations=4, threshold=0.6, plant_mod=101))
+def q_dedup_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    # HITS over the DIRECTED containment (quotation) graph: hubs are
+    # aggregator documents (quote many others), authorities are the
+    # templates many documents carry — the role separation PageRank
+    # over the undirected dup graph cannot make, and the one that
+    # decides "keep the template, drop the aggregators". Planted
+    # evidence per the vacuous-check rule: every 101st doc also
+    # appears concatenated with its two successors under a shifted id
+    # (a synthetic digest), because organic near-dup pairs are mutual
+    # and would exercise only the symmetric corner. Max-normalized
+    # bigint fixed-point with fixed rounds keeps the iterative
+    # algorithm hash-exact against the unrolled-CTE oracle.
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    d = docs.select("doc_id", "text")
+    a0 = d.filter(F.col("doc_id") % 101 == 0).select(
+        F.col("doc_id").alias("k"), F.col("text").alias("t0")
+    )
+    a1 = d.select((F.col("doc_id") - 1).alias("k"), F.col("text").alias("t1"))
+    a2 = d.select((F.col("doc_id") - 2).alias("k"), F.col("text").alias("t2"))
+    planted = (
+        a0.join(a1, "k")
+        .join(a2, "k")
+        .select(
+            (F.col("k") + 20000000).alias("doc_id"),
+            F.concat_ws(" ", "t0", "t1", "t2").alias("text"),
+        )
+    )
+    edges = D.ngram_containment_edges(
+        d.unionByName(planted), "text", "doc_id", n=3, threshold=0.6
+    )
+    return D.hits(edges, iterations=4)
+
+
 @query(
     "dedup_incremental_bloom",
     f"""

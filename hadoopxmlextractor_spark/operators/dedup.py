@@ -1150,6 +1150,114 @@ def pagerank(
     )
 
 
+def ngram_containment_edges(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int | float | None = "auto",
+) -> DataFrame:
+    """DIRECTED containment edges ``(container, contained)``: one edge
+    whenever ≥ ``threshold`` of the contained side's shingles appear
+    in the container (both edges for mutual near-copies). The directed
+    form :func:`ngram_containment_pairs` collapses — needed by
+    link-analysis over the quotation graph (:func:`hits`), where "B
+    quotes A" and "A quotes B" are different facts. Same inverted
+    index, same skew guards.
+    """
+    pc = _ngram_pair_counts(df, text_col, id_col, n=n, max_df=max_df)
+    a_in_b = pc.filter(
+        F.round(F.col("shared") / F.col("size_a"), 4) >= threshold
+    ).select(F.col("doc_b").alias("container"), F.col("doc_a").alias("contained"))
+    b_in_a = pc.filter(
+        F.round(F.col("shared") / F.col("size_b"), 4) >= threshold
+    ).select(F.col("doc_a").alias("container"), F.col("doc_b").alias("contained"))
+    return a_in_b.unionByName(b_in_a)
+
+
+def hits(
+    edges: DataFrame,
+    *,
+    iterations: int = 4,
+    scale: int = 10**6,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a DIRECTED graph, integer-exact:
+    on the containment/quotation graph, hubs are the AGGREGATORS
+    (documents that quote many others — newsletter digests, scraped
+    link-farms) and authorities are the TEMPLATES (content many
+    documents carry a copy of). PageRank over the undirected dup graph
+    cannot separate the two roles; the separation is what decides
+    "keep the template, drop the aggregators" in curation.
+
+    Determinism: the float algorithm's L2 normalization is replaced by
+    max-normalization in BIGINT fixed-point — after each half-step,
+    ``x := (x_raw * scale) div max(x_raw)`` (floor division, max is a
+    unique value so no tie order exists) — and the round count is
+    FIXED, so the result is bit-exact on any engine and the DuckDB
+    oracle replays the rounds as unrolled MATERIALIZED CTEs. Rankings
+    are preserved exactly (max-normalization is monotone); only the
+    scale of the scores differs from the textbook variant.
+
+    Scale: the graph is pair-table-sized, orders below the corpus.
+    Per round: two edge joins + two id-keyed aggregates (uniform keys)
+    + two single-row maxes broadcast back (the tiny-row crossJoin
+    idiom); localCheckpoint per round keeps the plan flat. With
+    ``scale`` = 1e6 the ``sum × scale`` products stay in BIGINT up to
+    ~9e6 in-degree — far past any df-capped containment graph.
+    """
+    e = edges.select(
+        F.col("container").alias("u"), F.col("contained").alias("v")
+    ).distinct().persist()
+    e.count()  # eager: feeds every round twice
+    nodes = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+    state = nodes.select(
+        "x", F.lit(scale).cast("long").alias("h"), F.lit(0).cast("long").alias("a")
+    )
+    for _ in range(iterations):
+        a_raw = (
+            e.join(state.select(F.col("x").alias("u"), "h"), "u")
+            .groupBy(F.col("v").alias("x"))
+            .agg(F.sum("h").alias("ar"))
+        )
+        a_all = nodes.join(a_raw, "x", "left").select(
+            "x", F.coalesce(F.col("ar"), F.lit(0)).alias("ar")
+        )
+        amax = a_all.agg(F.max("ar").alias("am"))
+        a_n = a_all.crossJoin(F.broadcast(amax)).select(
+            "x", F.expr("(ar * %d) div am" % scale).alias("a")
+        )
+        h_raw = (
+            e.join(a_n.select(F.col("x").alias("v"), "a"), "v")
+            .groupBy(F.col("u").alias("x"))
+            .agg(F.sum("a").alias("hr"))
+        )
+        h_all = nodes.join(h_raw, "x", "left").select(
+            "x", F.coalesce(F.col("hr"), F.lit(0)).alias("hr")
+        )
+        hmax = h_all.agg(F.max("hr").alias("hm"))
+        h_n = h_all.crossJoin(F.broadcast(hmax)).select(
+            "x", F.expr("(hr * %d) div hm" % scale).alias("h")
+        )
+        state = (
+            h_n.join(a_n, "x").select("x", "h", "a").localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return state.select(
+        F.col("x").alias("doc_id"),
+        F.col("h").cast("bigint").alias("hub_fp"),
+        F.col("a").cast("bigint").alias("auth_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bloom-filter-accelerated incremental dedup
 # ---------------------------------------------------------------------------

@@ -1127,3 +1127,80 @@ def kmv_cardinality_oracle(*, k: int = 16) -> str:
                 ELSE CAST(n_sketch AS DOUBLE) END AS distinct_est,
            n_sketch >= {k} AS saturated
     FROM agg"""
+
+
+def hits_oracle(
+    *,
+    iterations: int = 4,
+    scale: int = 10**6,
+    threshold: float = 0.6,
+    plant_mod: int = 101,
+) -> str:
+    """Unrolled fixed-point HITS replay for ``dedup.hits`` over the
+    directed containment graph, with planted AGGREGATOR documents
+    (every ``plant_mod``-th doc id also appears concatenated with its
+    two successors under a shifted id) — organic near-dup pairs are
+    mostly mutual, so without the plant the hub/authority separation
+    HITS exists to measure would be vacuous. Max-normalized bigint
+    rounds replayed as MATERIALIZED CTEs; the scalar MAX subqueries
+    read materialized results, so no exponential CTE re-execution."""
+    ctes = [
+        r"""d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+    planted AS (
+      SELECT a.doc_id + 20000000 AS doc_id,
+             a.text || ' ' || b.text || ' ' || c.text AS text
+      FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+               JOIN d c ON c.doc_id = a.doc_id + 2
+      WHERE a.doc_id %% %(mod)d = 0),
+    corpus AS (SELECT * FROM d UNION ALL SELECT * FROM planted),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+            FROM corpus)
+    ),
+    pc AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(a.shingles) AS size_a, len(b.shingles) AS size_b,
+             len(list_intersect(a.shingles, b.shingles)) AS shared
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+    edges AS MATERIALIZED (
+      SELECT doc_b AS u, doc_a AS v FROM pc
+      WHERE ROUND(CAST(shared AS DOUBLE) / size_a, 4) >= %(thr)s
+      UNION
+      SELECT doc_a AS u, doc_b AS v FROM pc
+      WHERE ROUND(CAST(shared AS DOUBLE) / size_b, 4) >= %(thr)s),
+    nodes AS MATERIALIZED (SELECT u AS x FROM edges UNION SELECT v AS x FROM edges),
+    s0 AS (SELECT x, CAST(%(scale)d AS BIGINT) AS h, CAST(0 AS BIGINT) AS a
+           FROM nodes)"""
+        % {"mod": plant_mod, "thr": threshold, "scale": scale}
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""ar{k} AS MATERIALIZED (
+      SELECT n.x, COALESCE(s.ar, 0) AS ar FROM nodes n LEFT JOIN (
+        SELECT e.v AS x, SUM(p.h) AS ar FROM edges e
+        JOIN s{k - 1} p ON e.u = p.x GROUP BY e.v) s ON n.x = s.x),
+    a{k} AS MATERIALIZED (
+      SELECT x, CAST((ar * {scale}) // (SELECT MAX(ar) FROM ar{k}) AS BIGINT) AS a
+      FROM ar{k}),
+    hr{k} AS MATERIALIZED (
+      SELECT n.x, COALESCE(s.hr, 0) AS hr FROM nodes n LEFT JOIN (
+        SELECT e.u AS x, SUM(p.a) AS hr FROM edges e
+        JOIN a{k} p ON e.v = p.x GROUP BY e.u) s ON n.x = s.x),
+    s{k} AS MATERIALIZED (
+      SELECT h.x, CAST((h.hr * {scale}) // (SELECT MAX(hr) FROM hr{k}) AS BIGINT) AS h,
+             a.a
+      FROM hr{k} h JOIN a{k} a ON h.x = a.x)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT x AS doc_id, h AS hub_fp, a AS auth_fp FROM s{iterations}"
+    )

@@ -719,3 +719,39 @@ def test_kmv_estimator_reasonable_when_saturated(spark):
     assert r.k_used == 32
     assert 150 <= r.union_est <= 600
     assert 0.05 <= r.jaccard_est <= 0.7
+
+
+def test_containment_edges_are_directed(spark):
+    rows = [(1, "a b c d e f g h"), (2, "x y z a b c d e f g h q w")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [
+        (r.container, r.contained)
+        for r in D.ngram_containment_edges(
+            df, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    ]
+    # doc 1 is pasted inside doc 2 → exactly one edge, container side 2
+    assert got == [(2, 1)]
+
+
+def test_hits_separates_aggregators_from_templates(spark):
+    # star: 10 quotes {1,2,3} (an aggregator); 4<->5 mutual near-copies
+    edges = spark.createDataFrame(
+        [(10, 1), (10, 2), (10, 3), (4, 5), (5, 4)],
+        "container long, contained long",
+    )
+    out = {
+        r.doc_id: (r.hub_fp, r.auth_fp)
+        for r in D.hits(edges, iterations=4).collect()
+    }
+    assert out[10][0] > 0 and out[10][1] == 0  # pure hub: quotes, never quoted
+    for leaf in (1, 2, 3):
+        assert out[leaf][1] > 0 and out[leaf][0] == 0  # pure authorities
+    # the mutual pair is symmetric across nodes (4 and 5 identical),
+    # though hub != auth within a node (the a-then-h half-step order)
+    assert out[4] == out[5] and out[4][0] > 0 and out[4][1] > 0
+    # the star's aggregator outranks the mutual pair as a hub (it
+    # concentrates 3 authorities), and its leaves outrank the pair as
+    # authorities — the role separation PageRank cannot express
+    assert out[10][0] > out[4][0]
+    assert out[1][1] > out[4][1]
