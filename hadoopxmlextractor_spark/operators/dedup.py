@@ -1167,7 +1167,12 @@ def ngram_containment_edges(
     quotes A" and "A quotes B" are different facts. Same inverted
     index, same skew guards.
     """
-    pc = _ngram_pair_counts(df, text_col, id_col, n=n, max_df=max_df)
+    # the inverted-index pair join is the expensive half and BOTH
+    # directed filters read it — materialize it once (pair-table-sized)
+    # instead of letting the union recompute the join per branch
+    pc = _ngram_pair_counts(df, text_col, id_col, n=n, max_df=max_df).localCheckpoint(
+        eager=True
+    )
     a_in_b = pc.filter(
         F.round(F.col("shared") / F.col("size_a"), 4) >= threshold
     ).select(F.col("doc_b").alias("container"), F.col("doc_a").alias("contained"))

@@ -44,6 +44,10 @@ HEAVY = [
     "corpus_prepare_training_data",
     "embedding_kmeans",
 ]
+# override the query list without editing the file, e.g.
+# SPARK_GRAFT_REHEARSAL_QUERIES=dedup_graph_hits,similarity_topk_binary
+if os.environ.get("SPARK_GRAFT_REHEARSAL_QUERIES"):
+    HEAVY = os.environ["SPARK_GRAFT_REHEARSAL_QUERIES"].split(",")
 
 
 def build_tables() -> None:
