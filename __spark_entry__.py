@@ -71,7 +71,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # gate (scripts/check_correctness.py).
 FRONT = [
     # round-4 late additions (binary-quantized ANN tier, KMV sketches,
-    # incremental view maintenance)
+    # incremental view maintenance, sorted-neighborhood blocking)
+    "dedup_sorted_neighborhood",
     "embedding_binary_quantize",
     "similarity_topk_binary",
     "corpus_kmv_source_overlap",

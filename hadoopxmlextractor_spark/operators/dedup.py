@@ -1509,3 +1509,95 @@ def bloom_incremental_flags_sharded(
     )
     tagged.count()  # eager: feeds both the verify branch and the miss branch
     return _flags_from_maybe(tagged, corpus_hashes, h_col, id_col)
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood (blocked SNM) dedup
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    block_prefix: int = 12,
+    window: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sorted-neighborhood-method near-dup pairs (Hernandez & Stolfo
+    '95, the classic entity-resolution blocking alternative to LSH):
+    sort documents by a content-derived key, slide a fixed window down
+    the sorted order, and exact-verify only window-adjacent pairs.
+    Complements the MinHash/SimHash family — SNM catches PREFIX
+    near-dups (boilerplate headers, re-crawls with appended footers,
+    versioned documents) with one sort instead of signature machinery,
+    and its candidate count is exactly ``(window-1) * n`` regardless
+    of similarity distribution.
+
+    Shape at scale: blocking key = first ``block_prefix`` chars of the
+    normalized text, so the sort is a per-block window (hash-partitioned
+    on the block, NO global single-partition sort); within a block the
+    (sort_key, id) order is total, so the pairing is deterministic.
+    The window LEADs carry (id, text) for the next ``window-1``
+    neighbors in ONE window pass (array-of-structs + explode — not a
+    per-distance union, which would recompute the window per branch);
+    Jaccard verification is JVM array expressions (array_intersect on
+    distinct tokens), no Python. A pathological hot block serializes
+    one task — mitigated the standard SNM way: tighter ``block_prefix``
+    or multi-pass with a second key (SCALE.md).
+
+    Returns ``(doc_a, doc_b, dist, jaccard)`` with doc_a < doc_b, dist
+    = neighbor distance in sort order (1..window-1), jaccard rounded
+    to 4 digits, filtered to ``>= threshold``. Empty/whitespace-only
+    texts are dropped (0/0 division semantics differ across engines).
+    """
+    sk = F.lower(F.trim(F.col(text_col)))
+    keyed = (
+        df.filter(F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != ""))
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            sk.alias("sk"),
+        )
+        .withColumn("blk", F.substring("sk", 1, block_prefix))
+    )
+    w = Window.partitionBy("blk").orderBy("sk", "doc_id")
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lead("doc_id", i).over(w).alias("nid"),
+                F.lead("text", i).over(w).alias("ntx"),
+                F.lit(i).alias("dist"),
+            )
+            for i in range(1, window)
+        ]
+    )
+    # window expressions are not allowed inside a generator — project
+    # the lead array first, then explode the materialized column
+    led = keyed.select("doc_id", "text", nbrs.alias("nbrs"))
+    cand = (
+        led.withColumn("nbr", F.explode("nbrs"))
+        .filter(F.col("nbr.nid").isNotNull())
+        .select(
+            "doc_id",
+            "text",
+            F.col("nbr.nid").alias("nid"),
+            F.col("nbr.ntx").alias("ntx"),
+            F.col("nbr.dist").alias("dist"),
+        )
+    )
+    wa = F.array_distinct(tokens(F.col("text")))
+    wb = F.array_distinct(tokens(F.col("ntx")))
+    shared = F.size(F.array_intersect(wa, wb))
+    jac = F.round(shared / (F.size(wa) + F.size(wb) - shared), 4)
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.least("doc_id", "nid").alias("doc_a"),
+            F.greatest("doc_id", "nid").alias("doc_b"),
+            F.col("dist").cast("int").alias("dist"),
+            "jaccard",
+        )
+    )

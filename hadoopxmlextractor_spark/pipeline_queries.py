@@ -1707,3 +1707,81 @@ def q_text_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     )
     inv.unpersist()
     return out
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    u AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 30000000 AS doc_id, text || ' snm planted tail' AS text
+      FROM base WHERE doc_id % 97 = 0
+    ),
+    keyed AS (
+      SELECT doc_id, text, lower(trim(text)) AS sk,
+             substring(lower(trim(text)), 1, 12) AS blk
+      FROM u
+    ),
+    led AS (
+      SELECT doc_id, text,
+             lead(doc_id, 1) OVER w AS nid1, lead(text, 1) OVER w AS ntx1,
+             lead(doc_id, 2) OVER w AS nid2, lead(text, 2) OVER w AS ntx2,
+             lead(doc_id, 3) OVER w AS nid3, lead(text, 3) OVER w AS ntx3
+      FROM keyed
+      WINDOW w AS (PARTITION BY blk ORDER BY sk, doc_id)
+    ),
+    cand AS (
+      SELECT doc_id, text, nid1 AS nid, ntx1 AS ntx, 1 AS dist
+      FROM led WHERE nid1 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, text, nid2, ntx2, 2 FROM led WHERE nid2 IS NOT NULL
+      UNION ALL
+      SELECT doc_id, text, nid3, ntx3, 3 FROM led WHERE nid3 IS NOT NULL
+    ),
+    scored AS (
+      SELECT doc_id, nid, dist,
+             ROUND(len(list_intersect(wa, wb))::DOUBLE
+                   / (len(wa) + len(wb) - len(list_intersect(wa, wb))),
+                   4) AS jaccard
+      FROM (SELECT doc_id, nid, dist,
+                   list_distinct(regexp_split_to_array(trim(text), '\s+')) AS wa,
+                   list_distinct(regexp_split_to_array(trim(ntx), '\s+')) AS wb
+            FROM cand)
+    )
+    SELECT least(doc_id, nid) AS doc_a,
+           greatest(doc_id, nid) AS doc_b,
+           CAST(dist AS INT) AS dist,
+           jaccard
+    FROM scored
+    WHERE jaccard >= 0.5
+    """,
+)
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
+    # Sorted-neighborhood blocking (Hernandez & Stolfo '95): the
+    # sort-based alternative to LSH blocking — one per-block sort, a
+    # fixed (window-1)*n candidate budget, JVM-only verification. The
+    # synthetic corpus has no organic prefix near-dups, so evidence is
+    # PLANTED (vacuous-check rule): every 97th doc gets a shifted-id
+    # twin with an appended footer — same block, adjacent in sort
+    # order, high Jaccard — replayed identically in the oracle.
+    docs = load(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    base = docs.select("doc_id", "text")
+    planted = base.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 30000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" snm planted tail")).alias("text"),
+    )
+    return D.sorted_neighborhood_pairs(
+        base.unionByName(planted),
+        "text",
+        "doc_id",
+        block_prefix=12,
+        window=4,
+        threshold=0.5,
+    )

@@ -755,3 +755,38 @@ def test_hits_separates_aggregators_from_templates(spark):
     # authorities — the role separation PageRank cannot express
     assert out[10][0] > out[4][0]
     assert out[1][1] > out[4][1]
+
+
+def test_sorted_neighborhood_finds_prefix_neardups(spark):
+    # Two docs sharing a long prefix (re-crawl with appended footer)
+    # land in the same block, adjacent in sort order; an unrelated doc
+    # and a same-block-but-dissimilar doc must NOT pair.
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " appended footer"),  # prefix near-dup of 1
+        (3, "alpha beta gzzz completely different tail words here now"),
+        (4, "unrelated text that sorts into a different block entirely"),
+        (5, None),
+        (6, "   "),  # whitespace-only: dropped, no 0/0 division
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.sorted_neighborhood_pairs(
+        df, "text", "doc_id", block_prefix=12, window=3, threshold=0.5
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard for r in got.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.8
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_sorted_neighborhood_window_bounds_candidates(spark):
+    # candidate pairs are bounded by (window-1) per doc even when every
+    # doc shares one block (the hot-block worst case).
+    rows = [(i, f"same prefix words {i:04d}") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = D.sorted_neighborhood_pairs(
+        df, "text", "doc_id", block_prefix=12, window=4, threshold=0.0
+    )
+    # every pair is within distance 3 in sorted (here: id) order
+    assert got.count() == 19 + 18 + 17
+    assert got.filter((F.col("doc_b") - F.col("doc_a")) > 3).count() == 0
