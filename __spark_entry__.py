@@ -73,6 +73,7 @@ FRONT = [
     # round-4 late additions (binary-quantized ANN tier, KMV sketches,
     # incremental view maintenance, sorted-neighborhood blocking)
     "dedup_sorted_neighborhood",
+    "corpus_dsir_sample",
     "embedding_binary_quantize",
     "similarity_topk_binary",
     "corpus_kmv_source_overlap",

@@ -2381,3 +2381,48 @@ def q_corpus_chunk_language(spark: SparkSession, sf: str) -> DataFrame:
         F.col("lang").alias("declared_lang"),
         T.language_id("chunk_text").alias("detected_lang"),
     )
+
+
+@query(
+    "corpus_dsir_sample",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS is_t,
+             unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), bk AS MATERIALIZED (
+      SELECT doc_id, is_t, {_HEX8} % 4096 AS bkt
+      FROM (SELECT doc_id, is_t, md5(token) AS hh FROM tok)
+    ), stats AS (
+      SELECT bkt, CAST(COUNT(*) AS BIGINT) AS cr,
+             CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+      FROM bk GROUP BY bkt
+    ), w AS (
+      SELECT bkt, (ct * 10000) // cr AS wt FROM stats
+    ), scores AS (
+      SELECT bk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(w.wt) AS BIGINT) AS score
+      FROM bk JOIN w USING (bkt) GROUP BY bk.doc_id
+    )
+    SELECT doc_id, n_tokens, score, score // n_tokens AS avg_weight
+    FROM scores ORDER BY score DESC, doc_id LIMIT 200
+    """,
+)
+def q_corpus_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # DSIR data selection (Xie et al. 2023): hashed-unigram importance
+    # weights fit on the en-language subset as the target distribution,
+    # every doc scored by integer-exact scaled likelihood ratios, top
+    # 200 kept (TakeOrderedAndProject — fixed-K at any corpus size).
+    # Floor division is non-negative on both engines (Spark `div`,
+    # DuckDB `//` — the count-rank boundary rule).
+    docs = (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .withColumn("is_target", (F.col("lang") == "en"))
+    )
+    from hadoopxmlextractor_spark.operators.corpus import dsir_importance_weights
+
+    scored = dsir_importance_weights(
+        docs, "text", "doc_id", "is_target", dim=4096, scale=10000
+    )
+    return scored.orderBy(F.col("score").desc(), "doc_id").limit(200)

@@ -846,3 +846,68 @@ def bpe_encoded_words(
         "freq",
         F.posexplode("syms").alias("pos", "sym"),
     )
+
+
+def dsir_importance_weights(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_col: str,
+    *,
+    dim: int = 4096,
+    scale: int = 10000,
+) -> DataFrame:
+    """DSIR-style data selection via hashed importance weights (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): fit hashed-unigram distributions over a TARGET
+    subset (``target_col`` boolean — e.g. wiki-quality docs) and the
+    RAW corpus, then score every document by how target-like its
+    tokens are; downstream sampling keeps the highest-weight docs.
+
+    Determinism: DSIR's log-likelihood-ratio sum is float (libm ln
+    differs across engines — the no-float-BM25 rule), so the score is
+    an integer-exact surrogate: each token contributes its bucket's
+    scaled likelihood ratio ``(ct * scale) div cr`` (bigint floor
+    division, both operands non-negative), summed per document. The
+    per-token ratio is a monotone transform of the same evidence; the
+    sum replaces DSIR's log-product, trading the probabilistic
+    interpretation for bit-identical replay on any engine.
+
+    Scale: TWO passes over the token stream (fit, then score) — the
+    same shape as production DSIR, which fits the n-gram distributions
+    before scoring. The fit aggregates to ``dim`` rows (map-side
+    partial combine; uniform md5 buckets), the weight table rides a
+    BROADCAST join onto the scoring pass, and the doc-keyed sum is the
+    only corpus-sized shuffle. No Python anywhere — bucket, ratio, and
+    sum are all codegen expressions.
+
+    Returns ``(id, n_tokens, score, avg_weight)`` — one row per doc
+    with ≥1 token; ``avg_weight = score div n_tokens`` removes the
+    length bias for thresholding.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.col(target_col).alias("is_t"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    ).withColumn("bkt", stable_bucket("token", dim))
+    stats = toks.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.col("is_t").cast("long")).cast("long").alias("ct"),
+    )
+    weights = stats.select(
+        "bkt", F.expr(f"(ct * {scale}) div cr").alias("wt")
+    )
+    return (
+        toks.join(F.broadcast(weights), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("wt").cast("long").alias("score"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "score",
+            F.expr("score div n_tokens").alias("avg_weight"),
+        )
+    )

@@ -728,3 +728,36 @@ def test_plans_dossier_covers_every_bench_headline_query():
     plans = open(os.path.join(root, "PLANS.md")).read()
     missing = [n for n in bench.HEADLINE if n not in plans]
     assert missing == [], f"PLANS.md missing: {missing} — rerun scripts/dump_plans.py"
+
+
+def test_dsir_weights_separate_target_like_docs(spark):
+    from hadoopxmlextractor_spark.operators.corpus import dsir_importance_weights
+
+    # tokens "good*" appear only in target docs, "bad*" only outside —
+    # a new doc made of target-only tokens must outscore one made of
+    # non-target tokens (per-token ratio: 10000*t/(t+others)).
+    rows = (
+        [(i, "good1 good2 good3", True) for i in range(1, 5)]
+        + [(i, "bad1 bad2 bad3", False) for i in range(10, 14)]
+        + [(100, "good1 good2 good3", False), (101, "bad1 bad2 bad3", False)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t boolean")
+    got = {
+        r.doc_id: r
+        for r in dsir_importance_weights(
+            df, "text", "doc_id", "is_t", dim=4096, scale=10000
+        ).collect()
+    }
+    # good tokens: 4 of 5 occurrences in target -> ratio 8000/token
+    # bad tokens: 0 of 5 in target -> ratio 0/token
+    assert got[100].avg_weight == 8000
+    assert got[101].avg_weight == 0
+    assert got[100].n_tokens == 3 and got[100].score == 24000
+    # the fit table must ride a broadcast join (dim rows, never a shuffle)
+    plan = (
+        dsir_importance_weights(df, "text", "doc_id", "is_t", dim=4096)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
