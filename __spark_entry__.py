@@ -74,6 +74,7 @@ FRONT = [
     # incremental view maintenance, sorted-neighborhood blocking)
     "dedup_sorted_neighborhood",
     "corpus_dsir_sample",
+    "embedding_bitext_mine",
     "embedding_binary_quantize",
     "similarity_topk_binary",
     "corpus_kmv_source_overlap",

@@ -2426,3 +2426,20 @@ def q_corpus_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
         docs, "text", "doc_id", "is_target", dim=4096, scale=10000
     )
     return scored.orderBy(F.col("score").desc(), "doc_id").limit(200)
+
+
+@query(
+    "embedding_bitext_mine",
+    O.bitext_mutual_oracle(threshold=0.3, dim=64, n_planes=4, n_tables=8),
+)
+def q_embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
+    # Bitext mining (Artetxe & Schwenk 2019): treat even/odd vec_ids as
+    # two languages in a shared embedding space and mine translation
+    # pairs as mutual-top-1 cross-side matches with runner-up margins.
+    # Candidates ride the seeded banded-LSH generator (never O(n²));
+    # mutual-best pairs provably exist whenever any cross-side
+    # candidate does (the globally best pair is mutual), so the result
+    # is organically non-vacuous at every SF.
+    emb = load(spark, sf, "embeddings")
+    pairs = S.cosine_pairs_lsh(emb, threshold=0.3, dim=64, n_planes=4, n_tables=8)
+    return S.bitext_mutual_top1(pairs, parity_mod=2)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from typing import Iterator, Sequence, Tuple
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1189,5 +1189,69 @@ def compact_ivf_index(
         entry = f"centroid_id={cid}"
         out[entry] = compact_parquet(
             spark, f"{cells_root}/{entry}", target_file_bytes=target_file_bytes
+        )
+    return out
+
+
+def bitext_mutual_top1(
+    pairs: DataFrame,
+    *,
+    parity_mod: int = 2,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019, the
+    LASER/CCMatrix parallel-corpus miner): given symmetric near pairs
+    ``(id_a, id_b, sim)`` over multilingual embeddings, keep the
+    CROSS-SIDE pairs that are each other's best match (mutual top-1)
+    and report how decisively each side wins (margin over the runner-
+    up). Mining parallel sentences is the canonical bitext source for
+    translation-training corpora; mutual-top-1 + margin is what
+    separates true translations from topically-similar noise.
+
+    Sides come from id parity (``id % parity_mod``: 0 = source
+    language, else target) so no side table needs joining — in
+    production the id encodes the shard/language anyway. Candidates
+    come from the caller's LSH pair generator (never O(n²)); this
+    operator adds two key-partitioned windows over the PAIR table
+    (top-1 + runner-up per src and per dst in one pass each) and a
+    filter — pair-table-sized work, no further joins, so it scales
+    with candidate count, not corpus size.
+
+    Margins subtract the ALREADY-ROUNDED sims (identical IEEE inputs
+    on any engine), so the output replays exactly. A side with no
+    runner-up gets margin = sim - 0.0 (maximally decisive).
+    """
+    sa = F.col("id_a") % parity_mod
+    sb = F.col("id_b") % parity_mod
+    o = pairs.filter(sa != sb).select(
+        F.when(sa == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+        F.when(sa == 0, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        "sim",
+    )
+    ws = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")
+    wd = Window.partitionBy("dst").orderBy(F.col("sim").desc(), "src")
+    ranked = o.select(
+        "src",
+        "dst",
+        "sim",
+        F.row_number().over(ws).alias("rs"),
+        F.lead("sim", 1).over(ws).alias("second_s"),
+        F.row_number().over(wd).alias("rd"),
+        F.lead("sim", 1).over(wd).alias("second_d"),
+    )
+    out = ranked.filter((F.col("rs") == 1) & (F.col("rd") == 1)).select(
+        "src",
+        "dst",
+        "sim",
+        F.round(F.col("sim") - F.coalesce("second_s", F.lit(0.0)), 5).alias(
+            "margin_src"
+        ),
+        F.round(F.col("sim") - F.coalesce("second_d", F.lit(0.0)), 5).alias(
+            "margin_dst"
+        ),
+    )
+    if min_margin > 0.0:
+        out = out.filter(
+            F.least("margin_src", "margin_dst") >= F.lit(min_margin)
         )
     return out

@@ -1204,3 +1204,40 @@ def hits_oracle(
         f"WITH {joined}\n"
         f"SELECT x AS doc_id, h AS hub_fp, a AS auth_fp FROM s{iterations}"
     )
+
+
+def bitext_mutual_oracle(
+    *,
+    threshold: float = 0.3,
+    dim: int = 64,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    parity_mod: int = 2,
+) -> str:
+    """Replay of similarity.bitext_mutual_top1 over the seeded-LSH
+    candidate pairs: orient cross-parity pairs even-side first, mutual
+    top-1 via two windows, margins from the rounded sims."""
+    ctes = _lsh_pair_ctes(
+        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=42
+    ).format(threshold=threshold)
+    return f"""
+    WITH {ctes},
+    o AS (
+      SELECT CASE WHEN id_a % {parity_mod} = 0 THEN id_a ELSE id_b END AS src,
+             CASE WHEN id_a % {parity_mod} = 0 THEN id_b ELSE id_a END AS dst,
+             sim
+      FROM pairs WHERE (id_a % {parity_mod}) <> (id_b % {parity_mod})
+    ),
+    r AS (
+      SELECT src, dst, sim,
+             ROW_NUMBER() OVER ws AS rs, LEAD(sim, 1) OVER ws AS second_s,
+             ROW_NUMBER() OVER wd AS rd, LEAD(sim, 1) OVER wd AS second_d
+      FROM o
+      WINDOW ws AS (PARTITION BY src ORDER BY sim DESC, dst),
+             wd AS (PARTITION BY dst ORDER BY sim DESC, src)
+    )
+    SELECT src, dst, sim,
+           ROUND(sim - COALESCE(second_s, 0.0), 5) AS margin_src,
+           ROUND(sim - COALESCE(second_d, 0.0), 5) AS margin_dst
+    FROM r WHERE rs = 1 AND rd = 1
+    """

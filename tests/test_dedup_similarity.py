@@ -790,3 +790,31 @@ def test_sorted_neighborhood_window_bounds_candidates(spark):
     # every pair is within distance 3 in sorted (here: id) order
     assert got.count() == 19 + 18 + 17
     assert got.filter((F.col("doc_b") - F.col("doc_a")) > 3).count() == 0
+
+
+def test_bitext_mutual_top1_planted_translation(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(64).astype("float32") for i in range(0, 8, 2)}
+    rows = [(i, [float(x) for x in v]) for i, v in vecs.items()]
+    # odd ids = "target language": id 1 is an exact translation of 0
+    # (same direction), id 3 is a noisy translation of 2; ids 5/7 are
+    # unrelated target-side vectors.
+    rows.append((1, [float(x) for x in vecs[0]]))
+    rows.append((3, [float(x) for x in (vecs[2] + 0.1 * rng.randn(64).astype("float32"))]))
+    rows.append((5, [float(x) for x in rng.randn(64).astype("float32")]))
+    rows.append((7, [float(x) for x in rng.randn(64).astype("float32")]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = S.cosine_pairs_lsh(emb, threshold=0.3, dim=64, n_planes=2, n_tables=8)
+    got = {(r.src, r.dst): r for r in S.bitext_mutual_top1(pairs).collect()}
+    assert (0, 1) in got and got[(0, 1)].sim == 1.0
+    assert (2, 3) in got and got[(2, 3)].sim > 0.9
+    # mutual-top-1 is one-to-one: no src or dst appears twice
+    srcs = [s for s, _ in got]
+    dsts = [d for _, d in got]
+    assert len(set(srcs)) == len(srcs) and len(set(dsts)) == len(dsts)
+    # min_margin filters indecisive pairs but keeps the exact twin
+    strict = S.bitext_mutual_top1(pairs, min_margin=0.2)
+    kept = {(r.src, r.dst) for r in strict.collect()}
+    assert (0, 1) in kept
