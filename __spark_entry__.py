@@ -73,6 +73,7 @@ FRONT = [
     # round-4 late additions (binary-quantized ANN tier, KMV sketches,
     # incremental view maintenance, sorted-neighborhood blocking)
     "dedup_sorted_neighborhood",
+    "dedup_fuzzy_join",
     "corpus_dsir_sample",
     "embedding_bitext_mine",
     "embedding_binary_quantize",

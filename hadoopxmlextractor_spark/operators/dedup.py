@@ -1601,3 +1601,87 @@ def sorted_neighborhood_pairs(
             "jaccard",
         )
     )
+
+
+def fuzzy_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 2,
+    len_bucket: int = 8,
+    max_block: int = 1000,
+) -> DataFrame:
+    """Approximate string self-join (edit-distance record linkage —
+    the "find me the typo'd duplicates of this entity name" operator):
+    candidate pairs from cheap blocking, exact Levenshtein verify.
+    Completes the record-linkage family next to :func:`sorted_
+    neighborhood_pairs` (prefix near-dups) and the token-set paths
+    (Jaccard/MinHash) — edit distance catches CHARACTER-level noise
+    (OCR errors, typos, transliteration drift) that token-set
+    similarity dilutes and sorting misses when the edit is early.
+
+    Blocking key = (first token, length div ``len_bucket``): both are
+    cheap scan-time expressions, and a small edit usually preserves
+    both. Like every blocking scheme (LSH bands, SNM windows) recall
+    is approximate — a pair whose edit changes the first token or
+    crosses a length-bucket boundary is missed — but the blocking is
+    DETERMINISTIC, so any engine replays the identical candidate set
+    and the verified output is exact over it.
+
+    EXACT duplicates collapse first: identical texts form one
+    equivalence class (min-id representative) BEFORE pairing, so the
+    join runs over distinct strings and a million-copy entity costs
+    one class row, not 10¹² pairs — exact-dup enumeration is
+    :func:`dedup_exact`'s job, and skipping it here is what keeps the
+    self-join candidate count bounded by distinct-name counts. The
+    output links class representatives at dist ≥ 1.
+
+    Scale: one distinct-text aggregate, then a self-join shuffled on
+    the block key over CLASSES; ``max_block`` drops degenerate blocks
+    (a boilerplate first token with too many distinct variants) before
+    the join — the same skew guard as the LSH ``max_bucket`` / shingle
+    ``max_df`` caps, and equally replayable (a property of the block's
+    class count). Levenshtein runs JVM-side (codegen) only on
+    candidates. Returns ``(id_a, id_b, dist)`` — class-representative
+    ids with id_a < id_b, 1 ≤ dist ≤ ``max_dist``.
+    """
+    t = F.trim(F.col(text_col))
+    keyed = df.filter(F.col(text_col).isNotNull() & (t != "")).select(
+        F.col(id_col).alias("fid"),
+        t.alias("ftxt"),
+        F.concat(
+            F.split(t, r"\s+").getItem(0),
+            F.lit("|"),
+            F.expr(f"length(trim({text_col})) div {len_bucket}").cast("string"),
+        ).alias("blk"),
+    )
+    classes = keyed.groupBy("blk", "ftxt").agg(F.min("fid").alias("rep"))
+    ok = (
+        classes.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") <= max_block)
+        .select("blk")
+    )
+    k = classes.join(ok, "blk")
+    a = k.select(
+        F.col("blk"), F.col("rep").alias("rep_a"), F.col("ftxt").alias("txt_a")
+    )
+    b = k.select(
+        F.col("blk").alias("blk_b"),
+        F.col("rep").alias("rep_b"),
+        F.col("ftxt").alias("txt_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("blk") == F.col("blk_b")) & (F.col("txt_a") < F.col("txt_b")),
+        )
+        .withColumn("dist", F.levenshtein("txt_a", "txt_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select(
+            F.least("rep_a", "rep_b").alias("id_a"),
+            F.greatest("rep_a", "rep_b").alias("id_b"),
+            F.col("dist").cast("int").alias("dist"),
+        )
+    )

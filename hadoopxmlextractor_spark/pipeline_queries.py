@@ -1785,3 +1785,50 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf: str) -> DataFrame:
         window=4,
         threshold=0.5,
     )
+
+
+@query(
+    "dedup_fuzzy_join",
+    r"""
+    WITH u AS (
+      SELECT p_partkey AS id, trim(p_name) AS t FROM part
+      UNION ALL
+      SELECT p_partkey + 10000000 AS id,
+             substring(trim(p_name), 1, length(trim(p_name)) - 1) || 'x' AS t
+      FROM part WHERE p_partkey % 31 = 0
+    ),
+    keyed AS (
+      SELECT id, t,
+             regexp_split_to_array(t, '\s+')[1] || '|'
+               || CAST(length(t) // 8 AS VARCHAR) AS blk
+      FROM u WHERE t IS NOT NULL AND t <> ''
+    ),
+    classes AS (SELECT blk, t, MIN(id) AS rep FROM keyed GROUP BY blk, t),
+    ok AS (SELECT blk FROM classes GROUP BY blk HAVING COUNT(*) <= 1000),
+    k AS (SELECT classes.* FROM classes JOIN ok USING (blk))
+    SELECT least(a.rep, b.rep) AS id_a, greatest(a.rep, b.rep) AS id_b,
+           CAST(levenshtein(a.t, b.t) AS INT) AS dist
+    FROM k a JOIN k b ON a.blk = b.blk AND a.t < b.t
+    WHERE levenshtein(a.t, b.t) <= 2
+    """,
+)
+def q_dedup_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
+    # Edit-distance record linkage over entity names: collapse exact
+    # duplicates into min-id classes (part names repeat heavily — 64
+    # distinct among 2000 at sf0.01; pairing copies would be quadratic
+    # in group size), block classes on (first token, length bucket),
+    # exact Levenshtein verify at dist ≥ 1. Part names have no organic
+    # typos, so evidence is PLANTED (vacuous-check rule): every 31st
+    # part gets a shifted-id twin with the last character replaced —
+    # same block, distance ≤ 1 — replayed identically in the oracle.
+    part = load(spark, sf, "part")
+    t = F.trim(F.col("p_name"))
+    base = part.select(F.col("p_partkey").alias("pid"), t.alias("name"))
+    planted = part.filter(F.col("p_partkey") % 31 == 0).select(
+        (F.col("p_partkey") + 10000000).alias("pid"),
+        F.concat(F.expr("substring(trim(p_name), 1, length(trim(p_name)) - 1)"), F.lit("x")).alias("name"),
+    )
+    return D.fuzzy_join(
+        base.unionByName(planted), "name", "pid", max_dist=2, len_bucket=8,
+        max_block=1000,
+    )

@@ -818,3 +818,27 @@ def test_bitext_mutual_top1_planted_translation(spark):
     strict = S.bitext_mutual_top1(pairs, min_margin=0.2)
     kept = {(r.src, r.dst) for r in strict.collect()}
     assert (0, 1) in kept
+
+
+def test_fuzzy_join_links_typo_classes_not_exact_dups(spark):
+    rows = [
+        (1, "goldenrod lavender spring"),
+        (2, "goldenrod lavender spring"),   # exact dup of 1: same class
+        (3, "goldenrod lavender sprinG"),   # typo: dist 1 from class {1,2}
+        (4, "goldenrod lavender xyzzy"),    # dist 5: beyond max_dist
+        (5, "chartreuse lavender spring"),  # different first token: other block
+    ]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    got = {(r.id_a, r.id_b): r.dist for r in
+           D.fuzzy_join(df, "name", "pid", max_dist=2).collect()}
+    # class rep of {1,2} is 1; exact-dup pair (1,2) must NOT appear
+    assert got == {(1, 3): 1}
+
+
+def test_fuzzy_join_block_cap_is_deterministic(spark):
+    # 30 distinct variants sharing a block: the cap drops the block
+    # entirely, so a pathological boilerplate prefix can't go quadratic.
+    rows = [(i, f"prefix var{i:02d}") for i in range(30)]
+    df = spark.createDataFrame(rows, "pid long, name string")
+    assert D.fuzzy_join(df, "name", "pid", max_dist=2, max_block=10).count() == 0
+    assert D.fuzzy_join(df, "name", "pid", max_dist=2, max_block=100).count() > 0
