@@ -914,3 +914,87 @@ def test_kmv_cardinality_stream_matches_batch_twin(spark, tmp_path):
         got2[r.source] = (r.n_sketch, r.distinct_est, r.saturated)
     assert got2 == batch_twin(b1 + b2)
     assert got2["b"][2] is True  # b crossed saturation in batch 2
+
+
+def test_dsir_admission_stream_matches_batch_twin(spark, tmp_path):
+    """The stateless DSIR gate admits exactly the rows the batch
+    scorer + threshold admits, with identical integer scores."""
+    import json
+
+    from hadoopxmlextractor_spark.operators.corpus import dsir_importance_weights
+    from hadoopxmlextractor_spark.operators.text import tokens
+    from hadoopxmlextractor_spark.streaming.admission import (
+        dsir_admission_stream,
+        weights_map,
+    )
+
+    # offline fit: "good*" tokens are target-only, "bad*" raw-only
+    fit_rows = (
+        [(i, "good1 good2 good3", True) for i in range(1, 5)]
+        + [(i, "bad1 bad2 bad3", False) for i in range(10, 14)]
+    )
+    fit = spark.createDataFrame(fit_rows, "doc_id long, text string, is_t boolean")
+    toks = fit.select(
+        F.col("is_t"), F.explode(tokens(F.col("text"))).alias("token")
+    )
+    from hadoopxmlextractor_spark.operators.corpus import stable_bucket
+
+    stats = toks.withColumn("bkt", stable_bucket("token", 4096)).groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("cr"),
+        F.sum(F.col("is_t").cast("long")).cast("long").alias("ct"),
+    )
+    weights = stats.select("bkt", F.expr("(ct * 10000) div cr").alias("wt"))
+    wmap = weights_map(weights)
+
+    # streaming docs: one target-like, one raw-like, one empty
+    landing = tmp_path / "adm"
+    landing.mkdir()
+    (landing / "b1.json").write_text(
+        "\n".join(
+            json.dumps(d)
+            for d in [
+                {"doc_id": 100, "text": "good1 good2 bad1"},
+                {"doc_id": 101, "text": "bad1 bad2 bad3"},
+                {"doc_id": 102, "text": "   "},
+            ]
+        )
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(landing))
+    q = (
+        dsir_admission_stream(stream, wmap, dim=4096, min_avg_weight=5000)
+        .writeStream.format("memory")
+        .queryName("dsir_adm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_adm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r.doc_id, r.n_tokens, r.score, r.avg_weight)
+        for r in spark.sql("SELECT * FROM dsir_adm").collect()
+    }
+    # batch twin over the same arriving docs, same fitted weights
+    arriving = spark.createDataFrame(
+        [(100, "good1 good2 bad1"), (101, "bad1 bad2 bad3"), (102, "   ")],
+        "doc_id long, text string",
+    )
+    at = arriving.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("token")
+    ).withColumn("bkt", stable_bucket("token", 4096))
+    batch = (
+        at.join(F.broadcast(weights), "bkt", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce("wt", F.lit(0))).cast("long").alias("score"),
+        )
+        .select("doc_id", "n_tokens", "score", F.expr("score div n_tokens").alias("avg_weight"))
+        .filter(F.col("avg_weight") >= 5000)
+    )
+    want = {(r.doc_id, r.n_tokens, r.score, r.avg_weight) for r in batch.collect()}
+    assert got == want
+    assert {d for d, *_ in got} == {100}  # 2/3 good tokens: (8000*2+0) div 3 = 5333
