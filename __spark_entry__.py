@@ -74,6 +74,7 @@ FRONT = [
     # incremental view maintenance, sorted-neighborhood blocking)
     "dedup_sorted_neighborhood",
     "dedup_fuzzy_join",
+    "text_url_canonical_dedup",
     "corpus_dsir_sample",
     "embedding_bitext_mine",
     "embedding_binary_quantize",

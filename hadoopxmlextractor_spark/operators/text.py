@@ -698,3 +698,46 @@ def token_chi2(
             F.round(n * diff * diff / den, 4).alias("chi2"),
         )
     )
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Crawl-frontier URL canonicalization: the normalization every
+    web-scale ingest runs BEFORE exact URL dedup, so that re-crawls of
+    the same page under cosmetic variations collapse to one frontier
+    entry. Normalizes, in order: strip fragment; lowercase scheme and
+    host; drop default ports (:80/:443); collapse trailing slashes on
+    the path (root stays '/'); strip tracking parameters
+    (utm_*/fbclid/gclid) from the query while preserving the relative
+    order of surviving params (order-preserving rather than sorted —
+    sorted canonicalization merges more but needs a split/sort
+    round-trip; this form is one regexp chain).
+
+    Pure JVM regexp expressions — codegen at scan bandwidth, no Python
+    URL parser; replays exactly in DuckDB (regexp_extract returns ''
+    on no-match in both engines, verified)."""
+    c = F.col(col) if isinstance(col, str) else col
+    u = F.regexp_replace(c, r"#.*", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)),
+        r":(443|80)$",
+        "",
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    q = F.regexp_replace(
+        F.regexp_replace(
+            query, r"(utm_[a-z]+|fbclid|gclid)=[^&]*&?", ""
+        ),
+        r"&$",
+        "",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )

@@ -1832,3 +1832,104 @@ def q_dedup_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
         base.unionByName(planted), "name", "pid", max_dist=2, len_bucket=8,
         max_block=1000,
     )
+
+
+@query(
+    "text_url_canonical_dedup",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+        'https://'
+        || CASE WHEN doc_id % 3 = 0
+                THEN upper('www.example' || CAST((doc_id % 500) % 4 AS VARCHAR) || '.com')
+                ELSE 'www.example' || CAST((doc_id % 500) % 4 AS VARCHAR) || '.com' END
+        || CASE WHEN doc_id % 6 = 0 THEN ':443' ELSE '' END
+        || '/Page/' || CAST(doc_id % 500 AS VARCHAR)
+        || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        || CASE WHEN doc_id % 2 = 0
+                THEN '?x=' || CAST((doc_id % 500) % 3 AS VARCHAR)
+                     || '&utm_source=s' || CAST(doc_id % 9 AS VARCHAR)
+                WHEN doc_id % 10 = 1 THEN '?utm_campaign=c'
+                ELSE '' END
+        || CASE WHEN doc_id % 5 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR)
+                ELSE '' END AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id,
+             regexp_replace(url, '#.*', '', 'g') AS nf
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id,
+        lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) || '://'
+        || regexp_replace(lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)),
+                          ':(443|80)$', '', 'g')
+        || CASE WHEN regexp_replace(
+                       regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                       '/+$', '', 'g') = ''
+                THEN '/'
+                ELSE regexp_replace(
+                       regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                       '/+$', '', 'g') END
+        || CASE WHEN regexp_replace(regexp_replace(
+                       regexp_extract(nf, '\?([^#]*)', 1),
+                       '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+                       '&$', '', 'g') <> ''
+                THEN '?' || regexp_replace(regexp_replace(
+                       regexp_extract(nf, '\?([^#]*)', 1),
+                       '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
+                       '&$', '', 'g')
+                ELSE '' END AS curl
+      FROM parts
+    )
+    SELECT curl AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS survivor_id
+    FROM canon GROUP BY curl
+    """,
+)
+def q_text_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Crawl-frontier URL dedup: re-crawls of one page arrive under
+    # cosmetic variations — host case, default port, trailing slash,
+    # tracking params, fragments (all PLANTED deterministically from
+    # doc_id; the corpus has no url column) — and must collapse to one
+    # frontier entry. canonical_url is a pure JVM regexp chain at scan
+    # bandwidth; the dedup is a uniform-key groupBy on the canonical
+    # string (min-id survivor), the same shape as dedup_exact.
+    docs = load(spark, sf, "documents")
+    did = F.col("doc_id")
+    page = did % 500
+    host_base = F.concat(
+        F.lit("www.example"), (page % 4).cast("string"), F.lit(".com")
+    )
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 3 == 0, F.upper(host_base)).otherwise(host_base),
+        F.when(did % 6 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Page/"),
+        page.cast("string"),
+        F.when(did % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit("?x="),
+                (page % 3).cast("string"),
+                F.lit("&utm_source=s"),
+                (did % 9).cast("string"),
+            ),
+        )
+        .when(did % 10 == 1, F.lit("?utm_campaign=c"))
+        .otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0, F.concat(F.lit("#sec"), did.cast("string"))
+        ).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", T.canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_variants"),
+            F.min("doc_id").alias("survivor_id"),
+        )
+    )

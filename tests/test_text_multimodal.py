@@ -670,3 +670,20 @@ def test_resize_real_passes_codec_blobs_through_without_pil(spark):
     )
     out = M.resize_media(media, target_bytes=16, decode="real").collect()
     assert bytes(out[0]["content"]) == blob
+
+
+def test_canonical_url_normalization_edges(spark):
+    from hadoopxmlextractor_spark.operators.text import canonical_url
+
+    cases = [
+        ("https://WWW.Ex.COM:443/a/b/?utm_source=x&q=1#frag",
+         "https://www.ex.com/a/b?q=1"),
+        ("http://h.com:80/", "http://h.com/"),
+        ("HTTPS://H.com/p?utm_campaign=c", "https://h.com/p"),
+        ("https://h.com/p?a=1&fbclid=z&b=2", "https://h.com/p?a=1&b=2"),
+        ("https://h.com", "https://h.com/"),
+        ("https://h.com:8080/p", "https://h.com:8080/p"),  # non-default port kept
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    assert got == [want for _, want in cases]
