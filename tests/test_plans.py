@@ -1036,3 +1036,45 @@ def test_kmv_overlap_all_dimension_sized_after_one_distinct(spark):
     assert plan.count("BroadcastExchange") >= 2, plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_snm_is_one_block_window_no_global_sort(spark):
+    # Sorted-neighborhood plan contract: exactly one Window (the lead
+    # array is built in ONE pass, not per distance), partitioned by the
+    # block key via a hash exchange — never a global range sort — and
+    # the Jaccard verify stays JVM-side (no Python workers).
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    docs = load(spark, SF, "documents")
+    plan = executed_plan(
+        D.sorted_neighborhood_pairs(docs, "text", "doc_id", window=4)
+    )
+    assert plan.count("Window") == 1, plan
+    assert "Exchange hashpartitioning" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_dsir_fit_rides_broadcast_score_is_single_shuffle(spark):
+    # DSIR plan contract: the dim-row weight table must BROADCAST onto
+    # the scoring pass (never a shuffle join against the token stream),
+    # and all arithmetic is codegen (no Python workers).
+    from hadoopxmlextractor_spark.corpus_queries import q_corpus_dsir_sample
+
+    plan = executed_plan(q_corpus_dsir_sample(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan  # fixed-K cut, no global sort
+
+
+def test_fuzzy_join_pairs_classes_not_rows(spark):
+    # Fuzzy-join plan contract: the self-join input is the DISTINCT-
+    # text class aggregate (HashAggregate below the join), and the
+    # levenshtein verify is JVM-side; no cartesian/nested-loop path.
+    from hadoopxmlextractor_spark.pipeline_queries import q_dedup_fuzzy_join
+
+    plan = executed_plan(q_dedup_fuzzy_join(spark, SF))
+    assert "levenshtein" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
