@@ -2430,7 +2430,7 @@ def q_corpus_dsir_sample(spark: SparkSession, sf: str) -> DataFrame:
 
 @query(
     "embedding_bitext_mine",
-    O.bitext_mutual_oracle(threshold=0.3, dim=64, n_planes=4, n_tables=8),
+    O.bitext_mutual_oracle(threshold=0.3, dim=64, n_planes=8, n_tables=8),
 )
 def q_embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
     # Bitext mining (Artetxe & Schwenk 2019): treat even/odd vec_ids as
@@ -2441,5 +2441,65 @@ def q_embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
     # candidate does (the globally best pair is mutual), so the result
     # is organically non-vacuous at every SF.
     emb = load(spark, sf, "embeddings")
-    pairs = S.cosine_pairs_lsh(emb, threshold=0.3, dim=64, n_planes=4, n_tables=8)
+    # 8-bit bands (256 buckets/table), not the near-pair default of 4:
+    # translation pairs sit at sim→1 where 8-bit recall is still ~1-3e-6,
+    # and the finer buckets keep candidate counts sub-quadratic as the
+    # corpus grows (measured: 4-bit buckets stop discriminating by 20k
+    # vectors and the candidate join goes quadratic — SCALE.md).
+    pairs = S.cosine_pairs_lsh(emb, threshold=0.3, dim=64, n_planes=8, n_tables=8)
     return S.bitext_mutual_top1(pairs, parity_mod=2)
+
+
+@query(
+    "corpus_shard_manifest",
+    f"""
+    WITH t AS (
+      SELECT doc_id, text,
+             {_HEX8} % 16 AS shard
+      FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS hh
+            FROM documents WHERE text IS NOT NULL)
+    ),
+    c AS (
+      SELECT doc_id, shard,
+             CAST(('0x' || substring(md5(text), 1, 8)) AS BIGINT) AS content_h,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM t
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           bit_xor(content_h) AS checksum,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id
+    FROM c GROUP BY shard
+    """,
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    # Shard-manifest integrity ledger: the sidecar a reproducible
+    # training loader checks before reading a shard — row count,
+    # order-independent content checksum (XOR of per-doc md5-derived
+    # hashes: commutative, so partitioning and task order can't change
+    # it), char volume, id range. One uniform-key aggregate at scan
+    # bandwidth; verifying a re-export equals comparing 16 manifest
+    # rows instead of re-reading the corpus.
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 16
+    )
+    content_h = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    return (
+        docs.select(
+            "doc_id",
+            shard.cast("int").alias("shard"),
+            content_h.alias("content_h"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.bit_xor("content_h").alias("checksum"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
