@@ -75,6 +75,7 @@ FRONT = [
     "dedup_sorted_neighborhood",
     "dedup_fuzzy_join",
     "text_url_canonical_dedup",
+    "corpus_shard_manifest",
     "corpus_dsir_sample",
     "embedding_bitext_mine",
     "embedding_binary_quantize",

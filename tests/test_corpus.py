@@ -761,3 +761,19 @@ def test_dsir_weights_separate_target_like_docs(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_shard_manifest_invariant_to_partitioning(spark):
+    # The manifest's point is reproducibility: identical content must
+    # yield identical ledger rows no matter how the data is partitioned
+    # or ordered (XOR checksum is commutative/associative).
+    from hadoopxmlextractor_spark.corpus_queries import q_corpus_shard_manifest
+
+    sf = "/root/testdata/sf0.001"
+    base = {tuple(r) for r in q_corpus_shard_manifest(spark, sf).collect()}
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        again = {tuple(r) for r in q_corpus_shard_manifest(spark, sf).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert base == again and len(base) == 16
