@@ -43,6 +43,9 @@ HEADLINE = [
     # the composed flagship: quality filter -> exact dedup ->
     # decontamination -> sequence packing in one plan
     "corpus_prepare_training_data",
+    # round-4 additions: sort-based blocking dedup, LSH bitext mining
+    "dedup_sorted_neighborhood",
+    "embedding_bitext_mine",
 ]
 
 N_XML_DOCS = 500
@@ -74,6 +77,8 @@ REFERENCE = {
     "text_quality": 0.27,
     "similarity_topk_bruteforce": 0.29,
     "corpus_prepare_training_data": 1.72,
+    "dedup_sorted_neighborhood": 1.74,
+    "embedding_bitext_mine": 1.74,
 }
 
 
