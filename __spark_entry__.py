@@ -76,6 +76,7 @@ FRONT = [
     "dedup_fuzzy_join",
     "text_url_canonical_dedup",
     "corpus_shard_manifest",
+    "corpus_source_divergence",
     "corpus_dsir_sample",
     "embedding_bitext_mine",
     "embedding_binary_quantize",

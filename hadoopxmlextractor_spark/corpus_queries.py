@@ -2503,3 +2503,92 @@ def q_corpus_shard_manifest(spark: SparkSession, sf: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+@query(
+    "corpus_source_divergence",
+    f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ), bk AS MATERIALIZED (
+      SELECT source, {_HEX8} % 1024 AS bkt
+      FROM (SELECT source, md5(token) AS hh FROM tok)
+    ), cnt AS (
+      SELECT source, bkt, CAST(COUNT(*) AS BIGINT) AS c FROM bk GROUP BY 1, 2
+    ), n AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM bk GROUP BY 1
+    ), f AS MATERIALIZED (
+      SELECT cnt.source, cnt.bkt, (c * 1000000) // n.n AS fq
+      FROM cnt JOIN n USING (source)
+    ), d AS MATERIALIZED (
+      SELECT g.source, g.bkt, COALESCE(f.fq, 0) AS fq
+      FROM (SELECT s.source, b.bkt
+            FROM (SELECT DISTINCT source FROM f) s
+            CROSS JOIN (SELECT DISTINCT bkt FROM f) b) g
+      LEFT JOIN f ON f.source = g.source AND f.bkt = g.bkt
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(abs(a.fq - b.fq)) AS BIGINT) AS l1_scaled
+    FROM d a JOIN d b ON a.bkt = b.bkt AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q_corpus_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
+    # Source-redundancy matrix: scaled-integer L1 distance between each
+    # source pair's hashed-unigram distributions — the curation signal
+    # for "which sources say the same things" when planning mixtures.
+    # The corpus collapses to a (sources x 1024-bucket) table in one
+    # uniform-key aggregate; everything after is dimension-sized (the
+    # densify cross join is 20x1024 rows, the pair join S^2 x buckets),
+    # so the matrix costs one corpus pass at any scale. Integer floor
+    # division (non-negative) replaces float frequencies for exact
+    # cross-engine replay.
+    from hadoopxmlextractor_spark.operators.corpus import stable_bucket
+
+    docs = load(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    tok = docs.select(
+        "source", F.explode(T.tokens(F.col("text"))).alias("token")
+    ).withColumn("bkt", stable_bucket("token", 1024))
+    cnt = tok.groupBy("source", "bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    f = cnt.join(n, "source").select(
+        "source", "bkt", F.expr("(c * 1000000) div n").alias("fq")
+    ).persist()
+    f.count()  # eager: feeds the grid (twice) and the dense table
+    grid = (
+        f.select("source")
+        .distinct()
+        .crossJoin(f.select("bkt").distinct())
+    )
+    d = (
+        grid.join(f, ["source", "bkt"], "left")
+        .select("source", "bkt", F.coalesce("fq", F.lit(0)).alias("fq"))
+        .persist()
+    )
+    d.count()  # eager: both join sides read it
+    a = d.select(
+        F.col("source").alias("source_a"), "bkt", F.col("fq").alias("fa")
+    )
+    b = d.select(
+        F.col("source").alias("source_b"),
+        F.col("bkt").alias("bkt_b"),
+        F.col("fq").alias("fb"),
+    )
+    out = (
+        a.join(
+            b,
+            (F.col("bkt") == F.col("bkt_b"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.abs(F.col("fa") - F.col("fb"))).cast("long").alias("l1_scaled"))
+        .localCheckpoint(eager=True)
+    )
+    f.unpersist()
+    d.unpersist()
+    return out

@@ -777,3 +777,29 @@ def test_shard_manifest_invariant_to_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "32")
     assert base == again and len(base) == 16
+
+
+def test_source_divergence_identity_and_disjoint(spark, tmp_path):
+    # identical token distributions diverge by 0; disjoint vocabularies
+    # approach the L1 maximum of 2.0 (scaled: 2_000_000).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hadoopxmlextractor_spark.corpus_queries import q_corpus_source_divergence
+
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": ["alpha beta gamma", "alpha beta gamma",
+                 "delta epsilon zeta", "alpha beta gamma"],
+        "lang": ["en"] * 4,
+        "source": ["s1", "s2", "s3", "s1"],
+        "n_chars": [16, 16, 18, 16],
+    }
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.table(rows), str(d / "documents.parquet"))
+    got = {(r.source_a, r.source_b): r.l1_scaled
+           for r in q_corpus_source_divergence(spark, str(d)).collect()}
+    assert got[("s1", "s2")] == 0          # identical distributions
+    assert got[("s2", "s3")] >= 1_900_000  # disjoint vocabularies
+    assert got[("s1", "s3")] >= 1_900_000
