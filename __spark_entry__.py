@@ -77,6 +77,7 @@ FRONT = [
     "text_url_canonical_dedup",
     "corpus_shard_manifest",
     "corpus_source_divergence",
+    "text_countmin_freq",
     "corpus_dsir_sample",
     "embedding_bitext_mine",
     "embedding_binary_quantize",

@@ -741,3 +741,94 @@ def canonical_url(col: Column | str) -> Column:
         F.when(path == "", F.lit("/")).otherwise(path),
         F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
     )
+
+
+def countmin_sketch(
+    docs: DataFrame, text_col: str, *, depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Count-min sketch of the corpus token-frequency distribution
+    (Cormode & Muthukrishnan 2005): ``depth`` independent hash rows of
+    ``width`` integer cells; estimate(t) = min over rows of
+    cell[row, h_row(t)], which can only OVERESTIMATE (collisions add,
+    never subtract). The fixed-size mergeable summary for "roughly how
+    frequent is X" when the exact table (Misra-Gries + recount,
+    :func:`heavy_hitters`) is more state than the question deserves —
+    and, unlike MG, it answers for ANY token after the fact, not just
+    the pre-qualified heavy ones.
+
+    Hash row i maps a token via the md5 of ``"{i}:{token}"`` (first 8
+    hex chars, big-endian, mod width) — seedless, engine-replayable,
+    rows independent by the prefix. Construction is ONE pass: each
+    token emits its ``depth`` (row, cell) pairs from a projected
+    array (no per-row union), then one uniform-key aggregate to the
+    depth × width cell table — dimension-sized output, map-side
+    combine does the heavy lifting, and two sketches built on disjoint
+    corpus halves MERGE by cell-wise addition (tested).
+    """
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).cast("int").alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        tok.select(F.explode(cells).alias("rc"))
+        .select(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def countmin_estimates(
+    sketch: DataFrame,
+    probes: DataFrame,
+    token_col: str = "token",
+    *,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-query a count-min sketch for each probe token: join the
+    probe's ``depth`` (row, cell) coordinates against the cell table
+    and take the min. The sketch is depth × width rows — it rides a
+    BROADCAST onto the probe stream, so estimating a billion probes is
+    a map-only pass. Returns ``(token, cm_est)``; absent cells read 0
+    (a token the corpus never produced estimates 0 unless collided)."""
+    coords = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col(token_col))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).cast("int").alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+    probed = probes.select(F.col(token_col).alias("token")).select(
+        "token", F.explode(coords).alias("rc")
+    ).select("token", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+    return (
+        probed.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cm_est"))
+    )

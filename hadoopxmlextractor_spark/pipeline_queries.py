@@ -1933,3 +1933,78 @@ def q_text_url_canonical_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.min("doc_id").alias("survivor_id"),
         )
     )
+
+
+@query(
+    "text_countmin_freq",
+    r"""
+    WITH tok AS MATERIALIZED (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    cells AS MATERIALIZED (
+      SELECT row, cell, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT x.i AS row,
+               CAST(('0x' || substring(md5(CAST(x.i AS VARCHAR) || ':' || token),
+                     1, 8)) AS BIGINT) % 16 AS cell
+        FROM tok CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) x
+      ) GROUP BY row, cell
+    ),
+    exact AS MATERIALIZED (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY token
+      ORDER BY exact_cnt DESC, token LIMIT 50
+    ),
+    probe AS (
+      SELECT exact.token, x.i AS row,
+             CAST(('0x' || substring(md5(CAST(x.i AS VARCHAR) || ':'
+                   || exact.token), 1, 8)) AS BIGINT) % 16 AS cell
+      FROM exact CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) x
+    ),
+    est AS (
+      SELECT p.token, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS cm_est
+      FROM probe p LEFT JOIN cells c ON c.row = p.row AND c.cell = p.cell
+      GROUP BY p.token
+    )
+    SELECT e.token, e.exact_cnt, s.cm_est,
+           (s.cm_est >= e.exact_cnt) AS is_overestimate
+    FROM exact e JOIN est s USING (token)
+    """,
+)
+def q_text_countmin_freq(spark: SparkSession, sf: str) -> DataFrame:
+    # Count-min sketch frequency estimates, audited against exact
+    # counts for the top-50 tokens: the fixed-size mergeable summary
+    # that answers "how frequent is X" for ANY token (Misra-Gries only
+    # answers for pre-qualified heavy hitters). The one-sided error
+    # guarantee (est >= exact, collisions only add) is emitted as a
+    # hashed column, so the driver verifies the sketch's defining
+    # property, not just its shape. Width 16 (not the production
+    # default 1024) because the synthetic vocabulary is 31 tokens —
+    # collisions must actually occur for the estimator to be exercised
+    # (the vacuous-check rule applied to approximation pressure).
+    docs = load(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    sketch = T.countmin_sketch(docs, "text", depth=4, width=16)
+    tokf = docs.select(F.explode(T.tokens(F.col("text"))).alias("token"))
+    exact = (
+        tokf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(50)
+        .persist()
+    )
+    exact.count()  # eager: feeds the probe set and the final join
+    est = T.countmin_estimates(sketch, exact, depth=4, width=16)
+    out = (
+        exact.join(est, "token")
+        .select(
+            "token",
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") >= F.col("exact_cnt")).alias("is_overestimate"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    exact.unpersist()
+    return out

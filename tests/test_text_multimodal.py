@@ -687,3 +687,31 @@ def test_canonical_url_normalization_edges(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_countmin_overestimates_and_merges(spark):
+    from hadoopxmlextractor_spark.operators.text import (
+        countmin_estimates,
+        countmin_sketch,
+    )
+
+    rows = [(i, f"w{i % 5} w{i % 3} common") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sk = countmin_sketch(df, "text", depth=4, width=8)
+    probes = spark.createDataFrame(
+        [("common",), ("w0",), ("absent",)], "token string"
+    )
+    est = {r.token: r.cm_est for r in
+           countmin_estimates(sk, probes, depth=4, width=8).collect()}
+    # one-sided error: estimates never undercount
+    assert est["common"] >= 40 and est["w0"] >= 8
+    assert est["absent"] >= 0  # may collide upward, never negative
+    # mergeability: sketches over disjoint halves sum cell-wise to the
+    # full-corpus sketch
+    a = countmin_sketch(df.filter("doc_id < 20"), "text", depth=4, width=8)
+    b = countmin_sketch(df.filter("doc_id >= 20"), "text", depth=4, width=8)
+    merged = (
+        a.unionByName(b).groupBy("row", "cell")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
