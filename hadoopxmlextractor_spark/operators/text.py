@@ -743,6 +743,30 @@ def canonical_url(col: Column | str) -> Column:
     )
 
 
+def _cm_cells(token_col: str, depth: int, width: int):
+    """The (row, cell) coordinate array for one token — shared by the
+    batch sketch, the probe path, and the streaming twin so all three
+    hash identically."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col(token_col))), 1, 8
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % width
+                ).cast("int").alias("cell"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def countmin_sketch(
     docs: DataFrame, text_col: str, *, depth: int = 4, width: int = 1024
 ) -> DataFrame:
@@ -766,24 +790,7 @@ def countmin_sketch(
     corpus halves MERGE by cell-wise addition (tested).
     """
     tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 8
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % width
-                ).cast("int").alias("cell"),
-            )
-            for i in range(depth)
-        ]
-    )
+    cells = _cm_cells("token", depth, width)
     return (
         tok.select(F.explode(cells).alias("rc"))
         .select(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
@@ -806,24 +813,7 @@ def countmin_estimates(
     BROADCAST onto the probe stream, so estimating a billion probes is
     a map-only pass. Returns ``(token, cm_est)``; absent cells read 0
     (a token the corpus never produced estimates 0 unless collided)."""
-    coords = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                (
-                    F.conv(
-                        F.substring(
-                            F.md5(F.concat(F.lit(f"{i}:"), F.col(token_col))), 1, 8
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                    % width
-                ).cast("int").alias("cell"),
-            )
-            for i in range(depth)
-        ]
-    )
+    coords = _cm_cells(token_col, depth, width)
     probed = probes.select(F.col(token_col).alias("token")).select(
         "token", F.explode(coords).alias("rc")
     ).select("token", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))

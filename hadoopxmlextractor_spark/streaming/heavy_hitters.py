@@ -96,3 +96,27 @@ def heavy_hitter_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def countmin_stream(
+    docs: DataFrame, *, text_col: str = "text", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """Streaming count-min maintenance: because the sketch IS a
+    (row, cell) → count aggregation, the streaming twin is a built-in
+    streaming groupBy — no custom state operator, and state is BOUNDED
+    at depth × width keys forever, regardless of stream volume or
+    vocabulary growth (contrast dedup_stream's distinct-growing digest
+    set). Update/complete mode; after any batch prefix the cell table
+    equals the batch sketch over the same rows bit-for-bit (count is
+    associative), asserted in the E2E test. Cross-shard merge stays
+    cell-wise addition, so a fleet of per-stream sketches folds into
+    one corpus sketch downstream."""
+    from hadoopxmlextractor_spark.operators.text import _cm_cells, tokens
+
+    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    return (
+        tok.select(F.explode(_cm_cells("token", depth, width)).alias("rc"))
+        .select(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )

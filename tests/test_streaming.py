@@ -998,3 +998,50 @@ def test_dsir_admission_stream_matches_batch_twin(spark, tmp_path):
     want = {(r.doc_id, r.n_tokens, r.score, r.avg_weight) for r in batch.collect()}
     assert got == want
     assert {d for d, *_ in got} == {100}  # 2/3 good tokens: (8000*2+0) div 3 = 5333
+
+
+def test_countmin_stream_equals_batch_sketch(spark, tmp_path):
+    """The streaming count-min cell table (bounded depth x width state)
+    equals the batch sketch over the same rows after every prefix."""
+    import json
+
+    from hadoopxmlextractor_spark.operators.text import countmin_sketch
+    from hadoopxmlextractor_spark.streaming.heavy_hitters import countmin_stream
+
+    landing = tmp_path / "cm"
+    landing.mkdir()
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    b1 = [(1, "alpha beta alpha"), (2, "beta gamma")]
+    b2 = [(3, "alpha delta"), (4, "gamma gamma epsilon")]
+    land("b1.json", b1)
+
+    stream = spark.readStream.schema("doc_id long, text string").json(str(landing))
+    q = (
+        countmin_stream(stream, depth=4, width=8)
+        .writeStream.format("memory")
+        .queryName("cm_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck_cm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = {tuple(r) for r in spark.sql("SELECT * FROM cm_out").collect()}
+        batch1 = spark.createDataFrame(b1, "doc_id long, text string")
+        want1 = {tuple(r) for r in
+                 countmin_sketch(batch1, "text", depth=4, width=8).collect()}
+        assert got1 == want1
+        land("b2.json", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got2 = {tuple(r) for r in spark.sql("SELECT * FROM cm_out").collect()}
+    both = spark.createDataFrame(b1 + b2, "doc_id long, text string")
+    want2 = {tuple(r) for r in
+             countmin_sketch(both, "text", depth=4, width=8).collect()}
+    assert got2 == want2
