@@ -2554,8 +2554,11 @@ def q_corpus_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
     ).withColumn("bkt", stable_bucket("token", 1024))
     cnt = tok.groupBy("source", "bkt").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
-    n = tok.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).persist()
+    cnt.count()  # eager: feeds both the per-source totals and f
+    # per-source totals derive from the dimension-sized cnt table —
+    # never a second corpus scan (the "one corpus pass" claim is real)
+    n = cnt.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
     f = cnt.join(n, "source").select(
         "source", "bkt", F.expr("(c * 1000000) div n").alias("fq")
     ).persist()
@@ -2591,4 +2594,5 @@ def q_corpus_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
     )
     f.unpersist()
     d.unpersist()
+    cnt.unpersist()
     return out

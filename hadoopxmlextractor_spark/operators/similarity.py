@@ -1221,11 +1221,15 @@ def bitext_mutual_top1(
     on any engine), so the output replays exactly. A side with no
     runner-up gets margin = sim - 0.0 (maximally decisive).
     """
-    sa = F.col("id_a") % parity_mod
-    sb = F.col("id_b") % parity_mod
+    # "source side" means parity 0; with parity_mod > 2 a pair of two
+    # distinct NON-zero parities is still same-kind (target/target), so
+    # the cross-side test is "exactly one side is 0", not sa != sb —
+    # and orientation keys on WHICH side is 0.
+    sa = (F.col("id_a") % parity_mod) == 0
+    sb = (F.col("id_b") % parity_mod) == 0
     o = pairs.filter(sa != sb).select(
-        F.when(sa == 0, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
-        F.when(sa == 0, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
+        F.when(sa, F.col("id_a")).otherwise(F.col("id_b")).alias("src"),
+        F.when(sa, F.col("id_b")).otherwise(F.col("id_a")).alias("dst"),
         "sim",
     )
     ws = Window.partitionBy("src").orderBy(F.col("sim").desc(), "dst")

@@ -705,12 +705,21 @@ def canonical_url(col: Column | str) -> Column:
     web-scale ingest runs BEFORE exact URL dedup, so that re-crawls of
     the same page under cosmetic variations collapse to one frontier
     entry. Normalizes, in order: strip fragment; lowercase scheme and
-    host; drop default ports (:80/:443); collapse trailing slashes on
-    the path (root stays '/'); strip tracking parameters
-    (utm_*/fbclid/gclid) from the query while preserving the relative
-    order of surviving params (order-preserving rather than sorted —
-    sorted canonicalization merges more but needs a split/sort
-    round-trip; this form is one regexp chain).
+    host; drop the SCHEME'S default port only (:80 for http, :443 for
+    https — http://h:443 is a real distinct endpoint and must NOT
+    merge); collapse trailing slashes on the path (root stays '/');
+    strip tracking parameters (utm_*/fbclid/gclid) from the query
+    while preserving the relative order of surviving params
+    (order-preserving rather than sorted — sorted canonicalization
+    merges more but needs a split/sort round-trip; this form is one
+    regexp chain).
+
+    Tracking-param stripping prepends '&' to the query first so every
+    param has a mandatory leading '&' — the anchored single-pass form
+    that neither eats into longer names (myfbclid) nor leaves dangling
+    separators for consecutive tracking params; RE2 (the DuckDB oracle
+    engine) has no lookbehind, so anchoring by rewrite is the portable
+    construction.
 
     Pure JVM regexp expressions — codegen at scan bandwidth, no Python
     URL parser; replays exactly in DuckDB (regexp_extract returns ''
@@ -718,10 +727,11 @@ def canonical_url(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     u = F.regexp_replace(c, r"#.*", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z]+)://", 1))
-    host = F.regexp_replace(
-        F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1)),
-        r":(443|80)$",
-        "",
+    rawhost = F.lower(F.regexp_extract(u, r"^[A-Za-z]+://([^/?#]+)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(rawhost, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(rawhost, r":443$", ""))
+        .otherwise(rawhost)
     )
     path = F.regexp_replace(
         F.regexp_extract(u, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1), r"/+$", ""
@@ -729,9 +739,11 @@ def canonical_url(col: Column | str) -> Column:
     query = F.regexp_extract(u, r"\?([^#]*)", 1)
     q = F.regexp_replace(
         F.regexp_replace(
-            query, r"(utm_[a-z]+|fbclid|gclid)=[^&]*&?", ""
+            F.concat(F.lit("&"), query),
+            r"&(utm_[a-z]+|fbclid|gclid)=[^&]*",
+            "",
         ),
-        r"&$",
+        r"^&",
         "",
     )
     return F.concat(

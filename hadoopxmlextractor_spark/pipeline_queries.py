@@ -1860,28 +1860,26 @@ def q_dedup_fuzzy_join(spark: SparkSession, sf: str) -> DataFrame:
              regexp_replace(url, '#.*', '', 'g') AS nf
       FROM u
     ),
+    pieces AS (
+      SELECT doc_id,
+        lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) AS scheme,
+        lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)) AS rawhost,
+        regexp_replace(regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
+                       '/+$', '', 'g') AS path,
+        regexp_replace(regexp_replace('&' || regexp_extract(nf, '\?([^#]*)', 1),
+                       '&(utm_[a-z]+|fbclid|gclid)=[^&]*', '', 'g'),
+                       '^&', '', 'g') AS q
+      FROM parts
+    ),
     canon AS (
       SELECT doc_id,
-        lower(regexp_extract(nf, '^([A-Za-z]+)://', 1)) || '://'
-        || regexp_replace(lower(regexp_extract(nf, '^[A-Za-z]+://([^/?#]+)', 1)),
-                          ':(443|80)$', '', 'g')
-        || CASE WHEN regexp_replace(
-                       regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
-                       '/+$', '', 'g') = ''
-                THEN '/'
-                ELSE regexp_replace(
-                       regexp_extract(nf, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1),
-                       '/+$', '', 'g') END
-        || CASE WHEN regexp_replace(regexp_replace(
-                       regexp_extract(nf, '\?([^#]*)', 1),
-                       '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
-                       '&$', '', 'g') <> ''
-                THEN '?' || regexp_replace(regexp_replace(
-                       regexp_extract(nf, '\?([^#]*)', 1),
-                       '(utm_[a-z]+|fbclid|gclid)=[^&]*&?', '', 'g'),
-                       '&$', '', 'g')
-                ELSE '' END AS curl
-      FROM parts
+        scheme || '://'
+        || CASE WHEN scheme = 'http' THEN regexp_replace(rawhost, ':80$', '', 'g')
+                WHEN scheme = 'https' THEN regexp_replace(rawhost, ':443$', '', 'g')
+                ELSE rawhost END
+        || CASE WHEN path = '' THEN '/' ELSE path END
+        || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS curl
+      FROM pieces
     )
     SELECT curl AS canonical_url,
            CAST(COUNT(*) AS BIGINT) AS n_variants,

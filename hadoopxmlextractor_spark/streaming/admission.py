@@ -29,11 +29,29 @@ twin bit-for-bit.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Java \s is ASCII-only; Python \s on str is Unicode — spell the class out
+_JVM_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _jvm_tokens(t: str) -> list[str]:
+    """Python replica of operators.text.tokens (F.trim + split(r'\\s+')):
+    trim strips SPACES ONLY (0x20, like Spark trim); F.split uses Java
+    split with limit -1, which keeps BOTH leading and trailing empty
+    tokens — exactly re.split's behavior (JVM-cross-validated in
+    tests). The streaming gate must tokenize byte-for-byte like the
+    batch scorer or a doc near the admission threshold flips between
+    the two paths."""
+    trimmed = t.strip(" ")
+    if trimmed == "":
+        return []
+    return _JVM_WS.split(trimmed)
 
 
 def weights_map(weights: DataFrame) -> dict[int, int]:
@@ -69,7 +87,7 @@ def dsir_admission_stream(
             for texts in it:
                 n_out, s_out = [], []
                 for t in texts:
-                    toks = t.split() if t is not None else []
+                    toks = _jvm_tokens(t) if t is not None else []
                     s = 0
                     for tok in toks:
                         b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % dim

@@ -110,13 +110,11 @@ def countmin_stream(
     equals the batch sketch over the same rows bit-for-bit (count is
     associative), asserted in the E2E test. Cross-shard merge stays
     cell-wise addition, so a fleet of per-stream sketches folds into
-    one corpus sketch downstream."""
-    from hadoopxmlextractor_spark.operators.text import _cm_cells, tokens
+    one corpus sketch downstream.
 
-    tok = docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
-    return (
-        tok.select(F.explode(_cm_cells("token", depth, width)).alias("rc"))
-        .select(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
-        .groupBy("row", "cell")
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
-    )
+    The construction IS the batch operator applied to a streaming
+    DataFrame — one definition, so the stream/batch merge property
+    can't drift."""
+    from hadoopxmlextractor_spark.operators.text import countmin_sketch
+
+    return countmin_sketch(docs, text_col, depth=depth, width=width)

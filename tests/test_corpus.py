@@ -771,11 +771,12 @@ def test_shard_manifest_invariant_to_partitioning(spark):
 
     sf = "/root/testdata/sf0.001"
     base = {tuple(r) for r in q_corpus_shard_manifest(spark, sf).collect()}
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         again = {tuple(r) for r in q_corpus_shard_manifest(spark, sf).collect()}
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert base == again and len(base) == 16
 
 

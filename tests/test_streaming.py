@@ -956,6 +956,9 @@ def test_dsir_admission_stream_matches_batch_twin(spark, tmp_path):
                 {"doc_id": 100, "text": "good1 good2 bad1"},
                 {"doc_id": 101, "text": "bad1 bad2 bad3"},
                 {"doc_id": 102, "text": "   "},
+                # leading tab: JVM tokens() yields an extra '' token —
+                # the Python gate must replicate it exactly
+                {"doc_id": 103, "text": "\tgood1 good2 good3"},
             ]
         )
     )
@@ -979,7 +982,8 @@ def test_dsir_admission_stream_matches_batch_twin(spark, tmp_path):
     }
     # batch twin over the same arriving docs, same fitted weights
     arriving = spark.createDataFrame(
-        [(100, "good1 good2 bad1"), (101, "bad1 bad2 bad3"), (102, "   ")],
+        [(100, "good1 good2 bad1"), (101, "bad1 bad2 bad3"), (102, "   "),
+         (103, "\tgood1 good2 good3")],
         "doc_id long, text string",
     )
     at = arriving.select(
@@ -997,7 +1001,9 @@ def test_dsir_admission_stream_matches_batch_twin(spark, tmp_path):
     )
     want = {(r.doc_id, r.n_tokens, r.score, r.avg_weight) for r in batch.collect()}
     assert got == want
-    assert {d for d, *_ in got} == {100}  # 2/3 good tokens: (8000*2+0) div 3 = 5333
+    # 100: (8000*2+0) div 3 = 5333; 103: ''-token scores 0 via the
+    # unseen-bucket rule -> (0+8000*3) div 4 = 6000; both clear 5000
+    assert {d for d, *_ in got} == {100, 103}
 
 
 def test_countmin_stream_equals_batch_sketch(spark, tmp_path):
@@ -1045,3 +1051,18 @@ def test_countmin_stream_equals_batch_sketch(spark, tmp_path):
     want2 = {tuple(r) for r in
              countmin_sketch(both, "text", depth=4, width=8).collect()}
     assert got2 == want2
+
+
+def test_jvm_tokens_replica_matches_spark(spark):
+    """The admission gate's Python tokenizer must agree with the JVM
+    tokens() expression on whitespace corners (leading/trailing tabs,
+    space-only, unicode NBSP — Java \\s is ASCII-only)."""
+    from hadoopxmlextractor_spark.operators.text import tokens
+    from hadoopxmlextractor_spark.streaming.admission import _jvm_tokens
+
+    cases = ["\tgood1 good2", "good1\t", "  a  b  ", "", "   ", "\t\t",
+             "a b", "x \t y", " lead", "trail "]
+    df = spark.createDataFrame([(c,) for c in cases], "t string")
+    jvm = [r[0] for r in df.select(tokens(F.col("t"))).collect()]
+    for c, j in zip(cases, jvm):
+        assert _jvm_tokens(c) == j, repr(c)

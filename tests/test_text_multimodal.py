@@ -683,6 +683,14 @@ def test_canonical_url_normalization_edges(spark):
         ("https://h.com/p?a=1&fbclid=z&b=2", "https://h.com/p?a=1&b=2"),
         ("https://h.com", "https://h.com/"),
         ("https://h.com:8080/p", "https://h.com:8080/p"),  # non-default port kept
+        # anchored strip: a LONGER param name containing a tracking name
+        # must survive intact
+        ("https://h.com/p?a=1&myfbclid=7", "https://h.com/p?a=1&myfbclid=7"),
+        # consecutive tracking params all stripped in one pass
+        ("https://h.com/p?utm_a=1&utm_b=2&utm_c=3&x=9", "https://h.com/p?x=9"),
+        # :443 is NOT http's default port — a real distinct endpoint
+        ("http://h.com:443/a", "http://h.com:443/a"),
+        ("https://h.com:80/a", "https://h.com:80/a"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in df.select(canonical_url("url")).collect()]
