@@ -15,6 +15,17 @@ Subset grammar::
     expr     := path ('|' path)*          -- top-level XPath 1.0 union
     path     := (('/' | '//') step)+  terminal?
     step     := (qname | '*') pred?
+              | '..'                      -- parent::node() (document ok)
+              | 'parent::' (qname | '*') pred?
+              | 'following-sibling::' (qname | '*') pred?
+              | 'preceding-sibling::' (qname | '*') pred?
+                 -- positional predicates on preceding-sibling are OUT
+                 -- of subset (the axis is reverse-ordered; falls back)
+                 -- parent/sibling steps accept only the '/' separator:
+                 -- '//..' / '//parent::x' are OUT of subset because
+                 -- descendant-or-self::node() includes text nodes,
+                 -- whose parents/siblings the element-only model
+                 -- cannot reach (verified against javax; falls back)
     pred     := '[@' qname '=' ('single' | "double") '-quoted value ']'
               | '[@' qname ('='|'!='|'<'|'<='|'>'|'>=') number ']'
               | '[' digits ']' | '[last()]'
@@ -90,6 +101,7 @@ _QNAME = rf"(?:{_NAME}:)?{_NAME}"
 # attribute is the empty string, XPath 1.0 string() of an empty
 # nodeset.
 _NUM = r"-?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)"
+_AXIS_RE = re.compile(r"(parent|following-sibling|preceding-sibling)::")
 _STEP_RE = re.compile(
     rf"({_QNAME}|\*)"
     rf"(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\]"
@@ -111,6 +123,7 @@ class _Step(NamedTuple):
     is_last: bool = False  # [last()]
     pos_cmp: tuple[str, int] | None = None  # [position() OP n]
     fn_pred: tuple[str, str, str] | None = None  # (fn, attr local, value)
+    kind: str = "child"  # "child" | "parent" | "fsib" | "psib"
 
 
 # XPath 1.0 number(): optional sign, digits with optional fraction —
@@ -149,6 +162,29 @@ def _parse_path(path: str) -> list[_Step] | None:
             axis, pos = "child", pos + 1
         else:
             return None
+        # abbreviated parent step: '..' = parent::node() — matches the
+        # DOCUMENT node from the root (unlike parent::*, whose
+        # principal node type is element); no predicates.
+        # '//' before a parent/sibling step is OUT of subset:
+        # descendant-or-self::node() includes TEXT nodes, whose
+        # parents/siblings our element-only expansion cannot model
+        # (verified divergence vs javax) — JVM fallback.
+        if path.startswith("..", pos):
+            if axis == "desc":
+                return None
+            if pos + 2 < len(path) and path[pos + 2] != "/":
+                return None  # '..[pred]' etc: out of subset
+            steps.append(_Step("..", axis, None, None, None, kind="parent"))
+            pos += 2
+            continue
+        kind = "child"
+        am = _AXIS_RE.match(path, pos)
+        if am is not None:
+            if axis == "desc":
+                return None  # '//parent::x' etc: text-node contexts
+            kind = {"parent": "parent", "following-sibling": "fsib",
+                    "preceding-sibling": "psib"}[am.group(1)]
+            pos = am.end()
         m = _STEP_RE.match(path, pos)
         if m is None:
             return None
@@ -158,19 +194,26 @@ def _parse_path(path: str) -> list[_Step] | None:
         ) = m.groups()
         val = v1 if v1 is not None else v2
         fval = fv1 if fv1 is not None else fv2
-        steps.append(
-            _Step(
-                _local(name),
-                axis,
-                _local(pattr) if pattr else None,
-                val,
-                int(idx) if idx is not None else None,
-                (_local(cattr), cop, cnum) if cattr is not None else None,
-                lastg is not None,
-                (posop, int(posn)) if posop is not None else None,
-                (fn, _local(fattr), fval) if fn is not None else None,
-            )
+        step = _Step(
+            _local(name),
+            axis,
+            _local(pattr) if pattr else None,
+            val,
+            int(idx) if idx is not None else None,
+            (_local(cattr), cop, cnum) if cattr is not None else None,
+            lastg is not None,
+            (posop, int(posn)) if posop is not None else None,
+            (fn, _local(fattr), fval) if fn is not None else None,
+            kind,
         )
+        if step.kind == "psib" and (
+            step.pos is not None or step.is_last or step.pos_cmp is not None
+        ):
+            # preceding-sibling is a REVERSE axis: position() counts
+            # away from the context node, opposite to our document-
+            # order candidate list — out of subset, JVM fallback.
+            return None
+        steps.append(step)
         pos = m.end()
     return steps or None
 
@@ -222,7 +265,12 @@ def _strip_one(expr: str) -> str | None:
         return None
 
     def render(s: _Step) -> str:
-        base = s.name
+        if s.name == "..":
+            return ("//" if s.axis == "desc" else "/") + ".."
+        base = {
+            "child": "", "parent": "parent::",
+            "fsib": "following-sibling::", "psib": "preceding-sibling::",
+        }[s.kind] + s.name
         if s.pred_attr is not None:
             # re-quote with the quote style that cannot appear in the value
             q = "'" if "'" not in s.pred_val else '"'
@@ -377,6 +425,14 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
     matching child of EACH parent. Dedup by identity: nested descendant
     contexts may reach one element twice, a NODESET holds it once."""
     contexts: list[Element | None] = [None]
+    # parent map, built once when any step leaves the child axis;
+    # ``None`` stands for the DOCUMENT node (root's parent) throughout.
+    pm: dict[int, Element] | None = None
+    if any(s.kind != "child" for s in steps):
+        pm = {}
+        for p in root.iter():
+            for c in p:
+                pm[id(c)] = p
     for step in steps:
         if step.axis == "desc":
             expanded: list[Element | None] = []
@@ -393,8 +449,28 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
         new: list[Element] = []
         seen2: set[int] = set()
         for ctx in contexts:
-            kids = [root] if ctx is None else list(ctx)
-            matched = [c for c in kids if _keep(c, step)]
+            if step.kind == "child":
+                kids = [root] if ctx is None else list(ctx)
+            elif step.kind == "parent":
+                if ctx is None:
+                    kids = []  # the document has no parent
+                elif ctx is root:
+                    kids = [None]  # document node
+                else:
+                    kids = [pm[id(ctx)]]
+            else:  # sibling axes: children of the parent around ctx
+                if ctx is None or ctx is root:
+                    kids = []
+                else:
+                    sibs = list(pm[id(ctx)])
+                    i = next(j for j, c in enumerate(sibs) if c is ctx)
+                    kids = sibs[i + 1 :] if step.kind == "fsib" else sibs[:i]
+            if step.name == "..":
+                matched = kids  # parent::node(): no name test
+            else:
+                matched = [
+                    c for c in kids if c is not None and _keep(c, step)
+                ]
             if step.pos is not None:
                 matched = matched[step.pos - 1 : step.pos] if step.pos else []
             elif step.is_last:
@@ -423,11 +499,18 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
         if not contexts:
             return []
     nodes = contexts
-    if any(s.axis == "desc" for s in steps) and len(nodes) > 1:
-        # nested descendant matches can interleave parents' children;
-        # a NODESET concatenates in document order
+    if (
+        any(s.axis == "desc" or s.kind != "child" for s in steps)
+        and len(nodes) > 1
+    ):
+        # nested descendant matches (and parent/sibling hops, whose
+        # results need not follow context order) can interleave;
+        # a NODESET concatenates in document order — the document
+        # node (None) precedes everything
         order = {id(el): i for i, el in enumerate(root.iter())}
-        nodes = sorted(nodes, key=lambda n: order[id(n)])
+        nodes = sorted(
+            nodes, key=lambda n: -1 if n is None else order[id(n)]
+        )
     return nodes
 
 
@@ -483,10 +566,17 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
                 # walk — nested matched elements interleave their text
                 # nodes, so a per-node concat would misorder (and, for
                 # //text(), double-count).
+                # a None node is the DOCUMENT (reachable via '..' from
+                # the root): no direct text children in the ET model,
+                # descendant text = the whole tree's
                 if terminal[0] == "text":
-                    owners = {id(n) for n in nodes}
+                    owners = {id(n) for n in nodes if n is not None}
                 else:
-                    owners = {id(d) for n in nodes for d in n.iter()}
+                    owners = {
+                        id(d)
+                        for n in nodes
+                        for d in (root.iter() if n is None else n.iter())
+                    }
                 values = [
                     t for owner, t in _walk_texts(root) if id(owner) in owners
                 ]
@@ -494,6 +584,8 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
                 attr = terminal[1]
                 values = []
                 for n in nodes:
+                    if n is None:
+                        continue  # the document node has no attributes
                     v = _get_attr_local(n, attr)
                     if v is not None:
                         values.append(v)
@@ -510,14 +602,18 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
             nodes = _eval_steps(root, steps)
             if terminal[0] == "attr":
                 for n in nodes:
+                    if n is None:
+                        continue  # document node: no attributes
                     k = _attr_key_local(n, terminal[1])
                     if k is not None:
                         attr_sel.setdefault(id(n), set()).add(k)
             elif terminal[0] == "text":
-                text_owned.update(id(n) for n in nodes)
+                text_owned.update(id(n) for n in nodes if n is not None)
             else:  # dtext
                 for n in nodes:
-                    text_owned.update(id(d) for d in n.iter())
+                    text_owned.update(
+                        id(d) for d in (root.iter() if n is None else n.iter())
+                    )
         values: list[str] = []
 
         def walk(el: Element) -> None:

@@ -159,10 +159,10 @@ def test_auto_path_selection():
     )
     assert _compile_fused(pred_cfg) is not None  # eq-predicate → still fused
     exotic = ExtractionConfig.from_rules(
-        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r/../x;", ";", "#")],
+        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r/ancestor::x;", ";", "#")],
         nr_of_columns=1,
     )
-    assert _compile_fused(exotic) is None  # parent axis → JVM xpath path
+    assert _compile_fused(exotic) is None  # ancestor axis → JVM xpath path
     positional = ExtractionConfig.from_rules(
         [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r[position()=1]/@x;", ";", "#")],
         nr_of_columns=1,

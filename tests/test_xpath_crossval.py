@@ -45,13 +45,29 @@ def _gen_tree(rng: random.Random, ns: bool = False) -> str:
 
 def _gen_branch(rng: random.Random) -> str:
     parts = []
-    for _ in range(rng.randint(1, 3)):
+    for step_i in range(rng.randint(1, 3)):
         axis = "//" if rng.random() < 0.6 else "/"
+        # parent / sibling axes (round-4 subset extension): '..' may
+        # reach the DOCUMENT node from the root — also exercised
+        aroll = rng.random()
+        if step_i > 0 and aroll < 0.12:
+            parts.append("/..")  # '//..' is out of subset (text nodes)
+            continue
+        axis_prefix = ""
+        if step_i > 0 and aroll < 0.3:
+            axis = "/"  # '//' before an axis step is out of subset
+            axis_prefix = rng.choice(
+                ["parent::", "following-sibling::", "preceding-sibling::"]
+            )
         name = rng.choice(TAGS + ["*"])
-        if name != "*" and rng.random() < 0.2:
+        if name != "*" and not axis_prefix and rng.random() < 0.2:
             name = f"x:{name}"  # prefixed step: local-name match via strip
         pred = ""
         roll = rng.random()
+        if axis_prefix == "preceding-sibling::":
+            # positional predicates on the reverse axis are out of
+            # subset (JVM fallback) — keep the fuzz inside the subset
+            roll = 0.99 if 0.2 <= roll < 0.6 else roll
         if roll < 0.2:
             attr, vals = rng.choice(ATTRS)
             pred = f"[@{attr}='{rng.choice(vals)}']"
@@ -78,7 +94,7 @@ def _gen_branch(rng: random.Random) -> str:
             attr, _ = rng.choice(ATTRS)
             arg = rng.choice(["1", "p", "zz", ""])
             pred = f"[{fn}(@{attr},'{arg}')]"
-        parts.append(f"{axis}{name}{pred}")
+        parts.append(f"{axis}{axis_prefix}{name}{pred}")
     roll = rng.random()
     if roll < 0.3:
         parts.append("/text()" if rng.random() < 0.7 else "//text()")

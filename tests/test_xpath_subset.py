@@ -47,7 +47,8 @@ def test_empty_nodeset_returns_none():
 def test_out_of_subset_falls_back():
     for expr in [
         "//book[price>30]/@id",  # child-element comparison predicate
-        "//a/../b",  # parent axis
+        "//a/preceding-sibling::b[1]",  # positional on a reverse axis
+        "//a/..[@id='1']",  # predicate on the abbreviated parent step
         "count(//book)",  # function
         "//text()",  # bare text() with no element step
         "//book[position()=last()]",  # position()=last() composite
@@ -253,3 +254,37 @@ def test_union_attr_selects_one_spelling_like_single_branch():
     # namespaced-only spelling still matches by local name, once
     doc2 = ET.fromstring('<r xmlns:n="http://e/x"><book n:id="b">t</book></r>')
     assert ev("//book/@id | //zzz/@q", doc2) == "b"
+
+
+def test_parent_and_sibling_axes_fused():
+    import xml.etree.ElementTree as ET
+
+    from hadoopxmlextractor_spark.xpath_subset import compile_subset
+
+    xml = (
+        '<store id="s1"><book cat="f" id="b1"><title>T1</title>'
+        "<price>9</price></book>"
+        '<book cat="n" id="b2"><title>T2</title><price>5</price></book>'
+        '<mag id="m1"><title>M</title></mag></store>'
+    )
+    cases = [
+        ("//price/../@id", "b1b2"),
+        ("//title/parent::book/@id", "b1b2"),
+        ("//book/following-sibling::mag/title/text()", "M"),
+        ("//book[@cat='f']/following-sibling::book/@id", "b2"),
+        ("//mag/preceding-sibling::book/@id", "b1b2"),
+        ("//book/following-sibling::book[1]/@id", "b2"),
+        # '..' from the root selects the DOCUMENT node: descendant
+        # text = the whole tree (javax-verified)
+        ("/store/..", "T19T25M"),
+    ]
+    root = ET.fromstring(xml)
+    for expr, want in cases:
+        ev = compile_subset(expr)
+        assert ev is not None, expr
+        assert ev(root) == want, expr
+    # out-of-subset axis forms fall back (None): '//' separator
+    # before a parent/sibling step, reverse-axis positional preds
+    for expr in ["//book//..", "//title//parent::book",
+                 "//mag/preceding-sibling::book[1]"]:
+        assert compile_subset(expr) is None, expr
