@@ -749,23 +749,40 @@ def kmv_cardinality(
     what lets per-day or per-batch sketches roll up
     (:func:`hadoopxmlextractor_spark.streaming.dedup.kmv_cardinality_stream`
     maintains exactly this state across micro-batches).
+
+    Saturation requires OBSERVING a (k+1)-th distinct value: a source
+    with exactly k distinct documents has a complete sketch that
+    proves the exact count k, so the estimator only engages once the
+    bottom-(k+1) rank shows a value beyond the sketch — one extra
+    tracked row per source, and the estimate stays exact for the
+    longest provable prefix.
     """
-    sk = kmv_source_sketches(docs, text_col, source_col, k=k)
-    agg = sk.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sketch"),
-        F.max(F.conv(F.substring("h", 1, 12), 16, 10).cast("long")).alias("p48_k"),
+    sk = kmv_source_sketches(docs, text_col, source_col, k=k + 1)
+    w = Window.partitionBy("source").orderBy("h")
+    ranked = sk.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy("source").agg(
+        F.sum(F.when(F.col("rn") <= k, 1).otherwise(0))
+        .cast("long")
+        .alias("n_sketch"),
+        F.max(
+            F.when(
+                F.col("rn") <= k,
+                F.conv(F.substring("h", 1, 12), 16, 10).cast("long"),
+            )
+        ).alias("p48_k"),
+        (F.max("rn") > k).alias("saturated"),
     )
     return agg.select(
         "source",
         "n_sketch",
         F.when(
-            F.col("n_sketch") >= k,
+            F.col("saturated"),
             (F.lit(float(k)) - F.lit(1.0))
             / (F.col("p48_k").cast("double") / F.lit(281474976710656.0)),
         )
         .otherwise(F.col("n_sketch").cast("double"))
         .alias("distinct_est"),
-        (F.col("n_sketch") >= k).alias("saturated"),
+        "saturated",
     )
 
 

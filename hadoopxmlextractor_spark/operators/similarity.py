@@ -522,6 +522,7 @@ def hamming_topk_binary(
         ham = term if ham is None else ham + term
     cand = (
         packed.select(F.col(id_col), ham.alias("hamming"))
+        .filter(F.col("hamming").isNotNull())
         .orderBy(F.col("hamming"), F.col(id_col))
         .limit(candidates)
     )

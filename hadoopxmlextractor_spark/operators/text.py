@@ -825,7 +825,7 @@ def countmin_estimates(
     BROADCAST onto the probe stream, so estimating a billion probes is
     a map-only pass. Returns ``(token, cm_est)``; absent cells read 0
     (a token the corpus never produced estimates 0 unless collided)."""
-    coords = _cm_cells(token_col, depth, width)
+    coords = _cm_cells("token", depth, width)
     probed = probes.select(F.col(token_col).alias("token")).select(
         "token", F.explode(coords).alias("rc")
     ).select("token", F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))

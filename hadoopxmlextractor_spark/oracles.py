@@ -1106,26 +1106,31 @@ def kmv_cardinality_oracle(*, k: int = 16) -> str:
     expression for (k-1)/u_k. k=16 < the 25 distinct docs per
     synthetic source, so the saturated estimator branch is organically
     live; the unsaturated (exact) branch is pinned by unit and
-    streaming tests."""
+    streaming tests. Saturation needs an observed (k+1)-th distinct
+    value (rank k+1 row), mirroring the operator: a complete sketch of
+    exactly k members reports the exact count."""
     p48 = " + ".join(
         f"{_NIBBLE.format(h='h', p=i + 1)} * {16 ** (11 - i)}" for i in range(12)
     )
     return f"""
     WITH m AS (SELECT DISTINCT source, md5(text) AS h
                FROM documents WHERE text IS NOT NULL),
-    sk AS (SELECT source, h FROM (
+    sk AS (SELECT source, h, rn FROM (
              SELECT source, h,
                     ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
-             FROM m) WHERE rn <= {k}),
-    agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sketch,
-                   MAX({p48}) AS p48_k
+             FROM m) WHERE rn <= {k} + 1),
+    agg AS (SELECT source,
+                   CAST(SUM(CASE WHEN rn <= {k} THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_sketch,
+                   MAX(CASE WHEN rn <= {k} THEN {p48} END) AS p48_k,
+                   MAX(rn) > {k} AS saturated
             FROM sk GROUP BY source)
     SELECT source, n_sketch,
-           CASE WHEN n_sketch >= {k}
+           CASE WHEN saturated
                 THEN (CAST({k} AS DOUBLE) - 1.0)
                      / (CAST(p48_k AS DOUBLE) / 281474976710656.0)
                 ELSE CAST(n_sketch AS DOUBLE) END AS distinct_est,
-           n_sketch >= {k} AS saturated
+           saturated
     FROM agg"""
 
 
@@ -1226,7 +1231,7 @@ def bitext_mutual_oracle(
       SELECT CASE WHEN id_a % {parity_mod} = 0 THEN id_a ELSE id_b END AS src,
              CASE WHEN id_a % {parity_mod} = 0 THEN id_b ELSE id_a END AS dst,
              sim
-      FROM pairs WHERE (id_a % {parity_mod}) <> (id_b % {parity_mod})
+      FROM pairs WHERE (id_a % {parity_mod} = 0) <> (id_b % {parity_mod} = 0)
     ),
     r AS (
       SELECT src, dst, sim,

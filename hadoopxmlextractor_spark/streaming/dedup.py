@@ -99,7 +99,7 @@ def kmv_cardinality_stream(
     operation (48-bit prefix of the k-th digest, ``(k-1)/u_k``), so
     streaming and batch agree bit-for-bit, not approximately.
     """
-    hashed = docs.select(
+    hashed = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("digest")
     )
 
@@ -110,14 +110,17 @@ def kmv_cardinality_stream(
     ) -> Iterator[pd.DataFrame]:
         sketch = set(state.get[0]) if state.exists else set()
         for pdf in pdfs:
-            sketch.update(pdf["digest"])
-        sketch = sorted(sketch)[:k]
-        n = len(sketch)
-        if n >= k:
+            sketch.update(d for d in pdf["digest"] if d is not None)
+        # keep bottom-(k+1): the extra slot is the saturation witness —
+        # exactly-k distinct is provably exact, matching the batch twin
+        sketch = sorted(sketch)[: k + 1]
+        saturated = len(sketch) > k
+        n = min(len(sketch), k)
+        if saturated:
             u = int(sketch[k - 1][:12], 16) / 281474976710656.0
-            est, saturated = (float(k) - 1.0) / u, True
+            est = (float(k) - 1.0) / u
         else:
-            est, saturated = float(n), False
+            est = float(n)
         state.update((sketch,))
         yield pd.DataFrame(
             {

@@ -704,6 +704,23 @@ def test_kmv_overlap_exact_branch_unsaturated(spark):
     assert abs(r.inter_est - 3.0) < 1e-9
 
 
+def test_kmv_cardinality_exact_at_exactly_k(spark):
+    # A source with EXACTLY k distinct docs has a COMPLETE sketch — it
+    # proves the exact count, so the estimator must not engage until a
+    # (k+1)-th distinct value is actually observed.
+    rows = [("a", f"doc {i}") for i in range(8)] + [
+        ("b", f"doc {i}") for i in range(9)
+    ]
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        r.source: (r.n_sketch, r.distinct_est, r.saturated)
+        for r in D.kmv_cardinality(df, "text", "source", k=8).collect()
+    }
+    assert got["a"] == (8, 8.0, False)  # complete sketch → exact
+    n, est, sat = got["b"]
+    assert n == 8 and sat is True and est != 9.0  # witness seen → estimator
+
+
 def test_kmv_estimator_reasonable_when_saturated(spark):
     # 200 ∪ 200 with 100 shared (true union 300, J = 1/3); k=32
     # saturates, so the (k-1)/u_k branch runs. md5 priorities are

@@ -904,16 +904,26 @@ def test_kmv_cardinality_stream_matches_batch_twin(spark, tmp_path):
 
         land("b2.json", b2)
         q.processAllAvailable()
+        got2 = {}
+        for r in spark.sql("SELECT * FROM kmv_out").collect():
+            got2[r.source] = (r.n_sketch, r.distinct_est, r.saturated)
+        assert got2 == batch_twin(b1 + b2)
+        # b sits at EXACTLY k=4 distinct: complete sketch proves the
+        # exact count — not saturated until a (k+1)-th value is seen
+        assert got2["b"] == (4, 4.0, False)
+
+        land("b3.json", [("b", "beta 4")])  # the saturation witness
+        q.processAllAvailable()
     finally:
         q.stop()
 
-    # last emitted row per source = running state after batch 2
+    # last emitted row per source = running state after batch 3
     rows = spark.sql("SELECT * FROM kmv_out").collect()
-    got2 = {}
+    got3 = {}
     for r in rows:  # memory sink appends in batch order
-        got2[r.source] = (r.n_sketch, r.distinct_est, r.saturated)
-    assert got2 == batch_twin(b1 + b2)
-    assert got2["b"][2] is True  # b crossed saturation in batch 2
+        got3[r.source] = (r.n_sketch, r.distinct_est, r.saturated)
+    assert got3 == batch_twin(b1 + b2 + [("b", "beta 4")])
+    assert got3["b"][2] is True  # b crossed saturation in batch 3
 
 
 def test_dsir_admission_stream_matches_batch_twin(spark, tmp_path):
