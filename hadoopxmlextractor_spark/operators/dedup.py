@@ -112,6 +112,7 @@ def _ngram_pair_counts(
     *,
     n: int = 3,
     max_df: int | float | None = "auto",
+    candidate_budget: int | None = "auto",
 ) -> DataFrame:
     """Shared inverted-index machinery for the n-gram pair family —
     (doc_a, doc_b, size_a, size_b, shared) for every co-shingled pair,
@@ -127,10 +128,33 @@ def _ngram_pair_counts(
     fan-out, so dropping it changes Jaccard by at most ~1/|shingles| per
     hot shingle while bounding the self-join at max_df² rows per
     shingle.
+
+    CANDIDATE-BUDGET GUARD (the fail-fast contract): the exact path's
+    cost is the true co-shingled candidate count — Σ_shingle C(df,2),
+    the self-join's exact output row count — which is data-dependent
+    and super-linear on repetitive corpora (measured ~x^1.7 at 10×,
+    SCALE.md). Before launching the join, one dimension-sized aggregate
+    over the already-persisted inverted index computes that count
+    EXACTLY and RAISES when it exceeds ``candidate_budget``, with
+    routing guidance to the sub-linear LSH path — a fast failure
+    instead of a silently enormous job. ``candidate_budget="auto"``
+    (default) allows ``max(2_000_000, 500 × n_docs)`` join rows —
+    linear-in-corpus work with ~2× headroom over the synthetic-corpus
+    density (sf0.1 measures ~253 candidates/doc), so any corpus whose
+    pair fan-out grows super-linearly trips the guard within one
+    order of magnitude of scale-up (the sf0.01→sf0.1 measured
+    exponent ~1.95 crosses 500/doc before 10×). Pass an int to
+    override or ``None`` for a bounded slice you have sized yourself
+    (mirrors the :func:`heavy_hitters` provable-exactness guard).
     """
-    if max_df == "auto":
+    n_docs = None
+    if max_df == "auto" or candidate_budget == "auto":
         # Pruned count on the raw input (id column only — no shingle UDF).
-        max_df = max(1000, int(0.01 * df.select(id_col).count()))
+        n_docs = df.select(id_col).count()
+    if max_df == "auto":
+        max_df = max(1000, int(0.01 * n_docs))
+    if candidate_budget == "auto":
+        candidate_budget = max(2_000_000, 500 * n_docs)
     sh = (
         ensure_min_parallelism(df.select(id_col, text_col))
         .select(F.col(id_col).alias("doc"), shingle_hashes(text_col, n).alias("shingles"))
@@ -148,6 +172,33 @@ def _ngram_pair_counts(
         "doc", "n_shingles", F.explode("shingles").alias("shingle")
     ).persist()
     inv.count()
+    if candidate_budget is not None:
+        # Exact join fan-out from the cached index: Σ C(df,2) over the
+        # surviving (≤ max_df) shingles. Map-side combine collapses the
+        # index to one row per distinct shingle, then a single sum —
+        # dimension-sized all the way, and df·(df−1) is even so the
+        # halving is integer-exact.
+        dfs = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        if max_df is not None:
+            dfs = dfs.filter(F.col("df") <= max_df)
+        tot = dfs.agg(
+            F.sum(F.col("df") * (F.col("df") - F.lit(1)))
+            .cast("long")
+            .alias("t")
+        ).first()["t"]
+        est_candidates = (tot or 0) // 2
+        if est_candidates > candidate_budget:
+            inv.unpersist()
+            raise ValueError(
+                f"ngram pair candidate budget exceeded: the exact "
+                f"inverted-index self-join would produce "
+                f"{est_candidates} co-shingled candidate rows > budget "
+                f"{candidate_budget}. The exact path is for bounded "
+                f"slices; at this scale route to the sub-linear LSH "
+                f"path (dedup.minhash_lsh_candidates / the "
+                f"dedup_minhash_lsh query), tighten max_df, or raise "
+                f"candidate_budget explicitly if the cost is intended."
+            )
     if max_df is not None:
         # The df cap rides the join's own shuffle: count() over
         # (partition by shingle) hash-partitions on exactly the join
@@ -188,11 +239,16 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | float | None = "auto",
+    candidate_budget: int | None = "auto",
 ) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold (symmetric near-dup
-    score) over :func:`_ngram_pair_counts`'s inverted index."""
+    score) over :func:`_ngram_pair_counts`'s inverted index (including
+    its fail-fast candidate-budget guard)."""
     return (
-        _ngram_pair_counts(df, text_col, id_col, n=n, max_df=max_df)
+        _ngram_pair_counts(
+            df, text_col, id_col, n=n, max_df=max_df,
+            candidate_budget=candidate_budget,
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -214,6 +270,7 @@ def ngram_containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | float | None = "auto",
+    candidate_budget: int | None = "auto",
 ) -> DataFrame:
     """Pairs where the SMALLER document's shingles are ≥ ``threshold``
     contained in the other (max of the two directed containments
@@ -221,9 +278,13 @@ def ngram_containment_pairs(
     inside a larger one — which symmetric Jaccard structurally misses:
     a 50-shingle doc inside a 5000-shingle doc has Jaccard ≤ 0.01 but
     containment 1.0 (Lee et al., arxiv:2107.06499 dedups BOTH ways).
-    Same inverted index, same skew guards, one extra projection."""
+    Same inverted index, same skew guards (including the fail-fast
+    candidate budget), one extra projection."""
     return (
-        _ngram_pair_counts(df, text_col, id_col, n=n, max_df=max_df)
+        _ngram_pair_counts(
+            df, text_col, id_col, n=n, max_df=max_df,
+            candidate_budget=candidate_budget,
+        )
         .withColumn(
             "containment",
             F.round(
@@ -1175,6 +1236,7 @@ def ngram_containment_edges(
     n: int = 3,
     threshold: float = 0.6,
     max_df: int | float | None = "auto",
+    candidate_budget: int | None = "auto",
 ) -> DataFrame:
     """DIRECTED containment edges ``(container, contained)``: one edge
     whenever ≥ ``threshold`` of the contained side's shingles appear
@@ -1182,14 +1244,15 @@ def ngram_containment_edges(
     form :func:`ngram_containment_pairs` collapses — needed by
     link-analysis over the quotation graph (:func:`hits`), where "B
     quotes A" and "A quotes B" are different facts. Same inverted
-    index, same skew guards.
+    index, same skew guards (including the fail-fast candidate budget).
     """
     # the inverted-index pair join is the expensive half and BOTH
     # directed filters read it — materialize it once (pair-table-sized)
     # instead of letting the union recompute the join per branch
-    pc = _ngram_pair_counts(df, text_col, id_col, n=n, max_df=max_df).localCheckpoint(
-        eager=True
-    )
+    pc = _ngram_pair_counts(
+        df, text_col, id_col, n=n, max_df=max_df,
+        candidate_budget=candidate_budget,
+    ).localCheckpoint(eager=True)
     a_in_b = pc.filter(
         F.round(F.col("shared") / F.col("size_a"), 4) >= threshold
     ).select(F.col("doc_b").alias("container"), F.col("doc_a").alias("contained"))

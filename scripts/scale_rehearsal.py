@@ -163,7 +163,17 @@ def main() -> None:
     total = 0.0
     for name in HEAVY:
         t0 = time.monotonic()
-        n = qs[name](spark, OUT).count()
+        try:
+            n = qs[name](spark, OUT).count()
+        except ValueError as e:
+            # candidate-budget guards raising at blow-up scale is the
+            # designed outcome — record the fast failure as evidence
+            dt = time.monotonic() - t0
+            total += dt
+            print(json.dumps({"query": name, "sec": round(dt, 2),
+                              "guard_raised": str(e)[:200]}))
+            spark.catalog.clearCache()
+            continue
         dt = time.monotonic() - t0
         total += dt
         print(json.dumps({"query": name, "sec": round(dt, 2), "rows": n}))

@@ -738,6 +738,32 @@ def test_kmv_estimator_reasonable_when_saturated(spark):
     assert 0.05 <= r.jaccard_est <= 0.7
 
 
+def test_ngram_candidate_budget_guard_raises_on_blowup(spark):
+    # A pathologically repetitive corpus (everyone shares every
+    # shingle) must FAIL FAST with LSH routing guidance, not launch the
+    # quadratic self-join. 30 identical docs → C(30,2)=435 candidates
+    # per shingle; budget 100 trips before the join runs.
+    rows = [(i, "the same exact sentence repeated verbatim here") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash_lsh"):
+        D.ngram_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold=0.8, candidate_budget=100
+        ).count()
+    # same guard on the containment variants
+    with pytest.raises(ValueError, match="candidate budget"):
+        D.ngram_containment_pairs(
+            df, "text", "doc_id", n=3, threshold=0.8, candidate_budget=100
+        ).count()
+    with pytest.raises(ValueError, match="candidate budget"):
+        D.ngram_containment_edges(
+            df, "text", "doc_id", n=3, threshold=0.6, candidate_budget=100
+        ).count()
+    # an explicit budget covering the fan-out (or the auto default on
+    # this tiny corpus) lets the exact path run to completion
+    got = D.ngram_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.8).count()
+    assert got == 30 * 29 // 2
+
+
 def test_containment_edges_are_directed(spark):
     rows = [(1, "a b c d e f g h"), (2, "x y z a b c d e f g h q w")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
