@@ -60,87 +60,161 @@ def entry(spark: SparkSession) -> DataFrame:
     return revenue.withColumn("rank_in_region", F.row_number().over(w))
 
 
-# Registry-order rotation (round-3 verdict item 7): the driver's
-# correctness sample takes the FIRST 50 registry entries, so the
-# newest / most-recently-changed queries are rotated to the front —
-# the five round-4 gate-verdict conversions, the sharded-bloom
-# addition, the queries whose oracles or cache behavior changed this
-# round — followed by one representative per major operator family,
-# then everything else in registration order. Ordering is
-# presentation-only: every entry still runs in the local full-registry
-# gate (scripts/check_correctness.py).
+# Registry-order rotation: the driver's correctness sample takes the
+# FIRST 50 registry entries, so the front of this list decides what
+# gets a driver-ledger row this round.
 FRONT = [
-    # round-4 late additions (binary-quantized ANN tier, KMV sketches,
-    # incremental view maintenance, sorted-neighborhood blocking)
-    "dedup_sorted_neighborhood",
-    "dedup_fuzzy_join",
-    "text_url_canonical_dedup",
-    "corpus_shard_manifest",
-    "corpus_source_divergence",
-    "text_countmin_freq",
-    "corpus_dsir_sample",
-    "embedding_bitext_mine",
-    "embedding_binary_quantize",
-    "similarity_topk_binary",
-    "corpus_kmv_source_overlap",
-    "corpus_kmv_cardinality",
-    "corpus_incremental_rollup",
-    "dedup_graph_hits",
-    # round-4 gate-verdict conversions (formerly rows-only)
-    "agg_approx_distinct",
-    "percentiles_approx",
-    "similarity_topk_ivf",
-    "similarity_topk_pq",
-    "similarity_topk_ivfpq",
-    # round-4 additions / oracle or plumbing changes
-    "dedup_incremental_bloom_sharded",
-    "dedup_incremental_bloom",
-    "text_ngram_novelty",
-    "text_token_chi2",
-    "embedding_knn_graph",
-    "embedding_kmeans",
-    "embedding_top_pc",
-    "corpus_diversity_sample",
-    "text_perceptron_weights",
-    "text_perceptron_predictions",
-    "text_regression_suffstats",
-    "embedding_kmeans_profile",
-    "similarity_topk_bruteforce",
-    # one representative per major family for sample breadth
-    "scan_filter_project",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "join_inner_agg",
-    "join_broadcast_dim",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_range",
-    "join_asof",
-    "join_interval_overlap",
-    "window_topk_per_group",
-    "window_running_sum",
-    "topk_global",
-    "set_union",
-    "set_except",
-    "scalar_string",
-    "scalar_date",
-    "scalar_json",
-    "array_explode",
-    "subquery_scalar",
-    "subquery_in",
-    "pivot_event_counts",
-    "events_tumbling_window",
-    "events_sessionize",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
+    # round-5 rotation (verdict item 2): every entry below has NO
+    # driver-ledger green row across r1-r4 (computed from the
+    # CORRECTNESS_r0*.json ledgers); the driver samples the first 50,
+    # so each round certifies 50 first-time queries until the whole
+    # registry has been driver-green at least once (~140 remaining at
+    # r5 start -> done by r7). Guard-affected exact-ngram consumers
+    # (dedup_ngram_containment, dedup_survivors_authority,
+    # dedup_minhash_lsh) are pinned inside the first 50. Ordering is
+    # presentation-only: every entry still runs in the local
+    # full-registry gate (scripts/check_correctness.py).
     "dedup_minhash_lsh",
+    "dedup_ngram_containment",
     "dedup_simhash",
-    "corpus_prepare_training_data",
-    "corpus_decontaminate",
     "q18_large_orders",
+    "corpus_length_buckets",
+    "corpus_tokenize_ids",
+    "corpus_bigram_logprob",
+    "corpus_contamination_score",
+    "corpus_source_quality",
+    "dedup_cluster_sizes",
+    "corpus_chunk_text",
+    "corpus_pack_chunks",
+    "dedup_survivors",
+    "corpus_upsert",
+    "corpus_profile",
+    "dedup_graph_triangles",
+    "corpus_chunks_overlap",
+    "corpus_contrastive_pairs",
+    "dedup_clusters_stars",
+    "dedup_graph_pagerank",
+    "corpus_bpe_merges",
+    "corpus_bpe_encode",
+    "corpus_pipeline_from_config",
+    "corpus_data_contract",
+    "corpus_concentration",
+    "dedup_survivors_authority",
+    "corpus_dedup_report",
+    "corpus_soft_quality_sample",
+    "corpus_semantic_leakage",
+    "corpus_line_filter",
+    "corpus_leakage_free_split",
+    "corpus_token_budget_plan",
+    "corpus_hard_negatives",
+    "corpus_chunk_language",
+    "events_hopping_window",
+    "events_retention",
+    "events_funnel",
+    "agg_salted_hot_keys",
+    "events_zscore_topk",
+    "events_mad_outliers",
+    "join_salted_hot_keys",
+    "events_markov_transitions",
+    "events_attribution",
+    "events_trend_slope",
+    "events_twap",
+    "agg_hll_daily_merge",
+    "events_association_rules",
+    "events_scd2_history",
+    "events_ewma_spikes",
+    "join_asof_cogroup",
+    # --- driver sample boundary (first 50 above) ---
+    "events_pit_training_features",
+    "events_gap_fill",
+    "agg_quantile_sketch_merge",
+    "events_rolling_wau",
+    "events_ab_cuped",
+    "events_interval_merge",
+    "events_sequence_motif",
+    "events_churn_labels",
+    "diagnostics_key_skew",
+    "events_funnel_trend",
+    "events_cohort_triangle",
+    "events_rfm_scores",
+    "events_ab_srm_check",
+    "events_bot_detection",
+    "events_seasonality_profile",
+    "events_stickiness",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q17_small_quantity_revenue",
+    "q19_disjunctive_predicates",
+    "sql_interface_segment_share",
+    "q22_sales_opportunity",
+    "sql_lateral_topk",
+    "sql_recursive_date_spine",
+    "minhash_signatures",
+    "embedding_near_pairs_lsh",
+    "text_winnowing",
+    "multimodal_features",
+    "text_repetition",
+    "similarity_range_search",
+    "dedup_fuzzy_names",
+    "text_pii_audit",
+    "dedup_window_profile",
+    "corpus_source_overlap",
+    "text_heavy_hitters",
+    "text_hashed_features",
+    "similarity_topk_filtered",
+    "dedup_minhash_incremental",
+    "embedding_quantize_int8",
+    "similarity_knn_classify",
+    "text_quality_classifier",
+    "multimodal_image_ahash",
+    "multimodal_audio_energy",
+    "multimodal_video_shots",
+    "text_url_blocklist",
+    "search_hybrid_rrf",
+    "governance_k_anonymity",
+    "multimodal_image_neardup",
+    "embedding_data_contract",
+    "governance_masked_export",
+    "text_cjk_accounting",
+    "agg_stats",
+    "scalar_string_ext",
+    "scalar_date_ext",
+    "udaf_grouped_pandas",
+    "udtf_sentence_split",
+    "sort_limit_offset",
+    "distinct_projection",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "null_semantics",
+    "array_hof_stats",
+    "map_functions",
+    "union_by_name_missing",
+    "q4_order_priority",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "agg_order_stats",
+    "agg_value_histogram",
+    "scalar_try_safe",
+    "set_intersect_all",
+    "set_except_all",
+    "sql_unpivot",
+    "agg_trimmed_mean",
+    "agg_mode",
+    "scalar_variant",
+    "agg_corr_matrix",
+    "scalar_bitwise",
+    "scalar_regex_family",
+    "agg_grouping_id",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
 ]
 
 

@@ -1354,6 +1354,48 @@ def _bloom_positions(hex_md5: str, m_bits: int) -> tuple[int, ...]:
     return tuple(int(hex_md5[i : i + 8], 16) % m_bits for i in (0, 8, 16, 24))
 
 
+def _bloom_positions_batch(hs, m_bits: int):
+    """Vectorized twin of :func:`_bloom_positions` for a whole Arrow
+    batch: (n, 4) int64 bit positions from a pandas Series of md5 hex
+    strings, with zero per-row Python. The hex decode is numpy all the
+    way — fixed-width S32 view → ASCII nibble arithmetic → positional
+    16^i dot product per 8-nibble word — and agrees digit-for-digit
+    with the scalar ``int(hex[i:i+8], 16) % m_bits`` (pinned by test).
+    """
+    import numpy as np
+
+    raw = np.frombuffer(
+        hs.to_numpy().astype("S32").tobytes(), dtype=np.uint8
+    ).reshape(-1, 32)
+    # ASCII → nibble: '0'-'9' → 0-9, 'a'-'f' → 10-15 ('A'-'F' safe too)
+    nib = np.where(
+        raw >= 97, raw - 87, np.where(raw >= 65, raw - 55, raw - 48)
+    ).astype(np.int64)
+    weights = 16 ** np.arange(7, -1, -1, dtype=np.int64)
+    words = (nib.reshape(-1, 4, 8) * weights).sum(axis=2)
+    return words % m_bits
+
+
+def _bloom_bitmap_from_positions(pos, m_bits: int):
+    """Little-endian-bit bitmap (byte p>>3, bit p&7) from a flat
+    position array — ``np.packbits(bitorder='little')`` reproduces the
+    scalar layout ``bm[p >> 3] |= 1 << (p & 7)`` exactly."""
+    import numpy as np
+
+    bits = np.zeros(m_bits, dtype=bool)
+    bits[pos.ravel()] = True
+    return np.packbits(bits, bitorder="little")
+
+
+def _bloom_test_positions(bm, pos):
+    """Vectorized membership test: all-4-bits-set per row of an (n, 4)
+    position array against a uint8 bitmap."""
+    import numpy as np
+
+    hit = (bm[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+    return hit.all(axis=1)
+
+
 def bloom_build(hashes: DataFrame, h_col: str, *, m_bits: int = 1 << 17) -> bytes:
     """Build an m-bit Bloom filter over a column of md5-hex hashes,
     distributed: each partition folds its hashes into a local bitmap
@@ -1376,9 +1418,9 @@ def bloom_build(hashes: DataFrame, h_col: str, *, m_bits: int = 1 << 17) -> byte
     def build(it):
         bm = np.zeros(n_bytes, dtype=np.uint8)
         for pdf in it:
-            for h in pdf[h_col]:
-                for p in _bloom_positions(h, m_bits):
-                    bm[p >> 3] |= np.uint8(1 << (p & 7))
+            if len(pdf):
+                pos = _bloom_positions_batch(pdf[h_col], m_bits)
+                bm |= _bloom_bitmap_from_positions(pos, m_bits)
         yield pd.DataFrame({"bm": [bm.tobytes()]})
 
     # One Arrow-batched local bitmap per partition, then an associative
@@ -1434,15 +1476,11 @@ def bloom_incremental_flags(
 
         bm = np.frombuffer(bc.value, dtype=np.uint8)
         for hs in it:
-            yield pd.Series(
-                [
-                    all(
-                        bm[p >> 3] & (1 << (p & 7))
-                        for p in _bloom_positions(h, m_bits)
-                    )
-                    for h in hs
-                ]
-            )
+            if len(hs) == 0:
+                yield pd.Series([], dtype=bool)
+                continue
+            pos = _bloom_positions_batch(hs, m_bits)
+            yield pd.Series(_bloom_test_positions(bm, pos))
 
     tagged = batch.withColumn("maybe", maybe_in_corpus(F.col(h_col))).persist()
     tagged.count()  # eager: feeds both the verify branch and the miss branch
@@ -1513,10 +1551,9 @@ def bloom_build_sharded(
     n_bytes = m_bits_per_shard // 8
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bm = np.zeros(n_bytes, dtype=np.uint8)
-        for h in pdf[h_col]:
-            for p in _bloom_positions(h, m_bits_per_shard):
-                bm[p >> 3] |= np.uint8(1 << (p & 7))
+        pos = _bloom_positions_batch(pdf[h_col], m_bits_per_shard)
+        bm = _bloom_bitmap_from_positions(pos, m_bits_per_shard)
+        assert len(bm) == n_bytes
         return pd.DataFrame({"bshard": [int(pdf["bshard"].iloc[0])], "bm": [bm.tobytes()]})
 
     return (
@@ -1564,13 +1601,8 @@ def bloom_incremental_flags_sharded(
             maybe = [False] * len(left)
         else:
             bm = np.frombuffer(right["bm"].iloc[0], dtype=np.uint8)
-            maybe = [
-                all(
-                    bm[p >> 3] & (1 << (p & 7))
-                    for p in _bloom_positions(h, m_bits_per_shard)
-                )
-                for h in left[h_col]
-            ]
+            pos = _bloom_positions_batch(left[h_col], m_bits_per_shard)
+            maybe = _bloom_test_positions(bm, pos)
         return pd.DataFrame(
             {id_col: left[id_col], h_col: left[h_col], "maybe": maybe}
         )

@@ -435,6 +435,33 @@ def test_bloom_incremental_exact_even_with_forced_false_positives(spark):
         )
 
 
+def test_bloom_positions_batch_matches_scalar():
+    # The vectorized hex decode must agree digit-for-digit with the
+    # scalar int(hex[i:i+8], 16) % m_bits path, including extreme
+    # digests (all-0, all-f) and both hex cases.
+    import hashlib
+
+    import pandas as pd
+
+    hs = [hashlib.md5(str(i).encode()).hexdigest() for i in range(257)]
+    hs += ["0" * 32, "f" * 32, "F" * 32, "0123456789abcdefABCDEF0123456789"]
+    for m_bits in (1 << 11, 1 << 17, 1000):
+        batch = D._bloom_positions_batch(pd.Series(hs), m_bits)
+        for row, h in zip(batch.tolist(), hs):
+            assert tuple(row) == D._bloom_positions(h.lower(), m_bits), h
+    # and the packed bitmap reproduces the scalar bit layout
+    import numpy as np
+
+    pos = D._bloom_positions_batch(pd.Series(hs), 1 << 11)
+    bm = D._bloom_bitmap_from_positions(pos, 1 << 11)
+    ref = np.zeros((1 << 11) // 8, dtype=np.uint8)
+    for h in hs:
+        for p in D._bloom_positions(h.lower(), 1 << 11):
+            ref[p >> 3] |= np.uint8(1 << (p & 7))
+    assert bm.tobytes() == ref.tobytes()
+    assert D._bloom_test_positions(bm, pos).all()
+
+
 def test_bloom_build_tree_fanin_matches_flat_merge(spark):
     # Round-3 verdict item 2: the OR-merge must happen executor-side
     # (treeReduce), and the result must equal a naive driver-side build
