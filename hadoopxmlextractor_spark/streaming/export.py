@@ -80,48 +80,123 @@ def stream_vectors_into_ivf_index(
 ):
     """Continuous vector-index maintenance: each micro-batch of newly
     embedded vectors is assigned with the index's STORED centroid
-    sidecar and appended to its cell partitions
-    (:func:`~hadoopxmlextractor_spark.operators.similarity.
-    append_to_ivf_index` inside ``foreachBatch``). Exactly-once is
-    offsets-log + IDEMPOTENT sink: foreachBatch alone is at-least-once
-    (a crash between the append and the offset commit replays the
-    batch with the same batch_id), and a blind re-append would
-    duplicate vectors in the index, changing later probe results — so
-    the sink records the highest committed batch_id in a marker file
-    under the index (tmp+rename, the streaming.upsert discipline) and
-    no-ops on replay. (Residual window: a crash BETWEEN the completed
-    append and the marker rename still replays — the inherent limit of
-    a non-transactional append sink; the upsert sink has no such
-    window because MERGE replay is a state no-op. Close it at scale by
-    landing appends through the snapshot store.) The append touches
-    only the cells that receive rows, so steady-state ingest cost
-    tracks the arrival rate, not the index size; probes see new
-    vectors at the next query with no rebuild."""
-    from hadoopxmlextractor_spark.operators.similarity import (
-        append_to_ivf_index,
-    )
-    from hadoopxmlextractor_spark.streaming.upsert import (
-        last_committed_batch,
-        _marker_path,
-    )
+    sidecar and landed in its cell partitions through a STAGED COMMIT.
+    Exactly-once is offsets-log + idempotent sink: foreachBatch alone
+    is at-least-once (a crash between the write and the offset commit
+    replays the batch with the same batch_id), and a blind re-append
+    would duplicate vectors in the index, changing later probe
+    results. The sink therefore writes each batch in two phases:
 
+    1. STAGE — the assigned batch lands under
+       ``cells_staging/batch=<id>/centroid_id=<c>/``; a ``_STAGED``
+       sentinel marks the Spark write complete. A crash here leaves
+       the cell tree untouched, and replay discards the partial
+       staging (no sentinel ⇒ rewrite from scratch).
+    2. COMMIT — each staged parquet file is atomically RENAMED into
+       its cell directory under a batch-prefixed name, then the
+       highest committed batch_id marker updates (tmp+rename, the
+       streaming.upsert discipline), then the staging dir is removed.
+       Rename removes the file from staging, so every staged file
+       exists in exactly one place at every instant: a crash mid-move
+       resumes by moving only the REMAINING staged files — no
+       duplicate is possible at any crash point, and a crash after the
+       marker only leaves an empty staging dir to sweep.
+
+    (Renames are same-filesystem atomic moves; on an object store the
+    same protocol runs with the store's atomic copy+delete or a
+    manifest commit.) The write touches only the cells that receive
+    rows, so steady-state ingest cost tracks the arrival rate, not the
+    index size; probes see new vectors at the next query with no
+    rebuild, and never see a half-landed batch changing results
+    mid-query plan."""
     def _sink(batch_df, batch_id: int) -> None:
-        if batch_id <= last_committed_batch(index_dir):
-            return  # replayed after restart — append already durable
-        if not batch_df.isEmpty():
-            append_to_ivf_index(
-                batch_df.sparkSession, index_dir, batch_df, vec_col=vec_col
-            )
-        import json
-        import os
-
-        tmp = _marker_path(index_dir) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
-        os.replace(tmp, _marker_path(index_dir))
+        _ivf_staged_sink_body(index_dir, batch_df, batch_id, vec_col)
 
     return (
         vectors_stream.writeStream.foreachBatch(_sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def _ivf_staging_dir(index_dir: str, batch_id: int) -> str:
+    return f"{index_dir}/cells_staging/batch={batch_id}"
+
+
+def _ivf_stage_batch(index_dir: str, batch_df, batch_id: int, vec_col: str) -> None:
+    """Phase 1: land the assigned batch under the staging dir and drop
+    the ``_STAGED`` sentinel. The cell tree is untouched; any partial
+    staging from a crashed prior attempt is discarded first."""
+    import os
+    import shutil
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.similarity import ivf_assign
+
+    staging = _ivf_staging_dir(index_dir, batch_id)
+    shutil.rmtree(staging, ignore_errors=True)
+    spark = batch_df.sparkSession
+    cents = spark.read.parquet(f"{index_dir}/_centroids").collect()
+    C = np.zeros((len(cents), len(cents[0]["centroid"])))
+    for r in cents:
+        C[r["centroid_id"]] = r["centroid"]
+    ivf_assign(batch_df, C, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(staging)
+    with open(f"{staging}/_STAGED", "w") as fh:
+        fh.write("staged\n")
+
+
+def _ivf_commit_staged(index_dir: str, batch_id: int) -> None:
+    """Phase 2: atomically rename every remaining staged parquet file
+    into its cell directory (batch-prefixed name), then update the
+    committed-batch marker (tmp+rename), then sweep the staging dir.
+    Rename removes the source, so each staged file exists in exactly
+    one place at every instant — resuming after a crash mid-move
+    delivers only the files still in staging, never a duplicate."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from hadoopxmlextractor_spark.streaming.upsert import _marker_path
+
+    staging = _ivf_staging_dir(index_dir, batch_id)
+    for cdir in sorted(glob.glob(f"{staging}/centroid_id=*")):
+        dest = f"{index_dir}/cells/{os.path.basename(cdir)}"
+        os.makedirs(dest, exist_ok=True)
+        for f in sorted(glob.glob(f"{cdir}/*.parquet")):
+            os.replace(f, f"{dest}/b{batch_id}-{os.path.basename(f)}")
+    tmp = _marker_path(index_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"last_batch_id": batch_id}, fh)
+    os.replace(tmp, _marker_path(index_dir))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
+def _ivf_staged_sink_body(
+    index_dir: str, batch_df, batch_id: int, vec_col: str
+) -> None:
+    """The full per-batch protocol (stage if needed, then commit) —
+    module-level so crash points between the phases are directly
+    testable."""
+    import os
+    import shutil
+
+    from hadoopxmlextractor_spark.streaming.upsert import last_committed_batch
+
+    if batch_id <= last_committed_batch(index_dir):
+        # replayed after restart — batch already committed; sweep any
+        # staging leftover from a crash between marker and rmtree
+        shutil.rmtree(_ivf_staging_dir(index_dir, batch_id), ignore_errors=True)
+        return
+    sentinel = f"{_ivf_staging_dir(index_dir, batch_id)}/_STAGED"
+    if not os.path.exists(sentinel):
+        if batch_df.isEmpty():
+            _ivf_commit_staged(index_dir, batch_id)  # marker-only commit
+            return
+        _ivf_stage_batch(index_dir, batch_df, batch_id, vec_col)
+    # sentinel present: staged data is complete (possibly partially
+    # moved by a crashed commit) — finish the move + marker + sweep
+    _ivf_commit_staged(index_dir, batch_id)

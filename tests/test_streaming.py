@@ -799,6 +799,83 @@ def test_stream_vectors_append_to_ivf_index(spark, tmp_path):
     assert spark.read.parquet(f"{index}/cells").count() == n_before
 
 
+def test_ivf_staged_commit_survives_crash_at_every_point(spark, tmp_path):
+    """The staged-commit protocol closes the last replay window (round-4
+    verdict item): a crash after the completed staging write, in the
+    middle of the file moves, or between the marker and the staging
+    sweep must all replay to EXACTLY the base ∪ batch vectors — zero
+    duplicates, zero losses."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators import similarity as S
+    from hadoopxmlextractor_spark.streaming.export import (
+        _ivf_commit_staged,
+        _ivf_stage_batch,
+        _ivf_staged_sink_body,
+        _ivf_staging_dir,
+    )
+    from hadoopxmlextractor_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    index = str(tmp_path / "ivf")
+    S.write_ivf_index(base, index, n_centroids=8)
+    n_base = spark.read.parquet(f"{index}/cells").count()
+    n_batch = batch.count()
+
+    def ids_in_cells():
+        rows = spark.read.parquet(f"{index}/cells").select("vec_id").collect()
+        return sorted(r["vec_id"] for r in rows)
+
+    # --- crash AFTER the completed stage, BEFORE any move -------------
+    _ivf_stage_batch(index, batch, 0, "embedding")
+    assert spark.read.parquet(f"{index}/cells").count() == n_base  # untouched
+    # replay (same batch_id 0, e.g. lost offsets): resumes the commit
+    _ivf_staged_sink_body(index, batch, 0, "embedding")
+    all_ids = ids_in_cells()
+    assert len(all_ids) == n_base + n_batch and len(set(all_ids)) == len(all_ids)
+    assert not os.path.exists(_ivf_staging_dir(index, 0))
+
+    # --- crash in the MIDDLE of the moves -----------------------------
+    batch2 = batch.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    _ivf_stage_batch(index, batch2, 1, "embedding")
+    staged = sorted(glob.glob(f"{_ivf_staging_dir(index, 1)}/centroid_id=*/*.parquet"))
+    assert len(staged) >= 2  # need a genuine partial-move scenario
+    first = staged[0]
+    cdir = os.path.basename(os.path.dirname(first))
+    os.makedirs(f"{index}/cells/{cdir}", exist_ok=True)
+    os.replace(first, f"{index}/cells/{cdir}/b1-{os.path.basename(first)}")
+    # replay finishes the interrupted commit: moves ONLY the remainder
+    _ivf_staged_sink_body(index, batch2, 1, "embedding")
+    all_ids = ids_in_cells()
+    assert len(all_ids) == n_base + 2 * n_batch
+    assert len(set(all_ids)) == len(all_ids)  # no duplicate vector ids
+
+    # --- crash AFTER the marker, BEFORE the staging sweep -------------
+    leftover = _ivf_staging_dir(index, 1)
+    os.makedirs(leftover, exist_ok=True)
+    with open(f"{leftover}/_STAGED", "w") as fh:
+        fh.write("staged\n")
+    _ivf_staged_sink_body(index, batch2, 1, "embedding")  # batch_id <= marker
+    assert not os.path.exists(leftover)  # swept, nothing re-landed
+    assert ids_in_cells() == all_ids
+
+    # probes over the final index rank exactly like brute force
+    both = base.unionByName(batch).unionByName(batch2)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    probed = S.ivf_topk_from_index(spark, index, qv, k=10, nprobe=8)
+    brute = S.cosine_topk_bruteforce(both, qv, k=10)
+    assert [tuple(r) for r in probed.collect()] == [tuple(r) for r in brute.collect()]
+    shutil.rmtree(index, ignore_errors=True)
+
+
 def test_near_dup_stream_flags_arriving_near_duplicates(spark, tmp_path):
     """Arriving docs near-dup of the EXISTING corpus are flagged by a
     stateless stream-static band join; unrelated docs pass silently."""
