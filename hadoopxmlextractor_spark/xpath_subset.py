@@ -19,10 +19,14 @@ Subset grammar::
               | 'parent::' (qname | '*') pred?
               | 'following-sibling::' (qname | '*') pred?
               | 'preceding-sibling::' (qname | '*') pred?
-                 -- positional predicates on preceding-sibling are OUT
-                 -- of subset (the axis is reverse-ordered; falls back)
-                 -- parent/sibling steps accept only the '/' separator:
-                 -- '//..' / '//parent::x' are OUT of subset because
+              | 'ancestor::' (qname | '*') pred?
+                 -- reverse axes (preceding-sibling, ancestor) take
+                 -- positional predicates with XPath proximity
+                 -- semantics: position() counts AWAY from the context
+                 -- node (preceding-sibling::x[1] = nearest preceding)
+                 -- parent/sibling/ancestor steps accept only the '/'
+                 -- separator: '//..' / '//parent::x' / '//ancestor::x'
+                 -- are OUT of subset because
                  -- descendant-or-self::node() includes text nodes,
                  -- whose parents/siblings the element-only model
                  -- cannot reach (verified against javax; falls back)
@@ -101,7 +105,7 @@ _QNAME = rf"(?:{_NAME}:)?{_NAME}"
 # attribute is the empty string, XPath 1.0 string() of an empty
 # nodeset.
 _NUM = r"-?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)"
-_AXIS_RE = re.compile(r"(parent|following-sibling|preceding-sibling)::")
+_AXIS_RE = re.compile(r"(parent|following-sibling|preceding-sibling|ancestor)::")
 _STEP_RE = re.compile(
     rf"({_QNAME}|\*)"
     rf"(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\]"
@@ -183,7 +187,7 @@ def _parse_path(path: str) -> list[_Step] | None:
             if axis == "desc":
                 return None  # '//parent::x' etc: text-node contexts
             kind = {"parent": "parent", "following-sibling": "fsib",
-                    "preceding-sibling": "psib"}[am.group(1)]
+                    "preceding-sibling": "psib", "ancestor": "anc"}[am.group(1)]
             pos = am.end()
         m = _STEP_RE.match(path, pos)
         if m is None:
@@ -206,13 +210,10 @@ def _parse_path(path: str) -> list[_Step] | None:
             (fn, _local(fattr), fval) if fn is not None else None,
             kind,
         )
-        if step.kind == "psib" and (
-            step.pos is not None or step.is_last or step.pos_cmp is not None
-        ):
-            # preceding-sibling is a REVERSE axis: position() counts
-            # away from the context node, opposite to our document-
-            # order candidate list — out of subset, JVM fallback.
-            return None
+        # Reverse axes (preceding-sibling, ancestor) take positional
+        # predicates too: position() counts AWAY from the context node
+        # (XPath 1.0 proximity position), which the evaluator models by
+        # filtering the axis-ordered candidate list — in subset.
         steps.append(step)
         pos = m.end()
     return steps or None
@@ -270,6 +271,7 @@ def _strip_one(expr: str) -> str | None:
         base = {
             "child": "", "parent": "parent::",
             "fsib": "following-sibling::", "psib": "preceding-sibling::",
+            "anc": "ancestor::",
         }[s.kind] + s.name
         if s.pred_attr is not None:
             # re-quote with the quote style that cannot appear in the value
@@ -458,6 +460,20 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
                     kids = [None]  # document node
                 else:
                     kids = [pm[id(ctx)]]
+            elif step.kind == "anc":
+                # ancestor chain in DOCUMENT order: document node first
+                # (dropped by the element name test), then root, down
+                # to the parent — axis order is the reverse (below)
+                if ctx is None:
+                    kids = []
+                else:
+                    chain: list[Element | None] = []
+                    p = ctx
+                    while p is not root:
+                        p = pm[id(p)]
+                        chain.append(p)
+                    chain.append(None)  # the document node
+                    kids = chain[::-1]
             else:  # sibling axes: children of the parent around ctx
                 if ctx is None or ctx is root:
                     kids = []
@@ -471,6 +487,12 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
                 matched = [
                     c for c in kids if c is not None and _keep(c, step)
                 ]
+            if step.kind in ("psib", "anc"):
+                # REVERSE axes: proximity position counts away from the
+                # context node, so positional predicates index the
+                # reversed (nearest-first) candidate list; the final
+                # global document-order sort restores NODESET order
+                matched = matched[::-1]
             if step.pos is not None:
                 matched = matched[step.pos - 1 : step.pos] if step.pos else []
             elif step.is_last:

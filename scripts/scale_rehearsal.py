@@ -49,11 +49,61 @@ HEAVY = [
 if os.environ.get("SPARK_GRAFT_REHEARSAL_QUERIES"):
     HEAVY = os.environ["SPARK_GRAFT_REHEARSAL_QUERIES"].split(",")
 
+# SPARK_GRAFT_REHEARSAL_RELATIONAL=1 switches the blow-up to the
+# RELATIONAL fact tables (lineitem / orders / events) for the
+# TPC-H-shape + event-analytics headliners: disjoint replicas with
+# shifted join/entity keys (l_orderkey, o_orderkey, event_id, user_id
+# += k * 10_000_000), so per-key density for user-keyed windows stays
+# constant while key count scales — the "more data makes more tasks,
+# not bigger ones" model. Dimension tables (customer, part, ...) stay
+# fixed, as they do in a real scale-up.
+RELATIONAL = os.environ.get("SPARK_GRAFT_REHEARSAL_RELATIONAL") == "1"
+REL_SHIFTS = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey",),
+    "events": ("event_id", "user_id"),
+}
+
+
+def build_relational_tables() -> None:
+    """Disjoint-replica blow-up of the relational fact tables,
+    vectorized in Arrow (no per-row Python — 6 M lineitem rows at
+    10×)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(EVLOG, exist_ok=True)
+    static = "region nation customer supplier part documents embeddings"
+    for t in static.split():
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+    for t, shift_cols in REL_SHIFTS.items():
+        base = pq.read_table(f"{BASE}/{t}.parquet")
+        parts = [base]
+        for k in range(1, FACTOR):
+            arrays = []
+            for name in base.column_names:
+                col = base[name]
+                if name in shift_cols:
+                    col = pc.add(col, pa.scalar(k * 10_000_000, type=pa.int64()))
+                arrays.append(col)
+            parts.append(pa.Table.from_arrays(arrays, schema=base.schema))
+        pq.write_table(pa.concat_tables(parts), f"{OUT}/{t}.parquet")
+        print(f"built {OUT}/{t}.parquet: {base.num_rows * FACTOR} rows",
+              file=sys.stderr)
+
 
 def build_tables() -> None:
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    if RELATIONAL:
+        build_relational_tables()
+        return
 
     os.makedirs(OUT, exist_ok=True)
     os.makedirs(EVLOG, exist_ok=True)

@@ -159,15 +159,20 @@ def test_auto_path_selection():
     )
     assert _compile_fused(pred_cfg) is not None  # eq-predicate → still fused
     exotic = ExtractionConfig.from_rules(
-        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r/ancestor::x;", ";", "#")],
+        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r/following::x;", ";", "#")],
         nr_of_columns=1,
     )
-    assert _compile_fused(exotic) is None  # ancestor axis → JVM xpath path
+    assert _compile_fused(exotic) is None  # full-document axis → JVM path
     positional = ExtractionConfig.from_rules(
         [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r[position()=1]/@x;", ";", "#")],
         nr_of_columns=1,
     )
     assert _compile_fused(positional) is not None  # now on the fast path
+    ancestor = ExtractionConfig.from_rules(
+        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r/ancestor::x[1]/@x;", ";", "#")],
+        nr_of_columns=1,
+    )
+    assert _compile_fused(ancestor) is not None  # round-5: fused too
 
 
 def test_malformed_fragments_audit_stream(spark):

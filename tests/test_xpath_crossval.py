@@ -54,20 +54,20 @@ def _gen_branch(rng: random.Random) -> str:
             parts.append("/..")  # '//..' is out of subset (text nodes)
             continue
         axis_prefix = ""
-        if step_i > 0 and aroll < 0.3:
+        if step_i > 0 and aroll < 0.34:
             axis = "/"  # '//' before an axis step is out of subset
             axis_prefix = rng.choice(
-                ["parent::", "following-sibling::", "preceding-sibling::"]
+                ["parent::", "following-sibling::", "preceding-sibling::",
+                 "ancestor::"]
             )
         name = rng.choice(TAGS + ["*"])
         if name != "*" and not axis_prefix and rng.random() < 0.2:
             name = f"x:{name}"  # prefixed step: local-name match via strip
         pred = ""
+        # reverse axes (preceding-sibling, ancestor) now take
+        # positional predicates with proximity semantics — fuzzed like
+        # every other axis (round-5 subset extension)
         roll = rng.random()
-        if axis_prefix == "preceding-sibling::":
-            # positional predicates on the reverse axis are out of
-            # subset (JVM fallback) — keep the fuzz inside the subset
-            roll = 0.99 if 0.2 <= roll < 0.6 else roll
         if roll < 0.2:
             attr, vals = rng.choice(ATTRS)
             pred = f"[@{attr}='{rng.choice(vals)}']"
@@ -119,7 +119,7 @@ def test_fused_subset_agrees_with_jvm_xpath_on_generated_cases(spark):
     df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, xml string")
 
     checked = 0
-    for _ in range(40):
+    for _ in range(60):
         expr = _gen_expr(rng)
         ev = compile_subset(expr)
         assert ev is not None, f"generated expr left the subset: {expr}"
@@ -136,4 +136,4 @@ def test_fused_subset_agrees_with_jvm_xpath_on_generated_cases(spark):
             fused = ev(ET.fromstring(doc))
             assert (fused or "") == (jvm[i] or ""), (expr, i, fused, jvm[i], doc)
         checked += 1
-    assert checked == 40
+    assert checked == 60

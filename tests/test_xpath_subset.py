@@ -47,7 +47,7 @@ def test_empty_nodeset_returns_none():
 def test_out_of_subset_falls_back():
     for expr in [
         "//book[price>30]/@id",  # child-element comparison predicate
-        "//a/preceding-sibling::b[1]",  # positional on a reverse axis
+        "//a//ancestor::b",  # '//' before an axis step (text-node ctx)
         "//a/..[@id='1']",  # predicate on the abbreviated parent step
         "count(//book)",  # function
         "//text()",  # bare text() with no element step
@@ -284,7 +284,42 @@ def test_parent_and_sibling_axes_fused():
         assert ev is not None, expr
         assert ev(root) == want, expr
     # out-of-subset axis forms fall back (None): '//' separator
-    # before a parent/sibling step, reverse-axis positional preds
+    # before a parent/sibling/ancestor step
     for expr in ["//book//..", "//title//parent::book",
-                 "//mag/preceding-sibling::book[1]"]:
+                 "//price//ancestor::book"]:
         assert compile_subset(expr) is None, expr
+
+
+def test_ancestor_axis_and_reverse_positional_fused():
+    import xml.etree.ElementTree as ET
+
+    from hadoopxmlextractor_spark.xpath_subset import compile_subset
+
+    xml = (
+        '<lib id="L"><shelf id="s1"><book id="b1"><title>T1</title></book>'
+        '<book id="b2"><title>T2</title></book>'
+        '<book id="b3"><title>T3</title></book></shelf>'
+        '<shelf id="s2"><book id="b4"><title>T4</title></book></shelf></lib>'
+    )
+    cases = [
+        # ancestor:: walks to the root; NODESET output in document order
+        ("//title/ancestor::book/@id", "b1b2b3b4"),
+        ("//title/ancestor::*/@id", "Ls1b1b2b3s2b4"),
+        ("//book[@id='b2']/ancestor::shelf/@id", "s1"),
+        # reverse-axis proximity position: [1] = NEAREST ancestor /
+        # nearest preceding sibling; [last()] = the FARTHEST
+        ("//title/ancestor::*[1]/@id", "b1b2b3b4"),
+        ("//title/ancestor::*[2]/@id", "s1s2"),
+        ("//title/ancestor::*[last()]/@id", "L"),
+        ("//book[@id='b3']/preceding-sibling::book[1]/@id", "b2"),
+        ("//book[@id='b3']/preceding-sibling::book[2]/@id", "b1"),
+        ("//book[@id='b3']/preceding-sibling::book[last()]/@id", "b1"),
+        ("//book[@id='b3']/preceding-sibling::book[position()<=1]/@id", "b2"),
+        # attribute predicate on the ancestor step
+        ("//title/ancestor::shelf[@id='s2']/book/@id", "b4"),
+    ]
+    root = ET.fromstring(xml)
+    for expr, want in cases:
+        ev = compile_subset(expr)
+        assert ev is not None, expr
+        assert ev(root) == want, expr
