@@ -1797,3 +1797,58 @@ def fuzzy_join(
             F.col("dist").cast("int").alias("dist"),
         )
     )
+
+
+def paragraph_dedup_stats(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    para_tokens: int = 20,
+) -> DataFrame:
+    """Paragraph-level exact dedup (the C4/Dolma granularity between
+    whole-document hashing and shingle overlap): segment each document
+    into non-overlapping ``para_tokens``-token paragraphs, dedup the
+    paragraph corpus globally (first-wins by (doc_id, para_idx)), and
+    report per-document duplication: (doc_id, n_paras, n_dup_paras,
+    dup_frac). A document whose later paragraphs all appeared earlier
+    is boilerplate/recrawl even when no single whole-doc or near-dup
+    detector fires — the standard reason training pipelines dedup at
+    paragraph granularity (Lee et al., arxiv:2107.06499 §4 dedups
+    substrings, not documents).
+
+    Plan shape: the paragraph array is materialized in a select and
+    THEN exploded (generators reject window/HOF-bearing expressions,
+    the sorted_neighborhood pattern); first-wins is one row_number
+    over the paragraph-hash key — the same uniform-key shuffle exact
+    doc dedup pays, at paragraph cardinality. The md5 paragraph key
+    keeps shuffle payload fixed-width regardless of paragraph text
+    size. No driver-side data at any point.
+    """
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    toks = base.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    paras = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, (size(t)-1) div {para_tokens}), "
+            f"i -> array_join(slice(t, i*{para_tokens}+1, {para_tokens}), ' '))"
+        ).alias("paras"),
+    )
+    p = paras.select(
+        "doc_id", F.posexplode("paras").alias("para_idx", "para")
+    ).select("doc_id", "para_idx", F.md5("para").alias("h"))
+    w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
+    flagged = p.withColumn("dup", F.row_number().over(w) > 1)
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras"),
+        F.sum(F.col("dup").cast("long")).cast("long").alias("n_dup_paras"),
+        F.round(
+            F.sum(F.col("dup").cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -834,3 +834,60 @@ def countmin_estimates(
         .groupBy("token")
         .agg(F.min(F.coalesce("cnt", F.lit(0))).cast("long").alias("cm_est"))
     )
+
+
+def tfidf_topk_keywords(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 3,
+    idf_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top-k keywords per document by tf·idf, INTEGER-EXACT: the idf
+    is the scaled floor-division ``(N_docs × idf_scale) div df`` (never
+    float ``log`` — libm's last-bit behavior differs across engines;
+    the scaled-reciprocal idf preserves the df ranking that matters for
+    keyword extraction while keeping every score a bigint that compares
+    identically everywhere). Ranking per doc is (score desc, token asc)
+    through ``row_number`` — WindowGroupLimit pushes the per-doc top-k
+    below the sort, so only k rows per document survive the window.
+
+    Scale shape: one explode + two uniform-key aggregates (token tf,
+    then token df — both map-side combined), a broadcast of the
+    dimension-sized df table back onto tf, and one single-row total
+    riding the tiny-row crossJoin idiom. No corpus-sized driver data;
+    the per-doc window is the only doc-keyed shuffle.
+
+    Returns (doc_id, token, tf, df, score, rn) for rn ≤ k.
+    """
+    base = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    toks = base.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    total = base.agg(F.count(F.lit(1)).cast("long").alias("nd"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr(f"tf * ((nd * {idf_scale}) div df)").alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+    )

@@ -2006,3 +2006,106 @@ def q_text_countmin_freq(spark: SparkSession, sf: str) -> DataFrame:
     )
     exact.unpersist()
     return out
+
+
+@query(
+    "corpus_paragraph_dedup",
+    r"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id % 10 = 0
+    ),
+    tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM uni WHERE trim(text) <> ''),
+    par AS (SELECT doc_id, k AS para_idx,
+                   md5(array_to_string(t[k*20+1 : k*20+20], ' ')) AS h
+            FROM tok, (SELECT unnest(range(0, 512)) AS k) ks
+            WHERE k <= (len(t) - 1) // 20),
+    fl AS (SELECT doc_id,
+                  ROW_NUMBER() OVER (PARTITION BY h
+                                     ORDER BY doc_id, para_idx) > 1 AS dup
+           FROM par)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+           ROUND(CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac
+    FROM fl GROUP BY doc_id
+    """,
+)
+def q_corpus_paragraph_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # Paragraph-granularity exact dedup (C4/Dolma style): per-doc
+    # duplicated-paragraph fraction with global first-wins. The
+    # synthetic corpus has no organic cross-doc 20-token repeats, so
+    # PLANTED evidence (every 10th doc re-landed under a shifted id —
+    # a recrawl) makes the detector provably non-vacuous: replicas
+    # must report dup_frac 1.0 while their originals stay 0.
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    planted = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    uni = docs.select("doc_id", "text").unionByName(planted)
+    return D.paragraph_dedup_stats(uni, "text", "doc_id", para_tokens=20)
+
+
+@query(
+    "text_tfidf_topk",
+    r"""
+    WITH base AS (SELECT doc_id, text FROM documents
+                  WHERE text IS NOT NULL AND trim(text) <> ''),
+    tok AS (SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+            FROM base),
+    tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY token),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM base),
+    s AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+                 tf.tf * ((n.nd * 1000000) // dfq.df) AS score
+          FROM tf JOIN dfq USING (token), n),
+    r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, token) AS INT) AS rn
+          FROM s)
+    SELECT doc_id, token, tf, df, CAST(score AS BIGINT) AS score, rn
+    FROM r WHERE rn <= 3
+    """,
+)
+def q_text_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Integer-exact tf-idf keyword extraction: scaled floor-division
+    # idf (never libm log — cross-engine last-bit divergence), per-doc
+    # top-3 via WindowGroupLimit. The df table broadcasts; the only
+    # doc-keyed shuffle is the ranking window.
+    docs = load(spark, sf, "documents")
+    return T.tfidf_topk_keywords(docs, "text", "doc_id", k=3)
+
+
+@query(
+    "similarity_maxsim_multivector",
+    """
+    WITH v AS (SELECT vec_id // 4 AS group_id, vec_id,
+                      CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM v WHERE group_id = 0),
+    p AS (SELECT v.group_id, q.q_id,
+                 CAST(ROUND(list_cosine_similarity(v.e, q.qe), 6)
+                      AS DECIMAL(18,6)) AS sim
+          FROM v, q WHERE v.group_id <> 0),
+    m AS (SELECT group_id, q_id, MAX(sim) AS best
+          FROM p GROUP BY group_id, q_id)
+    SELECT group_id, CAST(SUM(best) AS DOUBLE) AS maxsim
+    FROM m GROUP BY group_id
+    ORDER BY maxsim DESC, group_id
+    LIMIT 10
+    """,
+)
+def q_similarity_maxsim_multivector(spark: SparkSession, sf: str) -> DataFrame:
+    # ColBERT-style late-interaction retrieval over multi-vector
+    # groups (vec_id div 4): sum over query vectors of the best
+    # candidate-vector cosine. Decimal-widened rounded sims make the
+    # 4-term sum order-free, so the approximate-free score pipeline is
+    # hash-exact.
+    emb = load(spark, sf, "embeddings")
+    return S.maxsim_topk_multivector(emb, query_group=0, group_size=4, k=10)

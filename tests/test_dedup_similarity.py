@@ -912,3 +912,50 @@ def test_fuzzy_join_block_cap_is_deterministic(spark):
     df = spark.createDataFrame(rows, "pid long, name string")
     assert D.fuzzy_join(df, "name", "pid", max_dist=2, max_block=10).count() == 0
     assert D.fuzzy_join(df, "name", "pid", max_dist=2, max_block=100).count() > 0
+
+
+def test_paragraph_dedup_first_wins_across_docs(spark):
+    # doc 2's first 4-token paragraph is a verbatim copy of doc 1's
+    # second; doc 3 is a full recrawl of doc 1 — paragraph-granularity
+    # dedup must flag exactly the later copies (first-wins by
+    # (doc_id, para_idx)).
+    rows = [
+        (1, "a b c d e f g h"),          # paras: [a b c d] [e f g h]
+        (2, "e f g h x y z w"),          # first para copies doc1 para2
+        (3, "a b c d e f g h"),          # full recrawl of doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_paras, r.n_dup_paras, r.dup_frac)
+        for r in D.paragraph_dedup_stats(df, "text", "doc_id", para_tokens=4).collect()
+    }
+    assert got[1] == (2, 0, 0.0)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (2, 2, 1.0)
+    # short tail paragraph hashes on its own truncated text
+    short = spark.createDataFrame([(9, "p q r s t")], "doc_id long, text string")
+    r = D.paragraph_dedup_stats(short, "text", "doc_id", para_tokens=4).collect()[0]
+    assert (r.n_paras, r.n_dup_paras) == (2, 0)
+
+
+def test_maxsim_rewards_partial_match_pooled_cosine_misses(spark):
+    # Query group 0 = 2 orthogonal unit vectors. Candidate group 1
+    # contains an EXACT copy of each query vector (plus noise axes) →
+    # MaxSim = 2.0. Candidate group 2 is the pooled average of the two
+    # query vectors in both slots: each cosine is ~0.707, MaxSim ~1.41
+    # — late interaction must rank group 1 first even though both
+    # groups "contain the query's meaning" under average-pooling.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),   # query
+        (2, [1.0, 0.0, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0]),   # group 1
+        (4, [0.7071, 0.7071, 0.0, 0.0]), (5, [0.7071, 0.7071, 0.0, 0.0]),
+        (6, [0.0, 0.0, 1.0, 0.0]), (7, [0.0, 0.0, 0.0, 1.0]),   # unrelated
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.maxsim_topk_multivector(
+        emb, query_group=0, group_size=2, k=3
+    ).collect()
+    assert [r.group_id for r in got] == [1, 2, 3]
+    assert abs(got[0].maxsim - 2.0) < 1e-9
+    assert abs(got[1].maxsim - 2 * 0.707107) < 1e-3
+    assert abs(got[2].maxsim - 0.0) < 1e-9

@@ -723,3 +723,27 @@ def test_countmin_overestimates_and_merges(spark):
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
     assert {tuple(r) for r in merged.collect()} == {tuple(r) for r in sk.collect()}
+
+
+def test_tfidf_topk_ranks_rare_tokens_first(spark):
+    from hadoopxmlextractor_spark.operators.text import tfidf_topk_keywords
+
+    # "zebra" appears once in one doc of four → idf 4e6; "the" is in
+    # every doc → idf 1e6. Within doc 1: zebra (1×4e6) outranks the
+    # (3×1e6) outranks alpha... integer scores, fully deterministic.
+    rows = [
+        (1, "the the the zebra alpha"),
+        (2, "the alpha beta"),
+        (3, "the beta beta"),
+        (4, "the alpha"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rn): (r.token, r.score)
+        for r in tfidf_topk_keywords(df, "text", "doc_id", k=3).collect()
+    }
+    assert got[(1, 1)] == ("zebra", 4_000_000)   # 1 * (4*1e6 div 1)
+    assert got[(1, 2)] == ("the", 3_000_000)     # 3 * (4*1e6 div 4)
+    assert got[(1, 3)] == ("alpha", 1_333_333)   # 1 * (4*1e6 div 3)
+    # ties break on token asc: doc 4's two tokens score 1.3e6 and 1e6
+    assert got[(4, 1)][0] == "alpha"
