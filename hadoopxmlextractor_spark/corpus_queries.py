@@ -2596,3 +2596,39 @@ def q_corpus_source_divergence(spark: SparkSession, sf: str) -> DataFrame:
     d.unpersist()
     cnt.unpersist()
     return out
+
+
+@query(
+    "governance_forget_audit",
+    """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, text FROM documents
+      WHERE doc_id % 50 = 0
+    ),
+    hashed AS (SELECT doc_id AS cid, md5(text) AS h
+               FROM uni WHERE text IS NOT NULL),
+    rids AS (SELECT DISTINCT doc_id AS rid FROM documents WHERE doc_id % 50 = 0),
+    req AS (SELECT cid AS doc_id, h FROM hashed JOIN rids ON cid = rid),
+    surv AS (SELECT h FROM hashed WHERE cid NOT IN (SELECT rid FROM rids))
+    SELECT r.doc_id, CAST(COUNT(s.h) AS BIGINT) AS n_exact_residuals
+    FROM req r LEFT JOIN surv s ON r.h = s.h
+    GROUP BY r.doc_id
+    """,
+)
+def q_governance_forget_audit(spark: SparkSession, sf: str) -> DataFrame:
+    # Right-to-be-forgotten propagation audit: every 50th doc files a
+    # takedown, and PLANTED mirror copies (same text re-landed under
+    # id+3M — the re-crawl an id-based delete misses) must surface as
+    # non-zero residual counts per the vacuous-check rule; organic
+    # exact dups in the synthetic corpus add to them.
+    from hadoopxmlextractor_spark.operators import contracts as G
+
+    docs = load(spark, sf, "documents")
+    mirrors = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"), "text"
+    )
+    uni = docs.select("doc_id", "text").unionByName(mirrors)
+    removal = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
+    return G.forget_residual_audit(uni, removal, "text", "doc_id")

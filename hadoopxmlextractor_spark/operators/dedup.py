@@ -1852,3 +1852,106 @@ def paragraph_dedup_stats(
             6,
         ).alias("dup_frac"),
     )
+
+
+def positional_shingle_hashes(col: Column | str, n: int = 3) -> Column:
+    """``array<long>`` of n-word shingle hashes in POSITION order (one
+    hash per starting token, duplicates kept — unlike
+    :func:`shingle_hashes`' distinct set): position i holds
+    hash64 of tokens[i..i+n-1]; docs shorter than ``n`` tokens yield
+    their whole text as the single position-0 shingle. Same md5-based
+    hash64 and the same one-Arrow-pass pandas UDF rationale (JVM HOF
+    chains re-evaluate the tokenizer per lambda under pushdown)."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("array<long>")
+    def _psh(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                toks = t.split()
+                if len(toks) < _psh_n:
+                    out.append([_hash64(" ".join(toks))])
+                else:
+                    out.append(
+                        [
+                            _hash64(" ".join(toks[i : i + _psh_n]))
+                            for i in range(len(toks) - _psh_n + 1)
+                        ]
+                    )
+            yield pd.Series(out)
+
+    _psh_n = n
+    return _psh(c)
+
+
+def shared_run_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    min_run_tokens: int = 15,
+    max_df: int = 100,
+) -> DataFrame:
+    """Exact repeated-SUBSTRING detection between documents: for every
+    co-shingled doc pair, the longest run of consecutive shared
+    n-gram positions — a shared run of r consecutive shingles is a
+    verbatim shared substring of r+n−1 tokens. This is the criterion
+    Lee et al. (arxiv:2107.06499) dedup on directly (50-token repeated
+    spans), which document-level Jaccard structurally understates: two
+    long documents sharing one boilerplate paragraph have tiny Jaccard
+    but a long exact run.
+
+    Mechanics: positional inverted index (doc, pos, h) → self-join on
+    the 64-bit shingle hash → per (pair, diagonal = pos_a − pos_b)
+    consecutive-position islands via the classic ``pos −
+    row_number()`` grouping → per-pair max. Returns (doc_a, doc_b,
+    longest_run_tokens) for runs ≥ ``min_run_tokens``.
+
+    Scale shape: the per-hash df cap (rows per h ≤ ``max_df``,
+    applied through the join-side window exchange like
+    :func:`_ngram_pair_counts`) bounds fan-out against stop-shingles;
+    beyond bounded slices, feed candidate PAIRS from the LSH path and
+    restrict ``df`` to their documents first — the run verification
+    is linear in the pair's shared positions either way.
+    """
+    base = df.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    )
+    sh = base.select(
+        F.col(id_col).alias("doc"),
+        positional_shingle_hashes(text_col, n).alias("hs"),
+    )
+    inv = sh.select("doc", F.posexplode("hs").alias("pos", "h")).persist()
+    inv.count()  # eager: feeds both join sides (AQE recompute race)
+    wdf = Window.partitionBy("h")
+    capped = (
+        inv.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = capped.select(
+        F.col("doc").alias("doc_a"), F.col("pos").alias("pos_a"), "h"
+    )
+    b = capped.select(
+        F.col("doc").alias("doc_b"), F.col("pos").alias("pos_b"), "h"
+    )
+    pairs = a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b"))
+    diag = pairs.select(
+        "doc_a", "doc_b", "pos_a", (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    )
+    wrun = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        diag.withColumn("grp", F.col("pos_a") - F.row_number().over(wrun))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg((F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias("run_tokens"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(F.max("run_tokens").cast("long").alias("longest_run_tokens"))
+        .filter(F.col("longest_run_tokens") >= min_run_tokens)
+    )

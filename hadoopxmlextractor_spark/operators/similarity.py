@@ -1323,3 +1323,96 @@ def maxsim_topk_multivector(
         .orderBy(F.col("maxsim").desc(), "group_id")
         .limit(k)
     )
+
+
+def mmr_diversified_topk(
+    emb: DataFrame,
+    query_vec: Sequence[float],
+    *,
+    k: int = 10,
+    pool: int = 50,
+    lam_tenths: int = 7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein
+    SIGIR'98): select ``k`` results from the top-``pool`` cosine
+    candidates, each round taking the candidate maximizing
+    ``λ·sim(c, q) − (1−λ)·max_{s∈selected} sim(c, s)`` — the standard
+    diversity pass that keeps a retrieved context set from being k
+    copies of the same passage (exactly what near-dup-heavy training
+    corpora produce under plain top-k).
+
+    Determinism discipline: every cosine rounds to 6 digits, widens to
+    DECIMAL(18,6), and scales to an INTEGER micro-sim (decimal × 1e6
+    is exact); the MMR objective is then
+    ``lam_tenths·sim_q − (10−lam_tenths)·max_sel`` in pure bigint
+    arithmetic, ties to the lowest id — bit-identical across engines
+    and replayable as unrolled SQL rounds.
+
+    Scale shape: the candidate CUT is the distributed part — one
+    TakeOrderedAndProject over the corpus (the :func:`cosine_topk_
+    bruteforce` plan). The pool is a BOUNDED constant (50), so the
+    pool×pool sim matrix is 2.5k rows computed in one broadcast
+    self-join and the k-round greedy argmax runs driver-side over
+    dimension-sized data — the same bounded-driver-loop contract as
+    BPE's 1-row-per-round argmax. Returns (rank, vec_id, sim_q_micro,
+    mmr_score) for the k selections in selection order.
+    """
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cand = (
+        emb.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            (F.round(cosine(F.col(vec_col), q), 6).cast("decimal(18,6)")
+             * 1_000_000).cast("long").alias("sq"),
+        )
+        .orderBy(F.col("sq").desc(), "vid")
+        .limit(pool)
+        .persist()
+    )
+    cand.count()  # eager: feeds the pairwise join twice
+    kern = cosine_pairs_udf()
+    right = cand.select(
+        F.col("vid").alias("vid_b"), F.col("vec").alias("vec_b")
+    )
+    pw_rows = (
+        cand.crossJoin(F.broadcast(right))
+        .filter(F.col("vid") != F.col("vid_b"))
+        .select(
+            "vid",
+            "vid_b",
+            (F.round(kern(F.col("vec"), F.col("vec_b")), 6)
+             .cast("decimal(18,6)") * 1_000_000).cast("long").alias("s"),
+        )
+        .collect()
+    )
+    sq = {r["vid"]: r["sq"] for r in cand.select("vid", "sq").collect()}
+    pw: dict = {}
+    for r in pw_rows:
+        pw[(r["vid"], r["vid_b"])] = r["s"]
+    cand.unpersist()
+
+    selected: list = []
+    out_rows = []
+    remaining = set(sq)
+    lam_c = 10 - lam_tenths
+    for rank in range(1, min(k, len(sq)) + 1):
+        best = None
+        for c in remaining:
+            if selected:
+                msel = max(pw[(c, s)] for s in selected)
+            else:
+                msel = 0
+            score = lam_tenths * sq[c] - lam_c * msel
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, score)
+        _, chosen, score = best
+        selected.append(chosen)
+        remaining.discard(chosen)
+        out_rows.append((rank, chosen, sq[chosen], score))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        out_rows, "rank int, vec_id long, sim_q_micro long, mmr_score long"
+    )

@@ -1246,3 +1246,112 @@ def bitext_mutual_oracle(
            ROUND(sim - COALESCE(second_d, 0.0), 5) AS margin_dst
     FROM r WHERE rs = 1 AND rd = 1
     """
+
+
+def mmr_oracle(
+    *,
+    k: int = 10,
+    pool: int = 50,
+    lam_tenths: int = 7,
+) -> str:
+    """Unrolled greedy replay of ``similarity.mmr_diversified_topk``:
+    the pool cut and the integer micro-sim arithmetic are shared
+    expressions; each selection round is one MATERIALIZED CTE (the
+    cumulative-union chain would otherwise re-execute earlier rounds
+    exponentially — the bpe oracle pattern), picking the max of
+    ``λ·sim_q − (1−λ)·max_selected_sim`` with the id tiebreak."""
+    lam_c = 10 - lam_tenths
+    micro = (
+        "CAST(CAST(ROUND(list_cosine_similarity({a}, {b}), 6) "
+        "AS DECIMAL(18,6)) * 1000000 AS BIGINT)"
+    )
+    sq = micro.format(a="CAST(embedding AS DOUBLE[])", b="(SELECT qv FROM q)")
+    ctes = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)",
+        f"""pool AS MATERIALIZED (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {sq} AS sq
+          FROM embeddings ORDER BY sq DESC, vec_id LIMIT {pool})""",
+        f"""pw AS MATERIALIZED (
+          SELECT a.vec_id AS va, b.vec_id AS vb, {micro.format(a='a.e', b='b.e')} AS s
+          FROM pool a JOIN pool b ON a.vec_id <> b.vec_id)""",
+        f"""sel1 AS MATERIALIZED (
+          SELECT 1 AS rank, vec_id, sq, {lam_tenths} * sq AS score
+          FROM pool ORDER BY score DESC, vec_id LIMIT 1)""",
+        "acc1 AS (SELECT * FROM sel1)",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""sel{r} AS MATERIALIZED (
+          SELECT {r} AS rank, p.vec_id, p.sq,
+                 {lam_tenths} * p.sq - {lam_c} * (
+                   SELECT MAX(s) FROM pw
+                   WHERE va = p.vec_id
+                     AND vb IN (SELECT vec_id FROM acc{r - 1})) AS score
+          FROM pool p
+          WHERE p.vec_id NOT IN (SELECT vec_id FROM acc{r - 1})
+          ORDER BY score DESC, p.vec_id LIMIT 1)"""
+        )
+        ctes.append(
+            f"acc{r} AS (SELECT * FROM acc{r - 1} UNION ALL SELECT * FROM sel{r})"
+        )
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT CAST(rank AS INT) AS rank, vec_id, sq AS sim_q_micro,\n"
+        f"       CAST(score AS BIGINT) AS mmr_score FROM acc{k}"
+    )
+
+
+def shared_runs_oracle(
+    *,
+    n: int = 3,
+    min_run_tokens: int = 15,
+    max_df: int = 100,
+    plant_mod: int = 25,
+    plant_tokens: int = 40,
+) -> str:
+    """Replay of ``dedup.shared_run_pairs`` over the planted-recrawl
+    corpus: positional shingles (position order, duplicates kept),
+    hash64 rebuilt from md5 hex so even collisions agree, df cap on
+    rows-per-hash, diagonal consecutive-position islands via
+    ``pos − ROW_NUMBER()``, per-pair max run."""
+    return f"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             'ph' || CAST(doc_id AS VARCHAR) || ' ' ||
+             array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:{plant_tokens}], ' ')
+             || ' pt' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+      WHERE text IS NOT NULL AND trim(text) <> '' AND doc_id % {plant_mod} = 0
+    ),
+    tok AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM uni WHERE trim(text) <> ''),
+    sh AS (SELECT doc_id,
+                  CASE WHEN len(w) < {n} THEN [array_to_string(w, ' ')]
+                       ELSE [array_to_string(w[i : i + {n - 1}], ' ')
+                             for i in generate_series(1, len(w) - {n - 1})] END AS gs
+           FROM tok),
+    ps AS (SELECT doc_id, generate_subscripts(gs, 1) - 1 AS pos,
+                  unnest(gs) AS s
+           FROM sh),
+    hx AS (SELECT doc_id, pos, {hash64_sql('hh')} AS h
+           FROM (SELECT doc_id, pos, md5(s) AS hh FROM ps)),
+    cap AS (SELECT doc_id, pos, h FROM (
+              SELECT doc_id, pos, h, COUNT(*) OVER (PARTITION BY h) AS dfh
+              FROM hx)
+            WHERE dfh <= {max_df}),
+    p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+                 a.pos - b.pos AS diag
+          FROM cap a JOIN cap b ON a.h = b.h AND a.doc_id < b.doc_id),
+    r AS (SELECT doc_a, doc_b, diag,
+                 pos_a - ROW_NUMBER() OVER (
+                   PARTITION BY doc_a, doc_b, diag ORDER BY pos_a) AS grp
+          FROM p),
+    agg AS (SELECT doc_a, doc_b, CAST(COUNT(*) + {n - 1} AS BIGINT) AS run_tokens
+            FROM r GROUP BY doc_a, doc_b, diag, grp)
+    SELECT doc_a, doc_b, CAST(MAX(run_tokens) AS BIGINT) AS longest_run_tokens
+    FROM agg GROUP BY doc_a, doc_b
+    HAVING MAX(run_tokens) >= {min_run_tokens}
+    """

@@ -2109,3 +2109,46 @@ def q_similarity_maxsim_multivector(spark: SparkSession, sf: str) -> DataFrame:
     # hash-exact.
     emb = load(spark, sf, "embeddings")
     return S.maxsim_topk_multivector(emb, query_group=0, group_size=4, k=10)
+
+
+@query("similarity_mmr_topk", O.mmr_oracle(k=10, pool=50, lam_tenths=7))
+def q_similarity_mmr_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # MMR diversity re-ranking of the top-50 cosine pool: integer
+    # micro-sim objective 7·sim_q − 3·max_selected, ties to lowest id
+    # — the retrieved-context dedup pass, bit-exact and replayed by
+    # the oracle as unrolled MATERIALIZED selection rounds.
+    emb = load(spark, sf, "embeddings")
+    return S.mmr_diversified_topk(
+        emb, _query_vec(spark, sf), k=10, pool=50, lam_tenths=7
+    )
+
+
+@query(
+    "dedup_shared_substring_runs",
+    O.shared_runs_oracle(
+        n=3, min_run_tokens=15, max_df=100, plant_mod=25, plant_tokens=40
+    ),
+)
+def q_dedup_shared_substring_runs(spark: SparkSession, sf: str) -> DataFrame:
+    # Exact repeated-substring spans (the Lee et al. 50-token
+    # criterion, scaled to the synthetic doc length): longest shared
+    # consecutive-shingle run per doc pair. PLANTED evidence per the
+    # vacuous-check rule: every 25th doc re-lands under a shifted id
+    # carrying its first 40 tokens between fresh head/tail markers —
+    # those pairs must report a ≥15-token run; random-vocabulary docs
+    # produce no organic runs.
+    docs = load(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    planted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr(
+            "concat('ph', cast(doc_id as string), ' ', "
+            "array_join(slice(split(trim(text), '\\\\s+'), 1, 40), ' '), "
+            "' pt', cast(doc_id as string))"
+        ).alias("text"),
+    )
+    uni = docs.select("doc_id", "text").unionByName(planted)
+    return D.shared_run_pairs(
+        uni, "text", "doc_id", n=3, min_run_tokens=15, max_df=100
+    )

@@ -804,3 +804,34 @@ def test_source_divergence_identity_and_disjoint(spark, tmp_path):
     assert got[("s1", "s2")] == 0          # identical distributions
     assert got[("s2", "s3")] >= 1_900_000  # disjoint vocabularies
     assert got[("s1", "s3")] >= 1_900_000
+
+
+def test_forget_audit_counts_residual_copies(spark):
+    from hadoopxmlextractor_spark.operators.contracts import (
+        forget_residual_audit,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "remove me"),
+            (2, "remove me"),        # residual mirror of 1 under another id
+            (3, "remove me"),        # second mirror
+            (4, "remove me too"),    # requested, clean after delete
+            (5, "innocent bystander"),
+            (6, None),               # null text: ignored everywhere
+        ],
+        "doc_id long, text string",
+    )
+    removal = spark.createDataFrame([(1,), (4,)], "doc_id long")
+    got = {
+        r.doc_id: r.n_exact_residuals
+        for r in forget_residual_audit(docs, removal, "text", "doc_id").collect()
+    }
+    assert got == {1: 2, 4: 0}
+    # removing BOTH copies of a text clears the residuals
+    removal2 = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+    got2 = {
+        r.doc_id: r.n_exact_residuals
+        for r in forget_residual_audit(docs, removal2, "text", "doc_id").collect()
+    }
+    assert got2 == {1: 0, 2: 0, 3: 0}

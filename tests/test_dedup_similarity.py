@@ -959,3 +959,61 @@ def test_maxsim_rewards_partial_match_pooled_cosine_misses(spark):
     assert abs(got[0].maxsim - 2.0) < 1e-9
     assert abs(got[1].maxsim - 2 * 0.707107) < 1e-3
     assert abs(got[2].maxsim - 0.0) < 1e-9
+
+
+def test_mmr_skips_near_duplicate_of_selected(spark):
+    # vec 2 is an EXACT copy of vec 1 (both most query-relevant); vec 3
+    # is near-orthogonal with small relevance. Plain top-2 = {1, 2};
+    # MMR at lambda 0.5 must pick 1 then penalize the copy
+    # (sim-to-selected 1.0 makes its marginal score negative) and take
+    # the diverse 3 instead.
+    rows = [
+        (1, [1.0, 0.05, 0.0]),
+        (2, [1.0, 0.05, 0.0]),    # exact copy of 1
+        (3, [0.1, 0.0, 0.995]),   # diverse, slight relevance
+        (4, [-1.0, 0.0, 0.0]),    # anti-relevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = S.mmr_diversified_topk(
+        emb, [1.0, 0.0, 0.0], k=2, pool=4, lam_tenths=5
+    ).collect()
+    assert [r.vec_id for r in got] == [1, 3]  # rank-1 tie → lowest id
+    assert got[0].rank == 1 and got[1].rank == 2
+    assert got[1].mmr_score > 0 > 5 * got[0].sim_q_micro - 5 * 1_000_000
+    # lambda=10 degenerates to plain relevance order: copy comes back
+    plain = S.mmr_diversified_topk(
+        emb, [1.0, 0.0, 0.0], k=2, pool=4, lam_tenths=10
+    ).collect()
+    assert [r.vec_id for r in plain] == [1, 2]
+
+
+def test_shared_run_pairs_finds_pasted_span(spark):
+    # docs 1 and 2 share the verbatim 6-token span "q w e r t y"
+    # inside unrelated text → run of 4 consecutive 3-shingles = 6
+    # tokens; doc 3 shares nothing long enough.
+    rows = [
+        (1, "a b c q w e r t y d e f"),
+        (2, "u v q w e r t y m n o p"),
+        (3, "q w x e r z t y unrelated words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.longest_run_tokens
+        for r in D.shared_run_pairs(
+            df, "text", "doc_id", n=3, min_run_tokens=6
+        ).collect()
+    }
+    assert got == {(1, 2): 6}
+    # threshold above the span hides it
+    assert (
+        D.shared_run_pairs(df, "text", "doc_id", n=3, min_run_tokens=7).count()
+        == 0
+    )
+    # an exact full-copy pair reports its whole token length
+    dup = spark.createDataFrame(
+        [(7, "one two three four five six seven eight"),
+         (8, "one two three four five six seven eight")],
+        "doc_id long, text string",
+    )
+    r = D.shared_run_pairs(dup, "text", "doc_id", n=3, min_run_tokens=6).collect()
+    assert [(x.doc_a, x.doc_b, x.longest_run_tokens) for x in r] == [(7, 8, 8)]
