@@ -64,6 +64,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
+    # round-5 NEW operators first (never-certified by definition):
+    "corpus_paragraph_dedup",
+    "text_tfidf_topk",
+    "similarity_maxsim_multivector",
+    "similarity_mmr_topk",
+    "dedup_shared_substring_runs",
+    "governance_forget_audit",
     # round-5 rotation (verdict item 2): every entry below has NO
     # driver-ledger green row across r1-r4 (computed from the
     # CORRECTNESS_r0*.json ledgers); the driver samples the first 50,
@@ -118,13 +125,13 @@ FRONT = [
     "events_markov_transitions",
     "events_attribution",
     "events_trend_slope",
+    # --- driver sample boundary (first 50 above) ---
     "events_twap",
     "agg_hll_daily_merge",
     "events_association_rules",
     "events_scd2_history",
     "events_ewma_spikes",
     "join_asof_cogroup",
-    # --- driver sample boundary (first 50 above) ---
     "events_pit_training_features",
     "events_gap_fill",
     "agg_quantile_sketch_merge",
