@@ -853,11 +853,13 @@ def tfidf_topk_keywords(
     through ``row_number`` — WindowGroupLimit pushes the per-doc top-k
     below the sort, so only k rows per document survive the window.
 
-    Scale shape: one explode + two uniform-key aggregates (token tf,
-    then token df — both map-side combined), a broadcast of the
-    dimension-sized df table back onto tf, and one single-row total
-    riding the tiny-row crossJoin idiom. No corpus-sized driver data;
-    the per-doc window is the only doc-keyed shuffle.
+    Scale shape: ONE corpus scan + explode; the df count rides a
+    token-partitioned window over the tf table (the inverted-index
+    trick from ``_ngram_pair_counts`` — no second scan, no separate df
+    aggregate), the single-row total rides the tiny-row crossJoin
+    idiom (its count scan is column-pruned to nothing), and the per-doc
+    ranking window is the only doc-keyed shuffle. No corpus-sized
+    driver data anywhere.
 
     Returns (doc_id, token, tf, df, score, rn) for rn ≤ k.
     """
@@ -871,10 +873,12 @@ def tfidf_topk_keywords(
     tf = toks.groupBy("doc_id", "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
-    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    from pyspark.sql import Window
+
+    wtok = Window.partitionBy("token")
     total = base.agg(F.count(F.lit(1)).cast("long").alias("nd"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.withColumn("df", F.count(F.lit(1)).over(wtok).cast("long"))
         .crossJoin(F.broadcast(total))
         .select(
             "doc_id",
@@ -884,8 +888,6 @@ def tfidf_topk_keywords(
             F.expr(f"tf * ((nd * {idf_scale}) div df)").alias("score"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
     return (
         scored.withColumn("rn", F.row_number().over(w).cast("int"))

@@ -1078,3 +1078,53 @@ def test_fuzzy_join_pairs_classes_not_rows(spark):
     assert "levenshtein" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_tfidf_topk_single_scan_and_window_group_limit(spark):
+    # Round-5 plan contract: the df count rides a token window over the
+    # tf table — ONE corpus scan feeds the whole keyword pipeline (the
+    # only other scan is the column-pruned-to-nothing total count) and
+    # the per-doc top-k compiles to WindowGroupLimit.
+    from hadoopxmlextractor_spark.operators.text import tfidf_topk_keywords
+
+    docs = load(spark, SF, "documents")
+    out = tfidf_topk_keywords(docs, "text", "doc_id", k=3)
+    plan = executed_plan(out)
+    assert "WindowGroupLimit" in plan
+    schemas = scan_columns(out)
+    # exactly one scan feeds the tokenize/explode pipeline (reads
+    # doc_id+text); the only other scan is the single-row total, pruned
+    # to the text column with no Generate above it
+    assert sorted(map(sorted, schemas)) == [["doc_id", "text"], ["text"]]
+    assert plan.count("Generate explode") == 1
+
+
+def test_maxsim_broadcasts_query_group_and_aggregates_partially(spark):
+    # The query group (4 rows) must broadcast; the cosine kernel is one
+    # ArrowEvalPython above the join; the final cut is
+    # TakeOrderedAndProject, never a global sort.
+    from hadoopxmlextractor_spark.operators.similarity import (
+        maxsim_topk_multivector,
+    )
+
+    emb = load(spark, SF, "embeddings")
+    out = maxsim_topk_multivector(emb, query_group=0, group_size=4, k=10)
+    plan = executed_plan(out)
+    assert "BroadcastExchange" in plan
+    assert "ArrowEvalPython" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("ArrowEvalPython") == 1  # one fused kernel pass
+
+
+def test_shared_runs_joins_the_cached_index_with_df_cap(spark):
+    # Both join sides read the PERSISTED positional index (the shingle
+    # UDF runs exactly once, at cache materialization — no recompute
+    # per side), and the df cap is applied as a filter over the
+    # h-partitioned window before the join.
+    from hadoopxmlextractor_spark.operators.dedup import shared_run_pairs
+
+    docs = load(spark, SF, "documents")
+    out = shared_run_pairs(docs, "text", "doc_id", n=3, min_run_tokens=15)
+    plan = executed_plan(out)
+    assert plan.count("InMemoryTableScan") >= 2  # cache feeds both sides
+    assert "df#" in plan and "<= 100" in plan  # the cap filter is present
