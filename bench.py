@@ -46,6 +46,10 @@ HEADLINE = [
     # round-4 additions: sort-based blocking dedup, LSH bitext mining
     "dedup_sorted_neighborhood",
     "embedding_bitext_mine",
+    # round-5 additions: paragraph-granularity dedup, late-interaction
+    # multi-vector retrieval
+    "corpus_paragraph_dedup",
+    "similarity_maxsim_multivector",
 ]
 
 N_XML_DOCS = 500

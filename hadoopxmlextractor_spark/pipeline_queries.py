@@ -2126,7 +2126,7 @@ def q_similarity_mmr_topk(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "dedup_shared_substring_runs",
     O.shared_runs_oracle(
-        n=3, min_run_tokens=15, max_df=100, plant_mod=25, plant_tokens=40
+        n=5, min_run_tokens=15, max_df=100, plant_mod=25, plant_tokens=40
     ),
 )
 def q_dedup_shared_substring_runs(spark: SparkSession, sf: str) -> DataFrame:
@@ -2135,8 +2135,12 @@ def q_dedup_shared_substring_runs(spark: SparkSession, sf: str) -> DataFrame:
     # consecutive-shingle run per doc pair. PLANTED evidence per the
     # vacuous-check rule: every 25th doc re-lands under a shifted id
     # carrying its first 40 tokens between fresh head/tail markers —
-    # those pairs must report a ≥15-token run; random-vocabulary docs
-    # produce no organic runs.
+    # those pairs must report a ≥15-token run. n=5 positional shingles
+    # because this corpus draws from a TINY vocabulary: background df
+    # of ordered 3-grams floods the fan-out cap as the corpus grows
+    # (measured 10×: planted pairs vanish under the cap), while 5-gram
+    # combinatorics keep background df ≪ cap and copied spans rare —
+    # the scale-rehearsed configuration.
     docs = load(spark, sf, "documents").filter(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     )
@@ -2150,5 +2154,5 @@ def q_dedup_shared_substring_runs(spark: SparkSession, sf: str) -> DataFrame:
     )
     uni = docs.select("doc_id", "text").unionByName(planted)
     return D.shared_run_pairs(
-        uni, "text", "doc_id", n=3, min_run_tokens=15, max_df=100
+        uni, "text", "doc_id", n=5, min_run_tokens=15, max_df=100
     )
