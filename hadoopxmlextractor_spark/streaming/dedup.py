@@ -218,3 +218,72 @@ def near_dup_stream(
         .filter(F.col("est_jaccard") >= threshold)
         .select("stream_doc", "corpus_doc", "est_jaccard")
     )
+
+
+def paragraph_dedup_stream(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    para_tokens: int = 20,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Streaming twin of ``dedup.paragraph_dedup_stats``'s first-wins
+    core: as documents arrive, each non-overlapping ``para_tokens``-
+    token paragraph is flagged against every paragraph EVER seen
+    (cross-batch keyed state on the md5 paragraph hash, sharded into
+    ``n_buckets`` uniform state shards like :func:`dedup_stream`).
+    Emits one append row per paragraph: ``(doc_id, para_idx, dup)``;
+    per-doc rollups (n_paras / dup_frac) are one ordinary aggregation
+    over the output. With documents arriving in ascending id order the
+    flags equal the batch operator's global (doc_id, para_idx)
+    first-wins over all rows landed so far — asserted
+    prefix-for-prefix in the E2E test.
+
+    The paragraph segmentation is the SAME materialize-then-explode
+    expression as the batch side, so the two paths cannot drift."""
+    toks = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("t"),
+    ).filter(F.size("t") > 0)
+    paras = toks.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, (size(t)-1) div {para_tokens}), "
+            f"i -> array_join(slice(t, i*{para_tokens}+1, {para_tokens}), ' '))"
+        ).alias("paras"),
+    )
+    hashed = (
+        paras.select("doc_id", F.posexplode("paras").alias("para_idx", "para"))
+        .select("doc_id", "para_idx", F.md5("para").alias("h"))
+        .withColumn("bucket", F.pmod(F.xxhash64("h"), F.lit(n_buckets)))
+    )
+
+    def _flag(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        seen = set(state.get[0]) if state.exists else set()
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["doc_id", "para_idx"])
+            dup = pdf["h"].isin(seen) | pdf["h"].duplicated()
+            seen.update(pdf["h"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "para_idx": pdf["para_idx"],
+                    "dup": dup,
+                }
+            )
+        state.update((sorted(seen),))
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        _flag,
+        outputStructType="doc_id long, para_idx int, dup boolean",
+        stateStructType="hashes array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1153,3 +1153,69 @@ def test_jvm_tokens_replica_matches_spark(spark):
     jvm = [r[0] for r in df.select(tokens(F.col("t"))).collect()]
     for c, j in zip(cases, jvm):
         assert _jvm_tokens(c) == j, repr(c)
+
+
+def test_paragraph_dedup_stream_matches_batch_twin(spark, tmp_path):
+    """Cross-batch paragraph first-wins: after each batch, per-doc
+    rollups of the streamed flags equal the BATCH
+    paragraph_dedup_stats over all rows landed so far (ascending-id
+    arrival = the batch operator's (doc_id, para_idx) order)."""
+    import json
+
+    from hadoopxmlextractor_spark.operators.dedup import paragraph_dedup_stats
+    from hadoopxmlextractor_spark.streaming.dedup import paragraph_dedup_stream
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(json.dumps({"doc_id": i, "text": t}) for i, t in rows)
+        )
+
+    # 4-token paragraphs; doc 2 repeats doc 1's second paragraph; doc 3
+    # (batch 2) is a full recrawl of doc 1; doc 4 repeats ITS OWN first
+    # paragraph (in-doc dup)
+    b1 = [(1, "a b c d e f g h"), (2, "e f g h x y z w")]
+    b2 = [(3, "a b c d e f g h"), (4, "m n o p m n o p")]
+
+    def batch_twin(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r.doc_id: (r.n_paras, r.n_dup_paras)
+            for r in paragraph_dedup_stats(
+                df, "text", "doc_id", para_tokens=4
+            ).collect()
+        }
+
+    land("b1.json", b1)
+    stream = spark.readStream.schema("doc_id long, text string").json(str(landing))
+    out = paragraph_dedup_stream(stream, para_tokens=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("para_flags")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def rollup():
+        rows = spark.sql("SELECT * FROM para_flags").collect()
+        agg: dict = {}
+        for r in rows:
+            n, d = agg.get(r.doc_id, (0, 0))
+            agg[r.doc_id] = (n + 1, d + (1 if r.dup else 0))
+        return agg
+
+    try:
+        q.processAllAvailable()
+        assert rollup() == batch_twin(b1)
+        assert rollup()[2] == (2, 1)  # doc2 para0 dups doc1 para1
+        land("b2.json", b2)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = rollup()
+    assert got == batch_twin(b1 + b2)
+    assert got[3] == (2, 2)  # recrawl: every paragraph already seen
+    assert got[4] == (2, 1)  # in-doc repeat flagged within the batch
