@@ -4,58 +4,114 @@ Why: Spark's built-in ``xpath()`` runs javax.xml.xpath, which costs
 ~1-3 ms per evaluation (DocumentBuilder + XPath re-evaluation per row) —
 it was 85% of extraction wall time. Real extraction configs (incl. both
 reference configs) overwhelmingly use the shape
-``//el/sub/.../(@attr | text())`` with at most an attribute-equality
-predicate per step, which evaluates in ~1 µs on an already-parsed
-ElementTree. This module compiles that subset; anything else returns
-``None`` and the engine falls back to the general JVM ``xpath()`` path
+``//el/sub/.../(@attr | text())`` with simple predicates per step,
+which evaluates in ~1 µs on an already-parsed ElementTree. This module
+compiles that subset; anything else returns ``None`` and the engine
+falls back to the general JVM ``xpath()`` path
 (``extract.project_cells``), keeping full XPath 1.0 compatibility.
 
 Subset grammar::
 
     expr     := path ('|' path)*          -- top-level XPath 1.0 union
-    path     := (('/' | '//') step)+  terminal?
-    step     := (qname | '*') pred?
-              | '..'                      -- parent::node() (document ok)
-              | 'parent::' (qname | '*') pred?
-              | 'following-sibling::' (qname | '*') pred?
-              | 'preceding-sibling::' (qname | '*') pred?
-              | 'ancestor::' (qname | '*') pred?
-                 -- reverse axes (preceding-sibling, ancestor) take
-                 -- positional predicates with XPath proximity
-                 -- semantics: position() counts AWAY from the context
-                 -- node (preceding-sibling::x[1] = nearest preceding)
-                 -- parent/sibling/ancestor steps accept only the '/'
-                 -- separator: '//..' / '//parent::x' / '//ancestor::x'
+    path     := step_seq terminal?
+              | terminal                  -- bare '//text()' etc.
+    step_seq := (('/' | '//' | '') step) step_chain*
+                 -- a RELATIVE first step (no leading slash) is the
+                 -- child axis from the document node, exactly javax:
+                 -- 'store/shelf' ≡ '/store/shelf' (verified; NOT a
+                 -- descendant search)
+    step_chain := ('/' | '//') step
+    step     := (qname | '*') pred*
+              | '..'                      -- parent::node(); NO
+                 -- predicates ('..[p]' is invalid XPath 1.0 — javax
+                 -- throws; use parent::*[p])
+              | axis '::' (qname | '*') pred*
+    axis     := 'parent' | 'following-sibling' | 'preceding-sibling'
+              | 'ancestor' | 'ancestor-or-self' | 'descendant'
+              | 'following' | 'preceding'
+                 -- reverse axes (preceding-sibling, ancestor,
+                 -- ancestor-or-self, preceding) take positional
+                 -- predicates with XPath proximity semantics:
+                 -- position() counts AWAY from the context node
+                 -- (preceding::x[1] = nearest preceding x).
+                 -- axis steps accept only the '/' separator —
+                 -- '//parent::x' / '//ancestor::x' / '//following::x'
                  -- are OUT of subset because
                  -- descendant-or-self::node() includes text nodes,
-                 -- whose parents/siblings the element-only model
-                 -- cannot reach (verified against javax; falls back)
-    pred     := '[@' qname '=' ('single' | "double") '-quoted value ']'
-              | '[@' qname ('='|'!='|'<'|'<='|'>'|'>=') number ']'
-              | '[' digits ']' | '[last()]'
-              | '[position()' op digits ']'
-              | '[contains(@' qname ', quoted value)]'
-              | '[starts-with(@' qname ', quoted value)]'
-    terminal := '/text()' | '//text()' | '/@' qname
+                 -- whose parents/siblings/followers the element-only
+                 -- model cannot reach (verified against javax; falls
+                 -- back). EXCEPTION: '//descendant::x' IS in subset —
+                 -- a text node's descendant set is empty, so the
+                 -- element-only expansion is exact (javax-verified).
+    pred     := '[' digits ']' | '[last()]'
+              | '[' or_expr ']'           -- predicates CHAIN: each
+                 -- filters the survivors of the previous one, and
+                 -- position()/last() inside predicate k index the
+                 -- list surviving predicates 1..k-1 (javax-verified:
+                 -- //book[@cat='f'][2] ≠ //book[2][@cat='f'])
+    or_expr  := and_expr ('or' and_expr)*     -- 'and' binds tighter
+    and_expr := atom ('and' atom)*
+    atom     := '@' qname                     -- attribute exists
+              | '@' qname ('='|'!=') quoted   -- string comparison
+              | '@' qname num_op number       -- XPath number() rules
+              | (qname | '*')                 -- child element exists
+              | (qname | '*') ('='|'!=') quoted
+                 -- EXISTENTIAL over child elements: true if ANY child
+                 -- with that name has string-value (all descendant
+                 -- text) equal / not equal — XPath nodeset comparison
+              | (qname | '*') num_op number   -- existential numeric
+              | 'position()' num_op digits
+              | 'position()' '=' 'last()'
+              | ('contains' | 'starts-with') '(@' qname ',' quoted ')'
+    num_op   := '=' | '!=' | '<' | '<=' | '>' | '>='
+    terminal := '/text()' | '//text()'
+              | '/text()' '[' (digits | 'last()') ']'
+              | '//text()' '[' (digits | 'last()') ']'
+                 -- positional text(): the n-th DIRECT text node of
+                 -- each owner element ('//text()[1]' = first text
+                 -- child of EVERY element in the subtree, per javax)
+              | '/@' qname
+              | '/@*'                     -- every attribute of each
+                 -- matched element, NAME-SORTED (javax NamedNodeMap
+                 -- returns attributes sorted by qualified name, NOT
+                 -- document order — verified: z="1" a="2" m="3" emits
+                 -- a,m,z; Z="9" b="8" emits Z,b by ASCII). xmlns
+                 -- declarations are EXCLUDED (namespace nodes, not
+                 -- attribute nodes, per XPath 1.0 — verified).
+                 -- Namespaced attributes sort by their ElementTree
+                 -- '{uri}local' key here vs 'prefix:local' in javax;
+                 -- both orderings place them after plain ASCII-letter
+                 -- names in the common case (documented approximation
+                 -- — the prefix spelling is unrecoverable post-parse).
+
+Out of subset (JVM fallback): '//' before any axis step except
+descendant:: (text-node contexts); ``count()`` and other non-nodeset
+result types; nested predicates / paths inside predicates;
+parenthesized booleans. ``..[pred]`` is not a fallback case but
+INVALID XPath 1.0 (AbbreviatedStep takes no predicates — javax
+throws); it is rejected here too.
 
 Union semantics (javax, cross-validated): branches evaluate
 independently; the combined NODESET concatenates in GLOBAL document
 order with duplicates held once, and an attribute node sorts
 immediately after its owner element, before the element's text and
-children.
+children; multiple selected attributes of ONE element emit
+name-sorted (the NamedNodeMap order above, verified:
+``//b[1]/@id | //b[1]/@cat`` emits cat's value first).
 
 Semantics matched to the general path (Spark's ``xpath``, verified on
 pyspark 4.1.2) and to the reference's javax NODESET evaluation
 (``XmlExtractor.java:100-109``):
-- ``//`` before any step (not just the first) is the descendant-or-self
-  axis: ``/store//book`` matches books at any depth under the root.
-  From the document node it matches the fragment root element too
-  (ElementTree's ``.//`` alone does not); a leading single ``/`` is the
-  document's child axis and matches only the root element, exactly like
-  javax — NOT a descendant search.
-- ``[n]`` keeps the n-th matching CHILD within each parent context
-  (javax ``book[2]`` = second book of each parent, not the second book
-  overall); results concatenate in document order with duplicates
+- ``//`` before any name step (not just the first) is the
+  descendant-or-self axis: ``/store//book`` matches books at any depth
+  under the root. From the document node it matches the fragment root
+  element too (ElementTree's ``.//`` alone does not); a leading single
+  ``/`` is the document's child axis and matches only the root
+  element, exactly like javax — NOT a descendant search.
+- ``[n]`` keeps the n-th matching node within each CONTEXT (javax
+  ``book[2]`` = second book of each parent, not the second book
+  overall; ``descendant::book[2]`` = second descendant book of each
+  context); results concatenate in document order with duplicates
   removed, as a javax NODESET does.
 - A bare element result contributes its subtree's text — precisely:
   the distinct text nodes under all matched elements, document order,
@@ -78,12 +134,9 @@ pyspark 4.1.2) and to the reference's javax NODESET evaluation
   prefix written in the config step (``bk:book`` ≡ ``book``). This is
   exactly what Spark's ``xpath`` does on namespaced documents (an
   unprefixed step matches elements in any namespace), so the fused and
-  general paths agree; prefixed steps therefore stay ON the ~40× fused
-  fast path instead of silently falling back. The reference's
-  namespace-aware javax DOM would instead throw on an unresolvable
-  prefix and silently drop the cell (``XmlExtractor.java:84-91,
-  114-126``) — a defect we deliberately fix, like the byte-scanner
-  false positives (SURVEY.md §2.2-4).
+  general paths agree; the reference's javax evaluation is
+  namespace-unaware in the same way on non-namespace-aware
+  DocumentBuilders.
 """
 
 from __future__ import annotations
@@ -92,52 +145,46 @@ import re
 from typing import Callable, NamedTuple
 from xml.etree.ElementTree import Element
 
-# step = optional-prefix:name; prefix ignored at match time (see above)
 _NAME = r"[A-Za-z_][\w.-]*"
 _QNAME = rf"(?:{_NAME}:)?{_NAME}"
-
-# step name = qname or the * wildcard (any element, javax semantics);
-# [@attr='value'] / [@attr="value"] / [@attr OP number] / [n] /
-# [last()] / [position() OP n] / [contains(@attr,'v')] /
-# [starts-with(@attr,'v')] — one predicate per step. OP ∈ {=, !=, <,
-# <=, >, >=} with an unquoted numeric literal (XPath 1.0 number
-# comparison). The string functions take string(@attr) — a missing
-# attribute is the empty string, XPath 1.0 string() of an empty
-# nodeset.
 _NUM = r"-?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)"
-_AXIS_RE = re.compile(r"(parent|following-sibling|preceding-sibling|ancestor)::")
-_STEP_RE = re.compile(
-    rf"({_QNAME}|\*)"
-    rf"(?:\[@({_QNAME})=(?:'([^']*)'|\"([^\"]*)\")\]"
-    rf"|\[@({_QNAME})\s*(!=|<=|>=|<|>|=)\s*({_NUM})\]"
-    rf"|\[([0-9]+)\]"
-    rf"|\[(last\(\))\]"
-    rf"|\[position\(\)\s*(!=|<=|>=|<|>|=)\s*([0-9]+)\]"
-    rf"|\[(contains|starts-with)\(@({_QNAME})\s*,\s*(?:'([^']*)'|\"([^\"]*)\")\)\])?"
+
+# longest-alternative-first: 'ancestor-or-self' before 'ancestor',
+# '*-sibling' before the bare full-document axes
+_AXIS_RE = re.compile(
+    r"(following-sibling|preceding-sibling|ancestor-or-self"
+    r"|ancestor|descendant|following|preceding|parent)::"
 )
-
-
-class _Step(NamedTuple):
-    name: str
-    axis: str  # "child" | "desc" (the separator written before the step)
-    pred_attr: str | None  # local name of the predicate attribute
-    pred_val: str | None
-    pos: int | None  # 1-based positional predicate ([n])
-    cmp: tuple[str, str, str] | None = None  # (attr local, op, numeric literal)
-    is_last: bool = False  # [last()]
-    pos_cmp: tuple[str, int] | None = None  # [position() OP n]
-    fn_pred: tuple[str, str, str] | None = None  # (fn, attr local, value)
-    kind: str = "child"  # "child" | "parent" | "fsib" | "psib"
-
+_AXIS_KIND = {
+    "parent": "parent",
+    "following-sibling": "fsib",
+    "preceding-sibling": "psib",
+    "ancestor": "anc",
+    "ancestor-or-self": "aos",
+    "descendant": "descnt",
+    "following": "fol",
+    "preceding": "pre",
+}
+# reverse axes: candidates proximity-ordered (nearest the context node
+# first) before positional predicates apply
+_REVERSE_KINDS = frozenset({"psib", "anc", "aos", "pre"})
+_NAME_RE = re.compile(rf"({_QNAME}|\*)")
 
 # XPath 1.0 number(): optional sign, digits with optional fraction —
 # NO exponent notation (number('1e3') is NaN in XPath, unlike Python).
 _XPATH_NUM_RE = re.compile(rf"^\s*{_NUM}\s*$")
 
 
+class _Step(NamedTuple):
+    name: str
+    axis: str  # "child" | "desc" (the separator written before the step)
+    kind: str  # child|parent|fsib|psib|anc|aos|descnt|fol|pre
+    preds: tuple = ()  # parsed predicate chain, applied sequentially
+
+
 def _xpath_number(s: str | None) -> float | None:
-    """XPath 1.0 number() of an attribute string: None ⇒ NaN (modelled
-    as None, so every comparison is false)."""
+    """XPath 1.0 number() of a string: None ⇒ NaN (modelled as None,
+    so every comparison is false except ``!=``)."""
     if s is None or _XPATH_NUM_RE.match(s) is None:
         return None
     return float(s)
@@ -153,10 +200,183 @@ def _local(name: str) -> str:
     return name
 
 
+# ---------------------------------------------------------------------------
+# predicate parsing
+#
+# Each step carries a CHAIN of predicates; a predicate is one of
+#   ('n', k)                      -- [k]
+#   ('last',)                     -- [last()]
+#   ('bool', [[atom, ...], ...])  -- or-list of and-lists
+# and an atom is one of
+#   ('pos', op, k) ('poslast',)
+#   ('attr_ex', a) ('attr_str', a, op, val, q) ('attr_num', a, op, lit)
+#   ('fn', fn, a, val, q)
+#   ('child_ex', n) ('child_str', n, op, val, q) ('child_num', n, op, lit)
+# (q = the quote character the config wrote, preserved for re-rendering)
+# ---------------------------------------------------------------------------
+
+_POS_RE = re.compile(r"position\(\)\s*(!=|<=|>=|<|>|=)\s*([0-9]+)$")
+_POSLAST_RE = re.compile(r"position\(\)\s*=\s*last\(\)$")
+_FN_RE = re.compile(
+    rf"(contains|starts-with)\(\s*@({_QNAME})\s*,\s*"
+    rf"(?:'([^']*)'|\"([^\"]*)\")\s*\)$"
+)
+_ATTR_EX_RE = re.compile(rf"@({_QNAME})$")
+_ATTR_STR_RE = re.compile(
+    rf"@({_QNAME})\s*(!=|=)\s*(?:'([^']*)'|\"([^\"]*)\")$"
+)
+_ATTR_NUM_RE = re.compile(rf"@({_QNAME})\s*(!=|<=|>=|<|>|=)\s*({_NUM})$")
+_CHILD_EX_RE = re.compile(rf"({_QNAME}|\*)$")
+_CHILD_STR_RE = re.compile(
+    rf"({_QNAME}|\*)\s*(!=|=)\s*(?:'([^']*)'|\"([^\"]*)\")$"
+)
+_CHILD_NUM_RE = re.compile(rf"({_QNAME}|\*)\s*(!=|<=|>=|<|>|=)\s*({_NUM})$")
+
+
+def _parse_atom(a: str) -> tuple | None:
+    a = a.strip()
+    m = _POSLAST_RE.match(a)
+    if m:
+        return ("poslast",)
+    m = _POS_RE.match(a)
+    if m:
+        return ("pos", m.group(1), int(m.group(2)))
+    m = _FN_RE.match(a)
+    if m:
+        val = m.group(3) if m.group(3) is not None else m.group(4)
+        q = "'" if m.group(3) is not None else '"'
+        return ("fn", m.group(1), _local(m.group(2)), val, q)
+    m = _ATTR_STR_RE.match(a)
+    if m:
+        val = m.group(3) if m.group(3) is not None else m.group(4)
+        q = "'" if m.group(3) is not None else '"'
+        return ("attr_str", _local(m.group(1)), m.group(2), val, q)
+    m = _ATTR_NUM_RE.match(a)
+    if m:
+        return ("attr_num", _local(m.group(1)), m.group(2), m.group(3))
+    m = _ATTR_EX_RE.match(a)
+    if m:
+        return ("attr_ex", _local(m.group(1)))
+    m = _CHILD_STR_RE.match(a)
+    if m:
+        val = m.group(3) if m.group(3) is not None else m.group(4)
+        q = "'" if m.group(3) is not None else '"'
+        return ("child_str", _local(m.group(1)), m.group(2), val, q)
+    m = _CHILD_NUM_RE.match(a)
+    if m:
+        return ("child_num", _local(m.group(1)), m.group(2), m.group(3))
+    m = _CHILD_EX_RE.match(a)
+    if m and a not in ("last()",):  # bare qname/* = child-element exists
+        return ("child_ex", _local(m.group(1)))
+    return None
+
+
+def _split_keyword(s: str, kw: str) -> list[str]:
+    """Split ``s`` on the boolean keyword ``kw`` ('or'/'and') at
+    whitespace-delimited occurrences OUTSIDE quotes. A quote-aware
+    scanner — predicate string literals may contain ' or '."""
+    parts: list[str] = []
+    buf: list[str] = []
+    quote: str | None = None
+    i = 0
+    n = len(s)
+    klen = len(kw)
+    while i < n:
+        ch = s[i]
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            i += 1
+        elif ch in ("'", '"'):
+            buf.append(ch)
+            quote = ch
+            i += 1
+        elif (
+            ch.isspace()
+            and s[i + 1 : i + 1 + klen] == kw
+            and i + 1 + klen < n
+            and s[i + 1 + klen].isspace()
+        ):
+            parts.append("".join(buf))
+            buf = []
+            i += 2 + klen
+        else:
+            buf.append(ch)
+            i += 1
+    parts.append("".join(buf))
+    return parts
+
+
+def _pred_positional(pred: tuple) -> bool:
+    """True when the predicate depends on position()/last()."""
+    if pred[0] in ("n", "last"):
+        return True
+    return any(
+        a[0] in ("pos", "poslast") for ands in pred[1] for a in ands
+    )
+
+
+def _parse_pred_expr(s: str) -> tuple | None:
+    """Parse one bracket group's content into a pred, or None."""
+    t = s.strip()
+    if re.fullmatch(r"[0-9]+", t):
+        return ("n", int(t))
+    if t == "last()":
+        return ("last",)
+    orlist: list[list[tuple]] = []
+    for or_part in _split_keyword(t, "or"):
+        andlist: list[tuple] = []
+        for a in _split_keyword(or_part, "and"):
+            atom = _parse_atom(a)
+            if atom is None:
+                return None
+            andlist.append(atom)
+        if not andlist:
+            return None
+        orlist.append(andlist)
+    if not orlist:
+        return None
+    return ("bool", orlist)
+
+
+def _parse_preds(path: str, pos: int) -> tuple[tuple | None, int]:
+    """Parse zero or more ``[...]`` groups at ``pos``. Returns
+    (preds tuple, new pos) or (None, pos) when a group is malformed —
+    the caller treats that as out-of-subset."""
+    preds: list[tuple] = []
+    while pos < len(path) and path[pos] == "[":
+        j = pos + 1
+        quote: str | None = None
+        inner: str | None = None
+        while j < len(path):
+            ch = path[j]
+            if quote is not None:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "[":
+                return None, pos  # nested predicate: out of subset
+            elif ch == "]":
+                inner = path[pos + 1 : j]
+                break
+            j += 1
+        if inner is None:
+            return None, pos  # unbalanced bracket
+        pred = _parse_pred_expr(inner)
+        if pred is None:
+            return None, pos
+        preds.append(pred)
+        pos = j + 1
+    return tuple(preds), pos
+
+
 def _parse_path(path: str) -> list[_Step] | None:
     """Parse the step part of a subset expression (no terminal) into
     steps, or None when out of grammar. A real tokenizer, not a split
-    on '/': predicate values may contain slashes."""
+    on '/': predicate values may contain slashes. An empty path parses
+    to [] (the document context — bare-terminal expressions)."""
     steps: list[_Step] = []
     pos = 0
     while pos < len(path):
@@ -164,12 +384,21 @@ def _parse_path(path: str) -> list[_Step] | None:
             axis, pos = "desc", pos + 2
         elif path.startswith("/", pos):
             axis, pos = "child", pos + 1
+        elif pos == 0:
+            # RELATIVE first step: the child axis from the document
+            # node, identical to a leading '/' (javax-verified:
+            # 'store/shelf' ≡ '/store/shelf'; 'shelf' from the
+            # document matches nothing)
+            axis = "child"
         else:
             return None
         # abbreviated parent step: '..' = parent::node() — matches the
         # DOCUMENT node from the root (unlike parent::*, whose
-        # principal node type is element); no predicates.
-        # '//' before a parent/sibling step is OUT of subset:
+        # principal node type is element). '..[pred]' is INVALID
+        # XPath 1.0 (AbbreviatedStep takes no predicates; javax
+        # throws) — rejected, NOT fallback-eligible, but rejecting
+        # here routes it to the JVM which raises the user-visible
+        # error. '//' before a parent/sibling step is OUT of subset:
         # descendant-or-self::node() includes TEXT nodes, whose
         # parents/siblings our element-only expansion cannot model
         # (verified divergence vs javax) — JVM fallback.
@@ -177,56 +406,76 @@ def _parse_path(path: str) -> list[_Step] | None:
             if axis == "desc":
                 return None
             if pos + 2 < len(path) and path[pos + 2] != "/":
-                return None  # '..[pred]' etc: out of subset
-            steps.append(_Step("..", axis, None, None, None, kind="parent"))
+                return None  # '..[pred]' etc: invalid XPath
+            steps.append(_Step("..", axis, "parent"))
             pos += 2
             continue
         kind = "child"
         am = _AXIS_RE.match(path, pos)
         if am is not None:
-            if axis == "desc":
-                return None  # '//parent::x' etc: text-node contexts
-            kind = {"parent": "parent", "following-sibling": "fsib",
-                    "preceding-sibling": "psib", "ancestor": "anc"}[am.group(1)]
+            kind = _AXIS_KIND[am.group(1)]
+            # '//' before an axis step reaches TEXT-node contexts the
+            # element-only model cannot represent — except descendant::
+            # (a text node's descendant set is empty, so the expansion
+            # is exact; javax-verified)
+            if axis == "desc" and kind != "descnt":
+                return None
             pos = am.end()
-        m = _STEP_RE.match(path, pos)
+        m = _NAME_RE.match(path, pos)
         if m is None:
             return None
-        (
-            name, pattr, v1, v2, cattr, cop, cnum, idx, lastg, posop, posn,
-            fn, fattr, fv1, fv2,
-        ) = m.groups()
-        val = v1 if v1 is not None else v2
-        fval = fv1 if fv1 is not None else fv2
-        step = _Step(
-            _local(name),
-            axis,
-            _local(pattr) if pattr else None,
-            val,
-            int(idx) if idx is not None else None,
-            (_local(cattr), cop, cnum) if cattr is not None else None,
-            lastg is not None,
-            (posop, int(posn)) if posop is not None else None,
-            (fn, _local(fattr), fval) if fn is not None else None,
-            kind,
-        )
-        # Reverse axes (preceding-sibling, ancestor) take positional
-        # predicates too: position() counts AWAY from the context node
-        # (XPath 1.0 proximity position), which the evaluator models by
-        # filtering the axis-ordered candidate list — in subset.
-        steps.append(step)
+        name = m.group(1)
         pos = m.end()
-    return steps or None
+        preds, pos = _parse_preds(path, pos)
+        if preds is None:
+            return None
+        if (
+            kind in _REVERSE_KINDS
+            and len(preds) >= 2
+            and any(_pred_positional(p) for p in preds)
+        ):
+            # Xalan (the JDK XPath Spark runs) has an iterator-reset
+            # bug on CHAINED predicates over reverse axes: a positional
+            # predicate inside a chain is applied in DOCUMENT order
+            # while the same predicate standalone uses proximity order
+            # (observed: //d/preceding::d[last()] selects the farthest
+            # d, but //d/preceding::d[last()][@id='1'] keeps the
+            # NEAREST — internally inconsistent). Fall back so such
+            # configs get javax's behavior bug-for-bug rather than a
+            # spec-correct answer that diverges from the general path.
+            return None
+        steps.append(_Step(_local(name), axis, kind, preds))
+    return steps
+
+
+# ---------------------------------------------------------------------------
+# terminal parsing
+# ---------------------------------------------------------------------------
+
+_TEXT_TERM_RE = re.compile(
+    r"(//?)text\(\)(?:\[(?:([0-9]+)|(last\(\)))\])?$"
+)
+_ATTR_TERM_RE = re.compile(rf"/@(?:({_QNAME})|(\*))$")
 
 
 def _split_terminal(expr: str) -> tuple[str, tuple | None]:
-    """Split off the ``//text()``, ``/text()`` or ``/@attr`` terminal."""
-    if expr.endswith("//text()"):
-        return expr[: -len("//text()")], ("dtext",)
-    if expr.endswith("/text()"):
-        return expr[: -len("/text()")], ("text",)
-    m = re.search(rf"/@({_QNAME})$", expr)
+    """Split off the terminal. Terminal tuples:
+    ('text', desc, sel) with sel None | ('n', k) | ('last',);
+    ('attr', local) ; ('attr_star',)."""
+    m = _TEXT_TERM_RE.search(expr)
     if m:
+        desc = m.group(1) == "//"
+        if m.group(2) is not None:
+            sel: tuple | None = ("n", int(m.group(2)))
+        elif m.group(3) is not None:
+            sel = ("last",)
+        else:
+            sel = None
+        return expr[: m.start()], ("text", desc, sel)
+    m = _ATTR_TERM_RE.search(expr)
+    if m:
+        if m.group(2) is not None:
+            return expr[: m.start()], ("attr_star",)
         return expr[: m.start()], ("attr", _local(m.group(1)))
     return expr, None
 
@@ -256,49 +505,96 @@ def _split_union(expr: str) -> list[str]:
     return [p.strip() for p in parts]
 
 
+# ---------------------------------------------------------------------------
+# re-rendering (strip_prefixes / normalize_for_jvm)
+# ---------------------------------------------------------------------------
+
+_KIND_PREFIX = {
+    "child": "",
+    "parent": "parent::",
+    "fsib": "following-sibling::",
+    "psib": "preceding-sibling::",
+    "anc": "ancestor::",
+    "aos": "ancestor-or-self::",
+    "descnt": "descendant::",
+    "fol": "following::",
+    "pre": "preceding::",
+}
+
+
+def _render_atom(a: tuple) -> str:
+    k = a[0]
+    if k == "pos":
+        return f"position(){a[1]}{a[2]}"
+    if k == "poslast":
+        return "position()=last()"
+    if k == "attr_ex":
+        return f"@{a[1]}"
+    if k == "attr_str":
+        return f"@{a[1]}{a[2]}{a[4]}{a[3]}{a[4]}"
+    if k == "attr_num":
+        return f"@{a[1]}{a[2]}{a[3]}"
+    if k == "fn":
+        return f"{a[1]}(@{a[2]},{a[4]}{a[3]}{a[4]})"
+    if k == "child_ex":
+        return a[1]
+    if k == "child_str":
+        return f"{a[1]}{a[2]}{a[4]}{a[3]}{a[4]}"
+    return f"{a[1]}{a[2]}{a[3]}"  # child_num
+
+
+def _render_pred(p: tuple) -> str:
+    if p[0] == "n":
+        return f"[{p[1]}]"
+    if p[0] == "last":
+        return "[last()]"
+    body = " or ".join(
+        " and ".join(_render_atom(a) for a in ands) for ands in p[1]
+    )
+    return f"[{body}]"
+
+
+def _render_steps(steps: list[_Step]) -> str:
+    out: list[str] = []
+    for s in steps:
+        sep = "//" if s.axis == "desc" else "/"
+        if s.name == ".." and s.kind == "parent" and not s.preds:
+            out.append(sep + "..")
+            continue
+        out.append(
+            sep
+            + _KIND_PREFIX[s.kind]
+            + s.name
+            + "".join(_render_pred(p) for p in s.preds)
+        )
+    return "".join(out)
+
+
+def _render_terminal(t: tuple | None) -> str:
+    if t is None:
+        return ""
+    if t[0] == "attr":
+        return f"/@{t[1]}"
+    if t[0] == "attr_star":
+        return "/@*"
+    sep = "//" if t[1] else "/"
+    if t[2] is None:
+        return f"{sep}text()"
+    if t[2] == ("last",):
+        return f"{sep}text()[last()]"
+    return f"{sep}text()[{t[2][1]}]"
+
+
 def _strip_one(expr: str) -> str | None:
     """strip_prefixes for a single (non-union) branch; None = out of
-    grammar."""
+    grammar. Renders canonical: relative paths come back absolute
+    (identical nodeset from the document context, javax-verified)."""
     e = expr.strip()
     path, terminal = _split_terminal(e)
     steps = _parse_path(path)
-    if steps is None:
+    if steps is None or (not steps and terminal is None):
         return None
-
-    def render(s: _Step) -> str:
-        if s.name == "..":
-            return ("//" if s.axis == "desc" else "/") + ".."
-        base = {
-            "child": "", "parent": "parent::",
-            "fsib": "following-sibling::", "psib": "preceding-sibling::",
-            "anc": "ancestor::",
-        }[s.kind] + s.name
-        if s.pred_attr is not None:
-            # re-quote with the quote style that cannot appear in the value
-            q = "'" if "'" not in s.pred_val else '"'
-            base += f"[@{s.pred_attr}={q}{s.pred_val}{q}]"
-        elif s.cmp is not None:
-            base += f"[@{s.cmp[0]}{s.cmp[1]}{s.cmp[2]}]"
-        elif s.pos is not None:
-            base += f"[{s.pos}]"
-        elif s.is_last:
-            base += "[last()]"
-        elif s.pos_cmp is not None:
-            base += f"[position(){s.pos_cmp[0]}{s.pos_cmp[1]}]"
-        elif s.fn_pred is not None:
-            fn, attr, arg = s.fn_pred
-            q = "'" if "'" not in arg else '"'
-            base += f"[{fn}(@{attr},{q}{arg}{q})]"
-        return ("//" if s.axis == "desc" else "/") + base
-
-    out = "".join(render(s) for s in steps)
-    if terminal == ("text",):
-        out += "/text()"
-    elif terminal == ("dtext",):
-        out += "//text()"
-    elif terminal is not None:
-        out += f"/@{terminal[1]}"
-    return out
+    return _render_steps(steps) + _render_terminal(terminal)
 
 
 def strip_prefixes(expr: str) -> str:
@@ -333,7 +629,7 @@ def normalize_for_jvm(expr: str) -> str:
     expressions pass through unchanged (full XPath 1.0 on the JVM)."""
 
     def bare_element_fix(stripped_branch: str) -> str:
-        path, terminal = _split_terminal(stripped_branch)
+        _, terminal = _split_terminal(stripped_branch)
         if terminal is None:
             return stripped_branch + "//text()"
         return stripped_branch
@@ -345,6 +641,11 @@ def normalize_for_jvm(expr: str) -> str:
         # XPath 1.0 on the JVM
         return expr
     return " | ".join(bare_element_fix(s) for s in stripped)
+
+
+# ---------------------------------------------------------------------------
+# evaluation
+# ---------------------------------------------------------------------------
 
 
 def _walk_texts(el: Element):
@@ -371,50 +672,129 @@ def _get_attr_local(n: Element, attr: str) -> str | None:
     return v
 
 
-def _keep(n: Element, s: _Step) -> bool:
+def _name_ok(n: Element, name: str) -> bool:
     if not isinstance(n.tag, str):
         return False
-    if s.name != "*" and _local(n.tag) != s.name:
-        return False
-    if s.cmp is not None:
-        # XPath number comparison: number(@attr) OP literal. A
-        # MISSING attribute is an empty nodeset — every comparison
-        # is false (no node to compare). A present but non-numeric
-        # attribute is NaN — false for every operator EXCEPT !=,
-        # which IEEE (and javax) makes true: NaN is unequal to
-        # everything.
-        raw = _get_attr_local(n, s.cmp[0])
+    return name == "*" or _local(n.tag) == name
+
+
+def _cmp_num(v: float, op: str, rhs: float) -> bool:
+    return (
+        v == rhs
+        if op == "="
+        else v != rhs
+        if op == "!="
+        else v < rhs
+        if op == "<"
+        else v <= rhs
+        if op == "<="
+        else v > rhs
+        if op == ">"
+        else v >= rhs
+    )
+
+
+def _atom_true(
+    atom: tuple, ctx: Element | None, i: int, total: int, root: Element
+) -> bool:
+    k = atom[0]
+    if k == "pos":
+        return _cmp_num(float(i), atom[1], float(atom[2]))
+    if k == "poslast":
+        return i == total
+    # the document node (ctx None) never reaches predicate evaluation
+    # ('..' rejects predicates; name tests drop it) — the guards below
+    # are belt-and-braces
+    if k == "attr_ex":
+        return ctx is not None and _get_attr_local(ctx, atom[1]) is not None
+    if k == "attr_str":
+        if ctx is None:
+            return False
+        raw = _get_attr_local(ctx, atom[1])
+        if raw is None:
+            return False  # empty nodeset: no node to compare
+        return raw == atom[3] if atom[2] == "=" else raw != atom[3]
+    if k == "attr_num":
+        # XPath number comparison: number(@attr) OP literal. A MISSING
+        # attribute is an empty nodeset — every comparison is false. A
+        # present but non-numeric attribute is NaN — false for every
+        # operator EXCEPT !=, which IEEE (and javax) makes true.
+        if ctx is None:
+            return False
+        raw = _get_attr_local(ctx, atom[1])
         if raw is None:
             return False
         v = _xpath_number(raw)
-        op = s.cmp[1]
         if v is None:
-            return op == "!="
-        rhs = float(s.cmp[2])
-        return (
-            v == rhs
-            if op == "="
-            else v != rhs
-            if op == "!="
-            else v < rhs
-            if op == "<"
-            else v <= rhs
-            if op == "<="
-            else v > rhs
-            if op == ">"
-            else v >= rhs
-        )
-    if s.fn_pred is not None:
-        # contains/starts-with over string(@attr): a missing
-        # attribute is string(empty nodeset) = '' (XPath 1.0), so
-        # the functions run on '' rather than short-circuiting.
-        fn, attr, arg = s.fn_pred
-        raw = _get_attr_local(n, attr)
+            return atom[2] == "!="
+        return _cmp_num(v, atom[2], float(atom[3]))
+    if k == "fn":
+        # contains/starts-with over string(@attr): a missing attribute
+        # is string(empty nodeset) = '' (XPath 1.0), so the functions
+        # run on '' rather than short-circuiting.
+        if ctx is None:
+            return False
+        raw = _get_attr_local(ctx, atom[2])
         raw = "" if raw is None else raw
-        return arg in raw if fn == "contains" else raw.startswith(arg)
-    if s.pred_attr is None:
-        return True
-    return _get_attr_local(n, s.pred_attr) == s.pred_val
+        return atom[3] in raw if atom[1] == "contains" else raw.startswith(atom[3])
+    # child-element atoms: EXISTENTIAL over the context's element
+    # children (nodeset comparison, XPath 1.0). The element string-
+    # value is ALL descendant text concatenated. NaN/!= rules as above,
+    # applied per child node.
+    kids = [root] if ctx is None else [c for c in ctx if isinstance(c.tag, str)]
+    name = atom[1]
+    if k == "child_ex":
+        return any(_name_ok(c, name) for c in kids)
+    if k == "child_str":
+        op, val = atom[2], atom[3]
+        for c in kids:
+            if _name_ok(c, name):
+                sv = "".join(c.itertext())
+                if (sv == val) if op == "=" else (sv != val):
+                    return True
+        return False
+    # child_num
+    op, lit = atom[2], atom[3]
+    rhs = float(lit)
+    for c in kids:
+        if _name_ok(c, name):
+            v = _xpath_number("".join(c.itertext()))
+            if v is None:
+                if op == "!=":
+                    return True
+            elif _cmp_num(v, op, rhs):
+                return True
+    return False
+
+
+def _apply_preds(
+    matched: list, preds: tuple, root: Element
+) -> list:
+    """Apply a predicate chain sequentially: predicate k filters the
+    survivors of predicates 1..k-1, and position()/last() inside it
+    index THAT list (javax-verified: [@cat='f'][2] ≠ [2][@cat='f']).
+    ``matched`` arrives axis-ordered (proximity order for reverse
+    axes), so positional predicates count proximity positions."""
+    for pred in preds:
+        if not matched:
+            return matched
+        if pred[0] == "n":
+            k = pred[1]
+            matched = matched[k - 1 : k] if k >= 1 else []
+        elif pred[0] == "last":
+            matched = matched[-1:]
+        else:
+            total = len(matched)
+            orlist = pred[1]
+            matched = [
+                c
+                for i, c in enumerate(matched, 1)
+                if any(
+                    all(_atom_true(a, c, i, total, root) for a in ands)
+                    for ands in orlist
+                )
+            ]
+    return matched
 
 
 def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
@@ -422,19 +802,25 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
     ordered. Contexts are elements; None is the document node (its only
     child is the fragment root, its descendant-or-self set is itself +
     every element). Each step expands the descendant axis first when
-    written '//', then applies the child axis with the name/attribute
-    test and the per-parent positional index — javax's book[2] = second
-    matching child of EACH parent. Dedup by identity: nested descendant
-    contexts may reach one element twice, a NODESET holds it once."""
+    written '//', then applies its own axis with the name test and the
+    sequential predicate chain — javax's book[2] = second matching
+    child of EACH parent. Dedup by identity: nested descendant contexts
+    may reach one element twice, a NODESET holds it once."""
     contexts: list[Element | None] = [None]
     # parent map, built once when any step leaves the child axis;
     # ``None`` stands for the DOCUMENT node (root's parent) throughout.
     pm: dict[int, Element] | None = None
-    if any(s.kind != "child" for s in steps):
+    if any(s.kind not in ("child", "descnt") for s in steps):
         pm = {}
         for p in root.iter():
             for c in p:
                 pm[id(c)] = p
+    # document-order element list, for the full-document axes
+    all_elems: list[Element] | None = None
+    elem_pos: dict[int, int] | None = None
+    if any(s.kind in ("fol", "pre") for s in steps):
+        all_elems = [e for e in root.iter() if isinstance(e.tag, str)]
+        elem_pos = {id(e): i for i, e in enumerate(all_elems)}
     for step in steps:
         if step.axis == "desc":
             expanded: list[Element | None] = []
@@ -453,6 +839,14 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
         for ctx in contexts:
             if step.kind == "child":
                 kids = [root] if ctx is None else list(ctx)
+            elif step.kind == "descnt":
+                # strict descendants; every element descends from the
+                # document node (root included)
+                kids = (
+                    list(root.iter())
+                    if ctx is None
+                    else list(ctx.iter())[1:]
+                )
             elif step.kind == "parent":
                 if ctx is None:
                     kids = []  # the document has no parent
@@ -460,20 +854,50 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
                     kids = [None]  # document node
                 else:
                     kids = [pm[id(ctx)]]
-            elif step.kind == "anc":
-                # ancestor chain in DOCUMENT order: document node first
-                # (dropped by the element name test), then root, down
-                # to the parent — axis order is the reverse (below)
+            elif step.kind in ("anc", "aos"):
+                # ancestor(-or-self) chain in DOCUMENT order: document
+                # node first (dropped by the element name test), then
+                # root, down to the parent (and self for -or-self) —
+                # axis order is the reverse (below)
                 if ctx is None:
                     kids = []
                 else:
-                    chain: list[Element | None] = []
+                    chain: list[Element | None] = (
+                        [ctx] if step.kind == "aos" else []
+                    )
                     p = ctx
                     while p is not root:
                         p = pm[id(p)]
                         chain.append(p)
                     chain.append(None)  # the document node
                     kids = chain[::-1]
+            elif step.kind == "fol":
+                # all elements strictly after ctx's subtree in document
+                # order (descendants excluded — they are not following)
+                if ctx is None:
+                    kids = []
+                else:
+                    sub = {id(d) for d in ctx.iter()}
+                    start = elem_pos[id(ctx)] + 1
+                    kids = [
+                        e for e in all_elems[start:] if id(e) not in sub
+                    ]
+            elif step.kind == "pre":
+                # all elements strictly before ctx in document order,
+                # ancestors excluded
+                if ctx is None:
+                    kids = []
+                else:
+                    anc_ids = set()
+                    p = ctx
+                    while p is not root:
+                        p = pm[id(p)]
+                        anc_ids.add(id(p))
+                    kids = [
+                        e
+                        for e in all_elems[: elem_pos[id(ctx)]]
+                        if id(e) not in anc_ids
+                    ]
             else:  # sibling axes: children of the parent around ctx
                 if ctx is None or ctx is root:
                     kids = []
@@ -485,34 +909,15 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
                 matched = kids  # parent::node(): no name test
             else:
                 matched = [
-                    c for c in kids if c is not None and _keep(c, step)
+                    c for c in kids if c is not None and _name_ok(c, step.name)
                 ]
-            if step.kind in ("psib", "anc"):
+            if step.kind in _REVERSE_KINDS:
                 # REVERSE axes: proximity position counts away from the
                 # context node, so positional predicates index the
                 # reversed (nearest-first) candidate list; the final
                 # global document-order sort restores NODESET order
                 matched = matched[::-1]
-            if step.pos is not None:
-                matched = matched[step.pos - 1 : step.pos] if step.pos else []
-            elif step.is_last:
-                # javax [last()]: the last matching child of EACH
-                # parent context (position() == last() per parent)
-                matched = matched[-1:]
-            elif step.pos_cmp is not None:
-                op, n = step.pos_cmp
-                matched = [
-                    c
-                    for i, c in enumerate(matched, 1)
-                    if (
-                        i == n if op == "="
-                        else i != n if op == "!="
-                        else i < n if op == "<"
-                        else i <= n if op == "<="
-                        else i > n if op == ">"
-                        else i >= n
-                    )
-                ]
+            matched = _apply_preds(matched, step.preds, root)
             for node in matched:
                 if id(node) not in seen2:
                     seen2.add(id(node))
@@ -525,10 +930,10 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
         any(s.axis == "desc" or s.kind != "child" for s in steps)
         and len(nodes) > 1
     ):
-        # nested descendant matches (and parent/sibling hops, whose
-        # results need not follow context order) can interleave;
-        # a NODESET concatenates in document order — the document
-        # node (None) precedes everything
+        # nested descendant matches (and parent/sibling/full-document
+        # hops, whose results need not follow context order) can
+        # interleave; a NODESET concatenates in document order — the
+        # document node (None) precedes everything
         order = {id(el): i for i, el in enumerate(root.iter())}
         nodes = sorted(
             nodes, key=lambda n: -1 if n is None else order[id(n)]
@@ -550,6 +955,29 @@ def _attr_key_local(n: Element, attr: str) -> str | None:
     return None
 
 
+def _direct_text_count(el: Element) -> int:
+    n = 1 if el.text else 0
+    for c in el:
+        if c.tail:
+            n += 1
+    return n
+
+
+def _owner_ids_for_text(
+    nodes: list, root: Element, desc: bool
+) -> set[int]:
+    """Owner elements whose DIRECT text nodes a text() terminal
+    selects: the matched elements ('/text()'), or every element of
+    their subtrees ('//text()' — descendant-or-self text)."""
+    if not desc:
+        return {id(n) for n in nodes if n is not None}
+    return {
+        id(d)
+        for n in nodes
+        for d in (root.iter() if n is None else n.iter())
+    }
+
+
 def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
     """Compile ``expr`` into ``tree -> concatenated-string-or-None``
     (None = empty nodeset → no cell). Returns None if out of subset.
@@ -558,20 +986,21 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
     the subset: each branch evaluates independently and the combined
     NODESET concatenates in GLOBAL document order with duplicates held
     once — attribute nodes sort immediately after their owner element
-    and before its children (the javax document-order rule), which the
-    single merge walk reproduces by emitting an element's selected
+    and before its children (the javax document-order rule), multiple
+    attributes of one element name-sorted (NamedNodeMap order), which
+    the single merge walk reproduces by emitting an element's selected
     attributes, then its text, then its children."""
     branches = _split_union(expr.strip())
     parsed: list[tuple[list[_Step], tuple]] = []
     for b in branches:
         path, terminal = _split_terminal(b)
         steps = _parse_path(path)
-        if steps is None:
+        if steps is None or (not steps and terminal is None):
             return None
         if terminal is None:
             # bare element projection = subtree string value (see module
             # docstring: deliberate fix of the reference's "null" output)
-            terminal = ("dtext",)
+            terminal = ("text", True, None)
         parsed.append((steps, terminal))
 
     if len(parsed) == 1:
@@ -581,27 +1010,57 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
             nodes = _eval_steps(root, steps)
             if not nodes:
                 return None
-            if terminal[0] in ("text", "dtext"):
-                # text nodes are selected by OWNER (text: direct
-                # children of matched elements; //text(): anywhere in
-                # their subtrees) through one global document-order
+            if terminal[0] == "text":
+                # text nodes are selected by OWNER (direct children of
+                # the owner set) through one global document-order
                 # walk — nested matched elements interleave their text
                 # nodes, so a per-node concat would misorder (and, for
-                # //text(), double-count).
-                # a None node is the DOCUMENT (reachable via '..' from
-                # the root): no direct text children in the ET model,
-                # descendant text = the whole tree's
-                if terminal[0] == "text":
-                    owners = {id(n) for n in nodes if n is not None}
+                # //text(), double-count). a None node is the DOCUMENT
+                # (reachable via '..' from the root): no direct text
+                # children in the ET model, descendant text = the whole
+                # tree's.
+                owners = _owner_ids_for_text(nodes, root, terminal[1])
+                sel = terminal[2]
+                if sel is None:
+                    values = [
+                        t
+                        for owner, t in _walk_texts(root)
+                        if id(owner) in owners
+                    ]
                 else:
-                    owners = {
-                        id(d)
-                        for n in nodes
-                        for d in (root.iter() if n is None else n.iter())
-                    }
-                values = [
-                    t for owner, t in _walk_texts(root) if id(owner) in owners
-                ]
+                    # positional text(): the n-th / last DIRECT text
+                    # node of EACH owner element (javax '//text()[1]' =
+                    # first text child of every element)
+                    counts: dict[int, int] = {}
+                    totals: dict[int, int] = {}
+                    if sel == ("last",):
+                        for owner, _t in _walk_texts(root):
+                            oid = id(owner)
+                            if oid in owners:
+                                totals[oid] = totals.get(oid, 0) + 1
+                    values = []
+                    for owner, t in _walk_texts(root):
+                        oid = id(owner)
+                        if oid not in owners:
+                            continue
+                        counts[oid] = counts.get(oid, 0) + 1
+                        want = (
+                            totals[oid] if sel == ("last",) else sel[1]
+                        )
+                        if counts[oid] == want:
+                            values.append(t)
+            elif terminal[0] == "attr_star":
+                # every attribute of each matched element, NAME-SORTED
+                # (javax NamedNodeMap order — see module docstring);
+                # xmlns declarations never appear (ElementTree strips
+                # them; javax excludes namespace nodes from the
+                # attribute axis — both verified)
+                values = []
+                for n in nodes:
+                    if n is None:
+                        continue
+                    for k in sorted(n.attrib):
+                        values.append(n.attrib[k])
             else:
                 attr = terminal[1]
                 values = []
@@ -619,7 +1078,8 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
 
     def evaluate_union(root: Element) -> str | None:
         attr_sel: dict[int, set[str]] = {}  # id(el) -> selected attrib keys
-        text_owned: set[int] = set()  # ids owning selected text nodes
+        text_all: set[int] = set()  # ids owning ALL their direct text nodes
+        text_pick: set[tuple[int, int]] = set()  # (owner id, 1-based index)
         for steps, terminal in parsed:
             nodes = _eval_steps(root, steps)
             if terminal[0] == "attr":
@@ -629,28 +1089,50 @@ def compile_subset(expr: str) -> Callable[[Element], str | None] | None:
                     k = _attr_key_local(n, terminal[1])
                     if k is not None:
                         attr_sel.setdefault(id(n), set()).add(k)
-            elif terminal[0] == "text":
-                text_owned.update(id(n) for n in nodes if n is not None)
-            else:  # dtext
+            elif terminal[0] == "attr_star":
                 for n in nodes:
-                    text_owned.update(
-                        id(d) for d in (root.iter() if n is None else n.iter())
-                    )
+                    if n is None:
+                        continue
+                    if n.attrib:
+                        attr_sel.setdefault(id(n), set()).update(n.attrib)
+            else:  # text
+                owners = _owner_ids_for_text(nodes, root, terminal[1])
+                sel = terminal[2]
+                if sel is None:
+                    text_all.update(owners)
+                else:
+                    # positional selection needs each owner's direct-
+                    # text count; resolve per owner element in one walk
+                    for el in root.iter():
+                        oid = id(el)
+                        if oid not in owners:
+                            continue
+                        total = _direct_text_count(el)
+                        want = total if sel == ("last",) else sel[1]
+                        if 1 <= want <= total:
+                            text_pick.add((oid, want))
         values: list[str] = []
 
         def walk(el: Element) -> None:
             sel = attr_sel.get(id(el))
             if sel:
-                for k, v in el.attrib.items():
+                # name-sorted within the element (NamedNodeMap order)
+                for k in sorted(el.attrib):
                     if k in sel:
-                        values.append(v)
-            if el.text and id(el) in text_owned:
-                values.append(el.text)
+                        values.append(el.attrib[k])
+            oid = id(el)
+            tidx = 0
+            if el.text:
+                tidx = 1
+                if oid in text_all or (oid, 1) in text_pick:
+                    values.append(el.text)
             for c in el:
                 if isinstance(c.tag, str):
                     walk(c)
-                if c.tail and id(el) in text_owned:
-                    values.append(c.tail)
+                if c.tail:
+                    tidx += 1
+                    if oid in text_all or (oid, tidx) in text_pick:
+                        values.append(c.tail)
 
         walk(root)
         if not values:

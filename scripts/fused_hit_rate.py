@@ -70,23 +70,35 @@ CATALOG = [
     ("reverse-axis positional (ancestor)",
      "//title/ancestor::*[1]/@id", True),
     ("reverse-axis last()", "//title/ancestor::*[last()]/@id", True),
+    # ---- round-5 grammar extensions (javax-probed + fuzz-gated) ----
+    ("child-element comparison pred", "//book[price>30]/@id", True),
+    ("child-element string pred", "//book[title='T1']/@id", True),
+    ("child-element existence pred", "//shelf[book]/@id", True),
+    ("attribute existence pred", "//book[@cat]/@id", True),
+    ("position()=last() composite", "//book[position()=last()]", True),
+    ("multiple predicates per step", "//book[@cat='f'][2]/@id", True),
+    ("boolean 'and' in pred", "//book[@cat='f' and @id='1']", True),
+    ("boolean 'or' in pred", "//book[@cat='f' or price>30]", True),
+    ("bare text() step", "//text()", True),
+    ("text() positional terminal", "//book/text()[1]", True),
+    ("descendant text positional", "//shelf//text()[last()]", True),
+    ("following:: (full-document axis)", "//book/following::mag", True),
+    ("preceding:: (full-document axis)", "//mag/preceding::book", True),
+    ("ancestor-or-self::", "//title/ancestor-or-self::book", True),
+    ("descendant:: explicit axis", "/store/descendant::book", True),
+    ("'//' before descendant::", "//shelf//descendant::book", True),
+    ("attribute wildcard terminal", "//book/@*", True),
+    ("relative (no leading slash) path", "book/title", True),
     # ---- documented out-of-subset residue (JVM fallback) ----
     ("'//' before parent step", "//book//..", False),
-    ("'//' before axis step", "//title//ancestor::book", False),
-    ("predicate on '..'", "//a/..[@id='1']", False),
-    ("child-element comparison pred", "//book[price>30]/@id", False),
-    ("position()=last() composite", "//book[position()=last()]", False),
-    ("multiple predicates per step", "//book[@cat='f'][2]/@id", False),
-    ("boolean operator in pred", "//book[@cat='f' and @id='1']", False),
-    ("count() function", "count(//book)", False),
-    ("bare text() step", "//text()", False),
-    ("text() mid-path context", "//book/text()[1]", False),
-    ("following:: (full-document axis)", "//book/following::mag", False),
-    ("preceding:: (full-document axis)", "//mag/preceding::book", False),
-    ("ancestor-or-self::", "//title/ancestor-or-self::book", False),
-    ("descendant:: explicit axis", "/store/descendant::book", False),
-    ("attribute wildcard terminal", "//book/@*", False),
-    ("relative (no leading slash) path", "book/title", False),
+    ("'//' before reverse/full-doc axis step", "//title//ancestor::book", False),
+    ("positional chain on reverse axis (Xalan doc-order bug)",
+     "//a/ancestor::b[1][@x='1']", False),
+    ("predicate on '..' (INVALID XPath 1.0 — javax throws)",
+     "//a/..[@id='1']", False),
+    ("count() function (non-nodeset result)", "count(//book)", False),
+    ("nested predicate", "//book[a[b]]/@id", False),
+    ("parenthesized boolean", "//book[(1=1)]/@id", False),
 ]
 
 

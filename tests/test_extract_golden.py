@@ -158,11 +158,17 @@ def test_auto_path_selection():
         nr_of_columns=1,
     )
     assert _compile_fused(pred_cfg) is not None  # eq-predicate → still fused
-    exotic = ExtractionConfig.from_rules(
+    # round-5: following:: moved INTO the subset — use a still-exotic
+    # form (nested predicate) to exercise the JVM routing decision
+    assert _compile_fused(ExtractionConfig.from_rules(
         [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r/following::x;", ";", "#")],
         nr_of_columns=1,
+    )) is not None  # full-document axis → now fused
+    exotic = ExtractionConfig.from_rules(
+        [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r[a[b]]/@x;", ";", "#")],
+        nr_of_columns=1,
     )
-    assert _compile_fused(exotic) is None  # full-document axis → JVM path
+    assert _compile_fused(exotic) is None  # nested predicate → JVM path
     positional = ExtractionConfig.from_rules(
         [ExtractionConfig.parse_rule("r", "r;false;true; ;0#//r[position()=1]/@x;", ";", "#")],
         nr_of_columns=1,

@@ -3,7 +3,10 @@ xpath over GENERATED documents and expressions — the axis/predicate
 rework's safety net beyond the hand-picked cases: every expression the
 subset claims to compile must agree with javax node-for-node on
 arbitrary tree shapes (nested same-name elements, empty nodesets,
-multi-node concat, mixed text/tails)."""
+multi-node concat, mixed text/tails). Round-5 extensions fuzzed here:
+predicate chains, boolean and/or predicates, child-element
+comparisons, descendant::/ancestor-or-self::/following::/preceding::
+axes, relative paths, @* terminals, positional text() terminals."""
 
 import random
 import xml.etree.ElementTree as ET
@@ -14,7 +17,9 @@ from hadoopxmlextractor_spark.xpath_subset import compile_subset, normalize_for_
 
 TAGS = ["a", "b", "c", "d"]
 ATTRS = [("id", ["1", "2", "x"]), ("cat", ["p", "q"])]
-TEXTS = ["t1", "t2", "zz"]
+# include numeric texts so child-element NUMERIC comparisons exercise
+# all three regimes (match, mismatch, NaN via concatenated texts)
+TEXTS = ["t1", "t2", "zz", "1", "2"]
 
 
 def _gen_tree(rng: random.Random, ns: bool = False) -> str:
@@ -22,9 +27,11 @@ def _gen_tree(rng: random.Random, ns: bool = False) -> str:
 
     def build(depth: int) -> ET.Element:
         el = ET.Element(pre + rng.choice(TAGS))
-        if rng.random() < 0.6:
-            name, vals = rng.choice(ATTRS)
-            el.set(name, rng.choice(vals))
+        # up to TWO attributes: multi-attr elements exercise the @*
+        # name-sorted emission and multi-attr union merges
+        for name, vals in rng.sample(ATTRS, k=rng.randint(0, 2)):
+            if rng.random() < 0.6:
+                el.set(name, rng.choice(vals))
         if rng.random() < 0.5:
             el.text = rng.choice(TEXTS)
         if depth < 3:
@@ -43,63 +50,125 @@ def _gen_tree(rng: random.Random, ns: bool = False) -> str:
     return ET.tostring(root, encoding="unicode")
 
 
+def _gen_atom(rng: random.Random) -> str:
+    roll = rng.random()
+    if roll < 0.18:
+        attr, vals = rng.choice(ATTRS)
+        op = "=" if rng.random() < 0.7 else "!="
+        return f"@{attr}{op}'{rng.choice(vals)}'"
+    if roll < 0.3:
+        # numeric attr comparison: values include numerics ("1","2"),
+        # a non-numeric ("x" → NaN), and absent attrs (empty nodeset)
+        attr, _ = rng.choice(ATTRS)
+        op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+        return f"@{attr}{op}{rng.choice(['1', '2', '1.5'])}"
+    if roll < 0.38:
+        return f"@{rng.choice(['id', 'cat'])}"  # attribute exists
+    if roll < 0.46:
+        return rng.choice(TAGS + ["*"])  # child element exists
+    if roll < 0.58:
+        # child-element string comparison — EXISTENTIAL over children;
+        # string-values are concatenated subtree texts
+        name = rng.choice(TAGS)
+        op = "=" if rng.random() < 0.7 else "!="
+        sv = rng.choice(["t1", "zz", "t1t2", "1", ""])
+        return f"{name}{op}'{sv}'"
+    if roll < 0.68:
+        # child-element numeric comparison (NaN via concat texts)
+        name = rng.choice(TAGS)
+        op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+        return f"{name}{op}{rng.choice(['1', '2', '12'])}"
+    if roll < 0.8:
+        op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
+        return f"position(){op}{rng.randint(1, 3)}"
+    if roll < 0.86:
+        return "position()=last()"
+    fn = rng.choice(["contains", "starts-with"])
+    attr, _ = rng.choice(ATTRS)
+    arg = rng.choice(["1", "p", "zz", ""])
+    return f"[{fn}(@{attr},'{arg}')]"[1:-1]
+
+
+def _gen_pred(rng: random.Random) -> str:
+    roll = rng.random()
+    if roll < 0.25:
+        return f"[{rng.randint(1, 3)}]"
+    if roll < 0.35:
+        return "[last()]"
+    if roll < 0.65:
+        return f"[{_gen_atom(rng)}]"
+    # boolean combination; 'and' binds tighter than 'or' (javax rule)
+    n = rng.randint(2, 3)
+    atoms = [_gen_atom(rng) for _ in range(n)]
+    kws = [rng.choice(["and", "or"]) for _ in range(n - 1)]
+    out = atoms[0]
+    for kw, a in zip(kws, atoms[1:]):
+        out += f" {kw} {a}"
+    return f"[{out}]"
+
+
+def _gen_preds(rng: random.Random) -> str:
+    # predicate CHAINS: each filters the previous survivors
+    # (javax-verified sequential semantics)
+    r = rng.random()
+    n = 0 if r < 0.45 else (1 if r < 0.85 else 2)
+    return "".join(_gen_pred(rng) for _ in range(n))
+
+
 def _gen_branch(rng: random.Random) -> str:
+    if rng.random() < 0.04:
+        return "//text()"  # bare text(): the whole document's text
     parts = []
+    relative = rng.random() < 0.1  # relative first step ≡ '/' (javax)
     for step_i in range(rng.randint(1, 3)):
         axis = "//" if rng.random() < 0.6 else "/"
-        # parent / sibling axes (round-4 subset extension): '..' may
+        if step_i == 0 and relative:
+            axis = ""
+        # parent / sibling / ancestor / full-document axes: '..' may
         # reach the DOCUMENT node from the root — also exercised
         aroll = rng.random()
-        if step_i > 0 and aroll < 0.12:
+        if step_i > 0 and aroll < 0.1:
             parts.append("/..")  # '//..' is out of subset (text nodes)
             continue
         axis_prefix = ""
-        if step_i > 0 and aroll < 0.34:
-            axis = "/"  # '//' before an axis step is out of subset
+        if step_i > 0 and aroll < 0.38:
             axis_prefix = rng.choice(
                 ["parent::", "following-sibling::", "preceding-sibling::",
-                 "ancestor::"]
+                 "ancestor::", "ancestor-or-self::", "descendant::",
+                 "following::", "preceding::"]
             )
+            if axis_prefix != "descendant::":
+                # only descendant:: is exact under '//' (text nodes
+                # have no element descendants); others fall back
+                axis = "/"
         name = rng.choice(TAGS + ["*"])
         if name != "*" and not axis_prefix and rng.random() < 0.2:
             name = f"x:{name}"  # prefixed step: local-name match via strip
-        pred = ""
-        # reverse axes (preceding-sibling, ancestor) now take
-        # positional predicates with proximity semantics — fuzzed like
-        # every other axis (round-5 subset extension)
-        roll = rng.random()
-        if roll < 0.2:
-            attr, vals = rng.choice(ATTRS)
-            pred = f"[@{attr}='{rng.choice(vals)}']"
-        elif roll < 0.32:
-            pred = f"[{rng.randint(1, 3)}]"
-        elif roll < 0.44:
-            # numeric comparison: attr values include numerics ("1",
-            # "2"), a non-numeric ("x" → NaN), and absent attrs (empty
-            # nodeset) — all three comparison regimes get exercised
-            attr, _ = rng.choice(ATTRS)
-            op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
-            rhs = rng.choice(["1", "2", "1.5"])
-            pred = f"[@{attr}{op}{rhs}]"
-        elif roll < 0.52:
-            pred = "[last()]"
-        elif roll < 0.6:
-            op = rng.choice(["=", "!=", "<", "<=", ">", ">="])
-            pred = f"[position(){op}{rng.randint(1, 3)}]"
-        elif roll < 0.72:
-            # string-function predicates: substrings that hit present
-            # values ("1", "p"), miss ("zz"), and the empty string
-            # (contains('',·) true; every string starts-with '')
-            fn = rng.choice(["contains", "starts-with"])
-            attr, _ = rng.choice(ATTRS)
-            arg = rng.choice(["1", "p", "zz", ""])
-            pred = f"[{fn}(@{attr},'{arg}')]"
-        parts.append(f"{axis}{axis_prefix}{name}{pred}")
+        preds = _gen_preds(rng)
+        if axis_prefix in (
+            "preceding-sibling::", "ancestor::", "ancestor-or-self::",
+            "preceding::",
+        ) and preds.count("[") >= 2:
+            # positional chains on reverse axes are OUT of subset
+            # (Xalan iterator-reset bug — see xpath_subset._parse_path);
+            # keep the generator inside the grammar with one predicate
+            preds = _gen_pred(rng)
+        parts.append(f"{axis}{axis_prefix}{name}{preds}")
     roll = rng.random()
     if roll < 0.3:
-        parts.append("/text()" if rng.random() < 0.7 else "//text()")
+        sep = "/" if rng.random() < 0.7 else "//"
+        posroll = rng.random()
+        if posroll < 0.5:
+            pos = ""
+        elif posroll < 0.85:
+            pos = f"[{rng.randint(1, 2)}]"
+        else:
+            pos = "[last()]"
+        parts.append(f"{sep}text(){pos}")
     elif roll < 0.5:
         parts.append(f"/@{rng.choice(['id', 'cat'])}")
+    elif roll < 0.58:
+        parts.append("/@*")
     return "".join(parts)
 
 
@@ -119,7 +188,7 @@ def test_fused_subset_agrees_with_jvm_xpath_on_generated_cases(spark):
     df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], "i long, xml string")
 
     checked = 0
-    for _ in range(60):
+    for _ in range(90):
         expr = _gen_expr(rng)
         ev = compile_subset(expr)
         assert ev is not None, f"generated expr left the subset: {expr}"
@@ -136,4 +205,4 @@ def test_fused_subset_agrees_with_jvm_xpath_on_generated_cases(spark):
             fused = ev(ET.fromstring(doc))
             assert (fused or "") == (jvm[i] or ""), (expr, i, fused, jvm[i], doc)
         checked += 1
-    assert checked == 60
+    assert checked == 90

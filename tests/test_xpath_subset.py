@@ -46,19 +46,40 @@ def test_empty_nodeset_returns_none():
 
 def test_out_of_subset_falls_back():
     for expr in [
-        "//book[price>30]/@id",  # child-element comparison predicate
-        "//a//ancestor::b",  # '//' before an axis step (text-node ctx)
-        "//a/..[@id='1']",  # predicate on the abbreviated parent step
-        "count(//book)",  # function
-        "//text()",  # bare text() with no element step
-        "//book[position()=last()]",  # position()=last() composite
+        "//a//ancestor::b",  # '//' before a reverse axis (text-node ctx)
+        "//a//following::b",  # '//' before a full-document axis
+        "//a//parent::b",  # '//' before parent (text-node ctx)
+        "//a/..[@id='1']",  # INVALID XPath 1.0 (javax throws on it too)
+        "count(//book)",  # non-nodeset result type
+        "//book[a[b]]/@id",  # nested predicate
+        "//book[(1=1)]/@id",  # parenthesized boolean
+        # positional predicate CHAINS on reverse axes: Xalan applies
+        # the positional leg in document order inside a chain but in
+        # proximity order standalone (internally inconsistent) — fall
+        # back so configs get javax bug-for-bug
+        "//d/preceding::d[last()][@id='1']/..",
+        "//a/ancestor::b[1][@x='1']",
+        "//a/preceding-sibling::b[@x='1'][2]",
     ]:
         assert compile_subset(expr) is None, expr
-    # position()/last() predicates moved INTO the subset
+    # round-5 subset extensions: these now FUSE
     for expr in [
         "//book[position()=1]/@id",
         "//book[last()]",
         "//book[position()<=2]/text()",
+        "//book[price>30]/@id",  # child-element comparison
+        "//book[position()=last()]",  # composite positional
+        "//text()",  # bare text() (document context)
+        "//book[@cat='f'][2]/@id",  # predicate chain
+        "//book[@cat='f' and @id='1']/@id",  # boolean predicate
+        "/store/descendant::book[2]/@id",
+        "//store//descendant::book/@id",  # '//' + descendant:: is exact
+        "//title/ancestor-or-self::book/@id",
+        "//mag/following::book[1]/@id",
+        "//mag/preceding::book[1]/@id",
+        "store/shelf/@id",  # relative path (document-anchored)
+        "//book/@*",  # attribute wildcard terminal
+        "//book/text()[1]",  # positional text() terminal
     ]:
         assert compile_subset(expr) is not None, expr
 
@@ -323,3 +344,178 @@ def test_ancestor_axis_and_reverse_positional_fused():
         ev = compile_subset(expr)
         assert ev is not None, expr
         assert ev(root) == want, expr
+
+
+# ---------------------------------------------------------------------------
+# round-5 subset extensions — every expected value below was probed
+# against javax (Spark 4.1.2 xpath()) on these exact documents
+# ---------------------------------------------------------------------------
+
+PDOC = ET.fromstring(
+    '<store name="s">'
+    '<shelf id="s1">'
+    '<book id="bk1" cat="f" price="25"><title>T1</title><price>25</price>'
+    "tail1</book>"
+    '<mag id="m1"/>'
+    '<book id="bk2" cat="n" price="35"><title>T2</title><price>35</price>'
+    "</book>"
+    '<book id="bk3" cat="f" price="45"><title>T3</title><price>abc</price>'
+    "</book>"
+    "</shelf>"
+    '<shelf id="s2">'
+    '<book id="bk4" cat="f"><title>T1</title></book>'
+    "</shelf>"
+    "</store>"
+)
+MIXED = ET.fromstring("<r>alpha<a at='1'>inner<b/>btail</a>beta<b/>gamma</r>")
+
+
+def test_predicate_chain_is_sequential():
+    # javax: [@cat='f'][2] filters f-books first, THEN indexes per
+    # parent — not the same as [2][@cat='f']
+    assert ev("//book[@cat='f'][2]/@id", PDOC) == "bk3"
+    assert ev("//book[2][@cat='n']/@id", PDOC) == "bk2"
+    assert ev("//book[@cat='f'][last()]/@id", PDOC) == "bk3bk4"
+
+
+def test_boolean_predicates():
+    assert ev("//book[@cat='f' and @price>30]/@id", PDOC) == "bk3"
+    assert ev("//book[@cat='f' or @id='bk2']/@id", PDOC) == "bk1bk2bk3bk4"
+    # 'and' binds tighter than 'or' (javax-verified)
+    assert (
+        ev("//book[@cat='f' and @price>20 or @id='bk2']/@id", PDOC)
+        == "bk1bk2bk3"
+    )
+    # position() inside a boolean indexes the step's candidate list
+    assert ev("//book[@cat='f' and position()<3]/@id", PDOC) == "bk1bk4"
+    assert ev("//book[position()=last()]/@id", PDOC) == "bk3bk4"
+    assert ev("//book[position()>1 or @id='bk1']/@id", PDOC) == "bk1bk2bk3"
+    # whitespace around operators and keywords (javax accepts it)
+    assert ev("//book[@cat = 'f']/@id", PDOC) == "bk1bk3bk4"
+    assert ev("//book[ @price > 30 ]/@id", PDOC) == "bk2bk3"
+
+
+def test_existence_predicates():
+    assert ev("//book[@cat]/@id", PDOC) == "bk1bk2bk3bk4"
+    assert ev("//book[title]/@id", PDOC) == "bk1bk2bk3bk4"
+    assert ev("//shelf[book]/@id", PDOC) == "s1s2"
+    assert ev("//book[@nope]/@id", PDOC) is None
+    assert ev("//book[nope]/@id", PDOC) is None
+
+
+def test_child_element_comparisons_are_existential():
+    # nodeset OP value: true if ANY child matches. bk3's <price> text is
+    # 'abc' (NaN): false for >, TRUE for != (IEEE, javax-verified);
+    # bk4 has no <price> child: always false (empty nodeset)
+    assert ev("//book[price>30]/@id", PDOC) == "bk2"
+    assert ev("//book[price!=25]/@id", PDOC) == "bk2bk3"
+    assert ev("//book[title='T1']/@id", PDOC) == "bk1bk4"
+    assert ev("//book[title = 'T1' or title = 'T2']/@id", PDOC) == "bk1bk2bk4"
+
+
+def test_attr_string_inequality():
+    assert ev("//book[@cat!='f']/@id", PDOC) == "bk2"
+    # missing attribute = empty nodeset: != is FALSE, not true
+    assert ev("//book[@missing!='f']/@id", PDOC) is None
+
+
+def test_descendant_axis():
+    assert ev("/store/descendant::book/@id", PDOC) == "bk1bk2bk3bk4"
+    # positional = per CONTEXT over the full descendant list
+    assert ev("/store/descendant::book[2]/@id", PDOC) == "bk2"
+    assert ev("/store/shelf/descendant::title[1]", PDOC) == "T1T1"
+    # '//' + descendant:: is exact in the element-only model (a text
+    # node's descendant set is empty)
+    assert ev("//shelf/descendant::mag/@id", PDOC) == "m1"
+    # per-context positional over '//'-expanded contexts: store and
+    # shelf-s1 both yield bk1 (dedup), shelf-s2 yields bk4 (javax ✓)
+    assert ev("//store//descendant::book[1]/@id", PDOC) == "bk1bk4"
+
+
+def test_ancestor_or_self_axis():
+    assert ev("//title/ancestor-or-self::book/@id", PDOC) == "bk1bk2bk3bk4"
+    # proximity position: [1] = self (when it matches)
+    assert ev("//book/ancestor-or-self::*[1]/@id", PDOC) == "bk1bk2bk3bk4"
+    # [last()] = the outermost element (the fragment root)
+    assert ev("//book/ancestor-or-self::*[last()]/@name", PDOC) == "s"
+
+
+def test_following_and_preceding_axes():
+    # following excludes descendants; preceding excludes ancestors
+    assert ev("//mag/following::book/@id", PDOC) == "bk2bk3bk4"
+    assert ev("//mag/following::book[1]/@id", PDOC) == "bk2"
+    assert ev("//mag/preceding::book/@id", PDOC) == "bk1"
+    # proximity: [1] = nearest PRECEDING in reverse document order
+    assert ev("//book[@id='bk4']/preceding::book[1]/@id", PDOC) == "bk3"
+    # [2] = the <title> of bk3 (no @id -> empty result)
+    assert ev("//book[@id='bk4']/preceding::*[2]/@id", PDOC) is None
+
+
+def test_relative_paths_anchor_at_document():
+    assert ev("store/shelf/@id", PDOC) == "s1s2"
+    # NOT a descendant search: a non-root first step matches nothing
+    assert ev("shelf/@id", PDOC) is None
+    assert ev("store/descendant::book[2]/@id", PDOC) == "bk2"
+
+
+def test_attr_star_terminal_name_sorted():
+    # javax NamedNodeMap returns attributes NAME-SORTED, not in
+    # document order (probed: z="1" a="2" m="3" -> a,m,z)
+    zdoc = ET.fromstring('<r><book z="1" a="2" m="3"/><item Z="9" b="8"/></r>')
+    assert ev("//book/@*", zdoc) == "231"
+    assert ev("//item/@*", zdoc) == "98"  # ASCII: 'Z' < 'b'
+    assert ev("//*/@*", zdoc) == "23198"
+    # document attrs on bk1 are id,cat,price -> emits cat,id,price
+    assert ev("//book[@id='bk1']/@*", PDOC) == "fbk125"
+    assert ev("//nothing/@*", PDOC) is None
+
+
+def test_union_multi_attrs_of_one_element_name_sorted():
+    # probed: //book[@id='bk1']/@id | .../@cat emits 'f' (cat) before
+    # 'bk1' (id) — NamedNodeMap order within one element
+    assert (
+        ev("//book[@id='bk1']/@id | //book[@id='bk1']/@cat", PDOC) == "fbk1"
+    )
+    assert (
+        ev("//book[@id='bk1']/@* | //book[@id='bk1']/title/text()", PDOC)
+        == "fbk125T1"
+    )
+
+
+def test_text_positional_terminals():
+    assert ev("/r/text()", MIXED) == "alphabetagamma"
+    assert ev("/r/text()[1]", MIXED) == "alpha"
+    assert ev("/r/text()[2]", MIXED) == "beta"
+    assert ev("/r/text()[last()]", MIXED) == "gamma"
+    # bare //text(): every text node in the document
+    assert ev("//text()", MIXED) == "alphainnerbtailbetagamma"
+    # //text()[1] = FIRST direct text node of EVERY element (per-parent)
+    assert ev("//text()[1]", MIXED) == "alphainner"
+    assert ev("/r//text()[1]", MIXED) == "alphainner"
+    assert ev("//a/text()[last()]", MIXED) == "btail"
+    # direct text nodes of bk1 are just the tail 'tail1'
+    assert ev("//book/text()[1]", PDOC) == "tail1"
+    assert ev("//book/text()[2]", PDOC) is None
+
+
+def test_union_with_positional_text():
+    # probed: /r/text()[2] | //a/@at -> ['1','beta'] (document order:
+    # a's attribute precedes the later 'beta' text node)
+    assert ev("/r/text()[2] | //a/@at", MIXED) == "1beta"
+
+
+def test_strip_prefixes_new_constructs():
+    assert (
+        strip_prefixes("//bk:book[@ns:cat='f' and @bk:price>30]/@ns:id")
+        == "//book[@cat='f' and @price>30]/@id"
+    )
+    assert (
+        strip_prefixes("//bk:book[ns:title='T1'][2]/@*")
+        == "//book[title='T1'][2]/@*"
+    )
+    assert (
+        strip_prefixes("/store/descendant::bk:book/text()[1]")
+        == "/store/descendant::book/text()[1]"
+    )
+    # relative paths render absolute (identical nodeset, javax-verified)
+    assert strip_prefixes("store/shelf/@id") == "/store/shelf/@id"
