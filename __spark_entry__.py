@@ -65,6 +65,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # gets a driver-ledger row this round.
 FRONT = [
     # round-5 NEW operators first (never-certified by definition):
+    "dedup_prefix_filter_join",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

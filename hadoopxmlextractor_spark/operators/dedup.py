@@ -1955,3 +1955,135 @@ def shared_run_pairs(
         .agg(F.max("run_tokens").cast("long").alias("longest_run_tokens"))
         .filter(F.col("longest_run_tokens") >= min_run_tokens)
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (AllPairs / PPJoin family)
+# ---------------------------------------------------------------------------
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 3,
+    threshold_pct: int = 50,
+) -> DataFrame:
+    """EXACT all-pairs shingle Jaccard ≥ threshold_pct/100 via PREFIX
+    FILTERING (the AllPairs / PPJoin family — Bayardo et al., WWW'07;
+    Xiao et al., WWW'08): the scale path when LSH's missed-pair recall
+    is not acceptable.
+
+    Why a third near-dup join shape? The full inverted-index join
+    (:func:`_ngram_pair_counts`) pays for EVERY co-shingled pair —
+    measured super-linear (~x^1.7, SCALE.md) and budget-guarded; LSH
+    (:func:`dedup_minhash_lsh`) is sub-linear but probabilistic (misses
+    pairs). Prefix filtering is both exact and provably pruned: order
+    each document's shingle set by ascending corpus frequency (rarest
+    first, ties on the hash — a deterministic TOTAL order) and index
+    only its first ``|T| - ceil(θ·|T|) + 1`` shingles. Two sets with
+    Jaccard ≥ θ have ``|∩| ≥ θ·max(|a|,|b|) ≥ ceil(θ·|a|)``, and by the
+    pigeonhole principle over the shared total order their prefixes
+    MUST collide — so joining only prefixes loses NOTHING, while the
+    candidate fan-out concentrates on the rarest (lowest-df) corner of
+    the index instead of every stop-shingle. A length filter
+    (``100·min ≥ pct·max``) prunes size-incompatible pairs inside the
+    join, and the verify stage recomputes exact Jaccard on the FULL
+    sets with integer cross-multiplication (``100·|∩| ≥ pct·|∪|`` —
+    no float boundary on either engine).
+
+    100 TB shape: three uniform-key exchanges (shingle-df window rides
+    the candidate join's own hash partitioning; doc-keyed rank; final
+    join-backs), shingle sets as fixed-width int64 hashes, verify in
+    pure JVM ``array_intersect``. The df-ordered prefix does the work
+    the df CAP does on the exact path — the hottest shingles sit at
+    the END of every document's ordering and never enter the index.
+
+    Returns (doc_a, doc_b, shared, jaccard) — the same contract as
+    :func:`ngram_jaccard_pairs`; on any corpus the two operators'
+    outputs are IDENTICAL sets (unit-tested), they differ only in how
+    many candidates they touch to get there.
+    """
+    pct = int(threshold_pct)
+    sh = (
+        ensure_min_parallelism(
+            df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
+        )
+        .select(
+            F.col(id_col).alias("doc"), shingle_hashes(text_col, n).alias("hs")
+        )
+        .withColumn("n_sh", F.size("hs"))
+        .persist()
+    )
+    # eager: sh feeds the prefix index AND both verify join-backs; an
+    # unmaterialized cache would recompute the shingle UDF 3x under AQE
+    sh.count()
+    inv = sh.select("doc", "n_sh", F.explode("hs").alias("h"))
+    # corpus df per shingle rides a window whose exchange hash-partitions
+    # on the candidate join's own key (the _ngram_pair_counts trick)
+    wdf = Window.partitionBy("h")
+    wdoc = Window.partitionBy("doc").orderBy("df", "h")
+    prefix = (
+        inv.withColumn("df", F.count(F.lit(1)).over(wdf))
+        .withColumn("pos", F.row_number().over(wdoc))
+        # integer ceil(pct·n/100) = (pct·n + 99) div 100 — floor
+        # division on non-negative operands, identical in DuckDB (//)
+        .withColumn(
+            "plen",
+            F.col("n_sh")
+            - F.expr(f"(({pct} * n_sh + 99) div 100)")
+            + F.lit(1),
+        )
+        .filter(F.col("pos") <= F.col("plen"))
+        .select("doc", "n_sh", "h")
+    )
+    a = prefix.select(
+        "h", F.col("doc").alias("doc_a"), F.col("n_sh").alias("size_a")
+    )
+    b = prefix.select(
+        "h", F.col("doc").alias("doc_b"), F.col("n_sh").alias("size_b")
+    )
+    cand = (
+        a.join(b, "h")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.least("size_a", "size_b") * 100
+                >= F.greatest("size_a", "size_b") * F.lit(pct)
+            )
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n_sh").alias("size_a"),
+    )
+    sb = sh.select(
+        F.col("doc").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n_sh").alias("size_b"),
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "shared", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+        )
+        .filter(
+            F.col("shared") * 100
+            >= (F.col("size_a") + F.col("size_b") - F.col("shared"))
+            * F.lit(pct)
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("shared")
+                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                4,
+            ),
+        )
+        .select("doc_a", "doc_b", "shared", "jaccard")
+    )

@@ -148,6 +148,62 @@ def simhash_oracle(*, max_hamming: int = 7) -> str:
     """
 
 
+def prefix_filter_oracle(*, pct: int = 50) -> str:
+    """Replay of dedup.prefix_filter_jaccard_pairs: same 64-bit shingle
+    hashes, same (df ASC, hash ASC) total order, same integer prefix
+    cut ``n - ((pct·n + 99) // 100) + 1`` (DuckDB ``//`` floors on
+    non-negative operands exactly like Spark ``div``), same length
+    filter and integer cross-multiplied Jaccard verify — so the oracle
+    re-derives the exact pair set through the identical pruning path,
+    not just the same final predicate. ``hx`` is MATERIALIZED: four
+    downstream CTEs reference it and DuckDB inlines non-recursive CTEs
+    per reference (the md5+hash64 scan would otherwise run 4x)."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)] END) AS s
+      FROM tok
+    ), hx AS MATERIALIZED (
+      SELECT DISTINCT doc_id, {hash64_sql('hh')} AS x
+      FROM (SELECT doc_id, md5(s) AS hh FROM sh)
+    ), sz AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM hx GROUP BY doc_id
+    ), dfq AS (
+      SELECT x, CAST(COUNT(*) AS BIGINT) AS df FROM hx GROUP BY x
+    ), ranked AS (
+      SELECT h.doc_id, h.x, s.n_sh,
+             ROW_NUMBER() OVER (PARTITION BY h.doc_id ORDER BY d.df, h.x)
+               AS pos
+      FROM hx h JOIN dfq d USING (x) JOIN sz s USING (doc_id)
+    ), prefix AS (
+      SELECT doc_id, x, n_sh FROM ranked
+      WHERE pos <= n_sh - (({pct} * n_sh + 99) // 100) + 1
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b ON a.x = b.x AND a.doc_id < b.doc_id
+      WHERE 100 * LEAST(a.n_sh, b.n_sh) >= {pct} * GREATEST(a.n_sh, b.n_sh)
+    ), ls AS (
+      SELECT doc_id, list(x) AS hs, CAST(COUNT(*) AS BIGINT) AS n_sh
+      FROM hx GROUP BY doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(len(list_intersect(la.hs, lb.hs)) AS BIGINT) AS shared,
+           ROUND(len(list_intersect(la.hs, lb.hs))::DOUBLE
+                 / (la.n_sh + lb.n_sh
+                    - len(list_intersect(la.hs, lb.hs))), 4) AS jaccard
+    FROM cand c
+    JOIN ls la ON la.doc_id = c.doc_a
+    JOIN ls lb ON lb.doc_id = c.doc_b
+    WHERE 100 * len(list_intersect(la.hs, lb.hs)) >=
+          {pct} * (la.n_sh + lb.n_sh - len(list_intersect(la.hs, lb.hs)))
+    """
+
+
 def ngram_novelty_oracle() -> str:
     """Replay of pipeline_queries.text_ngram_novelty with the document
     frequency counted over the SAME 64-bit shingle hashes the Spark side

@@ -77,6 +77,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
 
 
+@query("dedup_prefix_filter_join", O.prefix_filter_oracle(pct=50))
+def q_dedup_prefix_filter_join(spark: SparkSession, sf: str) -> DataFrame:
+    # EXACT Jaccard-threshold join via prefix filtering (AllPairs/
+    # PPJoin): provably no false negatives, candidates bounded to
+    # prefix collisions on the rarest shingles — the scale path when
+    # LSH recall is unacceptable. Output is the identical pair set to
+    # dedup_ngram_jaccard (unit-tested); the oracle replays the whole
+    # pruning pipeline (df order, integer prefix cut, length filter,
+    # cross-multiplied verify) in SQL.
+    docs = load(spark, sf, "documents")
+    return D.prefix_filter_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold_pct=50
+    )
+
+
 @query(
     "dedup_minhash_lsh",
     O.minhash_lsh_oracle(num_hashes=64, bands=32, threshold=0.5),

@@ -1017,3 +1017,94 @@ def test_shared_run_pairs_finds_pasted_span(spark):
     )
     r = D.shared_run_pairs(dup, "text", "doc_id", n=3, min_run_tokens=6).collect()
     assert [(x.doc_a, x.doc_b, x.longest_run_tokens) for x in r] == [(7, 8, 8)]
+
+
+def test_prefix_filter_join_equals_exact_inverted_index(spark, corpus):
+    # The PPJoin-style prefix filter must find the IDENTICAL pair set
+    # as the full inverted-index join — no false negatives (the formal
+    # guarantee) and no false positives (the exact verify stage).
+    pf = D.prefix_filter_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold_pct=50
+    )
+    naive = D.ngram_jaccard_pairs(
+        corpus, "text", "doc_id", n=3, threshold=0.5,
+        max_df=None, candidate_budget=None,
+    )
+    got = {(r.doc_a, r.doc_b): (r.shared, r.jaccard) for r in pf.collect()}
+    want = {(r.doc_a, r.doc_b): (r.shared, r.jaccard) for r in naive.collect()}
+    assert got == want
+    assert (0, 10) in got and got[(0, 10)][1] == 1.0  # exact copy
+    assert (1, 11) in got  # one-word near-copy
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    # A corpus where every doc shares a HOT boilerplate shingle but only
+    # planted twins are near-dups: the full index joins every pair
+    # through the hot shingle; the df-ordered prefix leaves it out of
+    # every prefix, so the candidate join touches only the twins.
+    # bodies are mostly UNIQUE tokens so the df-ordered prefix (the
+    # rarest ~half of each set) never reaches the hot boilerplate
+    # shingles — the regime prefix filtering is built for
+    boiler = "all rights reserved contact us terms"
+    rows = []
+    for i in range(40):
+        body = " ".join(f"w{i}x{j}" for j in range(10))
+        rows.append((i, f"doc {i} {body} {boiler}"))
+    rows.append((100, rows[0][1]))  # planted twin of doc 0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # full-index co-shingled candidate count (what _ngram_pair_counts
+    # would join): sum C(df,2) over shingles
+    inv = (
+        df.select(
+            F.col("doc_id").alias("doc"),
+            F.explode(D.shingle_hashes("text", 3)).alias("h"),
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    full_cands = inv.agg(
+        F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long")
+    ).first()[0]
+
+    # prefix candidate count: rebuild the operator's candidate stage
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col("doc_id").alias("doc"),
+        D.shingle_hashes("text", 3).alias("hs"),
+    ).withColumn("n_sh", F.size("hs"))
+    invp = sh.select("doc", "n_sh", F.explode("hs").alias("h"))
+    prefix = (
+        invp.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("doc").orderBy("df", "h")),
+        )
+        .withColumn(
+            "plen", F.col("n_sh") - F.expr("((50 * n_sh + 99) div 100)") + F.lit(1)
+        )
+        .filter(F.col("pos") <= F.col("plen"))
+    )
+    a = prefix.select("h", F.col("doc").alias("doc_a"))
+    b = prefix.select("h", F.col("doc").alias("doc_b"))
+    prefix_cands = (
+        a.join(b, "h").filter(F.col("doc_a") < F.col("doc_b")).count()
+    )
+    assert full_cands > 40 * 39 / 2  # hot shingle makes it quadratic
+    assert prefix_cands < full_cands / 10  # prefix filter prunes >10x
+
+    # and the survivors are exactly the planted twin pair
+    pairs = D.prefix_filter_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold_pct=50
+    )
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(0, 100)}
+
+
+def test_prefix_filter_short_and_null_docs(spark):
+    # docs shorter than the shingle width collapse to one whole-text
+    # shingle; null text is dropped on both engines
+    rows = [(1, "tiny doc"), (2, "tiny doc"), (3, None), (4, "other words")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = D.prefix_filter_jaccard_pairs(df, "text", "doc_id", n=3)
+    assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(1, 2)}
