@@ -66,6 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 FRONT = [
     # round-5 NEW operators first (never-certified by definition):
     "dedup_prefix_filter_join",
+    "events_debounce",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

@@ -1969,6 +1969,7 @@ def prefix_filter_jaccard_pairs(
     *,
     n: int = 3,
     threshold_pct: int = 50,
+    candidate_budget: int | None = "auto",
 ) -> DataFrame:
     """EXACT all-pairs shingle Jaccard ≥ threshold_pct/100 via PREFIX
     FILTERING (the AllPairs / PPJoin family — Bayardo et al., WWW'07;
@@ -2004,8 +2005,26 @@ def prefix_filter_jaccard_pairs(
     :func:`ngram_jaccard_pairs`; on any corpus the two operators'
     outputs are IDENTICAL sets (unit-tested), they differ only in how
     many candidates they touch to get there.
+
+    CANDIDATE-BUDGET GUARD: the structural bound is against HOT
+    shingles; on a df-FLAT corpus (near-uniform shingle frequencies —
+    e.g. random text over a saturating shingle space) the prefix prunes
+    only a constant factor of the raw index's candidates, and the
+    measured 3×→10× rehearsal exponent is ~1.6 (SCALE.md) — an exact
+    all-pairs join cannot beat its own true candidate density. So the
+    same fail-fast contract as :func:`_ngram_pair_counts` applies:
+    before the join, one dimension-sized aggregate over the persisted
+    PREFIX index computes the exact prefix-collision candidate count
+    Σ C(df_prefix, 2) and raises with LSH routing guidance when it
+    exceeds ``candidate_budget`` (auto: ``max(2_000_000,
+    500 × n_docs)``; ``None`` disables for a slice you have sized).
     """
     pct = int(threshold_pct)
+    if candidate_budget == "auto":
+        candidate_budget = max(
+            2_000_000,
+            500 * df.select(id_col).count(),
+        )
     sh = (
         ensure_min_parallelism(
             df.select(id_col, text_col).filter(F.col(text_col).isNotNull())
@@ -2038,6 +2057,35 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("pos") <= F.col("plen"))
         .select("doc", "n_sh", "h")
     )
+    if candidate_budget is not None:
+        # the prefix index feeds the budget scan AND both join sides:
+        # persist + eager count so the two windows run once
+        prefix = prefix.persist()
+        prefix.count()
+        tot = (
+            prefix.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("pdf"))
+            .agg(
+                F.sum(F.col("pdf") * (F.col("pdf") - F.lit(1)))
+                .cast("long")
+                .alias("t")
+            )
+            .first()["t"]
+        )
+        est_candidates = (tot or 0) // 2
+        if est_candidates > candidate_budget:
+            prefix.unpersist()
+            sh.unpersist()
+            raise ValueError(
+                f"prefix-filter candidate budget exceeded: the prefix "
+                f"collision join would produce {est_candidates} "
+                f"candidate rows > budget {candidate_budget}. The "
+                f"corpus's shingle frequencies are too flat for prefix "
+                f"pruning to bound the exact join; route to the "
+                f"sub-linear LSH path (dedup.minhash_lsh_candidates / "
+                f"the dedup_minhash_lsh query) or raise "
+                f"candidate_budget explicitly if the cost is intended."
+            )
     a = prefix.select(
         "h", F.col("doc").alias("doc_a"), F.col("n_sh").alias("size_a")
     )

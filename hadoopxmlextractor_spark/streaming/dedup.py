@@ -287,3 +287,74 @@ def paragraph_dedup_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def debounce_stream(
+    events: DataFrame,
+    *,
+    gap_ms: int = 21_600_000,
+) -> DataFrame:
+    """Streaming duplicate-event suppression — the continuous twin of
+    the ``events_debounce`` batch query (same refresh-on-every-event
+    "quiet gap" semantics: an event is a duplicate when its (user,
+    type) key fired within the trailing ``gap_ms``).
+
+    Input: a streaming frame with ``event_id long, user_id long,
+    event_type string, ms long`` (epoch millis). Output (append):
+    ``(event_id, user_id, event_type, is_duplicate)``.
+
+    State is ONE long per ACTIVE key — and, unlike :func:`dedup_stream`
+    (whose exact digest set grows with distinct content forever), it is
+    TTL-EVICTED: the handler arms an event-time timeout at
+    ``last_seen + gap_ms`` and removes the key's state when the
+    watermark passes it with no new data. Eviction is semantics-
+    preserving by construction — a timed-out key's next event
+    necessarily arrives more than ``gap_ms`` after the evicted
+    timestamp, which the comparison would have admitted anyway — so
+    state size tracks the number of keys active in the last ``gap_ms``,
+    not the key universe. That is the bounded-state contract a
+    notification/billing gate needs to run for months.
+
+    In-batch flags vectorize as a shifted diff (every event refreshes
+    the window, so each row compares against its immediate
+    predecessor); only the first row of a batch consults the
+    cross-batch state.
+    """
+    with_ts = events.withColumn("ts", F.timestamp_millis(F.col("ms")))
+    watermarked = with_ts.withWatermark("ts", "0 seconds")
+
+    def _debounce(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed last_seen + gap with no new data: every
+            # future event for this key is > gap away — drop the state
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ms", "event_id"])
+            prev = pdf["ms"].shift()
+            if last is not None and len(pdf):
+                prev.iloc[0] = last
+            flags = ((pdf["ms"] - prev) <= gap_ms).fillna(False)
+            last = int(pdf["ms"].iloc[-1]) if len(pdf) else last
+            yield pdf.assign(is_duplicate=flags.astype(bool))[
+                ["event_id", "user_id", "event_type", "is_duplicate"]
+            ]
+        if last is not None:
+            state.update((int(last),))
+            state.setTimeoutTimestamp(int(last) + gap_ms + 1)
+
+    return watermarked.groupBy("user_id", "event_type").applyInPandasWithState(
+        _debounce,
+        outputStructType=(
+            "event_id long, user_id long, event_type string, "
+            "is_duplicate boolean"
+        ),
+        stateStructType="last_ms long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

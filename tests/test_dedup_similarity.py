@@ -1108,3 +1108,20 @@ def test_prefix_filter_short_and_null_docs(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     pairs = D.prefix_filter_jaccard_pairs(df, "text", "doc_id", n=3)
     assert {(r.doc_a, r.doc_b) for r in pairs.collect()} == {(1, 2)}
+
+
+def test_prefix_filter_candidate_budget_guard(spark):
+    # df-flat blow-up corpus: every doc carries the same shingles, so
+    # prefixes collide quadratically; budget 50 must trip BEFORE the
+    # candidate join, with LSH routing guidance in the message
+    rows = [(i, "same tokens everywhere forever repeated") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with pytest.raises(ValueError, match="prefix-filter candidate budget"):
+        D.prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", n=3, threshold_pct=50, candidate_budget=50
+        )
+    # None disables the guard for a deliberately-sized slice
+    pairs = D.prefix_filter_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold_pct=50, candidate_budget=None
+    )
+    assert pairs.count() == 30 * 29 / 2  # all-identical corpus

@@ -1219,3 +1219,92 @@ def test_paragraph_dedup_stream_matches_batch_twin(spark, tmp_path):
     assert got == batch_twin(b1 + b2)
     assert got[3] == (2, 2)  # recrawl: every paragraph already seen
     assert got[4] == (2, 1)  # in-doc repeat flagged within the batch
+
+
+def test_debounce_stream_matches_batch_twin_with_ttl_eviction(spark, tmp_path):
+    """Streaming debounce equals the batch lag query flag-for-flag after
+    every batch prefix, across batch boundaries AND across a quiet gap
+    long enough that the event-time timeout evicts the key's state (the
+    eviction must be invisible in the flags — a post-eviction event is
+    admitted exactly as the comparison would have admitted it)."""
+    import json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.streaming.dedup import debounce_stream
+
+    GAP = 1000  # 1 s debounce window (test-scale)
+    landing = tmp_path / "events"
+    landing.mkdir()
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_id": e, "user_id": u, "event_type": t, "ms": m}
+                )
+                for e, u, t, m in rows
+            )
+        )
+
+    # user 1 "click": burst (dups), then a long quiet gap (state times
+    # out), then a fresh event (admitted) and an immediate repeat (dup);
+    # user 2 interleaves to prove keys are independent
+    b1 = [
+        (1, 1, "click", 1_000),
+        (2, 1, "click", 1_500),   # dup (500 <= GAP)
+        (3, 2, "click", 1_600),   # other key: admitted
+        (4, 1, "click", 2_400),   # dup (refresh semantics: 900 from #2)
+    ]
+    b2 = [
+        (5, 1, "click", 50_000),  # after eviction-length silence: admit
+        (6, 1, "click", 50_400),  # dup again
+        (7, 2, "click", 50_500),  # 2's state long stale: admit
+    ]
+
+    def batch_twin(rows):
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ms long"
+        )
+        w = Window.partitionBy("user_id", "event_type").orderBy(
+            "ms", "event_id"
+        )
+        out = df.withColumn("gap", F.col("ms") - F.lag("ms").over(w)).select(
+            "event_id",
+            (F.col("gap").isNotNull() & (F.col("gap") <= GAP)).alias("dup"),
+        )
+        return {r.event_id: r.dup for r in out.collect()}
+
+    land("b1.json", b1)
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, event_type string, ms long"
+    ).json(str(landing))
+    out = debounce_stream(stream, gap_ms=GAP)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounce_flags")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def streamed():
+        return {
+            r.event_id: r.is_duplicate
+            for r in spark.sql("SELECT * FROM debounce_flags").collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        assert streamed() == batch_twin(b1)
+        assert streamed()[2] is True and streamed()[3] is False
+        land("b2.json", b2)
+        q.processAllAvailable()
+        # batch 2 advances the watermark past last_seen + GAP for both
+        # keys -> their batch-1 state is timeout-evicted; flags must
+        # still equal the batch twin over the full prefix
+        assert streamed() == batch_twin(b1 + b2)
+        assert streamed()[5] is False and streamed()[6] is True
+    finally:
+        q.stop()
