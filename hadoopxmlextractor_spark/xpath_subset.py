@@ -50,19 +50,32 @@ Subset grammar::
                  -- list surviving predicates 1..k-1 (javax-verified:
                  -- //book[@cat='f'][2] ≠ //book[2][@cat='f'])
     or_expr  := and_expr ('or' and_expr)*     -- 'and' binds tighter
-    and_expr := atom ('and' atom)*
+    and_expr := unary ('and' unary)*
+    unary    := 'not(' or_expr ')'            -- boolean negation
+              | '(' or_expr ')'               -- grouping
+              | atom
     atom     := '@' qname                     -- attribute exists
               | '@' qname ('='|'!=') quoted   -- string comparison
               | '@' qname num_op number       -- XPath number() rules
-              | (qname | '*')                 -- child element exists
-              | (qname | '*') ('='|'!=') quoted
-                 -- EXISTENTIAL over child elements: true if ANY child
-                 -- with that name has string-value (all descendant
-                 -- text) equal / not equal — XPath nodeset comparison
-              | (qname | '*') num_op number   -- existential numeric
+              | rel_path                      -- nodeset exists
+              | rel_path ('='|'!=') quoted
+                 -- EXISTENTIAL over the reached nodeset: true if ANY
+                 -- reached node's string-value (all descendant text;
+                 -- the attribute's value for a '/@attr' terminal)
+                 -- compares true — XPath 1.0 nodeset comparison
+              | rel_path num_op number        -- existential numeric
               | 'position()' num_op digits
               | 'position()' '=' 'last()'
               | ('contains' | 'starts-with') '(@' qname ',' quoted ')'
+    rel_path := (qname | '*') ('/' (qname | '*'))* ('/@' qname)?
+                 -- a relative CHILD-chain location path from the
+                 -- context node ([author/name='Ann'], [book/@cat]).
+                 -- './/'-leading predicate paths are OUT of subset:
+                 -- javax matches them by FULL node name on
+                 -- prefix-carrying documents (probed: //a[.//b] finds
+                 -- nothing when the doc writes x:b, while //a[b] and
+                 -- every main-path step local-name match) — JVM
+                 -- fallback keeps such configs javax bug-for-bug.
     num_op   := '=' | '!=' | '<' | '<=' | '>' | '>='
     terminal := '/text()' | '//text()'
               | '/text()' '[' (digits | 'last()') ']'
@@ -204,14 +217,22 @@ def _local(name: str) -> str:
 # predicate parsing
 #
 # Each step carries a CHAIN of predicates; a predicate is one of
-#   ('n', k)                      -- [k]
-#   ('last',)                     -- [last()]
-#   ('bool', [[atom, ...], ...])  -- or-list of and-lists
+#   ('n', k)           -- [k]
+#   ('last',)          -- [last()]
+#   ('bool', expr)     -- boolean expression TREE
+# where expr is ('or', [exprs]) | ('and', [exprs]) | ('not', expr) | atom
 # and an atom is one of
 #   ('pos', op, k) ('poslast',)
 #   ('attr_ex', a) ('attr_str', a, op, val, q) ('attr_num', a, op, lit)
 #   ('fn', fn, a, val, q)
-#   ('child_ex', n) ('child_str', n, op, val, q) ('child_num', n, op, lit)
+#   ('path', desc, steps, attr, cmp) -- relative location path from the
+#       context node: optional leading './/' (descendant-anywhere first
+#       step), a child chain of name tests, an optional '/@attr'
+#       terminal, and an optional comparison cmp = None |
+#       ('str', op, val, q) | ('num', op, lit). All comparisons are
+#       EXISTENTIAL over the reached nodeset (XPath 1.0 nodeset
+#       comparison); the single-step no-attr form covers the plain
+#       child-element predicates ([title], [price>30], [title='X']).
 # (q = the quote character the config wrote, preserved for re-rendering)
 # ---------------------------------------------------------------------------
 
@@ -226,11 +247,16 @@ _ATTR_STR_RE = re.compile(
     rf"@({_QNAME})\s*(!=|=)\s*(?:'([^']*)'|\"([^\"]*)\")$"
 )
 _ATTR_NUM_RE = re.compile(rf"@({_QNAME})\s*(!=|<=|>=|<|>|=)\s*({_NUM})$")
-_CHILD_EX_RE = re.compile(rf"({_QNAME}|\*)$")
-_CHILD_STR_RE = re.compile(
-    rf"({_QNAME}|\*)\s*(!=|=)\s*(?:'([^']*)'|\"([^\"]*)\")$"
+# Predicate paths are CHILD chains only. './/' (descendant inside a
+# predicate) is OUT of subset: javax matches it by FULL node name on
+# prefix-carrying documents (probed: //a[.//b] finds nothing when the
+# doc writes x:b, while //a[b] and every main-path step local-name
+# match) — namespace-inconsistent with the rest of its own evaluation,
+# so such configs take the JVM path and get javax bug-for-bug.
+_PATH_RE = re.compile(
+    rf"({_QNAME}|\*)((?:/(?:{_QNAME}|\*))*)(/@{_QNAME})?"
+    rf"\s*(?:(!=|<=|>=|<|>|=)\s*(?:'([^']*)'|\"([^\"]*)\"|({_NUM})))?$"
 )
-_CHILD_NUM_RE = re.compile(rf"({_QNAME}|\*)\s*(!=|<=|>=|<|>|=)\s*({_NUM})$")
 
 
 def _parse_atom(a: str) -> tuple | None:
@@ -257,64 +283,160 @@ def _parse_atom(a: str) -> tuple | None:
     m = _ATTR_EX_RE.match(a)
     if m:
         return ("attr_ex", _local(m.group(1)))
-    m = _CHILD_STR_RE.match(a)
+    if a in ("last()", "position()"):
+        return None  # bare number-typed functions: not boolean atoms
+    m = _PATH_RE.match(a)
     if m:
-        val = m.group(3) if m.group(3) is not None else m.group(4)
-        q = "'" if m.group(3) is not None else '"'
-        return ("child_str", _local(m.group(1)), m.group(2), val, q)
-    m = _CHILD_NUM_RE.match(a)
-    if m:
-        return ("child_num", _local(m.group(1)), m.group(2), m.group(3))
-    m = _CHILD_EX_RE.match(a)
-    if m and a not in ("last()",):  # bare qname/* = child-element exists
-        return ("child_ex", _local(m.group(1)))
+        steps = tuple(
+            _local(p) for p in ([m.group(1)] + (m.group(2) or "").split("/"))
+            if p
+        )
+        attr = _local(m.group(3)[2:]) if m.group(3) else None
+        op = m.group(4)
+        if op is None:
+            cmp = None
+        elif m.group(7) is not None:
+            cmp = ("num", op, m.group(7))
+        else:
+            if op not in ("=", "!="):
+                return None  # <,> on strings: number coercion, out
+            val = m.group(5) if m.group(5) is not None else m.group(6)
+            q = "'" if m.group(5) is not None else '"'
+            cmp = ("str", op, val, q)
+        return ("path", False, steps, attr, cmp)
     return None
 
 
-def _split_keyword(s: str, kw: str) -> list[str]:
-    """Split ``s`` on the boolean keyword ``kw`` ('or'/'and') at
-    whitespace-delimited occurrences OUTSIDE quotes. A quote-aware
-    scanner — predicate string literals may contain ' or '."""
-    parts: list[str] = []
-    buf: list[str] = []
-    quote: str | None = None
-    i = 0
-    n = len(s)
-    klen = len(kw)
-    while i < n:
-        ch = s[i]
-        if quote is not None:
-            buf.append(ch)
-            if ch == quote:
-                quote = None
-            i += 1
-        elif ch in ("'", '"'):
-            buf.append(ch)
-            quote = ch
-            i += 1
-        elif (
-            ch.isspace()
-            and s[i + 1 : i + 1 + klen] == kw
-            and i + 1 + klen < n
-            and s[i + 1 + klen].isspace()
-        ):
-            parts.append("".join(buf))
-            buf = []
-            i += 2 + klen
-        else:
-            buf.append(ch)
-            i += 1
-    parts.append("".join(buf))
-    return parts
+class _BoolParser:
+    """Recursive-descent parser for predicate boolean expressions:
+    or/and with XPath precedence ('and' binds tighter), parenthesized
+    groups, and not(...). Atom text is scanned with paren/quote
+    tracking (atoms themselves contain parens: contains(...),
+    position()). 'or'/'and' are treated as operators only at binary
+    position, so elements NAMED or/and still parse as name tests."""
+
+    def __init__(self, s: str):
+        self.s = s
+        self.i = 0
+
+    def _ws(self) -> None:
+        while self.i < len(self.s) and self.s[self.i].isspace():
+            self.i += 1
+
+    def _kw(self, kw: str) -> bool:
+        self._ws()
+        j = self.i + len(kw)
+        if self.s[self.i : j] != kw:
+            return False
+        if j < len(self.s) and (self.s[j].isalnum() or self.s[j] in "_.-:"):
+            return False  # prefix of a longer name
+        self.i = j
+        return True
+
+    def parse_or(self) -> tuple | None:
+        parts = [self.parse_and()]
+        if parts[0] is None:
+            return None
+        while self._kw("or"):
+            nxt = self.parse_and()
+            if nxt is None:
+                return None
+            parts.append(nxt)
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def parse_and(self) -> tuple | None:
+        parts = [self.parse_unary()]
+        if parts[0] is None:
+            return None
+        while self._kw("and"):
+            nxt = self.parse_unary()
+            if nxt is None:
+                return None
+            parts.append(nxt)
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def parse_unary(self) -> tuple | None:
+        self._ws()
+        if self._kw("not"):
+            self._ws()
+            if self.i >= len(self.s) or self.s[self.i] != "(":
+                return None
+            self.i += 1
+            inner = self.parse_or()
+            self._ws()
+            if inner is None or self.i >= len(self.s) or self.s[self.i] != ")":
+                return None
+            self.i += 1
+            return ("not", inner)
+        if self.i < len(self.s) and self.s[self.i] == "(":
+            self.i += 1
+            inner = self.parse_or()
+            self._ws()
+            if inner is None or self.i >= len(self.s) or self.s[self.i] != ")":
+                return None
+            self.i += 1
+            return inner
+        return self._atom_chunk()
+
+    def _atom_chunk(self) -> tuple | None:
+        # consume atom text up to a depth-0 ')' or a binary keyword;
+        # atoms contain their own parens (contains(...)) and quoted
+        # strings (which may contain ')', 'and', anything)
+        start = self.i
+        depth = 0
+        quote: str | None = None
+        while self.i < len(self.s):
+            ch = self.s[self.i]
+            if quote is not None:
+                if ch == quote:
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch.isspace() and depth == 0:
+                j = self.i
+                while j < len(self.s) and self.s[j].isspace():
+                    j += 1
+                if (
+                    self.s[j : j + 3] == "or " or self.s[j : j + 2] == "or"
+                    and not (
+                        len(self.s) > j + 2
+                        and (self.s[j + 2].isalnum() or self.s[j + 2] in "_.-:")
+                    )
+                ) or (
+                    self.s[j : j + 4] == "and "
+                    or self.s[j : j + 3] == "and"
+                    and not (
+                        len(self.s) > j + 3
+                        and (self.s[j + 3].isalnum() or self.s[j + 3] in "_.-:")
+                    )
+                ):
+                    break
+            self.i += 1
+        chunk = self.s[start : self.i]
+        if not chunk.strip():
+            return None
+        return _parse_atom(chunk)
 
 
 def _pred_positional(pred: tuple) -> bool:
     """True when the predicate depends on position()/last()."""
     if pred[0] in ("n", "last"):
         return True
-    return any(
-        a[0] in ("pos", "poslast") for ands in pred[1] for a in ands
-    )
+    return _expr_positional(pred[1])
+
+
+def _expr_positional(e: tuple) -> bool:
+    if e[0] in ("or", "and"):
+        return any(_expr_positional(c) for c in e[1])
+    if e[0] == "not":
+        return _expr_positional(e[1])
+    return e[0] in ("pos", "poslast")
 
 
 def _parse_pred_expr(s: str) -> tuple | None:
@@ -324,20 +446,12 @@ def _parse_pred_expr(s: str) -> tuple | None:
         return ("n", int(t))
     if t == "last()":
         return ("last",)
-    orlist: list[list[tuple]] = []
-    for or_part in _split_keyword(t, "or"):
-        andlist: list[tuple] = []
-        for a in _split_keyword(or_part, "and"):
-            atom = _parse_atom(a)
-            if atom is None:
-                return None
-            andlist.append(atom)
-        if not andlist:
-            return None
-        orlist.append(andlist)
-    if not orlist:
+    p = _BoolParser(t)
+    expr = p.parse_or()
+    p._ws()
+    if expr is None or p.i != len(t):
         return None
-    return ("bool", orlist)
+    return ("bool", expr)
 
 
 def _parse_preds(path: str, pos: int) -> tuple[tuple | None, int]:
@@ -536,11 +650,32 @@ def _render_atom(a: tuple) -> str:
         return f"@{a[1]}{a[2]}{a[3]}"
     if k == "fn":
         return f"{a[1]}(@{a[2]},{a[4]}{a[3]}{a[4]})"
-    if k == "child_ex":
-        return a[1]
-    if k == "child_str":
-        return f"{a[1]}{a[2]}{a[4]}{a[3]}{a[4]}"
-    return f"{a[1]}{a[2]}{a[3]}"  # child_num
+    # path atom
+    _, desc, steps, attr, cmp = a
+    out = (".//" if desc else "") + "/".join(steps)
+    if attr is not None:
+        out += f"/@{attr}"
+    if cmp is not None:
+        if cmp[0] == "num":
+            out += f"{cmp[1]}{cmp[2]}"
+        else:
+            out += f"{cmp[1]}{cmp[3]}{cmp[2]}{cmp[3]}"
+    return out
+
+
+def _render_expr(e: tuple, parent: str = "or") -> str:
+    """Render a boolean expression tree back to predicate text;
+    parenthesize whenever a looser operator nests under a tighter one
+    (the parse would otherwise re-associate)."""
+    if e[0] == "or":
+        body = " or ".join(_render_expr(c, "or") for c in e[1])
+        return f"({body})" if parent in ("and", "not") else body
+    if e[0] == "and":
+        body = " and ".join(_render_expr(c, "and") for c in e[1])
+        return f"({body})" if parent == "not" else body
+    if e[0] == "not":
+        return f"not({_render_expr(e[1], 'or')})"
+    return _render_atom(e)
 
 
 def _render_pred(p: tuple) -> str:
@@ -548,10 +683,7 @@ def _render_pred(p: tuple) -> str:
         return f"[{p[1]}]"
     if p[0] == "last":
         return "[last()]"
-    body = " or ".join(
-        " and ".join(_render_atom(a) for a in ands) for ands in p[1]
-    )
-    return f"[{body}]"
+    return f"[{_render_expr(p[1])}]"
 
 
 def _render_steps(steps: list[_Step]) -> str:
@@ -737,34 +869,66 @@ def _atom_true(
         raw = _get_attr_local(ctx, atom[2])
         raw = "" if raw is None else raw
         return atom[3] in raw if atom[1] == "contains" else raw.startswith(atom[3])
-    # child-element atoms: EXISTENTIAL over the context's element
-    # children (nodeset comparison, XPath 1.0). The element string-
-    # value is ALL descendant text concatenated. NaN/!= rules as above,
-    # applied per child node.
-    kids = [root] if ctx is None else [c for c in ctx if isinstance(c.tag, str)]
-    name = atom[1]
-    if k == "child_ex":
-        return any(_name_ok(c, name) for c in kids)
-    if k == "child_str":
-        op, val = atom[2], atom[3]
-        for c in kids:
-            if _name_ok(c, name):
-                sv = "".join(c.itertext())
-                if (sv == val) if op == "=" else (sv != val):
-                    return True
-        return False
-    # child_num
-    op, lit = atom[2], atom[3]
+    # path atoms: a relative location path from the context node;
+    # EXISTENTIAL over the reached nodeset (nodeset comparison, XPath
+    # 1.0). The element string-value is ALL descendant text
+    # concatenated; a '/@attr' terminal compares attribute values.
+    # NaN/!= rules as above, applied per reached node.
+    _, desc, steps, attr, cmp = atom
+    # ``None`` = the document node (unreachable through the grammar —
+    # '..' takes no predicates — but handled: its children are [root],
+    # its descendants every element including root)
+    cur: list = [ctx]
+    first = True
+    for name in steps:
+        nxt: list = []
+        for c in cur:
+            if first and desc:
+                pool = list(root.iter()) if c is None else list(c.iter())[1:]
+            elif c is None:
+                pool = [root]
+            else:
+                pool = [k2 for k2 in c if isinstance(k2.tag, str)]
+            nxt.extend(d for d in pool if _name_ok(d, name))
+        cur = nxt
+        first = False
+        if not cur:
+            return False
+    if attr is not None:
+        values = [
+            v for n2 in cur if (v := _get_attr_local(n2, attr)) is not None
+        ]
+    else:
+        values = ["".join(n2.itertext()) for n2 in cur]
+    if cmp is None:
+        return bool(values)
+    if cmp[0] == "str":
+        op, val = cmp[1], cmp[2]
+        return any(
+            (sv == val) if op == "=" else (sv != val) for sv in values
+        )
+    op, lit = cmp[1], cmp[2]
     rhs = float(lit)
-    for c in kids:
-        if _name_ok(c, name):
-            v = _xpath_number("".join(c.itertext()))
-            if v is None:
-                if op == "!=":
-                    return True
-            elif _cmp_num(v, op, rhs):
+    for sv in values:
+        v = _xpath_number(sv)
+        if v is None:
+            if op == "!=":
                 return True
+        elif _cmp_num(v, op, rhs):
+            return True
     return False
+
+
+def _expr_true(
+    e: tuple, ctx: Element | None, i: int, total: int, root: Element
+) -> bool:
+    if e[0] == "or":
+        return any(_expr_true(c, ctx, i, total, root) for c in e[1])
+    if e[0] == "and":
+        return all(_expr_true(c, ctx, i, total, root) for c in e[1])
+    if e[0] == "not":
+        return not _expr_true(e[1], ctx, i, total, root)
+    return _atom_true(e, ctx, i, total, root)
 
 
 def _apply_preds(
@@ -785,14 +949,11 @@ def _apply_preds(
             matched = matched[-1:]
         else:
             total = len(matched)
-            orlist = pred[1]
+            expr = pred[1]
             matched = [
                 c
                 for i, c in enumerate(matched, 1)
-                if any(
-                    all(_atom_true(a, c, i, total, root) for a in ands)
-                    for ands in orlist
-                )
+                if _expr_true(expr, c, i, total, root)
             ]
     return matched
 

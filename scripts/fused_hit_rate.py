@@ -89,16 +89,23 @@ CATALOG = [
     ("'//' before descendant::", "//shelf//descendant::book", True),
     ("attribute wildcard terminal", "//book/@*", True),
     ("relative (no leading slash) path", "book/title", True),
+    ("path predicate (child chain)", "//book[author/name='Ann']/@id", True),
+    ("path predicate with attr terminal", "//shelf[book/@cat='f']/@id", True),
+    ("parenthesized boolean", "//book[(@cat='f' or price>30) and title]", True),
+    ("not() negation", "//book[not(@cat='f')]/@id", True),
+    ("nested not()", "//book[not(not(author))]/@id", True),
     # ---- documented out-of-subset residue (JVM fallback) ----
     ("'//' before parent step", "//book//..", False),
     ("'//' before reverse/full-doc axis step", "//title//ancestor::book", False),
     ("positional chain on reverse axis (Xalan doc-order bug)",
      "//a/ancestor::b[1][@x='1']", False),
+    ("'.//'-leading predicate path (javax full-name-matches it on "
+     "prefixed docs)", "//shelf[.//name='Ann']/@id", False),
     ("predicate on '..' (INVALID XPath 1.0 — javax throws)",
      "//a/..[@id='1']", False),
     ("count() function (non-nodeset result)", "count(//book)", False),
-    ("nested predicate", "//book[a[b]]/@id", False),
-    ("parenthesized boolean", "//book[(1=1)]/@id", False),
+    ("nested bracket predicate", "//book[a[b]]/@id", False),
+    ("absolute path inside a predicate", "//book[//name='Ann']/@id", False),
 ]
 
 

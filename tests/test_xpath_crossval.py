@@ -52,6 +52,22 @@ def _gen_tree(rng: random.Random, ns: bool = False) -> str:
 
 def _gen_atom(rng: random.Random) -> str:
     roll = rng.random()
+    if roll < 0.1:
+        # relative location-path atom: child chain with optional /@attr
+        # terminal and optional comparison
+        # child chains only ('.//': javax ns quirk, out of subset)
+        steps = "/".join(rng.choice(TAGS + ["*"]) for _ in range(rng.randint(1, 2)))
+        lead = ""
+        term = f"/@{rng.choice(['id', 'cat'])}" if rng.random() < 0.3 else ""
+        croll = rng.random()
+        if croll < 0.4:
+            cmp = ""
+        elif croll < 0.7:
+            op = "=" if rng.random() < 0.7 else "!="
+            cmp = f"{op}'{rng.choice(['t1', 'zz', 't1t2', '1', '2', ''])}'"
+        else:
+            cmp = f"{rng.choice(['=', '!=', '<', '<=', '>', '>='])}{rng.choice(['1', '2', '12'])}"
+        return f"{lead}{steps}{term}{cmp}"
     if roll < 0.18:
         attr, vals = rng.choice(ATTRS)
         op = "=" if rng.random() < 0.7 else "!="
@@ -89,22 +105,33 @@ def _gen_atom(rng: random.Random) -> str:
     return f"[{fn}(@{attr},'{arg}')]"[1:-1]
 
 
+def _gen_bool(rng: random.Random, depth: int = 0) -> str:
+    """Boolean expression: atoms, and/or (XPath precedence),
+    parenthesized groups, not(...) — one nesting level of recursion."""
+    def term() -> str:
+        r = rng.random()
+        if depth == 0 and r < 0.12:
+            return f"not({_gen_bool(rng, depth + 1)})"
+        if depth == 0 and r < 0.2:
+            return f"({_gen_bool(rng, depth + 1)})"
+        return _gen_atom(rng)
+
+    n = rng.randint(1, 3)
+    out = term()
+    for _ in range(n - 1):
+        out += f" {rng.choice(['and', 'or'])} {term()}"
+    return out
+
+
 def _gen_pred(rng: random.Random) -> str:
     roll = rng.random()
     if roll < 0.25:
         return f"[{rng.randint(1, 3)}]"
     if roll < 0.35:
         return "[last()]"
-    if roll < 0.65:
+    if roll < 0.6:
         return f"[{_gen_atom(rng)}]"
-    # boolean combination; 'and' binds tighter than 'or' (javax rule)
-    n = rng.randint(2, 3)
-    atoms = [_gen_atom(rng) for _ in range(n)]
-    kws = [rng.choice(["and", "or"]) for _ in range(n - 1)]
-    out = atoms[0]
-    for kw, a in zip(kws, atoms[1:]):
-        out += f" {kw} {a}"
-    return f"[{out}]"
+    return f"[{_gen_bool(rng)}]"
 
 
 def _gen_preds(rng: random.Random) -> str:

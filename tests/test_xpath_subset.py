@@ -51,8 +51,10 @@ def test_out_of_subset_falls_back():
         "//a//parent::b",  # '//' before parent (text-node ctx)
         "//a/..[@id='1']",  # INVALID XPath 1.0 (javax throws on it too)
         "count(//book)",  # non-nodeset result type
-        "//book[a[b]]/@id",  # nested predicate
-        "//book[(1=1)]/@id",  # parenthesized boolean
+        "//book[a[b]]/@id",  # nested bracket predicate
+        "//book[(1=1)]/@id",  # literal-vs-literal comparison (no nodeset)
+        "//book[//name='Ann']/@id",  # ABSOLUTE path inside a predicate
+        "//shelf[.//name='x']/@id",  # './/' in pred: javax ns quirk
         # positional predicate CHAINS on reverse axes: Xalan applies
         # the positional leg in document order inside a chain but in
         # proximity order standalone (internally inconsistent) — fall
@@ -519,3 +521,66 @@ def test_strip_prefixes_new_constructs():
     )
     # relative paths render absolute (identical nodeset, javax-verified)
     assert strip_prefixes("store/shelf/@id") == "/store/shelf/@id"
+
+
+PATHDOC = ET.fromstring(
+    '<store name="s"><shelf id="s1">'
+    '<book id="bk1" cat="f"><author><name>Ann</name><age>30</age></author>'
+    "<title>T1</title></book>"
+    '<book id="bk2" cat="n"><author><name>Bob</name></author>'
+    "<title>T2</title></book>"
+    '<book id="bk3" cat="f"><title>T3</title></book>'
+    "</shelf>"
+    '<shelf id="s2"><book id="bk4"><author><name>Ann</name></author></book>'
+    "</shelf></store>"
+)
+
+
+def test_path_predicates():
+    # relative location paths inside predicates, existential semantics
+    # (every expected value javax-probed on this document)
+    assert ev("//book[author/name='Ann']/@id", PATHDOC) == "bk1bk4"
+    assert ev("//book[author/name]/@id", PATHDOC) == "bk1bk2bk4"
+    assert ev("//book[author/age>25]/@id", PATHDOC) == "bk1"
+    assert ev("//book[author/name!='Ann']/@id", PATHDOC) == "bk2"
+    assert ev("//shelf[book/author/name='Ann']/@id", PATHDOC) == "s1s2"
+    assert ev("//store[shelf/book/author/name='Ann']/@name", PATHDOC) == "s"
+    # attribute terminal on the path
+    assert ev("//shelf[book/@cat='f']/@id", PATHDOC) == "s1"
+    assert ev("//book[author/@x]/@id", PATHDOC) is None
+    # './/' inside a predicate is OUT of subset: javax full-name-
+    # matches it on prefix-carrying docs (namespace-inconsistent with
+    # its own step evaluation) — JVM fallback, bug-for-bug
+    assert compile_subset("//shelf[.//name='Ann']/@id") is None
+
+
+def test_parenthesized_booleans():
+    assert ev("//book[(@cat='f')]/@id", PATHDOC) == "bk1bk3"
+    assert (
+        ev("//book[(@cat='f' or @id='bk2') and author]/@id", PATHDOC) == "bk1bk2"
+    )
+    assert (
+        ev("//book[@cat='f' and (author/name='Ann' or title='T3')]/@id", PATHDOC)
+        == "bk1bk3"
+    )
+
+
+def test_not_function():
+    assert ev("//book[not(@cat='f')]/@id", PATHDOC) == "bk2bk4"
+    assert ev("//book[not(author)]/@id", PATHDOC) == "bk3"
+    # not(nodeset = v) means "NO reached node equals v"
+    assert ev("//book[not(author/name='Ann')]/@id", PATHDOC) == "bk2bk3"
+    assert ev("//book[not(@missing)]/@id", PATHDOC) == "bk1bk2bk3bk4"
+    assert ev("//book[not(position()=1)]/@id", PATHDOC) == "bk2bk3"
+    assert ev("//book[not(not(author))]/@id", PATHDOC) == "bk1bk2bk4"
+
+
+def test_strip_prefixes_path_predicates():
+    assert (
+        strip_prefixes("//bk:book[bk:author/bk:name='Ann']/@ns:id")
+        == "//book[author/name='Ann']/@id"
+    )
+    assert (
+        strip_prefixes("//b[not(a/@x) and (c or d/e>3)]/text()")
+        == "//b[not(a/@x) and (c or d/e>3)]/text()"
+    )
