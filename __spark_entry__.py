@@ -67,6 +67,7 @@ FRONT = [
     # round-5 NEW operators first (never-certified by definition):
     "dedup_prefix_filter_join",
     "events_debounce",
+    "dedup_clusters_incremental",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

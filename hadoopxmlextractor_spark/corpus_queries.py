@@ -242,6 +242,62 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters_incremental",
+    r"""
+    WITH RECURSIVE tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+      FROM documents WHERE text IS NOT NULL
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                          for i in generate_series(1, len(w) - 2)]
+               END
+             ) AS shingles
+      FROM tok
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+    ), edges AS (
+      SELECT doc_a AS x, doc_b AS y FROM pairs
+      UNION
+      SELECT doc_b AS x, doc_a AS y FROM pairs
+    ), reach(x, y) AS (
+      SELECT x, x FROM (SELECT DISTINCT x FROM edges)
+      UNION
+      SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x
+    )
+    SELECT x AS doc_id, MIN(y) AS component_id, (x = MIN(y)) AS is_canonical
+    FROM reach GROUP BY x
+    """,
+)
+def q_dedup_clusters_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    # Continuous-ingest cluster MAINTENANCE: docs with doc_id % 3 != 0
+    # are the standing corpus (labels already resolved); the rest are
+    # the newly-landed batch. Old connectivity rides forward as the
+    # label star graph (doc -> component id), so only pairs touching a
+    # NEW doc are generated this round — the old pair set never
+    # recurs. The oracle is DELIBERATELY the from-scratch recompute
+    # over the full pair graph (the dedup_clusters CTE verbatim): the
+    # incremental algebra must land on it exactly, including clusters
+    # that a new bridge doc MERGES across old components.
+    docs = load(spark, sf, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = pairs.persist()
+    pairs.count()  # feeds the old/new split below twice
+    is_new_a = (F.col("doc_a") % 3 == 0)
+    is_new_b = (F.col("doc_b") % 3 == 0)
+    old_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    new_pairs = pairs.filter(is_new_a | is_new_b)
+    labels = D.connected_components(old_pairs)
+    return D.connected_components_incremental(labels, new_pairs)
+
+
+@query(
     "dedup_semantic_clusters",
     O.semantic_clusters_lsh_oracle(threshold=0.45, dim=64, n_planes=4, n_tables=8),
 )

@@ -541,6 +541,50 @@ def connected_components(
     )
 
 
+def connected_components_incremental(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    comp_col: str = "component_id",
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Merge a NEW batch of near-dup pairs into EXISTING cluster labels
+    without recomputing the old graph — the cluster-maintenance half of
+    continuous ingest (:func:`minhash_incremental_flags` generates the
+    new-batch candidate pairs; this folds them into the standing
+    clusters).
+
+    Key identity: with min-label components, the prior labels capture
+    old connectivity COMPLETELY — every old node is connected to its
+    component id (the component's min member) — so the merged
+    clustering equals plain :func:`connected_components` over the
+    STAR edges (doc_id → component_id, one per previously-labeled
+    node) unioned with the new pairs. The old pair set — the expensive
+    O(candidates) object — is never touched again, and the star graph
+    has diameter 2, so propagation converges in a handful of rounds
+    regardless of how deep the original merge history is.
+
+    Output contract matches :func:`connected_components`: (doc_id,
+    component_id, is_canonical) over labels' nodes ∪ new_pairs' nodes;
+    the merged result is IDENTICAL to a from-scratch recompute over
+    old ∪ new pairs (oracle-checked by `dedup_clusters_incremental`,
+    which reuses the full-recompute recursive CTE verbatim).
+    """
+    # labels typically arrive from a prior iterative resolve whose plan
+    # is rounds deep; composing a SECOND iterative loop on top of that
+    # lineage makes the combined tree grow multiplicatively per round
+    # (observed: OOM in plan-string generation alone). localCheckpoint
+    # truncates the input lineage so the merge plans like a fresh run.
+    star = labels.select(
+        F.col(id_col).alias(id_a), F.col(comp_col).alias(id_b)
+    ).localCheckpoint()
+    edges = star.unionByName(new_pairs.select(id_a, id_b))
+    return connected_components(edges, id_a, id_b, max_iter=max_iter)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

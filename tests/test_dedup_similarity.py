@@ -1125,3 +1125,52 @@ def test_prefix_filter_candidate_budget_guard(spark):
         df, "text", "doc_id", n=3, threshold_pct=50, candidate_budget=None
     )
     assert pairs.count() == 30 * 29 / 2  # all-identical corpus
+
+
+def test_connected_components_incremental_matches_full_recompute(spark):
+    # old graph: two separate components {1,2} and {5,6}, plus old
+    # singleton 9 (appears in labels with its own id); the NEW batch
+    # bridges them (2-5 via new doc 100) and starts a fresh cluster
+    # {200, 201}. The merged labels must equal a from-scratch resolve
+    # over ALL edges — including the cross-old-component merge, which
+    # only works because old connectivity rides the label star graph.
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    labels = D.connected_components(old_pairs)
+    # old singleton: present in the standing labels but edge-free
+    labels = labels.union(
+        spark.createDataFrame([(9, 9, True)], labels.schema)
+    )
+    new_pairs = spark.createDataFrame(
+        [(2, 100), (100, 5), (200, 201)], "doc_a long, doc_b long"
+    )
+    merged = D.connected_components_incremental(labels, new_pairs)
+    got = {r.doc_id: (r.component_id, r.is_canonical) for r in merged.collect()}
+    full = D.connected_components(
+        old_pairs.union(new_pairs)
+    )
+    want = {r.doc_id: (r.component_id, r.is_canonical) for r in full.collect()}
+    want[9] = (9, True)  # the full recompute never saw the singleton
+    assert got == want
+    # the bridge merged {1,2}, {5,6} and 100 into ONE component rooted
+    # at the global min
+    assert {got[k][0] for k in (1, 2, 5, 6, 100)} == {1}
+    assert got[200] == (200, True) and got[201] == (200, False)
+    assert got[9] == (9, True)
+
+
+def test_connected_components_incremental_composes_repeatedly(spark):
+    # three generations of ingest, each merging through the previous
+    # labels — the lineage-truncation contract (a second iterative
+    # loop over an un-checkpointed first one OOMs in plan generation)
+    labels = D.connected_components(
+        spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    )
+    for k, (a, b) in enumerate([(2, 3), (3, 4), (4, 5)]):
+        labels = D.connected_components_incremental(
+            labels,
+            spark.createDataFrame([(a, b)], "doc_a long, doc_b long"),
+        )
+    got = {r.doc_id: r.component_id for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
