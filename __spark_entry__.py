@@ -68,6 +68,7 @@ FRONT = [
     "dedup_prefix_filter_join",
     "events_debounce",
     "dedup_clusters_incremental",
+    "corpus_incremental_minmax",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

@@ -771,6 +771,49 @@ def q_corpus_incremental_rollup(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "corpus_incremental_minmax",
+    """
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    WHERE NOT (doc_id % 11 = 0 AND (source LIKE '%3' OR source LIKE '%7'))
+    GROUP BY source
+    """,
+)
+def q_corpus_incremental_minmax(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental maintenance of the NON-self-maintainable aggregates:
+    # min/max cannot ride retract/assert deltas (a delete may remove
+    # the extremum), so the operator recomputes DIRTY groups only and
+    # carries untouched groups' rollups forward verbatim. Mutations are
+    # confined to sources ending in 3 or 7 (adds: doc_id%7==0 dropped
+    # from old; changes: +17 on doc_id%5==0; removes: doc_id%11==0
+    # dropped from new), so BOTH paths are genuinely live per the
+    # vacuous-check rule: 16 clean groups must carry forward and 4
+    # dirty groups must recompute (with removed/changed extrema among
+    # them). The oracle is deliberately the direct recompute over the
+    # new version — the dirty-group algebra must land on it exactly.
+    from hadoopxmlextractor_spark.snapshots import maintain_minmax_rollup
+
+    docs = load(spark, sf, "documents")
+    touched = F.col("source").endswith("3") | F.col("source").endswith("7")
+    old = docs.filter(~((F.col("doc_id") % 7 == 0) & touched)).withColumn(
+        "n_chars",
+        F.col("n_chars")
+        + F.when((F.col("doc_id") % 5 == 0) & touched, F.lit(17)).otherwise(
+            F.lit(0)
+        ),
+    )
+    new = docs.filter(~((F.col("doc_id") % 11 == 0) & touched))
+    return (
+        maintain_minmax_rollup(old, new, "doc_id", "source", "n_chars")
+        .withColumnRenamed("min_val", "min_chars")
+        .withColumnRenamed("max_val", "max_chars")
+    )
+
+
+@query(
     "text_heavy_hitters",
     r"""
     WITH toks AS (

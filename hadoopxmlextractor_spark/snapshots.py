@@ -298,3 +298,78 @@ def maintain_rollup(
         )
         .filter(F.col("n_docs") > 0)
     )
+
+
+def maintain_minmax_rollup(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    group_col: str,
+    val_col: str,
+) -> DataFrame:
+    """Incremental maintenance for the NON-self-maintainable
+    aggregates (min/max): a delete or update can remove the current
+    extremum, so no retract/assert delta can produce the new value
+    from the old rollup alone (the :func:`maintain_rollup` algebra is
+    structurally impossible here). The correct incremental plan is
+    DIRTY-GROUP recompute:
+
+    1. diff the versions on the unique id (diff-sized, uniform key),
+    2. mark every group an added/removed/changed row touches — under
+       BOTH its old and new group, so group-moving rows dirty both,
+    3. recompute min/max/count from the NEW version for the dirty
+       groups ONLY (the dirty-group list is group-dimension-sized and
+       broadcasts into the scan as a semi-join),
+    4. carry every untouched group's old rollup forward VERBATIM —
+       its rows are provably identical in both versions.
+
+    Touch cost per refresh: O(|diff|) + O(rows of dirty groups) —
+    never a rescan of clean groups, which is the entire point at
+    100 TB where a daily batch touches a handful of partitions.
+    Returns (group_col, n_docs, min_val, max_val); a group whose rows
+    all vanish drops out (no rows → no recomputed entry; dirty by
+    construction so never carried forward).
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("g_old"),
+        F.col(val_col).cast("long").alias("v_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        F.col(group_col).alias("g_new"),
+        F.col(val_col).cast("long").alias("v_new"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    diff = j.filter(
+        ~(
+            F.col("g_old").eqNullSafe(F.col("g_new"))
+            & F.col("v_old").eqNullSafe(F.col("v_new"))
+        )
+    )
+    dirty = (
+        diff.select(F.col("g_old").alias("grp"))
+        .unionByName(diff.select(F.col("g_new").alias("grp")))
+        .filter(F.col("grp").isNotNull())
+        .distinct()
+    )
+    old_roll = o.groupBy(F.col("g_old").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("v_old").alias("min_val"),
+        F.max("v_old").alias("max_val"),
+    )
+    carried = old_roll.join(F.broadcast(dirty), "grp", "left_anti")
+    recomputed = (
+        n.join(F.broadcast(dirty), n["g_new"] == dirty["grp"], "left_semi")
+        .groupBy(F.col("g_new").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("v_new").alias("min_val"),
+            F.max("v_new").alias("max_val"),
+        )
+    )
+    return carried.unionByName(recomputed).select(
+        F.col("grp").alias(group_col), "n_docs", "min_val", "max_val"
+    )

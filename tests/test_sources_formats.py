@@ -706,3 +706,65 @@ def test_maintain_rollup_matches_direct_recompute_with_group_moves(spark):
     }
     assert got == direct == {"a": (2, 35), "b": (2, 100)}
     assert "c" not in got
+
+
+def test_maintain_minmax_rollup_dirty_group_recompute(spark):
+    """Min/max are not self-maintainable: deleting the extremum forces
+    a recompute of that group, while untouched groups must carry their
+    old rollup forward verbatim (incl. when the old rollup would be
+    expensive to rebuild). Covers: extremum DELETED, extremum value
+    CHANGED, group-moving row (dirties both groups), group emptied,
+    brand-new group, and a clean carried-forward group."""
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.snapshots import maintain_minmax_rollup
+
+    old = spark.createDataFrame(
+        [
+            # group A: max row (id 2) will be DELETED
+            (1, "A", 10), (2, "A", 99), (3, "A", 50),
+            # group B: min row (id 4) CHANGES value upward
+            (4, "B", 5), (5, "B", 40),
+            # group C: row 6 will MOVE to group D
+            (6, "C", 77), (7, "C", 30),
+            # group E: will be emptied entirely
+            (8, "E", 1),
+            # group F: completely untouched (must carry forward)
+            (9, "F", 3), (10, "F", 8),
+        ],
+        "id long, grp string, v long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "A", 10), (3, "A", 50),          # A: 99 gone -> max 50
+            (4, "B", 60), (5, "B", 40),          # B: min becomes 40
+            (6, "D", 77), (7, "C", 30),          # C loses 77; D appears
+            (9, "F", 3), (10, "F", 8),           # F untouched
+            (11, "G", 200),                      # brand-new group
+        ],
+        "id long, grp string, v long",
+    )
+    got = {
+        r.grp: (r.n_docs, r.min_val, r.max_val)
+        for r in maintain_minmax_rollup(old, new, "id", "grp", "v").collect()
+    }
+    assert got == {
+        "A": (2, 10, 50),
+        "B": (2, 40, 60),
+        "C": (1, 30, 30),
+        "D": (1, 77, 77),
+        "F": (2, 3, 8),
+        "G": (1, 200, 200),
+    }  # E emptied -> absent
+    # equality with the direct recompute (the oracle identity)
+    direct = {
+        r.grp: (r.n_docs, r.min_val, r.max_val)
+        for r in new.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("v").alias("min_val"),
+            F.max("v").alias("max_val"),
+        )
+        .collect()
+    }
+    assert got == direct
