@@ -69,6 +69,7 @@ FRONT = [
     "events_debounce",
     "dedup_clusters_incremental",
     "corpus_incremental_minmax",
+    "events_sessionize_incremental",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

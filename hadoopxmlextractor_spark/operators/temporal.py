@@ -223,3 +223,146 @@ def asof_join_cogroup(
         .cogroup(right.groupBy("__asof_key"))
         .applyInPandas(align, out_schema)
     )
+
+
+def sessionize_table(
+    events: DataFrame,
+    *,
+    gap_ms: int,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ms_col: str = "ms",
+) -> DataFrame:
+    """Gap-based sessionization reduced to the SESSION TABLE form:
+    (user_id, session_id, start_ms, end_ms, n_events), session_id =
+    1-based running count of session starts per user (lag + running
+    sum, one user-keyed exchange — the events_sessionize shape with a
+    per-session rollup on top, sharing the same exchange)."""
+    w = Window.partitionBy(user_col).orderBy(ms_col, id_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = events.withColumn(
+        "_ns",
+        F.when(
+            F.lag(ms_col).over(w).isNull()
+            | ((F.col(ms_col) - F.lag(ms_col).over(w)) > gap_ms),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("_ns").over(wrun))
+    return sess.groupBy(user_col, "session_id").agg(
+        F.min(ms_col).cast("long").alias("start_ms"),
+        F.max(ms_col).cast("long").alias("end_ms"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+
+
+def sessionize_incremental(
+    standing: DataFrame,
+    new_events: DataFrame,
+    *,
+    gap_ms: int,
+    user_col: str = "user_id",
+    id_col: str = "event_id",
+    ms_col: str = "ms",
+) -> DataFrame:
+    """Merge an APPEND-ONLY batch of events into a standing session
+    table without re-touching old events — the incremental half of the
+    gap-sessionization pattern (late-binding session tables refreshed
+    per landed batch).
+
+    Key property: under per-user append-only arrival (every new event
+    at or after that user's last old event), only each dirty user's
+    LAST standing session can change — the batch's first event either
+    falls within ``gap_ms`` of its end (the session EXTENDS, possibly
+    merging in the whole batch prefix) or beyond it (a NEW session
+    starts and the old one is already final). Everything else — every
+    session of untouched users and every non-final session of dirty
+    users — carries forward verbatim.
+
+    Algebra: seed each dirty user's batch sessionization with
+    (last_sid, last_end): the first batch event's new-session flag
+    compares against ``last_end`` instead of NULL, and batch session
+    ids offset from ``last_sid``, so a continuing prefix lands on
+    EXACTLY the standing session's id. The continued session merges
+    counts/extends end; a non-continued last session survives via the
+    anti-join carry. Cost per batch: O(standing) carry + O(batch)
+    window — old EVENTS are never read (the standing table suffices),
+    which is the point: the session table is session-cardinality,
+    the event log is event-cardinality.
+
+    Inputs: ``standing`` = (user, session_id, start_ms, end_ms,
+    n_events) — :func:`sessionize_table` output; ``new_events`` =
+    (user, event_id, ms). Output: the new standing table, IDENTICAL
+    to a from-scratch :func:`sessionize_table` over all events
+    (oracle-checked by `events_sessionize_incremental`).
+    """
+    wlast = Window.partitionBy(user_col).orderBy(F.col("session_id").desc())
+    last = (
+        standing.withColumn("_rn", F.row_number().over(wlast))
+        .filter(F.col("_rn") == 1)
+        .select(
+            user_col,
+            F.col("session_id").alias("last_sid"),
+            F.col("start_ms").alias("last_start"),
+            F.col("end_ms").alias("last_end"),
+            F.col("n_events").alias("last_n"),
+        )
+    )
+    dirty = new_events.select(user_col).distinct()
+    seed = dirty.join(last, user_col, "left")
+    w = Window.partitionBy(user_col).orderBy(ms_col, id_col)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = (
+        new_events.join(F.broadcast(seed), user_col, "left")
+        .withColumn("_prev", F.lag(ms_col).over(w))
+        # the batch's first row anchors on the standing session's end
+        .withColumn("_anchor", F.coalesce("_prev", "last_end"))
+        .withColumn(
+            "_ns",
+            F.when(
+                F.col("_anchor").isNull()
+                | ((F.col(ms_col) - F.col("_anchor")) > gap_ms),
+                1,
+            ).otherwise(0),
+        )
+    )
+    sess = marked.withColumn(
+        "_sid",
+        F.coalesce(F.col("last_sid"), F.lit(0)) + F.sum("_ns").over(wrun),
+    )
+    batch = sess.groupBy(user_col, "_sid").agg(
+        F.min(ms_col).cast("long").alias("b_start"),
+        F.max(ms_col).cast("long").alias("b_end"),
+        F.count(F.lit(1)).cast("long").alias("b_n"),
+    )
+    merged = batch.join(F.broadcast(seed), user_col, "left").select(
+        user_col,
+        F.col("_sid").cast("long").alias("session_id"),
+        F.when(
+            F.col("_sid") == F.col("last_sid"),
+            F.least("last_start", "b_start"),
+        )
+        .otherwise(F.col("b_start"))
+        .cast("long")
+        .alias("start_ms"),
+        F.col("b_end").alias("end_ms"),
+        (
+            F.col("b_n")
+            + F.when(
+                F.col("_sid") == F.col("last_sid"), F.col("last_n")
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_events"),
+    )
+    continued = (
+        batch.join(seed, user_col)
+        .filter(F.col("_sid") == F.col("last_sid"))
+        .select(user_col, F.col("_sid").alias("session_id"))
+    )
+    carried = standing.join(
+        F.broadcast(continued), [user_col, "session_id"], "left_anti"
+    )
+    return carried.select(
+        user_col, "session_id", "start_ms", "end_ms", "n_events"
+    ).unionByName(merged)

@@ -835,3 +835,70 @@ def test_forget_audit_counts_residual_copies(spark):
         for r in forget_residual_audit(docs, removal2, "text", "doc_id").collect()
     }
     assert got2 == {1: 0, 2: 0, 3: 0}
+
+
+def test_sessionize_incremental_boundary_cases(spark):
+    """Append-only batch merge must equal the from-scratch session
+    table across every boundary outcome: continuation exactly AT the
+    gap (> is the break rule, = continues), a batch whose events split
+    continue-then-new, an untouched user carried forward, a brand-new
+    user, and idempotent multi-generation composition."""
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.temporal import (
+        sessionize_incremental,
+        sessionize_table,
+    )
+
+    GAP = 1000
+    old = spark.createDataFrame(
+        [
+            (1, 10, 0), (1, 11, 500),          # u1 session 1 ends at 500
+            (1, 12, 5_000),                    # u1 session 2 ends at 5000
+            (2, 20, 0),                        # u2: untouched user
+            (3, 30, 0),                        # u3: last event at 0
+        ],
+        "user_id long, event_id long, ms long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, 13, 6_000),                    # exactly gap after 5000 -> CONTINUES (rule is >)
+            (1, 14, 8_000),                    # then breaks -> new session 3
+            (3, 31, 2_000),                    # > gap after 0 -> new session 2
+            (4, 40, 100), (4, 41, 50_000),     # brand-new user: 2 sessions
+        ],
+        "user_id long, event_id long, ms long",
+    )
+    standing = sessionize_table(old, gap_ms=GAP)
+    got = {
+        (r.user_id, r.session_id): (r.start_ms, r.end_ms, r.n_events)
+        for r in sessionize_incremental(standing, new, gap_ms=GAP).collect()
+    }
+    want = {
+        (r.user_id, r.session_id): (r.start_ms, r.end_ms, r.n_events)
+        for r in sessionize_table(old.union(new), gap_ms=GAP).collect()
+    }
+    assert got == want
+    assert got[(1, 2)] == (5_000, 6_000, 2)   # merged continuation
+    assert got[(1, 3)] == (8_000, 8_000, 1)   # post-merge break
+    assert got[(2, 1)] == (0, 0, 1)           # untouched carry-forward
+    assert got[(3, 2)] == (2_000, 2_000, 1)   # non-continued: old final
+    assert got[(4, 1)] == (100, 100, 1) and got[(4, 2)] == (50_000, 50_000, 1)
+
+    # second generation composes on the merged table
+    new2 = spark.createDataFrame(
+        [(1, 15, 8_500), (2, 21, 100)], "user_id long, event_id long, ms long"
+    )
+    got2 = {
+        (r.user_id, r.session_id): (r.start_ms, r.end_ms, r.n_events)
+        for r in sessionize_incremental(
+            sessionize_incremental(standing, new, gap_ms=GAP), new2, gap_ms=GAP
+        ).collect()
+    }
+    want2 = {
+        (r.user_id, r.session_id): (r.start_ms, r.end_ms, r.n_events)
+        for r in sessionize_table(
+            old.union(new).union(new2), gap_ms=GAP
+        ).collect()
+    }
+    assert got2 == want2
