@@ -50,6 +50,10 @@ HEADLINE = [
     # multi-vector retrieval
     "corpus_paragraph_dedup",
     "similarity_maxsim_multivector",
+    # round-5 incremental suite: exact prefix-filtered similarity join,
+    # batch-merge sessionization (the continuous-ingest shapes)
+    "dedup_prefix_filter_join",
+    "events_sessionize_incremental",
 ]
 
 N_XML_DOCS = 500

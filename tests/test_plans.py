@@ -1128,3 +1128,55 @@ def test_shared_runs_joins_the_cached_index_with_df_cap(spark):
     plan = executed_plan(out)
     assert plan.count("InMemoryTableScan") >= 2  # cache feeds both sides
     assert "df#" in plan and "<= 100" in plan  # the cap filter is present
+
+
+def test_prefix_filter_join_plan_contract(spark):
+    # The prefix-filter join must never degrade to an all-pairs plan:
+    # candidates come from an equi-join on the shingle hash, the df
+    # window rides the same hash partitioning as that join (shared
+    # exchange), and the verify join-backs are plain equi-joins.
+    from hadoopxmlextractor_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+    from hadoopxmlextractor_spark.plans import executed_plan
+
+    docs = load(spark, SF, "documents")
+    plan = executed_plan(
+        prefix_filter_jaccard_pairs(docs, "text", "doc_id", n=3)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_incremental_plan_contract(spark):
+    # The batch merge must keep its incremental shape: the dirty-user
+    # seed and the continued-session carry ride BROADCAST joins (both
+    # are dirty-dimension-sized), never a shuffle of the standing
+    # table against the batch, and nothing degrades to a nested loop.
+    from hadoopxmlextractor_spark.events_queries import (
+        q_events_sessionize_incremental,
+    )
+    from hadoopxmlextractor_spark.plans import executed_plan
+
+    plan = executed_plan(q_events_sessionize_incremental(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # seed ×2 + carry
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_maintain_minmax_touches_only_dirty_groups(spark):
+    # The dirty-group list must BROADCAST into both the carry anti-join
+    # and the recompute semi-join (group-dimension-sized by
+    # construction) — a shuffled variant would rescan clean groups.
+    from hadoopxmlextractor_spark.pipeline_queries import (
+        q_corpus_incremental_minmax,
+    )
+    from hadoopxmlextractor_spark.plans import executed_plan
+
+    plan = executed_plan(q_corpus_incremental_minmax(spark, SF))
+    assert "BroadcastHashJoin LeftAnti" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
