@@ -70,6 +70,7 @@ FRONT = [
     "dedup_clusters_incremental",
     "corpus_incremental_minmax",
     "events_sessionize_incremental",
+    "diagnostics_join_cardinality",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

@@ -2023,3 +2023,58 @@ def q_events_sessionize_incremental(spark: SparkSession, sf: str) -> DataFrame:
     new = ranked.filter(F.col("rn") > F.expr("(8 * n) div 10")).drop("rn", "n")
     standing = sessionize_table(old, gap_ms=GAP)
     return sessionize_incremental(standing, new, gap_ms=GAP)
+
+
+@query(
+    "diagnostics_join_cardinality",
+    """
+    WITH ha AS (
+      SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS na
+      FROM lineitem GROUP BY l_orderkey
+    ), hb AS (
+      SELECT o_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS nb
+      FROM orders GROUP BY o_orderkey
+    ), m AS (
+      SELECT ha.k, na * nb AS out_rows FROM ha JOIN hb USING (k)
+    )
+    SELECT CAST(SUM(out_rows) AS BIGINT) AS predicted_rows,
+           CAST(COUNT(*) AS BIGINT) AS matched_keys,
+           CAST(MAX(out_rows) AS BIGINT) AS max_key_rows,
+           ROUND(CAST(MAX(out_rows) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(out_rows) AS DOUBLE), 4) AS skew_factor
+    FROM m
+    """,
+)
+def q_diagnostics_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    # Join-cardinality PRE-FLIGHT: the exact output row count of
+    # lineitem ⋈ orders — and its hottest key's contribution — computed
+    # from the two key HISTOGRAMS without materializing a single joined
+    # row. The histograms are distinct-key-sized (map-side partial
+    # aggregation collapses each side before its exchange), so the
+    # pre-flight costs two shrunken aggregates + a key-sized join where
+    # the real join would cost the full fact-table shuffle — the
+    # measurement to run BEFORE an unfamiliar join at 100 TB, and the
+    # quantitative trigger for operators/skew.py salting (skew_factor =
+    # max key output ÷ mean key output) or for refusing an accidental
+    # fan-out join outright. Complements the dedup-side candidate
+    # budgets: same fail-fast philosophy, relational surface.
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    ha = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("na")
+    )
+    hb = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    m = ha.join(hb, "k").select((F.col("na") * F.col("nb")).alias("out_rows"))
+    return m.agg(
+        F.sum("out_rows").cast("long").alias("predicted_rows"),
+        F.count(F.lit(1)).cast("long").alias("matched_keys"),
+        F.max("out_rows").cast("long").alias("max_key_rows"),
+        F.round(
+            F.max("out_rows").cast("double")
+            * F.count(F.lit(1)).cast("double")
+            / F.sum("out_rows").cast("double"),
+            4,
+        ).alias("skew_factor"),
+    )

@@ -1180,3 +1180,28 @@ def test_maintain_minmax_touches_only_dirty_groups(spark):
     )
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_join_cardinality_preflight_never_joins_fact_rows(spark):
+    # The pre-flight must aggregate BOTH fact sides to key histograms
+    # BEFORE its only join (partial aggregation collapses each side
+    # pre-exchange), and its prediction must equal the real join's
+    # row count exactly.
+    from hadoopxmlextractor_spark.events_queries import (
+        q_diagnostics_join_cardinality,
+    )
+    from hadoopxmlextractor_spark.plans import executed_plan
+
+    df = q_diagnostics_join_cardinality(spark, SF)
+    row = df.first()
+    li = load(spark, SF, "lineitem")
+    orders = load(spark, SF, "orders")
+    actual = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).count()
+    assert row["predicted_rows"] == actual
+    plan = executed_plan(df)
+    # the join's inputs are HashAggregates, not raw scans: every
+    # SortMergeJoin/ShuffledHashJoin/BroadcastHashJoin input must have
+    # an aggregate between it and the scan — cheap proxy: exactly one
+    # join, and at least two aggregates besides the final one
+    assert plan.count("Join") >= 1
+    assert plan.count("HashAggregate") >= 4  # 2 sides x partial+final
