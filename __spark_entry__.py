@@ -71,6 +71,7 @@ FRONT = [
     "corpus_incremental_minmax",
     "events_sessionize_incremental",
     "diagnostics_join_cardinality",
+    "events_incremental_topk",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

@@ -2078,3 +2078,48 @@ def q_diagnostics_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
             4,
         ).alias("skew_factor"),
     )
+
+
+@query(
+    "events_incremental_topk",
+    """
+    SELECT event_type, event_id, value
+    FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+)
+def q_events_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # Insert-only top-k maintenance: the standing per-type top-5 (each
+    # type's first 80% of events by time) absorbs the newly-landed 20%
+    # without re-reading history — topk(all) = topk(standing topk ∪
+    # batch) holds exactly for immutable inserts. The oracle is the
+    # from-scratch top-5 over all events; (value DESC, event_id ASC)
+    # makes ties deterministic on both engines.
+    from hadoopxmlextractor_spark.snapshots import maintain_topk
+
+    ev = load(spark, sf, "events").select(
+        "event_type", "event_id", "value",
+        F.unix_millis(F.col("ts")).alias("ms"),
+    )
+    w = Window.partitionBy("event_type").orderBy("ms", "event_id")
+    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    old = ranked.filter(F.col("rn") <= F.expr("(8 * n) div 10"))
+    new = ranked.filter(F.col("rn") > F.expr("(8 * n) div 10"))
+    wk = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    standing = (
+        old.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= 5)
+        .select("event_type", "event_id", "value")
+    )
+    return maintain_topk(
+        standing, new.select("event_type", "event_id", "value"),
+        "event_type", "event_id", "value", k=5,
+    )

@@ -373,3 +373,44 @@ def maintain_minmax_rollup(
     return carried.unionByName(recomputed).select(
         F.col("grp").alias(group_col), "n_docs", "min_val", "max_val"
     )
+
+
+def maintain_topk(
+    standing_topk: DataFrame,
+    new_rows: DataFrame,
+    group_col: str,
+    id_col: str,
+    val_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Incremental per-group top-k maintenance under INSERT-ONLY
+    arrival — the third maintenance regime alongside retract/assert
+    deltas (:func:`maintain_rollup`) and dirty-group recompute
+    (:func:`maintain_minmax_rollup`): top-k is SELF-MAINTAINABLE for
+    inserts because a row outside the standing top-k can never enter
+    any future top-k (values are immutable and k is fixed), so
+
+        topk(all rows) = topk(standing topk ∪ new batch)
+
+    holds exactly and the non-top-k history is never re-read. Cost per
+    refresh: O(k·groups + batch) through one WindowGroupLimit-pushed
+    rank. Ordering is deterministic — (value DESC, id ASC) — so ties
+    resolve identically on every refresh and against any from-scratch
+    recompute (oracle identity). NOT valid under deletes/updates: a
+    removed top row would need the (k+1)-th, which was discarded —
+    route those to dirty-group recompute.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = [group_col, id_col, val_col]
+    pool = standing_topk.select(cols).unionByName(new_rows.select(cols))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(val_col).desc(), F.col(id_col).asc()
+    )
+    return (
+        pool.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

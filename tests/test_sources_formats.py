@@ -768,3 +768,55 @@ def test_maintain_minmax_rollup_dirty_group_recompute(spark):
         .collect()
     }
     assert got == direct
+
+
+def test_maintain_topk_insert_only(spark):
+    """Insert-only top-k maintenance: the batch displaces standing
+    members exactly as a from-scratch recompute would, ties resolve by
+    (value DESC, id ASC) deterministically, and composition over two
+    generations stays exact."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.snapshots import maintain_topk
+
+    def topk_direct(df, k=2):
+        w = Window.partitionBy("grp").orderBy(
+            F.col("v").desc(), F.col("id").asc()
+        )
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn")
+        )
+
+    old = spark.createDataFrame(
+        [("A", 1, 10), ("A", 2, 20), ("A", 3, 5), ("B", 4, 7), ("B", 5, 7)],
+        "grp string, id long, v long",
+    )
+    standing = topk_direct(old)
+    batch = spark.createDataFrame(
+        [("A", 6, 15), ("B", 7, 7), ("C", 8, 1)],  # displaces A#1; ties in B
+        "grp string, id long, v long",
+    )
+    got = {
+        (r.grp, r.id) for r in maintain_topk(
+            standing, batch, "grp", "id", "v", k=2
+        ).collect()
+    }
+    want = {(r.grp, r.id) for r in topk_direct(old.union(batch)).collect()}
+    assert got == want
+    assert got == {("A", 2), ("A", 6), ("B", 4), ("B", 5), ("C", 8)}
+    # second generation composes
+    batch2 = spark.createDataFrame([("B", 9, 99)], "grp string, id long, v long")
+    got2 = {
+        (r.grp, r.id) for r in maintain_topk(
+            maintain_topk(standing, batch, "grp", "id", "v", k=2),
+            batch2, "grp", "id", "v", k=2,
+        ).collect()
+    }
+    want2 = {
+        (r.grp, r.id)
+        for r in topk_direct(old.union(batch).union(batch2)).collect()
+    }
+    assert got2 == want2
