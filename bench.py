@@ -87,6 +87,10 @@ REFERENCE = {
     "corpus_prepare_training_data": 1.72,
     "dedup_sorted_neighborhood": 1.74,
     "embedding_bitext_mine": 1.74,
+    "corpus_paragraph_dedup": 0.60,
+    "similarity_maxsim_multivector": 0.38,
+    "dedup_prefix_filter_join": 1.60,
+    "events_sessionize_incremental": 1.60,
 }
 
 
