@@ -1308,3 +1308,74 @@ def test_debounce_stream_matches_batch_twin_with_ttl_eviction(spark, tmp_path):
         assert streamed()[5] is False and streamed()[6] is True
     finally:
         q.stop()
+
+
+def test_leaderboard_stream_exactly_once_matches_batch_topk(spark, tmp_path):
+    """Continuous top-k leaderboard: after each micro-batch the
+    standing snapshot equals the from-scratch per-group top-k over all
+    rows landed so far, replaying a committed batch is a no-op (the
+    idempotent marker), and the table never holds more than k rows per
+    group."""
+    import json
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.snapshots import latest_version, read_snapshot
+    from hadoopxmlextractor_spark.streaming.leaderboard import (
+        leaderboard_stream,
+        make_leaderboard_sink,
+    )
+
+    landing = tmp_path / "rows"
+    landing.mkdir()
+    table = str(tmp_path / "board")
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps({"grp": g, "id": i, "v": v}) for g, i, v in rows
+            )
+        )
+
+    def batch_topk(rows, k=2):
+        df = spark.createDataFrame(rows, "grp string, id long, v long")
+        w = Window.partitionBy("grp").orderBy(F.col("v").desc(), F.col("id"))
+        return {
+            (r.grp, r.id, r.v)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .collect()
+        }
+
+    def standing():
+        return {
+            (r.grp, r.id, r.v) for r in read_snapshot(spark, table).collect()
+        }
+
+    b1 = [("A", 1, 10), ("A", 2, 20), ("B", 3, 5)]
+    b2 = [("A", 4, 15), ("B", 5, 1), ("C", 6, 7)]  # displaces A#1
+    land("b1.json", b1)
+    stream = spark.readStream.schema("grp string, id long, v long").json(
+        str(landing)
+    )
+    q = leaderboard_stream(
+        stream, table, "grp", "id", "v", k=2,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert standing() == batch_topk(b1)
+        land("b2.json", b2)
+        q.processAllAvailable()
+        assert standing() == batch_topk(b1 + b2)
+        assert ("A", 1, 10) not in standing()  # displaced by id 4
+    finally:
+        q.stop()
+
+    # crash replay: re-running an already-committed batch id is a no-op
+    v_before = latest_version(table)
+    sink = make_leaderboard_sink(table, "grp", "id", "v", k=2)
+    sink(spark.createDataFrame(b2, "grp string, id long, v long"), 1)
+    assert latest_version(table) == v_before
+    assert standing() == batch_topk(b1 + b2)
