@@ -1205,3 +1205,4 @@ def test_join_cardinality_preflight_never_joins_fact_rows(spark):
     # join, and at least two aggregates besides the final one
     assert plan.count("Join") >= 1
     assert plan.count("HashAggregate") >= 4  # 2 sides x partial+final
+

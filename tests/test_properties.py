@@ -306,3 +306,40 @@ def test_perceptron_batch_gradient_is_order_invariant(rnd):
     # Full-batch updates are SUMs: any partitioning / arrival order
     # yields the identical model (the property SGD does not have).
     assert w_sorted == w_shuffled
+
+
+@given(
+    st.lists(
+        st.sets(st.integers(min_value=0, max_value=40), min_size=1, max_size=15),
+        min_size=2,
+        max_size=12,
+    ),
+    st.integers(min_value=30, max_value=90),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_guarantee_pure(sets, pct):
+    """The prefix-filtering theorem the Spark operator leans on,
+    checked exhaustively in pure Python over random set families: any
+    pair with Jaccard >= pct/100 MUST share an element inside the two
+    (df ASC, element ASC)-ordered prefixes of length
+    |T| - ceil(pct*|T|/100) + 1 — i.e. the candidate join provably
+    loses nothing, at any threshold and any frequency profile."""
+    from collections import Counter
+
+    df = Counter(x for s in sets for x in set(s))
+    order = {x: (df[x], x) for s in sets for x in s}
+
+    def prefix(s):
+        ordered = sorted(s, key=lambda x: order[x])
+        plen = len(s) - ((pct * len(s) + 99) // 100) + 1
+        return set(ordered[:plen])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            inter = len(a & b)
+            union = len(a | b)
+            if 100 * inter >= pct * union:  # Jaccard >= threshold
+                assert prefix(a) & prefix(b), (
+                    a, b, pct, prefix(a), prefix(b),
+                )
