@@ -1379,3 +1379,118 @@ def test_leaderboard_stream_exactly_once_matches_batch_topk(spark, tmp_path):
     sink(spark.createDataFrame(b2, "grp string, id long, v long"), 1)
     assert latest_version(table) == v_before
     assert standing() == batch_topk(b1 + b2)
+
+
+def test_debounce_stream_recovers_state_from_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a full STOP and a new query instance: the
+    restarted debounce must not re-emit batch-1 rows (committed
+    offsets) AND must still flag a post-restart event that fires
+    within the gap of a pre-restart one — the last-seen state is
+    recovered from the checkpoint, not rebuilt empty."""
+    import json
+
+    from hadoopxmlextractor_spark.streaming.dedup import debounce_stream
+
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"event_id": e, "user_id": u, "event_type": t, "ms": m}
+                )
+                for e, u, t, m in rows
+            )
+        )
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, event_type string, ms long"
+        ).json(str(landing))
+        q = (
+            debounce_stream(stream, gap_ms=1000)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    land("b1.json", [(1, 1, "click", 10_000), (2, 1, "click", 10_400)])
+    run_once()
+    # second batch lands while no query runs: event 3 is within the gap
+    # of event 2 ONLY if the state survived the restart
+    land("b2.json", [(3, 1, "click", 11_000), (4, 1, "click", 20_000)])
+    run_once()  # NEW query instance, same checkpoint
+
+    got = {r.event_id: r.is_duplicate for r in spark.read.parquet(sink).collect()}
+    assert got == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_streaming_takedown_propagates_deletes_and_audits_residuals(
+    spark, tmp_path
+):
+    """GDPR-shaped flow composed from proven pieces: a takedown STREAM
+    of doc ids merges into the versioned corpus snapshot as deletes
+    (the upsert sink's delete_col + idempotent batch marker), and the
+    right-to-be-forgotten residual audit over the post-delete snapshot
+    surfaces verbatim copies that survived under OTHER ids — the
+    id-based delete alone is not enough, which is the audit's point."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.contracts import (
+        forget_residual_audit,
+    )
+    from hadoopxmlextractor_spark.snapshots import read_snapshot, write_snapshot
+    from hadoopxmlextractor_spark.streaming.upsert import upsert_stream
+
+    table = str(tmp_path / "corpus")
+    corpus = spark.createDataFrame(
+        [
+            (1, "secret leaked document"),
+            (2, "ordinary content"),
+            (3, "secret leaked document"),  # verbatim mirror of doc 1
+            (4, "other text"),
+        ],
+        "doc_id long, text string",
+    )
+    write_snapshot(corpus, table)
+
+    landing = tmp_path / "takedowns"
+    landing.mkdir()
+    (landing / "t1.json").write_text(
+        json.dumps({"doc_id": 1, "text": "secret leaked document", "deleted": True})
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, text string, deleted boolean"
+    ).json(str(landing))
+    q = upsert_stream(
+        stream, table, "doc_id",
+        checkpoint_dir=str(tmp_path / "ckpt"), delete_col="deleted",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    after = read_snapshot(spark, table)
+    assert {r.doc_id for r in after.collect()} == {2, 3, 4}  # id 1 deleted
+    # the audit needs the requested docs' CONTENT, which the id-delete
+    # just removed — time travel to the pre-delete version supplies it
+    before = read_snapshot(spark, table, version=0)
+    requests = spark.createDataFrame([(1,)], "doc_id long")
+    audit = forget_residual_audit(before, requests, "text", "doc_id")
+    rows = audit.collect()
+    # the audit must catch the surviving verbatim mirror (doc 3)
+    assert len(rows) == 1
+    assert rows[0].doc_id == 1 and rows[0].n_exact_residuals == 1
