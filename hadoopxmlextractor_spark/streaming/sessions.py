@@ -1,0 +1,82 @@
+"""Continuously-maintained SESSION TABLE: a stream of (user, event_id,
+ms) events folded into the standing gap-session table per micro-batch,
+exactly-once.
+
+The composition mirrors ``streaming/leaderboard.py``: per batch,
+:func:`operators.temporal.sessionize_incremental` merges the batch
+into the standing table (append-only arrival ⇒ only each dirty user's
+LAST session can extend/merge; old EVENTS are never re-read — the
+session table plus the batch suffice), the result lands as a new
+snapshot version, and the idempotent batch marker makes crash replay a
+no-op. Unlike the leaderboard (k×groups rows, collected defensively),
+the session table is session-cardinality, so the merge plan writes
+DIRECTLY from v=N to v=N+1 — the same read-old-write-new shape
+``commit_upsert`` already exercises.
+
+Contrast with ``streaming/events.py`` session WINDOWS: Spark's
+session_window emits closed windows past the watermark and keeps open
+ones in state — the aggregate stream. This sink maintains the session
+TABLE AS DATA (queryable, time-travelable, joinable mid-session),
+which is what feature stores and activity dashboards read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from hadoopxmlextractor_spark.operators.temporal import (
+    sessionize_incremental,
+    sessionize_table,
+)
+from hadoopxmlextractor_spark.snapshots import (
+    latest_version,
+    read_snapshot,
+    write_snapshot,
+)
+from hadoopxmlextractor_spark.streaming.upsert import (
+    _marker_path,
+    last_committed_batch,
+)
+
+
+def make_session_table_sink(table_dir: str, *, gap_ms: int):
+    """foreachBatch function: standing sessions + batch → new version,
+    skipped when this batch_id already committed (crash replay)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_id <= last_committed_batch(table_dir):
+            return  # replayed after restart — version already durable
+        batch = batch_df.select("user_id", "event_id", "ms")
+        if latest_version(table_dir) is None:
+            merged = sessionize_table(batch, gap_ms=gap_ms)
+        else:
+            standing = read_snapshot(batch_df.sparkSession, table_dir)
+            merged = sessionize_incremental(standing, batch, gap_ms=gap_ms)
+        write_snapshot(merged, table_dir)
+        tmp = _marker_path(table_dir) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"last_batch_id": batch_id}, f)
+        os.replace(tmp, _marker_path(table_dir))
+
+    return sink
+
+
+def session_table_stream(
+    stream: DataFrame,
+    table_dir: str,
+    *,
+    gap_ms: int,
+    checkpoint_dir: str,
+):
+    """Start the continuous session-table maintenance query."""
+    return (
+        stream.writeStream.foreachBatch(
+            make_session_table_sink(table_dir, gap_ms=gap_ms)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )

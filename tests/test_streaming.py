@@ -1494,3 +1494,71 @@ def test_streaming_takedown_propagates_deletes_and_audits_residuals(
     # the audit must catch the surviving verbatim mirror (doc 3)
     assert len(rows) == 1
     assert rows[0].doc_id == 1 and rows[0].n_exact_residuals == 1
+
+
+def test_session_table_stream_matches_batch_sessionize(spark, tmp_path):
+    """The continuously-maintained session TABLE equals the from-
+    scratch sessionization over all events after every micro-batch —
+    including a batch that EXTENDS a standing session across the batch
+    boundary — and replaying a committed batch is a no-op."""
+    import json
+
+    from hadoopxmlextractor_spark.operators.temporal import sessionize_table
+    from hadoopxmlextractor_spark.snapshots import latest_version, read_snapshot
+    from hadoopxmlextractor_spark.streaming.sessions import (
+        make_session_table_sink,
+        session_table_stream,
+    )
+
+    GAP = 1000
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    table = str(tmp_path / "sessions")
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "event_id": e, "ms": m})
+                for u, e, m in rows
+            )
+        )
+
+    def standing():
+        return {
+            (r.user_id, r.session_id): (r.start_ms, r.end_ms, r.n_events)
+            for r in read_snapshot(spark, table).collect()
+        }
+
+    def direct(rows):
+        df = spark.createDataFrame(rows, "user_id long, event_id long, ms long")
+        return {
+            (r.user_id, r.session_id): (r.start_ms, r.end_ms, r.n_events)
+            for r in sessionize_table(df, gap_ms=GAP).collect()
+        }
+
+    b1 = [(1, 10, 0), (1, 11, 400), (2, 20, 0)]
+    b2 = [(1, 12, 1_200), (2, 21, 5_000), (3, 30, 7)]  # u1 extends; u2 breaks
+    land("b1.json", b1)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, ms long"
+    ).json(str(landing))
+    q = session_table_stream(
+        stream, table, gap_ms=GAP, checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    try:
+        q.processAllAvailable()
+        assert standing() == direct(b1)
+        land("b2.json", b2)
+        q.processAllAvailable()
+        assert standing() == direct(b1 + b2)
+        assert standing()[(1, 1)] == (0, 1_200, 3)  # extended across batches
+        assert standing()[(2, 2)] == (5_000, 5_000, 1)  # broke to session 2
+    finally:
+        q.stop()
+
+    # crash replay: committed batch id is a no-op
+    v = latest_version(table)
+    sink = make_session_table_sink(table, gap_ms=GAP)
+    sink(spark.createDataFrame(b2, "user_id long, event_id long, ms long"), 1)
+    assert latest_version(table) == v
+    assert standing() == direct(b1 + b2)
