@@ -98,11 +98,16 @@ Subset grammar::
                  -- — the prefix spelling is unrecoverable post-parse).
 
 Out of subset (JVM fallback): '//' before any axis step except
-descendant:: (text-node contexts); ``count()`` and other non-nodeset
-result types; nested predicates / paths inside predicates;
-parenthesized booleans. ``..[pred]`` is not a fallback case but
-INVALID XPath 1.0 (AbbreviatedStep takes no predicates — javax
-throws); it is rejected here too.
+descendant:: (text-node contexts — incl. '//.' / '//self::x', whose
+text-node string values the element model cannot emit); positional
+predicate CHAINS on reverse axes (the Xalan doc-order-inside-a-chain
+quirk — see _parse_path); './/'-leading predicate paths (javax
+full-name-matches them on prefixed docs); absolute paths inside
+predicates; nested bracket predicates; literal-vs-literal
+comparisons; ``count()`` and other non-nodeset result types.
+``..[pred]`` / ``.[pred]`` are not fallback cases but INVALID
+XPath 1.0 (AbbreviatedStep takes no predicates — javax throws);
+they are rejected here too.
 
 Union semantics (javax, cross-validated): branches evaluate
 independently; the combined NODESET concatenates in GLOBAL document
@@ -166,7 +171,7 @@ _NUM = r"-?(?:[0-9]+(?:\.[0-9]*)?|\.[0-9]+)"
 # '*-sibling' before the bare full-document axes
 _AXIS_RE = re.compile(
     r"(following-sibling|preceding-sibling|ancestor-or-self"
-    r"|ancestor|descendant|following|preceding|parent)::"
+    r"|ancestor|descendant|following|preceding|parent|self)::"
 )
 _AXIS_KIND = {
     "parent": "parent",
@@ -177,6 +182,7 @@ _AXIS_KIND = {
     "descendant": "descnt",
     "following": "fol",
     "preceding": "pre",
+    "self": "self",
 }
 # reverse axes: candidates proximity-ordered (nearest the context node
 # first) before positional predicates apply
@@ -524,6 +530,20 @@ def _parse_path(path: str) -> list[_Step] | None:
             steps.append(_Step("..", axis, "parent"))
             pos += 2
             continue
+        # abbreviated self step: '.' = self::node() — matches the
+        # document node too ('/./store' works from the document).
+        # '.[pred]' is INVALID XPath 1.0 (AbbreviatedStep takes no
+        # predicates — javax throws); '//' before '.' reaches
+        # text-node contexts (their string values differ from the
+        # element model) — both out of subset.
+        if path.startswith(".", pos) and not path.startswith("..", pos):
+            if axis == "desc":
+                return None
+            if pos + 1 < len(path) and path[pos + 1] != "/":
+                return None  # '.[pred]' etc: invalid XPath
+            steps.append(_Step(".", axis, "self"))
+            pos += 1
+            continue
         kind = "child"
         am = _AXIS_RE.match(path, pos)
         if am is not None:
@@ -633,6 +653,7 @@ _KIND_PREFIX = {
     "descnt": "descendant::",
     "fol": "following::",
     "pre": "preceding::",
+    "self": "self::",
 }
 
 
@@ -692,6 +713,9 @@ def _render_steps(steps: list[_Step]) -> str:
         sep = "//" if s.axis == "desc" else "/"
         if s.name == ".." and s.kind == "parent" and not s.preds:
             out.append(sep + "..")
+            continue
+        if s.name == "." and s.kind == "self" and not s.preds:
+            out.append(sep + ".")
             continue
         out.append(
             sep
@@ -971,7 +995,7 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
     # parent map, built once when any step leaves the child axis;
     # ``None`` stands for the DOCUMENT node (root's parent) throughout.
     pm: dict[int, Element] | None = None
-    if any(s.kind not in ("child", "descnt") for s in steps):
+    if any(s.kind not in ("child", "descnt", "self") for s in steps):
         pm = {}
         for p in root.iter():
             for c in p:
@@ -1008,6 +1032,8 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
                     if ctx is None
                     else list(ctx.iter())[1:]
                 )
+            elif step.kind == "self":
+                kids = [ctx]
             elif step.kind == "parent":
                 if ctx is None:
                     kids = []  # the document has no parent
@@ -1066,8 +1092,8 @@ def _eval_steps(root: Element, steps: list[_Step]) -> list[Element]:
                     sibs = list(pm[id(ctx)])
                     i = next(j for j, c in enumerate(sibs) if c is ctx)
                     kids = sibs[i + 1 :] if step.kind == "fsib" else sibs[:i]
-            if step.name == "..":
-                matched = kids  # parent::node(): no name test
+            if step.name in ("..", "."):
+                matched = kids  # parent::/self::node(): no name test
             else:
                 matched = [
                     c for c in kids if c is not None and _name_ok(c, step.name)

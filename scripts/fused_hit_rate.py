@@ -94,6 +94,8 @@ CATALOG = [
     ("parenthesized boolean", "//book[(@cat='f' or price>30) and title]", True),
     ("not() negation", "//book[not(@cat='f')]/@id", True),
     ("nested not()", "//book[not(not(author))]/@id", True),
+    ("self:: axis", "//book/self::book[@cat='f']/@id", True),
+    ("'.' self step", "/store/./shelf/@id", True),
     # ---- documented out-of-subset residue (JVM fallback) ----
     ("'//' before parent step", "//book//..", False),
     ("'//' before reverse/full-doc axis step", "//title//ancestor::book", False),
@@ -103,6 +105,7 @@ CATALOG = [
      "prefixed docs)", "//shelf[.//name='Ann']/@id", False),
     ("predicate on '..' (INVALID XPath 1.0 — javax throws)",
      "//a/..[@id='1']", False),
+    ("'//' before self step (text-node contexts)", "//store//.", False),
     ("count() function (non-nodeset result)", "count(//book)", False),
     ("nested bracket predicate", "//book[a[b]]/@id", False),
     ("absolute path inside a predicate", "//book[//name='Ann']/@id", False),

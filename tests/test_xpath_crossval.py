@@ -154,15 +154,18 @@ def _gen_branch(rng: random.Random) -> str:
         # parent / sibling / ancestor / full-document axes: '..' may
         # reach the DOCUMENT node from the root — also exercised
         aroll = rng.random()
-        if step_i > 0 and aroll < 0.1:
+        if step_i > 0 and aroll < 0.08:
             parts.append("/..")  # '//..' is out of subset (text nodes)
             continue
+        if step_i > 0 and aroll < 0.12:
+            parts.append("/.")  # self::node(); '//.' is out of subset
+            continue
         axis_prefix = ""
-        if step_i > 0 and aroll < 0.38:
+        if step_i > 0 and aroll < 0.4:
             axis_prefix = rng.choice(
                 ["parent::", "following-sibling::", "preceding-sibling::",
                  "ancestor::", "ancestor-or-self::", "descendant::",
-                 "following::", "preceding::"]
+                 "following::", "preceding::", "self::"]
             )
             if axis_prefix != "descendant::":
                 # only descendant:: is exact under '//' (text nodes

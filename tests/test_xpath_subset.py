@@ -584,3 +584,23 @@ def test_strip_prefixes_path_predicates():
         strip_prefixes("//b[not(a/@x) and (c or d/e>3)]/text()")
         == "//b[not(a/@x) and (c or d/e>3)]/text()"
     )
+
+
+def test_self_axis_and_dot_step():
+    doc = ET.fromstring(
+        '<store name="s"><shelf id="s1"><book id="bk1" cat="f">'
+        "<title>T1</title></book><book id=\"bk2\" cat=\"n\">"
+        "<title>T2</title></book></shelf></store>"
+    )
+    # all expected values javax-probed
+    assert ev("//book/self::book/@id", doc) == "bk1bk2"
+    assert ev("//book/self::*/@id", doc) == "bk1bk2"
+    assert ev("//book/self::title/@id", doc) is None
+    assert ev("//book/self::book[@cat='f']/@id", doc) == "bk1"
+    assert ev("//book/./@id", doc) == "bk1bk2"
+    assert ev("/store/./shelf/@id", doc) == "s1"
+    assert ev("/./store/@name", doc) == "s"  # '.' matches the document
+    assert ev("//shelf/self::shelf[1]/@id", doc) == "s1"
+    # invalid/text-node-context forms stay out
+    for expr in ("//book/.[@cat='f']", "//store//.", "//a//self::b"):
+        assert compile_subset(expr) is None, expr
