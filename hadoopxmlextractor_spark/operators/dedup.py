@@ -2179,3 +2179,99 @@ def prefix_filter_jaccard_pairs(
         )
         .select("doc_a", "doc_b", "shared", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted MinHash band index (text near-dup index lifecycle)
+# ---------------------------------------------------------------------------
+
+
+def write_band_index(
+    docs: DataFrame,
+    out_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Materialize the MinHash band index as a PERSISTED Hive layout —
+    the text-side twin of :func:`similarity.write_ivf_index`: rows
+    (bucket, corpus_doc, corpus_signature) partitioned by ``band``
+    (`band=<b>/` directories) and SORTED by bucket within each band's
+    files, so probes prune to single band directories at the FileIndex
+    level and to bucket row-groups via footer zone-maps. Built once;
+    later near-dup checks (batch or streaming) join against the
+    directory instead of recomputing corpus signatures — at 100 TB the
+    index build is one signature pass + one partitioned write, and
+    every probe afterward costs signatures for the PROBE SIDE only."""
+    from hadoopxmlextractor_spark.streaming.dedup import corpus_minhash_index
+
+    idx = corpus_minhash_index(
+        docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands,
+    )
+    (
+        idx.repartition("band")
+        .sortWithinPartitions("bucket")
+        .write.mode("overwrite")
+        .partitionBy("band")
+        .parquet(f"{out_dir}/bands")
+    )
+
+
+def append_to_band_index(
+    new_docs: DataFrame,
+    index_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+) -> None:
+    """Incremental index maintenance: signatures for the NEW documents
+    only, appended into their band partitions — cost proportional to
+    the batch, never the index (the :func:`append_to_ivf_index`
+    contract on the text side). Band assignment depends only on the
+    signature (no fitted state), so appends never invalidate earlier
+    rows and probes see new documents with no rebuild."""
+    from hadoopxmlextractor_spark.streaming.dedup import corpus_minhash_index
+
+    idx = corpus_minhash_index(
+        new_docs, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands,
+    )
+    (
+        idx.repartition("band")
+        .sortWithinPartitions("bucket")
+        .write.mode("append")
+        .partitionBy("band")
+        .parquet(f"{index_dir}/bands")
+    )
+
+
+def probe_band_index(
+    spark,
+    index_dir: str,
+    batch_docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup check of a batch against the PERSISTED index: the same
+    stateless band join + vectorized estimated-Jaccard verify as
+    :func:`streaming.dedup.near_dup_stream` (which this reuses — the
+    probe works identically on a batch frame), reading corpus
+    signatures from the directory. Returns (stream_doc, corpus_doc,
+    est_jaccard); pairs may surface once per colliding band —
+    ``.distinct()`` on the id pair where exactly-once matters."""
+    from hadoopxmlextractor_spark.streaming.dedup import near_dup_stream
+
+    idx = spark.read.parquet(f"{index_dir}/bands")
+    return near_dup_stream(
+        batch_docs, idx, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+    )

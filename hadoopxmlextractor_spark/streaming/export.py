@@ -148,9 +148,16 @@ def _ivf_stage_batch(index_dir: str, batch_df, batch_id: int, vec_col: str) -> N
         fh.write("staged\n")
 
 
-def _ivf_commit_staged(index_dir: str, batch_id: int) -> None:
-    """Phase 2: atomically rename every remaining staged parquet file
-    into its cell directory (batch-prefixed name), then update the
+def _commit_staged_tree(
+    index_dir: str,
+    staging: str,
+    tree: str,
+    part_glob: str,
+    batch_id: int,
+) -> None:
+    """Phase 2, generic over the partition tree (IVF cells, text-index
+    bands): atomically rename every remaining staged parquet file into
+    its partition directory (batch-prefixed name), then update the
     committed-batch marker (tmp+rename), then sweep the staging dir.
     Rename removes the source, so each staged file exists in exactly
     one place at every instant — resuming after a crash mid-move
@@ -162,9 +169,8 @@ def _ivf_commit_staged(index_dir: str, batch_id: int) -> None:
 
     from hadoopxmlextractor_spark.streaming.upsert import _marker_path
 
-    staging = _ivf_staging_dir(index_dir, batch_id)
-    for cdir in sorted(glob.glob(f"{staging}/centroid_id=*")):
-        dest = f"{index_dir}/cells/{os.path.basename(cdir)}"
+    for cdir in sorted(glob.glob(f"{staging}/{part_glob}")):
+        dest = f"{index_dir}/{tree}/{os.path.basename(cdir)}"
         os.makedirs(dest, exist_ok=True)
         for f in sorted(glob.glob(f"{cdir}/*.parquet")):
             os.replace(f, f"{dest}/b{batch_id}-{os.path.basename(f)}")
@@ -173,6 +179,16 @@ def _ivf_commit_staged(index_dir: str, batch_id: int) -> None:
         json.dump({"last_batch_id": batch_id}, fh)
     os.replace(tmp, _marker_path(index_dir))
     shutil.rmtree(staging, ignore_errors=True)
+
+
+def _ivf_commit_staged(index_dir: str, batch_id: int) -> None:
+    _commit_staged_tree(
+        index_dir,
+        _ivf_staging_dir(index_dir, batch_id),
+        "cells",
+        "centroid_id=*",
+        batch_id,
+    )
 
 
 def _ivf_staged_sink_body(
@@ -200,3 +216,93 @@ def _ivf_staged_sink_body(
     # sentinel present: staged data is complete (possibly partially
     # moved by a crashed commit) — finish the move + marker + sweep
     _ivf_commit_staged(index_dir, batch_id)
+
+
+# ---------------------------------------------------------------------------
+# Continuous text band-index maintenance (the IVF protocol, band tree)
+# ---------------------------------------------------------------------------
+
+
+def stream_docs_into_band_index(
+    docs_stream,
+    index_dir: str,
+    checkpoint_dir: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+):
+    """Continuous maintenance of the persisted MinHash band index
+    (:func:`operators.dedup.write_band_index`): each micro-batch's
+    signatures land in their band partitions through the SAME staged
+    commit as :func:`stream_vectors_into_ivf_index` — stage under
+    ``bands_staging/batch=<id>/band=<b>/`` with a ``_STAGED``
+    sentinel, then atomically rename into the band tree + marker +
+    sweep — so a crash at any point leaves either no trace or a
+    committed batch, never a duplicate signature row (a blind
+    re-append would make replayed documents collide with themselves
+    and inflate every later probe)."""
+
+    def _sink(batch_df, batch_id: int) -> None:
+        _band_staged_sink_body(
+            index_dir, batch_df, batch_id,
+            text_col, id_col, num_hashes, bands,
+        )
+
+    return (
+        docs_stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def _band_staging_dir(index_dir: str, batch_id: int) -> str:
+    return f"{index_dir}/bands_staging/batch={batch_id}"
+
+
+def _band_stage_batch(
+    index_dir: str, batch_df, batch_id: int,
+    text_col: str, id_col: str, num_hashes: int, bands: int,
+) -> None:
+    """Phase 1 for the band tree: signatures for the batch land under
+    the staging dir with the ``_STAGED`` sentinel; partial staging
+    from a crashed prior attempt is discarded first."""
+    import shutil
+
+    from hadoopxmlextractor_spark.streaming.dedup import corpus_minhash_index
+
+    staging = _band_staging_dir(index_dir, batch_id)
+    shutil.rmtree(staging, ignore_errors=True)
+    corpus_minhash_index(
+        batch_df, text_col=text_col, id_col=id_col,
+        num_hashes=num_hashes, bands=bands,
+    ).write.mode("overwrite").partitionBy("band").parquet(staging)
+    with open(f"{staging}/_STAGED", "w") as fh:
+        fh.write("staged\n")
+
+
+def _band_staged_sink_body(
+    index_dir: str, batch_df, batch_id: int,
+    text_col: str, id_col: str, num_hashes: int, bands: int,
+) -> None:
+    """Stage-then-commit per batch — module-level so crash points
+    between the phases are directly testable (the IVF protocol)."""
+    import os
+    import shutil
+
+    from hadoopxmlextractor_spark.streaming.upsert import last_committed_batch
+
+    staging = _band_staging_dir(index_dir, batch_id)
+    if batch_id <= last_committed_batch(index_dir):
+        shutil.rmtree(staging, ignore_errors=True)
+        return
+    if not os.path.exists(f"{staging}/_STAGED"):
+        if batch_df.isEmpty():
+            _commit_staged_tree(index_dir, staging, "bands", "band=*", batch_id)
+            return
+        _band_stage_batch(
+            index_dir, batch_df, batch_id,
+            text_col, id_col, num_hashes, bands,
+        )
+    _commit_staged_tree(index_dir, staging, "bands", "band=*", batch_id)

@@ -1562,3 +1562,135 @@ def test_session_table_stream_matches_batch_sessionize(spark, tmp_path):
     sink(spark.createDataFrame(b2, "user_id long, event_id long, ms long"), 1)
     assert latest_version(table) == v
     assert standing() == direct(b1 + b2)
+
+
+def test_band_index_lifecycle_build_probe_append(spark, tmp_path):
+    """Persisted band index: probing the directory equals probing the
+    in-memory index; appending a batch equals rebuilding from scratch;
+    a planted near-dup of corpus content is found through the
+    directory probe."""
+    from hadoopxmlextractor_spark.operators.dedup import (
+        append_to_band_index,
+        probe_band_index,
+        write_band_index,
+    )
+    from hadoopxmlextractor_spark.streaming.dedup import (
+        corpus_minhash_index,
+        near_dup_stream,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again " * 4
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different cooking content with garlic")],
+        "doc_id long, text string",
+    )
+    index = str(tmp_path / "bindex")
+    write_band_index(corpus, index, num_hashes=32, bands=8)
+
+    probe_docs = spark.createDataFrame(
+        # 100 = exact copy (identical signature -> collides in EVERY
+        # band, deterministically); 102 = one-word variant (equality
+        # with the inline probe covers it either way); 101 = unrelated
+        [(100, base), (102, base.replace("lazy", "sleepy", 1)),
+         (101, "unrelated words")],
+        "doc_id long, text string",
+    )
+    from_dir = {
+        (r.stream_doc, r.corpus_doc)
+        for r in probe_band_index(
+            spark, index, probe_docs, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    inline = {
+        (r.stream_doc, r.corpus_doc)
+        for r in near_dup_stream(
+            probe_docs,
+            corpus_minhash_index(corpus, num_hashes=32, bands=8),
+            num_hashes=32, bands=8, threshold=0.5,
+        ).collect()
+    }
+    assert from_dir == inline
+    assert (100, 1) in from_dir and all(a != 101 for a, _ in from_dir)
+
+    # append a batch; probes must now also find near-dups of IT, and
+    # the directory must equal a from-scratch rebuild
+    appended_text = "spark shuffles data between executors when joins run " * 3
+    extra = spark.createDataFrame(
+        [(3, appended_text)], "doc_id long, text string"
+    )
+    append_to_band_index(extra, index, num_hashes=32, bands=8)
+    probe2 = spark.createDataFrame(
+        [(200, appended_text)], "doc_id long, text string"
+    )
+    got = {
+        (r.stream_doc, r.corpus_doc)
+        for r in probe_band_index(
+            spark, index, probe2, num_hashes=32, bands=8, threshold=0.5
+        ).collect()
+    }
+    assert (200, 3) in got
+    rebuilt = str(tmp_path / "bindex2")
+    write_band_index(corpus.union(extra), rebuilt, num_hashes=32, bands=8)
+
+    def triples(d):
+        return {
+            (r.band, r.bucket, r.corpus_doc)
+            for r in spark.read.parquet(f"{d}/bands").collect()
+        }
+
+    assert triples(index) == triples(rebuilt)
+
+
+def test_band_index_staged_commit_survives_crash_at_every_point(
+    spark, tmp_path
+):
+    """The band tree inherits the IVF staged-commit guarantees: crash
+    after stage (no commit) leaves the tree untouched and replay
+    finishes the move; a committed batch replayed is a no-op; no
+    duplicate signature rows at any crash point."""
+    import glob
+    import os
+
+    from hadoopxmlextractor_spark.operators.dedup import write_band_index
+    from hadoopxmlextractor_spark.streaming.export import (
+        _band_stage_batch,
+        _band_staged_sink_body,
+        _band_staging_dir,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "seed corpus document text here")], "doc_id long, text string"
+    )
+    index = str(tmp_path / "bindex")
+    write_band_index(corpus, index, num_hashes=32, bands=8)
+    rows0 = spark.read.parquet(f"{index}/bands").count()
+
+    batch = spark.createDataFrame(
+        [(10, "first landed batch document")], "doc_id long, text string"
+    )
+    # crash AFTER stage, BEFORE commit: tree untouched
+    _band_stage_batch(index, batch, 0, "text", "doc_id", 32, 8)
+    assert spark.read.parquet(f"{index}/bands").count() == rows0
+    # replay completes the move exactly once
+    _band_staged_sink_body(index, batch, 0, "text", "doc_id", 32, 8)
+    rows1 = spark.read.parquet(f"{index}/bands").count()
+    assert rows1 == rows0 + 8  # one bucket row per band
+    assert not os.path.exists(_band_staging_dir(index, 0))
+    # replaying the COMMITTED batch id is a no-op
+    _band_staged_sink_body(index, batch, 0, "text", "doc_id", 32, 8)
+    assert spark.read.parquet(f"{index}/bands").count() == rows1
+    # crash mid-commit: move half the staged files by hand, then resume
+    batch2 = spark.createDataFrame(
+        [(11, "second landed batch document")], "doc_id long, text string"
+    )
+    _band_stage_batch(index, batch2, 1, "text", "doc_id", 32, 8)
+    staged = sorted(glob.glob(f"{_band_staging_dir(index, 1)}/band=*/*.parquet"))
+    half = staged[: len(staged) // 2]
+    for f in half:
+        bdir = os.path.basename(os.path.dirname(f))
+        dest = f"{index}/bands/{bdir}"
+        os.makedirs(dest, exist_ok=True)
+        os.replace(f, f"{dest}/b1-{os.path.basename(f)}")
+    _band_staged_sink_body(index, batch2, 1, "text", "doc_id", 32, 8)
+    assert spark.read.parquet(f"{index}/bands").count() == rows1 + 8
+    assert not os.path.exists(_band_staging_dir(index, 1))
