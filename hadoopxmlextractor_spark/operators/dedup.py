@@ -2275,3 +2275,44 @@ def probe_band_index(
         batch_docs, idx, text_col=text_col, id_col=id_col,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
     )
+
+
+def compact_band_index(
+    spark,
+    index_dir: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Index maintenance after sustained streaming appends: every
+    committed micro-batch lands one file per touched band, so a
+    long-running :func:`streaming.export.stream_docs_into_band_index`
+    accretes small files exactly like the IVF cells. Compact each band
+    directory independently (``sinks.compact_parquet`` per band —
+    tmp-dir swap, so probes never see a half-written band); bands are
+    discovered through Spark's partition discovery, never a local
+    listdir, so the path works on HDFS/object stores. The loop is over
+    ``bands`` directories (a fixed constant), each rewrite an
+    independent job. Returns {band_path: (files_before, files_after)}.
+    """
+    from pyspark.errors import AnalysisException
+
+    from hadoopxmlextractor_spark.sinks import compact_parquet
+
+    bands_root = f"{index_dir}/bands"
+    try:
+        band_ids = sorted(
+            r["band"]
+            for r in spark.read.parquet(bands_root)
+            .select("band")
+            .distinct()
+            .collect()
+        )
+    except AnalysisException:
+        return {}
+    out = {}
+    for b in band_ids:
+        entry = f"band={b}"
+        out[entry] = compact_parquet(
+            spark, f"{bands_root}/{entry}", target_file_bytes=target_file_bytes
+        )
+    return out

@@ -1694,3 +1694,50 @@ def test_band_index_staged_commit_survives_crash_at_every_point(
     _band_staged_sink_body(index, batch2, 1, "text", "doc_id", 32, 8)
     assert spark.read.parquet(f"{index}/bands").count() == rows1 + 8
     assert not os.path.exists(_band_staging_dir(index, 1))
+
+
+def test_band_index_compaction_preserves_probes(spark, tmp_path):
+    """After several appends, per-band compaction shrinks the file
+    count while every probe result stays identical (tmp-swap: probes
+    never see a half-written band)."""
+    import glob
+
+    from hadoopxmlextractor_spark.operators.dedup import (
+        append_to_band_index,
+        compact_band_index,
+        probe_band_index,
+        write_band_index,
+    )
+
+    index = str(tmp_path / "bindex")
+    t0 = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    write_band_index(
+        spark.createDataFrame([(1, t0)], "doc_id long, text string"),
+        index, num_hashes=32, bands=8,
+    )
+    for i in range(2, 5):
+        append_to_band_index(
+            spark.createDataFrame(
+                [(i, f"unique doc {i} body words " * 4)],
+                "doc_id long, text string",
+            ),
+            index, num_hashes=32, bands=8,
+        )
+    probe = spark.createDataFrame([(100, t0)], "doc_id long, text string")
+
+    def hits():
+        return {
+            (r.stream_doc, r.corpus_doc)
+            for r in probe_band_index(
+                spark, index, probe, num_hashes=32, bands=8, threshold=0.5
+            ).collect()
+        }
+
+    before = hits()
+    assert (100, 1) in before  # exact copy: deterministic hit
+    files_before = len(glob.glob(f"{index}/bands/band=*/*.parquet"))
+    report = compact_band_index(spark, index, target_file_bytes=1 << 30)
+    files_after = len(glob.glob(f"{index}/bands/band=*/*.parquet"))
+    assert files_after < files_before
+    assert all(b <= a for a, b in report.values())
+    assert hits() == before
