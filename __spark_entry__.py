@@ -72,6 +72,7 @@ FRONT = [
     "events_sessionize_incremental",
     "diagnostics_join_cardinality",
     "events_incremental_topk",
+    "corpus_curriculum_order",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

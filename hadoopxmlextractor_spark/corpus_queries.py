@@ -2688,3 +2688,54 @@ def q_governance_forget_audit(spark: SparkSession, sf: str) -> DataFrame:
     uni = docs.select("doc_id", "text").unionByName(mirrors)
     removal = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id")
     return G.forget_residual_audit(uni, removal, "text", "doc_id")
+
+
+@query(
+    "corpus_curriculum_order",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+      FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    probs AS (
+      SELECT tok,
+             CAST(c AS DOUBLE) / (SELECT CAST(SUM(c) AS DOUBLE) FROM vocab)
+               AS p
+      FROM vocab
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(ROUND(ROUND(-AVG(ln(p)), 6) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM toks JOIN probs USING (tok)
+      GROUP BY doc_id
+    ),
+    bounds AS (
+      SELECT quantile_cont(score_micro, 0.25) AS q0,
+             quantile_cont(score_micro, 0.50) AS q1,
+             quantile_cont(score_micro, 0.75) AS q2
+      FROM scored
+    )
+    SELECT doc_id,
+           CAST((score_micro > q0)::INT + (score_micro > q1)::INT
+                + (score_micro > q2)::INT AS INT) AS stage,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY (score_micro > q0)::INT + (score_micro > q1)::INT
+                          + (score_micro > q2)::INT
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) - 1 AS BIGINT) AS pos_in_stage,
+           score_micro
+    FROM scored, bounds
+    """,
+)
+def q_corpus_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    # Curriculum staging (easy -> hard by the unigram perplexity
+    # proxy): exact integer micro-nat scores, stage boundaries from one
+    # dyadic-percentile aggregate broadcast back (never a global-sort
+    # NTILE), md5-keyed rank WITHIN each stage (stage-local shuffle,
+    # never a global rank). Double-round before the BIGINT cast: Spark
+    # CAST truncates doubles where DuckDB rounds.
+    docs = load(spark, sf, "documents")
+    return C.curriculum_stages(docs, "text", "doc_id")

@@ -911,3 +911,58 @@ def dsir_importance_weights(
             F.expr("score div n_tokens").alias("avg_weight"),
         )
     )
+
+
+def curriculum_stages(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Curriculum ordering for training (easy → hard): stage documents
+    by exact difficulty quantiles of the :func:`unigram_logprob`
+    perplexity proxy, with a deterministic shuffle WITHIN each stage.
+    Training loaders then consume stage 0 shards first, stage k last —
+    curriculum learning's data-side half.
+
+    Scale shape, composing two house disciplines: the difficulty score
+    becomes an exact integer (rounded micro-nats — ROUND(x,6)·1e6
+    rounded again before the BIGINT cast, because Spark CAST truncates
+    doubles while DuckDB rounds), stage boundaries come from one exact
+    ``percentile`` aggregate over those integers broadcast back
+    (dyadic quantiles over integers interpolate to exactly
+    representable doubles — the :func:`length_buckets` pattern, never
+    a global-sort NTILE), and the within-stage position is an
+    md5-keyed rank PARTITIONED BY STAGE (stage-local shuffle — the
+    :func:`shuffle_shards` pattern, never a global contiguous rank).
+    Returns (id, stage, pos_in_stage, score_micro).
+    """
+    scored = unigram_logprob(docs, text_col, id_col).select(
+        F.col(id_col),
+        F.round(F.col("avg_neg_logprob") * 1_000_000)
+        .cast("long")
+        .alias("score_micro"),
+    )
+    bounds = scored.agg(
+        *[
+            F.expr(f"percentile(score_micro, {q!r})").alias(f"q{i}")
+            for i, q in enumerate(quantiles)
+        ]
+    )
+    stage = sum(
+        (F.col("score_micro") > F.col(f"q{i}")).cast("int")
+        for i in range(len(quantiles))
+    )
+    staged = scored.crossJoin(F.broadcast(bounds)).select(
+        id_col, "score_micro", stage.alias("stage")
+    )
+    w = Window.partitionBy("stage").orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return staged.select(
+        id_col,
+        "stage",
+        (F.row_number().over(w) - 1).cast("long").alias("pos_in_stage"),
+        "score_micro",
+    )

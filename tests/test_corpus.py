@@ -902,3 +902,27 @@ def test_sessionize_incremental_boundary_cases(spark):
         ).collect()
     }
     assert got2 == want2
+
+
+def test_curriculum_stages_orders_easy_to_hard(spark):
+    """A planted rare-token (gibberish) doc must land in the hardest
+    stage and boilerplate in the easiest; stages are quantile-balanced;
+    within-stage positions are a dense 0-based permutation."""
+    from collections import Counter
+
+    from hadoopxmlextractor_spark.operators.corpus import curriculum_stages
+
+    common = "the quick brown fox jumps over the dog"
+    rows = [(i, common) for i in range(12)]
+    rows.append((100, "zzqx vvrk jjwp qqnm xxlt"))  # rare tokens: hard
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = curriculum_stages(df, "text", "doc_id").collect()
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[100].stage == 3  # gibberish in the hardest quartile
+    assert all(by_id[i].stage == 0 for i in range(12))  # boilerplate easy
+    # per-stage positions form 0..n_s-1 exactly
+    per_stage = Counter(r.stage for r in out)
+    for s, n in per_stage.items():
+        assert sorted(
+            r.pos_in_stage for r in out if r.stage == s
+        ) == list(range(n))
