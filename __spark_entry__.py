@@ -73,6 +73,7 @@ FRONT = [
     "diagnostics_join_cardinality",
     "events_incremental_topk",
     "corpus_curriculum_order",
+    "corpus_distribution_drift",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

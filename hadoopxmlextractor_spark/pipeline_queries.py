@@ -2214,3 +2214,72 @@ def q_dedup_shared_substring_runs(spark: SparkSession, sf: str) -> DataFrame:
     return D.shared_run_pairs(
         uni, "text", "doc_id", n=5, min_run_tokens=15, max_df=100
     )
+
+
+@query(
+    "corpus_distribution_drift",
+    """
+    WITH o AS (
+      SELECT n_chars + CASE WHEN doc_id % 5 = 0 THEN 120 ELSE 0 END AS v,
+             0 AS side
+      FROM documents WHERE doc_id % 7 <> 0
+    ), n AS (
+      SELECT n_chars AS v, 1 AS side FROM documents WHERE doc_id % 11 <> 0
+    ), both_sides AS (
+      SELECT * FROM o UNION ALL SELECT * FROM n
+    ), rng AS (
+      SELECT MIN(v) AS vmin, MAX(v) AS vmax FROM both_sides
+    ), bucketed AS (
+      SELECT side,
+             LEAST(7, CAST(((v - vmin) * 8) // (vmax - vmin + 1) AS INT))
+               AS bucket
+      FROM both_sides, rng
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM bucketed GROUP BY bucket
+    ), totals AS (
+      SELECT CAST(SUM(n_old) AS DOUBLE) AS ta,
+             CAST(SUM(n_new) AS DOUBLE) AS tb
+      FROM counts
+    ), terms AS (
+      SELECT bucket, n_old, n_new,
+             ROUND(
+               POW(CAST(n_old AS DOUBLE)
+                   - CAST(n_old + n_new AS DOUBLE) * ta / (ta + tb), 2.0)
+               / (CAST(n_old + n_new AS DOUBLE) * ta / (ta + tb))
+               +
+               POW(CAST(n_new AS DOUBLE)
+                   - CAST(n_old + n_new AS DOUBLE) * tb / (ta + tb), 2.0)
+               / (CAST(n_old + n_new AS DOUBLE) * tb / (ta + tb)),
+             6) AS term
+      FROM counts, totals
+    )
+    SELECT bucket, n_old, n_new, term,
+           ROUND(CAST((SELECT SUM(CAST(term AS DECIMAL(38,6))) FROM terms)
+                 AS DOUBLE), 6) AS chi2
+    FROM terms
+    """,
+)
+def q_corpus_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    # Distribution-shape drift between snapshot versions: a two-sample
+    # chi-square over 8 equal-width buckets of n_chars — catches the
+    # upstream truncation / new-skewed-source failure that leaves row
+    # counts and cardinalities (profile_drift's signals) intact. The
+    # old version PLANTS a +120-char shift on doc_id%5 (the
+    # vacuous-check rule: drift must be genuinely present). Per-bucket
+    # terms round to 6 digits and sum as DECIMAL so the statistic is
+    # order-free on both engines.
+    from hadoopxmlextractor_spark.snapshots import distribution_drift
+
+    docs = load(spark, sf, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "n_chars",
+        F.col("n_chars")
+        + F.when(F.col("doc_id") % 5 == 0, F.lit(120)).otherwise(F.lit(0)),
+    )
+    new = docs.filter(F.col("doc_id") % 11 != 0)
+    return distribution_drift(old, new, "n_chars", n_buckets=8)

@@ -414,3 +414,112 @@ def maintain_topk(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def distribution_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str,
+    *,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Distributional drift between two versions of an integer column —
+    the complement of :func:`profile_drift`'s rows/nulls/distinct: a
+    two-sample chi-square over fixed equal-width buckets, the check
+    that catches a SHAPE change (upstream truncation, a new source
+    skewing lengths) that leaves row counts and cardinalities intact.
+
+    Determinism contract: buckets are integer floor-divisions over the
+    combined min/max (engine-identical on non-negative operands); the
+    per-bucket chi-square terms are a fixed chain of IEEE double ops
+    over integer counts, ROUNDed to 6 digits and accumulated as
+    DECIMAL so the total is order-free (the maxsim discipline — a raw
+    double SUM would depend on reduction order). Buckets empty across
+    both versions contribute nothing (expected = 0 is skipped on both
+    engines identically).
+
+    Returns one row per occupied bucket: (bucket, n_old, n_new,
+    term — that bucket's chi² contribution, rounded) plus the shared
+    total ``chi2`` on every row (dimension-sized broadcast). Scale:
+    two scan-bandwidth bucket projections, two n_buckets-sized
+    aggregates, everything after is bucket-dimension-sized.
+    """
+    from pyspark.sql import functions as F
+
+    o = old.select(F.col(value_col).cast("long").alias("v")).withColumn(
+        "side", F.lit(0)
+    )
+    n = new.select(F.col(value_col).cast("long").alias("v")).withColumn(
+        "side", F.lit(1)
+    )
+    both = o.unionByName(n)
+    rng = both.agg(
+        F.min("v").alias("vmin"), F.max("v").alias("vmax")
+    )
+    bucketed = both.crossJoin(F.broadcast(rng)).select(
+        "side",
+        F.least(
+            F.lit(n_buckets - 1),
+            F.expr(
+                f"((v - vmin) * {n_buckets}) div (vmax - vmin + 1)"
+            ).cast("int"),
+        ).alias("bucket"),
+    )
+    counts = (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_old"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    totals = counts.agg(
+        F.sum("n_old").cast("double").alias("ta"),
+        F.sum("n_new").cast("double").alias("tb"),
+    )
+    terms = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        "n_old",
+        "n_new",
+        F.round(
+            (
+                F.pow(
+                    F.col("n_old").cast("double")
+                    - (F.col("n_old") + F.col("n_new")).cast("double")
+                    * F.col("ta")
+                    / (F.col("ta") + F.col("tb")),
+                    F.lit(2.0),
+                )
+                / (
+                    (F.col("n_old") + F.col("n_new")).cast("double")
+                    * F.col("ta")
+                    / (F.col("ta") + F.col("tb"))
+                )
+            )
+            + (
+                F.pow(
+                    F.col("n_new").cast("double")
+                    - (F.col("n_old") + F.col("n_new")).cast("double")
+                    * F.col("tb")
+                    / (F.col("ta") + F.col("tb")),
+                    F.lit(2.0),
+                )
+                / (
+                    (F.col("n_old") + F.col("n_new")).cast("double")
+                    * F.col("tb")
+                    / (F.col("ta") + F.col("tb"))
+                )
+            ),
+            6,
+        ).alias("term"),
+    )
+    total = terms.agg(
+        F.round(F.sum(F.col("term").cast("decimal(38,6)")).cast("double"), 6)
+        .alias("chi2")
+    )
+    return terms.crossJoin(F.broadcast(total)).select(
+        "bucket", "n_old", "n_new", "term", "chi2"
+    )

@@ -820,3 +820,24 @@ def test_maintain_topk_insert_only(spark):
         for r in topk_direct(old.union(batch).union(batch2)).collect()
     }
     assert got2 == want2
+
+
+def test_distribution_drift_detects_shape_change(spark):
+    """A planted mean shift must produce a large chi-square while an
+    identical-distribution pair stays near zero — with row counts
+    equal in both cases (the signal profile_drift cannot see)."""
+    from hadoopxmlextractor_spark.snapshots import distribution_drift
+
+    base = [(i, 100 + (i * 37) % 50) for i in range(400)]
+    shifted = [(i, v + 200) for i, v in base]  # same count, shifted shape
+    df = lambda rows: spark.createDataFrame(rows, "id long, v long")
+
+    drifted = distribution_drift(df(base), df(shifted), "v", n_buckets=8)
+    chi2 = drifted.first()["chi2"]
+    assert chi2 > 100  # complete separation across buckets
+
+    same = distribution_drift(df(base), df(list(base)), "v", n_buckets=8)
+    assert same.first()["chi2"] == 0.0  # identical shape: zero statistic
+    # occupied buckets only; per-bucket counts reconcile with inputs
+    tot = same.groupBy().sum("n_old", "n_new").first()
+    assert tot[0] == 400 and tot[1] == 400
