@@ -74,6 +74,7 @@ FRONT = [
     "events_incremental_topk",
     "corpus_curriculum_order",
     "corpus_distribution_drift",
+    "events_session_revenue",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

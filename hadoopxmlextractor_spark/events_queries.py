@@ -2123,3 +2123,70 @@ def q_events_incremental_topk(spark: SparkSession, sf: str) -> DataFrame:
         standing, new.select("event_type", "event_id", "value"),
         "event_type", "event_id", "value", k=5,
     )
+
+
+@query(
+    "events_session_revenue",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             event_type
+      FROM events
+    ), marked AS (
+      SELECT user_id, event_id, ms, cents, event_type,
+             CASE WHEN LAG(ms) OVER w IS NULL
+                    OR ms - LAG(ms) OVER w > 21600000
+                  THEN 1 ELSE 0 END AS ns
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+    ), sess AS (
+      SELECT user_id, ms, cents, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents
+                         ELSE 0 END) AS BIGINT) AS revenue_cents,
+           CAST(MAX(ms) - MIN(ms) AS BIGINT) AS duration_ms
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_events_session_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # The session table AS DATA: per-session revenue attribution and
+    # dwell time — the join/rollup a session WINDOW stream cannot serve
+    # mid-session but the maintained session table can. One user-keyed
+    # exchange shared by the lag, the running sum, and the final
+    # per-session aggregate; revenue in exact cents.
+    GAP = 21_600_000
+    ev = load(spark, sf, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_millis(F.col("ts")).alias("ms"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = ev.withColumn(
+        "ns",
+        F.when(
+            F.lag("ms").over(w).isNull()
+            | ((F.col("ms") - F.lag("ms").over(w)) > GAP),
+            1,
+        ).otherwise(0),
+    )
+    sess = marked.withColumn("session_id", F.sum("ns").over(wrun))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("cents")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("revenue_cents"),
+        (F.max("ms") - F.min("ms")).cast("long").alias("duration_ms"),
+    )

@@ -59,3 +59,75 @@ def partition_filters(df: DataFrame) -> list[str]:
         if entry:
             out.extend(s.strip() for s in entry.split(","))
     return out
+
+
+def lint_plan(df: DataFrame) -> list[dict]:
+    """Pre-flight LINT of a query's executed plan — the scale
+    anti-patterns this repo's test suite asserts against, surfaced as
+    a user-facing API so a pipeline can gate an unfamiliar query
+    before running it at 100 TB (run the lint against a small sample
+    of the same tables; the PLAN SHAPE is what transfers, not the
+    data volume). Returns a list of findings, each
+    ``{"severity", "code", "detail"}``; empty = no known
+    anti-pattern. Checks:
+
+    - ``cartesian`` / ``nested_loop`` (error): CartesianProduct or
+      BroadcastNestedLoopJoin — all-pairs cost, the plans that turn a
+      join typo into a cluster-week.
+    - ``unfiltered_scan`` (warning): a file scan whose PushedFilters
+      AND PartitionFilters are both empty while the query contains a
+      Filter node — the predicate exists but never reached the scan
+      (wrong column type, UDF in the predicate, or a cast blocking
+      pushdown).
+    - ``wide_scan`` (warning): a scan reading >2/3 of a table's
+      columns under a narrower final projection — column pruning
+      lost (SELECT * somewhere upstream).
+    - ``rowwise_python`` (warning): a non-Arrow BatchEvalPython node —
+      a row-at-a-time Python UDF in the plan (~10-100× slower than
+      the Arrow path).
+    """
+    plan = executed_plan(df)
+    findings: list[dict] = []
+    if "CartesianProduct" in plan:
+        findings.append({
+            "severity": "error", "code": "cartesian",
+            "detail": "CartesianProduct in plan: all-pairs cost",
+        })
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append({
+            "severity": "error", "code": "nested_loop",
+            "detail": "BroadcastNestedLoopJoin: non-equi join degraded "
+                      "to a per-row loop over the broadcast side",
+        })
+    has_filter_node = re.search(r"\bFilter\b", plan) is not None
+    scans = re.findall(
+        r"FileScan[^\n]*", plan
+    )
+    if has_filter_node and scans:
+        pushed = pushed_filters(df)
+        parts = partition_filters(df)
+        if not pushed and not parts:
+            findings.append({
+                "severity": "warning", "code": "unfiltered_scan",
+                "detail": "Filter present but no PushedFilters/"
+                          "PartitionFilters reached any scan",
+            })
+    n_out = len(df.schema.fields)
+    for cols in scan_columns(df):
+        if len(cols) > max(3, 3 * n_out) and len(cols) > 2:
+            findings.append({
+                "severity": "warning", "code": "wide_scan",
+                "detail": f"scan reads {len(cols)} columns for a "
+                          f"{n_out}-column result — pruning lost",
+            })
+            break
+    if "BatchEvalPython" in plan:
+        # BatchEvalPython = pickled row-at-a-time UDF; ArrowEvalPython
+        # (the pandas_udf node, a different node name) is the
+        # sanctioned path and never trips this
+        findings.append({
+            "severity": "warning", "code": "rowwise_python",
+            "detail": "row-at-a-time Python UDF (BatchEvalPython) in "
+                      "the plan — use a pandas_udf",
+        })
+    return findings
