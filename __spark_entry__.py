@@ -75,6 +75,7 @@ FRONT = [
     "corpus_curriculum_order",
     "corpus_distribution_drift",
     "events_session_revenue",
+    "events_funnel_windowed",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

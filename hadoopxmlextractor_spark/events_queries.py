@@ -2190,3 +2190,72 @@ def q_events_session_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .alias("revenue_cents"),
         (F.max("ms") - F.min("ms")).cast("long").alias("duration_ms"),
     )
+
+
+@query(
+    "events_funnel_windowed",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(epoch_ms(CAST(ts AS TIMESTAMP))) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(epoch_ms(CAST(e.ts AS TIMESTAMP))) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click'
+        AND epoch_ms(CAST(e.ts AS TIMESTAMP)) > t_view
+        AND epoch_ms(CAST(e.ts AS TIMESTAMP)) <= t_view + 86400000
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(epoch_ms(CAST(e.ts AS TIMESTAMP))) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND epoch_ms(CAST(e.ts AS TIMESTAMP)) > t_click
+        AND epoch_ms(CAST(e.ts AS TIMESTAMP)) <= t_click + 259200000
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS viewed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS clicked_within_24h,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS purchased_within_72h
+    """,
+)
+def q_events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
+    # TIME-CONSTRAINED funnel — the product-analytics semantics the
+    # plain ordered-MIN funnel cannot express: the qualifying click
+    # must land within 24 h of the FIRST view, and the purchase within
+    # 72 h of THAT click (not any later click). Each stage is a
+    # conditional MIN over the previous stage's anchor joined back to
+    # the events — three user-keyed aggregates sharing one exchange
+    # key, anchor tables user-dimension-sized, so the fact table is
+    # scanned once per stage and never self-joined. Windows chosen so
+    # every stage genuinely constrains at sf0.01 (150 -> 60 -> 45).
+    W1, W2 = 86_400_000, 259_200_000
+    ev = load(spark, sf, "events").select(
+        "user_id", "event_type", F.unix_millis(F.col("ts")).alias("ms")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ms") > F.col("t_view")) & (F.col("ms") <= F.col("t_view") + W1))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ms") > F.col("t_click")) & (F.col("ms") <= F.col("t_click") + W2)
+        )
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("t_purchase"))
+    )
+    counts = [
+        v.agg(F.count(F.lit(1)).cast("long").alias("viewed")),
+        c.agg(F.count(F.lit(1)).cast("long").alias("clicked_within_24h")),
+        p.agg(F.count(F.lit(1)).cast("long").alias("purchased_within_72h")),
+    ]
+    return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
