@@ -76,6 +76,7 @@ FRONT = [
     "corpus_distribution_drift",
     "events_session_revenue",
     "events_funnel_windowed",
+    "events_asof_state_enrichment",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

@@ -2259,3 +2259,79 @@ def q_events_funnel_windowed(spark: SparkSession, sf: str) -> DataFrame:
         p.agg(F.count(F.lit(1)).cast("long").alias("purchased_within_72h")),
     ]
     return counts[0].crossJoin(counts[1]).crossJoin(counts[2])
+
+
+@query(
+    "events_asof_state_enrichment",
+    """
+    WITH ordered AS (
+      SELECT user_id, event_type AS state, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events WHERE event_type <> 'purchase'
+    ), ded AS (
+      SELECT * FROM ordered WHERE prev IS NULL OR state <> prev
+    ), dim AS (
+      SELECT user_id, state,
+             epoch_ms(CAST(ts AS TIMESTAMP)) AS eff_from_ms,
+             epoch_ms(CAST(LEAD(ts) OVER w AS TIMESTAMP)) AS eff_to_ms,
+             CAST(ROW_NUMBER() OVER w AS BIGINT) AS version
+      FROM ded
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), purchases AS (
+      SELECT event_id, user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           COALESCE(d.state, 'none') AS state_at_purchase,
+           CAST(COALESCE(d.version, 0) AS BIGINT) AS state_version,
+           CAST(COALESCE(p.ms - d.eff_from_ms, -1) AS BIGINT)
+             AS ms_into_state
+    FROM purchases p
+    LEFT JOIN dim d
+      ON d.user_id = p.user_id
+     AND d.eff_from_ms <= p.ms
+     AND (d.eff_to_ms IS NULL OR p.ms < d.eff_to_ms)
+    """,
+)
+def q_events_asof_state_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    # Fact-vs-SCD2 AS-OF enrichment — the warehouse lookup the history
+    # table exists for: each purchase picks up the activity state the
+    # user was in at that instant (dimension built from NON-purchase
+    # events, so the answer is informative rather than the event's own
+    # type) plus how far into the state the purchase landed. Interval
+    # containment rides the user equi-join (per-user dimension rows
+    # bounded by state-CHANGE count, not event count); purchases before
+    # any activity keep a deterministic 'none' row via the left join.
+    from hadoopxmlextractor_spark.operators.temporal import scd2_history
+
+    events = load(spark, sf, "events")
+    dim = scd2_history(
+        events.filter(F.col("event_type") != "purchase"),
+        "user_id", "event_type", "ts", "event_id",
+    ).select(
+        F.col("user_id").alias("d_user"),
+        "state",
+        "eff_from_ms",
+        "eff_to_ms",
+        "version",
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.unix_millis(F.col("ts")).alias("ms")
+    )
+    joined = purchases.join(
+        dim,
+        (purchases.user_id == dim.d_user)
+        & (dim.eff_from_ms <= purchases.ms)
+        & (dim.eff_to_ms.isNull() | (purchases.ms < dim.eff_to_ms)),
+        "left",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.coalesce("state", F.lit("none")).alias("state_at_purchase"),
+        F.coalesce("version", F.lit(0)).cast("long").alias("state_version"),
+        F.coalesce(F.col("ms") - F.col("eff_from_ms"), F.lit(-1))
+        .cast("long")
+        .alias("ms_into_state"),
+    )
