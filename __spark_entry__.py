@@ -77,6 +77,7 @@ FRONT = [
     "events_session_revenue",
     "events_funnel_windowed",
     "events_asof_state_enrichment",
+    "diagnostics_referential_integrity",
     "corpus_paragraph_dedup",
     "text_tfidf_topk",
     "similarity_maxsim_multivector",

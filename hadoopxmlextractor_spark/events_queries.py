@@ -2335,3 +2335,71 @@ def q_events_asof_state_enrichment(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("ms_into_state"),
     )
+
+
+@query(
+    "diagnostics_referential_integrity",
+    """
+    WITH facts AS (
+      SELECT l_orderkey
+             + CASE WHEN l_orderkey % 97 = 0 THEN 10000000 ELSE 0 END
+               AS fk
+      FROM lineitem
+    ), orphan AS (
+      SELECT COUNT(*) AS n FROM facts f
+      LEFT JOIN orders o ON f.fk = o.o_orderkey
+      WHERE o.o_orderkey IS NULL
+    ), childless AS (
+      SELECT COUNT(*) AS n FROM orders o
+      LEFT JOIN facts f ON f.fk = o.o_orderkey
+      WHERE f.fk IS NULL
+    )
+    SELECT CAST((SELECT n FROM orphan) AS BIGINT) AS orphan_facts,
+           CAST((SELECT n FROM childless) AS BIGINT) AS childless_dims,
+           CAST((SELECT COUNT(*) FROM facts) AS BIGINT) AS n_facts,
+           ROUND(CAST((SELECT n FROM orphan) AS DOUBLE)
+                 / CAST((SELECT COUNT(*) FROM facts) AS DOUBLE), 6)
+             AS orphan_rate
+    """,
+)
+def q_diagnostics_referential_integrity(spark: SparkSession, sf: str) -> DataFrame:
+    # Cross-table referential-integrity audit — the FK half the
+    # single-table data contract (corpus_data_contract) cannot see:
+    # orphan fact keys (joins would silently DROP these rows on an
+    # inner join, deflating every downstream aggregate) and childless
+    # dimension rows (dead weight or a landing gap). Both counts are
+    # anti-join aggregates on the join key's own exchange. The
+    # synthetic tables are referentially INTACT, so orphans are
+    # PLANTED deterministically (l_orderkey%97 shifted out of range)
+    # inside the query and its oracle — the vacuous-check rule.
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    facts = li.select(
+        (
+            F.col("l_orderkey")
+            + F.when(F.col("l_orderkey") % 97 == 0, F.lit(10_000_000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("fk")
+    )
+    orphan = facts.join(
+        orders, facts.fk == orders.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("orphan_facts"))
+    childless = orders.join(
+        facts, facts.fk == orders.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("childless_dims"))
+    totals = facts.agg(F.count(F.lit(1)).cast("long").alias("n_facts"))
+    return (
+        orphan.crossJoin(childless)
+        .crossJoin(totals)
+        .select(
+            "orphan_facts",
+            "childless_dims",
+            "n_facts",
+            F.round(
+                F.col("orphan_facts").cast("double")
+                / F.col("n_facts").cast("double"),
+                6,
+            ).alias("orphan_rate"),
+        )
+    )
