@@ -97,3 +97,81 @@ def enrich_events(events: DataFrame, dim: DataFrame, on: str = "event_type") -> 
     dropping them — at pipeline scale a missing dimension row must
     surface downstream, not vanish."""
     return events.join(F.broadcast(dim), on, "left")
+
+
+def funnel_stream(
+    events: DataFrame,
+    *,
+    w1_ms: int,
+    w2_ms: int,
+    first_type: str = "view",
+    second_type: str = "click",
+    third_type: str = "purchase",
+) -> DataFrame:
+    """Streaming TIME-CONSTRAINED funnel — the continuous twin of the
+    ``events_funnel_windowed`` batch query: per user, emit one append
+    row at each stage completion (the FIRST ``first_type`` ever, the
+    first ``second_type`` within ``w1_ms`` of it, the first
+    ``third_type`` within ``w2_ms`` of THAT second-stage event).
+
+    Input: streaming (user_id long, event_id long, event_type string,
+    ms long). Output (append): (user_id, stage, ms) with stage ∈
+    {first,second,third}_type — at most three rows per user ever.
+
+    State is THREE longs per user (the stage anchor timestamps) —
+    user-dimension, NOT event-scaled, and deliberately NOT
+    TTL-evicted: the funnel anchors on the first-ever stage-1 event,
+    so dropping a lapsed user's state would let a later stage-1 event
+    re-anchor the funnel and diverge from the batch semantics. A
+    keyed 24-byte record per user is the honest cost of
+    first-touch semantics (contrast :func:`..dedup.debounce_stream`,
+    whose refresh semantics make eviction free).
+
+    In-batch work is a small Python loop over the user's batch rows —
+    per-batch-per-user row counts, not corpus-scaled."""
+    import pandas as pd  # noqa: F401 (annotation resolution)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def _funnel(key, pdfs, state: GroupState):
+        if state.exists:
+            v_ms, c_ms, p_ms = state.get
+        else:
+            v_ms = c_ms = p_ms = None
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ms", "event_id"])
+            for _, row in pdf.iterrows():
+                t, ms = row["event_type"], int(row["ms"])
+                if t == first_type and v_ms is None:
+                    v_ms = ms
+                    out.append((int(row["user_id"]), first_type, ms))
+                elif (
+                    t == second_type
+                    and v_ms is not None
+                    and c_ms is None
+                    and v_ms < ms <= v_ms + w1_ms
+                ):
+                    c_ms = ms
+                    out.append((int(row["user_id"]), second_type, ms))
+                elif (
+                    t == third_type
+                    and c_ms is not None
+                    and p_ms is None
+                    and c_ms < ms <= c_ms + w2_ms
+                ):
+                    p_ms = ms
+                    out.append((int(row["user_id"]), third_type, ms))
+        state.update((v_ms, c_ms, p_ms))
+        import pandas as pd
+
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "stage", "ms"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel,
+        outputStructType="user_id long, stage string, ms long",
+        stateStructType="v_ms long, c_ms long, p_ms long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1741,3 +1741,76 @@ def test_band_index_compaction_preserves_probes(spark, tmp_path):
     assert files_after < files_before
     assert all(b <= a for a, b in report.values())
     assert hits() == before
+
+
+def test_funnel_stream_matches_windowed_batch_funnel(spark, tmp_path):
+    """Streaming stage completions equal the windowed batch funnel's
+    per-user anchors after every batch prefix — including a click
+    arriving in a LATER batch than its view (cross-batch state), a
+    click outside the window (no emission, and a later in-window click
+    cannot qualify because the window anchors on the FIRST view), and
+    at most one row per stage per user."""
+    import json
+
+    from hadoopxmlextractor_spark.streaming.events import funnel_stream
+
+    W1, W2 = 1_000, 2_000
+    landing = tmp_path / "ev"
+    landing.mkdir()
+
+    def land(name, rows):
+        (landing / name).write_text(
+            "\n".join(
+                json.dumps(
+                    {"user_id": u, "event_id": e, "event_type": t, "ms": m}
+                )
+                for u, e, t, m in rows
+            )
+        )
+
+    # u1: view -> click in window (next batch) -> purchase in window
+    # u2: view -> click too late -> never advances
+    # u3: two views (only first emits), purchase without click (no row)
+    b1 = [
+        (1, 10, "view", 1_000),
+        (2, 20, "view", 1_000), (2, 21, "click", 5_000),
+        (3, 30, "view", 1_000), (3, 31, "view", 1_500),
+    ]
+    b2 = [
+        (1, 11, "click", 1_800), (1, 12, "purchase", 3_000),
+        (3, 32, "purchase", 1_900),
+        (2, 22, "click", 5_500),  # still outside the FIRST view's window
+    ]
+    land("b1.json", b1)
+    stream = spark.readStream.schema(
+        "user_id long, event_id long, event_type string, ms long"
+    ).json(str(landing))
+    q = (
+        funnel_stream(stream, w1_ms=W1, w2_ms=W2)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+
+    def emitted():
+        return {
+            (r.user_id, r.stage, r.ms)
+            for r in spark.sql("SELECT * FROM funnel_out").collect()
+        }
+
+    try:
+        q.processAllAvailable()
+        assert emitted() == {
+            (1, "view", 1_000), (2, "view", 1_000), (3, "view", 1_000),
+        }
+        land("b2.json", b2)
+        q.processAllAvailable()
+        assert emitted() == {
+            (1, "view", 1_000), (1, "click", 1_800), (1, "purchase", 3_000),
+            (2, "view", 1_000),
+            (3, "view", 1_000),
+        }
+    finally:
+        q.stop()
