@@ -8,7 +8,12 @@ copy-on-write snapshot under ``v=<n>/`` and then flips a tiny
 new one, never a half-written directory (the parquet write completes
 before the pointer moves, and a failed write leaves the pointer
 untouched). Rollback is pointer assignment; old versions stay readable
-until vacuumed.
+until vacuumed. For streaming sinks the pointer payload additionally
+carries ``last_batch_id`` so version durability and batch-committed
+are one atomic rename (see :func:`last_committed_batch`); a crash
+between a parquet write and its pointer flip leaves an orphan
+``v=`` directory that version allocation skips and ``vacuum``
+eventually reclaims.
 
 Deliberately NOT a table format: no transaction log, no concurrent
 writers, no file-level deltas — those need a real format (Delta,
@@ -35,28 +40,77 @@ def _latest_path(table_dir: str) -> str:
     return os.path.join(table_dir, "_latest")
 
 
-def latest_version(table_dir: str) -> int | None:
+def _read_pointer(table_dir: str) -> dict | None:
     try:
         with open(_latest_path(table_dir)) as f:
-            return int(json.load(f)["version"])
+            return json.load(f)
     except FileNotFoundError:
         return None
 
 
-def _flip_pointer(table_dir: str, version: int) -> None:
+def latest_version(table_dir: str) -> int | None:
+    p = _read_pointer(table_dir)
+    return None if p is None else int(p["version"])
+
+
+def last_committed_batch(table_dir: str) -> int:
+    """Highest streaming batch_id whose commit flipped the pointer,
+    or -1. Lives INSIDE the pointer payload so "version is durable"
+    and "batch is marked committed" are ONE atomic os.replace — a
+    crash can never leave a durable version whose batch looks
+    uncommitted (the replay-double-apply window a separate marker
+    file would open)."""
+    p = _read_pointer(table_dir)
+    return -1 if p is None else int(p.get("last_batch_id", -1))
+
+
+def _flip_pointer(table_dir: str, version: int, batch_id: int | None = None) -> None:
+    """Atomically commit ``version`` (and, for streaming sinks, the
+    batch_id that produced it) in a single rename. ``batch_id=None``
+    (non-streaming commits, rollback) carries the current marker
+    forward unchanged so interleaved batch commits are never
+    forgotten. NOTE: rollback therefore does NOT rewind the stream
+    marker — restart streams from a fresh checkpoint after a
+    rollback."""
+    if batch_id is None:
+        batch_id = last_committed_batch(table_dir)
     tmp = _latest_path(table_dir) + ".tmp"
     with open(tmp, "w") as f:
-        json.dump({"version": version}, f)
+        json.dump({"version": version, "last_batch_id": batch_id}, f)
     os.replace(tmp, _latest_path(table_dir))  # atomic on POSIX
 
 
-def write_snapshot(df: DataFrame, table_dir: str) -> int:
+def _next_version(table_dir: str) -> int:
+    """Allocate the next version id as max(existing v= dirs)+1, NOT
+    pointer+1: a crash between the parquet write and the pointer flip
+    leaves an orphan directory the pointer never reached, and a
+    rollback leaves diverged higher-numbered history — both must stay
+    untouched (never block, never be clobbered by) the next commit.
+    Orphans are unreferenced full snapshots; vacuum reclaims them."""
+    try:
+        versions = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(table_dir)
+            if d.startswith("v=") and os.path.isdir(os.path.join(table_dir, d))
+        ]
+    except FileNotFoundError:
+        versions = []
+    return max(versions, default=-1) + 1
+
+
+def write_snapshot(
+    df: DataFrame, table_dir: str, *, batch_id: int | None = None
+) -> int:
     """Write ``df`` as the next version; returns the new version id.
-    The pointer flips only after the parquet write has finished."""
-    cur = latest_version(table_dir)
-    nxt = 0 if cur is None else cur + 1
+    The pointer flips only after the parquet write has finished; when
+    ``batch_id`` is given (streaming sinks) it commits atomically WITH
+    the version in the same pointer rename — crash-at-any-point replay
+    either reruns the whole batch (pointer untouched, orphan directory
+    ignored by :func:`_next_version`) or skips it (pointer carries the
+    batch id), never double-applies."""
+    nxt = _next_version(table_dir)
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, f"v={nxt}"))
-    _flip_pointer(table_dir, nxt)
+    _flip_pointer(table_dir, nxt, batch_id)
     return nxt
 
 
@@ -84,13 +138,18 @@ def commit_upsert(
     id_col: str,
     *,
     delete_col: str | None = None,
+    batch_id: int | None = None,
 ) -> int:
     """MERGE ``batch`` into the latest snapshot and commit the result
     as a new version (read latest → :func:`~hadoopxmlextractor_spark.
-    operators.corpus.upsert` → :func:`write_snapshot`)."""
+    operators.corpus.upsert` → :func:`write_snapshot`). ``batch_id``
+    threads through to the atomic pointer commit for streaming
+    callers."""
     current = read_snapshot(spark, table_dir)
     return write_snapshot(
-        upsert(current, batch, id_col, delete_col=delete_col), table_dir
+        upsert(current, batch, id_col, delete_col=delete_col),
+        table_dir,
+        batch_id=batch_id,
     )
 
 
@@ -329,6 +388,12 @@ def maintain_minmax_rollup(
     Returns (group_col, n_docs, min_val, max_val); a group whose rows
     all vanish drops out (no rows → no recomputed entry; dirty by
     construction so never carried forward).
+
+    INTEGER-COLUMN CONTRACT (like :func:`maintain_topk`'s insert-only
+    contract): ``val_col`` is cast to BIGINT so the diff comparison
+    and the extrema are engine-exact — a fractional column would be
+    silently truncated. Pass integer measures (counts, cents,
+    milliseconds); scale fractional values to integers first.
     """
     from pyspark.sql import functions as F
 

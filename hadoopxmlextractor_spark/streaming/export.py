@@ -200,9 +200,11 @@ def _ivf_staged_sink_body(
     import os
     import shutil
 
-    from hadoopxmlextractor_spark.streaming.upsert import last_committed_batch
+    from hadoopxmlextractor_spark.streaming.upsert import (
+        last_committed_index_batch,
+    )
 
-    if batch_id <= last_committed_batch(index_dir):
+    if batch_id <= last_committed_index_batch(index_dir):
         # replayed after restart — batch already committed; sweep any
         # staging leftover from a crash between marker and rmtree
         shutil.rmtree(_ivf_staging_dir(index_dir, batch_id), ignore_errors=True)
@@ -291,10 +293,12 @@ def _band_staged_sink_body(
     import os
     import shutil
 
-    from hadoopxmlextractor_spark.streaming.upsert import last_committed_batch
+    from hadoopxmlextractor_spark.streaming.upsert import (
+        last_committed_index_batch,
+    )
 
     staging = _band_staging_dir(index_dir, batch_id)
-    if batch_id <= last_committed_batch(index_dir):
+    if batch_id <= last_committed_index_batch(index_dir):
         shutil.rmtree(staging, ignore_errors=True)
         return
     if not os.path.exists(f"{staging}/_STAGED"):

@@ -5,10 +5,13 @@ snapshot store, exactly-once.
 Composition of proven pieces rather than new machinery: per
 micro-batch, :func:`snapshots.maintain_topk` folds the batch into the
 standing table (insert-only self-maintainability: topk(all) =
-topk(standing ∪ batch)), the result lands as a NEW snapshot version
-(the leaderboard is k×groups rows — version cost is leaderboard-sized,
-never history-sized), and the ``upsert``-sink idempotent batch marker
-makes crash replay a no-op — offsets log + idempotent sink =
+topk(standing ∪ batch)), and the result lands as a NEW snapshot
+version (the leaderboard is k×groups rows — version cost is
+leaderboard-sized, never history-sized) whose pointer commits the
+version and the batch id in ONE atomic rename: crash replay either
+reruns the whole merge from the still-current version or is a no-op,
+never a second union of an already-absorbed batch (which could seat
+the same row twice in the top-k). Offsets log + idempotent sink =
 exactly-once standing state, the same contract as
 ``streaming/upsert.py``.
 
@@ -21,20 +24,14 @@ write. The unbounded event history is never re-read.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame
 
 from hadoopxmlextractor_spark.snapshots import (
+    last_committed_batch,
     latest_version,
     maintain_topk,
     read_snapshot,
     write_snapshot,
-)
-from hadoopxmlextractor_spark.streaming.upsert import (
-    _marker_path,
-    last_committed_batch,
 )
 
 
@@ -47,7 +44,10 @@ def make_leaderboard_sink(
     k: int,
 ):
     """foreachBatch function: standing top-k ∪ batch → new version,
-    skipped entirely when this batch_id already committed."""
+    skipped entirely when this batch_id already committed. The merge
+    plan writes DIRECTLY from v=N to v=N+1 — the sessions sink and
+    ``commit_upsert`` already exercise the read-old-write-new shape
+    (different directories; no driver-side materialization)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table_dir):
@@ -63,18 +63,7 @@ def make_leaderboard_sink(
             merged = maintain_topk(
                 standing, batch, group_col, id_col, val_col, k=k
             )
-        # materialize before writing: the merge plan reads v=N while
-        # write_snapshot lands v=N+1 (different dirs, but Spark's
-        # read-while-write path check is prefix-happy in places, and
-        # the leaderboard is k×groups rows — bounded by contract)
-        rows = merged.collect()
-        write_snapshot(
-            spark.createDataFrame(rows, merged.schema), table_dir
-        )
-        tmp = _marker_path(table_dir) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
-        os.replace(tmp, _marker_path(table_dir))
+        write_snapshot(merged, table_dir, batch_id=batch_id)
 
     return sink
 

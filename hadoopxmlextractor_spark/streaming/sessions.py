@@ -6,12 +6,17 @@ The composition mirrors ``streaming/leaderboard.py``: per batch,
 :func:`operators.temporal.sessionize_incremental` merges the batch
 into the standing table (append-only arrival ⇒ only each dirty user's
 LAST session can extend/merge; old EVENTS are never re-read — the
-session table plus the batch suffice), the result lands as a new
-snapshot version, and the idempotent batch marker makes crash replay a
-no-op. Unlike the leaderboard (k×groups rows, collected defensively),
-the session table is session-cardinality, so the merge plan writes
-DIRECTLY from v=N to v=N+1 — the same read-old-write-new shape
-``commit_upsert`` already exercises.
+session table plus the batch suffice), and the result lands as a new
+snapshot version whose pointer commits the version AND the batch id
+in one atomic rename (:func:`snapshots.write_snapshot` with
+``batch_id``): a crash at ANY point either leaves the pointer
+untouched (replay reruns the merge from the still-current v=N; the
+orphan parquet directory is skipped by version allocation) or leaves
+the batch marked committed (replay is a no-op) — never a committed
+version whose batch replays on top of it. The session table is
+session-cardinality, so the merge plan writes DIRECTLY from v=N to
+v=N+1 — the same read-old-write-new shape ``commit_upsert`` already
+exercises.
 
 Contrast with ``streaming/events.py`` session WINDOWS: Spark's
 session_window emits closed windows past the watermark and keeps open
@@ -22,9 +27,6 @@ which is what feature stores and activity dashboards read.
 
 from __future__ import annotations
 
-import json
-import os
-
 from pyspark.sql import DataFrame
 
 from hadoopxmlextractor_spark.operators.temporal import (
@@ -32,19 +34,19 @@ from hadoopxmlextractor_spark.operators.temporal import (
     sessionize_table,
 )
 from hadoopxmlextractor_spark.snapshots import (
+    last_committed_batch,
     latest_version,
     read_snapshot,
     write_snapshot,
-)
-from hadoopxmlextractor_spark.streaming.upsert import (
-    _marker_path,
-    last_committed_batch,
 )
 
 
 def make_session_table_sink(table_dir: str, *, gap_ms: int):
     """foreachBatch function: standing sessions + batch → new version,
-    skipped when this batch_id already committed (crash replay)."""
+    skipped when this batch_id already committed (crash replay). The
+    version pointer carries the batch id, so the commit is one atomic
+    rename — no interleaving of crash and replay can double-count a
+    session's n_events."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table_dir):
@@ -55,11 +57,7 @@ def make_session_table_sink(table_dir: str, *, gap_ms: int):
         else:
             standing = read_snapshot(batch_df.sparkSession, table_dir)
             merged = sessionize_incremental(standing, batch, gap_ms=gap_ms)
-        write_snapshot(merged, table_dir)
-        tmp = _marker_path(table_dir) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"last_batch_id": batch_id}, f)
-        os.replace(tmp, _marker_path(table_dir))
+        write_snapshot(merged, table_dir, batch_id=batch_id)
 
     return sink
 

@@ -788,9 +788,11 @@ def test_stream_vectors_append_to_ivf_index(spark, tmp_path):
     # that LOST the offsets checkpoint but kept the index replays the
     # same data as batch 0 — the committed-batch marker must no-op the
     # append instead of duplicating every streamed vector.
-    from hadoopxmlextractor_spark.streaming.upsert import last_committed_batch
+    from hadoopxmlextractor_spark.streaming.upsert import (
+        last_committed_index_batch,
+    )
 
-    assert last_committed_batch(index) >= 0  # marker written by the run
+    assert last_committed_index_batch(index) >= 0  # marker written by the run
     n_before = spark.read.parquet(f"{index}/cells").count()
     q2 = stream_vectors_into_ivf_index(
         stream, index, str(tmp_path / "ckpt_replay")
@@ -1814,3 +1816,232 @@ def test_funnel_stream_matches_windowed_batch_funnel(spark, tmp_path):
         }
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Snapshot-store sinks: crash-at-every-point replay (round-5 verdict item 1)
+# ---------------------------------------------------------------------------
+# The commit protocol has exactly three crash points per batch:
+#   (a) before/while the merge plan runs — nothing durable changed;
+#   (b) after the v=N+1 parquet write, before the pointer flip — the
+#       pointer (version + last_batch_id) is untouched, the new
+#       directory is an unreferenced orphan;
+#   (c) after the atomic pointer flip — the batch is durably committed.
+# At every point a restart replays the batch with the SAME batch_id;
+# the standing table must end identical to the no-crash run (sessions:
+# n_events never double-counted; leaderboard: no row seated twice).
+
+
+def _crash_flip(monkeypatch):
+    """Make the NEXT pointer flip crash (after the parquet write),
+    then restore — simulating crash point (b)."""
+    import hadoopxmlextractor_spark.snapshots as snap
+
+    real = snap._flip_pointer
+
+    def boom(*a, **kw):
+        monkeypatch.setattr(snap, "_flip_pointer", real)
+        raise RuntimeError("simulated crash between parquet write and pointer flip")
+
+    monkeypatch.setattr(snap, "_flip_pointer", boom)
+
+
+def test_session_sink_survives_crash_at_every_point(spark, tmp_path, monkeypatch):
+    """Crash (b) on the FIRST batch (no pointer yet) and on a later
+    batch (standing table exists), plus post-commit replay (c): the
+    session table always equals the from-scratch sessionization —
+    n_events exact, never double-counted."""
+    import pytest as _pytest
+
+    from hadoopxmlextractor_spark.operators.temporal import sessionize_table
+    from hadoopxmlextractor_spark.snapshots import (
+        last_committed_batch,
+        latest_version,
+        read_snapshot,
+    )
+    from hadoopxmlextractor_spark.streaming.sessions import make_session_table_sink
+
+    GAP = 1_000
+    table = str(tmp_path / "sessions")
+    sink = make_session_table_sink(table, gap_ms=GAP)
+    b1 = [(1, 10, 0), (1, 11, 400), (2, 20, 0)]
+    b2 = [(1, 12, 1_200), (2, 21, 5_000), (3, 30, 7)]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "user_id long, event_id long, ms long")
+
+    def standing():
+        return {
+            (r.user_id, r.session_id): (r.start_ms, r.end_ms, r.n_events)
+            for r in read_snapshot(spark, table).collect()
+        }
+
+    def direct(rows):
+        return {
+            (r.user_id, r.session_id): (r.start_ms, r.end_ms, r.n_events)
+            for r in sessionize_table(df(rows), gap_ms=GAP).collect()
+        }
+
+    # crash (b) on the very first batch: orphan v=0, no pointer
+    _crash_flip(monkeypatch)
+    with _pytest.raises(RuntimeError):
+        sink(df(b1), 0)
+    assert latest_version(table) is None  # nothing durable
+    sink(df(b1), 0)  # replay reruns the whole batch
+    assert standing() == direct(b1) and last_committed_batch(table) == 0
+
+    # crash (b) on a later batch: standing table v exists, orphan above
+    v_committed = latest_version(table)
+    _crash_flip(monkeypatch)
+    with _pytest.raises(RuntimeError):
+        sink(df(b2), 1)
+    assert latest_version(table) == v_committed  # pointer untouched
+    assert standing() == direct(b1)  # readers still see the old version
+    sink(df(b2), 1)  # replay merges ONCE from the still-current version
+    assert standing() == direct(b1 + b2)
+    assert standing()[(1, 1)] == (0, 1_200, 3)  # extended, not doubled
+
+    # (c) post-commit replay is a no-op
+    v = latest_version(table)
+    sink(df(b2), 1)
+    assert latest_version(table) == v and standing() == direct(b1 + b2)
+
+
+def test_leaderboard_sink_survives_crash_at_every_point(spark, tmp_path, monkeypatch):
+    """Same three points for the top-k leaderboard: a replayed batch
+    never unions into a table that already absorbed it — no duplicate
+    (grp, id) rows, final top-k identical to the batch recompute. Also
+    locks in the direct v=N→v=N+1 write (no collect() detour)."""
+    import inspect
+
+    import pytest as _pytest
+
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.snapshots import latest_version, read_snapshot
+    from hadoopxmlextractor_spark.streaming import leaderboard as lb
+
+    table = str(tmp_path / "board")
+    sink = lb.make_leaderboard_sink(table, "grp", "id", "v", k=2)
+    b1 = [("A", 1, 10), ("A", 2, 20), ("B", 3, 5)]
+    b2 = [("A", 4, 15), ("B", 5, 1), ("C", 6, 7)]
+
+    def df(rows):
+        return spark.createDataFrame(rows, "grp string, id long, v long")
+
+    def standing():
+        return [
+            (r.grp, r.id, r.v)
+            for r in read_snapshot(spark, table).orderBy("grp", "id").collect()
+        ]
+
+    def batch_topk(rows, k=2):
+        w = Window.partitionBy("grp").orderBy(F.col("v").desc(), F.col("id"))
+        return [
+            (r.grp, r.id, r.v)
+            for r in df(rows).withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k).orderBy("grp", "id").collect()
+        ]
+
+    # the defensive driver-side materialization is gone for good
+    assert "collect()" not in inspect.getsource(lb.make_leaderboard_sink)
+
+    _crash_flip(monkeypatch)
+    with _pytest.raises(RuntimeError):
+        sink(df(b1), 0)
+    assert latest_version(table) is None
+    sink(df(b1), 0)
+    assert standing() == batch_topk(b1)
+
+    v_committed = latest_version(table)
+    _crash_flip(monkeypatch)
+    with _pytest.raises(RuntimeError):
+        sink(df(b2), 1)
+    assert latest_version(table) == v_committed
+    sink(df(b2), 1)  # replay: exactly one union of b2
+    got = standing()
+    assert got == batch_topk(b1 + b2)
+    assert len({(g, i) for g, i, _ in got}) == len(got)  # no row seated twice
+
+    v = latest_version(table)
+    sink(df(b2), 1)  # (c) post-commit replay
+    assert latest_version(table) == v and standing() == batch_topk(b1 + b2)
+
+
+def test_upsert_sink_survives_crash_at_every_point(spark, tmp_path, monkeypatch):
+    """The MERGE sink under the same interleavings: the replayed batch
+    merges exactly once (MERGE is idempotent by key, but the version
+    chain and batch marker must also stay consistent)."""
+    import pytest as _pytest
+
+    from hadoopxmlextractor_spark.snapshots import (
+        last_committed_batch,
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+    from hadoopxmlextractor_spark.streaming.upsert import make_upsert_sink
+
+    table = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "one"), (2, "two")], "doc_id long, text string"),
+        table,
+    )
+    assert last_committed_batch(table) == -1  # non-streaming commit
+    sink = make_upsert_sink(table, "doc_id")
+
+    def state():
+        return {r.doc_id: r.text for r in read_snapshot(spark, table).collect()}
+
+    batch = spark.createDataFrame(
+        [(2, "two-updated"), (3, "three")], "doc_id long, text string"
+    )
+    _crash_flip(monkeypatch)
+    with _pytest.raises(RuntimeError):
+        sink(batch, 0)
+    assert latest_version(table) == 0 and state() == {1: "one", 2: "two"}
+    sink(batch, 0)  # replay
+    assert state() == {1: "one", 2: "two-updated", 3: "three"}
+    assert last_committed_batch(table) == 0
+
+    v = latest_version(table)
+    sink(batch, 0)  # (c) post-commit replay
+    assert latest_version(table) == v
+
+
+def test_write_snapshot_skips_crash_orphan_directories(spark, tmp_path, monkeypatch):
+    """Version allocation is max(existing dirs)+1, not pointer+1: an
+    orphan directory from a crash between parquet write and pointer
+    flip never blocks the next commit (mode errorifexists would
+    otherwise refuse), and rollback-then-write preserves the diverged
+    higher-numbered history instead of clobbering it."""
+    import os
+
+    import pytest as _pytest
+
+    from hadoopxmlextractor_spark.snapshots import (
+        latest_version,
+        read_snapshot,
+        rollback,
+        write_snapshot,
+    )
+
+    table = str(tmp_path / "t")
+
+    def df(tag):
+        return spark.createDataFrame([(1, tag)], "doc_id long, text string")
+
+    assert write_snapshot(df("v0"), table) == 0
+    _crash_flip(monkeypatch)
+    with _pytest.raises(RuntimeError):
+        write_snapshot(df("v1-crashed"), table)
+    assert latest_version(table) == 0 and os.path.isdir(f"{table}/v=1")
+    # next commit allocates ABOVE the orphan and flips past it
+    assert write_snapshot(df("v2"), table) == 2
+    assert {r.text for r in read_snapshot(spark, table).collect()} == {"v2"}
+
+    # rollback to v0, then a new commit: v=2 history survives untouched
+    rollback(table, 0)
+    assert write_snapshot(df("v3"), table) == 3
+    assert {r.text for r in read_snapshot(spark, table, version=2).collect()} == {"v2"}
+    assert {r.text for r in read_snapshot(spark, table).collect()} == {"v3"}
