@@ -79,9 +79,12 @@ def lint_plan(df: DataFrame) -> list[dict]:
       Filter node — the predicate exists but never reached the scan
       (wrong column type, UDF in the predicate, or a cast blocking
       pushdown).
-    - ``wide_scan`` (warning): a scan reading >2/3 of a table's
-      columns under a narrower final projection — column pruning
-      lost (SELECT * somewhere upstream).
+    - ``wide_scan`` (warning): a scan whose read-column count is
+      more than 3× the FINAL projection width (and above a floor of
+      3) — scan width judged relative to the result, not to the
+      table's total column count, so a query that reads many columns
+      to produce few is flagged as likely-lost pruning (SELECT *
+      somewhere upstream) regardless of table width.
     - ``rowwise_python`` (warning): a non-Arrow BatchEvalPython node —
       a row-at-a-time Python UDF in the plan (~10-100× slower than
       the Arrow path).

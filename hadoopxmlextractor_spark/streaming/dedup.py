@@ -98,6 +98,14 @@ def kmv_cardinality_stream(
     The estimate arithmetic is the batch twin's, operation for
     operation (48-bit prefix of the k-th digest, ``(k-1)/u_k``), so
     streaming and batch agree bit-for-bit, not approximately.
+
+    STATE-COMPATIBILITY NOTE: the checkpointed sketch changed shape
+    from bottom-k to bottom-(k+1) digests (the extra slot is the
+    saturation witness). The stored tuple schema still deserializes,
+    so a stream resumed from a pre-change checkpoint whose source
+    already exceeded k distinct values transiently reports
+    ``saturated=false`` (exact count k) until the next new distinct
+    digest arrives. Restart such streams from a fresh checkpoint.
     """
     hashed = docs.filter(F.col(text_col).isNotNull()).select(
         F.col(source_col).alias("source"), F.md5(F.col(text_col)).alias("digest")
