@@ -120,9 +120,23 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
 
 
 def compile_pipeline(
-    spark: SparkSession, sf_dir: str, config: dict[str, Any] | str
+    spark: SparkSession,
+    sf_dir: str,
+    config: dict[str, Any] | str,
+    *,
+    lint: bool = True,
 ) -> DataFrame:
-    """Validate a pipeline spec and compile it to one lazy plan."""
+    """Validate a pipeline spec and compile it to one lazy plan.
+
+    Compile-time plan lint: after composition the whole plan runs
+    through :func:`plans.inspect.lint_plan` — the same scale
+    anti-pattern checks the test suite asserts (cartesian product,
+    filter never reaching a scan, lost pruning, row-wise Python UDF).
+    ``error``-severity findings (all-pairs join shapes) raise here,
+    BEFORE any job runs — the 100 TB pre-flight; warnings surface via
+    :mod:`warnings` so a misconfigured-but-runnable pipeline still
+    compiles. ``lint=False`` opts out (e.g. a deliberately tiny
+    cross join). Linting plans the query but executes nothing."""
     if isinstance(config, str):
         config = json.loads(config)
     source = config.get("source", "documents")
@@ -139,4 +153,21 @@ def compile_pipeline(
     df = docs.select("doc_id", "text")
     for spec in stages:
         df = STAGES[spec["op"]](df, docs, **spec.get("params", {}))
+    if lint:
+        from hadoopxmlextractor_spark.plans.inspect import lint_plan
+
+        findings = lint_plan(df)
+        errors = [f for f in findings if f["severity"] == "error"]
+        if errors:
+            raise ValueError(
+                "pipeline plan failed lint: "
+                + "; ".join(f"{f['code']}: {f['detail']}" for f in errors)
+            )
+        for f in findings:
+            import warnings
+
+            warnings.warn(
+                f"pipeline plan lint [{f['code']}]: {f['detail']}",
+                stacklevel=2,
+            )
     return df

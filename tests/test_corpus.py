@@ -591,6 +591,57 @@ def test_pipeline_config_validation_and_json_form(spark):
     assert a == b and len(a) > 0
 
 
+def test_pipeline_compile_time_lint_rejects_cartesian_stage(spark):
+    """compile_pipeline runs plans.inspect.lint_plan over the COMPOSED
+    plan before returning it: an error-severity finding (all-pairs
+    join shape) raises at compile time with the finding in the
+    message — the 100 TB pre-flight — while lint=False opts out and
+    the healthy stage vocabulary compiles clean (no warnings)."""
+    import warnings
+
+    import pytest
+
+    from hadoopxmlextractor_spark import pipeline_config as PC
+
+    sf = "/root/testdata/sf0.001"
+
+    def _stage_bad_crossjoin(df, docs):
+        # a misconfigured enrichment: joins without any key
+        return df.crossJoin(docs.select(F.col("doc_id").alias("other_id"))).select(
+            "doc_id", "text"
+        )
+
+    PC.STAGES["bad_crossjoin"] = _stage_bad_crossjoin
+    try:
+        # the all-pairs shape surfaces as CartesianProduct or (when one
+        # side is broadcastable) BroadcastNestedLoopJoin — both error
+        with pytest.raises(
+            ValueError, match="failed lint.*(cartesian|nested_loop)"
+        ):
+            PC.compile_pipeline(
+                spark, sf, {"stages": [{"op": "bad_crossjoin"}]}
+            )
+        # lint=False opts out: the plan compiles (nothing executes)
+        df = PC.compile_pipeline(
+            spark, sf, {"stages": [{"op": "bad_crossjoin"}]}, lint=False
+        )
+        assert df.columns == ["doc_id", "text"]
+    finally:
+        del PC.STAGES["bad_crossjoin"]
+
+    # the shipped vocabulary COMPILES: warning-severity findings (here
+    # unfiltered_scan — the keep/rank filters are on computed columns,
+    # legitimately unpushable) surface via warnings.warn, never raise
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        out = PC.compile_pipeline(
+            spark, sf, {"stages": [{"op": "quality_filter"}, {"op": "dedup_exact"}]}
+        )
+    assert out.columns == ["doc_id", "text"]
+    lint_warnings = [w for w in caught if "pipeline plan lint" in str(w.message)]
+    assert all("unfiltered_scan" in str(w.message) for w in lint_warnings)
+
+
 def test_data_contract_counts_violations_and_null_hostility(spark):
     from pyspark.sql import functions as F
 
