@@ -31,6 +31,7 @@ from hadoopxmlextractor_spark.snapshots import (
     latest_version,
     maintain_topk,
     read_snapshot,
+    vacuum,
     write_snapshot,
 )
 
@@ -42,12 +43,17 @@ def make_leaderboard_sink(
     val_col: str,
     *,
     k: int,
+    vacuum_every: int | None = None,
+    keep_last: int = 3,
 ):
     """foreachBatch function: standing top-k ∪ batch → new version,
     skipped entirely when this batch_id already committed. The merge
     plan writes DIRECTLY from v=N to v=N+1 — the sessions sink and
     ``commit_upsert`` already exercise the read-old-write-new shape
-    (different directories; no driver-side materialization)."""
+    (different directories; no driver-side materialization).
+    ``vacuum_every``/``keep_last``: reclaim old versions every N
+    committed batches (post-commit, crash-safe — see the sessions
+    sink docstring and SCALE.md §continuous-sinks)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table_dir):
@@ -64,6 +70,8 @@ def make_leaderboard_sink(
                 standing, batch, group_col, id_col, val_col, k=k
             )
         write_snapshot(merged, table_dir, batch_id=batch_id)
+        if vacuum_every and batch_id > 0 and batch_id % vacuum_every == 0:
+            vacuum(table_dir, keep_last=keep_last)
 
     return sink
 
@@ -77,11 +85,16 @@ def leaderboard_stream(
     *,
     k: int,
     checkpoint_dir: str,
+    vacuum_every: int | None = None,
+    keep_last: int = 3,
 ):
     """Start the continuous leaderboard: returns the StreamingQuery."""
     return (
         stream.writeStream.foreachBatch(
-            make_leaderboard_sink(table_dir, group_col, id_col, val_col, k=k)
+            make_leaderboard_sink(
+                table_dir, group_col, id_col, val_col, k=k,
+                vacuum_every=vacuum_every, keep_last=keep_last,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

@@ -37,16 +37,31 @@ from hadoopxmlextractor_spark.snapshots import (
     last_committed_batch,
     latest_version,
     read_snapshot,
+    vacuum,
     write_snapshot,
 )
 
 
-def make_session_table_sink(table_dir: str, *, gap_ms: int):
+def make_session_table_sink(
+    table_dir: str,
+    *,
+    gap_ms: int,
+    vacuum_every: int | None = None,
+    keep_last: int = 3,
+):
     """foreachBatch function: standing sessions + batch → new version,
     skipped when this batch_id already committed (crash replay). The
     version pointer carries the batch id, so the commit is one atomic
     rename — no interleaving of crash and replay can double-count a
-    session's n_events."""
+    session's n_events.
+
+    Retention: a long-running sink commits one full copy-on-write
+    snapshot per micro-batch, so history (and the O(#versions)
+    directory listing in version allocation) grows linearly without
+    reclamation — set ``vacuum_every`` to vacuum every N committed
+    batches, keeping the newest ``keep_last`` versions (measured
+    curve: SCALE.md §continuous-sinks). Vacuum runs AFTER the atomic
+    commit, so a crash mid-vacuum costs only unreclaimed storage."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table_dir):
@@ -58,6 +73,8 @@ def make_session_table_sink(table_dir: str, *, gap_ms: int):
             standing = read_snapshot(batch_df.sparkSession, table_dir)
             merged = sessionize_incremental(standing, batch, gap_ms=gap_ms)
         write_snapshot(merged, table_dir, batch_id=batch_id)
+        if vacuum_every and batch_id > 0 and batch_id % vacuum_every == 0:
+            vacuum(table_dir, keep_last=keep_last)
 
     return sink
 
@@ -68,11 +85,18 @@ def session_table_stream(
     *,
     gap_ms: int,
     checkpoint_dir: str,
+    vacuum_every: int | None = None,
+    keep_last: int = 3,
 ):
     """Start the continuous session-table maintenance query."""
     return (
         stream.writeStream.foreachBatch(
-            make_session_table_sink(table_dir, gap_ms=gap_ms)
+            make_session_table_sink(
+                table_dir,
+                gap_ms=gap_ms,
+                vacuum_every=vacuum_every,
+                keep_last=keep_last,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

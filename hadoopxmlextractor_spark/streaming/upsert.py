@@ -58,11 +58,22 @@ def last_committed_index_batch(index_dir: str) -> int:
         return -1
 
 
-def make_upsert_sink(table_dir: str, id_col: str, *, delete_col: str | None = None):
+def make_upsert_sink(
+    table_dir: str,
+    id_col: str,
+    *,
+    delete_col: str | None = None,
+    vacuum_every: int | None = None,
+    keep_last: int = 3,
+):
     """The foreachBatch function: MERGE the batch as a new snapshot
     version unless this batch_id already committed (crash replay).
     Version + batch id land in one atomic pointer rename, so there is
-    no crash point at which the batch can double-apply."""
+    no crash point at which the batch can double-apply.
+    ``vacuum_every``/``keep_last``: reclaim old versions every N
+    committed batches (post-commit, crash-safe — measured curve in
+    SCALE.md §continuous-sinks)."""
+    from hadoopxmlextractor_spark.snapshots import vacuum
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_id <= last_committed_batch(table_dir):
@@ -75,6 +86,8 @@ def make_upsert_sink(table_dir: str, id_col: str, *, delete_col: str | None = No
             delete_col=delete_col,
             batch_id=batch_id,
         )
+        if vacuum_every and batch_id > 0 and batch_id % vacuum_every == 0:
+            vacuum(table_dir, keep_last=keep_last)
 
     return sink
 
@@ -86,11 +99,16 @@ def upsert_stream(
     *,
     checkpoint_dir: str,
     delete_col: str | None = None,
+    vacuum_every: int | None = None,
+    keep_last: int = 3,
 ):
     """Start the continuous MERGE: returns the StreamingQuery."""
     return (
         stream.writeStream.foreachBatch(
-            make_upsert_sink(table_dir, id_col, delete_col=delete_col)
+            make_upsert_sink(
+                table_dir, id_col, delete_col=delete_col,
+                vacuum_every=vacuum_every, keep_last=keep_last,
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("update")

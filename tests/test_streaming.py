@@ -2045,3 +2045,46 @@ def test_write_snapshot_skips_crash_orphan_directories(spark, tmp_path, monkeypa
     assert write_snapshot(df("v3"), table) == 3
     assert {r.text for r in read_snapshot(spark, table, version=2).collect()} == {"v2"}
     assert {r.text for r in read_snapshot(spark, table).collect()} == {"v3"}
+
+
+def test_sink_auto_vacuum_bounds_version_history(spark, tmp_path):
+    """The vacuum_every retention knob: a long-running sink's version
+    directory count stays bounded (every Nth committed batch reclaims
+    all but keep_last versions), the standing table still equals the
+    from-scratch recompute, and the pointer-pinned current version is
+    never removed."""
+    import os
+
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.snapshots import latest_version, read_snapshot
+    from hadoopxmlextractor_spark.streaming.leaderboard import make_leaderboard_sink
+
+    table = str(tmp_path / "board")
+    sink = make_leaderboard_sink(
+        table, "grp", "id", "v", k=2, vacuum_every=4, keep_last=2
+    )
+    all_rows = []
+    for b in range(12):
+        rows = [(f"g{i % 3}", b * 10 + i, (b * 7 + i * 13) % 100) for i in range(6)]
+        all_rows += rows
+        sink(spark.createDataFrame(rows, "grp string, id long, v long"), b)
+
+    n_versions = sum(1 for d in os.listdir(table) if d.startswith("v="))
+    assert n_versions <= 2 + 3  # keep_last + batches since the last vacuum
+    assert latest_version(table) == 11
+
+    w = Window.partitionBy("grp").orderBy(F.col("v").desc(), F.col("id"))
+    expect = {
+        (r.grp, r.id, r.v)
+        for r in spark.createDataFrame(all_rows, "grp string, id long, v long")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .collect()
+    }
+    got = {(r.grp, r.id, r.v) for r in read_snapshot(spark, table).collect()}
+    assert got == expect
+
+    # a replayed batch id after vacuuming is still a no-op
+    sink(spark.createDataFrame([("g0", 999, 99)], "grp string, id long, v long"), 11)
+    assert latest_version(table) == 11
