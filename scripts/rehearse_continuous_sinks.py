@@ -66,8 +66,57 @@ def board_batch(spark, b: int):
     return spark.createDataFrame(rows, "grp string, id long, v long")
 
 
+def doc_batch(spark, b: int):
+    """40 synthetic docs per batch, unique ids, mildly-overlapping
+    vocabulary so the MinHash signatures are non-degenerate."""
+    rows = [
+        (
+            b * 40 + i,
+            " ".join(f"w{(b * 17 + i * 7 + j) % 300}" for j in range(40)),
+        )
+        for i in range(40)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
 def n_versions(table_dir: str) -> int:
     return sum(1 for d in os.listdir(table_dir) if d.startswith("v="))
+
+
+def n_files(root: str) -> int:
+    return sum(len(fs) for _r, _d, fs in os.walk(root))
+
+
+def run_band_index(spark, workdir: str, do_compact: bool, n_batches: int) -> dict:
+    """The third continuous sink: staged-commit appends into the band
+    tree. The growth axis here is FILES PER BAND (one per touched band
+    per batch), not version directories — per-band compaction is the
+    reclamation lever."""
+    from hadoopxmlextractor_spark.operators.dedup import compact_band_index
+    from hadoopxmlextractor_spark.streaming.export import _band_staged_sink_body
+
+    index = os.path.join(workdir, f"bands_{'comp' if do_compact else 'nocomp'}")
+    shutil.rmtree(index, ignore_errors=True)
+    os.makedirs(index)
+    windows, times = [], []
+    for b in range(n_batches):
+        df = doc_batch(spark, b)
+        t0 = time.monotonic()
+        _band_staged_sink_body(index, df, b, "text", "doc_id", 16, 8)
+        if do_compact and b > 0 and b % VACUUM_EVERY == 0:
+            compact_band_index(spark, index)
+        times.append(time.monotonic() - t0)
+        if len(times) == WINDOW:
+            times.sort()
+            windows.append(times[WINDOW // 2])
+            times = []
+    return {
+        "kind": "band_index",
+        "vacuum": do_compact,
+        "window_medians_s": [round(w, 3) for w in windows],
+        "versions_left": n_files(os.path.join(index, "bands")),
+        "store_mb": round(dir_bytes(index) / 1e6, 1),
+    }
 
 
 def dir_bytes(table_dir: str) -> int:
@@ -126,14 +175,21 @@ def main() -> None:
         for kind in ("leaderboard", "sessions")
         for v in (False, True)
     ]
+    # band-index scenario is heavier per batch (stage+rename commit);
+    # run it at half the batch count (env BAND_BATCHES overrides)
+    band_batches = int(os.environ.get("BAND_BATCHES", max(N_BATCHES // 2, WINDOW)))
+    results += [
+        run_band_index(spark, workdir, c, band_batches) for c in (False, True)
+    ]
     print(
         f"\n{N_BATCHES} micro-batches per scenario, vacuum every "
         f"{VACUUM_EVERY} keeping {KEEP_LAST}, medians per {WINDOW}-batch window"
     )
     for r in results:
         tag = "vacuum" if r["vacuum"] else "no vacuum"
+        unit = "files" if r["kind"] == "band_index" else "versions"
         print(
-            f"{r['kind']:<12} {tag:<10} versions={r['versions_left']:<4} "
+            f"{r['kind']:<12} {tag:<10} {unit}={r['versions_left']:<5} "
             f"store={r['store_mb']:>7.1f} MB  medians={r['window_medians_s']}"
         )
     print(f"TOTAL {time.monotonic() - t0:.0f}s")
