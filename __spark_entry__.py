@@ -64,13 +64,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
-    # round-6 rotation (r5 verdict item 2): first 50 = never driver-
-    # certified queries (no hash-green row in CORRECTNESS_r01-r05),
-    # fronted by the two r01 rows-only results and the 20 unsampled
-    # TPC-H-shape flagships, then alphabetical fill. The driver
-    # samples the first 50, so this certifies 50 first-time queries
-    # and leaves 61 for round 7. Ordering is presentation-only:
+    # round-6 rotation (r5 verdict item 2): the two NEW round-6
+    # operators first (never-certified by definition), then the two
+    # r01 rows-only results and the 20 unsampled TPC-H-shape
+    # flagships, then alphabetical never-certified fill. The driver
+    # samples the first 50, certifying 50 first-time queries and
+    # leaving 63 for round 7. Ordering is presentation-only:
     # every entry still runs in the local full-registry gate.
+    "corpus_priority_sample",
+    "corpus_epoch_shuffle",
     "join_full_outer",
     "window_range_frame",
     "q2_min_cost_supplier",
@@ -119,10 +121,10 @@ FRONT = [
     "events_ab_cuped",
     "events_ab_srm_check",
     "events_association_rules",
+    # --- driver sample boundary (first 50 above) ---
+    # the remaining 63 never-certified, queued for round 7:
     "events_attribution",
     "events_bot_detection",
-    # --- driver sample boundary (first 50 above) ---
-    # the remaining 61 never-certified, queued for round 7:
     "events_churn_labels",
     "events_cohort_triangle",
     "events_ewma_spikes",

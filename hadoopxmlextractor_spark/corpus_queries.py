@@ -2739,3 +2739,93 @@ def q_corpus_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
     # CAST truncates doubles where DuckDB rounds.
     docs = load(spark, sf, "documents")
     return C.curriculum_stages(docs, "text", "doc_id")
+
+
+@query(
+    "corpus_priority_sample",
+    """
+    WITH keyed AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS w,
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) * 1048576) // CAST(n_chars AS BIGINT) AS pkey
+      FROM documents
+    ),
+    cand AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 51),
+    tau AS (SELECT MAX(pkey) AS tau_key FROM cand),
+    ranked AS (
+      SELECT doc_id, w, pkey,
+             ROW_NUMBER() OVER (ORDER BY pkey, doc_id) AS rn
+      FROM cand
+    )
+    SELECT r.doc_id, r.w, r.pkey, t.tau_key,
+           CAST(GREATEST(r.w, 4503599627370496 // (t.tau_key + 1))
+                AS BIGINT) AS est
+    FROM ranked r CROSS JOIN tau t
+    WHERE r.rn <= 50
+    """,
+)
+def q_corpus_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Priority sampling (Duffield-Lund-Thorup): a 50-doc subsample
+    # weighted by n_chars whose per-row `est` column sums to an
+    # estimate of total corpus chars - unbiased subset-sum estimation
+    # from a fixed-size sample, which uniform sampling cannot give.
+    # Priorities are exact INTEGER keys (md5-u * 2^20 div w): ordering
+    # is engine-identical bigint comparison, never a float rank.
+    # One ordered LIMIT (TakeOrderedAndProject), k+1-row everything
+    # after - the 100 TB shape.
+    docs = load(spark, sf, "documents")
+    return C.priority_sample(docs, "doc_id", "n_chars", k=50)
+
+
+@query(
+    "corpus_epoch_shuffle",
+    """
+    WITH idx AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS x
+      FROM documents
+    ),
+    ep AS (SELECT 0 AS epoch UNION ALL SELECT 1),
+    f0 AS (
+      SELECT doc_id, epoch, x // 1024 AS l0, x % 1024 AS r0
+      FROM idx CROSS JOIN ep
+    ),
+    f1 AS (
+      SELECT doc_id, epoch, r0 AS l1,
+             xor(l0, ((r0 + 1) * 2654435761 + (epoch + 1) * 8) % 1024) AS r1
+      FROM f0
+    ),
+    f2 AS (
+      SELECT doc_id, epoch, r1 AS l2,
+             xor(l1, ((r1 + 1) * 2246822519 + (epoch + 1) * 8) % 1024) AS r2
+      FROM f1
+    ),
+    f3 AS (
+      SELECT doc_id, epoch, r2 AS l3,
+             xor(l2, ((r2 + 1) * 3266489917 + (epoch + 1) * 8) % 1024) AS r3
+      FROM f2
+    )
+    SELECT doc_id, CAST(epoch AS INTEGER) AS epoch,
+           CAST(l3 * 1024 + r3 AS BIGINT) AS slot
+    FROM f3
+    """,
+)
+def q_corpus_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
+    # Shuffle-free multi-epoch shuffle: per-epoch reading slots from a
+    # 3-round Feistel permutation over [0, 2^20) - a pure integer
+    # projection, so every epoch's re-randomization costs zero
+    # shuffles/sorts/joins (ORDER BY rand() pays a global sort per
+    # epoch and breaks on task retry). The dense index is derived here
+    # for the synthetic table; at 100 TB it is assigned once at ingest
+    # and the epoch schedule remains a map-only job. Distinct-slot
+    # bijectivity is pytest-asserted; the oracle replays the exact
+    # bigint add/mul/mod/xor chain.
+    docs = load(spark, sf, "documents").select("doc_id")
+    idx = docs.select(
+        "doc_id",
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .cast("long")
+        .alias("idx"),
+    )
+    return C.epoch_slots(idx, "doc_id", "idx", epochs=2, seed=7)

@@ -966,3 +966,125 @@ def curriculum_stages(
         (F.row_number().over(w) - 1).cast("long").alias("pos_in_stage"),
         "score_micro",
     )
+
+
+def priority_sample(
+    docs: DataFrame,
+    id_col: str,
+    weight_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Weighted sampling without replacement by PRIORITY SAMPLING
+    (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    arbitrary subset sums", JACM 2007) with EXACT integer priorities -
+    the quality-weighted corpus subsample that still supports unbiased
+    token-count estimates over the full corpus.
+
+    Each row draws a deterministic uniform u (32-bit md5 prefix of the
+    id - reproducible, engine-replayable, no RNG state) and gets the
+    integer priority key ``floor(u*2^20 / w)``: ascending key order is
+    exactly descending DLT priority w/u, so the k smallest keys are
+    the k sampled rows, all in bigint (u*2^20 <= 2^52: no overflow, no
+    float ordering anywhere - a float priority would sit one ulp from
+    flipping a rank between engines). The (k+1)-th key is the
+    threshold tau; every sampled row carries the DLT estimator weight
+    ``est = max(w, floor(2^52/(tau_key+1)))`` (the +1 floor-guard
+    makes this the documented floor approximation of 1/tau), whose sum
+    estimates SUM(w) over the WHOLE corpus - the property uniform
+    sampling lacks.
+
+    Scale: the k+1 candidates come from ONE ordered limit
+    (TakeOrderedAndProject: per-partition top-(k+1), then a merge of
+    (k+1)-row heads - never a global sort); the threshold is an
+    aggregate over k+1 rows; the rank window runs on the same tiny
+    frame. ``weight_col`` must be a POSITIVE integer (cents, chars,
+    tokens - the same integer contract as maintain_minmax_rollup).
+    """
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("w"),
+        (u * F.lit(1048576)).alias("_scaled"),
+    ).select(id_col, "w", F.expr("_scaled div w").alias("pkey"))
+    cand = keyed.orderBy(F.col("pkey").asc(), F.col(id_col).asc()).limit(k + 1)
+    tau = cand.agg(F.max("pkey").alias("tau_key"))
+    w_rank = Window.orderBy(F.col("pkey").asc(), F.col(id_col).asc())
+    return (
+        cand.withColumn("_rn", F.row_number().over(w_rank))
+        .filter(F.col("_rn") <= k)
+        .crossJoin(F.broadcast(tau))
+        .select(
+            id_col,
+            "w",
+            "pkey",
+            "tau_key",
+            F.greatest(
+                F.col("w"),
+                F.expr("4503599627370496 div (tau_key + 1)"),
+            ).cast("long").alias("est"),
+        )
+    )
+
+
+# Feistel round constants: arbitrary odd multipliers (Knuth-style),
+# one per round - public mixing constants, nothing secret.
+_FEISTEL_ROUNDS = (2654435761, 2246822519, 3266489917)
+_FEISTEL_BITS = 10  # half-width b: domain M = 2^(2b) = 1,048,576 slots
+
+
+def epoch_slots(
+    docs: DataFrame,
+    id_col: str,
+    index_col: str,
+    *,
+    epochs: int = 2,
+    seed: int = 0,
+) -> DataFrame:
+    """SHUFFLE-FREE multi-epoch shuffle: assign every document a
+    distinct reading slot per epoch via a 3-round FEISTEL NETWORK over
+    the padded domain [0, 2^20) - a bijection computed as pure integer
+    projection, so re-randomizing the corpus order for each epoch
+    costs ZERO shuffles, zero sorts, zero joins (contrast
+    :func:`shuffle_shards`, which pays one shuffle per permutation,
+    and ORDER BY rand(), which pays a global sort per epoch AND is
+    irreproducible across task retries).
+
+    A Feistel network is a permutation of [0, M) by construction for
+    ANY round function (split x into b-bit halves L,R; each round maps
+    (L,R) -> (R, L xor f_r(R)), trivially invertible), so the N
+    occupied slots are distinct, each (epoch, seed) pair yields a
+    different-looking permutation, and readers walk the slot sequence
+    skipping the M-N empty slots (expected overhead M/N - the standard
+    cycle-walking-free schedule). All arithmetic is bigint
+    add/multiply/mod/xor - engine-identical, hence the exact oracle.
+
+    ``index_col`` must hold a dense integer index in [0, 2^20) -
+    assigned ONCE at ingest (zipWithIndex / shard-offset arithmetic),
+    then every epoch of every run reuses it; raise ``_FEISTEL_BITS``
+    for bigger corpora (b=18 covers 68G docs). Returns one row per
+    (doc, epoch): (id, epoch, slot).
+    """
+    half = 1 << _FEISTEL_BITS
+    # epoch fan-out as a generator, not a cross join: the plan stays a
+    # single Project+Generate over the scan (lint_plan-clean - even a
+    # 2-row broadcast cross join shows up as BroadcastNestedLoopJoin)
+    out = docs.select(
+        id_col,
+        F.col(index_col).cast("long").alias("_x"),
+        F.explode(
+            F.array(*[F.lit(e).cast("int") for e in range(epochs)])
+        ).alias("epoch"),
+    )
+    lcol = F.expr(f"_x div {half}")
+    rcol = F.col("_x") % F.lit(half)
+    for rnd in _FEISTEL_ROUNDS:
+        fcol = (
+            (rcol + F.lit(1)) * F.lit(rnd)
+            + (F.col("epoch").cast("long") + F.lit(1)) * F.lit(seed + 1)
+        ) % F.lit(half)
+        lcol, rcol = rcol, lcol.bitwiseXOR(fcol)
+    slot = lcol * F.lit(half) + rcol
+    return out.select(id_col, "epoch", slot.cast("long").alias("slot"))

@@ -977,3 +977,75 @@ def test_curriculum_stages_orders_easy_to_hard(spark):
         assert sorted(
             r.pos_in_stage for r in out if r.stage == s
         ) == list(range(n))
+
+
+def test_priority_sample_exact_keys_and_estimator(spark):
+    """Priority sampling: the sample is EXACTLY the k smallest integer
+    priority keys (replicated bit-for-bit in pure Python from md5), the
+    threshold is the (k+1)-th key, est >= w always, and the DLT
+    estimator sum lands within a sane band of the true total weight."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators.corpus import priority_sample
+
+    rows = [(i, 10 + (i * 37) % 490) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    k = 64
+    got = priority_sample(df, "doc_id", "n_chars", k=k).collect()
+    assert len(got) == k
+
+    def key(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return (u * 1048576) // w
+
+    keys = sorted((key(i, w), i) for i, w in rows)
+    expect_ids = {i for _, i in keys[:k]}
+    tau_key = keys[k][0]
+    assert {r.doc_id for r in got} == expect_ids
+    assert all(r.tau_key == tau_key for r in got)
+    assert all(r.est >= r.w for r in got)
+    est_total = sum(r.est for r in got)
+    true_total = sum(w for _, w in rows)
+    assert 0.5 * true_total <= est_total <= 2.0 * true_total
+
+    # plan shape: ordered limit, never a global sort of the corpus
+    plan = priority_sample(df, "doc_id", "n_chars", k=k)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_epoch_slots_is_a_per_epoch_bijection(spark):
+    """Feistel epoch shuffle: per epoch every doc gets a DISTINCT slot
+    in [0, 2^20), different epochs order the corpus differently, the
+    map is deterministic across invocations, and the plan is join-free
+    (lint-clean) — the zero-shuffle re-randomization claim."""
+    from hadoopxmlextractor_spark.operators.corpus import epoch_slots
+    from hadoopxmlextractor_spark.plans.inspect import lint_plan
+
+    n = 500
+    df = spark.createDataFrame(
+        [(i, i) for i in range(n)], "doc_id long, idx long"
+    )
+    out = epoch_slots(df, "doc_id", "idx", epochs=3, seed=11)
+    rows = out.collect()
+    assert len(rows) == 3 * n
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append((r.doc_id, r.slot))
+    for e, pairs in by_epoch.items():
+        slots = [s for _, s in pairs]
+        assert len(set(slots)) == n  # bijection restricted to the corpus
+        assert all(0 <= s < 1 << 20 for s in slots)
+    # epochs genuinely reorder: the doc->slot maps differ pairwise
+    m0, m1, m2 = (dict(by_epoch[e]) for e in (0, 1, 2))
+    assert m0 != m1 and m1 != m2 and m0 != m2
+    # deterministic replay
+    again = {
+        (r.doc_id, r.epoch): r.slot
+        for r in epoch_slots(df, "doc_id", "idx", epochs=3, seed=11).collect()
+    }
+    assert all(again[(d, e)] == s for e, ps in by_epoch.items() for d, s in ps)
+    # join-free plan: no error-severity lint finding, no join operator
+    assert [f for f in lint_plan(out) if f["severity"] == "error"] == []
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "CartesianProduct" not in plan
