@@ -72,6 +72,7 @@ FRONT = [
     # leaving 63 for round 7. Ordering is presentation-only:
     # every entry still runs in the local full-registry gate.
     "corpus_priority_sample",
+    "corpus_priority_sample_grouped",
     "corpus_epoch_shuffle",
     "join_full_outer",
     "window_range_frame",
@@ -120,9 +121,9 @@ FRONT = [
     "embedding_quantize_int8",
     "events_ab_cuped",
     "events_ab_srm_check",
-    "events_association_rules",
     # --- driver sample boundary (first 50 above) ---
     # the remaining 63 never-certified, queued for round 7:
+    "events_association_rules",
     "events_attribution",
     "events_bot_detection",
     "events_churn_labels",

@@ -2829,3 +2829,57 @@ def q_corpus_epoch_shuffle(spark: SparkSession, sf: str) -> DataFrame:
         .alias("idx"),
     )
     return C.epoch_slots(idx, "doc_id", "idx", epochs=2, seed=7)
+
+
+@query(
+    "corpus_priority_sample_grouped",
+    """
+    WITH relabeled AS (
+      SELECT doc_id,
+             CASE WHEN doc_id < 60 THEN source || '_head' ELSE source END
+               AS grp,
+             CAST(n_chars AS BIGINT) AS w
+      FROM documents
+    ),
+    keyed AS (
+      SELECT grp, doc_id, w,
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) * 1048576) // w AS pkey
+      FROM relabeled
+    ),
+    ranked AS (
+      SELECT grp, doc_id, w, pkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY grp ORDER BY pkey, doc_id) AS rn
+      FROM keyed
+    ),
+    capped AS (SELECT * FROM ranked WHERE rn <= 11),
+    taued AS (
+      SELECT grp, doc_id, w, pkey, rn,
+             COALESCE(MAX(CASE WHEN rn = 11 THEN pkey END)
+                        OVER (PARTITION BY grp), -1) AS tau_key
+      FROM capped
+    )
+    SELECT grp, doc_id, w, pkey, tau_key,
+           CAST(CASE WHEN tau_key < 0 THEN w
+                     ELSE GREATEST(w, 4503599627370496 // (tau_key + 1))
+                END AS BIGINT) AS est
+    FROM taued
+    WHERE rn <= 10
+    """,
+)
+def q_corpus_priority_sample_grouped(spark: SparkSession, sf: str) -> DataFrame:
+    # Per-source weighted quota sampling (k=10 per group) - the grouped
+    # DLT variant: one group-keyed shuffle carrying ~(k+1)*groups rows
+    # (rank<=k+1 pushes into WindowGroupLimit, plan-asserted in the
+    # unit test). The doc_id<60 head relabel plants groups SMALLER than
+    # k so the exhaustive branch (tau_key = -1, est = exact w) is live
+    # alongside the thresholded estimator - the vacuous-check rule.
+    docs = load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") < 60, F.concat(F.col("source"), F.lit("_head")))
+        .otherwise(F.col("source"))
+        .alias("grp"),
+        "n_chars",
+    )
+    return C.priority_sample_grouped(docs, "doc_id", "n_chars", "grp", k=10)

@@ -1088,3 +1088,64 @@ def epoch_slots(
         lcol, rcol = rcol, lcol.bitwiseXOR(fcol)
     slot = lcol * F.lit(half) + rcol
     return out.select(id_col, "epoch", slot.cast("long").alias("slot"))
+
+
+def priority_sample_grouped(
+    docs: DataFrame,
+    id_col: str,
+    weight_col: str,
+    group_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Per-group :func:`priority_sample` — weighted quota sampling
+    (k docs per source, weighted by quality/length) with the same
+    exact-integer DLT machinery, one shuffle total: the global ordered
+    limit becomes a rank over a group-partitioned window (Spark pushes
+    rank<=k+1 into WindowGroupLimit - per-partition per-group heaps
+    before the exchange, so the shuffle carries ~(k+1)*groups rows,
+    not the corpus).
+
+    Groups holding <= k rows are sampled exhaustively: their (k+1)-th
+    key does not exist, tau_key is reported as -1 and the estimator
+    collapses to the exact weight (DLT: an exhaustive sample has no
+    sampling error). Everything stays bigint (the priority_sample
+    integer contract).
+    """
+    u = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keyed = docs.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(weight_col).cast("long").alias("w"),
+        (u * F.lit(1048576)).alias("_scaled"),
+    ).select(group_col, id_col, "w", F.expr("_scaled div w").alias("pkey"))
+    w_rank = Window.partitionBy(group_col).orderBy(
+        F.col("pkey").asc(), F.col(id_col).asc()
+    )
+    ranked = keyed.withColumn("_rn", F.row_number().over(w_rank)).filter(
+        F.col("_rn") <= k + 1
+    )
+    w_grp = Window.partitionBy(group_col)
+    tau = F.max(F.when(F.col("_rn") == k + 1, F.col("pkey"))).over(w_grp)
+    return (
+        ranked.withColumn("tau_key", F.coalesce(tau, F.lit(-1)))
+        .filter(F.col("_rn") <= k)
+        .select(
+            group_col,
+            id_col,
+            "w",
+            "pkey",
+            "tau_key",
+            F.when(F.col("tau_key") < 0, F.col("w"))
+            .otherwise(
+                F.greatest(
+                    F.col("w"),
+                    F.expr("4503599627370496 div (tau_key + 1)"),
+                )
+            )
+            .cast("long")
+            .alias("est"),
+        )
+    )

@@ -1049,3 +1049,27 @@ def test_epoch_slots_is_a_per_epoch_bijection(spark):
     assert [f for f in lint_plan(out) if f["severity"] == "error"] == []
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_priority_sample_grouped_quotas_and_windowgrouplimit(spark):
+    """Grouped DLT quota sampling: groups larger than k are capped at k
+    with a real threshold; groups at or under k are exhaustive with
+    tau_key = -1 and est = exact w; the rank<=k+1 filter pushes into
+    WindowGroupLimit so the shuffle carries ~(k+1)*groups rows."""
+    from hadoopxmlextractor_spark.operators.corpus import priority_sample_grouped
+
+    rows = [(i, "big", 10 + i % 50) for i in range(100)]
+    rows += [(1000 + i, "small", 20 + i) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, n_chars long")
+    out = priority_sample_grouped(df, "doc_id", "n_chars", "grp", k=8)
+    got = out.collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, []).append(r)
+    assert len(by_grp["big"]) == 8
+    assert all(r.tau_key >= 0 and r.est >= r.w for r in by_grp["big"])
+    assert len(by_grp["small"]) == 4  # exhaustive
+    assert all(r.tau_key == -1 and r.est == r.w for r in by_grp["small"])
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
