@@ -54,6 +54,10 @@ HEADLINE = [
     # batch-merge sessionization (the continuous-ingest shapes)
     "dedup_prefix_filter_join",
     "events_sessionize_incremental",
+    # round-6 additions: shuffle-free Feistel epoch shuffle (map-only),
+    # grouped DLT quota sampling (WindowGroupLimit shape)
+    "corpus_epoch_shuffle",
+    "corpus_priority_sample_grouped",
 ]
 
 N_XML_DOCS = 500
