@@ -95,6 +95,8 @@ REFERENCE = {
     "similarity_maxsim_multivector": 0.38,
     "dedup_prefix_filter_join": 1.60,
     "events_sessionize_incremental": 1.60,
+    "corpus_epoch_shuffle": 0.25,
+    "corpus_priority_sample_grouped": 0.28,
 }
 
 
