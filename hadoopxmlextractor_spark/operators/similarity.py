@@ -1416,3 +1416,146 @@ def mmr_diversified_topk(
     return spark.createDataFrame(
         out_rows, "rank int, vec_id long, sim_q_micro long, mmr_score long"
     )
+
+
+def semdedup_prune(
+    emb: DataFrame,
+    *,
+    k: int = 8,
+    rounds: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_cluster_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): semantic near-dup
+    PRUNING where the clustering bounds the quadratic — pairwise
+    cosine is computed only WITHIN each k-means cluster, never across
+    the corpus, which is the published trick that makes embedding
+    dedup tractable at web scale (cluster size ~N/k stays constant
+    when k scales with the corpus).
+
+    Determinism end-to-end: clustering is the hash-exact integer
+    :func:`kmeans_assignments`; similarity is the exact integer cosine
+    of the CENTERED int8 quantized vectors (s = q - 127), thresholded
+    by cross-multiplication — ``den²·dot² ≥ num²·‖a‖²·‖b‖²`` with
+    ``dot > 0`` — so no float comparison anywhere (dot ≤ dim·127² and
+    the squared compare stays inside int64 for dim ≤ 512). The keep
+    rule is the SemDeDup representative choice made total: within a
+    similar pair, the member closer to its centroid survives
+    (tie → lower id), i.e. a row is pruned iff SOME same-cluster row
+    with strictly smaller (dist, id) is θ-similar to it.
+
+    Scale: one posexplode to (cluster, pos, value) → self-join on
+    (cluster, pos) → pair aggregation — the standard within-block
+    all-pairs shape, bounded by the max cluster size. The
+    ``max_cluster_size`` pre-flight (one tiny aggregate over the
+    assignments) FAILS FAST with the offending cluster instead of
+    launching a quadratic stage — the same budget-guard discipline as
+    the exact n-gram join; the fix is raising k, which is how SemDeDup
+    is meant to scale.
+
+    Returns one row per vector: (vec_id, centroid_id, dist, kept).
+    """
+    a = kmeans_assignments(
+        emb, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col
+    )
+    sizes = a.groupBy("centroid_id").count().filter(
+        F.col("count") > max_cluster_size
+    )
+    over = sizes.collect()  # k rows max - bounded by design
+    if over:
+        worst = max(over, key=lambda r: r["count"])
+        raise ValueError(
+            f"semdedup cluster {worst['centroid_id']} holds "
+            f"{worst['count']} vectors > max_cluster_size="
+            f"{max_cluster_size}; raise k (cluster size ~N/k) or the "
+            "budget - refusing to launch a quadratic pair stage"
+        )
+
+    sq = emb.select(
+        F.col(id_col).alias("vec_id"), quantized_shifted(vec_col).alias("q")
+    )
+    x = (
+        sq.select("vec_id", F.posexplode("q").alias("pos", "qv"))
+        .select("vec_id", "pos", (F.col("qv") - F.lit(127)).alias("sval"))
+        .join(a.select("vec_id", "centroid_id"), "vec_id")
+    ).persist()
+    x.count()  # feeds norms AND both pair sides (AQE cache-race rule)
+    norms = x.groupBy("vec_id").agg(
+        F.sum(F.col("sval") * F.col("sval")).alias("nrm")
+    )
+    xa = x.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("pos"),
+        F.col("vec_id").alias("va"),
+        F.col("sval").alias("sa"),
+    )
+    xb = x.select(
+        F.col("centroid_id").alias("cid"),
+        F.col("pos"),
+        F.col("vec_id").alias("vb"),
+        F.col("sval").alias("sb"),
+    )
+    dots = (
+        xa.join(xb, ["cid", "pos"])
+        .filter(F.col("va") < F.col("vb"))
+        .groupBy("va", "vb")
+        .agg(F.sum(F.col("sa") * F.col("sb")).alias("dot"))
+    )
+    na = norms.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
+    simp = (
+        dots.join(na, "va")
+        .join(nb, "vb")
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.lit(threshold_den * threshold_den)
+                * F.col("dot") * F.col("dot")
+                >= F.lit(threshold_num * threshold_num)
+                * F.col("na") * F.col("nb")
+            )
+        )
+        .select("va", "vb")
+    )
+    da = a.select(
+        F.col("vec_id").alias("va"),
+        F.col("dist").alias("dist_a"),
+    )
+    db = a.select(
+        F.col("vec_id").alias("vb"),
+        F.col("dist").alias("dist_b"),
+    )
+    # the pair member farther from its centroid (tie: higher id) loses
+    pruned = (
+        simp.join(da, "va")
+        .join(db, "vb")
+        .select(
+            F.when(
+                (F.col("dist_a") < F.col("dist_b"))
+                | (
+                    (F.col("dist_a") == F.col("dist_b"))
+                    & (F.col("va") < F.col("vb"))
+                ),
+                F.col("vb"),
+            )
+            .otherwise(F.col("va"))
+            .alias("vec_id")
+        )
+        .distinct()
+    )
+    out = a.join(
+        pruned.withColumn("_pruned", F.lit(True)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "centroid_id",
+        "dist",
+        F.coalesce(~F.col("_pruned"), F.lit(True)).alias("kept"),
+    )
+    # x stays cached until the caller's action completes (it feeds
+    # norms and both pair sides of the lazy plan); the session owns
+    # the release, same as tfidf's tf cache.
+    return out

@@ -677,7 +677,12 @@ def video_shots_oracle(
     """
 
 
-def kmeans_oracle(*, k: int = 8, rounds: int = 3) -> str:
+def kmeans_oracle(
+    *,
+    k: int = 8,
+    rounds: int = 3,
+    base_sql: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+) -> str:
     """Exact replay of operators.similarity.kmeans_assignments: the
     shifted int8 quantization (``floor(v_i/scale + 0.5) + 127``;
     ``scale = 0`` → the shifted origin), the (md5, vec_id)-ranked
@@ -687,10 +692,13 @@ def kmeans_oracle(*, k: int = 8, rounds: int = 3) -> str:
     ties break ``ORDER BY dist, cid`` ≡ numpy argmin's first
     occurrence; centroid updates use ``//`` on non-negative operands
     ≡ Spark's ``div``; empty clusters COALESCE to the previous
-    centroid."""
+    centroid. ``base_sql`` parameterizes the input relation (default:
+    the embeddings table) so composed oracles — e.g. semdedup's
+    planted-duplicate union — replay the same clustering over their
+    own base."""
     ctes = [
-        """base AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)""",
+        f"""base AS MATERIALIZED (
+  {base_sql})""",
         """qv AS MATERIALIZED (
   SELECT vec_id,
          CASE WHEN scale = 0 THEN [CAST(127 AS BIGINT) FOR x IN v]
@@ -1411,3 +1419,67 @@ def shared_runs_oracle(
     FROM agg GROUP BY doc_a, doc_b
     HAVING MAX(run_tokens) >= {min_run_tokens}
     """
+
+
+def semdedup_oracle(
+    *,
+    k: int = 8,
+    rounds: int = 3,
+    threshold_num: int = 9,
+    threshold_den: int = 20,
+    planted_offset: int = 1_000_000,
+    planted_mod: int = 100,
+) -> str:
+    """Exact replay of operators.similarity.semdedup_prune over the
+    planted-duplicate base (every vec_id % planted_mod == 0 is
+    mirrored at vec_id + planted_offset — identical vector, so each
+    plant is a guaranteed within-cluster near-dup of its original and
+    the prune branch is provably non-vacuous): the kmeans CTE chain
+    runs over the unioned base, then centered int8 dots within each
+    cluster, the cross-multiplied integer cosine threshold, and the
+    (dist, id)-dominance prune."""
+    base_sql = f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {planted_offset}, CAST(embedding AS DOUBLE[])
+  FROM embeddings WHERE vec_id % {planted_mod} = 0"""
+    kmeans = kmeans_oracle(k=k, rounds=rounds, base_sql=base_sql)
+    head, _, _ = kmeans.rpartition("\nSELECT")
+    t2 = threshold_num * threshold_num
+    d2 = threshold_den * threshold_den
+    return (
+        head
+        + f""",
+memb AS MATERIALIZED (
+  SELECT vec_id, CAST(cid AS INT) AS centroid_id,
+         CAST(dist AS BIGINT) AS dist, q
+  FROM a{rounds}),
+x AS MATERIALIZED (
+  SELECT vec_id, centroid_id,
+         unnest(generate_series(1, len(q))) AS pos,
+         unnest(q) - 127 AS sval
+  FROM memb),
+nrm AS MATERIALIZED (
+  SELECT vec_id, CAST(SUM(sval * sval) AS BIGINT) AS nrm
+  FROM x GROUP BY vec_id),
+dots AS MATERIALIZED (
+  SELECT xa.vec_id AS va, xb.vec_id AS vb,
+         CAST(SUM(xa.sval * xb.sval) AS BIGINT) AS dot
+  FROM x xa JOIN x xb
+    ON xa.centroid_id = xb.centroid_id AND xa.pos = xb.pos
+   AND xa.vec_id < xb.vec_id
+  GROUP BY 1, 2),
+simp AS MATERIALIZED (
+  SELECT d.va, d.vb
+  FROM dots d JOIN nrm a ON a.vec_id = d.va JOIN nrm b ON b.vec_id = d.vb
+  WHERE d.dot > 0 AND {d2} * d.dot * d.dot >= {t2} * a.nrm * b.nrm),
+pruned AS MATERIALIZED (
+  SELECT DISTINCT CASE WHEN ma.dist < mb.dist
+                    OR (ma.dist = mb.dist AND s.va < s.vb)
+                  THEN s.vb ELSE s.va END AS vec_id
+  FROM simp s
+  JOIN memb ma ON ma.vec_id = s.va
+  JOIN memb mb ON mb.vec_id = s.vb)
+SELECT m.vec_id, m.centroid_id, m.dist,
+       (p.vec_id IS NULL) AS kept
+FROM memb m LEFT JOIN pruned p ON p.vec_id = m.vec_id"""
+    )

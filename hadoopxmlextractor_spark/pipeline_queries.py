@@ -2283,3 +2283,25 @@ def q_corpus_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
     new = docs.filter(F.col("doc_id") % 11 != 0)
     return distribution_drift(old, new, "n_chars", n_buckets=8)
+
+
+@query("embedding_semdedup", O.semdedup_oracle(k=8, rounds=3))
+def q_embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SemDeDup (Abbas et al. 2023): semantic near-dup pruning with the
+    # quadratic bounded INSIDE k-means clusters - pairwise cosine never
+    # crosses clusters, so cost is SUM(cluster^2), not N^2, and k
+    # scaling with the corpus keeps cluster sizes constant (the
+    # published web-scale trick). Every vec_id % 100 == 0 is mirrored
+    # at +1_000_000 (identical vector -> guaranteed same-cluster
+    # near-dup) so the prune branch is provably non-vacuous per the
+    # planted-evidence rule; the original (lower dist tie -> lower id)
+    # survives, the plant is pruned. Exact end-to-end: integer kmeans,
+    # centered int8 dots, cross-multiplied cosine threshold 9/20.
+    emb = load(spark, sf, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 100 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    return S.semdedup_prune(
+        emb.unionByName(planted), k=8, rounds=3,
+        threshold_num=9, threshold_den=20,
+    )

@@ -1174,3 +1174,38 @@ def test_connected_components_incremental_composes_repeatedly(spark):
         )
     got = {r.doc_id: r.component_id for r in labels.collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_semdedup_prunes_planted_duplicates_and_guards_cluster_size(spark):
+    """SemDeDup: an identical planted mirror is a guaranteed
+    within-cluster near-dup — the original (tie -> lower id) survives,
+    the plant is pruned; every vector appears exactly once in the
+    verdict; and the max_cluster_size pre-flight fails fast instead of
+    launching a quadratic pair stage."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.similarity import semdedup_prune
+    from hadoopxmlextractor_spark.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"), "embedding"
+    )
+    n_plants = planted.count()
+    assert n_plants > 0
+    out = semdedup_prune(
+        emb.unionByName(planted), k=4, rounds=2,
+        threshold_num=9, threshold_den=20,
+    ).collect()
+    verdict = {r.vec_id: r.kept for r in out}
+    assert len(verdict) == emb.count() + n_plants  # one verdict per vector
+    for r in out:
+        if r.vec_id >= 1_000_000:
+            assert verdict[r.vec_id] is False  # plant pruned
+            assert verdict[r.vec_id - 1_000_000] is True  # original kept
+    # the guard refuses a quadratic stage instead of launching it
+    with pytest.raises(ValueError, match="max_cluster_size"):
+        semdedup_prune(emb, k=4, rounds=2, max_cluster_size=3)
