@@ -2883,3 +2883,55 @@ def q_corpus_priority_sample_grouped(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
     )
     return C.priority_sample_grouped(docs, "doc_id", "n_chars", "grp", k=10)
+
+
+@query(
+    "corpus_incremental_priority_sample",
+    """
+    WITH keyed AS (
+      SELECT source AS grp, doc_id,
+             (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) * 1048576) // CAST(n_chars AS BIGINT) AS pkey
+      FROM documents
+    )
+    SELECT grp, doc_id, pkey, CAST(rank AS INT) AS rank FROM (
+      SELECT grp, doc_id, pkey,
+             ROW_NUMBER() OVER (
+               PARTITION BY grp ORDER BY pkey, doc_id) AS rank
+      FROM keyed)
+    WHERE rank <= 11
+    """,
+)
+def q_corpus_incremental_priority_sample(spark: SparkSession, sf: str) -> DataFrame:
+    # Incremental maintenance of a standing per-source priority sample
+    # (the fourth maintenance regime: bottom-(k+1) priority keys are
+    # insert-only self-maintainable INCLUDING the DLT threshold
+    # witness): the corpus lands as two id-parity generations, each
+    # merged into the standing table via maintain_priority_sample; the
+    # oracle is deliberately the from-scratch grouped sample over ALL
+    # rows - the maintenance identity. Displacement across generations
+    # is organic (md5 priorities are uniform, so each generation owns
+    # ~half of every group's smallest keys).
+    from hadoopxmlextractor_spark.snapshots import maintain_priority_sample
+
+    docs = load(spark, sf, "documents")
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keyed = docs.select(
+        F.col("source").alias("grp"),
+        "doc_id",
+        (u * F.lit(1048576)).alias("_scaled"),
+        F.col("n_chars").cast("long").alias("w"),
+    ).select("grp", "doc_id", F.expr("_scaled div w").alias("pkey"))
+    gen0 = keyed.filter(F.col("doc_id") % 2 == 0)
+    gen1 = keyed.filter(F.col("doc_id") % 2 == 1)
+    standing = maintain_priority_sample(
+        gen0.limit(0), gen0, "grp", "doc_id", "pkey", k=10
+    ).drop("rank")
+    merged = maintain_priority_sample(
+        standing, gen1, "grp", "doc_id", "pkey", k=10
+    )
+    return merged.select(
+        "grp", "doc_id", "pkey", F.col("rank").cast("int").alias("rank")
+    )

@@ -588,3 +588,47 @@ def distribution_drift(
     return terms.crossJoin(F.broadcast(total)).select(
         "bucket", "n_old", "n_new", "term", "chi2"
     )
+
+
+def maintain_priority_sample(
+    standing: DataFrame,
+    new_rows: DataFrame,
+    group_col: str,
+    id_col: str,
+    key_col: str,
+    *,
+    k: int,
+) -> DataFrame:
+    """Incremental maintenance of a per-group PRIORITY SAMPLE
+    (:func:`operators.corpus.priority_sample_grouped`) under
+    INSERT-ONLY arrival — the fourth entry in the maintenance-regime
+    catalog, and the one that makes weighted sampling a STANDING TABLE
+    a stream can keep current: bottom-(k+1) priority keys are
+    mergeable exactly like a top-k (bottom(all) = bottom(standing ∪
+    batch)), and retaining the (k+1)-th row keeps the DLT threshold —
+    and with it every sampled row's estimator weight — derivable from
+    the standing table alone, with the non-sample history never
+    re-read.
+
+    ``standing`` and ``new_rows`` carry (group, id, key) where ``key``
+    is the integer priority (u·2^20 div w). Returns the merged
+    bottom-(k+1) rows per group with their rank — rows ranked ≤ k are
+    the sample, the rank-(k+1) row is the threshold witness (absent ⇒
+    the group is exhaustively sampled, the tau=-1 branch). Ordering is
+    deterministic — (key ASC, id ASC) — so any merge sequence equals
+    the from-scratch sample (oracle identity). NOT valid under deletes
+    (a removed sampled row would need the discarded (k+2)-th): route
+    deletes to a dirty-group recompute, as with :func:`maintain_topk`.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    cols = [group_col, id_col, key_col]
+    pool = standing.select(cols).unionByName(new_rows.select(cols))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(key_col).asc(), F.col(id_col).asc()
+    )
+    return (
+        pool.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k + 1)
+    )

@@ -186,3 +186,50 @@ def test_mixed_regime_maintenance_over_shared_snapshot_store(spark, tmp_path):
     assert 6 not in ids and 5 not in ids
     final_topk = _rows(read_snapshot(spark, topk_dir))
     assert ("web", 6, 300) not in final_topk
+
+
+def test_maintain_priority_sample_merge_equals_recompute(spark):
+    """The fourth maintenance regime: bottom-(k+1) priority keys are
+    insert-only self-maintainable — any merge sequence equals the
+    from-scratch grouped sample, the rank-(k+1) threshold witness
+    rides along, and cross-generation displacement is verified."""
+    from hadoopxmlextractor_spark.snapshots import maintain_priority_sample
+
+    # groups keyed mod 4, generations mod 3 — coprime, so every group
+    # receives rows in every generation and displacement can occur
+    rows = [(f"g{i % 4}", i, (i * 7919 + 13) % 100_000) for i in range(120)]
+    df = spark.createDataFrame(rows, "grp string, id long, pkey long")
+    k = 5
+
+    def recompute(sub):
+        return {
+            (r.grp, r.id, r.pkey, r["rank"])
+            for r in maintain_priority_sample(
+                sub.limit(0), sub, "grp", "id", "pkey", k=k
+            ).collect()
+        }
+
+    gens = [df.filter(F.col("id") % 3 == g) for g in range(3)]
+    standing = maintain_priority_sample(
+        gens[0].limit(0), gens[0], "grp", "id", "pkey", k=k
+    )
+    seen = gens[0]
+    for g in gens[1:]:
+        standing = maintain_priority_sample(
+            standing.drop("rank"), g, "grp", "id", "pkey", k=k
+        )
+        seen = seen.unionByName(g)
+        assert {
+            (r.grp, r.id, r.pkey, r["rank"]) for r in standing.collect()
+        } == recompute(seen)
+    # every group carries its (k+1)-th threshold witness
+    got = standing.collect()
+    by_grp = {}
+    for r in got:
+        by_grp.setdefault(r.grp, set()).add(r["rank"])
+    assert all(max(rs) == k + 1 for rs in by_grp.values())
+    # displacement really happened: some generation-0 row fell out
+    first = {r.id for r in maintain_priority_sample(
+        gens[0].limit(0), gens[0], "grp", "id", "pkey", k=k).collect()}
+    final = {r.id for r in got}
+    assert first - final, "no displacement — the merge was vacuous"
