@@ -2088,3 +2088,84 @@ def test_sink_auto_vacuum_bounds_version_history(spark, tmp_path):
     # a replayed batch id after vacuuming is still a no-op
     sink(spark.createDataFrame([("g0", 999, 99)], "grp string, id long, v long"), 11)
     assert latest_version(table) == 11
+
+
+def test_sample_sink_e2e_and_crash_at_every_point(spark, tmp_path, monkeypatch):
+    """The continuous priority-sample sink: a real streamed run equals
+    the from-scratch grouped bottom-(k+1) after every batch, and the
+    crash-at-every-point interleavings replay to the identical table
+    (the atomic version+batch-id commit contract all snapshot sinks
+    share)."""
+    import json
+
+    import pytest as _pytest
+
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.snapshots import latest_version, read_snapshot
+    from hadoopxmlextractor_spark.streaming.sample import (
+        make_sample_sink,
+        sample_stream,
+    )
+
+    K = 2
+    table = str(tmp_path / "sample")
+
+    def recompute(rows):
+        df = spark.createDataFrame(rows, "grp string, id long, pkey long")
+        w = Window.partitionBy("grp").orderBy("pkey", "id")
+        return {
+            (r.grp, r.id, r.pkey, r.rn)
+            for r in df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K + 1)
+            .collect()
+        }
+
+    def standing():
+        return {
+            (r.grp, r.id, r.pkey, r["rank"])
+            for r in read_snapshot(spark, table).collect()
+        }
+
+    b1 = [("a", 1, 500), ("a", 2, 100), ("b", 3, 900)]
+    b2 = [("a", 4, 50), ("a", 5, 700), ("b", 6, 200)]  # displaces a#1
+
+    landing = tmp_path / "in"
+    landing.mkdir()
+    (landing / "b1.json").write_text(
+        "\n".join(json.dumps({"grp": g, "id": i, "pkey": p}) for g, i, p in b1)
+    )
+    stream = spark.readStream.schema("grp string, id long, pkey long").json(
+        str(landing)
+    )
+    q = sample_stream(
+        stream, table, "grp", "id", "pkey", k=K,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    try:
+        q.processAllAvailable()
+        assert standing() == recompute(b1)
+        (landing / "b2.json").write_text(
+            "\n".join(
+                json.dumps({"grp": g, "id": i, "pkey": p}) for g, i, p in b2
+            )
+        )
+        q.processAllAvailable()
+        assert standing() == recompute(b1 + b2)
+    finally:
+        q.stop()
+
+    # crash between parquet write and pointer flip, then replay
+    b3 = [("b", 7, 10), ("a", 8, 60)]
+    sink = make_sample_sink(table, "grp", "id", "pkey", k=K)
+    v = latest_version(table)
+    _crash_flip(monkeypatch)
+    with _pytest.raises(RuntimeError):
+        sink(spark.createDataFrame(b3, "grp string, id long, pkey long"), 2)
+    assert latest_version(table) == v and standing() == recompute(b1 + b2)
+    sink(spark.createDataFrame(b3, "grp string, id long, pkey long"), 2)
+    assert standing() == recompute(b1 + b2 + b3)
+    # post-commit replay is a no-op
+    v = latest_version(table)
+    sink(spark.createDataFrame(b3, "grp string, id long, pkey long"), 2)
+    assert latest_version(table) == v and standing() == recompute(b1 + b2 + b3)
