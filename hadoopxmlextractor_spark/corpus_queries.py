@@ -2935,3 +2935,66 @@ def q_corpus_incremental_priority_sample(spark: SparkSession, sf: str) -> DataFr
     return merged.select(
         "grp", "doc_id", "pkey", F.col("rank").cast("int").alias("rank")
     )
+
+
+@query(
+    "corpus_unimax_budget",
+    """
+    WITH sizes AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS sz
+      FROM documents GROUP BY lang
+    ),
+    caps AS (
+      SELECT lang, sz, sz * 3 AS cap,
+             ROW_NUMBER() OVER (ORDER BY sz * 3, lang) AS j,
+             COUNT(*) OVER () AS m,
+             COALESCE(SUM(sz * 3) OVER (
+               ORDER BY sz * 3, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix_before
+      FROM sizes
+    ),
+    flagged AS (
+      SELECT lang, sz, cap, j, m,
+             prefix_before + cap * (m - j + 1) <= 320001 AS capped
+      FROM caps
+    ),
+    agg AS (
+      SELECT lang, sz, cap, capped,
+             SUM(CASE WHEN capped THEN cap ELSE 0 END) OVER () AS s_capped,
+             SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER () AS m_rem,
+             SUM(CASE WHEN capped THEN 0 ELSE 1 END) OVER (
+               ORDER BY cap, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS uncapped_rank
+      FROM flagged
+    ),
+    alloc AS (
+      SELECT lang, sz, cap, capped,
+             CAST(CASE WHEN capped THEN cap
+                  ELSE (320001 - s_capped) // m_rem
+                       + (CASE WHEN uncapped_rank <=
+                            (320001 - s_capped)
+                            - ((320001 - s_capped) // m_rem) * m_rem
+                          THEN 1 ELSE 0 END)
+                  END AS BIGINT) AS allocated
+      FROM agg
+    )
+    SELECT lang, sz, cap, capped, allocated,
+           CAST(allocated * 10000 // sz AS BIGINT) AS epoch_bp
+    FROM alloc
+    """,
+)
+def q_corpus_unimax_budget(spark: SparkSession, sf: str) -> DataFrame:
+    # UniMax (Chung et al. 2023) training-budget allocation over the
+    # corpus languages: every language contributes at most 3 epochs of
+    # its own data; the budget the capped tail frees waterfills
+    # uniformly over the head. Budget 320001 chars against this
+    # corpus's language profile keeps every branch live: 3 languages
+    # capped, 2 on the uniform share, remainder +1 exercised. Exact
+    # integer waterfill end-to-end (caps ascend -> capped set is a
+    # prefix; share+1 provably never exceeds an uncapped cap).
+    docs = load(spark, sf, "documents")
+    return C.unimax_allocation(
+        docs, "lang", "n_chars", budget=320_001, epoch_cap=3
+    )

@@ -1149,3 +1149,101 @@ def priority_sample_grouped(
             .alias("est"),
         )
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    lang_col: str,
+    size_col: str,
+    *,
+    budget: int,
+    epoch_cap: int,
+) -> DataFrame:
+    """UniMax language-sampling budgets (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): allocate a total training budget over
+    languages as uniformly as possible subject to a per-language
+    repeat cap — each language contributes at most ``epoch_cap``
+    epochs of its own data, and the budget freed by capped (small)
+    languages waterfills uniformly over the rest. The published
+    alternative to temperature sampling that neither starves head
+    languages nor loops tail languages into memorization.
+
+    Exact integer waterfill: with languages ascending by cap
+    (``cap = epoch_cap·size``), language j is CAPPED iff
+    ``prefix(j−1) + cap_j·(m−j+1) ≤ budget`` (caps ascend, so capped
+    languages form a prefix); the uncapped remainder splits as
+    ``share = R div m_rem`` with the first ``R mod m_rem`` uncapped
+    languages (cap asc, lang asc) taking +1 — every allocation is a
+    bigint, sums exactly to min(budget, Σcap), and never exceeds a
+    cap (cap > R/m_rem for every uncapped language by the feasibility
+    test, so share+1 ≤ cap). Windows run over the LANGUAGE DIMENSION
+    (bounded by construction — the one place a global window is the
+    right plan); the only corpus-sized work is the per-language size
+    aggregate.
+
+    Returns (lang, sz, cap, capped, allocated, epoch_bp) where
+    epoch_bp = allocated·10⁴ div sz — how many basis points of an
+    epoch each language actually trains.
+    """
+    sizes = docs.groupBy(F.col(lang_col).alias("lang")).agg(
+        F.sum(F.col(size_col)).cast("long").alias("sz")
+    )
+    capped_df = sizes.select(
+        "lang", "sz", (F.col("sz") * F.lit(epoch_cap)).alias("cap")
+    )
+    w_ord = Window.orderBy(F.col("cap").asc(), F.col("lang").asc())
+    w_all = Window.partitionBy()
+    j = F.row_number().over(w_ord)
+    prefix = F.sum("cap").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = F.count(F.lit(1)).over(w_all)
+    staged = capped_df.select(
+        "lang", "sz", "cap",
+        j.alias("j"),
+        (prefix - F.col("cap")).alias("prefix_before"),
+        m.alias("m"),
+    ).withColumn(
+        "capped",
+        F.col("prefix_before")
+        + F.col("cap") * (F.col("m") - F.col("j") + F.lit(1))
+        <= F.lit(budget),
+    )
+    agg = staged.select(
+        "lang", "sz", "cap", "j", "capped",
+        F.sum(F.when(F.col("capped"), F.col("cap")).otherwise(0))
+        .over(w_all)
+        .alias("s_capped"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1))
+        .over(w_all)
+        .alias("m_rem"),
+        F.sum(F.when(F.col("capped"), 0).otherwise(1))
+        .over(
+            w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("uncapped_rank"),
+    )
+    r_total = F.lit(budget) - F.col("s_capped")
+    share = F.expr(f"({budget} - s_capped) div m_rem")
+    extra = (
+        F.col("uncapped_rank")
+        <= r_total - share * F.col("m_rem")
+    ).cast("long")
+    allocated = F.when(F.col("capped"), F.col("cap")).otherwise(
+        share + extra
+    )
+    return agg.select(
+        "lang",
+        "sz",
+        "cap",
+        "capped",
+        allocated.cast("long").alias("allocated"),
+    ).select(
+        "lang",
+        "sz",
+        "cap",
+        "capped",
+        "allocated",
+        F.expr("allocated * 10000 div sz").cast("long").alias("epoch_bp"),
+    )

@@ -1073,3 +1073,41 @@ def test_priority_sample_grouped_quotas_and_windowgrouplimit(spark):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_unimax_allocation_waterfill_edges(spark):
+    """UniMax waterfill invariants across regimes: allocations sum to
+    min(budget, total caps), never exceed a cap, capped set is the
+    ascending prefix, and the +1 remainder lands on the first uncapped
+    languages in (cap, lang) order."""
+    from hadoopxmlextractor_spark.operators.corpus import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [("a", 100)] * 2 + [("b", 200)] * 2 + [("c", 1000)] * 2,
+        "lang string, n_chars long",
+    )  # sizes: a=200, b=400, c=2000; caps at N=2: 400, 800, 4000
+
+    def run(budget):
+        return {
+            r.lang: r
+            for r in unimax_allocation(
+                docs, "lang", "n_chars", budget=budget, epoch_cap=2
+            ).collect()
+        }
+
+    # mixed: a capped, b and c share (1601-400=1201 -> 600 each, +1 to b)
+    got = run(1601)
+    assert got["a"].capped and got["a"].allocated == 400
+    assert not got["b"].capped and got["b"].allocated == 601
+    assert not got["c"].capped and got["c"].allocated == 600
+    assert sum(r.allocated for r in got.values()) == 1601
+    # budget above all caps: everyone capped, sum = total caps
+    got = run(10_000)
+    assert all(r.capped for r in got.values())
+    assert sum(r.allocated for r in got.values()) == 5200
+    # tiny budget: nobody capped, near-uniform thirds
+    got = run(100)
+    assert not any(r.capped for r in got.values())
+    assert sorted(r.allocated for r in got.values()) == [33, 33, 34]
+    for r in got.values():
+        assert r.allocated <= r.cap
