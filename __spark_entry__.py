@@ -77,6 +77,7 @@ FRONT = [
     "embedding_semdedup",
     "corpus_incremental_priority_sample",
     "corpus_unimax_budget",
+    "multimodal_png_ahash",
     "join_full_outer",
     "window_range_frame",
     "q2_min_cost_supplier",
@@ -120,9 +121,9 @@ FRONT = [
     "diagnostics_key_skew",
     "distinct_projection",
     "embedding_data_contract",
-    "embedding_near_pairs_lsh",
     # --- driver sample boundary (first 50 above) ---
     # the remaining 63 never-certified, queued for round 7:
+    "embedding_near_pairs_lsh",
     "embedding_quantize_int8",
     "events_ab_cuped",
     "events_ab_srm_check",

@@ -12,8 +12,12 @@ two formats this container can handle without external codecs:
   duration, RMS, peak, zero-crossing rate, amplitude histogram;
   resize = frame decimation re-encoded as WAV.
 
-Codec image formats (JPEG/PNG/GIF) decode through an IMPORT-GATED PIL
-plug-in (:func:`_decode_with_pil`): where PIL is installed they feed
+PNG decodes natively — :func:`_decode_png` / :func:`_encode_png` are
+zero-dependency (stdlib zlib + numpy; all five scanline filters, color
+types 0/2/3/4/6, 8-bit non-interlaced) — so PNG pipelines run for real
+in this container. JPEG/GIF (and exotic PNGs) decode through an
+IMPORT-GATED PIL plug-in (:func:`_decode_with_pil`): where PIL is
+installed they feed
 the same image-statistics vector as PPM; where it is not (this
 container), each such row yields a NULL feature under ``decode='real'``
 (a mixed corpus must not kill the job; count the nulls to audit).
@@ -89,6 +93,145 @@ def _decode_ppm(blob: bytes):
         return pix.reshape(h, w, 3)
     except (ValueError, IndexError):
         return None
+
+
+def _decode_png(blob: bytes):
+    """PNG → (H, W, 3) uint8 array with ZERO dependencies beyond
+    stdlib ``zlib`` + numpy — the codec leg PIL's absence from this
+    container used to block, made real: chunk walk (IHDR / PLTE /
+    IDAT* / IEND), inflate, per-scanline UNFILTERING (all five PNG
+    filter types: None/Sub/Up/Average/Paeth, the Paeth predictor per
+    the spec), then color normalization (grayscale and palette expand
+    to RGB; alpha channels drop). Supports the dominant on-disk shape:
+    bit depth 8, color types 0/2/3/4/6, non-interlaced; anything else
+    returns None and falls through to the (import-gated) PIL attempt —
+    same auditable-NULL contract as every other decoder here. The
+    unfilter loop is per-scanline Python over numpy rows (Sub/Avg/
+    Paeth carry intra-row dependencies); install PIL for bulk decode
+    of large photos — this path exists so PNG pipelines are testable
+    end-to-end in dependency-free containers."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    try:
+        pos = 8
+        ihdr = None
+        plte = None
+        idat = []
+        while pos + 8 <= len(blob):
+            (length,) = struct.unpack(">I", blob[pos : pos + 4])
+            ctype = blob[pos + 4 : pos + 8]
+            data = blob[pos + 8 : pos + 8 + length]
+            if len(data) < length:
+                return None
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"PLTE":
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length  # length + type + data + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+        if channels is None or w <= 0 or h <= 0:
+            return None
+        raw = zlib.decompress(b"".join(idat))
+        stride = w * channels
+        if len(raw) < h * (stride + 1):
+            return None
+        out = np.zeros((h, stride), dtype=np.uint8)
+        bpp = channels  # bytes per pixel at depth 8
+        for y in range(h):
+            row = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+            ).astype(np.int64)
+            ftype = raw[y * (stride + 1)]
+            prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(
+                stride, dtype=np.int64
+            )
+            if ftype == 0:  # None
+                cur = row
+            elif ftype == 2:  # Up
+                cur = (row + prev) & 0xFF
+            else:  # Sub / Average / Paeth carry left-dependencies
+                cur = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = cur[x - bpp] if x >= bpp else 0
+                    b = prev[x]
+                    if ftype == 1:  # Sub
+                        v = row[x] + a
+                    elif ftype == 3:  # Average
+                        v = row[x] + (a + b) // 2
+                    elif ftype == 4:  # Paeth
+                        c = prev[x - bpp] if x >= bpp else 0
+                        pp = a + b - c
+                        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                        pred = a if (pa <= pb and pa <= pc) else (
+                            b if pb <= pc else c
+                        )
+                        v = row[x] + pred
+                    else:
+                        return None
+                    cur[x] = v & 0xFF
+            out[y] = cur.astype(np.uint8)
+        px = out.reshape(h, w, channels)
+        if color == 2:
+            return px
+        if color == 6:
+            return px[:, :, :3].copy()
+        if color == 0:
+            return np.repeat(px, 3, axis=2)
+        if color == 4:
+            return np.repeat(px[:, :, :1], 3, axis=2)
+        if color == 3:
+            if plte is None or int(px.max()) >= len(plte):
+                return None
+            return plte[px[:, :, 0]]
+        return None
+    except (zlib.error, struct.error, ValueError):
+        return None
+
+
+def _encode_png(img) -> bytes:
+    """(H, W, 3) uint8 array → PNG bytes, zero dependencies: 8-bit RGB
+    IHDR, one zlib-deflated IDAT of filter-0 scanlines, CRCs via
+    ``zlib.crc32``. Lossless partner of :func:`_decode_png` — the
+    roundtrip is bit-exact, which is what lets a registry query prove
+    the codec against the PPM oracle (same pixels ⇒ same aHash)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def _decode_wav(blob: bytes):
@@ -177,6 +320,8 @@ def _real_feature(blob: bytes):
     import numpy as np
 
     img = _decode_ppm(blob)
+    if img is None and blob.startswith(b"\x89PNG\r\n\x1a\n"):
+        img = _decode_png(blob)  # zero-dependency decoder first
     if img is None and blob.startswith(_CODEC_MAGIC):
         img = _decode_with_pil(blob)
     if img is not None:
@@ -326,6 +471,10 @@ def resize_media(
                     small = shrink(img)
                     header = f"P6\n{small.shape[1]} {small.shape[0]}\n255\n"
                     return header.encode() + small.tobytes()
+                if blob.startswith(b"\x89PNG\r\n\x1a\n"):
+                    img = _decode_png(blob)
+                    if img is not None:  # dependency-free PNG roundtrip
+                        return _encode_png(shrink(img))
                 if blob.startswith(_CODEC_MAGIC):
                     img = _decode_with_pil(blob)
                     if img is not None:  # PIL installed and blob decodes
@@ -445,14 +594,18 @@ def image_ahash(
     the hash is bit-exact across engines. Near-dup IMAGE detection is
     then the same banded-hamming join the SimHash text path runs on
     this column. Real-world images resize to 8x8 first
-    (:func:`resize_media`); non-PPM blobs yield NULL (the codec
-    plug-in point). One Arrow pass, zero shuffles."""
+    (:func:`resize_media`); decodes PPM and (natively, zero-dep) PNG;
+    other blobs yield NULL (the codec plug-in point). One Arrow pass,
+    zero shuffles."""
     @F.pandas_udf("long")
     def _ahash(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for blobs in it:
             out = []
             for blob in blobs:
-                img = _decode_ppm(bytes(blob)) if blob is not None else None
+                raw = bytes(blob) if blob is not None else b""
+                img = _decode_ppm(raw)
+                if img is None and raw.startswith(b"\x89PNG\r\n\x1a\n"):
+                    img = _decode_png(raw)
                 if img is None or img.shape[0] * img.shape[1] != 64:
                     out.append(None)
                     continue
@@ -681,4 +834,40 @@ def video_shot_boundaries(
                 | (hamming > hamming_threshold)
             ).alias("is_boundary"),
         )
+    )
+
+
+def synth_png_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
+    """Deterministic synthetic PNG per document: the SAME md5-chain
+    pixel plane as :func:`synth_ppm_media`, containered through the
+    zero-dependency :func:`_encode_png` — so any pixel-level statistic
+    (aHash, feature vec) over the PNG route must equal the PPM route
+    bit-for-bit, which is exactly what lets the PNG codec share the
+    PPM queries' arithmetic oracles."""
+    import hashlib
+
+    import numpy as np
+
+    n_bytes = side * side * 3
+    n_chunks = (n_bytes + 15) // 16
+
+    @F.pandas_udf("binary")
+    def _png(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                plane = b"".join(
+                    hashlib.md5(f"{i}:{k}".encode()).digest()
+                    for k in range(n_chunks)
+                )[:n_bytes]
+                img = np.frombuffer(plane, dtype=np.uint8).reshape(
+                    side, side, 3
+                )
+                out.append(_encode_png(img))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _png("doc_id").alias("content"),
     )

@@ -2305,3 +2305,18 @@ def q_embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         emb.unionByName(planted), k=8, rounds=3,
         threshold_num=9, threshold_den=20,
     )
+
+
+@query("multimodal_png_ahash", O.image_ahash_oracle(side=8))
+def q_multimodal_png_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    # The PNG codec leg made REAL without PIL: the same deterministic
+    # md5 pixel plane as multimodal_image_ahash, containered through
+    # the zero-dependency PNG encoder (stdlib zlib, CRC chunks,
+    # filter-0 scanlines), decoded back by the native PNG decoder
+    # (chunk walk, inflate, all-five-filter unfiltering), then aHashed.
+    # The oracle is the SAME arithmetic md5 replay as the PPM query -
+    # pixels are identical iff the container roundtrip is lossless, so
+    # a single byte wrong anywhere in the codec flips the hash.
+    docs = load(spark, sf, "documents")
+    media = M.synth_png_media(docs, side=8)
+    return M.image_ahash(media)

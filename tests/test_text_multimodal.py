@@ -747,3 +747,168 @@ def test_tfidf_topk_ranks_rare_tokens_first(spark):
     assert got[(1, 3)] == ("alpha", 1_333_333)   # 1 * (4*1e6 div 3)
     # ties break on token asc: doc 4's two tokens score 1.3e6 and 1e6
     assert got[(4, 1)][0] == "alpha"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _filter_scanlines(img, ftype: int, channels: int) -> bytes:
+    """Forward-apply one PNG filter type to every scanline, straight
+    from the spec — the test-side inverse of the decoder's unfilter."""
+    import numpy as np
+
+    h, stride = img.shape[0], img.shape[1] * channels
+    flat = img.reshape(h, stride).astype(np.int64)
+    out = b""
+    for y in range(h):
+        row = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        enc = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = row[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) // 2
+            else:  # Paeth
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (row[x] - pred) & 0xFF
+        out += bytes([ftype]) + enc.astype(np.uint8).tobytes()
+    return out
+
+
+def _build_png(raw_scanlines: bytes, w: int, h: int, color: int,
+               plte: bytes = b"") -> bytes:
+    import struct
+    import zlib
+
+    body = _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+    if plte:
+        body += _png_chunk(b"PLTE", plte)
+    body += _png_chunk(b"IDAT", zlib.compress(raw_scanlines))
+    body += _png_chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_png_codec_roundtrip_and_every_filter_and_color_type():
+    """The zero-dependency PNG codec: encode->decode is bit-exact; a
+    PNG hand-filtered with EACH of the five spec filter types decodes
+    back to the original plane; grayscale / palette / alpha color
+    types normalize to the documented RGB forms; unsupported shapes
+    (16-bit, interlaced) return None for the PIL fallthrough."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(11, 13, 3), dtype=np.uint8)
+    assert np.array_equal(_decode_png(_encode_png(img)), img)
+
+    for ftype in range(5):
+        blob = _build_png(_filter_scanlines(img, ftype, 3), 13, 11, color=2)
+        got = _decode_png(blob)
+        assert got is not None and np.array_equal(got, img), f"filter {ftype}"
+
+    # grayscale (color 0) -> replicated RGB
+    gray = rng.randint(0, 256, size=(5, 7, 1), dtype=np.uint8)
+    blob = _build_png(_filter_scanlines(gray, 1, 1), 7, 5, color=0)
+    got = _decode_png(blob)
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+    # palette (color 3) -> PLTE lookup
+    idx = rng.randint(0, 4, size=(4, 6, 1), dtype=np.uint8)
+    plte = bytes(range(12))  # 4 RGB entries
+    blob = _build_png(_filter_scanlines(idx, 4, 1), 6, 4, color=3, plte=plte)
+    got = _decode_png(blob)
+    expect = np.frombuffer(plte, np.uint8).reshape(4, 3)[idx[:, :, 0]]
+    assert np.array_equal(got, expect)
+
+    # RGBA (color 6) -> alpha dropped
+    rgba = rng.randint(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    blob = _build_png(_filter_scanlines(rgba, 2, 4), 5, 3, color=6)
+    assert np.array_equal(_decode_png(blob), rgba[:, :, :3])
+
+    # gray+alpha (color 4) -> gray replicated, alpha dropped
+    ga = rng.randint(0, 256, size=(3, 4, 2), dtype=np.uint8)
+    blob = _build_png(_filter_scanlines(ga, 3, 2), 4, 3, color=4)
+    assert np.array_equal(_decode_png(blob), np.repeat(ga[:, :, :1], 3, axis=2))
+
+    # unsupported: 16-bit depth and interlaced -> None (PIL plug-in)
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    blob16 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
+              + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+              + _png_chunk(b"IEND", b""))
+    assert _decode_png(blob16) is None
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    blob_i = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_i)
+              + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 13))
+              + _png_chunk(b"IEND", b""))
+    assert _decode_png(blob_i) is None
+    assert _decode_png(b"not a png") is None
+
+
+def test_png_media_flows_through_features_and_resize(spark):
+    """E2E through the Spark operators: PNG media extracts the SAME
+    16-float feature vectors as the identical-plane PPM media, and
+    real resize shrinks a PNG into a smaller VALID PNG (decoded by our
+    own decoder) instead of passing it through opaque."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_png,
+        extract_media_features,
+        resize_media,
+        synth_png_media,
+        synth_ppm_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    ppm_feats = {
+        r.media_id: r.feature
+        for r in extract_media_features(
+            synth_ppm_media(docs, side=8), decode="real"
+        ).collect()
+    }
+    png_feats = {
+        r.media_id: r.feature
+        for r in extract_media_features(
+            synth_png_media(docs, side=8), decode="real"
+        ).collect()
+    }
+    assert set(ppm_feats) == set(png_feats)
+    for k in ppm_feats:
+        assert png_feats[k] is not None
+        assert np.allclose(ppm_feats[k], png_feats[k])
+
+    big = synth_png_media(docs, side=16)  # 16*16*3 = 768 bytes of pixels
+    small = {
+        r.media_id: bytes(r.content)
+        for r in resize_media(big, target_bytes=200, decode="real").collect()
+    }
+    for blob in small.values():
+        img = _decode_png(blob)
+        assert img is not None  # still a valid PNG, decoded by our codec
+        assert img.shape[0] * img.shape[1] * 3 <= 200
