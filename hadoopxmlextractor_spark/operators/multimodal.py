@@ -12,11 +12,14 @@ two formats this container can handle without external codecs:
   duration, RMS, peak, zero-crossing rate, amplitude histogram;
   resize = frame decimation re-encoded as WAV.
 
-PNG decodes natively — :func:`_decode_png` / :func:`_encode_png` are
-zero-dependency (stdlib zlib + numpy; all five scanline filters, color
-types 0/2/3/4/6, 8-bit non-interlaced) — so PNG pipelines run for real
-in this container. JPEG/GIF (and exotic PNGs) decode through an
-IMPORT-GATED PIL plug-in (:func:`_decode_with_pil`): where PIL is
+PNG and GIF decode natively — :func:`_decode_png`/:func:`_encode_png`
+(stdlib zlib + numpy; all five scanline filters, color types
+0/2/3/4/6, 8-bit non-interlaced) and :func:`_decode_gif`/
+:func:`_encode_gif` (own GIF-LZW both directions, global/local color
+tables, 4-pass de-interlace; the encoder is lossless for ≤256-color
+images and refuses to quantize silently) — so PNG and GIF pipelines
+run for real in this container. JPEG (and exotic PNGs) decode through
+an IMPORT-GATED PIL plug-in (:func:`_decode_with_pil`): where PIL is
 installed they feed
 the same image-statistics vector as PPM; where it is not (this
 container), each such row yields a NULL feature under ``decode='real'``
@@ -321,7 +324,9 @@ def _real_feature(blob: bytes):
 
     img = _decode_ppm(blob)
     if img is None and blob.startswith(b"\x89PNG\r\n\x1a\n"):
-        img = _decode_png(blob)  # zero-dependency decoder first
+        img = _decode_png(blob)  # zero-dependency decoders first
+    if img is None and blob.startswith((b"GIF87a", b"GIF89a")):
+        img = _decode_gif(blob)
     if img is None and blob.startswith(_CODEC_MAGIC):
         img = _decode_with_pil(blob)
     if img is not None:
@@ -475,6 +480,12 @@ def resize_media(
                     img = _decode_png(blob)
                     if img is not None:  # dependency-free PNG roundtrip
                         return _encode_png(shrink(img))
+                if blob.startswith((b"GIF87a", b"GIF89a")):
+                    img = _decode_gif(blob)
+                    if img is not None:
+                        # strided subsample of a palette image keeps a
+                        # subset of its colors: re-encode stays valid
+                        return _encode_gif(shrink(img))
                 if blob.startswith(_CODEC_MAGIC):
                     img = _decode_with_pil(blob)
                     if img is not None:  # PIL installed and blob decodes
@@ -606,6 +617,8 @@ def image_ahash(
                 img = _decode_ppm(raw)
                 if img is None and raw.startswith(b"\x89PNG\r\n\x1a\n"):
                     img = _decode_png(raw)
+                if img is None and raw.startswith((b"GIF87a", b"GIF89a")):
+                    img = _decode_gif(raw)
                 if img is None or img.shape[0] * img.shape[1] != 64:
                     out.append(None)
                     continue
@@ -870,4 +883,254 @@ def synth_png_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         _png("doc_id").alias("content"),
+    )
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int):
+    """GIF-flavor LZW decode (LSB-first variable-width codes, CLEAR /
+    EOI controls, dictionary growing to 4096) → list of palette
+    indices, or None on a malformed stream."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = []
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def reset():
+        return {i: (i,) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev = None
+    while bitpos + width <= total_bits:
+        byte = bitpos // 8
+        # read `width` bits LSB-first starting at bitpos
+        chunk = int.from_bytes(data[byte : byte + 3], "little")
+        code = (chunk >> (bitpos % 8)) & ((1 << width) - 1)
+        bitpos += width
+        if code == clear:
+            table, width = reset()
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                return None
+        elif code in table:
+            entry = table[code]
+            table[len(table) + 2] = prev + (entry[0],)
+        elif code == len(table) + 2:  # the KwKwK case
+            entry = prev + (prev[0],)
+            table[code] = entry
+        else:
+            return None
+        out.extend(entry)
+        prev = entry
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    return out
+
+
+def _lzw_encode_gif(indices, min_code_size: int) -> bytes:
+    """GIF-flavor LZW encode — the exact inverse stream shape
+    :func:`_lzw_decode_gif` consumes (leading CLEAR, trailing EOI,
+    LSB-first packing, width bumps at table sizes 2^w−2)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    bits = []
+
+    def emit(code, w):
+        for i in range(w):
+            bits.append((code >> i) & 1)
+
+    emit(clear, width)
+    prev = ()
+    for idx in indices:
+        cur = prev + (int(idx),)
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev], width)
+        if next_code < 4096:
+            table[cur] = next_code
+            next_code += 1
+            # lockstep with the decoder: after IT receives the code just
+            # emitted it will have assigned next_code-1 entries, so its
+            # next-assignable is next_code-1+... = our next_code-1; both
+            # sides widen exactly when that counter reaches 2^width
+            if next_code - 1 >= (1 << width) and width < 12:
+                width += 1
+        else:  # table full: reset (keeps the decoder in lockstep)
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = (int(idx),)
+    if prev:
+        emit(table[prev], width)
+    emit(eoi, width)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        out.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    return bytes(out)
+
+
+def _decode_gif(blob: bytes):
+    """GIF87a/89a → (H, W, 3) uint8 array of the FIRST frame with zero
+    dependencies: logical-screen + color tables, extension skip, LZW
+    decode of the image sub-blocks, 4-pass de-interlace when flagged,
+    palette lookup. Unsupported shapes return None (PIL fallthrough),
+    same auditable-NULL contract as :func:`_decode_png`."""
+    import numpy as np
+
+    if not (blob.startswith(b"GIF87a") or blob.startswith(b"GIF89a")):
+        return None
+    try:
+        pos = 6
+        sw, sh, packed, _bg, _ar = (
+            int.from_bytes(blob[pos : pos + 2], "little"),
+            int.from_bytes(blob[pos + 2 : pos + 4], "little"),
+            blob[pos + 4],
+            blob[pos + 5],
+            blob[pos + 6],
+        )
+        pos += 7
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(
+                blob[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(-1, 3)
+            pos += 3 * n
+        while pos < len(blob):
+            block = blob[pos]
+            if block == 0x21:  # extension: skip sub-blocks
+                pos += 2
+                while blob[pos] != 0:
+                    pos += 1 + blob[pos]
+                pos += 1
+            elif block == 0x2C:  # image descriptor
+                _x = int.from_bytes(blob[pos + 1 : pos + 3], "little")
+                _y = int.from_bytes(blob[pos + 3 : pos + 5], "little")
+                w = int.from_bytes(blob[pos + 5 : pos + 7], "little")
+                h = int.from_bytes(blob[pos + 7 : pos + 9], "little")
+                ip = blob[pos + 9]
+                pos += 10
+                lct = gct
+                if ip & 0x80:
+                    n = 2 << (ip & 0x07)
+                    lct = np.frombuffer(
+                        blob[pos : pos + 3 * n], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    pos += 3 * n
+                if lct is None or w <= 0 or h <= 0:
+                    return None
+                min_code = blob[pos]
+                pos += 1
+                data = bytearray()
+                while blob[pos] != 0:
+                    ln = blob[pos]
+                    data += blob[pos + 1 : pos + 1 + ln]
+                    pos += 1 + ln
+                idx = _lzw_decode_gif(bytes(data), min_code)
+                if idx is None or len(idx) < w * h:
+                    return None
+                grid = np.asarray(idx[: w * h], dtype=np.int64).reshape(h, w)
+                if ip & 0x40:  # de-interlace: 4-pass row order
+                    order = (
+                        list(range(0, h, 8))
+                        + list(range(4, h, 8))
+                        + list(range(2, h, 4))
+                        + list(range(1, h, 2))
+                    )
+                    grid = grid[np.argsort(np.asarray(order))]
+                if int(grid.max()) >= len(lct):
+                    return None
+                return lct[grid]
+            elif block == 0x3B:  # trailer
+                return None
+            else:
+                return None
+        return None
+    except (IndexError, ValueError):
+        return None
+
+
+def _encode_gif(img) -> bytes:
+    """(H, W, 3) uint8 array → GIF87a bytes, zero dependencies — valid
+    whenever the image holds ≤ 256 distinct colors (raises otherwise:
+    GIF is palette-indexed; quantization is a lossy choice this
+    lossless-roundtrip codec refuses to make silently). Global color
+    table sized to the next power of two, one image block, GIF-LZW
+    data sub-blocks. Lossless partner of :func:`_decode_gif`."""
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(
+            f"GIF is palette-indexed: {len(colors)} distinct colors > 256 "
+            "- quantize explicitly before encoding"
+        )
+    depth = max(1, int(np.ceil(np.log2(max(len(colors), 2)))))
+    n = 1 << depth
+    palette = np.zeros((n, 3), dtype=np.uint8)
+    palette[: len(colors)] = colors
+    min_code = max(2, depth)
+    out = bytearray(b"GIF87a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0x80 | (depth - 1), 0, 0])
+    out += palette.tobytes()
+    out += b"\x2c" + b"\x00\x00\x00\x00"
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([min_code])
+    data = _lzw_encode_gif(inverse.reshape(-1).tolist(), min_code)
+    for i in range(0, len(data), 255):
+        sub = data[i : i + 255]
+        out += bytes([len(sub)]) + sub
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def synth_gif_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
+    """Deterministic synthetic GIF per document: the SAME md5-chain
+    pixel plane as :func:`synth_ppm_media` containered through the
+    zero-dependency :func:`_encode_gif` (a side×side plane holds at
+    most side² ≤ 256 distinct colors, so the palette encoding is
+    lossless) — letting the GIF route share the PPM queries'
+    arithmetic oracles, exactly like :func:`synth_png_media`."""
+    import hashlib
+
+    import numpy as np
+
+    if side * side > 256:
+        raise ValueError("side² must be ≤ 256 for lossless GIF synth")
+    n_bytes = side * side * 3
+    n_chunks = (n_bytes + 15) // 16
+
+    @F.pandas_udf("binary")
+    def _gif(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                plane = b"".join(
+                    hashlib.md5(f"{i}:{k}".encode()).digest()
+                    for k in range(n_chunks)
+                )[:n_bytes]
+                img = np.frombuffer(plane, dtype=np.uint8).reshape(
+                    side, side, 3
+                )
+                out.append(_encode_gif(img))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _gif("doc_id").alias("content"),
     )

@@ -2320,3 +2320,16 @@ def q_multimodal_png_ahash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_png_media(docs, side=8)
     return M.image_ahash(media)
+
+
+@query("multimodal_gif_ahash", O.image_ahash_oracle(side=8))
+def q_multimodal_gif_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    # The GIF codec leg made REAL without PIL: same md5 pixel plane,
+    # containered through the zero-dependency GIF encoder (own GIF-LZW
+    # with variable-width codes + palette), decoded back by the native
+    # GIF decoder (LZW, color tables, de-interlace), then aHashed
+    # against the SAME arithmetic oracle as the PPM/PNG queries - one
+    # wrong bit anywhere in the LZW lockstep flips the hash.
+    docs = load(spark, sf, "documents")
+    media = M.synth_gif_media(docs, side=8)
+    return M.image_ahash(media)

@@ -912,3 +912,104 @@ def test_png_media_flows_through_features_and_resize(spark):
         img = _decode_png(blob)
         assert img is not None  # still a valid PNG, decoded by our codec
         assert img.shape[0] * img.shape[1] * 3 <= 200
+
+
+def test_gif_codec_lzw_property_roundtrip_and_interlace():
+    """The zero-dependency GIF codec: GIF-LZW encode->decode is the
+    identity over random index streams (incl. the 4096-entry reset and
+    width-bump boundaries), full encode->decode roundtrips are
+    bit-exact for <=256-color images, a hand-built INTERLACED GIF
+    de-interlaces correctly, >256 colors refuses, and malformed blobs
+    return None."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+    )
+
+    rng = np.random.RandomState(3)
+    for _ in range(25):
+        mcs = rng.randint(2, 9)
+        seq = rng.randint(0, 1 << mcs, size=rng.randint(1, 3000)).tolist()
+        assert _lzw_decode_gif(_lzw_encode_gif(seq, mcs), mcs) == seq
+    long_seq = ([1, 2, 3, 0] * 4000)[:14000]  # forces the 4096 reset
+    assert _lzw_decode_gif(_lzw_encode_gif(long_seq, 2), 2) == long_seq
+
+    img = rng.randint(0, 256, size=(13, 11, 3), dtype=np.uint8)  # 143 px
+    assert np.array_equal(_decode_gif(_encode_gif(img)), img)
+
+    # interlaced: rows stored in 4-pass order, flag bit set
+    h, w = 13, 11
+    order = (list(range(0, h, 8)) + list(range(4, h, 8))
+             + list(range(2, h, 4)) + list(range(1, h, 2)))
+    blob = bytearray(_encode_gif(img))
+    # image descriptor starts right after header+LSD+GCT; find 0x2c
+    gct_n = 256  # 143 colors -> depth 8 table
+    desc = 6 + 7 + 3 * gct_n
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40  # set interlace flag
+    # re-encode the index stream in pass order
+    flat = img.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    grid = inverse.reshape(h, w)
+    interlaced = np.concatenate([grid[y] for y in order])
+    min_code = blob[desc + 10]
+    data = _lzw_encode_gif(interlaced.tolist(), min_code)
+    body = b""
+    for i in range(0, len(data), 255):
+        sub = data[i : i + 255]
+        body += bytes([len(sub)]) + sub
+    new = bytes(blob[: desc + 11]) + body + b"\x00\x3b"
+    got = _decode_gif(new)
+    assert got is not None and np.array_equal(got, img)
+
+    import pytest
+    with pytest.raises(ValueError, match="palette-indexed"):
+        _encode_gif(rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8))
+    assert _decode_gif(b"GIF87a\x00") is None
+    assert _decode_gif(b"not a gif") is None
+
+
+def test_gif_media_features_match_ppm(spark):
+    """E2E: GIF media extracts the same 16-float features as the
+    identical-plane PPM media, and real resize emits a smaller VALID
+    GIF."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_gif,
+        extract_media_features,
+        resize_media,
+        synth_gif_media,
+        synth_ppm_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    ppm = {
+        r.media_id: r.feature
+        for r in extract_media_features(
+            synth_ppm_media(docs, side=8), decode="real"
+        ).collect()
+    }
+    gif = {
+        r.media_id: r.feature
+        for r in extract_media_features(
+            synth_gif_media(docs, side=8), decode="real"
+        ).collect()
+    }
+    assert set(ppm) == set(gif)
+    for k in ppm:
+        assert gif[k] is not None and np.allclose(ppm[k], gif[k])
+
+    small = {
+        r.media_id: bytes(r.content)
+        for r in resize_media(
+            synth_gif_media(docs, side=14), target_bytes=150, decode="real"
+        ).collect()
+    }
+    for blob in small.values():
+        img = _decode_gif(blob)
+        assert img is not None and img.shape[0] * img.shape[1] * 3 <= 150
