@@ -79,6 +79,7 @@ FRONT = [
     "corpus_unimax_budget",
     "multimodal_png_ahash",
     "multimodal_gif_ahash",
+    "search_bm25_topk",
     "join_full_outer",
     "window_range_frame",
     "q2_min_cost_supplier",
@@ -120,9 +121,9 @@ FRONT = [
     "dedup_minhash_incremental",
     "dedup_window_profile",
     "diagnostics_key_skew",
-    "distinct_projection",
     # --- driver sample boundary (first 50 above) ---
     # the remaining 63 never-certified, queued for round 7:
+    "distinct_projection",
     "embedding_data_contract",
     "embedding_near_pairs_lsh",
     "embedding_quantize_int8",

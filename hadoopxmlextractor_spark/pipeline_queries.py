@@ -2333,3 +2333,134 @@ def q_multimodal_gif_ahash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_gif_media(docs, side=8)
     return M.image_ahash(media)
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "search_bm25_topk",
+    f"""
+    WITH dl AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                  AS BIGINT) AS dl
+      FROM documents WHERE trim(text) <> ''
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE token IN ('spark', 'merge', 'window')
+      GROUP BY doc_id, token
+    ),
+    dfreq AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    terms AS (
+      SELECT tf.doc_id,
+             ROUND(
+               ln(1 + (CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5))
+               * ((tf * ({_BM25_K1} + 1)) /
+                  (tf + {_BM25_K1}
+                        * (1 - {_BM25_B}
+                           + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl)))),
+               6) AS term
+      FROM tf
+      JOIN dfreq USING (token)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats s
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE), 6)
+               AS score
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+             AS rank
+    FROM scored
+    QUALIFY rank <= 20
+    """,
+)
+def q_search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    # REAL BM25 (k1=1.2, b=0.75, Lucene-positive idf) - the lexical
+    # retrieval baseline every search user expects, made oracle-exact
+    # by the repo's two float disciplines: per-(doc, token) terms are
+    # built from IDENTICAL double expression trees on both engines
+    # (the ln ulp risk dies at ROUND 6), then ROUNDed BEFORE the
+    # order-free DECIMAL sum (a raw double SUM would hang on reduction
+    # order - the maxsim rule). One token shuffle; df and the scalar
+    # (N, avgdl) broadcast; ranking on the rounded score with doc_id
+    # tiebreak; top-20 is dimension-sized.
+    from pyspark.sql import Window
+
+    k1, b = _BM25_K1, _BM25_B
+    docs = load(spark, sf, "documents").filter(F.trim("text") != "")
+    dl = docs.select(
+        "doc_id", F.size(T.tokens(F.trim(F.lower(F.col("text"))))).cast("long").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(T.tokens(F.trim(F.lower(F.col("text"))))).alias("token"),
+    ).filter(F.col("token").isin("spark", "merge", "window"))
+    tf = toks.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    terms = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (
+                    (F.col("tf") * F.lit(k1 + 1))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1 - b)
+                            + F.lit(b)
+                            * (F.col("dl").cast("double") / F.col("avgdl"))
+                        )
+                    )
+                ),
+                6,
+            ).alias("term"),
+        )
+    )
+    scored = terms.groupBy("doc_id").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("score")
+    )
+    top = scored.orderBy(F.desc("score"), "doc_id").limit(20)
+    return top.select(
+        "doc_id",
+        "score",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score"), "doc_id"))
+        .cast("int")
+        .alias("rank"),
+    )
