@@ -80,6 +80,7 @@ FRONT = [
     "multimodal_png_ahash",
     "multimodal_gif_ahash",
     "search_bm25_topk",
+    "multimodal_avi_shots",
     "join_full_outer",
     "window_range_frame",
     "q2_min_cost_supplier",
@@ -120,9 +121,9 @@ FRONT = [
     "dedup_fuzzy_names",
     "dedup_minhash_incremental",
     "dedup_window_profile",
-    "diagnostics_key_skew",
     # --- driver sample boundary (first 50 above) ---
     # the remaining 63 never-certified, queued for round 7:
+    "diagnostics_key_skew",
     "distinct_projection",
     "embedding_data_contract",
     "embedding_near_pairs_lsh",

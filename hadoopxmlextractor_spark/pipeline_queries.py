@@ -2464,3 +2464,19 @@ def q_search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         .cast("int")
         .alias("rank"),
     )
+
+
+@query("multimodal_avi_shots", O.video_shots_oracle())
+def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
+    # RAW VIDEO made real: the same scene-correlated frame planes as
+    # multimodal_video_shots, containered as a raw-video AVI (RIFF
+    # walk, bottom-up BGR DIB frames, 4-byte stride padding - what
+    # `ffmpeg -c:v rawvideo` emits) and decoded by the zero-dependency
+    # AVI reader; the shot-boundary oracle is shared verbatim, so a
+    # single wrong byte in the container roundtrip flips a hash and a
+    # boundary. Codec video (H.264-class) remains the documented
+    # plug-in point - what moved is that the CONTAINER tier no longer
+    # needs one.
+    docs = load(spark, sf, "documents")
+    media = M.synth_avi_video(docs)
+    return M.video_shot_boundaries(media)

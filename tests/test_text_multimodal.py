@@ -1013,3 +1013,47 @@ def test_gif_media_features_match_ppm(spark):
     for blob in small.values():
         img = _decode_gif(blob)
         assert img is not None and img.shape[0] * img.shape[1] * 3 <= 150
+
+
+def test_avi_rawvideo_codec_roundtrip_and_codec_refusal(spark):
+    """The zero-dependency raw-video AVI codec: encode->decode is
+    frame-exact including non-4-byte-aligned widths (DIB stride
+    padding), a codec AVI (biCompression != 0) returns None (the
+    H.264 plug-in point), and the AVI shot-boundary route agrees
+    frame-for-frame with the concatenated-PPM route."""
+    import struct
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_avi_frames,
+        _encode_avi,
+        synth_avi_video,
+        synth_ppm_video,
+        video_shot_boundaries,
+    )
+
+    rng = np.random.RandomState(9)
+    frames = [rng.randint(0, 256, size=(6, 7, 3), dtype=np.uint8)
+              for _ in range(5)]  # width 7 -> stride 24 != 21
+    back = _decode_avi_frames(_encode_avi(frames))
+    assert back is not None and len(back) == 5
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+
+    # flip biCompression to a codec fourcc: decoder must refuse
+    blob = bytearray(_encode_avi(frames))
+    strf_at = blob.index(b"strf") + 8
+    blob[strf_at + 16 : strf_at + 20] = struct.pack("<I", 0x34363248)  # 'H264'
+    assert _decode_avi_frames(bytes(blob)) is None
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    via_ppm = {
+        (r.media_id, r.frame_idx): (r.ahash, r.is_boundary)
+        for r in video_shot_boundaries(synth_ppm_video(docs)).collect()
+    }
+    via_avi = {
+        (r.media_id, r.frame_idx): (r.ahash, r.is_boundary)
+        for r in video_shot_boundaries(synth_avi_video(docs)).collect()
+    }
+    assert via_ppm == via_avi and len(via_avi) == 10 * 8
