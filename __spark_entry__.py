@@ -81,6 +81,7 @@ FRONT = [
     "multimodal_gif_ahash",
     "search_bm25_topk",
     "multimodal_avi_shots",
+    "multimodal_bmp_ahash",
     "join_full_outer",
     "window_range_frame",
     "q2_min_cost_supplier",
@@ -120,9 +121,9 @@ FRONT = [
     "corpus_token_budget_plan",
     "dedup_fuzzy_names",
     "dedup_minhash_incremental",
-    "dedup_window_profile",
     # --- driver sample boundary (first 50 above) ---
     # the remaining 63 never-certified, queued for round 7:
+    "dedup_window_profile",
     "diagnostics_key_skew",
     "distinct_projection",
     "embedding_data_contract",

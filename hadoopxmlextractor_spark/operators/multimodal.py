@@ -327,6 +327,8 @@ def _real_feature(blob: bytes):
         img = _decode_png(blob)  # zero-dependency decoders first
     if img is None and blob.startswith((b"GIF87a", b"GIF89a")):
         img = _decode_gif(blob)
+    if img is None and blob.startswith(b"BM"):
+        img = _decode_bmp(blob)
     if img is None and blob.startswith(_CODEC_MAGIC):
         img = _decode_with_pil(blob)
     if img is not None:
@@ -480,6 +482,10 @@ def resize_media(
                     img = _decode_png(blob)
                     if img is not None:  # dependency-free PNG roundtrip
                         return _encode_png(shrink(img))
+                if blob.startswith(b"BM"):
+                    img = _decode_bmp(blob)
+                    if img is not None:
+                        return _encode_bmp(shrink(img))
                 if blob.startswith((b"GIF87a", b"GIF89a")):
                     img = _decode_gif(blob)
                     if img is not None:
@@ -619,6 +625,8 @@ def image_ahash(
                     img = _decode_png(raw)
                 if img is None and raw.startswith((b"GIF87a", b"GIF89a")):
                     img = _decode_gif(raw)
+                if img is None and raw.startswith(b"BM"):
+                    img = _decode_bmp(raw)
                 if img is None or img.shape[0] * img.shape[1] != 64:
                     out.append(None)
                     continue
@@ -1295,4 +1303,98 @@ def synth_avi_video(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
         _video("doc_id").alias("content"),
+    )
+
+
+def _decode_bmp(blob: bytes):
+    """24-bit uncompressed BMP → (H, W, 3) uint8 RGB, zero
+    dependencies — the same bottom-up BGR stride-padded DIB rows the
+    AVI codec walks, behind a BITMAPFILEHEADER: 'BM', pixel-data
+    offset at byte 10, BITMAPINFOHEADER (w, h sign = row order, 24
+    bpp, BI_RGB). Anything else (paletted, compressed, 32-bit,
+    V4/V5 alpha) returns None to the PIL plug-in point."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 54 or blob[:2] != b"BM":
+        return None
+    try:
+        (offset,) = struct.unpack("<I", blob[10:14])
+        (hsize, w, h, _pl, bpp, comp) = struct.unpack(
+            "<IiiHHI", blob[14:34]
+        )
+        if hsize < 40 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+            return None
+        bottom_up = h > 0
+        h = abs(h)
+        stride = (w * 3 + 3) & ~3
+        if len(blob) < offset + stride * h:
+            return None
+        rows = np.frombuffer(blob, dtype=np.uint8, count=stride * h,
+                             offset=offset)
+        img = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            img = img[::-1]
+        return img[:, :, ::-1].copy()  # BGR → RGB
+    except (struct.error, ValueError):
+        return None
+
+
+def _encode_bmp(img) -> bytes:
+    """(H, W, 3) uint8 RGB → 24-bit BI_RGB BMP (bottom-up, 4-byte row
+    padding). Lossless partner of :func:`_decode_bmp`."""
+    import struct
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    bgr = img[::-1, :, ::-1].reshape(h, w * 3)
+    if stride == w * 3:
+        body = np.ascontiguousarray(bgr).tobytes()
+    else:
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : w * 3] = bgr
+        body = padded.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, stride * h,
+                       2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54)
+    return header + info + body
+
+
+def synth_bmp_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
+    """The md5-chain pixel plane containered as 24-bit BMP — same
+    shared-oracle construction as :func:`synth_png_media` /
+    :func:`synth_gif_media`."""
+    import hashlib
+
+    import numpy as np
+
+    n_bytes = side * side * 3
+    n_chunks = (n_bytes + 15) // 16
+
+    @F.pandas_udf("binary")
+    def _bmp(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                plane = b"".join(
+                    hashlib.md5(f"{i}:{k}".encode()).digest()
+                    for k in range(n_chunks)
+                )[:n_bytes]
+                out.append(
+                    _encode_bmp(
+                        np.frombuffer(plane, dtype=np.uint8).reshape(
+                            side, side, 3
+                        )
+                    )
+                )
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _bmp("doc_id").alias("content"),
     )

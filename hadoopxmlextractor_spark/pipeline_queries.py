@@ -2480,3 +2480,16 @@ def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_avi_video(docs)
     return M.video_shot_boundaries(media)
+
+
+@query("multimodal_bmp_ahash", O.image_ahash_oracle(side=8))
+def q_multimodal_bmp_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    # BMP completes the natively-decoded image-container tier
+    # (PPM/PNG/GIF/BMP; JPEG stays the PIL plug-in): the md5 pixel
+    # plane through the 24-bit BI_RGB encoder (bottom-up BGR DIB rows,
+    # 4-byte stride) and back, aHashed against the shared arithmetic
+    # oracle - row flip, channel swap, and padding must all roundtrip
+    # losslessly or the hash flips.
+    docs = load(spark, sf, "documents")
+    media = M.synth_bmp_media(docs, side=8)
+    return M.image_ahash(media)

@@ -1057,3 +1057,66 @@ def test_avi_rawvideo_codec_roundtrip_and_codec_refusal(spark):
         for r in video_shot_boundaries(synth_avi_video(docs)).collect()
     }
     assert via_ppm == via_avi and len(via_avi) == 10 * 8
+
+
+def test_bmp_codec_roundtrip_and_features(spark):
+    """BMP: encode->decode bit-exact incl. stride-padded widths and
+    top-down (negative height) decode; unsupported shapes refuse;
+    features match the identical-plane PPM route; resize emits a
+    smaller valid BMP."""
+    import struct
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_bmp,
+        _encode_bmp,
+        extract_media_features,
+        resize_media,
+        synth_bmp_media,
+        synth_ppm_media,
+    )
+
+    rng = np.random.RandomState(11)
+    for shape in [(8, 8), (6, 7), (9, 5)]:
+        img = rng.randint(0, 256, size=(*shape, 3), dtype=np.uint8)
+        assert np.array_equal(_decode_bmp(_encode_bmp(img)), img)
+
+    # top-down variant: negate the height field, rows in natural order
+    img = rng.randint(0, 256, size=(4, 5, 3), dtype=np.uint8)
+    blob = bytearray(_encode_bmp(img[::-1]))  # encoder flips; pre-flip
+    blob[22:26] = struct.pack("<i", -4)
+    assert np.array_equal(_decode_bmp(bytes(blob)), img[::-1][::-1])
+
+    # unsupported: 32-bit bpp refuses to the plug-in point
+    blob = bytearray(_encode_bmp(img))
+    blob[28:30] = struct.pack("<H", 32)
+    assert _decode_bmp(bytes(blob)) is None
+    assert _decode_bmp(b"BMshort") is None and _decode_bmp(b"PNG") is None
+
+    docs = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    ppm = {
+        r.media_id: r.feature
+        for r in extract_media_features(
+            synth_ppm_media(docs, side=8), decode="real"
+        ).collect()
+    }
+    bmp = {
+        r.media_id: r.feature
+        for r in extract_media_features(
+            synth_bmp_media(docs, side=8), decode="real"
+        ).collect()
+    }
+    assert set(ppm) == set(bmp)
+    for k in ppm:
+        assert bmp[k] is not None and np.allclose(ppm[k], bmp[k])
+
+    small = {
+        r.media_id: bytes(r.content)
+        for r in resize_media(
+            synth_bmp_media(docs, side=16), target_bytes=220, decode="real"
+        ).collect()
+    }
+    for b in small.values():
+        got = _decode_bmp(b)
+        assert got is not None and got.shape[0] * got.shape[1] * 3 <= 220
