@@ -82,6 +82,7 @@ FRONT = [
     "search_bm25_topk",
     "multimodal_avi_shots",
     "multimodal_bmp_ahash",
+    "multimodal_jpeg_blocks",
     "join_full_outer",
     "window_range_frame",
     "q2_min_cost_supplier",
@@ -120,9 +121,9 @@ FRONT = [
     "corpus_source_overlap",
     "corpus_token_budget_plan",
     "dedup_fuzzy_names",
-    "dedup_minhash_incremental",
     # --- driver sample boundary (first 50 above) ---
     # the remaining 63 never-certified, queued for round 7:
+    "dedup_minhash_incremental",
     "dedup_window_profile",
     "diagnostics_key_skew",
     "distinct_projection",

@@ -18,9 +18,11 @@ PNG and GIF decode natively — :func:`_decode_png`/:func:`_encode_png`
 :func:`_encode_gif` (own GIF-LZW both directions, global/local color
 tables, 4-pass de-interlace; the encoder is lossless for ≤256-color
 images and refuses to quantize silently) — so PNG and GIF pipelines
-run for real in this container. JPEG (and exotic PNGs) decode through
-an IMPORT-GATED PIL plug-in (:func:`_decode_with_pil`): where PIL is
-installed they feed
+run for real in this container, and BASELINE JPEG decodes natively
+too (``operators/jpeg.py``: full huffman + dequant + IDCT + 4:2:0/
+4:2:2/4:4:4 + restart markers, numpy only). Progressive/arithmetic
+JPEG and exotic PNGs decode through an IMPORT-GATED PIL plug-in
+(:func:`_decode_with_pil`): where PIL is installed they feed
 the same image-statistics vector as PPM; where it is not (this
 container), each such row yields a NULL feature under ``decode='real'``
 (a mixed corpus must not kill the job; count the nulls to audit).
@@ -329,6 +331,10 @@ def _real_feature(blob: bytes):
         img = _decode_gif(blob)
     if img is None and blob.startswith(b"BM"):
         img = _decode_bmp(blob)
+    if img is None and blob.startswith(b"\xff\xd8\xff"):
+        from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
+
+        img = decode_jpeg(blob)  # native baseline decoder before PIL
     if img is None and blob.startswith(_CODEC_MAGIC):
         img = _decode_with_pil(blob)
     if img is not None:
@@ -627,6 +633,12 @@ def image_ahash(
                     img = _decode_gif(raw)
                 if img is None and raw.startswith(b"BM"):
                     img = _decode_bmp(raw)
+                if img is None and raw.startswith(b"\xff\xd8\xff"):
+                    from hadoopxmlextractor_spark.operators.jpeg import (
+                        decode_jpeg,
+                    )
+
+                    img = decode_jpeg(raw)
                 if img is None or img.shape[0] * img.shape[1] != 64:
                     out.append(None)
                     continue
@@ -1397,4 +1409,75 @@ def synth_bmp_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         _bmp("doc_id").alias("content"),
+    )
+
+
+def synth_jpeg_blocks_media(docs: DataFrame, *, quality: int = 90) -> DataFrame:
+    """Deterministic 16×16 GRAYSCALE baseline JPEG per document: four
+    flat 8×8 blocks whose values are md5 bytes of the doc id. Flat
+    blocks make the LOSSY pipeline exactly computable — only the DC
+    coefficient survives, so the decoded value is
+    ``clip(round(Q·round(8(v−128)/Q)/8 + 128))`` with Q the scaled DC
+    quantizer (Q=3 at quality 90, chosen because 8c/3 and 3k/8 can
+    never land on a rounding half-boundary — proven in the round-6
+    notes) — which is what gives a lossy codec an EXACT cross-engine
+    oracle. The encode→decode runs the real codec end to end: marker
+    segments, canonical huffman, DC prediction across the four blocks,
+    entropy coding, bit stuffing, IDCT."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.jpeg import encode_jpeg
+
+    @F.pandas_udf("binary")
+    def _jpg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                d = hashlib.md5(f"{i}:jpg".encode()).digest()
+                img = np.zeros((16, 16), dtype=np.uint8)
+                img[:8, :8] = d[0]
+                img[:8, 8:] = d[1]
+                img[8:, :8] = d[2]
+                img[8:, 8:] = d[3]
+                out.append(encode_jpeg(img, quality=quality))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _jpg("doc_id").alias("content"),
+    )
+
+
+def jpeg_block_values(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Decode each 16×16 JPEG via the native baseline decoder and emit
+    the four 8×8 block values: (media_id, block_idx, val). The blocks
+    are flat by construction, so one sampled pixel per block IS the
+    block value; a decoder bug anywhere (huffman, DC prediction,
+    dequant, IDCT, bit unstuffing) shifts at least one value."""
+    from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
+
+    @F.pandas_udf("array<int>")
+    def _vals(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for blobs in it:
+            out = []
+            for blob in blobs:
+                img = decode_jpeg(bytes(blob)) if blob is not None else None
+                if img is None or img.shape[:2] != (16, 16):
+                    out.append(None)
+                    continue
+                out.append(
+                    [int(img[0, 0, 0]), int(img[0, 8, 0]),
+                     int(img[8, 0, 0]), int(img[8, 8, 0])]
+                )
+            yield pd.Series(out, dtype="object")
+
+    return (
+        media.select(F.col(id_col), _vals(F.col(content_col)).alias("vs"))
+        .filter(F.col("vs").isNotNull())
+        .select(id_col, F.posexplode("vs").alias("block_idx", "val"))
     )

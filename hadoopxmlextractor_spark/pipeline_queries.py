@@ -2493,3 +2493,37 @@ def q_multimodal_bmp_ahash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_bmp_media(docs, side=8)
     return M.image_ahash(media)
+
+
+@query(
+    "multimodal_jpeg_blocks",
+    """
+    WITH bytes4 AS (
+      SELECT doc_id AS media_id, b.block_idx,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':jpg'),
+                                     1 + 2 * b.block_idx, 2)) AS BIGINT) AS v
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS block_idx) b
+    )
+    SELECT media_id, CAST(block_idx AS INT) AS block_idx,
+           CAST(LEAST(255, GREATEST(0,
+             ROUND(3 * ROUND(8.0 * (v - 128) / 3) / 8.0 + 128)))
+             AS INT) AS val
+    FROM bytes4
+    """,
+)
+def q_multimodal_jpeg_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    # BASELINE JPEG made real without PIL, with an EXACT oracle for a
+    # LOSSY codec: four flat 8x8 blocks per doc run the full encode ->
+    # decode chain (markers, canonical huffman, cross-block DC
+    # prediction, entropy coding + bit stuffing, dequant, IDCT); flat
+    # blocks collapse the loss to the DC quantizer, so the decoded
+    # value is clip(round(3*round(8(v-128)/3)/8 + 128)) exactly - and
+    # Q=3 provably never parks either rounding on a half-boundary
+    # (8c/3 = k+1/2 needs 16c = 6k+3, odd=even; 3k/8 = m+1/2 needs
+    # k === 4 mod 8, but k = round(8c/3) cycles {0,3,5} mod 8), so
+    # numpy banker's rounding and SQL half-away rounding agree on
+    # every input. The oracle is that arithmetic verbatim.
+    docs = load(spark, sf, "documents")
+    media = M.synth_jpeg_blocks_media(docs, quality=90)
+    return M.jpeg_block_values(media)

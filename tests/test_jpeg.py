@@ -1,0 +1,199 @@
+"""Native baseline JPEG codec (operators/jpeg.py): the correctness
+battery pins the decoder three independent ways — flat-block DC
+exactness, coefficient injection vs an independent IDCT, and
+hand-built streams for restart markers and 4:2:0 subsampling —
+because a lossy codec cannot be proven by roundtrip alone (a
+matched-bug encoder/decoder pair would hide errors)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from hadoopxmlextractor_spark.operators.jpeg import (
+    K1_LUMA_QT,
+    K2_CHROMA_QT,
+    K3_AC_CHROMA,
+    K3_AC_LUMA,
+    K3_DC_CHROMA,
+    K3_DC_LUMA,
+    ZIGZAG,
+    _BitWriter,
+    _dht_segment,
+    _huff_codes,
+    _idct2,
+    _magnitude,
+    _qt_segment,
+    _scale_qt,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gray_headers(w: int, h: int, q) -> bytearray:
+    out = bytearray(b"\xff\xd8")
+    out += _qt_segment(0, q)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    out += _dht_segment(0, 0, *K3_DC_LUMA)
+    out += _dht_segment(1, 0, *K3_AC_LUMA)
+    return out
+
+
+def _write_block(w, zz_coef, dc, ac):
+    size, bits = _magnitude(int(zz_coef[0]))
+    ln, code = dc[size]
+    w.write(code, ln)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last = max((i for i in range(1, 64) if zz_coef[i] != 0), default=0)
+    for k in range(1, last + 1):
+        v = int(zz_coef[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac[0xF0]
+            w.write(code, ln)
+            run -= 16
+        size, bits = _magnitude(v)
+        ln, code = ac[(run << 4) | size]
+        w.write(code, ln)
+        w.write(bits, size)
+        run = 0
+    if last < 63:
+        ln, code = ac[0x00]
+        w.write(code, ln)
+
+
+def test_jpeg_roundtrip_flat_gradient_noise_and_refusals():
+    rng = np.random.RandomState(7)
+    for v in (0, 7, 128, 200, 255):
+        img = np.full((16, 24), v, dtype=np.uint8)
+        back = decode_jpeg(encode_jpeg(img, quality=90))
+        assert back is not None
+        assert np.abs(back[:, :, 0].astype(int) - int(v)).max() <= 1
+    x = np.linspace(0, 255, 32)
+    img = np.stack(
+        np.meshgrid(x, x)[0:2] + [np.full((32, 32), 100.0)], axis=2
+    ).astype(np.uint8)
+    back = decode_jpeg(encode_jpeg(img, quality=95))
+    assert np.abs(back.astype(int) - img.astype(int)).max() <= 14
+    img = rng.randint(0, 256, size=(13, 19), dtype=np.uint8)
+    assert decode_jpeg(encode_jpeg(img, quality=90)).shape == (13, 19, 3)
+    assert decode_jpeg(b"\xff\xd8junk") is None
+    assert decode_jpeg(b"not jpeg") is None
+    # progressive (SOF2) refuses to the PIL plug-in point
+    blob = bytearray(encode_jpeg(np.full((8, 8), 90, dtype=np.uint8)))
+    sof_at = blob.index(b"\xff\xc0")
+    blob[sof_at + 1] = 0xC2
+    assert decode_jpeg(bytes(blob)) is None
+
+
+def test_jpeg_coefficient_injection_matches_independent_idct():
+    """Entropy stream built directly from CHOSEN quantized
+    coefficients must decode to the IDCT computed independently here —
+    pins huffman decode, run/length/ZRL/EOB handling, de-zigzag,
+    dequantization, and the IDCT without trusting the encoder."""
+    q = _scale_qt(K1_LUMA_QT.reshape(8, 8), 90)
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0] = 37
+    for pos, val in [(1, -5), (3, 9), (10, -2), (20, 3), (35, 1), (63, -1)]:
+        zz[pos] = val
+    out = _gray_headers(8, 8, q)
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0, 0, 63, 0])
+    w = _BitWriter()
+    _write_block(w, zz, _huff_codes(*K3_DC_LUMA), _huff_codes(*K3_AC_LUMA))
+    out += w.flush() + b"\xff\xd9"
+    got = decode_jpeg(bytes(out))
+    ref_block = np.zeros(64, dtype=np.int64)
+    ref_block[ZIGZAG] = zz
+    ref = _idct2((ref_block.reshape(8, 8) * q).astype(float)) + 128.0
+    ref = np.clip(np.round(ref), 0, 255).astype(np.uint8)
+    assert got is not None and np.array_equal(got[:, :, 0], ref)
+
+
+def test_jpeg_restart_markers_reset_dc_prediction():
+    q = _scale_qt(K1_LUMA_QT.reshape(8, 8), 90)
+    out = _gray_headers(16, 8, q)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 1)  # DRI = 1 MCU
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0, 0, 63, 0])
+    dc, ac = _huff_codes(*K3_DC_LUMA), _huff_codes(*K3_AC_LUMA)
+
+    def mcu(dcval):
+        w = _BitWriter()
+        z = np.zeros(64, dtype=np.int64)
+        z[0] = dcval
+        _write_block(w, z, dc, ac)
+        return w.flush()
+
+    out += mcu(10) + b"\xff\xd0" + mcu(-20) + b"\xff\xd9"
+    got = decode_jpeg(bytes(out))
+    b0 = int(np.round(np.clip(10 * q[0, 0] / 8.0 + 128, 0, 255)))
+    b1 = int(np.round(np.clip(-20 * q[0, 0] / 8.0 + 128, 0, 255)))
+    assert got is not None
+    assert got[0, 0, 0] == b0 and got[0, 8, 0] == b1  # reset, not 10-20
+
+
+def test_jpeg_420_subsampled_decode():
+    qy = _scale_qt(K1_LUMA_QT.reshape(8, 8), 90)
+    qc = _scale_qt(K2_CHROMA_QT.reshape(8, 8), 90)
+    out = bytearray(b"\xff\xd8")
+    out += _qt_segment(0, qy) + _qt_segment(1, qc)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3) + bytes(
+        [1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += _dht_segment(0, 0, *K3_DC_LUMA) + _dht_segment(1, 0, *K3_AC_LUMA)
+    out += _dht_segment(0, 1, *K3_DC_CHROMA) + _dht_segment(
+        1, 1, *K3_AC_CHROMA
+    )
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes(
+        [1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]
+    )
+    dc, ac = _huff_codes(*K3_DC_LUMA), _huff_codes(*K3_AC_LUMA)
+    dcc, acc = _huff_codes(*K3_DC_CHROMA), _huff_codes(*K3_AC_CHROMA)
+    w = _BitWriter()
+
+    def put(cdc, cac, dcval):
+        z = np.zeros(64, dtype=np.int64)
+        z[0] = dcval
+        _write_block(w, z, cdc, cac)
+
+    put(dc, ac, 16)
+    for _ in range(3):
+        put(dc, ac, 0)  # 4 Y blocks, same DC via zero diffs
+    put(dcc, acc, 0)  # Cb neutral
+    put(dcc, acc, 0)  # Cr neutral
+    out += w.flush() + b"\xff\xd9"
+    got = decode_jpeg(bytes(out))
+    yv = int(np.round(np.clip(16 * qy[0, 0] / 8.0 + 128, 0, 255)))
+    assert got is not None and got.shape == (16, 16, 3)
+    assert np.all(got == yv)
+
+
+def test_jpeg_flat_block_dc_formula_and_feature_path(spark):
+    """The exact-oracle identity the registry query leans on, checked
+    for EVERY byte value 0..255 driver-side, plus the Spark feature
+    path decoding real JPEG media (non-null features)."""
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        extract_media_features,
+        synth_jpeg_blocks_media,
+    )
+
+    for v in range(256):
+        img = np.full((8, 8), v, dtype=np.uint8)
+        got = int(decode_jpeg(encode_jpeg(img, quality=90))[0, 0, 0])
+        c = v - 128
+        expect = int(
+            min(255, max(0, np.round(3 * np.round(8.0 * c / 3) / 8.0 + 128)))
+        )
+        assert got == expect, (v, got, expect)
+
+    docs = spark.createDataFrame([(i,) for i in range(8)], "doc_id long")
+    feats = extract_media_features(
+        synth_jpeg_blocks_media(docs), decode="real"
+    ).collect()
+    assert len(feats) == 8 and all(r.feature is not None for r in feats)
