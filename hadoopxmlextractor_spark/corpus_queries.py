@@ -2752,17 +2752,23 @@ def q_corpus_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents
     ),
     cand AS (SELECT * FROM keyed ORDER BY pkey, doc_id LIMIT 51),
-    tau AS (SELECT MAX(pkey) AS tau_key FROM cand),
     ranked AS (
       SELECT doc_id, w, pkey,
              ROW_NUMBER() OVER (ORDER BY pkey, doc_id) AS rn
       FROM cand
+    ),
+    taued AS (
+      SELECT doc_id, w, pkey, rn,
+             COALESCE(MAX(CASE WHEN rn = 51 THEN pkey END) OVER (), -1)
+               AS tau_key
+      FROM ranked
     )
-    SELECT r.doc_id, r.w, r.pkey, t.tau_key,
-           CAST(GREATEST(r.w, 4503599627370496 // (t.tau_key + 1))
-                AS BIGINT) AS est
-    FROM ranked r CROSS JOIN tau t
-    WHERE r.rn <= 50
+    SELECT doc_id, w, pkey, tau_key,
+           CAST(CASE WHEN tau_key < 0 THEN w
+                ELSE GREATEST(w, 4503599627370496 // (tau_key + 1))
+                END AS BIGINT) AS est
+    FROM taued
+    WHERE rn <= 50
     """,
 )
 def q_corpus_priority_sample(spark: SparkSession, sf: str) -> DataFrame:

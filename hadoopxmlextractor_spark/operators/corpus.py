@@ -1010,21 +1010,36 @@ def priority_sample(
         (u * F.lit(1048576)).alias("_scaled"),
     ).select(id_col, "w", F.expr("_scaled div w").alias("pkey"))
     cand = keyed.orderBy(F.col("pkey").asc(), F.col(id_col).asc()).limit(k + 1)
-    tau = cand.agg(F.max("pkey").alias("tau_key"))
+    # tau rides a window over the k+1-row frame instead of a scalar
+    # cross join: the plan stays join-free (lint-clean — even a 1-row
+    # broadcast cross join is a BroadcastNestedLoopJoin node), and a
+    # corpus with <= k rows reports tau_key = -1 with the exact weight
+    # as estimator (exhaustive sample, same contract as the grouped
+    # variant)
     w_rank = Window.orderBy(F.col("pkey").asc(), F.col(id_col).asc())
+    w_all = Window.partitionBy()
+    ranked = cand.withColumn("_rn", F.row_number().over(w_rank))
+    tau = F.coalesce(
+        F.max(F.when(F.col("_rn") == k + 1, F.col("pkey"))).over(w_all),
+        F.lit(-1),
+    )
     return (
-        cand.withColumn("_rn", F.row_number().over(w_rank))
+        ranked.withColumn("tau_key", tau)
         .filter(F.col("_rn") <= k)
-        .crossJoin(F.broadcast(tau))
         .select(
             id_col,
             "w",
             "pkey",
             "tau_key",
-            F.greatest(
-                F.col("w"),
-                F.expr("4503599627370496 div (tau_key + 1)"),
-            ).cast("long").alias("est"),
+            F.when(F.col("tau_key") < 0, F.col("w"))
+            .otherwise(
+                F.greatest(
+                    F.col("w"),
+                    F.expr("4503599627370496 div (tau_key + 1)"),
+                )
+            )
+            .cast("long")
+            .alias("est"),
         )
     )
 

@@ -93,6 +93,26 @@ def _stage_pack_sequences(
     return C.pack_sequences(df, "text", "doc_id", capacity=capacity, n_shards=n_shards)
 
 
+def _stage_priority_sample(
+    df: DataFrame, docs: DataFrame, *, k: int = 100
+) -> DataFrame:
+    # DLT weighted subsampling as a pipeline stage: keep k docs with
+    # probability proportional to length (the exact-integer priority
+    # keys of operators.corpus.priority_sample), preserving the
+    # (doc_id, text) stage contract. Weight = char length of the text
+    # AT THIS STAGE (post-filter/salvage), floor 1 so empty-adjacent
+    # docs stay sampleable.
+    from hadoopxmlextractor_spark.operators.corpus import priority_sample
+
+    weighted = df.select(
+        "doc_id", "text", F.greatest(F.length("text"), F.lit(1)).alias("_w")
+    )
+    picked = priority_sample(weighted, "doc_id", "_w", k=k).select("doc_id")
+    return df.join(F.broadcast(picked), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+
+
 def _stage_line_filter(df: DataFrame, docs: DataFrame, *, min_words: int = 3) -> DataFrame:
     # RefinedWeb-style salvage: rebuild each doc from only its segments
     # with >= min_words words; docs losing every segment drop out. The
@@ -115,6 +135,7 @@ STAGES: dict[str, Callable[..., DataFrame]] = {
     "dedup_exact": _stage_dedup_exact,
     "classifier_filter": _stage_classifier_filter,
     "decontaminate": _stage_decontaminate,
+    "priority_sample": _stage_priority_sample,
     "pack_sequences": _stage_pack_sequences,
 }
 

