@@ -64,65 +64,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
-    # round-6 rotation (r5 verdict item 2): the two NEW round-6
-    # operators first (never-certified by definition), then the two
-    # r01 rows-only results and the 20 unsampled TPC-H-shape
-    # flagships, then alphabetical never-certified fill. The driver
-    # samples the first 50, certifying 50 first-time queries and
-    # leaving 63 for round 7. Ordering is presentation-only:
-    # every entry still runs in the local full-registry gate.
-    "corpus_priority_sample",
-    "corpus_priority_sample_grouped",
-    "corpus_epoch_shuffle",
-    "embedding_semdedup",
-    "corpus_incremental_priority_sample",
-    "corpus_unimax_budget",
-    "multimodal_png_ahash",
-    "multimodal_gif_ahash",
-    "search_bm25_topk",
-    "multimodal_avi_shots",
-    "multimodal_bmp_ahash",
-    "multimodal_jpeg_blocks",
-    "join_full_outer",
-    "window_range_frame",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q19_disjunctive_predicates",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "q22_sales_opportunity",
-    "agg_corr_matrix",
-    "agg_grouping_id",
-    "agg_hll_daily_merge",
-    "agg_mode",
-    "agg_order_stats",
-    "agg_quantile_sketch_merge",
-    "agg_salted_hot_keys",
-    "agg_stats",
-    "agg_trimmed_mean",
-    "agg_value_histogram",
-    "array_hof_stats",
-    "corpus_chunk_language",
-    "corpus_hard_negatives",
-    "corpus_source_overlap",
-    "corpus_token_budget_plan",
-    "dedup_fuzzy_names",
-    # --- driver sample boundary (first 50 above) ---
-    # the remaining 63 never-certified, queued for round 7:
+    # round-7 rotation (r6 verdict item 1): new round-7 operators
+    # first (never-certified by definition; names prepended as they
+    # are implemented this round), then the 73 queries that have no
+    # driver CORRECTNESS row across r01-r06, alphabetical. The driver
+    # samples the first 50; the rest queue for round 8. Ordering is
+    # presentation-only: every entry still runs in the local
+    # full-registry gate.
+    # --- new round-7 operators ---
+    # (prepended during the round)
+    # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",
     "diagnostics_key_skew",

@@ -238,12 +238,23 @@ def decode_jpeg(blob: bytes):
         frame = None
         restart_interval = 0
         pos = 2
-        while pos + 4 <= len(blob):
+        while pos + 2 <= len(blob):
             if blob[pos] != 0xFF:
                 return None
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede
+            # the marker byte — skip them instead of misreading the
+            # next two bytes as a segment length.
+            while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+                pos += 1
             marker = blob[pos + 1]
             if marker == 0xD9:  # EOI
                 break
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+                # TEM / RSTn: standalone markers with no length field
+                pos += 2
+                continue
+            if pos + 4 > len(blob):
+                return None
             (seg_len,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
             seg = blob[pos + 4 : pos + 2 + seg_len]
             if marker == 0xDB:  # DQT
@@ -290,6 +301,12 @@ def decode_jpeg(blob: bytes):
                 if frame is None:
                     return None
                 ns = seg[0]
+                if ns != len(frame["comps"]):
+                    # Non-interleaved multi-scan baseline (ns < nc):
+                    # decoding only the first scan would silently
+                    # return zero-filled remaining planes — keep the
+                    # auditable-NULL contract instead.
+                    return None
                 scan = []
                 for c in range(ns):
                     cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hadoopxmlextractor_spark import oracles as O
+from hadoopxmlextractor_spark import portable_math as PM
 from hadoopxmlextractor_spark.operators import dedup as D
 from hadoopxmlextractor_spark.operators import multimodal as M
 from hadoopxmlextractor_spark.operators import similarity as S
@@ -2366,19 +2367,24 @@ _BM25_B = 0.75
     dfreq AS (
       SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
     ),
-    terms AS (
-      SELECT tf.doc_id,
-             ROUND(
-               ln(1 + (CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5))
-               * ((tf * ({_BM25_K1} + 1)) /
-                  (tf + {_BM25_K1}
-                        * (1 - {_BM25_B}
-                           + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / s.avgdl)))),
-               6) AS term
+    terms0 AS (
+      SELECT tf.doc_id, tf.tf, dfreq.df, dl.dl, s.n, s.avgdl,
+             1 + (CAST(s.n AS DOUBLE) - df + 0.5) / (df + 0.5) AS x
       FROM tf
       JOIN dfreq USING (token)
       JOIN dl ON dl.doc_id = tf.doc_id
       CROSS JOIN stats s
+    ),{PM.portable_ln_ctes("terms0", "x", "idf")},
+    terms AS (
+      SELECT doc_id,
+             ROUND(
+               idf
+               * ((tf * ({_BM25_K1} + 1)) /
+                  (tf + {_BM25_K1}
+                        * (1 - {_BM25_B}
+                           + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl)))),
+               6) AS term
+      FROM pln_out
     ),
     scored AS (
       SELECT doc_id,
@@ -2396,11 +2402,14 @@ _BM25_B = 0.75
 def q_search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     # REAL BM25 (k1=1.2, b=0.75, Lucene-positive idf) - the lexical
     # retrieval baseline every search user expects, made oracle-exact
-    # by the repo's two float disciplines: per-(doc, token) terms are
-    # built from IDENTICAL double expression trees on both engines
-    # (the ln ulp risk dies at ROUND 6), then ROUNDed BEFORE the
-    # order-free DECIMAL sum (a raw double SUM would hang on reduction
-    # order - the maxsim rule). One token shuffle; df and the scalar
+    # by the repo's float disciplines: per-(doc, token) terms are
+    # built from IDENTICAL double expression trees on both engines —
+    # including the transcendental: idf goes through portable_ln
+    # (portable_math.py), the SAME explicit IEEE +,-,*,/ tree on both
+    # engines, so no libm rounding divergence can flip a ROUND-6
+    # boundary (r6 advice item) — then ROUNDed BEFORE the order-free
+    # DECIMAL sum (a raw double SUM would hang on reduction order -
+    # the maxsim rule). One token shuffle; df and the scalar
     # (N, avgdl) broadcast; ranking on the rounded score with doc_id
     # tiebreak; top-20 is dimension-sized.
     from pyspark.sql import Window
@@ -2422,33 +2431,35 @@ def q_search_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("tf")
     )
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
-    terms = (
+    terms0 = (
         tf.join(F.broadcast(dfreq), "token")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.round(
-                F.log(
-                    F.lit(1)
-                    + (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
-                    / (F.col("df") + F.lit(0.5))
-                )
-                * (
-                    (F.col("tf") * F.lit(k1 + 1))
-                    / (
-                        F.col("tf")
-                        + F.lit(k1)
-                        * (
-                            F.lit(1 - b)
-                            + F.lit(b)
-                            * (F.col("dl").cast("double") / F.col("avgdl"))
-                        )
-                    )
-                ),
-                6,
-            ).alias("term"),
+        .withColumn(
+            "x",
+            F.lit(1)
+            + (F.col("n").cast("double") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5)),
         )
+    )
+    terms = PM.with_portable_ln(terms0, "x", "idf").select(
+        "doc_id",
+        F.round(
+            F.col("idf")
+            * (
+                (F.col("tf") * F.lit(k1 + 1))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1 - b)
+                        + F.lit(b)
+                        * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ),
+            6,
+        ).alias("term"),
     )
     scored = terms.groupBy("doc_id").agg(
         F.round(
@@ -2485,7 +2496,9 @@ def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
 @query("multimodal_bmp_ahash", O.image_ahash_oracle(side=8))
 def q_multimodal_bmp_ahash(spark: SparkSession, sf: str) -> DataFrame:
     # BMP completes the natively-decoded image-container tier
-    # (PPM/PNG/GIF/BMP; JPEG stays the PIL plug-in): the md5 pixel
+    # (PPM/PNG/GIF/BMP, plus baseline JPEG via operators/jpeg.py —
+    # only progressive/arithmetic JPEG remains the PIL plug-in): the
+    # md5 pixel
     # plane through the 24-bit BI_RGB encoder (bottom-up BGR DIB rows,
     # 4-byte stride) and back, aHashed against the shared arithmetic
     # oracle - row flip, channel swap, and padding must all roundtrip

@@ -59,9 +59,25 @@ def last_committed_batch(table_dir: str) -> int:
     and "batch is marked committed" are ONE atomic os.replace — a
     crash can never leave a durable version whose batch looks
     uncommitted (the replay-double-apply window a separate marker
-    file would open)."""
+    file would open).
+
+    Legacy compat: tables written before the marker moved into the
+    pointer kept it in a separate ``_stream_commits.json``. A pointer
+    WITHOUT ``last_batch_id`` therefore falls back to that file, so a
+    crash-replayed batch that was already absorbed under the old
+    scheme is still skipped (no double-applied sessions/top-k). The
+    first new-scheme commit rewrites the pointer with the carried-
+    forward marker, after which the legacy file is dead weight."""
     p = _read_pointer(table_dir)
-    return -1 if p is None else int(p.get("last_batch_id", -1))
+    if p is None:
+        return -1
+    if "last_batch_id" in p:
+        return int(p["last_batch_id"])
+    try:
+        with open(os.path.join(table_dir, "_stream_commits.json")) as f:
+            return int(json.load(f)["last_batch_id"])
+    except (FileNotFoundError, KeyError, ValueError, json.JSONDecodeError):
+        return -1
 
 
 def _flip_pointer(table_dir: str, version: int, batch_id: int | None = None) -> None:

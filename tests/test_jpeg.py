@@ -197,3 +197,37 @@ def test_jpeg_flat_block_dc_formula_and_feature_path(spark):
         synth_jpeg_blocks_media(docs), decode="real"
     ).collect()
     assert len(feats) == 8 and all(r.feature is not None for r in feats)
+
+
+def test_jpeg_fill_bytes_tem_marker_and_multiscan_refusal():
+    """T.81 conformance corners from the r6 advice: (a) 0xFF fill
+    bytes before a marker and a standalone TEM (0x01) marker in the
+    header must not derail the segment walk; (b) a baseline file whose
+    SOS covers fewer components than the frame (non-interleaved
+    multi-scan) must refuse to None instead of silently returning
+    zero-filled chroma planes."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 3
+    blob = encode_jpeg(img, quality=90)
+    ref = decode_jpeg(blob)
+
+    # (a) insert fill bytes before SOF and a TEM marker after SOI
+    sof_at = blob.index(b"\xff\xc0")
+    padded = (
+        blob[:2] + b"\xff\x01"  # TEM: standalone, no length
+        + blob[2:sof_at] + b"\xff\xff\xff"  # fill bytes, then \xff\xc0
+        + blob[sof_at:]
+    )
+    got = decode_jpeg(padded)
+    assert got is not None and np.array_equal(got, ref)
+
+    # (b) color frame, SOS listing only component 1
+    color = encode_jpeg(
+        np.dstack([img, img, img]).astype(np.uint8), quality=90
+    )
+    sos_at = color.index(b"\xff\xda")
+    (sos_len,) = struct.unpack(">H", color[sos_at + 2 : sos_at + 4])
+    one_comp_sos = (
+        b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    )
+    hacked = color[:sos_at] + one_comp_sos + color[sos_at + 2 + sos_len :]
+    assert decode_jpeg(hacked) is None

@@ -2009,6 +2009,51 @@ def test_upsert_sink_survives_crash_at_every_point(spark, tmp_path, monkeypatch)
     assert latest_version(table) == v
 
 
+def test_legacy_marker_file_tables_do_not_double_apply(spark, tmp_path):
+    """Migration guard: a table written under the OLD scheme (pointer =
+    {"version": N} only, batch marker in a separate
+    _stream_commits.json) must still skip a crash-replayed batch that
+    the legacy marker says was absorbed — last_committed_batch falls
+    back to the legacy file when the pointer lacks last_batch_id, and
+    the first new-scheme commit migrates the marker into the pointer."""
+    import json
+    import os
+
+    from hadoopxmlextractor_spark.snapshots import (
+        _latest_path,
+        last_committed_batch,
+        latest_version,
+        read_snapshot,
+        write_snapshot,
+    )
+    from hadoopxmlextractor_spark.streaming.upsert import make_upsert_sink
+
+    table = str(tmp_path / "t")
+    write_snapshot(
+        spark.createDataFrame([(1, "one")], "doc_id long, text string"), table
+    )
+    # Rewrite the pointer in the pre-change shape and plant the legacy
+    # marker saying batch 5 already committed.
+    v0 = latest_version(table)
+    with open(_latest_path(table), "w") as f:
+        json.dump({"version": v0}, f)
+    with open(os.path.join(table, "_stream_commits.json"), "w") as f:
+        json.dump({"last_batch_id": 5}, f)
+    assert last_committed_batch(table) == 5
+
+    sink = make_upsert_sink(table, "doc_id")
+    replay = spark.createDataFrame([(1, "DOUBLE")], "doc_id long, text string")
+    sink(replay, 5)  # replay of an old-scheme-absorbed batch
+    assert {r.text for r in read_snapshot(spark, table).collect()} == {"one"}
+
+    # A genuinely new batch applies and migrates the marker into the
+    # pointer; the legacy file no longer wins.
+    sink(spark.createDataFrame([(2, "two")], "doc_id long, text string"), 6)
+    assert last_committed_batch(table) == 6
+    with open(_latest_path(table)) as f:
+        assert json.load(f)["last_batch_id"] == 6
+
+
 def test_write_snapshot_skips_crash_orphan_directories(spark, tmp_path, monkeypatch):
     """Version allocation is max(existing dirs)+1, not pointer+1: an
     orphan directory from a crash between parquet write and pointer
