@@ -72,7 +72,7 @@ FRONT = [
     # presentation-only: every entry still runs in the local
     # full-registry gate.
     # --- new round-7 operators ---
-    # (prepended during the round)
+    "multimodal_mjpeg_shots",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

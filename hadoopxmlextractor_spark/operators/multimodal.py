@@ -822,7 +822,8 @@ def video_shot_boundaries(
 ) -> DataFrame:
     """Shot-boundary detection — the frame-sampling stage of a video
     training pipeline: decode the frame stream (concatenated PPM, or a
-    raw-video AVI via :func:`_decode_avi_frames`), aHash every frame
+    raw-video / Motion-JPEG AVI via :func:`_decode_avi_frames`),
+    integer-pool square frames down to 8×8, aHash every frame
     (:func:`_ahash64`), and flag a boundary wherever the hamming
     distance to the previous frame's hash exceeds the threshold
     (frame 0 always starts a shot). Returns (media_id, frame_idx,
@@ -833,6 +834,25 @@ def video_shot_boundaries(
     media-keyed window for the previous-frame hamming. Keyframe
     EXTRACTION is then a filter on is_boundary — the frames a caption
     or embedding model actually ingests."""
+    def _pool8(img):
+        """Square frames sized a multiple of 8 integer-average-pool to
+        8×8 (floor division — exact for block-flat frames, which is
+        what keeps the MJPEG shot oracle hash-exact); 8×8 passes
+        through; anything else is unhashable."""
+        import numpy as np
+
+        h, w, _ = img.shape
+        if h == 8 and w == 8:
+            return img
+        if h == w and h % 8 == 0:
+            s = h // 8
+            pooled = (
+                img.astype(np.int64).reshape(8, s, 8, s, 3).sum(axis=(1, 3))
+                // (s * s)
+            )
+            return pooled.astype(np.uint8)
+        return None
+
     @F.pandas_udf("array<long>")
     def _hashes(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for blobs in it:
@@ -843,12 +863,13 @@ def video_shot_boundaries(
                     frames = _decode_avi_frames(raw) or []
                 else:
                     frames = _ppm_stream_frames(raw)
+                frames = [_pool8(img) for img in frames]
                 if not frames:
                     out.append(None)
                     continue
                 out.append(
                     [
-                        _ahash64(img) if img.shape[0] * img.shape[1] == 64 else None
+                        _ahash64(img) if img is not None else None
                         for img in frames
                     ]
                 )
@@ -1161,16 +1182,25 @@ def synth_gif_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
     )
 
 
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
 def _decode_avi_frames(blob: bytes):
-    """Raw-video AVI (``ffmpeg -c:v rawvideo -pix_fmt bgr24``) →
-    list of (H, W, 3) uint8 RGB frames, zero dependencies: RIFF chunk
-    walk to ``hdrl`` (BITMAPINFOHEADER in ``strf`` gives W, H, 24 bpp,
-    BI_RGB) and ``movi`` (each ``??db``/``??dc`` chunk one frame),
-    then per-frame DIB normalization — bottom-up row order, BGR byte
-    order, rows padded to 4-byte boundaries, all per the Windows DIB
-    spec. Codec AVIs (a non-zero ``biCompression``) and any other
-    container return None — the H.264-class plug-in point stays where
-    it was; what moved is that RAW video now decodes for real."""
+    """Raw-video or Motion-JPEG AVI → list of (H, W, 3) uint8 RGB
+    frames, zero dependencies: RIFF chunk walk to ``hdrl``
+    (BITMAPINFOHEADER in ``strf`` gives W, H, bpp, biCompression) and
+    ``movi`` (each ``??db``/``??dc`` chunk one frame).
+    ``biCompression == 0`` (BI_RGB): per-frame DIB normalization —
+    bottom-up row order, BGR byte order, rows padded to 4-byte
+    boundaries, per the Windows DIB spec. ``biCompression == 'MJPG'``:
+    every movi chunk is a standalone baseline JPEG (the Motion-JPEG
+    convention ``ffmpeg -c:v mjpeg`` follows), decoded by
+    ``operators.jpeg.decode_jpeg`` — the first CODEC video format this
+    engine decodes natively. Any frame the JPEG decoder refuses
+    (progressive, arithmetic, truncated) → the whole video returns
+    None, keeping the auditable-NULL contract. Other compressions
+    (H.264-class) and containers return None — the ffmpeg plug-in
+    point."""
     import struct
 
     import numpy as np
@@ -1179,10 +1209,11 @@ def _decode_avi_frames(blob: bytes):
         return None
     try:
         w = h = None
+        comp_mode = 0
         frames_raw = []
 
         def walk(buf, pos, end):
-            nonlocal w, h
+            nonlocal w, h, comp_mode
             while pos + 8 <= end:
                 cid = buf[pos : pos + 4]
                 (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -1193,7 +1224,9 @@ def _decode_avi_frames(blob: bytes):
                     (_sz, bw, bh, _pl, bpp, comp) = struct.unpack(
                         "<IiiHHI", buf[body : body + 20]
                     )
-                    if bpp != 24 or comp != 0:  # BI_RGB raw only
+                    if comp == _MJPG_FOURCC:
+                        comp_mode = comp
+                    elif bpp != 24 or comp != 0:  # BI_RGB raw only
                         raise ValueError("codec AVI")
                     w, h = bw, abs(bh)
                 elif cid[2:4] in (b"db", b"dc") and ln > 0:
@@ -1203,6 +1236,16 @@ def _decode_avi_frames(blob: bytes):
         walk(blob, 12, len(blob))
         if w is None or not frames_raw:
             return None
+        if comp_mode == _MJPG_FOURCC:
+            from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
+
+            out = []
+            for raw in frames_raw:
+                img = decode_jpeg(bytes(raw))
+                if img is None:
+                    return None
+                out.append(img)
+            return out
         stride = (w * 3 + 3) & ~3  # rows pad to 4 bytes
         out = []
         for raw in frames_raw:
@@ -1309,6 +1352,104 @@ def synth_avi_video(
                         )
                     )
                 out.append(_encode_avi(frames))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        _video("doc_id").alias("content"),
+    )
+
+
+def _encode_mjpeg_avi(frames, *, quality: int = 90) -> bytes:
+    """List of (H, W) grayscale or (H, W, 3) RGB uint8 frames → a
+    Motion-JPEG AVI: the same RIFF/hdrl/movi skeleton as
+    :func:`_encode_avi` but ``biCompression = 'MJPG'`` and each movi
+    chunk a standalone baseline JPEG from ``operators.jpeg.
+    encode_jpeg`` (``ffmpeg -c:v mjpeg`` layout). Lossy partner of the
+    MJPG branch in :func:`_decode_avi_frames`."""
+    import struct
+
+    from hadoopxmlextractor_spark.operators.jpeg import encode_jpeg
+
+    h, w = frames[0].shape[:2]
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    blobs = [encode_jpeg(f, quality=quality) for f in frames]
+    buf_sz = max(len(b) for b in blobs)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        40_000, buf_sz, 0, 0, len(frames), 0, 1, buf_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25,
+                                        0, len(frames), buf_sz, 0, 0, 0)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, _MJPG_FOURCC,
+                       buf_sz, 0, 0, 0, 0)
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def synth_mjpeg_video(
+    docs: DataFrame, *, n_frames: int = 8, side: int = 16,
+    cuts: tuple = (3, 6), quality: int = 90,
+) -> DataFrame:
+    """Deterministic Motion-JPEG video with an EXACT oracle for a
+    LOSSY codec: each frame is a (side/8)² grid of FLAT 8×8 grayscale
+    blocks (block k of frame f takes its value from the first md5 byte
+    of ``{id}:mj{g}:{k}`` under the same scene-generation rule as
+    :func:`synth_ppm_video`), encoded per-frame as baseline JPEG
+    inside an MJPG AVI. Flat blocks make the decoded value exactly
+    computable — ``v' = clip(round(Q·round(8(v-128)/Q)/8 + 128))``
+    with Q = 3 at quality 90, provably never at a rounding
+    half-boundary (the ``multimodal_jpeg_blocks`` analysis) — so the
+    shot-boundary output downstream is hash-exact against DuckDB even
+    though every frame went through real lossy compression."""
+    import hashlib
+
+    import numpy as np
+
+    grid = side // 8
+    n_blocks = grid * grid
+    cut_list = sorted(cuts)
+
+    def scene(f: int) -> int:
+        s = 0
+        for c in cut_list:
+            if f >= c:
+                s = c
+        return s
+
+    @F.pandas_udf("binary")
+    def _video(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                frames = []
+                for f in range(n_frames):
+                    sc = scene(f)
+                    img = np.zeros((side, side), dtype=np.uint8)
+                    for k in range(n_blocks):
+                        g = k if sc < k <= f else sc
+                        v = hashlib.md5(f"{i}:mj{g}:{k}".encode()).digest()[0]
+                        r, c = divmod(k, grid)
+                        img[r * 8 : (r + 1) * 8, c * 8 : (c + 1) * 8] = v
+                    frames.append(img)
+                out.append(_encode_mjpeg_avi(frames, quality=quality))
             yield pd.Series(out)
 
     return docs.select(

@@ -677,6 +677,76 @@ def video_shots_oracle(
     """
 
 
+def mjpeg_shots_oracle(
+    *, n_frames: int = 8, side: int = 16, hamming_threshold: int = 16,
+    q_dc: int = 3,
+) -> str:
+    """Replay of operators.multimodal.video_shot_boundaries over
+    synth_mjpeg_video — an EXACT oracle through a LOSSY codec: block k
+    of frame f is flat at ``v`` (first md5 byte of ``{id}:mj{g}:{k}``,
+    scene-generation rule as video_shots_oracle), and a flat 8×8
+    baseline-JPEG block decodes to exactly
+    ``clip(round(q·round(8(v-128)/q)/8 + 128))`` with q = ``q_dc``
+    (the DC luma quantizer at quality 90; never at a ROUND
+    half-boundary — the multimodal_jpeg_blocks analysis: round(8c/3)
+    has denominator 3, and 3j/8+128 needs j ≡ 4 (mod 8), unreachable
+    since j mod 8 ∈ {0, 3, 5}). The engine integer-pools the 16×16
+    frame to 8×8 (exact on flat blocks), so lane l of the aHash reads
+    block ``2·(l//32) + (l%8)//4``; mean and bit packing replay
+    _ahash64 verbatim, then the consecutive-frame hamming window."""
+    grid = side // 8
+    n_blocks = grid * grid
+    lanes = ", ".join(
+        f"({l}, "
+        + (str(1 << l) if l < 63 else "(-9223372036854775807 - 1)")
+        + f", {grid * ((l // 8) // (8 // grid)) + (l % 8) // (8 // grid)})"
+        for l in range(64)
+    )
+    scene = "CASE WHEN f.f >= 6 THEN 6 WHEN f.f >= 3 THEN 3 ELSE 0 END"
+    gen = (
+        f"CASE WHEN blk.k > ({scene}) AND blk.k <= f.f THEN blk.k "
+        f"ELSE ({scene}) END"
+    )
+    return f"""
+    WITH f AS (SELECT unnest(range({n_frames})) AS f),
+    blk AS (SELECT unnest(range({n_blocks})) AS k),
+    vals AS (
+      SELECT d.doc_id, f.f, blk.k,
+             CAST(('0x' || substring(
+               md5(CAST(d.doc_id AS VARCHAR) || ':mj'
+                   || CAST({gen} AS VARCHAR)
+                   || ':' || CAST(blk.k AS VARCHAR)),
+               1, 2)) AS BIGINT) AS v
+      FROM documents d, f, blk
+    ),
+    dec AS (
+      SELECT doc_id, f, k,
+             CAST(LEAST(255, GREATEST(0,
+               ROUND({q_dc} * ROUND(8.0 * (v - 128) / {q_dc}) / 8.0 + 128)))
+               AS BIGINT) AS g
+      FROM vals
+    ),
+    mean AS (
+      SELECT doc_id, f, (16 * SUM(g)) // 64 AS m
+      FROM dec GROUP BY doc_id, f
+    ),
+    lanes(l, wt, b) AS (VALUES {lanes}),
+    hashes AS (
+      SELECT dec.doc_id, dec.f,
+             CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT) AS ahash
+      FROM dec JOIN mean USING (doc_id, f) JOIN lanes ON lanes.b = dec.k
+      GROUP BY dec.doc_id, dec.f
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, ahash,
+           CAST(bit_count(xor(ahash, LAG(ahash) OVER w)) AS INT)
+             AS hamming_prev,
+           (f = 0 OR bit_count(xor(ahash, LAG(ahash) OVER w))
+              > {hamming_threshold}) AS is_boundary
+    FROM hashes
+    WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    """
+
+
 def kmeans_oracle(
     *,
     k: int = 8,

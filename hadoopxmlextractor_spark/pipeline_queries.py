@@ -2493,6 +2493,21 @@ def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
     return M.video_shot_boundaries(media)
 
 
+@query("multimodal_mjpeg_shots", O.mjpeg_shots_oracle())
+def q_multimodal_mjpeg_shots(spark: SparkSession, sf: str) -> DataFrame:
+    # CODEC VIDEO unblocked with zero new dependencies: Motion-JPEG
+    # AVI = the RIFF walker composed with the native baseline JPEG
+    # decoder (every '00dc' chunk a standalone JPEG, the ffmpeg MJPG
+    # layout). Frames are grids of FLAT 8x8 blocks, so even though
+    # every frame runs real lossy compression the decoded plane is
+    # exactly computable (the jpeg_blocks DC-quantizer identity) and
+    # the shot-boundary output stays hash-exact vs DuckDB. One Arrow
+    # decode pass; the only shuffle is the per-video frame window.
+    docs = load(spark, sf, "documents")
+    media = M.synth_mjpeg_video(docs)
+    return M.video_shot_boundaries(media)
+
+
 @query("multimodal_bmp_ahash", O.image_ahash_oracle(side=8))
 def q_multimodal_bmp_ahash(spark: SparkSession, sf: str) -> DataFrame:
     # BMP completes the natively-decoded image-container tier
