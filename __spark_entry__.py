@@ -73,6 +73,7 @@ FRONT = [
     # full-registry gate.
     # --- new round-7 operators ---
     "multimodal_mjpeg_shots",
+    "multimodal_audio_g711",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

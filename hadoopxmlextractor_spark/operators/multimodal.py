@@ -239,15 +239,75 @@ def _encode_png(img) -> bytes:
     )
 
 
+_G711_TABLES: dict = {}
+
+
+def _g711_table(law: str):
+    """256-entry int16 expansion table for G.711 companding, built
+    from the CCITT reference algorithm (the classic Sun ``g711.c``
+    expansion; cross-validated bit-exact against ``audioop`` in
+    tests). ``law``: 'ulaw' (WAV format code 7) or 'alaw' (code 6)."""
+    import numpy as np
+
+    if law not in _G711_TABLES:
+        out = np.zeros(256, dtype=np.int16)
+        for code in range(256):
+            if law == "ulaw":
+                u = (~code) & 0xFF
+                t = (((u & 15) << 3) + 0x84) << ((u >> 4) & 7)
+                out[code] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+            else:
+                a = code ^ 0x55
+                t = (a & 15) << 4
+                seg = (a >> 4) & 7
+                if seg == 0:
+                    t += 8
+                elif seg == 1:
+                    t += 0x108
+                else:
+                    t = (t + 0x108) << (seg - 1)
+                out[code] = t if (a & 0x80) else -t
+        _G711_TABLES[law] = out
+    return _G711_TABLES[law]
+
+
 def _decode_wav(blob: bytes):
-    """PCM WAV → (sample_rate, n_channels, int16 samples[n_frames,
-    n_channels]), or None if not WAV / not 16-bit PCM."""
+    """WAV → (sample_rate, n_channels, int16 samples[n_frames,
+    n_channels]), or None. Formats: 16-bit PCM (code 1, via stdlib
+    ``wave``) and 8-bit G.711 A-law / μ-law (codes 6 / 7 — telephony-
+    band audio common in crawled corpora), expanded to int16 through
+    :func:`_g711_table`. Anything else → None (the codec plug-in
+    point)."""
     import io
+    import struct
     import wave
 
     import numpy as np
 
     if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    # G.711 first: stdlib wave refuses non-PCM format codes, so walk
+    # the RIFF chunks ourselves for fmt codes 6/7.
+    try:
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(blob):
+            cid = blob[pos : pos + 4]
+            (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+            body = blob[pos + 8 : pos + 8 + ln]
+            if cid == b"fmt " and ln >= 16:
+                fmt = struct.unpack("<HHIIHH", body[:16])
+            elif cid == b"data":
+                data = body
+            pos += 8 + ln + (ln & 1)
+        if fmt is not None and fmt[0] in (6, 7) and data is not None:
+            code, nch, rate, _br, _ba, bits = fmt
+            if bits != 8 or nch < 1:
+                return None
+            table = _g711_table("alaw" if code == 6 else "ulaw")
+            codes = np.frombuffer(data, dtype=np.uint8)
+            samples = table[codes].reshape(-1, nch)
+            return rate, nch, samples
+    except (struct.error, ValueError):
         return None
     try:
         with wave.open(io.BytesIO(blob)) as w:
@@ -677,6 +737,47 @@ def synth_wav_media(docs: DataFrame, *, n_samples: int = 256) -> DataFrame:
                     w.setframerate(8000)
                     w.writeframes(pcm)
                 out.append(buf.getvalue())
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        _wav("doc_id").alias("content"),
+    )
+
+
+def synth_g711_wav_media(docs: DataFrame, *, n_samples: int = 256) -> DataFrame:
+    """Deterministic G.711 WAV per document: one md5-chain byte per
+    sample (``"{doc_id}:g{k}"`` digests), containered with format code
+    7 (μ-law) for even doc_ids and 6 (A-law) for odd — both companding
+    laws exercised in one table. The 18-byte fmt chunk (cbSize = 0) is
+    what non-PCM WAV writers emit; stdlib ``wave`` refuses these
+    files, which is exactly why :func:`_decode_wav` grew its own RIFF
+    walk."""
+    import hashlib
+    import struct
+
+    n_chunks = (n_samples + 15) // 16
+
+    def _container(code: int, payload: bytes) -> bytes:
+        fmt = struct.pack("<HHIIHHH", code, 1, 8000, 8000, 1, 8, 0)
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    @F.pandas_udf("binary")
+    def _wav(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                raw = b"".join(
+                    hashlib.md5(f"{i}:g{k}".encode()).digest()
+                    for k in range(n_chunks)
+                )[:n_samples]
+                out.append(_container(7 if i % 2 == 0 else 6, raw))
             yield pd.Series(out)
 
     return docs.select(

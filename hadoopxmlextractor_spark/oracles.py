@@ -615,6 +615,57 @@ def audio_energy_oracle(
     """
 
 
+def audio_g711_oracle(
+    *, n_samples: int = 256, window: int = 64,
+    silence_threshold: int = 6_500_000_000,
+) -> str:
+    """Replay of audio_energy_windows over synth_g711_wav_media: one
+    md5 byte per sample, expanded to int16 by G.711 companding written
+    DIRECTLY as SQL bit arithmetic (ITU G.711 segment expansion —
+    independent of the table the decoder builds, so the oracle proves
+    the table, not itself): μ-law for even doc_ids, A-law for odd,
+    then the identical integer sum-of-squares per frame. Threshold
+    sits at the measured median window energy, so is_silence genuinely
+    discriminates (~50/50)."""
+    n_chunks = (n_samples + 15) // 16
+    # u-law (format 7): u = ~code; t = (((u&15)<<3)+132) << ((u>>4)&7);
+    # x = 132-t if sign else t-132
+    u = "(255 - code)"
+    ut = f"((((({u}) & 15) * 8) + 132) << ((({u}) >> 4) & 7))"
+    ux = f"(CASE WHEN (({u}) & 128) <> 0 THEN 132 - {ut} ELSE {ut} - 132 END)"
+    # A-law (format 6): a = code ^ 0x55; seg expansion; sign-set = positive
+    a = "xor(code, 85)"
+    aseg = f"((({a}) >> 4) & 7)"
+    at0 = f"((({a}) & 15) * 16)"
+    at = (
+        f"(CASE WHEN {aseg} = 0 THEN {at0} + 8 "
+        f"WHEN {aseg} = 1 THEN {at0} + 264 "
+        f"ELSE ({at0} + 264) << ({aseg} - 1) END)"
+    )
+    ax = f"(CASE WHEN (({a}) & 128) <> 0 THEN {at} ELSE -{at} END)"
+    return f"""
+    WITH b AS (
+      SELECT doc_id, (k * 16 + j) AS s,
+             CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':g' || CAST(k AS VARCHAR)),
+               j * 2 + 1, 2)) AS BIGINT) AS code
+      FROM documents,
+           (SELECT unnest(range({n_chunks})) AS k),
+           (SELECT unnest(range(16)) AS j)
+      WHERE k * 16 + j < {n_samples}
+    ),
+    xs AS (
+      SELECT doc_id, s,
+             CASE WHEN doc_id % 2 = 0 THEN {ux} ELSE {ax} END AS x
+      FROM b
+    )
+    SELECT doc_id AS media_id, CAST(s // {window} AS INT) AS win_idx,
+           CAST(SUM(x * x) AS BIGINT) AS energy,
+           (SUM(x * x) < {silence_threshold}) AS is_silence
+    FROM xs GROUP BY doc_id, s // {window}
+    """
+
+
 def video_shots_oracle(
     *, n_frames: int = 8, side: int = 8, hamming_threshold: int = 16
 ) -> str:

@@ -2493,6 +2493,20 @@ def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
     return M.video_shot_boundaries(media)
 
 
+@query("multimodal_audio_g711", O.audio_g711_oracle())
+def q_multimodal_audio_g711(spark: SparkSession, sf: str) -> DataFrame:
+    # Telephony-band audio (G.711 mu-law/A-law, WAV format codes 7/6 -
+    # common in crawled speech corpora) through the same VAD energy
+    # operator as 16-bit PCM: _decode_wav walks the RIFF chunks itself
+    # (stdlib wave refuses non-PCM) and expands codes via the CCITT
+    # companding tables; the oracle re-derives the expansion as SQL
+    # bit arithmetic, so table and container are proven independently.
+    # Threshold = measured median window energy (non-vacuous ~50/50).
+    docs = load(spark, sf, "documents")
+    media = M.synth_g711_wav_media(docs)
+    return M.audio_energy_windows(media, silence_threshold=6_500_000_000)
+
+
 @query("multimodal_mjpeg_shots", O.mjpeg_shots_oracle())
 def q_multimodal_mjpeg_shots(spark: SparkSession, sf: str) -> DataFrame:
     # CODEC VIDEO unblocked with zero new dependencies: Motion-JPEG
