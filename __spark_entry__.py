@@ -74,6 +74,7 @@ FRONT = [
     # --- new round-7 operators ---
     "multimodal_mjpeg_shots",
     "multimodal_audio_g711",
+    "multimodal_jpeg_progressive",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

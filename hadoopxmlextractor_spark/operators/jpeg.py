@@ -1,15 +1,19 @@
-"""Baseline JPEG codec with ZERO dependencies (numpy only) — the last
-image leg PIL's absence from this container blocked, made real for the
-shapes that dominate training corpora: baseline DCT (SOF0), 8-bit,
-grayscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0, restart markers.
+"""JPEG codec with ZERO dependencies (numpy only) — the last image
+leg PIL's absence from this container blocked, made real for the
+shapes that dominate training corpora: baseline DCT (SOF0) AND
+progressive DCT (SOF2, spectral selection + successive
+approximation), 8-bit, grayscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0,
+restart markers.
 
-Decode chain (ITU-T T.81): marker walk (DQT / DHT / SOF0 / DRI / SOS),
-canonical Huffman tables from the (bits, values) spec form, entropy
-decode of the interleaved MCU stream (DC prediction + AC
-run/length/EOB), dequantize, de-zigzag, IDCT-II via the explicit
-cosine basis (numpy einsum — the spec's float IDCT), level shift,
-chroma upsample by sampling factors, JFIF full-range YCbCr→RGB.
-Progressive (SOF2), arithmetic coding, and 12-bit precision return
+Decode chain (ITU-T T.81): marker walk (DQT / DHT / SOF0/SOF2 / DRI /
+SOS), canonical Huffman tables from the (bits, values) spec form,
+entropy decode — baseline: one interleaved MCU stream (DC prediction
++ AC run/length/EOB); progressive (Annex G): per-scan coefficient
+accumulation across DC first/refine (interleaved or single-component)
+and AC first/refine with EOB runs and correction bits — then
+dequantize, de-zigzag, IDCT-II via the explicit cosine basis, level
+shift, chroma upsample by sampling factors, JFIF full-range
+YCbCr→RGB. Arithmetic coding, lossless, and 12-bit precision return
 None — the PIL plug-in point, same auditable-NULL contract as the
 other decoders.
 
@@ -215,20 +219,45 @@ class _BitReader:
                 return table[(length, code)]
         raise ValueError("invalid huffman code")
 
-    def receive_extend(self, n: int) -> int:
-        if n == 0:
-            return 0
+    def receive(self, n: int) -> int:
         v = 0
         for _ in range(n):
             v = (v << 1) | self.read_bit()
+        return v
+
+    def receive_extend(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = self.receive(n)
         if v < (1 << (n - 1)):  # negative branch per F.2.2.1
             v -= (1 << n) - 1
         return v
 
 
+def _entropy_end(blob: bytes, pos: int) -> int:
+    """Index of the marker that terminates an entropy-coded segment:
+    skips stuffed ``FF 00``, restart markers, and ``FF`` fill bytes."""
+    while pos + 1 < len(blob):
+        if blob[pos] == 0xFF:
+            nxt = blob[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    return len(blob)
+
+
 def decode_jpeg(blob: bytes):
-    """Baseline JPEG → (H, W, 3) uint8 RGB array, or None for
-    non-baseline / malformed input (the PIL plug-in point)."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG → (H, W, 3) uint8
+    RGB array, or None for other coding processes / malformed input
+    (the PIL plug-in point). Progressive covers both spectral
+    selection and successive approximation — DC first/refine
+    (interleaved or single-component) and AC first/refine with EOB
+    runs, per T.81 Annex G."""
     if len(blob) < 4 or blob[:2] != b"\xff\xd8":
         return None
     try:
@@ -236,6 +265,9 @@ def decode_jpeg(blob: bytes):
         huff_dc = {}
         huff_ac = {}
         frame = None
+        progressive = False
+        store = None  # progressive: cid -> (blocks_y, blocks_x, 64) int64
+        any_scan = False
         restart_interval = 0
         pos = 2
         while pos + 2 <= len(blob):
@@ -281,7 +313,7 @@ def decode_jpeg(blob: bytes):
                         bits, values
                     )
                     p += 17 + n
-            elif marker == 0xC0:  # SOF0 baseline
+            elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
                 prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                 if prec != 8 or nc not in (1, 3):
                     return None
@@ -292,21 +324,27 @@ def decode_jpeg(blob: bytes):
                         {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                     )
                 frame = {"h": h, "w": w, "comps": comps}
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                progressive = marker == 0xC2
+                if progressive:
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = -(-w // (8 * hmax))
+                    mcuy = -(-h // (8 * vmax))
+                    store = {
+                        c["id"]: np.zeros(
+                            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int64
+                        )
+                        for c in comps
+                    }
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/progressive/lossless/arithmetic
+                return None  # extended/lossless/arithmetic processes
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     return None
                 ns = seg[0]
-                if ns != len(frame["comps"]):
-                    # Non-interleaved multi-scan baseline (ns < nc):
-                    # decoding only the first scan would silently
-                    # return zero-filled remaining planes — keep the
-                    # auditable-NULL contract instead.
-                    return None
                 scan = []
                 for c in range(ns):
                     cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
@@ -317,11 +355,31 @@ def decode_jpeg(blob: bytes):
                         {"comp": comp, "dc": tt >> 4, "ac": tt & 0xF}
                     )
                 data_start = pos + 2 + seg_len
-                return _decode_scan(
-                    blob[data_start:], frame, scan, qt, huff_dc, huff_ac,
-                    restart_interval,
+                if not progressive:
+                    if ns != len(frame["comps"]):
+                        # Non-interleaved multi-scan baseline (ns < nc):
+                        # decoding only the first scan would silently
+                        # return zero-filled remaining planes — keep the
+                        # auditable-NULL contract instead.
+                        return None
+                    return _decode_scan(
+                        blob[data_start:], frame, scan, qt, huff_dc,
+                        huff_ac, restart_interval,
+                    )
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                ah, al = ahal >> 4, ahal & 0xF
+                data_end = _entropy_end(blob, data_start)
+                _decode_progressive_scan(
+                    blob[data_start:data_end], frame, scan, ss, se, ah,
+                    al, store, huff_dc, huff_ac, restart_interval,
                 )
+                any_scan = True
+                pos = data_end
+                continue
             pos += 2 + seg_len
+        if progressive and any_scan:
+            return _finish_progressive(frame, store, qt)
         return None
     except (EOFError, ValueError, IndexError, StopIteration, struct.error):
         return None
@@ -377,7 +435,17 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
             n_mcu += 1
-    # upsample each component to full resolution and crop
+    return _compose(frame, planes)
+
+
+def _compose(frame, planes):
+    """Upsample per-component pixel planes to full resolution, crop,
+    and convert to RGB — shared by the baseline and progressive
+    finish paths (identical float expression order, so the flat-block
+    DC oracle arithmetic holds for both)."""
+    h, w = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
     comps = frame["comps"]
     full = []
     for c in comps:
@@ -395,6 +463,214 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _nonintl_blocks(frame, comp):
+    """Block-grid dimensions of one component for a NON-interleaved
+    scan (T.81 A.2.2: ceil of the scaled component size / 8)."""
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    return -(-ch // 8), -(-cw // 8)
+
+
+def _decode_progressive_scan(
+    data, frame, scan, ss, se, ah, al, store, huff_dc, huff_ac,
+    restart_interval,
+):
+    """One progressive scan (T.81 Annex G) into the coefficient store
+    (natural-order 64-vectors per block). Four regimes: DC first /
+    DC refine (interleaved MCU order, or single-component order when
+    ns == 1) and AC first / AC refine (always single-component, with
+    EOB-run and correction-bit semantics — the libjpeg-documented
+    algorithm)."""
+    reader = _BitReader(data)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        _prog_dc_scan(reader, frame, scan, ah, al, store, huff_dc,
+                      restart_interval)
+        return
+    if len(scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if ah == 0:
+        _prog_ac_first(reader, frame, scan[0], ss, se, al, store,
+                       huff_ac, restart_interval)
+    else:
+        _prog_ac_refine(reader, frame, scan[0], ss, se, al, store,
+                        huff_ac, restart_interval)
+
+
+def _prog_dc_scan(reader, frame, scan, ah, al, store, huff_dc,
+                  restart_interval):
+    hmax = max(c["h"] for c in frame["comps"])
+    vmax = max(c["v"] for c in frame["comps"])
+    pred = {s["comp"]["id"]: 0 for s in scan}
+    if len(scan) == 1:
+        c = scan[0]["comp"]
+        by, bx = _nonintl_blocks(frame, c)
+        units = [
+            [(c["id"], scan[0]["dc"], y, x)]
+            for y in range(by)
+            for x in range(bx)
+        ]
+    else:
+        mcux = -(-frame["w"] // (8 * hmax))
+        mcuy = -(-frame["h"] // (8 * vmax))
+        units = []
+        for my in range(mcuy):
+            for mx in range(mcux):
+                blocks = []
+                for s in scan:
+                    c = s["comp"]
+                    for yy in range(c["v"]):
+                        for xx in range(c["h"]):
+                            blocks.append(
+                                (c["id"], s["dc"],
+                                 my * c["v"] + yy, mx * c["h"] + xx)
+                            )
+                units.append(blocks)
+    n = 0
+    for blocks in units:
+        if restart_interval and n and n % restart_interval == 0:
+            reader.align()
+            pred = {k: 0 for k in pred}
+        for cid, dct, y, x in blocks:
+            coef = store[cid][y, x]
+            if ah == 0:
+                t = reader.decode_huff(huff_dc[dct])
+                pred[cid] += reader.receive_extend(t)
+                coef[0] = pred[cid] << al
+            else:
+                if reader.read_bit():
+                    coef[0] |= 1 << al
+        n += 1
+
+
+def _prog_ac_first(reader, frame, s, ss, se, al, store, huff_ac,
+                   restart_interval):
+    c = s["comp"]
+    table = huff_ac[s["ac"]]
+    by, bx = _nonintl_blocks(frame, c)
+    eobrun = 0
+    n = 0
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and n and n % restart_interval == 0:
+                reader.align()
+                eobrun = 0
+            n += 1
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            coef = store[c["id"]][y, x]
+            k = ss
+            while k <= se:
+                rs = reader.decode_huff(table)
+                r, sz = rs >> 4, rs & 0xF
+                if sz == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    # EOBn: run of 2^r blocks, extension bits, ends
+                    # the CURRENT block immediately
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC overflow")
+                coef[ZIGZAG[k]] = reader.receive_extend(sz) << al
+                k += 1
+
+
+def _prog_ac_refine(reader, frame, s, ss, se, al, store, huff_ac,
+                    restart_interval):
+    c = s["comp"]
+    table = huff_ac[s["ac"]]
+    by, bx = _nonintl_blocks(frame, c)
+    p1 = 1 << al
+    m1 = -1 << al
+    eobrun = 0
+    n = 0
+
+    def correct(coef, k):
+        """Correction bit for an already-nonzero coefficient: append
+        bit ``al`` toward larger magnitude unless already set (two's
+        complement bit test — valid because every value at this stage
+        is a multiple of 2^al)."""
+        z = ZIGZAG[k]
+        if reader.read_bit() and (int(coef[z]) & p1) == 0:
+            coef[z] += p1 if coef[z] >= 0 else m1
+
+    for y in range(by):
+        for x in range(bx):
+            if restart_interval and n and n % restart_interval == 0:
+                reader.align()
+                eobrun = 0
+            n += 1
+            coef = store[c["id"]][y, x]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode_huff(table)
+                    r, sz = rs >> 4, rs & 0xF
+                    newval = 0
+                    if sz == 0:
+                        if r < 15:
+                            # EOB run INCLUDING this block: the tail
+                            # below still reads correction bits
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.receive(r)
+                            break
+                        # r == 15: skip 16 zero-history coefficients
+                    else:
+                        if sz != 1:
+                            raise ValueError("bad refinement size")
+                        newval = p1 if reader.read_bit() else m1
+                    # advance past r zero-history coefficients,
+                    # emitting correction bits for nonzero ones
+                    while k <= se:
+                        z = ZIGZAG[k]
+                        if coef[z] != 0:
+                            correct(coef, k)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        coef[ZIGZAG[k]] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if coef[ZIGZAG[k]] != 0:
+                        correct(coef, k)
+                    k += 1
+                eobrun -= 1
+
+
+def _finish_progressive(frame, store, qt):
+    """Dequantize + IDCT the accumulated coefficient store — the same
+    per-block arithmetic (and float op order) as the baseline path —
+    then compose."""
+    planes = {}
+    for c in frame["comps"]:
+        arr = store[c["id"]]
+        q = qt[c["tq"]]
+        nby, nbx, _ = arr.shape
+        plane = np.zeros((nby * 8, nbx * 8), dtype=np.float64)
+        for y in range(nby):
+            for x in range(nbx):
+                dq = arr[y, x].reshape(8, 8) * q
+                plane[y * 8 : y * 8 + 8, x * 8 : x * 8 + 8] = (
+                    _idct2(dq.astype(np.float64)) + 128.0
+                )
+        planes[c["id"]] = plane
+    return _compose(frame, planes)
 
 
 class _BitWriter:
@@ -552,5 +828,148 @@ def encode_jpeg(img, *, quality: int = 90) -> bytes:
                 block = pp[my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
                 preds[ci] = _encode_block(wtr, block, q, dc, ac, preds[ci])
     out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(img, *, quality: int = 90) -> bytes:
+    """(H, W) or (H, W, 3) uint8 → PROGRESSIVE JPEG bytes (SOF2,
+    grayscale or 4:4:4 YCbCr, Annex-K tables). Scan script: DC first
+    with one successive-approximation level (Ss=0 Se=0 Ah=0 Al=1,
+    interleaved), AC spectral bands 1-5 and 6-63 per component
+    (Al=0), then the DC refinement scan (Ah=1 Al=0) — so a decoder
+    must get spectral selection, interleaved + single-component
+    traversal, AND DC successive approximation right to reproduce the
+    baseline pixels. Quantized coefficients are computed with the
+    SAME arithmetic as :func:`encode_jpeg`, so decoding the
+    progressive stream must yield an array IDENTICAL to decoding the
+    baseline encoding of the same image (the roundtrip test and the
+    flat-block DC oracle both lean on this). AC refinement scans are
+    not emitted (the K3 tables carry no EOBn codes); the DECODER
+    handles them and is pinned by hand-crafted streams in tests."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    qy = _scale_qt(K1_LUMA_QT.reshape(8, 8), quality)
+    qc = _scale_qt(K2_CHROMA_QT.reshape(8, 8), quality)
+    out = bytearray(b"\xff\xd8")
+    out += _qt_segment(0, qy)
+    if not gray:
+        out += _qt_segment(1, qc)
+    nc = 1 if gray else 3
+    sof = struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    if gray:
+        sof += bytes([1, 0x11, 0])
+    else:
+        for cid, tq in ((1, 0), (2, 1), (3, 1)):
+            sof += bytes([cid, 0x11, tq])
+    out += b"\xff\xc2" + sof
+    out += _dht_segment(0, 0, *K3_DC_LUMA)
+    out += _dht_segment(1, 0, *K3_AC_LUMA)
+    if not gray:
+        out += _dht_segment(0, 1, *K3_DC_CHROMA)
+        out += _dht_segment(1, 1, *K3_AC_CHROMA)
+
+    if gray:
+        comps = [(img.astype(np.float64), qy, 1, 0, 0)]
+    else:
+        f = img.astype(np.float64)
+        y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+        cb = -0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2] + 128
+        cr = 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2] + 128
+        comps = [(y, qy, 1, 0, 0), (cb, qc, 2, 1, 1), (cr, qc, 3, 1, 1)]
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    nby, nbx = ph // 8, pw // 8
+    zz_all = []
+    for p, q, _cid, _dt, _at in comps:
+        pp = np.zeros((ph, pw))
+        pp[:h, :w] = p
+        if pw > w:
+            pp[:h, w:] = p[:, -1:]
+        if ph > h:
+            pp[h:, :] = pp[h - 1 : h, :]
+        zz = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                block = pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                cf = np.round(
+                    _fdct2(block.astype(np.float64) - 128.0) / q
+                ).astype(np.int64)
+                zz[by, bx] = cf.reshape(-1)[ZIGZAG]
+        zz_all.append(zz)
+
+    dc_codes = [_huff_codes(*(K3_DC_LUMA if t == 0 else K3_DC_CHROMA))
+                for _p, _q, _c, t, _a in comps]
+    ac_codes = [_huff_codes(*(K3_AC_LUMA if t == 0 else K3_AC_CHROMA))
+                for _p, _q, _c, _d, t in comps]
+
+    def sos(spec, ss, se, ah, al) -> bytes:
+        body = bytes([len(spec)])
+        for cid, dct, act in spec:
+            body += bytes([cid, (dct << 4) | act])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    all_spec = [(c, d, a) for _p, _q, c, d, a in comps]
+
+    # scan 1: DC first, Al=1, interleaved (4:4:4 MCU = block raster)
+    wtr = _BitWriter()
+    preds = [0] * len(comps)
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(len(comps)):
+                d = int(zz_all[ci][by, bx, 0]) >> 1
+                diff = d - preds[ci]
+                preds[ci] = d
+                size, bits = _magnitude(diff)
+                ln, code = dc_codes[ci][size]
+                wtr.write(code, ln)
+                if size:
+                    wtr.write(bits, size)
+    out += sos(all_spec, 0, 0, 0, 1) + wtr.flush()
+
+    # scans 2..: AC spectral bands per component, Al=0
+    def emit_band(wtr, band, ss, se, codes) -> None:
+        nz = [k for k in range(ss, se + 1) if band[k] != 0]
+        if not nz:
+            ln, code = codes[0x00]
+            wtr.write(code, ln)
+            return
+        run = 0
+        for k in range(ss, nz[-1] + 1):
+            v = int(band[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = codes[0xF0]
+                wtr.write(code, ln)
+                run -= 16
+            size, bits = _magnitude(v)
+            ln, code = codes[(run << 4) | size]
+            wtr.write(code, ln)
+            wtr.write(bits, size)
+            run = 0
+        if nz[-1] < se:
+            ln, code = codes[0x00]
+            wtr.write(code, ln)
+
+    for ci in range(len(comps)):
+        for ss, se in ((1, 5), (6, 63)):
+            wtr = _BitWriter()
+            for by in range(nby):
+                for bx in range(nbx):
+                    emit_band(wtr, zz_all[ci][by, bx], ss, se, ac_codes[ci])
+            out += sos([all_spec[ci]], ss, se, 0, 0) + wtr.flush()
+
+    # final scan: DC refinement (Ah=1, Al=0): raw bit 0 per block
+    wtr = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(len(comps)):
+                wtr.write(int(zz_all[ci][by, bx, 0]) & 1, 1)
+    out += sos(all_spec, 0, 0, 1, 0) + wtr.flush()
+
     out += b"\xff\xd9"
     return bytes(out)

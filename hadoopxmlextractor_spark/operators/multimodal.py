@@ -1298,7 +1298,7 @@ def _decode_avi_frames(blob: bytes):
     convention ``ffmpeg -c:v mjpeg`` follows), decoded by
     ``operators.jpeg.decode_jpeg`` — the first CODEC video format this
     engine decodes natively. Any frame the JPEG decoder refuses
-    (progressive, arithmetic, truncated) → the whole video returns
+    (arithmetic, truncated) → the whole video returns
     None, keeping the auditable-NULL contract. Other compressions
     (H.264-class) and containers return None — the ffmpeg plug-in
     point."""
@@ -1654,36 +1654,47 @@ def synth_bmp_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
     )
 
 
-def synth_jpeg_blocks_media(docs: DataFrame, *, quality: int = 90) -> DataFrame:
-    """Deterministic 16×16 GRAYSCALE baseline JPEG per document: four
-    flat 8×8 blocks whose values are md5 bytes of the doc id. Flat
-    blocks make the LOSSY pipeline exactly computable — only the DC
-    coefficient survives, so the decoded value is
+def synth_jpeg_blocks_media(
+    docs: DataFrame, *, quality: int = 90, progressive: bool = False,
+    salt: str = "jpg",
+) -> DataFrame:
+    """Deterministic 16×16 GRAYSCALE JPEG per document: four flat 8×8
+    blocks whose values are md5 bytes of the doc id. Flat blocks make
+    the LOSSY pipeline exactly computable — only the DC coefficient
+    survives, so the decoded value is
     ``clip(round(Q·round(8(v−128)/Q)/8 + 128))`` with Q the scaled DC
     quantizer (Q=3 at quality 90, chosen because 8c/3 and 3k/8 can
     never land on a rounding half-boundary — proven in the round-6
     notes) — which is what gives a lossy codec an EXACT cross-engine
-    oracle. The encode→decode runs the real codec end to end: marker
-    segments, canonical huffman, DC prediction across the four blocks,
-    entropy coding, bit stuffing, IDCT."""
+    oracle. ``progressive=True`` containers the SAME quantized
+    coefficients as an SOF2 stream (DC successive approximation +
+    spectral bands), so the identical oracle additionally proves the
+    progressive scan machinery. The encode→decode runs the real codec
+    end to end: marker segments, canonical huffman, DC prediction
+    across the four blocks, entropy coding, bit stuffing, IDCT."""
     import hashlib
 
     import numpy as np
 
-    from hadoopxmlextractor_spark.operators.jpeg import encode_jpeg
+    from hadoopxmlextractor_spark.operators.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    enc = encode_jpeg_progressive if progressive else encode_jpeg
 
     @F.pandas_udf("binary")
     def _jpg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for ids in it:
             out = []
             for i in ids:
-                d = hashlib.md5(f"{i}:jpg".encode()).digest()
+                d = hashlib.md5(f"{i}:{salt}".encode()).digest()
                 img = np.zeros((16, 16), dtype=np.uint8)
                 img[:8, :8] = d[0]
                 img[:8, 8:] = d[1]
                 img[8:, :8] = d[2]
                 img[8:, 8:] = d[3]
-                out.append(encode_jpeg(img, quality=quality))
+                out.append(enc(img, quality=quality))
             yield pd.Series(out)
 
     return docs.select(

@@ -2525,8 +2525,9 @@ def q_multimodal_mjpeg_shots(spark: SparkSession, sf: str) -> DataFrame:
 @query("multimodal_bmp_ahash", O.image_ahash_oracle(side=8))
 def q_multimodal_bmp_ahash(spark: SparkSession, sf: str) -> DataFrame:
     # BMP completes the natively-decoded image-container tier
-    # (PPM/PNG/GIF/BMP, plus baseline JPEG via operators/jpeg.py —
-    # only progressive/arithmetic JPEG remains the PIL plug-in): the
+    # (PPM/PNG/GIF/BMP, plus baseline AND progressive JPEG via
+    # operators/jpeg.py — only arithmetic/lossless/12-bit JPEG remains
+    # the PIL plug-in): the
     # md5 pixel
     # plane through the 24-bit BI_RGB encoder (bottom-up BGR DIB rows,
     # 4-byte stride) and back, aHashed against the shared arithmetic
@@ -2535,6 +2536,37 @@ def q_multimodal_bmp_ahash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_bmp_media(docs, side=8)
     return M.image_ahash(media)
+
+
+@query(
+    "multimodal_jpeg_progressive",
+    """
+    WITH bytes4 AS (
+      SELECT doc_id AS media_id, b.block_idx,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':jpgp'),
+                                     1 + 2 * b.block_idx, 2)) AS BIGINT) AS v
+      FROM documents
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS block_idx) b
+    )
+    SELECT media_id, CAST(block_idx AS INT) AS block_idx,
+           CAST(LEAST(255, GREATEST(0,
+             ROUND(3 * ROUND(8.0 * (v - 128) / 3) / 8.0 + 128)))
+             AS INT) AS val
+    FROM bytes4
+    """,
+)
+def q_multimodal_jpeg_progressive(spark: SparkSession, sf: str) -> DataFrame:
+    # PROGRESSIVE JPEG (SOF2) decoded natively (r6 verdict item 3):
+    # the same flat-block DC-quantizer identity as multimodal_jpeg_
+    # blocks, but the container is a 5-scan progressive stream - DC
+    # first at Al=1, two AC spectral bands, then the DC refinement
+    # scan - so spectral selection, successive approximation, scan
+    # sequencing, and per-scan entropy segmentation ALL sit on the
+    # exact-oracle path. Progressive JPEG leaves the PIL plug-in list;
+    # only arithmetic/lossless/12-bit remain refused.
+    docs = load(spark, sf, "documents")
+    media = M.synth_jpeg_blocks_media(docs, progressive=True, salt="jpgp")
+    return M.jpeg_block_values(media)
 
 
 @query(

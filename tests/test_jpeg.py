@@ -231,3 +231,146 @@ def test_jpeg_fill_bytes_tem_marker_and_multiscan_refusal():
     )
     hacked = color[:sos_at] + one_comp_sos + color[sos_at + 2 + sos_len :]
     assert decode_jpeg(hacked) is None
+
+
+def test_progressive_decodes_identical_to_baseline():
+    """Spectral selection + DC successive approximation (r6 verdict
+    item 3): the progressive encoder writes the SAME quantized
+    coefficients as the baseline encoder, so decode(progressive) must
+    be ARRAY-IDENTICAL to decode(baseline) — gray, color, odd sizes."""
+    from hadoopxmlextractor_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(3)
+    for shape in [(16, 16), (13, 19), (8, 8), (32, 24, 3), (11, 7, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for q in (85, 95):
+            b = decode_jpeg(encode_jpeg(img, quality=q))
+            p = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+            assert p is not None and np.array_equal(b, p), (shape, q)
+
+
+def test_progressive_ac_refinement_hand_crafted_stream():
+    """AC successive-approximation refinement (the path the encoder
+    doesn't emit): a hand-built 3-scan stream — AC first at Al=1,
+    then an Ah=1→Al=0 refinement carrying correction bits for
+    already-nonzero coefficients, newly-significant ±1s, and an EOB
+    run — must reconstruct exactly the chosen coefficients (verified
+    against an independent IDCT)."""
+    from hadoopxmlextractor_spark.operators.jpeg import (
+        ZIGZAG,
+        _huff_codes,
+        _idct2,
+    )
+    from hadoopxmlextractor_spark.operators.jpeg import _BitWriter
+
+    dc_codes = _huff_codes(*K3_DC_LUMA)
+    ac_codes = _huff_codes(*K3_AC_LUMA)
+
+    # headers: 8x8 grayscale SOF2, all-ones quant table
+    out = bytearray(b"\xff\xd8")
+    out += _qt_segment(0, np.ones((8, 8), dtype=np.int64))
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes(
+        [1, 0x11, 0]
+    )
+    out += _dht_segment(0, 0, *K3_DC_LUMA)
+    out += _dht_segment(1, 0, *K3_AC_LUMA)
+
+    def sos(ss, se, ah, al):
+        return b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes(
+            [1, 0x00, ss, se, (ah << 4) | al]
+        )
+
+    # target zigzag coefficients: dc=11, k1=5, k2=-3, k5=1, k7=-1
+    # scan 1: DC first Al=1 -> diff = 11>>1 = 5
+    w = _BitWriter()
+    size, bits = _magnitude(5)
+    ln, code = dc_codes[size]
+    w.write(code, ln)
+    w.write(bits, size)
+    out += sos(0, 0, 0, 1) + w.flush()
+
+    # scan 2: AC first Ss=1 Se=63 Al=1 -> values [2, -1], EOB
+    w = _BitWriter()
+    for v in (2, -1):
+        size, bits = _magnitude(v)
+        ln, code = ac_codes[size]  # run 0
+        w.write(code, ln)
+        w.write(bits, size)
+    ln, code = ac_codes[0x00]
+    w.write(code, ln)
+    out += sos(1, 63, 0, 1) + w.flush()
+
+    # scan 3: AC refine Ah=1 Al=0 (jcphuff emission order):
+    #   (r=2, s=1) + sign 1 + correction bits [1, 1]  -> k5 = +1
+    #   (r=1, s=1) + sign 0                           -> k7 = -1
+    #   EOB (eobrun = 1 covers the band tail)
+    w = _BitWriter()
+    ln, code = ac_codes[0x21]
+    w.write(code, ln)
+    w.write(1, 1)  # sign of new +1
+    w.write(1, 1)  # correction: k1 4 -> 5
+    w.write(1, 1)  # correction: k2 -2 -> -3
+    ln, code = ac_codes[0x11]
+    w.write(code, ln)
+    w.write(0, 1)  # sign of new -1
+    ln, code = ac_codes[0x00]
+    w.write(code, ln)
+    out += sos(1, 63, 1, 0) + w.flush()
+
+    # scan 4: DC refine -> bit 11 & 1
+    w = _BitWriter()
+    w.write(1, 1)
+    out += sos(0, 0, 1, 0) + w.flush()
+    out += b"\xff\xd9"
+
+    got = decode_jpeg(bytes(out))
+    assert got is not None and got.shape == (8, 8, 3)
+
+    zz = np.zeros(64, dtype=np.int64)
+    zz[0], zz[1], zz[2], zz[5], zz[7] = 11, 5, -3, 1, -1
+    coef = np.zeros(64, dtype=np.int64)
+    coef[ZIGZAG] = zz
+    want = np.clip(
+        np.round(_idct2(coef.reshape(8, 8).astype(np.float64)) + 128.0),
+        0, 255,
+    ).astype(np.uint8)
+    assert np.array_equal(got[:, :, 0], want)
+
+
+def test_progressive_refusals_and_feature_paths(spark):
+    """Arithmetic coding (SOF10) still refuses; a progressive stream
+    with a malformed scan header (DC scan with Se != 0) refuses; the
+    Spark media paths (image_ahash, jpeg_block_values) decode
+    progressive blobs for real."""
+    from hadoopxmlextractor_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+    )
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        image_ahash,
+        jpeg_block_values,
+        synth_jpeg_blocks_media,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8) * 2
+    blob = bytearray(encode_jpeg_progressive(img))
+    sof_at = blob.index(b"\xff\xc2")
+    arith = bytearray(blob)
+    arith[sof_at + 1] = 0xCA  # SOF10: progressive arithmetic
+    assert decode_jpeg(bytes(arith)) is None
+
+    bad = bytearray(blob)
+    sos_at = bad.index(b"\xff\xda")
+    bad[sos_at + 8] = 63  # DC scan claiming Se=63
+    assert decode_jpeg(bytes(bad)) is None
+
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    prog = synth_jpeg_blocks_media(docs, progressive=True, salt="jpgp")
+    vals = jpeg_block_values(prog).collect()
+    assert len(vals) == 24 and all(r.val is not None for r in vals)
+    base = synth_jpeg_blocks_media(docs, salt="jpgp")
+    assert sorted((r.media_id, r.block_idx, r.val) for r in vals) == sorted(
+        (r.media_id, r.block_idx, r.val)
+        for r in jpeg_block_values(base).collect()
+    )
