@@ -231,6 +231,60 @@ def _ngram_pair_counts(
     return pairs
 
 
+# Driver-side ledger of route='auto' decisions — one lint-shaped
+# finding per call ({"severity", "code", "op", "route", "detail"}), so
+# a pipeline audit can see every silent exact→LSH fallback. The same
+# decision is also attached to the returned DataFrame as an observe()
+# metric (name "dedup_route:<op>:<route>") and a constant `route`
+# column, so the record survives into event logs and output rows.
+ROUTE_DECISIONS: list[dict] = []
+
+
+def _record_route(op: str, route: str, detail: str) -> dict:
+    finding = {
+        "severity": "info" if route == "exact" else "warning",
+        "code": "exact_route" if route == "exact" else "lsh_reroute",
+        "op": op,
+        "route": route,
+        "detail": detail,
+    }
+    ROUTE_DECISIONS.append(finding)
+    return finding
+
+
+def _auto_route(df, text_col, id_col, *, op, exact_fn, n, threshold,
+                num_hashes, bands, seed) -> DataFrame:
+    """The route='auto' contract shared by the exact pair joins: try
+    the exact path; when its fail-fast candidate-budget guard trips,
+    transparently fall back to the sub-linear banded LSH path at the
+    same threshold. Unified output (doc_a, doc_b, jaccard, route) —
+    downstream never branches; the decision lands in
+    :data:`ROUTE_DECISIONS`, an observe() metric, and the `route`
+    column. At 100 TB this is the difference between a pipeline that
+    stops at 3 a.m. with advice and one that finishes with an audit
+    trail."""
+    try:
+        exact = exact_fn()
+    except ValueError as e:
+        if "candidate budget exceeded" not in str(e):
+            raise
+        _record_route(op, "lsh", str(e))
+        lsh = dedup_minhash_lsh(
+            df, text_col, id_col, num_hashes=num_hashes, shingle_n=n,
+            bands=bands, threshold=threshold, seed=seed,
+        )
+        return lsh.select(
+            "doc_a",
+            "doc_b",
+            F.col("est_jaccard").alias("jaccard"),
+            F.lit("lsh").alias("route"),
+        ).observe(f"dedup_route:{op}:lsh", F.count(F.lit(1)).alias("n_pairs"))
+    _record_route(op, "exact", "within candidate budget")
+    return exact.select(
+        "doc_a", "doc_b", "jaccard", F.lit("exact").alias("route")
+    ).observe(f"dedup_route:{op}:exact", F.count(F.lit(1)).alias("n_pairs"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -240,26 +294,42 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_df: int | float | None = "auto",
     candidate_budget: int | None = "auto",
+    route: str = "raise",
 ) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold (symmetric near-dup
     score) over :func:`_ngram_pair_counts`'s inverted index (including
-    its fail-fast candidate-budget guard)."""
-    return (
-        _ngram_pair_counts(
-            df, text_col, id_col, n=n, max_df=max_df,
-            candidate_budget=candidate_budget,
+    its fail-fast candidate-budget guard).
+
+    ``route``: ``"raise"`` (default) keeps the fail-fast contract —
+    the guard raises with LSH routing advice. ``"auto"`` falls back to
+    the banded LSH path when the guard trips and returns the unified
+    (doc_a, doc_b, jaccard, route) shape instead (see
+    :func:`_auto_route`)."""
+    def exact() -> DataFrame:
+        return (
+            _ngram_pair_counts(
+                df, text_col, id_col, n=n, max_df=max_df,
+                candidate_budget=candidate_budget,
+            )
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("shared")
+                    / (F.col("size_a") + F.col("size_b") - F.col("shared")),
+                    4,
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "shared", "jaccard")
         )
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("shared")
-                / (F.col("size_a") + F.col("size_b") - F.col("shared")),
-                4,
-            ),
+
+    if route == "auto":
+        return _auto_route(
+            df, text_col, id_col, op="ngram_jaccard_pairs",
+            exact_fn=exact, n=n, threshold=threshold,
+            num_hashes=128, bands=32, seed=42,
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "shared", "jaccard")
-    )
+    return exact()
 
 
 def ngram_containment_pairs(
@@ -2014,6 +2084,7 @@ def prefix_filter_jaccard_pairs(
     n: int = 3,
     threshold_pct: int = 50,
     candidate_budget: int | None = "auto",
+    route: str = "raise",
 ) -> DataFrame:
     """EXACT all-pairs shingle Jaccard ≥ threshold_pct/100 via PREFIX
     FILTERING (the AllPairs / PPJoin family — Bayardo et al., WWW'07;
@@ -2063,6 +2134,20 @@ def prefix_filter_jaccard_pairs(
     exceeds ``candidate_budget`` (auto: ``max(2_000_000,
     500 × n_docs)``; ``None`` disables for a slice you have sized).
     """
+    if route == "auto":
+        # ``route="auto"``: same contract as ngram_jaccard_pairs —
+        # budget trip falls back to banded LSH at the same threshold,
+        # unified (doc_a, doc_b, jaccard, route) output, decision
+        # recorded (ROUTE_DECISIONS + observe metric + route column).
+        return _auto_route(
+            df, text_col, id_col, op="prefix_filter_jaccard_pairs",
+            exact_fn=lambda: prefix_filter_jaccard_pairs(
+                df, text_col, id_col, n=n, threshold_pct=threshold_pct,
+                candidate_budget=candidate_budget, route="raise",
+            ),
+            n=n, threshold=threshold_pct / 100.0,
+            num_hashes=128, bands=32, seed=42,
+        )
     pct = int(threshold_pct)
     if candidate_budget == "auto":
         candidate_budget = max(

@@ -791,6 +791,62 @@ def test_ngram_candidate_budget_guard_raises_on_blowup(spark):
     assert got == 30 * 29 // 2
 
 
+def test_auto_route_falls_back_to_lsh_and_records_decision(spark):
+    """route='auto' (r6 verdict item 4): a guard-tripping corpus
+    transparently returns LSH pairs in the unified (doc_a, doc_b,
+    jaccard, route) shape, and the decision is recorded as a
+    lint-shaped finding in ROUTE_DECISIONS; a within-budget corpus
+    routes exact with the same shape. Both exact joins share the
+    contract."""
+    rows = [(i, "the same exact sentence repeated verbatim here") for i in range(30)]
+    dup = spark.createDataFrame(rows, "doc_id long, text string")
+
+    D.ROUTE_DECISIONS.clear()
+    got = D.ngram_jaccard_pairs(
+        dup, "text", "doc_id", n=3, threshold=0.8,
+        candidate_budget=100, route="auto",
+    )
+    assert got.columns == ["doc_a", "doc_b", "jaccard", "route"]
+    pairs = got.collect()
+    assert len(pairs) == 30 * 29 // 2  # identical docs: LSH finds all
+    assert all(r.route == "lsh" and r.jaccard == 1.0 for r in pairs)
+    assert [d["code"] for d in D.ROUTE_DECISIONS] == ["lsh_reroute"]
+    assert D.ROUTE_DECISIONS[0]["severity"] == "warning"
+    assert D.ROUTE_DECISIONS[0]["op"] == "ngram_jaccard_pairs"
+
+    # prefix-filter variant, same contract
+    D.ROUTE_DECISIONS.clear()
+    got = D.prefix_filter_jaccard_pairs(
+        dup, "text", "doc_id", n=3, threshold_pct=80,
+        candidate_budget=50, route="auto",
+    )
+    assert got.columns == ["doc_a", "doc_b", "jaccard", "route"]
+    assert got.count() == 30 * 29 // 2
+    assert [d["code"] for d in D.ROUTE_DECISIONS] == ["lsh_reroute"]
+
+    # within budget: exact route, same unified shape, exact jaccards
+    distinct = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta"),
+         (3, "one two three four five six seven")],
+        "doc_id long, text string",
+    )
+    D.ROUTE_DECISIONS.clear()
+    got = D.ngram_jaccard_pairs(
+        distinct, "text", "doc_id", n=3, threshold=0.8, route="auto"
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.jaccard, r.route) for r in got] == [
+        (1, 2, 1.0, "exact")
+    ]
+    assert [d["code"] for d in D.ROUTE_DECISIONS] == ["exact_route"]
+
+    # route='raise' (the default) keeps the fail-fast contract
+    with pytest.raises(ValueError, match="candidate budget"):
+        D.prefix_filter_jaccard_pairs(
+            dup, "text", "doc_id", n=3, threshold_pct=80, candidate_budget=50
+        ).count()
+
+
 def test_containment_edges_are_directed(spark):
     rows = [(1, "a b c d e f g h"), (2, "x y z a b c d e f g h q w")]
     df = spark.createDataFrame(rows, "doc_id long, text string")
