@@ -75,6 +75,7 @@ FRONT = [
     "multimodal_mjpeg_shots",
     "multimodal_audio_g711",
     "multimodal_jpeg_progressive",
+    "text_sentence_semdedup",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

@@ -1542,6 +1542,63 @@ def shared_runs_oracle(
     """
 
 
+def sentence_semdedup_base_sql(
+    *, dim: int = 16, chunk: int = 8, plant_doc_mod: int = 20,
+    plant_offset: int = 10**12,
+) -> str:
+    """(vec_id, v DOUBLE[]) base for the SENTENCE-level SemDeDup
+    composition: '.'-split sentences (the udtf_sentence_split
+    segmentation) sub-chunked into ``chunk``-token windows (the
+    unpunctuated-text fallback — this corpus has no '.'), each unit
+    embedded by the md5 hashing trick (same arithmetic as
+    text_hashed_features) into a ``dim``-dim signed-count vector.
+    Unit id = doc_id·100000 + sentence·1000 + chunk. Plants: the
+    first chunk of every ``plant_doc_mod``-th doc is mirrored at
+    +``plant_offset`` — identical vector ⇒ live prune branch per the
+    vacuous-check rule."""
+    dims = ",\n           ".join(
+        f"CAST(SUM(CASE WHEN dim_idx = {d} THEN value ELSE 0 END) AS DOUBLE)"
+        for d in range(dim)
+    )
+    return rf"""WITH sent AS (
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           unnest(string_split(text, '.')) AS piece,
+           generate_subscripts(string_split(text, '.'), 1) AS ord
+    FROM documents WHERE text IS NOT NULL
+  ),
+  spos AS (
+    SELECT doc_id, piece,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS sidx
+    FROM sent WHERE trim(piece) <> ''
+  ),
+  tok AS (
+    SELECT doc_id, sidx,
+           unnest(list_filter(regexp_split_to_array(trim(lower(piece)),
+                                                    '\s+'), x -> x <> ''))
+             AS token,
+           generate_subscripts(
+             list_filter(regexp_split_to_array(trim(lower(piece)), '\s+'),
+                         x -> x <> ''), 1) AS tpos
+    FROM spos
+  ),
+  hashed AS (
+    SELECT doc_id * 100000 + sidx * 1000 + (tpos - 1) // {chunk} AS uvid,
+           CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % {dim}
+             AS dim_idx,
+           1 - 2 * (CAST(('0x' || substring(md5(token), 9, 2)) AS BIGINT) % 2)
+             AS value
+    FROM tok
+  ),
+  dense AS (
+    SELECT uvid AS vec_id, [{dims}] AS v
+    FROM hashed GROUP BY uvid
+  )
+  SELECT vec_id, v FROM dense
+  UNION ALL
+  SELECT vec_id + {plant_offset}, v FROM dense
+  WHERE vec_id % 1000 = 0 AND (vec_id // 100000) % {plant_doc_mod} = 0"""
+
+
 def semdedup_oracle(
     *,
     k: int = 8,
@@ -1550,16 +1607,21 @@ def semdedup_oracle(
     threshold_den: int = 20,
     planted_offset: int = 1_000_000,
     planted_mod: int = 100,
+    base_sql: str | None = None,
 ) -> str:
     """Exact replay of operators.similarity.semdedup_prune over the
-    planted-duplicate base (every vec_id % planted_mod == 0 is
-    mirrored at vec_id + planted_offset — identical vector, so each
-    plant is a guaranteed within-cluster near-dup of its original and
-    the prune branch is provably non-vacuous): the kmeans CTE chain
-    runs over the unioned base, then centered int8 dots within each
-    cluster, the cross-multiplied integer cosine threshold, and the
-    (dist, id)-dominance prune."""
-    base_sql = f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    planted-duplicate base (default: every vec_id % planted_mod == 0
+    of the embeddings table is mirrored at vec_id + planted_offset —
+    identical vector, so each plant is a guaranteed within-cluster
+    near-dup of its original and the prune branch is provably
+    non-vacuous): the kmeans CTE chain runs over the unioned base,
+    then centered int8 dots within each cluster, the cross-multiplied
+    integer cosine threshold, and the (dist, id)-dominance prune.
+    ``base_sql`` overrides the input relation entirely (must yield
+    (vec_id, v DOUBLE[]) and include its own plants) — the
+    sentence-level composition uses this."""
+    if base_sql is None:
+        base_sql = f"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
   UNION ALL
   SELECT vec_id + {planted_offset}, CAST(embedding AS DOUBLE[])
   FROM embeddings WHERE vec_id % {planted_mod} = 0"""

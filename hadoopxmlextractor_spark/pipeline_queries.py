@@ -2308,6 +2308,85 @@ def q_embedding_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@query(
+    "text_sentence_semdedup",
+    O.semdedup_oracle(
+        k=8, rounds=3, threshold_num=19, threshold_den=20,
+        base_sql=O.sentence_semdedup_base_sql(),
+    ),
+)
+def q_text_sentence_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    # SENTENCE-level SemDeDup (r6 verdict item 8): near-dup pruning
+    # BELOW paragraph granularity - the udtf_sentence_split '.'
+    # segmentation composed with 8-token sub-chunking (this corpus is
+    # unpunctuated, so the chunk window is what creates sub-document
+    # units), each unit embedded by the md5 hashing trick
+    # (text_hashed_features arithmetic, dim 16) and pruned by the same
+    # integer-exact semdedup machinery as embedding_semdedup. The
+    # first chunk of every 20th doc is mirrored at +1e12 (identical
+    # vector -> same cluster -> pruned by (dist,id) dominance), so the
+    # prune branch is provably live per the vacuous-check rule - and
+    # the tiny shared vocabulary makes cross-document chunk collisions
+    # organic, which is exactly the boilerplate sentence dedup this
+    # operator exists for. Cost stays SUM(cluster^2), never N^2.
+    from pyspark.sql import Window
+
+    dim = 16
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    sent = docs.select(
+        "doc_id", F.posexplode(F.split("text", r"\.")).alias("ord", "piece")
+    ).filter(F.trim("piece") != "")
+    w = Window.partitionBy("doc_id").orderBy("ord")
+    sent = sent.select(
+        "doc_id", (F.row_number().over(w) - 1).alias("sidx"), "piece"
+    )
+    tok = sent.select(
+        "doc_id",
+        "sidx",
+        F.posexplode(T.tokens(F.lower(F.col("piece")))).alias("tpos0", "token"),
+    )
+    h = F.md5(F.col("token"))
+    hashed = tok.select(
+        (
+            F.col("doc_id").cast("long") * 100000
+            + F.col("sidx") * 1000
+            + F.expr("tpos0 div 8")
+        ).alias("vec_id"),
+        (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim)
+        .cast("int")
+        .alias("dim_idx"),
+        (
+            F.lit(1)
+            - F.lit(2) * (F.conv(F.substring(h, 9, 2), 16, 10).cast("long") % 2)
+        )
+        .cast("long")
+        .alias("value"),
+    )
+    dense = hashed.groupBy("vec_id").agg(
+        F.array(
+            *[
+                F.sum(
+                    F.when(F.col("dim_idx") == d, F.col("value")).otherwise(
+                        F.lit(0)
+                    )
+                ).cast("double")
+                for d in range(dim)
+            ]
+        ).alias("embedding")
+    )
+    plants = dense.filter(
+        (F.col("vec_id") % 1000 == 0)
+        & (F.expr("(vec_id div 100000) % 20") == 0)
+    ).select((F.col("vec_id") + F.lit(10**12)).alias("vec_id"), "embedding")
+    # 19/20: with a 31-token vocabulary the 9/20 doc-level default
+    # prunes ~99.8% of chunks (degenerate); 0.95 keeps ~90% and prunes
+    # the genuinely near-identical ones (and all 25 plants).
+    return S.semdedup_prune(
+        dense.unionByName(plants), k=8, rounds=3,
+        threshold_num=19, threshold_den=20,
+    )
+
+
 @query("multimodal_png_ahash", O.image_ahash_oracle(side=8))
 def q_multimodal_png_ahash(spark: SparkSession, sf: str) -> DataFrame:
     # The PNG codec leg made REAL without PIL: the same deterministic

@@ -1265,3 +1265,24 @@ def test_semdedup_prunes_planted_duplicates_and_guards_cluster_size(spark):
     # the guard refuses a quadratic stage instead of launching it
     with pytest.raises(ValueError, match="max_cluster_size"):
         semdedup_prune(emb, k=4, rounds=2, max_cluster_size=3)
+
+
+def test_sentence_semdedup_prunes_planted_chunks_keeps_originals(spark):
+    """Sentence-level SemDeDup (r6 verdict item 8): sub-document units
+    ('.'-sentences sub-chunked to 8 tokens) pruned by the semdedup
+    machinery. On sf0.001: plants exist, EVERY plant is pruned (its
+    identical original dominates on (dist, id)), and the keep rule
+    discriminates (most organic chunks survive at 0.95)."""
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    out = e.queries()["text_sentence_semdedup"](
+        spark, "/root/testdata/sf0.001"
+    ).cache()
+    n = out.count()
+    plants = out.filter(F.col("vec_id") >= 10**12).collect()
+    assert len(plants) > 0
+    assert all(not r.kept for r in plants)  # identical original wins
+    kept_ratio = out.filter(F.col("kept")).count() / n
+    assert 0.5 < kept_ratio < 1.0  # prunes, but not degenerately
+    out.unpersist()
