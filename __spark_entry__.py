@@ -76,6 +76,7 @@ FRONT = [
     "multimodal_audio_g711",
     "multimodal_jpeg_progressive",
     "text_sentence_semdedup",
+    "multimodal_png_interlaced",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

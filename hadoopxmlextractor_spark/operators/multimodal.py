@@ -100,6 +100,62 @@ def _decode_ppm(blob: bytes):
         return None
 
 
+# Adam7 pass geometry: (x0, y0, dx, dy) per the PNG spec
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unfilter(raw: bytes, offset: int, w_px: int, h_px: int, bpp: int):
+    """Unfilter ``h_px`` scanlines of ``w_px*bpp`` bytes starting at
+    ``raw[offset]`` (all five filter types, Paeth per spec; ``bpp`` =
+    bytes per pixel, so depth-16 left-references step two bytes per
+    sample automatically). Returns ((h_px, w_px*bpp) uint8, new
+    offset). Raises ValueError on truncation / unknown filter."""
+    import numpy as np
+
+    stride = w_px * bpp
+    if len(raw) < offset + h_px * (stride + 1):
+        raise ValueError("truncated PNG pass")
+    out = np.zeros((h_px, stride), dtype=np.uint8)
+    for y in range(h_px):
+        base = offset + y * (stride + 1)
+        ftype = raw[base]
+        row = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=base + 1
+        ).astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(
+            stride, dtype=np.int64
+        )
+        if ftype == 0:  # None
+            cur = row
+        elif ftype == 2:  # Up
+            cur = (row + prev) & 0xFF
+        else:  # Sub / Average / Paeth carry left-dependencies
+            if ftype not in (1, 3, 4):
+                raise ValueError("unknown PNG filter")
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:  # Sub
+                    v = row[x] + a
+                elif ftype == 3:  # Average
+                    v = row[x] + (a + b) // 2
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    v = row[x] + pred
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out, offset + h_px * (stride + 1)
+
+
 def _decode_png(blob: bytes):
     """PNG → (H, W, 3) uint8 array with ZERO dependencies beyond
     stdlib ``zlib`` + numpy — the codec leg PIL's absence from this
@@ -107,14 +163,18 @@ def _decode_png(blob: bytes):
     IDAT* / IEND), inflate, per-scanline UNFILTERING (all five PNG
     filter types: None/Sub/Up/Average/Paeth, the Paeth predictor per
     the spec), then color normalization (grayscale and palette expand
-    to RGB; alpha channels drop). Supports the dominant on-disk shape:
-    bit depth 8, color types 0/2/3/4/6, non-interlaced; anything else
-    returns None and falls through to the (import-gated) PIL attempt —
-    same auditable-NULL contract as every other decoder here. The
-    unfilter loop is per-scanline Python over numpy rows (Sub/Avg/
-    Paeth carry intra-row dependencies); install PIL for bulk decode
-    of large photos — this path exists so PNG pipelines are testable
-    end-to-end in dependency-free containers."""
+    to RGB; alpha channels drop). Covers bit depths 8 AND 16 (16-bit
+    samples reduce to their high byte, the standard presentation
+    reduction), color types 0/2/3/4/6, and BOTH interlace methods —
+    Adam7 passes are independently filtered sub-images consumed
+    sequentially from one inflated stream and scattered by the pass
+    geometry (new r7; formerly the 'exotic PNG' PIL plug-in). Bit
+    depths 1/2/4 return None and fall through to the import-gated PIL
+    attempt — same auditable-NULL contract as every other decoder
+    here. The unfilter loop is per-scanline Python over numpy rows
+    (Sub/Avg/Paeth carry intra-row dependencies); install PIL for bulk
+    decode of large photos — this path exists so PNG pipelines are
+    testable end-to-end in dependency-free containers."""
     import struct
     import zlib
 
@@ -145,53 +205,37 @@ def _decode_png(blob: bytes):
         if ihdr is None or not idat:
             return None
         w, h, depth, color, comp, filt, interlace = ihdr
-        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if channels is None or w <= 0 or h <= 0:
             return None
+        if color == 3 and depth == 16:
+            return None  # spec forbids 16-bit palette
+        bps = depth // 8
+        bpp = channels * bps
         raw = zlib.decompress(b"".join(idat))
-        stride = w * channels
-        if len(raw) < h * (stride + 1):
-            return None
-        out = np.zeros((h, stride), dtype=np.uint8)
-        bpp = channels  # bytes per pixel at depth 8
-        for y in range(h):
-            row = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-            ).astype(np.int64)
-            ftype = raw[y * (stride + 1)]
-            prev = out[y - 1].astype(np.int64) if y > 0 else np.zeros(
-                stride, dtype=np.int64
-            )
-            if ftype == 0:  # None
-                cur = row
-            elif ftype == 2:  # Up
-                cur = (row + prev) & 0xFF
-            else:  # Sub / Average / Paeth carry left-dependencies
-                cur = np.zeros(stride, dtype=np.int64)
-                for x in range(stride):
-                    a = cur[x - bpp] if x >= bpp else 0
-                    b = prev[x]
-                    if ftype == 1:  # Sub
-                        v = row[x] + a
-                    elif ftype == 3:  # Average
-                        v = row[x] + (a + b) // 2
-                    elif ftype == 4:  # Paeth
-                        c = prev[x - bpp] if x >= bpp else 0
-                        pp = a + b - c
-                        pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
-                        pred = a if (pa <= pb and pa <= pc) else (
-                            b if pb <= pc else c
-                        )
-                        v = row[x] + pred
-                    else:
-                        return None
-                    cur[x] = v & 0xFF
-            out[y] = cur.astype(np.uint8)
-        px = out.reshape(h, w, channels)
+        if interlace == 0:
+            rows, _ = _png_unfilter(raw, 0, w, h, bpp)
+            data = rows.reshape(h, w, bpp)
+        else:
+            data = np.zeros((h, w, bpp), dtype=np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass contributes no bytes
+                sub, off = _png_unfilter(raw, off, pw, ph, bpp)
+                data[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+        if bps == 2:
+            # 16-bit big-endian samples → high byte (presentation
+            # reduction; exact for the v·257 expansion encoders emit)
+            px = data.reshape(h, w, channels, 2)[:, :, :, 0]
+        else:
+            px = data.reshape(h, w, channels)
         if color == 2:
-            return px
+            return px.copy() if bps == 2 else px
         if color == 6:
             return px[:, :, :3].copy()
         if color == 0:
@@ -207,12 +251,17 @@ def _decode_png(blob: bytes):
         return None
 
 
-def _encode_png(img) -> bytes:
-    """(H, W, 3) uint8 array → PNG bytes, zero dependencies: 8-bit RGB
-    IHDR, one zlib-deflated IDAT of filter-0 scanlines, CRCs via
-    ``zlib.crc32``. Lossless partner of :func:`_decode_png` — the
-    roundtrip is bit-exact, which is what lets a registry query prove
-    the codec against the PPM oracle (same pixels ⇒ same aHash)."""
+def _encode_png(img, *, depth: int = 8, interlace: bool = False) -> bytes:
+    """(H, W, 3) uint8 array → PNG bytes, zero dependencies: RGB IHDR,
+    one zlib-deflated IDAT of filter-0 scanlines, CRCs via
+    ``zlib.crc32``. ``depth=16`` writes each sample as v·257 (the
+    standard 8→16 expansion — high byte v, so the decoder's high-byte
+    reduction roundtrips exactly); ``interlace=True`` emits Adam7
+    passes (independently filtered sub-images, empty passes omitted).
+    Lossless partner of :func:`_decode_png` — the roundtrip is
+    bit-exact in all four mode combinations, which is what lets the
+    registry queries prove the codec against the PPM oracle (same
+    pixels ⇒ same aHash)."""
     import struct
     import zlib
 
@@ -229,8 +278,24 @@ def _encode_png(img) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+    def rowbytes(rows) -> bytes:
+        if depth == 8:
+            return rows.tobytes()
+        a16 = rows.astype(np.uint16) * 257  # (v<<8)|v
+        return a16.astype(">u2").tobytes()
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 2, 0, 0, 1 if interlace else 0)
+    if not interlace:
+        raw = b"".join(b"\x00" + rowbytes(img[y]) for y in range(h))
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass: no bytes at all
+            for y in range(sub.shape[0]):
+                parts.append(b"\x00" + rowbytes(sub[y]))
+        raw = b"".join(parts)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
@@ -997,7 +1062,10 @@ def video_shot_boundaries(
     )
 
 
-def synth_png_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
+def synth_png_media(
+    docs: DataFrame, *, side: int = 8, depth: int = 8,
+    interlace: bool = False,
+) -> DataFrame:
     """Deterministic synthetic PNG per document: the SAME md5-chain
     pixel plane as :func:`synth_ppm_media`, containered through the
     zero-dependency :func:`_encode_png` — so any pixel-level statistic
@@ -1023,7 +1091,7 @@ def synth_png_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
                 img = np.frombuffer(plane, dtype=np.uint8).reshape(
                     side, side, 3
                 )
-                out.append(_encode_png(img))
+                out.append(_encode_png(img, depth=depth, interlace=interlace))
             yield pd.Series(out)
 
     return docs.select(

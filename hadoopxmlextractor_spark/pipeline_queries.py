@@ -2402,6 +2402,22 @@ def q_multimodal_png_ahash(spark: SparkSession, sf: str) -> DataFrame:
     return M.image_ahash(media)
 
 
+@query("multimodal_png_interlaced", O.image_ahash_oracle(side=8))
+def q_multimodal_png_interlaced(spark: SparkSession, sf: str) -> DataFrame:
+    # 'Exotic' PNG made native (r7): the SAME md5 pixel plane,
+    # containered as a 16-BIT Adam7-INTERLACED PNG - seven
+    # independently-filtered passes scattered by the pass geometry,
+    # big-endian v*257 samples reduced back by the high byte - and
+    # aHashed against the SAME arithmetic oracle as the PPM/PNG/GIF
+    # routes. One wrong byte in the pass geometry, the per-pass
+    # unfilter restart, or the 16-bit reduction flips the hash. This
+    # closes the last PNG shape that used to route to the PIL plug-in
+    # (only bit depths 1/2/4 remain there).
+    docs = load(spark, sf, "documents")
+    media = M.synth_png_media(docs, side=8, depth=16, interlace=True)
+    return M.image_ahash(media)
+
+
 @query("multimodal_gif_ahash", O.image_ahash_oracle(side=8))
 def q_multimodal_gif_ahash(spark: SparkSession, sf: str) -> DataFrame:
     # The GIF codec leg made REAL without PIL: same md5 pixel plane,

@@ -58,6 +58,90 @@ if os.environ.get("SPARK_GRAFT_REHEARSAL_QUERIES"):
 # not bigger ones" model. Dimension tables (customer, part, ...) stay
 # fixed, as they do in a real scale-up.
 RELATIONAL = os.environ.get("SPARK_GRAFT_REHEARSAL_RELATIONAL") == "1"
+
+# SPARK_GRAFT_REHEARSAL_ZIPF=1 (r6 verdict item 6): a DELIBERATELY
+# zipf-skewed blow-up for the join family — the prior rehearsals scale
+# volume on the synthetic distribution, which is df-flat; this mode
+# builds the OTHER failure axis, concentrated keys:
+# - documents: FACTOR x 5000 docs of 30 words drawn zipf(a=1.2) from a
+#   5000-word vocabulary (rank-1 word in ~most docs -> hot shingles,
+#   exercising the df cap / prefix ordering), plus 4% exact copies of
+#   one template (a hot LSH band bucket >> max_bucket, exercising the
+#   bucket cap).
+# - events: base replicas with event_type REPLACED by a zipf draw over
+#   100 types (type t0 holds ~40% of rows -> one giant join key,
+#   exercising salted_join / AQE).
+ZIPF = os.environ.get("SPARK_GRAFT_REHEARSAL_ZIPF") == "1"
+
+
+def build_zipf_tables() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(OUT, exist_ok=True)
+    os.makedirs(EVLOG, exist_ok=True)
+    for t in "region nation customer supplier part orders lineitem embeddings".split():
+        dst = f"{OUT}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{BASE}/{t}.parquet", dst)
+
+    rng = np.random.default_rng(20260815)
+    vocab_n, words_per_doc = 5000, 30
+    ranks = np.arange(1, vocab_n + 1, dtype=np.float64)
+    p = 1.0 / ranks**1.2
+    p /= p.sum()
+    base_docs = pq.read_table(f"{BASE}/documents.parquet")
+    n_docs = base_docs.num_rows * FACTOR
+    draws = rng.choice(vocab_n, size=(n_docs, words_per_doc), p=p)
+    texts = [" ".join(f"w{w}" for w in row) for row in draws]
+    template = texts[0]
+    dup_ids = [i for i in range(n_docs) if i % 25 == 1]  # 4% exact copies
+    for i in dup_ids:
+        texts[i] = template
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(n_docs), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * n_docs),
+            "source": pa.array(["zipf"] * n_docs),
+            "n_chars": pa.array([len(t) for t in texts], type=pa.int64()),
+        },
+        schema=base_docs.schema,
+    )
+    pq.write_table(docs, f"{OUT}/documents.parquet")
+
+    import pyarrow.compute as pc
+
+    ev = pq.read_table(f"{BASE}/events.parquet")
+    parts = []
+    for k in range(FACTOR):
+        arrays = []
+        for name in ev.column_names:
+            col = ev[name]
+            if name in ("event_id", "user_id"):
+                col = pc.add(col, pa.scalar(k * 10_000_000, type=pa.int64()))
+            arrays.append(col)
+        parts.append(pa.Table.from_arrays(arrays, schema=ev.schema))
+    big = pa.concat_tables(parts)
+    tranks = np.arange(1, 101, dtype=np.float64)
+    tp = 1.0 / tranks**1.5
+    tp /= tp.sum()
+    tdraw = rng.choice(100, size=big.num_rows, p=tp)
+    etype = pa.array([f"t{r}" for r in tdraw])
+    big = big.set_column(
+        big.column_names.index("event_type"),
+        pa.field("event_type", ev.schema.field("event_type").type),
+        etype.cast(ev.schema.field("event_type").type),
+    )
+    pq.write_table(big, f"{OUT}/events.parquet")
+    hot = int(np.sum(tdraw == 0))
+    print(
+        f"built zipf {OUT}: documents={n_docs} (dups={len(dup_ids)}), "
+        f"events={big.num_rows} (hot type t0={hot} rows, "
+        f"{100.0 * hot / big.num_rows:.1f}%)",
+        file=sys.stderr,
+    )
 REL_SHIFTS = {
     "lineitem": ("l_orderkey",),
     "orders": ("o_orderkey",),
@@ -101,6 +185,9 @@ def build_tables() -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if ZIPF:
+        build_zipf_tables()
+        return
     if RELATIONAL:
         build_relational_tables()
         return

@@ -911,18 +911,62 @@ def test_png_codec_roundtrip_and_every_filter_and_color_type():
     blob = _build_png(_filter_scanlines(ga, 3, 2), 4, 3, color=4)
     assert np.array_equal(_decode_png(blob), np.repeat(ga[:, :, :1], 3, axis=2))
 
-    # unsupported: 16-bit depth and interlaced -> None (PIL plug-in)
+    # 16-bit and interlaced DECODE natively since r7 (see
+    # test_png_interlaced_and_16bit_roundtrips_and_refusals); the
+    # remaining PIL plug-in shapes are sub-8-bit depths.
     ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     blob16 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr16)
               + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
               + _png_chunk(b"IEND", b""))
-    assert _decode_png(blob16) is None
-    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    blob_i = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr_i)
-              + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 13))
-              + _png_chunk(b"IEND", b""))
-    assert _decode_png(blob_i) is None
+    got16 = _decode_png(blob16)
+    assert got16 is not None and np.array_equal(
+        got16, np.zeros((2, 2, 3), dtype=np.uint8)
+    )
+    ihdr4 = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    blob4 = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr4)
+             + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 8))
+             + _png_chunk(b"IEND", b""))
+    assert _decode_png(blob4) is None
     assert _decode_png(b"not a png") is None
+
+
+def test_png_interlaced_and_16bit_roundtrips_and_refusals():
+    """Adam7 + 16-bit PNG (r7): all four depth/interlace mode combos
+    roundtrip bit-exactly on odd sizes (empty-pass handling included —
+    a 1x1 image has six empty passes), a 16-bit palette refuses (spec
+    violation), and sub-8-bit depths still route to the PIL plug-in."""
+    import struct
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    rng = np.random.RandomState(5)
+    for shape in [(8, 8, 3), (13, 19, 3), (1, 1, 3), (7, 3, 3), (9, 2, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for depth in (8, 16):
+            for il in (False, True):
+                back = _decode_png(_encode_png(img, depth=depth, interlace=il))
+                assert back is not None and np.array_equal(back, img), (
+                    shape, depth, il,
+                )
+
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    blob = bytearray(_encode_png(img, depth=16))
+    ihdr_at = blob.index(b"IHDR") + 4
+    bad = bytearray(blob)
+    bad[ihdr_at + 9] = 3  # color type 3 (palette) at depth 16: forbidden
+    # fix the IHDR CRC so the walk reaches the decode guard
+    import zlib
+    crc = zlib.crc32(b"IHDR" + bytes(bad[ihdr_at : ihdr_at + 13])) & 0xFFFFFFFF
+    bad[ihdr_at + 13 : ihdr_at + 17] = struct.pack(">I", crc)
+    assert _decode_png(bytes(bad)) is None
+
+    low = bytearray(_encode_png(img))
+    low[low.index(b"IHDR") + 4 + 8] = 4  # bit depth 4
+    assert _decode_png(bytes(low)) is None
 
 
 def test_png_media_flows_through_features_and_resize(spark):
