@@ -77,6 +77,7 @@ FRONT = [
     "multimodal_jpeg_progressive",
     "text_sentence_semdedup",
     "multimodal_png_interlaced",
+    "source_warc_http",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

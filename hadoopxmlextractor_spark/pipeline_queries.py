@@ -10,6 +10,9 @@ on synthetic near-dup corpora).
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: F401  (pandas_udf string annotations)
+
+import pandas as pd  # noqa: F401  (pandas_udf string annotations)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2586,6 +2589,117 @@ def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_avi_video(docs)
     return M.video_shot_boundaries(media)
+
+
+@query(
+    "source_warc_http",
+    """
+    WITH bodysum AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':warc:' || h.k),
+               j.j * 2 + 1, 2)) AS BIGINT)) AS BIGINT) AS bsum
+      FROM documents,
+           (VALUES (0), (1)) h(k),
+           (SELECT unnest(range(16)) AS j) j
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, CAST(0 AS INT) AS rec_idx,
+           'response' AS warc_type,
+           'https://example.com/doc/' || CAST(d.doc_id AS VARCHAR)
+             AS target_uri,
+           CAST(200 AS INT) AS http_status,
+           CAST(77 AS BIGINT) AS n_payload,
+           b.bsum AS body_sum
+    FROM documents d JOIN bodysum b USING (doc_id)
+    UNION ALL
+    SELECT doc_id, CAST(1 AS INT), 'metadata',
+           'https://example.com/doc/' || CAST(doc_id AS VARCHAR),
+           CAST(NULL AS INT),
+           CAST(13 + len(CAST(doc_id % 1000 AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM documents
+    """,
+)
+def q_source_warc_http(spark: SparkSession, sf: str) -> DataFrame:
+    # NATIVE WARC (ISO 28500) - the Common Crawl container, i.e. the
+    # actual on-disk input of a web-scale training pipeline: each doc
+    # synthesizes a 2-record WARC (an HTTP response whose body is a
+    # 32-byte md5 chain, plus a warc-fields metadata record), each
+    # record its OWN GZIP MEMBER (the Common Crawl layout), then the
+    # zero-dependency reader walks members -> records -> HTTP
+    # status/body split. The oracle replays URI construction, payload
+    # lengths (45-byte HTTP header + 32-byte body = 77), and the body
+    # byte-sum from md5 hex pairs - one wrong byte in the gzip-member
+    # walk, header parse, Content-Length slice, or HTTP split shifts a
+    # sum or a length. File->record explode is one Arrow pass.
+    import hashlib
+
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                body = (
+                    hashlib.md5(f"{i}:warc:0".encode()).digest()
+                    + hashlib.md5(f"{i}:warc:1".encode()).digest()
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
+                    + body
+                )
+                recs = [
+                    {
+                        "warc_type": "response",
+                        "record_id": f"<urn:uuid:{i}-0>",
+                        "target_uri": f"https://example.com/doc/{i}",
+                        "content_type": "application/http; msgtype=response",
+                        "payload": http,
+                    },
+                    {
+                        "warc_type": "metadata",
+                        "record_id": f"<urn:uuid:{i}-1>",
+                        "target_uri": f"https://example.com/doc/{i}",
+                        "content_type": "application/warc-fields",
+                        "payload": f"fetchTimeMs: {i % 1000}".encode(),
+                    },
+                ]
+                out.append(W.write_warc(recs, gzip_members=True))
+            yield pd.Series(out)
+
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        _warc("doc_id").alias("content"),
+    )
+    recs = W.warc_records(files)
+
+    @F.pandas_udf("struct<http_status:int, body_sum:bigint>")
+    def _http(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for payloads in it:
+            stat, bsum = [], []
+            for p in payloads:
+                if p is None:
+                    stat.append(None)
+                    bsum.append(None)
+                    continue
+                s, body = W.split_http_payload(bytes(p))
+                stat.append(s)
+                bsum.append(int(sum(body)) if s is not None else None)
+            yield pd.DataFrame({"http_status": stat, "body_sum": bsum})
+
+    return recs.withColumn("h", _http("payload")).select(
+        F.col("path").cast("bigint").alias("doc_id"),
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        F.col("h.http_status").alias("http_status"),
+        F.col("content_length").alias("n_payload"),
+        F.col("h.body_sum").alias("body_sum"),
+    )
 
 
 @query("multimodal_audio_g711", O.audio_g711_oracle())

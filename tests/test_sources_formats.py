@@ -841,3 +841,62 @@ def test_distribution_drift_detects_shape_change(spark):
     # occupied buckets only; per-bucket counts reconcile with inputs
     tot = same.groupBy().sum("n_old", "n_new").first()
     assert tot[0] == 400 and tot[1] == 400
+
+
+def test_warc_reader_files_members_and_malformed(spark, tmp_path):
+    """Native WARC source (r7): a 3-record .warc.gz written in the
+    Common Crawl record-per-gzip-member layout reads back through the
+    binaryFile route with headers, payloads, and HTTP split intact; a
+    plain (uncompressed) WARC parses identically; a malformed file
+    yields the single NULL marker row instead of failing the scan."""
+    from hadoopxmlextractor_spark.sources.warc import (
+        parse_warc,
+        read_warc,
+        split_http_payload,
+        warc_records,
+        write_warc,
+    )
+
+    body = b"<html>hello crawl</html>"
+    recs = [
+        {"warc_type": "warcinfo", "record_id": "<urn:uuid:a>",
+         "content_type": "application/warc-fields",
+         "payload": b"software: test"},
+        {"warc_type": "response", "record_id": "<urn:uuid:b>",
+         "target_uri": "https://example.org/x",
+         "content_type": "application/http; msgtype=response",
+         "payload": b"HTTP/1.1 404 Not Found\r\nX: y\r\n\r\n" + body},
+        {"warc_type": "metadata", "record_id": "<urn:uuid:c>",
+         "target_uri": "https://example.org/x",
+         "content_type": "application/warc-fields",
+         "payload": b"fetchTimeMs: 7"},
+    ]
+    gz = write_warc(recs, gzip_members=True)
+    plain = write_warc(recs, gzip_members=False)
+    assert gz[:2] == b"\x1f\x8b" and plain[:5] == b"WARC/"
+    # both layouts parse to identical records
+    for blob in (gz, plain):
+        got = parse_warc(blob)
+        assert [r["warc_type"] for r in got] == [
+            "warcinfo", "response", "metadata"
+        ]
+        assert got[1]["target_uri"] == "https://example.org/x"
+        status, got_body = split_http_payload(got[1]["payload"])
+        assert (status, got_body) == (404, body)
+
+    (tmp_path / "a.warc.gz").write_bytes(gz)
+    (tmp_path / "b.warc").write_bytes(plain)
+    out = read_warc(spark, str(tmp_path / "*.warc*")).collect()
+    assert len(out) == 6  # 3 records from each file
+    assert {r.warc_type for r in out} == {"warcinfo", "response", "metadata"}
+    resp = [r for r in out if r.warc_type == "response"][0]
+    assert bytes(resp.payload).endswith(body)
+    assert resp.content_length == len(recs[1]["payload"])
+
+    files = spark.createDataFrame(
+        [("bad", bytearray(b"not a warc at all"))],
+        "path string, content binary",
+    )
+    marker = warc_records(files).collect()
+    assert len(marker) == 1 and marker[0].warc_type is None
+    assert marker[0].rec_idx == -1
