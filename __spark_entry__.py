@@ -78,6 +78,7 @@ FRONT = [
     "text_sentence_semdedup",
     "multimodal_png_interlaced",
     "source_warc_http",
+    "text_html_extract",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

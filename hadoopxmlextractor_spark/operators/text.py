@@ -893,3 +893,58 @@ def tfidf_topk_keywords(
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
     )
+
+
+def html_text(col: Column | str) -> Column:
+    """HTML → visible text: the extraction step between a WARC
+    response body and every text operator in this module (the WET
+    stage of a crawl pipeline). Stdlib ``html.parser`` (tolerant of
+    real-web tag soup — unclosed tags, attributes, comments), dropping
+    <script>/<style>/<head>/<template>/<noscript> subtrees entirely,
+    decoding character references (``&amp;`` → ``&``), and joining the
+    surviving text chunks in document order with single spaces
+    (chunk-internal whitespace collapsed). One Arrow pass, pure
+    per-row projection — at 100 TB this runs at scan speed next to
+    the WARC record explode, no shuffle. None/undecodable → None."""
+    from html.parser import HTMLParser
+
+    _skip = {"script", "style", "head", "template", "noscript"}
+
+    class _Extract(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.depth = 0
+            self.chunks: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _skip:
+                self.depth += 1
+
+        def handle_endtag(self, tag):
+            if tag in _skip and self.depth > 0:
+                self.depth -= 1
+
+        def handle_data(self, data):
+            if self.depth == 0:
+                piece = " ".join(data.split())
+                if piece:
+                    self.chunks.append(piece)
+
+    @F.pandas_udf("string")
+    def _extract(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                try:
+                    p = _Extract()
+                    p.feed(t)
+                    p.close()
+                    out.append(" ".join(p.chunks))
+                except Exception:
+                    out.append(None)
+            yield pd.Series(out, dtype="object")
+
+    return _extract(F.col(col) if isinstance(col, str) else col)

@@ -2592,6 +2592,57 @@ def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_html_extract",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':html') AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           'w' || substring(x, 1, 2) || ' w' || substring(x, 3, 2)
+             || ' & w' || substring(x, 5, 2) || ' w' || substring(x, 7, 2)
+             || ' w' || substring(x, 9, 2) || ' w' || substring(x, 11, 2)
+             || ' <w' || substring(x, 13, 2) || '> w' || substring(x, 15, 2)
+             AS extracted,
+           CAST(9 AS INT) AS n_tokens
+    FROM h
+    """,
+)
+def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
+    # HTML -> visible text, the WET stage between a WARC response body
+    # and the text pipeline: per doc a deterministic tag-soup page
+    # (head/title/script subtrees to DROP, nested inline elements,
+    # &amp;/&lt;/&gt; character references to DECODE) whose visible
+    # words are md5 hex pairs; operators.text.html_text must produce
+    # exactly the planted visible string - the oracle CONSTRUCTS the
+    # expected extraction from the same md5 arithmetic, so a skipped
+    # subtree leaking, a missed entity, or a whitespace-join bug flips
+    # the hash. One Arrow pass, no shuffle.
+    docs = load(spark, sf, "documents")
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":html")))
+
+    def hp(j: int):
+        return F.substring(h, 2 * j - 1, 2)
+
+    html = F.concat(
+        F.lit(
+            "<html><head><title>skip me</title><script>var x=1;"
+            "</script></head><body><h1>w"
+        ),
+        hp(1),
+        F.lit("</h1><p>w"), hp(2), F.lit(" &amp; w"), hp(3),
+        F.lit("</p><div>w"), hp(4), F.lit("<span>w"), hp(5),
+        F.lit("</span></div><p>w"), hp(6), F.lit(" &lt;w"), hp(7),
+        F.lit("&gt; w"), hp(8), F.lit("</p></body></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id",
+        T.html_text("html").alias("extracted"),
+    ).withColumn("n_tokens", F.size(T.tokens(F.col("extracted"))).cast("int"))
+
+
+@query(
     "source_warc_http",
     """
     WITH bodysum AS (

@@ -1289,3 +1289,31 @@ def test_bmp_codec_roundtrip_and_features(spark):
     for b in small.values():
         got = _decode_bmp(b)
         assert got is not None and got.shape[0] * got.shape[1] * 3 <= 220
+
+
+def test_html_text_extraction_tag_soup(spark):
+    """html_text (r7): real-web tag soup — unclosed tags, comments,
+    attributes, nested skip-subtrees, numeric charrefs — extracts the
+    visible text only; None and undecodable inputs yield None."""
+    from hadoopxmlextractor_spark.operators.text import html_text
+
+    cases = [
+        ("<p>plain</p>", "plain"),
+        ("<div class='x'>a<br>b</div>", "a b"),
+        ("<!-- c --><p>keep</p><script>drop()</script>", "keep"),
+        ("<head><style>p{}</style><title>t</title></head><b>vis", "vis"),
+        ("a &#38; b &amp; c", "a & b & c"),
+        ("<ul><li>one<li>two</ul>", "one two"),  # unclosed li
+        ("<noscript>no</noscript>yes", "yes"),
+        ("   lots\n\tof   space   ", "lots of space"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], "i long, html string"
+    )
+    got = {
+        r.i: r.out
+        for r in df.select("i", html_text("html").alias("out")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
