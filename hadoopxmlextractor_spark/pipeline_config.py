@@ -129,8 +129,20 @@ def _stage_line_filter(df: DataFrame, docs: DataFrame, *, min_words: int = 3) ->
 
 
 
+def _stage_html_extract(df: DataFrame, docs: DataFrame) -> DataFrame:
+    # The WET stage as a declarative pipeline step: `text` arrives as
+    # raw HTML (e.g. a WARC response body routed in by the caller) and
+    # leaves as the visible text (operators.text.html_text — skip
+    # subtrees dropped, charrefs decoded); docs extracting to nothing
+    # drop out, keeping the (doc_id, text) stage contract.
+    return df.select("doc_id", T.html_text("text").alias("text")).filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+
+
 STAGES: dict[str, Callable[..., DataFrame]] = {
     "quality_filter": _stage_quality_filter,
+    "html_extract": _stage_html_extract,
     "line_filter": _stage_line_filter,
     "dedup_exact": _stage_dedup_exact,
     "classifier_filter": _stage_classifier_filter,
