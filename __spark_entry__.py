@@ -79,6 +79,7 @@ FRONT = [
     "multimodal_png_interlaced",
     "source_warc_http",
     "text_html_extract",
+    "multimodal_audio_adpcm",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

@@ -336,13 +336,52 @@ def _g711_table(law: str):
     return _G711_TABLES[law]
 
 
+# IMA/DVI ADPCM step-size table (89 entries) and index-adjust table —
+# the published constants of the IMA ADPCM reference algorithm.
+_IMA_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+    37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+    544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+    1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+    4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+    12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+    29794, 32767,
+]
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _decode_adpcm_block(pred: int, index: int, nibbles) -> list[int]:
+    """One IMA ADPCM block: header predictor/index, then the nibble
+    state machine (vpdiff accumulation, clamp to int16, index walk
+    clamped to [0, 88]). Sequential by nature — each media row decodes
+    independently, so parallelism is per-row, like every codec here."""
+    out = [pred]
+    for nb in nibbles:
+        step = _IMA_STEP[index]
+        vp = step >> 3
+        if nb & 4:
+            vp += step
+        if nb & 2:
+            vp += step >> 1
+        if nb & 1:
+            vp += step >> 2
+        pred = pred - vp if nb & 8 else pred + vp
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + _IMA_INDEX[nb & 7]))
+        out.append(pred)
+    return out
+
+
 def _decode_wav(blob: bytes):
     """WAV → (sample_rate, n_channels, int16 samples[n_frames,
     n_channels]), or None. Formats: 16-bit PCM (code 1, via stdlib
-    ``wave``) and 8-bit G.711 A-law / μ-law (codes 6 / 7 — telephony-
-    band audio common in crawled corpora), expanded to int16 through
-    :func:`_g711_table`. Anything else → None (the codec plug-in
-    point)."""
+    ``wave``), 8-bit G.711 A-law / μ-law (codes 6 / 7 — telephony-
+    band audio common in crawled corpora, expanded to int16 through
+    :func:`_g711_table`), and mono IMA ADPCM (code 17 — the classic
+    4-bit compressed voice format; per-block predictor/index headers,
+    low-nibble-first state machine). Anything else → None (the codec
+    plug-in point)."""
     import io
     import struct
     import wave
@@ -372,6 +411,25 @@ def _decode_wav(blob: bytes):
             codes = np.frombuffer(data, dtype=np.uint8)
             samples = table[codes].reshape(-1, nch)
             return rate, nch, samples
+        if fmt is not None and fmt[0] == 17 and data is not None:
+            code, nch, rate, _br, align, bits = fmt
+            if bits != 4 or nch != 1 or align < 5:
+                return None  # stereo/odd ADPCM: plug-in point
+            out: list[int] = []
+            for boff in range(0, len(data) - (len(data) % align), align):
+                blk = data[boff : boff + align]
+                pred = int.from_bytes(blk[0:2], "little", signed=True)
+                index = blk[2]
+                if index > 88:
+                    return None
+                nibbles = []
+                for byte in blk[4:]:
+                    nibbles.append(byte & 0xF)
+                    nibbles.append(byte >> 4)
+                out.extend(_decode_adpcm_block(pred, index, nibbles))
+            if not out:
+                return None
+            return rate, 1, np.array(out, dtype=np.int16).reshape(-1, 1)
     except (struct.error, ValueError):
         return None
     try:
@@ -843,6 +901,52 @@ def synth_g711_wav_media(docs: DataFrame, *, n_samples: int = 256) -> DataFrame:
                     for k in range(n_chunks)
                 )[:n_samples]
                 out.append(_container(7 if i % 2 == 0 else 6, raw))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        _wav("doc_id").alias("content"),
+    )
+
+
+def synth_adpcm_wav_media(docs: DataFrame, *, n_nibble_bytes: int = 128) -> DataFrame:
+    """Deterministic mono IMA ADPCM WAV per document: one block whose
+    4-byte header (predictor int16 LE + step index % 89) comes from
+    md5(``{id}:adpcmh``) and whose ``n_nibble_bytes`` nibble bytes are
+    the md5 chain of ``{id}:adpcm{k}`` — 2·n+1 samples through the
+    full sequential decoder state machine, exactly replayable by a
+    recursive-CTE oracle."""
+    import hashlib
+    import struct
+
+    n_chunks = (n_nibble_bytes + 15) // 16
+    align = 4 + n_nibble_bytes
+    n_samples = 2 * n_nibble_bytes + 1
+
+    def _container(payload: bytes) -> bytes:
+        fmt = struct.pack(
+            "<HHIIHHHH", 17, 1, 8000, 4055, align, 4, 2, n_samples
+        )
+        chunks = (
+            b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+            + (b"\x00" if len(payload) & 1 else b"")
+        )
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    @F.pandas_udf("binary")
+    def _wav(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                hdr = hashlib.md5(f"{i}:adpcmh".encode()).digest()
+                head = hdr[0:2] + bytes([hdr[2] % 89, 0])
+                raw = b"".join(
+                    hashlib.md5(f"{i}:adpcm{k}".encode()).digest()
+                    for k in range(n_chunks)
+                )[:n_nibble_bytes]
+                out.append(_container(head + raw))
             yield pd.Series(out)
 
     return docs.select(

@@ -666,6 +666,97 @@ def audio_g711_oracle(
     """
 
 
+def audio_adpcm_oracle(
+    *, window: int = 64, silence_threshold: int = 43_000_000_000,
+    n_nibble_bytes: int = 128,
+) -> str:
+    """Replay of audio_energy_windows over synth_adpcm_wav_media: the
+    SEQUENTIAL IMA ADPCM state machine (step table, vpdiff
+    accumulation, int16 clamp, index walk) re-derived as a RECURSIVE
+    CTE carrying (pred, index) per doc per nibble — the first
+    compressed-audio oracle, same exact-replay discipline as the
+    lossy-JPEG DC identity. Uses the first ``(2n+1) // window`` full
+    windows (256 samples for the default block)."""
+    n_chunks = (n_nibble_bytes + 15) // 16
+    n_samples_used = ((2 * n_nibble_bytes + 1) // window) * window
+    steps = ", ".join(f"({i}, {s})" for i, s in enumerate([
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+        34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+        143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408,
+        449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282,
+        1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327,
+        3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630,
+        9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350,
+        22385, 24623, 27086, 29794, 32767,
+    ]))
+    vp = (
+        "((st // 8)"
+        " + CASE WHEN (nib.nb & 4) <> 0 THEN st ELSE 0 END"
+        " + CASE WHEN (nib.nb & 2) <> 0 THEN st // 2 ELSE 0 END"
+        " + CASE WHEN (nib.nb & 1) <> 0 THEN st // 4 ELSE 0 END)"
+    )
+    return f"""
+    WITH RECURSIVE
+    step_tab(i, st) AS (VALUES {steps}),
+    hdr AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':adpcmh'), 1, 2)) AS BIGINT)
+             + 256 * CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':adpcmh'), 3, 2)) AS BIGINT)
+               AS raw16,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':adpcmh'), 5, 2)) AS BIGINT)
+               % 89 AS idx0
+      FROM documents
+    ),
+    hdr2 AS (
+      SELECT doc_id,
+             CASE WHEN raw16 >= 32768 THEN raw16 - 65536 ELSE raw16 END
+               AS pred0,
+             idx0
+      FROM hdr
+    ),
+    nib AS (
+      SELECT doc_id, (j * 2 + half) AS s,
+             CASE half WHEN 0 THEN v % 16 ELSE v // 16 END AS nb
+      FROM (
+        SELECT doc_id, (k * 16 + jj) AS j,
+               CAST(('0x' || substring(
+                 md5(CAST(doc_id AS VARCHAR) || ':adpcm'
+                     || CAST(k AS VARCHAR)),
+                 jj * 2 + 1, 2)) AS BIGINT) AS v
+        FROM documents,
+             (SELECT unnest(range({n_chunks})) AS k),
+             (SELECT unnest(range(16)) AS jj)
+        WHERE k * 16 + jj < {n_nibble_bytes}
+      ), (VALUES (0), (1)) h(half)
+    ),
+    walk AS (
+      SELECT doc_id, -1 AS s, pred0 AS pred, idx0 AS idx FROM hdr2
+      UNION ALL
+      SELECT w.doc_id, w.s + 1,
+             GREATEST(-32768, LEAST(32767,
+               w.pred + (CASE WHEN (nib.nb & 8) <> 0 THEN -1 ELSE 1 END)
+                        * {vp})),
+             GREATEST(0, LEAST(88,
+               w.idx + CASE WHEN (nib.nb & 7) < 4 THEN -1
+                            ELSE 2 * (nib.nb & 7) - 6 END))
+      FROM walk w
+      JOIN nib ON nib.doc_id = w.doc_id AND nib.s = w.s + 1
+      JOIN step_tab ON step_tab.i = w.idx
+      WHERE w.s < {n_samples_used - 2}
+    ),
+    samples AS (
+      SELECT doc_id, s + 1 AS n, pred AS x FROM walk
+    )
+    SELECT doc_id AS media_id, CAST(n // {window} AS INT) AS win_idx,
+           CAST(SUM(x * x) AS BIGINT) AS energy,
+           (SUM(x * x) < {silence_threshold}) AS is_silence
+    FROM samples GROUP BY doc_id, n // {window}
+    """
+
+
 def video_shots_oracle(
     *, n_frames: int = 8, side: int = 8, hamming_threshold: int = 16
 ) -> str:

