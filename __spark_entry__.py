@@ -80,6 +80,7 @@ FRONT = [
     "source_warc_http",
     "text_html_extract",
     "multimodal_audio_adpcm",
+    "multimodal_tiff_ahash",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

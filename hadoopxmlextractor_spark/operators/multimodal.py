@@ -514,6 +514,8 @@ def _real_feature(blob: bytes):
         img = _decode_gif(blob)
     if img is None and blob.startswith(b"BM"):
         img = _decode_bmp(blob)
+    if img is None and blob.startswith((b"II*\x00", b"MM\x00*")):
+        img = _decode_tiff(blob)
     if img is None and blob.startswith(b"\xff\xd8\xff"):
         from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
 
@@ -816,6 +818,8 @@ def image_ahash(
                     img = _decode_gif(raw)
                 if img is None and raw.startswith(b"BM"):
                     img = _decode_bmp(raw)
+                if img is None and raw.startswith((b"II*\x00", b"MM\x00*")):
+                    img = _decode_tiff(raw)
                 if img is None and raw.startswith(b"\xff\xd8\xff"):
                     from hadoopxmlextractor_spark.operators.jpeg import (
                         decode_jpeg,
@@ -1823,6 +1827,240 @@ def synth_bmp_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         _bmp("doc_id").alias("content"),
+    )
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """TIFF PackBits RLE (Apple variant per the TIFF 6.0 spec):
+    n in 0..127 → copy n+1 literal bytes; n in -127..-1 → repeat the
+    next byte 1-n times; -128 is a no-op."""
+    out = bytearray()
+    pos = 0
+    while pos < len(data) and len(out) < expected:
+        n = data[pos]
+        pos += 1
+        if n < 128:
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op
+    if len(out) != expected:
+        raise ValueError("packbits length mismatch")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (runs ≥3 become repeats; literals capped at
+    128). Lossless partner of :func:`_packbits_decode`."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out += bytes([i - lit_start - 1]) + data[lit_start:i]
+    return bytes(out)
+
+
+def _decode_tiff(blob: bytes):
+    """Baseline TIFF → (H, W, 3) uint8 RGB, zero dependencies: both
+    byte orders (II/MM), first IFD, 8-bit grayscale or RGB, strip
+    layout (any RowsPerStrip), compression 1 (none) or 32773
+    (PackBits) — the shapes scanned-document corpora actually carry.
+    Tiled, palette, multi-IFD, LZW, and sub-8-bit TIFFs return None
+    (the PIL plug-in point)."""
+    import struct
+
+    import numpy as np
+
+    if len(blob) < 8 or blob[:2] not in (b"II", b"MM"):
+        return None
+    e = "<" if blob[:2] == b"II" else ">"
+    try:
+        magic, ifd_off = struct.unpack(e + "HI", blob[2:8])
+        if magic != 42:
+            return None
+        (n_tags,) = struct.unpack(e + "H", blob[ifd_off : ifd_off + 2])
+        tags: dict[int, list[int]] = {}
+        type_size = {1: 1, 3: 2, 4: 4}
+        for t in range(n_tags):
+            off = ifd_off + 2 + 12 * t
+            tag, typ, count = struct.unpack(e + "HHI", blob[off : off + 8])
+            if typ not in type_size:
+                continue
+            total = type_size[typ] * count
+            if total <= 4:
+                raw = blob[off + 8 : off + 8 + total]
+            else:
+                (voff,) = struct.unpack(e + "I", blob[off + 8 : off + 12])
+                raw = blob[voff : voff + total]
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack(e + fmt * count, raw))
+        w = tags.get(256, [0])[0]
+        h = tags.get(257, [0])[0]
+        bits = tags.get(258, [8])
+        comp = tags.get(259, [1])[0]
+        spp = tags.get(277, [len(bits)])[0]
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        rps = tags.get(278, [h])[0] or h
+        if (
+            w <= 0 or h <= 0 or offsets is None or counts is None
+            or comp not in (1, 32773) or spp not in (1, 3)
+            or any(b != 8 for b in bits)
+            or 322 in tags or 324 in tags  # tiled
+            or 320 in tags  # palette
+        ):
+            return None
+        rows = []
+        for si, (soff, scnt) in enumerate(zip(offsets, counts)):
+            n_rows = min(rps, h - si * rps)
+            expected = n_rows * w * spp
+            chunk = blob[soff : soff + scnt]
+            if comp == 32773:
+                chunk = _packbits_decode(chunk, expected)
+            if len(chunk) < expected:
+                return None
+            rows.append(
+                np.frombuffer(chunk, dtype=np.uint8, count=expected)
+                .reshape(n_rows, w, spp)
+            )
+        px = np.concatenate(rows, axis=0)
+        if px.shape[0] != h:
+            return None
+        if spp == 1:
+            return np.repeat(px, 3, axis=2)
+        return px.copy()
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def _encode_tiff(
+    img, *, big_endian: bool = False, packbits: bool = False,
+    rows_per_strip: int | None = None,
+) -> bytes:
+    """(H, W, 3) uint8 → baseline strip TIFF (8-bit RGB, either byte
+    order, optional PackBits, configurable RowsPerStrip). Lossless
+    partner of :func:`_decode_tiff`."""
+    import struct
+
+    import numpy as np
+
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    h, w, _ = img.shape
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = img[y0 : y0 + rps].tobytes()
+        strips.append(_packbits_encode(raw) if packbits else raw)
+    e = ">" if big_endian else "<"
+    n_tags = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    bps_off = data_off
+    data_off += 6  # BitsPerSample: 3 SHORTs
+    n_strips = len(strips)
+    if n_strips > 1:
+        strip_off_off = data_off
+        data_off += 4 * n_strips
+        strip_cnt_off = data_off
+        data_off += 4 * n_strips
+    strip_offsets = []
+    pos = data_off
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+
+    def tag(tid, typ, count, value) -> bytes:
+        head = struct.pack(e + "HHI", tid, typ, count)
+        if typ == 3 and count == 1:
+            return head + struct.pack(e + "HH", value, 0)
+        return head + struct.pack(e + "I", value)
+
+    tags = [
+        tag(256, 4, 1, w),
+        tag(257, 4, 1, h),
+        tag(258, 3, 3, bps_off),
+        tag(259, 3, 1, 32773 if packbits else 1),
+        tag(262, 3, 1, 2),  # RGB
+        tag(273, 4, n_strips,
+            strip_offsets[0] if n_strips == 1 else strip_off_off),
+        tag(277, 3, 1, 3),
+        tag(278, 4, 1, rps),
+        tag(279, 4, n_strips,
+            len(strips[0]) if n_strips == 1 else strip_cnt_off),
+    ]
+    out = bytearray()
+    out += (b"II" if not big_endian else b"MM") + struct.pack(e + "HI", 42, 8)
+    out += struct.pack(e + "H", n_tags) + b"".join(tags)
+    out += struct.pack(e + "I", 0)  # next IFD
+    out += struct.pack(e + "HHH", 8, 8, 8)
+    if n_strips > 1:
+        out += struct.pack(e + "I" * n_strips, *strip_offsets)
+        out += struct.pack(e + "I" * n_strips, *[len(s) for s in strips])
+    for s in strips:
+        out += s
+    return bytes(out)
+
+
+def synth_tiff_media(
+    docs: DataFrame, *, side: int = 8,
+) -> DataFrame:
+    """The md5-chain pixel plane containered as TIFF with the
+    decoder's whole matrix exercised across docs: byte order II/MM by
+    doc parity, PackBits on every doc_id % 3 == 0, and 3-row strips on
+    doc_id % 2 == 1 — same shared-oracle construction as the other
+    image containers (pixels identical iff every layout combination
+    round-trips losslessly)."""
+    import hashlib
+
+    import numpy as np
+
+    n_bytes = side * side * 3
+    n_chunks = (n_bytes + 15) // 16
+
+    @F.pandas_udf("binary")
+    def _tiff(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                plane = b"".join(
+                    hashlib.md5(f"{i}:{k}".encode()).digest()
+                    for k in range(n_chunks)
+                )[:n_bytes]
+                img = np.frombuffer(plane, dtype=np.uint8).reshape(
+                    side, side, 3
+                )
+                out.append(
+                    _encode_tiff(
+                        img,
+                        big_endian=bool(i % 2),
+                        packbits=(i % 3 == 0),
+                        rows_per_strip=3 if i % 2 else None,
+                    )
+                )
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _tiff("doc_id").alias("content"),
     )
 
 

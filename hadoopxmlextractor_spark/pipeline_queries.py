@@ -2405,6 +2405,20 @@ def q_multimodal_png_ahash(spark: SparkSession, sf: str) -> DataFrame:
     return M.image_ahash(media)
 
 
+@query("multimodal_tiff_ahash", O.image_ahash_oracle(side=8))
+def q_multimodal_tiff_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    # TIFF joins the natively-decoded container tier (r7) - the
+    # scanned-document format: IFD tag walk in BOTH byte orders,
+    # strip reassembly at any RowsPerStrip, PackBits RLE. The synth
+    # rotates layout per doc (II/MM by parity, PackBits every 3rd,
+    # 3-row strips on odd ids) so one aHash oracle certifies the
+    # whole decode matrix - same md5-plane arithmetic replay as the
+    # PPM/PNG/GIF/BMP routes.
+    docs = load(spark, sf, "documents")
+    media = M.synth_tiff_media(docs, side=8)
+    return M.image_ahash(media)
+
+
 @query("multimodal_png_interlaced", O.image_ahash_oracle(side=8))
 def q_multimodal_png_interlaced(spark: SparkSession, sf: str) -> DataFrame:
     # 'Exotic' PNG made native (r7): the SAME md5 pixel plane,

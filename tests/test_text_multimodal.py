@@ -1375,3 +1375,55 @@ def test_adpcm_decode_blocks_and_energy_route(spark):
     assert len(rows) == 30 * 4
     silent = sum(r.is_silence for r in rows)
     assert 0 < silent < len(rows)
+
+
+def test_tiff_codec_roundtrip_endianness_strips_packbits():
+    """TIFF (r7): every layout combination — II/MM byte order,
+    PackBits or raw, single or 3-row strips — roundtrips bit-exactly
+    on odd sizes; PackBits survives a property sweep over runny data;
+    tiled/palette/LZW TIFFs refuse to the PIL plug-in point."""
+    import struct
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_tiff,
+        _encode_tiff,
+        _packbits_decode,
+        _packbits_encode,
+    )
+
+    rng = np.random.RandomState(6)
+    for shape in [(8, 8, 3), (13, 19, 3), (1, 1, 3), (7, 3, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        for be in (False, True):
+            for pb in (False, True):
+                for rps in (None, 3):
+                    blob = _encode_tiff(
+                        img, big_endian=be, packbits=pb, rows_per_strip=rps
+                    )
+                    back = _decode_tiff(blob)
+                    assert back is not None and np.array_equal(back, img), (
+                        shape, be, pb, rps,
+                    )
+
+    for _ in range(100):
+        n = int(rng.randint(0, 300))
+        data = bytes(
+            rng.choice([0, 1, int(rng.randint(0, 256))], size=n).astype(
+                np.uint8
+            )
+        )
+        assert _packbits_decode(_packbits_encode(data), n) == data
+
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    blob = bytearray(_encode_tiff(img))
+    # flip Compression (tag 259) value to 5 (LZW): must refuse
+    ifd_off = 8
+    for t in range(9):
+        off = ifd_off + 2 + 12 * t
+        tag = struct.unpack("<H", blob[off : off + 2])[0]
+        if tag == 259:
+            blob[off + 8 : off + 10] = struct.pack("<H", 5)
+    assert _decode_tiff(bytes(blob)) is None
+    assert _decode_tiff(b"not tiff") is None
