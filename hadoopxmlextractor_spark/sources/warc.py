@@ -186,3 +186,24 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         "path", "content"
     )
     return warc_records(files)
+
+
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_warc(spark: SparkSession, path: str) -> DataFrame:
+    """CONTINUOUS WARC ingest: the streaming twin of
+    :func:`read_warc` — new .warc/.warc.gz files landing in ``path``
+    become record rows exactly once (the file-source offsets log
+    tracks which files are absorbed; a crash replays only the
+    unacknowledged batch). This is how a crawl pipeline keeps up with
+    a live fetch fleet: segments land, records flow into the
+    html-extract/quality/dedup stages, no batch scheduler in the
+    loop. The binaryFile stream source requires the schema explicitly
+    (binary sources don't infer)."""
+    files = spark.readStream.format("binaryFile").schema(
+        _BINARYFILE_SCHEMA
+    ).load(path).select("path", "content")
+    return warc_records(files)
