@@ -81,6 +81,7 @@ FRONT = [
     "text_html_extract",
     "multimodal_audio_adpcm",
     "multimodal_tiff_ahash",
+    "text_bigram_surprisal",
     # --- previously never-certified (73) ---
     "dedup_minhash_incremental",
     "dedup_window_profile",

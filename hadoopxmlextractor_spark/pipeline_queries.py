@@ -2606,6 +2606,111 @@ def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @query(
+    "text_bigram_surprisal",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id, token, tpos
+      FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+                 AS token,
+               generate_subscripts(
+                 regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS tpos
+        FROM documents WHERE trim(text) <> ''
+      )
+    ),
+    bg AS (
+      SELECT doc_id, token AS w1,
+             LEAD(token) OVER (PARTITION BY doc_id ORDER BY tpos) AS w2
+      FROM tok
+    ),
+    bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+      FROM bg2 GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1
+    ),
+    vocab AS (SELECT CAST(COUNT(DISTINCT token) AS BIGINT) AS v FROM tok),
+    terms0 AS (
+      SELECT bg2.doc_id,
+             (CAST(c1.n1 AS DOUBLE) + v.v) / (CAST(c12.n12 AS DOUBLE) + 1)
+               AS x
+      FROM bg2
+      JOIN c12 USING (w1, w2)
+      JOIN c1 USING (w1)
+      CROSS JOIN vocab v
+    ),{PM.portable_ln_ctes("terms0", "x", "lnq")},
+    terms AS (SELECT doc_id, ROUND(lnq, 6) AS term FROM pln_out),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             CAST(SUM(CAST(term AS DECIMAL(18,6))) AS DOUBLE) AS s
+      FROM terms GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           ROUND(s / n_bigrams, 6) AS avg_surprisal
+    FROM agg
+    """,
+)
+def q_text_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    # Statistical LM quality scoring (the KenLM-shaped filter every
+    # curation pipeline runs): corpus-trained add-one-smoothed bigram
+    # model, per-doc average surprisal -ln p(w2|w1) = ln((c1+V)/
+    # (c12+1)) - low = fluent/boilerplate, high = noise. The
+    # transcendental goes through portable_ln (argument q >= 1 by
+    # construction, so ln p = -portable_ln(1/p)), making a REAL
+    # log-probability hash-exact across engines: identical double
+    # division of exact counts, bit-identical ln, ROUND-then-DECIMAL
+    # ordered-free sum, one final identical division. Two count
+    # shuffles + broadcast joins back; at 100 TB the bigram count
+    # table is the only corpus-sized state and it map-side combines.
+    from pyspark.sql import Window
+
+    docs = load(spark, sf, "documents").filter(F.trim("text") != "")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(T.tokens(F.trim(F.lower(F.col("text"))))).alias(
+            "tpos", "token"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy("tpos")
+    bg = tok.select(
+        "doc_id",
+        F.col("token").alias("w1"),
+        F.lead("token").over(w).alias("w2"),
+    ).filter(F.col("w2").isNotNull())
+    c12 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    vocab = tok.agg(
+        F.countDistinct("token").cast("long").alias("v")
+    )
+    terms0 = (
+        bg.join(c12, ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "x",
+            (F.col("n1").cast("double") + F.col("v"))
+            / (F.col("n12").cast("double") + F.lit(1)),
+        )
+    )
+    terms = PM.with_portable_ln(terms0, "x", "lnq").select(
+        "doc_id", F.round(F.col("lnq"), 6).alias("term")
+    )
+    return terms.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("term").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_surprisal"),
+    )
+
+
+@query(
     "text_html_extract",
     """
     WITH h AS (

@@ -1427,3 +1427,25 @@ def test_tiff_codec_roundtrip_endianness_strips_packbits():
             blob[off + 8 : off + 10] = struct.pack("<H", 5)
     assert _decode_tiff(bytes(blob)) is None
     assert _decode_tiff(b"not tiff") is None
+
+
+def test_bigram_surprisal_separates_noise_from_fluent(spark):
+    """The LM scorer discriminates: a doc whose bigrams never repeat
+    in the corpus scores strictly higher average surprisal than docs
+    made of corpus-frequent bigrams (add-one smoothing, portable_ln
+    exactness is covered by the registry oracle)."""
+    import __spark_entry__  # noqa: F401
+    from hadoopxmlextractor_spark.queries import QUERIES
+    import tempfile
+
+    fluent = "the model trains on clean web text " * 3
+    rows = [(i, fluent, "en", "s", len(fluent)) for i in range(10)]
+    rows.append((99, "zq xv qk jw vvx qpz wzz kqj", "en", "s", 27))
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r.avg_surprisal
+           for r in QUERIES["text_bigram_surprisal"](spark, d).collect()}
+    fluent_max = max(v for k, v in out.items() if k != 99)
+    assert out[99] > fluent_max + 1.0  # noise clearly separated
