@@ -1253,3 +1253,38 @@ def test_lint_plan_flags_antipatterns_and_passes_clean_plans(spark):
     # cached scans may or may not surface ReadSchema; accept either,
     # but a normal pruned projection must NOT flag wide_scan
     assert all(f["code"] != "wide_scan" for f in lint_plan(wide))
+
+
+def test_round7_queries_pass_plan_lint(spark):
+    """Scale pre-flight over every round-7 newcomer: lint_plan must
+    find no error-severity anti-pattern (cartesian / nested-loop) and
+    no row-wise Python UDF in any of their physical plans at sf0.001
+    (the PLAN SHAPE is what transfers to 100 TB, not the volume)."""
+    import __spark_entry__  # noqa: F401
+    from hadoopxmlextractor_spark.plans.inspect import lint_plan
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    new_r7 = [
+        "multimodal_mjpeg_shots", "multimodal_audio_g711",
+        "multimodal_jpeg_progressive", "text_sentence_semdedup",
+        "multimodal_png_interlaced", "source_warc_http",
+        "text_html_extract", "multimodal_audio_adpcm",
+        "multimodal_tiff_ahash", "text_bigram_surprisal",
+    ]
+    # Documented exception: a 1-row global-scalar broadcast crossJoin
+    # (the sanctioned pattern for joining a corpus-wide aggregate back
+    # — see the search_bm25_topk stats join and operators/text.py's
+    # totals joins) compiles to BroadcastNestedLoopJoin, which the
+    # lint flags conservatively. text_bigram_surprisal broadcasts its
+    # ONE-ROW vocabulary count this way.
+    scalar_broadcast_ok = {"text_bigram_surprisal"}
+    sf = "/root/testdata/sf0.001"
+    for name in new_r7:
+        findings = lint_plan(QUERIES[name](spark, sf))
+        errors = [
+            f for f in findings
+            if f["severity"] == "error"
+            and not (f["code"] == "nested_loop" and name in scalar_broadcast_ok)
+        ]
+        rowwise = [f for f in findings if f["code"] == "rowwise_python"]
+        assert errors == [] and rowwise == [], (name, findings)
