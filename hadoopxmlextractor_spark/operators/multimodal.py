@@ -1920,9 +1920,18 @@ def _decode_tiff(blob: bytes):
         offsets = tags.get(273)
         counts = tags.get(279)
         rps = tags.get(278, [h])[0] or h
+        # PhotometricInterpretation (262) gates the pixel meaning:
+        # only MinIsBlack gray (1, spp 1) and RGB (2, spp 3) decode
+        # here. WhiteIsZero (0, common in scanned docs) would come out
+        # silently INVERTED and uncompressed YCbCr (6) would be
+        # returned unconverted — both refuse to the auditable-NULL
+        # contract instead (r7 advice).
+        photometric = tags.get(262, [None])[0]
         if (
             w <= 0 or h <= 0 or offsets is None or counts is None
             or comp not in (1, 32773) or spp not in (1, 3)
+            or (spp == 1 and photometric != 1)
+            or (spp == 3 and photometric != 2)
             or any(b != 8 for b in bits)
             or 322 in tags or 324 in tags  # tiled
             or 320 in tags  # palette

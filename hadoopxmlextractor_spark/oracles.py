@@ -1635,7 +1635,7 @@ def shared_runs_oracle(
 
 def sentence_semdedup_base_sql(
     *, dim: int = 16, chunk: int = 8, plant_doc_mod: int = 20,
-    plant_offset: int = 10**12,
+    plant_offset: int = 10**15,
 ) -> str:
     """(vec_id, v DOUBLE[]) base for the SENTENCE-level SemDeDup
     composition: '.'-split sentences (the udtf_sentence_split
@@ -1643,7 +1643,10 @@ def sentence_semdedup_base_sql(
     unpunctuated-text fallback — this corpus has no '.'), each unit
     embedded by the md5 hashing trick (same arithmetic as
     text_hashed_features) into a ``dim``-dim signed-count vector.
-    Unit id = doc_id·100000 + sentence·1000 + chunk. Plants: the
+    Unit id = doc_id·10⁸ + sentence·10⁴ + chunk (strides widened per
+    the r7 advice: room for 10⁴ sentences/doc and 8·10⁴ tokens/
+    sentence before a collision, with the Spark side raising — not
+    silently merging — past the bound). Plants: the
     first chunk of every ``plant_doc_mod``-th doc is mirrored at
     +``plant_offset`` — identical vector ⇒ live prune branch per the
     vacuous-check rule."""
@@ -1673,7 +1676,7 @@ def sentence_semdedup_base_sql(
     FROM spos
   ),
   hashed AS (
-    SELECT doc_id * 100000 + sidx * 1000 + (tpos - 1) // {chunk} AS uvid,
+    SELECT doc_id * 100000000 + sidx * 10000 + (tpos - 1) // {chunk} AS uvid,
            CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % {dim}
              AS dim_idx,
            1 - 2 * (CAST(('0x' || substring(md5(token), 9, 2)) AS BIGINT) % 2)
@@ -1687,7 +1690,7 @@ def sentence_semdedup_base_sql(
   SELECT vec_id, v FROM dense
   UNION ALL
   SELECT vec_id + {plant_offset}, v FROM dense
-  WHERE vec_id % 1000 = 0 AND (vec_id // 100000) % {plant_doc_mod} = 0"""
+  WHERE vec_id % 10000 = 0 AND (vec_id // 100000000) % {plant_doc_mod} = 0"""
 
 
 def semdedup_oracle(

@@ -2349,12 +2349,26 @@ def q_text_sentence_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         F.posexplode(T.tokens(F.lower(F.col("piece")))).alias("tpos0", "token"),
     )
     h = F.md5(F.col("token"))
+    # Unit-id packing doc·1e8 + sidx·1e4 + chunk (r7 advice: the old
+    # 1e5/1e3 strides overflowed at 100 sentences/doc or 8k-token
+    # sentences, silently MERGING distinct units). Out-of-range sidx/
+    # chunk now raises mid-expression instead of colliding — the
+    # raise_error branch is part of the projected column, so Catalyst
+    # cannot prune the guard away.
+    packed = (
+        F.col("doc_id").cast("long") * 100000000
+        + F.col("sidx").cast("long") * 10000
+        + F.expr("tpos0 div 8")
+    )
+    in_bounds = (F.col("sidx") < 10000) & (F.expr("tpos0 div 8") < 10000)
     hashed = tok.select(
-        (
-            F.col("doc_id").cast("long") * 100000
-            + F.col("sidx") * 1000
-            + F.expr("tpos0 div 8")
-        ).alias("vec_id"),
+        F.when(in_bounds, packed)
+        .otherwise(
+            F.raise_error(
+                F.lit("sentence_semdedup unit-id overflow: sidx or chunk >= 1e4")
+            ).cast("long")
+        )
+        .alias("vec_id"),
         (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim)
         .cast("int")
         .alias("dim_idx"),
@@ -2378,9 +2392,9 @@ def q_text_sentence_semdedup(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("embedding")
     )
     plants = dense.filter(
-        (F.col("vec_id") % 1000 == 0)
-        & (F.expr("(vec_id div 100000) % 20") == 0)
-    ).select((F.col("vec_id") + F.lit(10**12)).alias("vec_id"), "embedding")
+        (F.col("vec_id") % 10000 == 0)
+        & (F.expr("(vec_id div 100000000) % 20") == 0)
+    ).select((F.col("vec_id") + F.lit(10**15)).alias("vec_id"), "embedding")
     # 19/20: with a 31-token vocabulary the 9/20 doc-level default
     # prunes ~99.8% of chunks (degenerate); 0.95 keeps ~90% and prunes
     # the genuinely near-identical ones (and all 25 plants).

@@ -38,19 +38,93 @@ RECORD_SCHEMA = (
 )
 
 
-def _gunzip_members(blob: bytes) -> bytes:
+def _iter_gunzip_members(blob: bytes) -> Iterator[tuple[bytes, int]]:
     """Decompress a concatenation of gzip members (the Common Crawl
-    record-per-member layout) into one contiguous buffer."""
-    out = []
+    record-per-member layout) ONE MEMBER AT A TIME, yielding
+    (decompressed bytes, compressed end offset). Peak memory is one
+    member, not the whole file — at the ~1 GB .warc.gz segment size a
+    full-buffer decompress would hold several GB per task (r7
+    advice)."""
     data = blob
+    end = 0
     while data[:2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
-        out.append(d.flush())
+        member = d.decompress(data) + d.flush()
+        end += len(data) - len(d.unused_data)
         data = d.unused_data
+        yield member, end
     if data:
         raise ValueError("trailing non-gzip bytes in WARC")
-    return b"".join(out)
+
+
+def _drain_records(buf: bytes, next_idx: int) -> tuple[list[dict], bytes, int]:
+    """Parse every COMPLETE record at the front of ``buf``; return
+    (records, remaining bytes, next record index). An incomplete tail
+    (header or payload still arriving from a later gzip member) is
+    left in the remainder; bytes that cannot START a record raise
+    ValueError."""
+    records: list[dict] = []
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        head = buf[pos : pos + 5]
+        if len(head) == 5 and head != b"WARC/":
+            raise ValueError(f"bad record start at {pos}")
+        hdr_end = buf.find(b"\r\n\r\n", pos)
+        if len(head) < 5 or hdr_end < 0:
+            break  # incomplete header — wait for more members
+        lines = buf[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers.get("content-length", "0"))
+        end = hdr_end + 4 + length + 4
+        if n < end:
+            break  # incomplete payload — wait for more members
+        if buf[hdr_end + 4 + length : end] != b"\r\n\r\n":
+            raise ValueError("missing record separator")
+        records.append(
+            {
+                "rec_idx": next_idx,
+                "warc_type": headers.get("warc-type", ""),
+                "record_id": headers.get("warc-record-id", ""),
+                "target_uri": headers.get("warc-target-uri", ""),
+                "warc_date": headers.get("warc-date", ""),
+                "content_type": headers.get("content-type", ""),
+                "content_length": length,
+                "payload": buf[hdr_end + 4 : hdr_end + 4 + length],
+            }
+        )
+        next_idx += 1
+        pos = end
+    return records, buf[pos:], next_idx
+
+
+def iter_warc_records(blob: bytes, *, base_idx: int = 0) -> Iterator[dict]:
+    """Records of one WARC blob (plain or gzip-member concatenation),
+    yielded INCREMENTALLY: gzip members decompress one at a time into
+    a carry buffer and complete records drain out as they appear, so
+    peak memory is one record + one member regardless of file size.
+    Records are allowed to span member boundaries (the carry buffer);
+    Common Crawl's record-per-member layout drains the buffer to empty
+    after every member. Empty input and malformed bytes raise
+    ValueError — a zero-byte file must surface in the audit trail, not
+    vanish as zero rows (r7 advice)."""
+    if not blob:
+        raise ValueError("empty WARC input")
+    if blob[:2] == b"\x1f\x8b":
+        members: Iterator[bytes] = (m for m, _ in _iter_gunzip_members(blob))
+    else:
+        members = iter((bytes(blob),))
+    buf = b""
+    idx = base_idx
+    for member in members:
+        buf += member
+        records, buf, idx = _drain_records(buf, idx)
+        yield from records
+    if buf:
+        raise ValueError("truncated trailing record")
 
 
 def parse_warc(blob: bytes) -> list[dict]:
@@ -58,41 +132,212 @@ def parse_warc(blob: bytes) -> list[dict]:
     concatenation) as dicts with the headers a pipeline keys on
     (WARC-Type / WARC-Record-ID / WARC-Target-URI / WARC-Date /
     Content-Type / Content-Length) plus the raw payload bytes.
-    Malformed input raises ValueError (callers map that to the
-    auditable-NULL contract)."""
+    Malformed OR EMPTY input raises ValueError (callers map that to
+    the auditable-NULL contract). List-materializing wrapper of
+    :func:`iter_warc_records`."""
+    return list(iter_warc_records(blob))
+
+
+def _record_end(buf: bytes, pos: int) -> int:
+    """Byte offset one past the record starting at ``pos`` (header +
+    Content-Length payload + trailing CRLF CRLF). Raises ValueError on
+    a header that never terminates."""
+    hdr_end = buf.index(b"\r\n\r\n", pos)
+    length = 0
+    for line in buf[pos:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
+        k, _, v = line.partition(":")
+        if k.strip().lower() == "content-length":
+            length = int(v.strip())
+    return hdr_end + 4 + length + 4
+
+
+def split_warc_blob(blob: bytes, *, target_bytes: int = 1 << 20) -> list[dict]:
+    """The intra-file split index: ONE embarrassingly-parallel scan of
+    a WARC blob emitting (offset, length, first_rec, n_recs,
+    n_members) splits of roughly ``target_bytes`` COMPRESSED bytes
+    each, cut only at RECORD-ALIGNED boundaries — gzip-member ends
+    where the record carry buffer drains empty (Common Crawl's
+    record-per-member layout: every member end), or record ends in a
+    plain WARC. A single-member gzip (no safe interior cut) degrades
+    to one whole-file split, which is exactly the file-per-task
+    fallback. This converts SCALE.md's "few huge files → re-shard
+    first" caveat into code: the index scan is one pass per file, and
+    the ranged record reads then parallelize INSIDE the file."""
+    if not blob:
+        raise ValueError("empty WARC input")
+    cut_points: list[tuple[int, int]] = []  # (byte end, records so far)
     if blob[:2] == b"\x1f\x8b":
-        blob = _gunzip_members(blob)
-    records = []
-    pos = 0
-    while pos < len(blob):
-        if blob[pos : pos + 5] != b"WARC/":
-            raise ValueError(f"bad record start at {pos}")
-        hdr_end = blob.index(b"\r\n\r\n", pos)
-        lines = blob[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
-        headers = {}
-        for line in lines[1:]:
-            k, _, v = line.partition(":")
-            headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
-        payload = blob[hdr_end + 4 : hdr_end + 4 + length]
-        if len(payload) != length:
-            raise ValueError("truncated payload")
-        if blob[hdr_end + 4 + length : hdr_end + 8 + length] != b"\r\n\r\n":
-            raise ValueError("missing record separator")
-        records.append(
+        buf = b""
+        nrec = 0
+        for member, end in _iter_gunzip_members(blob):
+            buf += member
+            recs, buf, nrec = _drain_records(buf, nrec)
+            if not buf:
+                cut_points.append((end, nrec))
+        if buf:
+            raise ValueError("truncated trailing record")
+    else:
+        pos = 0
+        nrec = 0
+        while pos < len(blob):
+            if blob[pos : pos + 5] != b"WARC/":
+                raise ValueError(f"bad record start at {pos}")
+            pos = _record_end(blob, pos)
+            if pos > len(blob):
+                raise ValueError("truncated trailing record")
+            nrec += 1
+            cut_points.append((pos, nrec))
+    if not cut_points or cut_points[-1][0] != len(blob):
+        raise ValueError("no record-aligned end of file")
+    splits: list[dict] = []
+    start, first, n_cp = 0, 0, 0
+    for end, n in cut_points:
+        n_cp += 1
+        if end - start >= target_bytes or end == len(blob):
+            splits.append(
+                {
+                    "split_idx": len(splits),
+                    "offset": start,
+                    "length": end - start,
+                    "first_rec": first,
+                    "n_recs": n - first,
+                    "n_members": n_cp,
+                }
+            )
+            start, first, n_cp = end, n, 0
+    return splits
+
+
+SPLIT_SCHEMA = (
+    "path string, split_idx int, offset long, length long, "
+    "first_rec int, n_recs int, n_members int"
+)
+
+
+def warc_split_index(
+    files: DataFrame,
+    *,
+    target_bytes: int = 1 << 20,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """(path, content) WARC files → split-index rows via
+    :func:`split_warc_blob` — one Arrow pass, no shuffle; a malformed
+    file degrades to a single marker row (split_idx -1, NULL offsets)
+    so file-granularity auditing stays total."""
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, blob in zip(pdf[path_col], pdf[content_col]):
+                try:
+                    for s in split_warc_blob(
+                        bytes(blob), target_bytes=target_bytes
+                    ):
+                        rows.append({"path": path, **s})
+                except (ValueError, IndexError, zlib.error):
+                    rows.append(
+                        {
+                            "path": path, "split_idx": -1, "offset": None,
+                            "length": None, "first_rec": None,
+                            "n_recs": None, "n_members": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "split_idx", "offset", "length",
+                    "first_rec", "n_recs", "n_members",
+                ],
+            )
+
+    return files.select(path_col, content_col).mapInPandas(
+        _index, schema=SPLIT_SCHEMA
+    )
+
+
+def _records_rows(path: str, blob: bytes, base_idx: int) -> list[dict]:
+    try:
+        return [{"path": path, **r} for r in iter_warc_records(blob, base_idx=base_idx)]
+    except (ValueError, IndexError, zlib.error):
+        return [
             {
-                "rec_idx": len(records),
-                "warc_type": headers.get("warc-type", ""),
-                "record_id": headers.get("warc-record-id", ""),
-                "target_uri": headers.get("warc-target-uri", ""),
-                "warc_date": headers.get("warc-date", ""),
-                "content_type": headers.get("content-type", ""),
-                "content_length": length,
-                "payload": payload,
+                "path": path, "rec_idx": -1, "warc_type": None,
+                "record_id": None, "target_uri": None, "warc_date": None,
+                "content_type": None, "content_length": None, "payload": None,
             }
-        )
-        pos = hdr_end + 8 + length
-    return records
+        ]
+
+
+_RECORD_COLUMNS = [
+    "path", "rec_idx", "warc_type", "record_id", "target_uri",
+    "warc_date", "content_type", "content_length", "payload",
+]
+
+
+def warc_records_ranged(splits: DataFrame, content_col: str = "content") -> DataFrame:
+    """Split rows carrying the file bytes (path, content, offset,
+    length, first_rec) → record rows: each task slices ITS byte range
+    out of the blob and parses only that range, with ``first_rec``
+    seeding rec_idx so the union over splits is row-identical to
+    :func:`read_warc` on the whole file. In-memory twin of the ranged
+    file read in :func:`read_warc_split` (same slice+parse kernel) —
+    usable wherever the bytes are already a column."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, blob, off, ln, first in zip(
+                pdf["path"], pdf[content_col], pdf["offset"],
+                pdf["length"], pdf["first_rec"],
+            ):
+                rows.extend(
+                    _records_rows(
+                        path, bytes(blob)[int(off) : int(off) + int(ln)], int(first)
+                    )
+                )
+            yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
+
+    return splits.select(
+        "path", content_col, "offset", "length", "first_rec"
+    ).mapInPandas(_parse, schema=RECORD_SCHEMA)
+
+
+def read_warc_split(
+    spark: SparkSession, path: str, *, target_bytes: int = 1 << 20
+) -> DataFrame:
+    """The scale path for FEW-HUGE-FILES WARC corpora: binaryFile index
+    scan (:func:`warc_split_index`, one pass per file) → repartition the
+    split rows → per-split RANGED file read (seek + read exactly
+    ``length`` bytes) → record parse. Output is row-identical to
+    :func:`read_warc` (asserted in tests), but the unit of parallelism
+    is the ~``target_bytes`` split, not the file — a 100 GB segment
+    becomes ~100k tasks instead of one. Local/posix paths read via
+    seek; on an object store the same (offset, length) pairs become
+    ranged GETs."""
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    splits = warc_split_index(files, target_bytes=target_bytes).filter(
+        F.col("split_idx") >= 0
+    )
+    n_parts = spark.sparkContext.defaultParallelism
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for path, off, ln, first in zip(
+                pdf["path"], pdf["offset"], pdf["length"], pdf["first_rec"]
+            ):
+                local = path[len("file:") :] if path.startswith("file:") else path
+                with open(local, "rb") as f:
+                    f.seek(int(off))
+                    blob = f.read(int(ln))
+                rows.extend(_records_rows(path, blob, int(first)))
+            yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
+
+    return (
+        splits.repartition(n_parts, "path", "split_idx")
+        .mapInPandas(_read, schema=RECORD_SCHEMA)
+    )
 
 
 def write_warc(records: list[dict], *, gzip_members: bool = True) -> bytes:
