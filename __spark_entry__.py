@@ -22,6 +22,7 @@ import hadoopxmlextractor_spark.events_queries  # noqa: F401  (registers queries
 import hadoopxmlextractor_spark.flagship_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.pipeline_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_ext  # noqa: F401  (registers queries)
+import hadoopxmlextractor_spark.queries_r8  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.tpch_queries  # noqa: F401  (registers queries)
 from hadoopxmlextractor_spark.queries import ORACLE, QUERIES
 from hadoopxmlextractor_spark.tables import load
@@ -64,66 +65,31 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
-    # round-7 rotation (r6 verdict item 1): new round-7 operators
-    # first (never-certified by definition; names prepended as they
-    # are implemented this round), then the 73 queries that have no
-    # driver CORRECTNESS row across r01-r06, alphabetical. The driver
-    # samples the first 50; the rest queue for round 8. Ordering is
-    # presentation-only: every entry still runs in the local
+    # round-8 rotation (r7 verdict item 1): the 33 registry names with
+    # no green driver CORRECTNESS row across r01-r07 (31 never sampled
+    # plus multimodal_features / text_winnowing, whose only driver rows
+    # are r01/r02 reds — both re-verified green locally since).
+    # Regenerated from the hash_match union of CORRECTNESS_r0{1..7}.json
+    # vs the registry. New round-8 queries are prepended above this
+    # block as they land; the driver samples the first 50, so the new-
+    # query count stays <= 17 to keep all 33 inside the sample and
+    # complete certification of the full registry this round. Ordering
+    # is presentation-only: every entry still runs in the local
     # full-registry gate.
-    # --- new round-7 operators ---
-    "multimodal_mjpeg_shots",
-    "multimodal_audio_g711",
-    "multimodal_jpeg_progressive",
-    "text_sentence_semdedup",
-    "multimodal_png_interlaced",
-    "source_warc_http",
-    "text_html_extract",
-    "multimodal_audio_adpcm",
-    "multimodal_tiff_ahash",
-    "text_bigram_surprisal",
-    # --- previously never-certified (73) ---
-    "dedup_minhash_incremental",
-    "dedup_window_profile",
-    "diagnostics_key_skew",
-    "distinct_projection",
-    "embedding_data_contract",
-    "embedding_near_pairs_lsh",
-    "embedding_quantize_int8",
-    "events_ab_cuped",
-    "events_ab_srm_check",
-    "events_association_rules",
-    "events_attribution",
-    "events_bot_detection",
-    "events_churn_labels",
-    "events_cohort_triangle",
-    "events_ewma_spikes",
-    "events_funnel",
-    "events_funnel_trend",
-    "events_gap_fill",
-    "events_hopping_window",
-    "events_interval_merge",
-    "events_mad_outliers",
-    "events_markov_transitions",
-    "events_pit_training_features",
-    "events_retention",
-    "events_rfm_scores",
-    "events_rolling_wau",
-    "events_scd2_history",
-    "events_seasonality_profile",
-    "events_sequence_motif",
-    "events_stickiness",
-    "events_trend_slope",
-    "events_twap",
-    "events_zscore_topk",
-    "governance_k_anonymity",
-    "governance_masked_export",
-    "join_asof_cogroup",
-    "join_salted_hot_keys",
-    "map_functions",
-    "minhash_signatures",
-    "multimodal_audio_energy",
+    # --- new round-8 operators ---
+    "source_warc_split",
+    "multimodal_audio_mp3_meta",
+    "multimodal_audio_vorbis_meta",
+    "join_auto_salt",
+    "multimodal_audio_flac_meta",
+    "corpus_minhash_semantic_scope",
+    "text_simhash_hamming_buckets",
+    "source_warc_wet_pipeline",
+    "events_count_distinct_sliding",
+    "text_language_confidence",
+    # --- never driver-certified across r01-r07 (33) ---
     "multimodal_features",
+    "text_winnowing",
     "multimodal_image_ahash",
     "multimodal_image_neardup",
     "multimodal_video_shots",
@@ -152,7 +118,6 @@ FRONT = [
     "text_quality_classifier",
     "text_repetition",
     "text_url_blocklist",
-    "text_winnowing",
     "udaf_grouped_pandas",
     "udtf_sentence_split",
     "union_by_name_missing",

@@ -900,3 +900,98 @@ def test_warc_reader_files_members_and_malformed(spark, tmp_path):
     marker = warc_records(files).collect()
     assert len(marker) == 1 and marker[0].warc_type is None
     assert marker[0].rec_idx == -1
+
+
+def test_warc_split_index_ranged_read_equals_whole_file(spark, tmp_path):
+    """Intra-file WARC splits (r8): the gzip-member split index cuts a
+    multi-member file at record-aligned boundaries only; the ranged
+    per-split reads union to EXACTLY the whole-file read (same rows,
+    same rec_idx); splits of one file spread over >1 task; a zero-byte
+    file surfaces as the marker row instead of vanishing (r7 advice);
+    a record SPANNING gzip members still parses via the carry buffer
+    and never admits an interior cut point."""
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.sources.warc import (
+        iter_warc_records,
+        read_warc,
+        read_warc_split,
+        split_warc_blob,
+        warc_records,
+        warc_split_index,
+        write_warc,
+    )
+
+    recs = [
+        {"warc_type": "response", "record_id": f"<urn:uuid:{i}>",
+         "target_uri": f"https://example.org/{i}",
+         "content_type": "text/plain",
+         "payload": bytes([(i * 7 + j) % 251 for j in range(40 + i * 13)])}
+        for i in range(40)
+    ]
+    gz = write_warc(recs, gzip_members=True)
+    (tmp_path / "seg.warc.gz").write_bytes(gz)
+    (tmp_path / "empty.warc.gz").write_bytes(b"")
+
+    whole = sorted(
+        read_warc(spark, str(tmp_path / "seg.warc.gz")).collect(),
+        key=lambda r: r.rec_idx,
+    )
+    ranged = sorted(
+        read_warc_split(
+            spark, str(tmp_path / "seg.warc.gz"), target_bytes=512
+        ).collect(),
+        key=lambda r: r.rec_idx,
+    )
+    assert len(whole) == 40
+    assert [r.rec_idx for r in ranged] == list(range(40))
+    for a, b in zip(whole, ranged):
+        assert (a.rec_idx, a.record_id, a.content_length) == (
+            b.rec_idx, b.record_id, b.content_length
+        )
+        assert bytes(a.payload) == bytes(b.payload)
+
+    # the file really was cut, and the splits land on >1 task
+    splits = split_warc_blob(gz, target_bytes=512)
+    assert len(splits) > 4
+    assert sum(s["n_recs"] for s in splits) == 40
+    files = spark.createDataFrame(
+        [("seg", bytearray(gz))], "path string, content binary"
+    )
+    idx = warc_split_index(files, target_bytes=512)
+    n_parts = (
+        idx.repartition(8, "path", "split_idx")
+        .select(F.spark_partition_id().alias("p"))
+        .distinct()
+        .count()
+    )
+    assert n_parts > 1
+
+    # zero-byte file: marker row, not zero rows (audit stays total)
+    empty = spark.createDataFrame(
+        [("empty", bytearray(b""))], "path string, content binary"
+    )
+    marker = warc_records(empty).collect()
+    assert len(marker) == 1 and marker[0].rec_idx == -1
+
+    # a record spanning two gzip members: carry buffer parses it, and
+    # the split index refuses to cut inside it
+    plain = write_warc(recs[:3], gzip_members=False)
+    cut = len(plain) // 2
+
+    def member(b: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    spanning = member(plain[:cut]) + member(plain[cut:])
+    got = list(iter_warc_records(spanning))
+    assert [r["record_id"] for r in got] == [r["record_id"] for r in recs[:3]]
+    sp = split_warc_blob(spanning, target_bytes=1)
+    # only record-aligned member ends are cut points; the mid-record
+    # member end is not one, so a cut there can never happen
+    assert sum(s["n_recs"] for s in sp) == 3
+    for s in sp:
+        piece = spanning[s["offset"]: s["offset"] + s["length"]]
+        assert len(list(iter_warc_records(piece, base_idx=s["first_rec"]))) == s["n_recs"]
