@@ -2153,3 +2153,435 @@ def jpeg_block_values(
         .filter(F.col("vs").isNotNull())
         .select(id_col, F.posexplode("vs").alias("block_idx", "val"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawled-audio container metadata: MP3 / Ogg Vorbis / FLAC header walks
+# ---------------------------------------------------------------------------
+# The audio analogue of the image tier's header-first strategy (r7
+# verdict item 4): the three most common crawled-audio containers get a
+# full frame/page/block WALK — sync integrity, lengths, CRCs — without
+# decoding samples (full MDCT/subband decode is the ffmpeg plug-in
+# point). Metadata is what admission/routing pipelines key on:
+# duration, rate, channels, CBR/VBR.
+
+_MP3_BITRATES = (  # MPEG-1 Layer III, kbps, index 1..14 (0=free, 15=bad)
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, None,
+)
+_MP3_RATES = (44100, 48000, 32000, None)  # MPEG-1 sample-rate index
+
+
+def _parse_mp3(blob: bytes):
+    """MPEG-1 Layer III frame-header walk → metadata dict, or None for
+    anything the walk can't prove well-formed (other MPEG versions /
+    layers, free-format bitrate, a desynced frame, trailing garbage —
+    the full-decode plug-in point). Walks an optional ID3v2 prefix
+    (syncsafe size), then every frame header: the frame-length formula
+    144000·bitrate/rate + padding must land each header exactly on the
+    next sync word and the last frame exactly at EOF, so n_frames pins
+    the whole chain."""
+    pos = 0
+    meta_bytes = 0
+    if blob[:3] == b"ID3" and len(blob) >= 10:
+        size = 0
+        for b in blob[6:10]:
+            if b & 0x80:
+                return None  # syncsafe bytes carry 7 bits each
+            size = (size << 7) | b
+        pos = 10 + size
+        meta_bytes = pos
+    bitrates = []
+    sample_rate = channels = None
+    while pos < len(blob):
+        hdr = blob[pos : pos + 4]
+        if len(hdr) < 4 or hdr[0] != 0xFF or (hdr[1] & 0xE0) != 0xE0:
+            return None
+        if (hdr[1] >> 3) & 3 != 3 or (hdr[1] >> 1) & 3 != 1:
+            return None  # not MPEG-1 Layer III
+        br = _MP3_BITRATES[hdr[2] >> 4]
+        sr = _MP3_RATES[(hdr[2] >> 2) & 3]
+        if br is None or sr is None:
+            return None
+        if sample_rate is None:
+            sample_rate = sr
+            channels = 1 if (hdr[3] >> 6) == 3 else 2
+        elif sr != sample_rate:
+            return None
+        bitrates.append(br)
+        pos += 144000 * br // sr + ((hdr[2] >> 1) & 1)
+    if pos != len(blob) or not bitrates:
+        return None
+    return {
+        "codec": "mp3",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "sample_bits": None,
+        "n_units": len(bitrates),
+        "bitrate_kbps": bitrates[0],
+        "is_vbr": len(set(bitrates)) > 1,
+        "duration_ms": len(bitrates) * 1152000 // sample_rate,
+        "meta_bytes": meta_bytes,
+    }
+
+
+def _ogg_crc(data: bytes) -> int:
+    """Ogg page CRC: CRC-32, polynomial 0x04C11DB7, NON-reflected,
+    init 0, no final xor (deliberately not zlib.crc32)."""
+    table = getattr(_ogg_crc, "_table", None)
+    if table is None:
+        table = []
+        for i in range(256):
+            r = i << 24
+            for _ in range(8):
+                r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            table.append(r & 0xFFFFFFFF)
+        _ogg_crc._table = table
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ table[((crc >> 24) & 0xFF) ^ b]
+    return crc
+
+
+def _parse_ogg_vorbis(blob: bytes):
+    """Ogg page walk + Vorbis identification header → metadata dict,
+    or None when any page fails its CRC, the lacing doesn't reassemble,
+    or the first packet isn't a Vorbis id header (Opus/Theora/FLAC-in-
+    Ogg are the plug-in point). Every page's CRC is RE-COMPUTED over
+    the page with the crc field zeroed, so one flipped byte anywhere
+    refuses the file."""
+    import struct
+
+    pos = 0
+    n_pages = 0
+    last_granule = None
+    first_payload = None
+    while pos < len(blob):
+        if blob[pos : pos + 4] != b"OggS" or len(blob) < pos + 27:
+            return None
+        version, htype = blob[pos + 4], blob[pos + 5]
+        if version != 0:
+            return None
+        (granule,) = struct.unpack("<q", blob[pos + 6 : pos + 14])
+        (crc,) = struct.unpack("<I", blob[pos + 22 : pos + 26])
+        n_segs = blob[pos + 26]
+        seg_table = blob[pos + 27 : pos + 27 + n_segs]
+        if len(seg_table) < n_segs:
+            return None
+        body_len = sum(seg_table)
+        end = pos + 27 + n_segs + body_len
+        if end > len(blob):
+            return None
+        page = bytearray(blob[pos:end])
+        page[22:26] = b"\x00\x00\x00\x00"
+        if _ogg_crc(bytes(page)) != crc:
+            return None
+        if n_pages == 0:
+            first_payload = blob[pos + 27 + n_segs : end]
+        if granule >= 0:
+            last_granule = granule
+        n_pages += 1
+        pos = end
+    if n_pages == 0 or first_payload is None:
+        return None
+    p = first_payload
+    if len(p) < 30 or p[:7] != b"\x01vorbis":
+        return None
+    (vorbis_version,) = struct.unpack("<I", p[7:11])
+    if vorbis_version != 0 or p[29] & 1 != 1:  # framing bit
+        return None
+    channels = p[11]
+    (sample_rate,) = struct.unpack("<I", p[12:16])
+    br_max, br_nom, br_min = struct.unpack("<iii", p[16:28])
+    if sample_rate <= 0 or channels <= 0:
+        return None
+    return {
+        "codec": "vorbis",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "sample_bits": None,
+        "n_units": n_pages,
+        "bitrate_kbps": br_nom // 1000 if br_nom > 0 else None,
+        "is_vbr": not (br_max == br_min == br_nom),
+        "duration_ms": (
+            last_granule * 1000 // sample_rate
+            if last_granule is not None
+            else None
+        ),
+        "meta_bytes": len(first_payload),
+    }
+
+
+def _parse_flac(blob: bytes):
+    """FLAC metadata-block walk + STREAMINFO bit unpack → metadata
+    dict, or None on a malformed stream. STREAMINFO must be the first
+    block (spec); later blocks (padding, vorbis-comment, …) are walked
+    by length until the last-block flag, so meta_bytes pins the whole
+    chain."""
+    import struct
+
+    if blob[:4] != b"fLaC" or len(blob) < 8:
+        return None
+    pos = 4
+    streaminfo = None
+    while True:
+        if len(blob) < pos + 4:
+            return None
+        hdr = blob[pos]
+        btype = hdr & 0x7F
+        (length,) = struct.unpack(">I", b"\x00" + blob[pos + 1 : pos + 4])
+        body = blob[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            return None
+        if pos == 4:
+            if btype != 0 or length != 34:
+                return None  # STREAMINFO must come first
+            streaminfo = body
+        pos += 4 + length
+        if hdr & 0x80:
+            break
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    sample_rate = packed >> 44
+    channels = ((packed >> 41) & 0x7) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    total_samples = packed & ((1 << 36) - 1)
+    if sample_rate == 0:
+        return None
+    return {
+        "codec": "flac",
+        "sample_rate": sample_rate,
+        "channels": channels,
+        "sample_bits": bits,
+        "n_units": total_samples,
+        "bitrate_kbps": None,
+        "is_vbr": None,
+        "duration_ms": total_samples * 1000 // sample_rate,
+        "meta_bytes": pos - 4,
+    }
+
+
+AUDIO_META_SCHEMA = (
+    "media_id long, codec string, sample_rate int, channels int, "
+    "sample_bits int, n_units long, bitrate_kbps int, is_vbr boolean, "
+    "duration_ms long, meta_bytes long"
+)
+
+
+def audio_container_meta(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Container metadata for crawled audio — MP3 frame walk, Ogg
+    Vorbis page walk (CRC-verified), FLAC STREAMINFO — dispatched on
+    magic bytes in ONE Arrow pass, no shuffle. Unrecognized or
+    malformed blobs yield a codec-NULL row (the auditable-NULL
+    contract; full sample decode is the ffmpeg plug-in point). At
+    100 TB this is embarrassingly parallel per blob and reads only
+    headers-adjacent bytes of each value."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        cols = [
+            "media_id", "codec", "sample_rate", "channels", "sample_bits",
+            "n_units", "bitrate_kbps", "is_vbr", "duration_ms", "meta_bytes",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                meta = None
+                if blob is not None:
+                    b = bytes(blob)
+                    try:
+                        if b[:3] == b"ID3" or b[:1] == b"\xff":
+                            meta = _parse_mp3(b)
+                        elif b[:4] == b"OggS":
+                            meta = _parse_ogg_vorbis(b)
+                        elif b[:4] == b"fLaC":
+                            meta = _parse_flac(b)
+                    except (ValueError, IndexError, struct.error):
+                        meta = None
+                if meta is None:
+                    meta = {
+                        "codec": None, "sample_rate": None, "channels": None,
+                        "sample_bits": None, "n_units": None,
+                        "bitrate_kbps": None, "is_vbr": None,
+                        "duration_ms": None, "meta_bytes": None,
+                    }
+                rows.append({"media_id": mid, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, content_col).mapInPandas(
+        _meta, schema=AUDIO_META_SCHEMA
+    )
+
+
+def synth_mp3_media(docs: DataFrame) -> DataFrame:
+    """Deterministic MP3 per document, md5-parameterized so an oracle
+    replays every field: sample-rate index b0%3, 3+b1%6 frames,
+    bitrate index b2%14+1 (CONSTANT for even doc_ids, +j per frame for
+    odd — a real VBR stream), channel mode b4%4, per-frame padding bit
+    (i+j)%2, and an ID3v2 prefix of 10+(b3%100+10) bytes on every 3rd
+    doc. Frame bodies are filler — the walk checks lengths, not
+    samples."""
+    import hashlib
+
+    @F.pandas_udf("binary")
+    def _mp3(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:mp3".encode()).digest()
+                sr = _MP3_RATES[b[0] % 3]
+                n_frames = 3 + b[1] % 6
+                mode = b[4] % 4
+                parts = []
+                if i % 3 == 0:
+                    tag = b[3] % 100 + 10
+                    parts.append(
+                        b"ID3\x04\x00\x00"
+                        + bytes([0, 0, tag >> 7, tag & 0x7F])
+                        + b"\x00" * tag
+                    )
+                for j in range(n_frames):
+                    idx = (b[2] + (j if i % 2 else 0)) % 14 + 1
+                    br = _MP3_BITRATES[idx]
+                    pad = (int(i) + j) % 2
+                    flen = 144000 * br // sr + pad
+                    hdr = bytes(
+                        [
+                            0xFF,
+                            0xFB,  # MPEG-1 Layer III, no CRC
+                            (idx << 4) | ((b[0] % 3) << 2) | (pad << 1),
+                            mode << 6,
+                        ]
+                    )
+                    parts.append(hdr + b"\x55" * (flen - 4))
+                out.append(b"".join(parts))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        _mp3("doc_id").alias("content"),
+    )
+
+
+def synth_vorbis_media(docs: DataFrame) -> DataFrame:
+    """Deterministic Ogg Vorbis per document: a BOS page carrying the
+    identification header (channels b0%2+1, rate from a 4-entry table
+    on b1, nominal bitrate (b2%14+1)·16000; odd doc_ids get VBR
+    min/max bounds) followed by 1+b3%4 filler pages whose granule
+    positions step by 256+b4 samples — every page CRC-stamped with the
+    real Ogg polynomial so the decoder's CRC verify is live."""
+    import hashlib
+    import struct
+
+    rates = (8000, 16000, 22050, 44100)
+
+    def _page(serial, seq, granule, htype, payload):
+        segs = bytes([255] * (len(payload) // 255) + [len(payload) % 255])
+        head = (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial)
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"
+            + bytes([len(segs)])
+            + segs
+        )
+        crc = _ogg_crc(head + payload)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + payload
+
+    @F.pandas_udf("binary")
+    def _ogg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:ogg".encode()).digest()
+                channels = b[0] % 2 + 1
+                sr = rates[b[1] % 4]
+                nom = (b[2] % 14 + 1) * 16000
+                br_min, br_max = (nom // 2, nom * 2) if i % 2 else (nom, nom)
+                ident = (
+                    b"\x01vorbis"
+                    + struct.pack("<I", 0)
+                    + bytes([channels])
+                    + struct.pack("<I", sr)
+                    + struct.pack("<iii", br_max, nom, br_min)
+                    + bytes([0xB8])  # blocksizes 256/2048
+                    + b"\x01"
+                )
+                n_body = 1 + b[3] % 4
+                spp = 256 + b[4]
+                pages = [_page(int(i), 0, 0, 2, ident)]
+                for p in range(1, n_body + 1):
+                    filler = hashlib.md5(f"{i}:oggp{p}".encode()).digest() * 4
+                    pages.append(
+                        _page(
+                            int(i), p, p * spp,
+                            4 if p == n_body else 0, filler,
+                        )
+                    )
+                out.append(b"".join(pages))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        _ogg("doc_id").alias("content"),
+    )
+
+
+def synth_flac_media(docs: DataFrame) -> DataFrame:
+    """Deterministic FLAC per document: STREAMINFO (rate from a
+    4-entry table on b0, channels b1%8+1, bits 8/16/24 on b2, total
+    samples 1000+(b3·256+b4)) followed by a PADDING block of b5%50+4
+    bytes on every 2nd doc (exercising the multi-block walk), then
+    filler 'frame' bytes the walk must NOT read."""
+    import hashlib
+    import struct
+
+    rates = (8000, 16000, 44100, 96000)
+
+    @F.pandas_udf("binary")
+    def _flac(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:flac".encode()).digest()
+                sr = rates[b[0] % 4]
+                channels = b[1] % 8 + 1
+                bits = (8, 16, 24)[b[2] % 3]
+                total = 1000 + (b[3] << 8 | b[4])
+                packed = (
+                    (sr << 44)
+                    | ((channels - 1) << 41)
+                    | ((bits - 1) << 36)
+                    | total
+                )
+                streaminfo = (
+                    struct.pack(">HH", 1024, 1024)
+                    + (b"\x00" * 6)
+                    + packed.to_bytes(8, "big")
+                    + hashlib.md5(f"{i}:flacmd5".encode()).digest()
+                )
+                has_pad = i % 2 == 0
+                blocks = [
+                    bytes([0x00 if has_pad else 0x80])
+                    + struct.pack(">I", 34)[1:]
+                    + streaminfo
+                ]
+                if has_pad:
+                    pad = b[5] % 50 + 4
+                    blocks.append(
+                        bytes([0x81]) + struct.pack(">I", pad)[1:] + b"\x00" * pad
+                    )
+                frames = hashlib.md5(f"{i}:flacf".encode()).digest()
+                out.append(b"fLaC" + b"".join(blocks) + frames)
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        _flac("doc_id").alias("content"),
+    )

@@ -118,3 +118,145 @@ def q_source_warc_split(spark: SparkSession, sf: str) -> DataFrame:
             (F.col("n_splits") > 1).alias("multi_split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawled-audio container metadata (r7 verdict item 4)
+# ---------------------------------------------------------------------------
+
+_MD5B = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), "
+    "{pos}, 2)) AS BIGINT)"
+)
+
+
+def _b(salt: str, k: int) -> str:
+    """SQL for byte k of md5(doc_id:salt) — the synth parameter replay."""
+    return _MD5B.format(salt=salt, pos=2 * k + 1)
+
+
+@query(
+    "multimodal_audio_mp3_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('mp3', 0)} AS b0, {_b('mp3', 1)} AS b1,
+             {_b('mp3', 2)} AS b2, {_b('mp3', 3)} AS b3, {_b('mp3', 4)} AS b4
+      FROM documents
+    ), q AS (
+      SELECT doc_id, b1, b2, b3, b4,
+             CASE b0 % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sr
+      FROM p
+    )
+    SELECT doc_id AS media_id, 'mp3' AS codec,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(CASE WHEN b4 % 4 = 3 THEN 1 ELSE 2 END AS INT) AS channels,
+           CAST(NULL AS INT) AS sample_bits,
+           CAST(3 + b1 % 6 AS BIGINT) AS n_units,
+           CAST(([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+                [b2 % 14 + 1] AS INT) AS bitrate_kbps,
+           (doc_id % 2 = 1) AS is_vbr,
+           CAST((3 + b1 % 6) * 1152000 // sr AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 20 + b3 % 100
+                ELSE 0 END AS BIGINT) AS meta_bytes
+    FROM q
+    """,
+)
+def q_multimodal_audio_mp3_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # MP3 joins the natively-walked container tier (the audio analogue
+    # of the JPEG header-first strategy): an MPEG-1 Layer III frame-
+    # header walk — ID3v2 syncsafe skip, bitrate/rate table lookups,
+    # the 144000·br/sr+pad frame-length chain that must land every
+    # header on a sync word and the last frame exactly at EOF — so
+    # n_units pins the whole walk, and the VBR flag pins per-frame
+    # header reads (odd docs step the bitrate index each frame). The
+    # oracle replays every md5-drawn synth parameter; full sample
+    # decode stays the ffmpeg plug-in point.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    return M.audio_container_meta(M.synth_mp3_media(docs))
+
+
+@query(
+    "multimodal_audio_vorbis_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('ogg', 0)} AS b0, {_b('ogg', 1)} AS b1,
+             {_b('ogg', 2)} AS b2, {_b('ogg', 3)} AS b3, {_b('ogg', 4)} AS b4
+      FROM documents
+    ), q AS (
+      SELECT doc_id, b0, b2, b3, b4,
+             ([8000,16000,22050,44100])[b1 % 4 + 1] AS sr
+      FROM p
+    )
+    SELECT doc_id AS media_id, 'vorbis' AS codec,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(b0 % 2 + 1 AS INT) AS channels,
+           CAST(NULL AS INT) AS sample_bits,
+           CAST(2 + b3 % 4 AS BIGINT) AS n_units,
+           CAST((b2 % 14 + 1) * 16 AS INT) AS bitrate_kbps,
+           (doc_id % 2 = 1) AS is_vbr,
+           CAST((1 + b3 % 4) * (256 + b4) * 1000 // sr AS BIGINT)
+             AS duration_ms,
+           CAST(30 AS BIGINT) AS meta_bytes
+    FROM q
+    """,
+)
+def q_multimodal_audio_vorbis_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # Ogg Vorbis page walk with LIVE CRC verification: every synth
+    # page is stamped with the real Ogg CRC-32 (0x04C11DB7,
+    # non-reflected) and the decoder re-computes it over the
+    # crc-zeroed page — one flipped byte anywhere refuses the file
+    # (unit-tested), so page count, lacing reassembly, granule
+    # positions (duration), and the identification-header fields are
+    # all on the exact-oracle path. Opus/Theora-in-Ogg remain the
+    # plug-in point.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    return M.audio_container_meta(M.synth_vorbis_media(docs))
+
+
+@query(
+    "multimodal_audio_flac_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('flac', 0)} AS b0, {_b('flac', 1)} AS b1,
+             {_b('flac', 2)} AS b2, {_b('flac', 3)} AS b3,
+             {_b('flac', 4)} AS b4, {_b('flac', 5)} AS b5
+      FROM documents
+    ), q AS (
+      SELECT doc_id, b1, b2, b5,
+             ([8000,16000,44100,96000])[b0 % 4 + 1] AS sr,
+             1000 + b3 * 256 + b4 AS total
+      FROM p
+    )
+    SELECT doc_id AS media_id, 'flac' AS codec,
+           CAST(sr AS INT) AS sample_rate,
+           CAST(b1 % 8 + 1 AS INT) AS channels,
+           CAST(([8,16,24])[b2 % 3 + 1] AS INT) AS sample_bits,
+           CAST(total AS BIGINT) AS n_units,
+           CAST(NULL AS INT) AS bitrate_kbps,
+           FALSE AS is_vbr,
+           CAST(total * 1000 // sr AS BIGINT) AS duration_ms,
+           CAST(38 + CASE WHEN doc_id % 2 = 0 THEN 8 + b5 % 50
+                     ELSE 0 END AS BIGINT) AS meta_bytes
+    FROM q
+    """,
+)
+def q_multimodal_audio_flac_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # FLAC STREAMINFO bit-unpack (20-bit rate / 3-bit channels / 5-bit
+    # bps / 36-bit total samples out of one 64-bit big-endian word)
+    # plus the multi-block metadata walk — every 2nd doc carries a
+    # PADDING block the walk must traverse by length, pinned by
+    # meta_bytes; the trailing fake frame bytes must NOT be read.
+    # Lossless-audio corpora route on exactly these fields. is_vbr is
+    # meaningless for lossless FLAC — pinned FALSE on both sides (a
+    # NULL boolean stringifies as 'None' in Spark vs 'nan' in the
+    # DuckDB-pandas path, a canonicalizer hazard, never a semantic).
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    meta = M.audio_container_meta(M.synth_flac_media(docs))
+    return meta.withColumn("is_vbr", F.coalesce("is_vbr", F.lit(False)))

@@ -1449,3 +1449,69 @@ def test_bigram_surprisal_separates_noise_from_fluent(spark):
            for r in QUERIES["text_bigram_surprisal"](spark, d).collect()}
     fluent_max = max(v for k, v in out.items() if k != 99)
     assert out[99] > fluent_max + 1.0  # noise clearly separated
+
+
+def test_audio_container_meta_walks_and_refusals(spark):
+    """r8 audio tier: MP3 frame walk, CRC-verified Ogg Vorbis pages,
+    FLAC STREAMINFO — plus the refusal matrix: a flipped Ogg byte
+    fails its page CRC, a truncated MP3 desyncs, MPEG-2/Layer-II
+    headers refuse, and unknown magic degrades to the codec-NULL row
+    (auditable-NULL contract)."""
+    import hashlib
+    import struct
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _ogg_crc,
+        _parse_mp3,
+        _parse_ogg_vorbis,
+        audio_container_meta,
+        synth_flac_media,
+        synth_mp3_media,
+        synth_vorbis_media,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    for synth, codec in (
+        (synth_mp3_media, "mp3"),
+        (synth_vorbis_media, "vorbis"),
+        (synth_flac_media, "flac"),
+    ):
+        rows = audio_container_meta(synth(docs)).collect()
+        assert len(rows) == 12
+        assert all(r.codec == codec for r in rows)
+        assert all(r.sample_rate > 0 and r.duration_ms >= 0 for r in rows)
+    # mp3: vbr exactly on odd ids; ID3 meta bytes on every 3rd
+    mp3 = {r.media_id: r for r in audio_container_meta(synth_mp3_media(docs)).collect()}
+    assert all(mp3[i].is_vbr == (i % 2 == 1) for i in range(12))
+    assert all((mp3[i].meta_bytes > 0) == (i % 3 == 0) for i in range(12))
+
+    # refusal matrix (pure parsers)
+    # MPEG-2 version bits refuse
+    assert _parse_mp3(bytes([0xFF, 0xF3, 0x92, 0x00]) + b"\x00" * 200) is None
+    # Layer II refuses
+    assert _parse_mp3(bytes([0xFF, 0xFD, 0x92, 0x00]) + b"\x00" * 200) is None
+    # vorbis: flip one payload byte -> CRC refuses
+    def page(payload):
+        segs = bytes([len(payload)])
+        head = (b"OggS\x00\x02" + struct.pack("<q", 0)
+                + struct.pack("<I", 1) + struct.pack("<I", 0)
+                + b"\x00\x00\x00\x00" + bytes([1]) + segs)
+        crc = _ogg_crc(head + payload)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + payload
+
+    ident = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([1])
+             + struct.pack("<I", 8000) + struct.pack("<iii", 0, 64000, 0)
+             + bytes([0xB8]) + b"\x01")
+    good = page(ident)
+    assert _parse_ogg_vorbis(good) is not None
+    bad = bytearray(good)
+    bad[-5] ^= 1
+    assert _parse_ogg_vorbis(bytes(bad)) is None
+
+    # unknown magic -> codec-NULL marker row through the operator
+    junk = spark.createDataFrame(
+        [(99, bytearray(hashlib.md5(b"junk").digest()))],
+        "media_id long, content binary",
+    )
+    row = audio_container_meta(junk).collect()[0]
+    assert row.media_id == 99 and row.codec is None and row.sample_rate is None
