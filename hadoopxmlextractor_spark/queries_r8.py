@@ -260,3 +260,77 @@ def q_multimodal_audio_flac_meta(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     meta = M.audio_container_meta(M.synth_flac_media(docs))
     return meta.withColumn("is_vbr", F.coalesce("is_vbr", F.lit(False)))
+
+
+# ---------------------------------------------------------------------------
+# Skew-adaptive join (r7 verdict item 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_auto_salt",
+    """
+    WITH dim AS (
+      SELECT DISTINCT user_id AS uid, user_id * 13 % 101 AS attr FROM events
+    ),
+    zf AS (
+      SELECT CASE WHEN event_id % 2 = 0 THEN 7 ELSE user_id END AS uid,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    uf AS (
+      SELECT user_id AS uid, CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT 'zipf' AS regime, z.uid, d.attr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(z.cents) AS BIGINT) AS sum_cents
+    FROM zf z JOIN dim d ON z.uid = d.uid
+    GROUP BY z.uid, d.attr
+    UNION ALL
+    SELECT 'uniform' AS regime, u.uid, d.attr,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(u.cents) AS BIGINT) AS sum_cents
+    FROM uf u JOIN dim d ON u.uid = d.uid
+    GROUP BY u.uid, d.attr
+    """,
+)
+def q_join_auto_salt(spark: SparkSession, sf: str) -> DataFrame:
+    # Skew-ADAPTIVE join, generalized from the per-operator zipf
+    # guards: operators.skew.join_auto_salt probes exact top-k key
+    # frequencies (one map-side-combined agg + a bounded 20-row
+    # collect) and salts ONLY when a key exceeds hot_share of rows.
+    # Two regimes through the SAME operator in one query: a planted
+    # ~50%-hot key (every even event rerouted to uid 7 — the viral-
+    # user shape) and the organic uniform distribution. The oracle is
+    # the PLAIN join for both, so the salted hot/cold split must be
+    # row-identical to the naive plan; the decision ledger and the
+    # salted-only-when-needed plan shape are pinned by unit test.
+    from hadoopxmlextractor_spark.operators import skew as K
+
+    ev = load(spark, sf, "events").select("event_id", "user_id", "value")
+    cents = F.round(F.col("value") * 100).cast("long").alias("cents")
+    dim = (
+        ev.select(F.col("user_id").alias("uid"))
+        .distinct()
+        .withColumn("attr", F.col("uid") * 13 % 101)
+    )
+    zf = ev.select(
+        F.when(F.col("event_id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("user_id"))
+        .alias("uid"),
+        cents,
+    )
+    uf = ev.select(F.col("user_id").alias("uid"), cents)
+
+    def agg(joined: DataFrame, regime: str) -> DataFrame:
+        return joined.groupBy("uid", "attr").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").alias("sum_cents"),
+        ).select(
+            F.lit(regime).alias("regime"), "uid", "attr", "n_rows", "sum_cents"
+        )
+
+    return agg(K.join_auto_salt(zf, dim, "uid"), "zipf").unionByName(
+        agg(K.join_auto_salt(uf, dim, "uid"), "uniform")
+    )

@@ -1288,3 +1288,54 @@ def test_round7_queries_pass_plan_lint(spark):
         ]
         rowwise = [f for f in findings if f["code"] == "rowwise_python"]
         assert errors == [] and rowwise == [], (name, findings)
+
+
+def test_join_auto_salt_salts_only_when_skewed(spark):
+    """r8 skew-adaptive join: a planted 40%-hot key triggers the
+    salted hot/cold split (explode in the plan, decision recorded,
+    result row-identical to the plain join); a uniform key keeps the
+    plain single-join plan (no explode, no salt column)."""
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.skew import (
+        AUTO_SALT_DECISIONS,
+        join_auto_salt,
+    )
+
+    dim = spark.createDataFrame(
+        [(k, k * 11) for k in range(100)], "k long, attr long"
+    )
+    uniform = spark.range(1000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    skewed = spark.range(1000).select(
+        F.when(F.col("id") % 5 != 0, F.lit(3))
+        .otherwise(F.col("id") % 10)
+        .alias("k"),
+        F.col("id").alias("v"),
+    )
+
+    def rows(df):
+        return sorted((r.k, r.v, r.attr) for r in df.collect())
+
+    n0 = len(AUTO_SALT_DECISIONS)
+    u = join_auto_salt(uniform, dim, "k")
+    assert rows(u) == rows(uniform.join(dim, "k"))
+    assert AUTO_SALT_DECISIONS[n0]["salted"] is False
+    assert "_salt" not in u._jdf.queryExecution().optimizedPlan().toString()
+
+    s = join_auto_salt(skewed, dim, "k")
+    assert rows(s) == rows(skewed.join(dim, "k"))
+    d = AUTO_SALT_DECISIONS[n0 + 1]
+    assert d["salted"] is True and 3 in d["hot_keys"]
+    assert d["top1_share"] > 0.5
+    plan = s._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan and "explode" in plan.lower()
+
+    # left join keeps unmatched hot rows exactly once
+    dim_missing_hot = dim.filter(F.col("k") != 3)
+    lt = join_auto_salt(skewed, dim_missing_hot, "k", how="left")
+    plain = skewed.join(dim_missing_hot, "k", "left")
+    assert sorted((r.k, r.v, r.attr) for r in lt.collect()) == sorted(
+        (r.k, r.v, r.attr) for r in plain.collect()
+    )
