@@ -400,6 +400,24 @@ def minhash_signatures(
     interpreted higher-order shingle expressions into filter
     predicates (see :func:`shingle_hashes`). No shuffle either way.
     """
+    base = ensure_min_parallelism(df.select(id_col, text_col))
+    sig = minhash_signature_udf(
+        num_hashes=num_hashes, shingle_n=shingle_n, seed=seed
+    )
+    return base.select(
+        F.col(id_col).alias("doc"), sig(F.col(text_col)).alias("signature")
+    )
+
+
+def minhash_signature_udf(
+    *, num_hashes: int = 128, shingle_n: int = 3, seed: int = 42
+):
+    """Column-level form of :func:`minhash_signatures` (closure
+    factory per the pandas_udf parameter rule): text column →
+    ``array<long>`` signature, so callers that need to CARRY extra
+    columns (e.g. a semantic scope) through the signature step compute
+    it in place instead of joining the scope back on afterwards — at
+    100 TB that join-back would be a corpus-sized shuffle."""
     import numpy as np
 
     params = _minhash_params(num_hashes, seed)
@@ -422,10 +440,7 @@ def minhash_signatures(
                 out.append(((A * hs[None, :] + B) % _MERSENNE31).min(axis=1).tolist())
             yield pd.Series(out)
 
-    base = ensure_min_parallelism(df.select(id_col, text_col))
-    return base.select(
-        F.col(id_col).alias("doc"), _signature(F.col(text_col)).alias("signature")
-    )
+    return _signature
 
 
 def minhash_lsh_candidates(
@@ -468,6 +483,54 @@ def minhash_lsh_candidates(
         a.join(b, ["band", "bucket"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_candidates_scoped(
+    signatures: DataFrame,
+    scope_cols: list[str],
+    *,
+    bands: int,
+    rows_per_band: int,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """:func:`minhash_lsh_candidates` with a SEMANTIC SCOPE: candidate
+    pairs must share ≥1 band bucket AND every ``scope_cols`` value
+    (language, source, license tier, …). The scope rides the band-join
+    KEY — never a post-filter — so the shuffle only co-locates rows
+    that could legally pair: at 100 TB scoping both shrinks the
+    buckets (an identical boilerplate page in 40 languages stops being
+    one 40×-quadratic bucket) and removes the cross-scope candidate
+    tail before it is ever materialized. Output keeps the scope
+    columns (identical on both sides by construction)."""
+    key = ["band", "bucket", *scope_cols]
+    banded = signatures.select(
+        "doc",
+        *scope_cols,
+        F.posexplode(
+            F.array(
+                *[
+                    F.hash(F.slice("signature", k * rows_per_band + 1, rows_per_band))
+                    for k in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    if max_bucket is not None:
+        big = (
+            banded.groupBy(*key)
+            .agg(F.count(F.lit(1)).alias("sz"))
+            .filter(F.col("sz") > max_bucket)
+            .select(*key)
+        )
+        banded = banded.join(big, key, "left_anti")
+    a = banded.select(*key, F.col("doc").alias("doc_a"))
+    b = banded.select("band", "bucket", *scope_cols, F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, key)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", *scope_cols)
         .distinct()
     )
 

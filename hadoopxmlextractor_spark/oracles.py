@@ -108,7 +108,74 @@ def minhash_lsh_oracle(
     """
 
 
-def simhash_oracle(*, max_hamming: int = 7) -> str:
+def minhash_lsh_scoped_oracle(
+    *,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.5,
+    seed: int = 42,
+    scope_mod: int = 50,
+) -> str:
+    """Replay of the SCOPED LSH composition (near-dup candidates must
+    share ≥1 band AND the (lang, source) scope): same signatures and
+    banding as :func:`minhash_lsh_oracle`, with the scope joined on
+    from ``documents`` and folded into the pair-join predicate — plus
+    the planted evidence the vacuous-check rule requires: every
+    ``scope_mod``-th doc is mirrored TWICE at identical text, once in
+    the SAME scope (+1e6 — must pair with its original) and once in a
+    ':mirror' source (+2e6 — must NOT pair with it), so both the
+    match and the suppression branch of the scope predicate are
+    provably live. Signatures are copied to the plants (identical
+    text ⇒ identical signature ⇒ no recompute)."""
+    rows_per_band = num_hashes // bands
+    params = _minhash_params(num_hashes, seed)
+    values = ", ".join(f"({j}, {a}, {b})" for j, (a, b) in enumerate(params))
+    band_eq = " AND ".join(
+        f"sa[{rows_per_band}*k + {r + 1}] = sb[{rows_per_band}*k + {r + 1}]"
+        for r in range(rows_per_band)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    params(j, a, b) AS (VALUES {values}),
+    sigs0 AS (
+      SELECT doc_id, list(m ORDER BY j) AS sig
+      FROM (SELECT hx.doc_id, p.j, MIN((p.a * hx.x + p.b) % {_MERSENNE31}) AS m
+            FROM hx CROSS JOIN params p GROUP BY hx.doc_id, p.j)
+      GROUP BY doc_id
+    ),
+    scoped0 AS MATERIALIZED (
+      SELECT s.doc_id, d.lang, d.source, s.sig
+      FROM sigs0 s JOIN documents d USING (doc_id)
+    ),
+    scoped AS MATERIALIZED (
+      SELECT doc_id, lang, source, sig FROM scoped0
+      UNION ALL
+      SELECT doc_id + 1000000, lang, source, sig
+      FROM scoped0 WHERE doc_id % {scope_mod} = 0
+      UNION ALL
+      SELECT doc_id + 2000000, lang, source || ':mirror', sig
+      FROM scoped0 WHERE doc_id % {scope_mod} = 0
+    ),
+    scored AS (
+      SELECT doc_a, doc_b, lang, source,
+             len(list_filter(range({num_hashes}), i -> sa[i+1] = sb[i+1]))
+               / {float(num_hashes)} AS est_jaccard,
+             len(list_filter(range({bands}), k -> {band_eq})) AS shared_bands
+      FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.lang, a.source, a.sig AS sa, b.sig AS sb
+            FROM scoped a JOIN scoped b
+              ON a.doc_id < b.doc_id
+             AND a.lang = b.lang AND a.source = b.source)
+    )
+    SELECT doc_a, doc_b, est_jaccard, lang, source
+    FROM scored WHERE shared_bands > 0 AND est_jaccard >= {threshold}
+    """
+
+
+def _simhash_sims_prefix() -> str:
+    """WITH-chain ending at ``sims`` (doc_id, sh BIGINT simhash) — the
+    shared 64-lane SimHash replay used by both the near-pair oracle
+    and the bucket-histogram oracle."""
     lanes = ", ".join(
         f"({l}, {1 << l}::HUGEINT, "
         + (str(1 << l) if l < 63 else "(-9223372036854775807 - 1)")
@@ -140,12 +207,52 @@ def simhash_oracle(*, max_hamming: int = 7) -> str:
         SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN wt ELSE 0 END) AS BIGINT) AS sh
         FROM votes GROUP BY doc_id
       ) s USING (doc_id)
-    )
+    )"""
+
+
+def simhash_oracle(*, max_hamming: int = 7) -> str:
+    return (
+        _simhash_sims_prefix()
+        + f"""
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
     FROM sims a JOIN sims b ON a.doc_id < b.doc_id
     WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
     """
+    )
+
+
+def simhash_bucket_histogram_oracle(*, min_size: int = 2) -> str:
+    """Replay of the SimHash LSH bucket histogram: the 8×8-bit
+    pigeonhole chunks of every document's simhash, grouped to
+    (chunk_idx, chunk_val) bucket sizes and candidate-pair loads —
+    the observability surface behind simhash_near_pairs' max_bucket
+    cap. Unsigned chunk extraction goes through the same HUGEINT
+    two's-complement lift as the vote fold."""
+    divisors = ", ".join(f"({k}, {1 << (8 * k)})" for k in range(8))
+    return (
+        _simhash_sims_prefix()
+        + f""",
+    su AS (
+      SELECT doc_id,
+             CAST(sh AS HUGEINT)
+             + CASE WHEN sh < 0 THEN 18446744073709551616::HUGEINT
+                    ELSE 0::HUGEINT END AS u
+      FROM sims
+    ),
+    chunkdiv(k, d) AS (VALUES {divisors}),
+    chunks AS (
+      SELECT CAST(c.k AS INT) AS chunk_idx,
+             CAST((su.u // c.d) % 256 AS INT) AS chunk_val
+      FROM su CROSS JOIN chunkdiv c
+    )
+    SELECT chunk_idx, chunk_val,
+           CAST(COUNT(*) AS BIGINT) AS bucket_size,
+           CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_candidate_pairs
+    FROM chunks GROUP BY chunk_idx, chunk_val
+    HAVING COUNT(*) >= {min_size}
+    """
+    )
 
 
 def prefix_filter_oracle(*, pct: int = 50) -> str:

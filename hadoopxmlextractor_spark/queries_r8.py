@@ -16,6 +16,7 @@ import pandas as pd  # noqa: F401  (pandas_udf string annotations)
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hadoopxmlextractor_spark import oracles as O
 from hadoopxmlextractor_spark.queries import query
 from hadoopxmlextractor_spark.tables import load
 
@@ -333,4 +334,111 @@ def q_join_auto_salt(spark: SparkSession, sf: str) -> DataFrame:
 
     return agg(K.join_auto_salt(zf, dim, "uid"), "zipf").unionByName(
         agg(K.join_auto_salt(uf, dim, "uid"), "uniform")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scoped near-dup + SimHash LSH observability
+# ---------------------------------------------------------------------------
+
+
+@query("corpus_minhash_semantic_scope", O.minhash_lsh_scoped_oracle())
+def q_corpus_minhash_semantic_scope(spark: SparkSession, sf: str) -> DataFrame:
+    # MinHash-LSH near-dup SCOPED by (lang, source) — the production
+    # dedup shape: you dedup within a language/source partition, never
+    # across (a boilerplate page translated into 40 languages is 40
+    # documents, not one 40x-quadratic bucket). The scope rides the
+    # band-join KEY via minhash_lsh_candidates_scoped, not a
+    # post-filter, so cross-scope candidates are never materialized.
+    # Planted evidence keeps BOTH branches live (vacuous-check rule):
+    # every 50th doc is mirrored at identical text in the same scope
+    # (+1e6 — must pair) and in a ':mirror' source (+2e6 — must not
+    # pair with the original). Signatures are computed ONCE and copied
+    # to the plants; the sigs plan feeds three branches (banding + two
+    # verify joins), hence persist + eager count (the AQE race rule).
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    sig = D.minhash_signature_udf(num_hashes=64, shingle_n=3, seed=42)
+    sigs0 = docs.select(
+        F.col("doc_id").alias("doc"), "lang", "source",
+        sig("text").alias("signature"),
+    )
+    plants = sigs0.filter(F.col("doc") % 50 == 0)
+    sigs = (
+        sigs0.unionByName(
+            plants.select(
+                (F.col("doc") + 1_000_000).alias("doc"),
+                "lang", "source", "signature",
+            )
+        )
+        .unionByName(
+            plants.select(
+                (F.col("doc") + 2_000_000).alias("doc"),
+                "lang",
+                F.concat("source", F.lit(":mirror")).alias("source"),
+                "signature",
+            )
+        )
+        .persist()
+    )
+    sigs.count()
+    cands = D.minhash_lsh_candidates_scoped(
+        sigs, ["lang", "source"], bands=32, rows_per_band=2
+    )
+    est = D.estimated_jaccard_udf()
+    pairs = (
+        cands.join(
+            sigs.select(F.col("doc").alias("doc_a"), F.col("signature").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc").alias("doc_b"), F.col("signature").alias("sb")),
+            "doc_b",
+        )
+        .withColumn("est_jaccard", est("sa", "sb"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )
+    return pairs.select("doc_a", "doc_b", "est_jaccard", "lang", "source")
+
+
+@query("text_simhash_hamming_buckets", O.simhash_bucket_histogram_oracle())
+def q_text_simhash_hamming_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    # LSH OBSERVABILITY for the SimHash near-dup path: the 8x8-bit
+    # pigeonhole chunk buckets that simhash_near_pairs joins on,
+    # surfaced as a (chunk_idx, chunk_val) histogram with bucket sizes
+    # and the C(n,2) candidate-pair load each bucket would contribute
+    # — exactly the table an operator reads before setting max_bucket
+    # (the hot-bucket cap). On this corpus's tiny vocabulary the
+    # buckets genuinely concentrate (approximation-pressure rule: the
+    # histogram shows real collisions, not an empty diagnosis). One
+    # pandas-UDF signature pass + one uniform-key exchange.
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    docs = load(spark, sf, "documents")
+    sim = D.simhash(docs, "text", "doc_id")
+    chunks = sim.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", 8 * k)
+                    .bitwiseAND(F.lit(0xFF))
+                    .cast("int")
+                    for k in range(8)
+                ]
+            )
+        ).alias("chunk_idx", "chunk_val")
+    )
+    return (
+        chunks.groupBy("chunk_idx", "chunk_val")
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") >= 2)
+        .select(
+            "chunk_idx",
+            "chunk_val",
+            "bucket_size",
+            F.expr("bucket_size * (bucket_size - 1) div 2").alias(
+                "n_candidate_pairs"
+            ),
+        )
     )

@@ -1286,3 +1286,50 @@ def test_sentence_semdedup_prunes_planted_chunks_keeps_originals(spark):
     kept_ratio = out.filter(F.col("kept")).count() / n
     assert 0.5 < kept_ratio < 1.0  # prunes, but not degenerately
     out.unpersist()
+
+
+def test_minhash_lsh_scoped_suppresses_cross_scope_pairs(spark):
+    """r8 scoped LSH: identical-text docs pair within a (lang, source)
+    scope and are SUPPRESSED across scopes — and the unscoped operator
+    would have found the cross-scope pair (so the suppression branch
+    is provably live, vacuous-check rule). Scope must ride the join
+    key, not a post-filter: the banded plan's join keys include the
+    scope columns."""
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_scoped,
+        minhash_signature_udf,
+    )
+
+    rows = []
+    for i in range(8):
+        text = f"alpha beta gamma delta epsilon zeta eta theta{i}"
+        rows.append((i, "en", "web", text))
+        rows.append((i + 100, "en", "web", text))      # same-scope dup
+        rows.append((i + 200, "en", "mirror", text))    # cross-scope dup
+    df = spark.createDataFrame(rows, "doc long, lang string, source string, text string")
+    sig = minhash_signature_udf(num_hashes=64, shingle_n=3, seed=42)
+    sigs = df.select("doc", "lang", "source", sig("text").alias("signature"))
+    sigs = sigs.persist()
+    sigs.count()
+
+    scoped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates_scoped(
+            sigs, ["lang", "source"], bands=32, rows_per_band=2
+        ).collect()
+    }
+    unscoped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_candidates(
+            sigs.select("doc", "signature"), bands=32, rows_per_band=2
+        ).collect()
+    }
+    for i in range(8):
+        assert (i, i + 100) in scoped          # same scope: found
+        assert (i, i + 200) not in scoped      # cross scope: suppressed
+        assert (i, i + 200) in unscoped        # ...but only BY the scope
+        assert (i + 100, i + 200) not in scoped
+    sigs.unpersist()
