@@ -78,6 +78,23 @@ def language_id(col: Column | str) -> Column:
     return out
 
 
+def language_marker_scores(col: Column | str) -> dict[str, Column]:
+    """The :func:`language_id` internals surfaced as exact INTEGER
+    marker counts per language — the inputs a confidence/margin
+    report needs. Each score is a sum of exact occurrence counts
+    (length-difference arithmetic, replayable in ANSI SQL), cast to
+    long."""
+    c = F.col(col) if isinstance(col, str) else col
+    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
+    return {
+        lang: sum(
+            (_occurrences(padded, m) for m in marks[1:]),
+            _occurrences(padded, marks[0]),
+        ).cast("long")
+        for lang, marks in _LANG_MARKERS.items()
+    }
+
+
 def quality_features(col: Column | str) -> dict[str, Column]:
     """Length / punctuation / stopword quality signals (the standard
     cheap pre-filters for web-scale corpus cleaning)."""

@@ -442,3 +442,231 @@ def q_text_simhash_hamming_buckets(spark: SparkSession, sf: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC -> WET composition, sliding distinct counts, language confidence
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_warc_wet_pipeline",
+    """
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':wet') AS x
+      FROM documents
+    )
+    SELECT doc_id, CAST(200 AS INT) AS http_status,
+           'w' || substring(x, 1, 2) || ' w' || substring(x, 3, 2)
+             || ' & w' || substring(x, 5, 2) || ' w' || substring(x, 7, 2)
+             || ' w' || substring(x, 9, 2) || ' w' || substring(x, 11, 2)
+             || ' <w' || substring(x, 13, 2) || '> w' || substring(x, 15, 2)
+             AS extracted,
+           CAST(9 AS INT) AS n_tokens
+    FROM h
+    """,
+)
+def q_source_warc_wet_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    # The actual WET-generation pipeline END TO END: WARC container
+    # walk (alternating gzip-member and plain layouts per doc) ->
+    # warc_type filter (a metadata record per file must be dropped) ->
+    # HTTP status/body split -> html_text visible-text extraction
+    # (script/head subtrees dropped, &amp;/&lt;/&gt; decoded) -> token
+    # count. The oracle CONSTRUCTS the expected extraction from the
+    # same md5 arithmetic as text_html_extract (salt ':wet'), so a
+    # fault in ANY stage — a gzip member boundary, a Content-Length
+    # slice, the HTTP header split, an entity decode — flips the hash.
+    # One Arrow chain, zero shuffles.
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                x = hashlib.md5(f"{i}:wet".encode()).hexdigest()
+
+                def hp(j: int) -> str:
+                    return x[2 * j - 2 : 2 * j]
+
+                html = (
+                    "<html><head><title>skip me</title><script>var x=1;"
+                    f"</script></head><body><h1>w{hp(1)}</h1><p>w{hp(2)}"
+                    f" &amp; w{hp(3)}</p><div>w{hp(4)}<span>w{hp(5)}"
+                    f"</span></div><p>w{hp(6)} &lt;w{hp(7)}&gt; w{hp(8)}"
+                    "</p></body></html>"
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html.encode()
+                )
+                recs = [
+                    {
+                        "warc_type": "response",
+                        "record_id": f"<urn:uuid:{i}-r>",
+                        "target_uri": f"https://example.com/doc/{i}",
+                        "content_type": "application/http; msgtype=response",
+                        "payload": http,
+                    },
+                    {
+                        "warc_type": "metadata",
+                        "record_id": f"<urn:uuid:{i}-m>",
+                        "target_uri": f"https://example.com/doc/{i}",
+                        "content_type": "application/warc-fields",
+                        "payload": b"fetchTimeMs: 1",
+                    },
+                ]
+                out.append(
+                    W.write_warc(recs, gzip_members=(int(i) % 2 == 0))
+                )
+            yield pd.Series(out)
+
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        _warc("doc_id").alias("content"),
+    )
+    recs = W.warc_records(files).filter(F.col("warc_type") == "response")
+
+    @F.pandas_udf("struct<http_status:int, body:string>")
+    def _http(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for payloads in it:
+            stat, body = [], []
+            for p in payloads:
+                s, b = W.split_http_payload(bytes(p))
+                stat.append(s)
+                body.append(b.decode("utf-8", "replace"))
+            yield pd.DataFrame({"http_status": stat, "body": body})
+
+    return (
+        recs.withColumn("h", _http("payload"))
+        .select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            F.col("h.http_status").alias("http_status"),
+            T.html_text(F.col("h.body")).alias("extracted"),
+        )
+        .withColumn(
+            "n_tokens", F.size(T.tokens(F.col("extracted"))).cast("int")
+        )
+    )
+
+
+@query(
+    "events_count_distinct_sliding",
+    """
+    WITH e AS (
+      SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, user_id FROM events
+    ),
+    expanded AS (
+      SELECT (ms // 3600000) * 3600000 - k.k * 3600000 AS window_start_ms,
+             user_id
+      FROM e, (SELECT unnest(range(6)) AS k) k
+    )
+    SELECT window_start_ms,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM expanded GROUP BY window_start_ms
+    """,
+)
+def q_events_count_distinct_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    # SLIDING count-distinct: 6-hour windows every hour, exact
+    # distinct users per window — the overlap-aware engagement metric
+    # a tumbling grid can't express and approx_count_distinct isn't
+    # allowed to approximate here. F.window assigns each event to its
+    # 6 covering windows; the oracle replays that as 6 shifted
+    # tumbling grids. Scale: the 6x expansion happens map-side and the
+    # distinct is one (window, user)-keyed exchange + merge —
+    # |windows|x|users| bounded, never a self-join.
+    ev = load(spark, sf, "events")
+    return (
+        ev.groupBy(F.window("ts", "6 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "text_language_confidence",
+    """
+    WITH p AS (
+      SELECT doc_id, ' ' || lower(text) || ' ' AS pad
+      FROM documents WHERE text IS NOT NULL
+    ),
+    s AS (
+      SELECT doc_id,
+             (len(pad) - len(replace(pad, ' the ', ''))) // 5
+           + (len(pad) - len(replace(pad, ' and ', ''))) // 5
+           + (len(pad) - len(replace(pad, ' of ', ''))) // 4 AS en,
+             (len(pad) - len(replace(pad, ' der ', ''))) // 5
+           + (len(pad) - len(replace(pad, ' und ', ''))) // 5
+           + (len(pad) - len(replace(pad, ' die ', ''))) // 5 AS de,
+             (len(pad) - len(replace(pad, ' le ', ''))) // 4
+           + (len(pad) - len(replace(pad, ' et ', ''))) // 4
+           + (len(pad) - len(replace(pad, ' les ', ''))) // 5 AS fr
+      FROM p
+    )
+    SELECT doc_id,
+           CASE WHEN en > 0 AND en >= de AND en >= fr THEN 'en'
+                WHEN de > 0 AND de >= fr THEN 'de'
+                WHEN fr > 0 THEN 'fr'
+                ELSE 'unknown' END AS detected_lang,
+           CAST(en AS BIGINT) AS en_score,
+           CAST(de AS BIGINT) AS de_score,
+           CAST(fr AS BIGINT) AS fr_score,
+           CAST(GREATEST(en, de, fr)
+                - (en + de + fr - GREATEST(en, de, fr) - LEAST(en, de, fr))
+                AS BIGINT) AS margin,
+           CAST(GREATEST(en, de, fr) * 1000 // (en + de + fr + 1) AS BIGINT)
+             AS conf_pm
+    FROM s
+    """,
+)
+def q_text_language_confidence(spark: SparkSession, sf: str) -> DataFrame:
+    # Language-ID with a CONFIDENCE report — the admission-pipeline
+    # form: per-language integer marker scores (language_id's
+    # internals via language_marker_scores), the argmax label, the
+    # best-minus-second margin, and a per-mille confidence from
+    # integer division (best*1000 div (total+1)) — all integer
+    # arithmetic end to end, so Spark `div` and DuckDB `//` agree
+    # exactly (the count-rank boundary rule). A router drops or
+    # reroutes docs whose margin/confidence is low instead of
+    # trusting the bare argmax.
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    scores = T.language_marker_scores(F.col("text"))
+    en, de, fr = scores["en"], scores["de"], scores["fr"]
+    best = F.greatest(en, de, fr)
+    least = F.least(en, de, fr)
+    sel = docs.select(
+        "doc_id",
+        T.language_id("text").alias("detected_lang"),
+        en.alias("en_score"),
+        de.alias("de_score"),
+        fr.alias("fr_score"),
+        (en + de + fr).alias("_total"),
+        best.alias("_best"),
+        least.alias("_least"),
+    )
+    return sel.select(
+        "doc_id",
+        "detected_lang",
+        "en_score",
+        "de_score",
+        "fr_score",
+        (F.col("_best") - (F.col("_total") - F.col("_best") - F.col("_least")))
+        .cast("long")
+        .alias("margin"),
+        F.expr("_best * 1000 div (_total + 1)").cast("long").alias("conf_pm"),
+    )

@@ -80,17 +80,22 @@ def sample_stream(
     checkpoint_dir: str,
     vacuum_every: int | None = None,
     keep_last: int = 3,
+    available_now: bool = False,
 ):
     """Start the continuous sample maintenance: returns the
-    StreamingQuery."""
-    return (
-        stream.writeStream.foreachBatch(
-            make_sample_sink(
-                table_dir, group_col, id_col, key_col, k=k,
-                vacuum_every=vacuum_every, keep_last=keep_last,
-            )
+    StreamingQuery. ``available_now`` drains what has landed and
+    terminates (the generational-ingest trigger) instead of running
+    continuously."""
+    writer = stream.writeStream.foreachBatch(
+        make_sample_sink(
+            table_dir, group_col, id_col, key_col, k=k,
+            vacuum_every=vacuum_every, keep_last=keep_last,
         )
-        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return (
+        writer.option("checkpointLocation", checkpoint_dir)
         .outputMode("update")
         .start()
     )

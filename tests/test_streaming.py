@@ -2272,3 +2272,85 @@ def test_warc_stream_ingest_three_generations_equals_batch(spark, tmp_path):
         for r in read_warc(spark, str(indir / "*.warc.gz")).collect()
     }
     assert streamed == batch and len(streamed) == 9
+
+
+def test_warc_stream_priority_sample_equals_batch(spark, tmp_path):
+    """r8 (r7 verdict item 5): the remaining regime composition —
+    CONTINUOUS WARC ingest feeding the priority-sample sink. Three
+    generations of .warc.gz files land between availableNow drains;
+    each record derives the exact integer DLT priority (u·2^20 div w,
+    the priority_sample contract — u from the md5 of the record id, w
+    = content_length) and flows into sample_stream's standing
+    bottom-(k+1) table. After every generation the standing table must
+    equal the from-scratch grouped bottom-(k+1) over a BATCH read_warc
+    of all files landed so far — streamed ≡ batch across the whole
+    WARC → priority-key → maintained-sample chain."""
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.snapshots import read_snapshot
+    from hadoopxmlextractor_spark.sources.warc import (
+        read_warc,
+        stream_warc,
+        write_warc,
+    )
+    from hadoopxmlextractor_spark.streaming.sample import sample_stream
+
+    K = 3
+    indir = tmp_path / "in"
+    indir.mkdir()
+    table = str(tmp_path / "sample")
+
+    def land(gen: int) -> None:
+        recs = [
+            {
+                "warc_type": "response",
+                "record_id": f"<urn:rec:{gen * 10 + i}>",
+                "target_uri": f"https://example.org/{gen}/{i}",
+                "content_type": "text/plain",
+                # varying lengths -> varying weights
+                "payload": bytes([65 + i]) * (20 + 7 * i + 3 * gen),
+            }
+            for i in range(6)
+        ]
+        (indir / f"gen{gen}.warc.gz").write_bytes(write_warc(recs))
+
+    def keyed(records):
+        rid = F.regexp_extract("record_id", r"urn:rec:(\d+)", 1).cast("long")
+        u = F.conv(
+            F.substring(F.md5(rid.cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        return (
+            records.filter(F.col("warc_type") == "response")
+            .select(
+                rid.alias("rid"),
+                (rid % 2).cast("string").alias("grp"),
+                F.col("content_length").alias("w"),
+                (u * F.lit(1048576)).alias("_scaled"),
+            )
+            .select("grp", "rid", F.expr("_scaled div w").alias("pkey"))
+        )
+
+    def recompute():
+        allrecs = keyed(read_warc(spark, str(indir / "*.warc.gz")))
+        w = Window.partitionBy("grp").orderBy("pkey", "rid")
+        return {
+            (r.grp, r.rid, r.pkey, r.rn)
+            for r in allrecs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= K + 1)
+            .collect()
+        }
+
+    for gen in range(3):
+        land(gen)
+        q = sample_stream(
+            keyed(stream_warc(spark, str(indir))),
+            table, "grp", "rid", "pkey", k=K,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination(180)
+        standing = {
+            (r.grp, r.rid, r.pkey, r["rank"])
+            for r in read_snapshot(spark, table).collect()
+        }
+        assert standing == recompute(), f"generation {gen}"
