@@ -77,6 +77,8 @@ FRONT = [
     # is presentation-only: every entry still runs in the local
     # full-registry gate.
     # --- new round-8 operators ---
+    "multimodal_video_rle_shots",
+    "multimodal_png_lowbit_ahash",
     "source_warc_split",
     "multimodal_audio_mp3_meta",
     "multimodal_audio_vorbis_meta",

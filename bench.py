@@ -58,6 +58,10 @@ HEADLINE = [
     # grouped DLT quota sampling (WindowGroupLimit shape)
     "corpus_epoch_shuffle",
     "corpus_priority_sample_grouped",
+    # round-8 additions: intra-file WARC splits (ranged gzip-member
+    # explode), scope-keyed LSH near-dup (band+scope equi-join)
+    "source_warc_split",
+    "corpus_minhash_semantic_scope",
 ]
 
 N_XML_DOCS = 500

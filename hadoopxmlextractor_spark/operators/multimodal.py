@@ -156,6 +156,84 @@ def _png_unfilter(raw: bytes, offset: int, w_px: int, h_px: int, bpp: int):
     return out, offset + h_px * (stride + 1)
 
 
+def _png_unpack_bits(rows, w: int, depth: int):
+    """(h, stride) packed scanline bytes → (h, w) uint8 samples,
+    MSB-first within each byte per the PNG spec (depth 1/2/4)."""
+    import numpy as np
+
+    spb = 8 // depth
+    shifts = (np.arange(spb - 1, -1, -1) * depth)[None, None, :]
+    mask = (1 << depth) - 1
+    expanded = (rows[:, :, None].astype(np.uint16) >> shifts) & mask
+    return expanded.reshape(rows.shape[0], -1)[:, :w].astype(np.uint8)
+
+
+def _png_pack_bits(samples_row, depth: int) -> bytes:
+    """(w,) uint8 samples → packed MSB-first scanline bytes (depth
+    1/2/4); the tail byte zero-pads per spec."""
+    import numpy as np
+
+    spb = 8 // depth
+    n = len(samples_row)
+    pad = (-n) % spb
+    padded = np.concatenate(
+        [samples_row.astype(np.uint16), np.zeros(pad, dtype=np.uint16)]
+    )
+    grouped = padded.reshape(-1, spb)
+    shifts = np.arange(spb - 1, -1, -1) * depth
+    return (
+        ((grouped << shifts).sum(axis=1) & 0xFF).astype(np.uint8).tobytes()
+    )
+
+
+def _encode_png_gray_lowbit(
+    samples, *, depth: int, interlace: bool = False
+) -> bytes:
+    """(H, W) uint8 SAMPLE array (values < 2^depth) → grayscale PNG at
+    bit depth 1/2/4: filter-0 scanlines of MSB-first packed samples
+    (the filter unit is the byte), optionally Adam7. Lossless partner
+    of the sub-8-bit branch in :func:`_decode_png` (which presents
+    samples as v·(255/(2^d−1)) gray)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    samples = np.ascontiguousarray(samples, dtype=np.uint8)
+    h, w = samples.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, 0, 0, 0, 1 if interlace else 0
+    )
+    if not interlace:
+        raw = b"".join(
+            b"\x00" + _png_pack_bits(samples[y], depth) for y in range(h)
+        )
+    else:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                parts.append(b"\x00" + _png_pack_bits(sub[y], depth))
+        raw = b"".join(parts)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _decode_png(blob: bytes):
     """PNG → (H, W, 3) uint8 array with ZERO dependencies beyond
     stdlib ``zlib`` + numpy — the codec leg PIL's absence from this
@@ -168,10 +246,11 @@ def _decode_png(blob: bytes):
     reduction), color types 0/2/3/4/6, and BOTH interlace methods —
     Adam7 passes are independently filtered sub-images consumed
     sequentially from one inflated stream and scattered by the pass
-    geometry (new r7; formerly the 'exotic PNG' PIL plug-in). Bit
-    depths 1/2/4 return None and fall through to the import-gated PIL
-    attempt — same auditable-NULL contract as every other decoder
-    here. The unfilter loop is per-scanline Python over numpy rows
+    geometry (new r7; formerly the 'exotic PNG' PIL plug-in). New r8:
+    bit depths 1/2/4 decode natively too (gray and palette; byte-unit
+    filtering, MSB-first unpack, v·(255/(2^d−1)) gray presentation) —
+    the PNG depth/color matrix is now COMPLETE, and only genuinely
+    malformed streams return None under the auditable-NULL contract. The unfilter loop is per-scanline Python over numpy rows
     (Sub/Avg/Paeth carry intra-row dependencies); install PIL for bulk
     decode of large photos — this path exists so PNG pipelines are
     testable end-to-end in dependency-free containers."""
@@ -205,10 +284,45 @@ def _decode_png(blob: bytes):
         if ihdr is None or not idat:
             return None
         w, h, depth, color, comp, filt, interlace = ihdr
-        if depth not in (8, 16) or comp != 0 or filt != 0 or interlace not in (0, 1):
+        if comp != 0 or filt != 0 or interlace not in (0, 1):
             return None
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
         if channels is None or w <= 0 or h <= 0:
+            return None
+        if depth in (1, 2, 4):
+            # Sub-8-bit depths (r8 — formerly the last PNG plug-in
+            # residue): legal for gray (0) and palette (3) only; the
+            # FILTER unit is the byte (bpp = 1 when depth < 8, per
+            # spec), samples unpack MSB-first after unfiltering, and
+            # gray presents as v·(255/(2^d−1)) — the spec's sample
+            # scaling.
+            if color not in (0, 3):
+                return None
+            raw = zlib.decompress(b"".join(idat))
+            samples = np.zeros((h, w), dtype=np.uint8)
+            if interlace == 0:
+                stride = (w * depth + 7) // 8
+                rows, _ = _png_unfilter(raw, 0, stride, h, 1)
+                samples = _png_unpack_bits(rows, w, depth)
+            else:
+                off = 0
+                for x0, y0, dx, dy in _ADAM7:
+                    pw = (w - x0 + dx - 1) // dx
+                    ph = (h - y0 + dy - 1) // dy
+                    if pw <= 0 or ph <= 0:
+                        continue
+                    stride = (pw * depth + 7) // 8
+                    sub, off = _png_unfilter(raw, off, stride, ph, 1)
+                    samples[y0::dy, x0::dx] = _png_unpack_bits(sub, pw, depth)
+            if color == 3:
+                if plte is None or int(samples.max()) >= len(plte):
+                    return None
+                return plte[samples]
+            scale = 255 // ((1 << depth) - 1)
+            return np.repeat(
+                (samples * scale).astype(np.uint8)[:, :, None], 3, axis=2
+            )
+        if depth not in (8, 16):
             return None
         if color == 3 and depth == 16:
             return None  # spec forbids 16-bit palette
@@ -1487,10 +1601,11 @@ def _decode_avi_frames(blob: bytes):
     try:
         w = h = None
         comp_mode = 0
+        palette = None
         frames_raw = []
 
         def walk(buf, pos, end):
-            nonlocal w, h, comp_mode
+            nonlocal w, h, comp_mode, palette
             while pos + 8 <= end:
                 cid = buf[pos : pos + 4]
                 (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -1503,6 +1618,19 @@ def _decode_avi_frames(blob: bytes):
                     )
                     if comp == _MJPG_FOURCC:
                         comp_mode = comp
+                    elif comp == 1 and bpp == 8:  # BI_RLE8 paletted
+                        comp_mode = 1
+                        (nclr,) = struct.unpack(
+                            "<I", buf[body + 32 : body + 36]
+                        )
+                        nclr = nclr or 256
+                        quads = np.frombuffer(
+                            buf, dtype=np.uint8,
+                            count=4 * nclr, offset=body + 40,
+                        ).reshape(nclr, 4)
+                        pal = np.zeros((256, 3), dtype=np.uint8)
+                        pal[:nclr] = quads[:, 2::-1]  # BGR0 → RGB
+                        palette = pal
                     elif bpp != 24 or comp != 0:  # BI_RGB raw only
                         raise ValueError("codec AVI")
                     w, h = bw, abs(bh)
@@ -1513,6 +1641,48 @@ def _decode_avi_frames(blob: bytes):
         walk(blob, 12, len(blob))
         if w is None or not frames_raw:
             return None
+        if comp_mode == 1:
+            # Microsoft RLE8 — the first INTER-FRAME codec decoded
+            # natively: the canvas persists across frames, and a delta
+            # frame paints only its changed runs; everything the
+            # escapes skip over (EOL advance, DELTA cursor moves, an
+            # early end-of-bitmap) is TEMPORAL PREDICTION — those
+            # pixels come from the previous frame.
+            canvas = np.zeros((h, w), dtype=np.uint8)  # bottom-up rows
+            out = []
+            for raw in frames_raw:
+                x = y = pos = 0
+                while pos + 2 <= len(raw):
+                    b0, b1 = raw[pos], raw[pos + 1]
+                    pos += 2
+                    if b0 > 0:  # encoded run
+                        if y >= h or x + b0 > w:
+                            return None
+                        canvas[y, x : x + b0] = b1
+                        x += b0
+                    elif b1 == 0:  # end of line
+                        x, y = 0, y + 1
+                    elif b1 == 1:  # end of bitmap
+                        break
+                    elif b1 == 2:  # delta: skip = keep previous frame
+                        if pos + 2 > len(raw):
+                            return None
+                        x += raw[pos]
+                        y += raw[pos + 1]
+                        pos += 2
+                    else:  # absolute mode, word-aligned
+                        n = b1
+                        if y >= h or x + n > w or pos + n > len(raw):
+                            return None
+                        canvas[y, x : x + n] = np.frombuffer(
+                            raw, dtype=np.uint8, count=n, offset=pos
+                        )
+                        x += n
+                        pos += n + (n & 1)
+                else:
+                    return None  # ran out of bytes before EOB
+                out.append(palette[canvas[::-1]].copy())
+            return out
         if comp_mode == _MJPG_FOURCC:
             from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
 
@@ -2584,4 +2754,194 @@ def synth_flac_media(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("media_type"),
         _flac("doc_id").alias("content"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Microsoft RLE8 AVI — the first natively-decoded INTER-FRAME codec
+# ---------------------------------------------------------------------------
+
+
+def _rle8_encode_frame(idx_rows, prev_rows) -> bytes:
+    """One BI_RLE8 frame over bottom-up index rows: rows equal to the
+    previous frame's are SKIPPED with DELTA cursor moves (the decoder
+    keeps the prior canvas — temporal prediction), changed rows are
+    emitted as encoded runs + EOL. ``prev_rows`` None ⇒ keyframe
+    (every row painted)."""
+    out = bytearray()
+    h = len(idx_rows)
+    skip = 0
+    for y in range(h):
+        row = idx_rows[y]
+        if prev_rows is not None and bytes(row) == bytes(prev_rows[y]):
+            skip += 1
+            continue
+        while skip:
+            d = min(skip, 255)
+            out += bytes([0, 2, 0, d])
+            skip -= d
+        x = 0
+        w = len(row)
+        while x < w:
+            run = 1
+            while x + run < w and run < 255 and row[x + run] == row[x]:
+                run += 1
+            out += bytes([run, row[x]])
+            x += run
+        out += bytes([0, 0])  # end of line
+    out += bytes([0, 1])  # end of bitmap (trailing skips implicit)
+    return bytes(out)
+
+
+def _encode_rle8_avi(frames_idx, palette) -> bytes:
+    """List of (H, W) uint8 palette-index frames → BI_RLE8 AVI: frame
+    0 a keyframe, every later frame a DELTA frame against its
+    predecessor. ``palette`` is a (256, 3) uint8 RGB table written as
+    RGBQUADs after the BITMAPINFOHEADER. Lossless inter-frame partner
+    of the BI_RLE8 branch in :func:`_decode_avi_frames`."""
+    import struct
+
+    import numpy as np
+
+    h, w = frames_idx[0].shape
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    blobs = []
+    prev = None
+    for fr in frames_idx:
+        rows = np.ascontiguousarray(fr[::-1])  # bottom-up per DIB
+        blobs.append(
+            _rle8_encode_frame(rows, None if prev is None else prev)
+        )
+        prev = rows
+    buf_sz = max(len(b) for b in blobs)
+    quads = b"".join(
+        bytes([int(b), int(g), int(r), 0]) for r, g, b in palette
+    )
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        40_000, buf_sz, 0, 0, len(blobs), 0, 1, buf_sz, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"mrle" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 25,
+                                        0, len(blobs), buf_sz, 0, 0, 0)
+    )
+    strf = (
+        struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 1, buf_sz, 0, 0, 256, 0)
+        + quads
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", b) for b in blobs))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def synth_rle_video(
+    docs: DataFrame, *, n_frames: int = 8, side: int = 8, cuts: tuple = (3, 6)
+) -> DataFrame:
+    """Deterministic BI_RLE8 inter-frame video per document: 8×8
+    grayscale index planes (identity palette, so luminance = index
+    exactly) under the same scene-generation rule as synth_ppm_video —
+    within a scene only md5 chunk f (two rows) changes per frame, so
+    every non-key frame really is a DELTA frame whose other six rows
+    ride the temporal-prediction skip; at a cut the whole plane
+    re-derives. The codec is lossless, so the decoded planes equal the
+    md5 arithmetic and the shot oracle replays them exactly."""
+    import hashlib
+
+    import numpy as np
+
+    n_bytes = side * side
+    n_chunks = (n_bytes + 15) // 16
+    cut_list = sorted(cuts)
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+    def scene(f: int) -> int:
+        s = 0
+        for c in cut_list:
+            if f >= c:
+                s = c
+        return s
+
+    @F.pandas_udf("binary")
+    def _video(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                frames = []
+                for f in range(n_frames):
+                    sc = scene(f)
+                    chunks = []
+                    for k in range(n_chunks):
+                        g = k if sc < k <= f else sc
+                        chunks.append(
+                            hashlib.md5(f"{i}:rl{g}:{k}".encode()).digest()
+                        )
+                    plane = b"".join(chunks)[:n_bytes]
+                    frames.append(
+                        np.frombuffer(plane, dtype=np.uint8).reshape(
+                            side, side
+                        )
+                    )
+                out.append(_encode_rle8_avi(frames, gray))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        _video("doc_id").alias("content"),
+    )
+
+
+def synth_png_lowbit_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
+    """Deterministic SUB-8-BIT grayscale PNG per document: sample p is
+    md5 byte p (salt ':pnglb') quantized to the doc's depth (1/2/4 by
+    doc_id % 3, v = byte >> (8−d)), packed MSB-first through the
+    low-bit encoder — Adam7 on every 5th doc so the interlaced packed
+    geometry is on the oracle path too. The decoder must unpack,
+    unfilter, and present v·(255/(2^d−1)) exactly or the aHash
+    flips."""
+    import hashlib
+
+    import numpy as np
+
+    n_px = side * side
+    n_chunks = (n_px + 15) // 16
+
+    @F.pandas_udf("binary")
+    def _png(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                depth = (1, 2, 4)[int(i) % 3]
+                plane = b"".join(
+                    hashlib.md5(f"{i}:pnglb{k}".encode()).digest()
+                    for k in range(n_chunks)
+                )[:n_px]
+                samples = (
+                    np.frombuffer(plane, dtype=np.uint8).reshape(side, side)
+                    >> (8 - depth)
+                )
+                out.append(
+                    _encode_png_gray_lowbit(
+                        samples, depth=depth, interlace=(int(i) % 5 == 0)
+                    )
+                )
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _png("doc_id").alias("content"),
     )

@@ -684,6 +684,48 @@ def image_ahash_oracle(*, side: int = 8) -> str:
     """
 
 
+def image_ahash_lowbit_oracle(*, side: int = 8) -> str:
+    """Replay of image_ahash over synth_png_lowbit_media: the gray
+    sample of pixel p is md5 byte p (salt ':pnglb') quantized to the
+    doc's bit depth — v = byte // 2^(8−d), presented as v·(255/(2^d−1))
+    — with depth rotating 1/2/4 by doc_id % 3. Gray r=g=b collapses
+    the 299/587/114 luminance to the sample itself, so the oracle is
+    pure quantization arithmetic; any fault in packed-bit unpack,
+    byte-unit filtering, Adam7 pass geometry (every 5th doc), or the
+    scale presentation flips the hash."""
+    n_px = side * side
+    n_chunks = (n_px + 15) // 16
+    lanes = ", ".join(
+        f"({l}, " + (str(1 << l) if l < 63 else "(-9223372036854775807 - 1)") + ")"
+        for l in range(n_px)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END AS dep
+      FROM documents
+    ),
+    lum AS (
+      SELECT d.doc_id, (k * 16 + j) AS p,
+             (CAST(('0x' || substring(
+               md5(CAST(d.doc_id AS VARCHAR) || ':pnglb'
+                   || CAST(k AS VARCHAR)),
+               j * 2 + 1, 2)) AS BIGINT) // CAST(2 ** (8 - dep) AS BIGINT))
+             * (255 // (CAST(2 ** dep AS BIGINT) - 1)) AS g
+      FROM d,
+           (SELECT unnest(range({n_chunks})) AS k),
+           (SELECT unnest(range(16)) AS j)
+      WHERE k * 16 + j < {n_px}
+    ),
+    mean AS (SELECT doc_id, SUM(g) // {n_px} AS m FROM lum GROUP BY doc_id),
+    lanes(l, wt) AS (VALUES {lanes})
+    SELECT lum.doc_id AS media_id,
+           CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT) AS ahash
+    FROM lum JOIN mean USING (doc_id) JOIN lanes ON lanes.l = lum.p
+    GROUP BY lum.doc_id
+    """
+
+
 def audio_energy_oracle(
     *, n_samples: int = 256, window: int = 64,
     silence_threshold: int = 22_000_000_000,
@@ -906,6 +948,63 @@ def video_shots_oracle(
       FROM b GROUP BY doc_id, f, idx // 3
     ),
     lum AS (SELECT doc_id, f, p, num // 1000 AS g FROM px),
+    mean AS (
+      SELECT doc_id, f, SUM(g) // {n_px} AS m FROM lum GROUP BY doc_id, f
+    ),
+    lanes(l, wt) AS (VALUES {lanes}),
+    hashes AS (
+      SELECT lum.doc_id, lum.f,
+             CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT) AS ahash
+      FROM lum JOIN mean USING (doc_id, f) JOIN lanes ON lanes.l = lum.p
+      GROUP BY lum.doc_id, lum.f
+    )
+    SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx, ahash,
+           CAST(bit_count(xor(ahash, LAG(ahash) OVER w)) AS INT)
+             AS hamming_prev,
+           (f = 0 OR bit_count(xor(ahash, LAG(ahash) OVER w))
+              > {hamming_threshold}) AS is_boundary
+    FROM hashes
+    WINDOW w AS (PARTITION BY doc_id ORDER BY f)
+    """
+
+
+def rle_shots_oracle(
+    *, n_frames: int = 8, side: int = 8, hamming_threshold: int = 16
+) -> str:
+    """Replay of operators.multimodal.video_shot_boundaries over
+    synth_rle_video — the INTER-FRAME codec leg: planes are 1-byte
+    grayscale palette indices under an identity palette, so luminance
+    equals the md5 byte exactly (299+587+114 = 1000 collapses), and
+    the codec is lossless, so the oracle regenerates the planes with
+    the closed-form scene rule (salt ':rl') and never models the RLE:
+    any fault in run decode, DELTA cursor moves, canvas carry-over
+    between frames, or the bottom-up flip changes a byte and flips the
+    hash."""
+    n_px = side * side
+    n_chunks = (n_px + 15) // 16
+    lanes = ", ".join(
+        f"({l}, " + (str(1 << l) if l < 63 else "(-9223372036854775807 - 1)") + ")"
+        for l in range(n_px)
+    )
+    scene = "CASE WHEN f.f >= 6 THEN 6 WHEN f.f >= 3 THEN 3 ELSE 0 END"
+    gen = (
+        f"CASE WHEN ch.k > ({scene}) AND ch.k <= f.f THEN ch.k "
+        f"ELSE ({scene}) END"
+    )
+    return f"""
+    WITH f AS (SELECT unnest(range({n_frames})) AS f),
+    ch AS (SELECT unnest(range({n_chunks})) AS k),
+    byt AS (SELECT unnest(range(16)) AS j),
+    lum AS (
+      SELECT d.doc_id, f.f, (ch.k * 16 + byt.j) AS p,
+             CAST(('0x' || substring(
+               md5(CAST(d.doc_id AS VARCHAR) || ':rl'
+                   || CAST({gen} AS VARCHAR)
+                   || ':' || CAST(ch.k AS VARCHAR)),
+               byt.j * 2 + 1, 2)) AS BIGINT) AS g
+      FROM documents d, f, ch, byt
+      WHERE ch.k * 16 + byt.j < {n_px}
+    ),
     mean AS (
       SELECT doc_id, f, SUM(g) // {n_px} AS m FROM lum GROUP BY doc_id, f
     ),

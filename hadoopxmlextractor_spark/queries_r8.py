@@ -670,3 +670,41 @@ def q_text_language_confidence(spark: SparkSession, sf: str) -> DataFrame:
         .alias("margin"),
         F.expr("_best * 1000 div (_total + 1)").cast("long").alias("conf_pm"),
     )
+
+
+@query("multimodal_video_rle_shots", O.rle_shots_oracle())
+def q_multimodal_video_rle_shots(spark: SparkSession, sf: str) -> DataFrame:
+    # The first INTER-FRAME codec decoded natively (closing the top of
+    # the r7 "what's missing" codec list with zero new dependencies):
+    # Microsoft RLE8 AVI (biCompression=1) — a real temporal-
+    # prediction format where delta frames paint only changed runs and
+    # everything the EOL/DELTA/EOB escapes skip over is carried from
+    # the PREVIOUS frame's canvas. The synth makes every non-key frame
+    # a genuine delta (two changed rows per frame inside a scene,
+    # full-skip identity frames, full repaints at cuts), and because
+    # the codec is lossless the shot-boundary output is hash-exact
+    # against the md5 plane replay — a fault in run decode, cursor
+    # moves, canvas carry-over, or the bottom-up flip flips the hash.
+    # Motion-COMPENSATED codecs (H.264-class) remain the ffmpeg
+    # plug-in point.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    media = M.synth_rle_video(docs)
+    return M.video_shot_boundaries(media)
+
+
+@query("multimodal_png_lowbit_ahash", O.image_ahash_lowbit_oracle())
+def q_multimodal_png_lowbit_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    # SUB-8-BIT PNG decoded natively (the last PNG plug-in residue —
+    # the depth/color matrix is now complete): 1/2/4-bit grayscale
+    # with byte-unit filtering, MSB-first packed samples, Adam7 on
+    # every 5th doc, and the spec's v*(255/(2^d-1)) presentation. The
+    # oracle is pure quantization arithmetic over the md5 plane (gray
+    # collapses the luminance formula), so one wrong bit anywhere in
+    # the packed-geometry path flips the hash.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    media = M.synth_png_lowbit_media(docs)
+    return M.image_ahash(media)

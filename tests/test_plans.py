@@ -1339,3 +1339,27 @@ def test_join_auto_salt_salts_only_when_skewed(spark):
     assert sorted((r.k, r.v, r.attr) for r in lt.collect()) == sorted(
         (r.k, r.v, r.attr) for r in plain.collect()
     )
+
+
+def test_round8_queries_pass_plan_lint(spark):
+    """Scale pre-flight over every round-8 newcomer: lint_plan must
+    find no error-severity anti-pattern (cartesian / nested-loop) and
+    no row-wise Python UDF in any of their physical plans at sf0.001
+    (the PLAN SHAPE is what transfers to 100 TB, not the volume)."""
+    import __spark_entry__  # noqa: F401
+    from hadoopxmlextractor_spark.plans.inspect import lint_plan
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    new_r8 = [
+        "source_warc_split", "multimodal_audio_mp3_meta",
+        "multimodal_audio_vorbis_meta", "join_auto_salt",
+        "multimodal_audio_flac_meta", "corpus_minhash_semantic_scope",
+        "text_simhash_hamming_buckets", "source_warc_wet_pipeline",
+        "events_count_distinct_sliding", "text_language_confidence",
+    ]
+    sf = "/root/testdata/sf0.001"
+    for name in new_r8:
+        findings = lint_plan(QUERIES[name](spark, sf))
+        errors = [f for f in findings if f["severity"] == "error"]
+        rowwise = [f for f in findings if f["code"] == "rowwise_python"]
+        assert errors == [] and rowwise == [], (name, findings)
