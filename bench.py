@@ -101,6 +101,8 @@ REFERENCE = {
     "events_sessionize_incremental": 1.60,
     "corpus_epoch_shuffle": 0.25,
     "corpus_priority_sample_grouped": 0.28,
+    "source_warc_split": 2.77,
+    "corpus_minhash_semantic_scope": 2.45,
 }
 
 

@@ -15,11 +15,15 @@ Spark shape: :func:`read_warc` = ``binaryFile`` scan →
 into records). At 100 TB the unit of parallelism is the FILE —
 Common Crawl segments are ~1 GB .warc.gz, tens of thousands per
 crawl, so a file-per-task layout saturates any executor count without
-an intra-file splitter; if a corpus arrives as few huge files,
-re-shard first (one gzip-member scan, embarrassingly parallel). HTTP
-response payloads split into status/headers/body with
-:func:`split_http_payload` — JVM-side callers get (url, status,
-body) columns ready for the text-pipeline operators.
+an intra-file splitter. For corpora that arrive as FEW HUGE FILES,
+:func:`read_warc_split` is the intra-file path (r8): one
+embarrassingly-parallel gzip-member-offset scan
+(:func:`warc_split_index`) emits record-aligned (offset, length)
+splits, then ranged per-split reads parallelize INSIDE the file —
+row-identical to :func:`read_warc`. HTTP response payloads split into
+status/headers/body with :func:`split_http_payload` — JVM-side
+callers get (url, status, body) columns ready for the text-pipeline
+operators.
 """
 
 from __future__ import annotations
