@@ -77,6 +77,7 @@ FRONT = [
     # is presentation-only: every entry still runs in the local
     # full-registry gate.
     # --- new round-8 operators ---
+    "multimodal_jpeg_lossless_ahash",
     "multimodal_video_rle_shots",
     "multimodal_png_lowbit_ahash",
     "source_warc_split",

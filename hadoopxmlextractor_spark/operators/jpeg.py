@@ -3,7 +3,8 @@ leg PIL's absence from this container blocked, made real for the
 shapes that dominate training corpora: baseline DCT (SOF0) AND
 progressive DCT (SOF2, spectral selection + successive
 approximation), 8-bit, grayscale or YCbCr at 4:4:4 / 4:2:2 / 4:2:0,
-restart markers.
+restart markers — and (r8) LOSSLESS (SOF3, Annex H: all seven
+predictors, 8/12/16-bit, point transform, interleaved components).
 
 Decode chain (ITU-T T.81): marker walk (DQT / DHT / SOF0/SOF2 / DRI /
 SOS), canonical Huffman tables from the (bits, values) spec form,
@@ -13,9 +14,10 @@ accumulation across DC first/refine (interleaved or single-component)
 and AC first/refine with EOB runs and correction bits — then
 dequantize, de-zigzag, IDCT-II via the explicit cosine basis, level
 shift, chroma upsample by sampling factors, JFIF full-range
-YCbCr→RGB. Arithmetic coding, lossless, and 12-bit precision return
-None — the PIL plug-in point, same auditable-NULL contract as the
-other decoders.
+YCbCr→RGB. Lossless (SOF3) decodes via per-sample predictor+diff
+(Annex H). Arithmetic coding, hierarchical, and 12-bit DCT precision
+return None — the PIL plug-in point, same auditable-NULL contract as
+the other decoders.
 
 Encode (test/synthesis partner): grayscale or 4:4:4 color, Annex-K
 quantization and Huffman tables, forward DCT by the transposed basis.
@@ -266,6 +268,7 @@ def decode_jpeg(blob: bytes):
         huff_ac = {}
         frame = None
         progressive = False
+        lossless = False
         store = None  # progressive: cid -> (blocks_y, blocks_x, 64) int64
         any_scan = False
         restart_interval = 0
@@ -336,9 +339,21 @@ def decode_jpeg(blob: bytes):
                         )
                         for c in comps
                     }
-            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+            elif marker == 0xC3:  # SOF3 lossless (Annex H)
+                prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                if not (8 <= prec <= 16) or nc not in (1, 3):
+                    return None  # sub-8-bit lossless: no 8-bit presentation
+                comps = []
+                for c in range(nc):
+                    cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                    if hv != 0x11:
+                        return None  # subsampled lossless: plug-in point
+                    comps.append({"id": cid, "h": 1, "v": 1, "tq": tq})
+                frame = {"h": h, "w": w, "comps": comps, "prec": prec}
+                lossless = True
+            elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # extended/lossless/arithmetic processes
+                return None  # extended/hierarchical/arithmetic processes
             elif marker == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg[:2])
             elif marker == 0xDA:  # SOS
@@ -355,6 +370,17 @@ def decode_jpeg(blob: bytes):
                         {"comp": comp, "dc": tt >> 4, "ac": tt & 0xF}
                     )
                 data_start = pos + 2 + seg_len
+                if lossless:
+                    if ns != len(frame["comps"]):
+                        return None
+                    predictor = seg[1 + 2 * ns]  # Ss = predictor selector
+                    pt = seg[3 + 2 * ns] & 0xF  # Al = point transform
+                    if not 1 <= predictor <= 7:
+                        return None
+                    return _decode_lossless_scan(
+                        blob[data_start:], frame, scan, huff_dc,
+                        predictor, pt,
+                    )
                 if not progressive:
                     if ns != len(frame["comps"]):
                         # Non-interleaved multi-scan baseline (ns < nc):
@@ -436,6 +462,150 @@ def _decode_scan(data, frame, scan, qt, huff_dc, huff_ac, restart_interval):
                         planes[c["id"]][y0 : y0 + 8, x0 : x0 + 8] = px
             n_mcu += 1
     return _compose(frame, planes)
+
+
+def _decode_lossless_scan(data, frame, scan, huff_dc, predictor, pt):
+    """LOSSLESS JPEG (SOF3, T.81 Annex H): per sample, a DC-style
+    Huffman SSSS category + appended bits give the prediction DIFF;
+    prediction runs over the reconstructed neighbors a/b/c with the
+    scan's predictor selector (1-7), with the Annex-H edge rules —
+    2^(P-Pt-1) for the very first sample, Ra along the first line,
+    Rb down the first column — and modulo-2^16 reconstruction. SSSS
+    16 codes diff = 32768 with no appended bits. Components are
+    interleaved sample-by-sample (1x1 sampling enforced at SOF3).
+    Presentation: value << Pt, then the high 8 bits for P > 8 (the
+    same reduction as 16-bit PNG); 1 component → gray, 3 → RGB
+    (lossless JPEG stores source color planes — no YCbCr)."""
+    h, w, prec = frame["h"], frame["w"], frame["prec"]
+    ncomp = len(scan)
+    planes = [np.zeros((h, w), dtype=np.int64) for _ in scan]
+    tables = [huff_dc[s["dc"]] for s in scan]
+    reader = _BitReader(data)
+    default = 1 << (prec - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                ssss = reader.decode_huff(tables[ci])
+                diff = 32768 if ssss == 16 else reader.receive_extend(ssss)
+                pl = planes[ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(pl[0, x - 1])
+                elif x == 0:
+                    pred = int(pl[y - 1, 0])
+                else:
+                    a = int(pl[y, x - 1])
+                    b = int(pl[y - 1, x])
+                    c = int(pl[y - 1, x - 1])
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = b
+                    elif predictor == 3:
+                        pred = c
+                    elif predictor == 4:
+                        pred = a + b - c
+                    elif predictor == 5:
+                        pred = a + ((b - c) >> 1)
+                    elif predictor == 6:
+                        pred = b + ((a - c) >> 1)
+                    else:
+                        pred = (a + b) >> 1
+                pl[y, x] = (pred + diff) & 0xFFFF
+    out = []
+    for pl in planes:
+        v = pl << pt
+        if prec > 8:
+            v = v >> (prec - 8)
+        out.append(np.clip(v, 0, 255).astype(np.uint8))
+    if ncomp == 1:
+        return np.repeat(out[0][:, :, None], 3, axis=2)
+    return np.stack(out, axis=2)
+
+
+_LOSSLESS_BITS = [0, 0, 0, 0, 17] + [0] * 11  # 17 SSSS symbols, length 5
+_LOSSLESS_VALUES = list(range(17))
+
+
+def encode_jpeg_lossless(
+    samples, *, predictor: int = 1, precision: int = 8,
+    point_transform: int = 0,
+) -> bytes:
+    """(H, W) or (H, W, 3) integer sample array (values < 2^precision,
+    already >> point_transform) → LOSSLESS JPEG (SOF3): one DHT with
+    all 17 SSSS symbols at code length 5, interleaved 1x1 components,
+    diffs reduced mod 2^16 into [-32767, 32768] with -32768 ≡ 32768
+    coded as SSSS 16. Bit-exact partner of the SOF3 branch in
+    :func:`decode_jpeg`."""
+    arr = np.asarray(samples, dtype=np.int64)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    codes = _huff_codes(_LOSSLESS_BITS, _LOSSLESS_VALUES)
+    wtr = _BitWriter()
+    planes = [arr[:, :, ci] for ci in range(nc)]
+    default = 1 << (precision - point_transform - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(nc):
+                pl = planes[ci]
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(pl[0, x - 1])
+                elif x == 0:
+                    pred = int(pl[y - 1, 0])
+                else:
+                    a = int(pl[y, x - 1])
+                    b = int(pl[y - 1, x])
+                    c = int(pl[y - 1, x - 1])
+                    if predictor == 1:
+                        pred = a
+                    elif predictor == 2:
+                        pred = b
+                    elif predictor == 3:
+                        pred = c
+                    elif predictor == 4:
+                        pred = a + b - c
+                    elif predictor == 5:
+                        pred = a + ((b - c) >> 1)
+                    elif predictor == 6:
+                        pred = b + ((a - c) >> 1)
+                    else:
+                        pred = (a + b) >> 1
+                diff = (int(pl[y, x]) - pred) & 0xFFFF
+                if diff >= 32768:
+                    diff -= 65536
+                if diff == -32768:
+                    ln, code = codes[16]
+                    wtr.write(code, ln)
+                    continue
+                size, bits = _magnitude(diff)
+                ln, code = codes[size]
+                wtr.write(code, ln)
+                if size:
+                    wtr.write(bits, size)
+    comps_sof = b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(nc)
+    )
+    sof = (
+        b"\xff\xc3"
+        + struct.pack(">H", 8 + 3 * nc)
+        + bytes([precision])
+        + struct.pack(">HH", h, w)
+        + bytes([nc])
+        + comps_sof
+    )
+    dht = _dht_segment(0, 0, _LOSSLESS_BITS, _LOSSLESS_VALUES)
+    sos = (
+        b"\xff\xda"
+        + struct.pack(">H", 6 + 2 * nc)
+        + bytes([nc])
+        + b"".join(bytes([ci + 1, 0x00]) for ci in range(nc))
+        + bytes([predictor, 0, point_transform])
+    )
+    return b"\xff\xd8" + sof + dht + sos + wtr.flush() + b"\xff\xd9"
 
 
 def _compose(frame, planes):

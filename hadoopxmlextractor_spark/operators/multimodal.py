@@ -2945,3 +2945,62 @@ def synth_png_lowbit_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
         F.lit("image").alias("media_type"),
         _png("doc_id").alias("content"),
     )
+
+
+def synth_jpeg_lossless_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
+    """Deterministic LOSSLESS JPEG (SOF3) per document: gray sample p
+    is md5 byte p (salt ':jls'), the predictor selector rotates 1-7 by
+    doc_id % 7, and odd docs store 12-BIT samples ((byte<<4) | a
+    second md5 nibble — whose high-byte presentation is the same byte,
+    so ONE oracle covers both precisions while the 12-bit prediction
+    arithmetic still runs at full width: a single wrong prediction
+    anywhere corrupts every later sample and flips the hash)."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.jpeg import encode_jpeg_lossless
+
+    n_px = side * side
+    n_chunks = (n_px + 15) // 16
+
+    @F.pandas_udf("binary")
+    def _jls(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                plane = np.frombuffer(
+                    b"".join(
+                        hashlib.md5(f"{i}:jls{k}".encode()).digest()
+                        for k in range(n_chunks)
+                    )[:n_px],
+                    dtype=np.uint8,
+                ).reshape(side, side).astype(np.int64)
+                pred = int(i) % 7 + 1
+                if int(i) % 2:
+                    lo = np.frombuffer(
+                        b"".join(
+                            hashlib.md5(f"{i}:jlslo{k}".encode()).digest()
+                            for k in range(n_chunks)
+                        )[:n_px],
+                        dtype=np.uint8,
+                    ).reshape(side, side).astype(np.int64)
+                    samples = (plane << 4) | (lo >> 4)
+                    out.append(
+                        encode_jpeg_lossless(
+                            samples, predictor=pred, precision=12
+                        )
+                    )
+                else:
+                    out.append(
+                        encode_jpeg_lossless(
+                            plane, predictor=pred, precision=8
+                        )
+                    )
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _jls("doc_id").alias("content"),
+    )

@@ -726,6 +726,40 @@ def image_ahash_lowbit_oracle(*, side: int = 8) -> str:
     """
 
 
+def image_ahash_gray_oracle(*, salt: str, side: int = 8) -> str:
+    """aHash replay for a GRAY md5 plane whose presented byte p is
+    exactly md5 hex pair p of ``md5(doc_id || salt || chunk)`` —
+    r=g=b collapses the 299/587/114 luminance to the byte itself.
+    Shared by the lossless-codec queries (lossless ⇒ the decoded
+    plane IS the synth arithmetic; the oracle never models the
+    codec)."""
+    n_px = side * side
+    n_chunks = (n_px + 15) // 16
+    lanes = ", ".join(
+        f"({l}, " + (str(1 << l) if l < 63 else "(-9223372036854775807 - 1)") + ")"
+        for l in range(n_px)
+    )
+    return f"""
+    WITH lum AS (
+      SELECT doc_id, (k * 16 + j) AS p,
+             CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || '{salt}'
+                   || CAST(k AS VARCHAR)),
+               j * 2 + 1, 2)) AS BIGINT) AS g
+      FROM documents,
+           (SELECT unnest(range({n_chunks})) AS k),
+           (SELECT unnest(range(16)) AS j)
+      WHERE k * 16 + j < {n_px}
+    ),
+    mean AS (SELECT doc_id, SUM(g) // {n_px} AS m FROM lum GROUP BY doc_id),
+    lanes(l, wt) AS (VALUES {lanes})
+    SELECT lum.doc_id AS media_id,
+           CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT) AS ahash
+    FROM lum JOIN mean USING (doc_id) JOIN lanes ON lanes.l = lum.p
+    GROUP BY lum.doc_id
+    """
+
+
 def audio_energy_oracle(
     *, n_samples: int = 256, window: int = 64,
     silence_threshold: int = 22_000_000_000,

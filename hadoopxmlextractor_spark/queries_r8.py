@@ -708,3 +708,22 @@ def q_multimodal_png_lowbit_ahash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_png_lowbit_media(docs)
     return M.image_ahash(media)
+
+
+@query("multimodal_jpeg_lossless_ahash", O.image_ahash_gray_oracle(salt=":jls"))
+def q_multimodal_jpeg_lossless_ahash(spark: SparkSession, sf: str) -> DataFrame:
+    # LOSSLESS JPEG (SOF3, T.81 Annex H) decoded natively — another
+    # named residue off the JPEG plug-in list (arithmetic and
+    # hierarchical remain): per-sample Huffman SSSS + appended-bit
+    # diffs, all SEVEN predictor selectors (rotating by doc),
+    # Annex-H edge rules, mod-2^16 reconstruction, and 12-BIT
+    # precision on odd docs (the first 12-bit JPEG leg) whose
+    # high-byte presentation collapses to the same md5 byte as the
+    # 8-bit docs — so one pure-arithmetic oracle pins both precisions
+    # while the full-width prediction chain (where one wrong neighbor
+    # corrupts every later sample) stays on the hash path.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    media = M.synth_jpeg_lossless_media(docs)
+    return M.image_ahash(media)

@@ -374,3 +374,64 @@ def test_progressive_refusals_and_feature_paths(spark):
         (r.media_id, r.block_idx, r.val)
         for r in jpeg_block_values(base).collect()
     )
+
+
+def test_lossless_jpeg_all_predictors_and_precisions():
+    """r8 SOF3: every predictor selector (1-7) roundtrips bit-exact on
+    md5 planes at odd shapes; 12-bit presents the high byte with the
+    full-width prediction chain intact; 16-bit extreme diffs exercise
+    the SSSS-16 / mod-2^16 branch; RGB interleaves 1x1 components;
+    point transform scales the presentation; truncation refuses."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.frombuffer(
+        b"".join(hashlib.md5(f"jlst{k}".encode()).digest() for k in range(64)),
+        dtype=np.uint8,
+    )
+    for pred in range(1, 8):
+        for shape in ((8, 8), (5, 9), (1, 7)):
+            h, w = shape
+            vals = rng[: h * w].reshape(h, w).astype(np.int64)
+            img = decode_jpeg(
+                encode_jpeg_lossless(vals, predictor=pred, precision=8)
+            )
+            exp = np.repeat(vals.astype(np.uint8)[:, :, None], 3, axis=2)
+            assert img is not None and np.array_equal(img, exp), (pred, shape)
+
+    vals12 = (
+        (rng[:64].astype(np.int64) << 4) | (rng[64:128].astype(np.int64) >> 4)
+    ).reshape(8, 8)
+    img = decode_jpeg(encode_jpeg_lossless(vals12, predictor=4, precision=12))
+    assert np.array_equal(
+        img, np.repeat((vals12 >> 4).astype(np.uint8)[:, :, None], 3, axis=2)
+    )
+
+    v16 = np.array(
+        [[0, 65535, 0, 32768], [65535, 0, 32767, 1]], dtype=np.int64
+    )
+    img = decode_jpeg(encode_jpeg_lossless(v16, predictor=1, precision=16))
+    assert np.array_equal(
+        img, np.repeat((v16 >> 8).astype(np.uint8)[:, :, None], 3, axis=2)
+    )
+
+    rgb = rng[:192].reshape(8, 8, 3).astype(np.int64)
+    img = decode_jpeg(encode_jpeg_lossless(rgb, predictor=5, precision=8))
+    assert np.array_equal(img, rgb.astype(np.uint8))
+
+    pt = (rng[:64] >> 1).reshape(8, 8).astype(np.int64)
+    img = decode_jpeg(
+        encode_jpeg_lossless(pt, predictor=2, precision=8, point_transform=1)
+    )
+    assert np.array_equal(
+        img, np.repeat((pt << 1).astype(np.uint8)[:, :, None], 3, axis=2)
+    )
+
+    blob = encode_jpeg_lossless(rng[:64].reshape(8, 8).astype(np.int64))
+    assert decode_jpeg(blob[: len(blob) // 2]) is None
