@@ -76,7 +76,11 @@ FRONT = [
     # complete certification of the full registry this round. Ordering
     # is presentation-only: every entry still runs in the local
     # full-registry gate.
-    # --- new round-8 operators ---
+    # --- new round-8 operators (16 = the cap: 16 + 33 never-certified
+    # fills 49 of the driver's 50-query sample) ---
+    "text_robots_admission",
+    "source_sitemap_urls",
+    "multimodal_audio_opus_meta",
     "multimodal_jpeg_lossless_ahash",
     "multimodal_video_rle_shots",
     "multimodal_png_lowbit_ahash",

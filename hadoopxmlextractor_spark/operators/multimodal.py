@@ -2412,13 +2412,12 @@ def _ogg_crc(data: bytes) -> int:
     return crc
 
 
-def _parse_ogg_vorbis(blob: bytes):
-    """Ogg page walk + Vorbis identification header → metadata dict,
-    or None when any page fails its CRC, the lacing doesn't reassemble,
-    or the first packet isn't a Vorbis id header (Opus/Theora/FLAC-in-
-    Ogg are the plug-in point). Every page's CRC is RE-COMPUTED over
-    the page with the crc field zeroed, so one flipped byte anywhere
-    refuses the file."""
+def _walk_ogg_pages(blob: bytes):
+    """CRC-verified Ogg page walk (shared by the Vorbis and Opus
+    metadata parsers): every page's CRC-32 is RE-COMPUTED over the
+    page with the crc field zeroed, so one flipped byte anywhere
+    refuses the file. Returns (n_pages, last_granule, first page
+    payload) or None."""
     import struct
 
     pos = 0
@@ -2428,7 +2427,7 @@ def _parse_ogg_vorbis(blob: bytes):
     while pos < len(blob):
         if blob[pos : pos + 4] != b"OggS" or len(blob) < pos + 27:
             return None
-        version, htype = blob[pos + 4], blob[pos + 5]
+        version = blob[pos + 4]
         if version != 0:
             return None
         (granule,) = struct.unpack("<q", blob[pos + 6 : pos + 14])
@@ -2453,6 +2452,20 @@ def _parse_ogg_vorbis(blob: bytes):
         pos = end
     if n_pages == 0 or first_payload is None:
         return None
+    return n_pages, last_granule, first_payload
+
+
+def _parse_ogg_vorbis(blob: bytes):
+    """Ogg page walk + Vorbis identification header → metadata dict,
+    or None when any page fails its CRC, the lacing doesn't reassemble,
+    or the first packet isn't a Vorbis id header (Theora/FLAC-in-Ogg
+    are the plug-in point; Opus routes to :func:`_parse_ogg_opus`)."""
+    import struct
+
+    walked = _walk_ogg_pages(blob)
+    if walked is None:
+        return None
+    n_pages, last_granule, first_payload = walked
     p = first_payload
     if len(p) < 30 or p[:7] != b"\x01vorbis":
         return None
@@ -2478,6 +2491,42 @@ def _parse_ogg_vorbis(blob: bytes):
             else None
         ),
         "meta_bytes": len(first_payload),
+    }
+
+
+def _parse_ogg_opus(blob: bytes):
+    """Ogg page walk + OpusHead identification header (RFC 7845) →
+    metadata dict: channels, the INPUT sample rate the header records
+    (Opus itself always decodes at 48 kHz — which is also the granule
+    rate, so duration comes from (last granule − pre-skip)/48000
+    regardless of that field), pre-skip-corrected duration, page
+    count. Same live-CRC page walk as Vorbis."""
+    import struct
+
+    walked = _walk_ogg_pages(blob)
+    if walked is None:
+        return None
+    n_pages, last_granule, p = walked
+    if len(p) < 19 or p[:8] != b"OpusHead" or p[8] != 1:
+        return None
+    channels = p[9]
+    (pre_skip,) = struct.unpack("<H", p[10:12])
+    (input_rate,) = struct.unpack("<I", p[12:16])
+    if channels <= 0 or input_rate <= 0:
+        return None
+    duration_ms = None
+    if last_granule is not None:
+        duration_ms = max(0, last_granule - pre_skip) * 1000 // 48000
+    return {
+        "codec": "opus",
+        "sample_rate": input_rate,
+        "channels": channels,
+        "sample_bits": None,
+        "n_units": n_pages,
+        "bitrate_kbps": None,
+        "is_vbr": False,  # Opus is VBR by nature; pinned, never NULL
+        "duration_ms": duration_ms,
+        "meta_bytes": len(p),
     }
 
 
@@ -2564,7 +2613,7 @@ def audio_container_meta(
                         if b[:3] == b"ID3" or b[:1] == b"\xff":
                             meta = _parse_mp3(b)
                         elif b[:4] == b"OggS":
-                            meta = _parse_ogg_vorbis(b)
+                            meta = _parse_ogg_vorbis(b) or _parse_ogg_opus(b)
                         elif b[:4] == b"fLaC":
                             meta = _parse_flac(b)
                     except (ValueError, IndexError, struct.error):
@@ -3003,4 +3052,69 @@ def synth_jpeg_lossless_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
         _jls("doc_id").alias("content"),
+    )
+
+
+def synth_opus_media(docs: DataFrame) -> DataFrame:
+    """Deterministic Ogg Opus per document (RFC 7845): a BOS page
+    carrying OpusHead (channels b0%2+1, pre-skip 312+b1, input rate
+    from a 4-entry table on b2, mapping family 0) followed by 1+b3%4
+    audio pages whose granules step by 960·(1+b4%3) 48 kHz samples
+    past the pre-skip — every page CRC-stamped, so the shared Ogg walk
+    verifies for real."""
+    import hashlib
+    import struct
+
+    rates = (8000, 16000, 24000, 48000)
+
+    def _page(serial, seq, granule, htype, payload):
+        segs = bytes([255] * (len(payload) // 255) + [len(payload) % 255])
+        head = (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial)
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"
+            + bytes([len(segs)])
+            + segs
+        )
+        crc = _ogg_crc(head + payload)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + payload
+
+    @F.pandas_udf("binary")
+    def _ogg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:opus".encode()).digest()
+                channels = b[0] % 2 + 1
+                pre_skip = 312 + b[1]
+                rate = rates[b[2] % 4]
+                head = (
+                    b"OpusHead\x01"
+                    + bytes([channels])
+                    + struct.pack("<H", pre_skip)
+                    + struct.pack("<I", rate)
+                    + struct.pack("<h", 0)
+                    + b"\x00"
+                )
+                n_body = 1 + b[3] % 4
+                spp = 960 * (1 + b[4] % 3)
+                pages = [_page(int(i), 0, 0, 2, head)]
+                for p in range(1, n_body + 1):
+                    filler = hashlib.md5(f"{i}:opusp{p}".encode()).digest() * 3
+                    pages.append(
+                        _page(
+                            int(i), p, pre_skip + p * spp,
+                            4 if p == n_body else 0, filler,
+                        )
+                    )
+                out.append(b"".join(pages))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        _ogg("doc_id").alias("content"),
     )

@@ -965,3 +965,92 @@ def html_text(col: Column | str) -> Column:
             yield pd.Series(out, dtype="object")
 
     return _extract(F.col(col) if isinstance(col, str) else col)
+
+
+# ---------------------------------------------------------------------------
+# robots.txt admission (RFC 9309) — crawl-compliance gating
+# ---------------------------------------------------------------------------
+
+
+def robots_compile(txt: str, agent: str = "*") -> list:
+    """Parse a robots.txt into the (allow, pattern) rules of the
+    group(s) applying to ``agent`` per RFC 9309: groups are runs of
+    ``User-agent`` lines followed by rules; the agent's own group(s)
+    win when any exist, otherwise the ``*`` group(s); matching groups
+    MERGE. Comments (#) strip; empty patterns are ignored (an empty
+    Disallow means allow-all and matches nothing)."""
+    groups: list[tuple[list, list]] = []  # (agents, rules)
+    cur_agents: list[str] = []
+    cur_rules: list = []
+    in_agents = True
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agents:
+                groups.append((cur_agents, cur_rules))
+                cur_agents, cur_rules = [], []
+            in_agents = True
+            cur_agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_agents = False
+            if val:
+                cur_rules.append((key == "allow", val))
+    if cur_agents or cur_rules:
+        groups.append((cur_agents, cur_rules))
+    a = agent.lower()
+    named = [r for ags, rs in groups if a in ags for r in rs]
+    if named:
+        return named
+    return [r for ags, rs in groups if "*" in ags for r in rs]
+
+
+def _robots_regex(pattern: str) -> str:
+    """RFC 9309 pattern → anchored regex: '*' matches any octet run,
+    a trailing '$' anchors the end, everything else is literal; the
+    pattern always anchors at the path start."""
+    import re as _re
+
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = "^" + ".*".join(_re.escape(part) for part in body.split("*"))
+    return rx + "$" if anchored else rx
+
+
+def robots_admit_udf(robots_txt: str, agent: str = "*"):
+    """Pandas-UDF factory (closure per the UDF-parameter rule):
+    path column → allowed boolean under ``robots_txt``'s rules for
+    ``agent``, RFC 9309 precedence — the LONGEST (most octets)
+    matching pattern decides; allow wins a length tie; no match ⇒
+    allowed. The compiled rule set is a per-site handful of regexes
+    captured in the closure — at 100 TB you group fetch candidates by
+    host and apply each host's compiled set, so the admission stays a
+    map-side filter with no join."""
+    import re as _re
+
+    compiled = [
+        (allow, len(pat), _re.compile(_robots_regex(pat)))
+        for allow, pat in robots_compile(robots_txt, agent)
+    ]
+
+    @F.pandas_udf("boolean")
+    def _admit(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for paths in it:
+            out = []
+            for p in paths:
+                best = None  # (pattern length, allow)
+                for allow, ln, rx in compiled:
+                    if rx.match(p) and (
+                        best is None
+                        or ln > best[0]
+                        or (ln == best[0] and allow)
+                    ):
+                        best = (ln, allow)
+                out.append(best[1] if best is not None else True)
+            yield pd.Series(out)
+
+    return _admit

@@ -727,3 +727,217 @@ def q_multimodal_jpeg_lossless_ahash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = M.synth_jpeg_lossless_media(docs)
     return M.image_ahash(media)
+
+
+@query(
+    "multimodal_audio_opus_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('opus', 0)} AS b0, {_b('opus', 1)} AS b1,
+             {_b('opus', 2)} AS b2, {_b('opus', 3)} AS b3,
+             {_b('opus', 4)} AS b4
+      FROM documents
+    )
+    SELECT doc_id AS media_id, 'opus' AS codec,
+           CAST(([8000,16000,24000,48000])[b2 % 4 + 1] AS INT)
+             AS sample_rate,
+           CAST(b0 % 2 + 1 AS INT) AS channels,
+           CAST(NULL AS INT) AS sample_bits,
+           CAST(2 + b3 % 4 AS BIGINT) AS n_units,
+           CAST(NULL AS INT) AS bitrate_kbps,
+           FALSE AS is_vbr,
+           CAST((1 + b3 % 4) * (960 * (1 + b4 % 3)) * 1000 // 48000
+                AS BIGINT) AS duration_ms,
+           CAST(19 AS BIGINT) AS meta_bytes
+    FROM p
+    """,
+)
+def q_multimodal_audio_opus_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # Opus-in-Ogg (RFC 7845) joins the audio metadata tier — the
+    # modern speech/VoIP codec Common Crawl's audio tail actually
+    # carries: OpusHead parse (channels, pre-skip, the recorded input
+    # rate) over the SAME live-CRC Ogg page walk as Vorbis, with the
+    # RFC's pre-skip-corrected 48 kHz-granule duration rule — the
+    # synth steps granules past the pre-skip so the subtraction is on
+    # the hash path. Only Theora/FLAC-in-Ogg remain refused.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    return M.audio_container_meta(M.synth_opus_media(docs))
+
+
+# ---------------------------------------------------------------------------
+# Crawl admission + frontier: robots.txt and sitemap.xml
+# ---------------------------------------------------------------------------
+
+_ROBOTS_TXT = """
+User-agent: badbot
+Disallow: /
+
+User-agent: *
+Disallow: /private/
+Disallow: /tmp/
+Allow: /tmp/page1
+Disallow: /*.php$
+Allow: /api/
+Disallow: /api/page9.json
+"""
+
+
+@query(
+    "text_robots_admission",
+    f"""
+    WITH b AS (
+      SELECT doc_id, {_b('rob', 0)} AS b0, {_b('rob', 1)} AS b1,
+             {_b('rob', 2)} AS b2
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id,
+             '/' || (['public','private','tmp','media','api','docs'])[b0 % 6 + 1]
+             || '/page' || CAST(b1 % 10 AS VARCHAR)
+             || (['.html','.php','.json'])[b2 % 3 + 1] AS path
+      FROM b
+    ),
+    rules(allow, rx, prio) AS (VALUES
+      (FALSE, '^/private/', 9),
+      (FALSE, '^/tmp/', 5),
+      (TRUE,  '^/tmp/page1', 10),
+      (FALSE, '^/.*\\.php$', 7),
+      (TRUE,  '^/api/', 5),
+      (FALSE, '^/api/page9\\.json', 15)
+    ),
+    m AS (
+      SELECT u.doc_id, r.allow, r.prio
+      FROM urls u JOIN rules r ON regexp_matches(u.path, r.rx)
+    ),
+    best AS (SELECT doc_id, MAX(prio) AS p FROM m GROUP BY doc_id),
+    dec AS (
+      SELECT m.doc_id, bool_or(m.allow) AS allowed
+      FROM m JOIN best ON m.doc_id = best.doc_id AND m.prio = best.p
+      GROUP BY m.doc_id
+    )
+    SELECT u.doc_id, u.path, COALESCE(d.allowed, TRUE) AS allowed
+    FROM urls u LEFT JOIN dec d ON u.doc_id = d.doc_id
+    """,
+)
+def q_text_robots_admission(spark: SparkSession, sf: str) -> DataFrame:
+    # Crawl-compliance admission (RFC 9309): the robots.txt engine —
+    # group selection (a decoy 'badbot' deny-all group must be
+    # ignored), '*'/'$' pattern wildcards, and the longest-match
+    # precedence with allow-wins-ties — evaluated as a map-side
+    # pandas-UDF filter over md5-derived paths that hit EVERY
+    # precedence interaction (an Allow overriding a broader Disallow,
+    # a $-anchored extension rule outranking a shorter Allow, an exact
+    # path outranking everything, and unmatched paths defaulting to
+    # allowed). The oracle re-derives the decisions INDEPENDENTLY:
+    # a rules table with the translated regexes + MAX(prio) +
+    # bool_or-at-max — never a copy of the engine's answers.
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+
+    def b(k: int):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":rob"))),
+                2 * k + 1, 2,
+            ), 16, 10,
+        ).cast("long")
+
+    seg = F.element_at(
+        F.array(*[F.lit(s) for s in
+                  ("public", "private", "tmp", "media", "api", "docs")]),
+        (b(0) % 6 + 1).cast("int"),
+    )
+    ext = F.element_at(
+        F.array(F.lit(".html"), F.lit(".php"), F.lit(".json")),
+        (b(2) % 3 + 1).cast("int"),
+    )
+    path = F.concat(
+        F.lit("/"), seg, F.lit("/page"), (b(1) % 10).cast("string"), ext
+    )
+    admit = T.robots_admit_udf(_ROBOTS_TXT, agent="mybot")
+    return docs.select("doc_id", path.alias("path")).withColumn(
+        "allowed", admit("path")
+    )
+
+
+@query(
+    "source_sitemap_urls",
+    """
+    WITH e AS (
+      SELECT doc_id, j.j AS entry_idx,
+             CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':sm' || CAST(j.j AS VARCHAR)),
+               1, 2)) AS BIGINT) AS bj
+      FROM documents, (SELECT unnest(range(3)) AS j) j
+      WHERE doc_id % 4 <> 0 OR j.j < 2
+    )
+    SELECT doc_id, CAST(entry_idx AS INT) AS entry_idx,
+           CASE WHEN doc_id % 4 = 0 THEN 'index' ELSE 'url' END AS kind,
+           CASE WHEN doc_id % 4 = 0
+                THEN 'https://example.com/sm/' || CAST(doc_id AS VARCHAR)
+                     || '/' || CAST(entry_idx AS VARCHAR) || '.xml'
+                ELSE 'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+                     || '/' || CAST(entry_idx AS VARCHAR) END AS loc,
+           CASE WHEN doc_id % 4 = 0
+                THEN make_date(2026, 2, CAST(1 + bj % 28 AS INT))
+                ELSE make_date(2026, 1, CAST(1 + bj % 28 AS INT)) END
+             AS lastmod,
+           CASE WHEN doc_id % 4 = 0 THEN CAST(NULL AS DOUBLE)
+                ELSE CAST('0.' || CAST(bj % 10 AS VARCHAR) AS DOUBLE) END
+             AS priority
+    FROM e
+    """,
+)
+def q_source_sitemap_urls(spark: SparkSession, sf: str) -> DataFrame:
+    # Sitemap XML → crawl frontier (the engine's XML heritage applied
+    # to the fetch pipeline): every 4th doc is a SITEMAPINDEX (2 child
+    # sitemaps), the rest urlsets (3 urls with lastmod + priority),
+    # all under the real sitemaps.org default namespace so localname
+    # matching is on the hash path. The oracle replays loc/lastmod/
+    # priority construction; priority goes through the identical
+    # string→double parse on both engines.
+    import hashlib
+
+    from hadoopxmlextractor_spark.sources.sitemap import sitemap_entries
+
+    docs = load(spark, sf, "documents")
+    NS = "http://www.sitemaps.org/schemas/sitemap/0.9"
+
+    @F.pandas_udf("string")
+    def _xml(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                def bj(j: int) -> int:
+                    return hashlib.md5(f"{i}:sm{j}".encode()).digest()[0]
+
+                if int(i) % 4 == 0:
+                    items = "".join(
+                        f"<sitemap><loc>https://example.com/sm/{i}/{j}.xml"
+                        f"</loc><lastmod>2026-02-{1 + bj(j) % 28:02d}"
+                        f"</lastmod></sitemap>"
+                        for j in range(2)
+                    )
+                    out.append(
+                        f'<sitemapindex xmlns="{NS}">{items}</sitemapindex>'
+                    )
+                else:
+                    items = "".join(
+                        f"<url><loc>https://example.com/doc/{i}/{j}</loc>"
+                        f"<lastmod>2026-01-{1 + bj(j) % 28:02d}</lastmod>"
+                        f"<priority>0.{bj(j) % 10}</priority></url>"
+                        for j in range(3)
+                    )
+                    out.append(f'<urlset xmlns="{NS}">{items}</urlset>')
+            yield pd.Series(out)
+
+    entries = sitemap_entries(
+        docs.select("doc_id", _xml("doc_id").alias("xml"))
+    )
+    return entries.select(
+        "doc_id", "entry_idx", "kind", "loc",
+        F.to_date("lastmod").alias("lastmod"), "priority",
+    )

@@ -1583,3 +1583,68 @@ def test_rle8_interframe_and_lowbit_png_roundtrips():
                 (vals * scale).astype(np.uint8)[:, :, None], 3, axis=2
             )
             assert np.array_equal(img, exp), (depth, interlace)
+
+
+def test_robots_and_sitemap_edges(spark):
+    """r8 crawl admission/frontier edges: robots group selection (the
+    named agent gets ITS group, not '*'; unknown agents fall back to
+    '*'), empty-Disallow means allow-all, '$' anchoring is real (the
+    pattern must not match mid-path); sitemap: namespace localname
+    matching, sitemapindex kind, malformed XML degrades to the
+    kind-NULL marker row."""
+    from pyspark.sql import functions as F
+
+    from hadoopxmlextractor_spark.operators.text import (
+        _robots_regex,
+        robots_admit_udf,
+        robots_compile,
+    )
+    from hadoopxmlextractor_spark.sources.sitemap import (
+        parse_sitemap,
+        sitemap_entries,
+    )
+
+    txt = (
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /x/\nDisallow:\nAllow: /x/ok$\n"
+    )
+    assert robots_compile(txt, "badbot") == [(False, "/")]
+    assert robots_compile(txt, "anybody") == [(False, "/x/"), (True, "/x/ok$")]
+    assert _robots_regex("/x/ok$") == "^/x/ok$"
+    df = spark.createDataFrame(
+        [("/x/ok",), ("/x/okay",), ("/x/no",), ("/y",)], "path string"
+    )
+    got = {
+        r.path: r.allowed
+        for r in df.withColumn(
+            "allowed", robots_admit_udf(txt, "anybody")("path")
+        ).collect()
+    }
+    # '$' anchors: '/x/okay' must NOT match the Allow and stays blocked
+    assert got == {"/x/ok": True, "/x/okay": False, "/x/no": False, "/y": True}
+    # the deny-all group applies only to badbot
+    denied = {
+        r.path: r.allowed
+        for r in df.withColumn(
+            "allowed", robots_admit_udf(txt, "badbot")("path")
+        ).collect()
+    }
+    assert set(denied.values()) == {False}
+
+    ns = "http://www.sitemaps.org/schemas/sitemap/0.9"
+    idx = parse_sitemap(
+        f'<sitemapindex xmlns="{ns}"><sitemap><loc>https://a/s.xml</loc>'
+        f"</sitemap></sitemapindex>"
+    )
+    assert idx == [
+        {"entry_idx": 0, "kind": "index", "loc": "https://a/s.xml",
+         "lastmod": None, "priority": None}
+    ]
+    bad = spark.createDataFrame(
+        [(1, "<html>not a sitemap</html>"), (2, "not xml at <<")],
+        "doc_id long, xml string",
+    )
+    rows = sitemap_entries(bad).collect()
+    assert len(rows) == 2 and all(
+        r.kind is None and r.entry_idx == -1 for r in rows
+    )
