@@ -1054,3 +1054,34 @@ def robots_admit_udf(robots_txt: str, agent: str = "*"):
             yield pd.Series(out)
 
     return _admit
+
+
+def fix_mojibake_udf():
+    """Encoding-repair kernel (the ftfy core case): text that was
+    UTF-8 bytes mis-decoded as cp1252 ("é" shipped as "Ã©", "’" as
+    "â€™") round-trips back through encode('cp1252') →
+    decode('utf-8'); anything that doesn't survive BOTH strict
+    conversions — genuine Latin-text, plain ASCII, already-clean
+    Unicode — passes through unchanged, so the repair can never
+    corrupt clean text. Returns (fixed, was_fixed); map-side, no
+    shuffle, one Arrow pass."""
+
+    @F.pandas_udf("struct<fixed:string, was_fixed:boolean>")
+    def _fix(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in it:
+            fixed, was = [], []
+            for t in texts:
+                if t is None:
+                    fixed.append(None)
+                    was.append(None)
+                    continue
+                try:
+                    cand = t.encode("cp1252").decode("utf-8")
+                    changed = cand != t
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    cand, changed = t, False
+                fixed.append(cand if changed else t)
+                was.append(changed)
+            yield pd.DataFrame({"fixed": fixed, "was_fixed": was})
+
+    return _fix

@@ -941,3 +941,144 @@ def q_source_sitemap_urls(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "entry_idx", "kind", "loc",
         F.to_date("lastmod").alias("lastmod"), "priority",
     )
+
+
+# ---------------------------------------------------------------------------
+# Post-cap additions (NOT in FRONT — the driver sample is full this
+# round; these certify next rotation, and run in the local full gate)
+# ---------------------------------------------------------------------------
+
+
+def _surprisal_oracle_sql() -> str:
+    # Composition over the registered text_bigram_surprisal oracle —
+    # import side-effect guarantees registration when this module is
+    # loaded standalone.
+    import hadoopxmlextractor_spark.pipeline_queries  # noqa: F401
+
+    from hadoopxmlextractor_spark.queries import ORACLE
+
+    return ORACLE["text_bigram_surprisal"]
+
+
+@query(
+    "corpus_ccnet_buckets",
+    f"""
+    WITH base AS ({{}}),
+    j AS (
+      SELECT b.doc_id, d.lang, b.avg_surprisal
+      FROM base b JOIN documents d USING (doc_id)
+    ),
+    r AS (
+      SELECT doc_id, lang, avg_surprisal,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY avg_surprisal, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM j
+    )
+    SELECT doc_id, lang, avg_surprisal,
+           (['head','middle','tail'])[CAST(3 * (rn - 1) // n AS INT) + 1]
+             AS bucket
+    FROM r
+    """.format("{SURPRISAL}"),
+)
+def q_corpus_ccnet_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    # CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    # language, rank documents by language-model surprisal and split
+    # into head/middle/tail terciles — the standard quality
+    # stratification a web-corpus pipeline trains on (head) or
+    # downsamples (tail). Composes the hash-exact portable_ln bigram
+    # LM (text_bigram_surprisal) with count-rank tercile boundaries
+    # (3·(rn−1) div n — the integer-division pattern both engines
+    # floor identically on non-negative operands); ties break on
+    # doc_id so the rank is total. One per-lang exchange over
+    # doc-level rows (the corpus is already reduced to one row per
+    # doc before the window).
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    base = QUERIES["text_bigram_surprisal"](spark, sf)
+    docs = load(spark, sf, "documents").select("doc_id", "lang")
+    j = base.join(docs, "doc_id")
+    w = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+    wn = Window.partitionBy("lang")
+    r = j.select(
+        "doc_id", "lang", "avg_surprisal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    bucket = F.element_at(
+        F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+        (F.expr("(3 * (rn - 1)) div n") + 1).cast("int"),
+    )
+    return r.select("doc_id", "lang", "avg_surprisal", bucket.alias("bucket"))
+
+
+# late-bind the composed oracle (the surprisal SQL is registered by
+# pipeline_queries at import time; splice it into the template now)
+from hadoopxmlextractor_spark.queries import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["corpus_ccnet_buckets"] = _ORACLE["corpus_ccnet_buckets"].replace(
+    "{SURPRISAL}", _surprisal_oracle_sql()
+)
+
+
+@query(
+    "text_mojibake_repair",
+    """
+    WITH b AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                                         || ':moji'), 1, 2)) AS BIGINT) AS b0
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0
+                THEN (['café','naïve','über','don’t','São Paulo'])[b0 % 5 + 1]
+                     || ' doc ' || CAST(doc_id AS VARCHAR)
+                ELSE 'plain doc ' || CAST(doc_id AS VARCHAR) END AS fixed,
+           (doc_id % 2 = 0) AS was_fixed
+    FROM b
+    """,
+)
+def q_text_mojibake_repair(spark: SparkSession, sf: str) -> DataFrame:
+    # Encoding repair (the ftfy core case) as a corpus-cleaning stage:
+    # even docs carry PLANTED double-encoded text (a UTF-8 phrase
+    # mis-decoded as cp1252 — 'é' shipped as 'Ã©', the curly quote in
+    # don’t as 'â€™') that the cp1252→utf-8 strict roundtrip must
+    # repair EXACTLY; odd docs are clean ASCII the repair must not
+    # touch — both branches live per the vacuous-check rule, and the
+    # oracle reconstructs the expected REPAIRED strings (with real
+    # Unicode literals), never the engine's answers. Map-side, no
+    # shuffle.
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+    phrases = ["café", "naïve", "über", "don’t", "São Paulo"]
+
+    @F.pandas_udf("string")
+    def _input(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                if int(i) % 2 == 0:
+                    b0 = hashlib.md5(f"{i}:moji".encode()).digest()[0]
+                    phrase = phrases[b0 % 5]
+                    moji = phrase.encode("utf-8").decode("cp1252")
+                    out.append(f"{moji} doc {i}")
+                else:
+                    out.append(f"plain doc {i}")
+            yield pd.Series(out)
+
+    fix = T.fix_mojibake_udf()
+    return (
+        docs.select("doc_id", _input("doc_id").alias("raw"))
+        .withColumn("f", fix("raw"))
+        .select(
+            "doc_id",
+            F.col("f.fixed").alias("fixed"),
+            F.col("f.was_fixed").alias("was_fixed"),
+        )
+    )
