@@ -343,3 +343,179 @@ def test_prefix_filter_guarantee_pure(sets, pct):
                 assert prefix(a) & prefix(b), (
                     a, b, pct, prefix(a), prefix(b),
                 )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 kernels: WARC splits, RLE8 video, lossless JPEG, robots
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=120), min_size=1, max_size=20),
+    st.booleans(),
+    st.integers(min_value=1, max_value=600),
+)
+@settings(max_examples=40, deadline=None)
+def test_warc_split_ranged_union_equals_whole(payloads, gz, target):
+    """Any record set, any layout, any split target: the split index
+    cuts only at record-aligned boundaries, splits tile the file
+    exactly, and the ranged per-split parses union to the whole-file
+    parse with contiguous rec_idx."""
+    from hadoopxmlextractor_spark.sources.warc import (
+        iter_warc_records,
+        parse_warc,
+        split_warc_blob,
+        write_warc,
+    )
+
+    recs = [
+        {"warc_type": "response", "record_id": f"<urn:p:{i}>",
+         "target_uri": f"https://x/{i}", "content_type": "b",
+         "payload": p}
+        for i, p in enumerate(payloads)
+    ]
+    blob = write_warc(recs, gzip_members=gz)
+    whole = parse_warc(blob)
+    splits = split_warc_blob(blob, target_bytes=target)
+    assert splits[0]["offset"] == 0
+    pos = 0
+    ranged = []
+    for s in splits:
+        assert s["offset"] == pos
+        pos += s["length"]
+        piece = blob[s["offset"] : s["offset"] + s["length"]]
+        got = list(iter_warc_records(piece, base_idx=s["first_rec"]))
+        assert len(got) == s["n_recs"]
+        ranged.extend(got)
+    assert pos == len(blob)
+    assert ranged == whole
+    assert [r["rec_idx"] for r in ranged] == list(range(len(payloads)))
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=255),
+                 min_size=48, max_size=48),
+        min_size=1, max_size=6,
+    ),
+    st.data(),
+)
+@settings(max_examples=30, deadline=None)
+def test_rle8_video_roundtrip_any_frames(frame_rows, data):
+    """Any frame sequence (random planes, duplicated frames, partial
+    mutations) roundtrips the RLE8 inter-frame codec exactly — the
+    canvas carry-over can never leak a stale pixel."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        _decode_avi_frames,
+        _encode_rle8_avi,
+    )
+
+    frames = [
+        np.array(rows, dtype=np.uint8).reshape(6, 8) for rows in frame_rows
+    ]
+    # occasionally repeat a frame verbatim (full-skip delta path)
+    if len(frames) > 1 and data.draw(st.booleans()):
+        frames.insert(1, frames[0].copy())
+    gray = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    dec = _decode_avi_frames(_encode_rle8_avi(frames, gray))
+    assert dec is not None and len(dec) == len(frames)
+    for orig, got in zip(frames, dec):
+        assert np.array_equal(got, gray[orig])
+
+
+@given(
+    st.integers(min_value=1, max_value=7),
+    st.sampled_from([8, 12, 16]),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=40, deadline=None)
+def test_lossless_jpeg_roundtrip_any_shape(pred, prec, h, w, seed):
+    """Any predictor, precision, and shape: SOF3 decode is the exact
+    inverse of the encoder up to the documented presentation (high
+    byte for precision > 8)."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_lossless,
+    )
+
+    n = h * w
+    raw = b"".join(
+        hashlib.md5(f"{seed}:{k}".encode()).digest()
+        for k in range((2 * n + 15) // 16)
+    )
+    vals = np.frombuffer(raw[: 2 * n], dtype=np.uint8).astype(np.int64)
+    vals = (vals[:n] << 8 | vals[n:]) % (1 << prec)
+    vals = vals.reshape(h, w)
+    img = decode_jpeg(encode_jpeg_lossless(vals, predictor=pred, precision=prec))
+    assert img is not None
+    shown = vals >> (prec - 8) if prec > 8 else vals
+    assert np.array_equal(
+        img, np.repeat(shown.astype(np.uint8)[:, :, None], 3, axis=2)
+    )
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),
+            st.text(alphabet="/abp*.$", min_size=1, max_size=8),
+        ),
+        min_size=0, max_size=6,
+    ),
+    st.text(alphabet="/abp.", min_size=1, max_size=10),
+)
+@settings(max_examples=60, deadline=None)
+def test_robots_longest_match_equals_bruteforce(rules, path):
+    """The compiled-regex longest-match decision equals a bruteforce
+    wildcard matcher for arbitrary rule sets and paths."""
+    import re
+
+    from hadoopxmlextractor_spark.operators.text import _robots_regex
+
+    def brute_match(pattern, p):
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        parts = body.split("*")
+
+        def rec(pi, si):
+            if pi == len(parts):
+                return si == len(p) if anchored else True
+            part = parts[pi]
+            if pi == 0:
+                return p.startswith(part) and rec(1, len(part))
+            for j in range(si, len(p) - len(part) + 1):
+                if p[j : j + len(part)] == part and rec(pi + 1, j + len(part)):
+                    return True
+            return False
+
+        return rec(0, 0)
+
+    def decide(ruleset):
+        best = None
+        for allow, pat in ruleset:
+            if brute_match(pat, path):
+                ln = len(pat)
+                if best is None or ln > best[0] or (ln == best[0] and allow):
+                    best = (ln, allow)
+        return best[1] if best else True
+
+    regex_best = None
+    for allow, pat in rules:
+        if re.compile(_robots_regex(pat)).match(path):
+            ln = len(pat)
+            if (
+                regex_best is None
+                or ln > regex_best[0]
+                or (ln == regex_best[0] and allow)
+            ):
+                regex_best = (ln, allow)
+    got = regex_best[1] if regex_best else True
+    assert got == decide(rules)
