@@ -2346,10 +2346,12 @@ def _parse_mp3(blob: bytes):
     anything the walk can't prove well-formed (other MPEG versions /
     layers, free-format bitrate, a desynced frame, trailing garbage —
     the full-decode plug-in point). Walks an optional ID3v2 prefix
-    (syncsafe size), then every frame header: the frame-length formula
-    144000·bitrate/rate + padding must land each header exactly on the
-    next sync word and the last frame exactly at EOF, so n_frames pins
-    the whole chain."""
+    (syncsafe size) and an optional ID3v1 trailer (the classic
+    128-byte 'TAG' tail), then every frame header: the frame-length
+    formula 144000·bitrate/rate + padding must land each header
+    exactly on the next sync word and the last frame exactly at the
+    EOF/trailer boundary, so n_frames pins the whole chain.
+    meta_bytes totals both tags."""
     pos = 0
     meta_bytes = 0
     if blob[:3] == b"ID3" and len(blob) >= 10:
@@ -2363,6 +2365,10 @@ def _parse_mp3(blob: bytes):
     bitrates = []
     sample_rate = channels = None
     while pos < len(blob):
+        if blob[pos : pos + 3] == b"TAG" and len(blob) - pos == 128:
+            meta_bytes += 128  # ID3v1 trailer — the classic 128-byte tail
+            pos = len(blob)
+            break
         hdr = blob[pos : pos + 4]
         if len(hdr) < 4 or hdr[0] != 0xFF or (hdr[1] & 0xE0) != 0xE0:
             return None
@@ -2578,6 +2584,56 @@ def _parse_flac(blob: bytes):
     }
 
 
+_WAV_CODECS = {1: "pcm", 6: "g711a", 7: "g711u", 17: "adpcm"}
+
+
+def _parse_wav_meta(blob: bytes):
+    """RIFF/WAVE container metadata (the tier's fourth leg — the
+    containers :func:`_decode_wav` decodes, surfaced through the same
+    meta contract): fmt-chunk walk → codec name, rate, channels,
+    bits, exact sample count from data length / block align (ADPCM
+    blocks contribute wSamplesPerBlock each), duration, byte-rate
+    bitrate. Unknown format codes refuse to the codec-NULL row."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        return None
+    pos, fmt_body, data_len = 12, None, None
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        if cid == b"fmt " and ln >= 16:
+            fmt_body = blob[pos + 8 : pos + 8 + ln]
+        elif cid == b"data":
+            data_len = ln
+        pos += 8 + ln + (ln & 1)
+    if fmt_body is None or data_len is None:
+        return None
+    code, ch, rate, byte_rate, align, bits = struct.unpack(
+        "<HHIIHH", fmt_body[:16]
+    )
+    if code not in _WAV_CODECS or ch <= 0 or rate <= 0 or align <= 0:
+        return None
+    if code == 17:
+        if len(fmt_body) < 20:
+            return None
+        (spb,) = struct.unpack("<H", fmt_body[18:20])
+        n_samples = (data_len // align) * spb
+    else:
+        n_samples = data_len // align
+    return {
+        "codec": _WAV_CODECS[code],
+        "sample_rate": int(rate),
+        "channels": int(ch),
+        "sample_bits": int(bits),
+        "n_units": int(n_samples),
+        "bitrate_kbps": int(byte_rate) * 8 // 1000,
+        "is_vbr": False,
+        "duration_ms": int(n_samples) * 1000 // int(rate),
+        "meta_bytes": len(fmt_body),
+    }
+
+
 AUDIO_META_SCHEMA = (
     "media_id long, codec string, sample_rate int, channels int, "
     "sample_bits int, n_units long, bitrate_kbps int, is_vbr boolean, "
@@ -2616,6 +2672,8 @@ def audio_container_meta(
                             meta = _parse_ogg_vorbis(b) or _parse_ogg_opus(b)
                         elif b[:4] == b"fLaC":
                             meta = _parse_flac(b)
+                        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                            meta = _parse_wav_meta(b)
                     except (ValueError, IndexError, struct.error):
                         meta = None
                 if meta is None:
@@ -2639,8 +2697,8 @@ def synth_mp3_media(docs: DataFrame) -> DataFrame:
     bitrate index b2%14+1 (CONSTANT for even doc_ids, +j per frame for
     odd — a real VBR stream), channel mode b4%4, per-frame padding bit
     (i+j)%2, and an ID3v2 prefix of 10+(b3%100+10) bytes on every 3rd
-    doc. Frame bodies are filler — the walk checks lengths, not
-    samples."""
+    doc, plus an ID3v1 128-byte 'TAG' trailer on every 5th. Frame
+    bodies are filler — the walk checks lengths, not samples."""
     import hashlib
 
     @F.pandas_udf("binary")
@@ -2674,6 +2732,8 @@ def synth_mp3_media(docs: DataFrame) -> DataFrame:
                         ]
                     )
                     parts.append(hdr + b"\x55" * (flen - 4))
+                if i % 5 == 0:  # ID3v1 trailer on every 5th doc
+                    parts.append(b"TAG" + b"\x00" * 125)
                 out.append(b"".join(parts))
             yield pd.Series(out)
 

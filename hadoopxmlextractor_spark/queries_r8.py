@@ -158,8 +158,9 @@ def _b(salt: str, k: int) -> str:
                 [b2 % 14 + 1] AS INT) AS bitrate_kbps,
            (doc_id % 2 = 1) AS is_vbr,
            CAST((3 + b1 % 6) * 1152000 // sr AS BIGINT) AS duration_ms,
-           CAST(CASE WHEN doc_id % 3 = 0 THEN 20 + b3 % 100
-                ELSE 0 END AS BIGINT) AS meta_bytes
+           CAST((CASE WHEN doc_id % 3 = 0 THEN 20 + b3 % 100 ELSE 0 END)
+                + (CASE WHEN doc_id % 5 = 0 THEN 128 ELSE 0 END)
+                AS BIGINT) AS meta_bytes
     FROM q
     """,
 )
@@ -1082,3 +1083,50 @@ def q_text_mojibake_repair(spark: SparkSession, sf: str) -> DataFrame:
             F.col("f.was_fixed").alias("was_fixed"),
         )
     )
+
+
+@query(
+    "multimodal_audio_wav_meta",
+    """
+    SELECT doc_id AS media_id, 'pcm' AS codec,
+           CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(16 AS INT) AS sample_bits, CAST(256 AS BIGINT) AS n_units,
+           CAST(128 AS INT) AS bitrate_kbps, FALSE AS is_vbr,
+           CAST(32 AS BIGINT) AS duration_ms, CAST(16 AS BIGINT) AS meta_bytes
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000,
+           CASE WHEN doc_id % 2 = 0 THEN 'g711u' ELSE 'g711a' END,
+           CAST(8000 AS INT), CAST(1 AS INT), CAST(8 AS INT),
+           CAST(256 AS BIGINT), CAST(64 AS INT), FALSE,
+           CAST(32 AS BIGINT), CAST(18 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, 'adpcm',
+           CAST(8000 AS INT), CAST(1 AS INT), CAST(4 AS INT),
+           CAST(257 AS BIGINT), CAST(32 AS INT), FALSE,
+           CAST(32 AS BIGINT), CAST(20 AS BIGINT)
+    FROM documents
+    """,
+)
+def q_multimodal_audio_wav_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # The WAV legs (PCM / G.711 mu+A-law / IMA ADPCM) surfaced through
+    # the SAME audio_container_meta contract as MP3/Vorbis/FLAC/Opus —
+    # one metadata operator across the whole audio tier: fmt-chunk
+    # code/rate/channels/bits, exact sample counts from data length /
+    # block align (ADPCM blocks contribute wSamplesPerBlock each,
+    # 2n+1 = 257), byte-rate bitrate, fmt-body meta_bytes (16 PCM /
+    # 18 G.711 cbSize / 20 ADPCM extension). The three synths are the
+    # ones the ENERGY queries decode sample-exactly, so container and
+    # content views of the same bytes are now both certified.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    pcm = M.audio_container_meta(M.synth_wav_media(docs))
+    g711 = M.audio_container_meta(M.synth_g711_wav_media(docs)).withColumn(
+        "media_id", F.col("media_id") + F.lit(1_000_000)
+    )
+    adpcm = M.audio_container_meta(
+        M.synth_adpcm_wav_media(docs)
+    ).withColumn("media_id", F.col("media_id") + F.lit(2_000_000))
+    return pcm.unionByName(g711).unionByName(adpcm)

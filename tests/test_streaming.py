@@ -2354,3 +2354,68 @@ def test_warc_stream_priority_sample_equals_batch(spark, tmp_path):
             for r in read_snapshot(spark, table).collect()
         }
         assert standing == recompute(), f"generation {gen}"
+
+
+def test_warc_stream_robots_admission_equals_batch(spark, tmp_path):
+    """r8 composition: CONTINUOUS crawl admission — stream_warc →
+    response filter → URL-path extraction → RFC 9309 robots filter →
+    append sink, drained availableNow per generation; the admitted
+    set must equal the batch pipeline over all files landed so far
+    (both the allow and the deny branch live in every generation)."""
+    from hadoopxmlextractor_spark.operators.text import robots_admit_udf
+    from hadoopxmlextractor_spark.sources.warc import (
+        read_warc,
+        stream_warc,
+        write_warc,
+    )
+
+    robots = "User-agent: *\nDisallow: /private/\nAllow: /private/ok\n"
+    indir = tmp_path / "in"
+    indir.mkdir()
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(gen: int) -> None:
+        paths = [f"/a{gen}", "/private/x", "/private/ok", f"/b{gen}"]
+        recs = [
+            {"warc_type": "response", "record_id": f"<urn:g{gen}-{i}>",
+             "target_uri": f"https://site.test{p}",
+             "content_type": "text/plain", "payload": b"x"}
+            for i, p in enumerate(paths)
+        ]
+        (indir / f"g{gen}.warc.gz").write_bytes(write_warc(recs))
+
+    def admitted(records):
+        admit = robots_admit_udf(robots, "crawler")
+        path = F.regexp_replace("target_uri", r"^https://[^/]+", "")
+        return (
+            records.filter(F.col("warc_type") == "response")
+            .select("record_id", path.alias("path"))
+            .withColumn("allowed", admit("path"))
+        )
+
+    for gen in range(2):
+        land(gen)
+        q = (
+            admitted(stream_warc(spark, str(indir)))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = {
+            (r.record_id, r.path, r.allowed)
+            for r in spark.read.parquet(out).collect()
+        }
+        batch = {
+            (r.record_id, r.path, r.allowed)
+            for r in admitted(
+                read_warc(spark, str(indir / "*.warc.gz"))
+            ).collect()
+        }
+        assert streamed == batch and len(streamed) == 4 * (gen + 1)
+        # both branches live: /private/x denied, /private/ok allowed
+        denied = {p for _, p, a in streamed if not a}
+        assert denied == {"/private/x"}

@@ -1483,7 +1483,12 @@ def test_audio_container_meta_walks_and_refusals(spark):
     # mp3: vbr exactly on odd ids; ID3 meta bytes on every 3rd
     mp3 = {r.media_id: r for r in audio_container_meta(synth_mp3_media(docs)).collect()}
     assert all(mp3[i].is_vbr == (i % 2 == 1) for i in range(12))
-    assert all((mp3[i].meta_bytes > 0) == (i % 3 == 0) for i in range(12))
+    # ID3v2 prefix on every 3rd doc, ID3v1 128-byte trailer on every 5th
+    assert all(
+        (mp3[i].meta_bytes > 0) == (i % 3 == 0 or i % 5 == 0)
+        for i in range(12)
+    )
+    assert mp3[5].meta_bytes == 128 and mp3[10].meta_bytes == 128
 
     # refusal matrix (pure parsers)
     # MPEG-2 version bits refuse
