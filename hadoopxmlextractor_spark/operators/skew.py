@@ -168,7 +168,10 @@ def join_auto_salt(
     )
     if not hot_keys:
         return big.join(small, key, how)
-    is_hot = F.col(key).isin(hot_keys)
+    # NULL-safe split: isin(NULL) is NULL, which would drop NULL-key
+    # big rows from BOTH branches — a plain LEFT join keeps them, so
+    # the hot/cold split must too (NULLs are cold: they never match).
+    is_hot = F.coalesce(F.col(key).isin(hot_keys), F.lit(False))
     exploded = small.filter(is_hot).withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )

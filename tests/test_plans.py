@@ -1340,6 +1340,23 @@ def test_join_auto_salt_salts_only_when_skewed(spark):
         (r.k, r.v, r.attr) for r in plain.collect()
     )
 
+    # NULL-key big rows survive a salted LEFT join (isin(NULL) is
+    # NULL — without the coalesce they'd vanish from both branches)
+    with_nulls = skewed.unionByName(
+        spark.createDataFrame([(None, 9001), (None, 9002)], "k long, v long")
+    )
+    ln = join_auto_salt(with_nulls, dim, "k", how="left")
+    pn = with_nulls.join(dim, "k", "left")
+
+    def multiset(df):
+        return sorted(
+            (r.k if r.k is not None else -1, r.v, r.attr if r.attr is not None else -1)
+            for r in df.collect()
+        )
+
+    assert multiset(ln) == multiset(pn)
+    assert sum(1 for r in ln.collect() if r.k is None) == 2
+
 
 def test_round8_queries_pass_plan_lint(spark):
     """Scale pre-flight over every round-8 newcomer: lint_plan must
