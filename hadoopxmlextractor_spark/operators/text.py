@@ -1063,8 +1063,10 @@ def fix_mojibake_udf():
     decode('utf-8'); anything that doesn't survive BOTH strict
     conversions — genuine Latin-text, plain ASCII, already-clean
     Unicode — passes through unchanged, so the repair can never
-    corrupt clean text. Returns (fixed, was_fixed); map-side, no
-    shuffle, one Arrow pass."""
+    corrupt clean text. The repair iterates to a bounded FIXPOINT so
+    doubly double-encoded text (two bad hops through cp1252) unwinds
+    fully — the ftfy behavior. Returns (fixed, was_fixed); map-side,
+    no shuffle, one Arrow pass."""
 
     @F.pandas_udf("struct<fixed:string, was_fixed:boolean>")
     def _fix(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
@@ -1075,13 +1077,17 @@ def fix_mojibake_udf():
                     fixed.append(None)
                     was.append(None)
                     continue
-                try:
-                    cand = t.encode("cp1252").decode("utf-8")
-                    changed = cand != t
-                except (UnicodeEncodeError, UnicodeDecodeError):
-                    cand, changed = t, False
-                fixed.append(cand if changed else t)
-                was.append(changed)
+                cur = t
+                for _ in range(4):  # real mojibake is 1-2 hops deep
+                    try:
+                        cand = cur.encode("cp1252").decode("utf-8")
+                    except (UnicodeEncodeError, UnicodeDecodeError):
+                        break
+                    if cand == cur:
+                        break
+                    cur = cand
+                fixed.append(cur)
+                was.append(cur != t)
             yield pd.DataFrame({"fixed": fixed, "was_fixed": was})
 
     return _fix
