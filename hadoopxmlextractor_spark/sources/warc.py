@@ -61,19 +61,23 @@ def _iter_gunzip_members(blob: bytes) -> Iterator[tuple[bytes, int]]:
         raise ValueError("trailing non-gzip bytes in WARC")
 
 
-def _drain_records(buf: bytes, next_idx: int) -> tuple[list[dict], bytes, int]:
+def _drain_records(
+    buf: bytes, next_idx: int
+) -> tuple[list[dict], bytes, int, str | None]:
     """Parse every COMPLETE record at the front of ``buf``; return
-    (records, remaining bytes, next record index). An incomplete tail
-    (header or payload still arriving from a later gzip member) is
-    left in the remainder; bytes that cannot START a record raise
-    ValueError."""
+    (records, remaining bytes, next record index, error or None). An
+    incomplete tail (header or payload still arriving from a later
+    gzip member) is left in the remainder with no error; bytes that
+    cannot START a record report the error AFTER the records parsed
+    before it — callers choose between strictness (raise, the split
+    indexer) and salvage (yield then mark, the record exploder)."""
     records: list[dict] = []
     pos = 0
     n = len(buf)
     while pos < n:
         head = buf[pos : pos + 5]
         if len(head) == 5 and head != b"WARC/":
-            raise ValueError(f"bad record start at {pos}")
+            return records, buf[pos:], next_idx, f"bad record start at {pos}"
         hdr_end = buf.find(b"\r\n\r\n", pos)
         if len(head) < 5 or hdr_end < 0:
             break  # incomplete header — wait for more members
@@ -82,12 +86,15 @@ def _drain_records(buf: bytes, next_idx: int) -> tuple[list[dict], bytes, int]:
         for line in lines[1:]:
             k, _, v = line.partition(":")
             headers[k.strip().lower()] = v.strip()
-        length = int(headers.get("content-length", "0"))
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            return records, buf[pos:], next_idx, "bad Content-Length"
         end = hdr_end + 4 + length + 4
         if n < end:
             break  # incomplete payload — wait for more members
         if buf[hdr_end + 4 + length : end] != b"\r\n\r\n":
-            raise ValueError("missing record separator")
+            return records, buf[pos:], next_idx, "missing record separator"
         records.append(
             {
                 "rec_idx": next_idx,
@@ -102,7 +109,7 @@ def _drain_records(buf: bytes, next_idx: int) -> tuple[list[dict], bytes, int]:
         )
         next_idx += 1
         pos = end
-    return records, buf[pos:], next_idx
+    return records, buf[pos:], next_idx, None
 
 
 def iter_warc_records(blob: bytes, *, base_idx: int = 0) -> Iterator[dict]:
@@ -125,8 +132,10 @@ def iter_warc_records(blob: bytes, *, base_idx: int = 0) -> Iterator[dict]:
     idx = base_idx
     for member in members:
         buf += member
-        records, buf, idx = _drain_records(buf, idx)
+        records, buf, idx, err = _drain_records(buf, idx)
         yield from records
+        if err is not None:
+            raise ValueError(err)
     if buf:
         raise ValueError("truncated trailing record")
 
@@ -175,7 +184,9 @@ def split_warc_blob(blob: bytes, *, target_bytes: int = 1 << 20) -> list[dict]:
         nrec = 0
         for member, end in _iter_gunzip_members(blob):
             buf += member
-            recs, buf, nrec = _drain_records(buf, nrec)
+            recs, buf, nrec, err = _drain_records(buf, nrec)
+            if err is not None:
+                raise ValueError(err)
             if not buf:
                 cut_points.append((end, nrec))
         if buf:
@@ -387,40 +398,43 @@ def split_http_payload(payload: bytes):
         return None, payload
 
 
+_RECORDS_CHUNK = 256
+
+
 def warc_records(
     files: DataFrame, content_col: str = "content", path_col: str = "path"
 ) -> DataFrame:
     """Explode (path, content) WARC blobs into records — one Arrow
-    pass, no shuffle; a malformed file yields a single NULL-typed
-    marker row (warc_type NULL) instead of poisoning the job, the
-    auditable-NULL contract at file granularity."""
+    pass, no shuffle, with STREAMED output: records drain from
+    :func:`iter_warc_records` in ``_RECORDS_CHUNK``-row frames as the
+    gzip members decompress, so a task's peak memory is one chunk of
+    records + one member, never the whole ~GB decompressed segment.
+    A file that turns malformed appends the NULL-typed marker row
+    (rec_idx -1, warc_type NULL) — records parsed BEFORE the fault
+    are salvaged and the marker keeps file-granularity auditing
+    total; a file malformed from byte 0 yields only the marker."""
+
+    def _marker(path):
+        return {
+            "path": path, "rec_idx": -1, "warc_type": None,
+            "record_id": None, "target_uri": None, "warc_date": None,
+            "content_type": None, "content_length": None, "payload": None,
+        }
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
             for path, blob in zip(pdf[path_col], pdf[content_col]):
+                rows = []
                 try:
-                    recs = parse_warc(bytes(blob))
+                    for r in iter_warc_records(bytes(blob)):
+                        rows.append({"path": path, **r})
+                        if len(rows) >= _RECORDS_CHUNK:
+                            yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
+                            rows = []
                 except (ValueError, IndexError, zlib.error):
-                    rows.append(
-                        {
-                            "path": path, "rec_idx": -1, "warc_type": None,
-                            "record_id": None, "target_uri": None,
-                            "warc_date": None, "content_type": None,
-                            "content_length": None, "payload": None,
-                        }
-                    )
-                    continue
-                for r in recs:
-                    rows.append({"path": path, **r})
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "path", "rec_idx", "warc_type", "record_id",
-                    "target_uri", "warc_date", "content_type",
-                    "content_length", "payload",
-                ],
-            )
+                    rows.append(_marker(path))
+                if rows:
+                    yield pd.DataFrame(rows, columns=_RECORD_COLUMNS)
 
     return files.select(path_col, content_col).mapInPandas(
         _parse, schema=RECORD_SCHEMA

@@ -995,3 +995,34 @@ def test_warc_split_index_ranged_read_equals_whole_file(spark, tmp_path):
     for s in sp:
         piece = spanning[s["offset"]: s["offset"] + s["length"]]
         assert len(list(iter_warc_records(piece, base_idx=s["first_rec"]))) == s["n_recs"]
+
+
+def test_warc_records_salvage_partial_then_marker(spark):
+    """r8b streamed record explode: a file that turns malformed MID
+    STREAM salvages the records parsed before the fault AND appends
+    the rec_idx -1 marker row (auditing stays total); a file malformed
+    from byte 0 yields only the marker."""
+    from hadoopxmlextractor_spark.sources.warc import warc_records, write_warc
+
+    recs = [
+        {"warc_type": "response", "record_id": f"<urn:s:{i}>",
+         "target_uri": f"https://x/{i}", "content_type": "t",
+         "payload": bytes([i]) * 10}
+        for i in range(3)
+    ]
+    good_then_junk = write_warc(recs, gzip_members=False) + b"JUNK TAIL"
+    files = spark.createDataFrame(
+        [("partial", bytearray(good_then_junk)),
+         ("allbad", bytearray(b"never a warc"))],
+        "path string, content binary",
+    )
+    out = sorted(
+        ((r.path, r.rec_idx, r.record_id) for r in warc_records(files).collect())
+    )
+    assert out == [
+        ("allbad", -1, None),
+        ("partial", -1, None),
+        ("partial", 0, "<urn:s:0>"),
+        ("partial", 1, "<urn:s:1>"),
+        ("partial", 2, "<urn:s:2>"),
+    ]
