@@ -1130,3 +1130,174 @@ def q_multimodal_audio_wav_meta(spark: SparkSession, sf: str) -> DataFrame:
         M.synth_adpcm_wav_media(docs)
     ).withColumn("media_id", F.col("media_id") + F.lit(2_000_000))
     return pcm.unionByName(g711).unionByName(adpcm)
+
+
+@query(
+    "pipeline_crawl_to_corpus",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS cid
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, cid,
+             md5(CAST(cid AS VARCHAR) || ':c2c') AS x,
+             (cid % 7 = 3) AS short,
+             (cid % 3 = 0 AND cid % 7 <> 3) AS moji,
+             CAST(('0x' || substring(md5(CAST(cid AS VARCHAR) || ':c2cm'),
+                                     1, 2)) AS BIGINT) % 4 AS pidx
+      FROM c
+    ),
+    txt AS (
+      SELECT doc_id,
+             CASE WHEN short
+                  THEN 'w' || substring(x, 1, 2) || ' w' || substring(x, 3, 2)
+                  ELSE (CASE WHEN moji
+                        THEN (['café','naïve','über','don’t'])[pidx + 1] || ' '
+                        ELSE '' END)
+                    || 'w' || substring(x, 1, 2) || ' w' || substring(x, 3, 2)
+                    || ' & w' || substring(x, 5, 2) || ' w' || substring(x, 7, 2)
+                    || ' w' || substring(x, 9, 2) || ' w' || substring(x, 11, 2)
+                    || ' <w' || substring(x, 13, 2) || '> w' || substring(x, 15, 2)
+             END AS extracted,
+             CASE WHEN short THEN 2
+                  WHEN moji THEN 10 ELSE 9 END AS n_tokens
+      FROM f
+    ),
+    g AS (SELECT doc_id, extracted, n_tokens, md5(extracted) AS fp FROM txt),
+    pass AS (SELECT doc_id, fp FROM g WHERE n_tokens >= 5),
+    rn AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM pass
+    )
+    SELECT g.doc_id, g.extracted, CAST(g.n_tokens AS INT) AS n_tokens,
+           g.fp AS fingerprint,
+           CASE WHEN g.n_tokens < 5 THEN 'short'
+                WHEN rn.rn > 1 THEN 'duplicate'
+                ELSE 'kept' END AS reason,
+           (g.n_tokens >= 5 AND rn.rn = 1) AS kept
+    FROM g LEFT JOIN rn ON g.doc_id = rn.doc_id
+    """,
+)
+def q_pipeline_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # The CAPSTONE composition — the actual crawl→corpus admission
+    # pipeline end to end through SIX individually-certified stages:
+    # WARC container walk → HTTP split → html_text extraction
+    # (script/head dropped, &amp; decoded) → mojibake fixpoint repair
+    # (every moji doc's page ships a cp1252-double-encoded lead word)
+    # → token-count quality gate (cid%7==3 pages carry 2 words —
+    # rejected 'short') → exact fingerprint dedup among survivors
+    # (cid pairing makes doc 10k+1 byte-identical to doc 10k — the
+    # later one rejected 'duplicate', first kept). The oracle replays
+    # the CONSTRUCTION arithmetic through the same gate/dedup logic —
+    # one wrong byte in ANY stage flips extracted/fingerprint/reason.
+    # Scale shape: everything up to the dedup window is map-side; the
+    # only shuffle is the fingerprint hash partition.
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents")
+    phrases = ["café", "naïve", "über", "don’t"]
+
+    @F.pandas_udf("binary")
+    def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                cid = int(i) - 1 if int(i) % 10 == 1 else int(i)
+                x = hashlib.md5(f"{cid}:c2c".encode()).hexdigest()
+
+                def hp(j: int) -> str:
+                    return x[2 * j - 2 : 2 * j]
+
+                if cid % 7 == 3:  # short page
+                    body = f"<p>w{hp(1)} w{hp(2)}</p>"
+                else:
+                    lead = ""
+                    if cid % 3 == 0:
+                        b0 = hashlib.md5(f"{cid}:c2cm".encode()).digest()[0]
+                        phrase = phrases[b0 % 4]
+                        lead = (
+                            phrase.encode("utf-8").decode("cp1252") + " "
+                        )
+                    body = (
+                        f"<h1>{lead}w{hp(1)}</h1><p>w{hp(2)} &amp; w{hp(3)}"
+                        f"</p><div>w{hp(4)}<span>w{hp(5)}</span></div>"
+                        f"<p>w{hp(6)} &lt;w{hp(7)}&gt; w{hp(8)}</p>"
+                    )
+                html = (
+                    "<html><head><title>skip</title><script>var x;"
+                    f"</script></head><body>{body}</body></html>"
+                )
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                    + html.encode()
+                )
+                out.append(
+                    W.write_warc(
+                        [
+                            {
+                                "warc_type": "response",
+                                "record_id": f"<urn:c2c:{i}>",
+                                "target_uri": f"https://example.com/{i}",
+                                "content_type": "application/http; msgtype=response",
+                                "payload": http,
+                            }
+                        ],
+                        gzip_members=(int(i) % 2 == 0),
+                    )
+                )
+            yield pd.Series(out)
+
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        _warc("doc_id").alias("content"),
+    )
+    recs = W.warc_records(files).filter(F.col("warc_type") == "response")
+
+    @F.pandas_udf("string")
+    def _body(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for payloads in it:
+            yield pd.Series(
+                [
+                    W.split_http_payload(bytes(p))[1].decode("utf-8", "replace")
+                    for p in payloads
+                ]
+            )
+
+    fix = T.fix_mojibake_udf()
+    extracted = (
+        recs.select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            T.html_text(_body("payload")).alias("raw"),
+        )
+        .withColumn("m", fix("raw"))
+        .select(
+            "doc_id",
+            F.col("m.fixed").alias("extracted"),
+        )
+        .withColumn("n_tokens", F.size(T.tokens(F.col("extracted"))).cast("int"))
+        .withColumn("fingerprint", T.fingerprint(F.col("extracted")))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    passing = (
+        extracted.filter(F.col("n_tokens") >= 5)
+        .select("doc_id", F.row_number().over(w).alias("rn"))
+    )
+    return (
+        extracted.join(passing, "doc_id", "left")
+        .select(
+            "doc_id", "extracted", "n_tokens", "fingerprint",
+            F.when(F.col("n_tokens") < 5, F.lit("short"))
+            .when(F.col("rn") > 1, F.lit("duplicate"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+            ((F.col("n_tokens") >= 5) & (F.col("rn") == 1)).alias("kept"),
+        )
+    )

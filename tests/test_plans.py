@@ -1377,6 +1377,7 @@ def test_round8_queries_pass_plan_lint(spark):
         "multimodal_jpeg_lossless_ahash", "multimodal_audio_opus_meta",
         "text_robots_admission", "source_sitemap_urls",
         "corpus_ccnet_buckets", "text_mojibake_repair",
+        "multimodal_audio_wav_meta", "pipeline_crawl_to_corpus",
     ]
     # Same documented exception as the round-7 sweep: a 1-row global-
     # scalar broadcast crossJoin compiles to BroadcastNestedLoopJoin,
