@@ -155,6 +155,7 @@ def join_auto_salt(
     freq.count()  # eager: total + top-k share one materialization
     total = freq.agg(F.sum("_cnt")).first()[0] or 0
     top = freq.orderBy(F.col("_cnt").desc(), F.col(key)).limit(top_k).collect()
+    freq.unpersist()  # probe fully consumed — don't pin executor memory
     hot_keys = [r[key] for r in top if r["_cnt"] > hot_share * total]
     AUTO_SALT_DECISIONS.append(
         {
