@@ -2464,8 +2464,9 @@ def _walk_ogg_pages(blob: bytes):
 def _parse_ogg_vorbis(blob: bytes):
     """Ogg page walk + Vorbis identification header → metadata dict,
     or None when any page fails its CRC, the lacing doesn't reassemble,
-    or the first packet isn't a Vorbis id header (Theora/FLAC-in-Ogg
-    are the plug-in point; Opus routes to :func:`_parse_ogg_opus`)."""
+    or the first packet isn't a Vorbis id header (Theora-in-Ogg is
+    the plug-in point; Opus and FLAC-in-Ogg route to their own
+    parsers)."""
     import struct
 
     walked = _walk_ogg_pages(blob)
@@ -2531,6 +2532,50 @@ def _parse_ogg_opus(blob: bytes):
         "n_units": n_pages,
         "bitrate_kbps": None,
         "is_vbr": False,  # Opus is VBR by nature; pinned, never NULL
+        "duration_ms": duration_ms,
+        "meta_bytes": len(p),
+    }
+
+
+def _parse_ogg_flac(blob: bytes):
+    """Ogg page walk + the FLAC-in-Ogg mapping (the FLAC project's
+    Ogg encapsulation): first packet = 0x7F 'FLAC' + mapping
+    major/minor + 16-bit header-packet count + a VERBATIM native FLAC
+    stream header ('fLaC' + STREAMINFO) — so the STREAMINFO bit-unpack
+    is shared with :func:`_parse_flac` byte for byte. Duration comes
+    from the Ogg granule (sample position) like Vorbis/Opus; the same
+    live-CRC page walk applies."""
+    walked = _walk_ogg_pages(blob)
+    if walked is None:
+        return None
+    n_pages, last_granule, p = walked
+    if len(p) < 13 or p[0] != 0x7F or p[1:5] != b"FLAC":
+        return None
+    if p[5] != 1:  # mapping major version
+        return None
+    # after the 9-byte mapping header: verbatim 'fLaC' + STREAMINFO
+    # block (whose last-metadata flag is 0 in real files — the comment
+    # header arrives as a LATER packet, so no native block walk here)
+    if p[9:13] != b"fLaC" or len(p) < 13 + 4 + 34:
+        return None
+    if p[13] & 0x7F != 0 or int.from_bytes(p[14:17], "big") != 34:
+        return None
+    streaminfo = p[17 : 17 + 34]
+    packed = int.from_bytes(streaminfo[10:18], "big")
+    sample_rate = packed >> 44
+    if sample_rate == 0:
+        return None
+    duration_ms = None
+    if last_granule is not None:
+        duration_ms = last_granule * 1000 // sample_rate
+    return {
+        "codec": "oggflac",
+        "sample_rate": sample_rate,
+        "channels": ((packed >> 41) & 0x7) + 1,
+        "sample_bits": ((packed >> 36) & 0x1F) + 1,
+        "n_units": n_pages,
+        "bitrate_kbps": None,
+        "is_vbr": False,
         "duration_ms": duration_ms,
         "meta_bytes": len(p),
     }
@@ -2669,7 +2714,11 @@ def audio_container_meta(
                         if b[:3] == b"ID3" or b[:1] == b"\xff":
                             meta = _parse_mp3(b)
                         elif b[:4] == b"OggS":
-                            meta = _parse_ogg_vorbis(b) or _parse_ogg_opus(b)
+                            meta = (
+                                _parse_ogg_vorbis(b)
+                                or _parse_ogg_opus(b)
+                                or _parse_ogg_flac(b)
+                            )
                         elif b[:4] == b"fLaC":
                             meta = _parse_flac(b)
                         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
@@ -3168,6 +3217,86 @@ def synth_opus_media(docs: DataFrame) -> DataFrame:
                         _page(
                             int(i), p, pre_skip + p * spp,
                             4 if p == n_body else 0, filler,
+                        )
+                    )
+                out.append(b"".join(pages))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        _ogg("doc_id").alias("content"),
+    )
+
+
+def synth_ogg_flac_media(docs: DataFrame) -> DataFrame:
+    """Deterministic FLAC-in-Ogg per document: the BOS page carries
+    the mapping header (0x7F 'FLAC', version 1.0, 2 later header
+    packets) + verbatim 'fLaC' + STREAMINFO with the LAST-METADATA
+    flag 0 (as real encoders emit — the comment header rides a later
+    page), then a comment-placeholder page and 1+b4%3 audio pages
+    whose granules step by 4096·k samples. Field choices mirror
+    synth_flac_media's md5 arithmetic under salt ':oflac'."""
+    import hashlib
+    import struct
+
+    rates = (8000, 16000, 44100, 96000)
+
+    def _page(serial, seq, granule, htype, payload):
+        segs = bytes([255] * (len(payload) // 255) + [len(payload) % 255])
+        head = (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial)
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"
+            + bytes([len(segs)])
+            + segs
+        )
+        crc = _ogg_crc(head + payload)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + payload
+
+    @F.pandas_udf("binary")
+    def _ogg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:oflac".encode()).digest()
+                sr = rates[b[0] % 4]
+                channels = b[1] % 8 + 1
+                bits = (8, 16, 24)[b[2] % 3]
+                total = 1000 + (b[3] << 8 | b[4])
+                packed = (
+                    (sr << 44) | ((channels - 1) << 41)
+                    | ((bits - 1) << 36) | total
+                )
+                streaminfo = (
+                    struct.pack(">HH", 4096, 4096)
+                    + b"\x00" * 6
+                    + packed.to_bytes(8, "big")
+                    + hashlib.md5(f"{i}:oflacmd5".encode()).digest()
+                )
+                first = (
+                    b"\x7fFLAC\x01\x00" + struct.pack(">H", 2)
+                    + b"fLaC"
+                    + b"\x00" + struct.pack(">I", 34)[1:]  # last flag 0
+                    + streaminfo
+                )
+                n_audio = 1 + b[5] % 3
+                pages = [
+                    _page(int(i), 0, 0, 2, first),
+                    _page(
+                        int(i), 1, 0, 0,
+                        b"\x84" + struct.pack(">I", 8)[1:] + b"\x00" * 8,
+                    ),
+                ]
+                for k in range(1, n_audio + 1):
+                    filler = hashlib.md5(f"{i}:oflacp{k}".encode()).digest()
+                    pages.append(
+                        _page(
+                            int(i), 1 + k, 4096 * k,
+                            4 if k == n_audio else 0, filler,
                         )
                     )
                 out.append(b"".join(pages))

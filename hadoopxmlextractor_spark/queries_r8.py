@@ -212,7 +212,7 @@ def q_multimodal_audio_vorbis_meta(spark: SparkSession, sf: str) -> DataFrame:
     # crc-zeroed page — one flipped byte anywhere refuses the file
     # (unit-tested), so page count, lacing reassembly, granule
     # positions (duration), and the identification-header fields are
-    # all on the exact-oracle path. Opus/Theora-in-Ogg remain the
+    # all on the exact-oracle path. Theora-in-Ogg remains the
     # plug-in point.
     from hadoopxmlextractor_spark.operators import multimodal as M
 
@@ -760,7 +760,7 @@ def q_multimodal_audio_opus_meta(spark: SparkSession, sf: str) -> DataFrame:
     # rate) over the SAME live-CRC Ogg page walk as Vorbis, with the
     # RFC's pre-skip-corrected 48 kHz-granule duration rule — the
     # synth steps granules past the pre-skip so the subtraction is on
-    # the hash path. Only Theora/FLAC-in-Ogg remain refused.
+    # the hash path. Only Theora (video-in-Ogg) remains refused.
     from hadoopxmlextractor_spark.operators import multimodal as M
 
     docs = load(spark, sf, "documents")
@@ -1301,3 +1301,41 @@ def q_pipeline_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
             ((F.col("n_tokens") >= 5) & (F.col("rn") == 1)).alias("kept"),
         )
     )
+
+
+@query(
+    "multimodal_audio_oggflac_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('oflac', 0)} AS b0, {_b('oflac', 1)} AS b1,
+             {_b('oflac', 2)} AS b2, {_b('oflac', 5)} AS b5
+      FROM documents
+    )
+    SELECT doc_id AS media_id, 'oggflac' AS codec,
+           CAST(([8000,16000,44100,96000])[b0 % 4 + 1] AS INT)
+             AS sample_rate,
+           CAST(b1 % 8 + 1 AS INT) AS channels,
+           CAST(([8,16,24])[b2 % 3 + 1] AS INT) AS sample_bits,
+           CAST(3 + b5 % 3 AS BIGINT) AS n_units,
+           CAST(NULL AS INT) AS bitrate_kbps,
+           FALSE AS is_vbr,
+           CAST((1 + b5 % 3) * 4096 * 1000
+                // ([8000,16000,44100,96000])[b0 % 4 + 1] AS BIGINT)
+             AS duration_ms,
+           CAST(51 AS BIGINT) AS meta_bytes
+    FROM p
+    """,
+)
+def q_multimodal_audio_oggflac_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # FLAC-in-Ogg completes the Ogg dispatch (Vorbis + Opus + FLAC;
+    # only Theora — video — remains refused): the mapping header
+    # (0x7F 'FLAC' v1.0 + header-packet count) wraps a VERBATIM native
+    # STREAMINFO whose last-metadata flag is 0 as real encoders emit
+    # (the comment header rides a later page — the parser must NOT
+    # walk native blocks past the packet), with duration from the Ogg
+    # granule. Same live-CRC page walk; the 13-byte mapping prefix +
+    # 4 + 34 = 51 meta bytes pin the framing.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    return M.audio_container_meta(M.synth_ogg_flac_media(docs))
