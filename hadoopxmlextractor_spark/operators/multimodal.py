@@ -3307,3 +3307,229 @@ def synth_ogg_flac_media(docs: DataFrame) -> DataFrame:
         F.lit("audio").alias("media_type"),
         _ogg("doc_id").alias("content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video container metadata (the video twin of audio_container_meta)
+# ---------------------------------------------------------------------------
+
+
+def _parse_avi_meta(blob: bytes):
+    """RIFF/AVI container metadata WITHOUT decoding frames: stream
+    header (dwScale/dwRate → fps), strf dimensions + biCompression →
+    codec name, movi chunk count → n_frames. Works for every AVI the
+    frame decoder handles (raw DIB, MJPEG, RLE8) and ALSO for codecs
+    it refuses — metadata routing stays total even when decode is the
+    plug-in point."""
+    import struct
+
+    if len(blob) < 12 or blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        return None
+    try:
+        w = h = None
+        comp = None
+        scale = rate = None
+        n_chunks = 0
+
+        def walk(buf, pos, end):
+            nonlocal w, h, comp, scale, rate, n_chunks
+            while pos + 8 <= end:
+                cid = buf[pos : pos + 4]
+                (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+                body = pos + 8
+                if cid == b"LIST":
+                    walk(buf, body + 4, body + ln)
+                elif cid == b"strh" and ln >= 28 and buf[body : body + 4] == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", buf[body + 20 : body + 28]
+                    )
+                elif cid == b"strf" and ln >= 40:
+                    (_sz, bw, bh, _pl, _bpp, c) = struct.unpack(
+                        "<IiiHHI", buf[body : body + 20]
+                    )
+                    w, h, comp = bw, abs(bh), c
+                elif cid[2:4] in (b"db", b"dc") and ln > 0:
+                    n_chunks += 1
+                pos = body + ln + (ln & 1)
+
+        walk(blob, 12, len(blob))
+        if w is None or comp is None:
+            return None
+        codec = {0: "rawvideo", 1: "rle8", _MJPG_FOURCC: "mjpeg"}.get(
+            comp, "unknown"
+        )
+        duration_ms = None
+        if scale and rate:
+            duration_ms = n_chunks * 1000 * scale // rate
+        return {
+            "codec": codec,
+            "width": int(w),
+            "height": int(h),
+            "fps_num": int(rate) if rate else None,
+            "fps_den": int(scale) if scale else None,
+            "n_frames": n_chunks,
+            "duration_ms": duration_ms,
+        }
+    except (struct.error, ValueError, IndexError):
+        return None
+
+
+def _parse_ogg_theora(blob: bytes):
+    """Theora-in-Ogg identification header (the last Ogg mapping):
+    0x80 'theora' + version + frame/picture dims + 32-bit fps
+    numerator/denominator + the QUAL/KFGSHIFT/PF bit-packed tail;
+    duration from the last granule (keyframe << KFGSHIFT | delta ⇒
+    frame count) over the shared live-CRC page walk."""
+    import struct
+
+    walked = _walk_ogg_pages(blob)
+    if walked is None:
+        return None
+    n_pages, last_granule, p = walked
+    if len(p) < 42 or p[0] != 0x80 or p[1:7] != b"theora":
+        return None
+    picw = int.from_bytes(p[14:17], "big")
+    pich = int.from_bytes(p[17:20], "big")
+    (frn,) = struct.unpack(">I", p[22:26])
+    (frd,) = struct.unpack(">I", p[26:30])
+    if picw <= 0 or pich <= 0 or frn == 0 or frd == 0:
+        return None
+    kfgshift = ((p[40] & 0x03) << 3) | (p[41] >> 5)
+    duration_ms = None
+    n_frames = 0
+    if last_granule is not None:
+        keyframe = last_granule >> kfgshift
+        delta = last_granule - (keyframe << kfgshift)
+        n_frames = keyframe + delta
+        duration_ms = n_frames * 1000 * frd // frn
+    return {
+        "codec": "theora",
+        "width": picw,
+        "height": pich,
+        "fps_num": frn,
+        "fps_den": frd,
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+    }
+
+
+VIDEO_META_SCHEMA = (
+    "media_id long, codec string, width int, height int, fps_num int, "
+    "fps_den int, n_frames long, duration_ms long"
+)
+
+
+def video_container_meta(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """Container metadata for crawled video — AVI stream-header walk
+    (raw / MJPEG / RLE8 / even refused codecs) and Theora-in-Ogg —
+    dispatched on magic bytes in one Arrow pass; the video twin of
+    :func:`audio_container_meta`, with the same codec-NULL marker
+    contract."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        cols = [
+            "media_id", "codec", "width", "height",
+            "fps_num", "fps_den", "n_frames", "duration_ms",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                meta = None
+                if blob is not None:
+                    b = bytes(blob)
+                    try:
+                        if b[:4] == b"RIFF":
+                            meta = _parse_avi_meta(b)
+                        elif b[:4] == b"OggS":
+                            meta = _parse_ogg_theora(b)
+                    except (ValueError, IndexError, struct.error):
+                        meta = None
+                if meta is None:
+                    meta = {
+                        "codec": None, "width": None, "height": None,
+                        "fps_num": None, "fps_den": None,
+                        "n_frames": None, "duration_ms": None,
+                    }
+                rows.append({"media_id": mid, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, content_col).mapInPandas(
+        _meta, schema=VIDEO_META_SCHEMA
+    )
+
+
+def synth_theora_media(docs: DataFrame) -> DataFrame:
+    """Deterministic Theora-in-Ogg per document: the BOS page carries
+    the 42-byte identification header (picture dims 16·(b0%20+1) ×
+    16·(b1%12+1), fps (b2%30+1)/1, KFGSHIFT 2+b5%3 — wide enough for
+    the max delta of 3, so the keyframe/delta granule split is LIVE
+    and never overflows) followed by 1+b3%4 delta pages whose
+    granules encode (keyframe 1 << shift) | delta — every page
+    CRC-stamped."""
+    import hashlib
+    import struct
+
+    def _page(serial, seq, granule, htype, payload):
+        segs = bytes([255] * (len(payload) // 255) + [len(payload) % 255])
+        head = (
+            b"OggS\x00"
+            + bytes([htype])
+            + struct.pack("<q", granule)
+            + struct.pack("<I", serial)
+            + struct.pack("<I", seq)
+            + b"\x00\x00\x00\x00"
+            + bytes([len(segs)])
+            + segs
+        )
+        crc = _ogg_crc(head + payload)
+        return head[:22] + struct.pack("<I", crc) + head[26:] + payload
+
+    @F.pandas_udf("binary")
+    def _ogg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:theo".encode()).digest()
+                picw = 16 * (b[0] % 20 + 1)
+                pich = 16 * (b[1] % 12 + 1)
+                frn = b[2] % 30 + 1
+                shift = 2 + b[5] % 3  # delta <= 3 must fit
+                ident = bytearray(42)
+                ident[0] = 0x80
+                ident[1:7] = b"theora"
+                ident[7:10] = bytes([3, 2, 1])  # version 3.2.1
+                ident[10:12] = struct.pack(">H", (picw + 15) // 16)
+                ident[12:14] = struct.pack(">H", (pich + 15) // 16)
+                ident[14:17] = picw.to_bytes(3, "big")
+                ident[17:20] = pich.to_bytes(3, "big")
+                ident[22:26] = struct.pack(">I", frn)
+                ident[26:30] = struct.pack(">I", 1)
+                ident[30:33] = (1).to_bytes(3, "big")
+                ident[33:36] = (1).to_bytes(3, "big")
+                # QUAL=48, KFGSHIFT=shift, PF=0, RES=0
+                bits16 = (48 << 10) | (shift << 5)
+                ident[40:42] = struct.pack(">H", bits16)
+                n_delta = 1 + b[3] % 4
+                pages = [_page(int(i), 0, 0, 2, bytes(ident))]
+                # one keyframe + n_delta delta frames: granule =
+                # (1 << shift) | delta_count
+                for k in range(1, n_delta + 1):
+                    filler = hashlib.md5(f"{i}:theop{k}".encode()).digest()
+                    pages.append(
+                        _page(
+                            int(i), k, (1 << shift) | (k - 1),
+                            4 if k == n_delta else 0, filler,
+                        )
+                    )
+                out.append(b"".join(pages))
+            yield pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        _ogg("doc_id").alias("content"),
+    )

@@ -1339,3 +1339,57 @@ def q_multimodal_audio_oggflac_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return M.audio_container_meta(M.synth_ogg_flac_media(docs))
+
+
+@query(
+    "multimodal_video_meta",
+    f"""
+    SELECT doc_id AS media_id, 'rawvideo' AS codec,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(25 AS INT) AS fps_num, CAST(1 AS INT) AS fps_den,
+           CAST(8 AS BIGINT) AS n_frames, CAST(320 AS BIGINT) AS duration_ms
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000, 'mjpeg', CAST(16 AS INT), CAST(16 AS INT),
+           CAST(25 AS INT), CAST(1 AS INT), CAST(8 AS BIGINT),
+           CAST(320 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 2000000, 'rle8', CAST(8 AS INT), CAST(8 AS INT),
+           CAST(25 AS INT), CAST(1 AS INT), CAST(8 AS BIGINT),
+           CAST(320 AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 3000000, 'theora',
+           CAST(16 * ({_b('theo', 0)} % 20 + 1) AS INT),
+           CAST(16 * ({_b('theo', 1)} % 12 + 1) AS INT),
+           CAST({_b('theo', 2)} % 30 + 1 AS INT), CAST(1 AS INT),
+           CAST(1 + {_b('theo', 3)} % 4 AS BIGINT),
+           CAST((1 + {_b('theo', 3)} % 4) * 1000
+                // ({_b('theo', 2)} % 30 + 1) AS BIGINT)
+    FROM documents
+    """,
+)
+def q_multimodal_video_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # The VIDEO metadata tier (twin of audio_container_meta): AVI
+    # stream-header walk — dims, dwRate/dwScale fps, movi chunk count
+    # — across all three natively-decoded codecs (raw DIB / MJPEG /
+    # RLE8), plus Theora-in-Ogg, the video Ogg mapping: 42-byte id
+    # header (picture dims, 32-bit fps fraction) and the
+    # keyframe<<KFGSHIFT|delta granule split that turns the last
+    # granule into a frame count (KFGSHIFT rotates 0-3 by doc so the
+    # split is live). Metadata routing works even for codecs whose
+    # DECODE is the plug-in point — exactly how a corpus routes video
+    # it cannot yet decode.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+
+    def shift(df: DataFrame, k: int) -> DataFrame:
+        return df.withColumn("media_id", F.col("media_id") + F.lit(k))
+
+    raw = M.video_container_meta(M.synth_avi_video(docs))
+    mj = shift(M.video_container_meta(M.synth_mjpeg_video(docs)), 1_000_000)
+    rle = shift(M.video_container_meta(M.synth_rle_video(docs)), 2_000_000)
+    th = shift(M.video_container_meta(M.synth_theora_media(docs)), 3_000_000)
+    return raw.unionByName(mj).unionByName(rle).unionByName(th)

@@ -1467,7 +1467,10 @@ def test_audio_container_meta_walks_and_refusals(spark):
         audio_container_meta,
         synth_flac_media,
         synth_mp3_media,
+        synth_ogg_flac_media,
+        synth_opus_media,
         synth_vorbis_media,
+        synth_wav_media,
     )
 
     docs = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
@@ -1475,6 +1478,9 @@ def test_audio_container_meta_walks_and_refusals(spark):
         (synth_mp3_media, "mp3"),
         (synth_vorbis_media, "vorbis"),
         (synth_flac_media, "flac"),
+        (synth_opus_media, "opus"),
+        (synth_ogg_flac_media, "oggflac"),
+        (synth_wav_media, "pcm"),
     ):
         rows = audio_container_meta(synth(docs)).collect()
         assert len(rows) == 12
