@@ -1,7 +1,17 @@
-"""Round-8 queries: intra-file WARC splits, crawled-audio metadata
-(MP3 / Ogg Vorbis / FLAC header walks), skew-adaptive joins, scoped
-near-dup, SimHash LSH observability, the WARC→WET composition, sliding
-distinct counts, and language-ID confidence.
+"""Round-8 queries — crawl-scale ingestion, admission, and codecs:
+
+- intra-file WARC splits (record-aligned ranged reads) and the
+  WARC→WET composition;
+- the audio metadata tier (MP3 incl. ID3v1/v2, Ogg Vorbis/Opus/FLAC
+  over a live-CRC page walk, native FLAC, the WAV legs) and its video
+  twin (AVI stream headers for raw/MJPEG/RLE8, Theora-in-Ogg);
+- native codec legs: lossless JPEG (SOF3, 7 predictors, 8/12/16-bit),
+  Microsoft RLE8 inter-frame video, sub-8-bit PNG;
+- skew-adaptive joins, (lang, source)-scoped MinHash near-dup,
+  SimHash LSH bucket observability, sliding exact count-distinct;
+- admission & cleaning: RFC 9309 robots.txt, sitemap sources,
+  language-ID confidence, mojibake fixpoint repair, CCNet perplexity
+  buckets — composed end-to-end in `pipeline_crawl_to_corpus`.
 
 Registered into the same QUERIES/ORACLE registry as the other query
 modules; every entry carries an exact DuckDB oracle. Fresh module per
