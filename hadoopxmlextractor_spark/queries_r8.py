@@ -1403,3 +1403,91 @@ def q_multimodal_video_meta(spark: SparkSession, sf: str) -> DataFrame:
     rle = shift(M.video_container_meta(M.synth_rle_video(docs)), 2_000_000)
     th = shift(M.video_container_meta(M.synth_theora_media(docs)), 3_000_000)
     return raw.unionByName(mj).unionByName(rle).unionByName(th)
+
+
+@query(
+    "source_warc_revisit",
+    """
+    SELECT doc_id,
+           'https://example.com/r/' || CAST(doc_id AS VARCHAR)
+             AS revisit_uri,
+           'md5:' || md5(CAST(doc_id AS VARCHAR) || ':rvdig')
+             AS payload_digest,
+           '<urn:rv:' || CAST(doc_id AS VARCHAR) || ':a>'
+             AS resolved_record_id,
+           'https://example.com/a/' || CAST(doc_id AS VARCHAR)
+             AS resolved_uri,
+           CAST(5 + len(CAST(doc_id AS VARCHAR)) AS BIGINT) AS saved_bytes
+    FROM documents
+    """,
+)
+def q_source_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
+    # Common Crawl's crawl-time dedup resolved: each doc's WARC holds
+    # an original response (capture A), an unrelated response (capture
+    # B, different digest — must NOT be picked up), and a REVISIT
+    # record asserting A's payload digest; resolve_revisits joins
+    # revisits to responses on the digest and recovers the referenced
+    # capture plus the bytes the crawler saved by not re-storing the
+    # body. The oracle replays URIs, the digest string, the resolved
+    # record id, and the saved byte count; a wrong join key, a B-row
+    # leak, or a header-parse fault flips the hash.
+    import hashlib
+
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                dig = "md5:" + hashlib.md5(f"{i}:rvdig".encode()).hexdigest()
+                body = f"body-{i}".encode()
+                recs = [
+                    {
+                        "warc_type": "response",
+                        "record_id": f"<urn:rv:{i}:a>",
+                        "target_uri": f"https://example.com/a/{i}",
+                        "content_type": "text/plain",
+                        "payload": body,
+                        "payload_digest": dig,
+                    },
+                    {
+                        "warc_type": "response",
+                        "record_id": f"<urn:rv:{i}:b>",
+                        "target_uri": f"https://example.com/b/{i}",
+                        "content_type": "text/plain",
+                        "payload": b"other",
+                        "payload_digest": "md5:"
+                        + hashlib.md5(f"{i}:other".encode()).hexdigest(),
+                    },
+                    {
+                        "warc_type": "revisit",
+                        "record_id": f"<urn:rv:{i}:r>",
+                        "target_uri": f"https://example.com/r/{i}",
+                        "content_type": "message/http",
+                        "payload": b"",
+                        "payload_digest": dig,
+                        "refers_to": f"<urn:rv:{i}:a>",
+                    },
+                ]
+                out.append(W.write_warc(recs, gzip_members=True))
+            yield pd.Series(out)
+
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        _warc("doc_id").alias("content"),
+    )
+    recs = W.warc_records(files)
+    resolved = W.resolve_revisits(recs)
+    return resolved.join(
+        recs.select(
+            F.col("record_id").alias("revisit_record_id"),
+            F.col("path").cast("bigint").alias("doc_id"),
+        ).distinct(),
+        "revisit_record_id",
+    ).select(
+        "doc_id", "revisit_uri", "payload_digest",
+        "resolved_record_id", "resolved_uri", "saved_bytes",
+    )

@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 RECORD_SCHEMA = (
     "path string, rec_idx int, warc_type string, record_id string, "
     "target_uri string, warc_date string, content_type string, "
-    "content_length long, payload binary"
+    "content_length long, payload binary, payload_digest string"
 )
 
 
@@ -105,6 +105,7 @@ def _drain_records(
                 "content_type": headers.get("content-type", ""),
                 "content_length": length,
                 "payload": buf[hdr_end + 4 : hdr_end + 4 + length],
+                "payload_digest": headers.get("warc-payload-digest", ""),
             }
         )
         next_idx += 1
@@ -279,7 +280,8 @@ def _records_rows(path: str, blob: bytes, base_idx: int) -> list[dict]:
             {
                 "path": path, "rec_idx": -1, "warc_type": None,
                 "record_id": None, "target_uri": None, "warc_date": None,
-                "content_type": None, "content_length": None, "payload": None,
+                "content_type": None, "content_length": None,
+                "payload": None, "payload_digest": None,
             }
         ]
 
@@ -287,6 +289,7 @@ def _records_rows(path: str, blob: bytes, base_idx: int) -> list[dict]:
 _RECORD_COLUMNS = [
     "path", "rec_idx", "warc_type", "record_id", "target_uri",
     "warc_date", "content_type", "content_length", "payload",
+    "payload_digest",
 ]
 
 
@@ -371,6 +374,10 @@ def write_warc(records: list[dict], *, gzip_members: bool = True) -> bytes:
         ]
         if r.get("target_uri"):
             headers.append(f"WARC-Target-URI: {r['target_uri']}")
+        if r.get("payload_digest"):
+            headers.append(f"WARC-Payload-Digest: {r['payload_digest']}")
+        if r.get("refers_to"):
+            headers.append(f"WARC-Refers-To: {r['refers_to']}")
         if r.get("content_type"):
             headers.append(f"Content-Type: {r['content_type']}")
         headers.append(f"Content-Length: {len(payload)}")
@@ -418,7 +425,8 @@ def warc_records(
         return {
             "path": path, "rec_idx": -1, "warc_type": None,
             "record_id": None, "target_uri": None, "warc_date": None,
-            "content_type": None, "content_length": None, "payload": None,
+            "content_type": None, "content_length": None,
+            "payload": None, "payload_digest": None,
         }
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -470,3 +478,33 @@ def stream_warc(spark: SparkSession, path: str) -> DataFrame:
         _BINARYFILE_SCHEMA
     ).load(path).select("path", "content")
     return warc_records(files)
+
+
+def resolve_revisits(records: DataFrame) -> DataFrame:
+    """Common Crawl's crawl-time dedup, resolved: ``revisit`` records
+    assert "this fetch returned the same payload as an earlier
+    capture" via WARC-Payload-Digest; joining them to the ``response``
+    records with the same digest recovers the referenced capture and
+    quantifies the bytes the crawler saved. Deterministic when a
+    digest has several responses (min record_id wins — stable across
+    engines). The join is digest-keyed — digests are hashes, so the
+    shuffle key is uniform at any scale. Output: one row per revisit
+    with the resolved capture and its size."""
+    responses = (
+        records.filter(F.col("warc_type") == "response")
+        .groupBy("payload_digest")
+        .agg(
+            F.min("record_id").alias("resolved_record_id"),
+            F.min_by("target_uri", "record_id").alias("resolved_uri"),
+            F.min_by("content_length", "record_id").alias("saved_bytes"),
+        )
+    )
+    revisits = records.filter(F.col("warc_type") == "revisit").select(
+        F.col("record_id").alias("revisit_record_id"),
+        F.col("target_uri").alias("revisit_uri"),
+        "payload_digest",
+    )
+    return revisits.join(responses, "payload_digest", "left").select(
+        "revisit_record_id", "revisit_uri", "payload_digest",
+        "resolved_record_id", "resolved_uri", "saved_bytes",
+    )

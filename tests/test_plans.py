@@ -1379,6 +1379,7 @@ def test_round8_queries_pass_plan_lint(spark):
         "corpus_ccnet_buckets", "text_mojibake_repair",
         "multimodal_audio_wav_meta", "pipeline_crawl_to_corpus",
         "multimodal_audio_oggflac_meta", "multimodal_video_meta",
+        "source_warc_revisit",
     ]
     # Same documented exception as the round-7 sweep: a 1-row global-
     # scalar broadcast crossJoin compiles to BroadcastNestedLoopJoin,
