@@ -65,69 +65,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
-    # round-8 rotation (r7 verdict item 1): the 33 registry names with
-    # no green driver CORRECTNESS row across r01-r07 (31 never sampled
-    # plus multimodal_features / text_winnowing, whose only driver rows
-    # are r01/r02 reds — both re-verified green locally since).
-    # Regenerated from the hash_match union of CORRECTNESS_r0{1..7}.json
-    # vs the registry. New round-8 queries are prepended above this
-    # block as they land; the driver samples the first 50, so the new-
-    # query count stays <= 17 to keep all 33 inside the sample and
-    # complete certification of the full registry this round. Ordering
-    # is presentation-only: every entry still runs in the local
-    # full-registry gate.
-    # --- new round-8 operators (16 = the cap: 16 + 33 never-certified
-    # fills 49 of the driver's 50-query sample) ---
-    "text_robots_admission",
-    "source_sitemap_urls",
-    "multimodal_audio_opus_meta",
-    "multimodal_jpeg_lossless_ahash",
-    "multimodal_video_rle_shots",
-    "multimodal_png_lowbit_ahash",
-    "source_warc_split",
-    "multimodal_audio_mp3_meta",
-    "multimodal_audio_vorbis_meta",
-    "join_auto_salt",
-    "multimodal_audio_flac_meta",
-    "corpus_minhash_semantic_scope",
-    "text_simhash_hamming_buckets",
-    "source_warc_wet_pipeline",
-    "events_count_distinct_sliding",
-    "text_language_confidence",
-    # --- never driver-certified across r01-r07 (33) ---
-    "multimodal_features",
-    "text_winnowing",
-    "multimodal_image_ahash",
-    "multimodal_image_neardup",
-    "multimodal_video_shots",
-    "null_semantics",
-    "scalar_bitwise",
-    "scalar_date_ext",
-    "scalar_regex_family",
-    "scalar_string_ext",
-    "scalar_try_safe",
-    "scalar_variant",
-    "search_hybrid_rrf",
-    "set_except_all",
-    "set_intersect_all",
-    "similarity_knn_classify",
-    "similarity_range_search",
-    "similarity_topk_filtered",
-    "sort_limit_offset",
-    "sql_interface_segment_share",
-    "sql_lateral_topk",
-    "sql_recursive_date_spine",
-    "sql_unpivot",
-    "text_cjk_accounting",
-    "text_hashed_features",
-    "text_heavy_hitters",
-    "text_pii_audit",
-    "text_quality_classifier",
-    "text_repetition",
-    "text_url_blocklist",
-    "udaf_grouped_pandas",
-    "udtf_sentence_split",
-    "union_by_name_missing",
+    # round-9 rotation (r8 verdict item 1): CORRECTNESS_r08.json came
+    # back 50/50 green, so the cumulative hash_match union over
+    # CORRECTNESS_r0{1..8}.json certifies 291/298 registry names. The
+    # only 7 without a green driver row are the post-cap round-8
+    # additions below — front-loading them completes certification of
+    # the FULL registry. New round-9 queries are prepended above this
+    # block as they land (7 + new fits easily inside the driver's
+    # 50-query sample). Ordering is presentation-only: every entry
+    # still runs in the local full-registry gate.
+    # --- new round-9 operators ---
+    # --- post-cap round-8 queries, never driver-sampled (7) ---
+    "corpus_ccnet_buckets",
+    "multimodal_audio_oggflac_meta",
+    "multimodal_audio_wav_meta",
+    "multimodal_video_meta",
+    "pipeline_crawl_to_corpus",
+    "source_warc_revisit",
+    "text_mojibake_repair",
 ]
 
 
