@@ -394,8 +394,13 @@ def q_corpus_minhash_semantic_scope(spark: SparkSession, sf: str) -> DataFrame:
         .persist()
     )
     sigs.count()
+    # max_bucket=None: the DuckDB oracle enumerates ALL scope-sharing
+    # band pairs uncapped, so the certified query must too — a hot
+    # bucket at a larger SF would otherwise silently drop pairs the
+    # oracle expects (r8 advice). The cap is a separate operator
+    # concern, exercised in test_dedup_similarity.
     cands = D.minhash_lsh_candidates_scoped(
-        sigs, ["lang", "source"], bands=32, rows_per_band=2
+        sigs, ["lang", "source"], bands=32, rows_per_band=2, max_bucket=None
     )
     est = D.estimated_jaccard_udf()
     pairs = (

@@ -17,10 +17,13 @@ Common Crawl segments are ~1 GB .warc.gz, tens of thousands per
 crawl, so a file-per-task layout saturates any executor count without
 an intra-file splitter. For corpora that arrive as FEW HUGE FILES,
 :func:`read_warc_split` is the intra-file path (r8): one
-embarrassingly-parallel gzip-member-offset scan
-(:func:`warc_split_index`) emits record-aligned (offset, length)
-splits, then ranged per-split reads parallelize INSIDE the file —
-row-identical to :func:`read_warc`. HTTP response payloads split into
+embarrassingly-parallel STREAMING gzip-member-offset scan per file
+(:func:`split_warc_file` — constant memory, chunked reads, no whole-
+file materialization, so it has no binaryFile ~2 GB ceiling; r9)
+emits record-aligned (offset, length) splits, then ranged per-split
+reads parallelize INSIDE the file — row-identical to
+:func:`read_warc`. :func:`warc_split_index` is the in-memory twin for
+bytes already in a DataFrame column. HTTP response payloads split into
 status/headers/body with :func:`split_http_payload` — JVM-side
 callers get (url, status, body) columns ready for the text-pipeline
 operators.
@@ -29,11 +32,22 @@ operators.
 from __future__ import annotations
 
 import zlib
-from typing import Iterator
+from typing import Callable, Iterator
+from urllib.parse import unquote, urlparse
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def _local_path(path: str) -> str:
+    """Executor-side local path of a Spark file URI. Hadoop percent-
+    encodes special characters when it renders file URIs (space →
+    %20), so stripping the scheme without unquoting breaks open() on
+    such paths (r8 advice) — go through urlparse + unquote."""
+    if path.startswith("file:"):
+        return unquote(urlparse(path).path)
+    return path
 
 RECORD_SCHEMA = (
     "path string, rec_idx int, warc_type string, record_id string, "
@@ -203,13 +217,22 @@ def split_warc_blob(blob: bytes, *, target_bytes: int = 1 << 20) -> list[dict]:
                 raise ValueError("truncated trailing record")
             nrec += 1
             cut_points.append((pos, nrec))
-    if not cut_points or cut_points[-1][0] != len(blob):
+    return _cuts_to_splits(cut_points, len(blob), target_bytes)
+
+
+def _cuts_to_splits(
+    cut_points: list[tuple[int, int]], total: int, target_bytes: int
+) -> list[dict]:
+    """Greedy-pack record-aligned (byte end, records so far) cut points
+    into ~``target_bytes`` splits — shared tail of
+    :func:`split_warc_blob` and :func:`split_warc_file`."""
+    if not cut_points or cut_points[-1][0] != total:
         raise ValueError("no record-aligned end of file")
     splits: list[dict] = []
     start, first, n_cp = 0, 0, 0
     for end, n in cut_points:
         n_cp += 1
-        if end - start >= target_bytes or end == len(blob):
+        if end - start >= target_bytes or end == total:
             splits.append(
                 {
                     "split_idx": len(splits),
@@ -222,6 +245,145 @@ def split_warc_blob(blob: bytes, *, target_bytes: int = 1 << 20) -> list[dict]:
             )
             start, first, n_cp = end, n, 0
     return splits
+
+
+def _iter_gunzip_members_stream(
+    read: Callable[[int], bytes], chunk_bytes: int = 4 << 20
+) -> Iterator[tuple[bytes, int]]:
+    """Streaming twin of :func:`_iter_gunzip_members`: pull COMPRESSED
+    bytes in ``chunk_bytes`` reads from ``read`` (a ``file.read``-style
+    callable) and yield (decompressed member, compressed end offset)
+    per gzip member. Peak memory is one decompressed member + one
+    chunk — the compressed file is NEVER materialized, which is what
+    lets :func:`split_warc_file` index files past the ~2 GB
+    binaryFile ceiling (r8 verdict)."""
+    d: zlib._Decompress | None = None
+    out = bytearray()
+    tail = b""  # compressed bytes read but not yet fed to a member
+    end = 0  # compressed offset fully consumed by completed members
+    eof = False
+    while True:
+        if d is None:
+            while len(tail) < 2 and not eof:
+                chunk = read(chunk_bytes)
+                if not chunk:
+                    eof = True
+                else:
+                    tail += chunk
+            if not tail:
+                return
+            if tail[:2] != b"\x1f\x8b":
+                raise ValueError("trailing non-gzip bytes in WARC")
+            d = zlib.decompressobj(wbits=31)
+            out = bytearray()
+        if tail:
+            data, tail = tail, b""
+        else:
+            data = read(chunk_bytes)
+            if not data:
+                eof = True
+        if data:
+            out += d.decompress(data)
+            end += len(data) - len(d.unused_data)
+            if d.eof:
+                out += d.flush()
+                tail = d.unused_data
+                d = None
+                yield bytes(out), end
+                continue
+        if eof:
+            if d is not None:
+                raise ValueError("truncated gzip member")
+            return
+
+
+def _iter_plain_record_ends(
+    read: Callable[[int], bytes], chunk_bytes: int = 4 << 20
+) -> Iterator[int]:
+    """Absolute byte end of each record in a PLAIN (uncompressed) WARC
+    pulled in ``chunk_bytes`` reads — header bytes are buffered only
+    until Content-Length is known, then the payload is skipped without
+    buffering, so peak memory is one header + one chunk regardless of
+    payload size."""
+    buf = b""
+    base = 0  # absolute offset of buf[0]
+    eof = False
+    while True:
+        hdr_end = buf.find(b"\r\n\r\n")
+        while hdr_end < 0 and not eof:
+            chunk = read(chunk_bytes)
+            if not chunk:
+                eof = True
+            else:
+                buf += chunk
+                hdr_end = buf.find(b"\r\n\r\n")
+        if not buf:
+            return
+        if buf[:5] != b"WARC/":
+            raise ValueError(f"bad record start at {base}")
+        if hdr_end < 0:
+            raise ValueError("truncated trailing record")
+        length = 0
+        for line in buf[:hdr_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            k, _, v = line.partition(":")
+            if k.strip().lower() == "content-length":
+                length = int(v.strip())
+        end_rel = hdr_end + 4 + length + 4
+        if end_rel <= len(buf):
+            base += end_rel
+            buf = buf[end_rel:]
+        else:
+            skip = end_rel - len(buf)
+            base += len(buf)
+            buf = b""
+            while skip > 0:
+                chunk = read(min(chunk_bytes, skip))
+                if not chunk:
+                    raise ValueError("truncated trailing record")
+                skip -= len(chunk)
+                base += len(chunk)
+        yield base
+
+
+def split_warc_file(
+    path: str, *, target_bytes: int = 1 << 20, chunk_bytes: int = 4 << 20
+) -> list[dict]:
+    """STREAMING split index of one WARC file on a local/posix path:
+    identical output to ``split_warc_blob(open(path).read())``
+    (asserted in tests at chunk sizes down to 7 bytes), but the file is
+    read in ``chunk_bytes`` pieces and never materialized — gzip
+    members decompress one at a time through
+    :func:`_iter_gunzip_members_stream`, plain-WARC payloads are
+    skipped unbuffered through :func:`_iter_plain_record_ends`. Peak
+    memory is one decompressed member (+ its drained records) or one
+    header, so a 100 GB segment indexes in constant memory; this is
+    the pass that feeds :func:`read_warc_split` (r8 verdict: the old
+    binaryFile-content index capped at ~2 GB)."""
+    cut_points: list[tuple[int, int]] = []
+    with open(path, "rb") as f:
+        head = f.read(2)
+        f.seek(0)
+        if not head:
+            raise ValueError("empty WARC input")
+        if head == b"\x1f\x8b":
+            buf = b""
+            nrec = 0
+            for member, end in _iter_gunzip_members_stream(f.read, chunk_bytes):
+                buf += member
+                recs, buf, nrec, err = _drain_records(buf, nrec)
+                if err is not None:
+                    raise ValueError(err)
+                if not buf:
+                    cut_points.append((end, nrec))
+            if buf:
+                raise ValueError("truncated trailing record")
+        else:
+            nrec = 0
+            for end in _iter_plain_record_ends(f.read, chunk_bytes):
+                nrec += 1
+                cut_points.append((end, nrec))
+        total = f.tell()
+    return _cuts_to_splits(cut_points, total, target_bytes)
 
 
 SPLIT_SCHEMA = (
@@ -324,20 +486,50 @@ def warc_records_ranged(splits: DataFrame, content_col: str = "content") -> Data
 def read_warc_split(
     spark: SparkSession, path: str, *, target_bytes: int = 1 << 20
 ) -> DataFrame:
-    """The scale path for FEW-HUGE-FILES WARC corpora: binaryFile index
-    scan (:func:`warc_split_index`, one pass per file) → repartition the
+    """The scale path for FEW-HUGE-FILES WARC corpora: STREAMING index
+    scan (:func:`split_warc_file` over paths — constant memory per
+    file, no binaryFile content materialization, so files far past the
+    binaryFile ~2 GB cap index fine; r8 verdict) → repartition the
     split rows → per-split RANGED file read (seek + read exactly
     ``length`` bytes) → record parse. Output is row-identical to
     :func:`read_warc` (asserted in tests), but the unit of parallelism
     is the ~``target_bytes`` split, not the file — a 100 GB segment
     becomes ~100k tasks instead of one. Local/posix paths read via
-    seek; on an object store the same (offset, length) pairs become
-    ranged GETs."""
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
-    splits = warc_split_index(files, target_bytes=target_bytes).filter(
-        F.col("split_idx") >= 0
-    )
+    seek; on an object store the index pass becomes sequential ranged
+    GETs and the (offset, length) split reads single ranged GETs."""
+    files = spark.read.format("binaryFile").load(path).select("path")
     n_parts = spark.sparkContext.defaultParallelism
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for p in pdf["path"]:
+                try:
+                    for s in split_warc_file(
+                        _local_path(p), target_bytes=target_bytes
+                    ):
+                        rows.append({"path": p, **s})
+                except (ValueError, IndexError, zlib.error, OSError):
+                    rows.append(
+                        {
+                            "path": p, "split_idx": -1, "offset": None,
+                            "length": None, "first_rec": None,
+                            "n_recs": None, "n_members": None,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "path", "split_idx", "offset", "length",
+                    "first_rec", "n_recs", "n_members",
+                ],
+            )
+
+    splits = (
+        files.repartition(n_parts)
+        .mapInPandas(_index, schema=SPLIT_SCHEMA)
+        .filter(F.col("split_idx") >= 0)
+    )
 
     def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -345,8 +537,7 @@ def read_warc_split(
             for path, off, ln, first in zip(
                 pdf["path"], pdf["offset"], pdf["length"], pdf["first_rec"]
             ):
-                local = path[len("file:") :] if path.startswith("file:") else path
-                with open(local, "rb") as f:
+                with open(_local_path(path), "rb") as f:
                     f.seek(int(off))
                     blob = f.read(int(ln))
                 rows.extend(_records_rows(path, blob, int(first)))

@@ -997,6 +997,106 @@ def test_warc_split_index_ranged_read_equals_whole_file(spark, tmp_path):
         assert len(list(iter_warc_records(piece, base_idx=s["first_rec"]))) == s["n_recs"]
 
 
+def test_split_warc_file_streaming_equals_blob(spark, tmp_path):
+    """r9 (r8 verdict item 3): the STREAMING per-path split index
+    (split_warc_file — chunked reads, no whole-file materialization)
+    equals split_warc_blob on every fixture shape, down to 7-byte read
+    chunks: multi-member gzip, single-member gzip (degrades to one
+    whole-file split), plain WARC, and a record spanning gzip members.
+    A 50 MB plain-WARC payload indexes under a tracemalloc peak of a
+    few chunks (constant memory — the payload is skipped, never
+    buffered), and a URI-escaped path (space → %20 in the binaryFile
+    URI) round-trips through read_warc_split (r8 advice)."""
+    import tracemalloc
+    import zlib
+
+    from hadoopxmlextractor_spark.sources.warc import (
+        read_warc,
+        read_warc_split,
+        split_warc_blob,
+        split_warc_file,
+        write_warc,
+    )
+
+    recs = [
+        {"warc_type": "response", "record_id": f"<urn:uuid:{i}>",
+         "target_uri": f"https://example.org/{i}",
+         "content_type": "text/plain",
+         "payload": bytes([(i * 11 + j) % 251 for j in range(30 + i * 17)])}
+        for i in range(25)
+    ]
+
+    def member(b: bytes) -> bytes:
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        return co.compress(b) + co.flush()
+
+    plain = write_warc(recs, gzip_members=False)
+    cut = len(plain) // 2
+    fixtures = {
+        "multi.warc.gz": write_warc(recs, gzip_members=True),
+        "single.warc.gz": member(plain),  # no interior cut point
+        "plain.warc": plain,
+        "spanning.warc.gz": member(plain[:cut]) + member(plain[cut:]),
+    }
+    for name, blob in fixtures.items():
+        p = tmp_path / name
+        p.write_bytes(blob)
+        want = split_warc_blob(blob, target_bytes=512)
+        for chunk_bytes in (7, 4 << 20):
+            got = split_warc_file(
+                str(p), target_bytes=512, chunk_bytes=chunk_bytes
+            )
+            assert got == want, (name, chunk_bytes)
+    assert len(split_warc_file(str(tmp_path / "single.warc.gz"),
+                               target_bytes=512)) == 1
+    assert len(split_warc_file(str(tmp_path / "multi.warc.gz"),
+                               target_bytes=512)) > 4
+
+    # constant-memory property: a 50 MB plain payload is SKIPPED, not
+    # buffered — peak traced allocation stays a few read chunks, far
+    # below the payload size (the old binaryFile index held the whole
+    # file; this is the measurable difference)
+    payload_len = 50 * (1 << 20)
+    big = tmp_path / "big.warc"
+    with open(big, "wb") as f:
+        f.write(
+            b"WARC/1.0\r\nWARC-Type: resource\r\n"
+            b"WARC-Record-ID: <urn:big:1>\r\n"
+            b"Content-Length: %d\r\n\r\n" % payload_len
+        )
+        piece = bytes(1 << 20)
+        for _ in range(50):
+            f.write(piece)
+        f.write(b"\r\n\r\n")
+    tracemalloc.start()
+    big_splits = split_warc_file(
+        str(big), target_bytes=1 << 20, chunk_bytes=1 << 20
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert [s["n_recs"] for s in big_splits] == [1]
+    assert big_splits[0]["length"] == big.stat().st_size
+    assert peak < 8 * (1 << 20), peak
+
+    # URI-escaped local path: a space in the filename percent-encodes
+    # in the binaryFile URI; the executor-side open() must unquote
+    esc_dir = tmp_path / "dir with space"
+    esc_dir.mkdir()
+    esc = esc_dir / "se g.warc.gz"
+    esc.write_bytes(fixtures["multi.warc.gz"])
+    whole = sorted(
+        read_warc(spark, str(esc)).collect(), key=lambda r: r.rec_idx
+    )
+    ranged = sorted(
+        read_warc_split(spark, str(esc), target_bytes=512).collect(),
+        key=lambda r: r.rec_idx,
+    )
+    assert len(whole) == len(ranged) == 25
+    for a, b in zip(whole, ranged):
+        assert a.record_id == b.record_id
+        assert bytes(a.payload) == bytes(b.payload)
+
+
 def test_warc_records_salvage_partial_then_marker(spark):
     """r8b streamed record explode: a file that turns malformed MID
     STREAM salvages the records parsed before the fault AND appends
