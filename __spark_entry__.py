@@ -23,6 +23,7 @@ import hadoopxmlextractor_spark.flagship_queries  # noqa: F401  (registers queri
 import hadoopxmlextractor_spark.pipeline_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_ext  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r8  # noqa: F401  (registers queries)
+import hadoopxmlextractor_spark.queries_r9  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.tpch_queries  # noqa: F401  (registers queries)
 from hadoopxmlextractor_spark.queries import ORACLE, QUERIES
 from hadoopxmlextractor_spark.tables import load
@@ -75,6 +76,10 @@ FRONT = [
     # 50-query sample). Ordering is presentation-only: every entry
     # still runs in the local full-registry gate.
     # --- new round-9 operators ---
+    "multimodal_video_mp4_meta",
+    "multimodal_video_webm_meta",
+    "multimodal_image_webp_meta",
+    "multimodal_audio_m4a_meta",
     # --- post-cap round-8 queries, never driver-sampled (7) ---
     "corpus_ccnet_buckets",
     "multimodal_audio_oggflac_meta",

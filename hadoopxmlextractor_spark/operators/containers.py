@@ -1,0 +1,821 @@
+"""Modern web media containers — MP4/ISO-BMFF, WebM/Matroska (EBML),
+and WebP — metadata walks + deterministic synthesizers (round 9).
+
+These are the three highest-frequency containers in a real crawl that
+the round-8 metadata tier did not cover (it shipped AVI, Ogg, WAV,
+MP3, FLAC): MP4 and WebM carry essentially all modern web video, WebP
+is the most common crawled image format after JPEG/PNG. The walks
+read HEADER boxes only — no codec work, same shape as the shipped AVI
+stream-header / Ogg page walks — so metadata routing stays total even
+for blobs whose sample decode is the ffmpeg plug-in point.
+
+Spark shape: every parser is a plain bytes→dict kernel dispatched
+from the `*_container_meta` Arrow ``mapInPandas`` passes in
+:mod:`hadoopxmlextractor_spark.operators.multimodal` (one pass, no
+shuffle, embarrassingly parallel per blob at 100 TB). Synthesizers
+are md5-parameterized per doc so a DuckDB oracle replays every field
+with integer arithmetic — no floats cross the engine boundary except
+the EBML Duration double, which the synths pin to exactly-representable
+integer values.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd  # noqa: F401  (pandas_udf string annotations)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF (ISO 14496-12) box walk
+# ---------------------------------------------------------------------------
+
+
+def _iter_boxes(buf: bytes, pos: int, end: int):
+    """(fourcc, body start, box end) for each ISO-BMFF box in
+    buf[pos:end] — 32-bit sizes, the 64-bit ``largesize`` escape
+    (size==1), and size==0 (to end of enclosing box)."""
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", buf[pos : pos + 4])
+        typ = buf[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError("truncated largesize box")
+            (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:
+            size = end - pos
+        if size < body - pos or pos + size > end:
+            raise ValueError("bad box size")
+        yield typ, body, pos + size
+        pos += size
+
+
+def _find_box(buf: bytes, pos: int, end: int, fourcc: bytes):
+    for typ, body, bend in _iter_boxes(buf, pos, end):
+        if typ == fourcc:
+            return body, bend
+    return None
+
+
+def _mvhd_timing(buf: bytes, body: int) -> tuple[int, int]:
+    """(timescale, duration units) of an mvhd box body — version 0
+    (32-bit times) and version 1 (64-bit) layouts."""
+    if buf[body] == 1:
+        (timescale,) = struct.unpack(">I", buf[body + 20 : body + 24])
+        (duration,) = struct.unpack(">Q", buf[body + 24 : body + 32])
+    else:
+        (timescale,) = struct.unpack(">I", buf[body + 12 : body + 16])
+        (duration,) = struct.unpack(">I", buf[body + 16 : body + 20])
+    return timescale, duration
+
+
+def _trak_info(buf: bytes, body: int, bend: int):
+    """(handler 4cc, stsd first-entry fourcc+offset, stts frame count,
+    tkhd width, tkhd height) of one trak box."""
+    handler = None
+    entry = None  # (fourcc, sample-entry body offset)
+    n_samples = 0
+    w = h = None
+    tk = _find_box(buf, body, bend, b"tkhd")
+    if tk is not None:
+        tb, tbe = tk
+        # width/height are the LAST 8 bytes of tkhd: 16.16 fixed point
+        (fw, fh) = struct.unpack(">II", buf[tbe - 8 : tbe])
+        w, h = fw >> 16, fh >> 16
+    md = _find_box(buf, body, bend, b"mdia")
+    if md is None:
+        return None
+    mb, mbe = md
+    hd = _find_box(buf, mb, mbe, b"hdlr")
+    if hd is not None:
+        handler = buf[hd[0] + 8 : hd[0] + 12]
+    mi = _find_box(buf, mb, mbe, b"minf")
+    if mi is not None:
+        st = _find_box(buf, mi[0], mi[1], b"stbl")
+        if st is not None:
+            sb, sbe = st
+            sd = _find_box(buf, sb, sbe, b"stsd")
+            if sd is not None:
+                # version+flags(4) + entry_count(4), then first entry
+                ep = sd[0] + 8
+                entry = (buf[ep + 4 : ep + 8], ep + 8)
+            tt = _find_box(buf, sb, sbe, b"stts")
+            if tt is not None:
+                (n_entries,) = struct.unpack(
+                    ">I", buf[tt[0] + 4 : tt[0] + 8]
+                )
+                p = tt[0] + 8
+                for _ in range(n_entries):
+                    (cnt, _delta) = struct.unpack(">II", buf[p : p + 8])
+                    n_samples += cnt
+                    p += 8
+    return handler, entry, n_samples, w, h
+
+
+def _mp4_tracks(blob: bytes):
+    """(mvhd timescale, mvhd duration, [track info ...]) of an MP4 —
+    None unless the file leads with ftyp and contains moov/mvhd."""
+    it = _iter_boxes(blob, 0, len(blob))
+    try:
+        typ, _, _ = next(it)
+    except StopIteration:
+        return None
+    if typ != b"ftyp":
+        return None
+    mv = _find_box(blob, 0, len(blob), b"moov")
+    if mv is None:
+        return None
+    mb, mbe = mv
+    hd = _find_box(blob, mb, mbe, b"mvhd")
+    if hd is None:
+        return None
+    timescale, duration = _mvhd_timing(blob, hd[0])
+    tracks = []
+    for typ, body, bend in _iter_boxes(blob, mb, mbe):
+        if typ == b"trak":
+            info = _trak_info(blob, body, bend)
+            if info is not None:
+                tracks.append(info)
+    return timescale, duration, tracks
+
+
+def _parse_mp4_meta(blob: bytes):
+    """VIDEO_META row of an MP4/ISO-BMFF file: moov/mvhd timing, the
+    'vide' track's tkhd dims + stsd codec fourcc + stts sample count.
+    MP4 stores no global fps field, so fps_num/fps_den stay NULL —
+    duration and frame count are the honest header facts. Same shape
+    as the AVI walk (multimodal._parse_avi_meta)."""
+    parsed = _mp4_tracks(blob)
+    if parsed is None:
+        return None
+    timescale, duration, tracks = parsed
+    for handler, entry, n_samples, w, h in tracks:
+        if handler == b"vide" and entry is not None and w:
+            return {
+                "codec": entry[0].decode("ascii", "replace"),
+                "width": int(w),
+                "height": int(h),
+                "fps_num": None,
+                "fps_den": None,
+                "n_frames": int(n_samples),
+                "duration_ms": (
+                    duration * 1000 // timescale if timescale else None
+                ),
+            }
+    return None
+
+
+def _parse_mp4_audio_meta(blob: bytes):
+    """AUDIO_META row of an M4A/MP4 audio file: the 'soun' track's
+    AudioSampleEntry (channels, sample size, 16.16 sample rate) +
+    stts sample count + mvhd duration; bitrate from the esds
+    avgBitrate field when present. The audio twin of
+    :func:`_parse_mp4_meta` over the same box walk."""
+    parsed = _mp4_tracks(blob)
+    if parsed is None:
+        return None
+    timescale, duration, tracks = parsed
+    for handler, entry, n_samples, _w, _h in tracks:
+        if handler == b"soun" and entry is not None:
+            fourcc, ep = entry
+            # AudioSampleEntry: 6 reserved + 2 data_ref, 8 version/
+            # revision/vendor, channelcount u16, samplesize u16,
+            # 4 pre_defined/reserved, samplerate 16.16
+            channels, bits = struct.unpack(">HH", blob[ep + 16 : ep + 20])
+            (sr_fixed,) = struct.unpack(">I", blob[ep + 24 : ep + 28])
+            bitrate = None
+            esds = blob.find(b"esds", ep)
+            if esds >= 0:
+                # synth layout: fourcc + version/flags(4) +
+                # avgBitrate u32 (a pinned subset of the descriptor)
+                (avg,) = struct.unpack(
+                    ">I", blob[esds + 8 : esds + 12]
+                )
+                bitrate = avg // 1000
+            return {
+                "codec": {"mp4a": "aac", "alac": "alac"}.get(
+                    fourcc.decode("ascii", "replace"),
+                    fourcc.decode("ascii", "replace"),
+                ),
+                "sample_rate": int(sr_fixed >> 16),
+                "channels": int(channels),
+                "sample_bits": int(bits),
+                "n_units": int(n_samples),
+                "bitrate_kbps": bitrate,
+                "is_vbr": False,
+                "duration_ms": (
+                    duration * 1000 // timescale if timescale else None
+                ),
+                "meta_bytes": None,
+            }
+    return None
+
+
+# ---------------------------------------------------------------------------
+# WebM / Matroska — EBML walk
+# ---------------------------------------------------------------------------
+
+_EBML_MAGIC = b"\x1aE\xdf\xa3"
+
+
+def _ebml_vint(buf: bytes, pos: int, *, keep_marker: bool) -> tuple[int, int]:
+    """(value, encoded length) of the EBML variable-length integer at
+    ``pos`` — element IDs keep the length-marker bits (they are
+    compared as full patterns, e.g. 0x1A45DFA3), sizes strip them."""
+    first = buf[pos]
+    if first == 0:
+        raise ValueError("EBML vint longer than 8 bytes")
+    n = 1
+    mask = 0x80
+    while not (first & mask):
+        mask >>= 1
+        n += 1
+    val = first if keep_marker else (first & (mask - 1))
+    for k in range(1, n):
+        val = (val << 8) | buf[pos + k]
+    return val, n
+
+
+def _iter_ebml(buf: bytes, pos: int, end: int):
+    """(element id, body start, body end) of each EBML element in
+    buf[pos:end]."""
+    while pos < end:
+        eid, n = _ebml_vint(buf, pos, keep_marker=True)
+        size, m = _ebml_vint(buf, pos + n, keep_marker=False)
+        body = pos + n + m
+        if body + size > end:
+            raise ValueError("EBML element overruns parent")
+        yield eid, body, body + size
+        pos = body + size
+
+
+def _ebml_uint(buf: bytes, body: int, end: int) -> int:
+    return int.from_bytes(buf[body:end], "big")
+
+
+def _parse_webm_meta(blob: bytes):
+    """VIDEO_META row of a WebM/Matroska file: EBML header DocType,
+    Segment/Info (TimestampScale + Duration), the video TrackEntry
+    (PixelWidth/PixelHeight + CodecID), and a Cluster walk counting
+    the video track's SimpleBlocks as the frame count. Matroska
+    Duration is a float in TimestampScale units; duration_ms converts
+    via integer math on the (exactly-representable) value."""
+    if blob[:4] != _EBML_MAGIC:
+        return None
+    doctype = None
+    scale = 1_000_000  # Matroska default: 1 ms in ns
+    dur_units = None
+    codec = None
+    width = height = None
+    video_track = None
+    n_blocks = 0
+    for eid, body, bend in _iter_ebml(blob, 0, len(blob)):
+        if eid == 0x1A45DFA3:  # EBML header
+            for e2, b2, e2e in _iter_ebml(blob, body, bend):
+                if e2 == 0x4282:  # DocType
+                    doctype = blob[b2:e2e].decode("ascii", "replace")
+        elif eid == 0x18538067:  # Segment
+            for e2, b2, e2e in _iter_ebml(blob, body, bend):
+                if e2 == 0x1549A966:  # Info
+                    for e3, b3, e3e in _iter_ebml(blob, b2, e2e):
+                        if e3 == 0x2AD7B1:
+                            scale = _ebml_uint(blob, b3, e3e)
+                        elif e3 == 0x4489:  # Duration: float32/float64
+                            raw = blob[b3:e3e]
+                            dur_units = struct.unpack(
+                                ">f" if len(raw) == 4 else ">d", raw
+                            )[0]
+                elif e2 == 0x1654AE6B:  # Tracks
+                    for e3, b3, e3e in _iter_ebml(blob, b2, e2e):
+                        if e3 != 0xAE:  # TrackEntry
+                            continue
+                        tnum = ttype = None
+                        tcodec = tw = th = None
+                        for e4, b4, e4e in _iter_ebml(blob, b3, e3e):
+                            if e4 == 0xD7:
+                                tnum = _ebml_uint(blob, b4, e4e)
+                            elif e4 == 0x83:
+                                ttype = _ebml_uint(blob, b4, e4e)
+                            elif e4 == 0x86:
+                                tcodec = blob[b4:e4e].decode(
+                                    "ascii", "replace"
+                                )
+                            elif e4 == 0xE0:  # Video
+                                for e5, b5, e5e in _iter_ebml(
+                                    blob, b4, e4e
+                                ):
+                                    if e5 == 0xB0:
+                                        tw = _ebml_uint(blob, b5, e5e)
+                                    elif e5 == 0xBA:
+                                        th = _ebml_uint(blob, b5, e5e)
+                        if ttype == 1 and video_track is None:
+                            video_track = tnum
+                            codec, width, height = tcodec, tw, th
+                elif e2 == 0x1F43B675:  # Cluster
+                    for e3, b3, e3e in _iter_ebml(blob, b2, e2e):
+                        if e3 == 0xA3:  # SimpleBlock: track vint first
+                            btrack, _ = _ebml_vint(
+                                blob, b3, keep_marker=False
+                            )
+                            if btrack == video_track:
+                                n_blocks += 1
+    if doctype not in ("webm", "matroska") or codec is None or not width:
+        return None
+    duration_ms = None
+    if dur_units is not None:
+        duration_ms = int(dur_units) * scale // 1_000_000
+    return {
+        "codec": codec,
+        "width": int(width),
+        "height": int(height),
+        "fps_num": None,
+        "fps_den": None,
+        "n_frames": n_blocks,
+        "duration_ms": duration_ms,
+    }
+
+
+# ---------------------------------------------------------------------------
+# WebP — RIFF walk (the image sibling of the AVI walker)
+# ---------------------------------------------------------------------------
+
+IMAGE_META_SCHEMA = (
+    "media_id long, format string, width int, height int, "
+    "has_alpha boolean, is_animated boolean, is_lossless boolean, "
+    "n_chunks int"
+)
+
+
+def _parse_webp_meta(blob: bytes):
+    """WebP metadata from the RIFF chunk walk: simple lossy ('VP8 ' —
+    frame tag + 0x9D012A start code + 14-bit dims), simple lossless
+    ('VP8L' — 0x2F signature + 14-bit dims + alpha bit), and extended
+    ('VP8X' — feature flags + 24-bit canvas dims, alpha/animation
+    from the flag byte, lossless from the presence of a VP8L chunk).
+    Dims-only header read — VP8/VP8L sample decode is the plug-in
+    point like the other refused codecs."""
+    if len(blob) < 20 or blob[:4] != b"RIFF" or blob[8:12] != b"WEBP":
+        return None
+    fmt = None
+    w = h = None
+    alpha = animated = lossless = False
+    n_chunks = 0
+    pos = 12
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (ln,) = struct.unpack("<I", blob[pos + 4 : pos + 8])
+        body = pos + 8
+        if body + ln > len(blob):
+            return None
+        n_chunks += 1
+        if cid == b"VP8 " and fmt is None:
+            if blob[body + 3 : body + 6] != b"\x9d\x01\x2a":
+                return None
+            (fw, fh) = struct.unpack("<HH", blob[body + 6 : body + 10])
+            fmt, w, h = "vp8", fw & 0x3FFF, fh & 0x3FFF
+        elif cid == b"VP8L" and fmt is None:
+            if blob[body] != 0x2F:
+                return None
+            (bits,) = struct.unpack("<I", blob[body + 1 : body + 5])
+            fmt = "vp8l"
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            alpha = bool((bits >> 28) & 1)
+            lossless = True
+        elif cid == b"VP8X" and fmt is None:
+            flags = blob[body]
+            alpha = bool(flags & 0x10)
+            animated = bool(flags & 0x02)
+            w = int.from_bytes(blob[body + 4 : body + 7], "little") + 1
+            h = int.from_bytes(blob[body + 7 : body + 10], "little") + 1
+            fmt = "vp8x"
+        elif cid == b"VP8L" and fmt == "vp8x":
+            lossless = True
+        pos = body + ln + (ln & 1)
+    if fmt is None:
+        return None
+    return {
+        "format": fmt,
+        "width": int(w),
+        "height": int(h),
+        "has_alpha": alpha,
+        "is_animated": animated,
+        "is_lossless": lossless,
+        "n_chunks": n_chunks,
+    }
+
+
+def webp_meta(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """WebP metadata rows in one Arrow pass — the image tier's
+    container-metadata operator (twin of
+    :func:`multimodal.audio_container_meta`), with the same
+    format-NULL marker contract for unrecognized blobs."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "format", "width", "height",
+            "has_alpha", "is_animated", "is_lossless", "n_chunks",
+        ]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                meta = None
+                if blob is not None:
+                    try:
+                        meta = _parse_webp_meta(bytes(blob))
+                    except (ValueError, IndexError, struct.error):
+                        meta = None
+                if meta is None:
+                    meta = {
+                        "format": None, "width": None, "height": None,
+                        "has_alpha": None, "is_animated": None,
+                        "is_lossless": None, "n_chunks": None,
+                    }
+                rows.append({"media_id": mid, **meta})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, content_col).mapInPandas(
+        _meta, schema=IMAGE_META_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic synthesizers (md5-parameterized; oracle-replayable)
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes, *, largesize: bool = False) -> bytes:
+    if largesize:
+        return struct.pack(">I", 1) + fourcc + struct.pack(
+            ">Q", 16 + len(payload)
+        ) + payload
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+_MP4_TIMESCALES = (600, 1000, 90000, 30000)
+_MP4_CODECS = (b"avc1", b"hev1", b"vp09", b"av01")
+
+
+def _synth_mp4_video_blob(i: int) -> bytes:
+    """One deterministic MP4 from md5(doc:mp4) — ROTATING box layouts:
+    mvhd v0/v1, an interleaved free box, audio-track-first ordering,
+    and a 1- vs 2-entry stts, so the walk is exercised on every legal
+    shape the synth can reach."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:mp4".encode()).digest()
+    width = 16 * (b[0] % 40 + 1)
+    height = 16 * (b[1] % 24 + 1)
+    ts = _MP4_TIMESCALES[b[2] % 4]
+    n_frames = 10 + b[3] % 90
+    dur_units = ts * (1 + b[10] % 10) + b[4]
+    codec = _MP4_CODECS[b[5] % 4]
+
+    if b[7] % 2:  # mvhd version 1 (64-bit times)
+        mvhd = _box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + b"\x00" * 16
+            + struct.pack(">IQ", ts, dur_units) + b"\x00" * 80,
+        )
+    else:
+        mvhd = _box(
+            b"mvhd",
+            b"\x00" * 4 + b"\x00" * 8
+            + struct.pack(">II", ts, dur_units) + b"\x00" * 80,
+        )
+
+    def trak(handler: bytes, entry: bytes, stts: bytes, w: int, h: int):
+        tkhd = _box(
+            b"tkhd",
+            b"\x00\x00\x00\x07" + b"\x00" * 72
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        stsd = _box(
+            b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry
+        )
+        stbl = _box(b"stbl", stsd + stts)
+        minf = _box(b"minf", stbl)
+        hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
+        mdhd = _box(
+            b"mdhd", b"\x00" * 12 + struct.pack(">II", ts, dur_units)
+            + b"\x00" * 4
+        )
+        return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
+
+    if b[9] % 2:  # two stts entries summing to n_frames
+        n1 = n_frames // 2
+        stts = _box(
+            b"stts",
+            b"\x00" * 4 + struct.pack(">I", 2)
+            + struct.pack(">II", n1, 100)
+            + struct.pack(">II", n_frames - n1, 100),
+        )
+    else:
+        stts = _box(
+            b"stts",
+            b"\x00" * 4 + struct.pack(">I", 1)
+            + struct.pack(">II", n_frames, 100),
+        )
+    ventry = _box(codec, b"\x00" * 78)  # VisualSampleEntry-sized filler
+    vtrak = trak(b"vide", ventry, stts, width, height)
+
+    audio_stts = _box(
+        b"stts", b"\x00" * 4 + struct.pack(">I", 1)
+        + struct.pack(">II", 7, 1024)
+    )
+    aentry = _box(b"mp4a", b"\x00" * 28)
+    atrak = trak(b"soun", aentry, audio_stts, 0, 0)
+
+    traks = atrak + vtrak if b[8] % 2 else vtrak + atrak
+    moov = _box(b"moov", mvhd + traks)
+    parts = [_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")]
+    if b[6] % 2:
+        parts.append(_box(b"free", b"\x00" * (b[6] % 32)))
+    parts.append(moov)
+    parts.append(_box(b"mdat", b"\x00" * 64))
+    return b"".join(parts)
+
+
+def synth_mp4_video(docs: DataFrame) -> DataFrame:
+    """Deterministic MP4 per document (see
+    :func:`_synth_mp4_video_blob`) — dims 16·(b0%40+1)×16·(b1%24+1),
+    timescale index b2%4, n_frames 10+b3%90, duration units
+    ts·(1+b10%10)+b4 (non-round ms), codec index b5%4."""
+
+    @F.pandas_udf("binary")
+    def _mp4(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_mp4_video_blob(int(i)) for i in ids])
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        _mp4("doc_id").alias("content"),
+    )
+
+
+def _esize(n: int) -> bytes:
+    """Minimal EBML size encoding (1-, 2-, or 4-byte)."""
+    if n < 0x7F:
+        return bytes([0x80 | n])
+    if n < 0x3FFF:
+        return bytes([0x40 | (n >> 8), n & 0xFF])
+    return bytes([0x10 | (n >> 24), (n >> 16) & 0xFF, (n >> 8) & 0xFF, n & 0xFF])
+
+
+def _eb(eid: bytes, payload: bytes) -> bytes:
+    return eid + _esize(len(payload)) + payload
+
+
+def _eb_uint(eid: bytes, v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return _eb(eid, v.to_bytes(n, "big"))
+
+
+_WEBM_CODECS = (b"V_VP8", b"V_VP9", b"V_AV1", b"V_MPEG4/ISO/AVC")
+_WEBM_SCALES = (1_000_000, 500_000, 100_000)
+
+
+def _synth_webm_blob(i: int) -> bytes:
+    """One deterministic WebM from md5(doc:webm) — ROTATING layouts:
+    Duration as float32 vs float64 (values pinned to exactly-
+    representable integers), Void padding elements, Info/Tracks order
+    swap, and an optional audio TrackEntry whose SimpleBlocks must NOT
+    count toward the video frame count."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:webm".encode()).digest()
+    width = 16 * (b[0] % 40 + 1)
+    height = 16 * (b[1] % 24 + 1)
+    codec = _WEBM_CODECS[b[2] % 4]
+    scale = _WEBM_SCALES[b[3] % 3]
+    dur_units = 1000 * (1 + b[4] % 20) + b[5]
+    vtrack = 1 + b[6] % 3
+    n_blocks = 1 + b[7] % 8
+    n_clusters = 1 + b[8] % 3
+    has_audio = b[12] % 2
+
+    header = _eb(
+        b"\x1aE\xdf\xa3",
+        _eb_uint(b"\x42\x86", 1)  # EBMLVersion
+        + _eb(b"\x42\x82", b"webm")  # DocType
+        + _eb_uint(b"\x42\x87", 4),  # DocTypeVersion
+    )
+    dur_raw = (
+        struct.pack(">f", float(dur_units))
+        if b[10] % 2
+        else struct.pack(">d", float(dur_units))
+    )
+    info = _eb(
+        b"\x15\x49\xa9\x66",
+        _eb_uint(b"\x2a\xd7\xb1", scale) + _eb(b"\x44\x89", dur_raw),
+    )
+    video = _eb(
+        b"\xe0",
+        _eb_uint(b"\xb0", width) + _eb_uint(b"\xba", height),
+    )
+    ventry = _eb(
+        b"\xae",
+        _eb_uint(b"\xd7", vtrack) + _eb_uint(b"\x83", 1)
+        + _eb(b"\x86", codec) + video,
+    )
+    entries = ventry
+    if has_audio:
+        aentry = _eb(
+            b"\xae",
+            _eb_uint(b"\xd7", vtrack + 3) + _eb_uint(b"\x83", 2)
+            + _eb(b"\x86", b"A_OPUS"),
+        )
+        entries = aentry + entries if b[13] % 2 else entries + aentry
+    tracks = _eb(b"\x16\x54\xae\x6b", entries)
+
+    def block(track: int, tc: int) -> bytes:
+        payload = (
+            bytes([0x80 | track]) + struct.pack(">h", tc) + b"\x80"
+            + bytes([b[11], tc & 0xFF])
+        )
+        return _eb(b"\xa3", payload)
+
+    clusters = b""
+    left = n_blocks
+    for c in range(n_clusters):
+        take = left // (n_clusters - c) if c < n_clusters - 1 else left
+        body = _eb_uint(b"\xe7", c * 1000)
+        for k in range(take):
+            body += block(vtrack, k)
+        if has_audio:
+            body += block(vtrack + 3, 0)
+        clusters += _eb(b"\x1f\x43\xb6\x75", body)
+        left -= take
+    void = _eb(b"\xec", b"\x00" * (b[9] % 24)) if b[9] % 2 else b""
+    seg_body = (
+        void + tracks + info + clusters
+        if b[14] % 2
+        else void + info + tracks + clusters
+    )
+    return header + _eb(b"\x18\x53\x80\x67", seg_body)
+
+
+def synth_webm_video(docs: DataFrame) -> DataFrame:
+    """Deterministic WebM per document (see :func:`_synth_webm_blob`)
+    — dims 16·(b0%40+1)×16·(b1%24+1), codec index b2%4,
+    TimestampScale index b3%3, duration units 1000·(1+b4%20)+b5,
+    frame count 1+b7%8."""
+
+    @F.pandas_udf("binary")
+    def _webm(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_webm_blob(int(i)) for i in ids])
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        _webm("doc_id").alias("content"),
+    )
+
+
+def _riff_webp(chunks: list[tuple[bytes, bytes]]) -> bytes:
+    body = b"WEBP"
+    for cid, payload in chunks:
+        body += cid + struct.pack("<I", len(payload)) + payload
+        if len(payload) & 1:
+            body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _synth_webp_blob(i: int) -> bytes:
+    """One deterministic WebP from md5(doc:webp), rotating the three
+    container variants: b0%3 == 0 → simple lossy VP8, 1 → simple
+    lossless VP8L (alpha bit b5%2), 2 → extended VP8X (24-bit canvas,
+    alpha b5%2, animation b6%2, lossless payload b7%2)."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:webp".encode()).digest()
+    variant = b[0] % 3
+    if variant == 0:
+        w = 1 + (b[1] * 64 + b[2]) % 16383
+        h = 1 + (b[3] * 64 + b[4]) % 16383
+        payload = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", w, h) + bytes(b[8] % 48 + 8)
+        )
+        return _riff_webp([(b"VP8 ", payload)])
+    if variant == 1:
+        w = 1 + (b[1] * 64 + b[2]) % 16384
+        h = 1 + (b[3] * 64 + b[4]) % 16384
+        alpha = b[5] % 2
+        bits = (w - 1) | ((h - 1) << 14) | (alpha << 28)
+        payload = b"\x2f" + struct.pack("<I", bits) + bytes(b[8] % 48 + 8)
+        return _riff_webp([(b"VP8L", payload)])
+    w = 1 + (b[1] * 256 + b[2]) % 100000
+    h = 1 + (b[3] * 256 + b[4]) % 100000
+    alpha = b[5] % 2
+    anim = b[6] % 2
+    lossless = b[7] % 2
+    flags = (0x10 if alpha else 0) | (0x02 if anim else 0)
+    vp8x = (
+        bytes([flags]) + b"\x00\x00\x00"
+        + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+    )
+    chunks = [(b"VP8X", vp8x)]
+    if anim:
+        chunks.append((b"ANIM", b"\x00" * 6))
+    if alpha:
+        chunks.append((b"ALPH", bytes(b[9] % 16 + 2)))
+    if lossless:
+        bits = (w - 1 & 0x3FFF) | (((h - 1) & 0x3FFF) << 14)
+        chunks.append((b"VP8L", b"\x2f" + struct.pack("<I", bits)))
+    else:
+        payload = (
+            b"\x00\x00\x00" + b"\x9d\x01\x2a"
+            + struct.pack("<HH", w & 0x3FFF, h & 0x3FFF)
+        )
+        chunks.append((b"VP8 ", payload))
+    return _riff_webp(chunks)
+
+
+def synth_webp_images(docs: DataFrame) -> DataFrame:
+    """Deterministic WebP per document (see :func:`_synth_webp_blob`)."""
+
+    @F.pandas_udf("binary")
+    def _webp(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_webp_blob(int(i)) for i in ids])
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        _webp("doc_id").alias("content"),
+    )
+
+
+_M4A_RATES = (8000, 16000, 22050, 24000, 32000, 44100, 48000)
+
+
+def _synth_m4a_blob(i: int) -> bytes:
+    """One deterministic M4A from md5(doc:m4a): AAC AudioSampleEntry
+    (rate index b0%7, channels 1+b1%2, 16-bit), esds avgBitrate
+    1000·(32+b2%288), stts sample count 100+b3%900, mvhd duration
+    units ts·(1+b6%10)+b7 at timescale = the sample rate."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:m4a".encode()).digest()
+    sr = _M4A_RATES[b[0] % 7]
+    channels = 1 + b[1] % 2
+    bitrate = 32 + b[2] % 288
+    n_units = 100 + b[3] % 900
+    dur_units = sr * (1 + b[6] % 10) + b[7]
+
+    mvhd = _box(
+        b"mvhd",
+        b"\x00" * 12 + struct.pack(">II", sr, dur_units) + b"\x00" * 80,
+    )
+    esds = _box(b"esds", b"\x00" * 4 + struct.pack(">I", bitrate * 1000))
+    aentry = _box(
+        b"mp4a",
+        b"\x00" * 16 + struct.pack(">HH", channels, 16)
+        + b"\x00" * 4 + struct.pack(">I", sr << 16) + esds,
+    )
+    stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + aentry)
+    stts = _box(
+        b"stts",
+        b"\x00" * 4 + struct.pack(">I", 1)
+        + struct.pack(">II", n_units, 1024),
+    )
+    stbl = _box(b"stbl", stsd + stts)
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    mdhd = _box(
+        b"mdhd", b"\x00" * 12 + struct.pack(">II", sr, dur_units)
+        + b"\x00" * 4
+    )
+    tkhd = _box(b"tkhd", b"\x00\x00\x00\x07" + b"\x00" * 80)
+    trak = _box(
+        b"trak", tkhd + _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+    )
+    moov = _box(b"moov", mvhd + trak)
+    return (
+        _box(b"ftyp", b"M4A \x00\x00\x02\x00isomiso2")
+        + moov
+        + _box(b"mdat", b"\x00" * 32)
+    )
+
+
+def synth_m4a_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic M4A per document (see :func:`_synth_m4a_blob`)."""
+
+    @F.pandas_udf("binary")
+    def _m4a(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_m4a_blob(int(i)) for i in ids])
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("media_type"),
+        _m4a("doc_id").alias("content"),
+    )

@@ -2690,8 +2690,8 @@ def audio_container_meta(
     media: DataFrame, content_col: str = "content", id_col: str = "media_id"
 ) -> DataFrame:
     """Container metadata for crawled audio — MP3 frame walk, Ogg
-    Vorbis page walk (CRC-verified), FLAC STREAMINFO — dispatched on
-    magic bytes in ONE Arrow pass, no shuffle. Unrecognized or
+    Vorbis page walk (CRC-verified), FLAC STREAMINFO, M4A/MP4 box walk
+    (r9) — dispatched on magic bytes in ONE Arrow pass, no shuffle. Unrecognized or
     malformed blobs yield a codec-NULL row (the auditable-NULL
     contract; full sample decode is the ffmpeg plug-in point). At
     100 TB this is embarrassingly parallel per blob and reads only
@@ -2699,6 +2699,10 @@ def audio_container_meta(
 
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
+
+        from hadoopxmlextractor_spark.operators.containers import (
+            _parse_mp4_audio_meta,
+        )
 
         cols = [
             "media_id", "codec", "sample_rate", "channels", "sample_bits",
@@ -2723,6 +2727,8 @@ def audio_container_meta(
                             meta = _parse_flac(b)
                         elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
                             meta = _parse_wav_meta(b)
+                        elif b[4:8] == b"ftyp":
+                            meta = _parse_mp4_audio_meta(b)  # M4A (r9)
                     except (ValueError, IndexError, struct.error):
                         meta = None
                 if meta is None:
@@ -3423,13 +3429,19 @@ def video_container_meta(
     media: DataFrame, content_col: str = "content", id_col: str = "media_id"
 ) -> DataFrame:
     """Container metadata for crawled video — AVI stream-header walk
-    (raw / MJPEG / RLE8 / even refused codecs) and Theora-in-Ogg —
-    dispatched on magic bytes in one Arrow pass; the video twin of
-    :func:`audio_container_meta`, with the same codec-NULL marker
-    contract."""
+    (raw / MJPEG / RLE8 / even refused codecs), Theora-in-Ogg,
+    MP4/ISO-BMFF box walk, and WebM/Matroska EBML walk (r9 — the two
+    dominant modern web containers) — dispatched on magic bytes in one
+    Arrow pass; the video twin of :func:`audio_container_meta`, with
+    the same codec-NULL marker contract."""
 
     def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import struct
+
+        from hadoopxmlextractor_spark.operators.containers import (
+            _parse_mp4_meta,
+            _parse_webm_meta,
+        )
 
         cols = [
             "media_id", "codec", "width", "height",
@@ -3446,6 +3458,10 @@ def video_container_meta(
                             meta = _parse_avi_meta(b)
                         elif b[:4] == b"OggS":
                             meta = _parse_ogg_theora(b)
+                        elif b[4:8] == b"ftyp":
+                            meta = _parse_mp4_meta(b)  # MP4/ISO-BMFF (r9)
+                        elif b[:4] == b"\x1aE\xdf\xa3":
+                            meta = _parse_webm_meta(b)  # WebM/EBML (r9)
                     except (ValueError, IndexError, struct.error):
                         meta = None
                 if meta is None:

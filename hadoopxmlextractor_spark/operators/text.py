@@ -1056,38 +1056,61 @@ def robots_admit_udf(robots_txt: str, agent: str = "*"):
     return _admit
 
 
+_MOJIBAKE_ENCODINGS = ("cp1252", "latin-1", "shift_jis")
+
+
 def fix_mojibake_udf():
     """Encoding-repair kernel (the ftfy core case): text that was
     UTF-8 bytes mis-decoded as cp1252 ("é" shipped as "Ã©", "’" as
-    "â€™") round-trips back through encode('cp1252') →
-    decode('utf-8'); anything that doesn't survive BOTH strict
-    conversions — genuine Latin-text, plain ASCII, already-clean
+    "â€™"), latin-1 ("’" shipped as "â\\x80\\x99" control chars), or
+    shift_jis (CJK UTF-8 read as katakana soup) round-trips back
+    through encode(enc) → decode('utf-8'). Encodings are tried in a
+    DETERMINISTIC precedence order (cp1252, latin-1, shift_jis — most
+    common mis-decode first; r8 verdict item 6) and the first whose
+    BOTH strict conversions succeed wins the hop; anything that
+    survives none — genuine Latin text, plain ASCII, already-clean
     Unicode — passes through unchanged, so the repair can never
-    corrupt clean text. The repair iterates to a bounded FIXPOINT so
-    doubly double-encoded text (two bad hops through cp1252) unwinds
-    fully — the ftfy behavior. Returns (fixed, was_fixed); map-side,
-    no shuffle, one Arrow pass."""
+    corrupt clean text. (cp1252 and latin-1 agree outside 0x80-0x9F,
+    so precedence is only visible on strings containing those bytes'
+    codepoints — where the distinction is real.) The repair iterates
+    to a bounded FIXPOINT so doubly double-encoded text unwinds fully
+    — the ftfy behavior. Returns (fixed, was_fixed, encoding — the
+    first repairing hop's encoding, NULL if untouched); map-side, no
+    shuffle, one Arrow pass."""
 
-    @F.pandas_udf("struct<fixed:string, was_fixed:boolean>")
+    @F.pandas_udf(
+        "struct<fixed:string, was_fixed:boolean, encoding:string>"
+    )
     def _fix(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in it:
-            fixed, was = [], []
+            fixed, was, first_enc = [], [], []
             for t in texts:
                 if t is None:
                     fixed.append(None)
                     was.append(None)
+                    first_enc.append(None)
                     continue
                 cur = t
+                first = None
                 for _ in range(4):  # real mojibake is 1-2 hops deep
-                    try:
-                        cand = cur.encode("cp1252").decode("utf-8")
-                    except (UnicodeEncodeError, UnicodeDecodeError):
-                        break
-                    if cand == cur:
+                    cand = used = None
+                    for enc in _MOJIBAKE_ENCODINGS:
+                        try:
+                            cand = cur.encode(enc).decode("utf-8")
+                            used = enc
+                            break
+                        except (UnicodeEncodeError, UnicodeDecodeError):
+                            continue
+                    if cand is None or cand == cur:
                         break
                     cur = cand
+                    if first is None:
+                        first = used
                 fixed.append(cur)
                 was.append(cur != t)
-            yield pd.DataFrame({"fixed": fixed, "was_fixed": was})
+                first_enc.append(first if cur != t else None)
+            yield pd.DataFrame(
+                {"fixed": fixed, "was_fixed": was, "encoding": first_enc}
+            )
 
     return _fix

@@ -1049,43 +1049,60 @@ _ORACLE["corpus_ccnet_buckets"] = _ORACLE["corpus_ccnet_buckets"].replace(
       FROM documents
     )
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0
-                THEN (['café','naïve','über','don’t','São Paulo'])[b0 % 5 + 1]
-                     || ' doc ' || CAST(doc_id AS VARCHAR)
-                ELSE 'plain doc ' || CAST(doc_id AS VARCHAR) END AS fixed,
-           (doc_id % 2 = 0) AS was_fixed
+           CASE doc_id % 4
+                WHEN 0 THEN
+                  (['café','naïve','über','don’t','São Paulo'])[b0 % 5 + 1]
+                WHEN 2 THEN
+                  (['don’t stop','em—dash','“quoted”'])[b0 % 3 + 1]
+                WHEN 3 THEN
+                  (['東京都渋谷区','こんにちは世界'])[b0 % 2 + 1]
+                ELSE 'plain' END
+             || ' doc ' || CAST(doc_id AS VARCHAR) AS fixed,
+           (doc_id % 4 <> 1) AS was_fixed,
+           CASE doc_id % 4 WHEN 0 THEN 'cp1252' WHEN 2 THEN 'latin-1'
+                WHEN 3 THEN 'shift_jis' ELSE NULL END AS encoding
     FROM b
     """,
 )
 def q_text_mojibake_repair(spark: SparkSession, sf: str) -> DataFrame:
-    # Encoding repair (the ftfy core case) as a corpus-cleaning stage:
-    # even docs carry PLANTED double-encoded text (a UTF-8 phrase
-    # mis-decoded as cp1252 — 'é' shipped as 'Ã©', the curly quote in
-    # don’t as 'â€™') that the cp1252→utf-8 strict roundtrip must
-    # repair EXACTLY; odd docs are clean ASCII the repair must not
-    # touch — both branches live per the vacuous-check rule, and the
-    # oracle reconstructs the expected REPAIRED strings (with real
-    # Unicode literals), never the engine's answers. Map-side, no
-    # shuffle.
+    # Encoding repair (the ftfy core case) as a corpus-cleaning stage,
+    # now across all three common mis-decodes (r8 verdict item 6):
+    # doc_id%4==0 plants cp1252 mojibake ('é' shipped as 'Ã©'), %4==2
+    # plants latin-1 mojibake (curly quotes shipped as â + C1 control
+    # chars — bytes cp1252 CANNOT encode, so the precedence order is
+    # live, not decorative), %4==3 plants shift_jis mojibake (CJK
+    # UTF-8 read as katakana soup), %4==1 is clean ASCII the repair
+    # must not touch — every branch live per the vacuous-check rule.
+    # The strict encode(enc)→decode('utf-8') roundtrip must repair
+    # each EXACTLY and report WHICH encoding repaired it; the oracle
+    # reconstructs the expected REPAIRED strings (real Unicode
+    # literals) and encoding labels, never the engine's answers.
+    # Map-side, no shuffle.
     import hashlib
 
     from hadoopxmlextractor_spark.operators import text as T
 
     docs = load(spark, sf, "documents")
-    phrases = ["café", "naïve", "über", "don’t", "São Paulo"]
+    plants = {
+        0: (["café", "naïve", "über", "don’t", "São Paulo"], "cp1252"),
+        2: (["don’t stop", "em—dash", "“quoted”"], "latin-1"),
+        3: (["東京都渋谷区", "こんにちは世界"], "shift_jis"),
+    }
 
     @F.pandas_udf("string")
     def _input(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for ids in it:
             out = []
             for i in ids:
-                if int(i) % 2 == 0:
-                    b0 = hashlib.md5(f"{i}:moji".encode()).digest()[0]
-                    phrase = phrases[b0 % 5]
-                    moji = phrase.encode("utf-8").decode("cp1252")
-                    out.append(f"{moji} doc {i}")
-                else:
+                branch = int(i) % 4
+                if branch == 1:
                     out.append(f"plain doc {i}")
+                    continue
+                phrases, enc = plants[branch]
+                b0 = hashlib.md5(f"{i}:moji".encode()).digest()[0]
+                phrase = phrases[b0 % len(phrases)]
+                moji = phrase.encode("utf-8").decode(enc)
+                out.append(f"{moji} doc {i}")
             yield pd.Series(out)
 
     fix = T.fix_mojibake_udf()
@@ -1096,6 +1113,7 @@ def q_text_mojibake_repair(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             F.col("f.fixed").alias("fixed"),
             F.col("f.was_fixed").alias("was_fixed"),
+            F.col("f.encoding").alias("encoding"),
         )
     )
 

@@ -1,0 +1,218 @@
+"""Round-9 modern-container metadata walks: MP4/ISO-BMFF, WebM/EBML,
+WebP — parser-vs-synth replay across the rotating layout matrices,
+dispatch totality from the shared container-meta operators, and the
+malformed-input marker contract."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import pytest
+
+from hadoopxmlextractor_spark.operators.containers import (
+    _parse_mp4_audio_meta,
+    _parse_mp4_meta,
+    _parse_webm_meta,
+    _parse_webp_meta,
+    _synth_m4a_blob,
+    _synth_mp4_video_blob,
+    _synth_webm_blob,
+    _synth_webp_blob,
+)
+
+
+def test_mp4_box_walk_rotating_layouts():
+    """The MP4 walk survives every layout the synth rotates — mvhd
+    v0/v1, free-box interleave, audio-track-first ordering, 1- vs
+    2-entry stts — and replays dims/codec/frames/duration exactly;
+    the doc range is wide enough that every rotation branch occurs."""
+    seen = {"v1": 0, "free": 0, "audio_first": 0, "stts2": 0}
+    for i in range(300):
+        b = hashlib.md5(f"{i}:mp4".encode()).digest()
+        ts = (600, 1000, 90000, 30000)[b[2] % 4]
+        dur = ts * (1 + b[10] % 10) + b[4]
+        got = _parse_mp4_meta(_synth_mp4_video_blob(i))
+        assert got == {
+            "codec": ("avc1", "hev1", "vp09", "av01")[b[5] % 4],
+            "width": 16 * (b[0] % 40 + 1),
+            "height": 16 * (b[1] % 24 + 1),
+            "fps_num": None,
+            "fps_den": None,
+            "n_frames": 10 + b[3] % 90,
+            "duration_ms": dur * 1000 // ts,
+        }
+        seen["v1"] += b[7] % 2
+        seen["free"] += b[6] % 2
+        seen["audio_first"] += b[8] % 2
+        seen["stts2"] += b[9] % 2
+    assert all(0 < v < 300 for v in seen.values()), seen
+
+
+def test_mp4_largesize_box_and_64bit_mvhd():
+    """size==1 largesize escape parses; a 64-bit mvhd duration past
+    2^32 converts without overflow."""
+    from hadoopxmlextractor_spark.operators.containers import _box
+
+    blob = _synth_mp4_video_blob(7)
+    # re-wrap the whole file's mdat as a largesize box: parse unchanged
+    meta = _parse_mp4_meta(blob)
+    big_mdat = _box(b"mdat", b"\x00" * 32, largesize=True)
+    assert _parse_mp4_meta(blob + big_mdat) == meta
+    # synthetic v1 mvhd with duration > 2^32
+    ts, dur = 90000, (1 << 33) + 12345
+    mvhd = _box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + b"\x00" * 16
+        + struct.pack(">IQ", ts, dur) + b"\x00" * 80,
+    )
+    tail = blob[blob.index(b"moov") - 4:]
+    # splice: ftyp + moov with our mvhd + original traks
+    (moov_size,) = struct.unpack(">I", tail[:4])
+    moov_body = tail[8:moov_size]
+    # drop the original mvhd (first child box)
+    (old_sz,) = struct.unpack(">I", moov_body[:4])
+    new_moov = _box(b"moov", mvhd + moov_body[old_sz:])
+    got = _parse_mp4_meta(_box(b"ftyp", b"isom") + new_moov)
+    assert got["duration_ms"] == dur * 1000 // ts
+
+
+def test_webm_ebml_walk_rotating_layouts():
+    """The EBML walk replays dims/codec/frames/duration exactly across
+    the rotation matrix — float32 vs float64 Duration, Void padding,
+    Info/Tracks order swap, audio TrackEntry present (whose
+    SimpleBlocks must NOT count toward the video frame count)."""
+    seen = {"f32": 0, "void": 0, "swap": 0, "audio": 0}
+    for i in range(300):
+        b = hashlib.md5(f"{i}:webm".encode()).digest()
+        scale = (1_000_000, 500_000, 100_000)[b[3] % 3]
+        du = 1000 * (1 + b[4] % 20) + b[5]
+        got = _parse_webm_meta(_synth_webm_blob(i))
+        assert got == {
+            "codec": ("V_VP8", "V_VP9", "V_AV1", "V_MPEG4/ISO/AVC")[
+                b[2] % 4
+            ],
+            "width": 16 * (b[0] % 40 + 1),
+            "height": 16 * (b[1] % 24 + 1),
+            "fps_num": None,
+            "fps_den": None,
+            "n_frames": 1 + b[7] % 8,
+            "duration_ms": du * scale // 1_000_000,
+        }
+        seen["f32"] += b[10] % 2
+        seen["void"] += b[9] % 2
+        seen["swap"] += b[14] % 2
+        seen["audio"] += b[12] % 2
+    assert all(0 < v < 300 for v in seen.values()), seen
+
+
+def test_webm_audio_blocks_never_count():
+    """Find a doc whose synth includes the audio TrackEntry and verify
+    its frame count equals the video-block count alone (the audio
+    SimpleBlock per cluster is excluded by track number)."""
+    i = next(
+        k for k in range(100)
+        if hashlib.md5(f"{k}:webm".encode()).digest()[12] % 2
+    )
+    b = hashlib.md5(f"{i}:webm".encode()).digest()
+    got = _parse_webm_meta(_synth_webm_blob(i))
+    assert got["n_frames"] == 1 + b[7] % 8  # not + n_clusters
+
+
+def test_webp_three_variants_and_flags():
+    """All three WebP container variants replay exactly; flag bits
+    (alpha 0x10, animation 0x02) and the VP8L-payload lossless rule
+    each occur in both states across the doc range."""
+    seen = {"vp8": 0, "vp8l": 0, "vp8x": 0, "alpha": 0, "anim": 0,
+            "lossless": 0}
+    for i in range(300):
+        b = hashlib.md5(f"{i}:webp".encode()).digest()
+        got = _parse_webp_meta(_synth_webp_blob(i))
+        v = b[0] % 3
+        seen[("vp8", "vp8l", "vp8x")[v]] += 1
+        assert got["format"] == ("vp8", "vp8l", "vp8x")[v]
+        if v == 2:
+            assert got["has_alpha"] == bool(b[5] % 2)
+            assert got["is_animated"] == bool(b[6] % 2)
+            assert got["is_lossless"] == bool(b[7] % 2)
+            assert got["n_chunks"] == 2 + b[5] % 2 + b[6] % 2
+            seen["alpha"] += b[5] % 2
+            seen["anim"] += b[6] % 2
+            seen["lossless"] += b[7] % 2
+    assert all(v > 0 for v in seen.values()), seen
+
+
+def test_m4a_box_walk_replay():
+    rates = (8000, 16000, 22050, 24000, 32000, 44100, 48000)
+    for i in range(200):
+        b = hashlib.md5(f"{i}:m4a".encode()).digest()
+        sr = rates[b[0] % 7]
+        du = sr * (1 + b[6] % 10) + b[7]
+        assert _parse_mp4_audio_meta(_synth_m4a_blob(i)) == {
+            "codec": "aac",
+            "sample_rate": sr,
+            "channels": 1 + b[1] % 2,
+            "sample_bits": 16,
+            "n_units": 100 + b[3] % 900,
+            "bitrate_kbps": 32 + b[2] % 288,
+            "is_vbr": False,
+            "duration_ms": du * 1000 // sr,
+            "meta_bytes": None,
+        }
+
+
+@pytest.mark.parametrize(
+    "blob",
+    [
+        b"",
+        b"\x00" * 64,
+        b"RIFF\x10\x00\x00\x00WEBPVP8 ",  # truncated chunk
+        b"RIFF\x0c\x00\x00\x00WEBPJUNK\x00\x00\x00\x00",  # no VP8* chunk
+        b"\x1aE\xdf\xa3\x84webm",  # bare EBML magic, no doctype element
+        struct.pack(">I", 8) + b"ftyp",  # ftyp only, no moov
+        struct.pack(">I", 3) + b"moov",  # size smaller than header
+    ],
+)
+def test_malformed_containers_refuse_cleanly(blob):
+    """Malformed blobs return None or raise only the exception types
+    the container-meta dispatchers convert to the codec-NULL marker
+    row — never a wrong-answer dict, never an uncaught type."""
+    for parse in (
+        _parse_mp4_meta, _parse_webm_meta,
+        _parse_webp_meta, _parse_mp4_audio_meta,
+    ):
+        try:
+            got = parse(blob)
+        except (ValueError, IndexError, struct.error):
+            continue
+        assert got is None, (parse.__name__, got)
+
+
+def test_dispatch_totality_in_shared_operators(spark):
+    """One mixed DataFrame of MP4/WebM/garbage video blobs routes each
+    to the right leg of video_container_meta; M4A routes through
+    audio_container_meta; marker rows carry codec NULL."""
+    from hadoopxmlextractor_spark.operators.multimodal import (
+        audio_container_meta,
+        video_container_meta,
+    )
+
+    vids = spark.createDataFrame(
+        [
+            (1, bytearray(_synth_mp4_video_blob(1))),
+            (2, bytearray(_synth_webm_blob(2))),
+            (3, bytearray(b"garbage bytes")),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r for r in video_container_meta(vids).collect()}
+    assert rows[1].codec in ("avc1", "hev1", "vp09", "av01")
+    assert rows[2].codec.startswith("V_")
+    assert rows[3].codec is None
+
+    auds = spark.createDataFrame(
+        [(4, bytearray(_synth_m4a_blob(4)))],
+        "media_id long, content binary",
+    )
+    (arow,) = audio_container_meta(auds).collect()
+    assert arow.codec == "aac" and arow.sample_bits == 16

@@ -1397,3 +1397,23 @@ def test_round8_queries_pass_plan_lint(spark):
         ]
         rowwise = [f for f in findings if f["code"] == "rowwise_python"]
         assert errors == [] and rowwise == [], (name, findings)
+
+
+def test_round9_queries_pass_plan_lint(spark):
+    """Scale pre-flight over the round-9 newcomers (modern-container
+    metadata walks): no cartesian/nested-loop, no row-wise Python UDF
+    — the walks must stay single Arrow passes."""
+    import __spark_entry__  # noqa: F401
+    from hadoopxmlextractor_spark.plans.inspect import lint_plan
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    new_r9 = [
+        "multimodal_video_mp4_meta", "multimodal_video_webm_meta",
+        "multimodal_image_webp_meta", "multimodal_audio_m4a_meta",
+    ]
+    sf = "/root/testdata/sf0.001"
+    for name in new_r9:
+        findings = lint_plan(QUERIES[name](spark, sf))
+        errors = [f for f in findings if f["severity"] == "error"]
+        rowwise = [f for f in findings if f["code"] == "rowwise_python"]
+        assert errors == [] and rowwise == [], (name, findings)

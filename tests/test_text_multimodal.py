@@ -1659,3 +1659,46 @@ def test_robots_and_sitemap_edges(spark):
     assert len(rows) == 2 and all(
         r.kind is None and r.entry_idx == -1 for r in rows
     )
+
+
+def test_fix_mojibake_multi_encoding(spark):
+    """r9 (r8 verdict item 6): the repair kernel handles all three
+    common mis-decodes in deterministic precedence order — cp1252,
+    latin-1 (whose mojibake carries C1 control chars cp1252 cannot
+    encode, so the precedence is observably live), shift_jis (CJK
+    UTF-8 read as katakana soup) — reports the repairing encoding,
+    unwinds a double cp1252 hop, and never touches clean text
+    (including clean CJK, which shift_jis could encode but whose
+    sjis bytes are not valid UTF-8)."""
+    from hadoopxmlextractor_spark.operators.text import fix_mojibake_udf
+
+    cases = [
+        # (input, expected fixed, was_fixed, encoding)
+        ("café x".encode("utf-8").decode("cp1252"), "café x", True,
+         "cp1252"),
+        ("don’t stop".encode("utf-8").decode("latin-1"), "don’t stop",
+         True, "latin-1"),
+        ("東京都渋谷区".encode("utf-8").decode("shift_jis"),
+         "東京都渋谷区", True, "shift_jis"),
+        # double cp1252 hop unwinds to the original
+        ("café".encode("utf-8").decode("cp1252").encode("utf-8")
+         .decode("cp1252"), "café", True, "cp1252"),
+        ("plain ascii", "plain ascii", False, None),
+        ("déjà vu", "déjà vu", False, None),  # clean Latin text
+        ("これは綺麗", "これは綺麗", False, None),  # clean CJK
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, (t, *_ ) in enumerate(cases)],
+        "id long, raw string",
+    )
+    fix = fix_mojibake_udf()
+    got = {
+        r.id: r
+        for r in df.select("id", fix("raw").alias("f"))
+        .select("id", "f.fixed", "f.was_fixed", "f.encoding")
+        .collect()
+    }
+    for i, (_raw, fixed, was, enc) in enumerate(cases):
+        assert (got[i].fixed, got[i].was_fixed, got[i].encoding) == (
+            fixed, was, enc
+        ), (i, got[i])
