@@ -76,6 +76,7 @@ FRONT = [
     # 50-query sample). Ordering is presentation-only: every entry
     # still runs in the local full-registry gate.
     # --- new round-9 operators ---
+    "multimodal_webp_lossless_ahash",
     "multimodal_video_mp4_meta",
     "multimodal_video_webm_meta",
     "multimodal_image_webp_meta",

@@ -940,6 +940,15 @@ def image_ahash(
                     )
 
                     img = decode_jpeg(raw)
+                if img is None and raw[:4] == b"RIFF" and raw[8:12] == b"WEBP":
+                    from hadoopxmlextractor_spark.operators.vp8l import (
+                        decode_webp,
+                    )
+
+                    try:
+                        img = decode_webp(raw)  # lossless VP8L (r9)
+                    except ValueError:
+                        img = None  # lossy/unsupported: plug-in point
                 if img is None or img.shape[0] * img.shape[1] != 64:
                     out.append(None)
                     continue

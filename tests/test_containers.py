@@ -216,3 +216,159 @@ def test_dispatch_totality_in_shared_operators(spark):
     )
     (arow,) = audio_container_meta(auds).collect()
     assert arow.codec == "aac" and arow.sample_bits == 16
+
+
+# ---------------------------------------------------------------------------
+# VP8L — lossless WebP codec (r9)
+# ---------------------------------------------------------------------------
+
+
+def test_vp8l_roundtrip_matrix():
+    """encode→decode is the identity across shapes × subtract-green ×
+    color-cache sizes — the lossless property the shared aHash oracle
+    leans on."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.vp8l import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    rng = np.random.RandomState(7)
+    for (h, w) in [(8, 8), (5, 7), (1, 1), (16, 3), (2, 13)]:
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for sg in (False, True):
+            for cb in (0, 3, 6):
+                blob = encode_webp_lossless(
+                    img, subtract_green=sg, cache_bits=cb
+                )
+                assert np.array_equal(decode_webp(blob), img), (h, w, sg, cb)
+
+
+def test_vp8l_backrefs_and_cache_paths():
+    """LZ77 run backreferences decode through the direct-distance
+    mapping and genuinely compress (the backref stream is smaller than
+    the literal stream); the color cache round-trips alongside; RGBA
+    alpha survives."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.vp8l import (
+        decode_vp8l,
+        decode_webp,
+        encode_vp8l,
+        encode_webp_lossless,
+    )
+
+    img = np.zeros((6, 9, 3), np.uint8)
+    img[3:] = 200
+    img[0, 0] = [1, 2, 3]
+    lit = encode_webp_lossless(img)
+    for cb in (0, 4):
+        blob = encode_webp_lossless(img, run_backrefs=True, cache_bits=cb)
+        assert np.array_equal(decode_webp(blob), img), cb
+    assert len(encode_webp_lossless(img, run_backrefs=True)) < len(lit)
+
+    rgba = np.random.RandomState(3).randint(0, 256, (4, 4, 4), np.uint8)
+    assert np.array_equal(decode_vp8l(encode_vp8l(rgba)), rgba)
+
+
+def test_vp8l_refusal_points():
+    """Unsupported features refuse with ValueError (the plug-in
+    contract): predictor transform, meta prefix codes, near-pixel
+    distance codes, bad signature/version — and image_ahash maps a
+    refused WebP to the NULL marker instead of crashing."""
+    import numpy as np
+    import pytest
+
+    from hadoopxmlextractor_spark.operators.vp8l import (
+        _BitWriter,
+        decode_vp8l,
+    )
+
+    def header(bits_after):
+        bw = _BitWriter()
+        bw.write(7, 14)  # w-1
+        bw.write(7, 14)  # h-1
+        bw.write(0, 1)
+        bw.write(0, 3)
+        for v, n in bits_after:
+            bw.write(v, n)
+        return b"\x2f" + bw.tobytes()
+
+    with pytest.raises(ValueError):  # predictor transform (type 0)
+        decode_vp8l(header([(1, 1), (0, 2), (4, 3)]))
+    with pytest.raises(ValueError):  # meta prefix codes
+        decode_vp8l(header([(0, 1), (0, 1), (1, 1)]))
+    with pytest.raises(ValueError):  # bad version
+        bw = _BitWriter()
+        bw.write(0, 14)
+        bw.write(0, 14)
+        bw.write(0, 1)
+        bw.write(5, 3)
+        decode_vp8l(b"\x2f" + bw.tobytes())
+    with pytest.raises(ValueError):  # not VP8L at all
+        decode_vp8l(b"\x00abc")
+
+
+def test_vp8l_max_symbol_early_out_decodes():
+    """The complex-code max_symbol path (trailing lengths implicitly
+    zero) decodes: a handcrafted stream writes only the first lengths
+    and relies on the early-out for the rest."""
+    from hadoopxmlextractor_spark.operators.vp8l import (
+        _BitReader,
+        _BitWriter,
+        _PrefixCode,
+        _read_prefix_code,
+    )
+
+    # target: alphabet 256, symbols 0 and 1 with length 1, rest zero
+    bw = _BitWriter()
+    bw.write(0, 1)  # complex form
+    # CL code over symbols {0: len1, 1: len1}: order indices 2 and 3
+    bw.write(0, 4)  # num_code_lengths = 4
+    bw.write(0, 3)  # order[0] = 17
+    bw.write(0, 3)  # order[1] = 18
+    bw.write(1, 3)  # order[2] = symbol 0 -> length 1
+    bw.write(1, 3)  # order[3] = symbol 1 -> length 1
+    bw.write(1, 1)  # use max_symbol
+    bw.write(0, 3)  # length_nbits = 2
+    bw.write(0, 2)  # max_symbol = 2 -> read exactly two CL symbols
+    cl = _PrefixCode([1, 1] + [0] * 17)
+    cl.write(bw, 1)  # symbol 0 gets length 1
+    cl.write(bw, 1)  # symbol 1 gets length 1
+    code = _read_prefix_code(_BitReader(bw.tobytes()), 256)
+    br = _BitReader(bytes([0b10]))  # bits: 0 then 1
+    assert code.read(br) == 0
+    assert code.read(br) == 1
+
+
+def test_image_ahash_dispatches_webp(spark):
+    """A lossless WebP of a known plane lands on the same aHash as the
+    equivalent PPM (shared decode → hash path); garbage RIFF yields
+    the NULL marker."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.multimodal import image_ahash
+    from hadoopxmlextractor_spark.operators.vp8l import (
+        encode_webp_lossless,
+    )
+
+    plane = b"".join(
+        hashlib.md5(f"77:{k}".encode()).digest() for k in range(12)
+    )[: 8 * 8 * 3]
+    img = np.frombuffer(plane, np.uint8).reshape(8, 8, 3)
+    ppm = f"P6\n8 8\n255\n".encode() + plane
+    webp = encode_webp_lossless(img, subtract_green=True)
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(ppm)),
+            (2, bytearray(webp)),
+            (3, bytearray(b"RIFF\x04\x00\x00\x00WEBP")),
+        ],
+        "media_id long, content binary",
+    )
+    rows = {r.media_id: r.ahash for r in image_ahash(media).collect()}
+    assert rows[1] == rows[2] and rows[1] is not None
+    assert rows[3] is None

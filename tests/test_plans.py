@@ -1410,6 +1410,7 @@ def test_round9_queries_pass_plan_lint(spark):
     new_r9 = [
         "multimodal_video_mp4_meta", "multimodal_video_webm_meta",
         "multimodal_image_webp_meta", "multimodal_audio_m4a_meta",
+        "multimodal_webp_lossless_ahash",
     ]
     sf = "/root/testdata/sf0.001"
     for name in new_r9:
