@@ -21,6 +21,7 @@ import hadoopxmlextractor_spark.corpus_queries  # noqa: F401  (registers queries
 import hadoopxmlextractor_spark.events_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.flagship_queries  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.pipeline_queries  # noqa: F401  (registers queries)
+import hadoopxmlextractor_spark.queries_docs  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_ext  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r8  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r9  # noqa: F401  (registers queries)
@@ -76,6 +77,12 @@ FRONT = [
     # 50-query sample). Ordering is presentation-only: every entry
     # still runs in the local full-registry gate.
     # --- new round-9 operators ---
+    "source_pdf_text",
+    "source_docx_text",
+    "source_epub_text",
+    "archive_zip_meta",
+    "source_subtitle_cues",
+    "source_feed_entries",
     "multimodal_webp_lossless_ahash",
     "multimodal_video_mp4_meta",
     "multimodal_video_webm_meta",

@@ -1,0 +1,300 @@
+"""Round-9 document-format queries — the text a crawl carries OUTSIDE
+HTML: ZIP archives, DOCX and EPUB (ZIP-of-XML — the reference's XML
+extraction heritage applied to office/ebook containers), PDF content
+streams, SRT/WebVTT subtitles, and RSS/Atom feeds.
+
+All six are single Arrow-pass operators from
+:mod:`hadoopxmlextractor_spark.operators.documents` over
+md5-parameterized synthetic blobs, so every oracle replays the
+extracted fields — member names, inflated sizes, paragraph/chapter/
+page text, cue timestamps, entry epochs — with pure integer and string
+arithmetic. No float crosses the engine boundary anywhere in this
+module.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator  # noqa: F401  (pandas_udf string annotations)
+
+import pandas as pd  # noqa: F401  (pandas_udf string annotations)
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401
+
+from hadoopxmlextractor_spark.queries import query
+from hadoopxmlextractor_spark.tables import load
+
+_MD5B = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), "
+    "{pos}, 2)) AS BIGINT)"
+)
+
+_W = "(['alpha','bravo','charlie','delta','echo'])"
+
+
+def _b(salt: str, k: int) -> str:
+    """SQL for byte k of md5(doc_id:salt) — the synth parameter replay."""
+    return _MD5B.format(salt=salt, pos=2 * k + 1)
+
+
+@query(
+    "source_docx_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('docx', 0)} AS b0, {_b('docx', 1)} AS b1,
+             {_b('docx', 2)} AS b2
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, 1 + b0 % 3 AS n,
+             {_W}[b1 % 5 + 1] || ' 0'
+               || CASE WHEN b2 % 2 = 1 THEN chr(9) || 'tabbed'
+                  ELSE '' END AS p0,
+             {_W}[(b1 + 1) % 5 + 1] || ' 1' AS p1,
+             {_W}[(b1 + 2) % 5 + 1] || ' 2' AS p2
+      FROM p
+    )
+    SELECT doc_id, 'docx' AS format, CAST(n AS INT) AS n_units,
+           p0 || CASE WHEN n >= 2 THEN chr(10) || p1 ELSE '' END
+              || CASE WHEN n >= 3 THEN chr(10) || p2 ELSE '' END AS text
+    FROM e
+    """,
+)
+def q_source_docx_text(spark: SparkSession, sf: str) -> DataFrame:
+    # DOCX text extraction — the office-document leg of the crawl's
+    # non-HTML text (r9): a REAL ZIP central-directory walk (EOCD
+    # scan-back past a trailing comment, stored + deflate inflate,
+    # CRC verify; word/document.xml rotates the bit-3 data-descriptor
+    # convention so zero-size local headers stay live) feeding an
+    # ElementTree paragraph walk — w:t runs concatenated, w:tab as a
+    # TAB character (an element, not text — paragraph 0 plants one on
+    # b2%2), bold rPr formatting transparent. The oracle reconstructs
+    # the exact paragraph text incl. the chr(9)/chr(10) structure.
+    # One Arrow pass, zero shuffle (SCALE.md: per-blob kernel).
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.document_text(D.synth_docx(docs))
+
+
+@query(
+    "source_epub_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('epub', 1)} AS b1, {_b('epub', 2)} AS b2,
+             {_b('epub', 3)} AS b3
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, 1 + b1 % 3 AS n, b2 % 2 AS rev,
+             [{_W}[b3 % 5 + 1] || ' chapter 0',
+              {_W}[(b3 + 1) % 5 + 1] || ' chapter 1',
+              {_W}[(b3 + 2) % 5 + 1] || ' chapter 2'] AS chs
+      FROM p
+    )
+    SELECT doc_id, 'epub' AS format, CAST(n AS INT) AS n_units,
+           array_to_string(
+             CASE WHEN rev = 1 THEN list_reverse(chs[1:n])
+                  ELSE chs[1:n] END, chr(10)) AS text
+    FROM e
+    """,
+)
+def q_source_epub_text(spark: SparkSession, sf: str) -> DataFrame:
+    # EPUB text extraction (r9): META-INF/container.xml names the OPF
+    # package (its directory rotates OEBPS/ vs archive root, so href
+    # resolution is live), the OPF spine's itemref order — REVERSED vs
+    # zip layout on b2%2 — is the reading order resolved through the
+    # manifest id→href map, and each XHTML chapter contributes its
+    # <body> text with the <head><title> subtree dropped. A nav.xhtml
+    # present in the manifest but NOT the spine must never be emitted
+    # (the decoy keeps spine-driven selection honest). The oracle
+    # replays chapter text in the same spine order via list slicing +
+    # conditional reverse. One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.document_text(D.synth_epub(docs))
+
+
+@query(
+    "source_pdf_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('pdf', 0)} AS b0, {_b('pdf', 2)} AS b2,
+             {_b('pdf', 4)} AS b4
+      FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, 1 + b0 % 3 AS n,
+             unnest(generate_series(0, b0 % 3)) AS pp, b2, b4
+      FROM p
+    ),
+    t AS (
+      SELECT doc_id, n, pp,
+             {_W}[(b2 + pp) % 5 + 1] ||
+             CASE (b4 + pp) % 4
+                  WHEN 0 THEN ' page ' || CAST(pp AS VARCHAR)
+                  WHEN 1 THEN ' (page) ' || CAST(pp AS VARCHAR)
+                  WHEN 2 THEN ' A' || CAST(pp AS VARCHAR)
+                  ELSE ' (nested) ' || CAST(pp AS VARCHAR) END AS page_text
+      FROM pg
+    )
+    SELECT doc_id, 'pdf' AS format, CAST(n AS INT) AS n_units,
+           string_agg(page_text, chr(10) ORDER BY pp) AS text
+    FROM t
+    GROUP BY doc_id, n
+    """,
+)
+def q_source_pdf_text(spark: SparkSession, sf: str) -> DataFrame:
+    # PDF text extraction (r9) — the single largest non-HTML text
+    # source on the web: object walk → /Catalog → /Pages → /Kids order
+    # → per-page /Contents stream (FlateDecode rotating with plain per
+    # (b1+p)%2 — both inflate branches live), then the content-stream
+    # text operators: Tj, TJ arrays whose inter-string numbers are
+    # kerning (concatenated with NOTHING, as a viewer lays them),
+    # literal-string escapes \\( \\) (variant 1), octal \\101 → 'A'
+    # (variant 2), and balanced UNESCAPED nested parens inside one
+    # literal (variant 3, legal per ISO 32000 §7.3.4.2). The oracle
+    # reconstructs the shown text of every variant. One Arrow pass.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.document_text(D.synth_pdf(docs))
+
+
+@query(
+    "archive_zip_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('zip', 0)} AS b0, {_b('zip', 1)} AS b1,
+             {_b('zip', 2)} AS b2, {_b('zip', 3)} AS b3,
+             {_b('zip', 4)} AS b4
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 4)) AS k,
+             b1, b2, b3, b4
+      FROM p
+    ),
+    e AS (
+      SELECT doc_id, k,
+             (['notes','readme','data','img','logs'])[(b1 + k) % 5 + 1]
+               || '_' || CAST(k AS VARCHAR)
+               || (['.txt','.csv','.md'])[(b2 + k) % 3 + 1] AS name,
+             b3, b4
+      FROM m
+    )
+    SELECT doc_id AS archive_id, CAST(k AS INT) AS member_idx, name,
+           CASE WHEN (b4 + k) % 2 = 1 THEN 'deflate' ELSE 'stored' END
+             AS method,
+           CAST(LENGTH(name || ' ' ||
+                repeat('row ' || CAST(k AS VARCHAR) || ' ',
+                       3 + (b3 + k) % 5)) AS BIGINT) AS uncomp_bytes,
+           TRUE AS crc_ok,
+           substring(name || ' ' ||
+                repeat('row ' || CAST(k AS VARCHAR) || ' ',
+                       3 + (b3 + k) % 5), 1, 16) AS head
+    FROM e
+    """,
+)
+def q_archive_zip_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # ZIP archive walk (r9) — the container under DOCX/EPUB/JAR and a
+    # large share of crawled binary attachments: EOCD located by the
+    # APPNOTE backward scan (a trailing archive comment rotates on
+    # b6%2, so the scan-back is live, not decorative), central
+    # directory walked as the authoritative member table, and every
+    # member ACTUALLY inflated (stored + deflate rotating per member,
+    # data-descriptor members carry zero sizes in their local headers
+    # per bit 3 — (b5+k)%3==0 keeps that convention live) with CRC32
+    # verified over the inflated bytes; `head` is the first 16 decoded
+    # characters, so the oracle's substring replay proves the inflate
+    # really ran. One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.archive_members(D.synth_zip_archives(docs))
+
+
+@query(
+    "source_subtitle_cues",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('subs', 0)} AS b0, {_b('subs', 1)} AS b1,
+             {_b('subs', 2)} AS b2, {_b('subs', 3)} AS b3,
+             {_b('subs', 4)} AS b4, {_b('subs', 5)} AS b5
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 4)) AS cc,
+             3000 + 500 * (b1 % 10) AS gap, b2 % 1000 AS tail,
+             b3, b4, b5
+      FROM p
+    )
+    SELECT doc_id AS media_id, CAST(cc AS INT) AS cue_idx,
+           CASE WHEN doc_id % 2 = 1 THEN 'vtt' ELSE 'srt' END AS kind,
+           CAST(gap * cc + tail AS BIGINT) AS start_ms,
+           CAST(gap * cc + tail + 800 + 250 * ((b3 + cc) % 12) AS BIGINT)
+             AS end_ms,
+           {_W}[(b4 + cc) % 5 + 1] || ' cue ' || CAST(cc AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 AND (b5 + cc) % 2 = 1
+                THEN chr(10) || 'line two ' || CAST(cc AS VARCHAR)
+                ELSE '' END AS text
+    FROM c
+    """,
+)
+def q_source_subtitle_cues(spark: SparkSession, sf: str) -> DataFrame:
+    # Subtitle cue tables (r9) — the transcript side of crawled video
+    # and the alignment table a multimodal training pipeline joins
+    # against frame timestamps: SRT (even docs — numeric index lines,
+    # comma millisecond separator, multi-line cue bodies) and WebVTT
+    # (odd docs — WEBVTT signature, NOTE blocks skipped, optional cue
+    # identifiers, optional HOURS field (MM:SS.mmm short form rotates),
+    # cue settings after the arrow ignored, <i> inline tags STRIPPED).
+    # Timestamps normalize to integer milliseconds, so the oracle is
+    # pure integer arithmetic over the synth grid. One Arrow pass.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.subtitle_cues(D.synth_subtitles(docs))
+
+
+@query(
+    "source_feed_entries",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('feed', 0)} AS b0, {_b('feed', 1)} AS b1,
+             {_b('feed', 2)} AS b2, {_b('feed', 3)} AS b3,
+             {_b('feed', 4)} AS b4
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 4)) AS e,
+             b1, b2, b3, b4
+      FROM p
+    )
+    SELECT doc_id AS feed_id, CAST(e AS INT) AS entry_idx,
+           CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind,
+           {_W}[(b1 + e) % 5 + 1] || ' post ' || CAST(e AS VARCHAR)
+             AS title,
+           'https://ex.org/' || CAST(doc_id AS VARCHAR) || '/'
+             || CAST(e AS VARCHAR) AS url,
+           CAST((1700000000 + 86400 * b2 + 3600 * e + 7 * b3) * 1000
+                AS BIGINT) AS published_ms,
+           'summary ' || {_W}[(b4 + e) % 5 + 1] || ' ' || CAST(e AS VARCHAR)
+             AS summary
+    FROM c
+    """,
+)
+def q_source_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
+    # RSS/Atom feed parsing (r9) — the crawl frontier's change-
+    # discovery source and the reference's XML heritage on the fetch
+    # side (sitemap's sibling): RSS 2.0 channel/item (element-text
+    # links, RFC 822 pubDate, CDATA descriptions rotating on (b5+e)%2)
+    # and Atom feed/entry (@href links, ISO 8601 Zulu updated) both
+    # normalize through the SAME integer civil-date arithmetic
+    # (Hinnant days-from-civil — locale-free, no strptime %b) to epoch
+    # milliseconds, which the oracle replays as the planted integer.
+    # One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.feed_entries(D.synth_feeds(docs))

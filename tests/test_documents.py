@@ -1,0 +1,245 @@
+"""Document-format tier: ZIP walk, DOCX/EPUB/PDF text, subtitles,
+feeds (operators/documents.py)."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+import zlib
+
+import pytest
+
+from hadoopxmlextractor_spark.operators import documents as D
+
+
+# ---------------------------------------------------------------------------
+# ZIP container
+# ---------------------------------------------------------------------------
+
+
+def test_zip_roundtrip_with_comment_and_descriptor():
+    members = [
+        ("a.txt", b"hello stored", 0, False),
+        ("dir/b.csv", b"x,y\n1,2\n" * 20, 8, True),  # descriptor + deflate
+        ("c.md", b"# title", 8, False),
+    ]
+    blob = D.build_zip(members, comment=b"trailing archive comment")
+    entries = D.zip_member_list(blob)
+    assert [e["name"] for e in entries] == ["a.txt", "dir/b.csv", "c.md"]
+    for e, (_, data, _, _) in zip(entries, members):
+        assert D.zip_read_member(blob, e) == data
+    # the descriptor member's LOCAL header must carry zero sizes
+    # (central directory is the authoritative copy)
+    off = entries[1]["offset"]
+    assert blob[off + 14 : off + 26] == b"\0" * 12
+
+
+def test_zip_crc_corruption_refuses():
+    blob = bytearray(D.build_zip([("f.txt", b"A" * 100, 0, False)]))
+    entries = D.zip_member_list(bytes(blob))
+    start = entries[0]["offset"] + 30 + len("f.txt")
+    blob[start + 10] ^= 0xFF  # flip a payload byte; CRC now mismatches
+    with pytest.raises(ValueError, match="corrupt"):
+        D.zip_read_member(bytes(blob), entries[0])
+
+
+def test_zip_unsupported_method_refuses():
+    blob = bytearray(D.build_zip([("f.txt", b"data", 0, False)]))
+    entries = D.zip_member_list(bytes(blob))
+    # rewrite the central-directory method field to 12 (bzip2)
+    n, cd_off, _ = D._zip_eocd(bytes(blob))
+    blob[cd_off + 10 : cd_off + 12] = struct.pack("<H", 12)
+    entries = D.zip_member_list(bytes(blob))
+    with pytest.raises(ValueError, match="method"):
+        D.zip_read_member(bytes(blob), entries[0])
+
+
+def test_zip_eocd_false_positive_in_comment():
+    # an EOCD-looking signature INSIDE the comment must not shadow the
+    # real record: only the candidate whose comment length reaches EOF
+    # is real
+    blob = D.build_zip(
+        [("f.txt", b"payload", 0, False)], comment=b"xx" + D._EOCD_SIG + b"yy"
+    )
+    entries = D.zip_member_list(blob)
+    assert D.zip_read_member(blob, entries[0]) == b"payload"
+
+
+# ---------------------------------------------------------------------------
+# DOCX / EPUB / PDF kernels
+# ---------------------------------------------------------------------------
+
+
+def test_docx_tab_br_and_formatting_transparent():
+    doc = (
+        "<?xml version=\"1.0\"?>"
+        "<w:document xmlns:w=\"http://schemas.openxmlformats.org/"
+        "wordprocessingml/2006/main\"><w:body>"
+        "<w:p><w:r><w:rPr><w:b/><w:i/></w:rPr><w:t>bold</w:t></w:r>"
+        "<w:r><w:tab/></w:r><w:r><w:t>after</w:t></w:r>"
+        "<w:r><w:br/><w:t>line2</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>second para</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    )
+    blob = D.build_zip([("word/document.xml", doc.encode(), 8, False)])
+    n, text = D._docx_extract(blob)
+    assert n == 2
+    assert text == "bold\tafter\nline2\nsecond para"
+
+
+def test_epub_spine_order_and_nav_decoy():
+    for i in range(24):
+        b = hashlib.md5(f"{i}:epub".encode()).digest()
+        n, text = D._epub_extract(D._synth_epub_blob(i))
+        n_ch = 1 + b[1] % 3
+        order = list(range(n_ch))
+        if b[2] % 2 == 1:
+            order = order[::-1]
+        expect = "\n".join(
+            f"{D._WORDS[(b[3] + k) % 5]} chapter {k}" for k in order
+        )
+        assert (n, text) == (n_ch, expect)
+        assert "DECOY" not in text and "dropped head" not in text
+
+
+def test_epub_missing_spine_chapter_refuses():
+    blob = bytearray(D._synth_epub_blob(5))
+    # corrupt: rebuild with the spine pointing at an absent idref
+    container = D._zip_open_map(bytes(blob))
+    opf_name = next(n for n in container if n.endswith("content.opf"))
+    opf = container[opf_name].replace(b"idref=\"c0\"", b"idref=\"zz\"")
+    members = [
+        (n, (opf if n == opf_name else v), 8, False)
+        for n, v in container.items()
+    ]
+    with pytest.raises(ValueError, match="not in manifest"):
+        D._epub_extract(D.build_zip(members))
+
+
+def test_pdf_escapes_octal_nested_and_kerning():
+    stream = (
+        b"BT /F1 12 Tf (a\\(b\\)c) Tj [(x) -120 (y)] TJ "
+        b"(\\101\\102) Tj (out (in) side) Tj ET"
+    )
+    assert D._content_text(stream) == "a(b)cxyABout (in) side"
+
+
+def test_pdf_flate_and_page_order():
+    for i in range(24):
+        b = hashlib.md5(f"{i}:pdf".encode()).digest()
+        n, text = D._pdf_extract(D._synth_pdf_blob(i))
+        n_pages = 1 + b[0] % 3
+        expect = "\n".join(
+            D._pdf_page_stream(i, b, p)[1] for p in range(n_pages)
+        )
+        assert (n, text) == (n_pages, expect)
+        # both filter branches must be live across the fixture set
+    flates = sum(
+        b"/FlateDecode" in D._synth_pdf_blob(i) for i in range(24)
+    )
+    assert 0 < flates < 24
+
+
+# ---------------------------------------------------------------------------
+# Subtitles
+# ---------------------------------------------------------------------------
+
+
+def test_vtt_note_ids_settings_short_timestamps_tags():
+    payload = (
+        "WEBVTT\n\nNOTE a comment\nspanning lines\n\n"
+        "intro-cue\n00:05.250 --> 00:07.000 align:start position:10%\n"
+        "<i>styled</i> text\n\n"
+        "01:02:03.500 --> 01:02:04.000\nplain\n"
+    )
+    kind, cues = D._parse_cues(payload)
+    assert kind == "vtt"
+    assert cues == [
+        (5250, 7000, "styled text"),
+        (3723500, 3724000, "plain"),
+    ]
+
+
+def test_srt_multiline_and_comma_separator():
+    payload = "1\n00:00:01,000 --> 00:00:02,500\nfirst\nsecond\n\n" \
+              "2\n00:00:03,000 --> 00:00:04,000\nthird\n"
+    kind, cues = D._parse_cues(payload)
+    assert kind == "srt"
+    assert cues == [(1000, 2500, "first\nsecond"), (3000, 4000, "third")]
+
+
+def test_subtitle_malformed_marker(spark):
+    df = spark.createDataFrame(
+        [(1, "not a subtitle at all")], "media_id long, content string"
+    )
+    rows = D.subtitle_cues(df).collect()
+    assert len(rows) == 1 and rows[0].cue_idx == -1 and rows[0].kind is None
+
+
+# ---------------------------------------------------------------------------
+# Feeds
+# ---------------------------------------------------------------------------
+
+
+def test_feed_date_roundtrip_property():
+    for epoch in (0, 86399, 1700000000, 1734567890, 2000000000, 951865200):
+        assert D._parse_feed_date(D._rfc822(epoch)) == epoch
+        assert D._parse_feed_date(D._iso8601(epoch)) == epoch
+
+
+def test_feed_cdata_and_both_kinds():
+    seen = set()
+    for i in range(12):
+        rows = D._feed_extract(D._synth_feed_blob(i))
+        seen.add("rss" if i % 2 == 0 else "atom")
+        for e, r in enumerate(rows):
+            assert r["title"].endswith(f"post {e}")
+            assert r["url"] == f"https://ex.org/{i}/{e}"
+            assert r["summary"].startswith("summary ")
+    assert seen == {"rss", "atom"}
+
+
+def test_feed_malformed_marker(spark):
+    df = spark.createDataFrame(
+        [(7, bytearray(b"<html>not a feed</html>"))],
+        "feed_id long, content binary",
+    )
+    rows = D.feed_entries(df).collect()
+    assert len(rows) == 1 and rows[0].entry_idx == -1
+
+
+# ---------------------------------------------------------------------------
+# Unified dispatch + plan contract
+# ---------------------------------------------------------------------------
+
+
+def test_document_text_total_routing(spark):
+    blobs = [
+        (1, bytearray(D._synth_docx_blob(1))),
+        (2, bytearray(D._synth_epub_blob(2))),
+        (3, bytearray(D._synth_pdf_blob(3))),
+        (4, bytearray(b"\x00\x01garbage")),
+        (5, bytearray(D.build_zip([("odd.bin", b"neither", 0, False)]))),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id long, content binary")
+    rows = {r.doc_id: r for r in D.document_text(df).collect()}
+    assert rows[1].format == "docx" and rows[1].n_units >= 1
+    assert rows[2].format == "epub"
+    assert rows[3].format == "pdf"
+    assert rows[4].format is None and rows[4].text is None  # marker
+    assert rows[5].format is None  # zip but neither docx nor epub
+
+
+def test_document_plan_is_arrow_only(spark):
+    from hadoopxmlextractor_spark.tables import load
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    for df in (
+        D.document_text(D.synth_docx(docs)),
+        D.archive_members(D.synth_zip_archives(docs)),
+        D.subtitle_cues(D.synth_subtitles(docs)),
+        D.feed_entries(D.synth_feeds(docs)),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan  # never row-at-a-time
+        assert "Exchange" not in plan  # zero shuffle: one Arrow pass
