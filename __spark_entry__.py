@@ -80,6 +80,8 @@ FRONT = [
     "source_pdf_text",
     "source_docx_text",
     "source_epub_text",
+    "source_xlsx_cells",
+    "source_pptx_text",
     "archive_zip_meta",
     "source_subtitle_cues",
     "source_feed_entries",

@@ -1,5 +1,6 @@
-"""Crawled DOCUMENT formats — ZIP archives, DOCX, EPUB, PDF text
-extraction, SRT/WebVTT subtitles, RSS/Atom feeds (round 9).
+"""Crawled DOCUMENT formats — ZIP archives, DOCX/PPTX/EPUB/PDF text
+extraction, XLSX cell tables, SRT/WebVTT subtitles, RSS/Atom feeds
+(round 9).
 
 After HTML, the bulk of text in a real crawl arrives inside document
 containers: PDF is the single largest non-HTML text source on the web,
@@ -276,6 +277,150 @@ def _epub_extract(blob: bytes) -> tuple[int, str]:
 
 
 # ---------------------------------------------------------------------------
+# XLSX — workbook rels -> sheet XML -> typed cells (+ shared strings)
+# ---------------------------------------------------------------------------
+
+
+def _ooxml_rels(members: dict[str, bytes], part: str) -> dict[str, str]:
+    """rId -> target map of one part's .rels file, targets resolved
+    relative to the part's directory (OPC §9.3)."""
+    d, _, base = part.rpartition("/")
+    rels_path = f"{d}/_rels/{base}.rels" if d else f"_rels/{base}.rels"
+    data = members.get(rels_path)
+    if data is None:
+        raise ValueError(f"missing rels {rels_path}")
+    out = {}
+    for el in ElementTree.fromstring(data).iter():
+        if _local(el.tag) == "Relationship":
+            tgt = el.get("Target", "")
+            out[el.get("Id", "")] = f"{d}/{tgt}" if d else tgt
+    return out
+
+
+_COL_RE = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _cell_ref(ref: str) -> tuple[str, int]:
+    m = _COL_RE.fullmatch(ref)
+    if m is None:
+        raise ValueError(f"bad cell ref {ref!r}")
+    return m.group(1), int(m.group(2))
+
+
+def _xlsx_extract(blob: bytes) -> list[dict]:
+    """Typed cells of every sheet: workbook.xml's <sheet> order
+    resolved through the workbook rels (never the zip member order),
+    shared-string cells (t="s") looked up in xl/sharedStrings.xml,
+    inline strings (t="inlineStr") from <is><t>, numbers from <v>
+    verbatim (no float parse — the raw token is the fact)."""
+    members = _zip_open_map(blob)
+    wb = members.get("xl/workbook.xml")
+    if wb is None:
+        raise ValueError("no xl/workbook.xml")
+    rels = _ooxml_rels(members, "xl/workbook.xml")
+    sst: list[str] = []
+    if "xl/sharedStrings.xml" in members:
+        for si in ElementTree.fromstring(members["xl/sharedStrings.xml"]):
+            sst.append(
+                "".join(
+                    t.text or ""
+                    for t in si.iter()
+                    if _local(t.tag) == "t"
+                )
+            )
+    out = []
+    for el in ElementTree.fromstring(wb).iter():
+        if _local(el.tag) != "sheet":
+            continue
+        name = el.get("name", "")
+        rid = next(
+            (v for k, v in el.attrib.items()
+             if _local(k) == "id" and k.startswith("{")), ""
+        )
+        path = rels.get(rid)
+        if path is None or path not in members:
+            raise ValueError(f"sheet rel {rid!r} unresolved")
+        for row in ElementTree.fromstring(members[path]).iter():
+            if _local(row.tag) != "c":
+                continue
+            col, rnum = _cell_ref(row.get("r", ""))
+            ctype = row.get("t", "n")
+            value = None
+            if ctype == "inlineStr":
+                value = "".join(
+                    t.text or ""
+                    for t in row.iter()
+                    if _local(t.tag) == "t"
+                )
+            else:
+                v = next(
+                    (c for c in row if _local(c.tag) == "v"), None
+                )
+                raw = v.text if v is not None else None
+                value = (
+                    sst[int(raw)] if ctype == "s" and raw is not None
+                    else raw
+                )
+            out.append({
+                "sheet": name, "row": rnum, "col": col,
+                "kind": ctype, "value": value,
+            })
+    if not out:
+        raise ValueError("workbook with no cells")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PPTX — presentation rels -> slide order -> a:t text runs
+# ---------------------------------------------------------------------------
+
+
+def _pptx_extract(blob: bytes) -> list[tuple[int, str]]:
+    """(slide index, text) per slide in PRESENTATION order: the
+    <p:sldIdLst> sequence resolved through the presentation rels —
+    never the numeric member names, which real decks reorder freely.
+    Slide text = a:t runs concatenated per a:p paragraph, paragraphs
+    joined with newlines."""
+    members = _zip_open_map(blob)
+    pres = members.get("ppt/presentation.xml")
+    if pres is None:
+        raise ValueError("no ppt/presentation.xml")
+    rels = _ooxml_rels(members, "ppt/presentation.xml")
+    slides = []
+    for el in ElementTree.fromstring(pres).iter():
+        if _local(el.tag) != "sldId":
+            continue
+        rid = next(
+            (v for k, v in el.attrib.items() if _local(k) == "id"
+             and k.startswith("{")), ""
+        )
+        path = rels.get(rid)
+        if path is None or path not in members:
+            raise ValueError(f"slide rel {rid!r} unresolved")
+        slides.append(path)
+    out = []
+    for k, path in enumerate(slides):
+        root = ElementTree.fromstring(members[path])
+        paras = []
+        for p in root.iter():
+            if _local(p.tag) != "p" or not p.tag.startswith(
+                "{http://schemas.openxmlformats.org/drawingml"
+            ):
+                continue
+            paras.append(
+                "".join(
+                    t.text or ""
+                    for t in p.iter()
+                    if _local(t.tag) == "t"
+                )
+            )
+        out.append((k, "\n".join(paras)))
+    if not out:
+        raise ValueError("deck with no slides")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # PDF — object walk -> page tree -> content-stream text operators
 # ---------------------------------------------------------------------------
 
@@ -437,6 +582,10 @@ def document_text(
                             names = {e["name"] for e in zip_member_list(b)}
                             if "word/document.xml" in names:
                                 fmt, (n, text) = "docx", _docx_extract(b)
+                            elif "ppt/presentation.xml" in names:
+                                slides = _pptx_extract(b)
+                                fmt, n = "pptx", len(slides)
+                                text = "\n".join(t for _, t in slides)
                             elif "META-INF/container.xml" in names:
                                 fmt, (n, text) = "epub", _epub_extract(b)
                     except (ValueError, IndexError, KeyError, struct.error,
@@ -498,6 +647,39 @@ def archive_members(
         _walk,
         schema="archive_id bigint, member_idx int, name string, "
         "method string, uncomp_bytes bigint, crc_ok boolean, head string",
+    )
+
+
+def xlsx_cells(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per spreadsheet cell in one Arrow pass: sheet name (in
+    WORKBOOK order, resolved through the rels — never zip layout),
+    1-based row, column letters, cell kind (s / n / str / inlineStr),
+    and the resolved value (shared strings looked up, numbers kept as
+    their raw token — no float parse). Malformed workbooks yield the
+    row -1 marker."""
+
+    def _cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "sheet", "row", "col", "kind", "value"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    for c in _xlsx_extract(bytes(blob)):
+                        rows.append({"doc_id": did, **c})
+                except (ValueError, IndexError, KeyError, struct.error,
+                        zlib.error, ElementTree.ParseError, TypeError):
+                    rows.append({
+                        "doc_id": did, "sheet": None, "row": -1,
+                        "col": None, "kind": None, "value": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _cells,
+        schema="doc_id bigint, sheet string, row int, col string, "
+        "kind string, value string",
     )
 
 
@@ -1136,3 +1318,179 @@ def synth_feeds(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("feed_id"), _blob("doc_id").alias("content")
     )
+
+
+_RELS_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+
+def _rels_xml(pairs: list[tuple[str, str]]) -> bytes:
+    rels = "".join(
+        f"<Relationship Id=\"{rid}\" Type=\"{_RELS_NS}/x\" "
+        f"Target=\"{tgt}\"/>"
+        for rid, tgt in pairs
+    )
+    return (
+        "<?xml version=\"1.0\"?><Relationships xmlns=\"http://schemas."
+        f"openxmlformats.org/package/2006/relationships\">{rels}"
+        "</Relationships>"
+    ).encode()
+
+
+def _synth_xlsx_blob(i: int) -> bytes:
+    """One deterministic XLSX from md5(doc:xlsx): 1+b0%2 sheets named
+    S0[,S1] in workbook order; with two sheets, b5%2 SWAPS which
+    physical worksheet member each name resolves to through the rels
+    (content derives from the PHYSICAL index, so the oracle's
+    name->content join proves rels resolution, not member naming).
+    Physical sheet p has 1+(b1+p)%3 rows; row r0 carries a
+    shared-string cell A (sst lookup), a raw-token number cell B, and
+    a C cell rotating inlineStr vs cached-formula str on
+    (b4+r0+p)%2."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:xlsx".encode()).digest()
+    n_sheets = 1 + b[0] % 2
+    swap = b[5] % 2 if n_sheets == 2 else 0
+    sst: list[str] = []
+
+    def _sst_idx(s: str) -> int:
+        if s not in sst:
+            sst.append(s)
+        return sst.index(s)
+
+    sheet_xmls = []
+    for p in range(n_sheets):
+        n_rows = 1 + (b[1] + p) % 3
+        rows_xml = []
+        for r0 in range(n_rows):
+            r = r0 + 1
+            a_val = _WORDS[(b[2] + p + r0) % 5]
+            b_val = (b[3] + 17 * r0 + p) % 1000
+            cells = (
+                f"<c r=\"A{r}\" t=\"s\"><v>{_sst_idx(a_val)}</v></c>"
+                f"<c r=\"B{r}\"><v>{b_val}</v></c>"
+            )
+            if (b[4] + r0 + p) % 2 == 1:
+                cells += (
+                    f"<c r=\"C{r}\" t=\"inlineStr\"><is><t>inline "
+                    f"{_WORDS[(b[2] + r0) % 5]}</t></is></c>"
+                )
+            else:
+                cells += (
+                    f"<c r=\"C{r}\" t=\"str\"><f>CONCAT()</f>"
+                    f"<v>calc {r0}</v></c>"
+                )
+            rows_xml.append(f"<row r=\"{r}\">{cells}</row>")
+        sheet_xmls.append(
+            "<?xml version=\"1.0\"?><worksheet xmlns=\"http://schemas."
+            "openxmlformats.org/spreadsheetml/2006/main\"><sheetData>"
+            + "".join(rows_xml) + "</sheetData></worksheet>"
+        )
+    sheets_decl = "".join(
+        f"<sheet name=\"S{s}\" sheetId=\"{s + 1}\" r:id=\"rId{s + 1}\"/>"
+        for s in range(n_sheets)
+    )
+    workbook = (
+        "<?xml version=\"1.0\"?><workbook xmlns=\"http://schemas."
+        "openxmlformats.org/spreadsheetml/2006/main\" xmlns:r=\""
+        + _RELS_NS + f"\"><sheets>{sheets_decl}</sheets></workbook>"
+    )
+    # logical sheet s resolves to physical member (s + swap) % n_sheets
+    rels = _rels_xml([
+        (f"rId{s + 1}",
+         f"worksheets/sheet{(s + swap) % n_sheets + 1}.xml")
+        for s in range(n_sheets)
+    ] + [("rIdS", "sharedStrings.xml")])
+    sst_xml = (
+        "<?xml version=\"1.0\"?><sst xmlns=\"http://schemas.openxmlformats"
+        ".org/spreadsheetml/2006/main\">"
+        + "".join(f"<si><t>{s}</t></si>" for s in sst)
+        + "</sst>"
+    )
+    members = [
+        ("[Content_Types].xml", b"<Types/>", 8, False),
+        ("xl/workbook.xml", workbook.encode(), 8, False),
+        ("xl/_rels/workbook.xml.rels", rels, 8, False),
+        ("xl/sharedStrings.xml", sst_xml.encode(), 8, False),
+    ]
+    for p, xml in enumerate(sheet_xmls):
+        members.append(
+            (f"xl/worksheets/sheet{p + 1}.xml", xml.encode(), 8, False)
+        )
+    return build_zip(members)
+
+
+def synth_xlsx(docs: DataFrame) -> DataFrame:
+    """Deterministic XLSX per document (see :func:`_synth_xlsx_blob`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_xlsx_blob(int(i)) for i in ids])
+
+    return docs.select("doc_id", _blob("doc_id").alias("content"))
+
+
+def _synth_pptx_blob(i: int) -> bytes:
+    """One deterministic PPTX from md5(doc:pptx): 1+b0%3 slides whose
+    sldIdLst order REVERSES the physical member numbering when b1%2
+    (presentation order comes from the rels walk, never the member
+    names); physical slide m shows a title run plus one or two body
+    paragraphs rotating on (b3+m)%2."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:pptx".encode()).digest()
+    n = 1 + b[0] % 3
+    order = list(range(n))
+    if b[1] % 2 == 1:
+        order = order[::-1]
+    a_ns = "http://schemas.openxmlformats.org/drawingml/2006/main"
+    p_ns = "http://schemas.openxmlformats.org/presentationml/2006/main"
+    slide_xmls = []
+    for m in range(n):
+        paras = [
+            f"<a:p><a:r><a:rPr b=\"1\"/><a:t>{_WORDS[(b[2] + m) % 5]}"
+            f" slide {m}</a:t></a:r></a:p>",
+            f"<a:p><a:r><a:t>point one {m}</a:t></a:r></a:p>",
+        ]
+        if (b[3] + m) % 2 == 1:
+            paras.append(
+                f"<a:p><a:r><a:t>point two {m}</a:t></a:r></a:p>"
+            )
+        slide_xmls.append((
+            f"<?xml version=\"1.0\"?><p:sld xmlns:p=\"{p_ns}\" "
+            f"xmlns:a=\"{a_ns}\"><p:cSld><p:spTree><p:sp><p:txBody>"
+            + "".join(paras)
+            + "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>"
+        ).encode())
+    sld_ids = "".join(
+        f"<p:sldId id=\"{256 + k}\" r:id=\"rId{m + 1}\"/>"
+        for k, m in enumerate(order)
+    )
+    pres = (
+        f"<?xml version=\"1.0\"?><p:presentation xmlns:p=\"{p_ns}\" "
+        f"xmlns:r=\"{_RELS_NS}\"><p:sldIdLst>{sld_ids}</p:sldIdLst>"
+        "</p:presentation>"
+    )
+    rels = _rels_xml([
+        (f"rId{m + 1}", f"slides/slide{m + 1}.xml") for m in range(n)
+    ])
+    members = [
+        ("[Content_Types].xml", b"<Types/>", 8, False),
+        ("ppt/presentation.xml", pres.encode(), 8, False),
+        ("ppt/_rels/presentation.xml.rels", rels, 8, False),
+    ]
+    for m, xml in enumerate(slide_xmls):
+        members.append((f"ppt/slides/slide{m + 1}.xml", xml, 8, False))
+    return build_zip(members)
+
+
+def synth_pptx(docs: DataFrame) -> DataFrame:
+    """Deterministic PPTX per document (see :func:`_synth_pptx_blob`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_pptx_blob(int(i)) for i in ids])
+
+    return docs.select("doc_id", _blob("doc_id").alias("content"))

@@ -298,3 +298,110 @@ def q_source_feed_entries(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.feed_entries(D.synth_feeds(docs))
+
+
+@query(
+    "source_xlsx_cells",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('xlsx', 0)} AS b0, {_b('xlsx', 1)} AS b1,
+             {_b('xlsx', 2)} AS b2, {_b('xlsx', 3)} AS b3,
+             {_b('xlsx', 4)} AS b4, {_b('xlsx', 5)} AS b5
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 2)) AS s,
+             b0, b1, b2, b3, b4, b5
+      FROM p
+    ),
+    ph AS (
+      SELECT doc_id, s,
+             CASE WHEN b0 % 2 = 1 THEN (s + b5 % 2) % 2 ELSE 0 END AS pp,
+             b1, b2, b3, b4
+      FROM s
+    ),
+    r AS (
+      SELECT doc_id, s, pp, unnest(generate_series(0, (b1 + pp) % 3)) AS r0,
+             b2, b3, b4
+      FROM ph
+    )
+    SELECT doc_id, 'S' || CAST(s AS VARCHAR) AS sheet,
+           CAST(r0 + 1 AS INT) AS "row", 'A' AS col, 's' AS kind,
+           {_W}[(b2 + pp + r0) % 5 + 1] AS value
+    FROM r
+    UNION ALL
+    SELECT doc_id, 'S' || CAST(s AS VARCHAR), CAST(r0 + 1 AS INT), 'B', 'n',
+           CAST((b3 + 17 * r0 + pp) % 1000 AS VARCHAR)
+    FROM r
+    UNION ALL
+    SELECT doc_id, 'S' || CAST(s AS VARCHAR), CAST(r0 + 1 AS INT), 'C',
+           CASE WHEN (b4 + r0 + pp) % 2 = 1 THEN 'inlineStr' ELSE 'str' END,
+           CASE WHEN (b4 + r0 + pp) % 2 = 1
+                THEN 'inline ' || {_W}[(b2 + r0) % 5 + 1]
+                ELSE 'calc ' || CAST(r0 AS VARCHAR) END
+    FROM r
+    """,
+)
+def q_source_xlsx_cells(spark: SparkSession, sf: str) -> DataFrame:
+    # XLSX cell extraction (r9) — tabular training data inside the
+    # crawl's office documents: workbook.xml's <sheet> order resolved
+    # through the workbook RELS (with two sheets, b5%2 swaps which
+    # physical worksheet member each name reaches — the oracle's
+    # name->content join fails if resolution ever falls back to zip
+    # member naming), shared-string cells looked up in
+    # xl/sharedStrings.xml, inline strings from <is><t>, cached
+    # formula strings (t="str") from <v>, and numbers kept as their
+    # RAW token (no float parse — so the oracle replay is exact string
+    # arithmetic). One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.xlsx_cells(D.synth_xlsx(docs))
+
+
+@query(
+    "source_pptx_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('pptx', 0)} AS b0, {_b('pptx', 1)} AS b1,
+             {_b('pptx', 2)} AS b2, {_b('pptx', 3)} AS b3
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, 1 + b0 % 3 AS n, unnest(generate_series(0, b0 % 3)) AS k,
+             b1, b2, b3
+      FROM p
+    ),
+    m AS (
+      SELECT doc_id, n, k,
+             CASE WHEN b1 % 2 = 1 THEN n - 1 - k ELSE k END AS mm, b2, b3
+      FROM k
+    ),
+    t AS (
+      SELECT doc_id, n, k,
+             {_W}[(b2 + mm) % 5 + 1] || ' slide ' || CAST(mm AS VARCHAR)
+               || chr(10) || 'point one ' || CAST(mm AS VARCHAR)
+               || CASE WHEN (b3 + mm) % 2 = 1
+                  THEN chr(10) || 'point two ' || CAST(mm AS VARCHAR)
+                  ELSE '' END AS slide_text
+      FROM m
+    )
+    SELECT doc_id, 'pptx' AS format, CAST(n AS INT) AS n_units,
+           string_agg(slide_text, chr(10) ORDER BY k) AS text
+    FROM t
+    GROUP BY doc_id, n
+    """,
+)
+def q_source_pptx_text(spark: SparkSession, sf: str) -> DataFrame:
+    # PPTX slide-text extraction (r9), through the same unified
+    # document_text dispatch as DOCX/EPUB/PDF: presentation.xml's
+    # <p:sldIdLst> order resolved through the presentation RELS — and
+    # b1%2 REVERSES that order relative to the physical slide member
+    # numbering, so the oracle diverges if extraction ever walks
+    # members by name instead of by relationship; a:t runs concatenate
+    # per a:p paragraph (title rPr formatting transparent), paragraphs
+    # and slides join with newlines. One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.document_text(D.synth_pptx(docs))

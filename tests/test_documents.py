@@ -243,3 +243,102 @@ def test_document_plan_is_arrow_only(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan  # never row-at-a-time
         assert "Exchange" not in plan  # zero shuffle: one Arrow pass
+
+
+# ---------------------------------------------------------------------------
+# XLSX / PPTX (OOXML rels resolution)
+# ---------------------------------------------------------------------------
+
+
+def test_xlsx_rels_swap_and_kinds():
+    # at least one 2-sheet fixture with the rels SWAP live: the sheet
+    # named S0 must carry physical member sheet2.xml's content
+    import hashlib
+
+    swapped = [
+        i for i in range(40)
+        if hashlib.md5(f"{i}:xlsx".encode()).digest()[0] % 2 == 1
+        and hashlib.md5(f"{i}:xlsx".encode()).digest()[5] % 2 == 1
+    ]
+    assert swapped
+    i = swapped[0]
+    b = hashlib.md5(f"{i}:xlsx".encode()).digest()
+    cells = D._xlsx_extract(D._synth_xlsx_blob(i))
+    kinds = {c["kind"] for c in cells}
+    assert {"s", "n"} <= kinds and (kinds & {"str", "inlineStr"})
+    for c in cells:
+        if c["sheet"] == "S0" and c["col"] == "A" and c["row"] == 1:
+            # physical index p = (0 + 1) % 2 = 1, not 0
+            assert c["value"] == D._WORDS[(b[2] + 1) % 5]
+
+
+def test_xlsx_multirun_shared_string_and_unresolved_rel():
+    sst = (
+        "<sst xmlns=\"x\"><si><r><t>multi </t></r><r><t>run</t></r></si>"
+        "</sst>"
+    )
+    wb = (
+        "<workbook xmlns=\"x\" xmlns:r=\"http://schemas.openxmlformats.org/"
+        "officeDocument/2006/relationships\"><sheets>"
+        "<sheet name=\"S\" sheetId=\"1\" r:id=\"rId1\"/></sheets></workbook>"
+    )
+    sheet = (
+        "<worksheet xmlns=\"x\"><sheetData><row r=\"1\">"
+        "<c r=\"A1\" t=\"s\"><v>0</v></c></row></sheetData></worksheet>"
+    )
+    rels = D._rels_xml([("rId1", "worksheets/sheet1.xml")])
+    blob = D.build_zip([
+        ("xl/workbook.xml", wb.encode(), 8, False),
+        ("xl/_rels/workbook.xml.rels", rels, 8, False),
+        ("xl/sharedStrings.xml", sst.encode(), 8, False),
+        ("xl/worksheets/sheet1.xml", sheet.encode(), 8, False),
+    ])
+    cells = D._xlsx_extract(blob)
+    assert cells == [{"sheet": "S", "row": 1, "col": "A", "kind": "s",
+                      "value": "multi run"}]
+    bad_rels = D._rels_xml([("rIdOTHER", "worksheets/sheet1.xml")])
+    bad = D.build_zip([
+        ("xl/workbook.xml", wb.encode(), 8, False),
+        ("xl/_rels/workbook.xml.rels", bad_rels, 8, False),
+        ("xl/worksheets/sheet1.xml", sheet.encode(), 8, False),
+    ])
+    with pytest.raises(ValueError, match="unresolved"):
+        D._xlsx_extract(bad)
+
+
+def test_pptx_presentation_order_not_member_order():
+    import hashlib
+
+    reversed_docs = [
+        i for i in range(40)
+        if hashlib.md5(f"{i}:pptx".encode()).digest()[1] % 2 == 1
+        and hashlib.md5(f"{i}:pptx".encode()).digest()[0] % 3 >= 1
+    ]
+    assert reversed_docs
+    i = reversed_docs[0]
+    b = hashlib.md5(f"{i}:pptx".encode()).digest()
+    slides = D._pptx_extract(D._synth_pptx_blob(i))
+    n = 1 + b[0] % 3
+    # slide 0 in PRESENTATION order is physical slide n-1
+    assert f"slide {n - 1}" in slides[0][1]
+    assert f"slide 0" in slides[-1][1]
+
+
+def test_document_text_routes_pptx_and_xlsx_marker(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(D._synth_pptx_blob(1))),
+         (2, bytearray(D._synth_xlsx_blob(2)))],
+        "doc_id long, content binary",
+    )
+    rows = {r.doc_id: r for r in D.document_text(df).collect()}
+    assert rows[1].format == "pptx" and rows[1].n_units >= 1
+    # xlsx is tabular, not a text document: marker through this surface
+    assert rows[2].format is None
+
+
+def test_xlsx_cells_malformed_marker(spark):
+    df = spark.createDataFrame(
+        [(9, bytearray(b"PK\x03\x04broken"))], "doc_id long, content binary"
+    )
+    rows = D.xlsx_cells(df).collect()
+    assert len(rows) == 1 and rows[0].row == -1 and rows[0].value is None
