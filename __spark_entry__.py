@@ -82,6 +82,7 @@ FRONT = [
     "source_epub_text",
     "source_xlsx_cells",
     "source_pptx_text",
+    "pipeline_documents_to_corpus",
     "archive_zip_meta",
     "source_subtitle_cues",
     "source_feed_entries",

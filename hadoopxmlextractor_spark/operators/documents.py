@@ -443,19 +443,27 @@ def _pdf_objects(blob: bytes) -> dict[int, bytes]:
 
 def _pdf_stream_data(body: bytes) -> bytes:
     """Stream payload of one object body, inflated if the dict names
-    /FlateDecode. Bounds come from the stream/endstream keywords with
-    the EOL conventions of ISO 32000 §7.3.8."""
+    /FlateDecode. A DIRECT /Length is authoritative (ISO 32000 §7.3.8
+    — mandatory, and the only safe bound: compressed data may end in
+    bytes that look like the EOL before ``endstream``, so the keyword
+    heuristic can eat real stream bytes); only an indirect-reference
+    /Length falls back to the endstream-keyword heuristic."""
     head, _, rest = body.partition(b"stream")
     if rest.startswith(b"\r\n"):
         rest = rest[2:]
     elif rest.startswith(b"\n"):
         rest = rest[1:]
-    end = rest.rfind(b"endstream")
-    data = rest[:end]
-    if data.endswith(b"\r\n"):
-        data = data[:-2]
-    elif data.endswith(b"\n"):
-        data = data[:-1]
+    indirect = re.search(rb"/Length\s+\d+\s+\d+\s+R", head)
+    m = None if indirect else re.search(rb"/Length\s+(\d+)", head)
+    if m is not None:
+        data = rest[: int(m.group(1))]
+    else:
+        end = rest.rfind(b"endstream")
+        data = rest[:end]
+        if data.endswith(b"\r\n"):
+            data = data[:-2]
+        elif data.endswith(b"\n"):
+            data = data[:-1]
     if b"/FlateDecode" in head:
         data = zlib.decompress(data)
     return data
@@ -1494,3 +1502,85 @@ def synth_pptx(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_pptx_blob(int(i)) for i in ids])
 
     return docs.select("doc_id", _blob("doc_id").alias("content"))
+
+
+def synth_text_document(fmt: str, units: list[str], flate: bool) -> bytes:
+    """A minimal PDF / DOCX / EPUB carrying EXACTLY the given unit
+    texts (one page / paragraph / chapter each) — the cross-format
+    fixture builder behind ``pipeline_documents_to_corpus``: the same
+    units through any of the three containers must extract to the
+    identical newline-joined text. Unit strings must be literal-safe
+    (no XML/PDF metacharacters)."""
+    if fmt == "pdf":
+        objs: dict[int, bytes] = {
+            1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        }
+        kids = []
+        for p, unit in enumerate(units):
+            page_num, content_num = 3 + 2 * p, 4 + 2 * p
+            kids.append(f"{page_num} 0 R")
+            stream = f"BT /F1 12 Tf 72 720 Td ({unit}) Tj ET".encode()
+            if flate:
+                data = zlib.compress(stream)
+                sdict = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+            else:
+                data, sdict = stream, f"<< /Length {len(stream)} >>"
+            objs[page_num] = (
+                f"<< /Type /Page /Parent 2 0 R /Contents {content_num} 0 R "
+                f">>".encode()
+            )
+            objs[content_num] = (
+                sdict.encode() + b"\nstream\n" + data + b"\nendstream"
+            )
+        objs[2] = (
+            f"<< /Type /Pages /Kids [{' '.join(kids)}] "
+            f"/Count {len(units)} >>".encode()
+        )
+        out = bytearray(b"%PDF-1.4\n")
+        for num in sorted(objs):
+            out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        out += b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"
+        return bytes(out)
+    if fmt == "docx":
+        paras = "".join(
+            f"<w:p><w:r><w:t xml:space=\"preserve\">{u}</w:t></w:r></w:p>"
+            for u in units
+        )
+        doc = (
+            "<?xml version=\"1.0\"?><w:document xmlns:w=\"http://schemas."
+            "openxmlformats.org/wordprocessingml/2006/main\">"
+            f"<w:body>{paras}</w:body></w:document>"
+        )
+        return build_zip([("word/document.xml", doc.encode(), 8, False)])
+    if fmt == "epub":
+        container = (
+            "<?xml version=\"1.0\"?><container version=\"1.0\" xmlns=\"urn:"
+            "oasis:names:tc:opendocument:xmlns:container\"><rootfiles>"
+            "<rootfile full-path=\"content.opf\" media-type=\"application/"
+            "oebps-package+xml\"/></rootfiles></container>"
+        )
+        items = "".join(
+            f"<item id=\"c{k}\" href=\"ch{k}.xhtml\" media-type="
+            "\"application/xhtml+xml\"/>"
+            for k in range(len(units))
+        )
+        spine = "".join(
+            f"<itemref idref=\"c{k}\"/>" for k in range(len(units))
+        )
+        opf = (
+            "<?xml version=\"1.0\"?><package xmlns=\"http://www.idpf.org/"
+            "2007/opf\" version=\"3.0\"><metadata/>"
+            f"<manifest>{items}</manifest><spine>{spine}</spine></package>"
+        )
+        members = [
+            ("META-INF/container.xml", container.encode(), 8, False),
+            ("content.opf", opf.encode(), 8, False),
+        ]
+        for k, u in enumerate(units):
+            ch = (
+                "<html xmlns=\"http://www.w3.org/1999/xhtml\"><head>"
+                f"<title>x</title></head><body><p>{u}</p></body></html>"
+            )
+            members.append((f"ch{k}.xhtml", ch.encode(), 8, False))
+        return build_zip(members)
+    raise ValueError(f"unknown format {fmt!r}")

@@ -405,3 +405,120 @@ def q_source_pptx_text(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.document_text(D.synth_pptx(docs))
+
+
+@query(
+    "pipeline_documents_to_corpus",
+    """
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 1 THEN doc_id - 1 ELSE doc_id END AS cid
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, cid, md5(CAST(cid AS VARCHAR) || ':d2c') AS x,
+             (cid % 7 = 3) AS short
+      FROM c
+    ),
+    txt AS (
+      SELECT doc_id,
+             (['pdf','docx','epub'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+             CASE WHEN short
+                  THEN 'w' || substring(x, 1, 2) || ' w' || substring(x, 3, 2)
+                  ELSE 'w' || substring(x, 1, 2) || ' w' || substring(x, 3, 2)
+                    || ' w' || substring(x, 5, 2) || ' w' || substring(x, 7, 2)
+                    || chr(10)
+                    || 'w' || substring(x, 9, 2) || ' w' || substring(x, 11, 2)
+                    || ' w' || substring(x, 13, 2) || ' w' || substring(x, 15, 2)
+             END AS extracted,
+             CASE WHEN short THEN 2 ELSE 8 END AS n_tokens
+      FROM f
+    ),
+    g AS (
+      SELECT doc_id, format, extracted, n_tokens,
+             md5(replace(extracted, chr(10), ' ')) AS fp
+      FROM txt
+    ),
+    pass AS (SELECT doc_id, fp FROM g WHERE n_tokens >= 5),
+    rn AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM pass
+    )
+    SELECT g.doc_id, g.format, g.extracted,
+           CAST(g.n_tokens AS INT) AS n_tokens, g.fp AS fingerprint,
+           CASE WHEN g.n_tokens < 5 THEN 'short'
+                WHEN rn.rn > 1 THEN 'duplicate'
+                ELSE 'kept' END AS reason,
+           (g.n_tokens >= 5 AND rn.rn = 1) AS kept
+    FROM g LEFT JOIN rn ON g.doc_id = rn.doc_id
+    """,
+)
+def q_pipeline_documents_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    # The document-tier CAPSTONE — the non-HTML twin of
+    # pipeline_crawl_to_corpus: mixed PDF / DOCX / EPUB blobs (format
+    # rotating by doc_id%3, PDF alternating FlateDecode/plain) →
+    # document_text total-routing extraction → whitespace token-count
+    # quality gate (cid%7==3 docs carry 2 words → 'short') → exact
+    # fingerprint dedup among survivors. The dedup plant is CROSS-
+    # FORMAT: doc 10k+1 carries the same content id as doc 10k but a
+    # DIFFERENT container, so the duplicate is only caught if a PDF
+    # and a DOCX of the same words extract to the IDENTICAL text —
+    # the property that makes container-agnostic corpus dedup work.
+    # Scale shape: extraction and gating are map-side Arrow passes;
+    # the only shuffle is the fingerprint hash partition.
+    import hashlib
+
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.operators import documents as D
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                cid = i - 1 if i % 10 == 1 else i
+                x = hashlib.md5(f"{cid}:d2c".encode()).hexdigest()
+
+                def hp(j: int) -> str:
+                    return x[2 * j - 2 : 2 * j]
+
+                if cid % 7 == 3:
+                    units = [f"w{hp(1)} w{hp(2)}"]
+                else:
+                    units = [
+                        f"w{hp(1)} w{hp(2)} w{hp(3)} w{hp(4)}",
+                        f"w{hp(5)} w{hp(6)} w{hp(7)} w{hp(8)}",
+                    ]
+                fmt = ("pdf", "docx", "epub")[i % 3]
+                out.append(
+                    D.synth_text_document(fmt, units, flate=cid % 2 == 0)
+                )
+            yield pd.Series(out)
+
+    blobs = docs.select("doc_id", _blob("doc_id").alias("content"))
+    ext = (
+        D.document_text(blobs)
+        .select("doc_id", "format", F.col("text").alias("extracted"))
+        .withColumn(
+            "n_tokens", F.size(T.tokens(F.col("extracted"))).cast("int")
+        )
+        .withColumn("fingerprint", T.fingerprint(F.col("extracted")))
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    passing = ext.filter(F.col("n_tokens") >= 5).select(
+        "doc_id", F.row_number().over(w).alias("rn")
+    )
+    return ext.join(passing, "doc_id", "left").select(
+        "doc_id", "format", "extracted", "n_tokens", "fingerprint",
+        F.when(F.col("n_tokens") < 5, F.lit("short"))
+        .when(F.col("rn") > 1, F.lit("duplicate"))
+        .otherwise(F.lit("kept"))
+        .alias("reason"),
+        ((F.col("n_tokens") >= 5) & (F.col("rn") == 1)).alias("kept"),
+    )

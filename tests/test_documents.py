@@ -342,3 +342,27 @@ def test_xlsx_cells_malformed_marker(spark):
     )
     rows = D.xlsx_cells(df).collect()
     assert len(rows) == 1 and rows[0].row == -1 and rows[0].value is None
+
+
+def test_pdf_length_authoritative_over_eol_heuristic():
+    # a FlateDecode stream whose compressed bytes END in 0x0D: with the
+    # synth's "\n" separator the tail looks like "\r\n" before
+    # endstream, so an EOL-stripping heuristic eats a real stream byte
+    # (observed at doc 126 of the capstone) — /Length must win
+    payload = b"BT (w9a w36 w80 w7a) Tj ET"
+    comp = zlib.compress(payload)
+    # find a payload variant whose deflate ends in \r if this one doesn't
+    suffix = 0
+    while not comp.endswith(b"\r"):
+        suffix += 1
+        comp = zlib.compress(payload + b" " * suffix)
+    body = (
+        b"<< /Length " + str(len(comp)).encode()
+        + b" /Filter /FlateDecode >>\nstream\n" + comp + b"\nendstream"
+    )
+    assert D._pdf_stream_data(body) == payload + b" " * suffix
+
+
+def test_pdf_indirect_length_falls_back_to_heuristic():
+    body = b"<< /Length 7 0 R >>\nstream\nBT (x) Tj ET\nendstream"
+    assert D._pdf_stream_data(body) == b"BT (x) Tj ET"
