@@ -83,6 +83,7 @@ FRONT = [
     "source_xlsx_cells",
     "source_pptx_text",
     "pipeline_documents_to_corpus",
+    "multimodal_audio_id3_tags",
     "archive_zip_meta",
     "source_subtitle_cues",
     "source_feed_entries",

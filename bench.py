@@ -62,6 +62,10 @@ HEADLINE = [
     # explode), scope-keyed LSH near-dup (band+scope equi-join)
     "source_warc_split",
     "corpus_minhash_semantic_scope",
+    # round-9 additions: PDF text extraction (the heaviest document-
+    # tier kernel), the cross-format documents→corpus capstone
+    "source_pdf_text",
+    "pipeline_documents_to_corpus",
 ]
 
 N_XML_DOCS = 500
@@ -103,6 +107,8 @@ REFERENCE = {
     "corpus_priority_sample_grouped": 0.28,
     "source_warc_split": 2.77,
     "corpus_minhash_semantic_scope": 2.45,
+    "source_pdf_text": 0.77,
+    "pipeline_documents_to_corpus": 1.73,
 }
 
 

@@ -819,3 +819,171 @@ def synth_m4a_audio(docs: DataFrame) -> DataFrame:
         F.lit("audio").alias("media_type"),
         _m4a("doc_id").alias("content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ID3v2 text frames — the CONTENT metadata tier above the r8 size walk
+# ---------------------------------------------------------------------------
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(
+        [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
+    )
+
+
+def _unsyncsafe(b: bytes) -> int:
+    return (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+
+
+def _id3_text(payload: bytes) -> str:
+    """Decode one ID3v2 text frame: leading encoding byte 0=latin-1,
+    1=UTF-16 with BOM, 2=UTF-16BE, 3=UTF-8; trailing NULs stripped."""
+    enc = payload[0]
+    body = payload[1:]
+    if enc == 0:
+        s = body.decode("latin-1")
+    elif enc == 1:
+        s = body.decode("utf-16")
+    elif enc == 2:
+        s = body.decode("utf-16-be")
+    elif enc == 3:
+        s = body.decode("utf-8")
+    else:
+        raise ValueError(f"bad ID3 text encoding {enc}")
+    return s.rstrip("\x00")
+
+
+def parse_id3v2_frames(blob: bytes) -> dict:
+    """Text frames of a leading ID3v2.3/2.4 tag: TIT2 (title), TPE1
+    (artist), TALB (album), plus the year from TYER (2.3) or TDRC
+    (2.4). Frame sizes are big-endian in 2.3 and SYNCSAFE in 2.4 —
+    mixing them up misparses every multi-frame tag, so the version
+    byte drives the decode. The walk stops at padding (NUL frame id)
+    or the tag end. No tag -> None."""
+    if blob[:3] != b"ID3":
+        return None
+    ver = blob[3]
+    tag_size = _unsyncsafe(blob[6:10])
+    pos, end = 10, 10 + tag_size
+    out = {"title": None, "artist": None, "album": None, "year": None}
+    keys = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+            b"TYER": "year", b"TDRC": "year"}
+    while pos + 10 <= end:
+        fid = blob[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        size = (
+            _unsyncsafe(blob[pos + 4 : pos + 8])
+            if ver >= 4
+            else struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
+        )
+        payload = blob[pos + 10 : pos + 10 + size]
+        key = keys.get(fid)
+        if key is not None and fid.startswith(b"T"):
+            out[key] = _id3_text(payload)
+        pos += 10 + size
+    return out
+
+
+def audio_id3_tags(
+    media: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """(media_id, title, artist, album, year, id3_version) in one
+    Arrow pass — the content-metadata tier above the r8 size/duration
+    walk: what a corpus pipeline joins against transcripts and
+    licensing tables. Blobs without a leading ID3v2 tag (or with a
+    malformed one) yield the version-NULL marker row."""
+
+    def _tags(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "id3_version", "title", "artist", "album",
+                "year"]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                tags = ver = None
+                if blob is not None:
+                    b = bytes(blob)
+                    try:
+                        tags = parse_id3v2_frames(b)
+                        if tags is not None:
+                            ver = f"2.{b[3]}"
+                    except (ValueError, IndexError, struct.error,
+                            UnicodeDecodeError):
+                        tags = None
+                if tags is None:
+                    tags = {"title": None, "artist": None,
+                            "album": None, "year": None}
+                rows.append({"media_id": mid, "id3_version": ver, **tags})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(id_col, content_col).mapInPandas(
+        _tags,
+        schema="media_id bigint, id3_version string, title string, "
+        "artist string, album string, year string",
+    )
+
+
+_ID3_TITLES = ("café nights", "alpha song", "Überlied", "plain tune",
+               "naïve waltz")
+_ID3_ARTISTS = ("bravo band", "charlie choir", "delta duo")
+
+
+def _synth_id3_mp3_blob(i: int) -> bytes:
+    """One deterministic ID3v2-tagged MP3 stub from md5(doc:id3):
+    version rotates 2.3/2.4 (b0%2 — frame sizes big-endian vs
+    syncsafe), text encoding rotates latin-1/UTF-16/UTF-8 (b1%3, the
+    non-ASCII titles keep every codec branch honest), frame ORDER
+    rotates (b4%2), year via TYER on 2.3 and TDRC on 2.4, 64 bytes of
+    padding close the tag, and one MPEG frame header follows so the
+    blob is a real MP3 prefix."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:id3".encode()).digest()
+    v4 = b[0] % 2 == 1
+    enc = b[1] % 3  # 0 latin-1, 1 utf-16, 3 utf-8
+    title = _ID3_TITLES[b[2] % 5]
+    artist = _ID3_ARTISTS[b[3] % 3]
+    album = f"album {b[5] % 10}"
+    year = str(1990 + b[6] % 40)
+
+    def _enc(s: str) -> bytes:
+        if enc == 0:
+            return b"\x00" + s.encode("latin-1")
+        if enc == 1:
+            return b"\x01" + s.encode("utf-16")  # BOM included
+        return b"\x03" + s.encode("utf-8")
+
+    def _frame(fid: bytes, payload: bytes) -> bytes:
+        size = _syncsafe(len(payload)) if v4 else struct.pack(
+            ">I", len(payload)
+        )
+        return fid + size + b"\x00\x00" + payload
+
+    frames = [
+        _frame(b"TIT2", _enc(title)),
+        _frame(b"TPE1", _enc(artist)),
+        _frame(b"TALB", _enc(album)),
+        _frame(b"TDRC" if v4 else b"TYER", _enc(year)),
+    ]
+    if b[4] % 2 == 1:
+        frames = frames[::-1]
+    body = b"".join(frames) + b"\x00" * 64
+    tag = b"ID3" + bytes([4 if v4 else 3, 0, 0]) + _syncsafe(len(body)) + body
+    # one MPEG-1 Layer III header (128 kbps, 44100 Hz) so the blob is
+    # a plausible MP3 prefix, not a bare tag
+    return tag + b"\xff\xfb\x90\x00" + b"\x00" * 16
+
+
+def synth_id3_mp3(docs: DataFrame) -> DataFrame:
+    """Deterministic ID3v2-tagged MP3 stub per document (see
+    :func:`_synth_id3_mp3_blob`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_id3_mp3_blob(int(i)) for i in ids])
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"), _blob("doc_id").alias("content")
+    )

@@ -1584,3 +1584,30 @@ def synth_text_document(fmt: str, units: list[str], flate: bool) -> bytes:
             members.append((f"ch{k}.xhtml", ch.encode(), 8, False))
         return build_zip(members)
     raise ValueError(f"unknown format {fmt!r}")
+
+
+def stream_documents(spark, path: str) -> DataFrame:
+    """CONTINUOUS document ingest: the streaming twin of
+    :func:`document_text` — new PDF/DOCX/PPTX/EPUB blobs landing in
+    ``path`` become (doc_id, format, n_units, text) rows exactly once
+    (binaryFile file-source offsets track absorbed files; a crash
+    replays only the unacknowledged batch). doc_id comes from the
+    numeric file stem, the landing-dir convention shared with
+    stream_warc. Extraction is the SAME stateless Arrow kernel as the
+    batch operator, so streamed output equals the batch run over the
+    union of all landed files row-for-row (E2E-asserted)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.\w+$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "content",
+        )
+    )
+    return document_text(files)

@@ -240,3 +240,40 @@ def q_multimodal_webp_lossless_ahash(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents")
     media = V.synth_webp_lossless_media(docs, side=8)
     return M.image_ahash(media)
+
+
+@query(
+    "multimodal_audio_id3_tags",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('id3', 0)} AS b0, {_b('id3', 1)} AS b1,
+             {_b('id3', 2)} AS b2, {_b('id3', 3)} AS b3,
+             {_b('id3', 5)} AS b5, {_b('id3', 6)} AS b6
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN b0 % 2 = 1 THEN '2.4' ELSE '2.3' END AS id3_version,
+           (['café nights','alpha song','Überlied','plain tune',
+             'naïve waltz'])[b2 % 5 + 1] AS title,
+           (['bravo band','charlie choir','delta duo'])[b3 % 3 + 1]
+             AS artist,
+           'album ' || CAST(b5 % 10 AS VARCHAR) AS album,
+           CAST(1990 + b6 % 40 AS VARCHAR) AS year
+    FROM p
+    """,
+)
+def q_multimodal_audio_id3_tags(spark: SparkSession, sf: str) -> DataFrame:
+    # ID3v2 TEXT frames (r9) — the content-metadata tier above the r8
+    # size/duration walk: title/artist/album/year are what a corpus
+    # pipeline joins against transcripts and licensing tables. The
+    # fixtures rotate every axis that breaks naive parsers: v2.3 vs
+    # v2.4 (frame sizes big-endian vs SYNCSAFE — mixing them up
+    # misparses every multi-frame tag), text encodings latin-1 /
+    # UTF-16-with-BOM / UTF-8 (non-ASCII titles keep each codec branch
+    # honest), frame order, year frame id (TYER vs TDRC), and a
+    # 64-byte padding region the walk must stop at. One Arrow pass;
+    # untagged blobs degrade to the version-NULL marker row.
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    docs = load(spark, sf, "documents")
+    return C.audio_id3_tags(C.synth_id3_mp3(docs))

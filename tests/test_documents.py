@@ -366,3 +366,57 @@ def test_pdf_length_authoritative_over_eol_heuristic():
 def test_pdf_indirect_length_falls_back_to_heuristic():
     body = b"<< /Length 7 0 R >>\nstream\nBT (x) Tj ET\nendstream"
     assert D._pdf_stream_data(body) == b"BT (x) Tj ET"
+
+
+def test_stream_documents_equals_batch(spark, tmp_path):
+    # continuous document ingest: two landing generations of mixed
+    # PDF/DOCX/EPUB/PPTX files; the streamed standing table must equal
+    # the batch extraction over ALL landed files after each generation
+    # (exactly-once: generation 2 never re-emits generation 1's rows)
+    indir = tmp_path / "landing"
+    outdir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    indir.mkdir()
+
+    def land(ids):
+        for i in ids:
+            fmt = ("pdf", "docx", "epub", "pptx")[i % 4]
+            blob = {
+                "pdf": D._synth_pdf_blob,
+                "docx": D._synth_docx_blob,
+                "epub": D._synth_epub_blob,
+                "pptx": D._synth_pptx_blob,
+            }[fmt](i)
+            (indir / f"{i}.{fmt}").write_bytes(blob)
+
+    def run_stream():
+        q = (
+            D.stream_documents(spark, str(indir))
+            .writeStream.format("parquet")
+            .option("path", str(outdir))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def batch_rows():
+        files = spark.read.format("binaryFile").load(str(indir)).select(
+            D.F.regexp_extract("path", r"(\d+)\.\w+$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "content",
+        )
+        return {
+            tuple(r) for r in D.document_text(files).collect()
+        }
+
+    land(range(8))
+    run_stream()
+    got = {tuple(r) for r in spark.read.parquet(str(outdir)).collect()}
+    assert got == batch_rows() and len(got) == 8
+
+    land(range(8, 14))
+    run_stream()
+    got = {tuple(r) for r in spark.read.parquet(str(outdir)).collect()}
+    assert got == batch_rows() and len(got) == 14
