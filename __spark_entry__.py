@@ -85,6 +85,7 @@ FRONT = [
     "pipeline_documents_to_corpus",
     "multimodal_audio_id3_tags",
     "archive_zip_meta",
+    "archive_tar_meta",
     "source_subtitle_cues",
     "source_feed_entries",
     "multimodal_webp_lossless_ahash",

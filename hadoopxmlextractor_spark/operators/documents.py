@@ -518,6 +518,19 @@ def _content_text(stream: bytes) -> str:
             lit, i = _pdf_literal(s, i)
             pending.append(lit)
             continue
+        if c == "<" and not s.startswith("<<", i):
+            # hex string (§7.3.4.3): whitespace-tolerant, odd digit
+            # count padded with a trailing 0
+            j = s.index(">", i)
+            hexs = re.sub(r"\s", "", s[i + 1 : j])
+            if len(hexs) % 2:
+                hexs += "0"
+            pending.append(bytes.fromhex(hexs).decode("latin-1"))
+            i = j + 1
+            continue
+        if s.startswith("<<", i):
+            i += 2
+            continue
         if s.startswith("Tj", i) or s.startswith("'", i):
             out.extend(pending)
             pending = []
@@ -1078,7 +1091,7 @@ def _pdf_page_stream(i: int, b: bytes, p: int) -> tuple[bytes, str]:
     Rotations keep every tokenizer branch live: Tj vs TJ-with-kerning,
     escaped parens, an octal escape, and a nested unescaped paren."""
     w1 = _WORDS[(b[2] + p) % 5]
-    variant = (b[4] + p) % 4
+    variant = (b[4] + p) % 5
     if variant == 0:
         shown = f"{w1} page {p}"
         ops = f"({w1} ) Tj (page {p}) Tj"
@@ -1088,10 +1101,15 @@ def _pdf_page_stream(i: int, b: bytes, p: int) -> tuple[bytes, str]:
     elif variant == 2:
         shown = f"{w1} A{p}"  # \101 is octal 'A'
         ops = f"({w1} ) Tj (\\101{p}) Tj"
-    else:
+    elif variant == 3:
         # one literal containing BALANCED unescaped parens (§7.3.4.2)
         shown = f"{w1} (nested) {p}"
         ops = f"({w1} (nested) {p}) Tj"
+    else:
+        # hex string with interior whitespace (§7.3.4.3)
+        shown = f"{w1} hex {p}"
+        hx = shown.encode("latin-1").hex()
+        ops = f"<{hx[:8]} {hx[8:]}> Tj"
     stream = f"BT /F1 12 Tf 72 720 Td {ops} ET"
     return stream.encode("latin-1"), shown
 
@@ -1611,3 +1629,170 @@ def stream_documents(spark, path: str) -> DataFrame:
         )
     )
     return document_text(files)
+
+
+# ---------------------------------------------------------------------------
+# TAR (ustar) — 512-byte header walk, checksum verify, GNU long names
+# ---------------------------------------------------------------------------
+
+
+def _tar_octal(field: bytes) -> int:
+    s = field.split(b"\0")[0].strip()
+    return int(s, 8) if s else 0
+
+
+def _tar_checksum(header: bytes) -> int:
+    """Header checksum per POSIX: byte sum with the chksum field
+    itself read as eight spaces."""
+    return sum(header[:148]) + 8 * 0x20 + sum(header[156:512])
+
+
+def tar_members(blob: bytes) -> list[dict]:
+    """(name, typeflag, size, head) per entry of a tar / tar.gz: the
+    512-byte ustar header walk with the POSIX checksum VERIFIED per
+    header (a flipped byte refuses the entry stream), data runs of
+    ceil(size/512) blocks, GNU 'L' long-name entries applied to the
+    following header, and the two-zero-block terminator honored."""
+    if blob[:2] == b"\x1f\x8b":
+        blob = zlib.decompress(blob, 31)
+    out = []
+    pos = 0
+    pending_name = None
+    while pos + 512 <= len(blob):
+        header = blob[pos : pos + 512]
+        if header == b"\0" * 512:
+            break
+        stored = _tar_octal(header[148:156])
+        if stored != _tar_checksum(header):
+            raise ValueError("tar header checksum mismatch")
+        size = _tar_octal(header[124:136])
+        typeflag = chr(header[156]) if header[156] else "0"
+        data = blob[pos + 512 : pos + 512 + size]
+        pos += 512 + ((size + 511) // 512) * 512
+        if typeflag == "L":  # GNU long name: payload names the NEXT entry
+            pending_name = data.rstrip(b"\0").decode("utf-8")
+            continue
+        name = pending_name or header[:100].split(b"\0")[0].decode("utf-8")
+        pending_name = None
+        out.append({
+            "name": name,
+            "typeflag": typeflag,
+            "size": size,
+            "head": data[:16].decode("utf-8", "replace") if size else None,
+        })
+    if not out:
+        raise ValueError("empty tar")
+    return out
+
+
+def archive_tar_members(
+    docs: DataFrame, content_col: str = "content", id_col: str = "archive_id"
+) -> DataFrame:
+    """One row per tar entry in one Arrow pass — the tar twin of
+    :func:`archive_members`, transparently gunzipping .tar.gz blobs.
+    Malformed archives yield the member_idx -1 marker row."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["archive_id", "member_idx", "name", "typeflag",
+                "uncomp_bytes", "head"]
+        for pdf in batches:
+            rows = []
+            for aid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    for k, e in enumerate(tar_members(bytes(blob))):
+                        rows.append({
+                            "archive_id": aid, "member_idx": k,
+                            "name": e["name"], "typeflag": e["typeflag"],
+                            "uncomp_bytes": e["size"], "head": e["head"],
+                        })
+                except (ValueError, IndexError, zlib.error, TypeError):
+                    rows.append({
+                        "archive_id": aid, "member_idx": -1, "name": None,
+                        "typeflag": None, "uncomp_bytes": None, "head": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _walk,
+        schema="archive_id bigint, member_idx int, name string, "
+        "typeflag string, uncomp_bytes bigint, head string",
+    )
+
+
+def build_tar(entries: list[tuple[str, bytes | None, str]]) -> bytes:
+    """Write a ustar tar from (name, data, typeflag) tuples — the
+    synth partner of :func:`tar_members`. Names over 100 bytes emit a
+    GNU 'L' long-name entry first, the convention GNU/BSD tar uses."""
+
+    def _header(name: str, size: int, typeflag: str) -> bytes:
+        h = bytearray(512)
+        nb = name.encode("utf-8")
+        h[0:len(nb)] = nb
+        h[100:108] = b"0000644\0"
+        h[108:116] = b"0000000\0"
+        h[116:124] = b"0000000\0"
+        h[124:136] = f"{size:011o}\0".encode()
+        h[136:148] = b"00000000000\0"
+        h[148:156] = b" " * 8
+        h[156] = ord(typeflag)
+        h[257:263] = b"ustar\0"
+        h[263:265] = b"00"
+        chk = sum(h)
+        h[148:156] = f"{chk:06o}\0 ".encode()
+        return bytes(h)
+
+    out = bytearray()
+    for name, data, typeflag in entries:
+        data = data or b""
+        if len(name.encode()) > 100:
+            nb = name.encode("utf-8") + b"\0"
+            out += _header("././@LongLink", len(nb), "L")
+            out += nb + b"\0" * ((512 - len(nb) % 512) % 512)
+            hdr_name = name[:100]
+        else:
+            hdr_name = name
+        out += _header(hdr_name, len(data), typeflag)
+        out += data + b"\0" * ((512 - len(data) % 512) % 512)
+    out += b"\0" * 1024
+    return bytes(out)
+
+
+def _synth_tar_blob(i: int) -> bytes:
+    """One deterministic tar from md5(doc:tar): 1+b0%4 file entries
+    under a leading directory entry, member k named
+    STEM[(b1+k)%5]_{k}.txt with 'name + repeated rows' payloads;
+    entry (b3%  count) gets a >100-char GNU long name (nested dirs);
+    ODD docs wrap the whole archive in gzip (.tar.gz)."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:tar".encode()).digest()
+    stems = ("notes", "readme", "data", "img", "logs")
+    n = 1 + b[0] % 4
+    entries: list[tuple[str, bytes | None, str]] = [("top/", None, "5")]
+    long_k = b[3] % n
+    for k in range(n):
+        name = f"top/{stems[(b[1] + k) % 5]}_{k}.txt"
+        if k == long_k:
+            name = "top/" + "deep_directory_level/" * 5 + f"leaf_{k}.txt"
+        payload = (name.rpartition("/")[2] + " "
+                   + f"row {k} " * (3 + (b[2] + k) % 5)).encode()
+        entries.append((name, payload, "0"))
+    tar = build_tar(entries)
+    if i % 2 == 1:
+        c = zlib.compressobj(6, zlib.DEFLATED, 31)
+        tar = c.compress(tar) + c.flush()
+    return tar
+
+
+def synth_tar_archives(docs: DataFrame) -> DataFrame:
+    """Deterministic tar/tar.gz per document (see
+    :func:`_synth_tar_blob`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_tar_blob(int(i)) for i in ids])
+
+    return docs.select(
+        F.col("doc_id").alias("archive_id"), _blob("doc_id").alias("content")
+    )

@@ -131,11 +131,12 @@ def q_source_epub_text(spark: SparkSession, sf: str) -> DataFrame:
     t AS (
       SELECT doc_id, n, pp,
              {_W}[(b2 + pp) % 5 + 1] ||
-             CASE (b4 + pp) % 4
+             CASE (b4 + pp) % 5
                   WHEN 0 THEN ' page ' || CAST(pp AS VARCHAR)
                   WHEN 1 THEN ' (page) ' || CAST(pp AS VARCHAR)
                   WHEN 2 THEN ' A' || CAST(pp AS VARCHAR)
-                  ELSE ' (nested) ' || CAST(pp AS VARCHAR) END AS page_text
+                  WHEN 3 THEN ' (nested) ' || CAST(pp AS VARCHAR)
+                  ELSE ' hex ' || CAST(pp AS VARCHAR) END AS page_text
       FROM pg
     )
     SELECT doc_id, 'pdf' AS format, CAST(n AS INT) AS n_units,
@@ -152,8 +153,9 @@ def q_source_pdf_text(spark: SparkSession, sf: str) -> DataFrame:
     # text operators: Tj, TJ arrays whose inter-string numbers are
     # kerning (concatenated with NOTHING, as a viewer lays them),
     # literal-string escapes \\( \\) (variant 1), octal \\101 → 'A'
-    # (variant 2), and balanced UNESCAPED nested parens inside one
-    # literal (variant 3, legal per ISO 32000 §7.3.4.2). The oracle
+    # (variant 2), balanced UNESCAPED nested parens inside one literal
+    # (variant 3, legal per ISO 32000 §7.3.4.2), and whitespace-
+    # tolerant HEX strings <...> (variant 4, §7.3.4.3). The oracle
     # reconstructs the shown text of every variant. One Arrow pass.
     from hadoopxmlextractor_spark.operators import documents as D
 
@@ -522,3 +524,67 @@ def q_pipeline_documents_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
         .alias("reason"),
         ((F.col("n_tokens") >= 5) & (F.col("rn") == 1)).alias("kept"),
     )
+
+
+@query(
+    "archive_tar_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('tar', 0)} AS b0, {_b('tar', 1)} AS b1,
+             {_b('tar', 2)} AS b2, {_b('tar', 3)} AS b3
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + b0 % 4)) AS kk,
+             1 + b0 % 4 AS n, b1, b2, b3
+      FROM p
+    ),
+    e AS (
+      SELECT doc_id, kk, kk - 1 AS k0, n, b1, b2,
+             (kk - 1 = b3 % n) AS is_long
+      FROM m
+    ),
+    named AS (
+      SELECT doc_id, kk, k0,
+             CASE WHEN kk = 0 THEN 'top/'
+                  WHEN is_long THEN 'top/'
+                    || repeat('deep_directory_level/', 5)
+                    || 'leaf_' || CAST(k0 AS VARCHAR) || '.txt'
+                  ELSE 'top/'
+                    || (['notes','readme','data','img','logs'])
+                       [(b1 + k0) % 5 + 1]
+                    || '_' || CAST(k0 AS VARCHAR) || '.txt' END AS name,
+             CASE WHEN kk = 0 THEN NULL
+                  WHEN is_long THEN 'leaf_' || CAST(k0 AS VARCHAR) || '.txt'
+                  ELSE (['notes','readme','data','img','logs'])
+                       [(b1 + k0) % 5 + 1]
+                    || '_' || CAST(k0 AS VARCHAR) || '.txt' END
+               || ' ' || repeat('row ' || CAST(k0 AS VARCHAR) || ' ',
+                                3 + (b2 + k0) % 5) AS payload
+      FROM e
+    )
+    SELECT doc_id AS archive_id, CAST(kk AS INT) AS member_idx, name,
+           CASE WHEN kk = 0 THEN '5' ELSE '0' END AS typeflag,
+           CAST(CASE WHEN kk = 0 THEN 0 ELSE LENGTH(payload) END
+                AS BIGINT) AS uncomp_bytes,
+           CASE WHEN kk = 0 THEN NULL
+                ELSE substring(payload, 1, 16) END AS head
+    FROM named
+    """,
+)
+def q_archive_tar_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # TAR/ustar walk (r9) — the other dominant archive format in a
+    # crawl (source tarballs, data releases), with .tar.gz handled
+    # transparently (odd docs gzip the whole archive — both container
+    # branches live): 512-byte header blocks with the POSIX checksum
+    # VERIFIED per header (chksum field read as spaces; a flipped byte
+    # refuses the stream), octal size fields, ceil(size/512) data
+    # runs, a leading DIRECTORY entry (typeflag 5), and one entry per
+    # archive carrying a >100-char GNU 'L' long-name extension whose
+    # payload names the following header — the convention GNU/BSD tar
+    # emit. `head` proves the data run was located correctly. One
+    # Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.archive_tar_members(D.synth_tar_archives(docs))

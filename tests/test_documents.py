@@ -124,6 +124,13 @@ def test_pdf_escapes_octal_nested_and_kerning():
     assert D._content_text(stream) == "a(b)cxyABout (in) side"
 
 
+def test_pdf_hex_strings_whitespace_and_odd_padding():
+    # "Hi" = 4869; odd-digit string <48 0> pads to 0x48 0x00
+    stream = b"BT <48 69> Tj [<20> <77 6f> -30 <726c64>] TJ ET"
+    assert D._content_text(stream) == "Hi world"
+    assert D._content_text(b"BT <5> Tj ET") == "P"  # pads to 0x50
+
+
 def test_pdf_flate_and_page_order():
     for i in range(24):
         b = hashlib.md5(f"{i}:pdf".encode()).digest()
@@ -420,3 +427,36 @@ def test_stream_documents_equals_batch(spark, tmp_path):
     run_stream()
     got = {tuple(r) for r in spark.read.parquet(str(outdir)).collect()}
     assert got == batch_rows() and len(got) == 14
+
+
+# ---------------------------------------------------------------------------
+# TAR
+# ---------------------------------------------------------------------------
+
+
+def test_tar_checksum_refusal_and_gnu_longname():
+    entries = [
+        ("dir/", None, "5"),
+        ("dir/" + "x" * 120 + ".txt", b"long-named payload", "0"),
+        ("dir/short.txt", b"short payload", "0"),
+    ]
+    blob = D.build_tar(entries)
+    ms = D.tar_members(blob)
+    assert [m["name"] for m in ms] == [e[0] for e in entries]
+    assert ms[1]["size"] == 18 and ms[1]["head"] == "long-named paylo"
+    bad = bytearray(blob)
+    bad[600] ^= 0x01  # inside the long-name payload's following header
+    with pytest.raises(ValueError, match="checksum"):
+        D.tar_members(bytes(bad))
+
+
+def test_tar_gz_transparent_and_marker(spark):
+    blob = D._synth_tar_blob(3)  # odd -> gzipped
+    assert blob[:2] == b"\x1f\x8b"
+    assert D.tar_members(blob)
+    df = spark.createDataFrame(
+        [(5, bytearray(b"definitely not a tar file" + b"\0" * 600))],
+        "archive_id long, content binary",
+    )
+    rows = D.archive_tar_members(df).collect()
+    assert len(rows) == 1 and rows[0].member_idx == -1
