@@ -84,6 +84,7 @@ FRONT = [
     "source_pptx_text",
     "pipeline_documents_to_corpus",
     "multimodal_audio_id3_tags",
+    "pipeline_feeds_to_frontier",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

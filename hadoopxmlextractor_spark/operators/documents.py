@@ -1796,3 +1796,85 @@ def synth_tar_archives(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("archive_id"), _blob("doc_id").alias("content")
     )
+
+
+def _messy_frontier_url(i: int, e: int) -> str:
+    """The crawl-frontier fixture URL for feed i, entry e: every
+    cosmetic variation canonical_url must collapse — uppercase scheme
+    and host, the scheme's default port, trailing slash, tracking
+    params, fragment — derived from m = i + 7e. Entries m and m+300
+    produce the SAME canonical URL (pid = m %% 300 with matching
+    scheme/query parity), so cross-feed duplicates occur organically."""
+    m = i + 7 * e
+    pid = m % 300
+    is_https = m % 3 != 0
+    scheme = (
+        ("HTTPS" if is_https else "HTTP")
+        if m % 11 == 0
+        else ("https" if is_https else "http")
+    )
+    host = ("EXAMPLE" if m % 7 == 0 else "example") + str(pid % 4) + ".com"
+    port = ((":443" if is_https else ":80") if m % 6 == 0 else "")
+    path = f"/page/{pid}" + ("/" if m % 4 == 0 else "")
+    if m % 2 == 0:
+        q = f"?x={pid % 3}&utm_source=s{m % 9}"
+    elif m % 10 == 1:
+        q = "?utm_campaign=c"
+    else:
+        q = ""
+    frag = f"#sec{m}" if m % 5 == 0 else ""
+    return f"{scheme}://{host}{port}{path}{q}{frag}"
+
+
+def _synth_frontier_feed_blob(i: int) -> bytes:
+    """One deterministic feed (RSS even / Atom odd) from
+    md5(doc:feedf) with 1+b0%3 entries whose links are MESSY frontier
+    URLs (see :func:`_messy_frontier_url`); '&' in queries is
+    XML-escaped, so the parser's charref decoding is on the hook."""
+    import hashlib
+    from xml.sax.saxutils import escape
+
+    b = hashlib.md5(f"{i}:feedf".encode()).digest()
+    n = 1 + b[0] % 3
+    rows = [
+        (f"entry {e}", _messy_frontier_url(i, e),
+         1700000000 + 3600 * e)
+        for e in range(n)
+    ]
+    if i % 2 == 0:
+        items = "".join(
+            f"<item><title>{t}</title><link>{escape(u)}</link>"
+            f"<pubDate>{_rfc822(ep)}</pubDate></item>"
+            for t, u, ep in rows
+        )
+        xml = (
+            "<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>"
+            "<title>frontier</title><link>https://ex.org/</link>"
+            f"<description>f</description>{items}</channel></rss>"
+        )
+    else:
+        entries = "".join(
+            f"<entry><title>{t}</title><link href=\"{escape(u)}\"/>"
+            f"<updated>{_iso8601(ep)}</updated></entry>"
+            for t, u, ep in rows
+        )
+        xml = (
+            "<?xml version=\"1.0\"?><feed xmlns=\"http://www.w3.org/2005"
+            f"/Atom\"><title>frontier</title><updated>{_iso8601(rows[0][2])}"
+            f"</updated>{entries}</feed>"
+        )
+    return xml.encode("utf-8")
+
+
+def synth_frontier_feeds(docs: DataFrame) -> DataFrame:
+    """Deterministic messy-URL feed per document (see
+    :func:`_synth_frontier_feed_blob`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_frontier_feed_blob(int(i)) for i in ids])
+
+    return docs.select(
+        F.col("doc_id").alias("feed_id"), _blob("doc_id").alias("content")
+    )

@@ -588,3 +588,67 @@ def q_archive_tar_meta(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.archive_tar_members(D.synth_tar_archives(docs))
+
+
+@query(
+    "pipeline_feeds_to_frontier",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('feedf', 0)} AS b0 FROM documents
+    ),
+    ent AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 3)) AS e FROM p
+    ),
+    m AS (
+      SELECT doc_id, e, doc_id + 7 * e AS mm,
+             (doc_id + 7 * e) % 300 AS pid
+      FROM ent
+    ),
+    canon AS (
+      SELECT doc_id, e,
+             (CASE WHEN mm % 3 = 0 THEN 'http' ELSE 'https' END)
+               || '://example' || CAST(pid % 4 AS VARCHAR)
+               || '.com/page/' || CAST(pid AS VARCHAR)
+               || CASE WHEN mm % 2 = 0
+                  THEN '?x=' || CAST(pid % 3 AS VARCHAR) ELSE '' END
+               AS canon_url,
+             (pid % 4 = 3) AS blocked
+      FROM m
+    )
+    SELECT canon_url,
+           CAST(MIN(doc_id * 10 + e) AS BIGINT) AS first_ref,
+           CAST(COUNT(*) AS BIGINT) AS n_refs
+    FROM canon
+    WHERE NOT blocked
+    GROUP BY canon_url
+    """,
+)
+def q_pipeline_feeds_to_frontier(spark: SparkSession, sf: str) -> DataFrame:
+    # The crawl-FRONTIER capstone — change discovery to fetch queue
+    # through four certified stages in one plan: RSS/Atom parsing
+    # (messy links XML-escaped, RFC822/ISO dates), URL
+    # canonicalization (uppercase scheme+host, scheme-default ports,
+    # trailing slashes, utm_* tracking params, fragments — every
+    # variation planted), suffix blocklist on the CANONICAL host
+    # (example3.com ~25% of pages), and exact frontier dedup keyed on
+    # the canonical URL (entries m and m+300 collapse organically,
+    # often across DIFFERENT feeds and cosmetic forms). The oracle is
+    # the ANALYTICALLY-derived canonical form — it never reapplies the
+    # engine's regexes, so any canonicalization defect diverges. Scale
+    # shape: parse + canon + blocklist are map-side; the only shuffle
+    # is the canonical-URL aggregate.
+    from hadoopxmlextractor_spark.operators import documents as D
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+    entries = D.feed_entries(D.synth_frontier_feeds(docs))
+    canon = entries.select(
+        "feed_id", "entry_idx", T.canonical_url(F.col("url")).alias("canon_url")
+    ).withColumn(
+        "host", F.regexp_extract(F.col("canon_url"), r"^[a-z]+://([^/?#]+)", 1)
+    )
+    kept = canon.filter(~F.col("host").like("%example3.com"))
+    return kept.groupBy("canon_url").agg(
+        F.min(F.col("feed_id") * 10 + F.col("entry_idx")).alias("first_ref"),
+        F.count(F.lit(1)).alias("n_refs"),
+    )

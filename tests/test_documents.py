@@ -460,3 +460,29 @@ def test_tar_gz_transparent_and_marker(spark):
     )
     rows = D.archive_tar_members(df).collect()
     assert len(rows) == 1 and rows[0].member_idx == -1
+
+
+def test_frontier_urls_collapse_across_cosmetic_variants():
+    # m and m+300 produce different MESSY urls but identical canonical
+    # forms — the cross-feed duplicate the frontier dedup must merge
+    import re
+
+    def canon(i, e):
+        m = i + 7 * e
+        pid = m % 300
+        scheme = "http" if m % 3 == 0 else "https"
+        q = f"?x={pid % 3}" if m % 2 == 0 else ""
+        return f"{scheme}://example{pid % 4}.com/page/{pid}{q}"
+
+    # i=6,e=0 (m=6) vs i=306,e=0 (m=306): same pid=6, same parity/mod3
+    assert canon(6, 0) == canon(306, 0)
+    u1, u2 = D._messy_frontier_url(6, 0), D._messy_frontier_url(306, 0)
+    assert u1 != u2  # cosmetic variants differ on the wire
+    # at least one messy fixture exercises every variation axis
+    urls = [D._messy_frontier_url(i, e) for i in range(60) for e in range(2)]
+    assert any("HTTPS://" in u or "HTTP://" in u for u in urls)
+    assert any("EXAMPLE" in u for u in urls)
+    assert any(":443" in u or ":80" in u for u in urls)
+    assert any(re.search(r"/page/\d+/", u) for u in urls)
+    assert any("utm_" in u for u in urls)
+    assert any("#sec" in u for u in urls)
