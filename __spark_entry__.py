@@ -72,10 +72,10 @@ FRONT = [
     # CORRECTNESS_r0{1..8}.json certifies 291/298 registry names. The
     # only 7 without a green driver row are the post-cap round-8
     # additions below — front-loading them completes certification of
-    # the FULL registry. New round-9 queries are prepended above this
-    # block as they land (7 + new fits easily inside the driver's
-    # 50-query sample). Ordering is presentation-only: every entry
-    # still runs in the local full-registry gate.
+    # the FULL registry. New round-9 queries are prepended above that
+    # block as they land (18 new + 7 post-cap = 25, well inside the
+    # driver's 50-query sample). Ordering is presentation-only: every
+    # entry still runs in the local full-registry gate.
     # --- new round-9 operators ---
     "source_pdf_text",
     "source_docx_text",
@@ -85,6 +85,7 @@ FRONT = [
     "pipeline_documents_to_corpus",
     "multimodal_audio_id3_tags",
     "pipeline_feeds_to_frontier",
+    "source_latex_text",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

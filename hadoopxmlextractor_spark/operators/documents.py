@@ -1878,3 +1878,134 @@ def synth_frontier_feeds(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("feed_id"), _blob("doc_id").alias("content")
     )
+
+
+# ---------------------------------------------------------------------------
+# LaTeX — arXiv-style source to plain text
+# ---------------------------------------------------------------------------
+
+_TEX_ESCAPES = {
+    r"\%": "\x00", r"\&": "\x01", r"\_": "\x02", r"\#": "\x03",
+    r"\$": "\x04", r"\{": "\x05", r"\}": "\x06",
+}
+_TEX_DROP_ENVS = r"(?:equation|align|tabular|figure|table|verbatim)"
+_TEX_UNWRAP = (
+    r"\\(?:section|subsection|subsubsection|paragraph|title|author|"
+    r"emph|textbf|textit|texttt|textsc|underline|mbox)\*?\{([^{}]*)\}"
+)
+_TEX_DROP_ARG = (
+    r"\\(?:cite|citep|citet|ref|eqref|label|footnote|url|href|"
+    r"usepackage|documentclass|bibliography|bibliographystyle|input|"
+    r"include)\*?(?:\[[^\]]*\])?\{[^{}]*\}"
+)
+
+
+def latex_to_text(src: str) -> str:
+    """arXiv-style LaTeX source → plain text, the deterministic rule
+    subset corpus pipelines run: escaped specials preserved
+    (\\% → %), comments stripped, display ($$/\\[ \\]) and inline ($)
+    math dropped, math/table/figure/verbatim ENVIRONMENTS dropped
+    whole while other \\begin/\\end markers vanish keeping their body,
+    reference-like commands (\\cite/\\ref/\\label/\\url/preamble
+    declarations) dropped WITH their argument, textual commands
+    (\\section/\\emph/\\textbf/...) unwrapped to their argument
+    (iterated, so nesting unwraps inside-out), \\item and \\\\ become
+    breaks, remaining bare commands (\\alpha, \\LaTeX) dropped, braces
+    erased, ~ a space, whitespace canonicalized to single spaces."""
+    s = src
+    for esc, mark in _TEX_ESCAPES.items():
+        s = s.replace(esc, mark)
+    s = re.sub(r"%[^\n]*", " ", s)
+    s = re.sub(r"\\\[.*?\\\]", " ", s, flags=re.S)
+    s = re.sub(r"\$\$.*?\$\$", " ", s, flags=re.S)
+    s = re.sub(r"\$[^$]*\$", " ", s)
+    s = re.sub(
+        r"\\begin\{" + _TEX_DROP_ENVS + r"\*?\}.*?\\end\{"
+        + _TEX_DROP_ENVS + r"\*?\}",
+        " ", s, flags=re.S,
+    )
+    s = re.sub(r"\\(?:begin|end)\{[a-zA-Z*]+\}", " ", s)
+    s = re.sub(_TEX_DROP_ARG, " ", s)
+    prev = None
+    while prev != s:
+        prev = s
+        s = re.sub(_TEX_UNWRAP, r"\1", s)
+    s = re.sub(r"\\\\", " ", s)
+    s = re.sub(r"\\item\b", " ", s)
+    s = re.sub(r"\\[a-zA-Z]+\*?", " ", s)
+    s = s.replace("~", " ").replace("{", "").replace("}", "")
+    restore = {v: k[1] for k, v in _TEX_ESCAPES.items()}
+    s = "".join(restore.get(ch, ch) for ch in s)
+    return " ".join(s.split())
+
+
+def latex_text(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, text, n_tokens) in one Arrow pass over LaTeX source —
+    the arXiv leg of corpus text extraction."""
+
+    def _tex(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "text", "n_tokens"]
+        for pdf in batches:
+            rows = []
+            for did, src in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    text = latex_to_text(str(src))
+                    rows.append({
+                        "doc_id": did, "text": text,
+                        "n_tokens": len(text.split()),
+                    })
+                except (ValueError, TypeError, re.error):
+                    rows.append(
+                        {"doc_id": did, "text": None, "n_tokens": None}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _tex, schema="doc_id bigint, text string, n_tokens int"
+    )
+
+
+def _synth_latex_source(i: int) -> str:
+    """One deterministic LaTeX source from md5(doc:tex), exercising
+    every kernel rule: preamble declarations (dropped with args),
+    title/section unwrapping, a comment, nested \\emph{\\textbf{}},
+    inline + display math, a dropped equation environment, an itemize
+    whose markers vanish, escaped specials, ~ ties, \\\\ breaks, a
+    \\cite, and a bare \\LaTeX command."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:tex".encode()).digest()
+    w = [_WORDS[(b[k] + k) % 5] for k in range(8)]
+    sec = 1 + b[8] % 9
+    pct = b[9] % 100
+    return (
+        "\\documentclass[11pt]{article}\n"
+        "\\usepackage[utf8]{inputenc}\n"
+        f"\\title{{{w[0]} study {i}}}\n"
+        "\\begin{document}\n"
+        f"intro {w[1]}~{w[2]} % trailing comment {w[3]}\n"
+        f"\\section{{part {sec}}}\n"
+        f"\\emph{{nested \\textbf{{{w[3]} bold}}}} follows\n"
+        f"math $x^{{{sec}}}$ inline and\n"
+        "\\begin{equation}\nE = mc^2\n\\end{equation}\n"
+        f"then \\[ {w[4]} = 0 \\] display\n"
+        "\\begin{itemize}\n"
+        f"\\item {w[5]} one\\\\{w[6]} two\n"
+        "\\end{itemize}\n"
+        f"{pct}\\% of \\&{w[7]} \\cite{{ref{i}}} cited \\LaTeX\n"
+        "\\end{document}\n"
+    )
+
+
+def synth_latex(docs: DataFrame) -> DataFrame:
+    """Deterministic LaTeX source per document (see
+    :func:`_synth_latex_source`)."""
+
+    @F.pandas_udf("string")
+    def _src(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_latex_source(int(i)) for i in ids])
+
+    return docs.select("doc_id", _src("doc_id").alias("content"))

@@ -652,3 +652,53 @@ def q_pipeline_feeds_to_frontier(spark: SparkSession, sf: str) -> DataFrame:
         F.min(F.col("feed_id") * 10 + F.col("entry_idx")).alias("first_ref"),
         F.count(F.lit(1)).alias("n_refs"),
     )
+
+
+@query(
+    "source_latex_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('tex', 0)} AS b0, {_b('tex', 1)} AS b1,
+             {_b('tex', 2)} AS b2, {_b('tex', 3)} AS b3,
+             {_b('tex', 5)} AS b5, {_b('tex', 6)} AS b6,
+             {_b('tex', 7)} AS b7, {_b('tex', 8)} AS b8,
+             {_b('tex', 9)} AS b9
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             {_W}[(b0 + 0) % 5 + 1] || ' study ' || CAST(doc_id AS VARCHAR)
+             || ' intro ' || {_W}[(b1 + 1) % 5 + 1]
+             || ' ' || {_W}[(b2 + 2) % 5 + 1]
+             || ' part ' || CAST(1 + b8 % 9 AS VARCHAR)
+             || ' nested ' || {_W}[(b3 + 3) % 5 + 1]
+             || ' bold follows math inline and then display '
+             || {_W}[(b5 + 5) % 5 + 1] || ' one '
+             || {_W}[(b6 + 6) % 5 + 1] || ' two '
+             || CAST(b9 % 100 AS VARCHAR) || '% of &'
+             || {_W}[(b7 + 7) % 5 + 1] || ' cited' AS text
+      FROM p
+    )
+    SELECT doc_id, text,
+           CAST(LENGTH(text) - LENGTH(replace(text, ' ', '')) + 1 AS INT)
+             AS n_tokens
+    FROM t
+    """,
+)
+def q_source_latex_text(spark: SparkSession, sf: str) -> DataFrame:
+    # LaTeX → text (r9) — the arXiv leg of corpus extraction (the
+    # named source in Pile/RedPajama-class mixes): the deterministic
+    # rule subset production pipelines run, every rule live in the
+    # fixture — preamble declarations dropped WITH their arguments
+    # (incl. bracketed options), \\title/\\section unwrapped, a
+    # trailing comment stripped, nested \\emph{\\textbf{}} unwrapped
+    # inside-out, inline $math$ and \\[display\\] dropped, the
+    # equation ENVIRONMENT dropped whole (its E=mc^2 body must not
+    # leak) while itemize markers vanish keeping the items, \\\\ line
+    # breaks, ~ ties, escaped \\% and \\& restored to literals, \\cite
+    # dropped with its key, and a bare \\LaTeX command dropped. The
+    # oracle is the closed-form expected text. One Arrow pass.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.latex_text(D.synth_latex(docs))

@@ -486,3 +486,36 @@ def test_frontier_urls_collapse_across_cosmetic_variants():
     assert any(re.search(r"/page/\d+/", u) for u in urls)
     assert any("utm_" in u for u in urls)
     assert any("#sec" in u for u in urls)
+
+
+# ---------------------------------------------------------------------------
+# LaTeX
+# ---------------------------------------------------------------------------
+
+
+def test_latex_rules_corners():
+    assert D.latex_to_text(
+        "\\begin{verbatim}\nraw $x$ \\emph{kept-verbatim?}\n\\end{verbatim} after"
+    ) == "after"  # verbatim dropped WHOLE, not unwrapped
+    assert D.latex_to_text(
+        "\\href[opt]{http://x}{}) \\url{http://y} done"
+    ).endswith("done")
+    assert D.latex_to_text("a \\{b\\} c") == "a {b} c"  # escaped braces literal
+    assert D.latex_to_text("\\emph{\\textbf{\\textit{deep}}}") == "deep"
+    assert D.latex_to_text("x $$ a\nb $$ y") == "x y"  # multiline display
+    assert D.latex_to_text("100\\% sure") == "100% sure"
+    assert D.latex_to_text("A\\\\B") == "A B"
+
+
+def test_latex_synth_closed_form():
+    import hashlib
+
+    for i in range(12):
+        b = hashlib.md5(f"{i}:tex".encode()).digest()
+        w = [D._WORDS[(b[k] + k) % 5] for k in range(8)]
+        expect = (
+            f"{w[0]} study {i} intro {w[1]} {w[2]} part {1 + b[8] % 9} "
+            f"nested {w[3]} bold follows math inline and then display "
+            f"{w[5]} one {w[6]} two {b[9] % 100}% of &{w[7]} cited"
+        )
+        assert D.latex_to_text(D._synth_latex_source(i)) == expect
