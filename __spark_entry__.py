@@ -86,6 +86,8 @@ FRONT = [
     "multimodal_audio_id3_tags",
     "pipeline_feeds_to_frontier",
     "source_latex_text",
+    "text_html_metadata",
+    "text_html_tables",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

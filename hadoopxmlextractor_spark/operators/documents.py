@@ -2009,3 +2009,289 @@ def synth_latex(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_latex_source(int(i)) for i in ids])
 
     return docs.select("doc_id", _src("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# HTML structured metadata — OpenGraph, canonical link, JSON-LD
+# ---------------------------------------------------------------------------
+
+
+def html_page_metadata(html: str) -> dict:
+    """OpenGraph properties, the canonical link, and the first valid
+    JSON-LD block of one HTML page — the structured-data triple a
+    crawl pipeline extracts next to the visible text. Tolerant of tag
+    soup (stdlib HTMLParser), attribute order, and quoting; a
+    malformed JSON-LD block is skipped, not fatal."""
+    import json as _json
+    from html.parser import HTMLParser
+
+    meta = {"og_title": None, "og_description": None, "og_image": None,
+            "canonical_href": None, "jsonld_type": None,
+            "jsonld_name": None, "jsonld_date": None}
+
+    class _Meta(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.in_ldjson = False
+            self.ld_chunks: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            a = dict(attrs)
+            if tag == "meta" and a.get("property", "").startswith("og:"):
+                key = "og_" + a["property"][3:]
+                if key in meta and meta[key] is None:
+                    meta[key] = a.get("content")
+            elif tag == "link" and a.get("rel") == "canonical":
+                if meta["canonical_href"] is None:
+                    meta["canonical_href"] = a.get("href")
+            elif tag == "script" and a.get("type") == "application/ld+json":
+                self.in_ldjson = True
+                self.ld_chunks = []
+
+        def handle_data(self, data):
+            if self.in_ldjson:
+                self.ld_chunks.append(data)
+
+        def handle_endtag(self, tag):
+            if tag == "script" and self.in_ldjson:
+                self.in_ldjson = False
+                if meta["jsonld_type"] is not None:
+                    return
+                try:
+                    obj = _json.loads("".join(self.ld_chunks))
+                except ValueError:
+                    return
+                if isinstance(obj, dict):
+                    meta["jsonld_type"] = obj.get("@type")
+                    meta["jsonld_name"] = obj.get("name")
+                    meta["jsonld_date"] = obj.get("datePublished")
+
+    p = _Meta()
+    p.feed(html)
+    return meta
+
+
+def html_metadata(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """One structured-metadata row per HTML page in one Arrow pass."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "og_title", "og_description", "og_image",
+                "canonical_href", "jsonld_type", "jsonld_name",
+                "jsonld_date"]
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    rows.append(
+                        {"doc_id": did, **html_page_metadata(str(html))}
+                    )
+                except Exception:  # noqa: BLE001 — tag soup never kills a job
+                    rows.append({"doc_id": did, **{c: None for c in cols[1:]}})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _meta,
+        schema="doc_id bigint, og_title string, og_description string, "
+        "og_image string, canonical_href string, jsonld_type string, "
+        "jsonld_name string, jsonld_date string",
+    )
+
+
+def html_table_cells(html: str) -> list[dict]:
+    """(table_idx, row_idx, col_idx, is_header, text) per cell of
+    every <table> in an HTML page: th vs td tracked, inline markup
+    (<b>, <span>) transparent, charrefs decoded, whitespace collapsed.
+    The relational view of web tables a corpus pipeline mines."""
+    from html.parser import HTMLParser
+
+    out: list[dict] = []
+
+    class _Tables(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.table = -1
+            self.row = -1
+            self.col = -1
+            self.in_cell = False
+            self.is_header = False
+            self.chunks: list[str] = []
+
+        def _flush(self) -> None:
+            if self.in_cell:
+                self.in_cell = False
+                out.append({
+                    "table_idx": self.table, "row_idx": self.row,
+                    "col_idx": self.col, "is_header": self.is_header,
+                    "text": " ".join("".join(self.chunks).split()),
+                })
+
+        def handle_starttag(self, tag, attrs):
+            # real-web soup: a new td/th/tr/table IMPLICITLY closes an
+            # open cell (the HTML content model, which tag-soup pages
+            # rely on instead of writing </td>)
+            if tag == "table":
+                self._flush()
+                self.table += 1
+                self.row = -1
+            elif tag == "tr" and self.table >= 0:
+                self._flush()
+                self.row += 1
+                self.col = -1
+            elif tag in ("td", "th") and self.row >= 0:
+                self._flush()
+                self.col += 1
+                self.in_cell = True
+                self.is_header = tag == "th"
+                self.chunks = []
+
+        def handle_data(self, data):
+            if self.in_cell:
+                self.chunks.append(data)
+
+        def handle_endtag(self, tag):
+            if tag in ("td", "th", "tr", "table"):
+                self._flush()
+
+    p = _Tables()
+    p.feed(html)
+    return out
+
+
+def html_tables(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per table cell in one Arrow pass; pages without tables
+    yield the table_idx -1 marker row so page accounting stays total."""
+
+    def _cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "table_idx", "row_idx", "col_idx",
+                "is_header", "text"]
+        for pdf in batches:
+            rows = []
+            for did, html in zip(pdf[id_col], pdf[content_col]):
+                cells = []
+                try:
+                    cells = html_table_cells(str(html))
+                except Exception:  # noqa: BLE001
+                    cells = []
+                if not cells:
+                    # is_header pinned FALSE, not NULL: a NULL boolean
+                    # stringifies differently across the engines
+                    # (the canonicalizer trap documented in CLAUDE.md)
+                    rows.append({
+                        "doc_id": did, "table_idx": -1, "row_idx": None,
+                        "col_idx": None, "is_header": False, "text": None,
+                    })
+                    continue
+                for c in cells:
+                    rows.append({"doc_id": did, **c})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _cells,
+        schema="doc_id bigint, table_idx int, row_idx int, col_idx int, "
+        "is_header boolean, text string",
+    )
+
+
+def _synth_metadata_html(i: int) -> str:
+    """One deterministic HTML page from md5(doc:hmeta): og:title
+    always present (attribute ORDER rotates content-first vs
+    property-first), og:description only on b2%2, og:image with a
+    charref the parser must decode, a canonical link, and a JSON-LD
+    Article block on b3%3!=0 (absent branch live) preceded by a
+    MALFORMED decoy block that must be skipped, not fatal."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:hmeta".encode()).digest()
+    title = f"{_WORDS[b[1] % 5]} page {i}"
+    desc = f"about {_WORDS[(b[2] + 1) % 5]}"
+    img = f"https://img.ex.org/{i}?a=1&amp;b=2"
+    canon = f"https://ex.org/page/{i % 300}"
+    head = []
+    if b[0] % 2 == 0:
+        head.append(f'<meta property="og:title" content="{title}">')
+    else:
+        head.append(f'<meta content="{title}" property="og:title">')
+    if b[2] % 2 == 1:
+        head.append(f'<meta property="og:description" content="{desc}">')
+    head.append(f'<meta property="og:image" content="{img}">')
+    head.append(f'<link rel="canonical" href="{canon}">')
+    if b[3] % 3 != 0:
+        head.append(
+            '<script type="application/ld+json">{broken json!}</script>'
+        )
+        date = f"20{10 + b[4] % 15:02d}-{1 + b[5] % 12:02d}-01"
+        head.append(
+            '<script type="application/ld+json">'
+            '{"@context": "https://schema.org", "@type": "Article", '
+            f'"name": "{title}", "datePublished": "{date}"}}'
+            "</script>"
+        )
+    return (
+        "<html><head><title>ignored</title>" + "".join(head)
+        + f"</head><body><p>body {i}</p></body></html>"
+    )
+
+
+def synth_metadata_html(docs: DataFrame) -> DataFrame:
+    """Deterministic metadata-bearing HTML per document (see
+    :func:`_synth_metadata_html`)."""
+
+    @F.pandas_udf("string")
+    def _page(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_metadata_html(int(i)) for i in ids])
+
+    return docs.select("doc_id", _page("doc_id").alias("content"))
+
+
+def _synth_table_html(i: int) -> str:
+    """One deterministic HTML page from md5(doc:htab): 1+b0%2 tables,
+    table t with a <th> header row of 2+b1%2 columns and 1+(b2+t)%3
+    body rows; cells carry inline <b>/<span> markup and an &amp;
+    charref the extractor must normalize; b3%7==0 pages have NO table
+    (the marker branch)."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:htab".encode()).digest()
+    if b[3] % 7 == 0:
+        return f"<html><body><p>tableless {i}</p></body></html>"
+    n_tables = 1 + b[0] % 2
+    n_cols = 2 + b[1] % 2
+    parts = ["<html><body>"]
+    for t in range(n_tables):
+        parts.append("<table>")
+        parts.append(
+            "<tr>"
+            + "".join(
+                f"<th><b>col {c}</b></th>" for c in range(n_cols)
+            )
+            + "</tr>"
+        )
+        for r in range(1 + (b[2] + t) % 3):
+            cells = []
+            for c in range(n_cols):
+                word = _WORDS[(b[4] + t + r + c) % 5]
+                if c == 0:
+                    cells.append(f"<td><span>{word}</span> &amp; {r}</td>")
+                else:
+                    cells.append(f"<td>{word} {t}{r}{c}</td>")
+            parts.append("<tr>" + "".join(cells) + "</tr>")
+        parts.append("</table>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def synth_table_html(docs: DataFrame) -> DataFrame:
+    """Deterministic table-bearing HTML per document (see
+    :func:`_synth_table_html`)."""
+
+    @F.pandas_udf("string")
+    def _page(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_table_html(int(i)) for i in ids])
+
+    return docs.select("doc_id", _page("doc_id").alias("content"))

@@ -702,3 +702,114 @@ def q_source_latex_text(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.latex_text(D.synth_latex(docs))
+
+
+@query(
+    "text_html_metadata",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('hmeta', 0)} AS b0, {_b('hmeta', 1)} AS b1,
+             {_b('hmeta', 2)} AS b2, {_b('hmeta', 3)} AS b3,
+             {_b('hmeta', 4)} AS b4, {_b('hmeta', 5)} AS b5
+      FROM documents
+    )
+    SELECT doc_id,
+           {_W}[b1 % 5 + 1] || ' page ' || CAST(doc_id AS VARCHAR)
+             AS og_title,
+           CASE WHEN b2 % 2 = 1
+                THEN 'about ' || {_W}[(b2 + 1) % 5 + 1] END
+             AS og_description,
+           'https://img.ex.org/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+             AS og_image,
+           'https://ex.org/page/' || CAST(doc_id % 300 AS VARCHAR)
+             AS canonical_href,
+           CASE WHEN b3 % 3 <> 0 THEN 'Article' END AS jsonld_type,
+           CASE WHEN b3 % 3 <> 0
+                THEN {_W}[b1 % 5 + 1] || ' page ' || CAST(doc_id AS VARCHAR)
+                END AS jsonld_name,
+           CASE WHEN b3 % 3 <> 0
+                THEN '20' || CAST(10 + b4 % 15 AS VARCHAR) || '-'
+                  || lpad(CAST(1 + b5 % 12 AS VARCHAR), 2, '0') || '-01'
+                END AS jsonld_date
+    FROM p
+    """,
+)
+def q_text_html_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    # HTML structured metadata (r9) — the schema.org / OpenGraph layer
+    # a crawl pipeline extracts next to visible text (document titles,
+    # publish dates, canonical identity for URL-level dedup): og:*
+    # meta tags with ROTATING attribute order (content-first vs
+    # property-first), og:description absent on half the pages (NULL
+    # branch live), a charref inside og:image the parser must decode,
+    # the canonical <link>, and the first VALID JSON-LD block — each
+    # JSON-LD page leads with a malformed decoy block that must be
+    # skipped, never fatal, and a third of pages carry no JSON-LD at
+    # all. One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.html_metadata(D.synth_metadata_html(docs))
+
+
+@query(
+    "text_html_tables",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('htab', 0)} AS b0, {_b('htab', 1)} AS b1,
+             {_b('htab', 2)} AS b2, {_b('htab', 3)} AS b3,
+             {_b('htab', 4)} AS b4
+      FROM documents
+    ),
+    tabled AS (SELECT * FROM p WHERE b3 % 7 <> 0),
+    t AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 2)) AS t,
+             2 + b1 % 2 AS n_cols, b2, b4
+      FROM tabled
+    ),
+    hdr AS (
+      SELECT doc_id, t, 0 AS row_idx,
+             unnest(generate_series(0, n_cols - 1)) AS c,
+             TRUE AS is_header, b2, b4
+      FROM t
+    ),
+    bodyr AS (
+      SELECT doc_id, t, n_cols,
+             unnest(generate_series(0, (b2 + t) % 3)) AS r, b4
+      FROM t
+    ),
+    body AS (
+      SELECT doc_id, t, r + 1 AS row_idx,
+             unnest(generate_series(0, n_cols - 1)) AS c,
+             FALSE AS is_header, r, b4
+      FROM bodyr
+    )
+    SELECT doc_id, CAST(t AS INT) AS table_idx, CAST(row_idx AS INT)
+             AS row_idx, CAST(c AS INT) AS col_idx, is_header,
+           'col ' || CAST(c AS VARCHAR) AS text
+    FROM hdr
+    UNION ALL
+    SELECT doc_id, CAST(t AS INT), CAST(row_idx AS INT), CAST(c AS INT),
+           is_header,
+           CASE WHEN c = 0
+                THEN {_W}[(b4 + t + r) % 5 + 1] || ' & ' || CAST(r AS VARCHAR)
+                ELSE {_W}[(b4 + t + r + c) % 5 + 1] || ' '
+                  || CAST(t AS VARCHAR) || CAST(r AS VARCHAR)
+                  || CAST(c AS VARCHAR) END
+    FROM body
+    UNION ALL
+    SELECT doc_id, -1, NULL, NULL, FALSE, NULL
+    FROM p WHERE b3 % 7 = 0
+    """,
+)
+def q_text_html_tables(spark: SparkSession, sf: str) -> DataFrame:
+    # Web-table extraction (r9) — the relational layer of crawled
+    # pages a corpus pipeline mines for structured training data: one
+    # row per cell with table/row/column coordinates and the th-vs-td
+    # header flag; inline <b>/<span> markup transparent, &amp;
+    # charrefs decoded, whitespace collapsed. Pages without tables
+    # (b3%7==0) yield the table_idx -1 marker row so page accounting
+    # stays total. One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.html_tables(D.synth_table_html(docs))

@@ -519,3 +519,43 @@ def test_latex_synth_closed_form():
             f"{w[5]} one {w[6]} two {b[9] % 100}% of &{w[7]} cited"
         )
         assert D.latex_to_text(D._synth_latex_source(i)) == expect
+
+
+# ---------------------------------------------------------------------------
+# HTML metadata + tables
+# ---------------------------------------------------------------------------
+
+
+def test_html_metadata_soup_and_decoy_jsonld():
+    html = (
+        "<html><head>"
+        "<meta property='og:title' content='T &amp; co'>"
+        "<script type='application/ld+json'>{oops</script>"
+        "<script type='application/ld+json'>"
+        '{"@type": "NewsArticle", "name": "N"}</script>'
+        "<link rel=canonical href=https://c.example/x>"
+        "<p>unclosed head, tag soup"
+    )
+    m = D.html_page_metadata(html)
+    assert m["og_title"] == "T & co"
+    assert m["jsonld_type"] == "NewsArticle" and m["jsonld_name"] == "N"
+    assert m["canonical_href"] == "https://c.example/x"
+    assert m["og_description"] is None
+
+
+def test_html_tables_soup_and_header_flags():
+    html = (
+        "<table><tr><th>H1</th><th>H2</th></tr>"
+        "<tr><td><b>a</b> &amp; b<td>c</table>"  # unclosed td/tr, soup
+        "<p>between</p>"
+        "<table><tr><td>second</td></tr></table>"
+    )
+    cells = D.html_table_cells(html)
+    t0 = [c for c in cells if c["table_idx"] == 0]
+    assert [(c["row_idx"], c["col_idx"], c["is_header"], c["text"])
+            for c in t0] == [
+        (0, 0, True, "H1"), (0, 1, True, "H2"),
+        (1, 0, False, "a & b"), (1, 1, False, "c"),
+    ]
+    t1 = [c for c in cells if c["table_idx"] == 1]
+    assert len(t1) == 1 and t1[0]["text"] == "second"
