@@ -88,6 +88,8 @@ FRONT = [
     "source_latex_text",
     "text_html_metadata",
     "text_html_tables",
+    "source_mbox_emails",
+    "source_code_features",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

@@ -2295,3 +2295,376 @@ def synth_table_html(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_table_html(int(i)) for i in ids])
 
     return docs.select("doc_id", _page("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# mbox / RFC 5322 email — mailing-list corpora
+# ---------------------------------------------------------------------------
+
+_ENCWORD_RE = re.compile(r"=\?([^?]+)\?([qbQB])\?([^?]*)\?=")
+
+
+def _decode_encoded_word(m: re.Match) -> str:
+    charset, kind, payload = m.group(1), m.group(2).lower(), m.group(3)
+    if kind == "q":
+        raw = re.sub(
+            rb"=([0-9A-Fa-f]{2})",
+            lambda h: bytes([int(h.group(1), 16)]),
+            payload.replace("_", " ").encode("latin-1", "replace"),
+        )
+    else:
+        import base64
+
+        raw = base64.b64decode(payload)
+    return raw.decode(charset, "replace")
+
+
+def _decode_header(value: str) -> str:
+    """RFC 2047 encoded-words (Q and B, any charset) decoded in place;
+    whitespace BETWEEN adjacent encoded words is dropped per §6.2."""
+    value = re.sub(
+        r"(=\?[^?]+\?[qbQB]\?[^?]*\?=)\s+(?==\?)", r"\1", value
+    )
+    return _ENCWORD_RE.sub(_decode_encoded_word, value)
+
+
+def _decode_body(body: str, cte: str) -> str:
+    cte = cte.lower().strip()
+    if cte == "quoted-printable":
+        b = re.sub(r"=\r?\n", "", body)  # soft breaks
+        raw = re.sub(
+            rb"=([0-9A-Fa-f]{2})",
+            lambda h: bytes([int(h.group(1), 16)]),
+            b.encode("ascii", "replace"),
+        )
+        return raw.decode("utf-8", "replace")
+    if cte == "base64":
+        import base64
+
+        return base64.b64decode(body).decode("utf-8", "replace")
+    return body
+
+
+def _parse_headers(block: str) -> dict[str, str]:
+    """Header block → dict, continuation lines UNFOLDED (RFC 5322
+    §2.2.3: a line starting with whitespace continues the previous
+    header), names case-folded."""
+    headers: dict[str, str] = {}
+    current = None
+    for line in block.split("\n"):
+        if line[:1] in (" ", "\t") and current:
+            headers[current] += " " + line.strip()
+            continue
+        name, sep, val = line.partition(":")
+        if sep:
+            current = name.strip().lower()
+            headers[current] = val.strip()
+    return headers
+
+
+def mbox_messages(text: str) -> list[dict]:
+    """Messages of an mbox file: split on the ``From `` envelope
+    lines, headers unfolded and RFC 2047-decoded, Date through the
+    same civil-date arithmetic as the feed parser, and the body
+    decoded through Content-Transfer-Encoding (7bit /
+    quoted-printable / base64); multipart/alternative messages yield
+    their text/plain part (the HTML part is NOT the corpus text)."""
+    chunks = re.split(r"(?:^|\n)From [^\n]*\n", text)
+    out = []
+    for chunk in chunks:
+        if not chunk.strip():
+            continue
+        head, _, body = chunk.partition("\n\n")
+        headers = _parse_headers(head)
+        if "message-id" not in headers and "from" not in headers:
+            raise ValueError("mbox chunk without headers")
+        ctype = headers.get("content-type", "text/plain")
+        cte = headers.get("content-transfer-encoding", "7bit")
+        if ctype.startswith("multipart/"):
+            m = re.search(r'boundary="?([^";]+)"?', ctype)
+            if m is None:
+                raise ValueError("multipart without boundary")
+            boundary = m.group(1)
+            text_part = None
+            for part in body.split(f"--{boundary}")[1:]:
+                if part.strip() in ("", "--"):
+                    continue
+                phead, _, pbody = part.lstrip("\n").partition("\n\n")
+                ph = _parse_headers(phead)
+                if ph.get("content-type", "").startswith("text/plain"):
+                    text_part = _decode_body(
+                        pbody, ph.get("content-transfer-encoding", "7bit")
+                    )
+                    break
+            body_text = text_part if text_part is not None else ""
+        else:
+            body_text = _decode_body(body, cte)
+        date = headers.get("date")
+        out.append({
+            "from_addr": _decode_header(headers.get("from", "")),
+            "subject": _decode_header(headers.get("subject", "")),
+            "date_s": _parse_feed_date(date) if date else None,
+            "body": body_text.strip(),
+        })
+    if not out:
+        raise ValueError("empty mbox")
+    return out
+
+
+def mbox_emails(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per mbox message in one Arrow pass: sender, decoded
+    subject, date in epoch ms, decoded text/plain body. Malformed
+    payloads yield the msg_idx -1 marker row."""
+
+    def _msgs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "msg_idx", "from_addr", "subject",
+                "date_ms", "body"]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    for k, msg in enumerate(mbox_messages(str(payload))):
+                        rows.append({
+                            "doc_id": did, "msg_idx": k,
+                            "from_addr": msg["from_addr"],
+                            "subject": msg["subject"],
+                            "date_ms": None if msg["date_s"] is None
+                            else msg["date_s"] * 1000,
+                            "body": msg["body"],
+                        })
+                except (ValueError, TypeError):
+                    rows.append({
+                        "doc_id": did, "msg_idx": -1, "from_addr": None,
+                        "subject": None, "date_ms": None, "body": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _msgs,
+        schema="doc_id bigint, msg_idx int, from_addr string, "
+        "subject string, date_ms bigint, body string",
+    )
+
+
+_MBOX_PHRASES = ("café update", "naïve plan", "plain note")
+
+
+def _q_encode(s: str) -> str:
+    """RFC 2047 Q encoding of one UTF-8 string (synth side)."""
+    out = []
+    for byte in s.encode("utf-8"):
+        ch = chr(byte)
+        if ch == " ":
+            out.append("_")
+        elif byte < 33 or byte > 126 or ch in "=?_":
+            out.append(f"={byte:02X}")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _synth_mbox(i: int) -> str:
+    """One deterministic mbox from md5(doc:mbox): 1+b0%3 messages;
+    message m rotates body transport (7bit / quoted-printable with a
+    non-ASCII phrase / base64 / multipart-alternative whose text/html
+    decoy must NOT be chosen), subject rotates a plain form with a
+    FOLDED continuation line vs an RFC 2047 Q-encoded word, and dates
+    ride the shared civil-date epoch."""
+    import base64
+    import hashlib
+
+    b = hashlib.md5(f"{i}:mbox".encode()).digest()
+    n = 1 + b[0] % 3
+    msgs = []
+    for m in range(n):
+        epoch = 1690000000 + 86400 * b[1] + 7200 * m + 13 * b[2]
+        word = _WORDS[(b[3] + m) % 5]
+        body_plain = f"{word} body {m} of doc {i}"
+        variant = (b[4] + m) % 4
+        subj_plain = f"re: {word} thread {m}"
+        del subj_plain  # (the oracle reconstructs both branches)
+        if (b[5] + m) % 2 == 1:
+            subject = f"=?utf-8?Q?{_q_encode(_MBOX_PHRASES[(b[6] + m) % 3])}?="
+        else:
+            subject = f"re: {word}\n thread {m}"  # folded header
+        headers = [
+            f"From: dev{m}@lists.ex.org",
+            f"To: all@lists.ex.org",
+            f"Subject: {subject}",
+            f"Date: {_rfc822(epoch)}",
+            f"Message-ID: <{i}.{m}@ex.org>",
+        ]
+        if variant == 0:
+            body = body_plain
+        elif variant == 1:
+            headers.append("Content-Transfer-Encoding: quoted-printable")
+            body = f"caf=C3=A9 {body_plain} ends=\nhere"
+        elif variant == 2:
+            headers.append("Content-Transfer-Encoding: base64")
+            body = base64.b64encode(body_plain.encode()).decode()
+        else:
+            headers.append(
+                'Content-Type: multipart/alternative; boundary="B42"'
+            )
+            body = (
+                f"--B42\nContent-Type: text/html\n\n<p>DECOY {m}</p>\n"
+                f"--B42\nContent-Type: text/plain\n\n{body_plain}\n"
+                f"--B42--\n"
+            )
+        msgs.append(
+            f"From dev{m}@lists.ex.org Thu Jan  1 00:00:00 2026\n"
+            + "\n".join(headers) + "\n\n" + body + "\n"
+        )
+    return "".join(msgs)
+
+
+def synth_mbox(docs: DataFrame) -> DataFrame:
+    """Deterministic mbox per document (see :func:`_synth_mbox`)."""
+
+    @F.pandas_udf("string")
+    def _payload(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_mbox(int(i)) for i in ids])
+
+    return docs.select("doc_id", _payload("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# Source-code file features — The-Stack-style code-corpus triage
+# ---------------------------------------------------------------------------
+
+_CODE_EXT = {
+    ".py": "python", ".js": "javascript", ".sql": "sql",
+    ".sh": "shell", ".rs": "rust",
+}
+_CODE_MARKER = {
+    "python": "#", "shell": "#", "javascript": "//", "rust": "//",
+    "sql": "--",
+}
+_SHEBANG_LANG = (
+    (re.compile(r"^#!.*\bpython"), "python"),
+    (re.compile(r"^#!.*\b(?:bash|sh)\b"), "shell"),
+    (re.compile(r"^#!.*\bnode\b"), "javascript"),
+)
+_LICENSE_RE = re.compile(
+    r"Apache License|MIT License|GNU General Public License"
+)
+
+
+def code_file_features(path: str, src: str) -> dict:
+    """Triage features of one source file — the pre-filter columns a
+    code-corpus pipeline (The Stack-style) partitions and gates on:
+    language from the extension map with a SHEBANG fallback for
+    extensionless scripts, line count, per-language line-comment
+    count, longest line, shebang and license-header flags (license
+    scanned in the first 5 lines only — a LICENSE mention in the body
+    is not a header)."""
+    ext = "." + path.rpartition(".")[2] if "." in path.rpartition("/")[2] \
+        else ""
+    lang = _CODE_EXT.get(ext)
+    lines = src.split("\n")
+    if lines and not lines[-1]:
+        lines = lines[:-1]
+    has_shebang = bool(lines) and lines[0].startswith("#!")
+    if lang is None and has_shebang:
+        for rx, shl in _SHEBANG_LANG:
+            if rx.search(lines[0]):
+                lang = shl
+                break
+    marker = _CODE_MARKER.get(lang or "", None)
+    n_comment = (
+        sum(1 for ln in lines if marker and ln.lstrip().startswith(marker))
+        if marker
+        else 0
+    )
+    return {
+        "lang": lang,
+        "n_lines": len(lines),
+        "n_comment_lines": n_comment,
+        "max_line_len": max((len(ln) for ln in lines), default=0),
+        "has_shebang": has_shebang,
+        "has_license": bool(_LICENSE_RE.search("\n".join(lines[:5]))),
+    }
+
+
+def code_features(
+    docs: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One feature row per source file in one Arrow pass."""
+
+    def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "lang", "n_lines", "n_comment_lines",
+                "max_line_len", "has_shebang", "has_license"]
+        for pdf in batches:
+            rows = []
+            for did, path, src in zip(
+                pdf[id_col], pdf[path_col], pdf[content_col]
+            ):
+                rows.append(
+                    {"doc_id": did,
+                     **code_file_features(str(path), str(src))}
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, path_col, content_col).mapInPandas(
+        _feat,
+        schema="doc_id bigint, lang string, n_lines int, "
+        "n_comment_lines int, max_line_len int, has_shebang boolean, "
+        "has_license boolean",
+    )
+
+
+_CODE_LANGS = ("python", "javascript", "sql", "shell", "rust")
+_CODE_EXT_BY_LANG = {v: k for k, v in _CODE_EXT.items()}
+
+
+def _synth_code_file(i: int) -> tuple[str, str]:
+    """(path, source) for one deterministic code file from
+    md5(doc:code): language rotates over the 5-language map, except
+    b5%4==0 files are EXTENSIONLESS with a python shebang (the
+    fallback branch); an Apache-license comment header lands on
+    b3%3==0, comment lines on (b2+j)%3==0, and one long string line
+    of 56+b4%40 chars pins max_line_len."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:code".encode()).digest()
+    shebang_file = b[5] % 4 == 0
+    lang = "python" if shebang_file else _CODE_LANGS[b[0] % 5]
+    marker = _CODE_MARKER[lang]
+    lines = []
+    if shebang_file:
+        path = f"bin/tool_{i}"
+        lines.append("#!/usr/bin/env python3")
+    else:
+        path = f"src/mod_{i}{_CODE_EXT_BY_LANG[lang]}"
+    if b[3] % 3 == 0:
+        lines.append(f"{marker} Apache License 2.0")
+        lines.append(f"{marker} all rights reserved")
+    n = 3 + b[1] % 5
+    for j in range(n):
+        if (b[2] + j) % 3 == 0:
+            lines.append(f"{marker} note {j}")
+        else:
+            lines.append(f"x{j} = {j}")
+    lines.append('y = "' + "a" * (50 + b[4] % 40) + '"')
+    return path, "\n".join(lines) + "\n"
+
+
+def synth_code_files(docs: DataFrame) -> DataFrame:
+    """Deterministic source file per document (see
+    :func:`_synth_code_file`)."""
+
+    @F.pandas_udf("path string, content string")
+    def _file(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for ids in it:
+            rows = [_synth_code_file(int(i)) for i in ids]
+            yield pd.DataFrame(rows, columns=["path", "content"])
+
+    return docs.select(
+        "doc_id", _file("doc_id").alias("f")
+    ).select("doc_id", "f.path", "f.content")

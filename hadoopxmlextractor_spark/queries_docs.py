@@ -813,3 +813,103 @@ def q_text_html_tables(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.html_tables(D.synth_table_html(docs))
+
+
+@query(
+    "source_mbox_emails",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('mbox', 0)} AS b0, {_b('mbox', 1)} AS b1,
+             {_b('mbox', 2)} AS b2, {_b('mbox', 3)} AS b3,
+             {_b('mbox', 4)} AS b4, {_b('mbox', 5)} AS b5,
+             {_b('mbox', 6)} AS b6
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 3)) AS m,
+             b1, b2, b3, b4, b5, b6
+      FROM p
+    )
+    SELECT doc_id, CAST(m AS INT) AS msg_idx,
+           'dev' || CAST(m AS VARCHAR) || '@lists.ex.org' AS from_addr,
+           CASE WHEN (b5 + m) % 2 = 1
+                THEN (['café update','naïve plan','plain note'])
+                     [(b6 + m) % 3 + 1]
+                ELSE 're: ' || {_W}[(b3 + m) % 5 + 1]
+                  || ' thread ' || CAST(m AS VARCHAR) END AS subject,
+           CAST((1690000000 + 86400 * b1 + 7200 * m + 13 * b2) * 1000
+                AS BIGINT) AS date_ms,
+           CASE WHEN (b4 + m) % 4 = 1 THEN 'café ' ELSE '' END
+             || {_W}[(b3 + m) % 5 + 1] || ' body ' || CAST(m AS VARCHAR)
+             || ' of doc ' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN (b4 + m) % 4 = 1 THEN ' endshere' ELSE '' END
+             AS body
+    FROM m
+    """,
+)
+def q_source_mbox_emails(spark: SparkSession, sf: str) -> DataFrame:
+    # mbox / RFC 5322 email parsing (r9) — the mailing-list corpus
+    # source: envelope From_ splitting, header UNFOLDING (subjects
+    # fold across a continuation line on half the messages), RFC 2047
+    # Q-encoded subject words (non-ASCII phrases — the decode is
+    # live), dates through the shared civil-date integer arithmetic,
+    # and body transport rotating 7bit / quoted-printable (soft line
+    # breaks + =C3=A9 escapes) / base64 / multipart-alternative where
+    # the text/html DECOY part must never be chosen. One Arrow pass;
+    # malformed payloads degrade to the msg_idx -1 marker.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.mbox_emails(D.synth_mbox(docs))
+
+
+@query(
+    "source_code_features",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('code', 0)} AS b0, {_b('code', 1)} AS b1,
+             {_b('code', 2)} AS b2, {_b('code', 3)} AS b3,
+             {_b('code', 4)} AS b4, {_b('code', 5)} AS b5
+      FROM documents
+    ),
+    j AS (
+      SELECT doc_id, unnest(generate_series(0, 2 + b1 % 5)) AS jj,
+             b2
+      FROM p
+    ),
+    cm AS (
+      SELECT doc_id,
+             SUM(CASE WHEN (b2 + jj) % 3 = 0 THEN 1 ELSE 0 END) AS n_cm
+      FROM j GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CASE WHEN b5 % 4 = 0 THEN 'python'
+                ELSE (['python','javascript','sql','shell','rust'])
+                     [b0 % 5 + 1] END AS lang,
+           CAST((CASE WHEN b5 % 4 = 0 THEN 1 ELSE 0 END)
+                + (CASE WHEN b3 % 3 = 0 THEN 2 ELSE 0 END)
+                + (3 + b1 % 5) + 1 AS INT) AS n_lines,
+           CAST(cm.n_cm
+                + (CASE WHEN b3 % 3 = 0 THEN 2 ELSE 0 END)
+                + (CASE WHEN b5 % 4 = 0 THEN 1 ELSE 0 END) AS INT)
+             AS n_comment_lines,
+           CAST(56 + b4 % 40 AS INT) AS max_line_len,
+           (b5 % 4 = 0) AS has_shebang,
+           (b3 % 3 = 0) AS has_license
+    FROM p JOIN cm ON p.doc_id = cm.doc_id
+    """,
+)
+def q_source_code_features(spark: SparkSession, sf: str) -> DataFrame:
+    # Source-code triage features (r9) — the code-corpus (The Stack
+    # class) pre-filter columns: language from the extension map with
+    # a SHEBANG fallback (b5%4==0 files are extensionless scripts —
+    # the fallback branch is live, and the shebang line itself counts
+    # as a '#' comment, pinned on both sides), per-language line-
+    # comment counting ('#' vs '//' vs '--'), license-HEADER detection
+    # scanned in the first 5 lines only, line counts, and the longest
+    # line (one planted 56+b4%40-char string dominates by
+    # construction). One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.code_features(D.synth_code_files(docs))

@@ -559,3 +559,54 @@ def test_html_tables_soup_and_header_flags():
     ]
     t1 = [c for c in cells if c["table_idx"] == 1]
     assert len(t1) == 1 and t1[0]["text"] == "second"
+
+
+# ---------------------------------------------------------------------------
+# mbox + code features
+# ---------------------------------------------------------------------------
+
+
+def test_mbox_multipart_picks_plain_and_decodes_transports():
+    mbox = (
+        "From a@x Thu Jan  1 00:00:00 2026\n"
+        "From: a@x\nSubject: =?utf-8?Q?caf=C3=A9_pick?=\n"
+        "Message-ID: <1@x>\n"
+        'Content-Type: multipart/alternative; boundary="BB"\n\n'
+        "--BB\nContent-Type: text/html\n\n<b>DECOY</b>\n"
+        "--BB\nContent-Type: text/plain\n"
+        "Content-Transfer-Encoding: quoted-printable\n\n"
+        "na=C3=AFve bo=\ndy\n--BB--\n"
+    )
+    msgs = D.mbox_messages(mbox)
+    assert len(msgs) == 1
+    assert msgs[0]["subject"] == "café pick"
+    assert msgs[0]["body"] == "naïve body"
+
+
+def test_mbox_header_unfolding_and_marker(spark):
+    mbox = (
+        "From a@x Thu Jan  1 00:00:00 2026\n"
+        "From: a@x\nSubject: part one\n two\n"
+        "Message-ID: <1@x>\n\nbody\n"
+    )
+    assert D.mbox_messages(mbox)[0]["subject"] == "part one two"
+    df = spark.createDataFrame(
+        [(3, "no envelope here")], "doc_id long, content string"
+    )
+    rows = D.mbox_emails(df).collect()
+    assert len(rows) == 1 and rows[0].msg_idx == -1
+
+
+def test_code_features_shebang_fallback_and_license_window():
+    f = D.code_file_features(
+        "bin/run", "#!/usr/bin/env bash\necho hi\n# done\n"
+    )
+    assert f["lang"] == "shell" and f["has_shebang"]
+    assert f["n_comment_lines"] == 2  # shebang line + '# done'
+    # a license mention PAST the first 5 lines is not a header
+    body = "\n".join(["x = 1"] * 6 + ["# MIT License"])
+    f2 = D.code_file_features("a.py", body)
+    assert not f2["has_license"] and f2["lang"] == "python"
+    f3 = D.code_file_features("q.sql", "-- Apache License\nSELECT 1;\n")
+    assert f3["has_license"] and f3["lang"] == "sql"
+    assert D.code_file_features("README", "no ext no shebang")["lang"] is None
