@@ -244,8 +244,15 @@ def test_document_plan_is_arrow_only(spark):
     for df in (
         D.document_text(D.synth_docx(docs)),
         D.archive_members(D.synth_zip_archives(docs)),
+        D.archive_tar_members(D.synth_tar_archives(docs)),
         D.subtitle_cues(D.synth_subtitles(docs)),
         D.feed_entries(D.synth_feeds(docs)),
+        D.xlsx_cells(D.synth_xlsx(docs)),
+        D.latex_text(D.synth_latex(docs)),
+        D.html_metadata(D.synth_metadata_html(docs)),
+        D.html_tables(D.synth_table_html(docs)),
+        D.mbox_emails(D.synth_mbox(docs)),
+        D.code_features(D.synth_code_files(docs)),
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan  # never row-at-a-time
