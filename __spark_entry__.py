@@ -90,6 +90,7 @@ FRONT = [
     "text_html_tables",
     "source_mbox_emails",
     "source_code_features",
+    "pipeline_subtitles_to_shots",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

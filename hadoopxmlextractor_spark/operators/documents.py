@@ -1212,18 +1212,30 @@ def synth_zip_archives(docs: DataFrame) -> DataFrame:
     )
 
 
-def _synth_subtitle_text(i: int) -> str:
+def _synth_subtitle_text(
+    i: int,
+    *,
+    salt: str = "subs",
+    gap_base: int = 3000,
+    gap_step: int = 500,
+    off_mod: int = 1000,
+    dur_base: int = 800,
+    dur_step: int = 250,
+) -> str:
     """One deterministic SRT (even doc) / WebVTT (odd doc) payload
-    from md5(doc:subs): 1+b0%4 cues on a (3000+500·(b1%10))·c + b2%1000
-    ms grid with 800+250·((b3+c)%12) ms durations; VTT rotates <i>
-    inline tags (stripped), MM:SS short timestamps, cue ids, settings
-    after the arrow, and a NOTE block; SRT rotates two-line cues."""
+    from md5(doc:salt): 1+b0%4 cues on a (gap_base+gap_step·(b1%10))·c
+    + b2%off_mod ms grid with dur_base+dur_step·((b3+c)%12) ms
+    durations; VTT rotates <i> inline tags (stripped), MM:SS short
+    timestamps, cue ids, settings after the arrow, and a NOTE block;
+    SRT rotates two-line cues. The grid parameters let the alignment
+    capstone synthesize cues on a video-length timeline while the
+    default query keeps its certified constants."""
     import hashlib
 
-    b = hashlib.md5(f"{i}:subs".encode()).digest()
+    b = hashlib.md5(f"{i}:{salt}".encode()).digest()
     n_cues = 1 + b[0] % 4
-    gap = 3000 + 500 * (b[1] % 10)
-    off = b[2] % 1000
+    gap = gap_base + gap_step * (b[1] % 10)
+    off = b[2] % off_mod
     is_vtt = i % 2 == 1
     lines = []
     if is_vtt:
@@ -1233,7 +1245,7 @@ def _synth_subtitle_text(i: int) -> str:
             lines += ["NOTE synthetic fixture", ""]
     for c in range(n_cues):
         start = gap * c + off
-        end = start + 800 + 250 * ((b[3] + c) % 12)
+        end = start + dur_base + dur_step * ((b[3] + c) % 12)
         word = _WORDS[(b[4] + c) % 5]
 
         def _fmt(ms: int, short: bool) -> str:
@@ -2668,3 +2680,26 @@ def synth_code_files(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", _file("doc_id").alias("f")
     ).select("doc_id", "f.path", "f.content")
+
+
+def synth_aligned_subtitles(docs: DataFrame) -> DataFrame:
+    """Subtitle payloads on a VIDEO-length timeline (the 8-frame,
+    4 fps = 2000 ms synth_ppm_video clock): gaps 400-760 ms, offsets
+    <200 ms, durations 150-480 ms — so cues genuinely straddle shot
+    boundaries, and the later cues of 4-cue files can run PAST the
+    video end (the unmatched branch of the alignment join)."""
+
+    @F.pandas_udf("string")
+    def _payload(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([
+                _synth_subtitle_text(
+                    int(i), salt="asub", gap_base=400, gap_step=40,
+                    off_mod=200, dur_base=150, dur_step=30,
+                )
+                for i in ids
+            ])
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"), _payload("doc_id").alias("content")
+    )

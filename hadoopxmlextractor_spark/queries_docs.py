@@ -913,3 +913,110 @@ def q_source_code_features(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.code_features(D.synth_code_files(docs))
+
+
+def _subtitle_shot_align_oracle() -> str:
+    from hadoopxmlextractor_spark import oracles as O
+
+    shots_sql = O.video_shots_oracle()
+    asub = _MD5B.replace("doc_id", "c.media_id")
+    b = lambda k: asub.format(salt="asub", pos=2 * k + 1)  # noqa: E731
+    return f"""
+    WITH sh AS ({shots_sql}),
+    seg0 AS (
+      SELECT media_id, frame_idx,
+             SUM(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+               OVER (PARTITION BY media_id ORDER BY frame_idx) - 1
+               AS shot_id
+      FROM sh
+    ),
+    seg AS (
+      SELECT media_id, shot_id,
+             MIN(frame_idx) * 250 AS s_start,
+             (MAX(frame_idx) + 1) * 250 - 1 AS s_end
+      FROM seg0 GROUP BY media_id, shot_id
+    ),
+    c AS (SELECT doc_id AS media_id FROM documents),
+    cp AS (
+      SELECT media_id, {b(0)} AS b0, {b(1)} AS b1, {b(2)} AS b2,
+             {b(3)} AS b3
+      FROM c
+    ),
+    cues AS (
+      SELECT media_id, unnest(generate_series(0, b0 % 4)) AS cue_idx,
+             400 + 40 * (b1 % 10) AS gap, b2 % 200 AS off, b3
+      FROM cp
+    ),
+    ci AS (
+      SELECT media_id, cue_idx, gap * cue_idx + off AS cs,
+             gap * cue_idx + off + 150 + 30 * ((b3 + cue_idx) % 12) AS ce
+      FROM cues
+    )
+    SELECT ci.media_id, CAST(ci.cue_idx AS INT) AS cue_idx,
+           CAST(seg.shot_id AS INT) AS shot_id,
+           CAST(LEAST(ci.ce, seg.s_end) - GREATEST(ci.cs, seg.s_start) + 1
+                AS BIGINT) AS overlap_ms
+    FROM ci JOIN seg
+      ON ci.media_id = seg.media_id
+     AND ci.cs <= seg.s_end AND seg.s_start <= ci.ce
+    """
+
+
+@query("pipeline_subtitles_to_shots", _subtitle_shot_align_oracle())
+def q_pipeline_subtitles_to_shots(spark: SparkSession, sf: str) -> DataFrame:
+    # The MULTIMODAL alignment capstone (r9) — the table a video-text
+    # training pipeline actually trains on: which transcript cue
+    # overlaps which SHOT, with the overlap duration. Composes three
+    # certified operators in one plan: video_shot_boundaries over the
+    # real PPM frame stream (scene cuts at frames 0/3/6; shots =
+    # running boundary count, segments on the 4 fps = 250 ms/frame
+    # clock), subtitle_cues over real SRT/VTT payloads on the same
+    # 2000 ms timeline, and temporal.interval_join — the BIN equi-join
+    # form (1 s bins), never a per-media theta cross product. Cues
+    # running past the video end stay unmatched (inner-join branch
+    # live). The oracle replays the FULL pixel→aHash→boundary chain
+    # (video_shots_oracle verbatim as a subquery) composed with the
+    # cue grid and integer overlap arithmetic. Shuffles: the
+    # media-keyed shot window + the (media, bin) join exchange.
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.operators import documents as D
+    from hadoopxmlextractor_spark.operators import multimodal as M
+    from hadoopxmlextractor_spark.operators.temporal import interval_join
+
+    docs = load(spark, sf, "documents")
+    shots = M.video_shot_boundaries(M.synth_ppm_video(docs))
+    w = Window.partitionBy("media_id").orderBy("frame_idx")
+    seg = (
+        shots.withColumn(
+            "shot_id",
+            F.sum(F.col("is_boundary").cast("int")).over(w) - 1,
+        )
+        .groupBy("media_id", "shot_id")
+        .agg(
+            (F.min("frame_idx") * 250).alias("s_start"),
+            ((F.max("frame_idx") + 1) * 250 - 1).alias("s_end"),
+        )
+    )
+    cues = D.subtitle_cues(D.synth_aligned_subtitles(docs))
+    left = cues.select(
+        "media_id", "cue_idx",
+        F.timestamp_millis(F.col("start_ms")).alias("start"),
+        F.timestamp_millis(F.col("end_ms")).alias("end"),
+    )
+    right = seg.select(
+        "media_id", "shot_id",
+        F.timestamp_millis(F.col("s_start")).alias("start"),
+        F.timestamp_millis(F.col("s_end")).alias("end"),
+    )
+    j = interval_join(left, right, "media_id", bin_seconds=1)
+    ms = F.unix_millis
+    return j.select(
+        "media_id", F.col("cue_idx").cast("int").alias("cue_idx"),
+        F.col("shot_id_r").cast("int").alias("shot_id"),
+        (
+            F.least(ms(F.col("end")), ms(F.col("end_r")))
+            - F.greatest(ms(F.col("start")), ms(F.col("start_r")))
+            + 1
+        ).alias("overlap_ms"),
+    )
