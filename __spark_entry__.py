@@ -91,6 +91,7 @@ FRONT = [
     "source_mbox_emails",
     "source_code_features",
     "pipeline_subtitles_to_shots",
+    "source_mbox_threads",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

@@ -2703,3 +2703,115 @@ def synth_aligned_subtitles(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"), _payload("doc_id").alias("content")
     )
+
+
+def mbox_threads(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mailing-list THREAD assembly — the step that turns an mbox into
+    dialogue training data: messages grouped by following In-Reply-To
+    chains back to their root (References fallback: last id wins),
+    with per-message depth. Resolution is per-file inside the Arrow
+    pass (thread graphs never span mbox files), so the operator stays
+    zero-shuffle. Output: (doc_id, msg_idx, thread_root_idx, depth);
+    malformed payloads yield the msg_idx -1 marker."""
+
+    def _threads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "msg_idx", "thread_root_idx", "depth"]
+        for pdf in batches:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    chunks = re.split(
+                        r"(?:^|\n)From [^\n]*\n", str(payload)
+                    )
+                    headers = []
+                    for chunk in chunks:
+                        if not chunk.strip():
+                            continue
+                        head, _, _body = chunk.partition("\n\n")
+                        headers.append(_parse_headers(head))
+                    if not headers:
+                        raise ValueError("empty mbox")
+                    by_id = {
+                        h.get("message-id"): k
+                        for k, h in enumerate(headers)
+                        if h.get("message-id")
+                    }
+                    for k, h in enumerate(headers):
+                        parent = h.get("in-reply-to")
+                        if parent is None and "references" in h:
+                            parent = h["references"].split()[-1]
+                        depth = 0
+                        node = k
+                        seen = {k}
+                        while parent is not None:
+                            nxt = by_id.get(parent)
+                            if nxt is None or nxt in seen:
+                                break  # dangling or cyclic: stop here
+                            seen.add(nxt)
+                            depth += 1
+                            node = nxt
+                            ph = headers[nxt]
+                            parent = ph.get("in-reply-to")
+                            if parent is None and "references" in ph:
+                                parent = ph["references"].split()[-1]
+                        rows.append({
+                            "doc_id": did, "msg_idx": k,
+                            "thread_root_idx": node, "depth": depth,
+                        })
+                except (ValueError, TypeError):
+                    rows.append({
+                        "doc_id": did, "msg_idx": -1,
+                        "thread_root_idx": None, "depth": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _threads,
+        schema="doc_id bigint, msg_idx int, thread_root_idx int, depth int",
+    )
+
+
+def _synth_threaded_mbox(i: int) -> str:
+    """One deterministic threaded mbox from md5(doc:thr): 2+b0%4
+    messages; message m starts a NEW thread when m==0 or (b1+m)%3==0,
+    otherwise replies to message m-1 (chains within threads — depth =
+    m - root). Odd replies reference the parent via References
+    instead of In-Reply-To (the fallback branch)."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:thr".encode()).digest()
+    n = 2 + b[0] % 4
+    msgs = []
+    for m in range(n):
+        headers = [
+            f"From: dev{m}@lists.ex.org",
+            f"Subject: msg {m}",
+            f"Message-ID: <{i}.{m}@ex.org>",
+        ]
+        is_root = m == 0 or (b[1] + m) % 3 == 0
+        if not is_root:
+            if (b[2] + m) % 2 == 1:
+                headers.append(
+                    f"References: <{i}.0@ex.org> <{i}.{m - 1}@ex.org>"
+                )
+            else:
+                headers.append(f"In-Reply-To: <{i}.{m - 1}@ex.org>")
+        msgs.append(
+            f"From dev{m}@lists.ex.org Thu Jan  1 00:00:00 2026\n"
+            + "\n".join(headers) + f"\n\nbody {m}\n"
+        )
+    return "".join(msgs)
+
+
+def synth_threaded_mbox(docs: DataFrame) -> DataFrame:
+    """Deterministic threaded mbox per document (see
+    :func:`_synth_threaded_mbox`)."""
+
+    @F.pandas_udf("string")
+    def _payload(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_threaded_mbox(int(i)) for i in ids])
+
+    return docs.select("doc_id", _payload("doc_id").alias("content"))

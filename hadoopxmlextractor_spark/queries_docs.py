@@ -1,15 +1,21 @@
 """Round-9 document-format queries — the text a crawl carries OUTSIDE
-HTML: ZIP archives, DOCX and EPUB (ZIP-of-XML — the reference's XML
-extraction heritage applied to office/ebook containers), PDF content
-streams, SRT/WebVTT subtitles, and RSS/Atom feeds.
+HTML: ZIP/TAR archives, DOCX/XLSX/PPTX and EPUB (ZIP-of-XML — the
+reference's XML extraction heritage applied to office/ebook
+containers), PDF content streams, LaTeX source, SRT/WebVTT subtitles,
+RSS/Atom feeds, mbox email (+ reply-chain threading), HTML structured
+metadata and web tables, and source-code triage features — plus the
+compositions: documents→corpus admission with a CROSS-FORMAT dedup
+plant, feeds→crawl-frontier assembly, and subtitle↔shot multimodal
+alignment.
 
-All six are single Arrow-pass operators from
+All are single Arrow-pass operators from
 :mod:`hadoopxmlextractor_spark.operators.documents` over
-md5-parameterized synthetic blobs, so every oracle replays the
+md5-parameterized synthetic blobs (the capstones add exactly the one
+shuffle their aggregate/join needs), so every oracle replays the
 extracted fields — member names, inflated sizes, paragraph/chapter/
-page text, cue timestamps, entry epochs — with pure integer and string
-arithmetic. No float crosses the engine boundary anywhere in this
-module.
+page text, cue timestamps, entry epochs, thread roots — with pure
+integer and string arithmetic. No float crosses the engine boundary
+anywhere in this module.
 """
 
 from __future__ import annotations
@@ -1020,3 +1026,45 @@ def q_pipeline_subtitles_to_shots(spark: SparkSession, sf: str) -> DataFrame:
             + 1
         ).alias("overlap_ms"),
     )
+
+
+@query(
+    "source_mbox_threads",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('thr', 0)} AS b0, {_b('thr', 1)} AS b1
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, unnest(generate_series(0, 1 + b0 % 4)) AS m, b1
+      FROM p
+    ),
+    r AS (
+      SELECT doc_id, m, (m = 0 OR (b1 + m) % 3 = 0) AS is_root FROM m
+    ),
+    t AS (
+      SELECT doc_id, m,
+             MAX(CASE WHEN is_root THEN m END)
+               OVER (PARTITION BY doc_id ORDER BY m) AS root
+      FROM r
+    )
+    SELECT doc_id, CAST(m AS INT) AS msg_idx,
+           CAST(root AS INT) AS thread_root_idx,
+           CAST(m - root AS INT) AS depth
+    FROM t
+    """,
+)
+def q_source_mbox_threads(spark: SparkSession, sf: str) -> DataFrame:
+    # Mailing-list THREADING (r9) — reply-chain assembly, the step
+    # between raw mbox and dialogue training data: In-Reply-To chains
+    # followed back to their roots (odd replies carry the parent only
+    # in a References list — the RFC 5322 fallback branch is live),
+    # per-message depth, dangling/cyclic references stop gracefully.
+    # Threads never span files, so resolution happens inside the Arrow
+    # pass and the operator is zero-shuffle. The oracle derives roots
+    # analytically (last root ≤ m via a running MAX window) — it never
+    # follows the reply pointers, so a threading defect diverges.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.mbox_threads(D.synth_threaded_mbox(docs))

@@ -617,3 +617,19 @@ def test_code_features_shebang_fallback_and_license_window():
     f3 = D.code_file_features("q.sql", "-- Apache License\nSELECT 1;\n")
     assert f3["has_license"] and f3["lang"] == "sql"
     assert D.code_file_features("README", "no ext no shebang")["lang"] is None
+
+
+def test_mbox_threads_dangling_and_references_fallback(spark):
+    mbox = (
+        "From a@x T\nFrom: a@x\nMessage-ID: <r@x>\n\nroot\n"
+        "From b@x T\nFrom: b@x\nMessage-ID: <c1@x>\n"
+        "References: <nowhere@x> <r@x>\n\nchild via references\n"
+        "From c@x T\nFrom: c@x\nMessage-ID: <c2@x>\n"
+        "In-Reply-To: <missing@x>\n\ndangling parent\n"
+    )
+    df = spark.createDataFrame([(1, mbox)], "doc_id long, content string")
+    rows = {r.msg_idx: r for r in D.mbox_threads(df).collect()}
+    assert rows[0].thread_root_idx == 0 and rows[0].depth == 0
+    assert rows[1].thread_root_idx == 0 and rows[1].depth == 1
+    # dangling In-Reply-To: message becomes its own root, depth 0
+    assert rows[2].thread_root_idx == 2 and rows[2].depth == 0
