@@ -8,7 +8,10 @@
   VP8X with alpha/animation flags) — the most common crawled image
   format after JPEG/PNG;
 - M4A/AAC audio metadata over the same MP4 box walk (AudioSampleEntry
-  + esds bitrate), unifying with the r8 audio tier.
+  + esds bitrate), unifying with the r8 audio tier;
+- ID3v2 TEXT frames (title/artist/album/year over v2.3 and v2.4 with
+  all three text encodings) — the content-metadata tier above the r8
+  size/duration walks.
 
 All header-only walks (no codec work) dispatched from the existing
 `video_container_meta` / `audio_container_meta` Arrow passes in

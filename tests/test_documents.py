@@ -633,3 +633,32 @@ def test_mbox_threads_dangling_and_references_fallback(spark):
     assert rows[1].thread_root_idx == 0 and rows[1].depth == 1
     # dangling In-Reply-To: message becomes its own root, depth 0
     assert rows[2].thread_root_idx == 2 and rows[2].depth == 0
+
+
+def test_capstone_plan_shapes(spark):
+    # the two document-tier plans that DO shuffle must shuffle exactly
+    # where designed: the corpus capstone on the fingerprint hash
+    # partition (window + join reuse it), the alignment capstone on
+    # the media/bin equi-join — and neither may fall back to a
+    # cartesian/nested-loop product or row-mode Python
+    import __spark_entry__ as E
+
+    qs = E.queries()
+    sf = "/root/testdata/sf0.001"
+    corpus_plan = qs["pipeline_documents_to_corpus"](
+        spark, sf
+    )._jdf.queryExecution().executedPlan().toString()
+    align_plan = qs["pipeline_subtitles_to_shots"](
+        spark, sf
+    )._jdf.queryExecution().executedPlan().toString()
+    for plan in (corpus_plan, align_plan):
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # the bin join must be an EQUI join of some physical flavor
+    # (broadcast at tiny sf, sort-merge/shuffled-hash once AQE sees
+    # real volume) — the cartesian forms are excluded above
+    assert any(
+        j in align_plan
+        for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+    )
