@@ -92,6 +92,9 @@ FRONT = [
     "source_code_features",
     "pipeline_subtitles_to_shots",
     "source_mbox_threads",
+    "source_notebook_cells",
+    "source_stackexchange_posts",
+    "pipeline_stackexchange_qa",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

@@ -2815,3 +2815,240 @@ def synth_threaded_mbox(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_threaded_mbox(int(i)) for i in ids])
 
     return docs.select("doc_id", _payload("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# Jupyter notebooks (.ipynb) — code-corpus cell extraction
+# ---------------------------------------------------------------------------
+
+
+def ipynb_cells(blob: bytes | str) -> list[dict]:
+    """(cell_idx, cell_type, source, n_outputs) per notebook cell:
+    nbformat-4 JSON, the ``source`` list-of-lines joined verbatim,
+    outputs COUNTED but never inlined (training pipelines strip
+    outputs — they carry execution artifacts, not authored text)."""
+    import json as _json
+
+    data = blob.decode("utf-8") if isinstance(blob, (bytes, bytearray)) \
+        else str(blob)
+    nb = _json.loads(data)
+    cells = nb.get("cells")
+    if not isinstance(cells, list):
+        raise ValueError("not an nbformat-4 notebook")
+    out = []
+    for k, cell in enumerate(cells):
+        src = cell.get("source", "")
+        if isinstance(src, list):
+            src = "".join(src)
+        out.append({
+            "cell_idx": k,
+            "cell_type": cell.get("cell_type", ""),
+            "source": src,
+            "n_outputs": len(cell.get("outputs", []) or []),
+        })
+    if not out:
+        raise ValueError("notebook with no cells")
+    return out
+
+
+def notebook_cells(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per notebook cell in one Arrow pass; malformed
+    notebooks yield the cell_idx -1 marker row."""
+
+    def _cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        cols = ["doc_id", "cell_idx", "cell_type", "source", "n_outputs"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    for c in ipynb_cells(blob):
+                        rows.append({"doc_id": did, **c})
+                except (ValueError, TypeError, _json.JSONDecodeError,
+                        AttributeError):
+                    rows.append({
+                        "doc_id": did, "cell_idx": -1, "cell_type": None,
+                        "source": None, "n_outputs": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _cells,
+        schema="doc_id bigint, cell_idx int, cell_type string, "
+        "source string, n_outputs int",
+    )
+
+
+def _synth_ipynb(i: int) -> bytes:
+    """One deterministic nbformat-4 notebook from md5(doc:nb):
+    1+b0%4 cells alternating markdown/code by (b1+k)%2, code cells
+    carrying 1+(b2+k)%3 execution outputs that must be COUNTED but
+    never inlined, and multi-line list-form source the extractor
+    joins verbatim."""
+    import hashlib
+    import json as _json
+
+    b = hashlib.md5(f"{i}:nb".encode()).digest()
+    cells = []
+    for k in range(1 + b[0] % 4):
+        word = _WORDS[(b[3] + k) % 5]
+        if (b[1] + k) % 2 == 0:
+            cells.append({
+                "cell_type": "markdown",
+                "metadata": {},
+                "source": [f"# {word} section {k}\n", f"notes {k}"],
+            })
+        else:
+            n_out = 1 + (b[2] + k) % 3
+            cells.append({
+                "cell_type": "code",
+                "execution_count": k,
+                "metadata": {},
+                "source": [f"x_{k} = '{word}'\n", f"print(x_{k})"],
+                "outputs": [
+                    {"output_type": "stream", "name": "stdout",
+                     "text": [f"DECOY output {j}\n"]}
+                    for j in range(n_out)
+                ],
+            })
+    nb = {"cells": cells, "metadata": {}, "nbformat": 4,
+          "nbformat_minor": 5}
+    return _json.dumps(nb).encode()
+
+
+def synth_ipynb(docs: DataFrame) -> DataFrame:
+    """Deterministic notebook per document (see :func:`_synth_ipynb`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_ipynb(int(i)) for i in ids])
+
+    return docs.select("doc_id", _blob("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# Stack Exchange XML dumps — Posts.xml rows + Q&A assembly
+# ---------------------------------------------------------------------------
+
+
+def stackexchange_posts(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Posts.xml rows of a Stack Exchange data dump — the classic XML
+    corpus source, and the reference's XML-extraction heritage on a
+    real public dataset shape: one <row> element per post with the
+    payload in ATTRIBUTES (Body is entity-escaped HTML; ElementTree
+    decodes the entities, the html_text stage downstream strips the
+    markup). Output: (doc_id, post_id, post_type, parent_id, score,
+    created_ms, body_html). Malformed dumps yield the post_id -1
+    marker row."""
+
+    def _posts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "post_id", "post_type", "parent_id", "score",
+                "created_ms", "body_html"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    data = bytes(blob) if not isinstance(blob, str) \
+                        else blob.encode()
+                    root = ElementTree.fromstring(data)
+                    if _local(root.tag) != "posts":
+                        raise ValueError("not a posts dump")
+                    any_row = False
+                    for el in root:
+                        if _local(el.tag) != "row":
+                            continue
+                        any_row = True
+                        created = el.get("CreationDate")
+                        rows.append({
+                            "doc_id": did,
+                            "post_id": int(el.get("Id", "-1")),
+                            "post_type": int(el.get("PostTypeId", "0")),
+                            "parent_id": (
+                                int(el.get("ParentId"))
+                                if el.get("ParentId") is not None else None
+                            ),
+                            "score": int(el.get("Score", "0")),
+                            "created_ms": (
+                                _parse_feed_date(created + "Z") * 1000
+                                if created else None
+                            ),
+                            "body_html": el.get("Body"),
+                        })
+                    if not any_row:
+                        raise ValueError("dump with no rows")
+                except (ValueError, TypeError,
+                        ElementTree.ParseError):
+                    rows.append({
+                        "doc_id": did, "post_id": -1, "post_type": None,
+                        "parent_id": None, "score": None,
+                        "created_ms": None, "body_html": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _posts,
+        schema="doc_id bigint, post_id int, post_type int, "
+        "parent_id int, score int, created_ms bigint, body_html string",
+    )
+
+
+def _synth_stackexchange_xml(i: int) -> bytes:
+    """One deterministic Posts.xml fragment from md5(doc:se): one
+    question (post 1) and 1+b0%3 answers (posts 2..) with scores
+    (b2+a)%20 - 5 (ties live: duplicated score when b3%2), bodies as
+    ENTITY-ESCAPED HTML (&lt;p&gt;...&lt;/p&gt; with an &amp;amp;
+    double escape the two-layer decode chain must resolve), and ISO
+    CreationDates on the shared civil-date clock."""
+    import hashlib
+    from xml.sax.saxutils import quoteattr
+
+    b = hashlib.md5(f"{i}:se".encode()).digest()
+    n_ans = 1 + b[0] % 3
+    epoch0 = 1600000000 + 86400 * b[1]
+
+    def iso(epoch: int) -> str:
+        return _iso8601(epoch)[:-1]  # SE dumps carry no zone suffix
+
+    q_body = (
+        f"<p>how to {_WORDS[b[4] % 5]} &amp; why {i}?</p>"
+        "<pre>code block</pre>"
+    )
+    rows = [
+        f"  <row Id=\"1\" PostTypeId=\"1\" Score=\"{b[5] % 50}\" "
+        f"CreationDate=\"{iso(epoch0)}\" Body={quoteattr(q_body)} />"
+    ]
+    scores = []
+    for a in range(n_ans):
+        score = (b[2] + a) % 20 - 5
+        if a == 1 and b[3] % 2 == 1 and n_ans > 1:
+            score = scores[0]  # planted TIE: min-id tiebreak is live
+        scores.append(score)
+        a_body = f"<p>{_WORDS[(b[4] + a + 1) % 5]} answer {a} &amp; done</p>"
+        rows.append(
+            f"  <row Id=\"{a + 2}\" PostTypeId=\"2\" ParentId=\"1\" "
+            f"Score=\"{score}\" CreationDate=\"{iso(epoch0 + 3600 * (a + 1))}\" "
+            f"Body={quoteattr(a_body)} />"
+        )
+    xml = (
+        "<?xml version=\"1.0\" encoding=\"utf-8\"?>\n<posts>\n"
+        + "\n".join(rows) + "\n</posts>\n"
+    )
+    return xml.encode()
+
+
+def synth_stackexchange(docs: DataFrame) -> DataFrame:
+    """Deterministic Posts.xml per document (see
+    :func:`_synth_stackexchange_xml`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_stackexchange_xml(int(i)) for i in ids])
+
+    return docs.select("doc_id", _blob("doc_id").alias("content"))

@@ -1068,3 +1068,190 @@ def q_source_mbox_threads(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.mbox_threads(D.synth_threaded_mbox(docs))
+
+
+@query(
+    "source_notebook_cells",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('nb', 0)} AS b0, {_b('nb', 1)} AS b1,
+             {_b('nb', 2)} AS b2, {_b('nb', 3)} AS b3
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 4)) AS k, b1, b2, b3
+      FROM p
+    )
+    SELECT doc_id, CAST(k AS INT) AS cell_idx,
+           CASE WHEN (b1 + k) % 2 = 0 THEN 'markdown' ELSE 'code' END
+             AS cell_type,
+           CASE WHEN (b1 + k) % 2 = 0
+                THEN '# ' || {_W}[(b3 + k) % 5 + 1] || ' section '
+                  || CAST(k AS VARCHAR) || chr(10) || 'notes '
+                  || CAST(k AS VARCHAR)
+                ELSE 'x_' || CAST(k AS VARCHAR) || ' = '''
+                  || {_W}[(b3 + k) % 5 + 1] || '''' || chr(10)
+                  || 'print(x_' || CAST(k AS VARCHAR) || ')' END AS source,
+           CAST(CASE WHEN (b1 + k) % 2 = 0 THEN 0
+                ELSE 1 + (b2 + k) % 3 END AS INT) AS n_outputs
+    FROM c
+    """,
+)
+def q_source_notebook_cells(spark: SparkSession, sf: str) -> DataFrame:
+    # Jupyter notebooks (r9) — a named code-corpus source (The Stack
+    # ships notebooks as first-class files): nbformat-4 JSON cells
+    # with LIST-form multi-line source joined verbatim, markdown/code
+    # types, and execution outputs COUNTED but never inlined (outputs
+    # are execution artifacts, not authored text — the DECOY stream
+    # text must never leak into `source`). One Arrow pass; malformed
+    # notebooks degrade to the cell_idx -1 marker.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.notebook_cells(D.synth_ipynb(docs))
+
+
+def _se_score_sql(a: str) -> str:
+    return (
+        f"CASE WHEN {a} = 1 AND b3 % 2 = 1 AND 1 + b0 % 3 > 1 "
+        f"THEN b2 % 20 - 5 ELSE (b2 + {a}) % 20 - 5 END"
+    )
+
+
+@query(
+    "source_stackexchange_posts",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('se', 0)} AS b0, {_b('se', 1)} AS b1,
+             {_b('se', 2)} AS b2, {_b('se', 3)} AS b3,
+             {_b('se', 4)} AS b4, {_b('se', 5)} AS b5
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, 1 AS post_id, 1 AS post_type,
+             CAST(NULL AS INT) AS parent_id,
+             CAST(b5 % 50 AS INT) AS score,
+             (1600000000 + 86400 * b1) * 1000 AS created_ms,
+             '<p>how to ' || {_W}[b4 % 5 + 1] || ' &amp; why '
+               || CAST(doc_id AS VARCHAR)
+               || '?</p><pre>code block</pre>' AS body_html
+      FROM p
+    ),
+    a AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 3)) AS a,
+             b0, b1, b2, b3, b4
+      FROM p
+    ),
+    ans AS (
+      SELECT doc_id, CAST(a + 2 AS INT) AS post_id, 2 AS post_type,
+             CAST(1 AS INT) AS parent_id,
+             CAST({_se_score_sql('a')} AS INT) AS score,
+             (1600000000 + 86400 * b1 + 3600 * (a + 1)) * 1000
+               AS created_ms,
+             '<p>' || {_W}[(b4 + a + 1) % 5 + 1] || ' answer '
+               || CAST(a AS VARCHAR) || ' &amp; done</p>' AS body_html
+      FROM a
+    )
+    SELECT doc_id, CAST(post_id AS INT) AS post_id,
+           CAST(post_type AS INT) AS post_type, parent_id, score,
+           CAST(created_ms AS BIGINT) AS created_ms, body_html
+    FROM (SELECT * FROM q UNION ALL SELECT * FROM ans)
+    """,
+)
+def q_source_stackexchange_posts(spark: SparkSession, sf: str) -> DataFrame:
+    # Stack Exchange Posts.xml (r9) — THE classic public XML corpus
+    # dump, and the reference's XML-extraction heritage on a real
+    # dataset shape: one <row> per post with the payload in
+    # ATTRIBUTES. Body is entity-escaped HTML, so the XML attribute
+    # decode must resolve the OUTER escaping layer exactly once
+    # (&amp;amp; → &amp; — the HTML entity stays for the html_text
+    # stage downstream); ISO CreationDates (no zone suffix, as real
+    # dumps ship) normalize through the shared civil-date arithmetic;
+    # question + answers with ParentId threading and a planted score
+    # TIE for the Q&A stage. One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.stackexchange_posts(D.synth_stackexchange(docs))
+
+
+@query(
+    "pipeline_stackexchange_qa",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('se', 0)} AS b0, {_b('se', 2)} AS b2,
+             {_b('se', 3)} AS b3, {_b('se', 4)} AS b4,
+             {_b('se', 5)} AS b5
+      FROM documents
+    ),
+    a AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 3)) AS a,
+             b0, b2, b3, b4
+      FROM p
+    ),
+    scored AS (
+      SELECT doc_id, a, CAST({_se_score_sql('a')} AS INT) AS score,
+             {_W}[(b4 + a + 1) % 5 + 1] || ' answer '
+               || CAST(a AS VARCHAR) || ' & done' AS answer_text
+      FROM a
+    ),
+    best AS (
+      SELECT doc_id, a, score, answer_text,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, a) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_answers
+      FROM scored
+    )
+    SELECT p.doc_id, CAST(1 AS INT) AS question_id,
+           'how to ' || {_W}[b4 % 5 + 1] || ' & why '
+             || CAST(p.doc_id AS VARCHAR) || '? code block'
+             AS question_text,
+           b.answer_text AS best_answer_text,
+           b.score AS best_score,
+           CAST(b.n_answers AS INT) AS n_answers
+    FROM p JOIN best b ON p.doc_id = b.doc_id AND b.rn = 1
+    """,
+)
+def q_pipeline_stackexchange_qa(spark: SparkSession, sf: str) -> DataFrame:
+    # The SFT-assembly capstone (r9): Stack Exchange posts → question/
+    # best-answer PAIRS, the instruction-tuning data shape. Composes
+    # the posts parse with html_text (entity-decoded bodies stripped
+    # of markup — <pre> content kept, it's authored text) and a
+    # deterministic best-answer selection: max score with the planted
+    # TIE broken by min post id (engine-arbitrary max_by is never
+    # trusted — the tiebreak is folded into the ranking). Scale shape:
+    # parse + html_text are map-side; the only shuffle is the
+    # question-keyed (doc, parent) window/aggregate.
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.operators import documents as D
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+    posts = D.stackexchange_posts(D.synth_stackexchange(docs)).withColumn(
+        "text", T.html_text(F.col("body_html"))
+    )
+    questions = posts.filter(F.col("post_type") == 1).select(
+        "doc_id", F.col("post_id").alias("question_id"),
+        F.col("text").alias("question_text"),
+    )
+    answers = posts.filter(F.col("post_type") == 2)
+    w = Window.partitionBy("doc_id", "parent_id").orderBy(
+        F.col("score").desc(), F.col("post_id")
+    )
+    wn = Window.partitionBy("doc_id", "parent_id")
+    best = (
+        answers.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_answers", F.count(F.lit(1)).over(wn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id", F.col("parent_id").alias("question_id"),
+            F.col("text").alias("best_answer_text"),
+            F.col("score").alias("best_score"),
+            F.col("n_answers").cast("int").alias("n_answers"),
+        )
+    )
+    return questions.join(best, ["doc_id", "question_id"]).select(
+        "doc_id", "question_id", "question_text", "best_answer_text",
+        "best_score", "n_answers",
+    )

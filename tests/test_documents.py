@@ -662,3 +662,46 @@ def test_capstone_plan_shapes(spark):
         j in align_plan
         for j in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Notebooks + Stack Exchange
+# ---------------------------------------------------------------------------
+
+
+def test_ipynb_string_source_and_marker(spark):
+    # nbformat also allows PLAIN-STRING source (not list-of-lines)
+    nb = ('{"cells": [{"cell_type": "code", "source": "x = 1", '
+          '"outputs": []}], "nbformat": 4}')
+    cells = D.ipynb_cells(nb)
+    assert cells == [{"cell_idx": 0, "cell_type": "code",
+                      "source": "x = 1", "n_outputs": 0}]
+    df = spark.createDataFrame(
+        [(2, bytearray(b"{not json")), (3, bytearray(b'{"cells": {}}'))],
+        "doc_id long, content binary",
+    )
+    rows = D.notebook_cells(df).collect()
+    assert all(r.cell_idx == -1 for r in rows) and len(rows) == 2
+
+
+def test_stackexchange_tie_break_and_entity_layers(spark):
+    import hashlib
+
+    # find a fixture with the planted score tie
+    tied = [
+        i for i in range(60)
+        if hashlib.md5(f"{i}:se".encode()).digest()[3] % 2 == 1
+        and hashlib.md5(f"{i}:se".encode()).digest()[0] % 3 >= 1
+    ]
+    assert tied
+    i = tied[0]
+    df = spark.createDataFrame([(i,)], "doc_id long")
+    from hadoopxmlextractor_spark.operators import documents as DD
+
+    posts = DD.stackexchange_posts(DD.synth_stackexchange(df)).collect()
+    q = next(r for r in posts if r.post_type == 1)
+    # XML layer decoded exactly once: the HTML entity remains
+    assert "&amp;" in q.body_html and "&amp;amp;" not in q.body_html
+    by_id = {r.post_id: r for r in posts if r.post_type == 2}
+    b = hashlib.md5(f"{i}:se".encode()).digest()
+    assert by_id[3].score == by_id[2].score  # the planted tie
