@@ -95,6 +95,7 @@ FRONT = [
     "source_notebook_cells",
     "source_stackexchange_posts",
     "pipeline_stackexchange_qa",
+    "source_wikipedia_pages",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

@@ -3052,3 +3052,159 @@ def synth_stackexchange(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_stackexchange_xml(int(i)) for i in ids])
 
     return docs.select("doc_id", _blob("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# Wikipedia XML dumps — pages-articles.xml + wikitext cleaning
+# ---------------------------------------------------------------------------
+
+_WIKI_TEMPLATE_RE = re.compile(r"\{\{[^{}]*\}\}", re.S)
+_WIKI_REF_RE = re.compile(r"<ref[^>/]*>.*?</ref>|<ref[^>]*/>", re.S)
+_WIKI_COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
+
+
+def wikitext_to_text(src: str) -> str:
+    """Wikitext → plain text, the deterministic rule subset corpus
+    pipelines run over pages-articles dumps: HTML comments and
+    <ref> footnotes dropped, {{templates}} dropped (innermost-out, so
+    nesting collapses), [[File:]] / [[Category:]] links dropped whole,
+    [[target|label]] → label and [[target]] → target, external
+    [http://u label] → label, '''bold'''/''italic'' markers erased,
+    == heading == markers erased keeping the heading text, whitespace
+    canonicalized to single spaces."""
+    s = _WIKI_COMMENT_RE.sub(" ", src)
+    s = _WIKI_REF_RE.sub(" ", s)
+    prev = None
+    while prev != s:
+        prev = s
+        s = _WIKI_TEMPLATE_RE.sub(" ", s)
+    s = re.sub(r"\[\[(?:File|Image|Category):[^\[\]]*\]\]", " ", s)
+    s = re.sub(r"\[\[[^\[\]|]*\|([^\[\]]*)\]\]", r"\1", s)
+    s = re.sub(r"\[\[([^\[\]]*)\]\]", r"\1", s)
+    s = re.sub(r"\[https?://\S+\s+([^\]]*)\]", r"\1", s)
+    s = s.replace("'''", "").replace("''", "")
+    s = re.sub(r"^=+\s*(.*?)\s*=+\s*$", r"\1", s, flags=re.M)
+    return " ".join(s.split())
+
+
+def wikipedia_pages(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Pages of a MediaWiki pages-articles dump fragment — the
+    canonical XML corpus source, through the same localname-tolerant
+    ElementTree walk as the sitemap/feed sources: per <page> the
+    title, namespace, page id, redirect flag+target (attribute of the
+    <redirect> element, not the wikitext), and the CLEANED revision
+    text via :func:`wikitext_to_text`. Malformed dumps yield the
+    page_id -1 marker row."""
+
+    def _pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "page_id", "title", "ns", "redirect_to",
+                "text_clean", "n_tokens"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    data = bytes(blob) if not isinstance(blob, str) \
+                        else blob.encode()
+                    root = ElementTree.fromstring(data)
+                    if _local(root.tag) != "mediawiki":
+                        raise ValueError("not a mediawiki dump")
+                    any_page = False
+                    for page in root:
+                        if _local(page.tag) != "page":
+                            continue
+                        any_page = True
+                        title = ns = pid = redirect = None
+                        text = ""
+                        for el in page.iter():
+                            loc = _local(el.tag)
+                            if loc == "title":
+                                title = el.text
+                            elif loc == "ns":
+                                ns = int(el.text or "0")
+                            elif loc == "id" and pid is None:
+                                pid = int(el.text or "-1")
+                            elif loc == "redirect":
+                                redirect = el.get("title")
+                            elif loc == "text":
+                                text = el.text or ""
+                        clean = wikitext_to_text(text)
+                        rows.append({
+                            "doc_id": did, "page_id": pid, "title": title,
+                            "ns": ns, "redirect_to": redirect,
+                            "text_clean": clean,
+                            "n_tokens": len(clean.split()),
+                        })
+                    if not any_page:
+                        raise ValueError("dump with no pages")
+                except (ValueError, TypeError, ElementTree.ParseError):
+                    rows.append({
+                        "doc_id": did, "page_id": -1, "title": None,
+                        "ns": None, "redirect_to": None,
+                        "text_clean": None, "n_tokens": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _pages,
+        schema="doc_id bigint, page_id int, title string, ns int, "
+        "redirect_to string, text_clean string, n_tokens int",
+    )
+
+
+def _synth_wikipedia_xml(i: int) -> bytes:
+    """One deterministic pages-articles fragment from md5(doc:wiki):
+    an ARTICLE page exercising every cleaning rule (nested template,
+    piped + bare wikilinks, a dropped File link, a <ref> footnote, an
+    HTML comment, bold/italic markers, a heading, an external link)
+    plus, on b0%3==0, a REDIRECT page whose target lives in the
+    <redirect> element attribute."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:wiki".encode()).digest()
+    w = [_WORDS[(b[k] + k) % 5] for k in range(6)]
+    article_text = (
+        f"== {w[0]} history ==\n"
+        f"The '''{w[1]}''' {{{{Infobox thing|param={{{{nested|x}}}}}}}} "
+        f"is ''really'' a [[{w[2]} concept|{w[2]} idea]] and a "
+        f"[[plain {w[3]}]].<ref>dropped footnote</ref>\n"
+        f"[[File:decoy_{i}.jpg|thumb|caption gone]]\n"
+        f"<!-- hidden editor note -->\n"
+        f"See [https://ex.org/{i} the {w[4]} site] for more."
+    )
+    ns_art = 0 if b[1] % 2 == 0 else 4
+    pages = [
+        "<page><title>Article {}</title><ns>{}</ns><id>{}</id>"
+        "<revision><id>9{}</id><text xml:space=\"preserve\">{}</text>"
+        "</revision></page>".format(
+            i, ns_art, 10 + i % 1000,
+            i % 100,
+            article_text.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"),
+        )
+    ]
+    if b[0] % 3 == 0:
+        pages.append(
+            f"<page><title>Alias {i}</title><ns>0</ns><id>{5000 + i % 1000}"
+            f"</id><redirect title=\"Article {i}\"/>"
+            "<revision><id>1</id><text>#REDIRECT [[Article "
+            f"{i}]]</text></revision></page>"
+        )
+    xml = (
+        "<mediawiki xmlns=\"http://www.mediawiki.org/xml/export-0.10/\" "
+        "xml:lang=\"en\">" + "".join(pages) + "</mediawiki>"
+    )
+    return xml.encode()
+
+
+def synth_wikipedia(docs: DataFrame) -> DataFrame:
+    """Deterministic dump fragment per document (see
+    :func:`_synth_wikipedia_xml`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_wikipedia_xml(int(i)) for i in ids])
+
+    return docs.select("doc_id", _blob("doc_id").alias("content"))

@@ -1255,3 +1255,61 @@ def q_pipeline_stackexchange_qa(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "question_id", "question_text", "best_answer_text",
         "best_score", "n_answers",
     )
+
+
+@query(
+    "source_wikipedia_pages",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('wiki', 0)} AS b0, {_b('wiki', 1)} AS b1,
+             {_b('wiki', 2)} AS b2, {_b('wiki', 3)} AS b3,
+             {_b('wiki', 4)} AS b4
+      FROM documents
+    ),
+    art AS (
+      SELECT doc_id,
+             CAST(10 + doc_id % 1000 AS INT) AS page_id,
+             'Article ' || CAST(doc_id AS VARCHAR) AS title,
+             CAST(CASE WHEN b1 % 2 = 0 THEN 0 ELSE 4 END AS INT) AS ns,
+             CAST(NULL AS VARCHAR) AS redirect_to,
+             {_W}[b0 % 5 + 1] || ' history The ' || {_W}[(b1 + 1) % 5 + 1]
+               || ' is really a ' || {_W}[(b2 + 2) % 5 + 1]
+               || ' idea and a plain ' || {_W}[(b3 + 3) % 5 + 1]
+               || '. See the ' || {_W}[(b4 + 4) % 5 + 1]
+               || ' site for more.' AS text_clean
+      FROM p
+    ),
+    red AS (
+      SELECT doc_id,
+             CAST(5000 + doc_id % 1000 AS INT) AS page_id,
+             'Alias ' || CAST(doc_id AS VARCHAR) AS title,
+             CAST(0 AS INT) AS ns,
+             'Article ' || CAST(doc_id AS VARCHAR) AS redirect_to,
+             '#REDIRECT Article ' || CAST(doc_id AS VARCHAR) AS text_clean
+      FROM p WHERE b0 % 3 = 0
+    ),
+    u AS (SELECT * FROM art UNION ALL SELECT * FROM red)
+    SELECT doc_id, page_id, title, ns, redirect_to, text_clean,
+           CAST(LENGTH(text_clean)
+                - LENGTH(replace(text_clean, ' ', '')) + 1 AS INT)
+             AS n_tokens
+    FROM u
+    """,
+)
+def q_source_wikipedia_pages(spark: SparkSession, sf: str) -> DataFrame:
+    # Wikipedia pages-articles dumps (r9) — THE canonical XML corpus
+    # and the reference's XML-extraction heritage on its most famous
+    # real-world shape: <page> walk under the MediaWiki namespace
+    # (localname-tolerant), first <id> is the page id (revision ids
+    # must not shadow it), <redirect title=.../> read from the
+    # ATTRIBUTE, and the revision wikitext CLEANED through the full
+    # rule subset — every rule live in the fixture: a NESTED
+    # {{template}}, piped [[a|b]] and bare [[a]] wikilinks, a dropped
+    # [[File:]] link with caption, a <ref> footnote, an HTML comment,
+    # bold/italic quote markers, a == heading ==, and an external
+    # [url label] link. The oracle is the closed-form cleaned text.
+    # One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.wikipedia_pages(D.synth_wikipedia(docs))

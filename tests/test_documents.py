@@ -705,3 +705,33 @@ def test_stackexchange_tie_break_and_entity_layers(spark):
     by_id = {r.post_id: r for r in posts if r.post_type == 2}
     b = hashlib.md5(f"{i}:se".encode()).digest()
     assert by_id[3].score == by_id[2].score  # the planted tie
+
+
+def test_wikitext_rules_corners():
+    assert D.wikitext_to_text("{{a {{b}} c}} kept") == "kept"  # nesting
+    assert D.wikitext_to_text("[[x|y]] [[z]]") == "y z"
+    assert D.wikitext_to_text("[[File:a.jpg|thumb|cap]] after") == "after"
+    # a dropped footnote leaves a word boundary, never glues words
+    assert D.wikitext_to_text("a<ref name=x>gone</ref>b <ref/>c") == "a b c"
+    assert D.wikitext_to_text("'''b''' and ''i''") == "b and i"
+    assert D.wikitext_to_text("== Head ==\nbody") == "Head body"
+    assert D.wikitext_to_text("[https://u.org some label] end") == \
+        "some label end"
+
+
+def test_wikipedia_page_walk_ids_and_redirect(spark):
+    import hashlib
+
+    reds = [i for i in range(20)
+            if hashlib.md5(f"{i}:wiki".encode()).digest()[0] % 3 == 0]
+    assert reds
+    i = reds[0]
+    df = spark.createDataFrame([(i,)], "doc_id long")
+    rows = D.wikipedia_pages(D.synth_wikipedia(df)).collect()
+    by_title = {r.title: r for r in rows}
+    art = by_title[f"Article {i}"]
+    # first <id> is the PAGE id — the revision's 9xx id must not win
+    assert art.page_id == 10 + i % 1000 and art.redirect_to is None
+    alias = by_title[f"Alias {i}"]
+    assert alias.redirect_to == f"Article {i}"
+    assert alias.text_clean == f"#REDIRECT Article {i}"
