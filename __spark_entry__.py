@@ -73,7 +73,7 @@ FRONT = [
     # only 7 without a green driver row are the post-cap round-8
     # additions below — front-loading them completes certification of
     # the FULL registry. New round-9 queries are prepended above that
-    # block as they land (18 new + 7 post-cap = 25, well inside the
+    # block as they land (28 new + 7 post-cap = 35, inside the
     # driver's 50-query sample). Ordering is presentation-only: every
     # entry still runs in the local full-registry gate.
     # --- new round-9 operators ---
