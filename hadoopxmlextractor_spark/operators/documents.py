@@ -3208,3 +3208,165 @@ def synth_wikipedia(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_wikipedia_xml(int(i)) for i in ids])
 
     return docs.select("doc_id", _blob("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# PDF Info dictionary — document metadata (title/author/dates)
+# ---------------------------------------------------------------------------
+
+_PDF_D_RE = re.compile(
+    rb"D:(\d{4})(\d{2})(\d{2})(\d{2})(\d{2})(\d{2})"
+)
+
+
+def _pdf_info_string(body: bytes, key: bytes) -> str | None:
+    """One Info-dict text value: either a literal (string) with the
+    standard escapes, or a <hex> string — which, when it leads with
+    the FEFF byte-order mark, is UTF-16BE text (ISO 32000 §7.9.2.2,
+    how real producers write non-ASCII titles)."""
+    m = re.search(rb"/" + key + rb"\s*(\(|<)", body)
+    if m is None:
+        return None
+    s = body.decode("latin-1")
+    pos = m.end() - 1
+    if s[pos] == "(":
+        lit, _ = _pdf_literal(s, pos)
+        return lit
+    j = s.index(">", pos)
+    hexs = re.sub(r"\s", "", s[pos + 1 : j])
+    if len(hexs) % 2:
+        hexs += "0"
+    raw = bytes.fromhex(hexs)
+    if raw[:2] == b"\xfe\xff":
+        return raw[2:].decode("utf-16-be")
+    return raw.decode("latin-1")
+
+
+def pdf_info(blob: bytes) -> dict:
+    """Document metadata of a PDF: the trailer's /Info dictionary —
+    Title/Author/Producer text values (literal AND UTF-16BE-hex
+    forms) and the D:YYYYMMDDHHmmSS CreationDate normalized to epoch
+    seconds through the shared civil-date arithmetic. No /Info →
+    all-NULL metadata (a valid, common state — not a marker)."""
+    objs = _pdf_objects(blob)
+    m = re.search(rb"/Info\s+(\d+)\s+\d+\s+R", blob)
+    out = {"title": None, "author": None, "producer": None,
+           "created_s": None}
+    if m is None:
+        return out
+    body = objs.get(int(m.group(1)))
+    if body is None:
+        raise ValueError("dangling /Info reference")
+    out["title"] = _pdf_info_string(body, b"Title")
+    out["author"] = _pdf_info_string(body, b"Author")
+    out["producer"] = _pdf_info_string(body, b"Producer")
+    d = _PDF_D_RE.search(body)
+    if d is not None:
+        out["created_s"] = _epoch_from_civil(
+            *(int(d.group(k)) for k in range(1, 7))
+        )
+    return out
+
+
+def pdf_metadata(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, title, author, producer, created_ms, has_info) in one
+    Arrow pass — the document-metadata twin of html_metadata for the
+    PDF leg. Malformed blobs yield has_info NULL."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "title", "author", "producer", "created_ms",
+                "has_info"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    info = pdf_info(bytes(blob))
+                    rows.append({
+                        "doc_id": did, "title": info["title"],
+                        "author": info["author"],
+                        "producer": info["producer"],
+                        "created_ms": None if info["created_s"] is None
+                        else info["created_s"] * 1000,
+                        "has_info": info["title"] is not None
+                        or info["author"] is not None
+                        or info["created_s"] is not None,
+                    })
+                except (ValueError, IndexError, TypeError):
+                    rows.append({
+                        "doc_id": did, "title": None, "author": None,
+                        "producer": None, "created_ms": None,
+                        "has_info": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _meta,
+        schema="doc_id bigint, title string, author string, "
+        "producer string, created_ms bigint, has_info boolean",
+    )
+
+
+_PDF_TITLES = ("café report", "naïve survey", "plain notes")
+
+
+def _synth_pdf_with_info(i: int) -> bytes:
+    """A one-page PDF whose trailer carries an /Info dict from
+    md5(doc:pdfi): Title rotates a plain LITERAL vs a UTF-16BE hex
+    string with BOM (non-ASCII titles keep both decode branches
+    honest), Author a literal with an escaped paren, CreationDate on
+    the shared civil-date clock; b3%5==0 files carry NO /Info (the
+    valid all-NULL state)."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:pdfi".encode()).digest()
+    has_info = b[3] % 5 != 0
+    stream = b"BT /F1 12 Tf (body) Tj ET"
+    objs: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: (f"<< /Length {len(stream)} >>".encode()
+            + b"\nstream\n" + stream + b"\nendstream"),
+    }
+    trailer_extra = ""
+    if has_info:
+        title = _PDF_TITLES[b[0] % 3]
+        if b[1] % 2 == 1:
+            tv = "<FEFF" + title.encode("utf-16-be").hex().upper() + ">"
+        else:
+            tv = "(" + title.replace("é", "\\351").replace("ï", "\\357") + ")"
+        epoch = 1500000000 + 86400 * b[2] + 60 * b[4]
+        days, rem = divmod(epoch, 86400)
+        # reuse the rfc822 civil conversion for the D: string
+        stamp = _rfc822(epoch)
+        mm = re.match(
+            r"\w{3}, (\d{2}) (\w{3}) (\d{4}) (\d{2}):(\d{2}):(\d{2})", stamp
+        )
+        d_str = (
+            f"D:{mm.group(3)}{_MONTHS.index(mm.group(2)) + 1:02d}"
+            f"{mm.group(1)}{mm.group(4)}{mm.group(5)}{mm.group(6)}"
+        )
+        objs[5] = (
+            f"<< /Title {tv} /Author (dev \\({b[5] % 9}\\)) "
+            f"/Producer (synth) /CreationDate ({d_str}) >>".encode()
+        )
+        trailer_extra = " /Info 5 0 R"
+    out = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    out += f"trailer\n<< /Root 1 0 R{trailer_extra} >>\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def synth_pdf_with_info(docs: DataFrame) -> DataFrame:
+    """Deterministic Info-carrying PDF per document (see
+    :func:`_synth_pdf_with_info`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_pdf_with_info(int(i)) for i in ids])
+
+    return docs.select("doc_id", _blob("doc_id").alias("content"))

@@ -1313,3 +1313,44 @@ def q_source_wikipedia_pages(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.wikipedia_pages(D.synth_wikipedia(docs))
+
+
+@query(
+    "source_pdf_metadata",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('pdfi', 0)} AS b0, {_b('pdfi', 1)} AS b1,
+             {_b('pdfi', 2)} AS b2, {_b('pdfi', 3)} AS b3,
+             {_b('pdfi', 4)} AS b4, {_b('pdfi', 5)} AS b5
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN b3 % 5 <> 0
+                THEN (['café report','naïve survey','plain notes'])
+                     [b0 % 3 + 1] END AS title,
+           CASE WHEN b3 % 5 <> 0
+                THEN 'dev (' || CAST(b5 % 9 AS VARCHAR) || ')' END
+             AS author,
+           CASE WHEN b3 % 5 <> 0 THEN 'synth' END AS producer,
+           CASE WHEN b3 % 5 <> 0
+                THEN CAST((1500000000 + 86400 * b2 + 60 * b4) * 1000
+                          AS BIGINT) END AS created_ms,
+           (b3 % 5 <> 0) AS has_info
+    FROM p
+    """,
+)
+def q_source_pdf_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    # PDF document metadata (r9) — the /Info dictionary every corpus
+    # pipeline extracts next to the text (dates for freshness, titles
+    # for dedup keys): Title rotates a LITERAL string with octal
+    # escapes vs a UTF-16BE HEX string with the FEFF BOM (ISO 32000
+    # §7.9.2.2 — how real producers write non-ASCII titles; both
+    # decode branches carry the same non-ASCII plants), Author a
+    # literal with escaped parens, CreationDate's D:YYYYMMDDHHmmSS
+    # form through the shared civil-date arithmetic, and a fifth of
+    # files carrying NO /Info — the valid all-NULL state, has_info
+    # FALSE (never a NULL boolean). One Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.pdf_metadata(D.synth_pdf_with_info(docs))

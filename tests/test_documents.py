@@ -735,3 +735,25 @@ def test_wikipedia_page_walk_ids_and_redirect(spark):
     alias = by_title[f"Alias {i}"]
     assert alias.redirect_to == f"Article {i}"
     assert alias.text_clean == f"#REDIRECT Article {i}"
+
+
+def test_pdf_info_utf16be_literal_and_missing():
+    import hashlib
+
+    hexed = [i for i in range(40)
+             if hashlib.md5(f"{i}:pdfi".encode()).digest()[1] % 2 == 1
+             and hashlib.md5(f"{i}:pdfi".encode()).digest()[3] % 5 != 0]
+    lit = [i for i in range(40)
+           if hashlib.md5(f"{i}:pdfi".encode()).digest()[1] % 2 == 0
+           and hashlib.md5(f"{i}:pdfi".encode()).digest()[3] % 5 != 0]
+    assert hexed and lit
+    for i in hexed[:2] + lit[:2]:
+        b = hashlib.md5(f"{i}:pdfi".encode()).digest()
+        info = D.pdf_info(D._synth_pdf_with_info(i))
+        assert info["title"] == D._PDF_TITLES[b[0] % 3]
+    # dangling /Info must refuse, absent /Info must NOT
+    blob = D._synth_pdf_with_info(lit[0])
+    dangling = blob.replace(b"/Info 5 0 R", b"/Info 99 0 R")
+    with pytest.raises(ValueError, match="dangling"):
+        D.pdf_info(dangling)
+    assert D.pdf_info(D._synth_pdf_blob(0))["title"] is None
