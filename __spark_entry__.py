@@ -73,7 +73,7 @@ FRONT = [
     # only 7 without a green driver row are the post-cap round-8
     # additions below — front-loading them completes certification of
     # the FULL registry. New round-9 queries are prepended above that
-    # block as they land (29 new + 7 post-cap = 36, inside the
+    # block as they land (30 new + 7 post-cap = 37, inside the
     # driver's 50-query sample). Ordering is presentation-only: every
     # entry still runs in the local full-registry gate.
     # --- new round-9 operators ---
@@ -97,6 +97,7 @@ FRONT = [
     "pipeline_stackexchange_qa",
     "source_wikipedia_pages",
     "source_pdf_metadata",
+    "source_epub_metadata",
     "archive_zip_meta",
     "archive_tar_meta",
     "source_subtitle_cues",

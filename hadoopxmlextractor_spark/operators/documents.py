@@ -3370,3 +3370,144 @@ def synth_pdf_with_info(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_pdf_with_info(int(i)) for i in ids])
 
     return docs.select("doc_id", _blob("doc_id").alias("content"))
+
+
+def _epub_opf_metadata(blob: bytes) -> dict:
+    """Dublin Core metadata of an EPUB's OPF package — title, creator,
+    language, identifier, date (epoch s via the civil-date parse when
+    ISO). Localname matching: dc: elements live in the Dublin Core
+    namespace, and real books disagree on the prefix."""
+    members = _zip_open_map(blob)
+    container = members.get("META-INF/container.xml")
+    if container is None:
+        raise ValueError("no META-INF/container.xml")
+    opf_path = None
+    for el in ElementTree.fromstring(container).iter():
+        if _local(el.tag) == "rootfile":
+            opf_path = el.get("full-path")
+            break
+    if not opf_path or opf_path not in members:
+        raise ValueError("no OPF package")
+    out = {"title": None, "creator": None, "language": None,
+           "identifier": None, "published_s": None}
+    for el in ElementTree.fromstring(members[opf_path]).iter():
+        loc = _local(el.tag)
+        if loc == "title" and out["title"] is None:
+            out["title"] = el.text
+        elif loc == "creator" and out["creator"] is None:
+            out["creator"] = el.text
+        elif loc == "language" and out["language"] is None:
+            out["language"] = el.text
+        elif loc == "identifier" and out["identifier"] is None:
+            out["identifier"] = el.text
+        elif loc == "date" and out["published_s"] is None:
+            m = re.fullmatch(
+                r"(\d{4})-(\d{2})-(\d{2})", (el.text or "").strip()
+            )
+            if m:
+                out["published_s"] = _epoch_from_civil(
+                    int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                    0, 0, 0,
+                )
+    return out
+
+
+def epub_metadata(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, title, creator, language, identifier, published_ms) in
+    one Arrow pass — the book-metadata leg completing the metadata
+    trio (html_metadata / pdf_metadata / epub_metadata). Malformed
+    blobs yield the all-NULL marker row."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "title", "creator", "language", "identifier",
+                "published_ms"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    m = _epub_opf_metadata(bytes(blob))
+                    rows.append({
+                        "doc_id": did, "title": m["title"],
+                        "creator": m["creator"],
+                        "language": m["language"],
+                        "identifier": m["identifier"],
+                        "published_ms": None if m["published_s"] is None
+                        else m["published_s"] * 1000,
+                    })
+                except (ValueError, IndexError, struct.error, zlib.error,
+                        ElementTree.ParseError, TypeError):
+                    rows.append({"doc_id": did, **{c: None
+                                                   for c in cols[1:]}})
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _meta,
+        schema="doc_id bigint, title string, creator string, "
+        "language string, identifier string, published_ms bigint",
+    )
+
+
+_EPUB_LANGS = ("en", "fr", "de", "ja")
+
+
+def _synth_epub_meta_blob(i: int) -> bytes:
+    """A minimal EPUB with Dublin Core metadata from md5(doc:epubm):
+    dc: prefix rotates (dc: vs opf-default-declared dcterms-style),
+    title with a non-ASCII word on b1%2, creator 'Author N', language
+    over 4 codes, identifier a urn, dc:date an ISO civil date on the
+    shared clock; b5%4==0 books omit creator AND date (NULL branch)."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:epubm".encode()).digest()
+    title_word = ("café" if b[1] % 2 == 1 else "plain")
+    epoch_day = (1 + b[2] % 9000)
+    y, mo, d = 2000 + b[2] % 24, 1 + b[3] % 12, 1 + b[4] % 28
+    has_extra = b[5] % 4 != 0
+    prefix = "dc" if b[0] % 2 == 0 else "dcx"
+    del epoch_day
+    meta = [
+        f"<{prefix}:title>{title_word} book {i}</{prefix}:title>",
+        f"<{prefix}:language>{_EPUB_LANGS[b[6] % 4]}</{prefix}:language>",
+        f"<{prefix}:identifier>urn:synth:{i}</{prefix}:identifier>",
+    ]
+    if has_extra:
+        meta.insert(1, f"<{prefix}:creator>Author {b[7] % 10}"
+                       f"</{prefix}:creator>")
+        meta.append(
+            f"<{prefix}:date>{y:04d}-{mo:02d}-{d:02d}</{prefix}:date>"
+        )
+    container = (
+        "<?xml version=\"1.0\"?><container version=\"1.0\" xmlns=\"urn:"
+        "oasis:names:tc:opendocument:xmlns:container\"><rootfiles>"
+        "<rootfile full-path=\"content.opf\" media-type=\"application/"
+        "oebps-package+xml\"/></rootfiles></container>"
+    )
+    opf = (
+        "<?xml version=\"1.0\"?><package xmlns=\"http://www.idpf.org/2007"
+        f"/opf\" xmlns:{prefix}=\"http://purl.org/dc/elements/1.1/\" "
+        "version=\"3.0\"><metadata>" + "".join(meta) + "</metadata>"
+        "<manifest><item id=\"c0\" href=\"ch0.xhtml\" media-type="
+        "\"application/xhtml+xml\"/></manifest>"
+        "<spine><itemref idref=\"c0\"/></spine></package>"
+    )
+    ch = (b"<html xmlns=\"http://www.w3.org/1999/xhtml\"><body>"
+          b"<p>body</p></body></html>")
+    return build_zip([
+        ("META-INF/container.xml", container.encode(), 8, False),
+        ("content.opf", opf.encode(), 8, False),
+        ("ch0.xhtml", ch, 8, False),
+    ])
+
+
+def synth_epub_with_meta(docs: DataFrame) -> DataFrame:
+    """Deterministic metadata-carrying EPUB per document (see
+    :func:`_synth_epub_meta_blob`)."""
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_epub_meta_blob(int(i)) for i in ids])
+
+    return docs.select("doc_id", _blob("doc_id").alias("content"))

@@ -1354,3 +1354,46 @@ def q_source_pdf_metadata(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load(spark, sf, "documents")
     return D.pdf_metadata(D.synth_pdf_with_info(docs))
+
+
+@query(
+    "source_epub_metadata",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('epubm', 1)} AS b1, {_b('epubm', 2)} AS b2,
+             {_b('epubm', 3)} AS b3, {_b('epubm', 4)} AS b4,
+             {_b('epubm', 5)} AS b5, {_b('epubm', 6)} AS b6,
+             {_b('epubm', 7)} AS b7
+      FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN b1 % 2 = 1 THEN 'café' ELSE 'plain' END)
+             || ' book ' || CAST(doc_id AS VARCHAR) AS title,
+           CASE WHEN b5 % 4 <> 0
+                THEN 'Author ' || CAST(b7 % 10 AS VARCHAR) END AS creator,
+           (['en','fr','de','ja'])[b6 % 4 + 1] AS language,
+           'urn:synth:' || CAST(doc_id AS VARCHAR) AS identifier,
+           CASE WHEN b5 % 4 <> 0
+                THEN CAST((make_date(CAST(2000 + b2 % 24 AS INT),
+                                     CAST(1 + b3 % 12 AS INT),
+                                     CAST(1 + b4 % 28 AS INT))
+                           - DATE '1970-01-01') AS BIGINT) * 86400000
+                END AS published_ms
+    FROM p
+    """,
+)
+def q_source_epub_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    # EPUB Dublin Core metadata (r9) — completes the document-metadata
+    # trio (html_metadata / pdf_metadata / epub_metadata): dc:title
+    # (non-ASCII plants on half the books), dc:creator, dc:language,
+    # dc:identifier, and dc:date (ISO civil date → epoch ms through
+    # the SAME integer arithmetic the feed/mbox/PDF legs use — the
+    # oracle replays it via DuckDB's proleptic-Gregorian make_date,
+    # an INDEPENDENT derivation of the same function). The dc prefix
+    # itself ROTATES (dc: vs dcx:) so localname matching is live, and
+    # a quarter of books omit creator+date (the NULL branch). One
+    # Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    return D.epub_metadata(D.synth_epub_with_meta(docs))
