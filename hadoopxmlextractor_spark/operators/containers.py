@@ -864,6 +864,11 @@ def parse_id3v2_frames(blob: bytes) -> dict:
     if blob[:3] != b"ID3":
         return None
     ver = blob[3]
+    if ver not in (3, 4):
+        # Only the 2.3/2.4 10-byte-frame-header layouts are walked; a
+        # v2.2 tag (3-byte ids/sizes) under this walk would report
+        # garbage fields, so unknown versions refuse to the marker row.
+        return None
     tag_size = _unsyncsafe(blob[6:10])
     pos, end = 10, 10 + tag_size
     out = {"title": None, "artist": None, "album": None, "year": None}

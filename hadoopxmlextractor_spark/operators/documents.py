@@ -54,6 +54,35 @@ _EOCD_SIG = b"PK\x05\x06"
 _CEN_SIG = b"PK\x01\x02"
 _LOC_SIG = b"PK\x03\x04"
 
+# Hard ceiling on any single inflate whose container declares no
+# uncompressed size (gzip'd tar, PDF FlateDecode). DEFLATE's intrinsic
+# max ratio is ~1032:1, so a crafted small blob bombs by depth/size,
+# not ratio — a per-stream absolute cap keeps one hostile member from
+# OOMing an executor; legitimate members beyond it refuse to the
+# NULL-marker row like any other malformed blob.
+_MAX_INFLATE = 256 * 1024 * 1024
+
+
+def _bounded_inflate(raw: bytes, wbits: int, cap: int = _MAX_INFLATE) -> bytes:
+    """zlib inflate in 1 MiB steps with a hard output bound — refuses
+    (ValueError) instead of materializing a decompression bomb."""
+    d = zlib.decompressobj(wbits)
+    chunks: list[bytes] = []
+    total = 0
+    buf = raw
+    while True:
+        out = d.decompress(buf, 1 << 20)
+        if out:
+            chunks.append(out)
+            total += len(out)
+            if total > cap:
+                raise ValueError("inflated output exceeds bound")
+        buf = d.unconsumed_tail
+        if not buf:
+            break
+    chunks.append(d.flush())
+    return b"".join(chunks)
+
 
 def _zip_eocd(blob: bytes) -> tuple[int, int, int]:
     """(entry count, central-directory offset, cd size) from the
@@ -120,7 +149,13 @@ def zip_read_member(blob: bytes, entry: dict) -> bytes:
     if entry["method"] == 0:
         data = raw
     elif entry["method"] == 8:
-        data = zlib.decompressobj(-15).decompress(raw)
+        # Inflate at most usize+1 bytes: the central directory's
+        # declared size bounds the allocation, so a member claiming
+        # 10 bytes can't materialize megabytes before the check below.
+        d = zlib.decompressobj(-15)
+        data = d.decompress(raw, entry["usize"] + 1)
+        if d.unconsumed_tail:
+            raise ValueError("zip member inflates past declared size")
     else:
         raise ValueError(f"unsupported zip method {entry['method']}")
     if len(data) != entry["usize"] or zlib.crc32(data) != entry["crc"]:
@@ -465,7 +500,7 @@ def _pdf_stream_data(body: bytes) -> bytes:
         elif data.endswith(b"\n"):
             data = data[:-1]
     if b"/FlateDecode" in head:
-        data = zlib.decompress(data)
+        data = _bounded_inflate(data, zlib.MAX_WBITS)
     return data
 
 
@@ -1117,8 +1152,9 @@ def _pdf_page_stream(i: int, b: bytes, p: int) -> tuple[bytes, str]:
 def _synth_pdf_blob(i: int) -> bytes:
     """One deterministic PDF from md5(doc:pdf): 1+b0%3 pages, page p's
     content stream FlateDecode-compressed when (b1+p)%2, text-operator
-    variant (b4+p)%4 (see :func:`_pdf_page_stream`); real xref table +
-    trailer so external tools can open the fixture."""
+    variant (b4+p)%5 (see :func:`_pdf_page_stream`, incl. the
+    hex-string arm); real xref table + trailer so external tools can
+    open the fixture."""
     import hashlib
 
     b = hashlib.md5(f"{i}:pdf".encode()).digest()
@@ -1666,7 +1702,7 @@ def tar_members(blob: bytes) -> list[dict]:
     ceil(size/512) blocks, GNU 'L' long-name entries applied to the
     following header, and the two-zero-block terminator honored."""
     if blob[:2] == b"\x1f\x8b":
-        blob = zlib.decompress(blob, 31)
+        blob = _bounded_inflate(blob, 31)
     out = []
     pos = 0
     pending_name = None
@@ -2959,13 +2995,16 @@ def stackexchange_posts(
                     root = ElementTree.fromstring(data)
                     if _local(root.tag) != "posts":
                         raise ValueError("not a posts dump")
-                    any_row = False
+                    # All-or-marker: buffer this dump's rows and extend
+                    # only after the whole walk parses, so a bad <row>
+                    # late in the dump can't emit a partial prefix plus
+                    # the marker (same contract as xlsx_cells).
+                    doc_rows = []
                     for el in root:
                         if _local(el.tag) != "row":
                             continue
-                        any_row = True
                         created = el.get("CreationDate")
-                        rows.append({
+                        doc_rows.append({
                             "doc_id": did,
                             "post_id": int(el.get("Id", "-1")),
                             "post_type": int(el.get("PostTypeId", "0")),
@@ -2980,8 +3019,9 @@ def stackexchange_posts(
                             ),
                             "body_html": el.get("Body"),
                         })
-                    if not any_row:
+                    if not doc_rows:
                         raise ValueError("dump with no rows")
+                    rows.extend(doc_rows)
                 except (ValueError, TypeError,
                         ElementTree.ParseError):
                     rows.append({
@@ -3110,11 +3150,12 @@ def wikipedia_pages(
                     root = ElementTree.fromstring(data)
                     if _local(root.tag) != "mediawiki":
                         raise ValueError("not a mediawiki dump")
-                    any_page = False
+                    # All-or-marker: buffer per dump, extend after the
+                    # full walk (see stackexchange_posts).
+                    doc_rows = []
                     for page in root:
                         if _local(page.tag) != "page":
                             continue
-                        any_page = True
                         title = ns = pid = redirect = None
                         text = ""
                         for el in page.iter():
@@ -3130,14 +3171,15 @@ def wikipedia_pages(
                             elif loc == "text":
                                 text = el.text or ""
                         clean = wikitext_to_text(text)
-                        rows.append({
+                        doc_rows.append({
                             "doc_id": did, "page_id": pid, "title": title,
                             "ns": ns, "redirect_to": redirect,
                             "text_clean": clean,
                             "n_tokens": len(clean.split()),
                         })
-                    if not any_page:
+                    if not doc_rows:
                         raise ValueError("dump with no pages")
+                    rows.extend(doc_rows)
                 except (ValueError, TypeError, ElementTree.ParseError):
                     rows.append({
                         "doc_id": did, "page_id": -1, "title": None,

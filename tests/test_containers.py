@@ -372,3 +372,15 @@ def test_image_ahash_dispatches_webp(spark):
     rows = {r.media_id: r.ahash for r in image_ahash(media).collect()}
     assert rows[1] == rows[2] and rows[1] is not None
     assert rows[3] is None
+
+
+def test_id3v22_tag_refuses_to_marker():
+    # v2.2 carries 3-byte frame ids/sizes; walking it with the 2.3/2.4
+    # layout would report garbage, so the version byte gates to None
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    frames = b"TT2\x00\x00\x05\x00titl"
+    blob = b"ID3\x02\x00\x00" + C._syncsafe(len(frames)) + frames
+    assert C.parse_id3v2_frames(blob) is None
+    assert C.parse_id3v2_frames(b"ID3\x03\x00\x00" + C._syncsafe(0)) \
+        is not None

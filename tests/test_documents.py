@@ -757,3 +757,57 @@ def test_pdf_info_utf16be_literal_and_missing():
     with pytest.raises(ValueError, match="dangling"):
         D.pdf_info(dangling)
     assert D.pdf_info(D._synth_pdf_blob(0))["title"] is None
+
+
+# ---------------------------------------------------------------------------
+# Bounded decompression + all-or-marker contracts (round-10 advice)
+# ---------------------------------------------------------------------------
+
+
+def test_zip_member_inflate_bounded_by_declared_size():
+    # a member whose central directory claims 10 bytes must refuse
+    # WITHOUT materializing the real (1 MiB) inflation first
+    import tracemalloc
+
+    blob = bytearray(D.build_zip([("f.txt", b"A" * (1 << 20), 8, False)]))
+    _, cd_off, _ = D._zip_eocd(bytes(blob))
+    blob[cd_off + 24 : cd_off + 28] = struct.pack("<I", 10)  # lie: usize=10
+    entries = D.zip_member_list(bytes(blob))
+    tracemalloc.start()
+    with pytest.raises(ValueError):
+        D.zip_read_member(bytes(blob), entries[0])
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 256 * 1024  # never allocated the megabyte
+
+
+def test_bounded_inflate_cap_and_roundtrip():
+    payload = b"xyz repeated " * 1000
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = c.compress(payload) + c.flush()
+    assert D._bounded_inflate(gz, 31) == payload
+    bomb = zlib.compress(b"\0" * (4 << 20))
+    with pytest.raises(ValueError, match="bound"):
+        D._bounded_inflate(bomb, zlib.MAX_WBITS, cap=1 << 16)
+
+
+def test_stackexchange_all_or_marker_on_late_bad_row(spark):
+    # a dump that fails mid-walk must emit ONLY the marker row, never
+    # the already-parsed prefix plus the marker
+    bad = (b'<posts><row Id="1" PostTypeId="1" Score="3" />'
+           b'<row Id="oops" PostTypeId="2" /></posts>')
+    df = spark.createDataFrame([(7, bytearray(bad))],
+                               "doc_id long, content binary")
+    rows = D.stackexchange_posts(df).collect()
+    assert len(rows) == 1 and rows[0].post_id == -1
+
+
+def test_wikipedia_all_or_marker_on_late_bad_page(spark):
+    bad = (b"<mediawiki><page><title>A</title><ns>0</ns><id>5</id>"
+           b"<revision><text>ok body</text></revision></page>"
+           b"<page><title>B</title><ns>zz</ns><id>6</id></page>"
+           b"</mediawiki>")
+    df = spark.createDataFrame([(9, bytearray(bad))],
+                               "doc_id long, content binary")
+    rows = D.wikipedia_pages(df).collect()
+    assert len(rows) == 1 and rows[0].page_id == -1
