@@ -81,6 +81,10 @@ def _bounded_inflate(raw: bytes, wbits: int, cap: int = _MAX_INFLATE) -> bytes:
         if not buf:
             break
     chunks.append(d.flush())
+    if not d.eof:
+        # flush() never raises on a cut-off stream; a capture truncated
+        # mid-stream (or mid-trailer) must refuse, not emit a prefix
+        raise ValueError("truncated compressed stream")
     return b"".join(chunks)
 
 

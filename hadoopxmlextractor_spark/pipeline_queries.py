@@ -10,6 +10,7 @@ on synthetic near-dup corpora).
 
 from __future__ import annotations
 
+import zlib
 from typing import Iterator  # noqa: F401  (pandas_udf string annotations)
 
 import pandas as pd  # noqa: F401  (pandas_udf string annotations)
@@ -2792,9 +2793,13 @@ def q_text_html_extract(spark: SparkSession, sf: str) -> DataFrame:
            'response' AS warc_type,
            'https://example.com/doc/' || CAST(d.doc_id AS VARCHAR)
              AS target_uri,
-           CAST(200 AS INT) AS http_status,
-           CAST(77 AS BIGINT) AS n_payload,
-           b.bsum AS body_sum
+           CASE WHEN d.doc_id % 5 = 4 THEN NULL
+                ELSE CAST(200 AS INT) END AS http_status,
+           CAST(CASE d.doc_id % 5 WHEN 0 THEN 77 WHEN 1 THEN 122
+                WHEN 2 THEN 124 WHEN 3 THEN 163 ELSE 93 END
+                AS BIGINT) AS n_payload,
+           CASE WHEN d.doc_id % 5 = 4 THEN NULL
+                ELSE b.bsum END AS body_sum
     FROM documents d JOIN bodysum b USING (doc_id)
     UNION ALL
     SELECT doc_id, CAST(1 AS INT), 'metadata',
@@ -2812,11 +2817,16 @@ def q_source_warc_http(spark: SparkSession, sf: str) -> DataFrame:
     # 32-byte md5 chain, plus a warc-fields metadata record), each
     # record its OWN GZIP MEMBER (the Common Crawl layout), then the
     # zero-dependency reader walks members -> records -> HTTP
-    # status/body split. The oracle replays URI construction, payload
-    # lengths (45-byte HTTP header + 32-byte body = 77), and the body
-    # byte-sum from md5 hex pairs - one wrong byte in the gzip-member
-    # walk, header parse, Content-Length slice, or HTTP split shifts a
-    # sum or a length. File->record explode is one Arrow pass.
+    # status/body split. Responses are stored AS CAPTURED (r10): the
+    # transfer/content coding rotates by doc_id%5 - identity /
+    # chunked / gzip / gzip-then-chunked / a TRUNCATED-chunk capture
+    # that must refuse to (status NULL, body_sum NULL). The gzip arms
+    # compress at level 0 (stored blocks), so every arm's WARC
+    # Content-Length is a closed-form constant the oracle replays
+    # (77/122/124/163/93); body_sum comes from md5 hex pairs - one
+    # wrong byte in the gzip-member walk, header parse,
+    # Content-Length slice, de-chunk, or inflate shifts a sum or a
+    # length. File->record explode is one Arrow pass.
     import hashlib
 
     from hadoopxmlextractor_spark.sources import warc as W
@@ -2832,10 +2842,34 @@ def q_source_warc_http(spark: SparkSession, sf: str) -> DataFrame:
                     hashlib.md5(f"{i}:warc:0".encode()).digest()
                     + hashlib.md5(f"{i}:warc:1".encode()).digest()
                 )
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n"
-                    + body
-                )
+                base = b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
+                r = int(i) % 5
+                if r == 0:
+                    http = base + b"\r\n" + body
+                elif r == 1:
+                    http = (
+                        base + b"Transfer-Encoding: chunked\r\n\r\n"
+                        + b"10\r\n" + body[:16] + b"\r\n"
+                        + b"10\r\n" + body[16:] + b"\r\n0\r\n\r\n"
+                    )
+                elif r in (2, 3):
+                    c = zlib.compressobj(0, zlib.DEFLATED, 31)
+                    enc = c.compress(body) + c.flush()  # 55B stored gzip
+                    if r == 2:
+                        http = (
+                            base + b"Content-Encoding: gzip\r\n\r\n" + enc
+                        )
+                    else:
+                        http = (
+                            base + b"Content-Encoding: gzip\r\n"
+                            b"Transfer-Encoding: chunked\r\n\r\n"
+                            + (b"%x\r\n" % len(enc)) + enc + b"\r\n0\r\n\r\n"
+                        )
+                else:  # truncated chunk: 0x20 declared, 16 delivered
+                    http = (
+                        base + b"Transfer-Encoding: chunked\r\n\r\n"
+                        + b"20\r\n" + body[:16]
+                    )
                 recs = [
                     {
                         "warc_type": "response",

@@ -30,6 +30,41 @@ from hadoopxmlextractor_spark import oracles as O
 from hadoopxmlextractor_spark.queries import query
 from hadoopxmlextractor_spark.tables import load
 
+
+def _http_as_captured(body: bytes, arm: int) -> bytes:
+    """One HTTP/1.1 200 response payload AS A CRAWLER STORES IT (r10):
+    arm 0 = identity, 1 = Transfer-Encoding: chunked (two chunks, a
+    chunk extension, a trailer header), 2 = Content-Encoding: gzip,
+    3 = gzip then chunked — all four decode to the same entity bytes
+    through ``split_http_payload``, so rotating the arm by doc leaves
+    every downstream oracle untouched while proving the de-chunk /
+    inflate path on each fixture generation."""
+    import zlib
+
+    base = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    if arm == 0:
+        return base + b"\r\n" + body
+    if arm == 1:
+        cut = max(1, len(body) // 2)
+        rest = (  # a 0-size chunk TERMINATES the stream — never emit one
+            (b"%x\r\n" % (len(body) - cut)) + body[cut:] + b"\r\n"
+            if cut < len(body) else b""
+        )
+        return (
+            base + b"Transfer-Encoding: chunked\r\n\r\n"
+            + (b"%x;ext=v\r\n" % cut) + body[:cut] + b"\r\n" + rest
+            + b"0\r\nX-Digest: sha1:none\r\n\r\n"
+        )
+    c = zlib.compressobj(6, zlib.DEFLATED, 31)
+    enc = c.compress(body) + c.flush()
+    if arm == 2:
+        return base + b"Content-Encoding: gzip\r\n\r\n" + enc
+    return (
+        base + b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + (b"%x\r\n" % len(enc)) + enc + b"\r\n0\r\n\r\n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # WARC intra-file splits (r7 verdict item 3)
 # ---------------------------------------------------------------------------
@@ -517,10 +552,7 @@ def q_source_warc_wet_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                     f"</span></div><p>w{hp(6)} &lt;w{hp(7)}&gt; w{hp(8)}"
                     "</p></body></html>"
                 )
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                    + html.encode()
-                )
+                http = _http_as_captured(html.encode(), int(i) % 4)
                 recs = [
                     {
                         "warc_type": "response",
@@ -1268,10 +1300,7 @@ def q_pipeline_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
                     "<html><head><title>skip</title><script>var x;"
                     f"</script></head><body>{body}</body></html>"
                 )
-                http = (
-                    b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
-                    + html.encode()
-                )
+                http = _http_as_captured(html.encode(), int(i) % 4)
                 out.append(
                     W.write_warc(
                         [

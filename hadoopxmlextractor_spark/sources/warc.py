@@ -582,17 +582,82 @@ def write_warc(records: list[dict], *, gzip_members: bool = True) -> bytes:
     return b"".join(out)
 
 
+def _dechunk_http(body: bytes) -> bytes:
+    """Decode a ``Transfer-Encoding: chunked`` body: hex chunk-size
+    lines (chunk extensions after ``;`` ignored), CRLF-terminated
+    chunk data, the 0-size last chunk ending the stream (any trailer
+    headers after it are ignored). Truncated or malformed framing
+    raises ValueError — a partial capture must refuse, not emit hex
+    size lines as text."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("truncated chunk-size line")
+        size = int(body[pos:nl].split(b";", 1)[0].strip(), 16)
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        chunk = body[pos : pos + size]
+        if len(chunk) < size or body[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("truncated chunk")
+        out += chunk
+        pos += size + 2
+
+
 def split_http_payload(payload: bytes):
     """(status int | None, body bytes) of an HTTP response payload —
     the ``application/http; msgtype=response`` record body a crawler
-    stores. Non-HTTP payloads return (None, payload)."""
+    stores. Crawled WARCs keep responses AS CAPTURED, so a large
+    fraction of real bodies arrive chunked and/or content-coded; the
+    split undoes ``Transfer-Encoding`` codings in reverse application
+    order (chunked / gzip / deflate) and then inflates
+    ``Content-Encoding: gzip | x-gzip | deflate`` (both zlib-wrapped
+    and raw-deflate servers) through the bounded inflater, so the
+    downstream html_text stage sees the true entity bytes. Non-HTTP
+    payloads, unsupported codings (e.g. br without the lib), and
+    truncated/corrupt encoded bodies return (None, payload) — the
+    capture stays auditable instead of flowing garbage into the
+    corpus."""
+    # deferred import: operators.documents owns the bounded inflater
+    # (hostile-blob cap); it has no sources.* imports, so no cycle
+    from hadoopxmlextractor_spark.operators.documents import _bounded_inflate
+
     if not payload.startswith(b"HTTP/"):
         return None, payload
     try:
         hdr_end = payload.index(b"\r\n\r\n")
-        status = int(payload[: hdr_end].split(b"\r\n", 1)[0].split(b" ")[1])
-        return status, payload[hdr_end + 4 :]
-    except (ValueError, IndexError):
+        lines = payload[:hdr_end].split(b"\r\n")
+        status = int(lines[0].split(b" ")[1])
+        headers = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip().lower()
+        body = payload[hdr_end + 4 :]
+
+        def _inflate_coding(data: bytes, coding: bytes) -> bytes:
+            if coding in (b"gzip", b"x-gzip"):
+                return _bounded_inflate(data, 31)
+            if coding == b"deflate":
+                try:  # zlib-wrapped per RFC 9110...
+                    return _bounded_inflate(data, zlib.MAX_WBITS)
+                except (ValueError, zlib.error):
+                    # ...but raw-deflate servers are a known reality
+                    return _bounded_inflate(data, -zlib.MAX_WBITS)
+            raise ValueError(f"unsupported coding {coding!r}")
+
+        te = headers.get(b"transfer-encoding", b"")
+        for t in reversed([t.strip() for t in te.split(b",") if t.strip()]):
+            if t == b"chunked":
+                body = _dechunk_http(body)
+            elif t != b"identity":
+                body = _inflate_coding(body, t)
+        ce = headers.get(b"content-encoding", b"")
+        if ce and ce != b"identity":
+            body = _inflate_coding(body, ce)
+        return status, body
+    except (ValueError, IndexError, zlib.error):
         return None, payload
 
 

@@ -1126,3 +1126,62 @@ def test_warc_records_salvage_partial_then_marker(spark):
         ("partial", 1, "<urn:s:1>"),
         ("partial", 2, "<urn:s:2>"),
     ]
+
+
+def test_http_split_transfer_and_content_encodings():
+    """Real crawled WARCs store responses AS CAPTURED: chunked
+    transfer framing and gzip/deflate content codings must be undone
+    (in reverse application order) before downstream text extraction;
+    truncated or unsupported codings refuse to (None, payload)."""
+    import zlib as _z
+
+    from hadoopxmlextractor_spark.sources.warc import split_http_payload
+
+    body = b"<html><p>the true entity bytes &amp; more</p></html>"
+
+    def gz(data, wbits=31, level=6):
+        c = _z.compressobj(level, _z.DEFLATED, wbits)
+        return c.compress(data) + c.flush()
+
+    def chunked(data, ext=b"", trailer=b""):
+        return (
+            (b"%x" % len(data)) + ext + b"\r\n" + data + b"\r\n"
+            + b"0\r\n" + trailer + b"\r\n"
+        )
+
+    head = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    # identity
+    assert split_http_payload(head + b"\r\n" + body) == (200, body)
+    # chunked (multi-chunk, chunk extension, trailer header)
+    two = ((b"%x;x=1\r\n" % 16) + body[:16] + b"\r\n"  # noqa: E226
+           + (b"%x\r\n" % (len(body) - 16)) + body[16:] + b"\r\n"
+           + b"0\r\nX-Digest: abc\r\n\r\n")
+    p = head + b"Transfer-Encoding: chunked\r\n\r\n" + two
+    assert split_http_payload(p) == (200, body)
+    # gzip / x-gzip / zlib-deflate / raw-deflate content codings
+    for ce, enc in [
+        (b"gzip", gz(body)),
+        (b"x-gzip", gz(body)),
+        (b"deflate", gz(body, wbits=15)),
+        (b"deflate", gz(body, wbits=-15)),
+    ]:
+        p = head + b"Content-Encoding: " + ce + b"\r\n\r\n" + enc
+        assert split_http_payload(p) == (200, body)
+    # chunked OVER gzip (sender gzips then chunks; receiver reverses)
+    p = (head + b"Content-Encoding: gzip\r\n"
+         + b"Transfer-Encoding: chunked\r\n\r\n" + chunked(gz(body)))
+    assert split_http_payload(p) == (200, body)
+    # TE: gzip, chunked (codings listed in application order)
+    p = (head + b"Transfer-Encoding: gzip, chunked\r\n\r\n"
+         + chunked(gz(body)))
+    assert split_http_payload(p) == (200, body)
+    # truncated chunk / corrupt gzip / unsupported coding all refuse
+    trunc = head + b"Transfer-Encoding: chunked\r\n\r\n" + b"20\r\n" + body[:16]
+    s, b = split_http_payload(trunc)
+    assert s is None and b == trunc  # refusal returns the RAW payload
+    s, b = split_http_payload(
+        head + b"Content-Encoding: gzip\r\n\r\n" + gz(body)[:-5]
+    )
+    assert s is None
+    s, b = split_http_payload(head + b"Content-Encoding: br\r\n\r\n" + body)
+    assert s is None and b == head + b"Content-Encoding: br\r\n\r\n" + body
