@@ -474,10 +474,218 @@ _PDF_ESCAPES = {
 }
 
 
+def _pdf_dict_span(blob: bytes, pos: int) -> bytes:
+    """Bytes of the balanced ``<< ... >>`` dictionary starting at or
+    after ``pos`` (nested dicts counted, per §7.3.7)."""
+    start = blob.index(b"<<", pos)
+    depth = 0
+    i = start
+    while i < len(blob) - 1:
+        if blob[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif blob[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+            if depth == 0:
+                return blob[start:i]
+        else:
+            i += 1
+    raise ValueError("unterminated PDF dictionary")
+
+
+def _pdf_object_at(blob: bytes, off: int) -> tuple[int, bytes]:
+    """(objnum, body) of the indirect object starting at byte ``off``.
+    A stream object with a DIRECT /Length is skipped BY LENGTH, not by
+    searching for ``endobj`` — compressed stream bytes may contain the
+    keyword (the reason xref-driven loading beats the flat scan on
+    real files)."""
+    m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", blob[off : off + 64])
+    if m is None:
+        raise ValueError(f"no object at xref offset {off}")
+    bstart = off + m.end()
+    sm = re.compile(rb"stream(\r\n|\n)").search(blob, bstart)
+    endpos = None
+    if sm is not None:
+        head = blob[bstart : sm.start()]
+        if b"endobj" not in head:  # the stream belongs to THIS object
+            lm = (
+                None
+                if re.search(rb"/Length\s+\d+\s+\d+\s+R", head)
+                else re.search(rb"/Length\s+(\d+)", head)
+            )
+            if lm is not None:
+                endpos = blob.index(b"endobj", sm.end() + int(lm.group(1)))
+    if endpos is None:
+        endpos = blob.index(b"endobj", bstart)
+    return int(m.group(1)), blob[bstart:endpos]
+
+
+def _pdf_unpredict(data: bytes, parms: bytes) -> bytes:
+    """Undo the /DecodeParms PNG row predictor (/Predictor >= 10) on a
+    decoded xref stream — virtually every writer predicts xref rows
+    with PNG Up. Reuses the full five-filter PNG unfilter from the
+    image tier (bpp 1: xref rows are byte columns)."""
+    m = re.search(rb"/Predictor\s+(\d+)", parms)
+    pred = int(m.group(1)) if m else 1
+    if pred == 1:
+        return data
+    if pred < 10:
+        raise ValueError("TIFF predictor unsupported")
+    cm = re.search(rb"/Columns\s+(\d+)", parms)
+    cols = int(cm.group(1)) if cm else 1
+    if cols <= 0 or len(data) % (cols + 1):
+        raise ValueError("xref stream predictor rows misaligned")
+    from hadoopxmlextractor_spark.operators.multimodal import _png_unfilter
+
+    rows, _ = _png_unfilter(data, 0, cols, len(data) // (cols + 1), 1)
+    return rows.tobytes()
+
+
+def _pdf_xref_stream_entries(body: bytes) -> tuple[dict[int, tuple], bytes]:
+    """Entries of one ``/Type /XRef`` cross-reference STREAM (PDF
+    1.5+, §7.5.8): /W field widths (a zero width means the default —
+    type 1), /Index subsections (default [0 /Size]), /DecodeParms
+    predictor undone. Returns ({objnum: ('n', offset) | ('c', objstm,
+    idx)}, head dict bytes) — free (type 0) entries are skipped."""
+    head = body.split(b"stream", 1)[0]
+    wm = re.search(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]", head)
+    sm = re.search(rb"/Size\s+(\d+)", head)
+    if wm is None or sm is None:
+        raise ValueError("xref stream without /W or /Size")
+    w = [int(wm.group(k)) for k in (1, 2, 3)]
+    data = _pdf_stream_data(body)
+    pm = re.search(rb"/DecodeParms\s*<<(.*?)>>", head, re.S)
+    if pm is not None:
+        data = _pdf_unpredict(data, pm.group(1))
+    im = re.search(rb"/Index\s*\[((?:\s*\d+)+)\s*\]", head)
+    idx = (
+        [int(x) for x in im.group(1).split()]
+        if im
+        else [0, int(sm.group(1))]
+    )
+    rowlen = sum(w)
+    entries: dict[int, tuple] = {}
+    pos = 0
+    for s in range(0, len(idx) - 1, 2):
+        for k in range(idx[s + 1]):
+            row = data[pos : pos + rowlen]
+            if len(row) < rowlen:
+                raise ValueError("truncated xref stream data")
+            pos += rowlen
+            t = int.from_bytes(row[: w[0]], "big") if w[0] else 1
+            f2 = int.from_bytes(row[w[0] : w[0] + w[1]], "big")
+            f3 = int.from_bytes(row[w[0] + w[1] : rowlen], "big")
+            num = idx[s] + k
+            if t == 1:
+                entries[num] = ("n", f2)
+            elif t == 2:
+                entries[num] = ("c", f2, f3)
+    return entries, head
+
+
+def _pdf_xref_chain(blob: bytes) -> tuple[dict[int, tuple], bytes]:
+    """Cross-reference chain from the LAST ``startxref``: classic
+    ``xref`` tables and /XRef streams both handled, incremental
+    updates followed through /Prev with newest-first precedence (an
+    updated object's newer entry wins). Returns (entries, concatenated
+    trailer/dict bytes for /Root-class lookups)."""
+    sx = blob.rindex(b"startxref")
+    off: int | None = int(blob[sx + 9 :].split()[0])
+    entries: dict[int, tuple] = {}
+    trailers: list[bytes] = []
+    seen: set[int] = set()
+    while off is not None and off not in seen:
+        if not 0 <= off < len(blob):
+            raise ValueError("xref offset out of range")
+        seen.add(off)
+        if blob[off : off + 4] == b"xref":
+            tpos = blob.index(b"trailer", off)
+            toks = blob[off + 4 : tpos].split()
+            ti = 0
+            while ti + 1 < len(toks):
+                start, count = int(toks[ti]), int(toks[ti + 1])
+                ti += 2
+                for k in range(count):
+                    o, _gen, kw = toks[ti : ti + 3]
+                    ti += 3
+                    if kw == b"n":
+                        entries.setdefault(start + k, ("n", int(o)))
+                    elif kw != b"f":
+                        raise ValueError("bad xref entry keyword")
+            tdict = _pdf_dict_span(blob, tpos)
+        else:
+            _num, body = _pdf_object_at(blob, off)
+            head = body.split(b"stream", 1)[0]
+            if b"/XRef" not in head:
+                raise ValueError("startxref does not point at xref data")
+            es, tdict = _pdf_xref_stream_entries(body)
+            for num, e in es.items():
+                entries.setdefault(num, e)
+        trailers.append(tdict)
+        pm = re.search(rb"/Prev\s+(\d+)", tdict)
+        off = int(pm.group(1)) if pm else None
+    return entries, b"".join(trailers)
+
+
+def _pdf_objstm_objects(body: bytes) -> dict[int, bytes]:
+    """Contained objects of one ``/Type /ObjStm`` object stream
+    (§7.5.7): decompressed data starts with /N (objnum, offset) integer
+    pairs; object k runs from /First + offset_k to the next offset."""
+    head = body.split(b"stream", 1)[0]
+    nm = re.search(rb"/N\s+(\d+)", head)
+    fm = re.search(rb"/First\s+(\d+)", head)
+    if b"/ObjStm" not in head or nm is None or fm is None:
+        raise ValueError("not an object stream")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    data = _pdf_stream_data(body)
+    toks = data[:first].split()
+    if len(toks) < 2 * n:
+        raise ValueError("short ObjStm header")
+    pairs = [(int(toks[2 * k]), int(toks[2 * k + 1])) for k in range(n)]
+    out: dict[int, bytes] = {}
+    for k, (num, o) in enumerate(pairs):
+        end = pairs[k + 1][1] if k + 1 < n else len(data) - first
+        if not 0 <= o <= end <= len(data) - first:
+            raise ValueError("ObjStm offsets out of order")
+        out[num] = data[first + o : first + end]
+    return out
+
+
 def _pdf_objects(blob: bytes) -> dict[int, bytes]:
+    """Object map of a PDF. Files carrying a ``startxref`` load
+    XREF-DRIVEN: classic tables AND the PDF 1.5+ machinery most files
+    written in the last 15 years use — /XRef cross-reference streams
+    (W-array decode, PNG predictor) with objects packed in /ObjStm
+    object streams — so compressed-object files parse instead of
+    falling to the marker row, and a PRESENT-but-corrupt xref raises
+    (a modern file whose xref machinery is broken cannot be trusted:
+    marker row, per the r9 verdict). Files with NO startxref at all
+    fall back to the flat ``obj..endobj`` scan — the classic salvage
+    path real readers use for legacy/truncated files."""
     if not blob.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
-    return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
+    if b"startxref" not in blob:
+        return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
+    entries, _trailer = _pdf_xref_chain(blob)
+    objs: dict[int, bytes] = {}
+    for num, e in entries.items():
+        if e[0] == "n":
+            got_num, body = _pdf_object_at(blob, e[1])
+            objs[got_num] = body
+    stm_cache: dict[int, dict[int, bytes]] = {}
+    for num, e in entries.items():
+        if e[0] == "c":
+            stm = e[1]
+            if stm not in stm_cache:
+                if stm not in objs:
+                    raise ValueError("ObjStm object missing from xref")
+                stm_cache[stm] = _pdf_objstm_objects(objs[stm])
+            body = stm_cache[stm].get(num)
+            if body is None:
+                raise ValueError("object missing from its ObjStm")
+            objs[num] = body
+    return objs
 
 
 def _pdf_stream_data(body: bytes) -> bytes:
@@ -542,20 +750,81 @@ def _pdf_literal(s: str, pos: int) -> tuple[str, int]:
     raise ValueError("unterminated PDF string")
 
 
-def _content_text(stream: bytes) -> str:
+def _pdf_cmap(stream: bytes) -> dict[int, str]:
+    """code → text map of a /ToUnicode CMap (§9.10.3) — how every
+    non-trivial real PDF encodes text: ``bfchar`` pairs plus BOTH
+    ``bfrange`` forms (consecutive destination, and the array form
+    mapping each code to its own destination). Destination hex decodes
+    as UTF-16BE (possibly multi-code-unit, e.g. ligature
+    expansions)."""
+    s = stream.decode("latin-1")
+
+    def _dst(hx: str) -> str:
+        return bytes.fromhex(hx).decode("utf-16-be")
+
+    out: dict[int, str] = {}
+    for m in re.finditer(r"beginbfchar(.*?)endbfchar", s, re.S):
+        hx = re.findall(r"<([0-9A-Fa-f]+)>", m.group(1))
+        for src, dst in zip(hx[0::2], hx[1::2]):
+            out[int(src, 16)] = _dst(dst)
+    for m in re.finditer(r"beginbfrange(.*?)endbfrange", s, re.S):
+        for e in re.finditer(
+            r"<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*"
+            r"(\[[^\]]*\]|<[0-9A-Fa-f]+>)",
+            m.group(1),
+            re.S,
+        ):
+            lo, hi = int(e.group(1), 16), int(e.group(2), 16)
+            dst = e.group(3)
+            if dst.startswith("["):
+                vals = re.findall(r"<([0-9A-Fa-f]+)>", dst)
+                if len(vals) < hi - lo + 1:
+                    raise ValueError("short bfrange array")
+                for k in range(hi - lo + 1):
+                    out[lo + k] = _dst(vals[k])
+            else:
+                base = bytes.fromhex(dst[1:-1])
+                basev = int.from_bytes(base, "big")
+                for k in range(hi - lo + 1):
+                    out[lo + k] = (basev + k).to_bytes(
+                        len(base), "big"
+                    ).decode("utf-16-be")
+    return out
+
+
+def _content_text(
+    stream: bytes, fonts: dict[str, dict[int, str] | None] | None = None
+) -> str:
     """Shown text of one content stream: string literals emitted by
     Tj / ' / TJ in operator order. TJ's inter-string numbers are
     kerning adjustments, not glyphs — concatenated pieces join with
-    nothing, exactly as a viewer lays them."""
+    nothing, exactly as a viewer lays them. ``fonts`` maps resource
+    names to a /ToUnicode CMap (or None for simple fonts); under a
+    CMap-carrying font — selected by the Tf operator — string bytes
+    are 2-byte CIDs mapped through the CMap (unmapped codes show as
+    U+FFFD, the viewer's notdef), otherwise latin-1 passthrough."""
     s = stream.decode("latin-1")
     out: list[str] = []
     pending: list[str] = []
+    cmap: dict[int, str] | None = None
+    last_name = ""
     i = 0
+
+    def _shown(raw: bytes) -> str:
+        if cmap is None:
+            return raw.decode("latin-1")
+        if len(raw) % 2:
+            raise ValueError("odd-length CID string")
+        return "".join(
+            cmap.get(int.from_bytes(raw[k : k + 2], "big"), "�")
+            for k in range(0, len(raw), 2)
+        )
+
     while i < len(s):
         c = s[i]
         if c == "(":
             lit, i = _pdf_literal(s, i)
-            pending.append(lit)
+            pending.append(_shown(lit.encode("latin-1")))
             continue
         if c == "<" and not s.startswith("<<", i):
             # hex string (§7.3.4.3): whitespace-tolerant, odd digit
@@ -564,10 +833,20 @@ def _content_text(stream: bytes) -> str:
             hexs = re.sub(r"\s", "", s[i + 1 : j])
             if len(hexs) % 2:
                 hexs += "0"
-            pending.append(bytes.fromhex(hexs).decode("latin-1"))
+            pending.append(_shown(bytes.fromhex(hexs)))
             i = j + 1
             continue
         if s.startswith("<<", i):
+            i += 2
+            continue
+        if c == "/":
+            m = re.match(r"/(\w+)", s[i:])
+            if m:
+                last_name = m.group(1)
+                i += m.end()
+                continue
+        if s.startswith("Tf", i):
+            cmap = (fonts or {}).get(last_name)
             i += 2
             continue
         if s.startswith("Tj", i) or s.startswith("'", i):
@@ -584,12 +863,35 @@ def _content_text(stream: bytes) -> str:
     return "".join(out)
 
 
+def _pdf_page_fonts(
+    objs: dict[int, bytes], page: bytes
+) -> dict[str, dict[int, str] | None]:
+    """Font resources of one page: name → /ToUnicode CMap (None for
+    simple fonts without one)."""
+    fm = re.search(rb"/Font\s*<<(.*?)>>", page, re.S)
+    fonts: dict[str, dict[int, str] | None] = {}
+    if fm is None:
+        return fonts
+    for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
+        fobj = objs.get(int(num))
+        if fobj is None:
+            raise ValueError("dangling font reference")
+        tm = re.search(_REF_RE_T % b"ToUnicode", fobj)
+        fonts[name.decode("latin-1")] = (
+            None
+            if tm is None
+            else _pdf_cmap(_pdf_stream_data(objs[int(tm.group(1))]))
+        )
+    return fonts
+
+
 def _pdf_extract(blob: bytes) -> tuple[int, str]:
     """(page count, text) of a PDF: catalog -> /Pages -> /Kids order
-    -> per-page /Contents stream -> content-stream text operators.
-    Pages join with newlines. Only the document-text subset is
-    implemented (FlateDecode + literal-string Tj/TJ — what synthetic
-    and most text-born PDFs use); image-only/encrypted PDFs refuse."""
+    -> per-page /Contents stream -> content-stream text operators,
+    with the page's /Resources /Font map resolved so CID-keyed text
+    under a /ToUnicode CMap (the way every non-trivial real PDF
+    encodes text) decodes to Unicode. Pages join with newlines.
+    Image-only/encrypted PDFs refuse."""
     objs = _pdf_objects(blob)
     catalog = next(
         (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
@@ -608,7 +910,10 @@ def _pdf_extract(blob: bytes) -> tuple[int, str]:
         cm = re.search(_REF_RE_T % b"Contents", objs[pnum])
         if cm is None:
             raise ValueError("page without /Contents")
-        texts.append(_content_text(_pdf_stream_data(objs[int(cm.group(1))])))
+        fonts = _pdf_page_fonts(objs, objs[pnum])
+        texts.append(
+            _content_text(_pdf_stream_data(objs[int(cm.group(1))]), fonts)
+        )
     return len(texts), "\n".join(texts)
 
 
@@ -1125,12 +1430,16 @@ def synth_epub(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", _blob("doc_id").alias("content"))
 
 
-def _pdf_page_stream(i: int, b: bytes, p: int) -> tuple[bytes, str]:
-    """(content-stream bytes, expected shown text) of synth page p.
-    Rotations keep every tokenizer branch live: Tj vs TJ-with-kerning,
-    escaped parens, an octal escape, and a nested unescaped paren."""
+def _pdf_page_stream(i: int, b: bytes, p: int) -> tuple[bytes, str, bool]:
+    """(content-stream bytes, expected shown text, is_cid) of synth
+    page p. Rotations keep every tokenizer branch live: Tj vs
+    TJ-with-kerning, escaped parens, an octal escape, a nested
+    unescaped paren, a whitespace-split hex string, and (r10) a
+    CID-font page whose hex string is 2-byte codes the page's
+    /ToUnicode CMap must map back to text."""
     w1 = _WORDS[(b[2] + p) % 5]
-    variant = (b[4] + p) % 5
+    variant = (b[4] + p) % 6
+    cid = False
     if variant == 0:
         shown = f"{w1} page {p}"
         ops = f"({w1} ) Tj (page {p}) Tj"
@@ -1144,66 +1453,180 @@ def _pdf_page_stream(i: int, b: bytes, p: int) -> tuple[bytes, str]:
         # one literal containing BALANCED unescaped parens (§7.3.4.2)
         shown = f"{w1} (nested) {p}"
         ops = f"({w1} (nested) {p}) Tj"
-    else:
+    elif variant == 4:
         # hex string with interior whitespace (§7.3.4.3)
         shown = f"{w1} hex {p}"
         hx = shown.encode("latin-1").hex()
         ops = f"<{hx[:8]} {hx[8:]}> Tj"
+    else:
+        # CID hex string: char j encodes as code 0x0100+j, mapped by
+        # the page's CMap (split with interior whitespace)
+        shown = f"{w1} cid {p}"
+        cid = True
+        hx = "".join(f"{0x0100 + j:04x}" for j in range(len(shown)))
+        ops = f"<{hx[:12]} {hx[12:]}> Tj"
     stream = f"BT /F1 12 Tf 72 720 Td {ops} ET"
-    return stream.encode("latin-1"), shown
+    return stream.encode("latin-1"), shown, cid
+
+
+def _pdf_cmap_stream(shown: str) -> bytes:
+    """A /ToUnicode CMap mapping code 0x0100+j → shown[j], written
+    with BOTH a bfchar (first char) and an array-form bfrange (the
+    rest) so each decode branch is live per fixture."""
+    def u16(c: str) -> str:
+        return c.encode("utf-16-be").hex()
+
+    lines = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "1 begincodespacerange",
+        "<0000> <FFFF>",
+        "endcodespacerange",
+        "1 beginbfchar",
+        f"<0100> <{u16(shown[0])}>",
+        "endbfchar",
+    ]
+    if len(shown) > 1:
+        dsts = " ".join(f"<{u16(c)}>" for c in shown[1:])
+        lines += [
+            "1 beginbfrange",
+            f"<0101> <{0x0100 + len(shown) - 1:04x}> [{dsts}]",
+            "endbfrange",
+        ]
+    lines += ["endcmap", "end", "end"]
+    return "\n".join(lines).encode("latin-1")
 
 
 def _synth_pdf_blob(i: int) -> bytes:
     """One deterministic PDF from md5(doc:pdf): 1+b0%3 pages, page p's
     content stream FlateDecode-compressed when (b1+p)%2, text-operator
-    variant (b4+p)%5 (see :func:`_pdf_page_stream`, incl. the
-    hex-string arm); real xref table + trailer so external tools can
-    open the fixture."""
+    variant (b4+p)%6 (see :func:`_pdf_page_stream` — incl. the
+    hex-string and CID/ToUnicode-CMap arms). The FILE STRUCTURE
+    rotates on b3%2 (r10): a classic xref table (free entries for the
+    unused numbers), or the PDF 1.5+ layout — non-stream objects
+    packed into a FlateDecode /ObjStm and a /Type /XRef
+    cross-reference STREAM (W [1 2 1], PNG Up predictor /Predictor 12
+    /Columns 4) — so both container generations stay live under the
+    same text oracle."""
     import hashlib
 
     b = hashlib.md5(f"{i}:pdf".encode()).digest()
     n_pages = 1 + b[0] % 3
     objs: dict[int, bytes] = {}
+    stream_nums: set[int] = set()
     kids = []
     for p in range(n_pages):
         page_num = 3 + 2 * p
         content_num = 4 + 2 * p
         kids.append(f"{page_num} 0 R")
-        stream, _ = _pdf_page_stream(i, b, p)
+        stream, shown, cid = _pdf_page_stream(i, b, p)
         if (b[1] + p) % 2 == 1:
             data = zlib.compress(stream)
             sdict = f"<< /Length {len(data)} /Filter /FlateDecode >>"
         else:
             data = stream
             sdict = f"<< /Length {len(data)} >>"
+        res = ""
+        if cid:
+            font_num, cmap_num = 20 + 2 * p, 21 + 2 * p
+            cstream = _pdf_cmap_stream(shown)
+            objs[font_num] = (
+                f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+                f"/Encoding /Identity-H /ToUnicode {cmap_num} 0 R >>"
+                .encode()
+            )
+            objs[cmap_num] = (
+                f"<< /Length {len(cstream)} >>".encode()
+                + b"\nstream\n" + cstream + b"\nendstream"
+            )
+            stream_nums.add(cmap_num)
+            res = f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
         objs[page_num] = (
-            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            f"/Contents {content_num} 0 R >>".encode()
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            f"{res} /Contents {content_num} 0 R >>".encode()
         )
         objs[content_num] = (
             sdict.encode() + b"\nstream\n" + data + b"\nendstream"
         )
+        stream_nums.add(content_num)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {n_pages} >>"
         .encode()
     )
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    if b[3] % 2 == 0:
+        # classic layout: flat objects + xref TABLE + trailer
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = {}
+        for num in sorted(objs):
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+        xref_off = len(out)
+        n_obj = max(objs) + 1
+        out += f"xref\n0 {n_obj}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n_obj):
+            if num in offsets:
+                out += f"{offsets[num]:010d} 00000 n \n".encode()
+            else:
+                out += b"0000000000 65535 f \n"
+        out += (
+            f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n"
+            f"{xref_off}\n%%EOF\n".encode()
+        )
+        return bytes(out)
+    # modern layout: dict objects packed in an ObjStm, xref STREAM
+    objstm_num, xref_num = 30, 31
+    packed = sorted(n for n in objs if n not in stream_nums)
+    bodies = [objs[n] for n in packed]
+    offs, acc = [], 0
+    for bb in bodies:
+        offs.append(acc)
+        acc += len(bb) + 1
+    header = " ".join(
+        f"{n} {o}" for n, o in zip(packed, offs)
+    ).encode() + b"\n"
+    payload = header + b"\n".join(bodies)
+    cdata = zlib.compress(payload)
+    objs[objstm_num] = (
+        f"<< /Type /ObjStm /N {len(packed)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(cdata)} >>".encode()
+        + b"\nstream\n" + cdata + b"\nendstream"
+    )
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
-    for num in sorted(objs):
+    for num in sorted(stream_nums) + [objstm_num]:
         offsets[num] = len(out)
         out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
     xref_off = len(out)
-    n_obj = max(objs) + 1
-    out += f"xref\n0 {n_obj}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for num in range(1, n_obj):
-        off = offsets.get(num, 0)
-        out += f"{off:010d} 00000 n \n".encode()
+    size = xref_num + 1
+    raw = bytearray()
+    for num in range(size):
+        if num in offsets:
+            t, f2, f3 = 1, offsets[num], 0
+        elif num in packed:
+            t, f2, f3 = 2, objstm_num, packed.index(num)
+        elif num == xref_num:
+            t, f2, f3 = 1, xref_off, 0
+        else:
+            t, f2, f3 = 0, 0, 255 if num == 0 else 0
+        raw += bytes([t]) + f2.to_bytes(2, "big") + bytes([f3])
+    pred = bytearray()
+    prev = bytes(4)
+    for k in range(0, len(raw), 4):
+        row = raw[k : k + 4]
+        pred += b"\x02" + bytes((row[j] - prev[j]) & 0xFF for j in range(4))
+        prev = row
+    cxref = zlib.compress(bytes(pred))
     out += (
-        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_off}"
-        f"\n%%EOF\n".encode()
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /Root 1 0 R "
+        f"/W [1 2 1] /Index [0 {size}] /Filter /FlateDecode "
+        f"/DecodeParms << /Predictor 12 /Columns 4 >> "
+        f"/Length {len(cxref)} >>".encode()
+        + b"\nstream\n" + cxref + b"\nendstream\nendobj\n"
     )
+    out += f"startxref\n{xref_off}\n%%EOF\n".encode()
     return bytes(out)
 
 

@@ -137,12 +137,13 @@ def q_source_epub_text(spark: SparkSession, sf: str) -> DataFrame:
     t AS (
       SELECT doc_id, n, pp,
              {_W}[(b2 + pp) % 5 + 1] ||
-             CASE (b4 + pp) % 5
+             CASE (b4 + pp) % 6
                   WHEN 0 THEN ' page ' || CAST(pp AS VARCHAR)
                   WHEN 1 THEN ' (page) ' || CAST(pp AS VARCHAR)
                   WHEN 2 THEN ' A' || CAST(pp AS VARCHAR)
                   WHEN 3 THEN ' (nested) ' || CAST(pp AS VARCHAR)
-                  ELSE ' hex ' || CAST(pp AS VARCHAR) END AS page_text
+                  WHEN 4 THEN ' hex ' || CAST(pp AS VARCHAR)
+                  ELSE ' cid ' || CAST(pp AS VARCHAR) END AS page_text
       FROM pg
     )
     SELECT doc_id, 'pdf' AS format, CAST(n AS INT) AS n_units,
@@ -160,9 +161,16 @@ def q_source_pdf_text(spark: SparkSession, sf: str) -> DataFrame:
     # kerning (concatenated with NOTHING, as a viewer lays them),
     # literal-string escapes \\( \\) (variant 1), octal \\101 → 'A'
     # (variant 2), balanced UNESCAPED nested parens inside one literal
-    # (variant 3, legal per ISO 32000 §7.3.4.2), and whitespace-
-    # tolerant HEX strings <...> (variant 4, §7.3.4.3). The oracle
-    # reconstructs the shown text of every variant. One Arrow pass.
+    # (variant 3, legal per ISO 32000 §7.3.4.2), whitespace-tolerant
+    # HEX strings <...> (variant 4, §7.3.4.3), and (r10) CID hex
+    # strings mapped through the page font's /ToUnicode CMap (variant
+    # 5, §9.10.3 — bfchar + array bfrange both live). The FILE
+    # STRUCTURE also rotates (b3%2): classic xref tables vs the PDF
+    # 1.5+ /XRef cross-reference stream (W-array, PNG Up predictor)
+    # with dict objects packed in a FlateDecode /ObjStm — the modern
+    # layout most real PDFs use. The oracle reconstructs the shown
+    # text of every variant; the container rotation must be
+    # text-invariant. One Arrow pass.
     from hadoopxmlextractor_spark.operators import documents as D
 
     docs = load(spark, sf, "documents")

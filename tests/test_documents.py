@@ -811,3 +811,108 @@ def test_wikipedia_all_or_marker_on_late_bad_page(spark):
                                "doc_id long, content binary")
     rows = D.wikipedia_pages(df).collect()
     assert len(rows) == 1 and rows[0].page_id == -1
+
+
+# ---------------------------------------------------------------------------
+# Modern PDF file structure: xref streams, ObjStm, /Prev chain, CMap (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_modern_layout_objstm_xref_stream():
+    """The b3%2 rotation writes genuinely modern files (/XRef stream
+    with PNG Up predictor + /ObjStm packing) and both generations
+    extract identical page text; CID pages decode via /ToUnicode."""
+    classics = [i for i in range(40)
+                if hashlib.md5(f"{i}:pdf".encode()).digest()[3] % 2 == 0]
+    moderns = [i for i in range(40)
+               if hashlib.md5(f"{i}:pdf".encode()).digest()[3] % 2 == 1]
+    assert classics and moderns
+    cid_pages = 0
+    for i in classics[:4] + moderns[:4]:
+        b = hashlib.md5(f"{i}:pdf".encode()).digest()
+        blob = D._synth_pdf_blob(i)
+        if b[3] % 2 == 1:
+            assert b"/XRef" in blob and b"/ObjStm" in blob
+            assert b"/Predictor 12" in blob
+        else:
+            assert b"\nxref\n" in blob and b"/ObjStm" not in blob
+        n, text = D._pdf_extract(blob)
+        expected = []
+        for p in range(1 + b[0] % 3):
+            _, shown, cid = D._pdf_page_stream(i, b, p)
+            expected.append(shown)
+            cid_pages += cid
+        assert (n, text) == (len(expected), "\n".join(expected))
+    assert cid_pages  # the CMap arm occurred in the sample
+
+
+def test_pdf_corrupt_xref_stream_refuses():
+    """A present-but-corrupt /XRef stream must refuse (marker row),
+    never salvage via the flat scan — a modern file with broken xref
+    machinery cannot be trusted."""
+    i = next(i for i in range(40)
+             if hashlib.md5(f"{i}:pdf".encode()).digest()[3] % 2 == 1)
+    blob = bytearray(D._synth_pdf_blob(i))
+    xref_off = int(bytes(blob)[blob.index(b"startxref") + 9:].split()[0])
+    sm = blob.index(b"stream\n", xref_off) + 7
+    blob[sm + 2] ^= 0xFF  # flip a byte of the compressed xref data
+    with pytest.raises((ValueError, zlib.error)):
+        D._pdf_extract(bytes(blob))
+
+
+def test_pdf_incremental_update_prev_chain():
+    """An appended incremental update (new xref section + /Prev) must
+    win over the original object — newest-first precedence."""
+
+    def obj(num, body):
+        return f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    def content(txt):
+        s = f"BT /F1 12 Tf ({txt}) Tj ET".encode()
+        return (f"<< /Length {len(s)} >>".encode()
+                + b"\nstream\n" + s + b"\nendstream")
+
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = {}
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: content("old text"),
+    }
+    for num in sorted(bodies):
+        offsets[num] = len(out)
+        out += obj(num, bodies[num])
+    xref1 = len(out)
+    out += b"xref\n0 5\n0000000000 65535 f \n"
+    for num in range(1, 5):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size 5 /Root 1 0 R >>\nstartxref\n{xref1}"
+            f"\n%%EOF\n".encode())
+    assert D._pdf_extract(bytes(out)) == (1, "old text")
+    # incremental update: object 4 replaced, one-entry xref section
+    upd_off = len(out)
+    out += obj(4, content("new text"))
+    xref2 = len(out)
+    out += f"xref\n4 1\n{upd_off:010d} 00000 n \n".encode()
+    out += (f"trailer\n<< /Size 5 /Root 1 0 R /Prev {xref1} >>\n"
+            f"startxref\n{xref2}\n%%EOF\n".encode())
+    assert D._pdf_extract(bytes(out)) == (1, "new text")
+
+
+def test_pdf_cmap_bfrange_forms():
+    """Both bfrange destination forms decode: consecutive base and
+    per-code array; bfchar pairs; unmapped codes show as U+FFFD."""
+    cmap = D._pdf_cmap(
+        b"1 beginbfchar\n<0001> <0041>\nendbfchar\n"
+        b"1 beginbfrange\n<0010> <0012> <0061>\nendbfrange\n"
+        b"1 beginbfrange\n<0020> <0021> [<0058> <005A>]\nendbfrange\n"
+    )
+    assert cmap[0x0001] == "A"
+    assert [cmap[c] for c in (0x10, 0x11, 0x12)] == ["a", "b", "c"]
+    assert [cmap[c] for c in (0x20, 0x21)] == ["X", "Z"]
+    fonts = {"F1": cmap}
+    txt = D._content_text(
+        b"BT /F1 10 Tf <0001 0010> Tj <9999> Tj ET", fonts
+    )
+    assert txt == "Aa�"
