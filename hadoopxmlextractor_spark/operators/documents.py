@@ -3554,6 +3554,82 @@ def wikitext_to_text(src: str) -> str:
     return " ".join(s.split())
 
 
+def _bz2_decompress_streams(raw: bytes, cap: int = _MAX_INFLATE) -> bytes:
+    """Decompress a CONCATENATION of bz2 streams (the multistream dump
+    layout) with the same hard output bound as :func:`_bounded_inflate`
+    — refuses bombs and truncated streams."""
+    import bz2 as _bz2
+
+    out: list[bytes] = []
+    total = 0
+    pos = 0
+    while pos < len(raw):
+        if raw[pos : pos + 3] != b"BZh":
+            raise ValueError("not a bz2 stream boundary")
+        d = _bz2.BZ2Decompressor()
+        piece = d.decompress(raw[pos:], 1 << 20)
+        while True:
+            if piece:
+                out.append(piece)
+                total += len(piece)
+                if total > cap:
+                    raise ValueError("inflated output exceeds bound")
+            if d.eof:
+                break
+            if d.needs_input:
+                raise ValueError("truncated bz2 stream")
+            piece = d.decompress(b"", 1 << 20)
+        pos = len(raw) - len(d.unused_data)
+    return b"".join(out)
+
+
+def _wikipedia_page_rows(did, data: bytes) -> list[dict]:
+    """Rows of one <mediawiki> dump (the shared page walk): per <page>
+    the title, namespace, FIRST <id> (revision ids must not shadow
+    it), redirect target (attribute), and the CLEANED revision text.
+    Raises on malformed/empty dumps — callers map that to the marker
+    row. All-or-nothing: the caller extends only on full parse."""
+    root = ElementTree.fromstring(data)
+    if _local(root.tag) != "mediawiki":
+        raise ValueError("not a mediawiki dump")
+    doc_rows = []
+    for page in root:
+        if _local(page.tag) != "page":
+            continue
+        title = ns = pid = redirect = None
+        text = ""
+        for el in page.iter():
+            loc = _local(el.tag)
+            if loc == "title":
+                title = el.text
+            elif loc == "ns":
+                ns = int(el.text or "0")
+            elif loc == "id" and pid is None:
+                pid = int(el.text or "-1")
+            elif loc == "redirect":
+                redirect = el.get("title")
+            elif loc == "text":
+                text = el.text or ""
+        clean = wikitext_to_text(text)
+        doc_rows.append({
+            "doc_id": did, "page_id": pid, "title": title,
+            "ns": ns, "redirect_to": redirect,
+            "text_clean": clean,
+            "n_tokens": len(clean.split()),
+        })
+    if not doc_rows:
+        raise ValueError("dump with no pages")
+    return doc_rows
+
+
+_WIKI_COLS = ["doc_id", "page_id", "title", "ns", "redirect_to",
+              "text_clean", "n_tokens"]
+_WIKI_SCHEMA = (
+    "doc_id bigint, page_id int, title string, ns int, "
+    "redirect_to string, text_clean string, n_tokens int"
+)
+
+
 def wikipedia_pages(
     docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -3562,73 +3638,46 @@ def wikipedia_pages(
     ElementTree walk as the sitemap/feed sources: per <page> the
     title, namespace, page id, redirect flag+target (attribute of the
     <redirect> element, not the wikitext), and the CLEANED revision
-    text via :func:`wikitext_to_text`. Malformed dumps yield the
-    page_id -1 marker row."""
+    text via :func:`wikitext_to_text`. ``.bz2`` dumps (single- or
+    multi-stream — the real ``pages-articles-multistream.xml.bz2``
+    layout) decompress transparently through the bounded bz2 walk
+    (r10). Malformed dumps yield the page_id -1 marker row."""
 
     def _pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["doc_id", "page_id", "title", "ns", "redirect_to",
-                "text_clean", "n_tokens"]
         for pdf in batches:
             rows = []
             for did, blob in zip(pdf[id_col], pdf[content_col]):
                 try:
                     data = bytes(blob) if not isinstance(blob, str) \
                         else blob.encode()
-                    root = ElementTree.fromstring(data)
-                    if _local(root.tag) != "mediawiki":
-                        raise ValueError("not a mediawiki dump")
-                    # All-or-marker: buffer per dump, extend after the
-                    # full walk (see stackexchange_posts).
-                    doc_rows = []
-                    for page in root:
-                        if _local(page.tag) != "page":
-                            continue
-                        title = ns = pid = redirect = None
-                        text = ""
-                        for el in page.iter():
-                            loc = _local(el.tag)
-                            if loc == "title":
-                                title = el.text
-                            elif loc == "ns":
-                                ns = int(el.text or "0")
-                            elif loc == "id" and pid is None:
-                                pid = int(el.text or "-1")
-                            elif loc == "redirect":
-                                redirect = el.get("title")
-                            elif loc == "text":
-                                text = el.text or ""
-                        clean = wikitext_to_text(text)
-                        doc_rows.append({
-                            "doc_id": did, "page_id": pid, "title": title,
-                            "ns": ns, "redirect_to": redirect,
-                            "text_clean": clean,
-                            "n_tokens": len(clean.split()),
-                        })
-                    if not doc_rows:
-                        raise ValueError("dump with no pages")
-                    rows.extend(doc_rows)
-                except (ValueError, TypeError, ElementTree.ParseError):
+                    if data[:3] == b"BZh":
+                        data = _bz2_decompress_streams(data)
+                    rows.extend(_wikipedia_page_rows(did, data))
+                except (ValueError, TypeError, OSError,
+                        ElementTree.ParseError):
                     rows.append({
                         "doc_id": did, "page_id": -1, "title": None,
                         "ns": None, "redirect_to": None,
                         "text_clean": None, "n_tokens": None,
                     })
-            yield pd.DataFrame(rows, columns=cols)
+            yield pd.DataFrame(rows, columns=_WIKI_COLS)
 
     return docs.select(id_col, content_col).mapInPandas(
-        _pages,
-        schema="doc_id bigint, page_id int, title string, ns int, "
-        "redirect_to string, text_clean string, n_tokens int",
+        _pages, schema=_WIKI_SCHEMA
     )
 
 
-def _synth_wikipedia_xml(i: int) -> bytes:
-    """One deterministic pages-articles fragment from md5(doc:wiki):
-    an ARTICLE page exercising every cleaning rule (nested template,
-    piped + bare wikilinks, a dropped File link, a <ref> footnote, an
-    HTML comment, bold/italic markers, a heading, an external link)
-    plus, on b0%3==0, a REDIRECT page whose target lives in the
-    <redirect> element attribute."""
+_WIKI_ROOT_OPEN = (
+    "<mediawiki xmlns=\"http://www.mediawiki.org/xml/export-0.10/\" "
+    "xml:lang=\"en\">"
+)
+
+
+def _synth_wikipedia_page_list(i: int) -> list[tuple[int, str, str]]:
+    """(page_id, title, page XML) list from md5(doc:wiki): an ARTICLE
+    page exercising every cleaning rule plus, on b0%3==0, a REDIRECT
+    page whose target lives in the <redirect> element attribute —
+    shared by the whole-dump and multistream synthesizers."""
     import hashlib
 
     b = hashlib.md5(f"{i}:wiki".encode()).digest()
@@ -3643,7 +3692,9 @@ def _synth_wikipedia_xml(i: int) -> bytes:
         f"See [https://ex.org/{i} the {w[4]} site] for more."
     )
     ns_art = 0 if b[1] % 2 == 0 else 4
-    pages = [
+    pages = [(
+        10 + i % 1000,
+        f"Article {i}",
         "<page><title>Article {}</title><ns>{}</ns><id>{}</id>"
         "<revision><id>9{}</id><text xml:space=\"preserve\">{}</text>"
         "</revision></page>".format(
@@ -3651,20 +3702,27 @@ def _synth_wikipedia_xml(i: int) -> bytes:
             i % 100,
             article_text.replace("&", "&amp;").replace("<", "&lt;")
             .replace(">", "&gt;"),
-        )
-    ]
+        ),
+    )]
     if b[0] % 3 == 0:
-        pages.append(
+        pages.append((
+            5000 + i % 1000,
+            f"Alias {i}",
             f"<page><title>Alias {i}</title><ns>0</ns><id>{5000 + i % 1000}"
             f"</id><redirect title=\"Article {i}\"/>"
             "<revision><id>1</id><text>#REDIRECT [[Article "
-            f"{i}]]</text></revision></page>"
-        )
-    xml = (
-        "<mediawiki xmlns=\"http://www.mediawiki.org/xml/export-0.10/\" "
-        "xml:lang=\"en\">" + "".join(pages) + "</mediawiki>"
-    )
-    return xml.encode()
+            f"{i}]]</text></revision></page>",
+        ))
+    return pages
+
+
+def _synth_wikipedia_xml(i: int) -> bytes:
+    """One deterministic pages-articles fragment (see
+    :func:`_synth_wikipedia_page_list`)."""
+    pages = _synth_wikipedia_page_list(i)
+    return (
+        _WIKI_ROOT_OPEN + "".join(x for _, _, x in pages) + "</mediawiki>"
+    ).encode()
 
 
 def synth_wikipedia(docs: DataFrame) -> DataFrame:
@@ -3677,6 +3735,257 @@ def synth_wikipedia(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_wikipedia_xml(int(i)) for i in ids])
 
     return docs.select("doc_id", _blob("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# Wikipedia .bz2 MULTISTREAM dumps — index-driven intra-file splits (r10)
+# ---------------------------------------------------------------------------
+#
+# The real `pages-articles-multistream.xml.bz2` is a CONCATENATION of
+# bz2 streams (header stream with <mediawiki><siteinfo>, ~100 pages per
+# stream, a closing-tag stream) shipped with a companion
+# `...-multistream-index.txt.bz2` of `offset:page_id:title` lines —
+# offset being the byte position of the stream holding that page. The
+# offsets make the 20+ GB single file SPLITTABLE: exactly the shape
+# `split_warc_file` solved for WARC (r8), so the split packing reuses
+# the same record-aligned cut machinery, and ranged reads parallelize
+# INSIDE the dump instead of one task per file.
+
+
+def parse_multistream_index(raw: bytes) -> list[tuple[int, int, str]]:
+    """(stream offset, page_id, title) rows of a multistream index
+    file (bz2 or plain text) — title may itself contain ':', so only
+    the first two fields split."""
+    if raw[:3] == b"BZh":
+        raw = _bz2_decompress_streams(raw)
+    out = []
+    for line in raw.decode("utf-8").splitlines():
+        if not line:
+            continue
+        off, pid, title = line.split(":", 2)
+        out.append((int(off), int(pid), title))
+    if not out:
+        raise ValueError("empty multistream index")
+    return out
+
+
+def wikipedia_multistream_cuts(
+    index: list[tuple[int, int, str]], dump_len: int, target_bytes: int
+) -> list[dict]:
+    """Record-aligned (offset, length, first_rec=pages-so-far) splits
+    of a multistream dump, packed to ~``target_bytes`` COMPRESSED
+    bytes via the shared WARC cut packer: boundaries are the distinct
+    index offsets (stream starts) plus end-of-file, so every split
+    begins on a bz2 stream the ranged parser can decompress
+    independently."""
+    from hadoopxmlextractor_spark.sources.warc import _cuts_to_splits
+
+    bounds = sorted({off for off, _, _ in index})
+    if any(b >= dump_len for b in bounds):
+        raise ValueError("index offset past end of dump")
+    # every stream start ENDS the preceding range; EOF ends the last
+    cut_points = [
+        (b, sum(1 for off, _, _ in index if off < b)) for b in bounds
+    ]
+    cut_points.append((dump_len, len(index)))
+    if cut_points[0][0] == 0:  # no header stream before the first page
+        cut_points.pop(0)
+    return _cuts_to_splits(cut_points, dump_len, target_bytes)
+
+
+def _wikipedia_range_rows(did, raw: bytes) -> list[dict]:
+    """Page rows of one RANGED slice of a multistream dump (must start
+    on a bz2 stream boundary): decompress the streams in range, drop
+    any header prefix (everything before the first <page>) and the
+    closing-tag suffix, wrap in a synthetic root, and run the shared
+    page walk. A range holding only header/footer streams yields []."""
+    text = _bz2_decompress_streams(raw).decode("utf-8")
+    start = text.find("<page")
+    if start < 0:
+        return []
+    end = text.rfind("</page>")
+    if end < 0:
+        raise ValueError("truncated page range")
+    body = text[start : end + len("</page>")]
+    data = (_WIKI_ROOT_OPEN + body + "</mediawiki>").encode()
+    return _wikipedia_page_rows(did, data)
+
+
+def wikipedia_split_index(
+    files: DataFrame,
+    *,
+    target_bytes: int = 1 << 20,
+    content_col: str = "content",
+    index_col: str = "index",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, dump, index) → split rows via
+    :func:`wikipedia_multistream_cuts` — the in-memory twin of the
+    file-based index pass in :func:`read_wikipedia_multistream`; a
+    malformed dump/index degrades to the split_idx -1 marker row."""
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "split_idx", "offset", "length", "first_rec",
+                "n_recs", "n_members"]
+        for pdf in batches:
+            rows = []
+            for did, blob, idx in zip(
+                pdf[id_col], pdf[content_col], pdf[index_col]
+            ):
+                try:
+                    entries = parse_multistream_index(bytes(idx))
+                    for s in wikipedia_multistream_cuts(
+                        entries, len(bytes(blob)), target_bytes
+                    ):
+                        rows.append({"doc_id": did, **s})
+                except (ValueError, IndexError, OSError):
+                    rows.append({
+                        "doc_id": did, "split_idx": -1, "offset": None,
+                        "length": None, "first_rec": None,
+                        "n_recs": None, "n_members": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select(id_col, content_col, index_col).mapInPandas(
+        _index,
+        schema="doc_id bigint, split_idx int, offset long, length long, "
+        "first_rec int, n_recs int, n_members int",
+    )
+
+
+def wikipedia_pages_ranged(
+    splits: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Split rows carrying the dump bytes → page rows: each task
+    decompresses only ITS (offset, length) byte range — the union over
+    splits is row-identical to :func:`wikipedia_pages` on the whole
+    dump (asserted in tests). Malformed ranges yield the page_id -1
+    marker."""
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, blob, off, ln in zip(
+                pdf[id_col], pdf[content_col], pdf["offset"], pdf["length"]
+            ):
+                try:
+                    raw = bytes(blob)[int(off) : int(off) + int(ln)]
+                    rows.extend(_wikipedia_range_rows(did, raw))
+                except (ValueError, TypeError, OSError,
+                        ElementTree.ParseError):
+                    rows.append({
+                        "doc_id": did, "page_id": -1, "title": None,
+                        "ns": None, "redirect_to": None,
+                        "text_clean": None, "n_tokens": None,
+                    })
+            yield pd.DataFrame(rows, columns=_WIKI_COLS)
+
+    return splits.select(id_col, content_col, "offset", "length").mapInPandas(
+        _parse, schema=_WIKI_SCHEMA
+    )
+
+
+def read_wikipedia_multistream(
+    spark, dump_path: str, index_path: str, *, target_bytes: int = 1 << 20
+) -> DataFrame:
+    """The scale path for the single-20-GB-file Wikipedia dump: parse
+    the multistream index (a few MB) into record-aligned (offset,
+    length) splits, repartition the split rows, then each task seeks
+    into the dump and decompresses only its range — same architecture
+    as :func:`read_warc_split` (r8), so one dump becomes thousands of
+    tasks instead of one. doc_id is 0 (single-dump reader); page rows
+    match :func:`wikipedia_pages` over the whole file."""
+    import os
+
+    from hadoopxmlextractor_spark.sources.warc import _local_path
+
+    n_parts = spark.sparkContext.defaultParallelism
+    paths = spark.createDataFrame(
+        [(dump_path, index_path)], "dump string, idx string"
+    )
+
+    def _index(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["dump", "split_idx", "offset", "length", "first_rec"]
+        for pdf in batches:
+            rows = []
+            for dp, ip in zip(pdf["dump"], pdf["idx"]):
+                with open(_local_path(ip), "rb") as f:
+                    entries = parse_multistream_index(f.read())
+                size = os.path.getsize(_local_path(dp))
+                for s in wikipedia_multistream_cuts(
+                    entries, size, target_bytes
+                ):
+                    rows.append({
+                        "dump": dp, "split_idx": s["split_idx"],
+                        "offset": s["offset"], "length": s["length"],
+                        "first_rec": s["first_rec"],
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    splits = paths.mapInPandas(
+        _index,
+        schema="dump string, split_idx int, offset long, length long, "
+        "first_rec int",
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for dp, off, ln in zip(
+                pdf["dump"], pdf["offset"], pdf["length"]
+            ):
+                with open(_local_path(dp), "rb") as f:
+                    f.seek(int(off))
+                    raw = f.read(int(ln))
+                rows.extend(_wikipedia_range_rows(0, raw))
+            yield pd.DataFrame(rows, columns=_WIKI_COLS)
+
+    return splits.repartition(n_parts, "dump", "split_idx").mapInPandas(
+        _read, schema=_WIKI_SCHEMA
+    )
+
+
+def _synth_wikipedia_multistream(i: int) -> tuple[bytes, bytes]:
+    """(dump bytes, index bytes) of a deterministic MULTISTREAM dump:
+    header stream (<mediawiki> + <siteinfo>), ONE PAGE PER STREAM
+    (the real layout packs ~100 — one page keeps >1 stream per doc),
+    and a closing-tag stream; the bz2 index carries
+    offset:page_id:title lines (titles with spaces, ids from the
+    shared synth) and is itself bz2-compressed, as shipped."""
+    import bz2 as _bz2
+
+    pages = _synth_wikipedia_page_list(i)
+    dump = bytearray()
+    dump += _bz2.compress(
+        (_WIKI_ROOT_OPEN + "<siteinfo><sitename>synth</sitename>"
+         "</siteinfo>").encode()
+    )
+    index_lines = []
+    for pid, title, xml in pages:
+        index_lines.append(f"{len(dump)}:{pid}:{title}")
+        dump += _bz2.compress(xml.encode())
+    dump += _bz2.compress(b"</mediawiki>")
+    index = _bz2.compress("\n".join(index_lines).encode() + b"\n")
+    return bytes(dump), index
+
+
+def synth_wikipedia_multistream(docs: DataFrame) -> DataFrame:
+    """(doc_id, content, index) of a deterministic multistream dump
+    per document (see :func:`_synth_wikipedia_multistream`)."""
+
+    @F.pandas_udf("struct<content:binary, index:binary>")
+    def _blobs(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for ids in it:
+            pair = [_synth_wikipedia_multistream(int(i)) for i in ids]
+            yield pd.DataFrame({
+                "content": [p[0] for p in pair],
+                "index": [p[1] for p in pair],
+            })
+
+    return docs.select("doc_id", _blobs("doc_id").alias("b")).select(
+        "doc_id", F.col("b.content").alias("content"),
+        F.col("b.index").alias("index"),
+    )
 
 
 # ---------------------------------------------------------------------------

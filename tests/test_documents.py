@@ -916,3 +916,55 @@ def test_pdf_cmap_bfrange_forms():
         b"BT /F1 10 Tf <0001 0010> Tj <9999> Tj ET", fonts
     )
     assert txt == "Aa�"
+
+
+# ---------------------------------------------------------------------------
+# Wikipedia .bz2 multistream (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_wikipedia_bz2_transparent_and_bomb_bound(spark):
+    """wikipedia_pages accepts whole .bz2 multistream dumps
+    transparently; the bz2 walk refuses past the inflation cap."""
+    import bz2
+
+    dump, _ = D._synth_wikipedia_multistream(5)
+    plain_rows = D.wikipedia_pages(
+        spark.createDataFrame(
+            [(5, bytearray(D._synth_wikipedia_xml(5)))],
+            "doc_id long, content binary",
+        )
+    ).collect()
+    bz_rows = D.wikipedia_pages(
+        spark.createDataFrame(
+            [(5, bytearray(dump))], "doc_id long, content binary"
+        )
+    ).collect()
+    assert sorted(map(tuple, bz_rows)) == sorted(map(tuple, plain_rows))
+    with pytest.raises(ValueError, match="bound"):
+        D._bz2_decompress_streams(bz2.compress(b"\0" * (1 << 22)), cap=1 << 16)
+    with pytest.raises(ValueError, match="truncated"):
+        D._bz2_decompress_streams(bz2.compress(b"data")[:-3])
+
+
+def test_wikipedia_multistream_file_splits(spark, tmp_path):
+    """The file-based scale path: index-driven splits give >1 TASK per
+    dump, and the union over ranged tasks equals the whole-file
+    parse."""
+    dump, idx = D._synth_wikipedia_multistream(3)
+    (tmp_path / "dump.xml.bz2").write_bytes(dump)
+    (tmp_path / "index.txt.bz2").write_bytes(idx)
+    df = D.read_wikipedia_multistream(
+        spark, str(tmp_path / "dump.xml.bz2"),
+        str(tmp_path / "index.txt.bz2"), target_bytes=1
+    )
+    got = df.collect()
+    whole = D._wikipedia_page_rows(0, D._bz2_decompress_streams(dump))
+    assert sorted(tuple(r) for r in got) == sorted(
+        tuple(r.values()) for r in whole
+    )
+    # >1 split proves the dump is genuinely task-parallel
+    entries = D.parse_multistream_index(idx)
+    assert len(
+        D.wikipedia_multistream_cuts(entries, len(dump), target_bytes=1)
+    ) > 1
