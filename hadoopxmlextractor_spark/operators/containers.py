@@ -75,21 +75,31 @@ def _mvhd_timing(buf: bytes, body: int) -> tuple[int, int]:
 
 def _trak_info(buf: bytes, body: int, bend: int):
     """(handler 4cc, stsd first-entry fourcc+offset, stts frame count,
-    tkhd width, tkhd height) of one trak box."""
+    tkhd width, tkhd height, track_ID, mdhd timescale) of one trak
+    box — track_ID is what moof/tfhd fragments key on, the mdhd
+    timescale is the unit of trun sample durations."""
     handler = None
     entry = None  # (fourcc, sample-entry body offset)
     n_samples = 0
     w = h = None
+    track_id = None
+    media_ts = None
     tk = _find_box(buf, body, bend, b"tkhd")
     if tk is not None:
         tb, tbe = tk
         # width/height are the LAST 8 bytes of tkhd: 16.16 fixed point
         (fw, fh) = struct.unpack(">II", buf[tbe - 8 : tbe])
         w, h = fw >> 16, fh >> 16
+        idp = tb + (20 if buf[tb] == 1 else 12)  # v1: 64-bit times
+        (track_id,) = struct.unpack(">I", buf[idp : idp + 4])
     md = _find_box(buf, body, bend, b"mdia")
     if md is None:
         return None
     mb, mbe = md
+    mh = _find_box(buf, mb, mbe, b"mdhd")
+    if mh is not None:
+        tsp = mh[0] + (20 if buf[mh[0]] == 1 else 12)
+        (media_ts,) = struct.unpack(">I", buf[tsp : tsp + 4])
     hd = _find_box(buf, mb, mbe, b"hdlr")
     if hd is not None:
         handler = buf[hd[0] + 8 : hd[0] + 12]
@@ -113,7 +123,7 @@ def _trak_info(buf: bytes, body: int, bend: int):
                     (cnt, _delta) = struct.unpack(">II", buf[p : p + 8])
                     n_samples += cnt
                     p += 8
-    return handler, entry, n_samples, w, h
+    return handler, entry, n_samples, w, h, track_id, media_ts
 
 
 def _mp4_tracks(blob: bytes):
@@ -143,18 +153,108 @@ def _mp4_tracks(blob: bytes):
     return timescale, duration, tracks
 
 
+def _mp4_fragments(blob: bytes, track_id: int) -> tuple[int, int]:
+    """(sample count, summed sample duration in MEDIA-timescale units)
+    for one track across every top-level ``moof`` movie fragment —
+    the DASH/fMP4 layout where timing lives in tfhd defaults and trun
+    per-sample fields instead of the (empty) moov sample tables:
+    mfhd-sequenced moofs, traf per track, tfhd flags gating
+    base-data-offset / sample-description / default-sample-* fields,
+    trun flags gating data-offset / first-sample-flags and the
+    per-sample (duration, size, flags, cts) columns."""
+    n = 0
+    dur = 0
+    for typ, body, bend in _iter_boxes(blob, 0, len(blob)):
+        if typ != b"moof":
+            continue
+        for t2, b2, e2 in _iter_boxes(blob, body, bend):
+            if t2 != b"traf":
+                continue
+            tf = _find_box(blob, b2, e2, b"tfhd")
+            if tf is None:
+                continue
+            flags = int.from_bytes(blob[tf[0] + 1 : tf[0] + 4], "big")
+            (tid,) = struct.unpack(">I", blob[tf[0] + 4 : tf[0] + 8])
+            if tid != track_id:
+                continue
+            p = tf[0] + 8
+            if flags & 0x1:  # base-data-offset (u64)
+                p += 8
+            if flags & 0x2:  # sample-description-index
+                p += 4
+            default_dur = None
+            if flags & 0x8:
+                (default_dur,) = struct.unpack(">I", blob[p : p + 4])
+            for t3, b3, e3 in _iter_boxes(blob, b2, e2):
+                if t3 != b"trun":
+                    continue
+                tflags = int.from_bytes(blob[b3 + 1 : b3 + 4], "big")
+                (cnt,) = struct.unpack(">I", blob[b3 + 4 : b3 + 8])
+                n += cnt
+                q = b3 + 8
+                if tflags & 0x1:  # data-offset
+                    q += 4
+                if tflags & 0x4:  # first-sample-flags
+                    q += 4
+                if tflags & 0x100:  # per-sample durations present
+                    stride = 4 * bin((tflags >> 8) & 0xF).count("1")
+                    for s in range(cnt):
+                        dur += struct.unpack(
+                            ">I", blob[q + s * stride : q + s * stride + 4]
+                        )[0]
+                elif default_dur is not None:
+                    dur += default_dur * cnt
+    return n, dur
+
+
+def _mp4_mehd_duration(blob: bytes) -> int | None:
+    """moov/mvex/mehd fragment_duration (mvhd-timescale units) — the
+    total-movie duration a fragmented file declares up front, since
+    its mvhd duration is 0."""
+    mv = _find_box(blob, 0, len(blob), b"moov")
+    if mv is None:
+        return None
+    mx = _find_box(blob, mv[0], mv[1], b"mvex")
+    if mx is None:
+        return None
+    me = _find_box(blob, mx[0], mx[1], b"mehd")
+    if me is None:
+        return None
+    if blob[me[0]] == 1:
+        return struct.unpack(">Q", blob[me[0] + 4 : me[0] + 12])[0]
+    return struct.unpack(">I", blob[me[0] + 4 : me[0] + 8])[0]
+
+
 def _parse_mp4_meta(blob: bytes):
     """VIDEO_META row of an MP4/ISO-BMFF file: moov/mvhd timing, the
     'vide' track's tkhd dims + stsd codec fourcc + stts sample count.
-    MP4 stores no global fps field, so fps_num/fps_den stay NULL —
-    duration and frame count are the honest header facts. Same shape
-    as the AVI walk (multimodal._parse_avi_meta)."""
+    FRAGMENTED files (empty moov sample tables, timing in moof/trun —
+    the DASH-origin layout a growing share of crawled video uses)
+    fall through to the movie-fragment walk: frame count from trun
+    sample counts keyed on the track_ID, duration from mvex/mehd or,
+    absent that, summed trun/tfhd sample durations in the mdhd media
+    timescale. MP4 stores no global fps field, so fps_num/fps_den
+    stay NULL — duration and frame count are the honest header facts.
+    Same shape as the AVI walk (multimodal._parse_avi_meta)."""
     parsed = _mp4_tracks(blob)
     if parsed is None:
         return None
     timescale, duration, tracks = parsed
-    for handler, entry, n_samples, w, h in tracks:
+    for handler, entry, n_samples, w, h, track_id, media_ts in tracks:
         if handler == b"vide" and entry is not None and w:
+            duration_ms = (
+                duration * 1000 // timescale if timescale else None
+            )
+            if n_samples == 0 and track_id is not None:
+                frag_n, frag_dur = _mp4_fragments(blob, track_id)
+                if frag_n:
+                    n_samples = frag_n
+                    if not duration:
+                        mehd = _mp4_mehd_duration(blob)
+                        if mehd is not None and timescale:
+                            duration_ms = mehd * 1000 // timescale
+                        elif frag_dur and media_ts:
+                            duration_ms = frag_dur * 1000 // media_ts
             return {
                 "codec": entry[0].decode("ascii", "replace"),
                 "width": int(w),
@@ -162,9 +262,7 @@ def _parse_mp4_meta(blob: bytes):
                 "fps_num": None,
                 "fps_den": None,
                 "n_frames": int(n_samples),
-                "duration_ms": (
-                    duration * 1000 // timescale if timescale else None
-                ),
+                "duration_ms": duration_ms,
             }
     return None
 
@@ -179,7 +277,7 @@ def _parse_mp4_audio_meta(blob: bytes):
     if parsed is None:
         return None
     timescale, duration, tracks = parsed
-    for handler, entry, n_samples, _w, _h in tracks:
+    for handler, entry, n_samples, _w, _h, _tid, _mts in tracks:
         if handler == b"soun" and entry is not None:
             fourcc, ep = entry
             # AudioSampleEntry: 6 reserved + 2 data_ref, 8 version/
@@ -323,6 +421,16 @@ def _parse_webm_meta(blob: bytes):
                             )
                             if btrack == video_track:
                                 n_blocks += 1
+                        elif e3 == 0xA0:  # BlockGroup wraps a Block
+                            # (the lacing/duration-carrying layout
+                            # muxers emit alongside SimpleBlocks)
+                            for e4, b4, e4e in _iter_ebml(blob, b3, e3e):
+                                if e4 == 0xA1:  # Block: same track vint
+                                    btrack, _ = _ebml_vint(
+                                        blob, b4, keep_marker=False
+                                    )
+                                    if btrack == video_track:
+                                        n_blocks += 1
     if doctype not in ("webm", "matroska") or codec is None or not width:
         return None
     duration_ms = None
@@ -465,8 +573,14 @@ _MP4_CODECS = (b"avc1", b"hev1", b"vp09", b"av01")
 def _synth_mp4_video_blob(i: int) -> bytes:
     """One deterministic MP4 from md5(doc:mp4) — ROTATING box layouts:
     mvhd v0/v1, an interleaved free box, audio-track-first ordering,
-    and a 1- vs 2-entry stts, so the walk is exercised on every legal
-    shape the synth can reach."""
+    and a 1- vs 2-entry stts. On b11%2 the file is FRAGMENTED (r10):
+    empty moov sample tables, mvhd duration 0, timing in moof/traf/
+    trun movie fragments — with the duration source itself rotating
+    (b12%2): mvex/mehd fragment_duration (v0/v1 per b14%2) alongside
+    tfhd default-sample-durations, or NO mehd with per-sample trun
+    durations summing exactly to the movie duration. The audio
+    track's fragments must never pollute the video frame count
+    (track_ID keying)."""
     import hashlib
 
     b = hashlib.md5(f"{i}:mp4".encode()).digest()
@@ -476,25 +590,28 @@ def _synth_mp4_video_blob(i: int) -> bytes:
     n_frames = 10 + b[3] % 90
     dur_units = ts * (1 + b[10] % 10) + b[4]
     codec = _MP4_CODECS[b[5] % 4]
+    fragmented = b[11] % 2 == 1
+    mvhd_dur = 0 if fragmented else dur_units
 
     if b[7] % 2:  # mvhd version 1 (64-bit times)
         mvhd = _box(
             b"mvhd",
             b"\x01\x00\x00\x00" + b"\x00" * 16
-            + struct.pack(">IQ", ts, dur_units) + b"\x00" * 80,
+            + struct.pack(">IQ", ts, mvhd_dur) + b"\x00" * 80,
         )
     else:
         mvhd = _box(
             b"mvhd",
             b"\x00" * 4 + b"\x00" * 8
-            + struct.pack(">II", ts, dur_units) + b"\x00" * 80,
+            + struct.pack(">II", ts, mvhd_dur) + b"\x00" * 80,
         )
 
-    def trak(handler: bytes, entry: bytes, stts: bytes, w: int, h: int):
+    def trak(handler: bytes, entry: bytes, stts: bytes, w: int, h: int,
+             tid: int):
         tkhd = _box(
             b"tkhd",
-            b"\x00\x00\x00\x07" + b"\x00" * 72
-            + struct.pack(">II", w << 16, h << 16),
+            b"\x00\x00\x00\x07" + b"\x00" * 8 + struct.pack(">I", tid)
+            + b"\x00" * 60 + struct.pack(">II", w << 16, h << 16),
         )
         stsd = _box(
             b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry
@@ -503,12 +620,15 @@ def _synth_mp4_video_blob(i: int) -> bytes:
         minf = _box(b"minf", stbl)
         hdlr = _box(b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12)
         mdhd = _box(
-            b"mdhd", b"\x00" * 12 + struct.pack(">II", ts, dur_units)
+            b"mdhd", b"\x00" * 12 + struct.pack(">II", ts, mvhd_dur)
             + b"\x00" * 4
         )
         return _box(b"trak", tkhd + _box(b"mdia", mdhd + hdlr + minf))
 
-    if b[9] % 2:  # two stts entries summing to n_frames
+    if fragmented:  # fMP4: moov sample tables are EMPTY
+        stts = _box(b"stts", b"\x00" * 4 + struct.pack(">I", 0))
+        audio_stts = stts
+    elif b[9] % 2:  # two stts entries summing to n_frames
         n1 = n_frames // 2
         stts = _box(
             b"stts",
@@ -516,29 +636,106 @@ def _synth_mp4_video_blob(i: int) -> bytes:
             + struct.pack(">II", n1, 100)
             + struct.pack(">II", n_frames - n1, 100),
         )
+        audio_stts = _box(
+            b"stts", b"\x00" * 4 + struct.pack(">I", 1)
+            + struct.pack(">II", 7, 1024)
+        )
     else:
         stts = _box(
             b"stts",
             b"\x00" * 4 + struct.pack(">I", 1)
             + struct.pack(">II", n_frames, 100),
         )
+        audio_stts = _box(
+            b"stts", b"\x00" * 4 + struct.pack(">I", 1)
+            + struct.pack(">II", 7, 1024)
+        )
     ventry = _box(codec, b"\x00" * 78)  # VisualSampleEntry-sized filler
-    vtrak = trak(b"vide", ventry, stts, width, height)
+    vtrak = trak(b"vide", ventry, stts, width, height, 1)
 
-    audio_stts = _box(
-        b"stts", b"\x00" * 4 + struct.pack(">I", 1)
-        + struct.pack(">II", 7, 1024)
-    )
     aentry = _box(b"mp4a", b"\x00" * 28)
-    atrak = trak(b"soun", aentry, audio_stts, 0, 0)
+    atrak = trak(b"soun", aentry, audio_stts, 0, 0, 2)
 
     traks = atrak + vtrak if b[8] % 2 else vtrak + atrak
-    moov = _box(b"moov", mvhd + traks)
+    moov_kids = mvhd + traks
+    if fragmented:
+        per_sample = b[12] % 2 == 1
+        mvex = b""
+        if not per_sample:  # duration declared up front in mehd
+            if b[14] % 2:
+                mvex += _box(
+                    b"mehd", b"\x01\x00\x00\x00"
+                    + struct.pack(">Q", dur_units)
+                )
+            else:
+                mvex += _box(
+                    b"mehd", b"\x00" * 4 + struct.pack(">I", dur_units)
+                )
+        for tid, ddur in ((1, 100), (2, 1024)):
+            mvex += _box(
+                b"trex",
+                b"\x00" * 4 + struct.pack(">IIII", tid, 1, ddur, 0)
+                + b"\x00" * 4,
+            )
+        moov_kids += _box(b"mvex", mvex)
+    moov = _box(b"moov", moov_kids)
     parts = [_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2")]
     if b[6] % 2:
         parts.append(_box(b"free", b"\x00" * (b[6] % 32)))
     parts.append(moov)
-    parts.append(_box(b"mdat", b"\x00" * 64))
+    if not fragmented:
+        parts.append(_box(b"mdat", b"\x00" * 64))
+        return b"".join(parts)
+    # movie fragments: n_frames spread over 2-3 moofs, each with a
+    # video traf and a decoy audio traf
+    per_sample = b[12] % 2 == 1
+    durations = [dur_units // n_frames] * n_frames
+    for k in range(dur_units % n_frames):
+        durations[k] += 1  # sums EXACTLY to dur_units
+    n_frag = 2 + b[13] % 2
+    taken = 0
+    for seq in range(n_frag):
+        left = n_frames - taken
+        cnt = left // (n_frag - seq) if seq < n_frag - 1 else left
+        mfhd = _box(b"mfhd", b"\x00" * 4 + struct.pack(">I", seq + 1))
+        if per_sample:  # trun rows: [duration, size] per sample
+            tfhd_v = _box(
+                b"tfhd", b"\x00\x02\x00\x00" + struct.pack(">I", 1)
+            )
+            rows = b"".join(
+                struct.pack(">II", durations[taken + s], 50 + s)
+                for s in range(cnt)
+            )
+            trun_v = _box(
+                b"trun",
+                b"\x00\x00\x03\x01" + struct.pack(">I", cnt)
+                + struct.pack(">i", 0) + rows,
+            )
+        else:  # tfhd default-sample-duration carries timing
+            tfhd_v = _box(
+                b"tfhd", b"\x00\x02\x00\x08" + struct.pack(">II", 1, 100)
+            )
+            sizes = b"".join(
+                struct.pack(">I", 50 + s) for s in range(cnt)
+            )
+            trun_v = _box(
+                b"trun",
+                b"\x00\x00\x02\x01" + struct.pack(">I", cnt)
+                + struct.pack(">i", 0) + sizes,
+            )
+        traf_v = _box(b"traf", tfhd_v + trun_v)
+        tfhd_a = _box(
+            b"tfhd", b"\x00\x02\x00\x08" + struct.pack(">II", 2, 1024)
+        )
+        trun_a = _box(
+            b"trun",
+            b"\x00\x00\x00\x01" + struct.pack(">I", 3)
+            + struct.pack(">i", 0),
+        )
+        traf_a = _box(b"traf", tfhd_a + trun_a)
+        parts.append(_box(b"moof", mfhd + traf_v + traf_a))
+        parts.append(_box(b"mdat", b"\x00" * 32))
+        taken += cnt
     return b"".join(parts)
 
 
@@ -635,24 +832,37 @@ def _synth_webm_blob(i: int) -> bytes:
         entries = aentry + entries if b[13] % 2 else entries + aentry
     tracks = _eb(b"\x16\x54\xae\x6b", entries)
 
-    def block(track: int, tc: int) -> bytes:
+    def block(track: int, tc: int, *, grouped: bool = False) -> bytes:
         payload = (
             bytes([0x80 | track]) + struct.pack(">h", tc) + b"\x80"
             + bytes([b[11], tc & 0xFF])
         )
+        if grouped:
+            # BlockGroup: Block (0xA1, same track-vint layout) plus a
+            # BlockDuration — the non-SimpleBlock layout muxers emit
+            return _eb(
+                b"\xa0", _eb(b"\xa1", payload) + _eb_uint(b"\x9b", 33)
+            )
         return _eb(b"\xa3", payload)
 
+    # on b15%2, ALTERNATE SimpleBlock / BlockGroup per video block so
+    # both layouts are live inside one cluster walk (r10)
+    use_groups = b[15] % 2 == 1
     clusters = b""
     left = n_blocks
+    done = 0
     for c in range(n_clusters):
         take = left // (n_clusters - c) if c < n_clusters - 1 else left
         body = _eb_uint(b"\xe7", c * 1000)
         for k in range(take):
-            body += block(vtrack, k)
+            body += block(
+                vtrack, k, grouped=use_groups and (done + k) % 2 == 1
+            )
         if has_audio:
-            body += block(vtrack + 3, 0)
+            body += block(vtrack + 3, 0, grouped=use_groups)
         clusters += _eb(b"\x1f\x43\xb6\x75", body)
         left -= take
+        done += take
     void = _eb(b"\xec", b"\x00" * (b[9] % 24)) if b[9] % 2 else b""
     seg_body = (
         void + tracks + info + clusters

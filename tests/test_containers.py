@@ -384,3 +384,59 @@ def test_id3v22_tag_refuses_to_marker():
     assert C.parse_id3v2_frames(blob) is None
     assert C.parse_id3v2_frames(b"ID3\x03\x00\x00" + C._syncsafe(0)) \
         is not None
+
+
+def test_mp4_fragmented_layout_replay():
+    """fMP4 (b11%2): empty moov sample tables, timing in moof/trun —
+    frame count from trun sample counts keyed on track_ID (audio traf
+    decoys must not count), duration from mehd (v0/v1) or, in the
+    no-mehd arm, per-sample trun durations summing exactly; output is
+    IDENTICAL to the progressive twin, so one shared oracle covers
+    both layouts."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    arms = {"frag_mehd": 0, "frag_persample": 0, "progressive": 0}
+    for i in range(60):
+        b = hashlib.md5(f"{i}:mp4".encode()).digest()
+        blob = C._synth_mp4_video_blob(i)
+        m = C._parse_mp4_meta(blob)
+        ts = C._MP4_TIMESCALES[b[2] % 4]
+        dur = ts * (1 + b[10] % 10) + b[4]
+        assert m["n_frames"] == 10 + b[3] % 90
+        assert m["duration_ms"] == dur * 1000 // ts
+        if b[11] % 2 == 0:
+            arms["progressive"] += 1
+            assert b"moof" not in blob
+        else:
+            assert b"moof" in blob and b"trun" in blob
+            if b[12] % 2:
+                arms["frag_persample"] += 1
+                assert b"mehd" not in blob
+            else:
+                arms["frag_mehd"] += 1
+                assert b"mehd" in blob
+    assert all(v > 0 for v in arms.values()), arms
+
+
+def test_webm_blockgroup_counts_like_simpleblock():
+    """BlockGroup-wrapped Blocks (0xA0/0xA1) count toward the video
+    frame count exactly like SimpleBlocks; audio blocks in either
+    wrapping never count."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    grouped = [i for i in range(40)
+               if hashlib.md5(f"{i}:webm".encode()).digest()[15] % 2 == 1]
+    plain = [i for i in range(40)
+             if hashlib.md5(f"{i}:webm".encode()).digest()[15] % 2 == 0]
+    assert grouped and plain
+    for i in grouped[:4] + plain[:4]:
+        b = hashlib.md5(f"{i}:webm".encode()).digest()
+        blob = C._synth_webm_blob(i)
+        m = C._parse_webm_meta(blob)
+        assert m["n_frames"] == 1 + b[7] % 8, (i, m)
+        if b[15] % 2 and (1 + b[7] % 8) >= 2:
+            assert b"\xa0" in blob  # BlockGroup id present in the mux
