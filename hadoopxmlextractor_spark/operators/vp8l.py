@@ -203,31 +203,19 @@ def _cache_index(argb: int, cache_bits: int) -> int:
     return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
 
 
-def decode_vp8l(payload: bytes):
-    """(height, width, 4) uint8 RGBA of a VP8L chunk payload
-    (starting at the 0x2F signature). Raises ValueError on malformed
-    streams and on the unsupported-transform plug-in points."""
-    if not payload or payload[0] != 0x2F:
-        raise ValueError("not a VP8L stream")
-    br = _BitReader(payload[1:])
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)  # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("unknown VP8L version")
-    subtract_green = False
-    while br.read(1):  # transforms
-        ttype = br.read(2)
-        if ttype == 2:
-            subtract_green = True
-        else:
-            raise ValueError(f"unsupported VP8L transform {ttype}")
+def _decode_entropy_image(
+    br: _BitReader, w: int, h: int, *, top_level: bool = False
+) -> list[int]:
+    """Packed-ARGB pixel list of one entropy-coded image: optional
+    color cache, the 5-code group, LZ77 backrefs. The top-level ARGB
+    image additionally carries the meta-prefix bit (transform
+    sub-images never do, per the spec's image-data layering)."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("bad color cache size")
-    if br.read(1):
+    if top_level and br.read(1):
         raise ValueError("meta prefix codes unsupported")
     cache_size = (1 << cache_bits) if cache_bits else 0
     green_code = _read_prefix_code(br, 256 + 24 + cache_size)
@@ -274,15 +262,185 @@ def decode_vp8l(payload: bytes):
             if s - 280 >= cache_size:
                 raise ValueError("color cache index out of range")
             emit(cache[s - 280])
+    return pixels
 
+
+def _unpack(p: int) -> tuple[int, int, int, int]:
+    return (p >> 24) & 255, (p >> 16) & 255, (p >> 8) & 255, p & 255
+
+
+def _pack(a: int, r: int, g: int, b: int) -> int:
+    return (a << 24) | (r << 16) | (g << 8) | b
+
+
+def _avg2(p: tuple, q: tuple) -> tuple:
+    return tuple((x + y) >> 1 for x, y in zip(p, q))
+
+
+def _clamp(v: int) -> int:
+    return 0 if v < 0 else 255 if v > 255 else v
+
+
+def _tdiv2(v: int) -> int:
+    """C-semantics (a)/2 — truncation toward ZERO, the spec
+    pseudocode's integer division (Python // floors negatives)."""
+    return v // 2 if v >= 0 else -((-v) // 2)
+
+
+def _predict(mode: int, L: tuple, T: tuple, TL: tuple, TR: tuple) -> tuple:
+    """One predictor-mode value per the spec's table (modes 0-13) —
+    Average2 floors, Select is the Manhattan-distance pick, the
+    ClampAddSubtract pair clamps to [0, 255] with C truncation."""
+    if mode == 0:
+        return (255, 0, 0, 0)  # 0xff000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return _avg2(_avg2(L, TR), T)
+    if mode == 6:
+        return _avg2(L, TL)
+    if mode == 7:
+        return _avg2(L, T)
+    if mode == 8:
+        return _avg2(TL, T)
+    if mode == 9:
+        return _avg2(T, TR)
+    if mode == 10:
+        return _avg2(_avg2(L, TL), _avg2(T, TR))
+    if mode == 11:
+        est = tuple(lc + tc - tlc for lc, tc, tlc in zip(L, T, TL))
+        p_l = sum(abs(e - lc) for e, lc in zip(est, L))
+        p_t = sum(abs(e - tc) for e, tc in zip(est, T))
+        return L if p_l < p_t else T
+    if mode == 12:
+        return tuple(
+            _clamp(lc + tc - tlc) for lc, tc, tlc in zip(L, T, TL)
+        )
+    if mode == 13:
+        ave = _avg2(L, T)
+        return tuple(
+            _clamp(ac + _tdiv2(ac - tlc)) for ac, tlc in zip(ave, TL)
+        )
+    raise ValueError(f"bad predictor mode {mode}")
+
+
+def _inverse_predictor(
+    pixels: list[int], w: int, h: int, modes: list[int],
+    tw: int, size_bits: int,
+) -> None:
+    """In-place inverse predictor transform: residual + predicted
+    value mod 256 per channel, predictors computed from the already-
+    RECONSTRUCTED neighbors in scan order. Border rules per spec:
+    top-left predicts black, top row L, left column T; the TR pixel
+    of the rightmost column is the current row's leftmost pixel (the
+    spec's linear-memory addressing, index i-w+1 = y*w)."""
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if x == 0 and y == 0:
+                pred = (255, 0, 0, 0)
+            elif y == 0:
+                pred = _unpack(pixels[i - 1])
+            elif x == 0:
+                pred = _unpack(pixels[i - w])
+            else:
+                mode = (
+                    modes[(y >> size_bits) * tw + (x >> size_bits)] >> 8
+                ) & 0xFF
+                pred = _predict(
+                    mode,
+                    _unpack(pixels[i - 1]),
+                    _unpack(pixels[i - w]),
+                    _unpack(pixels[i - w - 1]),
+                    _unpack(pixels[i - w + 1]),
+                )
+            res = _unpack(pixels[i])
+            pixels[i] = _pack(*((rc + pc) & 255 for rc, pc in
+                                zip(res, pred)))
+
+
+def _s8(v: int) -> int:
+    """uint8 bits reinterpreted as signed int8 — the spec's cast for
+    every ColorTransformDelta operand."""
+    return v - 256 if v >= 128 else v
+
+
+def _inverse_cross_color(
+    pixels: list[int], w: int, h: int, ctes: list[int],
+    tw: int, size_bits: int,
+) -> None:
+    """In-place inverse color (cross-color) transform: per block the
+    ColorTransformElement lives in a sub-image pixel (BLUE=green_to_
+    red, GREEN=green_to_blue, RED=red_to_blue); deltas are
+    (int8*int8)>>5 with the red delta applied to blue using the
+    ALREADY-RESTORED red, per the spec's InverseTransform."""
+    for y in range(h):
+        base = (y >> size_bits) * tw
+        for x in range(w):
+            c = ctes[base + (x >> size_bits)]
+            g2r = _s8(c & 255)
+            g2b = _s8((c >> 8) & 255)
+            r2b = _s8((c >> 16) & 255)
+            a, r, g, b = _unpack(pixels[y * w + x])
+            sg = _s8(g)
+            tmp_red = r + ((g2r * sg) >> 5)
+            tmp_blue = b + ((g2b * sg) >> 5)
+            tmp_blue += (r2b * _s8(tmp_red & 255)) >> 5
+            pixels[y * w + x] = _pack(a, tmp_red & 255, g, tmp_blue & 255)
+
+
+def decode_vp8l(payload: bytes):
+    """(height, width, 4) uint8 RGBA of a VP8L chunk payload
+    (starting at the 0x2F signature). Transforms: subtract-green,
+    PREDICTOR (all 14 modes, block-level mode sub-image), and COLOR
+    (cross-color, block-level ColorTransformElement sub-image) —
+    inverses applied in reverse read order per the spec; the
+    color-indexing transform and meta prefix codes remain documented
+    refusal points. Raises ValueError on malformed streams."""
+    if not payload or payload[0] != 0x2F:
+        raise ValueError("not a VP8L stream")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms: list[tuple] = []
+    while br.read(1):  # transforms, each at most once
+        ttype = br.read(2)
+        if any(t[0] == ttype for t in transforms):
+            raise ValueError("duplicate VP8L transform")
+        if ttype == 2:
+            transforms.append((2,))
+        elif ttype in (0, 1):
+            size_bits = br.read(3) + 2
+            tw = (w + (1 << size_bits) - 1) >> size_bits
+            th = (h + (1 << size_bits) - 1) >> size_bits
+            sub = _decode_entropy_image(br, tw, th)
+            transforms.append((ttype, size_bits, sub, tw))
+        else:
+            raise ValueError("color-indexing transform unsupported")
+    pixels = _decode_entropy_image(br, w, h, top_level=True)
+    for t in reversed(transforms):
+        if t[0] == 0:
+            _inverse_predictor(pixels, w, h, t[2], t[3], t[1])
+        elif t[0] == 1:
+            _inverse_cross_color(pixels, w, h, t[2], t[3], t[1])
+        else:  # subtract-green: add green back to red/blue
+            for i, p in enumerate(pixels):
+                a, r, g, b = _unpack(p)
+                pixels[i] = _pack(a, (r + g) & 255, g, (b + g) & 255)
     arr = np.array(pixels, dtype=np.uint32).reshape(h, w)
     a = (arr >> 24).astype(np.uint8)
     r = ((arr >> 16) & 0xFF).astype(np.uint8)
     g = ((arr >> 8) & 0xFF).astype(np.uint8)
     b = (arr & 0xFF).astype(np.uint8)
-    if subtract_green:
-        r = (r.astype(np.uint16) + g).astype(np.uint8)
-        b = (b.astype(np.uint16) + g).astype(np.uint8)
     return np.stack([r, g, b, a], axis=-1)
 
 
@@ -361,56 +519,31 @@ def _write_simple_code(bw: _BitWriter, symbols: list[int]) -> None:
         bw.write(symbols[1], 8)
 
 
-def encode_vp8l(
-    img,
+def _write_entropy_image(
+    bw: _BitWriter,
+    argb,
     *,
-    subtract_green: bool = False,
     cache_bits: int = 0,
     run_backrefs: bool = False,
-) -> bytes:
-    """VP8L chunk payload of an (h, w, 3|4) uint8 array — lossless by
-    construction (round-trip asserted in tests). Options exercise the
-    decoder paths: subtract-green transform, color cache, and
-    distance-1 run backreferences for repeated pixels."""
-    img = np.asarray(img, dtype=np.uint8)
-    h, w = img.shape[:2]
-    if img.shape[2] == 3:
-        alpha_plane = np.full((h, w), 255, np.uint8)
-    else:
-        alpha_plane = img[:, :, 3]
-    r = img[:, :, 0].astype(np.int16)
-    g = img[:, :, 1].astype(np.int16)
-    b = img[:, :, 2].astype(np.int16)
-    if subtract_green:
-        r = (r - g) % 256
-        b = (b - g) % 256
-    argb = (
-        (alpha_plane.astype(np.uint32) << 24)
-        | (r.astype(np.uint32) << 16)
-        | (g.astype(np.uint32) << 8)
-        | b.astype(np.uint32)
-    ).reshape(-1)
-
-    bw = _BitWriter()
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)  # alpha hint
-    bw.write(0, 3)  # version
-    if subtract_green:
-        bw.write(1, 1)
-        bw.write(2, 2)
-    bw.write(0, 1)  # no more transforms
+    top_level: bool = False,
+) -> None:
+    """Serialize one entropy-coded image (cache header, the 5 prefix
+    codes, LZ77-coded pixels) — shared by the main ARGB image and the
+    transform sub-images; only the top level writes the meta-prefix
+    bit."""
+    argb = [int(v) for v in argb]
     cache_size = (1 << cache_bits) if cache_bits else 0
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
-    bw.write(0, 1)  # no meta prefix codes
+    if top_level:
+        bw.write(0, 1)  # no meta prefix codes
 
     green = _PrefixCode(_flat_lengths(256 + 24 + cache_size))
     chan = _PrefixCode(_flat_lengths(256))
-    alphas = sorted({int(v) for v in alpha_plane.reshape(-1)})
+    alphas = sorted({(v >> 24) & 0xFF for v in argb})
     if len(alphas) <= 2:
         alpha_simple = alphas
         alpha_code = None
@@ -443,13 +576,13 @@ def encode_vp8l(
     i = 0
     n = len(argb)
     while i < n:
-        p = int(argb[i])
-        if run_backrefs and i > 0 and p == int(argb[i - 1]):
+        p = argb[i]
+        if run_backrefs and i > 0 and p == argb[i - 1]:
             run = 1
             while (
                 i + run < n
                 and run < 4096  # length codes top out at 4096
-                and int(argb[i + run]) == int(argb[i - 1])
+                and argb[i + run] == argb[i - 1]
             ):
                 run += 1
             lcode, lextra, lbits = _prefix_encode(run)
@@ -460,7 +593,7 @@ def encode_vp8l(
             bw.write(dbits, dextra)
             if cache_size:
                 for k in range(run):
-                    q = int(argb[i + k])
+                    q = argb[i + k]
                     cache[_cache_index(q, cache_bits)] = q
             i += run
             continue
@@ -476,6 +609,140 @@ def encode_vp8l(
         chan.write(bw, p & 0xFF)
         alpha_enc.write(bw, (p >> 24) & 0xFF)
         i += 1
+
+
+def _cte_for_block(bx: int, by: int, salt: int) -> tuple[int, int, int]:
+    """Deterministic nonzero (green_to_red, green_to_blue, red_to_blue)
+    per block — signed int8 bit patterns covering both signs."""
+    return (
+        (17 + 37 * bx + 11 * by + salt) % 256,
+        (101 + 23 * bx + 41 * by + 3 * salt) % 256,
+        (203 + 13 * bx + 7 * by + 5 * salt) % 256,
+    )
+
+
+def encode_vp8l(
+    img,
+    *,
+    subtract_green: bool = False,
+    cache_bits: int = 0,
+    run_backrefs: bool = False,
+    predictor_bits: int | None = None,
+    cross_color_bits: int | None = None,
+    mode_salt: int = 0,
+) -> bytes:
+    """VP8L chunk payload of an (h, w, 3|4) uint8 array — lossless by
+    construction (round-trip asserted in tests). Options exercise the
+    decoder paths: subtract-green, the COLOR (cross-color) transform
+    with per-block ColorTransformElements (``cross_color_bits`` =
+    size_bits), the PREDICTOR transform with per-block modes cycling
+    (bx + by + mode_salt) % 14 (``predictor_bits``), color cache, and
+    distance-1 run backreferences. Forward transforms apply in stream
+    order (subtract-green, cross-color, predictor) so the decoder's
+    reverse-read inverse order restores exactly."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w = img.shape[:2]
+    if img.shape[2] == 3:
+        alpha_plane = np.full((h, w), 255, np.uint8)
+    else:
+        alpha_plane = img[:, :, 3]
+    a = alpha_plane.astype(np.int32)
+    r = img[:, :, 0].astype(np.int32)
+    g = img[:, :, 1].astype(np.int32)
+    b = img[:, :, 2].astype(np.int32)
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)
+        bw.write(2, 2)
+        r = (r - g) % 256
+        b = (b - g) % 256
+    if cross_color_bits is not None:
+        bw.write(1, 1)
+        bw.write(1, 2)
+        bw.write(cross_color_bits - 2, 3)
+        bs = 1 << cross_color_bits
+        tw, th = (w + bs - 1) // bs, (h + bs - 1) // bs
+        ctes = [
+            _cte_for_block(bx, by, mode_salt)
+            for by in range(th) for bx in range(tw)
+        ]
+        _write_entropy_image(
+            bw,
+            [(255 << 24) | (r2b << 16) | (g2b << 8) | g2r
+             for g2r, g2b, r2b in ctes],
+        )
+        for y in range(h):
+            for x in range(w):
+                g2r, g2b, r2b = ctes[
+                    (y >> cross_color_bits) * tw + (x >> cross_color_bits)
+                ]
+                sg = _s8(int(g[y, x]))
+                rr = int(r[y, x])
+                r[y, x] = (rr - ((_s8(g2r) * sg) >> 5)) % 256
+                b[y, x] = (
+                    int(b[y, x]) - ((_s8(g2b) * sg) >> 5)
+                    - ((_s8(r2b) * _s8(rr)) >> 5)
+                ) % 256
+    if predictor_bits is not None:
+        bw.write(1, 1)
+        bw.write(0, 2)
+        bw.write(predictor_bits - 2, 3)
+        bs = 1 << predictor_bits
+        tw, th = (w + bs - 1) // bs, (h + bs - 1) // bs
+        modes = [
+            (bx + by + mode_salt) % 14
+            for by in range(th) for bx in range(tw)
+        ]
+        _write_entropy_image(
+            bw, [(255 << 24) | (m << 8) for m in modes]
+        )
+        # residuals from the CURRENT (post-previous-transforms) plane;
+        # predictors see exactly what the decoder will reconstruct
+        orig = [
+            _pack(int(a[y, x]), int(r[y, x]), int(g[y, x]), int(b[y, x]))
+            for y in range(h) for x in range(w)
+        ]
+        for y in range(h):
+            for x in range(w):
+                i = y * w + x
+                if x == 0 and y == 0:
+                    pred = (255, 0, 0, 0)
+                elif y == 0:
+                    pred = _unpack(orig[i - 1])
+                elif x == 0:
+                    pred = _unpack(orig[i - w])
+                else:
+                    mode = modes[
+                        (y >> predictor_bits) * tw + (x >> predictor_bits)
+                    ]
+                    pred = _predict(
+                        mode,
+                        _unpack(orig[i - 1]),
+                        _unpack(orig[i - w]),
+                        _unpack(orig[i - w - 1]),
+                        _unpack(orig[i - w + 1]),
+                    )
+                oa, orr, og, ob = _unpack(orig[i])
+                a[y, x] = (oa - pred[0]) % 256
+                r[y, x] = (orr - pred[1]) % 256
+                g[y, x] = (og - pred[2]) % 256
+                b[y, x] = (ob - pred[3]) % 256
+    bw.write(0, 1)  # no more transforms
+    argb = (
+        (a.astype(np.uint32) << 24)
+        | (r.astype(np.uint32) << 16)
+        | (g.astype(np.uint32) << 8)
+        | b.astype(np.uint32)
+    ).reshape(-1)
+    _write_entropy_image(
+        bw, argb, cache_bits=cache_bits, run_backrefs=run_backrefs,
+        top_level=True,
+    )
     return b"\x2f" + bw.tobytes()
 
 
@@ -494,8 +761,11 @@ def synth_webp_lossless_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
     pixel plane as multimodal.synth_ppm_media (byte j of chunk k =
     hex pair j of md5('{doc_id}:{k}')) — so the shared PPM aHash
     oracle applies verbatim to the full VP8L encode→decode→hash
-    chain. Subtract-green rotates by doc parity; one wrong bit in
-    either codec half flips the 64-bit hash."""
+    chain. The TRANSFORM STACK rotates by doc_id%4 (r10): plain /
+    subtract-green / PREDICTOR (4-px blocks, modes cycling by doc so
+    all 14 occur across the corpus) / COLOR + subtract-green — one
+    wrong bit in either codec half, any predictor mode, or any
+    ColorTransformElement delta flips the 64-bit hash."""
     import hashlib
 
     n_bytes = side * side * 3
@@ -511,11 +781,19 @@ def synth_webp_lossless_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
                     for k in range(n_chunks)
                 )[:n_bytes]
                 img = np.frombuffer(plane, np.uint8).reshape(side, side, 3)
-                out.append(
-                    encode_webp_lossless(
-                        img, subtract_green=bool(int(i) % 2)
-                    )
-                )
+                arm = int(i) % 4
+                opts = {}
+                if arm == 1:
+                    opts = {"subtract_green": True}
+                elif arm == 2:
+                    opts = {"predictor_bits": 2, "mode_salt": int(i) // 4}
+                elif arm == 3:
+                    opts = {
+                        "cross_color_bits": 2,
+                        "subtract_green": True,
+                        "mode_salt": int(i) // 4,
+                    }
+                out.append(encode_webp_lossless(img, **opts))
             yield pd.Series(out)
 
     return docs.select(

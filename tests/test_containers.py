@@ -274,7 +274,8 @@ def test_vp8l_backrefs_and_cache_paths():
 
 def test_vp8l_refusal_points():
     """Unsupported features refuse with ValueError (the plug-in
-    contract): predictor transform, meta prefix codes, near-pixel
+    contract): color-indexing transform (r10: predictor and color now
+    DECODE), duplicate transforms, meta prefix codes, near-pixel
     distance codes, bad signature/version — and image_ahash maps a
     refused WebP to the NULL marker instead of crashing."""
     import numpy as np
@@ -295,8 +296,10 @@ def test_vp8l_refusal_points():
             bw.write(v, n)
         return b"\x2f" + bw.tobytes()
 
-    with pytest.raises(ValueError):  # predictor transform (type 0)
-        decode_vp8l(header([(1, 1), (0, 2), (4, 3)]))
+    with pytest.raises(ValueError):  # color-indexing transform (type 3)
+        decode_vp8l(header([(1, 1), (3, 2)]))
+    with pytest.raises(ValueError):  # duplicate subtract-green
+        decode_vp8l(header([(1, 1), (2, 2), (1, 1), (2, 2)]))
     with pytest.raises(ValueError):  # meta prefix codes
         decode_vp8l(header([(0, 1), (0, 1), (1, 1)]))
     with pytest.raises(ValueError):  # bad version
@@ -440,3 +443,37 @@ def test_webm_blockgroup_counts_like_simpleblock():
         assert m["n_frames"] == 1 + b[7] % 8, (i, m)
         if b[15] % 2 and (1 + b[7] % 8) >= 2:
             assert b"\xa0" in blob  # BlockGroup id present in the mux
+
+
+def test_vp8l_predictor_and_color_transforms_roundtrip():
+    """r10: the PREDICTOR transform (all 14 modes via mode_salt, both
+    block sizes, edge rules incl. the rightmost-column TR wrap) and
+    the COLOR transform (signed int8 delta arithmetic, per-block
+    ColorTransformElements) round-trip losslessly, alone and stacked
+    with subtract-green and the color cache."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.vp8l import (
+        decode_vp8l,
+        encode_vp8l,
+    )
+
+    rng = np.random.RandomState(11)
+    for trial in range(24):
+        h, w = int(rng.randint(1, 11)), int(rng.randint(1, 11))
+        img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        opts = dict(
+            subtract_green=bool(trial % 2),
+            cache_bits=0 if trial % 3 else 3,
+            predictor_bits=None if trial % 4 == 0 else 2 + trial % 2,
+            cross_color_bits=None if trial % 3 == 0 else 2,
+            mode_salt=trial,
+        )
+        out = decode_vp8l(encode_vp8l(img, **opts))
+        assert np.array_equal(out[:, :, :3], img), (h, w, opts)
+    # every predictor mode decodes on a block grid that uses it
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    for salt in range(14):
+        out = decode_vp8l(encode_vp8l(img, predictor_bits=2,
+                                      mode_salt=salt))
+        assert np.array_equal(out[:, :, :3], img), salt
