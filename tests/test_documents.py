@@ -968,3 +968,80 @@ def test_wikipedia_multistream_file_splits(spark, tmp_path):
     assert len(
         D.wikipedia_multistream_cuts(entries, len(dump), target_bytes=1)
     ) > 1
+
+
+# ---------------------------------------------------------------------------
+# Second-writer cross-validation: stdlib zipfile/tarfile (r10)
+# ---------------------------------------------------------------------------
+
+
+def test_zip_walk_parses_zipfile_written_archive():
+    """The ZIP walk must agree with an archive produced by a SECOND,
+    independent writer (stdlib zipfile) — breaking the synth/parse
+    mirror-bug class for the archive tier (r9 verdict watch item)."""
+    import io
+    import zipfile as zf
+
+    payloads = {
+        "a.txt": b"hello from the stdlib writer",
+        "dir/b.bin": bytes(range(256)) * 40,  # incompressible-ish
+        "stored.txt": b"stored member",
+    }
+    buf = io.BytesIO()
+    with zf.ZipFile(buf, "w", zf.ZIP_DEFLATED) as z:
+        z.writestr("a.txt", payloads["a.txt"])
+        z.writestr("dir/b.bin", payloads["dir/b.bin"])
+        z.writestr("stored.txt", payloads["stored.txt"],
+                   compress_type=zf.ZIP_STORED)
+    blob = buf.getvalue()
+    entries = {e["name"]: e for e in D.zip_member_list(blob)}
+    assert set(entries) == set(payloads)
+    for name, data in payloads.items():
+        e = entries[name]
+        assert e["usize"] == len(data)
+        assert D.zip_read_member(blob, e) == data
+    assert entries["stored.txt"]["method"] == 0
+    assert entries["a.txt"]["method"] == 8
+    # and the reverse direction: zipfile reads OUR writer's output
+    ours = D.build_zip([(n, d, 8, False) for n, d in payloads.items()])
+    with zf.ZipFile(io.BytesIO(ours)) as z:
+        for n, d in payloads.items():
+            assert z.read(n) == d
+
+
+def test_tar_walk_parses_tarfile_written_archive():
+    """The TAR walk must agree with stdlib tarfile output — ustar and
+    GNU (incl. an 'L' long-name member and a directory entry), plus
+    the gz route."""
+    import gzip
+    import io
+    import tarfile as tf
+
+    longname = "deep/" + "sub" * 40 + "/leaf.txt"  # > 100 chars
+    for fmt in (tf.USTAR_FORMAT, tf.GNU_FORMAT):
+        buf = io.BytesIO()
+        with tf.open(fileobj=buf, mode="w", format=fmt) as t:
+            info = tf.TarInfo("plain.txt")
+            data = b"tarfile-written contents"
+            info.size = len(data)
+            t.addfile(info, io.BytesIO(data))
+            d = tf.TarInfo("adir")
+            d.type = tf.DIRTYPE
+            t.addfile(d)
+            if fmt == tf.GNU_FORMAT:
+                li = tf.TarInfo(longname)
+                li.size = 4
+                t.addfile(li, io.BytesIO(b"deep"))
+        members = {m["name"]: m for m in D.tar_members(buf.getvalue())}
+        assert members["plain.txt"]["size"] == 24
+        assert members["plain.txt"]["head"].startswith("tarfile-written")
+        assert members["adir/"]["typeflag"] == "5"  # tarfile adds the /
+        if fmt == tf.GNU_FORMAT:
+            assert members[longname]["size"] == 4  # via the 'L' entry
+        # gz route
+        gz = gzip.compress(buf.getvalue())
+        assert {m["name"] for m in D.tar_members(gz)} == set(members)
+    # reverse direction: tarfile reads OUR writer's output
+    ours = D.build_tar([("x.txt", b"ours", "0"), ("d", None, "5")])
+    with tf.open(fileobj=io.BytesIO(ours)) as t:
+        assert t.extractfile("x.txt").read() == b"ours"
