@@ -175,12 +175,30 @@ def q_agg_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
-    return (
+    # PRE-AGGREGATE before the cube (r10, closes the r09 agg_cube
+    # drift watch item — adjudicated real CPU, cpu/wall 0.92): a bare
+    # .cube() Expands every input row 4x BEFORE the partial aggregate,
+    # so the hash-agg does 4·|lineitem| updates; aggregating to the
+    # |distinct keys| base first (one ordinary map-side-combined
+    # exchange) and cubing THAT leaves the Expand on ~6 rows.
+    # Decimal sums re-aggregate exactly (sum of decimal partials),
+    # count re-aggregates as sum(n) — row- and type-identical to the
+    # single-level cube (asserted in tests). At 100 TB this is the
+    # difference between expanding the fact table 4x and expanding a
+    # handful of group rows; measured 2.3x at sf0.1 (1.27s -> 0.55s).
+    base = (
         load(spark, sf, "lineitem")
-        .cube("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n0"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sq"),
+        )
+    )
+    return (
+        base.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n0").alias("n"),
+            F.sum("sq").cast("double").alias("sum_qty"),
         )
     )
 
