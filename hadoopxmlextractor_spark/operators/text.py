@@ -967,6 +967,135 @@ def html_text(col: Column | str) -> Column:
     return _extract(F.col(col) if isinstance(col, str) else col)
 
 
+def html_markdown(col: Column | str) -> Column:
+    """HTML → MARKDOWN: the structure-preserving sibling of
+    :func:`html_text` and the extraction LLM corpora actually want —
+    flattening to plain text throws away the headings, lists, links,
+    and code blocks that carry meaning for a language model. Subset
+    (each rule exercised by the fixture): h1-h6 → ``#``·n headings;
+    p/div → paragraph blocks; ul/ol li → ``- `` / ``k. `` lines;
+    <a href> → ``[text](href)``; b/strong → ``**``, i/em → ``*``,
+    inline code → backticks; <pre> → fenced block with RAW whitespace
+    preserved; script/style/head/template/noscript subtrees dropped;
+    blocks joined with blank lines. Stdlib tag-soup parser, one Arrow
+    pass, no shuffle. None/unparsable → None."""
+    from html.parser import HTMLParser
+
+    _skip = {"script", "style", "head", "template", "noscript"}
+    _inline = {"b": "**", "strong": "**", "i": "*", "em": "*",
+               "code": "`"}
+    _blocks = {"p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li"}
+
+    class _MD(HTMLParser):
+        def __init__(self) -> None:
+            super().__init__(convert_charrefs=True)
+            self.skip = 0
+            self.blocks: list[str] = []
+            self.stack: list[list[str]] = [[]]  # inline token buffers
+            self.open_tags: list[tuple[str, str]] = []  # (tag, href)
+            self.lists: list[list] = []  # [kind, counter, lines]
+            self.pre = 0
+            self.pre_raw: list[str] = []
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _skip:
+                self.skip += 1
+                return
+            if self.skip or self.pre:
+                return
+            if tag == "pre":
+                self.pre = 1
+                self.pre_raw = []
+            elif tag in ("ul", "ol"):
+                self.lists.append([tag, 0, []])
+            elif tag in _blocks:
+                self.stack.append([])
+                self.open_tags.append((tag, ""))
+            elif tag in _inline or tag == "a":
+                self.stack.append([])
+                self.open_tags.append(
+                    (tag, dict(attrs).get("href", "") or "")
+                )
+
+        def handle_endtag(self, tag):
+            if tag in _skip:
+                self.skip = max(0, self.skip - 1)
+                return
+            if self.skip:
+                return
+            if tag == "pre" and self.pre:
+                self.pre = 0
+                raw = "".join(self.pre_raw).strip("\n")
+                self.blocks.append("```\n" + raw + "\n```")
+                return
+            if self.pre:
+                return
+            if tag in ("ul", "ol") and self.lists:
+                kind, _cnt, lines = self.lists.pop()
+                if lines:
+                    self.blocks.append("\n".join(lines))
+                return
+            if not self.open_tags or self.open_tags[-1][0] != tag:
+                return  # stray end tag: tag-soup tolerance
+            _t, href = self.open_tags.pop()
+            inner = " ".join(self.stack.pop())
+            if tag == "a":
+                self.stack[-1].append(f"[{inner}]({href})")
+            elif tag in _inline:
+                m = _inline[tag]
+                self.stack[-1].append(m + inner + m)
+            elif tag == "li":
+                if self.lists:
+                    self.lists[-1][1] += 1
+                    kind, cnt = self.lists[-1][0], self.lists[-1][1]
+                    mark = "- " if kind == "ul" else f"{cnt}. "
+                    self.lists[-1][2].append(mark + inner)
+                elif inner:
+                    self.blocks.append("- " + inner)
+            elif tag[0] == "h" and len(tag) == 2 and tag[1].isdigit():
+                if inner:
+                    self.blocks.append("#" * int(tag[1]) + " " + inner)
+            else:  # p / div
+                if inner:
+                    self.blocks.append(inner)
+
+        def handle_data(self, data):
+            if self.skip:
+                return
+            if self.pre:
+                self.pre_raw.append(data)
+                return
+            self.stack[-1].extend(data.split())
+
+        def result(self) -> str:
+            # unclosed tags / unterminated lists must not LOSE text:
+            # flush leftover list lines and flatten stranded buffers
+            blocks = list(self.blocks)
+            for _kind, _cnt, lines in self.lists:
+                blocks.extend(lines)
+            tail = " ".join(t for buf in self.stack for t in buf)
+            return "\n\n".join(blocks + ([tail] if tail else []))
+
+    @F.pandas_udf("string")
+    def _convert(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in it:
+            out = []
+            for t in texts:
+                if t is None:
+                    out.append(None)
+                    continue
+                try:
+                    p = _MD()
+                    p.feed(t)
+                    p.close()
+                    out.append(p.result())
+                except Exception:
+                    out.append(None)
+            yield pd.Series(out, dtype="object")
+
+    return _convert(F.col(col) if isinstance(col, str) else col)
+
+
 # ---------------------------------------------------------------------------
 # robots.txt admission (RFC 9309) — crawl-compliance gating
 # ---------------------------------------------------------------------------

@@ -111,3 +111,360 @@ def q_source_wikipedia_multistream(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "page_id", "title", "ns", "redirect_to", "text_clean",
         "n_tokens", (F.col("n_splits") > 1).alias("multi_split"),
     )
+
+
+@query(
+    "text_html_markdown",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('md', 0)} AS b0, {_b('md', 1)} AS b1,
+             {_b('md', 2)} AS b2, {_b('md', 3)} AS b3,
+             {_b('md', 4)} AS b4, {_b('md', 5)} AS b5,
+             {_b('md', 6)} AS b6, {_b('md', 7)} AS b7
+      FROM documents
+    )
+    SELECT doc_id,
+           '# ' || {_W}[b0 % 5 + 1] || ' report' || chr(10) || chr(10)
+           || 'intro ' || {_W}[(b1 + 1) % 5 + 1] || ' & **'
+           || {_W}[(b2 + 2) % 5 + 1] || '** see [the '
+           || {_W}[(b3 + 3) % 5 + 1] || ' page](https://ex.org/'
+           || CAST(doc_id AS VARCHAR) || ')' || chr(10) || chr(10)
+           || '- item ' || {_W}[b1 % 5 + 1] || ' 0' || chr(10)
+           || '- item ' || {_W}[(b1 + 1) % 5 + 1] || ' 1'
+           || CASE WHEN b0 % 3 >= 1 THEN chr(10) || '- item '
+                || {_W}[(b1 + 2) % 5 + 1] || ' 2' ELSE '' END
+           || CASE WHEN b0 % 3 >= 2 THEN chr(10) || '- item '
+                || {_W}[(b1 + 3) % 5 + 1] || ' 3' ELSE '' END
+           || chr(10) || chr(10)
+           || '1. do ' || {_W}[(b4 + 4) % 5 + 1] || chr(10)
+           || '2. then ' || {_W}[(b5 + 5) % 5 + 1] || chr(10) || chr(10)
+           || '## ' || {_W}[(b6 + 6) % 5 + 1] || ' details'
+           || chr(10) || chr(10)
+           || 'uses `fn_' || CAST(doc_id AS VARCHAR) || '` and *'
+           || {_W}[(b7 + 7) % 5 + 1] || '*' || chr(10) || chr(10)
+           || repeat(chr(96), 3) || chr(10) || 'raw '
+           || CAST(doc_id AS VARCHAR) || chr(10) || '  indent kept'
+           || chr(10) || repeat(chr(96), 3) AS markdown,
+           CAST(7 AS INT) AS n_blocks
+    FROM p
+    """,
+)
+def q_text_html_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    # HTML -> MARKDOWN (r10): the structure-preserving extraction an
+    # LLM corpus actually wants - html_text's flattening throws away
+    # headings, lists, links, and code blocks that carry meaning for
+    # a model. Every converter rule is live in the fixture: h1/h2
+    # headings, a paragraph with &amp; entity + <b> + <a href>, a
+    # VARIABLE-length <ul> (2-4 items), an <ol> with ordinal markers,
+    # inline <code> and <i>, a <pre> whose RAW inner whitespace must
+    # survive into the fenced block, and a dropped <head>/<style>
+    # subtree. The oracle is the closed-form expected markdown string
+    # (backticks via repeat(chr(96),3)). One Arrow pass, zero shuffle.
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+    _WORDS = ["alpha", "bravo", "charlie", "delta", "echo"]
+
+    @F.pandas_udf("string")
+    def _html(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:md".encode()).digest()
+                n_items = 2 + b[0] % 3
+                items = "".join(
+                    f"<li>item {_WORDS[(b[1] + k) % 5]} {k}</li>"
+                    for k in range(n_items)
+                )
+                out.append(
+                    "<html><head><title>skip me</title><style>p{}"
+                    "</style></head><body>"
+                    f"<h1>{_WORDS[b[0] % 5]} report</h1>"
+                    f"<p>intro {_WORDS[(b[1] + 1) % 5]} &amp; "
+                    f"<b>{_WORDS[(b[2] + 2) % 5]}</b> see "
+                    f"<a href=\"https://ex.org/{i}\">the "
+                    f"{_WORDS[(b[3] + 3) % 5]} page</a></p>"
+                    f"<ul>{items}</ul>"
+                    f"<ol><li>do {_WORDS[(b[4] + 4) % 5]}</li>"
+                    f"<li>then {_WORDS[(b[5] + 5) % 5]}</li></ol>"
+                    f"<h2>{_WORDS[(b[6] + 6) % 5]} details</h2>"
+                    f"<p>uses <code>fn_{i}</code> and "
+                    f"<i>{_WORDS[(b[7] + 7) % 5]}</i></p>"
+                    f"<pre>raw {i}\n  indent kept</pre>"
+                    "</body></html>"
+                )
+            yield pd.Series(out)
+
+    return docs.select(
+        "doc_id", T.html_markdown(_html("doc_id")).alias("markdown")
+    ).withColumn(
+        "n_blocks", F.size(F.split(F.col("markdown"), "\n\n")).cast("int")
+    )
+
+
+@query(
+    "source_cdx_index",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('cdx', 0)} AS b0, {_b('cdx', 1)} AS b1,
+             {_b('cdx', 2)} AS b2, {_b('cdx', 3)} AS b3,
+             {_b('cdx', 5)} AS b5, {_b('cdx', 6)} AS b6,
+             {_b('cdx', 7)} AS b7, {_b('cdx', 8)} AS b8,
+             substring(md5(CAST(doc_id AS VARCHAR) || ':cdx'), 1, 8) AS dg
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, b1, b2, b3, b5, b6, b7, b8, dg,
+             unnest(generate_series(0, 1 + b0 % 3)) AS k
+      FROM p
+    )
+    SELECT doc_id, CAST(k AS INT) AS entry_idx,
+           'org,example,' || {_W}[(b1 + k) % 5 + 1] || ')/p/'
+             || CAST(doc_id AS VARCHAR) || '?a=' || CAST(k AS VARCHAR)
+             || '&b=2' AS urlkey,
+           CAST((1600000000 + 86400 * b2 + 60 * b3 + k) * 1000
+                AS BIGINT) AS ts_ms,
+           'https://www.' || {_W}[(b1 + k) % 5 + 1]
+             || '.EXAMPLE.org/P/' || CAST(doc_id AS VARCHAR)
+             || '?b=2&a=' || CAST(k AS VARCHAR) AS url,
+           CASE (b5 + k) % 2 WHEN 0 THEN 'text/html'
+                ELSE 'application/pdf' END AS mime,
+           CAST(([200, 301, 404])[(b6 + k) % 3 + 1] AS INT) AS status,
+           'sha1:' || dg AS digest,
+           CAST(1000 * k + b7 AS BIGINT) AS off_bytes,
+           CAST(500 + b8 AS BIGINT) AS len_bytes,
+           TRUE AS key_match
+    FROM e
+    """,
+)
+def q_source_cdx_index(spark: SparkSession, sf: str) -> DataFrame:
+    # CDX(J) capture indexes (r10) - how Common Crawl is actually
+    # QUERIED: one line per capture with the SURT urlkey, a 14-digit
+    # timestamp, and a JSON block locating the capture's own gzip
+    # member (offset/length/filename). Each doc synthesizes a 2-4
+    # entry CDXJ (gzip-compressed on doc parity); the parser converts
+    # timestamps through the shared civil-date clock and the query
+    # RE-DERIVES the urlkey with surt() from the raw URL - key_match
+    # pins that the independent hand-written urlkey in the file
+    # (www-strip, host reversal, path lowercasing, default-port drop,
+    # query-param sort all live in the URL shape) equals the computed
+    # one, breaking the synth/parse mirror. One Arrow pass, zero
+    # shuffle.
+    import hashlib
+
+    from hadoopxmlextractor_spark.sources import cdx as X
+
+    docs = load(spark, sf, "documents")
+    _WORDS = ["alpha", "bravo", "charlie", "delta", "echo"]
+
+    @F.pandas_udf("binary")
+    def _cdx(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:cdx".encode()).digest()
+                dg = hashlib.md5(f"{i}:cdx".encode()).hexdigest()[:8]
+                rows = []
+                for k in range(2 + b[0] % 3):
+                    w = _WORDS[(b[1] + k) % 5]
+                    epoch = 1600000000 + 86400 * b[2] + 60 * b[3] + k
+                    rows.append({
+                        "urlkey": (
+                            f"org,example,{w})/p/{i}?a={k}&b=2"
+                        ),
+                        "ts_ms": epoch * 1000,
+                        "url": (
+                            f"https://www.{w}.EXAMPLE.org/P/{i}"
+                            f"?b=2&a={k}"
+                        ),
+                        "mime": ("text/html", "application/pdf")[
+                            (b[5] + k) % 2
+                        ],
+                        "status": (200, 301, 404)[(b[6] + k) % 3],
+                        "digest": f"sha1:{dg}",
+                        "offset": 1000 * k + b[7],
+                        "length": 500 + b[8],
+                        "filename": f"seg-{int(i) % 10}.warc.gz",
+                    })
+                out.append(X.write_cdxj(rows, gzipped=int(i) % 2 == 0))
+            yield pd.Series(out)
+
+    files = docs.select("doc_id", _cdx("doc_id").alias("content"))
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "entry_idx", "urlkey", "ts_ms", "url", "mime",
+                "status", "digest", "off_bytes", "len_bytes", "key_match"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf["doc_id"], pdf["content"]):
+                try:
+                    for k, r in enumerate(X.parse_cdxj(bytes(blob))):
+                        rows.append({
+                            "doc_id": did, "entry_idx": k,
+                            "urlkey": r["urlkey"], "ts_ms": r["ts_ms"],
+                            "url": r["url"], "mime": r["mime"],
+                            "status": r["status"], "digest": r["digest"],
+                            "off_bytes": r["offset"],
+                            "len_bytes": r["length"],
+                            "key_match": X.surt(r["url"]) == r["urlkey"],
+                        })
+                except (ValueError, OSError):
+                    rows.append({
+                        "doc_id": did, "entry_idx": -1, "urlkey": None,
+                        "ts_ms": None, "url": None, "mime": None,
+                        "status": None, "digest": None, "off_bytes": None,
+                        "len_bytes": None, "key_match": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        _parse,
+        schema="doc_id bigint, entry_idx int, urlkey string, "
+        "ts_ms bigint, url string, mime string, status int, "
+        "digest string, off_bytes bigint, len_bytes bigint, "
+        "key_match boolean",
+    )
+
+
+@query(
+    "pipeline_cdx_ranged_fetch",
+    f"""
+    WITH p AS (
+      SELECT doc_id FROM documents
+    ),
+    e AS (
+      SELECT doc_id, unnest(generate_series(0, 2)) AS k FROM p
+    ),
+    bodysum AS (
+      SELECT doc_id, e.k AS k,
+             CAST(SUM(CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':cdxf:'
+                   || CAST(e.k AS VARCHAR) || ':' || CAST(h.h AS VARCHAR)),
+               j.j * 2 + 1, 2)) AS BIGINT)) AS BIGINT) AS bsum
+      FROM p, (SELECT unnest(generate_series(0, 2)) AS k) e,
+           (VALUES (0), (1)) h(h),
+           (SELECT unnest(range(16)) AS j) j
+      GROUP BY doc_id, e.k
+    )
+    SELECT e.doc_id,
+           'org,example)/doc/' || CAST(e.doc_id AS VARCHAR) || '/'
+             || CAST(e.k AS VARCHAR) AS urlkey,
+           CAST(200 AS INT) AS http_status,
+           CAST(77 AS BIGINT) AS n_payload,
+           b.bsum AS body_sum,
+           NOT (e.doc_id % 7 = 3 AND e.k = 1) AS digest_match
+    FROM e JOIN bodysum b ON e.doc_id = b.doc_id AND e.k = b.k
+    """,
+)
+def q_pipeline_cdx_ranged_fetch(spark: SparkSession, sf: str) -> DataFrame:
+    # The Common Crawl ACCESS PATH end to end (r10): a consumer never
+    # scans a segment - it reads the CDX index and issues one ranged
+    # read per capture, decompressing just that record's own gzip
+    # member. Each doc synthesizes a 3-response .warc.gz (32-byte md5
+    # bodies behind identity HTTP) plus a CDXJ whose offset/length
+    # locate each member; the fetch stage slices EXACTLY
+    # [offset, offset+length) out of the blob, parses the single
+    # record, splits HTTP, and verifies the body against the index's
+    # sha1 digest - with a PLANTED corrupt digest on doc_id%7==3,
+    # entry 1 (vacuous-check rule: digest verification must be seen
+    # to fail). The oracle replays urlkey, payload length (45-byte
+    # head + 32-byte body), md5-arithmetic body sums, and the planted
+    # mismatch. One Arrow pass per stage, zero shuffle.
+    import hashlib
+
+    from hadoopxmlextractor_spark.sources import cdx as X
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("struct<warc:binary, cdx:binary>")
+    def _files(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for ids in it:
+            warcs, cdxs = [], []
+            for i in ids:
+                members = []
+                rows = []
+                pos = 0
+                for k in range(3):
+                    body = (
+                        hashlib.md5(f"{i}:cdxf:{k}:0".encode()).digest()
+                        + hashlib.md5(f"{i}:cdxf:{k}:1".encode()).digest()
+                    )
+                    http = (
+                        b"HTTP/1.1 200 OK\r\n"
+                        b"Content-Type: text/plain\r\n\r\n" + body
+                    )
+                    member = W.write_warc(
+                        [{
+                            "warc_type": "response",
+                            "record_id": f"<urn:cdxf:{i}-{k}>",
+                            "target_uri": (
+                                f"https://example.org/doc/{i}/{k}"
+                            ),
+                            "content_type": (
+                                "application/http; msgtype=response"
+                            ),
+                            "payload": http,
+                        }],
+                        gzip_members=True,
+                    )
+                    digest = hashlib.sha1(body).hexdigest()
+                    if int(i) % 7 == 3 and k == 1:
+                        digest = "deadbeef" + digest[8:]  # planted
+                    rows.append({
+                        "urlkey": f"org,example)/doc/{i}/{k}",
+                        "ts_ms": 1600000000000,
+                        "url": f"https://example.org/doc/{i}/{k}",
+                        "status": 200,
+                        "digest": f"sha1:{digest}",
+                        "offset": pos,
+                        "length": len(member),
+                        "filename": f"{i}.warc.gz",
+                    })
+                    members.append(member)
+                    pos += len(member)
+                warcs.append(b"".join(members))
+                cdxs.append(X.write_cdxj(rows, gzipped=True))
+            yield pd.DataFrame({"warc": warcs, "cdx": cdxs})
+
+    files = docs.select(
+        "doc_id", _files("doc_id").alias("f")
+    ).select(
+        "doc_id", F.col("f.warc").alias("warc"),
+        F.col("f.cdx").alias("cdx"),
+    )
+
+    def _fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "urlkey", "http_status", "n_payload",
+                "body_sum", "digest_match"]
+        for pdf in batches:
+            rows = []
+            for did, warc, cdxb in zip(
+                pdf["doc_id"], pdf["warc"], pdf["cdx"]
+            ):
+                blob = bytes(warc)
+                for r in X.parse_cdxj(bytes(cdxb)):
+                    sl = blob[r["offset"] : r["offset"] + r["length"]]
+                    recs = W.parse_warc(sl)
+                    assert len(recs) == 1
+                    status, body = W.split_http_payload(
+                        bytes(recs[0]["payload"])
+                    )
+                    sha = hashlib.sha1(body).hexdigest()
+                    rows.append({
+                        "doc_id": did,
+                        "urlkey": r["urlkey"],
+                        "http_status": status,
+                        "n_payload": recs[0]["content_length"],
+                        "body_sum": int(sum(body)),
+                        "digest_match": r["digest"] == f"sha1:{sha}",
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        _fetch,
+        schema="doc_id bigint, urlkey string, http_status int, "
+        "n_payload bigint, body_sum bigint, digest_match boolean",
+    )
