@@ -395,14 +395,52 @@ def _inverse_cross_color(
             pixels[y * w + x] = _pack(a, tmp_red & 255, g, tmp_blue & 255)
 
 
+def _palette_width_bits(n_colors: int) -> int:
+    """Pixel-bundling width_bits for a palette size (spec §4.4.4):
+    <=2 colors pack 8 indices per coded pixel, <=4 pack 4, <=16 pack
+    2, larger palettes stay unbundled."""
+    if n_colors <= 2:
+        return 3
+    if n_colors <= 4:
+        return 2
+    if n_colors <= 16:
+        return 1
+    return 0
+
+
+def _inverse_color_indexing(
+    pixels: list[int], w: int, h: int, palette: list[int], xbits: int
+) -> list[int]:
+    """Inverse color-indexing: each coded pixel's GREEN channel holds
+    2**xbits palette indices packed LSB-first; output pixel (x, y)
+    looks up index (green(coded[x >> xbits]) >> (x % k)*bits) &
+    mask. Out-of-range indices refuse (a corrupt stream must not
+    alias a wrong color)."""
+    bits = 8 >> xbits
+    per = 1 << xbits
+    mask = (1 << bits) - 1
+    cw = (w + per - 1) >> xbits
+    out = []
+    for y in range(h):
+        for x in range(w):
+            coded = pixels[y * cw + (x >> xbits)]
+            idx = ((coded >> 8) >> ((x % per) * bits)) & mask
+            if idx >= len(palette):
+                raise ValueError("palette index out of range")
+            out.append(palette[idx])
+    return out
+
+
 def decode_vp8l(payload: bytes):
     """(height, width, 4) uint8 RGBA of a VP8L chunk payload
     (starting at the 0x2F signature). Transforms: subtract-green,
-    PREDICTOR (all 14 modes, block-level mode sub-image), and COLOR
-    (cross-color, block-level ColorTransformElement sub-image) —
-    inverses applied in reverse read order per the spec; the
-    color-indexing transform and meta prefix codes remain documented
-    refusal points. Raises ValueError on malformed streams."""
+    PREDICTOR (all 14 modes, block-level mode sub-image), COLOR
+    (cross-color, block-level ColorTransformElement sub-image), and
+    COLOR-INDEXING (delta-coded palette sub-image, pixel bundling for
+    palettes <=16 — the icon/graphics layout) — inverses applied in
+    reverse read order per the spec; meta prefix codes and the 2D
+    near-pixel distance table remain documented refusal points.
+    Raises ValueError on malformed streams."""
     if not payload or payload[0] != 0x2F:
         raise ValueError("not a VP8L stream")
     br = _BitReader(payload[1:])
@@ -412,6 +450,7 @@ def decode_vp8l(payload: bytes):
     if br.read(3) != 0:
         raise ValueError("unknown VP8L version")
     transforms: list[tuple] = []
+    decode_w = w  # color-indexing SHRINKS the coded image width
     while br.read(1):  # transforms, each at most once
         ttype = br.read(2)
         if any(t[0] == ttype for t in transforms):
@@ -424,14 +463,35 @@ def decode_vp8l(payload: bytes):
             th = (h + (1 << size_bits) - 1) >> size_bits
             sub = _decode_entropy_image(br, tw, th)
             transforms.append((ttype, size_bits, sub, tw))
-        else:
-            raise ValueError("color-indexing transform unsupported")
-    pixels = _decode_entropy_image(br, w, h, top_level=True)
+        else:  # color-indexing: delta-coded palette row
+            n_colors = br.read(8) + 1
+            deltas = _decode_entropy_image(br, n_colors, 1)
+            palette = []
+            prev = 0
+            for d in deltas:
+                pa, pr, pg, pb = _unpack(prev)
+                da, dr, dg, db = _unpack(d)
+                prev = _pack(
+                    (pa + da) & 255, (pr + dr) & 255,
+                    (pg + dg) & 255, (pb + db) & 255,
+                )
+                palette.append(prev)
+            xbits = _palette_width_bits(n_colors)
+            decode_w = (w + (1 << xbits) - 1) >> xbits
+            transforms.append((3, xbits, palette))
+    if any(t[0] == 3 for t in transforms) and len(transforms) > 1:
+        # bundling changes the coded width the OTHER transforms would
+        # see — a combination real palette files don't use; refuse
+        # rather than reconstruct at the wrong dimensions
+        raise ValueError("color-indexing combined with other transforms")
+    pixels = _decode_entropy_image(br, decode_w, h, top_level=True)
     for t in reversed(transforms):
         if t[0] == 0:
             _inverse_predictor(pixels, w, h, t[2], t[3], t[1])
         elif t[0] == 1:
             _inverse_cross_color(pixels, w, h, t[2], t[3], t[1])
+        elif t[0] == 3:
+            pixels = _inverse_color_indexing(pixels, w, h, t[2], t[1])
         else:  # subtract-green: add green back to red/blue
             for i, p in enumerate(pixels):
                 a, r, g, b = _unpack(p)
@@ -629,6 +689,7 @@ def encode_vp8l(
     run_backrefs: bool = False,
     predictor_bits: int | None = None,
     cross_color_bits: int | None = None,
+    palette: bool = False,
     mode_salt: int = 0,
 ) -> bytes:
     """VP8L chunk payload of an (h, w, 3|4) uint8 array — lossless by
@@ -656,6 +717,52 @@ def encode_vp8l(
     bw.write(h - 1, 14)
     bw.write(0, 1)  # alpha hint
     bw.write(0, 3)  # version
+    if palette:
+        if subtract_green or predictor_bits or cross_color_bits:
+            raise ValueError("palette combines with no other transform")
+        argb_full = [
+            _pack(int(a[y, x]), int(r[y, x]), int(g[y, x]), int(b[y, x]))
+            for y in range(h) for x in range(w)
+        ]
+        colors = sorted(set(argb_full))
+        if len(colors) > 256:
+            raise ValueError("palette needs <= 256 distinct colors")
+        index_of = {c: k for k, c in enumerate(colors)}
+        bw.write(1, 1)
+        bw.write(3, 2)
+        bw.write(len(colors) - 1, 8)
+        deltas = []
+        prev = 0
+        for c in colors:  # delta-coded per channel, mod 256
+            pa, pr, pg, pb = _unpack(prev)
+            ca, cr, cg, cb = _unpack(c)
+            deltas.append(_pack(
+                (ca - pa) % 256, (cr - pr) % 256,
+                (cg - pg) % 256, (cb - pb) % 256,
+            ))
+            prev = c
+        _write_entropy_image(bw, deltas)
+        xbits = _palette_width_bits(len(colors))
+        bits = 8 >> xbits
+        per = 1 << xbits
+        cw = (w + per - 1) >> xbits
+        coded = []
+        for y in range(h):
+            for cx in range(cw):
+                green = 0
+                for j in range(per):
+                    x = (cx << xbits) + j
+                    if x < w:
+                        green |= index_of[argb_full[y * w + x]] << (
+                            j * bits
+                        )
+                coded.append((255 << 24) | (green << 8))
+        bw.write(0, 1)  # no more transforms
+        _write_entropy_image(
+            bw, coded, cache_bits=cache_bits, run_backrefs=run_backrefs,
+            top_level=True,
+        )
+        return b"\x2f" + bw.tobytes()
     if subtract_green:
         bw.write(1, 1)
         bw.write(2, 2)
@@ -761,11 +868,14 @@ def synth_webp_lossless_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
     pixel plane as multimodal.synth_ppm_media (byte j of chunk k =
     hex pair j of md5('{doc_id}:{k}')) — so the shared PPM aHash
     oracle applies verbatim to the full VP8L encode→decode→hash
-    chain. The TRANSFORM STACK rotates by doc_id%4 (r10): plain /
+    chain. The TRANSFORM STACK rotates by doc_id%5 (r10): plain /
     subtract-green / PREDICTOR (4-px blocks, modes cycling by doc so
-    all 14 occur across the corpus) / COLOR + subtract-green — one
-    wrong bit in either codec half, any predictor mode, or any
-    ColorTransformElement delta flips the 64-bit hash."""
+    all 14 occur across the corpus) / COLOR + subtract-green /
+    COLOR-INDEXING (the 8x8 plane's <=64 distinct colors as a
+    delta-coded palette; bundling tiers live in the unit matrix) —
+    one wrong bit in either codec half, any predictor mode, any
+    ColorTransformElement delta, or any palette delta flips the
+    64-bit hash."""
     import hashlib
 
     n_bytes = side * side * 3
@@ -781,18 +891,20 @@ def synth_webp_lossless_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
                     for k in range(n_chunks)
                 )[:n_bytes]
                 img = np.frombuffer(plane, np.uint8).reshape(side, side, 3)
-                arm = int(i) % 4
+                arm = int(i) % 5
                 opts = {}
                 if arm == 1:
                     opts = {"subtract_green": True}
                 elif arm == 2:
-                    opts = {"predictor_bits": 2, "mode_salt": int(i) // 4}
+                    opts = {"predictor_bits": 2, "mode_salt": int(i) // 5}
                 elif arm == 3:
                     opts = {
                         "cross_color_bits": 2,
                         "subtract_green": True,
-                        "mode_salt": int(i) // 4,
+                        "mode_salt": int(i) // 5,
                     }
+                elif arm == 4:
+                    opts = {"palette": True}
                 out.append(encode_webp_lossless(img, **opts))
             yield pd.Series(out)
 

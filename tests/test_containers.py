@@ -477,3 +477,28 @@ def test_vp8l_predictor_and_color_transforms_roundtrip():
         out = decode_vp8l(encode_vp8l(img, predictor_bits=2,
                                       mode_salt=salt))
         assert np.array_equal(out[:, :, :3], img), salt
+
+
+def test_vp8l_color_indexing_bundling_tiers():
+    """r10: the color-indexing (palette) transform round-trips across
+    every pixel-bundling tier (<=2/<=4/<=16 indices packed into one
+    coded pixel, larger palettes unbundled), with delta-coded palette
+    entries; combining indexing with other transforms refuses."""
+    import numpy as np
+    import pytest
+
+    from hadoopxmlextractor_spark.operators.vp8l import (
+        decode_vp8l,
+        encode_vp8l,
+    )
+
+    rng = np.random.RandomState(5)
+    for n_colors in (1, 2, 3, 4, 9, 16, 17, 64, 200):
+        pal = rng.randint(0, 256, (n_colors, 3)).astype(np.uint8)
+        for (h, w) in ((7, 9), (1, 1), (5, 16)):
+            img = pal[rng.randint(0, n_colors, (h, w))]
+            out = decode_vp8l(encode_vp8l(img, palette=True))
+            assert np.array_equal(out[:, :, :3], img), (n_colors, h, w)
+    with pytest.raises(ValueError, match="no other transform"):
+        encode_vp8l(pal[rng.randint(0, n_colors, (4, 4))],
+                    palette=True, subtract_green=True)
