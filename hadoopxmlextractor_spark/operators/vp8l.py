@@ -1,16 +1,18 @@
 """VP8L — WebP lossless bitstream codec (round 9), zero dependencies.
 
-Decoder implements the WebP lossless spec's core pipeline: LSB-first
-bit reading, canonical DEFLATE-style prefix codes (simple 1-/2-symbol
-AND complex code-length-coded forms with 16/17/18 repeats and the
+Decoder implements the WebP lossless spec's pipeline: LSB-first bit
+reading, canonical DEFLATE-style prefix codes (simple 1-/2-symbol AND
+complex code-length-coded forms with 16/17/18 repeats and the
 max_symbol early-out), the 5-code group (green+length+cache, red,
-blue, alpha, distance), LZ77 backward references with the prefix-
-coded length/distance scheme and the +120 direct-distance mapping,
-the color cache (0x1e35a7bd multiplicative hash), and the
-subtract-green transform. Predictor / color / color-indexing
-transforms and meta prefix codes (entropy images) refuse with
-ValueError — the documented plug-in point, same contract as
-arithmetic JPEG.
+blue, alpha, distance), META PREFIX CODES (spatial entropy
+segmentation: an entropy image selects the code group per block —
+r10), LZ77 backward references with the prefix-coded length/distance
+scheme and the +120 direct-distance mapping, the color cache
+(0x1e35a7bd multiplicative hash), and ALL FOUR transforms:
+subtract-green, predictor (14 modes), color (cross-color), and
+color-indexing (delta-coded palette with pixel bundling). Only the
+2D near-pixel distance table (codes 1-120) remains a refusal point —
+the documented plug-in contract, same as arithmetic JPEG.
 
 Encoder is the bit-exact write partner over the same subset: complete
 canonical codes built from explicit length assignments (n8 = 512 - A
@@ -203,26 +205,47 @@ def _cache_index(argb: int, cache_bits: int) -> int:
     return ((_HASH_MUL * argb) & 0xFFFFFFFF) >> (32 - cache_bits)
 
 
+def _read_code_group(br: _BitReader, cache_size: int) -> tuple:
+    """One 5-code group (green+length+cache, red, blue, alpha,
+    distance) — the unit meta prefix codes select between."""
+    return (
+        _read_prefix_code(br, 256 + 24 + cache_size),
+        _read_prefix_code(br, 256),
+        _read_prefix_code(br, 256),
+        _read_prefix_code(br, 256),
+        _read_prefix_code(br, 40),
+    )
+
+
 def _decode_entropy_image(
     br: _BitReader, w: int, h: int, *, top_level: bool = False
 ) -> list[int]:
     """Packed-ARGB pixel list of one entropy-coded image: optional
-    color cache, the 5-code group, LZ77 backrefs. The top-level ARGB
-    image additionally carries the meta-prefix bit (transform
-    sub-images never do, per the spec's image-data layering)."""
+    color cache, prefix-code group(s), LZ77 backrefs. The top-level
+    ARGB image additionally carries META PREFIX CODES (r10): an
+    entropy image whose (red<<8|green) selects, per 2^bits block,
+    which of several 5-code groups decodes the pixels there — the
+    spec's spatial entropy segmentation. Transform sub-images never
+    carry the meta bit, per the image-data layering."""
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("bad color cache size")
-    if top_level and br.read(1):
-        raise ValueError("meta prefix codes unsupported")
     cache_size = (1 << cache_bits) if cache_bits else 0
-    green_code = _read_prefix_code(br, 256 + 24 + cache_size)
-    red_code = _read_prefix_code(br, 256)
-    blue_code = _read_prefix_code(br, 256)
-    alpha_code = _read_prefix_code(br, 256)
-    dist_code = _read_prefix_code(br, 40)
+    meta = None
+    if top_level and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        group_of = [
+            (p >> 8) & 0xFFFF for p in _decode_entropy_image(br, mw, mh)
+        ]
+        meta = (meta_bits, mw, group_of)
+        n_groups = max(group_of) + 1
+    else:
+        n_groups = 1
+    groups = [_read_code_group(br, cache_size) for _ in range(n_groups)]
 
     n_px = w * h
     pixels: list[int] = []  # packed ARGB ints
@@ -234,6 +257,17 @@ def _decode_entropy_image(
             cache[_cache_index(p, cache_bits)] = p
 
     while len(pixels) < n_px:
+        if meta is None:
+            green_code, red_code, blue_code, alpha_code, dist_code = (
+                groups[0]
+            )
+        else:
+            mb, mw, group_of = meta
+            i = len(pixels)
+            gi = group_of[((i // w) >> mb) * mw + ((i % w) >> mb)]
+            green_code, red_code, blue_code, alpha_code, dist_code = (
+                groups[gi]
+            )
         s = green_code.read(br)
         if s < 256:
             g = s
@@ -586,11 +620,17 @@ def _write_entropy_image(
     cache_bits: int = 0,
     run_backrefs: bool = False,
     top_level: bool = False,
+    meta_bits: int | None = None,
+    w: int | None = None,
+    h: int | None = None,
 ) -> None:
-    """Serialize one entropy-coded image (cache header, the 5 prefix
-    codes, LZ77-coded pixels) — shared by the main ARGB image and the
-    transform sub-images; only the top level writes the meta-prefix
-    bit."""
+    """Serialize one entropy-coded image (cache header, prefix-code
+    group(s), LZ77-coded pixels) — shared by the main ARGB image and
+    the transform sub-images; only the top level writes the
+    meta-prefix section. With ``meta_bits`` (r10), blocks alternate
+    between TWO code groups whose canonical length assignments differ
+    (8-bit-first vs 9-bit-first flat codes), so decoding with the
+    wrong group misparses — the round-trip proves group selection."""
     argb = [int(v) for v in argb]
     cache_size = (1 << cache_bits) if cache_bits else 0
     if cache_bits:
@@ -598,44 +638,70 @@ def _write_entropy_image(
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)
+    meta = None
     if top_level:
-        bw.write(0, 1)  # no meta prefix codes
+        if meta_bits is None:
+            bw.write(0, 1)  # no meta prefix codes
+        else:
+            bw.write(1, 1)
+            bw.write(meta_bits - 2, 3)
+            mw = (w + (1 << meta_bits) - 1) >> meta_bits
+            mh = (h + (1 << meta_bits) - 1) >> meta_bits
+            group_of = [
+                (bx + by) % 2 for by in range(mh) for bx in range(mw)
+            ]
+            _write_entropy_image(
+                bw, [(255 << 24) | (gi << 8) for gi in group_of]
+            )
+            meta = (meta_bits, mw, group_of)
+    # the decoder sizes the group list from the meta image's max
+    # index, so write exactly that many groups (a one-block image
+    # uses only group 0)
+    n_groups = 1 if meta is None else max(meta[2]) + 1
 
-    green = _PrefixCode(_flat_lengths(256 + 24 + cache_size))
-    chan = _PrefixCode(_flat_lengths(256))
-    alphas = sorted({(v >> 24) & 0xFF for v in argb})
-    if len(alphas) <= 2:
-        alpha_simple = alphas
-        alpha_code = None
-    else:
-        alpha_simple = None
-        alpha_code = chan
-    # codes are written green, red, blue, alpha, distance
-    _write_complex_code(bw, _flat_lengths(256 + 24 + cache_size))
-    _write_complex_code(bw, _flat_lengths(256))
-    _write_complex_code(bw, _flat_lengths(256))
-    if alpha_simple is not None:
-        _write_simple_code(bw, alpha_simple)
-        alpha_enc = _PrefixCode(
-            [1 if s in alpha_simple else 0 for s in range(256)]
-        )
-    else:
-        _write_complex_code(bw, _flat_lengths(256))
-        alpha_enc = alpha_code
     # distance code: single-symbol simple form (0-bit code). Runs use
     # distance 1, whose transformed value 121 prefix-encodes to
     # symbol 13 with 5 extra bits; literal-only streams never read
     # the distance code at all, so symbol 0 suffices.
     dist_symbol = _prefix_encode(121)[0] if run_backrefs else 0
-    _write_simple_code(bw, [dist_symbol])
-    dist_enc = _PrefixCode(
-        [1 if s == dist_symbol else 0 for s in range(40)]
-    )
+    alphas = sorted({(v >> 24) & 0xFF for v in argb})
+    groups = []
+    for v in range(n_groups):
+        glen = _flat_lengths(256 + 24 + cache_size)
+        clen = _flat_lengths(256)
+        if v % 2 == 1:  # distinct canonical assignment per group
+            glen = list(reversed(glen))
+            clen = list(reversed(clen))
+        green = _PrefixCode(glen)
+        chan = _PrefixCode(clen)
+        # codes are written green, red, blue, alpha, distance
+        _write_complex_code(bw, glen)
+        _write_complex_code(bw, clen)
+        _write_complex_code(bw, clen)
+        if n_groups == 1 and len(alphas) <= 2:
+            _write_simple_code(bw, alphas)
+            alpha_enc = _PrefixCode(
+                [1 if s in alphas else 0 for s in range(256)]
+            )
+        else:
+            _write_complex_code(bw, clen)
+            alpha_enc = chan
+        _write_simple_code(bw, [dist_symbol])
+        dist_enc = _PrefixCode(
+            [1 if s == dist_symbol else 0 for s in range(40)]
+        )
+        groups.append((green, chan, alpha_enc, dist_enc))
 
     cache = [0] * cache_size
     i = 0
     n = len(argb)
     while i < n:
+        if meta is None:
+            green, chan, alpha_enc, dist_enc = groups[0]
+        else:
+            mb, mw, group_of = meta
+            gi = group_of[((i // w) >> mb) * mw + ((i % w) >> mb)]
+            green, chan, alpha_enc, dist_enc = groups[gi]
         p = argb[i]
         if run_backrefs and i > 0 and p == argb[i - 1]:
             run = 1
@@ -690,6 +756,7 @@ def encode_vp8l(
     predictor_bits: int | None = None,
     cross_color_bits: int | None = None,
     palette: bool = False,
+    meta_bits: int | None = None,
     mode_salt: int = 0,
 ) -> bytes:
     """VP8L chunk payload of an (h, w, 3|4) uint8 array — lossless by
@@ -848,7 +915,7 @@ def encode_vp8l(
     ).reshape(-1)
     _write_entropy_image(
         bw, argb, cache_bits=cache_bits, run_backrefs=run_backrefs,
-        top_level=True,
+        top_level=True, meta_bits=meta_bits, w=w, h=h,
     )
     return b"\x2f" + bw.tobytes()
 
@@ -868,14 +935,16 @@ def synth_webp_lossless_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
     pixel plane as multimodal.synth_ppm_media (byte j of chunk k =
     hex pair j of md5('{doc_id}:{k}')) — so the shared PPM aHash
     oracle applies verbatim to the full VP8L encode→decode→hash
-    chain. The TRANSFORM STACK rotates by doc_id%5 (r10): plain /
+    chain. The TRANSFORM STACK rotates by doc_id%6 (r10): plain /
     subtract-green / PREDICTOR (4-px blocks, modes cycling by doc so
     all 14 occur across the corpus) / COLOR + subtract-green /
     COLOR-INDEXING (the 8x8 plane's <=64 distinct colors as a
-    delta-coded palette; bundling tiers live in the unit matrix) —
-    one wrong bit in either codec half, any predictor mode, any
-    ColorTransformElement delta, or any palette delta flips the
-    64-bit hash."""
+    delta-coded palette; bundling tiers live in the unit matrix) /
+    META PREFIX CODES (two block-alternating code groups with
+    distinct canonical assignments) — one wrong bit in either codec
+    half, any predictor mode, any ColorTransformElement delta, any
+    palette delta, or a wrong group selection flips the 64-bit
+    hash."""
     import hashlib
 
     n_bytes = side * side * 3
@@ -891,20 +960,22 @@ def synth_webp_lossless_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
                     for k in range(n_chunks)
                 )[:n_bytes]
                 img = np.frombuffer(plane, np.uint8).reshape(side, side, 3)
-                arm = int(i) % 5
+                arm = int(i) % 6
                 opts = {}
                 if arm == 1:
                     opts = {"subtract_green": True}
                 elif arm == 2:
-                    opts = {"predictor_bits": 2, "mode_salt": int(i) // 5}
+                    opts = {"predictor_bits": 2, "mode_salt": int(i) // 6}
                 elif arm == 3:
                     opts = {
                         "cross_color_bits": 2,
                         "subtract_green": True,
-                        "mode_salt": int(i) // 5,
+                        "mode_salt": int(i) // 6,
                     }
                 elif arm == 4:
                     opts = {"palette": True}
+                elif arm == 5:
+                    opts = {"meta_bits": 2, "cache_bits": 3}
                 out.append(encode_webp_lossless(img, **opts))
             yield pd.Series(out)
 

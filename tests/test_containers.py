@@ -273,11 +273,11 @@ def test_vp8l_backrefs_and_cache_paths():
 
 
 def test_vp8l_refusal_points():
-    """Unsupported features refuse with ValueError (the plug-in
-    contract): color-indexing transform (r10: predictor and color now
-    DECODE), duplicate transforms, meta prefix codes, near-pixel
-    distance codes, bad signature/version — and image_ahash maps a
-    refused WebP to the NULL marker instead of crashing."""
+    """Malformed/unsupported streams refuse with ValueError (the
+    plug-in contract): duplicate transforms, truncated meta-prefix
+    sections, near-pixel distance codes (the one remaining refusal
+    point), bad signature/version — and image_ahash maps a refused
+    WebP to the NULL marker instead of crashing."""
     import numpy as np
     import pytest
 
@@ -296,11 +296,9 @@ def test_vp8l_refusal_points():
             bw.write(v, n)
         return b"\x2f" + bw.tobytes()
 
-    with pytest.raises(ValueError):  # color-indexing transform (type 3)
-        decode_vp8l(header([(1, 1), (3, 2)]))
     with pytest.raises(ValueError):  # duplicate subtract-green
         decode_vp8l(header([(1, 1), (2, 2), (1, 1), (2, 2)]))
-    with pytest.raises(ValueError):  # meta prefix codes
+    with pytest.raises(ValueError):  # truncated meta-prefix section
         decode_vp8l(header([(0, 1), (0, 1), (1, 1)]))
     with pytest.raises(ValueError):  # bad version
         bw = _BitWriter()
@@ -502,3 +500,34 @@ def test_vp8l_color_indexing_bundling_tiers():
     with pytest.raises(ValueError, match="no other transform"):
         encode_vp8l(pal[rng.randint(0, n_colors, (4, 4))],
                     palette=True, subtract_green=True)
+
+
+def test_vp8l_meta_prefix_groups_roundtrip():
+    """r10: meta prefix codes — an entropy image selects the code
+    group per block; the two groups carry DISTINCT canonical
+    assignments so a wrong selection misparses; runs crossing block
+    boundaries and the shared color cache both survive."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators.vp8l import (
+        decode_vp8l,
+        encode_vp8l,
+    )
+
+    rng = np.random.RandomState(13)
+    for trial in range(16):
+        h, w = int(rng.randint(1, 13)), int(rng.randint(1, 13))
+        img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        opts = dict(
+            meta_bits=2 + trial % 2,
+            subtract_green=bool(trial % 2),
+            cache_bits=0 if trial % 3 else 3,
+            predictor_bits=None if trial % 5 else 2,
+            mode_salt=trial,
+        )
+        out = decode_vp8l(encode_vp8l(img, **opts))
+        assert np.array_equal(out[:, :, :3], img), (h, w, opts)
+    flat = np.zeros((9, 9, 3), np.uint8)
+    flat[4:] = 77  # runs crossing the 4-px block boundary
+    out = decode_vp8l(encode_vp8l(flat, meta_bits=2, run_backrefs=True))
+    assert np.array_equal(out[:, :, :3], flat)
