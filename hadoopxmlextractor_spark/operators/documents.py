@@ -665,6 +665,10 @@ def _pdf_objects(blob: bytes) -> dict[int, bytes]:
     path real readers use for legacy/truncated files."""
     if not blob.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
+    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", blob):
+        # encrypted file: strings/streams are RC4/AES ciphertext —
+        # extraction would emit garbage, so refuse to the marker row
+        raise ValueError("encrypted PDF")
     if b"startxref" not in blob:
         return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
     entries, _trailer = _pdf_xref_chain(blob)

@@ -1045,3 +1045,35 @@ def test_tar_walk_parses_tarfile_written_archive():
     ours = D.build_tar([("x.txt", b"ours", "0"), ("d", None, "5")])
     with tf.open(fileobj=io.BytesIO(ours)) as t:
         assert t.extractfile("x.txt").read() == b"ours"
+
+
+def test_pdf_encrypted_refuses():
+    """/Encrypt in the trailer refuses (ciphertext strings would emit
+    garbage) — the marker-row contract, not a wrong answer."""
+    blob = D._synth_pdf_blob(0)
+    enc = blob.replace(b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 9 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        D._pdf_extract(enc)
+
+
+
+def test_r10_query_plan_shapes(spark):
+    """Round-10 query plan contracts: CDX parse/fetch and the
+    markdown conversion are zero-shuffle Arrow passes; the wikipedia
+    multistream query carries only its DESIGNED exchanges (the
+    split->content join + the n_splits broadcast), never
+    BatchEvalPython."""
+    import hadoopxmlextractor_spark.queries_r10  # noqa: F401  (registers)
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("source_cdx_index", "pipeline_cdx_ranged_fetch",
+                 "text_html_markdown"):
+        plan = QUERIES[name](spark, sf) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "Exchange" not in plan, name  # one Arrow pass
+    plan = QUERIES["source_wikipedia_multistream"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan  # the designed n_splits side
