@@ -468,3 +468,111 @@ def q_pipeline_cdx_ranged_fetch(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, urlkey string, http_status int, "
         "n_payload bigint, body_sum bigint, digest_match boolean",
     )
+
+
+@query(
+    "pipeline_crawl_to_markdown",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('c2m', 0)} AS b0, {_b('c2m', 1)} AS b1,
+             {_b('c2m', 2)} AS b2, {_b('c2m', 3)} AS b3,
+             {_b('c2m', 4)} AS b4
+      FROM documents
+    )
+    SELECT doc_id, CAST(200 AS INT) AS http_status,
+           '# ' || {_W}[b0 % 5 + 1] || ' notes' || chr(10) || chr(10)
+           || 'body ' || {_W}[(b1 + 1) % 5 + 1] || ' & **'
+           || {_W}[(b2 + 2) % 5 + 1] || '** at [home](https://ex.org/'
+           || CAST(doc_id AS VARCHAR) || ')' || chr(10) || chr(10)
+           || '- li ' || {_W}[(b3 + 3) % 5 + 1] || ' 0' || chr(10)
+           || '- li ' || {_W}[(b3 + 4) % 5 + 1] || ' 1'
+           || chr(10) || chr(10)
+           || repeat(chr(96), 3) || chr(10) || 'code '
+           || CAST(doc_id AS VARCHAR) || chr(10) || ' sp'
+           || chr(10) || repeat(chr(96), 3) AS markdown,
+           CAST(11 AS INT) AS n_lines
+    FROM p
+    """,
+)
+def q_pipeline_crawl_to_markdown(spark: SparkSession, sf: str) -> DataFrame:
+    # The round-10 pieces COMPOSED end to end: WARC container walk
+    # (gzip-member vs plain per doc) -> HTTP split with the
+    # AS-CAPTURED coding arms (identity / chunked / gzip /
+    # gzip-then-chunked by doc_id%4 - the de-chunk and inflate paths
+    # sit INSIDE the certified chain) -> structure-preserving
+    # html_markdown (heading, entity + bold + link paragraph, list,
+    # fenced pre with raw interior whitespace). The oracle is the
+    # closed-form markdown; a fault in the member walk, the chunk
+    # framing, the inflate, or any converter rule flips the hash.
+    # One Arrow chain, zero shuffles.
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.queries_r8 import _http_as_captured
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents")
+    _WORDS = ["alpha", "bravo", "charlie", "delta", "echo"]
+
+    @F.pandas_udf("binary")
+    def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                b = hashlib.md5(f"{i}:c2m".encode()).digest()
+                html = (
+                    "<html><head><title>skip</title></head><body>"
+                    f"<h1>{_WORDS[b[0] % 5]} notes</h1>"
+                    f"<p>body {_WORDS[(b[1] + 1) % 5]} &amp; "
+                    f"<b>{_WORDS[(b[2] + 2) % 5]}</b> at "
+                    f"<a href=\"https://ex.org/{i}\">home</a></p>"
+                    f"<ul><li>li {_WORDS[(b[3] + 3) % 5]} 0</li>"
+                    f"<li>li {_WORDS[(b[3] + 4) % 5]} 1</li></ul>"
+                    f"<pre>code {i}\n sp</pre>"
+                    "</body></html>"
+                )
+                http = _http_as_captured(html.encode(), int(i) % 4)
+                out.append(
+                    W.write_warc(
+                        [{
+                            "warc_type": "response",
+                            "record_id": f"<urn:c2m:{i}>",
+                            "target_uri": f"https://ex.org/{i}",
+                            "content_type": (
+                                "application/http; msgtype=response"
+                            ),
+                            "payload": http,
+                        }],
+                        gzip_members=(int(i) % 2 == 0),
+                    )
+                )
+            yield pd.Series(out)
+
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        _warc("doc_id").alias("content"),
+    )
+    recs = W.warc_records(files).filter(F.col("warc_type") == "response")
+
+    @F.pandas_udf("struct<http_status:int, body:string>")
+    def _http(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for payloads in it:
+            stat, body = [], []
+            for pl in payloads:
+                s, bb = W.split_http_payload(bytes(pl))
+                stat.append(s)
+                body.append(bb.decode("utf-8", "replace"))
+            yield pd.DataFrame({"http_status": stat, "body": body})
+
+    return (
+        recs.withColumn("h", _http("payload"))
+        .select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            F.col("h.http_status").alias("http_status"),
+            T.html_markdown(F.col("h.body")).alias("markdown"),
+        )
+        .withColumn(
+            "n_lines",
+            F.size(F.split(F.col("markdown"), "\n")).cast("int"),
+        )
+    )
