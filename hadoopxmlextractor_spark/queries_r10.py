@@ -576,3 +576,144 @@ def q_pipeline_crawl_to_markdown(spark: SparkSession, sf: str) -> DataFrame:
             F.size(F.split(F.col("markdown"), "\n")).cast("int"),
         )
     )
+
+
+@query(
+    "multimodal_audio_flac_decode",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('flacd', 0)} AS b0, {_b('flacd', 1)} AS b1,
+             {_b('flacd', 2)} AS b2, {_b('flacd', 6)} AS b6,
+             {_b('flacd', 8)} AS b8
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, b1, b2, b6,
+             unnest(generate_series(0, 1 + b0 % 2)) AS f
+      FROM p
+    ),
+    arm AS (
+      SELECT doc_id, f, ch.ch AS ch, b6,
+             (b1 + f) % 4 AS mode, (b2 + f + ch.ch) % 4 AS t
+      FROM fr, (VALUES (0), (1)) ch(ch)
+    ),
+    samp AS (
+      SELECT a.doc_id, a.f, a.ch, a.mode, a.t, a.b6, k.k AS k,
+             md5(CAST(a.doc_id AS VARCHAR)
+                 || CASE a.ch WHEN 0 THEN ':fL:' ELSE ':fR:' END
+                 || CAST(a.f AS VARCHAR) || ':'
+                 || CAST(c.c AS VARCHAR)) AS hx,
+             md5(CAST(a.doc_id AS VARCHAR) || ':fc:'
+                 || CAST(a.f AS VARCHAR) || ':'
+                 || CAST(a.ch AS VARCHAR)) AS cx
+      FROM arm a, (SELECT unnest(range(8)) AS c) c,
+           (SELECT unnest(range(8)) AS k) k
+    ),
+    v AS (
+      SELECT doc_id, ch, mode, t, b6, f,
+        CASE WHEN mode = 0 AND t = 3 THEN
+          CAST(('0x' || substring(cx, 1, 2)) AS BIGINT) * 256
+          + CAST(('0x' || substring(cx, 3, 2)) AS BIGINT)
+        ELSE
+          CAST(('0x' || substring(hx, k * 4 + 1, 2)) AS BIGINT) * 256
+          + CAST(('0x' || substring(hx, k * 4 + 3, 2)) AS BIGINT)
+        END AS u
+      FROM samp
+    ),
+    s1 AS (
+      SELECT doc_id, ch, mode, t, b6, f,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s0
+      FROM v
+    ),
+    s2 AS (
+      SELECT doc_id, ch,
+             CASE WHEN mode = 0 AND t = 0 AND ch = 1
+                       AND (b6 + f) % 2 = 1
+                  THEN s0 - ((s0 % 4 + 4) % 4) ELSE s0 END AS s
+      FROM s1
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(([8000, 44100, 48000])[p.b8 % 3 + 1] AS INT)
+             AS sample_rate,
+           CAST(2 AS INT) AS channels,
+           CAST(2 + p.b0 % 2 AS INT) AS n_frames,
+           CAST(64 * (2 + p.b0 % 2) AS BIGINT) AS n_samples,
+           NOT p.doc_id % 11 = 5 AS md5_ok,
+           CAST(SUM(CASE WHEN ch = 0 THEN s ELSE 0 END) AS BIGINT)
+             AS sum_l,
+           CAST(SUM(CASE WHEN ch = 0 THEN s * s ELSE 0 END) AS BIGINT)
+             AS sumsq_l,
+           CAST(SUM(CASE WHEN ch = 1 THEN s ELSE 0 END) AS BIGINT)
+             AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1 THEN s * s ELSE 0 END) AS BIGINT)
+             AS sumsq_r
+    FROM s2 JOIN p USING (doc_id)
+    GROUP BY p.doc_id, p.b8, p.b0
+    """,
+)
+def q_multimodal_audio_flac_decode(spark: SparkSession, sf: str) -> DataFrame:
+    # FULL FLAC SAMPLE DECODE (r10) - the first full-fidelity audio
+    # codec in the engine (the perceptual codecs are env-blocked;
+    # FLAC is integer-exact, so it lands on the same exact-oracle
+    # contract as PCM/G.711/ADPCM). Every decode path rotates in the
+    # fixture: stereo decorrelation (independent / left-side /
+    # side-right / mid-side with bps+1 side channels), subframe types
+    # (verbatim / fixed orders 0-4 / LPC / constant), wasted bits,
+    # rice vs rice2 with partition orders 0-2 and escape partitions,
+    # the STREAMINFO-fallback sample-rate header, and a planted
+    # corrupt-STREAMINFO-md5 arm (doc%11==5) so md5 verification is
+    # seen to fail. CRC-8 + CRC-16 + sample-MD5 all verify inside the
+    # decoder; the oracle replays the synth's md5-chain int16s (with
+    # the constant/wasted-bit overrides) as pure integer sums. One
+    # Arrow pass, zero shuffle.
+    from hadoopxmlextractor_spark.operators import flac as FL
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _synth(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([FL._synth_flac_doc(int(i)) for i in ids])
+
+    files = docs.select(
+        F.col("doc_id").alias("media_id"), _synth("doc_id").alias("content")
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "sample_rate", "channels", "n_frames",
+                "n_samples", "md5_ok", "sum_l", "sumsq_l", "sum_r",
+                "sumsq_r"]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = FL.decode_flac(bytes(blob))
+                    left, right = d["samples"]
+                    rows.append({
+                        "media_id": mid,
+                        "sample_rate": d["sample_rate"],
+                        "channels": d["channels"],
+                        "n_frames": d["n_frames"],
+                        "n_samples": len(left),
+                        "md5_ok": d["md5_ok"],
+                        "sum_l": sum(left),
+                        "sumsq_l": sum(s * s for s in left),
+                        "sum_r": sum(right),
+                        "sumsq_r": sum(s * s for s in right),
+                    })
+                except (ValueError, IndexError):
+                    rows.append({
+                        "media_id": mid, "sample_rate": None,
+                        "channels": None, "n_frames": None,
+                        "n_samples": None, "md5_ok": None,
+                        "sum_l": None, "sumsq_l": None,
+                        "sum_r": None, "sumsq_r": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        _decode,
+        schema="media_id bigint, sample_rate int, channels int, "
+        "n_frames int, n_samples bigint, md5_ok boolean, sum_l bigint, "
+        "sumsq_l bigint, sum_r bigint, sumsq_r bigint",
+    )
