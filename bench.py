@@ -66,6 +66,11 @@ HEADLINE = [
     # tier kernel), the cross-format documents→corpus capstone
     "source_pdf_text",
     "pipeline_documents_to_corpus",
+    # round-10 additions: crawl→markdown through the as-captured HTTP
+    # coding arms, and the native FLAC full-sample decode (the
+    # heaviest per-blob DSP kernel in the engine)
+    "pipeline_crawl_to_markdown",
+    "multimodal_audio_flac_decode",
 ]
 
 N_XML_DOCS = 500
@@ -109,6 +114,8 @@ REFERENCE = {
     "corpus_minhash_semantic_scope": 2.45,
     "source_pdf_text": 0.77,
     "pipeline_documents_to_corpus": 1.73,
+    "pipeline_crawl_to_markdown": 1.5,
+    "multimodal_audio_flac_decode": 2.5,
 }
 
 

@@ -4,7 +4,14 @@
   intra-file splits + ranged bz2 decompression (the shape that makes
   the single 20+ GB dump file splittable, mirroring the r8 WARC
   split architecture);
-- (r10 continues in this module as further operators land.)
+- HTML → MARKDOWN structure-preserving extraction (`text_html_
+  markdown`) and the crawl→markdown capstone composing WARC, the
+  as-captured HTTP coding arms, and the converter in one chain;
+- CDX(J) capture indexes: SURT urlkeys, index parse, and the
+  Common Crawl ACCESS PATH capstone (ranged per-capture member reads
+  with sha1 digest verification incl. a planted corrupt arm);
+- native FLAC FULL SAMPLE decode (`multimodal_audio_flac_decode`) —
+  the first full-fidelity audio codec, exact integer oracle.
 
 Registered into the same QUERIES/ORACLE registry as the other query
 modules; every entry carries an exact DuckDB oracle. Fresh module per
