@@ -2126,14 +2126,44 @@ def _tar_checksum(header: bytes) -> int:
     return sum(header[:148]) + 8 * 0x20 + sum(header[156:512])
 
 
+def _bounded_unxz(raw: bytes, cap: int = _MAX_INFLATE) -> bytes:
+    """xz decompress with the same hard output bound and truncation
+    refusal as the zlib/bz2 walks."""
+    import lzma
+
+    d = lzma.LZMADecompressor()
+    out: list[bytes] = []
+    total = 0
+    piece = d.decompress(raw, 1 << 20)
+    while True:
+        if piece:
+            out.append(piece)
+            total += len(piece)
+            if total > cap:
+                raise ValueError("inflated output exceeds bound")
+        if d.eof:
+            break
+        if d.needs_input:
+            raise ValueError("truncated xz stream")
+        piece = d.decompress(b"", 1 << 20)
+    return b"".join(out)
+
+
 def tar_members(blob: bytes) -> list[dict]:
-    """(name, typeflag, size, head) per entry of a tar / tar.gz: the
-    512-byte ustar header walk with the POSIX checksum VERIFIED per
-    header (a flipped byte refuses the entry stream), data runs of
-    ceil(size/512) blocks, GNU 'L' long-name entries applied to the
-    following header, and the two-zero-block terminator honored."""
+    """(name, typeflag, size, head) per entry of a tar — gzip, bz2,
+    and xz wrappers all transparent through the bounded decompression
+    walks (r10: .tar.bz2/.tar.xz are how source-code corpora actually
+    ship): the 512-byte ustar header walk with the POSIX checksum
+    VERIFIED per header (a flipped byte refuses the entry stream),
+    data runs of ceil(size/512) blocks, GNU 'L' long-name entries
+    applied to the following header, and the two-zero-block
+    terminator honored."""
     if blob[:2] == b"\x1f\x8b":
         blob = _bounded_inflate(blob, 31)
+    elif blob[:3] == b"BZh":
+        blob = _bz2_decompress_streams(blob)
+    elif blob[:6] == b"\xfd7zXZ\x00":
+        blob = _bounded_unxz(blob)
     out = []
     pos = 0
     pending_name = None
@@ -2241,7 +2271,8 @@ def _synth_tar_blob(i: int) -> bytes:
     under a leading directory entry, member k named
     STEM[(b1+k)%5]_{k}.txt with 'name + repeated rows' payloads;
     entry (b3%  count) gets a >100-char GNU long name (nested dirs);
-    ODD docs wrap the whole archive in gzip (.tar.gz)."""
+    the COMPRESSION wrapper rotates i%4: plain / gzip / bz2 / xz
+    (r10 — the wrappers source-code corpora actually ship)."""
     import hashlib
 
     b = hashlib.md5(f"{i}:tar".encode()).digest()
@@ -2257,9 +2288,18 @@ def _synth_tar_blob(i: int) -> bytes:
                    + f"row {k} " * (3 + (b[2] + k) % 5)).encode()
         entries.append((name, payload, "0"))
     tar = build_tar(entries)
-    if i % 2 == 1:
+    wrap = int(i) % 4
+    if wrap == 1:
         c = zlib.compressobj(6, zlib.DEFLATED, 31)
         tar = c.compress(tar) + c.flush()
+    elif wrap == 2:
+        import bz2 as _bz2
+
+        tar = _bz2.compress(tar)
+    elif wrap == 3:
+        import lzma
+
+        tar = lzma.compress(tar)
     return tar
 
 

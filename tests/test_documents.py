@@ -1077,3 +1077,36 @@ def test_r10_query_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan  # the designed n_splits side
+
+
+def test_tar_bz2_xz_wrappers_transparent():
+    """r10: .tar.bz2 and .tar.xz parse identically to plain/.tar.gz
+    through the bounded decompression walks; xz bombs and truncation
+    refuse."""
+    import bz2 as _bz2
+    import gzip
+    import lzma
+
+    tar = D.build_tar([("a.txt", b"hello tar", "0"), ("d/", None, "5")])
+    expect = [m["name"] for m in D.tar_members(tar)]
+    for blob in (gzip.compress(tar), _bz2.compress(tar),
+                 lzma.compress(tar)):
+        assert [m["name"] for m in D.tar_members(blob)] == expect
+    with pytest.raises(ValueError, match="bound"):
+        D._bounded_unxz(lzma.compress(b"\0" * (4 << 20)), cap=1 << 16)
+    with pytest.raises(ValueError, match="truncated"):
+        D._bounded_unxz(lzma.compress(b"data")[:-4])
+    # the synth rotation reaches all four wrappers (and each parses)
+    heads = set()
+    for i in range(8):
+        blob = D._synth_tar_blob(i)
+        assert D.tar_members(blob)
+        if blob[:2] == b"\x1f\x8b":
+            heads.add("gz")
+        elif blob[:3] == b"BZh":
+            heads.add("bz2")
+        elif blob[:6] == b"\xfd7zXZ\x00":
+            heads.add("xz")
+        else:
+            heads.add("plain")
+    assert heads == {"plain", "gz", "bz2", "xz"}
