@@ -114,8 +114,8 @@ REFERENCE = {
     "corpus_minhash_semantic_scope": 2.45,
     "source_pdf_text": 0.77,
     "pipeline_documents_to_corpus": 1.73,
-    "pipeline_crawl_to_markdown": 1.5,
-    "multimodal_audio_flac_decode": 2.5,
+    "pipeline_crawl_to_markdown": 3.8,
+    "multimodal_audio_flac_decode": 1.8,
 }
 
 

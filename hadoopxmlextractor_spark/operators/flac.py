@@ -56,65 +56,80 @@ def _crc16(data: bytes) -> int:
 
 class _BR:
     """MSB-first bit reader (the FLAC convention — opposite of
-    VP8L's LSB-first)."""
+    VP8L's LSB-first). Multi-bit reads slice whole bytes instead of
+    looping per bit — the decode hot path."""
 
     def __init__(self, data: bytes, pos_bits: int = 0):
         self.d = data
         self.pos = pos_bits
 
     def read(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            idx = self.pos >> 3
-            if idx >= len(self.d):
-                raise ValueError("FLAC bitstream overrun")
-            v = (v << 1) | ((self.d[idx] >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
-        return v
+        pos = self.pos
+        end = pos + n
+        byte_end = (end + 7) >> 3
+        if byte_end > len(self.d):
+            raise ValueError("FLAC bitstream overrun")
+        chunk = int.from_bytes(self.d[pos >> 3 : byte_end], "big")
+        self.pos = end
+        return (chunk >> ((byte_end << 3) - end)) & ((1 << n) - 1)
 
     def sread(self, n: int) -> int:
         v = self.read(n)
         return v - (1 << n) if v >= 1 << (n - 1) else v
 
     def unary(self) -> int:
+        d = self.d
+        pos = self.pos
         q = 0
-        while self.read(1) == 0:
+        nbits = len(d) << 3
+        while True:
+            if pos >= nbits:
+                raise ValueError("FLAC bitstream overrun")
+            if (d[pos >> 3] >> (7 - (pos & 7))) & 1:
+                self.pos = pos + 1
+                return q
+            pos += 1
             q += 1
             if q > 1 << 20:
                 raise ValueError("runaway unary code")
-        return q
 
     def align(self) -> None:
         self.pos = (self.pos + 7) & ~7
 
 
 class _BW:
-    """MSB-first bit writer."""
+    """MSB-first bit writer — byte-accumulator form (the encode hot
+    path: no per-bit list)."""
 
     def __init__(self):
-        self.bits: list[int] = []
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
 
     def write(self, v: int, n: int) -> None:
-        for k in range(n - 1, -1, -1):
-            self.bits.append((v >> k) & 1)
+        self.acc = (self.acc << n) | (v & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
 
     def swrite(self, v: int, n: int) -> None:
         self.write(v & ((1 << n) - 1), n)
 
     def unary(self, q: int) -> None:
-        self.bits.extend([0] * q)
-        self.bits.append(1)
+        while q >= 32:
+            self.write(0, 32)
+            q -= 32
+        self.write(1, q + 1)  # q zeros then the terminating 1
 
     def align(self) -> None:
-        while len(self.bits) % 8:
-            self.bits.append(0)
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
 
     def tobytes(self) -> bytes:
         self.align()
-        out = bytearray(len(self.bits) // 8)
-        for i, b in enumerate(self.bits):
-            out[i >> 3] |= b << (7 - (i & 7))
-        return bytes(out)
+        return bytes(self.out)
 
 
 _SR_CODES = {88200: 1, 176400: 2, 192000: 3, 8000: 4, 16000: 5,

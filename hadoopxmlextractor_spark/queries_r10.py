@@ -518,7 +518,12 @@ def q_pipeline_crawl_to_markdown(spark: SparkSession, sf: str) -> DataFrame:
     from hadoopxmlextractor_spark.queries_r8 import _http_as_captured
     from hadoopxmlextractor_spark.sources import warc as W
 
-    docs = load(spark, sf, "documents")
+    # id-only repartition before the heavy per-doc chain (see
+    # multimodal_audio_flac_decode): parallelism over 32 cores instead
+    # of the single scan partition the one-file test table yields
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     _WORDS = ["alpha", "bravo", "charlie", "delta", "echo"]
 
     @F.pandas_udf("binary")
@@ -675,7 +680,14 @@ def q_multimodal_audio_flac_decode(spark: SparkSession, sf: str) -> DataFrame:
     # Arrow pass, zero shuffle.
     from hadoopxmlextractor_spark.operators import flac as FL
 
-    docs = load(spark, sf, "documents")
+    # the documents table is a single parquet file at test scale — one
+    # scan partition would serialize the per-doc codec work on a
+    # 32-core box. Repartitioning doc_ids (a few KB) BEFORE the synth
+    # is the designed exchange: at 100 TB the source is many files and
+    # this becomes a no-op-sized shuffle of ids, never of audio bytes.
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     @F.pandas_udf("binary")
     def _synth(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
