@@ -101,7 +101,11 @@ def q_source_wikipedia_multistream(spark: SparkSession, sf: str) -> DataFrame:
     # rule). Same architecture as the r8 WARC intra-file splits.
     from hadoopxmlextractor_spark.operators import documents as D
 
-    docs = load(spark, sf, "documents")
+    # id-only repartition before the per-doc bz2 work (the one-file
+    # test table yields a single scan partition; see the flac query)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     files = D.synth_wikipedia_multistream(docs)
     idx = D.wikipedia_split_index(files, target_bytes=1).filter(
         F.col("split_idx") >= 0
@@ -384,7 +388,11 @@ def q_pipeline_cdx_ranged_fetch(spark: SparkSession, sf: str) -> DataFrame:
     from hadoopxmlextractor_spark.sources import cdx as X
     from hadoopxmlextractor_spark.sources import warc as W
 
-    docs = load(spark, sf, "documents")
+    # id-only repartition before the per-doc gzip/sha1 work (the
+    # one-file test table yields a single scan partition)
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     @F.pandas_udf("struct<warc:binary, cdx:binary>")
     def _files(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:

@@ -1058,25 +1058,34 @@ def test_pdf_encrypted_refuses():
 
 
 def test_r10_query_plan_shapes(spark):
-    """Round-10 query plan contracts: CDX parse/fetch and the
-    markdown conversion are zero-shuffle Arrow passes; the wikipedia
-    multistream query carries only its DESIGNED exchanges (the
-    split->content join + the n_splits broadcast), never
-    BatchEvalPython."""
+    """Round-10 query plan contracts: CDX index parse and the
+    markdown conversion are zero-shuffle Arrow passes; the heavy
+    per-doc kernels (ranged fetch, flac decode, crawl->markdown,
+    wikipedia multistream) carry EXACTLY their designed id-only
+    round-robin repartition (plus the multistream n_splits
+    broadcast); never BatchEvalPython anywhere."""
     import hadoopxmlextractor_spark.queries_r10  # noqa: F401  (registers)
     from hadoopxmlextractor_spark.queries import QUERIES
 
     sf = "/root/testdata/sf0.001"
-    for name in ("source_cdx_index", "pipeline_cdx_ranged_fetch",
-                 "text_html_markdown"):
+    for name in ("source_cdx_index", "text_html_markdown"):
         plan = QUERIES[name](spark, sf) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "Exchange" not in plan, name  # one Arrow pass
+    for name in ("pipeline_cdx_ranged_fetch",
+                 "multimodal_audio_flac_decode",
+                 "pipeline_crawl_to_markdown"):
+        plan = QUERIES[name](spark, sf) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("Exchange") == 1, name  # the id repartition
+        assert "RoundRobinPartitioning" in plan, name
     plan = QUERIES["source_wikipedia_multistream"](spark, sf) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan  # the designed n_splits side
+    assert "RoundRobinPartitioning" in plan
 
 
 def test_tar_bz2_xz_wrappers_transparent():

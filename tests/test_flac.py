@@ -126,3 +126,15 @@ def test_flac_synth_rotations_cover_everything():
             for f in range(d["n_frames"])
         ]
     assert all(v > 0 for v in seen.values()), seen
+
+
+def test_flac_crc_known_vectors():
+    """Independent cross-validation of the integrity layer: the FLAC
+    CRCs must match the PUBLISHED check values for their parameter
+    sets (CRC-8 poly 0x07 init 0 -> 0xF4 over '123456789'; CRC-16
+    poly 0x8005 init 0 non-reflected, the CRC-16/UMTS set ->
+    0xFEE8) — a mirrored polynomial/shift bug in encoder+decoder
+    cannot fake these."""
+    assert FL._crc8(b"123456789") == 0xF4
+    assert FL._crc16(b"123456789") == 0xFEE8
+    assert FL._crc8(b"") == 0 and FL._crc16(b"") == 0
