@@ -112,8 +112,8 @@ REFERENCE = {
     "corpus_priority_sample_grouped": 0.28,
     "source_warc_split": 2.77,
     "corpus_minhash_semantic_scope": 2.45,
-    "source_pdf_text": 0.77,
-    "pipeline_documents_to_corpus": 1.73,
+    "source_pdf_text": 1.0,
+    "pipeline_documents_to_corpus": 2.0,
     "pipeline_crawl_to_markdown": 3.8,
     "multimodal_audio_flac_decode": 1.8,
 }

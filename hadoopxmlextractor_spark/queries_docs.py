@@ -173,7 +173,13 @@ def q_source_pdf_text(spark: SparkSession, sf: str) -> DataFrame:
     # text-invariant. One Arrow pass.
     from hadoopxmlextractor_spark.operators import documents as D
 
-    docs = load(spark, sf, "documents")
+    # id-only repartition before the per-doc xref/CMap work (r10): the
+    # one-file test table yields a single scan partition, serializing
+    # the codec kernels on a 32-core box; at 100 TB this is a
+    # no-op-sized shuffle of ids, never of document bytes
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return D.document_text(D.synth_pdf(docs))
 
 
@@ -490,7 +496,12 @@ def q_pipeline_documents_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
     from hadoopxmlextractor_spark.operators import documents as D
     from hadoopxmlextractor_spark.operators import text as T
 
-    docs = load(spark, sf, "documents")
+    # id-only repartition before the per-doc container synth/extract
+    # (see q_source_pdf_text) — the fingerprint exchange downstream
+    # is unchanged
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     @F.pandas_udf("binary")
     def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

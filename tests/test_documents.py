@@ -458,7 +458,7 @@ def test_tar_checksum_refusal_and_gnu_longname():
 
 
 def test_tar_gz_transparent_and_marker(spark):
-    blob = D._synth_tar_blob(3)  # odd -> gzipped
+    blob = D._synth_tar_blob(1)  # i%4 == 1 -> gzipped (r10 rotation)
     assert blob[:2] == b"\x1f\x8b"
     assert D.tar_members(blob)
     df = spark.createDataFrame(
