@@ -1065,39 +1065,45 @@ def _id3_text(payload: bytes) -> str:
 
 
 def parse_id3v2_frames(blob: bytes) -> dict:
-    """Text frames of a leading ID3v2.3/2.4 tag: TIT2 (title), TPE1
-    (artist), TALB (album), plus the year from TYER (2.3) or TDRC
-    (2.4). Frame sizes are big-endian in 2.3 and SYNCSAFE in 2.4 —
-    mixing them up misparses every multi-frame tag, so the version
-    byte drives the decode. The walk stops at padding (NUL frame id)
-    or the tag end. No tag -> None."""
+    """Text frames of a leading ID3v2 tag — ALL THREE live layouts
+    (r10): v2.2 (3-byte frame ids TT2/TP1/TAL/TYE with 3-byte
+    big-endian sizes, 6-byte headers — the layout every pre-2000 MP3
+    carries), v2.3 (4-byte ids, big-endian sizes), and v2.4 (syncsafe
+    sizes, TDRC year). Mixing the size conventions misparses every
+    multi-frame tag, so the version byte drives the decode. The walk
+    stops at padding (NUL frame id) or the tag end. No tag or an
+    unknown future version -> None (marker row)."""
     if blob[:3] != b"ID3":
         return None
     ver = blob[3]
-    if ver not in (3, 4):
-        # Only the 2.3/2.4 10-byte-frame-header layouts are walked; a
-        # v2.2 tag (3-byte ids/sizes) under this walk would report
-        # garbage fields, so unknown versions refuse to the marker row.
+    if ver not in (2, 3, 4):
         return None
     tag_size = _unsyncsafe(blob[6:10])
     pos, end = 10, 10 + tag_size
     out = {"title": None, "artist": None, "album": None, "year": None}
-    keys = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
-            b"TYER": "year", b"TDRC": "year"}
-    while pos + 10 <= end:
-        fid = blob[pos : pos + 4]
-        if fid == b"\x00\x00\x00\x00":
+    if ver == 2:
+        keys = {b"TT2": "title", b"TP1": "artist", b"TAL": "album",
+                b"TYE": "year"}
+        idlen, hdrlen = 3, 6
+    else:
+        keys = {b"TIT2": "title", b"TPE1": "artist", b"TALB": "album",
+                b"TYER": "year", b"TDRC": "year"}
+        idlen, hdrlen = 4, 10
+    while pos + hdrlen <= end:
+        fid = blob[pos : pos + idlen]
+        if fid == b"\x00" * idlen:
             break  # padding
-        size = (
-            _unsyncsafe(blob[pos + 4 : pos + 8])
-            if ver >= 4
-            else struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
-        )
-        payload = blob[pos + 10 : pos + 10 + size]
+        if ver == 2:
+            size = int.from_bytes(blob[pos + 3 : pos + 6], "big")
+        elif ver == 4:
+            size = _unsyncsafe(blob[pos + 4 : pos + 8])
+        else:
+            size = struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
+        payload = blob[pos + hdrlen : pos + hdrlen + size]
         key = keys.get(fid)
         if key is not None and fid.startswith(b"T"):
             out[key] = _id3_text(payload)
-        pos += 10 + size
+        pos += hdrlen + size
     return out
 
 
@@ -1146,17 +1152,18 @@ _ID3_ARTISTS = ("bravo band", "charlie choir", "delta duo")
 
 def _synth_id3_mp3_blob(i: int) -> bytes:
     """One deterministic ID3v2-tagged MP3 stub from md5(doc:id3):
-    version rotates 2.3/2.4 (b0%2 — frame sizes big-endian vs
-    syncsafe), text encoding rotates latin-1/UTF-16/UTF-8 (b1%3, the
-    non-ASCII titles keep every codec branch honest), frame ORDER
-    rotates (b4%2), year via TYER on 2.3 and TDRC on 2.4, 64 bytes of
-    padding close the tag, and one MPEG frame header follows so the
-    blob is a real MP3 prefix."""
+    version rotates 2.2/2.3/2.4 (b0%3 — 3-byte vs 4-byte frame ids,
+    big-endian vs syncsafe sizes), text encoding rotates
+    latin-1/UTF-16/UTF-8 (b1%3; v2.2 has no UTF-8, so it rotates
+    latin-1/UTF-16 only — the non-ASCII titles keep every codec
+    branch honest), frame ORDER rotates (b4%2), year via TYE on 2.2,
+    TYER on 2.3, TDRC on 2.4, 64 bytes of padding close the tag, and
+    one MPEG frame header follows so the blob is a real MP3 prefix."""
     import hashlib
 
     b = hashlib.md5(f"{i}:id3".encode()).digest()
-    v4 = b[0] % 2 == 1
-    enc = b[1] % 3  # 0 latin-1, 1 utf-16, 3 utf-8
+    ver = 2 + b[0] % 3
+    enc = b[1] % (2 if ver == 2 else 3)  # 0 latin-1, 1 utf-16, 2 utf-8
     title = _ID3_TITLES[b[2] % 5]
     artist = _ID3_ARTISTS[b[3] % 3]
     album = f"album {b[5] % 10}"
@@ -1170,21 +1177,28 @@ def _synth_id3_mp3_blob(i: int) -> bytes:
         return b"\x03" + s.encode("utf-8")
 
     def _frame(fid: bytes, payload: bytes) -> bytes:
-        size = _syncsafe(len(payload)) if v4 else struct.pack(
+        if ver == 2:
+            return fid + len(payload).to_bytes(3, "big") + payload
+        size = _syncsafe(len(payload)) if ver == 4 else struct.pack(
             ">I", len(payload)
         )
         return fid + size + b"\x00\x00" + payload
 
+    if ver == 2:
+        ids = (b"TT2", b"TP1", b"TAL", b"TYE")
+    else:
+        ids = (b"TIT2", b"TPE1", b"TALB",
+               b"TDRC" if ver == 4 else b"TYER")
     frames = [
-        _frame(b"TIT2", _enc(title)),
-        _frame(b"TPE1", _enc(artist)),
-        _frame(b"TALB", _enc(album)),
-        _frame(b"TDRC" if v4 else b"TYER", _enc(year)),
+        _frame(ids[0], _enc(title)),
+        _frame(ids[1], _enc(artist)),
+        _frame(ids[2], _enc(album)),
+        _frame(ids[3], _enc(year)),
     ]
     if b[4] % 2 == 1:
         frames = frames[::-1]
     body = b"".join(frames) + b"\x00" * 64
-    tag = b"ID3" + bytes([4 if v4 else 3, 0, 0]) + _syncsafe(len(body)) + body
+    tag = b"ID3" + bytes([ver, 0, 0]) + _syncsafe(len(body)) + body
     # one MPEG-1 Layer III header (128 kbps, 44100 Hz) so the blob is
     # a plausible MP3 prefix, not a bare tag
     return tag + b"\xff\xfb\x90\x00" + b"\x00" * 16

@@ -255,7 +255,7 @@ def q_multimodal_webp_lossless_ahash(spark: SparkSession, sf: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id AS media_id,
-           CASE WHEN b0 % 2 = 1 THEN '2.4' ELSE '2.3' END AS id3_version,
+           '2.' || CAST(2 + b0 % 3 AS VARCHAR) AS id3_version,
            (['café nights','alpha song','Überlied','plain tune',
              'naïve waltz'])[b2 % 5 + 1] AS title,
            (['bravo band','charlie choir','delta duo'])[b3 % 3 + 1]
@@ -269,13 +269,15 @@ def q_multimodal_audio_id3_tags(spark: SparkSession, sf: str) -> DataFrame:
     # ID3v2 TEXT frames (r9) — the content-metadata tier above the r8
     # size/duration walk: title/artist/album/year are what a corpus
     # pipeline joins against transcripts and licensing tables. The
-    # fixtures rotate every axis that breaks naive parsers: v2.3 vs
-    # v2.4 (frame sizes big-endian vs SYNCSAFE — mixing them up
-    # misparses every multi-frame tag), text encodings latin-1 /
-    # UTF-16-with-BOM / UTF-8 (non-ASCII titles keep each codec branch
-    # honest), frame order, year frame id (TYER vs TDRC), and a
-    # 64-byte padding region the walk must stop at. One Arrow pass;
-    # untagged blobs degrade to the version-NULL marker row.
+    # fixtures rotate every axis that breaks naive parsers: v2.2 vs
+    # v2.3 vs v2.4 (r10 — 3-byte ids/sizes vs 4-byte ids with
+    # big-endian vs SYNCSAFE sizes; mixing any two misparses every
+    # multi-frame tag), text encodings latin-1 / UTF-16-with-BOM /
+    # UTF-8 (non-ASCII titles keep each codec branch honest; v2.2
+    # predates UTF-8 so it rotates two), frame order, year frame id
+    # (TYE vs TYER vs TDRC), and a 64-byte padding region the walk
+    # must stop at. One Arrow pass; untagged blobs degrade to the
+    # version-NULL marker row.
     from hadoopxmlextractor_spark.operators import containers as C
 
     docs = load(spark, sf, "documents")

@@ -375,16 +375,36 @@ def test_image_ahash_dispatches_webp(spark):
     assert rows[3] is None
 
 
-def test_id3v22_tag_refuses_to_marker():
-    # v2.2 carries 3-byte frame ids/sizes; walking it with the 2.3/2.4
-    # layout would report garbage, so the version byte gates to None
+def test_id3v22_layout_parses_and_future_versions_refuse():
+    # v2.2: 3-byte frame ids (TT2/TP1/TAL/TYE) with 3-byte big-endian
+    # sizes and 6-byte headers — the layout every pre-2000 MP3
+    # carries (r10: parsed, no longer gated to the marker row)
     from hadoopxmlextractor_spark.operators import containers as C
 
-    frames = b"TT2\x00\x00\x05\x00titl"
+    frames = (b"TT2" + b"\x00\x00\x05" + b"\x00titl"
+              + b"TP1" + b"\x00\x00\x04" + b"\x00art"
+              + b"TYE" + b"\x00\x00\x05" + b"\x001999"
+              + b"\x00" * 12)  # padding stop
     blob = b"ID3\x02\x00\x00" + C._syncsafe(len(frames)) + frames
-    assert C.parse_id3v2_frames(blob) is None
+    got = C.parse_id3v2_frames(blob)
+    assert got == {"title": "titl", "artist": "art", "album": None,
+                   "year": "1999"}
+    # an unknown FUTURE version still refuses to the marker row
+    assert C.parse_id3v2_frames(b"ID3\x05\x00\x00" + C._syncsafe(0)) \
+        is None
     assert C.parse_id3v2_frames(b"ID3\x03\x00\x00" + C._syncsafe(0)) \
         is not None
+    # synth rotation reaches all three versions and replays exactly
+    import hashlib
+
+    seen = set()
+    for i in range(30):
+        b = hashlib.md5(f"{i}:id3".encode()).digest()
+        got = C.parse_id3v2_frames(C._synth_id3_mp3_blob(i))
+        assert got["title"] == C._ID3_TITLES[b[2] % 5], i
+        assert got["year"] == str(1990 + b[6] % 40), i
+        seen.add(2 + b[0] % 3)
+    assert seen == {2, 3, 4}
 
 
 def test_mp4_fragmented_layout_replay():
