@@ -39,6 +39,7 @@ from __future__ import annotations
 import re
 import struct
 import zlib
+from bisect import bisect_left
 from typing import Iterator
 from xml.etree import ElementTree
 
@@ -665,13 +666,20 @@ def _pdf_objects(blob: bytes) -> dict[int, bytes]:
     path real readers use for legacy/truncated files."""
     if not blob.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
-    if re.search(rb"/Encrypt\s+\d+\s+\d+\s+R", blob):
-        # encrypted file: strings/streams are RC4/AES ciphertext —
-        # extraction would emit garbage, so refuse to the marker row
-        raise ValueError("encrypted PDF")
+    # /Encrypt refusal is scoped to TRAILER dictionaries only (the
+    # only place the spec puts it) — a page whose text happens to
+    # contain "/Encrypt 12 0 R" must not poison an unencrypted file
+    _encrypt_re = re.compile(rb"/Encrypt\s+\d+\s+\d+\s+R")
     if b"startxref" not in blob:
+        tpos = blob.rfind(b"trailer")
+        if tpos >= 0 and _encrypt_re.search(blob, tpos):
+            # encrypted file: strings/streams are RC4/AES ciphertext —
+            # extraction would emit garbage; refuse to the marker row
+            raise ValueError("encrypted PDF")
         return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
     entries, _trailer = _pdf_xref_chain(blob)
+    if _encrypt_re.search(_trailer):
+        raise ValueError("encrypted PDF")
     objs: dict[int, bytes] = {}
     for num, e in entries.items():
         if e[0] == "n":
@@ -3825,12 +3833,14 @@ def wikipedia_multistream_cuts(
     from hadoopxmlextractor_spark.sources.warc import _cuts_to_splits
 
     bounds = sorted({off for off, _, _ in index})
-    if any(b >= dump_len for b in bounds):
+    if bounds and bounds[-1] >= dump_len:
         raise ValueError("index offset past end of dump")
-    # every stream start ENDS the preceding range; EOF ends the last
-    cut_points = [
-        (b, sum(1 for off, _, _ in index if off < b)) for b in bounds
-    ]
+    # every stream start ENDS the preceding range; EOF ends the last.
+    # pages-so-far per boundary via ONE sorted pass + bisect — the real
+    # pages-articles index is ~20M pages / ~200k streams, so the naive
+    # per-boundary count is O(streams x pages) and unusable at scale.
+    page_offsets = sorted(off for off, _, _ in index)
+    cut_points = [(b, bisect_left(page_offsets, b)) for b in bounds]
     cut_points.append((dump_len, len(index)))
     if cut_points[0][0] == 0:  # no header stream before the first page
         cut_points.pop(0)

@@ -261,9 +261,11 @@ def _read_subframe(br: _BR, blocksize: int, bps: int) -> list[int]:
 def decode_flac(blob: bytes) -> dict:
     """Full sample decode of a FLAC stream. Returns {sample_rate,
     channels, bits, samples: [[ch0...], [ch1...]], n_frames, md5_ok,
-    modes: [channel-assignment code per frame]}. CRC-8, CRC-16, and
-    the STREAMINFO sample-MD5 are all VERIFIED — raises ValueError on
-    any mismatch or malformed structure."""
+    modes: [channel-assignment code per frame]}. Frame CRC-8 and
+    CRC-16 are VERIFIED — raises ValueError on any mismatch or
+    malformed structure. The STREAMINFO sample-MD5 is checked and
+    REPORTED via the ``md5_ok`` flag (not raised), so callers can
+    surface bit-rot without losing the decoded samples."""
     if blob[:4] != b"fLaC":
         raise ValueError("not a FLAC stream")
     pos = 4

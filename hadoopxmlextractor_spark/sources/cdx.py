@@ -48,11 +48,16 @@ def surt(url: str) -> str:
     protocol/case/param-order variants of one page share a key."""
     parts = urlsplit(url.strip())
     host = parts.hostname or ""
+    if not host:
+        raise ValueError(f"no hostname in URL: {url!r}")
     host = host.lower()
     if host.startswith("www."):
         host = host[4:]
     key = ",".join(reversed(host.split(".")))
-    if parts.port and parts.port not in (80, 443):
+    # drop the port only when it is the SCHEME default (http:80,
+    # https:443) — http://host:443/ is a distinct capture target
+    default_port = {"http": 80, "https": 443}.get(parts.scheme)
+    if parts.port and parts.port != default_port:
         key += f":{parts.port}"
     path = (parts.path or "/").lower()
     key += ")" + path

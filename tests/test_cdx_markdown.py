@@ -22,6 +22,13 @@ def test_surt_canonicalization_rules():
     # non-default port survives; fragment drops
     assert X.surt("http://example.com:8080/x#frag") == \
         "com,example:8080)/x"
+    # scheme-DEFAULT port drops; a default-for-the-OTHER-scheme port
+    # is a distinct capture target and must survive (r10 advice)
+    assert X.surt("http://example.com:443/") == "com,example:443)/"
+    assert X.surt("https://example.com:80/") == "com,example:80)/"
+    # hostless/garbage input is an error, not a ')garbage' key
+    with pytest.raises(ValueError):
+        X.surt("not a url")
 
 
 def test_cdxj_roundtrip_and_refusals():

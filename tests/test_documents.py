@@ -1056,6 +1056,28 @@ def test_pdf_encrypted_refuses():
         D._pdf_extract(enc)
 
 
+def test_pdf_encrypt_token_in_page_text_not_refused():
+    """'/Encrypt 12 0 R' appearing in PAGE TEXT (not the trailer) must
+    not trip the refusal — the check is scoped to trailer dicts
+    (r10 advice). Same-length splice keeps every xref offset valid."""
+    blob = D._synth_pdf_blob(0)
+    old = b"(echo ) -120 (\\(page\\) ) 40 (0)"
+    assert old in blob
+    new = b"(/Encrypt 12 0 R" + b"a" * (len(old) - 17) + b")"
+    assert len(new) == len(old)
+    spliced = blob.replace(old, new)
+    n_pages, text = D._pdf_extract(spliced)  # must NOT raise
+    assert n_pages == 2 and "/Encrypt 12 0 R" in text
+    # flat-scan fallback (no startxref): token in an object body is
+    # fine; token after the trailer keyword refuses
+    flat = (b"%PDF-1.4\n1 0 obj\n<< /Length 21 >>\nstream\n"
+            b"/Encrypt 12 0 R text\nendstream\nendobj\n")
+    assert 1 in D._pdf_objects(flat)
+    flat_enc = flat + b"trailer\n<< /Size 2 /Encrypt 12 0 R >>\n"
+    with pytest.raises(ValueError, match="encrypted"):
+        D._pdf_objects(flat_enc)
+
+
 
 def test_r10_query_plan_shapes(spark):
     """Round-10 query plan contracts: CDX index parse and the
