@@ -26,6 +26,7 @@ import hadoopxmlextractor_spark.queries_ext  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r8  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r9  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r10  # noqa: F401  (registers queries)
+import hadoopxmlextractor_spark.queries_r11  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.tpch_queries  # noqa: F401  (registers queries)
 from hadoopxmlextractor_spark.queries import ORACLE, QUERIES
 from hadoopxmlextractor_spark.tables import load
@@ -68,6 +69,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
+    # round-11 rotation (r10 verdict item 9): the cumulative driver
+    # ledger covers 328/334; the 6 round-10 additions below were
+    # verified locally but never driver-sampled — front-load them so
+    # CORRECTNESS_r11.json closes certification at the full registry.
+    # New round-11 queries are prepended above this block as they land.
+    "source_warc_charset",
+    "multimodal_audio_flac_decode",
+    "pipeline_cdx_ranged_fetch",
+    "pipeline_crawl_to_markdown",
+    "source_cdx_index",
+    "source_wikipedia_multistream",
+    "text_html_markdown",
     # round-9 rotation (r8 verdict item 1): CORRECTNESS_r08.json came
     # back 50/50 green, so the cumulative hash_match union over
     # CORRECTNESS_r0{1..8}.json certifies 291/298 registry names. The

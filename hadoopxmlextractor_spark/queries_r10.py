@@ -551,7 +551,17 @@ def q_pipeline_crawl_to_markdown(spark: SparkSession, sf: str) -> DataFrame:
                     f"<pre>code {i}\n sp</pre>"
                     "</body></html>"
                 )
-                http = _http_as_captured(html.encode(), int(i) % 4)
+                # r11: rotate a declared-charset arm through the
+                # capstone too — cp1252 bytes under the iso-8859-1
+                # label; correct resolution recovers identical text,
+                # so the closed-form markdown oracle is untouched
+                if int(i) % 3 == 1:
+                    http = _http_as_captured(
+                        html.encode("cp1252"), int(i) % 4,
+                        ctype=b"text/html; charset=iso-8859-1",
+                    )
+                else:
+                    http = _http_as_captured(html.encode(), int(i) % 4)
                 out.append(
                     W.write_warc(
                         [{
@@ -576,12 +586,13 @@ def q_pipeline_crawl_to_markdown(spark: SparkSession, sf: str) -> DataFrame:
 
     @F.pandas_udf("struct<http_status:int, body:string>")
     def _http(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # r11: declared-charset decode, not a blind utf-8 read
         for payloads in it:
             stat, body = [], []
             for pl in payloads:
-                s, bb = W.split_http_payload(bytes(pl))
+                s, _enc, _how, text = W.decode_http_html(bytes(pl))
                 stat.append(s)
-                body.append(bb.decode("utf-8", "replace"))
+                body.append(text)
             yield pd.DataFrame({"http_status": stat, "body": body})
 
     return (

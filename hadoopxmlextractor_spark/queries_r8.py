@@ -31,17 +31,20 @@ from hadoopxmlextractor_spark.queries import query
 from hadoopxmlextractor_spark.tables import load
 
 
-def _http_as_captured(body: bytes, arm: int) -> bytes:
+def _http_as_captured(
+    body: bytes, arm: int, *, ctype: bytes = b"text/html"
+) -> bytes:
     """One HTTP/1.1 200 response payload AS A CRAWLER STORES IT (r10):
     arm 0 = identity, 1 = Transfer-Encoding: chunked (two chunks, a
     chunk extension, a trailer header), 2 = Content-Encoding: gzip,
     3 = gzip then chunked — all four decode to the same entity bytes
     through ``split_http_payload``, so rotating the arm by doc leaves
     every downstream oracle untouched while proving the de-chunk /
-    inflate path on each fixture generation."""
+    inflate path on each fixture generation. ``ctype`` lets charset
+    arms declare ``text/html; charset=…`` (r11)."""
     import zlib
 
-    base = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+    base = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
     if arm == 0:
         return base + b"\r\n" + body
     if arm == 1:
@@ -552,7 +555,14 @@ def q_source_warc_wet_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                     f"</span></div><p>w{hp(6)} &lt;w{hp(7)}&gt; w{hp(8)}"
                     "</p></body></html>"
                 )
-                http = _http_as_captured(html.encode(), int(i) % 4)
+                # r11 declared-charset arm: cp1252 bytes, header label
+                if int(i) % 3 == 0:
+                    http = _http_as_captured(
+                        html.encode("cp1252"), int(i) % 4,
+                        ctype=b"text/html; charset=windows-1252",
+                    )
+                else:
+                    http = _http_as_captured(html.encode(), int(i) % 4)
                 recs = [
                     {
                         "warc_type": "response",
@@ -582,12 +592,13 @@ def q_source_warc_wet_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
     @F.pandas_udf("struct<http_status:int, body:string>")
     def _http(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        # r11: declared-charset decode — the WET stage's actual rule
         for payloads in it:
             stat, body = [], []
             for p in payloads:
-                s, b = W.split_http_payload(bytes(p))
+                s, _enc, _how, text = W.decode_http_html(bytes(p))
                 stat.append(s)
-                body.append(b.decode("utf-8", "replace"))
+                body.append(text)
             yield pd.DataFrame({"http_status": stat, "body": body})
 
     return (
@@ -1300,7 +1311,17 @@ def q_pipeline_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
                     "<html><head><title>skip</title><script>var x;"
                     f"</script></head><body>{body}</body></html>"
                 )
-                http = _http_as_captured(html.encode(), int(i) % 4)
+                # r11: a third of the captures ship as DECLARED-cp1252
+                # bytes (the iso-8859-1 label real servers use) — the
+                # declared-charset decode must recover the identical
+                # text, so every downstream oracle stays untouched
+                if cid % 3 == 2:
+                    http = _http_as_captured(
+                        html.encode("cp1252"), int(i) % 4,
+                        ctype=b"text/html; charset=iso-8859-1",
+                    )
+                else:
+                    http = _http_as_captured(html.encode(), int(i) % 4)
                 out.append(
                     W.write_warc(
                         [
@@ -1325,12 +1346,12 @@ def q_pipeline_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
 
     @F.pandas_udf("string")
     def _body(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # r11: declared-charset decode (BOM/header/meta resolution),
+        # not a blind utf-8 read — a third of the fixture captures are
+        # declared-cp1252 bytes that only this path recovers exactly
         for payloads in it:
             yield pd.Series(
-                [
-                    W.split_http_payload(bytes(p))[1].decode("utf-8", "replace")
-                    for p in payloads
-                ]
+                [W.decode_http_html(bytes(p))[3] for p in payloads]
             )
 
     fix = T.fix_mojibake_udf()

@@ -608,24 +608,34 @@ def _dechunk_http(body: bytes) -> bytes:
 
 def split_http_payload(payload: bytes):
     """(status int | None, body bytes) of an HTTP response payload —
-    the ``application/http; msgtype=response`` record body a crawler
-    stores. Crawled WARCs keep responses AS CAPTURED, so a large
-    fraction of real bodies arrive chunked and/or content-coded; the
-    split undoes ``Transfer-Encoding`` codings in reverse application
-    order (chunked / gzip / deflate) and then inflates
-    ``Content-Encoding: gzip | x-gzip | deflate`` (both zlib-wrapped
-    and raw-deflate servers) through the bounded inflater, so the
-    downstream html_text stage sees the true entity bytes. Non-HTTP
-    payloads, unsupported codings (e.g. br without the lib), and
-    truncated/corrupt encoded bodies return (None, payload) — the
-    capture stays auditable instead of flowing garbage into the
+    see :func:`split_http_response`; this wrapper drops the headers
+    for callers that only need the entity bytes."""
+    status, _headers, body = split_http_response(payload)
+    return status, body
+
+
+def split_http_response(payload: bytes):
+    """(status int | None, headers dict | None, body bytes) of an HTTP
+    response payload — the ``application/http; msgtype=response``
+    record body a crawler stores. Crawled WARCs keep responses AS
+    CAPTURED, so a large fraction of real bodies arrive chunked and/or
+    content-coded; the split undoes ``Transfer-Encoding`` codings in
+    reverse application order (chunked / gzip / deflate) and then
+    inflates ``Content-Encoding: gzip | x-gzip | deflate`` (both
+    zlib-wrapped and raw-deflate servers) through the bounded
+    inflater, so the downstream html_text stage sees the true entity
+    bytes. Headers come back lower-cased both sides (charset labels
+    and coding tokens are case-insensitive). Non-HTTP payloads,
+    unsupported codings (e.g. br without the lib), and
+    truncated/corrupt encoded bodies return (None, None, payload) —
+    the capture stays auditable instead of flowing garbage into the
     corpus."""
     # deferred import: operators.documents owns the bounded inflater
     # (hostile-blob cap); it has no sources.* imports, so no cycle
     from hadoopxmlextractor_spark.operators.documents import _bounded_inflate
 
     if not payload.startswith(b"HTTP/"):
-        return None, payload
+        return None, None, payload
     try:
         hdr_end = payload.index(b"\r\n\r\n")
         lines = payload[:hdr_end].split(b"\r\n")
@@ -656,9 +666,104 @@ def split_http_payload(payload: bytes):
         ce = headers.get(b"content-encoding", b"")
         if ce and ce != b"identity":
             body = _inflate_coding(body, ce)
-        return status, body
+        return status, headers, body
     except (ValueError, IndexError, zlib.error):
-        return None, payload
+        return None, None, payload
+
+
+# WHATWG-style label → Python codec for the charsets that dominate
+# real crawls. iso-8859-1 (and plain ascii labels) decode as cp1252 —
+# the WHATWG mapping every browser and WET generator applies, since
+# servers declaring latin-1 overwhelmingly serve windows-1252 bytes.
+_CHARSET_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "iso-8859-1": "cp1252", "iso8859-1": "cp1252", "latin-1": "cp1252",
+    "latin1": "cp1252", "l1": "cp1252", "ascii": "cp1252",
+    "us-ascii": "cp1252", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "x-cp1252": "cp1252",
+    "iso-8859-2": "iso8859-2", "latin2": "iso8859-2",
+    "iso-8859-15": "iso8859-15",
+    "windows-1250": "cp1250", "windows-1251": "cp1251",
+    "cp1251": "cp1251", "koi8-r": "koi8-r", "koi8-u": "koi8-u",
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "windows-31j": "cp932", "ms_kanji": "cp932",
+    "euc-jp": "euc-jp", "x-euc-jp": "euc-jp",
+    "gbk": "gbk", "gb2312": "gbk", "gb_2312": "gbk", "x-gbk": "gbk",
+    "gb18030": "gb18030", "big5": "big5", "big5-hkscs": "big5hkscs",
+    "euc-kr": "euc-kr", "korean": "euc-kr",
+    "windows-1254": "cp1254", "iso-8859-9": "cp1254",
+    "windows-1256": "cp1256", "windows-874": "cp874",
+    "tis-620": "cp874", "iso-8859-7": "iso8859-7",
+    "windows-1253": "cp1253", "iso-8859-8": "iso8859-8",
+    "windows-1255": "cp1255", "utf-16": "utf-16",
+    "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+}
+
+_META_CHARSET_RE = None  # compiled lazily (module imports stay cheap)
+
+
+def resolve_charset(content_type, body: bytes):
+    """(python codec, how) for a captured HTML/text body — the
+    deterministic declared-charset resolution WET generation performs
+    before any mojibake heuristic (r10 verdict item 1). Precedence:
+
+    1. ``bom`` — UTF-8 / UTF-16 byte-order mark (authoritative);
+    2. ``header`` — ``charset=`` parameter of the Content-Type value;
+    3. ``meta`` — ``<meta charset=…>`` / ``<meta http-equiv
+       Content-Type … charset=…>`` sniffed in the first 1024 bytes
+       (ASCII-compatible prefix scan, the HTML5 prescan);
+    4. ``default`` — utf-8 (decode with errors='replace').
+
+    Labels normalize through the WHATWG-style alias table (latin-1 →
+    cp1252, shift_jis → cp932, …); an unknown/bogus label falls
+    through to the next source rather than erroring — a crawler must
+    never die on a lying server."""
+    global _META_CHARSET_RE
+    if body[:3] == b"\xef\xbb\xbf":
+        return "utf-8-sig", "bom"
+    if body[:2] in (b"\xff\xfe", b"\xfe\xff"):
+        return "utf-16", "bom"  # python utf-16 consumes + strips BOM
+    if content_type:
+        if isinstance(content_type, bytes):
+            content_type = content_type.decode("ascii", "replace")
+        for part in content_type.lower().split(";")[1:]:
+            k, _, v = part.partition("=")
+            if k.strip() == "charset":
+                codec = _CHARSET_LABELS.get(v.strip().strip("'\""))
+                if codec:
+                    return codec, "header"
+    if _META_CHARSET_RE is None:
+        import re as _re
+
+        _META_CHARSET_RE = _re.compile(
+            rb"<meta[^>]+charset\s*=\s*[\"']?\s*([a-zA-Z0-9._\-]+)",
+            _re.IGNORECASE,
+        )
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        codec = _CHARSET_LABELS.get(m.group(1).decode("ascii").lower())
+        if codec:
+            return codec, "meta"
+    return "utf-8", "default"
+
+
+def decode_http_html(payload: bytes):
+    """(status int | None, encoding, enc_source, text) — the full
+    captured-page decode: transfer/content codings undone by
+    :func:`split_http_response`, then the entity bytes decoded by the
+    DECLARED charset via :func:`resolve_charset` (errors='replace').
+    Every crawl→text pipeline routes through this instead of a blind
+    utf-8 decode, so the 5–15% of real pages that are declared
+    cp1252/shift_jis/… stop flowing U+FFFD-ridden text downstream.
+    ``encoding`` / ``enc_source`` are the per-row attribution columns
+    (like text_mojibake_repair's) a curator filters on. A refused
+    payload (non-HTTP / truncated coding) reports (None, None, None,
+    utf-8/replace text of the raw payload)."""
+    status, headers, body = split_http_response(payload)
+    if headers is None:
+        return status, None, None, body.decode("utf-8", "replace")
+    codec, how = resolve_charset(headers.get(b"content-type"), body)
+    return status, codec, how, body.decode(codec, "replace")
 
 
 _RECORDS_CHUNK = 256
