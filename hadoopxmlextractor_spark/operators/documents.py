@@ -52,6 +52,8 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------------------
 
 _EOCD_SIG = b"PK\x05\x06"
+_EOCD64_SIG = b"PK\x06\x06"
+_EOCD64_LOC_SIG = b"PK\x06\x07"
 _CEN_SIG = b"PK\x01\x02"
 _LOC_SIG = b"PK\x03\x04"
 
@@ -94,19 +96,74 @@ def _zip_eocd(blob: bytes) -> tuple[int, int, int]:
     end-of-central-directory record. APPNOTE's contract: the EOCD is
     found by scanning BACKWARD from EOF (a trailing archive comment of
     up to 64 KiB may follow it), and a candidate is real only if its
-    comment-length field reaches exactly to EOF."""
+    comment-length field reaches exactly to EOF. ZIP64 (r11): an
+    EOCD64 LOCATOR (PK\\x06\\x07) immediately preceding the EOCD
+    redirects to the 64-bit record — required for any archive >4 GiB
+    or >65,535 members, routine at crawl scale; a classic EOCD whose
+    fields carry the 0xFFFF/0xFFFFFFFF sentinels WITHOUT a locator is
+    corrupt and refuses."""
     lo = max(0, len(blob) - 65536 - 22)
     pos = blob.rfind(_EOCD_SIG, lo)
     while pos != -1:
         if pos + 22 <= len(blob):
             (clen,) = struct.unpack("<H", blob[pos + 20 : pos + 22])
             if pos + 22 + clen == len(blob):
+                if pos >= 20 and blob[pos - 20 : pos - 16] == _EOCD64_LOC_SIG:
+                    (e64_off,) = struct.unpack(
+                        "<Q", blob[pos - 12 : pos - 4]
+                    )
+                    if not 0 <= e64_off <= len(blob) - 56:
+                        raise ValueError("EOCD64 offset out of range")
+                    rec = blob[e64_off : e64_off + 56]
+                    if rec[:4] != _EOCD64_SIG:
+                        raise ValueError("EOCD64 locator points at junk")
+                    n, cd_size, cd_off = struct.unpack("<QQQ", rec[32:56])
+                    if cd_off + cd_size > len(blob):
+                        raise ValueError("EOCD64 directory out of range")
+                    return n, cd_off, cd_size
                 n, cd_size, cd_off = struct.unpack(
                     "<HII", blob[pos + 10 : pos + 20]
                 )
+                if n == 0xFFFF or 0xFFFFFFFF in (cd_size, cd_off):
+                    raise ValueError("zip64 sentinel without EOCD64 locator")
                 return n, cd_off, cd_size
         pos = blob.rfind(_EOCD_SIG, lo, pos)
     raise ValueError("no EOCD record")
+
+
+def _zip64_promote(
+    extra: bytes, usize: int, csize: int, loc_off: int
+) -> tuple[int, int, int]:
+    """0xFFFFFFFF sentinel promotion from the 0x0001 zip64 extended-
+    information extra field (APPNOTE 4.5.3: only the sentineled fields
+    appear, in the fixed order usize, csize, loc_off, disk)."""
+    p = 0
+    while p + 4 <= len(extra):
+        hid, sz = struct.unpack("<HH", extra[p : p + 4])
+        body = extra[p + 4 : p + 4 + sz]
+        if hid == 0x0001:
+            if len(body) < sz:
+                raise ValueError("zip64 extra field truncated")
+            q = 0
+            out = []
+            for v in (usize, csize, loc_off):
+                if v == 0xFFFFFFFF:
+                    if q + 8 > len(body):
+                        raise ValueError("zip64 extra field too short")
+                    (v,) = struct.unpack("<Q", body[q : q + 8])
+                    q += 8
+                out.append(v)
+            return out[0], out[1], out[2]
+        p += 4 + sz
+    raise ValueError("zip64 sentinel without 0x0001 extra field")
+
+
+def zip_has_eocd64(blob: bytes) -> bool:
+    """True when the archive's EOCD is preceded by the ZIP64 locator —
+    the per-archive attribution bit ``archive_zip64_meta`` reports, so
+    the fixture rotation provably exercises BOTH layouts (r11)."""
+    pos = blob.rindex(_EOCD_SIG)
+    return pos >= 20 and blob[pos - 20 : pos - 16] == _EOCD64_LOC_SIG
 
 
 def zip_member_list(blob: bytes) -> list[dict]:
@@ -127,6 +184,11 @@ def zip_member_list(blob: bytes) -> list[dict]:
         nlen, elen, clen = struct.unpack("<HHH", blob[pos + 28 : pos + 34])
         (loc_off,) = struct.unpack("<I", blob[pos + 42 : pos + 46])
         name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        if 0xFFFFFFFF in (csize, usize, loc_off):
+            usize, csize, loc_off = _zip64_promote(
+                blob[pos + 46 + nlen : pos + 46 + nlen + elen],
+                usize, csize, loc_off,
+            )
         out.append(
             {
                 "name": name,
@@ -173,15 +235,25 @@ def _zip_open_map(blob: bytes) -> dict[str, bytes]:
 
 
 def build_zip(
-    members: list[tuple[str, bytes, int, bool]], comment: bytes = b""
+    members: list[tuple[str, bytes, int, bool]],
+    comment: bytes = b"",
+    *,
+    zip64: bool = False,
 ) -> bytes:
     """Write a ZIP from (name, data, method 0|8, use data descriptor)
     tuples — the synth-side partner of :func:`zip_member_list`.
     Data-descriptor members (general-purpose bit 3) write zero
     crc/sizes in the local header and a PK\\x07\\x08 trailer, the way
-    streaming zippers (and most crawled archives) do."""
+    streaming zippers (and most crawled archives) do. ``zip64=True``
+    writes the full ZIP64 layout regardless of size (the APPNOTE
+    "version needed 4.5" form big archivers emit): every central
+    entry carries 0xFFFFFFFF sentinels plus the 0x0001 extended-
+    information extra, and the EOCD64 record + locator precede a
+    sentineled classic EOCD — so readers MUST take the 64-bit path
+    (cross-validated against stdlib ``zipfile`` both directions)."""
     out = bytearray()
     cen = bytearray()
+    ver = 45 if zip64 else 20
     for name, data, method, desc in members:
         nameb = name.encode("utf-8")
         crc = zlib.crc32(data)
@@ -194,23 +266,47 @@ def build_zip(
         loc_off = len(out)
         hdr_crc, hdr_cs, hdr_us = (0, 0, 0) if desc else (crc, len(comp), len(data))
         out += _LOC_SIG + struct.pack(
-            "<HHHHHIIIHH", 20, flags, method, 0x6020, 0x5A21,
+            "<HHHHHIIIHH", ver, flags, method, 0x6020, 0x5A21,
             hdr_crc, hdr_cs, hdr_us, len(nameb), 0,
         )
         out += nameb + comp
         if desc:
             out += b"PK\x07\x08" + struct.pack("<III", crc, len(comp), len(data))
-        cen += _CEN_SIG + struct.pack(
-            "<HHHHHHIIIHHHHHII", 20, 20, flags, method, 0x6020, 0x5A21,
-            crc, len(comp), len(data), len(nameb), 0, 0, 0, 0, 0, loc_off,
-        )
-        cen += nameb
+        if zip64:
+            extra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(data), len(comp), loc_off
+            )
+            cen += _CEN_SIG + struct.pack(
+                "<HHHHHHIIIHHHHHII", ver, ver, flags, method, 0x6020,
+                0x5A21, crc, 0xFFFFFFFF, 0xFFFFFFFF, len(nameb),
+                len(extra), 0, 0, 0, 0, 0xFFFFFFFF,
+            )
+            cen += nameb + extra
+        else:
+            cen += _CEN_SIG + struct.pack(
+                "<HHHHHHIIIHHHHHII", ver, ver, flags, method, 0x6020,
+                0x5A21, crc, len(comp), len(data), len(nameb),
+                0, 0, 0, 0, 0, loc_off,
+            )
+            cen += nameb
     cd_off = len(out)
     out += cen
-    out += _EOCD_SIG + struct.pack(
-        "<HHHHIIH", 0, 0, len(members), len(members), len(cen), cd_off,
-        len(comment),
-    )
+    if zip64:
+        e64_off = len(out)
+        out += _EOCD64_SIG + struct.pack(
+            "<QHHIIQQQQ", 44, ver, ver, 0, 0,
+            len(members), len(members), len(cen), cd_off,
+        )
+        out += _EOCD64_LOC_SIG + struct.pack("<IQI", 0, e64_off, 1)
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, 0xFFFF, 0xFFFF, 0xFFFFFFFF, 0xFFFFFFFF,
+            len(comment),
+        )
+    else:
+        out += _EOCD_SIG + struct.pack(
+            "<HHHHIIH", 0, 0, len(members), len(members), len(cen), cd_off,
+            len(comment),
+        )
     out += comment
     return bytes(out)
 

@@ -25,6 +25,16 @@ from pyspark.sql import functions as F
 from hadoopxmlextractor_spark.queries import query
 from hadoopxmlextractor_spark.tables import load
 
+_MD5B = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), "
+    "{pos}, 2)) AS BIGINT)"
+)
+
+
+def _b(salt: str, k: int) -> str:
+    """SQL for byte k of md5(doc_id:salt) — the synth parameter replay."""
+    return _MD5B.format(salt=salt, pos=2 * k + 1)
+
 # Planted vocabulary per charset family (the mojibake plant words plus
 # CJK/BMP arms) — every phrase is a single token encodable in its
 # arm's codec, so the oracle replays it as a UTF-8 SQL literal.
@@ -207,4 +217,99 @@ def q_source_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
             T.html_text(F.col("h.text")).alias("extracted"),
         )
         .withColumn("n_chars", F.length("extracted").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ZIP64 archives (r10 verdict item 3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "archive_zip64_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('z64', 0)} AS b0, {_b('z64', 1)} AS b1,
+             {_b('z64', 2)} AS b2, {_b('z64', 3)} AS b3
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, unnest(generate_series(0, b0 % 3)) AS k,
+             b1, b2, b3
+      FROM p
+    ),
+    e AS (
+      SELECT doc_id, k,
+             (['payload','chunk','blob','part'])[(b1 + k) % 4 + 1]
+               || '_' || CAST(k AS VARCHAR) || '.dat' AS name,
+             'member ' || CAST(k AS VARCHAR) || ' '
+               || repeat('z' || CAST((b2 + k) % 10 AS VARCHAR) || ' ',
+                         4 + (b3 + k) % 6) AS payload
+      FROM m
+    )
+    SELECT doc_id AS archive_id, CAST(k AS INT) AS member_idx, name,
+           CASE WHEN k % 2 = 1 THEN 'deflate' ELSE 'stored' END AS method,
+           CAST(LENGTH(payload) AS BIGINT) AS uncomp_bytes,
+           TRUE AS crc_ok,
+           substring(payload, 1, 16) AS head,
+           doc_id % 2 = 1 AS is_zip64
+    FROM e
+    """,
+)
+def q_archive_zip64_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # ZIP64 (r10 verdict item 3) — any archive >4 GiB or >65,535
+    # members is ZIP64, routine at crawl scale: odd docs write the
+    # full forced-64-bit layout (sentineled central entries + 0x0001
+    # extended-information extras, EOCD64 record + locator, a
+    # sentineled classic EOCD so readers MUST take the 64-bit path),
+    # even docs stay classic — is_zip64 comes from the PARSE
+    # (locator detection), so the rotation provably exercises both
+    # walks (vacuous-check rule). Members still inflate + CRC-verify;
+    # `head` replay proves the local-header offsets promoted from the
+    # extras really point at the data. Cross-validated against stdlib
+    # zipfile both directions in tests/test_documents.py. One Arrow
+    # pass, zero shuffles.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        cols = ["archive_id", "member_idx", "name", "method",
+                "uncomp_bytes", "crc_ok", "head", "is_zip64"]
+        stems = ("payload", "chunk", "blob", "part")
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = hashlib.md5(f"{i}:z64".encode()).digest()
+                members = []
+                for k in range(1 + b[0] % 3):
+                    name = f"{stems[(b[1] + k) % 4]}_{k}.dat"
+                    payload = (
+                        f"member {k} "
+                        + f"z{(b[2] + k) % 10} " * (4 + (b[3] + k) % 6)
+                    ).encode()
+                    members.append((name, payload, 8 if k % 2 else 0, False))
+                blob = D.build_zip(members, zip64=(i % 2 == 1))
+                is64 = D.zip_has_eocd64(blob)
+                for k, e in enumerate(D.zip_member_list(blob)):
+                    data = D.zip_read_member(blob, e)
+                    rows.append({
+                        "archive_id": i, "member_idx": k,
+                        "name": e["name"],
+                        "method": "deflate" if e["method"] == 8
+                        else "stored",
+                        "uncomp_bytes": e["usize"], "crc_ok": True,
+                        "head": data[:16].decode("utf-8"),
+                        "is_zip64": is64,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="archive_id bigint, member_idx int, name string, "
+        "method string, uncomp_bytes bigint, crc_ok boolean, "
+        "head string, is_zip64 boolean",
     )

@@ -1009,6 +1009,86 @@ def test_zip_walk_parses_zipfile_written_archive():
             assert z.read(n) == d
 
 
+def test_zip64_cross_validation_both_directions():
+    """ZIP64 (r10 verdict item 3): our EOCD64/locator/extra-field walk
+    vs stdlib zipfile in BOTH directions — zipfile reads our forced
+    zip64 layout; we read a zipfile archive whose member count
+    (>0xFFFF) forces the real EOCD64, and a force_zip64 local-header
+    archive."""
+    import io
+    import zipfile as zf
+
+    payloads = {
+        "a.txt": b"zip64 member one",
+        "dir/b.bin": bytes(range(251)) * 7,
+        "stored.txt": b"stored zip64 member",
+    }
+    ours = D.build_zip(
+        [(n, d, 8 if n != "stored.txt" else 0, False)
+         for n, d in payloads.items()],
+        zip64=True,
+    )
+    # sanity: the classic EOCD really is sentineled (readers MUST
+    # take the 64-bit path — vacuous-check rule)
+    assert ours.rindex(b"PK\x06\x06") < ours.rindex(b"PK\x06\x07")
+    entries = {e["name"]: e for e in D.zip_member_list(ours)}
+    assert set(entries) == set(payloads)
+    for n, d in payloads.items():
+        assert entries[n]["usize"] == len(d)
+        assert D.zip_read_member(ours, entries[n]) == d
+    with zf.ZipFile(io.BytesIO(ours)) as z:  # stdlib reads ours
+        for n, d in payloads.items():
+            assert z.read(n) == d
+    # stdlib force_zip64 local headers: central stays classic but the
+    # member must still decompress through our central-driven read
+    buf = io.BytesIO()
+    with zf.ZipFile(buf, "w", zf.ZIP_DEFLATED) as z:
+        with z.open("big.txt", "w", force_zip64=True) as f:
+            f.write(b"streamed under force_zip64")
+    e = D.zip_member_list(buf.getvalue())[0]
+    assert D.zip_read_member(buf.getvalue(), e) == (
+        b"streamed under force_zip64"
+    )
+
+
+def test_zip64_member_count_past_65535_and_hostile_bounds():
+    """>65,535 members forces stdlib zipfile to write a REAL EOCD64
+    (count sentinel) — our walk must read all of them; plus hostile
+    bounds: a locator pointing past EOF and a too-short 0x0001 extra
+    both refuse."""
+    import io
+    import struct as S
+    import zipfile as zf
+
+    n = 65_540
+    buf = io.BytesIO()
+    with zf.ZipFile(buf, "w", zf.ZIP_STORED) as z:
+        for i in range(n):
+            z.writestr(f"m{i:05d}", b"")
+    blob = buf.getvalue()
+    assert b"PK\x06\x06" in blob[-200:]  # stdlib really wrote EOCD64
+    entries = D.zip_member_list(blob)
+    assert len(entries) == n
+    assert entries[0]["name"] == "m00000"
+    assert entries[-1]["name"] == f"m{n - 1:05d}"
+    # hostile: locator offset past EOF
+    ours = D.build_zip([("x", b"y", 0, False)], zip64=True)
+    loc_at = ours.rindex(b"PK\x06\x07")
+    bad = bytearray(ours)
+    bad[loc_at + 8 : loc_at + 16] = S.pack("<Q", len(ours) + 99)
+    with pytest.raises(ValueError, match="EOCD64"):
+        D.zip_member_list(bytes(bad))
+    # hostile: sentineled central entry with a truncated 0x0001 extra
+    with pytest.raises(ValueError, match="zip64 extra"):
+        D._zip64_promote(
+            S.pack("<HH", 0x0001, 8) + S.pack("<Q", 5),
+            0xFFFFFFFF, 0xFFFFFFFF, 0xFFFFFFFF,
+        )
+    # sentinel with NO zip64 extra at all
+    with pytest.raises(ValueError, match="zip64 sentinel"):
+        D._zip64_promote(b"", 0xFFFFFFFF, 1, 2)
+
+
 def test_tar_walk_parses_tarfile_written_archive():
     """The TAR walk must agree with stdlib tarfile output — ustar and
     GNU (incl. an 'L' long-name member and a directory entry), plus
