@@ -75,6 +75,9 @@ FRONT = [
     # CORRECTNESS_r11.json closes certification at the full registry.
     # New round-11 queries are prepended above this block as they land.
     "source_warc_charset",
+    "archive_zip64_meta",
+    "source_odf_text",
+    "source_ods_cells",
     "multimodal_audio_flac_decode",
     "pipeline_cdx_ranged_fetch",
     "pipeline_crawl_to_markdown",

@@ -1026,6 +1026,208 @@ def _pdf_extract(blob: bytes) -> tuple[int, str]:
 
 
 # ---------------------------------------------------------------------------
+# OpenDocument (ODF) — mimetype magic, content.xml text/pages/cells (r11)
+# ---------------------------------------------------------------------------
+
+_ODF_PREFIX = b"application/vnd.oasis.opendocument."
+
+
+def _odf_kind(members: dict[str, bytes]) -> str | None:
+    """'text' / 'presentation' / 'spreadsheet' from the ``mimetype``
+    member — ODF's magic (the spec requires it stored FIRST and
+    uncompressed, but real producers vary, so only the content
+    matters here). None for non-ODF zips."""
+    mt = members.get("mimetype")
+    if mt is None or not mt.startswith(_ODF_PREFIX):
+        return None
+    return mt[len(_ODF_PREFIX) :].decode("ascii", "replace")
+
+
+def _odf_para_text(p) -> str:
+    """Text of one <text:p>/<text:h>: runs concatenated in document
+    order with <text:tab/> as a tab, <text:line-break/> as a newline,
+    and <text:s text:c="n"/> as n spaces (default 1) — the ODF
+    whitespace elements that literal XML whitespace collapsing eats.
+    <text:span> formatting is transparent (same contract as the DOCX
+    rPr walk)."""
+    parts: list[str] = []
+
+    def walk(el) -> None:
+        loc = _local(el.tag)
+        if loc == "tab":
+            parts.append("\t")
+        elif loc == "line-break":
+            parts.append("\n")
+        elif loc == "s":
+            n = next(
+                (v for k, v in el.attrib.items() if _local(k) == "c"), "1"
+            )
+            parts.append(" " * int(n))
+        if el.text and loc not in ("tab", "line-break", "s"):
+            parts.append(el.text)
+        for ch in el:
+            walk(ch)
+            if ch.tail:
+                parts.append(ch.tail)
+
+    if p.text:
+        parts.append(p.text)
+    for ch in p:
+        walk(ch)
+        if ch.tail:
+            parts.append(ch.tail)
+    return "".join(parts)
+
+
+def _odt_extract(blob: bytes) -> tuple[int, str]:
+    """(paragraph count, text) of an ODT: walk <text:p>/<text:h>
+    under office:body/office:text in content.xml, paragraphs joined
+    with newlines — the same visible-text contract as _docx_extract.
+    Reference semantics parity: cites XmlExtractor.java:150-175 only
+    for the fragment-walk shape; the ODF layout is public OASIS."""
+    members = _zip_open_map(blob)
+    if _odf_kind(members) != "text":
+        raise ValueError("not an ODT")
+    root = ElementTree.fromstring(members["content.xml"])
+    paras = [
+        _odf_para_text(p)
+        for p in root.iter()
+        if _local(p.tag) in ("p", "h")
+    ]
+    return len(paras), "\n".join(paras)
+
+
+def _odp_extract(blob: bytes) -> list[tuple[int, str]]:
+    """(slide index, text) per <draw:page> in document order — the
+    ODP twin of _pptx_extract: paragraphs inside each page joined
+    with newlines."""
+    members = _zip_open_map(blob)
+    if _odf_kind(members) != "presentation":
+        raise ValueError("not an ODP")
+    root = ElementTree.fromstring(members["content.xml"])
+    slides = []
+    for el in root.iter():
+        if _local(el.tag) != "page":
+            continue
+        texts = [
+            _odf_para_text(p)
+            for p in el.iter()
+            if _local(p.tag) == "p"
+        ]
+        slides.append((len(slides), "\n".join(texts)))
+    if not slides:
+        raise ValueError("presentation with no pages")
+    return slides
+
+
+def _col_letters(idx: int) -> str:
+    """0-based column index → spreadsheet letters (A..Z, AA..)."""
+    s = ""
+    idx += 1
+    while idx:
+        idx, r = divmod(idx - 1, 26)
+        s = chr(65 + r) + s
+    return s
+
+
+def _ods_extract(blob: bytes) -> list[dict]:
+    """Typed cells of every <table:table> in an ODS — the ODF twin of
+    _xlsx_extract with the SAME output contract (sheet, 1-based row,
+    column letters, kind, raw value token): office:value-type is the
+    kind ('string' cells take their <text:p> content, valued kinds
+    take the office:value/office:date-value/… attribute verbatim — no
+    float parse), table:number-columns-repeated/-rows-repeated expand
+    for NON-EMPTY cells and merely advance the cursor for empty ones
+    (real sheets pad with million-wide empty repeats)."""
+    members = _zip_open_map(blob)
+    if _odf_kind(members) != "spreadsheet":
+        raise ValueError("not an ODS")
+    root = ElementTree.fromstring(members["content.xml"])
+    out = []
+    for table in root.iter():
+        if _local(table.tag) != "table":
+            continue
+        sheet = next(
+            (v for k, v in table.attrib.items() if _local(k) == "name"), ""
+        )
+        rnum = 0
+        for row in table:
+            if _local(row.tag) != "table-row":
+                continue
+            row_rep = int(next(
+                (v for k, v in row.attrib.items()
+                 if _local(k) == "number-rows-repeated"), "1"
+            ))
+            for _ in range(row_rep):
+                rnum += 1
+                cidx = 0
+                for cell in row:
+                    if _local(cell.tag) != "table-cell":
+                        continue
+                    col_rep = int(next(
+                        (v for k, v in cell.attrib.items()
+                         if _local(k) == "number-columns-repeated"), "1"
+                    ))
+                    kind = next(
+                        (v for k, v in cell.attrib.items()
+                         if _local(k) == "value-type"), None
+                    )
+                    if kind is None:
+                        cidx += col_rep  # empty padding: advance only
+                        continue
+                    if kind == "string":
+                        value = "\n".join(
+                            _odf_para_text(p)
+                            for p in cell
+                            if _local(p.tag) == "p"
+                        )
+                    else:
+                        value = next(
+                            (v for k, v in cell.attrib.items()
+                             if _local(k).endswith("value")), None
+                        )
+                    for j in range(col_rep):
+                        out.append({
+                            "sheet": sheet, "row": rnum,
+                            "col": _col_letters(cidx + j),
+                            "kind": kind, "value": value,
+                        })
+                    cidx += col_rep
+    if not out:
+        raise ValueError("spreadsheet with no cells")
+    return out
+
+
+def ods_cells(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """One row per ODS cell in one Arrow pass — the ODF leg beside
+    :func:`xlsx_cells`, same schema and marker contract."""
+
+    def _cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "sheet", "row", "col", "kind", "value"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    for c in _ods_extract(bytes(blob)):
+                        rows.append({"doc_id": did, **c})
+                except (ValueError, IndexError, KeyError, struct.error,
+                        zlib.error, ElementTree.ParseError, TypeError):
+                    rows.append({
+                        "doc_id": did, "sheet": None, "row": -1,
+                        "col": None, "kind": None, "value": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _cells,
+        schema="doc_id bigint, sheet string, row int, col string, "
+        "kind string, value string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unified document-text operator (magic-byte dispatch, marker contract)
 # ---------------------------------------------------------------------------
 
@@ -1034,11 +1236,12 @@ def document_text(
     docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
     """(doc_id, format, n_units, text) in ONE Arrow pass: ZIP blobs
-    route to DOCX (word/document.xml present) or EPUB (container.xml),
+    route to DOCX (word/document.xml present), EPUB (container.xml),
+    or ODF (mimetype member — ODT paragraphs / ODP draw:pages, r11),
     %PDF blobs to the PDF walk — the total-routing twin of
     ``audio_container_meta``. n_units = paragraphs / spine chapters /
-    pages. Unrecognized or malformed blobs yield the format-NULL
-    marker row, never an error."""
+    pages / slides. Unrecognized or malformed blobs yield the
+    format-NULL marker row, never an error."""
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "n_units", "text"]
@@ -1061,6 +1264,16 @@ def document_text(
                                 text = "\n".join(t for _, t in slides)
                             elif "META-INF/container.xml" in names:
                                 fmt, (n, text) = "epub", _epub_extract(b)
+                            elif "mimetype" in names:
+                                kind = _odf_kind(_zip_open_map(b))
+                                if kind == "text":
+                                    fmt, (n, text) = "odt", _odt_extract(b)
+                                elif kind == "presentation":
+                                    slides = _odp_extract(b)
+                                    fmt, n = "odp", len(slides)
+                                    text = "\n".join(
+                                        t for _, t in slides
+                                    )
                     except (ValueError, IndexError, KeyError, struct.error,
                             zlib.error, ElementTree.ParseError):
                         fmt = n = text = None

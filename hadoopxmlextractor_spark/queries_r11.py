@@ -313,3 +313,310 @@ def q_archive_zip64_meta(spark: SparkSession, sf: str) -> DataFrame:
         "method string, uncomp_bytes bigint, crc_ok boolean, "
         "head string, is_zip64 boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# OpenDocument text/presentation/spreadsheet (r10 verdict item 4)
+# ---------------------------------------------------------------------------
+
+_ODF_NS = (
+    ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+    ' xmlns:text="urn:oasis:names:tc:opendocument:xmlns:text:1.0"'
+    ' xmlns:table="urn:oasis:names:tc:opendocument:xmlns:table:1.0"'
+    ' xmlns:draw="urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"'
+)
+
+
+def _odf_zip(kind: str, content_xml: str, deflate_content: bool) -> bytes:
+    """Minimal ODF package: the required ``mimetype`` member (stored,
+    first — the spec layout) + content.xml."""
+    from hadoopxmlextractor_spark.operators.documents import build_zip
+
+    mime = f"application/vnd.oasis.opendocument.{kind}".encode()
+    return build_zip([
+        ("mimetype", mime, 0, False),
+        ("content.xml", content_xml.encode(), 8 if deflate_content else 0,
+         False),
+    ])
+
+
+def _synth_odt_blob(i: int) -> bytes:
+    """Deterministic ODT from md5(doc:odt): a heading + 2+b0%3 body
+    paragraphs rotating the run arms — plain / transparent
+    <text:span> / <text:tab/> / <text:line-break/> + <text:s c=2>."""
+    import hashlib
+
+    x = hashlib.md5(f"{i}:odt".encode()).hexdigest()
+    b = hashlib.md5(f"{i}:odt".encode()).digest()
+
+    def hp(j: int) -> str:
+        return x[2 * j - 2 : 2 * j]
+
+    paras = [f'<text:h text:outline-level="1">Head w{hp(1)}</text:h>']
+    for k in range(2 + b[0] % 3):
+        arm = (b[1] + k) % 4
+        h = hp(k + 2)
+        if arm == 0:
+            paras.append(f"<text:p>para {k} w{h}</text:p>")
+        elif arm == 1:
+            paras.append(
+                f'<text:p>pre <text:span text:style-name="T1">w{h} '
+                f"mid{k}</text:span> post</text:p>"
+            )
+        elif arm == 2:
+            paras.append(f"<text:p>a{k}<text:tab/>b{h}</text:p>")
+        else:
+            paras.append(
+                f'<text:p>x{k}<text:line-break/>y{h}'
+                f'<text:s text:c="2"/>z</text:p>'
+            )
+    xml = (
+        f"<office:document-content{_ODF_NS}><office:body><office:text>"
+        + "".join(paras)
+        + "</office:text></office:body></office:document-content>"
+    )
+    return _odf_zip("text", xml, b[2] % 2 == 0)
+
+
+def _synth_odp_blob(i: int) -> bytes:
+    """Deterministic ODP from md5(doc:odp): 1+b0%3 draw:pages, one
+    text-box paragraph each."""
+    import hashlib
+
+    x = hashlib.md5(f"{i}:odp".encode()).hexdigest()
+    b = hashlib.md5(f"{i}:odp".encode()).digest()
+    pages = []
+    for s in range(1 + b[0] % 3):
+        h = x[2 * s : 2 * s + 2]
+        pages.append(
+            f'<draw:page draw:name="page{s}"><draw:frame>'
+            f"<draw:text-box><text:p>slide {s} w{h}</text:p>"
+            f"</draw:text-box></draw:frame></draw:page>"
+        )
+    xml = (
+        f"<office:document-content{_ODF_NS}><office:body>"
+        "<office:presentation>" + "".join(pages)
+        + "</office:presentation></office:body></office:document-content>"
+    )
+    return _odf_zip("presentation", xml, b[2] % 2 == 0)
+
+
+def _synth_ods_blob(i: int) -> bytes:
+    """Deterministic ODS from md5(doc:ods): a Data sheet with 1+b1%3
+    value rows (string + float + an EMPTY 2-wide repeated gap + a
+    string cell that widens to a 2-wide repeat when (b3+r)%2), a
+    2-row rows-repeated tail, and a second date-cell sheet when
+    b0%2 — the repeat-expansion semantics a real reader needs."""
+    import hashlib
+
+    x = hashlib.md5(f"{i}:ods".encode()).hexdigest()
+    b = hashlib.md5(f"{i}:ods".encode()).digest()
+
+    def hp(j: int) -> str:
+        return x[2 * j - 2 : 2 * j]
+
+    rows = []
+    for r in range(1, 2 + b[1] % 3):
+        rep = ' table:number-columns-repeated="2"' if (b[3] + r) % 2 else ""
+        rows.append(
+            "<table:table-row>"
+            f'<table:table-cell office:value-type="string">'
+            f"<text:p>w{hp(r)} r{r}</text:p></table:table-cell>"
+            f'<table:table-cell office:value-type="float" '
+            f'office:value="{(b[2] + r) % 10}.25">'
+            f"<text:p>{(b[2] + r) % 10}.25</text:p></table:table-cell>"
+            '<table:table-cell table:number-columns-repeated="2"/>'
+            f'<table:table-cell office:value-type="string"{rep}>'
+            f"<text:p>dup r{r}</text:p></table:table-cell>"
+            "</table:table-row>"
+        )
+    rows.append(
+        '<table:table-row table:number-rows-repeated="2">'
+        '<table:table-cell office:value-type="string">'
+        f"<text:p>tail w{hp(9)}</text:p></table:table-cell>"
+        "</table:table-row>"
+    )
+    tables = [
+        '<table:table table:name="Data">' + "".join(rows) + "</table:table>"
+    ]
+    if b[0] % 2 == 1:
+        tables.append(
+            '<table:table table:name="Extra"><table:table-row>'
+            '<table:table-cell office:value-type="date" '
+            f'office:date-value="2021-0{1 + b[4] % 9}-15">'
+            f"<text:p>d</text:p></table:table-cell>"
+            "</table:table-row></table:table>"
+        )
+    xml = (
+        f"<office:document-content{_ODF_NS}><office:body>"
+        "<office:spreadsheet>" + "".join(tables)
+        + "</office:spreadsheet></office:body></office:document-content>"
+    )
+    return _odf_zip("spreadsheet", xml, b[5] % 2 == 0)
+
+
+@query(
+    "source_odf_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':odt') AS xt,
+             md5(CAST(doc_id AS VARCHAR) || ':odp') AS xp,
+             {_b('odt', 0)} AS t0, {_b('odt', 1)} AS t1,
+             {_b('odp', 0)} AS p0
+      FROM documents
+    ),
+    odt_k AS (
+      SELECT doc_id, xt, k.k AS k, t1
+      FROM p, (SELECT unnest(range(4)) AS k) k
+      WHERE doc_id % 2 = 0 AND k.k < 2 + t0 % 3
+    ),
+    odt_paras AS (
+      SELECT doc_id, k,
+             CASE (t1 + k) % 4
+               WHEN 0 THEN 'para ' || CAST(k AS VARCHAR) || ' w'
+                           || substring(xt, 2 * k + 3, 2)
+               WHEN 1 THEN 'pre w' || substring(xt, 2 * k + 3, 2)
+                           || ' mid' || CAST(k AS VARCHAR) || ' post'
+               WHEN 2 THEN 'a' || CAST(k AS VARCHAR) || chr(9) || 'b'
+                           || substring(xt, 2 * k + 3, 2)
+               ELSE 'x' || CAST(k AS VARCHAR) || chr(10) || 'y'
+                    || substring(xt, 2 * k + 3, 2) || '  z'
+             END AS para
+      FROM odt_k
+    ),
+    odt AS (
+      SELECT doc_id,
+             'odt' AS format,
+             CAST(1 + COUNT(*) AS INT) AS n_units,
+             'Head w' || min(substring(xt, 1, 2)) || chr(10)
+               || string_agg(para, chr(10) ORDER BY k) AS text
+      FROM odt_paras JOIN p USING (doc_id)
+      GROUP BY doc_id
+    ),
+    odp_s AS (
+      SELECT doc_id, xp, s.s AS s
+      FROM p, (SELECT unnest(range(3)) AS s) s
+      WHERE doc_id % 2 = 1 AND s.s < 1 + p0 % 3
+    ),
+    odp AS (
+      SELECT doc_id,
+             'odp' AS format,
+             CAST(COUNT(*) AS INT) AS n_units,
+             string_agg('slide ' || CAST(s AS VARCHAR) || ' w'
+                        || substring(xp, 2 * s + 1, 2),
+                        chr(10) ORDER BY s) AS text
+      FROM odp_s
+      GROUP BY doc_id
+    )
+    SELECT doc_id, format, n_units, text FROM odt
+    UNION ALL
+    SELECT doc_id, format, n_units, text FROM odp
+    """,
+)
+def q_source_odf_text(spark: SparkSession, sf: str) -> DataFrame:
+    # OpenDocument (r10 verdict item 4) — the other major office
+    # family in public corpora, on the same ZIP + member-XML machinery
+    # as DOCX/EPUB/PPTX: even docs synthesize ODT (heading + rotating
+    # run arms — transparent <text:span>, <text:tab/>,
+    # <text:line-break/>, <text:s c=2> — the ODF whitespace elements
+    # literal XML collapsing eats), odd docs ODP (draw:page walk).
+    # Both route through document_text's magic dispatch (the mimetype
+    # member), so MIXED batches prove the routing, not just the
+    # extractors. Oracle replays the closed-form text with chr(9)/
+    # chr(10) arithmetic. One Arrow pass, zero shuffles.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([
+                _synth_odt_blob(int(i)) if int(i) % 2 == 0
+                else _synth_odp_blob(int(i))
+                for i in ids
+            ])
+
+    return D.document_text(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )
+
+
+@query(
+    "source_ods_cells",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             md5(CAST(doc_id AS VARCHAR) || ':ods') AS x,
+             {_b('ods', 0)} AS b0, {_b('ods', 1)} AS b1,
+             {_b('ods', 2)} AS b2, {_b('ods', 3)} AS b3,
+             {_b('ods', 4)} AS b4
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, x, b2, b3, r.r AS r
+      FROM p, (SELECT unnest(range(1, 4)) AS r) r
+      WHERE r.r < 2 + b1 % 3
+    ),
+    value_rows AS (
+      SELECT doc_id, 'Data' AS sheet, r AS row, 'A' AS col,
+             'string' AS kind,
+             'w' || substring(x, 2 * r - 1, 2) || ' r'
+               || CAST(r AS VARCHAR) AS value
+      FROM r
+      UNION ALL
+      SELECT doc_id, 'Data', r, 'B', 'float',
+             CAST((b2 + r) % 10 AS VARCHAR) || '.25'
+      FROM r
+      UNION ALL
+      SELECT doc_id, 'Data', r, 'E', 'string',
+             'dup r' || CAST(r AS VARCHAR)
+      FROM r
+      UNION ALL
+      SELECT doc_id, 'Data', r, 'F', 'string',
+             'dup r' || CAST(r AS VARCHAR)
+      FROM r WHERE (b3 + r) % 2 = 1
+    ),
+    tail_rows AS (
+      SELECT doc_id, 'Data' AS sheet,
+             (2 + b1 % 3) + t.t AS row, 'A' AS col, 'string' AS kind,
+             'tail w' || substring(x, 17, 2) AS value
+      FROM p, (SELECT unnest(range(2)) AS t) t
+    ),
+    extra AS (
+      SELECT doc_id, 'Extra' AS sheet, 1 AS row, 'A' AS col,
+             'date' AS kind,
+             '2021-0' || CAST(1 + b4 % 9 AS VARCHAR) || '-15' AS value
+      FROM p WHERE b0 % 2 = 1
+    )
+    SELECT doc_id, sheet, CAST(row AS INT) AS row, col, kind, value
+    FROM (
+      SELECT * FROM value_rows
+      UNION ALL SELECT * FROM tail_rows
+      UNION ALL SELECT * FROM extra
+    )
+    """,
+)
+def q_source_ods_cells(spark: SparkSession, sf: str) -> DataFrame:
+    # The ODS cell table beside xlsx_cells (r10 verdict item 4), same
+    # output contract: office:value-type as the kind, string cells
+    # from their <text:p> runs, valued kinds from office:*value
+    # attributes VERBATIM (no float parse), and — the part real
+    # sheets live on — number-columns-repeated / number-rows-repeated
+    # expansion: empty repeats only advance the column cursor (real
+    # producers pad with million-wide empties), non-empty repeats
+    # clone cells ('F' duplicates 'E' when the rotation fires), and a
+    # rows-repeated tail clones whole rows. One Arrow pass.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_ods_blob(int(i)) for i in ids])
+
+    return D.ods_cells(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )

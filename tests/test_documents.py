@@ -1221,3 +1221,103 @@ def test_tar_bz2_xz_wrappers_transparent():
         else:
             heads.add("plain")
     assert heads == {"plain", "gz", "bz2", "xz"}
+
+
+# ---------------------------------------------------------------------------
+# OpenDocument (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_odf_extractors_and_whitespace_elements():
+    from hadoopxmlextractor_spark import queries_r11 as R
+
+    # find an even doc whose paragraphs hit all four arms across ids
+    n, text = D._odt_extract(R._synth_odt_blob(0))
+    assert text.startswith("Head w")
+    assert n == text.count("\n") + 1 - text.count("\n\n")  # sanity-ish
+    # explicit whitespace elements: build one directly
+    xml = (
+        f"<office:document-content{R._ODF_NS}><office:body><office:text>"
+        '<text:p>a<text:tab/>b</text:p>'
+        '<text:p>c<text:line-break/>d<text:s text:c="3"/>e</text:p>'
+        "</office:text></office:body></office:document-content>"
+    )
+    blob = R._odf_zip("text", xml, True)
+    n, text = D._odt_extract(blob)
+    assert (n, text) == (2, "a\tb\nc\nd   e")
+    # span transparency with tail text
+    xml2 = (
+        f"<office:document-content{R._ODF_NS}><office:body><office:text>"
+        '<text:p>pre <text:span text:style-name="T1">mid</text:span>'
+        " post</text:p>"
+        "</office:text></office:body></office:document-content>"
+    )
+    assert D._odt_extract(R._odf_zip("text", xml2, False))[1] == (
+        "pre mid post"
+    )
+    # odp pages
+    slides = D._odp_extract(R._synth_odp_blob(1))
+    assert slides[0][0] == 0 and slides[0][1].startswith("slide 0 w")
+    # wrong kind refuses
+    with pytest.raises(ValueError, match="not an ODT"):
+        D._odt_extract(R._synth_odp_blob(1))
+
+
+def test_ods_repeat_expansion_semantics():
+    from hadoopxmlextractor_spark import queries_r11 as R
+
+    xml = (
+        f"<office:document-content{R._ODF_NS}><office:body>"
+        "<office:spreadsheet>"
+        '<table:table table:name="S">'
+        "<table:table-row>"
+        '<table:table-cell office:value-type="string">'
+        "<text:p>a1</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="1000000"/>'
+        '<table:table-cell office:value-type="string" '
+        'table:number-columns-repeated="2"><text:p>wide</text:p>'
+        "</table:table-cell>"
+        "</table:table-row>"
+        '<table:table-row table:number-rows-repeated="3">'
+        '<table:table-cell office:value-type="float" office:value="2.5">'
+        "<text:p>2.5</text:p></table:table-cell>"
+        "</table:table-row>"
+        "</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    cells = D._ods_extract(R._odf_zip("spreadsheet", xml, True))
+    # million-wide EMPTY repeat advances the cursor without emitting
+    by_pos = {(c["row"], c["col"]): c for c in cells}
+    assert by_pos[(1, "A")]["value"] == "a1"
+    wide = [c for c in cells if c["value"] == "wide"]
+    assert len(wide) == 2 and wide[0]["row"] == 1
+    # cols after the 1e6 gap: index 1000001 and 1000002
+    assert wide[0]["col"] == D._col_letters(1_000_001)
+    assert wide[1]["col"] == D._col_letters(1_000_002)
+    # rows-repeated clones whole rows
+    floats = [c for c in cells if c["kind"] == "float"]
+    assert [c["row"] for c in floats] == [2, 3, 4]
+    assert all(c["value"] == "2.5" for c in floats)
+
+
+def test_document_text_routes_mixed_odf_batch(spark):
+    from hadoopxmlextractor_spark import queries_r11 as R
+
+    rows = [
+        (0, R._synth_odt_blob(0)),
+        (1, R._synth_odp_blob(1)),
+        (2, D._synth_pdf_blob(2)),
+        (3, b"not a document at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, content binary")
+    got = {r["doc_id"]: r for r in D.document_text(df).collect()}
+    assert got[0]["format"] == "odt" and got[0]["text"].startswith("Head w")
+    assert got[1]["format"] == "odp" and got[1]["n_units"] >= 1
+    assert got[2]["format"] == "pdf"
+    assert got[3]["format"] is None
+
+
+def test_col_letters():
+    assert [D._col_letters(i) for i in (0, 1, 25, 26, 27, 701, 702)] == [
+        "A", "B", "Z", "AA", "AB", "ZZ", "AAA"
+    ]
