@@ -78,6 +78,7 @@ FRONT = [
     "archive_zip64_meta",
     "source_odf_text",
     "source_ods_cells",
+    "multimodal_image_exif",
     "multimodal_audio_flac_decode",
     "pipeline_cdx_ranged_fetch",
     "pipeline_crawl_to_markdown",

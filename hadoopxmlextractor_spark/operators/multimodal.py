@@ -3558,3 +3558,199 @@ def synth_theora_media(docs: DataFrame) -> DataFrame:
         F.lit("video").alias("media_type"),
         _ogg("doc_id").alias("content"),
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF — APP1 TIFF IFD metadata (r11; verdict item 5)
+# ---------------------------------------------------------------------------
+
+_EXIF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def _exif_ifd(data: bytes, e: str, off: int):
+    """(tags, next-IFD offset) of one IFD inside an Exif TIFF block —
+    offsets are RELATIVE TO THE TIFF HEADER (the EXIF subtlety that
+    breaks naive file-offset walkers). Types: BYTE/ASCII/SHORT/LONG/
+    RATIONAL (rationals kept as 'num/den' raw tokens — no float
+    parse); out-of-range value offsets refuse."""
+    import struct
+
+    (n,) = struct.unpack_from(e + "H", data, off)
+    tags: dict[int, list] = {}
+    for t in range(n):
+        o = off + 2 + 12 * t
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, o)
+        if typ not in _EXIF_TYPE_SIZE:
+            continue  # unknown type: skippable per spec
+        total = _EXIF_TYPE_SIZE[typ] * cnt
+        if total <= 4:
+            raw = data[o + 8 : o + 8 + total]
+        else:
+            (voff,) = struct.unpack_from(e + "I", data, o + 8)
+            raw = data[voff : voff + total]
+            if len(raw) < total:
+                raise ValueError("EXIF value offset out of range")
+        if typ == 2:
+            tags[tag] = [raw.split(b"\0", 1)[0].decode("ascii", "replace")]
+        elif typ == 5:
+            v = struct.unpack(e + "II" * cnt, raw)
+            tags[tag] = [f"{v[2 * k]}/{v[2 * k + 1]}" for k in range(cnt)]
+        else:
+            fmt = {1: "B", 3: "H", 4: "I"}[typ]
+            tags[tag] = list(struct.unpack(e + fmt * cnt, raw))
+    (nxt,) = struct.unpack_from(e + "I", data, off + 2 + 12 * n)
+    return tags, nxt
+
+
+def jpeg_exif(blob: bytes) -> dict:
+    """EXIF metadata of one JPEG: walk the marker segments up to SOS
+    for an APP1 whose payload is ``Exif\\0\\0`` + a TIFF block (both
+    byte orders), read IFD0 (Make/Model/Orientation/XResolution) and
+    the 0x8769 Exif sub-IFD (DateTimeOriginal, PixelX/YDimension) —
+    the fields a curator filters on (orientation-aware dedup, capture
+    time, true pixel dims). Raises on non-JPEG / missing APP1 /
+    malformed TIFF — callers keep the marker-row contract."""
+    import struct
+
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    app1 = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = blob[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: metadata region over
+            break
+        (seglen,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        seg = blob[pos + 4 : pos + 2 + seglen]
+        if marker == 0xE1 and seg[:6] == b"Exif\x00\x00":
+            app1 = seg[6:]
+            break
+        pos += 2 + seglen
+    if app1 is None:
+        raise ValueError("no Exif APP1 segment")
+    if app1[:2] == b"II":
+        e = "<"
+    elif app1[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("bad TIFF byte order in Exif")
+    magic, ifd0_off = struct.unpack_from(e + "HI", app1, 2)
+    if magic != 42:
+        raise ValueError("bad TIFF magic in Exif")
+    ifd0, _ = _exif_ifd(app1, e, ifd0_off)
+    out = {
+        "endian": "II" if e == "<" else "MM",
+        "make": ifd0.get(0x010F, [None])[0],
+        "model": ifd0.get(0x0110, [None])[0],
+        "orientation": ifd0.get(0x0112, [None])[0],
+        "x_resolution": ifd0.get(0x011A, [None])[0],
+        "dt_original": None,
+        "pixel_w": None,
+        "pixel_h": None,
+    }
+    exif_ptr = ifd0.get(0x8769, [None])[0]
+    if exif_ptr:
+        sub, _ = _exif_ifd(app1, e, exif_ptr)
+        out["dt_original"] = sub.get(0x9003, [None])[0]
+        out["pixel_w"] = sub.get(0xA002, [None])[0]
+        out["pixel_h"] = sub.get(0xA003, [None])[0]
+    return out
+
+
+def _encode_exif_app1(
+    *, big_endian: bool, orientation: int, make: str, model: str,
+    dt_original: str, pixel_w: int, pixel_h: int, xres: tuple[int, int],
+) -> bytes:
+    """One APP1 Exif segment (marker + length + Exif\\0\\0 + TIFF
+    block): IFD0 with Make/Model/Orientation/XResolution/ExifIFD
+    pointer, Exif sub-IFD with DateTimeOriginal and pixel dims — tag
+    order ascending per spec, long values placed in a trailing value
+    area with TIFF-relative offsets."""
+    import struct
+
+    e = ">" if big_endian else "<"
+    makeb = make.encode() + b"\0"
+    modelb = model.encode() + b"\0"
+    dtb = dt_original.encode() + b"\0"
+    ifd0_off = 8
+    ifd0_size = 2 + 5 * 12 + 4
+    exif_off = ifd0_off + ifd0_size
+    exif_size = 2 + 3 * 12 + 4
+    val_off = exif_off + exif_size
+    vals = bytearray()
+
+    def place(raw: bytes) -> int:
+        nonlocal vals
+        off = val_off + len(vals)
+        vals += raw
+        return off
+
+    def entry(tag: int, typ: int, cnt: int, raw: bytes) -> bytes:
+        head = struct.pack(e + "HHI", tag, typ, cnt)
+        if len(raw) <= 4:
+            return head + raw.ljust(4, b"\0")
+        return head + struct.pack(e + "I", place(raw))
+
+    ifd0 = struct.pack(e + "H", 5)
+    ifd0 += entry(0x010F, 2, len(makeb), makeb)
+    ifd0 += entry(0x0110, 2, len(modelb), modelb)
+    ifd0 += entry(0x0112, 3, 1, struct.pack(e + "H", orientation))
+    ifd0 += entry(0x011A, 5, 1, struct.pack(e + "II", *xres))
+    ifd0 += entry(0x8769, 4, 1, struct.pack(e + "I", exif_off))
+    ifd0 += struct.pack(e + "I", 0)  # no IFD1 thumbnail
+    sub = struct.pack(e + "H", 3)
+    sub += entry(0x9003, 2, len(dtb), dtb)
+    sub += entry(0xA002, 4, 1, struct.pack(e + "I", pixel_w))
+    sub += entry(0xA003, 4, 1, struct.pack(e + "I", pixel_h))
+    sub += struct.pack(e + "I", 0)
+    tiff = (
+        (b"MM" if big_endian else b"II")
+        + struct.pack(e + "HI", 42, ifd0_off)
+        + ifd0 + sub + bytes(vals)
+    )
+    payload = b"Exif\x00\x00" + tiff
+    return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def jpeg_exif_meta(
+    docs: DataFrame, content_col: str = "content", id_col: str = "media_id"
+) -> DataFrame:
+    """One row of EXIF fields per JPEG in one Arrow pass — the image
+    twin of the audio ID3 walk; malformed/EXIF-less JPEGs yield the
+    endian-NULL marker row."""
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        cols = ["media_id", "endian", "orientation", "make", "model",
+                "dt_original", "pixel_w", "pixel_h", "x_resolution"]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    m = jpeg_exif(bytes(blob))
+                    rows.append({
+                        "media_id": mid, "endian": m["endian"],
+                        "orientation": m["orientation"],
+                        "make": m["make"], "model": m["model"],
+                        "dt_original": m["dt_original"],
+                        "pixel_w": m["pixel_w"], "pixel_h": m["pixel_h"],
+                        "x_resolution": m["x_resolution"],
+                    })
+                except (ValueError, IndexError, TypeError, struct.error):
+                    rows.append({
+                        "media_id": mid, "endian": None,
+                        "orientation": None, "make": None, "model": None,
+                        "dt_original": None, "pixel_w": None,
+                        "pixel_h": None, "x_resolution": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _walk,
+        schema="media_id bigint, endian string, orientation int, "
+        "make string, model string, dt_original string, pixel_w int, "
+        "pixel_h int, x_resolution string",
+    )

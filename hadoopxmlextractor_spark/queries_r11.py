@@ -620,3 +620,106 @@ def q_source_ods_cells(spark: SparkSession, sf: str) -> DataFrame:
     return D.ods_cells(
         docs.select("doc_id", _blob("doc_id").alias("content"))
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF metadata (r10 verdict item 5)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_image_exif",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('exif', 0)} AS b0, {_b('exif', 1)} AS b1,
+             {_b('exif', 2)} AS b2, {_b('exif', 3)} AS b3,
+             {_b('exif', 4)} AS b4, {_b('exif', 5)} AS b5,
+             {_b('exif', 6)} AS b6, {_b('exif', 7)} AS b7,
+             {_b('exif', 8)} AS b8, {_b('exif', 9)} AS b9,
+             {_b('exif', 10)} AS b10, {_b('exif', 11)} AS b11
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                WHEN doc_id % 2 = 1 THEN 'MM' ELSE 'II' END AS endian,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE CAST(1 + b0 % 8 AS INT) END AS orientation,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE (['Canon','Nikon','SONY','Apple'])[b1 % 4 + 1]
+                END AS make,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE 'Model-' || CAST(b2 % 100 AS VARCHAR) END AS model,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE CAST(2000 + b3 % 25 AS VARCHAR) || ':'
+                  || lpad(CAST(1 + b4 % 12 AS VARCHAR), 2, '0') || ':'
+                  || lpad(CAST(1 + b5 % 28 AS VARCHAR), 2, '0') || ' '
+                  || lpad(CAST(b6 % 24 AS VARCHAR), 2, '0') || ':'
+                  || lpad(CAST(b7 % 60 AS VARCHAR), 2, '0') || ':'
+                  || lpad(CAST(b8 % 60 AS VARCHAR), 2, '0')
+                END AS dt_original,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE CAST(16 * (1 + b9 % 64) AS INT) END AS pixel_w,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE CAST(16 * (1 + b10 % 64) AS INT) END AS pixel_h,
+           CASE WHEN doc_id % 7 = 3 THEN NULL
+                ELSE CAST((1 + b11 % 4) * 72 AS VARCHAR) || '/'
+                  || CAST(1 + b11 % 2 AS VARCHAR) END AS x_resolution
+    FROM p
+    """,
+)
+def q_multimodal_image_exif(spark: SparkSession, sf: str) -> DataFrame:
+    # JPEG EXIF (r10 verdict item 5) — the image-pipeline metadata a
+    # curator filters on (orientation-aware dedup, capture time, true
+    # pixel dims): an APP1 Exif TIFF block spliced after the SOI of a
+    # REAL baseline JPEG (the walker must skip interleaved segments
+    # and stop at SOS), BOTH byte orders rotating by doc, ASCII /
+    # SHORT / LONG / RATIONAL types live (rationals kept as 'num/den'
+    # raw tokens), long values through TIFF-RELATIVE offsets — the
+    # thing that breaks file-offset walkers. Every 7th doc ships NO
+    # EXIF and must take the endian-NULL marker row (the refusal arm
+    # keeps the check non-vacuous both ways). One Arrow pass.
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import jpeg as J
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+    makes = ["Canon", "Nikon", "SONY", "Apple"]
+
+    @F.pandas_udf("binary")
+    def _jpeg(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        base = J.encode_jpeg(np.full((8, 8, 3), 128, np.uint8))
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                if i % 7 == 3:
+                    out.append(base)  # no EXIF: marker-row arm
+                    continue
+                b = hashlib.md5(f"{i}:exif".encode()).digest()
+                dt = (
+                    f"{2000 + b[3] % 25}:{1 + b[4] % 12:02d}:"
+                    f"{1 + b[5] % 28:02d} {b[6] % 24:02d}:"
+                    f"{b[7] % 60:02d}:{b[8] % 60:02d}"
+                )
+                app1 = M._encode_exif_app1(
+                    big_endian=(i % 2 == 1),
+                    orientation=1 + b[0] % 8,
+                    make=makes[b[1] % 4],
+                    model=f"Model-{b[2] % 100}",
+                    dt_original=dt,
+                    pixel_w=16 * (1 + b[9] % 64),
+                    pixel_h=16 * (1 + b[10] % 64),
+                    xres=((1 + b[11] % 4) * 72, 1 + b[11] % 2),
+                )
+                out.append(base[:2] + app1 + base[2:])
+            yield pd.Series(out)
+
+    return M.jpeg_exif_meta(
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            _jpeg("doc_id").alias("content"),
+        )
+    )

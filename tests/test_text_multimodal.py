@@ -1702,3 +1702,51 @@ def test_fix_mojibake_multi_encoding(spark):
         assert (got[i].fixed, got[i].was_fixed, got[i].encoding) == (
             fixed, was, enc
         ), (i, got[i])
+
+
+# ---------------------------------------------------------------------------
+# JPEG EXIF (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_exif_roundtrip_both_endians_and_refusals():
+    import numpy as np
+    import pytest
+    import struct
+
+    from hadoopxmlextractor_spark.operators import jpeg as J
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    base = J.encode_jpeg(np.full((8, 8, 3), 128, np.uint8))
+    for big in (False, True):
+        app1 = M._encode_exif_app1(
+            big_endian=big, orientation=6, make="Canon",
+            model="Model-7", dt_original="2021:03:15 10:20:30",
+            pixel_w=4032, pixel_h=3024, xres=(144, 2),
+        )
+        blob = base[:2] + app1 + base[2:]
+        m = M.jpeg_exif(blob)
+        assert m["endian"] == ("MM" if big else "II")
+        assert m["orientation"] == 6
+        assert (m["make"], m["model"]) == ("Canon", "Model-7")
+        assert m["dt_original"] == "2021:03:15 10:20:30"
+        assert (m["pixel_w"], m["pixel_h"]) == (4032, 3024)
+        assert m["x_resolution"] == "144/2"
+    # EXIF-less JPEG refuses; non-JPEG refuses; hostile value offset
+    with pytest.raises(ValueError, match="no Exif"):
+        M.jpeg_exif(base)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        M.jpeg_exif(b"GIF89a")
+    app1 = M._encode_exif_app1(
+        big_endian=False, orientation=1, make="LongMakerName",
+        model="M", dt_original="2020:01:01 00:00:00",
+        pixel_w=1, pixel_h=1, xres=(72, 1),
+    )
+    bad = bytearray(base[:2] + app1 + base[2:])
+    # Make (tag 0x010F) is entry 0 of IFD0 at tiff+8: its value offset
+    # field sits at tiff_start + 8 + 2 + 8
+    tiff_start = bad.index(b"Exif\x00\x00") + 6
+    voff_at = tiff_start + 8 + 2 + 8
+    bad[voff_at : voff_at + 4] = struct.pack("<I", 1 << 24)
+    with pytest.raises(ValueError, match="out of range"):
+        M.jpeg_exif(bytes(bad))
