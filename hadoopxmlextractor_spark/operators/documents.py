@@ -900,6 +900,148 @@ def _pdf_cmap(stream: bytes) -> dict[int, str]:
     return out
 
 
+# --- simple-font encodings (r11; verdict item 2) --------------------------
+# WinAnsiEncoding ≈ cp1252 with the undefined slots as notdef;
+# MacRomanEncoding = Mac OS Roman except 0xDB, which Adobe's table
+# (pre-Euro) keeps as /currency. These are the majority non-CID
+# real-PDF text path: fonts without a /ToUnicode CMap that name a
+# base encoding and/or remap codes via an /Encoding /Differences
+# array (ISO 32000 §9.6.6).
+
+_WINANSI_UNDEF = {0x81, 0x8D, 0x8F, 0x90, 0x9D}
+
+
+def _winansi_map() -> dict[int, str]:
+    return {
+        b: ("�" if b in _WINANSI_UNDEF else bytes([b]).decode("cp1252"))
+        for b in range(256)
+    }
+
+
+def _macroman_map() -> dict[int, str]:
+    m = {b: bytes([b]).decode("mac_roman") for b in range(256)}
+    m[0xDB] = "¤"  # Adobe MacRomanEncoding: /currency, not the Euro
+    return m
+
+
+# Adobe Glyph List subset: the names WinAnsi/MacRoman sets (and real
+# /Differences arrays) actually use. Letters/digits resolve
+# programmatically; /uniXXXX resolves by code point.
+_AGL = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "eacute": "é", "egrave": "è", "ecircumflex": "ê", "edieresis": "ë",
+    "aacute": "á", "agrave": "à", "acircumflex": "â", "adieresis": "ä",
+    "aring": "å", "atilde": "ã", "ccedilla": "ç", "ntilde": "ñ",
+    "iacute": "í", "igrave": "ì", "icircumflex": "î", "idieresis": "ï",
+    "oacute": "ó", "ograve": "ò", "ocircumflex": "ô", "odieresis": "ö",
+    "otilde": "õ", "oslash": "ø", "uacute": "ú", "ugrave": "ù",
+    "ucircumflex": "û", "udieresis": "ü", "yacute": "ý",
+    "ydieresis": "ÿ", "germandbls": "ß", "ae": "æ", "oe": "œ",
+    "AE": "Æ", "OE": "Œ", "Eacute": "É", "Agrave": "À",
+    "Adieresis": "Ä", "Odieresis": "Ö", "Udieresis": "Ü",
+    "Ccedilla": "Ç", "Ntilde": "Ñ", "Aring": "Å", "Oslash": "Ø",
+    "euro": "€", "bullet": "•", "dagger": "†", "daggerdbl": "‡",
+    "emdash": "—", "endash": "–", "ellipsis": "…", "trademark": "™",
+    "copyright": "©", "registered": "®", "degree": "°",
+    "plusminus": "±", "sterling": "£", "yen": "¥", "cent": "¢",
+    "currency": "¤", "section": "§", "paragraph": "¶",
+    "questiondown": "¿", "exclamdown": "¡", "florin": "ƒ",
+    "quoteleft": "‘", "quoteright": "’", "quotedblleft": "“",
+    "quotedblright": "”", "quotesinglbase": "‚", "quotedblbase": "„",
+    "guillemotleft": "«", "guillemotright": "»", "guilsinglleft": "‹",
+    "guilsinglright": "›", "perthousand": "‰", "fraction": "⁄",
+    "circumflex": "ˆ", "tilde": "˜", "Scaron": "Š", "scaron": "š",
+    "Zcaron": "Ž", "zcaron": "ž", "Ydieresis": "Ÿ", "mu": "µ",
+    "multiply": "×", "divide": "÷", "logicalnot": "¬", "macron": "¯",
+    "brokenbar": "¦", "middot": "·", "periodcentered": "·",
+    "nbspace": " ", "dotlessi": "ı", "fi": "ﬁ", "fl": "ﬂ",
+}
+
+
+def _glyph_char(name: str) -> str:
+    """Unicode text of one glyph name: single-character names are
+    themselves (letters, digits-as-chars), ``uniXXXX`` decodes by code
+    point, the AGL subset covers the Latin repertoire; unknown names
+    show as the viewer's notdef."""
+    if len(name) == 1:
+        return name
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            return "�"
+    return "�"
+
+
+def _base_encoding_map(name: bytes) -> dict[int, str] | None:
+    if name == b"WinAnsiEncoding":
+        return _winansi_map()
+    if name == b"MacRomanEncoding":
+        return _macroman_map()
+    return None
+
+
+def _pdf_differences(edict: bytes, base: dict[int, str]) -> dict[int, str]:
+    """Base map updated by an /Encoding dict's /Differences array
+    (§9.6.6.1: an integer sets the next code, each following name
+    takes successive codes)."""
+    m = re.search(rb"/Differences\s*\[(.*?)\]", edict, re.S)
+    if m is None:
+        return base
+    bmap = dict(base)
+    code = 0
+    for tok in re.finditer(rb"/([^\s/\[\]<>()]+)|(\d+)", m.group(1)):
+        if tok.group(2) is not None:
+            code = int(tok.group(2))
+        else:
+            if not 0 <= code <= 255:
+                raise ValueError("Differences code out of byte range")
+            bmap[code] = _glyph_char(tok.group(1).decode("latin-1"))
+            code += 1
+    return bmap
+
+
+def _pdf_font_encoding(
+    objs: dict[int, bytes], fobj: bytes
+) -> tuple[str, dict[int, str]] | None:
+    """('simple', byte→char map) for a font whose /Encoding is a base
+    encoding name or a dict (inline or indirect) with /BaseEncoding +
+    /Differences — the majority non-CID real-PDF text path. None when
+    the font has no simple encoding (no /Encoding, or a CMap name like
+    /Identity-H): callers keep latin-1 passthrough."""
+    m = re.search(rb"/Encoding\s*(?:/([\w-]+)|(\d+)\s+0\s+R|(<<))", fobj)
+    if m is None:
+        return None
+    if m.group(1):
+        base = _base_encoding_map(m.group(1))
+        return None if base is None else ("simple", base)
+    if m.group(2):
+        edict = objs.get(int(m.group(2)))
+        if edict is None:
+            raise ValueError("dangling /Encoding reference")
+    else:
+        edict = _pdf_dict_span(fobj, m.start())
+    bm = re.search(rb"/BaseEncoding\s*/([\w-]+)", edict)
+    base = _base_encoding_map(bm.group(1)) if bm else None
+    if base is None:
+        # no (or unknown) base: the font's built-in encoding — the
+        # latin-1 passthrough this extractor always used
+        base = {b: chr(b) for b in range(256)}
+    return ("simple", _pdf_differences(edict, base))
+
+
 def _content_text(
     stream: bytes, fonts: dict[str, dict[int, str] | None] | None = None
 ) -> str:
@@ -921,6 +1063,9 @@ def _content_text(
     def _shown(raw: bytes) -> str:
         if cmap is None:
             return raw.decode("latin-1")
+        if isinstance(cmap, tuple):  # ('simple', byte→char map) (r11)
+            bmap = cmap[1]
+            return "".join(bmap.get(b, "�") for b in raw)
         if len(raw) % 2:
             raise ValueError("odd-length CID string")
         return "".join(
@@ -974,10 +1119,12 @@ def _content_text(
 def _pdf_page_fonts(
     objs: dict[int, bytes], page: bytes
 ) -> dict[str, dict[int, str] | None]:
-    """Font resources of one page: name → /ToUnicode CMap (None for
-    simple fonts without one)."""
+    """Font resources of one page: name → /ToUnicode CMap for CID
+    fonts, ('simple', byte map) for fonts declaring a base encoding
+    and/or /Differences (r11), None for fonts with neither (latin-1
+    passthrough)."""
     fm = re.search(rb"/Font\s*<<(.*?)>>", page, re.S)
-    fonts: dict[str, dict[int, str] | None] = {}
+    fonts: dict[str, dict[int, str] | tuple | None] = {}
     if fm is None:
         return fonts
     for name, num in re.findall(rb"/(\w+)\s+(\d+)\s+0\s+R", fm.group(1)):
@@ -986,7 +1133,7 @@ def _pdf_page_fonts(
             raise ValueError("dangling font reference")
         tm = re.search(_REF_RE_T % b"ToUnicode", fobj)
         fonts[name.decode("latin-1")] = (
-            None
+            _pdf_font_encoding(objs, fobj)
             if tm is None
             else _pdf_cmap(_pdf_stream_data(objs[int(tm.group(1))]))
         )
@@ -1751,16 +1898,20 @@ def synth_epub(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", _blob("doc_id").alias("content"))
 
 
-def _pdf_page_stream(i: int, b: bytes, p: int) -> tuple[bytes, str, bool]:
-    """(content-stream bytes, expected shown text, is_cid) of synth
-    page p. Rotations keep every tokenizer branch live: Tj vs
-    TJ-with-kerning, escaped parens, an octal escape, a nested
-    unescaped paren, a whitespace-split hex string, and (r10) a
-    CID-font page whose hex string is 2-byte codes the page's
-    /ToUnicode CMap must map back to text."""
+def _pdf_page_stream(
+    i: int, b: bytes, p: int
+) -> tuple[bytes, str, str | None]:
+    """(content-stream bytes, expected shown text, font kind) of synth
+    page p; font kind is None / 'cid' / 'winansi' / 'diffs'. Rotations
+    keep every tokenizer branch live: Tj vs TJ-with-kerning, escaped
+    parens, an octal escape, a nested unescaped paren, a
+    whitespace-split hex string, (r10) a CID-font page whose hex
+    string is 2-byte codes the page's /ToUnicode CMap must map back
+    to text, and (r11) the simple-font encodings — WinAnsi high bytes
+    and a /Differences remap over MacRomanEncoding."""
     w1 = _WORDS[(b[2] + p) % 5]
-    variant = (b[4] + p) % 6
-    cid = False
+    variant = (b[4] + p) % 8
+    font = None
     if variant == 0:
         shown = f"{w1} page {p}"
         ops = f"({w1} ) Tj (page {p}) Tj"
@@ -1779,15 +1930,30 @@ def _pdf_page_stream(i: int, b: bytes, p: int) -> tuple[bytes, str, bool]:
         shown = f"{w1} hex {p}"
         hx = shown.encode("latin-1").hex()
         ops = f"<{hx[:8]} {hx[8:]}> Tj"
-    else:
+    elif variant == 5:
         # CID hex string: char j encodes as code 0x0100+j, mapped by
         # the page's CMap (split with interior whitespace)
         shown = f"{w1} cid {p}"
-        cid = True
+        font = "cid"
         hx = "".join(f"{0x0100 + j:04x}" for j in range(len(shown)))
         ops = f"<{hx[:12]} {hx[12:]}> Tj"
+    elif variant == 6:
+        # WinAnsiEncoding: byte 0x92 is U+2019 — a latin-1
+        # passthrough would emit a C1 control, so only the declared
+        # base encoding produces the right apostrophe (r11)
+        shown = f"{w1} don’t {p}"
+        font = "winansi"
+        ops = f"({w1} don\x92t {p}) Tj"
+    else:
+        # /Differences over MacRomanEncoding: 'A' (0x41) remapped to
+        # /eacute, 0xE9 remapped to /bullet, while 0x87 stays the
+        # BASE MacRoman aacute — both the remap and the base must
+        # resolve (r11)
+        shown = f"{w1} é•á {p}"
+        font = "diffs"
+        ops = f"({w1} A\xe9\x87 {p}) Tj"
     stream = f"BT /F1 12 Tf 72 720 Td {ops} ET"
-    return stream.encode("latin-1"), shown, cid
+    return stream.encode("latin-1"), shown, font
 
 
 def _pdf_cmap_stream(shown: str) -> bytes:
@@ -1822,8 +1988,9 @@ def _pdf_cmap_stream(shown: str) -> bytes:
 def _synth_pdf_blob(i: int) -> bytes:
     """One deterministic PDF from md5(doc:pdf): 1+b0%3 pages, page p's
     content stream FlateDecode-compressed when (b1+p)%2, text-operator
-    variant (b4+p)%6 (see :func:`_pdf_page_stream` — incl. the
-    hex-string and CID/ToUnicode-CMap arms). The FILE STRUCTURE
+    variant (b4+p)%8 (see :func:`_pdf_page_stream` — incl. the
+    hex-string, CID/ToUnicode-CMap, and r11 simple-font-encoding
+    arms). The FILE STRUCTURE
     rotates on b3%2 (r10): a classic xref table (free entries for the
     unused numbers), or the PDF 1.5+ layout — non-stream objects
     packed into a FlateDecode /ObjStm and a /Type /XRef
@@ -1841,7 +2008,7 @@ def _synth_pdf_blob(i: int) -> bytes:
         page_num = 3 + 2 * p
         content_num = 4 + 2 * p
         kids.append(f"{page_num} 0 R")
-        stream, shown, cid = _pdf_page_stream(i, b, p)
+        stream, shown, font = _pdf_page_stream(i, b, p)
         if (b[1] + p) % 2 == 1:
             data = zlib.compress(stream)
             sdict = f"<< /Length {len(data)} /Filter /FlateDecode >>"
@@ -1849,7 +2016,7 @@ def _synth_pdf_blob(i: int) -> bytes:
             data = stream
             sdict = f"<< /Length {len(data)} >>"
         res = ""
-        if cid:
+        if font == "cid":
             font_num, cmap_num = 20 + 2 * p, 21 + 2 * p
             cstream = _pdf_cmap_stream(shown)
             objs[font_num] = (
@@ -1862,6 +2029,27 @@ def _synth_pdf_blob(i: int) -> bytes:
                 + b"\nstream\n" + cstream + b"\nendstream"
             )
             stream_nums.add(cmap_num)
+            res = f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+        elif font == "winansi":
+            # simple font, base-encoding NAME form (r11)
+            font_num = 20 + 2 * p
+            objs[font_num] = (
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>"
+            )
+            res = f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
+        elif font == "diffs":
+            # simple font, INDIRECT /Encoding dict with /BaseEncoding
+            # + /Differences (r11): 'A' → /eacute, 233 → /bullet
+            font_num, enc_num = 20 + 2 * p, 21 + 2 * p
+            objs[font_num] = (
+                f"<< /Type /Font /Subtype /Type1 /BaseFont "
+                f"/Times-Roman /Encoding {enc_num} 0 R >>".encode()
+            )
+            objs[enc_num] = (
+                b"<< /Type /Encoding /BaseEncoding /MacRomanEncoding "
+                b"/Differences [ 65 /eacute 233 /bullet ] >>"
+            )
             res = f" /Resources << /Font << /F1 {font_num} 0 R >> >>"
         objs[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"

@@ -137,13 +137,15 @@ def q_source_epub_text(spark: SparkSession, sf: str) -> DataFrame:
     t AS (
       SELECT doc_id, n, pp,
              {_W}[(b2 + pp) % 5 + 1] ||
-             CASE (b4 + pp) % 6
+             CASE (b4 + pp) % 8
                   WHEN 0 THEN ' page ' || CAST(pp AS VARCHAR)
                   WHEN 1 THEN ' (page) ' || CAST(pp AS VARCHAR)
                   WHEN 2 THEN ' A' || CAST(pp AS VARCHAR)
                   WHEN 3 THEN ' (nested) ' || CAST(pp AS VARCHAR)
                   WHEN 4 THEN ' hex ' || CAST(pp AS VARCHAR)
-                  ELSE ' cid ' || CAST(pp AS VARCHAR) END AS page_text
+                  WHEN 5 THEN ' cid ' || CAST(pp AS VARCHAR)
+                  WHEN 6 THEN ' don’t ' || CAST(pp AS VARCHAR)
+                  ELSE ' é•á ' || CAST(pp AS VARCHAR) END AS page_text
       FROM pg
     )
     SELECT doc_id, 'pdf' AS format, CAST(n AS INT) AS n_units,
@@ -162,9 +164,15 @@ def q_source_pdf_text(spark: SparkSession, sf: str) -> DataFrame:
     # literal-string escapes \\( \\) (variant 1), octal \\101 → 'A'
     # (variant 2), balanced UNESCAPED nested parens inside one literal
     # (variant 3, legal per ISO 32000 §7.3.4.2), whitespace-tolerant
-    # HEX strings <...> (variant 4, §7.3.4.3), and (r10) CID hex
+    # HEX strings <...> (variant 4, §7.3.4.3), (r10) CID hex
     # strings mapped through the page font's /ToUnicode CMap (variant
-    # 5, §9.10.3 — bfchar + array bfrange both live). The FILE
+    # 5, §9.10.3 — bfchar + array bfrange both live), and (r11) the
+    # SIMPLE-FONT encodings (§9.6.6) that dominate real ToUnicode-less
+    # PDFs: /Encoding /WinAnsiEncoding (variant 6 — byte 0x92 must
+    # surface as U+2019, not a C1 control) and an indirect /Encoding
+    # dict with /BaseEncoding /MacRomanEncoding + /Differences
+    # (variant 7 — 'A'→/eacute remap, 233→/bullet, 0x87 from the
+    # MacRoman base). The FILE
     # STRUCTURE also rotates (b3%2): classic xref tables vs the PDF
     # 1.5+ /XRef cross-reference stream (W-array, PNG Up predictor)
     # with dict objects packed in a FlateDecode /ObjStm — the modern

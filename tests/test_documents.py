@@ -839,9 +839,9 @@ def test_pdf_modern_layout_objstm_xref_stream():
         n, text = D._pdf_extract(blob)
         expected = []
         for p in range(1 + b[0] % 3):
-            _, shown, cid = D._pdf_page_stream(i, b, p)
+            _, shown, font = D._pdf_page_stream(i, b, p)
             expected.append(shown)
-            cid_pages += cid
+            cid_pages += font == "cid"
         assert (n, text) == (len(expected), "\n".join(expected))
     assert cid_pages  # the CMap arm occurred in the sample
 
@@ -1140,14 +1140,23 @@ def test_pdf_encrypt_token_in_page_text_not_refused():
     """'/Encrypt 12 0 R' appearing in PAGE TEXT (not the trailer) must
     not trip the refusal — the check is scoped to trailer dicts
     (r10 advice). Same-length splice keeps every xref offset valid."""
-    blob = D._synth_pdf_blob(0)
-    old = b"(echo ) -120 (\\(page\\) ) 40 (0)"
+    # pick a doc whose page 0 is an UNCOMPRESSED nested-literal
+    # variant, then splice the token into the literal (same length, so
+    # every xref offset stays valid)
+    i = next(
+        i for i in range(300)
+        if hashlib.md5(f"{i}:pdf".encode()).digest()[4] % 8 == 3
+        and hashlib.md5(f"{i}:pdf".encode()).digest()[1] % 2 == 0
+    )
+    b = hashlib.md5(f"{i}:pdf".encode()).digest()
+    blob = D._synth_pdf_blob(i)
+    old = f"({D._WORDS[b[2] % 5]} (nested) 0)".encode()
     assert old in blob
-    new = b"(/Encrypt 12 0 R" + b"a" * (len(old) - 17) + b")"
+    new = b"(" + b"/Encrypt 12 0 R".ljust(len(old) - 2, b"x") + b")"
     assert len(new) == len(old)
     spliced = blob.replace(old, new)
-    n_pages, text = D._pdf_extract(spliced)  # must NOT raise
-    assert n_pages == 2 and "/Encrypt 12 0 R" in text
+    _n, text = D._pdf_extract(spliced)  # must NOT raise
+    assert "/Encrypt 12 0 R" in text
     # flat-scan fallback (no startxref): token in an object body is
     # fine; token after the trailer keyword refuses
     flat = (b"%PDF-1.4\n1 0 obj\n<< /Length 21 >>\nstream\n"
@@ -1321,3 +1330,48 @@ def test_col_letters():
     assert [D._col_letters(i) for i in (0, 1, 25, 26, 27, 701, 702)] == [
         "A", "B", "Z", "AA", "AB", "ZZ", "AAA"
     ]
+
+
+# ---------------------------------------------------------------------------
+# PDF simple-font encodings (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_simple_font_encodings():
+    # WinAnsi: cp1252 semantics with the undefined slots as notdef
+    w = D._winansi_map()
+    assert w[0x92] == "’" and w[0x80] == "€" and w[0xE9] == "é"
+    assert all(w[b] == "�" for b in (0x81, 0x8D, 0x8F, 0x90, 0x9D))
+    # MacRoman: Adobe's pre-Euro table (0xDB = currency)
+    m = D._macroman_map()
+    assert m[0x8E] == "é" and m[0x87] == "á" and m[0xDB] == "¤"
+    # glyph names: AGL subset, single-char, uniXXXX, unknown
+    assert D._glyph_char("eacute") == "é"
+    assert D._glyph_char("A") == "A"
+    assert D._glyph_char("uni20AC") == "€"
+    assert D._glyph_char("nosuchglyph") == "�"
+    # Differences walk: ints set the code, names take successive codes
+    bmap = D._pdf_differences(
+        b"<< /Differences [ 65 /eacute /bullet 200 /euro ] >>",
+        {b: chr(b) for b in range(256)},
+    )
+    assert bmap[65] == "é" and bmap[66] == "•" and bmap[200] == "€"
+    assert bmap[67] == "C"  # untouched base
+    # font-encoding resolution: name form, indirect dict, inline dict
+    assert D._pdf_font_encoding(
+        {}, b"<< /Encoding /WinAnsiEncoding >>"
+    )[1][0x92] == "’"
+    objs = {9: b"<< /BaseEncoding /MacRomanEncoding "
+               b"/Differences [ 65 /eacute ] >>"}
+    kind, bmap = D._pdf_font_encoding(objs, b"<< /Encoding 9 0 R >>")
+    assert kind == "simple" and bmap[65] == "é" and bmap[0x87] == "á"
+    kind, bmap = D._pdf_font_encoding(
+        {}, b"<< /Encoding << /Differences [ 48 /eacute ] >> >>"
+    )
+    assert bmap[48] == "é" and bmap[49] == "1"  # passthrough base
+    # /Identity-H (CMap name) is NOT a simple encoding
+    assert D._pdf_font_encoding({}, b"<< /Encoding /Identity-H >>") is None
+    assert D._pdf_font_encoding({}, b"<< /Subtype /Type1 >>") is None
+    # dangling indirect encoding refuses
+    with pytest.raises(ValueError, match="dangling"):
+        D._pdf_font_encoding({}, b"<< /Encoding 7 0 R >>")
