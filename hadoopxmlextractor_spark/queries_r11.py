@@ -16,6 +16,7 @@ modules).
 
 from __future__ import annotations
 
+import struct
 from typing import Iterator  # noqa: F401  (pandas_udf string annotations)
 
 import pandas as pd  # noqa: F401  (pandas_udf string annotations)
@@ -722,4 +723,150 @@ def q_multimodal_image_exif(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id").alias("media_id"),
             _jpeg("doc_id").alias("content"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ALAC full sample decode (r10 verdict item 6)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_audio_alac_decode",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('alac', 0)} AS b0, {_b('alac', 2)} AS b2,
+             {_b('alac', 5)} AS b5, {_b('alac', 6)} AS b6,
+             {_b('alac', 7)} AS b7, {_b('alac', 8)} AS b8
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, b2, b6, b7, f.f AS f,
+             CASE WHEN f.f < 2 + b0 % 2 THEN 64
+                  ELSE 24 + b5 % 16 END AS n
+      FROM p, (SELECT unnest(range(4)) AS f) f
+      WHERE f.f < 2 + b0 % 2 + b5 % 2
+    ),
+    arm AS (
+      SELECT doc_id, f, n, ch.ch AS ch, b6, b7,
+             (b2 + f + ch.ch) % 4 AS t
+      FROM fr, (VALUES (0), (1)) ch(ch)
+      WHERE ch.ch = 0 OR doc_id % 5 <> 4
+    ),
+    samp AS (
+      SELECT a.doc_id, a.ch, a.t, a.b6, a.b7, k.k AS k,
+             md5(CAST(a.doc_id AS VARCHAR)
+                 || CASE a.ch WHEN 0 THEN ':aL:' ELSE ':aR:' END
+                 || CAST(a.f AS VARCHAR) || ':'
+                 || CAST(k.k // 8 AS VARCHAR)) AS hx,
+             md5(CAST(a.doc_id AS VARCHAR) || ':ac:'
+                 || CAST(a.f AS VARCHAR) || ':'
+                 || CAST(a.ch AS VARCHAR)) AS cx
+      FROM arm a, (SELECT unnest(range(64)) AS k) k
+      WHERE k.k < a.n
+    ),
+    v AS (
+      SELECT doc_id, ch,
+        CASE t
+          WHEN 0 THEN
+            CASE WHEN CAST(('0x' || substring(hx, (k % 8) * 4 + 1, 4))
+                       AS BIGINT) >= 32768
+                 THEN CAST(('0x' || substring(hx, (k % 8) * 4 + 1, 4))
+                      AS BIGINT) - 65536
+                 ELSE CAST(('0x' || substring(hx, (k % 8) * 4 + 1, 4))
+                      AS BIGINT) END
+          WHEN 1 THEN (b6 - 128) * 4 + 3 * k
+          WHEN 2 THEN CASE WHEN k < 8
+                 THEN CAST(('0x' || substring(cx, 2 * k + 1, 2))
+                      AS BIGINT) - 128 ELSE 0 END
+          ELSE (b7 - 128) * 7
+        END AS s
+      FROM samp
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(([8000, 44100, 48000])[p.b8 % 3 + 1] AS INT)
+             AS sample_rate,
+           CAST(CASE WHEN p.doc_id % 5 = 4 THEN 1 ELSE 2 END AS INT)
+             AS channels,
+           CAST(2 + p.b0 % 2 + p.b5 % 2 AS INT) AS n_packets,
+           CAST(64 * (2 + p.b0 % 2)
+                + (p.b5 % 2) * (24 + p.b5 % 16) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN ch = 0 THEN s ELSE 0 END) AS BIGINT)
+             AS sum_l,
+           CAST(SUM(CASE WHEN ch = 0 THEN s * s ELSE 0 END) AS BIGINT)
+             AS sumsq_l,
+           CAST(SUM(CASE WHEN ch = 1 THEN s ELSE 0 END) AS BIGINT)
+             AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1 THEN s * s ELSE 0 END) AS BIGINT)
+             AS sumsq_r
+    FROM v JOIN p USING (doc_id)
+    GROUP BY p.doc_id, p.b0, p.b5, p.b8
+    """,
+)
+def q_multimodal_audio_alac_decode(spark: SparkSession, sf: str) -> DataFrame:
+    # FULL ALAC SAMPLE DECODE (r10 verdict item 6) — the second
+    # integer-exact lossless codec after FLAC, same exact-oracle
+    # moments contract: the M4A walk surfaces the alac magic cookie +
+    # stsz packet framing (operators/containers.py box discipline),
+    # operators/alac.py decodes every packet — adaptive-Golomb
+    # entropy coding (9-ones escapes live on the md5-random arm, the
+    # LOW-MEAN ZERO-RUN coder live on the silence-tail and constant
+    # arms), sign-adaptive LPC with the order-31 prepass rotation,
+    # stereo matrixing (mixRes arms) at bitDepth+1 plane width, mono
+    # SCE docs, and PARTIAL tail packets. The oracle replays the
+    # synth's closed-form samples (md5 int16 chains / ramp / silence
+    # / constant) as pure integer sums — a single wrong residual,
+    # run-length, matrix term, or adaptation step shifts a moment.
+    # One Arrow pass; id-only repartition before the codec kernel.
+    from hadoopxmlextractor_spark.operators import alac as AL
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _synth(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([AL._synth_alac_doc(int(i)) for i in ids])
+
+    files = docs.select(
+        F.col("doc_id").alias("media_id"), _synth("doc_id").alias("content")
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "sample_rate", "channels", "n_packets",
+                "n_samples", "sum_l", "sumsq_l", "sum_r", "sumsq_r"]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = AL.decode_alac(bytes(blob))
+                    chans = d["samples"]
+                    left = chans[0]
+                    right = chans[1] if len(chans) > 1 else []
+                    rows.append({
+                        "media_id": mid,
+                        "sample_rate": d["sample_rate"],
+                        "channels": d["channels"],
+                        "n_packets": d["n_packets"],
+                        "n_samples": len(left),
+                        "sum_l": sum(left),
+                        "sumsq_l": sum(s * s for s in left),
+                        "sum_r": sum(right),
+                        "sumsq_r": sum(s * s for s in right),
+                    })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "media_id": mid, "sample_rate": None,
+                        "channels": None, "n_packets": None,
+                        "n_samples": None, "sum_l": None,
+                        "sumsq_l": None, "sum_r": None, "sumsq_r": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        _decode,
+        schema="media_id bigint, sample_rate int, channels int, "
+        "n_packets int, n_samples bigint, sum_l bigint, sumsq_l bigint, "
+        "sum_r bigint, sumsq_r bigint",
     )
