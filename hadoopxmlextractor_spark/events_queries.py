@@ -2015,9 +2015,17 @@ def q_events_sessionize_incremental(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events").select(
         "user_id", "event_id", F.unix_millis(F.col("ts")).alias("ms")
     )
+    # r11 adjudication: the 2.17 s drift was REAL cpu (cpu/wall 0.92,
+    # BENCH_NOTES_r11) — the unordered count-over-partition window
+    # buffered every user's full partition a second time. A partial-agg
+    # count + broadcast join-back is map-side combinable and drops the
+    # second window pass (2.27 → 1.78 s min-of-3 at sf0.1); at 100 TB
+    # the per-user histogram is users-cardinality, always the cheaper
+    # side.
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    ranked = ev.withColumn("rn", F.row_number().over(w)).withColumn(
-        "n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    ranked = ev.join(F.broadcast(counts), "user_id").withColumn(
+        "rn", F.row_number().over(w)
     )
     old = ranked.filter(F.col("rn") <= F.expr("(8 * n) div 10")).drop("rn", "n")
     new = ranked.filter(F.col("rn") > F.expr("(8 * n) div 10")).drop("rn", "n")
