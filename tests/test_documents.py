@@ -1375,3 +1375,26 @@ def test_pdf_simple_font_encodings():
     # dangling indirect encoding refuses
     with pytest.raises(ValueError, match="dangling"):
         D._pdf_font_encoding({}, b"<< /Encoding 7 0 R >>")
+
+
+def test_r11_query_plan_shapes(spark):
+    """Round-11 query plan contracts: charset/zip64/ODF/EXIF are
+    zero-shuffle Arrow passes over the scan; the ALAC codec kernel
+    carries exactly its designed id-only round-robin repartition;
+    never BatchEvalPython anywhere."""
+    import hadoopxmlextractor_spark.queries_r11  # noqa: F401  (registers)
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("source_warc_charset", "archive_zip64_meta",
+                 "source_odf_text", "source_ods_cells",
+                 "multimodal_image_exif"):
+        plan = QUERIES[name](spark, sf) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert "Exchange" not in plan, name  # one Arrow pass
+    plan = QUERIES["multimodal_audio_alac_decode"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # the id repartition
+    assert "RoundRobinPartitioning" in plan
