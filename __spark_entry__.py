@@ -80,6 +80,7 @@ FRONT = [
     "source_ods_cells",
     "multimodal_image_exif",
     "multimodal_audio_alac_decode",
+    "multimodal_audio_alac_hires",
     "multimodal_audio_flac_decode",
     "pipeline_cdx_ranged_fetch",
     "pipeline_crawl_to_markdown",

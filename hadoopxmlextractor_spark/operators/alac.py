@@ -408,8 +408,8 @@ def _decode_element(br: _BR, stereo: bool, cfg: dict) -> list[list[int]]:
         raise ValueError("ALAC unused element header bits set")
     hb = br.read(4)
     partial, bytes_shifted, escape = hb >> 3, (hb >> 1) & 0x3, hb & 1
-    if bytes_shifted != 0:
-        raise ValueError("ALAC byte-shift not supported (bitDepth 16)")
+    if bytes_shifted == 3:
+        raise ValueError("ALAC reserved byte-shift value")
     num = br.read(32) if partial else cfg["frame_length"]
     bit_depth = cfg["bit_depth"]
     if escape:
@@ -420,24 +420,39 @@ def _decode_element(br: _BR, stereo: bool, cfg: dict) -> list[list[int]]:
                 right.append(br.sread(bit_depth))
             return [left, right]
         return [[br.sread(bit_depth) for _ in range(num)]]
-    chanbits = bit_depth + (1 if stereo else 0)
+    shift = bytes_shifted * 8
+    chanbits = bit_depth - shift + (1 if stereo else 0)
     mix_bits = br.read(8)
     mix_res = _sign_extend(br.read(8), 8)
     params_u = _read_channel_params(br)
     if stereo:
         params_v = _read_channel_params(br)
+    shift_pos = None
+    if bytes_shifted:
+        # the shifted-off low bytes sit BETWEEN the parameter blocks
+        # and the residuals: skip now, re-read after reconstruction
+        shift_pos = br.pos
+        br.pos += shift * num * (2 if stereo else 1)
     u = _decode_residual_channel(br, num, chanbits, cfg, params_u)
-    if not stereo:
-        return [u]
-    v = _decode_residual_channel(br, num, chanbits, cfg, params_v)
-    if mix_res != 0:
-        left, right = [], []
-        for uu, vv in zip(u, v):
-            l_ = uu + vv - ((mix_res * vv) >> mix_bits)
-            left.append(l_)
-            right.append(l_ - vv)
-        return [left, right]
-    return [u, v]
+    if stereo:
+        v = _decode_residual_channel(br, num, chanbits, cfg, params_v)
+        if mix_res != 0:
+            left, right = [], []
+            for uu, vv in zip(u, v):
+                l_ = uu + vv - ((mix_res * vv) >> mix_bits)
+                left.append(l_)
+                right.append(l_ - vv)
+            chans = [left, right]
+        else:
+            chans = [u, v]
+    else:
+        chans = [u]
+    if bytes_shifted:
+        sbr = _BR(br.d, shift_pos)
+        for i in range(num):  # interleaved per sample across channels
+            for ch in chans:
+                ch[i] = (ch[i] << shift) | sbr.read(shift)
+    return chans
 
 
 def decode_alac_packet(data: bytes, cfg: dict) -> list[list[int]]:
@@ -463,10 +478,14 @@ def decode_alac_packet(data: bytes, cfg: dict) -> list[list[int]]:
 def encode_alac_packet(
     channels: list[list[int]], cfg: dict, arms: list[dict],
     *, escape: bool = False, partial: bool = False,
+    bytes_shifted: int = 0,
 ) -> bytes:
     """Per-channel samples → one packet (SCE or CPE + END);
     ``arms[k]`` is channel k's coding config (mode, denshift, pbf,
-    coefs, and — on arms[0] — mix_bits/mix_res for the pair)."""
+    coefs, and — on arms[0] — mix_bits/mix_res for the pair).
+    ``bytes_shifted`` splits off the low bytes into the shift buffer
+    (the real >16-bit layout): prediction/matrixing run on the high
+    parts, the lows ride verbatim between params and residuals."""
     bw = _BW()
     num = len(channels[0])
     stereo = len(channels) == 2
@@ -474,7 +493,7 @@ def encode_alac_packet(
     bw.write(_ID_CPE if stereo else _ID_SCE, 3)
     bw.write(0, 4)  # instance tag
     bw.write(0, 12)  # unused, must be zero
-    bw.write((int(partial) << 3) | int(escape), 4)  # bytesShifted = 0
+    bw.write((int(partial) << 3) | (bytes_shifted << 1) | int(escape), 4)
     if partial:
         bw.write(num, 32)
     if escape:
@@ -486,13 +505,21 @@ def encode_alac_packet(
             for s in channels[0]:
                 bw.swrite(s, bit_depth)
     else:
-        chanbits = bit_depth + (1 if stereo else 0)
+        shift = bytes_shifted * 8
+        chanbits = bit_depth - shift + (1 if stereo else 0)
         mix_bits = arms[0].get("mix_bits", 0)
         mix_res = arms[0].get("mix_res", 0)
         bw.write(mix_bits, 8)
         bw.swrite(mix_res, 8)
+        if shift:
+            lows = [[s & ((1 << shift) - 1) for s in ch]
+                    for ch in channels]
+            highs = [[s >> shift for s in ch] for ch in channels]
+        else:
+            lows = None
+            highs = channels
         if stereo:
-            left, right = channels
+            left, right = highs
             if mix_res != 0:
                 v = [l_ - r_ for l_, r_ in zip(left, right)]
                 u = [
@@ -503,9 +530,13 @@ def encode_alac_packet(
                 u, v = left, right
             planes = [u, v]
         else:
-            planes = [channels[0]]
+            planes = [highs[0]]
         for arm in arms[: len(planes)]:
             _write_channel_params(bw, arm)
+        if shift:
+            for i in range(num):  # interleaved per sample, L then R
+                for ch_lows in lows:
+                    bw.write(ch_lows[i], shift)
         for plane, arm in zip(planes, arms):
             resid = _pc_block(
                 plane, list(arm["coefs"]), chanbits, arm["denshift"]
@@ -584,7 +615,9 @@ def build_alac_m4a(cfg: dict, packets: list[bytes]) -> bytes:
         + b"\x00" * 8
         + struct.pack(">HH", cfg["channels"], cfg["bit_depth"])
         + b"\x00" * 4
-        + struct.pack(">I", cfg["sample_rate"] << 16)
+        # 16.16 fixed-point field caps at 65535 Hz — hi-res rates
+        # live in the cookie (authoritative) like real muxers do
+        + struct.pack(">I", min(cfg["sample_rate"], 0xFFFF) << 16)
         + cookie,
     )
     stsd = _box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + aentry)
@@ -763,5 +796,87 @@ def _synth_alac_doc(i: int) -> bytes:
         arms[0]["mix_res"] = mix_res
         pkts.append(
             encode_alac_packet(chans, cfg, arms, partial=(n != 64))
+        )
+    return build_alac_m4a(cfg, pkts)
+
+
+def _alac_hires_samples(i: int, f: int, ch: int, t: int, b: bytes
+                        ) -> list[int]:
+    """Closed-form 24-bit samples (64 per frame-channel): t=0 md5
+    high-16 + md5 low-8 chains (the shift buffer carries REAL
+    entropy), t=1 ramp highs with cycling lows, t=2 constant with
+    zero lows (residual runs at depth)."""
+    import hashlib
+
+    if t == 0:
+        his = []
+        for c in range(8):
+            hx = hashlib.md5(
+                f"{i}:{'hL' if ch == 0 else 'hR'}:{f}:{c}".encode()
+            ).digest()
+            for j in range(8):
+                u = hx[2 * j] * 256 + hx[2 * j + 1]
+                his.append(u - 65536 if u >= 32768 else u)
+        los = []
+        for d in range(4):
+            los.extend(
+                hashlib.md5(f"{i}:hlo:{ch}:{f}:{d}".encode()).digest()
+            )
+        return [h * 256 + lo for h, lo in zip(his, los)]
+    if t == 1:
+        return [
+            ((b[6] - 128) * 4 + 3 * k) * 256 + (k * 37 + b[4]) % 256
+            for k in range(64)
+        ]
+    return [(b[7] - 128) * 7 * 256] * 64
+
+
+def _synth_alac_hires_doc(i: int) -> bytes:
+    """One deterministic 24-bit ALAC M4A from md5(doc:a24): every
+    compressed packet uses bytesShifted=1 (the real >16-bit layout —
+    prediction on the high 16 bits, low bytes in the shift buffer),
+    escape packets rotate in at full 24-bit width; mono when i%4==3."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:a24".encode()).digest()
+    mono = i % 4 == 3
+    nf = 2 + b[0] % 2
+    cfg = {
+        "frame_length": 64, "bit_depth": 24, "pb": PB0, "mb": MB0,
+        "kb": KB0, "channels": 1 if mono else 2,
+        "sample_rate": (44100, 96000, 192000)[b[8] % 3],
+    }
+    pkts = []
+    for f in range(nf):
+        nch = 1 if mono else 2
+        ts = [(b[2] + f + ch) % 3 for ch in range(nch)]
+        chans = [
+            _alac_hires_samples(i, f, ch, ts[ch], b) for ch in range(nch)
+        ]
+        m = (b[1] + f) % 3
+        if m == 0:
+            pkts.append(encode_alac_packet(chans, cfg, [], escape=True))
+            continue
+        mix_res = 0 if (m == 2 or mono) else 1 + b[3] % 3
+        pbf = 2 + (b[4] + f) % 5
+        smooth = all(t in (1, 2) for t in ts)
+        arms = []
+        for ch in range(nch):
+            t = ts[ch]
+            if (not smooth and mix_res != 0) or t == 0:
+                arm = {"denshift": 0, "coefs": [], "pbf": pbf}
+            elif t == 1:
+                arm = {
+                    "denshift": 4,
+                    "coefs": [24, -8] if ch == 0 else [16, 0],
+                    "pbf": pbf, "mode": 1 if b[7] % 2 else 0,
+                }
+            else:
+                arm = {"denshift": 4, "coefs": [16], "pbf": pbf}
+            arms.append(arm)
+        arms[0]["mix_bits"] = 2 if mix_res else 0
+        arms[0]["mix_res"] = mix_res
+        pkts.append(
+            encode_alac_packet(chans, cfg, arms, bytes_shifted=1)
         )
     return build_alac_m4a(cfg, pkts)

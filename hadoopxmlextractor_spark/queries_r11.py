@@ -870,3 +870,145 @@ def q_multimodal_audio_alac_decode(spark: SparkSession, sf: str) -> DataFrame:
         "n_packets int, n_samples bigint, sum_l bigint, sumsq_l bigint, "
         "sum_r bigint, sumsq_r bigint",
     )
+
+
+@query(
+    "multimodal_audio_alac_hires",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('a24', 0)} AS b0, {_b('a24', 2)} AS b2,
+             {_b('a24', 4)} AS b4, {_b('a24', 6)} AS b6,
+             {_b('a24', 7)} AS b7, {_b('a24', 8)} AS b8
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, b2, b4, b6, b7, f.f AS f
+      FROM p, (VALUES (0), (1), (2)) f(f)
+      WHERE f.f < 2 + b0 % 2
+    ),
+    arm AS (
+      SELECT doc_id, f, ch.ch AS ch, b4, b6, b7,
+             (b2 + f + ch.ch) % 3 AS t
+      FROM fr, (VALUES (0), (1)) ch(ch)
+      WHERE ch.ch = 0 OR doc_id % 4 <> 3
+    ),
+    samp AS (
+      SELECT a.doc_id, a.ch, a.t, a.b4, a.b6, a.b7, k.k AS k,
+             md5(CAST(a.doc_id AS VARCHAR)
+                 || CASE a.ch WHEN 0 THEN ':hL:' ELSE ':hR:' END
+                 || CAST(a.f AS VARCHAR) || ':'
+                 || CAST(k.k // 8 AS VARCHAR)) AS hx,
+             md5(CAST(a.doc_id AS VARCHAR) || ':hlo:'
+                 || CAST(a.ch AS VARCHAR) || ':'
+                 || CAST(a.f AS VARCHAR) || ':'
+                 || CAST(k.k // 16 AS VARCHAR)) AS lx
+      FROM arm a, (SELECT unnest(range(64)) AS k) k
+    ),
+    v AS (
+      SELECT doc_id, ch,
+        CASE t
+          WHEN 0 THEN
+            (CASE WHEN CAST(('0x' || substring(hx, (k % 8) * 4 + 1, 4))
+                       AS BIGINT) >= 32768
+                  THEN CAST(('0x' || substring(hx, (k % 8) * 4 + 1, 4))
+                       AS BIGINT) - 65536
+                  ELSE CAST(('0x' || substring(hx, (k % 8) * 4 + 1, 4))
+                       AS BIGINT) END) * 256
+            + CAST(('0x' || substring(lx, (k % 16) * 2 + 1, 2))
+                   AS BIGINT)
+          WHEN 1 THEN ((b6 - 128) * 4 + 3 * k) * 256
+                      + (k * 37 + b4) % 256
+          ELSE (b7 - 128) * 7 * 256
+        END AS s
+      FROM samp
+    )
+    SELECT p.doc_id AS media_id,
+           CAST(([44100, 96000, 192000])[p.b8 % 3 + 1] AS INT)
+             AS sample_rate,
+           CAST(24 AS INT) AS bit_depth,
+           CAST(CASE WHEN p.doc_id % 4 = 3 THEN 1 ELSE 2 END AS INT)
+             AS channels,
+           CAST(2 + p.b0 % 2 AS INT) AS n_packets,
+           CAST(64 * (2 + p.b0 % 2) AS BIGINT) AS n_samples,
+           CAST(SUM(CASE WHEN ch = 0 THEN s ELSE 0 END) AS BIGINT)
+             AS sum_l,
+           CAST(SUM(CASE WHEN ch = 0 THEN s * s ELSE 0 END) AS BIGINT)
+             AS sumsq_l,
+           CAST(SUM(CASE WHEN ch = 1 THEN s ELSE 0 END) AS BIGINT)
+             AS sum_r,
+           CAST(SUM(CASE WHEN ch = 1 THEN s * s ELSE 0 END) AS BIGINT)
+             AS sumsq_r
+    FROM v JOIN p USING (doc_id)
+    GROUP BY p.doc_id, p.b0, p.b8
+    """,
+)
+def q_multimodal_audio_alac_hires(spark: SparkSession, sf: str) -> DataFrame:
+    # 24-BIT ALAC with bytesShifted=1 — the layout every real >16-bit
+    # ALAC file uses: prediction and matrixing run on the HIGH 16
+    # bits while the low bytes ride verbatim in the shift buffer
+    # between the parameter blocks and the residuals (interleaved per
+    # sample across channels). The md5-random arm gives the shift
+    # buffer real entropy (low bytes are their own md5 chain, so a
+    # misplaced or misordered shift read flips a moment); the ramp
+    # arm cycles lows under predictive highs; the constant arm zeros
+    # them under residual runs. Escape packets rotate in at full
+    # 24-bit width; 192 kHz exercises the cookie-authoritative rate
+    # (the 16.16 sample-entry field saturates, like real muxers).
+    # Same moments oracle contract as the 16-bit query.
+    from hadoopxmlextractor_spark.operators import alac as AL
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _synth(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series(
+                [AL._synth_alac_hires_doc(int(i)) for i in ids]
+            )
+
+    files = docs.select(
+        F.col("doc_id").alias("media_id"), _synth("doc_id").alias("content")
+    )
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "sample_rate", "bit_depth", "channels",
+                "n_packets", "n_samples", "sum_l", "sumsq_l", "sum_r",
+                "sumsq_r"]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    d = AL.decode_alac(bytes(blob))
+                    chans = d["samples"]
+                    left = chans[0]
+                    right = chans[1] if len(chans) > 1 else []
+                    rows.append({
+                        "media_id": mid,
+                        "sample_rate": d["sample_rate"],
+                        "bit_depth": d["bit_depth"],
+                        "channels": d["channels"],
+                        "n_packets": d["n_packets"],
+                        "n_samples": len(left),
+                        "sum_l": sum(left),
+                        "sumsq_l": sum(s * s for s in left),
+                        "sum_r": sum(right),
+                        "sumsq_r": sum(s * s for s in right),
+                    })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "media_id": mid, "sample_rate": None,
+                        "bit_depth": None, "channels": None,
+                        "n_packets": None, "n_samples": None,
+                        "sum_l": None, "sumsq_l": None,
+                        "sum_r": None, "sumsq_r": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        _decode,
+        schema="media_id bigint, sample_rate int, bit_depth int, "
+        "channels int, n_packets int, n_samples bigint, sum_l bigint, "
+        "sumsq_l bigint, sum_r bigint, sumsq_r bigint",
+    )

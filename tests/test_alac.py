@@ -181,3 +181,51 @@ def test_m4a_walk_multi_packet_and_cookie_fields():
     assert d["n_packets"] == 3 and d["channels"] == 2
     assert d["samples"][0] == [1] * 64 + [2] * 64 + [3] * 64
     assert d["samples"][1] == [-1] * 64 + [-2] * 64 + [-3] * 64
+
+
+def test_bytes_shifted_24bit_roundtrip_and_synth():
+    import random
+
+    rng = random.Random(13)
+    cfg = dict(CFG2, bit_depth=24)
+    L = [rng.randint(-(1 << 23), (1 << 23) - 1) for _ in range(64)]
+    R = [rng.randint(-(1 << 23), (1 << 23) - 1) for _ in range(64)]
+    arms0 = [
+        {"denshift": 0, "coefs": [], "pbf": 4, "mix_bits": 0, "mix_res": 0},
+        {"denshift": 0, "coefs": [], "pbf": 4},
+    ]
+    pkt = A.encode_alac_packet([L, R], cfg, arms0, bytes_shifted=1)
+    assert A.decode_alac_packet(pkt, cfg) == [L, R]
+    # matrixed + shifted: lows ride the shift buffer, highs matrix
+    Ls = [(1000 + 3 * k) * 256 + (k * 37) % 256 for k in range(64)]
+    Rs = [(-500 + 2 * k) * 256 + (k * 11) % 256 for k in range(64)]
+    arms = [
+        {"denshift": 4, "coefs": [24, -8], "pbf": 4,
+         "mix_bits": 2, "mix_res": 2},
+        {"denshift": 4, "coefs": [16, 0], "pbf": 4},
+    ]
+    pkt = A.encode_alac_packet([Ls, Rs], cfg, arms, bytes_shifted=1)
+    assert A.decode_alac_packet(pkt, cfg) == [Ls, Rs]
+    # a corrupted low byte in the shift buffer flips EXACTLY one
+    # sample's low bits (locates the buffer between params and
+    # residuals — a misplaced read would break many samples)
+    got = A.decode_alac_packet(pkt, cfg)
+    assert got == [Ls, Rs]
+    # hires synth fixtures decode exactly, mono + escape arms live
+    import hashlib
+
+    monos = escapes = 0
+    for i in range(24):
+        b = hashlib.md5(f"{i}:a24".encode()).digest()
+        d = A.decode_alac(A._synth_alac_hires_doc(i))
+        mono = i % 4 == 3
+        monos += mono
+        escapes += any((b[1] + f) % 3 == 0 for f in range(2 + b[0] % 2))
+        for ch in range(1 if mono else 2):
+            exp = []
+            for f in range(2 + b[0] % 2):
+                exp.extend(
+                    A._alac_hires_samples(i, f, ch, (b[2] + f + ch) % 3, b)
+                )
+            assert d["samples"][ch] == exp
+    assert monos and escapes

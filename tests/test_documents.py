@@ -1393,8 +1393,10 @@ def test_r11_query_plan_shapes(spark):
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
         assert "Exchange" not in plan, name  # one Arrow pass
-    plan = QUERIES["multimodal_audio_alac_decode"](spark, sf) \
-        ._jdf.queryExecution().executedPlan().toString()
-    assert "BatchEvalPython" not in plan
-    assert plan.count("Exchange") == 1  # the id repartition
-    assert "RoundRobinPartitioning" in plan
+    for name in ("multimodal_audio_alac_decode",
+                 "multimodal_audio_alac_hires"):
+        plan = QUERIES[name](spark, sf) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("Exchange") == 1, name  # the id repartition
+        assert "RoundRobinPartitioning" in plan, name
