@@ -3656,29 +3656,47 @@ def jpeg_exif(blob: bytes) -> dict:
         out["dt_original"] = sub.get(0x9003, [None])[0]
         out["pixel_w"] = sub.get(0xA002, [None])[0]
         out["pixel_h"] = sub.get(0xA003, [None])[0]
+    out.update({"gps_lat_ref": None, "gps_lat": None,
+                "gps_lon_ref": None, "gps_lon": None})
+    gps_ptr = ifd0.get(0x8825, [None])[0]
+    if gps_ptr:
+        gps, _ = _exif_ifd(app1, e, gps_ptr)
+        out["gps_lat_ref"] = gps.get(0x0001, [None])[0]
+        out["gps_lon_ref"] = gps.get(0x0003, [None])[0]
+        lat = gps.get(0x0002)
+        lon = gps.get(0x0004)
+        # deg/min/sec rationals joined as raw tokens (no float parse)
+        out["gps_lat"] = " ".join(lat) if lat else None
+        out["gps_lon"] = " ".join(lon) if lon else None
     return out
 
 
 def _encode_exif_app1(
     *, big_endian: bool, orientation: int, make: str, model: str,
     dt_original: str, pixel_w: int, pixel_h: int, xres: tuple[int, int],
+    gps: tuple[str, tuple, str, tuple] | None = None,
 ) -> bytes:
     """One APP1 Exif segment (marker + length + Exif\\0\\0 + TIFF
     block): IFD0 with Make/Model/Orientation/XResolution/ExifIFD
-    pointer, Exif sub-IFD with DateTimeOriginal and pixel dims — tag
-    order ascending per spec, long values placed in a trailing value
-    area with TIFF-relative offsets."""
+    (and, with ``gps`` = (lat_ref, (d,m,s100), lon_ref, (d,m,s100)),
+    a GPS IFD of deg/min/sec rationals), Exif sub-IFD with
+    DateTimeOriginal and pixel dims — tag order ascending per spec,
+    long values placed in a trailing value area with TIFF-relative
+    offsets."""
     import struct
 
     e = ">" if big_endian else "<"
     makeb = make.encode() + b"\0"
     modelb = model.encode() + b"\0"
     dtb = dt_original.encode() + b"\0"
+    n0 = 6 if gps else 5
     ifd0_off = 8
-    ifd0_size = 2 + 5 * 12 + 4
+    ifd0_size = 2 + n0 * 12 + 4
     exif_off = ifd0_off + ifd0_size
     exif_size = 2 + 3 * 12 + 4
-    val_off = exif_off + exif_size
+    gps_off = exif_off + exif_size
+    gps_size = (2 + 4 * 12 + 4) if gps else 0
+    val_off = gps_off + gps_size
     vals = bytearray()
 
     def place(raw: bytes) -> int:
@@ -3693,22 +3711,35 @@ def _encode_exif_app1(
             return head + raw.ljust(4, b"\0")
         return head + struct.pack(e + "I", place(raw))
 
-    ifd0 = struct.pack(e + "H", 5)
+    ifd0 = struct.pack(e + "H", n0)
     ifd0 += entry(0x010F, 2, len(makeb), makeb)
     ifd0 += entry(0x0110, 2, len(modelb), modelb)
     ifd0 += entry(0x0112, 3, 1, struct.pack(e + "H", orientation))
     ifd0 += entry(0x011A, 5, 1, struct.pack(e + "II", *xres))
     ifd0 += entry(0x8769, 4, 1, struct.pack(e + "I", exif_off))
+    if gps:
+        ifd0 += entry(0x8825, 4, 1, struct.pack(e + "I", gps_off))
     ifd0 += struct.pack(e + "I", 0)  # no IFD1 thumbnail
     sub = struct.pack(e + "H", 3)
     sub += entry(0x9003, 2, len(dtb), dtb)
     sub += entry(0xA002, 4, 1, struct.pack(e + "I", pixel_w))
     sub += entry(0xA003, 4, 1, struct.pack(e + "I", pixel_h))
     sub += struct.pack(e + "I", 0)
+    gblk = b""
+    if gps:
+        lat_ref, (ld, lm, ls100), lon_ref, (od, om, os100) = gps
+        lat = struct.pack(e + "IIIIII", ld, 1, lm, 1, ls100, 100)
+        lon = struct.pack(e + "IIIIII", od, 1, om, 1, os100, 100)
+        gblk = struct.pack(e + "H", 4)
+        gblk += entry(0x0001, 2, 2, lat_ref.encode() + b"\0")
+        gblk += entry(0x0002, 5, 3, lat)
+        gblk += entry(0x0003, 2, 2, lon_ref.encode() + b"\0")
+        gblk += entry(0x0004, 5, 3, lon)
+        gblk += struct.pack(e + "I", 0)
     tiff = (
         (b"MM" if big_endian else b"II")
         + struct.pack(e + "HI", 42, ifd0_off)
-        + ifd0 + sub + bytes(vals)
+        + ifd0 + sub + gblk + bytes(vals)
     )
     payload = b"Exif\x00\x00" + tiff
     return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
@@ -3725,32 +3756,25 @@ def jpeg_exif_meta(
         import struct
 
         cols = ["media_id", "endian", "orientation", "make", "model",
-                "dt_original", "pixel_w", "pixel_h", "x_resolution"]
+                "dt_original", "pixel_w", "pixel_h", "x_resolution",
+                "gps_lat_ref", "gps_lat", "gps_lon_ref", "gps_lon"]
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf[id_col], pdf[content_col]):
                 try:
                     m = jpeg_exif(bytes(blob))
-                    rows.append({
-                        "media_id": mid, "endian": m["endian"],
-                        "orientation": m["orientation"],
-                        "make": m["make"], "model": m["model"],
-                        "dt_original": m["dt_original"],
-                        "pixel_w": m["pixel_w"], "pixel_h": m["pixel_h"],
-                        "x_resolution": m["x_resolution"],
-                    })
+                    rows.append({"media_id": mid, **{
+                        k: m[k] for k in cols[1:]
+                    }})
                 except (ValueError, IndexError, TypeError, struct.error):
-                    rows.append({
-                        "media_id": mid, "endian": None,
-                        "orientation": None, "make": None, "model": None,
-                        "dt_original": None, "pixel_w": None,
-                        "pixel_h": None, "x_resolution": None,
-                    })
+                    rows.append({"media_id": mid,
+                                 **{k: None for k in cols[1:]}})
             yield pd.DataFrame(rows, columns=cols)
 
     return docs.select(id_col, content_col).mapInPandas(
         _walk,
         schema="media_id bigint, endian string, orientation int, "
         "make string, model string, dt_original string, pixel_w int, "
-        "pixel_h int, x_resolution string",
+        "pixel_h int, x_resolution string, gps_lat_ref string, "
+        "gps_lat string, gps_lon_ref string, gps_lon string",
     )

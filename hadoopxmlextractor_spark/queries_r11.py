@@ -637,7 +637,9 @@ def q_source_ods_cells(spark: SparkSession, sf: str) -> DataFrame:
              {_b('exif', 4)} AS b4, {_b('exif', 5)} AS b5,
              {_b('exif', 6)} AS b6, {_b('exif', 7)} AS b7,
              {_b('exif', 8)} AS b8, {_b('exif', 9)} AS b9,
-             {_b('exif', 10)} AS b10, {_b('exif', 11)} AS b11
+             {_b('exif', 10)} AS b10, {_b('exif', 11)} AS b11,
+             {_b('exif', 12)} AS b12, {_b('exif', 13)} AS b13,
+             {_b('exif', 14)} AS b14, {_b('exif', 15)} AS b15
       FROM documents
     )
     SELECT doc_id AS media_id,
@@ -664,7 +666,21 @@ def q_source_ods_cells(spark: SparkSession, sf: str) -> DataFrame:
                 ELSE CAST(16 * (1 + b10 % 64) AS INT) END AS pixel_h,
            CASE WHEN doc_id % 7 = 3 THEN NULL
                 ELSE CAST((1 + b11 % 4) * 72 AS VARCHAR) || '/'
-                  || CAST(1 + b11 % 2 AS VARCHAR) END AS x_resolution
+                  || CAST(1 + b11 % 2 AS VARCHAR) END AS x_resolution,
+           CASE WHEN doc_id % 7 = 3 OR doc_id % 3 <> 0 THEN NULL
+                WHEN b12 % 2 = 0 THEN 'N' ELSE 'S' END AS gps_lat_ref,
+           CASE WHEN doc_id % 7 = 3 OR doc_id % 3 <> 0 THEN NULL
+                ELSE CAST(b12 % 90 AS VARCHAR) || '/1 '
+                  || CAST(b13 % 60 AS VARCHAR) || '/1 '
+                  || CAST((b14 * 37) % 6000 AS VARCHAR) || '/100'
+                END AS gps_lat,
+           CASE WHEN doc_id % 7 = 3 OR doc_id % 3 <> 0 THEN NULL
+                WHEN b13 % 2 = 0 THEN 'E' ELSE 'W' END AS gps_lon_ref,
+           CASE WHEN doc_id % 7 = 3 OR doc_id % 3 <> 0 THEN NULL
+                ELSE CAST(b15 % 180 AS VARCHAR) || '/1 '
+                  || CAST(b14 % 60 AS VARCHAR) || '/1 '
+                  || CAST((b15 * 53) % 6000 AS VARCHAR) || '/100'
+                END AS gps_lon
     FROM p
     """,
 )
@@ -705,6 +721,14 @@ def q_multimodal_image_exif(spark: SparkSession, sf: str) -> DataFrame:
                     f"{1 + b[5] % 28:02d} {b[6] % 24:02d}:"
                     f"{b[7] % 60:02d}:{b[8] % 60:02d}"
                 )
+                gps = None
+                if i % 3 == 0:  # a third of the images are geotagged
+                    gps = (
+                        "N" if b[12] % 2 == 0 else "S",
+                        (b[12] % 90, b[13] % 60, (b[14] * 37) % 6000),
+                        "E" if b[13] % 2 == 0 else "W",
+                        (b[15] % 180, b[14] % 60, (b[15] * 53) % 6000),
+                    )
                 app1 = M._encode_exif_app1(
                     big_endian=(i % 2 == 1),
                     orientation=1 + b[0] % 8,
@@ -714,6 +738,7 @@ def q_multimodal_image_exif(spark: SparkSession, sf: str) -> DataFrame:
                     pixel_w=16 * (1 + b[9] % 64),
                     pixel_h=16 * (1 + b[10] % 64),
                     xres=((1 + b[11] % 4) * 72, 1 + b[11] % 2),
+                    gps=gps,
                 )
                 out.append(base[:2] + app1 + base[2:])
             yield pd.Series(out)

@@ -1750,3 +1750,31 @@ def test_exif_roundtrip_both_endians_and_refusals():
     bad[voff_at : voff_at + 4] = struct.pack("<I", 1 << 24)
     with pytest.raises(ValueError, match="out of range"):
         M.jpeg_exif(bytes(bad))
+
+
+def test_exif_gps_ifd():
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import jpeg as J
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    base = J.encode_jpeg(np.full((8, 8, 3), 128, np.uint8))
+    for big in (False, True):
+        app1 = M._encode_exif_app1(
+            big_endian=big, orientation=1, make="Canon", model="M",
+            dt_original="2022:06:01 12:00:00", pixel_w=64, pixel_h=64,
+            xres=(72, 1),
+            gps=("S", (40, 26, 4625), "W", (79, 58, 5600)),
+        )
+        m = M.jpeg_exif(base[:2] + app1 + base[2:])
+        assert (m["gps_lat_ref"], m["gps_lon_ref"]) == ("S", "W")
+        assert m["gps_lat"] == "40/1 26/1 4625/100"
+        assert m["gps_lon"] == "79/1 58/1 5600/100"
+    # GPS-less EXIF reports NULL gps fields, not an error
+    app1 = M._encode_exif_app1(
+        big_endian=False, orientation=1, make="Canon", model="M",
+        dt_original="2022:06:01 12:00:00", pixel_w=64, pixel_h=64,
+        xres=(72, 1),
+    )
+    m = M.jpeg_exif(base[:2] + app1 + base[2:])
+    assert m["gps_lat"] is None and m["gps_lon_ref"] is None
