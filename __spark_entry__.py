@@ -78,6 +78,7 @@ FRONT = [
     "archive_zip64_meta",
     "source_odf_text",
     "source_ods_cells",
+    "source_odf_metadata",
     "multimodal_image_exif",
     "multimodal_audio_alac_decode",
     "multimodal_audio_alac_hires",

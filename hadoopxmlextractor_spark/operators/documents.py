@@ -1345,6 +1345,71 @@ def _ods_extract(blob: bytes) -> list[dict]:
     return out
 
 
+def _odf_metadata(blob: bytes) -> dict:
+    """Document metadata of any ODF package (meta.xml): kind from the
+    mimetype member, Dublin-Core title/creator/date plus the
+    meta:document-statistic counts (word/page) — the office twin of
+    the PDF /Info and EPUB OPF metadata walks. Packages without
+    meta.xml report NULL fields (kind still resolves)."""
+    members = _zip_open_map(blob)
+    kind = _odf_kind(members)
+    if kind is None:
+        raise ValueError("not an ODF package")
+    out = {"kind": kind, "title": None, "creator": None, "date": None,
+           "word_count": None, "page_count": None}
+    meta = members.get("meta.xml")
+    if meta is None:
+        return out
+    root = ElementTree.fromstring(meta)
+    for el in root.iter():
+        loc = _local(el.tag)
+        if loc == "title":
+            out["title"] = el.text
+        elif loc == "creator":
+            out["creator"] = el.text
+        elif loc == "date":
+            out["date"] = el.text
+        elif loc == "document-statistic":
+            for k, v in el.attrib.items():
+                if _local(k) == "word-count":
+                    out["word_count"] = int(v)
+                elif _local(k) == "page-count":
+                    out["page_count"] = int(v)
+    return out
+
+
+def odf_metadata(
+    docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """One metadata row per ODF package in one Arrow pass; malformed
+    packages yield the kind-NULL marker row."""
+
+    def _meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "kind", "title", "creator", "date",
+                "word_count", "page_count"]
+        for pdf in batches:
+            rows = []
+            for did, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    rows.append(
+                        {"doc_id": did, **_odf_metadata(bytes(blob))}
+                    )
+                except (ValueError, IndexError, KeyError, struct.error,
+                        zlib.error, ElementTree.ParseError, TypeError):
+                    rows.append({
+                        "doc_id": did, "kind": None, "title": None,
+                        "creator": None, "date": None,
+                        "word_count": None, "page_count": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select(id_col, content_col).mapInPandas(
+        _meta,
+        schema="doc_id bigint, kind string, title string, "
+        "creator string, date string, word_count int, page_count int",
+    )
+
+
 def ods_cells(
     docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:

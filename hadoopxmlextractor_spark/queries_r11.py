@@ -1037,3 +1037,101 @@ def q_multimodal_audio_alac_hires(spark: SparkSession, sf: str) -> DataFrame:
         "channels int, n_packets int, n_samples bigint, sum_l bigint, "
         "sumsq_l bigint, sum_r bigint, sumsq_r bigint",
     )
+
+
+@query(
+    "source_odf_metadata",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('odfm', 0)} AS b0, {_b('odfm', 1)} AS b1,
+             {_b('odfm', 2)} AS b2, {_b('odfm', 3)} AS b3,
+             {_b('odfm', 4)} AS b4, {_b('odfm', 5)} AS b5
+      FROM documents
+    )
+    SELECT doc_id,
+           (['text', 'presentation', 'spreadsheet'])[b0 % 3 + 1] AS kind,
+           CASE WHEN b1 % 4 = 0 THEN NULL
+                ELSE (['Quarterly Report', 'Field Notes', 'Slides',
+                       'Budget'])[b2 % 4 + 1] || ' '
+                     || CAST(doc_id AS VARCHAR) END AS title,
+           CASE WHEN b1 % 4 = 0 THEN NULL
+                ELSE (['ana', 'bo', 'chen', 'dee'])[b3 % 4 + 1]
+                END AS creator,
+           CASE WHEN b1 % 4 = 0 THEN NULL
+                ELSE CAST(2010 + b4 % 15 AS VARCHAR) || '-0'
+                  || CAST(1 + b4 % 9 AS VARCHAR) || '-'
+                  || lpad(CAST(1 + b5 % 28 AS VARCHAR), 2, '0')
+                  || 'T0' || CAST(b5 % 10 AS VARCHAR) || ':30:00'
+                END AS date,
+           CASE WHEN b1 % 4 = 0 THEN NULL
+                ELSE CAST(10 + b2 * 7 % 990 AS INT) END AS word_count,
+           CASE WHEN b1 % 4 = 0 THEN NULL
+                ELSE CAST(1 + b3 % 40 AS INT) END AS page_count
+    FROM p
+    """,
+)
+def q_source_odf_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    # ODF meta.xml — the office twin of pdf_metadata/epub_metadata,
+    # the fields a curator dedups and filters on (title/creator/date,
+    # document-statistic counts): kind rotates across all three ODF
+    # families, a quarter of packages ship NO meta.xml and must
+    # report NULL fields with the kind still resolved (the partial-
+    # metadata arm real corpora are full of). One Arrow pass.
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    kinds = ["text", "presentation", "spreadsheet"]
+    titles = ["Quarterly Report", "Field Notes", "Slides", "Budget"]
+    names = ["ana", "bo", "chen", "dee"]
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from hadoopxmlextractor_spark.operators.documents import build_zip
+
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                b = hashlib.md5(f"{i}:odfm".encode()).digest()
+                kind = kinds[b[0] % 3]
+                mime = (
+                    f"application/vnd.oasis.opendocument.{kind}".encode()
+                )
+                content = (
+                    f"<office:document-content{_ODF_NS}>"
+                    "<office:body/></office:document-content>"
+                )
+                members = [
+                    ("mimetype", mime, 0, False),
+                    ("content.xml", content.encode(), 8, False),
+                ]
+                if b[1] % 4 != 0:  # a quarter ship no meta.xml
+                    date = (
+                        f"{2010 + b[4] % 15}-0{1 + b[4] % 9}-"
+                        f"{1 + b[5] % 28:02d}T0{b[5] % 10}:30:00"
+                    )
+                    meta = (
+                        "<office:document-meta"
+                        ' xmlns:office="urn:oasis:names:tc:'
+                        'opendocument:xmlns:office:1.0"'
+                        ' xmlns:meta="urn:oasis:names:tc:'
+                        'opendocument:xmlns:meta:1.0"'
+                        ' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+                        "<office:meta>"
+                        f"<dc:title>{titles[b[2] % 4]} {i}</dc:title>"
+                        f"<dc:creator>{names[b[3] % 4]}</dc:creator>"
+                        f"<dc:date>{date}</dc:date>"
+                        '<meta:document-statistic '
+                        f'meta:word-count="{10 + b[2] * 7 % 990}" '
+                        f'meta:page-count="{1 + b[3] % 40}"/>'
+                        "</office:meta></office:document-meta>"
+                    )
+                    members.append(("meta.xml", meta.encode(), 8, False))
+                out.append(build_zip(members))
+            yield pd.Series(out)
+
+    return D.odf_metadata(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )

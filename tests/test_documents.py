@@ -1388,7 +1388,7 @@ def test_r11_query_plan_shapes(spark):
     sf = "/root/testdata/sf0.001"
     for name in ("source_warc_charset", "archive_zip64_meta",
                  "source_odf_text", "source_ods_cells",
-                 "multimodal_image_exif"):
+                 "source_odf_metadata", "multimodal_image_exif"):
         plan = QUERIES[name](spark, sf) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
@@ -1400,3 +1400,42 @@ def test_r11_query_plan_shapes(spark):
         assert "BatchEvalPython" not in plan, name
         assert plan.count("Exchange") == 1, name  # the id repartition
         assert "RoundRobinPartitioning" in plan, name
+
+
+def test_odf_metadata_walk():
+    from hadoopxmlextractor_spark import queries_r11 as R
+
+    meta = (
+        '<office:document-meta'
+        ' xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0"'
+        ' xmlns:meta="urn:oasis:names:tc:opendocument:xmlns:meta:1.0"'
+        ' xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        "<office:meta><dc:title>T1</dc:title><dc:creator>who</dc:creator>"
+        "<dc:date>2020-01-02T03:04:05</dc:date>"
+        '<meta:document-statistic meta:word-count="42" '
+        'meta:page-count="3"/></office:meta></office:document-meta>'
+    )
+    content = (
+        f"<office:document-content{R._ODF_NS}>"
+        "<office:body/></office:document-content>"
+    )
+    blob = D.build_zip([
+        ("mimetype", b"application/vnd.oasis.opendocument.text", 0, False),
+        ("content.xml", content.encode(), 8, False),
+        ("meta.xml", meta.encode(), 8, False),
+    ])
+    m = D._odf_metadata(blob)
+    assert m == {"kind": "text", "title": "T1", "creator": "who",
+                 "date": "2020-01-02T03:04:05", "word_count": 42,
+                 "page_count": 3}
+    # meta-less package: kind resolves, fields NULL
+    blob = D.build_zip([
+        ("mimetype", b"application/vnd.oasis.opendocument.spreadsheet",
+         0, False),
+        ("content.xml", content.encode(), 8, False),
+    ])
+    m = D._odf_metadata(blob)
+    assert m["kind"] == "spreadsheet" and m["title"] is None
+    # non-ODF refuses
+    with pytest.raises(ValueError, match="not an ODF"):
+        D._odf_metadata(D.build_zip([("x.txt", b"y", 0, False)]))
