@@ -41,6 +41,7 @@ def _b(salt: str, k: int) -> str:
 # arm's codec, so the oracle replays it as a UTF-8 SQL literal.
 _CP1252_PHRASES = ["café", "naïve", "über", "don’t"]
 _SJIS_PHRASES = ["カフェ", "東京", "日本語", "テスト"]
+_GBK_PHRASES = ["中文", "汉字", "北京", "数据"]
 _ANY_PHRASES = ["déjà", "Σigma", "中文", "żółw"]
 
 # arm → (python codec reported, enc_source reported)
@@ -53,6 +54,8 @@ _CHARSET_ARMS = [
     ("utf-16", "bom"),       # 5: UTF-16LE BOM
     ("utf-8", "header"),     # 6: header utf-8 BEATS conflicting meta
     ("utf-8", "default"),    # 7: bogus header label → fallback
+    ("euc-jp", "header"),    # 8: Content-Type charset=euc-jp
+    ("gbk", "meta"),         # 9: <meta charset="gb2312"> → gbk
 ]
 
 
@@ -63,11 +66,13 @@ def _charset_page(i: int) -> tuple[bytes, bytes]:
 
     x = hashlib.md5(f"{i}:chs".encode()).hexdigest()
     b0 = hashlib.md5(f"{i}:chsp".encode()).digest()[0]
-    arm = i % 8
-    if arm == 2:
+    arm = i % 10
+    if arm in (2, 8):
         phrase = _SJIS_PHRASES[b0 % 4]
     elif arm in (1, 3):
         phrase = _CP1252_PHRASES[b0 % 4]
+    elif arm == 9:
+        phrase = _GBK_PHRASES[b0 % 4]
     else:
         phrase = _ANY_PHRASES[b0 % 4]
     meta = ""
@@ -75,6 +80,8 @@ def _charset_page(i: int) -> tuple[bytes, bytes]:
         meta = '<meta charset="shift_jis">'
     elif arm == 6:
         meta = '<meta charset="shift_jis">'  # loses to the header
+    elif arm == 9:
+        meta = '<meta charset="gb2312">'  # WHATWG: gb2312 → gbk
     html = (
         f"<html><head><title>skip</title>{meta}</head>"
         f"<body><h1>{phrase} w{x[0:2]}</h1>"
@@ -85,8 +92,11 @@ def _charset_page(i: int) -> tuple[bytes, bytes]:
         3: b"text/html; charset=iso-8859-1",
         6: b"text/html; charset=utf-8",
         7: b"text/html; charset=bogus-enc",
+        8: b"text/html; charset=euc-jp",
     }.get(arm, b"text/html")
-    codec = {1: "cp1252", 2: "cp932", 3: "cp1252"}.get(arm, "utf-8")
+    codec = {
+        1: "cp1252", 2: "cp932", 3: "cp1252", 8: "euc-jp", 9: "gbk",
+    }.get(arm, "utf-8")
     body = html.encode(codec)
     if arm == 4:
         body = b"\xef\xbb\xbf" + body
@@ -99,7 +109,7 @@ def _charset_page(i: int) -> tuple[bytes, bytes]:
     "source_warc_charset",
     """
     WITH h AS (
-      SELECT doc_id, doc_id % 8 AS arm,
+      SELECT doc_id, doc_id % 10 AS arm,
              md5(CAST(doc_id AS VARCHAR) || ':chs') AS x,
              CAST(('0x' || substring(
                md5(CAST(doc_id AS VARCHAR) || ':chsp'), 1, 2)) AS BIGINT)
@@ -108,10 +118,12 @@ def _charset_page(i: int) -> tuple[bytes, bytes]:
     ),
     p AS (
       SELECT doc_id, arm, x,
-             CASE WHEN arm = 2
+             CASE WHEN arm IN (2, 8)
                     THEN (['カフェ', '東京', '日本語', 'テスト'])[b0 % 4 + 1]
                   WHEN arm IN (1, 3)
                     THEN (['café', 'naïve', 'über', 'don’t'])[b0 % 4 + 1]
+                  WHEN arm = 9
+                    THEN (['中文', '汉字', '北京', '数据'])[b0 % 4 + 1]
                   ELSE (['déjà', 'Σigma', '中文', 'żółw'])[b0 % 4 + 1]
              END AS phrase
       FROM h
@@ -127,10 +139,12 @@ def _charset_page(i: int) -> tuple[bytes, bytes]:
            CAST(200 AS INT) AS http_status,
            CASE arm WHEN 1 THEN 'cp1252' WHEN 2 THEN 'cp932'
                     WHEN 3 THEN 'cp1252' WHEN 4 THEN 'utf-8-sig'
-                    WHEN 5 THEN 'utf-16' ELSE 'utf-8' END AS encoding,
+                    WHEN 5 THEN 'utf-16' WHEN 8 THEN 'euc-jp'
+                    WHEN 9 THEN 'gbk' ELSE 'utf-8' END AS encoding,
            CASE arm WHEN 1 THEN 'header' WHEN 2 THEN 'meta'
                     WHEN 3 THEN 'header' WHEN 4 THEN 'bom'
                     WHEN 5 THEN 'bom' WHEN 6 THEN 'header'
+                    WHEN 8 THEN 'header' WHEN 9 THEN 'meta'
                     ELSE 'default' END AS enc_source,
            extracted,
            CAST(length(extracted) AS INT) AS n_chars
@@ -141,13 +155,14 @@ def q_source_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     # DECLARED-CHARSET fidelity for captured pages (r10 verdict item
     # 1): real crawls are 5-15% non-UTF-8 with a DECLARED charset, and
     # WET generation resolves it deterministically before any
-    # heuristic. Eight rotating arms cover every resolution mechanism:
-    # undeclared utf-8 fallback / Content-Type charset= header (both a
-    # true windows-1252 label and the iso-8859-1 label that must decode
-    # as cp1252 per the WHATWG mapping) / <meta charset> prescan
-    # (shift_jis→cp932) / UTF-8 and UTF-16LE BOMs (BOM wins) / a
-    # header-vs-meta CONFLICT (header wins) / a bogus header label
-    # (falls through, never errors). Bodies carry planted non-ASCII
+    # heuristic. Ten rotating arms cover every resolution mechanism:
+    # undeclared utf-8 fallback / Content-Type charset= header (a true
+    # windows-1252 label, the iso-8859-1 label that must decode as
+    # cp1252 per the WHATWG mapping, and euc-jp) / <meta charset>
+    # prescan (shift_jis→cp932, gb2312→gbk) / UTF-8 and UTF-16LE BOMs
+    # (BOM wins) / a header-vs-meta CONFLICT (header wins) / a bogus
+    # header label (falls through, never errors). Bodies carry
+    # planted non-ASCII
     # vocabulary only the correct decode preserves; gzip content-
     # coding rotates on top, so the coding-undo and charset stages are
     # proven composed. encoding/enc_source are the per-row attribution
