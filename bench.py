@@ -71,6 +71,11 @@ HEADLINE = [
     # heaviest per-blob DSP kernel in the engine)
     "pipeline_crawl_to_markdown",
     "multimodal_audio_flac_decode",
+    # round-11 additions: the native ALAC decode (adaptive-Golomb +
+    # sign-adaptive LPC — the new heaviest audio kernel) and the
+    # declared-charset crawl source (WARC explode + charset resolve)
+    "multimodal_audio_alac_decode",
+    "source_warc_charset",
 ]
 
 N_XML_DOCS = 500
@@ -114,8 +119,13 @@ REFERENCE = {
     "corpus_minhash_semantic_scope": 2.45,
     "source_pdf_text": 1.0,
     "pipeline_documents_to_corpus": 2.0,
-    "pipeline_crawl_to_markdown": 3.8,
-    "multimodal_audio_flac_decode": 1.8,
+    # r11: crawl→markdown re-measured at 1.66 warm min after the
+    # warc_records frame-flush fix — the old 3.8 reference let the
+    # sampler accept warm-up-inflated values
+    "pipeline_crawl_to_markdown": 1.7,
+    "multimodal_audio_flac_decode": 1.6,
+    "multimodal_audio_alac_decode": 1.2,
+    "source_warc_charset": 1.1,
 }
 
 
