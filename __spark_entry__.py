@@ -79,6 +79,7 @@ FRONT = [
     "source_odf_text",
     "source_ods_cells",
     "source_odf_metadata",
+    "pipeline_mbox_attachments",
     "multimodal_image_exif",
     "multimodal_audio_alac_decode",
     "multimodal_audio_alac_hires",

@@ -3500,6 +3500,68 @@ def mbox_messages(text: str) -> list[dict]:
     return out
 
 
+def mbox_attachments(text: str) -> list[dict]:
+    """Attachment parts of every message in an mbox file: multipart
+    bodies walked for parts carrying a Content-Disposition attachment
+    (or any filename= / name= parameter — real mailers disagree),
+    payload decoded through Content-Transfer-Encoding (base64 with
+    RFC 2045 line wrapping, quoted-printable, 7bit/8bit pass-through).
+    Returns (msg_idx, att_idx, filename, mime, payload) rows — the
+    extraction step that feeds email-borne PDFs/DOCX/images into the
+    document tier (r11). Messages without attachments contribute no
+    rows; a multipart without a boundary raises (the same refusal as
+    mbox_messages)."""
+    import base64
+    import quopri
+
+    chunks = re.split(r"(?:^|\n)From [^\n]*\n", text)
+    out = []
+    msg_idx = -1
+    for chunk in chunks:
+        if not chunk.strip():
+            continue
+        msg_idx += 1
+        head, _, body = chunk.partition("\n\n")
+        headers = _parse_headers(head)
+        ctype = headers.get("content-type", "text/plain")
+        if not ctype.startswith("multipart/"):
+            continue
+        m = re.search(r'boundary="?([^";]+)"?', ctype)
+        if m is None:
+            raise ValueError("multipart without boundary")
+        att_idx = 0
+        for part in body.split(f"--{m.group(1)}")[1:]:
+            if part.strip() in ("", "--"):
+                continue
+            phead, _, pbody = part.lstrip("\n").partition("\n\n")
+            ph = _parse_headers(phead)
+            disp = ph.get("content-disposition", "")
+            pct = ph.get("content-type", "text/plain")
+            fm = re.search(
+                r'(?:filename|name)="?([^";]+)"?', disp + ";" + pct
+            )
+            if not disp.startswith("attachment") and fm is None:
+                continue
+            cte = ph.get("content-transfer-encoding", "7bit").lower()
+            if cte == "base64":
+                payload = base64.b64decode(
+                    re.sub(r"\s", "", pbody), validate=True
+                )
+            elif cte == "quoted-printable":
+                payload = quopri.decodestring(pbody.encode("latin-1"))
+            else:
+                payload = pbody.encode("latin-1")
+            out.append({
+                "msg_idx": msg_idx,
+                "att_idx": att_idx,
+                "filename": fm.group(1) if fm else None,
+                "mime": pct.split(";")[0].strip(),
+                "payload": payload,
+            })
+            att_idx += 1
+    return out
+
+
 def mbox_emails(
     docs: DataFrame, content_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:

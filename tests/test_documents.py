@@ -1394,7 +1394,8 @@ def test_r11_query_plan_shapes(spark):
         assert "BatchEvalPython" not in plan, name
         assert "Exchange" not in plan, name  # one Arrow pass
     for name in ("multimodal_audio_alac_decode",
-                 "multimodal_audio_alac_hires"):
+                 "multimodal_audio_alac_hires",
+                 "pipeline_mbox_attachments"):
         plan = QUERIES[name](spark, sf) \
             ._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan, name
@@ -1439,3 +1440,41 @@ def test_odf_metadata_walk():
     # non-ODF refuses
     with pytest.raises(ValueError, match="not an ODF"):
         D._odf_metadata(D.build_zip([("x.txt", b"y", 0, False)]))
+
+
+def test_mbox_attachments_decode_forms():
+    import base64
+
+    blob = D.synth_text_document("docx", ["a b", "c d"], flate=True)
+    b64 = base64.b64encode(blob).decode()
+    wrapped = "\n".join(b64[k : k + 40] for k in range(0, len(b64), 40))
+    # two messages: disposition-filename form and Content-Type name=
+    # form; plus a quoted-printable text attachment; inline text parts
+    # contribute nothing
+    mbox = (
+        'From a\nFrom: x@y\nContent-Type: multipart/mixed; '
+        'boundary="Q1"\n\n'
+        "--Q1\nContent-Type: text/plain\n\ncover\n--Q1\n"
+        "Content-Type: application/octet-stream\n"
+        "Content-Transfer-Encoding: base64\n"
+        'Content-Disposition: attachment; filename="f.docx"\n\n'
+        + wrapped + "\n--Q1--\n"
+        'From b\nFrom: x@y\nContent-Type: multipart/mixed; '
+        'boundary="Q2"\n\n'
+        '--Q2\nContent-Type: text/csv; name="t.csv"\n'
+        "Content-Transfer-Encoding: quoted-printable\n\n"
+        "a=3Db,c\n--Q2--\n"
+        "From c\nFrom: x@y\n\nplain message, no attachments\n"
+    )
+    rows = D.mbox_attachments(mbox)
+    assert [(r["msg_idx"], r["att_idx"], r["filename"]) for r in rows] == [
+        (0, 0, "f.docx"), (1, 0, "t.csv"),
+    ]
+    assert rows[0]["payload"] == blob
+    assert D._docx_extract(rows[0]["payload"])[1] == "a b\nc d"
+    assert rows[1]["payload"] == b"a=b,c\n"
+    assert rows[1]["mime"] == "text/csv"
+    # corrupt base64 refuses (never silently truncates a document)
+    bad = mbox.replace(wrapped, wrapped[:-10] + "!!!damaged")
+    with pytest.raises(Exception):
+        D.mbox_attachments(bad)
