@@ -80,6 +80,7 @@ FRONT = [
     "source_ods_cells",
     "source_odf_metadata",
     "pipeline_mbox_attachments",
+    "source_subtitle_ass",
     "multimodal_image_exif",
     "multimodal_audio_alac_decode",
     "multimodal_audio_alac_hires",

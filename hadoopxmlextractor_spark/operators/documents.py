@@ -1599,12 +1599,67 @@ def _ts_ms(h, m, s, ms) -> int:
     return ((int(h or 0) * 60 + int(m)) * 60 + int(s)) * 1000 + int(ms)
 
 
+def _parse_ass_cues(text: str) -> list[tuple[int, int, str]]:
+    """Cues of an ASS/SSA script (r11 — the third real subtitle
+    family): the [Events] section's Format line maps field order,
+    Dialogue lines carry H:MM:SS.cc CENTISECOND timestamps, the Text
+    field keeps embedded commas, ``{\\...}`` override blocks strip,
+    ``\\N``/``\\n`` are line breaks and ``\\h`` a hard space.
+    Comment: lines are skipped."""
+    fields: list[str] | None = None
+    cues = []
+    in_events = False
+    for line in text.replace("\r\n", "\n").split("\n"):
+        s = line.strip()
+        if s.startswith("["):
+            in_events = s.lower() == "[events]"
+            continue
+        if not in_events or not s:
+            continue
+        key, _, rest = s.partition(":")
+        key = key.strip().lower()
+        if key == "format":
+            fields = [f.strip().lower() for f in rest.split(",")]
+            continue
+        if key == "comment":
+            continue
+        if key != "dialogue":
+            continue
+        if fields is None:
+            raise ValueError("ASS Dialogue before Format")
+        vals = rest.split(",", len(fields) - 1)  # Text keeps commas
+        if len(vals) < len(fields):
+            raise ValueError("short ASS Dialogue line")
+        row = {f: v for f, v in zip(fields, vals)}
+
+        def cs_ms(ts: str) -> int:
+            m = re.match(r"\s*(\d+):(\d\d):(\d\d)\.(\d\d)\s*$", ts)
+            if m is None:
+                raise ValueError(f"bad ASS timestamp {ts!r}")
+            h, mi, se, cc = (int(g) for g in m.groups())
+            return ((h * 60 + mi) * 60 + se) * 1000 + cc * 10
+
+        body = row["text"].strip()
+        body = re.sub(r"\{[^}]*\}", "", body)  # override blocks
+        body = body.replace("\\N", "\n").replace("\\n", "\n")
+        body = body.replace("\\h", " ")
+        cues.append((cs_ms(row["start"]), cs_ms(row["end"]), body))
+    if not cues:
+        raise ValueError("ASS script with no Dialogue events")
+    return cues
+
+
 def _parse_cues(text: str) -> tuple[str, list[tuple[int, int, str]]]:
-    """(kind, [(start_ms, end_ms, text)]) of an SRT or WebVTT payload.
-    WebVTT: the WEBVTT signature line, NOTE/STYLE blocks skipped,
-    optional cue identifiers, optional hours field, cue settings after
-    the arrow ignored, <i>/<b>/<c>-style inline tags stripped. SRT:
-    numeric index lines, comma millisecond separator."""
+    """(kind, [(start_ms, end_ms, text)]) of an SRT, WebVTT, or
+    ASS/SSA payload. WebVTT: the WEBVTT signature line, NOTE/STYLE
+    blocks skipped, optional cue identifiers, optional hours field,
+    cue settings after the arrow ignored, <i>/<b>/<c>-style inline
+    tags stripped. SRT: numeric index lines, comma millisecond
+    separator. ASS: [Events] Format-driven Dialogue lines (r11)."""
+    if "[Script Info]" in text[:256] or text.lstrip().startswith(
+        "[Script Info]"
+    ):
+        return "ass", _parse_ass_cues(text)
     lines = text.replace("\r\n", "\n").replace("\r", "\n").split("\n")
     is_vtt = bool(lines) and lines[0].strip().startswith("WEBVTT")
     kind = "vtt" if is_vtt else "srt"

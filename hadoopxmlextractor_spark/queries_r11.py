@@ -1326,3 +1326,113 @@ def q_pipeline_mbox_attachments(spark: SparkSession, sf: str) -> DataFrame:
         "n_units",
         "text",
     )
+
+
+@query(
+    "source_subtitle_ass",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('ass', 0)} AS b0, {_b('ass', 1)} AS b1,
+             {_b('ass', 2)} AS b2, {_b('ass', 3)} AS b3,
+             {_b('ass', 4)} AS b4, {_b('ass', 5)} AS b5
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, cc.cc AS cc,
+             (3000 + 500 * (b1 % 10)) AS gap, (b2 % 100) * 10 AS tail,
+             b3, b4, b5
+      FROM p, (SELECT unnest(range(4)) AS cc) cc
+      WHERE cc.cc < 1 + b0 % 4
+    )
+    SELECT doc_id AS media_id, CAST(cc AS INT) AS cue_idx,
+           'ass' AS kind,
+           CAST(gap * cc + tail AS BIGINT) AS start_ms,
+           CAST(gap * cc + tail + 800 + 250 * ((b3 + cc) % 12) AS BIGINT)
+             AS end_ms,
+           (['alpha','bravo','charlie','delta','echo'])[(b4 + cc) % 5 + 1]
+             || ' line ' || CAST(cc AS VARCHAR)
+             || CASE WHEN (b5 + cc) % 2 = 1
+                THEN chr(10) || 'wrapped, with comma ' || CAST(cc AS VARCHAR)
+                ELSE '' END AS text
+    FROM c
+    """,
+)
+def q_source_subtitle_ass(spark: SparkSession, sf: str) -> DataFrame:
+    # ASS/SSA — the third real subtitle family (anime/fansub corpora
+    # ship it almost exclusively): [Events] Format-driven field order
+    # (a rotating extra field keeps the mapping live), H:MM:SS.cc
+    # CENTISECOND timestamps (the synth grid is 10 ms-aligned so the
+    # oracle stays integer-exact), {\\i1}-style override blocks
+    # stripped, \\N line breaks, the Text field keeping embedded
+    # commas past the Format-bounded split, and Comment: events
+    # skipped. Same cue-table contract as source_subtitle_cues. One
+    # Arrow pass, zero shuffles.
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents")
+    words = ["alpha", "bravo", "charlie", "delta", "echo"]
+
+    @F.pandas_udf("string")
+    def _ass(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                b = hashlib.md5(f"{i}:ass".encode()).digest()
+                gap = 3000 + 500 * (b[1] % 10)
+                tail = (b[2] % 100) * 10  # centisecond-aligned
+                extra = i % 2 == 1  # rotate a wider Format mapping
+
+                def ts(ms: int) -> str:
+                    cs = ms // 10
+                    return (
+                        f"{cs // 360000}:{cs // 6000 % 60:02d}:"
+                        f"{cs // 100 % 60:02d}.{cs % 100:02d}"
+                    )
+
+                fmt = (
+                    "Format: Layer, Start, End, Style, Name, MarginL, "
+                    "MarginR, MarginV, Effect, Text"
+                    if extra else
+                    "Format: Start, End, Style, Text"
+                )
+                lines = [
+                    "[Script Info]", "Title: synthetic", "",
+                    "[V4+ Styles]",
+                    "Format: Name, Fontname", "Style: Default,Arial", "",
+                    "[Events]", fmt,
+                ]
+                for cc in range(1 + b[0] % 4):
+                    start = gap * cc + tail
+                    end = start + 800 + 250 * ((b[3] + cc) % 12)
+                    body = f"{words[(b[4] + cc) % 5]} line {cc}"
+                    if (b[5] + cc) % 2 == 1:
+                        body += f"\\N{{\\i1}}wrapped,{{\\i0}} with comma {cc}"
+                    if extra:
+                        lines.append(
+                            f"Dialogue: 0,{ts(start)},{ts(end)},Default,"
+                            f",0,0,0,,{body}"
+                        )
+                    else:
+                        lines.append(
+                            f"Dialogue: {ts(start)},{ts(end)},Default,"
+                            f"{body}"
+                        )
+                    if cc == 0:
+                        lines.append(
+                            f"Comment: 0,{ts(start)},{ts(end)},Default,"
+                            ",0,0,0,,never emitted"
+                            if extra else
+                            f"Comment: {ts(start)},{ts(end)},Default,"
+                            "never emitted"
+                        )
+                out.append("\n".join(lines) + "\n")
+            yield pd.Series(out)
+
+    return D.subtitle_cues(
+        docs.select(
+            F.col("doc_id").alias("media_id"), _ass("doc_id").alias("content")
+        )
+    )

@@ -1478,3 +1478,25 @@ def test_mbox_attachments_decode_forms():
     bad = mbox.replace(wrapped, wrapped[:-10] + "!!!damaged")
     with pytest.raises(Exception):
         D.mbox_attachments(bad)
+
+
+def test_ass_subtitle_parse():
+    script = (
+        "[Script Info]\nTitle: t\n\n[Events]\n"
+        "Format: Layer, Start, End, Style, Text\n"
+        "Dialogue: 0,0:00:01.25,0:00:03.00,Default,"
+        "{\\i1}styled{\\i0} text\\Nsecond, line\n"
+        "Comment: 0,0:00:05.00,0:00:06.00,Default,never\n"
+        "Dialogue: 0,1:02:03.50,1:02:04.00,Default,plain\\hspace\n"
+    )
+    kind, cues = D._parse_cues(script)
+    assert kind == "ass"
+    assert cues == [
+        (1250, 3000, "styled text\nsecond, line"),
+        (3723500, 3724000, "plain space"),
+    ]
+    # Dialogue before Format refuses; empty Events refuses
+    with pytest.raises(ValueError, match="before Format"):
+        D._parse_ass_cues("[Events]\nDialogue: 0:00:01.00,0:00:02.00,x")
+    with pytest.raises(ValueError, match="no Dialogue"):
+        D._parse_ass_cues("[Script Info]\n[Events]\nFormat: Start, End, Text\n")
