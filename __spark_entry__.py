@@ -81,6 +81,7 @@ FRONT = [
     "source_odf_metadata",
     "pipeline_mbox_attachments",
     "source_subtitle_ass",
+    "pipeline_audio_cover_art",
     "multimodal_image_exif",
     "multimodal_audio_alac_decode",
     "multimodal_audio_alac_hires",

@@ -627,3 +627,79 @@ def _synth_flac_doc(i: int) -> bytes:
         sr_in_frame=bool(b[9] % 2),
         corrupt_md5=(int(i) % 11 == 5),
     )
+
+
+def flac_pictures(blob: bytes) -> list[dict]:
+    """PICTURE metadata blocks (type 6) — the embedded cover art real
+    FLAC files carry: per block the picture type (3 = front cover),
+    MIME, UTF-8 description, declared width/height/depth/colors, and
+    the raw image payload, all length-prefixed big-endian per the
+    FLAC metadata layout. Truncated structures raise (r11)."""
+    if blob[:4] != b"fLaC":
+        raise ValueError("not a FLAC stream")
+    pos = 4
+    out = []
+    while True:
+        hdr = blob[pos : pos + 4]
+        if len(hdr) < 4:
+            raise ValueError("truncated metadata block")
+        last = hdr[0] >> 7
+        btype = hdr[0] & 0x7F
+        blen = int.from_bytes(hdr[1:4], "big")
+        body = blob[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("truncated metadata body")
+        if btype == 6:
+            p = 0
+
+            def u32() -> int:
+                nonlocal p
+                if p + 4 > len(body):
+                    raise ValueError("truncated PICTURE block")
+                v = int.from_bytes(body[p : p + 4], "big")
+                p += 4
+                return v
+
+            pic_type = u32()
+            ml = u32()
+            mime = body[p : p + ml].decode("ascii")
+            p += ml
+            dl = u32()
+            desc = body[p : p + dl].decode("utf-8")
+            p += dl
+            width, height, depth, colors, n = (
+                u32(), u32(), u32(), u32(), u32()
+            )
+            data = body[p : p + n]
+            if len(data) < n:
+                raise ValueError("truncated picture data")
+            out.append({
+                "pic_type": pic_type, "mime": mime, "description": desc,
+                "width": width, "height": height, "depth": depth,
+                "colors": colors, "data": data,
+            })
+        pos += 4 + blen
+        if last:
+            break
+    return out
+
+
+def build_flac_picture_block(
+    *, pic_type: int, mime: str, description: str, width: int,
+    height: int, depth: int, data: bytes, last: bool = True,
+) -> bytes:
+    """One PICTURE metadata block (write partner of
+    :func:`flac_pictures`)."""
+    mb = mime.encode("ascii")
+    db = description.encode("utf-8")
+    body = (
+        pic_type.to_bytes(4, "big")
+        + len(mb).to_bytes(4, "big") + mb
+        + len(db).to_bytes(4, "big") + db
+        + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        + depth.to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + len(data).to_bytes(4, "big") + data
+    )
+    return bytes([(0x80 if last else 0) | 6]) + len(body).to_bytes(
+        3, "big"
+    ) + body

@@ -1436,3 +1436,128 @@ def q_source_subtitle_ass(spark: SparkSession, sf: str) -> DataFrame:
             F.col("doc_id").alias("media_id"), _ass("doc_id").alias("content")
         )
     )
+
+
+@query(
+    "pipeline_audio_cover_art",
+    f"""
+    WITH meta AS (
+      SELECT doc_id, {_b('cartp', 0)} AS b0, {_b('cartp', 1)} AS b1
+      FROM documents
+    ),
+    lum AS (
+      SELECT doc_id, (k.k * 16 + j.j) AS p,
+             CAST(('0x' || substring(
+               md5(CAST(doc_id AS VARCHAR) || ':cart:'
+                   || CAST(k.k AS VARCHAR)),
+               j.j * 2 + 1, 2)) AS BIGINT) AS g
+      FROM documents,
+           (SELECT unnest(range(4)) AS k) k,
+           (SELECT unnest(range(16)) AS j) j
+    ),
+    mean AS (SELECT doc_id, SUM(g) // 64 AS m FROM lum GROUP BY doc_id),
+    lanes(l, wt) AS (VALUES {", ".join(
+        f"({l}, " + (str(1 << l) if l < 63
+                     else "(-9223372036854775807 - 1)") + ")"
+        for l in range(64)
+    )}),
+    hashes AS (
+      SELECT lum.doc_id,
+             CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT)
+               AS ahash
+      FROM lum JOIN mean USING (doc_id) JOIN lanes ON lanes.l = lum.p
+      GROUP BY lum.doc_id
+    )
+    SELECT m.doc_id AS media_id,
+           CAST(3 + m.b0 % 2 AS INT) AS pic_type,
+           'image/png' AS mime,
+           'cover ' || CAST(m.doc_id AS VARCHAR) AS description,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           h.ahash
+    FROM meta m JOIN hashes h ON h.doc_id = m.doc_id
+    """,
+)
+def q_pipeline_audio_cover_art(spark: SparkSession, sf: str) -> DataFrame:
+    # EMBEDDED COVER ART (r11) — the composition real music corpora
+    # need: the FLAC metadata walk surfaces the PICTURE block (type 6,
+    # length-prefixed big-endian layout), the native PNG decoder
+    # (interlace rotating Adam7 on/off) recovers the pixels, and the
+    # certified aHash kernel fingerprints them — audio container ->
+    # image decode -> perceptual hash in ONE Arrow pass, the chain a
+    # cover-art near-dup pipeline runs before any audio decode. The
+    # gray plane is the md5 identity, so the oracle replays the hash
+    # as pure integer arithmetic (the lossless-codec contract: the
+    # oracle never models the codec). Zero shuffles.
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import flac as FL
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _flac(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                b = hashlib.md5(f"{i}:cartp".encode()).digest()
+                plane = []
+                for k in range(4):
+                    plane.extend(
+                        hashlib.md5(f"{i}:cart:{k}".encode()).digest()
+                    )
+                img = np.repeat(
+                    np.array(plane, np.uint8).reshape(8, 8, 1), 3, axis=2
+                )
+                png = M._encode_png(img, interlace=(b[1] % 2 == 1))
+                si = bytes([0]) + (34).to_bytes(3, "big") + b"\x00" * 34
+                pic = FL.build_flac_picture_block(
+                    pic_type=3 + b[0] % 2, mime="image/png",
+                    description=f"cover {i}", width=8, height=8,
+                    depth=24, data=png,
+                )
+                out.append(b"fLaC" + si + pic)
+            yield pd.Series(out)
+
+    files = docs.select(
+        F.col("doc_id").alias("media_id"), _flac("doc_id").alias("content")
+    )
+
+    def _art(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "pic_type", "mime", "description",
+                "width", "height", "ahash"]
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                try:
+                    for pic in FL.flac_pictures(bytes(blob)):
+                        img = M._decode_png(pic["data"])
+                        ah = (
+                            M._ahash64(img)
+                            if img is not None
+                            and img.shape[0] * img.shape[1] == 64
+                            else None
+                        )
+                        rows.append({
+                            "media_id": mid, "pic_type": pic["pic_type"],
+                            "mime": pic["mime"],
+                            "description": pic["description"],
+                            "width": pic["width"],
+                            "height": pic["height"], "ahash": ah,
+                        })
+                except (ValueError, IndexError):
+                    rows.append({
+                        "media_id": mid, "pic_type": None, "mime": None,
+                        "description": None, "width": None,
+                        "height": None, "ahash": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.mapInPandas(
+        _art,
+        schema="media_id bigint, pic_type int, mime string, "
+        "description string, width int, height int, ahash bigint",
+    )

@@ -138,3 +138,28 @@ def test_flac_crc_known_vectors():
     assert FL._crc8(b"123456789") == 0xF4
     assert FL._crc16(b"123456789") == 0xFEE8
     assert FL._crc8(b"") == 0 and FL._crc16(b"") == 0
+
+
+def test_flac_picture_block_roundtrip_and_refusals():
+    import pytest
+
+    from hadoopxmlextractor_spark.operators import flac as FL
+
+    si = bytes([0]) + (34).to_bytes(3, "big") + b"\x00" * 34
+    pic = FL.build_flac_picture_block(
+        pic_type=3, mime="image/png", description="déjà",
+        width=8, height=8, depth=24, data=b"\x89PNGdata",
+    )
+    rows = FL.flac_pictures(b"fLaC" + si + pic)
+    assert rows == [{
+        "pic_type": 3, "mime": "image/png", "description": "déjà",
+        "width": 8, "height": 8, "depth": 24, "colors": 0,
+        "data": b"\x89PNGdata",
+    }]
+    # truncated picture payload refuses
+    whole = b"fLaC" + si + pic
+    with pytest.raises(ValueError, match="truncated"):
+        FL.flac_pictures(whole[:-4])
+    # a FLAC without pictures yields no rows, not an error
+    si_last = bytes([0x80]) + (34).to_bytes(3, "big") + b"\x00" * 34
+    assert FL.flac_pictures(b"fLaC" + si_last) == []
