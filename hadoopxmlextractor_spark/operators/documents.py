@@ -2774,6 +2774,34 @@ def _bounded_unxz(raw: bytes, cap: int = _MAX_INFLATE) -> bytes:
     return b"".join(out)
 
 
+def _tar_pax_records(data: bytes) -> dict[str, str]:
+    """Key→value records of a PAX extended header payload: each
+    record is ``<len> <key>=<value>\\n`` where <len> counts the WHOLE
+    record including its own digits and the newline (POSIX.1-2001)."""
+    out: dict[str, str] = {}
+    pos = 0
+    while pos < len(data):
+        sp = data.find(b" ", pos)
+        if sp < 0 or not data[pos:sp].isdigit():
+            raise ValueError("bad PAX record length")
+        rlen = int(data[pos:sp])
+        rec = data[pos : pos + rlen]
+        if rlen <= 0 or not rec.endswith(b"\n"):
+            raise ValueError("bad PAX record framing")
+        k, _, v = rec[sp - pos + 1 : -1].partition(b"=")
+        out[k.decode("utf-8")] = v.decode("utf-8")
+        pos += rlen
+    return out
+
+
+def _tar_size(field: bytes) -> int:
+    """Size field: octal, or GNU base-256 (high bit of byte 0 set —
+    how >8 GiB members encode) big-endian binary."""
+    if field and field[0] & 0x80:
+        return int.from_bytes(field, "big") - (0x80 << (8 * (len(field) - 1)))
+    return _tar_octal(field)
+
+
 def tar_members(blob: bytes) -> list[dict]:
     """(name, typeflag, size, head) per entry of a tar — gzip, bz2,
     and xz wrappers all transparent through the bounded decompression
@@ -2781,8 +2809,11 @@ def tar_members(blob: bytes) -> list[dict]:
     ship): the 512-byte ustar header walk with the POSIX checksum
     VERIFIED per header (a flipped byte refuses the entry stream),
     data runs of ceil(size/512) blocks, GNU 'L' long-name entries
-    applied to the following header, and the two-zero-block
-    terminator honored."""
+    applied to the following header, PAX 'x' per-file and 'g' global
+    extended headers (r11 — the DEFAULT format modern tars write:
+    path/size overrides are authoritative, the records themselves are
+    never member rows), GNU base-256 size fields (>8 GiB members),
+    and the two-zero-block terminator honored."""
     if blob[:2] == b"\x1f\x8b":
         blob = _bounded_inflate(blob, 31)
     elif blob[:3] == b"BZh":
@@ -2792,6 +2823,8 @@ def tar_members(blob: bytes) -> list[dict]:
     out = []
     pos = 0
     pending_name = None
+    pax_next: dict[str, str] = {}
+    pax_global: dict[str, str] = {}
     while pos + 512 <= len(blob):
         header = blob[pos : pos + 512]
         if header == b"\0" * 512:
@@ -2799,15 +2832,29 @@ def tar_members(blob: bytes) -> list[dict]:
         stored = _tar_octal(header[148:156])
         if stored != _tar_checksum(header):
             raise ValueError("tar header checksum mismatch")
-        size = _tar_octal(header[124:136])
+        size = _tar_size(header[124:136])
         typeflag = chr(header[156]) if header[156] else "0"
+        eff = {**pax_global, **pax_next}
+        if typeflag not in ("x", "g", "L") and "size" in eff:
+            size = int(eff["size"])  # PAX size is authoritative
         data = blob[pos + 512 : pos + 512 + size]
         pos += 512 + ((size + 511) // 512) * 512
+        if typeflag == "x":  # PAX per-file: applies to the NEXT entry
+            pax_next = _tar_pax_records(data)
+            continue
+        if typeflag == "g":  # PAX global: applies until overridden
+            pax_global.update(_tar_pax_records(data))
+            continue
         if typeflag == "L":  # GNU long name: payload names the NEXT entry
             pending_name = data.rstrip(b"\0").decode("utf-8")
             continue
-        name = pending_name or header[:100].split(b"\0")[0].decode("utf-8")
+        name = (
+            eff.get("path")
+            or pending_name
+            or header[:100].split(b"\0")[0].decode("utf-8")
+        )
         pending_name = None
+        pax_next = {}
         out.append({
             "name": name,
             "typeflag": typeflag,

@@ -1500,3 +1500,41 @@ def test_ass_subtitle_parse():
         D._parse_ass_cues("[Events]\nDialogue: 0:00:01.00,0:00:02.00,x")
     with pytest.raises(ValueError, match="no Dialogue"):
         D._parse_ass_cues("[Script Info]\n[Events]\nFormat: Start, End, Text\n")
+
+
+def test_tar_pax_format_cross_validation():
+    """PAX — the DEFAULT format modern tars (and Python tarfile since
+    3.8) write: per-file 'x' path overrides for long/unicode names,
+    'g' global records, and the record framing itself; PAX headers
+    must never surface as member rows."""
+    import io
+    import tarfile as tf
+
+    longname = "dir/" + "pāx-überlong-" * 12 + "leaf.txt"  # >100 chars
+    buf = io.BytesIO()
+    with tf.open(fileobj=buf, mode="w", format=tf.PAX_FORMAT) as t:
+        for name, payload in (
+            ("short.txt", b"pax short"),
+            (longname, b"pax long payload"),
+            ("café.md", b"unicode name"),
+        ):
+            info = tf.TarInfo(name)
+            info.size = len(payload)
+            t.addfile(info, io.BytesIO(payload))
+    members = {m["name"]: m for m in D.tar_members(buf.getvalue())}
+    assert set(members) == {"short.txt", longname, "café.md"}
+    assert members[longname]["size"] == 16
+    assert members["short.txt"]["head"] == "pax short"
+    # a 'g' global path prefix record (pax_global_header style)
+    g = D._tar_pax_records(b"21 comment=hello you\n16 path=g/a.txt\n")
+    assert g == {"comment": "hello you", "path": "g/a.txt"}
+    import pytest
+
+    with pytest.raises(ValueError, match="PAX record"):
+        D._tar_pax_records(b"nonsense without length")
+    # GNU base-256 size field (>8 GiB members)
+    f = bytearray(12)
+    f[0] = 0x80
+    f[-5:] = (9 << 33).to_bytes(5, "big")
+    assert D._tar_size(bytes(f)) == 9 << 33
+    assert D._tar_size(b"0000644\x0020  "[:12] if False else b"00000000644\x00") == 0o644
