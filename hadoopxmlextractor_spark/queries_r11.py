@@ -1,12 +1,26 @@
-"""Round-11 queries — charset fidelity, archive/document realism:
+"""Round-11 queries — charset fidelity, the office/archive long
+tail, and native ALAC:
 
-- DECLARED-CHARSET decoding for captured HTML (`source_warc_charset`):
-  BOM → Content-Type ``charset=`` → meta prescan → utf-8 fallback,
-  WHATWG label aliasing (latin-1→cp1252, shift_jis→cp932), per-row
-  encoding attribution — the deterministic decode WET generation
-  performs before any mojibake heuristic (r10 verdict item 1);
-- ZIP64 archives, OpenDocument text/cells, JPEG EXIF metadata,
-  ALAC sample decode (r10 verdict items 3-6).
+- DECLARED-CHARSET decoding for captured HTML (`source_warc_charset`,
+  10 arms): BOM → Content-Type ``charset=`` → meta prescan → utf-8
+  fallback, WHATWG label aliasing (latin-1→cp1252, shift_jis→cp932,
+  gb2312→gbk, euc-jp), per-row encoding attribution — the
+  deterministic decode WET generation performs before any mojibake
+  heuristic (r10 verdict item 1);
+- ZIP64 archives (`archive_zip64_meta` — EOCD64 + 0x0001 extras,
+  stdlib-cross-validated);
+- OpenDocument: ODT/ODP text via document_text routing
+  (`source_odf_text`), the ODS cell table with repeat expansion
+  (`source_ods_cells`), meta.xml metadata (`source_odf_metadata`);
+- JPEG EXIF incl. the GPS IFD (`multimodal_image_exif`);
+- native ALAC FULL SAMPLE decode — 16-bit
+  (`multimodal_audio_alac_decode`) and 24-bit bytesShifted
+  (`multimodal_audio_alac_hires`), exact moment oracles;
+- email-borne documents: MIME attachment extraction routed through
+  document_text (`pipeline_mbox_attachments`);
+- ASS/SSA subtitles (`source_subtitle_ass`);
+- embedded cover art: FLAC PICTURE → PNG decode → aHash
+  (`pipeline_audio_cover_art`).
 
 Registered into the same QUERIES/ORACLE registry as the other query
 modules; every entry carries an exact DuckDB oracle. Fresh module per
