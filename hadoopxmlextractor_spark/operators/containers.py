@@ -1216,3 +1216,141 @@ def synth_id3_mp3(docs: DataFrame) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"), _blob("doc_id").alias("content")
     )
+
+
+def id3_pictures(blob: bytes) -> list[dict]:
+    """Embedded pictures of a leading ID3v2 tag (r11): APIC frames
+    (v2.3/2.4 — encoding byte, NUL-terminated MIME, picture type,
+    encoding-terminated description, image payload) and the v2.2 PIC
+    form (3-char image format instead of a MIME). The other cover-art
+    container legs are flac.flac_pictures and m4a_cover."""
+    if blob[:3] != b"ID3":
+        return []
+    ver = blob[3]
+    if ver not in (2, 3, 4):
+        return []
+    tag_size = _unsyncsafe(blob[6:10])
+    pos, end = 10, 10 + tag_size
+    idlen, hdrlen = (3, 6) if ver == 2 else (4, 10)
+    want = b"PIC" if ver == 2 else b"APIC"
+    out = []
+    while pos + hdrlen <= end:
+        fid = blob[pos : pos + idlen]
+        if fid == b"\x00" * idlen:
+            break
+        if ver == 2:
+            size = int.from_bytes(blob[pos + 3 : pos + 6], "big")
+        elif ver == 4:
+            size = _unsyncsafe(blob[pos + 4 : pos + 8])
+        else:
+            size = struct.unpack(">I", blob[pos + 4 : pos + 8])[0]
+        payload = blob[pos + hdrlen : pos + hdrlen + size]
+        pos += hdrlen + size
+        if fid != want:
+            continue
+        enc = payload[0]
+        if enc != 0:  # fixtures pin latin-1 descriptions; refuse others
+            raise ValueError("unsupported APIC text encoding")
+        if ver == 2:
+            fmt3 = payload[1:4].decode("latin-1")
+            mime = {"PNG": "image/png", "JPG": "image/jpeg"}.get(
+                fmt3, f"image/{fmt3.lower()}"
+            )
+            pic_type = payload[4]
+            rest = payload[5:]
+        else:
+            mend = payload.index(b"\x00", 1)
+            mime = payload[1:mend].decode("latin-1")
+            pic_type = payload[mend + 1]
+            rest = payload[mend + 2 :]
+        dend = rest.index(b"\x00")
+        out.append({
+            "pic_type": pic_type,
+            "mime": mime,
+            "description": rest[:dend].decode("latin-1"),
+            "data": rest[dend + 1 :],
+        })
+    return out
+
+
+def build_id3_picture_tag(
+    *, version: int, pic_type: int, mime: str, description: str,
+    data: bytes,
+) -> bytes:
+    """One ID3v2 tag holding a single APIC/PIC frame (write partner
+    of :func:`id3_pictures`); version ∈ {2, 3, 4}."""
+    if version == 2:
+        fmt3 = {"image/png": b"PNG", "image/jpeg": b"JPG"}[mime]
+        payload = (
+            b"\x00" + fmt3 + bytes([pic_type])
+            + description.encode("latin-1") + b"\x00" + data
+        )
+        frame = b"PIC" + len(payload).to_bytes(3, "big") + payload
+    else:
+        payload = (
+            b"\x00" + mime.encode("ascii") + b"\x00" + bytes([pic_type])
+            + description.encode("latin-1") + b"\x00" + data
+        )
+        size = (
+            _syncsafe(len(payload)) if version == 4
+            else struct.pack(">I", len(payload))
+        )
+        frame = b"APIC" + size + b"\x00\x00" + payload
+    return (
+        b"ID3" + bytes([version, 0, 0]) + _syncsafe(len(frame)) + frame
+    )
+
+
+def m4a_cover(blob: bytes) -> list[dict]:
+    """Cover art of an M4A/MP4: the iTunes-style
+    moov→udta→meta→ilst→covr atom whose ``data`` child carries a
+    type indicator (13 = JPEG, 14 = PNG), a 4-byte locale, then the
+    image payload (r11)."""
+    def find(data: bytes, pos: int, end: int, fourcc: bytes):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos : pos + 4])
+            if size < 8 or pos + size > end:
+                raise ValueError("bad MP4 box size")
+            if data[pos + 4 : pos + 8] == fourcc:
+                return pos + 8, pos + size
+            pos += size
+        return None
+
+    span = (0, len(blob))
+    for name in (b"moov", b"udta", b"meta", b"ilst", b"covr"):
+        got = find(blob, span[0], span[1], name)
+        if got is None:
+            return []
+        span = got
+        if name == b"meta":  # full box: 4-byte version/flags prefix
+            span = (span[0] + 4, span[1])
+    out = []
+    pos, end = span
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", blob[pos : pos + 4])
+        if size < 16 or pos + size > end:
+            raise ValueError("bad covr data atom")
+        if blob[pos + 4 : pos + 8] == b"data":
+            kind = struct.unpack(">I", blob[pos + 8 : pos + 12])[0]
+            out.append({
+                "mime": {13: "image/jpeg", 14: "image/png"}.get(
+                    kind, f"type/{kind}"
+                ),
+                "data": blob[pos + 16 : pos + size],
+            })
+        pos += size
+    return out
+
+
+def build_m4a_cover(data: bytes, *, png: bool = True) -> bytes:
+    """A minimal M4A carrying one covr atom (write partner of
+    :func:`m4a_cover`)."""
+    payload = struct.pack(">I", 14 if png else 13) + b"\x00" * 4 + data
+    d = struct.pack(">I", 16 + len(data)) + b"data" + payload
+    covr = struct.pack(">I", 8 + len(d)) + b"covr" + d
+    ilst = struct.pack(">I", 8 + len(covr)) + b"ilst" + covr
+    meta = struct.pack(">I", 12 + len(ilst)) + b"meta" + b"\x00" * 4 + ilst
+    udta = struct.pack(">I", 8 + len(meta)) + b"udta" + meta
+    moov = struct.pack(">I", 8 + len(udta)) + b"moov" + udta
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"M4A \x00\x00\x02\x00"
+    return ftyp + moov

@@ -1483,36 +1483,45 @@ def q_source_subtitle_ass(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY lum.doc_id
     )
     SELECT m.doc_id AS media_id,
-           CAST(3 + m.b0 % 2 AS INT) AS pic_type,
+           (['flac', 'mp3', 'm4a'])[CAST(m.doc_id % 3 AS INT) + 1]
+             AS container,
+           CASE WHEN m.doc_id % 3 = 2 THEN NULL
+                ELSE CAST(3 + m.b0 % 2 AS INT) END AS pic_type,
            'image/png' AS mime,
-           'cover ' || CAST(m.doc_id AS VARCHAR) AS description,
-           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CASE WHEN m.doc_id % 3 = 2 THEN NULL
+                ELSE 'cover ' || CAST(m.doc_id AS VARCHAR)
+                END AS description,
+           CASE WHEN m.doc_id % 3 = 0 THEN CAST(8 AS INT) END AS width,
+           CASE WHEN m.doc_id % 3 = 0 THEN CAST(8 AS INT) END AS height,
            h.ahash
     FROM meta m JOIN hashes h ON h.doc_id = m.doc_id
     """,
 )
 def q_pipeline_audio_cover_art(spark: SparkSession, sf: str) -> DataFrame:
-    # EMBEDDED COVER ART (r11) — the composition real music corpora
-    # need: the FLAC metadata walk surfaces the PICTURE block (type 6,
-    # length-prefixed big-endian layout), the native PNG decoder
-    # (interlace rotating Adam7 on/off) recovers the pixels, and the
-    # certified aHash kernel fingerprints them — audio container ->
-    # image decode -> perceptual hash in ONE Arrow pass, the chain a
-    # cover-art near-dup pipeline runs before any audio decode. The
-    # gray plane is the md5 identity, so the oracle replays the hash
-    # as pure integer arithmetic (the lossless-codec contract: the
-    # oracle never models the codec). Zero shuffles.
+    # EMBEDDED COVER ART across ALL THREE audio container families
+    # (r11) — the composition real music corpora need: FLAC PICTURE
+    # blocks (type 6, length-prefixed BE), ID3v2 APIC frames (v2.3/
+    # 2.4) and the v2.2 PIC form rotating on MP3s, and the iTunes
+    # moov→udta→meta→ilst→covr atom on M4A — routed by MAGIC BYTES,
+    # then the native PNG decoder (interlace rotating Adam7 on/off)
+    # and the certified aHash kernel fingerprint the pixels: audio
+    # container → image decode → perceptual hash in ONE Arrow pass,
+    # the chain a cover-art near-dup pipeline runs before any audio
+    # decode. The gray plane is the md5 identity, so the oracle
+    # replays the hash as pure integer arithmetic (the lossless-codec
+    # contract: the oracle never models the codec). Zero shuffles.
     import hashlib
 
     import numpy as np
 
+    from hadoopxmlextractor_spark.operators import containers as CN
     from hadoopxmlextractor_spark.operators import flac as FL
     from hadoopxmlextractor_spark.operators import multimodal as M
 
     docs = load(spark, sf, "documents")
 
     @F.pandas_udf("binary")
-    def _flac(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    def _audio(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for ids in it:
             out = []
             for i in ids:
@@ -1527,27 +1536,57 @@ def q_pipeline_audio_cover_art(spark: SparkSession, sf: str) -> DataFrame:
                     np.array(plane, np.uint8).reshape(8, 8, 1), 3, axis=2
                 )
                 png = M._encode_png(img, interlace=(b[1] % 2 == 1))
-                si = bytes([0]) + (34).to_bytes(3, "big") + b"\x00" * 34
-                pic = FL.build_flac_picture_block(
-                    pic_type=3 + b[0] % 2, mime="image/png",
-                    description=f"cover {i}", width=8, height=8,
-                    depth=24, data=png,
-                )
-                out.append(b"fLaC" + si + pic)
+                arm = i % 3
+                if arm == 0:  # FLAC PICTURE
+                    si = bytes([0]) + (34).to_bytes(3, "big") + b"\x00" * 34
+                    pic = FL.build_flac_picture_block(
+                        pic_type=3 + b[0] % 2, mime="image/png",
+                        description=f"cover {i}", width=8, height=8,
+                        depth=24, data=png,
+                    )
+                    out.append(b"fLaC" + si + pic)
+                elif arm == 1:  # MP3: ID3v2 APIC / v2.2 PIC
+                    tag = CN.build_id3_picture_tag(
+                        version=(2, 3, 4)[b[2] % 3],
+                        pic_type=3 + b[0] % 2, mime="image/png",
+                        description=f"cover {i}", data=png,
+                    )
+                    out.append(tag + b"\xff\xfb" + b"\x00" * 16)
+                else:  # M4A covr atom
+                    out.append(CN.build_m4a_cover(png))
             yield pd.Series(out)
 
     files = docs.select(
-        F.col("doc_id").alias("media_id"), _flac("doc_id").alias("content")
+        F.col("doc_id").alias("media_id"), _audio("doc_id").alias("content")
     )
 
     def _art(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = ["media_id", "pic_type", "mime", "description",
-                "width", "height", "ahash"]
+        cols = ["media_id", "container", "pic_type", "mime",
+                "description", "width", "height", "ahash"]
         for pdf in batches:
             rows = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 try:
-                    for pic in FL.flac_pictures(bytes(blob)):
+                    raw = bytes(blob)
+                    if raw[:4] == b"fLaC":
+                        pics = [
+                            dict(p, container="flac")
+                            for p in FL.flac_pictures(raw)
+                        ]
+                    elif raw[:3] == b"ID3":
+                        pics = [
+                            dict(p, container="mp3", width=None,
+                                 height=None)
+                            for p in CN.id3_pictures(raw)
+                        ]
+                    else:
+                        pics = [
+                            dict(p, container="m4a", pic_type=None,
+                                 description=None, width=None,
+                                 height=None)
+                            for p in CN.m4a_cover(raw)
+                        ]
+                    for pic in pics:
                         img = M._decode_png(pic["data"])
                         ah = (
                             M._ahash64(img)
@@ -1556,7 +1595,9 @@ def q_pipeline_audio_cover_art(spark: SparkSession, sf: str) -> DataFrame:
                             else None
                         )
                         rows.append({
-                            "media_id": mid, "pic_type": pic["pic_type"],
+                            "media_id": mid,
+                            "container": pic["container"],
+                            "pic_type": pic["pic_type"],
                             "mime": pic["mime"],
                             "description": pic["description"],
                             "width": pic["width"],
@@ -1564,7 +1605,8 @@ def q_pipeline_audio_cover_art(spark: SparkSession, sf: str) -> DataFrame:
                         })
                 except (ValueError, IndexError):
                     rows.append({
-                        "media_id": mid, "pic_type": None, "mime": None,
+                        "media_id": mid, "container": None,
+                        "pic_type": None, "mime": None,
                         "description": None, "width": None,
                         "height": None, "ahash": None,
                     })
@@ -1572,6 +1614,7 @@ def q_pipeline_audio_cover_art(spark: SparkSession, sf: str) -> DataFrame:
 
     return files.mapInPandas(
         _art,
-        schema="media_id bigint, pic_type int, mime string, "
-        "description string, width int, height int, ahash bigint",
+        schema="media_id bigint, container string, pic_type int, "
+        "mime string, description string, width int, height int, "
+        "ahash bigint",
     )

@@ -551,3 +551,32 @@ def test_vp8l_meta_prefix_groups_roundtrip():
     flat[4:] = 77  # runs crossing the 4-px block boundary
     out = decode_vp8l(encode_vp8l(flat, meta_bits=2, run_backrefs=True))
     assert np.array_equal(out[:, :, :3], flat)
+
+
+def test_id3_and_m4a_cover_art_walks():
+    import pytest
+
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    for v in (2, 3, 4):
+        tag = C.build_id3_picture_tag(
+            version=v, pic_type=3, mime="image/png",
+            description="cover 5", data=b"PNGPAYLOAD",
+        )
+        rows = C.id3_pictures(tag + b"\xff\xfbfakemp3")
+        assert rows == [{
+            "pic_type": 3, "mime": "image/png",
+            "description": "cover 5", "data": b"PNGPAYLOAD",
+        }], v
+    # tags without pictures yield no rows; non-ID3 yields no rows
+    assert C.id3_pictures(b"\xff\xfbjust audio") == []
+    # m4a covr walk + coverless file
+    m4a = C.build_m4a_cover(b"PNGBYTES")
+    assert C.m4a_cover(m4a) == [{"mime": "image/png", "data": b"PNGBYTES"}]
+    assert C.m4a_cover(b"\x00\x00\x00\x10ftypM4A \x00\x00\x02\x00") == []
+    # hostile: covr data atom size past the box end refuses
+    bad = bytearray(m4a)
+    at = bytes(bad).index(b"data") - 4
+    bad[at : at + 4] = (1 << 20).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="covr data atom|box size"):
+        C.m4a_cover(bytes(bad))
