@@ -82,6 +82,7 @@ FRONT = [
     "pipeline_mbox_attachments",
     "source_subtitle_ass",
     "pipeline_audio_cover_art",
+    "pipeline_crawl_robots_meta",
     "multimodal_image_exif",
     "multimodal_audio_alac_decode",
     "multimodal_audio_alac_hires",

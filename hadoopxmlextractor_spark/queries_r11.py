@@ -1618,3 +1618,113 @@ def q_pipeline_audio_cover_art(spark: SparkSession, sf: str) -> DataFrame:
         "mime string, description string, width int, height int, "
         "ahash bigint",
     )
+
+
+@query(
+    "pipeline_crawl_robots_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, doc_id % 6 AS arm,
+             md5(CAST(doc_id AS VARCHAR) || ':rbm') AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           arm IN (1, 2, 3) AS noindex,
+           arm IN (2, 3, 4) AS nofollow,
+           CASE WHEN arm IN (1, 4) THEN 'header'
+                WHEN arm IN (2, 3) THEN 'meta' END AS directive_source,
+           CASE WHEN arm IN (1, 2, 3) THEN NULL
+                ELSE 'w' || substring(x, 1, 2) || ' w' || substring(x, 3, 2)
+                  || ' w' || substring(x, 5, 2) END AS extracted,
+           arm NOT IN (1, 2, 3) AS kept
+    FROM p
+    """,
+)
+def q_pipeline_crawl_robots_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # PAGE-LEVEL crawl admission (r11) — the half robots.txt can't
+    # cover: publishers opt pages out of corpora via the X-Robots-Tag
+    # RESPONSE HEADER and the <meta name="robots"> tag, and a WET
+    # pipeline that ignores them ships text it was told not to. Six
+    # rotating arms: clean page / header noindex / meta
+    # "noindex, nofollow" / meta "none" (= both) / header nofollow
+    # (followable-not-indexable split) / header nosnippet (must NOT
+    # suppress anything). noindex pages keep their attribution row but
+    # NULL text — auditable, never silently dropped. Composed through
+    # the WARC walk + HTTP split + declared-charset decode, one Arrow
+    # chain, zero shuffles.
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("binary")
+    def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                x = hashlib.md5(f"{i}:rbm".encode()).hexdigest()
+                arm = i % 6
+                meta = {
+                    2: '<meta name="robots" '
+                       'content="noindex, nofollow">',
+                    3: '<meta content="none" name=robots>',
+                }.get(arm, "")
+                html = (
+                    f"<html><head><title>skip</title>{meta}</head>"
+                    f"<body><p>w{x[0:2]} w{x[2:4]} w{x[4:6]}</p>"
+                    "</body></html>"
+                )
+                hdr = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                xtag = {1: b"noindex", 4: b"nofollow",
+                        5: b"nosnippet"}.get(arm)
+                if xtag:
+                    hdr += b"X-Robots-Tag: " + xtag + b"\r\n"
+                out.append(W.write_warc([{
+                    "warc_type": "response",
+                    "record_id": f"<urn:rbm:{i}>",
+                    "target_uri": f"https://example.com/{i}",
+                    "content_type": "application/http; msgtype=response",
+                    "payload": hdr + b"\r\n" + html.encode(),
+                }], gzip_members=(i % 2 == 0)))
+            yield pd.Series(out)
+
+    files = docs.select(
+        F.col("doc_id").cast("string").alias("path"),
+        _warc("doc_id").alias("content"),
+    )
+    recs = W.warc_records(files).filter(F.col("warc_type") == "response")
+
+    @F.pandas_udf(
+        "struct<noindex:boolean, nofollow:boolean, src:string, "
+        "body:string>"
+    )
+    def _admit(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for payloads in it:
+            rows = []
+            for p in payloads:
+                status, headers, body = W.split_http_response(bytes(p))
+                codec, _how = W.resolve_charset(
+                    (headers or {}).get(b"content-type"), body
+                )
+                text = body.decode(codec, "replace")
+                ni, nf, src = W.robots_directives(headers, text)
+                rows.append({
+                    "noindex": ni, "nofollow": nf, "src": src,
+                    "body": None if ni else text,
+                })
+            yield pd.DataFrame(rows)
+
+    return (
+        recs.withColumn("a", _admit("payload"))
+        .select(
+            F.col("path").cast("bigint").alias("doc_id"),
+            F.col("a.noindex").alias("noindex"),
+            F.col("a.nofollow").alias("nofollow"),
+            F.col("a.src").alias("directive_source"),
+            T.html_text(F.col("a.body")).alias("extracted"),
+            (~F.col("a.noindex")).alias("kept"),
+        )
+    )

@@ -875,3 +875,52 @@ def resolve_revisits(records: DataFrame) -> DataFrame:
         "revisit_record_id", "revisit_uri", "payload_digest",
         "resolved_record_id", "resolved_uri", "saved_bytes",
     )
+
+
+_ROBOTS_META_RE = None
+
+
+def robots_directives(headers, html: str):
+    """(noindex, nofollow, source) for one captured page — the
+    PAGE-LEVEL admission signals a WET pipeline must respect beside
+    robots.txt (r11): the ``X-Robots-Tag`` response header and the
+    generic ``<meta name="robots">`` tag (attribute order
+    insensitive), token lists comma-split, ``none`` meaning
+    noindex+nofollow. Directives UNION across both carriers; source
+    reports 'header' when the header contributed, else 'meta', else
+    None."""
+    global _ROBOTS_META_RE
+    if _ROBOTS_META_RE is None:
+        import re as _re
+
+        _ROBOTS_META_RE = _re.compile(
+            r"<meta\s+(?:[^>]*?\bname\s*=\s*[\"']?robots[\"']?[^>]*?"
+            r"\bcontent\s*=\s*[\"']([^\"'>]*)[\"']?"
+            r"|[^>]*?\bcontent\s*=\s*[\"']([^\"'>]*)[\"']?[^>]*?"
+            r"\bname\s*=\s*[\"']?robots[\"']?)",
+            _re.IGNORECASE,
+        )
+
+    def toks(value: str) -> set[str]:
+        got = {t.strip().lower() for t in value.split(",") if t.strip()}
+        if "none" in got:
+            got |= {"noindex", "nofollow"}
+        return got
+
+    noindex = nofollow = False
+    source = None
+    hdr = (headers or {}).get(b"x-robots-tag")
+    if hdr:
+        t = toks(hdr.decode("latin-1"))
+        if t & {"noindex", "nofollow"}:
+            source = "header"
+        noindex |= "noindex" in t
+        nofollow |= "nofollow" in t
+    m = _ROBOTS_META_RE.search(html or "")
+    if m:
+        t = toks(m.group(1) or m.group(2) or "")
+        if t & {"noindex", "nofollow"} and source is None:
+            source = "meta"
+        noindex |= "noindex" in t
+        nofollow |= "nofollow" in t
+    return noindex, nofollow, source

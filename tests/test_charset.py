@@ -118,3 +118,28 @@ def test_split_http_response_exposes_headers():
     assert headers[b"content-type"] == b"text/html; charset=utf-8"
     # the 2-tuple wrapper is unchanged
     assert W.split_http_payload(payload) == (301, b"body")
+
+
+def test_robots_directives():
+    W2 = W
+    assert W2.robots_directives(
+        {b"x-robots-tag": b"noindex, nofollow"}, ""
+    ) == (True, True, "header")
+    assert W2.robots_directives(
+        {}, '<meta name="robots" content="none">'
+    ) == (True, True, "meta")
+    # attribute order insensitive; case insensitive
+    assert W2.robots_directives(
+        {}, "<META CONTENT='NOINDEX' NAME='ROBOTS'>"
+    ) == (True, False, "meta")
+    # union across carriers, header wins the source attribution
+    assert W2.robots_directives(
+        {b"x-robots-tag": b"noindex"},
+        '<meta name="robots" content="nofollow">',
+    ) == (True, True, "header")
+    # non-admission tokens and other meta names have no effect
+    assert W2.robots_directives(
+        {b"x-robots-tag": b"nosnippet"},
+        '<meta name="viewport" content="width=1">',
+    ) == (False, False, None)
+    assert W2.robots_directives(None, "") == (False, False, None)
