@@ -3639,10 +3639,23 @@ def mbox_attachments(text: str) -> list[dict]:
             ph = _parse_headers(phead)
             disp = ph.get("content-disposition", "")
             pct = ph.get("content-type", "text/plain")
-            fm = re.search(
-                r'(?:filename|name)="?([^";]+)"?', disp + ";" + pct
-            )
-            if not disp.startswith("attachment") and fm is None:
+            # RFC 5987 extended form first (filename*=UTF-8''p%C3%A8…
+            # — how real mailers ship non-ASCII names), then the plain
+            # filename=/name= parameters
+            fname = None
+            em = re.search(r"filename\*\s*=\s*([^;\s]+)", disp)
+            if em is not None:
+                charset, _, enc = em.group(1).split("'", 2)
+                from urllib.parse import unquote
+
+                fname = unquote(enc, encoding=charset or "utf-8")
+            else:
+                fm = re.search(
+                    r'(?:filename|name)="?([^";]+)"?', disp + ";" + pct
+                )
+                if fm is not None:
+                    fname = fm.group(1)
+            if not disp.startswith("attachment") and fname is None:
                 continue
             cte = ph.get("content-transfer-encoding", "7bit").lower()
             if cte == "base64":
@@ -3656,7 +3669,7 @@ def mbox_attachments(text: str) -> list[dict]:
             out.append({
                 "msg_idx": msg_idx,
                 "att_idx": att_idx,
-                "filename": fm.group(1) if fm else None,
+                "filename": fname,
                 "mime": pct.split(";")[0].strip(),
                 "payload": payload,
             })

@@ -1538,3 +1538,18 @@ def test_tar_pax_format_cross_validation():
     f[-5:] = (9 << 33).to_bytes(5, "big")
     assert D._tar_size(bytes(f)) == 9 << 33
     assert D._tar_size(b"0000644\x0020  "[:12] if False else b"00000000644\x00") == 0o644
+
+
+def test_mbox_attachment_rfc5987_filename():
+    mbox = (
+        'From a\nFrom: x@y\nContent-Type: multipart/mixed; '
+        'boundary="R1"\n\n'
+        "--R1\nContent-Type: application/octet-stream\n"
+        "Content-Transfer-Encoding: base64\n"
+        "Content-Disposition: attachment; "
+        "filename*=UTF-8''caf%C3%A9%20r%C3%A9sum%C3%A9.pdf\n\n"
+        "aGVsbG8=\n--R1--\n"
+    )
+    rows = D.mbox_attachments(mbox)
+    assert rows[0]["filename"] == "café résumé.pdf"
+    assert rows[0]["payload"] == b"hello"
