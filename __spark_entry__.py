@@ -83,6 +83,7 @@ FRONT = [
     "source_subtitle_ass",
     "pipeline_audio_cover_art",
     "pipeline_crawl_robots_meta",
+    "pipeline_wet_writer",
     "multimodal_image_exif",
     "multimodal_audio_alac_decode",
     "multimodal_audio_alac_hires",

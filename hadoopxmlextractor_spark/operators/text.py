@@ -912,17 +912,14 @@ def tfidf_topk_keywords(
     )
 
 
-def html_text(col: Column | str) -> Column:
-    """HTML → visible text: the extraction step between a WARC
-    response body and every text operator in this module (the WET
-    stage of a crawl pipeline). Stdlib ``html.parser`` (tolerant of
-    real-web tag soup — unclosed tags, attributes, comments), dropping
+def html_visible_text(t: str) -> str:
+    """Visible text of one HTML string — the plain-Python kernel
+    behind :func:`html_text`, exposed for driver/Arrow callers that
+    already hold decoded pages (the WET writer, r11). Stdlib
+    ``html.parser`` (tolerant of real-web tag soup), dropping
     <script>/<style>/<head>/<template>/<noscript> subtrees entirely,
-    decoding character references (``&amp;`` → ``&``), and joining the
-    surviving text chunks in document order with single spaces
-    (chunk-internal whitespace collapsed). One Arrow pass, pure
-    per-row projection — at 100 TB this runs at scan speed next to
-    the WARC record explode, no shuffle. None/undecodable → None."""
+    decoding character references, joining surviving chunks in
+    document order with single spaces."""
     from html.parser import HTMLParser
 
     _skip = {"script", "style", "head", "template", "noscript"}
@@ -947,6 +944,20 @@ def html_text(col: Column | str) -> Column:
                 if piece:
                     self.chunks.append(piece)
 
+    p = _Extract()
+    p.feed(t)
+    p.close()
+    return " ".join(p.chunks)
+
+
+def html_text(col: Column | str) -> Column:
+    """HTML → visible text: the extraction step between a WARC
+    response body and every text operator in this module (the WET
+    stage of a crawl pipeline) — :func:`html_visible_text` as a
+    column. One Arrow pass, pure per-row projection — at 100 TB this
+    runs at scan speed next to the WARC record explode, no shuffle.
+    None/undecodable → None."""
+
     @F.pandas_udf("string")
     def _extract(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for texts in it:
@@ -956,10 +967,7 @@ def html_text(col: Column | str) -> Column:
                     out.append(None)
                     continue
                 try:
-                    p = _Extract()
-                    p.feed(t)
-                    p.close()
-                    out.append(" ".join(p.chunks))
+                    out.append(html_visible_text(t))
                 except Exception:
                     out.append(None)
             yield pd.Series(out, dtype="object")

@@ -1728,3 +1728,99 @@ def q_pipeline_crawl_robots_meta(spark: SparkSession, sf: str) -> DataFrame:
             (~F.col("a.noindex")).alias("kept"),
         )
     )
+
+
+@query(
+    "pipeline_wet_writer",
+    f"""
+    WITH p AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':wetw') AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           'conversion' AS warc_type,
+           'https://example.com/doc/' || CAST(doc_id AS VARCHAR)
+             AS target_uri,
+           '<urn:resp:' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
+           'text/plain' AS content_type,
+           'w' || substring(x, 1, 2) || ' w' || substring(x, 3, 2)
+             || ' & w' || substring(x, 5, 2) AS text,
+           CAST(13 AS BIGINT) AS n_bytes
+    FROM p
+    """,
+)
+def q_pipeline_wet_writer(spark: SparkSession, sf: str) -> DataFrame:
+    # The OUTPUT side of WET generation (r11): a pipeline that reads
+    # Common Crawl must also EMIT the standard — conversion records
+    # whose payload is the extracted UTF-8 text, WARC-Refers-To naming
+    # the source response record. Chain: synth crawl WARC → HTTP split
+    # + declared-charset decode + html_text → WRITE a WET file with
+    # write_warc (each conversion its own gzip member) → RE-PARSE the
+    # written bytes through the same reader and emit what came back —
+    # a full writer/reader roundtrip on the conversion shape,
+    # including the Refers-To linkage the reader now surfaces. One
+    # Arrow chain, zero shuffles.
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents")
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "warc_type", "target_uri", "refers_to",
+                "content_type", "text", "n_bytes"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                x = hashlib.md5(f"{i}:wetw".encode()).hexdigest()
+                html = (
+                    "<html><head><title>skip</title></head><body>"
+                    f"<h1>w{x[0:2]}</h1><p>w{x[2:4]} &amp; w{x[4:6]}</p>"
+                    "</body></html>"
+                )
+                crawl = W.write_warc([{
+                    "warc_type": "response",
+                    "record_id": f"<urn:resp:{i}>",
+                    "target_uri": f"https://example.com/doc/{i}",
+                    "content_type": "application/http; msgtype=response",
+                    "payload": (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                        b"\r\n\r\n" + html.encode()
+                    ),
+                }], gzip_members=(i % 2 == 0))
+                # read the crawl back, extract, and WRITE the WET file
+                wet_records = []
+                for r in W.parse_warc(crawl):
+                    if r["warc_type"] != "response":
+                        continue
+                    _s, _e, _h, page = W.decode_http_html(r["payload"])
+                    text = T.html_visible_text(page)
+                    wet_records.append({
+                        "warc_type": "conversion",
+                        "record_id": f"<urn:wet:{i}>",
+                        "target_uri": r["target_uri"],
+                        "refers_to": r["record_id"],
+                        "content_type": "text/plain",
+                        "payload": text.encode("utf-8"),
+                    })
+                wet = W.write_warc(wet_records, gzip_members=(i % 2 == 1))
+                for r in W.parse_warc(wet):  # the roundtrip proof
+                    rows.append({
+                        "doc_id": i,
+                        "warc_type": r["warc_type"],
+                        "target_uri": r["target_uri"],
+                        "refers_to": r["refers_to"],
+                        "content_type": r["content_type"],
+                        "text": r["payload"].decode("utf-8"),
+                        "n_bytes": r["content_length"],
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, warc_type string, target_uri string, "
+        "refers_to string, content_type string, text string, "
+        "n_bytes bigint",
+    )

@@ -52,7 +52,8 @@ def _local_path(path: str) -> str:
 RECORD_SCHEMA = (
     "path string, rec_idx int, warc_type string, record_id string, "
     "target_uri string, warc_date string, content_type string, "
-    "content_length long, payload binary, payload_digest string"
+    "content_length long, payload binary, payload_digest string, "
+    "refers_to string"
 )
 
 
@@ -120,6 +121,7 @@ def _drain_records(
                 "content_length": length,
                 "payload": buf[hdr_end + 4 : hdr_end + 4 + length],
                 "payload_digest": headers.get("warc-payload-digest", ""),
+                "refers_to": headers.get("warc-refers-to", ""),
             }
         )
         next_idx += 1
@@ -444,6 +446,7 @@ def _records_rows(path: str, blob: bytes, base_idx: int) -> list[dict]:
                 "record_id": None, "target_uri": None, "warc_date": None,
                 "content_type": None, "content_length": None,
                 "payload": None, "payload_digest": None,
+                "refers_to": None,
             }
         ]
 
@@ -451,7 +454,7 @@ def _records_rows(path: str, blob: bytes, base_idx: int) -> list[dict]:
 _RECORD_COLUMNS = [
     "path", "rec_idx", "warc_type", "record_id", "target_uri",
     "warc_date", "content_type", "content_length", "payload",
-    "payload_digest",
+    "payload_digest", "refers_to",
 ]
 
 
@@ -788,6 +791,7 @@ def warc_records(
             "record_id": None, "target_uri": None, "warc_date": None,
             "content_type": None, "content_length": None,
             "payload": None, "payload_digest": None,
+            "refers_to": None,
         }
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
