@@ -84,6 +84,7 @@ FRONT = [
     "pipeline_audio_cover_art",
     "pipeline_crawl_robots_meta",
     "pipeline_wet_writer",
+    "source_pdf_encrypted",
     "multimodal_image_exif",
     "multimodal_audio_alac_decode",
     "multimodal_audio_alac_hires",

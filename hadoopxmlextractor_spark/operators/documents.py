@@ -36,6 +36,7 @@ document containers a 2020s crawl actually carries.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import struct
 import zlib
@@ -749,6 +750,107 @@ def _pdf_objstm_objects(body: bytes) -> dict[int, bytes]:
     return out
 
 
+# PDF standard security handler (ISO 32000 §7.6.3), V1/R2 RC4-40:
+# the 32-byte password pad every PDF implementation shares
+_PDF_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray()
+    i = j = 0
+    for c in data:
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out.append(c ^ s[(s[i] + s[j]) & 0xFF])
+    return bytes(out)
+
+
+def _pdf_enc_string(body: bytes, key: bytes) -> bytes | None:
+    """The 32-byte /O or /U value after ``/key`` in an encrypt dict —
+    hex-string form (how the synth and many writers emit it, escape-
+    free) or a raw literal."""
+    m = re.search(rb"/" + key + rb"\s*<([0-9A-Fa-f\s]+)>", body)
+    if m:
+        return bytes.fromhex(re.sub(rb"\s", b"", m.group(1)).decode())
+    m = re.search(rb"/" + key + rb"\s*\((.{32})\)", body, re.S)
+    return m.group(1) if m else None
+
+
+def _pdf_map_stream(body: bytes, fn) -> bytes:
+    """Body with its stream payload (direct-/Length framed, the same
+    contract as _pdf_stream_data) transformed by ``fn``; bodies
+    without a stream pass through."""
+    sm = re.search(rb"stream(?:\r\n|\n)", body)
+    if sm is None:
+        return body
+    lm = re.search(rb"/Length\s+(\d+)(?![^/>]*R)", body[: sm.start()])
+    if lm is None:
+        return body
+    start = sm.end()
+    n = int(lm.group(1))
+    return body[:start] + fn(body[start : start + n]) + body[start + n :]
+
+
+def _pdf_decrypt_objects(
+    blob: bytes, objs: dict[int, bytes], trailer: bytes
+) -> None:
+    """Attempt the EMPTY-USER-PASSWORD standard-handler decrypt (the
+    owner-restricted files that make up most 'encrypted' PDFs in the
+    wild): V1/R2 RC4-40 key from MD5(pad ‖ O ‖ P(le32) ‖ ID0), the /U
+    check authenticating before any byte is trusted, then per-object
+    RC4 over every stream payload (key MD5(fkey ‖ num(le24) ‖
+    gen(le16))[:10]; generation 0 — the only generation this engine's
+    writers and fixtures emit). A failed /U check (a REAL user
+    password) or any other handler/revision refuses — the certified
+    marker-row contract (r11)."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", trailer)
+    enc = objs.get(int(em.group(1))) if em else None
+    if enc is None:
+        raise ValueError("encrypted PDF")
+    ver = re.search(rb"/V\s+(\d+)", enc)
+    rev = re.search(rb"/R\s+(\d+)", enc)
+    if (
+        b"/Standard" not in enc
+        or ver is None or int(ver.group(1)) != 1
+        or rev is None or int(rev.group(1)) != 2
+    ):
+        raise ValueError("encrypted PDF")  # unsupported handler
+    o = _pdf_enc_string(enc, b"O")
+    u = _pdf_enc_string(enc, b"U")
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    im = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]+)>", trailer)
+    if o is None or u is None or pm is None or im is None:
+        raise ValueError("encrypted PDF")
+    id0 = bytes.fromhex(im.group(1).decode())
+    p = int(pm.group(1)) & 0xFFFFFFFF
+    fkey = hashlib.md5(
+        _PDF_PAD + o + p.to_bytes(4, "little") + id0
+    ).digest()[:5]
+    if _rc4(fkey, _PDF_PAD) != u:
+        raise ValueError("encrypted PDF")  # a real user password
+    enc_num = int(em.group(1))
+    for num in list(objs):
+        if num == enc_num:
+            continue
+        okey = hashlib.md5(
+            fkey + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+        ).digest()[:10]
+        objs[num] = _pdf_map_stream(
+            objs[num], lambda data, k=okey: _rc4(k, data)
+        )
+
+
 def _pdf_objects(blob: bytes) -> dict[int, bytes]:
     """Object map of a PDF. Files carrying a ``startxref`` load
     XREF-DRIVEN: classic tables AND the PDF 1.5+ machinery most files
@@ -774,13 +876,17 @@ def _pdf_objects(blob: bytes) -> dict[int, bytes]:
             raise ValueError("encrypted PDF")
         return {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(blob)}
     entries, _trailer = _pdf_xref_chain(blob)
-    if _encrypt_re.search(_trailer):
-        raise ValueError("encrypted PDF")
+    encrypted = _encrypt_re.search(_trailer) is not None
     objs: dict[int, bytes] = {}
     for num, e in entries.items():
         if e[0] == "n":
             got_num, body = _pdf_object_at(blob, e[1])
             objs[got_num] = body
+    if encrypted:
+        # empty-user-password standard-handler decrypt (r11); any
+        # other handler / a REAL password still refuses to the
+        # marker row — extraction must never emit ciphertext
+        _pdf_decrypt_objects(blob, objs, _trailer)
     stm_cache: dict[int, dict[int, bytes]] = {}
     for num, e in entries.items():
         if e[0] == "c":

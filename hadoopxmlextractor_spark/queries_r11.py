@@ -1824,3 +1824,162 @@ def q_pipeline_wet_writer(spark: SparkSession, sf: str) -> DataFrame:
         "refers_to string, content_type string, text string, "
         "n_bytes bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Owner-restricted (empty-user-password) encrypted PDFs
+# ---------------------------------------------------------------------------
+
+
+def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
+    """One deterministic RC4-40 (V1/R2) encrypted classic PDF from
+    md5(doc:epdf): every content stream stored as RC4(okey,
+    maybe-Flate(plain)) — the real owner-restricted shape; a
+    non-empty ``user_pw`` makes the /U check unsatisfiable with the
+    empty password (the refusal arm)."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:epdf".encode()).digest()
+    x = hashlib.md5(f"{i}:epdf".encode()).hexdigest()
+    n_pages = 1 + b[0] % 2
+    id0 = hashlib.md5(f"{i}:epdfid".encode()).digest()
+    p_flags = -44
+    pad = D._PDF_PAD
+    padded_user = (user_pw + pad)[:32]
+    padded_owner = ((b"own%d" % i) + pad)[:32]
+    okey5 = hashlib.md5(padded_owner).digest()[:5]
+    o_entry = D._rc4(okey5, padded_user)
+    fkey = hashlib.md5(
+        pad + o_entry + (p_flags & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()[:5]
+    u_entry = D._rc4(fkey, padded_user)
+
+    objs: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    kids = []
+    for pg in range(n_pages):
+        page_num, content_num = 3 + 2 * pg, 4 + 2 * pg
+        kids.append(f"{page_num} 0 R")
+        plain = (
+            f"BT /F1 12 Tf 72 720 Td (w{x[4*pg:4*pg+2]} locked "
+            f"w{x[4*pg+2:4*pg+4]} {pg}) Tj ET"
+        ).encode()
+        if (b[1] + pg) % 2 == 0:
+            import zlib
+
+            data = zlib.compress(plain)
+            filt = " /Filter /FlateDecode"
+        else:
+            data, filt = plain, ""
+        okey = hashlib.md5(
+            fkey + content_num.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[:10]
+        data = D._rc4(okey, data)
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        objs[content_num] = (
+            f"<< /Length {len(data)}{filt} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {n_pages} >>"
+        .encode()
+    )
+    objs[9] = (
+        b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -44 /O <"
+        + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
+        + b"> >>"
+    )
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    n_obj = max(objs) + 1
+    out += f"xref\n0 {n_obj}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, n_obj):
+        out += (
+            f"{offsets[num]:010d} 00000 n \n".encode()
+            if num in offsets else b"0000000000 65535 f \n"
+        )
+    out += (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R /Encrypt 9 0 R "
+        f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\nstartxref\n"
+        f"{xref_off}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+@query(
+    "source_pdf_encrypted",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('epdf', 0)} AS b0,
+             md5(CAST(doc_id AS VARCHAR) || ':epdf') AS x
+      FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, 1 + b0 % 2 AS n, g.g AS g, x
+      FROM p, (VALUES (0), (1)) g(g)
+      WHERE g.g < 1 + b0 % 2 AND doc_id % 5 <> 4
+    ),
+    txt AS (
+      SELECT doc_id, n,
+             string_agg(
+               'w' || substring(x, 4 * g + 1, 2) || ' locked w'
+                 || substring(x, 4 * g + 3, 2) || ' '
+                 || CAST(g AS VARCHAR),
+               chr(10) ORDER BY g) AS text
+      FROM pg GROUP BY doc_id, n
+    )
+    SELECT doc_id, TRUE AS decrypted, 'pdf' AS format,
+           CAST(n AS INT) AS n_units, text
+    FROM txt
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL
+    FROM p WHERE doc_id % 5 = 4
+    """,
+)
+def q_source_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
+    # OWNER-RESTRICTED PDFs (r11) — most real 'encrypted' PDFs carry
+    # an EMPTY user password (the owner password only restricts
+    # printing/editing), and a pipeline that refuses them all leaves
+    # that text on the table. The standard security handler (ISO
+    # 32000 §7.6.3, V1/R2 RC4-40): file key from MD5(pad ‖ O ‖ P ‖
+    # ID0), the /U check AUTHENTICATING the empty password before any
+    # byte is trusted, per-object keys over every stream (RC4 applied
+    # outside FlateDecode — both filter arms rotate). Every 5th doc
+    # carries a REAL user password: /U verification fails and the doc
+    # takes the marker row — extraction never emits ciphertext. One
+    # Arrow pass through the same document_text dispatch.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([
+                _synth_encrypted_pdf_blob(
+                    int(i),
+                    user_pw=b"secret" if int(i) % 5 == 4 else b"",
+                )
+                for i in ids
+            ])
+
+    ex = D.document_text(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )
+    return ex.select(
+        "doc_id",
+        F.col("format").isNotNull().alias("decrypted"),
+        "format",
+        F.col("n_units"),
+        "text",
+    )

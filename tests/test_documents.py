@@ -1553,3 +1553,29 @@ def test_mbox_attachment_rfc5987_filename():
     rows = D.mbox_attachments(mbox)
     assert rows[0]["filename"] == "café résumé.pdf"
     assert rows[0]["payload"] == b"hello"
+
+
+def test_pdf_empty_user_password_decryption():
+    from hadoopxmlextractor_spark import queries_r11 as R
+
+    # RC4 known-answer (the classic test vector)
+    assert D._rc4(b"Key", b"Plaintext") == bytes.fromhex(
+        "bbf316e8d940af0ad3"
+    )
+    assert D._rc4(b"Key", D._rc4(b"Key", b"round trip")) == b"round trip"
+    # empty-user-password file decrypts; per-page text exact
+    blob = R._synth_encrypted_pdf_blob(7)
+    n, text = D._pdf_extract(blob)
+    assert n >= 1 and "locked" in text
+    # tampering with /U breaks authentication → refusal
+    bad = bytearray(blob)
+    at = bytes(bad).index(b"/U <") + 4
+    bad[at] = ord("0") if bad[at] != ord("0") else ord("1")
+    with pytest.raises(ValueError, match="encrypted"):
+        D._pdf_extract(bytes(bad))
+    # a real user password refuses; unsupported revisions refuse
+    with pytest.raises(ValueError, match="encrypted"):
+        D._pdf_extract(R._synth_encrypted_pdf_blob(7, user_pw=b"pw"))
+    v2 = blob.replace(b"/V 1 /R 2", b"/V 2 /R 3")
+    with pytest.raises(ValueError, match="encrypted"):
+        D._pdf_extract(v2)
