@@ -92,44 +92,50 @@ def _bounded_inflate(raw: bytes, wbits: int, cap: int = _MAX_INFLATE) -> bytes:
     return b"".join(chunks)
 
 
-def _zip_eocd(blob: bytes) -> tuple[int, int, int]:
-    """(entry count, central-directory offset, cd size) from the
-    end-of-central-directory record. APPNOTE's contract: the EOCD is
-    found by scanning BACKWARD from EOF (a trailing archive comment of
-    up to 64 KiB may follow it), and a candidate is real only if its
-    comment-length field reaches exactly to EOF. ZIP64 (r11): an
-    EOCD64 LOCATOR (PK\\x06\\x07) immediately preceding the EOCD
-    redirects to the 64-bit record — required for any archive >4 GiB
-    or >65,535 members, routine at crawl scale; a classic EOCD whose
-    fields carry the 0xFFFF/0xFFFFFFFF sentinels WITHOUT a locator is
-    corrupt and refuses."""
+def _zip_eocd_pos(blob: bytes) -> int:
+    """Offset of the VALIDATED end-of-central-directory record.
+    APPNOTE's contract: the EOCD is found by scanning BACKWARD from
+    EOF (a trailing archive comment of up to 64 KiB may follow it),
+    and a candidate is real only if its comment-length field reaches
+    exactly to EOF — a comment that happens to contain the 4-byte
+    signature must not shadow the real record. Shared by _zip_eocd
+    and zip_has_eocd64 so the attribution bit and the parser always
+    agree on WHICH record is the EOCD (r12 advice fix)."""
     lo = max(0, len(blob) - 65536 - 22)
     pos = blob.rfind(_EOCD_SIG, lo)
     while pos != -1:
         if pos + 22 <= len(blob):
             (clen,) = struct.unpack("<H", blob[pos + 20 : pos + 22])
             if pos + 22 + clen == len(blob):
-                if pos >= 20 and blob[pos - 20 : pos - 16] == _EOCD64_LOC_SIG:
-                    (e64_off,) = struct.unpack(
-                        "<Q", blob[pos - 12 : pos - 4]
-                    )
-                    if not 0 <= e64_off <= len(blob) - 56:
-                        raise ValueError("EOCD64 offset out of range")
-                    rec = blob[e64_off : e64_off + 56]
-                    if rec[:4] != _EOCD64_SIG:
-                        raise ValueError("EOCD64 locator points at junk")
-                    n, cd_size, cd_off = struct.unpack("<QQQ", rec[32:56])
-                    if cd_off + cd_size > len(blob):
-                        raise ValueError("EOCD64 directory out of range")
-                    return n, cd_off, cd_size
-                n, cd_size, cd_off = struct.unpack(
-                    "<HII", blob[pos + 10 : pos + 20]
-                )
-                if n == 0xFFFF or 0xFFFFFFFF in (cd_size, cd_off):
-                    raise ValueError("zip64 sentinel without EOCD64 locator")
-                return n, cd_off, cd_size
+                return pos
         pos = blob.rfind(_EOCD_SIG, lo, pos)
     raise ValueError("no EOCD record")
+
+
+def _zip_eocd(blob: bytes) -> tuple[int, int, int]:
+    """(entry count, central-directory offset, cd size) from the
+    end-of-central-directory record (validated scan: _zip_eocd_pos).
+    ZIP64 (r11): an EOCD64 LOCATOR (PK\\x06\\x07) immediately
+    preceding the EOCD redirects to the 64-bit record — required for
+    any archive >4 GiB or >65,535 members, routine at crawl scale; a
+    classic EOCD whose fields carry the 0xFFFF/0xFFFFFFFF sentinels
+    WITHOUT a locator is corrupt and refuses."""
+    pos = _zip_eocd_pos(blob)
+    if pos >= 20 and blob[pos - 20 : pos - 16] == _EOCD64_LOC_SIG:
+        (e64_off,) = struct.unpack("<Q", blob[pos - 12 : pos - 4])
+        if not 0 <= e64_off <= len(blob) - 56:
+            raise ValueError("EOCD64 offset out of range")
+        rec = blob[e64_off : e64_off + 56]
+        if rec[:4] != _EOCD64_SIG:
+            raise ValueError("EOCD64 locator points at junk")
+        n, cd_size, cd_off = struct.unpack("<QQQ", rec[32:56])
+        if cd_off + cd_size > len(blob):
+            raise ValueError("EOCD64 directory out of range")
+        return n, cd_off, cd_size
+    n, cd_size, cd_off = struct.unpack("<HII", blob[pos + 10 : pos + 20])
+    if n == 0xFFFF or 0xFFFFFFFF in (cd_size, cd_off):
+        raise ValueError("zip64 sentinel without EOCD64 locator")
+    return n, cd_off, cd_size
 
 
 def _zip64_promote(
@@ -162,8 +168,11 @@ def _zip64_promote(
 def zip_has_eocd64(blob: bytes) -> bool:
     """True when the archive's EOCD is preceded by the ZIP64 locator —
     the per-archive attribution bit ``archive_zip64_meta`` reports, so
-    the fixture rotation provably exercises BOTH layouts (r11)."""
-    pos = blob.rindex(_EOCD_SIG)
+    the fixture rotation provably exercises BOTH layouts (r11). Uses
+    the same validated scan as _zip_eocd — an archive comment (or
+    trailing junk) containing the raw signature bytes cannot make the
+    attribution bit disagree with the parser's EOCD choice (r12)."""
+    pos = _zip_eocd_pos(blob)
     return pos >= 20 and blob[pos - 20 : pos - 16] == _EOCD64_LOC_SIG
 
 
@@ -787,19 +796,71 @@ def _pdf_enc_string(body: bytes, key: bytes) -> bytes | None:
     return m.group(1) if m else None
 
 
-def _pdf_map_stream(body: bytes, fn) -> bytes:
+def _pdf_map_stream(body: bytes, fn, resolve_len=None) -> bytes:
     """Body with its stream payload (direct-/Length framed, the same
     contract as _pdf_stream_data) transformed by ``fn``; bodies
-    without a stream pass through."""
+    without a stream pass through. An INDIRECT '/Length n 0 R' is
+    resolved through ``resolve_len`` (obj num → byte count) when
+    given — required on the decrypt path, where an unframed stream
+    would otherwise flow downstream as ciphertext — and raises when
+    the stream cannot be framed exactly (never transform a guess)."""
     sm = re.search(rb"stream(?:\r\n|\n)", body)
     if sm is None:
         return body
-    lm = re.search(rb"/Length\s+(\d+)(?![^/>]*R)", body[: sm.start()])
-    if lm is None:
-        return body
+    head = body[: sm.start()]
+    im = re.search(rb"/Length\s+(\d+)\s+\d+\s+R", head)
+    if im is not None:
+        if resolve_len is None:
+            return body
+        n = resolve_len(int(im.group(1)))
+    else:
+        lm = re.search(rb"/Length\s+(\d+)", head)
+        if lm is None:
+            if resolve_len is None:
+                return body
+            raise ValueError("stream without /Length")
+        n = int(lm.group(1))
     start = sm.end()
-    n = int(lm.group(1))
+    if start + n > len(body):
+        raise ValueError("/Length exceeds object body")
     return body[:start] + fn(body[start : start + n]) + body[start + n :]
+
+
+def _pdf_map_strings(head: bytes, fn) -> bytes:
+    """``head`` (an object body up to its stream keyword) with every
+    literal ``(…)`` and hex ``<…>`` string's RAW BYTES transformed by
+    ``fn`` and re-emitted in hex form (escape-free, always-legal PDF).
+    ``<<``/``>>`` dict delimiters pass through. This is how encrypted
+    STRINGS (ISO 32000 §7.6.2: strings and streams are the two
+    encrypted payload classes) get the same per-object decrypt as
+    stream payloads — an /Info walk over an encrypted file must never
+    surface RC4/AES ciphertext as a field value."""
+    s = head.decode("latin-1")
+    out: list[str] = []
+    i = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "(":
+            lit, j = _pdf_literal(s, i)
+            out.append(
+                "<" + fn(lit.encode("latin-1")).hex() + ">"
+            )
+            i = j
+        elif c == "<" and i + 1 < n and s[i + 1] == "<":
+            out.append("<<")
+            i += 2
+        elif c == "<":
+            j = s.index(">", i)
+            hx = re.sub(r"\s", "", s[i + 1 : j])
+            if len(hx) % 2:
+                hx += "0"
+            out.append("<" + fn(bytes.fromhex(hx)).hex() + ">")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out).encode("latin-1")
 
 
 def _pdf_decrypt_objects(
@@ -839,15 +900,44 @@ def _pdf_decrypt_objects(
     ).digest()[:5]
     if _rc4(fkey, _PDF_PAD) != u:
         raise ValueError("encrypted PDF")  # a real user password
-    enc_num = int(em.group(1))
+    _pdf_apply_decrypt(objs, int(em.group(1)), fkey)
+
+
+def _pdf_apply_decrypt(
+    objs: dict[int, bytes], enc_num: int, fkey: bytes
+) -> None:
+    """Per-object decrypt of every stream payload AND every string in
+    the non-stream portion (both encrypted payload classes, §7.6.2),
+    key MD5(fkey ‖ num(le24) ‖ gen(le16))[:min(len+5,16)]; generation
+    0 — the only generation this engine's writers and fixtures emit.
+    An indirect '/Length n 0 R' resolves through the (plaintext —
+    numbers are never encrypted) referenced integer object; a stream
+    that cannot be framed exactly refuses rather than transforming a
+    guess. The /Encrypt dict itself is exempt (its /O and /U are
+    stored unencrypted)."""
+
+    def _resolve_len(ref: int) -> int:
+        body = objs.get(ref)
+        m = re.match(rb"\s*(\d+)\s*$", body or b"")
+        if m is None:
+            raise ValueError("unresolvable indirect /Length")
+        return int(m.group(1))
+
     for num in list(objs):
         if num == enc_num:
             continue
         okey = hashlib.md5(
             fkey + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
-        ).digest()[:10]
+        ).digest()[: min(len(fkey) + 5, 16)]
+        body = objs[num]
+        sm = re.search(rb"stream(?:\r\n|\n)", body)
+        cut = sm.start() if sm is not None else len(body)
+        body = (
+            _pdf_map_strings(body[:cut], lambda d, k=okey: _rc4(k, d))
+            + body[cut:]
+        )
         objs[num] = _pdf_map_stream(
-            objs[num], lambda data, k=okey: _rc4(k, data)
+            body, lambda data, k=okey: _rc4(k, data), _resolve_len
         )
 
 
@@ -3750,12 +3840,20 @@ def mbox_attachments(text: str) -> list[dict]:
             # filename=/name= parameters
             fname = None
             em = re.search(r"filename\*\s*=\s*([^;\s]+)", disp)
-            if em is not None:
+            if em is not None and em.group(1).count("'") >= 2:
+                # charset'lang'pct-encoded; a malformed ext-value
+                # (continuation form filename*0*=, quoted value, an
+                # unknown charset label) falls back to the plain
+                # filename= path instead of killing the task (r12
+                # advice fix)
                 charset, _, enc = em.group(1).split("'", 2)
                 from urllib.parse import unquote
 
-                fname = unquote(enc, encoding=charset or "utf-8")
-            else:
+                try:
+                    fname = unquote(enc, encoding=charset or "utf-8")
+                except LookupError:
+                    fname = None
+            if fname is None:
                 fm = re.search(
                     r'(?:filename|name)="?([^";]+)"?', disp + ";" + pct
                 )

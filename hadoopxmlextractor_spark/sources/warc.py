@@ -899,9 +899,9 @@ def robots_directives(headers, html: str):
 
         _ROBOTS_META_RE = _re.compile(
             r"<meta\s+(?:[^>]*?\bname\s*=\s*[\"']?robots[\"']?[^>]*?"
-            r"\bcontent\s*=\s*[\"']([^\"'>]*)[\"']?"
-            r"|[^>]*?\bcontent\s*=\s*[\"']([^\"'>]*)[\"']?[^>]*?"
-            r"\bname\s*=\s*[\"']?robots[\"']?)",
+            r"\bcontent\s*=\s*(?:[\"']([^\"'>]*)[\"']?|([^\s>]+))"
+            r"|[^>]*?\bcontent\s*=\s*(?:[\"']([^\"'>]*)[\"']?|([^\s>]+))"
+            r"[^>]*?\bname\s*=\s*[\"']?robots[\"']?)",
             _re.IGNORECASE,
         )
 
@@ -920,9 +920,11 @@ def robots_directives(headers, html: str):
             source = "header"
         noindex |= "noindex" in t
         nofollow |= "nofollow" in t
-    m = _ROBOTS_META_RE.search(html or "")
-    if m:
-        t = toks(m.group(1) or m.group(2) or "")
+    # UNION across ALL robots metas (a page may split noindex and
+    # nofollow over two tags) and accept unquoted content values —
+    # under-reporting keeps pages the publisher opted out (r12 fix)
+    for m in _ROBOTS_META_RE.finditer(html or ""):
+        t = toks(next((g for g in m.groups() if g), ""))
         if t & {"noindex", "nofollow"} and source is None:
             source = "meta"
         noindex |= "noindex" in t

@@ -143,3 +143,25 @@ def test_robots_directives():
         '<meta name="viewport" content="width=1">',
     ) == (False, False, None)
     assert W2.robots_directives(None, "") == (False, False, None)
+
+
+def test_robots_directives_multi_meta_and_unquoted():
+    # directives UNION across ALL robots metas (split over two tags)
+    assert W.robots_directives(
+        {},
+        '<meta name="robots" content="noindex">'
+        '<meta name="robots" content="nofollow">',
+    ) == (True, True, "meta")
+    # unquoted content value
+    assert W.robots_directives(
+        {}, "<meta name=robots content=noindex>"
+    ) == (True, False, "meta")
+    assert W.robots_directives(
+        {}, "<meta content=nofollow name=robots>"
+    ) == (False, True, "meta")
+    # a robots meta plus an unrelated meta — no cross-contamination
+    assert W.robots_directives(
+        {},
+        '<meta name="viewport" content="width=1">'
+        "<meta name=robots content=none>",
+    ) == (True, True, "meta")

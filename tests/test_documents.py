@@ -1579,3 +1579,126 @@ def test_pdf_empty_user_password_decryption():
     v2 = blob.replace(b"/V 1 /R 2", b"/V 2 /R 3")
     with pytest.raises(ValueError, match="encrypted"):
         D._pdf_extract(v2)
+
+
+# ---------------------------------------------------------------------------
+# r12 advice fixes: indirect-/Length decrypt, string decrypt, EOCD scan,
+# RFC 5987 robustness
+# ---------------------------------------------------------------------------
+
+
+def _synth_encrypted_pdf_indirect(title: bytes = b"Secret Title") -> bytes:
+    """Bespoke V1/R2 empty-user-password PDF whose content stream uses
+    an INDIRECT '/Length 8 0 R' and whose /Info carries an encrypted
+    /Title hex string — the two legal shapes the r11 decrypt path left
+    as ciphertext (r12 advice items 1-2)."""
+    pad = D._PDF_PAD
+    id0 = hashlib.md5(b"indirect:id").digest()
+    p_flags = -44
+    padded_user = pad[:32]
+    padded_owner = (b"own" + pad)[:32]
+    okey5 = hashlib.md5(padded_owner).digest()[:5]
+    o_entry = D._rc4(okey5, padded_user)
+    fkey = hashlib.md5(
+        pad + o_entry + (p_flags & 0xFFFFFFFF).to_bytes(4, "little") + id0
+    ).digest()[:5]
+    u_entry = D._rc4(fkey, padded_user)
+
+    def okey(num: int) -> bytes:
+        return hashlib.md5(
+            fkey + num.to_bytes(3, "little") + b"\x00\x00"
+        ).digest()[:10]
+
+    plain = b"BT /F1 12 Tf 72 720 Td (indirect stream text) Tj ET"
+    ct = D._rc4(okey(4), plain)
+    title_ct = D._rc4(okey(5), title)
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 4 0 R >>"),
+        4: (b"<< /Length 8 0 R >>\nstream\n" + ct + b"\nendstream"),
+        5: b"<< /Title <" + title_ct.hex().encode() + b"> >>",
+        8: str(len(ct)).encode(),
+        9: (b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -44 /O <"
+            + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
+            + b"> >>"),
+    }
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    n_obj = max(objs) + 1
+    out += f"xref\n0 {n_obj}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, n_obj):
+        out += (
+            f"{offsets[num]:010d} 00000 n \n".encode()
+            if num in offsets else b"0000000000 65535 f \n"
+        )
+    out += (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R /Encrypt 9 0 R "
+        f"/Info 5 0 R /ID [<{id0.hex()}> <{id0.hex()}>] >>\nstartxref\n"
+        f"{xref_off}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+def test_pdf_encrypted_indirect_length_decrypts():
+    blob = _synth_encrypted_pdf_indirect()
+    n, text = D._pdf_extract(blob)
+    assert n == 1 and text == "indirect stream text"
+
+
+def test_pdf_encrypted_strings_decrypt_in_info():
+    blob = _synth_encrypted_pdf_indirect(title=b"Locked down title")
+    info = D.pdf_info(blob)
+    assert info["title"] == "Locked down title"
+
+
+def test_pdf_map_strings_roundtrip():
+    ident = lambda b: b  # noqa: E731
+    # dict delimiters survive; both string forms re-emit as hex
+    head = b"<< /A (lit\\)eral) /B <48690A> /C 3 >>"
+    out = D._pdf_map_strings(head, ident)
+    assert out == (
+        b"<< /A <" + b"lit)eral".hex().encode()
+        + b"> /B <" + b"Hi\n".hex().encode() + b"> /C 3 >>"
+    )
+    # a transform actually applies
+    out2 = D._pdf_map_strings(b"(abc)", lambda b: b.upper())
+    assert out2 == b"<" + b"ABC".hex().encode() + b">"
+
+
+def test_zip_eocd64_attribution_survives_signature_in_comment():
+    # a comment containing the raw EOCD signature must not shadow the
+    # real record for either the parser or the attribution bit
+    evil = b"see " + D._EOCD_SIG + b" inside a comment"
+    blob = D.build_zip([("a.txt", b"data", 0, False)], comment=evil)
+    assert D.zip_has_eocd64(blob) is False
+    assert [e["name"] for e in D.zip_member_list(blob)] == ["a.txt"]
+    blob64 = D.build_zip(
+        [("b.txt", b"data64", 0, False)], comment=evil, zip64=True
+    )
+    assert D.zip_has_eocd64(blob64) is True
+    assert [e["name"] for e in D.zip_member_list(blob64)] == ["b.txt"]
+
+
+def test_mbox_attachment_rfc5987_malformed_falls_back():
+    # continuation form (filename*0*=) has no two quotes → plain path;
+    # unknown charset label → plain path; neither kills the task
+    mbox = (
+        'From a\nFrom: x@y\nContent-Type: multipart/mixed; '
+        'boundary="M1"\n\n'
+        "--M1\nContent-Type: application/pdf\n"
+        "Content-Disposition: attachment; filename*0*=UTF-8''part;"
+        ' filename="fallback.pdf"\n\n'
+        "raw\n--M1\n"
+        "Content-Type: text/plain\n"
+        "Content-Disposition: attachment; "
+        "filename*=bogus-charset'en'a%20b; filename=\"plan-b.txt\"\n\n"
+        "x\n--M1--\n"
+    )
+    rows = D.mbox_attachments(mbox)
+    assert [r["filename"] for r in rows] == ["fallback.pdf", "plan-b.txt"]
