@@ -1,0 +1,176 @@
+"""Pure-Python AES-128 (FIPS 197) with CBC mode and PKCS#7 padding.
+
+The decrypt side is what the PDF standard security handler's /AESV2
+crypt filter needs (ISO 32000 §7.6.2: the 16-byte IV leads the
+ciphertext); the encrypt side exists for the fixture writers, so the
+decoder is never validated only against its own mirror — tests
+cross-validate BOTH directions against the ``cryptography`` package
+when it is importable, plus the FIPS-197 Appendix C.1 known-answer
+vector, which pins the implementation to the standard either way.
+
+Tables are GENERATED (GF(2^8) log/exp over generator 0x03, S-box from
+the multiplicative inverse + affine transform) rather than transcribed
+— no 256-entry constant to mistype. Pure Python is the right cost
+model here: payloads are small per-object PDF streams inside an Arrow
+batch; there is no hot loop over corpus bytes.
+"""
+
+from __future__ import annotations
+
+# --- GF(2^8) tables -------------------------------------------------------
+
+_EXP = [0] * 510
+_LOG = [0] * 256
+_x = 1
+for _i in range(255):
+    _EXP[_i] = _x
+    _LOG[_x] = _i
+    _d = ((_x << 1) & 0xFF) ^ (0x1B if _x & 0x80 else 0)  # ·2
+    _x ^= _d  # ·3 (the generator)
+for _i in range(255, 510):
+    _EXP[_i] = _EXP[_i - 255]
+
+
+def _gmul(a: int, b: int) -> int:
+    if a == 0 or b == 0:
+        return 0
+    return _EXP[_LOG[a] + _LOG[b]]
+
+
+def _rotl8(v: int, n: int) -> int:
+    return ((v << n) | (v >> (8 - n))) & 0xFF
+
+
+_SBOX = [0] * 256
+_INV_SBOX = [0] * 256
+for _a in range(256):
+    _b = 0 if _a == 0 else _EXP[255 - _LOG[_a]]  # multiplicative inverse
+    _s = _b ^ _rotl8(_b, 1) ^ _rotl8(_b, 2) ^ _rotl8(_b, 3) ^ _rotl8(_b, 4)
+    _s ^= 0x63
+    _SBOX[_a] = _s
+    _INV_SBOX[_s] = _a
+
+_RCON = [0x01]
+for _i in range(9):
+    _RCON.append(_gmul(_RCON[-1], 2))
+
+
+# --- key schedule + block primitives --------------------------------------
+
+
+def _expand_key(key: bytes) -> list[list[int]]:
+    """AES-128 key schedule: 11 round keys of 16 bytes each."""
+    if len(key) != 16:
+        raise ValueError("AES-128 key must be 16 bytes")
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
+    for i in range(4, 44):
+        t = list(w[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // 4 - 1]
+        w.append([w[i - 4][j] ^ t[j] for j in range(4)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+
+
+def _shift_rows(s: list[int]) -> list[int]:
+    # state index = row + 4·col (FIPS column-major); row r rotates left r
+    return [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
+
+
+def _inv_shift_rows(s: list[int]) -> list[int]:
+    return [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+
+
+def _mix_columns(s: list[int]) -> list[int]:
+    out = [0] * 16
+    for c in range(4):
+        a = s[4 * c : 4 * c + 4]
+        out[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
+        out[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
+        out[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
+        out[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
+    return out
+
+
+def _inv_mix_columns(s: list[int]) -> list[int]:
+    out = [0] * 16
+    for c in range(4):
+        a = s[4 * c : 4 * c + 4]
+        out[4 * c + 0] = (
+            _gmul(a[0], 14) ^ _gmul(a[1], 11) ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
+        )
+        out[4 * c + 1] = (
+            _gmul(a[0], 9) ^ _gmul(a[1], 14) ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
+        )
+        out[4 * c + 2] = (
+            _gmul(a[0], 13) ^ _gmul(a[1], 9) ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
+        )
+        out[4 * c + 3] = (
+            _gmul(a[0], 11) ^ _gmul(a[1], 13) ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
+        )
+    return out
+
+
+def encrypt_block(key: bytes, block: bytes) -> bytes:
+    rk = _expand_key(key)
+    s = [b ^ k for b, k in zip(block, rk[0])]
+    for rnd in range(1, 10):
+        s = [_SBOX[b] for b in s]
+        s = _shift_rows(s)
+        s = _mix_columns(s)
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+    s = [_SBOX[b] for b in s]
+    s = _shift_rows(s)
+    return bytes(b ^ k for b, k in zip(s, rk[10]))
+
+
+def decrypt_block(key: bytes, block: bytes) -> bytes:
+    rk = _expand_key(key)
+    s = [b ^ k for b, k in zip(block, rk[10])]
+    for rnd in range(9, 0, -1):
+        s = _inv_shift_rows(s)
+        s = [_INV_SBOX[b] for b in s]
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+        s = _inv_mix_columns(s)
+    s = _inv_shift_rows(s)
+    s = [_INV_SBOX[b] for b in s]
+    return bytes(b ^ k for b, k in zip(s, rk[0]))
+
+
+# --- CBC + PKCS#7 ----------------------------------------------------------
+
+
+def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """AES-128-CBC with PKCS#7 padding (always appended, 1-16 bytes)."""
+    if len(iv) != 16:
+        raise ValueError("IV must be 16 bytes")
+    pad = 16 - len(plaintext) % 16
+    data = plaintext + bytes([pad]) * pad
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = encrypt_block(key, blk)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
+    """AES-128-CBC decrypt with PKCS#7 padding VALIDATED — a wrong key
+    or truncated stream refuses (ValueError) instead of returning
+    garbage-suffixed plaintext."""
+    if len(iv) != 16:
+        raise ValueError("IV must be 16 bytes")
+    if len(ciphertext) == 0 or len(ciphertext) % 16:
+        raise ValueError("ciphertext not a multiple of the block size")
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ciphertext), 16):
+        blk = ciphertext[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(decrypt_block(key, blk), prev))
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("bad PKCS#7 padding")
+    return bytes(out[:-pad])

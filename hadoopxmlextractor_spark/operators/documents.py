@@ -868,25 +868,52 @@ def _pdf_decrypt_objects(
 ) -> None:
     """Attempt the EMPTY-USER-PASSWORD standard-handler decrypt (the
     owner-restricted files that make up most 'encrypted' PDFs in the
-    wild): V1/R2 RC4-40 key from MD5(pad ‖ O ‖ P(le32) ‖ ID0), the /U
-    check authenticating before any byte is trusted, then per-object
-    RC4 over every stream payload (key MD5(fkey ‖ num(le24) ‖
-    gen(le16))[:10]; generation 0 — the only generation this engine's
-    writers and fixtures emit). A failed /U check (a REAL user
-    password) or any other handler/revision refuses — the certified
-    marker-row contract (r11)."""
+    wild), ISO 32000 §7.6.3 — all three shipping generations:
+
+    - V1/R2: RC4-40, key MD5(pad ‖ O ‖ P(le32) ‖ ID0)[:5];
+    - V2/R3: RC4 with /Length-bit keys (the wild's default, usually
+      128), the SAME hash then 50× iterated MD5(h[:keylen]);
+    - V4/R4: /CF crypt filters — /StdCF with /CFM /V2 (RC4) or
+      /AESV2 (AES-128-CBC, IV = first 16 stream bytes, PKCS#7
+      padding validated), applied to BOTH streams and strings
+      (/StmF and /StrF must name /StdCF).
+
+    The matching /U check (R2: RC4(fkey, pad); R3/R4: the 19-round
+    re-keyed RC4 over MD5(pad ‖ ID0), first 16 bytes compared)
+    AUTHENTICATES the empty password before any byte is trusted. A
+    failed check (a REAL user password), any other handler, or the
+    R5/R6 AESV3 generation refuses — the certified marker-row
+    contract (r11)."""
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", trailer)
     enc = objs.get(int(em.group(1))) if em else None
     if enc is None:
         raise ValueError("encrypted PDF")
     ver = re.search(rb"/V\s+(\d+)", enc)
     rev = re.search(rb"/R\s+(\d+)", enc)
-    if (
-        b"/Standard" not in enc
-        or ver is None or int(ver.group(1)) != 1
-        or rev is None or int(rev.group(1)) != 2
-    ):
+    if b"/Standard" not in enc or ver is None or rev is None:
         raise ValueError("encrypted PDF")  # unsupported handler
+    v, r = int(ver.group(1)), int(rev.group(1))
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    nbits = int(lm.group(1)) if lm else 40
+    aes = False
+    if (v, r) == (1, 2):
+        keylen = 5
+    elif (v, r) == (2, 3):
+        keylen = nbits // 8
+        if not 5 <= keylen <= 16 or nbits % 8:
+            raise ValueError("encrypted PDF")
+    elif (v, r) == (4, 4):
+        cfm = re.search(rb"/CFM\s*/(AESV2|V2)\b", enc)
+        if (
+            cfm is None
+            or re.search(rb"/StmF\s*/StdCF", enc) is None
+            or re.search(rb"/StrF\s*/StdCF", enc) is None
+        ):
+            raise ValueError("encrypted PDF")
+        aes = cfm.group(1) == b"AESV2"
+        keylen = 16 if aes else nbits // 8
+    else:
+        raise ValueError("encrypted PDF")  # R5/R6 AESV3, custom, …
     o = _pdf_enc_string(enc, b"O")
     u = _pdf_enc_string(enc, b"U")
     pm = re.search(rb"/P\s+(-?\d+)", enc)
@@ -895,26 +922,39 @@ def _pdf_decrypt_objects(
         raise ValueError("encrypted PDF")
     id0 = bytes.fromhex(im.group(1).decode())
     p = int(pm.group(1)) & 0xFFFFFFFF
-    fkey = hashlib.md5(
+    nometa = v == 4 and re.search(rb"/EncryptMetadata\s+false", enc)
+    h = hashlib.md5(
         _PDF_PAD + o + p.to_bytes(4, "little") + id0
-    ).digest()[:5]
-    if _rc4(fkey, _PDF_PAD) != u:
+        + (b"\xff\xff\xff\xff" if nometa else b"")
+    ).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    fkey = h[:keylen]
+    if r == 2:
+        ok = _rc4(fkey, _PDF_PAD) == u
+    else:
+        x = _rc4(fkey, hashlib.md5(_PDF_PAD + id0).digest())
+        for i in range(1, 20):
+            x = _rc4(bytes(b ^ i for b in fkey), x)
+        ok = x == u[:16]
+    if not ok:
         raise ValueError("encrypted PDF")  # a real user password
-    _pdf_apply_decrypt(objs, int(em.group(1)), fkey)
+    _pdf_apply_decrypt(objs, int(em.group(1)), fkey, aes=aes)
 
 
 def _pdf_apply_decrypt(
-    objs: dict[int, bytes], enc_num: int, fkey: bytes
+    objs: dict[int, bytes], enc_num: int, fkey: bytes, aes: bool = False
 ) -> None:
     """Per-object decrypt of every stream payload AND every string in
     the non-stream portion (both encrypted payload classes, §7.6.2),
-    key MD5(fkey ‖ num(le24) ‖ gen(le16))[:min(len+5,16)]; generation
-    0 — the only generation this engine's writers and fixtures emit.
-    An indirect '/Length n 0 R' resolves through the (plaintext —
-    numbers are never encrypted) referenced integer object; a stream
-    that cannot be framed exactly refuses rather than transforming a
-    guess. The /Encrypt dict itself is exempt (its /O and /U are
-    stored unencrypted)."""
+    key MD5(fkey ‖ num(le24) ‖ gen(le16) [‖ sAlT for AESV2])
+    [:min(len+5,16)]; generation 0 — the only generation this
+    engine's writers and fixtures emit. An indirect '/Length n 0 R'
+    resolves through the (plaintext — numbers are never encrypted)
+    referenced integer object; a stream that cannot be framed exactly
+    refuses rather than transforming a guess. The /Encrypt dict
+    itself is exempt (its /O and /U are stored unencrypted)."""
 
     def _resolve_len(ref: int) -> int:
         body = objs.get(ref)
@@ -923,21 +963,30 @@ def _pdf_apply_decrypt(
             raise ValueError("unresolvable indirect /Length")
         return int(m.group(1))
 
+    def _aes_decrypt(key: bytes, data: bytes) -> bytes:
+        from hadoopxmlextractor_spark.operators import aes as A
+
+        if len(data) < 32:  # IV + at least one (padding) block
+            raise ValueError("AESV2 payload too short")
+        return A.cbc_decrypt(key, data[:16], data[16:])
+
+    fn = _aes_decrypt if aes else _rc4
     for num in list(objs):
         if num == enc_num:
             continue
         okey = hashlib.md5(
             fkey + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
+            + (b"sAlT" if aes else b"")
         ).digest()[: min(len(fkey) + 5, 16)]
         body = objs[num]
         sm = re.search(rb"stream(?:\r\n|\n)", body)
         cut = sm.start() if sm is not None else len(body)
         body = (
-            _pdf_map_strings(body[:cut], lambda d, k=okey: _rc4(k, d))
+            _pdf_map_strings(body[:cut], lambda d, k=okey: fn(k, d))
             + body[cut:]
         )
         objs[num] = _pdf_map_stream(
-            body, lambda data, k=okey: _rc4(k, data), _resolve_len
+            body, lambda data, k=okey: fn(k, data), _resolve_len
         )
 
 

@@ -1832,29 +1832,64 @@ def q_pipeline_wet_writer(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
-    """One deterministic RC4-40 (V1/R2) encrypted classic PDF from
-    md5(doc:epdf): every content stream stored as RC4(okey,
+    """One deterministic standard-handler encrypted classic PDF from
+    md5(doc:epdf), ROTATING the three shipping generations by
+    b[2] % 3 — V1/R2 RC4-40, V2/R3 RC4-128 (iterated-MD5 keys,
+    19-round /O and /U), V4/R4 /AESV2 AES-128-CBC crypt filters
+    (r12): every content stream stored as Enc(okey,
     maybe-Flate(plain)) — the real owner-restricted shape; a
     non-empty ``user_pw`` makes the /U check unsatisfiable with the
-    empty password (the refusal arm)."""
+    empty password (the refusal arm, whichever generation the doc's
+    arm selects)."""
     import hashlib
 
+    from hadoopxmlextractor_spark.operators import aes as A
     from hadoopxmlextractor_spark.operators import documents as D
 
     b = hashlib.md5(f"{i}:epdf".encode()).digest()
     x = hashlib.md5(f"{i}:epdf".encode()).hexdigest()
     n_pages = 1 + b[0] % 2
+    rev = (2, 3, 4)[b[2] % 3]
+    keylen = 5 if rev == 2 else 16
     id0 = hashlib.md5(f"{i}:epdfid".encode()).digest()
     p_flags = -44
     pad = D._PDF_PAD
     padded_user = (user_pw + pad)[:32]
     padded_owner = ((b"own%d" % i) + pad)[:32]
-    okey5 = hashlib.md5(padded_owner).digest()[:5]
-    o_entry = D._rc4(okey5, padded_user)
-    fkey = hashlib.md5(
+    oh = hashlib.md5(padded_owner).digest()
+    if rev >= 3:
+        for _ in range(50):
+            oh = hashlib.md5(oh).digest()
+    okey_owner = oh[:keylen]
+    o_entry = padded_user
+    for rnd in range(20 if rev >= 3 else 1):
+        o_entry = D._rc4(
+            bytes(bb ^ rnd for bb in okey_owner), o_entry
+        )
+    h = hashlib.md5(
         pad + o_entry + (p_flags & 0xFFFFFFFF).to_bytes(4, "little") + id0
-    ).digest()[:5]
-    u_entry = D._rc4(fkey, padded_user)
+    ).digest()
+    if rev >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:keylen]).digest()
+    fkey = h[:keylen]
+    if rev == 2:
+        u_entry = D._rc4(fkey, padded_user)
+    else:
+        u = D._rc4(fkey, hashlib.md5(padded_user + id0).digest())
+        for rnd in range(1, 20):
+            u = D._rc4(bytes(bb ^ rnd for bb in fkey), u)
+        u_entry = u + bytes(16)
+
+    def _enc(obj_num: int, data: bytes) -> bytes:
+        okey = hashlib.md5(
+            fkey + obj_num.to_bytes(3, "little") + b"\x00\x00"
+            + (b"sAlT" if rev == 4 else b"")
+        ).digest()[: min(keylen + 5, 16)]
+        if rev == 4:
+            iv = hashlib.md5(f"{i}:{obj_num}:iv".encode()).digest()
+            return iv + A.cbc_encrypt(okey, iv, data)
+        return D._rc4(okey, data)
 
     objs: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
     kids = []
@@ -1872,10 +1907,7 @@ def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
             filt = " /Filter /FlateDecode"
         else:
             data, filt = plain, ""
-        okey = hashlib.md5(
-            fkey + content_num.to_bytes(3, "little") + b"\x00\x00"
-        ).digest()[:10]
-        data = D._rc4(okey, data)
+        data = _enc(content_num, data)
         objs[page_num] = (
             f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             f"/Contents {content_num} 0 R >>".encode()
@@ -1888,8 +1920,16 @@ def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {n_pages} >>"
         .encode()
     )
+    enc_head = {
+        2: b"/V 1 /R 2 /Length 40",
+        3: b"/V 2 /R 3 /Length 128",
+        4: (
+            b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 "
+            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        ),
+    }[rev]
     objs[9] = (
-        b"<< /Filter /Standard /V 1 /R 2 /Length 40 /P -44 /O <"
+        b"<< /Filter /Standard " + enc_head + b" /P -44 /O <"
         + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
         + b"> >>"
     )
@@ -1919,43 +1959,52 @@ def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
     f"""
     WITH p AS (
       SELECT doc_id, {_b('epdf', 0)} AS b0,
+             CASE {_b('epdf', 2)} % 3
+               WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 4 END AS rev,
              md5(CAST(doc_id AS VARCHAR) || ':epdf') AS x
       FROM documents
     ),
     pg AS (
-      SELECT doc_id, 1 + b0 % 2 AS n, g.g AS g, x
+      SELECT doc_id, 1 + b0 % 2 AS n, g.g AS g, x, rev
       FROM p, (VALUES (0), (1)) g(g)
       WHERE g.g < 1 + b0 % 2 AND doc_id % 5 <> 4
     ),
     txt AS (
-      SELECT doc_id, n,
+      SELECT doc_id, n, rev,
              string_agg(
                'w' || substring(x, 4 * g + 1, 2) || ' locked w'
                  || substring(x, 4 * g + 3, 2) || ' '
                  || CAST(g AS VARCHAR),
                chr(10) ORDER BY g) AS text
-      FROM pg GROUP BY doc_id, n
+      FROM pg GROUP BY doc_id, n, rev
     )
-    SELECT doc_id, TRUE AS decrypted, 'pdf' AS format,
-           CAST(n AS INT) AS n_units, text
+    SELECT doc_id, TRUE AS decrypted, CAST(rev AS INT) AS enc_rev,
+           'pdf' AS format, CAST(n AS INT) AS n_units, text
     FROM txt
     UNION ALL
-    SELECT doc_id, FALSE, NULL, NULL, NULL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL
     FROM p WHERE doc_id % 5 = 4
     """,
 )
 def q_source_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
-    # OWNER-RESTRICTED PDFs (r11) — most real 'encrypted' PDFs carry
-    # an EMPTY user password (the owner password only restricts
-    # printing/editing), and a pipeline that refuses them all leaves
-    # that text on the table. The standard security handler (ISO
-    # 32000 §7.6.3, V1/R2 RC4-40): file key from MD5(pad ‖ O ‖ P ‖
-    # ID0), the /U check AUTHENTICATING the empty password before any
-    # byte is trusted, per-object keys over every stream (RC4 applied
-    # outside FlateDecode — both filter arms rotate). Every 5th doc
-    # carries a REAL user password: /U verification fails and the doc
-    # takes the marker row — extraction never emits ciphertext. One
-    # Arrow pass through the same document_text dispatch.
+    # OWNER-RESTRICTED PDFs (r11, widened r12) — most real 'encrypted'
+    # PDFs carry an EMPTY user password (the owner password only
+    # restricts printing/editing), and a pipeline that refuses them
+    # all leaves that text on the table. The standard security
+    # handler (ISO 32000 §7.6.3), ALL THREE shipping generations
+    # rotating by doc: V1/R2 RC4-40, V2/R3 RC4-128 (iterated-MD5 key
+    # derivation, 19-round /O and /U — the wild's default), V4/R4
+    # /AESV2 AES-128-CBC crypt filters (pure-Python FIPS-197 core,
+    # operators/aes.py). The matching /U check AUTHENTICATES the
+    # empty password before any byte is trusted; per-object keys over
+    # every stream (cipher applied outside FlateDecode — both filter
+    # arms rotate). Every 5th doc carries a REAL user password: /U
+    # verification fails (in whichever generation that doc's arm
+    # selects) and the doc takes the marker row — extraction never
+    # emits ciphertext. ``enc_rev`` is parsed back from the BLOB
+    # BYTES (not replayed from doc_id), so a text match per arm
+    # proves that generation's decrypt actually ran. One Arrow pass
+    # through the same document_text dispatch.
     from hadoopxmlextractor_spark.operators import documents as D
 
     docs = load(spark, sf, "documents").repartition(
@@ -1973,12 +2022,25 @@ def q_source_pdf_encrypted(spark: SparkSession, sf: str) -> DataFrame:
                 for i in ids
             ])
 
-    ex = D.document_text(
-        docs.select("doc_id", _blob("doc_id").alias("content"))
+    # the blob-parsed revision rides INSIDE the id through the
+    # document_text dispatch (the mbox-attachments id-encoding
+    # pattern) — one Arrow pass, no self-join, no double synth
+    raw = docs.select("doc_id", _blob("doc_id").alias("content"))
+    blobs = raw.select(
+        (
+            F.col("doc_id") * 10
+            + F.regexp_extract(
+                F.decode("content", "ISO-8859-1"), r"/R (\d)", 1
+            ).cast("bigint")
+        ).alias("doc_id"),
+        "content",
     )
+    ex = D.document_text(blobs)
     return ex.select(
-        "doc_id",
+        F.expr("doc_id div 10").alias("doc_id"),
         F.col("format").isNotNull().alias("decrypted"),
+        F.when(F.col("format").isNotNull(), F.col("doc_id") % 10)
+        .cast("int").alias("enc_rev"),
         "format",
         F.col("n_units"),
         "text",

@@ -1,0 +1,77 @@
+"""Pure-Python AES-128 core (operators/aes.py): FIPS-197 known-answer
+vector plus two-directional cross-validation against the
+``cryptography`` package when importable — the AESV2 decrypt path of
+the PDF standard security handler must never be validated only
+against its own encrypt mirror."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from hadoopxmlextractor_spark.operators import aes as A
+
+KEY = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+
+
+def test_fips197_appendix_c1_vector():
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = A.encrypt_block(KEY, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert A.decrypt_block(KEY, ct) == pt
+
+
+def test_cbc_roundtrip_and_padding_validation():
+    iv = hashlib.md5(b"iv").digest()
+    for n in (0, 1, 15, 16, 17, 100):
+        msg = bytes(range(256))[:n] * 1
+        ct = A.cbc_encrypt(KEY, iv, msg)
+        assert len(ct) % 16 == 0 and len(ct) >= 16
+        assert A.cbc_decrypt(KEY, iv, ct) == msg
+    # wrong key → padding check refuses (never garbage-suffixed text)
+    ct = A.cbc_encrypt(KEY, iv, b"payload bytes here")
+    with pytest.raises(ValueError):
+        A.cbc_decrypt(bytes(16), iv, ct)
+    with pytest.raises(ValueError, match="multiple"):
+        A.cbc_decrypt(KEY, iv, ct[:-3])
+    with pytest.raises(ValueError, match="multiple"):
+        A.cbc_decrypt(KEY, iv, b"")
+
+
+def test_crossval_against_cryptography():
+    crypto = pytest.importorskip("cryptography")  # noqa: F841
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    for seed in range(8):
+        key = hashlib.md5(b"k%d" % seed).digest()
+        iv = hashlib.md5(b"i%d" % seed).digest()
+        msg = hashlib.sha256(b"m%d" % seed).digest() * (seed + 1)
+        msg = msg[: 16 * (seed + 1) + seed]  # mixed alignments
+        ours = A.cbc_encrypt(key, iv, msg)
+        pad = 16 - len(msg) % 16
+        enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        theirs = enc.update(msg + bytes([pad]) * pad) + enc.finalize()
+        assert ours == theirs  # encrypt agrees
+        dec = Cipher(algorithms.AES(key), modes.CBC(iv)).decryptor()
+        assert A.cbc_decrypt(key, iv, theirs) == msg  # we read theirs
+        assert (dec.update(ours) + dec.finalize())[:-pad] == msg
+
+
+def test_pdf_r4_aesv2_string_decrypt():
+    """An R4 file's head STRINGS decrypt through the AES arm too —
+    build an object map by hand and run _pdf_apply_decrypt."""
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    fkey = hashlib.md5(b"filekey16bytes!!").digest()
+    okey = hashlib.md5(
+        fkey + (5).to_bytes(3, "little") + b"\x00\x00" + b"sAlT"
+    ).digest()[:16]
+    iv = hashlib.md5(b"strs-iv").digest()
+    title = b"AES guarded title"
+    ct = iv + A.cbc_encrypt(okey, iv, title)
+    objs = {5: b"<< /Title <" + ct.hex().encode() + b"> >>"}
+    D._pdf_apply_decrypt(objs, 9, fkey, aes=True)
+    assert objs[5] == b"<< /Title <" + title.hex().encode() + b"> >>"

@@ -1563,22 +1563,30 @@ def test_pdf_empty_user_password_decryption():
         "bbf316e8d940af0ad3"
     )
     assert D._rc4(b"Key", D._rc4(b"Key", b"round trip")) == b"round trip"
-    # empty-user-password file decrypts; per-page text exact
-    blob = R._synth_encrypted_pdf_blob(7)
-    n, text = D._pdf_extract(blob)
-    assert n >= 1 and "locked" in text
-    # tampering with /U breaks authentication → refusal
-    bad = bytearray(blob)
-    at = bytes(bad).index(b"/U <") + 4
-    bad[at] = ord("0") if bad[at] != ord("0") else ord("1")
-    with pytest.raises(ValueError, match="encrypted"):
-        D._pdf_extract(bytes(bad))
-    # a real user password refuses; unsupported revisions refuse
-    with pytest.raises(ValueError, match="encrypted"):
-        D._pdf_extract(R._synth_encrypted_pdf_blob(7, user_pw=b"pw"))
-    v2 = blob.replace(b"/V 1 /R 2", b"/V 2 /R 3")
+    # one id per generation arm (b[2] % 3): 7→R2, 6→R3, 3→R4 — each
+    # decrypts AND declares the expected /V /R head in the blob
+    for i, head in ((7, b"/V 1 /R 2"), (6, b"/V 2 /R 3"), (3, b"/V 4 /R 4")):
+        blob = R._synth_encrypted_pdf_blob(i)
+        assert head in blob
+        n, text = D._pdf_extract(blob)
+        assert n >= 1 and "locked" in text
+        # tampering with /U breaks authentication → refusal
+        bad = bytearray(blob)
+        at = bytes(bad).index(b"/U <") + 4
+        bad[at] = ord("0") if bad[at] != ord("0") else ord("1")
+        with pytest.raises(ValueError, match="encrypted"):
+            D._pdf_extract(bytes(bad))
+        # a real user password refuses in EVERY generation
+        with pytest.raises(ValueError, match="encrypted"):
+            D._pdf_extract(R._synth_encrypted_pdf_blob(i, user_pw=b"pw"))
+    # a mislabeled revision fails its generation's /U check → refusal
+    v2 = R._synth_encrypted_pdf_blob(7).replace(b"/V 1 /R 2", b"/V 2 /R 3")
     with pytest.raises(ValueError, match="encrypted"):
         D._pdf_extract(v2)
+    # the unsupported R5/R6 AESV3 generation refuses outright
+    v5 = R._synth_encrypted_pdf_blob(7).replace(b"/V 1 /R 2", b"/V 5 /R 6")
+    with pytest.raises(ValueError, match="encrypted"):
+        D._pdf_extract(v5)
 
 
 # ---------------------------------------------------------------------------
