@@ -1354,3 +1354,130 @@ def build_m4a_cover(data: bytes, *, png: bool = True) -> bytes:
     moov = struct.pack(">I", 8 + len(udta)) + b"moov" + udta
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"M4A \x00\x00\x02\x00"
     return ftyp + moov
+
+
+# ---------------------------------------------------------------------------
+# MP3 MPEG audio frame walk — version/layer/bitrate/samplerate, Xing/Info
+# frame-count + VBRI fallback, duration (r12)
+# ---------------------------------------------------------------------------
+
+# ISO/IEC 11172-3 table B.2 bitrates (kbps), index 1..14 (0 = "free
+# format" and 15 are refused); MPEG-2/2.5 use the lower-rate tables.
+_MP3_BR_V1 = {
+    1: (32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448),
+    2: (32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),
+    3: (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320),
+}
+_MP3_BR_V2 = {
+    1: (32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),
+    2: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    3: (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+_MP3_SR = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+
+
+def _mp3_frame_len(version: str, layer: int, br_kbps: int, sr: int,
+                   pad: int) -> int:
+    if layer == 1:
+        return (12 * br_kbps * 1000 // sr + pad) * 4
+    factor = 144 if (layer == 2 or version == "1") else 72
+    return factor * br_kbps * 1000 // sr + pad
+
+
+def _mp3_spf(version: str, layer: int) -> int:
+    """Samples per frame: Layer I 384, Layer II 1152, Layer III 1152
+    (MPEG-1) / 576 (MPEG-2/2.5)."""
+    if layer == 1:
+        return 384
+    if layer == 2:
+        return 1152
+    return 1152 if version == "1" else 576
+
+
+def mp3_frame_info(blob: bytes) -> dict:
+    """First-MPEG-frame parameters + VBR headers + duration of an MP3
+    — the duration/bitrate parity leg MP3 was missing next to M4A
+    (_parse_mp4_audio_meta), FLAC, and ALAC. Reads ONLY the file head
+    (after the ID3v2 skip) plus the fixed trailers — the right plan
+    at crawl scale, where metadata must not cost a full decode pass:
+
+    - frame header (ISO/IEC 11172-3 §2.4.1.3): sync, MPEG version
+      1/2/2.5, layer I-III, bitrate index, sample rate index, padding
+      bit, channel mode (mode 3 = mono);
+    - Xing/Info header at the layer-III side-info offset (MPEG-1:
+      17 mono / 32 otherwise; MPEG-2/2.5: 9 / 17) — frame count when
+      flag bit 0 is set ('Xing' = VBR, 'Info' = LAME's CBR tag);
+    - VBRI header at the fixed 32-byte offset (Fraunhofer) as the
+      fallback;
+    - duration: frame-count-based when any header supplied one, else
+      the CBR estimate audio_bytes·8/bitrate with the ID3v2 lead and
+      ID3v1 'TAG' trailer excluded from the byte count (n_frames then
+      reports audio_bytes // frame_len).
+
+    Free-format (bitrate index 0), reserved version/layer/samplerate
+    codes, and a missing sync refuse (ValueError) — the caller's
+    marker-row contract."""
+    off = 0
+    if blob[:3] == b"ID3":
+        off = 10 + _unsyncsafe(blob[6:10]) + (10 if blob[5] & 0x10 else 0)
+    if off + 4 > len(blob) or blob[off] != 0xFF or blob[off + 1] & 0xE0 != 0xE0:
+        raise ValueError("no MPEG frame sync")
+    b1, b2, b3 = blob[off + 1], blob[off + 2], blob[off + 3]
+    version = {0: "2.5", 2: "2", 3: "1"}.get((b1 >> 3) & 3)
+    layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 3)
+    if version is None or layer is None:
+        raise ValueError("reserved MPEG version/layer")
+    br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+    if br_idx in (0, 15) or sr_idx == 3:
+        raise ValueError("unsupported bitrate/samplerate code")
+    table = _MP3_BR_V1 if version == "1" else _MP3_BR_V2
+    br = table[layer][br_idx - 1]
+    sr = _MP3_SR[version][sr_idx]
+    mode = b3 >> 6
+    channels = 1 if mode == 3 else 2
+    spf = _mp3_spf(version, layer)
+    flen = _mp3_frame_len(version, layer, br, sr, pad)
+
+    vbr_kind = None
+    n_frames = None
+    if layer == 3:
+        side = (17 if mode == 3 else 32) if version == "1" else (
+            9 if mode == 3 else 17
+        )
+        tag_at = off + 4 + side
+        tag = blob[tag_at : tag_at + 4]
+        if tag in (b"Xing", b"Info"):
+            vbr_kind = "xing" if tag == b"Xing" else "info"
+            (flags,) = struct.unpack(">I", blob[tag_at + 4 : tag_at + 8])
+            if flags & 1:
+                (n_frames,) = struct.unpack(
+                    ">I", blob[tag_at + 8 : tag_at + 12]
+                )
+        elif blob[off + 4 + 32 : off + 4 + 36] == b"VBRI":
+            vbr_kind = "vbri"
+            (n_frames,) = struct.unpack(
+                ">I", blob[off + 4 + 32 + 14 : off + 4 + 32 + 18]
+            )
+    audio_end = len(blob)
+    if blob[-128:][:3] == b"TAG":
+        audio_end -= 128
+    audio_bytes = audio_end - off
+    if n_frames is not None:
+        duration_ms = n_frames * spf * 1000 // sr
+    else:
+        duration_ms = audio_bytes * 8 // br
+        n_frames = audio_bytes // flen
+    return {
+        "version": version,
+        "layer": layer,
+        "bitrate_kbps": br,
+        "sample_rate": sr,
+        "channels": channels,
+        "vbr_kind": vbr_kind,
+        "n_frames": n_frames,
+        "duration_ms": duration_ms,
+    }

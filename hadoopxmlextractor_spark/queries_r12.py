@@ -1,0 +1,265 @@
+"""Round-12 queries — the crawl/corpus long tail the r11 verdict
+ranked by real-world hit rate:
+
+- MP3 MPEG audio frame walk (`multimodal_audio_mp3_frames`): first
+  frame header, Xing/Info frame count, VBRI fallback, CBR duration
+  estimate — duration/bitrate parity with M4A/FLAC/ALAC;
+- HTML outlink extraction (`pipeline_crawl_outlinks`) and the
+  link-graph capstone (`pipeline_crawl_link_graph`) — the WAT-side
+  workload joining the crawl tier to the existing PageRank;
+- RTF text extraction (`source_rtf_text`) through document_text;
+- EXIF-orientation-normalized perceptual hashing
+  (`multimodal_image_orientation_dedup`) with planted
+  rotated/mirrored duplicates;
+- 7z container metadata (`archive_7z_meta`).
+
+Registered into the same QUERIES/ORACLE registry as the other query
+modules; every entry carries an exact DuckDB oracle. Fresh module per
+the regression discipline (new operators must not churn certified
+modules)."""
+
+from __future__ import annotations
+
+import struct  # noqa: F401
+from typing import Iterator  # noqa: F401  (pandas_udf string annotations)
+
+import pandas as pd  # noqa: F401  (pandas_udf string annotations)
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hadoopxmlextractor_spark.queries import query
+from hadoopxmlextractor_spark.tables import load
+
+_MD5B = (
+    "CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':{salt}'), "
+    "{pos}, 2)) AS BIGINT)"
+)
+
+
+def _b(salt: str, k: int) -> str:
+    """SQL for byte k of md5(doc_id:salt) — the synth parameter replay."""
+    return _MD5B.format(salt=salt, pos=2 * k + 1)
+
+
+# ---------------------------------------------------------------------------
+# MP3 MPEG frame walk
+# ---------------------------------------------------------------------------
+
+
+def _synth_mp3_blob(i: int) -> bytes:
+    """One deterministic MP3 from md5(doc:mp3f): MPEG version rotates
+    1/2/2.5 (b0), layer III/II/I (b1), VBR arm Xing/VBRI/plain-CBR on
+    layer III (b2; plain-CBR docs may instead carry LAME's 'Info' CBR
+    tag, b9), bitrate index 6..11 (b3), sample-rate index (b4),
+    channel mode incl. mono (b5), 3-6 frames (b6), optional leading
+    ID3v2 tag (b7) and trailing ID3v1 'TAG' block (b8) that the
+    duration math must exclude. The Xing arm varies the per-frame
+    bitrate (the thing that MAKES it VBR); every other frame repeats
+    the first header."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:mp3f".encode()).digest()
+    ver = ("1", "2", "2.5")[b[0] % 3]
+    layer = (3, 2, 1)[b[1] % 3]
+    vbr_arm = (b[2] % 3) if layer == 3 else 0  # 0 plain, 1 xing, 2 vbri
+    has_info = layer == 3 and vbr_arm == 0 and b[9] % 2 == 1
+    br_idx = 6 + b[3] % 6
+    sr_idx = b[4] % 3
+    mode = b[5] % 4
+    n = 3 + b[6] % 4
+
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    table = C._MP3_BR_V1 if ver == "1" else C._MP3_BR_V2
+    sr = C._MP3_SR[ver][sr_idx]
+    vid = {"1": 3, "2": 2, "2.5": 0}[ver]
+    lid = {3: 1, 2: 2, 1: 3}[layer]
+
+    def header(idx: int) -> bytes:
+        return bytes([
+            0xFF,
+            0xE0 | (vid << 3) | (lid << 1) | 1,
+            (idx << 4) | (sr_idx << 2),
+            mode << 6,
+        ])
+
+    def flen(idx: int) -> int:
+        return C._mp3_frame_len(ver, layer, table[layer][idx - 1], sr, 0)
+
+    frames = []
+    total = sum(
+        flen(6 + (b[3] + j) % 6 if vbr_arm == 1 and j else br_idx)
+        for j in range(n)
+    )
+    for j in range(n):
+        idx = 6 + (b[3] + j) % 6 if vbr_arm == 1 and j else br_idx
+        body = bytearray(header(idx))
+        body += b"\xaa" * (flen(idx) - 4)
+        if j == 0:
+            side = (
+                (17 if mode == 3 else 32) if ver == "1"
+                else (9 if mode == 3 else 17)
+            )
+            if vbr_arm == 1 or has_info:
+                tag = b"Xing" if vbr_arm == 1 else b"Info"
+                at = 4 + side
+                body[at : at + 16] = (
+                    tag + struct.pack(">II", 3, n)
+                    + struct.pack(">I", total)
+                )
+            elif vbr_arm == 2:
+                at = 4 + 32
+                body[at : at + 26] = (
+                    b"VBRI" + struct.pack(">HHH", 1, 0, 80)
+                    + struct.pack(">II", total, n) + b"\x00" * 8
+                )
+        frames.append(bytes(body))
+    out = b""
+    if b[7] % 2:
+        tag_body = b"\x00" * 32
+        out += b"ID3\x03\x00\x00" + C._syncsafe(len(tag_body)) + tag_body
+    out += b"".join(frames)
+    if b[8] % 2:
+        out += b"TAG" + b"\x00" * 125
+    return out
+
+
+_MP3_SQL_ARMS = f"""
+    WITH p AS (
+      SELECT doc_id,
+             (['1', '2', '2.5'])[1 + {_b('mp3f', 0)} % 3] AS ver,
+             ([3, 2, 1])[1 + {_b('mp3f', 1)} % 3] AS layer,
+             {_b('mp3f', 2)} % 3 AS vbr_raw,
+             6 + {_b('mp3f', 3)} % 6 AS br_idx,
+             {_b('mp3f', 4)} % 3 AS sr_idx,
+             {_b('mp3f', 5)} % 4 AS mode,
+             3 + {_b('mp3f', 6)} % 4 AS n,
+             {_b('mp3f', 9)} % 2 AS info_raw
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, ver, layer, br_idx, sr_idx, mode, n,
+        CASE WHEN layer = 3 THEN vbr_raw ELSE 0 END AS vbr_arm,
+        CASE WHEN layer = 3 AND vbr_raw = 0 AND info_raw = 1
+             THEN 1 ELSE 0 END AS has_info,
+        CASE WHEN ver = '1' THEN
+          CASE layer
+            WHEN 1 THEN ([32,64,96,128,160,192,224,256,288,320,352,
+                          384,416,448])[br_idx]
+            WHEN 2 THEN ([32,48,56,64,80,96,112,128,160,192,224,256,
+                          320,384])[br_idx]
+            ELSE ([32,40,48,56,64,80,96,112,128,160,192,224,256,
+                   320])[br_idx] END
+        ELSE
+          CASE layer
+            WHEN 1 THEN ([32,48,56,64,80,96,112,128,144,160,176,192,
+                          224,256])[br_idx]
+            ELSE ([8,16,24,32,40,48,56,64,80,96,112,128,144,
+                   160])[br_idx] END
+        END AS br,
+        CASE ver WHEN '1' THEN ([44100, 48000, 32000])[1 + sr_idx]
+                 WHEN '2' THEN ([22050, 24000, 16000])[1 + sr_idx]
+                 ELSE ([11025, 12000, 8000])[1 + sr_idx] END AS sr
+      FROM p
+    ),
+    r AS (
+      SELECT *,
+        CASE WHEN layer = 1 THEN 384 WHEN layer = 2 THEN 1152
+             WHEN ver = '1' THEN 1152 ELSE 576 END AS spf,
+        CASE WHEN layer = 1 THEN (12 * br * 1000 // sr) * 4
+             WHEN layer = 2 OR ver = '1' THEN 144 * br * 1000 // sr
+             ELSE 72 * br * 1000 // sr END AS flen
+      FROM q
+    )
+"""
+
+
+@query(
+    "multimodal_audio_mp3_frames",
+    _MP3_SQL_ARMS
+    + """
+    SELECT doc_id,
+           CASE WHEN doc_id % 13 = 12 THEN NULL ELSE ver END
+             AS mpeg_version,
+           CASE WHEN doc_id % 13 = 12 THEN NULL
+                ELSE CAST(layer AS INT) END AS layer,
+           CASE WHEN doc_id % 13 = 12 THEN NULL
+                ELSE CAST(br AS INT) END AS bitrate_kbps,
+           CASE WHEN doc_id % 13 = 12 THEN NULL
+                ELSE CAST(sr AS INT) END AS sample_rate,
+           CASE WHEN doc_id % 13 = 12 THEN NULL
+                ELSE CAST(CASE WHEN mode = 3 THEN 1 ELSE 2 END AS INT)
+                END AS channels,
+           CASE WHEN doc_id % 13 = 12 THEN NULL
+                WHEN vbr_arm = 1 THEN 'xing'
+                WHEN vbr_arm = 2 THEN 'vbri'
+                WHEN has_info = 1 THEN 'info' ELSE NULL END AS vbr_kind,
+           CASE WHEN doc_id % 13 = 12 THEN NULL
+                ELSE CAST(n AS BIGINT) END AS n_frames,
+           CASE WHEN doc_id % 13 = 12 THEN NULL
+                WHEN vbr_arm <> 0 OR has_info = 1
+                  THEN CAST(n * spf * 1000 // sr AS BIGINT)
+                ELSE CAST(n * flen * 8 // br AS BIGINT) END AS duration_ms
+    FROM r
+    """,
+)
+def q_multimodal_audio_mp3_frames(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # MP3 — the most common audio format in public corpora — was the
+    # one container that could not report duration/bitrate (r11
+    # verdict item 2). The frame walk reads the file HEAD only (ID3v2
+    # skip → first MPEG frame header → Xing/Info/VBRI), plus the
+    # fixed ID3v1 trailer for the CBR byte count: at 100 TB the
+    # metadata pass must never decode audio. Arms rotate MPEG
+    # 1/2/2.5 × layer I/II/III × {plain CBR, LAME Info, Xing VBR
+    # (with genuinely varying per-frame bitrates), VBRI} × mono/
+    # stereo × lead/trail tags; every 13th doc gets a broken sync →
+    # the marker row. One Arrow pass, zero shuffles beyond the
+    # id-only repartition.
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "mpeg_version", "layer", "bitrate_kbps",
+                "sample_rate", "channels", "vbr_kind", "n_frames",
+                "duration_ms"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = _synth_mp3_blob(i)
+                if i % 13 == 12:  # corrupt arm: sync byte broken
+                    at = (
+                        10 + C._unsyncsafe(blob[6:10])
+                        if blob[:3] == b"ID3" else 0
+                    )
+                    blob = blob[:at] + b"\x00" + blob[at + 1 :]
+                row = dict.fromkeys(cols)
+                row["doc_id"] = i
+                try:
+                    info = C.mp3_frame_info(blob)
+                    row.update(
+                        mpeg_version=info["version"],
+                        layer=info["layer"],
+                        bitrate_kbps=info["bitrate_kbps"],
+                        sample_rate=info["sample_rate"],
+                        channels=info["channels"],
+                        vbr_kind=info["vbr_kind"],
+                        n_frames=info["n_frames"],
+                        duration_ms=info["duration_ms"],
+                    )
+                except (ValueError, struct.error, IndexError):
+                    pass  # marker row
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, mpeg_version string, layer int, "
+        "bitrate_kbps int, sample_rate int, channels int, "
+        "vbr_kind string, n_frames bigint, duration_ms bigint",
+    )

@@ -580,3 +580,61 @@ def test_id3_and_m4a_cover_art_walks():
     bad[at : at + 4] = (1 << 20).to_bytes(4, "big")
     with pytest.raises(ValueError, match="covr data atom|box size"):
         C.m4a_cover(bytes(bad))
+
+
+def test_mp3_frame_info_arms_and_refusals():
+    from hadoopxmlextractor_spark.operators import containers as C
+    from hadoopxmlextractor_spark.queries_r12 import _synth_mp3_blob
+
+    # find one id per (version, vbr) shape from the synth rotation
+    seen = {}
+    for i in range(200):
+        b = hashlib.md5(f"{i}:mp3f".encode()).digest()
+        ver = ("1", "2", "2.5")[b[0] % 3]
+        layer = (3, 2, 1)[b[1] % 3]
+        vbr = (b[2] % 3) if layer == 3 else 0
+        seen.setdefault((ver, layer, vbr), i)
+    # every version appears; xing and vbri arms exist for layer III
+    assert {k[0] for k in seen} == {"1", "2", "2.5"}
+    assert any(k[2] == 1 for k in seen) and any(k[2] == 2 for k in seen)
+    for (ver, layer, vbr), i in seen.items():
+        info = C.mp3_frame_info(_synth_mp3_blob(i))
+        assert info["version"] == ver and info["layer"] == layer
+        b = hashlib.md5(f"{i}:mp3f".encode()).digest()
+        assert info["n_frames"] == 3 + b[6] % 4
+        if vbr == 1:
+            assert info["vbr_kind"] == "xing"
+        elif vbr == 2:
+            assert info["vbr_kind"] == "vbri"
+
+    # padding bit: frame length grows by 1 slot (x4 for layer I)
+    assert C._mp3_frame_len("1", 3, 128, 44100, 1) == (
+        C._mp3_frame_len("1", 3, 128, 44100, 0) + 1
+    )
+    assert C._mp3_frame_len("1", 1, 192, 44100, 1) == (
+        C._mp3_frame_len("1", 1, 192, 44100, 0) + 4
+    )
+    # a synthetic padded CBR frame parses with the padded length
+    hdr = bytes([0xFF, 0xE0 | (3 << 3) | (1 << 1) | 1,
+                 (9 << 4) | (0 << 2) | 2, 0xC0])
+    flen = C._mp3_frame_len("1", 3, 128, 44100, 1)
+    blob = (hdr + b"\xaa" * (flen - 4)) * 2
+    info = C.mp3_frame_info(blob)
+    assert info["bitrate_kbps"] == 128 and info["channels"] == 1
+    assert info["n_frames"] == 2
+
+    # refusals: free-format bitrate, reserved codes, missing sync
+    free = bytearray(hdr + b"\xaa" * 16)
+    free[2] = 0x00
+    with pytest.raises(ValueError, match="bitrate"):
+        C.mp3_frame_info(bytes(free))
+    resv = bytearray(hdr + b"\xaa" * 16)
+    resv[1] = 0xE0 | (1 << 3) | (1 << 1) | 1  # reserved version id
+    with pytest.raises(ValueError, match="reserved"):
+        C.mp3_frame_info(bytes(resv))
+    with pytest.raises(ValueError, match="sync"):
+        C.mp3_frame_info(b"\x00\x00\x00\x00")
+    # ID3v1 trailer excluded from the CBR byte count
+    info2 = C.mp3_frame_info(blob + b"TAG" + b"\x00" * 125)
+    assert info2["duration_ms"] == info["duration_ms"]
+    assert info2["n_frames"] == 2
