@@ -1251,3 +1251,60 @@ def fix_mojibake_udf():
             )
 
     return _fix
+
+
+_HREF_RE = r"""(?i)<a\s[^>]*?href\s*=\s*["']([^"'>]*)["']"""
+
+
+def html_hrefs(col: Column | str) -> Column:
+    """ARRAY of raw href values from the ``<a>`` tags of one HTML
+    string — attribute-order insensitive (lazy ``[^>]*?`` skip), case
+    insensitive, double- or single-quoted. A pure JVM
+    ``regexp_extract_all`` at scan bandwidth (the WAT-side outlink
+    walk must run at crawl scale with zero Python), replayed exactly
+    by DuckDB's ``regexp_extract_all`` (RE2 supports the same (?i)
+    and lazy forms)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_HREF_RE), F.lit(1))
+
+
+def resolve_url(base: Column | str, href: Column | str) -> Column:
+    """RFC 3986-style reference resolution as a pure JVM regexp chain
+    (no Python URL parser — same design as :func:`canonical_url`):
+    absolute references pass through; ``//host/…`` takes the base
+    scheme; ``/path`` takes the base origin; fragment-only and empty
+    references resolve to NULL (self-links — a frontier must drop
+    them); everything else joins the base DIRECTORY, then ``/./`` and
+    up to three levels of ``segment/../`` collapse inside the PATH
+    component only (the origin is split out first, so ``..`` can
+    never climb into the authority — and RE2 has no lookbehind to do
+    it in place). Climbing above the root is left as-is, matching the
+    conservative crawler behavior of keeping the reference visibly
+    malformed rather than guessing."""
+    b = F.col(base) if isinstance(base, str) else base
+    h = F.col(href) if isinstance(href, str) else href
+    h = F.regexp_replace(h, r"#.*", "")
+    scheme = F.regexp_extract(b, r"^([A-Za-z]+)://", 1)
+    origin = F.regexp_extract(b, r"^([A-Za-z]+://[^/?#]+)", 1)
+    bdir = F.regexp_replace(
+        F.regexp_replace(b, r"[?#].*", ""), r"[^/]*$", ""
+    )
+    raw = (
+        F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h == "", F.lit(None).cast("string"))
+        .otherwise(F.concat(bdir, h))
+    )
+    o2 = F.regexp_extract(raw, r"^([A-Za-z]+://[^/?#]+)", 1)
+    p2 = F.regexp_extract(raw, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    q2 = F.regexp_extract(raw, r"(\?[^#]*)", 1)
+    p2 = F.regexp_replace(p2, r"/\./", "/")
+    for _ in range(3):
+        p2 = F.regexp_replace(p2, r"/[^/]+/\.\./", "/")
+    # non-hierarchical absolutes (mailto:, javascript:, data:) pass
+    # through untouched — the origin/path split only applies to
+    # scheme://authority forms
+    return F.when(
+        ~raw.rlike(r"^[A-Za-z]+://"), raw
+    ).otherwise(F.concat(o2, p2, q2))

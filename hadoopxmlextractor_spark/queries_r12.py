@@ -263,3 +263,255 @@ def q_multimodal_audio_mp3_frames(
         "bitrate_kbps int, sample_rate int, channels int, "
         "vbr_kind string, n_frames bigint, duration_ms bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML outlink extraction + host link graph (the WAT-side workload)
+# ---------------------------------------------------------------------------
+
+
+def _outlink_page(spark_side: bool):
+    """(base_url Column, html Column) for the planted outlink page of
+    each doc — every resolution class live: absolute, scheme-relative
+    (uppercase tag, single quotes), absolute-with-tracking-junk
+    (uppercase host, :443, trailing slash, utm, fragment),
+    root-relative, relative, ``../`` parent, ``./`` same-dir,
+    fragment-only + mailto: + javascript: (all dropped)."""
+    did = F.col("doc_id")
+    h = did % 7
+    host = F.concat(F.lit("host"), h.cast("string"),
+                    F.lit(".example.org"))
+    base = F.concat(
+        F.lit("https://"), host, F.lit("/dir/sub/page"),
+        did.cast("string"), F.lit(".html"),
+    )
+    s = did.cast("string")
+
+    def seg(m: int):
+        return (did % m).cast("string")
+
+    html = F.concat(
+        F.lit("<html><body><p>page "), s, F.lit("</p>"),
+        # A: absolute link to the hub host (always)
+        F.lit('<a href="https://host0.example.org/hub/'), seg(50),
+        F.lit('">hub</a>'),
+        # B: scheme-relative, uppercase tag, single quotes (h odd)
+        F.when(
+            h % 2 == 1,
+            F.concat(
+                F.lit("<A HREF='//host"), ((h + 1) % 7).cast("string"),
+                F.lit(".example.org/sr/"), seg(30), F.lit("'>x</A>"),
+            ),
+        ).otherwise(F.lit("")),
+        # C: tracking-junk absolute (doc_id % 3 == 0)
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit('<a class="c" href="https://HOST'),
+                ((h + 2) % 7).cast("string"),
+                F.lit(".EXAMPLE.ORG:443/T"), seg(9),
+                F.lit("/?utm_source=s&keep="), seg(5),
+                F.lit('#frag">t</a>'),
+            ),
+        ).otherwise(F.lit("")),
+        # D: root-relative (always)
+        F.lit('<a href="/root/'), seg(20), F.lit('">r</a>'),
+        # E/F: relative vs parent-relative (by parity)
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit('<a href="rel/'), seg(10),
+                     F.lit('.html">rel</a>')),
+        ).otherwise(
+            F.concat(F.lit('<a href="../up/'), seg(10),
+                     F.lit('">up</a>')),
+        ),
+        # J: ./ same-dir (doc_id % 5 == 0)
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit('<a href="./here/'), seg(6),
+                     F.lit('">dot</a>')),
+        ).otherwise(F.lit("")),
+        # dropped classes
+        F.lit('<a href="#sec">self</a>'),
+        F.when(did % 4 == 0, F.lit('<a href="mailto:a@b.c">m</a>'))
+        .otherwise(F.lit("")),
+        F.when(did % 4 == 1, F.lit('<a href="javascript:void(0)">j</a>'))
+        .otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    return base, html
+
+
+_OUTLINK_ORACLE = """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS h FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             'https://host0.example.org/hub/' || CAST(doc_id % 50 AS VARCHAR)
+               AS target
+      FROM p
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST((h + 1) % 7 AS VARCHAR)
+               || '.example.org/sr/' || CAST(doc_id % 30 AS VARCHAR)
+      FROM p WHERE h % 2 = 1
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST((h + 2) % 7 AS VARCHAR)
+               || '.example.org/T' || CAST(doc_id % 9 AS VARCHAR)
+               || '?keep=' || CAST(doc_id % 5 AS VARCHAR)
+      FROM p WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST(h AS VARCHAR)
+               || '.example.org/root/' || CAST(doc_id % 20 AS VARCHAR)
+      FROM p
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST(h AS VARCHAR)
+               || '.example.org/dir/sub/rel/'
+               || CAST(doc_id % 10 AS VARCHAR) || '.html'
+      FROM p WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST(h AS VARCHAR)
+               || '.example.org/dir/up/' || CAST(doc_id % 10 AS VARCHAR)
+      FROM p WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST(h AS VARCHAR)
+               || '.example.org/dir/sub/here/'
+               || CAST(doc_id % 6 AS VARCHAR)
+      FROM p WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id, target FROM t
+"""
+
+
+@query("pipeline_crawl_outlinks", _OUTLINK_ORACLE)
+def q_pipeline_crawl_outlinks(spark: SparkSession, sf: str) -> DataFrame:
+    # HTML OUTLINK EXTRACTION (r11 verdict item 4) — the WAT-side walk
+    # the crawl tier was missing: <a href> values via one JVM
+    # regexp_extract_all, RFC 3986-style resolution against the
+    # capture URL (absolute / scheme-relative / root-relative /
+    # relative / ../ / ./), then the existing canonical_url
+    # normalization; fragment-only, mailto: and javascript:
+    # references drop. The ENTIRE plan is JVM codegen — zero Python,
+    # zero shuffles: at 100 TB this runs at WARC scan bandwidth.
+    # Non-vacuity: every resolution class is live in the fixture and
+    # the oracle replays each arm's expected canonical form — a
+    # resolution bug in any class hash-mismatches.
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+    base, html = _outlink_page(True)
+    pages = docs.select(
+        "doc_id", base.alias("base_url"), html.alias("html")
+    )
+    links = pages.select(
+        "doc_id", "base_url",
+        F.explode(T.html_hrefs("html")).alias("href"),
+    )
+    resolved = links.select(
+        "doc_id",
+        T.canonical_url(
+            T.resolve_url(F.col("base_url"), F.col("href"))
+        ).alias("target"),
+    )
+    return resolved.filter(F.col("target").rlike("^https?://")).select(
+        "doc_id", "target"
+    )
+
+
+def _linkgraph_pagerank_ctes(iterations: int = 5,
+                             scale: int = 10**12) -> str:
+    """Unrolled fixed-point PageRank replay over the PLANTED host
+    graph (same integer arithmetic as operators.dedup.pagerank —
+    floor division, fixed rounds — the dedup_graph_pagerank oracle
+    pattern with host-string node ids)."""
+    base = (15 * scale) // 100
+    ctes = [
+        """hosts AS (
+      SELECT doc_id, doc_id % 7 AS h FROM documents
+    ), e_raw AS (
+      SELECT 'host' || CAST(h AS VARCHAR) || '.example.org' AS src,
+             'host0.example.org' AS dst
+      FROM hosts
+      UNION ALL
+      SELECT 'host' || CAST(h AS VARCHAR) || '.example.org',
+             'host' || CAST((h + 1) % 7 AS VARCHAR) || '.example.org'
+      FROM hosts WHERE h % 2 = 1
+      UNION ALL
+      SELECT 'host' || CAST(h AS VARCHAR) || '.example.org',
+             'host' || CAST((h + 2) % 7 AS VARCHAR) || '.example.org'
+      FROM hosts WHERE doc_id % 3 = 0
+    ), pairs AS (
+      SELECT DISTINCT src AS x, dst AS y FROM e_raw WHERE src <> dst
+    ), edges AS (
+      SELECT x, y FROM pairs UNION SELECT y, x FROM pairs
+    ), deg AS (
+      SELECT x, COUNT(*) AS d FROM edges GROUP BY x
+    )""",
+        f"r0 AS (SELECT x, d, CAST({scale} AS BIGINT) AS r FROM deg)",
+    ]
+    for k in range(1, iterations + 1):
+        ctes.append(
+            f"""r{k} AS (
+      SELECT dg.x, dg.d,
+             CAST({base} + (85 * s.s) // 100 AS BIGINT) AS r
+      FROM deg dg
+      JOIN (SELECT e.y AS x, SUM(p.r // p.d) AS s
+            FROM edges e JOIN r{k - 1} p ON e.x = p.x
+            GROUP BY e.y) s ON dg.x = s.x
+    )"""
+        )
+    joined = ",\n    ".join(ctes)
+    return (
+        f"WITH {joined}\n"
+        f"SELECT x AS host, CAST(d AS BIGINT) AS degree, r AS rank_fp\n"
+        f"FROM r{iterations}"
+    )
+
+
+@query("pipeline_crawl_link_graph", _linkgraph_pagerank_ctes())
+def q_pipeline_crawl_link_graph(spark: SparkSession, sf: str) -> DataFrame:
+    # LINK-GRAPH CAPSTONE (outlinks -> host graph -> PageRank): the
+    # canonical Common Crawl WAT workload, connecting the new outlink
+    # walk to the existing fixed-point PageRank. The planted link
+    # structure is deliberately SKEWED (every page links to the
+    # host0 hub; odd hosts ring-link; every 3rd doc cross-links), so
+    # ranks genuinely discriminate — a uniform circulant graph would
+    # verify nothing (vacuous-check rule). Cross-host edges dedupe to
+    # DISTINCT host pairs BEFORE the iterative stage, so PageRank
+    # runs on the tiny host graph, never per-page rows — the 100 TB
+    # plan: extraction at scan bandwidth, graph state O(hosts).
+    from hadoopxmlextractor_spark.operators import dedup as D
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+    base, html = _outlink_page(True)
+    pages = docs.select(base.alias("base_url"), html.alias("html"))
+    links = pages.select(
+        "base_url", F.explode(T.html_hrefs("html")).alias("href")
+    )
+    resolved = links.select(
+        F.regexp_extract("base_url", "://([^/]+)", 1).alias("src"),
+        F.regexp_extract(
+            T.canonical_url(T.resolve_url(F.col("base_url"), F.col("href"))),
+            "^https?://([^/]+)", 1,
+        ).alias("dst"),
+    )
+    pairs = (
+        resolved.filter(
+            (F.col("dst") != "") & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    pairs.count()  # eager: pagerank's symmetrizing union reads twice
+    ranks = D.pagerank(pairs, "src", "dst")
+    pairs.unpersist()
+    return ranks.select(
+        F.col("doc_id").alias("host"), "degree", "rank_fp"
+    )

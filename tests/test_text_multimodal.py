@@ -1778,3 +1778,53 @@ def test_exif_gps_ifd():
     )
     m = M.jpeg_exif(base[:2] + app1 + base[2:])
     assert m["gps_lat"] is None and m["gps_lon_ref"] is None
+
+
+def test_resolve_url_crossval_urljoin(spark):
+    """resolve_url's JVM regexp chain agrees with urllib.parse.urljoin
+    on every reference class it supports (r12) — the outlink walk must
+    match what a Python crawler would have produced."""
+    from urllib.parse import urljoin
+
+    import pyspark.sql.functions as F
+
+    from hadoopxmlextractor_spark.operators import text as T
+
+    cases = [
+        ("https://h.org/a/b/page.html?x=1#top", "https://other.org/z"),
+        ("https://h.org/a/b/page.html", "//cdn.org/lib.js"),
+        ("https://h.org/a/b/page.html", "/rooted/path?q=2"),
+        ("https://h.org/a/b/page.html", "sibling.html"),
+        ("https://h.org/a/b/page.html", "sub/dir/deep.html"),
+        ("https://h.org/a/b/page.html", "../up.html"),
+        ("https://h.org/a/b/c/page.html", "../../two.html"),
+        ("https://h.org/a/b/page.html", "./same.html"),
+        ("https://h.org/a/b/page.html", "x/../y.html"),
+        ("http://h.org/", "file.txt"),
+        ("https://h.org/a/b/page.html", "mailto:a@b.c"),
+    ]
+    df = spark.createDataFrame(cases, ["base", "href"])
+    got = {
+        (r["base"], r["href"]): r["resolved"]
+        for r in df.select(
+            "base", "href",
+            T.resolve_url("base", "href").alias("resolved"),
+        ).collect()
+    }
+    for b, h in cases:
+        assert got[(b, h)] == urljoin(b, h), (b, h)
+    # fragment-only and empty references resolve to NULL (dropped)
+    drops = spark.createDataFrame(
+        [("https://h.org/p", "#sec"), ("https://h.org/p", "")],
+        ["base", "href"],
+    )
+    vals = drops.select(T.resolve_url("base", "href")).collect()
+    assert all(v[0] is None for v in vals)
+    # href extraction: quoting/case/attribute-order forms
+    html = (
+        "<a href=\"/d1\">a</a><A HREF='/d2'>b</A>"
+        '<a class="x" data-y="z" href="/d3">c</a><a name="no-href">d</a>'
+    )
+    hdf = spark.createDataFrame([(html,)], ["html"])
+    (row,) = hdf.select(T.html_hrefs("html").alias("hs")).collect()
+    assert row["hs"] == ["/d1", "/d2", "/d3"]
