@@ -1711,6 +1711,8 @@ def document_text(
                     try:
                         if b.startswith(b"%PDF-"):
                             fmt, (n, text) = "pdf", _pdf_extract(b)
+                        elif b.startswith(b"{\\rtf"):
+                            fmt, (n, text) = "rtf", rtf_to_text(b)
                         elif b.startswith(_LOC_SIG):
                             names = {e["name"] for e in zip_member_list(b)}
                             if "word/document.xml" in names:
@@ -5335,3 +5337,146 @@ def synth_epub_with_meta(docs: DataFrame) -> DataFrame:
             yield pd.Series([_synth_epub_meta_blob(int(i)) for i in ids])
 
     return docs.select("doc_id", _blob("doc_id").alias("content"))
+
+
+# ---------------------------------------------------------------------------
+# RTF text extraction (r12)
+# ---------------------------------------------------------------------------
+
+# group-skipped destinations (their text is metadata, not body)
+_RTF_DESTS = {
+    b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+    b"header", b"headerl", b"headerr", b"footer", b"footerl",
+    b"footerr", b"footnote",
+}
+_RTF_SYMBOLS = {
+    b"tab": "\t", b"line": "\n", b"emdash": "\u2014",
+    b"endash": "\u2013", b"lquote": "\u2018", b"rquote": "\u2019",
+    b"ldblquote": "\u201c", b"rdblquote": "\u201d",
+    b"bullet": "\u2022",
+}
+_RTF_CW_RE = re.compile(rb"\\([a-z]+)(-?\d+)?( ?)")
+
+
+def rtf_to_text(blob: bytes) -> tuple[int, str]:
+    """RTF → (n_paragraphs, text): control-word tokenizer with a
+    group stack, ``{\\*`` ignorable destinations and the named
+    metadata destinations (fonttbl/colortbl/stylesheet/info/pict/…)
+    skipped whole, ``\\'xx`` hex bytes decoded through the declared
+    ``\\ansicpgN`` codepage (single-byte codepages; cp1252 default),
+    ``\\uN`` unicode with the group-scoped ``\\ucN`` fallback-skip
+    (negative N wraps per spec; a ``\\'xx`` fallback counts as ONE
+    skipped character), escaped ``\\{ \\} \\\\``, symbol words
+    (tab/line/em-dash/smart quotes), ``\\binN`` raw-byte skip, and
+    paragraph breaks from ``\\par``. Unbalanced groups or a truncated
+    control refuse (ValueError) — the marker-row contract. Formatting
+    words (\\b, \\fs24, …) are ignored; source CR/LF are not text."""
+    if not blob.startswith(b"{\\rtf"):
+        raise ValueError("not RTF")
+    cp = "cp1252"
+    m = re.search(rb"\\ansicpg(\d+)", blob[:256])
+    if m is not None:
+        import codecs
+
+        try:
+            codecs.lookup(f"cp{int(m.group(1))}")
+            cp = f"cp{int(m.group(1))}"
+        except LookupError:
+            pass
+    i, n = 0, len(blob)
+    depth = 0
+    uc_stack = [1]
+    skip_until: int | None = None
+    parts: list[str] = []
+    paras: list[str] = []
+
+    def emit(ch: str) -> None:
+        if skip_until is None:
+            parts.append(ch)
+
+    while i < n:
+        c = blob[i]
+        if c == 0x7B:  # {
+            depth += 1
+            uc_stack.append(uc_stack[-1])
+            i += 1
+            if skip_until is None and blob[i : i + 2] == b"\\*":
+                skip_until = depth
+                i += 2
+            continue
+        if c == 0x7D:  # }
+            if depth == 0:
+                raise ValueError("unbalanced RTF group")
+            if skip_until is not None and depth == skip_until:
+                skip_until = None
+            depth -= 1
+            uc_stack.pop()
+            i += 1
+            continue
+        if c == 0x5C:  # backslash
+            nxt = blob[i + 1 : i + 2]
+            if nxt == b"'":
+                hx = blob[i + 2 : i + 4]
+                if len(hx) < 2:
+                    raise ValueError("truncated \\'xx escape")
+                emit(bytes([int(hx, 16)]).decode(cp, "replace"))
+                i += 4
+                continue
+            if nxt in (b"\\", b"{", b"}"):
+                emit(nxt.decode("latin-1"))
+                i += 2
+                continue
+            if nxt == b"~":
+                emit("\u00a0")
+                i += 2
+                continue
+            if nxt in (b"-", b"_", b"*", b":"):  # optional hyphen etc.
+                i += 2
+                continue
+            cm = _RTF_CW_RE.match(blob, i)
+            if cm is None:
+                raise ValueError("bad RTF control")
+            word, param = cm.group(1), cm.group(2)
+            i = cm.end()
+            if word == b"u":
+                v = int(param)
+                if v < 0:
+                    v += 65536
+                emit(chr(v))
+                k = uc_stack[-1]  # skip the ANSI fallback chars
+                while k > 0 and i < n:
+                    if blob[i : i + 2] == b"\\'":
+                        i += 4
+                    elif blob[i] in (0x7B, 0x7D, 0x5C):
+                        break  # delimiters end the fallback scope
+                    else:
+                        i += 1
+                    k -= 1
+            elif word == b"uc":
+                uc_stack[-1] = int(param or 1)
+            elif word == b"par":
+                paras.append("".join(parts))
+                parts = []
+            elif word == b"bin":
+                i += max(0, int(param or 0))
+            elif word in _RTF_SYMBOLS:
+                emit(_RTF_SYMBOLS[word])
+            elif skip_until is None and word in _RTF_DESTS:
+                skip_until = depth  # named destination: skip its group
+            # any other word is formatting — ignored
+            continue
+        # plain text run up to the next delimiter
+        j = i
+        while j < n and blob[j] not in (0x5C, 0x7B, 0x7D):
+            j += 1
+        if skip_until is None:
+            run = blob[i:j].replace(b"\r", b"").replace(b"\n", b"")
+            if run:
+                parts.append(run.decode(cp, "replace"))
+        i = j
+    if depth != 0:
+        raise ValueError("unbalanced RTF group")
+    paras.append("".join(parts))
+    kept = [p.strip() for p in paras]
+    kept = [p for p in kept if p]
+    return len(kept), "\n".join(kept)

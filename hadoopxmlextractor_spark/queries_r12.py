@@ -515,3 +515,112 @@ def q_pipeline_crawl_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     return ranks.select(
         F.col("doc_id").alias("host"), "degree", "rank_fp"
     )
+
+
+# ---------------------------------------------------------------------------
+# RTF text extraction
+# ---------------------------------------------------------------------------
+
+
+def _synth_rtf_blob(i: int) -> bytes:
+    """One deterministic RTF from md5(doc:rtf) with EVERY kernel rule
+    live: skipped metadata destinations carrying would-leak text
+    (fonttbl/colortbl/{\\*\\generator}/{\\info\\title}), formatting
+    words ignored, a bold group unwrapped, \\'e9 hex / \\uc1\\u252
+    fallback-skip / \\uc0\\u8212 unicode arms (b1), \\line vs \\tab
+    separators (b2), escaped braces, \\endash with its consumed
+    space delimiter, 2-3 \\par paragraphs (b0). The %7==6 docs drop
+    the closing brace — unbalanced groups must refuse."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:rtf".encode()).digest()
+    x = hashlib.md5(f"{i}:rtf".encode()).hexdigest()
+    n_par = 2 + b[0] % 2
+    special = ("\\'e9", "\\uc1\\u252?", "\\uc0\\u8212 ")[b[1] % 3]
+    sepcw = ("\\line ", "\\tab ")[b[2] % 2]
+    out = [
+        "{\\rtf1\\ansi\\ansicpg1252",
+        "{\\fonttbl{\\f0 Times New Roman;}}",
+        "{\\colortbl;\\red255\\green0\\blue0;}",
+        f"{{\\*\\generator synth {i};}}",
+        f"{{\\info{{\\title secret {x}}}}}",
+        "\n",
+    ]
+    for p in range(n_par):
+        a, c = x[4 * p : 4 * p + 2], x[4 * p + 2 : 4 * p + 4]
+        if p == 0:
+            out.append(
+                f"{{\\b w{a}}} rtf {special}{sepcw}w{c}\\par\n"
+            )
+        else:
+            out.append(f"w{a} \\{{mid\\}}\\endash w{c}\\par\n")
+    out.append("}")
+    blob = "".join(out).encode("latin-1")
+    if i % 7 == 6:
+        blob = blob[:-1]  # unbalanced → refusal arm
+    return blob
+
+
+@query(
+    "source_rtf_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 2 + {_b('rtf', 0)} % 2 AS n,
+             {_b('rtf', 1)} % 3 AS ua, {_b('rtf', 2)} % 2 AS sp,
+             md5(CAST(doc_id AS VARCHAR) || ':rtf') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, g.g AS g, ua, sp, x
+      FROM p, (VALUES (0), (1), (2)) g(g)
+      WHERE g.g < n AND doc_id % 7 <> 6
+    ),
+    t AS (
+      SELECT doc_id, n, g,
+        CASE WHEN g = 0 THEN
+          'w' || substring(x, 1, 2) || ' rtf ' ||
+          CASE ua WHEN 0 THEN 'é' WHEN 1 THEN 'ü' ELSE '—' END ||
+          CASE sp WHEN 0 THEN chr(10) ELSE chr(9) END ||
+          'w' || substring(x, 3, 2)
+        ELSE
+          'w' || substring(x, 4 * g + 1, 2) || ' {{mid}}–w'
+          || substring(x, 4 * g + 3, 2)
+        END AS para
+      FROM g
+    ),
+    txt AS (
+      SELECT doc_id, n, string_agg(para, chr(10) ORDER BY g) AS text
+      FROM t GROUP BY doc_id, n
+    )
+    SELECT doc_id, 'rtf' AS format, CAST(n AS INT) AS n_units, text
+    FROM txt
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL FROM p WHERE doc_id % 7 = 6
+    """,
+)
+def q_source_rtf_text(spark: SparkSession, sf: str) -> DataFrame:
+    # RTF (r11 verdict item 3) — a real share of public document
+    # dumps, now a thin leg on the document_text routing (the blob
+    # self-identifies by its {\\rtf magic like every other format in
+    # the dispatch). The extractor's group-stack tokenizer handles
+    # \\uN+\\ucN unicode, \\'xx hex through the declared codepage,
+    # ignorable {\\* and named metadata destinations (whose planted
+    # would-leak text must NOT surface — the oracle hash catches any
+    # leak), escaped braces, symbol words, and \\par paragraphs;
+    # every 7th doc is group-unbalanced and takes the marker row.
+    # One Arrow pass, same shape as source_odf_text.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([_synth_rtf_blob(int(i)) for i in ids])
+
+    ex = D.document_text(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )
+    return ex.select("doc_id", "format", "n_units", "text")

@@ -1710,3 +1710,41 @@ def test_mbox_attachment_rfc5987_malformed_falls_back():
     )
     rows = D.mbox_attachments(mbox)
     assert [r["filename"] for r in rows] == ["fallback.pdf", "plan-b.txt"]
+
+
+def test_rtf_to_text_rules():
+    # \binN raw bytes (even braces inside) are skipped
+    n, t = D.rtf_to_text(b"{\\rtf1 a\\bin5 }}{}X b\\par}")
+    assert (n, t) == (1, "a b")
+    # negative \uN wraps per spec; \'xx fallback counts ONE char
+    n, t = D.rtf_to_text(b"{\\rtf1\\uc1 \\u-3841\\'3f!\\par}")
+    assert (n, t) == (1, chr(-3841 + 65536) + "!")
+    # \ucN is group-scoped: inner \uc2 does not leak to the outer group
+    n, t = D.rtf_to_text(
+        b"{\\rtf1\\uc1 {\\uc2 \\u252ab}c\\u233zd\\par}"
+    )
+    assert (n, t) == (1, "ücéd")
+    # declared codepage drives \'xx (cp1251: 0xE6 is zhe)
+    n, t = D.rtf_to_text(b"{\\rtf1\\ansi\\ansicpg1251 \\'e6\\par}")
+    assert (n, t) == (1, "ж")
+    # named destinations and {\* groups never leak; nbsp symbol
+    n, t = D.rtf_to_text(
+        b"{\\rtf1{\\fonttbl{\\f0 LeakFont;}}{\\*\\gen leak2;}x\\~y\\par}"
+    )
+    assert (n, t) == (1, "x y")
+    # unbalanced groups refuse both ways
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unbalanced"):
+        D.rtf_to_text(b"{\\rtf1 a\\par")
+    with _pt.raises(ValueError, match="unbalanced"):
+        D.rtf_to_text(b"{\\rtf1 a}}")
+    with _pt.raises(ValueError, match="not RTF"):
+        D.rtf_to_text(b"plain text")
+    # document_text routes by the {\rtf magic
+    from hadoopxmlextractor_spark.queries_r12 import _synth_rtf_blob
+
+    blob = _synth_rtf_blob(0)
+    assert blob.startswith(b"{\\rtf")
+    n, t = D.rtf_to_text(blob)
+    assert n >= 2 and "secret" not in t and "LeakFont" not in t
