@@ -3778,3 +3778,48 @@ def jpeg_exif_meta(
         "pixel_h int, x_resolution string, gps_lat_ref string, "
         "gps_lat string, gps_lon_ref string, gps_lon string",
     )
+
+
+def exif_orient_normalize(img, orientation: int | None):
+    """DISPLAYED-view pixels of a stored image under its EXIF
+    orientation tag (TIFF 6.0 / EXIF 2.32 §4.6.4, values 1-8):
+    1 identity, 2 mirror-H, 3 rotate 180, 4 mirror-V, 5 transpose
+    (main diagonal), 6 rotate 90 CW, 7 transverse (anti-diagonal),
+    8 rotate 270 CW. Perceptual hashing MUST normalize first —
+    rotated/mirrored re-encodes of one photo otherwise hash apart
+    and silently defeat image dedup (r11 verdict item 5). Unknown /
+    missing orientation values pass through as orientation 1."""
+    import numpy as np
+
+    o = orientation if orientation in range(2, 9) else 1
+    if o == 2:
+        return img[:, ::-1]
+    if o == 3:
+        return img[::-1, ::-1]
+    if o == 4:
+        return img[::-1, :]
+    if o == 5:
+        return img.swapaxes(0, 1)
+    if o == 6:
+        return np.rot90(img, -1)
+    if o == 7:
+        return img.swapaxes(0, 1)[::-1, ::-1]
+    if o == 8:
+        return np.rot90(img, 1)
+    return img
+
+
+def exif_orient_store(img, orientation: int | None):
+    """INVERSE of :func:`exif_orient_normalize`: the stored-sensor
+    pixels a camera writes for a given displayed image and
+    orientation tag (the synth-side partner — planting a rotated
+    duplicate means storing the inverse transform)."""
+    import numpy as np
+
+    o = orientation if orientation in range(2, 9) else 1
+    if o == 6:
+        return np.rot90(img, 1)
+    if o == 8:
+        return np.rot90(img, -1)
+    # 1-5 and 7 are self-inverse
+    return exif_orient_normalize(img, o)

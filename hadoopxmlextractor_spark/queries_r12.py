@@ -624,3 +624,189 @@ def q_source_rtf_text(spark: SparkSession, sf: str) -> DataFrame:
         docs.select("doc_id", _blob("doc_id").alias("content"))
     )
     return ex.select("doc_id", "format", "n_units", "text")
+
+
+# ---------------------------------------------------------------------------
+# EXIF-orientation-normalized perceptual hashing
+# ---------------------------------------------------------------------------
+
+
+def _orient_group(i: int) -> tuple[int, int]:
+    """(group_id, orientation 1-8) for doc i — 59 planted duplicate
+    groups, each member storing the SAME displayed image under a
+    different EXIF orientation."""
+    return i % 59, 1 + (i // 59) % 8
+
+
+def _synth_oriented_jpeg(i: int) -> bytes:
+    """Lossless 8-bit gray JPEG whose stored pixels are the INVERSE
+    orientation transform of the group's displayed base plane
+    (md5(gid:orient)), carrying an APP1 EXIF tag with the matching
+    orientation — the planted rotated/mirrored duplicate."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+    from hadoopxmlextractor_spark.operators.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    gid, o = _orient_group(i)
+    plane = np.frombuffer(
+        b"".join(
+            hashlib.md5(f"{gid}:orient{k}".encode()).digest()
+            for k in range(4)
+        ),
+        dtype=np.uint8,
+    ).reshape(8, 8).astype(np.int64)
+    stored = M.exif_orient_store(plane, o)
+    enc = encode_jpeg_lossless(
+        np.ascontiguousarray(stored), predictor=1 + i % 7, precision=8
+    )
+    app1 = M._encode_exif_app1(
+        big_endian=(i % 2 == 1), orientation=o, make="synthcam",
+        model=f"m{gid}", dt_original="2021:06:01 12:00:00",
+        pixel_w=8, pixel_h=8, xres=(72, 1),
+    )
+    return enc[:2] + app1 + enc[2:]
+
+
+def _orient_perm_values() -> str:
+    """VALUES rows (o, p, q): stored row-major position p holds base
+    (displayed) pixel q under orientation o — generated from the same
+    deterministic transforms the synth uses (seeded-constants-as-
+    literals oracle pattern); the transforms themselves are pinned to
+    the EXIF spec by hand-written expected matrices in
+    test_text_multimodal.py."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    base_idx = np.arange(64).reshape(8, 8)
+    rows = []
+    for o in range(1, 9):
+        stored = M.exif_orient_store(base_idx, o)
+        for p, q in enumerate(stored.flatten()):
+            rows.append(f"({o},{p},{int(q)})")
+    return ", ".join(rows)
+
+
+_ORIENT_LANES = ", ".join(
+    f"({p}, " + (str(1 << p) if p < 63 else "(-9223372036854775807 - 1)")
+    + ")"
+    for p in range(64)
+)
+
+
+@query(
+    "multimodal_image_orientation_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 59 AS gid,
+             1 + (doc_id // 59) % 8 AS o
+      FROM documents
+    ),
+    lum AS (
+      SELECT gid, (k * 16 + j) AS q,
+             CAST(('0x' || substring(
+               md5(CAST(gid AS VARCHAR) || ':orient' || CAST(k AS VARCHAR)),
+               j * 2 + 1, 2)) AS BIGINT) AS g
+      FROM (SELECT DISTINCT gid FROM d),
+           (SELECT unnest(range(4)) AS k),
+           (SELECT unnest(range(16)) AS j)
+    ),
+    mean AS (SELECT gid, SUM(g) // 64 AS m FROM lum GROUP BY gid),
+    lanes(p, wt) AS (VALUES {_ORIENT_LANES}),
+    perm(o, p, q) AS (VALUES {{PERM}}),
+    norm AS (
+      SELECT lum.gid,
+             CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT)
+               AS ahash_norm
+      FROM lum JOIN mean USING (gid) JOIN lanes ON lanes.p = lum.q
+      GROUP BY lum.gid
+    ),
+    raw AS (
+      SELECT d.doc_id, d.gid, d.o,
+             CAST(SUM(CASE WHEN lum.g > mean.m THEN lanes.wt ELSE 0 END)
+               AS BIGINT) AS ahash_raw
+      FROM d
+      JOIN perm ON perm.o = d.o
+      JOIN lanes ON lanes.p = perm.p
+      JOIN lum ON lum.gid = d.gid AND lum.q = perm.q
+      JOIN mean ON mean.gid = d.gid
+      GROUP BY d.doc_id, d.gid, d.o
+    ),
+    per_doc AS (
+      SELECT raw.doc_id, raw.gid, raw.o, raw.ahash_raw, norm.ahash_norm
+      FROM raw JOIN norm USING (gid)
+    ),
+    gstats AS (
+      SELECT gid, COUNT(DISTINCT ahash_raw) AS n_raw,
+             COUNT(DISTINCT ahash_norm) AS n_norm
+      FROM per_doc GROUP BY gid
+    )
+    SELECT p.doc_id, CAST(p.gid AS BIGINT) AS group_id,
+           CAST(p.o AS INT) AS orientation,
+           p.ahash_raw, p.ahash_norm,
+           CAST(g.n_raw AS BIGINT) AS n_raw_distinct,
+           CAST(g.n_norm AS BIGINT) AS n_norm_distinct
+    FROM per_doc p JOIN gstats g USING (gid)
+    """.replace("{{PERM}}", "{PERM}").format(PERM=_orient_perm_values()),
+)
+def q_multimodal_image_orientation_dedup(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # ORIENTATION-NORMALIZED PERCEPTUAL HASH (r11 verdict item 5):
+    # jpeg_exif already extracted the orientation tag, but aHash
+    # hashed raw stored pixels — rotated/mirrored re-encodes of one
+    # photo hashed apart, silently defeating image dedup. Each of 59
+    # planted groups stores ONE displayed image under all 8 EXIF
+    # orientations (real decodable lossless JPEGs, APP1 inserted,
+    # both TIFF byte orders); the kernel decodes, reads the tag,
+    # applies the spec transform, and hashes both ways. The oracle
+    # recomputes BOTH hashes (stored-position permutation replayed as
+    # a VALUES table) and the per-group distinct counts: raw hashes
+    # MUST differ across orientations (vacuous-check) while the
+    # normalized hash collapses to one per group. Dedup then rides
+    # the existing banded-hamming join like any other ahash column.
+    from hadoopxmlextractor_spark.operators import multimodal as M
+    from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "group_id", "orientation", "ahash_raw",
+                "ahash_norm"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                gid, _ = _orient_group(i)
+                blob = _synth_oriented_jpeg(i)
+                img = decode_jpeg(blob)
+                o = M.jpeg_exif(blob)["orientation"]
+                rows.append({
+                    "doc_id": i, "group_id": gid, "orientation": o,
+                    "ahash_raw": M._ahash64(img),
+                    "ahash_norm": M._ahash64(
+                        M.exif_orient_normalize(img, o)
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    per_doc = docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, group_id bigint, orientation int, "
+        "ahash_raw bigint, ahash_norm bigint",
+    )
+    gstats = per_doc.groupBy("group_id").agg(
+        F.countDistinct("ahash_raw").alias("n_raw_distinct"),
+        F.countDistinct("ahash_norm").alias("n_norm_distinct"),
+    )
+    return per_doc.join(F.broadcast(gstats), "group_id").select(
+        "doc_id", "group_id", "orientation", "ahash_raw", "ahash_norm",
+        "n_raw_distinct", "n_norm_distinct",
+    )

@@ -1828,3 +1828,60 @@ def test_resolve_url_crossval_urljoin(spark):
     hdf = spark.createDataFrame([(html,)], ["html"])
     (row,) = hdf.select(T.html_hrefs("html").alias("hs")).collect()
     assert row["hs"] == ["/d1", "/d2", "/d3"]
+
+
+def test_exif_orientation_transforms_spec_table():
+    """exif_orient_normalize pinned to the TIFF/EXIF spec by
+    hand-written expected matrices on an asymmetric 2x3 input — the
+    oracle's permutation table derives from these transforms, so this
+    is what breaks the synth/oracle mirror coupling."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    m = np.array([[1, 2, 3], [4, 5, 6]])
+    expected = {
+        1: [[1, 2, 3], [4, 5, 6]],        # identity
+        2: [[3, 2, 1], [6, 5, 4]],        # mirror horizontal
+        3: [[6, 5, 4], [3, 2, 1]],        # rotate 180
+        4: [[4, 5, 6], [1, 2, 3]],        # mirror vertical
+        5: [[1, 4], [2, 5], [3, 6]],      # transpose
+        6: [[4, 1], [5, 2], [6, 3]],      # rotate 90 CW
+        7: [[6, 3], [5, 2], [4, 1]],      # transverse
+        8: [[3, 6], [2, 5], [1, 4]],      # rotate 270 CW
+    }
+    for o in range(1, 9):
+        assert M.exif_orient_normalize(m, o).tolist() == expected[o], o
+        rt = M.exif_orient_normalize(M.exif_orient_store(m, o), o)
+        assert rt.tolist() == m.tolist(), o
+    # missing/invalid orientation values pass through untouched
+    assert M.exif_orient_normalize(m, None).tolist() == m.tolist()
+    assert M.exif_orient_normalize(m, 9).tolist() == m.tolist()
+
+
+def test_orientation_dedup_non_vacuous():
+    """Planted rotated duplicates: raw aHash MUST differ across
+    orientations of one group (otherwise the normalization verifies
+    nothing) while the normalized hash collapses to one value."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+    from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
+    from hadoopxmlextractor_spark.queries_r12 import (
+        _orient_group, _synth_oriented_jpeg,
+    )
+
+    # docs 0, 59, 118, ... are group 0 under orientations 1..8
+    raw, norm = set(), set()
+    for member in range(8):
+        i = member * 59
+        gid, o = _orient_group(i)
+        assert gid == 0 and o == member + 1
+        blob = _synth_oriented_jpeg(i)
+        img = decode_jpeg(blob)
+        got_o = M.jpeg_exif(blob)["orientation"]
+        assert got_o == o
+        raw.add(M._ahash64(img))
+        norm.add(M._ahash64(M.exif_orient_normalize(img, got_o)))
+    assert len(norm) == 1
+    assert len(raw) >= 5  # rotations genuinely hash apart
