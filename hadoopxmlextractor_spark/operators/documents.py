@@ -5480,3 +5480,337 @@ def rtf_to_text(blob: bytes) -> tuple[int, str]:
     kept = [p.strip() for p in paras]
     kept = [p for p in kept if p]
     return len(kept), "\n".join(kept)
+
+
+# ---------------------------------------------------------------------------
+# 7z container — signature header, CRC-validated header walk, member
+# metadata, Copy/LZMA1/LZMA2 payload decode through stdlib lzma (r12)
+# ---------------------------------------------------------------------------
+
+_7Z_SIG = b"7z\xbc\xaf\x27\x1c"
+
+
+def _sz_num_enc(v: int) -> bytes:
+    """7z variable-length number: i leading 1-bits in the first byte
+    mean i little-endian extension bytes; the remaining 7-i first-byte
+    bits hold the high part."""
+    for i in range(8):
+        if v < 1 << (7 * (i + 1)):
+            first = ((0xFF << (8 - i)) & 0xFF) | (v >> (8 * i))
+            return bytes([first]) + (v & ((1 << (8 * i)) - 1)).to_bytes(
+                i, "little"
+            )
+    return b"\xff" + v.to_bytes(8, "little")
+
+
+def _sz_num_dec(blob: bytes, pos: int) -> tuple[int, int]:
+    """(value, next position) of one 7z number; truncation refuses."""
+    if pos >= len(blob):
+        raise ValueError("truncated 7z number")
+    first = blob[pos]
+    mask, value = 0x80, 0
+    for i in range(8):
+        if first & mask == 0:
+            if pos + 1 + i > len(blob):
+                raise ValueError("truncated 7z number")
+            value |= (first & (mask - 1)) << (8 * i)
+            return value, pos + 1 + i
+        if pos + 1 + i >= len(blob):
+            raise ValueError("truncated 7z number")
+        value |= blob[pos + 1 + i] << (8 * i)
+        mask >>= 1
+    return value, pos + 9
+
+
+_7Z_LZMA1_FILTER = {
+    "id": None, "dict_size": 1 << 16, "lc": 3, "lp": 0, "pb": 2
+}
+
+
+def _lzma1_props(filt: dict) -> bytes:
+    return bytes([(filt["pb"] * 5 + filt["lp"]) * 9 + filt["lc"]]) + (
+        filt["dict_size"]
+    ).to_bytes(4, "little")
+
+
+def build_7z(members: list[tuple[str, bytes, str]]) -> bytes:
+    """Write a 7z archive from (name, data, method) tuples, method in
+    {'copy', 'lzma', 'lzma2'}; empty payloads become EmptyStream file
+    entries (no folder). One folder per non-empty member, raw
+    (uncompressed) header with PackInfo / UnpackInfo(+CRC) /
+    FilesInfo(kEmptyStream + UTF-16LE kName), CRC32s over start
+    header and next header — the synth-side partner of
+    :func:`sevenzip_members`, byte-layout pinned to the public
+    py7zr/7-Zip DOC spec by the hand-built golden archive in
+    tests/test_documents.py."""
+    import lzma
+
+    packed: list[bytes] = []
+    folders: list[tuple[str, bytes, int, int]] = []  # method, props, usize, crc
+    names: list[str] = []
+    empties: list[bool] = []
+    for name, data, method in members:
+        names.append(name)
+        if len(data) == 0:
+            empties.append(True)
+            continue
+        empties.append(False)
+        if method == "copy":
+            comp, props = data, b""
+        elif method == "lzma":
+            f = dict(_7Z_LZMA1_FILTER, id=lzma.FILTER_LZMA1)
+            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[f])
+            comp, props = c.compress(data) + c.flush(), _lzma1_props(f)
+        elif method == "lzma2":
+            f = {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 16}
+            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[f])
+            comp, props = c.compress(data) + c.flush(), bytes([16])  # 2^16
+        else:
+            raise ValueError(f"unknown 7z method {method}")
+        packed.append(comp)
+        folders.append((method, props, len(data), zlib.crc32(data)))
+
+    hdr = bytearray(b"\x01")  # kHeader
+    if folders:
+        hdr += b"\x04"  # kMainStreamsInfo
+        hdr += b"\x06" + _sz_num_enc(0) + _sz_num_enc(len(packed))  # kPackInfo
+        hdr += b"\x09" + b"".join(_sz_num_enc(len(c)) for c in packed)
+        hdr += b"\x00"
+        hdr += b"\x07"  # kUnpackInfo
+        hdr += b"\x0b" + _sz_num_enc(len(folders)) + b"\x00"  # kFolder, internal
+        for method, props, _us, _crc in folders:
+            cid = {"copy": b"\x00", "lzma": b"\x03\x01\x01",
+                   "lzma2": b"\x21"}[method]
+            flag = len(cid) | (0x20 if props else 0)
+            hdr += _sz_num_enc(1) + bytes([flag]) + cid
+            if props:
+                hdr += _sz_num_enc(len(props)) + props
+        hdr += b"\x0c" + b"".join(
+            _sz_num_enc(us) for _m, _p, us, _c in folders
+        )
+        hdr += b"\x0a\x01" + b"".join(
+            crc.to_bytes(4, "little") for _m, _p, _us, crc in folders
+        )
+        hdr += b"\x00\x00"  # end kUnpackInfo, end kMainStreamsInfo
+    hdr += b"\x05" + _sz_num_enc(len(names))  # kFilesInfo
+    if any(empties):
+        bits = bytearray((len(names) + 7) // 8)
+        for k, e in enumerate(empties):
+            if e:
+                bits[k // 8] |= 0x80 >> (k % 8)
+        hdr += b"\x0e" + _sz_num_enc(len(bits)) + bytes(bits)
+    nameblob = b"\x00" + b"".join(
+        n.encode("utf-16-le") + b"\x00\x00" for n in names
+    )
+    hdr += b"\x11" + _sz_num_enc(len(nameblob)) + nameblob
+    hdr += b"\x00"  # end kFilesInfo... kHeader end
+    hdr += b"\x00"
+    body = b"".join(packed)
+    next_off, next_size = len(body), len(hdr)
+    start = (
+        next_off.to_bytes(8, "little") + next_size.to_bytes(8, "little")
+        + zlib.crc32(bytes(hdr)).to_bytes(4, "little")
+    )
+    return (
+        _7Z_SIG + b"\x00\x04"
+        + zlib.crc32(start).to_bytes(4, "little") + start
+        + body + bytes(hdr)
+    )
+
+
+def _sz_prop_blocks(hdr: bytes, pos: int):
+    """Yield (property id, payload span) until kEnd inside kFilesInfo."""
+    while True:
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid == 0x00:
+            return
+        size, pos = _sz_num_dec(hdr, pos)
+        if pos + size > len(hdr):
+            raise ValueError("7z property past header end")
+        yield pid, hdr[pos : pos + size]
+        pos += size
+
+
+def sevenzip_members(blob: bytes) -> list[dict]:
+    """Member metadata of a 7z archive with BOTH header CRCs verified
+    before any field is trusted: one dict per file with name, method
+    (copy/lzma/lzma2/hex id), packed/uncompressed sizes, the declared
+    CRC32, crc_ok over the ACTUALLY-decoded payload (Copy passthrough,
+    LZMA1/LZMA2 raw streams through stdlib ``lzma`` — an independent
+    decoder, not this module's writer), and the first 16 decoded
+    characters. Empty-stream files report size 0 / method None.
+    Encoded (LZMA-compressed) headers, out-of-range offsets, bad
+    CRCs, and unknown layout refuse (ValueError) — marker-row
+    contract. The archive tier's 7z leg beside ZIP/ZIP64/TAR/gz/bz2/
+    xz (`documents.py` r11)."""
+    import lzma
+
+    if blob[:6] != _7Z_SIG:
+        raise ValueError("not a 7z archive")
+    if len(blob) < 32:
+        raise ValueError("truncated 7z signature header")
+    if zlib.crc32(blob[12:32]) != int.from_bytes(blob[8:12], "little"):
+        raise ValueError("7z start-header CRC mismatch")
+    next_off = int.from_bytes(blob[12:20], "little")
+    next_size = int.from_bytes(blob[20:28], "little")
+    if next_off + next_size + 32 > len(blob):
+        raise ValueError("7z next header out of range")
+    hdr = blob[32 + next_off : 32 + next_off + next_size]
+    if zlib.crc32(hdr) != int.from_bytes(blob[28:32], "little"):
+        raise ValueError("7z next-header CRC mismatch")
+    if not hdr[:1]:
+        raise ValueError("empty 7z header")
+    if hdr[0] == 0x17:
+        raise ValueError("encoded 7z header unsupported")
+    if hdr[0] != 0x01:
+        raise ValueError("unknown 7z header id")
+
+    pos = 1
+    pack_sizes: list[int] = []
+    coders: list[tuple[str, bytes]] = []
+    unpack_sizes: list[int] = []
+    crcs: list[int | None] = []
+    names: list[str] = []
+    empties: list[bool] = []
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid == 0x04:  # kMainStreamsInfo
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid != 0x06:
+            raise ValueError("7z PackInfo expected")
+        _pack_pos, pos = _sz_num_dec(hdr, pos)
+        n_pack, pos = _sz_num_dec(hdr, pos)
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid != 0x09:
+            raise ValueError("7z pack sizes expected")
+        for _ in range(n_pack):
+            v, pos = _sz_num_dec(hdr, pos)
+            pack_sizes.append(v)
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid != 0x00:
+            raise ValueError("7z PackInfo kEnd expected")
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid != 0x07:
+            raise ValueError("7z UnpackInfo expected")
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid != 0x0B:
+            raise ValueError("7z kFolder expected")
+        n_folders, pos = _sz_num_dec(hdr, pos)
+        if hdr[pos] != 0:
+            raise ValueError("external 7z folders unsupported")
+        pos += 1
+        for _ in range(n_folders):
+            n_coders, pos = _sz_num_dec(hdr, pos)
+            if n_coders != 1:
+                raise ValueError("multi-coder 7z folders unsupported")
+            flag = hdr[pos]
+            pos += 1
+            idlen = flag & 0x0F
+            cid = hdr[pos : pos + idlen]
+            pos += idlen
+            if flag & 0x10:
+                raise ValueError("complex 7z coders unsupported")
+            props = b""
+            if flag & 0x20:
+                psize, pos = _sz_num_dec(hdr, pos)
+                props = hdr[pos : pos + psize]
+                pos += psize
+            method = {b"\x00": "copy", b"\x03\x01\x01": "lzma",
+                      b"\x21": "lzma2"}.get(cid, cid.hex())
+            coders.append((method, props))
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid != 0x0C:
+            raise ValueError("7z coders unpack sizes expected")
+        for _ in range(n_folders):
+            v, pos = _sz_num_dec(hdr, pos)
+            unpack_sizes.append(v)
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid == 0x0A:  # kCRC
+            if hdr[pos] != 1:
+                raise ValueError("partial 7z CRC vectors unsupported")
+            pos += 1
+            for _ in range(n_folders):
+                crcs.append(int.from_bytes(hdr[pos : pos + 4], "little"))
+                pos += 4
+            pid, pos = _sz_num_dec(hdr, pos)
+        else:
+            crcs = [None] * n_folders
+        if pid != 0x00:
+            raise ValueError("7z UnpackInfo kEnd expected")
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid != 0x00:
+            raise ValueError("7z MainStreamsInfo kEnd expected")
+        pid, pos = _sz_num_dec(hdr, pos)
+    if pid != 0x05:
+        raise ValueError("7z FilesInfo expected")
+    n_files, pos = _sz_num_dec(hdr, pos)
+    for prop_id, payload in _sz_prop_blocks(hdr, pos):
+        if prop_id == 0x0E:  # kEmptyStream
+            empties = [
+                bool(payload[k // 8] & (0x80 >> (k % 8)))
+                for k in range(n_files)
+            ]
+        elif prop_id == 0x11:  # kName
+            if payload[:1] != b"\x00":
+                raise ValueError("external 7z names unsupported")
+            text = payload[1:].decode("utf-16-le")
+            names = text.split("\x00")[:-1]
+    if len(names) != n_files:
+        raise ValueError("7z name count mismatch")
+    if not empties:
+        empties = [False] * n_files
+    if sum(1 for e in empties if not e) != len(coders):
+        raise ValueError("7z folder/file count mismatch")
+
+    out: list[dict] = []
+    folder = 0
+    pack_off = 32
+    for k in range(n_files):
+        if empties[k]:
+            out.append({
+                "name": names[k], "method": None, "packed": 0,
+                "size": 0, "crc_ok": None, "head": "",
+            })
+            continue
+        method, props = coders[folder]
+        psize = pack_sizes[folder]
+        usize = unpack_sizes[folder]
+        comp = blob[pack_off : pack_off + psize]
+        pack_off += psize
+        data = None
+        if method == "copy":
+            data = comp
+        elif method == "lzma" and len(props) == 5:
+            filt = {
+                "id": lzma.FILTER_LZMA1,
+                "lc": props[0] % 9,
+                "lp": (props[0] // 9) % 5,
+                "pb": props[0] // 45,
+                "dict_size": int.from_bytes(props[1:5], "little"),
+            }
+            d = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW, filters=[filt]
+            )
+            data = d.decompress(comp, max_length=usize)
+        elif method == "lzma2" and len(props) == 1:
+            d = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW,
+                filters=[{"id": lzma.FILTER_LZMA2,
+                          "dict_size": 1 << min(31, props[0])}],
+            )
+            data = d.decompress(comp, max_length=usize)
+        crc_ok = None
+        head = None
+        if data is not None:
+            if len(data) != usize:
+                raise ValueError("7z unpack size mismatch")
+            crc_ok = (
+                zlib.crc32(data) == crcs[folder]
+                if crcs[folder] is not None else None
+            )
+            head = data[:16].decode("utf-8", "replace")
+        out.append({
+            "name": names[k], "method": method, "packed": psize,
+            "size": usize, "crc_ok": crc_ok, "head": head,
+        })
+        folder += 1
+    return out

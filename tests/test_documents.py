@@ -1748,3 +1748,112 @@ def test_rtf_to_text_rules():
     assert blob.startswith(b"{\\rtf")
     n, t = D.rtf_to_text(blob)
     assert n >= 2 and "secret" not in t and "LeakFont" not in t
+
+
+def test_7z_golden_archive_hand_built():
+    """Parser pinned to the PUBLIC 7z layout (7-Zip DOC/7zFormat.txt)
+    by a byte-level HAND-ASSEMBLED archive — one Copy-coded file —
+    rather than build_7z's output, breaking the writer/parser mirror
+    (the ZIP/TAR second-writer precedent, stdlib-less for 7z)."""
+    payload = b"golden payload!!"  # 16 bytes
+    crc = zlib.crc32(payload)
+    header = bytes([
+        0x01,              # kHeader
+        0x04,              # kMainStreamsInfo
+        0x06, 0x00, 0x01,  # kPackInfo: packPos=0, numPackStreams=1
+        0x09, 0x10,        # kSize: [16]
+        0x00,              # kEnd (PackInfo)
+        0x07,              # kUnpackInfo
+        0x0B, 0x01, 0x00,  # kFolder: 1 folder, internal
+        0x01, 0x01, 0x00,  # 1 coder; flags=idsize 1; id 0x00 = Copy
+        0x0C, 0x10,        # kCodersUnpackSize: [16]
+        0x0A, 0x01,        # kCRC, all defined
+    ]) + crc.to_bytes(4, "little") + bytes([
+        0x00,              # kEnd (UnpackInfo)
+        0x00,              # kEnd (MainStreamsInfo)
+        0x05, 0x01,        # kFilesInfo: 1 file
+        0x11, 0x0D, 0x00,  # kName: size 13, internal
+    ]) + "g.txt".encode("utf-16-le") + b"\x00\x00" + bytes([
+        0x00,              # kEnd (FilesInfo)
+        0x00,              # kEnd (kHeader)
+    ])
+    start = (
+        (16).to_bytes(8, "little") + len(header).to_bytes(8, "little")
+        + zlib.crc32(header).to_bytes(4, "little")
+    )
+    blob = (
+        b"7z\xbc\xaf\x27\x1c\x00\x04"
+        + zlib.crc32(start).to_bytes(4, "little") + start
+        + payload + header
+    )
+    (m,) = D.sevenzip_members(blob)
+    assert m == {
+        "name": "g.txt", "method": "copy", "packed": 16, "size": 16,
+        "crc_ok": True, "head": "golden payload!!",
+    }
+    # hostile bounds and CRC failures all refuse
+    bad = bytearray(blob)
+    bad[9] ^= 0xFF  # start-header CRC
+    with pytest.raises(ValueError, match="start-header CRC"):
+        D.sevenzip_members(bytes(bad))
+    bad = bytearray(blob)
+    bad[-3] ^= 0x01  # header byte → next-header CRC
+    with pytest.raises(ValueError, match="next-header CRC"):
+        D.sevenzip_members(bytes(bad))
+    # a hostile offset with a VALID start-header CRC hits the range
+    # check (the CRC guard otherwise fires first, by design)
+    evil_start = (
+        (1 << 40).to_bytes(8, "little")
+        + len(header).to_bytes(8, "little")
+        + zlib.crc32(header).to_bytes(4, "little")
+    )
+    evil = (
+        b"7z\xbc\xaf\x27\x1c\x00\x04"
+        + zlib.crc32(evil_start).to_bytes(4, "little") + evil_start
+        + payload + header
+    )
+    with pytest.raises(ValueError, match="out of range"):
+        D.sevenzip_members(evil)
+    with pytest.raises(ValueError, match="not a 7z"):
+        D.sevenzip_members(b"PK\x03\x04nope")
+    # encoded (compressed) headers refuse rather than misparse
+    enc_hdr = b"\x17\x06\x00\x01\x00"
+    start2 = (
+        (0).to_bytes(8, "little") + len(enc_hdr).to_bytes(8, "little")
+        + zlib.crc32(enc_hdr).to_bytes(4, "little")
+    )
+    blob2 = (
+        b"7z\xbc\xaf\x27\x1c\x00\x04"
+        + zlib.crc32(start2).to_bytes(4, "little") + start2 + enc_hdr
+    )
+    with pytest.raises(ValueError, match="encoded 7z header"):
+        D.sevenzip_members(blob2)
+
+
+def test_7z_build_roundtrip_and_corruption():
+    blob = D.build_7z([
+        ("a.txt", b"copy me please!!", "copy"),
+        ("ü/b.bin", b"lzma payload " * 9, "lzma"),
+        ("c.log", b"lzma2 payload " * 7, "lzma2"),
+        ("hollow.txt", b"", "copy"),
+    ])
+    ms = D.sevenzip_members(blob)
+    assert [m["name"] for m in ms] == [
+        "a.txt", "ü/b.bin", "c.log", "hollow.txt",
+    ]
+    assert [m["method"] for m in ms] == ["copy", "lzma", "lzma2", None]
+    assert [m["size"] for m in ms] == [16, 117, 98, 0]
+    assert all(m["crc_ok"] for m in ms[:3])
+    assert ms[1]["head"] == "lzma payload lzm"
+    # a flipped Copy payload byte fails ONLY that member's CRC
+    bad = bytearray(blob)
+    bad[32] ^= 0x20
+    ms2 = D.sevenzip_members(bytes(bad))
+    assert ms2[0]["crc_ok"] is False and ms2[1]["crc_ok"] is True
+    # 7z numbers: multi-byte forms the fixtures won't hit
+    for v in (0, 0x7F, 0x80, 0x3FFF, 0x4000, 1 << 40, (1 << 63) - 1):
+        enc = D._sz_num_enc(v)
+        got, end = D._sz_num_dec(enc, 0)
+        assert got == v and end == len(enc)
+    with pytest.raises(ValueError, match="truncated 7z number"):
+        D._sz_num_dec(b"\xff\x01\x02", 0)
