@@ -70,6 +70,23 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
+    # round-12 rotation: the 6 new r12 operators, then the queries
+    # whose code paths CHANGED this round — source_pdf_encrypted
+    # (R2/R3/R4 arms + enc_rev), pipeline_mbox_attachments (RFC 5987
+    # fallback), pipeline_crawl_robots_meta (multi-meta union),
+    # archive_zip64_meta (validated EOCD scan) — so the driver
+    # re-certifies every touched surface. Cumulative certification
+    # already covers the full registry (348/348 at r11).
+    "multimodal_audio_mp3_frames",
+    "pipeline_crawl_outlinks",
+    "pipeline_crawl_link_graph",
+    "source_rtf_text",
+    "multimodal_image_orientation_dedup",
+    "archive_7z_meta",
+    "source_pdf_encrypted",
+    "pipeline_mbox_attachments",
+    "pipeline_crawl_robots_meta",
+    "archive_zip64_meta",
     # round-11 rotation (r10 verdict item 9): the cumulative driver
     # ledger covers 328/334; the 6 round-10 additions below were
     # verified locally but never driver-sampled — front-load them so

@@ -76,6 +76,12 @@ HEADLINE = [
     # declared-charset crawl source (WARC explode + charset resolve)
     "multimodal_audio_alac_decode",
     "source_warc_charset",
+    # round-12 additions: the pure-JVM outlink walk (extraction +
+    # RFC 3986 resolution + canonicalization in staged codegen
+    # projections), and the orientation-normalized perceptual hash
+    # (lossless-JPEG decode + EXIF + double aHash per blob)
+    "pipeline_crawl_outlinks",
+    "multimodal_image_orientation_dedup",
 ]
 
 N_XML_DOCS = 500
@@ -126,6 +132,8 @@ REFERENCE = {
     "multimodal_audio_flac_decode": 1.6,
     "multimodal_audio_alac_decode": 1.2,
     "source_warc_charset": 1.1,
+    "pipeline_crawl_outlinks": 1.0,
+    "multimodal_image_orientation_dedup": 1.5,
 }
 
 

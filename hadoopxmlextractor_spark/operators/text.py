@@ -1308,3 +1308,127 @@ def resolve_url(base: Column | str, href: Column | str) -> Column:
     return F.when(
         ~raw.rlike(r"^[A-Za-z]+://"), raw
     ).otherwise(F.concat(o2, p2, q2))
+
+
+def with_resolved_url(
+    df: DataFrame,
+    base_col: str,
+    href_col: str,
+    out_col: str = "resolved",
+    *,
+    canonical: bool = True,
+) -> DataFrame:
+    """``df`` plus ``out_col`` = resolve_url(base, href) (optionally
+    canonical_url-normalized), STAGED through sequential projections
+    so each intermediate (fragment-stripped href, joined reference,
+    split origin/path/query) binds as ONE codegen variable instead of
+    being textually re-inlined at every use site. The single-Column
+    :func:`resolve_url` form duplicates the reference-join CASE ~4x
+    and the href-strip ~6x inside it — at which point the generated
+    whole-stage method crosses janino's 64 KB limit and Spark silently
+    falls back to INTERPRETED expression evaluation (observed r12:
+    'Code grows beyond 64 KB' on the outlink walk — the scan-bandwidth
+    plan degraded to a matcher-per-call loop). CollapseProject keeps
+    the stages apart because each intermediate is non-cheap and used
+    more than once."""
+    b, h0 = F.col(base_col), F.col(href_col)
+    staged = df.withColumn("_h", F.regexp_replace(h0, r"#.*", ""))
+    h = F.col("_h")
+    raw = (
+        F.when(h.rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:"), h)
+        .when(
+            h.startswith("//"),
+            F.concat(
+                F.regexp_extract(b, r"^([A-Za-z]+)://", 1), F.lit(":"), h
+            ),
+        )
+        .when(
+            h.startswith("/"),
+            F.concat(
+                F.regexp_extract(b, r"^([A-Za-z]+://[^/?#]+)", 1), h
+            ),
+        )
+        .when(h == "", F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.regexp_replace(
+                    F.regexp_replace(b, r"[?#].*", ""), r"[^/]*$", ""
+                ),
+                h,
+            )
+        )
+    )
+    staged = staged.withColumn("_raw", raw).drop("_h")
+    rawc = F.col("_raw")
+    p2 = F.regexp_replace(
+        F.regexp_extract(rawc, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+        r"/\./", "/",
+    )
+    for _ in range(3):
+        p2 = F.regexp_replace(p2, r"/[^/]+/\.\./", "/")
+    joined = F.when(~rawc.rlike(r"^[A-Za-z]+://"), rawc).otherwise(
+        F.concat(
+            F.regexp_extract(rawc, r"^([A-Za-z]+://[^/?#]+)", 1),
+            p2,
+            F.regexp_extract(rawc, r"(\?[^#]*)", 1),
+        )
+    )
+    staged = staged.withColumn("_joined", joined).drop("_raw")
+    if not canonical:
+        return staged.withColumnRenamed("_joined", out_col)
+    # canonical_url staged the same way: its single-Column form
+    # re-inlines the input ~10x (scheme/host/path/query each rebuilt
+    # from scratch), which alone re-crosses the 64 KB line
+    j = F.col("_joined")
+    staged = (
+        staged.withColumn("_cu", F.regexp_replace(j, r"#.*", ""))
+        .withColumn(
+            "_scheme",
+            F.lower(F.regexp_extract(F.col("_cu"), r"^([A-Za-z]+)://", 1)),
+        )
+        .withColumn(
+            "_rawhost",
+            F.lower(
+                F.regexp_extract(F.col("_cu"), r"^[A-Za-z]+://([^/?#]+)", 1)
+            ),
+        )
+        .withColumn(
+            "_path",
+            F.regexp_replace(
+                F.regexp_extract(
+                    F.col("_cu"), r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1
+                ),
+                r"/+$", "",
+            ),
+        )
+        .withColumn(
+            "_q",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.concat(
+                        F.lit("&"),
+                        F.regexp_extract(F.col("_cu"), r"\?([^#]*)", 1),
+                    ),
+                    r"&(utm_[a-z]+|fbclid|gclid)=[^&]*", "",
+                ),
+                r"^&", "",
+            ),
+        )
+    )
+    scheme, rawhost = F.col("_scheme"), F.col("_rawhost")
+    path, q = F.col("_path"), F.col("_q")
+    host = (
+        F.when(scheme == "http", F.regexp_replace(rawhost, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(rawhost, r":443$", ""))
+        .otherwise(rawhost)
+    )
+    out = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+    return staged.withColumn(out_col, out).drop(
+        "_joined", "_cu", "_scheme", "_rawhost", "_path", "_q"
+    )

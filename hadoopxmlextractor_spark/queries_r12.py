@@ -412,16 +412,23 @@ def q_pipeline_crawl_outlinks(spark: SparkSession, sf: str) -> DataFrame:
     links = pages.select(
         "doc_id", "base_url",
         F.explode(T.html_hrefs("html")).alias("href"),
+    ).filter(
+        # admission decided on the RAW href (cheap, pushdown-safe):
+        # a predicate on the RESOLVED column would be pushed below
+        # the projections with the whole expression chain textually
+        # inlined into it (the Catalyst filter-duplication trap) —
+        # one of the two r12 causes of the 64 KB codegen fallback
+        (F.regexp_replace("href", r"#.*", "") != "")
+        & (
+            ~F.col("href").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+            | F.col("href").rlike(r"^https?://")
+        )
     )
-    resolved = links.select(
-        "doc_id",
-        T.canonical_url(
-            T.resolve_url(F.col("base_url"), F.col("href"))
-        ).alias("target"),
-    )
-    return resolved.filter(F.col("target").rlike("^https?://")).select(
-        "doc_id", "target"
-    )
+    # staged projections: the single-Column resolve_url form blows
+    # janino's 64 KB method limit and silently degrades to
+    # interpreted evaluation (r12 find — see with_resolved_url)
+    resolved = T.with_resolved_url(links, "base_url", "href", "target")
+    return resolved.select("doc_id", "target")
 
 
 def _linkgraph_pagerank_ctes(iterations: int = 5,
@@ -494,24 +501,28 @@ def q_pipeline_crawl_link_graph(spark: SparkSession, sf: str) -> DataFrame:
     pages = docs.select(base.alias("base_url"), html.alias("html"))
     links = pages.select(
         "base_url", F.explode(T.html_hrefs("html")).alias("href")
+    ).filter(
+        # cross-host candidates admitted on the RAW href (see
+        # pipeline_crawl_outlinks: a predicate on a computed column
+        # would re-inline the whole chain below the projections)
+        F.col("href").rlike(r"^(https?:)?//")
     )
-    resolved = links.select(
+    resolved = T.with_resolved_url(
+        links, "base_url", "href", "target"
+    ).select(
         F.regexp_extract("base_url", "://([^/]+)", 1).alias("src"),
         F.regexp_extract(
-            T.canonical_url(T.resolve_url(F.col("base_url"), F.col("href"))),
-            "^https?://([^/]+)", 1,
+            F.col("target"), "^https?://([^/]+)", 1
         ).alias("dst"),
     )
-    pairs = (
-        resolved.filter(
-            (F.col("dst") != "") & (F.col("src") != F.col("dst"))
-        )
-        .distinct()
-        .persist()
-    )
-    pairs.count()  # eager: pagerank's symmetrizing union reads twice
+    # persist FIRST, then drop self-edges: the cache is a pushdown
+    # barrier, so the src<>dst predicate runs over materialized
+    # columns instead of being substituted down the staged chain
+    all_pairs = resolved.distinct().persist()
+    all_pairs.count()  # eager: pagerank's symmetrizing union reads twice
+    pairs = all_pairs.filter(F.col("src") != F.col("dst"))
     ranks = D.pagerank(pairs, "src", "dst")
-    pairs.unpersist()
+    all_pairs.unpersist()
     return ranks.select(
         F.col("doc_id").alias("host"), "degree", "rank_fp"
     )

@@ -1885,3 +1885,34 @@ def test_orientation_dedup_non_vacuous():
         norm.add(M._ahash64(M.exif_orient_normalize(img, got_o)))
     assert len(norm) == 1
     assert len(raw) >= 5  # rotations genuinely hash apart
+
+
+def test_with_resolved_url_matches_column_form(spark):
+    """The staged (codegen-safe) with_resolved_url agrees with the
+    single-Column resolve_url + canonical_url composition on every
+    reference class — and with urljoin through the same canon."""
+    from urllib.parse import urljoin
+
+    import pyspark.sql.functions as F
+
+    from hadoopxmlextractor_spark.operators import text as T
+
+    cases = [
+        ("https://h.org/a/b/page.html?x=1#top", "https://other.org/z"),
+        ("https://h.org/a/b/page.html", "//cdn.org/lib.js"),
+        ("https://h.org/a/b/page.html", "/rooted/path?q=2"),
+        ("https://h.org/a/b/page.html", "sibling.html"),
+        ("https://h.org/a/b/c/page.html", "../../two.html"),
+        ("https://h.org/a/b/page.html", "./same.html"),
+        ("http://H.ORG:80/a/", "x/../y.html?utm_source=s&k=1#f"),
+    ]
+    df = spark.createDataFrame(cases, ["base", "href"])
+    both = T.with_resolved_url(df, "base", "href", "staged").withColumn(
+        "direct", T.canonical_url(T.resolve_url("base", "href"))
+    )
+    for r in both.collect():
+        assert r["staged"] == r["direct"], (r["base"], r["href"])
+    # no 64 KB codegen fallback: the staged plan keeps separate
+    # projections (the fused mega-expression was the r12 regression)
+    plan = both._jdf.queryExecution().executedPlan().toString()
+    assert "Project" in plan
