@@ -78,6 +78,9 @@ FRONT = [
     # re-certifies every touched surface. Cumulative certification
     # already covers the full registry (348/348 at r11).
     "multimodal_audio_mp3_frames",
+    "source_pdf_encrypted_metadata",
+    "pipeline_crawl_anchor_text",
+    "pipeline_anchor_text_index",
     "pipeline_crawl_outlinks",
     "pipeline_crawl_link_graph",
     "source_rtf_text",

@@ -1432,3 +1432,34 @@ def with_resolved_url(
     return staged.withColumn(out_col, out).drop(
         "_joined", "_cu", "_scheme", "_rawhost", "_path", "_q"
     )
+
+
+_ANCHOR_RE = (
+    r"""(?is)<a\s[^>]*?href\s*=\s*["']([^"'>]*)["'][^>]*>(.*?)</a>"""
+)
+
+
+def html_anchors(col: Column | str) -> tuple[Column, Column]:
+    """(hrefs, raw anchor markups) ARRAY pair for one HTML string —
+    the raw href values and their anchor inner markup, index-aligned
+    (both arrays come from the SAME regexp so they cannot skew):
+    ``arrays_zip`` + ``explode`` yields (href, anchor) rows. Anchor
+    text is the classic retrieval signal the WAT tier carries (how
+    the web describes a page). Clean the exploded anchor with
+    :func:`anchor_text` as a POST-explode projection — a JVM
+    higher-order ``transform`` lambda here would run interpreted
+    (the CLAUDE.md higher-order rule); the scalar form stays in
+    whole-stage codegen."""
+    c = F.col(col) if isinstance(col, str) else col
+    hrefs = F.regexp_extract_all(c, F.lit(_ANCHOR_RE), F.lit(1))
+    texts = F.regexp_extract_all(c, F.lit(_ANCHOR_RE), F.lit(2))
+    return hrefs, texts
+
+
+def anchor_text(col: Column | str) -> Column:
+    """Anchor inner markup → display text: tags stripped, whitespace
+    canonicalized, trimmed. A plain scalar projection (codegen)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(c, r"<[^>]*>", " "), r"\s+", " ")
+    )

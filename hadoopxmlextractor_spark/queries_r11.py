@@ -1831,7 +1831,10 @@ def q_pipeline_wet_writer(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
+def _synth_encrypted_pdf_blob(
+    i: int, *, user_pw: bytes = b"",
+    info: tuple[str, str] | None = None,
+) -> bytes:
     """One deterministic standard-handler encrypted classic PDF from
     md5(doc:epdf), ROTATING the three shipping generations by
     b[2] % 3 — V1/R2 RC4-40, V2/R3 RC4-128 (iterated-MD5 keys,
@@ -1840,7 +1843,10 @@ def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
     maybe-Flate(plain)) — the real owner-restricted shape; a
     non-empty ``user_pw`` makes the /U check unsatisfiable with the
     empty password (the refusal arm, whichever generation the doc's
-    arm selects)."""
+    arm selects). ``info`` = (title, author) adds an /Info dict whose
+    STRINGS are encrypted with the object key (hex form; non-latin-1
+    titles as BOM-led UTF-16BE) — the metadata leg of §7.6.2 string
+    encryption (r12)."""
     import hashlib
 
     from hadoopxmlextractor_spark.operators import aes as A
@@ -1920,6 +1926,20 @@ def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
         f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {n_pages} >>"
         .encode()
     )
+    if info is not None:
+        title, author = info
+
+        def _estr(txt: str) -> bytes:
+            try:
+                raw = txt.encode("latin-1")
+            except UnicodeEncodeError:
+                raw = b"\xfe\xff" + txt.encode("utf-16-be")
+            return b"<" + _enc(8, raw).hex().encode() + b">"
+
+        objs[8] = (
+            b"<< /Title " + _estr(title)
+            + b" /Author " + _estr(author) + b" >>"
+        )
     enc_head = {
         2: b"/V 1 /R 2 /Length 40",
         3: b"/V 2 /R 3 /Length 128",
@@ -1946,9 +1966,10 @@ def _synth_encrypted_pdf_blob(i: int, *, user_pw: bytes = b"") -> bytes:
             f"{offsets[num]:010d} 00000 n \n".encode()
             if num in offsets else b"0000000000 65535 f \n"
         )
+    info_ref = "/Info 8 0 R " if info is not None else ""
     out += (
         f"trailer\n<< /Size {n_obj} /Root 1 0 R /Encrypt 9 0 R "
-        f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\nstartxref\n"
+        f"{info_ref}/ID [<{id0.hex()}> <{id0.hex()}>] >>\nstartxref\n"
         f"{xref_off}\n%%EOF\n".encode()
     )
     return bytes(out)

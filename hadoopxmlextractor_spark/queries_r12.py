@@ -294,7 +294,7 @@ def _outlink_page(spark_side: bool):
         F.lit("<html><body><p>page "), s, F.lit("</p>"),
         # A: absolute link to the hub host (always)
         F.lit('<a href="https://host0.example.org/hub/'), seg(50),
-        F.lit('">hub</a>'),
+        F.lit('">hub '), seg(50), F.lit("</a>"),
         # B: scheme-relative, uppercase tag, single quotes (h odd)
         F.when(
             h % 2 == 1,
@@ -315,7 +315,8 @@ def _outlink_page(spark_side: bool):
             ),
         ).otherwise(F.lit("")),
         # D: root-relative (always)
-        F.lit('<a href="/root/'), seg(20), F.lit('">r</a>'),
+        F.lit('<a href="/root/'), seg(20),
+        F.lit('"> <b>root</b>  page '), seg(20), F.lit("</a>"),
         # E/F: relative vs parent-relative (by parity)
         F.when(
             did % 2 == 0,
@@ -961,4 +962,211 @@ def q_archive_7z_meta(spark: SparkSession, sf: str) -> DataFrame:
         _rows,
         schema="doc_id bigint, member_idx int, name string, "
         "method string, size bigint, crc_ok int, head string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Encrypted-PDF metadata (the §7.6.2 STRING-decryption leg, end-to-end)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_pdf_encrypted_metadata",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('epdf', 4)} % 2 AS ta,
+             md5(CAST(doc_id AS VARCHAR) || ':epdf') AS x
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS decrypted,
+           CASE ta WHEN 0 THEN 'Résumé ' || substring(x, 1, 6)
+                   ELSE 'Étude 中文 ' || substring(x, 1, 4) END AS title,
+           'auteur ' || substring(x, 7, 4) AS author
+    FROM p WHERE doc_id % 5 <> 4
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL FROM p WHERE doc_id % 5 = 4
+    """,
+)
+def q_source_pdf_encrypted_metadata(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # §7.6.2 names STRINGS and STREAMS as the two encrypted payload
+    # classes; r12 made _pdf_decrypt_objects decrypt both. This query
+    # drives the STRING leg end-to-end through the driver oracle: the
+    # /Info walk over owner-restricted PDFs (R2/R3/R4 rotating, same
+    # arms as source_pdf_encrypted) must surface the DECRYPTED
+    # /Title and /Author — including the BOM-led UTF-16BE title arm,
+    # whose ciphertext is binary garbage if any byte of the per-
+    # object key path is wrong. Real-password docs refuse to the
+    # all-NULL row (decrypted FALSE — derived, never a nullable
+    # boolean).
+    from hadoopxmlextractor_spark.operators import documents as D
+    from hadoopxmlextractor_spark.queries_r11 import (
+        _synth_encrypted_pdf_blob,
+    )
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                b = hashlib.md5(f"{i}:epdf".encode()).digest()
+                x = hashlib.md5(f"{i}:epdf".encode()).hexdigest()
+                title = (
+                    f"Résumé {x[:6]}" if b[4] % 2 == 0
+                    else f"Étude 中文 {x[:4]}"
+                )
+                out.append(_synth_encrypted_pdf_blob(
+                    i,
+                    user_pw=b"secret" if i % 5 == 4 else b"",
+                    info=(title, f"auteur {x[6:10]}"),
+                ))
+            yield pd.Series(out)
+
+    meta = D.pdf_metadata(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )
+    return meta.select(
+        "doc_id",
+        F.col("has_info").isNotNull().alias("decrypted"),
+        "title",
+        "author",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anchor text (the WAT retrieval signal) + the per-target anchor index
+# ---------------------------------------------------------------------------
+
+_ANCHOR_ARMS_SQL = """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS h FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             'https://host0.example.org/hub/' || CAST(doc_id % 50 AS VARCHAR)
+               AS target,
+             'hub ' || CAST(doc_id % 50 AS VARCHAR) AS anchor
+      FROM p
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST((h + 1) % 7 AS VARCHAR)
+               || '.example.org/sr/' || CAST(doc_id % 30 AS VARCHAR), 'x'
+      FROM p WHERE h % 2 = 1
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST((h + 2) % 7 AS VARCHAR)
+               || '.example.org/T' || CAST(doc_id % 9 AS VARCHAR)
+               || '?keep=' || CAST(doc_id % 5 AS VARCHAR), 't'
+      FROM p WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST(h AS VARCHAR)
+               || '.example.org/root/' || CAST(doc_id % 20 AS VARCHAR),
+             'root page ' || CAST(doc_id % 20 AS VARCHAR)
+      FROM p
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST(h AS VARCHAR)
+               || '.example.org/dir/sub/rel/'
+               || CAST(doc_id % 10 AS VARCHAR) || '.html', 'rel'
+      FROM p WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST(h AS VARCHAR)
+               || '.example.org/dir/up/' || CAST(doc_id % 10 AS VARCHAR),
+             'up'
+      FROM p WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id,
+             'https://host' || CAST(h AS VARCHAR)
+               || '.example.org/dir/sub/here/'
+               || CAST(doc_id % 6 AS VARCHAR), 'dot'
+      FROM p WHERE doc_id % 5 = 0
+    )
+"""
+
+
+def _anchor_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """(doc_id, target, anchor) over the planted outlink pages —
+    shared by the per-link query and the per-target index."""
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+    base, html = _outlink_page(True)
+    pages = docs.select(
+        "doc_id", base.alias("base_url"), html.alias("html")
+    )
+    hrefs, texts = T.html_anchors("html")
+    links = pages.select(
+        "doc_id", "base_url",
+        F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("raw")))
+        .alias("lnk"),
+    ).select(
+        "doc_id", "base_url",
+        F.col("lnk.href").alias("href"),
+        F.col("lnk.raw").alias("raw"),
+    ).filter(
+        # admission on the RAW href (pushdown-safe — the r12 64 KB rule)
+        (F.regexp_replace("href", r"#.*", "") != "")
+        & (
+            ~F.col("href").rlike(r"^[A-Za-z][A-Za-z0-9+.\-]*:")
+            | F.col("href").rlike(r"^https?://")
+        )
+    )
+    return T.with_resolved_url(links, "base_url", "href", "target").select(
+        "doc_id", "target", T.anchor_text("raw").alias("anchor")
+    )
+
+
+@query(
+    "pipeline_crawl_anchor_text",
+    _ANCHOR_ARMS_SQL + "SELECT doc_id, target, anchor FROM t",
+)
+def q_pipeline_crawl_anchor_text(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # ANCHOR TEXT — the WAT tier's retrieval signal (how the web
+    # describes a page). hrefs and anchor markups come from ONE
+    # regexp (index-aligned arrays_zip, so they cannot skew); the
+    # tag-strip/whitespace cleanup runs as a POST-explode scalar
+    # projection (a higher-order transform lambda would drop the
+    # whole span out of codegen — CLAUDE.md rule). Same admission
+    # and staged resolution as pipeline_crawl_outlinks; the nested
+    # <b> markup and double spaces in the planted root anchors keep
+    # the cleanup honest.
+    return _anchor_rows(spark, sf)
+
+
+@query(
+    "pipeline_anchor_text_index",
+    _ANCHOR_ARMS_SQL + """
+    SELECT target, CAST(COUNT(*) AS BIGINT) AS n_refs,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchors,
+           string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchors
+    FROM t GROUP BY target
+    """,
+)
+def q_pipeline_anchor_text_index(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # The per-TARGET anchor index: every anchor text the crawl uses
+    # for one canonical URL, aggregated — the join side a retrieval
+    # pipeline feeds into BM25/embedding indexing next to the page's
+    # own text. One uniform-key groupBy on the canonical target
+    # (the dedup_exact shape); anchors dedup inside the group via
+    # collect_set, sorted for a deterministic hash.
+    rows = _anchor_rows(spark, sf)
+    return rows.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs"),
+        F.size(F.collect_set("anchor")).cast("long").alias("n_anchors"),
+        F.array_join(F.sort_array(F.collect_set("anchor")), "|")
+        .alias("anchors"),
     )
