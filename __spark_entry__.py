@@ -79,6 +79,7 @@ FRONT = [
     # already covers the full registry (348/348 at r11).
     "multimodal_audio_mp3_frames",
     "source_pdf_encrypted_metadata",
+    "pipeline_wat_writer",
     "pipeline_crawl_anchor_text",
     "pipeline_anchor_text_index",
     "pipeline_crawl_outlinks",

@@ -1170,3 +1170,174 @@ def q_pipeline_anchor_text_index(
         F.array_join(F.sort_array(F.collect_set("anchor")), "|")
         .alias("anchors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WAT writer — the metadata side of the WARC/WET/WAT triple
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_wat_writer",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS h,
+             md5(CAST(doc_id AS VARCHAR) || ':wat') AS x
+      FROM documents
+    )
+    SELECT doc_id, 'metadata' AS warc_type,
+           '<urn:resp:' || CAST(doc_id AS VARCHAR) || '>' AS refers_to,
+           'https://host' || CAST(h AS VARCHAR) || '.example.org/p/'
+             || CAST(doc_id AS VARCHAR) AS target_uri,
+           'Page ' || CAST(doc_id AS VARCHAR) || ' '
+             || substring(x, 1, 4) AS title,
+           CAST(2 + doc_id % 2 AS BIGINT) AS n_links,
+           'https://host' || CAST((h + 1) % 7 AS VARCHAR)
+             || '.example.org/a/' || CAST(doc_id % 9 AS VARCHAR)
+             AS first_link_url,
+           'first ' || CAST(doc_id % 9 AS VARCHAR) AS first_link_text,
+           'https://host' || CAST(h AS VARCHAR) || '.example.org/rel/'
+             || CAST(doc_id % 5 AS VARCHAR) AS second_link_url
+    FROM p
+    """,
+)
+def q_pipeline_wat_writer(spark: SparkSession, sf: str) -> DataFrame:
+    # WAT GENERATION (write side) — the metadata sibling of
+    # pipeline_wet_writer, completing the WARC/WET/WAT triple a
+    # Common Crawl-style pipeline ships: per response record, a
+    # 'metadata' record whose payload is canonical JSON (sorted keys,
+    # compact separators — deterministic bytes) carrying the
+    # WARC-Header-Metadata envelope plus HTML-Metadata (head title +
+    # the resolved outlink list with anchor texts, extracted with the
+    # same public regexes as the JVM operators). The query WRITES the
+    # WAT file, re-parses it, json-decodes each payload, and reports
+    # fields FROM THE ROUNDTRIP — a writer bug anywhere in the chain
+    # hash-mismatches. Per-file work only; ids-only repartition.
+    import hashlib
+    import json
+    import re as _re
+    from urllib.parse import urljoin
+
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.sources import warc as W
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    href_re = _re.compile(T._ANCHOR_RE, _re.I | _re.S)
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "warc_type", "refers_to", "target_uri",
+                "title", "n_links", "first_link_url", "first_link_text",
+                "second_link_url"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                h = i % 7
+                x = hashlib.md5(f"{i}:wat".encode()).hexdigest()
+                uri = f"https://host{h}.example.org/p/{i}"
+                title = f"Page {i} {x[:4]}"
+                anchors = [
+                    (
+                        f"https://host{(h + 1) % 7}.example.org/a/{i % 9}",
+                        f"first {i % 9}",
+                    ),
+                    (f"/rel/{i % 5}", "second"),
+                ]
+                if i % 2:
+                    anchors.append((f"//host{(h + 2) % 7}.example.org"
+                                    f"/s/{i % 4}", "third"))
+                body = "".join(
+                    f'<a href="{u}">{t}</a>' for u, t in anchors
+                )
+                html = (
+                    f"<html><head><title>{title}</title></head>"
+                    f"<body>{body}</body></html>"
+                )
+                # build the crawl response, then its WAT record
+                resp = {
+                    "warc_type": "response",
+                    "record_id": f"<urn:resp:{i}>",
+                    "target_uri": uri,
+                    "content_type": "application/http; msgtype=response",
+                    "payload": (
+                        b"HTTP/1.1 200 OK\r\nContent-Type: text/html"
+                        b"\r\n\r\n" + html.encode()
+                    ),
+                }
+                crawl = W.write_warc([resp], gzip_members=(i % 2 == 0))
+                wat_records = []
+                for r in W.parse_warc(crawl):
+                    if r["warc_type"] != "response":
+                        continue
+                    _s, _e, _hd, page = W.decode_http_html(r["payload"])
+                    links = [
+                        {
+                            "path": "A@/href",
+                            "url": urljoin(r["target_uri"], m.group(1)),
+                            "text": _re.sub(
+                                r"\s+", " ",
+                                _re.sub(r"<[^>]*>", " ", m.group(2)),
+                            ).strip(),
+                        }
+                        for m in href_re.finditer(page)
+                    ]
+                    tm = _re.search(
+                        r"<title>(.*?)</title>", page, _re.I | _re.S
+                    )
+                    env = {
+                        "Envelope": {
+                            "WARC-Header-Metadata": {
+                                "WARC-Target-URI": r["target_uri"],
+                                "WARC-Type": r["warc_type"],
+                            },
+                            "Payload-Metadata": {
+                                "HTTP-Response-Metadata": {
+                                    "HTML-Metadata": {
+                                        "Head": {
+                                            "Title": tm.group(1)
+                                            if tm else None,
+                                        },
+                                        "Links": links,
+                                    },
+                                },
+                            },
+                        },
+                    }
+                    wat_records.append({
+                        "warc_type": "metadata",
+                        "record_id": f"<urn:wat:{i}>",
+                        "target_uri": r["target_uri"],
+                        "refers_to": r["record_id"],
+                        "content_type": "application/json",
+                        "payload": json.dumps(
+                            env, sort_keys=True, separators=(",", ":")
+                        ).encode(),
+                    })
+                wat = W.write_warc(wat_records, gzip_members=(i % 2 == 1))
+                for r in W.parse_warc(wat):  # the roundtrip proof
+                    meta = json.loads(r["payload"].decode())
+                    hm = meta["Envelope"]["Payload-Metadata"][
+                        "HTTP-Response-Metadata"]["HTML-Metadata"]
+                    rows.append({
+                        "doc_id": i,
+                        "warc_type": r["warc_type"],
+                        "refers_to": r["refers_to"],
+                        "target_uri": r["target_uri"],
+                        "title": hm["Head"]["Title"],
+                        "n_links": len(hm["Links"]),
+                        "first_link_url": hm["Links"][0]["url"],
+                        "first_link_text": hm["Links"][0]["text"],
+                        "second_link_url": hm["Links"][1]["url"],
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, warc_type string, refers_to string, "
+        "target_uri string, title string, n_links bigint, "
+        "first_link_url string, first_link_text string, "
+        "second_link_url string",
+    )
