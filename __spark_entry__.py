@@ -80,6 +80,9 @@ FRONT = [
     "multimodal_audio_mp3_frames",
     "source_pdf_encrypted_metadata",
     "pipeline_wat_writer",
+    "text_main_content",
+    "text_script_detect",
+    "text_nfc_dedup",
     "pipeline_crawl_anchor_text",
     "pipeline_anchor_text_index",
     "pipeline_crawl_outlinks",

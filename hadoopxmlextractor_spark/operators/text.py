@@ -1463,3 +1463,132 @@ def anchor_text(col: Column | str) -> Column:
     return F.trim(
         F.regexp_replace(F.regexp_replace(c, r"<[^>]*>", " "), r"\s+", " ")
     )
+
+
+# Unicode script classes as LITERAL character ranges — portable
+# between Java regex and RE2 (no \uXXXX / \x{...} syntax divergence).
+_SCRIPT_RANGES = {
+    "latin": "[A-Za-z]",
+    "cjk": "[一-鿿]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "arabic": "[؀-ۿ]",
+}
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Exact per-script character counts (Latin/CJK/Cyrillic/Greek/
+    Arabic) via the length-difference idiom — pure JVM codegen, and
+    the ranges are emitted as literal characters so the same pattern
+    replays in RE2. The first signal a multilingual corpus router
+    needs BEFORE any model-based language ID: script is cheap, exact,
+    and catches mixed-script spam (e.g. Cyrillic homoglyphs inside
+    Latin text) that marker-word language ID can't see."""
+    c = F.col(col) if isinstance(col, str) else col
+    return {
+        name: (
+            F.length(c) - F.length(F.regexp_replace(c, rng, ""))
+        ).cast("long")
+        for name, rng in _SCRIPT_RANGES.items()
+    }
+
+
+def dominant_script(col: Column | str) -> Column:
+    """Argmax script of :func:`script_counts` ('none' when no class
+    matches); deterministic tie-break by declaration order."""
+    counts = script_counts(col)
+    best = F.greatest(*counts.values())
+    out = F.lit("none")
+    for name in reversed(list(counts)):  # earlier names win ties
+        out = F.when(
+            (counts[name] > 0) & (counts[name] == best), name
+        ).otherwise(out)
+    return out
+
+
+def unicode_normalize(
+    col: Column | str, form: str = "NFC"
+) -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) as an Arrow pandas
+    UDF over ``unicodedata`` — the canonicalization exact dedup MUST
+    run first: composed 'é' (U+00E9) and decomposed 'e'+U+0301 are
+    different byte strings for the same text, so un-normalized exact
+    dedup silently keeps both (and un-normalized groupBy keys split).
+    Python is the right venue: the JVM has no normalizer exposed in
+    pyspark.sql.functions, and the Arrow batch path keeps this at
+    ~memory bandwidth."""
+    c = F.col(col) if isinstance(col, str) else col
+
+    @F.pandas_udf("string")
+    def _norm(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import unicodedata
+
+        for texts in it:
+            yield texts.map(
+                lambda t: None if t is None
+                else unicodedata.normalize(form, t)
+            )
+
+    return _norm(c)
+
+
+_BOILER_TAGS = ("nav", "header", "footer", "aside")
+
+
+def main_content(html: str) -> tuple[str | None, int, str]:
+    """Readability-lite main-content extraction — the deterministic
+    boilerplate-removal pass a training corpus runs on crawled HTML
+    (the trafilatura/readability workload, rule-subset form):
+
+    1. comments, <script>/<style>/<template> stripped WITH content;
+    2. <nav>/<header>/<footer>/<aside> blocks dropped whole;
+    3. scope = all <article> bodies when any exist, else what
+       remains (the fallback for non-semantic markup);
+    4. paragraphs = <p> blocks in scope, kept when non-empty and not
+       link-dominated (2 x anchor-text chars <= total chars — integer
+       arithmetic, no float threshold);
+    5. title = <title> text, else the first <h1>, else None.
+
+    Returns (title, n_paragraphs, text) with paragraphs joined by
+    newline, tags stripped, entities unescaped, whitespace
+    canonicalized. Pure ``re`` string rules — deterministic and
+    exactly replayable."""
+    import html as _html
+    import re as _re
+
+    def clean(t: str) -> str:
+        t = _re.sub(r"<[^>]*>", " ", t)
+        return _re.sub(r"\s+", " ", _html.unescape(t)).strip()
+
+    s = _re.sub(r"<!--.*?-->", " ", html, flags=_re.S)
+    s = _re.sub(
+        r"<(script|style|template)\b.*?</\1\s*>", " ", s,
+        flags=_re.S | _re.I,
+    )
+    for tag in _BOILER_TAGS:
+        s = _re.sub(
+            rf"<{tag}\b.*?</{tag}\s*>", " ", s, flags=_re.S | _re.I
+        )
+    tm = _re.search(r"<title[^>]*>(.*?)</title\s*>", s, _re.S | _re.I)
+    title = clean(tm.group(1)) if tm else None
+    if not title:
+        hm = _re.search(r"<h1[^>]*>(.*?)</h1\s*>", s, _re.S | _re.I)
+        title = clean(hm.group(1)) if hm else None
+    articles = _re.findall(
+        r"<article\b[^>]*>(.*?)</article\s*>", s, _re.S | _re.I
+    )
+    scope = " ".join(articles) if articles else s
+    paras = []
+    for p in _re.findall(r"<p\b[^>]*>(.*?)</p\s*>", scope, _re.S | _re.I):
+        text = clean(p)
+        if not text:
+            continue
+        link_text = " ".join(
+            clean(a) for a in _re.findall(
+                r"<a\b[^>]*>(.*?)</a\s*>", p, _re.S | _re.I
+            )
+        )
+        if 2 * len(link_text) > len(text):
+            continue  # link-dominated: navigation, not content
+        paras.append(text)
+    return title, len(paras), "\n".join(paras)

@@ -1341,3 +1341,277 @@ def q_pipeline_wat_writer(spark: SparkSession, sf: str) -> DataFrame:
         "first_link_url string, first_link_text string, "
         "second_link_url string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Script detection + Unicode-normalized dedup keys
+# ---------------------------------------------------------------------------
+
+_SCRIPT_PHRASES = [
+    ("latin", "quick brown fox"),
+    ("cjk", "中文数据处理"),
+    ("cyrillic", "русский текст"),
+    ("greek", "ελληνικά κείμενα"),
+    ("arabic", "العربية نص"),
+]
+
+
+@query(
+    "text_script_detect",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('scrp', 0)} % 5 AS s, 1 + {_b('scrp', 1)} % 3 AS r,
+             md5(CAST(doc_id AS VARCHAR) || ':scrp') AS x
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+        'w' || substring(x, 1, 4) || ' ' || repeat(
+          CASE s WHEN 0 THEN 'quick brown fox '
+                 WHEN 1 THEN '中文数据处理 '
+                 WHEN 2 THEN 'русский текст '
+                 WHEN 3 THEN 'ελληνικά κείμενα '
+                 ELSE 'العربية نص ' END, r) || 'tail' AS txt
+      FROM p
+    )
+    SELECT doc_id,
+      CAST(length(txt) - length(regexp_replace(txt, '[A-Za-z]', '', 'g'))
+        AS BIGINT) AS n_latin,
+      CAST(length(txt) - length(regexp_replace(txt, '[一-鿿]', '', 'g'))
+        AS BIGINT) AS n_cjk,
+      CAST(length(txt) - length(regexp_replace(txt, '[Ѐ-ӿ]', '', 'g'))
+        AS BIGINT) AS n_cyrillic,
+      CAST(length(txt) - length(regexp_replace(txt, '[Ͱ-Ͽ]', '', 'g'))
+        AS BIGINT) AS n_greek,
+      CAST(length(txt) - length(regexp_replace(txt, '[؀-ۿ]', '', 'g'))
+        AS BIGINT) AS n_arabic,
+      CASE
+        WHEN length(txt) - length(regexp_replace(txt, '[一-鿿]', '', 'g'))
+             > length(txt) - length(regexp_replace(txt, '[A-Za-z]', '', 'g'))
+             THEN 'cjk'
+        WHEN length(txt) - length(regexp_replace(txt, '[Ѐ-ӿ]', '', 'g'))
+             > length(txt) - length(regexp_replace(txt, '[A-Za-z]', '', 'g'))
+             THEN 'cyrillic'
+        WHEN length(txt) - length(regexp_replace(txt, '[Ͱ-Ͽ]', '', 'g'))
+             > length(txt) - length(regexp_replace(txt, '[A-Za-z]', '', 'g'))
+             THEN 'greek'
+        WHEN length(txt) - length(regexp_replace(txt, '[؀-ۿ]', '', 'g'))
+             > length(txt) - length(regexp_replace(txt, '[A-Za-z]', '', 'g'))
+             THEN 'arabic'
+        ELSE 'latin' END AS dominant_script
+    FROM t
+    """,
+)
+def q_text_script_detect(spark: SparkSession, sf: str) -> DataFrame:
+    # SCRIPT DETECTION — exact per-script character counts (literal
+    # character ranges, portable between Java regex and RE2) and the
+    # argmax script: the signal a multilingual router applies BEFORE
+    # any model-based language ID, and the one that catches
+    # mixed-script homoglyph spam. Pure JVM length-difference
+    # arithmetic at scan bandwidth; the planted text mixes a Latin
+    # salt + repeated primary-script phrases so every class and the
+    # tie-break are live. NOTE the oracle computes dominance with the
+    # same comparisons — non-Latin scripts win exactly when their
+    # count exceeds the ever-present Latin salt.
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("string")
+    def _txt(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                b = hashlib.md5(f"{i}:scrp".encode()).digest()
+                x = hashlib.md5(f"{i}:scrp".encode()).hexdigest()
+                phrase = _SCRIPT_PHRASES[b[0] % 5][1]
+                out.append(
+                    f"w{x[:4]} " + (phrase + " ") * (1 + b[1] % 3)
+                    + "tail"
+                )
+            yield pd.Series(out)
+
+    t = docs.select("doc_id", _txt("doc_id").alias("txt"))
+    counts = T.script_counts("txt")
+    return t.select(
+        "doc_id",
+        counts["latin"].alias("n_latin"),
+        counts["cjk"].alias("n_cjk"),
+        counts["cyrillic"].alias("n_cyrillic"),
+        counts["greek"].alias("n_greek"),
+        counts["arabic"].alias("n_arabic"),
+        T.dominant_script("txt").alias("dominant_script"),
+    )
+
+
+@query(
+    "text_nfc_dedup",
+    """
+    WITH d AS (
+      SELECT doc_id, doc_id % 97 AS g, (doc_id // 97) % 3 AS v,
+             md5(CAST(doc_id % 97 AS VARCHAR) || ':nfc') AS x
+      FROM documents
+    ),
+    t AS (
+      SELECT g,
+        'caf' || CASE WHEN v = 0 THEN 'é' ELSE 'e' || chr(769) END
+        || ' na' || CASE WHEN v = 2 THEN 'i' || chr(776) ELSE 'ï' END
+        || 've ' || substring(x, 1, 4) AS raw,
+        'café naïve ' || substring(x, 1, 4) AS norm
+      FROM d
+    )
+    SELECT g AS group_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_distinct,
+           CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_norm_distinct,
+           MIN(norm) AS norm_text
+    FROM t GROUP BY g
+    """,
+)
+def q_text_nfc_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    # UNICODE-NORMALIZED DEDUP KEYS — composed 'é' (U+00E9) and
+    # decomposed 'e'+U+0301 are different byte strings for the same
+    # text: un-normalized exact dedup keeps both and un-normalized
+    # groupBy keys split. 97 planted groups each carry the same text
+    # under three composition states (all-composed / one decomposed /
+    # both decomposed); the kernel NFC-normalizes (unicodedata via an
+    # Arrow pandas UDF) and the group stats prove it: raw strings
+    # stay distinct (vacuous-check — the variants really differ)
+    # while normalized strings collapse to ONE per group, whose
+    # composed form the oracle replays as a literal.
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents")
+
+    @F.pandas_udf("string")
+    def _raw(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                g, v = i % 97, (i // 97) % 3
+                x = hashlib.md5(f"{g}:nfc".encode()).hexdigest()
+                e = "\u00e9" if v == 0 else "e\u0301"
+                ii = "i\u0308" if v == 2 else "\u00ef"
+                out.append(f"caf{e} na{ii}ve {x[:4]}")
+            yield pd.Series(out)
+
+    t = docs.select(
+        (F.col("doc_id") % 97).alias("group_id"),
+        _raw("doc_id").alias("raw"),
+    ).withColumn("norm", T.unicode_normalize("raw", "NFC"))
+    return t.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("raw").cast("long").alias("n_raw_distinct"),
+        F.countDistinct("norm").cast("long").alias("n_norm_distinct"),
+        F.min("norm").alias("norm_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Main-content extraction (readability-lite boilerplate removal)
+# ---------------------------------------------------------------------------
+
+
+def _synth_main_content_page(i: int) -> str:
+    """Planted page: head title (every 9th doc h1-only), header/nav/
+    aside/footer boilerplate with would-leak text, a script block, an
+    <article> (or bare-body fallback, b0) holding 1-2 content
+    paragraphs (b1), one link-dominated paragraph, and one empty
+    paragraph — every rule live."""
+    import hashlib
+
+    b = hashlib.md5(f"{i}:mainc".encode()).digest()
+    x = hashlib.md5(f"{i}:mainc".encode()).hexdigest()
+    n_keep = 1 + b[1] % 2
+    ps = "".join(
+        f"<p>w{x[4 * k : 4 * k + 2]} body text "
+        f"w{x[4 * k + 2 : 4 * k + 4]} sentence</p>"
+        for k in range(n_keep)
+    )
+    ps += '<p><a href="#">click here to subscribe</a> w</p><p>  </p>'
+    head = (
+        f"<h1>Heading {x[:4]}</h1>" if i % 9 == 8
+        else f"<title>Doc {i} {x[:4]}</title>"
+    )
+    body = f"<article>{ps}</article>" if b[0] % 2 else ps
+    return (
+        f"<html><head>{head}<script>leak()</script></head><body>"
+        f"<header><p>SiteName Menu leak</p></header>"
+        f"<nav><p>home about leak</p></nav>"
+        f"{body}"
+        f"<aside><p>ads leak {x}</p></aside>"
+        f"<footer><p>copyright leak</p></footer>"
+        f"<!-- comment leak --></body></html>"
+    )
+
+
+@query(
+    "text_main_content",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 1 + {_b('mainc', 1)} % 2 AS n,
+             md5(CAST(doc_id AS VARCHAR) || ':mainc') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, g.g AS g, x
+      FROM p, (VALUES (0), (1)) g(g) WHERE g.g < n
+    ),
+    txt AS (
+      SELECT doc_id, n,
+             string_agg(
+               'w' || substring(x, 4 * g + 1, 2) || ' body text w'
+                 || substring(x, 4 * g + 3, 2) || ' sentence',
+               chr(10) ORDER BY g) AS text
+      FROM g GROUP BY doc_id, n
+    )
+    SELECT t.doc_id,
+           CASE WHEN t.doc_id % 9 = 8
+                THEN 'Heading ' || substring(p.x, 1, 4)
+                ELSE 'Doc ' || CAST(t.doc_id AS VARCHAR) || ' '
+                     || substring(p.x, 1, 4) END AS title,
+           CAST(t.n AS INT) AS n_paragraphs, t.text
+    FROM txt t JOIN p ON p.doc_id = t.doc_id
+    """,
+)
+def q_text_main_content(spark: SparkSession, sf: str) -> DataFrame:
+    # MAIN-CONTENT EXTRACTION (readability-lite) — the boilerplate
+    # removal every crawled-HTML corpus runs before quality scoring
+    # and dedup: scripts/comments stripped, nav/header/footer/aside
+    # dropped whole (their planted would-leak text hash-mismatches if
+    # any survives), <article> scoping with the bare-body fallback
+    # rotating, link-dominated paragraphs dropped by INTEGER
+    # link-density arithmetic, empty paragraphs dropped, title from
+    # <title> or the h1 fallback (every 9th doc). One Arrow pass.
+    from hadoopxmlextractor_spark.operators import text as T
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "title", "n_paragraphs", "text"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                title, n, text = T.main_content(
+                    _synth_main_content_page(i)
+                )
+                rows.append({
+                    "doc_id": i, "title": title,
+                    "n_paragraphs": n, "text": text,
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, title string, n_paragraphs int, "
+        "text string",
+    )

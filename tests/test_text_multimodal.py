@@ -1916,3 +1916,63 @@ def test_with_resolved_url_matches_column_form(spark):
     # projections (the fused mega-expression was the r12 regression)
     plan = both._jdf.queryExecution().executedPlan().toString()
     assert "Project" in plan
+
+
+def test_main_content_rules():
+    from hadoopxmlextractor_spark.operators import text as T
+
+    html = (
+        "<html><head><title>T</title><style>p{}</style></head><body>"
+        "<header><p>menu</p></header>"
+        "<article><p>keep this content text</p>"
+        '<p><a href="#">click here to subscribe</a> x</p>'
+        "<p>  </p><p>second &amp; kept</p></article>"
+        "<aside><p>ads</p></aside><footer><p>(c)</p></footer>"
+        "<!-- hidden --></body></html>"
+    )
+    title, n, text = T.main_content(html)
+    assert (title, n) == ("T", 2)
+    assert text == "keep this content text\nsecond & kept"
+    # fallback scope (no article) + h1 title + nested tags in title
+    t2, n2, x2 = T.main_content(
+        "<body><h1>Head <b>One</b></h1><nav><p>m</p></nav>"
+        "<p>body text here</p></body>"
+    )
+    assert (t2, n2, x2) == ("Head One", 1, "body text here")
+    # exactly-half link density is KEPT (2*link <= total)
+    t3, n3, x3 = T.main_content("<p><a href='#'>ab</a>cd</p>")
+    assert (n3, x3) == (1, "ab cd")  # tag strip inserts the space
+    assert T.main_content("") == (None, 0, "")
+
+
+def test_script_counts_and_dominance(spark):
+    import pyspark.sql.functions as F
+
+    from hadoopxmlextractor_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("abc 中文 xyz",), ("中文数据处理 ok",), ("",), ("123 !?",)],
+        ["t"],
+    )
+    rows = df.select(
+        T.script_counts("t")["latin"].alias("lat"),
+        T.script_counts("t")["cjk"].alias("cjk"),
+        T.dominant_script("t").alias("dom"),
+    ).collect()
+    assert [(r["lat"], r["cjk"], r["dom"]) for r in rows] == [
+        (6, 2, "latin"), (2, 6, "cjk"), (0, 0, "none"), (0, 0, "none"),
+    ]
+
+
+def test_unicode_normalize_nfc_and_nfkc(spark):
+    from hadoopxmlextractor_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [("café",), ("café",), ("ﬁne",)], ["t"]
+    )
+    nfc = [r[0] for r in df.select(T.unicode_normalize("t")).collect()]
+    assert nfc == ["café", "café", "ﬁne"]  # NFC keeps fi
+    nfkc = [
+        r[0] for r in df.select(T.unicode_normalize("t", "NFKC")).collect()
+    ]
+    assert nfkc == ["caf\u00e9", "caf\u00e9", "fine"]  # NFKC folds fi
