@@ -1463,8 +1463,10 @@ def mp3_frame_info(blob: bytes) -> dict:
                 ">I", blob[off + 4 + 32 + 14 : off + 4 + 32 + 18]
             )
     audio_end = len(blob)
+    meta_bytes = off
     if blob[-128:][:3] == b"TAG":
         audio_end -= 128
+        meta_bytes += 128
     audio_bytes = audio_end - off
     if n_frames is not None:
         duration_ms = n_frames * spf * 1000 // sr
@@ -1472,6 +1474,7 @@ def mp3_frame_info(blob: bytes) -> dict:
         duration_ms = audio_bytes * 8 // br
         n_frames = audio_bytes // flen
     return {
+        "meta_bytes": meta_bytes,
         "version": version,
         "layer": layer,
         "bitrate_kbps": br,

@@ -2695,6 +2695,35 @@ AUDIO_META_SCHEMA = (
 )
 
 
+def _mp3_frame_info_meta(b: bytes):
+    """Fallback MP3 arm of :func:`audio_container_meta` (r12): when
+    the strict MPEG-1-Layer-III full-chain walk (_parse_mp3) can't
+    prove the file, the head-only frame walk
+    (containers.mp3_frame_info) still reports version/layer-agnostic
+    duration/bitrate — MPEG-2/2.5, Layers I/II, and Xing/Info/VBRI
+    files stop falling to the codec-NULL row. Returns None (the
+    auditable-NULL contract) when even the first frame won't parse."""
+    from hadoopxmlextractor_spark.operators.containers import (
+        mp3_frame_info,
+    )
+
+    try:
+        info = mp3_frame_info(b)
+    except (ValueError, IndexError):
+        return None
+    return {
+        "codec": "mp3",
+        "sample_rate": info["sample_rate"],
+        "channels": info["channels"],
+        "sample_bits": None,
+        "n_units": info["n_frames"],
+        "bitrate_kbps": info["bitrate_kbps"],
+        "is_vbr": info["vbr_kind"] in ("xing", "vbri"),
+        "duration_ms": info["duration_ms"],
+        "meta_bytes": info["meta_bytes"],
+    }
+
+
 def audio_container_meta(
     media: DataFrame, content_col: str = "content", id_col: str = "media_id"
 ) -> DataFrame:
@@ -2726,6 +2755,8 @@ def audio_container_meta(
                     try:
                         if b[:3] == b"ID3" or b[:1] == b"\xff":
                             meta = _parse_mp3(b)
+                            if meta is None:
+                                meta = _mp3_frame_info_meta(b)  # r12
                         elif b[:4] == b"OggS":
                             meta = (
                                 _parse_ogg_vorbis(b)

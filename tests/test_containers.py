@@ -638,3 +638,30 @@ def test_mp3_frame_info_arms_and_refusals():
     info2 = C.mp3_frame_info(blob + b"TAG" + b"\x00" * 125)
     assert info2["duration_ms"] == info["duration_ms"]
     assert info2["n_frames"] == 2
+
+
+def test_audio_router_mp3_fallback_widens_coverage():
+    """audio_container_meta r12 fallback: files the strict MPEG-1-L3
+    full-chain walk refuses (MPEG-2/2.5, layers I/II, Xing/VBRI) now
+    report duration/bitrate through the head-only frame walk instead
+    of falling to the codec-NULL row; genuinely broken files still
+    refuse."""
+    from hadoopxmlextractor_spark.operators import multimodal as M
+    from hadoopxmlextractor_spark.queries_r12 import _synth_mp3_blob
+
+    covered = set()
+    for i in range(120):
+        b = hashlib.md5(f"{i}:mp3f".encode()).digest()
+        ver = ("1", "2", "2.5")[b[0] % 3]
+        layer = (3, 2, 1)[b[1] % 3]
+        if ver == "1" and layer == 3:
+            continue  # the strict walk's own territory
+        blob = _synth_mp3_blob(i)
+        assert M._parse_mp3(blob) is None
+        meta = M._mp3_frame_info_meta(blob)
+        assert meta is not None and meta["codec"] == "mp3"
+        assert meta["duration_ms"] > 0 and meta["sample_rate"] > 0
+        covered.add((ver, layer))
+    assert len(covered) >= 6  # versions x layers beyond MPEG-1 L3
+    assert M._mp3_frame_info_meta(b"\xff\x00broken") is None
+    assert M._mp3_frame_info_meta(b"ID3\x03\x00\x00\x00\x00\x00\x00") is None
