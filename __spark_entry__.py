@@ -90,6 +90,7 @@ FRONT = [
     "source_rtf_text",
     "multimodal_image_orientation_dedup",
     "archive_7z_meta",
+    "pipeline_7z_documents",
     "source_pdf_encrypted",
     "pipeline_mbox_attachments",
     "pipeline_crawl_robots_meta",

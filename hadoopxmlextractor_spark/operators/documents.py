@@ -5631,7 +5631,7 @@ def _sz_prop_blocks(hdr: bytes, pos: int):
         pos += size
 
 
-def sevenzip_members(blob: bytes) -> list[dict]:
+def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
     """Member metadata of a 7z archive with BOTH header CRCs verified
     before any field is trusted: one dict per file with name, method
     (copy/lzma/lzma2/hex id), packed/uncompressed sizes, the declared
@@ -5642,7 +5642,9 @@ def sevenzip_members(blob: bytes) -> list[dict]:
     Encoded (LZMA-compressed) headers, out-of-range offsets, bad
     CRCs, and unknown layout refuse (ValueError) — marker-row
     contract. The archive tier's 7z leg beside ZIP/ZIP64/TAR/gz/bz2/
-    xz (`documents.py` r11)."""
+    xz (`documents.py` r11). ``with_data=True`` adds the full decoded
+    payload under ``data`` (the member-access path the 7z→documents
+    capstone feeds into document_text)."""
     import lzma
 
     if blob[:6] != _7Z_SIG:
@@ -5766,10 +5768,13 @@ def sevenzip_members(blob: bytes) -> list[dict]:
     pack_off = 32
     for k in range(n_files):
         if empties[k]:
-            out.append({
+            row = {
                 "name": names[k], "method": None, "packed": 0,
                 "size": 0, "crc_ok": None, "head": "",
-            })
+            }
+            if with_data:
+                row["data"] = b""
+            out.append(row)
             continue
         method, props = coders[folder]
         psize = pack_sizes[folder]
@@ -5808,9 +5813,12 @@ def sevenzip_members(blob: bytes) -> list[dict]:
                 if crcs[folder] is not None else None
             )
             head = data[:16].decode("utf-8", "replace")
-        out.append({
+        row = {
             "name": names[k], "method": method, "packed": psize,
             "size": usize, "crc_ok": crc_ok, "head": head,
-        })
+        }
+        if with_data:
+            row["data"] = data
+        out.append(row)
         folder += 1
     return out

@@ -1615,3 +1615,117 @@ def q_text_main_content(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, title string, n_paragraphs int, "
         "text string",
     )
+
+
+# ---------------------------------------------------------------------------
+# 7z → document-tier capstone
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_7z_documents",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('7zd', 0)} AS b0, {_b('7zd', 1)} AS b1,
+             {_b('7zd', 2)} % 2 AS has_rtf,
+             md5(CAST(doc_id AS VARCHAR) || ':7zd') AS x
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, g.g AS k, b0, b1, x,
+             CASE g.g WHEN 0 THEN 'pdf' WHEN 1 THEN 'docx'
+                      ELSE 'rtf' END AS fmt
+      FROM p, (VALUES (0), (1), (2)) g(g)
+      WHERE g.g < 2 + has_rtf
+    ),
+    u AS (
+      SELECT doc_id, k, fmt, 1 + (b0 + k) % 2 AS n, g.g AS un, x
+      FROM m, (VALUES (0), (1)) g(g)
+      WHERE g.g < 1 + (b0 + k) % 2
+    ),
+    txt AS (
+      SELECT doc_id, k, fmt, n,
+             string_agg(
+               'w' || substring(x, 8 * k + 4 * un + 1, 2) || ' seven w'
+                 || substring(x, 8 * k + 4 * un + 3, 2),
+               chr(10) ORDER BY un) AS text
+      FROM u GROUP BY doc_id, k, fmt, n
+    )
+    SELECT doc_id, CAST(k AS INT) AS member_idx, fmt AS format,
+           CAST(n AS INT) AS n_units, text
+    FROM txt
+    """,
+)
+def q_pipeline_7z_documents(spark: SparkSession, sf: str) -> DataFrame:
+    # 7z → DOCUMENT-TIER CAPSTONE: archives carrying PDFs, DOCX, and
+    # RTF members (methods rotating copy/LZMA1/LZMA2 per member) are
+    # opened by the CRC-validated 7z walk, each decoded member rides
+    # the mbox-attachments id-encoding through the document_text
+    # magic dispatch, and the extracted text must equal the planted
+    # units — composing two r12 features (7z decode, RTF routing)
+    # with the certified document tier, exactly how email- and
+    # dump-borne documents reach a corpus. One Arrow pass per stage,
+    # ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _archives(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        cols = ["aid", "content"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = hashlib.md5(f"{i}:7zd".encode()).digest()
+                x = hashlib.md5(f"{i}:7zd".encode()).hexdigest()
+                members = []
+                n_members = 2 + b[2] % 2
+                for k in range(n_members):
+                    units = [
+                        f"w{x[8 * k + 4 * u : 8 * k + 4 * u + 2]} seven "
+                        f"w{x[8 * k + 4 * u + 2 : 8 * k + 4 * u + 4]}"
+                        for u in range(1 + (b[0] + k) % 2)
+                    ]
+                    if k == 0:
+                        blob = D.synth_text_document(
+                            "pdf", units, flate=bool(b[1] % 2)
+                        )
+                        name = f"doc{i}.pdf"
+                    elif k == 1:
+                        blob = D.synth_text_document(
+                            "docx", units, flate=True
+                        )
+                        name = f"doc{i}.docx"
+                    else:
+                        blob = (
+                            "{\\rtf1\\ansi "
+                            + "\\par\n".join(units) + "\\par}"
+                        ).encode("latin-1")
+                        name = f"doc{i}.rtf"
+                    method = ("copy", "lzma", "lzma2")[(b[3] + k) % 3]
+                    members.append((name, blob, method))
+                archive = D.build_7z(members)
+                walked = D.sevenzip_members(archive, with_data=True)
+                for k, mrow in enumerate(walked):
+                    rows.append({
+                        "aid": i * 10 + k, "content": mrow["data"],
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    atts = docs.select("doc_id").mapInPandas(
+        _archives, schema="aid bigint, content binary"
+    )
+    extracted = D.document_text(atts, id_col="aid")
+    return extracted.select(
+        F.expr("doc_id div 10").alias("doc_id"),
+        F.expr("doc_id % 10").cast("int").alias("member_idx"),
+        "format",
+        "n_units",
+        "text",
+    )

@@ -2419,3 +2419,75 @@ def test_warc_stream_robots_admission_equals_batch(spark, tmp_path):
         # both branches live: /private/x denied, /private/ok allowed
         denied = {p for _, p, a in streamed if not a}
         assert denied == {"/private/x"}
+
+
+def test_outlink_extraction_stream_equals_batch(spark, tmp_path):
+    """Continuous crawl ingest through the r12 outlink walk: the
+    extraction/resolution/canonicalization chain is stateless, so the
+    streaming plan is the BATCH plan under a readStream source — rows
+    must match batch exactly, including pages landing in a later
+    micro-batch."""
+    from hadoopxmlextractor_spark.operators import text as T
+
+    landing = tmp_path / "pages"
+    landing.mkdir()
+
+    def page(i: int) -> dict:
+        return {
+            "doc_id": i,
+            "base_url": f"https://h{i % 3}.org/d/s/p{i}.html",
+            "html": (
+                f'<a href="https://hub.org/a/{i % 5}">hub</a>'
+                f"<A HREF='../up/{i % 4}'>u</A>"
+                '<a href="#x">self</a>'
+                f'<a href="/r/{i % 2}">r</a>'
+            ),
+        }
+
+    import json
+
+    (landing / "b1.json").write_text(
+        "\n".join(json.dumps(page(i)) for i in range(6))
+    )
+
+    def chain(df):
+        links = df.select(
+            "doc_id", "base_url",
+            F.explode(T.html_hrefs("html")).alias("href"),
+        ).filter(F.regexp_replace("href", r"#.*", "") != "")
+        return T.with_resolved_url(
+            links, "base_url", "href", "target"
+        ).select("doc_id", "target")
+
+    schema = "doc_id long, base_url string, html string"
+    got = []
+
+    def sink(df, batch_id):
+        got.extend((r["doc_id"], r["target"]) for r in df.collect())
+
+    q = (
+        chain(spark.readStream.schema(schema).json(str(landing)))
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (landing / "b2.json").write_text(
+            "\n".join(json.dumps(page(i)) for i in range(6, 9))
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch_df = spark.createDataFrame(
+        [tuple(page(i)[k] for k in ("doc_id", "base_url", "html"))
+         for i in range(9)],
+        schema,
+    )
+    want = [
+        (r["doc_id"], r["target"]) for r in chain(batch_df).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    assert len(want) == 27  # 3 kept links per page, fragment dropped
+    assert ("https://hub.org/a/1" in {t for _, t in got})
