@@ -141,10 +141,19 @@ def decrypt_block(key: bytes, block: bytes) -> bytes:
 # --- CBC + PKCS#7 ----------------------------------------------------------
 
 
-def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
-    """AES-128-CBC with PKCS#7 padding (always appended, 1-16 bytes)."""
-    if len(iv) != 16:
-        raise ValueError("IV must be 16 bytes")
+try:  # import-try gate (repo rule): AES-NI-backed fast path when the
+    # env ships `cryptography`; the pure-Python core below is the
+    # always-available fallback AND the cross-validation partner.
+    from cryptography.hazmat.primitives.ciphers import (  # type: ignore
+        Cipher as _Cipher,
+        algorithms as _algorithms,
+        modes as _modes,
+    )
+except Exception:  # pragma: no cover - env without cryptography
+    _Cipher = None
+
+
+def _cbc_encrypt_pure(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     pad = 16 - len(plaintext) % 16
     data = plaintext + bytes([pad]) * pad
     out = bytearray()
@@ -156,20 +165,45 @@ def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     return bytes(out)
 
 
-def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
-    """AES-128-CBC decrypt with PKCS#7 padding VALIDATED — a wrong key
-    or truncated stream refuses (ValueError) instead of returning
-    garbage-suffixed plaintext."""
-    if len(iv) != 16:
-        raise ValueError("IV must be 16 bytes")
-    if len(ciphertext) == 0 or len(ciphertext) % 16:
-        raise ValueError("ciphertext not a multiple of the block size")
+def _cbc_decrypt_pure(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
     out = bytearray()
     prev = iv
     for i in range(0, len(ciphertext), 16):
         blk = ciphertext[i : i + 16]
         out += bytes(a ^ b for a, b in zip(decrypt_block(key, blk), prev))
         prev = blk
+    return bytes(out)
+
+
+def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """AES-128-CBC with PKCS#7 padding (always appended, 1-16 bytes).
+    Dispatches to the AES-NI-backed ``cryptography`` cipher when
+    importable (the r12 rehearsal's heaviest per-blob kernel was the
+    pure-Python block loop); byte-identical by construction — the
+    test suite asserts both paths agree on every shape."""
+    if len(iv) != 16:
+        raise ValueError("IV must be 16 bytes")
+    if _Cipher is not None:
+        pad = 16 - len(plaintext) % 16
+        enc = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).encryptor()
+        return enc.update(plaintext + bytes([pad]) * pad) + enc.finalize()
+    return _cbc_encrypt_pure(key, iv, plaintext)
+
+
+def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
+    """AES-128-CBC decrypt with PKCS#7 padding VALIDATED — a wrong key
+    or truncated stream refuses (ValueError) instead of returning
+    garbage-suffixed plaintext. Same fast-path dispatch as
+    :func:`cbc_encrypt`; padding validation stays OURS either way."""
+    if len(iv) != 16:
+        raise ValueError("IV must be 16 bytes")
+    if len(ciphertext) == 0 or len(ciphertext) % 16:
+        raise ValueError("ciphertext not a multiple of the block size")
+    if _Cipher is not None:
+        dec = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).decryptor()
+        out = bytearray(dec.update(ciphertext) + dec.finalize())
+    else:
+        out = bytearray(_cbc_decrypt_pure(key, iv, ciphertext))
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad PKCS#7 padding")

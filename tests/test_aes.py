@@ -75,3 +75,24 @@ def test_pdf_r4_aesv2_string_decrypt():
     objs = {5: b"<< /Title <" + ct.hex().encode() + b"> >>"}
     D._pdf_apply_decrypt(objs, 9, fkey, aes=True)
     assert objs[5] == b"<< /Title <" + title.hex().encode() + b"> >>"
+
+
+def test_fast_path_equals_pure_python():
+    """When the cryptography fast path is active, it must be
+    byte-identical to the pure-Python core on every alignment —
+    and the padding validation must be ours on both paths."""
+    import hashlib
+
+    for seed in range(6):
+        key = hashlib.md5(b"fp%d" % seed).digest()
+        iv = hashlib.md5(b"fi%d" % seed).digest()
+        msg = hashlib.sha256(b"fm%d" % seed).digest() * 3
+        msg = msg[: 17 * seed + 1]
+        ct_pure = A._cbc_encrypt_pure(key, iv, msg)
+        assert A.cbc_encrypt(key, iv, msg) == ct_pure
+        assert A.cbc_decrypt(key, iv, ct_pure) == msg
+    # tampered padding refuses on whichever path is active
+    ct = A.cbc_encrypt(KEY, bytes(16), b"x" * 20)
+    bad = ct[:-1] + bytes([ct[-1] ^ 0x55])
+    with pytest.raises(ValueError):
+        A.cbc_decrypt(KEY, bytes(16), bad)
