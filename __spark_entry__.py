@@ -91,6 +91,7 @@ FRONT = [
     "multimodal_image_orientation_dedup",
     "archive_7z_meta",
     "pipeline_7z_documents",
+    "pipeline_frontier_expand",
     "source_pdf_encrypted",
     "pipeline_mbox_attachments",
     "pipeline_crawl_robots_meta",

@@ -1729,3 +1729,100 @@ def q_pipeline_7z_documents(spark: SparkSession, sf: str) -> DataFrame:
         "n_units",
         "text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl frontier expansion (outlinks minus already-crawled)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_frontier_expand",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS h FROM documents
+    ),
+    crawled AS (
+      SELECT DISTINCT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/page' || CAST(doc_id AS VARCHAR)
+        || '.html' AS url
+      FROM p
+      UNION
+      -- hub pages 0..49 are already crawled too (the anti-join must
+      -- actually REMOVE live targets, not filter a disjoint set)
+      SELECT DISTINCT 'https://host0.example.org/hub/'
+        || CAST(doc_id % 50 AS VARCHAR) FROM p
+    ),
+    t AS (
+      SELECT 'https://host0.example.org/hub/'
+        || CAST(doc_id % 50 AS VARCHAR) AS target FROM p
+      UNION ALL
+      SELECT 'https://host' || CAST((h + 1) % 7 AS VARCHAR)
+        || '.example.org/sr/' || CAST(doc_id % 30 AS VARCHAR)
+      FROM p WHERE h % 2 = 1
+      UNION ALL
+      SELECT 'https://host' || CAST((h + 2) % 7 AS VARCHAR)
+        || '.example.org/T' || CAST(doc_id % 9 AS VARCHAR)
+        || '?keep=' || CAST(doc_id % 5 AS VARCHAR)
+      FROM p WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/root/' || CAST(doc_id % 20 AS VARCHAR) FROM p
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/rel/' || CAST(doc_id % 10 AS VARCHAR)
+        || '.html'
+      FROM p WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/up/' || CAST(doc_id % 10 AS VARCHAR)
+      FROM p WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/here/' || CAST(doc_id % 6 AS VARCHAR)
+      FROM p WHERE doc_id % 5 = 0
+    ),
+    cand AS (
+      SELECT target, CAST(COUNT(*) AS BIGINT) AS n_refs
+      FROM t GROUP BY target
+    ),
+    frontier AS (
+      SELECT c.target, c.n_refs,
+             regexp_extract(c.target, '://([^/]+)', 1) AS host
+      FROM cand c ANTI JOIN crawled w ON c.target = w.url
+    )
+    SELECT target, n_refs, host FROM frontier
+    """,
+)
+def q_pipeline_frontier_expand(spark: SparkSession, sf: str) -> DataFrame:
+    # FRONTIER EXPANSION — the crawl-loop step after extraction: the
+    # canonical outlink targets, reference-counted, MINUS everything
+    # already crawled (this crawl's own page URLs plus the hub pages,
+    # planted so the anti-join genuinely removes live targets rather
+    # than filtering a disjoint set — vacuous-check rule). The
+    # anti-join is a uniform-key LEFT ANTI on the canonical URL (the
+    # exact frontier-dedup shape of pipeline_feeds_to_frontier); at
+    # 100 TB the crawled side is a bucketed URL index and this joins
+    # co-located. n_refs carries the in-degree a scheduler
+    # prioritizes by.
+    rows = _anchor_rows(spark, sf)  # (doc_id, target, anchor)
+    docs = load(spark, sf, "documents")
+    base, _html = _outlink_page(True)
+    crawled = docs.select(base.alias("url")).union(
+        docs.select(
+            F.concat(
+                F.lit("https://host0.example.org/hub/"),
+                (F.col("doc_id") % 50).cast("string"),
+            ).alias("url")
+        )
+    ).distinct()
+    cand = rows.groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+    return (
+        cand.join(crawled, cand.target == crawled.url, "left_anti")
+        .select(
+            "target", "n_refs",
+            F.regexp_extract("target", "://([^/]+)", 1).alias("host"),
+        )
+    )
