@@ -1,17 +1,28 @@
 """Round-12 queries — the crawl/corpus long tail the r11 verdict
-ranked by real-world hit rate:
+ranked by real-world hit rate, plus the WAT-side completion tier:
 
 - MP3 MPEG audio frame walk (`multimodal_audio_mp3_frames`): first
   frame header, Xing/Info frame count, VBRI fallback, CBR duration
-  estimate — duration/bitrate parity with M4A/FLAC/ALAC;
-- HTML outlink extraction (`pipeline_crawl_outlinks`) and the
-  link-graph capstone (`pipeline_crawl_link_graph`) — the WAT-side
-  workload joining the crawl tier to the existing PageRank;
+  estimate — duration/bitrate parity with M4A/FLAC/ALAC (also the
+  audio router's fallback arm);
+- the WAT-side crawl tier: HTML outlink extraction
+  (`pipeline_crawl_outlinks`), the host link-graph PageRank capstone
+  (`pipeline_crawl_link_graph`), anchor text per link
+  (`pipeline_crawl_anchor_text`) and per target
+  (`pipeline_anchor_text_index`), the WAT writer roundtrip
+  (`pipeline_wat_writer`), and frontier expansion
+  (`pipeline_frontier_expand`);
 - RTF text extraction (`source_rtf_text`) through document_text;
 - EXIF-orientation-normalized perceptual hashing
   (`multimodal_image_orientation_dedup`) with planted
   rotated/mirrored duplicates;
-- 7z container metadata (`archive_7z_meta`).
+- 7z container metadata (`archive_7z_meta`) and the 7z→documents
+  capstone (`pipeline_7z_documents`);
+- encrypted-PDF /Info metadata — the §7.6.2 STRING-decryption leg
+  (`source_pdf_encrypted_metadata`);
+- corpus text tier: readability-lite main-content extraction
+  (`text_main_content`), script detection (`text_script_detect`),
+  Unicode-normalized dedup keys (`text_nfc_dedup`).
 
 Registered into the same QUERIES/ORACLE registry as the other query
 modules; every entry carries an exact DuckDB oracle. Fresh module per
