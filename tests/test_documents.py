@@ -1857,3 +1857,42 @@ def test_7z_build_roundtrip_and_corruption():
         assert got == v and end == len(enc)
     with pytest.raises(ValueError, match="truncated 7z number"):
         D._sz_num_dec(b"\xff\x01\x02", 0)
+
+
+def test_r12_query_plan_shapes(spark):
+    """Round-12 plan contracts: the per-blob kernels (MP3 frames,
+    RTF, 7z, orientation-hash per-doc stage, encrypted-PDF legs,
+    main-content, WAT writer) carry EXACTLY their designed id-only
+    round-robin repartition; the outlink walk is a ZERO-exchange pure
+    JVM codegen span with zero Python of any kind; anchor/frontier/
+    index/link-graph queries shuffle only on their designed aggregate
+    keys; never BatchEvalPython anywhere (Arrow-only contract)."""
+    import hadoopxmlextractor_spark.queries_r11  # noqa: F401  (registers)
+    import hadoopxmlextractor_spark.queries_r12  # noqa: F401  (registers)
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("multimodal_audio_mp3_frames", "source_rtf_text",
+                 "archive_7z_meta", "pipeline_7z_documents",
+                 "source_pdf_encrypted", "source_pdf_encrypted_metadata",
+                 "text_main_content", "pipeline_wat_writer"):
+        plan = QUERIES[name](spark, sf) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("Exchange") == 1, name  # the id repartition
+        assert "RoundRobinPartitioning" in plan, name
+    # pure JVM, zero exchanges, zero Python
+    plan = QUERIES["pipeline_crawl_outlinks"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan  # neither Arrow nor Batch
+    # anchor index: one hash aggregate exchange on the target key
+    plan = QUERIES["pipeline_anchor_text_index"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(target" in plan
+    # orientation dedup: one group-stats exchange + broadcast join-back
+    plan = QUERIES["multimodal_image_orientation_dedup"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
