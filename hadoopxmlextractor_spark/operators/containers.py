@@ -1448,7 +1448,10 @@ def mp3_frame_info(blob: bytes) -> dict:
         side = (17 if mode == 3 else 32) if version == "1" else (
             9 if mode == 3 else 17
         )
-        tag_at = off + 4 + side
+        # protection bit 0 = CRC-16 PRESENT: two checksum bytes sit
+        # between the header and the side info, shifting the Xing tag
+        crc_len = 0 if (b1 & 1) else 2
+        tag_at = off + 4 + crc_len + side
         tag = blob[tag_at : tag_at + 4]
         if tag in (b"Xing", b"Info"):
             vbr_kind = "xing" if tag == b"Xing" else "info"

@@ -1857,6 +1857,11 @@ def _synth_encrypted_pdf_blob(
     n_pages = 1 + b[0] % 2
     rev = (2, 3, 4)[b[2] % 3]
     keylen = 5 if rev == 2 else 16
+    # V4 crypt-filter sub-arms (r12): /CFM /V2 (RC4-128) instead of
+    # /AESV2 on b[6], /EncryptMetadata false (folds FFFFFFFF into the
+    # key hash) on b[5]
+    v4_aes = rev != 4 or b[6] % 2 == 0
+    nometa = rev == 4 and b[5] % 2 == 1
     id0 = hashlib.md5(f"{i}:epdfid".encode()).digest()
     p_flags = -44
     pad = D._PDF_PAD
@@ -1874,6 +1879,7 @@ def _synth_encrypted_pdf_blob(
         )
     h = hashlib.md5(
         pad + o_entry + (p_flags & 0xFFFFFFFF).to_bytes(4, "little") + id0
+        + (b"\xff\xff\xff\xff" if nometa else b"")
     ).digest()
     if rev >= 3:
         for _ in range(50):
@@ -1890,9 +1896,9 @@ def _synth_encrypted_pdf_blob(
     def _enc(obj_num: int, data: bytes) -> bytes:
         okey = hashlib.md5(
             fkey + obj_num.to_bytes(3, "little") + b"\x00\x00"
-            + (b"sAlT" if rev == 4 else b"")
+            + (b"sAlT" if rev == 4 and v4_aes else b"")
         ).digest()[: min(keylen + 5, 16)]
-        if rev == 4:
+        if rev == 4 and v4_aes:
             iv = hashlib.md5(f"{i}:{obj_num}:iv".encode()).digest()
             return iv + A.cbc_encrypt(okey, iv, data)
         return D._rc4(okey, data)
@@ -1940,12 +1946,14 @@ def _synth_encrypted_pdf_blob(
             b"<< /Title " + _estr(title)
             + b" /Author " + _estr(author) + b" >>"
         )
+    cfm = b"/CFM /AESV2" if v4_aes else b"/CFM /V2"
     enc_head = {
         2: b"/V 1 /R 2 /Length 40",
         3: b"/V 2 /R 3 /Length 128",
         4: (
-            b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 "
-            b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            b"/V 4 /R 4 /Length 128 /CF << /StdCF << " + cfm
+            + b" /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            + (b" /EncryptMetadata false" if nometa else b"")
         ),
     }[rev]
     objs[9] = (

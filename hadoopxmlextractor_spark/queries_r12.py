@@ -64,7 +64,9 @@ def _synth_mp3_blob(i: int) -> bytes:
     tag, b9), bitrate index 6..11 (b3), sample-rate index (b4),
     channel mode incl. mono (b5), 3-6 frames (b6), optional leading
     ID3v2 tag (b7) and trailing ID3v1 'TAG' block (b8) that the
-    duration math must exclude. The Xing arm varies the per-frame
+    duration math must exclude; b10 rotates the protection bit (CRC-16
+    shifts the Xing offset by two — the real-file trap). The Xing arm
+    varies the per-frame
     bitrate (the thing that MAKES it VBR); every other frame repeats
     the first header."""
     import hashlib
@@ -78,6 +80,7 @@ def _synth_mp3_blob(i: int) -> bytes:
     sr_idx = b[4] % 3
     mode = b[5] % 4
     n = 3 + b[6] % 4
+    prot = b[10] % 2  # 0 → CRC-16 protected (two bytes before side info)
 
     from hadoopxmlextractor_spark.operators import containers as C
 
@@ -89,7 +92,7 @@ def _synth_mp3_blob(i: int) -> bytes:
     def header(idx: int) -> bytes:
         return bytes([
             0xFF,
-            0xE0 | (vid << 3) | (lid << 1) | 1,
+            0xE0 | (vid << 3) | (lid << 1) | prot,
             (idx << 4) | (sr_idx << 2),
             mode << 6,
         ])
@@ -106,6 +109,9 @@ def _synth_mp3_blob(i: int) -> bytes:
         idx = 6 + (b[3] + j) % 6 if vbr_arm == 1 and j else br_idx
         body = bytearray(header(idx))
         body += b"\xaa" * (flen(idx) - 4)
+        crc_len = 0 if prot else 2
+        if crc_len:
+            body[4:6] = b"\xbe\xef"  # dummy CRC-16 (not validated)
         if j == 0:
             side = (
                 (17 if mode == 3 else 32) if ver == "1"
@@ -113,7 +119,7 @@ def _synth_mp3_blob(i: int) -> bytes:
             )
             if vbr_arm == 1 or has_info:
                 tag = b"Xing" if vbr_arm == 1 else b"Info"
-                at = 4 + side
+                at = 4 + crc_len + side
                 body[at : at + 16] = (
                     tag + struct.pack(">II", 3, n)
                     + struct.pack(">I", total)

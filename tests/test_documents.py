@@ -1896,3 +1896,27 @@ def test_r12_query_plan_shapes(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_pdf_v4_subarm_matrix():
+    """The four V4 crypt-filter sub-arm combinations (/AESV2 vs /V2
+    RC4-128 × /EncryptMetadata default vs false) all decrypt with
+    empty-user-password authentication — and all four genuinely occur
+    in the fixture rotation."""
+    from hadoopxmlextractor_spark import queries_r11 as R
+
+    seen = {}
+    for i in range(500):
+        b = hashlib.md5(f"{i}:epdf".encode()).digest()
+        if (2, 3, 4)[b[2] % 3] == 4 and i % 5 != 4:
+            seen.setdefault((b[6] % 2, b[5] % 2), i)
+    assert len(seen) == 4
+    for (cfm_v2, nometa), i in seen.items():
+        blob = R._synth_encrypted_pdf_blob(i)
+        assert (b"/CFM /V2" in blob) == bool(cfm_v2), i
+        assert (b"/EncryptMetadata false" in blob) == bool(nometa), i
+        n, text = D._pdf_extract(blob)
+        assert n >= 1 and "locked" in text, (cfm_v2, nometa, i)
+        # real user password still refuses on every sub-arm
+        with pytest.raises(ValueError, match="encrypted"):
+            D._pdf_extract(R._synth_encrypted_pdf_blob(i, user_pw=b"x"))
