@@ -92,6 +92,7 @@ FRONT = [
     "archive_7z_meta",
     "pipeline_7z_documents",
     "pipeline_frontier_expand",
+    "archive_cfb_meta",
     "source_pdf_encrypted",
     "pipeline_mbox_attachments",
     "pipeline_crawl_robots_meta",

@@ -5822,3 +5822,354 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
         out.append(row)
         folder += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# CFB / OLE2 compound files ([MS-CFB]) — the container under legacy
+# .doc/.xls/.ppt/MSI — directory walk, FAT + miniFAT stream reads,
+# SummaryInformation ([MS-OLEPS]) metadata (r12)
+# ---------------------------------------------------------------------------
+
+_CFB_MAGIC = bytes.fromhex("d0cf11e0a1b11ae1")
+_CFB_END = 0xFFFFFFFE
+_CFB_FREE = 0xFFFFFFFF
+_CFB_CUTOFF = 4096  # streams below this live in the mini stream
+
+
+def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
+    """Write a version-3 (512-byte-sector) compound file from (name,
+    data) streams — small streams through the MINI stream + miniFAT
+    (the spec's mandatory path for anything under 4096 bytes), large
+    ones through the regular FAT; DIFAT held entirely in the header
+    (≤109 FAT sectors — far beyond any fixture). The synth-side
+    partner of :func:`cfb_members`."""
+    SS, MS = 512, 64
+
+    def chunks(data: bytes, size: int) -> list[bytes]:
+        return [
+            data[k : k + size].ljust(size, b"\x00")
+            for k in range(0, max(len(data), 1), size)
+        ]
+
+    # --- mini stream: concatenation of 64-byte mini sectors
+    mini_data = bytearray()
+    mini_fat: list[int] = []
+    starts: dict[str, int] = {}
+    for name, data in streams:
+        if len(data) >= _CFB_CUTOFF:
+            continue
+        cs = chunks(data, MS)
+        starts[name] = len(mini_fat)
+        for k in range(len(cs)):
+            mini_fat.append(
+                len(mini_fat) + 1 if k + 1 < len(cs) else _CFB_END
+            )
+        mini_data += b"".join(cs)
+
+    # --- sector layout: [FAT][directory][miniFAT][mini stream][big]
+    dir_entries = 1 + len(streams)
+    n_dir = (dir_entries * 128 + SS - 1) // SS
+    n_minifat = (len(mini_fat) * 4 + SS - 1) // SS if mini_fat else 0
+    n_mini = (len(mini_data) + SS - 1) // SS
+    big = [(n, d) for n, d in streams if len(d) >= _CFB_CUTOFF]
+    n_big = sum((len(d) + SS - 1) // SS for _n, d in big)
+    n_fat_guess = 1
+    while True:
+        total = n_fat_guess + n_dir + n_minifat + n_mini + n_big
+        if (total * 4 + SS - 1) // SS <= n_fat_guess:
+            break
+        n_fat_guess += 1
+    n_fat = n_fat_guess
+    fat_first = 0
+    dir_first = n_fat
+    minifat_first = dir_first + n_dir
+    mini_first = minifat_first + n_minifat
+    big_first = mini_first + n_mini
+    total = n_fat + n_dir + n_minifat + n_mini + n_big
+
+    fat = [_CFB_FREE] * (((total * 4 + SS - 1) // SS) * (SS // 4))
+    for s in range(n_fat):
+        fat[s] = 0xFFFFFFFD  # FATSECT
+    def chain(first: int, count: int) -> None:
+        for k in range(count):
+            fat[first + k] = first + k + 1 if k + 1 < count else _CFB_END
+
+    chain(dir_first, n_dir)
+    if n_minifat:
+        chain(minifat_first, n_minifat)
+    if n_mini:
+        chain(mini_first, n_mini)
+    big_starts: dict[str, int] = {}
+    at = big_first
+    for name, data in big:
+        cnt = (len(data) + SS - 1) // SS
+        big_starts[name] = at
+        chain(at, cnt)
+        at += cnt
+
+    def dirent(name: str, typ: int, start: int, size: int,
+               child: int = _CFB_FREE, right: int = _CFB_FREE) -> bytes:
+        nm = name.encode("utf-16-le") + b"\x00\x00"
+        e = nm.ljust(64, b"\x00")
+        e += struct.pack("<H", len(nm))
+        e += struct.pack("<BB", typ, 1)  # type, black
+        e += struct.pack("<iii", -1, right if right != _CFB_FREE else -1,
+                         child if child != _CFB_FREE else -1)
+        e += b"\x00" * 16 + b"\x00" * 4  # CLSID, state
+        e += b"\x00" * 16  # timestamps
+        e += struct.pack("<Iq", start & 0xFFFFFFFF, size)
+        return e
+
+    dirblob = bytearray()
+    dirblob += dirent(
+        "Root Entry", 5, mini_first if n_mini else _CFB_END,
+        len(mini_data), child=1 if streams else _CFB_FREE,
+    )
+    for k, (name, data) in enumerate(streams):
+        start = (
+            big_starts[name] if len(data) >= _CFB_CUTOFF
+            else starts.get(name, _CFB_END)
+        )
+        right = k + 2 if k + 1 < len(streams) else _CFB_FREE
+        dirblob += dirent(name, 2, start, len(data), right=right)
+    dirblob = bytes(dirblob).ljust(n_dir * SS, b"\x00")
+
+    header = bytearray()
+    header += _CFB_MAGIC + b"\x00" * 16
+    header += struct.pack("<HH", 0x003E, 0x0003)  # minor, major=3
+    header += struct.pack("<HHH", 0xFFFE, 9, 6)  # LE, 512B, 64B
+    header += b"\x00" * 6
+    header += struct.pack("<I", 0)  # directory sector count (v3: 0)
+    header += struct.pack("<I", n_fat)
+    header += struct.pack("<I", dir_first)
+    header += struct.pack("<I", 0)  # transaction
+    header += struct.pack("<I", _CFB_CUTOFF)
+    header += struct.pack(
+        "<II", minifat_first if n_minifat else _CFB_END, n_minifat
+    )
+    header += struct.pack("<II", _CFB_END, 0)  # no DIFAT sectors
+    difat = [fat_first + s for s in range(n_fat)]
+    difat += [_CFB_FREE] * (109 - len(difat))
+    header += struct.pack("<109I", *difat)
+    assert len(header) == 512
+
+    body = bytearray()
+    fatblob = b"".join(struct.pack("<I", v) for v in fat)
+    body += fatblob[: n_fat * SS].ljust(n_fat * SS, b"\xff")
+    body += dirblob
+    if n_minifat:
+        mfblob = b"".join(struct.pack("<I", v) for v in mini_fat)
+        body += mfblob.ljust(n_minifat * SS, b"\xff")
+    body += bytes(mini_data).ljust(n_mini * SS, b"\x00")
+    for name, data in big:
+        cnt = (len(data) + SS - 1) // SS
+        body += data.ljust(cnt * SS, b"\x00")
+    return bytes(header) + bytes(body)
+
+
+def _cfb_read_chain(
+    blob: bytes, fat: list[int], start: int, size: int, ss: int,
+    base: int,
+) -> bytes:
+    out = bytearray()
+    s = start
+    hops = 0
+    limit = len(fat) + 1
+    while s != _CFB_END and len(out) < size:
+        if not 0 <= s < len(fat) or hops > limit:
+            raise ValueError("CFB chain out of range or cyclic")
+        at = base + s * ss
+        out += blob[at : at + ss]
+        s = fat[s]
+        hops += 1
+    if len(out) < size:
+        raise ValueError("CFB chain shorter than stream size")
+    return bytes(out[:size])
+
+
+def cfb_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
+    """Directory walk of a compound file with the stream payloads
+    ACTUALLY read — large streams through the FAT chain, small ones
+    through the root's mini stream + miniFAT (both paths bounds- and
+    cycle-checked; truncation, bad magic, or a chain past EOF
+    refuses). One dict per stream entry: name, size, head (first 16
+    latin-1 chars — proof the chain read ran); ``with_data`` adds the
+    full payload. Storage (folder) entries report size NULL."""
+    if blob[:8] != _CFB_MAGIC:
+        raise ValueError("not a compound file")
+    if len(blob) < 512:
+        raise ValueError("truncated CFB header")
+    (order,) = struct.unpack("<H", blob[28:30])
+    if order != 0xFFFE:
+        raise ValueError("bad CFB byte order")
+    (shift,) = struct.unpack("<H", blob[30:32])
+    if shift not in (9, 12):
+        raise ValueError("bad CFB sector shift")
+    ss = 1 << shift
+    (n_fat,) = struct.unpack("<I", blob[44:48])
+    (dir_first,) = struct.unpack("<I", blob[48:52])
+    (cutoff,) = struct.unpack("<I", blob[56:60])
+    minifat_first, n_minifat = struct.unpack("<II", blob[60:68])
+    (n_difat,) = struct.unpack("<I", blob[72:76])
+    if n_difat:
+        raise ValueError("chained DIFAT unsupported")
+    difat = struct.unpack("<109I", blob[76:512])[:n_fat]
+    base = 512
+    fat: list[int] = []
+    for s in difat:
+        at = base + s * ss
+        if at + ss > len(blob):
+            raise ValueError("FAT sector past EOF")
+        fat += list(struct.unpack(f"<{ss // 4}I", blob[at : at + ss]))
+    # directory chain: size unknown up front — walk sector by sector
+    out_dir = bytearray()
+    s = dir_first
+    hops = 0
+    while s != _CFB_END:
+        if not 0 <= s < len(fat) or hops > len(fat):
+            raise ValueError("CFB directory chain invalid")
+        out_dir += blob[base + s * ss : base + (s + 1) * ss]
+        s = fat[s]
+        hops += 1
+    dirblob = bytes(out_dir)
+    entries = []
+    mini_start = mini_size = None
+    minifat: list[int] = []
+    if n_minifat:
+        mf = _cfb_read_chain(
+            blob, fat, minifat_first, n_minifat * ss, ss, base
+        )
+        minifat = list(struct.unpack(f"<{len(mf) // 4}I", mf))
+    for k in range(len(dirblob) // 128):
+        e = dirblob[k * 128 : (k + 1) * 128]
+        (nlen,) = struct.unpack("<H", e[64:66])
+        typ = e[66]
+        if typ == 0 or nlen < 2:
+            continue
+        name = e[: nlen - 2].decode("utf-16-le")
+        (start,) = struct.unpack("<I", e[116:120])
+        (size,) = struct.unpack("<q", e[120:128])
+        if typ == 5:  # root: locates the mini stream
+            mini_start, mini_size = start, size
+            continue
+        entries.append({"name": name, "typ": typ, "start": start,
+                        "size": size})
+    mini = b""
+    if mini_start is not None and mini_size:
+        mini = _cfb_read_chain(blob, fat, mini_start, mini_size, ss, base)
+    out = []
+    for e in entries:
+        if e["typ"] != 2:  # storage
+            out.append({"name": e["name"], "size": None, "head": None})
+            continue
+        if e["size"] < cutoff:
+            data = bytearray()
+            s = e["start"]
+            hops = 0
+            while s != _CFB_END and len(data) < e["size"]:
+                if not 0 <= s < len(minifat) or hops > len(minifat) + 1:
+                    raise ValueError("CFB mini chain invalid")
+                data += mini[s * 64 : (s + 1) * 64]
+                s = minifat[s]
+                hops += 1
+            if len(data) < e["size"]:
+                raise ValueError("CFB mini chain shorter than size")
+            data = bytes(data[: e["size"]])
+        else:
+            data = _cfb_read_chain(
+                blob, fat, e["start"], e["size"], ss, base
+            )
+        row = {
+            "name": e["name"], "size": e["size"],
+            "head": data[:16].decode("latin-1"),
+        }
+        if with_data:
+            row["data"] = data
+        out.append(row)
+    return out
+
+
+def cfb_kind(names: list[str]) -> str:
+    """Office family of a compound file from its stream names — the
+    routing signal for the legacy binary formats."""
+    if "WordDocument" in names:
+        return "doc"
+    if "Workbook" in names or "Book" in names:
+        return "xls"
+    if "PowerPoint Document" in names:
+        return "ppt"
+    return "unknown"
+
+
+def build_summary_information(
+    title: str, author: str, created_unix_s: int
+) -> bytes:
+    """A \\x05SummaryInformation property-set stream ([MS-OLEPS]):
+    PIDSI title (VT_LPSTR), author (VT_LPSTR), create time
+    (VT_FILETIME) — the metadata triplet legacy Office writers emit."""
+    def lpstr(s: str) -> bytes:
+        raw = s.encode("latin-1") + b"\x00"
+        return struct.pack("<II", 30, len(raw)) + raw.ljust(
+            (len(raw) + 3) // 4 * 4, b"\x00"
+        )
+
+    ft = (created_unix_s + 11644473600) * 10_000_000
+    props = [
+        (0x02, lpstr(title)),
+        (0x04, lpstr(author)),
+        (0x0C, struct.pack("<IQ", 64, ft)),
+    ]
+    head_size = 8 + 8 * len(props)
+    offs, bodies = [], []
+    at = head_size
+    for pid, body in props:
+        offs.append((pid, at))
+        bodies.append(body)
+        at += len(body)
+    section = struct.pack("<II", at, len(props))
+    for pid, off in offs:
+        section += struct.pack("<II", pid, off)
+    section += b"".join(bodies)
+    fmtid = bytes.fromhex("e0859ff2f94f6810ab9108002b27b3d9")
+    return (
+        struct.pack("<HHI", 0xFFFE, 0, 0)
+        + b"\x00" * 16
+        + struct.pack("<I", 1)
+        + fmtid
+        + struct.pack("<I", 48)
+        + section
+    )
+
+
+def parse_summary_information(data: bytes) -> dict:
+    """(title, author, created_s) from a SummaryInformation stream —
+    VT_LPSTR and VT_FILETIME properties; anything malformed refuses."""
+    if data[:2] != b"\xfe\xff":
+        raise ValueError("bad property-set byte order")
+    (n_sets,) = struct.unpack("<I", data[24:28])
+    if n_sets < 1:
+        raise ValueError("empty property set")
+    (sec_off,) = struct.unpack("<I", data[44:48])
+    (sec_size, count) = struct.unpack("<II", data[sec_off : sec_off + 8])
+    if sec_off + sec_size > len(data):
+        raise ValueError("property section past EOF")
+    out = {"title": None, "author": None, "created_s": None}
+    for k in range(count):
+        pid, off = struct.unpack(
+            "<II", data[sec_off + 8 + 8 * k : sec_off + 16 + 8 * k]
+        )
+        at = sec_off + off
+        (vt,) = struct.unpack("<I", data[at : at + 4])
+        if vt == 30:  # VT_LPSTR
+            (ln,) = struct.unpack("<I", data[at + 4 : at + 8])
+            val = data[at + 8 : at + 8 + ln].split(b"\x00")[0].decode(
+                "latin-1"
+            )
+            if pid == 0x02:
+                out["title"] = val
+            elif pid == 0x04:
+                out["author"] = val
+        elif vt == 64 and pid == 0x0C:  # VT_FILETIME
+            (ft,) = struct.unpack("<Q", data[at + 4 : at + 12])
+            out["created_s"] = ft // 10_000_000 - 11644473600
+    return out

@@ -1843,3 +1843,120 @@ def q_pipeline_frontier_expand(spark: SparkSession, sf: str) -> DataFrame:
             F.regexp_extract("target", "://([^/]+)", 1).alias("host"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CFB / OLE2 compound files — legacy Office containers
+# ---------------------------------------------------------------------------
+
+
+def _synth_cfb_blob(i: int) -> bytes:
+    """One deterministic compound file from md5(doc:cfb): family
+    rotates doc/xls/ppt (b0 — the main stream ≥4096 bytes exercises
+    the FAT path), a \\x05SummaryInformation property set (title/
+    author/created from the hash — the MINI-stream path), and 0-2
+    small extra streams (b1). Every 13th doc truncates mid-FAT —
+    the bounds-checked walk must refuse."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:cfb".encode()).digest()
+    x = hashlib.md5(f"{i}:cfb".encode()).hexdigest()
+    fam = ("WordDocument", "Workbook", "PowerPoint Document")[b[0] % 3]
+    main = (f"w{x[:6]} legacy ".encode()) * (300 + b[2])  # >4096
+    si = D.build_summary_information(
+        f"Title {x[:4]}", f"author {x[4:8]}",
+        1_500_000_000 + (b[3] % 100) * 86400,
+    )
+    streams = [(fam, main), ("\x05SummaryInformation", si)]
+    for k in range(b[1] % 3):
+        streams.append((f"Extra{k}", f"x{x[8:12]}s{k} data".encode()))
+    blob = D.build_cfb(streams)
+    if i % 13 == 12:
+        blob = blob[: 512 + 200]  # truncated mid-FAT → refusal arm
+    return blob
+
+
+@query(
+    "archive_cfb_meta",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('cfb', 0)} % 3 AS fam, {_b('cfb', 1)} % 3 AS nx,
+             {_b('cfb', 2)} AS b2, {_b('cfb', 3)} % 100 AS days,
+             md5(CAST(doc_id AS VARCHAR) || ':cfb') AS x
+      FROM documents
+    )
+    SELECT doc_id,
+           (['doc', 'xls', 'ppt'])[1 + fam] AS kind,
+           CAST(2 + nx AS INT) AS n_streams,
+           CAST(15 * (300 + b2) AS BIGINT) AS main_bytes,
+           'w' || substring(x, 1, 6) || ' legacy w' AS main_head,
+           'Title ' || substring(x, 1, 4) AS title,
+           'author ' || substring(x, 5, 4) AS author,
+           CAST(1500000000 + days * 86400 AS BIGINT) AS created_s
+    FROM p WHERE doc_id % 13 <> 12
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE doc_id % 13 = 12
+    """,
+)
+def q_archive_cfb_meta(spark: SparkSession, sf: str) -> DataFrame:
+    # CFB/OLE2 ([MS-CFB]) — the container under legacy .doc/.xls/.ppt
+    # (and MSI), a real share of older public dumps the archive tier
+    # couldn't identify. The walk reads the header DIFAT, the FAT and
+    # directory chains (bounds- and cycle-checked), streams through
+    # BOTH storage paths — the ≥4096-byte main stream via the FAT,
+    # the SummaryInformation property set via the root's mini stream
+    # + miniFAT — and parses [MS-OLEPS] VT_LPSTR/VT_FILETIME
+    # properties for title/author/created. Family routing from stream
+    # names; truncated files refuse to the marker row. One Arrow
+    # pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "kind", "n_streams", "main_bytes",
+                "main_head", "title", "author", "created_s"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                row = dict.fromkeys(cols)
+                row["doc_id"] = i
+                try:
+                    ms = D.cfb_members(
+                        _synth_cfb_blob(i), with_data=True
+                    )
+                    names = [m["name"] for m in ms]
+                    main = max(
+                        (m for m in ms if m["size"] is not None),
+                        key=lambda m: m["size"],
+                    )
+                    si = next(
+                        m for m in ms
+                        if m["name"] == "\x05SummaryInformation"
+                    )
+                    info = D.parse_summary_information(si["data"])
+                    row.update(
+                        kind=D.cfb_kind(names), n_streams=len(ms),
+                        main_bytes=main["size"],
+                        main_head=main["head"],
+                        title=info["title"], author=info["author"],
+                        created_s=info["created_s"],
+                    )
+                except (ValueError, IndexError, struct.error,
+                        StopIteration):
+                    pass  # marker row
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, kind string, n_streams int, "
+        "main_bytes bigint, main_head string, title string, "
+        "author string, created_s bigint",
+    )

@@ -1920,3 +1920,47 @@ def test_pdf_v4_subarm_matrix():
         # real user password still refuses on every sub-arm
         with pytest.raises(ValueError, match="encrypted"):
             D._pdf_extract(R._synth_encrypted_pdf_blob(i, user_pw=b"x"))
+
+
+def test_cfb_roundtrip_and_hostile_bounds():
+    si = D.build_summary_information("T café", "Auth", 1_600_000_000)
+    blob = D.build_cfb([
+        ("WordDocument", b"word binary " * 400),  # FAT path (>4096)
+        ("\x05SummaryInformation", si),           # mini path
+        ("1Table", b"small table"),
+    ])
+    ms = D.cfb_members(blob, with_data=True)
+    assert [m["name"] for m in ms] == [
+        "WordDocument", "\x05SummaryInformation", "1Table",
+    ]
+    assert ms[0]["size"] == 4800 and ms[0]["data"][:4] == b"word"
+    assert ms[2]["data"] == b"small table"
+    assert D.cfb_kind([m["name"] for m in ms]) == "doc"
+    info = D.parse_summary_information(ms[1]["data"])
+    assert info == {
+        "title": "T café", "author": "Auth", "created_s": 1_600_000_000,
+    }
+    # family routing
+    assert D.cfb_kind(["Workbook"]) == "xls"
+    assert D.cfb_kind(["PowerPoint Document"]) == "ppt"
+    assert D.cfb_kind(["Whatever"]) == "unknown"
+    # refusals: magic, byte order, cyclic FAT, chained DIFAT, truncation
+    with pytest.raises(ValueError, match="not a compound"):
+        D.cfb_members(b"PK\x03\x04nope")
+    bad = bytearray(blob)
+    bad[28] = 0x00  # byte-order mark
+    with pytest.raises(ValueError, match="byte order"):
+        D.cfb_members(bytes(bad))
+    bad = bytearray(blob)
+    # make the directory chain point at itself → cycle
+    (dir_first,) = struct.unpack("<I", blob[48:52])
+    fat_at = 512 + 0 * 512 + dir_first * 4
+    bad[fat_at : fat_at + 4] = struct.pack("<I", dir_first)
+    with pytest.raises(ValueError, match="directory chain"):
+        D.cfb_members(bytes(bad))
+    bad = bytearray(blob)
+    bad[72:76] = struct.pack("<I", 1)  # pretend chained DIFAT
+    with pytest.raises(ValueError, match="DIFAT"):
+        D.cfb_members(bytes(bad))
+    with pytest.raises(ValueError, match="past EOF|chain"):
+        D.cfb_members(blob[: 512 + 100])
