@@ -93,6 +93,7 @@ FRONT = [
     "pipeline_7z_documents",
     "pipeline_frontier_expand",
     "archive_cfb_meta",
+    "source_doc_text",
     "source_pdf_encrypted",
     "pipeline_mbox_attachments",
     "pipeline_crawl_robots_meta",

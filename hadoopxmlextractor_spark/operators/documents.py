@@ -1713,6 +1713,8 @@ def document_text(
                             fmt, (n, text) = "pdf", _pdf_extract(b)
                         elif b.startswith(b"{\\rtf"):
                             fmt, (n, text) = "rtf", rtf_to_text(b)
+                        elif b.startswith(_CFB_MAGIC):
+                            fmt, (n, text) = "doc", doc_extract_text(b)
                         elif b.startswith(_LOC_SIG):
                             names = {e["name"] for e in zip_member_list(b)}
                             if "word/document.xml" in names:
@@ -6173,3 +6175,68 @@ def parse_summary_information(data: bytes) -> dict:
             (ft,) = struct.unpack("<Q", data[at + 4 : at + 12])
             out["created_s"] = ft // 10_000_000 - 11644473600
     return out
+
+
+# ---------------------------------------------------------------------------
+# Legacy Word binary (.doc) text — the SIMPLE (non-complex) subset (r12)
+# ---------------------------------------------------------------------------
+
+
+def build_doc(paragraphs: list[str]) -> bytes:
+    """A legacy .doc compound file whose WordDocument stream carries a
+    minimal FIB (wIdent 0xA5EC, fComplex = 0) with the text stored
+    CONTIGUOUSLY at [fcMin, fcMac) as cp1252, paragraphs ending in the
+    0x0D paragraph mark — the Word 6/95-era simple layout ([MS-DOC]
+    FibBase) that non-incremental saves produce. Write partner of
+    :func:`doc_extract_text`."""
+    text = "".join(p + "\r" for p in paragraphs).encode("cp1252")
+    fc_min = 1024  # text block starts after the FIB area
+    fib = bytearray(fc_min)
+    struct.pack_into("<H", fib, 0, 0xA5EC)  # wIdent
+    struct.pack_into("<H", fib, 2, 101)  # nFib (Word 6)
+    struct.pack_into("<H", fib, 10, 0)  # flags: fComplex=0
+    struct.pack_into("<I", fib, 24, fc_min)  # fcMin
+    struct.pack_into("<I", fib, 28, fc_min + len(text))  # fcMac
+    word_stream = bytes(fib) + text
+    if len(word_stream) < _CFB_CUTOFF:  # keep the FAT path honest
+        word_stream = word_stream + b"\x00" * (
+            _CFB_CUTOFF - len(word_stream)
+        )
+    return build_cfb([
+        ("WordDocument", word_stream),
+        ("\x05SummaryInformation",
+         build_summary_information("", "", 0)),
+    ])
+
+
+def doc_extract_text(blob: bytes) -> tuple[int, str]:
+    """(n_paragraphs, text) of a legacy .doc — the simple-subset walk:
+    CFB directory → WordDocument stream → FIB (wIdent 0xA5EC/0xA5DC)
+    → contiguous cp1252 text at [fcMin, fcMac), paragraphs split on
+    the 0x0D mark, empties dropped. COMPLEX (incremental-save,
+    piece-table) and encrypted files REFUSE (ValueError) rather than
+    emitting scrambled pieces — the marker-row contract; Word 97+
+    unicode piece tables are the documented residue."""
+    data = None
+    for m in cfb_members(blob, with_data=True):
+        if m["name"] == "WordDocument":
+            data = m["data"]
+            break
+    if data is None:
+        raise ValueError("no WordDocument stream")
+    if len(data) < 32:
+        raise ValueError("truncated FIB")
+    (ident,) = struct.unpack_from("<H", data, 0)
+    if ident not in (0xA5EC, 0xA5DC):
+        raise ValueError("not a Word binary FIB")
+    (flags,) = struct.unpack_from("<H", data, 10)
+    if flags & 0x0004:
+        raise ValueError("complex (piece-table) .doc unsupported")
+    if flags & 0x0100:
+        raise ValueError("encrypted .doc")
+    fc_min, fc_mac = struct.unpack_from("<II", data, 24)
+    if not 0 <= fc_min <= fc_mac <= len(data):
+        raise ValueError(".doc text range out of bounds")
+    text = data[fc_min:fc_mac].decode("cp1252")
+    paras = [p for p in text.split("\r") if p]
+    return len(paras), "\n".join(paras)

@@ -1960,3 +1960,80 @@ def q_archive_cfb_meta(spark: SparkSession, sf: str) -> DataFrame:
         "main_bytes bigint, main_head string, title string, "
         "author string, created_s bigint",
     )
+
+
+@query(
+    "source_doc_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 1 + {_b('ldoc', 0)} % 3 AS n,
+             md5(CAST(doc_id AS VARCHAR) || ':ldoc') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, g.g AS g, x
+      FROM p, (VALUES (0), (1), (2)) g(g)
+      WHERE g.g < n AND doc_id % 9 <> 8
+    ),
+    txt AS (
+      SELECT doc_id, n,
+             string_agg(
+               'w' || substring(x, 4 * g + 1, 2) || ' word w'
+                 || substring(x, 4 * g + 3, 2),
+               chr(10) ORDER BY g) AS text
+      FROM g GROUP BY doc_id, n
+    )
+    SELECT doc_id, 'doc' AS format, CAST(n AS INT) AS n_units, text
+    FROM txt
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL FROM p WHERE doc_id % 9 = 8
+    """,
+)
+def q_source_doc_text(spark: SparkSession, sf: str) -> DataFrame:
+    # LEGACY .doc TEXT — the simple (non-complex) Word binary subset:
+    # CFB directory → WordDocument stream → FIB → contiguous cp1252
+    # text at [fcMin, fcMac), 0x0D paragraph marks. Routed by the
+    # D0CF compound-file magic in document_text like every other
+    # format. Every 9th doc sets the fComplex flag (incremental-save
+    # piece table) — those REFUSE to the marker row rather than
+    # emitting scrambled pieces; Word 97+ unicode piece tables are
+    # the documented residue. One Arrow pass.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                b = hashlib.md5(f"{i}:ldoc".encode()).digest()
+                x = hashlib.md5(f"{i}:ldoc".encode()).hexdigest()
+                paras = [
+                    f"w{x[4 * g : 4 * g + 2]} word "
+                    f"w{x[4 * g + 2 : 4 * g + 4]}"
+                    for g in range(1 + b[0] % 3)
+                ]
+                blob = bytearray(D.build_doc(paras))
+                if i % 9 == 8:
+                    # set fComplex in the FIB inside the WordDocument
+                    # stream (first big stream sits right after the
+                    # CFB metadata sectors; flip via parse-and-patch)
+                    ms = D.cfb_members(bytes(blob), with_data=True)
+                    wd = next(
+                        m for m in ms if m["name"] == "WordDocument"
+                    )
+                    at = bytes(blob).index(wd["data"][:64])
+                    blob[at + 10] |= 0x04
+                out.append(bytes(blob))
+            yield pd.Series(out)
+
+    ex = D.document_text(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )
+    return ex.select("doc_id", "format", "n_units", "text")

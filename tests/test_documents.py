@@ -1964,3 +1964,32 @@ def test_cfb_roundtrip_and_hostile_bounds():
         D.cfb_members(bytes(bad))
     with pytest.raises(ValueError, match="past EOF|chain"):
         D.cfb_members(blob[: 512 + 100])
+
+
+def test_doc_simple_subset_and_refusals():
+    blob = D.build_doc(["alpha café", "beta"])
+    n, t = D.doc_extract_text(blob)
+    assert (n, t) == (2, "alpha café\nbeta")
+    # document_text routes by the compound-file magic
+    assert blob[:8] == D._CFB_MAGIC
+    # complex (piece-table) and encrypted files refuse
+    ms = D.cfb_members(blob, with_data=True)
+    wd = next(m for m in ms if m["name"] == "WordDocument")
+    at = blob.index(wd["data"][:64])
+    bad = bytearray(blob)
+    bad[at + 10] |= 0x04
+    with pytest.raises(ValueError, match="complex"):
+        D.doc_extract_text(bytes(bad))
+    bad = bytearray(blob)
+    bad[at + 11] |= 0x01  # fEncrypted = 0x0100
+    with pytest.raises(ValueError, match="encrypted"):
+        D.doc_extract_text(bytes(bad))
+    # out-of-bounds text range refuses
+    bad = bytearray(blob)
+    bad[at + 28 : at + 32] = struct.pack("<I", 1 << 30)  # fcMac
+    with pytest.raises(ValueError, match="out of bounds"):
+        D.doc_extract_text(bytes(bad))
+    # a non-Word CFB refuses (no WordDocument stream)
+    xls = D.build_cfb([("Workbook", b"x" * 5000)])
+    with pytest.raises(ValueError, match="WordDocument"):
+        D.doc_extract_text(xls)
