@@ -94,6 +94,7 @@ FRONT = [
     "pipeline_frontier_expand",
     "archive_cfb_meta",
     "source_doc_text",
+    "source_xls_cells",
     "source_pdf_encrypted",
     "pipeline_mbox_attachments",
     "pipeline_crawl_robots_meta",

@@ -6240,3 +6240,149 @@ def doc_extract_text(blob: bytes) -> tuple[int, str]:
     text = data[fc_min:fc_mac].decode("cp1252")
     paras = [p for p in text.split("\r") if p]
     return len(paras), "\n".join(paras)
+
+
+# ---------------------------------------------------------------------------
+# Legacy Excel binary (.xls, BIFF8) cells — SST/LABELSST/NUMBER/RK (r12)
+# ---------------------------------------------------------------------------
+
+
+def _rk_decode(rk: int) -> str:
+    """RK-value decode ([MS-XLS] 2.5.217): bit0 fX100 (divide by
+    100), bit1 fInt (30-bit signed int vs high-30-bits-of-a-double);
+    returned as the display string (exact integers bare, /100 values
+    with two decimals)."""
+    fx100, fint = rk & 1, rk & 2
+    if fint:
+        v = rk >> 2
+        if v & (1 << 29):  # sign-extend 30 bits
+            v -= 1 << 30
+        if fx100:
+            sign = "-" if v < 0 else ""
+            v = abs(v)
+            return f"{sign}{v // 100}.{v % 100:02d}"
+        return str(v)
+    (d,) = struct.unpack("<d", struct.pack("<Q", (rk & ~0x3) << 32))
+    if fx100:
+        d /= 100.0
+    return str(int(d)) if d == int(d) else repr(d)
+
+
+def build_xls(cells: list[tuple[int, int, object]]) -> bytes:
+    """A BIFF8 .xls compound file from (row, col, value) cells —
+    strings through a shared SST + LABELSST, ints ≥ 2^29 or floats
+    through NUMBER, small ints through RK (fInt form; negative ints
+    exercise the 30-bit sign). Write partner of :func:`xls_cells`."""
+    def rec(op: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    strings: list[str] = []
+    sidx: dict[str, int] = {}
+    body = b""
+    for r, c, v in cells:
+        if isinstance(v, str):
+            if v not in sidx:
+                sidx[v] = len(strings)
+                strings.append(v)
+            body += rec(
+                0x00FD, struct.pack("<HHHI", r, c, 0, sidx[v])
+            )
+        elif isinstance(v, int) and -(1 << 29) <= v < (1 << 29):
+            body += rec(
+                0x027E,
+                struct.pack(
+                    "<HHHI", r, c, 0, ((v & ((1 << 30) - 1)) << 2) | 2
+                ),
+            )
+        else:
+            body += rec(
+                0x0203, struct.pack("<HHHd", r, c, 0, float(v))
+            )
+    sst = struct.pack("<II", len(cells), len(strings))
+    for sv in strings:
+        enc = sv.encode("latin-1") if all(
+            ord(ch) < 256 for ch in sv
+        ) else sv.encode("utf-16-le")
+        high = 0 if all(ord(ch) < 256 for ch in sv) else 1
+        sst += struct.pack("<HB", len(sv), high) + enc
+    stream = (
+        rec(0x0809, struct.pack("<HHHH", 0x0600, 0x0005, 0, 0))  # BOF
+        + rec(0x00FC, sst)
+        + body
+        + rec(0x000A, b"")  # EOF
+    )
+    if len(stream) < _CFB_CUTOFF:
+        stream += b"\x00" * (_CFB_CUTOFF - len(stream))
+    return build_cfb([
+        ("Workbook", stream),
+        ("\x05SummaryInformation",
+         build_summary_information("", "", 0)),
+    ])
+
+
+def xls_cells(blob: bytes) -> list[dict]:
+    """Cells of a BIFF8 .xls ([MS-XLS]): CFB → Workbook stream →
+    record walk (BOF version check, SST with compressed/UTF-16LE
+    XLUnicodeString arms, LABELSST indices resolved, NUMBER doubles,
+    RK fInt/fX100 forms) until EOF. One dict per cell: 0-based row,
+    col, kind ('s'/'n'/'rk'), display value. Records past the stream
+    bound, an SST index out of range, or a missing EOF refuse."""
+    data = None
+    for m in cfb_members(blob, with_data=True):
+        if m["name"] in ("Workbook", "Book"):
+            data = m["data"]
+            break
+    if data is None:
+        raise ValueError("no Workbook stream")
+    pos = 0
+    strings: list[str] = []
+    out: list[dict] = []
+    saw_eof = False
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        payload = data[pos + 4 : pos + 4 + ln]
+        if len(payload) < ln:
+            raise ValueError("BIFF record past stream end")
+        pos += 4 + ln
+        if op == 0x0809:
+            (ver,) = struct.unpack_from("<H", payload, 0)
+            if ver != 0x0600:
+                raise ValueError("not a BIFF8 workbook")
+        elif op == 0x00FC:  # SST
+            (_total, n_unique) = struct.unpack_from("<II", payload, 0)
+            at = 8
+            for _ in range(n_unique):
+                cch, flags = struct.unpack_from("<HB", payload, at)
+                at += 3
+                if flags & 0x01:  # fHighByte: UTF-16LE
+                    strings.append(
+                        payload[at : at + 2 * cch].decode("utf-16-le")
+                    )
+                    at += 2 * cch
+                else:
+                    strings.append(
+                        payload[at : at + cch].decode("latin-1")
+                    )
+                    at += cch
+        elif op == 0x00FD:  # LABELSST
+            r, c, _ixfe, isst = struct.unpack("<HHHI", payload)
+            if isst >= len(strings):
+                raise ValueError("SST index out of range")
+            out.append({"row": r, "col": c, "kind": "s",
+                        "value": strings[isst]})
+        elif op == 0x0203:  # NUMBER
+            r, c, _ixfe, d = struct.unpack("<HHHd", payload)
+            out.append({
+                "row": r, "col": c, "kind": "n",
+                "value": str(int(d)) if d == int(d) else repr(d),
+            })
+        elif op == 0x027E:  # RK
+            r, c, _ixfe, rk = struct.unpack("<HHHI", payload)
+            out.append({"row": r, "col": c, "kind": "rk",
+                        "value": _rk_decode(rk)})
+        elif op == 0x000A:
+            saw_eof = True
+            break
+    if not saw_eof:
+        raise ValueError("BIFF stream missing EOF")
+    return out

@@ -2037,3 +2037,120 @@ def q_source_doc_text(spark: SparkSession, sf: str) -> DataFrame:
         docs.select("doc_id", _blob("doc_id").alias("content"))
     )
     return ex.select("doc_id", "format", "n_units", "text")
+
+
+@query(
+    "source_xls_cells",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 2 + {_b('xls', 0)} % 3 AS n, {_b('xls', 1)} AS b1,
+             {_b('xls', 2)} AS b2, {_b('xls', 3)} AS b3,
+             {_b('xls', 4)} AS b4,
+             md5(CAST(doc_id AS VARCHAR) || ':xls') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, g.g AS r, b1, b2, b3, b4, x
+      FROM p, (VALUES (0), (1), (2), (3)) g(g)
+      WHERE g.g < n AND doc_id % 11 <> 10
+    ),
+    cells AS (
+      SELECT doc_id, r, 0 AS col, 's' AS kind,
+        CASE (b1 + r) % 3
+          WHEN 0 THEN 'w' || substring(x, 4 * r + 1, 4) || ' cell'
+          WHEN 1 THEN '中文 ' || substring(x, 4 * r + 1, 2)
+          ELSE 'plain ' || CAST(r AS VARCHAR) END AS value
+      FROM g
+      UNION ALL
+      SELECT doc_id, r, 1, 'rk',
+             CAST(b2 * 100 + r AS VARCHAR)
+      FROM g
+      UNION ALL
+      SELECT doc_id, r, 2,
+             CASE WHEN r % 2 = 1 THEN 'rk' ELSE 'n' END,
+             CASE WHEN r % 2 = 1 THEN CAST(-(b3 * 10 + r) AS VARCHAR)
+                  ELSE CAST(1000000000000 + b4 * 1000 + r AS VARCHAR)
+                  END
+      FROM g
+    )
+    SELECT doc_id, CAST(r AS INT) AS row, CAST(col AS INT) AS col,
+           kind, value
+    FROM cells
+    UNION ALL
+    SELECT doc_id, -1, NULL, NULL, NULL FROM p WHERE doc_id % 11 = 10
+    """,
+)
+def q_source_xls_cells(spark: SparkSession, sf: str) -> DataFrame:
+    # LEGACY .xls (BIFF8) CELLS — parity with source_xlsx_cells for
+    # the binary-era workbooks in public dumps: CFB → Workbook stream
+    # → record walk with the SHARED-string table (compressed AND
+    # UTF-16LE arms rotating — the CJK strings force fHighByte),
+    # LABELSST index resolution, RK small ints (negative values
+    # exercise the 30-bit sign-extend), NUMBER doubles for 2^29+
+    # values. Every 11th doc loses its EOF record — the walk refuses
+    # to the marker row. One Arrow pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        cols = ["doc_id", "row", "col", "kind", "value"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b = hashlib.md5(f"{i}:xls".encode()).digest()
+                x = hashlib.md5(f"{i}:xls".encode()).hexdigest()
+                cells = []
+                for r in range(2 + b[0] % 3):
+                    sval = (
+                        f"w{x[4 * r : 4 * r + 4]} cell",
+                        f"中文 {x[4 * r : 4 * r + 2]}",
+                        f"plain {r}",
+                    )[(b[1] + r) % 3]
+                    cells.append((r, 0, sval))
+                    cells.append((r, 1, b[2] * 100 + r))
+                    cells.append((
+                        r, 2,
+                        -(b[3] * 10 + r) if r % 2
+                        else 1000000000000 + b[4] * 1000 + r,
+                    ))
+                blob = D.build_xls(cells)
+                if i % 11 == 10:
+                    # strip the EOF record (last 4 bytes of the BIFF
+                    # stream before the cutoff padding): corrupt the
+                    # opcode in place via parse-and-patch
+                    ms = D.cfb_members(blob, with_data=True)
+                    wb = next(
+                        m for m in ms if m["name"] == "Workbook"
+                    )
+                    eof_at = blob.index(wb["data"][:64]) + wb[
+                        "data"
+                    ].rindex(b"\x0a\x00\x00\x00")
+                    blob = (
+                        blob[:eof_at] + b"\xee\x00\x00\x00"
+                        + blob[eof_at + 4 :]
+                    )
+                try:
+                    for c in D.xls_cells(blob):
+                        rows.append({
+                            "doc_id": i, "row": c["row"],
+                            "col": c["col"], "kind": c["kind"],
+                            "value": c["value"],
+                        })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "doc_id": i, "row": -1, "col": None,
+                        "kind": None, "value": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, row int, col int, kind string, "
+        "value string",
+    )

@@ -1993,3 +1993,36 @@ def test_doc_simple_subset_and_refusals():
     xls = D.build_cfb([("Workbook", b"x" * 5000)])
     with pytest.raises(ValueError, match="WordDocument"):
         D.doc_extract_text(xls)
+
+
+def test_xls_biff8_cells_and_refusals():
+    blob = D.build_xls([
+        (0, 0, "header café"), (0, 1, "värde ☃"), (1, 0, 42),
+        (1, 1, -7), (2, 0, 1234567890123), (2, 1, "header café"),
+    ])
+    cells = D.xls_cells(blob)
+    assert [(c["row"], c["col"], c["kind"], c["value"]) for c in cells] == [
+        (0, 0, "s", "header café"), (0, 1, "s", "värde ☃"),
+        (1, 0, "rk", "42"), (1, 1, "rk", "-7"),
+        (2, 0, "n", "1234567890123"), (2, 1, "s", "header café"),
+    ]
+    # RK fX100 forms (both int and float base)
+    assert D._rk_decode((1234 << 2) | 2 | 1) == "12.34"
+    assert D._rk_decode(((-1234 & ((1 << 30) - 1)) << 2) | 2 | 1) == "-12.34"
+    # refusals: BIFF5 version, missing EOF, SST index out of range
+    import re as _re
+
+    ms = D.cfb_members(blob, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    at = blob.index(wb["data"][:64])
+    bad = bytearray(blob)
+    bad[at + 4 : at + 6] = struct.pack("<H", 0x0500)  # BIFF5 in BOF
+    with pytest.raises(ValueError, match="BIFF8"):
+        D.xls_cells(bytes(bad))
+    bad = bytearray(blob)
+    eof = at + wb["data"].rindex(b"\x0a\x00\x00\x00")
+    bad[eof] = 0xEE
+    with pytest.raises(ValueError, match="EOF"):
+        D.xls_cells(bytes(bad))
+    with pytest.raises(ValueError, match="no Workbook"):
+        D.xls_cells(D.build_cfb([("Other", b"x" * 5000)]))
