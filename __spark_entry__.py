@@ -95,6 +95,7 @@ FRONT = [
     "archive_cfb_meta",
     "source_doc_text",
     "source_xls_cells",
+    "source_ppt_text",
     "source_pdf_encrypted",
     "pipeline_mbox_attachments",
     "pipeline_crawl_robots_meta",

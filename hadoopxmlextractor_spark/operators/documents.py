@@ -1714,7 +1714,21 @@ def document_text(
                         elif b.startswith(b"{\\rtf"):
                             fmt, (n, text) = "rtf", rtf_to_text(b)
                         elif b.startswith(_CFB_MAGIC):
-                            fmt, (n, text) = "doc", doc_extract_text(b)
+                            kind = cfb_kind(
+                                [m["name"] for m in cfb_members(b)]
+                            )
+                            if kind == "doc":
+                                fmt, (n, text) = (
+                                    "doc", doc_extract_text(b)
+                                )
+                            elif kind == "ppt":
+                                fmt, (n, text) = (
+                                    "ppt", ppt_extract_text(b)
+                                )
+                            else:  # xls/unknown: not a text document
+                                raise ValueError(
+                                    "unrouted compound file"
+                                )
                         elif b.startswith(_LOC_SIG):
                             names = {e["name"] for e in zip_member_list(b)}
                             if "word/document.xml" in names:
@@ -6386,3 +6400,92 @@ def xls_cells(blob: bytes) -> list[dict]:
     if not saw_eof:
         raise ValueError("BIFF stream missing EOF")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Legacy PowerPoint binary (.ppt) text — TextBytes/TextChars atoms (r12)
+# ---------------------------------------------------------------------------
+
+
+def build_ppt(slides: list[list[str]]) -> bytes:
+    """A legacy .ppt compound file whose 'PowerPoint Document' stream
+    nests one container record per slide holding TextBytesAtom
+    (latin-1) or TextCharsAtom (UTF-16LE — chosen per text) children —
+    the [MS-PPT] record framing (recVer/recInstance u16, recType u16,
+    recLen u32). Write partner of :func:`ppt_extract_text`."""
+    def atom(rtype: int, payload: bytes, ver: int = 0) -> bytes:
+        return struct.pack("<HHI", ver, rtype, len(payload)) + payload
+
+    body = b""
+    for texts in slides:
+        inner = b""
+        for t in texts:
+            if all(ord(ch) < 256 for ch in t):
+                inner += atom(0x0FA8, t.encode("latin-1"))
+            else:
+                inner += atom(0x0FA0, t.encode("utf-16-le"))
+        body += atom(0x03EE, inner, ver=0xF)  # Slide container
+    stream = atom(0x03E8, body, ver=0xF)  # Document container
+    if len(stream) < _CFB_CUTOFF:
+        stream += b"\x00" * (_CFB_CUTOFF - len(stream))
+    return build_cfb([
+        ("PowerPoint Document", stream),
+        ("\x05SummaryInformation",
+         build_summary_information("", "", 0)),
+    ])
+
+
+def ppt_extract_text(blob: bytes) -> tuple[int, str]:
+    """(n_slides, text) of a legacy .ppt: CFB → 'PowerPoint Document'
+    stream → recursive record walk (containers recVer 0xF descend;
+    TextCharsAtom 0x0FA0 UTF-16LE / TextBytesAtom 0x0FA8 latin-1
+    collect), slides counted from Slide containers, texts joined
+    newline per slide and across slides. Records past the stream
+    bound refuse (ValueError) — marker-row contract."""
+    data = None
+    for m in cfb_members(blob, with_data=True):
+        if m["name"] == "PowerPoint Document":
+            data = m["data"]
+            break
+    if data is None:
+        raise ValueError("no PowerPoint Document stream")
+    slides: list[list[str]] = []
+    cur: list[str] | None = None
+
+    def walk(at: int, end: int, depth: int) -> None:
+        nonlocal cur
+        if depth > 16:
+            raise ValueError("PPT record nesting too deep")
+        while at + 8 <= end:
+            verinst, rtype, ln = struct.unpack_from("<HHI", data, at)
+            body_at = at + 8
+            if body_at + ln > end:
+                raise ValueError("PPT record past bound")
+            if rtype == 0x03EE:  # Slide container
+                cur = []
+                slides.append(cur)
+                walk(body_at, body_at + ln, depth + 1)
+                cur = None
+            elif verinst & 0xF == 0xF:  # other containers descend
+                walk(body_at, body_at + ln, depth + 1)
+            elif rtype == 0x0FA8 and cur is not None:
+                cur.append(data[body_at : body_at + ln].decode("latin-1"))
+            elif rtype == 0x0FA0 and cur is not None:
+                cur.append(
+                    data[body_at : body_at + ln].decode("utf-16-le")
+                )
+            at = body_at + ln
+
+    # the stream is cutoff-padded with zeros: bound the walk at the
+    # outermost Document container's declared length
+    if len(data) < 8:
+        raise ValueError("truncated PPT stream")
+    _vi, rtype, ln = struct.unpack_from("<HHI", data, 0)
+    if rtype != 0x03E8:
+        raise ValueError("not a PowerPoint Document container")
+    if 8 + ln > len(data):
+        raise ValueError("PPT record past bound")
+    walk(0, 8 + ln, 0)
+    return len(slides), "\n".join(
+        t for texts in slides for t in texts
+    )

@@ -2154,3 +2154,87 @@ def q_source_xls_cells(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, row int, col int, kind string, "
         "value string",
     )
+
+
+@query(
+    "source_ppt_text",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 1 + {_b('lppt', 0)} % 3 AS n,
+             {_b('lppt', 1)} AS b1,
+             md5(CAST(doc_id AS VARCHAR) || ':lppt') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, g.g AS g, b1, x
+      FROM p, (VALUES (0), (1), (2)) g(g)
+      WHERE g.g < n AND doc_id % 9 <> 8
+    ),
+    txt AS (
+      SELECT doc_id, n,
+             string_agg(
+               CASE (b1 + g) % 2
+                 WHEN 0 THEN 'w' || substring(x, 4 * g + 1, 4)
+                             || ' slide'
+                 ELSE '中文 ' || substring(x, 4 * g + 1, 2) END
+               || chr(10) || 'note w' || substring(x, 4 * g + 3, 2),
+               chr(10) ORDER BY g) AS text
+      FROM g GROUP BY doc_id, n
+    )
+    SELECT doc_id, 'ppt' AS format, CAST(n AS INT) AS n_units, text
+    FROM txt
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL FROM p WHERE doc_id % 9 = 8
+    """,
+)
+def q_source_ppt_text(spark: SparkSession, sf: str) -> DataFrame:
+    # LEGACY .ppt TEXT — the third leg of the binary Office trio:
+    # CFB → 'PowerPoint Document' stream → recursive [MS-PPT] record
+    # walk (Slide containers counted, TextBytesAtom latin-1 AND
+    # TextCharsAtom UTF-16LE arms rotating — the CJK titles force the
+    # chars form), routed by family through the same document_text
+    # dispatch as .doc. Every 9th doc corrupts the outer container
+    # length — the bounds-checked walk refuses to the marker row.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                b = hashlib.md5(f"{i}:lppt".encode()).digest()
+                x = hashlib.md5(f"{i}:lppt".encode()).hexdigest()
+                slides = []
+                for g in range(1 + b[0] % 3):
+                    title = (
+                        f"w{x[4 * g : 4 * g + 4]} slide"
+                        if (b[1] + g) % 2 == 0
+                        else f"中文 {x[4 * g : 4 * g + 2]}"
+                    )
+                    slides.append(
+                        [title, f"note w{x[4 * g + 2 : 4 * g + 4]}"]
+                    )
+                blob = bytearray(D.build_ppt(slides))
+                if i % 9 == 8:
+                    # corrupt the outer Document container length
+                    ms = D.cfb_members(bytes(blob), with_data=True)
+                    ps = next(
+                        m for m in ms
+                        if m["name"] == "PowerPoint Document"
+                    )
+                    at = bytes(blob).index(ps["data"][:64])
+                    blob[at + 4 : at + 8] = struct.pack("<I", 1 << 30)
+                out.append(bytes(blob))
+            yield pd.Series(out)
+
+    ex = D.document_text(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )
+    return ex.select("doc_id", "format", "n_units", "text")

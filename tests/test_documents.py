@@ -2026,3 +2026,27 @@ def test_xls_biff8_cells_and_refusals():
         D.xls_cells(bytes(bad))
     with pytest.raises(ValueError, match="no Workbook"):
         D.xls_cells(D.build_cfb([("Other", b"x" * 5000)]))
+
+
+def test_ppt_record_walk_and_refusals():
+    blob = D.build_ppt([["slide one", "中文 bullet"], ["second café"]])
+    n, t = D.ppt_extract_text(blob)
+    assert (n, t) == (2, "slide one\n中文 bullet\nsecond café")
+    # the CJK text really took the UTF-16 TextCharsAtom form
+    ms = D.cfb_members(blob, with_data=True)
+    ps = next(m for m in ms if m["name"] == "PowerPoint Document")
+    assert b"\xa0\x0f" in ps["data"] and b"\xa8\x0f" in ps["data"]
+    # document_text family routing: ppt vs doc vs unrouted xls
+    from hadoopxmlextractor_spark.operators.documents import (
+        cfb_kind, cfb_members,
+    )
+
+    assert cfb_kind([m["name"] for m in ms]) == "ppt"
+    # hostile: container length past the stream bound refuses
+    bad = bytearray(blob)
+    at = blob.index(ps["data"][:64])
+    bad[at + 4 : at + 8] = struct.pack("<I", 1 << 30)
+    with pytest.raises(ValueError, match="past bound"):
+        D.ppt_extract_text(bytes(bad))
+    with pytest.raises(ValueError, match="no PowerPoint"):
+        D.ppt_extract_text(D.build_doc(["x"]))
