@@ -100,6 +100,7 @@ FRONT = [
     "pipeline_mbox_attachments",
     "pipeline_crawl_robots_meta",
     "archive_zip64_meta",
+    "multimodal_audio_mp3_meta",  # r12: router fallback arm landed
     # round-11 rotation (r10 verdict item 9): the cumulative driver
     # ledger covers 328/334; the 6 round-10 additions below were
     # verified locally but never driver-sampled — front-load them so
