@@ -92,6 +92,7 @@ FRONT = [
     "archive_7z_meta",
     "pipeline_7z_documents",
     "pipeline_frontier_expand",
+    "pipeline_frontier_schedule",
     "archive_cfb_meta",
     "source_doc_text",
     "source_xls_cells",

@@ -2238,3 +2238,92 @@ def q_source_ppt_text(spark: SparkSession, sf: str) -> DataFrame:
         docs.select("doc_id", _blob("doc_id").alias("content"))
     )
     return ex.select("doc_id", "format", "n_units", "text")
+
+
+@query(
+    "pipeline_frontier_schedule",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS h FROM documents
+    ),
+    crawled AS (
+      SELECT DISTINCT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/page' || CAST(doc_id AS VARCHAR)
+        || '.html' AS url
+      FROM p
+      UNION
+      SELECT DISTINCT 'https://host0.example.org/hub/'
+        || CAST(doc_id % 50 AS VARCHAR) FROM p
+    ),
+    t AS (
+      SELECT 'https://host0.example.org/hub/'
+        || CAST(doc_id % 50 AS VARCHAR) AS target FROM p
+      UNION ALL
+      SELECT 'https://host' || CAST((h + 1) % 7 AS VARCHAR)
+        || '.example.org/sr/' || CAST(doc_id % 30 AS VARCHAR)
+      FROM p WHERE h % 2 = 1
+      UNION ALL
+      SELECT 'https://host' || CAST((h + 2) % 7 AS VARCHAR)
+        || '.example.org/T' || CAST(doc_id % 9 AS VARCHAR)
+        || '?keep=' || CAST(doc_id % 5 AS VARCHAR)
+      FROM p WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/root/' || CAST(doc_id % 20 AS VARCHAR) FROM p
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/rel/' || CAST(doc_id % 10 AS VARCHAR)
+        || '.html'
+      FROM p WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/up/' || CAST(doc_id % 10 AS VARCHAR)
+      FROM p WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/here/' || CAST(doc_id % 6 AS VARCHAR)
+      FROM p WHERE doc_id % 5 = 0
+    ),
+    cand AS (
+      SELECT target, CAST(COUNT(*) AS BIGINT) AS n_refs
+      FROM t GROUP BY target
+    ),
+    frontier AS (
+      SELECT c.target, c.n_refs,
+             regexp_extract(c.target, '://([^/]+)', 1) AS host
+      FROM cand c ANTI JOIN crawled w ON c.target = w.url
+    ),
+    ranked AS (
+      SELECT host, target, n_refs,
+             ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY n_refs DESC, target
+             ) AS slot
+      FROM frontier
+    )
+    SELECT host, CAST(slot AS INT) AS slot, target, n_refs
+    FROM ranked WHERE slot <= 10
+    """,
+)
+def q_pipeline_frontier_schedule(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # POLITENESS SCHEDULING — the step after frontier expansion: a
+    # crawler fetches at most K URLs per host per cycle, highest
+    # in-degree first (deterministic target tiebreak). ROW_NUMBER
+    # over the host partition compiles to WindowGroupLimit — the
+    # rank filter is pushed INTO the shuffle so each host partition
+    # materializes only its top K, never the full frontier (the
+    # window_topk_per_group shape). At 100 TB the frontier is
+    # host-partitioned anyway for fetch locality, so this window
+    # rides the existing partitioning.
+    from pyspark.sql import Window
+
+    frontier = q_pipeline_frontier_expand(spark, sf)
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("target")
+    )
+    return (
+        frontier.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= 10)
+        .select("host", F.col("slot").cast("int"), "target", "n_refs")
+    )
