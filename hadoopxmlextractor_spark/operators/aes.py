@@ -1,12 +1,15 @@
-"""Pure-Python AES-128 (FIPS 197) with CBC mode and PKCS#7 padding.
+"""Pure-Python AES-128/192/256 (FIPS 197) with CBC mode, PKCS#7 and
+no-padding variants.
 
 The decrypt side is what the PDF standard security handler's /AESV2
-crypt filter needs (ISO 32000 §7.6.2: the 16-byte IV leads the
-ciphertext); the encrypt side exists for the fixture writers, so the
-decoder is never validated only against its own mirror — tests
-cross-validate BOTH directions against the ``cryptography`` package
-when it is importable, plus the FIPS-197 Appendix C.1 known-answer
-vector, which pins the implementation to the standard either way.
+(AES-128) and /AESV3 (AES-256, R5/R6) crypt filters need (ISO 32000
+§7.6.2: the 16-byte IV leads the ciphertext; the R5/R6 /UE //OE key
+blobs are unpadded CBC with a zero IV); the encrypt side exists for
+the fixture writers, so the decoder is never validated only against
+its own mirror — tests cross-validate BOTH directions against the
+``cryptography`` package when it is importable, plus the FIPS-197
+Appendix C.1-C.3 known-answer vectors, which pin the implementation
+to the standard either way.
 
 Tables are GENERATED (GF(2^8) log/exp over generator 0x03, S-box from
 the multiplicative inverse + affine transform) rather than transcribed
@@ -51,26 +54,33 @@ for _a in range(256):
     _INV_SBOX[_s] = _a
 
 _RCON = [0x01]
-for _i in range(9):
+for _i in range(13):
     _RCON.append(_gmul(_RCON[-1], 2))
 
 
 # --- key schedule + block primitives --------------------------------------
 
+# FIPS 197 §5: rounds Nr = Nk + 6 for Nk ∈ {4, 6, 8} 32-bit key words
+_NR = {16: 10, 24: 12, 32: 14}
+
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """AES-128 key schedule: 11 round keys of 16 bytes each."""
-    if len(key) != 16:
-        raise ValueError("AES-128 key must be 16 bytes")
-    w = [list(key[4 * i : 4 * i + 4]) for i in range(4)]
-    for i in range(4, 44):
+    """AES key schedule: Nr+1 round keys of 16 bytes (128/192/256)."""
+    if len(key) not in _NR:
+        raise ValueError("AES key must be 16, 24, or 32 bytes")
+    nk = len(key) // 4
+    nr = _NR[len(key)]
+    w = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(w[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        w.append([w[i - 4][j] ^ t[j] for j in range(4)])
-    return [sum(w[4 * r : 4 * r + 4], []) for r in range(11)]
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:  # AES-256 extra SubWord step
+            t = [_SBOX[b] for b in t]
+        w.append([w[i - nk][j] ^ t[j] for j in range(4)])
+    return [sum(w[4 * r : 4 * r + 4], []) for r in range(nr + 1)]
 
 
 def _shift_rows(s: list[int]) -> list[int]:
@@ -114,21 +124,23 @@ def _inv_mix_columns(s: list[int]) -> list[int]:
 
 def encrypt_block(key: bytes, block: bytes) -> bytes:
     rk = _expand_key(key)
+    nr = len(rk) - 1
     s = [b ^ k for b, k in zip(block, rk[0])]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         s = [_SBOX[b] for b in s]
         s = _shift_rows(s)
         s = _mix_columns(s)
         s = [b ^ k for b, k in zip(s, rk[rnd])]
     s = [_SBOX[b] for b in s]
     s = _shift_rows(s)
-    return bytes(b ^ k for b, k in zip(s, rk[10]))
+    return bytes(b ^ k for b, k in zip(s, rk[nr]))
 
 
 def decrypt_block(key: bytes, block: bytes) -> bytes:
     rk = _expand_key(key)
-    s = [b ^ k for b, k in zip(block, rk[10])]
-    for rnd in range(9, 0, -1):
+    nr = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[nr])]
+    for rnd in range(nr - 1, 0, -1):
         s = _inv_shift_rows(s)
         s = [_INV_SBOX[b] for b in s]
         s = [b ^ k for b, k in zip(s, rk[rnd])]
@@ -175,14 +187,25 @@ def _cbc_decrypt_pure(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
     return bytes(out)
 
 
-def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
-    """AES-128-CBC with PKCS#7 padding (always appended, 1-16 bytes).
-    Dispatches to the AES-NI-backed ``cryptography`` cipher when
-    importable (the r12 rehearsal's heaviest per-blob kernel was the
-    pure-Python block loop); byte-identical by construction — the
-    test suite asserts both paths agree on every shape."""
+def _check_key_iv(key: bytes, iv: bytes) -> None:
+    # explicit up-front validation so the cryptography fast path and
+    # the pure-Python fallback agree for every input (r12 ADVICE: a
+    # 24/32-byte key used to silently run AES-192/256 on one path and
+    # raise from _expand_key on the other)
+    if len(key) not in _NR:
+        raise ValueError("AES key must be 16, 24, or 32 bytes")
     if len(iv) != 16:
         raise ValueError("IV must be 16 bytes")
+
+
+def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """AES-CBC (128/192/256 by key length) with PKCS#7 padding
+    (always appended, 1-16 bytes). Dispatches to the AES-NI-backed
+    ``cryptography`` cipher when importable (the r12 rehearsal's
+    heaviest per-blob kernel was the pure-Python block loop);
+    byte-identical by construction — the test suite asserts both
+    paths agree on every shape."""
+    _check_key_iv(key, iv)
     if _Cipher is not None:
         pad = 16 - len(plaintext) % 16
         enc = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).encryptor()
@@ -191,20 +214,44 @@ def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
 
 
 def cbc_decrypt(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
-    """AES-128-CBC decrypt with PKCS#7 padding VALIDATED — a wrong key
+    """AES-CBC decrypt with PKCS#7 padding VALIDATED — a wrong key
     or truncated stream refuses (ValueError) instead of returning
     garbage-suffixed plaintext. Same fast-path dispatch as
     :func:`cbc_encrypt`; padding validation stays OURS either way."""
-    if len(iv) != 16:
-        raise ValueError("IV must be 16 bytes")
-    if len(ciphertext) == 0 or len(ciphertext) % 16:
+    if len(ciphertext) == 0:
         raise ValueError("ciphertext not a multiple of the block size")
-    if _Cipher is not None:
-        dec = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).decryptor()
-        out = bytearray(dec.update(ciphertext) + dec.finalize())
-    else:
-        out = bytearray(_cbc_decrypt_pure(key, iv, ciphertext))
+    out = bytearray(cbc_decrypt_nopad(key, iv, ciphertext))
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad PKCS#7 padding")
     return bytes(out[:-pad])
+
+
+def cbc_encrypt_nopad(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
+    """AES-CBC without padding — the plaintext must already be a
+    block multiple. The PDF R5/R6 (/AESV3) /UE //OE key blobs are
+    exactly 32 bytes, unpadded, IV all-zero (ISO 32000-2 §7.6.4.4)."""
+    _check_key_iv(key, iv)
+    if len(plaintext) % 16:
+        raise ValueError("plaintext not a multiple of the block size")
+    if _Cipher is not None:
+        enc = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).encryptor()
+        return enc.update(plaintext) + enc.finalize()
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(plaintext), 16):
+        blk = bytes(a ^ b for a, b in zip(plaintext[i : i + 16], prev))
+        prev = encrypt_block(key, blk)
+        out += prev
+    return bytes(out)
+
+
+def cbc_decrypt_nopad(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
+    """AES-CBC decrypt without padding validation or removal."""
+    _check_key_iv(key, iv)
+    if len(ciphertext) % 16:
+        raise ValueError("ciphertext not a multiple of the block size")
+    if _Cipher is not None:
+        dec = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).decryptor()
+        return dec.update(ciphertext) + dec.finalize()
+    return _cbc_decrypt_pure(key, iv, ciphertext)

@@ -863,6 +863,29 @@ def _pdf_map_strings(head: bytes, fn) -> bytes:
     return "".join(out).encode("latin-1")
 
 
+def _pdf_blank_cf(enc: bytes) -> bytes:
+    """``enc`` with the /CF crypt-filter subtree replaced by spaces —
+    scans the balanced ``<< >>`` nesting after ``/CF`` so fields that
+    must come from the TOP-LEVEL encrypt dict (/Length bit counts)
+    never match the per-filter byte counts inside it."""
+    m = re.search(rb"/CF\s*<<", enc)
+    if m is None:
+        return enc
+    depth = 1
+    i = m.end()
+    n = len(enc)
+    while i < n and depth:
+        if enc[i : i + 2] == b"<<":
+            depth += 1
+            i += 2
+        elif enc[i : i + 2] == b">>":
+            depth -= 1
+            i += 2
+        else:
+            i += 1
+    return enc[: m.start()] + b" " * (i - m.start()) + enc[i:]
+
+
 def _pdf_decrypt_objects(
     blob: bytes, objs: dict[int, bytes], trailer: bytes
 ) -> None:
@@ -893,7 +916,11 @@ def _pdf_decrypt_objects(
     if b"/Standard" not in enc or ver is None or rev is None:
         raise ValueError("encrypted PDF")  # unsupported handler
     v, r = int(ver.group(1)), int(rev.group(1))
-    lm = re.search(rb"/Length\s+(\d+)", enc)
+    # the key-length /Length is the TOP-LEVEL bit count: a V4 file's
+    # crypt-filter dict may carry its own BYTE-count '/Length 16'
+    # inside /CF << ... >> and may precede the top-level entry —
+    # blank the (balanced) /CF subtree before matching (r12 ADVICE)
+    lm = re.search(rb"/Length\s+(\d+)", _pdf_blank_cf(enc))
     nbits = int(lm.group(1)) if lm else 40
     aes = False
     if (v, r) == (1, 2):
@@ -911,7 +938,17 @@ def _pdf_decrypt_objects(
         ):
             raise ValueError("encrypted PDF")
         aes = cfm.group(1) == b"AESV2"
+        if not aes and lm is None:
+            # no top-level /Length: fall back to the crypt filter's
+            # own entry, which writers emit as a BYTE count (≤ 40 ⇒
+            # bytes, the pdf.js/poppler heuristic) or a bit count
+            cfl = re.search(rb"/Length\s+(\d+)", enc)
+            if cfl is not None:
+                v = int(cfl.group(1))
+                nbits = v * 8 if v <= 40 else v
         keylen = 16 if aes else nbits // 8
+        if not aes and (not 5 <= keylen <= 16 or nbits % 8):
+            raise ValueError("encrypted PDF")
     else:
         raise ValueError("encrypted PDF")  # R5/R6 AESV3, custom, …
     o = _pdf_enc_string(enc, b"O")
@@ -5690,12 +5727,13 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
     crcs: list[int | None] = []
     names: list[str] = []
     empties: list[bool] = []
+    pack_pos = 0
     pid, pos = _sz_num_dec(hdr, pos)
     if pid == 0x04:  # kMainStreamsInfo
         pid, pos = _sz_num_dec(hdr, pos)
         if pid != 0x06:
             raise ValueError("7z PackInfo expected")
-        _pack_pos, pos = _sz_num_dec(hdr, pos)
+        pack_pos, pos = _sz_num_dec(hdr, pos)
         n_pack, pos = _sz_num_dec(hdr, pos)
         pid, pos = _sz_num_dec(hdr, pos)
         if pid != 0x09:
@@ -5754,6 +5792,11 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
             crcs = [None] * n_folders
         if pid != 0x00:
             raise ValueError("7z UnpackInfo kEnd expected")
+        if len(pack_sizes) != n_folders:
+            # multi-stream folders / solid compression: one folder
+            # consuming several pack streams — refuse explicitly
+            # instead of IndexError-ing below (r12 ADVICE)
+            raise ValueError("7z pack/folder count mismatch")
         pid, pos = _sz_num_dec(hdr, pos)
         if pid != 0x00:
             raise ValueError("7z MainStreamsInfo kEnd expected")
@@ -5781,7 +5824,13 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
 
     out: list[dict] = []
     folder = 0
-    pack_off = 32
+    # pack streams start PackPos bytes past the 32-byte signature
+    # header (7zFormat.txt: PackPos is relative to the end of the
+    # signature header; the module's own writer always emits 0, but a
+    # legal archive may not — r12 ADVICE)
+    pack_off = 32 + pack_pos
+    if pack_off + sum(pack_sizes) > len(blob):
+        raise ValueError("7z pack streams past EOF")
     for k in range(n_files):
         if empties[k]:
             row = {

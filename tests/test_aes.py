@@ -22,6 +22,70 @@ def test_fips197_appendix_c1_vector():
     assert A.decrypt_block(KEY, ct) == pt
 
 
+def test_fips197_appendix_c2_c3_vectors():
+    """AES-192 (C.2) and AES-256 (C.3) known answers — the 256 leg is
+    what the PDF R5/R6 /AESV3 handler rides on."""
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k192 = bytes(range(24))
+    ct = A.encrypt_block(k192, pt)
+    assert ct.hex() == "dda97ca4864cdfe06eaf70a0ec0d7191"
+    assert A.decrypt_block(k192, ct) == pt
+    k256 = bytes(range(32))
+    ct = A.encrypt_block(k256, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert A.decrypt_block(k256, ct) == pt
+
+
+def test_key_length_validation_agrees_across_paths():
+    """Both the cryptography fast path and the pure fallback must
+    refuse the same inputs (r12 ADVICE: a 24/32-byte key used to run
+    on one path and raise on the other — now both run; anything else
+    refuses up front)."""
+    iv = bytes(16)
+    for klen in (0, 8, 15, 17, 31, 33):
+        with pytest.raises(ValueError, match="16, 24, or 32"):
+            A.cbc_encrypt(bytes(klen), iv, b"x")
+        with pytest.raises(ValueError, match="16, 24, or 32"):
+            A.cbc_decrypt(bytes(klen), iv, bytes(16))
+        with pytest.raises(ValueError, match="16, 24, or 32"):
+            A.cbc_encrypt_nopad(bytes(klen), iv, bytes(16))
+        with pytest.raises(ValueError, match="16, 24, or 32"):
+            A.cbc_decrypt_nopad(bytes(klen), iv, bytes(16))
+    # valid lengths round-trip through every mode
+    for klen in (16, 24, 32):
+        key = hashlib.sha256(b"k%d" % klen).digest()[:klen]
+        msg = b"all three AES key sizes"
+        assert A.cbc_decrypt(key, iv, A.cbc_encrypt(key, iv, msg)) == msg
+        blk = hashlib.md5(b"b").digest() * 2
+        ct = A.cbc_encrypt_nopad(key, iv, blk)
+        assert A.cbc_decrypt_nopad(key, iv, ct) == blk
+    with pytest.raises(ValueError, match="multiple"):
+        A.cbc_encrypt_nopad(KEY, iv, b"short")
+
+
+def test_nopad_crossval_against_cryptography():
+    crypto = pytest.importorskip("cryptography")  # noqa: F841
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher, algorithms, modes,
+    )
+
+    for klen in (16, 24, 32):
+        key = hashlib.sha256(b"np%d" % klen).digest()[:klen]
+        iv = hashlib.md5(b"npiv%d" % klen).digest()
+        msg = hashlib.sha256(b"npm").digest() * 2  # 64 bytes
+        ours = A.cbc_encrypt_nopad(key, iv, msg)
+        enc = Cipher(algorithms.AES(key), modes.CBC(iv)).encryptor()
+        assert ours == enc.update(msg) + enc.finalize()
+        assert A.cbc_decrypt_nopad(key, iv, ours) == msg
+        # the pure path agrees byte-for-byte with the fast path
+        prev, out = iv, bytearray()
+        for k in range(0, len(msg), 16):
+            blk = bytes(a ^ b for a, b in zip(msg[k : k + 16], prev))
+            prev = A.encrypt_block(key, blk)
+            out += prev
+        assert bytes(out) == ours
+
+
 def test_cbc_roundtrip_and_padding_validation():
     iv = hashlib.md5(b"iv").digest()
     for n in (0, 1, 15, 16, 17, 100):

@@ -2050,3 +2050,120 @@ def test_ppt_record_walk_and_refusals():
         D.ppt_extract_text(bytes(bad))
     with pytest.raises(ValueError, match="no PowerPoint"):
         D.ppt_extract_text(D.build_doc(["x"]))
+
+
+# ---------------------------------------------------------------------------
+# r13 advice fixes: 7z PackPos / pack-count validation, V4 crypt-filter
+# /Length precedence
+# ---------------------------------------------------------------------------
+
+
+def _hand_7z(payload: bytes, *, pack_pos: int = 0,
+             extra_pack_size: int | None = None) -> bytes:
+    """Hand-assembled single-Copy-file 7z (the golden-archive layout)
+    with a configurable PackPos and an optional BOGUS second pack
+    size — the two header shapes build_7z never emits."""
+    crc = zlib.crc32(payload)
+    pack_part = bytes([0x06]) + D._sz_num_enc(pack_pos)
+    if extra_pack_size is None:
+        pack_part += bytes([0x01, 0x09, len(payload)])
+    else:
+        pack_part += bytes(
+            [0x02, 0x09, len(payload), extra_pack_size]
+        )
+    header = bytes([0x01, 0x04]) + pack_part + bytes([
+        0x00,
+        0x07,
+        0x0B, 0x01, 0x00,
+        0x01, 0x01, 0x00,  # 1 coder, Copy
+        0x0C, len(payload),
+        0x0A, 0x01,
+    ]) + crc.to_bytes(4, "little") + bytes([
+        0x00, 0x00,
+        0x05, 0x01,
+        0x11, 0x0D, 0x00,
+    ]) + "p.txt".encode("utf-16-le") + b"\x00\x00" + bytes([0x00, 0x00])
+    body = b"\xde" * pack_pos + payload
+    start = (
+        len(body).to_bytes(8, "little")
+        + len(header).to_bytes(8, "little")
+        + zlib.crc32(header).to_bytes(4, "little")
+    )
+    return (
+        b"7z\xbc\xaf\x27\x1c\x00\x04"
+        + zlib.crc32(start).to_bytes(4, "little") + start
+        + body + header
+    )
+
+
+def test_7z_nonzero_packpos_reads_right_bytes():
+    """PackPos offsets the pack streams past the signature header —
+    a nonzero value must not silently read the filler bytes (r12
+    ADVICE: pack_off was hardcoded 32)."""
+    payload = b"packpos payload!"  # 16 bytes
+    (m,) = D.sevenzip_members(_hand_7z(payload, pack_pos=5))
+    assert m["crc_ok"] is True and m["head"] == "packpos payload!"
+    # and PackPos pushing the stream past EOF refuses: rebuild with
+    # PackPos=64 but only 5 filler bytes present
+    bad = _hand_7z(payload, pack_pos=5)
+    hdr_at = bad.rindex(b"\x01\x04\x06")
+    hdr = bytearray(bad[hdr_at:])
+    hdr[2 + 1] = 0x40  # PackPos byte 5 → 64
+    start = (
+        (21).to_bytes(8, "little") + len(hdr).to_bytes(8, "little")
+        + zlib.crc32(bytes(hdr)).to_bytes(4, "little")
+    )
+    evil = (
+        b"7z\xbc\xaf\x27\x1c\x00\x04"
+        + zlib.crc32(start).to_bytes(4, "little") + start
+        + b"\xde" * 5 + payload + bytes(hdr)
+    )
+    with pytest.raises(ValueError, match="past EOF"):
+        D.sevenzip_members(evil)
+
+
+def test_7z_pack_folder_count_mismatch_refuses():
+    """Two pack streams feeding one folder (solid/multi-stream
+    layouts) refuse explicitly instead of IndexError-ing (r12
+    ADVICE)."""
+    payload = b"mismatch payload"
+    with pytest.raises(ValueError, match="pack/folder count mismatch"):
+        D.sevenzip_members(
+            _hand_7z(payload, extra_pack_size=len(payload))
+        )
+
+
+def test_pdf_v4_cf_length_before_toplevel_length():
+    """A V4 /V2 (RC4-128) file whose crypt-filter byte-count
+    '/Length 16' PRECEDES the top-level bit count must still derive
+    keylen 16 (r12 ADVICE: the first-match regex grabbed 16 bits →
+    keylen 2 → garbage-keyed output failing /U)."""
+    from hadoopxmlextractor_spark import queries_r11 as R
+
+    i = next(
+        i for i in range(500)
+        if hashlib.md5(f"{i}:epdf".encode()).digest()[2] % 3 == 2
+        and hashlib.md5(f"{i}:epdf".encode()).digest()[6] % 2 == 1
+    )
+    blob = R._synth_encrypted_pdf_blob(i)
+    assert b"/CFM /V2" in blob
+    old = b"/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /V2 /Length 16 >> >>"
+    new = b"/CF << /StdCF << /CFM /V2 /Length 16 >> >> /V 4 /R 4 /Length 128"
+    assert old in blob and len(old) == len(new)
+    reordered = blob.replace(old, new)
+    n, text = D._pdf_extract(reordered)
+    assert n >= 1 and "locked" in text
+    # no top-level /Length at all: CF byte count alone must yield 16
+    blanked = blob.replace(b"/V 4 /R 4 /Length 128 /CF",
+                           b"/V 4 /R 4             /CF")
+    n2, text2 = D._pdf_extract(blanked)
+    assert n2 >= 1 and "locked" in text2
+
+
+def test_pdf_blank_cf_balanced_nesting():
+    enc = b"<< /V 4 /CF << /StdCF << /CFM /V2 /Length 16 >> >> /Length 128 >>"
+    out = D._pdf_blank_cf(enc)
+    assert b"/Length 16" not in out and b"/Length 128" in out
+    assert len(out) == len(enc)
+    assert D._pdf_blank_cf(b"<< /V 2 /Length 128 >>") == \
+        b"<< /V 2 /Length 128 >>"
