@@ -6272,19 +6272,180 @@ def build_doc(paragraphs: list[str]) -> bytes:
     ])
 
 
+def build_doc97(
+    pieces: list[tuple[str, bool]], *, table1: bool = False,
+    out_of_order: bool = False, prc: bool = False, clx_pad: int = 0,
+) -> bytes:
+    """A Word 97+ piece-table .doc from (text, compressed) pieces —
+    the layout virtually every real-world `.doc` uses ([MS-DOC]
+    2.4.1): the FIB (nFib 0x00C1) carries fcClx/lcbClx into the
+    0Table/1Table stream (``table1`` sets the fWhichTblStm 0x0200
+    flag AND plants a DECOY garbage table under the other name — a
+    reader ignoring the flag reads the wrong stream); the Clx holds
+    an optional leading Prc (``prc``) then the Pcdt → PlcPcd whose
+    PCDs place each piece's bytes in the WordDocument stream —
+    compressed pieces as cp1252 at fc/2, others UTF-16LE at fc;
+    ``out_of_order`` stores piece bytes in REVERSE file order while
+    CP order stays forward; ``clx_pad`` offsets the Clx inside the
+    table stream. Each piece is terminated with the 0x0D paragraph
+    mark. fcMin/fcMac are left pointing at an EMPTY range — a reader
+    falling back to the Word-6 contiguous path yields nothing, never
+    silently-wrong text. Write partner of the piece-table arm of
+    :func:`doc_extract_text`."""
+    fib = bytearray(1024)
+    struct.pack_into("<H", fib, 0, 0xA5EC)  # wIdent
+    struct.pack_into("<H", fib, 2, 0x00C1)  # nFib (Word 97)
+    struct.pack_into(
+        "<H", fib, 10, 0x0004 | (0x0200 if table1 else 0)
+    )  # fComplex | fWhichTblStm
+    struct.pack_into("<I", fib, 24, 1024)  # fcMin
+    struct.pack_into("<I", fib, 28, 1024)  # fcMac — empty simple range
+    struct.pack_into("<H", fib, 32, 14)  # csw
+    struct.pack_into("<H", fib, 62, 22)  # cslw
+    struct.pack_into("<H", fib, 152, 93)  # cbRgFcLcb (FibRgFcLcb97)
+
+    texts = [t + "\r" for t, _comp in pieces]
+    raws = [
+        t.encode("cp1252") if comp else t.encode("utf-16-le")
+        for t, (_t0, comp) in zip(texts, pieces)
+    ]
+    order = list(range(len(pieces)))
+    if out_of_order:
+        order = order[::-1]
+    at = 1024
+    fcs: dict[int, int] = {}
+    for k in order:
+        fcs[k] = at
+        at += len(raws[k])
+    body = bytearray(at - 1024)
+    for k in order:
+        body[fcs[k] - 1024 : fcs[k] - 1024 + len(raws[k])] = raws[k]
+
+    n = len(pieces)
+    cps = [0]
+    for t in texts:
+        cps.append(cps[-1] + len(t))
+    plc = b"".join(struct.pack("<I", cp) for cp in cps)
+    for k, (_t, comp) in enumerate(pieces):
+        fc = (2 * fcs[k]) | 0x40000000 if comp else fcs[k]
+        plc += struct.pack("<HIH", 0, fc, 0)
+    clx = b""
+    if prc:
+        grpprl = b"\xaa\xbb\xcc\xdd"
+        clx += b"\x01" + struct.pack("<h", len(grpprl)) + grpprl
+    clx += b"\x02" + struct.pack("<I", len(plc)) + plc
+    table = b"\x00" * clx_pad + clx
+    struct.pack_into("<I", fib, 418, clx_pad)  # fcClx
+    struct.pack_into("<I", fib, 422, len(clx))  # lcbClx
+
+    word_stream = bytes(fib) + bytes(body)
+    if len(word_stream) < _CFB_CUTOFF:
+        word_stream += b"\x00" * (_CFB_CUTOFF - len(word_stream))
+    tbl_name = "1Table" if table1 else "0Table"
+    decoy_name = "0Table" if table1 else "1Table"
+    return build_cfb([
+        ("WordDocument", word_stream),
+        (tbl_name, table),
+        (decoy_name, b"\xff" * max(16, len(table))),
+        ("\x05SummaryInformation",
+         build_summary_information("", "", 0)),
+    ])
+
+
+def _doc_fib_fcclx(data: bytes) -> tuple[int, int]:
+    """(fcClx, lcbClx) via the variable-FIB walk ([MS-DOC] 2.5.1:
+    csw-counted fibRgW, cslw-counted fibRgLw, cbRgFcLcb-counted
+    fc/lcb pairs — fcClx is pair 33 of FibRgFcLcb97). Streams too
+    short or FIBs whose pair table stops before fcClx report (0, 0)
+    — the Word 6/95-era simple files, which carry no Clx."""
+    if len(data) < 34:
+        return 0, 0
+    (csw,) = struct.unpack_from("<H", data, 32)
+    at = 34 + 2 * csw
+    if at + 2 > len(data):
+        return 0, 0
+    (cslw,) = struct.unpack_from("<H", data, at)
+    at += 2 + 4 * cslw
+    if at + 2 > len(data):
+        return 0, 0
+    (n_pairs,) = struct.unpack_from("<H", data, at)
+    at += 2
+    if n_pairs <= 33 or at + 8 * 34 > len(data):
+        return 0, 0
+    return struct.unpack_from("<II", data, at + 8 * 33)
+
+
+def _doc_piece_table_text(data: bytes, table: bytes,
+                          fc_clx: int, lcb_clx: int) -> str:
+    """Text via the CLX walk: skip Prc blocks (clxt 0x01), find the
+    Pcdt (clxt 0x02) → PlcPcd (n+1 ascending CPs + n PCDs), decode
+    each PCD's span from the WordDocument stream — fc bit 30 set ⇒
+    compressed cp1252 at fc/2, clear ⇒ UTF-16LE at fc — and
+    concatenate pieces in CP order. Any malformed or out-of-bounds
+    structure refuses (ValueError): scrambled piece text poisoning
+    downstream dedup fingerprints is worse than a marker row."""
+    if fc_clx + lcb_clx > len(table):
+        raise ValueError(".doc Clx out of table-stream bounds")
+    clx = table[fc_clx : fc_clx + lcb_clx]
+    i = 0
+    while i < len(clx) and clx[i] == 0x01:  # Prc: property modifiers
+        if i + 3 > len(clx):
+            raise ValueError("truncated .doc Prc")
+        (cb,) = struct.unpack_from("<h", clx, i + 1)
+        if cb < 0 or i + 3 + cb > len(clx):
+            raise ValueError("truncated .doc Prc")
+        i += 3 + cb
+    if i >= len(clx) or clx[i] != 0x02:
+        raise ValueError(".doc Clx missing Pcdt")
+    if i + 5 > len(clx):
+        raise ValueError("truncated .doc Pcdt")
+    (lcb,) = struct.unpack_from("<I", clx, i + 1)
+    plc = clx[i + 5 : i + 5 + lcb]
+    if len(plc) != lcb or lcb < 16 or (lcb - 4) % 12:
+        raise ValueError("malformed .doc PlcPcd")
+    n = (lcb - 4) // 12
+    cps = list(struct.unpack_from(f"<{n + 1}I", plc, 0))
+    if any(cps[k] >= cps[k + 1] for k in range(n)):
+        raise ValueError(".doc piece CPs not ascending")
+    parts: list[str] = []
+    for k in range(n):
+        _fl, fc, _prm = struct.unpack_from("<HIH", plc, 4 * (n + 1) + 8 * k)
+        nchars = cps[k + 1] - cps[k]
+        if fc & 0x40000000:  # fCompressed: cp1252 at fc/2
+            off = (fc & 0x3FFFFFFF) // 2
+            end = off + nchars
+            if end > len(data):
+                raise ValueError(".doc piece out of bounds")
+            parts.append(data[off:end].decode("cp1252"))
+        else:
+            off = fc & 0x3FFFFFFF
+            end = off + 2 * nchars
+            if end > len(data):
+                raise ValueError(".doc piece out of bounds")
+            parts.append(data[off:end].decode("utf-16-le"))
+    return "".join(parts)
+
+
 def doc_extract_text(blob: bytes) -> tuple[int, str]:
-    """(n_paragraphs, text) of a legacy .doc — the simple-subset walk:
-    CFB directory → WordDocument stream → FIB (wIdent 0xA5EC/0xA5DC)
-    → contiguous cp1252 text at [fcMin, fcMac), paragraphs split on
-    the 0x0D mark, empties dropped. COMPLEX (incremental-save,
-    piece-table) and encrypted files REFUSE (ValueError) rather than
-    emitting scrambled pieces — the marker-row contract; Word 97+
-    unicode piece tables are the documented residue."""
+    """(n_paragraphs, text) of a legacy .doc: CFB directory →
+    WordDocument stream → FIB (wIdent 0xA5EC/0xA5DC). A FIB whose
+    fcClx/lcbClx ([MS-DOC] FibRgFcLcb97 pair 33) names a non-empty
+    Clx takes the PIECE-TABLE path — the layout of virtually every
+    Word 97-2003 file (r13): the fWhichTblStm flag (0x0200) picks the
+    1Table/0Table stream, the CLX walk skips Prcs to the Pcdt, and
+    PCDs decode mixed compressed-cp1252/UTF-16LE pieces in CP order.
+    Files with NO Clx use the Word 6/95 simple walk — contiguous
+    cp1252 at [fcMin, fcMac). Paragraphs split on the 0x0D mark,
+    empties dropped. Encrypted files, complex files without a piece
+    table, and any malformed Clx REFUSE (ValueError) rather than
+    emitting scrambled pieces — the marker-row contract."""
     data = None
+    tables: dict[str, bytes] = {}
     for m in cfb_members(blob, with_data=True):
         if m["name"] == "WordDocument":
             data = m["data"]
-            break
+        elif m["name"] in ("0Table", "1Table"):
+            tables[m["name"]] = m["data"]
     if data is None:
         raise ValueError("no WordDocument stream")
     if len(data) < 32:
@@ -6293,14 +6454,22 @@ def doc_extract_text(blob: bytes) -> tuple[int, str]:
     if ident not in (0xA5EC, 0xA5DC):
         raise ValueError("not a Word binary FIB")
     (flags,) = struct.unpack_from("<H", data, 10)
-    if flags & 0x0004:
-        raise ValueError("complex (piece-table) .doc unsupported")
     if flags & 0x0100:
         raise ValueError("encrypted .doc")
-    fc_min, fc_mac = struct.unpack_from("<II", data, 24)
-    if not 0 <= fc_min <= fc_mac <= len(data):
-        raise ValueError(".doc text range out of bounds")
-    text = data[fc_min:fc_mac].decode("cp1252")
+    fc_clx, lcb_clx = _doc_fib_fcclx(data)
+    if lcb_clx > 0:
+        tbl_name = "1Table" if flags & 0x0200 else "0Table"
+        table = tables.get(tbl_name)
+        if table is None:
+            raise ValueError(f".doc missing {tbl_name} stream")
+        text = _doc_piece_table_text(data, table, fc_clx, lcb_clx)
+    else:
+        if flags & 0x0004:
+            raise ValueError("complex (piece-table) .doc unsupported")
+        fc_min, fc_mac = struct.unpack_from("<II", data, 24)
+        if not 0 <= fc_min <= fc_mac <= len(data):
+            raise ValueError(".doc text range out of bounds")
+        text = data[fc_min:fc_mac].decode("cp1252")
     paras = [p for p in text.split("\r") if p]
     return len(paras), "\n".join(paras)
 

@@ -2167,3 +2167,116 @@ def test_pdf_blank_cf_balanced_nesting():
     assert len(out) == len(enc)
     assert D._pdf_blank_cf(b"<< /V 2 /Length 128 >>") == \
         b"<< /V 2 /Length 128 >>"
+
+
+# ---------------------------------------------------------------------------
+# Word 97+ piece-table .doc (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_doc97_piece_table_roundtrip_all_arms():
+    pieces = [("hello wörld", True), ("中文 piece two", False),
+              ("third p", True)]
+    want = (3, "hello wörld\n中文 piece two\nthird p")
+    for t1 in (False, True):
+        for ooo in (False, True):
+            for prc in (False, True):
+                for pad in (0, 7):
+                    blob = D.build_doc97(
+                        pieces, table1=t1, out_of_order=ooo,
+                        prc=prc, clx_pad=pad,
+                    )
+                    assert D.doc_extract_text(blob) == want, (
+                        t1, ooo, prc, pad,
+                    )
+    # a single UTF-16LE piece and a single compressed piece both work
+    assert D.doc_extract_text(D.build_doc97([("солнце", False)])) == \
+        (1, "солнце")
+    assert D.doc_extract_text(D.build_doc97([("plain", True)])) == \
+        (1, "plain")
+
+
+def test_doc97_table_stream_flag_honored():
+    """fWhichTblStm picks 1Table vs 0Table — the builder plants decoy
+    garbage under the OTHER name, so reading the wrong stream cannot
+    silently pass."""
+    blob1 = D.build_doc97([("via one", True)], table1=True)
+    ms = {m["name"]: m["data"]
+          for m in D.cfb_members(blob1, with_data=True)}
+    assert ms["0Table"][:4] == b"\xff\xff\xff\xff"  # decoy is garbage
+    assert D.doc_extract_text(blob1) == (1, "via one")
+    blob0 = D.build_doc97([("via zero", True)], table1=False)
+    ms = {m["name"]: m["data"]
+          for m in D.cfb_members(blob0, with_data=True)}
+    assert ms["1Table"][:4] == b"\xff\xff\xff\xff"
+    assert D.doc_extract_text(blob0) == (1, "via zero")
+
+
+def _patch_word_stream(blob: bytes, offset: int, value: bytes) -> bytes:
+    ms = D.cfb_members(blob, with_data=True)
+    wd = next(m for m in ms if m["name"] == "WordDocument")
+    at = blob.index(wd["data"][:64])
+    out = bytearray(blob)
+    out[at + offset : at + offset + len(value)] = value
+    return bytes(out)
+
+
+def test_doc97_malformed_clx_refuses():
+    blob = D.build_doc97([("safe text", True), ("second", False)])
+    # lcbClx past the table stream
+    bad = _patch_word_stream(blob, 422, struct.pack("<I", 1 << 20))
+    with pytest.raises(ValueError, match="Clx out of table-stream"):
+        D.doc_extract_text(bad)
+    # encrypted flag refuses BEFORE any piece work
+    enc = _patch_word_stream(blob, 10, struct.pack("<H", 0x0104))
+    with pytest.raises(ValueError, match="encrypted"):
+        D.doc_extract_text(enc)
+    # Pcdt marker corrupted → refusal, not scrambled pieces
+    ms = D.cfb_members(blob, with_data=True)
+    tb = next(m for m in ms if m["name"] == "0Table")
+    at = blob.index(tb["data"][:8]) if len(tb["data"]) >= 8 else None
+    assert at is not None
+    out = bytearray(blob)
+    out[at] = 0x07  # clxt neither Prc nor Pcdt
+    with pytest.raises(ValueError, match="missing Pcdt"):
+        D.doc_extract_text(bytes(out))
+    # a piece whose fc points past the WordDocument stream refuses
+    blob2 = D.build_doc97([("bounds", True)])
+    ms2 = D.cfb_members(blob2, with_data=True)
+    tb2 = next(m for m in ms2 if m["name"] == "0Table")
+    at2 = blob2.index(tb2["data"][:8])
+    # Pcdt: 0x02 lcb(4) cps(8) pcd(8); fc sits at +2 into the PCD
+    fc_at = at2 + 1 + 4 + 8 + 2
+    out2 = bytearray(blob2)
+    out2[fc_at : fc_at + 4] = struct.pack("<I", (1 << 21) | 0x40000000)
+    with pytest.raises(ValueError, match="out of bounds"):
+        D.doc_extract_text(bytes(out2))
+
+
+def test_doc97_fib_walk_and_simple_fallback():
+    # a Word-6 simple file has no Clx → (0, 0) → contiguous path
+    simple = D.build_doc(["one", "two"])
+    ms = D.cfb_members(simple, with_data=True)
+    wd = next(m for m in ms if m["name"] == "WordDocument")
+    assert D._doc_fib_fcclx(wd["data"]) == (0, 0)
+    assert D.doc_extract_text(simple) == (2, "one\ntwo")
+    # the piece-table FIB reports the planted fcClx/lcbClx
+    p97 = D.build_doc97([("x", True)], clx_pad=5)
+    wd97 = next(
+        m for m in D.cfb_members(p97, with_data=True)
+        if m["name"] == "WordDocument"
+    )
+    fc, lcb = D._doc_fib_fcclx(wd97["data"])
+    assert fc == 5 and lcb > 0
+    # non-ascending CPs refuse
+    blob = D.build_doc97([("ab", True), ("cd", True)])
+    tb = next(
+        m for m in D.cfb_members(blob, with_data=True)
+        if m["name"] == "0Table"
+    )
+    at = blob.index(tb["data"][:8])
+    out = bytearray(blob)
+    # cps are at Pcdt+5: [0, 3, 6] — make the middle one regress
+    struct.pack_into("<I", out, at + 5 + 4, 9)
+    with pytest.raises(ValueError, match="not ascending"):
+        D.doc_extract_text(bytes(out))
