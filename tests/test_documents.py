@@ -2280,3 +2280,184 @@ def test_doc97_fib_walk_and_simple_fallback():
     struct.pack_into("<I", out, at + 5 + 4, 9)
     with pytest.raises(ValueError, match="not ascending"):
         D.doc_extract_text(bytes(out))
+
+
+# ---------------------------------------------------------------------------
+# BIFF8 real-world record surface (r13)
+# ---------------------------------------------------------------------------
+
+_XLS2_CELLS = [
+    (0, 0, "sst", ("plain ascii string", False, False)),
+    (0, 1, "sst", ("中文字符串测试", False, False)),
+    (0, 2, "sst", ("a" * 40 + "中尾" + "tail", False, False)),
+    (1, 0, "sst", ("rich text here", True, False)),
+    (1, 1, "sst", ("phonetic ふりがな", False, True)),
+    (1, 2, "sst", ("both rich+phon 漢", True, True)),
+    (2, 0, "label", "inline Label ü"),
+    (2, 1, "label", "中文 label"),
+    (2, 2, "number", 3.25),
+    (3, 0, "formula_num", 1234.0),
+    (3, 1, "formula_str", "F result 值"),
+    (3, 2, "formula_bool", True),
+    (4, 0, "mulrk", [7, 8, 9]),
+    (4, 3, "mulblank", 2),
+    (5, 0, "rk", -42),
+]
+
+
+def _xls2_expected() -> dict:
+    return {
+        (0, 0): ("s", "plain ascii string"),
+        (0, 1): ("s", "中文字符串测试"),
+        (0, 2): ("s", "a" * 40 + "中尾tail"),
+        (1, 0): ("s", "rich text here"),
+        (1, 1): ("s", "phonetic ふりがな"),
+        (1, 2): ("s", "both rich+phon 漢"),
+        (2, 0): ("label", "inline Label ü"),
+        (2, 1): ("label", "中文 label"),
+        (2, 2): ("n", "3.25"),
+        (3, 0): ("fn", "1234"),
+        (3, 1): ("fs", "F result 值"),
+        (3, 2): ("fb", "1"),
+        (4, 0): ("rk", "7"),
+        (4, 1): ("rk", "8"),
+        (4, 2): ("rk", "9"),
+        (5, 0): ("rk", "-42"),
+    }
+
+
+def _count_continues(blob: bytes) -> int:
+    ms = D.cfb_members(blob, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    data, pos, n = wb["data"], 0, 0
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        if op == 0x003C:
+            n += 1
+        pos += 4 + ln
+        if op == 0x000A:
+            break
+    return n
+
+
+def test_xls2_roundtrip_every_record_kind_and_chunk():
+    want = _xls2_expected()
+    for chunk in (16, 24, 48, 2048):
+        blob = D.build_xls2(_XLS2_CELLS, sst_chunk=chunk)
+        got = {
+            (c["row"], c["col"]): (c["kind"], c["value"])
+            for c in D.xls_cells(blob)
+        }
+        assert got == want, chunk
+    # small chunks REALLY spill (the vacuous-check rule); 2048 doesn't
+    assert _count_continues(D.build_xls2(_XLS2_CELLS, sst_chunk=16)) >= 10
+    assert _count_continues(D.build_xls2(_XLS2_CELLS, sst_chunk=2048)) == 0
+
+
+def test_xls2_width_switch_at_continuation_boundary():
+    """An ASCII head with a CJK tail must emit a compressed first
+    portion and a UTF-16 continuation — the fHighByte re-read trap."""
+    text = "a" * 30 + "中文尾部"
+    blob = D.build_xls2([(0, 0, "sst", (text, False, False))],
+                        sst_chunk=24)
+    ms = D.cfb_members(blob, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    data, pos = wb["data"], 0
+    frag_flags = []
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        if op == 0x00FC:
+            frag_flags.append(data[pos + 4 + 8 + 2] & 1)  # grbit
+        elif op == 0x003C:
+            frag_flags.append(data[pos + 4] & 1)  # continuation grbit
+        pos += 4 + ln
+        if op == 0x000A:
+            break
+    assert 0 in frag_flags and 1 in frag_flags, frag_flags
+    (c,) = D.xls_cells(blob)
+    assert c["value"] == text
+
+
+def test_xls2_sst_exhaustion_and_malformed_refuse():
+    blob = D.build_xls2(_XLS2_CELLS, sst_chunk=24)
+    ms = D.cfb_members(blob, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    data = bytearray(wb["data"])
+    # over-declared n_unique → exhaustion refusal (r12 ADVICE)
+    pos = 0
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        if op == 0x00FC:
+            (nu,) = struct.unpack_from("<I", data, pos + 8)
+            struct.pack_into("<I", data, pos + 8, nu + 1)
+            break
+        pos += 4 + ln
+    at = blob.index(bytes(wb["data"][:64]))
+    patched = bytearray(blob)
+    patched[at : at + len(data)] = data
+    with pytest.raises(ValueError, match="SST exhausted"):
+        D.xls_cells(bytes(patched))
+    # a string FORMULA whose STRING record is missing refuses
+    solo = D.build_xls2([(0, 0, "formula_str", "gone")])
+    ms = D.cfb_members(solo, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    data = bytearray(wb["data"])
+    pos = 0
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        if op == 0x0207:
+            struct.pack_into("<H", data, pos, 0x0999)
+            break
+        pos += 4 + ln
+    at = solo.index(bytes(wb["data"][:64]))
+    patched = bytearray(solo)
+    patched[at : at + len(data)] = data
+    with pytest.raises(ValueError, match="missing its STRING"):
+        D.xls_cells(bytes(patched))
+    # MULRK whose colLast disagrees with the run refuses
+    mul = D.build_xls2([(0, 0, "mulrk", [1, 2])])
+    ms = D.cfb_members(mul, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    data = bytearray(wb["data"])
+    pos = 0
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        if op == 0x00BD:
+            struct.pack_into("<H", data, pos + 4 + ln - 2, 9)
+            break
+        pos += 4 + ln
+    at = mul.index(bytes(wb["data"][:64]))
+    patched = bytearray(mul)
+    patched[at : at + len(data)] = data
+    with pytest.raises(ValueError, match="MULRK column range"):
+        D.xls_cells(bytes(patched))
+
+
+def test_xls2_formula_error_and_blank_forms():
+    """Hand-patch cached kinds the writer doesn't emit: error code
+    and cached-blank (no cell)."""
+    blob = D.build_xls2([(0, 0, "formula_bool", False),
+                         (1, 0, "rk", 5)])
+    ms = D.cfb_members(blob, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    data = bytearray(wb["data"])
+    pos = 0
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        if op == 0x0006:
+            cached_at = pos + 4 + 6
+            data[cached_at] = 2      # error form
+            data[cached_at + 2] = 0x2A  # #N/A
+            break
+        pos += 4 + ln
+    at = blob.index(bytes(wb["data"][:64]))
+    patched = bytearray(blob)
+    patched[at : at + len(data)] = data
+    cells = D.xls_cells(bytes(patched))
+    assert ("fe", "42") in {(c["kind"], c["value"]) for c in cells}
+    # blank form: t=3 → no cell emitted
+    data[cached_at] = 3
+    patched = bytearray(blob)
+    patched[at : at + len(data)] = data
+    cells = D.xls_cells(bytes(patched))
+    assert [c["kind"] for c in cells] == ["rk"]
