@@ -785,15 +785,42 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _pdf_enc_string(body: bytes, key: bytes) -> bytes | None:
-    """The 32-byte /O or /U value after ``/key`` in an encrypt dict —
-    hex-string form (how the synth and many writers emit it, escape-
-    free) or a raw literal."""
+def _pdf_enc_string(body: bytes, key: bytes,
+                    length: int = 32) -> bytes | None:
+    """The ``length``-byte /O /U /OE /UE /Perms value after ``/key``
+    in an encrypt dict — hex-string form (how the synth and many
+    writers emit it, escape-free) or a raw literal."""
     m = re.search(rb"/" + key + rb"\s*<([0-9A-Fa-f\s]+)>", body)
     if m:
         return bytes.fromhex(re.sub(rb"\s", b"", m.group(1)).decode())
-    m = re.search(rb"/" + key + rb"\s*\((.{32})\)", body, re.S)
+    m = re.search(
+        rb"/" + key + rb"\s*\((.{" + str(length).encode() + rb"})\)",
+        body, re.S,
+    )
     return m.group(1) if m else None
+
+
+def _pdf_hash_2b(password: bytes, salt: bytes,
+                 udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B — the R6 hardened hash: an iterated
+    AES-CBC/SHA-2 loop (round key/IV from the running hash, digest
+    family chosen by the first cipher block mod 3) that runs at least
+    64 rounds and stops when the last cipher byte permits. R5 files
+    use plain SHA-256 instead; both feed the same /U check and
+    /UE unwrap."""
+    from hadoopxmlextractor_spark.operators import aes as A
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = A.cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384,
+             hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
 
 
 def _pdf_map_stream(body: bytes, fn, resolve_len=None) -> bytes:
@@ -944,13 +971,60 @@ def _pdf_decrypt_objects(
             # bytes, the pdf.js/poppler heuristic) or a bit count
             cfl = re.search(rb"/Length\s+(\d+)", enc)
             if cfl is not None:
-                v = int(cfl.group(1))
-                nbits = v * 8 if v <= 40 else v
+                cfv = int(cfl.group(1))
+                nbits = cfv * 8 if cfv <= 40 else cfv
         keylen = 16 if aes else nbits // 8
         if not aes and (not 5 <= keylen <= 16 or nbits % 8):
             raise ValueError("encrypted PDF")
+    elif (v, r) in ((5, 5), (5, 6)):
+        # AES-256 generation (r13): R5 (Adobe ExtensionLevel 3) and
+        # R6 (PDF 2.0) — SHA-256-family key derivation, the file key
+        # unwrapped from /UE, data AES-256-CBC under ONE file key
+        # (no per-object derivation in V5)
+        from hadoopxmlextractor_spark.operators import aes as A
+
+        if (
+            re.search(rb"/CFM\s*/AESV3\b", enc) is None
+            or re.search(rb"/StmF\s*/StdCF", enc) is None
+            or re.search(rb"/StrF\s*/StdCF", enc) is None
+        ):
+            raise ValueError("encrypted PDF")
+        u = _pdf_enc_string(enc, b"U", 48)
+        ue = _pdf_enc_string(enc, b"UE", 32)
+        perms_ct = _pdf_enc_string(enc, b"Perms", 16)
+        pm5 = re.search(rb"/P\s+(-?\d+)", enc)
+        if (
+            u is None or ue is None or perms_ct is None or pm5 is None
+            or len(u) != 48 or len(ue) != 32 or len(perms_ct) != 16
+        ):
+            raise ValueError("encrypted PDF")
+        pw = b""  # the empty-user-password flow, as in R2-R4
+        if r == 5:
+            h = hashlib.sha256(pw + u[32:40]).digest()
+            ik = hashlib.sha256(pw + u[40:48]).digest()
+        else:
+            h = _pdf_hash_2b(pw, u[32:40])
+            ik = _pdf_hash_2b(pw, u[40:48])
+        if h != u[:32]:
+            raise ValueError("encrypted PDF")  # a real user password
+        fkey = A.cbc_decrypt_nopad(ik, bytes(16), ue)
+        # /Perms integrity check (Algorithm 13): AES-256-ECB decrypt
+        # must reveal the 'adb' marker and echo /P — a wrong or
+        # tampered key refuses before any payload byte is trusted
+        dec = A.decrypt_block(fkey, perms_ct)
+        p5 = int(pm5.group(1)) & 0xFFFFFFFF
+        if (
+            dec[9:12] != b"adb"
+            or dec[0:4] != p5.to_bytes(4, "little")
+            or dec[8:9] not in (b"T", b"F")
+        ):
+            raise ValueError("encrypted PDF")
+        _pdf_apply_decrypt(
+            objs, int(em.group(1)), fkey, aes=True, v5=True
+        )
+        return
     else:
-        raise ValueError("encrypted PDF")  # R5/R6 AESV3, custom, …
+        raise ValueError("encrypted PDF")  # custom handlers, …
     o = _pdf_enc_string(enc, b"O")
     u = _pdf_enc_string(enc, b"U")
     pm = re.search(rb"/P\s+(-?\d+)", enc)
@@ -981,13 +1055,16 @@ def _pdf_decrypt_objects(
 
 
 def _pdf_apply_decrypt(
-    objs: dict[int, bytes], enc_num: int, fkey: bytes, aes: bool = False
+    objs: dict[int, bytes], enc_num: int, fkey: bytes,
+    aes: bool = False, v5: bool = False,
 ) -> None:
     """Per-object decrypt of every stream payload AND every string in
     the non-stream portion (both encrypted payload classes, §7.6.2),
     key MD5(fkey ‖ num(le24) ‖ gen(le16) [‖ sAlT for AESV2])
     [:min(len+5,16)]; generation 0 — the only generation this
-    engine's writers and fixtures emit. An indirect '/Length n 0 R'
+    engine's writers and fixtures emit. The V5 (/AESV3) generation
+    uses the 32-byte FILE key directly on every object — ISO 32000-2
+    dropped per-object derivation. An indirect '/Length n 0 R'
     resolves through the (plaintext — numbers are never encrypted)
     referenced integer object; a stream that cannot be framed exactly
     refuses rather than transforming a guess. The /Encrypt dict
@@ -1011,7 +1088,7 @@ def _pdf_apply_decrypt(
     for num in list(objs):
         if num == enc_num:
             continue
-        okey = hashlib.md5(
+        okey = fkey if v5 else hashlib.md5(
             fkey + num.to_bytes(3, "little") + (0).to_bytes(2, "little")
             + (b"sAlT" if aes else b"")
         ).digest()[: min(len(fkey) + 5, 16)]

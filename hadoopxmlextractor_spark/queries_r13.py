@@ -307,3 +307,194 @@ def q_source_xls_biff8_full(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, row int, col int, kind string, "
         "value string",
     )
+
+
+# ---------------------------------------------------------------------------
+# PDF AES-256 (R5/R6 /AESV3)
+# ---------------------------------------------------------------------------
+
+
+def _synth_pdf_aesv3_blob(i: int, *, user_pw: bytes = b"") -> bytes:
+    """One deterministic AES-256-encrypted PDF from md5(doc:aesv3),
+    rotating the two shipping sub-revisions by b[2] % 2 — R5 (plain
+    SHA-256 derivation, Adobe ExtensionLevel 3) and R6 (the hardened
+    Algorithm 2.B hash loop, PDF 2.0). The 32-byte file key is
+    wrapped in /UE under the intermediate key; /Perms carries the
+    AES-256-ECB integrity block ('adb' marker + /P echo). A non-empty
+    ``user_pw`` makes the /U hash check unsatisfiable with the empty
+    password — the refusal arm. Content streams rotate the Flate
+    filter arm like the legacy generations."""
+    import hashlib
+    import zlib
+
+    from hadoopxmlextractor_spark.operators import aes as A
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:aesv3".encode()).digest()
+    x = hashlib.md5(f"{i}:aesv3".encode()).hexdigest()
+    rev = 5 + b[2] % 2
+    n_pages = 1 + b[0] % 2
+    vs = hashlib.md5(f"{i}:vs".encode()).digest()[:8]
+    ks = hashlib.md5(f"{i}:ks".encode()).digest()[:8]
+    fkey = hashlib.sha256(f"{i}:fkey".encode()).digest()
+    pw = user_pw
+    if rev == 5:
+        h = hashlib.sha256(pw + vs).digest()
+        ik = hashlib.sha256(pw + ks).digest()
+    else:
+        h = D._pdf_hash_2b(pw, vs)
+        ik = D._pdf_hash_2b(pw, ks)
+    u_entry = h + vs + ks
+    ue = A.cbc_encrypt_nopad(ik, bytes(16), fkey)
+    o_entry = (hashlib.sha256(f"{i}:o1".encode()).digest()
+               + hashlib.md5(f"{i}:o2".encode()).digest())  # unused dummy
+    oe = hashlib.sha256(f"{i}:oe".encode()).digest()
+    perms_plain = (
+        struct.pack("<i", -44) + b"\xff\xff\xff\xff" + b"Tadb"
+        + hashlib.md5(f"{i}:pr".encode()).digest()[:4]
+    )
+    perms = A.encrypt_block(fkey, perms_plain)
+
+    def _enc(obj_num: int, data: bytes) -> bytes:
+        iv = hashlib.md5(f"{i}:{obj_num}:iv".encode()).digest()
+        return iv + A.cbc_encrypt(fkey, iv, data)
+
+    objs: dict[int, bytes] = {1: b"<< /Type /Catalog /Pages 2 0 R >>"}
+    kids = []
+    for pg in range(n_pages):
+        page_num, content_num = 3 + 2 * pg, 4 + 2 * pg
+        kids.append(f"{page_num} 0 R")
+        plain = (
+            f"BT /F1 12 Tf 72 720 Td (w{x[4*pg:4*pg+2]} sealed "
+            f"w{x[4*pg+2:4*pg+4]} {pg}) Tj ET"
+        ).encode()
+        if (b[1] + pg) % 2 == 0:
+            data, filt = zlib.compress(plain), " /Filter /FlateDecode"
+        else:
+            data, filt = plain, ""
+        data = _enc(content_num, data)
+        objs[page_num] = (
+            f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            f"/Contents {content_num} 0 R >>".encode()
+        )
+        objs[content_num] = (
+            f"<< /Length {len(data)}{filt} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {n_pages} >>"
+        .encode()
+    )
+    objs[9] = (
+        b"<< /Filter /Standard /V 5 /R " + str(rev).encode()
+        + b" /Length 256 /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+        b" /StmF /StdCF /StrF /StdCF /P -44 /O <"
+        + o_entry.hex().encode() + b"> /U <" + u_entry.hex().encode()
+        + b"> /OE <" + oe.hex().encode() + b"> /UE <"
+        + ue.hex().encode() + b"> /Perms <" + perms.hex().encode()
+        + b"> >>"
+    )
+    id0 = hashlib.md5(f"{i}:aesv3id".encode()).digest()
+    out = bytearray(b"%PDF-2.0\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_off = len(out)
+    n_obj = max(objs) + 1
+    out += f"xref\n0 {n_obj}\n".encode() + b"0000000000 65535 f \n"
+    for num in range(1, n_obj):
+        out += (
+            f"{offsets[num]:010d} 00000 n \n".encode()
+            if num in offsets else b"0000000000 65535 f \n"
+        )
+    out += (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R /Encrypt 9 0 R "
+        f"/ID [<{id0.hex()}> <{id0.hex()}>] >>\nstartxref\n"
+        f"{xref_off}\n%%EOF\n".encode()
+    )
+    return bytes(out)
+
+
+@query(
+    "source_pdf_aesv3",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('aesv3', 0)} AS b0,
+             5 + {_b('aesv3', 2)} % 2 AS rev,
+             md5(CAST(doc_id AS VARCHAR) || ':aesv3') AS x
+      FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, 1 + b0 % 2 AS n, g.g AS g, x, rev
+      FROM p, (VALUES (0), (1)) g(g)
+      WHERE g.g < 1 + b0 % 2 AND doc_id % 5 <> 4
+    ),
+    txt AS (
+      SELECT doc_id, n, rev,
+             string_agg(
+               'w' || substring(x, 4 * g + 1, 2) || ' sealed w'
+                 || substring(x, 4 * g + 3, 2) || ' '
+                 || CAST(g AS VARCHAR),
+               chr(10) ORDER BY g) AS text
+      FROM pg GROUP BY doc_id, n, rev
+    )
+    SELECT doc_id, TRUE AS decrypted, CAST(rev AS INT) AS enc_rev,
+           'pdf' AS format, CAST(n AS INT) AS n_units, text
+    FROM txt
+    UNION ALL
+    SELECT doc_id, FALSE, NULL, NULL, NULL, NULL
+    FROM p WHERE doc_id % 5 = 4
+    """,
+)
+def q_source_pdf_aesv3(spark: SparkSession, sf: str) -> DataFrame:
+    # PDF AES-256 (r13) — the generation the r11/r12 legs explicitly
+    # refused: Acrobat X+ and PDF 2.0 owner-restricted files are
+    # /AESV3 (V5), R5 with plain SHA-256 key derivation or R6 with
+    # the hardened Algorithm 2.B hash loop. The /U hash AUTHENTICATES
+    # the empty user password, /UE unwraps the 32-byte file key under
+    # the intermediate key (unpadded AES-256-CBC, zero IV), and the
+    # /Perms AES-256-ECB block must reveal 'adb' and echo /P before
+    # any payload byte is trusted; data decrypts under the ONE file
+    # key (V5 dropped per-object derivation). Every 5th doc carries a
+    # REAL user password — the /U check fails and the doc takes the
+    # marker row. ``enc_rev`` is parsed back from the blob bytes, so
+    # a text match per arm proves that revision's derivation actually
+    # ran. One Arrow pass through the document_text dispatch.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series([
+                _synth_pdf_aesv3_blob(
+                    int(i),
+                    user_pw=b"secret" if int(i) % 5 == 4 else b"",
+                )
+                for i in ids
+            ])
+
+    raw = docs.select("doc_id", _blob("doc_id").alias("content"))
+    blobs = raw.select(
+        (
+            F.col("doc_id") * 10
+            + F.regexp_extract(
+                F.decode("content", "ISO-8859-1"), r"/R (\d)", 1
+            ).cast("bigint")
+        ).alias("doc_id"),
+        "content",
+    )
+    ex = D.document_text(blobs)
+    return ex.select(
+        F.expr("doc_id div 10").alias("doc_id"),
+        F.col("format").isNotNull().alias("decrypted"),
+        F.when(F.col("format").isNotNull(), F.col("doc_id") % 10)
+        .cast("int").alias("enc_rev"),
+        "format",
+        F.col("n_units"),
+        "text",
+    )

@@ -2461,3 +2461,78 @@ def test_xls2_formula_error_and_blank_forms():
     patched[at : at + len(data)] = data
     cells = D.xls_cells(bytes(patched))
     assert [c["kind"] for c in cells] == ["rk"]
+
+
+# ---------------------------------------------------------------------------
+# PDF AES-256 R5/R6 /AESV3 (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_aesv3_both_revisions_decrypt_and_refuse():
+    from hadoopxmlextractor_spark.queries_r13 import _synth_pdf_aesv3_blob
+
+    seen = {}
+    for i in range(200):
+        rev = 5 + hashlib.md5(f"{i}:aesv3".encode()).digest()[2] % 2
+        seen.setdefault(rev, i)
+    assert set(seen) == {5, 6}
+    for rev, i in sorted(seen.items()):
+        blob = _synth_pdf_aesv3_blob(i)
+        assert f"/V 5 /R {rev}".encode() in blob
+        n, text = D._pdf_extract(blob)
+        assert n >= 1 and "sealed" in text, rev
+        # a real user password refuses (the /U hash check)
+        with pytest.raises(ValueError, match="encrypted"):
+            D._pdf_extract(_synth_pdf_aesv3_blob(i, user_pw=b"pw"))
+        # tampering with /U refuses
+        bad = bytearray(blob)
+        at = bytes(bad).index(b"/U <") + 4
+        bad[at] = ord("0") if bad[at] != ord("0") else ord("1")
+        with pytest.raises(ValueError, match="encrypted"):
+            D._pdf_extract(bytes(bad))
+        # tampering with /UE (wrong file key) refuses via /Perms
+        bad = bytearray(blob)
+        at = bytes(bad).index(b"/UE <") + 5
+        bad[at] = ord("0") if bad[at] != ord("0") else ord("1")
+        with pytest.raises(ValueError, match="encrypted"):
+            D._pdf_extract(bytes(bad))
+        # tampering with /Perms refuses (integrity block)
+        bad = bytearray(blob)
+        at = bytes(bad).index(b"/Perms <") + 8
+        bad[at] = ord("0") if bad[at] != ord("0") else ord("1")
+        with pytest.raises(ValueError, match="encrypted"):
+            D._pdf_extract(bytes(bad))
+        # a mislabeled sub-revision breaks the hash-family choice
+        other = 11 - rev
+        relabeled = blob.replace(
+            f"/V 5 /R {rev}".encode(), f"/V 5 /R {other}".encode()
+        )
+        with pytest.raises(ValueError, match="encrypted"):
+            D._pdf_extract(relabeled)
+
+
+def test_pdf_hash_2b_properties():
+    """Algorithm 2.B: deterministic, 32 bytes, differs from plain
+    SHA-256 (the R5 form), and udata changes the result (the /O-side
+    input)."""
+    salt = hashlib.md5(b"2bsalt").digest()[:8]
+    k1 = D._pdf_hash_2b(b"", salt)
+    k2 = D._pdf_hash_2b(b"", salt)
+    assert k1 == k2 and len(k1) == 32
+    assert k1 != hashlib.sha256(b"" + salt).digest()
+    assert D._pdf_hash_2b(b"", salt, b"u" * 48) != k1
+    assert D._pdf_hash_2b(b"pw", salt) != k1
+
+
+def test_pdf_aesv3_v5_uses_file_key_directly():
+    """V5 string decryption: the object key IS the file key (no
+    per-object MD5) — exercised through _pdf_apply_decrypt."""
+    from hadoopxmlextractor_spark.operators import aes as A
+
+    fkey = hashlib.sha256(b"v5 file key").digest()
+    iv = hashlib.md5(b"v5-iv").digest()
+    title = b"AESV3 guarded title"
+    ct = iv + A.cbc_encrypt(fkey, iv, title)
+    objs = {5: b"<< /Title <" + ct.hex().encode() + b"> >>"}
+    D._pdf_apply_decrypt(objs, 9, fkey, aes=True, v5=True)
+    assert objs[5] == b"<< /Title <" + title.hex().encode() + b"> >>"
