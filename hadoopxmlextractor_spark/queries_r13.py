@@ -724,3 +724,191 @@ def q_source_doc_encrypted(spark: SparkSession, sf: str) -> DataFrame:
         F.col("format").isNotNull().alias("decrypted"),
         "format", F.col("n_units"), "text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Robots-aware frontier politeness capstone
+# ---------------------------------------------------------------------------
+
+# Per-host robots.txt for the 7-host crawl universe: rule class
+# rotates by k % 3 (each class bites REAL frontier paths — the
+# vacuous-check rule), Crawl-delay by k % 4, and every file carries a
+# decoy 'badbot' deny-all / delay-1 group that group selection must
+# ignore (a broken selector would zero the frontier or break budgets)
+_POLITE_RULES = (
+    "Disallow: /dir/up/\nAllow: /dir/up/3\n",
+    "Disallow: /root/\nDisallow: /*.html$\nAllow: /dir/sub/rel/4.html\n",
+    "Disallow: /T\nAllow: /T7\nDisallow: /sr/2\n",
+)
+_POLITE_CYCLE_S = 60  # scheduling cycle the slot budgets divide
+
+
+def _polite_robots(k: int) -> str:
+    return (
+        "User-agent: badbot\nDisallow: /\nCrawl-delay: 1\n\n"
+        "User-agent: *\n" + _POLITE_RULES[k % 3]
+        + f"Crawl-delay: {5 * (k % 4 + 1)}\n"
+    )
+
+
+@query(
+    "pipeline_frontier_polite",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS h FROM documents
+    ),
+    crawled AS (
+      SELECT DISTINCT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/page' || CAST(doc_id AS VARCHAR)
+        || '.html' AS url
+      FROM p
+      UNION
+      SELECT DISTINCT 'https://host0.example.org/hub/'
+        || CAST(doc_id % 50 AS VARCHAR) FROM p
+    ),
+    t AS (
+      SELECT 'https://host0.example.org/hub/'
+        || CAST(doc_id % 50 AS VARCHAR) AS target FROM p
+      UNION ALL
+      SELECT 'https://host' || CAST((h + 1) % 7 AS VARCHAR)
+        || '.example.org/sr/' || CAST(doc_id % 30 AS VARCHAR)
+      FROM p WHERE h % 2 = 1
+      UNION ALL
+      SELECT 'https://host' || CAST((h + 2) % 7 AS VARCHAR)
+        || '.example.org/T' || CAST(doc_id % 9 AS VARCHAR)
+        || '?keep=' || CAST(doc_id % 5 AS VARCHAR)
+      FROM p WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/root/' || CAST(doc_id % 20 AS VARCHAR) FROM p
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/rel/' || CAST(doc_id % 10 AS VARCHAR)
+        || '.html'
+      FROM p WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/up/' || CAST(doc_id % 10 AS VARCHAR)
+      FROM p WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/here/' || CAST(doc_id % 6 AS VARCHAR)
+      FROM p WHERE doc_id % 5 = 0
+    ),
+    cand AS (
+      SELECT target, CAST(COUNT(*) AS BIGINT) AS n_refs
+      FROM t GROUP BY target
+    ),
+    frontier AS (
+      SELECT c.target, c.n_refs,
+             regexp_extract(c.target, '://([^/]+)', 1) AS host
+      FROM cand c ANTI JOIN crawled w ON c.target = w.url
+    ),
+    fk AS (
+      SELECT target, n_refs, host,
+             CAST(regexp_extract(host, 'host(\\d+)', 1) AS INT) AS k,
+             regexp_extract(target, '://[^/]+(/.*)', 1) AS path
+      FROM frontier
+    ),
+    rules(km, allow, rx, ln) AS (VALUES
+      (0, FALSE, '^/dir/up/', 9),
+      (0, TRUE,  '^/dir/up/3', 10),
+      (1, FALSE, '^/root/', 6),
+      (1, FALSE, '^/.*\\.html$', 8),
+      (1, TRUE,  '^/dir/sub/rel/4\\.html', 19),
+      (2, FALSE, '^/T', 2),
+      (2, TRUE,  '^/T7', 3),
+      (2, FALSE, '^/sr/2', 5)
+    ),
+    m AS (
+      SELECT f.host, f.target, r.allow, r.ln
+      FROM fk f JOIN rules r
+        ON r.km = f.k % 3 AND regexp_matches(f.path, r.rx)
+    ),
+    best AS (
+      SELECT host, target, MAX(ln) AS ml
+      FROM m GROUP BY host, target
+    ),
+    dec AS (
+      SELECT m.host, m.target, bool_or(m.allow) AS allowed
+      FROM m JOIN best
+        ON m.host = best.host AND m.target = best.target
+        AND m.ln = best.ml
+      GROUP BY m.host, m.target
+    ),
+    admitted AS (
+      SELECT f.host, f.target, f.n_refs, f.k
+      FROM fk f LEFT JOIN dec d
+        ON f.host = d.host AND f.target = d.target
+      WHERE COALESCE(d.allowed, TRUE)
+    ),
+    ranked AS (
+      SELECT host, target, n_refs, k,
+             ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY n_refs DESC, target
+             ) AS slot
+      FROM admitted
+    )
+    SELECT host, CAST(slot AS INT) AS slot, target, n_refs,
+           CAST(([12, 6, 4, 3])[k % 4 + 1] AS INT) AS budget
+    FROM ranked
+    WHERE slot <= ([12, 6, 4, 3])[k % 4 + 1]
+    """,
+)
+def q_pipeline_frontier_polite(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # ROBOTS-AWARE FRONTIER POLITENESS (r13 capstone) — composes the
+    # certified crawl pieces into the loop a real crawler runs every
+    # cycle: frontier expansion (outlinks minus crawled, the r12
+    # anti-join), RFC 9309 admission under PER-HOST robots.txt
+    # (rule classes rotate so Disallows bite real frontier paths;
+    # every file carries a decoy badbot deny-all group), and per-host
+    # slot budgets derived from each host's Crawl-delay THROUGH the
+    # parser (budget = cycle / delay — never replayed constants; the
+    # badbot group's delay-1 is a live decoy there too). The
+    # scheduling window filters on the LITERAL max budget first —
+    # that bound compiles to WindowGroupLimit, so each host partition
+    # materializes at most 12 rows in-shuffle — and applies the
+    # per-host budget as a residual filter on that tiny remainder:
+    # variable budgets without giving up the scale shape. Admission
+    # itself is a map-side pandas UDF over (host, path) with the
+    # compiled per-host rules riding the closure (broadcast-sized at
+    # 100 TB; no join).
+    from pyspark.sql import Window
+
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.queries_r12 import (
+        q_pipeline_frontier_expand,
+    )
+
+    robots = {k: _polite_robots(k) for k in range(7)}
+    budgets = [
+        max(1, int(_POLITE_CYCLE_S
+                   // T.robots_crawl_delay(robots[k], "mybot")))
+        for k in range(7)
+    ]
+    max_budget = max(budgets)
+
+    frontier = q_pipeline_frontier_expand(spark, sf)
+    fk = frontier.select(
+        "target", "n_refs", "host",
+        F.regexp_extract("host", r"host(\d+)", 1).cast("int").alias("k"),
+        F.regexp_extract("target", r"://[^/]+(/.*)", 1).alias("path"),
+    )
+    admit = T.robots_admit_multi_udf(robots, agent="mybot")
+    admitted = fk.filter(admit("k", "path"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("target")
+    )
+    budget_col = F.element_at(
+        F.array(*[F.lit(b) for b in budgets]), F.col("k") + 1
+    )
+    return (
+        admitted.withColumn("slot", F.row_number().over(w))
+        .filter(F.col("slot") <= F.lit(max_budget))  # WindowGroupLimit
+        .withColumn("budget", budget_col.cast("int"))
+        .filter(F.col("slot") <= F.col("budget"))  # residual per-host
+        .select("host", F.col("slot").cast("int").alias("slot"),
+                "target", "n_refs", "budget")
+    )

@@ -1976,3 +1976,87 @@ def test_unicode_normalize_nfc_and_nfkc(spark):
         r[0] for r in df.select(T.unicode_normalize("t", "NFKC")).collect()
     ]
     assert nfkc == ["caf\u00e9", "caf\u00e9", "fine"]  # NFKC folds fi
+
+
+def test_robots_crawl_delay_group_selection():
+    from hadoopxmlextractor_spark.operators import text as T
+
+    txt = (
+        "User-agent: badbot\nDisallow: /\nCrawl-delay: 1\n\n"
+        "User-agent: *\nDisallow: /x/\nCrawl-delay: 15\n\n"
+        "User-agent: mybot\nAllow: /\nCrawl-delay: 4\n"
+    )
+    # named group beats '*'; decoy badbot ignored
+    assert T.robots_crawl_delay(txt, "mybot") == 4.0
+    assert T.robots_crawl_delay(txt, "other") == 15.0
+    assert T.robots_crawl_delay(txt, "badbot") == 1.0
+    # merged groups take the LARGEST (most conservative) delay
+    two = (
+        "User-agent: *\nCrawl-delay: 3\n\n"
+        "User-agent: *\nDisallow: /y/\nCrawl-delay: 9\n"
+    )
+    assert T.robots_crawl_delay(two, "any") == 9.0
+    # absent → None; malformed value ignored
+    assert T.robots_crawl_delay("User-agent: *\nDisallow: /a/\n") is None
+    assert T.robots_crawl_delay(
+        "User-agent: *\nCrawl-delay: soon\n"
+    ) is None
+
+
+def test_robots_admit_multi_udf_per_host_rules(spark):
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.queries_r13 import _polite_robots
+
+    robots = {k: _polite_robots(k) for k in range(7)}
+    admit = T.robots_admit_multi_udf(robots, agent="mybot")
+    rows = [
+        (0, "/dir/up/1", False),   # class 0 Disallow
+        (0, "/dir/up/3", True),    # class 0 Allow override
+        (0, "/root/5", True),      # class 0 has no /root rule
+        (1, "/root/5", False),     # class 1 Disallow
+        (1, "/dir/sub/rel/2.html", False),  # $-anchored wildcard
+        (1, "/dir/sub/rel/4.html", True),   # longest-match Allow
+        (2, "/T3?keep=1", False),  # prefix Disallow incl. query
+        (2, "/T7?keep=0", True),   # longer Allow wins
+        (2, "/sr/2", False),
+        (5, "/anything", True),    # k=5 → class 2; no match → allow
+    ]
+    df = spark.createDataFrame(
+        [(k, p) for k, p, _w in rows], "k int, path string"
+    )
+    got = {
+        (r["k"], r["path"]): r["allowed"]
+        for r in df.withColumn("allowed", admit("k", "path")).collect()
+    }
+    for k, p, want in rows:
+        assert got[(k, p)] == want, (k, p)
+
+
+def test_frontier_polite_plan_and_budgets(spark):
+    """The capstone keeps the WindowGroupLimit shape (literal max
+    budget bound) with the per-host budget as a residual filter, and
+    every host's output is capped by its crawl-delay-derived
+    budget."""
+    from hadoopxmlextractor_spark.queries_r13 import (
+        _POLITE_CYCLE_S, _polite_robots, q_pipeline_frontier_polite,
+    )
+    from hadoopxmlextractor_spark.operators import text as T
+
+    df = q_pipeline_frontier_polite(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan
+    rows = df.collect()
+    assert rows, "frontier must not be empty"
+    per_host = {}
+    for r in rows:
+        per_host.setdefault(r["host"], []).append(r)
+    for host, hrows in per_host.items():
+        k = int(host[4:].split(".")[0])
+        delay = T.robots_crawl_delay(_polite_robots(k), "mybot")
+        budget = max(1, int(_POLITE_CYCLE_S // delay))
+        assert all(r["budget"] == budget for r in hrows)
+        assert len(hrows) <= budget
+        assert sorted(r["slot"] for r in hrows) == list(
+            range(1, len(hrows) + 1)
+        )
