@@ -1487,3 +1487,182 @@ def mp3_frame_info(blob: bytes) -> dict:
         "n_frames": n_frames,
         "duration_ms": duration_ms,
     }
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1/2 Layer I subband-sample decode (r13) — the first SAMPLE-level
+# decode of the MPEG audio family: bit allocation, scalefactors, and
+# requantization are pure formulas (ISO/IEC 11172-3 §2.4.3.3), so the
+# subband-domain decode is bit-exact with no transcribed numeric
+# tables. The polyphase SYNTHESIS filterbank (subbands → PCM) needs
+# the 512-coefficient ISO window (Table C.3) — spec-numeric, not
+# derivable — and stays the documented residue; energy/statistics in
+# the subband domain are exact without it (Parseval-adjacent, and the
+# curation signals ride on relative energy anyway).
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, bits: int) -> None:
+        self.acc = (self.acc << bits) | (value & ((1 << bits) - 1))
+        self.nbits += bits
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+
+    def bytes(self) -> bytes:
+        if self.nbits:
+            return bytes(self.buf) + bytes(
+                [(self.acc << (8 - self.nbits)) & 0xFF]
+            )
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, bits: int) -> int:
+        out = 0
+        for _ in range(bits):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("Layer I payload exhausted")
+            out = (out << 1) | (
+                (self.data[byte] >> (7 - (self.pos & 7))) & 1
+            )
+            self.pos += 1
+        return out
+
+
+def build_mp1(
+    frames: list[list[tuple[int, int, int, list[int]]]],
+    *, version: str = "1", sr_idx: int = 0, br_idx: int = 12,
+) -> bytes:
+    """A mono MPEG Layer I stream: one frame per entry, each a list
+    of (subband, nb, scf_idx, codes[12]) for the ACTIVE subbands
+    (allocation nb-1; inactive subbands carry allocation 0). Frame
+    body = 32 4-bit allocations, a 6-bit scalefactor per active
+    subband, then 12 sample groups × active subbands × nb-bit codes,
+    zero-padded to the header's frame length. Write partner of
+    :func:`mp1_subband_stats`."""
+    table = _MP3_BR_V1 if version == "1" else _MP3_BR_V2
+    br = table[1][br_idx - 1]
+    sr = _MP3_SR[version][sr_idx]
+    vid = {"1": 3, "2": 2, "2.5": 0}[version]
+    flen = _mp3_frame_len(version, 1, br, sr, 0)
+    out = b""
+    for spec in frames:
+        by_sb = {sb: (nb, scf, codes) for sb, nb, scf, codes in spec}
+        header = bytes([
+            0xFF,
+            0xE0 | (vid << 3) | (3 << 1) | 1,  # layer I bits=11, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            3 << 6,  # mono
+        ])
+        w = _BitWriter()
+        for sb in range(32):
+            nb = by_sb.get(sb, (1, 0, []))[0]
+            w.write(nb - 1 if sb in by_sb else 0, 4)
+        for sb in sorted(by_sb):
+            w.write(by_sb[sb][1], 6)
+        for s in range(12):
+            for sb in sorted(by_sb):
+                nb, _scf, codes = by_sb[sb]
+                w.write(codes[s], nb)
+        body = w.bytes()
+        if len(header) + len(body) > flen:
+            raise ValueError("Layer I frame content exceeds frame size")
+        out += header + body + b"\x00" * (flen - 4 - len(body))
+    return out
+
+
+def mp1_subband_stats(blob: bytes) -> list[dict]:
+    """Subband-domain decode of a mono MPEG Layer I stream: per
+    (frame, active subband) the allocation width nb, scalefactor
+    index, the exact integer sum / sum-of-squares of the 12 quantized
+    codes, and the REQUANTIZED-and-scaled sample sum
+
+        dec_sum = sf · A · (B · Σcode + 12 · C)
+
+    — the ISO §2.4.3.3 form s = sf · A · (code·B + C) with
+    A = 2^nb/(2^nb−1), B = 2^(1−nb), C = B − 1 pushed through the
+    sum's linearity, so the float path is ONE rounded operation (the
+    A division and final multiply chain) on an otherwise dyadic-exact
+    tree. Scalefactor sf = 2^(2 − idx/3); only index multiples of 3
+    (integer exponents) are accepted — the transcendental 2^(1/3)
+    factors would break cross-engine exactness, and the synth never
+    emits them. Stereo, Layer II/III, free-format, and truncated
+    payloads refuse (ValueError) — marker-row contract."""
+    off = 0
+    if blob[:3] == b"ID3":
+        off = 10 + _unsyncsafe(blob[6:10]) + (10 if blob[5] & 0x10 else 0)
+    end = len(blob)
+    if blob[-128:][:3] == b"TAG":
+        end -= 128
+    out: list[dict] = []
+    frame_no = 0
+    while off + 4 <= end:
+        if blob[off] != 0xFF or blob[off + 1] & 0xE0 != 0xE0:
+            raise ValueError("no MPEG frame sync")
+        b1, b2, b3 = blob[off + 1], blob[off + 2], blob[off + 3]
+        version = {0: "2.5", 2: "2", 3: "1"}.get((b1 >> 3) & 3)
+        layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 3)
+        if version is None or layer is None:
+            raise ValueError("reserved MPEG version/layer")
+        if layer != 1:
+            raise ValueError("not Layer I")
+        br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("unsupported bitrate/samplerate code")
+        if b3 >> 6 != 3:
+            raise ValueError("stereo Layer I unsupported")
+        table = _MP3_BR_V1 if version == "1" else _MP3_BR_V2
+        flen = _mp3_frame_len(
+            version, 1, table[1][br_idx - 1], _MP3_SR[version][sr_idx],
+            pad,
+        )
+        if off + flen > end:
+            raise ValueError("Layer I frame past stream end")
+        crc_len = 0 if (b1 & 1) else 2
+        r = _BitReader(blob[off + 4 + crc_len : off + flen])
+        allocs = [r.read(4) for _ in range(32)]
+        if any(a == 15 for a in allocs):
+            raise ValueError("forbidden Layer I allocation 15")
+        active = [sb for sb in range(32) if allocs[sb]]
+        scfs = {}
+        for sb in active:
+            scfs[sb] = r.read(6)
+            if scfs[sb] % 3:
+                raise ValueError(
+                    "non-integer-exponent scalefactor unsupported"
+                )
+        codes: dict[int, list[int]] = {sb: [] for sb in active}
+        for _s in range(12):
+            for sb in active:
+                codes[sb].append(r.read(allocs[sb] + 1))
+        for sb in active:
+            nb = allocs[sb] + 1
+            csum = sum(codes[sb])
+            csq = sum(c * c for c in codes[sb])
+            sf = 2.0 ** (2 - scfs[sb] // 3)
+            a = (2.0 ** nb) / (2.0 ** nb - 1.0)
+            b_ = 2.0 ** (1 - nb)
+            c_ = b_ - 1.0
+            dec_sum = sf * (a * (b_ * float(csum) + 12.0 * c_))
+            out.append({
+                "frame": frame_no, "sb": sb, "nb": nb,
+                "scf": scfs[sb], "code_sum": csum,
+                "code_sq_sum": csq, "dec_sum": dec_sum,
+            })
+        off += flen
+        frame_no += 1
+    if frame_no == 0:
+        raise ValueError("no Layer I frames")
+    return out

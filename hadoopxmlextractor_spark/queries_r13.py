@@ -912,3 +912,152 @@ def q_pipeline_frontier_polite(
         .select("host", F.col("slot").cast("int").alias("slot"),
                 "target", "n_refs", "budget")
     )
+
+
+# ---------------------------------------------------------------------------
+# MPEG Layer I subband-sample decode
+# ---------------------------------------------------------------------------
+
+
+def _synth_mp1_blob(i: int) -> bytes:
+    """One deterministic mono Layer I stream from md5(doc:mp1):
+    MPEG-1/2 rotating (different bitrate tables), 2-3 frames, three
+    active subbands per frame with rotating allocation widths
+    (2..15 bits) and integer-exponent scalefactors; the 12 codes per
+    (frame, subband) replay from two md5 chains. Every 10th doc
+    flips the first frame's bitrate index to 0 (free format) — the
+    refusal arm."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    b = hashlib.md5(f"{i}:mp1".encode()).digest()
+    n_frames = 2 + b[0] % 2
+    frames = []
+    for f in range(n_frames):
+        spec = []
+        for j in range(3):
+            sb = (b[1] + 7 * j) % 32
+            nb = 2 + (b[2] + f + j) % 14
+            scf = 3 * ((b[3] + f + j) % 21)
+            hx = (
+                hashlib.md5(f"{i}:mp1:{f}:{j}:a".encode()).hexdigest()
+                + hashlib.md5(f"{i}:mp1:{f}:{j}:b".encode()).hexdigest()
+            )
+            codes = [
+                int(hx[4 * k : 4 * k + 4], 16) % (1 << nb)
+                for k in range(12)
+            ]
+            spec.append((sb, nb, scf, codes))
+        frames.append(spec)
+    blob = C.build_mp1(
+        frames, version=("1", "2")[b[7] % 2], sr_idx=b[4] % 3,
+        br_idx=12,
+    )
+    if i % 10 == 9:
+        out = bytearray(blob)
+        out[2] = (0 << 4) | (out[2] & 0x0F)  # free-format bitrate
+        blob = bytes(out)
+    return blob
+
+
+@query(
+    "multimodal_audio_mp1_subbands",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 2 + {_b('mp1', 0)} % 2 AS n,
+             {_b('mp1', 1)} AS b1, {_b('mp1', 2)} AS b2,
+             {_b('mp1', 3)} AS b3
+      FROM documents
+    ),
+    fs AS (
+      SELECT doc_id, f.f AS f, j.j AS j, b1, b2, b3
+      FROM p, (VALUES (0), (1), (2)) f(f), (VALUES (0), (1), (2)) j(j)
+      WHERE f.f < n AND doc_id % 10 <> 9
+    ),
+    sbp AS (
+      SELECT doc_id, f, j,
+             (b1 + 7 * j) % 32 AS sb,
+             2 + (b2 + f + j) % 14 AS nb,
+             3 * ((b3 + f + j) % 21) AS scf,
+             md5(CAST(doc_id AS VARCHAR) || ':mp1:' || CAST(f AS VARCHAR)
+                 || ':' || CAST(j AS VARCHAR) || ':a')
+             || md5(CAST(doc_id AS VARCHAR) || ':mp1:'
+                 || CAST(f AS VARCHAR) || ':' || CAST(j AS VARCHAR)
+                 || ':b') AS hx
+      FROM fs
+    ),
+    codes AS (
+      SELECT doc_id, f, sb, nb, scf,
+             CAST(('0x' || substring(hx, 4 * k.k + 1, 4)) AS BIGINT)
+               % CAST(POWER(2, nb) AS BIGINT) AS code
+      FROM sbp, (SELECT unnest(range(12)) AS k) k
+    ),
+    agg AS (
+      SELECT doc_id, f, sb, nb, scf,
+             SUM(code) AS code_sum,
+             SUM(code * code) AS code_sq_sum
+      FROM codes GROUP BY doc_id, f, sb, nb, scf
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame, CAST(sb AS INT) AS sb,
+           CAST(nb AS INT) AS nb, CAST(scf AS INT) AS scf,
+           CAST(code_sum AS BIGINT) AS code_sum,
+           CAST(code_sq_sum AS BIGINT) AS code_sq_sum,
+           POWER(2.0, 2 - scf // 3)
+             * ((POWER(2.0, nb) / (POWER(2.0, nb) - 1.0))
+                * (POWER(2.0, 1 - nb) * CAST(code_sum AS DOUBLE)
+                   + 12.0 * (POWER(2.0, 1 - nb) - 1.0))) AS dec_sum
+    FROM agg
+    UNION ALL
+    SELECT doc_id, -1, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE doc_id % 10 = 9
+    """,
+)
+def q_multimodal_audio_mp1_subbands(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # MPEG LAYER I SUBBAND DECODE (r13) — the first SAMPLE-level
+    # decode of the MPEG audio family, the honest sub-step toward
+    # the r12 verdict's Layer III stretch goal: bit allocation,
+    # scalefactors, and requantization in Layer I are pure formulas
+    # (no transcribed ISO numeric tables), so the subband-domain
+    # decode is bit-exact — code sums as exact integers, the
+    # requantized sum through the ISO §2.4.3.3 form pushed through
+    # linearity so the float path carries ONE rounded op on a
+    # dyadic-exact tree (identical IEEE trees on Spark/DuckDB; the
+    # synth restricts scalefactors to integer-exponent indices, the
+    # reader refuses others). The polyphase synthesis window (ISO
+    # Table C.3) is spec-numeric, not derivable — PCM-domain parity
+    # stays the documented residue; curation-grade energy signals
+    # live in the subband domain anyway. MPEG-1/2 arms rotate the
+    # bitrate tables; every 10th doc flips to free-format — refusal
+    # marker. One Arrow pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame", "sb", "nb", "scf", "code_sum",
+                "code_sq_sum", "dec_sum"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                try:
+                    for r in C.mp1_subband_stats(_synth_mp1_blob(i)):
+                        rows.append({"doc_id": i, **r})
+                except (ValueError, struct.error):
+                    rows.append({
+                        "doc_id": i, "frame": -1, "sb": None,
+                        "nb": None, "scf": None, "code_sum": None,
+                        "code_sq_sum": None, "dec_sum": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, frame int, sb int, nb int, scf int, "
+        "code_sum bigint, code_sq_sum bigint, dec_sum double",
+    )

@@ -665,3 +665,75 @@ def test_audio_router_mp3_fallback_widens_coverage():
     assert len(covered) >= 6  # versions x layers beyond MPEG-1 L3
     assert M._mp3_frame_info_meta(b"\xff\x00broken") is None
     assert M._mp3_frame_info_meta(b"ID3\x03\x00\x00\x00\x00\x00\x00") is None
+
+
+# ---------------------------------------------------------------------------
+# MPEG Layer I subband decode (r13)
+# ---------------------------------------------------------------------------
+
+from hadoopxmlextractor_spark.operators import containers as C  # noqa: E402
+
+
+def test_mp1_subband_roundtrip_and_formula():
+    frames = [
+        [(0, 2, 0, [0, 1, 2, 3] * 3),
+         (7, 15, 60, list(range(12))),
+         (31, 8, 30, [200] * 12)],
+        [(3, 5, 9, [7] * 12)],
+    ]
+    blob = C.build_mp1(frames, version="1", sr_idx=2, br_idx=12)
+    rows = C.mp1_subband_stats(blob)
+    assert [(r["frame"], r["sb"], r["nb"]) for r in rows] == [
+        (0, 0, 2), (0, 7, 15), (0, 31, 8), (1, 3, 5),
+    ]
+    r0 = rows[0]
+    assert (r0["code_sum"], r0["code_sq_sum"]) == (18, 42)
+    # the documented requantization identity holds per sample
+    for r in rows:
+        nb, scf = r["nb"], r["scf"]
+        a = (2.0 ** nb) / (2.0 ** nb - 1.0)
+        b = 2.0 ** (1 - nb)
+        sf = 2.0 ** (2 - scf // 3)
+        want = sf * (a * (b * float(r["code_sum"]) + 12.0 * (b - 1.0)))
+        assert r["dec_sum"] == want
+    # per-sample decoded values stay in [-sf, sf)
+    one = C.build_mp1([[(4, 3, 0, [0, 7, 3, 5] * 3)]])
+    (r,) = C.mp1_subband_stats(one)
+    assert r["nb"] == 3 and r["code_sum"] == 45
+    # MPEG-2 arm uses the other bitrate table
+    v2 = C.build_mp1(frames, version="2", sr_idx=1, br_idx=10)
+    assert len(C.mp1_subband_stats(v2)) == 4
+
+
+def test_mp1_refusals():
+    frames = [[(0, 4, 6, [1] * 12)]]
+    blob = C.build_mp1(frames)
+    # free-format bitrate
+    bad = bytearray(blob)
+    bad[2] &= 0x0F
+    with pytest.raises(ValueError, match="bitrate"):
+        C.mp1_subband_stats(bytes(bad))
+    # stereo refuses
+    bad = bytearray(blob)
+    bad[3] = 0  # mode stereo
+    with pytest.raises(ValueError, match="stereo"):
+        C.mp1_subband_stats(bytes(bad))
+    # Layer III refuses (the layer gate)
+    bad = bytearray(blob)
+    bad[1] = (bad[1] & ~0x06) | (1 << 1)
+    with pytest.raises(ValueError, match="not Layer I"):
+        C.mp1_subband_stats(bytes(bad))
+    # forbidden allocation 15
+    bad = bytearray(blob)
+    bad[4] = 0xF0  # first alloc nibble = 15
+    with pytest.raises(ValueError, match="allocation 15"):
+        C.mp1_subband_stats(bytes(bad))
+    # non-integer-exponent scalefactor refuses (exactness contract)
+    odd = C.build_mp1([[(0, 4, 7, [1] * 12)]])
+    with pytest.raises(ValueError, match="scalefactor"):
+        C.mp1_subband_stats(odd)
+    # truncated payload
+    with pytest.raises(ValueError, match="past stream end"):
+        C.mp1_subband_stats(blob[: len(blob) - 20])
+    with pytest.raises(ValueError, match="no Layer I frames"):
+        C.mp1_subband_stats(b"")
