@@ -1061,3 +1061,200 @@ def q_multimodal_audio_mp1_subbands(
         schema="doc_id bigint, frame int, sb int, nb int, scf int, "
         "code_sum bigint, code_sq_sum bigint, dec_sum double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Lossy-JPEG orientation dedup — the DC-identity extension
+# ---------------------------------------------------------------------------
+
+
+def _synth_oriented_lossy_jpeg(i: int) -> tuple[int, bytes]:
+    """(group_id, blob): a BASELINE (lossy) 64x64 gray JPEG whose 8x8
+    DCT blocks are flat at the group's displayed-plane values
+    (md5(gid:olossy)), stored under the inverse EXIF orientation
+    transform with the matching APP1 tag — the r12 watch item: the
+    lossless arm proved the normalization, this arm proves it through
+    a REAL lossy decode (quantization + IDCT + rounding), exact by
+    the DC-quantizer identity (flat blocks keep only the DC
+    coefficient; Q=3 at quality 90 never lands on a rounding
+    half-boundary)."""
+    import hashlib
+
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+    from hadoopxmlextractor_spark.operators.jpeg import encode_jpeg
+
+    gid, o = i % 53, 1 + (i // 53) % 8
+    plane = np.frombuffer(
+        b"".join(
+            hashlib.md5(f"{gid}:olossy{k}".encode()).digest()
+            for k in range(4)
+        ),
+        dtype=np.uint8,
+    ).reshape(8, 8).astype(np.int64)
+    stored8 = M.exif_orient_store(plane, o)
+    img64 = np.kron(stored8, np.ones((8, 8), dtype=np.int64)).astype(
+        np.uint8
+    )
+    enc = encode_jpeg(np.ascontiguousarray(img64), quality=90)
+    app1 = M._encode_exif_app1(
+        big_endian=(i % 2 == 1), orientation=o, make="synthcam",
+        model=f"l{gid}", dt_original="2022:03:01 08:00:00",
+        pixel_w=64, pixel_h=64, xres=(72, 1),
+    )
+    return gid, enc[:2] + app1 + enc[2:]
+
+
+def _orient_perm_values_lossy() -> str:
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+
+    base_idx = np.arange(64).reshape(8, 8)
+    rows = []
+    for o in range(1, 9):
+        stored = M.exif_orient_store(base_idx, o)
+        for p, q in enumerate(stored.flatten()):
+            rows.append(f"({o},{p},{int(q)})")
+    return ", ".join(rows)
+
+
+_LANES13 = ", ".join(
+    f"({p}, " + (str(1 << p) if p < 63 else "(-9223372036854775807 - 1)")
+    + ")"
+    for p in range(64)
+)
+
+
+@query(
+    "multimodal_image_orientation_lossy",
+    f"""
+    WITH d AS (
+      SELECT doc_id, doc_id % 53 AS gid,
+             1 + (doc_id // 53) % 8 AS o
+      FROM documents
+    ),
+    lum AS (
+      SELECT gid, (k * 16 + j) AS q,
+             CAST(LEAST(255, GREATEST(0,
+               ROUND(3 * ROUND(8.0 * (CAST(('0x' || substring(
+                 md5(CAST(gid AS VARCHAR) || ':olossy' || CAST(k AS VARCHAR)),
+                 j * 2 + 1, 2)) AS BIGINT) - 128) / 3) / 8.0 + 128)))
+               AS BIGINT) AS g
+      FROM (SELECT DISTINCT gid FROM d),
+           (SELECT unnest(range(4)) AS k),
+           (SELECT unnest(range(16)) AS j)
+    ),
+    mean AS (SELECT gid, SUM(g) // 64 AS m FROM lum GROUP BY gid),
+    lanes(p, wt) AS (VALUES {_LANES13}),
+    perm(o, p, q) AS (VALUES {{PERM}}),
+    norm AS (
+      SELECT lum.gid,
+             CAST(SUM(CASE WHEN g > m THEN wt ELSE 0 END) AS BIGINT)
+               AS ahash_norm
+      FROM lum JOIN mean USING (gid) JOIN lanes ON lanes.p = lum.q
+      GROUP BY lum.gid
+    ),
+    raw AS (
+      SELECT d.doc_id, d.gid, d.o,
+             CAST(SUM(CASE WHEN lum.g > mean.m THEN lanes.wt ELSE 0 END)
+               AS BIGINT) AS ahash_raw
+      FROM d
+      JOIN perm ON perm.o = d.o
+      JOIN lanes ON lanes.p = perm.p
+      JOIN lum ON lum.gid = d.gid AND lum.q = perm.q
+      JOIN mean ON mean.gid = d.gid
+      GROUP BY d.doc_id, d.gid, d.o
+    ),
+    per_doc AS (
+      SELECT raw.doc_id, raw.gid, raw.o, raw.ahash_raw, norm.ahash_norm
+      FROM raw JOIN norm USING (gid)
+    ),
+    gstats AS (
+      SELECT gid, COUNT(DISTINCT ahash_raw) AS n_raw,
+             COUNT(DISTINCT ahash_norm) AS n_norm
+      FROM per_doc GROUP BY gid
+    )
+    SELECT p.doc_id, CAST(p.gid AS BIGINT) AS group_id,
+           CAST(p.o AS INT) AS orientation,
+           p.ahash_raw, p.ahash_norm,
+           CAST(g.n_raw AS BIGINT) AS n_raw_distinct,
+           CAST(g.n_norm AS BIGINT) AS n_norm_distinct
+    FROM per_doc p JOIN gstats g USING (gid)
+    """.replace("{{PERM}}", "{PERM}").format(
+        PERM=_orient_perm_values_lossy()
+    ),
+)
+def q_multimodal_image_orientation_lossy(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # LOSSY-JPEG ORIENTATION DEDUP (r13) — closes the r12 watch item:
+    # the certified orientation-normalized aHash was proven only on
+    # LOSSLESS synthetics; rotated re-encodes in the wild are lossy
+    # baseline files, where IDCT rounding could in principle break
+    # hash collapse. Each of 53 planted groups stores one displayed
+    # 64x64 image (8x8 flat DCT blocks) under all 8 EXIF orientations
+    # as BASELINE quality-90 JPEGs; the DC-quantizer identity makes
+    # the decode exact (clip(round(3*round(8(v-128)/3)/8 + 128))), so
+    # the oracle pushes every luminance through that formula and
+    # recomputes both hashes + per-group distinct counts. The kernel
+    # additionally VERIFIES block flatness after decode (a lossy-
+    # decoder drift would show as a non-flat block → marker row,
+    # never a silently-wrong hash). One Arrow pass, group-stats
+    # exchange + broadcast join-back — the r12 plan shape.
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+    from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "group_id", "orientation", "ahash_raw",
+                "ahash_norm"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                gid, blob = _synth_oriented_lossy_jpeg(i)
+                img = decode_jpeg(blob)
+                o = M.jpeg_exif(blob)["orientation"]
+                flat = all(
+                    np.all(img[8 * r : 8 * r + 8, 8 * c : 8 * c + 8, 0]
+                           == img[8 * r, 8 * c, 0])
+                    for r in range(8) for c in range(8)
+                )
+                if not flat:
+                    rows.append({
+                        "doc_id": i, "group_id": gid, "orientation": -1,
+                        "ahash_raw": None, "ahash_norm": None,
+                    })
+                    continue
+                norm = M.exif_orient_normalize(img, o)
+                rows.append({
+                    "doc_id": i, "group_id": gid, "orientation": o,
+                    "ahash_raw": M._ahash64(
+                        np.ascontiguousarray(img[::8, ::8, :])
+                    ),
+                    "ahash_norm": M._ahash64(
+                        np.ascontiguousarray(norm[::8, ::8, :])
+                    ),
+                })
+            yield pd.DataFrame(rows, columns=cols)
+
+    per_doc = docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, group_id bigint, orientation int, "
+        "ahash_raw bigint, ahash_norm bigint",
+    )
+    gstats = per_doc.groupBy("group_id").agg(
+        F.countDistinct("ahash_raw").alias("n_raw_distinct"),
+        F.countDistinct("ahash_norm").alias("n_norm_distinct"),
+    )
+    return per_doc.join(F.broadcast(gstats), "group_id").select(
+        "doc_id", "group_id", "orientation", "ahash_raw", "ahash_norm",
+        "n_raw_distinct", "n_norm_distinct",
+    )

@@ -2060,3 +2060,53 @@ def test_frontier_polite_plan_and_budgets(spark):
         assert sorted(r["slot"] for r in hrows) == list(
             range(1, len(hrows) + 1)
         )
+
+
+def test_orientation_lossy_dc_identity_and_collapse():
+    """The lossy (baseline) orientation arm: flat-block 64x64 JPEGs
+    decode EXACTLY via the DC-quantizer identity, raw hashes differ
+    across orientations, normalized hashes collapse — through a real
+    lossy decode."""
+    import numpy as np
+
+    from hadoopxmlextractor_spark.operators import multimodal as M
+    from hadoopxmlextractor_spark.operators.jpeg import decode_jpeg
+    from hadoopxmlextractor_spark.queries_r13 import (
+        _synth_oriented_lossy_jpeg,
+    )
+
+    # doc ids covering all 8 orientations of group 7
+    ids = [7 + 53 * t for t in range(8)]
+    raws, norms = set(), set()
+    for i in ids:
+        gid, blob = _synth_oriented_lossy_jpeg(i)
+        assert gid == 7
+        img = decode_jpeg(blob)
+        assert img.shape == (64, 64, 3)
+        # every 8x8 DCT block is flat after the LOSSY decode
+        for r in range(8):
+            for c in range(8):
+                blk = img[8 * r : 8 * r + 8, 8 * c : 8 * c + 8, 0]
+                assert np.all(blk == blk[0, 0]), (i, r, c)
+        o = M.jpeg_exif(blob)["orientation"]
+        assert o == 1 + (i // 53) % 8
+        norm = M.exif_orient_normalize(img, o)
+        raws.add(M._ahash64(np.ascontiguousarray(img[::8, ::8, :])))
+        norms.add(M._ahash64(np.ascontiguousarray(norm[::8, ::8, :])))
+    assert len(norms) == 1          # duplicates collapse
+    assert len(raws) > 1            # raw hashes genuinely differ
+    # and the decoded values match the closed-form identity
+    gid, blob = _synth_oriented_lossy_jpeg(7)  # orientation 1: stored==displayed
+    img = decode_jpeg(blob)
+    import hashlib
+
+    plane = np.frombuffer(
+        b"".join(hashlib.md5(f"7:olossy{k}".encode()).digest()
+                 for k in range(4)),
+        dtype=np.uint8,
+    ).reshape(8, 8).astype(np.int64)
+    want = np.clip(
+        np.round(3 * np.round(8.0 * (plane - 128) / 3) / 8.0 + 128),
+        0, 255,
+    ).astype(np.int64)
+    assert np.array_equal(img[::8, ::8, 0].astype(np.int64), want)
