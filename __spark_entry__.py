@@ -71,6 +71,38 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
+    # round-13 rotation: the 8 new r13 operators first, then the
+    # queries whose code paths CHANGED this round — source_xls_cells
+    # (parser rewritten for the BIFF8 surface), source_doc_text /
+    # source_ppt_text (doc extract path restructured for piece
+    # tables + decryption), archive_7z_meta + pipeline_7z_documents
+    # (PackPos + pack/folder validation), source_pdf_encrypted (+
+    # metadata twin — /Length anchoring, keylen fallback),
+    # text_robots_admission (robots module grew the crawl-delay/
+    # multi-host surface), pipeline_frontier_expand/schedule (reused
+    # by the politeness capstone), multimodal_image_orientation_dedup
+    # (lossless twin of the new lossy arm) — so the driver
+    # re-certifies every touched surface.
+    "source_doc97_text",
+    "source_xls_biff8_full",
+    "source_pdf_aesv3",
+    "source_xls_encrypted",
+    "source_doc_encrypted",
+    "pipeline_frontier_polite",
+    "multimodal_audio_mp1_subbands",
+    "multimodal_image_orientation_lossy",
+    "source_xls_cells",
+    "source_doc_text",
+    "source_ppt_text",
+    "archive_7z_meta",
+    "pipeline_7z_documents",
+    "source_pdf_encrypted",
+    "source_pdf_encrypted_metadata",
+    "text_robots_admission",
+    "pipeline_frontier_expand",
+    "pipeline_frontier_schedule",
+    "multimodal_image_orientation_dedup",
+    "multimodal_audio_mp3_frames",
     # round-12 rotation: the 6 new r12 operators, then the queries
     # whose code paths CHANGED this round — source_pdf_encrypted
     # (R2/R3/R4 arms + enc_rev), pipeline_mbox_attachments (RFC 5987

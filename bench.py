@@ -82,6 +82,13 @@ HEADLINE = [
     # (lossless-JPEG decode + EXIF + double aHash per blob)
     "pipeline_crawl_outlinks",
     "multimodal_image_orientation_dedup",
+    # round-13 additions: the AES-256 PDF decrypt (R6's hardened
+    # Algorithm 2.B hash loop — the heaviest per-blob crypto kernel;
+    # the fixture pays it twice, writer + reader), and the robots-
+    # aware politeness capstone (frontier anti-join + per-host
+    # admission UDF + WindowGroupLimit scheduling in one plan)
+    "source_pdf_aesv3",
+    "pipeline_frontier_polite",
 ]
 
 N_XML_DOCS = 500
@@ -134,6 +141,8 @@ REFERENCE = {
     "source_warc_charset": 1.1,
     "pipeline_crawl_outlinks": 1.0,
     "multimodal_image_orientation_dedup": 1.5,
+    "source_pdf_aesv3": 6.7,
+    "pipeline_frontier_polite": 4.2,
 }
 
 

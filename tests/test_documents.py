@@ -2668,3 +2668,33 @@ def test_doc_encrypted_roundtrip_and_refusals():
     struct.pack_into("<H", bad, at + 10, fl | 0x8000)
     with pytest.raises(ValueError, match="XOR-obfuscated"):
         D.doc_extract_text(bytes(bad))
+
+
+def test_r13_query_plan_shapes(spark):
+    """Round-13 plan contracts: the per-blob kernels (piece-table
+    .doc, BIFF8-full, AES-256 PDF, encrypted Office, Layer I
+    subbands) carry EXACTLY one id-only round-robin repartition; the
+    politeness capstone keeps WindowGroupLimit; the lossy orientation
+    arm keeps the group-stats exchange + broadcast join-back; never
+    BatchEvalPython anywhere (Arrow-only contract)."""
+    import hadoopxmlextractor_spark.queries_r13  # noqa: F401  (registers)
+    from hadoopxmlextractor_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("source_doc97_text", "source_xls_biff8_full",
+                 "source_pdf_aesv3", "source_xls_encrypted",
+                 "source_doc_encrypted",
+                 "multimodal_audio_mp1_subbands"):
+        plan = QUERIES[name](spark, sf) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("Exchange") == 1, name
+        assert "RoundRobinPartitioning" in plan, name
+    plan = QUERIES["pipeline_frontier_polite"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
+    plan = QUERIES["multimodal_image_orientation_lossy"](spark, sf) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
