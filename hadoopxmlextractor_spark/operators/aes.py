@@ -255,3 +255,33 @@ def cbc_decrypt_nopad(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
         dec = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).decryptor()
         return dec.update(ciphertext) + dec.finalize()
     return _cbc_decrypt_pure(key, iv, ciphertext)
+
+
+def ecb_encrypt(key: bytes, plaintext: bytes) -> bytes:
+    """AES-ECB without padding (block-multiple input) — what the
+    ECMA-376 STANDARD encryption form applies to the verifier and
+    the EncryptedPackage payload."""
+    _check_key_iv(key, bytes(16))
+    if len(plaintext) % 16:
+        raise ValueError("plaintext not a multiple of the block size")
+    if _Cipher is not None:
+        enc = _Cipher(_algorithms.AES(key), _modes.ECB()).encryptor()
+        return enc.update(plaintext) + enc.finalize()
+    return b"".join(
+        encrypt_block(key, plaintext[i : i + 16])
+        for i in range(0, len(plaintext), 16)
+    )
+
+
+def ecb_decrypt(key: bytes, ciphertext: bytes) -> bytes:
+    """AES-ECB decrypt without padding handling."""
+    _check_key_iv(key, bytes(16))
+    if len(ciphertext) % 16:
+        raise ValueError("ciphertext not a multiple of the block size")
+    if _Cipher is not None:
+        dec = _Cipher(_algorithms.AES(key), _modes.ECB()).decryptor()
+        return dec.update(ciphertext) + dec.finalize()
+    return b"".join(
+        decrypt_block(key, ciphertext[i : i + 16])
+        for i in range(0, len(ciphertext), 16)
+    )

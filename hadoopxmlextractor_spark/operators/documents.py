@@ -1814,6 +1814,29 @@ def document_text(
     pages / slides. Unrecognized or malformed blobs yield the
     format-NULL marker row, never an error."""
 
+    def _route_zip(b: bytes):
+        names = {e["name"] for e in zip_member_list(b)}
+        if "word/document.xml" in names:
+            n, text = _docx_extract(b)
+            return "docx", n, text
+        if "ppt/presentation.xml" in names:
+            slides = _pptx_extract(b)
+            return "pptx", len(slides), "\n".join(t for _, t in slides)
+        if "META-INF/container.xml" in names:
+            n, text = _epub_extract(b)
+            return "epub", n, text
+        if "mimetype" in names:
+            kind = _odf_kind(_zip_open_map(b))
+            if kind == "text":
+                n, text = _odt_extract(b)
+                return "odt", n, text
+            if kind == "presentation":
+                slides = _odp_extract(b)
+                return "odp", len(slides), "\n".join(
+                    t for _, t in slides
+                )
+        return None, None, None
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "format", "n_units", "text"]
         for pdf in batches:
@@ -1828,41 +1851,33 @@ def document_text(
                         elif b.startswith(b"{\\rtf"):
                             fmt, (n, text) = "rtf", rtf_to_text(b)
                         elif b.startswith(_CFB_MAGIC):
-                            kind = cfb_kind(
-                                [m["name"] for m in cfb_members(b)]
-                            )
-                            if kind == "doc":
-                                fmt, (n, text) = (
-                                    "doc", doc_extract_text(b)
+                            names = [
+                                m["name"] for m in cfb_members(b)
+                            ]
+                            if "EncryptedPackage" in names:
+                                # ECMA-376 encryption container: the
+                                # modern password-protected form —
+                                # silent default password, then the
+                                # ordinary zip routing (r13)
+                                fmt, n, text = _route_zip(
+                                    ooxml_decrypt(b)
                                 )
-                            elif kind == "ppt":
-                                fmt, (n, text) = (
-                                    "ppt", ppt_extract_text(b)
-                                )
-                            else:  # xls/unknown: not a text document
-                                raise ValueError(
-                                    "unrouted compound file"
-                                )
-                        elif b.startswith(_LOC_SIG):
-                            names = {e["name"] for e in zip_member_list(b)}
-                            if "word/document.xml" in names:
-                                fmt, (n, text) = "docx", _docx_extract(b)
-                            elif "ppt/presentation.xml" in names:
-                                slides = _pptx_extract(b)
-                                fmt, n = "pptx", len(slides)
-                                text = "\n".join(t for _, t in slides)
-                            elif "META-INF/container.xml" in names:
-                                fmt, (n, text) = "epub", _epub_extract(b)
-                            elif "mimetype" in names:
-                                kind = _odf_kind(_zip_open_map(b))
-                                if kind == "text":
-                                    fmt, (n, text) = "odt", _odt_extract(b)
-                                elif kind == "presentation":
-                                    slides = _odp_extract(b)
-                                    fmt, n = "odp", len(slides)
-                                    text = "\n".join(
-                                        t for _, t in slides
+                            else:
+                                kind = cfb_kind(names)
+                                if kind == "doc":
+                                    fmt, (n, text) = (
+                                        "doc", doc_extract_text(b)
                                     )
+                                elif kind == "ppt":
+                                    fmt, (n, text) = (
+                                        "ppt", ppt_extract_text(b)
+                                    )
+                                else:  # xls/unknown: not text
+                                    raise ValueError(
+                                        "unrouted compound file"
+                                    )
+                        elif b.startswith(_LOC_SIG):
+                            fmt, n, text = _route_zip(b)
                     except (ValueError, IndexError, KeyError, struct.error,
                             zlib.error, ElementTree.ParseError):
                         fmt = n = text = None
@@ -7555,3 +7570,338 @@ def encrypt_doc(blob: bytes, password: str = _OFFICE_DEFAULT_PW,
         # EncryptionHeader still needs one
         out.append((tbl_name, table_enc))
     return build_cfb(out)
+
+
+# ---------------------------------------------------------------------------
+# OOXML (ECMA-376) encryption (r13) — the MODERN password-protected
+# Office form: a CFB container holding EncryptionInfo +
+# EncryptedPackage around an ordinary .docx/.xlsx/.pptx zip.
+# STANDARD form ([MS-OFFCRYPTO] 2.3.4.5-2.3.4.9): AES-ECB, SHA-1
+# 50000-round spin, X1/X2 ipad/opad-style derivation. AGILE form
+# (2.3.4.10-2.3.4.15, Office 2010+ default): XML descriptor, SHA-512
+# spin, AES-CBC with per-purpose block keys, segmented package
+# cipher, HMAC data integrity.
+# ---------------------------------------------------------------------------
+
+# per-purpose block keys, [MS-OFFCRYPTO] 2.3.4.13/2.3.4.14/2.3.4.15
+_AGILE_BK_VERIFIER_INPUT = bytes.fromhex("fea7d2763b4b9e79")
+_AGILE_BK_VERIFIER_VALUE = bytes.fromhex("d7aa0f6d3061344e")
+_AGILE_BK_KEY_VALUE = bytes.fromhex("146e0be7abacd0d6")
+_AGILE_BK_HMAC_KEY = bytes.fromhex("5fb2ad010cb9e1f6")
+_AGILE_BK_HMAC_VALUE = bytes.fromhex("a0677f02b22c8433")
+
+_AGILE_HASHES = {
+    "SHA1": "sha1", "SHA256": "sha256", "SHA384": "sha384",
+    "SHA512": "sha512",
+}
+
+
+def _ooxml_spin(hash_name: str, password: str, salt: bytes,
+                spin: int) -> bytes:
+    """H = Hash(salt ‖ UTF-16LE(password)); then spin rounds of
+    H = Hash(LE32(i) ‖ H) — the iteration order both ECMA-376 forms
+    share."""
+    hf = getattr(hashlib, hash_name)
+    h = hf(salt + password.encode("utf-16-le")).digest()
+    for i in range(spin):
+        h = hf(struct.pack("<I", i) + h).digest()
+    return h
+
+
+def _ooxml_standard_key(password: str, salt: bytes,
+                        keylen: int) -> bytes:
+    """Standard-form key: 50000-round SHA-1 spin, block 0 appended,
+    then the X1/X2 0x36/0x5C-pad derivation ([MS-OFFCRYPTO]
+    2.3.4.7)."""
+    h = _ooxml_spin("sha1", password, salt, 50000)
+    hfinal = hashlib.sha1(h + struct.pack("<I", 0)).digest()
+    buf1 = bytes(b ^ 0x36 for b in hfinal) + b"\x36" * (64 - 20)
+    buf2 = bytes(b ^ 0x5C for b in hfinal) + b"\x5c" * (64 - 20)
+    x1 = hashlib.sha1(buf1).digest()
+    x2 = hashlib.sha1(buf2).digest()
+    return (x1 + x2)[:keylen]
+
+
+def _agile_key(hash_name: str, h_spun: bytes, block_key: bytes,
+               keylen: int) -> bytes:
+    """Per-purpose agile key: Hash(spun ‖ blockKey) truncated (or
+    0x36-padded) to the key length."""
+    hf = getattr(hashlib, hash_name)
+    k = hf(h_spun + block_key).digest()
+    if len(k) < keylen:
+        k += b"\x36" * (keylen - len(k))
+    return k[:keylen]
+
+
+def _agile_iv(hash_name: str, salt: bytes,
+              block_key: bytes | None) -> bytes:
+    """Agile IV: the salt itself (no block key) or Hash(salt ‖
+    blockKey), truncated/0x36-padded to the 16-byte block size."""
+    if block_key is None:
+        iv = salt
+    else:
+        iv = getattr(hashlib, hash_name)(salt + block_key).digest()
+    if len(iv) < 16:
+        iv += b"\x36" * (16 - len(iv))
+    return iv[:16]
+
+
+def _pad16(data: bytes) -> bytes:
+    return data + b"\x00" * (-len(data) % 16)
+
+
+def build_ooxml_encrypted(
+    package: bytes, password: str = _OFFICE_DEFAULT_PW, *,
+    agile: bool = True, spin: int = 1000, salt_seed: bytes = b"o",
+    hash_name: str = "sha512",
+) -> bytes:
+    """``package`` (an ordinary OOXML zip) wrapped in the ECMA-376
+    encryption container. The agile arm writes the XML descriptor
+    (configurable spinCount/hash — real writers use 100000/SHA512;
+    fixtures keep the spin small because the FIELD drives the
+    reader), AES-256-CBC per-purpose keys, the 4096-byte segmented
+    package cipher, and the HMAC dataIntegrity pair. The standard
+    arm writes the binary header (AES-128-ECB, the spec-FIXED
+    50000-round SHA-1 spin). Write partner of
+    :func:`ooxml_decrypt`."""
+    from hadoopxmlextractor_spark.operators import aes as A
+
+    if not agile:
+        salt = hashlib.md5(salt_seed + b":stds").digest()
+        key = _ooxml_standard_key(password, salt, 16)
+        verifier = hashlib.md5(salt_seed + b":stdv").digest()
+        ev = A.ecb_encrypt(key, verifier)
+        vh = hashlib.sha1(verifier).digest()
+        evh = A.ecb_encrypt(key, _pad16(vh))
+        csp = "Microsoft Enhanced RSA and AES Cryptographic Provider"
+        header = struct.pack(
+            "<IIIIIIII", 0x24, 0, 0x660E, 0x8004, 128, 0x18, 0, 0
+        ) + csp.encode("utf-16-le") + b"\x00\x00"
+        info = (
+            struct.pack("<HHI", 4, 2, 0x24)
+            + struct.pack("<I", len(header)) + header
+            + struct.pack("<I", 16) + salt + ev
+            + struct.pack("<I", 20) + evh
+        )
+        enc_pkg = (
+            struct.pack("<Q", len(package))
+            + A.ecb_encrypt(key, _pad16(package))
+        )
+        return build_cfb([
+            ("EncryptionInfo", info),
+            ("EncryptedPackage", enc_pkg),
+        ])
+
+    import base64
+    import hmac as hmac_mod
+
+    hname = hash_name.lower()
+    hf = getattr(hashlib, hname)
+    kd_salt = hashlib.md5(salt_seed + b":kds").digest()
+    pw_salt = hashlib.md5(salt_seed + b":pws").digest()
+    pkg_key = hf(salt_seed + b":pk").digest()[:32]
+    h_spun = _ooxml_spin(hname, password, pw_salt, spin)
+    k_vi = _agile_key(hname, h_spun, _AGILE_BK_VERIFIER_INPUT, 32)
+    k_vv = _agile_key(hname, h_spun, _AGILE_BK_VERIFIER_VALUE, 32)
+    k_kv = _agile_key(hname, h_spun, _AGILE_BK_KEY_VALUE, 32)
+    iv_pw = _agile_iv(hname, pw_salt, None)
+    verifier_input = hashlib.md5(salt_seed + b":vi").digest()
+    e_vi = A.cbc_encrypt_nopad(k_vi, iv_pw, _pad16(verifier_input))
+    e_vv = A.cbc_encrypt_nopad(
+        k_vv, iv_pw, _pad16(hf(verifier_input).digest())
+    )
+    e_kv = A.cbc_encrypt_nopad(k_kv, iv_pw, pkg_key)
+
+    # segmented package cipher: 4096-byte segments, IV per segment
+    body = b""
+    for seg in range(0, max(len(package), 1), 4096):
+        chunk = package[seg : seg + 4096]
+        iv = _agile_iv(hname, kd_salt, struct.pack("<I", seg // 4096))
+        body += A.cbc_encrypt_nopad(pkg_key, iv, _pad16(chunk))
+    enc_pkg = struct.pack("<Q", len(package)) + body
+
+    hmac_key = hf(salt_seed + b":hk").digest()
+    e_hk = A.cbc_encrypt_nopad(
+        pkg_key, _agile_iv(hname, kd_salt, _AGILE_BK_HMAC_KEY),
+        _pad16(hmac_key),
+    )
+    hval = hmac_mod.new(hmac_key, enc_pkg, hf).digest()
+    e_hv = A.cbc_encrypt_nopad(
+        pkg_key, _agile_iv(hname, kd_salt, _AGILE_BK_HMAC_VALUE),
+        _pad16(hval),
+    )
+
+    b64 = lambda x: base64.b64encode(x).decode()  # noqa: E731
+    hsize = hf(b"").digest_size
+    hup = {"sha1": "SHA1", "sha256": "SHA256", "sha384": "SHA384",
+           "sha512": "SHA512"}[hname]
+    xml = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<encryption xmlns="http://schemas.microsoft.com/office/2006/'
+        'encryption" xmlns:p="http://schemas.microsoft.com/office/2006/'
+        'keyEncryptor/password">'
+        f'<keyData saltSize="16" blockSize="16" keyBits="256" '
+        f'hashSize="{hsize}" cipherAlgorithm="AES" '
+        f'cipherChaining="ChainingModeCBC" hashAlgorithm="{hup}" '
+        f'saltValue="{b64(kd_salt)}"/>'
+        f'<dataIntegrity encryptedHmacKey="{b64(e_hk)}" '
+        f'encryptedHmacValue="{b64(e_hv)}"/>'
+        '<keyEncryptors><keyEncryptor uri="http://schemas.microsoft.'
+        'com/office/2006/keyEncryptor/password">'
+        f'<p:encryptedKey spinCount="{spin}" saltSize="16" '
+        f'blockSize="16" keyBits="256" hashSize="{hsize}" '
+        f'cipherAlgorithm="AES" cipherChaining="ChainingModeCBC" '
+        f'hashAlgorithm="{hup}" saltValue="{b64(pw_salt)}" '
+        f'encryptedVerifierHashInput="{b64(e_vi)}" '
+        f'encryptedVerifierHashValue="{b64(e_vv)}" '
+        f'encryptedKeyValue="{b64(e_kv)}"/>'
+        '</keyEncryptor></keyEncryptors></encryption>'
+    )
+    info = struct.pack("<HHI", 4, 4, 0x40) + xml.encode()
+    return build_cfb([
+        ("EncryptionInfo", info),
+        ("EncryptedPackage", enc_pkg),
+    ])
+
+
+def ooxml_decrypt(blob: bytes,
+                  password: str = _OFFICE_DEFAULT_PW) -> bytes:
+    """The plaintext OOXML zip inside an ECMA-376 encryption
+    container — both shipping forms:
+
+    - AGILE (4.4): XML descriptor parsed for real (hash family,
+      spinCount, salts, AES-CBC chaining all field-driven); the
+      verifierHashInput/Value pair AUTHENTICATES the password, the
+      package key unwraps from encryptedKeyValue, the HMAC
+      dataIntegrity pair is VERIFIED over the whole EncryptedPackage
+      stream before any payload byte is trusted, then the 4096-byte
+      segments decrypt with per-segment IVs.
+    - STANDARD (2/3/4 . 2): binary header (AES-128/192/256 ECB,
+      SHA-1), the spec-fixed 50000-round spin, SHA1(verifier) check.
+
+    A failed verifier (a REAL password), a failed HMAC, RC4-flagged
+    standard headers, or unsupported cipher/chaining refuse
+    (ValueError) — the marker-row contract."""
+    import base64
+    import hmac as hmac_mod
+
+    from hadoopxmlextractor_spark.operators import aes as A
+
+    streams = {
+        m["name"]: m["data"]
+        for m in cfb_members(blob, with_data=True)
+        if m["size"] is not None
+    }
+    info = streams.get("EncryptionInfo")
+    pkg = streams.get("EncryptedPackage")
+    if info is None or pkg is None:
+        raise ValueError("not an OOXML encryption container")
+    vmaj, vmin, flags = struct.unpack_from("<HHI", info, 0)
+    (orig_size,) = struct.unpack_from("<Q", pkg, 0)
+
+    if (vmaj, vmin) == (4, 4) and flags == 0x40:
+        root = ElementTree.fromstring(info[8:].decode("utf-8"))
+        ns = "{http://schemas.microsoft.com/office/2006/encryption}"
+        pns = ("{http://schemas.microsoft.com/office/2006/"
+               "keyEncryptor/password}")
+        kd = root.find(f"{ns}keyData")
+        ek = root.find(f".//{pns}encryptedKey")
+        di = root.find(f"{ns}dataIntegrity")
+        if kd is None or ek is None:
+            raise ValueError("malformed agile descriptor")
+        for el in (kd, ek):
+            if (el.get("cipherAlgorithm") != "AES"
+                    or el.get("cipherChaining") != "ChainingModeCBC"):
+                raise ValueError("unsupported agile cipher")
+        hname = _AGILE_HASHES.get(ek.get("hashAlgorithm", ""))
+        kd_hname = _AGILE_HASHES.get(kd.get("hashAlgorithm", ""))
+        if hname is None or kd_hname is None:
+            raise ValueError("unsupported agile hash")
+        hname = hname.lower()
+        kd_hname = kd_hname.lower()
+        hf = getattr(hashlib, hname)
+        spin = int(ek.get("spinCount"))
+        if not 0 < spin <= 10_000_000:
+            raise ValueError("agile spinCount out of range")
+        keylen = int(ek.get("keyBits")) // 8
+        pkg_keylen = int(kd.get("keyBits")) // 8
+        pw_salt = base64.b64decode(ek.get("saltValue"))
+        kd_salt = base64.b64decode(kd.get("saltValue"))
+        e_vi = base64.b64decode(ek.get("encryptedVerifierHashInput"))
+        e_vv = base64.b64decode(ek.get("encryptedVerifierHashValue"))
+        e_kv = base64.b64decode(ek.get("encryptedKeyValue"))
+        h_spun = _ooxml_spin(hname, password, pw_salt, spin)
+        iv_pw = _agile_iv(hname, pw_salt, None)
+        vi = A.cbc_decrypt_nopad(
+            _agile_key(hname, h_spun, _AGILE_BK_VERIFIER_INPUT,
+                       keylen), iv_pw, e_vi,
+        )[: len(pw_salt)]
+        vv = A.cbc_decrypt_nopad(
+            _agile_key(hname, h_spun, _AGILE_BK_VERIFIER_VALUE,
+                       keylen), iv_pw, e_vv,
+        )[: hf(b"").digest_size]
+        if hf(vi).digest() != vv:
+            raise ValueError("encrypted OOXML (password)")
+        pkg_key = A.cbc_decrypt_nopad(
+            _agile_key(hname, h_spun, _AGILE_BK_KEY_VALUE, keylen),
+            iv_pw, e_kv,
+        )[:pkg_keylen]
+        if di is not None:
+            hmac_key = A.cbc_decrypt_nopad(
+                pkg_key,
+                _agile_iv(kd_hname, kd_salt, _AGILE_BK_HMAC_KEY),
+                base64.b64decode(di.get("encryptedHmacKey")),
+            )[: hf(b"").digest_size]
+            want = A.cbc_decrypt_nopad(
+                pkg_key,
+                _agile_iv(kd_hname, kd_salt, _AGILE_BK_HMAC_VALUE),
+                base64.b64decode(di.get("encryptedHmacValue")),
+            )[: hf(b"").digest_size]
+            got = hmac_mod.new(
+                hmac_key, pkg, getattr(hashlib, kd_hname)
+            ).digest()
+            if got != want:
+                raise ValueError("OOXML dataIntegrity HMAC mismatch")
+        out = bytearray()
+        body = pkg[8:]
+        for seg in range(0, len(body), 4096):
+            iv = _agile_iv(kd_hname, kd_salt,
+                           struct.pack("<I", seg // 4096))
+            out += A.cbc_decrypt_nopad(
+                pkg_key, iv, body[seg : seg + 4096]
+            )
+        if orig_size > len(out):
+            raise ValueError("OOXML package shorter than declared")
+        return bytes(out[:orig_size])
+
+    if vmin == 2 and vmaj in (2, 3, 4):
+        if flags & 0x20 == 0 and flags != 0x24:
+            # fCryptoAPI without fAES ⇒ the RC4 CryptoAPI form
+            raise ValueError("RC4 CryptoAPI OOXML unsupported")
+        (hsize,) = struct.unpack_from("<I", info, 8)
+        header = info[12 : 12 + hsize]
+        alg_id, _algh, key_bits = struct.unpack_from("<III", header, 8)
+        keylen = {0x660E: 16, 0x660F: 24, 0x6610: 32}.get(alg_id)
+        if keylen is None or key_bits != keylen * 8:
+            raise ValueError("unsupported standard-form cipher")
+        at = 12 + hsize
+        (salt_size,) = struct.unpack_from("<I", info, at)
+        if salt_size != 16:
+            raise ValueError("bad standard-form salt size")
+        salt = info[at + 4 : at + 20]
+        ev = info[at + 20 : at + 36]
+        (vh_size,) = struct.unpack_from("<I", info, at + 36)
+        evh = info[at + 40 : at + 72]
+        if vh_size != 20 or len(evh) < 32:
+            raise ValueError("bad standard-form verifier")
+        key = _ooxml_standard_key(password, salt, keylen)
+        verifier = A.ecb_decrypt(key, ev)
+        vh = A.ecb_decrypt(key, evh)[:20]
+        if hashlib.sha1(verifier).digest() != vh:
+            raise ValueError("encrypted OOXML (password)")
+        out = A.ecb_decrypt(key, _pad16(pkg[8:]))
+        if orig_size > len(out):
+            raise ValueError("OOXML package shorter than declared")
+        return out[:orig_size]
+
+    raise ValueError("unknown OOXML encryption version")

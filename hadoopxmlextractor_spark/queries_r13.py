@@ -1258,3 +1258,124 @@ def q_multimodal_image_orientation_lossy(
         "doc_id", "group_id", "orientation", "ahash_raw", "ahash_norm",
         "n_raw_distinct", "n_norm_distinct",
     )
+
+
+# ---------------------------------------------------------------------------
+# OOXML (ECMA-376) encrypted documents — the modern protected form
+# ---------------------------------------------------------------------------
+
+
+def _synth_ooxml_encrypted_blob(i: int) -> bytes:
+    """A real .docx (the certified source_docx_text synth) wrapped in
+    the ECMA-376 encryption container: the AGILE form (Office 2010+
+    default) with field-driven spinCount and a SHA256/SHA512 hash
+    rotation, or the STANDARD form (AES-128-ECB, spec-fixed
+    50000-round SHA-1 spin) on every 17th doc. Every 6th doc uses a
+    REAL password — the verifier refusal arm."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:ooxe".encode()).digest()
+    pkg = D._synth_docx_blob(i)
+    password = "realpw" if i % 6 == 5 else D._OFFICE_DEFAULT_PW
+    if i % 17 == 0:
+        return D.build_ooxml_encrypted(
+            pkg, password, agile=False, salt_seed=f"{i}:oo".encode()
+        )
+    return D.build_ooxml_encrypted(
+        pkg, password, agile=True,
+        spin=500 + (b[6] % 4) * 250,
+        hash_name="sha256" if b[5] % 3 == 0 else "sha512",
+        salt_seed=f"{i}:oo".encode(),
+    )
+
+
+@query(
+    "source_ooxml_encrypted",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('docx', 0)} AS b0, {_b('docx', 1)} AS b1,
+             {_b('docx', 2)} AS b2,
+             CASE WHEN doc_id % 17 = 0 THEN 'standard'
+                  ELSE 'agile' END AS form
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id, form, 1 + b0 % 3 AS n,
+             (['alpha','bravo','charlie','delta','echo'])[b1 % 5 + 1]
+               || ' 0'
+               || CASE WHEN b2 % 2 = 1 THEN chr(9) || 'tabbed'
+                  ELSE '' END AS p0,
+             (['alpha','bravo','charlie','delta','echo'])
+               [(b1 + 1) % 5 + 1] || ' 1' AS p1,
+             (['alpha','bravo','charlie','delta','echo'])
+               [(b1 + 2) % 5 + 1] || ' 2' AS p2
+      FROM p
+    )
+    SELECT doc_id, TRUE AS decrypted, form, 'docx' AS format,
+           CAST(n AS INT) AS n_units,
+           p0 || CASE WHEN n >= 2 THEN chr(10) || p1 ELSE '' END
+              || CASE WHEN n >= 3 THEN chr(10) || p2 ELSE '' END AS text
+    FROM e WHERE doc_id % 6 <> 5
+    UNION ALL
+    SELECT doc_id, FALSE, form, NULL, NULL, NULL
+    FROM e WHERE doc_id % 6 = 5
+    """,
+)
+def q_source_ooxml_encrypted(spark: SparkSession, sf: str) -> DataFrame:
+    # OOXML ENCRYPTION (r13) — the MODERN password-protected Office
+    # form every .docx/.xlsx "password to open" produces: a CFB
+    # container with EncryptionInfo + EncryptedPackage around the
+    # ordinary zip. Both shipping generations: AGILE (XML descriptor
+    # parsed for real — hash family, spinCount, salts all
+    # field-driven; SHA512/SHA256 rotation; HMAC dataIntegrity
+    # VERIFIED over the package before any byte is trusted; 4096-byte
+    # segmented AES-256-CBC) and STANDARD (AES-128-ECB, the
+    # spec-fixed 50000-round SHA-1 spin — kept to every 17th doc
+    # because the spin is not field-tunable). The silent default
+    # password authenticates via the verifier pair; every 6th doc
+    # carries a real password — marker row. ``form`` is parsed back
+    # from the BLOB's EncryptionInfo version (not replayed), and the
+    # decrypted zip routes through the SAME document_text dispatch as
+    # a plain .docx — text parity with source_docx_text proves the
+    # whole decrypt→route→extract chain. One Arrow pass.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series(
+                [_synth_ooxml_encrypted_blob(int(i)) for i in ids]
+            )
+
+    @F.pandas_udf("int")
+    def _vminor(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for blobs in it:
+            out = []
+            for blob in blobs:
+                info = next(
+                    m["data"]
+                    for m in D.cfb_members(bytes(blob), with_data=True)
+                    if m["name"] == "EncryptionInfo"
+                )
+                out.append(struct.unpack_from("<H", info, 2)[0])
+            yield pd.Series(out)
+
+    raw = docs.select("doc_id", _blob("doc_id").alias("content"))
+    blobs = raw.select(
+        (F.col("doc_id") * 10 + _vminor("content")).alias("doc_id"),
+        "content",
+    )
+    ex = D.document_text(blobs)
+    return ex.select(
+        F.expr("doc_id div 10").alias("doc_id"),
+        F.col("format").isNotNull().alias("decrypted"),
+        F.when(F.col("doc_id") % 10 == 4, F.lit("agile"))
+        .otherwise(F.lit("standard")).alias("form"),
+        "format", F.col("n_units"), "text",
+    )
