@@ -7188,23 +7188,53 @@ def _office_rc4_keydigest(password: str, salt: bytes) -> bytes:
 class _OfficeRC4:
     """RC4 keystream over an encrypted legacy-Office stream: re-keyed
     every ``block_size`` bytes of ABSOLUTE stream offset (1024 for
-    BIFF8 Workbook streams, 512 for Word document/table streams) with
-    key = MD5(keydigest5 ‖ le32(block)). Plaintext spans (record
-    headers, exempt records, the FIB base) still ADVANCE the position
-    — `skip` consumes keystream without transforming."""
+    BIFF8 Workbook streams, 512 for Word document/table streams).
+    Two published derivations ([MS-OFFCRYPTO]):
 
-    def __init__(self, password: str, salt: bytes, block_size: int):
-        self._kd = _office_rc4_keydigest(password, salt)
+    - ``binary`` (2.3.6): key = MD5(keydigest5 ‖ le32(block)) off the
+      MD5 ×16-repetition digest — the Office 97-2000 form;
+    - ``cryptoapi`` (2.3.5): key = SHA1(H0 ‖ le32(block)) truncated
+      to ``key_bits``/8 bytes (the 40-bit grade zero-pads to 16 —
+      the export-grade CryptoAPI quirk), H0 = SHA1(salt ‖ UTF-16LE
+      password) — the Office XP/2003 form.
+
+    Plaintext spans (record headers, exempt records, the FIB base)
+    still ADVANCE the position — `skip` consumes keystream without
+    transforming."""
+
+    def __init__(self, password: str, salt: bytes, block_size: int,
+                 *, scheme: str = "binary", key_bits: int = 128):
+        if scheme == "binary":
+            self._kd = _office_rc4_keydigest(password, salt)
+        elif scheme == "cryptoapi":
+            self._kd = hashlib.sha1(
+                salt + password.encode("utf-16-le")
+            ).digest()
+        else:
+            raise ValueError(f"unknown RC4 scheme {scheme}")
+        self._scheme = scheme
+        self._key_bits = key_bits
         self._bs = block_size
         self._off = 0
         self._rekey(0)
 
     def _rekey(self, blk: int) -> None:
-        key = hashlib.md5(self._kd + struct.pack("<I", blk)).digest()
+        if self._scheme == "binary":
+            key = hashlib.md5(
+                self._kd + struct.pack("<I", blk)
+            ).digest()
+        else:
+            h = hashlib.sha1(
+                self._kd + struct.pack("<I", blk)
+            ).digest()
+            if self._key_bits == 40:
+                key = h[:5] + b"\x00" * 11
+            else:
+                key = h[: self._key_bits // 8]
         s = list(range(256))
         j = 0
         for i in range(256):
-            j = (j + s[i] + key[i % 16]) & 0xFF
+            j = (j + s[i] + key[i % len(key)]) & 0xFF
             s[i], s[j] = s[j], s[i]
         self._s, self._i, self._j, self._blk = s, 0, 0, blk
 
@@ -7231,14 +7261,20 @@ class _OfficeRC4:
 
 
 def _office_rc4_verify(password: str, salt: bytes, ev: bytes,
-                       evh: bytes, block_size: int) -> bool:
-    """[MS-OFFCRYPTO] 2.3.6.4: decrypt EncryptedVerifier then
-    EncryptedVerifierHash with ONE continuous block-0 cipher; the
-    password authenticates iff MD5(verifier) == verifierHash."""
-    rc4 = _OfficeRC4(password, salt, block_size)
+                       evh: bytes, block_size: int, *,
+                       scheme: str = "binary",
+                       key_bits: int = 128) -> bool:
+    """[MS-OFFCRYPTO] 2.3.6.4 / 2.3.5.6: decrypt EncryptedVerifier
+    then EncryptedVerifierHash with ONE continuous block-0 cipher;
+    the password authenticates iff Hash(verifier) == verifierHash —
+    MD5 for the binary form, SHA-1 for CryptoAPI."""
+    rc4 = _OfficeRC4(password, salt, block_size, scheme=scheme,
+                     key_bits=key_bits)
     v = rc4.crypt(ev)
     vh = rc4.crypt(evh)
-    return hashlib.md5(v).digest() == vh
+    hf = hashlib.md5 if scheme == "binary" else hashlib.sha1
+    d = hf(v).digest()
+    return d == vh[: len(d)]
 
 
 # --- XOR obfuscation (Method 1) tables: [MS-OFFCRYPTO] 2.3.7.2 — the
@@ -7407,18 +7443,43 @@ def xls_decrypt_stream(data: bytes,
     payload = data[off + 4 : off + 4 + ln]
     (wtype,) = struct.unpack_from("<H", payload, 0)
     out = bytearray(data)
-    if wtype == 1:  # RC4
+    if wtype == 1:  # RC4 (binary or CryptoAPI)
         vmaj, vmin = struct.unpack_from("<HH", payload, 2)
-        if (vmaj, vmin) != (1, 1):
-            raise ValueError("CryptoAPI .xls encryption unsupported")
-        salt = payload[6:22]
-        ev = payload[22:38]
-        evh = payload[38:54]
-        if len(evh) < 16:
-            raise ValueError("truncated FilePass header")
-        if not _office_rc4_verify(password, salt, ev, evh, 1024):
+        if (vmaj, vmin) == (1, 1):  # binary RC4 (Office 97-2000)
+            scheme, key_bits = "binary", 128
+            salt = payload[6:22]
+            ev = payload[22:38]
+            evh = payload[38:54]
+            if len(evh) < 16:
+                raise ValueError("truncated FilePass header")
+        elif vmin == 2 and vmaj in (2, 3, 4):  # CryptoAPI (XP/2003)
+            scheme = "cryptoapi"
+            (hsize,) = struct.unpack_from("<I", payload, 10)
+            header = payload[14 : 14 + hsize]
+            alg_id, _algh, key_bits = struct.unpack_from(
+                "<III", header, 8
+            )
+            if alg_id != 0x6801:
+                raise ValueError("non-RC4 CryptoAPI .xls unsupported")
+            if key_bits not in (40, 56, 128):
+                raise ValueError("bad CryptoAPI key size")
+            at = 14 + hsize
+            (salt_size,) = struct.unpack_from("<I", payload, at)
+            salt = payload[at + 4 : at + 20]
+            ev = payload[at + 20 : at + 36]
+            (vh_size,) = struct.unpack_from("<I", payload, at + 36)
+            evh = payload[at + 40 : at + 60]
+            if salt_size != 16 or vh_size != 20 or len(evh) < 20:
+                raise ValueError("bad CryptoAPI verifier")
+        else:
+            raise ValueError("unsupported .xls encryption version")
+        if not _office_rc4_verify(
+            password, salt, ev, evh, 1024,
+            scheme=scheme, key_bits=key_bits,
+        ):
             raise ValueError("encrypted .xls (password)")
-        rc4 = _OfficeRC4(password, salt, 1024)
+        rc4 = _OfficeRC4(password, salt, 1024, scheme=scheme,
+                         key_bits=key_bits)
         for roff, rop, rln in _xls_stream_records(data):
             rc4.skip(4)  # header bytes advance the keystream
             if rop in _XLS_PLAINTEXT_RECORDS:
@@ -7451,11 +7512,15 @@ def xls_decrypt_stream(data: bytes,
 
 
 def encrypt_xls(blob: bytes, password: str = _OFFICE_DEFAULT_PW,
-                *, xor: bool = False, salt_seed: bytes = b"s") -> bytes:
+                *, xor: bool = False, salt_seed: bytes = b"s",
+                cryptoapi: bool = False, key_bits: int = 128) -> bytes:
     """A plaintext BIFF8 .xls compound file re-written with FilePass
-    protection — RC4 (default) or XOR obfuscation. The FilePass
-    record lands right after BOF and every later non-exempt payload
-    is transformed; write partner of :func:`xls_decrypt_stream`."""
+    protection — binary RC4 (default), RC4 CryptoAPI
+    (``cryptoapi=True``, SHA-1 derivation, explicit ``key_bits``
+    incl. the zero-padded 40-bit export grade), or XOR obfuscation.
+    The FilePass record lands right after BOF and every later
+    non-exempt payload is transformed; write partner of
+    :func:`xls_decrypt_stream`."""
     ms = cfb_members(blob, with_data=True)
     wb = next((m for m in ms if m["name"] in ("Workbook", "Book")), None)
     if wb is None:
@@ -7473,7 +7538,25 @@ def encrypt_xls(blob: bytes, password: str = _OFFICE_DEFAULT_PW,
         fp_payload = struct.pack(
             "<HHH", 0, _xor_create_key(pw), _xor_create_verifier(pw)
         )
+    elif cryptoapi:
+        scheme = "cryptoapi"
+        salt = hashlib.md5(salt_seed + b":xlsalt").digest()
+        verifier = hashlib.md5(salt_seed + b":xlver").digest()
+        rc4 = _OfficeRC4(password, salt, 1024, scheme=scheme,
+                         key_bits=key_bits)
+        ev = rc4.crypt(verifier)
+        evh = rc4.crypt(hashlib.sha1(verifier).digest())
+        csp = "Microsoft Base Cryptographic Provider v1.0"
+        header = struct.pack(
+            "<IIIIIIII", 0x04, 0, 0x6801, 0x8004, key_bits, 0x01, 0, 0
+        ) + csp.encode("utf-16-le") + b"\x00\x00"
+        fp_payload = (
+            struct.pack("<HHHII", 1, 4, 2, 0x04, len(header)) + header
+            + struct.pack("<I", 16) + salt + ev
+            + struct.pack("<I", 20) + evh
+        )
     else:
+        scheme = "binary"
         salt = hashlib.md5(salt_seed + b":xlsalt").digest()
         verifier = hashlib.md5(salt_seed + b":xlver").digest()
         rc4 = _OfficeRC4(password, salt, 1024)
@@ -7496,7 +7579,8 @@ def encrypt_xls(blob: bytes, password: str = _OFFICE_DEFAULT_PW,
                 encrypt=True,
             )
     else:
-        rc4 = _OfficeRC4(password, salt, 1024)
+        rc4 = _OfficeRC4(password, salt, 1024, scheme=scheme,
+                         key_bits=key_bits)
         for roff, rop, rln in _xls_stream_records(new):
             rc4.skip(4)
             if rop in _XLS_PLAINTEXT_RECORDS:

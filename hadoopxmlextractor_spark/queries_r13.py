@@ -528,8 +528,10 @@ def _synth_xls_encrypted_blob(i: int) -> bytes:
         cells.append((r, 2, "formula_num", float(2000 + b[3] + r)))
     plain = D.build_xls2(cells, sst_chunk=48 + b[5] % 16)
     password = "realpw" if i % 7 == 6 else D._OFFICE_DEFAULT_PW
+    mode = b[6] % 3  # 0 binary RC4, 1 XOR, 2 RC4 CryptoAPI
     return D.encrypt_xls(
-        plain, password, xor=b[6] % 2 == 1,
+        plain, password, xor=mode == 1, cryptoapi=mode == 2,
+        key_bits=40 if b[8] % 2 else 128,
         salt_seed=f"{i}:xs".encode(),
     )
 
@@ -541,8 +543,8 @@ def _synth_xls_encrypted_blob(i: int) -> bytes:
       SELECT doc_id, 2 + {_b('xlsenc', 0)} % 3 AS n,
              {_b('xlsenc', 1)} AS b1, {_b('xlsenc', 2)} AS b2,
              {_b('xlsenc', 3)} AS b3,
-             CASE {_b('xlsenc', 6)} % 2 WHEN 1 THEN 'xor' ELSE 'rc4'
-               END AS mode,
+             CASE {_b('xlsenc', 6)} % 3 WHEN 1 THEN 'xor'
+               WHEN 2 THEN 'capi' ELSE 'rc4' END AS mode,
              md5(CAST(doc_id AS VARCHAR) || ':xlsenc') AS x
       FROM documents
     ),
@@ -577,9 +579,11 @@ def q_source_xls_encrypted(spark: SparkSession, sf: str) -> DataFrame:
     # corporate dumps is FilePass-protected with Excel's silent
     # default password: binary RC4 ([MS-OFFCRYPTO] 2.3.6 — verifier-
     # gated per-1024-byte-block MD5 keys, record headers and exempt
-    # records advancing the keystream untransformed) and XOR
+    # records advancing the keystream untransformed), XOR
     # obfuscation (2.3.7 Method 1 — the GF-doubling matrix, per-
-    # record array rotation). ``enc_mode`` is parsed back from the
+    # record array rotation), and RC4 CryptoAPI (2.3.5 — the Office
+    # XP/2003 form: SHA-1 block keys, the zero-padded 40-bit export
+    # grade rotating with 128-bit). ``enc_mode`` is parsed back from the
     # BLOB's FilePass record (not replayed from doc_id), so a value
     # match per arm proves that cipher actually ran. Every 7th doc
     # uses a real password — the verifier fails and the doc takes
@@ -606,10 +610,13 @@ def q_source_xls_encrypted(spark: SparkSession, sf: str) -> DataFrame:
                     mode = None
                     for off, op, ln in D._xls_stream_records(wb):
                         if op == 0x002F:
-                            (wt,) = struct.unpack_from(
-                                "<H", wb, off + 4
+                            wt, vmaj = struct.unpack_from(
+                                "<HH", wb, off + 4
                             )
-                            mode = "rc4" if wt == 1 else "xor"
+                            mode = (
+                                "xor" if wt == 0
+                                else "rc4" if vmaj == 1 else "capi"
+                            )
                             break
                     for c in D.xls_cells(blob):
                         rows.append({

@@ -2621,7 +2621,8 @@ def test_xls_encrypted_roundtrip_and_refusals():
         with pytest.raises(ValueError, match=r"encrypted \.xls"):
             D.xls_cells(D.encrypt_xls(plain, password="real",
                                       xor=xor))
-    # CryptoAPI (vMajor != 1) refuses
+    # a malformed version pair ((2, 1): neither binary nor CryptoAPI)
+    # refuses — CryptoAPI itself is now a SUPPORTED arm (r13)
     enc = D.encrypt_xls(plain)
     ms = D.cfb_members(enc, with_data=True)
     wb = next(m for m in ms if m["name"] == "Workbook")
@@ -2633,7 +2634,7 @@ def test_xls_encrypted_roundtrip_and_refusals():
     at = enc.index(bytes(wb["data"][:64]))
     patched = bytearray(enc)
     patched[at : at + len(data)] = data
-    with pytest.raises(ValueError, match="CryptoAPI"):
+    with pytest.raises(ValueError, match="unsupported .xls encryption"):
         D.xls_cells(bytes(patched))
 
 
@@ -2798,3 +2799,50 @@ def test_ooxml_routes_through_document_text(spark):
         for r in DD.document_text(DD.synth_docx(docs)).collect()
     }
     assert enc_rows == plain_rows and enc_rows[11][0] == "docx"
+
+
+def test_xls_cryptoapi_rc4_roundtrip_and_refusals():
+    """The Office XP/2003 FilePass form: SHA-1 CryptoAPI derivation,
+    explicit key sizes incl. the zero-padded 40-bit export grade."""
+    cells = [
+        (0, 0, "sst", ("capi 中文 value", False, False)),
+        (1, 0, "rk", 9),
+        *[(2 + r, 0, "sst", (f"row {r} " + "y" * 50, False, False))
+          for r in range(24)],
+    ]
+    plain = D.build_xls2(cells, sst_chunk=64)
+    want = D.xls_cells(plain)
+    for kb in (40, 56, 128):
+        enc = D.encrypt_xls(plain, cryptoapi=True, key_bits=kb,
+                            salt_seed=b"k%d" % kb)
+        wb = next(
+            m for m in D.cfb_members(enc, with_data=True)
+            if m["name"] == "Workbook"
+        )["data"]
+        assert len(wb) > 2048 and b"row 0" not in wb  # multi-block
+        assert D.xls_cells(enc) == want, kb
+        with pytest.raises(ValueError, match=r"encrypted \.xls"):
+            D.xls_cells(D.encrypt_xls(plain, password="real",
+                                      cryptoapi=True, key_bits=kb))
+    # 40-bit and 128-bit keys genuinely differ (the zero-pad arm)
+    e40 = D.encrypt_xls(plain, cryptoapi=True, key_bits=40,
+                        salt_seed=b"same")
+    e128 = D.encrypt_xls(plain, cryptoapi=True, key_bits=128,
+                         salt_seed=b"same")
+    assert e40 != e128
+    # a non-RC4 CryptoAPI algId refuses
+    enc = D.encrypt_xls(plain, cryptoapi=True)
+    wb = next(
+        m for m in D.cfb_members(enc, with_data=True)
+        if m["name"] == "Workbook"
+    )
+    data = bytearray(wb["data"])
+    for off, op, ln in D._xls_stream_records(bytes(data)):
+        if op == 0x002F:
+            struct.pack_into("<I", data, off + 4 + 14 + 8, 0x6601)
+            break
+    at = enc.index(bytes(wb["data"][:64]))
+    patched = bytearray(enc)
+    patched[at : at + len(data)] = data
+    with pytest.raises(ValueError, match="non-RC4 CryptoAPI"):
+        D.xls_cells(bytes(patched))
