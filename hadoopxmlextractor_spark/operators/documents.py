@@ -6666,33 +6666,15 @@ def build_xls(cells: list[tuple[int, int, object]]) -> bytes:
     ])
 
 
-def build_xls2(
-    cells: list[tuple[int, int, str, object]], *, sst_chunk: int = 2048
-) -> bytes:
-    """A BIFF8 .xls exercising the REAL-WORLD record surface the
-    simple :func:`build_xls` writer never emits — (row, col, kind,
-    value) cells with kind:
+def _xls_rec(op: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", op, len(payload)) + payload
 
-    - ``sst``: value ``(text, rich, phonetic)`` — shared string with
-      optional rich-text runs (cRun FormatRuns) / phonetic ExtRst;
-    - ``label``: inline-string LABEL cell;
-    - ``number`` / ``rk``: as in build_xls;
-    - ``formula_num`` / ``formula_str`` / ``formula_bool``: FORMULA
-      records with cached results (the string form emits the STRING
-      follow-on record);
-    - ``mulrk``: value = list of small ints (one run over columns);
-    - ``mulblank``: value = column count (no cell values).
 
-    The SST spills across CONTINUE records whenever a string would
-    cross ``sst_chunk`` payload bytes — split only at character
-    boundaries, each continuation restarting with a fresh grbit byte
-    whose fHighByte is re-decided from the characters it carries (an
-    ASCII head continued by a CJK tail genuinely switches width —
-    the trap [MS-XLS] 2.5.293 sets). Write partner of the r13
-    :func:`xls_cells` surface."""
-    def rec(op: int, payload: bytes) -> bytes:
-        return struct.pack("<HH", op, len(payload)) + payload
-
+def _xls_collect_sst(
+    cells: list[tuple[int, int, str, object]]
+) -> tuple[list[tuple[str, bool, bool]], dict, int]:
+    """(unique shared strings in first-reference order, key→index
+    map, total reference count) over the 'sst' cells."""
     strings: list[tuple[str, bool, bool]] = []
     sidx: dict[tuple[str, bool, bool], int] = {}
     n_refs = 0
@@ -6703,8 +6685,16 @@ def build_xls2(
             if key not in sidx:
                 sidx[key] = len(strings)
                 strings.append(key)  # type: ignore[arg-type]
+    return strings, sidx, n_refs
 
-    # --- SST with CONTINUE chunking ---------------------------------
+
+def _xls_sst_records(
+    strings: list[tuple[str, bool, bool]], n_refs: int, sst_chunk: int
+) -> bytes:
+    """The SST record (+ CONTINUE spills) for the shared strings —
+    split only at character boundaries, each continuation restarting
+    with a fresh grbit whose fHighByte is re-decided from the
+    characters it carries ([MS-XLS] 2.5.293)."""
     if sst_chunk < 16:
         raise ValueError("sst_chunk too small")
     frags: list[bytearray] = [bytearray(struct.pack("<II", n_refs,
@@ -6765,41 +6755,57 @@ def build_xls2(
         write_raw(b"\x00\x00\x01\x00" * crun)  # dummy FormatRuns
         write_raw(b"\x01\x00\x02\x00\xaa\xbb"[:cbext])  # dummy ExtRst
 
+    out = _xls_rec(0x00FC, bytes(frags[0]))
+    for fr in frags[1:]:
+        out += _xls_rec(0x003C, bytes(fr))
+    return out
+
+
+def _xls_cell_records(
+    cells: list[tuple[int, int, str, object]], sidx: dict
+) -> bytes:
+    """The per-cell record bytes — every kind build_xls2 documents."""
     body = b""
     for r, c, kind, v in cells:
         if kind == "sst":
-            body += rec(0x00FD, struct.pack(
+            body += _xls_rec(0x00FD, struct.pack(
                 "<HHHI", r, c, 0, sidx[tuple(v)]  # type: ignore
             ))
         elif kind == "label":
             s = str(v)
             wide = any(ord(ch) > 255 for ch in s)
             enc = s.encode("utf-16-le" if wide else "latin-1")
-            body += rec(0x0204, struct.pack(
+            body += _xls_rec(0x0204, struct.pack(
                 "<HHHHB", r, c, 0, len(s), 1 if wide else 0
             ) + enc)
         elif kind == "number":
-            body += rec(0x0203, struct.pack("<HHHd", r, c, 0, float(v)))
+            body += _xls_rec(
+                0x0203, struct.pack("<HHHd", r, c, 0, float(v))
+            )
         elif kind == "rk":
-            body += rec(0x027E, struct.pack(
+            body += _xls_rec(0x027E, struct.pack(
                 "<HHHI", r, c, 0, ((int(v) & ((1 << 30) - 1)) << 2) | 2
             ))
         elif kind == "formula_num":
-            body += rec(0x0006, struct.pack(
+            body += _xls_rec(0x0006, struct.pack(
                 "<HHHd", r, c, 0, float(v)
             ) + struct.pack("<HIH", 0, 0, 3) + b"\x1e\x01\x00")
         elif kind == "formula_bool":
             cached = bytes([1, 0, 1 if v else 0, 0, 0, 0, 0xFF, 0xFF])
-            body += rec(0x0006, struct.pack("<HHH", r, c, 0) + cached
-                        + struct.pack("<HIH", 0, 0, 3) + b"\x1e\x01\x00")
+            body += _xls_rec(
+                0x0006, struct.pack("<HHH", r, c, 0) + cached
+                + struct.pack("<HIH", 0, 0, 3) + b"\x1e\x01\x00"
+            )
         elif kind == "formula_str":
             cached = bytes([0, 0, 0, 0, 0, 0, 0xFF, 0xFF])
-            body += rec(0x0006, struct.pack("<HHH", r, c, 0) + cached
-                        + struct.pack("<HIH", 0, 0, 3) + b"\x1e\x01\x00")
+            body += _xls_rec(
+                0x0006, struct.pack("<HHH", r, c, 0) + cached
+                + struct.pack("<HIH", 0, 0, 3) + b"\x1e\x01\x00"
+            )
             s = str(v)
             wide = any(ord(ch) > 255 for ch in s)
             enc = s.encode("utf-16-le" if wide else "latin-1")
-            body += rec(0x0207, struct.pack(
+            body += _xls_rec(0x0207, struct.pack(
                 "<HB", len(s), 1 if wide else 0
             ) + enc)
         elif kind == "mulrk":
@@ -6810,23 +6816,19 @@ def build_xls2(
                     "<HI", 0, ((int(val) & ((1 << 30) - 1)) << 2) | 2
                 )
             payload += struct.pack("<H", c + len(vals) - 1)
-            body += rec(0x00BD, payload)
+            body += _xls_rec(0x00BD, payload)
         elif kind == "mulblank":
             n_blank = int(v)  # type: ignore[arg-type]
             payload = struct.pack("<HH", r, c)
             payload += b"\x00\x00" * n_blank
             payload += struct.pack("<H", c + n_blank - 1)
-            body += rec(0x00BE, payload)
+            body += _xls_rec(0x00BE, payload)
         else:
             raise ValueError(f"unknown xls cell kind {kind}")
+    return body
 
-    sst_recs = rec(0x00FC, bytes(frags[0]))
-    for fr in frags[1:]:
-        sst_recs += rec(0x003C, bytes(fr))
-    stream = (
-        rec(0x0809, struct.pack("<HHHH", 0x0600, 0x0005, 0, 0))
-        + sst_recs + body + rec(0x000A, b"")
-    )
+
+def _xls_wrap_cfb(stream: bytes) -> bytes:
     if len(stream) < _CFB_CUTOFF:
         stream += b"\x00" * (_CFB_CUTOFF - len(stream))
     return build_cfb([
@@ -6834,6 +6836,91 @@ def build_xls2(
         ("\x05SummaryInformation",
          build_summary_information("", "", 0)),
     ])
+
+
+def build_xls2(
+    cells: list[tuple[int, int, str, object]], *, sst_chunk: int = 2048
+) -> bytes:
+    """A BIFF8 .xls exercising the REAL-WORLD record surface the
+    simple :func:`build_xls` writer never emits — (row, col, kind,
+    value) cells with kind:
+
+    - ``sst``: value ``(text, rich, phonetic)`` — shared string with
+      optional rich-text runs (cRun FormatRuns) / phonetic ExtRst;
+    - ``label``: inline-string LABEL cell;
+    - ``number`` / ``rk``: as in build_xls;
+    - ``formula_num`` / ``formula_str`` / ``formula_bool``: FORMULA
+      records with cached results (the string form emits the STRING
+      follow-on record);
+    - ``mulrk``: value = list of small ints (one run over columns);
+    - ``mulblank``: value = column count (no cell values).
+
+    The SST spills across CONTINUE records whenever a string would
+    cross ``sst_chunk`` payload bytes — split only at character
+    boundaries, each continuation restarting with a fresh grbit byte
+    whose fHighByte is re-decided from the characters it carries (an
+    ASCII head continued by a CJK tail genuinely switches width —
+    the trap [MS-XLS] 2.5.293 sets). Write partner of the r13
+    :func:`xls_cells` surface. Single-substream layout; the
+    multi-sheet layout real workbooks use is :func:`build_xls3`."""
+    strings, sidx, n_refs = _xls_collect_sst(cells)
+    stream = (
+        _xls_rec(0x0809, struct.pack("<HHHH", 0x0600, 0x0005, 0, 0))
+        + _xls_sst_records(strings, n_refs, sst_chunk)
+        + _xls_cell_records(cells, sidx)
+        + _xls_rec(0x000A, b"")
+    )
+    return _xls_wrap_cfb(stream)
+
+
+def build_xls3(
+    sheets: list[tuple[str, list[tuple[int, int, str, object]]]], *,
+    sst_chunk: int = 2048,
+) -> bytes:
+    """The MULTI-SHEET BIFF8 layout every real workbook uses
+    ([MS-XLS] 2.1.7.20): a Workbook-globals substream (BOF dt 0x0005,
+    the GLOBAL SST shared across sheets, one BoundSheet8 per sheet
+    whose lbPlyPos points at its substream, EOF) followed by one
+    worksheet substream (BOF dt 0x0010, cell records, EOF) per sheet.
+    lbPlyPos values are patched after layout. Write partner of the
+    r13 substream-aware :func:`xls_cells`."""
+    all_cells = [c for _name, cs in sheets for c in cs]
+    strings, sidx, n_refs = _xls_collect_sst(all_cells)
+
+    bounds = b""
+    for name, _cs in sheets:
+        wide = any(ord(ch) > 255 for ch in name)
+        enc = name.encode("utf-16-le" if wide else "latin-1")
+        bounds += _xls_rec(0x0085, struct.pack(
+            "<IHBB", 0, 0, len(name), 1 if wide else 0
+        ) + enc)
+    globals_sub = (
+        _xls_rec(0x0809, struct.pack("<HHHH", 0x0600, 0x0005, 0, 0))
+        + _xls_sst_records(strings, n_refs, sst_chunk)
+        + bounds + _xls_rec(0x000A, b"")
+    )
+    subs = []
+    for _name, cs in sheets:
+        subs.append(
+            _xls_rec(0x0809,
+                     struct.pack("<HHHH", 0x0600, 0x0010, 0, 0))
+            + _xls_cell_records(cs, sidx) + _xls_rec(0x000A, b"")
+        )
+    # patch each BoundSheet8's lbPlyPos to its substream offset
+    stream = bytearray(globals_sub + b"".join(subs))
+    at = len(globals_sub)
+    offs = []
+    for sub in subs:
+        offs.append(at)
+        at += len(sub)
+    pos, k = 0, 0
+    while pos + 4 <= len(globals_sub):
+        op, ln = struct.unpack_from("<HH", stream, pos)
+        if op == 0x0085:
+            struct.pack_into("<I", stream, pos + 4, offs[k])
+            k += 1
+        pos += 4 + ln
+    return _xls_wrap_cfb(bytes(stream))
 
 
 class _SstCursor:
@@ -6973,56 +7060,93 @@ def xls_cells(blob: bytes) -> list[dict]:
     # (RC4 or XOR arms); a real password refuses to the marker row
     data = xls_decrypt_stream(data)
     pos = 0
-    recs: list[tuple[int, bytes]] = []
+    recs: list[tuple[int, int, bytes]] = []  # (offset, op, payload)
     saw_eof = False
     while pos + 4 <= len(data):
         op, ln = struct.unpack_from("<HH", data, pos)
         payload = data[pos + 4 : pos + 4 + ln]
         if len(payload) < ln:
             raise ValueError("BIFF record past stream end")
+        recs.append((pos, op, payload))
         pos += 4 + ln
-        recs.append((op, payload))
         if op == 0x000A:
+            # a real workbook continues with per-sheet SUBSTREAMS:
+            # another BOF follows each substream's EOF; anything else
+            # (the CFB cutoff padding) ends the stream (r13)
+            if pos + 4 <= len(data) and struct.unpack_from(
+                "<H", data, pos
+            )[0] == 0x0809:
+                continue
             saw_eof = True
             break
     if not saw_eof:
         raise ValueError("BIFF stream missing EOF")
 
+    # BoundSheet8 directory: declared substream start → (index, name)
+    bound: dict[int, tuple[int, str]] = {}
+    n_bound = 0
+    for _off, op, payload in recs:
+        if op == 0x0085:
+            (ply,) = struct.unpack_from("<I", payload, 0)
+            cch, sflags = struct.unpack_from("<BB", payload, 6)
+            if sflags & 0x01:
+                name = payload[8 : 8 + 2 * cch].decode("utf-16-le")
+            else:
+                name = payload[8 : 8 + cch].decode("latin-1")
+            bound[ply] = (n_bound, name)
+            n_bound += 1
+
     strings: list[str] = []
     out: list[dict] = []
+    sheet, sheet_name = 0, None
+    n_bof = 0
     k = 0
     while k < len(recs):
-        op, payload = recs[k]
+        _off, op, payload = recs[k]
         if op == 0x0809:
             (ver,) = struct.unpack_from("<H", payload, 0)
             if ver != 0x0600:
                 raise ValueError("not a BIFF8 workbook")
+            n_bof += 1
+            if n_bof > 1:  # a worksheet substream
+                if bound:
+                    if _off not in bound:
+                        raise ValueError(
+                            "substream BOF not declared in BoundSheet8"
+                        )
+                    sheet, sheet_name = bound[_off]
+                else:
+                    sheet, sheet_name = n_bof - 2, None
         elif op == 0x00FC:  # SST (+ CONTINUE coalescing)
             (_total, n_unique) = struct.unpack_from("<II", payload, 0)
             frags = [payload[8:]]
-            while k + 1 < len(recs) and recs[k + 1][0] == 0x003C:
+            while k + 1 < len(recs) and recs[k + 1][1] == 0x003C:
                 k += 1
-                frags.append(recs[k][1])
+                frags.append(recs[k][2])
             cur = _SstCursor(frags)
             strings = [cur.read_string() for _ in range(n_unique)]
         elif op == 0x00FD:  # LABELSST
             r, c, _ixfe, isst = struct.unpack("<HHHI", payload)
             if isst >= len(strings):
                 raise ValueError("SST index out of range")
-            out.append({"row": r, "col": c, "kind": "s",
+            out.append({"sheet": sheet, "sheet_name": sheet_name,
+                        "row": r, "col": c, "kind": "s",
                         "value": strings[isst]})
         elif op == 0x0204:  # LABEL (inline string)
             r, c, _ixfe = struct.unpack_from("<HHH", payload, 0)
             s, _end = _xl_unicode_string(payload, 6)
-            out.append({"row": r, "col": c, "kind": "label",
+            out.append({"sheet": sheet, "sheet_name": sheet_name,
+                        "row": r, "col": c, "kind": "label",
                         "value": s})
         elif op == 0x0203:  # NUMBER
             r, c, _ixfe, d = struct.unpack("<HHHd", payload)
-            out.append({"row": r, "col": c, "kind": "n",
+            out.append({"sheet": sheet, "sheet_name": sheet_name,
+                        "row": r, "col": c, "kind": "n",
                         "value": _num_display(d)})
         elif op == 0x027E:  # RK
             r, c, _ixfe, rk = struct.unpack("<HHHI", payload)
-            out.append({"row": r, "col": c, "kind": "rk",
+            out.append({"sheet": sheet, "sheet_name": sheet_name,
+                        "row": r, "col": c, "kind": "rk",
                         "value": _rk_decode(rk)})
         elif op == 0x00BD:  # MULRK: (ixfe, rk) run over columns
             r, c0 = struct.unpack_from("<HH", payload, 0)
@@ -7036,7 +7160,8 @@ def xls_cells(blob: bytes) -> list[dict]:
                 raise ValueError("MULRK column range mismatch")
             for j in range(n_run):
                 _ixfe, rk = struct.unpack_from("<HI", payload, 4 + 6 * j)
-                out.append({"row": r, "col": c0 + j, "kind": "rk",
+                out.append({"sheet": sheet, "sheet_name": sheet_name,
+                            "row": r, "col": c0 + j, "kind": "rk",
                             "value": _rk_decode(rk)})
         elif op == 0x00BE:  # MULBLANK: no value — consumed
             pass
@@ -7046,19 +7171,22 @@ def xls_cells(blob: bytes) -> list[dict]:
             if cached[6:8] == b"\xff\xff":  # non-numeric cached forms
                 t = cached[0]
                 if t == 0:  # string: value in the following STRING
-                    if k + 1 >= len(recs) or recs[k + 1][0] != 0x0207:
+                    if k + 1 >= len(recs) or recs[k + 1][1] != 0x0207:
                         raise ValueError(
                             "string FORMULA missing its STRING record"
                         )
                     k += 1
-                    s, _end = _xl_unicode_string(recs[k][1], 0)
-                    out.append({"row": r, "col": c, "kind": "fs",
+                    s, _end = _xl_unicode_string(recs[k][2], 0)
+                    out.append({"sheet": sheet, "sheet_name": sheet_name,
+                                "row": r, "col": c, "kind": "fs",
                                 "value": s})
                 elif t == 1:  # boolean
-                    out.append({"row": r, "col": c, "kind": "fb",
+                    out.append({"sheet": sheet, "sheet_name": sheet_name,
+                                "row": r, "col": c, "kind": "fb",
                                 "value": str(cached[2])})
                 elif t == 2:  # error code
-                    out.append({"row": r, "col": c, "kind": "fe",
+                    out.append({"sheet": sheet, "sheet_name": sheet_name,
+                                "row": r, "col": c, "kind": "fe",
                                 "value": str(cached[2])})
                 elif t == 3:  # cached blank
                     pass
@@ -7066,7 +7194,8 @@ def xls_cells(blob: bytes) -> list[dict]:
                     raise ValueError("unknown FORMULA cached kind")
             else:
                 (d,) = struct.unpack("<d", cached)
-                out.append({"row": r, "col": c, "kind": "fn",
+                out.append({"sheet": sheet, "sheet_name": sheet_name,
+                            "row": r, "col": c, "kind": "fn",
                             "value": _num_display(d)})
         k += 1
     return out
@@ -7408,8 +7537,10 @@ _XLS_PLAINTEXT_RECORDS = frozenset(
 
 def _xls_stream_records(data: bytes):
     """Yield (offset, op, length) for each record up to and including
-    EOF — header fields are plaintext even in encrypted streams, so
-    the walk itself never needs the key."""
+    the LAST substream's EOF — a multi-sheet workbook continues with
+    another BOF after each substream's EOF (r13); anything else there
+    is the CFB cutoff padding. Header fields are plaintext even in
+    encrypted streams, so the walk itself never needs the key."""
     pos = 0
     while pos + 4 <= len(data):
         op, ln = struct.unpack_from("<HH", data, pos)
@@ -7418,6 +7549,10 @@ def _xls_stream_records(data: bytes):
         yield pos, op, ln
         pos += 4 + ln
         if op == 0x000A:
+            if pos + 4 <= len(data) and struct.unpack_from(
+                "<H", data, pos
+            )[0] == 0x0809:
+                continue
             return
     raise ValueError("BIFF stream missing EOF")
 
@@ -7502,10 +7637,13 @@ def xls_decrypt_stream(data: bytes,
         for roff, rop, rln in _xls_stream_records(data):
             if rop in _XLS_PLAINTEXT_RECORDS:
                 continue
-            out[roff + 4 : roff + 4 + rln] = _xor_crypt_record(
+            pt = _xor_crypt_record(
                 data[roff + 4 : roff + 4 + rln], arr, roff + 4,
                 encrypt=False,
             )
+            if rop == 0x0085:  # lbPlyPos was never obfuscated
+                pt = data[roff + 4 : roff + 8] + pt[4:]
+            out[roff + 4 : roff + 4 + rln] = pt
     else:
         raise ValueError("unknown FilePass encryption type")
     return bytes(out)
@@ -7566,7 +7704,14 @@ def encrypt_xls(blob: bytes, password: str = _OFFICE_DEFAULT_PW,
             struct.pack("<HHH", 1, 1, 1) + salt + ev + evh
         )
     fp_rec = struct.pack("<HH", 0x002F, len(fp_payload)) + fp_payload
-    new = data[:cut] + fp_rec + data[cut:stream_end]
+    new = bytearray(data[:cut] + fp_rec + data[cut:stream_end])
+    # the inserted FilePass shifts every substream: re-point each
+    # BoundSheet8's lbPlyPos (kept plaintext by BOTH cipher arms)
+    for roff, rop, rln in _xls_stream_records(bytes(new)):
+        if rop == 0x0085:
+            (ply,) = struct.unpack_from("<I", new, roff + 4)
+            struct.pack_into("<I", new, roff + 4, ply + len(fp_rec))
+    new = bytes(new)
 
     out = bytearray(new)
     if xor:
@@ -7574,10 +7719,13 @@ def encrypt_xls(blob: bytes, password: str = _OFFICE_DEFAULT_PW,
         for roff, rop, rln in _xls_stream_records(new):
             if rop in _XLS_PLAINTEXT_RECORDS:
                 continue
-            out[roff + 4 : roff + 4 + rln] = _xor_crypt_record(
+            ct = _xor_crypt_record(
                 new[roff + 4 : roff + 4 + rln], arr, roff + 4,
                 encrypt=True,
             )
+            if rop == 0x0085:  # lbPlyPos stays plain under XOR too
+                ct = new[roff + 4 : roff + 8] + ct[4:]
+            out[roff + 4 : roff + 4 + rln] = ct
     else:
         rc4 = _OfficeRC4(password, salt, 1024, scheme=scheme,
                          key_bits=key_bits)

@@ -1386,3 +1386,140 @@ def q_source_ooxml_encrypted(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise(F.lit("standard")).alias("form"),
         "format", F.col("n_units"), "text",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-sheet BIFF8 workbooks
+# ---------------------------------------------------------------------------
+
+
+def _synth_xls_multisheet_blob(i: int) -> bytes:
+    """One deterministic MULTI-SHEET BIFF8 workbook from
+    md5(doc:xlsms): 1-3 worksheet substreams behind a BoundSheet8
+    directory (ascii + CJK sheet names), the GLOBAL SST shared
+    across sheets (a string referenced from two sheets proves the
+    workbook-level table), small CONTINUE chunks. Every 9th doc gets
+    a bogus lbPlyPos — the substream-integrity refusal arm."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:xlsms".encode()).digest()
+    x = hashlib.md5(f"{i}:xlsms".encode()).hexdigest()
+    sheets = []
+    for s in range(1 + b[0] % 3):
+        name = (f"Data{x[0:2]}", f"中文{x[2:4]}", "S3")[s]
+        cells = []
+        for r in range(1 + (b[1] + s) % 2):
+            sval = (
+                f"shared {x[0:4]}" if (b[2] + s) % 2 == 0
+                else f"s{s} w{x[4 * s : 4 * s + 4]}"
+            )
+            cells.append((r, 0, "sst", (sval, False, False)))
+            cells.append((r, 1, "rk", b[3] * 10 + 3 * s + r))
+        sheets.append((name, cells))
+    blob = D.build_xls3(sheets, sst_chunk=32 + b[5] % 32)
+    if i % 9 == 8:
+        ms = D.cfb_members(blob, with_data=True)
+        wb = next(m for m in ms if m["name"] == "Workbook")
+        data = bytearray(wb["data"])
+        for off, op, ln in D._xls_stream_records(bytes(data)):
+            if op == 0x0085:
+                (ply,) = struct.unpack_from("<I", data, off + 4)
+                struct.pack_into("<I", data, off + 4, ply + 2)
+                break
+        at = blob.index(bytes(wb["data"][:64]))
+        patched = bytearray(blob)
+        patched[at : at + len(data)] = data
+        blob = bytes(patched)
+    return blob
+
+
+@query(
+    "source_xls_multisheet",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 1 + {_b('xlsms', 0)} % 3 AS ns,
+             {_b('xlsms', 1)} AS b1, {_b('xlsms', 2)} AS b2,
+             {_b('xlsms', 3)} AS b3,
+             md5(CAST(doc_id AS VARCHAR) || ':xlsms') AS x
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, ns, s.s AS s, b1, b2, b3, x,
+             CASE s.s WHEN 0 THEN 'Data' || substring(x, 1, 2)
+                      WHEN 1 THEN '中文' || substring(x, 3, 2)
+                      ELSE 'S3' END AS sheet_name
+      FROM p, (VALUES (0), (1), (2)) s(s)
+      WHERE s.s < ns AND doc_id % 9 <> 8
+    ),
+    rw AS (
+      SELECT doc_id, s, sheet_name, r.r AS r, b2, b3, x
+      FROM sh, (VALUES (0), (1)) r(r)
+      WHERE r.r < 1 + (b1 + s) % 2
+    ),
+    cells AS (
+      SELECT doc_id, s, sheet_name, r, 0 AS col, 's' AS kind,
+             CASE (b2 + s) % 2
+               WHEN 0 THEN 'shared ' || substring(x, 1, 4)
+               ELSE 's' || CAST(s AS VARCHAR) || ' w'
+                 || substring(x, 4 * s + 1, 4) END AS value
+      FROM rw
+      UNION ALL
+      SELECT doc_id, s, sheet_name, r, 1, 'rk',
+             CAST(b3 * 10 + 3 * s + r AS VARCHAR)
+      FROM rw
+    )
+    SELECT doc_id, CAST(s AS INT) AS sheet, sheet_name,
+           CAST(r AS INT) AS row, CAST(col AS INT) AS col, kind, value
+    FROM cells
+    UNION ALL
+    SELECT doc_id, -1, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE doc_id % 9 = 8
+    """,
+)
+def q_source_xls_multisheet(spark: SparkSession, sf: str) -> DataFrame:
+    # MULTI-SHEET BIFF8 (r13) — every real workbook stores one
+    # worksheet SUBSTREAM per sheet behind a BoundSheet8 directory;
+    # the single-substream walk would silently stop at the globals
+    # EOF and lose every cell. The r13 walk continues across
+    # substreams (EOF followed by BOF), resolves each worksheet's
+    # index and name through the lbPlyPos directory (a bogus
+    # position refuses — substream integrity), and keeps the SST
+    # GLOBAL (a string referenced from two sheets resolves through
+    # the one workbook-level table). One Arrow pass, ids-only
+    # shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "sheet", "sheet_name", "row", "col", "kind",
+                "value"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                try:
+                    for c in D.xls_cells(_synth_xls_multisheet_blob(i)):
+                        rows.append({
+                            "doc_id": i, "sheet": c["sheet"],
+                            "sheet_name": c["sheet_name"],
+                            "row": c["row"], "col": c["col"],
+                            "kind": c["kind"], "value": c["value"],
+                        })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "doc_id": i, "sheet": -1, "sheet_name": None,
+                        "row": None, "col": None, "kind": None,
+                        "value": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, sheet int, sheet_name string, row int, "
+        "col int, kind string, value string",
+    )

@@ -2846,3 +2846,47 @@ def test_xls_cryptoapi_rc4_roundtrip_and_refusals():
     patched[at : at + len(data)] = data
     with pytest.raises(ValueError, match="non-RC4 CryptoAPI"):
         D.xls_cells(bytes(patched))
+
+
+def test_xls_multisheet_substreams_and_global_sst():
+    sheets = [
+        ("Data 中文", [(0, 0, "sst", ("shared one", False, False)),
+                       (0, 1, "rk", 5)]),
+        ("Sheet2", [(0, 0, "sst", ("shared one", False, False)),
+                    (1, 0, "sst", ("only two 中", False, False)),
+                    (2, 0, "formula_str", "F2")]),
+        ("S3", [(0, 0, "mulrk", [7, 8])]),
+    ]
+    blob = D.build_xls3(sheets, sst_chunk=32)
+    cells = D.xls_cells(blob)
+    assert [c["sheet"] for c in cells] == [0, 0, 1, 1, 1, 2, 2]
+    assert {c["sheet_name"] for c in cells} == {
+        "Data 中文", "Sheet2", "S3",
+    }
+    # the shared string resolves from the ONE global SST in both
+    # sheets (workbook-level table, not per-substream)
+    shared = [c for c in cells if c["value"] == "shared one"]
+    assert {c["sheet"] for c in shared} == {0, 1}
+    # all three FilePass arms compose with multi-sheet layouts
+    # (lbPlyPos stays plaintext and gets re-pointed past FilePass)
+    for kw in ({}, {"xor": True},
+               {"cryptoapi": True, "key_bits": 40}):
+        assert D.xls_cells(D.encrypt_xls(blob, **kw)) == cells, kw
+    # a bogus lbPlyPos refuses (substream integrity)
+    ms = D.cfb_members(blob, with_data=True)
+    wb = next(m for m in ms if m["name"] == "Workbook")
+    data = bytearray(wb["data"])
+    for off, op, ln in D._xls_stream_records(bytes(data)):
+        if op == 0x0085:
+            (ply,) = struct.unpack_from("<I", data, off + 4)
+            struct.pack_into("<I", data, off + 4, ply + 2)
+            break
+    at = blob.index(bytes(wb["data"][:64]))
+    patched = bytearray(blob)
+    patched[at : at + len(data)] = data
+    with pytest.raises(ValueError, match="not declared in BoundSheet8"):
+        D.xls_cells(bytes(patched))
+    # legacy single-substream fixtures keep sheet 0 / NULL name
+    old = D.build_xls2([(0, 0, "sst", ("x", False, False))])
+    assert [(c["sheet"], c["sheet_name"])
+            for c in D.xls_cells(old)] == [(0, None)]
