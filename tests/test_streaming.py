@@ -2491,3 +2491,77 @@ def test_outlink_extraction_stream_equals_batch(spark, tmp_path):
     assert sorted(got) == sorted(want)
     assert len(want) == 27  # 3 kept links per page, fragment dropped
     assert ("https://hub.org/a/1" in {t for _, t in got})
+
+
+def test_polite_schedule_stream_budget_dedup_admission(spark, tmp_path):
+    """Streaming politeness gate: robots-disallowed targets never
+    reach state, slots fill in arrival order up to the crawl-delay
+    budget, and re-discovered targets are idempotent across
+    micro-batches."""
+    from hadoopxmlextractor_spark.queries_r13 import _polite_robots
+    from hadoopxmlextractor_spark.streaming.frontier import (
+        polite_schedule_stream,
+    )
+
+    robots = {k: _polite_robots(k) for k in range(7)}
+    # host0 (k=0): class-0 rules, delay 5 → budget 12
+    # host3 (k=3): class-0 rules, delay 20 → budget 3
+    data_dir = tmp_path / "frontier"
+    data_dir.mkdir()
+    schema = "host string, k int, path string, target string"
+
+    def land(name, rows):
+        spark.createDataFrame(rows, schema).write.mode(
+            "overwrite"
+        ).parquet(str(data_dir / name))
+
+    def row(k, path):
+        return (f"host{k}", k, path, f"https://host{k}.x{path}")
+
+    land("b1", [
+        row(0, "/root/1"),
+        row(0, "/dir/up/1"),       # class-0 Disallow → dropped
+        row(0, "/dir/up/3"),       # Allow override → admitted
+        row(3, "/root/1"), row(3, "/root/2"), row(3, "/root/3"),
+        row(3, "/root/4"), row(3, "/root/5"),  # budget 3 → 2 dropped
+    ])
+    stream = spark.readStream.schema(schema).parquet(
+        str(data_dir / "*")
+    )
+    batches = []
+
+    def sink(df, _bid):
+        rows = [tuple(r) for r in df.collect()]
+        if rows:
+            batches.append(sorted(rows))
+
+    q = (
+        polite_schedule_stream(stream, robots, agent="mybot")
+        .writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        land("b2", [
+            row(0, "/root/1"),     # duplicate → no second slot
+            row(0, "/root/9"),     # fresh → slot 3
+            row(3, "/root/6"),     # budget exhausted → dropped
+        ])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(r for b in batches for r in b)
+    host0 = [r for r in got if r[0] == "host0"]
+    host3 = [r for r in got if r[0] == "host3"]
+    # host0: /dir/up/3 + /root/1 in batch 1 (target-sorted), /root/9
+    # in batch 2; the disallowed /dir/up/1 never appears
+    assert [(r[1], r[2].rsplit(".x", 1)[1]) for r in host0] == [
+        (1, "/dir/up/3"), (2, "/root/1"), (3, "/root/9"),
+    ]
+    # host3: exactly its budget of 3, never more, across both batches
+    assert [r[1] for r in host3] == [1, 2, 3]
+    assert all(r[2].endswith(("/root/1", "/root/2", "/root/3"))
+               for r in host3)
