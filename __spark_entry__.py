@@ -83,6 +83,7 @@ FRONT = [
     # by the politeness capstone), multimodal_image_orientation_dedup
     # (lossless twin of the new lossy arm) — so the driver
     # re-certifies every touched surface.
+    "source_doc_fields",
     "source_xls_multisheet",
     "source_ooxml_encrypted",
     "source_docx_text",  # document_text zip routing refactored r13

@@ -6518,6 +6518,41 @@ def _doc_piece_table_text(data: bytes, table: bytes,
     return "".join(parts)
 
 
+def _doc_filter_fields(text: str) -> str:
+    """Word field-code filtering ([MS-DOC] 2.8.25 Plcfld semantics at
+    the character level): every real .doc interleaves field BEGIN
+    (0x13) / SEPARATOR (0x14) / END (0x15) marks with instruction
+    text ("HYPERLINK \"…\"", "PAGE", …) that must never leak into
+    extracted text — only the field RESULT (between separator and
+    end) is display text. Fields NEST (an IF wrapping a PAGE), so a
+    character is visible iff no enclosing field is still in its
+    instruction region. Also maps the special marks real documents
+    carry: 0x0B (soft line break) → newline, 0x07 (cell/row mark) →
+    tab, and drops the object anchors 0x01/0x02/0x05/0x08."""
+    out: list[str] = []
+    instr: list[bool] = []  # per nesting level: still in instruction?
+    for ch in text:
+        if ch == "\x13":
+            instr.append(True)
+        elif ch == "\x14":
+            if instr:
+                instr[-1] = False
+        elif ch == "\x15":
+            if instr:
+                instr.pop()
+        elif any(instr):
+            continue  # inside some field's instruction region
+        elif ch == "\x0b":
+            out.append("\n")
+        elif ch == "\x07":
+            out.append("\t")
+        elif ch in "\x01\x02\x05\x08":
+            continue
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
 def doc_extract_text(blob: bytes) -> tuple[int, str]:
     """(n_paragraphs, text) of a legacy .doc: CFB directory →
     WordDocument stream → FIB (wIdent 0xA5EC/0xA5DC). A FIB whose
@@ -6584,6 +6619,7 @@ def doc_extract_text(blob: bytes) -> tuple[int, str]:
         if not 0 <= fc_min <= fc_mac <= len(data):
             raise ValueError(".doc text range out of bounds")
         text = data[fc_min:fc_mac].decode("cp1252")
+    text = _doc_filter_fields(text)
     paras = [p for p in text.split("\r") if p]
     return len(paras), "\n".join(paras)
 

@@ -1523,3 +1523,109 @@ def q_source_xls_multisheet(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, sheet int, sheet_name string, row int, "
         "col int, kind string, value string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Word field codes — instruction text must never leak
+# ---------------------------------------------------------------------------
+
+
+def _synth_doc_fields_blob(i: int) -> bytes:
+    """A piece-table .doc whose text carries the field machinery every
+    real Word file has: a HYPERLINK field (instruction + display
+    result), a NESTED field (IF wrapping PAGE — the whole inner field
+    sits in the outer instruction region), soft line breaks (0x0B),
+    and cell marks (0x07). Every 9th doc truncates the Clx — the
+    refusal arm."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:docfld".encode()).digest()
+    x = hashlib.md5(f"{i}:docfld".encode()).hexdigest()
+    pieces = []
+    # piece 0: hyperlink field — only the display text survives
+    pieces.append((
+        f"pre{x[0:2]} \x13HYPERLINK \"http://h{x[2:6]}.example\"\x14"
+        f"link {x[6:8]}\x15 post",
+        True,
+    ))
+    # piece 1: nested field — the inner PAGE lives inside the outer
+    # IF's INSTRUCTION region, so only the outer RESULT shows
+    if b[1] % 2 == 0:
+        pieces.append((
+            f"\x13IF 1 = 1 \x13PAGE\x15 \x14res {x[8:10]}\x15 tail",
+            True,
+        ))
+    # piece 2: soft line break + cell marks, UTF-16 arm
+    pieces.append((f"中{x[10:12]}\x0bnext\x07c2\x07", False))
+    blob = D.build_doc97(
+        pieces, table1=b[2] % 2 == 1, out_of_order=b[3] % 2 == 1,
+        clx_pad=b[5] % 8,
+    )
+    if i % 9 == 8:
+        ms = D.cfb_members(blob, with_data=True)
+        wd = next(m for m in ms if m["name"] == "WordDocument")
+        at = blob.index(wd["data"][:64])
+        patched = bytearray(blob)
+        struct.pack_into("<I", patched, at + 422, 1 << 20)
+        blob = bytes(patched)
+    return blob
+
+
+@query(
+    "source_doc_fields",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('docfld', 1)} AS b1,
+             md5(CAST(doc_id AS VARCHAR) || ':docfld') AS x
+      FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             'pre' || substring(x, 1, 2) || ' link '
+               || substring(x, 7, 2) || ' post' AS p0,
+             CASE WHEN b1 % 2 = 0
+               THEN 'res ' || substring(x, 9, 2) || ' tail'
+               ELSE NULL END AS p1,
+             '中' || substring(x, 11, 2) || chr(10) || 'next'
+               || chr(9) || 'c2' || chr(9) AS p2
+      FROM p
+    )
+    SELECT doc_id, 'doc' AS format,
+           CAST(CASE WHEN p1 IS NULL THEN 2 ELSE 3 END AS INT)
+             AS n_units,
+           p0 || chr(10) || COALESCE(p1 || chr(10), '') || p2 AS text
+    FROM e WHERE doc_id % 9 <> 8
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL FROM p WHERE doc_id % 9 = 8
+    """,
+)
+def q_source_doc_fields(spark: SparkSession, sf: str) -> DataFrame:
+    # WORD FIELD CODES (r13) — real .doc text interleaves field
+    # BEGIN/SEPARATOR/END marks with instruction text (HYPERLINK
+    # targets, IF conditions, PAGE): a naive extractor leaks
+    # instructions into the corpus (URLs and macro-ish text poisoning
+    # dedup and LM training alike). The filter keeps only field
+    # RESULTS with correct NESTING (an inner field inside an outer
+    # instruction region stays hidden), maps soft line breaks (0x0B)
+    # to newlines and cell marks (0x07) to tabs, and drops object
+    # anchors. Runs on BOTH .doc text paths (simple + piece-table).
+    # One Arrow pass through document_text.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for ids in it:
+            yield pd.Series(
+                [_synth_doc_fields_blob(int(i)) for i in ids]
+            )
+
+    ex = D.document_text(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )
+    return ex.select("doc_id", "format", "n_units", "text")

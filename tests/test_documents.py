@@ -2890,3 +2890,28 @@ def test_xls_multisheet_substreams_and_global_sst():
     old = D.build_xls2([(0, 0, "sst", ("x", False, False))])
     assert [(c["sheet"], c["sheet_name"])
             for c in D.xls_cells(old)] == [(0, None)]
+
+
+def test_doc_field_code_filtering():
+    f = D._doc_filter_fields
+    # instruction hidden, result kept
+    assert f("a \x13HYPERLINK \"http://x\"\x14click\x15 b") == "a click b"
+    # nested: inner field inside the outer INSTRUCTION stays hidden
+    assert f("\x13IF 1 \x13PAGE\x15 \x14res\x15 t") == "res t"
+    # nested inside the RESULT region shows its own result
+    assert f("\x13IF\x14out \x13PAGE\x14 7\x15 er\x15") == "out  7 er"
+    # field with no separator contributes nothing
+    assert f("x\x13PAGE\x15y") == "xy"
+    # special marks: soft break, cell mark, object anchors
+    assert f("a\x0bb\x07c\x01\x08") == "a\nb\tc"
+    # unbalanced end marks are ignored, not a crash
+    assert f("a\x15b\x14c") == "abc"
+    # end-to-end through a piece-table file
+    blob = D.build_doc97([
+        ("see \x13HYPERLINK \"http://e\"\x14here\x15.", True),
+        ("row\x07cell\x07", False),
+    ])
+    assert D.doc_extract_text(blob) == (2, "see here.\nrow\tcell\t")
+    # and through the simple Word-6 path
+    simple = D.build_doc(["x \x13PAGE\x14 4\x15 y"])
+    assert D.doc_extract_text(simple) == (1, "x  4 y")
