@@ -2684,7 +2684,8 @@ def test_r13_query_plan_shapes(spark):
     sf = "/root/testdata/sf0.001"
     for name in ("source_doc97_text", "source_xls_biff8_full",
                  "source_pdf_aesv3", "source_xls_encrypted",
-                 "source_doc_encrypted",
+                 "source_doc_encrypted", "source_ooxml_encrypted",
+                 "source_xls_multisheet", "source_doc_fields",
                  "multimodal_audio_mp1_subbands"):
         plan = QUERIES[name](spark, sf) \
             ._jdf.queryExecution().executedPlan().toString()
