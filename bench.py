@@ -141,8 +141,8 @@ REFERENCE = {
     "source_warc_charset": 1.1,
     "pipeline_crawl_outlinks": 1.0,
     "multimodal_image_orientation_dedup": 1.5,
-    "source_pdf_aesv3": 6.7,
-    "pipeline_frontier_polite": 4.2,
+    "source_pdf_aesv3": 1.2,
+    "pipeline_frontier_polite": 1.5,
 }
 
 
