@@ -349,9 +349,12 @@ def _synth_pdf_aesv3_blob(i: int, *, user_pw: bytes = b"") -> bytes:
     o_entry = (hashlib.sha256(f"{i}:o1".encode()).digest()
                + hashlib.md5(f"{i}:o2".encode()).digest())  # unused dummy
     oe = hashlib.sha256(f"{i}:oe".encode()).digest()
+    # EncryptMetadata arm: the V5 /Perms block records it as 'T'/'F'
+    # at byte 8 — both values must clear the integrity gate
+    meta_byte = b"T" if b[3] % 2 == 0 else b"F"
     perms_plain = (
-        struct.pack("<i", -44) + b"\xff\xff\xff\xff" + b"Tadb"
-        + hashlib.md5(f"{i}:pr".encode()).digest()[:4]
+        struct.pack("<i", -44) + b"\xff\xff\xff\xff" + meta_byte
+        + b"adb" + hashlib.md5(f"{i}:pr".encode()).digest()[:4]
     )
     perms = A.encrypt_block(fkey, perms_plain)
 

@@ -2916,3 +2916,20 @@ def test_doc_field_code_filtering():
     # and through the simple Word-6 path
     simple = D.build_doc(["x \x13PAGE\x14 4\x15 y"])
     assert D.doc_extract_text(simple) == (1, "x  4 y")
+
+
+def test_pdf_aesv3_encrypt_metadata_arm():
+    """Both /Perms EncryptMetadata bytes ('T'/'F') clear the
+    integrity gate, and both genuinely occur in the rotation; a
+    corrupt byte (neither) refuses."""
+    from hadoopxmlextractor_spark.queries_r13 import _synth_pdf_aesv3_blob
+
+    seen = {}
+    for i in range(100):
+        b = hashlib.md5(f"{i}:aesv3".encode()).digest()
+        seen.setdefault(b[3] % 2, i)
+    assert set(seen) == {0, 1}
+    for arm, i in seen.items():
+        blob = _synth_pdf_aesv3_blob(i)
+        n, text = D._pdf_extract(blob)
+        assert n >= 1 and "sealed" in text, arm
