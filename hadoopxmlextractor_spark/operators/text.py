@@ -1673,3 +1673,48 @@ def main_content(html: str) -> tuple[str | None, int, str]:
             continue  # link-dominated: navigation, not content
         paras.append(text)
     return title, len(paras), "\n".join(paras)
+
+
+def frontier_increment(
+    frontier_old: DataFrame,
+    crawled_old: DataFrame,
+    cand_new: DataFrame,
+    crawled_new: DataFrame,
+) -> DataFrame:
+    """Append-only crawl-frontier maintenance (r13): fold a new
+    extraction batch's candidate targets and newly-crawled URLs into
+    the standing frontier WITHOUT re-reading old pages — the
+    incremental twin of the expand-from-scratch step, landing on the
+    recompute bit-for-bit (the sessionize_incremental contract).
+
+    - ``frontier_old``: the standing (target, n_refs, …) table;
+    - ``crawled_old``: the standing crawled-URL INDEX (a real crawler
+      keeps it anyway — at 100 TB it is the bucketed URL index the
+      anti-join co-locates on);
+    - ``cand_new``: (target, n_refs) reference counts from the NEW
+      batch only;
+    - ``crawled_new``: URLs the new batch crawled.
+
+    Reference counts are additive, so the merge is one uniform-key
+    groupBy over standing ∪ new; the anti-join re-applies the FULL
+    crawled set because a new candidate can collide with an OLD
+    crawled URL (and re-filtering the standing rows is idempotent).
+    One aggregate exchange + one anti-join — the same plan shape as
+    the from-scratch expand, over batch-sized inputs."""
+    merged = (
+        frontier_old.select("target", "n_refs")
+        .unionByName(cand_new.select("target", "n_refs"))
+        .groupBy("target")
+        .agg(F.sum("n_refs").cast("long").alias("n_refs"))
+    )
+    crawled = (
+        crawled_old.select("url")
+        .unionByName(crawled_new.select("url"))
+        .distinct()
+    )
+    return merged.join(
+        crawled, merged.target == crawled.url, "left_anti"
+    ).select(
+        "target", "n_refs",
+        F.regexp_extract("target", "://([^/]+)", 1).alias("host"),
+    )

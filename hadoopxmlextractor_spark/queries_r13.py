@@ -1632,3 +1632,122 @@ def q_source_doc_fields(spark: SparkSession, sf: str) -> DataFrame:
         docs.select("doc_id", _blob("doc_id").alias("content"))
     )
     return ex.select("doc_id", "format", "n_units", "text")
+
+
+# ---------------------------------------------------------------------------
+# Incremental frontier maintenance
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_frontier_incremental",
+    """
+    WITH p AS (
+      SELECT doc_id, doc_id % 7 AS h FROM documents
+    ),
+    crawled AS (
+      SELECT DISTINCT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/page' || CAST(doc_id AS VARCHAR)
+        || '.html' AS url
+      FROM p
+      UNION
+      SELECT DISTINCT 'https://host0.example.org/hub/'
+        || CAST(doc_id % 50 AS VARCHAR) FROM p
+    ),
+    t AS (
+      SELECT 'https://host0.example.org/hub/'
+        || CAST(doc_id % 50 AS VARCHAR) AS target FROM p
+      UNION ALL
+      SELECT 'https://host' || CAST((h + 1) % 7 AS VARCHAR)
+        || '.example.org/sr/' || CAST(doc_id % 30 AS VARCHAR)
+      FROM p WHERE h % 2 = 1
+      UNION ALL
+      SELECT 'https://host' || CAST((h + 2) % 7 AS VARCHAR)
+        || '.example.org/T' || CAST(doc_id % 9 AS VARCHAR)
+        || '?keep=' || CAST(doc_id % 5 AS VARCHAR)
+      FROM p WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/root/' || CAST(doc_id % 20 AS VARCHAR) FROM p
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/rel/' || CAST(doc_id % 10 AS VARCHAR)
+        || '.html'
+      FROM p WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/up/' || CAST(doc_id % 10 AS VARCHAR)
+      FROM p WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT 'https://host' || CAST(h AS VARCHAR)
+        || '.example.org/dir/sub/here/' || CAST(doc_id % 6 AS VARCHAR)
+      FROM p WHERE doc_id % 5 = 0
+    ),
+    cand AS (
+      SELECT target, CAST(COUNT(*) AS BIGINT) AS n_refs
+      FROM t GROUP BY target
+    )
+    SELECT c.target, c.n_refs,
+           regexp_extract(c.target, '://([^/]+)', 1) AS host
+    FROM cand c ANTI JOIN crawled w ON c.target = w.url
+    """,
+)
+def q_pipeline_frontier_incremental(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # INCREMENTAL FRONTIER MAINTENANCE (r13) — the crawl loop's
+    # continuous-ingest form: the standing frontier (built from two
+    # of three doc generations) absorbs the third generation's
+    # candidate counts and newly-crawled URLs WITHOUT re-reading old
+    # pages — the split modulus is chosen COPRIME to every planted
+    # target family's modulus, so merged-count, new-vs-old-crawled,
+    # and standing-vs-new-crawled regimes all genuinely occur (the
+    # vacuous-check rule; a mod-5 split was degenerate — every
+    # family modulus is a multiple of 5) —
+    # reference counts are additive so the merge is one uniform-key
+    # groupBy over standing ∪ batch, and the anti-join re-applies the
+    # full crawled INDEX (a new candidate can collide with an OLD
+    # crawled URL; re-filtering standing rows is idempotent). The
+    # oracle is deliberately the FROM-SCRATCH expansion over ALL
+    # generations: the incremental merge must land on it exactly —
+    # the sessionize_incremental contract, applied to the crawl loop.
+    from hadoopxmlextractor_spark.operators import text as T
+    from hadoopxmlextractor_spark.queries_r12 import (
+        _anchor_rows,
+        _outlink_page,
+    )
+
+    rows = _anchor_rows(spark, sf)  # (doc_id, target, anchor)
+    docs = load(spark, sf, "documents")
+    base, _html = _outlink_page(True)
+    urls = docs.select(
+        "doc_id", base.alias("url")
+    ).union(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://host0.example.org/hub/"),
+                (F.col("doc_id") % 50).cast("string"),
+            ).alias("url"),
+        )
+    )
+    is_new = F.col("doc_id") % 3 == 2
+
+    cand_old = rows.filter(~is_new).groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+    crawled_old = urls.filter(~is_new).select("url").distinct()
+    frontier_old = cand_old.join(
+        crawled_old, cand_old.target == crawled_old.url, "left_anti"
+    ).select(
+        "target", "n_refs",
+        F.regexp_extract("target", "://([^/]+)", 1).alias("host"),
+    )
+
+    cand_new = rows.filter(is_new).groupBy("target").agg(
+        F.count(F.lit(1)).cast("long").alias("n_refs")
+    )
+    crawled_new = urls.filter(is_new).select("url").distinct()
+    return T.frontier_increment(
+        frontier_old, crawled_old, cand_new, crawled_new
+    )

@@ -2110,3 +2110,59 @@ def test_orientation_lossy_dc_identity_and_collapse():
         0, 255,
     ).astype(np.int64)
     assert np.array_equal(img[::8, ::8, 0].astype(np.int64), want)
+
+
+def test_frontier_incremental_regimes_live(spark):
+    """Incremental ≡ recompute is only meaningful if the merge's
+    interesting regimes occur: new-batch candidates colliding with
+    OLD crawled URLs, standing frontier targets crawled BY the new
+    batch, and targets whose counts genuinely merge across the
+    split."""
+    from pyspark.sql import functions as SF
+
+    from hadoopxmlextractor_spark.queries_r12 import (
+        _anchor_rows, _outlink_page,
+    )
+    from hadoopxmlextractor_spark.queries_r13 import (
+        q_pipeline_frontier_incremental,
+    )
+    from hadoopxmlextractor_spark.queries_r12 import (
+        q_pipeline_frontier_expand,
+    )
+    from hadoopxmlextractor_spark.tables import load
+
+    sf = "/root/testdata/sf0.001"
+    inc = {(r["target"], r["n_refs"])
+           for r in q_pipeline_frontier_incremental(spark, sf).collect()}
+    full = {(r["target"], r["n_refs"])
+            for r in q_pipeline_frontier_expand(spark, sf).collect()}
+    assert inc == full and inc  # lands on the recompute exactly
+
+    rows = _anchor_rows(spark, sf)
+    docs = load(spark, sf, "documents")
+    base, _html = _outlink_page(True)
+    urls = docs.select("doc_id", base.alias("url")).union(
+        docs.select(
+            "doc_id",
+            SF.concat(
+                SF.lit("https://host0.example.org/hub/"),
+                (SF.col("doc_id") % 50).cast("string"),
+            ).alias("url"),
+        )
+    )
+    is_new = SF.col("doc_id") % 3 == 2
+    cand_new = rows.filter(is_new).select("target").distinct()
+    crawled_old = urls.filter(~is_new).select("url").distinct()
+    crawled_new = urls.filter(is_new).select("url").distinct()
+    cand_old = rows.filter(~is_new).select("target").distinct()
+    # regime 1: new candidates hitting the OLD crawled index
+    n1 = cand_new.join(
+        crawled_old, cand_new.target == crawled_old.url
+    ).count()
+    # regime 2: standing candidates crawled by the NEW batch
+    n2 = cand_old.join(
+        crawled_new, cand_old.target == crawled_new.url
+    ).count()
+    # regime 3: targets referenced on BOTH sides of the split
+    n3 = cand_old.join(cand_new, "target").count()
+    assert n1 > 0 and n2 > 0 and n3 > 0, (n1, n2, n3)
