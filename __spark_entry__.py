@@ -71,7 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
-    # round-13 rotation: the 14 new r13 operators first, then the
+    # round-13 rotation: the 12 new r13 operators first, then the
     # queries whose code paths CHANGED this round — source_xls_cells
     # (parser rewritten for the BIFF8 surface), source_doc_text /
     # source_ppt_text (doc extract path restructured for piece
