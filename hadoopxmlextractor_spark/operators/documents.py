@@ -199,6 +199,7 @@ def zip_member_list(blob: bytes) -> list[dict]:
                 blob[pos + 46 + nlen : pos + 46 + nlen + elen],
                 usize, csize, loc_off,
             )
+        (flags,) = struct.unpack("<H", blob[pos + 8 : pos + 10])
         out.append(
             {
                 "name": name,
@@ -207,22 +208,94 @@ def zip_member_list(blob: bytes) -> list[dict]:
                 "csize": csize,
                 "usize": usize,
                 "offset": loc_off,
+                "flags": flags,
             }
         )
         pos += 46 + nlen + elen + clen
     return out
 
 
-def zip_read_member(blob: bytes, entry: dict) -> bytes:
+# standard CRC-32 table (poly 0xEDB88320) — generated, not transcribed
+_ZC_CRC_TABLE = []
+for _c in range(256):
+    _k = _c
+    for _ in range(8):
+        _k = (_k >> 1) ^ 0xEDB88320 if _k & 1 else _k >> 1
+    _ZC_CRC_TABLE.append(_k)
+
+
+class _ZipCrypto:
+    """Traditional PKWARE ("ZipCrypto") stream cipher (APPNOTE 6.1):
+    three rolling keys seeded from the password — CRC-32 feedback on
+    key0/key2, the 134775813 LCG on key1 — with one keystream byte
+    per data byte. Weak by modern standards, but it is what the
+    majority of password-protected zips in public dumps actually
+    use; WinZip AES (method 99 / AE-x) stays a refusal."""
+
+    def __init__(self, password: bytes):
+        self.k0, self.k1, self.k2 = 0x12345678, 0x23456789, 0x34567890
+        for c in password:
+            self._update(c)
+
+    @staticmethod
+    def _crc(k: int, c: int) -> int:
+        return (k >> 8) ^ _ZC_CRC_TABLE[(k ^ c) & 0xFF]
+
+    def _update(self, c: int) -> None:
+        self.k0 = self._crc(self.k0, c)
+        self.k1 = ((self.k1 + (self.k0 & 0xFF)) * 134775813 + 1) \
+            & 0xFFFFFFFF
+        self.k2 = self._crc(self.k2, self.k1 >> 24)
+
+    def _ks(self) -> int:
+        t = (self.k2 | 2) & 0xFFFF
+        return ((t * (t ^ 1)) >> 8) & 0xFF
+
+    def decrypt(self, data: bytes) -> bytes:
+        out = bytearray()
+        for c in data:
+            c ^= self._ks()
+            self._update(c)  # keys roll on the PLAINTEXT byte
+            out.append(c)
+        return bytes(out)
+
+    def encrypt(self, data: bytes) -> bytes:
+        out = bytearray()
+        for c in data:
+            out.append(c ^ self._ks())
+            self._update(c)
+        return bytes(out)
+
+
+def zip_read_member(blob: bytes, entry: dict,
+                    password: str | None = None) -> bytes:
     """Decompress one member (stored or deflate) via its local header,
     taking sizes/CRC from the central-directory entry. Raises on CRC
-    or length mismatch — corruption is a refusal, never silent."""
+    or length mismatch — corruption is a refusal, never silent.
+    ZipCrypto-protected members (general-purpose bit 0) decrypt when
+    ``password`` is given — the 12-byte encryption header's check
+    byte gates the password BEFORE any inflate (APPNOTE: byte 11
+    echoes the CRC's high byte); AES-encrypted members (method 99)
+    and passwordless encrypted reads refuse (r13)."""
     pos = entry["offset"]
     if blob[pos : pos + 4] != _LOC_SIG:
         raise ValueError("bad local header")
     nlen, elen = struct.unpack("<HH", blob[pos + 26 : pos + 30])
     start = pos + 30 + nlen + elen
     raw = blob[start : start + entry["csize"]]
+    if entry["method"] == 99:
+        raise ValueError("AES-encrypted zip member unsupported")
+    if entry.get("flags", 0) & 0x0001:  # ZipCrypto
+        if password is None:
+            raise ValueError("encrypted zip member (no password)")
+        if len(raw) < 12:
+            raise ValueError("encrypted member shorter than header")
+        zc = _ZipCrypto(password.encode("latin-1"))
+        dec = zc.decrypt(raw)
+        if entry.get("flags", 0) & 0x0008 == 0 and \
+                dec[11] != (entry["crc"] >> 24) & 0xFF:
+            raise ValueError("zip password check failed")
+        raw = dec[12:]
     if entry["method"] == 0:
         data = raw
     elif entry["method"] == 8:
@@ -249,6 +322,7 @@ def build_zip(
     comment: bytes = b"",
     *,
     zip64: bool = False,
+    passwords: dict[str, str] | None = None,
 ) -> bytes:
     """Write a ZIP from (name, data, method 0|8, use data descriptor)
     tuples — the synth-side partner of :func:`zip_member_list`.
@@ -273,6 +347,21 @@ def build_zip(
         else:
             comp = data
         flags = 0x0008 if desc else 0
+        if passwords and name in passwords:
+            # ZipCrypto: 12-byte header (11 deterministic bytes + the
+            # CRC-high check byte) + payload through the stream
+            # cipher; csize grows by 12. Incompatible with the
+            # data-descriptor arm here (the check byte would switch
+            # to the DOS-time convention — not emitted by this synth)
+            if desc:
+                raise ValueError(
+                    "descriptor + ZipCrypto not supported by build_zip"
+                )
+            flags |= 0x0001
+            ehdr = hashlib.md5(nameb + b":zchdr").digest()[:11] \
+                + bytes([(crc >> 24) & 0xFF])
+            zc = _ZipCrypto(passwords[name].encode("latin-1"))
+            comp = zc.encrypt(ehdr + comp)
         loc_off = len(out)
         hdr_crc, hdr_cs, hdr_us = (0, 0, 0) if desc else (crc, len(comp), len(data))
         out += _LOC_SIG + struct.pack(
@@ -5678,7 +5767,8 @@ def _lzma1_props(filt: dict) -> bytes:
     ).to_bytes(4, "little")
 
 
-def build_7z(members: list[tuple[str, bytes, str]]) -> bytes:
+def build_7z(members: list[tuple[str, bytes, str]], *,
+             encoded_header: bool = False) -> bytes:
     """Write a 7z archive from (name, data, method) tuples, method in
     {'copy', 'lzma', 'lzma2'}; empty payloads become EmptyStream file
     entries (no folder). One folder per non-empty member, raw
@@ -5687,7 +5777,10 @@ def build_7z(members: list[tuple[str, bytes, str]]) -> bytes:
     header and next header — the synth-side partner of
     :func:`sevenzip_members`, byte-layout pinned to the public
     py7zr/7-Zip DOC spec by the hand-built golden archive in
-    tests/test_documents.py."""
+    tests/test_documents.py. ``encoded_header`` compresses the header
+    into an appended LZMA pack stream behind a kEncodedHeader
+    StreamsInfo — the layout the real 7z CLI writes by default
+    (r13)."""
     import lzma
 
     packed: list[bytes] = []
@@ -5751,16 +5844,163 @@ def build_7z(members: list[tuple[str, bytes, str]]) -> bytes:
     hdr += b"\x00"  # end kFilesInfo... kHeader end
     hdr += b"\x00"
     body = b"".join(packed)
-    next_off, next_size = len(body), len(hdr)
+    next_header = bytes(hdr)
+    if encoded_header:
+        # the 7z CLI's default layout: the header itself is an
+        # LZMA-compressed pack stream appended to the body; the
+        # "next header" region carries kEncodedHeader + a StreamsInfo
+        # describing it (PackPos points past the member streams)
+        f = dict(_7Z_LZMA1_FILTER, id=lzma.FILTER_LZMA1)
+        c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[f])
+        hdr_packed = c.compress(next_header) + c.flush()
+        props = _lzma1_props(f)
+        enc_info = bytearray(b"\x17")
+        enc_info += (
+            b"\x06" + _sz_num_enc(len(body))
+            + _sz_num_enc(1)  # PackPos, 1 pack stream
+            + b"\x09" + _sz_num_enc(len(hdr_packed)) + b"\x00"
+        )
+        enc_info += b"\x07\x0b" + _sz_num_enc(1) + b"\x00"
+        enc_info += (
+            _sz_num_enc(1) + bytes([3 | 0x20]) + b"\x03\x01\x01"
+            + _sz_num_enc(len(props)) + props
+        )
+        enc_info += b"\x0c" + _sz_num_enc(len(next_header))
+        enc_info += b"\x0a\x01" + zlib.crc32(next_header).to_bytes(
+            4, "little"
+        )
+        enc_info += b"\x00\x00"
+        body += hdr_packed
+        next_header = bytes(enc_info)
+    next_off, next_size = len(body), len(next_header)
     start = (
         next_off.to_bytes(8, "little") + next_size.to_bytes(8, "little")
-        + zlib.crc32(bytes(hdr)).to_bytes(4, "little")
+        + zlib.crc32(next_header).to_bytes(4, "little")
     )
     return (
         _7Z_SIG + b"\x00\x04"
         + zlib.crc32(start).to_bytes(4, "little") + start
-        + body + bytes(hdr)
+        + body + next_header
     )
+
+
+def _sz_streams_info(hdr: bytes, pos: int):
+    """Parse one 7z StreamsInfo (PackInfo + UnpackInfo through its
+    kEnd) → (pack_pos, pack_sizes, coders, unpack_sizes, crcs, pos
+    after the StreamsInfo kEnd). Shared by the main header and the
+    kEncodedHeader form (r13); layouts this engine does not support
+    (external folders, complex coders, SubStreamsInfo, pack/folder
+    mismatches) refuse."""
+    pack_sizes: list[int] = []
+    coders: list[tuple[str, bytes]] = []
+    unpack_sizes: list[int] = []
+    crcs: list[int | None] = []
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid != 0x06:
+        raise ValueError("7z PackInfo expected")
+    pack_pos, pos = _sz_num_dec(hdr, pos)
+    n_pack, pos = _sz_num_dec(hdr, pos)
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid != 0x09:
+        raise ValueError("7z pack sizes expected")
+    for _ in range(n_pack):
+        v, pos = _sz_num_dec(hdr, pos)
+        pack_sizes.append(v)
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid != 0x00:
+        raise ValueError("7z PackInfo kEnd expected")
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid != 0x07:
+        raise ValueError("7z UnpackInfo expected")
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid != 0x0B:
+        raise ValueError("7z kFolder expected")
+    n_folders, pos = _sz_num_dec(hdr, pos)
+    if hdr[pos] != 0:
+        raise ValueError("external 7z folders unsupported")
+    pos += 1
+    for _ in range(n_folders):
+        n_coders, pos = _sz_num_dec(hdr, pos)
+        if n_coders != 1:
+            raise ValueError("multi-coder 7z folders unsupported")
+        flag = hdr[pos]
+        pos += 1
+        idlen = flag & 0x0F
+        cid = hdr[pos : pos + idlen]
+        pos += idlen
+        if flag & 0x10:
+            raise ValueError("complex 7z coders unsupported")
+        props = b""
+        if flag & 0x20:
+            psize, pos = _sz_num_dec(hdr, pos)
+            props = hdr[pos : pos + psize]
+            pos += psize
+        method = {b"\x00": "copy", b"\x03\x01\x01": "lzma",
+                  b"\x21": "lzma2"}.get(cid, cid.hex())
+        coders.append((method, props))
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid != 0x0C:
+        raise ValueError("7z coders unpack sizes expected")
+    for _ in range(n_folders):
+        v, pos = _sz_num_dec(hdr, pos)
+        unpack_sizes.append(v)
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid == 0x0A:  # kCRC
+        if hdr[pos] != 1:
+            raise ValueError("partial 7z CRC vectors unsupported")
+        pos += 1
+        for _ in range(n_folders):
+            crcs.append(int.from_bytes(hdr[pos : pos + 4], "little"))
+            pos += 4
+        pid, pos = _sz_num_dec(hdr, pos)
+    else:
+        crcs = [None] * n_folders
+    if pid != 0x00:
+        raise ValueError("7z UnpackInfo kEnd expected")
+    if len(pack_sizes) != n_folders:
+        # multi-stream folders / solid compression: one folder
+        # consuming several pack streams — refuse explicitly
+        # instead of IndexError-ing below (r12 ADVICE)
+        raise ValueError("7z pack/folder count mismatch")
+    pid, pos = _sz_num_dec(hdr, pos)
+    if pid != 0x00:
+        raise ValueError("7z StreamsInfo kEnd expected")
+    return pack_pos, pack_sizes, coders, unpack_sizes, crcs, pos
+
+
+def _sz_decode_stream(method: str, props: bytes, comp: bytes,
+                      usize: int) -> bytes | None:
+    """One pack stream decoded (Copy passthrough, LZMA1/LZMA2 raw
+    through stdlib lzma); None for coders this engine cannot run.
+    Corrupt compressed data refuses as ValueError — the caller's
+    marker-row contract, not a raw LZMAError."""
+    import lzma
+
+    try:
+        if method == "copy":
+            return comp
+        if method == "lzma" and len(props) == 5:
+            filt = {
+                "id": lzma.FILTER_LZMA1,
+                "lc": props[0] % 9,
+                "lp": (props[0] // 9) % 5,
+                "pb": props[0] // 45,
+                "dict_size": int.from_bytes(props[1:5], "little"),
+            }
+            d = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW, filters=[filt]
+            )
+            return d.decompress(comp, max_length=usize)
+        if method == "lzma2" and len(props) == 1:
+            d = lzma.LZMADecompressor(
+                format=lzma.FORMAT_RAW,
+                filters=[{"id": lzma.FILTER_LZMA2,
+                          "dict_size": 1 << min(31, props[0])}],
+            )
+            return d.decompress(comp, max_length=usize)
+    except lzma.LZMAError as exc:
+        raise ValueError(f"corrupt 7z {method} stream") from exc
+    return None
 
 
 def _sz_prop_blocks(hdr: bytes, pos: int):
@@ -5808,7 +6048,29 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
     if not hdr[:1]:
         raise ValueError("empty 7z header")
     if hdr[0] == 0x17:
-        raise ValueError("encoded 7z header unsupported")
+        # kEncodedHeader — the 7z CLI's DEFAULT layout (r13): the
+        # real header is itself an LZMA pack stream appended past the
+        # member streams, described by a StreamsInfo; decode it
+        # (CRC-verified) and continue with the plain form
+        hp, hsizes, hcoders, husizes, hcrcs, _ = _sz_streams_info(
+            hdr, 1
+        )
+        if len(hcoders) != 1:
+            raise ValueError("multi-stream encoded 7z header")
+        if 32 + hp + hsizes[0] > len(blob):
+            raise ValueError("7z encoded header past EOF")
+        comp = blob[32 + hp : 32 + hp + hsizes[0]]
+        method, props = hcoders[0]
+        data = _sz_decode_stream(method, props, comp, husizes[0])
+        if data is None:
+            raise ValueError("unsupported encoded-header coder")
+        if len(data) != husizes[0]:
+            raise ValueError("7z encoded-header size mismatch")
+        if hcrcs[0] is not None and zlib.crc32(data) != hcrcs[0]:
+            raise ValueError("7z encoded-header CRC mismatch")
+        hdr = data
+        if not hdr[:1]:
+            raise ValueError("empty decoded 7z header")
     if hdr[0] != 0x01:
         raise ValueError("unknown 7z header id")
 
@@ -5822,76 +6084,8 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
     pack_pos = 0
     pid, pos = _sz_num_dec(hdr, pos)
     if pid == 0x04:  # kMainStreamsInfo
-        pid, pos = _sz_num_dec(hdr, pos)
-        if pid != 0x06:
-            raise ValueError("7z PackInfo expected")
-        pack_pos, pos = _sz_num_dec(hdr, pos)
-        n_pack, pos = _sz_num_dec(hdr, pos)
-        pid, pos = _sz_num_dec(hdr, pos)
-        if pid != 0x09:
-            raise ValueError("7z pack sizes expected")
-        for _ in range(n_pack):
-            v, pos = _sz_num_dec(hdr, pos)
-            pack_sizes.append(v)
-        pid, pos = _sz_num_dec(hdr, pos)
-        if pid != 0x00:
-            raise ValueError("7z PackInfo kEnd expected")
-        pid, pos = _sz_num_dec(hdr, pos)
-        if pid != 0x07:
-            raise ValueError("7z UnpackInfo expected")
-        pid, pos = _sz_num_dec(hdr, pos)
-        if pid != 0x0B:
-            raise ValueError("7z kFolder expected")
-        n_folders, pos = _sz_num_dec(hdr, pos)
-        if hdr[pos] != 0:
-            raise ValueError("external 7z folders unsupported")
-        pos += 1
-        for _ in range(n_folders):
-            n_coders, pos = _sz_num_dec(hdr, pos)
-            if n_coders != 1:
-                raise ValueError("multi-coder 7z folders unsupported")
-            flag = hdr[pos]
-            pos += 1
-            idlen = flag & 0x0F
-            cid = hdr[pos : pos + idlen]
-            pos += idlen
-            if flag & 0x10:
-                raise ValueError("complex 7z coders unsupported")
-            props = b""
-            if flag & 0x20:
-                psize, pos = _sz_num_dec(hdr, pos)
-                props = hdr[pos : pos + psize]
-                pos += psize
-            method = {b"\x00": "copy", b"\x03\x01\x01": "lzma",
-                      b"\x21": "lzma2"}.get(cid, cid.hex())
-            coders.append((method, props))
-        pid, pos = _sz_num_dec(hdr, pos)
-        if pid != 0x0C:
-            raise ValueError("7z coders unpack sizes expected")
-        for _ in range(n_folders):
-            v, pos = _sz_num_dec(hdr, pos)
-            unpack_sizes.append(v)
-        pid, pos = _sz_num_dec(hdr, pos)
-        if pid == 0x0A:  # kCRC
-            if hdr[pos] != 1:
-                raise ValueError("partial 7z CRC vectors unsupported")
-            pos += 1
-            for _ in range(n_folders):
-                crcs.append(int.from_bytes(hdr[pos : pos + 4], "little"))
-                pos += 4
-            pid, pos = _sz_num_dec(hdr, pos)
-        else:
-            crcs = [None] * n_folders
-        if pid != 0x00:
-            raise ValueError("7z UnpackInfo kEnd expected")
-        if len(pack_sizes) != n_folders:
-            # multi-stream folders / solid compression: one folder
-            # consuming several pack streams — refuse explicitly
-            # instead of IndexError-ing below (r12 ADVICE)
-            raise ValueError("7z pack/folder count mismatch")
-        pid, pos = _sz_num_dec(hdr, pos)
-        if pid != 0x00:
-            raise ValueError("7z MainStreamsInfo kEnd expected")
+        (pack_pos, pack_sizes, coders, unpack_sizes, crcs,
+         pos) = _sz_streams_info(hdr, pos)
         pid, pos = _sz_num_dec(hdr, pos)
     if pid != 0x05:
         raise ValueError("7z FilesInfo expected")
@@ -5938,28 +6132,7 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
         usize = unpack_sizes[folder]
         comp = blob[pack_off : pack_off + psize]
         pack_off += psize
-        data = None
-        if method == "copy":
-            data = comp
-        elif method == "lzma" and len(props) == 5:
-            filt = {
-                "id": lzma.FILTER_LZMA1,
-                "lc": props[0] % 9,
-                "lp": (props[0] // 9) % 5,
-                "pb": props[0] // 45,
-                "dict_size": int.from_bytes(props[1:5], "little"),
-            }
-            d = lzma.LZMADecompressor(
-                format=lzma.FORMAT_RAW, filters=[filt]
-            )
-            data = d.decompress(comp, max_length=usize)
-        elif method == "lzma2" and len(props) == 1:
-            d = lzma.LZMADecompressor(
-                format=lzma.FORMAT_RAW,
-                filters=[{"id": lzma.FILTER_LZMA2,
-                          "dict_size": 1 << min(31, props[0])}],
-            )
-            data = d.decompress(comp, max_length=usize)
+        data = _sz_decode_stream(method, props, comp, usize)
         crc_ok = None
         head = None
         if data is not None:

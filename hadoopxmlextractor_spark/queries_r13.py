@@ -1751,3 +1751,275 @@ def q_pipeline_frontier_incremental(
     return T.frontier_increment(
         frontier_old, crawled_old, cand_new, crawled_new
     )
+
+
+# ---------------------------------------------------------------------------
+# 7z encoded (compressed) headers — the real CLI's default layout
+# ---------------------------------------------------------------------------
+
+
+def _synth_7z_encoded_blob(i: int) -> bytes:
+    """One deterministic ENCODED-HEADER 7z from md5(doc:7ze): same
+    member surface family as the r12 archive (2-4 members, methods
+    rotating, unicode name, optional EmptyStream member) but the
+    header itself is an appended LZMA pack stream behind
+    kEncodedHeader — what the real 7z CLI writes by default. Every
+    13th doc flips a byte inside the PACKED header — the
+    decode/CRC refusal arm."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:7ze".encode()).digest()
+    x = hashlib.md5(f"{i}:7ze".encode()).hexdigest()
+    n = 2 + b[0] % 3
+    members = []
+    for m in range(n):
+        method = "copy" if m == 0 else ("copy", "lzma", "lzma2")[
+            (b[2] + m) % 3
+        ]
+        reps = 1 + (b[3] + m) % 3
+        content = (f"w{x[0:8]}m{m} " * reps).encode()
+        name = f"ü{m}.txt" if m == 1 else f"m{m}/doc{i}.txt"
+        members.append((name, content, method))
+    if b[1] % 2:
+        members.append((f"empty{i}.txt", b"", "copy"))
+    blob = bytearray(D.build_7z(members, encoded_header=True))
+    if i % 13 == 12:
+        next_off = int.from_bytes(blob[12:20], "little")
+        blob[32 + next_off - 3] ^= 0x40  # inside the packed header
+    return bytes(blob)
+
+
+@query(
+    "archive_7z_encoded",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 2 + {_b('7ze', 0)} % 3 AS n,
+             {_b('7ze', 1)} % 2 AS has_empty,
+             {_b('7ze', 2)} AS b2, {_b('7ze', 3)} AS b3,
+             md5(CAST(doc_id AS VARCHAR) || ':7ze') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, g.g AS m, b2, b3, x, has_empty
+      FROM p, (VALUES (0), (1), (2), (3)) g(g)
+      WHERE g.g < n AND doc_id % 13 <> 12
+    ),
+    f AS (
+      SELECT doc_id, m,
+        CASE WHEN m = 1 THEN 'ü' || CAST(m AS VARCHAR) || '.txt'
+             ELSE 'm' || CAST(m AS VARCHAR) || '/doc'
+                  || CAST(doc_id AS VARCHAR) || '.txt' END AS name,
+        CASE WHEN m = 0 THEN 'copy'
+             ELSE (['copy', 'lzma', 'lzma2'])[1 + (b2 + m) % 3]
+             END AS method,
+        repeat('w' || substring(x, 1, 8) || 'm' || CAST(m AS VARCHAR)
+               || ' ', 1 + (b3 + m) % 3) AS content
+      FROM g
+    ),
+    rows_ AS (
+      SELECT doc_id, CAST(m AS INT) AS member_idx, name, method,
+             CAST(length(content) AS BIGINT) AS size,
+             CAST(1 AS INT) AS crc_ok,
+             substring(content, 1, 16) AS head
+      FROM f
+      UNION ALL
+      SELECT doc_id, CAST(n AS INT), 'empty' || CAST(doc_id AS VARCHAR)
+               || '.txt', NULL, CAST(0 AS BIGINT), CAST(NULL AS INT), ''
+      FROM p WHERE has_empty = 1 AND doc_id % 13 <> 12
+      UNION ALL
+      SELECT doc_id, -1, NULL, NULL, NULL, CAST(NULL AS INT), NULL
+      FROM p WHERE doc_id % 13 = 12
+    )
+    SELECT * FROM rows_
+    """,
+)
+def q_archive_7z_encoded(spark: SparkSession, sf: str) -> DataFrame:
+    # 7z ENCODED HEADERS (r13) — the real CLI writes its header as an
+    # appended LZMA pack stream behind kEncodedHeader by DEFAULT, so
+    # the r12 plain-header leg refused most real archives. The walk
+    # now parses the encoded form's StreamsInfo, bounds the packed
+    # header against the blob, decodes via stdlib lzma, verifies the
+    # decoded header's CRC, and continues with the plain parse — the
+    # member surface (methods, unicode names, EmptyStream, per-member
+    # payload CRC) is byte-identical to the plain-header twin. Every
+    # 13th doc flips a byte INSIDE the packed header — the decode/CRC
+    # refusal arm (corrupt LZMA refuses as ValueError, never a
+    # garbage directory). One Arrow pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "member_idx", "name", "method", "size",
+                "crc_ok", "head"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = _synth_7z_encoded_blob(i)
+                try:
+                    for k, mrow in enumerate(D.sevenzip_members(blob)):
+                        rows.append({
+                            "doc_id": i, "member_idx": k,
+                            "name": mrow["name"],
+                            "method": mrow["method"],
+                            "size": mrow["size"],
+                            "crc_ok": (
+                                None if mrow["crc_ok"] is None
+                                else int(mrow["crc_ok"])
+                            ),
+                            "head": mrow["head"],
+                        })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "doc_id": i, "member_idx": -1, "name": None,
+                        "method": None, "size": None, "crc_ok": None,
+                        "head": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, member_idx int, name string, "
+        "method string, size bigint, crc_ok int, head string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ZipCrypto-protected archives
+# ---------------------------------------------------------------------------
+
+
+def _synth_zip_encrypted_blob(i: int) -> bytes:
+    """One deterministic partially-encrypted ZIP from md5(doc:zenc):
+    member 0 plain, later members ZipCrypto-protected (stored and
+    deflate arms both rotate under encryption) with the corpus
+    convention password. Every 7th doc protects with a DIFFERENT
+    password (check-byte refusal arm); every 11th doc relabels
+    member 1's method to 99 — the WinZip-AES refusal arm."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:zenc".encode()).digest()
+    x = hashlib.md5(f"{i}:zenc".encode()).hexdigest()
+    pw = "realpw" if i % 7 == 6 else "infected"
+    members = []
+    passwords = {}
+    for m in range(2 + b[0] % 2):
+        content = (f"w{x[0:6]} m{m} " * (1 + (b[1] + m) % 3)).encode()
+        members.append((f"m{m}.txt", content, (b[2] + m) % 2 * 8,
+                        False))
+        if m != 0:
+            passwords[f"m{m}.txt"] = pw
+    blob = D.build_zip(members, passwords=passwords)
+    if i % 11 == 10:
+        # relabel member 1's method to 99 (AE-x) in BOTH headers
+        ms = D.zip_member_list(blob)
+        e = next(e for e in ms if e["name"] == "m1.txt")
+        out = bytearray(blob)
+        struct.pack_into("<H", out, e["offset"] + 8, 99)
+        # walk central entries to m1.txt
+        pos = blob.index(b"PK\x01\x02")
+        while pos < len(blob):
+            if blob[pos : pos + 4] != b"PK\x01\x02":
+                break
+            nlen, elen, clen = struct.unpack_from("<HHH", blob, pos + 28)
+            nm = blob[pos + 46 : pos + 46 + nlen]
+            if nm == b"m1.txt":
+                struct.pack_into("<H", out, pos + 10, 99)
+                break
+            pos += 46 + nlen + elen + clen
+        blob = bytes(out)
+    return blob
+
+
+@query(
+    "archive_zip_encrypted",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 2 + {_b('zenc', 0)} % 2 AS n,
+             {_b('zenc', 1)} AS b1, {_b('zenc', 2)} AS b2,
+             md5(CAST(doc_id AS VARCHAR) || ':zenc') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, n, g.g AS m, b1, b2, x
+      FROM p, (VALUES (0), (1), (2)) g(g) WHERE g.g < n
+    ),
+    f AS (
+      SELECT doc_id, m,
+             'm' || CAST(m AS VARCHAR) || '.txt' AS name,
+             CAST(m <> 0 AS INT) AS enc,
+             repeat('w' || substring(x, 1, 6) || ' m'
+                    || CAST(m AS VARCHAR) || ' ', 1 + (b1 + m) % 3)
+               AS content,
+             CASE WHEN m = 1 AND doc_id % 11 = 10 THEN 'aes'
+                  WHEN m <> 0 AND doc_id % 7 = 6 THEN 'badpw'
+                  ELSE 'ok' END AS state
+      FROM g
+    )
+    SELECT doc_id, CAST(m AS INT) AS member_idx, name, enc,
+           CAST(state = 'ok' AS INT) AS ok,
+           CASE WHEN state = 'ok'
+                THEN CAST(length(content) AS BIGINT) END AS size,
+           CASE WHEN state = 'ok' THEN substring(content, 1, 16) END
+             AS head
+    FROM f
+    """,
+)
+def q_archive_zip_encrypted(spark: SparkSession, sf: str) -> DataFrame:
+    # ZIPCRYPTO ARCHIVES (r13) — the majority of password-protected
+    # zips in public dumps use the traditional PKWARE stream cipher
+    # (the 'infected' distribution convention for security corpora is
+    # the canonical case). The reader gates on the 12-byte header's
+    # check byte BEFORE any inflate — a wrong password refuses that
+    # MEMBER (the archive's plain members still extract), WinZip-AES
+    # members (method 99) refuse explicitly, and the cipher is
+    # cross-validated externally (stdlib zipfile decrypts this
+    # writer's output — tests/test_documents.py). Per-member salvage,
+    # one Arrow pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "member_idx", "name", "enc", "ok", "size",
+                "head"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = _synth_zip_encrypted_blob(i)
+                for k, e in enumerate(D.zip_member_list(blob)):
+                    enc = int(bool(e["flags"] & 1))
+                    try:
+                        data = D.zip_read_member(
+                            blob, e, "infected" if enc else None
+                        )
+                        rows.append({
+                            "doc_id": i, "member_idx": k,
+                            "name": e["name"], "enc": enc, "ok": 1,
+                            "size": len(data),
+                            "head": data[:16].decode("utf-8",
+                                                      "replace"),
+                        })
+                    except ValueError:
+                        rows.append({
+                            "doc_id": i, "member_idx": k,
+                            "name": e["name"], "enc": enc, "ok": 0,
+                            "size": None, "head": None,
+                        })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, member_idx int, name string, enc int, "
+        "ok int, size bigint, head string",
+    )

@@ -1816,7 +1816,9 @@ def test_7z_golden_archive_hand_built():
         D.sevenzip_members(evil)
     with pytest.raises(ValueError, match="not a 7z"):
         D.sevenzip_members(b"PK\x03\x04nope")
-    # encoded (compressed) headers refuse rather than misparse
+    # a MALFORMED encoded header refuses rather than misparses
+    # (well-formed encoded headers are SUPPORTED since r13 —
+    # test_7z_encoded_header_roundtrip)
     enc_hdr = b"\x17\x06\x00\x01\x00"
     start2 = (
         (0).to_bytes(8, "little") + len(enc_hdr).to_bytes(8, "little")
@@ -1826,7 +1828,7 @@ def test_7z_golden_archive_hand_built():
         b"7z\xbc\xaf\x27\x1c\x00\x04"
         + zlib.crc32(start2).to_bytes(4, "little") + start2 + enc_hdr
     )
-    with pytest.raises(ValueError, match="encoded 7z header"):
+    with pytest.raises(ValueError, match="pack sizes expected"):
         D.sevenzip_members(blob2)
 
 
@@ -2933,3 +2935,75 @@ def test_pdf_aesv3_encrypt_metadata_arm():
         blob = _synth_pdf_aesv3_blob(i)
         n, text = D._pdf_extract(blob)
         assert n >= 1 and "sealed" in text, arm
+
+
+def test_7z_encoded_header_roundtrip():
+    """kEncodedHeader — the real 7z CLI's default layout: the header
+    is an appended LZMA pack stream; decode is CRC-verified and the
+    member surface is identical to the plain-header twin."""
+    members = [
+        ("a.txt", b"copy me please!!", "copy"),
+        ("ü/b.bin", b"lzma payload " * 9, "lzma"),
+        ("c.log", b"lzma2 payload " * 7, "lzma2"),
+        ("hollow.txt", b"", "copy"),
+    ]
+    plain = D.build_7z(members)
+    enc = D.build_7z(members, encoded_header=True)
+    assert D.sevenzip_members(enc) == D.sevenzip_members(plain)
+    # the encoded form genuinely hides metadata (UTF-16LE names)
+    assert "a.txt".encode("utf-16-le") in plain
+    assert "a.txt".encode("utf-16-le") not in enc
+    # with_data flows through the decoded header identically
+    assert [m["data"] for m in D.sevenzip_members(enc, with_data=True)] \
+        == [m["data"] for m in D.sevenzip_members(plain, with_data=True)]
+    # a flipped byte in the PACKED header refuses (LZMA error or the
+    # decoded-header CRC — either way a ValueError, never garbage)
+    next_off = int.from_bytes(enc[12:20], "little")
+    bad = bytearray(enc)
+    bad[32 + next_off - 3] ^= 0x40
+    with pytest.raises(ValueError):
+        D.sevenzip_members(bytes(bad))
+    # a member-payload flip still fails ONLY that member's CRC
+    bad = bytearray(enc)
+    bad[32] ^= 0x20
+    ms = D.sevenzip_members(bytes(bad))
+    assert ms[0]["crc_ok"] is False and ms[1]["crc_ok"] is True
+
+
+def test_zipcrypto_roundtrip_and_stdlib_crossval():
+    members = [("plain.txt", b"no password here", 0, False),
+               ("secret.txt", b"zipcrypto payload " * 4, 8, False),
+               ("s2.bin", b"stored secret", 0, False)]
+    blob = D.build_zip(members, passwords={"secret.txt": "infected",
+                                           "s2.bin": "pw2"})
+    entries = {e["name"]: e for e in D.zip_member_list(blob)}
+    assert entries["plain.txt"]["flags"] & 1 == 0
+    assert entries["secret.txt"]["flags"] & 1 == 1
+    assert D.zip_read_member(blob, entries["plain.txt"]) \
+        == b"no password here"
+    assert D.zip_read_member(blob, entries["secret.txt"], "infected") \
+        == b"zipcrypto payload " * 4
+    assert D.zip_read_member(blob, entries["s2.bin"], "pw2") \
+        == b"stored secret"
+    # ciphertext really hides plaintext
+    assert b"zipcrypto payload" not in blob
+    assert b"stored secret" not in blob
+    # no password / wrong password refuse via the check byte
+    with pytest.raises(ValueError, match="no password"):
+        D.zip_read_member(blob, entries["secret.txt"])
+    with pytest.raises(ValueError, match="password check"):
+        D.zip_read_member(blob, entries["secret.txt"], "wrong")
+    # AES (method 99) refuses explicitly
+    bad = dict(entries["secret.txt"], method=99)
+    with pytest.raises(ValueError, match="AES-encrypted"):
+        D.zip_read_member(blob, bad, "infected")
+    # the cipher is pinned EXTERNALLY: stdlib zipfile decrypts our
+    # writer's output (independent ZipCrypto implementation)
+    import io
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    zf.setpassword(b"infected")
+    assert zf.read("secret.txt") == b"zipcrypto payload " * 4
+    zf.setpassword(b"pw2")
+    assert zf.read("s2.bin") == b"stored secret"
