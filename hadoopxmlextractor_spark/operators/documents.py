@@ -6166,14 +6166,20 @@ _CFB_FREE = 0xFFFFFFFF
 _CFB_CUTOFF = 4096  # streams below this live in the mini stream
 
 
-def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
-    """Write a version-3 (512-byte-sector) compound file from (name,
-    data) streams — small streams through the MINI stream + miniFAT
-    (the spec's mandatory path for anything under 4096 bytes), large
-    ones through the regular FAT; DIFAT held entirely in the header
-    (≤109 FAT sectors — far beyond any fixture). The synth-side
-    partner of :func:`cfb_members`."""
-    SS, MS = 512, 64
+def build_cfb(streams: list[tuple[str, bytes]], *,
+              sector_size: int = 512) -> bytes:
+    """Write a compound file from (name, data) streams — small
+    streams through the MINI stream + miniFAT (the spec's mandatory
+    path for anything under 4096 bytes), large ones through the
+    regular FAT; DIFAT held entirely in the header (≤109 FAT sectors
+    — far beyond any fixture). ``sector_size`` 512 writes the
+    version-3 layout; 4096 the version-4 one (MSI and large modern
+    Office files — the header pads to a full sector and sector 0
+    starts at 4096, the layout the r13 reader fix covers). The
+    synth-side partner of :func:`cfb_members`."""
+    if sector_size not in (512, 4096):
+        raise ValueError("CFB sector size must be 512 or 4096")
+    SS, MS = sector_size, 64
 
     def chunks(data: bytes, size: int) -> list[bytes]:
         return [
@@ -6266,10 +6272,15 @@ def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
 
     header = bytearray()
     header += _CFB_MAGIC + b"\x00" * 16
-    header += struct.pack("<HH", 0x003E, 0x0003)  # minor, major=3
-    header += struct.pack("<HHH", 0xFFFE, 9, 6)  # LE, 512B, 64B
+    header += struct.pack(
+        "<HH", 0x003E, 0x0003 if SS == 512 else 0x0004
+    )  # minor, major
+    header += struct.pack(
+        "<HHH", 0xFFFE, 9 if SS == 512 else 12, 6
+    )  # LE, sector shift, mini shift
     header += b"\x00" * 6
-    header += struct.pack("<I", 0)  # directory sector count (v3: 0)
+    # directory sector count: v3 writes 0, v4 the real count
+    header += struct.pack("<I", 0 if SS == 512 else n_dir)
     header += struct.pack("<I", n_fat)
     header += struct.pack("<I", dir_first)
     header += struct.pack("<I", 0)  # transaction
@@ -6282,6 +6293,8 @@ def build_cfb(streams: list[tuple[str, bytes]]) -> bytes:
     difat += [_CFB_FREE] * (109 - len(difat))
     header += struct.pack("<109I", *difat)
     assert len(header) == 512
+    if SS == 4096:
+        header += b"\x00" * (SS - 512)  # v4: header fills its sector
 
     body = bytearray()
     fatblob = b"".join(struct.pack("<I", v) for v in fat)
@@ -6344,7 +6357,11 @@ def cfb_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
     if n_difat:
         raise ValueError("chained DIFAT unsupported")
     difat = struct.unpack("<109I", blob[76:512])[:n_fat]
-    base = 512
+    # sector n lives at (n+1) * sector_size ([MS-CFB] 2.1): the
+    # header occupies one FULL sector, so version-4 (4096-byte)
+    # files offset from 4096, not 512 (r13 — the old hardcoded 512
+    # silently misread every v4 file)
+    base = ss
     fat: list[int] = []
     for s in difat:
         at = base + s * ss
@@ -7415,24 +7432,32 @@ def xls_cells(blob: bytes) -> list[dict]:
 # ---------------------------------------------------------------------------
 
 
-def build_ppt(slides: list[list[str]]) -> bytes:
+def build_ppt(slides: list[list[str]],
+              notes: list[list[str]] | None = None) -> bytes:
     """A legacy .ppt compound file whose 'PowerPoint Document' stream
     nests one container record per slide holding TextBytesAtom
     (latin-1) or TextCharsAtom (UTF-16LE — chosen per text) children —
     the [MS-PPT] record framing (recVer/recInstance u16, recType u16,
-    recLen u32). Write partner of :func:`ppt_extract_text`."""
+    recLen u32). ``notes`` adds Notes containers (0x03F0) after the
+    slides — the speaker-notes text real decks carry (r13). Write
+    partner of :func:`ppt_extract_text`."""
     def atom(rtype: int, payload: bytes, ver: int = 0) -> bytes:
         return struct.pack("<HHI", ver, rtype, len(payload)) + payload
 
-    body = b""
-    for texts in slides:
+    def text_atoms(texts: list[str]) -> bytes:
         inner = b""
         for t in texts:
             if all(ord(ch) < 256 for ch in t):
                 inner += atom(0x0FA8, t.encode("latin-1"))
             else:
                 inner += atom(0x0FA0, t.encode("utf-16-le"))
-        body += atom(0x03EE, inner, ver=0xF)  # Slide container
+        return inner
+
+    body = b""
+    for texts in slides:
+        body += atom(0x03EE, text_atoms(texts), ver=0xF)  # Slide
+    for texts in notes or []:
+        body += atom(0x03F0, text_atoms(texts), ver=0xF)  # Notes
     stream = atom(0x03E8, body, ver=0xF)  # Document container
     if len(stream) < _CFB_CUTOFF:
         stream += b"\x00" * (_CFB_CUTOFF - len(stream))
@@ -7457,11 +7482,11 @@ def ppt_extract_text(blob: bytes) -> tuple[int, str]:
             break
     if data is None:
         raise ValueError("no PowerPoint Document stream")
-    slides: list[list[str]] = []
-    cur: list[str] | None = None
+    n_slides = 0
+    texts: list[str] = []  # Slide AND Notes text, in walk order
 
-    def walk(at: int, end: int, depth: int) -> None:
-        nonlocal cur
+    def walk(at: int, end: int, depth: int, collecting: bool) -> None:
+        nonlocal n_slides
         if depth > 16:
             raise ValueError("PPT record nesting too deep")
         while at + 8 <= end:
@@ -7469,17 +7494,18 @@ def ppt_extract_text(blob: bytes) -> tuple[int, str]:
             body_at = at + 8
             if body_at + ln > end:
                 raise ValueError("PPT record past bound")
-            if rtype == 0x03EE:  # Slide container
-                cur = []
-                slides.append(cur)
-                walk(body_at, body_at + ln, depth + 1)
-                cur = None
+            if rtype in (0x03EE, 0x03F0):  # Slide / Notes container
+                if rtype == 0x03EE:
+                    n_slides += 1
+                walk(body_at, body_at + ln, depth + 1, True)
             elif verinst & 0xF == 0xF:  # other containers descend
-                walk(body_at, body_at + ln, depth + 1)
-            elif rtype == 0x0FA8 and cur is not None:
-                cur.append(data[body_at : body_at + ln].decode("latin-1"))
-            elif rtype == 0x0FA0 and cur is not None:
-                cur.append(
+                walk(body_at, body_at + ln, depth + 1, collecting)
+            elif rtype == 0x0FA8 and collecting:
+                texts.append(
+                    data[body_at : body_at + ln].decode("latin-1")
+                )
+            elif rtype == 0x0FA0 and collecting:
+                texts.append(
                     data[body_at : body_at + ln].decode("utf-16-le")
                 )
             at = body_at + ln
@@ -7493,10 +7519,8 @@ def ppt_extract_text(blob: bytes) -> tuple[int, str]:
         raise ValueError("not a PowerPoint Document container")
     if 8 + ln > len(data):
         raise ValueError("PPT record past bound")
-    walk(0, 8 + ln, 0)
-    return len(slides), "\n".join(
-        t for texts in slides for t in texts
-    )
+    walk(0, 8 + ln, 0, False)
+    return n_slides, "\n".join(texts)
 
 
 # ---------------------------------------------------------------------------
@@ -8346,3 +8370,168 @@ def ooxml_decrypt(blob: bytes,
         return out[:orig_size]
 
     raise ValueError("unknown OOXML encryption version")
+
+
+# ---------------------------------------------------------------------------
+# OLE property sets, full fidelity (r13): CodePage-aware VT_LPSTR,
+# VT_LPWSTR, and the \x05DocumentSummaryInformation stream (GKPIDDSI)
+# ---------------------------------------------------------------------------
+
+_FMTID_SUMMARY = bytes.fromhex("e0859ff2f94f6810ab9108002b27b3d9")
+_FMTID_DOCSUMMARY = bytes.fromhex("02d5cdd59c2e1b10939708002b2cf9ae")
+
+
+def _ole_codec(codepage: int) -> str:
+    if codepage == 1200:
+        return "utf-16-le"
+    if codepage == 65001:
+        return "utf-8"
+    try:
+        "".encode(f"cp{codepage}")
+        return f"cp{codepage}"
+    except LookupError:
+        return "latin-1"
+
+
+def build_property_set(
+    fmtid: bytes, props: list[tuple[int, int, object]], *,
+    codepage: int = 1252,
+) -> bytes:
+    """One [MS-OLEPS] property-set stream: the CodePage property
+    (PID 1, VT_I2) leads — it drives every VT_LPSTR's encoding, the
+    detail naive readers skip and then mojibake CJK metadata — then
+    the given (pid, vt, value) properties (VT_I2/I4, VT_LPSTR,
+    VT_LPWSTR, VT_FILETIME as unix seconds)."""
+    codec = _ole_codec(codepage)
+
+    def enc(vt: int, value) -> bytes:
+        if vt == 2:  # VT_I2
+            return struct.pack("<IhH", 2, int(value), 0)
+        if vt == 3:  # VT_I4
+            return struct.pack("<Ii", 3, int(value))
+        if vt == 30:  # VT_LPSTR (CodePage-encoded)
+            raw = str(value).encode(codec) + (
+                b"\x00\x00" if codec == "utf-16-le" else b"\x00"
+            )
+            raw = raw.ljust((len(raw) + 3) // 4 * 4, b"\x00")
+            return struct.pack("<II", 30, len(raw)) + raw
+        if vt == 31:  # VT_LPWSTR (always UTF-16LE, cch incl. NUL)
+            u = str(value).encode("utf-16-le") + b"\x00\x00"
+            pad = u.ljust((len(u) + 3) // 4 * 4, b"\x00")
+            return struct.pack("<II", 31, len(u) // 2) + pad
+        if vt == 64:  # VT_FILETIME from unix seconds
+            ft = (int(value) + 11644473600) * 10_000_000
+            return struct.pack("<IQ", 64, ft)
+        raise ValueError(f"unsupported property type {vt}")
+
+    all_props = [(0x0001, struct.pack("<IhH", 2, codepage, 0))]
+    all_props += [(pid, enc(vt, v)) for pid, vt, v in props]
+    head_size = 8 + 8 * len(all_props)
+    offs, bodies = [], []
+    at = head_size
+    for pid, body in all_props:
+        offs.append((pid, at))
+        bodies.append(body)
+        at += len(body)
+    section = struct.pack("<II", at, len(all_props))
+    for pid, off in offs:
+        section += struct.pack("<II", pid, off)
+    section += b"".join(bodies)
+    return (
+        struct.pack("<HHI", 0xFFFE, 0, 0)
+        + b"\x00" * 16
+        + struct.pack("<I", 1)
+        + fmtid
+        + struct.pack("<I", 48)
+        + section
+    )
+
+
+def parse_property_set(data: bytes) -> tuple[int, dict]:
+    """(codepage, {pid: value}) of an [MS-OLEPS] property-set stream
+    — a TWO-PASS read: the CodePage property (PID 1) is resolved
+    FIRST, then every VT_LPSTR decodes with it (the CJK-metadata
+    fidelity detail); VT_LPWSTR is always UTF-16LE. Malformed
+    sections refuse."""
+    if len(data) < 48:
+        raise ValueError("truncated property set")
+    if data[:2] != b"\xfe\xff":
+        raise ValueError("bad property-set byte order")
+    (n_sets,) = struct.unpack("<I", data[24:28])
+    if n_sets < 1:
+        raise ValueError("empty property set")
+    (sec_off,) = struct.unpack("<I", data[44:48])
+    if sec_off + 8 > len(data):
+        raise ValueError("property section past EOF")
+    sec_size, count = struct.unpack("<II", data[sec_off : sec_off + 8])
+    if sec_off + sec_size > len(data) or sec_off + 8 + 8 * count > len(
+        data
+    ):
+        raise ValueError("property section past EOF")
+    idx = [
+        struct.unpack(
+            "<II", data[sec_off + 8 + 8 * k : sec_off + 16 + 8 * k]
+        )
+        for k in range(count)
+    ]
+    codepage = 1252
+    have_cp = False
+    for pid, off in idx:
+        if pid == 0x0001:
+            at = sec_off + off
+            (vt,) = struct.unpack("<I", data[at : at + 4])
+            if vt == 2:
+                (codepage,) = struct.unpack(
+                    "<h", data[at + 4 : at + 6]
+                )
+                codepage &= 0xFFFF
+                have_cp = True
+    codec = _ole_codec(codepage) if have_cp else "latin-1"
+    out: dict[int, object] = {}
+    for pid, off in idx:
+        at = sec_off + off
+        (vt,) = struct.unpack("<I", data[at : at + 4])
+        if vt == 2:
+            (out[pid],) = struct.unpack("<h", data[at + 4 : at + 6])
+        elif vt == 3:
+            (out[pid],) = struct.unpack("<i", data[at + 4 : at + 8])
+        elif vt == 30:
+            (ln,) = struct.unpack("<I", data[at + 4 : at + 8])
+            raw = data[at + 8 : at + 8 + ln]
+            out[pid] = raw.decode(codec, "replace").split("\x00")[0]
+        elif vt == 31:
+            (cch,) = struct.unpack("<I", data[at + 4 : at + 8])
+            raw = data[at + 8 : at + 8 + 2 * cch]
+            out[pid] = raw.decode("utf-16-le").split("\x00")[0]
+        elif vt == 64:
+            (ft,) = struct.unpack("<Q", data[at + 4 : at + 12])
+            out[pid] = ft // 10_000_000 - 11644473600
+    return codepage if have_cp else None, out
+
+
+def build_doc_summary_information(
+    category: str, manager: str, company: str, *,
+    codepage: int = 1252, wide: bool = False,
+) -> bytes:
+    """A \\x05DocumentSummaryInformation stream (GKPIDDSI: category
+    0x02, manager 0x0E, company 0x0F) — LPSTR under ``codepage`` or
+    LPWSTR when ``wide``."""
+    vt = 31 if wide else 30
+    return build_property_set(
+        _FMTID_DOCSUMMARY,
+        [(0x02, vt, category), (0x0E, vt, manager),
+         (0x0F, vt, company)],
+        codepage=codepage,
+    )
+
+
+def parse_doc_summary_information(data: bytes) -> dict:
+    """{category, manager, company, codepage} of a
+    DocumentSummaryInformation stream."""
+    cp, props = parse_property_set(data)
+    return {
+        "category": props.get(0x02),
+        "manager": props.get(0x0E),
+        "company": props.get(0x0F),
+        "codepage": cp,
+    }

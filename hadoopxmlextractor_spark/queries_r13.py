@@ -2023,3 +2023,252 @@ def q_archive_zip_encrypted(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, member_idx int, name string, enc int, "
         "ok int, size bigint, head string",
     )
+
+
+# ---------------------------------------------------------------------------
+# OLE property sets, full fidelity + CFB v4 sectors
+# ---------------------------------------------------------------------------
+
+
+def _synth_cfb_props_blob(i: int) -> bytes:
+    """A compound file exercising the metadata-fidelity surface:
+    sector size rotating 512/4096 (version 3/4 — v4 offsets sectors
+    from 4096, the r13 reader fix), SummaryInformation AND
+    DocumentSummaryInformation property sets with the CodePage
+    property driving VT_LPSTR decoding (cp1252 / cp932 / cp1251
+    arms — naive latin-1 readers mojibake two of three) and an
+    LPWSTR (UTF-16) arm. Every 13th doc truncates the
+    DocumentSummaryInformation stream — the refusal arm."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:cfbp".encode()).digest()
+    x = hashlib.md5(f"{i}:cfbp".encode()).hexdigest()
+    arm = b[0] % 3
+    cp = (1252, 932, 1251)[arm]
+    wide = b[1] % 4 == 0
+    title = f"T {x[0:4]}"
+    author = ("Aut", "著者", "Автор")[arm] + x[4:6]
+    company = ("Co", "会社", "Фирма")[arm] + x[6:8]
+    manager = f"mgr {x[8:10]}"
+    category = f"Cat {x[10:12]}"
+    created = 1_400_000_000 + b[2] * 86400
+    vt = 31 if wide else 30
+    ps = D.build_property_set(
+        D._FMTID_SUMMARY,
+        [(0x02, vt, title), (0x04, vt, author),
+         (0x0C, 64, created)],
+        codepage=cp,
+    )
+    ds = D.build_doc_summary_information(
+        category, manager, company, codepage=cp, wide=wide
+    )
+    if i % 13 == 12:
+        ds = ds[:40]  # truncated section → refusal
+    body = (f"w{x[0:8]} body ".encode()) * 400
+    return D.build_cfb(
+        [("Body", body), ("\x05SummaryInformation", ps),
+         ("\x05DocumentSummaryInformation", ds)],
+        sector_size=4096 if b[6] % 2 else 512,
+    )
+
+
+@query(
+    "archive_cfb_properties",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('cfbp', 0)} % 3 AS arm,
+             {_b('cfbp', 2)} AS b2,
+             CASE {_b('cfbp', 6)} % 2 WHEN 1 THEN 4096 ELSE 512 END
+               AS sector,
+             md5(CAST(doc_id AS VARCHAR) || ':cfbp') AS x
+      FROM documents
+    )
+    SELECT doc_id, CAST(sector AS INT) AS sector,
+           CAST(([1252, 932, 1251])[arm + 1] AS INT) AS codepage,
+           'T ' || substring(x, 1, 4) AS title,
+           (['Aut', '著者', 'Автор'])[arm + 1] || substring(x, 5, 2)
+             AS author,
+           CAST(1400000000 + b2 * 86400 AS BIGINT) AS created_s,
+           'Cat ' || substring(x, 11, 2) AS category,
+           'mgr ' || substring(x, 9, 2) AS manager,
+           (['Co', '会社', 'Фирма'])[arm + 1] || substring(x, 7, 2)
+             AS company
+    FROM p WHERE doc_id % 13 <> 12
+    UNION ALL
+    SELECT doc_id, CAST(sector AS INT), NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL
+    FROM p WHERE doc_id % 13 = 12
+    """,
+)
+def q_archive_cfb_properties(spark: SparkSession, sf: str) -> DataFrame:
+    # OLE PROPERTY-SET FIDELITY + CFB v4 (r13) — two real-world
+    # metadata traps: (a) the CodePage property (PID 1) drives every
+    # VT_LPSTR's encoding — readers that skip it mojibake cp932/
+    # cp1251 metadata corpus-wide (the two-pass read resolves it
+    # FIRST); LPWSTR (UTF-16) rotates too; (b) version-4 compound
+    # files (4096-byte sectors — MSI and large modern Office) offset
+    # sectors from 4096, not 512 — the old hardcoded base silently
+    # misread every v4 file, so the ``sector`` column is parsed back
+    # from the BLOB's sector-shift header as proof both layouts
+    # genuinely occur. The DocumentSummaryInformation stream
+    # (category/manager/company, GKPIDDSI) joins the metadata
+    # surface; a truncated property section refuses to the marker
+    # row. One Arrow pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "sector", "codepage", "title", "author",
+                "created_s", "category", "manager", "company"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = _synth_cfb_props_blob(i)
+                (shift,) = struct.unpack_from("<H", blob, 30)
+                sector = 1 << shift
+                try:
+                    ms = {
+                        m["name"]: m["data"]
+                        for m in D.cfb_members(blob, with_data=True)
+                    }
+                    cp, props = D.parse_property_set(
+                        ms["\x05SummaryInformation"]
+                    )
+                    dsi = D.parse_doc_summary_information(
+                        ms["\x05DocumentSummaryInformation"]
+                    )
+                    rows.append({
+                        "doc_id": i, "sector": sector,
+                        "codepage": cp, "title": props.get(0x02),
+                        "author": props.get(0x04),
+                        "created_s": props.get(0x0C),
+                        "category": dsi["category"],
+                        "manager": dsi["manager"],
+                        "company": dsi["company"],
+                    })
+                except (ValueError, IndexError, struct.error,
+                        KeyError):
+                    rows.append({
+                        "doc_id": i, "sector": sector,
+                        "codepage": None, "title": None,
+                        "author": None, "created_s": None,
+                        "category": None, "manager": None,
+                        "company": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, sector int, codepage int, "
+        "title string, author string, created_s bigint, "
+        "category string, manager string, company string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# .ppt speaker notes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_ppt_notes",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 1 + {_b('pptn', 0)} % 2 AS ns,
+             1 + {_b('pptn', 1)} % 2 AS nn,
+             {_b('pptn', 2)} AS b2,
+             md5(CAST(doc_id AS VARCHAR) || ':pptn') AS x
+      FROM documents
+    ),
+    sl AS (
+      SELECT doc_id, ns, nn, g.g AS g, b2, x,
+             CASE (b2 + g.g) % 2
+               WHEN 0 THEN 's' || substring(x, 4 * g.g + 1, 4)
+               ELSE '幻灯片 ' || substring(x, 4 * g.g + 1, 2) END AS t
+      FROM p, (VALUES (0), (1)) g(g)
+      WHERE g.g < ns AND doc_id % 9 <> 8
+    ),
+    nt AS (
+      SELECT doc_id, ns, nn, g.g AS g, b2, x,
+             CASE (b2 + g.g) % 2
+               WHEN 0 THEN 'note 音' || substring(x, 4 * g.g + 9, 2)
+               ELSE 'nb ' || substring(x, 4 * g.g + 9, 2) END AS t
+      FROM p, (VALUES (0), (1)) g(g)
+      WHERE g.g < nn AND doc_id % 9 <> 8
+    ),
+    stext AS (
+      SELECT doc_id, string_agg(t, chr(10) ORDER BY g) AS st
+      FROM sl GROUP BY doc_id
+    ),
+    ntext AS (
+      SELECT doc_id, string_agg(t, chr(10) ORDER BY g) AS nt
+      FROM nt GROUP BY doc_id
+    )
+    SELECT s.doc_id, 'ppt' AS format,
+           CAST(p.ns AS INT) AS n_units,
+           s.st || chr(10) || n.nt AS text
+    FROM stext s JOIN ntext n ON s.doc_id = n.doc_id
+    JOIN p ON p.doc_id = s.doc_id
+    UNION ALL
+    SELECT doc_id, NULL, NULL, NULL FROM p WHERE doc_id % 9 = 8
+    """,
+)
+def q_source_ppt_notes(spark: SparkSession, sf: str) -> DataFrame:
+    # .ppt SPEAKER NOTES (r13) — real decks carry presenter text in
+    # Notes containers (0x03F0) the r12 walk skipped entirely (only
+    # Slide containers collected); curators want it — notes often
+    # hold more prose than the slides. The walk now collects text
+    # from BOTH container kinds in record order while n_units still
+    # counts slides only. Arms rotate latin-1/UTF-16 atoms in both
+    # kinds; every 9th doc corrupts the outer container length —
+    # bounds refusal. One Arrow pass through document_text.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    @F.pandas_udf("binary")
+    def _blob(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import hashlib
+
+        for ids in it:
+            out = []
+            for i in ids:
+                i = int(i)
+                b = hashlib.md5(f"{i}:pptn".encode()).digest()
+                x = hashlib.md5(f"{i}:pptn".encode()).hexdigest()
+                slides = [
+                    [(f"s{x[4 * g : 4 * g + 4]}"
+                      if (b[2] + g) % 2 == 0
+                      else f"幻灯片 {x[4 * g : 4 * g + 2]}")]
+                    for g in range(1 + b[0] % 2)
+                ]
+                notes = [
+                    [(f"note 音{x[4 * g + 8 : 4 * g + 10]}"
+                      if (b[2] + g) % 2 == 0
+                      else f"nb {x[4 * g + 8 : 4 * g + 10]}")]
+                    for g in range(1 + b[1] % 2)
+                ]
+                blob = bytearray(D.build_ppt(slides, notes=notes))
+                if i % 9 == 8:
+                    ms = D.cfb_members(bytes(blob), with_data=True)
+                    ps = next(
+                        m for m in ms
+                        if m["name"] == "PowerPoint Document"
+                    )
+                    at = bytes(blob).index(ps["data"][:64])
+                    blob[at + 4 : at + 8] = struct.pack("<I", 1 << 30)
+                out.append(bytes(blob))
+            yield pd.Series(out)
+
+    ex = D.document_text(
+        docs.select("doc_id", _blob("doc_id").alias("content"))
+    )
+    return ex.select("doc_id", "format", "n_units", "text")

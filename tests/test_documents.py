@@ -3007,3 +3007,83 @@ def test_zipcrypto_roundtrip_and_stdlib_crossval():
     assert zf.read("secret.txt") == b"zipcrypto payload " * 4
     zf.setpassword(b"pw2")
     assert zf.read("s2.bin") == b"stored secret"
+
+
+# ---------------------------------------------------------------------------
+# CFB v4 sectors, OLE property-set fidelity, ppt notes (r13 wave 4)
+# ---------------------------------------------------------------------------
+
+
+def test_cfb_v4_sectors_roundtrip():
+    """Version-4 (4096-byte-sector) compound files offset sectors
+    from 4096 — the old hardcoded 512 base silently misread them."""
+    streams = [
+        ("WordDocument", b"word binary " * 600),  # FAT path
+        ("\x05SummaryInformation",
+         D.build_summary_information("T", "A", 1_600_000_000)),
+        ("1Table", b"small table"),               # mini path
+    ]
+    for ssz in (512, 4096):
+        blob = D.build_cfb(streams, sector_size=ssz)
+        (shift,) = struct.unpack_from("<H", blob, 30)
+        assert 1 << shift == ssz
+        ms = D.cfb_members(blob, with_data=True)
+        assert ms[0]["data"][:4] == b"word" and \
+            ms[2]["data"] == b"small table", ssz
+    # a full .doc piece-table walk works inside a v4 container
+    plain = D.build_doc97([("v4 sector text", True), ("中文 v4", False)])
+    streams = [(m["name"], m["data"])
+               for m in D.cfb_members(plain, with_data=True)]
+    v4 = D.build_cfb(streams, sector_size=4096)
+    assert D.doc_extract_text(v4) == (2, "v4 sector text\n中文 v4")
+    with pytest.raises(ValueError, match="sector size"):
+        D.build_cfb(streams, sector_size=1024)
+
+
+def test_ole_property_set_codepage_fidelity():
+    # cp932 LPSTR round-trips (the mojibake trap)
+    ds = D.build_doc_summary_information(
+        "カテゴリ", "管理者", "会社名", codepage=932
+    )
+    assert D.parse_doc_summary_information(ds) == {
+        "category": "カテゴリ", "manager": "管理者",
+        "company": "会社名", "codepage": 932,
+    }
+    # decoding the SAME bytes latin-1 would mojibake — prove the
+    # CodePage property genuinely matters
+    raw = "カテゴリ".encode("cp932").decode("latin-1")
+    assert raw != "カテゴリ"
+    # LPWSTR arm is UTF-16 regardless of codepage
+    ds = D.build_doc_summary_information("Ω", "m", "Ç", codepage=932,
+                                         wide=True)
+    assert D.parse_doc_summary_information(ds)["category"] == "Ω"
+    # cp1251 through the generic builder + FILETIME
+    ps = D.build_property_set(
+        D._FMTID_SUMMARY,
+        [(0x02, 30, "Заголовок"), (0x0C, 64, 1_600_000_000)],
+        codepage=1251,
+    )
+    cp, props = D.parse_property_set(ps)
+    assert (cp, props[0x02], props[0x0C]) == (
+        1251, "Заголовок", 1_600_000_000,
+    )
+    # no CodePage property → the legacy latin-1 fallback (old
+    # fixtures parse unchanged)
+    si = D.build_summary_information("T café", "A", 1_500_000_000)
+    cp, props = D.parse_property_set(si)
+    assert cp is None and props[0x02] == "T café"
+    assert D.parse_summary_information(si)["title"] == "T café"
+    # truncated section refuses
+    with pytest.raises(ValueError):
+        D.parse_property_set(ps[:40])
+
+
+def test_ppt_notes_collection():
+    blob = D.build_ppt([["s1"], ["s2 中"]],
+                       notes=[["note one 音"], ["n2"]])
+    assert D.ppt_extract_text(blob) == (
+        2, "s1\ns2 中\nnote one 音\nn2",
+    )
+    # notes-only deck: zero slides, text still captured
+    blob = D.build_ppt([], notes=[["orphan note"]])
+    assert D.ppt_extract_text(blob) == (0, "orphan note")
