@@ -71,7 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # FIRST 50 registry entries, so the front of this list decides what
 # gets a driver-ledger row this round.
 FRONT = [
-    # round-13 rotation: the 16 new r13 operators first, then the
+    # round-13 rotation: the 17 new r13 operators first, then the
     # queries whose code paths CHANGED this round — source_xls_cells
     # (parser rewritten for the BIFF8 surface), source_doc_text /
     # source_ppt_text (doc extract path restructured for piece
@@ -83,6 +83,7 @@ FRONT = [
     # by the politeness capstone), multimodal_image_orientation_dedup
     # (lossless twin of the new lossy arm) — so the driver
     # re-certifies every touched surface.
+    "pipeline_protected_documents",
     "archive_cfb_properties",
     "source_ppt_notes",
     "archive_7z_encoded",

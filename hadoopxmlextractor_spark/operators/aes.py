@@ -285,3 +285,22 @@ def ecb_decrypt(key: bytes, ciphertext: bytes) -> bytes:
         decrypt_block(key, ciphertext[i : i + 16])
         for i in range(0, len(ciphertext), 16)
     )
+
+
+def ctr_winzip(key: bytes, data: bytes) -> bytes:
+    """AES-CTR with WinZip's convention (AE-x): a 16-byte LITTLE-
+    endian block counter starting at 1, no nonce — symmetric for
+    encrypt/decrypt. Dispatches to the cryptography fast path when
+    importable (CTR there takes the big-endian counter, so the
+    keystream is generated via ECB over explicit counter blocks on
+    both paths — identical by construction)."""
+    _check_key_iv(key, bytes(16))
+    out = bytearray(len(data))
+    blocks = (len(data) + 15) // 16
+    counters = b"".join(
+        (i + 1).to_bytes(16, "little") for i in range(blocks)
+    )
+    ks = ecb_encrypt(key, counters)
+    for i, c in enumerate(data):
+        out[i] = c ^ ks[i]
+    return bytes(out)

@@ -283,9 +283,54 @@ def zip_read_member(blob: bytes, entry: dict,
     nlen, elen = struct.unpack("<HH", blob[pos + 26 : pos + 30])
     start = pos + 30 + nlen + elen
     raw = blob[start : start + entry["csize"]]
-    if entry["method"] == 99:
-        raise ValueError("AES-encrypted zip member unsupported")
-    if entry.get("flags", 0) & 0x0001:  # ZipCrypto
+    method = entry["method"]
+    if method == 99:  # WinZip AES (AE-1/AE-2), r13
+        import hashlib as _hl
+        import hmac as _hmac
+
+        from hadoopxmlextractor_spark.operators import aes as A
+
+        if password is None:
+            raise ValueError("encrypted zip member (no password)")
+        extras = blob[pos + 30 + nlen : pos + 30 + nlen + elen]
+        ae = None
+        at = 0
+        while at + 4 <= len(extras):
+            hid, hsz = struct.unpack_from("<HH", extras, at)
+            if hid == 0x9901:
+                ae = extras[at + 4 : at + 4 + hsz]
+                break
+            at += 4 + hsz
+        if ae is None or len(ae) < 7:
+            raise ValueError("AES zip member missing AE-x extra")
+        ver, vendor, strength = struct.unpack_from("<H2sB", ae, 0)
+        (method,) = struct.unpack_from("<H", ae, 5)
+        if vendor != b"AE" or ver not in (1, 2) or strength not in (
+            1, 2, 3,
+        ):
+            raise ValueError("malformed AE-x extra field")
+        keylen = 8 * (strength + 1)
+        salt_len = 4 * (strength + 1)
+        if len(raw) < salt_len + 2 + 10:
+            raise ValueError("AES member shorter than framing")
+        salt = raw[:salt_len]
+        dk = _hl.pbkdf2_hmac(
+            "sha1", password.encode("utf-8"), salt, 1000,
+            2 * keylen + 2,
+        )
+        if raw[salt_len : salt_len + 2] != dk[2 * keylen :]:
+            raise ValueError("zip password check failed")
+        ct = raw[salt_len + 2 : -10]
+        mac = _hmac.new(dk[keylen : 2 * keylen], ct, _hl.sha1)
+        if mac.digest()[:10] != raw[-10:]:
+            raise ValueError("zip AES authentication failed")
+        raw = A.ctr_winzip(dk[:keylen], ct)
+        # AE-2 stores CRC 0 — the HMAC above replaces it; AE-1
+        # keeps the real CRC and the tail check still applies
+        ae2 = ver == 2
+    else:
+        ae2 = False
+    if entry["method"] != 99 and entry.get("flags", 0) & 0x0001:
         if password is None:
             raise ValueError("encrypted zip member (no password)")
         if len(raw) < 12:
@@ -296,9 +341,9 @@ def zip_read_member(blob: bytes, entry: dict,
                 dec[11] != (entry["crc"] >> 24) & 0xFF:
             raise ValueError("zip password check failed")
         raw = dec[12:]
-    if entry["method"] == 0:
+    if method == 0:
         data = raw
-    elif entry["method"] == 8:
+    elif method == 8:
         # Inflate at most usize+1 bytes: the central directory's
         # declared size bounds the allocation, so a member claiming
         # 10 bytes can't materialize megabytes before the check below.
@@ -307,8 +352,10 @@ def zip_read_member(blob: bytes, entry: dict,
         if d.unconsumed_tail:
             raise ValueError("zip member inflates past declared size")
     else:
-        raise ValueError(f"unsupported zip method {entry['method']}")
-    if len(data) != entry["usize"] or zlib.crc32(data) != entry["crc"]:
+        raise ValueError(f"unsupported zip method {method}")
+    if len(data) != entry["usize"] or (
+        not ae2 and zlib.crc32(data) != entry["crc"]
+    ):
         raise ValueError("zip member corrupt (crc/length mismatch)")
     return data
 
@@ -323,6 +370,7 @@ def build_zip(
     *,
     zip64: bool = False,
     passwords: dict[str, str] | None = None,
+    aes_passwords: dict[str, tuple[str, int]] | None = None,
 ) -> bytes:
     """Write a ZIP from (name, data, method 0|8, use data descriptor)
     tuples — the synth-side partner of :func:`zip_member_list`.
@@ -347,6 +395,38 @@ def build_zip(
         else:
             comp = data
         flags = 0x0008 if desc else 0
+        extra_loc = b""
+        if aes_passwords and name in aes_passwords:
+            # WinZip AE-2 ([WinZip AES spec]): method 99, the 0x9901
+            # extra carrying the ACTUAL method, PBKDF2-SHA1 keys,
+            # AES-CTR payload framed salt ‖ verifier ‖ ct ‖ HMAC[:10],
+            # CRC stored 0 (authentication replaces it)
+            import hashlib as _hl
+            import hmac as _hmac
+
+            from hadoopxmlextractor_spark.operators import aes as A
+
+            if desc:
+                raise ValueError(
+                    "descriptor + AES not supported by build_zip"
+                )
+            pw, strength = aes_passwords[name]
+            keylen = 8 * (strength + 1)
+            salt = _hl.md5(nameb + b":aesalt").digest()[
+                : 4 * (strength + 1)
+            ]
+            dk = _hl.pbkdf2_hmac(
+                "sha1", pw.encode("utf-8"), salt, 1000, 2 * keylen + 2
+            )
+            ct = A.ctr_winzip(dk[:keylen], comp)
+            mac = _hmac.new(dk[keylen : 2 * keylen], ct, _hl.sha1)
+            comp = salt + dk[2 * keylen :] + ct + mac.digest()[:10]
+            flags |= 0x0001
+            extra_loc = struct.pack(
+                "<HHH2sBH", 0x9901, 7, 2, b"AE", strength, method
+            )
+            method = 99
+            crc = 0  # AE-2
         if passwords and name in passwords:
             # ZipCrypto: 12-byte header (11 deterministic bytes + the
             # CRC-high check byte) + payload through the stream
@@ -366,9 +446,9 @@ def build_zip(
         hdr_crc, hdr_cs, hdr_us = (0, 0, 0) if desc else (crc, len(comp), len(data))
         out += _LOC_SIG + struct.pack(
             "<HHHHHIIIHH", ver, flags, method, 0x6020, 0x5A21,
-            hdr_crc, hdr_cs, hdr_us, len(nameb), 0,
+            hdr_crc, hdr_cs, hdr_us, len(nameb), len(extra_loc),
         )
-        out += nameb + comp
+        out += nameb + extra_loc + comp
         if desc:
             out += b"PK\x07\x08" + struct.pack("<III", crc, len(comp), len(data))
         if zip64:
@@ -385,9 +465,9 @@ def build_zip(
             cen += _CEN_SIG + struct.pack(
                 "<HHHHHHIIIHHHHHII", ver, ver, flags, method, 0x6020,
                 0x5A21, crc, len(comp), len(data), len(nameb),
-                0, 0, 0, 0, 0, loc_off,
+                len(extra_loc), 0, 0, 0, 0, loc_off,
             )
-            cen += nameb
+            cen += nameb + extra_loc
     cd_off = len(out)
     out += cen
     if zip64:

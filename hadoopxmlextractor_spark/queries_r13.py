@@ -1896,9 +1896,11 @@ def q_archive_7z_encoded(spark: SparkSession, sf: str) -> DataFrame:
 
 def _synth_zip_encrypted_blob(i: int) -> bytes:
     """One deterministic partially-encrypted ZIP from md5(doc:zenc):
-    member 0 plain, later members ZipCrypto-protected (stored and
-    deflate arms both rotate under encryption) with the corpus
-    convention password. Every 7th doc protects with a DIFFERENT
+    member 0 plain, member 1 ZipCrypto-protected (stored and
+    deflate arms both rotate under encryption), member 2 (when
+    present) WinZip AE-2 (PBKDF2-SHA1 keys, AES-CTR, HMAC
+    authentication, strength rotating 128/192/256) — all under the
+    corpus convention password. Every 7th doc protects with a DIFFERENT
     password (check-byte refusal arm); every 11th doc relabels
     member 1's method to 99 — the WinZip-AES refusal arm."""
     import hashlib
@@ -1910,13 +1912,19 @@ def _synth_zip_encrypted_blob(i: int) -> bytes:
     pw = "realpw" if i % 7 == 6 else "infected"
     members = []
     passwords = {}
+    aes_passwords = {}
     for m in range(2 + b[0] % 2):
         content = (f"w{x[0:6]} m{m} " * (1 + (b[1] + m) % 3)).encode()
         members.append((f"m{m}.txt", content, (b[2] + m) % 2 * 8,
                         False))
-        if m != 0:
+        if m == 2:
+            # third member (when present) is WinZip AE-2 — the
+            # modern AES form, strength rotating 128/192/256
+            aes_passwords[f"m{m}.txt"] = (pw, 1 + b[3] % 3)
+        elif m != 0:
             passwords[f"m{m}.txt"] = pw
-    blob = D.build_zip(members, passwords=passwords)
+    blob = D.build_zip(members, passwords=passwords,
+                       aes_passwords=aes_passwords)
     if i % 11 == 10:
         # relabel member 1's method to 99 (AE-x) in BOTH headers
         ms = D.zip_member_list(blob)
@@ -2272,3 +2280,175 @@ def q_source_ppt_notes(spark: SparkSession, sf: str) -> DataFrame:
         docs.select("doc_id", _blob("doc_id").alias("content"))
     )
     return ex.select("doc_id", "format", "n_units", "text")
+
+
+# ---------------------------------------------------------------------------
+# Protected-documents capstone
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_protected_documents",
+    f"""
+    WITH base AS (
+      SELECT doc_id, doc_id % 4 AS arm FROM documents
+    ),
+    dx AS (  -- docx text replay (arms 0 and 3)
+      SELECT doc_id, 1 + {_b('docx', 0)} % 3 AS n,
+             (['alpha','bravo','charlie','delta','echo'])
+               [{_b('docx', 1)} % 5 + 1] || ' 0'
+               || CASE WHEN {_b('docx', 2)} % 2 = 1
+                  THEN chr(9) || 'tabbed' ELSE '' END AS p0,
+             (['alpha','bravo','charlie','delta','echo'])
+               [({_b('docx', 1)} + 1) % 5 + 1] || ' 1' AS p1,
+             (['alpha','bravo','charlie','delta','echo'])
+               [({_b('docx', 1)} + 2) % 5 + 1] || ' 2' AS p2
+      FROM documents
+    ),
+    dxt AS (
+      SELECT doc_id, n,
+             p0 || CASE WHEN n >= 2 THEN chr(10) || p1 ELSE '' END
+                || CASE WHEN n >= 3 THEN chr(10) || p2 ELSE '' END
+               AS text
+      FROM dx
+    ),
+    pdf AS (  -- aesv3 replay (arm 1)
+      SELECT d.doc_id, 1 + {_b('aesv3', 0)} % 2 AS n,
+             string_agg(
+               'w' || substring(x, 4 * g.g + 1, 2) || ' sealed w'
+                 || substring(x, 4 * g.g + 3, 2) || ' '
+                 || CAST(g.g AS VARCHAR), chr(10) ORDER BY g.g) AS text
+      FROM (SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR) || ':aesv3') AS x
+            FROM documents) d, (VALUES (0), (1)) g(g)
+      WHERE g.g < 1 + {_b('aesv3', 0)} % 2
+      GROUP BY d.doc_id, 2
+    ),
+    dce AS (  -- encrypted legacy .doc replay (arm 2)
+      SELECT p.doc_id, n,
+             string_agg(
+               CASE (b1 + g.g) % 2
+                 WHEN 0 THEN 's' || substring(x, 4 * g.g + 1, 4)
+                   || ' sealed'
+                 ELSE '中文' || substring(x, 4 * g.g + 1, 2)
+                   || ' s' || CAST(g.g AS VARCHAR) END,
+               chr(10) ORDER BY g.g) AS text
+      FROM (SELECT doc_id, 2 + {_b('docenc', 0)} % 3 AS n,
+                   {_b('docenc', 1)} AS b1,
+                   md5(CAST(doc_id AS VARCHAR) || ':docenc') AS x
+            FROM documents) p,
+           (VALUES (0), (1), (2), (3)) g(g)
+      WHERE g.g < n
+      GROUP BY p.doc_id, n
+    )
+    SELECT b.doc_id,
+           (['ooxml', 'pdf', 'doc', 'zip'])[b.arm + 1] AS container,
+           TRUE AS decrypted,
+           CASE b.arm WHEN 1 THEN 'pdf' WHEN 2 THEN 'doc'
+                ELSE 'docx' END AS format,
+           CAST(CASE b.arm
+             WHEN 0 THEN dxt.n WHEN 3 THEN dxt.n
+             WHEN 1 THEN pdf.n ELSE dce.n END AS INT) AS n_units,
+           CASE b.arm
+             WHEN 0 THEN dxt.text WHEN 3 THEN dxt.text
+             WHEN 1 THEN pdf.text ELSE dce.text END AS text
+    FROM base b
+    JOIN dxt ON dxt.doc_id = b.doc_id
+    JOIN pdf ON pdf.doc_id = b.doc_id
+    JOIN dce ON dce.doc_id = b.doc_id
+    WHERE NOT (b.arm IN (0, 1, 3) AND b.doc_id % 9 = 8)
+      AND NOT (b.arm = 2 AND b.doc_id % 7 = 6)
+    UNION ALL
+    SELECT doc_id, (['ooxml', 'pdf', 'doc', 'zip'])[arm + 1], FALSE,
+           NULL, NULL, NULL
+    FROM base
+    WHERE (arm IN (0, 1, 3) AND doc_id % 9 = 8)
+       OR (arm = 2 AND doc_id % 7 = 6)
+    """,
+)
+def q_pipeline_protected_documents(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # PROTECTED-DOCUMENTS CAPSTONE (r13) — one pass proving the whole
+    # password-protected surface routes end-to-end into corpus text:
+    # agile-OOXML .docx, AES-256 (R5/R6) PDFs, RC4 legacy .doc, and
+    # ZipCrypto archives WRAPPING a .docx (the kernel opens the zip
+    # with the convention password, then the inner document rides the
+    # same document_text dispatch as everything else). ``container``
+    # is parsed from the OUTER blob bytes (CFB split by the
+    # EncryptedPackage member, %PDF, PK) — never replayed from
+    # doc_id. Wrong-password arms per container land marker rows;
+    # every decrypt gate (verifier, /U + /Perms, check byte) runs on
+    # the hash path. One Arrow pass.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _prep(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in batches:
+            ids, blobs = [], []
+            for i in pdf_["doc_id"]:
+                i = int(i)
+                arm = i % 4
+                bad = i % 9 == 8
+                if arm == 0:
+                    outer = D.build_ooxml_encrypted(
+                        D._synth_docx_blob(i),
+                        "realpw" if bad else D._OFFICE_DEFAULT_PW,
+                        agile=True, spin=400,
+                        salt_seed=f"{i}:prot".encode(),
+                    )
+                elif arm == 1:
+                    outer = _synth_pdf_aesv3_blob(
+                        i, user_pw=b"secret" if bad else b""
+                    )
+                elif arm == 2:
+                    outer = _synth_doc_encrypted_blob(i)
+                else:
+                    outer = D.build_zip(
+                        [("inner.docx", D._synth_docx_blob(i), 8,
+                          False)],
+                        passwords={
+                            "inner.docx":
+                            "realpw" if bad else "infected"
+                        },
+                    )
+                # container parsed from the OUTER bytes
+                if outer.startswith(b"%PDF-"):
+                    code, routable = 1, outer
+                elif outer.startswith(b"PK\x03\x04"):
+                    code = 3
+                    try:
+                        (e,) = D.zip_member_list(outer)
+                        routable = D.zip_read_member(
+                            outer, e, "infected"
+                        )
+                    except ValueError:
+                        routable = b""
+                else:
+                    names = [
+                        m["name"] for m in D.cfb_members(outer)
+                    ]
+                    code = 0 if "EncryptedPackage" in names else 2
+                    routable = outer
+                ids.append(i * 10 + code)
+                blobs.append(routable)
+            yield pd.DataFrame(
+                {"doc_id": ids, "content": blobs}
+            )
+
+    prepped = docs.select("doc_id").mapInPandas(
+        _prep, schema="doc_id bigint, content binary"
+    )
+    ex = D.document_text(prepped)
+    names = F.array(F.lit("ooxml"), F.lit("pdf"), F.lit("doc"),
+                    F.lit("zip"))
+    return ex.select(
+        F.expr("doc_id div 10").alias("doc_id"),
+        F.element_at(names, (F.col("doc_id") % 10 + 1).cast("int"))
+        .alias("container"),
+        F.col("format").isNotNull().alias("decrypted"),
+        "format", F.col("n_units"), "text",
+    )

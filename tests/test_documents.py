@@ -2993,9 +2993,10 @@ def test_zipcrypto_roundtrip_and_stdlib_crossval():
         D.zip_read_member(blob, entries["secret.txt"])
     with pytest.raises(ValueError, match="password check"):
         D.zip_read_member(blob, entries["secret.txt"], "wrong")
-    # AES (method 99) refuses explicitly
+    # method 99 without the AE-x extra refuses explicitly (real AES
+    # members are SUPPORTED since r13 — test_winzip_aes_ae2_*)
     bad = dict(entries["secret.txt"], method=99)
-    with pytest.raises(ValueError, match="AES-encrypted"):
+    with pytest.raises(ValueError, match="missing AE-x"):
         D.zip_read_member(blob, bad, "infected")
     # the cipher is pinned EXTERNALLY: stdlib zipfile decrypts our
     # writer's output (independent ZipCrypto implementation)
@@ -3087,3 +3088,44 @@ def test_ppt_notes_collection():
     # notes-only deck: zero slides, text still captured
     blob = D.build_ppt([], notes=[["orphan note"]])
     assert D.ppt_extract_text(blob) == (0, "orphan note")
+
+
+def test_winzip_aes_ae2_roundtrip_and_refusals():
+    members = [("plain.txt", b"open text", 0, False),
+               ("a128.bin", b"aes 128 protected " * 5, 8, False),
+               ("a256.txt", b"aes 256 stored secret", 0, False)]
+    blob = D.build_zip(members, aes_passwords={
+        "a128.bin": ("infected", 1), "a256.txt": ("infected", 3),
+    })
+    entries = {e["name"]: e for e in D.zip_member_list(blob)}
+    assert entries["a128.bin"]["method"] == 99
+    assert entries["a256.txt"]["crc"] == 0  # AE-2 stores no CRC
+    assert D.zip_read_member(blob, entries["plain.txt"]) == b"open text"
+    assert D.zip_read_member(blob, entries["a128.bin"], "infected") \
+        == b"aes 128 protected " * 5
+    assert D.zip_read_member(blob, entries["a256.txt"], "infected") \
+        == b"aes 256 stored secret"
+    assert b"aes 256 stored" not in blob
+    with pytest.raises(ValueError, match="no password"):
+        D.zip_read_member(blob, entries["a256.txt"])
+    with pytest.raises(ValueError, match="password check"):
+        D.zip_read_member(blob, entries["a256.txt"], "wrong")
+    # a flipped ciphertext byte fails the HMAC, not a CRC surprise
+    e = entries["a128.bin"]
+    pos = e["offset"]
+    nlen, elen = struct.unpack("<HH", blob[pos + 26 : pos + 30])
+    bad = bytearray(blob)
+    bad[pos + 30 + nlen + elen + 20] ^= 0x01
+    with pytest.raises(ValueError, match="authentication failed"):
+        D.zip_read_member(bytes(bad), e, "infected")
+    # method 99 WITHOUT the AE-x extra refuses cleanly
+    plain = D.build_zip([("x.txt", b"y", 0, False)])
+    e = D.zip_member_list(plain)[0]
+    with pytest.raises(ValueError, match="missing AE-x"):
+        D.zip_read_member(plain, dict(e, method=99), "pw")
+    # CTR keystream convention: little-endian counter from 1
+    from hadoopxmlextractor_spark.operators import aes as A
+
+    key = hashlib.sha256(b"ctr").digest()
+    one = A.encrypt_block(key, (1).to_bytes(16, "little"))
+    assert A.ctr_winzip(key, bytes(16)) == one
