@@ -29,6 +29,7 @@ import hadoopxmlextractor_spark.queries_r10  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r11  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r12  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.queries_r13  # noqa: F401  (registers queries)
+import hadoopxmlextractor_spark.queries_r14  # noqa: F401  (registers queries)
 import hadoopxmlextractor_spark.tpch_queries  # noqa: F401  (registers queries)
 from hadoopxmlextractor_spark.queries import ORACLE, QUERIES
 from hadoopxmlextractor_spark.tables import load

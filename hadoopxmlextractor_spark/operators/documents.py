@@ -5847,15 +5847,77 @@ def _lzma1_props(filt: dict) -> bytes:
     ).to_bytes(4, "little")
 
 
+# 7z coder ids this engine understands (7zFormat.txt / Methods.txt):
+# Copy, LZMA1, LZMA2, AES-256+SHA-256 (06F10701), BCJ x86 (03030103).
+_7Z_CODER_IDS = {
+    b"\x00": "copy",
+    b"\x03\x01\x01": "lzma",
+    b"\x21": "lzma2",
+    b"\x06\xf1\x07\x01": "aes256",
+    b"\x03\x03\x01\x03": "bcj",
+}
+_7Z_CODER_CIDS = {v: k for k, v in _7Z_CODER_IDS.items()}
+
+
+def _sz_aes_key(password: str, salt: bytes, cycles: int) -> bytes:
+    """7z AES-256 key derivation (7-Zip 7zAes.cpp semantics): the
+    password as UTF-16LE appended to the salt, then SHA-256 over
+    2^cycles repetitions of (salt || password || counter_le64) fed
+    into ONE running hash. cycles == 0x3F short-circuits to the raw
+    zero-padded salt+password (the spec's no-KDF escape hatch)."""
+    data = salt + password.encode("utf-16-le")
+    if cycles == 0x3F:
+        return (data + bytes(32))[:32]
+    h = hashlib.sha256()
+    for i in range(1 << cycles):
+        h.update(data)
+        h.update(i.to_bytes(8, "little"))
+    return h.digest()
+
+
+def _sz_aes_props(props: bytes) -> tuple[int, bytes, bytes]:
+    """Decode 7z AES coder properties → (cycles, salt, iv padded to
+    16). Byte 0 packs NumCyclesPower (low 6 bits) plus one-bit salt/
+    iv base sizes (bits 7/6); byte 1 (present when either flag is
+    set) carries 4-bit extensions of each."""
+    if not props:
+        raise ValueError("empty 7z AES properties")
+    b0 = props[0]
+    cycles = b0 & 0x3F
+    salt_size = iv_size = 0
+    pos = 1
+    if b0 & 0xC0:
+        if len(props) < 2:
+            raise ValueError("truncated 7z AES properties")
+        b1 = props[1]
+        salt_size = ((b0 >> 7) & 1) + (b1 >> 4)
+        iv_size = ((b0 >> 6) & 1) + (b1 & 0x0F)
+        pos = 2
+    if pos + salt_size + iv_size > len(props):
+        raise ValueError("7z AES salt/iv past properties end")
+    salt = props[pos : pos + salt_size]
+    iv = props[pos + salt_size : pos + salt_size + iv_size]
+    return cycles, salt, (iv + bytes(16))[:16]
+
+
 def build_7z(members: list[tuple[str, bytes, str]], *,
-             encoded_header: bool = False) -> bytes:
+             encoded_header: bool = False,
+             passwords: dict[str, str] | None = None,
+             aes_cycles: int = 14) -> bytes:
     """Write a 7z archive from (name, data, method) tuples, method in
-    {'copy', 'lzma', 'lzma2'}; empty payloads become EmptyStream file
-    entries (no folder). One folder per non-empty member, raw
-    (uncompressed) header with PackInfo / UnpackInfo(+CRC) /
-    FilesInfo(kEmptyStream + UTF-16LE kName), CRC32s over start
-    header and next header — the synth-side partner of
-    :func:`sevenzip_members`, byte-layout pinned to the public
+    {'copy', 'lzma', 'lzma2'} plus the chained forms 'aes+copy',
+    'aes+lzma', 'aes+lzma2' (AES-256-CBC over the inner stream, key
+    derived per :func:`_sz_aes_key` from ``passwords[name]``, salt/iv
+    deterministic from the member so the archive bytes are replayable)
+    and 'bcj+lzma' (x86 branch-convert filter before LZMA — stdlib
+    ``lzma.FILTER_X86`` chain); empty payloads become EmptyStream file
+    entries (no folder). One folder per non-empty member — two-coder
+    folders carry one bind pair (the 7-Zip layout: coder 0 is the
+    final-stage decoder, coder 1 consumes the pack stream; out sizes
+    one per out-stream) — raw (uncompressed) header with PackInfo /
+    UnpackInfo(+CRC) / FilesInfo(kEmptyStream + UTF-16LE kName),
+    CRC32s over start header and next header — the synth-side partner
+    of :func:`sevenzip_members`, byte-layout pinned to the public
     py7zr/7-Zip DOC spec by the hand-built golden archive in
     tests/test_documents.py. ``encoded_header`` compresses the header
     into an appended LZMA pack stream behind a kEncodedHeader
@@ -5863,8 +5925,25 @@ def build_7z(members: list[tuple[str, bytes, str]], *,
     (r13)."""
     import lzma
 
+    from hadoopxmlextractor_spark.operators import aes as A
+
+    def _inner(data: bytes, method: str) -> tuple[bytes, bytes]:
+        if method == "copy":
+            return data, b""
+        if method == "lzma":
+            f = dict(_7Z_LZMA1_FILTER, id=lzma.FILTER_LZMA1)
+            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[f])
+            return c.compress(data) + c.flush(), _lzma1_props(f)
+        if method == "lzma2":
+            f = {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 16}
+            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[f])
+            return c.compress(data) + c.flush(), bytes([16])  # 2^16
+        raise ValueError(f"unknown 7z method {method}")
+
     packed: list[bytes] = []
-    folders: list[tuple[str, bytes, int, int]] = []  # method, props, usize, crc
+    # per folder: coder list [(cid, props)] in coder-index order,
+    # out sizes per out-stream (same order), final-data CRC
+    folders: list[tuple[list[tuple[bytes, bytes]], list[int], int]] = []
     names: list[str] = []
     empties: list[bool] = []
     for name, data, method in members:
@@ -5873,20 +5952,44 @@ def build_7z(members: list[tuple[str, bytes, str]], *,
             empties.append(True)
             continue
         empties.append(False)
-        if method == "copy":
-            comp, props = data, b""
-        elif method == "lzma":
+        if method.startswith("aes+"):
+            inner_comp, iprops = _inner(data, method[4:])
+            pw = (passwords or {}).get(name)
+            if pw is None:
+                raise ValueError(f"no password for AES member {name}")
+            salt = hashlib.sha256(
+                b"7z-salt" + name.encode() + data
+            ).digest()[:8]
+            iv = hashlib.sha256(
+                b"7z-iv" + name.encode() + data
+            ).digest()[:16]
+            key = _sz_aes_key(pw, salt, aes_cycles)
+            pad = (-len(inner_comp)) % 16
+            comp = A.cbc_encrypt_nopad(key, iv, inner_comp + bytes(pad))
+            aprops = bytes([aes_cycles | 0xC0, 0x7F]) + salt + iv
+            coders = [
+                (_7Z_CODER_CIDS[method[4:]], iprops),
+                (_7Z_CODER_CIDS["aes256"], aprops),
+            ]
+            osizes = [len(data), len(inner_comp)]
+        elif method == "bcj+lzma":
             f = dict(_7Z_LZMA1_FILTER, id=lzma.FILTER_LZMA1)
-            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[f])
-            comp, props = c.compress(data) + c.flush(), _lzma1_props(f)
-        elif method == "lzma2":
-            f = {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 16}
-            c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[f])
-            comp, props = c.compress(data) + c.flush(), bytes([16])  # 2^16
+            c = lzma.LZMACompressor(
+                format=lzma.FORMAT_RAW,
+                filters=[{"id": lzma.FILTER_X86}, f],
+            )
+            comp = c.compress(data) + c.flush()
+            coders = [
+                (_7Z_CODER_CIDS["bcj"], b""),
+                (_7Z_CODER_CIDS["lzma"], _lzma1_props(f)),
+            ]
+            osizes = [len(data), len(data)]  # BCJ is size-preserving
         else:
-            raise ValueError(f"unknown 7z method {method}")
+            comp, props = _inner(data, method)
+            coders = [(_7Z_CODER_CIDS[method], props)]
+            osizes = [len(data)]
         packed.append(comp)
-        folders.append((method, props, len(data), zlib.crc32(data)))
+        folders.append((coders, osizes, zlib.crc32(data)))
 
     hdr = bytearray(b"\x01")  # kHeader
     if folders:
@@ -5896,18 +5999,24 @@ def build_7z(members: list[tuple[str, bytes, str]], *,
         hdr += b"\x00"
         hdr += b"\x07"  # kUnpackInfo
         hdr += b"\x0b" + _sz_num_enc(len(folders)) + b"\x00"  # kFolder, internal
-        for method, props, _us, _crc in folders:
-            cid = {"copy": b"\x00", "lzma": b"\x03\x01\x01",
-                   "lzma2": b"\x21"}[method]
-            flag = len(cid) | (0x20 if props else 0)
-            hdr += _sz_num_enc(1) + bytes([flag]) + cid
-            if props:
-                hdr += _sz_num_enc(len(props)) + props
+        for coders, _os, _crc in folders:
+            hdr += _sz_num_enc(len(coders))
+            for cid, props in coders:
+                flag = len(cid) | (0x20 if props else 0)
+                hdr += bytes([flag]) + cid
+                if props:
+                    hdr += _sz_num_enc(len(props)) + props
+            # simple 1-in-1-out coders: out-streams = coders, so a
+            # two-coder chain carries exactly one bind pair — coder
+            # 0's input fed by coder 1's output; the single packed
+            # stream index is implicit (the unbound in-stream)
+            for k in range(len(coders) - 1):
+                hdr += _sz_num_enc(k) + _sz_num_enc(k + 1)
         hdr += b"\x0c" + b"".join(
-            _sz_num_enc(us) for _m, _p, us, _c in folders
+            b"".join(_sz_num_enc(s) for s in os_) for _c, os_, _r in folders
         )
         hdr += b"\x0a\x01" + b"".join(
-            crc.to_bytes(4, "little") for _m, _p, _us, crc in folders
+            crc.to_bytes(4, "little") for _c, _os, crc in folders
         )
         hdr += b"\x00\x00"  # end kUnpackInfo, end kMainStreamsInfo
     hdr += b"\x05" + _sz_num_enc(len(names))  # kFilesInfo
@@ -5968,11 +6077,15 @@ def _sz_streams_info(hdr: bytes, pos: int):
     """Parse one 7z StreamsInfo (PackInfo + UnpackInfo through its
     kEnd) → (pack_pos, pack_sizes, coders, unpack_sizes, crcs, pos
     after the StreamsInfo kEnd). Shared by the main header and the
-    kEncodedHeader form (r13); layouts this engine does not support
-    (external folders, complex coders, SubStreamsInfo, pack/folder
-    mismatches) refuse."""
+    kEncodedHeader form (r13). ``coders`` holds one DECODE-ORDER
+    chain per folder — [(method, props, out_size), ...] from the
+    packed stream to the folder output — so simple multi-coder
+    folders (AES-256 before LZMA, BCJ x86 after it; r14) parse along
+    their bind pairs. Layouts this engine does not support (external
+    folders, complex multi-stream coders, >1 pack stream per folder,
+    SubStreamsInfo, pack/folder mismatches) refuse."""
     pack_sizes: list[int] = []
-    coders: list[tuple[str, bytes]] = []
+    coders: list[list[tuple[str, bytes, int]]] = []
     unpack_sizes: list[int] = []
     crcs: list[int | None] = []
     pid, pos = _sz_num_dec(hdr, pos)
@@ -5999,31 +6112,71 @@ def _sz_streams_info(hdr: bytes, pos: int):
     if hdr[pos] != 0:
         raise ValueError("external 7z folders unsupported")
     pos += 1
+    folder_specs: list[tuple[list[tuple[str, bytes]],
+                             list[tuple[int, int]], int]] = []
     for _ in range(n_folders):
         n_coders, pos = _sz_num_dec(hdr, pos)
-        if n_coders != 1:
-            raise ValueError("multi-coder 7z folders unsupported")
-        flag = hdr[pos]
-        pos += 1
-        idlen = flag & 0x0F
-        cid = hdr[pos : pos + idlen]
-        pos += idlen
-        if flag & 0x10:
-            raise ValueError("complex 7z coders unsupported")
-        props = b""
-        if flag & 0x20:
-            psize, pos = _sz_num_dec(hdr, pos)
-            props = hdr[pos : pos + psize]
-            pos += psize
-        method = {b"\x00": "copy", b"\x03\x01\x01": "lzma",
-                  b"\x21": "lzma2"}.get(cid, cid.hex())
-        coders.append((method, props))
+        if not 1 <= n_coders <= 4:
+            raise ValueError("unsupported 7z coder count")
+        fcoders: list[tuple[str, bytes]] = []
+        for _c in range(n_coders):
+            flag = hdr[pos]
+            pos += 1
+            idlen = flag & 0x0F
+            cid = hdr[pos : pos + idlen]
+            pos += idlen
+            if flag & 0x10:
+                raise ValueError("complex 7z coders unsupported")
+            props = b""
+            if flag & 0x20:
+                psize, pos = _sz_num_dec(hdr, pos)
+                props = hdr[pos : pos + psize]
+                pos += psize
+            fcoders.append((_7Z_CODER_IDS.get(cid, cid.hex()), props))
+        # simple 1-in-1-out coders: in/out-stream index k belongs to
+        # coder k; NumBindPairs = out-streams - 1, and the single
+        # packed stream (more than one refuses) is the unbound input
+        pairs: list[tuple[int, int]] = []
+        for _b in range(n_coders - 1):
+            ii, pos = _sz_num_dec(hdr, pos)
+            oi, pos = _sz_num_dec(hdr, pos)
+            pairs.append((ii, oi))
+        bound_in = {ii for ii, _oi in pairs}
+        unbound = [i for i in range(n_coders) if i not in bound_in]
+        if len(unbound) != 1:
+            raise ValueError("multi-pack-stream 7z folders unsupported")
+        folder_specs.append((fcoders, pairs, unbound[0]))
     pid, pos = _sz_num_dec(hdr, pos)
     if pid != 0x0C:
         raise ValueError("7z coders unpack sizes expected")
-    for _ in range(n_folders):
-        v, pos = _sz_num_dec(hdr, pos)
-        unpack_sizes.append(v)
+    for fcoders, pairs, packed_idx in folder_specs:
+        sizes: list[int] = []
+        for _ in fcoders:
+            v, pos = _sz_num_dec(hdr, pos)
+            sizes.append(v)
+        # walk the bind-pair graph from the packed stream's coder to
+        # the folder output → the decode-order chain
+        chain: list[tuple[str, bytes, int]] = []
+        seen: set[int] = set()
+        cur = packed_idx
+        while True:
+            if cur in seen or cur >= len(fcoders):
+                raise ValueError("7z bind-pair cycle")
+            seen.add(cur)
+            m, p = fcoders[cur]
+            chain.append((m, p, sizes[cur]))
+            nxt = next((ii for ii, oi in pairs if oi == cur), None)
+            if nxt is None:
+                break
+            cur = nxt
+        if len(seen) != len(fcoders):
+            raise ValueError("disconnected 7z coder graph")
+        bound_out = {oi for _ii, oi in pairs}
+        main = [i for i in range(len(fcoders)) if i not in bound_out]
+        if main != [cur]:
+            raise ValueError("7z folder output mismatch")
+        coders.append(chain)
+        unpack_sizes.append(sizes[cur])
     pid, pos = _sz_num_dec(hdr, pos)
     if pid == 0x0A:  # kCRC
         if hdr[pos] != 1:
@@ -6083,6 +6236,65 @@ def _sz_decode_stream(method: str, props: bytes, comp: bytes,
     return None
 
 
+def _sz_decode_chain(chain: list[tuple[str, bytes, int]], comp: bytes,
+                     password: str | None = None) -> bytes | None:
+    """Run one folder's decode-order coder chain over its pack
+    stream. AES-256 steps (7z coder 06F10701) derive the key per
+    :func:`_sz_aes_key` and CBC-decrypt with the properties' salt/iv,
+    trimming the zero pad to the step's declared out size; a chain
+    whose AES step has no password returns None (encrypted — the
+    caller reports the member surface without payload). An LZMA step
+    feeding a BCJ x86 step runs as ONE stdlib raw decompressor with
+    the FILTER_X86 chain (the stdlib cannot run the branch filter
+    standalone). None for coders this engine cannot run; corrupt
+    data — including wrong-password AES garbage hitting the inner
+    LZMA — refuses as ValueError (marker/crc contract)."""
+    import lzma
+
+    from hadoopxmlextractor_spark.operators import aes as A
+
+    data = comp
+    i = 0
+    while i < len(chain):
+        method, props, osize = chain[i]
+        if method == "aes256":
+            if password is None:
+                return None
+            cycles, salt, iv = _sz_aes_props(props)
+            if len(data) % 16 or not data:
+                raise ValueError("7z AES stream not block-aligned")
+            key = _sz_aes_key(password, salt, cycles)
+            data = A.cbc_decrypt_nopad(key, iv, data)[:osize]
+        elif (method == "lzma" and i + 1 < len(chain)
+              and chain[i + 1][0] == "bcj"):
+            f = dict(_7Z_LZMA1_FILTER, id=lzma.FILTER_LZMA1)
+            if len(props) == 5:
+                f["lc"] = props[0] % 9
+                f["lp"] = (props[0] // 9) % 5
+                f["pb"] = props[0] // 45
+                f["dict_size"] = int.from_bytes(props[1:5], "little")
+            i += 1  # the BCJ step is fused into this decompressor
+            osize = chain[i][2]
+            try:
+                d = lzma.LZMADecompressor(
+                    format=lzma.FORMAT_RAW,
+                    filters=[{"id": lzma.FILTER_X86}, f],
+                )
+                data = d.decompress(data, max_length=osize)
+            except lzma.LZMAError as exc:
+                raise ValueError("corrupt 7z bcj+lzma stream") from exc
+        elif method in ("copy", "lzma", "lzma2"):
+            data = _sz_decode_stream(method, props, data, osize)
+            if data is None:
+                return None
+        else:
+            return None
+        if len(data) != osize:
+            raise ValueError("7z coder output size mismatch")
+        i += 1
+    return data
+
+
 def _sz_prop_blocks(hdr: bytes, pos: int):
     """Yield (property id, payload span) until kEnd inside kFilesInfo."""
     while True:
@@ -6096,7 +6308,8 @@ def _sz_prop_blocks(hdr: bytes, pos: int):
         pos += size
 
 
-def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
+def sevenzip_members(blob: bytes, *, with_data: bool = False,
+                     password: str | None = None) -> list[dict]:
     """Member metadata of a 7z archive with BOTH header CRCs verified
     before any field is trusted: one dict per file with name, method
     (copy/lzma/lzma2/hex id), packed/uncompressed sizes, the declared
@@ -6106,10 +6319,18 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
     characters. Empty-stream files report size 0 / method None.
     Encoded (LZMA-compressed) headers, out-of-range offsets, bad
     CRCs, and unknown layout refuse (ValueError) — marker-row
-    contract. The archive tier's 7z leg beside ZIP/ZIP64/TAR/gz/bz2/
-    xz (`documents.py` r11). ``with_data=True`` adds the full decoded
-    payload under ``data`` (the member-access path the 7z→documents
-    capstone feeds into document_text)."""
+    contract. Multi-coder folders decode along their bind pairs
+    (r14): AES-256-protected members (coder 06F10701 before the
+    codec) decrypt under ``password`` — method reads
+    'aes256+<codec>'; without a password the member surface still
+    reports (the 7z header is never encrypted in this layout) with
+    crc_ok/head None, and a WRONG password yields crc_ok 0 (CRC
+    mismatch on aes256+copy, inner-codec refusal caught per member
+    otherwise). BCJ x86 chains ('lzma+bcj') decode through the
+    stdlib FILTER_X86 raw chain. The archive tier's 7z leg beside
+    ZIP/ZIP64/TAR/gz/bz2/xz (`documents.py` r11). ``with_data=True``
+    adds the full decoded payload under ``data`` (the member-access
+    path the 7z→documents capstone feeds into document_text)."""
     import lzma
 
     if blob[:6] != _7Z_SIG:
@@ -6140,8 +6361,7 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
         if 32 + hp + hsizes[0] > len(blob):
             raise ValueError("7z encoded header past EOF")
         comp = blob[32 + hp : 32 + hp + hsizes[0]]
-        method, props = hcoders[0]
-        data = _sz_decode_stream(method, props, comp, husizes[0])
+        data = _sz_decode_chain(hcoders[0], comp)
         if data is None:
             raise ValueError("unsupported encoded-header coder")
         if len(data) != husizes[0]:
@@ -6207,14 +6427,24 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False) -> list[dict]:
                 row["data"] = b""
             out.append(row)
             continue
-        method, props = coders[folder]
+        chain = coders[folder]
+        method = "+".join(m for m, _p, _s in chain)
+        has_aes = any(m == "aes256" for m, _p, _s in chain)
         psize = pack_sizes[folder]
         usize = unpack_sizes[folder]
         comp = blob[pack_off : pack_off + psize]
         pack_off += psize
-        data = _sz_decode_stream(method, props, comp, usize)
         crc_ok = None
         head = None
+        try:
+            data = _sz_decode_chain(chain, comp, password=password)
+        except ValueError:
+            if not (has_aes and password is not None):
+                raise
+            # wrong password: the AES step succeeds but the inner
+            # codec chokes on garbage — a per-member verdict (the
+            # header itself is unencrypted), not an archive refusal
+            data, crc_ok = None, False
         if data is not None:
             if len(data) != usize:
                 raise ValueError("7z unpack size mismatch")

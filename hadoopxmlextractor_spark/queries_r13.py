@@ -2291,7 +2291,7 @@ def q_source_ppt_notes(spark: SparkSession, sf: str) -> DataFrame:
     "pipeline_protected_documents",
     f"""
     WITH base AS (
-      SELECT doc_id, doc_id % 4 AS arm FROM documents
+      SELECT doc_id, doc_id % 5 AS arm FROM documents
     ),
     dx AS (  -- docx text replay (arms 0 and 3)
       SELECT doc_id, 1 + {_b('docx', 0)} % 3 AS n,
@@ -2342,27 +2342,28 @@ def q_source_ppt_notes(spark: SparkSession, sf: str) -> DataFrame:
       GROUP BY p.doc_id, n
     )
     SELECT b.doc_id,
-           (['ooxml', 'pdf', 'doc', 'zip'])[b.arm + 1] AS container,
+           (['ooxml', 'pdf', 'doc', 'zip', '7z'])[b.arm + 1] AS container,
            TRUE AS decrypted,
            CASE b.arm WHEN 1 THEN 'pdf' WHEN 2 THEN 'doc'
                 ELSE 'docx' END AS format,
            CAST(CASE b.arm
-             WHEN 0 THEN dxt.n WHEN 3 THEN dxt.n
+             WHEN 0 THEN dxt.n WHEN 3 THEN dxt.n WHEN 4 THEN dxt.n
              WHEN 1 THEN pdf.n ELSE dce.n END AS INT) AS n_units,
            CASE b.arm
              WHEN 0 THEN dxt.text WHEN 3 THEN dxt.text
+             WHEN 4 THEN dxt.text
              WHEN 1 THEN pdf.text ELSE dce.text END AS text
     FROM base b
     JOIN dxt ON dxt.doc_id = b.doc_id
     JOIN pdf ON pdf.doc_id = b.doc_id
     JOIN dce ON dce.doc_id = b.doc_id
-    WHERE NOT (b.arm IN (0, 1, 3) AND b.doc_id % 9 = 8)
+    WHERE NOT (b.arm IN (0, 1, 3, 4) AND b.doc_id % 9 = 8)
       AND NOT (b.arm = 2 AND b.doc_id % 7 = 6)
     UNION ALL
-    SELECT doc_id, (['ooxml', 'pdf', 'doc', 'zip'])[arm + 1], FALSE,
+    SELECT doc_id, (['ooxml', 'pdf', 'doc', 'zip', '7z'])[arm + 1], FALSE,
            NULL, NULL, NULL
     FROM base
-    WHERE (arm IN (0, 1, 3) AND doc_id % 9 = 8)
+    WHERE (arm IN (0, 1, 3, 4) AND doc_id % 9 = 8)
        OR (arm = 2 AND doc_id % 7 = 6)
     """,
 )
@@ -2391,7 +2392,7 @@ def q_pipeline_protected_documents(
             ids, blobs = [], []
             for i in pdf_["doc_id"]:
                 i = int(i)
-                arm = i % 4
+                arm = i % 5
                 bad = i % 9 == 8
                 if arm == 0:
                     outer = D.build_ooxml_encrypted(
@@ -2406,7 +2407,7 @@ def q_pipeline_protected_documents(
                     )
                 elif arm == 2:
                     outer = _synth_doc_encrypted_blob(i)
-                else:
+                elif arm == 3:
                     outer = D.build_zip(
                         [("inner.docx", D._synth_docx_blob(i), 8,
                           False)],
@@ -2415,9 +2416,33 @@ def q_pipeline_protected_documents(
                             "realpw" if bad else "infected"
                         },
                     )
+                else:
+                    # r14: 7z AES-256 member wrapping a .docx — the
+                    # archive_7z_encrypted machinery routed into the
+                    # same document_text dispatch
+                    outer = D.build_7z(
+                        [("inner.docx", D._synth_docx_blob(i),
+                          "aes+lzma")],
+                        passwords={
+                            "inner.docx":
+                            "realpw" if bad else "infected"
+                        },
+                        aes_cycles=6,
+                    )
                 # container parsed from the OUTER bytes
                 if outer.startswith(b"%PDF-"):
                     code, routable = 1, outer
+                elif outer.startswith(b"7z\xbc\xaf\x27\x1c"):
+                    code = 4
+                    try:
+                        (m,) = D.sevenzip_members(
+                            outer, with_data=True, password="infected"
+                        )
+                        routable = (
+                            m["data"] if m["crc_ok"] else b""
+                        ) or b""
+                    except ValueError:
+                        routable = b""
                 elif outer.startswith(b"PK\x03\x04"):
                     code = 3
                     try:
@@ -2444,7 +2469,7 @@ def q_pipeline_protected_documents(
     )
     ex = D.document_text(prepped)
     names = F.array(F.lit("ooxml"), F.lit("pdf"), F.lit("doc"),
-                    F.lit("zip"))
+                    F.lit("zip"), F.lit("7z"))
     return ex.select(
         F.expr("doc_id div 10").alias("doc_id"),
         F.element_at(names, (F.col("doc_id") % 10 + 1).cast("int"))
