@@ -7364,11 +7364,11 @@ def _xls_cell_records(
     return body
 
 
-def _xls_wrap_cfb(stream: bytes) -> bytes:
+def _xls_wrap_cfb(stream: bytes, *, name: str = "Workbook") -> bytes:
     if len(stream) < _CFB_CUTOFF:
         stream += b"\x00" * (_CFB_CUTOFF - len(stream))
     return build_cfb([
-        ("Workbook", stream),
+        (name, stream),
         ("\x05SummaryInformation",
          build_summary_information("", "", 0)),
     ])
@@ -7457,6 +7457,84 @@ def build_xls3(
             k += 1
         pos += 4 + ln
     return _xls_wrap_cfb(bytes(stream))
+
+
+def build_xls5(
+    sheets: list[tuple[str, list[tuple[int, int, str, object]]]], *,
+    codepage: int = 1252,
+) -> bytes:
+    """A BIFF5 (Excel 5.0/95) .xls — the pre-97 generation with NO
+    shared string table: every string is an inline LABEL byte string
+    (u16 length, chars in the CODEPAGE record's encoding, no flags
+    byte), and BOUNDSHEET names are 1-byte-length byte strings.
+    Layout mirrors :func:`build_xls3`: globals substream (BOF vers
+    0x0500 dt 0x0005, CODEPAGE, BOUNDSHEETs with patched lbPlyPos,
+    EOF) then one worksheet substream per sheet (BOF dt 0x0010,
+    cells, EOF). Cell kinds: 'label' (str), 'number' (float), 'rk'
+    (30-bit int), 'rk100' (int cents → fX100 form), 'mulrk' (list of
+    ints fanned over columns). The stream lands under the legacy
+    'Book' CFB name real 5.0/95 files carry. Write partner of the
+    r14 BIFF5 arm in :func:`xls_cells`."""
+    enc = {1250: "cp1250", 1251: "cp1251", 1252: "cp1252",
+           437: "cp437", 850: "cp850", 10000: "mac_roman"}.get(
+        codepage, "latin-1")
+
+    def cell_recs(cs: list[tuple[int, int, str, object]]) -> bytes:
+        body = b""
+        for r, c, kind, v in cs:
+            if kind == "label":
+                raw = str(v).encode(enc)
+                body += _xls_rec(0x0204, struct.pack(
+                    "<HHHH", r, c, 0, len(raw)) + raw)
+            elif kind == "number":
+                body += _xls_rec(0x0203, struct.pack(
+                    "<HHHd", r, c, 0, float(v)))
+            elif kind in ("rk", "rk100"):
+                rk = (int(v) << 2) | 2 | (1 if kind == "rk100" else 0)
+                body += _xls_rec(0x027E, struct.pack(
+                    "<HHHI", r, c, 0, rk & 0xFFFFFFFF))
+            elif kind == "mulrk":
+                runs = b"".join(
+                    struct.pack("<HI", 0, ((int(x) << 2) | 2)
+                                & 0xFFFFFFFF) for x in v
+                )
+                body += _xls_rec(0x00BD, struct.pack("<HH", r, c)
+                                 + runs
+                                 + struct.pack("<H", c + len(v) - 1))
+            else:
+                raise ValueError(f"unknown BIFF5 cell kind {kind}")
+        return body
+
+    bounds = b""
+    for name, _cs in sheets:
+        raw = name.encode(enc)
+        bounds += _xls_rec(
+            0x0085, struct.pack("<IHB", 0, 0, len(raw)) + raw
+        )
+    globals_sub = (
+        _xls_rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+        + _xls_rec(0x0042, struct.pack("<H", codepage))
+        + bounds + _xls_rec(0x000A, b"")
+    )
+    subs = [
+        _xls_rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+        + cell_recs(cs) + _xls_rec(0x000A, b"")
+        for _name, cs in sheets
+    ]
+    stream = bytearray(globals_sub + b"".join(subs))
+    at = len(globals_sub)
+    offs = []
+    for sub in subs:
+        offs.append(at)
+        at += len(sub)
+    pos, k = 0, 0
+    while pos + 4 <= len(globals_sub):
+        op, ln = struct.unpack_from("<HH", stream, pos)
+        if op == 0x0085:
+            struct.pack_into("<I", stream, pos + 4, offs[k])
+            k += 1
+        pos += 4 + ln
+    return _xls_wrap_cfb(bytes(stream), name="Book")
 
 
 class _SstCursor:
@@ -7618,17 +7696,40 @@ def xls_cells(blob: bytes) -> list[dict]:
     if not saw_eof:
         raise ValueError("BIFF stream missing EOF")
 
-    # BoundSheet8 directory: declared substream start → (index, name)
+    # workbook generation from the FIRST BOF: 0x0600 = BIFF8,
+    # 0x0500 = BIFF5 (Excel 5.0/95 — LABEL-only strings, no SST,
+    # byte strings in the CODEPAGE record's encoding; r14)
+    if not recs or recs[0][1] != 0x0809:
+        raise ValueError("BIFF stream missing leading BOF")
+    (wb_ver,) = struct.unpack_from("<H", recs[0][2], 0)
+    if wb_ver not in (0x0500, 0x0600):
+        raise ValueError("not a BIFF5/BIFF8 workbook")
+    biff5 = wb_ver == 0x0500
+    enc = "latin-1"
+    for _off, op, payload in recs:
+        if op == 0x0042 and len(payload) >= 2:  # CODEPAGE
+            (cv,) = struct.unpack_from("<H", payload, 0)
+            enc = {1250: "cp1250", 1251: "cp1251", 1252: "cp1252",
+                   437: "cp437", 850: "cp850",
+                   10000: "mac_roman"}.get(cv, "latin-1")
+
+    # BoundSheet directory: declared substream start → (index, name)
+    # (BIFF8 form carries a flags byte + optional UTF-16; the BIFF5
+    # form is a 1-byte-length byte string in the workbook codepage)
     bound: dict[int, tuple[int, str]] = {}
     n_bound = 0
     for _off, op, payload in recs:
         if op == 0x0085:
             (ply,) = struct.unpack_from("<I", payload, 0)
-            cch, sflags = struct.unpack_from("<BB", payload, 6)
-            if sflags & 0x01:
-                name = payload[8 : 8 + 2 * cch].decode("utf-16-le")
+            if biff5:
+                cch = payload[6]
+                name = payload[7 : 7 + cch].decode(enc)
             else:
-                name = payload[8 : 8 + cch].decode("latin-1")
+                cch, sflags = struct.unpack_from("<BB", payload, 6)
+                if sflags & 0x01:
+                    name = payload[8 : 8 + 2 * cch].decode("utf-16-le")
+                else:
+                    name = payload[8 : 8 + cch].decode("latin-1")
             bound[ply] = (n_bound, name)
             n_bound += 1
 
@@ -7641,8 +7742,8 @@ def xls_cells(blob: bytes) -> list[dict]:
         _off, op, payload = recs[k]
         if op == 0x0809:
             (ver,) = struct.unpack_from("<H", payload, 0)
-            if ver != 0x0600:
-                raise ValueError("not a BIFF8 workbook")
+            if ver != wb_ver:
+                raise ValueError("BIFF substream version mismatch")
             n_bof += 1
             if n_bof > 1:  # a worksheet substream
                 if bound:
@@ -7654,6 +7755,8 @@ def xls_cells(blob: bytes) -> list[dict]:
                 else:
                     sheet, sheet_name = n_bof - 2, None
         elif op == 0x00FC:  # SST (+ CONTINUE coalescing)
+            if biff5:
+                raise ValueError("SST record in a BIFF5 stream")
             (_total, n_unique) = struct.unpack_from("<II", payload, 0)
             frags = [payload[8:]]
             while k + 1 < len(recs) and recs[k + 1][1] == 0x003C:
@@ -7662,6 +7765,8 @@ def xls_cells(blob: bytes) -> list[dict]:
             cur = _SstCursor(frags)
             strings = [cur.read_string() for _ in range(n_unique)]
         elif op == 0x00FD:  # LABELSST
+            if biff5:
+                raise ValueError("LABELSST record in a BIFF5 stream")
             r, c, _ixfe, isst = struct.unpack("<HHHI", payload)
             if isst >= len(strings):
                 raise ValueError("SST index out of range")
@@ -7670,7 +7775,16 @@ def xls_cells(blob: bytes) -> list[dict]:
                         "value": strings[isst]})
         elif op == 0x0204:  # LABEL (inline string)
             r, c, _ixfe = struct.unpack_from("<HHH", payload, 0)
-            s, _end = _xl_unicode_string(payload, 6)
+            if biff5:
+                # BIFF5 byte string: u16 length, chars in the
+                # workbook codepage, no flags byte
+                (cch,) = struct.unpack_from("<H", payload, 6)
+                raw = payload[8 : 8 + cch]
+                if len(raw) < cch:
+                    raise ValueError("string chars past record end")
+                s = raw.decode(enc)
+            else:
+                s, _end = _xl_unicode_string(payload, 6)
             out.append({"sheet": sheet, "sheet_name": sheet_name,
                         "row": r, "col": c, "kind": "label",
                         "value": s})
@@ -7702,6 +7816,12 @@ def xls_cells(blob: bytes) -> list[dict]:
         elif op == 0x00BE:  # MULBLANK: no value — consumed
             pass
         elif op == 0x0006:  # FORMULA: cached result
+            if biff5:
+                # BIFF5 cached-string results use a different STRING
+                # form — out of the r14 arm's scope; refuse rather
+                # than misread (the BOF gate used to refuse the whole
+                # workbook)
+                raise ValueError("FORMULA in a BIFF5 stream")
             r, c, _ixfe = struct.unpack_from("<HHH", payload, 0)
             cached = payload[6:14]
             if cached[6:8] == b"\xff\xff":  # non-numeric cached forms

@@ -208,3 +208,135 @@ def q_archive_7z_encrypted(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, member_idx int, name string, "
         "method string, size bigint, crc_ok int, head string",
     )
+
+
+# ---------------------------------------------------------------------------
+# BIFF5 (Excel 5.0/95) workbooks
+# ---------------------------------------------------------------------------
+
+
+def _synth_xls5_blob(i: int) -> bytes:
+    """One deterministic BIFF5 .xls from md5(doc:xls5): a 'S95' sheet
+    with cp1252 LABEL byte strings (é), RK ints, fX100 RK cents, and
+    integral NUMBERs; a second 'Extra' sheet on even b0. Every 9th
+    doc rewrites the leading BOF version to BIFF4 (0x0400) — the
+    unknown-generation refusal arm."""
+    import hashlib
+    import struct as _s
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:xls5".encode()).digest()
+    x = hashlib.md5(f"{i}:xls5".encode()).hexdigest()
+    cells = []
+    for r in range(2 + b[1] % 3):
+        cells.append((r, 0, "label", f"é{x[4 * r : 4 * r + 4]} v95"))
+        cells.append((r, 1, "rk", b[2] * 100 + r))
+        cells.append((r, 2, "rk100", b[3] * 7 + r * 13))
+        cells.append((r, 3, "number", float(b[4] + r)))
+    sheets = [("S95", cells)]
+    if b[0] % 2 == 0:
+        sheets.append(
+            ("Extra", [(0, 0, "label", f"x{x[20:24]} tail")])
+        )
+    blob = D.build_xls5(sheets)
+    if i % 9 == 8:
+        bof = _s.pack("<HHHHHH", 0x0809, 8, 0x0500, 0x0005, 0, 0)
+        at = blob.index(bof)
+        out = bytearray(blob)
+        _s.pack_into("<H", out, at + 4, 0x0400)
+        blob = bytes(out)
+    return blob
+
+
+@query(
+    "source_xls_biff5",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('xls5', 0)} % 2 AS b0,
+             2 + {_b('xls5', 1)} % 3 AS n, {_b('xls5', 2)} AS b2,
+             {_b('xls5', 3)} AS b3, {_b('xls5', 4)} AS b4,
+             md5(CAST(doc_id AS VARCHAR) || ':xls5') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, g.g AS r, b2, b3, b4, x
+      FROM p, (VALUES (0), (1), (2), (3)) g(g)
+      WHERE g.g < n AND doc_id % 9 <> 8
+    ),
+    cells AS (
+      SELECT doc_id, 0 AS sheet, 'S95' AS sheet_name, r, 0 AS col,
+             'label' AS kind,
+             'é' || substring(x, 4 * r + 1, 4) || ' v95' AS value
+      FROM g
+      UNION ALL
+      SELECT doc_id, 0, 'S95', r, 1, 'rk',
+             CAST(b2 * 100 + r AS VARCHAR)
+      FROM g
+      UNION ALL
+      SELECT doc_id, 0, 'S95', r, 2, 'rk',
+             CAST((b3 * 7 + r * 13) // 100 AS VARCHAR) || '.'
+               || lpad(CAST((b3 * 7 + r * 13) % 100 AS VARCHAR),
+                       2, '0')
+      FROM g
+      UNION ALL
+      SELECT doc_id, 0, 'S95', r, 3, 'n', CAST(b4 + r AS VARCHAR)
+      FROM g
+      UNION ALL
+      SELECT doc_id, 1, 'Extra', 0, 0, 'label',
+             'x' || substring(x, 21, 4) || ' tail'
+      FROM p WHERE b0 = 0 AND doc_id % 9 <> 8
+    )
+    SELECT doc_id, CAST(sheet AS INT) AS sheet, sheet_name,
+           CAST(r AS INT) AS row, CAST(col AS INT) AS col, kind, value
+    FROM cells
+    UNION ALL
+    SELECT doc_id, -1, NULL, NULL, NULL, NULL, NULL
+    FROM p WHERE doc_id % 9 = 8
+    """,
+)
+def q_source_xls_biff5(spark: SparkSession, sf: str) -> DataFrame:
+    # BIFF5 EXCEL 5.0/95 (r14, VERDICT r13 item 5) — the pre-97
+    # workbook generation the BIFF8 walk BOF-gated on: no SST, every
+    # string an inline LABEL byte string in the CODEPAGE record's
+    # encoding, BOUNDSHEET names 1-byte-length byte strings, the
+    # stream under the legacy 'Book' CFB name. RK/NUMBER/MULRK parse
+    # unchanged; FORMULA and SST records inside a BIFF5 stream refuse
+    # (mis-parse is worse than refusal), as does any non-5/8 BOF
+    # generation (the every-9th BIFF4 arm). One Arrow pass, ids-only
+    # shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "sheet", "sheet_name", "row", "col",
+                "kind", "value"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = _synth_xls5_blob(i)
+                try:
+                    for c in D.xls_cells(blob):
+                        rows.append({
+                            "doc_id": i, "sheet": c["sheet"],
+                            "sheet_name": c["sheet_name"],
+                            "row": c["row"], "col": c["col"],
+                            "kind": c["kind"], "value": c["value"],
+                        })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "doc_id": i, "sheet": -1, "sheet_name": None,
+                        "row": None, "col": None, "kind": None,
+                        "value": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, sheet int, sheet_name string, "
+        "row int, col int, kind string, value string",
+    )

@@ -2121,8 +2121,14 @@ def test_xls_biff8_cells_and_refusals():
     wb = next(m for m in ms if m["name"] == "Workbook")
     at = blob.index(wb["data"][:64])
     bad = bytearray(blob)
-    bad[at + 4 : at + 6] = struct.pack("<H", 0x0500)  # BIFF5 in BOF
-    with pytest.raises(ValueError, match="BIFF8"):
+    bad[at + 4 : at + 6] = struct.pack("<H", 0x0400)  # BIFF4 in BOF
+    with pytest.raises(ValueError, match="BIFF5/BIFF8"):
+        D.xls_cells(bytes(bad))
+    # 0x0500 parses as BIFF5 since r14 — and THIS stream's SST then
+    # refuses (an SST cannot appear in a BIFF5 workbook)
+    bad = bytearray(blob)
+    bad[at + 4 : at + 6] = struct.pack("<H", 0x0500)
+    with pytest.raises(ValueError, match="SST record in a BIFF5"):
         D.xls_cells(bytes(bad))
     bad = bytearray(blob)
     eof = at + wb["data"].rindex(b"\x0a\x00\x00\x00")
@@ -2952,6 +2958,58 @@ def test_xls_cryptoapi_rc4_roundtrip_and_refusals():
     patched[at : at + len(data)] = data
     with pytest.raises(ValueError, match="non-RC4 CryptoAPI"):
         D.xls_cells(bytes(patched))
+
+
+def test_xls_biff5_roundtrip_and_refusals():
+    """r14: BIFF5 (Excel 5.0/95) — LABEL byte strings in the
+    CODEPAGE encoding, byte-string BOUNDSHEET names, legacy 'Book'
+    stream name, RK/NUMBER/MULRK unchanged; SST/FORMULA inside a
+    BIFF5 stream and non-5/8 BOF generations refuse."""
+    sheets = [
+        ("Première", [
+            (0, 0, "label", "héllo €uro"),   # € is cp1252 0x80
+            (0, 1, "number", 2.25),
+            (1, 0, "rk", -77),
+            (1, 1, "rk100", 123),
+            (2, 0, "mulrk", [4, 5]),
+        ]),
+        ("Zwei", [(0, 0, "label", "später")]),
+    ]
+    blob = D.build_xls5(sheets)
+    cells = D.xls_cells(blob)
+    assert [c["sheet"] for c in cells] == [0, 0, 0, 0, 0, 0, 1]
+    assert cells[0] == {"sheet": 0, "sheet_name": "Première",
+                        "row": 0, "col": 0, "kind": "label",
+                        "value": "héllo €uro"}
+    assert [c["value"] for c in cells[1:6]] == [
+        "2.25", "-77", "1.23", "4", "5",
+    ]
+    assert cells[6]["sheet_name"] == "Zwei"
+    # legacy stream name: 'Book', not 'Workbook'
+    assert any(m["name"] == "Book" for m in D.cfb_members(blob))
+    # a BIFF4 BOF refuses (unknown generation)
+    bof = struct.pack("<HHHHHH", 0x0809, 8, 0x0500, 0x0005, 0, 0)
+    bad = bytearray(blob)
+    struct.pack_into("<H", bad, blob.index(bof) + 4, 0x0400)
+    with pytest.raises(ValueError, match="not a BIFF5/BIFF8"):
+        D.xls_cells(bytes(bad))
+    # an SST record inside a BIFF5 stream refuses (mis-parse guard):
+    # splice one in right after the sheet BOF
+    ms = D.cfb_members(blob, with_data=True)
+    book = next(m for m in ms if m["name"] == "Book")
+    data = bytearray(book["data"])
+    sheet_bof = struct.pack("<HHHHHH", 0x0809, 8, 0x0500, 0x0010, 0, 0)
+    at = bytes(data).index(sheet_bof) + len(sheet_bof)
+    sst = struct.pack("<HHII", 0x00FC, 8, 0, 0)
+    data[at:at] = sst
+    patched = bytearray(blob)
+    src = blob.index(bytes(book["data"][:64]))
+    patched[src : src + len(book["data"])] = data[: len(book["data"])]
+    with pytest.raises(ValueError, match="BIFF5"):
+        D.xls_cells(bytes(patched))
+    # unknown writer cell kind refuses
+    with pytest.raises(ValueError, match="unknown BIFF5 cell kind"):
+        D.build_xls5([("S", [(0, 0, "sst", ("x", False, False))])])
 
 
 def test_xls_multisheet_substreams_and_global_sst():
