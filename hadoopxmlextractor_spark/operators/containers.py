@@ -1583,6 +1583,243 @@ def build_mp1(
     return out
 
 
+def _mp2_table(sr: int, br_kbps: int, channels: int = 1) -> str:
+    """ISO 11172-3 §2.4.2.3 Layer II allocation-table selection
+    (B.2a/b/c/d) from sample rate and per-channel bitrate — the
+    mapping every MPEG-1 Layer II decoder hard-wires: ≤48 kbps/ch →
+    the low-rate tables (d at 32 kHz, else c), ≤80 → a, above →
+    a at 48 kHz else b."""
+    per_ch = br_kbps // channels
+    if per_ch <= 48:
+        return "d" if sr == 32000 else "c"
+    if per_ch <= 80:
+        return "a"
+    return "a" if sr == 48000 else "b"
+
+
+_MP2_SBLIMIT = {"a": 27, "b": 30, "c": 8, "d": 12}
+
+
+def _mp2_classes(table: str, sb: int) -> list[int]:
+    """Quantization step counts per allocation index (1-based; index
+    0 = inactive subband) for one subband of Table B.2{a,b,c,d} —
+    restated from the tables' REGION structure: each region is a
+    small head of grouped classes (3/5/7/9) followed by the
+    2^n − 1 ladder, with 65535 jumping the ladder's tail in the
+    mid/low-precision regions. len ∈ {15, 7, 3} fixes nbal to
+    4/3/2 bits exactly."""
+    ladder = lambda lo, hi: [(1 << n) - 1 for n in range(lo, hi + 1)]  # noqa: E731
+    if table in ("a", "b"):
+        if sb <= 2:
+            return [3] + ladder(3, 16)
+        if sb <= 10:
+            return [3, 5, 7, 9] + ladder(4, 13) + [65535]
+        if sb <= 22:
+            return [3, 5, 7, 9, 15, 31, 65535]
+        return [3, 5, 65535]
+    if sb <= 1:
+        return [3, 5, 9] + ladder(4, 15)
+    return [3, 5, 9, 15, 31, 63, 127]
+
+
+# grouped classes code 3 samples in one word (§2.4.3.3.3)
+_MP2_GROUP_BITS = {3: 5, 5: 7, 9: 10}
+
+
+def build_mp2(
+    frames: list[list[tuple[int, int, int, list[int], list[int]]]],
+    *, sr_idx: int = 0, br_idx: int = 6,
+) -> bytes:
+    """A mono MPEG-1 Layer II stream: one frame per entry, each a
+    list of (subband, alloc_idx, scfsi, sfs, codes[36]) for the
+    ACTIVE subbands. Frame body = per-subband allocations (nbal bits
+    from the B.2 table the header's rate selects), 2-bit scfsi per
+    active subband, the scfsi-selected scalefactors (6 bits), then
+    12 granules × active subbands × (one grouped word for 3/5/9-step
+    classes, else 3 codes). ``sfs`` length must match scfsi (3/2/1/2
+    for scfsi 0/1/2/3). Write partner of
+    :func:`mp2_subband_stats`."""
+    br = _MP3_BR_V1[2][br_idx - 1]
+    sr = _MP3_SR["1"][sr_idx]
+    table = _mp2_table(sr, br)
+    sblimit = _MP2_SBLIMIT[table]
+    flen = _mp3_frame_len("1", 2, br, sr, 0)
+    out = b""
+    for spec in frames:
+        by_sb = {sb: (idx, scfsi, sfs, codes)
+                 for sb, idx, scfsi, sfs, codes in spec}
+        if any(sb >= sblimit for sb in by_sb):
+            raise ValueError("subband beyond the table's sblimit")
+        header = bytes([
+            0xFF,
+            0xE0 | (3 << 3) | (2 << 1) | 1,  # MPEG-1, layer II, no CRC
+            (br_idx << 4) | (sr_idx << 2),
+            3 << 6,  # mono
+        ])
+        w = _BitWriter()
+        for sb in range(sblimit):
+            classes = _mp2_classes(table, sb)
+            nbal = {15: 4, 7: 3, 3: 2}[len(classes)]
+            idx = by_sb.get(sb, (0,))[0]
+            if idx > len(classes):
+                raise ValueError("allocation index beyond table")
+            w.write(idx if sb in by_sb else 0, nbal)
+        for sb in sorted(by_sb):
+            w.write(by_sb[sb][1], 2)
+        for sb in sorted(by_sb):
+            _idx, scfsi, sfs, _codes = by_sb[sb]
+            if len(sfs) != (3, 2, 1, 2)[scfsi]:
+                raise ValueError("scalefactor count vs scfsi mismatch")
+            for sf in sfs:
+                w.write(sf, 6)
+        for g in range(12):
+            for sb in sorted(by_sb):
+                idx, _scfsi, _sfs, codes = by_sb[sb]
+                steps = _mp2_classes(table, sb)[idx - 1]
+                s0, s1, s2 = codes[3 * g : 3 * g + 3]
+                if max(s0, s1, s2) >= steps:
+                    raise ValueError("sample code beyond step count")
+                if steps in _MP2_GROUP_BITS:
+                    w.write(s0 + steps * (s1 + steps * s2),
+                            _MP2_GROUP_BITS[steps])
+                else:
+                    nbits = (steps + 1).bit_length() - 1
+                    for s in (s0, s1, s2):
+                        w.write(s, nbits)
+        body = w.bytes()
+        if len(header) + len(body) > flen:
+            raise ValueError("Layer II frame content exceeds frame size")
+        out += header + body + b"\x00" * (flen - 4 - len(body))
+    return out
+
+
+def mp2_subband_stats(blob: bytes) -> list[dict]:
+    """Subband-domain decode of a mono MPEG-1 Layer II stream: per
+    (frame, active subband) the step count, grouped flag, scfsi, the
+    three per-part scalefactor indices (scfsi-expanded), exact
+    integer code sum / sum-of-squares over the 36 samples, and the
+    requantized-and-scaled sample sum. Table B.4's per-class (C, D)
+    constants collapse algebraically to
+
+        s'' = 2 · (code − mid) / steps,   mid = (steps − 1) / 2
+
+    (C = 2^nb/steps and D = −s'''(mid) both fall out of the spec's
+    MSB-inverted fraction reading), so per scalefactor part p
+    (4 granules = 12 samples)
+
+        t_p = sf_p · (2 · (Σcode_p − 12·mid)) / steps
+
+    is ONE rounded division on an otherwise exact tree (sf is a
+    power of two — the synth restricts scalefactor indices to
+    multiples of 3, the reader refuses others), and
+    dec_sum = (t0 + t1) + t2 fixes the reduction order. MPEG-2 LSF
+    (its own single allocation table), stereo, Layer I/III,
+    free-format, and truncated payloads refuse (ValueError) —
+    marker-row contract."""
+    off = 0
+    if blob[:3] == b"ID3":
+        off = 10 + _unsyncsafe(blob[6:10]) + (10 if blob[5] & 0x10 else 0)
+    end = len(blob)
+    if blob[-128:][:3] == b"TAG":
+        end -= 128
+    out: list[dict] = []
+    frame_no = 0
+    while off + 4 <= end:
+        if blob[off] != 0xFF or blob[off + 1] & 0xE0 != 0xE0:
+            raise ValueError("no MPEG frame sync")
+        b1, b2, b3 = blob[off + 1], blob[off + 2], blob[off + 3]
+        version = {0: "2.5", 2: "2", 3: "1"}.get((b1 >> 3) & 3)
+        layer = {1: 3, 2: 2, 3: 1}.get((b1 >> 1) & 3)
+        if version is None or layer is None:
+            raise ValueError("reserved MPEG version/layer")
+        if layer != 2:
+            raise ValueError("not Layer II")
+        if version != "1":
+            raise ValueError(
+                "MPEG-2 LSF Layer II allocation table unsupported"
+            )
+        br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("unsupported bitrate/samplerate code")
+        if b3 >> 6 != 3:
+            raise ValueError("stereo Layer II unsupported")
+        br = _MP3_BR_V1[2][br_idx - 1]
+        sr = _MP3_SR["1"][sr_idx]
+        table = _mp2_table(sr, br)
+        sblimit = _MP2_SBLIMIT[table]
+        flen = _mp3_frame_len("1", 2, br, sr, pad)
+        if off + flen > end:
+            raise ValueError("Layer II frame past stream end")
+        crc_len = 0 if (b1 & 1) else 2
+        r = _BitReader(blob[off + 4 + crc_len : off + flen])
+        allocs = []
+        for sb in range(sblimit):
+            classes = _mp2_classes(table, sb)
+            nbal = {15: 4, 7: 3, 3: 2}[len(classes)]
+            allocs.append(r.read(nbal))
+        active = [sb for sb in range(sblimit) if allocs[sb]]
+        scfsi = {sb: r.read(2) for sb in active}
+        sf_parts: dict[int, tuple[int, int, int]] = {}
+        for sb in active:
+            n_sf = (3, 2, 1, 2)[scfsi[sb]]
+            sfs = [r.read(6) for _ in range(n_sf)]
+            if any(s % 3 for s in sfs):
+                raise ValueError(
+                    "non-integer-exponent scalefactor unsupported"
+                )
+            if scfsi[sb] == 0:
+                sf_parts[sb] = (sfs[0], sfs[1], sfs[2])
+            elif scfsi[sb] == 1:
+                sf_parts[sb] = (sfs[0], sfs[0], sfs[1])
+            elif scfsi[sb] == 2:
+                sf_parts[sb] = (sfs[0], sfs[0], sfs[0])
+            else:
+                sf_parts[sb] = (sfs[0], sfs[1], sfs[1])
+        codes: dict[int, list[int]] = {sb: [] for sb in active}
+        for _g in range(12):
+            for sb in active:
+                steps = _mp2_classes(table, sb)[allocs[sb] - 1]
+                if steps in _MP2_GROUP_BITS:
+                    c = r.read(_MP2_GROUP_BITS[steps])
+                    s0 = c % steps
+                    c //= steps
+                    s1 = c % steps
+                    s2 = c // steps
+                    if s2 >= steps:
+                        raise ValueError("grouped code beyond range")
+                    codes[sb] += [s0, s1, s2]
+                else:
+                    nbits = (steps + 1).bit_length() - 1
+                    codes[sb] += [r.read(nbits) for _ in range(3)]
+        for sb in active:
+            steps = _mp2_classes(table, sb)[allocs[sb] - 1]
+            mid = (steps - 1) // 2
+            cs = codes[sb]
+            csum = sum(cs)
+            csq = sum(c * c for c in cs)
+            parts = []
+            for p in range(3):
+                csum_p = sum(cs[12 * p : 12 * p + 12])
+                sf = 2.0 ** (2 - sf_parts[sb][p] // 3)
+                parts.append(
+                    sf * (2.0 * float(csum_p - 12 * mid)) / steps
+                )
+            out.append({
+                "frame": frame_no, "sb": sb, "steps": steps,
+                "grouped": int(steps in _MP2_GROUP_BITS),
+                "scfsi": scfsi[sb],
+                "sf0": sf_parts[sb][0], "sf1": sf_parts[sb][1],
+                "sf2": sf_parts[sb][2],
+                "code_sum": csum, "code_sq_sum": csq,
+                "dec_sum": (parts[0] + parts[1]) + parts[2],
+            })
+        off += flen
+        frame_no += 1
+    if frame_no == 0:
+        raise ValueError("no Layer II frames")
+    return out
+
+
 def mp1_subband_stats(blob: bytes) -> list[dict]:
     """Subband-domain decode of a mono MPEG Layer I stream: per
     (frame, active subband) the allocation width nb, scalefactor

@@ -340,3 +340,266 @@ def q_source_xls_biff5(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, sheet int, sheet_name string, "
         "row int, col int, kind string, value string",
     )
+
+
+# ---------------------------------------------------------------------------
+# MPEG Layer II subband decode
+# ---------------------------------------------------------------------------
+
+
+def _synth_mp2_blob(i: int) -> bytes:
+    """One deterministic mono MPEG-1 Layer II stream from
+    md5(doc:mp2): 2-3 frames; three fixture arms rotate the B.2
+    allocation-table selection (a via 56-80 kbps, a/b via 96-128,
+    c/d via 32-48) with one active subband per table region
+    (allocation indices capped so the worst-case sample bits fit the
+    smallest frame the arm can draw), scfsi rotating all four forms,
+    integer-exponent scalefactors, and 36 codes per (frame, subband)
+    replayed from five md5 chains. Every 10th doc clears the mode
+    bits to stereo — the refusal arm."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    b = hashlib.md5(f"{i}:mp2".encode()).digest()
+    n_frames = 2 + b[0] % 2
+    sr_idx = b[4] % 3
+    arm = b[6] % 3
+    if arm == 0:
+        br_idx = 3 + b[5] % 3       # 56/64/80 -> table a
+        table = "a"
+    elif arm == 1:
+        br_idx = 6 + b[5] % 3       # 96/112/128 -> a at 48k else b
+        table = "a" if sr_idx == 1 else "b"
+    else:
+        br_idx = 1 + b[5] % 2       # 32/48 -> d at 32k else c
+        table = "d" if sr_idx == 2 else "c"
+
+    def _codes(f: int, sb: int, steps: int) -> list[int]:
+        hx = "".join(
+            hashlib.md5(
+                f"{i}:mp2:{f}:{sb}:{t}".encode()
+            ).hexdigest()
+            for t in "abcde"
+        )
+        return [int(hx[4 * k : 4 * k + 4], 16) % steps
+                for k in range(36)]
+
+    frames = []
+    for f in range(n_frames):
+        if arm < 2:
+            sbs = [
+                (b[7] % 3, 1 + (b[11] + f) % (15 if arm == 1 else 5)),
+                (3 + b[8] % 8,
+                 1 + (b[12] + f) % (9 if arm == 1 else 5)),
+                (11 + b[9] % 12,
+                 1 + (b[13] + f) % (6 if arm == 1 else 4)),
+                (23 + b[10] % (7 if table == "b" else 4),
+                 1 + (b[14] + f) % 2),
+            ]
+        else:
+            sblimit = 12 if table == "d" else 8
+            sbs = [
+                (b[7] % 2, 1 + (b[11] + f) % 5),
+                (2 + b[8] % (sblimit - 2), 1 + (b[12] + f) % 5),
+            ]
+        spec = []
+        for sb, idx in sbs:
+            steps = C._mp2_classes(table, sb)[idx - 1]
+            scfsi = (b[15] + sb + f) % 4
+            sfs = [3 * ((b[3] + sb * 5 + t + f) % 21)
+                   for t in range((3, 2, 1, 2)[scfsi])]
+            spec.append((sb, idx, scfsi, sfs, _codes(f, sb, steps)))
+        frames.append(spec)
+    blob = C.build_mp2(frames, sr_idx=sr_idx, br_idx=br_idx)
+    if i % 10 == 9:
+        out = bytearray(blob)
+        out[3] &= 0x3F  # stereo mode -> refusal
+        blob = bytes(out)
+    return blob
+
+
+@query(
+    "multimodal_audio_mp2_subbands",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 2 + {_b('mp2', 0)} % 2 AS n, {_b('mp2', 3)} AS b3,
+             {_b('mp2', 4)} % 3 AS sr_idx, {_b('mp2', 6)} % 3 AS arm,
+             {_b('mp2', 7)} AS b7, {_b('mp2', 8)} AS b8,
+             {_b('mp2', 9)} AS b9, {_b('mp2', 10)} AS b10,
+             {_b('mp2', 11)} AS b11, {_b('mp2', 12)} AS b12,
+             {_b('mp2', 13)} AS b13, {_b('mp2', 14)} AS b14,
+             {_b('mp2', 15)} AS b15
+      FROM documents
+    ),
+    t AS (
+      SELECT *, CASE WHEN arm = 0 THEN 'a'
+                     WHEN arm = 1 THEN
+                       CASE WHEN sr_idx = 1 THEN 'a' ELSE 'b' END
+                     ELSE CASE WHEN sr_idx = 2 THEN 'd' ELSE 'c' END
+                END AS tab
+      FROM p
+    ),
+    fr AS (
+      SELECT t.*, f.f AS f FROM t, (VALUES (0), (1), (2)) f(f)
+      WHERE f.f < n AND doc_id % 10 <> 9
+    ),
+    sb_raw AS (
+      SELECT doc_id, f, b3, b15, 'A' AS region, b7 % 3 AS sb,
+             1 + (b11 + f) % (CASE WHEN arm = 1 THEN 15 ELSE 5 END)
+               AS idx
+      FROM fr WHERE arm < 2
+      UNION ALL
+      SELECT doc_id, f, b3, b15, 'M', 3 + b8 % 8,
+             1 + (b12 + f) % (CASE WHEN arm = 1 THEN 9 ELSE 5 END)
+      FROM fr WHERE arm < 2
+      UNION ALL
+      SELECT doc_id, f, b3, b15, 'H', 11 + b9 % 12,
+             1 + (b13 + f) % (CASE WHEN arm = 1 THEN 6 ELSE 4 END)
+      FROM fr WHERE arm < 2
+      UNION ALL
+      SELECT doc_id, f, b3, b15, 'T',
+             23 + b10 % (CASE WHEN tab = 'b' THEN 7 ELSE 4 END),
+             1 + (b14 + f) % 2
+      FROM fr WHERE arm < 2
+      UNION ALL
+      SELECT doc_id, f, b3, b15, 'C0', b7 % 2, 1 + (b11 + f) % 5
+      FROM fr WHERE arm = 2
+      UNION ALL
+      SELECT doc_id, f, b3, b15, 'C1',
+             2 + b8 % (CASE WHEN tab = 'd' THEN 10 ELSE 6 END),
+             1 + (b12 + f) % 5
+      FROM fr WHERE arm = 2
+    ),
+    sbs AS (
+      SELECT doc_id, f, b3, b15, sb, idx,
+        CASE region
+          WHEN 'A' THEN CASE WHEN idx = 1 THEN 3
+                 ELSE CAST(POWER(2, idx + 1) AS BIGINT) - 1 END
+          WHEN 'M' THEN CASE WHEN idx <= 4 THEN ([3, 5, 7, 9])[idx]
+                 ELSE CAST(POWER(2, idx - 1) AS BIGINT) - 1 END
+          WHEN 'H' THEN CASE WHEN idx <= 4 THEN ([3, 5, 7, 9])[idx]
+                 WHEN idx = 5 THEN 15 ELSE 31 END
+          WHEN 'T' THEN ([3, 5])[idx]
+          ELSE CASE WHEN idx <= 3 THEN ([3, 5, 9])[idx]
+               ELSE CAST(POWER(2, idx) AS BIGINT) - 1 END
+        END AS steps
+      FROM sb_raw
+    ),
+    hx AS (
+      SELECT *,
+        md5(CAST(doc_id AS VARCHAR) || ':mp2:' || CAST(f AS VARCHAR)
+            || ':' || CAST(sb AS VARCHAR) || ':a')
+        || md5(CAST(doc_id AS VARCHAR) || ':mp2:' || CAST(f AS VARCHAR)
+            || ':' || CAST(sb AS VARCHAR) || ':b')
+        || md5(CAST(doc_id AS VARCHAR) || ':mp2:' || CAST(f AS VARCHAR)
+            || ':' || CAST(sb AS VARCHAR) || ':c')
+        || md5(CAST(doc_id AS VARCHAR) || ':mp2:' || CAST(f AS VARCHAR)
+            || ':' || CAST(sb AS VARCHAR) || ':d')
+        || md5(CAST(doc_id AS VARCHAR) || ':mp2:' || CAST(f AS VARCHAR)
+            || ':' || CAST(sb AS VARCHAR) || ':e') AS h
+      FROM sbs
+    ),
+    codes AS (
+      SELECT doc_id, f, b3, b15, sb, steps, k.k,
+        CAST(('0x' || substring(h, 4 * k.k + 1, 4)) AS BIGINT) % steps
+          AS code
+      FROM hx, (SELECT unnest(range(36)) AS k) k
+    ),
+    agg AS (
+      SELECT doc_id, f, b3, b15, sb, steps,
+        SUM(code) AS code_sum, SUM(code * code) AS code_sq_sum,
+        SUM(CASE WHEN k < 12 THEN code ELSE 0 END) AS c0,
+        SUM(CASE WHEN k >= 12 AND k < 24 THEN code ELSE 0 END) AS c1,
+        SUM(CASE WHEN k >= 24 THEN code ELSE 0 END) AS c2
+      FROM codes GROUP BY doc_id, f, b3, b15, sb, steps
+    ),
+    fin AS (
+      SELECT doc_id, f, sb, steps,
+        (b15 + sb + f) % 4 AS scfsi,
+        3 * ((b3 + sb * 5 + 0 + f) % 21) AS sf0,
+        CASE (b15 + sb + f) % 4
+          WHEN 0 THEN 3 * ((b3 + sb * 5 + 1 + f) % 21)
+          WHEN 3 THEN 3 * ((b3 + sb * 5 + 1 + f) % 21)
+          ELSE 3 * ((b3 + sb * 5 + 0 + f) % 21) END AS sf1,
+        CASE (b15 + sb + f) % 4
+          WHEN 0 THEN 3 * ((b3 + sb * 5 + 2 + f) % 21)
+          WHEN 1 THEN 3 * ((b3 + sb * 5 + 1 + f) % 21)
+          WHEN 2 THEN 3 * ((b3 + sb * 5 + 0 + f) % 21)
+          ELSE 3 * ((b3 + sb * 5 + 1 + f) % 21) END AS sf2,
+        code_sum, code_sq_sum, c0, c1, c2,
+        (steps - 1) // 2 AS mid
+      FROM agg
+    )
+    SELECT doc_id, CAST(f AS INT) AS frame, CAST(sb AS INT) AS sb,
+           CAST(steps AS INT) AS steps,
+           CAST(CASE WHEN steps IN (3, 5, 9) THEN 1 ELSE 0 END AS INT)
+             AS grouped,
+           CAST(scfsi AS INT) AS scfsi,
+           CAST(sf0 AS INT) AS sf0, CAST(sf1 AS INT) AS sf1,
+           CAST(sf2 AS INT) AS sf2,
+           CAST(code_sum AS BIGINT) AS code_sum,
+           CAST(code_sq_sum AS BIGINT) AS code_sq_sum,
+           (POWER(2.0, 2 - sf0 // 3)
+              * (2.0 * CAST(c0 - 12 * mid AS DOUBLE)) / steps
+            + POWER(2.0, 2 - sf1 // 3)
+              * (2.0 * CAST(c1 - 12 * mid AS DOUBLE)) / steps)
+           + POWER(2.0, 2 - sf2 // 3)
+              * (2.0 * CAST(c2 - 12 * mid AS DOUBLE)) / steps
+             AS dec_sum
+    FROM fin
+    UNION ALL
+    SELECT doc_id, -1, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+           NULL, NULL, NULL
+    FROM p WHERE doc_id % 10 = 9
+    """,
+)
+def q_multimodal_audio_mp2_subbands(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # MPEG LAYER II SUBBAND DECODE (r14, VERDICT r13 item 4) — the
+    # grouped-allocation arm beside the r13 Layer I leg: the B.2
+    # table selection, region-structured allocation classes, scfsi
+    # scalefactor sharing, and 3/5/9-step grouped sample words are
+    # all spec-derivable (Table B.4's per-class C/D constants
+    # collapse to s'' = 2(code - mid)/steps), so the subband-domain
+    # decode is exact: integer code moments, and a dec_sum whose
+    # float path is one rounded division per scalefactor part on a
+    # dyadic-exact tree with a fixed reduction order — identical
+    # IEEE trees on Spark and DuckDB. PCM synthesis (ISO Table C.3
+    # window) stays the ledgered residue shared with Layer I.
+    # Every 10th doc clears the mode bits to stereo — refusal
+    # marker. One Arrow pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame", "sb", "steps", "grouped", "scfsi",
+                "sf0", "sf1", "sf2", "code_sum", "code_sq_sum",
+                "dec_sum"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                try:
+                    for r in C.mp2_subband_stats(_synth_mp2_blob(i)):
+                        rows.append({"doc_id": i, **r})
+                except (ValueError, struct.error):
+                    rows.append({
+                        "doc_id": i, "frame": -1, "sb": None,
+                        "steps": None, "grouped": None, "scfsi": None,
+                        "sf0": None, "sf1": None, "sf2": None,
+                        "code_sum": None, "code_sq_sum": None,
+                        "dec_sum": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, frame int, sb int, steps int, "
+        "grouped int, scfsi int, sf0 int, sf1 int, sf2 int, "
+        "code_sum bigint, code_sq_sum bigint, dec_sum double",
+    )

@@ -737,3 +737,83 @@ def test_mp1_refusals():
         C.mp1_subband_stats(blob[: len(blob) - 20])
     with pytest.raises(ValueError, match="no Layer I frames"):
         C.mp1_subband_stats(b"")
+
+
+def test_mp2_subband_roundtrip_grouped_and_scfsi():
+    """r14: Layer II grouped 3/5/9-step sample words, scfsi
+    scalefactor sharing, region-structured allocation classes, and
+    the collapsed requantization s'' = 2(code-mid)/steps."""
+    codes = lambda steps, seed: [  # noqa: E731
+        (seed * 7 + k * 5) % steps for k in range(36)
+    ]
+    spec = [
+        (1, 3, 0, [0, 3, 6], codes(15, 1)),    # region A idx3 -> 15
+        (5, 2, 1, [9, 12], codes(5, 2)),       # mid idx2 -> 5, grouped
+        (12, 4, 2, [15], codes(9, 3)),         # hi idx4 -> 9, grouped
+        (24, 1, 3, [18, 21], codes(3, 4)),     # top idx1 -> 3, grouped
+    ]
+    blob = C.build_mp2([spec, spec], sr_idx=0, br_idx=4)  # 64k -> a
+    rows = C.mp2_subband_stats(blob)
+    assert [(r["frame"], r["sb"], r["steps"], r["grouped"])
+            for r in rows] == [
+        (0, 1, 15, 0), (0, 5, 5, 1), (0, 12, 9, 1), (0, 24, 3, 1),
+        (1, 1, 15, 0), (1, 5, 5, 1), (1, 12, 9, 1), (1, 24, 3, 1),
+    ]
+    # scfsi expansion: 0 -> three own, 1 -> (a,a,b), 2 -> (a,a,a),
+    # 3 -> (a,b,b)
+    assert [(r["sf0"], r["sf1"], r["sf2"]) for r in rows[:4]] == [
+        (0, 3, 6), (9, 9, 12), (15, 15, 15), (18, 21, 21),
+    ]
+    # the collapsed Table B.4 identity per part
+    for r in rows:
+        steps, mid = r["steps"], (r["steps"] - 1) // 2
+        cs = codes(steps, {15: 1, 5: 2, 9: 3, 3: 4}[steps])
+        want = 0.0
+        parts = []
+        for p, sfi in enumerate((r["sf0"], r["sf1"], r["sf2"])):
+            csum_p = sum(cs[12 * p : 12 * p + 12])
+            parts.append(
+                2.0 ** (2 - sfi // 3)
+                * (2.0 * float(csum_p - 12 * mid)) / steps
+            )
+        assert r["dec_sum"] == (parts[0] + parts[1]) + parts[2]
+        assert r["code_sum"] == sum(cs)
+    # low-rate c/d tables: 48 kbps at 44.1 kHz -> table c (sblimit 8,
+    # classes 3,5,9,15,31 at the head — no 7)
+    spec2 = [(0, 3, 2, [6], codes(9, 5)),
+             (3, 2, 0, [0, 3, 6], codes(5, 6))]
+    blob2 = C.build_mp2([spec2], sr_idx=0, br_idx=2)
+    rows2 = C.mp2_subband_stats(blob2)
+    assert [(r["sb"], r["steps"]) for r in rows2] == [(0, 9), (3, 5)]
+    # table d at 32 kHz reaches subband 11
+    blob3 = C.build_mp2([[(11, 1, 2, [0], codes(3, 7))]],
+                        sr_idx=2, br_idx=2)
+    assert C.mp2_subband_stats(blob3)[0]["sb"] == 11
+
+
+def test_mp2_refusals():
+    spec = [[(4, 1, 2, [6], [1] * 36)]]
+    blob = C.build_mp2(spec, sr_idx=0, br_idx=4)
+    bad = bytearray(blob)
+    bad[3] &= 0x3F  # stereo
+    with pytest.raises(ValueError, match="stereo"):
+        C.mp2_subband_stats(bytes(bad))
+    bad = bytearray(blob)
+    bad[1] = (bad[1] & ~0x06) | (3 << 1)  # Layer I bits
+    with pytest.raises(ValueError, match="not Layer II"):
+        C.mp2_subband_stats(bytes(bad))
+    bad = bytearray(blob)
+    bad[1] &= ~0x08  # version -> MPEG-2 LSF
+    with pytest.raises(ValueError, match="LSF"):
+        C.mp2_subband_stats(bytes(bad))
+    with pytest.raises(ValueError, match="scalefactor count"):
+        C.build_mp2([[(4, 1, 0, [0, 3], [1] * 36)]])
+    with pytest.raises(ValueError, match="sblimit"):
+        C.build_mp2([[(28, 1, 2, [0], [1] * 36)]], br_idx=4)  # a: 27
+    with pytest.raises(ValueError, match="beyond step count"):
+        C.build_mp2([[(4, 1, 2, [0], [3] * 36)]])  # idx1 -> 3 steps
+    odd = C.build_mp2([[(4, 1, 2, [7], [1] * 36)]])
+    with pytest.raises(ValueError, match="scalefactor"):
+        C.mp2_subband_stats(odd)
+    with pytest.raises(ValueError, match="past stream end"):
+        C.mp2_subband_stats(blob[: len(blob) - 20])
