@@ -89,6 +89,12 @@ HEADLINE = [
     # admission UDF + WindowGroupLimit scheduling in one plan)
     "source_pdf_aesv3",
     "pipeline_frontier_polite",
+    # round-14 additions: 7z AES-256 member decryption (iterated-KDF
+    # + CBC + inner-codec chains per blob) and the Layer III spectral
+    # decode (side info + reservoir + Huffman + requantize — the
+    # densest bit-level kernel in the audio tier)
+    "archive_7z_encrypted",
+    "multimodal_audio_mp3_spectral",
 ]
 
 N_XML_DOCS = 500
@@ -143,6 +149,9 @@ REFERENCE = {
     "multimodal_image_orientation_dedup": 1.5,
     "source_pdf_aesv3": 1.2,
     "pipeline_frontier_polite": 1.5,
+    # r14 first-measurement placeholders (sampling heuristic only)
+    "archive_7z_encrypted": 1.5,
+    "multimodal_audio_mp3_spectral": 1.5,
 }
 
 

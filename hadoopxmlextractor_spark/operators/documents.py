@@ -5903,7 +5903,8 @@ def _sz_aes_props(props: bytes) -> tuple[int, bytes, bytes]:
 def build_7z(members: list[tuple[str, bytes, str]], *,
              encoded_header: bool = False,
              passwords: dict[str, str] | None = None,
-             aes_cycles: int = 14) -> bytes:
+             aes_cycles: int = 14,
+             solid: str | None = None) -> bytes:
     """Write a 7z archive from (name, data, method) tuples, method in
     {'copy', 'lzma', 'lzma2'} plus the chained forms 'aes+copy',
     'aes+lzma', 'aes+lzma2' (AES-256-CBC over the inner stream, key
@@ -5922,7 +5923,10 @@ def build_7z(members: list[tuple[str, bytes, str]], *,
     tests/test_documents.py. ``encoded_header`` compresses the header
     into an appended LZMA pack stream behind a kEncodedHeader
     StreamsInfo — the layout the real 7z CLI writes by default
-    (r13)."""
+    (r13). ``solid`` packs every non-empty member into ONE folder of
+    the given method, with per-member sizes/CRCs in a SubStreamsInfo
+    block — the real CLI's default for small files (r14; an AES
+    solid method takes its password from ``passwords['*']``)."""
     import lzma
 
     from hadoopxmlextractor_spark.operators import aes as A
@@ -5946,7 +5950,46 @@ def build_7z(members: list[tuple[str, bytes, str]], *,
     folders: list[tuple[list[tuple[bytes, bytes]], list[int], int]] = []
     names: list[str] = []
     empties: list[bool] = []
-    for name, data, method in members:
+    # solid mode (r14): every non-empty member lands in ONE folder of
+    # the given method; per-member sizes/CRCs move to SubStreamsInfo
+    # (the real CLI's default for small files). An AES solid method
+    # takes its password from passwords['*'].
+    sub_info: tuple[list[int], list[int]] | None = None
+    if solid is not None:
+        datas = []
+        for name, data, _m in members:
+            names.append(name)
+            empties.append(len(data) == 0)
+            if data:
+                datas.append(data)
+        joined = b"".join(datas)
+        if solid.startswith("aes+"):
+            inner_comp, iprops = _inner(joined, solid[4:])
+            pw = (passwords or {}).get("*")
+            if pw is None:
+                raise ValueError("no '*' password for solid AES")
+            salt = hashlib.sha256(b"7z-salt*" + joined).digest()[:8]
+            iv = hashlib.sha256(b"7z-iv*" + joined).digest()[:16]
+            key = _sz_aes_key(pw, salt, aes_cycles)
+            pad = (-len(inner_comp)) % 16
+            comp = A.cbc_encrypt_nopad(key, iv, inner_comp + bytes(pad))
+            coders_s = [
+                (_7Z_CODER_CIDS[solid[4:]], iprops),
+                (_7Z_CODER_CIDS["aes256"],
+                 bytes([aes_cycles | 0xC0, 0x7F]) + salt + iv),
+            ]
+            osizes = [len(joined), len(inner_comp)]
+        else:
+            comp, props = _inner(joined, solid)
+            coders_s = [(_7Z_CODER_CIDS[solid], props)]
+            osizes = [len(joined)]
+        packed.append(comp)
+        folders.append((coders_s, osizes, 0))
+        sub_info = (
+            [len(d) for d in datas],
+            [zlib.crc32(d) for d in datas],
+        )
+    for name, data, method in ([] if solid is not None else members):
         names.append(name)
         if len(data) == 0:
             empties.append(True)
@@ -6015,10 +6058,23 @@ def build_7z(members: list[tuple[str, bytes, str]], *,
         hdr += b"\x0c" + b"".join(
             b"".join(_sz_num_enc(s) for s in os_) for _c, os_, _r in folders
         )
-        hdr += b"\x0a\x01" + b"".join(
-            crc.to_bytes(4, "little") for _c, _os, crc in folders
-        )
-        hdr += b"\x00\x00"  # end kUnpackInfo, end kMainStreamsInfo
+        if sub_info is None:
+            hdr += b"\x0a\x01" + b"".join(
+                crc.to_bytes(4, "little") for _c, _os, crc in folders
+            )
+        hdr += b"\x00"  # end kUnpackInfo
+        if sub_info is not None:
+            sizes_s, crcs_s = sub_info
+            hdr += b"\x08"  # kSubStreamsInfo
+            hdr += b"\x0d" + _sz_num_enc(len(sizes_s))
+            hdr += b"\x09" + b"".join(
+                _sz_num_enc(v) for v in sizes_s[:-1]
+            )
+            hdr += b"\x0a\x01" + b"".join(
+                c.to_bytes(4, "little") for c in crcs_s
+            )
+            hdr += b"\x00"  # end kSubStreamsInfo
+        hdr += b"\x00"  # end kMainStreamsInfo
     hdr += b"\x05" + _sz_num_enc(len(names))  # kFilesInfo
     if any(empties):
         bits = bytearray((len(names) + 7) // 8)
@@ -6191,14 +6247,84 @@ def _sz_streams_info(hdr: bytes, pos: int):
     if pid != 0x00:
         raise ValueError("7z UnpackInfo kEnd expected")
     if len(pack_sizes) != n_folders:
-        # multi-stream folders / solid compression: one folder
-        # consuming several pack streams — refuse explicitly
-        # instead of IndexError-ing below (r12 ADVICE)
+        # multi-stream folders: one folder consuming several pack
+        # streams — refuse explicitly instead of IndexError-ing
+        # below (r12 ADVICE)
         raise ValueError("7z pack/folder count mismatch")
+    # SubStreamsInfo (r14 — found REFUSING on a real 7z CLI archive:
+    # solid folders pack several files into one folder and move the
+    # per-file sizes/CRCs here; even single-file folders from the
+    # real CLI carry their CRCs in this block, not UnpackInfo):
+    # per-folder substream counts, all-but-last substream sizes
+    # (the last derives from the folder's unpack size), and CRCs for
+    # every substream whose digest isn't already pinned by a
+    # single-stream folder's kCRC above
+    n_sub = [1] * n_folders
+    sub_sizes: list[list[int]] | None = None
+    sub_crcs: list[list[int | None]] | None = None
     pid, pos = _sz_num_dec(hdr, pos)
+    if pid == 0x08:  # kSubStreamsInfo
+        pid, pos = _sz_num_dec(hdr, pos)
+        if pid == 0x0D:  # kNumUnpackStream
+            n_sub = []
+            for _ in range(n_folders):
+                v, pos = _sz_num_dec(hdr, pos)
+                n_sub.append(v)
+            pid, pos = _sz_num_dec(hdr, pos)
+        sub_sizes = []
+        if pid == 0x09:  # kSize: all but the last stream per folder
+            for k in range(n_folders):
+                sizes_k = []
+                for _ in range(max(0, n_sub[k] - 1)):
+                    v, pos = _sz_num_dec(hdr, pos)
+                    sizes_k.append(v)
+                last = unpack_sizes[k] - sum(sizes_k)
+                if last < 0:
+                    raise ValueError("7z substream sizes exceed folder")
+                sizes_k.append(last)
+                sub_sizes.append(sizes_k[: n_sub[k]])
+            pid, pos = _sz_num_dec(hdr, pos)
+        else:
+            for k in range(n_folders):
+                if n_sub[k] > 1:
+                    raise ValueError(
+                        "7z multi-stream folder without kSize"
+                    )
+                sub_sizes.append(
+                    [unpack_sizes[k]] if n_sub[k] else []
+                )
+        # a substream's digest is already known iff its folder has a
+        # kCRC above AND holds exactly one stream
+        sub_crcs = [
+            [crcs[k] if (n_sub[k] == 1 and crcs[k] is not None)
+             else None] * n_sub[k]
+            for k in range(n_folders)
+        ]
+        if pid == 0x0A:  # kCRC over the unknown-digest streams
+            unknown = [
+                (k, j) for k in range(n_folders)
+                for j in range(n_sub[k])
+                if sub_crcs[k][j] is None
+            ]
+            if hdr[pos] != 1:
+                raise ValueError("partial 7z CRC vectors unsupported")
+            pos += 1
+            for k, j in unknown:
+                sub_crcs[k][j] = int.from_bytes(
+                    hdr[pos : pos + 4], "little"
+                )
+                pos += 4
+            pid, pos = _sz_num_dec(hdr, pos)
+        if pid != 0x00:
+            raise ValueError("7z SubStreamsInfo kEnd expected")
+        pid, pos = _sz_num_dec(hdr, pos)
+    if sub_sizes is None:
+        sub_sizes = [[unpack_sizes[k]] for k in range(n_folders)]
+        sub_crcs = [[crcs[k]] for k in range(n_folders)]
     if pid != 0x00:
         raise ValueError("7z StreamsInfo kEnd expected")
-    return pack_pos, pack_sizes, coders, unpack_sizes, crcs, pos
+    return (pack_pos, pack_sizes, coders, unpack_sizes, crcs,
+            sub_sizes, sub_crcs, pos)
 
 
 def _sz_decode_stream(method: str, props: bytes, comp: bytes,
@@ -6353,9 +6479,8 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False,
         # real header is itself an LZMA pack stream appended past the
         # member streams, described by a StreamsInfo; decode it
         # (CRC-verified) and continue with the plain form
-        hp, hsizes, hcoders, husizes, hcrcs, _ = _sz_streams_info(
-            hdr, 1
-        )
+        (hp, hsizes, hcoders, husizes, hcrcs, _hss, _hsc,
+         _) = _sz_streams_info(hdr, 1)
         if len(hcoders) != 1:
             raise ValueError("multi-stream encoded 7z header")
         if 32 + hp + hsizes[0] > len(blob):
@@ -6376,16 +6501,18 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False,
 
     pos = 1
     pack_sizes: list[int] = []
-    coders: list[tuple[str, bytes]] = []
+    coders: list[list[tuple[str, bytes, int]]] = []
     unpack_sizes: list[int] = []
     crcs: list[int | None] = []
+    sub_sizes: list[list[int]] = []
+    sub_crcs: list[list[int | None]] = []
     names: list[str] = []
     empties: list[bool] = []
     pack_pos = 0
     pid, pos = _sz_num_dec(hdr, pos)
     if pid == 0x04:  # kMainStreamsInfo
         (pack_pos, pack_sizes, coders, unpack_sizes, crcs,
-         pos) = _sz_streams_info(hdr, pos)
+         sub_sizes, sub_crcs, pos) = _sz_streams_info(hdr, pos)
         pid, pos = _sz_num_dec(hdr, pos)
     if pid != 0x05:
         raise ValueError("7z FilesInfo expected")
@@ -6405,18 +6532,54 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False,
         raise ValueError("7z name count mismatch")
     if not empties:
         empties = [False] * n_files
-    if sum(1 for e in empties if not e) != len(coders):
-        raise ValueError("7z folder/file count mismatch")
+    if sum(1 for e in empties if not e) != sum(
+        len(ss) for ss in sub_sizes
+    ):
+        raise ValueError("7z substream/file count mismatch")
 
-    out: list[dict] = []
-    folder = 0
-    # pack streams start PackPos bytes past the 32-byte signature
-    # header (7zFormat.txt: PackPos is relative to the end of the
-    # signature header; the module's own writer always emits 0, but a
-    # legal archive may not — r12 ADVICE)
+    # decode each folder ONCE; solid folders (several files per
+    # folder via SubStreamsInfo — the real CLI's default for small
+    # files; r14) slice their output by the substream sizes
     pack_off = 32 + pack_pos
     if pack_off + sum(pack_sizes) > len(blob):
         raise ValueError("7z pack streams past EOF")
+    flat: list[tuple[int, int, int]] = []  # (folder, sub idx, offset)
+    for k2, sizes2 in enumerate(sub_sizes):
+        off2 = 0
+        for j, sz2 in enumerate(sizes2):
+            flat.append((k2, j, off2))
+            off2 += sz2
+        if off2 != unpack_sizes[k2]:
+            raise ValueError("7z substream sizes exceed folder")
+    folder_cache: dict[int, bytes | None | bool] = {}
+
+    def _folder_data(k2: int) -> bytes | None | bool:
+        """Decoded folder bytes; None = unsupported/no password;
+        False = wrong-password garbage (per-folder verdict)."""
+        if k2 in folder_cache:
+            return folder_cache[k2]
+        chain2 = coders[k2]
+        has_aes2 = any(m == "aes256" for m, _p, _s in chain2)
+        comp2 = blob[
+            pack_off + sum(pack_sizes[:k2]) :
+            pack_off + sum(pack_sizes[: k2 + 1])
+        ]
+        try:
+            d2 = _sz_decode_chain(chain2, comp2, password=password)
+            if d2 is not None and len(d2) != unpack_sizes[k2]:
+                raise ValueError("7z unpack size mismatch")
+        except ValueError:
+            if not (has_aes2 and password is not None):
+                raise
+            # wrong password: the AES step succeeds but the inner
+            # codec chokes on garbage — a per-folder verdict (the
+            # header itself is unencrypted), not an archive refusal
+            d2 = False
+        folder_cache[k2] = d2
+        return d2
+
+    out: list[dict] = []
+    stream_idx = 0
     for k in range(n_files):
         if empties[k]:
             row = {
@@ -6427,30 +6590,23 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False,
                 row["data"] = b""
             out.append(row)
             continue
-        chain = coders[folder]
+        fk, sj, soff = flat[stream_idx]
+        stream_idx += 1
+        chain = coders[fk]
         method = "+".join(m for m, _p, _s in chain)
-        has_aes = any(m == "aes256" for m, _p, _s in chain)
-        psize = pack_sizes[folder]
-        usize = unpack_sizes[folder]
-        comp = blob[pack_off : pack_off + psize]
-        pack_off += psize
+        usize = sub_sizes[fk][sj]
+        psize = pack_sizes[fk] if len(sub_sizes[fk]) == 1 else 0
+        fdata = _folder_data(fk)
         crc_ok = None
         head = None
-        try:
-            data = _sz_decode_chain(chain, comp, password=password)
-        except ValueError:
-            if not (has_aes and password is not None):
-                raise
-            # wrong password: the AES step succeeds but the inner
-            # codec chokes on garbage — a per-member verdict (the
-            # header itself is unencrypted), not an archive refusal
-            data, crc_ok = None, False
-        if data is not None:
-            if len(data) != usize:
-                raise ValueError("7z unpack size mismatch")
+        data = None
+        if fdata is False:
+            crc_ok = False
+        elif fdata is not None:
+            data = bytes(fdata[soff : soff + usize])
             crc_ok = (
-                zlib.crc32(data) == crcs[folder]
-                if crcs[folder] is not None else None
+                zlib.crc32(data) == sub_crcs[fk][sj]
+                if sub_crcs[fk][sj] is not None else None
             )
             head = data[:16].decode("utf-8", "replace")
         row = {
@@ -6460,7 +6616,6 @@ def sevenzip_members(blob: bytes, *, with_data: bool = False,
         if with_data:
             row["data"] = data
         out.append(row)
-        folder += 1
     return out
 
 

@@ -864,3 +864,126 @@ def q_multimodal_audio_mp3_spectral(
         "sfb int, win int, scalefac int, exp int, n_nonzero int, "
         "pmn int, dec_sum double, dec_abs double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Solid 7z folders (SubStreamsInfo)
+# ---------------------------------------------------------------------------
+
+
+def _synth_7z_solid_blob(i: int) -> bytes:
+    """One deterministic SOLID 7z from md5(doc:7zs): all members in
+    one folder (method rotating lzma/lzma2/aes+lzma) with per-member
+    sizes and CRCs in SubStreamsInfo — the layout the real CLI
+    writes for small files, which the r13 reader REFUSED until a
+    real libarchive-corpus archive exposed the gap this round.
+    Optional empty member; every 7th doc's AES folder uses a
+    different password (whole-folder wrong-password arm)."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    b = hashlib.md5(f"{i}:7zs".encode()).digest()
+    x = hashlib.md5(f"{i}:7zs".encode()).hexdigest()
+    solid = ("lzma", "lzma2", "aes+lzma")[b[2] % 3]
+    pw = "realpw" if i % 7 == 6 else "infected"
+    members = []
+    for m in range(2 + b[0] % 2):
+        content = (f"s{x[4 * m : 4 * m + 4]}m{m} "
+                   * (1 + (b[1] + m) % 3)).encode()
+        members.append((f"m{m}.txt", content, "ignored"))
+    if b[3] % 2:
+        members.append((f"d{i}/", b"", "ignored"))
+    return D.build_7z(members, solid=solid, passwords={"*": pw},
+                      aes_cycles=6, encoded_header=bool(b[4] % 2))
+
+
+@query(
+    "archive_7z_solid",
+    f"""
+    WITH p AS (
+      SELECT doc_id, 2 + {_b('7zs', 0)} % 2 AS n,
+             {_b('7zs', 1)} AS b1,
+             (['lzma', 'lzma2', 'aes256+lzma'])[1 + {_b('7zs', 2)} % 3]
+               AS method,
+             {_b('7zs', 2)} % 3 = 2 AS is_aes,
+             {_b('7zs', 3)} % 2 AS has_empty,
+             md5(CAST(doc_id AS VARCHAR) || ':7zs') AS x
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, g.g AS m, b1, method,
+             (is_aes AND doc_id % 7 = 6) AS bad,
+             repeat('s' || substring(x, 4 * g.g + 1, 4) || 'm'
+                    || CAST(g.g AS VARCHAR) || ' ',
+                    1 + (b1 + g.g) % 3) AS content
+      FROM p, (VALUES (0), (1), (2)) g(g) WHERE g.g < n
+    )
+    SELECT doc_id, CAST(m AS INT) AS member_idx,
+           'm' || CAST(m AS VARCHAR) || '.txt' AS name, method,
+           CAST(length(content) AS BIGINT) AS size,
+           CAST(CASE WHEN bad THEN 0 ELSE 1 END AS INT) AS crc_ok,
+           CASE WHEN bad THEN NULL
+                ELSE substring(content, 1, 16) END AS head
+    FROM g
+    UNION ALL
+    SELECT doc_id, CAST(n AS INT),
+           'd' || CAST(doc_id AS VARCHAR) || '/', NULL,
+           CAST(0 AS BIGINT), CAST(NULL AS INT), ''
+    FROM p WHERE has_empty = 1
+    """,
+)
+def q_archive_7z_solid(spark: SparkSession, sf: str) -> DataFrame:
+    # SOLID 7z FOLDERS (r14) — SubStreamsInfo: several files share
+    # one compressed folder, their sizes and CRCs moving out of
+    # UnpackInfo. This is the real CLI's DEFAULT for small files —
+    # found refusing on a real libarchive-corpus archive this round
+    # (the masked-by-own-writer bug class the CFB v4 fix came from;
+    # the real archive is now a golden test). The reader decodes
+    # each folder ONCE and slices members from it; an AES solid
+    # folder under the wrong password fails all its members with a
+    # per-folder crc_ok=0 verdict while the surface (names, sizes,
+    # method) still reports from the never-encrypted header. One
+    # Arrow pass, ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import documents as D
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "member_idx", "name", "method", "size",
+                "crc_ok", "head"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                blob = _synth_7z_solid_blob(i)
+                try:
+                    for k, mrow in enumerate(
+                        D.sevenzip_members(blob, password="infected")
+                    ):
+                        ok = mrow["crc_ok"]
+                        rows.append({
+                            "doc_id": i, "member_idx": k,
+                            "name": mrow["name"],
+                            "method": mrow["method"],
+                            "size": mrow["size"],
+                            "crc_ok": None if ok is None else int(ok),
+                            "head": (
+                                None if ok is False else mrow["head"]
+                            ),
+                        })
+                except (ValueError, IndexError, struct.error):
+                    rows.append({
+                        "doc_id": i, "member_idx": -1, "name": None,
+                        "method": None, "size": None, "crc_ok": None,
+                        "head": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, member_idx int, name string, "
+        "method string, size bigint, crc_ok int, head string",
+    )

@@ -1948,6 +1948,74 @@ def test_7z_aes_key_derivation_pins():
     assert D._sz_aes_props(props2) == (10, salt, bytes(16))
 
 
+# a REAL `7z` CLI archive (libarchive's test corpus, found in this
+# container r14): encoded header, one solid LZMA2 folder holding two
+# files behind SubStreamsInfo, a directory entry, mtimes/attributes
+_REAL_7Z = bytes.fromhex(
+    "377abcaf271c00049d757245950000000000000022000000000000008608"
+    "247901000b68656c6c6f0a776f726c640a000000813307ae0fcef2b20c07"
+    "c8437f41b1fafddb88b6ef6c92cd0a8879f9527b91a3406a0cebaded8c98"
+    "30e37302e01409fc972b5295bc17ebcc9478ec0d04481a106e165f81b25d"
+    "b303b7f34343b589a0283a85100e439d12820450c877f79959a44dd2f2d9"
+    "4ce4fa1fc8835bde9f2439b04402baa39238648a87bfbbd077962c6c0000"
+    "001706100109808500070b01000123030101055d001000000c80ca0a01bb"
+    "0ecc0c0000"
+)
+
+
+def test_7z_real_cli_archive_golden():
+    """The parser against an archive the REAL 7-Zip toolchain wrote
+    (not this module's writer): encoded header, PackPos past the
+    member streams, a SOLID folder whose two files live behind
+    SubStreamsInfo (the refusal this fixture exposed in r14), an
+    empty-stream directory entry, and ignorable kDummy/kMTime/
+    kAttributes property blocks."""
+    ms = D.sevenzip_members(_REAL_7Z, with_data=True)
+    assert [(m["name"], m["method"], m["size"], m["crc_ok"])
+            for m in ms] == [
+        ("7zip-archive", None, 0, None),
+        ("7zip-archive/hello", "lzma2", 6, True),
+        ("7zip-archive/world", "lzma2", 6, True),
+    ]
+    assert ms[1]["data"] == b"hello\n" and ms[2]["data"] == b"world\n"
+    # the archive's LZMA2 folder carries the text as an uncompressed
+    # chunk — flipping a byte inside 'world' fails EXACTLY that
+    # member's CRC (per-substream digests, not per-folder)
+    bad = bytearray(_REAL_7Z)
+    bad[_REAL_7Z.index(b"world")] ^= 0x01
+    ms2 = D.sevenzip_members(bytes(bad))
+    assert [m["crc_ok"] for m in ms2] == [None, True, False]
+
+
+def test_7z_solid_folders_roundtrip():
+    """r14 writer-side SubStreamsInfo: one folder, many members,
+    per-member sizes/CRCs; AES solid folders fail ALL members on a
+    wrong password (per-folder verdict)."""
+    members = [("a.txt", b"alpha text " * 3, "lzma"),
+               ("dir/", b"", "copy"),
+               ("b.txt", b"bravo " * 5, "lzma"),
+               ("c.bin", b"charlie!", "lzma")]
+    datas = [b"alpha text " * 3, b"", b"bravo " * 5, b"charlie!"]
+    for solid in ("lzma", "lzma2", "aes+lzma"):
+        for enc in (False, True):
+            blob = D.build_7z(
+                members, solid=solid, encoded_header=enc,
+                passwords={"*": "infected"}, aes_cycles=6,
+            )
+            ms = D.sevenzip_members(blob, with_data=True,
+                                    password="infected")
+            assert [m["data"] for m in ms] == datas, (solid, enc)
+            assert all(m["crc_ok"] for m in ms if m["size"])
+    blob = D.build_7z(members, solid="aes+lzma",
+                      passwords={"*": "infected"}, aes_cycles=6)
+    ms = D.sevenzip_members(blob, password="wrong")
+    assert [m["crc_ok"] for m in ms] == [False, None, False, False]
+    # surface-only without a password
+    surf = D.sevenzip_members(blob)
+    assert [m["size"] for m in surf] == [33, 0, 30, 8]
+    assert [m["crc_ok"] for m in surf] == [None] * 4
+
+
 def test_7z_bcj_filter_actually_rewrites():
     """The BCJ chain is live, not a relabeled LZMA: an E8-opcode
     payload compresses to different pack bytes than plain LZMA, and
