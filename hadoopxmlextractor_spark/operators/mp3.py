@@ -53,6 +53,7 @@ from hadoopxmlextractor_spark.operators.containers import (
     _BitReader,
     _BitWriter,
     _MP3_BR_V1,
+    _MP3_BR_V2,
     _MP3_SR,
     _mp3_frame_len,
     _unsyncsafe,
@@ -64,7 +65,8 @@ _SLEN = [
     (2, 1), (2, 2), (2, 3), (3, 1), (3, 2), (3, 3), (4, 2), (4, 3),
 ]
 
-# scalefactor-band boundaries (Table B.8), MPEG-1 sample rates
+# scalefactor-band boundaries (Table B.8), MPEG-1 sample rates plus
+# the MPEG-2 LSF rates (22.05/24 kHz; 16 kHz shares the 22.05 table)
 _SFB_LONG = {
     44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90,
             110, 134, 162, 196, 238, 288, 342, 418, 576],
@@ -72,7 +74,38 @@ _SFB_LONG = {
             106, 128, 156, 190, 230, 276, 330, 384, 576],
     32000: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102,
             126, 156, 194, 240, 296, 364, 448, 550, 576],
+    22050: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576],
 }
+_SFB_LONG[16000] = _SFB_LONG[22050]
+
+# MPEG-2 LSF scalefactor partitioning (long blocks, single channel):
+# the 9-bit scalefac_compress selects a branch; each branch fixes
+# four slen values and a 4-group sfb partition; preflag derives from
+# the branch instead of a side-info bit
+_LSF_PARTS = {
+    "a": (6, 5, 5, 5),
+    "b": (6, 5, 7, 3),
+    "c": (11, 10, 0, 0),
+}
+
+
+def _lsf_slens(sfc: int) -> tuple[list[int], tuple[int, ...], int]:
+    """(slen[4], sfb partition, preflag) from the LSF 9-bit
+    scalefac_compress (ISO 13818-3 §2.4.3.2, mono)."""
+    if sfc < 400:
+        return ([(sfc >> 4) // 5, (sfc >> 4) % 5, (sfc & 15) >> 2,
+                 sfc & 3], _LSF_PARTS["a"], 0)
+    if sfc < 500:
+        q = sfc - 400
+        return ([(q >> 2) // 5, (q >> 2) % 5, q & 3, 0],
+                _LSF_PARTS["b"], 0)
+    q = sfc - 500
+    return ([q // 3, q % 3, 0, 0], _LSF_PARTS["c"], 1)
+
+
 _SFB_SHORT = {
     44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
     48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
@@ -99,7 +132,8 @@ _HUFF_LINBITS = {0: 0, 1: 0}
 # coded in 4 bits as the one's complement of its value
 _CNT1B = {v: (4, (~v) & 0xF) for v in range(16)}
 
-_SIDE_BITS_MONO = 17  # MPEG-1 single_channel
+_SIDE_BITS_MONO = 17      # MPEG-1 single_channel
+_SIDE_BITS_MONO_LSF = 9   # MPEG-2 LSF single_channel (one granule)
 
 
 def _decode_map(table: dict) -> dict[tuple[int, int], object]:
@@ -158,6 +192,41 @@ def _parse_side_info(data: bytes) -> tuple[int, list[int], list[_SideInfo]]:
         si.count1table_select = r.read(1)
         grs.append(si)
     return mdb, scfsi, grs
+
+
+def _parse_side_info_lsf(data: bytes) -> tuple[int, list[_SideInfo]]:
+    """(main_data_begin, [granule side info]) of a mono MPEG-2 LSF
+    frame's 9 side-info bytes: 8-bit main_data_begin, no scfsi, ONE
+    granule whose scalefac_compress widens to 9 bits and whose
+    preflag derives from the scalefac_compress branch instead of a
+    bit."""
+    r = _BitReader(data)
+    mdb = r.read(8)
+    r.read(1)  # private_bits (mono)
+    si = _SideInfo()
+    si.part2_3_length = r.read(12)
+    si.big_values = r.read(9)
+    si.global_gain = r.read(8)
+    si.scalefac_compress = r.read(9)
+    si.window_switching = r.read(1)
+    if si.window_switching:
+        si.block_type = r.read(2)
+        si.mixed_block = r.read(1)
+        si.table_select = [r.read(5) for _ in range(2)]
+        si.subblock_gain = [r.read(3) for _ in range(3)]
+        si.region0_count = 7
+        si.region1_count = 36
+    else:
+        si.block_type = 0
+        si.mixed_block = 0
+        si.table_select = [r.read(5) for _ in range(3)]
+        si.subblock_gain = [0, 0, 0]
+        si.region0_count = r.read(4)
+        si.region1_count = r.read(3)
+    si.preflag = _lsf_slens(si.scalefac_compress)[2]
+    si.scalefac_scale = r.read(1)
+    si.count1table_select = r.read(1)
+    return mdb, [si]
 
 
 def _read_huff_pair(r: _BitReader, table_id: int) -> tuple[int, int]:
@@ -223,8 +292,8 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
             raise ValueError("reserved MPEG version/layer")
         if layer != 3:
             raise ValueError("not Layer III")
-        if version != "1":
-            raise ValueError("MPEG-2/2.5 LSF Layer III unsupported")
+        if version == "2.5":
+            raise ValueError("MPEG-2.5 Layer III unsupported")
         if not (b1 & 1):
             raise ValueError("CRC-protected Layer III unsupported")
         br_idx, sr_idx, pad = b2 >> 4, (b2 >> 2) & 3, (b2 >> 1) & 1
@@ -232,28 +301,38 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
             raise ValueError("unsupported bitrate/samplerate code")
         if b3 >> 6 != 3:
             raise ValueError("stereo Layer III unsupported")
-        sr = _MP3_SR["1"][sr_idx]
-        br = _MP3_BR_V1[3][br_idx - 1]
-        flen = _mp3_frame_len("1", 3, br, sr, pad)
+        sr = _MP3_SR[version][sr_idx]
+        br = (_MP3_BR_V1 if version == "1" else _MP3_BR_V2)[3][
+            br_idx - 1
+        ]
+        flen = _mp3_frame_len(version, 3, br, sr, pad)
         if off + flen > end:
             raise ValueError("Layer III frame past stream end")
-        side = blob[off + 4 : off + 4 + _SIDE_BITS_MONO]
-        if len(side) < _SIDE_BITS_MONO:
+        side_len = (_SIDE_BITS_MONO if version == "1"
+                    else _SIDE_BITS_MONO_LSF)
+        side = blob[off + 4 : off + 4 + side_len]
+        if len(side) < side_len:
             raise ValueError("Layer III side info past frame end")
-        mdb, scfsi, grs = _parse_side_info(side)
-        slot = blob[off + 4 + _SIDE_BITS_MONO : off + flen]
-        frames.append((mdb, scfsi, grs, len(md_all), len(slot)))
+        if version == "1":
+            mdb, scfsi, grs = _parse_side_info(side)
+        else:
+            mdb, grs = _parse_side_info_lsf(side)
+            scfsi = [0, 0, 0, 0]
+        slot = blob[off + 4 + side_len : off + flen]
+        frames.append((version, mdb, scfsi, grs, len(md_all),
+                       len(slot)))
         md_all += slot
         off += flen
     if not frames:
         raise ValueError("no Layer III frames")
 
     L = _SFB_LONG[sr]
-    S = _SFB_SHORT[sr]
+    S = _SFB_SHORT.get(sr)  # MPEG-1 only; LSF short blocks refuse
     out: list[dict] = []
 
     prev_long_sf: list[int] = [0] * 22
-    for f_no, (mdb, scfsi, grs, slot_off, _slot_len) in enumerate(frames):
+    for f_no, (ver, mdb, scfsi, grs, slot_off,
+               _slot_len) in enumerate(frames):
         start = slot_off - mdb
         if start < 0:
             raise ValueError("Layer III reservoir underflow")
@@ -267,6 +346,8 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                     "long window-switched block types unsupported"
                 )
             short = si.window_switching and si.block_type == 2
+            if short and ver != "1":
+                raise ValueError("LSF short blocks unsupported")
             if g_no == 0:
                 gr0_short = short
             elif any(scfsi) and (short or gr0_short):
@@ -275,12 +356,9 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                 raise ValueError(
                     "non-integer-exponent global_gain unsupported"
                 )
-            if not si.scalefac_scale:
-                raise ValueError(
-                    "scalefac_scale 0 unsupported (non-dyadic)"
-                )
             gg_exp = (si.global_gain - 210) // 4
-            slen1, slen2 = _SLEN[si.scalefac_compress]
+            if ver == "1":
+                slen1, slen2 = _SLEN[si.scalefac_compress]
             bit0 = r.pos
 
             # --- part 2: scalefactors
@@ -291,7 +369,7 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                         sf_short[s][w] = r.read(
                             slen1 if s < 6 else slen2
                         )
-            else:
+            elif ver == "1":
                 sf_long = [0] * 22
                 bands = [(0, 6, slen1), (6, 11, slen1),
                          (11, 16, slen2), (16, 21, slen2)]
@@ -303,6 +381,16 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                         for s in range(lo, hi):
                             sf_long[s] = r.read(slen)
                 prev_long_sf = list(sf_long)
+            else:
+                # MPEG-2 LSF: four slen groups over a branch-selected
+                # sfb partition, preflag already derived
+                sf_long = [0] * 22
+                slens, parts, _pre = _lsf_slens(si.scalefac_compress)
+                s_at = 0
+                for slen, width in zip(slens, parts):
+                    for s in range(s_at, s_at + width):
+                        sf_long[s] = r.read(slen)
+                    s_at += width
 
             # --- part 3: Huffman
             is_ = [0] * 576
@@ -359,6 +447,11 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                 raise ValueError(
                     "non-unit spectral magnitude on the exact path"
                 )
+            # the scalefac_scale multiplier is (sfsc+1)/2 — track
+            # exponents in HALF units and refuse only where a
+            # half-step actually lands on nonzero content (a real
+            # silent stream with sfsc 0 stays fully decodable)
+            mult = si.scalefac_scale + 1
             if short:
                 for s in range(13):
                     width = S[s + 1] - S[s]
@@ -372,7 +465,14 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                             (1 if v > 0 else -1) for v in lines if v
                         )
                         sf = sf_short[s][w] if s < 12 else 0
-                        e = (gg_exp - 8 * si.subblock_gain[w] - sf)
+                        e2 = (2 * gg_exp - 16 * si.subblock_gain[w]
+                              - mult * sf)
+                        if e2 % 2:
+                            raise ValueError(
+                                "half-step scalefactor exponent on "
+                                "the exact path"
+                            )
+                        e = e2 // 2
                         out.append({
                             "frame": f_no, "gr": g_no, "short": 1,
                             "sfb": s, "win": w, "scalefac": sf,
@@ -390,7 +490,15 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                         (1 if v > 0 else -1) for v in lines if v
                     )
                     sf = sf_long[s] if s < 21 else 0
-                    e = gg_exp - (sf + si.preflag * _PRETAB[s])
+                    e2 = 2 * gg_exp - mult * (
+                        sf + si.preflag * _PRETAB[s]
+                    )
+                    if e2 % 2:
+                        raise ValueError(
+                            "half-step scalefactor exponent on the "
+                            "exact path"
+                        )
+                    e = e2 // 2
                     out.append({
                         "frame": f_no, "gr": g_no, "short": 0,
                         "sfb": s, "win": -1, "scalefac": sf,
@@ -408,20 +516,22 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
 
 def _encode_granule(si_dict: dict, spectrum: list[int], sr: int,
                     scfsi: list[int], g_no: int,
-                    prev_sf: list[int] | None) -> tuple[bytes, int, dict]:
+                    prev_sf: list[int] | None,
+                    version: str = "1") -> tuple[bytes, int, dict]:
     """One granule's main-data bits → (payload bytes, bit length,
     side-info fields). ``spectrum`` is 576 ints in {−1, 0, 1}."""
     L = _SFB_LONG[sr]
-    S = _SFB_SHORT[sr]
     short = si_dict["short"]
-    slen1, slen2 = _SLEN[si_dict["scalefac_compress"]]
     w = _BitWriter()
     if short:
+        S = _SFB_SHORT[sr]
+        slen1, slen2 = _SLEN[si_dict["scalefac_compress"]]
         for s in range(12):
             for win in range(3):
                 w.write(si_dict["sf_short"][s][win],
                         slen1 if s < 6 else slen2)
-    else:
+    elif version == "1":
+        slen1, slen2 = _SLEN[si_dict["scalefac_compress"]]
         bands = [(0, 6, slen1), (6, 11, slen1),
                  (11, 16, slen2), (16, 21, slen2)]
         for band, (lo, hi, slen) in enumerate(bands):
@@ -434,8 +544,15 @@ def _encode_granule(si_dict: dict, spectrum: list[int], sr: int,
             else:
                 for s in range(lo, hi):
                     w.write(si_dict["sf_long"][s], slen)
+    else:
+        slens, parts, _pre = _lsf_slens(si_dict["scalefac_compress"])
+        s_at = 0
+        for slen, width in zip(slens, parts):
+            for s in range(s_at, s_at + width):
+                w.write(si_dict["sf_long"][s], slen)
+            s_at += width
 
-    cut = 3 * S[8] if short else L[12]
+    cut = 3 * _SFB_SHORT[sr][8] if short else L[12]
     big_values = cut // 2
     tab1 = _HUFF_BIG[1]
     for p in range(0, cut, 2):
@@ -476,6 +593,7 @@ def _encode_granule(si_dict: dict, spectrum: list[int], sr: int,
 def build_mp3l3(
     frame_specs: list[tuple[list[int], list[dict]]], *,
     sr_idx: int = 0, br_idx: int = 9, reservoir_cap: int = 300,
+    version: str = "1",
 ) -> bytes:
     """A mono MPEG-1 Layer III stream from (scfsi[4], [granule spec
     ×2]) frame specs; each granule spec carries short flag,
@@ -485,21 +603,30 @@ def build_mp3l3(
     frame's main_data_begin points up to ``reservoir_cap`` bytes
     back into earlier frames' slots, with zero-byte ancillary
     stuffing keeping the offset within the spec's 511-byte ceiling.
-    Write partner of :func:`mp3_spectral_stats`."""
-    sr = _MP3_SR["1"][sr_idx]
-    br = _MP3_BR_V1[3][br_idx - 1]
-    flen = _mp3_frame_len("1", 3, br, sr, 0)
-    cap = flen - 4 - _SIDE_BITS_MONO
+    Write partner of :func:`mp3_spectral_stats`. ``version`` "2"
+    writes the MPEG-2 LSF form: one granule per frame, 9-byte side
+    info with an 8-bit main_data_begin (reservoir capped at 255),
+    the 9-bit scalefac_compress branch algorithm, no scfsi."""
+    sr = _MP3_SR[version][sr_idx]
+    br = (_MP3_BR_V1 if version == "1" else _MP3_BR_V2)[3][br_idx - 1]
+    flen = _mp3_frame_len(version, 3, br, sr, 0)
+    side_len = _SIDE_BITS_MONO if version == "1" else _SIDE_BITS_MONO_LSF
+    cap = flen - 4 - side_len
+    if version != "1":
+        reservoir_cap = min(reservoir_cap, 255)
 
     mds: list[bytes] = []
     sides: list[tuple[list[int], list[dict]]] = []
     prev_sf = [0] * 22
     for scfsi, granules in frame_specs:
+        if version != "1" and (len(granules) != 1 or any(scfsi)):
+            raise ValueError("LSF frames carry one granule, no scfsi")
         frame_bits = _BitWriter()
         gr_sides = []
         for g_no, gd in enumerate(granules):
             payload, p23, side = _encode_granule(
-                gd, gd["spectrum"], sr, scfsi, g_no, prev_sf
+                gd, gd["spectrum"], sr, scfsi, g_no, prev_sf,
+                version,
             )
             if not gd["short"]:
                 prev_sf = list(gd["sf_long"])
@@ -533,24 +660,27 @@ def build_mp3l3(
     stream_md = b"".join(stuffed)
     stream_md += bytes(s_total - len(stream_md))
 
+    vid = {"1": 3, "2": 2}[version]
     out = b""
     for k, (scfsi, gr_sides) in enumerate(sides):
         header = bytes([
             0xFF,
-            0xE0 | (3 << 3) | (1 << 1) | 1,  # MPEG-1, layer III, no CRC
+            0xE0 | (vid << 3) | (1 << 1) | 1,  # layer III, no CRC
             (br_idx << 4) | (sr_idx << 2),
             3 << 6,  # mono
         ])
         w = _BitWriter()
-        w.write(mdbs[k], 9)
-        w.write(0, 5)
-        for b in scfsi:
-            w.write(b, 1)
+        w.write(mdbs[k], 9 if version == "1" else 8)
+        w.write(0, 5 if version == "1" else 1)
+        if version == "1":
+            for b in scfsi:
+                w.write(b, 1)
         for side in gr_sides:
             w.write(side["part2_3_length"], 12)
             w.write(side["big_values"], 9)
             w.write(side["global_gain"], 8)
-            w.write(side["scalefac_compress"], 4)
+            w.write(side["scalefac_compress"],
+                    4 if version == "1" else 9)
             if side["short"]:
                 w.write(1, 1)   # window_switching
                 w.write(2, 2)   # block_type 2
@@ -565,11 +695,12 @@ def build_mp3l3(
                     w.write(t, 5)
                 w.write(side["region0_count"], 4)
                 w.write(side["region1_count"], 3)
-            w.write(side["preflag"], 1)
+            if version == "1":
+                w.write(side["preflag"], 1)
             w.write(1, 1)  # scalefac_scale = 1 (dyadic contract)
             w.write(1, 1)  # count1 table B
         side_bytes = w.bytes()
-        if len(side_bytes) != _SIDE_BITS_MONO:
+        if len(side_bytes) != side_len:
             raise ValueError("side info misencoded")
         slot = stream_md[k * cap : (k + 1) * cap]
         out += header + side_bytes + slot

@@ -987,3 +987,174 @@ def q_archive_7z_solid(spark: SparkSession, sf: str) -> DataFrame:
         schema="doc_id bigint, member_idx int, name string, "
         "method string, size bigint, crc_ok int, head string",
     )
+
+
+# ---------------------------------------------------------------------------
+# MPEG-2 LSF Layer III spectral decode
+# ---------------------------------------------------------------------------
+
+
+def _synth_mp3_lsf_blob(i: int) -> bytes:
+    """One deterministic mono MPEG-2 LSF Layer III stream from
+    md5(doc:mp3lsf): 2 frames × 1 granule at 22.05/24/16 kHz, the
+    9-bit scalefac_compress rotating through all three LSF branches
+    (partitions [6,5,5,5]/[6,5,7,3]/[11,10,0,0], branch-c derived
+    preflag), content in long sfbs 0-15 (12+ in the count1 region),
+    dyadic contract as the MPEG-1 arm. Every 10th doc clears the
+    mode bits to stereo — the refusal arm. The real-file twin of
+    the gsutil-corpus golden (tests/test_mp3.py)."""
+    import hashlib
+
+    from hadoopxmlextractor_spark.operators import mp3 as M
+
+    b = hashlib.md5(f"{i}:mp3lsf".encode()).digest()
+    sr_idx = b[1] % 3
+    sr = (22050, 24000, 16000)[sr_idx]
+    L = M._SFB_LONG[sr]
+    frame_specs = []
+    for g in range(2):
+        bA = hashlib.md5(f"{i}:mp3lsf:{g}:a".encode()).digest()
+        bK = hashlib.md5(f"{i}:mp3lsf:{g}:k".encode()).digest()
+        bN = hashlib.md5(f"{i}:mp3lsf:{g}:n".encode()).digest()
+        bS = hashlib.md5(f"{i}:mp3lsf:{g}:s".encode()).digest()
+        branch = (b[2] + g) % 3
+        s1 = 2 + (b[5] + g) % 2
+        s2 = 2 + (b[6] + g) % 2
+        if branch == 0:
+            sfc = (s1 * 5 + s2) * 16 + (2 << 2) + 2
+        elif branch == 1:
+            sfc = 400 + ((s1 * 5 + s2) << 2) + 2
+        else:
+            sfc = 500 + s1 * 3 + 2
+        gg_exp = (b[3] + g) % 8 - 3
+        spec = [0] * 576
+        sf_long = [0] * 22
+        for s in range(16):
+            sf_long[s] = bS[s] % 4
+            if bA[s] % 3 == 0:
+                continue
+            k = 1 + bK[s] % 6
+            nn = bN[s] % (k + 1)
+            for t in range(k):
+                spec[L[s] + t] = -1 if t < nn else 1
+        frame_specs.append(([0, 0, 0, 0], [{
+            "short": 0, "global_gain": 210 + 4 * gg_exp,
+            "scalefac_compress": sfc, "sf_long": sf_long,
+            "preflag": 1 if branch == 2 else 0, "spectrum": spec,
+        }]))
+    blob = M.build_mp3l3(frame_specs, version="2", sr_idx=sr_idx,
+                         br_idx=11)
+    if i % 10 == 9:
+        out = bytearray(blob)
+        out[3] &= 0x3F
+        blob = bytes(out)
+    return blob
+
+
+@query(
+    "multimodal_audio_mp3_lsf",
+    f"""
+    WITH p AS (
+      SELECT doc_id, {_b('mp3lsf', 2)} AS b2, {_b('mp3lsf', 3)} AS b3
+      FROM documents
+    ),
+    g AS (
+      SELECT p.*, gg.g AS g, (b2 + gg.g) % 3 AS branch,
+             (b3 + gg.g) % 8 - 3 AS gg_exp,
+             md5(CAST(doc_id AS VARCHAR) || ':mp3lsf:'
+                 || CAST(gg.g AS VARCHAR) || ':a') AS ha,
+             md5(CAST(doc_id AS VARCHAR) || ':mp3lsf:'
+                 || CAST(gg.g AS VARCHAR) || ':k') AS hk,
+             md5(CAST(doc_id AS VARCHAR) || ':mp3lsf:'
+                 || CAST(gg.g AS VARCHAR) || ':n') AS hn,
+             md5(CAST(doc_id AS VARCHAR) || ':mp3lsf:'
+                 || CAST(gg.g AS VARCHAR) || ':s') AS hs
+      FROM p, (VALUES (0), (1)) gg(g)
+      WHERE doc_id % 10 <> 9
+    ),
+    rows_ AS (
+      SELECT doc_id, g AS frame, branch, s.s AS sfb,
+             {_hb('hs', 's.s')} % 4 AS scalefac,
+             gg_exp - ({_hb('hs', 's.s')} % 4
+               + CASE WHEN branch = 2 THEN
+                   ([0,0,0,0,0,0,0,0,0,0,0,1,1,1,1,2])[s.s + 1]
+                 ELSE 0 END) AS e,
+             1 + {_hb('hk', 's.s')} % 6 AS n_nonzero,
+             (1 + {_hb('hk', 's.s')} % 6)
+               - 2 * ({_hb('hn', 's.s')}
+                      % (2 + {_hb('hk', 's.s')} % 6)) AS pmn
+      FROM g, (SELECT unnest(range(16)) AS s) s
+      WHERE {_hb('ha', 's.s')} % 3 <> 0
+    )
+    SELECT doc_id, CAST(frame AS INT) AS frame,
+           CAST(branch AS INT) AS branch, CAST(sfb AS INT) AS sfb,
+           CAST(scalefac AS INT) AS scalefac, CAST(e AS INT) AS exp,
+           CAST(n_nonzero AS INT) AS n_nonzero, CAST(pmn AS INT) AS pmn,
+           CAST(pmn AS DOUBLE) * POWER(2.0, e) AS dec_sum,
+           CAST(n_nonzero AS DOUBLE) * POWER(2.0, e) AS dec_abs
+    FROM rows_
+    UNION ALL
+    SELECT doc_id, -1, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+    FROM documents WHERE doc_id % 10 = 9
+    """,
+)
+def q_multimodal_audio_mp3_lsf(
+    spark: SparkSession, sf: str
+) -> DataFrame:
+    # MPEG-2 LSF LAYER III (r14) — the form the round's REAL-FILE
+    # find actually is (a gsutil-corpus 22.05 kHz mono MP3, now a
+    # golden test that decodes end-to-end): 9-byte one-granule side
+    # info with an 8-bit reservoir pointer, the 9-bit
+    # scalefac_compress branch algorithm (partitions and preflag
+    # DERIVED, not transmitted), LSF sfb tables (16 kHz sharing
+    # 22.05's per the spec), and the same registry Huffman +
+    # dyadic-requantization path as the MPEG-1 arm — with the
+    # half-step gate applied PER BAND, so real silent/sparse streams
+    # with scalefac_scale 0 stay decodable. One Arrow pass,
+    # ids-only shuffle.
+    from hadoopxmlextractor_spark.operators import mp3 as M
+
+    docs = load(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+    def _rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "frame", "branch", "sfb", "scalefac",
+                "exp", "n_nonzero", "pmn", "dec_sum", "dec_abs"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                b2 = __import__("hashlib").md5(
+                    f"{i}:mp3lsf".encode()
+                ).digest()[2]
+                try:
+                    for r in M.mp3_spectral_stats(
+                        _synth_mp3_lsf_blob(i)
+                    ):
+                        rows.append({
+                            "doc_id": i, "frame": r["frame"],
+                            "branch": (b2 + r["frame"]) % 3,
+                            "sfb": r["sfb"],
+                            "scalefac": r["scalefac"],
+                            "exp": r["exp"],
+                            "n_nonzero": r["n_nonzero"],
+                            "pmn": r["pmn"],
+                            "dec_sum": r["dec_sum"],
+                            "dec_abs": r["dec_abs"],
+                        })
+                except (ValueError, struct.error):
+                    rows.append({
+                        "doc_id": i, "frame": -1, "branch": None,
+                        "sfb": None, "scalefac": None, "exp": None,
+                        "n_nonzero": None, "pmn": None,
+                        "dec_sum": None, "dec_abs": None,
+                    })
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.select("doc_id").mapInPandas(
+        _rows,
+        schema="doc_id bigint, frame int, branch int, sfb int, "
+        "scalefac int, exp int, n_nonzero int, pmn int, "
+        "dec_sum double, dec_abs double",
+    )

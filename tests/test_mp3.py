@@ -125,8 +125,12 @@ def test_mp3_refusals():
     with pytest.raises(ValueError, match="stereo"):
         M.mp3_spectral_stats(bytes(bad))
     bad = bytearray(blob)
-    bad[1] &= ~0x08
-    with pytest.raises(ValueError, match="LSF"):
+    bad[1] &= ~0x10  # version bits 11 -> 01 (reserved)
+    with pytest.raises(ValueError, match="reserved MPEG"):
+        M.mp3_spectral_stats(bytes(bad))
+    bad = bytearray(blob)
+    bad[1] &= ~0x18  # version bits 11 -> 00 (MPEG-2.5)
+    with pytest.raises(ValueError, match="2.5"):
         M.mp3_spectral_stats(bytes(bad))
     bad = bytearray(blob)
     bad[1] &= ~0x01
@@ -143,7 +147,9 @@ def test_mp3_refusals():
             # region 0's table_select (bits 52-56): 1 -> 3
             _side_bit(blob, 0, flen, 55, set_=True)
         )
-    with pytest.raises(ValueError, match="scalefac_scale"):
+    # scalefac_scale 0 halves the step: refuses only where the
+    # half-step lands on nonzero content (sfb 3 carries sf 1 here)
+    with pytest.raises(ValueError, match="half-step"):
         M.mp3_spectral_stats(_side_bit(blob, 0, flen, 75, clear=True))
     # count1 table A refusal needs a granule that actually READS
     # quads (content beyond the big-values cut)
@@ -177,3 +183,83 @@ def test_mp3_refusals():
     gb = _g_long(sr, 210, {0: (1, 0, 3)})
     with pytest.raises(ValueError, match="scfsi band reuse"):
         M.build_mp3l3([([1, 0, 0, 0], [ga, gb])])
+
+
+# a REAL MPEG-2 LSF Layer III file (gsutil's test corpus, found in
+# this container r14): 22.05 kHz mono 64 kbps, 45 frames of digital
+# silence (every granule: part2_3_length 0, big_values 0,
+# global_gain 210, all-zero spectra) — tiny under gzip
+_REAL_MP3_GZ_B64 = (
+    "H4sIAKJNgmoC/+3PMQrCQBBA0YVYWnuMRVwCWgoGFGIVcwAbj2AtXs3cKAdYk8IT"
+    "bGGK95uBYYp5l1NahbnNreuaaa5DqNr781GnWMdtyONrmLbVeb5pj9cmxcM+7vq/"
+    "VvBHHt/D5+fpl1IhKAMBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEt"
+    "FFTQF/ANmwHcJAAA"
+)
+
+
+def test_mp3_real_lsf_file_decodes_completely():
+    """A file a REAL encoder wrote (not this module's writer)
+    decodes end-to-end: the MPEG-2 LSF side-info layout (9 bytes,
+    one granule, 9-bit scalefac_compress, derived preflag), the
+    22.05 kHz sfb table, and the per-band dyadic gate (sfsc 0 is
+    fine when no content carries a half-step). Digital silence ->
+    zero nonzero-band rows, and the frame walk agrees with the
+    metadata leg."""
+    import base64 as _b64
+    import gzip as _gz
+
+    from hadoopxmlextractor_spark.operators import containers as C
+
+    blob = _gz.decompress(_b64.b64decode(_REAL_MP3_GZ_B64))
+    info = C.mp3_frame_info(blob)
+    assert (info["version"], info["layer"], info["sample_rate"],
+            info["channels"]) == ("2", 3, 22050, 1)
+    rows = M.mp3_spectral_stats(blob)
+    assert rows == []  # digital silence, all 45 frames walked
+
+
+def test_mp3_lsf_roundtrip_all_branches():
+    """MPEG-2 LSF synthetic roundtrip over all three
+    scalefac_compress branches (partitions [6,5,5,5]/[6,5,7,3]/
+    [11,10,0,0], branch-c derived preflag) and all LSF rates."""
+    for sr_idx, sr in enumerate((22050, 24000, 16000)):
+        L = M._SFB_LONG[sr]
+        assert L[12] % 2 == 0
+        for sfc, pre in (
+            ((2 * 5 + 3) * 16 + (2 << 2) + 2, 0),   # a: [2,3,2,2]
+            (400 + ((2 * 5 + 3) << 2) + 2, 0),      # b: [2,3,2,0]
+            (500 + 2 * 3 + 2, 1),                    # c: [2,2,0,0]
+        ):
+            slens, parts, preflag = M._lsf_slens(sfc)
+            assert preflag == pre and sum(parts) == 21
+            spec = [0] * 576
+            sf = [0] * 22
+            lims = []
+            for slen, width in zip(slens, parts):
+                lims += [1 << slen] * width
+            lims += [1]
+            actives = {0: 3, 7: 2, 13: 4, 15: 1}
+            for s, k in actives.items():
+                for j in range(k):
+                    spec[L[s] + j] = -1 if j < 1 else 1
+                sf[s] = (s + 1) % min(4, lims[s])
+            gd = {"short": 0, "global_gain": 214,
+                  "scalefac_compress": sfc, "sf_long": sf,
+                  "preflag": pre, "spectrum": spec}
+            blob = M.build_mp3l3(
+                [([0] * 4, [gd]), ([0] * 4, [gd])],
+                version="2", sr_idx=sr_idx, br_idx=11,
+            )
+            rows = M.mp3_spectral_stats(blob)
+            assert [r["sfb"] for r in rows] == [0, 7, 13, 15] * 2
+            for r in rows:
+                s = r["sfb"]
+                assert r["scalefac"] == sf[s]
+                assert r["exp"] == 1 - (sf[s] + pre * M._PRETAB[s])
+                assert r["n_nonzero"] == actives[s]
+                assert r["dec_abs"] == actives[s] * 2.0 ** r["exp"]
+    # LSF constraints enforced by the writer
+    gd0 = {"short": 0, "global_gain": 210, "scalefac_compress": 0,
+           "sf_long": [0] * 22, "preflag": 0, "spectrum": [0] * 576}
+    with pytest.raises(ValueError, match="one granule"):
+        M.build_mp3l3([([0] * 4, [gd0, gd0])], version="2")
