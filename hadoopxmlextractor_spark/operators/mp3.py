@@ -4,14 +4,19 @@ audio format, carried to the SPECTRAL domain where exactness is
 provable, the same honest-sub-step strategy the Layer I/II subband
 legs established.
 
-What is implemented end-to-end (ISO/IEC 11172-3 §2.4.1.7/§2.4.3.4):
+What is implemented end-to-end (ISO/IEC 11172-3 §2.4.1.7/§2.4.3.4,
+ISO/IEC 13818-3 for the LSF form):
 
-- side info (mono, MPEG-1): main_data_begin, scfsi bands, and per
-  granule part2_3_length, big_values, global_gain,
-  scalefac_compress, window switching (pure short blocks,
-  block_type 2, non-mixed), table_select, subblock_gain,
-  region0/region1 counts, preflag, scalefac_scale,
-  count1table_select;
+- side info (mono): MPEG-1 (17 bytes, two granules, scfsi bands)
+  and MPEG-2 LSF (9 bytes, ONE granule, 8-bit main_data_begin,
+  9-bit scalefac_compress whose branch algorithm derives the slen
+  partition AND preflag) — the LSF arm is what the round's real
+  -file find (a gsutil-corpus 22.05 kHz MP3) actually is, and that
+  file decodes end-to-end as a golden test; per granule
+  part2_3_length, big_values, global_gain, scalefac_compress,
+  window switching (pure short blocks, block_type 2, non-mixed;
+  MPEG-1 only), table_select, subblock_gain, region0/region1
+  counts, preflag, scalefac_scale, count1table_select;
 - the BYTE RESERVOIR: each frame's main data starts
   main_data_begin bytes before its own slot, granule bitstreams
   packed back-to-back with ancillary stuffing — the walk keeps the
@@ -31,8 +36,10 @@ What is implemented end-to-end (ISO/IEC 11172-3 §2.4.1.7/§2.4.3.4):
   (scalefac + preflag·pretab) − 8·subblock_gain. The synth restricts
   itself to |is| ≤ 1, global_gain ≡ 210 (mod 4) and
   scalefac_scale = 1, making every spectral value ±2^E EXACTLY
-  (dyadic); the reader refuses non-integer-exponent streams on the
-  exact-stats path, like the Layer I/II legs.
+  (dyadic); the reader tracks exponents in HALF units and refuses
+  only where a half-step (scalefac_scale 0 with odd scaled sum)
+  lands on NONZERO content — so real silent/sparse streams stay
+  fully decodable on the exact path, like the Layer I/II legs.
 
 The alias-reduction butterflies, IMDCT, and polyphase synthesis that
 carry spectra to PCM are transcendental (cs/ca = f(1/sqrt(1+ci^2)),
