@@ -193,13 +193,24 @@ def zip_member_list(blob: bytes) -> list[dict]:
         crc, csize, usize = struct.unpack("<III", blob[pos + 16 : pos + 28])
         nlen, elen, clen = struct.unpack("<HHH", blob[pos + 28 : pos + 34])
         (loc_off,) = struct.unpack("<I", blob[pos + 42 : pos + 46])
-        name = blob[pos + 46 : pos + 46 + nlen].decode("utf-8")
+        (flags,) = struct.unpack("<H", blob[pos + 8 : pos + 10])
+        raw_name = blob[pos + 46 : pos + 46 + nlen]
+        # APPNOTE D.2: names are cp437 unless general-purpose bit 11
+        # (the language-encoding flag) declares UTF-8 — real
+        # InfoZIP-era archives in this container carry 0x91-style
+        # cp437 bytes (r14 sweep find); stdlib zipfile agrees
+        if flags & 0x800:
+            name = raw_name.decode("utf-8")
+        else:
+            try:
+                name = raw_name.decode("ascii")
+            except UnicodeDecodeError:
+                name = raw_name.decode("cp437")
         if 0xFFFFFFFF in (csize, usize, loc_off):
             usize, csize, loc_off = _zip64_promote(
                 blob[pos + 46 + nlen : pos + 46 + nlen + elen],
                 usize, csize, loc_off,
             )
-        (flags,) = struct.unpack("<H", blob[pos + 8 : pos + 10])
         out.append(
             {
                 "name": name,
@@ -395,6 +406,10 @@ def build_zip(
         else:
             comp = data
         flags = 0x0008 if desc else 0
+        if not name.isascii():
+            # APPNOTE bit 11: declare UTF-8 names, as real tools do
+            # (readers fall back to cp437 otherwise; r14)
+            flags |= 0x0800
         extra_loc = b""
         if aes_passwords and name in aes_passwords:
             # WinZip AE-2 ([WinZip AES spec]): method 99, the 0x9901
@@ -1668,13 +1683,34 @@ def _pdf_page_fonts(
     return fonts
 
 
+def _pdf_page_leaves(objs: dict, node: int, depth: int = 0) -> list[int]:
+    """Leaf /Page object numbers under a page-tree node, in /Kids
+    order — real PDFs NEST intermediate /Pages nodes (both container
+    PDFs found in the r14 real-fixture sweep do), so the walk
+    descends until a node has no /Kids."""
+    if depth > 32:
+        raise ValueError("PDF page tree too deep")
+    if node not in objs:
+        raise ValueError("page-tree kid missing")
+    body = objs[node]
+    kids_m = _KIDS_RE.search(body)
+    if kids_m is None:
+        return [node]
+    out: list[int] = []
+    for x in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1)):
+        out += _pdf_page_leaves(objs, int(x), depth + 1)
+    return out
+
+
 def _pdf_extract(blob: bytes) -> tuple[int, str]:
-    """(page count, text) of a PDF: catalog -> /Pages -> /Kids order
-    -> per-page /Contents stream -> content-stream text operators,
-    with the page's /Resources /Font map resolved so CID-keyed text
-    under a /ToUnicode CMap (the way every non-trivial real PDF
-    encodes text) decodes to Unicode. Pages join with newlines.
-    Image-only/encrypted PDFs refuse."""
+    """(page count, text) of a PDF: catalog -> recursive /Pages tree
+    -> per-page /Contents (single ref or ARRAY of refs, both real
+    forms) -> content-stream text operators, with the page's
+    /Resources /Font map resolved so CID-keyed text under a
+    /ToUnicode CMap (the way every non-trivial real PDF encodes
+    text) decodes to Unicode. A page without /Contents is an EMPTY
+    page (legal), not a refusal. Pages join with newlines.
+    Encrypted PDFs refuse."""
     objs = _pdf_objects(blob)
     catalog = next(
         (b for b in objs.values() if b"/Type" in b and b"/Catalog" in b), None
@@ -1684,19 +1720,25 @@ def _pdf_extract(blob: bytes) -> tuple[int, str]:
     m = re.search(_REF_RE_T % b"Pages", catalog)
     if m is None:
         raise ValueError("no /Pages")
-    kids_m = _KIDS_RE.search(objs[int(m.group(1))])
-    if kids_m is None:
-        raise ValueError("no /Kids")
-    pages = [int(x) for x in re.findall(rb"(\d+)\s+0\s+R", kids_m.group(1))]
+    pages = _pdf_page_leaves(objs, int(m.group(1)))
     texts = []
     for pnum in pages:
-        cm = re.search(_REF_RE_T % b"Contents", objs[pnum])
-        if cm is None:
-            raise ValueError("page without /Contents")
-        fonts = _pdf_page_fonts(objs, objs[pnum])
-        texts.append(
-            _content_text(_pdf_stream_data(objs[int(cm.group(1))]), fonts)
-        )
+        body = objs[pnum]
+        cm = re.search(_REF_RE_T % b"Contents", body)
+        if cm is not None:
+            streams = [int(cm.group(1))]
+        else:
+            am = re.search(
+                rb"/Contents\s*\[(.*?)\]", body, re.S
+            )
+            streams = ([int(x) for x in re.findall(
+                rb"(\d+)\s+0\s+R", am.group(1)
+            )] if am else [])
+        fonts = _pdf_page_fonts(objs, body)
+        texts.append("".join(
+            _content_text(_pdf_stream_data(objs[sn]), fonts)
+            for sn in streams
+        ))
     return len(texts), "\n".join(texts)
 
 
@@ -3306,10 +3348,15 @@ def _tar_octal(field: bytes) -> int:
     return int(s, 8) if s else 0
 
 
-def _tar_checksum(header: bytes) -> int:
-    """Header checksum per POSIX: byte sum with the chksum field
-    itself read as eight spaces."""
-    return sum(header[:148]) + 8 * 0x20 + sum(header[156:512])
+def _tar_checksum(header: bytes) -> tuple[int, int]:
+    """(unsigned, signed) header checksums with the chksum field read
+    as eight spaces. POSIX specifies the unsigned byte sum, but old
+    HP-UX/V7 tars summed SIGNED chars — both must be accepted
+    (CPython's testtar.tar carries both variants; r14 sweep find)."""
+    body = header[:148] + b" " * 8 + header[156:512]
+    unsigned = sum(body)
+    signed = sum(b - 256 if b >= 0x80 else b for b in body)
+    return unsigned, signed
 
 
 def _bounded_unxz(raw: bytes, cap: int = _MAX_INFLATE) -> bytes:
@@ -3350,7 +3397,10 @@ def _tar_pax_records(data: bytes) -> dict[str, str]:
         if rlen <= 0 or not rec.endswith(b"\n"):
             raise ValueError("bad PAX record framing")
         k, _, v = rec[sp - pos + 1 : -1].partition(b"=")
-        out[k.decode("utf-8")] = v.decode("utf-8")
+        # values are UTF-8 per POSIX, but hdrcharset=BINARY (and
+        # broken writers) carry raw locale bytes — latin-1 fallback,
+        # the same repair as header names (r14 sweep find)
+        out[k.decode("utf-8")] = _tar_name(v)
         pos += rlen
     return out
 
@@ -3361,6 +3411,19 @@ def _tar_size(field: bytes) -> int:
     if field and field[0] & 0x80:
         return int.from_bytes(field, "big") - (0x80 << (8 * (len(field) - 1)))
     return _tar_octal(field)
+
+
+def _tar_name(raw: bytes) -> str:
+    """ustar/GNU header names carry LOCALE bytes with no declared
+    encoding (POSIX leaves it open; only PAX 'path' records are
+    UTF-8 by spec) — decode UTF-8 first, fall back to latin-1, the
+    behavior stdlib tarfile effectively exhibits. Found via
+    CPython's own testtar.tar (latin-1 umlaut member names) in the
+    r14 real-fixture sweep."""
+    try:
+        return raw.decode("utf-8")
+    except UnicodeDecodeError:
+        return raw.decode("latin-1")
 
 
 def tar_members(blob: bytes) -> list[dict]:
@@ -3391,36 +3454,85 @@ def tar_members(blob: bytes) -> list[dict]:
         if header == b"\0" * 512:
             break
         stored = _tar_octal(header[148:156])
-        if stored != _tar_checksum(header):
+        if stored not in _tar_checksum(header):
             raise ValueError("tar header checksum mismatch")
         size = _tar_size(header[124:136])
         typeflag = chr(header[156]) if header[156] else "0"
         eff = {**pax_global, **pax_next}
         if typeflag not in ("x", "g", "L") and "size" in eff:
             size = int(eff["size"])  # PAX size is authoritative
-        data = blob[pos + 512 : pos + 512 + size]
-        pos += 512 + ((size + 511) // 512) * 512
-        if typeflag == "x":  # PAX per-file: applies to the NEXT entry
+        if typeflag in ("1", "2", "3", "4", "5", "6"):
+            # links, devices, fifos, and DIRECTORIES store no data
+            # blocks regardless of the size field (the classic
+            # dirtype-with-size trap; r14 sweep find) — the size is
+            # metadata only
+            data = b""
+            pos += 512
+        elif typeflag == "S":
+            # old-GNU sparse: the header SIZE field counts the bytes
+            # actually stored, the logical size sits in the realsize
+            # field (offset 483), and sparse-map continuation blocks
+            # sit between header and data while isextended is set
+            real = header[483:495]
+            ext = header[482]
+            dpos = pos + 512
+            while ext:
+                block = blob[dpos : dpos + 512]
+                if len(block) < 512:
+                    raise ValueError("tar sparse map past archive end")
+                ext = block[504]
+                dpos += 512
+            data = blob[dpos : dpos + size]
+            pos = dpos + ((size + 511) // 512) * 512
+            if real.strip(b"\0 "):
+                size = _tar_size(real)
+        else:
+            data = blob[pos + 512 : pos + 512 + size]
+            pos += 512 + ((size + 511) // 512) * 512
+        if typeflag in ("x", "X"):  # PAX / Solaris extended header
             pax_next = _tar_pax_records(data)
             continue
         if typeflag == "g":  # PAX global: applies until overridden
             pax_global.update(_tar_pax_records(data))
             continue
         if typeflag == "L":  # GNU long name: payload names the NEXT entry
-            pending_name = data.rstrip(b"\0").decode("utf-8")
+            pending_name = _tar_name(data.rstrip(b"\0"))
+            continue
+        if typeflag == "K":  # GNU long LINKNAME: metadata, not a member
             continue
         name = (
             eff.get("path")
+            or eff.get("GNU.sparse.name")  # PAX-sparse real name
             or pending_name
-            or header[:100].split(b"\0")[0].decode("utf-8")
+            or _tar_name(header[:100].split(b"\0")[0])
         )
+        # the ustar PREFIX field (bytes 345-500) prepends to the name
+        # when set (POSIX long paths without GNU 'L'); GNU magic
+        # ('ustar  ') reuses those bytes for other fields
+        if (not eff.get("path") and not pending_name
+                and header[257:263] == b"ustar\0"):
+            prefix = header[345:500].split(b"\0")[0]
+            if prefix:
+                name = _tar_name(prefix) + "/" + name
+        # PAX-sparse logical sizes (0.0/0.1: GNU.sparse.size;
+        # 1.0: GNU.sparse.realsize) — reported size, never the skip
+        for k_ in ("GNU.sparse.size", "GNU.sparse.realsize"):
+            if k_ in eff:
+                size = int(eff[k_])
+        if typeflag == "0" and name.endswith("/"):
+            # pre-POSIX (V7) directories: regtype with a trailing
+            # slash IS the directory marker
+            typeflag = "5"
+        name = name.rstrip("/") if typeflag == "5" else name
         pending_name = None
         pax_next = {}
         out.append({
             "name": name,
             "typeflag": typeflag,
             "size": size,
-            "head": data[:16].decode("utf-8", "replace") if size else None,
+            "head": (
+                data[:16].decode("utf-8", "replace") if data else None
+            ),
         })
     if not out:
         raise ValueError("empty tar")

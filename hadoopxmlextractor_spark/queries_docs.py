@@ -579,7 +579,9 @@ def q_pipeline_documents_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
     ),
     named AS (
       SELECT doc_id, kk, k0,
-             CASE WHEN kk = 0 THEN 'top/'
+             -- r14: directory names normalize slash-free (stdlib-
+             -- tarfile-matching; real-fixture sweep)
+             CASE WHEN kk = 0 THEN 'top'
                   WHEN is_long THEN 'top/'
                     || repeat('deep_directory_level/', 5)
                     || 'leaf_' || CAST(k0 AS VARCHAR) || '.txt'

@@ -449,7 +449,10 @@ def test_tar_checksum_refusal_and_gnu_longname():
     ]
     blob = D.build_tar(entries)
     ms = D.tar_members(blob)
-    assert [m["name"] for m in ms] == [e[0] for e in entries]
+    # directory names normalize slash-free (r14, stdlib-matching)
+    assert [m["name"] for m in ms] == [
+        e[0].rstrip("/") if e[2] == "5" else e[0] for e in entries
+    ]
     assert ms[1]["size"] == 18 and ms[1]["head"] == "long-named paylo"
     bad = bytearray(blob)
     bad[600] ^= 0x01  # inside the long-name payload's following header
@@ -1115,7 +1118,7 @@ def test_tar_walk_parses_tarfile_written_archive():
         members = {m["name"]: m for m in D.tar_members(buf.getvalue())}
         assert members["plain.txt"]["size"] == 24
         assert members["plain.txt"]["head"].startswith("tarfile-written")
-        assert members["adir/"]["typeflag"] == "5"  # tarfile adds the /
+        assert members["adir"]["typeflag"] == "5"  # slash normalized
         if fmt == tf.GNU_FORMAT:
             assert members[longname]["size"] == 4  # via the 'L' entry
         # gz route
@@ -3358,3 +3361,96 @@ def test_winzip_aes_ae2_roundtrip_and_refusals():
     key = hashlib.sha256(b"ctr").digest()
     one = A.encrypt_block(key, (1).to_bytes(16, "little"))
     assert A.ctr_winzip(key, bytes(16)) == one
+
+
+def _tar_hdr(name: bytes, size: int, typeflag: bytes, *,
+             prefix: bytes = b"", magic: bytes = b"ustar\x00" + b"00",
+             signed_chksum: bool = False, extra: dict | None = None):
+    h = bytearray(512)
+    h[0 : len(name)] = name
+    h[100:108] = b"0000644\x00"
+    h[108:116] = h[116:124] = b"0000000\x00"
+    h[124:136] = ("%011o" % size).encode() + b"\x00"
+    h[136:148] = b"00000000000\x00"
+    h[156:157] = typeflag
+    h[257 : 257 + len(magic)] = magic
+    h[345 : 345 + len(prefix)] = prefix
+    for off, val in (extra or {}).items():
+        h[off : off + len(val)] = val
+    h[148:156] = b" " * 8
+    total = sum(h)
+    if signed_chksum:
+        total = sum(b - 256 if b >= 0x80 else b for b in h)
+    h[148:156] = ("%06o" % (total & 0x3FFFF)).encode() + b"\x00 "
+    return bytes(h)
+
+
+def test_tar_real_world_layouts():
+    """r14 real-fixture sweep fixes, pinned with hand-built headers
+    (cross-validated against CPython's testtar.tar in development —
+    stdlib tarfile agrees member-for-member on all 39 entries):
+    ustar PREFIX long paths, signed checksums, latin-1 name repair,
+    V7 trailing-slash directories, dir-with-size stores NO data,
+    GNU 'K' long-linkname entries, Solaris 'X' headers, old-GNU
+    sparse stored-vs-real sizes."""
+    blocks = []
+    # dir with a bogus size: must skip no data blocks
+    blocks.append(_tar_hdr(b"d1", 255, b"5"))
+    # V7 directory: regtype + trailing slash, latin-1 name byte
+    blocks.append(_tar_hdr(b"old-v7-dir\xe4/", 0, b"0",
+                           magic=b"\x00" * 8, signed_chksum=True))
+    # prefix-field long path
+    blocks.append(_tar_hdr(b"leaf.txt", 512, b"0",
+                           prefix=b"very/deep/prefix"))
+    blocks.append(b"A" * 512)
+    # GNU 'K' long linkname (metadata) before a symlink entry
+    blocks.append(_tar_hdr(b"././@LongLink", 8, b"K"))
+    blocks.append(b"target/x" + b"\x00" * 504)
+    blocks.append(_tar_hdr(b"alink", 0, b"2"))
+    # Solaris 'X' extended header applying a path to the next entry
+    rec = b"27 path=from/x/header.txt\n"
+    blocks.append(_tar_hdr(b"ignored", len(rec), b"X"))
+    blocks.append(rec + b"\x00" * (512 - len(rec)))
+    blocks.append(_tar_hdr(b"wrong", 0, b"0"))
+    # old-GNU sparse: size field = stored 512, realsize = 2048
+    blocks.append(_tar_hdr(
+        b"sp", 512, b"S", magic=b"ustar  \x00",
+        extra={386: b"00000000000\x0000000001000\x00",
+               483: b"00000004000\x00"},
+    ))
+    blocks.append(b"S" * 512)
+    blocks.append(b"\x00" * 1024)
+    ms = D.tar_members(b"".join(blocks))
+    assert [(m["name"], m["typeflag"], m["size"]) for m in ms] == [
+        ("d1", "5", 255),
+        ("old-v7-dirä", "5", 0),
+        ("very/deep/prefix/leaf.txt", "0", 512),
+        ("alink", "2", 0),
+        ("from/x/header.txt", "0", 0),
+        ("sp", "S", 2048),
+    ]
+    assert ms[2]["head"] == "A" * 16
+    assert ms[5]["head"] == "S" * 16
+
+
+def test_zip_cp437_names_and_utf8_flag():
+    """r14: names without general-purpose bit 11 decode as cp437
+    (APPNOTE D.2 — three real InfoZIP-era container archives carried
+    0x91-style bytes); this repo's writer now sets bit 11 for
+    non-ASCII names, and stdlib zipfile reads them back identically."""
+    import io
+    import zipfile
+
+    blob = D.build_zip([("ünïcode.txt", b"payload", 0, False),
+                        ("plain.txt", b"p2", 0, False)])
+    ms = D.zip_member_list(blob)
+    assert ms[0]["name"] == "ünïcode.txt"
+    assert ms[0]["flags"] & 0x800 and not (ms[1]["flags"] & 0x800)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert zf.namelist() == ["ünïcode.txt", "plain.txt"]
+    # a cp437 archive (no bit 11): 0x91 is 'æ' — rename in both the
+    # local and central headers by direct byte replacement
+    raw = D.build_zip([("x.txt", b"d", 0, False)])
+    patched = raw.replace(b"x.txt", b"\x91.txt")
+    ms2 = D.zip_member_list(patched)
+    assert ms2[0]["name"] == "æ.txt"
