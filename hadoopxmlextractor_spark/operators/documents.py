@@ -7768,6 +7768,24 @@ def build_xls5(
                 body += _xls_rec(0x00BD, struct.pack("<HH", r, c)
                                  + runs
                                  + struct.pack("<H", c + len(v) - 1))
+            elif kind == "formula_num":
+                body += _xls_rec(0x0006, struct.pack(
+                    "<HHHd", r, c, 0, float(v)) + struct.pack(
+                    "<HIH", 0, 0, 0))
+            elif kind == "formula_str":
+                cached = b"\x00" + bytes(5) + b"\xff\xff"
+                body += _xls_rec(0x0006, struct.pack(
+                    "<HHH", r, c, 0) + cached + struct.pack(
+                    "<HIH", 0, 0, 0))
+                raw = str(v).encode(enc)
+                body += _xls_rec(0x0207, struct.pack(
+                    "<H", len(raw)) + raw)
+            elif kind == "formula_bool":
+                cached = b"\x01\x00" + bytes([int(bool(v))]) \
+                    + bytes(3) + b"\xff\xff"
+                body += _xls_rec(0x0006, struct.pack(
+                    "<HHH", r, c, 0) + cached + struct.pack(
+                    "<HIH", 0, 0, 0))
             else:
                 raise ValueError(f"unknown BIFF5 cell kind {kind}")
         return body
@@ -8083,12 +8101,6 @@ def xls_cells(blob: bytes) -> list[dict]:
         elif op == 0x00BE:  # MULBLANK: no value — consumed
             pass
         elif op == 0x0006:  # FORMULA: cached result
-            if biff5:
-                # BIFF5 cached-string results use a different STRING
-                # form — out of the r14 arm's scope; refuse rather
-                # than misread (the BOF gate used to refuse the whole
-                # workbook)
-                raise ValueError("FORMULA in a BIFF5 stream")
             r, c, _ixfe = struct.unpack_from("<HHH", payload, 0)
             cached = payload[6:14]
             if cached[6:8] == b"\xff\xff":  # non-numeric cached forms
@@ -8099,7 +8111,19 @@ def xls_cells(blob: bytes) -> list[dict]:
                             "string FORMULA missing its STRING record"
                         )
                     k += 1
-                    s, _end = _xl_unicode_string(recs[k][2], 0)
+                    if biff5:
+                        # BIFF5 STRING: u16 length + codepage chars
+                        (cch5,) = struct.unpack_from(
+                            "<H", recs[k][2], 0
+                        )
+                        raw5 = recs[k][2][2 : 2 + cch5]
+                        if len(raw5) < cch5:
+                            raise ValueError(
+                                "string chars past record end"
+                            )
+                        s = raw5.decode(enc)
+                    else:
+                        s, _end = _xl_unicode_string(recs[k][2], 0)
                     out.append({"sheet": sheet, "sheet_name": sheet_name,
                                 "row": r, "col": c, "kind": "fs",
                                 "value": s})

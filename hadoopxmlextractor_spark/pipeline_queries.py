@@ -2664,7 +2664,7 @@ def q_multimodal_avi_shots(spark: SparkSession, sf: str) -> DataFrame:
       FROM terms GROUP BY doc_id
     )
     SELECT doc_id, n_bigrams,
-           ROUND(s / n_bigrams, 6) AS avg_surprisal
+           s / n_bigrams AS avg_surprisal
     FROM agg
     """,
 )
@@ -2715,12 +2715,17 @@ def q_text_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
     terms = PM.with_portable_ln(terms0, "x", "lnq").select(
         "doc_id", F.round(F.col("lnq"), 6).alias("term")
     )
+    # the decimal sum is exact and n is an integer, so the single
+    # double division is already bit-identical across engines; a
+    # final ROUND would be the one UNSAFE step (s/n can land
+    # arbitrarily close to a half-boundary, where Spark's BigDecimal
+    # HALF_UP and DuckDB's rounding of the same double diverge —
+    # observed at the r14 sf0.1 full-registry gate)
     return terms.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        F.round(
+        (
             F.sum(F.col("term").cast("decimal(18,6)")).cast("double")
-            / F.count(F.lit(1)),
-            6,
+            / F.count(F.lit(1))
         ).alias("avg_surprisal"),
     )
 

@@ -234,6 +234,14 @@ def _synth_xls5_blob(i: int) -> bytes:
         cells.append((r, 1, "rk", b[2] * 100 + r))
         cells.append((r, 2, "rk100", b[3] * 7 + r * 13))
         cells.append((r, 3, "number", float(b[4] + r)))
+        fk = (b[5] + r) % 3
+        if fk == 0:
+            cells.append((r, 4, "formula_num", float(b[6] * 3 + r)))
+        elif fk == 1:
+            cells.append((r, 4, "formula_str",
+                          f"F{x[4 * r + 2 : 4 * r + 4]}é"))
+        else:
+            cells.append((r, 4, "formula_bool", (b[6] + r) % 2 == 1))
     sheets = [("S95", cells)]
     if b[0] % 2 == 0:
         sheets.append(
@@ -256,11 +264,12 @@ def _synth_xls5_blob(i: int) -> bytes:
       SELECT doc_id, {_b('xls5', 0)} % 2 AS b0,
              2 + {_b('xls5', 1)} % 3 AS n, {_b('xls5', 2)} AS b2,
              {_b('xls5', 3)} AS b3, {_b('xls5', 4)} AS b4,
+             {_b('xls5', 5)} AS b5, {_b('xls5', 6)} AS b6,
              md5(CAST(doc_id AS VARCHAR) || ':xls5') AS x
       FROM documents
     ),
     g AS (
-      SELECT doc_id, g.g AS r, b2, b3, b4, x
+      SELECT doc_id, g.g AS r, b2, b3, b4, b5, b6, x
       FROM p, (VALUES (0), (1), (2), (3)) g(g)
       WHERE g.g < n AND doc_id % 9 <> 8
     ),
@@ -281,6 +290,15 @@ def _synth_xls5_blob(i: int) -> bytes:
       FROM g
       UNION ALL
       SELECT doc_id, 0, 'S95', r, 3, 'n', CAST(b4 + r AS VARCHAR)
+      FROM g
+      UNION ALL
+      SELECT doc_id, 0, 'S95', r, 4,
+             CASE (b5 + r) % 3 WHEN 0 THEN 'fn' WHEN 1 THEN 'fs'
+                  ELSE 'fb' END,
+             CASE (b5 + r) % 3
+               WHEN 0 THEN CAST(b6 * 3 + r AS VARCHAR)
+               WHEN 1 THEN 'F' || substring(x, 4 * r + 3, 2) || 'é'
+               ELSE CAST((b6 + r) % 2 AS VARCHAR) END
       FROM g
       UNION ALL
       SELECT doc_id, 1, 'Extra', 0, 0, 'label',
