@@ -213,10 +213,24 @@ def q_corpus_user_sequences(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), edges AS (
       SELECT doc_a AS x, doc_b AS y FROM pairs
       UNION
@@ -258,10 +272,24 @@ def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), edges AS (
       SELECT doc_a AS x, doc_b AS y FROM pairs
       UNION
@@ -1061,10 +1089,24 @@ def q_corpus_source_quality(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), edges AS (
       SELECT doc_a AS x, doc_b AS y FROM pairs
       UNION
@@ -1232,10 +1274,24 @@ def q_corpus_pack_chunks(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), edges AS (
       SELECT doc_a AS x, doc_b AS y FROM pairs
       UNION
@@ -1390,10 +1446,24 @@ def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ), pairs AS (
       SELECT a.doc_id AS x, b.doc_id AS y
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), tri AS (
       SELECT e1.x AS a, e1.y AS b, e2.y AS c
       FROM pairs e1
@@ -1485,10 +1555,24 @@ def q_corpus_chunks_overlap(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ), pos AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), ranked AS (
       SELECT doc_id,
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
@@ -1570,10 +1654,24 @@ def q_corpus_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), edges AS (
       SELECT doc_a AS x, doc_b AS y FROM pairs
       UNION
@@ -1621,10 +1719,24 @@ def _pagerank_ctes(iterations: int = 5, scale: int = 10**12) -> list:
       FROM tok
     ), pairs AS (
       SELECT a.doc_id AS x, b.doc_id AS y
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), edges AS (
       SELECT x, y FROM pairs UNION SELECT y, x FROM pairs
     ), deg AS (
@@ -2032,16 +2144,22 @@ def q_dedup_survivors_authority(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ),
     near AS (
+      -- r14: shared-shingle candidate join (see the pairs CTEs)
       SELECT DISTINCT doc_id FROM (
-        SELECT a.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              / (len(a.shingles) + len(b.shingles)
-                 - len(list_intersect(a.shingles, b.shingles))) >= 0.5
-        UNION ALL
-        SELECT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-              / (len(a.shingles) + len(b.shingles)
-                 - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+        SELECT unnest([a.doc_id, b.doc_id]) AS doc_id
+        FROM (
+          SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+                 COUNT(*) AS _shared
+          FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+          JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+            ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+          GROUP BY 1, 2
+        ) _cand
+        JOIN sh a ON a.doc_id = _cand._da
+        JOIN sh b ON b.doc_id = _cand._db
+        WHERE CAST(_cand._shared AS DOUBLE)
+              / (len(a.shingles) + len(b.shingles) - _cand._shared)
+              >= 0.5
       )
     )
     SELECT e.source,
@@ -2252,10 +2370,24 @@ def q_corpus_line_filter(spark: SparkSession, sf: str) -> DataFrame:
       FROM tok
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE
-            / (len(a.shingles) + len(b.shingles)
-               - len(list_intersect(a.shingles, b.shingles))) >= 0.5
+      FROM (
+        -- r14: the shared-shingle inverted index yields |A∩B|
+        -- directly (shingle lists are list_distinct, so the posting
+        -- join counts the intersection exactly) — replaces the
+        -- all-pairs cross join + per-pair list_intersect that made
+        -- this oracle quadratic and unusable at the sf0.1 gate
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db
+      WHERE CAST(_cand._shared AS DOUBLE)
+            / (len(a.shingles) + len(b.shingles) - _cand._shared)
+            >= 0.5
     ), edges AS (
       SELECT doc_a AS x, doc_b AS y FROM pairs
       UNION

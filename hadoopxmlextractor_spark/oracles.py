@@ -1686,11 +1686,22 @@ def hits_oracle(
             FROM corpus)
     ),
     pc AS MATERIALIZED (
+      -- r14: shared-shingle candidate join replaces the quadratic
+      -- all-pairs cross join (identical rows: shared > 0 IS the
+      -- candidate condition)
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              len(a.shingles) AS size_a, len(b.shingles) AS size_b,
-             len(list_intersect(a.shingles, b.shingles)) AS shared
-      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.shingles, b.shingles)) > 0),
+             _cand._shared AS shared
+      FROM (
+        SELECT i1.doc_id AS _da, i2.doc_id AS _db,
+               COUNT(*) AS _shared
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) i1
+        JOIN (SELECT doc_id, unnest(shingles) AS s FROM sh) i2
+          ON i1.s = i2.s AND i1.doc_id < i2.doc_id
+        GROUP BY 1, 2
+      ) _cand
+      JOIN sh a ON a.doc_id = _cand._da
+      JOIN sh b ON b.doc_id = _cand._db),
     edges AS MATERIALIZED (
       SELECT doc_b AS u, doc_a AS v FROM pc
       WHERE ROUND(CAST(shared AS DOUBLE) / size_a, 4) >= %(thr)s
