@@ -1818,7 +1818,9 @@ def q_events_bot_detection(spark: SparkSession, sf: str) -> DataFrame:
     ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM e)
     SELECT CAST(dow AS INT) AS dow, hour_utc,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE), 4) AS share
+           -- raw quotient: a final ROUND on a computed double
+           -- diverges at decimal half-boundaries (r14 sf0.1 gate)
+           CAST(COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE) AS share
     FROM e, tot GROUP BY dow, hour_utc, n
     """,
 )
@@ -1844,8 +1846,9 @@ def q_events_seasonality_profile(spark: SparkSession, sf: str) -> DataFrame:
             "dow",
             "hour_utc",
             "n_events",
-            F.round(
-                F.col("n_events").cast("double") / F.col("n").cast("double"), 4
+            (
+                F.col("n_events").cast("double")
+                / F.col("n").cast("double")
             ).alias("share"),
         )
     )
