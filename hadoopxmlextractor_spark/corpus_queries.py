@@ -498,19 +498,25 @@ def q_corpus_prepare_training_data(spark: SparkSession, sf: str) -> DataFrame:
     )
     ded = D.dedup_exact(kept, "text", "doc_id").select("doc_id", "text")
 
-    sh = (
-        docs.withColumn("bucket", C.stable_bucket("doc_id", 100))
+    # r14-opt: split on the benchmark bucket BEFORE the shingle UDF.
+    # The UDF is nondeterministic-marked (guide §4.4, stops optimizer
+    # duplication), so the bucket filter no longer pushes below it on
+    # its own — applying it structurally first keeps each branch
+    # shingling only its own rows (95% / 5%), as the pushed-down
+    # baseline did, minus the per-branch double evaluation.
+    base = docs.withColumn("bucket", C.stable_bucket("doc_id", 100))
+    train = (
+        base.filter(F.col("bucket") < 95)
+        .select("doc_id", D.shingle_hashes("text", 3).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
+    )
+    bench = (
+        base.filter(F.col("bucket") >= 95)
         .select(
-            "doc_id",
-            (F.col("bucket") >= 95).alias("benchmark"),
+            F.col("doc_id").alias("benchmark_doc"),
             D.shingle_hashes("text", 3).alias("shingles"),
         )
-    )
-    train = sh.filter(~F.col("benchmark")).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    bench = sh.filter(F.col("benchmark")).select(
-        F.col("doc_id").alias("benchmark_doc"), F.explode("shingles").alias("shingle")
+        .select("benchmark_doc", F.explode("shingles").alias("shingle"))
     )
     contaminated = (
         train.join(F.broadcast(bench), "shingle")
@@ -613,19 +619,23 @@ def q_corpus_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     # benchmark side is tiny, so its exploded index broadcasts and the
     # train side streams through map-side. The oracle brute-forces
     # list_intersect over the same split.
-    docs = load(spark, sf, "documents").withColumn(
+    # r14-opt: bucket split BEFORE the (nondeterministic-marked)
+    # shingle UDF — see corpus_prepare_training_data's note.
+    base = load(spark, sf, "documents").withColumn(
         "bucket", C.stable_bucket("doc_id", 100)
     )
-    sh = docs.select(
-        "doc_id",
-        (F.col("bucket") >= 95).alias("benchmark"),
-        D.shingle_hashes("text", 3).alias("shingles"),
+    train = (
+        base.filter(F.col("bucket") < 95)
+        .select("doc_id", D.shingle_hashes("text", 3).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
     )
-    train = sh.filter(~F.col("benchmark")).select(
-        F.col("doc_id"), F.explode("shingles").alias("shingle")
-    )
-    bench = sh.filter(F.col("benchmark")).select(
-        F.col("doc_id").alias("benchmark_doc"), F.explode("shingles").alias("shingle")
+    bench = (
+        base.filter(F.col("bucket") >= 95)
+        .select(
+            F.col("doc_id").alias("benchmark_doc"),
+            D.shingle_hashes("text", 3).alias("shingles"),
+        )
+        .select("benchmark_doc", F.explode("shingles").alias("shingle"))
     )
     return (
         train.join(F.broadcast(bench), "shingle")
@@ -988,22 +998,22 @@ def q_corpus_contamination_score(spark: SparkSession, sf: str) -> DataFrame:
     # split. The benchmark shingle set is tiny and BROADCASTS; the
     # train side streams through map-side with one doc-keyed aggregate
     # — cost is one corpus scan regardless of benchmark count.
-    docs = load(spark, sf, "documents").withColumn(
+    # r14-opt: bucket split BEFORE the (nondeterministic-marked)
+    # shingle UDF — see corpus_prepare_training_data's note.
+    base = load(spark, sf, "documents").withColumn(
         "bucket", C.stable_bucket("doc_id", 100)
     )
-    sh = docs.select(
-        "doc_id",
-        (F.col("bucket") >= 95).alias("benchmark"),
-        D.shingle_hashes("text", 3).alias("shingles"),
-    )
     bench = (
-        sh.filter(F.col("benchmark"))
+        base.filter(F.col("bucket") >= 95)
+        .select(D.shingle_hashes("text", 3).alias("shingles"))
         .select(F.explode("shingles").alias("shingle"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = sh.filter(~F.col("benchmark")).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    train = (
+        base.filter(F.col("bucket") < 95)
+        .select("doc_id", D.shingle_hashes("text", 3).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
     )
     return (
         train.join(F.broadcast(bench), "shingle", "left")

@@ -2027,13 +2027,27 @@ def q_events_sessionize_incremental(spark: SparkSession, sf: str) -> DataFrame:
     # side.
     counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     w = Window.partitionBy("user_id").orderBy("ms", "event_id")
-    ranked = ev.join(F.broadcast(counts), "user_id").withColumn(
-        "rn", F.row_number().over(w)
+    # r14-opt (guide §5, §2.4): `ranked` feeds the old AND new splits
+    # and `standing` feeds the seed window AND the carry anti-join —
+    # unpersisted, the baseline plan re-scanned the events parquet ~8×
+    # (every seed/merge/continued consumer re-derived the whole chain).
+    # Persist both (plus the operator's internal seed/batch frames via
+    # persist_internal): one scan + one user-keyed window, then every
+    # consumer reads session-/user-cardinality caches. Eager count per
+    # the AQE race rule.
+    ranked = (
+        ev.join(F.broadcast(counts), "user_id")
+        .withColumn("rn", F.row_number().over(w))
+        .persist()
     )
+    ranked.count()
     old = ranked.filter(F.col("rn") <= F.expr("(8 * n) div 10")).drop("rn", "n")
     new = ranked.filter(F.col("rn") > F.expr("(8 * n) div 10")).drop("rn", "n")
-    standing = sessionize_table(old, gap_ms=GAP)
-    return sessionize_incremental(standing, new, gap_ms=GAP)
+    standing = sessionize_table(old, gap_ms=GAP).persist()
+    standing.count()
+    return sessionize_incremental(
+        standing, new, gap_ms=GAP, persist_internal=True
+    )
 
 
 @query(

@@ -50,7 +50,17 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
     (observed: a single-task scan stage burning 400+ s of CPU at
     sf0.1). A Python UDF is opaque to Catalyst: it is planned exactly
     once in an ArrowEvalPython node, predicates reference only its
-    output attribute, and the per-batch work is C-speed."""
+    output attribute, and the per-batch work is C-speed.
+
+    Marked non-deterministic (it is not — the hash is pure — but the
+    guide-§4.4 marker stops the optimizer DUPLICATING the evaluation:
+    ``InferFiltersFromGenerate`` synthesizes a ``size(arr) > 0`` filter
+    below every non-outer explode of the output, and pushing that
+    filter re-plans the whole ArrowEvalPython a second time — measured
+    as two UDF nodes per pass in every r14 baseline dedup plan). The
+    trade-off is that OTHER filters no longer push below the UDF
+    either, so call sites must apply cheap row filters BEFORE calling
+    this (they all do)."""
     c = F.col(col) if isinstance(col, str) else col
 
     @F.pandas_udf("array<long>")
@@ -65,7 +75,7 @@ def shingle_hashes(col: Column | str, n: int = 3) -> Column:
                 ]
             )
 
-    return _sh(c)
+    return _sh.asNondeterministic()(c)
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:
@@ -163,28 +173,40 @@ def _ngram_pair_counts(
     # Joining on the 64-bit shingle hash (not the shingle string) keeps
     # the shuffle payload fixed-width; Jaccard counts are unchanged
     # w.h.p. (64-bit collisions are ~1e-9 at 1e5 distinct shingles).
-    # The inverted index feeds both join sides (and the hot-shingle
-    # scan): persist so shingling runs once. The count() materializes
-    # the cache EAGERLY — without it AQE submits the consuming shuffle
-    # stages concurrently and each races to compute the (Python-UDF)
-    # lineage before any block is cached, tripling the expensive work.
+    #
+    # r14-opt restructure (guide §2.4 — remove shuffles outright): the
+    # df-cap window and its filter are folded INTO the persisted index,
+    # so the shingle-keyed exchange + sort + window run ONCE at cache
+    # build instead of once per consuming branch (the r13 plan relied
+    # on ReusedExchange to merge the two branch windows; under
+    # AQE + InMemoryRelation that reuse never fired and both ran —
+    # measured as two identical 4 MB shuffle writes at sf0.1). The
+    # cached index comes out hash-partitioned AND sorted on `shingle`,
+    # which is exactly the self-join key, so both join sides read the
+    # cache with no further exchange. The count() materializes the
+    # cache EAGERLY — without it AQE submits the consuming stages
+    # concurrently and each races to recompute the (Python-UDF)
+    # lineage before any block is cached.
     inv = sh.select(
         "doc", "n_shingles", F.explode("shingles").alias("shingle")
-    ).persist()
+    )
+    if max_df is not None or candidate_budget is not None:
+        wdf = Window.partitionBy("shingle")
+        inv = inv.withColumn("df", F.count(F.lit(1)).over(wdf))
+    if max_df is not None:
+        inv = inv.filter(F.col("df") <= max_df)
+    inv = inv.persist()
     inv.count()
     if candidate_budget is not None:
         # Exact join fan-out from the cached index: Σ C(df,2) over the
-        # surviving (≤ max_df) shingles. Map-side combine collapses the
-        # index to one row per distinct shingle, then a single sum —
-        # dimension-sized all the way, and df·(df−1) is even so the
-        # halving is integer-exact.
-        dfs = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        if max_df is not None:
-            dfs = dfs.filter(F.col("df") <= max_df)
-        tot = dfs.agg(
-            F.sum(F.col("df") * (F.col("df") - F.lit(1)))
-            .cast("long")
-            .alias("t")
+        # surviving (≤ max_df) shingles — computed as Σ_rows (df−1)/2,
+        # one projection-level sum over the cache with no groupBy and
+        # no exchange (each row of a shingle with document frequency
+        # df contributes df−1 ordered co-occurrences; halving the sum
+        # de-duplicates the orientation and is integer-exact because
+        # Σ df·(df−1) is even).
+        tot = inv.agg(
+            F.sum(F.col("df") - F.lit(1)).cast("long").alias("t")
         ).first()["t"]
         est_candidates = (tot or 0) // 2
         if est_candidates > candidate_budget:
@@ -199,19 +221,6 @@ def _ngram_pair_counts(
                 f"dedup_minhash_lsh query), tighten max_df, or raise "
                 f"candidate_budget explicitly if the cost is intended."
             )
-    if max_df is not None:
-        # The df cap rides the join's own shuffle: count() over
-        # (partition by shingle) hash-partitions on exactly the join
-        # key, so the window's exchange IS the join-side exchange (and
-        # the two identical branches share one shuffle write via
-        # ReusedExchange). No separate index-scan + anti-join pass —
-        # at 100 TB that saves a full read/write of the inverted index.
-        wdf = Window.partitionBy("shingle")
-        inv = (
-            inv.withColumn("df", F.count(F.lit(1)).over(wdf))
-            .filter(F.col("df") <= max_df)
-            .drop("df")
-        )
     a = inv.select(
         F.col("shingle"),
         F.col("doc").alias("doc_a"),
@@ -440,7 +449,11 @@ def minhash_signature_udf(
                 out.append(((A * hs[None, :] + B) % _MERSENNE31).min(axis=1).tolist())
             yield pd.Series(out)
 
-    return _signature
+    # Non-deterministic marker: stops optimizer duplication of the
+    # signature evaluation (guide §4.4 — same rationale as
+    # :func:`shingle_hashes`); callers must pre-filter rows before
+    # applying the UDF, since filters no longer push below it.
+    return _signature.asNondeterministic()
 
 
 def minhash_lsh_candidates(
@@ -469,14 +482,25 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    # r14-opt (guide §2.4): the banded table used to feed FOUR plan
+    # branches (bucket-size aggregate, anti-join left side, both join
+    # sides), each re-running the posexplode + band hashing over the
+    # signature cache — measured as ~13 task-seconds of duplicated JVM
+    # work at sf0.1. The degenerate-bucket cap is now a count window
+    # riding the same (band, bucket) partitioning as the candidate
+    # join (identical surviving rows: keep sz ≤ max_bucket ≡ anti-join
+    # against sz > max_bucket), and the capped table is persisted
+    # hash-partitioned + sorted on the join key, so both join sides
+    # read the cache with no further exchange.
     if max_bucket is not None:
-        big = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") > max_bucket)
-            .select("band", "bucket")
-        )
-        banded = banded.join(big, ["band", "bucket"], "left_anti")
+        wsz = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn(
+            "sz", F.count(F.lit(1)).over(wsz)
+        ).filter(F.col("sz") <= max_bucket).drop("sz")
+    else:
+        banded = banded.repartition(F.col("band"), F.col("bucket"))
+    banded = banded.sortWithinPartitions("band", "bucket").persist()
+    banded.count()  # eager: AQE would race the two consuming sides
     a = banded.select("band", "bucket", F.col("doc").alias("doc_a"))
     b = banded.select("band", "bucket", F.col("doc").alias("doc_b"))
     return (
@@ -517,14 +541,18 @@ def minhash_lsh_candidates_scoped(
             )
         ).alias("band", "bucket"),
     )
+    # r14-opt: same single-pass cap + co-partitioned persist as
+    # :func:`minhash_lsh_candidates` (see the comment there), with the
+    # scope columns folded into the partitioning key.
     if max_bucket is not None:
-        big = (
-            banded.groupBy(*key)
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") > max_bucket)
-            .select(*key)
-        )
-        banded = banded.join(big, key, "left_anti")
+        wsz = Window.partitionBy(*key)
+        banded = banded.withColumn(
+            "sz", F.count(F.lit(1)).over(wsz)
+        ).filter(F.col("sz") <= max_bucket).drop("sz")
+    else:
+        banded = banded.repartition(*[F.col(k) for k in key])
+    banded = banded.sortWithinPartitions(*key).persist()
+    banded.count()  # eager: AQE would race the two consuming sides
     a = banded.select(*key, F.col("doc").alias("doc_a"))
     b = banded.select("band", "bucket", *scope_cols, F.col("doc").alias("doc_b"))
     return (
@@ -782,11 +810,6 @@ def simhash_near_pairs(
             "guarantee (<=7); pairs differing in all 8 chunks would be "
             "silently missed"
         )
-    # sim feeds 2-3 plan branches (bucket-size scan + both join
-    # sides); persist + eager count so the (pandas-UDF) simhash
-    # lineage runs once instead of racing per consuming stage.
-    sim = sim.persist()
-    sim.count()
     chunks = sim.select(
         "doc",
         "simhash",
@@ -799,14 +822,15 @@ def simhash_near_pairs(
             )
         ).alias("chunk_idx", "chunk_val"),
     )
+    # r14-opt: same single-pass degenerate-bucket cap as
+    # :func:`minhash_lsh_candidates` — window count in place of the
+    # bucket-size aggregate + anti-join (identical surviving rows),
+    # riding the candidate join's own (chunk_idx, chunk_val) key.
     if max_bucket is not None:
-        big = (
-            chunks.groupBy("chunk_idx", "chunk_val")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") > max_bucket)
-            .select("chunk_idx", "chunk_val")
-        )
-        chunks = chunks.join(big, ["chunk_idx", "chunk_val"], "left_anti")
+        wsz = Window.partitionBy("chunk_idx", "chunk_val")
+        chunks = chunks.withColumn(
+            "sz", F.count(F.lit(1)).over(wsz)
+        ).filter(F.col("sz") <= max_bucket).drop("sz")
     a = chunks.select(
         "chunk_idx", "chunk_val", F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a")
     )
@@ -1170,14 +1194,19 @@ def minhash_incremental_flags(
             )
         ).alias("band", "bucket"),
     )
+    # r14-opt: same single-pass degenerate-bucket cap + co-partitioned
+    # persist as :func:`minhash_lsh_candidates` — the banded table
+    # feeds the probe AND index sides; the window count replaces the
+    # bucket-size aggregate + anti-join (identical surviving rows).
     if max_bucket is not None:
-        big = (
-            banded.groupBy("band", "bucket")
-            .agg(F.count(F.lit(1)).alias("sz"))
-            .filter(F.col("sz") > max_bucket)
-            .select("band", "bucket")
-        )
-        banded = banded.join(big, ["band", "bucket"], "left_anti")
+        wsz = Window.partitionBy("band", "bucket")
+        banded = banded.withColumn(
+            "sz", F.count(F.lit(1)).over(wsz)
+        ).filter(F.col("sz") <= max_bucket).drop("sz")
+    else:
+        banded = banded.repartition(F.col("band"), F.col("bucket"))
+    banded = banded.sortWithinPartitions("band", "bucket").persist()
+    banded.count()  # eager: AQE would race probe/index recomputes
     probe = banded.filter(F.col("incoming")).select(
         "band", "bucket", F.col("doc").alias("doc_a")
     )
@@ -2062,7 +2091,8 @@ def positional_shingle_hashes(col: Column | str, n: int = 3) -> Column:
             yield pd.Series(out)
 
     _psh_n = n
-    return _psh(c)
+    # guide-§4.4 duplication marker, same as :func:`shingle_hashes`.
+    return _psh.asNondeterministic()(c)
 
 
 def shared_run_pairs(
@@ -2248,12 +2278,18 @@ def prefix_filter_jaccard_pairs(
         )
         .filter(F.col("pos") <= F.col("plen"))
         .select("doc", "n_sh", "h")
+        # r14-opt: the persist is unconditional — the index always
+        # feeds both candidate-join sides (the baseline re-ran both
+        # windows per side when the budget guard was disabled). A
+        # repartition("h")+sort at cache build was tried and REVERTED:
+        # the candidate self-join plans as a BroadcastHashJoin (the
+        # prefix index is dimension-sized by construction), so a
+        # join-key layout buys nothing and the extra exchange+sort
+        # measured 2.7 → 4.7 s at sf0.1 (interleaved min-of-6 A/B).
+        .persist()
     )
+    prefix.count()
     if candidate_budget is not None:
-        # the prefix index feeds the budget scan AND both join sides:
-        # persist + eager count so the two windows run once
-        prefix = prefix.persist()
-        prefix.count()
         tot = (
             prefix.groupBy("h")
             .agg(F.count(F.lit(1)).alias("pdf"))

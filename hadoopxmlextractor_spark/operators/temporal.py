@@ -264,6 +264,7 @@ def sessionize_incremental(
     user_col: str = "user_id",
     id_col: str = "event_id",
     ms_col: str = "ms",
+    persist_internal: bool = False,
 ) -> DataFrame:
     """Merge an APPEND-ONLY batch of events into a standing session
     table without re-touching old events — the incremental half of the
@@ -310,6 +311,18 @@ def sessionize_incremental(
     )
     dirty = new_events.select(user_col).distinct()
     seed = dirty.join(last, user_col, "left")
+    if persist_internal:
+        # r14-opt (guide §5): `seed` feeds THREE consumers (the batch
+        # anchor broadcast, the merge broadcast, the continued-session
+        # probe) and `batch` two (merge + carry anti-join); unpersisted,
+        # each consumer re-ran the full upstream lineage — the baseline
+        # plan re-scanned the event log ~8×. Both frames are user-/
+        # session-cardinality (never event-cardinality), so the cache
+        # is dimension-sized at any scale. Eager count per the AQE
+        # race rule. Opt-in because the streaming foreachBatch twin
+        # must not accumulate per-batch caches.
+        seed = seed.persist()
+        seed.count()
     w = Window.partitionBy(user_col).orderBy(ms_col, id_col)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = (
@@ -335,6 +348,9 @@ def sessionize_incremental(
         F.max(ms_col).cast("long").alias("b_end"),
         F.count(F.lit(1)).cast("long").alias("b_n"),
     )
+    if persist_internal:
+        batch = batch.persist()
+        batch.count()
     merged = batch.join(F.broadcast(seed), user_col, "left").select(
         user_col,
         F.col("_sid").cast("long").alias("session_id"),

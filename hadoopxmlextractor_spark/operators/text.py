@@ -1271,7 +1271,15 @@ def robots_admit_multi_udf(robots_by_key: dict, agent: str = "*"):
                 out.append(best[1] if best is not None else True)
             yield pd.Series(out)
 
-    return _admit
+    # Non-deterministic marker (guide §4.4): used as a FILTER right
+    # above a frontier anti-join, the optimizer propagated the
+    # admission predicate through the join-key equality onto BOTH
+    # union branches of the crawled side — the Python UDF ran over
+    # the whole crawled set twice before this marker (baseline plan
+    # `plans/r14/pipeline_frontier_polite_before.txt`, ArrowEvalPython
+    # nodes (15)/(21)), for a filter whose only job is to gate
+    # frontier-side rows. Callers apply cheap row filters before it.
+    return _admit.asNondeterministic()
 
 
 _MOJIBAKE_ENCODINGS = ("cp1252", "latin-1", "shift_jis")

@@ -61,17 +61,21 @@ def _stage_decontaminate(
     # corpus (independent of upstream filtering, like a held-out eval
     # suite); contaminated train docs are anti-joined away and
     # benchmark-bucket docs themselves never ship as training data.
-    sh = docs.withColumn("bucket", C.stable_bucket("doc_id", 100)).select(
-        "doc_id",
-        (F.col("bucket") >= 100 - bench_pct).alias("benchmark"),
-        D.shingle_hashes("text", 3).alias("shingles"),
+    # r14-opt: bucket split BEFORE the (nondeterministic-marked)
+    # shingle UDF — guide §4.4; see corpus_prepare_training_data.
+    base = docs.withColumn("bucket", C.stable_bucket("doc_id", 100))
+    train = (
+        base.filter(F.col("bucket") < 100 - bench_pct)
+        .select("doc_id", D.shingle_hashes("text", 3).alias("shingles"))
+        .select("doc_id", F.explode("shingles").alias("shingle"))
     )
-    train = sh.filter(~F.col("benchmark")).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    bench = sh.filter(F.col("benchmark")).select(
-        F.col("doc_id").alias("benchmark_doc"),
-        F.explode("shingles").alias("shingle"),
+    bench = (
+        base.filter(F.col("bucket") >= 100 - bench_pct)
+        .select(
+            F.col("doc_id").alias("benchmark_doc"),
+            D.shingle_hashes("text", 3).alias("shingles"),
+        )
+        .select("benchmark_doc", F.explode("shingles").alias("shingle"))
     )
     contaminated = (
         train.join(F.broadcast(bench), "shingle")

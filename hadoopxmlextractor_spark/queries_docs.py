@@ -544,7 +544,15 @@ def q_pipeline_documents_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
             "n_tokens", F.size(T.tokens(F.col("extracted"))).cast("int")
         )
         .withColumn("fingerprint", T.fingerprint(F.col("extracted")))
+        # r14-opt (guide §5): ext feeds the dedup-rank branch AND the
+        # final join — unpersisted, the whole synth→extract Python
+        # chain ran twice (baseline plan: two parquet scans, two
+        # ArrowEvalPython, two MapInPandas). The cache holds extracted
+        # TEXT (never the container blobs), so it is the small end of
+        # the pipeline at any scale. Eager count per the AQE race rule.
+        .persist()
     )
+    ext.count()
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     passing = ext.filter(F.col("n_tokens") >= 5).select(
         "doc_id", F.row_number().over(w).alias("rn")

@@ -186,7 +186,12 @@ def q_source_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     from hadoopxmlextractor_spark.operators import text as T
     from hadoopxmlextractor_spark.sources import warc as W
 
-    docs = load(spark, sf, "documents")
+    # r14-opt NOTE: measured both ways at sf0.1 — a 32-way repartition
+    # before the Arrow chain LOSES (min 2.33 s vs 1.08 s single-task):
+    # the whole synthesize→parse→decode chain is ~0.9 s of Python total,
+    # below the per-task fan-out overhead. Wide production inputs are
+    # already parallel at the scan. Left as-is deliberately.
+    docs = load(spark, sf, "documents").select("doc_id")
 
     @F.pandas_udf("binary")
     def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:

@@ -830,7 +830,13 @@ def q_multimodal_image_orientation_dedup(
         _rows,
         schema="doc_id bigint, group_id bigint, orientation int, "
         "ahash_raw bigint, ahash_norm bigint",
-    )
+    ).persist()
+    # r14-opt (guide §5): per_doc feeds the group-stats aggregate AND
+    # the final join — unpersisted, the JPEG synth→decode→hash kernel
+    # ran TWICE (baseline plan: two MapInPandas over two scans). The
+    # cache is 5 numeric columns per doc, dimension-sized at any
+    # scale. Eager count per the AQE race rule.
+    per_doc.count()
     gstats = per_doc.groupBy("group_id").agg(
         F.countDistinct("ahash_raw").alias("n_raw_distinct"),
         F.countDistinct("ahash_norm").alias("n_norm_distinct"),

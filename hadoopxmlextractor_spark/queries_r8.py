@@ -115,7 +115,7 @@ def q_source_warc_split(spark: SparkSession, sf: str) -> DataFrame:
 
     from hadoopxmlextractor_spark.sources import warc as W
 
-    docs = load(spark, sf, "documents")
+    docs = load(spark, sf, "documents").select("doc_id")
 
     @F.pandas_udf("binary")
     def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
@@ -142,9 +142,19 @@ def q_source_warc_split(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("path"),
         _warc("doc_id").alias("content"),
     )
-    idx = W.warc_split_index(files, target_bytes=200).filter(
-        F.col("split_idx") >= 0
+    # r14-opt: the split index feeds TWO consumers (the ranged-read
+    # join and the n_splits aggregate); unpersisted, each consumer
+    # re-ran the whole synthesis + index scan (the baseline plan shows
+    # three ArrowEvalPython synthesis nodes and two MapInPandas index
+    # scans). The index is a few metadata rows per FILE — persisting it
+    # is dimension-sized at any scale and removes one full pass over
+    # the corpus bytes.
+    idx = (
+        W.warc_split_index(files, target_bytes=200)
+        .filter(F.col("split_idx") >= 0)
+        .persist()
     )
+    idx.count()  # eager: AQE would otherwise race the two consumers
     recs = W.warc_records_ranged(idx.join(files, "path"))
     n_splits = idx.groupBy("path").agg(F.count(F.lit(1)).alias("n_splits"))
 
@@ -407,12 +417,24 @@ def q_corpus_minhash_semantic_scope(spark: SparkSession, sf: str) -> DataFrame:
     # verify joins), hence persist + eager count (the AQE race rule).
     from hadoopxmlextractor_spark.operators import dedup as D
 
-    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    from hadoopxmlextractor_spark.plans.parallelism import ensure_min_parallelism
+
+    docs = ensure_min_parallelism(
+        load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    )
     sig = D.minhash_signature_udf(num_hashes=64, shingle_n=3, seed=42)
-    sigs0 = docs.select(
+    # r14-opt: persist BELOW the 3-way union, not above it — the
+    # baseline cached the unioned frame, so building the cache itself
+    # ran the signature UDF once per branch (and the whole signature
+    # pass ran as ONE task on the single-row-group local input; the
+    # ensure_min_parallelism guard is a no-op on wide inputs). The
+    # plants now copy signatures out of the cache, which is also what
+    # the docstring always claimed ("computed ONCE and copied").
+    sigs0 = sigs0_cache = docs.select(
         F.col("doc_id").alias("doc"), "lang", "source",
         sig("text").alias("signature"),
-    )
+    ).persist()
+    sigs0_cache.count()
     plants = sigs0.filter(F.col("doc") % 50 == 0)
     sigs = (
         sigs0.unionByName(
@@ -429,9 +451,7 @@ def q_corpus_minhash_semantic_scope(spark: SparkSession, sf: str) -> DataFrame:
                 "signature",
             )
         )
-        .persist()
     )
-    sigs.count()
     # max_bucket=None: the DuckDB oracle enumerates ALL scope-sharing
     # band pairs uncapped, so the certified query must too — a hot
     # bucket at a larger SF would otherwise silently drop pairs the
