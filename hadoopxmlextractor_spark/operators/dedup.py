@@ -2044,8 +2044,17 @@ def paragraph_dedup_stats(
             f"i -> array_join(slice(t, i*{para_tokens}+1, {para_tokens}), ' '))"
         ).alias("paras"),
     )
+    # r14-opt: posexplode_OUTER. The non-outer generator synthesized a
+    # `size(paras) > 0 AND isnotnull(paras)` filter below the explode
+    # (InferFiltersFromGenerate), textually inlining the interpreted
+    # transform/slice lambda into a pushed-down scan predicate — the
+    # paragraph segmentation ran ~3× per row (baseline plan, Filter
+    # (2) of corpus_paragraph_dedup_before.txt). `paras` is provably
+    # never NULL or empty (transform of sequence(0, x≥0) over docs
+    # with ≥1 token), so outer ≡ inner row-for-row and no filter is
+    # synthesized.
     p = paras.select(
-        "doc_id", F.posexplode("paras").alias("para_idx", "para")
+        "doc_id", F.posexplode_outer("paras").alias("para_idx", "para")
     ).select("doc_id", "para_idx", F.md5("para").alias("h"))
     w = Window.partitionBy("h").orderBy("doc_id", "para_idx")
     flagged = p.withColumn("dup", F.row_number().over(w) > 1)

@@ -520,6 +520,15 @@ def q_pipeline_crawl_to_markdown(spark: SparkSession, sf: str) -> DataFrame:
     # closed-form markdown; a fault in the member walk, the chunk
     # framing, the inflate, or any converter rule flips the hash.
     # One Arrow chain, zero shuffles.
+    #
+    # r14-opt (guide §4.1/§4.2): synth → record walk → HTTP decode are
+    # FUSED into one mapInPandas over the same library helpers
+    # (write_warc / iter_warc_records / decode_http_html — the
+    # certified per-blob code paths, now called back-to-back in one
+    # Python task instead of through three ArrowEvalPython/MapInPandas
+    # boundaries that round-tripped every blob JVM↔Python twice for
+    # nothing). Interleaved A/B at sf0.1: 2.18 → 1.32 s min, rows
+    # proven identical (exceptAll both ways = 0).
     import hashlib
 
     from hadoopxmlextractor_spark.operators import text as T
@@ -534,11 +543,13 @@ def q_pipeline_crawl_to_markdown(spark: SparkSession, sf: str) -> DataFrame:
     )
     _WORDS = ["alpha", "bravo", "charlie", "delta", "echo"]
 
-    @F.pandas_udf("binary")
-    def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for ids in it:
-            out = []
-            for i in ids:
+    def _kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
                 b = hashlib.md5(f"{i}:c2m".encode()).digest()
                 html = (
                     "<html><head><title>skip</title></head><body>"
@@ -555,52 +566,48 @@ def q_pipeline_crawl_to_markdown(spark: SparkSession, sf: str) -> DataFrame:
                 # capstone too — cp1252 bytes under the iso-8859-1
                 # label; correct resolution recovers identical text,
                 # so the closed-form markdown oracle is untouched
-                if int(i) % 3 == 1:
+                if i % 3 == 1:
                     http = _http_as_captured(
-                        html.encode("cp1252"), int(i) % 4,
+                        html.encode("cp1252"), i % 4,
                         ctype=b"text/html; charset=iso-8859-1",
                     )
                 else:
-                    http = _http_as_captured(html.encode(), int(i) % 4)
-                out.append(
-                    W.write_warc(
-                        [{
-                            "warc_type": "response",
-                            "record_id": f"<urn:c2m:{i}>",
-                            "target_uri": f"https://ex.org/{i}",
-                            "content_type": (
-                                "application/http; msgtype=response"
-                            ),
-                            "payload": http,
-                        }],
-                        gzip_members=(int(i) % 2 == 0),
-                    )
+                    http = _http_as_captured(html.encode(), i % 4)
+                blob = W.write_warc(
+                    [{
+                        "warc_type": "response",
+                        "record_id": f"<urn:c2m:{i}>",
+                        "target_uri": f"https://ex.org/{i}",
+                        "content_type": (
+                            "application/http; msgtype=response"
+                        ),
+                        "payload": http,
+                    }],
+                    gzip_members=(i % 2 == 0),
                 )
-            yield pd.Series(out)
+                # same member walk + declared-charset decode the
+                # unfused ArrowEvalPython chain ran, one call deep
+                for rec in W.iter_warc_records(blob):
+                    if rec.get("warc_type") != "response":
+                        continue
+                    s, _enc, _how, text = W.decode_http_html(
+                        bytes(rec["payload"])
+                    )
+                    rows.append(
+                        {"doc_id": i, "http_status": s, "body": text}
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "http_status", "body"]
+            )
 
-    files = docs.select(
-        F.col("doc_id").cast("string").alias("path"),
-        _warc("doc_id").alias("content"),
+    recs = docs.select("doc_id").mapInPandas(
+        _kernel, schema="doc_id bigint, http_status int, body string"
     )
-    recs = W.warc_records(files).filter(F.col("warc_type") == "response")
-
-    @F.pandas_udf("struct<http_status:int, body:string>")
-    def _http(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        # r11: declared-charset decode, not a blind utf-8 read
-        for payloads in it:
-            stat, body = [], []
-            for pl in payloads:
-                s, _enc, _how, text = W.decode_http_html(bytes(pl))
-                stat.append(s)
-                body.append(text)
-            yield pd.DataFrame({"http_status": stat, "body": body})
-
     return (
-        recs.withColumn("h", _http("payload"))
-        .select(
-            F.col("path").cast("bigint").alias("doc_id"),
-            F.col("h.http_status").alias("http_status"),
-            T.html_markdown(F.col("h.body")).alias("markdown"),
+        recs.select(
+            "doc_id",
+            "http_status",
+            T.html_markdown(F.col("body")).alias("markdown"),
         )
         .withColumn(
             "n_lines",

@@ -191,65 +191,65 @@ def q_source_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     # the whole synthesize→parse→decode chain is ~0.9 s of Python total,
     # below the per-task fan-out overhead. Wide production inputs are
     # already parallel at the scan. Left as-is deliberately.
+    #
+    # r14-opt: synth → member walk → charset decode FUSED into one
+    # mapInPandas over the same library helpers (write_warc /
+    # iter_warc_records / decode_http_html), removing two per-blob
+    # JVM↔Python round trips — the pipeline_crawl_to_markdown fusion
+    # pattern (rows proven identical there; here the oracle pins it).
     docs = load(spark, sf, "documents").select("doc_id")
 
-    @F.pandas_udf("binary")
-    def _warc(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        for ids in it:
-            out = []
-            for i in ids:
-                ctype, body = _charset_page(int(i))
+    def _kernel(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "http_status", "encoding", "enc_source", "text"]
+        for pdf in batches:
+            rows = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                ctype, body = _charset_page(i)
                 hdr = b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype + b"\r\n"
-                if (int(i) // 8) % 2 == 0:
+                if (i // 8) % 2 == 0:
                     hdr += b"Content-Encoding: gzip\r\n"
                     body = gzip.compress(body, 6)
-                out.append(
-                    W.write_warc(
-                        [
-                            {
-                                "warc_type": "response",
-                                "record_id": f"<urn:chs:{i}>",
-                                "target_uri": f"https://example.com/{i}",
-                                "content_type": (
-                                    "application/http; msgtype=response"
-                                ),
-                                "payload": hdr + b"\r\n" + body,
-                            }
-                        ],
-                        gzip_members=(int(i) % 2 == 0),
+                blob = W.write_warc(
+                    [
+                        {
+                            "warc_type": "response",
+                            "record_id": f"<urn:chs:{i}>",
+                            "target_uri": f"https://example.com/{i}",
+                            "content_type": (
+                                "application/http; msgtype=response"
+                            ),
+                            "payload": hdr + b"\r\n" + body,
+                        }
+                    ],
+                    gzip_members=(i % 2 == 0),
+                )
+                for rec in W.iter_warc_records(blob):
+                    if rec.get("warc_type") != "response":
+                        continue
+                    s, enc, how, text = W.decode_http_html(
+                        bytes(rec["payload"])
                     )
-                )
-            yield pd.Series(out)
+                    rows.append(
+                        {"doc_id": i, "http_status": s, "encoding": enc,
+                         "enc_source": how, "text": text}
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
-    files = docs.select(
-        F.col("doc_id").cast("string").alias("path"),
-        _warc("doc_id").alias("content"),
+    recs = docs.mapInPandas(
+        _kernel,
+        schema="doc_id bigint, http_status int, encoding string, "
+        "enc_source string, text string",
     )
-    recs = W.warc_records(files).filter(F.col("warc_type") == "response")
-
-    @F.pandas_udf(
-        "struct<http_status:int, encoding:string, enc_source:string, "
-        "text:string>"
-    )
-    def _decode(it: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
-        for payloads in it:
-            rows = []
-            for p in payloads:
-                s, enc, how, text = W.decode_http_html(bytes(p))
-                rows.append(
-                    {"http_status": s, "encoding": enc,
-                     "enc_source": how, "text": text}
-                )
-            yield pd.DataFrame(rows)
-
     return (
-        recs.withColumn("h", _decode("payload"))
-        .select(
-            F.col("path").cast("bigint").alias("doc_id"),
-            F.col("h.http_status").alias("http_status"),
-            F.col("h.encoding").alias("encoding"),
-            F.col("h.enc_source").alias("enc_source"),
-            T.html_text(F.col("h.text")).alias("extracted"),
+        recs.select(
+            "doc_id",
+            "http_status",
+            "encoding",
+            "enc_source",
+            T.html_text(F.col("text")).alias("extracted"),
         )
         .withColumn("n_chars", F.length("extracted").cast("int"))
     )

@@ -264,7 +264,13 @@ def paragraph_dedup_stream(
         ).alias("paras"),
     )
     hashed = (
-        paras.select("doc_id", F.posexplode("paras").alias("para_idx", "para"))
+        # posexplode_OUTER, same reasoning as the batch twin: the
+        # non-outer generator's synthesized size/isnotnull filter
+        # re-inlines the interpreted transform lambda below the
+        # explode; paras is provably non-empty/non-null here.
+        paras.select(
+            "doc_id", F.posexplode_outer("paras").alias("para_idx", "para")
+        )
         .select("doc_id", "para_idx", F.md5("para").alias("h"))
         .withColumn("bucket", F.pmod(F.xxhash64("h"), F.lit(n_buckets)))
     )
