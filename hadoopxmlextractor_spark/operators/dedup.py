@@ -482,25 +482,23 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
-    # r14-opt (guide §2.4): the banded table used to feed FOUR plan
-    # branches (bucket-size aggregate, anti-join left side, both join
-    # sides), each re-running the posexplode + band hashing over the
-    # signature cache — measured as ~13 task-seconds of duplicated JVM
-    # work at sf0.1. The degenerate-bucket cap is now a count window
-    # riding the same (band, bucket) partitioning as the candidate
-    # join (identical surviving rows: keep sz ≤ max_bucket ≡ anti-join
-    # against sz > max_bucket), and the capped table is persisted
-    # hash-partitioned + sorted on the join key, so both join sides
-    # read the cache with no further exchange.
+    # r14-opt (guide §2.4): the degenerate-bucket cap is a count
+    # window riding the candidate join's own (band, bucket) key
+    # (identical surviving rows: keep sz ≤ max_bucket ≡ anti-join
+    # against sz > max_bucket) — one banding pass + one exchange where
+    # the r13 shape ran the posexplode + band hashing in FOUR branches
+    # (bucket-size aggregate, anti-join left side, both join sides).
+    # A sortWithinPartitions+persist of the capped table was tried and
+    # REVERTED (interleaved min-of-4 A/B at sf0.1: window-only 1.88 s,
+    # +sort+persist 1.91 s, r13 agg+anti-join 2.07 s — materializing
+    # the bands×-exploded cache costs more than recomputing the two
+    # join-side projections from the signature cache, and would be a
+    # memory liability at scale).
     if max_bucket is not None:
         wsz = Window.partitionBy("band", "bucket")
         banded = banded.withColumn(
             "sz", F.count(F.lit(1)).over(wsz)
         ).filter(F.col("sz") <= max_bucket).drop("sz")
-    else:
-        banded = banded.repartition(F.col("band"), F.col("bucket"))
-    banded = banded.sortWithinPartitions("band", "bucket").persist()
-    banded.count()  # eager: AQE would race the two consuming sides
     a = banded.select("band", "bucket", F.col("doc").alias("doc_a"))
     b = banded.select("band", "bucket", F.col("doc").alias("doc_b"))
     return (
@@ -541,18 +539,18 @@ def minhash_lsh_candidates_scoped(
             )
         ).alias("band", "bucket"),
     )
-    # r14-opt: same single-pass cap + co-partitioned persist as
-    # :func:`minhash_lsh_candidates` (see the comment there), with the
-    # scope columns folded into the partitioning key.
+    # r14-opt: same single-pass window cap as
+    # :func:`minhash_lsh_candidates` (see the comment there — the
+    # sort+persist arm was measured and REVERTED; on the uncapped
+    # path used by corpus_minhash_semantic_scope, a repartition+
+    # sort+persist of the banded table A/B'd 2.50 s vs 1.74 s for the
+    # plain recompute-per-side shape), with the scope columns folded
+    # into the partitioning key.
     if max_bucket is not None:
         wsz = Window.partitionBy(*key)
         banded = banded.withColumn(
             "sz", F.count(F.lit(1)).over(wsz)
         ).filter(F.col("sz") <= max_bucket).drop("sz")
-    else:
-        banded = banded.repartition(*[F.col(k) for k in key])
-    banded = banded.sortWithinPartitions(*key).persist()
-    banded.count()  # eager: AQE would race the two consuming sides
     a = banded.select(*key, F.col("doc").alias("doc_a"))
     b = banded.select("band", "bucket", *scope_cols, F.col("doc").alias("doc_b"))
     return (
@@ -1194,19 +1192,15 @@ def minhash_incremental_flags(
             )
         ).alias("band", "bucket"),
     )
-    # r14-opt: same single-pass degenerate-bucket cap + co-partitioned
-    # persist as :func:`minhash_lsh_candidates` — the banded table
-    # feeds the probe AND index sides; the window count replaces the
-    # bucket-size aggregate + anti-join (identical surviving rows).
+    # r14-opt: same single-pass degenerate-bucket window cap as
+    # :func:`minhash_lsh_candidates` (the sort+persist arm was
+    # measured and REVERTED there; the probe/index sides recompute
+    # two cheap projections from the signature cache instead).
     if max_bucket is not None:
         wsz = Window.partitionBy("band", "bucket")
         banded = banded.withColumn(
             "sz", F.count(F.lit(1)).over(wsz)
         ).filter(F.col("sz") <= max_bucket).drop("sz")
-    else:
-        banded = banded.repartition(F.col("band"), F.col("bucket"))
-    banded = banded.sortWithinPartitions("band", "bucket").persist()
-    banded.count()  # eager: AQE would race probe/index recomputes
     probe = banded.filter(F.col("incoming")).select(
         "band", "bucket", F.col("doc").alias("doc_a")
     )

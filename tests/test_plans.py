@@ -1418,3 +1418,92 @@ def test_round9_queries_pass_plan_lint(spark):
         errors = [f for f in findings if f["severity"] == "error"]
         rowwise = [f for f in findings if f["code"] == "rowwise_python"]
         assert errors == [] and rowwise == [], (name, findings)
+
+
+# ---------------------------------------------------------------------------
+# r14 optimization round: single-evaluation contracts for expensive
+# Python kernels and interpreted JVM lambdas (guide §4.4 class)
+# ---------------------------------------------------------------------------
+
+
+def test_shingle_udf_planned_once_under_explode(spark):
+    """InferFiltersFromGenerate synthesizes a size/isnotnull filter
+    below every non-outer explode; for a (deterministic) UDF output
+    the pushed filter used to duplicate the whole ArrowEvalPython node
+    (two shingle evaluations per pass in every r14 baseline dedup
+    plan). The nondeterministic marker on shingle_hashes must keep it
+    to ONE evaluation."""
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    docs = load(spark, SF, "documents").filter(F.col("text").isNotNull())
+    df = docs.select(
+        "doc_id", D.shingle_hashes("text", 3).alias("hs")
+    ).select("doc_id", F.explode("hs").alias("h"))
+    assert executed_plan(df).count("ArrowEvalPython") == 1
+
+
+def test_minhash_signature_udf_planned_once_under_explode(spark):
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    sig = D.minhash_signature_udf(num_hashes=8, shingle_n=3, seed=1)
+    docs = load(spark, SF, "documents").filter(F.col("text").isNotNull())
+    df = docs.select("doc_id", sig("text").alias("s")).select(
+        "doc_id", F.posexplode("s").alias("i", "v")
+    )
+    assert executed_plan(df).count("ArrowEvalPython") == 1
+
+
+def test_robots_admit_not_pushed_through_frontier_antijoin(spark):
+    """The admission filter sits directly above a left-anti join on
+    the canonical URL; before the r14 nondeterministic marker the
+    optimizer propagated the Python predicate through the join-key
+    equality onto BOTH crawled-side union branches (3 ArrowEvalPython
+    admission nodes in pipeline_frontier_polite_before.txt). It must
+    be planned exactly once."""
+    from hadoopxmlextractor_spark.queries_r13 import (
+        q_pipeline_frontier_polite,
+    )
+
+    plan = executed_plan(q_pipeline_frontier_polite(spark, SF))
+    assert plan.count("_admit") == 1
+
+
+def test_paragraph_segmentation_lambda_planned_once(spark):
+    """paragraph_dedup_stats explodes a transform(...)-computed array;
+    with non-outer posexplode the synthesized generate-filter textually
+    re-inlined the interpreted transform/slice lambda into a pushed
+    scan predicate (~3 evaluations per row in the r14 baseline plan).
+    posexplode_outer (row-identical here: the array is never NULL or
+    empty) must leave exactly one occurrence of the lambda."""
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    docs = load(spark, SF, "documents")
+    df = D.paragraph_dedup_stats(docs, "text", "doc_id", para_tokens=20)
+    assert executed_plan(df).count("transform(sequence") == 1
+
+
+def test_sessionize_incremental_persist_internal_equivalence(spark):
+    """persist_internal=True only adds caches for the operator's
+    internal multi-consumer frames; the merged session table must be
+    row-identical either way."""
+    from hadoopxmlextractor_spark.operators.temporal import (
+        sessionize_incremental,
+        sessionize_table,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, 0), (1, 2, 1000), (1, 3, 9_000_000),
+            (2, 4, 0), (2, 5, 50_000_000),
+            (3, 6, 0),
+        ],
+        "user_id long, event_id long, ms long",
+    )
+    old = ev.filter(F.col("event_id") <= 4)
+    new = ev.filter(F.col("event_id") > 4)
+    standing = sessionize_table(old, gap_ms=3_600_000)
+    a = sessionize_incremental(standing, new, gap_ms=3_600_000)
+    b = sessionize_incremental(
+        standing, new, gap_ms=3_600_000, persist_internal=True
+    )
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
