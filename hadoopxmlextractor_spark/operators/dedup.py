@@ -592,7 +592,9 @@ def estimated_jaccard_udf():
             # to the oracle's len(filter)/H on any engine.
             yield pd.Series((A == B).mean(axis=1))
 
-    return _est
+    # guide-§4.4 marker: the estimate is always thresholded right
+    # above; stop the pushed filter re-evaluating the kernel.
+    return _est.asNondeterministic()
 
 
 def dedup_minhash_lsh(
@@ -782,8 +784,11 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             yield pd.Series(out)
 
     hashed = ensure_min_parallelism(df.select(id_col, text_col))
+    # guide-§4.4 marker: join-key isnotnull constraints inferred above
+    # the chunk explode otherwise push below and duplicate the kernel.
     return hashed.select(
-        F.col(id_col).alias("doc"), _simhash(F.col(text_col)).alias("simhash")
+        F.col(id_col).alias("doc"),
+        _simhash.asNondeterministic()(F.col(text_col)).alias("simhash"),
     )
 
 

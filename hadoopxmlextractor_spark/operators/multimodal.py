@@ -890,7 +890,7 @@ def synth_ppm_media(docs: DataFrame, *, side: int = 8) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
-        _ppm("doc_id").alias("content"),
+        _ppm.asNondeterministic()("doc_id").alias("content"),
     )
 
 
@@ -955,7 +955,10 @@ def image_ahash(
                 out.append(_ahash64(img))
             yield pd.Series(out, dtype="object")
 
-    return media.select(F.col(id_col), _ahash(F.col(content_col)).alias("ahash"))
+    return media.select(
+        F.col(id_col),
+        _ahash.asNondeterministic()(F.col(content_col)).alias("ahash"),
+    )
 
 
 def synth_wav_media(docs: DataFrame, *, n_samples: int = 256) -> DataFrame:
@@ -992,7 +995,7 @@ def synth_wav_media(docs: DataFrame, *, n_samples: int = 256) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("media_type"),
-        _wav("doc_id").alias("content"),
+        _wav.asNondeterministic()("doc_id").alias("content"),
     )
 
 
@@ -1033,7 +1036,7 @@ def synth_g711_wav_media(docs: DataFrame, *, n_samples: int = 256) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("media_type"),
-        _wav("doc_id").alias("content"),
+        _wav.asNondeterministic()("doc_id").alias("content"),
     )
 
 
@@ -1079,7 +1082,7 @@ def synth_adpcm_wav_media(docs: DataFrame, *, n_nibble_bytes: int = 128) -> Data
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("audio").alias("media_type"),
-        _wav("doc_id").alias("content"),
+        _wav.asNondeterministic()("doc_id").alias("content"),
     )
 
 
@@ -1118,7 +1121,10 @@ def audio_energy_windows(
             yield pd.Series(out)
 
     return (
-        media.select(F.col(id_col), _energies(F.col(content_col)).alias("es"))
+        media.select(
+            F.col(id_col),
+            _energies.asNondeterministic()(F.col(content_col)).alias("es"),
+        )
         .filter(F.col("es").isNotNull())
         .select(
             id_col, F.posexplode("es").alias("win_idx", "energy")
@@ -1179,7 +1185,7 @@ def synth_ppm_video(
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
-        _video("doc_id").alias("content"),
+        _video.asNondeterministic()("doc_id").alias("content"),
     )
 
 
@@ -1277,7 +1283,10 @@ def video_shot_boundaries(
         F.col("ahash").bitwiseXOR(F.lag("ahash").over(w))
     ).cast("int")
     return (
-        media.select(F.col(id_col), _hashes(F.col(content_col)).alias("hs"))
+        media.select(
+            F.col(id_col),
+            _hashes.asNondeterministic()(F.col(content_col)).alias("hs"),
+        )
         .filter(F.col("hs").isNotNull())
         .select(id_col, F.posexplode("hs").alias("frame_idx", "ahash"))
         .select(
@@ -1813,7 +1822,7 @@ def synth_avi_video(
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
-        _video("doc_id").alias("content"),
+        _video.asNondeterministic()("doc_id").alias("content"),
     )
 
 
@@ -1911,7 +1920,7 @@ def synth_mjpeg_video(
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
-        _video("doc_id").alias("content"),
+        _video.asNondeterministic()("doc_id").alias("content"),
     )
 
 
@@ -2298,7 +2307,7 @@ def synth_jpeg_blocks_media(
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("media_type"),
-        _jpg("doc_id").alias("content"),
+        _jpg.asNondeterministic()("doc_id").alias("content"),
     )
 
 
@@ -2328,7 +2337,10 @@ def jpeg_block_values(
             yield pd.Series(out, dtype="object")
 
     return (
-        media.select(F.col(id_col), _vals(F.col(content_col)).alias("vs"))
+        media.select(
+            F.col(id_col),
+            _vals.asNondeterministic()(F.col(content_col)).alias("vs"),
+        )
         .filter(F.col("vs").isNotNull())
         .select(id_col, F.posexplode("vs").alias("block_idx", "val"))
     )
@@ -3104,7 +3116,7 @@ def synth_rle_video(
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("media_type"),
-        _video("doc_id").alias("content"),
+        _video.asNondeterministic()("doc_id").alias("content"),
     )
 
 

@@ -62,7 +62,10 @@ def cosine_pairs_udf() -> Column:
             yield pd.Series(num / np.maximum(den, 1e-300))
 
     def kernel(a: Column, b: Column) -> Column:
-        return _cos(a, b)
+        # guide-§4.4 marker: the sim column is always filtered/thresholded
+        # right above; without it the optimizer pushes that filter and
+        # re-evaluates the kernel twice per surviving row.
+        return _cos.asNondeterministic()(a, b)
 
     return kernel
 
@@ -204,7 +207,9 @@ def hyperplane_sketch(
             buckets = bits.reshape(len(M), n_tables, n_planes) @ weights  # (B, T)
             yield pd.Series(list(buckets.astype(np.int64)))
 
-    return emb.withColumn("buckets", _sketch(F.col(vec_col)))
+    return emb.withColumn(
+        "buckets", _sketch.asNondeterministic()(F.col(vec_col))
+    )
 
 
 def cosine_pairs_lsh(
@@ -838,7 +843,7 @@ def quantized_shifted(col: Column | str) -> Column:
                 out.append((q + 127).tolist())
             yield pd.Series(out)
 
-    return _q(c)
+    return _q.asNondeterministic()(c)
 
 
 def _kmeans_assign_factory(cents):

@@ -1529,9 +1529,14 @@ def q_multimodal_image_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # thresholds <= 7 — the oracle replays all-pairs and must agree).
     # Codec blobs hash to NULL and drop out before the join.
     docs = load(spark, sf, "documents")
+    # r14-opt (guide §5): the hash table feeds the planted-union's two
+    # branches AND both banded-join sides — unpersisted, the image
+    # synth+decode+hash kernel ran 4× (8× before the §4.4 markers).
+    # The cache is (id, hash) — dimension-sized at any scale.
     ah = M.image_ahash(M.synth_ppm_media(docs, side=8)).filter(
         F.col("ahash").isNotNull()
-    )
+    ).persist()
+    ah.count()
     # Plant every 25th image again under a shifted id: the synthetic
     # planes are md5-random (no organic near-dups), and a detector
     # verified on an empty result proves nothing.

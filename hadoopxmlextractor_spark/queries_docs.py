@@ -1265,9 +1265,13 @@ def q_pipeline_stackexchange_qa(spark: SparkSession, sf: str) -> DataFrame:
     from hadoopxmlextractor_spark.operators import text as T
 
     docs = load(spark, sf, "documents")
+    # r14-opt (guide §5): posts feeds the question AND answer branches
+    # — unpersisted, the synth→parse→html_text Python chain ran twice.
+    # Text-cardinality cache; eager count per the AQE race rule.
     posts = D.stackexchange_posts(D.synth_stackexchange(docs)).withColumn(
         "text", T.html_text(F.col("body_html"))
-    )
+    ).persist()
+    posts.count()
     questions = posts.filter(F.col("post_type") == 1).select(
         "doc_id", F.col("post_id").alias("question_id"),
         F.col("text").alias("question_text"),

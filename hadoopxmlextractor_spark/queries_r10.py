@@ -106,10 +106,17 @@ def q_source_wikipedia_multistream(spark: SparkSession, sf: str) -> DataFrame:
     docs = load(spark, sf, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    files = D.synth_wikipedia_multistream(docs)
+    # r14-opt (guide §5): files feeds the index scan AND the ranged
+    # read; idx feeds the ranged join AND the n_splits aggregate —
+    # unpersisted, the bz2 synthesis ran once per consumer (the
+    # source_warc_split pattern; the files cache is this query's
+    # stand-in for the on-disk dump).
+    files = D.synth_wikipedia_multistream(docs).persist()
+    files.count()
     idx = D.wikipedia_split_index(files, target_bytes=1).filter(
         F.col("split_idx") >= 0
-    )
+    ).persist()
+    idx.count()
     pages = D.wikipedia_pages_ranged(
         idx.join(files, "doc_id").select(
             "doc_id", "content", "offset", "length"

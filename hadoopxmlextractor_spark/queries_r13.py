@@ -1376,7 +1376,14 @@ def q_source_ooxml_encrypted(spark: SparkSession, sf: str) -> DataFrame:
                 out.append(struct.unpack_from("<H", info, 2)[0])
             yield pd.Series(out)
 
-    raw = docs.select("doc_id", _blob("doc_id").alias("content"))
+    # r14-opt (guide §4.4): without the marker the optimizer inlined
+    # the synthesis into the _vminor argument and planned it in TWO
+    # ArrowEvalPython nodes — every AES-encrypted container was built
+    # twice. Marked nondeterministic, _vminor reads the projected
+    # content attribute and the synthesis runs once.
+    raw = docs.select(
+        "doc_id", _blob.asNondeterministic()("doc_id").alias("content")
+    )
     blobs = raw.select(
         (F.col("doc_id") * 10 + _vminor("content")).alias("doc_id"),
         "content",

@@ -1400,7 +1400,14 @@ def q_pipeline_crawl_to_corpus(spark: SparkSession, sf: str) -> DataFrame:
         )
         .withColumn("n_tokens", F.size(T.tokens(F.col("extracted"))).cast("int"))
         .withColumn("fingerprint", T.fingerprint(F.col("extracted")))
+        # r14-opt (guide §5): extracted feeds the dedup-rank branch AND
+        # the final join — unpersisted, the whole synth→walk→decode→
+        # repair Python chain ran once per consumer (the
+        # pipeline_documents_to_corpus pattern). Text-cardinality
+        # cache; eager count per the AQE race rule.
+        .persist()
     )
+    extracted.count()
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     passing = (
         extracted.filter(F.col("n_tokens") >= 5)
@@ -1585,7 +1592,17 @@ def q_source_warc_revisit(spark: SparkSession, sf: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("path"),
         _warc("doc_id").alias("content"),
     )
-    recs = W.warc_records(files)
+    # r14-opt (guide §5): the record walk feeds THREE consumers (the
+    # response-digest aggregate, the revisit side, the record_id →
+    # doc_id join-back) — unpersisted, the synth + member walk ran once
+    # per consumer. Project the metadata columns BEFORE persisting so
+    # the cache never holds payload bytes (guide §2.3: shuffle/cache
+    # metadata, not payloads).
+    recs = W.warc_records(files).select(
+        "path", "record_id", "warc_type", "target_uri",
+        "payload_digest", "content_length",
+    ).persist()
+    recs.count()
     resolved = W.resolve_revisits(recs)
     return resolved.join(
         recs.select(
