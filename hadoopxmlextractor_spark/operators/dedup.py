@@ -660,9 +660,23 @@ def connected_components(
     large-star/small-star algorithm (Kiveris et al.) — documented
     trade-off, same join primitives.
     """
-    edges = pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+    # r14-opt (guide §5): symmetrize via ONE explode instead of
+    # union(edges, edges.swapped) — the union form consumed the pairs
+    # lineage twice, and building this very cache re-ran the caller's
+    # whole pair-generation (shingle/LSH/cosine-verify Python kernels)
+    # once per union branch. Row-identical: explode emits exactly
+    # {(x,y), (y,x)} per input pair before the same distinct.
     edges = (
-        edges.union(edges.select(F.col("y").alias("x"), F.col("x").alias("y")))
+        pairs.select(F.col(id_a).alias("x"), F.col(id_b).alias("y"))
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("x"), F.col("y")),
+                    F.struct(F.col("y").alias("x"), F.col("x").alias("y")),
+                )
+            ).alias("e")
+        )
+        .select("e.x", "e.y")
         .distinct()
         .persist()
     )

@@ -118,7 +118,12 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     # to distance 7, so the oracle's brute-force hamming join over the
     # same deterministic SimHash values produces the identical pair set.
     docs = load(spark, sf, "documents")
-    return D.simhash_near_pairs(D.simhash(docs, "text", "doc_id"), max_hamming=7)
+    # r14-opt (guide §5): the hash table feeds both banded-join sides
+    # — unpersisted, the SimHash Python kernel ran once per side (the
+    # signature-cache pattern; the cache is two longs per doc).
+    sim = D.simhash(docs, "text", "doc_id").persist()
+    sim.count()
+    return D.simhash_near_pairs(sim, max_hamming=7)
 
 
 @query("minhash_signatures", O.minhash_signatures_oracle(num_sigs=4))

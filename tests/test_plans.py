@@ -1507,3 +1507,38 @@ def test_sessionize_incremental_persist_internal_equivalence(spark):
         standing, new, gap_ms=3_600_000, persist_internal=True
     )
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_connected_components_consumes_pair_lineage_once(spark):
+    """Edge symmetrization is one explode, not union(edges, swapped):
+    the union form consumed the caller's pair-generation lineage twice,
+    re-running its Python kernels (shingle/LSH/cosine verify) once per
+    branch while BUILDING the edge cache. With a pandas-UDF pair source
+    the symmetrized-edges plan must evaluate it in exactly ONE
+    ArrowEvalPython node signature, and the clustering must match the
+    union form row-for-row."""
+    import pandas as pd
+    import re
+    from pyspark.sql import functions as F  # noqa: F811
+    from hadoopxmlextractor_spark.operators import dedup as D
+
+    @F.pandas_udf("long")
+    def _probe(s: pd.Series) -> pd.Series:
+        return s % 5
+
+    base = spark.range(0, 40).select(
+        F.col("id").alias("doc_a"), _probe("id").alias("doc_b")
+    )
+    labels = D.connected_components(base)
+    rows = {tuple(r) for r in labels.collect()}
+    # every node lands in the component of its min-reachable id
+    assert all(comp <= doc for doc, comp, _ in rows)
+    # the probe kernel is planned exactly once (distinct node
+    # signatures; identical reprints under InMemoryTableScan are the
+    # cached lineage, not re-executions)
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    sigs = {
+        m.group(0)
+        for m in re.finditer(r"ArrowEvalPython \[[^\n]*_probe[^\n]*", plan)
+    }
+    assert len(sigs) == 1, sigs
