@@ -2644,7 +2644,15 @@ def q_embedding_bitext_mine(spark: SparkSession, sf: str) -> DataFrame:
     # and the finer buckets keep candidate counts sub-quadratic as the
     # corpus grows (measured: 4-bit buckets stop discriminating by 20k
     # vectors and the candidate join goes quadratic — SCALE.md).
-    pairs = S.cosine_pairs_lsh(emb, threshold=0.3, dim=64, n_planes=8, n_tables=8)
+    # r14-opt (guide §3.2/§4.4): the cross-parity predicate used to
+    # ride filter-pushdown into the LSH join condition; the cosine
+    # kernel's nondeterministic marker blocks that push, so state it
+    # structurally — same-side pairs (which bitext_mutual_top1 discards
+    # unconditionally) never reach the pair-dedup or the verify kernel.
+    pairs = S.cosine_pairs_lsh(
+        emb, threshold=0.3, dim=64, n_planes=8, n_tables=8,
+        pair_filter=lambda a, b: ((a % 2) == 0) != ((b % 2) == 0),
+    )
     return S.bitext_mutual_top1(pairs, parity_mod=2)
 
 

@@ -224,6 +224,7 @@ def cosine_pairs_lsh(
     seed: int = 42,
     round_digits: int = 5,
     max_bucket: int | None = 10000,
+    pair_filter=None,
 ) -> DataFrame:
     """Approximate near-dup pairs: banded hyperplane LSH — bucket each
     vector into ``n_tables`` tables of ``n_planes``-bit sketches,
@@ -239,6 +240,16 @@ def cosine_pairs_lsh(
     into one bucket) before the self-join so a pathological input can
     never go quadratic; the skip is deterministic (a property of the
     bucket's size), so the oracle replays it exactly.
+
+    ``pair_filter`` (optional ``(id_a_col, id_b_col) -> bool Column``)
+    prunes candidates INSIDE the bucket self-join, before the
+    pair-dedup aggregate and the cosine verify. Use it when the caller
+    discards a structurally-known pair class afterwards anyway (e.g.
+    bitext mining keeps only cross-parity pairs): the nondeterministic
+    cosine kernel blocks the optimizer from pushing such a filter down
+    itself (guide §4.4 trade-off), so the pre-filter must be stated
+    structurally (guide §3.2). Result-identical by construction
+    whenever the caller's own filter implies it.
     """
     # The sketch feeds both self-join sides: persist + eager count so
     # the pandas-UDF lineage runs once (concurrent AQE stages would
@@ -273,9 +284,12 @@ def cosine_pairs_lsh(
         "t", "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b")
     )
     pair_cos = cosine_pairs_udf()
+    keep = F.col("id_a") < F.col("id_b")
+    if pair_filter is not None:
+        keep = keep & pair_filter(F.col("id_a"), F.col("id_b"))
     return (
         a.join(b, ["t", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(keep)
         # a pair colliding in several tables must verify and emit once
         .groupBy("id_a", "id_b")
         .agg(F.first("vec_a").alias("vec_a"), F.first("vec_b").alias("vec_b"))
