@@ -125,33 +125,36 @@ REFERENCE = {
     "dedup_minhash_lsh": 1.98,
     "text_quality": 0.27,
     "similarity_topk_bruteforce": 0.29,
-    "corpus_prepare_training_data": 1.72,
+    # r14 opt floors (post UDF-dedup / persist fixes; sampling
+    # heuristic only — see the adaptive walk below)
+    "corpus_prepare_training_data": 1.55,
     "dedup_sorted_neighborhood": 1.74,
     "embedding_bitext_mine": 1.74,
     "corpus_paragraph_dedup": 0.60,
     "similarity_maxsim_multivector": 0.38,
     "dedup_prefix_filter_join": 1.60,
-    "events_sessionize_incremental": 1.60,
+    "events_sessionize_incremental": 1.55,
     "corpus_epoch_shuffle": 0.25,
     "corpus_priority_sample_grouped": 0.28,
-    "source_warc_split": 2.77,
+    "source_warc_split": 2.3,
     "corpus_minhash_semantic_scope": 2.45,
     "source_pdf_text": 1.0,
-    "pipeline_documents_to_corpus": 2.0,
+    "pipeline_documents_to_corpus": 1.25,
     # r11: crawl→markdown re-measured at 1.66 warm min after the
     # warc_records frame-flush fix — the old 3.8 reference let the
-    # sampler accept warm-up-inflated values
-    "pipeline_crawl_to_markdown": 1.7,
+    # sampler accept warm-up-inflated values; r14 opt: fused single
+    # mapInPandas chain re-measured at 1.10
+    "pipeline_crawl_to_markdown": 1.2,
     "multimodal_audio_flac_decode": 1.6,
     "multimodal_audio_alac_decode": 1.2,
     "source_warc_charset": 1.1,
     "pipeline_crawl_outlinks": 1.0,
-    "multimodal_image_orientation_dedup": 1.5,
+    "multimodal_image_orientation_dedup": 1.2,
     "source_pdf_aesv3": 1.2,
     "pipeline_frontier_polite": 1.5,
-    # r14 first-measurement placeholders (sampling heuristic only)
-    "archive_7z_encrypted": 1.5,
-    "multimodal_audio_mp3_spectral": 1.5,
+    # r14: first real measurements (were placeholders)
+    "archive_7z_encrypted": 0.85,
+    "multimodal_audio_mp3_spectral": 0.95,
 }
 
 
