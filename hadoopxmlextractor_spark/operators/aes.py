@@ -165,6 +165,74 @@ except Exception:  # pragma: no cover - env without cryptography
     _Cipher = None
 
 
+# r15 opt (guide §4.2): the public `Cipher(...).encryptor()` path
+# spends ~25 µs per call on Python-layer object validation against
+# ~3 µs of actual OpenSSL work — and the iterated-KDF kernels (PDF
+# Algorithm 2.B runs ~70 fresh-key CBC rounds per document) pay that
+# overhead once per ROUND. `_fast_ctx` builds the same two argument
+# objects without re-validating the key/iv (both already validated by
+# `_check_key_iv` in every public entry point here) and hands them to
+# the same rust-side context constructor the public API uses. The
+# private binding is version-fragile by nature, so it is gated on a
+# load-time known-answer cross-check against the PUBLIC API for every
+# key size and both directions; any mismatch or import error falls
+# back to the public path. Results are byte-identical by construction.
+_fast_ctx = None
+if _Cipher is not None:
+    try:
+        from cryptography.hazmat.bindings._rust import (  # type: ignore
+            openssl as _rust_openssl,
+        )
+
+        _create_ctx = (
+            _rust_openssl.ciphers.create_encryption_ctx,
+            _rust_openssl.ciphers.create_decryption_ctx,
+        )
+        # bind the classes once — the cryptography modules route
+        # attribute access through a deprecation-shim __getattr__,
+        # which would otherwise fire on every call
+        _AES_cls = _algorithms.AES
+        _CBC_cls = _modes.CBC
+        _ECB_mODE = _modes.ECB()
+
+        def _fast_cbc(key: bytes, iv: bytes, decrypt: bool,
+                      _a=_AES_cls, _c=_CBC_cls, _mk=_create_ctx):
+            alg = _a.__new__(_a)
+            alg.key = key
+            mode = _c.__new__(_c)
+            mode._initialization_vector = iv
+            return _mk[decrypt](alg, mode)
+
+        def _fast_ecb(key: bytes, decrypt: bool,
+                      _a=_AES_cls, _m=_ECB_mODE, _mk=_create_ctx):
+            alg = _a.__new__(_a)
+            alg.key = key
+            return _mk[decrypt](alg, _m)
+
+        for _klen in (16, 24, 32):
+            _k = bytes(range(_klen))
+            _iv = bytes(range(16, 32))
+            _pt = bytes(range(64)) * 2
+            for _dec in (False, True):
+                _ref = _Cipher(
+                    _algorithms.AES(_k), _modes.CBC(_iv)
+                )
+                _refc = _ref.decryptor() if _dec else _ref.encryptor()
+                _got = _fast_cbc(_k, _iv, _dec)
+                if (_got.update(_pt) + _got.finalize()
+                        != _refc.update(_pt) + _refc.finalize()):
+                    raise RuntimeError("fast AES ctx self-check failed")
+                _refe = _Cipher(_algorithms.AES(_k), _modes.ECB())
+                _refc = _refe.decryptor() if _dec else _refe.encryptor()
+                _got = _fast_ecb(_k, _dec)
+                if (_got.update(_pt) + _got.finalize()
+                        != _refc.update(_pt) + _refc.finalize()):
+                    raise RuntimeError("fast AES ctx self-check failed")
+        _fast_ctx = (_fast_cbc, _fast_ecb)
+    except Exception:  # pragma: no cover - binding layout changed
+        _fast_ctx = None
+
+
 def _cbc_encrypt_pure(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     pad = 16 - len(plaintext) % 16
     data = plaintext + bytes([pad]) * pad
@@ -206,6 +274,10 @@ def cbc_encrypt(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     byte-identical by construction — the test suite asserts both
     paths agree on every shape."""
     _check_key_iv(key, iv)
+    if _fast_ctx is not None:
+        pad = 16 - len(plaintext) % 16
+        enc = _fast_ctx[0](key, iv, False)
+        return enc.update(plaintext + bytes([pad]) * pad) + enc.finalize()
     if _Cipher is not None:
         pad = 16 - len(plaintext) % 16
         enc = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).encryptor()
@@ -234,6 +306,9 @@ def cbc_encrypt_nopad(key: bytes, iv: bytes, plaintext: bytes) -> bytes:
     _check_key_iv(key, iv)
     if len(plaintext) % 16:
         raise ValueError("plaintext not a multiple of the block size")
+    if _fast_ctx is not None:
+        enc = _fast_ctx[0](key, iv, False)
+        return enc.update(plaintext) + enc.finalize()
     if _Cipher is not None:
         enc = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).encryptor()
         return enc.update(plaintext) + enc.finalize()
@@ -251,6 +326,9 @@ def cbc_decrypt_nopad(key: bytes, iv: bytes, ciphertext: bytes) -> bytes:
     _check_key_iv(key, iv)
     if len(ciphertext) % 16:
         raise ValueError("ciphertext not a multiple of the block size")
+    if _fast_ctx is not None:
+        dec = _fast_ctx[0](key, iv, True)
+        return dec.update(ciphertext) + dec.finalize()
     if _Cipher is not None:
         dec = _Cipher(_algorithms.AES(key), _modes.CBC(iv)).decryptor()
         return dec.update(ciphertext) + dec.finalize()
@@ -264,6 +342,9 @@ def ecb_encrypt(key: bytes, plaintext: bytes) -> bytes:
     _check_key_iv(key, bytes(16))
     if len(plaintext) % 16:
         raise ValueError("plaintext not a multiple of the block size")
+    if _fast_ctx is not None:
+        enc = _fast_ctx[1](key, False)
+        return enc.update(plaintext) + enc.finalize()
     if _Cipher is not None:
         enc = _Cipher(_algorithms.AES(key), _modes.ECB()).encryptor()
         return enc.update(plaintext) + enc.finalize()
@@ -278,6 +359,9 @@ def ecb_decrypt(key: bytes, ciphertext: bytes) -> bytes:
     _check_key_iv(key, bytes(16))
     if len(ciphertext) % 16:
         raise ValueError("ciphertext not a multiple of the block size")
+    if _fast_ctx is not None:
+        dec = _fast_ctx[1](key, True)
+        return dec.update(ciphertext) + dec.finalize()
     if _Cipher is not None:
         dec = _Cipher(_algorithms.AES(key), _modes.ECB()).decryptor()
         return dec.update(ciphertext) + dec.finalize()

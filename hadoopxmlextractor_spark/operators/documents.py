@@ -44,6 +44,7 @@ from bisect import bisect_left
 from typing import Iterator
 from xml.etree import ElementTree
 
+import numpy as np
 import pandas as pd  # noqa: F401  (pandas_udf string annotations)
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1195,7 +1196,7 @@ def _pdf_decrypt_objects(
         # /Perms integrity check (Algorithm 13): AES-256-ECB decrypt
         # must reveal the 'adb' marker and echo /P — a wrong or
         # tampered key refuses before any payload byte is trusted
-        dec = A.decrypt_block(fkey, perms_ct)
+        dec = A.ecb_decrypt(fkey, perms_ct)  # one block; AES-NI path
         p5 = int(pm5.group(1)) & 0xFFFFFFFF
         if (
             dec[9:12] != b"adb"
@@ -5980,11 +5981,18 @@ def _sz_aes_key(password: str, salt: bytes, cycles: int) -> bytes:
     data = salt + password.encode("utf-16-le")
     if cycles == 0x3F:
         return (data + bytes(32))[:32]
-    h = hashlib.sha256()
-    for i in range(1 << cycles):
-        h.update(data)
-        h.update(i.to_bytes(8, "little"))
-    return h.digest()
+    # r15 opt (guide §4.2): ONE running SHA-256 over the concatenated
+    # (data ‖ counter_le64) repetitions — the per-iteration two-update
+    # Python loop cost ~5× the hash itself at NumCyclesPower 14. The
+    # buffer is built vectorized (rows of data bytes + a little-endian
+    # u64 counter column) and hashed in one call; bit-identical input
+    # stream by construction.
+    n = 1 << cycles
+    w = len(data)
+    buf = np.empty((n, w + 8), dtype=np.uint8)
+    buf[:, :w] = np.frombuffer(data, dtype=np.uint8)
+    buf[:, w:] = np.arange(n, dtype="<u8").reshape(n, 1).view(np.uint8)
+    return hashlib.sha256(buf.tobytes()).digest()
 
 
 def _sz_aes_props(props: bytes) -> tuple[int, bytes, bytes]:

@@ -356,7 +356,7 @@ def _synth_pdf_aesv3_blob(i: int, *, user_pw: bytes = b"") -> bytes:
         struct.pack("<i", -44) + b"\xff\xff\xff\xff" + meta_byte
         + b"adb" + hashlib.md5(f"{i}:pr".encode()).digest()[:4]
     )
-    perms = A.encrypt_block(fkey, perms_plain)
+    perms = A.ecb_encrypt(fkey, perms_plain)  # one block; AES-NI path
 
     def _enc(obj_num: int, data: bytes) -> bytes:
         iv = hashlib.md5(f"{i}:{obj_num}:iv".encode()).digest()
