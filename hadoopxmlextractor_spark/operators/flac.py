@@ -31,26 +31,66 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
+
+def _interleave_le(samples: list[list[int]], nbytes: int) -> bytes:
+    """Interleaved little-endian sample bytes (the STREAMINFO MD5
+    input): sample j of every channel in order, each masked to
+    ``nbytes`` bytes — vectorized twin of the per-sample
+    ``to_bytes`` loop (r15 opt), bit-identical by construction."""
+    arr = np.array(samples, dtype=np.int64)
+    if arr.size == 0:
+        return b""
+    arr &= (1 << (8 * nbytes)) - 1
+    inter = np.ascontiguousarray(arr.T)
+    if nbytes in (1, 2, 4, 8):
+        return inter.astype(f"<u{nbytes}").tobytes()
+    # odd widths (e.g. 24-bit): emit via the next power width and
+    # keep the low ``nbytes`` bytes of each little-endian cell
+    wide = 4 if nbytes == 3 else 8
+    cells = np.frombuffer(
+        inter.astype(f"<u{wide}").tobytes(), np.uint8
+    ).reshape(-1, wide)
+    return cells[:, :nbytes].tobytes()
+
+
+# CRC tables GENERATED from the polynomials (0x07 / 0x8005), not
+# transcribed — r15 opt: the per-bit loops were ~half of BOTH decode
+# and encode kernel time (CRC-16 runs over every frame byte); the
+# 256-entry table walk is the same math one byte at a time (~10×).
+_CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+_CRC16_TABLE = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = (
+            ((_c << 1) ^ 0x8005) & 0xFFFF
+            if _c & 0x8000
+            else (_c << 1) & 0xFFFF
+        )
+    _CRC16_TABLE.append(_c)
+
 
 def _crc8(data: bytes) -> int:
     crc = 0
+    t = _CRC8_TABLE
     for byte in data:
-        crc ^= byte
-        for _ in range(8):
-            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 else (crc << 1) & 0xFF
+        crc = t[crc ^ byte]
     return crc
 
 
 def _crc16(data: bytes) -> int:
     crc = 0
+    t = _CRC16_TABLE
     for byte in data:
-        crc ^= byte << 8
-        for _ in range(8):
-            crc = (
-                ((crc << 1) ^ 0x8005) & 0xFFFF
-                if crc & 0x8000
-                else (crc << 1) & 0xFFFF
-            )
+        crc = ((crc << 8) & 0xFF00) ^ t[(crc >> 8) ^ byte]
     return crc
 
 
@@ -162,21 +202,78 @@ def _read_residual(br: _BR, blocksize: int, order: int) -> list[int]:
     po = br.read(4)
     if blocksize % (1 << po):
         raise ValueError("block size not divisible by partitions")
+    # r15 opt: the per-sample unary+read+unzigzag method calls were
+    # the decode hot loop — same bit walk inlined over local state
+    # (identical overrun/runaway checks; br.pos restored on exit).
+    d = br.d
+    nbits = len(d) << 3
+    pos = br.pos
     out: list[int] = []
+    append = out.append
     for part in range(1 << po):
         n = (blocksize >> po) - (order if part == 0 else 0)
         if n < 0:
+            br.pos = pos
             raise ValueError("predictor order exceeds first partition")
-        param = br.read(pbits)
+        end = pos + pbits
+        byte_end = (end + 7) >> 3
+        if byte_end > len(d):
+            raise ValueError("FLAC bitstream overrun")
+        chunk = int.from_bytes(d[pos >> 3 : byte_end], "big")
+        param = (chunk >> ((byte_end << 3) - end)) & escape
+        pos = end
         if param == escape:
-            raw_bits = br.read(5)
-            for _ in range(n):
-                out.append(br.sread(raw_bits) if raw_bits else 0)
+            end = pos + 5
+            byte_end = (end + 7) >> 3
+            if byte_end > len(d):
+                raise ValueError("FLAC bitstream overrun")
+            chunk = int.from_bytes(d[pos >> 3 : byte_end], "big")
+            raw_bits = (chunk >> ((byte_end << 3) - end)) & 31
+            pos = end
+            if raw_bits:
+                sign = 1 << (raw_bits - 1)
+                full = 1 << raw_bits
+                mask = full - 1
+                for _ in range(n):
+                    end = pos + raw_bits
+                    byte_end = (end + 7) >> 3
+                    if byte_end > len(d):
+                        raise ValueError("FLAC bitstream overrun")
+                    chunk = int.from_bytes(d[pos >> 3 : byte_end], "big")
+                    v = (chunk >> ((byte_end << 3) - end)) & mask
+                    pos = end
+                    append(v - full if v >= sign else v)
+            else:
+                for _ in range(n):
+                    append(0)
         else:
+            mask = (1 << param) - 1
             for _ in range(n):
-                q = br.unary()
-                u = (q << param) | br.read(param)
-                out.append(_unzigzag(u))
+                q = 0
+                while True:
+                    if pos >= nbits:
+                        raise ValueError("FLAC bitstream overrun")
+                    if (d[pos >> 3] >> (7 - (pos & 7))) & 1:
+                        pos += 1
+                        break
+                    pos += 1
+                    q += 1
+                    if q > 1 << 20:
+                        raise ValueError("runaway unary code")
+                if param:
+                    end = pos + param
+                    byte_end = (end + 7) >> 3
+                    if byte_end > len(d):
+                        raise ValueError("FLAC bitstream overrun")
+                    chunk = int.from_bytes(d[pos >> 3 : byte_end], "big")
+                    u = (q << param) | (
+                        (chunk >> ((byte_end << 3) - end)) & mask
+                    )
+                    pos = end
+                else:
+                    u = q
+                append(u >> 1 if u % 2 == 0 else -(u >> 1) - 1)
+    br.pos = pos
     return out
 
 
@@ -190,6 +287,14 @@ def _write_residual(
     bw.write(method, 2)
     bw.write(po, 4)
     pos = 0
+    # r15 opt: per-sample write/unary method calls inlined over the
+    # writer's own accumulator state — identical bit stream (the
+    # encode partner stays byte-identical; round-trip + fixture-sweep
+    # asserted in tests).
+    acc = bw.acc
+    nbits = bw.nbits
+    out = bw.out
+    append = out.append
     for part in range(1 << po):
         n = (blocksize >> po) - (order if part == 0 else 0)
         chunk = res[pos : pos + n]
@@ -199,26 +304,75 @@ def _write_residual(
                 (max(abs(v) for v in chunk).bit_length() + 1 if chunk
                  else 1), 2,
             )
-            bw.write(escape, pbits)
-            bw.write(raw_bits, 5)
+            acc = (acc << pbits) | escape
+            acc = (acc << 5) | raw_bits
+            nbits += pbits + 5
+            mask = (1 << raw_bits) - 1
             for v in chunk:
-                bw.swrite(v, raw_bits)
+                acc = (acc << raw_bits) | (v & mask)
+                nbits += raw_bits
+                while nbits >= 8:
+                    nbits -= 8
+                    append((acc >> nbits) & 0xFF)
+                acc &= (1 << nbits) - 1
         else:
             mx = max((_zigzag(v) for v in chunk), default=0)
             param = min(max(mx.bit_length() - 3, 0), escape - 1)
-            bw.write(param, pbits)
+            acc = (acc << pbits) | param
+            nbits += pbits
+            mask = (1 << param) - 1
             for v in chunk:
-                u = _zigzag(v)
-                bw.unary(u >> param)
-                bw.write(u & ((1 << param) - 1), param)
+                u = 2 * v if v >= 0 else -2 * v - 1
+                q = u >> param
+                # unary: q zeros then a 1, then param remainder bits
+                acc = (acc << (q + 1)) | 1
+                acc = (acc << param) | (u & mask)
+                nbits += q + 1 + param
+                while nbits >= 8:
+                    nbits -= 8
+                    append((acc >> nbits) & 0xFF)
+                acc &= (1 << nbits) - 1
+        while nbits >= 8:
+            nbits -= 8
+            append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+    bw.acc = acc
+    bw.nbits = nbits
 
 
 def _predict(warm: list[int], res: list[int], coefs: list[int],
              shift: int) -> list[int]:
+    # specialized low orders (r15 opt): the genexpr-sum per sample was
+    # a decode hot spot; orders 1/2 cover the FIXED fast paths and the
+    # fixture LPC. Same arithmetic, same history convention
+    # (coefs[k] pairs with out[-k-1]).
     out = list(warm)
+    order = len(coefs)
+    if order == 0:
+        out.extend(res)
+        return out
+    append = out.append
+    if order == 1:
+        (c0,) = coefs
+        prev = out[-1]
+        for r in res:
+            prev = r + ((c0 * prev) >> shift)
+            append(prev)
+        return out
+    if order == 2:
+        c0, c1 = coefs
+        p1, p2 = out[-1], out[-2]
+        for r in res:
+            v = r + ((c0 * p1 + c1 * p2) >> shift)
+            append(v)
+            p2 = p1
+            p1 = v
+        return out
     for r in res:
-        acc = sum(c * out[-k - 1] for k, c in enumerate(coefs))
-        out.append(r + (acc >> shift))
+        acc = 0
+        for k in range(order):
+            acc += coefs[k] * out[-k - 1]
+        append(r + (acc >> shift))
     return out
 
 
@@ -398,13 +552,10 @@ def decode_flac(blob: bytes) -> dict:
         pos = br.pos >> 3
     # STREAMINFO MD5 over interleaved little-endian decoded samples
     nbytes = (info["bits"] + 7) // 8
-    raw = bytearray()
-    for j in range(len(samples[0])):
-        for ch in range(channels):
-            raw += (samples[ch][j] & ((1 << (8 * nbytes)) - 1)).to_bytes(
-                nbytes, "little"
-            )
-    md5_ok = hashlib.md5(bytes(raw)).digest() == info["md5"]
+    md5_ok = (
+        hashlib.md5(_interleave_le(samples, nbytes)).digest()
+        == info["md5"]
+    )
     return {
         "sample_rate": info["sample_rate"],
         "channels": channels,
@@ -458,11 +609,25 @@ def _write_subframe(
     for s in ch_samples[:order]:
         bw.swrite(s, eff)
     res = []
-    for n in range(order, blocksize):
-        acc = sum(
-            c * ch_samples[n - k - 1] for k, c in enumerate(coefs)
-        )
-        res.append(ch_samples[n] - (acc >> shift))
+    rappend = res.append
+    if order == 1:
+        (c0,) = coefs
+        for n in range(1, blocksize):
+            rappend(ch_samples[n] - ((c0 * ch_samples[n - 1]) >> shift))
+    elif order == 2:
+        c0, c1 = coefs
+        for n in range(2, blocksize):
+            rappend(
+                ch_samples[n]
+                - ((c0 * ch_samples[n - 1] + c1 * ch_samples[n - 2])
+                   >> shift)
+            )
+    else:
+        for n in range(order, blocksize):
+            acc = 0
+            for k in range(order):
+                acc += coefs[k] * ch_samples[n - k - 1]
+            rappend(ch_samples[n] - (acc >> shift))
     if t == "lpc":
         bw.write(plan["precision"] - 1, 4)
         bw.swrite(shift, 5)
@@ -495,13 +660,9 @@ def encode_flac(
     channels = len(channel_samples)
     total = len(channel_samples[0])
     nbytes = (bits + 7) // 8
-    raw = bytearray()
-    for j in range(total):
-        for ch in range(channels):
-            raw += (
-                channel_samples[ch][j] & ((1 << (8 * nbytes)) - 1)
-            ).to_bytes(nbytes, "little")
-    md5 = bytearray(hashlib.md5(bytes(raw)).digest())
+    md5 = bytearray(
+        hashlib.md5(_interleave_le(channel_samples, nbytes)).digest()
+    )
     if corrupt_md5:
         md5[0] ^= 0xFF
     packed = (

@@ -163,3 +163,28 @@ def test_flac_picture_block_roundtrip_and_refusals():
     # a FLAC without pictures yields no rows, not an error
     si_last = bytes([0x80]) + (34).to_bytes(3, "big") + b"\x00" * 34
     assert FL.flac_pictures(b"fLaC" + si_last) == []
+
+
+def test_flac_corrupt_and_truncated_streams_refuse():
+    """r15 opt regression guard: the residual reader's bit-walk was
+    inlined over local state — every truncated or bit-flipped stream
+    must still REFUSE (ValueError) or decode to a valid result, never
+    crash or silently mis-decode past a CRC. Deterministic battery
+    over all fixture arms."""
+    import random
+
+    rng = random.Random(11)
+    refused = 0
+    for t in range(120):
+        blob = bytearray(FL._synth_flac_doc(t % 60))
+        if t % 2:
+            blob = blob[: rng.randrange(4, len(blob))]
+        else:
+            blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        try:
+            FL.decode_flac(bytes(blob))
+        except (ValueError, IndexError):
+            refused += 1
+    # virtually every corruption lands in a CRC-covered span or
+    # truncates structure; the battery must actually exercise refusal
+    assert refused >= 100
