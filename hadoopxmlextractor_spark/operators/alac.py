@@ -207,11 +207,14 @@ def _dyn_put(bw: _BW, n: int, m: int, k: int, escape_bits: int) -> None:
         bw.write(mod + 1, k)
 
 
-def _dyn_decomp(
+def _dyn_decomp_ref(
     br: _BR, num: int, max_size: int, mb0: int, pb: int, kb: int
 ) -> list[int]:
     """Residual block decode: adaptive Golomb + zigzag sign + the
-    low-mean zero-run mode."""
+    low-mean zero-run mode. REFERENCE form, composed of the shared
+    state-update helpers above (the encode/decode mirror-bug
+    firewall); the codec runs :func:`_dyn_decomp`, whose equivalence
+    to this function is asserted over a seeded battery in tests."""
     wb = (1 << kb) - 1
     out: list[int] = []
     mb = mb0 << _QBSHIFT
@@ -237,10 +240,153 @@ def _dyn_decomp(
     return out
 
 
-def _dyn_comp(
+def _dyn_decomp(
+    br: _BR, num: int, max_size: int, mb0: int, pb: int, kb: int
+) -> list[int]:
+    """r15 opt: :func:`_dyn_decomp_ref` with the per-sample helper
+    calls (`_golomb_params`/`_dyn_get`/`_mb_update`/
+    `_zero_run_params` and the bit-reader methods) inlined over local
+    state — the adaptive coder is inherently sequential, so the win
+    is pure call-overhead removal. Bit-walk, adaptation arithmetic,
+    and every overrun check are expression-for-expression the same;
+    a seeded battery test asserts value- and position-identity
+    against the reference form."""
+    d = br.d
+    nbits = len(d) << 3
+    pos = br.pos
+    wb = (1 << kb) - 1
+    out: list[int] = []
+    append = out.append
+    cnt = 0
+    mb = mb0 << _QBSHIFT
+    zmode = 0
+    while cnt < num:
+        # _golomb_params
+        k = ((mb >> _QBSHIFT) + 3).bit_length() - 1
+        if k > kb:
+            k = kb
+        m = (1 << k) - 1
+        # _dyn_get
+        pre = 0
+        while pre < _MAX_PREFIX:
+            p = pos + pre
+            if p >= nbits:
+                raise ValueError("ALAC bitstream overrun")
+            if not (d[p >> 3] >> (7 - (p & 7))) & 1:
+                break
+            pre += 1
+        if pre >= _MAX_PREFIX:
+            pos += _MAX_PREFIX
+            end = pos + max_size
+            byte_end = (end + 7) >> 3
+            if byte_end > len(d):
+                raise ValueError("ALAC bitstream overrun")
+            chunk = int.from_bytes(d[pos >> 3 : byte_end], "big")
+            n = (chunk >> ((byte_end << 3) - end)) & ((1 << max_size) - 1)
+            pos = end
+        else:
+            pos += pre + 1
+            if k == 0:
+                n = pre * m
+            else:
+                save = pos
+                avail = nbits - save
+                rd = k if avail >= k else avail
+                if rd == 0:
+                    v = 0
+                else:
+                    end = save + rd
+                    byte_end = (end + 7) >> 3
+                    chunk = int.from_bytes(d[save >> 3 : byte_end], "big")
+                    v = (chunk >> ((byte_end << 3) - end)) & ((1 << rd) - 1)
+                if avail < k:
+                    v <<= k - avail
+                if v < 2:
+                    pos = save + k - 1
+                    n = pre * m
+                else:
+                    pos = save + k
+                    n = pre * m + v - 1
+        ndecode = n + zmode
+        append(((ndecode + 1) >> 1) * (-1 if ndecode & 1 else 1))
+        cnt += 1
+        # _mb_update
+        mb = pb * ndecode + mb - ((pb * mb) >> _QBSHIFT)
+        if ndecode > 0xFFFF:
+            mb = 0xFFFF
+        zmode = 0
+        if (mb << _MMULSHIFT) < _QB and cnt < num:
+            zmode = 1
+            # _zero_run_params
+            kz = _lead(mb) - _BITOFF + ((mb + _MOFF) >> _MDENSHIFT)
+            mz = ((1 << kz) - 1) & wb
+            if mz < 1:
+                mz = 1
+            # _dyn_get (zero-run arm)
+            pre = 0
+            while pre < _MAX_PREFIX:
+                p = pos + pre
+                if p >= nbits:
+                    raise ValueError("ALAC bitstream overrun")
+                if not (d[p >> 3] >> (7 - (p & 7))) & 1:
+                    break
+                pre += 1
+            if pre >= _MAX_PREFIX:
+                pos += _MAX_PREFIX
+                end = pos + _MAX_RUN_BITS
+                byte_end = (end + 7) >> 3
+                if byte_end > len(d):
+                    raise ValueError("ALAC bitstream overrun")
+                chunk = int.from_bytes(d[pos >> 3 : byte_end], "big")
+                run = (chunk >> ((byte_end << 3) - end)) & (
+                    (1 << _MAX_RUN_BITS) - 1
+                )
+                pos = end
+            else:
+                pre_run = pre
+                pos += pre_run + 1
+                if kz == 0:
+                    run = pre_run * mz
+                else:
+                    save = pos
+                    avail = nbits - save
+                    rd = kz if avail >= kz else avail
+                    if rd == 0:
+                        v = 0
+                    else:
+                        end = save + rd
+                        byte_end = (end + 7) >> 3
+                        chunk = int.from_bytes(
+                            d[save >> 3 : byte_end], "big"
+                        )
+                        v = (chunk >> ((byte_end << 3) - end)) & (
+                            (1 << rd) - 1
+                        )
+                    if avail < kz:
+                        v <<= kz - avail
+                    if v < 2:
+                        pos = save + kz - 1
+                        run = pre_run * mz
+                    else:
+                        pos = save + kz
+                        run = pre_run * mz + v - 1
+            if cnt + run > num:
+                raise ValueError("ALAC zero run past block end")
+            out.extend([0] * run)
+            cnt += run
+            if run >= 0xFFFF:
+                zmode = 0
+            mb = 0
+    br.pos = pos
+    return out
+
+
+def _dyn_comp_ref(
     bw: _BW, vals: list[int], max_size: int, mb0: int, pb: int, kb: int
 ) -> None:
-    """Write partner of :func:`_dyn_decomp` — identical state walk."""
+    """Write partner of :func:`_dyn_decomp_ref` — identical state
+    walk, composed of the shared helpers (the firewall form; the
+    codec runs :func:`_dyn_comp`, battery-asserted identical)."""
     wb = (1 << kb) - 1
     mb = mb0 << _QBSHIFT
     zmode = 0
@@ -268,6 +414,99 @@ def _dyn_comp(
             if run >= 0xFFFF:
                 zmode = 0
             mb = 0
+
+
+def _dyn_comp(
+    bw: _BW, vals: list[int], max_size: int, mb0: int, pb: int, kb: int
+) -> None:
+    """r15 opt: :func:`_dyn_comp_ref` with `_dyn_put`/`_golomb_params`
+    and the bit-writer inlined over a local accumulator — same bit
+    stream by construction (battery-asserted byte-identical against
+    the reference, plus the existing round-trip matrix)."""
+    wb = (1 << kb) - 1
+    mb = mb0 << _QBSHIFT
+    zmode = 0
+    c = 0
+    num = len(vals)
+    acc = bw.acc
+    nacc = bw.nacc
+    buf = bw.buf
+    append = buf.append
+    while c < num:
+        k = ((mb >> _QBSHIFT) + 3).bit_length() - 1
+        if k > kb:
+            k = kb
+        m = (1 << k) - 1
+        del_ = vals[c]
+        if zmode and del_ == 0:
+            raise ValueError("zero sample in zmode (run not maximal)")
+        ndecode = 2 * del_ if del_ >= 0 else -2 * del_ - 1
+        n = ndecode - zmode
+        # _dyn_put
+        div = n // m
+        if div >= _MAX_PREFIX:
+            if n >= 1 << max_size:
+                raise ValueError("ALAC golomb escape overflow")
+            acc = (acc << _MAX_PREFIX) | ((1 << _MAX_PREFIX) - 1)
+            acc = (acc << max_size) | n
+            nacc += _MAX_PREFIX + max_size
+        else:
+            mod = n % m
+            acc = (acc << (div + 1)) | (((1 << div) - 1) << 1)
+            nacc += div + 1
+            if k:
+                if mod == 0:
+                    acc <<= k - 1
+                    nacc += k - 1
+                else:
+                    acc = (acc << k) | (mod + 1)
+                    nacc += k
+        while nacc >= 8:
+            nacc -= 8
+            append((acc >> nacc) & 0xFF)
+        acc &= (1 << nacc) - 1
+        c += 1
+        mb = pb * ndecode + mb - ((pb * mb) >> _QBSHIFT)
+        if ndecode > 0xFFFF:
+            mb = 0xFFFF
+        zmode = 0
+        if (mb << _MMULSHIFT) < _QB and c < num:
+            zmode = 1
+            kz = _lead(mb) - _BITOFF + ((mb + _MOFF) >> _MDENSHIFT)
+            mz = ((1 << kz) - 1) & wb
+            if mz < 1:
+                mz = 1
+            run = 0
+            while c + run < num and vals[c + run] == 0 and run < 0xFFFF:
+                run += 1
+            div = run // mz
+            if div >= _MAX_PREFIX:
+                if run >= 1 << _MAX_RUN_BITS:
+                    raise ValueError("ALAC golomb escape overflow")
+                acc = (acc << _MAX_PREFIX) | ((1 << _MAX_PREFIX) - 1)
+                acc = (acc << _MAX_RUN_BITS) | run
+                nacc += _MAX_PREFIX + _MAX_RUN_BITS
+            else:
+                mod = run % mz
+                acc = (acc << (div + 1)) | (((1 << div) - 1) << 1)
+                nacc += div + 1
+                if kz:
+                    if mod == 0:
+                        acc <<= kz - 1
+                        nacc += kz - 1
+                    else:
+                        acc = (acc << kz) | (mod + 1)
+                        nacc += kz
+            while nacc >= 8:
+                nacc -= 8
+                append((acc >> nacc) & 0xFF)
+            acc &= (1 << nacc) - 1
+            c += run
+            if run >= 0xFFFF:
+                zmode = 0
+            mb = 0
+    bw.acc = acc
+    bw.nacc = nacc
 
 
 # ---------------------------------------------------------------------------

@@ -229,3 +229,69 @@ def test_bytes_shifted_24bit_roundtrip_and_synth():
                 )
             assert d["samples"][ch] == exp
     assert monos and escapes
+
+
+def test_dyn_coder_fast_matches_reference():
+    """r15 opt firewall: the codec's inlined `_dyn_comp`/`_dyn_decomp`
+    must be bit-/value-identical to the reference forms composed of
+    the shared state-update helpers, across a seeded battery that
+    exercises escapes, the zero-run coder, and truncated streams."""
+    import random
+
+    rng = random.Random(7)
+    cases = 0
+    for trial in range(1500):
+        kb = rng.choice([10, 14, 3, 5])
+        pb = rng.choice([40, 16, 255])
+        mb0 = rng.choice([10, 1, 255])
+        num = rng.randrange(1, 80)
+        maxsz = rng.choice([17, 20, 32])
+        style = trial % 4
+        if style == 0:
+            vals = [rng.randrange(-3, 4) for _ in range(num)]
+        elif style == 1:
+            vals = [0] * num
+            for _ in range(num // 8 + 1):
+                vals[rng.randrange(num)] = rng.randrange(-2, 3)
+        elif style == 2:
+            vals = [rng.randrange(-(1 << 14), 1 << 14) for _ in range(num)]
+        else:
+            vals = [
+                rng.choice([0, 0, 0, rng.randrange(-(1 << 15), 1 << 15)])
+                for _ in range(num)
+            ]
+        b_ref, b_fast = A._BW(), A._BW()
+        e_ref = e_fast = None
+        try:
+            A._dyn_comp_ref(b_ref, vals, maxsz, mb0, pb, kb)
+        except ValueError as e:
+            e_ref = str(e)
+        try:
+            A._dyn_comp(b_fast, vals, maxsz, mb0, pb, kb)
+        except ValueError as e:
+            e_fast = str(e)
+        assert e_ref == e_fast
+        if e_ref is not None:
+            continue
+        b_ref.align(), b_fast.align()
+        assert b_ref.bytes() == b_fast.bytes()
+        data = b_ref.bytes()
+        r_ref, r_fast = A._BR(data), A._BR(data)
+        v_ref = A._dyn_decomp_ref(r_ref, num, maxsz, mb0, pb, kb)
+        v_fast = A._dyn_decomp(r_fast, num, maxsz, mb0, pb, kb)
+        assert v_ref == v_fast == vals
+        assert r_ref.pos == r_fast.pos
+        # truncated stream: identical refusal/result
+        cut = data[: rng.randrange(0, max(1, len(data) - 1))]
+        o_ref = o_fast = x_ref = x_fast = None
+        try:
+            o_ref = A._dyn_decomp_ref(A._BR(cut), num, maxsz, mb0, pb, kb)
+        except ValueError as e:
+            x_ref = str(e)
+        try:
+            o_fast = A._dyn_decomp(A._BR(cut), num, maxsz, mb0, pb, kb)
+        except ValueError as e:
+            x_fast = str(e)
+        assert o_ref == o_fast and x_ref == x_fast
+        cases += 1
+    assert cases > 1200
