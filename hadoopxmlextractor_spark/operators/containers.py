@@ -1529,16 +1529,21 @@ class _BitReader:
         self.pos = 0
 
     def read(self, bits: int) -> int:
-        out = 0
-        for _ in range(bits):
-            byte = self.pos >> 3
-            if byte >= len(self.data):
-                raise ValueError("Layer I payload exhausted")
-            out = (out << 1) | (
-                (self.data[byte] >> (7 - (self.pos & 7))) & 1
-            )
-            self.pos += 1
-        return out
+        # r15 opt: whole-byte slice instead of the per-bit loop (the
+        # MP1/MP2/MP3 decode hot path). Same overrun condition: the
+        # old loop raised iff any needed bit's byte was past the end,
+        # i.e. iff pos+bits overruns len(data)*8.
+        if bits == 0:
+            return 0
+        pos = self.pos
+        end = pos + bits
+        byte_end = (end + 7) >> 3
+        d = self.data
+        if byte_end > len(d):
+            raise ValueError("Layer I payload exhausted")
+        chunk = int.from_bytes(d[pos >> 3 : byte_end], "big")
+        self.pos = end
+        return (chunk >> ((byte_end << 3) - end)) & ((1 << bits) - 1)
 
 
 def build_mp1(

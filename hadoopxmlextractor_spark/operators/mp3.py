@@ -236,13 +236,29 @@ def _parse_side_info_lsf(data: bytes) -> tuple[int, list[_SideInfo]]:
     return mdb, [si]
 
 
-def _read_huff_pair(r: _BitReader, table_id: int) -> tuple[int, int]:
-    if table_id not in _HUFF_BIG:
-        raise ValueError(
-            f"Huffman big-value table {table_id} not in registry"
-        )
-    if not _HUFF_BIG[table_id]:
-        return 0, 0
+# r15 opt: flat prefix LUT per table — index by the next max-code-
+# length bits, get (x, y, hlen) or None where no codeword matches
+# (the bit-serial walk below remains the fallback and the reference).
+def _huff_lut(table: dict) -> tuple[int, list]:
+    width = max(bits for bits, _ in table.values())
+    lut: list = [None] * (1 << width)
+    for val, (bits, code) in table.items():
+        base = code << (width - bits)
+        for k in range(1 << (width - bits)):
+            lut[base + k] = (val[0], val[1], bits)
+    return width, lut
+
+
+_HUFF_BIG_LUT = {
+    tid: _huff_lut(t) for tid, t in _HUFF_BIG.items() if t
+}
+
+
+def _read_huff_pair_serial(
+    r: _BitReader, table_id: int
+) -> tuple[int, int]:
+    """Bit-serial reference walk (also the fallback where the stream
+    tail is shorter than the LUT width)."""
     dm = _HUFF_BIG_DECODE[table_id]
     bits = 0
     code = 0
@@ -253,6 +269,30 @@ def _read_huff_pair(r: _BitReader, table_id: int) -> tuple[int, int]:
         if hit is not None:
             return hit
     raise ValueError("Huffman codeword exceeds table depth")
+
+
+def _read_huff_pair(r: _BitReader, table_id: int) -> tuple[int, int]:
+    if table_id not in _HUFF_BIG:
+        raise ValueError(
+            f"Huffman big-value table {table_id} not in registry"
+        )
+    if not _HUFF_BIG[table_id]:
+        return 0, 0
+    width, lut = _HUFF_BIG_LUT[table_id]
+    pos = r.pos
+    d = r.data
+    byte_end = (pos + width + 7) >> 3
+    if byte_end > len(d):
+        # stream tail shorter than the LUT width: the serial walk
+        # preserves the exact per-bit overrun behavior
+        return _read_huff_pair_serial(r, table_id)
+    chunk = int.from_bytes(d[pos >> 3 : byte_end], "big")
+    idx = (chunk >> ((byte_end << 3) - (pos + width))) & ((1 << width) - 1)
+    hit = lut[idx]
+    if hit is None:
+        return _read_huff_pair_serial(r, table_id)
+    r.pos = pos + hit[2]
+    return hit[0], hit[1]
 
 
 def _read_cnt1(r: _BitReader, select: int) -> tuple[int, int, int, int]:
@@ -413,21 +453,78 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                 region_bounds = [min(r0_end, nbig),
                                  min(r1_end, nbig), nbig]
             pos = 0
+            # r15 opt: the per-pair Huffman + sign reads inlined over
+            # local reader state (LUT hit path; any tail-short or
+            # unmatched prefix falls back to the function forms,
+            # which preserve the exact serial overrun behavior)
+            d = r.data
+            dlen8 = len(d) << 3
             for reg, bound in enumerate(region_bounds):
                 tid = si.table_select[reg]
+                if pos >= bound:
+                    # empty region: the table id is never validated
+                    # (matches the function form, which only checks
+                    # when a pair is actually read)
+                    continue
+                if tid not in _HUFF_BIG:
+                    raise ValueError(
+                        f"Huffman big-value table {tid} not in registry"
+                    )
+                if not _HUFF_BIG[tid]:
+                    while pos < bound:  # zero table: no bits, no lines
+                        pos += 2
+                    continue
+                width, lut = _HUFF_BIG_LUT[tid]
+                lb = _HUFF_LINBITS[tid]
+                rpos = r.pos
                 while pos < bound:
-                    x, y = _read_huff_pair(r, tid)
-                    lb = _HUFF_LINBITS[tid]
+                    if rpos + width > dlen8:
+                        r.pos = rpos
+                        x, y = _read_huff_pair(r, tid)
+                        rpos = r.pos
+                    else:
+                        byte_end = (rpos + width + 7) >> 3
+                        chunk = int.from_bytes(
+                            d[rpos >> 3 : byte_end], "big"
+                        )
+                        hit = lut[
+                            (chunk >> ((byte_end << 3) - (rpos + width)))
+                            & ((1 << width) - 1)
+                        ]
+                        if hit is None:
+                            r.pos = rpos
+                            x, y = _read_huff_pair(r, tid)
+                            rpos = r.pos
+                        else:
+                            x, y = hit[0], hit[1]
+                            rpos += hit[2]
                     if x == 15 and lb:
+                        r.pos = rpos
                         x += r.read(lb)
+                        rpos = r.pos
                     if x:
-                        is_[pos] = -x if r.read(1) else x
+                        if rpos >= dlen8:
+                            raise ValueError("Layer I payload exhausted")
+                        is_[pos] = (
+                            -x if (d[rpos >> 3] >> (7 - (rpos & 7))) & 1
+                            else x
+                        )
+                        rpos += 1
                     pos += 1
                     if y == 15 and lb:
+                        r.pos = rpos
                         y += r.read(lb)
+                        rpos = r.pos
                     if y:
-                        is_[pos] = -y if r.read(1) else y
+                        if rpos >= dlen8:
+                            raise ValueError("Layer I payload exhausted")
+                        is_[pos] = (
+                            -y if (d[rpos >> 3] >> (7 - (rpos & 7))) & 1
+                            else y
+                        )
+                        rpos += 1
                     pos += 1
+                r.pos = rpos
             # count1 quads until the granule's bit budget runs out
             while r.pos - bit0 < si.part2_3_length and pos + 4 <= 576:
                 quad_start_bit = r.pos
@@ -450,7 +547,7 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
 
             # --- requantize + bucket stats (|is| <= 1 on this path:
             # 1^(4/3) = 1, so every line is exactly ±2^E)
-            if any(abs(v) > 1 for v in is_):
+            if min(is_) < -1 or max(is_) > 1:
                 raise ValueError(
                     "non-unit spectral magnitude on the exact path"
                 )
@@ -465,12 +562,12 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
                     for w in range(3):
                         seg = 3 * S[s] + w * width
                         lines = is_[seg : seg + width]
-                        n = sum(1 for v in lines if v)
+                        # every line is in {-1, 0, 1} here (checked
+                        # above), so count/sum ARE the stats
+                        n = len(lines) - lines.count(0)
                         if not n:
                             continue
-                        pmn = sum(
-                            (1 if v > 0 else -1) for v in lines if v
-                        )
+                        pmn = sum(lines)
                         sf = sf_short[s][w] if s < 12 else 0
                         e2 = (2 * gg_exp - 16 * si.subblock_gain[w]
                               - mult * sf)
@@ -490,12 +587,10 @@ def mp3_spectral_stats(blob: bytes) -> list[dict]:
             else:
                 for s in range(22):
                     lines = is_[L[s] : L[s + 1]]
-                    n = sum(1 for v in lines if v)
+                    n = len(lines) - lines.count(0)
                     if not n:
                         continue
-                    pmn = sum(
-                        (1 if v > 0 else -1) for v in lines if v
-                    )
+                    pmn = sum(lines)
                     sf = sf_long[s] if s < 21 else 0
                     e2 = 2 * gg_exp - mult * (
                         sf + si.preflag * _PRETAB[s]
@@ -562,26 +657,57 @@ def _encode_granule(si_dict: dict, spectrum: list[int], sr: int,
     cut = 3 * _SFB_SHORT[sr][8] if short else L[12]
     big_values = cut // 2
     tab1 = _HUFF_BIG[1]
+    # r15 opt: per-pair writer calls inlined over the accumulator
+    # (same bit stream; masking the accumulator after a flush is
+    # equivalent because flushed reads never reach above the logical
+    # bit watermark)
+    acc = w.acc
+    nbits_w = w.nbits
+    append = w.buf.append
     for p in range(0, cut, 2):
-        x, y = abs(spectrum[p]), abs(spectrum[p + 1])
+        sx, sy = spectrum[p], spectrum[p + 1]
+        x = -sx if sx < 0 else sx
+        y = -sy if sy < 0 else sy
         bits, code = tab1[(x, y)]
-        w.write(code, bits)
+        acc = (acc << bits) | code
+        nbits_w += bits
         if x:
-            w.write(1 if spectrum[p] < 0 else 0, 1)
+            acc = (acc << 1) | (1 if sx < 0 else 0)
+            nbits_w += 1
         if y:
-            w.write(1 if spectrum[p + 1] < 0 else 0, 1)
-    last_nz = max((k for k in range(576) if spectrum[k]), default=-1)
+            acc = (acc << 1) | (1 if sy < 0 else 0)
+            nbits_w += 1
+        while nbits_w >= 8:
+            nbits_w -= 8
+            append((acc >> nbits_w) & 0xFF)
+        acc &= (1 << nbits_w) - 1
+    last_nz = 575
+    while last_nz >= 0 and not spectrum[last_nz]:
+        last_nz -= 1
     n_quads = max(0, -(-(last_nz + 1 - cut) // 4)) if last_nz >= cut else 0
     if short and n_quads:
         raise ValueError("short granule content beyond big values")
     for q in range(n_quads):
-        vals = [abs(spectrum[cut + 4 * q + j]) for j in range(4)]
-        v = (vals[0] << 3) | (vals[1] << 2) | (vals[2] << 1) | vals[3]
+        base = cut + 4 * q
+        s0, s1, s2, s3 = spectrum[base : base + 4]
+        a0 = -s0 if s0 < 0 else s0
+        a1 = -s1 if s1 < 0 else s1
+        a2 = -s2 if s2 < 0 else s2
+        a3 = -s3 if s3 < 0 else s3
+        v = (a0 << 3) | (a1 << 2) | (a2 << 1) | a3
         bits, code = _CNT1B[v]
-        w.write(code, bits)
-        for j in range(4):
-            if vals[j]:
-                w.write(1 if spectrum[cut + 4 * q + j] < 0 else 0, 1)
+        acc = (acc << bits) | code
+        nbits_w += bits
+        for av, sv in ((a0, s0), (a1, s1), (a2, s2), (a3, s3)):
+            if av:
+                acc = (acc << 1) | (1 if sv < 0 else 0)
+                nbits_w += 1
+        while nbits_w >= 8:
+            nbits_w -= 8
+            append((acc >> nbits_w) & 0xFF)
+        acc &= (1 << nbits_w) - 1
+    w.acc = acc
+    w.nbits = nbits_w
     p23 = w.nbits + len(w.buf) * 8
     side = {
         "part2_3_length": p23,
@@ -638,9 +764,14 @@ def build_mp3l3(
             if not gd["short"]:
                 prev_sf = list(gd["sf_long"])
             gr_sides.append(side)
-            rr = _BitReader(payload)
-            for _ in range(p23):
-                frame_bits.write(rr.read(1), 1)
+            # r15 opt: append the payload's top p23 bits in one write
+            # (the writer accumulator handles arbitrary widths) —
+            # bit-identical to the old per-bit copy loop
+            if p23:
+                val = int.from_bytes(payload, "big") >> (
+                    len(payload) * 8 - p23
+                )
+                frame_bits.write(val, p23)
         mds.append(frame_bits.bytes())
         sides.append((scfsi, gr_sides))
 

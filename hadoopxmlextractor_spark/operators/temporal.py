@@ -265,6 +265,7 @@ def sessionize_incremental(
     id_col: str = "event_id",
     ms_col: str = "ms",
     persist_internal: bool = False,
+    broadcast_seed_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Merge an APPEND-ONLY batch of events into a standing session
     table without re-touching old events — the incremental half of the
@@ -311,6 +312,17 @@ def sessionize_incremental(
     )
     dirty = new_events.select(user_col).distinct()
     seed = dirty.join(last, user_col, "left")
+    # r15 opt (guide §3.1, VERDICT r14 item 7): `seed` is DIRTY-USER
+    # cardinality — a batch touching a large user set would make the
+    # unconditional broadcast the scale-killer (driver + every
+    # executor hold it; 8 GB/512M-row hard cap). When persist_internal
+    # is on, the eager count is already paid, so the broadcast is
+    # size-gated on it (~2M rows ≈ low hundreds of MB of (user, sid,
+    # ms×2, n) rows); past the gate the seed joins as a plain
+    # shuffle join. The streaming foreachBatch twin keeps the
+    # broadcast: its micro-batches bound the dirty set by trigger
+    # size, and counting there would add a per-batch job.
+    do_broadcast = True
     if persist_internal:
         # r14-opt (guide §5): `seed` feeds THREE consumers (the batch
         # anchor broadcast, the merge broadcast, the continued-session
@@ -322,11 +334,12 @@ def sessionize_incremental(
         # race rule. Opt-in because the streaming foreachBatch twin
         # must not accumulate per-batch caches.
         seed = seed.persist()
-        seed.count()
+        do_broadcast = seed.count() <= broadcast_seed_max_rows
+    _seed_hint = F.broadcast if do_broadcast else (lambda df: df)
     w = Window.partitionBy(user_col).orderBy(ms_col, id_col)
     wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     marked = (
-        new_events.join(F.broadcast(seed), user_col, "left")
+        new_events.join(_seed_hint(seed), user_col, "left")
         .withColumn("_prev", F.lag(ms_col).over(w))
         # the batch's first row anchors on the standing session's end
         .withColumn("_anchor", F.coalesce("_prev", "last_end"))
@@ -351,7 +364,7 @@ def sessionize_incremental(
     if persist_internal:
         batch = batch.persist()
         batch.count()
-    merged = batch.join(F.broadcast(seed), user_col, "left").select(
+    merged = batch.join(_seed_hint(seed), user_col, "left").select(
         user_col,
         F.col("_sid").cast("long").alias("session_id"),
         F.when(
@@ -377,7 +390,7 @@ def sessionize_incremental(
         .select(user_col, F.col("_sid").alias("session_id"))
     )
     carried = standing.join(
-        F.broadcast(continued), [user_col, "session_id"], "left_anti"
+        _seed_hint(continued), [user_col, "session_id"], "left_anti"
     )
     return carried.select(
         user_col, "session_id", "start_ms", "end_ms", "n_events"

@@ -111,7 +111,13 @@ def q_source_wikipedia_multistream(spark: SparkSession, sf: str) -> DataFrame:
     # unpersisted, the bz2 synthesis ran once per consumer (the
     # source_warc_split pattern; the files cache is this query's
     # stand-in for the on-disk dump).
-    files = D.synth_wikipedia_multistream(docs).persist()
+    # r15 opt (guide §5, VERDICT r14 item 2): blob-bearing cache goes
+    # DISK_ONLY — see source_warc_split for the rationale.
+    from pyspark import StorageLevel
+
+    files = D.synth_wikipedia_multistream(docs).persist(
+        StorageLevel.DISK_ONLY
+    )
     files.count()
     idx = D.wikipedia_split_index(files, target_bytes=1).filter(
         F.col("split_idx") >= 0

@@ -150,10 +150,18 @@ def q_source_warc_split(spark: SparkSession, sf: str) -> DataFrame:
     # cache is this query's stand-in for the on-disk WARC corpus a real
     # deployment would read twice — the index scan and the ranged read
     # each cost one pass over the bytes either way).
+    # r15 opt (guide §5, VERDICT r14 item 2): the cache holds CORPUS
+    # BLOBS — at 100 TB a MEMORY_AND_DISK blob cache would evict every
+    # dimension-sized cache in the app. DISK_ONLY keeps the
+    # synthesize-once structure (same plan shape) without competing
+    # for executor storage memory; the blobs stream from local disk
+    # exactly like the on-disk WARC corpus they stand in for.
+    from pyspark import StorageLevel
+
     files = docs.select(
         F.col("doc_id").cast("string").alias("path"),
         _warc("doc_id").alias("content"),
-    ).persist()
+    ).persist(StorageLevel.DISK_ONLY)
     files.count()
     # r14-opt: the split index feeds TWO consumers (the ranged-read
     # join and the n_splits aggregate); unpersisted, each consumer

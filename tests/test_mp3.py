@@ -263,3 +263,25 @@ def test_mp3_lsf_roundtrip_all_branches():
            "sf_long": [0] * 22, "preflag": 0, "spectrum": [0] * 576}
     with pytest.raises(ValueError, match="one granule"):
         M.build_mp3l3([([0] * 4, [gd0, gd0])], version="2")
+
+
+def test_mp3_corrupt_streams_refuse_or_decode():
+    """r15 opt regression guard: the Huffman region walk and bit
+    reader were inlined/LUT-ified — corrupted or truncated streams
+    must refuse with ValueError (the marker-row contract), never
+    crash with anything else or loop."""
+    import random
+
+    from hadoopxmlextractor_spark.queries_r14 import _synth_mp3_blob
+
+    rng = random.Random(9)
+    for t in range(150):
+        blob = bytearray(_synth_mp3_blob(t % 60))
+        if t % 2:
+            blob = blob[: rng.randrange(4, len(blob))]
+        else:
+            blob[rng.randrange(len(blob))] ^= 1 << rng.randrange(8)
+        try:
+            M.mp3_spectral_stats(bytes(blob))
+        except ValueError:
+            pass
