@@ -197,6 +197,12 @@ def q_source_warc_charset(spark: SparkSession, sf: str) -> DataFrame:
     # iter_warc_records / decode_http_html), removing two per-blob
     # JVM↔Python round trips — the pipeline_crawl_to_markdown fusion
     # pattern (rows proven identical there; here the oracle pins it).
+    # r15: VERDICT item 4 resolved by measurement — at 10× corpus
+    # bytes (50k docs, scripts/rehearse_warc_charset.py, interleaved
+    # min-of-3) fused wins 1.28 s vs 1.74 s and in EVERY round
+    # (4.94<7.86, 5.73<9.57, 1.28<1.74): the removed round trips pay
+    # exactly as predicted once the chain carries real byte volume.
+    # Fusion kept.
     docs = load(spark, sf, "documents").select("doc_id")
 
     def _kernel(
