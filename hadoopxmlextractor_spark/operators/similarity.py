@@ -1478,6 +1478,14 @@ def semdedup_prune(
 
     Returns one row per vector: (vec_id, centroid_id, dist, kept).
     """
+    # r15 opt (guide §5): emb feeds TWO consumers — the k-means
+    # quantize pass and the pair stage's own quantize (sq) below.
+    # Unpersisted, an expensive caller lineage (the sentence-semdedup
+    # token explode + 16-way pivot) ran once per consumer. The cache
+    # is unit-cardinality embedding rows; like x below, the session
+    # owns the release (the returned plan reads it lazily).
+    emb = emb.persist()
+    emb.count()
     a = kmeans_assignments(
         emb, k=k, rounds=rounds, vec_col=vec_col, id_col=id_col
     )

@@ -2402,6 +2402,13 @@ def q_text_sentence_semdedup(spark: SparkSession, sf: str) -> DataFrame:
             ]
         ).alias("embedding")
     )
+    # r15 opt (guide §5): dense feeds itself AND the plant mirror —
+    # unpersisted, the token-explode + 16-way pivot aggregate ran once
+    # per union branch while semdedup_prune materialized its input.
+    # Unit-cardinality numeric cache; eager count per the AQE race
+    # rule.
+    dense = dense.persist()
+    dense.count()
     plants = dense.filter(
         (F.col("vec_id") % 10000 == 0)
         & (F.expr("(vec_id div 100000000) % 20") == 0)
