@@ -121,15 +121,15 @@ REFERENCE = {
     "q18_large_orders": 0.90,
     "window_topk_per_group": 0.33,
     "events_sessionize": 0.26,
-    "dedup_ngram_jaccard": 2.2,
-    "dedup_minhash_lsh": 1.98,
+    "dedup_ngram_jaccard": 1.4,
+    "dedup_minhash_lsh": 1.79,
     "text_quality": 0.27,
     "similarity_topk_bruteforce": 0.29,
     # r14 opt floors (post UDF-dedup / persist fixes; sampling
     # heuristic only — see the adaptive walk below)
     "corpus_prepare_training_data": 1.55,
     "dedup_sorted_neighborhood": 1.74,
-    "embedding_bitext_mine": 1.74,
+    "embedding_bitext_mine": 1.17,
     "corpus_paragraph_dedup": 0.60,
     "similarity_maxsim_multivector": 0.38,
     "dedup_prefix_filter_join": 1.60,
@@ -137,7 +137,7 @@ REFERENCE = {
     "corpus_epoch_shuffle": 0.25,
     "corpus_priority_sample_grouped": 0.28,
     "source_warc_split": 2.3,
-    "corpus_minhash_semantic_scope": 2.45,
+    "corpus_minhash_semantic_scope": 1.47,
     "source_pdf_text": 1.0,
     "pipeline_documents_to_corpus": 1.25,
     # r11: crawl→markdown re-measured at 1.66 warm min after the
@@ -151,7 +151,11 @@ REFERENCE = {
     "pipeline_crawl_outlinks": 1.0,
     "multimodal_image_orientation_dedup": 1.2,
     "source_pdf_aesv3": 1.2,
-    "pipeline_frontier_polite": 1.5,
+    "pipeline_frontier_polite": 1.33,
+    # r15: floors for the five entries above lowered to the r14
+    # certified BENCH_LOCAL_r14.json mins (ADVICE item: the stale
+    # floors let the contention walk accept plateaus up to ~2.4x
+    # engine time; lowering is risk-free — sampling heuristic only)
     # r14: first real measurements (were placeholders)
     "archive_7z_encrypted": 0.85,
     "multimodal_audio_mp3_spectral": 0.95,

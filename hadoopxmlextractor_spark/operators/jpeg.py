@@ -152,6 +152,25 @@ def _fdct2(block: np.ndarray) -> np.ndarray:
     return _B @ block @ _B.T
 
 
+class _HuffTable(dict):
+    """{(length, code): value} with decode accelerators (r15 opt):
+    ``fixed_len``/``bycode`` when every codeword shares one length
+    (the synth's SOF3 SSSS table is all-length-5 — decode becomes one
+    multi-bit read + one dict probe instead of 5 bit-serial probes)."""
+
+    __slots__ = ("fixed_len", "bycode")
+
+    def __init__(self, table):
+        super().__init__(table)
+        lens = {ln for (ln, _c) in table}
+        if len(lens) == 1:
+            self.fixed_len = next(iter(lens))
+            self.bycode = {c: v for (_ln, c), v in table.items()}
+        else:
+            self.fixed_len = 0
+            self.bycode = None
+
+
 def _build_huffman(bits, values):
     """Canonical Huffman per T.81 Annex C: {(length, code): value}."""
     table = {}
@@ -163,7 +182,7 @@ def _build_huffman(bits, values):
             code += 1
             k += 1
         code <<= 1
-    return table
+    return _HuffTable(table)
 
 
 def _huff_codes(bits, values):
@@ -213,6 +232,15 @@ class _BitReader:
                 self.pos += 1
 
     def decode_huff(self, table) -> int:
+        # fixed-length fast path (r15 opt): one multi-bit read + one
+        # probe; a miss is exactly the serial walk's "no entry at any
+        # length" outcome (the table holds only that one length)
+        fl = getattr(table, "fixed_len", 0)
+        if fl:
+            hit = table.bycode.get(self.receive(fl))
+            if hit is None:
+                raise ValueError("invalid huffman code")
+            return hit
         length, code = 0, 0
         while length < 16:
             code = (code << 1) | self.read_bit()
@@ -222,9 +250,40 @@ class _BitReader:
         raise ValueError("invalid huffman code")
 
     def receive(self, n: int) -> int:
+        # r15 opt: byte-chunked twin of the per-bit loop — identical
+        # stuffing/RSTn handling (a restart marker mid-read skips and
+        # resets the pad exactly like read_bit did)
         v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        data = self.data
+        ln = len(data)
+        while n:
+            pos = self.pos
+            if pos >= ln:
+                raise EOFError
+            byte = data[pos]
+            if byte == 0xFF:
+                nxt = data[pos + 1] if pos + 1 < ln else 0
+                if nxt == 0x00:
+                    pass  # stuffed 0xFF: consume normally
+                elif 0xD0 <= nxt <= 0xD7:
+                    self.pos = pos + 2
+                    self.bit = 0
+                    continue
+                else:
+                    raise EOFError  # EOI or next segment
+            bit = self.bit
+            avail = 8 - bit
+            take = avail if avail < n else n
+            v = (v << take) | (
+                (byte >> (avail - take)) & ((1 << take) - 1)
+            )
+            n -= take
+            bit += take
+            if bit == 8:
+                self.bit = 0
+                self.pos = pos + (2 if byte == 0xFF else 1)
+            else:
+                self.bit = bit
         return v
 
     def receive_extend(self, n: int) -> int:
