@@ -145,20 +145,24 @@ REFERENCE = {
     # sampler accept warm-up-inflated values; r14 opt: fused single
     # mapInPandas chain re-measured at 1.10
     "pipeline_crawl_to_markdown": 1.2,
-    "multimodal_audio_flac_decode": 1.6,
-    "multimodal_audio_alac_decode": 1.2,
+    "multimodal_audio_flac_decode": 1.11,
+    "multimodal_audio_alac_decode": 1.02,
     "source_warc_charset": 1.1,
     "pipeline_crawl_outlinks": 1.0,
-    "multimodal_image_orientation_dedup": 1.2,
+    "multimodal_image_orientation_dedup": 1.12,
     "source_pdf_aesv3": 1.2,
     "pipeline_frontier_polite": 1.33,
+    # r15 end: per-blob floors re-pinned to this round's measured
+    # post-kernel-optimization mins (lowering only — a floor can
+    # only make the contention walk take MORE samples; pdf_aesv3's
+    # 1.2 placeholder stays, already below the measured 1.43 min)
     # r15: floors for the five entries above lowered to the r14
     # certified BENCH_LOCAL_r14.json mins (ADVICE item: the stale
     # floors let the contention walk accept plateaus up to ~2.4x
     # engine time; lowering is risk-free — sampling heuristic only)
     # r14: first real measurements (were placeholders)
-    "archive_7z_encrypted": 0.85,
-    "multimodal_audio_mp3_spectral": 0.95,
+    "archive_7z_encrypted": 0.58,
+    "multimodal_audio_mp3_spectral": 0.66,
 }
 
 
